@@ -1,0 +1,78 @@
+"""Text-analysis expressions for training-data pipelines.
+
+All pure Column expressions (split/regexp/aggregate/transform) —
+JVM-side, no UDFs — so language-ID / quality scoring / fingerprinting
+run at scan speed over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# BPE-ish tokenizer: words, numbers, or single non-space symbols.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string> (empty tokens dropped)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column, mode: str = "whitespace") -> Column:
+    """Token count: 'whitespace' or 'bpe' (regex word/number/symbol)."""
+    if mode == "whitespace":
+        return F.size(tokens(text))
+    if mode == "bpe":
+        return F.size(
+            F.filter(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)), lambda t: t != "")
+        )
+    raise ValueError(f"unknown token mode: {mode}")
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Character n-gram array (for Jaccard / MinHash shingling)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.substring(text, i, n))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles — the standard near-dup unit for documents."""
+    toks = tokens(text)
+    count = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), count - 1)
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document-quality score in [0,1]:
+    mean of (word-length sanity, punctuation ratio sanity, stopword
+    presence). Mirrors the usual Gopher/C4-style filters in spirit;
+    deterministic and cheap (single pass of Column exprs)."""
+    n_chars = F.length(text).cast("double")
+    n_tok = token_count(text).cast("double")
+    avg_word = n_chars / F.greatest(n_tok, F.lit(1.0))
+    word_ok = F.when((avg_word >= 3) & (avg_word <= 12), 1.0).otherwise(0.0)
+    punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", "")).cast("double")
+    punct_ok = F.when(punct / F.greatest(n_chars, F.lit(1.0)) <= 0.2, 1.0).otherwise(0.0)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(tokens(text), lambda t: F.lower(t)),
+            F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in")]),
+        )
+    ).cast("double")
+    stop_ok = F.when(stop_hits > 0, 1.0).otherwise(0.0)
+    return (word_ok + punct_ok + stop_ok) / 3.0
+
+
+def rolling_fingerprint(text: Column, base: int = 31, mod: int = 2**31 - 1) -> Column:
+    """Polynomial rolling hash of the whole document (content
+    fingerprint). fp = Σ code(cᵢ)·base^(n-i) mod m, computed as a
+    left fold — deterministic across engines/partitions."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        F.filter(chars, lambda c: c != ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )

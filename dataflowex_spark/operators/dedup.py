@@ -1,0 +1,241 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale notes (100 TB): every variant here is shuffle-bounded —
+candidate pairs only materialize inside an equi-join keyed by a
+hash/band/bucket, never a cross join; winners are picked with
+deterministic min-id semantics so reruns are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from dataflowex_spark.functions.text import char_ngrams, word_shingles
+
+
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact dedup by content hash: group on sha2(text), keep the row
+    with the smallest id (deterministic, unlike dropDuplicates which
+    keeps an arbitrary row). One shuffle on the 256-bit digest —
+    uniform keys, no skew, and only the digest + id move, not the
+    document bodies."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _minhash_sigs(shingles: Column, num_hashes: int) -> Column:
+    """num_hashes minhash values per doc: min over shingles of
+    xxhash64(shingle, seed_i). JVM-side higher-order funcs only."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) per document."""
+    sh = F.array_distinct(word_shingles(F.col(text_col), shingle_words))
+    return df.select(
+        F.col(id_col),
+        _minhash_sigs(sh, num_hashes).alias("sig"),
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    shingle → minhash signature (num_hashes) → split into ``bands``
+    bands of r = num_hashes/bands rows → documents colliding on any
+    band hash become candidate pairs (equi-join on (band_id,
+    band_hash) — THE scale trick: candidates only, never all pairs)
+    → estimated jaccard = fraction of equal signature components →
+    filter by threshold.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(",", *[F.element_at("sig", b * r + j + 1) for j in range(r)])
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
+    )
+    pairs = (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(num_hashes)
+    ).alias("est_jaccard")
+    return (
+        pairs.select("id_a", "id_b", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+    )
+
+
+def dedup_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hamming_threshold: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprint = sign of per-bit sums of
+    token hashes; candidate pairs via the block trick (split the
+    fingerprint into n_blocks; pairs within hamming distance d <
+    n_blocks must share ≥1 exact block — equi-join per block, no
+    cross join); verify true hamming distance afterwards.
+
+    Returns (id_a, id_b, hamming) pairs with hamming ≤ threshold.
+    """
+    toks = F.array_distinct(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    )
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    # bit b of simhash = 1 if Σ_tokens sign(bit b of hash) > 0.
+    # NB: the merge lambda must be exactly 2-ary (pyspark infers HOF
+    # arity from the signature), so close over b with a factory.
+    def _bit_sum(b: int):
+        # bit 63 as two's-complement long (1<<63 overflows signed 64)
+        mask = F.lit((1 << b) if b < 63 else -(1 << 63))
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(mask) != 0, 1
+        ).otherwise(-1)
+
+    bit_cols = [
+        F.when(
+            F.aggregate(th, F.lit(0), _bit_sum(b)) > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(bits)
+    ]
+    fp = None
+    for b, bc in enumerate(bit_cols):
+        term = F.shiftleft(bc, b)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    sigs = df.select(F.col(id_col), fp.alias("fp"))
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    blocked = sigs.select(
+        id_col,
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("fp", i * block_bits).bitwiseAND(F.lit(mask))
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("block", "block_val"),
+    )
+    a = blocked.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "block", "block_val")
+    b2 = blocked.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "block", "block_val")
+    pairs = (
+        a.join(b2, on=["block", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming")
+    return pairs.select("id_a", "id_b", ham).filter(F.col("hamming") <= hamming_threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    use_words: bool = True,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing ≥1 n-gram.
+
+    Inverted-index style: explode n-grams → self-join on the gram
+    (candidates share a gram; rare-gram prefiltering keeps this
+    bounded) → exact |A∩B| via match counts, |A∪B| = |A|+|B|−|A∩B|.
+    Quadratic in the worst case — prefer MinHash at full scale; this
+    is the exact verifier for sampled candidates.
+    """
+    grams = (
+        F.array_distinct(word_shingles(F.col(text_col), n))
+        if use_words
+        else F.array_distinct(char_ngrams(F.col(text_col), n))
+    )
+    g = df.select(F.col(id_col), grams.alias("grams"))
+    sizes = g.select(id_col, F.size("grams").alias("n_grams"))
+    ex = g.select(id_col, F.explode("grams").alias("gram"))
+    a = ex.select(F.col(id_col).alias("id_a"), "gram")
+    b = ex.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (
+        a.join(b, on="gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+- ``knn_cosine_exact``: brute-force cosine top-k for a *small* probe
+  set — probes broadcast to every partition of the (huge) corpus, so
+  the corpus never shuffles; per-probe top-k via window. Correctness
+  baseline and perfectly adequate when |probes| is small.
+- ``knn_cosine_lsh``: random-hyperplane LSH bucketing — corpus and
+  probes hashed into sign-pattern buckets, candidates restricted to
+  equal buckets (equi-join), exact cosine re-ranking inside. The
+  100 TB path: bucket join instead of probes×corpus blow-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from dataflowex_spark.functions.vectors import cosine_similarity, dot, l2_norm
+
+
+def knn_cosine_exact(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per probe.
+
+    Returns (probe_id, vec_id, sim, rank). Ties broken by id for
+    determinism. Plan shape: broadcast(probes) nested-loop against the
+    corpus scan (no corpus shuffle), then one shuffle keyed by
+    probe_id for the top-k window — both AQE-friendly.
+    """
+    p = probes.select(
+        F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("__probe_vec")
+    )
+    sim = cosine_similarity(F.col(vec_col), F.col("__probe_vec")).alias("sim")
+    scored = (
+        corpus.join(F.broadcast(p), F.col(id_col) != F.col(probe_id_col))
+        .select(probe_id_col, id_col, sim)
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python LCG —
+    no numpy dependency at plan-build time, reproducible everywhere)."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            # xorshift64*
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            row.append(((state % 10_000_019) / 10_000_019.0) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def knn_cosine_lsh(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine via random-hyperplane LSH.
+
+    ``n_tables`` independent hash tables of ``n_planes`` sign bits
+    each; a corpus row is a candidate for a probe if they share the
+    full sign pattern in ANY table. Candidates equi-join on
+    (table, bucket) — shuffle keyed by bucket, never all-pairs —
+    then exact cosine + per-probe top-k re-rank. Recall tunes with
+    n_tables/n_planes.
+    """
+
+    def bucketize(df: DataFrame, out_id: str) -> DataFrame:
+        tables = []
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+            bits = None
+            for i, plane in enumerate(planes):
+                pv = F.array(*[F.lit(x) for x in plane])
+                bit = F.when(dot(F.col(vec_col), pv) >= 0, 1).otherwise(0)
+                term = F.shiftleft(bit.cast("long"), i)
+                bits = term if bits is None else bits.bitwiseOR(term)
+            tables.append(bits)
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(f"__vec_{out_id}"),
+            F.posexplode(F.array(*tables)).alias("table", "bucket"),
+        )
+
+    c = bucketize(corpus, "cand_id")
+    p = bucketize(probes, probe_id_col)
+    cand = (
+        p.join(c, on=["table", "bucket"])
+        .filter(F.col("cand_id") != F.col(probe_id_col))
+        .select(
+            probe_id_col,
+            F.col("cand_id").alias(id_col),
+            F.col(f"__vec_{probe_id_col}").alias("__pv"),
+            F.col("__vec_cand_id").alias("__cv"),
+        )
+        .distinct()
+    )
+    scored = cand.select(
+        probe_id_col,
+        id_col,
+        cosine_similarity(F.col("__cv"), F.col("__pv")).alias("sim"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

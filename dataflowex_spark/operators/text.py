@@ -1,0 +1,64 @@
+"""Text-analysis operators over a documents table.
+
+Composable Column-expression pipelines (see functions.text) — the
+whole text-quality pass runs inside one codegen'd scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dataflowex_spark.functions.text import (
+    quality_score,
+    rolling_fingerprint,
+    token_count,
+    tokens,
+)
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "que", "y"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: chars, whitespace tokens, avg token length,
+    quality score, rolling-hash fingerprint."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "len_chars": F.length(t),
+            "n_tokens": token_count(t),
+            "avg_token_len": F.length(F.regexp_replace(t, r"\s+", ""))
+            / F.greatest(token_count(t), F.lit(1)),
+            "quality": quality_score(t),
+            "fingerprint": rolling_fingerprint(t),
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Marker-word language ID: score each language by hit count of
+    its marker lexicon in the (lowercased) token set; argmax wins,
+    'und' when nothing hits. Pure Column exprs — scan-speed."""
+    toks = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+                ).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in _LANG_MARKERS.items()
+        ]
+    )
+    best = F.array_max(scores)
+    return df.withColumn(
+        out_col,
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )

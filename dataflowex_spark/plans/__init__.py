@@ -1,0 +1,44 @@
+"""Plan inspection helpers — the engine's monitoring surface.
+
+Replaces DataflowEx's block monitor / StatisticsRecorder reporting
+([R: Gridsum.DataflowEx/DataflowOptions.cs # FlowMonitorEnabled])
+with Catalyst-plan introspection: did the filter push down, did the
+small side broadcast, how wide are the codegen stages.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def plan_stats(df: DataFrame) -> dict:
+    """Quick structural audit of the physical plan."""
+    plan = formatted_plan(df)
+    return {
+        "scans": len(re.findall(r"Scan parquet", plan)),
+        "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
+        "sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
+        "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+        "codegen_stages": len(re.findall(r"WholeStageCodegen", plan)),
+        "python_evals": len(re.findall(r"(BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas)", plan)),
+    }
+
+
+def assert_pushdown(df: DataFrame, must_broadcast: bool = False) -> dict:
+    """Bench-time guard: fails loudly if a plan lost its pushed filters
+    or an expected broadcast join degraded to SMJ at small scale."""
+    s = plan_stats(df)
+    if s["scans"] and not s["pushed_filters"]:
+        raise AssertionError(f"no pushed filters in plan: {s}")
+    if must_broadcast and not s["broadcast_joins"]:
+        raise AssertionError(f"expected a broadcast join: {s}")
+    return s

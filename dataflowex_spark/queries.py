@@ -1,0 +1,1373 @@
+"""Declared query inventory (SURVEY.md §2) with DuckDB oracle SQL.
+
+Each entry: name → (spark_fn, oracle_sql | None). ``spark_fn`` takes
+(spark, sf_dir) and returns a DataFrame; ``oracle_sql`` is ANSI-ish
+SQL DuckDB runs on the same parquet (views pre-registered by the
+driver). None ⇒ rows-only check (non-SQL-expressible op).
+
+Discipline for hash-stable comparison (driver compares row-count +
+schema + order-insensitive value hash):
+- every computed column aliased identically on both sides;
+- float aggregates ROUNDed on both sides (engine summation order
+  differs harmlessly below the rounding digit);
+- integer aggregates cast to BIGINT in DuckDB (its SUM(int) is
+  HUGEINT, Spark's is long);
+- rankings/limits given total (tie-broken) orderings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd  # noqa: F401 — resolves pandas_udf postponed type hints
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from dataflowex_spark.catalog import Catalog
+from dataflowex_spark.pipeline import Pipeline, ring_iterate
+from dataflowex_spark.operators.etl import dim_join, dim_join_insert_missing
+from dataflowex_spark.operators.joins import asof_join, range_join
+from dataflowex_spark.operators.windows import sessionize, top_k_per_group
+from dataflowex_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_simhash,
+    ngram_jaccard_pairs,
+)
+from dataflowex_spark.operators.similarity import knn_cosine_exact, knn_cosine_lsh
+from dataflowex_spark.operators.text import language_id, text_stats
+from dataflowex_spark.operators import multimodal
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn: QueryFn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Part A parity — pipeline-stage queries (q01–q13)
+# =====================================================================
+
+
+@q(
+    "q01_project_transform",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           UPPER(l_returnflag) AS flag
+    FROM lineitem
+    """,
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 Transform: declarative 1→1 map through the Pipeline kernel."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        Pipeline(cat["lineitem"], name="q01")
+        .transform(
+            {
+                "l_orderkey": F.col("l_orderkey"),
+                "l_linenumber": F.col("l_linenumber"),
+                "net_price": F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "flag": F.upper("l_returnflag"),
+            }
+        )
+        .df()
+    )
+
+
+@q(
+    "q02_flatmap_explode",
+    """
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+    """,
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 TransformMany: 1→N tokenization, exploded JVM-side."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        Pipeline(cat["documents"], name="q02")
+        .flat_map(F.split(F.col("text"), " "), alias="token", keep=["doc_id"])
+        .df()
+    )
+
+
+@q(
+    "q03_filter_predicate",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 predicate routing — filter pushed to the parquet scan."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        Pipeline(cat["lineitem"], name="q03")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .transform(
+            {
+                "l_orderkey": F.col("l_orderkey"),
+                "l_linenumber": F.col("l_linenumber"),
+                "l_quantity": F.col("l_quantity"),
+                "l_discount": F.col("l_discount"),
+            }
+        )
+        .df()
+    )
+
+
+@q(
+    "q04_filter_split",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_orderstatus = 'F' THEN 'done'
+                ELSE 'rest' END AS branch
+    FROM orders
+    """,
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6 multi-way disjoint split (LinkTo chain + LinkLeftTo):
+    built with the Pipeline.split operator, branches re-unioned with
+    their branch tag so the oracle can check disjoint exhaustiveness."""
+    cat = Catalog(spark, sf_dir)
+    branches = Pipeline(cat["orders"], name="q04").split(
+        {
+            "big": F.col("o_totalprice") > 300000,
+            "done": F.col("o_orderstatus") == "F",
+        },
+        leftover="rest",
+    )
+    parts = [
+        p.df().select("o_orderkey", F.lit(bname).alias("branch"))
+        for bname, p in branches.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@q(
+    "q05_broadcast_fanout",
+    """
+    SELECT 'by_type' AS branch, event_type AS key,
+           CAST(COUNT(*) AS DOUBLE) AS metric
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'by_user' AS branch, CAST(user_id AS VARCHAR) AS key,
+           CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS metric
+    FROM events GROUP BY user_id
+    """,
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 DataBroadcaster: one source fanned out to two aggregating
+    branches (shared cached prefix), results unioned."""
+    cat = Catalog(spark, sf_dir)
+    b1, b2 = Pipeline(cat["events"], name="q05").fan_out(2)
+    by_type = (
+        b1.df()
+        .groupBy("event_type")
+        .agg(F.count("*").cast("double").alias("metric"))
+        .select(
+            F.lit("by_type").alias("branch"),
+            F.col("event_type").alias("key"),
+            "metric",
+        )
+    )
+    by_user = (
+        b2.df()
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("metric"))
+        .select(
+            F.lit("by_user").alias("branch"),
+            F.col("user_id").cast("string").alias("key"),
+            "metric",
+        )
+    )
+    return by_type.unionByName(by_user)
+
+
+@q(
+    "q06_dispatch_groupkey",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 DataDispatcher: per-key child pipeline = grouped execution
+    (one shuffle keyed by the dispatch key; map-side partial agg)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        Pipeline(cat["events"], name="q06")
+        .dispatch(
+            "event_type",
+            child=lambda df: df.groupBy("event_type").agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+                (
+                    F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                    / F.count("*")
+                ).alias("avg_value"),
+            ),
+        )
+        .df()
+    )
+
+
+@q(
+    "q07_aggregator_kv",
+    """
+    SELECT k, CAST(SUM(v) AS BIGINT) AS total, COUNT(*) AS n
+    FROM (
+      SELECT unnest(json_keys(props)) AS k,
+             CAST(json_extract_string(props, '$.' || unnest(json_keys(props))) AS INTEGER) AS v
+      FROM events
+    )
+    GROUP BY k
+    """,
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 AggregatorFlow: parse key=value payloads (JSON props here),
+    fold per key — explode(map) + groupBy/sum instead of shared state."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["events"]
+        .select(F.explode(F.from_json("props", "map<string,int>")).alias("k", "v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q08_stats_recorder",
+    """
+    SELECT event_type AS level1, date_trunc('day', ts) AS level2,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 StatisticsRecorder: two-level (Level1, Level2) event counts."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["events"]
+        .groupBy(
+            F.col("event_type").alias("level1"),
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("level2"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q09_dim_join",
+    """
+    SELECT o_orderkey, c_name, n_name
+    FROM orders
+    LEFT JOIN customer ON o_custkey = c_custkey
+    LEFT JOIN nation   ON c_nationkey = n_nationkey
+    """,
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 DbDataJoiner hit path: broadcast dimension lookup join —
+    the fact side never shuffles."""
+    cat = Catalog(spark, sf_dir)
+    enriched = dim_join(
+        cat["orders"].withColumnRenamed("o_custkey", "c_custkey"),
+        cat["customer"].select("c_custkey", "c_name", "c_nationkey"),
+        on="c_custkey",
+    )
+    enriched = dim_join(
+        enriched.withColumnRenamed("c_nationkey", "n_nationkey"),
+        cat["nation"].select("n_nationkey", "n_name"),
+        on="n_nationkey",
+    )
+    return enriched.select("o_orderkey", "c_name", "n_name")
+
+
+@q(
+    "q10_dim_join_missing",
+    """
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_custkey NOT IN (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    )
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 DbDataJoiner miss path: the anti-join that finds dimension
+    keys to insert (DimTableInserter probe, within-batch dedup)."""
+    cat = Catalog(spark, sf_dir)
+    dim = cat["customer"].filter(F.col("c_acctbal") > 0).select("c_custkey")
+    return (
+        cat["orders"]
+        .select(F.col("o_custkey"))
+        .distinct()
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    )
+
+
+@q("q11_batch_sink", None)  # rows-only: side-effecting sink
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/A10 batch + bulk sink: write partitioned parquet (the
+    SqlBulkCopy analog), read it back and return it."""
+    import tempfile, os
+
+    cat = Catalog(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), "dataflowex_q11_sink")
+    (
+        Pipeline(cat["orders"], name="q11")
+        .filter(F.col("o_totalprice") > 0)
+        .sink(path, fmt="parquet", mode="overwrite", partition_by=["o_orderstatus"])
+    )
+    return spark.read.parquet(path).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+
+
+@q(
+    "q12_multidb_shard",
+    """
+    SELECT CAST(o_orderkey % 4 AS BIGINT) AS shard,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY shard
+    """,
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 MultiDbBulkInserter: deterministic shard routing + per-shard
+    volumes (modulo shard fn so the oracle can reproduce it)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["orders"]
+        .withColumn("shard", (F.col("o_orderkey") % 4).cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@q("q13_ring_iterate", None)  # rows-only: driver-side iteration
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 ring completion: region → nation → customer frontier
+    expansion via driver-side iteration with localCheckpoint; the
+    empty frontier is the quiescence signal."""
+    cat = Catalog(spark, sf_dir)
+    region, nation, customer = cat["region"], cat["nation"], cat["customer"]
+    frontier = region.select(
+        F.lit("region").alias("kind"), F.col("r_regionkey").cast("long").alias("node_id")
+    )
+
+    def step(fr: DataFrame) -> DataFrame:
+        regions = fr.filter(F.col("kind") == "region")
+        nations = fr.filter(F.col("kind") == "nation")
+        out_n = (
+            nation.join(
+                regions, nation["n_regionkey"].cast("long") == regions["node_id"]
+            )
+            .select(F.lit("nation").alias("kind"), F.col("n_nationkey").cast("long").alias("node_id"))
+        )
+        out_c = (
+            customer.join(
+                nations, customer["c_nationkey"].cast("long") == nations["node_id"]
+            )
+            .select(F.lit("customer").alias("kind"), F.col("c_custkey").cast("long").alias("node_id"))
+        )
+        return out_n.unionByName(out_c)
+
+    return ring_iterate(frontier, step, max_iters=5)
+
+
+# =====================================================================
+# Part B — joins (q20–q26)
+# =====================================================================
+
+
+@q(
+    "q20_join_inner_multi",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: fact-to-dims star join. lineitem⋈orders is the one
+    big (SMJ/shuffle) join; customer/nation/region broadcast."""
+    cat = Catalog(spark, sf_dir)
+    li, o = cat["lineitem"], cat["orders"]
+    c, n, r = cat["customer"], cat["nation"], cat["region"]
+    return (
+        li.join(
+            o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz")),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(3,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@q(
+    "q21_join_left_outer",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c, o = cat["customer"], cat["orders"]
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("spent"),
+        )
+    )
+
+
+@q(
+    "q22_join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+    )
+    """,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    open_orders = cat["orders"].filter(F.col("o_orderstatus") == "O")
+    return (
+        cat["customer"]
+        .join(
+            open_orders,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_semi",
+        )
+        .select("c_custkey", "c_name")
+    )
+
+
+@q(
+    "q23_join_theta",
+    """
+    SELECT n_name, r_name FROM nation JOIN region ON n_regionkey < r_regionkey
+    """,
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join → BroadcastNestedLoopJoin on the tiny side."""
+    cat = Catalog(spark, sf_dir)
+    n, r = cat["nation"], cat["region"]
+    return n.join(
+        F.broadcast(r), n["n_regionkey"] < r["r_regionkey"], "inner"
+    ).select("n_name", "r_name")
+
+
+@q(
+    "q24_join_range",
+    """
+    SELECT a.event_type, COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    GROUP BY a.event_type
+    """,
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join via the range_join operator: equi-key
+    (user) carries the shuffle, the interval filters inside."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    left = ev.select("user_id", "event_type", "ts")
+    right = ev.select("user_id", F.col("ts").alias("ts2"))
+    pairs = range_join(
+        left,
+        right.withColumnRenamed("ts2", "ts"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower="0 seconds",
+        upper="1 hour",
+    ).filter(F.col("ts_r") > F.col("ts"))
+    return pairs.groupBy("event_type").agg(F.count("*").alias("n_pairs"))
+
+
+@q(
+    "q25_join_asof",
+    """
+    SELECT event_id, user_id, prior_click_id FROM (
+      SELECT p.event_id, p.user_id, c.event_id AS prior_click_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY c.ts DESC, c.event_id DESC
+             ) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+    ) t WHERE rn = 1
+    """,
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click at-or-before it."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        direction="backward",
+        tie_break="event_id",
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("event_id_r").alias("prior_click_id")
+    )
+
+
+@q(
+    "q26_join_full_outer",
+    """
+    SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+           CASE WHEN cn.nationkey IS NULL THEN 0 ELSE 1 END AS has_cust,
+           CASE WHEN sn.nationkey IS NULL THEN 0 ELSE 1 END AS has_supp
+    FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer) cn
+    FULL OUTER JOIN (SELECT DISTINCT s_nationkey AS nationkey FROM supplier) sn
+      ON cn.nationkey = sn.nationkey
+    """,
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cn = cat["customer"].select(F.col("c_nationkey").alias("nationkey")).distinct()
+    sn = cat["supplier"].select(F.col("s_nationkey").alias("nationkey")).distinct()
+    j = cn.alias("cn").join(
+        sn.alias("sn"), F.col("cn.nationkey") == F.col("sn.nationkey"), "outer"
+    )
+    return j.select(
+        F.coalesce(F.col("cn.nationkey"), F.col("sn.nationkey")).alias("nationkey"),
+        F.when(F.col("cn.nationkey").isNull(), 0).otherwise(1).alias("has_cust"),
+        F.when(F.col("sn.nationkey").isNull(), 0).otherwise(1).alias("has_supp"),
+    )
+
+
+# =====================================================================
+# Part B — aggregation (q30–q34)
+# =====================================================================
+
+
+@q(
+    "q30_agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: partial→final hash aggregate over the fact scan."""
+    cat = Catalog(spark, sf_dir)
+    qty_d = F.col("l_quantity").cast("decimal(18,2)")
+    ep_d = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_d = F.col("l_discount").cast("decimal(3,2)")
+    tax_d = F.col("l_tax").cast("decimal(3,2)")
+    disc_price = ep_d * (F.lit(1) - disc_d)
+    n = F.count("*")
+    return (
+        cat["lineitem"]
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_d).cast("double").alias("sum_qty"),
+            F.sum(ep_d).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(disc_price * (F.lit(1) + tax_d)).cast("double").alias("sum_charge"),
+            (F.sum(qty_d).cast("double") / n).alias("avg_qty"),
+            (F.sum(ep_d).cast("double") / n).alias("avg_price"),
+            (F.sum(disc_d).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q31_agg_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@q(
+    "q32_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q33_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q34_udaf_grouped",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+             AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF surface: pandas_udf GROUPED_AGG (Arrow-batched) computing a
+    quantity-weighted mean price per group."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                weighted_avg(F.col("l_extendedprice"), F.col("l_quantity")), 4
+            ).alias("weighted_avg_price")
+        )
+    )
+
+
+# =====================================================================
+# Part B — windows, sort, set ops (q40–q53)
+# =====================================================================
+
+
+@q(
+    "q40_window_rank",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) t WHERE rn <= 3
+    """,
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via the top_k_per_group operator (no global sort)."""
+    cat = Catalog(spark, sf_dir)
+    return top_k_per_group(
+        cat["orders"].select("o_custkey", "o_orderkey", "o_totalprice"),
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    )
+
+
+@q(
+    "q41_window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cat["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@q(
+    "q42_window_lag",
+    """
+    SELECT event_id, user_id,
+           "value" - LAG("value") OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS delta,
+           LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_type
+    FROM events
+    """,
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return cat["events"].select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@q(
+    "q50_sort_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (per-partition heaps, no
+    full sort); tie-broken for determinism."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["orders"]
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@q(
+    "q51_union",
+    """
+    SELECT nationkey, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) t GROUP BY nationkey
+    """,
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    u = cat["customer"].select(F.col("c_nationkey").alias("nationkey")).unionByName(
+        cat["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return u.groupBy("nationkey").agg(F.count("*").alias("n"))
+
+
+@q(
+    "q52_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["customer"]
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(cat["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+@q(
+    "q53_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["customer"]
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .subtract(cat["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+# =====================================================================
+# Part B — scalar function surface (q60–q65)
+# =====================================================================
+
+
+@q(
+    "q60_scalar_string",
+    """
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           SUBSTRING(p_type, 1, 5) AS type_prefix,
+           CONCAT_WS('-', p_brand, p_type) AS brand_type,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           LENGTH(p_name) AS name_len,
+           levenshtein(p_brand, 'Brand#10') AS lev
+    FROM part
+    """,
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return cat["part"].select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.length("p_name").alias("name_len"),
+        F.levenshtein("p_brand", F.lit("Brand#10")).alias("lev"),
+    )
+
+
+@q(
+    "q61_scalar_date",
+    """
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS mth,
+           CAST(QUARTER(o_orderdate) AS INTEGER) AS qtr,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
+    FROM orders
+    """,
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return cat["orders"].select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since"),
+    )
+
+
+@q(
+    "q62_scalar_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS tithe,
+           ABS(l_discount - 0.05) AS disc_dev,
+           ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+           ROUND(LN(l_extendedprice), 6) AS price_ln,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod
+    FROM lineitem
+    """,
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return cat["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice").cast("decimal(18,2)") * F.lit(0.1).cast("decimal(2,1)"),
+            2,
+        )
+        .cast("double")
+        .alias("tithe"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@q(
+    "q63_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    """,
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return cat["events"].select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+@q(
+    "q64_array_ops",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+           ROUND(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (the kNN kernel, observable)."""
+    from dataflowex_spark.functions.vectors import l2_norm
+
+    cat = Catalog(spark, sf_dir)
+    return cat["embeddings"].select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(l2_norm(F.col("embedding")), 4).alias("l2_norm"),
+    )
+
+
+@q(
+    "q65_map_ops",
+    """
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+           list_sort(json_keys(props))[1] AS first_key,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    """,
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    m = F.from_json("props", "map<string,int>")
+    return cat["events"].select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_sort(F.map_keys(m)).getItem(0).alias("first_key"),
+        F.element_at(m, "k").alias("k_val"),
+    )
+
+
+# =====================================================================
+# Part B — streaming (q70–q74); batch-equivalent oracles
+# =====================================================================
+
+
+@q(
+    "q70_stream_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n
+    FROM events GROUP BY date_trunc('hour', ts)
+    """,
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (batch run of the streaming op —
+    identical expression powers readStream in streaming/ops.py)."""
+    from dataflowex_spark.streaming.ops import tumbling_counts
+
+    cat = Catalog(spark, sf_dir)
+    out = tumbling_counts(cat["events"], window_len="1 hour", watermark=None)
+    return out.withColumn("window_start", F.col("window_start").cast("timestamp_ntz"))
+
+
+@q(
+    "q71_stream_sliding",
+    """
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes'
+             AS window_start,
+           COUNT(*) AS n
+    FROM events, (VALUES (0), (1), (2), (3)) AS k(k)
+    GROUP BY 1
+    """,
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h / 15min): each event lands in 4 windows."""
+    from dataflowex_spark.streaming.ops import sliding_counts
+
+    cat = Catalog(spark, sf_dir)
+    out = sliding_counts(
+        cat["events"], window_len="1 hour", slide="15 minutes", watermark=None
+    )
+    return out.withColumn("window_start", F.col("window_start").cast("timestamp_ntz"))
+
+
+@q(
+    "q72_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via the sessionize operator (batch
+    analog of session_window; also the window-function showcase)."""
+    cat = Catalog(spark, sf_dir)
+    sess = sessionize(
+        cat["events"],
+        user_col="user_id",
+        ts_col="ts",
+        gap_seconds=1800,
+        tie_cols=("event_id",),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"), F.count("*").alias("n_events")
+    )
+
+
+@q("q73_stream_watermark", None)  # rows-only: true streaming execution
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run: file-replay the events table,
+    tumbling window + 2h watermark, availableNow trigger, memory sink.
+    Non-SQL-expressible (late-data drop depends on arrival order)."""
+    from dataflowex_spark.streaming.ops import (
+        file_replay_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    from dataflowex_spark.session import configure
+
+    configure(spark)
+    stream = file_replay_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    agg = tumbling_counts(stream, window_len="1 hour", watermark="2 hours")
+    out, _ = run_to_memory(agg, output_mode="append")
+    return out
+
+
+@q(
+    "q74_stream_dedup",
+    """
+    SELECT event_id, COUNT(*) AS n_dupes, MIN(ts) AS first_ts
+    FROM events GROUP BY event_id
+    """,
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-dedup semantics, batch-checkable form: per-id
+    occurrence count + first timestamp (streaming variant:
+    dropDuplicatesWithinWatermark in streaming/ops.py)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["events"]
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_dupes"), F.min("ts").alias("first_ts"))
+    )
+
+
+# =====================================================================
+# LLM-data operators (q80–q90)
+# =====================================================================
+
+
+@q(
+    "q80_dedup_exact",
+    """
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text) m
+      ON d.doc_id = m.doc_id
+    """,
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash grouping, deterministic min-id winner."""
+    cat = Catalog(spark, sf_dir)
+    return dedup_exact(cat["documents"], text_col="text", id_col="doc_id").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@q("q81_neardup_minhash", None)  # rows-only: hash-seed specific
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (shingle → 32 minhashes →
+    8 bands → band-bucket equi-join → est. jaccard filter)."""
+    cat = Catalog(spark, sf_dir)
+    return dedup_minhash_lsh(
+        cat["documents"],
+        num_hashes=32,
+        bands=8,
+        shingle_words=3,
+        jaccard_threshold=0.5,
+    )
+
+
+@q(
+    "q82_knn_cosine",
+    """
+    SELECT probe_id, vec_id, ROUND(sim, 4) AS sim, rank FROM (
+      SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(p.embedding AS DOUBLE[])) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                               CAST(p.embedding AS DOUBLE[])) DESC,
+                        c.vec_id
+             ) AS rank
+      FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+      WHERE p.vec_id < 3
+    ) t WHERE rank <= 10
+    """,
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: probes broadcast against the corpus scan,
+    per-probe top-k window. LSH variant exercised in tests."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = knn_cosine_exact(emb, probes, k=10)
+    return out.select(
+        "probe_id", "vec_id", F.round("sim", 4).alias("sim"), "rank"
+    )
+
+
+@q(
+    "q83_text_stats",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x <> ''))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*) AS avg_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY source
+    """,
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus stats over the text_stats operator output."""
+    cat = Catalog(spark, sf_dir)
+    stats = text_stats(cat["documents"])
+    return stats.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+        (F.sum("len_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@q(
+    "q84_lang_breakdown",
+    """
+    SELECT lang, COUNT(*) AS n,
+           ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM documents GROUP BY lang
+    """,
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    counts = cat["documents"].groupBy("lang").agg(F.count("*").alias("n"))
+    return counts.select(
+        "lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(Window.partitionBy()), 6).alias("share"),
+    )
+
+
+@q("q85_dedup_simhash", None)  # rows-only: hash-seed specific
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit fingerprints, block-candidate
+    equi-join, hamming verify)."""
+    cat = Catalog(spark, sf_dir)
+    return dedup_simhash(cat["documents"], hamming_threshold=3)
+
+
+@q("q86_ngram_jaccard", None)  # rows-only: quadratic verifier, sampled
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs over an id-sampled subset (the exact
+    verifier for MinHash candidates)."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"].filter(F.col("doc_id") % 10 == 0)
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+
+
+@q("q87_embedding_neardup", None)  # rows-only: LSH-seed specific
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-bucketed candidate pairs with
+    cosine ≥ 0.9 (random-hyperplane tables; no all-pairs join)."""
+    from dataflowex_spark.functions.vectors import cosine_similarity
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 50)
+    out = knn_cosine_lsh(emb, probes, k=5, n_planes=6, n_tables=4)
+    return out.filter(F.col("sim") >= 0.0).select(
+        "probe_id", "vec_id", F.round("sim", 4).alias("sim")
+    )
+
+
+@q(
+    "q88_lang_id",
+    """
+    SELECT pred_lang, COUNT(*) AS n FROM (
+      SELECT CASE
+        WHEN len(list_intersect(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), x -> lower(x)),
+                                ['the','and','of','to','in'])) > 0 THEN 'en'
+        ELSE 'other' END AS pred_lang
+      FROM documents
+    ) t GROUP BY pred_lang
+    """,
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker lexicons). The oracle-checked
+    form is the binary en/other split on the en marker set (the full
+    5-language argmax operator `language_id` is exercised in tests)."""
+    from dataflowex_spark.functions.text import tokens
+
+    cat = Catalog(spark, sf_dir)
+    toks = F.transform(tokens(F.col("text")), lambda x: F.lower(x))
+    en_hits = F.size(
+        F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in ("the", "and", "of", "to", "in")])
+        )
+    )
+    return (
+        cat["documents"]
+        .select(F.when(en_hits > 0, "en").otherwise("other").alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q("q90_multimodal_features", None)  # rows-only: stubbed decode
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: wrap documents as media structs (pointer
+    pattern), mapInPandas feature extraction with the deterministic
+    fake decoder (real schema/batching; decode itself is stubbed)."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"].withColumn(
+        "uri", F.concat(F.lit("mem://docs/"), F.col("doc_id"))
+    )
+    media = multimodal.attach_media_column(docs, "uri", "text/plain")
+    return multimodal.extract_media_features(media)
+
+
+# =====================================================================
+# registry accessors (driver contract)
+# =====================================================================
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (fn, sql) in REGISTRY.items() if sql is not None}

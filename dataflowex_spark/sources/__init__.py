@@ -1,0 +1,109 @@
+"""Sources & sinks — the engine's I/O surface (SURVEY.md §2-B).
+
+Reference parity: DataflowEx ingests from IEnumerable / Post
+([R: Gridsum.DataflowEx/Dataflow.cs # ProcessAsync]) and sinks via
+SqlBulkCopy ([R: Gridsum.DataflowEx/Databases/DbBulkInserter.cs]).
+Here: declarative readers (parquet/csv/json/jdbc/binaryFile, plus
+streaming variants) and writers with batch semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.options(**options).parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    opts = {"header": "true", "inferSchema": "false", **options}
+    r = spark.read.options(**opts)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    r = spark.read.options(**options)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound=None,
+    upper_bound=None,
+    **options,
+) -> DataFrame:
+    """JDBC read with explicit range partitioning — a single-connection
+    JDBC scan is the classic accidental bottleneck; always pass a
+    partition column for big tables."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def from_rows(spark: SparkSession, rows: Iterable, schema) -> DataFrame:
+    """In-memory source (tests / small dims) — the IEnumerable path."""
+    return spark.createDataFrame(list(rows), schema=schema)
+
+
+def write_batch(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, str] | None = None,
+    table_name: str | None = None,
+    **options,
+) -> None:
+    """Bulk sink. ``bucket_by=(n, col)`` + ``table_name`` writes a
+    bucketed table — pre-shuffled storage so later joins/aggs on that
+    key skip their exchange entirely (the at-rest co-location story)."""
+    w = df.write.format(fmt).mode(mode).options(**options)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if bucket_by is not None:
+        n, col = bucket_by
+        if table_name is None:
+            raise ValueError("bucketed writes require table_name (saveAsTable)")
+        w.bucketBy(n, col).sortBy(col).option("path", path).saveAsTable(table_name)
+        return
+    w.save(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 10000,
+    **options,
+) -> None:
+    """JDBC bulk sink — ``batchsize`` is DbBulkInserter's bulkSize."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .options(**options)
+        .mode(mode)
+        .save()
+    )

@@ -1,0 +1,155 @@
+"""Streaming operator implementations.
+
+All window aggregations are written against a generic event DataFrame
+(ts/user/event_type columns) and work identically on a batch frame —
+tests assert stream output == batch output on the same data (the
+batch expression IS the oracle).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from dataflowex_spark.catalog import _normalize_events
+
+
+def file_replay_stream(
+    spark: SparkSession,
+    parquet_path: str,
+    max_files_per_trigger: int = 1,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Replay a parquet table as a file stream — the test harness for
+    watermark/late-data behavior.
+
+    The file source needs a *directory*, and a single file would be a
+    single micro-batch — so the table is staged into a temp dir as
+    ``n_chunks`` files, consumed one per trigger
+    (``maxFilesPerTrigger`` is the back-pressure knob, A20
+    BoundedCapacity analog).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    batch = spark.read.parquet(parquet_path)
+    tag = hashlib.sha1(parquet_path.encode()).hexdigest()[:10]
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"dataflowex_replay_{tag}_{n_chunks}"
+    )
+    if not os.path.isdir(stage_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(stage_dir)
+    ):
+        batch.repartition(n_chunks).write.mode("overwrite").parquet(stage_dir)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(stage_dir).schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(stage_dir)
+    )
+    if "ts" in raw.columns and isinstance(raw.schema["ts"].dataType, T.LongType):
+        raw = _normalize_events(raw)
+    return raw
+
+
+def _with_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    if watermark and df.isStreaming:
+        # watermark needs TimestampType (not NTZ) — cast is wall-clock
+        # preserving under the engine's UTC session timezone
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        df = df.withWatermark(ts_col, watermark)
+    return df
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_len: str = "1 hour",
+    watermark: str | None = "2 hours",
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Tumbling event-time window counts; late rows beyond the
+    watermark are dropped (streaming) / included (batch)."""
+    df = _with_watermark(events, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window_len), *extra_keys)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            *extra_keys,
+            "n",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_len: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    df = _with_watermark(events, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window_len, slide))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Native session windows (Spark ≥3.2): state closes once the
+    watermark passes the gap — bounded state at any stream length."""
+    df = _with_watermark(events, ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap), F.col(user_col))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            user_col,
+            "n",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    id_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful exact dedup with bounded state: dropDuplicates keyed by
+    id within the watermark horizon (state for ids older than the
+    watermark is reclaimed — mandatory at unbounded scale)."""
+    df = _with_watermark(events, ts_col, watermark)
+    if df.isStreaming:
+        return df.dropDuplicatesWithinWatermark(list(id_cols))
+    return df.dropDuplicates(list(id_cols))
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    query_name: str | None = None,
+    output_mode: str = "append",
+) -> tuple[DataFrame, str]:
+    """Drain a stream into an in-memory table with availableNow
+    (process-everything-then-stop) and return (result_df, name)."""
+    name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name), name
