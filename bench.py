@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with a count() action (full
+plan runs; result sizes stay driver-safe). Timings include Catalyst
+planning but not session boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dataflowex_spark.session import get_spark  # noqa: E402
+from dataflowex_spark import queries as _q  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the
+# scale-critical paths (joins, aggs, windows, dedup, kNN).
+HEADLINE = [
+    "q01_project_transform",
+    "q02_flatmap_explode",
+    "q20_join_inner_multi",
+    "q21_join_left_outer",
+    "q24_join_range",
+    "q25_join_asof",
+    "q30_agg_pricing_summary",
+    "q31_agg_distinct",
+    "q33_cube",
+    "q40_window_rank",
+    "q41_window_running",
+    "q72_sessionize",
+    "q80_dedup_exact",
+    "q81_neardup_minhash",
+    "q82_knn_cosine",
+    "q83_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("dataflowex-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = _q.queries()
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -32,17 +32,9 @@ def dedup_exact(
     )
 
 
-def _minhash_sigs(shingles: Column, num_hashes: int) -> Column:
-    """num_hashes minhash values per doc: min over shingles of
-    xxhash64(shingle, seed_i). JVM-side higher-order funcs only."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
-    )
+# 31-bit prime domain for the affine-combination trick: i·h2 stays
+# far from long overflow (ANSI mode rejects wraparound arithmetic).
+_MINHASH_P = 2147483647
 
 
 def minhash_signatures(
@@ -52,11 +44,41 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<long>[num_hashes]) per document."""
+    """(id, sig: array<long>[num_hashes]) per document.
+
+    Affine-combination minhash: two base hashes per shingle
+    (h_i = h1 + i·h2 mod p) — O(2·|S|) hash work instead of
+    O(k·|S|). The base-hash arrays are materialized (localCheckpoint)
+    before the k min-folds: HOF lambdas run interpreted, so letting
+    Catalyst re-inline the hashing expression into each of the k
+    folds multiplies the work k-fold.
+    """
+    P = F.lit(_MINHASH_P)
     sh = F.array_distinct(word_shingles(F.col(text_col), shingle_words))
-    return df.select(
-        F.col(id_col),
-        _minhash_sigs(sh, num_hashes).alias("sig"),
+    # explode + hash-aggregate instead of per-row HOF folds: min()
+    # aggregates run in whole-stage codegen with map-side partials,
+    # so only (id, k longs) reaches the shuffle — both faster locally
+    # (interpreted lambda evals were the bottleneck) and the right
+    # shape at 100 TB.
+    # spread the CPU-bound hash work: a small source file arrives as
+    # one input partition, which would serialize shingling on a
+    # single core (on a real cluster with many input splits this
+    # round-robin is a cheap no-op relative to the hash work)
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    exploded = df.repartition(n_part).select(
+        F.col(id_col), F.explode(sh).alias("s")
+    ).select(
+        id_col,
+        F.pmod(F.xxhash64("s", F.lit(1)), P).alias("h1"),
+        F.pmod(F.xxhash64("s", F.lit(2)), P).alias("h2"),
+    )
+    return exploded.groupBy(id_col).agg(
+        F.array(
+            *[
+                F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), P))
+                for i in range(num_hashes)
+            ]
+        ).alias("sig")
     )
 
 
@@ -81,7 +103,13 @@ def dedup_minhash_lsh(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words)
+    # materialize signatures once: (id, 32×long) is tiny next to the
+    # documents, and without a barrier Catalyst re-inlines the whole
+    # shingle→minhash expression into every element_at/zip_with
+    # reference (and the self-join would compute it twice again)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_words
+    ).localCheckpoint(eager=False)
     banded = sigs.select(
         F.col(id_col),
         F.col("sig"),
@@ -142,30 +170,39 @@ def dedup_simhash(
     toks = F.array_distinct(
         F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     )
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    # explode + codegen'd conditional sums (one hash aggregate with
+    # `bits` partial-agg columns) — per-row HOF folds would run
+    # interpreted and recompute the token hashing per bit. Map-side
+    # partials mean only (id, 64 ints) reaches the shuffle.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        df.repartition(n_part)
+        .select(F.col(id_col), F.explode(toks).alias("t"))
+        .select(id_col, F.xxhash64("t").alias("h"))
+    )
 
-    # bit b of simhash = 1 if Σ_tokens sign(bit b of hash) > 0.
-    # NB: the merge lambda must be exactly 2-ary (pyspark infers HOF
-    # arity from the signature), so close over b with a factory.
-    def _bit_sum(b: int):
+    def _mask(b: int):
         # bit 63 as two's-complement long (1<<63 overflows signed 64)
-        mask = F.lit((1 << b) if b < 63 else -(1 << 63))
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(mask) != 0, 1
-        ).otherwise(-1)
+        return F.lit((1 << b) if b < 63 else -(1 << 63))
 
-    bit_cols = [
-        F.when(
-            F.aggregate(th, F.lit(0), _bit_sum(b)) > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for b in range(bits)
-    ]
+    bitsums = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(_mask(b)) != 0, 1).otherwise(-1)
+            ).alias(f"bs{b}")
+            for b in range(bits)
+        ]
+    )
     fp = None
-    for b, bc in enumerate(bit_cols):
+    for b in range(bits):
+        bc = F.when(F.col(f"bs{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         term = F.shiftleft(bc, b)
         fp = term if fp is None else fp.bitwiseOR(term)
-    sigs = df.select(F.col(id_col), fp.alias("fp"))
+    sigs = bitsums.select(F.col(id_col), fp.alias("fp")).localCheckpoint(
+        eager=False
+    )
     block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1
     blocked = sigs.select(

@@ -69,7 +69,7 @@ class Pipeline:
         self.name = name or _auto_name("Pipeline")
         self._source = source
         self._nodes: list[_Node] = []
-        self._observations: list[str] = []
+        self._observations: list = []  # pyspark Observation handles
 
     # -- composition ---------------------------------------------------
 
@@ -190,14 +190,22 @@ class Pipeline:
 
     def stats(self, name: str, *exprs: Column) -> "Pipeline":
         """Attach side-channel aggregates (A13 StatisticsRecorder) via
-        ``df.observe`` — collected by the run-report without a second
-        pass over the data."""
-        self._observations.append(name)
+        ``df.observe`` with an Observation handle — read them back
+        with :meth:`stat_values` after an action, no second pass over
+        the data."""
+        from pyspark.sql import Observation
+
+        obs = Observation(name)
+        self._observations.append(obs)
 
         def _obs(df: DataFrame) -> DataFrame:
-            return df.observe(name, *exprs)
+            return df.observe(obs, *exprs)
 
         return self._add("Stats", _obs, None)
+
+    def stat_values(self) -> dict[str, dict]:
+        """Collected observation metrics (valid after an action ran)."""
+        return {obs._name: dict(obs.get) for obs in self._observations}
 
     # -- materialization ----------------------------------------------
 

@@ -13,22 +13,33 @@ import re
 from pyspark.sql import DataFrame
 
 
-def formatted_plan(df: DataFrame) -> str:
+def formatted_plan(df: DataFrame, mode: str = "formatted") -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), "formatted"
+        df._jdf.queryExecution(), mode
     )
 
 
-def plan_stats(df: DataFrame) -> dict:
-    """Quick structural audit of the physical plan."""
+def plan_stats(df: DataFrame, execute: bool = False) -> dict:
+    """Quick structural audit of the physical plan.
+
+    With AQE enabled the pre-execution plan carries no codegen
+    annotations (isFinalPlan=false); pass ``execute=True`` to run the
+    plan first so codegen_stages reflects the final adaptive plan.
+    """
+    if execute:
+        # collect() runs THIS df's own QueryExecution so AQE reaches
+        # isFinalPlan=true (count()/write would plan separate QEs);
+        # audit-time only — use on test-scale frames
+        df.collect()
     plan = formatted_plan(df)
+    simple = formatted_plan(df, "simple")
     return {
         "scans": len(re.findall(r"Scan parquet", plan)),
         "exchanges": len(re.findall(r"\bExchange\b", plan)),
         "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
         "sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
         "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
-        "codegen_stages": len(re.findall(r"WholeStageCodegen", plan)),
+        "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", simple))),
         "python_evals": len(re.findall(r"(BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas)", plan)),
     }
 

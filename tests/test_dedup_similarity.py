@@ -1,0 +1,126 @@
+"""Dedup & similarity operators: correctness against brute force on
+small synthetic corpora (MinHash/SimHash/LSH recall, kNN exactness)."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from dataflowex_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_simhash,
+    ngram_jaccard_pairs,
+)
+from dataflowex_spark.operators.similarity import knn_cosine_exact, knn_cosine_lsh
+from dataflowex_spark.functions.vectors import cosine_similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=base),  # exact dup of 0
+        Row(doc_id=2, text=base.replace("dog", "cat")),  # near dup
+        Row(doc_id=3, text="completely different words about spark shuffles and joins"),
+        Row(doc_id=4, text="another unrelated document mentioning parquet and arrow"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_dedup_exact_min_id_winner(docs):
+    kept = dedup_exact(docs).select("doc_id").toPandas()["doc_id"].tolist()
+    assert sorted(kept) == [0, 2, 3, 4]  # doc 1 removed, min-id kept
+
+
+def test_minhash_finds_near_dups_not_unrelated(docs):
+    # true J(0,2) ≈ 0.57; 32-hash estimate has σ≈0.09, so gate at 0.25
+    pairs = dedup_minhash_lsh(
+        docs, num_hashes=32, bands=16, jaccard_threshold=0.25
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found  # exact dup always collides
+    assert (0, 2) in found or (1, 2) in found  # near dup
+    assert (3, 4) not in found  # unrelated don't pair
+
+
+def test_simhash_pairs(docs):
+    pairs = dedup_simhash(docs, hamming_threshold=3).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found
+    assert all(r.hamming <= 3 for r in pairs)
+    assert (3, 4) not in found
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()
+    vals = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert vals[(0, 1)] == pytest.approx(1.0)  # identical docs
+    assert (0, 2) in vals and vals[(0, 2)] < 1.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # clustered vectors: 8 centers + small noise, so nearest neighbors
+    # are same-cluster (a signal LSH can actually exploit — pure
+    # gaussian noise has no locality to preserve)
+    rng = random.Random(42)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(8)]
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[c + rng.gauss(0, 0.1) for c in centers[i % 8]],
+        )
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def brute_force_topk(rows, probe_id, k):
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    probe = next(r for r in rows if r.vec_id == probe_id)
+    scored = [
+        (cos(r.embedding, probe.embedding), r.vec_id)
+        for r in rows
+        if r.vec_id != probe_id
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [v for _, v in scored[:k]]
+
+
+def test_knn_exact_matches_brute_force(vectors):
+    rows = vectors.collect()
+    out = knn_cosine_exact(vectors, vectors.filter(F.col("vec_id") == 0), k=5)
+    got = [r.vec_id for r in out.orderBy("rank").collect()]
+    assert got == brute_force_topk(rows, 0, 5)
+
+
+def test_knn_lsh_recall(vectors):
+    """LSH top-5 should recover most of the true top-5 (recall ≥ 0.6
+    with 4 tables of 4 planes on 40 vectors)."""
+    rows = vectors.collect()
+    probes = vectors.filter(F.col("vec_id") < 5)
+    out = knn_cosine_lsh(
+        vectors, probes, k=5, dim=16, n_planes=4, n_tables=4
+    ).collect()
+    hits = total = 0
+    for pid in range(5):
+        truth = set(brute_force_topk(rows, pid, 5))
+        got = {r.vec_id for r in out if r.probe_id == pid}
+        hits += len(truth & got)
+        total += 5
+    assert hits / total >= 0.6
+
+
+def test_cosine_expression_value(spark):
+    df = spark.createDataFrame([Row(a=[1.0, 0.0], b=[0.0, 1.0]), Row(a=[1.0, 1.0], b=[1.0, 1.0])])
+    out = df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()
+    assert out[0].c == pytest.approx(0.0)
+    assert out[1].c == pytest.approx(1.0)

@@ -1,0 +1,69 @@
+"""ETL operator tests: dim_join insert-missing semantics (A12) and
+shard routing (A11) — the reference's DbDataJoiner/MultiDbBulkInserter
+behavioral contract."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from dataflowex_spark.operators.etl import (
+    dim_join,
+    dim_join_insert_missing,
+    shard_assign,
+    sharded_sink,
+)
+
+
+@pytest.fixture()
+def fact(spark):
+    return spark.createDataFrame(
+        [Row(k="a", v=1), Row(k="b", v=2), Row(k="b", v=3), Row(k="new1", v=4), Row(k="new2", v=5)]
+    )
+
+
+@pytest.fixture()
+def dim(spark):
+    return spark.createDataFrame([Row(k="a", sk=10), Row(k="b", sk=20)])
+
+
+def test_dim_join_left_enrichment(fact, dim):
+    out = dim_join(fact, dim, on="k").collect()
+    assert len(out) == 5  # every input row emitted
+    by_k = {(r.k, r.v): r.sk for r in out}
+    assert by_k[("a", 1)] == 10 and by_k[("b", 2)] == 20
+    assert by_k[("new1", 4)] is None  # miss → null before insert
+
+
+def test_dim_join_insert_missing(fact, dim):
+    enriched, updated_dim, inserted = dim_join_insert_missing(fact, dim, key="k")
+    ins = {r.k: r.sk for r in inserted.collect()}
+    # distinct missing keys got fresh surrogate keys above max(existing)
+    assert set(ins) == {"new1", "new2"}
+    assert min(ins.values()) > 20
+    assert len(set(ins.values())) == 2
+    # updated dim = old ∪ new
+    assert updated_dim.count() == 4
+    # every fact row now resolves a surrogate key
+    got = {(r.k, r.v): r.sk for r in enriched.collect()}
+    assert len(got) == 5 and all(sk is not None for sk in got.values())
+    # idempotent: second pass inserts nothing
+    _, dim2, inserted2 = dim_join_insert_missing(fact, updated_dim, key="k")
+    assert inserted2.count() == 0 and dim2.count() == 4
+
+
+def test_shard_assign_deterministic_and_bounded(fact):
+    s1 = shard_assign(fact, "k", 4).collect()
+    s2 = shard_assign(fact, "k", 4).collect()
+    assert {(r.k, r.shard) for r in s1} == {(r.k, r.shard) for r in s2}
+    assert all(0 <= r.shard < 4 for r in s1)
+    # same key → same shard
+    shards_b = {r.shard for r in s1 if r.k == "b"}
+    assert len(shards_b) == 1
+
+
+def test_sharded_sink_layout(fact, tmp_path):
+    path = str(tmp_path / "shards")
+    sharded_sink(fact, path, key="k", n_shards=2)
+    spark = fact.sparkSession
+    back = spark.read.parquet(path)
+    assert back.count() == 5
+    assert set(back.select("shard").distinct().toPandas()["shard"]) <= {0, 1}

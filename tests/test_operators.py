@@ -1,0 +1,115 @@
+"""Relational/text/multimodal operator tests + plan-shape assertions
+(the 100 TB guardrails: pushdown reached the scan, dims broadcast)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from dataflowex_spark.catalog import Catalog
+from dataflowex_spark.operators.joins import asof_join, range_join
+from dataflowex_spark.operators.windows import sessionize, top_k_per_group
+from dataflowex_spark.operators.text import language_id, text_stats
+from dataflowex_spark.operators import multimodal
+from dataflowex_spark.plans import plan_stats
+from dataflowex_spark import queries as Q
+
+
+def test_asof_backward(spark):
+    left = spark.createDataFrame([Row(k=1, ts=10), Row(k=1, ts=5), Row(k=2, ts=7)])
+    right = spark.createDataFrame(
+        [Row(k=1, ts=4, v="a"), Row(k=1, ts=9, v="b"), Row(k=1, ts=11, v="c")]
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+    got = {(r.k, r.ts): r.v_r for r in out.collect()}
+    assert got[(1, 10)] == "b"  # latest ≤ 10
+    assert got[(1, 5)] == "a"
+    assert got[(2, 7)] is None  # no match preserved (left semantics)
+
+
+def test_range_join_bounds(spark):
+    left = spark.createDataFrame([Row(k=1, ts=0)])
+    right = spark.createDataFrame([Row(k=1, ts=30), Row(k=1, ts=3700), Row(k=2, ts=10)])
+    l = left.withColumn("ts", F.timestamp_seconds("ts"))
+    r = right.withColumn("ts", F.timestamp_seconds("ts"))
+    out = range_join(l, r, on="k", left_ts="ts", right_ts="ts", upper="1 hour")
+    assert out.count() == 1  # only ts=30 within [0, 1h]; k=2 excluded
+
+
+def test_sessionize_gap(spark):
+    rows = [Row(u=1, ts=0), Row(u=1, ts=100), Row(u=1, ts=5000), Row(u=2, ts=0)]
+    df = spark.createDataFrame(rows).withColumn("ts", F.timestamp_seconds("ts"))
+    out = sessionize(df, "u", "ts", gap_seconds=1800)
+    sess = {(r.u, r.ts.second + r.ts.minute * 60 + r.ts.hour * 3600): r.session_id for r in out.collect()}
+    assert sess[(1, 0)] == sess[(1, 100)] == 1
+    assert sess[(1, 5000)] == 2
+    assert sess[(2, 0)] == 1
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame([Row(g=1, v=i) for i in range(5)] + [Row(g=2, v=9)])
+    out = top_k_per_group(df, ["g"], [F.col("v").desc()], k=2)
+    got = sorted((r.g, r.v) for r in out.collect())
+    assert got == [(1, 3), (1, 4), (2, 9)]
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            Row(text="the cat and the dog of the house"),
+            Row(text="der hund und die katze ist hier"),
+            Row(text="xyzzy plugh qwerty"),
+        ]
+    )
+    out = [r.lang_pred for r in language_id(df).collect()]
+    assert out == ["en", "de", "und"]
+
+
+def test_text_stats_columns(spark):
+    df = spark.createDataFrame([Row(text="hello world foo")])
+    r = text_stats(df).collect()[0]
+    assert r.n_tokens == 3 and r.len_chars == 15
+    assert 0.0 <= r.quality <= 1.0
+    assert r.fingerprint > 0
+
+
+def test_multimodal_feature_plumbing(spark):
+    df = spark.createDataFrame([Row(doc_id=1), Row(doc_id=2)]).withColumn(
+        "uri", F.concat(F.lit("mem://"), F.col("doc_id"))
+    )
+    media = multimodal.attach_media_column(df, "uri", "image/png")
+    feats = multimodal.extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 2
+    assert all(1 <= r.width <= 1920 and 1 <= r.height <= 1080 for r in rows)
+    # real decode is an explicit stub
+    with pytest.raises(Exception):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_frame_sampling_fanout(spark):
+    df = spark.createDataFrame([Row(uri="mem://v1")])
+    media = multimodal.attach_media_column(df, "uri", "video/mp4")
+    frames = multimodal.sample_frames(media, every_n=30, max_frames=4)
+    idx = sorted(r.frame_index for r in frames.collect())
+    assert idx == [0, 30, 60, 90]
+
+
+# ---- plan-shape guardrails ------------------------------------------
+
+
+def test_flagship_broadcasts_dims(spark, sf_dir):
+    fn, _ = Q.REGISTRY["q20_join_inner_multi"]
+    stats = plan_stats(fn(spark, sf_dir), execute=True)
+    assert stats["broadcast_joins"] >= 3  # customer, nation, region
+    assert stats["codegen_stages"] >= 1
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    fn, _ = Q.REGISTRY["q03_filter_predicate"]
+    stats = plan_stats(fn(spark, sf_dir))
+    assert stats["pushed_filters"] >= 1
+
+
+def test_no_python_eval_in_relational_paths(spark, sf_dir):
+    for name in ["q20_join_inner_multi", "q30_agg_pricing_summary", "q40_window_rank"]:
+        fn, _ = Q.REGISTRY[name]
+        assert plan_stats(fn(spark, sf_dir))["python_evals"] == 0, name

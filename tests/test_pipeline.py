@@ -1,0 +1,108 @@
+"""Pipeline kernel tests — mirror the reference's per-component
+lifecycle tests (SURVEY.md §5): routing disjointness, broadcast
+delivery, dispatcher grouping, fault propagation with node names,
+ring completion."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from dataflowex_spark.pipeline import Pipeline, PipelineError, ring_iterate
+
+
+@pytest.fixture()
+def people(spark):
+    return spark.createDataFrame(
+        [Row(name="ada", age=36), Row(name="bob", age=17), Row(name="cyd", age=64)]
+    )
+
+
+def test_transform_mapping(people):
+    rows = (
+        Pipeline(people)
+        .transform({"n": F.upper("name"), "age2": F.col("age") * 2})
+        .run()
+    )
+    assert {(r.n, r.age2) for r in rows} == {("ADA", 72), ("BOB", 34), ("CYD", 128)}
+
+
+def test_flat_map_explode(spark):
+    df = spark.createDataFrame([Row(line="a=1&b=2")])
+    rows = (
+        Pipeline(df)
+        .flat_map(F.split("line", "&"), alias="kv", keep=[])
+        .run()
+    )
+    assert {r.kv for r in rows} == {"a=1", "b=2"}
+
+
+def test_filter(people):
+    assert Pipeline(people).filter(F.col("age") >= 18).count() == 2
+
+
+def test_split_disjoint_exhaustive(people):
+    branches = Pipeline(people).split(
+        {"adult": F.col("age") >= 18, "minor": F.col("age") < 18},
+        leftover="rest",
+    )
+    counts = {k: p.count() for k, p in branches.items()}
+    assert counts == {"adult": 2, "minor": 1, "rest": 0}
+    # first-match-wins on overlapping predicates (reference link order)
+    overlap = Pipeline(people).split(
+        {"a": F.col("age") > 0, "b": F.col("age") > 10}, leftover=None
+    )
+    assert overlap["a"].count() == 3
+    assert overlap["b"].count() == 0
+
+
+def test_fan_out_shares_source(people):
+    b1, b2 = Pipeline(people).fan_out(2)
+    assert b1.count() == b2.count() == 3
+
+
+def test_dispatch_apply_in_pandas(people):
+    import pandas as pd
+
+    def oldest(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.nlargest(1, "age")[["name", "age"]]
+
+    rows = (
+        Pipeline(people.withColumn("g", F.col("age") % 2))
+        .dispatch("g", apply_in_pandas=(oldest, "name string, age long"))
+        .run()
+    )
+    assert len(rows) == 2
+
+
+def test_stats_observe(people, spark):
+    p = Pipeline(people).stats("m", F.count(F.lit(1)).alias("n"), F.sum("age").alias("s"))
+    rows = p.run()
+    assert len(rows) == 3
+    stats = p.stat_values()["m"]
+    assert stats["n"] == 3 and stats["s"] == 117
+
+
+def test_fault_propagation_carries_node_name(people):
+    p = Pipeline(people, name="badflow").transform(
+        lambda df: df.select(F.col("nonexistent_column")), name="BadNode"
+    )
+    with pytest.raises(PipelineError) as ei:
+        p.run()
+    assert "BadNode" in str(ei.value)
+
+
+def test_sink_roundtrip(people, tmp_path):
+    path = str(tmp_path / "out")
+    Pipeline(people).filter(F.col("age") > 0).sink(path)
+    back = people.sparkSession.read.parquet(path)
+    assert back.count() == 3
+
+
+def test_ring_iterate_quiescence(spark):
+    # countdown ring: n → n-1 until empty; accumulates all levels
+    start = spark.createDataFrame([Row(n=3)])
+
+    def step(df):
+        return df.select((F.col("n") - 1).alias("n")).filter(F.col("n") > 0)
+
+    acc = ring_iterate(start, step, max_iters=10)
+    assert sorted(r.n for r in acc.collect()) == [1, 2, 3]

@@ -1,0 +1,81 @@
+"""Streaming tests: replay events.parquet as a file stream and assert
+stream output equals the batch-computed expectation (SURVEY §5.3).
+
+Append-mode aggregations only emit windows the watermark has closed,
+so equality tests run in complete mode (every window, open or closed);
+append mode is exercised where its semantics ARE the test (late-data
+drop, stateful dedup).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflowex_spark.catalog import Catalog
+from dataflowex_spark.streaming.ops import (
+    dedup_stream,
+    file_replay_stream,
+    run_to_memory,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return Catalog(spark, sf_dir)["events"]
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return file_replay_stream(spark, f"{sf_dir}/events.parquet", n_chunks=4)
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_tumbling_stream_equals_batch(events_batch, events_stream):
+    batch = tumbling_counts(events_batch, watermark=None)
+    stream = tumbling_counts(events_stream, watermark=None)
+    out, _ = run_to_memory(stream, output_mode="complete")
+    got = _sorted_rows(
+        out.withColumn("window_start", F.col("window_start").cast("timestamp_ntz")),
+        ["window_start", "n"],
+    )
+    want = _sorted_rows(
+        batch.withColumn("window_start", F.col("window_start").cast("timestamp_ntz")),
+        ["window_start", "n"],
+    )
+    assert got == want
+
+
+def test_sliding_stream_equals_batch(events_batch, events_stream):
+    batch = sliding_counts(events_batch, watermark=None)
+    stream = sliding_counts(events_stream, watermark=None)
+    out, _ = run_to_memory(stream, output_mode="complete")
+    assert sorted(r.n for r in out.collect()) == sorted(r.n for r in batch.collect())
+
+
+def test_session_window_stream(events_batch, events_stream):
+    stream = session_counts(events_stream, gap="30 minutes", watermark="60 days")
+    out, _ = run_to_memory(stream, output_mode="complete")
+    # every event lands in exactly one session
+    assert sum(r.n for r in out.collect()) == events_batch.count()
+
+
+def test_watermark_append_emits_only_closed_windows(events_batch, events_stream):
+    """Append mode: emitted windows = closed (watermark-passed)
+    windows ⊆ all batch windows; a tiny delay closes almost all."""
+    batch_n = tumbling_counts(events_batch, watermark=None).count()
+    strict = tumbling_counts(events_stream, watermark="1 minute")
+    out, _ = run_to_memory(strict, output_mode="append")
+    assert 0 < out.count() <= batch_n
+
+
+def test_dedup_stream_bounded_state(events_batch, events_stream):
+    # watermark beyond the data span: nothing is ever late, so the
+    # streaming dedup must agree exactly with batch distinct
+    stream = dedup_stream(events_stream, watermark="60 days")
+    out, _ = run_to_memory(stream, output_mode="append")
+    assert out.count() == events_batch.select("event_id").distinct().count()
