@@ -62,3 +62,42 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
         out_col,
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
     )
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact TF-IDF per (doc, term): tf = term count in doc,
+    idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style).
+
+    Shape at scale: one explode + two hash aggregates + a broadcast
+    of the (tiny) per-term df table; the corpus-size scalar N joins in
+    as a broadcast literal row. Integer counts make the result
+    bit-deterministic across engines.
+    """
+    toks = F.explode(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    ).alias("term")
+    pairs = df.select(F.col(id_col), toks)
+    tf = pairs.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    doc_freq = pairs.select(id_col, "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(doc_freq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                )
+            ).alias("tfidf"),
+        )
+    )

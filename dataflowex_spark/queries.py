@@ -1371,3 +1371,92 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (fn, sql) in REGISTRY.items() if sql is not None}
+
+
+# =====================================================================
+# round-1 additions: TF-IDF, approx distinct, stateful dispatch
+# =====================================================================
+
+
+@q(
+    "q89_tfidf_top_term",
+    """
+    SELECT doc_id, term, tfidf FROM (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (LN((nd.n_docs + 1) / (df.df + 1)) + 1.0) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * (LN((nd.n_docs + 1) / (df.df + 1)) + 1.0) DESC,
+                        tf.term
+             ) AS rn
+      FROM (
+        SELECT doc_id, term, COUNT(*) AS tf FROM (
+          SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                            x -> x <> '')) AS term
+          FROM documents
+        ) GROUP BY doc_id, term
+      ) tf
+      JOIN (
+        SELECT term, COUNT(*) AS df FROM (
+          SELECT DISTINCT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS term
+          FROM documents
+        ) GROUP BY term
+      ) df ON tf.term = df.term
+      CROSS JOIN (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents) nd
+    ) t WHERE rn = 1
+    """,
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smoothed) over documents; checked via each doc's top
+    term. Integer tf/df counts + identical double log/div on both
+    engines → bit-deterministic, no rounding needed."""
+    from dataflowex_spark.operators.text import tf_idf
+
+    cat = Catalog(spark, sf_dir)
+    scored = tf_idf(cat["documents"])
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@q("q35_approx_distinct", None)  # rows-only: HLL sketches differ per engine
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the at-scale companion
+    to q31's exact countDistinct; sanity bounds asserted in tests."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )
+
+
+@q(
+    "q75_stateful_dispatch",
+    """
+    SELECT event_type AS key, COUNT(*) AS n,
+           CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8-with-state: per-key running aggregates. Batch form checked
+    against the oracle; the applyInPandasWithState streaming form of
+    the same operator is exercised in tests/test_streaming.py."""
+    from dataflowex_spark.streaming.ops import stateful_dispatch_counts
+
+    cat = Catalog(spark, sf_dir)
+    out = stateful_dispatch_counts(cat["events"])
+    return out.select(
+        "key",
+        "n",
+        F.col("total").cast("decimal(18,2)").cast("double").alias("total"),
+    )

@@ -153,3 +153,52 @@ def run_to_memory(
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(name), name
+
+
+def stateful_dispatch_counts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    timeout_conf: str = "NoTimeout",
+) -> DataFrame:
+    """Per-key stateful dispatcher (A8 DataDispatcher-with-state
+    parity): an arbitrary per-key state machine via
+    ``applyInPandasWithState`` — each dispatch key keeps a running
+    (count, value-sum) across micro-batches, emitting the updated
+    aggregate per batch.
+
+    This is the escape hatch for dispatcher children whose logic is
+    genuinely imperative; declarative children should stay as grouped
+    aggregations (see Pipeline.dispatch). State is partitioned by key
+    (executor-local, checkpointed) — unbounded keys scale out, not up.
+    On a batch (non-streaming) frame, falls back to the equivalent
+    groupBy aggregate so the operator is testable against an oracle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = "key string, n long, total double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame([{"key": key[0], "n": n, "total": total}])
+
+    if not events.isStreaming:
+        return events.groupBy(F.col(key_col).alias("key")).agg(
+            F.count("*").alias("n"), F.sum("value").alias("total")
+        )
+
+    df = _with_watermark(events, ts_col, watermark)
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )

@@ -113,3 +113,37 @@ def test_no_python_eval_in_relational_paths(spark, sf_dir):
     for name in ["q20_join_inner_multi", "q30_agg_pricing_summary", "q40_window_rank"]:
         fn, _ = Q.REGISTRY[name]
         assert plan_stats(fn(spark, sf_dir))["python_evals"] == 0, name
+
+
+def test_tf_idf_values(spark):
+    from dataflowex_spark.operators.text import tf_idf
+    import math
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="a a b"), Row(doc_id=1, text="a c")]
+    )
+    got = {(r.doc_id, r.term): r.tfidf for r in tf_idf(df).collect()}
+    # 'a' in both docs: idf = ln(3/3)+1 = 1 → tfidf = tf
+    assert got[(0, "a")] == pytest.approx(2.0)
+    assert got[(1, "a")] == pytest.approx(1.0)
+    # 'b' in one doc: idf = ln(3/2)+1
+    assert got[(0, "b")] == pytest.approx(math.log(3 / 2) + 1)
+
+
+def test_binary_file_source(spark, tmp_path):
+    from dataflowex_spark.operators.multimodal import read_binary_files
+
+    (tmp_path / "x.bin").write_bytes(b"\x00\x01\x02payload")
+    (tmp_path / "y.bin").write_bytes(b"tiny")
+    (tmp_path / "skip.txt").write_text("not matched")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r.path.split("/")[-1]: r for r in df.collect()}
+    assert set(rows) == {"x.bin", "y.bin"}
+    assert bytes(rows["x.bin"].content) == b"\x00\x01\x02payload"
+    assert rows["y.bin"].length == 4
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    fn, _ = Q.REGISTRY["q35_approx_distinct"]
+    for r in fn(spark, sf_dir).collect():
+        assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.1

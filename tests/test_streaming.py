@@ -79,3 +79,27 @@ def test_dedup_stream_bounded_state(events_batch, events_stream):
     stream = dedup_stream(events_stream, watermark="60 days")
     out, _ = run_to_memory(stream, output_mode="append")
     assert out.count() == events_batch.select("event_id").distinct().count()
+
+
+def test_stateful_dispatch_stream_equals_batch(events_batch, events_stream):
+    """applyInPandasWithState per-key state machine: after draining the
+    whole stream in update mode, the LAST emitted row per key must
+    equal the batch aggregate."""
+    from dataflowex_spark.streaming.ops import stateful_dispatch_counts
+
+    stream = stateful_dispatch_counts(events_stream, watermark="60 days")
+    out, _ = run_to_memory(stream, output_mode="update")
+    # update mode emits one row per key per micro-batch; final state =
+    # max n per key (counts are monotone)
+    final = (
+        out.groupBy("key")
+        .agg(F.max("n").alias("n"))
+        .orderBy("key")
+        .collect()
+    )
+    batch = (
+        stateful_dispatch_counts(events_batch)
+        .orderBy("key")
+        .collect()
+    )
+    assert [(r.key, r.n) for r in final] == [(r.key, r.n) for r in batch]
