@@ -1381,7 +1381,7 @@ def oracle_sql() -> dict[str, str]:
 @q(
     "q89_tfidf_top_term",
     """
-    SELECT doc_id, term, tfidf FROM (
+    SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf FROM (
       SELECT tf.doc_id, tf.term,
              tf.tf * (LN((nd.n_docs + 1) / (df.df + 1)) + 1.0) AS tfidf,
              ROW_NUMBER() OVER (
@@ -1410,8 +1410,8 @@ def oracle_sql() -> dict[str, str]:
 )
 def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF (smoothed) over documents; checked via each doc's top
-    term. Integer tf/df counts + identical double log/div on both
-    engines → bit-deterministic, no rounding needed."""
+    term. tf/df are exact integers but ln() differs by 1 ulp between
+    the JVM and libm, so both sides round to 6 decimals."""
     from dataflowex_spark.operators.text import tf_idf
 
     cat = Catalog(spark, sf_dir)
@@ -1420,7 +1420,7 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("doc_id", "term", "tfidf")
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"))
     )
 
 

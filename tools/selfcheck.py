@@ -68,9 +68,8 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     try:
-        pd.testing.assert_frame_equal(
-            a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
-        )
+        # exact: the driver hashes values, so bit-identical is the bar
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
     except AssertionError as e:
         msg = str(e).split("\n")
         problems.append(" | ".join(msg[:4]))
