@@ -43,6 +43,16 @@ def configure(spark: SparkSession) -> SparkSession:
             # non-settable on this build — keep going; readers have
             # fallbacks (catalog handles both long and timestamp ts).
             pass
+    try:
+        if spark.conf.get("spark.master", "").startswith("local"):
+            # local mode reads single-file fixtures: split scans at
+            # row-group granularity so joins/aggs use all cores. On a
+            # real cluster the 128 MB default is correct — many input
+            # files already provide the parallelism.
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
+            spark.conf.set("spark.sql.files.openCostInBytes", "262144")
+    except Exception:
+        pass
     return spark
 
 
