@@ -1460,3 +1460,87 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("total").cast("decimal(18,2)").cast("double").alias("total"),
     )
+
+
+# =====================================================================
+# SQL-surface queries (GROUPING SETS, percentiles, ntile, subqueries)
+# — same SQL text runs on Spark SQL and the DuckDB oracle
+# =====================================================================
+
+_Q36_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+"""
+
+
+@q("q36_grouping_sets", _Q36_SQL)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the engine's SQL entry point —
+    the oracle runs the IDENTICAL statement."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_Q36_SQL)
+
+
+@q(
+    "q37_percentile",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (sort-based; both engines linearly
+    interpolate over the same sorted doubles; round-4 absorbs the
+    interpolation-arithmetic ulp)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@q(
+    "q43_window_ntile",
+    """
+    SELECT o_orderkey,
+           NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return cat["orders"].select(
+        "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+_Q27_SQL = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_totalprice > (
+          SELECT AVG(o2.o_totalprice) FROM orders o2
+        )
+    )
+"""
+
+
+@q("q27_correlated_subquery", _Q27_SQL)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a scalar subquery — exercises Catalyst's
+    subquery decorrelation; identical SQL on both engines."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_Q27_SQL)

@@ -67,3 +67,57 @@ def test_sharded_sink_layout(fact, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 5
     assert set(back.select("shard").distinct().toPandas()["shard"]) <= {0, 1}
+
+
+def test_salted_agg_matches_plain(spark):
+    from dataflowex_spark.operators.skew import salted_agg
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [Row(k="hot", v=float(i)) for i in range(1000)]
+        + [Row(k="cold", v=1.0), Row(k="cold", v=2.0)]
+    )
+    out = salted_agg(
+        df,
+        ["k"],
+        {"n": SF.count(SF.lit(1)), "total": SF.sum("v"), "mx": SF.max("v")},
+        n_salts=8,
+    )
+    got = {r.k: (r.n, r.total, r.mx) for r in out.collect()}
+    assert got["hot"] == (1000, float(sum(range(1000))), 999.0)
+    assert got["cold"] == (2, 3.0, 2.0)
+
+
+def test_salted_join_matches_plain(spark):
+    from dataflowex_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [Row(k="hot", i=i) for i in range(500)] + [Row(k="x", i=-1)]
+    )
+    right = spark.createDataFrame([Row(k="hot", tag="H"), Row(k="y", tag="Y")])
+    out = salted_join(left, right, on="k", n_salts=4)
+    plain = left.join(right, on="k")
+    assert out.count() == plain.count() == 500
+    assert {r.tag for r in out.collect()} == {"H"}
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Bucketed tables co-locate join keys at rest: joining two
+    same-bucketed tables must plan ZERO exchanges."""
+    import re
+    from dataflowex_spark.sources import write_batch
+    from dataflowex_spark.plans import formatted_plan
+
+    a = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    b = spark.range(0, 1000).withColumn("w", F.col("id") * 3)
+    write_batch(a, str(tmp_path / "a"), bucket_by=(4, "id"), table_name="bkt_a")
+    write_batch(b, str(tmp_path / "b"), bucket_by=(4, "id"), table_name="bkt_b")
+    ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+    try:
+        joined = ta.join(tb, "id")
+        plan = formatted_plan(joined)
+        assert joined.count() == 1000
+        assert len(re.findall(r"\bExchange\b", plan)) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
