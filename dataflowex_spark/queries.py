@@ -1544,3 +1544,22 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery decorrelation; identical SQL on both engines."""
     Catalog(spark, sf_dir).register_views()
     return spark.sql(_Q27_SQL)
+
+
+@q("q14_dim_join_full_cycle", None)  # rows-only: surrogate keys are run-scoped
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 end-to-end: dimension lookup with insert-missing — orders
+    against the acctbal>0 customer subset; every order row emerges
+    enriched with a surrogate key (hit → existing, miss → freshly
+    assigned above max(existing))."""
+    cat = Catalog(spark, sf_dir)
+    dim = (
+        cat["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+        .withColumn("sk", F.col("o_custkey") * 10)
+    )
+    enriched, _updated, _inserted = dim_join_insert_missing(
+        cat["orders"].select("o_orderkey", "o_custkey"), dim, key="o_custkey"
+    )
+    return enriched.select("o_orderkey", "o_custkey", "sk")

@@ -1,0 +1,70 @@
+"""Property-style invariants (SURVEY §5.4) on the real fixtures:
+split partitions the input, join+anti complement to the whole,
+dedup idempotence, session events conservation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflowex_spark.catalog import Catalog
+from dataflowex_spark.operators.dedup import dedup_exact
+from dataflowex_spark.operators.etl import dim_join_insert_missing
+from dataflowex_spark.operators.windows import sessionize
+from dataflowex_spark import queries as Q
+
+
+@pytest.fixture(scope="module")
+def cat(spark, sf_dir):
+    return Catalog(spark, sf_dir)
+
+
+def test_split_branches_partition_input(spark, sf_dir, cat):
+    """q04 branches are disjoint and exhaustive: tag counts sum to the
+    source count and no orderkey appears twice."""
+    out = Q.REGISTRY["q04_filter_split"][0](spark, sf_dir)
+    assert out.count() == cat["orders"].count()
+    assert out.select("o_orderkey").distinct().count() == cat["orders"].count()
+
+
+def test_semi_plus_anti_complement(cat):
+    c = cat["customer"]
+    open_orders = cat["orders"].filter(F.col("o_orderstatus") == "O")
+    semi = c.join(open_orders, c["c_custkey"] == F.col("o_custkey"), "left_semi")
+    anti = c.join(open_orders, c["c_custkey"] == F.col("o_custkey"), "left_anti")
+    assert semi.count() + anti.count() == c.count()
+    assert semi.join(anti, "c_custkey").count() == 0
+
+
+def test_dedup_idempotent(cat):
+    once = dedup_exact(cat["documents"])
+    twice = dedup_exact(once)
+    assert once.count() == twice.count()
+    assert once.exceptAll(twice).count() == 0
+
+
+def test_insert_missing_conserves_and_completes(cat):
+    fact = cat["orders"].select("o_orderkey", "o_custkey")
+    dim = (
+        cat["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+        .withColumn("sk", F.col("o_custkey") * 10)
+    )
+    enriched, updated, inserted = dim_join_insert_missing(fact, dim, key="o_custkey")
+    # left-enrichment: row conservation + no missing surrogates
+    assert enriched.count() == fact.count()
+    assert enriched.filter(F.col("sk").isNull()).count() == 0
+    # dim grows by exactly the distinct miss set
+    assert updated.count() == dim.count() + inserted.count()
+
+
+def test_sessionize_conserves_events(cat):
+    sess = sessionize(cat["events"], "user_id", "ts", tie_cols=("event_id",))
+    assert sess.count() == cat["events"].count()
+    # session ids are dense per user starting at 1
+    agg = sess.groupBy("user_id").agg(
+        F.min("session_id").alias("lo"),
+        F.max("session_id").alias("hi"),
+        F.countDistinct("session_id").alias("n"),
+    )
+    bad = agg.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n")))
+    assert bad.count() == 0

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from dataflowex_spark.catalog import Catalog
+from tests.conftest import SF_SMALL
 from dataflowex_spark.streaming.ops import (
     dedup_stream,
     file_replay_stream,
@@ -103,3 +104,21 @@ def test_stateful_dispatch_stream_equals_batch(events_batch, events_stream):
         .collect()
     )
     assert [(r.key, r.n) for r in final] == [(r.key, r.n) for r in batch]
+
+
+def test_foreach_batch_parquet_sink(events_stream, tmp_path, spark):
+    """Streaming bulk sink via foreachBatch (the DbBulkInserter
+    streaming analog): every micro-batch appends to the same table."""
+    path = str(tmp_path / "stream_sink")
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(path)
+
+    q = (
+        events_stream.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    expected = Catalog(spark, SF_SMALL)["events"].count()
+    assert spark.read.parquet(path).count() == expected
