@@ -1563,3 +1563,59 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat["orders"].select("o_orderkey", "o_custkey"), dim, key="o_custkey"
     )
     return enriched.select("o_orderkey", "o_custkey", "sk")
+
+
+@q(
+    "q38_pivot",
+    """
+    SELECT user_id,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS BIGINT) AS click,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'view'     THEN 1 END), 0) AS BIGINT) AS view,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN 1 END), 0) AS BIGINT) AS signup,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): per-user event-type counts. Explicit
+    value list keeps the output schema static — mandatory at scale
+    (a dynamic pivot would scan once just to enumerate columns)."""
+    cat = Catalog(spark, sf_dir)
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        cat["events"]
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds],
+    )
+
+
+@q(
+    "q39_collect_sorted",
+    """
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           COUNT(DISTINCT l_linestatus) AS n_statuses
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-aggregate surface: set of values per group, sorted and
+    joined to a string so the comparison is order- and
+    representation-stable across engines."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+                "statuses"
+            ),
+            F.countDistinct("l_linestatus").alias("n_statuses"),
+        )
+    )
