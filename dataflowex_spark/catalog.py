@@ -46,6 +46,12 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     return df
 
 
+# (session id, sf_dir, table) → DataFrame: parquet footer listing and
+# schema resolution repeat per spark.read otherwise — measurable
+# planning cost when a driver runs 60 queries back to back.
+_table_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
 class Catalog:
     """Loads fixture tables from an ``sf_dir`` and registers temp views.
 
@@ -59,17 +65,19 @@ class Catalog:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = configure(spark)
         self.sf_dir = sf_dir.rstrip("/")
-        self._cache: dict[str, DataFrame] = {}
+        self._cache = _table_cache
+        self._key = id(spark)
 
     def table(self, name: str) -> DataFrame:
         if name not in TABLES:
             raise KeyError(f"unknown fixture table: {name}")
-        if name not in self._cache:
+        key = (self._key, self.sf_dir, name)
+        if key not in self._cache:
             df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
             if name == "events":
                 df = _normalize_events(df)
-            self._cache[name] = df
-        return self._cache[name]
+            self._cache[key] = df
+        return self._cache[key]
 
     def __getitem__(self, name: str) -> DataFrame:
         return self.table(name)

@@ -1619,3 +1619,32 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_linestatus").alias("n_statuses"),
         )
     )
+
+
+@q(
+    "q91_nchars_validation",
+    """
+    SELECT is_valid, COUNT(*) AS n,
+           CAST(SUM(ABS(n_chars - LENGTH(text))) AS BIGINT) AS total_drift
+    FROM (
+      SELECT n_chars, text,
+             CASE WHEN n_chars = LENGTH(text) THEN 1 ELSE 0 END AS is_valid
+      FROM documents
+    ) t GROUP BY is_valid
+    """,
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality validation: the fixture's claimed n_chars vs the
+    computed length (FIXTURES.md documents the drift on purpose) —
+    the classic assert-on-ingest stage of a training-data pipeline."""
+    cat = Catalog(spark, sf_dir)
+    valid = F.when(F.col("n_chars") == F.length("text"), 1).otherwise(0)
+    return (
+        cat["documents"]
+        .select("n_chars", "text", valid.alias("is_valid"))
+        .groupBy("is_valid")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.abs(F.col("n_chars") - F.length("text"))).alias("total_drift"),
+        )
+    )

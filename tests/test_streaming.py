@@ -122,3 +122,21 @@ def test_foreach_batch_parquet_sink(events_stream, tmp_path, spark):
     q.awaitTermination()
     expected = Catalog(spark, SF_SMALL)["events"].count()
     assert spark.read.parquet(path).count() == expected
+
+
+def test_pipeline_composes_on_streams(events_stream):
+    """The Pipeline kernel is source-agnostic: the same named nodes
+    compose over a streaming DataFrame (reference parity — DataflowEx
+    flows are inherently streaming)."""
+    from dataflowex_spark.pipeline import Pipeline
+
+    p = (
+        Pipeline(events_stream, name="StreamFlow")
+        .filter(F.col("event_type") == "purchase")
+        .transform({"user_id": F.col("user_id"), "value": F.col("value")})
+        .then(lambda d: d.groupBy("user_id").agg(F.count("*").alias("n")))
+    )
+    df = p.df()
+    assert df.isStreaming
+    out, _ = run_to_memory(df, output_mode="complete")
+    assert out.count() > 0
