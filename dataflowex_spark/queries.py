@@ -1648,3 +1648,41 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.abs(F.col("n_chars") - F.length("text"))).alias("total_drift"),
         )
     )
+
+
+@q(
+    "q92_train_test_split",
+    """
+    SELECT split, COUNT(*) AS n FROM (
+      SELECT CASE WHEN doc_id % 10 < 2 THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    ) t GROUP BY split
+    """,
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus split. Oracle-checked with a modulo split
+    (DuckDB lacks xxhash64); the production hash-based operator
+    (operators.sampling.train_test_split) is exercised in tests."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["documents"]
+        .select(
+            F.when(F.col("doc_id") % 10 < 2, "test").otherwise("train").alias("split")
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q("q93_stratified_sample", None)  # rows-only: RNG is engine-specific
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced sampling: keep langs at different rates."""
+    from dataflowex_spark.operators.sampling import stratified_sample
+
+    cat = Catalog(spark, sf_dir)
+    out = stratified_sample(
+        cat["documents"],
+        "lang",
+        {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.1},
+    )
+    return out.groupBy("lang").agg(F.count("*").alias("n"))

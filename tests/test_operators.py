@@ -147,3 +147,29 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     fn, _ = Q.REGISTRY["q35_approx_distinct"]
     for r in fn(spark, sf_dir).collect():
         assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.1
+
+
+def test_train_test_split_deterministic_and_sized(spark, sf_dir):
+    from dataflowex_spark.operators.sampling import train_test_split
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    s1 = train_test_split(docs, "doc_id", test_fraction=0.2)
+    s2 = train_test_split(docs, "doc_id", test_fraction=0.2)
+    # same id → same split on every run
+    assert s1.select("doc_id", "split").exceptAll(s2.select("doc_id", "split")).count() == 0
+    frac = s1.filter(F.col("split") == "test").count() / docs.count()
+    assert 0.1 < frac < 0.3
+    # partition-independent: repartitioned input gives identical splits
+    s3 = train_test_split(docs.repartition(7), "doc_id", test_fraction=0.2)
+    assert s1.select("doc_id", "split").exceptAll(s3.select("doc_id", "split")).count() == 0
+
+
+def test_deterministic_downsample(spark, sf_dir):
+    from dataflowex_spark.operators.sampling import deterministic_downsample
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    kept = deterministic_downsample(docs, "doc_id", keep_one_in=5)
+    n, total = kept.count(), docs.count()
+    assert 0.05 < n / total < 0.4
+    kept2 = deterministic_downsample(docs, "doc_id", keep_one_in=5)
+    assert kept.exceptAll(kept2).count() == 0

@@ -140,3 +140,45 @@ def test_pipeline_composes_on_streams(events_stream):
     assert df.isStreaming
     out, _ = run_to_memory(df, output_mode="complete")
     assert out.count() > 0
+
+
+def test_stream_stream_interval_join(spark, sf_dir):
+    """Stream-stream join with watermarks: purchases joined to the
+    same user's clicks within the preceding hour — state on both
+    sides bounded by the watermark + interval condition."""
+    purchases = file_replay_stream(spark, f"{sf_dir}/events.parquet", n_chunks=4)
+    clicks = file_replay_stream(spark, f"{sf_dir}/events.parquet", n_chunks=4)
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "60 days")
+        .select(F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "60 days")
+        .select(F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+        ),
+    )
+    out, _ = run_to_memory(joined, output_mode="append")
+    # batch oracle on the same data
+    ev = Catalog(spark, SF_SMALL)["events"]
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    expected = bp.join(
+        bc,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+        ),
+    ).count()
+    assert out.count() == expected
