@@ -82,9 +82,9 @@ def tf_idf(
     ).alias("term")
     pairs = df.select(F.col(id_col), toks)
     tf = pairs.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    doc_freq = pairs.select(id_col, "term").distinct().groupBy("term").agg(
-        F.count("*").alias("df")
-    )
+    # tf rows are already distinct (doc, term): df = rows per term —
+    # no second scan/explode/distinct pass over the corpus
+    doc_freq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     return (
         tf.join(F.broadcast(doc_freq), "term")
