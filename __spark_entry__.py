@@ -11,7 +11,12 @@ the thin contract surface.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the driver may import this module from any CWD
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -1686,3 +1686,97 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.1},
     )
     return out.groupBy("lang").agg(F.count("*").alias("n"))
+
+
+@q(
+    "q94_repetition_ratio",
+    """
+    SELECT source,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tok - n_uniq) AS BIGINT) AS repeated_tokens,
+           CAST(SUM(n_tok - n_uniq) AS DOUBLE) / SUM(n_tok) AS repetition_ratio
+    FROM (
+      SELECT source,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tok,
+             len(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS n_uniq
+      FROM documents
+    ) t GROUP BY source
+    """,
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (C4-style quality signal): share of
+    tokens that repeat inside their document, aggregated per source."""
+    from dataflowex_spark.functions.text import tokens
+
+    cat = Catalog(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    per_doc = cat["documents"].select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(F.col("n_tok") - F.col("n_uniq")).alias("repeated_tokens"),
+        (
+            F.sum(F.col("n_tok") - F.col("n_uniq")).cast("double")
+            / F.sum("n_tok")
+        ).alias("repetition_ratio"),
+    )
+
+
+@q(
+    "q95_pattern_counts",
+    """
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS n_numbers,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+@[A-Za-z]+'))) AS BIGINT) AS n_emailish,
+           CAST(SUM(CASE WHEN regexp_matches(text, 'data') THEN 1 ELSE 0 END) AS BIGINT) AS n_mentioning_data
+    FROM documents GROUP BY source
+    """,
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern scanning (PII/number/url-style counting) per source —
+    regexp extraction kept JVM-side via regexp_extract_all."""
+    cat = Catalog(spark, sf_dir)
+    t = F.col("text")
+    return (
+        cat["documents"]
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.regexp_extract_all(t, F.lit(r"[0-9]+"), F.lit(0)))).alias(
+                "n_numbers"
+            ),
+            F.sum(
+                F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+@[A-Za-z]+"), F.lit(0)))
+            ).alias("n_emailish"),
+            F.sum(F.when(t.rlike("data"), 1).otherwise(0)).alias("n_mentioning_data"),
+        )
+    )
+
+
+@q(
+    "q96_length_histogram",
+    """
+    SELECT CAST(LENGTH(text) // 100 AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(LENGTH(text)) AS INTEGER) AS min_len,
+           CAST(MAX(LENGTH(text)) AS INTEGER) AS max_len
+    FROM documents GROUP BY bucket
+    """,
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (100-char buckets) — the standard
+    first look at a new corpus."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["documents"]
+        .groupBy(
+            (F.length("text") / 100).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.length("text")).alias("min_len"),
+            F.max(F.length("text")).alias("max_len"),
+        )
+    )

@@ -173,3 +173,25 @@ def test_deterministic_downsample(spark, sf_dir):
     assert 0.05 < n / total < 0.4
     kept2 = deterministic_downsample(docs, "doc_id", keep_one_in=5)
     assert kept.exceptAll(kept2).count() == 0
+
+
+def test_cogrouped_apply_in_pandas(spark):
+    """Cogrouped pandas UDF surface: per-key merge of two frames."""
+    import pandas as pd
+
+    left = spark.createDataFrame([Row(k=1, v=10), Row(k=1, v=20), Row(k=2, v=5)])
+    right = spark.createDataFrame([Row(k=1, w=100), Row(k=3, w=7)])
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        k = l["k"].iloc[0] if len(l) else r["k"].iloc[0]
+        return pd.DataFrame(
+            [{"k": int(k), "n_left": len(l), "n_right": len(r)}]
+        )
+
+    out = (
+        left.groupBy("k")
+        .cogroup(right.groupBy("k"))
+        .applyInPandas(merge, schema="k long, n_left long, n_right long")
+    )
+    got = {r.k: (r.n_left, r.n_right) for r in out.collect()}
+    assert got == {1: (2, 1), 2: (1, 0), 3: (0, 1)}

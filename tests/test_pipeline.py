@@ -106,3 +106,22 @@ def test_ring_iterate_quiescence(spark):
 
     acc = ring_iterate(start, step, max_iters=10)
     assert sorted(r.n for r in acc.collect()) == [1, 2, 3]
+
+
+def test_exec_time_fault_propagates(people):
+    """A17: a failing UDF mid-flow faults the whole pipeline run (not
+    just analysis-time errors)."""
+    import pandas as pd
+
+    def boom(batches):
+        for pdf in batches:
+            raise ValueError("worker exploded")
+            yield pdf
+
+    p = Pipeline(people, name="FaultyFlow").flat_map(
+        lambda df: df.mapInPandas(boom, schema="name string, age long"),
+        name="Exploder",
+    )
+    with pytest.raises(PipelineError) as ei:
+        p.run()
+    assert "FaultyFlow" in str(ei.value) or "Exploder" in str(ei.value)
