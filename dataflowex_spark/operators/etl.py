@@ -42,6 +42,7 @@ def dim_join_insert_missing(
     key: str,
     surrogate: str = "sk",
     dim_payload: Sequence[str] = (),
+    dense: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """DbDataJoiner miss path: two-phase insert-missing + re-join.
 
@@ -55,6 +56,14 @@ def dim_join_insert_missing(
        values; documented caveat: two-phase append is not transactional
        without a MERGE-capable sink, same as the reference's
        non-atomic probe-then-insert).
+
+       ``dense=True`` ranks via a global-ordered window — exact dense
+       ids, but the *new-key set* funnels through one reducer; right
+       when misses are rare (the common ETL case). ``dense=False``
+       assigns ``max + zipWithIndex-style unique ids`` fully in
+       parallel — use when a backfill can introduce millions of new
+       keys at once (ids stay deterministic given the same input
+       partitioning, may have gaps).
     3. re-join    = broadcast left join of fact against the updated dim;
        every input row is emitted (left-enrichment semantics).
     """
@@ -67,14 +76,48 @@ def dim_join_insert_missing(
         .join(dim.select(key), on=key, how="left_anti")
     )
     base = dim.agg(F.coalesce(F.max(surrogate), F.lit(0)).alias("m"))
-    new_rows = (
-        missing.crossJoin(F.broadcast(base))
-        .withColumn(
-            surrogate,
-            F.col("m") + F.row_number().over(Window.orderBy(key)),
+    if dense:
+        new_rows = (
+            missing.crossJoin(F.broadcast(base))
+            .withColumn(
+                surrogate,
+                F.col("m") + F.row_number().over(Window.orderBy(key)),
+            )
+            .drop("m")
         )
-        .drop("m")
-    )
+    else:
+        # parallel unique ids: sort within partitions for determinism,
+        # then offset each partition by the global running count
+        # (classic zipWithIndex reshaped as DataFrame ops)
+        parted = (
+            missing.repartitionByRange(key)
+            .sortWithinPartitions(key)
+            .withColumn("__pid", F.spark_partition_id())
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("__pid").orderBy(key)
+                ),
+            )
+        )
+        sizes = parted.groupBy("__pid").agg(F.max("__rn").alias("__cnt"))
+        offsets = sizes.withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        ).select("__pid", "__off")
+        new_rows = (
+            parted.join(F.broadcast(offsets), "__pid")
+            .crossJoin(F.broadcast(base))
+            .withColumn(surrogate, F.col("m") + F.col("__off") + F.col("__rn"))
+            .drop("__pid", "__rn", "__off", "m")
+        )
     for c in dim.columns:
         if c not in new_rows.columns:
             new_rows = new_rows.withColumn(c, F.lit(None).cast(dim.schema[c].dataType))

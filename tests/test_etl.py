@@ -121,3 +121,17 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_dim_join_insert_missing_parallel_ids(fact, dim):
+    """dense=False: surrogate assignment without the single-reducer
+    window — ids still unique, above max(existing), and the join
+    still completes every row."""
+    enriched, updated, inserted = dim_join_insert_missing(
+        fact, dim, key="k", dense=False
+    )
+    ins = {r.k: r.sk for r in inserted.collect()}
+    assert set(ins) == {"new1", "new2"}
+    assert min(ins.values()) > 20
+    assert len(set(ins.values())) == 2
+    assert enriched.filter(F.col("sk").isNull()).count() == 0
