@@ -207,17 +207,41 @@ class Pipeline:
         """Collected observation metrics (valid after an action ran)."""
         return {obs._name: dict(obs.get) for obs in self._observations}
 
+    def monitor(self) -> "Pipeline":
+        """Enable per-node row counting (A19 flow monitor): every node
+        boundary gets an Observation, collected by :meth:`run_report`
+        after an action — one pass over the data, no extra jobs."""
+        self._monitor = True
+        return self
+
     # -- materialization ----------------------------------------------
 
     def df(self) -> DataFrame:
         """Compose all nodes into one lazy DataFrame plan."""
+        from pyspark.sql import Observation
+
         df = self._source() if callable(self._source) else self._source
+        if getattr(self, "_monitor", False):
+            self._node_obs = []
         for node in self._nodes:
             try:
                 df = node.fn(df)
+                if getattr(self, "_monitor", False):
+                    obs = Observation(f"{self.name}.{node.name}")
+                    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+                    self._node_obs.append((node.name, obs))
             except Exception as e:  # plan-time failure (analysis)
                 raise PipelineError(node.name, e) from e
         return df
+
+    def run_report(self) -> dict[str, int]:
+        """Per-node output row counts (after an action; requires
+        :meth:`monitor`) — the BufferStatus/throughput report of the
+        reference's flow monitor, driven by ``observe`` metrics."""
+        return {
+            name: int(obs.get["rows"])
+            for name, obs in getattr(self, "_node_obs", [])
+        }
 
     def run(self) -> list:
         """Execute and return rows (small results / tests only)."""

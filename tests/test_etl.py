@@ -135,3 +135,37 @@ def test_dim_join_insert_missing_parallel_ids(fact, dim):
     assert min(ins.values()) > 20
     assert len(set(ins.values())) == 2
     assert enriched.filter(F.col("sk").isNull()).count() == 0
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """Real JDBC sink/source roundtrip against embedded Derby (the
+    bundled metastore engine) — the DbBulkInserter contract with an
+    actual database: batched insert, then partitioned read-back."""
+    from dataflowex_spark.sources import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    df = spark.createDataFrame(
+        [Row(id=i, name=f"row{i}", amount=float(i) * 1.5) for i in range(100)]
+    )
+    write_jdbc(
+        df,
+        url,
+        "people",
+        mode="overwrite",
+        batchsize=25,
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    back = read_jdbc(
+        spark,
+        url,
+        "people",
+        partition_column="id",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=100,
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    assert back.count() == 100
+    assert back.rdd.getNumPartitions() == 4
+    got = {r.id: (r.name, r.amount) for r in back.collect()}
+    assert got[7] == ("row7", 10.5)

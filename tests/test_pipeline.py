@@ -125,3 +125,17 @@ def test_exec_time_fault_propagates(people):
     with pytest.raises(PipelineError) as ei:
         p.run()
     assert "FaultyFlow" in str(ei.value) or "Exploder" in str(ei.value)
+
+
+def test_monitor_run_report(people):
+    """A19: per-node row counts from one pass (observe metrics)."""
+    p = (
+        Pipeline(people, name="Monitored")
+        .monitor()
+        .filter(F.col("age") >= 18, name="Adults")
+        .transform({"n": F.upper("name")}, name="Upper")
+    )
+    rows = p.run()
+    assert len(rows) == 2
+    report = p.run_report()
+    assert report == {"Adults": 2, "Upper": 2}
