@@ -138,3 +138,36 @@ def sample_frames(
             yield pd.DataFrame(out, columns=["uri", "frame_index", "frame"])
 
     return df.select(media_col).mapInPandas(gen, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    media_col: str = "media",
+    width: int = 224,
+    height: int = 224,
+) -> DataFrame:
+    """Image-resize plumbing: mapInPandas with a fixed output schema.
+
+    The pixel operation itself is STUBBED (no imaging library in this
+    container): output payload is None and a meta note records the
+    target size. At deploy time the body swaps to PIL/opencv; the
+    Spark side — Arrow batching, schema, partition parallelism — is
+    exactly what production runs.
+    """
+    out_schema = "uri string, width int, height int, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for m in pdf[media_col]:
+                out.append(
+                    {
+                        "uri": m["uri"] if m is not None else None,
+                        "width": width,
+                        "height": height,
+                        "payload": None,  # PIL.Image.resize(...) at deploy
+                    }
+                )
+            yield pd.DataFrame(out, columns=["uri", "width", "height", "payload"])
+
+    return df.select(media_col).mapInPandas(gen, schema=out_schema)

@@ -124,3 +124,77 @@ def knn_cosine_lsh(
     )
     w = Window.partitionBy(probe_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def knn_cosine_ivf(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    n_cells: int = 16,
+    n_probe_cells: int = 3,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> DataFrame:
+    """IVF (inverted-file) approximate kNN: k-means the corpus into
+    ``n_cells`` Voronoi cells, search only each probe's
+    ``n_probe_cells`` nearest cells.
+
+    Scale shape: centroids are tiny (n_cells × dim) and broadcast
+    everywhere; the corpus partitions by cell id once (a single keyed
+    shuffle at index-build time, reusable across queries); per probe
+    the candidate set shrinks by ~n_cells/n_probe_cells. Training
+    samples the corpus — KMeans never sees all 100 TB.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(
+        k=n_cells,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="__v",
+        predictionCol="__cell",
+    )
+    model = km.fit(corpus_v.select("__v"))
+    assigned = model.transform(corpus_v).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col("__cell"),
+    )
+
+    centroids = [list(c) for c in model.clusterCenters()]
+
+    # per probe: rank cells by centroid cosine, keep n_probe_cells
+    cell_sims = F.array(
+        *[
+            F.struct(
+                cosine_similarity(
+                    F.col(vec_col), F.array(*[F.lit(x) for x in c])
+                ).alias("sim"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top_cells = F.slice(F.array_sort(cell_sims, lambda a, b: F.when(a["sim"] > b["sim"], -1).when(a["sim"] < b["sim"], 1).otherwise(0)), 1, n_probe_cells)
+    p = probes.select(
+        F.col(id_col).alias(probe_id_col),
+        F.col(vec_col).alias("__pv"),
+        F.explode(F.transform(top_cells, lambda s: s["cell"])).alias("__cell"),
+    )
+
+    cand = (
+        p.join(assigned, on="__cell")
+        .filter(F.col("cand_id") != F.col(probe_id_col))
+        .select(
+            probe_id_col,
+            F.col("cand_id").alias(id_col),
+            cosine_similarity(F.col("__cv"), F.col("__pv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

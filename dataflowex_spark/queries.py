@@ -1780,3 +1780,16 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.length("text")).alias("max_len"),
         )
     )
+
+
+@q("q97_knn_ivf", None)  # rows-only: k-means assignment is seed/engine specific
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate kNN: k-means cells + n-probe search — the
+    index-based scale path next to q82 (exact) and q87 (LSH)."""
+    from dataflowex_spark.operators.similarity import knn_cosine_ivf
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = knn_cosine_ivf(emb, probes, k=10, n_cells=16, n_probe_cells=4)
+    return out.select("probe_id", "vec_id", F.round("sim", 4).alias("sim"), "rank")

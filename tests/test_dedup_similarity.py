@@ -124,3 +124,22 @@ def test_cosine_expression_value(spark):
     out = df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()
     assert out[0].c == pytest.approx(0.0)
     assert out[1].c == pytest.approx(1.0)
+
+
+def test_knn_ivf_recall(vectors):
+    """IVF with clustered data: searching 3 of 8 cells recovers most
+    true neighbors (same-cluster vectors share a cell by construction)."""
+    from dataflowex_spark.operators.similarity import knn_cosine_ivf
+
+    rows = vectors.collect()
+    probes = vectors.filter(F.col("vec_id") < 5)
+    out = knn_cosine_ivf(
+        vectors, probes, k=4, n_cells=8, n_probe_cells=3
+    ).collect()
+    hits = total = 0
+    for pid in range(5):
+        truth = set(brute_force_topk(rows, pid, 4))
+        got = {r.vec_id for r in out if r.probe_id == pid}
+        hits += len(truth & got)
+        total += 4
+    assert hits / total >= 0.7

@@ -195,3 +195,27 @@ def test_cogrouped_apply_in_pandas(spark):
     )
     got = {r.k: (r.n_left, r.n_right) for r in out.collect()}
     assert got == {1: (2, 1), 2: (1, 0), 3: (0, 1)}
+
+
+def test_bpe_token_count(spark):
+    from dataflowex_spark.functions.text import token_count
+
+    df = spark.createDataFrame([Row(text="don't stop 123 now!")])
+    out = df.select(
+        token_count(F.col("text"), "whitespace").alias("ws"),
+        token_count(F.col("text"), "bpe").alias("bpe"),
+    ).collect()[0]
+    assert out.ws == 4
+    # don | ' | t | stop | 123 | now | !  → 7 regex tokens
+    assert out.bpe == 7
+
+
+def test_resize_images_stub_schema(spark):
+    from dataflowex_spark.operators import multimodal
+
+    df = spark.createDataFrame([Row(uri="mem://img1"), Row(uri="mem://img2")])
+    media = multimodal.attach_media_column(df, "uri", "image/png")
+    out = multimodal.resize_images(media, width=64, height=48)
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r.width == 64 and r.height == 48 and r.payload is None for r in rows)
