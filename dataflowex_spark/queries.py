@@ -1793,3 +1793,51 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 3)
     out = knn_cosine_ivf(emb, probes, k=10, n_cells=16, n_probe_cells=4)
     return out.select("probe_id", "vec_id", F.round("sim", 4).alias("sim"), "rank")
+
+
+@q(
+    "q28_predicate_surface",
+    """
+    SELECT p_partkey, p_type, p_brand
+    FROM part
+    WHERE p_type LIKE '%BRASS%'
+       OR regexp_matches(p_type, '^ECONOMY')
+       OR p_brand IN ('Brand#11', 'Brand#22')
+    """,
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate surface: LIKE, rlike, IN-list (SURVEY Part B filter
+    row) — all pushable/codegen-friendly predicate forms."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["part"]
+        .filter(
+            F.col("p_type").like("%BRASS%")
+            | F.col("p_type").rlike("^ECONOMY")
+            | F.col("p_brand").isin("Brand#11", "Brand#22")
+        )
+        .select("p_partkey", "p_type", "p_brand")
+    )
+
+
+@q(
+    "q66_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
+           CAST(CAST(o_orderdate AS DATE) - INTERVAL 90 DAY AS TIMESTAMP) AS minus_90d,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+    FROM orders
+    """,
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic: add_months (with month-end clamping
+    identical across engines), day offsets, last_day."""
+    cat = Catalog(spark, sf_dir)
+    d = F.col("o_orderdate").cast("date")
+    return cat["orders"].select(
+        "o_orderkey",
+        F.add_months(d, 3).cast("timestamp_ntz").alias("plus_3m"),
+        F.date_sub(d, 90).cast("timestamp_ntz").alias("minus_90d"),
+        F.last_day(d).cast("timestamp_ntz").alias("month_end"),
+    )

@@ -182,3 +182,21 @@ def test_stream_stream_interval_join(spark, sf_dir):
         ),
     ).count()
     assert out.count() == expected
+
+
+def test_stream_static_dim_join(spark, sf_dir):
+    """Stream-static join: streaming events enriched against the
+    static user dimension (broadcast per micro-batch) — the streaming
+    form of the A12 lookup."""
+    stream = file_replay_stream(spark, f"{sf_dir}/events.parquet", n_chunks=4)
+    dim = (
+        Catalog(spark, sf_dir)["events"]
+        .select("user_id")
+        .distinct()
+        .withColumn("user_tag", F.concat(F.lit("u"), F.col("user_id")))
+    )
+    joined = stream.join(dim, "user_id", "left")
+    out, _ = run_to_memory(joined, output_mode="append")
+    total = Catalog(spark, sf_dir)["events"].count()
+    assert out.count() == total
+    assert out.filter(F.col("user_tag").isNull()).count() == 0
