@@ -276,3 +276,46 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def dedup_minhash_mllib(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hash_tables: int = 8,
+    shingle_words: int = 3,
+    num_features: int = 1 << 18,
+    jaccard_distance_threshold: float = 0.5,
+) -> DataFrame:
+    """MLlib-backed near-dup variant: shingles → HashingTF sparse
+    vectors → MinHashLSH.approxSimilarityJoin.
+
+    Same contract as :func:`dedup_minhash_lsh` ((id_a, id_b, distance
+    as jaccard_dist), id_a < id_b). Kept alongside the native
+    implementation: MLlib brings a tuned implementation and model
+    persistence; the native one keeps everything in plain DataFrame
+    ops (no vector columns) and exposes the band/row trade-off
+    directly.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_words)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features)
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, jaccard_distance_threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.col("jaccard_dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )

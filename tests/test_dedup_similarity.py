@@ -143,3 +143,15 @@ def test_knn_ivf_recall(vectors):
         hits += len(truth & got)
         total += 4
     assert hits / total >= 0.7
+
+
+def test_minhash_mllib_variant(docs):
+    from dataflowex_spark.operators.dedup import dedup_minhash_mllib
+
+    pairs = dedup_minhash_mllib(
+        docs, num_hash_tables=8, jaccard_distance_threshold=0.7
+    ).collect()
+    found = {(r.id_a, r.id_b): r.jaccard_dist for r in pairs}
+    assert (0, 1) in found and found[(0, 1)] == pytest.approx(0.0)  # exact dup
+    assert any(p in found for p in [(0, 2), (1, 2)])  # near dup found
+    assert (3, 4) not in found
