@@ -319,3 +319,60 @@ def dedup_minhash_mllib(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (node_id, cluster_id)
+    with cluster_id = min node id in the component.
+
+    The step after pair generation in a real dedup pipeline: pairs
+    chain (A~B, B~C ⇒ {A,B,C}), and one canonical doc survives per
+    component. Iterative min-label propagation — the ring/iteration
+    pattern (SURVEY A18) doing production work: labels join edges,
+    keep the min over neighbors, repeat until a fixpoint; each round
+    localCheckpoints to cut lineage. Converges in O(component
+    diameter) rounds; near-dup components are shallow in practice.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .isEmpty()
+        )
+        labels = updated
+        if changed:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

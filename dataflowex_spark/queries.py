@@ -1841,3 +1841,20 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_sub(d, 90).cast("timestamp_ntz").alias("minus_90d"),
         F.last_day(d).cast("timestamp_ntz").alias("month_end"),
     )
+
+
+@q("q98_dedup_clusters", None)  # rows-only: iterative, hash-seed dependent pairs
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup pipeline: MinHash LSH pairs → connected
+    components → one canonical (min-id) doc per cluster. Returns
+    (node, cluster_id, is_canonical)."""
+    from dataflowex_spark.operators.dedup import dedup_clusters
+
+    cat = Catalog(spark, sf_dir)
+    pairs = dedup_minhash_lsh(
+        cat["documents"], num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+    clusters = dedup_clusters(pairs)
+    return clusters.withColumn(
+        "is_canonical", (F.col("node") == F.col("cluster_id")).cast("int")
+    )

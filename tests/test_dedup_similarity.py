@@ -155,3 +155,25 @@ def test_minhash_mllib_variant(docs):
     assert (0, 1) in found and found[(0, 1)] == pytest.approx(0.0)  # exact dup
     assert any(p in found for p in [(0, 2), (1, 2)])  # near dup found
     assert (3, 4) not in found
+
+
+def test_dedup_clusters_transitive(spark):
+    """Pairs chain transitively: {1-2, 2-3} and {7-8} form two
+    components labeled by their min ids."""
+    from dataflowex_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=7, id_b=8)]
+    )
+    got = {r.node: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_dedup_clusters_long_chain(spark):
+    """A 12-node path graph — forces several propagation rounds."""
+    from dataflowex_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(12)])
+    got = {r.node: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 13
