@@ -1858,3 +1858,35 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.withColumn(
         "is_canonical", (F.col("node") == F.col("cluster_id")).cast("int")
     )
+
+
+@q(
+    "q44_window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_90d_total
+    FROM orders
+    """,
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per customer, trailing-90-day order total —
+    value-based frames over epoch seconds (identical numeric ordering
+    on both engines; decimal-exact sum)."""
+    cat = Catalog(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-7776000, Window.currentRow)
+    )
+    return cat["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_90d_total"),
+    )
