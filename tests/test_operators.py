@@ -219,3 +219,26 @@ def test_resize_images_stub_schema(spark):
     rows = out.collect()
     assert len(rows) == 2
     assert all(r.width == 64 and r.height == 48 and r.payload is None for r in rows)
+
+
+def test_python_udtf_surface(spark):
+    """Python UDTF (Spark ≥3.5): table function emitting 0..n rows per
+    input — the typed 1→N surface next to explode/mapInPandas."""
+    try:
+        from pyspark.sql.functions import udtf
+    except ImportError:
+        pytest.skip("udtf not available on this build")
+    from pyspark.sql.functions import lit
+
+    @udtf(returnType="word: string, pos: int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split()):
+                yield w, i
+
+    rows = Tokenize(lit("spark runs everywhere")).collect()
+    assert [(r.word, r.pos) for r in rows] == [
+        ("spark", 0),
+        ("runs", 1),
+        ("everywhere", 2),
+    ]
