@@ -107,3 +107,76 @@ def write_jdbc(
         .mode(mode)
         .save()
     )
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, sorted parquet write (poor man's Z-order for
+    one dimension): repartitionByRange clusters by sort key across
+    files, sortWithinPartitions orders inside each file — so parquet
+    row-group min/max stats become tight and selective scans skip
+    whole files/row groups at read time."""
+    parted = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if n_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    parted.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Compact a small-files directory into ``target_files`` parquet
+    files (the standing operational chore of any streaming/incremental
+    sink). Returns the new file count. Rewrites via a temp dir then
+    swaps, so readers never see a half-written table."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    out = (
+        df.repartitionByRange(target_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        if sort_cols
+        else df.repartition(target_files)
+    )
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+
+
+def incremental_append(
+    new_df: DataFrame,
+    existing_path: str,
+    key: str,
+    spark: SparkSession | None = None,
+) -> int:
+    """Idempotent incremental ingest: append only rows whose ``key`` is
+    not already present (left_anti against the existing table) — the
+    fact-table cousin of dim_join_insert_missing. Returns the number
+    of appended rows. Replaying the same batch is a no-op."""
+    import os
+
+    spark = spark or new_df.sparkSession
+    if os.path.isdir(existing_path):
+        existing_keys = spark.read.parquet(existing_path).select(key)
+        fresh = new_df.join(existing_keys, on=key, how="left_anti")
+    else:
+        fresh = new_df
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(existing_path)
+    return n

@@ -169,3 +169,53 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     assert back.rdd.getNumPartitions() == 4
     got = {r.id: (r.name, r.amount) for r in back.collect()}
     assert got[7] == ("row7", 10.5)
+
+
+def test_write_sorted_tightens_row_groups(spark, tmp_path):
+    """Sorted writes give tight, non-overlapping row-group min/max —
+    the data-skipping property, verified from the parquet metadata."""
+    import duckdb
+
+    df = spark.range(0, 50_000).withColumn("v", F.col("id") % 997)
+    unsorted = str(tmp_path / "unsorted")
+    df.orderBy(F.rand(seed=1)).repartition(4).write.parquet(unsorted)
+    from dataflowex_spark.sources import write_sorted
+
+    sorted_path = str(tmp_path / "sorted")
+    write_sorted(df, sorted_path, ["id"], n_files=4)
+
+    def spans(p):
+        q = f"""
+        SELECT sum(CAST(stats_max AS BIGINT) - CAST(stats_min AS BIGINT))
+        FROM parquet_metadata('{p}/*.parquet')
+        WHERE path_in_schema = 'id'
+        """
+        return duckdb.sql(q).fetchone()[0]
+
+    # unsorted row groups each span nearly the whole id domain;
+    # sorted ones tile it — total span collapses by ~#row-groups
+    assert spans(sorted_path) * 2 < spans(unsorted)
+
+
+def test_compact_reduces_files(spark, tmp_path):
+    from dataflowex_spark.sources import compact
+
+    path = str(tmp_path / "many")
+    spark.range(0, 10_000).repartition(24).write.parquet(path)
+    n = compact(spark, path, target_files=3, sort_cols=["id"])
+    assert n <= 4
+    assert spark.read.parquet(path).count() == 10_000
+
+
+def test_incremental_append_idempotent(spark, tmp_path):
+    from dataflowex_spark.sources import incremental_append
+
+    path = str(tmp_path / "inc")
+    batch1 = spark.createDataFrame([Row(k=i, v=i * 2) for i in range(10)])
+    assert incremental_append(batch1, path, "k") == 10
+    # replay the same batch → no-op
+    assert incremental_append(batch1, path, "k") == 0
+    # overlapping batch → only new keys land
+    batch2 = spark.createDataFrame([Row(k=i, v=i * 2) for i in range(5, 15)])
+    assert incremental_append(batch2, path, "k") == 5
+    assert spark.read.parquet(path).count() == 15
