@@ -123,7 +123,7 @@ def write_sorted(
     whole files/row groups at read time."""
     parted = (
         df.repartitionByRange(n_files, *sort_cols)
-        if n_files
+        if n_files is not None
         else df.repartitionByRange(*sort_cols)
     )
     parted.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
@@ -137,22 +137,37 @@ def compact(
 ) -> int:
     """Compact a small-files directory into ``target_files`` parquet
     files (the standing operational chore of any streaming/incremental
-    sink). Returns the new file count. Rewrites via a temp dir then
-    swaps, so readers never see a half-written table."""
+    sink). Returns the new file count.
+
+    Local-filesystem tables only (swap uses POSIX renames; a remote
+    object store needs its own atomic-swap/commit mechanism). Refuses
+    hive-partitioned layouts — flattening them would silently destroy
+    partition pruning for downstream readers. The swap renames the old
+    table aside before moving the rewrite into place, so the data
+    always exists in at least one complete copy.
+    """
     import os
     import shutil
 
+    path = path.rstrip("/")
+    if any(
+        "=" in d and os.path.isdir(os.path.join(path, d))
+        for d in os.listdir(path)
+    ):
+        raise ValueError(
+            f"{path} is hive-partitioned; compact per partition (or "
+            "rewrite with an explicit partitionBy) instead of flattening"
+        )
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".__compact_tmp"
-    out = (
-        df.repartitionByRange(target_files, *sort_cols)
-        .sortWithinPartitions(*sort_cols)
-        if sort_cols
-        else df.repartition(target_files)
-    )
-    out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    tmp = path + ".__compact_tmp"
+    old = path + ".__compact_old"
+    if sort_cols:
+        write_sorted(df, tmp, list(sort_cols), n_files=target_files)
+    else:
+        df.repartition(target_files).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return len(
         [f for f in os.listdir(path) if f.endswith(".parquet")]
     )
@@ -167,16 +182,31 @@ def incremental_append(
     """Idempotent incremental ingest: append only rows whose ``key`` is
     not already present (left_anti against the existing table) — the
     fact-table cousin of dim_join_insert_missing. Returns the number
-    of appended rows. Replaying the same batch is a no-op."""
-    import os
+    of appended rows. Replaying the same batch is a no-op; duplicate
+    keys *within* a batch are collapsed to one arbitrary row
+    (dropDuplicates) so the keyed contract holds.
 
+    Existence is checked through the Hadoop FileSystem API, so remote
+    table URIs (hdfs://, s3a://) behave the same as local paths —
+    a driver-local isdir() would silently skip the anti-join there
+    and duplicate the whole batch.
+    """
     spark = spark or new_df.sparkSession
-    if os.path.isdir(existing_path):
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(existing_path)
+    fs = jpath.getFileSystem(hconf)
+    fresh = new_df.dropDuplicates([key])
+    if fs.exists(jpath):
         existing_keys = spark.read.parquet(existing_path).select(key)
-        fresh = new_df.join(existing_keys, on=key, how="left_anti")
-    else:
-        fresh = new_df
-    n = fresh.count()
-    if n:
-        fresh.write.mode("append").parquet(existing_path)
+        fresh = fresh.join(existing_keys, on=key, how="left_anti")
+    # persist: count() and write() otherwise re-execute the full
+    # anti-join (and could disagree under non-deterministic inputs)
+    fresh = fresh.persist()
+    try:
+        n = fresh.count()
+        if n:
+            fresh.write.mode("append").parquet(existing_path)
+    finally:
+        fresh.unpersist()
     return n

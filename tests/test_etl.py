@@ -219,3 +219,25 @@ def test_incremental_append_idempotent(spark, tmp_path):
     batch2 = spark.createDataFrame([Row(k=i, v=i * 2) for i in range(5, 15)])
     assert incremental_append(batch2, path, "k") == 5
     assert spark.read.parquet(path).count() == 15
+
+
+def test_compact_refuses_partitioned_layout(spark, tmp_path):
+    path = str(tmp_path / "parted")
+    spark.range(0, 100).withColumn("p", F.col("id") % 2).write.partitionBy(
+        "p"
+    ).parquet(path)
+    from dataflowex_spark.sources import compact
+
+    with pytest.raises(ValueError, match="partitioned"):
+        compact(spark, path, target_files=1)
+
+
+def test_incremental_append_dedupes_within_batch(spark, tmp_path):
+    from dataflowex_spark.sources import incremental_append
+
+    path = str(tmp_path / "incdup")
+    batch = spark.createDataFrame(
+        [Row(k=1, v=10), Row(k=1, v=11), Row(k=2, v=20)]
+    )
+    assert incremental_append(batch, path, "k") == 2
+    assert spark.read.parquet(path).select("k").distinct().count() == 2
