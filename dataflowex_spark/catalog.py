@@ -46,12 +46,6 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     return df
 
 
-# (session id, sf_dir, table) → DataFrame: parquet footer listing and
-# schema resolution repeat per spark.read otherwise — measurable
-# planning cost when a driver runs 60 queries back to back.
-_table_cache: dict[tuple[int, str, str], DataFrame] = {}
-
-
 class Catalog:
     """Loads fixture tables from an ``sf_dir`` and registers temp views.
 
@@ -65,13 +59,20 @@ class Catalog:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = configure(spark)
         self.sf_dir = sf_dir.rstrip("/")
-        self._cache = _table_cache
-        self._key = id(spark)
+        # cache DataFrames ON the session object (parquet footer
+        # listing repeated per query is pure planning overhead): the
+        # cache dies with its session, so entries can never outlive
+        # the SparkContext their plans are bound to
+        if not hasattr(spark, "_dataflowex_table_cache"):
+            spark._dataflowex_table_cache = {}
+        self._cache: dict[tuple[str, str], DataFrame] = (
+            spark._dataflowex_table_cache
+        )
 
     def table(self, name: str) -> DataFrame:
         if name not in TABLES:
             raise KeyError(f"unknown fixture table: {name}")
-        key = (self._key, self.sf_dir, name)
+        key = (self.sf_dir, name)
         if key not in self._cache:
             df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
             if name == "events":

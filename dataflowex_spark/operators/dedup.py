@@ -17,7 +17,6 @@ def dedup_exact(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact dedup by content hash: group on sha2(text), keep the row
     with the smallest id (deterministic, unlike dropDuplicates which

@@ -37,12 +37,18 @@ def salted_agg(
     def combiner(name: str, expr: Column) -> Column:
         op = expr._jc.toString()  # e.g. "count(1) AS `__p_n`"
         col = F.col(f"__p_{name}")
-        if op.startswith("min"):
+        if op.startswith("min("):
             return F.min(col).alias(name)
-        if op.startswith("max"):
+        if op.startswith("max("):
             return F.max(col).alias(name)
-        # sum/count partials both recombine by summation
-        return F.sum(col).alias(name)
+        if op.startswith("sum(") or op.startswith("count(1"):
+            # sum/count(*) partials both recombine by summation
+            return F.sum(col).alias(name)
+        # avg, countDistinct, first, … are NOT decomposable this way —
+        # summing their partials silently produces garbage
+        raise ValueError(
+            f"salted_agg only supports sum/count(*)/min/max; got: {op}"
+        )
 
     return phase1.groupBy(*keys).agg(
         *[combiner(name, expr) for name, expr in aggs.items()]

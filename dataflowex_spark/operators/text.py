@@ -72,10 +72,11 @@ def tf_idf(
     """Exact TF-IDF per (doc, term): tf = term count in doc,
     idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style).
 
-    Shape at scale: one explode + two hash aggregates + a broadcast
-    of the (tiny) per-term df table; the corpus-size scalar N joins in
-    as a broadcast literal row. Integer counts make the result
-    bit-deterministic across engines.
+    Shape at scale: one explode + two hash aggregates; the per-term
+    doc-frequency join is left un-hinted (the table is vocabulary-
+    sized — forcing a broadcast would OOM at large corpora; AQE
+    broadcasts it when it is actually small). Only the one-row
+    corpus-size frame is broadcast.
     """
     toks = F.explode(
         F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
@@ -87,7 +88,7 @@ def tf_idf(
     doc_freq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     return (
-        tf.join(F.broadcast(doc_freq), "term")
+        tf.join(doc_freq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),

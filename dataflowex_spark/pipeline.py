@@ -140,11 +140,18 @@ class Pipeline:
         out: dict[str, Pipeline] = {}
         taken: Column | None = None
         for bname, cond in branches.items():
+            # NULL predicates must mean "no match", not "drop the row":
+            # without the coalesce, a row whose first predicate is NULL
+            # and second is TRUE evaluates TRUE & ~NULL = NULL in the
+            # second branch and vanishes from every branch.
+            cond = F.coalesce(cond, F.lit(False))
             eff = cond if taken is None else (cond & ~taken)
             out[bname] = Pipeline(base.filter(eff), name=f"{self.name}.{bname}")
             taken = cond if taken is None else (taken | cond)
         if leftover is not None and taken is not None:
-            out[leftover] = Pipeline(base.filter(~F.coalesce(taken, F.lit(False))), name=f"{self.name}.{leftover}")
+            out[leftover] = Pipeline(
+                base.filter(~taken), name=f"{self.name}.{leftover}"
+            )
         return out
 
     def fan_out(self, n: int, cache: bool = True) -> list["Pipeline"]:
@@ -190,22 +197,26 @@ class Pipeline:
 
     def stats(self, name: str, *exprs: Column) -> "Pipeline":
         """Attach side-channel aggregates (A13 StatisticsRecorder) via
-        ``df.observe`` with an Observation handle — read them back
-        with :meth:`stat_values` after an action, no second pass over
-        the data."""
-        from pyspark.sql import Observation
-
-        obs = Observation(name)
-        self._observations.append(obs)
+        ``df.observe`` — read them back with :meth:`stat_values` after
+        an action, no second pass over the data. A fresh Observation is
+        created per materialization (pyspark allows each Observation
+        instance to bind to exactly one DataFrame)."""
 
         def _obs(df: DataFrame) -> DataFrame:
+            from pyspark.sql import Observation
+
+            obs = Observation(name)
+            self._observations = [
+                (n, o) for n, o in self._observations if n != name
+            ] + [(name, obs)]
             return df.observe(obs, *exprs)
 
         return self._add("Stats", _obs, None)
 
     def stat_values(self) -> dict[str, dict]:
-        """Collected observation metrics (valid after an action ran)."""
-        return {obs._name: dict(obs.get) for obs in self._observations}
+        """Collected observation metrics of the most recent
+        materialization (valid after an action ran)."""
+        return {name: dict(obs.get) for name, obs in self._observations}
 
     def monitor(self) -> "Pipeline":
         """Enable per-node row counting (A19 flow monitor): every node

@@ -48,6 +48,10 @@ def read_jdbc(
     partition column for big tables."""
     r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound"
+            )
         r = (
             r.option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions))
@@ -150,6 +154,18 @@ def compact(
     import shutil
 
     path = path.rstrip("/")
+    tmp = path + ".__compact_tmp"
+    old = path + ".__compact_old"
+    # recover from a prior crashed compact: a stale old-dir either
+    # replaces a missing table (crash between the two renames) or is
+    # garbage next to a live one; stale tmp is always garbage
+    if os.path.isdir(old):
+        if os.path.isdir(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
     if any(
         "=" in d and os.path.isdir(os.path.join(path, d))
         for d in os.listdir(path)
@@ -159,8 +175,6 @@ def compact(
             "rewrite with an explicit partitionBy) instead of flattening"
         )
     df = spark.read.parquet(path)
-    tmp = path + ".__compact_tmp"
-    old = path + ".__compact_old"
     if sort_cols:
         write_sorted(df, tmp, list(sort_cols), n_files=target_files)
     else:

@@ -36,7 +36,15 @@ def file_replay_stream(
     import tempfile
 
     batch = spark.read.parquet(parquet_path)
-    tag = hashlib.sha1(parquet_path.encode()).hexdigest()[:10]
+    # key the staging dir by source content identity (mtime+size), so
+    # a rewritten source table re-stages instead of silently replaying
+    # stale rows
+    try:
+        st = os.stat(parquet_path)
+        ident = f"{parquet_path}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        ident = parquet_path
+    tag = hashlib.sha1(ident.encode()).hexdigest()[:10]
     stage_dir = os.path.join(
         tempfile.gettempdir(), f"dataflowex_replay_{tag}_{n_chunks}"
     )
@@ -159,6 +167,7 @@ def stateful_dispatch_counts(
     events: DataFrame,
     key_col: str = "event_type",
     ts_col: str = "ts",
+    value_col: str = "value",
     watermark: str = "2 hours",
     timeout_conf: str = "NoTimeout",
 ) -> DataFrame:
@@ -185,13 +194,13 @@ def stateful_dispatch_counts(
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            total += float(pdf[value_col].sum())
         state.update((n, total))
         yield pd.DataFrame([{"key": key[0], "n": n, "total": total}])
 
     if not events.isStreaming:
         return events.groupBy(F.col(key_col).alias("key")).agg(
-            F.count("*").alias("n"), F.sum("value").alias("total")
+            F.count("*").alias("n"), F.sum(value_col).alias("total")
         )
 
     df = _with_watermark(events, ts_col, watermark)

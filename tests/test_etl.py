@@ -241,3 +241,28 @@ def test_incremental_append_dedupes_within_batch(spark, tmp_path):
     )
     assert incremental_append(batch, path, "k") == 2
     assert spark.read.parquet(path).select("k").distinct().count() == 2
+
+
+def test_salted_agg_rejects_non_decomposable(spark):
+    from dataflowex_spark.operators.skew import salted_agg
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame([Row(k="a", v=1.0)])
+    with pytest.raises(ValueError, match="salted_agg only supports"):
+        salted_agg(df, ["k"], {"m": SF.avg("v")}).collect()
+
+
+def test_compact_recovers_from_stale_dirs(spark, tmp_path):
+    """Leftovers of a crashed compact must not wedge the table."""
+    import os
+    from dataflowex_spark.sources import compact
+
+    path = str(tmp_path / "tbl")
+    spark.range(0, 1000).repartition(8).write.parquet(path)
+    # simulate a crash that left both stale dirs behind
+    os.makedirs(path + ".__compact_tmp")
+    spark.range(0, 5).write.parquet(path + ".__compact_old")
+    n = compact(spark, path, target_files=2)
+    assert n <= 3
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.isdir(path + ".__compact_old")

@@ -139,3 +139,29 @@ def test_monitor_run_report(people):
     assert len(rows) == 2
     report = p.run_report()
     assert report == {"Adults": 2, "Upper": 2}
+
+
+def test_split_null_predicates_route_to_later_branch(spark):
+    """A NULL predicate must mean "no match": the row still reaches a
+    later matching branch (or the dead-letter), never vanishes."""
+    df = spark.createDataFrame(
+        [Row(price=None, status="F"), Row(price=400000, status="O"), Row(price=100, status="O")]
+    )
+    branches = Pipeline(df).split(
+        {"big": F.col("price") > 300000, "done": F.col("status") == "F"},
+        leftover="rest",
+    )
+    counts = {k: p.count() for k, p in branches.items()}
+    # NULL-price 'F' row lands in 'done', not nowhere
+    assert counts == {"big": 1, "done": 1, "rest": 1}
+    assert sum(counts.values()) == df.count()
+
+
+def test_stats_survives_rematerialization(people):
+    """Each materialization gets a fresh Observation — a second action
+    on the same pipeline must not crash."""
+    p = Pipeline(people).stats("m", F.count(F.lit(1)).alias("n"))
+    assert p.count() == 3
+    rows = p.run()  # second materialization of the same pipeline
+    assert len(rows) == 3
+    assert p.stat_values()["m"]["n"] == 3
