@@ -1890,3 +1890,85 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_90d_total"),
     )
+
+
+@q(
+    "q15_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue_delta,
+           COUNT(*) AS n_candidates
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight multi-predicate scan + single aggregate —
+    the pure pushdown/scan-throughput benchmark."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(3,2)")
+            )
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count("*").alias("n_candidates"),
+        )
+    )
+
+
+@q(
+    "q16_shipping_priority",
+    """
+    SELECT o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01'
+      AND l_shipdate  > TIMESTAMP '1997-06-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → grouped
+    revenue → global top-k (TakeOrderedAndProject)."""
+    cat = Catalog(spark, sf_dir)
+    c = cat["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    o = cat["orders"].filter(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp_ntz")
+    )
+    li = cat["lineitem"].filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp_ntz")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(3,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
