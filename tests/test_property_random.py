@@ -1,0 +1,81 @@
+"""Hypothesis-driven randomized properties (SURVEY §5.4): Spark
+column expressions vs plain-Python reference implementations on
+arbitrary text, batched into one DataFrame per property run."""
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row, functions as F
+
+from dataflowex_spark.functions.text import (
+    TOKEN_REGEX,
+    rolling_fingerprint,
+    token_count,
+    tokens,
+)
+
+TEXT = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs", "Po")),
+    min_size=0,
+    max_size=120,
+)
+
+
+def py_ws_tokens(s: str) -> list[str]:
+    return [t for t in re.split(r"\s+", s) if t != ""]
+
+
+def py_fingerprint(s: str, base: int = 31, mod: int = 2**31 - 1) -> int:
+    acc = 0
+    for ch in s:
+        # Spark's ascii() = code point of the first character
+        acc = (acc * base + ord(ch)) % mod
+    return acc
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=30))
+def check_token_count_matches_python(texts):
+    spark = check_token_count_matches_python._spark
+    df = spark.createDataFrame([Row(i=i, text=t) for i, t in enumerate(texts)])
+    got = {
+        r.i: (r.n, r.toks)
+        for r in df.select(
+            "i",
+            token_count(F.col("text")).alias("n"),
+            tokens(F.col("text")).alias("toks"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        expect = py_ws_tokens(t)
+        assert got[i][0] == len(expect), repr(t)
+        assert got[i][1] == expect, repr(t)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"), min_size=0, max_size=80), min_size=1, max_size=30))
+def check_fingerprint_matches_python(texts):
+    spark = check_fingerprint_matches_python._spark
+    df = spark.createDataFrame([Row(i=i, text=t) for i, t in enumerate(texts)])
+    out1 = {
+        r.i: r.fp
+        for r in df.select("i", rolling_fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    out2 = {
+        r.i: r.fp
+        for r in df.repartition(5)
+        .select("i", rolling_fingerprint(F.col("text")).alias("fp"))
+        .collect()
+    }
+    assert out1 == out2  # partitioning-invariant
+    for i, t in enumerate(texts):
+        assert out1[i] == py_fingerprint(t), repr(t)
+
+
+def test_randomized_text_properties(spark):
+    """Run the hypothesis properties with the session fixture bound
+    (hypothesis can't take pytest fixtures directly)."""
+    check_token_count_matches_python._spark = spark
+    check_fingerprint_matches_python._spark = spark
+    check_token_count_matches_python()
+    check_fingerprint_matches_python()
