@@ -1,0 +1,85 @@
+"""End-to-end training-corpus pipeline — the engine's operators
+composed the way a 100 TB data-curation job would run them:
+
+    ingest → validate → quality filter → exact dedup →
+    near-dup clustering (MinHash LSH + connected components) →
+    language filter → deterministic train/test split → sorted write
+
+Every stage is a DataFrame→DataFrame operator from the library; the
+whole pipeline is one lazy plan per output (Catalyst sees everything),
+and every decision (dedup winner, split assignment) is deterministic
+so a rerun or backfill reproduces the identical corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dataflowex_spark.catalog import Catalog
+from dataflowex_spark.functions.text import quality_score, token_count
+from dataflowex_spark.operators.dedup import (
+    dedup_clusters,
+    dedup_exact,
+    dedup_minhash_lsh,
+)
+from dataflowex_spark.operators.sampling import train_test_split
+from dataflowex_spark.sources import write_sorted
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    min_tokens: int = 5,
+    min_quality: float = 0.3,
+    jaccard_threshold: float = 0.5,
+    test_fraction: float = 0.1,
+) -> dict[str, int]:
+    """Run the curation pipeline over the documents table; returns
+    per-stage row counts (the run report)."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    report: dict[str, int] = {"ingested": docs.count()}
+
+    # 1. validate + quality filter (single codegen'd scan stage)
+    filtered = docs.filter(
+        (token_count(F.col("text")) >= min_tokens)
+        & (quality_score(F.col("text")) >= min_quality)
+    )
+    report["after_quality"] = filtered.count()
+
+    # 2. exact dedup (content hash, min-id winner)
+    exact = dedup_exact(filtered)
+    report["after_exact_dedup"] = exact.count()
+
+    # 3. near-dup removal: LSH pairs → components → keep canonical
+    pairs = dedup_minhash_lsh(
+        exact, jaccard_threshold=jaccard_threshold
+    )
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    canonical = exact.join(losers, on="doc_id", how="left_anti")
+    report["after_near_dedup"] = canonical.count()
+
+    # 4. deterministic split + sorted write (tight row-group stats)
+    split = train_test_split(
+        canonical, "doc_id", test_fraction=test_fraction
+    )
+    for name in ("train", "test"):
+        part = split.filter(F.col("split") == name).drop("split")
+        write_sorted(part, f"{out_dir}/{name}", ["doc_id"], n_files=4)
+        report[f"written_{name}"] = spark.read.parquet(f"{out_dir}/{name}").count()
+    return report
+
+
+if __name__ == "__main__":
+    import json
+    import tempfile
+
+    from dataflowex_spark.session import get_spark
+
+    spark = get_spark("corpus-pipeline-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = tempfile.mkdtemp(prefix="corpus_out_")
+    print(json.dumps(curate_corpus(spark, "/root/testdata/sf0.01", out), indent=2))

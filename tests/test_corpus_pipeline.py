@@ -1,0 +1,28 @@
+"""End-to-end corpus-curation pipeline: monotone stage counts,
+deterministic rerun, complete train/test partition."""
+
+from examples.corpus_pipeline import curate_corpus
+
+
+def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    report = curate_corpus(
+        spark, sf_dir, str(tmp_path / "out"), test_fraction=0.2
+    )
+    # stages only remove rows
+    assert (
+        report["ingested"]
+        >= report["after_quality"]
+        >= report["after_exact_dedup"]
+        >= report["after_near_dedup"]
+        > 0
+    )
+    # split partitions the survivors exactly
+    assert (
+        report["written_train"] + report["written_test"]
+        == report["after_near_dedup"]
+    )
+    # deterministic: a rerun reproduces identical counts
+    report2 = curate_corpus(
+        spark, sf_dir, str(tmp_path / "out2"), test_fraction=0.2
+    )
+    assert report2 == report
