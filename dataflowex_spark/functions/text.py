@@ -9,13 +9,32 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+# Canonical whitespace definition, shared by EVERY engine we touch.
+#
+# Java regex `\s` is ASCII-only ([ \t\n\x0B\f\r]) while Python `re`'s
+# `\s` is Unicode-aware, so a naive F.split(text, r"\s+") diverges from
+# the Python reference on U+00A0, U+2007, … (hypothesis found it).
+# The single source of truth is WS_CHARS: the exact character set
+# Python's `re` `\s` matches (enumerated by probing all code points).
+# - Spark/Java side: WS_REGEX embeds the literal characters in a class.
+# - DuckDB/RE2 oracle side: WS_SQL_REGEX spells the same set with
+#   \x{..} escapes (verified char-for-char equal to Python `\s`).
+WS_CHARS = (
+    "\x09\x0a\x0b\x0c\x0d\x1c\x1d\x1e\x1f \x85\xa0\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000"
+)
+WS_REGEX = "[" + WS_CHARS + "]+"
+WS_SQL_REGEX = (
+    r"[\t\n\v\f\r\x{1c}-\x{1f} \x{85}\x{a0}\x{1680}"
+    r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+"
+)
+
 # BPE-ish tokenizer: words, numbers, or single non-space symbols.
-TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9" + WS_CHARS + "]"
 
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization → array<string> (empty tokens dropped)."""
-    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    return F.filter(F.split(text, WS_REGEX), lambda t: t != "")
 
 
 def token_count(text: Column, mode: str = "whitespace") -> Column:

@@ -12,47 +12,108 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+#: phase-2 recombiners by name: how per-salt partials merge.
+_COMBINERS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def _infer_combiner(expr: Column) -> str:
+    """Infer the phase-2 combiner from the expression tree — NOT from
+    its string rendering (sum_distinct prints as 'sum(v)', which a
+    prefix match happily accepts and then recombines wrongly).
+
+    Walks the unresolved JVM expression: rejects DISTINCT aggregates
+    outright, then maps sum→sum, count→sum, min→min, max→max.
+    Anything else (avg, first, collect_*, …) is not decomposable by
+    per-salt partials and is rejected.
+    """
+    try:
+        node = expr._jc.node()  # ColumnNode (Spark 4 classic)
+        cls = node.getClass().getSimpleName()
+        if cls == "Alias":
+            node = node.child()
+            cls = node.getClass().getSimpleName()
+        if cls == "UnresolvedFunction":
+            fname = str(node.functionName()).lower()
+            distinct = bool(node.isDistinct())
+        else:
+            raise ValueError(
+                f"salted_agg cannot infer a combiner for {cls}; "
+                "pass an explicit (expr, combiner) pair"
+            )
+    except ValueError:
+        raise
+    except Exception as exc:  # JVM reflection drift — demand explicitness
+        raise ValueError(
+            "salted_agg could not inspect the aggregate expression; "
+            "pass an explicit (expr, combiner) pair"
+        ) from exc
+    if distinct:
+        raise ValueError(
+            f"salted_agg: {fname} DISTINCT is not decomposable over salts "
+            "(per-salt DISTINCT partials double-count across salts)"
+        )
+    if fname in ("sum", "count"):
+        return "sum"
+    if fname in ("min", "max"):
+        return fname
+    raise ValueError(
+        f"salted_agg only supports sum/count/min/max; got: {fname}. "
+        "Pass an explicit (expr, combiner) pair for other decomposable "
+        "aggregates"
+    )
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, Column | tuple[Column, object]],
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-phase aggregation with a salt on the hot shuffle.
 
     Phase 1 groups by (keys + random salt) so a hot key spreads over
     ``n_salts`` reducers; phase 2 re-aggregates the per-salt partials.
-    ``aggs`` maps output name → phase-1 aggregate expression; phase 2
-    re-combines with the matching combiner (sum→sum, count→sum,
-    min→min, max→max) inferred from the expression name, so only
-    decomposable aggregates are allowed.
+
+    ``aggs`` maps output name → either
+      - ``(phase1_expr, combiner)`` — the explicit public form;
+        ``combiner`` is ``'sum' | 'min' | 'max'`` or a callable
+        ``Column -> Column`` applied to the partial column; or
+      - a bare phase-1 ``Column`` — convenience only; the combiner is
+        inferred from the expression tree and restricted to plain
+        sum/count/min/max (DISTINCT and non-decomposable aggregates
+        raise).
     """
     salted = df.withColumn(
         "__salt", (F.rand(seed=42) * n_salts).cast("int")
     )
+
+    phase1_exprs: dict[str, Column] = {}
+    phase2_exprs: list[Column] = []
+    for name, spec in aggs.items():
+        if isinstance(spec, tuple):
+            expr, comb = spec
+        else:
+            expr, comb = spec, _infer_combiner(spec)
+        phase1_exprs[name] = expr
+        partial = F.col(f"__p_{name}")
+        if callable(comb):
+            phase2_exprs.append(comb(partial).alias(name))
+        elif comb in _COMBINERS:
+            phase2_exprs.append(_COMBINERS[comb](partial).alias(name))
+        else:
+            raise ValueError(
+                f"salted_agg: unknown combiner {comb!r} for {name!r} "
+                "(expected 'sum'|'min'|'max' or a callable)"
+            )
+
     phase1 = salted.groupBy(*keys, "__salt").agg(
-        *[expr.alias(f"__p_{name}") for name, expr in aggs.items()]
+        *[expr.alias(f"__p_{name}") for name, expr in phase1_exprs.items()]
     )
-
-    def combiner(name: str, expr: Column) -> Column:
-        op = expr._jc.toString()  # e.g. "count(1) AS `__p_n`"
-        col = F.col(f"__p_{name}")
-        if op.startswith("min("):
-            return F.min(col).alias(name)
-        if op.startswith("max("):
-            return F.max(col).alias(name)
-        if op.startswith("sum(") or op.startswith("count(1"):
-            # sum/count(*) partials both recombine by summation
-            return F.sum(col).alias(name)
-        # avg, countDistinct, first, … are NOT decomposable this way —
-        # summing their partials silently produces garbage
-        raise ValueError(
-            f"salted_agg only supports sum/count(*)/min/max; got: {op}"
-        )
-
-    return phase1.groupBy(*keys).agg(
-        *[combiner(name, expr) for name, expr in aggs.items()]
-    )
+    return phase1.groupBy(*keys).agg(*phase2_exprs)
 
 
 def salted_join(

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from dataflowex_spark.functions.text import (
+    WS_REGEX,
     quality_score,
     rolling_fingerprint,
     token_count,
@@ -33,7 +34,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         {
             "len_chars": F.length(t),
             "n_tokens": token_count(t),
-            "avg_token_len": F.length(F.regexp_replace(t, r"\s+", ""))
+            "avg_token_len": F.length(F.regexp_replace(t, WS_REGEX, ""))
             / F.greatest(token_count(t), F.lit(1)),
             "quality": quality_score(t),
             "fingerprint": rolling_fingerprint(t),
@@ -78,9 +79,7 @@ def tf_idf(
     broadcasts it when it is actually small). Only the one-row
     corpus-size frame is broadcast.
     """
-    toks = F.explode(
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    ).alias("term")
+    toks = F.explode(tokens(F.col(text_col))).alias("term")
     pairs = df.select(F.col(id_col), toks)
     tf = pairs.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     # tf rows are already distinct (doc, term): df = rows per term —

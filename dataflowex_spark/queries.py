@@ -35,6 +35,7 @@ from dataflowex_spark.operators.dedup import (
     ngram_jaccard_pairs,
 )
 from dataflowex_spark.operators.similarity import knn_cosine_exact, knn_cosine_lsh
+from dataflowex_spark.functions.text import WS_SQL_REGEX
 from dataflowex_spark.operators.text import language_id, text_stats
 from dataflowex_spark.operators import multimodal
 
@@ -45,7 +46,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 def q(name: str, sql: str | None):
     def deco(fn: QueryFn):
-        REGISTRY[name] = (fn, sql)
+        # __WS__ in oracle SQL = the canonical whitespace class (RE2
+        # spelling), kept in lockstep with the Spark-side WS_REGEX so
+        # both engines share ONE tokenization definition.
+        REGISTRY[name] = (fn, sql.replace("__WS__", WS_SQL_REGEX) if sql else sql)
         return fn
 
     return deco
@@ -1245,7 +1249,7 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source,
            COUNT(*) AS n_docs,
-           CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+           CAST(SUM(len(list_filter(string_split_regex(text, '__WS__'),
                                      x -> x <> ''))) AS DOUBLE) / COUNT(*) AS avg_tokens,
            CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*) AS avg_chars,
            COUNT(DISTINCT lang) AS n_langs
@@ -1319,7 +1323,7 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT pred_lang, COUNT(*) AS n FROM (
       SELECT CASE
-        WHEN len(list_intersect(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), x -> lower(x)),
+        WHEN len(list_intersect(list_transform(list_filter(string_split_regex(text, '__WS__'), x -> x <> ''), x -> lower(x)),
                                 ['the','and','of','to','in'])) > 0 THEN 'en'
         ELSE 'other' END AS pred_lang
       FROM documents
@@ -1391,7 +1395,7 @@ def oracle_sql() -> dict[str, str]:
              ) AS rn
       FROM (
         SELECT doc_id, term, COUNT(*) AS tf FROM (
-          SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+          SELECT doc_id, unnest(list_filter(string_split_regex(text, '__WS__'),
                                             x -> x <> '')) AS term
           FROM documents
         ) GROUP BY doc_id, term
@@ -1399,7 +1403,7 @@ def oracle_sql() -> dict[str, str]:
       JOIN (
         SELECT term, COUNT(*) AS df FROM (
           SELECT DISTINCT doc_id,
-                 unnest(list_filter(string_split_regex(text, '\\s+'),
+                 unnest(list_filter(string_split_regex(text, '__WS__'),
                                     x -> x <> '')) AS term
           FROM documents
         ) GROUP BY term
@@ -1454,12 +1458,8 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataflowex_spark.streaming.ops import stateful_dispatch_counts
 
     cat = Catalog(spark, sf_dir)
-    out = stateful_dispatch_counts(cat["events"])
-    return out.select(
-        "key",
-        "n",
-        F.col("total").cast("decimal(18,2)").cast("double").alias("total"),
-    )
+    # batch path sums in DECIMAL(18,2) already — no post-hoc rounding
+    return stateful_dispatch_counts(cat["events"]).select("key", "n", "total")
 
 
 # =====================================================================
@@ -1697,8 +1697,8 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_tok - n_uniq) AS DOUBLE) / SUM(n_tok) AS repetition_ratio
     FROM (
       SELECT source,
-             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tok,
-             len(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS n_uniq
+             len(list_filter(string_split_regex(text, '__WS__'), x -> x <> '')) AS n_tok,
+             len(list_distinct(list_filter(string_split_regex(text, '__WS__'), x -> x <> ''))) AS n_uniq
       FROM documents
     ) t GROUP BY source
     """,

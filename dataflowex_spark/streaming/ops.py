@@ -188,19 +188,27 @@ def stateful_dispatch_counts(
     from pyspark.sql.streaming.state import GroupState
 
     out_schema = "key string, n long, total double"
-    state_schema = "n long, total double"
+    # state keeps the value-sum in integer cents — exact accumulation,
+    # independent of batch/partition arrival order (same discipline as
+    # the batch path's DECIMAL(18,2) sum)
+    state_schema = "n long, total_cents long"
 
     def update(key, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf[value_col].sum())
-        state.update((n, total))
-        yield pd.DataFrame([{"key": key[0], "n": n, "total": total}])
+            cents += int((pdf[value_col] * 100).round().sum())
+        state.update((n, cents))
+        yield pd.DataFrame([{"key": key[0], "n": n, "total": cents / 100.0}])
 
     if not events.isStreaming:
+        # decimal-sum discipline: a raw DOUBLE sum is partition-order
+        # dependent — sum exactly in DECIMAL(18,2), surface as double
         return events.groupBy(F.col(key_col).alias("key")).agg(
-            F.count("*").alias("n"), F.sum(value_col).alias("total")
+            F.count("*").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
         )
 
     df = _with_watermark(events, ts_col, watermark)

@@ -252,6 +252,47 @@ def test_salted_agg_rejects_non_decomposable(spark):
         salted_agg(df, ["k"], {"m": SF.avg("v")}).collect()
 
 
+def test_salted_agg_rejects_distinct(spark):
+    """sum_distinct prints as 'sum(v)' — the old string-prefix guard
+    let it through and silently double-counted across salts."""
+    from dataflowex_spark.operators.skew import salted_agg
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [Row(k="a", v=1.0)] * 5 + [Row(k="a", v=2.0)] * 5
+    )
+    with pytest.raises(ValueError, match="DISTINCT"):
+        salted_agg(df, ["k"], {"m": SF.sum_distinct(SF.col("v"))}).collect()
+    with pytest.raises(ValueError, match="DISTINCT"):
+        salted_agg(df, ["k"], {"m": SF.count_distinct(SF.col("v"))}).collect()
+
+
+def test_salted_agg_explicit_combiner(spark):
+    from dataflowex_spark.operators.skew import salted_agg
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [Row(k="hot", v=float(i)) for i in range(100)]
+        + [Row(k="cold", v=5.0)]
+    )
+    out = salted_agg(
+        df,
+        ["k"],
+        {
+            "total": (SF.sum("v"), "sum"),
+            "mn": (SF.min("v"), "min"),
+            # callable combiner: recombine per-salt maxes by max
+            "mx": (SF.max("v"), lambda c: SF.max(c)),
+        },
+        n_salts=8,
+    )
+    got = {r.k: (r.total, r.mn, r.mx) for r in out.collect()}
+    assert got["hot"] == (float(sum(range(100))), 0.0, 99.0)
+    assert got["cold"] == (5.0, 5.0, 5.0)
+    with pytest.raises(ValueError, match="unknown combiner"):
+        salted_agg(df, ["k"], {"m": (SF.sum("v"), "avg")}).collect()
+
+
 def test_compact_recovers_from_stale_dirs(spark, tmp_path):
     """Leftovers of a crashed compact must not wedge the table."""
     import os
