@@ -72,7 +72,7 @@ def knn_cosine_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_id_col: str = "probe_id",
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
@@ -85,7 +85,30 @@ def knn_cosine_lsh(
     (table, bucket) — shuffle keyed by bucket, never all-pairs —
     then exact cosine + per-probe top-k re-rank. Recall tunes with
     n_tables/n_planes.
+
+    ``dim`` defaults to the probe embeddings' length. A wrong ``dim``
+    would NULL-pad every dot product and collapse all vectors into one
+    bucket (a silent cross-join), so mismatching rows are rejected at
+    plan time via a sampled check.
     """
+    if dim is None:
+        row = probes.select(F.size(F.col(vec_col)).alias("d")).first()
+        if row is None:
+            raise ValueError("knn_cosine_lsh: empty probe set")
+        dim = row["d"]
+    # sampled guard (not a full scan): any embedding whose length
+    # differs from `dim` would hash into a degenerate all-zero bucket
+    for side, name in ((probes, "probes"), (corpus, "corpus")):
+        bad = (
+            side.select(F.size(F.col(vec_col)).alias("d"))
+            .limit(1000)
+            .filter(F.col("d") != dim)
+            .first()
+        )
+        if bad is not None:
+            raise ValueError(
+                f"knn_cosine_lsh: {name} embedding length {bad['d']} != dim {dim}"
+            )
 
     def bucketize(df: DataFrame, out_id: str) -> DataFrame:
         tables = []
@@ -166,25 +189,30 @@ def knn_cosine_ivf(
         F.col("__cell"),
     )
 
-    centroids = [list(c) for c in model.clusterCenters()]
-
-    # per probe: rank cells by centroid cosine, keep n_probe_cells
-    cell_sims = F.array(
-        *[
-            F.struct(
-                cosine_similarity(
-                    F.col(vec_col), F.array(*[F.lit(x) for x in c])
-                ).alias("sim"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    # per probe: rank cells by centroid cosine, keep n_probe_cells.
+    # Centroids travel as a broadcast DataFrame — NOT as n_cells×dim
+    # literals baked into one expression (4096×768 literals would blow
+    # up the Catalyst plan); the probe×centroid frame is
+    # |probes|·n_cells rows of plain column math, fully distributed.
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        schema="__cell int, __centroid array<double>",
     )
-    top_cells = F.slice(F.array_sort(cell_sims, lambda a, b: F.when(a["sim"] > b["sim"], -1).when(a["sim"] < b["sim"], 1).otherwise(0)), 1, n_probe_cells)
-    p = probes.select(
-        F.col(id_col).alias(probe_id_col),
-        F.col(vec_col).alias("__pv"),
-        F.explode(F.transform(top_cells, lambda s: s["cell"])).alias("__cell"),
+    w_cell = Window.partitionBy(probe_id_col).orderBy(
+        F.col("__csim").desc(), F.col("__cell")
+    )
+    p = (
+        probes.select(
+            F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("__pv")
+        )
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            "__csim", cosine_similarity(F.col("__pv"), F.col("__centroid"))
+        )
+        .withColumn("__cr", F.row_number().over(w_cell))
+        .filter(F.col("__cr") <= n_probe_cells)
+        .select(probe_id_col, "__pv", "__cell")
     )
 
     cand = (

@@ -20,6 +20,93 @@ def top_k_per_group(
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
 
 
+def global_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    rank_col: str = "__rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global 1-based row numbers WITHOUT a single-reducer
+    window (``Window.orderBy`` with no partitionBy funnels every row
+    through one task — Spark itself warns).
+
+    Scale shape: range-repartition on the ordering (parallel sort),
+    per-partition row_number, then offset each partition by the
+    cumulative size of its predecessors. The offset frame is
+    #partitions rows — broadcast. Requires a total ordering for a
+    deterministic result (same contract as row_number itself).
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(parts, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("__pid").orderBy(*order_by)),
+        )
+    )
+    offsets = (
+        parted.groupBy("__pid")
+        .agg(F.max("__rn").alias("__cnt"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    return (
+        parted.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__off") + F.col("__rn")).cast("int"))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    n: int,
+    order_by: Sequence[Column],
+    out_col: str = "ntile",
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (ORDER BY …)`` semantics at scale: global
+    rank via :func:`global_row_number` plus the closed-form NTILE
+    bucket formula — no all-rows-to-one-reducer WindowExec.
+
+    NTILE splits N rows into n tiles; the first ``N % n`` tiles get
+    ``N div n + 1`` rows, the rest ``N div n``.
+    """
+    def ceil_div(a: Column, b: Column) -> Column:
+        # exact integer ceil(a/b): numerator made divisible first, so
+        # the one float division is exact and the cast can't truncate
+        num = a + b - 1
+        return ((num - num % b) / b).cast("long")
+
+    ranked = global_row_number(df, order_by, rank_col="__rank")
+    total = ranked.agg(F.count("*").alias("__n"))
+    r = F.col("__rank").cast("long")
+    rem = F.col("__n") % n  # this many leading tiles get one extra row
+    small = ((F.col("__n") - rem) / n).cast("long")
+    big = small + 1
+    cut = rem * big  # ranks 1..cut live in the "big" tiles
+    tile = F.when(small == F.lit(0), r).otherwise(
+        F.when(r <= cut, ceil_div(r, big)).otherwise(
+            rem + ceil_div(r - cut, small)
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(out_col, tile.cast("int"))
+        .drop("__rank", "__n")
+    )
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,

@@ -1294,13 +1294,43 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_simhash(cat["documents"], hamming_threshold=3)
 
 
-@q("q86_ngram_jaccard", None)  # rows-only: quadratic verifier, sampled
+@q(
+    "q86_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '__WS__'), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS g
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, len(g) AS ng FROM grams),
+    ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / (sa.ng + sb.ng - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.ng + sb.ng - n_inter) >= 0.3
+    """,
+)
 def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs over an id-sampled subset (the exact
-    verifier for MinHash candidates)."""
+    """Exact word-3-gram Jaccard near-dup pairs — the exact verifier
+    behind MinHash. Oracled: both engines build the same shingle sets
+    (shared whitespace definition) and the Jaccard division is a
+    single IEEE op on identical integers, so values are bit-equal."""
     cat = Catalog(spark, sf_dir)
-    docs = cat["documents"].filter(F.col("doc_id") % 10 == 0)
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    return ngram_jaccard_pairs(cat["documents"], n=3, threshold=0.3)
 
 
 @q("q87_embedding_neardup", None)  # rows-only: LSH-seed specific
@@ -1519,11 +1549,19 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global NTILE without the single-reducer WindowExec: exact
+    rank via range-repartition + partition offsets, then the
+    closed-form NTILE bucket (operators.windows.global_ntile)."""
+    from dataflowex_spark.operators.windows import global_ntile
+
     cat = Catalog(spark, sf_dir)
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return cat["orders"].select(
-        "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    out = global_ntile(
+        cat["orders"].select("o_orderkey", "o_totalprice"),
+        4,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        out_col="quartile",
     )
+    return out.select("o_orderkey", "quartile")
 
 
 _Q27_SQL = """

@@ -51,6 +51,47 @@ def test_top_k_per_group(spark):
     assert got == [(1, 3), (1, 4), (2, 9)]
 
 
+def test_global_ntile_matches_window(spark):
+    """global_ntile == NTILE(n) OVER (ORDER BY …) exactly, for sizes
+    that exercise remainder tiles and the n>N degenerate case — and
+    its plan has NO unpartitioned WindowExec over the full input."""
+    from pyspark.sql import Window
+    from dataflowex_spark.operators.windows import global_ntile
+
+    for size, n in [(103, 4), (100, 4), (3, 7), (64, 5)]:
+        df = spark.range(size).select(
+            (F.col("id") * 37 % size).alias("k"), F.col("id").alias("v")
+        )
+        w = Window.orderBy(F.col("k").desc(), F.col("v"))
+        expect = {
+            (r.k, r.v): r.t
+            for r in df.select("k", "v", F.ntile(n).over(w).alias("t")).collect()
+        }
+        got = {
+            (r.k, r.v): r.t
+            for r in global_ntile(
+                df, n, [F.col("k").desc(), F.col("v")], out_col="t"
+            ).collect()
+        }
+        assert got == expect, (size, n)
+
+
+def test_global_row_number_partitioned_plan(spark):
+    """The scale guarantee: every WindowExec in the global rank plan is
+    partitioned (no all-rows-to-one-reducer stage on the big side)."""
+    from dataflowex_spark.operators.windows import global_row_number
+
+    df = spark.range(1000).select((F.col("id") % 97).alias("a"), "id")
+    out = global_row_number(df, [F.col("a"), F.col("id")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            # the only unpartitioned window allowed is the offsets
+            # prefix-sum, whose input is ≤ num_partitions rows
+            if "partitionBy" not in line and "__pid" not in line:
+                assert "__cnt" in line or "__off" in line, line
+
+
 def test_language_id_markers(spark):
     df = spark.createDataFrame(
         [
