@@ -325,6 +325,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (node_id, cluster_id)
     with cluster_id = min node id in the component.
@@ -336,6 +337,11 @@ def dedup_clusters(
     keep the min over neighbors, repeat until a fixpoint; each round
     localCheckpoints to cut lineage. Converges in O(component
     diameter) rounds; near-dup components are shallow in practice.
+
+    A component deeper than ``max_iters`` would otherwise be silently
+    split into several clusters (downstream canonical-doc selection
+    then keeps extra duplicates) — so exhausting ``max_iters`` without
+    a fixpoint raises unless ``strict=False``.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -349,6 +355,7 @@ def dedup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -365,13 +372,21 @@ def dedup_clusters(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
+        stable = (
             updated.alias("u")
             .join(labels.alias("l"), "node")
             .filter(F.col("u.label") != F.col("l.label"))
             .isEmpty()
         )
         labels = updated
-        if changed:
+        if stable:
+            converged = True
             break
+    if not converged and strict:
+        raise RuntimeError(
+            f"dedup_clusters: no fixpoint after max_iters={max_iters} — "
+            "a component is deeper than max_iters and its cluster_ids "
+            "would be WRONG (split component). Raise max_iters, or pass "
+            "strict=False to accept the partial labels."
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

@@ -80,9 +80,9 @@ def range_join(
 
     The equi-keys carry the shuffle; the interval is a post-join
     filter Catalyst evaluates inside the join. For keyless range
-    joins at scale, bucket both sides by ``floor(ts / width)`` and
-    join on adjacent buckets (bin-bucketing trick) — provided via
-    ``bucketed=`` in a follow-up if needed.
+    joins — or when one key is hot enough to swamp its reducer —
+    use :func:`range_join_binned`, which manufactures a time-bin
+    equi-key instead.
     """
     keys = [on] if isinstance(on, str) else list(on)
     rsel = right.select(
@@ -93,3 +93,86 @@ def range_join(
     lo = F.col(left_ts) + F.expr(f"INTERVAL {lower}")
     hi = F.col(left_ts) + F.expr(f"INTERVAL {upper}")
     return left.join(rsel, on=keys, how="inner").where((rts >= lo) & (rts <= hi))
+
+
+def _interval_micros(df: DataFrame, interval: str) -> int:
+    """Length of an SQL interval string in microseconds (evaluated by
+    Spark itself so every format Spark accepts is supported)."""
+    row = (
+        df.sparkSession.range(1)
+        .select(
+            (
+                F.unix_micros(
+                    F.expr(f"TIMESTAMP'1970-01-01 00:00:00Z' + INTERVAL {interval}")
+                )
+            ).alias("us")
+        )
+        .first()
+    )
+    return int(row["us"])
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    on: str | Sequence[str] | None = None,
+    suffix: str = "_r",
+    bucket_width: str | None = None,
+) -> DataFrame:
+    """Interval join via time-bin bucketing — the scale path for
+    KEYLESS range joins and for hot equi-keys, where
+    :func:`range_join`'s shuffle would put every row (or every hot-key
+    row) on one reducer.
+
+    Both sides are bucketed by ``floor(epoch / width)`` with
+    ``width ≥ upper − lower``: a left row's interval then overlaps at
+    most two adjacent bins, so the left side explodes into ≤ 2 rows,
+    the right side lands in exactly one bin, and the pair shows up in
+    exactly one shared bin (no post-join dedup needed). The join is a
+    plain equi-join on (``__bin``, *keys) — shuffled by bin, parallel
+    regardless of key skew — with the exact interval applied inside.
+
+    Result set is identical to :func:`range_join`; the only trade is
+    the ≤2× left-side explode. ``bucket_width`` defaults to the
+    interval span.
+    """
+    keys = [on] if isinstance(on, str) else list(on or [])
+    lower_us = _interval_micros(left, lower)
+    upper_us = _interval_micros(left, upper)
+    if upper_us < lower_us:
+        raise ValueError(f"range_join_binned: upper {upper!r} < lower {lower!r}")
+    width_us = (
+        _interval_micros(left, bucket_width)
+        if bucket_width is not None
+        else max(upper_us - lower_us, 1)
+    )
+    if width_us < upper_us - lower_us:
+        raise ValueError(
+            "range_join_binned: bucket_width narrower than the interval span "
+            "(a left interval would overlap >2 bins)"
+        )
+
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    lo_bin = F.floor((l_us + lower_us) / width_us)
+    hi_bin = F.floor((l_us + upper_us) / width_us)
+    l = left.withColumn("__bin", F.explode(F.sequence(lo_bin, hi_bin)))
+
+    rsel = right.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(c + suffix) for c in right.columns if c not in keys],
+    )
+    r_us = F.unix_micros(F.col(right_ts + suffix).cast("timestamp"))
+    r = rsel.withColumn("__bin", F.floor(r_us / width_us))
+
+    rts = F.col(right_ts + suffix)
+    lo = F.col(left_ts) + F.expr(f"INTERVAL {lower}")
+    hi = F.col(left_ts) + F.expr(f"INTERVAL {upper}")
+    return (
+        l.join(r, on=["__bin", *keys], how="inner")
+        .where((rts >= lo) & (rts <= hi))
+        .drop("__bin")
+    )

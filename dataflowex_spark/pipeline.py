@@ -154,17 +154,33 @@ class Pipeline:
             )
         return out
 
-    def fan_out(self, n: int, cache: bool = True) -> list["Pipeline"]:
+    def fan_out(self, n: int, cache: bool = False) -> list["Pipeline"]:
         """Broadcast/copy to n downstream branches (A7 DataBroadcaster).
 
-        Spark DAG fan-out is native; ``cache=True`` avoids recomputing
-        the shared prefix per branch (the reference clones messages —
-        we share an immutable plan, caching the materialized prefix).
+        Spark DAG fan-out is native: branches share one immutable plan
+        (the reference clones messages). ``cache=True`` additionally
+        materializes the shared prefix so each branch skips recompute —
+        an *iterative/local* optimization: at full scale a shared scan
+        usually beats caching a table-sized prefix, and a cached base
+        pins executor memory until released, so it is opt-in and every
+        branch carries ``unpersist()`` to release it after its actions.
         """
         base = self.df()
         if cache:
             base = base.cache()
-        return [Pipeline(base, name=f"{self.name}.branch{i}") for i in range(n)]
+        branches = [Pipeline(base, name=f"{self.name}.branch{i}") for i in range(n)]
+        if cache:
+            for b in branches:
+                b._cached_base = base
+        return branches
+
+    def unpersist(self) -> "Pipeline":
+        """Release the cached fan-out prefix (no-op when none)."""
+        cached = getattr(self, "_cached_base", None)
+        if cached is not None:
+            cached.unpersist()
+            self._cached_base = None
+        return self
 
     def dispatch(
         self,
@@ -254,6 +270,68 @@ class Pipeline:
             for name, obs in getattr(self, "_node_obs", [])
         }
 
+    def timed_report(self) -> dict[str, dict[str, float]]:
+        """Per-node ``{rows, ms}`` — the full FlowMonitor parity
+        (rows *and* wall time per node).
+
+        One lazy Catalyst plan has no per-node runtime boundary
+        (whole-stage codegen fuses nodes), so this DIAGNOSTIC executes
+        each node prefix and differences the cumulative wall time:
+        node i's ms ≈ cost added by node i. N actions over the plan —
+        point it at test scale or a sampled frame, not the 100 TB
+        hot path; for production row counts use :meth:`monitor` +
+        :meth:`run_report` (single pass, observe metrics)."""
+        import time as _time
+
+        from pyspark.sql import Observation
+
+        out: dict[str, dict[str, float]] = {}
+        df = self._source() if callable(self._source) else self._source
+        prev = 0.0
+        t0 = _time.perf_counter()
+        for node in self._nodes:
+            try:
+                df = node.fn(df)
+                # noop sink: full evaluation of every column (count()
+                # would let Catalyst prune the node's work away) with
+                # observe carrying the row count out of the same pass
+                obs = Observation()
+                df.observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                rows = int(obs.get["rows"])
+            except Exception as e:
+                raise PipelineError(node.name, e) from e
+            cum = _time.perf_counter() - t0
+            out[node.name] = {"rows": float(rows), "ms": (cum - prev) * 1000.0}
+            prev = cum
+        return out
+
+    def _locate_failing_node(self) -> str | None:
+        """Post-mortem for a runtime action failure: re-execute node
+        prefixes until one fails — names the faulting node the way the
+        reference's PropagatedException names the faulting block
+        [R: Gridsum.DataflowEx/Exceptions.cs]. Error path only (costs
+        a partial re-run); returns None when the failure does not
+        reproduce node-locally."""
+        try:
+            df = self._source() if callable(self._source) else self._source
+            for node in self._nodes:
+                try:
+                    df = node.fn(df)
+                    # noop sink evaluates ALL columns — count() would
+                    # prune exactly the failing expression away
+                    df.write.format("noop").mode("overwrite").save()
+                except Exception:
+                    return node.name
+        except Exception:
+            pass
+        return None
+
+    def _action_error(self, e: Exception) -> "PipelineError":
+        node = self._locate_failing_node()
+        return PipelineError(node or self.name, e)
+
     def run(self) -> list:
         """Execute and return rows (small results / tests only)."""
         try:
@@ -261,13 +339,15 @@ class Pipeline:
         except PipelineError:
             raise
         except Exception as e:
-            raise PipelineError(self.name, e) from e
+            raise self._action_error(e) from e
 
     def count(self) -> int:
         try:
             return self.df().count()
+        except PipelineError:
+            raise
         except Exception as e:
-            raise PipelineError(self.name, e) from e
+            raise self._action_error(e) from e
 
     def sink(
         self,
@@ -289,7 +369,8 @@ class Pipeline:
                 w = w.partitionBy(*partition_by)
             w.save(path)
         except Exception as e:
-            raise PipelineError(f"{self.name}.sink", e) from e
+            node = self._locate_failing_node()
+            raise PipelineError(node or f"{self.name}.sink", e) from e
 
     def then(self, other: Callable[[DataFrame], DataFrame], name: str | None = None) -> "Pipeline":
         """Fluent chaining (A16 GoTo)."""

@@ -187,6 +187,31 @@ def compact(
     )
 
 
+def _incremental_plan(
+    new_df: DataFrame,
+    existing_path: str,
+    key: str,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Build the to-append frame for :func:`incremental_append`
+    (separate so tests can audit the probe's pushed filters)."""
+    from pyspark.sql import functions as F
+
+    spark = spark or new_df.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(existing_path)
+    fs = jpath.getFileSystem(hconf)
+    fresh = new_df.dropDuplicates([key])
+    if fs.exists(jpath):
+        lo, hi = fresh.agg(F.min(key), F.max(key)).first()
+        existing_keys = spark.read.parquet(existing_path).select(key)
+        if lo is not None:
+            existing_keys = existing_keys.filter(F.col(key).between(lo, hi))
+        fresh = fresh.join(existing_keys, on=key, how="left_anti")
+    return fresh
+
+
 def incremental_append(
     new_df: DataFrame,
     existing_path: str,
@@ -204,16 +229,16 @@ def incremental_append(
     table URIs (hdfs://, s3a://) behave the same as local paths —
     a driver-local isdir() would silently skip the anti-join there
     and duplicate the whole batch.
+
+    Scale shape: the anti-join probe is restricted to the batch's own
+    key range (``key BETWEEN min(batch) AND max(batch)``) — the range
+    predicate pushes down to the parquet scan, so row groups/partitions
+    outside the touched range are pruned by footer stats instead of the
+    probe re-reading the key column of the whole 100 TB table on every
+    micro-batch. Keys outside the batch range can't anti-match anyway,
+    so pruning never changes the result.
     """
-    spark = spark or new_df.sparkSession
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    jpath = jvm.org.apache.hadoop.fs.Path(existing_path)
-    fs = jpath.getFileSystem(hconf)
-    fresh = new_df.dropDuplicates([key])
-    if fs.exists(jpath):
-        existing_keys = spark.read.parquet(existing_path).select(key)
-        fresh = fresh.join(existing_keys, on=key, how="left_anti")
+    fresh = _incremental_plan(new_df, existing_path, key, spark)
     # persist: count() and write() otherwise re-execute the full
     # anti-join (and could disagree under non-deterministic inputs)
     fresh = fresh.persist()

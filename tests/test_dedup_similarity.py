@@ -177,3 +177,16 @@ def test_dedup_clusters_long_chain(spark):
     got = {r.node: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 13
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    """A component deeper than max_iters must raise, not silently
+    return split clusters (strict=False opts into partial labels)."""
+    import pytest
+    from dataflowex_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(12)])
+    with pytest.raises(RuntimeError, match="max_iters"):
+        dedup_clusters(pairs, max_iters=2)
+    partial = dedup_clusters(pairs, max_iters=2, strict=False)
+    assert partial.count() == 13  # partial labels still delivered

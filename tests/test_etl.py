@@ -221,6 +221,26 @@ def test_incremental_append_idempotent(spark, tmp_path):
     assert spark.read.parquet(path).count() == 15
 
 
+def test_incremental_append_prunes_probe_scan(spark, tmp_path):
+    """The anti-join probe must carry the batch's key range as pushed
+    parquet filters — at 100 TB that means footer-stats pruning instead
+    of a full key-column scan per micro-batch."""
+    from dataflowex_spark.sources import _incremental_plan, incremental_append
+    from dataflowex_spark.plans import formatted_plan
+
+    path = str(tmp_path / "inc")
+    base = spark.createDataFrame([Row(k=i, v=i) for i in range(1000)])
+    incremental_append(base, path, "k")
+    batch = spark.createDataFrame([Row(k=i, v=i) for i in range(990, 1010)])
+    plan = formatted_plan(_incremental_plan(batch, path, "k"))
+    assert "GreaterThanOrEqual(k,990)" in plan, plan
+    assert "LessThanOrEqual(k,1009)" in plan, plan
+    # pruning must not change the idempotency contract
+    assert incremental_append(batch, path, "k") == 10
+    assert incremental_append(batch, path, "k") == 0
+    assert spark.read.parquet(path).count() == 1010
+
+
 def test_compact_refuses_partitioned_layout(spark, tmp_path):
     path = str(tmp_path / "parted")
     spark.range(0, 100).withColumn("p", F.col("id") % 2).write.partitionBy(

@@ -34,6 +34,58 @@ def test_range_join_bounds(spark):
     assert out.count() == 1  # only ts=30 within [0, 1h]; k=2 excluded
 
 
+def test_range_join_binned_equivalence(spark):
+    """Bin-bucketed range join returns exactly range_join's rows —
+    keyed and keyless — and its plan is an equi-join on the bin, not a
+    nested-loop theta join."""
+    import random
+    from dataflowex_spark.operators.joins import range_join, range_join_binned
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [Row(k=rng.randint(1, 3), ts=rng.randint(0, 50_000)) for _ in range(200)]
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    right = spark.createDataFrame(
+        [Row(k=rng.randint(1, 3), ts=rng.randint(0, 50_000), v=i) for i in range(200)]
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+
+    def key_set(df):
+        return sorted(
+            (r.k, r.ts, r.ts_r, r.v_r) for r in df.collect()
+        )
+
+    plain = range_join(left, right, on="k", left_ts="ts", right_ts="ts", upper="1 hour")
+    binned = range_join_binned(
+        left, right, "ts", "ts", upper="1 hour", on="k"
+    )
+    assert key_set(binned) == key_set(plain)
+    # wider-than-span explicit bucket width must not change results
+    binned_w = range_join_binned(
+        left, right, "ts", "ts", upper="1 hour", on="k", bucket_width="2 hours"
+    )
+    assert key_set(binned_w) == key_set(plain)
+
+    # keyless: plain range_join can't shuffle this at all (theta join);
+    # the binned form is a bin equi-join
+    keyless = range_join_binned(left.drop("k"), right.drop("k"), "ts", "ts", upper="30 minutes")
+    naive = (
+        left.drop("k").crossJoin(
+            right.drop("k").select(F.col("ts").alias("ts_r"), F.col("v").alias("v_r"))
+        )
+        .where(
+            (F.col("ts_r") >= F.col("ts"))
+            & (F.col("ts_r") <= F.col("ts") + F.expr("INTERVAL 30 minutes"))
+        )
+    )
+    assert sorted((r.ts, r.ts_r, r.v_r) for r in keyless.collect()) == sorted(
+        (r.ts, r.ts_r, r.v_r) for r in naive.collect()
+    )
+    plan = keyless._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    with pytest.raises(ValueError, match="bucket_width"):
+        range_join_binned(left, right, "ts", "ts", upper="1 hour", bucket_width="1 minute")
+
+
 def test_sessionize_gap(spark):
     rows = [Row(u=1, ts=0), Row(u=1, ts=100), Row(u=1, ts=5000), Row(u=2, ts=0)]
     df = spark.createDataFrame(rows).withColumn("ts", F.timestamp_seconds("ts"))

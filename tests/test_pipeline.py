@@ -59,6 +59,78 @@ def test_fan_out_shares_source(people):
     assert b1.count() == b2.count() == 3
 
 
+def test_fan_out_cache_released(people):
+    b1, b2 = Pipeline(people).fan_out(2, cache=True)
+    base = b1._cached_base
+    assert b1.count() == 3
+    assert base.storageLevel.useMemory  # cached while branches run
+    b1.unpersist()
+    assert not base.storageLevel.useMemory  # and releasable afterwards
+    b2.unpersist()  # no-op: shared base already released
+    assert b1.unpersist() is b1  # idempotent
+
+
+def test_runtime_failure_names_node(people):
+    """A17: a mid-ACTION failure (UDF raising at execution, not plan
+    time) must surface the faulting node's name, like the reference's
+    PropagatedException names the faulting block."""
+    import pytest
+    from pyspark.sql.types import LongType
+    from dataflowex_spark.pipeline import PipelineError
+
+    def boom(v):
+        raise ValueError("runtime kaboom")
+
+    boom_udf = F.udf(boom, LongType())
+    p = (
+        Pipeline(people, name="ft")
+        .transform(lambda df: df.select("name", "age"), name="proj")
+        .transform(lambda df: df.withColumn("b", boom_udf(F.col("age"))), name="badnode")
+        .transform(lambda df: df.filter(F.col("age") > 0), name="post")
+    )
+    with pytest.raises(PipelineError) as ei:
+        p.run()
+    assert ei.value.node == "badnode"
+
+
+def test_timed_report_rows_and_ms(people):
+    """A19: per-node rows + wall-ms."""
+    p = (
+        Pipeline(people, name="tr")
+        .transform(lambda df: df.select("name", "age"), name="proj")
+        .transform(lambda df: df.filter(F.col("age") > 20), name="flt")
+    )
+    rep = p.timed_report()
+    assert list(rep) == ["proj", "flt"]
+    assert rep["proj"]["rows"] == 3 and rep["flt"]["rows"] == 2
+    assert all(n["ms"] >= 0 for n in rep.values())
+
+
+def test_schema_flatten_three_levels(spark):
+    """TypeAccessor parity: 3-level nested struct flattens to dotted
+    leaf columns; a NULL mid-path struct navigates null-safely; arrays
+    remain leaves."""
+    from dataflowex_spark.schema import flatten, schema_paths
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, a=Row(b=Row(c=7, d="x"), e=2.5), tags=["t1"]),
+            Row(id=2, a=Row(b=None, e=1.0), tags=[]),
+            Row(id=3, a=None, tags=None),
+        ]
+    )
+    paths = [p for p, _ in schema_paths(df.schema)]
+    assert paths == ["id", "a.b.c", "a.b.d", "a.e", "tags"]
+    flat = flatten(df)
+    assert flat.columns == ["id", "a.b.c", "a.b.d", "a.e", "tags"]
+    got = {r["id"]: (r["a.b.c"], r["a.b.d"], r["a.e"]) for r in flat.collect()}
+    assert got[1] == (7, "x", 2.5)
+    assert got[2] == (None, None, 1.0)  # null struct mid-path
+    assert got[3] == (None, None, None)  # null at the top
+    # underscore separator for sinks that reject dots in identifiers
+    assert flatten(df, sep="_").columns == ["id", "a_b_c", "a_b_d", "a_e", "tags"]
+
+
 def test_dispatch_apply_in_pandas(people):
     import pandas as pd
 
