@@ -31,6 +31,43 @@ def dedup_exact(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    return_contaminated: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: drop every corpus document sharing
+    at least one word ``n``-gram with the benchmark set (the standard
+    train/test-overlap removal before LLM training; 13-gram is the
+    conventional unit).
+
+    Scale shape — the corpus NEVER shuffles:
+    1. benchmark n-grams (benchmarks are MBs, not TBs) → distinct,
+       broadcast;
+    2. corpus explodes to n-grams map-side and semi-joins the
+       broadcast gram set → contaminated ids (small);
+    3. corpus anti-joins the broadcast contaminated-id set.
+    Both joins broadcast the small side, so the 100 TB side is
+    scan + explode only. ``return_contaminated=True`` returns the
+    flagged rows instead (for auditing).
+    """
+    grams = F.explode(
+        F.array_distinct(word_shingles(F.col(text_col), n))
+    ).alias("__gram")
+    bench_grams = benchmark.select(grams).distinct()
+    contaminated = (
+        corpus.select(F.col(id_col), grams)
+        .join(F.broadcast(bench_grams), on="__gram", how="left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    how = "left_semi" if return_contaminated else "left_anti"
+    return corpus.join(F.broadcast(contaminated), on=id_col, how=how)
+
+
 # 31-bit prime domain for the affine-combination trick: i·h2 stays
 # far from long overflow (ANSI mode rejects wraparound arithmetic).
 _MINHASH_P = 2147483647

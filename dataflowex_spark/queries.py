@@ -2010,3 +2010,96 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+@q(
+    "q99_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(text, '__WS__'), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 12, 1) + 1),
+               i -> array_to_string(t[i:i+12], ' '))) AS g
+      FROM toks
+    ),
+    bgrams AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE source = 'src0'),
+    cg AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE source <> 'src0'),
+    bad AS (SELECT DISTINCT doc_id FROM cg WHERE gram IN (SELECT gram FROM bgrams))
+    SELECT doc_id, source FROM documents
+    WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (standard 13-gram overlap removal):
+    src0 plays the benchmark; every other document sharing a 13-gram
+    with it is dropped. Corpus side never shuffles — benchmark grams
+    and the contaminated-id set both broadcast."""
+    from dataflowex_spark.operators.dedup import decontaminate
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"]
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return decontaminate(corpus, bench, n=13).select("doc_id", "source")
+
+
+@q(
+    "q100_range_join_binned",
+    """
+    SELECT a.event_type, COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    GROUP BY a.event_type
+    """,
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval self-join via time-bin bucketing
+    (range_join_binned): no equi-key exists, yet the shuffle is an
+    equi-join on floor(ts/width) bins instead of a nested-loop theta
+    join — the shape that survives key skew and keylessness at scale."""
+    from dataflowex_spark.operators.joins import range_join_binned
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    pairs = range_join_binned(
+        ev.select("event_type", "ts"),
+        ev.select("ts"),
+        "ts",
+        "ts",
+        lower="0 seconds",
+        upper="10 minutes",
+    ).filter(F.col("ts_r") > F.col("ts"))
+    return pairs.groupBy("event_type").agg(F.count("*").alias("n_pairs"))
+
+
+@q(
+    "q101_schema_flatten",
+    """
+    SELECT event_id,
+           CASE WHEN user_id % 5 = 0 THEN NULL ELSE user_id END AS nested_inner_user_id,
+           CASE WHEN user_id % 5 = 0 THEN NULL ELSE "value" END AS nested_inner_value,
+           event_type AS nested_meta_event_type
+    FROM events
+    """,
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TypeAccessor-parity deep flatten: build a 3-level nested struct
+    (inner NULLed for every 5th user to exercise null-safe
+    navigation), flatten every leaf back to a flat column."""
+    from dataflowex_spark.schema import flatten
+
+    cat = Catalog(spark, sf_dir)
+    inner = F.struct(F.col("user_id"), F.col("value"))
+    nested = cat["events"].select(
+        "event_id",
+        F.struct(
+            F.when(F.col("user_id") % 5 != 0, inner).alias("inner"),
+            F.struct(F.col("event_type")).alias("meta"),
+        ).alias("nested"),
+    )
+    return flatten(nested, sep="_")

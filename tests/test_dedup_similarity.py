@@ -179,6 +179,31 @@ def test_dedup_clusters_long_chain(spark):
     assert len(got) == 13
 
 
+def test_decontaminate_ngram_overlap(spark):
+    """Docs sharing a 3-gram with the benchmark are dropped; the
+    audit mode returns exactly the flagged rows; both joins broadcast
+    the small side (corpus never shuffles)."""
+    from dataflowex_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="completely unrelated words here entirely"),
+            Row(doc_id=3, text="a quick brown fox appears in this sentence too"),
+            Row(doc_id=4, text="short doc"),  # < n tokens: whole-doc shingle
+        ]
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="watch the quick brown fox benchmark item")]
+    )
+    clean = decontaminate(corpus, bench, n=3)
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 4]
+    flagged = decontaminate(corpus, bench, n=3, return_contaminated=True)
+    assert sorted(r.doc_id for r in flagged.collect()) == [1, 3]
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan  # both joins broadcast
+
+
 def test_dedup_clusters_nonconvergence_raises(spark):
     """A component deeper than max_iters must raise, not silently
     return split clusters (strict=False opts into partial labels)."""
