@@ -2103,3 +2103,142 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nested"),
     )
     return flatten(nested, sep="_")
+
+
+@q(
+    "q102_grouped_corr",
+    """
+    SELECT event_type, n,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+                ELSE (n * sxy - sx * sy)
+                     / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS corr_vu
+    FROM (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(user_id AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2)) * user_id) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2)) * CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(user_id AS DECIMAL(18,0)) * CAST(user_id AS DECIMAL(18,0))) AS DOUBLE) AS syy
+      FROM events GROUP BY event_type
+    ) s
+    """,
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group, decimal-exact: the five running
+    sums accumulate in DECIMAL (partition-order independent, unlike
+    F.corr's float sums), the closed form then runs in double on
+    identical operands — bit-equal across engines."""
+    cat = Catalog(spark, sf_dir)
+    v = F.col("value").cast("decimal(18,2)")
+    u = F.col("user_id").cast("decimal(18,0)")
+    s = cat["events"].groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(v).cast("double").alias("sx"),
+        F.sum(u).cast("double").alias("sy"),
+        F.sum(v * F.col("user_id")).cast("double").alias("sxy"),
+        F.sum(v * v).cast("double").alias("sxx"),
+        F.sum(u * u).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    corr = F.when(
+        (varx == 0) | (vary == 0), F.lit(None).cast("double")
+    ).otherwise((n * sxy - sx * sy) / F.sqrt(varx * vary))
+    return s.select("event_type", "n", corr.alias("corr_vu"))
+
+
+@q(
+    "q103_argmax_per_group",
+    """
+    SELECT event_type, event_id AS top_event, "value" AS top_value
+    FROM (
+      SELECT event_type, event_id, "value",
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY "value" DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax via native max_by — a single partial+final
+    hash aggregate (no window shuffle-and-sort over the full table).
+    The ordering key is a (value, event_id) struct, so ties break
+    deterministically — bare max_by(x, value) keeps an arbitrary row."""
+    cat = Catalog(spark, sf_dir)
+    key = F.struct(F.col("value"), F.col("event_id"))
+    return cat["events"].groupBy("event_type").agg(
+        F.max_by("event_id", key).alias("top_event"),
+        F.max("value").alias("top_value"),
+    )
+
+
+@q(
+    "q104_value_histogram",
+    """
+    SELECT event_type,
+           CAST(LEAST(GREATEST(FLOOR(("value" - 0.0) / 50.0) + 1, 0), 11) AS INTEGER) AS bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (feature binning): explicit floor
+    arithmetic rather than width_bucket so both engines evaluate the
+    same IEEE expression; bucket edges are exactly-representable
+    multiples of 50, so no boundary ambiguity. Map-side combinable —
+    one shuffle of (type, bucket) partials."""
+    cat = Catalog(spark, sf_dir)
+    bucket = F.least(
+        F.greatest(F.floor((F.col("value") - 0.0) / 50.0) + 1, F.lit(0)),
+        F.lit(11),
+    ).cast("int")
+    return (
+        cat["events"]
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+@q(
+    "q105_stopword_filter",
+    """
+    SELECT source,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(list_filter(toks,
+                x -> NOT list_contains(['the','a','of','and','to','in'], lower(x))
+           ))) AS BIGINT) AS content_tokens
+    FROM (
+      SELECT source,
+             list_filter(string_split_regex(text, '__WS__'), x -> x <> '') AS toks
+      FROM documents
+    ) t GROUP BY source
+    """,
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword removal (C4-style cleaning): token counts before and
+    after dropping the stopword lexicon, per source — pure HOF Column
+    exprs, scan-speed."""
+    from dataflowex_spark.functions.text import tokens
+
+    cat = Catalog(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    content = F.filter(toks, lambda x: ~F.array_contains(stop, F.lower(x)))
+    return (
+        cat["documents"]
+        .select("source", F.size(toks).alias("nt"), F.size(content).alias("nc"))
+        .groupBy("source")
+        .agg(
+            F.sum("nt").alias("total_tokens"),
+            F.sum("nc").alias("content_tokens"),
+        )
+    )
