@@ -339,7 +339,14 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile, os
 
     cat = Catalog(spark, sf_dir)
-    path = os.path.join(tempfile.gettempdir(), "dataflowex_q11_sink")
+    # session+sf-scoped sink path: two concurrent runs (driver + local
+    # selfcheck) must not clobber each other's partition dirs
+    import hashlib
+
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
+    ).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"dataflowex_q11_sink_{tag}")
     (
         Pipeline(cat["orders"], name="q11")
         .filter(F.col("o_totalprice") > 0)
