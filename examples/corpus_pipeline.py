@@ -3,7 +3,8 @@ composed the way a 100 TB data-curation job would run them:
 
     ingest → validate → quality filter → exact dedup →
     near-dup clustering (MinHash LSH + connected components) →
-    language filter → deterministic train/test split → sorted write
+    benchmark decontamination (13-gram overlap) →
+    deterministic train/test split → sorted write
 
 Every stage is a DataFrame→DataFrame operator from the library; the
 whole pipeline is one lazy plan per output (Catalyst sees everything),
@@ -18,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from dataflowex_spark.catalog import Catalog
 from dataflowex_spark.functions.text import quality_score, token_count
 from dataflowex_spark.operators.dedup import (
+    decontaminate,
     dedup_clusters,
     dedup_exact,
     dedup_minhash_lsh,
@@ -62,9 +64,18 @@ def curate_corpus(
     canonical = exact.join(losers, on="doc_id", how="left_anti")
     report["after_near_dedup"] = canonical.count()
 
-    # 4. deterministic split + sorted write (tight row-group stats)
+    # 4. benchmark decontamination: drop training docs overlapping the
+    # held-out eval set on any 13-gram (src0 stands in for the
+    # benchmark; both join sides broadcast — corpus never shuffles)
+    bench = docs.filter(F.col("source") == "src0")
+    clean = decontaminate(
+        canonical.filter(F.col("source") != "src0"), bench, n=13
+    )
+    report["after_decontamination"] = clean.count()
+
+    # 5. deterministic split + sorted write (tight row-group stats)
     split = train_test_split(
-        canonical, "doc_id", test_fraction=test_fraction
+        clean, "doc_id", test_fraction=test_fraction
     )
     for name in ("train", "test"):
         part = split.filter(F.col("split") == name).drop("split")

@@ -14,12 +14,13 @@ def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
         >= report["after_quality"]
         >= report["after_exact_dedup"]
         >= report["after_near_dedup"]
+        >= report["after_decontamination"]
         > 0
     )
     # split partitions the survivors exactly
     assert (
         report["written_train"] + report["written_test"]
-        == report["after_near_dedup"]
+        == report["after_decontamination"]
     )
     # deterministic: a rerun reproduces identical counts
     report2 = curate_corpus(
