@@ -33,6 +33,24 @@ def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFra
     return r.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC scan — same pushdown/pruning story as parquet (columnar,
+    footer stats); the second first-class at-rest format."""
+    return spark.read.options(**options).orc(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False, **options
+) -> DataFrame:
+    """Line-oriented text source (one row per line, column ``value``);
+    ``whole_file=True`` reads each file as a single row — the raw-
+    document ingest path for corpus pipelines."""
+    r = spark.read.options(**options)
+    if whole_file:
+        r = r.option("wholetext", "true")
+    return r.text(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -163,6 +163,43 @@ def run_to_memory(
     return spark.table(name), name
 
 
+def upsert_sink(
+    stream_df: DataFrame,
+    path: str,
+    key: str,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Idempotent keyed streaming sink: each micro-batch lands through
+    :func:`dataflowex_spark.sources.incremental_append` (anti-join on
+    ``key`` against the existing table, probe pruned to the batch's
+    key range), so replayed/overlapping batches — foreachBatch is
+    at-least-once after recovery — cannot duplicate rows. This is the
+    streaming DbBulkInserter-with-merge analog
+    [R: Gridsum.DataflowEx/Databases/DbBulkInserter.cs].
+
+    Runs with availableNow (drain everything, then stop); returns the
+    number of rows appended across all batches.
+    """
+    import tempfile
+
+    from dataflowex_spark.sources import incremental_append
+
+    appended = {"n": 0}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        appended["n"] += incremental_append(batch_df, path, key)
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="upsert_ckpt_")
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return appended["n"]
+
+
 def stateful_dispatch_counts(
     events: DataFrame,
     key_col: str = "event_type",

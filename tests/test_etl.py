@@ -327,3 +327,23 @@ def test_compact_recovers_from_stale_dirs(spark, tmp_path):
     assert n <= 3
     assert spark.read.parquet(path).count() == 1000
     assert not os.path.isdir(path + ".__compact_old")
+
+
+def test_orc_and_text_roundtrip(spark, tmp_path):
+    from dataflowex_spark.sources import read_orc, read_text, write_batch
+
+    df = spark.createDataFrame([Row(k=i, v=f"row{i}") for i in range(100)])
+    orc_path = str(tmp_path / "t.orc")
+    write_batch(df, orc_path, fmt="orc")
+    back = read_orc(spark, orc_path)
+    assert sorted((r.k, r.v) for r in back.collect()) == sorted(
+        (r.k, r.v) for r in df.collect()
+    )
+    # ORC gets pushed filters like parquet (columnar footer stats)
+    plan = back.filter(F.col("k") > 90)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThan(k,90)" in plan
+
+    txt_path = str(tmp_path / "lines")
+    df.select(F.col("v")).write.mode("overwrite").text(txt_path)
+    lines = read_text(spark, txt_path)
+    assert lines.count() == 100 and lines.columns == ["value"]

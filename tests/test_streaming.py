@@ -200,3 +200,30 @@ def test_stream_static_dim_join(spark, sf_dir):
     total = Catalog(spark, sf_dir)["events"].count()
     assert out.count() == total
     assert out.filter(F.col("user_tag").isNull()).count() == 0
+
+
+def test_upsert_sink_idempotent_across_replay(spark, sf_dir, tmp_path):
+    """foreachBatch + incremental_append: draining the same stream
+    twice (simulated at-least-once redelivery) appends nothing new."""
+    from dataflowex_spark.streaming.ops import file_replay_stream, upsert_sink
+
+    path = str(tmp_path / "upsert")
+    stream = file_replay_stream(spark, f"{sf_dir}/events.parquet", n_chunks=4)
+    n1 = upsert_sink(
+        stream.select("event_id", "user_id", "event_type"),
+        path,
+        key="event_id",
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    total = spark.read.parquet(path).count()
+    assert n1 == total > 0
+    # full replay from a fresh checkpoint → every batch re-delivered
+    stream2 = file_replay_stream(spark, f"{sf_dir}/events.parquet", n_chunks=4)
+    n2 = upsert_sink(
+        stream2.select("event_id", "user_id", "event_type"),
+        path,
+        key="event_id",
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    assert n2 == 0
+    assert spark.read.parquet(path).count() == total
