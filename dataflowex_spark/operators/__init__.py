@@ -11,8 +11,10 @@ from dataflowex_spark.operators.joins import asof_join, range_join
 from dataflowex_spark.operators.windows import sessionize, top_k_per_group
 from dataflowex_spark.operators.dedup import (
     dedup_exact,
+    decontaminate,
     dedup_minhash_lsh,
     dedup_minhash_mllib,
+    minhash_lsh_cross,
     dedup_simhash,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -45,8 +47,10 @@ __all__ = [
     "sessionize",
     "top_k_per_group",
     "dedup_exact",
+    "decontaminate",
     "dedup_minhash_lsh",
     "dedup_minhash_mllib",
+    "minhash_lsh_cross",
     "dedup_simhash",
     "minhash_signatures",
     "ngram_jaccard_pairs",

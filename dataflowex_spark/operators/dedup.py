@@ -118,6 +118,95 @@ def minhash_signatures(
     )
 
 
+def _banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_words: int,
+) -> DataFrame:
+    """(id, sig, band, band_hash) rows — one per (doc, band).
+    Signatures localCheckpointed first (Catalyst would re-inline the
+    whole shingle→minhash expression into every band reference)."""
+    r = num_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_words
+    ).localCheckpoint(eager=False)
+    return sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[F.element_at("sig", b * r + j + 1) for j in range(r)],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
+def _est_jaccard(num_hashes: int):
+    return (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(num_hashes)
+    ).alias("est_jaccard")
+
+
+def minhash_lsh_cross(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH near-dup pairs — the incremental-
+    curation shape: ``left`` is a new crawl batch, ``right`` the
+    existing corpus; a pair is (new doc, existing doc) sharing a band
+    hash with estimated jaccard ≥ threshold. Anti-joining ``left``
+    against the returned ``id_a`` set admits only genuinely novel
+    documents.
+
+    Same scale contract as :func:`dedup_minhash_lsh`: both sides
+    reduce to (id, signature) — document bodies never shuffle — and
+    candidates materialize only inside the (band, band_hash)
+    equi-join. Returns (id_a=left id, id_b=right id, est_jaccard).
+    """
+    a = _banded_signatures(
+        left, text_col, id_col, num_hashes, bands, shingle_words
+    ).select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
+    )
+    b = _banded_signatures(
+        right, text_col, id_col, num_hashes, bands, shingle_words
+    ).select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
+    )
+    pairs = (
+        a.join(b, on=["band", "band_hash"])
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        pairs.select("id_a", "id_b", _est_jaccard(num_hashes))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+    )
+
+
 def dedup_minhash_lsh(
     df: DataFrame,
     text_col: str = "text",
@@ -138,27 +227,8 @@ def dedup_minhash_lsh(
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
     """
-    r = num_hashes // bands
-    # materialize signatures once: (id, 32×long) is tiny next to the
-    # documents, and without a barrier Catalyst re-inlines the whole
-    # shingle→minhash expression into every element_at/zip_with
-    # reference (and the self-join would compute it twice again)
-    sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_words
-    ).localCheckpoint(eager=False)
-    banded = sigs.select(
-        F.col(id_col),
-        F.col("sig"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(",", *[F.element_at("sig", b * r + j + 1) for j in range(r)])
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+    banded = _banded_signatures(
+        df, text_col, id_col, num_hashes, bands, shingle_words
     )
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
@@ -172,17 +242,8 @@ def dedup_minhash_lsh(
         .select("id_a", "id_b", "sig_a", "sig_b")
         .distinct()
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        )
-        / F.lit(num_hashes)
-    ).alias("est_jaccard")
     return (
-        pairs.select("id_a", "id_b", est)
+        pairs.select("id_a", "id_b", _est_jaccard(num_hashes))
         .filter(F.col("est_jaccard") >= jaccard_threshold)
     )
 
@@ -203,9 +264,9 @@ def dedup_simhash(
 
     Returns (id_a, id_b, hamming) pairs with hamming ≤ threshold.
     """
-    toks = F.array_distinct(
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    )
+    from dataflowex_spark.functions.text import tokens
+
+    toks = F.array_distinct(tokens(F.col(text_col)))
     # explode + codegen'd conditional sums (one hash aggregate with
     # `bits` partial-agg columns) — per-row HOF folds would run
     # interpreted and recompute the token hashing per bit. Map-side

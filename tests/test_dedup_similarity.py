@@ -215,3 +215,53 @@ def test_dedup_clusters_nonconvergence_raises(spark):
         dedup_clusters(pairs, max_iters=2)
     partial = dedup_clusters(pairs, max_iters=2, strict=False)
     assert partial.count() == 13  # partial labels still delivered
+
+
+def test_minhash_lsh_cross_consistent_with_self_join(spark, sf_dir):
+    """Cross-corpus LSH over (X, X) must reproduce the self-join
+    pairs exactly (plus the trivial identity matches), and identity
+    matches must estimate jaccard 1.0."""
+    from dataflowex_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        minhash_lsh_cross,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    self_pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup_minhash_lsh(docs, jaccard_threshold=0.5).collect()
+    }
+    cross = minhash_lsh_cross(docs, docs, jaccard_threshold=0.5).collect()
+    ident = [r for r in cross if r.id_a == r.id_b]
+    assert len(ident) == docs.count()
+    assert all(r.est_jaccard == 1.0 for r in ident)
+    cross_pairs = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b)): r.est_jaccard
+        for r in cross
+        if r.id_a != r.id_b
+    }
+    assert cross_pairs == self_pairs
+
+
+def test_minhash_lsh_cross_novelty_filter(spark):
+    """The incremental-curation use: new-batch docs near-duplicating
+    the existing corpus are flagged; novel docs survive."""
+    from pyspark.sql import Row
+    from dataflowex_spark.operators.dedup import minhash_lsh_cross
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    existing = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text="completely different corpus content entirely " * 4)]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=base + "tail"),  # near-dup of 1
+            Row(doc_id=101, text="fresh novel writing about unrelated topics " * 4),
+        ]
+    )
+    hits = minhash_lsh_cross(new, existing, jaccard_threshold=0.5)
+    flagged = {r.id_a for r in hits.collect()}
+    assert flagged == {100}
+    novel = new.join(hits.select("id_a").distinct(),
+                     new["doc_id"] == F.col("id_a"), "left_anti")
+    assert {r.doc_id for r in novel.collect()} == {101}
