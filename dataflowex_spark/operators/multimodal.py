@@ -1,10 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
-Spark-side reality, decoder stubs: the container has no image/audio
-libraries, so the *decode* step raises NotImplementedError (or runs a
-clearly-marked deterministic fake), while everything Spark-cares-about
-— schema, Arrow batch shape, mapInPandas signatures, partitioning —
-is real and tested.
+Decode reality in this container: uncompressed netpbm (P5/P6) images
+decode and resize FOR REAL (pure numpy — tested end to end through
+mapInPandas); compressed formats (JPEG/PNG/audio/video) need codec
+libraries absent here, so their decode raises NotImplementedError
+(or runs a clearly-marked deterministic fake) while everything
+Spark-cares-about — schema, Arrow batch shape, mapInPandas
+signatures, partitioning — is real and tested.
 
 Pattern (SURVEY.md §2-B multimodal): a media column is
 ``STRUCT<uri: string, media_type: string, payload: binary,
@@ -54,13 +56,61 @@ def read_binary_files(spark, path: str, glob: str = "*") -> DataFrame:
     )
 
 
+def _parse_netpbm(payload: bytes):
+    """Parse binary netpbm (P5 gray / P6 RGB) → (w, h, channels,
+    ndarray[h,w,c]) or None if the payload is not netpbm. Pure
+    numpy — the uncompressed formats need no imaging library."""
+    import numpy as np
+
+    if not payload or payload[:2] not in (b"P5", b"P6"):
+        return None
+    toks: list[int] = []
+    i = 2
+    while len(toks) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":  # comment to end of line
+            i = payload.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            toks.append(int(payload[i:j]))
+            i = j
+    i += 1  # the single whitespace byte after maxval
+    w, h, maxval = toks
+    if maxval > 255:
+        return None  # 16-bit netpbm out of scope
+    ch = 3 if payload[:2] == b"P6" else 1
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+    return w, h, ch, data.reshape(h, w, ch)
+
+
+def encode_ppm(arr) -> bytes:
+    """Encode an ndarray[h,w,1|3] (uint8) as binary netpbm — the
+    roundtrip partner of :func:`decode_image` (also used by tests to
+    synthesize real image payloads)."""
+    h, w, ch = arr.shape
+    magic = b"P6" if ch == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
 def decode_image(payload: bytes) -> dict:
-    """STUB — image decode requires PIL/opencv, absent in this
-    container. At deploy time this returns {width, height, channels,
-    pixels}; here it always raises."""
+    """Image decode: REAL for uncompressed netpbm (P5/P6) via pure
+    numpy — returns {width, height, channels, pixels}. Compressed
+    formats (JPEG/PNG/…) require PIL/opencv, absent in this container
+    → NotImplementedError (wire a codec here at deploy time)."""
+    if payload is None:
+        raise ValueError("decode_image: payload is None (pointer-only row)")
+    parsed = _parse_netpbm(payload)
+    if parsed is not None:
+        w, h, ch, arr = parsed
+        return {"width": w, "height": h, "channels": ch, "pixels": arr}
     raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; wire PIL/opencv here at deploy time"
+        "compressed-image decode requires an imaging library not present "
+        "in this environment; wire PIL/opencv here at deploy time "
+        "(netpbm P5/P6 decodes natively)"
     )
 
 
@@ -84,8 +134,8 @@ def extract_media_features(
 
     Arrow-batched; one python worker per partition; output schema is
     fixed so downstream plans analyze without running. With
-    ``real_decode=True`` calls :func:`decode_image` (raises in this
-    environment — documented stub).
+    ``real_decode=True`` calls :func:`decode_image`: real dimensions
+    for netpbm payloads, NotImplementedError for compressed formats.
     """
     out_schema = (
         "uri string, media_type string, byte_len long, width int, height int"
@@ -99,8 +149,10 @@ def extract_media_features(
                 payload = m["payload"] if m is not None else None
                 uri = m["uri"] if m is not None else None
                 if real_decode:
-                    decode_image(payload)  # NotImplementedError here
-                w, h = _fake_decode_meta(payload, uri)
+                    dec = decode_image(payload)
+                    w, h = dec["width"], dec["height"]
+                else:
+                    w, h = _fake_decode_meta(payload, uri)
                 rows.append(
                     {
                         "uri": uri,
@@ -146,26 +198,37 @@ def resize_images(
     width: int = 224,
     height: int = 224,
 ) -> DataFrame:
-    """Image-resize plumbing: mapInPandas with a fixed output schema.
+    """Image resize over mapInPandas with a fixed output schema.
 
-    The pixel operation itself is STUBBED (no imaging library in this
-    container): output payload is None and a meta note records the
-    target size. At deploy time the body swaps to PIL/opencv; the
-    Spark side — Arrow batching, schema, partition parallelism — is
-    exactly what production runs.
+    REAL nearest-neighbor resize (numpy index gather) for netpbm
+    payloads — output payload is the resized image re-encoded as
+    netpbm. Compressed payloads / pointer-only rows emit a null
+    payload (their decode is the documented stub; swap in PIL/opencv
+    at deploy time). The Spark side — Arrow batching, schema,
+    partition parallelism — is exactly what production runs.
     """
+    import numpy as np
+
     out_schema = "uri string, width int, height int, payload binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for m in pdf[media_col]:
+                payload = m["payload"] if m is not None else None
+                parsed = _parse_netpbm(payload) if payload is not None else None
+                resized = None
+                if parsed is not None:
+                    w0, h0, ch, arr = parsed
+                    rows_idx = (np.arange(height) * h0) // height
+                    cols_idx = (np.arange(width) * w0) // width
+                    resized = encode_ppm(arr[rows_idx][:, cols_idx])
                 out.append(
                     {
                         "uri": m["uri"] if m is not None else None,
                         "width": width,
                         "height": height,
-                        "payload": None,  # PIL.Image.resize(...) at deploy
+                        "payload": resized,
                     }
                 )
             yield pd.DataFrame(out, columns=["uri", "width", "height", "payload"])

@@ -178,6 +178,43 @@ def test_multimodal_feature_plumbing(spark):
         multimodal.decode_image(b"\x89PNG")
 
 
+def test_netpbm_real_decode_and_resize(spark):
+    """REAL image path (no imaging lib needed): synthesize P6 images,
+    decode actual dimensions through extract_media_features
+    (real_decode=True), and nearest-neighbor-resize end to end."""
+    import numpy as np
+
+    def ppm(w, h, seed):
+        rng = np.random.RandomState(seed)
+        return multimodal.encode_ppm(
+            rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        )
+
+    # plain python decode roundtrip incl. a header comment
+    img = ppm(7, 5, 1)
+    commented = img[:2] + b"\n# a comment\n" + img[3:]
+    for payload in (img, commented):
+        d = multimodal.decode_image(payload)
+        assert (d["width"], d["height"], d["channels"]) == (7, 5, 3)
+    assert d["pixels"].shape == (5, 7, 3)
+
+    rows = [
+        Row(media=Row(uri=f"mem://{i}", media_type="image/x-portable-pixmap",
+                      payload=bytearray(ppm(16 + i, 9 + i, i)), meta={}))
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, schema=f"media struct<{multimodal.MEDIA_SCHEMA}>")
+    feats = {r.uri: (r.width, r.height) for r in
+             multimodal.extract_media_features(df, real_decode=True).collect()}
+    assert feats == {f"mem://{i}": (16 + i, 9 + i) for i in range(3)}
+
+    resized = multimodal.resize_images(df, width=8, height=4).collect()
+    for r in resized:
+        assert r.payload is not None
+        d = multimodal.decode_image(bytes(r.payload))
+        assert (d["width"], d["height"]) == (8, 4)
+
+
 def test_frame_sampling_fanout(spark):
     df = spark.createDataFrame([Row(uri="mem://v1")])
     media = multimodal.attach_media_column(df, "uri", "video/mp4")
