@@ -2249,3 +2249,23 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nc").alias("content_tokens"),
         )
     )
+
+
+@q("q106_crosslsh_novelty", None)  # rows-only: band-hash candidates are seed-specific
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation: src1 plays a fresh crawl batch against
+    the rest of the corpus; minhash_lsh_cross flags near-dups of
+    existing docs, anti-join keeps only novel documents."""
+    from dataflowex_spark.operators.dedup import minhash_lsh_cross
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"]
+    new = docs.filter(F.col("source") == "src1")
+    existing = docs.filter(F.col("source") != "src1")
+    hits = minhash_lsh_cross(new, existing, jaccard_threshold=0.5)
+    novel = new.join(
+        hits.select("id_a").distinct(),
+        new["doc_id"] == F.col("id_a"),
+        "left_anti",
+    )
+    return novel.select("doc_id").orderBy("doc_id")
