@@ -2269,3 +2269,96 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return novel.select("doc_id").orderBy("doc_id")
+
+
+@q(
+    "q107_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 'p1_view' AS stage, COUNT(*) AS n_users FROM v
+      UNION ALL SELECT 'p2_click', COUNT(*) FROM c
+      UNION ALL SELECT 'p3_purchase', COUNT(*) FROM p
+    ) t
+    """,
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view→click→purchase: each stage is
+    first-event-after-previous-stage per user. Three keyed aggregates
+    chained by user_id joins — every step shuffles only (user, ts)
+    pairs and the whole funnel is one lazy plan."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+
+    def first_after(etype: str, prev: DataFrame, prev_ts: str, out_ts: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = first_after("view", None, "", "t1")
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    return (
+        v.agg(F.lit("p1_view").alias("stage"), F.count("*").alias("n_users"))
+        .unionByName(c.agg(F.lit("p2_click").alias("stage"), F.count("*").alias("n_users")))
+        .unionByName(p.agg(F.lit("p3_purchase").alias("stage"), F.count("*").alias("n_users")))
+    )
+
+
+@q(
+    "q108_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(FLOOR(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) / 7.0) AS INTEGER) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    per week-offset of later activity. Two hash aggregates + one
+    keyed join — the cohort frame is users-sized, broadcastable when
+    small, and the distinct-count shuffle is keyed by (cohort,
+    offset)."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("DAY", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .withColumn(
+            "week_offset",
+            F.floor(
+                F.datediff(F.date_trunc("DAY", F.col("ts")), F.col("cohort_day")) / 7.0
+            ).cast("int"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
