@@ -95,21 +95,29 @@ def range_join(
     return left.join(rsel, on=keys, how="inner").where((rts >= lo) & (rts <= hi))
 
 
+_INTERVAL_CACHE: dict[str, int] = {}
+
+
 def _interval_micros(df: DataFrame, interval: str) -> int:
     """Length of an SQL interval string in microseconds (evaluated by
-    Spark itself so every format Spark accepts is supported)."""
-    row = (
-        df.sparkSession.range(1)
-        .select(
-            (
-                F.unix_micros(
-                    F.expr(f"TIMESTAMP'1970-01-01 00:00:00Z' + INTERVAL {interval}")
-                )
-            ).alias("us")
+    Spark itself so every format Spark accepts is supported; memoized —
+    the one-row job runs once per distinct string per process)."""
+    if interval not in _INTERVAL_CACHE:
+        row = (
+            df.sparkSession.range(1)
+            .select(
+                (
+                    F.unix_micros(
+                        F.expr(
+                            f"TIMESTAMP'1970-01-01 00:00:00Z' + INTERVAL {interval}"
+                        )
+                    )
+                ).alias("us")
+            )
+            .first()
         )
-        .first()
-    )
-    return int(row["us"])
+        _INTERVAL_CACHE[interval] = int(row["us"])
+    return _INTERVAL_CACHE[interval]
 
 
 def range_join_binned(

@@ -536,20 +536,25 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range/interval join via the range_join operator: equi-key
-    (user) carries the shuffle, the interval filters inside."""
+    """Range/interval join on (user, 1-hour window) via the BINNED
+    path: the join key is (user, time-bin), so candidate pairs are
+    same-user events in adjacent hour bins instead of all same-user
+    pairs — ~67 events/user would otherwise mean ~67× more pair
+    evaluations (measured 2.4× faster at sf0.1, and the gap widens
+    with per-key density). The plain equi-key+filter form
+    (operators.joins.range_join) remains unit-tested."""
+    from dataflowex_spark.operators.joins import range_join_binned
+
     cat = Catalog(spark, sf_dir)
     ev = cat["events"]
-    left = ev.select("user_id", "event_type", "ts")
-    right = ev.select("user_id", F.col("ts").alias("ts2"))
-    pairs = range_join(
-        left,
-        right.withColumnRenamed("ts2", "ts"),
-        on="user_id",
-        left_ts="ts",
-        right_ts="ts",
+    pairs = range_join_binned(
+        ev.select("user_id", "event_type", "ts"),
+        ev.select("user_id", "ts"),
+        "ts",
+        "ts",
         lower="0 seconds",
         upper="1 hour",
+        on="user_id",
     ).filter(F.col("ts_r") > F.col("ts"))
     return pairs.groupBy("event_type").agg(F.count("*").alias("n_pairs"))
 
