@@ -68,3 +68,26 @@ def test_sessionize_conserves_events(cat):
     )
     bad = agg.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n")))
     assert bad.count() == 0
+
+
+def test_driver_contract_surface():
+    """Contract invariants the driver relies on: every oracle belongs
+    to a declared query, every query name is unique and well-formed,
+    and SURVEY §2.1 declares exactly the queries() inventory."""
+    import re
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert all(re.match(r"^q\d+_[a-z0-9_]+$", n) for n in qs)
+    survey = open("SURVEY.md").read()
+    declared = set(re.findall(r"(q\d+_[a-z0-9_]+)\[[OR]\]", survey))
+    assert declared == set(qs), (
+        sorted(declared - set(qs)), sorted(set(qs) - declared)
+    )
+    # rows-only queries are marked [R], oracled ones [O]
+    marks = dict(re.findall(r"(q\d+_[a-z0-9_]+)\[([OR])\]", survey))
+    for name in qs:
+        assert marks[name] == ("O" if name in oracles else "R"), name
