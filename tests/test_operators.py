@@ -372,3 +372,27 @@ def test_python_udtf_surface(spark):
         ("runs", 1),
         ("everywhere", 2),
     ]
+
+
+def test_new_operators_empty_inputs(spark):
+    """Degenerate inputs must not throw: empty frames flow through
+    ntile/binned-join/decontaminate and produce empty (or full-corpus)
+    results, matching what a tiny scale factor can hand the driver."""
+    from pyspark.sql import Row
+    from dataflowex_spark.operators.windows import global_ntile
+    from dataflowex_spark.operators.joins import range_join_binned
+    from dataflowex_spark.operators.dedup import decontaminate
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame([Row(doc_id=1, text="alpha beta gamma")])
+
+    assert global_ntile(empty.select("doc_id"), 4, [F.col("doc_id")]).count() == 0
+    # empty benchmark → nothing contaminated, corpus intact
+    assert decontaminate(docs, empty, n=3).count() == 1
+    # empty corpus → empty either way
+    assert decontaminate(empty, docs, n=3).count() == 0
+    assert decontaminate(empty, docs, n=3, return_contaminated=True).count() == 0
+
+    ev = spark.createDataFrame([], "ts timestamp, v long")
+    out = range_join_binned(ev, ev, "ts", "ts", upper="10 minutes")
+    assert out.count() == 0
