@@ -12,6 +12,7 @@ from dataflowex_spark.functions.text import (
     rolling_fingerprint,
     token_count,
     tokens,
+    word_shingles,
 )
 
 TEXT = st.text(
@@ -72,10 +73,36 @@ def check_fingerprint_matches_python(texts):
         assert out1[i] == py_fingerprint(t), repr(t)
 
 
+def py_shingles(s: str, k: int) -> list[str]:
+    toks = py_ws_tokens(s)
+    if not toks:
+        return [""]
+    if len(toks) < k:
+        return [" ".join(toks)]
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=20), st.integers(min_value=2, max_value=13))
+def check_word_shingles_match_python(texts, k):
+    spark = check_word_shingles_match_python._spark
+    df = spark.createDataFrame([Row(i=i, text=t) for i, t in enumerate(texts)])
+    got = {
+        r.i: r.sh
+        for r in df.select(
+            "i", word_shingles(F.col("text"), k).alias("sh")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_shingles(t, k), (k, repr(t))
+
+
 def test_randomized_text_properties(spark):
     """Run the hypothesis properties with the session fixture bound
     (hypothesis can't take pytest fixtures directly)."""
     check_token_count_matches_python._spark = spark
     check_fingerprint_matches_python._spark = spark
+    check_word_shingles_match_python._spark = spark
     check_token_count_matches_python()
     check_fingerprint_matches_python()
+    check_word_shingles_match_python()
