@@ -108,13 +108,17 @@ def minhash_signatures(
         F.pmod(F.xxhash64("s", F.lit(1)), P).alias("h1"),
         F.pmod(F.xxhash64("s", F.lit(2)), P).alias("h2"),
     )
-    return exploded.groupBy(id_col).agg(
-        F.array(
-            *[
-                F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), P))
-                for i in range(num_hashes)
-            ]
-        ).alias("sig")
+    # flat min-aggregates, array assembled in a separate projection:
+    # wrapping the mins in F.array INSIDE agg() drops the aggregate
+    # out of efficient codegen (measured 2.9 s vs 1.2 s at sf0.1)
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), P)).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        id_col, F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("sig")
     )
 
 
