@@ -23,13 +23,18 @@ WS_CHARS = (
     "\x09\x0a\x0b\x0c\x0d\x1c\x1d\x1e\x1f \x85\xa0\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000"
 )
 WS_REGEX = "[" + WS_CHARS + "]+"
-WS_SQL_REGEX = (
-    r"[\t\n\v\f\r\x{1c}-\x{1f} \x{85}\x{a0}\x{1680}"
-    r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+"
+_WS_CLASS_SQL = (
+    r"\t\n\v\f\r\x{1c}-\x{1f} \x{85}\x{a0}\x{1680}"
+    r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}"
 )
+WS_SQL_REGEX = "[" + _WS_CLASS_SQL + "]+"
 
 # BPE-ish tokenizer: words, numbers, or single non-space symbols.
+# TOKEN_SQL_REGEX is the RE2 (DuckDB oracle) spelling of the same
+# pattern; the three alternates match disjoint character classes, so
+# leftmost-first (Java) and RE2 matching agree.
 TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9" + WS_CHARS + "]"
+TOKEN_SQL_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9" + _WS_CLASS_SQL + "]"
 
 
 def tokens(text: Column) -> Column:

@@ -14,6 +14,7 @@ from dataflowex_spark.functions.text import (
     rolling_fingerprint,
     token_count,
     tokens,
+    word_shingles,
 )
 
 # tiny per-language marker lexicons for the n-gram/stopword heuristic
@@ -62,6 +63,57 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     return df.withColumn(
         out_col,
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD '03):
+    hash every word k-gram, slide a w-gram window, keep each window's
+    minimum (hash, position) — the guaranteed-coverage positional
+    fingerprint used for local plagiarism/overlap detection.
+
+    Scale shape: grams, tags and window minima are ALL per-row array
+    expressions — the whole selection runs inside the scan stage with
+    ZERO shuffles (no per-doc window exec, no groupBy). The windowed
+    min is a chain of w−1 shifted ``zip_with`` folds (same O(w·n)
+    technique as :func:`word_shingles`; an index-lambda over the array
+    would re-evaluate it per element). Ties inside a window break to
+    the leftmost position, and duplicates from overlapping windows
+    selecting the same gram are dropped per document.
+
+    Hash = md5 hex (identical across engines → DuckDB-oracle-able);
+    the position is zero-padded into the tag so lexicographic min is
+    (hash, pos) min. Output: one row per (id, fp_hash, fp_pos).
+    """
+    grams = word_shingles(F.col(text_col), k)
+    tags = F.transform(
+        grams,
+        lambda g, i: F.concat(
+            F.md5(g), F.lit(":"), F.lpad(i.cast("string"), 8, "0")
+        ),
+    )
+    n = F.size(tags)
+    m = F.greatest(n - (w - 1), F.lit(1))
+    acc = F.slice(tags, 1, m)
+    for j in range(1, w):
+        nxt = F.slice(tags, F.lit(j + 1), m)  # tail windows: NULL-padded
+        acc = F.zip_with(
+            acc,
+            nxt,
+            lambda a, b: F.when(b.isNull() | (a <= b), a).otherwise(b),
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(acc)).alias("_tag")
+    ).select(
+        id_col,
+        F.substring("_tag", 1, 32).alias("fp_hash"),
+        F.split("_tag", ":")[1].cast("int").alias("fp_pos"),
     )
 
 

@@ -35,7 +35,7 @@ from dataflowex_spark.operators.dedup import (
     ngram_jaccard_pairs,
 )
 from dataflowex_spark.operators.similarity import knn_cosine_exact, knn_cosine_lsh
-from dataflowex_spark.functions.text import WS_SQL_REGEX
+from dataflowex_spark.functions.text import TOKEN_SQL_REGEX, WS_SQL_REGEX
 from dataflowex_spark.operators.text import language_id, text_stats
 from dataflowex_spark.operators import multimodal
 
@@ -49,7 +49,12 @@ def q(name: str, sql: str | None):
         # __WS__ in oracle SQL = the canonical whitespace class (RE2
         # spelling), kept in lockstep with the Spark-side WS_REGEX so
         # both engines share ONE tokenization definition.
-        REGISTRY[name] = (fn, sql.replace("__WS__", WS_SQL_REGEX) if sql else sql)
+        oracle = sql
+        if oracle:
+            oracle = oracle.replace("__WS__", WS_SQL_REGEX).replace(
+                "__TOKRE__", TOKEN_SQL_REGEX
+            )
+        REGISTRY[name] = (fn, oracle)
         return fn
 
     return deco
@@ -2366,4 +2371,205 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_day", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@q(
+    "q109_winnow_fingerprint",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '__WS__'), t -> t <> '') AS tk
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             [coalesce(array_to_string(tk[i : i + 2], ' '), '')
+              FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)] AS gs
+      FROM toks
+    ), tags AS (
+      SELECT doc_id,
+             [md5(gs[i]) || ':' || lpad(CAST(i - 1 AS VARCHAR), 8, '0')
+              FOR i IN range(1, len(gs) + 1)] AS tg
+      FROM grams
+    ), wins AS (
+      SELECT doc_id,
+             list_distinct([list_min(tg[i : i + 3])
+                            FOR i IN range(1, greatest(len(tg) - 3, 1) + 1)]) AS fps
+      FROM tags
+    )
+    SELECT doc_id,
+           substring(f, 1, 32) AS fp_hash,
+           CAST(string_split(f, ':')[2] AS INTEGER) AS fp_pos
+    FROM wins, UNNEST(fps) AS u(f)
+    """,
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing positional fingerprints (3-word grams, window 4) —
+    the rolling-hash document-fingerprint operator. Entirely
+    scan-local (array exprs, zero shuffles); md5 tags make it
+    bit-comparable against the DuckDB list-comprehension oracle."""
+    from dataflowex_spark.operators.text import winnow_fingerprints
+
+    cat = Catalog(spark, sf_dir)
+    return winnow_fingerprints(cat["documents"], k=3, w=4)
+
+
+@q(
+    "q110_token_counts",
+    """
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '__TOKRE__'))) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(len(list_filter(string_split_regex(text, '__WS__'), t -> t <> ''))) AS BIGINT) AS ws_tokens,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: BPE-ish regex tokens
+    (word | number | single symbol) vs whitespace tokens. Both
+    counts are pure Column exprs inside one scan + one hash agg."""
+    from dataflowex_spark.functions.text import token_count
+
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["documents"]
+        .groupBy("source")
+        .agg(
+            F.sum(token_count(F.col("text"), "bpe").cast("long")).alias("bpe_tokens"),
+            F.sum(token_count(F.col("text")).cast("long")).alias("ws_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+@q(
+    "q111_custdist",
+    """
+    WITH counts AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM counts GROUP BY c_count
+    """,
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count-per-customer distribution via a
+    filtered LEFT join + two hash aggregates. The first agg shuffles
+    (custkey, count) partials only; the distribution agg is tiny."""
+    cat = Catalog(spark, sf_dir)
+    counts = (
+        cat["customer"]
+        .join(
+            cat["orders"].filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@q(
+    "q112_small_qty_revenue",
+    """
+    WITH thr AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN thr ON thr.pk = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * cnt < sq
+    """,
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders, where
+    "small" is per-part 20% of mean quantity. The correlated scalar
+    subquery becomes one per-part aggregate joined back to the fact;
+    the threshold test is decimal-exact (5·qty·cnt < Σqty — no
+    double division, so the boundary cannot flip between engines).
+    part is dim-sized → broadcast; the per-part agg shuffles partials
+    keyed exactly like the join."""
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"]
+    thr = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        li.join(
+            F.broadcast(cat["part"].filter(F.col("p_brand") == "Brand#12")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(thr, F.col("pk") == F.col("l_partkey"))
+        .filter(
+            F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("cnt")
+            < F.col("sq")
+        )
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@q(
+    "q113_rich_inactive",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no
+    urgent orders, grouped by nation. Global scalar (decimal-exact
+    mean as one double) broadcast into the filter; the no-orders test
+    is a LEFT ANTI join keyed on custkey — never a correlated per-row
+    probe. Balance sums in DECIMAL, cast DOUBLE at the edge."""
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"]
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("ab")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            cat["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
     )

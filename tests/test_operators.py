@@ -396,3 +396,64 @@ def test_new_operators_empty_inputs(spark):
     ev = spark.createDataFrame([], "ts timestamp, v long")
     out = range_join_binned(ev, ev, "ts", "ts", upper="10 minutes")
     assert out.count() == 0
+
+
+def _ref_winnow(text: str, k: int, w: int):
+    """Pure-Python winnowing reference (same tag scheme as the operator)."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"\s+", text) if t != ""]
+    n = len(toks)
+    grams = (
+        [" ".join(toks[i : i + k]) for i in range(max(n - (k - 1), 1))]
+        if n
+        else [""]
+    )
+    tags = [
+        hashlib.md5(g.encode()).hexdigest() + ":" + str(i).zfill(8)
+        for i, g in enumerate(grams)
+    ]
+    sel = {min(tags[i : i + w]) for i in range(max(len(tags) - (w - 1), 1))}
+    return {(t[:32], int(t[33:])) for t in sel}
+
+
+def test_winnow_fingerprints_matches_reference(spark):
+    from dataflowex_spark.operators.text import winnow_fingerprints
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a b",
+        "",
+        "one two three four",
+        "x " * 40,
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    )
+    out = winnow_fingerprints(df, k=3, w=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_hash, r.fp_pos))
+    for i, t in enumerate(docs):
+        assert got.get(i, set()) == _ref_winnow(t, 3, 4), f"doc {i}"
+
+
+def test_winnow_coverage_guarantee(spark):
+    """Winnowing guarantee: every window of w consecutive gram
+    positions contains at least one selected fingerprint."""
+    import random
+
+    from dataflowex_spark.operators.text import winnow_fingerprints
+
+    rng = random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    text = " ".join(rng.choice(words) for _ in range(120))
+    k, w = 3, 5
+    df = spark.createDataFrame([Row(doc_id=0, text=text)])
+    pos = sorted(
+        r.fp_pos for r in winnow_fingerprints(df, k=k, w=w).collect()
+    )
+    n_grams = 120 - (k - 1)
+    for start in range(n_grams - (w - 1)):
+        assert any(start <= p < start + w for p in pos), f"window {start}"
