@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 
 def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
@@ -149,6 +149,67 @@ def write_sorted(
         else df.repartitionByRange(*sort_cols)
     )
     parted.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def zorder_key(cols: list[Column], bits: int = 12) -> Column:
+    """Morton (Z-order) interleave of pre-normalized integer columns
+    (each in [0, 2**bits)) into one long sort key — pure bitwise
+    Column exprs, whole-stage-codegen'd. ``len(cols) * bits`` must
+    stay ≤ 63."""
+    m = len(cols)
+    if m * bits > 63:
+        raise ValueError(f"{m} cols x {bits} bits exceeds a long key")
+    terms = [
+        F.shiftleft(
+            F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)),
+            i * m + (m - 1 - j),
+        )
+        for i in range(bits)
+        for j, c in enumerate(cols)
+    ]
+    key = terms[0]
+    for t in terms[1:]:
+        key = key.bitwiseOR(t)
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional data clustering: normalize each cluster
+    column to ``bits``-bit rank space (min/max scaling — one tiny agg
+    to the driver), Morton-interleave into a Z-order key, then
+    range-partition + sort by it. Unlike :func:`write_sorted` (tight
+    stats on ONE leading column), every clustered column gets
+    selective parquet min/max stats, so scans filtered on ANY of them
+    skip files/row groups. This is the layout side of
+    Delta/Iceberg-style OPTIMIZE ZORDER BY, done with plain exprs."""
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).first()
+    top = (1 << bits) - 1
+    norm = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) if (mn is not None and mx is not None and mx > mn) else 1.0
+        scaled = F.floor(
+            (F.coalesce(F.col(c).cast("double"), F.lit(mn or 0.0)) - F.lit(mn or 0.0))
+            * (top / span)
+        )
+        norm.append(F.least(F.greatest(scaled, F.lit(0)), F.lit(top)))
+    keyed = df.withColumn("_zkey", zorder_key(norm, bits))
+    parted = (
+        keyed.repartitionByRange(n_files, "_zkey")
+        if n_files is not None
+        else keyed.repartitionByRange("_zkey")
+    )
+    parted.sortWithinPartitions("_zkey").drop("_zkey").write.mode(mode).parquet(path)
 
 
 def compact(

@@ -256,3 +256,83 @@ def stateful_dispatch_counts(
         outputMode="update",
         timeoutConf=timeout_conf,
     )
+
+
+def tws_available() -> bool:
+    """True when transformWithStateInPandas can actually run: the TWS
+    Python runner speaks protobuf to the JVM state server, so the
+    API exists in pyspark 4.x but crashes without google.protobuf."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_dispatch_counts_tws(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Spark 4-native arbitrary-state dispatcher: same contract as
+    :func:`stateful_dispatch_counts` (per-key running count + exact
+    cents sum, one row per key per micro-batch) built on
+    ``transformWithStateInPandas`` — the successor API with typed
+    state variables, timers and TTL.
+
+    Requirements (probed by :func:`tws_available`): google.protobuf
+    in the Python env, and the RocksDB state store
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) on the session. On a
+    batch frame, falls back to the identical decimal-exact groupBy so
+    the operator stays oracle-testable everywhere.
+    """
+    import pandas as pd
+
+    if not events.isStreaming:
+        return events.groupBy(F.col(key_col).alias("key")).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf, which is "
+            "not installed in this environment; use "
+            "stateful_dispatch_counts (applyInPandasWithState) instead"
+        )
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState("agg", "n long, total_cents long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, cents = self.state.get() if self.state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int((pdf[value_col] * 100).round().sum())
+            self.state.update((n, cents))
+            yield pd.DataFrame(
+                [{"key": key[0], "n": n, "total": cents / 100.0}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    df = _with_watermark(events, ts_col, watermark)
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningAgg(),
+        outputStructType="key string, n long, total double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -347,3 +347,53 @@ def test_orc_and_text_roundtrip(spark, tmp_path):
     df.select(F.col("v")).write.mode("overwrite").text(txt_path)
     lines = read_text(spark, txt_path)
     assert lines.count() == 100 and lines.columns == ["value"]
+
+
+def _ref_morton(x: int, y: int, bits: int) -> int:
+    out = 0
+    for i in range(bits):
+        out |= ((x >> i) & 1) << (2 * i + 1)
+        out |= ((y >> i) & 1) << (2 * i)
+    return out
+
+
+def test_zorder_key_matches_reference(spark):
+    from dataflowex_spark.sources import zorder_key
+
+    pts = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key([F.col("x"), F.col("y")], bits=3).alias("z")
+        ).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _ref_morton(x, y, 3), (x, y)
+
+
+def test_write_zordered_clusters_every_dimension(spark, tmp_path):
+    """Z-order layout: per-file value ranges shrink on BOTH cluster
+    columns (a 1-D sort only tightens the leading one)."""
+    import glob
+
+    from dataflowex_spark.sources import write_zordered
+
+    pts = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    out = str(tmp_path / "zordered")
+    write_zordered(df, out, ["x", "y"], bits=6, n_files=16)
+
+    spans = {"x": [], "y": []}
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) >= 8
+    for f in files:
+        part = spark.read.parquet(f)
+        s = part.agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y")
+        ).first()
+        spans["x"].append(s[1] - s[0])
+        spans["y"].append(s[3] - s[2])
+    for c in ("x", "y"):
+        avg_span = sum(spans[c]) / len(spans[c])
+        assert avg_span < 0.8 * 63, (c, avg_span)

@@ -227,3 +227,54 @@ def test_upsert_sink_idempotent_across_replay(spark, sf_dir, tmp_path):
     )
     assert n2 == 0
     assert spark.read.parquet(path).count() == total
+
+
+def test_tws_batch_fallback_matches_apply_in_pandas_variant(spark, sf_dir):
+    """The transformWithStateInPandas dispatcher shares the batch
+    contract with the applyInPandasWithState one."""
+    from dataflowex_spark.catalog import Catalog
+    from dataflowex_spark.streaming.ops import (
+        stateful_dispatch_counts,
+        stateful_dispatch_counts_tws,
+    )
+
+    ev = Catalog(spark, sf_dir)["events"]
+    a = {r.key: (r.n, r.total) for r in stateful_dispatch_counts(ev).collect()}
+    b = {r.key: (r.n, r.total) for r in stateful_dispatch_counts_tws(ev).collect()}
+    assert a == b and len(a) > 0
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "dataflowex_spark.streaming.ops", fromlist=["tws_available"]
+    ).tws_available(),
+    reason="google.protobuf not installed — TWS python runner cannot start",
+)
+def test_tws_streaming_running_totals(spark, sf_dir):
+    """Streamed TWS totals converge to the batch aggregate (final
+    update per key == full-data aggregate)."""
+    from dataflowex_spark.catalog import Catalog
+    from dataflowex_spark.streaming.ops import (
+        file_replay_stream,
+        run_to_memory,
+        stateful_dispatch_counts_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = file_replay_stream(spark, f"{sf_dir}/events.parquet", n_chunks=4)
+    out, name = run_to_memory(
+        stateful_dispatch_counts_tws(stream), output_mode="update"
+    )
+    import pyspark.sql.functions as F
+
+    last = (
+        out.withColumn("_i", F.monotonically_increasing_id())
+        .groupBy("key")
+        .agg(F.max_by(F.struct("n", "total"), "_i").alias("s"))
+        .select("key", "s.n", "s.total")
+    )
+    batch = stateful_dispatch_counts_tws(Catalog(spark, sf_dir)["events"])
+    assert {tuple(r) for r in last.collect()} == {tuple(r) for r in batch.collect()}
