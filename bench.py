@@ -42,6 +42,8 @@ HEADLINE = [
     "q82_knn_cosine",
     "q83_text_stats",
     "q89_tfidf_top_term",
+    "q109_winnow_fingerprint",
+    "q112_small_qty_revenue",
 ]
 
 

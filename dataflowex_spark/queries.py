@@ -2059,7 +2059,9 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataflowex_spark.operators.dedup import decontaminate
 
     cat = Catalog(spark, sf_dir)
-    docs = cat["documents"]
+    # single-file local source → 3 input splits; 13-gram shingling is
+    # CPU-bound, so spread it (no-op cost at real split counts)
+    docs = cat["documents"].repartition(spark.sparkContext.defaultParallelism)
     bench = docs.filter(F.col("source") == "src0")
     corpus = docs.filter(F.col("source") != "src0")
     return decontaminate(corpus, bench, n=13).select("doc_id", "source")
@@ -2411,7 +2413,11 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataflowex_spark.operators.text import winnow_fingerprints
 
     cat = Catalog(spark, sf_dir)
-    return winnow_fingerprints(cat["documents"], k=3, w=4)
+    # local-file artifact: one parquet file = 3 input splits, but the
+    # gram hashing is CPU-bound — spread it across all cores. At real
+    # scale the input arrives in many splits and this is a no-op cost.
+    docs = cat["documents"].repartition(spark.sparkContext.defaultParallelism)
+    return winnow_fingerprints(docs, k=3, w=4)
 
 
 @q(

@@ -97,12 +97,44 @@ def check_word_shingles_match_python(texts, k):
         assert got[i] == py_shingles(t, k), (k, repr(t))
 
 
+def py_winnow(s: str, k: int, w: int):
+    import hashlib
+
+    grams = py_shingles(s, k)
+    tags = [
+        hashlib.md5(g.encode()).hexdigest() + ":" + str(i).zfill(8)
+        for i, g in enumerate(grams)
+    ]
+    sel = {min(tags[i : i + w]) for i in range(max(len(tags) - (w - 1), 1))}
+    return {(t[:32], int(t[33:])) for t in sel}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(TEXT, min_size=1, max_size=15),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=2, max_value=6),
+)
+def check_winnow_matches_python(texts, k, w):
+    from dataflowex_spark.operators.text import winnow_fingerprints
+
+    spark = check_winnow_matches_python._spark
+    df = spark.createDataFrame([Row(i=i, text=t) for i, t in enumerate(texts)])
+    got = {}
+    for r in winnow_fingerprints(df, id_col="i", text_col="text", k=k, w=w).collect():
+        got.setdefault(r.i, set()).add((r.fp_hash, r.fp_pos))
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == py_winnow(t, k, w), (k, w, repr(t))
+
+
 def test_randomized_text_properties(spark):
     """Run the hypothesis properties with the session fixture bound
     (hypothesis can't take pytest fixtures directly)."""
     check_token_count_matches_python._spark = spark
     check_fingerprint_matches_python._spark = spark
     check_word_shingles_match_python._spark = spark
+    check_winnow_matches_python._spark = spark
     check_token_count_matches_python()
     check_fingerprint_matches_python()
     check_word_shingles_match_python()
+    check_winnow_matches_python()

@@ -79,6 +79,7 @@ def main():
     from dataflowex_spark.operators.windows import global_ntile
     from dataflowex_spark.operators.dedup import decontaminate
     from dataflowex_spark.operators.joins import range_join_binned
+    from dataflowex_spark.operators.text import winnow_fingerprints
 
     def load(d, t):
         df = spark.read.parquet(f"{d}/{t}.parquet")
@@ -105,9 +106,17 @@ def main():
         bench(
             f"decontaminate(docs) {label}",
             lambda: decontaminate(
-                docs.filter(F.col("source") != "src0"),
+                docs.repartition(spark.sparkContext.defaultParallelism).filter(
+                    F.col("source") != "src0"
+                ),
                 docs.filter(F.col("source") == "src0"),
                 n=13,
+            ).count(),
+        )
+        bench(
+            f"winnow_fingerprints(docs) {label}",
+            lambda: winnow_fingerprints(
+                docs.repartition(spark.sparkContext.defaultParallelism)
             ).count(),
         )
         bench(
