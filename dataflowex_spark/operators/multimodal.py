@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
 Decode reality in this container: uncompressed netpbm (P5/P6) images
-decode and resize FOR REAL (pure numpy — tested end to end through
-mapInPandas); compressed formats (JPEG/PNG/audio/video) need codec
-libraries absent here, so their decode raises NotImplementedError
-(or runs a clearly-marked deterministic fake) while everything
-Spark-cares-about — schema, Arrow batch shape, mapInPandas
-signatures, partitioning — is real and tested.
+decode and resize FOR REAL (pure numpy), and RIFF/PCM WAV audio
+decodes, featurizes and resamples FOR REAL (stdlib wave + numpy) —
+both tested end to end through mapInPandas. Compressed formats
+(JPEG/PNG/mp3/ogg/video) need codec libraries absent here, so their
+decode raises NotImplementedError (or runs a clearly-marked
+deterministic fake) while everything Spark-cares-about — schema,
+Arrow batch shape, mapInPandas signatures, partitioning — is real
+and tested.
 
 Pattern (SURVEY.md §2-B multimodal): a media column is
 ``STRUCT<uri: string, media_type: string, payload: binary,
@@ -232,5 +234,146 @@ def resize_images(
                     }
                 )
             yield pd.DataFrame(out, columns=["uri", "width", "height", "payload"])
+
+    return df.select(media_col).mapInPandas(gen, schema=out_schema)
+
+
+def encode_wav(samples, rate: int = 16_000) -> bytes:
+    """Encode an int16 ndarray [n] (mono) or [n, ch] as RIFF/PCM WAV
+    — roundtrip partner of :func:`decode_audio` (tests synthesize
+    real audio payloads with it). Pure stdlib (wave + BytesIO)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    ch = 1 if arr.ndim == 1 else arr.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(ch)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Audio decode: REAL for RIFF/PCM WAV via stdlib wave + numpy —
+    returns {sample_rate, channels, n_samples, duration_s, samples
+    (ndarray[n, ch] int16)}. Compressed codecs (mp3/ogg/flac) need
+    libraries absent in this container → NotImplementedError (wire
+    ffmpeg/soundfile here at deploy time)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload is None:
+        raise ValueError("decode_audio: payload is None (pointer-only row)")
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed-audio decode requires a codec library not present "
+            "in this environment; wire ffmpeg/soundfile here at deploy "
+            "time (RIFF/PCM WAV decodes natively)"
+        )
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            ch, width, rate, n = (
+                wf.getnchannels(),
+                wf.getsampwidth(),
+                wf.getframerate(),
+                wf.getnframes(),
+            )
+            raw = wf.readframes(n)
+    except wave.Error as e:  # non-PCM WAV (e.g. float/ADPCM)
+        raise NotImplementedError(f"non-PCM WAV unsupported natively: {e}")
+    if width != 2:
+        raise NotImplementedError("only 16-bit PCM decoded natively")
+    arr = np.frombuffer(raw, dtype=np.int16).reshape(-1, ch)
+    return {
+        "sample_rate": rate,
+        "channels": ch,
+        "n_samples": arr.shape[0],
+        "duration_s": arr.shape[0] / rate,
+        "samples": arr,
+    }
+
+
+def extract_audio_features(
+    df: DataFrame,
+    media_col: str = "media",
+) -> DataFrame:
+    """mapInPandas audio featurization: duration, rate, channels,
+    RMS and peak amplitude (normalized to [-1, 1]) per media row.
+    Real decode for PCM WAV payloads; pointer-only/compressed rows
+    yield null features instead of failing the batch (curation
+    pipelines quarantine them downstream via the null flag)."""
+    import numpy as np
+
+    out_schema = (
+        "uri string, sample_rate int, channels int, duration_s double, "
+        "rms double, peak double"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["uri", "sample_rate", "channels", "duration_s", "rms", "peak"]
+        for pdf in batches:
+            rows = []
+            for m in pdf[media_col]:
+                uri = m["uri"] if m is not None else None
+                payload = m["payload"] if m is not None else None
+                rec = {c: None for c in cols}
+                rec["uri"] = uri
+                if payload is not None:
+                    try:
+                        dec = decode_audio(payload)
+                        x = dec["samples"].astype(np.float64) / 32768.0
+                        rec.update(
+                            sample_rate=dec["sample_rate"],
+                            channels=dec["channels"],
+                            duration_s=dec["duration_s"],
+                            rms=float(np.sqrt((x**2).mean())) if x.size else 0.0,
+                            peak=float(np.abs(x).max()) if x.size else 0.0,
+                        )
+                    except NotImplementedError:
+                        pass
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(media_col).mapInPandas(gen, schema=out_schema)
+
+
+def resample_audio(
+    df: DataFrame,
+    media_col: str = "media",
+    target_rate: int = 16_000,
+) -> DataFrame:
+    """Nearest-sample resample of PCM WAV payloads to ``target_rate``
+    (numpy index gather — the audio analog of the netpbm resize),
+    re-encoded as WAV. Non-WAV / pointer-only rows emit null payloads.
+    """
+    import numpy as np
+
+    out_schema = "uri string, sample_rate int, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for m in pdf[media_col]:
+                uri = m["uri"] if m is not None else None
+                payload = m["payload"] if m is not None else None
+                res = None
+                if payload is not None:
+                    try:
+                        dec = decode_audio(payload)
+                        arr, rate = dec["samples"], dec["sample_rate"]
+                        n_out = max(int(arr.shape[0] * target_rate / rate), 1)
+                        idx = (np.arange(n_out) * rate) // target_rate
+                        res = encode_wav(arr[np.minimum(idx, arr.shape[0] - 1)], target_rate)
+                    except NotImplementedError:
+                        pass
+                out.append({"uri": uri, "sample_rate": target_rate, "payload": res})
+            yield pd.DataFrame(out, columns=["uri", "sample_rate", "payload"])
 
     return df.select(media_col).mapInPandas(gen, schema=out_schema)

@@ -457,3 +457,61 @@ def test_winnow_coverage_guarantee(spark):
     n_grams = 120 - (k - 1)
     for start in range(n_grams - (w - 1)):
         assert any(start <= p < start + w for p in pos), f"window {start}"
+
+
+def test_audio_wav_roundtrip_features(spark):
+    """Real PCM-WAV decode end-to-end through mapInPandas: synthesized
+    sine waves come back with exact rate/duration and the analytic
+    RMS/peak (sine: rms = A/sqrt(2))."""
+    import math
+
+    import numpy as np
+
+    from dataflowex_spark.operators.multimodal import (
+        encode_wav,
+        extract_audio_features,
+    )
+
+    rate = 8000
+    t = np.arange(rate * 2)  # 2 seconds
+    amp = 0.5
+    sine = (amp * 32767 * np.sin(2 * np.pi * 440 * t / rate)).astype(np.int16)
+    wav = encode_wav(sine, rate)
+    rows = [
+        Row(uri="mem://a.wav", media_type="audio/wav", payload=bytearray(wav), meta={}),
+        Row(uri="mem://missing.mp3", media_type="audio/mp3", payload=None, meta={}),
+    ]
+    df = spark.createDataFrame(
+        rows, "uri string, media_type string, payload binary, meta map<string,string>"
+    ).select(F.struct("uri", "media_type", "payload", "meta").alias("media"))
+    got = {r.uri: r for r in extract_audio_features(df).collect()}
+    a = got["mem://a.wav"]
+    assert a.sample_rate == rate and a.channels == 1
+    assert abs(a.duration_s - 2.0) < 1e-9
+    assert abs(a.rms - amp / math.sqrt(2)) < 0.01
+    assert abs(a.peak - amp) < 0.01
+    # pointer-only row: null features, not a crashed batch
+    assert got["mem://missing.mp3"].sample_rate is None
+
+
+def test_audio_resample_halves_samples(spark):
+    import numpy as np
+
+    from dataflowex_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+        resample_audio,
+    )
+
+    rate = 16000
+    sine = (
+        0.3 * 32767 * np.sin(2 * np.pi * 220 * np.arange(rate) / rate)
+    ).astype(np.int16)
+    df = spark.createDataFrame(
+        [Row(uri="mem://b.wav", media_type="audio/wav", payload=bytearray(encode_wav(sine, rate)), meta={})],
+        "uri string, media_type string, payload binary, meta map<string,string>",
+    ).select(F.struct("uri", "media_type", "payload", "meta").alias("media"))
+    out = resample_audio(df, target_rate=8000).collect()[0]
+    dec = decode_audio(bytes(out.payload))
+    assert dec["sample_rate"] == 8000
+    assert dec["n_samples"] == rate // 2
