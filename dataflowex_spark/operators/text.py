@@ -153,3 +153,65 @@ def tf_idf(
             ).alias("tfidf"),
         )
     )
+
+
+def line_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 4,
+    banned: tuple[str, ...] = ("{",),
+    out_col: str = "cleaned",
+) -> DataFrame:
+    """C4-style line-level boilerplate removal: split the document on
+    newlines, keep lines with ≥ ``min_tokens`` whitespace tokens and
+    none of the ``banned`` substrings (nav menus / code fragments),
+    rejoin. Adds (out_col, n_lines_kept, n_lines_dropped).
+
+    Pure array exprs — the whole pass runs inside the scan stage; the
+    per-line token count reuses the canonical whitespace definition.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(line):
+        cond = F.size(tokens(line)) >= min_tokens
+        for b in banned:
+            cond = cond & ~line.contains(b)
+        return cond
+
+    kept = F.filter(lines, keep)
+    return df.withColumns(
+        {
+            "n_lines_kept": F.size(kept),
+            "n_lines_dropped": F.size(lines) - F.size(kept),
+            out_col: F.array_join(kept, "\n"),
+        }
+    )
+
+
+# PII patterns spelled to parse identically under Java regex (Spark)
+# and RE2 (DuckDB oracle): no \d, no \b.
+EMAIL_REGEX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_REGEX = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "scrubbed",
+) -> DataFrame:
+    """PII scrubbing for training corpora: replace emails and
+    NNN-NNN-NNNN phone numbers with <EMAIL>/<PHONE> placeholders and
+    count what was removed. regexp_replace/regexp_extract_all are
+    JVM-side — scan-speed over 100 TB, no UDFs."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_emails": F.size(F.regexp_extract_all(t, F.lit(EMAIL_REGEX), F.lit(0))),
+            "n_phones": F.size(F.regexp_extract_all(t, F.lit(PHONE_REGEX), F.lit(0))),
+            out_col: F.regexp_replace(
+                F.regexp_replace(t, EMAIL_REGEX, "<EMAIL>"),
+                PHONE_REGEX,
+                "<PHONE>",
+            ),
+        }
+    )

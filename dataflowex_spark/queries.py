@@ -2579,3 +2579,99 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@q(
+    "q114_line_filter",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             text || chr(10) || 'short line' || chr(10) ||
+             'menu { nav } home' || chr(10) ||
+             repeat('w ', CAST(2 + doc_id % 4 AS INTEGER)) AS t2
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, string_split(t2, chr(10)) AS lines FROM d
+    ), f AS (
+      SELECT doc_id, lines,
+             list_filter(
+               lines,
+               l -> len(list_filter(string_split_regex(l, '__WS__'), x -> x <> '')) >= 4
+                    AND NOT contains(l, '{')
+             ) AS kept
+      FROM parts
+    )
+    SELECT doc_id,
+           CAST(len(kept) AS INTEGER) AS n_lines_kept,
+           CAST(len(lines) - len(kept) AS INTEGER) AS n_lines_dropped,
+           array_to_string(kept, chr(10)) AS cleaned
+    FROM f
+    """,
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate filter. The fixture corpus has
+    no newlines, so each doc gets deterministic synthetic lines
+    appended (a short line, a {nav} fragment, and a doc_id-length-
+    varied stub) — the filter keeps >=4-token lines without '{'.
+    Scan-local array exprs, zero shuffles."""
+    from dataflowex_spark.operators.text import line_quality_filter
+
+    cat = Catalog(spark, sf_dir)
+    d = cat["documents"].select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("short line"),
+            F.lit("menu { nav } home"),
+            F.expr("repeat('w ', CAST(2 + doc_id % 4 AS INT))"),
+        ).alias("t2"),
+    )
+    return line_quality_filter(d, text_col="t2", min_tokens=4).select(
+        "doc_id", "n_lines_kept", "n_lines_dropped", "cleaned"
+    )
+
+
+@q(
+    "q115_pii_scrub",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or 555-' ||
+             lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+           regexp_replace(
+             regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+    FROM d
+    """,
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails + NNN-NNN-NNNN phones -> placeholders,
+    with removal counts). Deterministic synthetic PII is appended per
+    doc (fixtures contain none) so the gate is non-vacuous. Pure
+    regexp exprs — scan-speed, no UDFs."""
+    from dataflowex_spark.operators.text import scrub_pii
+
+    cat = Catalog(spark, sf_dir)
+    d = cat["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t2"),
+    )
+    return scrub_pii(d, text_col="t2").select(
+        "doc_id", "n_emails", "n_phones", "scrubbed"
+    )

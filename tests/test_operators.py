@@ -515,3 +515,35 @@ def test_audio_resample_halves_samples(spark):
     dec = decode_audio(bytes(out.payload))
     assert dec["sample_rate"] == 8000
     assert dec["n_samples"] == rate // 2
+
+
+def test_line_quality_filter(spark):
+    from dataflowex_spark.operators.text import line_quality_filter
+
+    doc = "\n".join(
+        [
+            "this line has plenty of tokens to keep",
+            "too short",
+            "a curly brace line with many tokens { dropped anyway }",
+            "another good line with five tokens",
+        ]
+    )
+    out = line_quality_filter(
+        spark.createDataFrame([Row(doc_id=1, text=doc)]), min_tokens=4
+    ).collect()[0]
+    assert out.n_lines_kept == 2 and out.n_lines_dropped == 2
+    assert out.cleaned.splitlines() == [
+        "this line has plenty of tokens to keep",
+        "another good line with five tokens",
+    ]
+
+
+def test_scrub_pii(spark):
+    from dataflowex_spark.operators.text import scrub_pii
+
+    txt = "mail a.b-c_1@foo.co.uk or x@y.io, call 555-123-4567; not 12-34."
+    out = scrub_pii(
+        spark.createDataFrame([Row(doc_id=1, text=txt)])
+    ).collect()[0]
+    assert out.n_emails == 2 and out.n_phones == 1
+    assert out.scrubbed == "mail <EMAIL> or <EMAIL>, call <PHONE>; not 12-34."
