@@ -1,7 +1,7 @@
 """End-to-end training-corpus pipeline — the engine's operators
 composed the way a 100 TB data-curation job would run them:
 
-    ingest → validate → quality filter → exact dedup →
+    ingest → validate → PII scrub → quality filter → exact dedup →
     near-dup clustering (MinHash LSH + connected components) →
     benchmark decontamination (13-gram overlap) →
     deterministic train/test split → sorted write
@@ -25,6 +25,7 @@ from dataflowex_spark.operators.dedup import (
     dedup_minhash_lsh,
 )
 from dataflowex_spark.operators.sampling import train_test_split
+from dataflowex_spark.operators.text import scrub_pii
 from dataflowex_spark.sources import write_sorted
 
 
@@ -41,6 +42,15 @@ def curate_corpus(
     per-stage row counts (the run report)."""
     docs = Catalog(spark, sf_dir)["documents"]
     report: dict[str, int] = {"ingested": docs.count()}
+
+    # 0. PII scrub — replace emails/phones BEFORE anything hashes or
+    # splits text, so no raw identifier survives into any artifact
+    # (same scan stage as the quality pass; no extra job)
+    docs = (
+        scrub_pii(docs)
+        .drop("text", "n_emails", "n_phones")
+        .withColumnRenamed("scrubbed", "text")
+    )
 
     # 1. validate + quality filter (single codegen'd scan stage)
     filtered = docs.filter(
