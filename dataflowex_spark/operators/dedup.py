@@ -379,6 +379,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Asymmetric n-gram containment |A∩B| / |A|: catches SUBSUMED
+    documents (a short doc quoted whole inside a long one scores
+    ~|A|/|B| on symmetric Jaccard — arbitrarily low — but 1.0 on
+    containment). Directed output (id_a contained-in id_b).
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs`:
+    candidates materialize only through the shared-gram equi-join;
+    quadratic worst case, so at full scale run it as the exact
+    verifier behind MinHash/LSH candidate generation.
+    """
+    grams = F.array_distinct(word_shingles(F.col(text_col), n))
+    g = df.select(F.col(id_col), grams.alias("grams"))
+    sizes = g.select(id_col, F.size("grams").alias("n_grams"))
+    ex = g.select(id_col, F.explode("grams").alias("gram"))
+    a = ex.select(F.col(id_col).alias("id_a"), "gram")
+    b = ex.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (
+        a.join(b, on="gram")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    return (
+        inter.join(sa, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter") / F.col("na")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def dedup_minhash_mllib(
     df: DataFrame,
     text_col: str = "text",

@@ -2675,3 +2675,91 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_pii(d, text_col="t2").select(
         "doc_id", "n_emails", "n_phones", "scrubbed"
     )
+
+
+@q(
+    "q116_event_paths",
+    """
+    WITH seqs AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS tys
+      FROM events GROUP BY user_id
+    ), paths AS (
+      SELECT unnest([array_to_string(tys[i : i + 2], '>')
+                     FOR i IN range(1, len(tys) - 1)]) AS path
+      FROM seqs WHERE len(tys) >= 3
+    )
+    SELECT path, COUNT(*) AS n
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: top-10 3-event sequences across user journeys.
+    Per-user ordered type sequence (one hash agg; per-user state is
+    bounded), 3-grams via the shifted zip_with chain (scan-local),
+    global top-10 = TakeOrdered with a total tie-break order."""
+    cat = Catalog(spark, sf_dir)
+    seqs = (
+        cat["events"]
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ).alias("tys")
+        )
+        .filter(F.size("tys") >= 3)
+    )
+    m = F.size("tys") - 2
+    acc = F.slice("tys", 1, m)
+    for j in range(1, 3):
+        acc = F.zip_with(
+            acc,
+            F.slice("tys", F.lit(j + 1), m),
+            lambda x, y: F.concat(x, F.lit(">"), y),
+        )
+    return (
+        seqs.select(F.explode(acc).alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
+
+
+@q(
+    "q117_containment",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '__WS__'), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS g
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, len(g) AS ng FROM grams),
+    ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(n_inter AS DOUBLE) / sa.ng AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+    WHERE CAST(n_inter AS DOUBLE) / sa.ng >= 0.9
+    """,
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (subsumed/quoted documents):
+    directed pairs where >=90% of A's word 3-grams appear in B.
+    Bit-equal oracle: identical shingle sets on both engines and one
+    IEEE division on identical integers."""
+    from dataflowex_spark.operators.dedup import ngram_containment_pairs
+
+    cat = Catalog(spark, sf_dir)
+    return ngram_containment_pairs(cat["documents"], n=3, threshold=0.9)

@@ -265,3 +265,24 @@ def test_minhash_lsh_cross_novelty_filter(spark):
     novel = new.join(hits.select("id_a").distinct(),
                      new["doc_id"] == F.col("id_a"), "left_anti")
     assert {r.doc_id for r in novel.collect()} == {101}
+
+
+def test_containment_catches_subsumed_doc(spark):
+    """A short doc quoted whole inside a long one: symmetric Jaccard
+    is low (misses it) but containment is 1.0 (catches it), and the
+    direction is short-contained-in-long only."""
+    from dataflowex_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    long = filler + " " + short + " " + " ".join(f"z{i} q{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=short), Row(doc_id=2, text=long)]
+    )
+    jac = ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert jac == []  # symmetric metric misses the subsumption
+    cont = ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b, r.containment) for r in cont] == [(1, 2, 1.0)]
