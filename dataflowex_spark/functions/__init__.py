@@ -12,6 +12,7 @@ from dataflowex_spark.functions.vectors import (
     normalize,
 )
 from dataflowex_spark.functions.text import (
+    bind,
     token_count,
     tokens,
     char_ngrams,
@@ -25,6 +26,7 @@ __all__ = [
     "l2_norm",
     "cosine_similarity",
     "normalize",
+    "bind",
     "token_count",
     "tokens",
     "char_ngrams",

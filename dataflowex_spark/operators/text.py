@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from dataflowex_spark.functions.text import (
     WS_REGEX,
+    bind,
     quality_score,
     rolling_fingerprint,
     token_count,
@@ -98,18 +99,24 @@ def winnow_fingerprints(
             F.md5(g), F.lit(":"), F.lpad(i.cast("string"), 8, "0")
         ),
     )
-    n = F.size(tags)
-    m = F.greatest(n - (w - 1), F.lit(1))
-    acc = F.slice(tags, 1, m)
-    for j in range(1, w):
-        nxt = F.slice(tags, F.lit(j + 1), m)  # tail windows: NULL-padded
-        acc = F.zip_with(
-            acc,
-            nxt,
-            lambda a, b: F.when(b.isNull() | (a <= b), a).otherwise(b),
-        )
+
+    def window_min(t):
+        n = F.size(t)
+        m = F.greatest(n - (w - 1), F.lit(1))
+        acc = F.slice(t, 1, m)
+        for j in range(1, w):
+            nxt = F.slice(t, F.lit(j + 1), m)  # tail windows: NULL-padded
+            acc = F.zip_with(
+                acc,
+                nxt,
+                lambda a, b: F.when(b.isNull() | (a <= b), a).otherwise(b),
+            )
+        return F.array_distinct(acc)
+
+    # let-bind the tag array: w slices + the size() refs would otherwise
+    # re-evaluate shingling+md5 per reference (measured 17 s → 1.3 s)
     return df.select(
-        F.col(id_col), F.explode(F.array_distinct(acc)).alias("_tag")
+        F.col(id_col), F.explode(bind(tags, window_min)).alias("_tag")
     ).select(
         id_col,
         F.substring("_tag", 1, 32).alias("fp_hash"),
