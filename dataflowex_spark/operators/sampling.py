@@ -40,6 +40,46 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
 
 
+def portable_bucket(col, buckets: int = 10_000):
+    """Cross-engine deterministic bucket in [0, buckets): first 15 hex
+    digits of md5(value-as-string) → bigint, mod buckets.
+
+    md5 of the UTF-8 string is identical in Spark, DuckDB, and Python,
+    so a sample defined this way is reproducible — and auditable — by
+    ANY engine, a property xxhash64 (Spark-only) can't give. 15 hex
+    digits = 60 bits, safely inside a signed bigint.
+
+    DuckDB spelling of the same bucket:
+    ``CAST(('0x' || substr(md5(CAST(x AS VARCHAR)),1,15)) AS BIGINT) % buckets``
+    """
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+    return F.pmod(h.cast("bigint"), F.lit(buckets))
+
+
+def stratified_sample_hash(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    id_col: str,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its portable
+    id-bucket falls below ``fraction × buckets`` for its stratum.
+
+    Same class-balance tool as :func:`stratified_sample`, but hash-
+    keyed off the stable id instead of RNG state — reruns, backfills,
+    and other engines (the DuckDB oracle) reproduce the exact row set.
+    Strata absent from ``fractions`` are dropped (sampleBy semantics).
+    Scan-side filter, no shuffle."""
+    cut = None
+    for stratum, frac in fractions.items():
+        c = F.lit(int(round(frac * buckets)))
+        cond = F.col(strata_col) == stratum
+        cut = F.when(cond, c) if cut is None else cut.when(cond, c)
+    cut = cut.otherwise(F.lit(0))
+    return df.filter(portable_bucket(F.col(id_col), buckets) < cut)
+
+
 def deterministic_downsample(
     df: DataFrame,
     id_col: str,

@@ -1729,16 +1729,31 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("q93_stratified_sample", None)  # rows-only: RNG is engine-specific
+@q(
+    "q93_stratified_sample",
+    """
+    SELECT lang, COUNT(*) AS n FROM (
+      SELECT lang FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+              % 10000 <
+            CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+                      WHEN 'es' THEN 5000  WHEN 'fr' THEN 2500
+                      WHEN 'zh' THEN 1000  ELSE 0 END
+    ) t GROUP BY lang
+    """,
+)
 def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Class-balanced sampling: keep langs at different rates."""
-    from dataflowex_spark.operators.sampling import stratified_sample
+    """Class-balanced sampling: keep langs at different rates.
+    Hash-keyed (portable md5 bucket of doc_id), so the exact kept-row
+    set is engine-independent — oracle-checked, not rows-only."""
+    from dataflowex_spark.operators.sampling import stratified_sample_hash
 
     cat = Catalog(spark, sf_dir)
-    out = stratified_sample(
+    out = stratified_sample_hash(
         cat["documents"],
         "lang",
         {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.1},
+        id_col="doc_id",
     )
     return out.groupBy("lang").agg(F.count("*").alias("n"))
 

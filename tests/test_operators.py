@@ -294,6 +294,39 @@ def test_train_test_split_deterministic_and_sized(spark, sf_dir):
     assert s1.select("doc_id", "split").exceptAll(s3.select("doc_id", "split")).count() == 0
 
 
+def test_stratified_sample_hash_portable(spark, sf_dir):
+    """Hash-keyed stratified sample: per-stratum rates hold, the kept
+    set is partition-invariant, and the bucket matches a pure-Python
+    md5 reference (the cross-engine portability contract)."""
+    import hashlib
+
+    from dataflowex_spark.operators.sampling import (
+        portable_bucket,
+        stratified_sample_hash,
+    )
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    fr = {"en": 1.0, "de": 0.5, "zh": 0.1}
+    kept = stratified_sample_hash(docs, "lang", fr, id_col="doc_id")
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").count()
+            .withColumnRenamed("count", "n").collect()}
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").count()
+           .withColumnRenamed("count", "n").collect()}
+    assert set(got) <= set(fr)           # unlisted strata dropped
+    assert got["en"] == base["en"]       # fraction 1.0 keeps everything
+    assert 0.3 < got["de"] / base["de"] < 0.7
+    assert got.get("zh", 0) / base["zh"] < 0.25
+    # partition-invariant
+    kept2 = stratified_sample_hash(docs.repartition(7), "lang", fr, id_col="doc_id")
+    assert kept.select("doc_id").exceptAll(kept2.select("doc_id")).count() == 0
+    # bucket == python md5 reference
+    rows = docs.select("doc_id", portable_bucket(F.col("doc_id")).alias("b")) \
+        .limit(50).collect()
+    for r in rows:
+        ref = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16) % 10_000
+        assert r["b"] == ref
+
+
 def test_deterministic_downsample(spark, sf_dir):
     from dataflowex_spark.operators.sampling import deterministic_downsample
 
