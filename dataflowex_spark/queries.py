@@ -2778,3 +2778,52 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     return ngram_containment_pairs(cat["documents"], n=3, threshold=0.9)
+
+
+@q(
+    "q118_sequence_packing",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split_regex(text, '__WS__'), t -> t <> ''))
+               AS n_tok,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ), packed AS (
+      SELECT source, doc_id, rn, n_tok,
+             CAST(0 AS BIGINT) AS seq_id, n_tok AS acc
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.source, t.doc_id, t.rn, t.n_tok,
+             CASE WHEN p.acc + t.n_tok <= 512 THEN p.seq_id
+                  ELSE p.seq_id + 1 END,
+             CASE WHEN p.acc + t.n_tok <= 512 THEN p.acc + t.n_tok
+                  ELSE t.n_tok END
+      FROM packed p JOIN toks t ON t.source = p.source AND t.rn = p.rn + 1
+    )
+    SELECT source, seq_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+           CAST(SUM(n_tok) AS DOUBLE) / 512 AS fill_ratio
+    FROM packed GROUP BY source, seq_id
+    """,
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy next-fit binning of documents into
+    512-token training sequences per source (the padding-waste
+    eliminator of an LLM pre-training pipeline). Token counts stay
+    JVM-side; only (source, doc_id, n_tok) crosses Arrow. The DuckDB
+    oracle replays the same greedy scan as a recursive CTE; fill_ratio
+    is an exact IEEE division by 2^9, so the hash gate is bit-strict."""
+    from dataflowex_spark.functions.text import token_count
+    from dataflowex_spark.operators.packing import pack_sequences, packing_stats
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"].select(
+        "source",
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+    )
+    packed = pack_sequences(
+        docs, group_col="source", id_col="doc_id", n_tokens_col="n_tok", budget=512
+    )
+    return packing_stats(packed, "source", "n_tok", budget=512)

@@ -580,3 +580,45 @@ def test_scrub_pii(spark):
     ).collect()[0]
     assert out.n_emails == 2 and out.n_phones == 1
     assert out.scrubbed == "mail <EMAIL> or <EMAIL>, call <PHONE>; not 12-34."
+
+
+def test_pack_sequences_greedy_invariants(spark, sf_dir):
+    """Packing: every doc exactly once, budget respected except for
+    oversized singletons, ids within a sequence contiguous in order,
+    partition-invariant, and shards>1 still respects the budget."""
+    from dataflowex_spark.functions.text import token_count
+    from dataflowex_spark.operators.packing import pack_sequences, packing_stats
+
+    docs = Catalog(spark, sf_dir)["documents"].select(
+        "source", "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tok")
+    )
+    budget = 128
+    packed = pack_sequences(docs, "source", "doc_id", "n_tok", budget=budget)
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+
+    stats = packing_stats(packed, "source", "n_tok", budget=budget)
+    over = stats.filter((F.col("seq_tokens") > budget) & (F.col("n_docs") > 1))
+    assert over.count() == 0  # only oversized single docs may exceed
+
+    # greedy next-fit never leaves room a following doc could have used:
+    # within a source, sequence ids are non-decreasing in doc_id order
+    rows = packed.orderBy("source", "doc_id").collect()
+    last = {}
+    for r in rows:
+        assert r["seq_id"] >= last.get(r["source"], 0)
+        last[r["source"]] = r["seq_id"]
+
+    # partition-invariant
+    packed2 = pack_sequences(
+        docs.repartition(7), "source", "doc_id", "n_tok", budget=budget
+    )
+    assert packed.exceptAll(packed2).count() == 0
+
+    # sharded variant: still exactly-once and budget-true
+    sharded = pack_sequences(docs, "source", "doc_id", "n_tok", budget=budget, shards=4)
+    assert sharded.count() == docs.count()
+    sstats = sharded.groupBy("source", "shard", "seq_id").agg(
+        F.sum("n_tok").alias("t"), F.count("*").alias("n")
+    )
+    assert sstats.filter((F.col("t") > budget) & (F.col("n") > 1)).count() == 0
