@@ -8,7 +8,7 @@ row in the same split — the property that matters when the corpus is
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def train_test_split(
@@ -78,6 +78,58 @@ def stratified_sample_hash(
         cut = F.when(cond, c) if cut is None else cut.when(cond, c)
     cut = cut.otherwise(F.lit(0))
     return df.filter(portable_bucket(F.col(id_col), buckets) < cut)
+
+
+def rebalance_mixture(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    targets: dict[str, float],
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Downsample groups so the surviving corpus matches a target
+    mixture (the data-mixing step of pre-training: 'the final corpus
+    should be 50% web, 30% code, 20% books').
+
+    Keeps the LARGEST corpus consistent with the targets: capacity
+    ``cap = min_g(n_g / p_g)`` (the scarcest group relative to its
+    share binds), then each group keeps fraction ``p_g·cap / n_g`` of
+    its rows. Selection is by portable md5 bucket of the id, so the
+    kept set is deterministic, partition-independent, and reproducible
+    by any engine. Groups absent from ``targets`` are dropped.
+
+    Scale shape: one tiny aggregate (distinct groups) broadcast back
+    onto the fact side as a scan-side filter — the corpus itself never
+    shuffles.
+    """
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in targets.items()],
+        f"`{group_col}` string, `_p` double",
+    )
+    cnt = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    # global min over the groups frame — |distinct groups| rows, fine
+    cap = F.min(F.col("_n") / F.col("_p")).over(Window.partitionBy())
+    keep = (
+        cnt.join(tgt, group_col)
+        .withColumn("_cap", cap)
+        .select(
+            group_col,
+            F.round(
+                F.least(
+                    F.lit(1.0), F.col("_p") * F.col("_cap") / F.col("_n")
+                )
+                * buckets
+            )
+            .cast("bigint")
+            .alias("_cut"),
+        )
+    )
+    return (
+        df.join(F.broadcast(keep), group_col)
+        .filter(portable_bucket(F.col(id_col), buckets) < F.col("_cut"))
+        .drop("_cut")
+    )
 
 
 def deterministic_downsample(

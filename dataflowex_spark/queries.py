@@ -2827,3 +2827,133 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, group_col="source", id_col="doc_id", n_tokens_col="n_tok", budget=512
     )
     return packing_stats(packed, "source", "n_tok", budget=512)
+
+
+@q(
+    "q119_stream_interval_join",
+    """
+    SELECT date_trunc('day', c.ts) AS day,
+           COUNT(*) AS n_attributed,
+           CAST(SUM(CAST(p."value" AS DECIMAL(18,2))) AS DOUBLE)
+             AS attributed_value
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution via the stream-stream-capable interval join: each
+    click paired with that user's purchases in the following 6 hours,
+    rolled up per click-day. Runs here on batch frames (the oracle);
+    the identical operator runs on two real streams in
+    tests/test_streaming.py with bounded join state under watermarks."""
+    from dataflowex_spark.streaming.ops import interval_join_stream
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    pairs = interval_join_stream(
+        clicks, purchases, "user_id", "click_ts", "purchase_ts",
+        tolerance="6 hours",
+    )
+    return pairs.groupBy(
+        F.date_trunc("day", "click_ts").cast("timestamp_ntz").alias("day")
+    ).agg(
+        F.count("*").alias("n_attributed"),
+        F.sum(F.col("purchase_value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("attributed_value"),
+    )
+
+
+@q(
+    "q120_mixture_rebalance",
+    """
+    WITH tgt AS (
+      SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2))
+        t(source, p)
+    ),
+    cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    k AS (
+      SELECT c.source,
+             CAST(ROUND(LEAST(1.0,
+               t.p * (SELECT MIN(c2.n / t2.p)
+                      FROM cnt c2 JOIN tgt t2 ON c2.source = t2.source)
+                 / c.n) * 10000) AS BIGINT) AS cut
+      FROM cnt c JOIN tgt t ON c.source = t.source
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN k ON d.source = k.source
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,15)) AS BIGINT)
+            % 10000 < k.cut
+    """,
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture rebalancing: downsample sources to a 50/30/20
+    target mix at the largest feasible size (the scarcest source binds
+    the capacity). Portable md5-bucket selection — the kept doc set is
+    bit-identical across engines, partitionings, and reruns."""
+    from dataflowex_spark.operators.sampling import rebalance_mixture
+
+    cat = Catalog(spark, sf_dir)
+    out = rebalance_mixture(
+        cat["documents"],
+        "source",
+        "doc_id",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+    )
+    return out.select("doc_id", "source")
+
+
+@q(
+    "q121_resample_locf",
+    """
+    WITH obs AS (
+      SELECT user_id, slot, "value" AS v_obs FROM (
+        SELECT user_id, date_trunc('day', ts) AS slot, "value",
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, date_trunc('day', ts)
+                 ORDER BY ts DESC, "value" DESC
+               ) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) t WHERE rn = 1
+    ),
+    spans AS (
+      SELECT user_id, MIN(slot) AS lo, MAX(slot) AS hi FROM obs GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS slot
+      FROM spans
+    )
+    SELECT g.user_id, g.slot,
+           last_value(o.v_obs IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.slot
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_fill,
+           o.v_obs IS NOT NULL AS observed
+    FROM grid g LEFT JOIN obs o
+      ON o.user_id = g.user_id AND o.slot = g.slot
+    """,
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: each user's purchase values
+    resampled onto a dense daily grid with last-observation-carried-
+    forward across gap days. The slot pick is a deterministic max_by
+    over (ts, value) — a hash aggregate, not a per-slot sort — and the
+    grid is generated per key from its own span (no keys×slots
+    cross-join). The oracle replays the pick as a ROW_NUMBER window."""
+    from dataflowex_spark.operators.timeseries import resample_locf
+
+    cat = Catalog(spark, sf_dir)
+    purchases = cat["events"].filter(F.col("event_type") == "purchase")
+    return resample_locf(purchases, "user_id", "ts", "value", unit="day")

@@ -143,6 +143,44 @@ def dedup_stream(
     return df.dropDuplicates(list(id_cols))
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance: str = "1 hour",
+    watermark: str | None = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Event-time interval join, stream-stream capable: pair each left
+    row with same-key right rows whose timestamp falls in
+    ``(left_ts, left_ts + tolerance]`` — the attribution/correlation
+    join (click→purchase, request→response).
+
+    On streams, BOTH sides carry watermarks and the range predicate
+    bounds how long either side is buffered: Spark evicts join state
+    once the watermark passes ``tolerance``, so state is bounded at
+    any stream length (the unbounded-state stream-stream join is the
+    classic production OOM). On batch frames the identical join
+    expression runs — the batch result IS the oracle the streaming
+    tests compare against.
+
+    Requires disjoint non-key column names between the two inputs
+    (rename upstream); the right-side key column is dropped from the
+    output. ``how`` passes through — Spark supports stream-stream
+    outer joins under the same watermark regime.
+    """
+    l = _with_watermark(left, left_ts, watermark).alias("__l")
+    r = _with_watermark(right, right_ts, watermark).alias("__r")
+    cond = (
+        (F.col(f"__l.{key}") == F.col(f"__r.{key}"))
+        & (F.col(right_ts) > F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {tolerance}"))
+    )
+    return l.join(r, cond, how).drop(F.col(f"__r.{key}"))
+
+
 def run_to_memory(
     stream_df: DataFrame,
     query_name: str | None = None,

@@ -622,3 +622,58 @@ def test_pack_sequences_greedy_invariants(spark, sf_dir):
         F.sum("n_tok").alias("t"), F.count("*").alias("n")
     )
     assert sstats.filter((F.col("t") > budget) & (F.col("n") > 1)).count() == 0
+
+
+def test_rebalance_mixture(spark, sf_dir):
+    """Mixture rebalancing: only target groups survive, the binding
+    (scarcest-relative-to-share) group is kept whole, proportions land
+    near the targets, and the kept set is partition-invariant."""
+    from dataflowex_spark.operators.sampling import rebalance_mixture
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    targets = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = rebalance_mixture(docs, "source", "doc_id", targets)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) <= set(targets)
+    full = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # capacity = min(n/p): that group's keep fraction is exactly 1.0
+    binder = min(targets, key=lambda s: full[s] / targets[s])
+    assert counts[binder] == full[binder]
+    total = sum(counts.values())
+    for s, p in targets.items():
+        # md5-bucket granularity: proportions approximate, not exact
+        assert abs(counts.get(s, 0) / total - p) < 0.1
+    out2 = rebalance_mixture(docs.repartition(7), "source", "doc_id", targets)
+    assert out.select("doc_id").exceptAll(out2.select("doc_id")).count() == 0
+
+
+def test_resample_locf(spark):
+    """LOCF resample: dense grid from first to last slot per key, gap
+    rows carry the last observation, in-slot pick is last-event
+    (value-tie-broken) deterministic."""
+    from datetime import datetime as dt
+
+    from dataflowex_spark.operators.timeseries import resample_locf
+
+    rows = [
+        ("a", dt(2024, 1, 1, 5), 1.0),
+        ("a", dt(2024, 1, 1, 7), 2.0),   # last event of day 1 ...
+        ("a", dt(2024, 1, 1, 7), 1.5),   # ... tied ts: max value wins
+        ("a", dt(2024, 1, 4, 1), 9.0),   # days 2-3 are gaps
+        ("b", dt(2024, 2, 1, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp_ntz, v double")
+    out = resample_locf(df, "k", "ts", "v", unit="day")
+    a = [
+        (r["slot"].day, r["v_fill"], r["observed"])
+        for r in out.filter(F.col("k") == "a").orderBy("slot").collect()
+    ]
+    assert a == [(1, 2.0, True), (2, 2.0, False), (3, 2.0, False), (4, 9.0, True)]
+    b = out.filter(F.col("k") == "b").collect()
+    assert len(b) == 1 and b[0]["v_fill"] == 5.0 and b[0]["observed"]

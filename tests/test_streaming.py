@@ -143,45 +143,40 @@ def test_pipeline_composes_on_streams(events_stream):
 
 
 def test_stream_stream_interval_join(spark, sf_dir):
-    """Stream-stream join with watermarks: purchases joined to the
-    same user's clicks within the preceding hour — state on both
-    sides bounded by the watermark + interval condition."""
-    purchases = file_replay_stream(spark, f"{sf_dir}/events.parquet", n_chunks=4)
-    clicks = file_replay_stream(spark, f"{sf_dir}/events.parquet", n_chunks=4)
-    p = (
-        purchases.filter(F.col("event_type") == "purchase")
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", "60 days")
-        .select(F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    """interval_join_stream on two real streams equals the same
+    operator on batch frames — exact pair set, not just counts. The
+    watermark sits beyond the data span so nothing is late; join
+    state is still bounded by watermark + interval condition."""
+    from dataflowex_spark.streaming.ops import interval_join_stream
+
+    def sides(src):
+        clicks = src.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = src.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        return clicks, purchases
+
+    sc, _ = sides(file_replay_stream(spark, f"{sf_dir}/events.parquet", n_chunks=4))
+    _, sp = sides(file_replay_stream(spark, f"{sf_dir}/events.parquet", n_chunks=4))
+    stream = interval_join_stream(
+        sc, sp, "user_id", "click_ts", "purchase_ts",
+        tolerance="6 hours", watermark="60 days",
     )
-    c = (
-        clicks.filter(F.col("event_type") == "click")
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", "60 days")
-        .select(F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    out, _ = run_to_memory(stream, output_mode="append")
+
+    bc, bp = sides(Catalog(spark, sf_dir)["events"])
+    want = interval_join_stream(
+        bc, bp, "user_id", "click_ts", "purchase_ts", tolerance="6 hours"
     )
-    joined = p.join(
-        c,
-        F.expr(
-            "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
-        ),
-    )
-    out, _ = run_to_memory(joined, output_mode="append")
-    # batch oracle on the same data
-    ev = Catalog(spark, SF_SMALL)["events"]
-    bp = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
-    )
-    bc = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
-    )
-    expected = bp.join(
-        bc,
-        F.expr(
-            "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
-        ),
-    ).count()
-    assert out.count() == expected
+    cols = ["user_id", "click_id", "purchase_id"]
+    assert _sorted_rows(out, cols) == _sorted_rows(want, cols)
+    assert want.count() > 0
 
 
 def test_stream_static_dim_join(spark, sf_dir):
