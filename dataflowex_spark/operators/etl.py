@@ -161,3 +161,102 @@ def sharded_sink(
         .partitionBy("shard")
         .save(path)
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tie_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change
+    log: one validity interval per run of consecutive equal attribute
+    values per key (gaps-and-islands), ``valid_to`` NULL on the
+    current row.
+
+    Change detection is null-safe (``IS DISTINCT FROM`` semantics) and
+    the ordering (ts, tie) must be total per key — a unique tie column
+    makes island boundaries deterministic under timestamp ties.
+
+    Scale shape: two windows and one aggregate, all partitioned by the
+    dimension key — shuffles (key, ts, attr) triples only, no
+    single-reducer stage. This is the history-building half the
+    reference's DbBulkInserter-style sinks leave to the warehouse
+    [SURVEY §2 A10-A12].
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    changed = ~F.lag(attr_col).over(w).eqNullSafe(F.col(attr_col))
+    run = (
+        df.withColumn("__chg", F.when(changed, 1).otherwise(0))
+        .withColumn(
+            "__island",
+            F.sum("__chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    islands = run.groupBy(key_col, "__island").agg(
+        F.min(attr_col).alias(attr_col),  # constant within the island
+        F.min(ts_col).alias(from_col),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("__island")
+    return islands.select(
+        key_col,
+        attr_col,
+        from_col,
+        F.lead(from_col).over(w2).alias(to_col),
+        "n_events",
+    )
+
+
+def cdc_merge(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    op_col: str,
+    tie_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Apply a CDC changeset to a snapshot, latest-wins: for each key
+    keep only the newest change by (ts, tie); op ``'D'`` deletes the
+    key, any other op upserts ``value_cols`` (insert when the key is
+    absent from the snapshot, update otherwise). Untouched snapshot
+    rows pass through — the MERGE INTO of a warehouse, as one plan.
+
+    Scale shape: the changeset collapses to one row per key via a
+    ``max_by`` hash aggregate (no window sort), then a single keyed
+    full join against the snapshot. A micro-batch-sized changeset
+    broadcasts under AQE; a backfill-sized one shuffle-joins — both
+    correct, Catalyst picks.
+    """
+    latest = changes.groupBy(key_col).agg(
+        F.max_by(
+            F.struct(op_col, *value_cols), F.struct(ts_col, tie_col)
+        ).alias("__c")
+    )
+    merged = snapshot.alias("__s").join(
+        latest.alias("__t"), on=key_col, how="full"
+    )
+    merged = merged.filter(
+        F.col(f"__t.__c.{op_col}").isNull()
+        | (F.col(f"__t.__c.{op_col}") != "D")
+    )
+    out_cols = [F.col(key_col)]
+    for c in snapshot.columns:
+        if c == key_col:
+            continue
+        if c in value_cols:
+            out_cols.append(
+                F.coalesce(F.col(f"__t.__c.{c}"), F.col(f"__s.{c}")).alias(c)
+            )
+        else:
+            out_cols.append(F.col(f"__s.{c}").alias(c))
+    for c in value_cols:
+        if c not in snapshot.columns:
+            out_cols.append(F.col(f"__t.__c.{c}").alias(c))
+    return merged.select(*out_cols)

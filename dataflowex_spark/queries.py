@@ -2957,3 +2957,93 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     purchases = cat["events"].filter(F.col("event_type") == "purchase")
     return resample_locf(purchases, "user_id", "ts", "value", unit="day")
+
+
+@q(
+    "q122_scd2_history",
+    """
+    WITH run AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN LAG(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM run
+    ),
+    g AS (
+      SELECT user_id, island, MIN(event_type) AS event_type,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+             AS valid_to,
+           n_events
+    FROM g
+    """,
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history from the event change log: per user, one
+    validity interval per run of consecutive equal states
+    (gaps-and-islands; valid_to NULL marks the current row). All
+    windows and the aggregate partition by the dimension key — no
+    global stage anywhere."""
+    from dataflowex_spark.operators.etl import scd2_history
+
+    cat = Catalog(spark, sf_dir)
+    return scd2_history(
+        cat["events"], "user_id", "ts", "event_type", tie_col="event_id"
+    )
+
+
+@q(
+    "q123_cdc_merge",
+    """
+    WITH latest AS (
+      SELECT user_id, op, new_bal FROM (
+        SELECT user_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               "value" AS new_bal,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+      ) t WHERE rn = 1
+    )
+    SELECT COALESCE(c.c_custkey, l.user_id) AS key,
+           COALESCE(l.new_bal, c.c_acctbal) AS acctbal,
+           c.c_mktsegment AS mktsegment
+    FROM customer c FULL JOIN latest l ON c.c_custkey = l.user_id
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE INTO as one plan: the event stream is read as a
+    changeset over the customer snapshot ('error' = delete, anything
+    else upserts the account balance), collapsed latest-wins per key
+    by a max_by hash aggregate, then one keyed full join applies
+    deletes/updates/inserts with untouched rows passing through."""
+    from dataflowex_spark.operators.etl import cdc_merge
+
+    cat = Catalog(spark, sf_dir)
+    snap = cat["customer"].select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    changes = cat["events"].select(
+        F.col("user_id").alias("key"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("value").alias("acctbal"),
+    )
+    return cdc_merge(
+        snap, changes, "key", "ts", "op", "event_id", value_cols=["acctbal"]
+    )

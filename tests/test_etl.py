@@ -397,3 +397,70 @@ def test_write_zordered_clusters_every_dimension(spark, tmp_path):
     for c in ("x", "y"):
         avg_span = sum(spans[c]) / len(spans[c])
         assert avg_span < 0.8 * 63, (c, avg_span)
+
+
+def test_scd2_history_collapses_runs(spark):
+    from datetime import datetime as dt
+
+    from dataflowex_spark.operators.etl import scd2_history
+
+    log = spark.createDataFrame(
+        [
+            ("u1", dt(2024, 1, 1), "gold", 1),
+            ("u1", dt(2024, 1, 2), "gold", 2),    # same state: no new row
+            ("u1", dt(2024, 1, 5), "silver", 3),
+            ("u1", dt(2024, 1, 9), "gold", 4),    # back to gold: NEW island
+            ("u2", dt(2024, 3, 1), "gold", 5),
+        ],
+        "k string, ts timestamp_ntz, state string, eid long",
+    )
+    hist = scd2_history(log, "k", "ts", "state", tie_col="eid").orderBy(
+        "k", "valid_from"
+    )
+    rows = [
+        (r["k"], r["state"], r["valid_from"].day,
+         r["valid_to"].day if r["valid_to"] else None, r["n_events"])
+        for r in hist.collect()
+    ]
+    assert rows == [
+        ("u1", "gold", 1, 5, 2),
+        ("u1", "silver", 5, 9, 1),
+        ("u1", "gold", 9, None, 1),
+        ("u2", "gold", 1, None, 1),
+    ]
+
+
+def test_cdc_merge_upsert_delete_insert(spark):
+    from datetime import datetime as dt
+
+    from dataflowex_spark.operators.etl import cdc_merge
+
+    snap = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+        "key long, bal double, tag string",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1), 1, "U", 11.0),   # stale update ...
+            (1, dt(2024, 1, 2), 2, "U", 12.0),   # ... latest wins
+            (2, dt(2024, 1, 1), 3, "D", None),   # delete
+            (4, dt(2024, 1, 1), 4, "U", 40.0),   # insert (new key)
+            (5, dt(2024, 1, 1), 5, "D", None),   # delete of absent key: no-op
+        ],
+        "key long, ts timestamp_ntz, eid long, op string, bal double",
+    )
+    out = cdc_merge(snap, changes, "key", "ts", "op", "eid", ["bal"])
+    got = {r["key"]: (r["bal"], r["tag"]) for r in out.collect()}
+    assert got == {
+        1: (12.0, "a"),      # updated, non-value col preserved
+        3: (30.0, "c"),      # untouched passthrough
+        4: (40.0, None),     # inserted
+    }
+
+    # same-key delete-then-update ordering: latest op decides
+    changes2 = spark.createDataFrame(
+        [(3, dt(2024, 1, 1), 1, "U", 99.0), (3, dt(2024, 1, 2), 2, "D", None)],
+        "key long, ts timestamp_ntz, eid long, op string, bal double",
+    )
+    out2 = cdc_merge(snap, changes2, "key", "ts", "op", "eid", ["bal"])
+    assert sorted(r["key"] for r in out2.collect()) == [1, 2]
