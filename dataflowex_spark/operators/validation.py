@@ -1,0 +1,97 @@
+"""Data-quality validation and column profiling — the checks an ETL
+flow runs before trusting a load (referential integrity, uniqueness,
+range rules) and the one-pass profile that feeds monitoring.
+
+Reference parity: DataflowEx flows validate records in-stream and
+route rejects (SURVEY §2 A5 left-over routing handles the row-level
+form); these operators are the table-level audit a warehouse load
+adds on top.
+
+Scale shape: every rule is a keyed anti-join or a single aggregate —
+no collects, no windows over the full table. The profile's exact
+COUNT(DISTINCT) per column compiles to one Expand-based pass (rows ×
+profiled columns inside the scan stage); at extreme width×volume,
+pass ``exact=False`` to swap in HLL sketches (approx_count_distinct)
+and drop the Expand.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def ri_violations(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """Child rows whose key has no match in the parent (orphans)."""
+    return child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        on=child_key,
+        how="left_anti",
+    )
+
+
+def unique_violations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Key groups that occur more than once (uniqueness breach)."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def rule_report(rules: dict[str, DataFrame]) -> DataFrame:
+    """Collapse named violation frames into one (rule, n_violations)
+    report — each rule is a count aggregate, unioned lazily into a
+    single plan (one job, not len(rules) jobs)."""
+    parts = [
+        df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+        for name, df in rules.items()
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str] | None = None, exact: bool = True
+) -> DataFrame:
+    """One-pass column profile: per column the row count, non-null
+    count, distinct count, and min/max rendered as strings (so one
+    long-form report covers heterogeneous types).
+
+    ``exact=True`` uses exact COUNT(DISTINCT) — multiple distinct
+    aggregates in one pass cost an Expand (rows × columns); at 100 TB
+    width, ``exact=False`` switches to approx_count_distinct (HLL,
+    mergeable, no Expand).
+    """
+    cols = cols or df.columns
+    nd = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            nd(c).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nn_{c}").alias("n_nonnull"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_val"),
+            F.col(f"__max_{c}").alias("max_val"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*entries)).alias("p")).select("p.*")

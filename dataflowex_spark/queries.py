@@ -3047,3 +3047,91 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_merge(
         snap, changes, "key", "ts", "op", "event_id", value_cols=["acctbal"]
     )
+
+
+@q(
+    "q124_profile_columns",
+    """
+    SELECT 'c_custkey' AS column, COUNT(*) AS n_rows,
+           COUNT(c_custkey) AS n_nonnull,
+           COUNT(DISTINCT c_custkey) AS n_distinct,
+           CAST(MIN(c_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(c_custkey) AS VARCHAR) AS max_val
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', COUNT(*), COUNT(c_name), COUNT(DISTINCT c_name),
+           MIN(c_name), MAX(c_name) FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', COUNT(*), COUNT(c_nationkey),
+           COUNT(DISTINCT c_nationkey),
+           CAST(MIN(c_nationkey) AS VARCHAR),
+           CAST(MAX(c_nationkey) AS VARCHAR) FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', COUNT(*), COUNT(c_mktsegment),
+           COUNT(DISTINCT c_mktsegment), MIN(c_mktsegment),
+           MAX(c_mktsegment) FROM customer
+    """,
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling of the customer dimension (null /
+    distinct / min / max per column in long form). Spark computes all
+    columns in a single aggregate over one scan — the oracle spells
+    the same numbers as per-column UNION ALL passes. The double
+    column (c_acctbal) is profiled in tests but not oracled: engines
+    disagree on double→string rendering, not on the values."""
+    from dataflowex_spark.operators.validation import profile_columns
+
+    cat = Catalog(spark, sf_dir)
+    return profile_columns(
+        cat["customer"],
+        ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    )
+
+
+@q(
+    "q125_validation_rules",
+    """
+    SELECT 'orders_custkey_ri' AS rule, COUNT(*) AS n_violations
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_orderkey_ri', COUNT(*)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'orderkey_unique', COUNT(*) FROM (
+      SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+    ) t
+    UNION ALL
+    SELECT 'discount_range', COUNT(*) FROM lineitem
+    WHERE l_discount < 0 OR l_discount > 0.1
+    """,
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-audit rule suite in one lazy plan: two referential-
+    integrity anti-joins, a uniqueness check, and a range rule,
+    collapsed to a (rule, n_violations) report. Healthy fixtures give
+    all-zero counts — the oracle proves the rules run, the unit test
+    proves they fire on corrupted frames."""
+    from dataflowex_spark.operators.validation import (
+        ri_violations,
+        rule_report,
+        unique_violations,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    orders, lineitem, customer = cat["orders"], cat["lineitem"], cat["customer"]
+    return rule_report(
+        {
+            "orders_custkey_ri": ri_violations(
+                orders, customer, "o_custkey", "c_custkey"
+            ),
+            "lineitem_orderkey_ri": ri_violations(
+                lineitem, orders, "l_orderkey", "o_orderkey"
+            ),
+            "orderkey_unique": unique_violations(orders, ["o_orderkey"]),
+            "discount_range": lineitem.filter(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+            ),
+        }
+    )

@@ -677,3 +677,51 @@ def test_resample_locf(spark):
     assert a == [(1, 2.0, True), (2, 2.0, False), (3, 2.0, False), (4, 9.0, True)]
     b = out.filter(F.col("k") == "b").collect()
     assert len(b) == 1 and b[0]["v_fill"] == 5.0 and b[0]["observed"]
+
+
+def test_profile_columns_nulls_doubles_and_approx(spark):
+    from dataflowex_spark.operators.validation import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 1.5, "x"), (2, None, "y"), (3, 2.5, None), (3, 1.5, "y")],
+        "k long, v double, s string",
+    )
+    prof = {r["column"]: r for r in profile_columns(df).collect()}
+    assert prof["k"]["n_rows"] == 4 and prof["k"]["n_nonnull"] == 4
+    assert prof["k"]["n_distinct"] == 3
+    assert prof["v"]["n_nonnull"] == 3 and prof["v"]["n_distinct"] == 2
+    assert prof["v"]["min_val"] == "1.5" and prof["v"]["max_val"] == "2.5"
+    assert prof["s"]["n_nonnull"] == 3 and prof["s"]["n_distinct"] == 2
+    # HLL path: exact on tiny cardinalities, and no Expand in the plan
+    approx = {
+        r["column"]: r["n_distinct"]
+        for r in profile_columns(df, exact=False).collect()
+    }
+    assert approx["k"] == 3
+
+
+def test_validation_rules_fire_on_corruption(spark):
+    from dataflowex_spark.operators.validation import (
+        ri_violations,
+        rule_report,
+        unique_violations,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99), (13, 98)], "id long, fk long"
+    )
+    dup = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    report = {
+        r["rule"]: r["n_violations"]
+        for r in rule_report(
+            {
+                "ri": ri_violations(child, parent, "fk", "pk"),
+                "uniq": unique_violations(dup, ["k"]),
+                "range": child.filter(F.col("id") > 12),
+            }
+        ).collect()
+    }
+    assert report == {"ri": 2, "uniq": 1, "range": 1}
+    orphans = ri_violations(child, parent, "fk", "pk")
+    assert sorted(r["id"] for r in orphans.collect()) == [12, 13]
