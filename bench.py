@@ -44,6 +44,10 @@ HEADLINE = [
     "q89_tfidf_top_term",
     "q109_winnow_fingerprint",
     "q112_small_qty_revenue",
+    "q118_sequence_packing",
+    "q121_resample_locf",
+    "q122_scd2_history",
+    "q123_cdc_merge",
 ]
 
 

@@ -132,6 +132,52 @@ def rebalance_mixture(
     )
 
 
+def reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    buckets: int = 1_000_000,
+    prefilter_safety: float | None = None,
+) -> DataFrame:
+    """Deterministic fixed-size sample per group: the k rows whose
+    portable md5 bucket (tie: id) ranks lowest — a 'reservoir' that is
+    identical across engines, partitionings, and reruns.
+
+    Scale path: the plain form sorts each whole group in one window
+    task. With ``prefilter_safety=s``, a broadcast of per-group counts
+    drives a scan-side filter ``bucket < s·k/n_g · buckets`` BEFORE
+    the window, so only ~s·k rows per group reach the sort. The
+    prefilter is itself hash-deterministic: whenever ≥ k rows pass
+    (overwhelming for s ≥ 4), the result is bit-identical to the
+    plain form — asserted by test, not assumed.
+    """
+    b = portable_bucket(F.col(id_col), buckets)
+    src = df.withColumn("__b", b)
+    if prefilter_safety:
+        cnt = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+        cut = (
+            F.least(
+                F.lit(buckets).cast("bigint"),
+                F.ceil(F.lit(float(prefilter_safety * k * buckets)) / F.col("__n")),
+            )
+        ).cast("bigint")
+        src = (
+            src.join(
+                F.broadcast(cnt.select(group_col, cut.alias("__cut"))),
+                group_col,
+            )
+            .filter(F.col("__b") < F.col("__cut"))
+            .drop("__cut")
+        )
+    w = Window.partitionBy(group_col).orderBy("__b", id_col)
+    return (
+        src.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__b", "__rk")
+    )
+
+
 def deterministic_downsample(
     df: DataFrame,
     id_col: str,

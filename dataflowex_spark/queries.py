@@ -3135,3 +3135,32 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         }
     )
+
+
+@q(
+    "q126_reservoir_per_group",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))
+                      AS BIGINT) % 1000000,
+                 doc_id
+             ) AS rk
+      FROM documents
+    ) t WHERE rk <= 5
+    """,
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group reservoir: 5 docs per source ranked
+    by portable md5 bucket — the 'eyeball sample' every corpus audit
+    needs, reproducible by any engine. The prefiltered scale path
+    (bucket < s·k/n before the window sort) is equivalence-tested in
+    tests/test_operators.py."""
+    from dataflowex_spark.operators.sampling import reservoir_per_group
+
+    cat = Catalog(spark, sf_dir)
+    return reservoir_per_group(
+        cat["documents"], "source", "doc_id", k=5
+    ).select("doc_id", "source")

@@ -725,3 +725,27 @@ def test_validation_rules_fire_on_corruption(spark):
     assert report == {"ri": 2, "uniq": 1, "range": 1}
     orphans = ri_violations(child, parent, "fk", "pk")
     assert sorted(r["id"] for r in orphans.collect()) == [12, 13]
+
+
+def test_reservoir_per_group_prefilter_equivalence(spark, sf_dir):
+    """Prefiltered reservoir == plain reservoir whenever ≥k rows pass
+    the deterministic prefilter; exactly k rows per big-enough group;
+    partition-invariant."""
+    from dataflowex_spark.operators.sampling import reservoir_per_group
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    plain = reservoir_per_group(docs, "source", "doc_id", k=5)
+    pre = reservoir_per_group(
+        docs, "source", "doc_id", k=5, prefilter_safety=4.0
+    )
+    cols = ["source", "doc_id"]
+    assert (
+        plain.select(cols).exceptAll(pre.select(cols)).count() == 0
+        and pre.count() == plain.count()
+    )
+    sizes = plain.groupBy("source").count().collect()
+    full = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    for r in sizes:
+        assert r["count"] == min(5, full[r["source"]])
+    rep = reservoir_per_group(docs.repartition(11), "source", "doc_id", k=5)
+    assert plain.select(cols).exceptAll(rep.select(cols)).count() == 0
