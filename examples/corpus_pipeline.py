@@ -4,7 +4,8 @@ composed the way a 100 TB data-curation job would run them:
     ingest → validate → PII scrub → quality filter → exact dedup →
     near-dup clustering (MinHash LSH + connected components) →
     benchmark decontamination (13-gram overlap) →
-    deterministic train/test split → sorted write
+    source-mixture rebalance → deterministic train/test split →
+    sequence packing (train side) → sorted write
 
 Every stage is a DataFrame→DataFrame operator from the library; the
 whole pipeline is one lazy plan per output (Catalyst sees everything),
@@ -24,7 +25,11 @@ from dataflowex_spark.operators.dedup import (
     dedup_exact,
     dedup_minhash_lsh,
 )
-from dataflowex_spark.operators.sampling import train_test_split
+from dataflowex_spark.operators.packing import pack_sequences
+from dataflowex_spark.operators.sampling import (
+    rebalance_mixture,
+    train_test_split,
+)
 from dataflowex_spark.operators.text import scrub_pii
 from dataflowex_spark.sources import write_sorted
 
@@ -37,6 +42,8 @@ def curate_corpus(
     min_quality: float = 0.3,
     jaccard_threshold: float = 0.5,
     test_fraction: float = 0.1,
+    mixture_targets: dict[str, float] | None = None,
+    pack_budget: int = 512,
 ) -> dict[str, int]:
     """Run the curation pipeline over the documents table; returns
     per-stage row counts (the run report)."""
@@ -83,14 +90,39 @@ def curate_corpus(
     )
     report["after_decontamination"] = clean.count()
 
-    # 5. deterministic split + sorted write (tight row-group stats)
+    # 5. source-mixture rebalance: even out surviving sources (uniform
+    # targets over whatever sources remain — scan-side filter, the
+    # corpus still hasn't shuffled)
+    sources = [r["source"] for r in clean.select("source").distinct().collect()]
+    if mixture_targets is None:
+        mixture_targets = {s: 1.0 / len(sources) for s in sources}
+    mixed = rebalance_mixture(clean, "source", "doc_id", mixture_targets)
+    report["after_mixture"] = mixed.count()
+
+    # 6. deterministic split + sorted write (tight row-group stats)
     split = train_test_split(
-        clean, "doc_id", test_fraction=test_fraction
+        mixed, "doc_id", test_fraction=test_fraction
     )
     for name in ("train", "test"):
         part = split.filter(F.col("split") == name).drop("split")
         write_sorted(part, f"{out_dir}/{name}", ["doc_id"], n_files=4)
         report[f"written_{name}"] = spark.read.parquet(f"{out_dir}/{name}").count()
+
+    # 7. sequence packing of the train side: greedy next-fit into
+    # fixed-token-budget sequences (padding-waste eliminator); only
+    # (source, doc_id, n_tok) crosses Arrow
+    train = spark.read.parquet(f"{out_dir}/train")
+    packed = pack_sequences(
+        train.select(
+            "source", "doc_id",
+            token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        ),
+        group_col="source", id_col="doc_id", n_tokens_col="n_tok",
+        budget=pack_budget,
+    )
+    report["train_sequences"] = (
+        packed.select("source", "seq_id").distinct().count()
+    )
     return report
 
 
