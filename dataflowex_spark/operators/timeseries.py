@@ -16,6 +16,50 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def time_grain_rollup(
+    df: DataFrame,
+    ts_col: str,
+    grains: tuple[str, ...] = ("hour", "day", "month"),
+    value_col: str | None = None,
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: counts (and an exact
+    decimal value sum) at several time granularities in ONE pass —
+    explode the row into (grain, bucket) pairs, then a single hash
+    aggregate. One scan + one shuffle for all grains, instead of one
+    job per rollup table; partial aggregation still applies because
+    the explode happens before the shuffle.
+
+    Returns (grain, bucket, n[, total]).
+    """
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(g).alias("grain"),
+                    F.date_trunc(g, F.col(ts_col))
+                    .cast("timestamp_ntz")
+                    .alias("bucket"),
+                )
+                for g in grains
+            ]
+        )
+    ).alias("g")
+    aggs = [F.count("*").alias("n")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total")
+        )
+    keep = [value_col] if value_col else []
+    return (
+        df.select(pairs, *keep)
+        .select("g.grain", "g.bucket", *keep)
+        .groupBy("grain", "bucket")
+        .agg(*aggs)
+    )
+
+
 def resample_locf(
     df: DataFrame,
     key_col: str,

@@ -3164,3 +3164,80 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reservoir_per_group(
         cat["documents"], "source", "doc_id", k=5
     ).select("doc_id", "source")
+
+
+@q(
+    "q127_time_grain_rollup",
+    """
+    SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts), COUNT(*),
+           CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'month', date_trunc('month', ts), COUNT(*),
+           CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE)
+    FROM events GROUP BY 2
+    """,
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup at hour/day/month grains in ONE
+    scan + ONE shuffle (explode into (grain, bucket) pairs before the
+    hash aggregate — partials still combine map-side). The oracle
+    spells the same result as three separate GROUP BYs; decimal-exact
+    sums keep the hash gate bit-strict."""
+    from dataflowex_spark.operators.timeseries import time_grain_rollup
+
+    cat = Catalog(spark, sf_dir)
+    return time_grain_rollup(
+        cat["events"], "ts", ("hour", "day", "month"), value_col="value"
+    )
+
+
+@q(
+    "q128_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst
+      FROM events
+    ),
+    pair AS (
+      SELECT src, dst, COUNT(*) AS n FROM seq
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY src), 6) AS p
+    FROM pair
+    """,
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event transition matrix (first-order Markov over user
+    journeys): one keyed LEAD window, one pair-count aggregate, and a
+    tiny per-src normalization window over the 5×5 matrix. The heavy
+    window shuffles (user, ts, type) only; probabilities ROUNDed on
+    both engines (summation-order discipline)."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = cat["events"].select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    pair = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    total = Window.partitionBy("src")
+    return pair.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(total), 6).alias("p"),
+    )

@@ -78,8 +78,12 @@ def main():
 
     from dataflowex_spark.operators.windows import global_ntile
     from dataflowex_spark.operators.dedup import decontaminate
+    from dataflowex_spark.operators.etl import scd2_history
     from dataflowex_spark.operators.joins import range_join_binned
+    from dataflowex_spark.operators.packing import pack_sequences
     from dataflowex_spark.operators.text import winnow_fingerprints
+    from dataflowex_spark.operators.timeseries import resample_locf
+    from dataflowex_spark.functions.text import token_count
 
     def load(d, t):
         df = spark.read.parquet(f"{d}/{t}.parquet")
@@ -127,6 +131,36 @@ def main():
                 "ts",
                 "ts",
                 upper="10 minutes",
+            ).count(),
+        )
+        bench(
+            f"pack_sequences(docs, 512) {label}",
+            lambda: pack_sequences(
+                docs.select(
+                    "source",
+                    "doc_id",
+                    token_count(F.col("text")).cast("bigint").alias("n_tok"),
+                ),
+                "source",
+                "doc_id",
+                "n_tok",
+                budget=512,
+            ).count(),
+        )
+        bench(
+            f"scd2_history(events) {label}",
+            lambda: scd2_history(
+                events, "user_id", "ts", "event_type", tie_col="event_id"
+            ).count(),
+        )
+        bench(
+            f"resample_locf(events, day) {label}",
+            lambda: resample_locf(
+                events.filter(F.col("event_type") == "purchase"),
+                "user_id",
+                "ts",
+                "value",
+                unit="day",
             ).count(),
         )
 
