@@ -273,3 +273,47 @@ def test_tws_streaming_running_totals(spark, sf_dir):
     )
     batch = stateful_dispatch_counts_tws(Catalog(spark, sf_dir)["events"])
     assert {tuple(r) for r in last.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_interval_join_left_outer_semantics(spark, sf_dir):
+    """Left-outer interval join: on batch, unmatched clicks surface
+    with NULL purchase columns; on a stream whose watermark never
+    passes (delay > data span), append mode can only emit MATCHED
+    pairs — unmatched lefts stay buffered awaiting the watermark, so
+    stream output == the inner join. Both facts asserted."""
+    from dataflowex_spark.streaming.ops import interval_join_stream
+
+    def sides(src):
+        c = src.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        p = src.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        return c, p
+
+    bc, bp = sides(Catalog(spark, sf_dir)["events"])
+    outer = interval_join_stream(
+        bc, bp, "user_id", "click_ts", "purchase_ts",
+        tolerance="6 hours", how="left_outer",
+    )
+    inner = interval_join_stream(
+        bc, bp, "user_id", "click_ts", "purchase_ts", tolerance="6 hours"
+    )
+    n_clicks_unmatched = outer.filter(F.col("purchase_id").isNull()).count()
+    assert outer.count() == inner.count() + n_clicks_unmatched
+    assert n_clicks_unmatched > 0  # fixture has clicks with no purchase
+
+    sc, _ = sides(file_replay_stream(spark, f"{sf_dir}/events.parquet", n_chunks=4))
+    _, sp = sides(file_replay_stream(spark, f"{sf_dir}/events.parquet", n_chunks=4))
+    stream = interval_join_stream(
+        sc, sp, "user_id", "click_ts", "purchase_ts",
+        tolerance="6 hours", watermark="60 days", how="left_outer",
+    )
+    out, _ = run_to_memory(stream, output_mode="append")
+    cols = ["user_id", "click_id", "purchase_id"]
+    assert _sorted_rows(out, cols) == _sorted_rows(inner, cols)
