@@ -260,3 +260,49 @@ def cdc_merge(
         if c not in snapshot.columns:
             out_cols.append(F.col(f"__t.__c.{c}").alias(c))
     return merged.select(*out_cols)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Diff two snapshots of a table by key: each output row carries
+    ``status`` ∈ {added, removed, changed, unchanged} — the audit
+    behind incremental publishing ('what did this backfill actually
+    touch?').
+
+    One keyed full join; change detection is null-safe per column, so
+    NULL→value and value→NULL both count as changed. Returns the keys
+    plus both sides of every compared column (``old_x`` / ``new_x``).
+    """
+    keys = list(key_cols)
+    compare = list(compare_cols or [c for c in new.columns if c not in keys])
+    o = old.select(
+        *keys,
+        F.lit(1).alias("__o"),
+        *[F.col(c).alias(f"old_{c}") for c in compare],
+    )
+    n = new.select(
+        *keys,
+        F.lit(1).alias("__n"),
+        *[F.col(c).alias(f"new_{c}") for c in compare],
+    )
+    j = o.join(n, keys, "full")
+    same = None
+    for c in compare:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(F.col("__o").isNull(), "added")
+        .when(F.col("__n").isNull(), "removed")
+        .when(same, "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(
+        *keys,
+        status.alias("status"),
+        *[F.col(f"old_{c}") for c in compare],
+        *[F.col(f"new_{c}") for c in compare],
+    )

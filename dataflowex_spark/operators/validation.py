@@ -95,3 +95,44 @@ def profile_columns(
         for c in cols
     ]
     return wide.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+
+
+def sigma_outliers(
+    df: DataFrame, group_col: str, value_col: str, k: float = 3.0
+) -> DataFrame:
+    """Per-group k-sigma outlier report: moments accumulated as EXACT
+    decimal sums (a raw double Σx/Σx² is partition-order dependent and
+    would flip the cross-engine gate), converted to mean/σ in double
+    by a closed form, then one broadcast join back to flag rows.
+
+    Returns (group, n_total, n_outliers). Two aggregates + one small
+    join — the fact table is scanned twice but never shuffled beyond
+    its group key."""
+    d = F.col(value_col).cast("decimal(18,2)")
+    s = df.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    b = s.select(
+        group_col,
+        mean.alias("mean"),
+        F.sqrt(
+            F.greatest(
+                F.col("s2").cast("double") / F.col("n") - mean * mean,
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+    flagged = df.join(F.broadcast(b), group_col)
+    return flagged.groupBy(group_col).agg(
+        F.count("*").alias("n_total"),
+        F.sum(
+            F.when(
+                F.abs(F.col(value_col) - F.col("mean"))
+                > F.lit(k) * F.col("sigma"),
+                1,
+            ).otherwise(0)
+        ).alias("n_outliers"),
+    )

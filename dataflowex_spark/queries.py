@@ -3241,3 +3241,87 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(total), 6).alias("p"),
     )
+
+
+@q(
+    "q129_snapshot_diff",
+    """
+    WITH newsnap AS (
+      SELECT c_custkey, c_acctbal + CASE WHEN c_custkey % 7 = 0
+                                         THEN 10.0 ELSE 0.0 END AS c_acctbal
+      FROM customer WHERE c_custkey % 13 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_acctbal FROM customer
+      WHERE c_custkey % 17 = 0
+    )
+    SELECT status, COUNT(*) AS n FROM (
+      SELECT CASE WHEN o.c_custkey IS NULL THEN 'added'
+                  WHEN n.c_custkey IS NULL THEN 'removed'
+                  WHEN o.c_acctbal = n.c_acctbal THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM customer o FULL JOIN newsnap n ON o.c_custkey = n.c_custkey
+    ) t GROUP BY status
+    """,
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff audit: the new snapshot bumps every 7th key's
+    balance, drops every 13th key, and adds shifted keys for every
+    17th — snapshot_diff must classify each key added / removed /
+    changed / unchanged through one null-safe keyed full join."""
+    from dataflowex_spark.operators.etl import snapshot_diff
+
+    cat = Catalog(spark, sf_dir)
+    old = cat["customer"].select("c_custkey", "c_acctbal")
+    new = (
+        old.filter(F.col("c_custkey") % 13 != 0)
+        .select(
+            "c_custkey",
+            (
+                F.col("c_acctbal")
+                + F.when(F.col("c_custkey") % 7 == 0, 10.0).otherwise(0.0)
+            ).alias("c_acctbal"),
+        )
+        .unionByName(
+            old.filter(F.col("c_custkey") % 17 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_acctbal"
+            )
+        )
+    )
+    diff = snapshot_diff(old, new, ["c_custkey"])
+    return diff.groupBy("status").agg(F.count("*").alias("n"))
+
+
+@q(
+    "q130_sigma_outliers",
+    """
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST("value" AS DECIMAL(18,2))) AS s1,
+             SUM(CAST("value" AS DECIMAL(18,2)) * CAST("value" AS DECIMAL(18,2)))
+               AS s2
+      FROM events GROUP BY event_type
+    ),
+    b AS (
+      SELECT event_type,
+             CAST(s1 AS DOUBLE) / n AS mean,
+             SQRT(GREATEST(CAST(s2 AS DOUBLE) / n
+                           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                           0.0)) AS sigma
+      FROM s
+    )
+    SELECT e.event_type, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN ABS(e."value" - b.mean) > 3.0 * b.sigma
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3σ outlier screening per event type. Moments are EXACT decimal
+    sums (partition-order independent), mean/σ derived in double by
+    the identical closed form on both engines, so even the boundary
+    comparisons are bit-reproducible."""
+    from dataflowex_spark.operators.validation import sigma_outliers
+
+    cat = Catalog(spark, sf_dir)
+    return sigma_outliers(cat["events"], "event_type", "value", k=3.0)

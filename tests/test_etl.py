@@ -464,3 +464,30 @@ def test_cdc_merge_upsert_delete_insert(spark):
     )
     out2 = cdc_merge(snap, changes2, "key", "ts", "op", "eid", ["bal"])
     assert sorted(r["key"] for r in out2.collect()) == [1, 2]
+
+
+def test_snapshot_diff_row_level(spark):
+    from dataflowex_spark.operators.etl import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, "c"), (4, 40.0, "d")],
+        "k long, v double, t string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "X"), (5, 50.0, "e")],
+        "k long, v double, t string",
+    )
+    got = {r["k"]: r["status"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",   # NULL → value is a change (null-safe compare)
+        3: "changed",   # second compare column differs
+        4: "removed",
+        5: "added",
+    }
+    # restricting compare columns changes the verdict
+    got_v = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, ["k"], compare_cols=["v"]).collect()
+    }
+    assert got_v[3] == "unchanged"
