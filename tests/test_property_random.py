@@ -138,3 +138,104 @@ def test_randomized_text_properties(spark):
     check_fingerprint_matches_python()
     check_word_shingles_match_python()
     check_winnow_matches_python()
+
+
+def py_pack(sizes, budget):
+    """Greedy next-fit reference: seq id per element of sizes."""
+    out, seq, acc = [], 0, 0
+    for i, n in enumerate(sizes):
+        if i > 0 and acc + n > budget:
+            seq += 1
+            acc = n
+        else:
+            acc += n
+        out.append(seq)
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.integers(min_value=0, max_value=200),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=128),
+)
+def check_pack_sequences_matches_python(rows, budget):
+    from dataflowex_spark.operators.packing import pack_sequences
+
+    spark = check_pack_sequences_matches_python._spark
+    df = spark.createDataFrame(
+        [Row(g=g, i=i, n=n) for i, (g, n) in enumerate(rows)]
+    )
+    got = {
+        (r.g, r.i): r.seq_id
+        for r in pack_sequences(df, "g", "i", "n", budget=budget).collect()
+    }
+    by_group = {}
+    for i, (g, n) in enumerate(rows):
+        by_group.setdefault(g, []).append((i, n))
+    for g, pairs in by_group.items():
+        pairs.sort()
+        expect = py_pack([n for _, n in pairs], budget)
+        for (i, _), e in zip(pairs, expect):
+            assert got[(g, i)] == e, (g, i, budget)
+
+
+def py_scd2(events):
+    """events: sorted (ts, tie, state) per key → list of
+    (state, valid_from, valid_to, n_events)."""
+    islands = []
+    for ts, tie, state in events:
+        if islands and islands[-1][0] == state:
+            islands[-1][3] += 1
+        else:
+            islands.append([state, ts, None, 1])
+    for a, b in zip(islands, islands[1:]):
+        a[2] = b[1]
+    return [tuple(x) for x in islands]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2"]),
+            st.integers(min_value=0, max_value=20),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def check_scd2_matches_python(rows):
+    from dataflowex_spark.operators.etl import scd2_history
+
+    spark = check_scd2_matches_python._spark
+    df = spark.createDataFrame(
+        [Row(k=k, ts=ts, state=s, tie=i) for i, (k, ts, s) in enumerate(rows)]
+    )
+    got = {}
+    for r in scd2_history(df, "k", "ts", "state", tie_col="tie").collect():
+        got.setdefault(r.k, []).append(
+            (r.state, r.valid_from, r.valid_to, r.n_events)
+        )
+    for k in got:
+        got[k].sort(key=lambda x: x[1])
+    by_key = {}
+    for i, (k, ts, s) in enumerate(rows):
+        by_key.setdefault(k, []).append((ts, i, s))
+    for k, evs in by_key.items():
+        evs.sort()
+        assert got[k] == py_scd2(evs), k
+
+
+def test_randomized_etl_properties(spark):
+    check_pack_sequences_matches_python._spark = spark
+    check_scd2_matches_python._spark = spark
+    check_pack_sequences_matches_python()
+    check_scd2_matches_python()
