@@ -3325,3 +3325,74 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     return sigma_outliers(cat["events"], "event_type", "value", k=3.0)
+
+
+def _pagerank_oracle_sql(iters: int = 10) -> str:
+    """Unroll the PageRank loop as chained CTEs — a fixed iteration
+    count makes the 'iterative algorithm' exactly SQL-expressible, so
+    the driver can hash-check it instead of rows-only."""
+    head = """
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst
+      FROM events
+    ),
+    edges AS (
+      SELECT src, dst, CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src) AS p
+      FROM (SELECT src, dst, COUNT(*) AS n FROM seq
+            WHERE dst IS NOT NULL GROUP BY src, dst) t
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    cnt AS (SELECT COUNT(*) AS n FROM nodes),
+    pr0 AS (SELECT node, 1.0 / (SELECT n FROM cnt) AS r FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f""",
+    pr{i} AS (
+      SELECT n0.node,
+             (1.0 - 0.85) / (SELECT n FROM cnt)
+             + 0.85 * COALESCE((SELECT SUM(e.p * p.r) FROM edges e
+                                JOIN pr{i - 1} p ON p.node = e.src
+                                WHERE e.dst = n0.node), 0.0) AS r
+      FROM nodes n0)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\n    SELECT node, ROUND(r, 6) AS r FROM pr{iters}"
+    )
+
+
+@q("q131_pagerank", _pagerank_oracle_sql(10))
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph, 10 fixed
+    iterations — the iterative driver-loop pattern (A18 ring parity)
+    with a FULL value oracle: the loop unrolls into chained CTEs on
+    the DuckDB side, and both engines spell the identical literal
+    arithmetic, so ranks agree to the rounding digit."""
+    from dataflowex_spark.operators.graph import pagerank
+
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = cat["events"].select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    pair = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    edges = pair.select(
+        "src",
+        "dst",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("src"))
+        ).alias("p"),
+    )
+    ranks = pagerank(edges, "src", "dst", "p", damping=0.85, iters=10)
+    return ranks.select("node", F.round("r", 6).alias("r"))

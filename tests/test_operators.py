@@ -749,3 +749,25 @@ def test_reservoir_per_group_prefilter_equivalence(spark, sf_dir):
         assert r["count"] == min(5, full[r["source"]])
     rep = reservoir_per_group(docs.repartition(11), "source", "doc_id", k=5)
     assert plain.select(cols).exceptAll(rep.select(cols)).count() == 0
+
+
+def test_pagerank_ring_and_sink(spark):
+    """Ring graph: perfect symmetry → uniform ranks. Sink-heavy
+    graph: the absorbing node must outrank its feeders, total mass
+    conserved under damping."""
+    from dataflowex_spark.operators.graph import pagerank
+
+    ring = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, p double",
+    )
+    r = {x["node"]: x["r"] for x in pagerank(ring, iters=10).collect()}
+    assert all(abs(v - 1 / 3) < 1e-12 for v in r.values())
+
+    star = spark.createDataFrame(
+        [("a", "c", 1.0), ("b", "c", 1.0), ("c", "c", 1.0)],
+        "src string, dst string, p double",
+    )
+    r2 = {x["node"]: x["r"] for x in pagerank(star, iters=20).collect()}
+    assert r2["c"] > r2["a"] and abs(r2["a"] - r2["b"]) < 1e-12
+    assert abs(sum(r2.values()) - 1.0) < 1e-9
