@@ -3396,3 +3396,141 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, "src", "dst", "p", damping=0.85, iters=10)
     return ranks.select("node", F.round("r", 6).alias("r"))
+
+
+@q(
+    "q132_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): 6-table join where the
+    customer and supplier must share a nation. Plan shape for 100 TB:
+    lineitem⋈orders is the only fact-fact shuffle; customer enriches
+    the order side BEFORE the fact join (so the c_nationkey =
+    s_nationkey predicate rides the big join); supplier/nation/region
+    broadcast; the orderdate filter is pushed to the orders scan."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    cust = cat["customer"].select("c_custkey", "c_nationkey")
+    order_side = orders.select("o_orderkey", "o_custkey").join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    supp = cat["supplier"].select("s_suppkey", "s_nationkey")
+    nr = (
+        cat["nation"]
+        .join(
+            F.broadcast(cat["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    line = cat["lineitem"].select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        line.join(order_side, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(3,2)"))
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@q(
+    "q133_late_shipping_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN l_shipdate >= o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+           COUNT(*) AS total_lines
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-delay accounting by priority):
+    fact-fact join + conditional aggregation. One shuffle on the
+    order key, counts combine map-side."""
+    cat = Catalog(spark, sf_dir)
+    j = cat["orders"].select("o_orderkey", "o_orderpriority", "o_orderdate").join(
+        cat["lineitem"].select("l_orderkey", "l_shipdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = F.when(
+        F.col("l_shipdate")
+        >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        1,
+    ).otherwise(0)
+    return j.groupBy("o_orderpriority").agg(
+        F.sum(late).alias("late_lines"),
+        F.count("*").alias("total_lines"),
+    )
+
+
+@q(
+    "q134_promo_revenue",
+    """
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                 ELSE CAST(0 AS DECIMAL(21,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion revenue share): month-filtered
+    lineitem broadcast-joined to part, promo share via two exact
+    decimal sums divided once in double. The shipdate range is pushed
+    to the scan; part broadcasts."""
+    cat = Catalog(spark, sf_dir)
+    line = cat["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    j = line.join(
+        F.broadcast(cat["part"].select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(21,4)")
+    )
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(disc).cast("double")
+        )
+        .cast("double")
+        .alias("promo_pct")
+    )
