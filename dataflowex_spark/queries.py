@@ -3534,3 +3534,50 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("promo_pct")
     )
+
+
+@q(
+    "q135_cumulative_distinct_users",
+    """
+    WITH firsts AS (
+      SELECT event_type, user_id, MIN(date_trunc('day', ts)) AS first_day
+      FROM events GROUP BY event_type, user_id
+    ),
+    daily AS (
+      SELECT event_type, first_day, COUNT(*) AS new_users
+      FROM firsts GROUP BY event_type, first_day
+    )
+    SELECT event_type, first_day AS day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (
+             PARTITION BY event_type ORDER BY first_day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per type per day. Spark windows don't
+    support COUNT(DISTINCT) — and the naive collect_set-over-window is
+    quadratic in state — so the scalable idiom is: first-seen day per
+    (type, user) via hash agg, daily new-user counts, then a running
+    sum over the tiny per-type day series. Distinct-tracking cost is
+    one aggregate, not a window."""
+    cat = Catalog(spark, sf_dir)
+    firsts = cat["events"].groupBy("event_type", "user_id").agg(
+        F.min(F.date_trunc("DAY", "ts")).alias("first_day")
+    )
+    daily = firsts.groupBy("event_type", "first_day").agg(
+        F.count("*").alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.col("first_day").cast("timestamp_ntz").alias("day"),
+        F.col("new_users").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )

@@ -328,3 +328,33 @@ def incremental_append(
     finally:
         fresh.unpersist()
     return n
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    unit: str = "day",
+    part_col: str = "part_date",
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style time-partitioned layout: one directory per
+    ``unit``-truncated date — the table format 100 TB fact tables
+    live in, because a time-filtered read then PRUNES whole
+    directories at planning time (PartitionFilters in the scan, zero
+    I/O for untouched days).
+
+    ``repartition(part_col)`` first, so each partition directory is
+    written by at most ``files_per_partition`` tasks (no
+    days × tasks small-file explosion at 1000 executors).
+    """
+    parted = df.withColumn(
+        part_col, F.date_trunc(unit, F.col(ts_col)).cast("date")
+    )
+    (
+        parted.repartition(files_per_partition, F.col(part_col))
+        .write.mode(mode)
+        .partitionBy(part_col)
+        .parquet(path)
+    )

@@ -491,3 +491,29 @@ def test_snapshot_diff_row_level(spark):
         for r in snapshot_diff(old, new, ["k"], compare_cols=["v"]).collect()
     }
     assert got_v[3] == "unchanged"
+
+
+def test_write_time_partitioned_prunes(spark, sf_dir, tmp_path):
+    """Date filters on a time-partitioned table must prune at plan
+    time: the scan's partition filters carry the predicate, and the
+    matched file count covers only the selected days."""
+    from dataflowex_spark.catalog import Catalog
+    from dataflowex_spark.sources import write_time_partitioned
+
+    events = Catalog(spark, sf_dir)["events"]
+    path = str(tmp_path / "events_by_day")
+    write_time_partitioned(events, path, "ts", unit="day")
+
+    table = spark.read.parquet(path)
+    one_day = table.filter(F.col("part_date") == "2024-01-05")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part_date" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # correctness: partitioned round-trip preserves every row
+    assert table.count() == events.count()
+    got = one_day.count()
+    want = events.filter(
+        F.date_trunc("DAY", "ts").cast("date") == F.lit("2024-01-05").cast("date")
+    ).count()
+    assert got == want and got > 0
