@@ -8,6 +8,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion with a count() action (full
 plan runs; result sizes stay driver-safe). Timings include Catalyst
 planning but not session boot.
+
+Per-query time is the MEDIAN of 3 runs (after an untimed first-touch
+warmup), with a per-query ``spread`` (max-min over the 3) emitted
+alongside — single-shot timings on a loaded box produced a phantom
+2.4× "regression" in round 2 (uniform slowdown incl. a bare
+projection); medians make the round-over-round signal robust to
+background load. Override repeats with $SPARK_GRAFT_BENCH_REPS.
 """
 
 from __future__ import annotations
@@ -64,14 +71,20 @@ def main() -> None:
     for t in ["lineitem", "events", "documents"]:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
-    t_all = time.time()
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_all, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spread[name] = round(samples[-1] - samples[0], 3)
+    total = round(sum(timings.values()), 3)
 
     print(
         json.dumps(
@@ -80,6 +93,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -24,15 +24,108 @@ def asof_join(
 ) -> DataFrame:
     """As-of join: for each left row, the single right row with the
     largest ``right_ts`` ≤ ``left_ts`` (direction='backward'; 'forward'
-    = smallest ≥), matching on equi-keys ``on``.
+    = smallest ≥), matching on equi-keys ``on``. Left rows with no
+    match are preserved (left-join semantics). ``tie_break`` makes the
+    pick among equal-timestamp right rows deterministic (max for
+    backward, min for forward).
 
-    Implementation: equi-join on keys + time inequality, then
-    ``row_number`` over (left row id) ordered by right_ts picks the
-    nearest match. Left rows with no match are preserved (left join
-    semantics). The equi-key join keeps the shuffle keyed and bounded —
-    at 100 TB the win over a naive theta join is that only same-key
-    pairs materialize; for very hot keys, pre-bucket both sides by
-    time bin first.
+    Implementation — the union-interleave idiom, NOT a pair join:
+    tag right rows 0 and left rows 1, union them into one frame, and
+    run a single per-key window ordered by (ts, tag, tie) taking
+    ``last(right_payload, ignorenulls=True)`` over the preceding rows.
+    Each left row then carries exactly the nearest right row.
+
+    Scale shape: ONE keyed shuffle (the window partition), O(1) state
+    per row, and the operator's output cardinality is exactly
+    ``left.count()`` — a pair-materializing backward join would build
+    O(n·m) intermediate rows per key (every purchase × every earlier
+    click) before discarding all but one per left row, which explodes
+    on long per-key histories at 100 TB. Same shape as
+    ``timeseries.resample_locf``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    rpay = [c for c in right.columns if c not in keys]
+    lcols = list(left.columns)
+
+    # right rows with NULL ts can never satisfy the inequality — drop
+    # them up front so nulls-first ordering can't surface one as a match
+    r_nn = right.filter(F.col(right_ts).isNotNull())
+
+    r_struct = F.struct(*[F.col(c).alias(c + suffix) for c in rpay])
+    l_struct = F.struct(*[F.col(c) for c in lcols])
+    # schema-only introspection (no job) to type the NULL struct on the
+    # opposite side of the union
+    r_type = r_nn.select(r_struct.alias("s")).schema[0].dataType
+    l_type = left.select(l_struct.alias("s")).schema[0].dataType
+    tie = F.col(tie_break) if tie_break is not None else F.lit(0)
+
+    r_side = r_nn.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        tie.alias("__tie"),
+        F.lit(None).cast(l_type).alias("__lrow"),
+        r_struct.alias("__rrow"),
+    )
+    l_side = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r_side.schema["__tie"].dataType).alias("__tie"),
+        l_struct.alias("__lrow"),
+        F.lit(None).cast(r_type).alias("__rrow"),
+    )
+    unioned = r_side.unionByName(l_side)
+
+    if direction == "backward":
+        # ts ascending, right(0) before left(1) at equal ts (≤ is
+        # inclusive), ties ascending so the LAST right row seen at a
+        # given ts is the max tie_break — matching the old desc pick.
+        # asc puts NULL left ts first → no preceding right row → no
+        # match, mirroring the inequality's NULL semantics.
+        order = [F.col("__ts").asc_nulls_first(), F.col("__tag").asc(),
+                 F.col("__tie").asc()]
+    else:
+        # scan from the future backwards: the last right row seen
+        # before a left row is the smallest right_ts ≥ left_ts; ties
+        # descending so last-seen = min tie_break.
+        order = [F.col("__ts").desc_nulls_first(), F.col("__tag").asc(),
+                 F.col("__tie").desc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        unioned.withColumn("__m", F.last("__rrow", ignorenulls=True).over(w))
+        .filter(F.col("__tag") == 1)
+    )
+    return matched.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in lcols],
+        *[F.col(f"__m.{c}{suffix}").alias(c + suffix) for c in rpay],
+    )
+
+
+def asof_join_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    suffix: str = "_r",
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Reference implementation of :func:`asof_join` via the naive
+    pair-materializing plan (equi-join on keys + time inequality, then
+    ``row_number`` picks the nearest match per left row).
+
+    Kept ONLY as the equivalence-test oracle: it builds O(n·m)
+    intermediate rows per key before discarding all but one per left
+    row, which is quadratic in per-key history length and must not be
+    used at scale. Use :func:`asof_join`.
     """
     keys = [on] if isinstance(on, str) else list(on)
     lid = "__asof_lid"

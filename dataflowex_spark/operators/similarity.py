@@ -86,6 +86,14 @@ def knn_cosine_lsh(
     then exact cosine + per-probe top-k re-rank. Recall tunes with
     n_tables/n_planes.
 
+    The hyperplanes travel as a BROADCAST DataFrame of
+    (table, array<array<double>>) rows, NOT as n_tables×n_planes×dim
+    literals baked into the expression tree — a realistic
+    768-dim/16-plane/8-table config is ~100k literals, the same
+    Catalyst plan-explosion class the IVF centroids avoid the same
+    way. Plan size is therefore independent of dim/n_planes; the
+    sign bits fold JVM-side via ``transform``+``aggregate``.
+
     ``dim`` defaults to the probe embeddings' length. A wrong ``dim``
     would NULL-pad every dot product and collapse all vectors into one
     bucket (a silent cross-join), so mismatching rows are rejected at
@@ -110,21 +118,34 @@ def knn_cosine_lsh(
                 f"knn_cosine_lsh: {name} embedding length {bad['d']} != dim {dim}"
             )
 
+    spark = corpus.sparkSession
+    planes_df = spark.createDataFrame(
+        [
+            (t, [[float(x) for x in p] for p in _hyperplanes(dim, n_planes, seed + 1000 * t)])
+            for t in range(n_tables)
+        ],
+        schema="table int, __planes array<array<double>>",
+    )
+
     def bucketize(df: DataFrame, out_id: str) -> DataFrame:
-        tables = []
-        for t in range(n_tables):
-            planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-            bits = None
-            for i, plane in enumerate(planes):
-                pv = F.array(*[F.lit(x) for x in plane])
-                bit = F.when(dot(F.col(vec_col), pv) >= 0, 1).otherwise(0)
-                term = F.shiftleft(bit.cast("long"), i)
-                bits = term if bits is None else bits.bitwiseOR(term)
-            tables.append(bits)
-        return df.select(
+        # one sign bit per plane, folded into a long bucket id:
+        # acc*2 + bit (left fold over the plane array). Encoding only
+        # has to agree between the two sides — both use this fold.
+        bucket = F.aggregate(
+            F.transform(
+                F.col("__planes"),
+                lambda p: F.when(dot(F.col(vec_col), p) >= 0, 1)
+                .otherwise(0)
+                .cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, bit: acc * 2 + bit,
+        )
+        return df.crossJoin(F.broadcast(planes_df)).select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(f"__vec_{out_id}"),
-            F.posexplode(F.array(*tables)).alias("table", "bucket"),
+            F.col("table"),
+            bucket.alias("bucket"),
         )
 
     c = bucketize(corpus, "cand_id")

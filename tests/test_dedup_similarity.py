@@ -119,6 +119,36 @@ def test_knn_lsh_recall(vectors):
     assert hits / total >= 0.6
 
 
+def test_knn_lsh_plan_size_independent_of_config(spark):
+    """Hyperplanes ride a broadcast DataFrame, not plan literals: the
+    logical plan must NOT grow with dim × n_planes × n_tables. A
+    realistic 768-dim/16-plane/8-table config is ~100k coefficients —
+    baked in as literals it would be the Catalyst plan-explosion class
+    the IVF centroid fix already closed."""
+    import random
+
+    rng = random.Random(3)
+
+    def frame(dim):
+        return spark.createDataFrame(
+            [Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(dim)])
+             for i in range(6)]
+        )
+
+    def plan_len(dim, n_planes, n_tables):
+        df = knn_cosine_lsh(
+            frame(dim), frame(dim), k=2, dim=dim,
+            n_planes=n_planes, n_tables=n_tables,
+        )
+        return len(df._jdf.queryExecution().optimizedPlan().toString())
+
+    small = plan_len(8, 2, 2)
+    big = plan_len(768, 16, 8)
+    # 768×16×8 = ~98k coefficients; as literals the plan would be MBs.
+    # Broadcast planes keep it the same handful of operators.
+    assert big < small * 2, (small, big)
+
+
 def test_cosine_expression_value(spark):
     df = spark.createDataFrame([Row(a=[1.0, 0.0], b=[0.0, 1.0]), Row(a=[1.0, 1.0], b=[1.0, 1.0])])
     out = df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()

@@ -25,6 +25,68 @@ def test_asof_backward(spark):
     assert got[(2, 7)] is None  # no match preserved (left semantics)
 
 
+def test_asof_union_interleave_equivalence(spark):
+    """The union-interleave asof_join returns exactly the rows of the
+    pair-materializing reference implementation — ties, no-match rows,
+    both directions — and its output cardinality is exactly
+    left.count() (the whole point: no O(n·m) pair blowup)."""
+    import random
+    from dataflowex_spark.operators.joins import asof_join_pairs
+
+    rng = random.Random(11)
+    left = spark.createDataFrame(
+        [
+            Row(k=rng.randint(1, 4), ts=rng.randint(0, 60), lv=i)
+            for i in range(120)
+        ]
+    )
+    # ties on ts within a key are common by construction (ts range 0-60,
+    # 150 rows over 4 keys); key 9 on the right has no left partner and
+    # key 4 left rows may miss matches
+    right = spark.createDataFrame(
+        [
+            Row(k=rng.choice([1, 2, 3, 9]), ts=rng.randint(0, 60), rv=i)
+            for i in range(150)
+        ]
+    )
+
+    def key_set(df):
+        return sorted(
+            (r.k, r.ts, r.lv, r.ts_r, r.rv_r) for r in df.collect()
+        )
+
+    for direction in ("backward", "forward"):
+        new = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            direction=direction, tie_break="rv",
+        )
+        ref = asof_join_pairs(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            direction=direction, tie_break="rv",
+        )
+        assert key_set(new) == key_set(ref), direction
+        assert new.count() == left.count()  # no blowup, left preserved
+
+
+def test_asof_null_ts(spark):
+    """NULL timestamps never match: a NULL right ts is dropped, a NULL
+    left ts row survives with a NULL payload (both directions)."""
+    left = spark.createDataFrame(
+        [Row(k=1, ts=10, lv=1), Row(k=1, ts=None, lv=2)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=4, v="a"), Row(k=1, ts=None, v="nope")]
+    )
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            direction=direction,
+        )
+        got = {r.lv: r.v_r for r in out.collect()}
+        assert got[2] is None
+        assert got[1] == ("a" if direction == "backward" else None)
+
+
 def test_range_join_bounds(spark):
     left = spark.createDataFrame([Row(k=1, ts=0)])
     right = spark.createDataFrame([Row(k=1, ts=30), Row(k=1, ts=3700), Row(k=2, ts=10)])

@@ -91,3 +91,23 @@ def test_driver_contract_surface():
     marks = dict(re.findall(r"(q\d+_[a-z0-9_]+)\[([OR])\]", survey))
     for name in qs:
         assert marks[name] == ("O" if name in oracles else "R"), name
+
+
+def test_queries_manifest_matches_registry():
+    """queries_manifest.json — the machine-readable inventory shipped
+    for the driver's correctness gate — must list exactly queries(),
+    in registry order, with accurate oracle flags. Regenerate with
+    tools/gen_manifest.py after adding a query."""
+    import json
+
+    import __spark_entry__ as entry
+
+    with open("queries_manifest.json") as f:
+        m = json.load(f)
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert [e["name"] for e in m["queries"]] == list(qs)
+    assert m["total"] == len(qs)
+    assert m["oracled"] == len(oracles)
+    for e in m["queries"]:
+        assert e["oracle"] == (e["name"] in oracles), e["name"]
