@@ -98,21 +98,50 @@ def encode_ppm(arr) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
 
 
+def _optional_pil():
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes) -> dict:
     """Image decode: REAL for uncompressed netpbm (P5/P6) via pure
     numpy — returns {width, height, channels, pixels}. Compressed
-    formats (JPEG/PNG/…) require PIL/opencv, absent in this container
-    → NotImplementedError (wire a codec here at deploy time)."""
+    formats (JPEG/PNG/…) decode through PIL WHEN IT IS IMPORTABLE
+    (optional dependency hook — absent in this container), else an
+    honest NotImplementedError."""
     if payload is None:
         raise ValueError("decode_image: payload is None (pointer-only row)")
     parsed = _parse_netpbm(payload)
     if parsed is not None:
         w, h, ch, arr = parsed
         return {"width": w, "height": h, "channels": ch, "pixels": arr}
+    Image = _optional_pil()
+    if Image is not None:
+        import io
+
+        import numpy as np
+
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                if im.mode not in ("L", "RGB"):
+                    im = im.convert("RGB")
+                arr = np.asarray(im, dtype=np.uint8)
+        except Exception as e:  # unidentified/corrupt payload
+            raise NotImplementedError(
+                f"payload is neither netpbm nor PIL-decodable: {e}"
+            )
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, ch = arr.shape
+        return {"width": w, "height": h, "channels": ch, "pixels": arr}
     raise NotImplementedError(
         "compressed-image decode requires an imaging library not present "
-        "in this environment; wire PIL/opencv here at deploy time "
-        "(netpbm P5/P6 decodes natively)"
+        "in this environment; PIL is picked up automatically when "
+        "installed (netpbm P5/P6 decodes natively)"
     )
 
 
@@ -258,12 +287,21 @@ def encode_wav(samples, rate: int = 16_000) -> bytes:
     return buf.getvalue()
 
 
+def _optional_soundfile():
+    try:
+        import soundfile  # type: ignore
+
+        return soundfile
+    except ImportError:
+        return None
+
+
 def decode_audio(payload: bytes) -> dict:
     """Audio decode: REAL for RIFF/PCM WAV via stdlib wave + numpy —
     returns {sample_rate, channels, n_samples, duration_s, samples
-    (ndarray[n, ch] int16)}. Compressed codecs (mp3/ogg/flac) need
-    libraries absent in this container → NotImplementedError (wire
-    ffmpeg/soundfile here at deploy time)."""
+    (ndarray[n, ch] int16)}. Other codecs (ogg/flac/…) decode through
+    soundfile WHEN IT IS IMPORTABLE (optional dependency hook — absent
+    in this container), else an honest NotImplementedError."""
     import io
     import wave
 
@@ -272,10 +310,28 @@ def decode_audio(payload: bytes) -> dict:
     if payload is None:
         raise ValueError("decode_audio: payload is None (pointer-only row)")
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        sf = _optional_soundfile()
+        if sf is not None:
+            try:
+                samples, rate = sf.read(
+                    io.BytesIO(payload), dtype="int16", always_2d=True
+                )
+            except Exception as e:
+                raise NotImplementedError(
+                    f"payload is neither PCM WAV nor soundfile-decodable: {e}"
+                )
+            n, ch = samples.shape
+            return {
+                "sample_rate": int(rate),
+                "channels": int(ch),
+                "n_samples": int(n),
+                "duration_s": n / rate,
+                "samples": samples,
+            }
         raise NotImplementedError(
             "compressed-audio decode requires a codec library not present "
-            "in this environment; wire ffmpeg/soundfile here at deploy "
-            "time (RIFF/PCM WAV decodes natively)"
+            "in this environment; soundfile is picked up automatically "
+            "when installed (RIFF/PCM WAV decodes natively)"
         )
     try:
         with wave.open(io.BytesIO(payload), "rb") as wf:

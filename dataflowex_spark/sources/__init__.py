@@ -291,11 +291,101 @@ def _incremental_plan(
     return fresh
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+_STAGING_MARK = ".__staging__-"
+
+
+def atomic_append(
+    df: DataFrame,
+    path: str,
+    spark: SparkSession | None = None,
+    on_staged=None,
+) -> int:
+    """Append ``df`` to a parquet directory via a stage-then-commit
+    protocol instead of writing part files straight into the table.
+
+    1. STAGE: the plan executes once into a sibling staging directory
+       (``<path>.__staging__-<uuid>``) — the expensive, minutes-long
+       data write happens entirely outside the table.
+    2. COUNT: the appended row count is read back from the staged
+       files (exact — no re-execution of a possibly non-deterministic
+       plan).
+    3. COMMIT: each staged part file is moved into the table with an
+       atomic FileSystem.rename (metadata-only, milliseconds); the
+       staging dir is then deleted.
+
+    A crash before commit leaves the table byte-identical (the staged
+    orphan is invisible — it is a *sibling*, never scanned — and is
+    swept by :func:`clean_staging`). A crash mid-commit can leave a
+    prefix of the batch's files, but the keyed retry heals it:
+    replaying through :func:`incremental_append` anti-joins away the
+    rows that landed and appends only the remainder — convergent, no
+    duplicates. The prior direct ``mode("append")`` write exposed the
+    whole data-write duration as the torn window; this narrows it to
+    the rename loop. (True multi-file atomicity needs a manifest table
+    format — out of environment scope, documented trade.)
+
+    ``on_staged`` is a test hook invoked between stage and commit
+    (crash injection).
+    """
+    spark = spark or df.sparkSession
+    import uuid
+
+    staging = path.rstrip("/") + _STAGING_MARK + uuid.uuid4().hex
+    df.write.mode("overwrite").parquet(staging)
+    try:
+        n = int(spark.read.parquet(staging).count())
+        if on_staged is not None:
+            on_staged(staging)
+        if n:
+            jvm, dst_dir, fs = _hadoop_fs(spark, path)
+            if not fs.exists(dst_dir):
+                fs.mkdirs(dst_dir)
+            _, src, _ = _hadoop_fs(spark, staging)
+            for status in fs.listStatus(src):
+                name = status.getPath().getName()
+                if name.startswith("_") or name.startswith("."):
+                    continue  # _SUCCESS / committer metadata
+                dst = jvm.org.apache.hadoop.fs.Path(dst_dir, name)
+                if not fs.rename(status.getPath(), dst):
+                    raise IOError(
+                        f"atomic_append: rename {name} -> {path} failed"
+                    )
+        return n
+    finally:
+        _, src, fs = _hadoop_fs(spark, staging)
+        fs.delete(src, True)
+
+
+def clean_staging(spark: SparkSession, path: str) -> int:
+    """Sweep orphaned staging directories left by a crash between
+    stage and commit (they are siblings of ``path`` named
+    ``<basename>.__staging__-*``). Returns the number removed. Safe to
+    run any time — committed data never lives under a staging name."""
+    jvm, jpath, fs = _hadoop_fs(spark, path.rstrip("/"))
+    parent = jpath.getParent()
+    if parent is None or not fs.exists(parent):
+        return 0
+    prefix = jpath.getName() + _STAGING_MARK
+    removed = 0
+    for status in fs.listStatus(parent):
+        if status.getPath().getName().startswith(prefix):
+            fs.delete(status.getPath(), True)
+            removed += 1
+    return removed
+
+
 def incremental_append(
     new_df: DataFrame,
     existing_path: str,
     key: str,
     spark: SparkSession | None = None,
+    on_staged=None,
 ) -> int:
     """Idempotent incremental ingest: append only rows whose ``key`` is
     not already present (left_anti against the existing table) — the
@@ -316,18 +406,15 @@ def incremental_append(
     probe re-reading the key column of the whole 100 TB table on every
     micro-batch. Keys outside the batch range can't anti-match anyway,
     so pruning never changes the result.
+
+    Publication goes through :func:`atomic_append`: the anti-join
+    executes once into a staging dir (also what guarantees count and
+    data agree under non-deterministic inputs — no persist needed),
+    then commits by atomic renames. A crash before commit publishes
+    nothing; a torn commit heals on replay via this very anti-join.
     """
     fresh = _incremental_plan(new_df, existing_path, key, spark)
-    # persist: count() and write() otherwise re-execute the full
-    # anti-join (and could disagree under non-deterministic inputs)
-    fresh = fresh.persist()
-    try:
-        n = fresh.count()
-        if n:
-            fresh.write.mode("append").parquet(existing_path)
-    finally:
-        fresh.unpersist()
-    return n
+    return atomic_append(fresh, existing_path, spark=spark, on_staged=on_staged)
 
 
 def write_time_partitioned(

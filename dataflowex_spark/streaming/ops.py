@@ -181,6 +181,65 @@ def interval_join_stream(
     return l.join(r, cond, how).drop(F.col(f"__r.{key}"))
 
 
+def asof_join_stream(
+    left_stream: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    tie_break: str | None = None,
+    suffix: str = "_r",
+    path: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming as-of enrichment: each micro-batch of the left stream
+    joins the static/history ``right`` side through the
+    union-interleave :func:`~dataflowex_spark.operators.joins.asof_join`
+    inside ``foreachBatch``, publishing via the stage-then-rename
+    commit of ``sources.atomic_append``. Drains with availableNow and
+    returns the enriched result frame.
+
+    Stream == batch exactly: an as-of match is a per-left-row property
+    of the FULL right side, so partitioning the left into micro-batches
+    cannot change any row's match — the union of per-batch results is
+    the batch ``asof_join`` of the whole left. (A stream-stream as-of —
+    both sides unbounded — is not expressible with bounded state
+    without a lateness bound; bound the right side with a watermark
+    and use :func:`interval_join_stream` + downstream max-pick for
+    that shape.)
+    """
+    import tempfile
+
+    from dataflowex_spark.operators.joins import asof_join
+    from dataflowex_spark.sources import atomic_append
+
+    out_path = path or (tempfile.mkdtemp(prefix="asof_stream_") + "/out")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = asof_join(
+            batch_df,
+            right,
+            on=on,
+            left_ts=left_ts,
+            right_ts=right_ts,
+            direction=direction,
+            suffix=suffix,
+            tie_break=tie_break,
+        )
+        atomic_append(enriched, out_path)
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="asof_ckpt_")
+    q = (
+        left_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return left_stream.sparkSession.read.parquet(out_path)
+
+
 def run_to_memory(
     stream_df: DataFrame,
     query_name: str | None = None,
@@ -211,7 +270,10 @@ def upsert_sink(
     :func:`dataflowex_spark.sources.incremental_append` (anti-join on
     ``key`` against the existing table, probe pruned to the batch's
     key range), so replayed/overlapping batches — foreachBatch is
-    at-least-once after recovery — cannot duplicate rows. This is the
+    at-least-once after recovery — cannot duplicate rows. Each batch
+    publishes through the stage-then-rename commit of
+    ``sources.atomic_append``: a crash before commit lands nothing, a
+    torn commit heals on the replayed batch's anti-join. This is the
     streaming DbBulkInserter-with-merge analog
     [R: Gridsum.DataflowEx/Databases/DbBulkInserter.cs].
 

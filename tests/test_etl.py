@@ -221,6 +221,69 @@ def test_incremental_append_idempotent(spark, tmp_path):
     assert spark.read.parquet(path).count() == 15
 
 
+def test_incremental_append_crash_before_commit_publishes_nothing(
+    spark, tmp_path
+):
+    """Crash injected between stage and commit: the table is
+    byte-identical (no torn append), the orphaned staging dir is
+    swept by clean_staging, and the replayed batch lands whole —
+    still idempotent afterwards."""
+    from dataflowex_spark.sources import clean_staging, incremental_append
+
+    path = str(tmp_path / "inc")
+    batch1 = spark.createDataFrame([Row(k=i, v=i) for i in range(10)])
+    assert incremental_append(batch1, path, "k") == 10
+    before = sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
+
+    batch2 = spark.createDataFrame([Row(k=i, v=i) for i in range(10, 20)])
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash(staging_dir):
+        raise Boom("injected crash between stage and commit")
+
+    with pytest.raises(Boom):
+        incremental_append(batch2, path, "k", on_staged=crash)
+    after = sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
+    assert after == before  # full batch or no batch: this is "no batch"
+    # an exception path cleans its own staging dir...
+    assert clean_staging(spark, path) == 0
+    # ...while a hard kill (no finally) leaves an orphan: simulate one
+    # and sweep it
+    orphan = str(tmp_path / "inc.__staging__-deadbeef")
+    batch2.write.parquet(orphan)
+    assert clean_staging(spark, path) == 1
+    before_rows = spark.read.parquet(path).count()
+    assert before_rows == 10  # sweep never touches committed data
+
+    # replay without the crash → the whole batch lands exactly once
+    assert incremental_append(batch2, path, "k") == 10
+    assert incremental_append(batch2, path, "k") == 0
+    assert spark.read.parquet(path).count() == 20
+
+
+def test_atomic_append_torn_commit_heals_on_replay(spark, tmp_path):
+    """Simulate a torn commit (a prefix of the batch's files landed,
+    the rest did not): replaying through the keyed anti-join appends
+    only the missing rows — convergent, no duplicates."""
+    from dataflowex_spark.sources import incremental_append
+
+    path = str(tmp_path / "inc")
+    incremental_append(
+        spark.createDataFrame([Row(k=i, v=i) for i in range(5)]), path, "k"
+    )
+    # hand-craft the torn state: half of batch2 written straight in,
+    # as if the crash hit after some renames
+    torn = spark.createDataFrame([Row(k=i, v=i) for i in range(5, 8)])
+    torn.write.mode("append").parquet(path)
+
+    batch2 = spark.createDataFrame([Row(k=i, v=i) for i in range(5, 15)])
+    assert incremental_append(batch2, path, "k") == 7  # 8..14 only
+    got = sorted(r.k for r in spark.read.parquet(path).collect())
+    assert got == list(range(15))
+
+
 def test_incremental_append_prunes_probe_scan(spark, tmp_path):
     """The anti-join probe must carry the batch's key range as pushed
     parquet filters — at 100 TB that means footer-stats pruning instead

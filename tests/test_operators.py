@@ -240,6 +240,47 @@ def test_multimodal_feature_plumbing(spark):
         multimodal.decode_image(b"\x89PNG")
 
 
+def test_pil_optional_codec_hook():
+    """When PIL is importable, compressed formats decode through it;
+    when it is not (this container), the stub stays honest. Skips
+    cleanly in the no-PIL environment."""
+    Image = multimodal._optional_pil()
+    if Image is None:
+        pytest.skip("PIL not installed — stub path covered elsewhere")
+    import io
+
+    import numpy as np
+
+    arr = np.random.RandomState(5).randint(0, 255, (12, 9, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    d = multimodal.decode_image(buf.getvalue())
+    assert (d["width"], d["height"], d["channels"]) == (9, 12, 3)
+    assert np.array_equal(d["pixels"], arr)  # PNG is lossless
+
+
+def test_soundfile_optional_codec_hook():
+    """When soundfile is importable, non-WAV payloads decode through
+    it. Skips cleanly in the no-soundfile environment."""
+    sf = multimodal._optional_soundfile()
+    if sf is None:
+        pytest.skip("soundfile not installed — stub path covered elsewhere")
+    import io
+
+    import numpy as np
+
+    rate, n = 8000, 800
+    samples = (
+        (np.sin(2 * np.pi * 440 * np.arange(n) / rate) * 20000)
+        .astype(np.int16)
+        .reshape(-1, 1)
+    )
+    buf = io.BytesIO()
+    sf.write(buf, samples, rate, format="FLAC")
+    d = multimodal.decode_audio(buf.getvalue())
+    assert d["sample_rate"] == rate and d["n_samples"] == n
+
+
 def test_netpbm_real_decode_and_resize(spark):
     """REAL image path (no imaging lib needed): synthesize P6 images,
     decode actual dimensions through extract_media_features

@@ -91,6 +91,17 @@ def test_driver_contract_surface():
     marks = dict(re.findall(r"(q\d+_[a-z0-9_]+)\[([OR])\]", survey))
     for name in qs:
         assert marks[name] == ("O" if name in oracles else "R"), name
+    # §2 Part B addendum prose must keep up with the inventory: every
+    # post-round-1 query number (q99+) appears in an addendum table row
+    addendum = survey.split("### Part B addendum")[1].split("### §2.1")[0]
+    cited = set(re.findall(r"q(\d+)", addendum))
+    for name in qs:
+        num = int(name[1:].split("_")[0])
+        if num >= 99:
+            assert str(num) in cited or any(
+                int(a) <= num <= int(b)
+                for a, b in re.findall(r"q(\d+)–q(\d+)", addendum)
+            ), f"{name} missing from SURVEY §2 Part B addendum"
 
 
 def test_queries_manifest_matches_registry():

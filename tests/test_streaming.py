@@ -179,6 +179,41 @@ def test_stream_stream_interval_join(spark, sf_dir):
     assert want.count() > 0
 
 
+def test_stream_asof_join_equals_batch(spark, sf_dir, tmp_path):
+    """asof_join_stream (union-interleave as-of per micro-batch in
+    foreachBatch) on a real replayed stream returns EXACTLY the batch
+    asof_join rows — the q25 shape: each purchase matched to its
+    latest at-or-before click."""
+    from dataflowex_spark.operators.joins import asof_join
+    from dataflowex_spark.streaming.ops import asof_join_stream
+
+    def sides(src):
+        purchases = src.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = src.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", "ts"
+        )
+        return purchases, clicks
+
+    batch_p, batch_c = sides(Catalog(spark, sf_dir)["events"])
+    stream_p, _ = sides(
+        file_replay_stream(spark, f"{sf_dir}/events.parquet", n_chunks=4)
+    )
+
+    got = asof_join_stream(
+        stream_p, batch_c, on="user_id", left_ts="ts", right_ts="ts",
+        tie_break="click_id", path=str(tmp_path / "asof_out"),
+    )
+    want = asof_join(
+        batch_p, batch_c, on="user_id", left_ts="ts", right_ts="ts",
+        tie_break="click_id",
+    )
+    cols = ["event_id", "user_id", "click_id_r"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    assert want.count() > 0
+
+
 def test_stream_static_dim_join(spark, sf_dir):
     """Stream-static join: streaming events enriched against the
     static user dimension (broadcast per micro-batch) — the streaming
