@@ -55,6 +55,9 @@ HEADLINE = [
     "q121_resample_locf",
     "q122_scd2_history",
     "q123_cdc_merge",
+    "q139_market_share",
+    "q143_waiting_supplier",
+    "q147_top_bigrams",
 ]
 
 

@@ -3581,3 +3581,701 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+# =====================================================================
+# round-3 additions: streaming as-of, TPC-H Q4/Q7/Q8/Q10/Q18/Q19/Q21
+# shapes, LLM-data wave 3
+# =====================================================================
+
+
+@q(
+    "q136_stream_asof",
+    """
+    SELECT event_id, user_id, prior_click_id FROM (
+      SELECT p.event_id, p.user_id, c.event_id AS prior_click_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY c.ts DESC, c.event_id DESC
+             ) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+    ) t WHERE rn = 1
+    """,
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING as-of join with a full batch oracle: purchases replay
+    as a real file stream, each micro-batch enriched with its latest
+    at-or-before click through the union-interleave asof_join inside
+    foreachBatch (atomic stage+rename publish per batch). Stream ==
+    batch exactly because an as-of match is a per-left-row property of
+    the full right side — so the q25 SQL is a valid oracle for the
+    streaming computation."""
+    import tempfile
+
+    from dataflowex_spark.streaming.ops import asof_join_stream, file_replay_stream
+
+    cat = Catalog(spark, sf_dir)
+    clicks = cat["events"].filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    stream = file_replay_stream(spark, f"{sf_dir}/events.parquet", n_chunks=4)
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join_stream(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        tie_break="click_id",
+        path=tempfile.mkdtemp(prefix="q136_") + "/out",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("click_id_r").alias("prior_click_id")
+    )
+
+
+@q(
+    "q137_order_priority_exists",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS becomes a
+    LEFT SEMI join carrying the correlated lateness predicate inside
+    the join condition — one keyed shuffle, no pair materialization,
+    and the orderdate range is pushed to the orders scan."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    line = cat["lineitem"].select("l_orderkey", "l_shipdate")
+    late_exists = orders.join(
+        line,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late_exists.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@q(
+    "q138_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+             AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice, l_discount
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between a nation pair): the
+    nation filters reduce BOTH dimension sides before they touch the
+    fact tables — supplier keeps only the two nations' keys, the order
+    side is pre-enriched with the customer nation — so the single
+    fact-fact shuffle (lineitem⋈orders) runs on pre-filtered inputs
+    and the pair predicate rides it."""
+    cat = Catalog(spark, sf_dir)
+    pair = ("NATION_3", "NATION_7")
+    nat = cat["nation"].filter(F.col("n_name").isin(*pair)).select(
+        "n_nationkey", "n_name"
+    )
+    supp = (
+        cat["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        cat["customer"]
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    order_side = cat["orders"].select("o_orderkey", "o_custkey").join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    line = cat["lineitem"].select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    ).join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    j = line.join(order_side, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        (
+            (F.col("supp_nation") == pair[0])
+            & (F.col("cust_nation") == pair[1])
+        )
+        | (
+            (F.col("supp_nation") == pair[1])
+            & (F.col("cust_nation") == pair[0])
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(3,2)"))
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@q(
+    "q139_market_share",
+    """
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(21,4)) END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(3,2))) AS volume,
+             n1.n_name AS supp_nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+           region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+        AND r_name = 'EUROPE' AND s_nationkey = n1.n_nationkey
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): share of one nation's
+    suppliers in EUROPE customers' spend on ECONOMY parts, per year.
+    Part/supplier/customer-nation-region all broadcast onto the
+    lineitem⋈orders fact join; the share is two exact DECIMAL sums
+    divided once in double (cross-engine bit discipline)."""
+    cat = Catalog(spark, sf_dir)
+    part = cat["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    supp = cat["supplier"].join(
+        F.broadcast(cat["nation"].select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    eur_nat = (
+        cat["nation"]
+        .join(
+            F.broadcast(cat["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    cust = cat["customer"].join(
+        F.broadcast(eur_nat), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    order_side = (
+        cat["orders"]
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").cast("bigint").alias("o_year"))
+    )
+    line = (
+        cat["lineitem"]
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    j = line.join(order_side, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_year",
+        volume.alias("volume"),
+        "supp_nation",
+    )
+    nation_vol = F.when(
+        F.col("supp_nation") == "NATION_3", F.col("volume")
+    ).otherwise(F.lit(0).cast("decimal(21,4)"))
+    return j.groupBy("o_year").agg(
+        (
+            F.sum(nation_vol).cast("double")
+            / F.sum("volume").cast("double")
+        )
+        .cast("double")
+        .alias("mkt_share")
+    )
+
+
+@q(
+    "q140_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    lost revenue in a half-year window. The returnflag filter is
+    pushed to the lineitem scan, the date filter to orders; customer
+    and nation broadcast; the global top-20 runs as
+    TakeOrderedAndProject (no full sort at scale) with c_custkey as
+    the deterministic tie-break."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    line = cat["lineitem"].filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    cust = cat["customer"].join(
+        F.broadcast(cat["nation"].select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "n_name")
+    j = (
+        line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(3,2)"))
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+@q(
+    "q141_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+      )
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): the HAVING subquery and
+    the outer per-order aggregate are THE SAME aggregate — computed
+    once, filtered, then joined to orders + broadcast customer. One
+    lineitem shuffle total, vs the naive plan's two full aggregations
+    of the fact table."""
+    cat = Catalog(spark, sf_dir)
+    per_order = cat["lineitem"].groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__qty")
+    ).filter(F.col("__qty") > 150)
+    j = per_order.join(
+        cat["orders"].select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).join(
+        F.broadcast(cat["customer"].select("c_custkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return j.select(
+        "c_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.col("__qty").cast("double").alias("total_qty"),
+    )
+
+
+@q(
+    "q142_disjunctive_pred",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 30)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+           AND l_quantity BETWEEN 10 AND 50)
+       OR (p_type = 'PROMO' AND p_size BETWEEN 20 AND 35
+           AND l_quantity BETWEEN 20 AND 60)
+    """,
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    three OR'd brand/size/quantity conjunctions across the join. The
+    single-side conjuncts of the common-factor CNF (quantity ∈ [1,60],
+    size ∈ [1,35]) are derivable and Catalyst pushes them below the
+    join; the residual OR evaluates on the broadcast-joined rows."""
+    cat = Catalog(spark, sf_dir)
+    j = cat["lineitem"].select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    ).join(
+        F.broadcast(cat["part"].select("p_partkey", "p_brand", "p_type", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(10, 50)
+        )
+        | (
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(20, 35)
+            & F.col("l_quantity").between(20, 60)
+        )
+    )
+    return j.filter(cond).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(3,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@q(
+    "q143_waiting_supplier",
+    """
+    WITH per_os AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate >= o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY l_orderkey, l_suppkey
+    ),
+    per_o AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+      FROM per_os GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM per_os
+    JOIN per_o USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE per_os.late = 1 AND per_o.n_supp > 1 AND per_o.n_late = 1
+    GROUP BY s_name
+    """,
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), rewritten
+    from the classic EXISTS / NOT EXISTS pair into two stacked
+    aggregates: per-(order, supplier) lateness, then per-order
+    supplier/lateness counts — the sole-late-supplier condition
+    becomes a filter on the re-join. Two keyed aggregations replace
+    two correlated self-joins of the fact table (which would each
+    rematerialize same-order pairs)."""
+    cat = Catalog(spark, sf_dir)
+    j = cat["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        cat["orders"].select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = F.when(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        1,
+    ).otherwise(0)
+    per_os = j.groupBy("l_orderkey", "l_suppkey").agg(F.max(late).alias("late"))
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    culprit = (
+        per_os.join(per_o, on="l_orderkey")
+        .filter(
+            (F.col("late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .join(
+            F.broadcast(cat["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    return culprit.groupBy("s_name").agg(F.count("*").alias("numwait"))
+
+
+@q(
+    "q144_canonical_per_content",
+    """
+    SELECT content_hash, n_dups, canonical_id FROM (
+      SELECT md5(text) AS content_hash,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS n_dups,
+             doc_id AS canonical_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(text)
+               ORDER BY n_chars DESC, doc_id
+             ) AS rn
+      FROM documents
+    ) t
+    WHERE rn = 1 AND n_dups > 1
+    """,
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document election per exact-content group: among
+    byte-identical texts keep the one with the largest claimed
+    n_chars (doc_id as deterministic tie-break). One hash aggregate
+    over (md5, count, max_by) — only the 16-byte digest and the
+    winner's scalars shuffle, never document bodies; the md5 spelling
+    is portable so the elected set is engine-independent."""
+    cat = Catalog(spark, sf_dir)
+    # max_by with a (n_chars, -doc_id) struct: max n_chars, then min
+    # doc_id — mirrors the oracle's ORDER BY n_chars DESC, doc_id
+    key = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    agg = cat["documents"].groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count("*").alias("n_dups"),
+        F.max_by("doc_id", key).alias("canonical_id"),
+    )
+    return agg.filter(F.col("n_dups") > 1)
+
+
+@q(
+    "q145_embedding_quantize",
+    """
+    SELECT vec_id,
+           CAST(list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE) -
+                  (round((CAST(x AS DOUBLE) - mn) / sc) * sc + mn))
+           )) AS DOUBLE) AS max_qerr
+    FROM (
+      SELECT vec_id, embedding,
+             CAST(list_min(embedding) AS DOUBLE) AS mn,
+             CASE WHEN list_max(embedding) > list_min(embedding)
+                  THEN (CAST(list_max(embedding) AS DOUBLE)
+                        - CAST(list_min(embedding) AS DOUBLE)) / 255
+                  ELSE 1 END AS sc
+      FROM embeddings
+    ) t
+    """,
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization error audit (the compression step
+    of an embedding store): min/max-scale each vector to 255 buckets,
+    reconstruct, report the max absolute error. Entirely scan-local
+    column expressions (array HOFs, no shuffle, no UDF); max over
+    elements is order-free, so the doubles bit-match the oracle."""
+    cat = Catalog(spark, sf_dir)
+    emb = F.col("embedding")
+    mn = F.array_min(emb).cast("double")
+    mx = F.array_max(emb).cast("double")
+    sc = F.when(mx > mn, (mx - mn) / F.lit(255)).otherwise(F.lit(1.0))
+    df = cat["embeddings"].select(
+        "vec_id", emb.alias("embedding"), mn.alias("__mn"), sc.alias("__sc")
+    )
+    err = F.array_max(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.abs(
+                x.cast("double")
+                - (
+                    F.round((x.cast("double") - F.col("__mn")) / F.col("__sc"))
+                    * F.col("__sc")
+                    + F.col("__mn")
+                )
+            ),
+        )
+    )
+    return df.select("vec_id", err.cast("double").alias("max_qerr"))
+
+
+@q(
+    "q146_label_centroid_sim",
+    """
+    WITH pos AS (
+      SELECT label, i,
+             CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                           AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS v
+      FROM embeddings, generate_series(1, 64) AS t(i)
+      GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label, list(v ORDER BY i) AS c FROM pos GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(list_cosine_similarity(a.c, b.c) AS DOUBLE) AS sim
+    FROM cent a JOIN cent b ON a.label < b.label
+    """,
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids (cluster-quality audit). Averaging doubles is
+    order-sensitive across engines — and float→DECIMAL casts differ
+    too (Spark rounds the float's shortest decimal string, DuckDB the
+    true binary value) — so each component is floor-quantized to 1e-6
+    as a BIGINT and summed exactly: floor is tie-free and integer sums
+    are order-free, making the centroids bit-identical. Shuffle is
+    keyed by (label, position): partial sums combine map-side, and
+    only n_labels×dim scalars move; the pairwise stage is a broadcast
+    self-join of the tiny centroid frame."""
+    from dataflowex_spark.functions.vectors import cosine_similarity
+
+    cat = Catalog(spark, sf_dir)
+    pos = (
+        cat["embeddings"]
+        .select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("x").cast("double") * 1000000).cast("long")
+                ).cast("double")
+                / 1000000
+                / F.count("*")
+            ).alias("v")
+        )
+    )
+    cent = pos.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "v"))), lambda s: s["v"]
+        ).alias("c")
+    )
+    a = cent.select(F.col("label").alias("label_a"), F.col("c").alias("__ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("c").alias("__cb"))
+    pairs = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+    return pairs.select(
+        "label_a",
+        "label_b",
+        cosine_similarity(F.col("__ca"), F.col("__cb")).cast("double").alias("sim"),
+    )
+
+
+@q(
+    "q147_top_bigrams",
+    """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(text, '__WS__'), t -> t <> '')
+               AS ts
+      FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(ts)),
+                    i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 bigrams (vocabulary-induction statistics).
+    Adjacent-token pairs come from zipping the token array with its
+    own tail — scan-local, no self-join — then one hash count and a
+    TakeOrdered top-k with the bigram string as deterministic
+    tie-break. Only (bigram, count) partials shuffle."""
+    from dataflowex_spark.functions.text import WS_REGEX
+
+    cat = Catalog(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.col("text"), WS_REGEX), lambda t: t != F.lit("")
+    )
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    return (
+        cat["documents"]
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(50)
+    )
+
+
+@q(
+    "q148_token_budget_trim",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split_regex(text, '__WS__'),
+                             x -> x <> '')) AS n_tok
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY n_tok DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    )
+    SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM r WHERE cum <= 2000
+    """,
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget trim: keep the longest documents of
+    each source while the running token total stays under budget —
+    the greedy selection step of a mixture builder. Token counts are
+    scan-local array exprs; the only shuffle is the per-source window
+    (selection is inherently sequential per source; for sources too
+    hot for one reducer, binary-search a per-source length threshold
+    with two aggregate passes instead)."""
+    from dataflowex_spark.functions.text import WS_REGEX
+
+    cat = Catalog(spark, sf_dir)
+    n_tok = F.size(
+        F.filter(F.split(F.col("text"), WS_REGEX), lambda t: t != F.lit(""))
+    )
+    t = cat["documents"].select(
+        "source", "doc_id", n_tok.cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_tok").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tok").over(w).cast("bigint"))
+        .filter(F.col("cum_tokens") <= 2000)
+    )

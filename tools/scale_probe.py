@@ -79,7 +79,11 @@ def main():
     from dataflowex_spark.operators.windows import global_ntile
     from dataflowex_spark.operators.dedup import decontaminate
     from dataflowex_spark.operators.etl import scd2_history
-    from dataflowex_spark.operators.joins import range_join_binned
+    from dataflowex_spark.operators.joins import (
+        asof_join,
+        asof_join_pairs,
+        range_join_binned,
+    )
     from dataflowex_spark.operators.packing import pack_sequences
     from dataflowex_spark.operators.text import winnow_fingerprints
     from dataflowex_spark.operators.timeseries import resample_locf
@@ -162,6 +166,27 @@ def main():
                 "value",
                 unit="day",
             ).count(),
+        )
+        purchases = events.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = events.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", "ts"
+        )
+        bench(
+            f"asof_join(union-interleave) {label}",
+            lambda: asof_join(
+                purchases, clicks, on="user_id", left_ts="ts",
+                right_ts="ts", tie_break="click_id",
+            ).count(),
+        )
+        bench(
+            f"asof_join_pairs(quadratic reference) {label}",
+            lambda: asof_join_pairs(
+                purchases, clicks, on="user_id", left_ts="ts",
+                right_ts="ts", tie_break="click_id",
+            ).count(),
+            runs=1,  # intentionally demonstrates the pair blowup
         )
 
 
