@@ -533,3 +533,58 @@ def dedup_clusters(
             "strict=False to accept the partial labels."
         )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 3,
+    prefix_len: int = 40,
+) -> DataFrame:
+    """Fuzzy (edit-distance) pair detection over a text prefix:
+    unordered pairs whose first ``prefix_len`` characters are within
+    ``max_dist`` Levenshtein edits.
+
+    Blocking: candidates must share their FIRST TOKEN and have prefix
+    lengths within ``max_dist`` — so pairs materialize only inside a
+    (first-token) equi-join, never all-pairs. First-token blocking is
+    the standard sorted-neighborhood-style approximation: a pair whose
+    very first word was edited is missed (documented recall trade —
+    exact within a block; LSH families above are the recall-tunable
+    alternative). The length filter is a true necessary condition
+    (|len(a)−len(b)| ≤ edit distance), applied inside the join before
+    the O(prefix_len²) verify touches a row.
+    """
+    pref = F.substring(F.col(text_col), 1, prefix_len)
+    base = df.select(
+        F.col(id_col),
+        pref.alias("__s"),
+        F.split_part(pref, F.lit(" "), F.lit(1)).alias("__blk"),
+        F.length(pref).alias("__len"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__s").alias("__sa"),
+        F.col("__blk"),
+        F.col("__len").alias("__la"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__s").alias("__sb"),
+        F.col("__blk"),
+        F.col("__len").alias("__lb"),
+    )
+    return (
+        a.join(b, on="__blk")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("__sa"), F.col("__sb")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

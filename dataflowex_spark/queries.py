@@ -4279,3 +4279,80 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.withColumn("cum_tokens", F.sum("n_tok").over(w).cast("bigint"))
         .filter(F.col("cum_tokens") <= 2000)
     )
+
+
+@q(
+    "q149_incremental_agg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS qty_sum,
+           COUNT(l_quantity) AS qty_count,
+           CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS qty_min,
+           CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS qty_max
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-table maintenance: the table is processed
+    as TWO batches (shipdate halves) through partial_aggregate +
+    merge_aggregate, and the oracle is the SINGLE-PASS aggregate —
+    proving merge(state, partial(batch)) == aggregate(history∪batch).
+    Sums run in DECIMAL so the merge order cannot perturb doubles.
+    At 100 TB this replaces a full-history rescan per refresh with
+    one keyed merge of batch-sized partials."""
+    from dataflowex_spark.operators.etl import merge_aggregate, partial_aggregate
+
+    cat = Catalog(spark, sf_dir)
+    line = cat["lineitem"].select(
+        "l_returnflag",
+        "l_shipdate",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    cut = F.lit("1998-01-01").cast("timestamp_ntz")
+    spec = {"qty": ["sum", "count", "min", "max"]}
+    keys = ["l_returnflag"]
+    state = partial_aggregate(line.filter(F.col("l_shipdate") < cut), keys, spec)
+    batch = partial_aggregate(line.filter(F.col("l_shipdate") >= cut), keys, spec)
+    merged = merge_aggregate(state, batch, keys, spec)
+    return merged.select(
+        "l_returnflag",
+        F.col("qty_sum").cast("double").alias("qty_sum"),
+        F.col("qty_count").alias("qty_count"),
+        F.col("qty_min").cast("double").alias("qty_min"),
+        F.col("qty_max").cast("double").alias("qty_max"),
+    )
+
+
+@q(
+    "q150_fuzzy_pairs",
+    """
+    WITH base AS (
+      SELECT doc_id, substr(text, 1, 40) AS s,
+             split_part(substr(text, 1, 40), ' ', 1) AS blk,
+             len(substr(text, 1, 40)) AS l
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM base a JOIN base b ON a.blk = b.blk
+    WHERE a.doc_id < b.doc_id AND abs(a.l - b.l) <= 3
+      AND levenshtein(a.s, b.s) <= 3
+    """,
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance ≤ 3) near-identical prefix pairs via
+    first-token blocking + length-difference prefilter + Levenshtein
+    verify — candidates only materialize inside the block equi-join.
+    The oracle mirrors the same blocking, so the result contract
+    (exact within a block) is engine-checked."""
+    from dataflowex_spark.operators.dedup import fuzzy_pairs
+
+    cat = Catalog(spark, sf_dir)
+    return fuzzy_pairs(
+        cat["documents"], id_col="doc_id", text_col="text",
+        max_dist=3, prefix_len=40,
+    ).select("id_a", "id_b", F.col("dist").cast("bigint").alias("dist"))

@@ -316,3 +316,25 @@ def test_containment_catches_subsumed_doc(spark):
     assert jac == []  # symmetric metric misses the subsumption
     cont = ngram_containment_pairs(df, n=3, threshold=0.9).collect()
     assert [(r.id_a, r.id_b, r.containment) for r in cont] == [(1, 2, 1.0)]
+
+
+def test_fuzzy_pairs_semantics(spark):
+    """fuzzy_pairs finds same-block pairs within the edit budget,
+    applies the length necessary-condition, and (documented trade)
+    misses pairs whose first token was edited."""
+    from dataflowex_spark.operators.dedup import fuzzy_pairs
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma"),
+            Row(doc_id=2, text="alpha beta gamna"),   # dist 1, same block
+            Row(doc_id=3, text="alpha beta GAMMA!"),  # dist 6, same block
+            Row(doc_id=4, text="alpht beta gamma"),   # dist 1 but first token edited
+            Row(doc_id=5, text="zeta beta gamma"),    # other block
+        ]
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_pairs(docs, max_dist=3, prefix_len=40).collect()
+    }
+    assert got == {(1, 2): 1}  # 3 fails verify; 4 blocked out; 5 other block

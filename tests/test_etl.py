@@ -580,3 +580,47 @@ def test_write_time_partitioned_prunes(spark, sf_dir, tmp_path):
         F.date_trunc("DAY", "ts").cast("date") == F.lit("2024-01-05").cast("date")
     ).count()
     assert got == want and got > 0
+
+
+def test_merge_aggregate_equals_single_pass(spark):
+    """Folding N batches through partial_aggregate + merge_aggregate
+    equals the one-shot aggregate, regardless of batch split — the
+    decomposable-aggregate contract, in DECIMAL so float order can't
+    blur the comparison."""
+    import random
+
+    from dataflowex_spark.operators.etl import merge_aggregate, partial_aggregate
+
+    rng = random.Random(23)
+    rows = [
+        Row(k=rng.randint(1, 5), v=rng.randint(-100, 100))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "v", F.col("v").cast("decimal(18,2)")
+    )
+    spec = {"v": ["sum", "count", "min", "max"]}
+    want = sorted(
+        (r.k, float(r.v_sum), r.v_count, float(r.v_min), float(r.v_max))
+        for r in partial_aggregate(df, ["k"], spec).collect()
+    )
+    for n_batches in (1, 3, 7):
+        state = None
+        for i in range(n_batches):
+            batch = df.filter(F.crc32(F.concat_ws("|", "k", "v")) % n_batches == i)
+            state = merge_aggregate(
+                state, partial_aggregate(batch, ["k"], spec), ["k"], spec
+            )
+        got = sorted(
+            (r.k, float(r.v_sum), r.v_count, float(r.v_min), float(r.v_max))
+            for r in state.collect()
+        )
+        assert got == want, n_batches
+
+
+def test_merge_aggregate_rejects_non_mergeable(spark):
+    from dataflowex_spark.operators.etl import partial_aggregate
+
+    df = spark.createDataFrame([Row(k=1, v=1)])
+    with pytest.raises(ValueError, match="not re-mergeable"):
+        partial_aggregate(df, ["k"], {"v": ["avg"]})
