@@ -382,3 +382,32 @@ def merge_aggregate(
             name = f"{col}_{fn}"
             aggs.append(_MERGEABLE[fn][1](F.col(name)).alias(name))
     return merged.groupBy(*keys).agg(*aggs)
+
+
+def distinct_sketch(
+    batch: DataFrame, keys: list[str], col: str, lgk: int = 12
+) -> DataFrame:
+    """Per-key HLL sketch of a batch (Apache DataSketches via
+    ``hll_sketch_agg``) — the mergeable-state companion to
+    :func:`partial_aggregate` for COUNT(DISTINCT): exact distinct is
+    not decomposable, but the sketch is."""
+    return batch.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias(f"{col}_hll")
+    )
+
+
+def merge_distinct_sketch(
+    state: DataFrame | None, batch_sketch: DataFrame, keys: list[str], col: str
+) -> DataFrame:
+    """Fold a batch's HLL sketches into the running state:
+    ``merge(state, sketch(batch))`` estimates EXACTLY what
+    ``sketch(history ∪ batch)`` estimates (sketch union is lossless
+    over sketches — property-tested), so incremental distinct counts
+    never rescan history. Estimate with ``hll_sketch_estimate`` on
+    read."""
+    name = f"{col}_hll"
+    if state is None:
+        return batch_sketch
+    return state.unionByName(batch_sketch).groupBy(*keys).agg(
+        F.hll_union_agg(F.col(name)).alias(name)
+    )

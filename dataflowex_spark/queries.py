@@ -4356,3 +4356,251 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat["documents"], id_col="doc_id", text_col="text",
         max_dist=3, prefix_len=40,
     ).select("id_a", "id_b", F.col("dist").cast("bigint").alias("dist"))
+
+
+@q(
+    "q151_unpivot",
+    """
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+             CAST(COUNT(*) AS DOUBLE) AS n_lines
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, val
+    FROM agg UNPIVOT (val FOR metric IN (sum_qty, sum_price, n_lines))
+    """,
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (UNPIVOT/melt), the inverse of q38's pivot:
+    per-flag metrics unpivoted to (flag, metric, value) rows via the
+    native DataFrame.unpivot — a zero-shuffle Expand node over the
+    already-aggregated frame."""
+    cat = Catalog(spark, sf_dir)
+    agg = cat["lineitem"].groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.count("*").cast("double").alias("n_lines"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "n_lines"],
+        "metric",
+        "val",
+    )
+
+
+@q(
+    "q152_window_dist",
+    """
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist) per
+    segment — rank normalization for quantile features. c_custkey in
+    the ordering makes tie handling deterministic; one keyed window
+    shuffle."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cat["customer"].select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@q(
+    "q153_median_mode",
+    """
+    WITH ranked AS (
+      SELECT c_mktsegment, c_acctbal,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer
+    ),
+    med AS (
+      SELECT c_mktsegment, c_acctbal AS median_bal
+      FROM ranked WHERE rn = (n + 1) // 2
+    ),
+    freq AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ),
+    md AS (
+      SELECT c_mktsegment, c_nationkey AS mode_nation
+      FROM (
+        SELECT c_mktsegment, c_nationkey,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c_mktsegment
+                 ORDER BY cnt DESC, c_nationkey
+               ) AS rn
+        FROM freq
+      ) t WHERE rn = 1
+    )
+    SELECT med.c_mktsegment, median_bal, mode_nation
+    FROM med JOIN md ON med.c_mktsegment = md.c_mktsegment
+    """,
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic median and mode per segment. Both are pinned to
+    explicit, engine-independent definitions — lower median (element
+    at ceil(n/2) in (value, key) order) and smallest-value mode —
+    because native median() interpolates differently across engines
+    at even counts ((a+b)/2 vs a+0.5·(b−a) differ in floating point)
+    and native mode() breaks ties arbitrarily."""
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    med = (
+        cust.select(
+            "c_mktsegment",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("c_mktsegment", F.col("c_acctbal").alias("median_bal"))
+    )
+    freq = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("cnt")
+    )
+    mode_key = F.struct(F.col("cnt"), (-F.col("c_nationkey")).alias("neg"))
+    md = freq.groupBy("c_mktsegment").agg(
+        F.max_by("c_nationkey", mode_key).alias("mode_nation")
+    )
+    return med.join(md, on="c_mktsegment")
+
+
+@q(
+    "q154_grouped_regression",
+    """
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n END AS intercept
+    FROM (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    ) s
+    """,
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (price ~ quantity), decimal-exact like q102:
+    the four running sums accumulate in DECIMAL (order-independent,
+    unlike native regr_slope's float sums), then the closed form runs
+    in double on identical operands — bit-equal across engines. One
+    hash aggregate, map-side partials."""
+    cat = Catalog(spark, sf_dir)
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = cat["lineitem"].groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    null = F.lit(None).cast("double")
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.when(den == 0, null).otherwise(slope).alias("slope"),
+        F.when(den == 0, null).otherwise((sy - slope * sx) / n).alias(
+            "intercept"
+        ),
+    )
+
+
+@q(
+    "q155_weighted_sample",
+    """
+    SELECT doc_id, priority FROM (
+      SELECT doc_id,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) + 1)
+             / CAST(1152921504606846976 AS DOUBLE)
+             / n_chars AS priority
+      FROM documents
+      WHERE n_chars > 0
+    ) t
+    ORDER BY priority, doc_id
+    LIMIT 100
+    """,
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling via PRIORITY SAMPLING
+    (Duffield–Lund–Thorup): priority = u/w with u a uniform md5-hash
+    bucket of the id and w = n_chars; the k smallest priorities are a
+    weighted sample without replacement, inclusion probability ∝ w.
+    All-arithmetic (two IEEE divisions on exact integer inputs — no
+    libm, so cross-engine bit-equal), scan-local priorities, global
+    top-k via TakeOrdered. The same portable-md5 idiom as q92's
+    deterministic split."""
+    cat = Catalog(spark, sf_dir)
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    priority = (
+        (bucket + F.lit(1)).cast("double")
+        / F.lit(1152921504606846976).cast("double")
+        / F.col("n_chars")
+    )
+    return (
+        cat["documents"]
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", priority.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(100)
+    )
+
+
+@q("q156_incremental_distinct", None)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental COUNT(DISTINCT) via mergeable HLL sketches: per
+    event_type, distinct users computed by sketching two date halves
+    independently and merging — never rescanning history. Rows-only
+    (the estimate is DataSketches-specific; equality of merged vs
+    single-pass sketches and ±5%-of-truth accuracy are pinned by
+    pytest instead)."""
+    from dataflowex_spark.operators.etl import distinct_sketch, merge_distinct_sketch
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    cut = F.lit("2024-01-15").cast("timestamp_ntz")
+    keys = ["event_type"]
+    state = distinct_sketch(ev.filter(F.col("ts") < cut), keys, "user_id")
+    batch = distinct_sketch(ev.filter(F.col("ts") >= cut), keys, "user_id")
+    merged = merge_distinct_sketch(state, batch, keys, "user_id")
+    return merged.select(
+        "event_type",
+        F.hll_sketch_estimate(F.col("user_id_hll")).alias("approx_users"),
+    )

@@ -624,3 +624,45 @@ def test_merge_aggregate_rejects_non_mergeable(spark):
     df = spark.createDataFrame([Row(k=1, v=1)])
     with pytest.raises(ValueError, match="not re-mergeable"):
         partial_aggregate(df, ["k"], {"v": ["avg"]})
+
+
+def test_distinct_sketch_merge_equals_single_pass(spark):
+    """HLL sketch union across batches estimates exactly what the
+    single-pass sketch estimates, and lands within 5% of truth."""
+    import random
+
+    from dataflowex_spark.operators.etl import (
+        distinct_sketch,
+        merge_distinct_sketch,
+    )
+
+    rng = random.Random(31)
+    rows = [
+        Row(k=rng.randint(1, 3), u=rng.randint(1, 2000)) for _ in range(6000)
+    ]
+    df = spark.createDataFrame(rows)
+    single = {
+        r.k: r.est
+        for r in distinct_sketch(df, ["k"], "u")
+        .select("k", F.hll_sketch_estimate("u_hll").alias("est"))
+        .collect()
+    }
+    state = None
+    for i in range(3):
+        batch = df.filter(F.col("u") % 3 == i)
+        state = merge_distinct_sketch(
+            state, distinct_sketch(batch, ["k"], "u"), ["k"], "u"
+        )
+    merged = {
+        r.k: r.est
+        for r in state.select(
+            "k", F.hll_sketch_estimate("u_hll").alias("est")
+        ).collect()
+    }
+    assert merged == single  # sketch union is lossless over sketches
+    truth = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.countDistinct("u").alias("n")).collect()
+    }
+    for k, est in merged.items():
+        assert abs(est - truth[k]) / truth[k] < 0.05, (k, est, truth[k])
