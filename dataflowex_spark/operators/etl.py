@@ -411,3 +411,59 @@ def merge_distinct_sketch(
     return state.unionByName(batch_sketch).groupBy(*keys).agg(
         F.hll_union_agg(F.col(name)).alias(name)
     )
+
+
+def pit_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    fact_ts: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Point-in-time (temporal) join: enrich each fact row with the
+    SCD2 history row valid at the fact's timestamp
+    (``valid_from <= ts`` and ``ts < valid_to`` / open-ended NULL).
+    The standard warehouse lookup against :func:`scd2_history` output.
+
+    Scale shape: delegates to the union-interleave
+    :func:`~dataflowex_spark.operators.joins.asof_join` on
+    ``valid_from`` — one keyed shuffle, output == fact rows — instead
+    of the key+inequality pair join that materializes facts×intervals
+    per key. valid_from ties (zero-length intervals) resolve to the
+    interval with the greatest valid_to (NULL = current wins) via a
+    (is-null, valid_to) struct tie; the validity upper bound is then
+    applied by NULLing the match where ``ts >= valid_to`` — which also
+    gives gap semantics (a fact falling in a history gap matches
+    nothing, it does not inherit the stale row).
+    """
+    from dataflowex_spark.operators.joins import asof_join
+
+    tie = "__pit_tie"
+    hist = history.withColumn(
+        tie,
+        F.struct(
+            F.col(to_col).isNull().cast("int").alias("is_open"),
+            F.col(to_col).alias("to"),
+        ),
+    )
+    joined = asof_join(
+        facts,
+        hist,
+        on=key,
+        left_ts=fact_ts,
+        right_ts=from_col,
+        direction="backward",
+        suffix=suffix,
+        tie_break=tie,
+    ).drop(tie + suffix)
+    to_r = F.col(to_col + suffix)
+    invalid = to_r.isNotNull() & (F.col(fact_ts) >= to_r)
+    rpay = [c + suffix for c in history.columns if c != key]
+    out = joined
+    for c in rpay:
+        out = out.withColumn(
+            c, F.when(invalid, F.lit(None)).otherwise(F.col(c))
+        )
+    return out

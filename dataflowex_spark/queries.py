@@ -4604,3 +4604,193 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.hll_sketch_estimate(F.col("user_id_hll")).alias("approx_users"),
     )
+
+
+@q(
+    "q157_pit_join",
+    """
+    WITH src AS (
+      SELECT * FROM events WHERE event_type <> 'purchase'
+    ),
+    run AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN LAG(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM src
+    ),
+    isl AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM run
+    ),
+    g AS (
+      SELECT user_id, island, MIN(event_type) AS event_type,
+             MIN(ts) AS valid_from
+      FROM isl GROUP BY user_id, island
+    ),
+    hist AS (
+      SELECT user_id, event_type, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+               AS valid_to
+      FROM g
+    )
+    SELECT p.event_id, p.user_id, h.event_type AS state_at_purchase
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN hist h
+      ON p.user_id = h.user_id
+     AND h.valid_from <= p.ts
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    """,
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each purchase looks up the user's
+    SCD2 state (last non-purchase event run) valid AT purchase time —
+    scd2_history composed with pit_join. The oracle joins on the full
+    validity interval (at most one match per fact in non-overlapping
+    history), while the engine runs the union-interleave as-of plan:
+    same rows, fact-count output, one keyed shuffle."""
+    from dataflowex_spark.operators.etl import pit_join, scd2_history
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    hist = scd2_history(
+        ev.filter(F.col("event_type") != "purchase"),
+        "user_id",
+        "ts",
+        "event_type",
+        tie_col="event_id",
+    ).drop("n_events")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = pit_join(facts, hist, key="user_id", fact_ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_type_dim").alias("state_at_purchase"),
+    )
+
+
+@q(
+    "q158_skew_report",
+    """
+    WITH c AS (
+      SELECT o_custkey AS key, COUNT(*) AS cnt
+      FROM orders GROUP BY o_custkey
+    ),
+    t AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+             CAST(MAX(cnt) AS DOUBLE) / (CAST(SUM(cnt) AS DOUBLE)
+               / COUNT(*)) AS max_over_avg
+      FROM c
+    )
+    SELECT key, cnt, CAST(cnt / total AS DOUBLE) AS share, max_over_avg
+    FROM c, t
+    ORDER BY cnt DESC, key
+    LIMIT 10
+    """,
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the pre-flight check that decides
+    whether a key needs `salted_join`/AQE skew handling: top-10
+    heaviest keys with their share of rows and the global
+    max/avg heat ratio. One keyed count, a broadcast scalar join,
+    TakeOrdered top-k."""
+    cat = Catalog(spark, sf_dir)
+    c = cat["orders"].groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    t = c.agg(
+        F.sum("cnt").cast("double").alias("total"),
+        (
+            F.max("cnt").cast("double")
+            / (F.sum("cnt").cast("double") / F.count("*"))
+        ).alias("max_over_avg"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "key",
+            "cnt",
+            (F.col("cnt") / F.col("total")).cast("double").alias("share"),
+            "max_over_avg",
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(10)
+    )
+
+
+@q(
+    "q159_rolling_zscore",
+    """
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             SUM(CAST(floor(CAST("value" AS DOUBLE) * 1000) AS BIGINT))
+               AS x
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, date_trunc('day', ts)
+    ),
+    rolled AS (
+      SELECT user_id, day, x,
+             SUM(x) OVER w AS sx, SUM(x * x) OVER w AS sxx,
+             COUNT(*) OVER w AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, day,
+           CASE WHEN n > 1
+                 AND CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE) / n > 0
+                THEN (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+                     / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                             * CAST(sx AS DOUBLE) / n) / (n - 1))
+           END AS zscore
+    FROM rolled
+    """,
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day z-score of daily purchase volume per user — the
+    windowed anomaly screen. Daily values are floor-quantized to
+    BIGINT (1e-3) so the rolling sums are exact integers in any
+    accumulation order; the z-score then runs in double on identical
+    operands (bit-equal across engines — same discipline as q146).
+    One keyed aggregate plus one keyed window."""
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.date_trunc("DAY", "ts").alias("day")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value").cast("double") * 1000).cast("long")
+            ).alias("x")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    rolled = daily.select(
+        "user_id",
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        "x",
+        F.sum("x").over(w).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.count("*").over(w).alias("n"),
+    )
+    x, sx, sxx, n = (F.col(c).cast("double") for c in ("x", "sx", "sxx", "n"))
+    var_num = sxx - sx * sx / n
+    z = (x - sx / n) / F.sqrt(var_num / (n - F.lit(1.0)))
+    return rolled.select(
+        "user_id",
+        "day",
+        F.when((F.col("n") > 1) & (var_num > 0), z).alias("zscore"),
+    )

@@ -666,3 +666,28 @@ def test_distinct_sketch_merge_equals_single_pass(spark):
     }
     for k, est in merged.items():
         assert abs(est - truth[k]) / truth[k] < 0.05, (k, est, truth[k])
+
+
+def test_pit_join_interval_and_gap_semantics(spark):
+    """pit_join returns the interval containing the fact ts, NULLs a
+    fact that falls in a history gap (no stale inheritance), resolves
+    zero-length intervals to the successor, and keeps output == facts."""
+    from dataflowex_spark.operators.etl import pit_join
+
+    hist = spark.createDataFrame(
+        [
+            Row(k=1, attr="A", valid_from=10, valid_to=20),
+            # gap 20..30
+            Row(k=1, attr="B", valid_from=30, valid_to=40),
+            # zero-length interval at 40, real successor also starts at 40
+            Row(k=1, attr="Z", valid_from=40, valid_to=40),
+            Row(k=1, attr="C", valid_from=40, valid_to=None),
+        ]
+    )
+    facts = spark.createDataFrame(
+        [Row(k=1, ts=t, fid=i) for i, t in enumerate([5, 15, 25, 35, 40, 99])]
+    )
+    out = pit_join(facts, hist, key="k", fact_ts="ts")
+    got = {r.fid: r.attr_dim for r in out.collect()}
+    assert got == {0: None, 1: "A", 2: None, 3: "B", 4: "C", 5: "C"}
+    assert out.count() == facts.count()
