@@ -191,3 +191,66 @@ def deterministic_downsample(
     return df.filter(
         F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(keep_one_in)) == 0
     )
+
+
+def token_budget_trim(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_tok_col: str,
+    budget: int,
+    prefer_desc: bool = True,
+) -> DataFrame:
+    """Per-group token-budget selection: keep rows (longest-first by
+    default, ``id_col`` tie-break) while the running token total stays
+    within ``budget`` — the greedy trim step of a mixture builder.
+    Adds ``cum_tokens``.
+
+    The per-group running sum is inherently sequential, so this is one
+    keyed window; for sources too hot for a single reducer,
+    binary-search a per-group length threshold with two aggregate
+    passes instead (same selection, no window)."""
+    order = (
+        F.col(n_tok_col).desc() if prefer_desc else F.col(n_tok_col).asc()
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(
+            "cum_tokens", F.sum(n_tok_col).over(w).cast("bigint")
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling via PRIORITY SAMPLING
+    (Duffield–Lund–Thorup): priority = u/w where u is a uniform
+    md5-hash bucket of the id and w the row's weight; the k smallest
+    priorities form a without-replacement sample with inclusion
+    probability ∝ w. All-arithmetic (two IEEE divisions on exact
+    integer inputs, no libm → cross-engine bit-equal), scan-local
+    priorities, global top-k via TakeOrdered. Rows with
+    non-positive weight are excluded."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    priority = (
+        (bucket + F.lit(1)).cast("double")
+        / F.lit(1152921504606846976).cast("double")
+        / F.col(weight_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("priority", priority)
+        .orderBy("priority", id_col)
+        .limit(k)
+    )

@@ -4256,12 +4256,12 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget trim: keep the longest documents of
     each source while the running token total stays under budget —
-    the greedy selection step of a mixture builder. Token counts are
-    scan-local array exprs; the only shuffle is the per-source window
-    (selection is inherently sequential per source; for sources too
-    hot for one reducer, binary-search a per-source length threshold
-    with two aggregate passes instead)."""
+    the greedy selection step of a mixture builder, via
+    ``sampling.token_budget_trim``. Token counts are scan-local array
+    exprs; the only shuffle is the per-source window (see the
+    operator's docstring for the hot-source alternative)."""
     from dataflowex_spark.functions.text import WS_REGEX
+    from dataflowex_spark.operators.sampling import token_budget_trim
 
     cat = Catalog(spark, sf_dir)
     n_tok = F.size(
@@ -4270,15 +4270,7 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = cat["documents"].select(
         "source", "doc_id", n_tok.cast("long").alias("n_tok")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("n_tok").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        t.withColumn("cum_tokens", F.sum("n_tok").over(w).cast("bigint"))
-        .filter(F.col("cum_tokens") <= 2000)
-    )
+    return token_budget_trim(t, "source", "doc_id", "n_tok", budget=2000)
 
 
 @q(
@@ -4566,21 +4558,13 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
     All-arithmetic (two IEEE divisions on exact integer inputs — no
     libm, so cross-engine bit-equal), scan-local priorities, global
     top-k via TakeOrdered. The same portable-md5 idiom as q92's
-    deterministic split."""
+    deterministic split. Implemented by ``sampling.priority_sample``."""
+    from dataflowex_spark.operators.sampling import priority_sample
+
     cat = Catalog(spark, sf_dir)
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
-    priority = (
-        (bucket + F.lit(1)).cast("double")
-        / F.lit(1152921504606846976).cast("double")
-        / F.col("n_chars")
-    )
-    return (
-        cat["documents"]
-        .filter(F.col("n_chars") > 0)
-        .select("doc_id", priority.alias("priority"))
-        .orderBy("priority", "doc_id")
-        .limit(100)
-    )
+    return priority_sample(
+        cat["documents"], id_col="doc_id", weight_col="n_chars", k=100
+    ).select("doc_id", "priority")
 
 
 @q("q156_incremental_distinct", None)

@@ -28,6 +28,7 @@ from dataflowex_spark.operators.dedup import (
 from dataflowex_spark.operators.packing import pack_sequences
 from dataflowex_spark.operators.sampling import (
     rebalance_mixture,
+    token_budget_trim,
     train_test_split,
 )
 from dataflowex_spark.operators.text import scrub_pii
@@ -44,6 +45,7 @@ def curate_corpus(
     test_fraction: float = 0.1,
     mixture_targets: dict[str, float] | None = None,
     pack_budget: int = 512,
+    token_budget: int = 1_000_000,
 ) -> dict[str, int]:
     """Run the curation pipeline over the documents table; returns
     per-stage row counts (the run report)."""
@@ -98,6 +100,21 @@ def curate_corpus(
         mixture_targets = {s: 1.0 / len(sources) for s in sources}
     mixed = rebalance_mixture(clean, "source", "doc_id", mixture_targets)
     report["after_mixture"] = mixed.count()
+
+    # 5b. per-source token-budget trim: cap each source's token
+    # contribution (longest-first, deterministic) so one verbose
+    # source can't dominate the epoch even after count rebalancing
+    budgeted = token_budget_trim(
+        mixed.withColumn(
+            "__n_tok", token_count(F.col("text")).cast("bigint")
+        ),
+        "source",
+        "doc_id",
+        "__n_tok",
+        budget=token_budget,
+    ).drop("__n_tok", "cum_tokens")
+    report["after_token_budget"] = budgeted.count()
+    mixed = budgeted
 
     # 6. deterministic split + sorted write (tight row-group stats)
     split = train_test_split(

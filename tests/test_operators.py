@@ -874,3 +874,52 @@ def test_pagerank_ring_and_sink(spark):
     r2 = {x["node"]: x["r"] for x in pagerank(star, iters=20).collect()}
     assert r2["c"] > r2["a"] and abs(r2["a"] - r2["b"]) < 1e-12
     assert abs(sum(r2.values()) - 1.0) < 1e-9
+
+
+def test_asof_composite_keys(spark):
+    """asof_join with a multi-column equi-key (the composite
+    dimension case): matches respect BOTH keys."""
+    left = spark.createDataFrame(
+        [Row(a=1, b="x", ts=10, lv=0), Row(a=1, b="y", ts=10, lv=1)]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(a=1, b="x", ts=5, v="bx"),
+            Row(a=1, b="y", ts=7, v="by"),
+            Row(a=2, b="x", ts=9, v="nope"),
+        ]
+    )
+    out = asof_join(
+        left, right, on=["a", "b"], left_ts="ts", right_ts="ts"
+    )
+    got = {r.lv: r.v_r for r in out.collect()}
+    assert got == {0: "bx", 1: "by"}
+
+
+def test_token_budget_trim_and_priority_sample(spark):
+    from dataflowex_spark.operators.sampling import (
+        priority_sample,
+        token_budget_trim,
+    )
+
+    df = spark.createDataFrame(
+        [Row(g="s", i=i, n=10 * (i + 1)) for i in range(5)]
+    )
+    kept = token_budget_trim(df, "g", "i", "n", budget=95).collect()
+    # longest-first: 50, 40 (cum 90) fit; 30 would hit 120 > 95
+    assert sorted(r.n for r in kept) == [40, 50]
+    assert max(r.cum_tokens for r in kept) == 90
+
+    # priority sampling: inclusion ∝ weight — with one weight vastly
+    # larger, that row is (deterministically, for this hash) included
+    w = spark.createDataFrame(
+        [Row(i=i, wt=1.0 if i else 1e9) for i in range(200)]
+    )
+    top = priority_sample(w, "i", "wt", k=20).collect()
+    assert len(top) == 20
+    assert any(r.i == 0 for r in top)  # the heavy row made the sample
+    # deterministic: second run identical
+    again = priority_sample(w, "i", "wt", k=20).collect()
+    assert [(r.i, r.priority) for r in top] == [
+        (r.i, r.priority) for r in again
+    ]
