@@ -71,7 +71,10 @@ def main() -> None:
 
     # untimed warmup: first touch pays JVM classloading + parquet
     # footer listing, which is session cost, not query cost
-    for t in ["lineitem", "events", "documents"]:
+    for t in [
+        "lineitem", "orders", "customer", "supplier", "part",
+        "nation", "region", "events", "documents", "embeddings",
+    ]:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))

@@ -330,6 +330,40 @@ def dedup_simhash(
     return pairs.select("id_a", "id_b", ham).filter(F.col("hamming") <= hamming_threshold)
 
 
+def _stop_gram_candidates(
+    ex: DataFrame, id_col: str, max_gram_df: int | None, symmetric: bool
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from the shared-gram equi-join,
+    optionally excluding STOP GRAMS (document frequency >
+    ``max_gram_df``) from candidate generation — the named fix for the
+    quadratic blow-up when one ubiquitous gram puts every document in
+    one block. One extra hash-agg computes per-gram df; the heavy-gram
+    set is tiny by construction (few grams exceed a high df bound) so
+    it broadcasts into a left_anti.
+
+    Exactness contract: the caller recomputes intersections over the
+    FULL gram sets of surviving candidates, so scores are exact — the
+    only loss is recall for pairs whose shared grams are ALL heavier
+    than ``max_gram_df`` (at df ≥ 1000 such a pair shares only
+    boilerplate and is noise, the same trade stop-words make)."""
+    if max_gram_df is not None:
+        heavy = (
+            ex.groupBy("gram")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_gram_df)
+            .select("gram")
+        )
+        ex = ex.join(F.broadcast(heavy), "gram", "left_anti")
+    a = ex.select(F.col(id_col).alias("id_a"), "gram")
+    b = ex.select(F.col(id_col).alias("id_b"), "gram")
+    cmp = (
+        F.col("id_a") < F.col("id_b")
+        if symmetric
+        else F.col("id_a") != F.col("id_b")
+    )
+    return a.join(b, on="gram").filter(cmp).select("id_a", "id_b").distinct()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -337,14 +371,20 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     use_words: bool = True,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing ≥1 n-gram.
 
     Inverted-index style: explode n-grams → self-join on the gram
-    (candidates share a gram; rare-gram prefiltering keeps this
-    bounded) → exact |A∩B| via match counts, |A∪B| = |A|+|B|−|A∩B|.
-    Quadratic in the worst case — prefer MinHash at full scale; this
-    is the exact verifier for sampled candidates.
+    (candidates share a gram) → exact |A∩B| via match counts,
+    |A∪B| = |A|+|B|−|A∩B|. With ``max_gram_df`` set, grams whose
+    document frequency exceeds it are excluded from CANDIDATE
+    GENERATION only (scores stay exact — see
+    :func:`_stop_gram_candidates`), which bounds the self-join when a
+    boilerplate gram would otherwise pair everything with everything.
+    Without it the join is quadratic in the worst case — set
+    ``max_gram_df`` at full scale, or run this as the exact verifier
+    behind MinHash candidates.
     """
     grams = (
         F.array_distinct(word_shingles(F.col(text_col), n))
@@ -354,14 +394,25 @@ def ngram_jaccard_pairs(
     g = df.select(F.col(id_col), grams.alias("grams"))
     sizes = g.select(id_col, F.size("grams").alias("n_grams"))
     ex = g.select(id_col, F.explode("grams").alias("gram"))
-    a = ex.select(F.col(id_col).alias("id_a"), "gram")
-    b = ex.select(F.col(id_col).alias("id_b"), "gram")
-    inter = (
-        a.join(b, on="gram")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    if max_gram_df is None:
+        a = ex.select(F.col(id_col).alias("id_a"), "gram")
+        b = ex.select(F.col(id_col).alias("id_b"), "gram")
+        inter = (
+            a.join(b, on="gram")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        cand = _stop_gram_candidates(ex, id_col, max_gram_df, symmetric=True)
+        # exact |A∩B| over the FULL gram sets, join bounded by the
+        # candidate list instead of by gram document frequency
+        inter = (
+            cand.join(ex.select(F.col(id_col).alias("id_a"), "gram"), "id_a")
+            .join(ex.select(F.col(id_col).alias("id_b"), "gram"), ["id_b", "gram"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
     return (
@@ -385,29 +436,40 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.9,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric n-gram containment |A∩B| / |A|: catches SUBSUMED
     documents (a short doc quoted whole inside a long one scores
     ~|A|/|B| on symmetric Jaccard — arbitrarily low — but 1.0 on
     containment). Directed output (id_a contained-in id_b).
 
-    Same inverted-index shape as :func:`ngram_jaccard_pairs`:
-    candidates materialize only through the shared-gram equi-join;
-    quadratic worst case, so at full scale run it as the exact
-    verifier behind MinHash/LSH candidate generation.
+    Same inverted-index shape as :func:`ngram_jaccard_pairs`,
+    including the ``max_gram_df`` stop-gram bound on candidate
+    generation (containment values stay exact for surviving
+    candidates). Without it: quadratic worst case — at full scale set
+    the bound or run as the exact verifier behind MinHash/LSH.
     """
     grams = F.array_distinct(word_shingles(F.col(text_col), n))
     g = df.select(F.col(id_col), grams.alias("grams"))
     sizes = g.select(id_col, F.size("grams").alias("n_grams"))
     ex = g.select(id_col, F.explode("grams").alias("gram"))
-    a = ex.select(F.col(id_col).alias("id_a"), "gram")
-    b = ex.select(F.col(id_col).alias("id_b"), "gram")
-    inter = (
-        a.join(b, on="gram")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    if max_gram_df is None:
+        a = ex.select(F.col(id_col).alias("id_a"), "gram")
+        b = ex.select(F.col(id_col).alias("id_b"), "gram")
+        inter = (
+            a.join(b, on="gram")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        cand = _stop_gram_candidates(ex, id_col, max_gram_df, symmetric=False)
+        inter = (
+            cand.join(ex.select(F.col(id_col).alias("id_a"), "gram"), "id_a")
+            .join(ex.select(F.col(id_col).alias("id_b"), "gram"), ["id_b", "gram"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
     return (
         inter.join(sa, "id_a")

@@ -42,7 +42,8 @@ def dim_join_insert_missing(
     key: str,
     surrogate: str = "sk",
     dim_payload: Sequence[str] = (),
-    dense: bool = True,
+    dense: bool | str = "auto",
+    dense_threshold: int = 100_000,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """DbDataJoiner miss path: two-phase insert-missing + re-join.
 
@@ -61,9 +62,13 @@ def dim_join_insert_missing(
        ids, but the *new-key set* funnels through one reducer; right
        when misses are rare (the common ETL case). ``dense=False``
        assigns ``max + zipWithIndex-style unique ids`` fully in
-       parallel — use when a backfill can introduce millions of new
+       parallel — right when a backfill introduces millions of new
        keys at once (ids stay deterministic given the same input
-       partitioning, may have gaps).
+       partitioning, may have gaps). The default ``dense="auto"``
+       counts the miss set (materialized via localCheckpoint, so the
+       probe anti-join runs once) and picks dense iff it holds ≤
+       ``dense_threshold`` keys — small misses get gap-free ids, a
+       big backfill never funnels through one reducer.
     3. re-join    = broadcast left join of fact against the updated dim;
        every input row is emitted (left-enrichment semantics).
     """
@@ -75,6 +80,9 @@ def dim_join_insert_missing(
         .distinct()
         .join(dim.select(key), on=key, how="left_anti")
     )
+    if dense == "auto":
+        missing = missing.localCheckpoint()
+        dense = missing.count() <= dense_threshold
     base = dim.agg(F.coalesce(F.max(surrogate), F.lit(0)).alias("m"))
     if dense:
         new_rows = (

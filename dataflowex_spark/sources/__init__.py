@@ -322,13 +322,21 @@ def atomic_append(
     A crash before commit leaves the table byte-identical (the staged
     orphan is invisible — it is a *sibling*, never scanned — and is
     swept by :func:`clean_staging`). A crash mid-commit can leave a
-    prefix of the batch's files, but the keyed retry heals it:
-    replaying through :func:`incremental_append` anti-joins away the
-    rows that landed and appends only the remainder — convergent, no
-    duplicates. The prior direct ``mode("append")`` write exposed the
-    whole data-write duration as the torn window; this narrows it to
-    the rename loop. (True multi-file atomicity needs a manifest table
-    format — out of environment scope, documented trade.)
+    prefix of the batch's files; the staging dir is then deliberately
+    LEFT IN PLACE (deleting it would discard the not-yet-renamed
+    remainder) for :func:`clean_staging` or an operator to inspect.
+    The keyed retry heals the torn table: replaying through
+    :func:`incremental_append` anti-joins away the rows that landed
+    and appends only the remainder — convergent, no duplicates. Bare
+    ``atomic_append`` (no key) is NOT replay-safe after a torn commit:
+    a blind retry would duplicate the already-renamed prefix — route
+    replays through a keyed sink (:func:`incremental_append`,
+    ``streaming.upsert_sink``) or a per-batch overwrite directory
+    (``streaming.asof_join_stream``). The prior direct
+    ``mode("append")`` write exposed the whole data-write duration as
+    the torn window; this narrows it to the rename loop. (True
+    multi-file atomicity needs a manifest table format — out of
+    environment scope, documented trade.)
 
     ``on_staged`` is a test hook invoked between stage and commit
     (crash injection).
@@ -338,6 +346,7 @@ def atomic_append(
 
     staging = path.rstrip("/") + _STAGING_MARK + uuid.uuid4().hex
     df.write.mode("overwrite").parquet(staging)
+    commit_started = False
     try:
         n = int(spark.read.parquet(staging).count())
         if on_staged is not None:
@@ -351,15 +360,24 @@ def atomic_append(
                 name = status.getPath().getName()
                 if name.startswith("_") or name.startswith("."):
                     continue  # _SUCCESS / committer metadata
+                commit_started = True
                 dst = jvm.org.apache.hadoop.fs.Path(dst_dir, name)
                 if not fs.rename(status.getPath(), dst):
                     raise IOError(
                         f"atomic_append: rename {name} -> {path} failed"
                     )
-        return n
-    finally:
+    except BaseException:
+        if not commit_started:
+            # pre-commit failure: table untouched, stage is garbage
+            _, src, fs = _hadoop_fs(spark, staging)
+            fs.delete(src, True)
+        # mid-commit failure: keep staging — it holds the only copy of
+        # the batch's not-yet-renamed remainder
+        raise
+    else:
         _, src, fs = _hadoop_fs(spark, staging)
         fs.delete(src, True)
+        return n
 
 
 def clean_staging(spark: SparkSession, path: str) -> int:

@@ -196,9 +196,17 @@ def asof_join_stream(
     """Streaming as-of enrichment: each micro-batch of the left stream
     joins the static/history ``right`` side through the
     union-interleave :func:`~dataflowex_spark.operators.joins.asof_join`
-    inside ``foreachBatch``, publishing via the stage-then-rename
-    commit of ``sources.atomic_append``. Drains with availableNow and
-    returns the enriched result frame.
+    inside ``foreachBatch``. Drains with availableNow and returns the
+    enriched result frame.
+
+    Publish is IDEMPOTENT under foreachBatch's at-least-once replay:
+    each micro-batch overwrites its own ``batch-<id>`` subdirectory of
+    ``out_path`` (the batch_id is stable across recovery, so a replay
+    rewrites the same directory instead of appending a second copy).
+    An ``batch-init`` directory holding zero rows of the enriched
+    schema is written before the stream starts, so the final read
+    succeeds — with the right schema — even when the stream drains
+    zero batches or every batch produces no output.
 
     Stream == batch exactly: an as-of match is a per-left-row property
     of the FULL right side, so partitioning the left into micro-batches
@@ -212,12 +220,12 @@ def asof_join_stream(
     import tempfile
 
     from dataflowex_spark.operators.joins import asof_join
-    from dataflowex_spark.sources import atomic_append
 
+    spark = left_stream.sparkSession
     out_path = path or (tempfile.mkdtemp(prefix="asof_stream_") + "/out")
 
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        enriched = asof_join(
+    def enrich(batch_df: DataFrame) -> DataFrame:
+        return asof_join(
             batch_df,
             right,
             on=on,
@@ -227,7 +235,17 @@ def asof_join_stream(
             suffix=suffix,
             tie_break=tie_break,
         )
-        atomic_append(enriched, out_path)
+
+    # schema anchor: guarantees the post-drain read never hits
+    # PATH_NOT_FOUND and pins the enriched schema for empty results
+    enrich(spark.createDataFrame([], left_stream.schema)).write.mode(
+        "overwrite"
+    ).parquet(out_path.rstrip("/") + "/batch-init")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        enrich(batch_df).write.mode("overwrite").parquet(
+            out_path.rstrip("/") + f"/batch-{batch_id:012d}"
+        )
 
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="asof_ckpt_")
     q = (
@@ -237,7 +255,7 @@ def asof_join_stream(
         .start()
     )
     q.awaitTermination()
-    return left_stream.sparkSession.read.parquet(out_path)
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_path)
 
 
 def run_to_memory(

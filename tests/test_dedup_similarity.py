@@ -338,3 +338,58 @@ def test_fuzzy_pairs_semantics(spark):
         for r in fuzzy_pairs(docs, max_dist=3, prefix_len=40).collect()
     }
     assert got == {(1, 2): 1}  # 3 fails verify; 4 blocked out; 5 other block
+
+
+def test_stop_gram_prefilter_exact_scores(spark):
+    """max_gram_df excludes ubiquitous grams from CANDIDATE GENERATION
+    only: surviving pairs keep exact jaccard/containment (intersections
+    recomputed over full gram sets), and a pair whose only shared
+    grams are stop grams is dropped — the quadratic-blowup guard."""
+    from dataflowex_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "terms of service apply"  # the gram every doc shares
+    rows = [
+        (1, f"alpha beta gamma delta epsilon {boiler}"),
+        (2, f"alpha beta gamma delta epsilon zeta {boiler}"),
+        (3, f"omega psi chi phi upsilon {boiler}"),
+        (4, f"omega psi chi phi upsilon tau {boiler}"),
+        # 5 shares ONLY the boilerplate with everyone
+        (5, f"one two three four five {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.05).collect()
+    }
+    filtered = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, n=3, threshold=0.05, max_gram_df=2
+        ).collect()
+    }
+    # real near-dup pairs survive with IDENTICAL scores
+    assert (1, 2) in filtered and (3, 4) in filtered
+    for pair, j in filtered.items():
+        assert abs(exact[pair] - j) < 1e-12
+    # boilerplate-only pairs existed in the exact run but are pruned
+    assert any(5 in p for p in exact)
+    assert not any(5 in p for p in filtered)
+
+    cont_exact = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(df, n=3, threshold=0.05).collect()
+    }
+    cont_filtered = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(
+            df, n=3, threshold=0.05, max_gram_df=2
+        ).collect()
+    }
+    assert (1, 2) in cont_filtered and (2, 1) in cont_filtered
+    for pair, c in cont_filtered.items():
+        assert abs(cont_exact[pair] - c) < 1e-12
+    assert not any(5 in p for p in cont_filtered)

@@ -691,3 +691,61 @@ def test_pit_join_interval_and_gap_semantics(spark):
     got = {r.fid: r.attr_dim for r in out.collect()}
     assert got == {0: None, 1: "A", 2: None, 3: "B", 4: "C", 5: "C"}
     assert out.count() == facts.count()
+
+
+def test_atomic_append_mid_commit_failure_keeps_staging(spark, tmp_path):
+    """Regression (ADVICE r3): a failure DURING the rename loop must
+    leave the staging dir in place — it holds the only copy of the
+    batch's not-yet-renamed remainder — while a pre-commit failure
+    still cleans up after itself (covered by the crash test above)."""
+    import os
+
+    from dataflowex_spark.sources import atomic_append, clean_staging
+
+    path = str(tmp_path / "tbl")
+    atomic_append(
+        spark.createDataFrame([Row(k=i) for i in range(5)]).coalesce(1), path
+    )
+
+    def collide(staging_dir):
+        # pre-create every staged part name at the destination so the
+        # FileSystem.rename returns false mid-commit
+        for f in os.listdir(staging_dir):
+            if f.startswith("part-"):
+                open(os.path.join(path, f), "w").close()
+
+    batch = spark.createDataFrame([Row(k=i) for i in range(5, 10)]).coalesce(1)
+    with pytest.raises(IOError):
+        atomic_append(batch, path, on_staged=collide)
+    # the staging dir survived the torn commit for inspection/retry
+    assert clean_staging(spark, path) == 1
+
+
+def test_dim_join_insert_missing_auto_switch(spark, tmp_path):
+    """dense='auto' (the default) picks the gap-free single-window
+    path for small miss sets and the parallel zipWithIndex path once
+    the miss count crosses dense_threshold — a million-key backfill
+    must never funnel through one reducer."""
+    dim = spark.createDataFrame([Row(k=0, sk=1)])
+    small_fact = spark.createDataFrame([Row(k=i) for i in range(4)])
+    _, updated, inserted = dim_join_insert_missing(
+        small_fact, dim, key="k", dense_threshold=100
+    )
+    # dense ids: contiguous from max(sk)+1
+    assert sorted(r.sk for r in inserted.collect()) == [2, 3, 4]
+
+    big_fact = spark.range(0, 500).withColumnRenamed("id", "k")
+    _, updated2, inserted2 = dim_join_insert_missing(
+        big_fact, dim, key="k", dense_threshold=100
+    )
+    got = inserted2.collect()
+    assert len(got) == 499  # k=0 already present
+    sks = [r.sk for r in got]
+    assert len(set(sks)) == len(sks) and min(sks) >= 2  # unique, > max
+    # key→sk assignment is deterministic across runs
+    again = dim_join_insert_missing(
+        big_fact, dim, key="k", dense_threshold=100
+    )[2].collect()
+    assert sorted((r.k, r.sk) for r in got) == sorted(
+        (r.k, r.sk) for r in again
+    )

@@ -923,3 +923,25 @@ def test_token_budget_trim_and_priority_sample(spark):
     assert [(r.i, r.priority) for r in top] == [
         (r.i, r.priority) for r in again
     ]
+
+
+def test_top_bigrams_survives_empty_documents(spark, tmp_path):
+    """Regression (ADVICE r3): F.slice(toks, 1, n-1) threw
+    INVALID_PARAMETER_VALUE.LENGTH for any zero-token document (empty
+    or whitespace-only text); the slice length is now clamped >= 0."""
+    from dataflowex_spark.queries import REGISTRY
+
+    rows = [
+        (1, "alpha beta alpha beta", "en", "web", 21),
+        (2, "", "en", "web", 0),
+        (3, "   \t  ", "en", "web", 6),
+        (4, "solo", "en", "web", 4),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    fn, _sql = REGISTRY["q147_top_bigrams"]
+    got = {(r.bigram, r.n) for r in fn(spark, str(tmp_path)).collect()}
+    assert ("alpha beta", 2) in got
+    assert ("beta alpha", 1) in got

@@ -352,3 +352,64 @@ def test_interval_join_left_outer_semantics(spark, sf_dir):
     out, _ = run_to_memory(stream, output_mode="append")
     cols = ["user_id", "click_id", "purchase_id"]
     assert _sorted_rows(out, cols) == _sorted_rows(inner, cols)
+
+
+def test_asof_join_stream_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Regression (ADVICE r3): foreachBatch is at-least-once — a
+    replayed batch must not double its rows in the output. The publish
+    overwrites a per-batch_id directory, so re-draining the same
+    stream into the same path converges to the batch answer."""
+    from dataflowex_spark.operators.joins import asof_join
+    from dataflowex_spark.streaming.ops import asof_join_stream
+
+    src = Catalog(spark, sf_dir)["events"]
+    purchases = src.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = src.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    out = str(tmp_path / "asof_out")
+    for _ in range(2):  # second run = full replay into the same path
+        got = asof_join_stream(
+            file_replay_stream(
+                spark, f"{sf_dir}/events.parquet", n_chunks=4
+            )
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts"),
+            clicks,
+            on="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            tie_break="click_id",
+            path=out,
+        )
+    want = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        tie_break="click_id",
+    )
+    cols = ["event_id", "user_id", "click_id_r"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_asof_join_stream_empty_output_readable(spark, sf_dir, tmp_path):
+    """Regression (ADVICE r3): a drained stream whose batches all
+    produce zero rows must return an empty frame with the enriched
+    schema, not PATH_NOT_FOUND."""
+    from dataflowex_spark.streaming.ops import asof_join_stream
+
+    src = Catalog(spark, sf_dir)["events"]
+    clicks = src.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    empty_left = (
+        file_replay_stream(spark, f"{sf_dir}/events.parquet", n_chunks=2)
+        .filter(F.col("event_type") == "__never__")
+        .select("event_id", "user_id", "ts")
+    )
+    got = asof_join_stream(
+        empty_left, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        tie_break="click_id", path=str(tmp_path / "asof_empty"),
+    )
+    assert got.count() == 0
+    assert "click_id_r" in got.columns

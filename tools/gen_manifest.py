@@ -23,7 +23,9 @@ from dataflowex_spark import queries as _q  # noqa: E402
 
 
 def manifest() -> dict:
-    names = list(_q.REGISTRY)
+    # rotated order == queries() iteration order (never-driver-checked
+    # names first, so each round's CORRECTNESS window samples fresh ones)
+    names = _q._rotated_names()
     oracled = {n for n, (_fn, sql) in _q.REGISTRY.items() if sql is not None}
     return {
         "total": len(names),
