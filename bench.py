@@ -58,6 +58,10 @@ HEADLINE = [
     "q139_market_share",
     "q143_waiting_supplier",
     "q147_top_bigrams",
+    "q162_doc_chunking",
+    "q163_triangle_count",
+    "q168_cooccurrence",
+    "q169_bigram_lm_score",
 ]
 
 

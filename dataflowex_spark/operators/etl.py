@@ -475,3 +475,68 @@ def pit_join(
             c, F.when(invalid, F.lit(None)).otherwise(F.col(c))
         )
     return out
+
+
+def dim_join_insert_missing_persistent(
+    fact: DataFrame,
+    dim_path: str,
+    key: str,
+    surrogate: str = "sk",
+    dim_payload: Sequence[str] = (),
+    dense: bool | str = "auto",
+    dense_threshold: int = 100_000,
+    on_staged=None,
+) -> DataFrame:
+    """DbDataJoiner full cycle against a PERSISTENT dimension table:
+    probe the on-disk dim, assign surrogates to the misses, publish
+    the new dim rows, re-join — with the publish made CRASH-SAFE.
+
+    The in-memory :func:`dim_join_insert_missing` documents the
+    reference's own caveat: probe-then-insert is not transactional.
+    This variant closes the torn-rerun hole for a parquet-backed dim:
+    the new rows land through ``sources.incremental_append`` — staged
+    write + atomic per-file rename + keyed anti-join on ``key`` — so
+
+    - a crash BEFORE commit publishes nothing (staging is a sibling
+      dir, invisible to readers);
+    - a crash MID-commit leaves a key-prefix of the batch; the rerun's
+      anti-join sees those keys as hits and appends only the
+      remainder — convergent, never a duplicate surrogate for a key;
+    - a clean rerun of the same fact batch appends nothing.
+
+    Surrogate ids stay unique across reruns (each assignment starts
+    above the CURRENT on-disk ``max(surrogate)``), but a torn run may
+    leave gaps — same contract as a database identity column after a
+    rolled-back insert. Returns the enriched fact (broadcast join
+    against the re-read dim, left-enrichment semantics).
+
+    ``on_staged`` is the crash-injection test hook, passed through to
+    ``incremental_append``.
+    """
+    from dataflowex_spark.sources import incremental_append
+
+    spark = fact.sparkSession
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(dim_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        dim = spark.read.parquet(dim_path)
+    else:
+        key_type = fact.schema[key].dataType.simpleString()
+        dim = spark.createDataFrame([], f"{key} {key_type}, {surrogate} long")
+
+    _enriched, _updated, new_rows = dim_join_insert_missing(
+        fact,
+        dim,
+        key=key,
+        surrogate=surrogate,
+        dense=dense,
+        dense_threshold=dense_threshold,
+    )
+    incremental_append(
+        new_rows.select(key, surrogate), dim_path, key, on_staged=on_staged
+    )
+    updated = spark.read.parquet(dim_path)
+    return dim_join(
+        fact, updated.select(key, surrogate, *dim_payload), on=key
+    )

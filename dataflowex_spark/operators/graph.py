@@ -57,3 +57,39 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Count triangles in an undirected graph given as an edge list
+    (direction and duplicates ignored; self-loops dropped). Returns a
+    single row (n_edges, n_triangles).
+
+    Plan: canonicalize every edge to (a < b) and dedup, then enumerate
+    each triangle exactly once as a < b < c via two equi-joins —
+    e(a,b) ⋈ e(b,c) on the middle node, verified against e(a,c).
+    Id-ordering makes each triangle appear once with zero post-dedup.
+
+    Scale note: the e⋈e join's intermediate is Σ_b deg(b)² — fine for
+    sparse graphs, dominated by hub nodes on skewed ones. The standard
+    refinement (orient each edge low-degree → high-degree node before
+    joining, bounding the intermediate by Σ deg(v)·α(G)) composes here
+    as a degree-ranked relabel of (a, b) before this function; id
+    order is kept as-is because it is oracle-reproducible in ANSI SQL.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
+        F.broadcast(e.agg(F.count("*").alias("n_edges")))
+    ).select("n_edges", "n_triangles")

@@ -247,3 +247,131 @@ def knn_cosine_ivf(
     )
     w = Window.partitionBy(probe_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+    train_fraction: float | None = None,
+) -> None:
+    """Build and PERSIST an IVF index: k-means centroids + cell-keyed
+    corpus assignments, written once and reused across query batches —
+    :func:`knn_cosine_ivf` rebuilds the k-means on every call, which
+    is wrong for a production pipeline that answers many probe batches
+    against one slowly-changing corpus.
+
+    Layout under ``index_path``:
+    - ``centroids/``    (__cell int, __centroid array<double>) — tiny,
+      broadcast at query time;
+    - ``assignments/``  (id, embedding, __cell) written
+      ``partitionBy(__cell)`` so a probe batch that visits
+      ``n_probe_cells`` cells PRUNES every other cell's files at the
+      scan (directory-level partition pruning — the inverted file).
+
+    ``train_fraction`` samples the corpus for k-means training
+    (KMeans never needs all 100 TB to place centroids); assignment
+    still covers every row.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.withColumn(
+        "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    train = corpus_v.select("__v")
+    if train_fraction is not None:
+        train = train.sample(fraction=train_fraction, seed=seed)
+    model = KMeans(
+        k=n_cells,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="__v",
+        predictionCol="__cell",
+    ).fit(train)
+
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        schema="__cell int, __centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        index_path.rstrip("/") + "/centroids"
+    )
+    (
+        model.transform(corpus_v)
+        .select(id_col, vec_col, "__cell")
+        .repartition("__cell")  # one task per cell: no small-files spray
+        .write.mode("overwrite")
+        .partitionBy("__cell")
+        .parquet(index_path.rstrip("/") + "/assignments")
+    )
+
+
+def ivf_search(
+    probes: DataFrame,
+    index_path: str,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    n_probe_cells: int = 3,
+) -> DataFrame:
+    """Query a persisted IVF index (see :func:`ivf_build_index`):
+    rank cells per probe by centroid cosine, read ONLY the chosen
+    cells' assignment partitions (cell-id filter → directory pruning),
+    exact-cosine re-rank inside. Same output contract as the other
+    kNN variants: (probe_id, vec_id, sim, rank).
+
+    The index is built once; this function is safe to call per probe
+    batch — no k-means, no corpus shuffle, the only joins are
+    probe×centroid (broadcast) and the cell equi-join.
+    """
+    spark = probes.sparkSession
+    cent_df = spark.read.parquet(index_path.rstrip("/") + "/centroids")
+    w_cell = Window.partitionBy(probe_id_col).orderBy(
+        F.col("__csim").desc(), F.col("__cell")
+    )
+    p = (
+        probes.select(
+            F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("__pv")
+        )
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            "__csim", cosine_similarity(F.col("__pv"), F.col("__centroid"))
+        )
+        .withColumn("__cr", F.row_number().over(w_cell))
+        .filter(F.col("__cr") <= n_probe_cells)
+        .select(probe_id_col, "__pv", "__cell")
+    )
+    cells = [r["__cell"] for r in p.select("__cell").distinct().collect()]
+    assigned = (
+        spark.read.parquet(index_path.rstrip("/") + "/assignments")
+        .filter(F.col("__cell").isin(cells))  # partition-pruned scan
+        .select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("__cv"),
+            "__cell",
+        )
+    )
+    cand = (
+        p.join(assigned, on="__cell")
+        .filter(F.col("cand_id") != F.col(probe_id_col))
+        .select(
+            probe_id_col,
+            F.col("cand_id").alias(id_col),
+            cosine_similarity(F.col("__cv"), F.col("__pv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -222,3 +222,49 @@ def scrub_pii(
             ),
         }
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap —
+    the context-window chunking step of a training/RAG pipeline
+    (chunk=max tokens per piece, overlap=tokens shared with the
+    previous piece so no boundary context is lost).
+
+    Output: (id, chunk_idx, chunk_text, n_tok); a document shorter
+    than ``chunk`` yields one chunk, an empty document yields none.
+    The final chunk is the tail remainder (never padded, may be short).
+
+    Scale shape: tokenize → ``sequence`` of window starts → explode →
+    ``slice``/``array_join`` — all scan-local array expressions, ZERO
+    shuffles; output rows ≈ n_tokens/stride per doc. The token array
+    crosses the explode as a plain attribute (Generate blocks
+    projection collapse), so the slices never re-tokenize per chunk."""
+    if not 0 <= overlap < chunk:
+        raise ValueError(f"need 0 <= overlap ({overlap}) < chunk ({chunk})")
+    stride = chunk - overlap
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__ts")
+    ).filter(F.size("__ts") > 0)
+    ex = base.select(
+        id_col,
+        "__ts",
+        F.size("__ts").alias("__n"),
+        F.explode(
+            F.sequence(F.lit(1), F.size("__ts"), F.lit(stride))
+        ).alias("__start"),
+    )
+    ln = F.least(F.lit(chunk), F.col("__n") - F.col("__start") + 1)
+    return ex.select(
+        id_col,
+        ((F.col("__start") - 1) / stride).cast("long").alias("chunk_idx"),
+        F.array_join(
+            F.slice(F.col("__ts"), F.col("__start"), ln), " "
+        ).alias("chunk_text"),
+        ln.cast("long").alias("n_tok"),
+    )

@@ -4814,3 +4814,523 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.when((F.col("n") > 1) & (var_num > 0), z).alias("zscore"),
     )
+
+
+# =====================================================================
+# round-4 additions: persistent-index / crash-safe-publish surface
+# =====================================================================
+
+
+@q("q160_dim_persistent_cycle", None)  # rows-only: surrogates run-scoped
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 full cycle against a PERSISTENT dim: customers seen in
+    orders get surrogate keys assigned and PUBLISHED to a parquet dim
+    through the staged-commit + keyed-anti-join path (crash-safe,
+    rerun-convergent — see operators.etl.dim_join_insert_missing_
+    persistent). Two fact waves hit the same dim: wave 2 reuses wave
+    1's surrogates for overlapping keys — the property the in-memory
+    q14 cannot express."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from dataflowex_spark.operators.etl import (
+        dim_join_insert_missing_persistent,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
+    ).hexdigest()[:10]
+    dim_path = os.path.join(
+        tempfile.gettempdir(), f"dataflowex_q160_dim_{tag}"
+    )
+    shutil.rmtree(dim_path, ignore_errors=True)  # fresh per run
+    orders = cat["orders"].select("o_orderkey", "o_custkey")
+    wave1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    wave2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    dim_join_insert_missing_persistent(wave1, dim_path, key="o_custkey")
+    out = dim_join_insert_missing_persistent(wave2, dim_path, key="o_custkey")
+    return out.select("o_orderkey", "o_custkey", "sk")
+
+
+@q("q161_ivf_persistent_knn", None)  # rows-only: ANN, index run-scoped
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent-IVF kNN: build the inverted-file index over the
+    embeddings table ONCE (k-means centroids + cell-partitioned
+    assignments on disk), then answer a probe batch via ivf_search —
+    no per-query k-means, probed cells partition-prune the assignment
+    scan. The production shape for repeated ANN queries against one
+    corpus."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from dataflowex_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
+    ).hexdigest()[:10]
+    idx = os.path.join(tempfile.gettempdir(), f"dataflowex_q161_ivf_{tag}")
+    shutil.rmtree(idx, ignore_errors=True)
+    ivf_build_index(emb, idx, n_cells=8, seed=42)
+    probes = emb.orderBy("vec_id").limit(16)
+    return ivf_search(probes, idx, k=5, n_probe_cells=2).select(
+        "probe_id", "vec_id", F.round("sim", 6).alias("sim"), "rank"
+    )
+
+
+@q(
+    "q162_doc_chunking",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '__WS__'), x -> x <> '')
+               AS ts
+      FROM documents
+    ), s AS (
+      SELECT doc_id, ts, len(ts) AS n,
+             unnest(range(1, len(ts) + 1, 24)) AS start
+      FROM t WHERE len(ts) > 0
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+           array_to_string(ts[start : least(start + 31, n)], ' ')
+             AS chunk_text,
+           CAST(least(start + 31, n) - start + 1 AS BIGINT) AS n_tok
+    FROM s
+    """,
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (chunk=32 tokens, overlap=8) via
+    ``text.chunk_tokens`` — the document→training-piece splitter.
+    Scan-local array exprs only; see the operator docstring."""
+    from dataflowex_spark.operators.text import chunk_tokens
+
+    cat = Catalog(spark, sf_dir)
+    return chunk_tokens(cat["documents"], chunk=32, overlap=8)
+
+
+@q(
+    "q163_triangle_count",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey AND l_orderkey % 10 = 0
+    )
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           COUNT(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.d = e2.s
+    JOIN e e3 ON e1.s = e3.s AND e2.d = e3.d
+    """,
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (graph.triangle_count) over the part
+    co-purchase graph (parts appearing in the same order, 10%% order
+    sample keeps edge density sf-stable). Canonical a<b<c
+    enumeration — each triangle counted once, no post-dedup."""
+    from dataflowex_spark.operators.graph import triangle_count
+
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return triangle_count(edges)
+
+
+@q(
+    "q164_time_in_state",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts,
+             LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(epoch_us(nxt) - epoch_us(ts)) AS BIGINT) AS total_us,
+           COUNT(*) AS n_intervals
+    FROM s WHERE nxt IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state accounting: each event opens an interval that its
+    user's next event closes; total dwell time per state. One keyed
+    window (lead) + one hash aggregate — the sweep-line that a
+    naive interval self-join (facts × facts per user) gets wrong at
+    scale. Microsecond integers end-to-end: exact cross-engine."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        cat["events"]
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("nxt", F.lead("ts").over(w))
+        .filter(F.col("nxt").isNotNull())
+    )
+    us = F.unix_micros(F.col("nxt").cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    return s.groupBy("event_type").agg(
+        F.sum(us).alias("total_us"), F.count("*").alias("n_intervals")
+    )
+
+
+@q(
+    "q165_winsorized_stats",
+    """
+    WITH r AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ), qs AS (
+      SELECT source,
+             MAX(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                      THEN n_chars END) AS lo,
+             MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN n_chars END) AS hi
+      FROM r GROUP BY source
+    )
+    SELECT d.source, qs.lo, qs.hi,
+           CAST(SUM(least(greatest(d.n_chars, qs.lo), qs.hi)) AS BIGINT)
+             AS winsor_sum,
+           COUNT(*) AS n_docs
+    FROM documents d JOIN qs USING (source)
+    GROUP BY d.source, qs.lo, qs.hi
+    """,
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp each source's document lengths at its
+    DISCRETE p05/p95 (value at rank ceil(p·n) — integer-exact in any
+    engine, unlike interpolated percentiles whose midpoint arithmetic
+    is engine-float territory) and sum the clamped values. Two keyed
+    windows + broadcast join of the tiny per-source bound table."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"]
+    wr = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    r = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    qs = r.groupBy("source").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.05 * F.col("n")).cast("long"),
+                F.col("n_chars"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long"),
+                F.col("n_chars"),
+            )
+        ).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(qs), "source")
+        .groupBy("source", "lo", "hi")
+        .agg(
+            F.sum(
+                F.least(F.greatest(F.col("n_chars"), F.col("lo")), F.col("hi"))
+            ).alias("winsor_sum"),
+            F.count("*").alias("n_docs"),
+        )
+        .select("source", "lo", "hi", "winsor_sum", "n_docs")
+    )
+
+
+@q(
+    "q166_quality_buckets",
+    """
+    WITH s AS (
+      SELECT source,
+             len(list_filter(string_split_regex(text, '__WS__'),
+                             x -> x <> '')) * 10
+             - length(regexp_replace(text, '[^0-9]', '', 'g')) * 2
+             + CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 50 ELSE 0 END
+               AS score
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN score < 200 THEN 'low'
+                WHEN score < 400 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(score) AS BIGINT) AS sum_score
+    FROM s GROUP BY source, bucket
+    """,
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum quality bucketing: an INTEGER quality score (token
+    count, digit penalty, length-sanity bonus — cross-engine exact,
+    unlike float ratio filters) and fixed-threshold buckets. All
+    scan-local; one hash aggregate. Fixed thresholds, NOT ntile:
+    a global ntile is a single-reducer sort at 100 TB."""
+    cat = Catalog(spark, sf_dir)
+    from dataflowex_spark.functions.text import tokens as tok
+
+    score = (
+        F.size(tok(F.col("text"))) * 10
+        - F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")) * 2
+        + F.when(F.col("n_chars").between(100, 2000), 50).otherwise(0)
+    )
+    return (
+        cat["documents"]
+        .select("source", score.cast("long").alias("score"))
+        .withColumn(
+            "bucket",
+            F.when(F.col("score") < 200, "low")
+            .when(F.col("score") < 400, "mid")
+            .otherwise("high"),
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"), F.sum("score").alias("sum_score")
+        )
+    )
+
+
+@q(
+    "q167_mad_outliers",
+    """
+    WITH m AS (
+      SELECT source, median(n_chars) AS med
+      FROM documents GROUP BY source
+    ), dev AS (
+      SELECT d.source, abs(d.n_chars - m.med) AS dv
+      FROM documents d JOIN m USING (source)
+    ), md AS (
+      SELECT source, median(dv) AS mad FROM dev GROUP BY source
+    )
+    SELECT d.source,
+           ROUND(m.med, 1) AS med, ROUND(md.mad, 1) AS mad,
+           CAST(SUM(CASE WHEN abs(d.n_chars - m.med) > 3 * md.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           COUNT(*) AS n_docs
+    FROM documents d JOIN m USING (source) JOIN md USING (source)
+    GROUP BY d.source, m.med, md.mad
+    """,
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: median + MAD (median absolute
+    deviation) per source, count docs beyond 3 MADs. Integer inputs
+    make every median an exact integer or exact half (midpoint of two
+    BIGINTs) — deterministic across engines where mean/stddev float
+    sums are not. Two median aggregates + broadcast joins."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"]
+    m = docs.groupBy("source").agg(F.median("n_chars").alias("med"))
+    dev = docs.join(F.broadcast(m), "source").select(
+        "source", F.abs(F.col("n_chars") - F.col("med")).alias("dv")
+    )
+    md = dev.groupBy("source").agg(F.median("dv").alias("mad"))
+    return (
+        docs.join(F.broadcast(m), "source")
+        .join(F.broadcast(md), "source")
+        .groupBy("source", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("n_chars") - F.col("med"))
+                    > 3 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.count("*").alias("n_docs"),
+        )
+        .select(
+            "source",
+            F.round("med", 1).alias("med"),
+            F.round("mad", 1).alias("mad"),
+            "n_outliers",
+            "n_docs",
+        )
+    )
+
+
+@q(
+    "q168_cooccurrence",
+    """
+    WITH t AS (
+      SELECT list_filter(string_split_regex(text, '__WS__'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ), p AS (
+      SELECT unnest(list_concat(list_concat(
+        list_transform(range(1, len(ts)), i ->
+          CASE WHEN ts[i] <= ts[i+1] THEN ts[i] || ' ' || ts[i+1]
+               ELSE ts[i+1] || ' ' || ts[i] END),
+        list_transform(range(1, len(ts) - 1), i ->
+          CASE WHEN ts[i] <= ts[i+2] THEN ts[i] || ' ' || ts[i+2]
+               ELSE ts[i+2] || ' ' || ts[i] END)),
+        list_transform(range(1, len(ts) - 2), i ->
+          CASE WHEN ts[i] <= ts[i+3] THEN ts[i] || ' ' || ts[i+3]
+               ELSE ts[i+3] || ' ' || ts[i] END)
+      )) AS pair
+      FROM t
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 40
+    """,
+)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence: unordered token pairs within a ±3
+    window, global top-40 — the PMI/embedding-training co-count.
+    Same zip-with-tail shape as q147 generalized to three offsets;
+    pairs canonicalized (lexicographic min first) inside the scan.
+    Only (pair, count) partials shuffle; TakeOrdered top-k. The token
+    array is let-bound (``bind``): the 6 slices + 3 sizes would
+    otherwise re-tokenize per reference (measured 4.6 s → 1.3 s)."""
+    from dataflowex_spark.functions.text import bind, tokens as tok
+
+    cat = Catalog(spark, sf_dir)
+
+    def pairs_of(ts):
+        n = F.size(ts)
+
+        def offset_pairs(d):
+            m = F.greatest(n - d, F.lit(0))
+            return F.zip_with(
+                F.slice(ts, 1, m),
+                F.slice(ts, 1 + d, m),
+                lambda x, y: F.concat(
+                    F.least(x, y), F.lit(" "), F.greatest(x, y)
+                ),
+            )
+
+        return F.flatten(
+            F.array(offset_pairs(1), offset_pairs(2), offset_pairs(3))
+        )
+
+    pairs = bind(tok(F.col("text")), pairs_of)
+    return (
+        cat["documents"]
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(40)
+    )
+
+
+@q(
+    "q169_bigram_lm_score",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '__WS__'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts)),
+                    i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+      FROM t
+    ), bc AS (
+      SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY bigram
+    ), uc AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, SUM(cb) AS cu
+      FROM bc GROUP BY w1
+    ), v AS (
+      SELECT COUNT(DISTINCT x) AS vocab FROM (
+        SELECT unnest(ts) AS x FROM t
+      )
+    )
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(floor(1000000 * ln(
+             (bc.cb + 1.0) / (uc.cu + v.vocab)
+           )) AS BIGINT)) AS BIGINT) AS logprob_q
+    FROM bg
+    JOIN bc USING (bigram)
+    JOIN uc ON split_part(bg.bigram, ' ', 1) = uc.w1
+    CROSS JOIN v
+    GROUP BY bg.doc_id
+    """,
+)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring: train add-one-smoothed bigram
+    counts on the corpus, score every document's summed bigram
+    log-probability — the classic LM-perplexity quality filter.
+    Each term is floor-quantized to a 1e-6 BIGINT before summing, so
+    the per-doc aggregate is exact integer math in any summation
+    order (the ln operands are identical integer-derived doubles on
+    both engines). Two count shuffles + one scalar broadcast; the
+    corpus's bigram stream is never joined all-pairs."""
+    from dataflowex_spark.functions.text import bind, tokens as tok
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"]
+    ts = tok(F.col("text"))
+
+    def bigrams_of(t):
+        m = F.greatest(F.size(t) - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(t, 1, m),
+            F.slice(t, 2, m),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+
+    bg = docs.select(
+        "doc_id", F.explode(bind(ts, bigrams_of)).alias("bigram")
+    ).localCheckpoint(eager=False)
+    bc = bg.groupBy("bigram").agg(F.count("*").alias("cb"))
+    uc = (
+        bc.select(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+            "cb",
+        )
+        .groupBy("w1")
+        .agg(F.sum("cb").alias("cu"))
+    )
+    vocab = docs.select(F.explode(ts).alias("x")).agg(
+        F.countDistinct("x").alias("vocab")
+    )
+    term = F.floor(
+        F.lit(1_000_000.0)
+        * F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("vocab")))
+    ).cast("long")
+    return (
+        bg.join(bc, "bigram")
+        .join(
+            uc,
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+            == F.col("w1"),
+        )
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(term).alias("logprob_q"),
+        )
+    )

@@ -9,7 +9,7 @@ streaming variants) and writers with batch semantics.
 
 from __future__ import annotations
 
-from collections.abc import Iterable
+from collections.abc import Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
@@ -462,4 +462,85 @@ def write_time_partitioned(
         .write.mode(mode)
         .partitionBy(part_col)
         .parquet(path)
+    )
+
+
+def kafka_source_options(
+    brokers: str,
+    topics: str | Sequence[str],
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = False,
+    extra: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Spark Structured Streaming Kafka source options, as one audited
+    dict (the config surface is the contract here — this container
+    ships no Kafka broker or connector JAR, so the *wiring* is what
+    can be built and tested; see :func:`read_kafka_stream`).
+
+    ``max_offsets_per_trigger`` is the back-pressure knob — the
+    message-bus analog of the file source's ``maxFilesPerTrigger``
+    replay throttle (A20). ``fail_on_data_loss=False`` keeps a
+    long-running job alive across retention-expired offsets (log and
+    continue) — flip to True for pipelines where a gap must abort.
+    """
+    topic_list = [topics] if isinstance(topics, str) else list(topics)
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": ",".join(topic_list),
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if extra:
+        opts.update(extra)
+    return opts
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topics: str | Sequence[str],
+    value_schema: str | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Streaming Kafka source → DataFrame of (key string, value,
+    topic, partition, offset, ts). With ``value_schema`` (a DDL
+    string) the JSON value is parsed into a ``value`` struct;
+    otherwise the raw value is cast to string.
+
+    Requires the ``spark-sql-kafka`` connector package on the
+    classpath; absent (as in this container) the ``load()`` raises
+    Spark's data-source-not-found error — re-raised with the package
+    coordinates a cluster user needs. Everything downstream of the
+    source (watermarks, windows, sinks in ``streaming.ops``) is
+    source-agnostic, so swapping file-replay for Kafka is this one
+    call.
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(brokers, topics, **kwargs).items():
+        reader = reader.option(k, v)
+    try:
+        raw = reader.load()
+    except Exception as e:
+        raise RuntimeError(
+            "Kafka connector not on the classpath — submit with "
+            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> "
+            f"(underlying error: {e})"
+        ) from e
+    value = (
+        F.from_json(F.col("value").cast("string"), value_schema).alias("value")
+        if value_schema
+        else F.col("value").cast("string").alias("value")
+    )
+    return raw.select(
+        F.col("key").cast("string").alias("key"),
+        value,
+        "topic",
+        "partition",
+        "offset",
+        F.col("timestamp").alias("ts"),
     )

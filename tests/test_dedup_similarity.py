@@ -393,3 +393,50 @@ def test_stop_gram_prefilter_exact_scores(spark):
     for pair, c in cont_filtered.items():
         assert abs(cont_exact[pair] - c) < 1e-12
     assert not any(5 in p for p in cont_filtered)
+
+
+def test_ivf_index_persist_and_search(spark, tmp_path):
+    """ivf_build_index / ivf_search: build once, answer multiple probe
+    batches without re-running k-means; hits agree with exact kNN on
+    well-separated clusters, and the assignment scan is partitioned by
+    cell (the on-disk inverted file)."""
+    import os
+
+    from dataflowex_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search,
+        knn_cosine_exact,
+    )
+
+    # three tight clusters in 8-d
+    def vec(center, j):
+        base = [0.0] * 8
+        base[center] = 10.0
+        base[(center + 1) % 8] = 1.0 + 0.01 * j
+        return base
+
+    rows = [
+        (c * 100 + j, vec(c, j)) for c in range(3) for j in range(30)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    idx = str(tmp_path / "ivf_idx")
+    ivf_build_index(corpus, idx, n_cells=3, seed=7)
+    # the inverted file: one directory per cell
+    cells = [
+        d for d in os.listdir(os.path.join(idx, "assignments"))
+        if d.startswith("__cell=")
+    ]
+    assert len(cells) == 3
+
+    probes = corpus.filter(F.col("vec_id").isin([5, 105, 205]))
+    got = ivf_search(probes, idx, k=5, n_probe_cells=1)
+    exact = knn_cosine_exact(corpus, probes, k=5)
+    g = {(r.probe_id, r.vec_id) for r in got.collect()}
+    e = {(r.probe_id, r.vec_id) for r in exact.collect()}
+    assert g == e  # perfect recall on separated clusters
+    # second probe batch reuses the index (no rebuild, fresh probes)
+    probes2 = corpus.filter(F.col("vec_id").isin([17, 211]))
+    got2 = ivf_search(probes2, idx, k=3, n_probe_cells=1)
+    assert got2.count() == 6

@@ -749,3 +749,44 @@ def test_dim_join_insert_missing_auto_switch(spark, tmp_path):
     assert sorted((r.k, r.sk) for r in got) == sorted(
         (r.k, r.sk) for r in again
     )
+
+
+def test_dim_join_persistent_crash_converges(spark, tmp_path):
+    """Persistent dim-join full cycle: a crash between probe and
+    publish leaves the on-disk dim untouched; the rerun assigns the
+    same keys again and converges — one surrogate per key, ever."""
+    from dataflowex_spark.operators.etl import (
+        dim_join_insert_missing_persistent,
+    )
+
+    dim_path = str(tmp_path / "dim")
+    fact1 = spark.createDataFrame([Row(k=i, v=i * 10) for i in range(5)])
+    out1 = dim_join_insert_missing_persistent(fact1, dim_path, key="k")
+    assert out1.count() == 5
+    assert spark.read.parquet(dim_path).count() == 5
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash(staging_dir):
+        raise Boom("injected")
+
+    fact2 = spark.createDataFrame([Row(k=i, v=i * 10) for i in range(3, 9)])
+    with pytest.raises(Boom):
+        dim_join_insert_missing_persistent(
+            fact2, dim_path, key="k", on_staged=crash
+        )
+    assert spark.read.parquet(dim_path).count() == 5  # nothing published
+
+    out2 = dim_join_insert_missing_persistent(fact2, dim_path, key="k")
+    dim_rows = spark.read.parquet(dim_path).collect()
+    assert sorted(r.k for r in dim_rows) == list(range(9))
+    sks = [r.sk for r in dim_rows]
+    assert len(set(sks)) == 9  # unique surrogates across the crash
+    # enriched fact carries the on-disk surrogate for every row
+    got = {(r.k, r.sk) for r in out2.select("k", "sk").collect()}
+    want = {(r.k, r.sk) for r in dim_rows if 3 <= r.k <= 8}
+    assert got == want
+    # clean rerun appends nothing
+    dim_join_insert_missing_persistent(fact2, dim_path, key="k")
+    assert spark.read.parquet(dim_path).count() == 9

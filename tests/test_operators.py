@@ -945,3 +945,107 @@ def test_top_bigrams_survives_empty_documents(spark, tmp_path):
     got = {(r.bigram, r.n) for r in fn(spark, str(tmp_path)).collect()}
     assert ("alpha beta", 2) in got
     assert ("beta alpha", 1) in got
+
+
+def _make_png(w, h, rgb):
+    """Hand-build a minimal valid RGB PNG with stdlib zlib/struct —
+    no imaging library needed to CREATE the fixture, so the
+    compressed-decode path is exercised (PIL present: real decode;
+    absent: the honest NotImplementedError) with a REAL payload."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(
+        b"\x00" + bytes(rgb) * w  # filter 0 + one row of pixels
+        for _ in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_compressed_image_decode_hook(spark):
+    """The optional-PIL hook runs against a REAL PNG payload: with PIL
+    importable the pixels decode exactly; without it the decode raises
+    the honest NotImplementedError (never a silent fake)."""
+    from dataflowex_spark.operators.multimodal import decode_image
+
+    png = _make_png(4, 3, (10, 200, 30))
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    if have_pil:
+        out = decode_image(png)
+        assert (out["width"], out["height"], out["channels"]) == (4, 3, 3)
+        assert out["pixels"][0][0].tolist() == [10, 200, 30]
+    else:
+        with pytest.raises(NotImplementedError, match="PIL|imaging"):
+            decode_image(png)
+
+
+def test_chunk_tokens_windows(spark):
+    from dataflowex_spark.operators.text import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+            (2, "a b c"),  # shorter than one chunk
+            (3, ""),  # empty: no chunks
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_tokens(docs, chunk=4, overlap=2)
+    rows = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tok)
+        for r in out.collect()
+    }
+    # stride 2: starts 1,3,5,7,9 → five chunks, tail shrinks
+    assert rows[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert rows[(1, 1)] == ("t2 t3 t4 t5", 4)
+    assert rows[(1, 4)] == ("t8 t9", 2)
+    # consecutive full chunks share exactly `overlap` tokens
+    assert rows[(1, 0)][0].split()[-2:] == rows[(1, 1)][0].split()[:2]
+    assert rows[(2, 0)] == ("a b c", 3)
+    assert rows[(4, 0)] == ("solo", 1)
+    assert not any(d == 3 for d, _ in rows)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_tokens(docs, chunk=4, overlap=4)
+
+
+def test_triangle_count_canonicalizes(spark):
+    from dataflowex_spark.operators.graph import triangle_count
+
+    # K4 minus one edge = 2 triangles; plus noise: duplicate edges,
+    # reversed direction, a self-loop, a pendant vertex
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (1, 3),          # triangle 1-2-3
+            (2, 4), (3, 4),                  # triangle 2-3-4 (with 2-3)
+            (3, 2),                          # reversed duplicate
+            (2, 2),                          # self-loop: dropped
+            (4, 5),                          # pendant
+            (1, 2),                          # duplicate
+        ],
+        "src int, dst int",
+    )
+    row = triangle_count(edges).collect()[0]
+    assert (row.n_edges, row.n_triangles) == (6, 2)
+
+    empty = spark.createDataFrame([], "src int, dst int")
+    row0 = triangle_count(empty).collect()[0]
+    assert (row0.n_edges, row0.n_triangles) == (0, 0)

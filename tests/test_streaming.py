@@ -413,3 +413,29 @@ def test_asof_join_stream_empty_output_readable(spark, sf_dir, tmp_path):
     )
     assert got.count() == 0
     assert "click_id_r" in got.columns
+
+
+def test_kafka_source_config_surface(spark):
+    """Kafka wiring (no broker/connector in this container): the
+    options dict is the audited contract — back-pressure knob, offset
+    reset, data-loss policy — and read_kafka_stream surfaces a clear
+    error naming the connector package when the classpath lacks it."""
+    from dataflowex_spark.sources import (
+        kafka_source_options,
+        read_kafka_stream,
+    )
+
+    opts = kafka_source_options(
+        "broker1:9092,broker2:9092",
+        ["clicks", "views"],
+        starting_offsets="latest",
+        max_offsets_per_trigger=100_000,
+    )
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert opts["subscribe"] == "clicks,views"
+    assert opts["startingOffsets"] == "latest"
+    assert opts["maxOffsetsPerTrigger"] == "100000"
+    assert opts["failOnDataLoss"] == "false"
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        read_kafka_stream(spark, "broker1:9092", "clicks")
