@@ -1,14 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
 Decode reality in this container: uncompressed netpbm (P5/P6) images
-decode and resize FOR REAL (pure numpy), and RIFF/PCM WAV audio
-decodes, featurizes and resamples FOR REAL (stdlib wave + numpy) —
-both tested end to end through mapInPandas. Compressed formats
-(JPEG/PNG/mp3/ogg/video) need codec libraries absent here, so their
-decode raises NotImplementedError (or runs a clearly-marked
-deterministic fake) while everything Spark-cares-about — schema,
-Arrow batch shape, mapInPandas signatures, partitioning — is real
-and tested.
+decode and resize FOR REAL (pure numpy), 8-bit non-interlaced PNG
+decodes FOR REAL (stdlib zlib inflate + numpy scanline de-filtering),
+and RIFF/PCM WAV audio decodes, featurizes and resamples FOR REAL
+(stdlib wave + numpy) — all tested end to end through mapInPandas.
+Remaining compressed formats (JPEG/palette-PNG/mp3/ogg/video) need
+codec libraries absent here, so their decode raises
+NotImplementedError (or runs a clearly-marked deterministic fake)
+while everything Spark-cares-about — schema, Arrow batch shape,
+mapInPandas signatures, partitioning — is real and tested.
 
 Pattern (SURVEY.md §2-B multimodal): a media column is
 ``STRUCT<uri: string, media_type: string, payload: binary,
@@ -107,15 +108,110 @@ def _optional_pil():
         return None
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _parse_png(payload: bytes):
+    """Native PNG decode (stdlib zlib + numpy — no imaging library):
+    8-bit, non-interlaced gray / gray+alpha / RGB / RGBA. Returns
+    (w, h, channels, ndarray[h,w,c]) or None if the payload is not a
+    PNG; raises NotImplementedError for PNG variants out of scope
+    (palette, 16-bit, interlaced) so the PIL hook / honest error can
+    take over.
+
+    All five scanline filters are undone: Up is fully vectorized,
+    Sub is a per-channel cumulative sum mod 256, Average/Paeth fall
+    back to a per-pixel loop (they need the simultaneously-
+    reconstructed left neighbor; encoders emitting them are rare and
+    rows are short)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload or not payload.startswith(_PNG_SIG):
+        return None
+    pos = len(_PNG_SIG)
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or ctype not in (0, 2, 4, 6):
+                raise NotImplementedError(
+                    f"PNG variant out of scope (depth={depth}, "
+                    f"colortype={ctype}, interlace={interlace}) — 8-bit "
+                    "non-interlaced gray/RGB/alpha decode natively"
+                )
+            ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise NotImplementedError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * ch + 1
+    if raw.size != h * stride:
+        raise NotImplementedError("PNG scanline size mismatch")
+    rows = raw.reshape(h, stride)
+    out = np.zeros((h, w * ch), dtype=np.uint8)
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        f, line = rows[y, 0], rows[y, 1:].copy()
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = line + prev
+        elif f == 1:  # Sub: cumsum per channel column, uint8 wraps
+            rec = np.cumsum(
+                line.reshape(w, ch), axis=0, dtype=np.uint8
+            ).reshape(-1)
+        elif f in (3, 4):  # Average / Paeth: left-neighbor dependent
+            rec = np.zeros_like(line)
+            for x in range(w * ch):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if f == 3:
+                    rec[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (int(line[x]) + pr) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+        out[y] = rec
+        prev = out[y]
+    return w, h, ch, out.reshape(h, w, ch)
+
+
 def decode_image(payload: bytes) -> dict:
-    """Image decode: REAL for uncompressed netpbm (P5/P6) via pure
-    numpy — returns {width, height, channels, pixels}. Compressed
-    formats (JPEG/PNG/…) decode through PIL WHEN IT IS IMPORTABLE
-    (optional dependency hook — absent in this container), else an
-    honest NotImplementedError."""
+    """Image decode — REAL, no imaging library, for:
+    - uncompressed netpbm (P5/P6): pure numpy;
+    - PNG (8-bit non-interlaced gray/RGB/±alpha): stdlib zlib inflate
+      + numpy scanline de-filtering (:func:`_parse_png`).
+    Returns {width, height, channels, pixels}. Remaining compressed
+    formats (JPEG/palette-PNG/…) decode through PIL WHEN IT IS
+    IMPORTABLE (optional dependency hook — absent in this container),
+    else an honest NotImplementedError."""
     if payload is None:
         raise ValueError("decode_image: payload is None (pointer-only row)")
     parsed = _parse_netpbm(payload)
+    if parsed is not None:
+        w, h, ch, arr = parsed
+        return {"width": w, "height": h, "channels": ch, "pixels": arr}
+    try:
+        parsed = _parse_png(payload)
+    except NotImplementedError:
+        parsed = None  # out-of-scope PNG variant: try PIL below
     if parsed is not None:
         w, h, ch, arr = parsed
         return {"width": w, "height": h, "channels": ch, "pixels": arr}

@@ -975,26 +975,112 @@ def _make_png(w, h, rgb):
 
 
 def test_compressed_image_decode_hook(spark):
-    """The optional-PIL hook runs against a REAL PNG payload: with PIL
-    importable the pixels decode exactly; without it the decode raises
-    the honest NotImplementedError (never a silent fake)."""
+    """PNG decodes NATIVELY (stdlib zlib + numpy de-filtering) — no
+    imaging library required; a non-decodable format (JPEG here, no
+    PIL in this container) still raises the honest NotImplementedError
+    rather than a silent fake."""
     from dataflowex_spark.operators.multimodal import decode_image
 
     png = _make_png(4, 3, (10, 200, 30))
+    out = decode_image(png)
+    assert (out["width"], out["height"], out["channels"]) == (4, 3, 3)
+    assert out["pixels"][0][0].tolist() == [10, 200, 30]
+    assert out["pixels"][2][3].tolist() == [10, 200, 30]
+
+    fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 64  # JFIF magic
     try:
         import PIL  # noqa: F401
 
         have_pil = True
     except ImportError:
         have_pil = False
-
-    if have_pil:
-        out = decode_image(png)
-        assert (out["width"], out["height"], out["channels"]) == (4, 3, 3)
-        assert out["pixels"][0][0].tolist() == [10, 200, 30]
-    else:
+    if not have_pil:
         with pytest.raises(NotImplementedError, match="PIL|imaging"):
-            decode_image(png)
+            decode_image(fake_jpeg)
+
+
+def test_png_decode_filters_and_channels(spark):
+    """Per-filter PNG reconstruction: re-encode known pixels with each
+    scanline filter type and assert bit-exact decode; gray and RGBA
+    channel counts; out-of-scope variants raise (palette PNG)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dataflowex_spark.operators.multimodal import _parse_png
+
+    def chunk(tag, data):
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+
+    def encode(arr, filters, ctype=2):
+        h, w, ch = arr.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        raw = bytearray()
+        prev = np.zeros(w * ch, dtype=np.int16)
+        for y in range(h):
+            line = arr[y].reshape(-1).astype(np.int16)
+            f = filters[y % len(filters)]
+            if f == 0:
+                enc = line.copy()
+            elif f == 1:  # Sub
+                left = np.concatenate([np.zeros(ch, np.int16), line[:-ch]])
+                enc = (line - left) % 256
+            elif f == 2:  # Up
+                enc = (line - prev) % 256
+            elif f == 3:  # Average
+                enc = np.zeros_like(line)
+                for x in range(w * ch):
+                    a = int(line[x - ch]) if x >= ch else 0
+                    enc[x] = (int(line[x]) - ((a + int(prev[x])) >> 1)) % 256
+            else:  # Paeth
+                enc = np.zeros_like(line)
+                for x in range(w * ch):
+                    a = int(line[x - ch]) if x >= ch else 0
+                    b = int(prev[x])
+                    c = int(arr[y - 1].reshape(-1)[x - ch]) if (x >= ch and y > 0) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[x] = (int(line[x]) - pr) % 256
+            raw.append(f)
+            raw.extend(enc.astype(np.uint8).tobytes())
+            prev = line
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        w, h, ch, got = _parse_png(encode(arr, filters))
+        assert (w, h, ch) == (4, 5, 3), filters
+        assert np.array_equal(got, arr), f"filters={filters}"
+
+    gray = rng.randint(0, 256, size=(3, 6, 1), dtype=np.uint8)
+    _, _, ch_g, got_g = _parse_png(encode(gray, [0, 1, 2], ctype=0))
+    assert ch_g == 1 and np.array_equal(got_g, gray)
+
+    rgba = rng.randint(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    _, _, ch_a, got_a = _parse_png(encode(rgba, [4, 2, 1], ctype=6))
+    assert ch_a == 4 and np.array_equal(got_a, rgba)
+
+    # palette PNG (colortype 3) is declared out of scope
+    pal = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", pal)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="colortype=3"):
+        _parse_png(bad)
 
 
 def test_chunk_tokens_windows(spark):
