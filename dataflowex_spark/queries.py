@@ -5334,3 +5334,311 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term).alias("logprob_q"),
         )
     )
+
+
+@q(
+    "q170_running_balance",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, value,
+             SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS epoch
+      FROM events
+    )
+    SELECT user_id, event_id, CAST(epoch AS BIGINT) AS epoch,
+           CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) OVER (
+             PARTITION BY user_id, epoch ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS balance_q
+    FROM s
+    """,
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resettable running balance: per-user cumulative value that
+    RESETS at every 'signup' event — the inventory/credit-ledger
+    accumulator. Gaps-and-islands (a running count of reset markers
+    numbers the epochs) + a cumulative sum keyed by (user, epoch):
+    two keyed windows, no self-join against reset positions. Values
+    floor-quantized to BIGINT(1e-3) so the running sums are exact in
+    any engine."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = cat["events"].withColumn(
+        "epoch",
+        F.sum(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    w2 = (
+        Window.partitionBy("user_id", "epoch")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return s.select(
+        "user_id",
+        "event_id",
+        F.col("epoch").cast("long").alias("epoch"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .over(w2)
+        .alias("balance_q"),
+    )
+
+
+@q(
+    "q171_chi_square",
+    """
+    WITH c AS (
+      SELECT event_type, hour(ts) // 6 AS hb,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY event_type, hb
+    ), rt AS (
+      SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM c GROUP BY event_type
+    ), ct AS (
+      SELECT hb, CAST(SUM(o) AS BIGINT) AS cl FROM c GROUP BY hb
+    ), t AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS tot FROM c
+    )
+    SELECT c.event_type, CAST(c.hb AS BIGINT) AS hour_bucket, c.o,
+           CAST(floor(1000000.0
+             * (c.o - rt.r * ct.cl / t.tot)
+             * (c.o - rt.r * ct.cl / t.tot)
+             / (rt.r * ct.cl / t.tot)) AS BIGINT) AS contrib_q
+    FROM c
+    JOIN rt USING (event_type) JOIN ct USING (hb) CROSS JOIN t
+    """,
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen: event_type × 6-hour day-part
+    contingency table with each cell's (O−E)²/E contribution. All
+    inputs are BIGINT counts; E and the contribution are computed in
+    double from IDENTICAL integer operands then floor-quantized —
+    deterministic across engines. One hash aggregate + three tiny
+    broadcast joins (the marginals)."""
+    cat = Catalog(spark, sf_dir)
+    c = (
+        cat["events"]
+        .groupBy(
+            "event_type",
+            (F.hour("ts") / 6).cast("int").alias("hb"),
+        )
+        .agg(F.count("*").alias("o"))
+    )
+    rt = c.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = c.groupBy("hb").agg(F.sum("o").alias("cl"))
+    t = c.agg(F.sum("o").alias("tot"))
+    e = F.col("r") * F.col("cl") / F.col("tot")
+    return (
+        c.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hb")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            F.col("hb").cast("long").alias("hour_bucket"),
+            "o",
+            F.floor(
+                F.lit(1_000_000.0)
+                * (F.col("o") - e)
+                * (F.col("o") - e)
+                / e
+            ).cast("long").alias("contrib_q"),
+        )
+    )
+
+
+@q(
+    "q172_referential_audit",
+    """
+    SELECT 'lineitem_without_order' AS chk, COUNT(*) AS n
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'order_without_customer', COUNT(*)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'order_without_lineitem', COUNT(*)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT 'customer_without_nation', COUNT(*)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                      WHERE n.n_nationkey = c.c_nationkey)
+    """,
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphaned facts and childless
+    parents counted via LEFT ANTI joins (never materializing the
+    orphan rows). The fact-side anti-joins shuffle on the key; the
+    dim-side ones broadcast. One row per check — the data-quality
+    gate a warehouse runs before publishing."""
+    cat = Catalog(spark, sf_dir)
+
+    def audit(label, left, right, lk, rk, bcast=False):
+        r = right.select(rk)
+        if bcast:
+            r = F.broadcast(r)
+        return (
+            left.join(r, on=left[lk] == r[rk], how="left_anti")
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(label).alias("chk"), "n")
+        )
+
+    checks = [
+        audit(
+            "lineitem_without_order",
+            cat["lineitem"],
+            cat["orders"],
+            "l_orderkey",
+            "o_orderkey",
+        ),
+        audit(
+            "order_without_customer",
+            cat["orders"],
+            cat["customer"],
+            "o_custkey",
+            "c_custkey",
+        ),
+        audit(
+            "order_without_lineitem",
+            cat["orders"],
+            cat["lineitem"],
+            "o_orderkey",
+            "l_orderkey",
+        ),
+        audit(
+            "customer_without_nation",
+            cat["customer"],
+            cat["nation"],
+            "c_nationkey",
+            "n_nationkey",
+            bcast=True,
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@q(
+    "q173_interval_concurrency",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid,
+             ts
+      FROM flagged
+    ), iv AS (
+      SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e
+      FROM sess GROUP BY user_id, sid
+    ), deltas AS (
+      SELECT date_trunc('hour', s) AS h, 1 AS d FROM iv
+      UNION ALL
+      SELECT date_trunc('hour', e) + INTERVAL 1 HOUR, -1 FROM iv
+    ), agg AS (
+      SELECT h, CAST(SUM(d) AS BIGINT) AS delta FROM deltas GROUP BY h
+    )
+    SELECT h, delta,
+           CAST(SUM(delta) OVER (
+             ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS open_sessions
+    FROM agg
+    """,
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval concurrency (how many sessions are open each hour):
+    sessionize, then the SWEEP-LINE trick — each session emits +1 at
+    its start hour and −1 after its end hour; a running sum over the
+    per-hour deltas is the concurrency curve. The naive alternative
+    (join every session against every hour it spans) materializes
+    sessions × hours; the delta stream is 2 rows per session and the
+    final window runs over ONE ROW PER DISTINCT HOUR (calendar-sized,
+    not data-sized — a single-reducer window over ~10³ rows is free)."""
+    from dataflowex_spark.operators.windows import sessionize
+
+    cat = Catalog(spark, sf_dir)
+    sess = sessionize(
+        cat["events"], user_col="user_id", ts_col="ts", gap_seconds=1800
+    )
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    h_start = F.date_trunc("HOUR", "s").cast("timestamp_ntz")
+    h_end = (
+        F.date_trunc("HOUR", "e") + F.expr("INTERVAL 1 HOUR")
+    ).cast("timestamp_ntz")
+    deltas = iv.select(h_start.alias("h"), F.lit(1).alias("d")).unionByName(
+        iv.select(h_end.alias("h"), F.lit(-1).alias("d"))
+    )
+    agg = deltas.groupBy("h").agg(F.sum("d").alias("delta"))
+    w = Window.orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return agg.select(
+        "h", "delta", F.sum("delta").over(w).alias("open_sessions")
+    )
+
+
+@q(
+    "q174_cohort_ltv",
+    """
+    WITH f AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, f.cohort,
+             date_diff('day', f.cohort, date_trunc('day', e.ts)) // 7 AS wk,
+             CAST(floor(e.value * 1000) AS BIGINT) AS v
+      FROM events e JOIN f USING (user_id)
+      WHERE e.event_type = 'purchase'
+    )
+    SELECT cohort, CAST(wk AS BIGINT) AS weeks_since,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS buyers,
+           CAST(SUM(v) AS BIGINT) AS revenue_q
+    FROM p GROUP BY cohort, wk
+    """,
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: users cohorted by first-seen
+    week, purchase revenue bucketed by whole weeks since cohort —
+    the (cohort × age) LTV triangle. First-seen is one keyed
+    aggregate; the cohort frame joins back keyed on user (broadcast
+    under AQE when small). Revenue floor-quantized to BIGINT."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("WEEK", F.min("ts")).cast("timestamp_ntz").alias("cohort")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("DAY", "ts").cast("timestamp_ntz"),
+                    F.col("cohort"),
+                )
+                / 7
+            ).cast("long").alias("wk"),
+            F.floor(F.col("value") * 1000).cast("long").alias("v"),
+        )
+    )
+    return p.groupBy("cohort", F.col("wk").alias("weeks_since")).agg(
+        F.countDistinct("user_id").alias("buyers"),
+        F.sum("v").alias("revenue_q"),
+    )
