@@ -5642,3 +5642,58 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("buyers"),
         F.sum("v").alias("revenue_q"),
     )
+
+
+@q(
+    "q175_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.r = (SELECT MAX(r) FROM rev)
+    """,
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    keep the supplier(s) hitting the maximum. The revenue CTE is
+    computed ONCE and reused for both the per-supplier rows and the
+    scalar max (the view-reuse shape Q15 exists to test) — one
+    lineitem shuffle, max re-joined as a broadcast scalar, supplier
+    dim broadcast. DECIMAL revenue so the max-equality is exact (a
+    double sum's low bits would make `= max` engine-dependent)."""
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,4)")
+            ).alias("r")
+        )
+    )
+    mx = rev.agg(F.max("r").alias("mr"))
+    return (
+        cat["supplier"]
+        .join(rev, F.col("s_suppkey") == F.col("l_suppkey"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("r") == F.col("mr"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("r").cast("double").alias("total_revenue"),
+        )
+    )

@@ -1135,3 +1135,26 @@ def test_triangle_count_canonicalizes(spark):
     empty = spark.createDataFrame([], "src int, dst int")
     row0 = triangle_count(empty).collect()[0]
     assert (row0.n_edges, row0.n_triangles) == (0, 0)
+
+
+def test_triangle_degree_ordered_equivalence(spark):
+    """Degree-ordered triangle enumeration returns EXACTLY the
+    id-ordered count on random graphs (including one with a hub node,
+    the case the orientation exists for)."""
+    import random
+
+    from dataflowex_spark.operators.graph import (
+        triangle_count,
+        triangle_count_degree_ordered,
+    )
+
+    rng = random.Random(3)
+    rand_edges = [
+        (rng.randint(1, 40), rng.randint(1, 40)) for _ in range(300)
+    ]
+    hub_edges = [(0, i) for i in range(1, 41)]  # hub connects everyone
+    df = spark.createDataFrame(rand_edges + hub_edges, "src int, dst int")
+    a = triangle_count(df).collect()[0]
+    b = triangle_count_degree_ordered(df).collect()[0]
+    assert (a.n_edges, a.n_triangles) == (b.n_edges, b.n_triangles)
+    assert a.n_triangles > 0
