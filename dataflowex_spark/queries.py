@@ -5697,3 +5697,176 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").cast("double").alias("total_revenue"),
         )
     )
+
+
+@q(
+    "q176_ema_weekly",
+    """
+    WITH RECURSIVE weekly AS (
+      SELECT o_orderpriority AS pr,
+             date_trunc('week', o_orderdate) AS wk,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS xq
+      FROM orders GROUP BY pr, wk
+    ), numbered AS (
+      SELECT pr, wk, xq,
+             ROW_NUMBER() OVER (PARTITION BY pr ORDER BY wk) AS rn
+      FROM weekly
+    ), ema AS (
+      SELECT pr, wk, xq, rn, CAST(xq * 1000 AS BIGINT) AS e
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.pr, n.wk, n.xq, n.rn,
+             CAST((n.xq * 1000 + 3 * ema.e) // 4 AS BIGINT)
+      FROM numbered n JOIN ema ON n.pr = ema.pr AND n.rn = ema.rn + 1
+    )
+    SELECT pr, wk, xq, e AS ema_q
+    FROM ema
+    """,
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average of weekly revenue per order
+    priority — the inherently SEQUENTIAL per-key recurrence
+    (ema_t = α·x_t + (1−α)·ema_{t−1}, α=¼) that plain window frames
+    cannot express. Spark side: weekly BIGINT sums, then ONE ordered
+    fold per key (`array_sort(collect_list)` → `F.aggregate`); the
+    oracle's recursive CTE runs the identical recurrence. The step is
+    EXACT INTEGER arithmetic — e_t = (1000·x_t + 3·e_{t−1}) >> 2 on
+    BIGINTs — because the float form differs by one ulp across
+    engines (FMA contraction), which a ROUND can then amplify.
+
+    Scale shape: the collected series is CALENDAR-SIZED (one entry
+    per week per priority — ~360 for 7 fixture years), never
+    data-sized; the data-sized work is the preceding hash aggregate.
+    A per-key array fold is exactly right when series length is
+    bounded by time, and exactly wrong when it is bounded by data."""
+    cat = Catalog(spark, sf_dir)
+    weekly = (
+        cat["orders"]
+        .groupBy(
+            F.col("o_orderpriority").alias("pr"),
+            F.date_trunc("WEEK", "o_orderdate")
+            .cast("timestamp_ntz")
+            .alias("wk"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "xq"
+            )
+        )
+    )
+    series = weekly.groupBy("pr").agg(
+        F.array_sort(F.collect_list(F.struct("wk", "xq"))).alias("s")
+    )
+    acc_t = (
+        "struct<arr: array<struct<wk: timestamp_ntz, xq: bigint,"
+        " e: bigint>>, prev: bigint>"
+    )
+
+    def step(acc, x):
+        e = F.when(
+            acc["prev"].isNull(), x["xq"] * 1000
+        ).otherwise(F.shiftright(x["xq"] * 1000 + 3 * acc["prev"], 2))
+        return F.struct(
+            F.concat(
+                acc["arr"],
+                F.array(
+                    F.struct(
+                        x["wk"].alias("wk"), x["xq"].alias("xq"), e.alias("e")
+                    )
+                ),
+            ).alias("arr"),
+            e.alias("prev"),
+        )
+
+    folded = series.select(
+        "pr",
+        F.aggregate(
+            "s",
+            F.lit(None).cast(acc_t),
+            lambda acc, x: F.when(acc.isNull(), step(
+                F.struct(
+                    F.array().cast(
+                        "array<struct<wk: timestamp_ntz, xq: bigint,"
+                        " e: bigint>>"
+                    ).alias("arr"),
+                    F.lit(None).cast("long").alias("prev"),
+                ),
+                x,
+            )).otherwise(step(acc, x)),
+            lambda acc: acc["arr"],
+        ).alias("arr"),
+    )
+    return folded.select("pr", F.explode("arr").alias("x")).select(
+        "pr",
+        F.col("x.wk").alias("wk"),
+        F.col("x.xq").alias("xq"),
+        F.col("x.e").alias("ema_q"),
+    )
+
+
+@q(
+    "q177_pareto_customers",
+    """
+    WITH cr AS (
+      SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+             CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rq
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY nk, ck
+    ), r AS (
+      SELECT nk, ck, rq,
+             CAST(SUM(rq) OVER (
+               PARTITION BY nk ORDER BY rq DESC, ck
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(rq) OVER (PARTITION BY nk) AS BIGINT) AS tot
+      FROM cr
+    )
+    SELECT CAST(nk AS BIGINT) AS nationkey, ck AS c_custkey, rq AS rev_q
+    FROM r WHERE cum - rq < 0.8 * tot
+    """,
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto coverage: per nation, the smallest revenue-ranked
+    customer prefix covering 80% of revenue (the 80/20 concentration
+    screen). Keyed windows only (running sum + per-key total);
+    BIGINT-quantized revenue so prefix sums and the 0.8·total
+    comparison are exact. The `cum − rq < 0.8·tot` form includes
+    exactly the crossing customer without a second pass."""
+    cat = Catalog(spark, sf_dir)
+    cr = (
+        cat["orders"]
+        .join(
+            F.broadcast(cat["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rq"
+            )
+        )
+    )
+    w_run = (
+        Window.partitionBy("nk")
+        .orderBy(F.col("rq").desc(), "ck")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("nk")
+    r = cr.select(
+        "nk",
+        "ck",
+        "rq",
+        F.sum("rq").over(w_run).alias("cum"),
+        F.sum("rq").over(w_tot).alias("tot"),
+    )
+    return r.filter(
+        F.col("cum") - F.col("rq") < 0.8 * F.col("tot")
+    ).select(
+        F.col("nk").cast("long").alias("nationkey"),
+        F.col("ck").alias("c_custkey"),
+        F.col("rq").alias("rev_q"),
+    )

@@ -454,3 +454,25 @@ def stateful_dispatch_counts_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def dedup_stream_bounded(
+    stream_df: DataFrame,
+    keys: list[str],
+    watermark_col: str,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """State-BOUNDED streaming dedup: ``dropDuplicatesWithinWatermark``
+    keeps a key's dedup state only until the watermark passes it, so
+    state size tracks the lateness bound instead of the whole stream
+    history — the 100 TB requirement (`dedup_stream`'s plain
+    ``dropDuplicates`` state grows without bound; fine for replays and
+    tests, an OOM on an unbounded production stream).
+
+    Contract change vs exact dedup: a duplicate arriving MORE than
+    ``delay`` after its twin (already possible only for data later
+    than the watermark allows) can be re-emitted. Events within the
+    bound dedup exactly."""
+    return _with_watermark(
+        stream_df, watermark_col, delay
+    ).dropDuplicatesWithinWatermark(keys)

@@ -1158,3 +1158,38 @@ def test_triangle_degree_ordered_equivalence(spark):
     b = triangle_count_degree_ordered(df).collect()[0]
     assert (a.n_edges, a.n_triangles) == (b.n_edges, b.n_triangles)
     assert a.n_triangles > 0
+
+
+def test_chunk_tokens_reconstruction_property(spark):
+    """Coverage property: dropping the first `overlap` tokens of every
+    chunk after the first reconstructs the document's token stream
+    exactly — no token lost or duplicated at any boundary, for
+    assorted (chunk, overlap, length) shapes including exact-multiple
+    and shorter-than-one-chunk lengths."""
+    import random
+
+    from dataflowex_spark.operators.text import chunk_tokens
+
+    rng = random.Random(5)
+    cases = [(32, 8), (7, 3), (5, 0), (4, 3)]
+    docs = []
+    for i, n_tok in enumerate([1, 3, 4, 5, 24, 29, 100, 101]):
+        docs.append((i, " ".join(f"w{rng.randint(0,9)}x{j}" for j in range(n_tok))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for chunk, overlap in cases:
+        out = chunk_tokens(df, chunk=chunk, overlap=overlap)
+        rows = sorted(
+            ((r.doc_id, r.chunk_idx, r.chunk_text) for r in out.collect())
+        )
+        rebuilt = {}
+        for doc_id, idx, text in rows:
+            toks = text.split(" ")
+            if idx > 0:
+                toks = toks[overlap:]
+            rebuilt.setdefault(doc_id, []).extend(toks)
+        for doc_id, text in docs:
+            assert rebuilt[doc_id] == text.split(" "), (
+                doc_id,
+                chunk,
+                overlap,
+            )

@@ -439,3 +439,27 @@ def test_kafka_source_config_surface(spark):
 
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         read_kafka_stream(spark, "broker1:9092", "clicks")
+
+
+def test_dedup_stream_bounded_state(spark, sf_dir):
+    """dropDuplicatesWithinWatermark-based dedup: replaying a stream
+    with every event DUPLICATED yields exactly the batch-distinct
+    event set (all duplicates here are within the lateness bound)."""
+    from dataflowex_spark.streaming.ops import dedup_stream_bounded
+
+    batch = Catalog(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "ts"
+    )
+    stream = file_replay_stream(
+        spark, f"{sf_dir}/events.parquet", n_chunks=2
+    ).select("event_id", "user_id", "ts")
+    doubled = stream.unionByName(stream)  # every event appears twice
+    out, _ = run_to_memory(
+        dedup_stream_bounded(doubled, ["event_id"], "ts", "365 days"),
+        output_mode="append",
+    )
+    assert out.count() == batch.count()
+    assert (
+        out.select("event_id").distinct().count()
+        == batch.select("event_id").distinct().count()
+    )
