@@ -104,3 +104,95 @@ def resample_locf(
         F.last("v_obs", ignorenulls=True).over(w).alias("v_fill"),
         F.col("v_obs").isNotNull().alias("observed"),
     )
+
+
+def resample_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    unit: str = "day",
+    quant: int = 1000,
+) -> DataFrame:
+    """Resample to one row per ``unit`` per key with LINEAR
+    interpolation across gaps (the companion of :func:`resample_locf`
+    for signals where a straight line beats a step).
+
+    Values are floor-quantized to BIGINT (``quant`` units) and the
+    interpolation is pure integer arithmetic:
+
+        v(slot) = prev + (next − prev) · Δ  //  span
+
+    (// = FLOOR division — toward −∞, pinned explicitly because SQL
+    engines disagree on integer `/` for negative slopes (DuckDB's //
+    truncates toward zero); Δ = slots since prev observation, span =
+    slots between the bracketing observations. Floor-of-division is
+    deliberate — a float mul-add here differs by one ulp across
+    engines (FMA contraction), while the bounded magnitudes make
+    floor(double-division) exact everywhere. Trailing slots past the last observation carry
+    it forward (no extrapolation).
+
+    Same scale shape as LOCF: per-key grid from the key's own span,
+    one keyed aggregate + two keyed window passes. ``unit`` is pinned
+    to 'day' (Δ/span are measured with datediff in days; a coarser
+    unit would need its own slot index).
+    """
+    if unit != "day":
+        raise ValueError("resample_linear supports unit='day' only")
+    slot = F.date_trunc(unit, F.col(ts_col)).cast("timestamp_ntz")
+    obs = df.groupBy(F.col(key_col), slot.alias("slot")).agg(
+        F.max_by(
+            F.floor(F.col(value_col) * quant).cast("long"),
+            F.struct(F.col(ts_col), F.col(value_col)),
+        ).alias("v_obs")
+    )
+    spans = obs.groupBy(key_col).agg(
+        F.min("slot").alias("lo"), F.max("slot").alias("hi")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(F.expr(f"sequence(lo, hi, interval 1 {unit})")).alias(
+            "slot"
+        ),
+    )
+    joined = grid.join(obs, [key_col, "slot"], "left")
+    w_back = (
+        Window.partitionBy(key_col)
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(key_col)
+        .orderBy("slot")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last("v_obs", ignorenulls=True).over(w_back)
+    prev_s = F.last(
+        F.when(F.col("v_obs").isNotNull(), F.col("slot")), ignorenulls=True
+    ).over(w_back)
+    next_v = F.first("v_obs", ignorenulls=True).over(w_fwd)
+    next_s = F.first(
+        F.when(F.col("v_obs").isNotNull(), F.col("slot")), ignorenulls=True
+    ).over(w_fwd)
+    marked = joined.select(
+        key_col,
+        "slot",
+        F.col("v_obs").isNotNull().alias("observed"),
+        prev_v.alias("pv"),
+        prev_s.alias("ps"),
+        next_v.alias("nv"),
+        next_s.alias("ns"),
+    )
+    delta = F.datediff(F.col("slot"), F.col("ps"))
+    span = F.datediff(F.col("ns"), F.col("ps"))
+    interp = F.col("pv") + F.floor(
+        (F.col("nv") - F.col("pv")) * delta / span
+    ).cast("long")
+    return marked.select(
+        key_col,
+        "slot",
+        F.when(F.col("ns").isNull() | (F.col("slot") == F.col("ps")), F.col("pv"))
+        .otherwise(interp)
+        .alias("v_interp_q"),
+        "observed",
+    )

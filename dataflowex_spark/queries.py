@@ -5870,3 +5870,257 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ck").alias("c_custkey"),
         F.col("rq").alias("rev_q"),
     )
+
+
+@q(
+    "q178_resample_linear",
+    """
+    WITH obs AS (
+      SELECT user_id, slot, vq FROM (
+        SELECT user_id, date_trunc('day', ts) AS slot,
+               CAST(floor("value" * 1000) AS BIGINT) AS vq,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, date_trunc('day', ts)
+                 ORDER BY ts DESC, "value" DESC
+               ) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) t WHERE rn = 1
+    ), spans AS (
+      SELECT user_id, MIN(slot) AS lo, MAX(slot) AS hi
+      FROM obs GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS slot
+      FROM spans
+    ), marked AS (
+      SELECT g.user_id, g.slot, o.vq IS NOT NULL AS observed,
+             last_value(o.vq IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN o.vq IS NOT NULL THEN g.slot END
+                        IGNORE NULLS) OVER wb AS ps,
+             first_value(o.vq IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN o.vq IS NOT NULL THEN g.slot END
+                         IGNORE NULLS) OVER wf AS ns
+      FROM grid g LEFT JOIN obs o
+        ON o.user_id = g.user_id AND o.slot = g.slot
+      WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.slot
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY g.user_id ORDER BY g.slot
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, slot,
+           CASE WHEN ns IS NULL OR slot = ps THEN pv
+                ELSE pv + CAST(floor(
+                       (nv - pv) * date_diff('day', ps, slot)
+                       / CAST(date_diff('day', ps, ns) AS DOUBLE)
+                     ) AS BIGINT)
+           END AS v_interp_q,
+           observed
+    FROM marked
+    """,
+)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling of per-user daily purchase
+    value (`timeseries.resample_linear`) — gaps get the straight line
+    between bracketing observations instead of LOCF's step. The
+    interpolation step is exact INTEGER floor division (a float
+    mul-add diverges by 1 ulp cross-engine via FMA — same lesson as
+    q176). Trailing days carry the last observation."""
+    from dataflowex_spark.operators.timeseries import resample_linear
+
+    cat = Catalog(spark, sf_dir)
+    return resample_linear(
+        cat["events"].filter(F.col("event_type") == "purchase"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+    )
+
+
+@q(
+    "q179_cusum",
+    """
+    WITH RECURSIVE weekly AS (
+      SELECT o_orderpriority AS pr,
+             date_trunc('week', o_orderdate) AS wk,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS xq
+      FROM orders GROUP BY pr, wk
+    ), target AS (
+      SELECT CAST(SUM(xq) // COUNT(*) AS BIGINT) AS k FROM weekly
+    ), numbered AS (
+      SELECT pr, wk, xq,
+             ROW_NUMBER() OVER (PARTITION BY pr ORDER BY wk) AS rn
+      FROM weekly
+    ), cs AS (
+      SELECT n.pr, n.wk, n.xq, n.rn,
+             CAST(greatest(0, n.xq - t.k) AS BIGINT) AS s
+      FROM numbered n CROSS JOIN target t WHERE n.rn = 1
+      UNION ALL
+      SELECT n.pr, n.wk, n.xq, n.rn,
+             CAST(greatest(0, cs.s + n.xq - t.k) AS BIGINT)
+      FROM numbered n
+      JOIN cs ON n.pr = cs.pr AND n.rn = cs.rn + 1
+      CROSS JOIN target t
+    )
+    SELECT pr, wk, xq, s AS cusum_q
+    FROM cs
+    """,
+)
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector over weekly revenue per order
+    priority: s_t = max(0, s_{t−1} + (x_t − k)) with k = the global
+    mean weekly revenue (integer floor). The recurrence clamps at
+    zero, so no window frame expresses it — same calendar-sized
+    ordered fold as q176, all BIGINT (exact in every engine). The
+    data-sized work is the one weekly hash aggregate."""
+    cat = Catalog(spark, sf_dir)
+    weekly = (
+        cat["orders"]
+        .groupBy(
+            F.col("o_orderpriority").alias("pr"),
+            F.date_trunc("WEEK", "o_orderdate")
+            .cast("timestamp_ntz")
+            .alias("wk"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "xq"
+            )
+        )
+    )
+    target = weekly.agg(
+        F.floor(F.sum("xq") / F.count("*")).cast("long").alias("k")
+    )
+    series = weekly.crossJoin(F.broadcast(target)).groupBy("pr").agg(
+        F.array_sort(F.collect_list(F.struct("wk", "xq", "k"))).alias("s")
+    )
+    acc_t = (
+        "struct<arr: array<struct<wk: timestamp_ntz, xq: bigint,"
+        " s: bigint>>, prev: bigint>"
+    )
+
+    def step(acc, x):
+        s = F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce(acc["prev"], F.lit(0).cast("long"))
+            + x["xq"]
+            - x["k"],
+        )
+        return F.struct(
+            F.concat(
+                acc["arr"],
+                F.array(
+                    F.struct(
+                        x["wk"].alias("wk"), x["xq"].alias("xq"), s.alias("s")
+                    )
+                ),
+            ).alias("arr"),
+            s.alias("prev"),
+        )
+
+    init = F.struct(
+        F.array()
+        .cast(
+            "array<struct<wk: timestamp_ntz, xq: bigint, s: bigint>>"
+        )
+        .alias("arr"),
+        F.lit(None).cast("long").alias("prev"),
+    )
+    folded = series.select(
+        "pr",
+        F.aggregate(
+            "s", init.cast(acc_t), step, lambda acc: acc["arr"]
+        ).alias("arr"),
+    )
+    return folded.select("pr", F.explode("arr").alias("x")).select(
+        "pr",
+        F.col("x.wk").alias("wk"),
+        F.col("x.xq").alias("xq"),
+        F.col("x.s").alias("cusum_q"),
+    )
+
+
+@q(
+    "q180_sliding_active_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ), flagged AS (
+      SELECT user_id, d,
+             CASE WHEN LAG(d) OVER w IS NULL
+                       OR date_diff('day', LAG(d) OVER w, d) > 7
+                  THEN 1 ELSE 0 END AS brk
+      FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    ), isl AS (
+      SELECT user_id, d,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ), iv AS (
+      SELECT user_id, island, MIN(d) AS s,
+             MAX(d) + INTERVAL 6 DAY AS e
+      FROM isl GROUP BY user_id, island
+    ), deltas AS (
+      SELECT s AS d, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e + INTERVAL 1 DAY, -1 FROM iv
+    ), agg AS (
+      SELECT d, CAST(SUM(delta) AS BIGINT) AS change FROM deltas GROUP BY d
+    )
+    SELECT d, change,
+           CAST(SUM(change) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS active_users
+    FROM agg
+    """,
+)
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day active-user count, emitted at every day
+    the count changes. The textbook-hard sliding COUNT(DISTINCT):
+    materializing (day × users-in-window) explodes at scale, and no
+    native window computes distinct over a range frame. Instead each
+    user's activity days merge into coverage intervals [d, d+6]
+    (gaps-and-islands: a >7-day gap starts a new interval), intervals
+    become ±1 deltas, and a running sum over the per-day deltas — a
+    CALENDAR-sized final window — is the exact curve. Per-user state
+    never leaves its key's partition; nothing is ever days × users."""
+    cat = Catalog(spark, sf_dir)
+    ud = (
+        cat["events"]
+        .select(
+            "user_id",
+            F.date_trunc("DAY", "ts").cast("timestamp_ntz").alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    flagged = ud.withColumn(
+        "brk",
+        F.when(
+            F.lag("d").over(w).isNull()
+            | (F.datediff(F.col("d"), F.lag("d").over(w)) > 7),
+            1,
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "island",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = isl.groupBy("user_id", "island").agg(
+        F.min("d").alias("s"),
+        (F.max("d") + F.expr("INTERVAL 6 DAYS")).alias("e"),
+    )
+    deltas = iv.select(F.col("s").alias("d"), F.lit(1).alias("delta")).unionByName(
+        iv.select(
+            (F.col("e") + F.expr("INTERVAL 1 DAYS")).alias("d"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    agg = deltas.groupBy("d").agg(F.sum("delta").alias("change"))
+    w_run = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return agg.select(
+        "d", "change", F.sum("change").over(w_run).alias("active_users")
+    )
