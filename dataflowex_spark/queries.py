@@ -6124,3 +6124,132 @@ def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "d", "change", F.sum("change").over(w_run).alias("active_users")
     )
+
+
+@q(
+    "q181_event_pattern",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3,
+             LEAD(ts, 2) OVER w AS ts3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_patterns
+    FROM s
+    WHERE event_type = 'view' AND e2 = 'click' AND e3 = 'purchase'
+      AND ts3 - ts <= INTERVAL 1 HOUR
+    GROUP BY user_id
+    """,
+)
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-pattern matching (MATCH_RECOGNIZE-lite): consecutive
+    view→click→purchase triples per user completing within an hour.
+    A fixed-length pattern needs no NFA state machine — k−1 LEADs
+    over the per-user order turn it into a scan-local predicate, one
+    keyed window + one hash aggregate. (Variable-length patterns are
+    the sessionize/islands family instead.)"""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = cat["events"].select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.lead("ts", 2).over(w).alias("ts3"),
+    )
+    return (
+        s.filter(
+            (F.col("event_type") == "view")
+            & (F.col("e2") == "click")
+            & (F.col("e3") == "purchase")
+            & (
+                F.col("ts3").cast("timestamp").cast("long")
+                - F.col("ts").cast("timestamp").cast("long")
+                <= 3600
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_patterns"))
+    )
+
+
+@q(
+    "q182_basket_lift",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem
+    ), item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM li GROUP BY l_partkey
+    ), pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS cp
+      FROM li a JOIN li b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY pa, pb
+      HAVING COUNT(*) >= 3
+    )
+    SELECT pa, pb, cp,
+           CAST(floor(1000000.0 * cp * n.n_orders / (ia.cnt * ib.cnt))
+                AS BIGINT) AS lift_q
+    FROM pair
+    JOIN item ia ON ia.l_partkey = pair.pa
+    JOIN item ib ON ib.l_partkey = pair.pb
+    CROSS JOIN n
+    ORDER BY lift_q DESC, pa, pb
+    LIMIT 50
+    """,
+)
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift: top co-purchased part pairs by
+    lift = P(a,b) / (P(a)·P(b)), minimum support 3 orders. The pair
+    stream comes from the per-order self-join (orders hold ≤7 items,
+    so pairs/order is a small constant — never parts×parts); the
+    min-support HAVING prunes before the lift math; item counts join
+    back broadcast. Lift is floor-quantized from identical BIGINT
+    operands (mul/div only — no FMA-contractible add)."""
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    n = cat["lineitem"].agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("cp"))
+        .filter(F.col("cp") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("pa"), F.col("cnt").alias("ca"))
+    ib = item.select(F.col("l_partkey").alias("pb"), F.col("cnt").alias("cb"))
+    return (
+        pair.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            "cp",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.col("cp")
+                * F.col("n_orders")
+                / (F.col("ca") * F.col("cb"))
+            ).cast("long").alias("lift_q"),
+        )
+        .orderBy(F.col("lift_q").desc(), "pa", "pb")
+        .limit(50)
+    )
