@@ -350,6 +350,10 @@ def ivf_search(
         .filter(F.col("__cr") <= n_probe_cells)
         .select(probe_id_col, "__pv", "__cell")
     )
+    # deliberate driver-side collect: the list is bounded by n_cells
+    # (an index PARAMETER, typically ≤ 4096 — never data-sized), and
+    # literal cell ids are what lets the isin() prune assignment
+    # DIRECTORIES at planning time instead of relying on runtime DPP
     cells = [r["__cell"] for r in p.select("__cell").distinct().collect()]
     assigned = (
         spark.read.parquet(index_path.rstrip("/") + "/assignments")

@@ -5,7 +5,8 @@ composed the way a 100 TB data-curation job would run them:
     near-dup clustering (MinHash LSH + connected components) →
     benchmark decontamination (13-gram overlap) →
     source-mixture rebalance → deterministic train/test split →
-    sequence packing (train side) → sorted write
+    sequence packing + context-window chunking (train side) →
+    sorted write
 
 Every stage is a DataFrame→DataFrame operator from the library; the
 whole pipeline is one lazy plan per output (Catalyst sees everything),
@@ -140,6 +141,15 @@ def curate_corpus(
     report["train_sequences"] = (
         packed.select("source", "seq_id").distinct().count()
     )
+
+    # 8. context-window chunking of the train side (the alternative
+    # consumer shape to packing: fixed windows WITH overlap for
+    # models that want boundary context) — scan-local, zero shuffles
+    from dataflowex_spark.operators.text import chunk_tokens
+
+    report["train_chunks"] = chunk_tokens(
+        train, chunk=128, overlap=16
+    ).count()
     return report
 
 

@@ -25,6 +25,8 @@ def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
     )
     # packing produced at least one sequence per surviving source
     assert report["train_sequences"] > 0
+    # chunking covers every non-empty train doc at least once
+    assert report["train_chunks"] >= report["written_train"] > 0
     # deterministic: a rerun reproduces identical counts
     report2 = curate_corpus(
         spark, sf_dir, str(tmp_path / "out2"), test_fraction=0.2
