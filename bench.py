@@ -52,9 +52,12 @@ HEADLINE = [
     "q109_winnow_fingerprint",
     "q112_small_qty_revenue",
     "q118_sequence_packing",
+    "q106_crosslsh_novelty",
     "q121_resample_locf",
     "q122_scd2_history",
     "q123_cdc_merge",
+    "q131_pagerank",
+    "q150_fuzzy_pairs",
     "q139_market_share",
     "q143_waiting_supplier",
     "q147_top_bigrams",

@@ -3,13 +3,16 @@
 Decode reality in this container: uncompressed netpbm (P5/P6) images
 decode and resize FOR REAL (pure numpy), 8-bit non-interlaced PNG
 decodes FOR REAL (stdlib zlib inflate + numpy scanline de-filtering),
-and RIFF/PCM WAV audio decodes, featurizes and resamples FOR REAL
-(stdlib wave + numpy) — all tested end to end through mapInPandas.
-Remaining compressed formats (JPEG/palette-PNG/mp3/ogg/video) need
-codec libraries absent here, so their decode raises
-NotImplementedError (or runs a clearly-marked deterministic fake)
-while everything Spark-cares-about — schema, Arrow batch shape,
-mapInPandas signatures, partitioning — is real and tested.
+baseline JPEG decodes AND encodes FOR REAL (native Huffman +
+vectorized DCT/IDCT, 4:4:4/4:2:2/4:2:0, restart markers — see
+``operators/jpeg.py``), and RIFF/PCM WAV audio decodes, featurizes
+and resamples FOR REAL (stdlib wave + numpy) — all tested end to end
+through mapInPandas. Remaining compressed formats (progressive JPEG /
+palette-PNG / mp3 / ogg / video) need codec libraries absent here, so
+their decode raises NotImplementedError (or runs a clearly-marked
+deterministic fake) while everything Spark-cares-about — schema,
+Arrow batch shape, mapInPandas signatures, partitioning — is real and
+tested.
 
 Pattern (SURVEY.md §2-B multimodal): a media column is
 ``STRUCT<uri: string, media_type: string, payload: binary,
@@ -193,15 +196,41 @@ def _parse_png(payload: bytes):
     return w, h, ch, out.reshape(h, w, ch)
 
 
+def _parse_any(payload: bytes):
+    """Best-effort NATIVE parse across the three real codecs (netpbm,
+    PNG, baseline JPEG). Returns (w, h, ch, ndarray) or None when the
+    payload is none of them / an out-of-scope variant."""
+    if payload is None:
+        return None
+    parsed = _parse_netpbm(payload)
+    if parsed is not None:
+        return parsed
+    try:
+        parsed = _parse_png(payload)
+    except NotImplementedError:
+        parsed = None
+    if parsed is not None:
+        return parsed
+    from .jpeg import decode_jpeg
+
+    try:
+        return decode_jpeg(payload)
+    except NotImplementedError:
+        return None
+
+
 def decode_image(payload: bytes) -> dict:
     """Image decode — REAL, no imaging library, for:
     - uncompressed netpbm (P5/P6): pure numpy;
     - PNG (8-bit non-interlaced gray/RGB/±alpha): stdlib zlib inflate
-      + numpy scanline de-filtering (:func:`_parse_png`).
+      + numpy scanline de-filtering (:func:`_parse_png`);
+    - baseline JPEG (SOF0/SOF1, 8-bit, gray/YCbCr, 4:4:4 / 4:2:2 /
+      4:2:0, restart markers): native Huffman + vectorized IDCT
+      (:mod:`.jpeg`).
     Returns {width, height, channels, pixels}. Remaining compressed
-    formats (JPEG/palette-PNG/…) decode through PIL WHEN IT IS
-    IMPORTABLE (optional dependency hook — absent in this container),
-    else an honest NotImplementedError."""
+    variants (progressive JPEG, palette PNG, …) decode through PIL
+    WHEN IT IS IMPORTABLE (optional dependency hook — absent in this
+    container), else an honest NotImplementedError."""
     if payload is None:
         raise ValueError("decode_image: payload is None (pointer-only row)")
     parsed = _parse_netpbm(payload)
@@ -211,7 +240,14 @@ def decode_image(payload: bytes) -> dict:
     try:
         parsed = _parse_png(payload)
     except NotImplementedError:
-        parsed = None  # out-of-scope PNG variant: try PIL below
+        parsed = None  # out-of-scope PNG variant: try JPEG/PIL below
+    if parsed is None:
+        from .jpeg import decode_jpeg
+
+        try:
+            parsed = decode_jpeg(payload)
+        except NotImplementedError:
+            parsed = None  # out-of-scope JPEG variant: try PIL below
     if parsed is not None:
         w, h, ch, arr = parsed
         return {"width": w, "height": h, "channels": ch, "pixels": arr}
@@ -327,12 +363,13 @@ def resize_images(
 ) -> DataFrame:
     """Image resize over mapInPandas with a fixed output schema.
 
-    REAL nearest-neighbor resize (numpy index gather) for netpbm
-    payloads — output payload is the resized image re-encoded as
-    netpbm. Compressed payloads / pointer-only rows emit a null
-    payload (their decode is the documented stub; swap in PIL/opencv
-    at deploy time). The Spark side — Arrow batching, schema,
-    partition parallelism — is exactly what production runs.
+    REAL nearest-neighbor resize (numpy index gather) for natively-
+    decodable payloads (netpbm, 8-bit PNG, baseline JPEG) — output
+    payload is the resized image re-encoded as netpbm. Out-of-scope
+    variants / pointer-only rows emit a null payload (their decode is
+    the documented stub; swap in PIL/opencv at deploy time). The
+    Spark side — Arrow batching, schema, partition parallelism — is
+    exactly what production runs.
     """
     import numpy as np
 
@@ -343,7 +380,7 @@ def resize_images(
             out = []
             for m in pdf[media_col]:
                 payload = m["payload"] if m is not None else None
-                parsed = _parse_netpbm(payload) if payload is not None else None
+                parsed = _parse_any(payload)
                 resized = None
                 if parsed is not None:
                     w0, h0, ch, arr = parsed

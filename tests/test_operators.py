@@ -976,9 +976,9 @@ def _make_png(w, h, rgb):
 
 def test_compressed_image_decode_hook(spark):
     """PNG decodes NATIVELY (stdlib zlib + numpy de-filtering) — no
-    imaging library required; a non-decodable format (JPEG here, no
-    PIL in this container) still raises the honest NotImplementedError
-    rather than a silent fake."""
+    imaging library required; a structurally-invalid JPEG (SOI magic
+    but no frame) still raises the honest NotImplementedError rather
+    than a silent fake."""
     from dataflowex_spark.operators.multimodal import decode_image
 
     png = _make_png(4, 3, (10, 200, 30))
@@ -987,16 +987,9 @@ def test_compressed_image_decode_hook(spark):
     assert out["pixels"][0][0].tolist() == [10, 200, 30]
     assert out["pixels"][2][3].tolist() == [10, 200, 30]
 
-    fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 64  # JFIF magic
-    try:
-        import PIL  # noqa: F401
-
-        have_pil = True
-    except ImportError:
-        have_pil = False
-    if not have_pil:
-        with pytest.raises(NotImplementedError, match="PIL|imaging"):
-            decode_image(fake_jpeg)
+    fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 64  # JFIF magic, no SOF
+    with pytest.raises(NotImplementedError, match="JPEG|PIL|imaging|decodable"):
+        decode_image(fake_jpeg)
 
 
 def test_png_decode_filters_and_channels(spark):
