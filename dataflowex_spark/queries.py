@@ -6253,3 +6253,336 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift_q").desc(), "pa", "pb")
         .limit(50)
     )
+
+
+# =====================================================================
+# round-4 additions (continued): TPC-H workload completeness
+# =====================================================================
+#
+# The remaining five TPC-H shapes (Q2, Q9, Q11, Q16, Q20). The
+# fixtures have no partsupp table, so the part×supplier relation is
+# DERIVED from lineitem (distinct (l_partkey, l_suppkey) with
+# min-price / summed-quantity standing in for ps_supplycost /
+# ps_availqty) — the plan SHAPES under test (correlated min subquery,
+# global-threshold HAVING, NOT-IN exclusion, nested semi-joins) are
+# exactly the originals'.
+
+
+@q(
+    "q183_mincost_supplier",
+    """
+    WITH parts AS (
+      SELECT p_partkey, p_name FROM part
+      WHERE p_size <= 10 AND p_type = 'ECONOMY'
+    ), ps AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk, MIN(l_extendedprice) AS cost
+      FROM lineitem JOIN parts ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    ), eligible AS (
+      SELECT ps.pk, ps.sk, ps.cost, s.s_acctbal, s.s_name, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.sk
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    ), best AS (
+      SELECT pk, MIN(cost) AS mincost FROM eligible GROUP BY pk
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name,
+           e.cost AS supply_cost
+    FROM eligible e
+    JOIN best b ON b.pk = e.pk AND e.cost = b.mincost
+    JOIN parts p ON p.p_partkey = e.pk
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each filtered part,
+    the region-eligible supplier(s) at the minimum cost, where the
+    correlated `cost = (SELECT MIN(..) WHERE pk = outer.pk)` becomes a
+    per-part min aggregate joined back on pk — one extra hash agg, no
+    per-row subquery. Plan: part filter is pushed into the lineitem
+    aggregation via a BROADCAST semi-join (parts after the size/type
+    cut are small), the supplier→nation→region eligibility chain is
+    all broadcast dims, and the only big shuffle is the (pk, sk)
+    group-by. The min re-join keys on pk — same partitioning as the
+    preceding agg, so AQE reuses the exchange. Ordering ties are
+    impossible: (p_partkey, s_name) is unique per row, making the
+    LIMIT 100 frontier deterministic cross-engine.
+    [R: Gridsum.DataflowEx/ETL/DbDataJoiner.cs # LookupNode] is the
+    reference's closest analogue (dimension lookup by key)."""
+    cat = Catalog(spark, sf_dir)
+    parts = cat["part"].filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey", "p_name")
+    ps = (
+        cat["lineitem"]
+        .join(F.broadcast(parts.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    asia = (
+        cat["supplier"]
+        .join(F.broadcast(cat["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat["region"]),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eligible = ps.join(F.broadcast(asia), ps.sk == F.col("s_suppkey"))
+    best = eligible.groupBy(F.col("pk").alias("bpk")).agg(
+        F.min("cost").alias("mincost")
+    )
+    return (
+        eligible.join(
+            best,
+            (F.col("pk") == F.col("bpk")) & (F.col("cost") == F.col("mincost")),
+        )
+        .join(F.broadcast(parts), F.col("pk") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.col("cost").alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@q(
+    "q184_product_profit",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                    - CAST(p_retailprice * l_quantity * 0.1 AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year):
+    5-table star join, profit = revenue − cost (p_retailprice×qty×0.1
+    standing in for ps_supplycost×qty). The p_name filter broadcasts
+    part FIRST so the fact stream shrinks before the one genuine
+    big-big shuffle (lineitem⋈orders on orderkey); supplier and
+    nation are broadcast dims. Each profit term is cast to DECIMAL
+    separately BEFORE the subtraction — a double-side `a·b − c·d·e`
+    is FMA-contractible on some engines, the decimal difference is
+    not — then summed exactly and cast to DOUBLE once."""
+    cat = Catalog(spark, sf_dir)
+    part = cat["part"].filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supnat = (
+        cat["supplier"]
+        .join(F.broadcast(cat["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    revenue = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+    )
+    cost = (
+        (F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1))
+        .cast("decimal(18,4)")
+    )
+    return (
+        cat["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supnat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            cat["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(revenue - cost).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@q(
+    "q185_important_parts",
+    """
+    WITH natsupp AS (
+      SELECT s_suppkey FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7')
+    ), val AS (
+      SELECT l_partkey,
+             SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS value_cents
+      FROM lineitem JOIN natsupp ON s_suppkey = l_suppkey
+      GROUP BY l_partkey
+    ), tot AS (SELECT SUM(value_cents) AS t FROM val)
+    SELECT l_partkey AS partkey, value_cents
+    FROM val CROSS JOIN tot
+    WHERE value_cents * 1000 > t
+    ORDER BY value_cents DESC, partkey
+    """,
+)
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value restricted to
+    two nations' suppliers, keeping parts whose value exceeds 0.1% of
+    the grand total. The `HAVING value > (SELECT SUM(..) * frac)`
+    global-threshold subquery becomes one scalar aggregate re-joined
+    as a broadcast crossJoin — the fact stream is NOT rescanned (the
+    per-part aggregate feeds both the total and the filter). The
+    threshold compare is BIGINT-exact (`v·1000 > t`, never `v >
+    t·0.001`): floor-cents sums are portable where a double fraction
+    is not. Supplier eligibility is a broadcast semi-join before the
+    groupBy, so ineligible rows never shuffle."""
+    cat = Catalog(spark, sf_dir)
+    natsupp = (
+        cat["supplier"]
+        .join(F.broadcast(cat["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+        .select("s_suppkey")
+    )
+    val = (
+        cat["lineitem"]
+        .join(F.broadcast(natsupp), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("value_cents")
+        )
+    )
+    tot = val.agg(F.sum("value_cents").alias("t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 1000 > F.col("t"))
+        .select(F.col("l_partkey").alias("partkey"), "value_cents")
+        .orderBy(F.col("value_cents").desc(), "partkey")
+    )
+
+
+@q(
+    "q186_parts_supplier_cnt",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#15' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct
+    supplier count per (brand, type, size) over the derived
+    part×supplier relation, excluding a supplier blocklist. The
+    `NOT IN (subquery)` becomes a LEFT ANTI broadcast join (the
+    blocklist is tiny; suppkey is non-null so NOT IN and anti-join
+    agree). The part attribute filter is a broadcast join pushed
+    below the distinct, so the (partkey, suppkey) dedup shuffle only
+    carries qualifying parts."""
+    cat = Catalog(spark, sf_dir)
+    excl = cat["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    part = cat["part"].filter(
+        (F.col("p_brand") != "Brand#15")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        cat["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(excl), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@q(
+    "q187_excess_suppliers",
+    """
+    WITH qty AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             SUM(CAST(l_quantity AS BIGINT)) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ), tot AS (SELECT pk, SUM(q) AS tq FROM qty GROUP BY pk),
+    parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM qty
+    JOIN tot ON tot.pk = qty.pk
+    JOIN parts ON p_partkey = qty.pk
+    JOIN supplier s ON s.s_suppkey = qty.sk
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE qty.q * 10 > tot.tq * 3
+      AND n.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+    ORDER BY s.s_suppkey
+    """,
+)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess share): suppliers in a
+    nation set who shipped >30% of a filtered part's one-year volume
+    — the original's nested `IN (… IN (… > (SELECT 0.5·SUM)))` chain
+    re-expressed as: per-(part, supplier) quantity aggregate, per-part
+    total joined back ON THE SAME pk KEY (AQE reuses the exchange
+    partitioning), broadcast semi-join against the name-filtered
+    parts, broadcast supplier/nation dims, DISTINCT projection last.
+    The share predicate is integer-exact (`q·10 > tq·3`) — no 0.3
+    double. Quantities are integral doubles in the fixture; the
+    BIGINT cast makes the sums overflow-safe and portable."""
+    cat = Catalog(spark, sf_dir)
+    parts = cat["part"].filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    qty = (
+        cat["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"),
+              "left_semi")
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    )
+    tot = qty.groupBy(F.col("pk").alias("tpk")).agg(F.sum("q").alias("tq"))
+    supnat = (
+        cat["supplier"]
+        .join(F.broadcast(cat["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(
+            F.col("n_name").isin(
+                "NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5"
+            )
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        qty.join(tot, F.col("pk") == F.col("tpk"))
+        .filter(F.col("q") * 10 > F.col("tq") * 3)
+        .join(F.broadcast(supnat), F.col("sk") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
