@@ -533,6 +533,89 @@ def extract_audio_features(
     return df.select(media_col).mapInPandas(gen, schema=out_schema)
 
 
+def spectral_features(
+    df: DataFrame,
+    media_col: str = "media",
+    n_bands: int = 8,
+) -> DataFrame:
+    """REAL frequency-domain featurization of PCM WAV payloads — rfft
+    over the mono mix (numpy, vectorized per row), yielding:
+
+    - ``peak_hz``: frequency of the strongest non-DC bin;
+    - ``centroid_hz``: power-weighted spectral centroid;
+    - ``band_energy_q``: energy per ``n_bands`` equal-width bands up
+      to Nyquist, floor-quantized to ppm of total power (integer-
+      stable across runs — raw float energies are platform-noise).
+
+    Pointer-only / non-WAV rows yield null features (quarantine
+    pattern, same as :func:`extract_audio_features`). Scale shape:
+    pure mapInPandas over the payload column — no shuffle; the FFT is
+    O(n log n) per row on the executor, and only the fixed-width
+    feature vector leaves the stage."""
+    import numpy as np
+
+    out_schema = (
+        "uri string, sample_rate int, peak_hz double, centroid_hz double, "
+        "band_energy_q array<bigint>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["uri", "sample_rate", "peak_hz", "centroid_hz", "band_energy_q"]
+        for pdf in batches:
+            rows = []
+            for m in pdf[media_col]:
+                uri = m["uri"] if m is not None else None
+                payload = m["payload"] if m is not None else None
+                rec = {c: None for c in cols}
+                rec["uri"] = uri
+                if payload is not None:
+                    try:
+                        dec = decode_audio(payload)
+                        mono = dec["samples"].astype(np.float64).mean(axis=1)
+                        rate = dec["sample_rate"]
+                        if mono.size >= 2:
+                            power = np.abs(np.fft.rfft(mono)) ** 2
+                            freqs = np.fft.rfftfreq(mono.size, d=1.0 / rate)
+                            nz = power[1:]
+                            peak = int(np.argmax(nz)) + 1
+                            total = float(power.sum())
+                            centroid = (
+                                float((freqs * power).sum() / total)
+                                if total > 0
+                                else 0.0
+                            )
+                            edges = np.linspace(
+                                0, freqs[-1], n_bands + 1
+                            )
+                            idx = np.clip(
+                                np.searchsorted(edges, freqs, side="right")
+                                - 1,
+                                0,
+                                n_bands - 1,
+                            )
+                            bands = np.zeros(n_bands)
+                            np.add.at(bands, idx, power)
+                            bands_q = (
+                                np.floor(1_000_000 * bands / total).astype(
+                                    np.int64
+                                )
+                                if total > 0
+                                else np.zeros(n_bands, dtype=np.int64)
+                            )
+                            rec.update(
+                                sample_rate=rate,
+                                peak_hz=float(freqs[peak]),
+                                centroid_hz=centroid,
+                                band_energy_q=bands_q.tolist(),
+                            )
+                    except NotImplementedError:
+                        pass
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(media_col).mapInPandas(gen, schema=out_schema)
+
+
 def resample_audio(
     df: DataFrame,
     media_col: str = "media",

@@ -6586,3 +6586,410 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_suppkey")
     )
+
+
+# =====================================================================
+# round-4 additions (continued): corpus-curation operators
+# (substring-level dedup + repetition/quality policy — the
+# RefinedWeb/Gopher-style rules a 100 TB training-data pipeline runs
+# between raw crawl and tokenizer)
+# =====================================================================
+
+
+@q(
+    "q188_segment_dedup",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), segs AS (
+      SELECT doc_id, CAST(u.gs AS BIGINT) AS seg_idx,
+             array_to_string(t[u.gs*10+1 : u.gs*10+10], ' ') AS seg
+      FROM tok, UNNEST(range(CAST(ceil(len(t)/10.0) AS BIGINT))) AS u(gs)
+    ), ranked AS (
+      SELECT doc_id, seg_idx, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+                    FILTER (WHERE rn = 1), '') AS kept_text,
+           CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT)
+             AS removed_segments
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document SEGMENT-level exact dedup with reassembly — the
+    paragraph-dedup stage of RefinedWeb-style curation, adapted to the
+    fixtures' flat token streams (segment = 10 consecutive tokens).
+    First global occurrence of a segment (ordered by doc_id, seg_idx)
+    survives; later copies are cut and each document's text is
+    REASSEMBLED from its surviving segments in order.
+
+    Plan shape: segmentation is scan-local (sequence → slice →
+    array_join, no UDF); one shuffle partitioned by segment text for
+    the keep-first window (segments are ≤10 tokens, so the shuffled
+    payload is bounded — document bodies at full length never move);
+    one shuffle back on doc_id where ordered reassembly is a
+    collect_list → array_sort fold, never a global sort."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    tok = cat["documents"].select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    nseg = F.ceil(F.size("t") / F.lit(10)).cast("int")
+    segs = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(
+                    F.slice("t", i * 10 + 1, 10), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    ).select("doc_id", F.col("seg_idx").cast("long").alias("seg_idx"), "seg")
+    rn = F.row_number().over(
+        W.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    )
+    ranked = segs.withColumn("rn", rn)
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct("seg_idx", "seg"),
+                            )
+                        )
+                    ),
+                    lambda x: x.seg,
+                ),
+                " ",
+            ).alias("kept_text"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("removed_segments"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "q189_repetition_stats",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), words AS (
+      SELECT doc_id, u.w AS w FROM tok, UNNEST(t) AS u(w)
+    ), wcount AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM words GROUP BY doc_id, w
+    ), wstats AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_word_cnt
+      FROM wcount GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id, t[u.i+1] || ' ' || t[u.i+2] AS b
+      FROM tok, UNNEST(range(len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ), bcount AS (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bg GROUP BY doc_id, b
+    ), bstats AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS top_bigram_cnt
+      FROM bcount GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.n_tok,
+           CAST(floor(1000000 * w.top_word_cnt / w.n_tok) AS BIGINT)
+             AS top_word_q,
+           CAST(COALESCE(
+             floor(1000000 * b.top_bigram_cnt / b.n_bigrams), 0)
+             AS BIGINT) AS top_bigram_q,
+           CAST(floor(1000000 * (w.n_tok - w.n_distinct) / w.n_tok)
+             AS BIGINT) AS dup_token_q,
+           (w.top_word_cnt * 5 > w.n_tok
+            OR COALESCE(b.top_bigram_cnt * 100 > b.n_bigrams * 18, FALSE)
+            OR (w.n_tok - w.n_distinct) * 10 > w.n_tok * 6) AS flagged
+    FROM wstats w LEFT JOIN bstats b ON w.doc_id = b.doc_id
+    ORDER BY w.doc_id
+    """,
+)
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screens per document: top-word
+    fraction, top-bigram fraction, and duplicate-token fraction, each
+    floor-quantized to parts-per-million from identical BIGINT
+    operands, plus the boolean flag at the published-style thresholds
+    (>20% single word, >18% single bigram, >60% repeated tokens). The
+    threshold tests are pure INTEGER cross-multiplications — never
+    `frac > 0.2` on a double. All aggregation is per-doc hash aggs on
+    (doc_id, word/bigram) — partial-combine-friendly, no windows, no
+    self-joins; bigrams are the scan-local zip-with-tail idiom."""
+    cat = Catalog(spark, sf_dir)
+    tok = cat["documents"].select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    words = tok.select("doc_id", F.explode("t").alias("w"))
+    wcount = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    wstats = wcount.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_word_cnt"),
+    )
+    n = F.size("t")
+    m = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("t", 1, m),
+        F.slice("t", 2, m),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    bcount = (
+        tok.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    bstats = bcount.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_cnt"),
+    )
+    w, b = wstats.alias("w"), bstats.alias("b")
+    return (
+        w.join(b, F.col("w.doc_id") == F.col("b.doc_id"), "left")
+        .select(
+            F.col("w.doc_id").alias("doc_id"),
+            "n_tok",
+            F.floor(
+                F.lit(1_000_000) * F.col("top_word_cnt") / F.col("n_tok")
+            ).alias("top_word_q"),
+            F.coalesce(
+                F.floor(
+                    F.lit(1_000_000)
+                    * F.col("top_bigram_cnt")
+                    / F.col("n_bigrams")
+                ),
+                F.lit(0),
+            ).alias("top_bigram_q"),
+            F.floor(
+                F.lit(1_000_000)
+                * (F.col("n_tok") - F.col("n_distinct"))
+                / F.col("n_tok")
+            ).alias("dup_token_q"),
+            (
+                (F.col("top_word_cnt") * 5 > F.col("n_tok"))
+                | F.coalesce(
+                    F.col("top_bigram_cnt") * 100 > F.col("n_bigrams") * 18,
+                    F.lit(False),
+                )
+                | (
+                    (F.col("n_tok") - F.col("n_distinct")) * 10
+                    > F.col("n_tok") * 6
+                )
+            ).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "q190_source_curation",
+    """
+    WITH d AS (
+      SELECT source, md5(text) AS h,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS exact_dups
+      FROM d GROUP BY source
+    )
+    SELECT source, docs, total_tokens, exact_dups,
+           CAST(floor(1000000 * exact_dups / docs) AS BIGINT)
+             AS dup_rate_q,
+           CASE WHEN exact_dups * 10 >= docs THEN 'drop'
+                WHEN total_tokens > 1400 THEN 'downsample'
+                ELSE 'keep' END AS decision
+    FROM s
+    ORDER BY source
+    """,
+)
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation report — the domain-level policy table a
+    corpus pipeline derives before mixing (docs, token mass, exact-dup
+    rate via portable md5 content hashes, and a keep / downsample /
+    drop decision from integer-exact policy rules). One hash aggregate
+    keyed on source; content hashes (not bodies) feed the distinct
+    count. At 100 TB: source count is small (domains), so the final
+    agg is tiny; the doc scan is the only real cost and n_tok/md5 are
+    scan-local."""
+    cat = Catalog(spark, sf_dir)
+    d = cat["documents"].select(
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    s = d.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        (F.count("*") - F.countDistinct("h")).alias("exact_dups"),
+    )
+    return s.select(
+        "source",
+        "docs",
+        "total_tokens",
+        "exact_dups",
+        F.floor(
+            F.lit(1_000_000) * F.col("exact_dups") / F.col("docs")
+        ).alias("dup_rate_q"),
+        F.when(F.col("exact_dups") * 10 >= F.col("docs"), "drop")
+        .when(F.col("total_tokens") > 1400, "downsample")
+        .otherwise("keep")
+        .alias("decision"),
+    ).orderBy("source")
+
+
+@q(
+    "q191_dup_span_detection",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             array_to_string(t[u.i+1 : u.i+8], ' ') AS g
+      FROM tok, UNNEST(range(len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8
+    ), marked AS (
+      SELECT doc_id, pos,
+             MIN(doc_id) OVER (PARTITION BY g)
+               <> MAX(doc_id) OVER (PARTITION BY g) AS cross_doc
+      FROM grams
+    ), dup AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS grp
+      FROM marked WHERE cross_doc
+    ), runs AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM dup GROUP BY doc_id, grp
+    )
+    SELECT doc_id, CAST(MAX(run_len) AS BIGINT) AS longest_run,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(run_len) AS BIGINT) AS dup_grams
+    FROM runs
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN detection — the substring-level dedup
+    signal ("Deduplicating Training Data Makes Language Models
+    Better"-style, suffix-array stage approximated with fixed 8-token
+    grams at stride 1): per document, maximal runs of consecutive
+    positions whose 8-gram also occurs in ANOTHER document, reported
+    as longest run / span count / total duplicated grams.
+
+    Cross-doc test is `min(doc_id) ≠ max(doc_id)` over the gram
+    partition — two window aggs on one shuffle, NOT a countDistinct
+    window (Spark has none) and NOT a gram self-join (quadratic on
+    boilerplate grams). Runs use the classic pos − row_number islands
+    trick partitioned per document — each doc's grams are one
+    partition's worth of consecutive integers, never a global sort."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    tok = cat["documents"].select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    n = F.size("t")
+    grams = tok.filter(n >= 8).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n - 8).cast("int")),
+                lambda i: F.array_join(F.slice("t", i + 1, 8), " "),
+            )
+        ).alias("pos", "g"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "g")
+    gw = W.partitionBy("g")
+    marked = grams.select(
+        "doc_id",
+        "pos",
+        (F.min("doc_id").over(gw) != F.max("doc_id").over(gw)).alias(
+            "cross_doc"
+        ),
+    )
+    dw = W.partitionBy("doc_id").orderBy("pos")
+    dup = (
+        marked.filter("cross_doc")
+        .withColumn("grp", F.col("pos") - F.row_number().over(dw))
+    )
+    runs = dup.groupBy("doc_id", "grp").agg(F.count("*").alias("run_len"))
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.max("run_len").alias("longest_run"),
+            F.count("*").alias("n_spans"),
+            F.sum("run_len").alias("dup_grams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q("q192_audio_spectra", None)  # rows-only: FFT has no SQL oracle
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frequency-domain audio pipeline: synthesize one PCM-WAV
+    payload per document row (pure sine, frequency keyed to doc_id —
+    executor-side pandas UDF, deterministic), then rfft featurization
+    through :func:`multimodal.spectral_features` (peak frequency,
+    spectral centroid, ppm-quantized band energies). pytest asserts
+    the recovered ``peak_hz`` equals the synthesized frequency per
+    row — the decode→FFT→feature chain is verified end to end, not
+    just schema-shaped. Rows-only for the driver: DuckDB has no FFT.
+
+    Scale shape: payload synthesis and FFT are both scan-local
+    mapInPandas stages; nothing shuffles. 64 rows here, but the plan
+    is byte-identical at 64 M rows — per-row O(n log n) executor work
+    with a fixed-width feature vector leaving the stage."""
+    cat = Catalog(spark, sf_dir)
+
+    @F.pandas_udf("binary")
+    def synth(doc_id: "pd.Series") -> "pd.Series":
+        import numpy as np
+        import pandas as pd
+
+        from dataflowex_spark.operators.multimodal import encode_wav
+
+        out = []
+        for d in doc_id:
+            freq = 200.0 + (int(d) % 16) * 200.0
+            t = np.arange(2000) / 8000.0
+            wave = (12000 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+            out.append(encode_wav(wave, rate=8000))
+        return pd.Series(out)
+
+    docs = (
+        cat["documents"]
+        .filter(F.col("doc_id") < 64)
+        .select(
+            F.concat(F.lit("mem://wav/"), F.col("doc_id")).alias("uri"),
+            synth(F.col("doc_id")).alias("payload"),
+        )
+    )
+    media = docs.select(
+        F.struct(
+            F.col("uri"),
+            F.lit("audio/wav").alias("media_type"),
+            F.col("payload"),
+            F.create_map().cast("map<string,string>").alias("meta"),
+        ).alias("media")
+    )
+    return multimodal.spectral_features(media).select(
+        "uri", "sample_rate", "peak_hz", "centroid_hz", "band_energy_q"
+    )

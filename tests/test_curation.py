@@ -1,0 +1,168 @@
+"""Corpus-curation operator tests (q188–q192): segment dedup with
+reassembly, Gopher repetition screens, per-source policy report,
+duplicated-span detection, and FFT audio featurization — each against
+handcrafted fixtures with known answers (the sf-dir selfcheck covers
+the DuckDB differential; these pin the SEMANTICS)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Row
+
+from dataflowex_spark.queries import REGISTRY
+
+DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(rows, DOC_SCHEMA).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def _toks(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_segment_dedup_reassembly(spark, tmp_path):
+    seg_a = _toks("a", 10)
+    seg_b = _toks("b", 10)
+    seg_c = _toks("c", 10)
+    seg_d = _toks("d", 10)
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, f"{seg_a} {seg_b}", "en", "s", 0),
+            (2, f"{seg_a} {seg_c}", "en", "s", 0),  # first segment is a copy
+            (3, seg_d, "en", "s", 0),
+        ],
+    )
+    fn, _ = REGISTRY["q188_segment_dedup"]
+    got = {r.doc_id: (r.kept_text, r.removed_segments)
+           for r in fn(spark, sf).collect()}
+    assert got[1] == (f"{seg_a} {seg_b}", 0)  # doc 1 owns the first copy
+    assert got[2] == (seg_c, 1)               # copy removed, remainder kept
+    assert got[3] == (seg_d, 0)
+
+
+def test_segment_dedup_all_removed(spark, tmp_path):
+    seg_a = _toks("a", 10)
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, seg_a, "en", "s", 0), (2, seg_a, "en", "s", 0)],
+    )
+    fn, _ = REGISTRY["q188_segment_dedup"]
+    got = {r.doc_id: (r.kept_text, r.removed_segments)
+           for r in fn(spark, sf).collect()}
+    assert got[1] == (seg_a, 0)
+    assert got[2] == ("", 1)  # fully deduplicated doc reassembles empty
+
+
+def test_repetition_stats_flags(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "x x x x x x x x", "en", "s", 0),        # one word repeated
+            (2, "a b c d e f g h", "en", "s", 0),        # fully distinct
+            (3, "p q p q p q p q p q", "en", "s", 0),    # one bigram loop
+        ],
+    )
+    fn, _ = REGISTRY["q189_repetition_stats"]
+    got = {r.doc_id: r for r in fn(spark, sf).collect()}
+    assert got[1].top_word_q == 1_000_000 and bool(got[1].flagged)
+    assert got[2].top_word_q == 125_000 and not got[2].flagged
+    assert got[2].dup_token_q == 0
+    # "p q" appears 5 times of 9 bigrams -> 555555 ppm, > 18% flag
+    assert got[3].top_bigram_q == 555_555 and bool(got[3].flagged)
+
+
+def test_source_curation_decisions(spark, tmp_path):
+    big = _toks("w", 800)  # 800 tokens -> over the 1400 budget with 2 docs
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "dup dup dup", "en", "srcA", 0),
+            (2, "dup dup dup", "en", "srcA", 0),  # exact copy -> 50% dups
+            (3, big, "en", "srcB", 0),
+            (4, big + " extra", "en", "srcB", 0),
+            (5, "tiny unique doc", "en", "srcC", 0),
+        ],
+    )
+    fn, _ = REGISTRY["q190_source_curation"]
+    got = {r.source: r for r in fn(spark, sf).collect()}
+    assert got["srcA"].exact_dups == 1 and got["srcA"].decision == "drop"
+    assert got["srcA"].dup_rate_q == 500_000
+    assert got["srcB"].decision == "downsample"
+    assert got["srcC"].decision == "keep" and got["srcC"].exact_dups == 0
+
+
+def test_dup_span_detection_runs(spark, tmp_path):
+    shared = _toks("s", 12)  # 12 shared tokens -> 5 shared 8-grams
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, f"{shared} {_toks('u', 8)}", "en", "s", 0),
+            (2, f"{_toks('v', 9)} {shared}", "en", "s", 0),
+            (3, _toks("z", 20), "en", "s", 0),  # nothing shared
+        ],
+    )
+    fn, _ = REGISTRY["q191_dup_span_detection"]
+    got = {r.doc_id: r for r in fn(spark, sf).collect()}
+    # only grams fully inside the shared window match: 12-8+1 = 5,
+    # consecutive -> one span of length 5 in each sharing doc
+    assert got[1].longest_run == 5 and got[1].n_spans == 1
+    assert got[1].dup_grams == 5
+    assert got[2].longest_run == 5 and got[2].n_spans == 1
+    assert 3 not in got  # clean doc emits no row
+
+
+def test_spectral_features_recovers_tone(spark):
+    from dataflowex_spark.operators import multimodal
+
+    def sine_wav(freq, rate=8000, n=2000):
+        t = np.arange(n) / rate
+        return multimodal.encode_wav(
+            (12000 * np.sin(2 * np.pi * freq * t)).astype(np.int16),
+            rate=rate,
+        )
+
+    rows = [
+        Row(media=Row(uri="mem://500", media_type="audio/wav",
+                      payload=bytearray(sine_wav(500.0)), meta={})),
+        Row(media=Row(uri="mem://1500", media_type="audio/wav",
+                      payload=bytearray(sine_wav(1500.0)), meta={})),
+        Row(media=Row(uri="mem://junk", media_type="audio/mp3",
+                      payload=bytearray(b"ID3 not a wav"), meta={})),
+    ]
+    df = spark.createDataFrame(
+        rows, schema=f"media struct<{multimodal.MEDIA_SCHEMA}>"
+    )
+    got = {r.uri: r for r in multimodal.spectral_features(df).collect()}
+    assert got["mem://500"].peak_hz == 500.0
+    assert got["mem://1500"].peak_hz == 1500.0
+    assert abs(got["mem://500"].centroid_hz - 500.0) < 1.0
+    # 8 bands over 0..4000 Hz: 500 Hz -> band 1, 1500 Hz -> band 3
+    b500 = got["mem://500"].band_energy_q
+    b1500 = got["mem://1500"].band_energy_q
+    assert b500[1] > 990_000 and sum(b500) <= 1_000_000
+    assert b1500[3] > 990_000
+    # non-WAV rows quarantine as nulls, batch survives
+    assert got["mem://junk"].peak_hz is None
+
+
+def test_audio_spectra_query_rows(spark, sf_dir):
+    fn, _ = REGISTRY["q192_audio_spectra"]
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        doc_id = int(r.uri.rsplit("/", 1)[1])
+        want = 200.0 + (doc_id % 16) * 200.0
+        assert abs(r.peak_hz - want) <= 4.0  # one FFT bin
