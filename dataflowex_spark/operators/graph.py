@@ -59,6 +59,54 @@ def pagerank(
     return ranks
 
 
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 100,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    nodes of degree < k (undirected, self-loops/duplicates ignored)
+    until the fixpoint; returns the surviving (node, degree) rows —
+    degrees measured INSIDE the core.
+
+    Each round is one degree aggregate + two anti-joins (drop edges
+    touching a peeled endpoint) — everything shuffles on node id, the
+    only driver-side value is the peeled-node count that decides
+    termination (same driver-loop pattern as :func:`pagerank` /
+    ``dedup_clusters``). The round count is bounded by the peeling
+    depth (≤ longest degeneracy chain, usually ≪ 20 on real graphs);
+    raises after ``max_iters`` instead of silently returning a
+    non-core."""
+    adj = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    adj = adj.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        adj.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    for i in range(max_iters):
+        deg = adj.groupBy("node").agg(F.count("*").alias("degree"))
+        bad = deg.filter(F.col("degree") < k).select("node")
+        if bad.isEmpty():
+            return deg
+        adj = (
+            adj.join(bad, "node", "left_anti")
+            .join(bad.select(F.col("node").alias("nbr")), "nbr", "left_anti")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            adj = adj.localCheckpoint(eager=False)
+    raise RuntimeError(
+        f"k_core did not reach a fixpoint in {max_iters} rounds"
+    )
+
+
 def triangle_count(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:

@@ -6993,3 +6993,243 @@ def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.spectral_features(media).select(
         "uri", "sample_rate", "peak_hz", "centroid_hz", "band_energy_q"
     )
+
+
+@q(
+    "q193_feature_hashing",
+    """
+    WITH words AS (
+      SELECT doc_id, u.w AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(t) AS u(w)
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 64 AS bucket,
+             CASE WHEN CAST(('0x' || substr(md5(w), 16, 1)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM words
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(SUM(sgn) AS BIGINT) AS weight
+    FROM hashed
+    GROUP BY doc_id, bucket
+    HAVING SUM(sgn) <> 0
+    ORDER BY doc_id, bucket
+    """,
+)
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): token → one of 64 buckets
+    via the repo's portable-md5 discipline (first 15 hex digits →
+    BIGINT), with a ±1 sign hash (16th hex digit) so colliding tokens
+    cancel in expectation — the sparse (doc, bucket, weight) triples
+    that feed a linear model without a vocabulary pass. No vocabulary
+    state is exactly the 100 TB point: the hash IS the dictionary, so
+    the operator is one scan + one (doc_id, bucket) hash agg — no
+    broadcast vocab, no global term index, embarrassingly partial-
+    aggregable. Zero-weight cells are dropped (HAVING) to keep the
+    output sparse."""
+    cat = Catalog(spark, sf_dir)
+    words = cat["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    sgn = F.when(
+        F.conv(F.substring(F.md5("w"), 16, 1), 16, 10).cast("long") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        words.select("doc_id", (h % 64).alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .orderBy("doc_id", "bucket")
+    )
+
+
+@q(
+    "q194_target_encoding",
+    """
+    WITH o AS (
+      SELECT o_orderkey, c_mktsegment AS seg,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ), s AS (
+      SELECT seg, CAST(SUM(cents) AS BIGINT) AS ssum,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM o GROUP BY seg
+    )
+    SELECT o_orderkey, o.seg,
+           CASE WHEN cnt > 1
+                THEN CAST((ssum - cents) // (cnt - 1) AS BIGINT)
+           END AS loo_mean_cents
+    FROM o JOIN s ON o.seg = s.seg
+    ORDER BY o_orderkey
+    """,
+)
+def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe target encoding: each order's categorical segment
+    is encoded as the mean target (order value) of ALL OTHER rows in
+    the segment — leave-one-out computed algebraically as
+    (Σ − own) / (n − 1) from ONE aggregate, never a per-row
+    re-aggregation or k-fold re-scan. Integer cents and truncating
+    division keep it bit-portable. Plan: broadcast customer dim into
+    the fact scan, one tiny per-segment aggregate broadcast back —
+    the fact table is scanned once and never shuffled (both joins are
+    broadcast, the agg is 5 rows)."""
+    cat = Catalog(spark, sf_dir)
+    o = (
+        cat["orders"]
+        .join(
+            F.broadcast(cat["customer"].select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "o_orderkey",
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    s = o.groupBy(F.col("seg").alias("sseg")).agg(
+        F.sum("cents").alias("ssum"), F.count("*").alias("cnt")
+    )
+    return (
+        o.join(F.broadcast(s), F.col("seg") == F.col("sseg"))
+        .select(
+            "o_orderkey",
+            "seg",
+            F.when(
+                F.col("cnt") > 1,
+                F.expr("(ssum - cents) div (cnt - 1)"),
+            ).alias("loo_mean_cents"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@q(
+    "q195_autocorrelation",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', l_shipdate) AS d,
+             CAST(floor(SUM(CAST(floor(l_extendedprice) AS BIGINT))
+                        / 1000.0) AS BIGINT) AS r
+      FROM lineitem GROUP BY d
+    ), numbered AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY d) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(r) OVER () AS BIGINT) AS s
+      FROM daily
+    ), lagged AS (
+      SELECT k.k AS lag,
+             (a.n * a.r - a.s) AS x,
+             (a.n * b.r - a.s) AS y
+      FROM numbered a
+      JOIN UNNEST([1,2,3,4,5,6,7]) AS k(k) ON TRUE
+      JOIN numbered b ON b.rn = a.rn + k.k
+    ), den AS (
+      SELECT SUM(CAST(n * r - s AS DECIMAL(19,0))
+                 * CAST(n * r - s AS DECIMAL(19,0))) AS den
+      FROM numbered
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(floor(1000000 *
+                (CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                      AS DOUBLE)
+                 / CAST(den.den AS DOUBLE))) AS BIGINT) AS acf_q
+    FROM lagged CROSS JOIN den
+    GROUP BY lag, den.den
+    ORDER BY lag
+    """,
+)
+def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily revenue at lags 1–7 — the
+    seasonality probe a forecasting pipeline runs first. Deviations
+    are computed integer-exactly by scaling through n (x_d = n·r_d − S
+    avoids the rational mean), products go through DECIMAL(19,0)
+    BEFORE multiplying (a BIGINT product overflows around sf100;
+    decimal×decimal widens), and the final ratio is ppm-floor-
+    quantized from two correctly-rounded doubles. The ordered
+    row_number runs on ONE partition — acceptable because the series
+    is CALENDAR-SIZED (one row/day, ~2.5k rows regardless of fact
+    scale; same argument as the EMA fold in q176); the fact-table
+    work is all in the partial-aggregable daily rollup."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat["lineitem"]
+        .groupBy(F.date_trunc("DAY", "l_shipdate").alias("d"))
+        .agg(
+            F.floor(
+                F.sum(F.floor("l_extendedprice").cast("long")) / 1000.0
+            ).cast("long").alias("r")
+        )
+    )
+    w = W.orderBy("d")
+    wall = W.partitionBy()
+    numbered = daily.select(
+        "r",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("r").over(wall).alias("s"),
+    )
+    dev = (F.col("n") * F.col("r") - F.col("s")).cast("decimal(19,0)")
+    den = numbered.agg(F.sum(dev * dev).alias("den"))
+    devcol = (F.col("n") * F.col("r") - F.col("s")).alias("x")
+    a = numbered.select("rn", devcol).select(
+        "rn",
+        "x",
+        F.explode(F.array(*[F.lit(i) for i in range(1, 8)])).alias("lag"),
+    )
+    b = numbered.select(
+        F.col("rn").alias("brn"),
+        (F.col("n") * F.col("r") - F.col("s")).alias("y"),
+    )
+    return (
+        a.join(b, F.col("brn") == F.col("rn") + F.col("lag"))
+        .groupBy(F.col("lag").cast("long").alias("lag"))
+        .agg(
+            F.sum(
+                F.col("x").cast("decimal(19,0)")
+                * F.col("y").cast("decimal(19,0)")
+            ).alias("num")
+        )
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            F.floor(
+                F.lit(1_000_000)
+                * (
+                    F.col("num").cast("double")
+                    / F.col("den").cast("double")
+                )
+            ).cast("long").alias("acf_q"),
+        )
+        .orderBy("lag")
+    )
+
+
+@q("q196_kcore", None)  # rows-only: data-dependent iteration count
+def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the co-purchase part graph —
+    the densest-substructure screen community detection starts from.
+    Iterative peeling via :func:`graph.k_core` (driver loop, reference
+    parity with the cyclic-ring completion pattern, SURVEY §2 A18);
+    rows-only because the round count is data-dependent — the
+    handcrafted-graph pytest pins exact semantics instead. Returns
+    surviving nodes with their in-core degree."""
+    from dataflowex_spark.operators.graph import k_core
+
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].filter(F.col("l_orderkey") % 10 == 0)
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return k_core(edges, k=3).orderBy("node")

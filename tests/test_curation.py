@@ -166,3 +166,26 @@ def test_audio_spectra_query_rows(spark, sf_dir):
         doc_id = int(r.uri.rsplit("/", 1)[1])
         want = 200.0 + (doc_id % 16) * 200.0
         assert abs(r.peak_hz - want) <= 4.0  # one FFT bin
+
+
+def test_k_core_peeling(spark):
+    """4-clique + pendant chain: the 3-core is exactly the clique
+    (peeling must cascade down the chain), and k=5 empties the graph."""
+    from dataflowex_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [
+            # 4-clique on 1..4
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+            # chain hanging off the clique: 4-5-6-7
+            (4, 5), (5, 6), (6, 7),
+            # noise: duplicate + reversed + self-loop
+            (2, 1), (3, 4), (7, 7),
+        ],
+        "src long, dst long",
+    )
+    core3 = {r.node: r.degree for r in k_core(edges, k=3).collect()}
+    assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}  # chain peeled away fully
+    core2 = {r.node for r in k_core(edges, k=2).collect()}
+    assert core2 == {1, 2, 3, 4}  # chain ends cascade: 7 then 6 then 5
+    assert k_core(edges, k=5).isEmpty()
