@@ -637,6 +637,10 @@ def fuzzy_pairs(
         F.col("__blk"),
         F.col("__len").alias("__lb"),
     )
+    # levenshtein WITH threshold runs the banded O(len·k) algorithm
+    # and returns -1 past the band — exact distances for every
+    # surviving (≤ max_dist) pair, so the SQL oracle's plain
+    # levenshtein + filter sees identical rows and values.
     return (
         a.join(b, on="__blk")
         .filter(
@@ -646,7 +650,9 @@ def fuzzy_pairs(
         .select(
             "id_a",
             "id_b",
-            F.levenshtein(F.col("__sa"), F.col("__sb")).alias("dist"),
+            F.levenshtein(
+                F.col("__sa"), F.col("__sb"), threshold=max_dist
+            ).alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
