@@ -379,3 +379,72 @@ def ivf_search(
     return cand.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means the embedding
+    space into ``n_cells`` clusters, enumerate cosine pairs ONLY
+    inside each cluster, and drop every item whose similarity to a
+    LOWER-id item in its cluster reaches ``threshold`` (min-id
+    canonical — same deterministic survivor rule as
+    ``dedup_exact``/``canonical election``).
+
+    Returns (id, keep, dup_of): ``dup_of`` is the lowest-id similar
+    neighbor for dropped rows, NULL for survivors.
+
+    Scale shape (the SemDeDup argument): the quadratic pair
+    enumeration is BOUNDED per cluster — with balanced k-means,
+    pairs ≈ n²/n_cells, and n_cells grows with corpus size so
+    per-cluster population stays ~constant; the cluster id is an
+    equi-join key, so candidates co-locate in one shuffle. Cross-
+    cluster near-dups are the documented recall trade (SemDeDup
+    accepts it; raise n_probe-style multi-assignment if needed).
+    KMeans fits on the corpus sample — never all of 100 TB."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.withColumn(
+        "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    km = KMeans(
+        k=n_cells,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="__v",
+        predictionCol="__cell",
+    )
+    model = km.fit(corpus_v.select("__v"))
+    assigned = model.transform(corpus_v).select(
+        F.col(id_col), F.col(vec_col).alias("__e"), "__cell"
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("__e").alias("__ea"), "__cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("__e").alias("__eb"), "__cell"
+    )
+    dup = (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__sim", cosine_similarity(F.col("__ea"), F.col("__eb")))
+        .filter(F.col("__sim") >= threshold)
+        .groupBy(F.col("id_b").alias(id_col))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )

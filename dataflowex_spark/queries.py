@@ -7233,3 +7233,72 @@ def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return k_core(edges, k=3).orderBy("node")
+
+
+@q("q197_semantic_dedup", None)  # rows-only: k-means has no SQL oracle
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication over the embeddings table:
+    cluster-bounded cosine pairs, min-id survivor per duplicate
+    relation (:func:`similarity.semantic_dedup`). Rows-only — k-means
+    is not SQL-expressible; the handcrafted-cluster pytest pins exact
+    keep/dup_of semantics, and determinism comes from the fixed seed.
+
+    The fixture embeddings are near-random (max pairwise cosine
+    ≈ 0.51), so the threshold sits at the right tail (0.35) to make
+    the operator demonstrably drop rows; a real corpus runs this at
+    0.9+."""
+    from dataflowex_spark.operators.similarity import semantic_dedup
+
+    cat = Catalog(spark, sf_dir)
+    return semantic_dedup(cat["embeddings"], threshold=0.35).orderBy("vec_id")
+
+
+@q(
+    "q198_random_projection",
+    """
+    SELECT vec_id, p.p AS plane,
+           ROUND(list_sum(list_transform(range(1, 65),
+                 d -> CAST(embedding[d] AS DOUBLE) *
+                      (CASE WHEN CAST(('0x' || substr(md5(p.p || '_' || (d-1)), 1, 1))
+                                 AS BIGINT) % 2 = 0
+                            THEN 1.0 ELSE -1.0 END))), 4) AS proj
+    FROM embeddings, UNNEST(range(8)) AS p(p)
+    ORDER BY vec_id, plane
+    """,
+)
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection (dimensionality reduction 64 → 8):
+    each output coordinate is ⟨v, h_p⟩ against a ±1 hyperplane whose
+    signs derive from the portable-md5 discipline — NO stored
+    projection matrix, any executor (or engine) regenerates h_p from
+    (plane, dim) alone, which is what makes the reduction portable
+    and broadcast-free at 100 TB. The dot product folds LEFT-TO-RIGHT
+    over the dimension sequence on both engines (ordered F.aggregate
+    here, ordered list_sum in the oracle), so the float sums are
+    bit-identical; ROUND(…, 4) matches the q82 cosine convention."""
+    cat = Catalog(spark, sf_dir)
+    planes = F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("plane")
+    base = cat["embeddings"].select("vec_id", "embedding", planes)
+    sign = lambda d: F.when(  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("plane"), d)), 1, 1
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    proj = F.aggregate(
+        F.sequence(F.lit(0), F.lit(63)),
+        F.lit(0.0).cast("double"),
+        lambda acc, d: acc
+        + F.element_at(F.col("embedding"), d + 1).cast("double") * sign(d),
+    )
+    return base.select(
+        "vec_id",
+        F.col("plane").cast("long").alias("plane"),
+        F.round(proj, 4).alias("proj"),
+    ).orderBy("vec_id", "plane")

@@ -189,3 +189,32 @@ def test_k_core_peeling(spark):
     core2 = {r.node for r in k_core(edges, k=2).collect()}
     assert core2 == {1, 2, 3, 4}  # chain ends cascade: 7 then 6 then 5
     assert k_core(edges, k=5).isEmpty()
+
+
+def test_semantic_dedup_handcrafted_clusters(spark):
+    """Two tight clusters + one outlier: within-cluster near-identical
+    vectors collapse onto the min-id representative; the outlier and
+    the cross-cluster pair survive."""
+    from dataflowex_spark.operators.similarity import semantic_dedup
+
+    def v(x, y, jitter=0.0):
+        base = np.array([x, y] + [0.0] * 6)
+        base[2] += jitter
+        return [float(a) for a in base]
+
+    rows = [
+        (1, v(10.0, 0.0)),           # cluster A canonical
+        (2, v(10.0, 0.0, 0.01)),     # ~identical to 1
+        (3, v(10.0, 0.0, 0.02)),     # ~identical to 1
+        (4, v(0.0, 10.0)),           # cluster B canonical
+        (5, v(0.0, 10.0, 0.015)),    # ~identical to 4
+        (6, v(7.0, 7.0)),            # between clusters, below threshold
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.keep, r.dup_of)
+           for r in semantic_dedup(df, threshold=0.999, n_cells=2,
+                                   seed=7).collect()}
+    assert got[1] == (True, None)
+    assert got[2] == (False, 1) and got[3] == (False, 1)
+    assert got[4] == (True, None) and got[5] == (False, 4)
+    assert got[6][0] is True  # cos(6, cluster axes) ~ 0.707 < 0.999
