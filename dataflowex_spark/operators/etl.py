@@ -540,3 +540,40 @@ def dim_join_insert_missing_persistent(
     return dim_join(
         fact, updated.select(key, surrogate, *dim_payload), on=key
     )
+
+
+def incremental_join_delta(
+    a_old: DataFrame | None,
+    b_old: DataFrame | None,
+    delta_a: DataFrame | None,
+    delta_b: DataFrame | None,
+    on: str | list[str],
+) -> DataFrame | None:
+    """Delta rule for INCREMENTAL JOIN maintenance:
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    — the classic IVM identity (append-only inputs; deletes need the
+    retraction variant). Returns just the NEW join rows for this
+    batch, so downstream state merges stay proportional to the delta,
+    never the accumulated join. None inputs mean "empty".
+
+    Scale shape: each term is an ordinary equi-join Catalyst plans
+    like any other (broadcast when a side is small, else shuffle on
+    the key) — the win over recompute is that A_old ⋈ B_old, the
+    quadratically-growing term, is NEVER re-executed. Pair with
+    ``partial_aggregate``/``merge_aggregate`` to maintain join-over-
+    aggregate views batch by batch."""
+    terms = []
+    if delta_a is not None and b_old is not None:
+        terms.append(delta_a.join(b_old, on))
+    if a_old is not None and delta_b is not None:
+        terms.append(a_old.join(delta_b, on))
+    if delta_a is not None and delta_b is not None:
+        terms.append(delta_a.join(delta_b, on))
+    if not terms:
+        return None
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.unionByName(t)
+    return out

@@ -7302,3 +7302,117 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("plane").cast("long").alias("plane"),
         F.round(proj, 4).alias("proj"),
     ).orderBy("vec_id", "plane")
+
+
+@q(
+    "q199_weighted_median",
+    """
+    WITH w AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS wt
+      FROM lineitem
+    ), g AS (
+      SELECT flag, q, CAST(SUM(wt) AS BIGINT) AS wt
+      FROM w GROUP BY flag, q
+    ), c AS (
+      SELECT flag, q,
+             SUM(wt) OVER (PARTITION BY flag ORDER BY q) AS cum,
+             SUM(wt) OVER (PARTITION BY flag) AS tot
+      FROM g
+    )
+    SELECT flag, CAST(MIN(q) AS BIGINT) AS wmedian
+    FROM c WHERE cum * 2 >= tot
+    GROUP BY flag ORDER BY flag
+    """,
+)
+def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (revenue-weighted quantity per return flag):
+    the smallest value whose cumulative weight reaches half the total
+    — pinned DISCRETE definition (same stance as q153's median) so no
+    engine-specific interpolation. Weights are integer cents; the
+    crossing test is the integer cross-multiplication ``cum·2 ≥ tot``.
+    Plan: pre-aggregate to one row per (flag, value) BEFORE the
+    window — the running sum then walks ≤50 distinct quantities per
+    flag, not 6 M rows; the wide fact never sorts."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    g = (
+        cat["lineitem"]
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("wt"),
+        )
+        .groupBy("flag", "q")
+        .agg(F.sum("wt").alias("wt"))
+    )
+    c = g.select(
+        "flag",
+        "q",
+        F.sum("wt").over(W.partitionBy("flag").orderBy("q")).alias("cum"),
+        F.sum("wt").over(W.partitionBy("flag")).alias("tot"),
+    )
+    return (
+        c.filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("flag")
+        .agg(F.min("q").alias("wmedian"))
+        .orderBy("flag")
+    )
+
+
+@q(
+    "q200_incremental_join",
+    """
+    SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY seg ORDER BY seg
+    """,
+)
+def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN maintenance, verified against the full
+    recompute: orders AND customer both arrive in 3 batches; each
+    round emits only Δ(A⋈B) = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB
+    (:func:`etl.incremental_join_delta`) and the running aggregate is
+    folded batch-by-batch. The ORACLE is the plain full join — the
+    incremental plan must reproduce it EXACTLY, which is the whole
+    point of IVM (the accumulated-state recompute term A_old⋈B_old is
+    never re-executed; per-round cost tracks the delta). Batches are
+    deterministic modulo-3 splits on DIFFERENT keys (orders by
+    orderkey, customers by custkey) so every delta term matches rows
+    from every earlier batch — all three terms of the identity carry
+    real traffic, not just ΔA⋈ΔB."""
+    from dataflowex_spark.operators.etl import incremental_join_delta
+
+    cat = Catalog(spark, sf_dir)
+    orders = cat["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = cat["customer"].select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    a_old = b_old = None
+    joined_parts = []
+    for i in range(3):
+        da = orders.filter(F.col("o_orderkey") % 3 == i).drop("o_orderkey")
+        db = cust.filter(F.col("o_custkey") % 3 == i)
+        delta = incremental_join_delta(a_old, b_old, da, db, on="o_custkey")
+        if delta is not None:
+            joined_parts.append(delta)
+        a_old = da if a_old is None else a_old.unionByName(da)
+        b_old = db if b_old is None else b_old.unionByName(db)
+    out = joined_parts[0]
+    for p in joined_parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("seg")
+    )

