@@ -7416,3 +7416,41 @@ def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@q(
+    "q201_stream_enrich",
+    """
+    SELECT event_type, c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+             AS val_q
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY event_type, segment
+    ORDER BY event_type, segment
+    """,
+)
+def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static dimension enrichment (batch run of the identical
+    expression that powers the readStream path — same contract as
+    q70–q72): events enriched with the customer segment via a
+    broadcast join (zero streaming state, shuffle-free micro-batches),
+    then segment×type rollup with integer-quantized values. The
+    stream==batch equality test lives in test_streaming."""
+    from dataflowex_spark.streaming.ops import enrich_with_dim
+
+    cat = Catalog(spark, sf_dir)
+    dim = cat["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        enrich_with_dim(cat["events"], dim, on="user_id")
+        .groupBy(
+            "event_type", F.col("c_mktsegment").alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("val_q"),
+        )
+        .orderBy("event_type", "segment")
+    )

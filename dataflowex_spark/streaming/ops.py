@@ -476,3 +476,23 @@ def dedup_stream_bounded(
     return _with_watermark(
         stream_df, watermark_col, delay
     ).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_with_dim(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream–static enrichment: join a (possibly streaming) frame to
+    a STATIC dimension. Structured Streaming plans this as a per-
+    micro-batch join against the batch side — no streaming state at
+    all, which is why it is THE way to attach dimensions to a stream
+    (the stateful stream-stream join is only for two moving sides).
+
+    ``F.broadcast`` is applied to the dim side: at 100 TB/day of
+    events the dimension still fits an executor, and broadcasting
+    keeps every micro-batch shuffle-free. Works identically on batch
+    frames, so batch == stream equality is testable query-for-query
+    (the same expression powers the q201 oracle)."""
+    return stream_df.join(F.broadcast(dim_df), on, how)

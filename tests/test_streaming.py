@@ -463,3 +463,30 @@ def test_dedup_stream_bounded_state(spark, sf_dir):
         out.select("event_id").distinct().count()
         == batch.select("event_id").distinct().count()
     )
+
+
+def test_stream_static_enrich_equals_batch(spark, sf_dir, events_batch, events_stream):
+    """Stream–static broadcast enrichment: the replayed stream joined
+    to the customer dim and aggregated matches the identical batch
+    expression row-for-row (q201's contract)."""
+    from dataflowex_spark.streaming.ops import enrich_with_dim
+
+    dim = Catalog(spark, sf_dir)["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    def rollup(df):
+        return (
+            enrich_with_dim(df, dim, on="user_id")
+            .groupBy("event_type", "c_mktsegment")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.floor(F.col("value") * 1000).cast("long")).alias(
+                    "val_q"
+                ),
+            )
+        )
+
+    out, _ = run_to_memory(rollup(events_stream), output_mode="complete")
+    cols = ["event_type", "c_mktsegment", "n", "val_q"]
+    assert _sorted_rows(out, cols) == _sorted_rows(rollup(events_batch), cols)
