@@ -65,6 +65,10 @@ HEADLINE = [
     "q163_triangle_count",
     "q168_cooccurrence",
     "q169_bigram_lm_score",
+    "q184_product_profit",
+    "q188_segment_dedup",
+    "q191_dup_span_detection",
+    "q193_feature_hashing",
 ]
 
 

@@ -649,3 +649,68 @@ def resample_audio(
             yield pd.DataFrame(out, columns=["uri", "sample_rate", "payload"])
 
     return df.select(media_col).mapInPandas(gen, schema=out_schema)
+
+
+def phash_images(
+    df: DataFrame,
+    media_col: str = "media",
+) -> DataFrame:
+    """Perceptual hash (pHash) per image row: decode (any native
+    codec — netpbm/PNG/baseline JPEG), grayscale, nearest-resize to
+    32×32, 2-D DCT, keep the 8×8 low-frequency block (minus DC),
+    threshold against its median → 64-bit hash. Returns
+    (uri, phash BIGINT, ok BOOLEAN).
+
+    Perceptually-close images (re-encodes, small edits, resizes) land
+    within a few Hamming bits, so near-duplicate IMAGE detection
+    reduces to the same block-bucketed Hamming join the text SimHash
+    path uses (see q202) — no pairwise pixel comparison ever runs.
+    Undecodable payloads yield ok=false with a null hash (quarantine
+    pattern). Pure mapInPandas: no shuffle, fixed 8-byte output per
+    row regardless of image size."""
+    import numpy as np
+
+    out_schema = "uri string, phash long, ok boolean"
+
+    def dct_mat(n: int) -> np.ndarray:
+        m = np.zeros((n, n))
+        for u in range(n):
+            c = np.sqrt(0.5) if u == 0 else 1.0
+            for x in range(n):
+                m[u, x] = np.sqrt(2.0 / n) / np.sqrt(2.0) * c * np.cos(
+                    (2 * x + 1) * u * np.pi / (2 * n)
+                )
+        return m
+
+    M32 = dct_mat(32)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["uri", "phash", "ok"]
+        for pdf in batches:
+            rows = []
+            for m in pdf[media_col]:
+                uri = m["uri"] if m is not None else None
+                payload = m["payload"] if m is not None else None
+                rec = {"uri": uri, "phash": None, "ok": False}
+                parsed = _parse_any(payload) if payload is not None else None
+                if parsed is not None:
+                    _, _, ch, arr = parsed
+                    gray = arr.astype(np.float64).mean(axis=2)
+                    h0, w0 = gray.shape
+                    ri = (np.arange(32) * h0) // 32
+                    ci = (np.arange(32) * w0) // 32
+                    small = gray[ri][:, ci]
+                    coefs = M32 @ small @ M32.T
+                    block = coefs[:8, :8].flatten()[1:]  # drop DC
+                    med = np.median(block)
+                    bits = block > med
+                    val = 0
+                    for b in bits:
+                        val = (val << 1) | int(b)
+                    # store as signed 64-bit (bit 63 may be set)
+                    rec["phash"] = val - (1 << 63) if val >= (1 << 63) else val
+                    rec["ok"] = True
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(media_col).mapInPandas(gen, schema=out_schema)

@@ -7454,3 +7454,90 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "segment")
     )
+
+
+@q("q202_image_phash_dedup", None)  # rows-only: decode+DCT has no SQL oracle
+def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection via perceptual hash: synthesize
+    one image per document (base pattern keyed doc_id%4 — 4 visual
+    families — plus a per-doc pixel perturbation), pHash each
+    (:func:`multimodal.phash_images`: resize→32×32 DCT→median bits),
+    then find Hamming-close pairs with the SAME banded trick the text
+    SimHash path uses: 4×16-bit bands as equi-join keys, exact
+    bit_count(XOR) verify ≤ 10 behind the band match — pairwise pixel
+    comparison never runs, and the band join is the only shuffle
+    (pigeonhole guarantees recall for ham ≤ 3; beyond that it's the
+    documented LSH-style trade). The pytest asserts pairs land only
+    within visual families."""
+    from dataflowex_spark.operators import multimodal
+
+    cat = Catalog(spark, sf_dir)
+
+    @F.pandas_udf("binary")
+    def synth(doc_id):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for d in doc_id:
+            d = int(d)
+            rng = np.random.RandomState(d % 4)  # visual family
+            base = rng.randint(0, 256, size=(32, 32, 3)).astype(np.float64)
+            for _ in range(3):  # smooth → perceptual structure
+                base[1:-1, 1:-1] = (
+                    base[:-2, 1:-1] + base[2:, 1:-1]
+                    + base[1:-1, :-2] + base[1:-1, 2:] + base[1:-1, 1:-1]
+                ) / 5
+            base[(d * 7) % 32, (d * 13) % 32] += 9  # per-doc perturbation
+            out.append(
+                multimodal.encode_ppm(
+                    np.clip(base, 0, 255).astype(np.uint8)
+                )
+            )
+        return pd.Series(out)
+
+    docs = (
+        cat["documents"]
+        .filter(F.col("doc_id") < 100)
+        .select(
+            F.col("doc_id").cast("string").alias("uri"),
+            synth(F.col("doc_id")).alias("payload"),
+        )
+    )
+    media = docs.select(
+        F.struct(
+            "uri",
+            F.lit("image/x-portable-pixmap").alias("media_type"),
+            "payload",
+            F.create_map().cast("map<string,string>").alias("meta"),
+        ).alias("media")
+    )
+    hashed = multimodal.phash_images(media).filter("ok").select(
+        F.col("uri").cast("long").alias("id"), "phash"
+    )
+    bands = hashed.select(
+        "id",
+        "phash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr("shiftrightunsigned(phash, band * 16) & 65535"),
+    )
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("phash").alias("ha"), "band", "band_val"
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("phash").alias("hb"), "band", "band_val"
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 10)
+        .orderBy("id_a", "id_b")
+    )

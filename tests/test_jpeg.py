@@ -149,3 +149,45 @@ def test_jpeg_spark_features_and_resize(spark):
     for r in resized:
         d = multimodal.decode_image(bytes(r.payload))
         assert (d["width"], d["height"]) == (8, 4)
+
+
+def test_phash_invariance_and_discrimination(spark):
+    """pHash must be stable under lossy JPEG re-encode (few Hamming
+    bits) and far for genuinely different images; undecodable rows
+    quarantine with ok=false."""
+    from dataflowex_spark.operators.jpeg import decode_jpeg
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, size=(48, 48, 3)).astype(np.float64)
+    for _ in range(3):
+        base[1:-1, 1:-1] = (
+            base[:-2, 1:-1] + base[2:, 1:-1]
+            + base[1:-1, :-2] + base[1:-1, 2:] + base[1:-1, 1:-1]
+        ) / 5
+    img = np.clip(base, 0, 255).astype(np.uint8)
+    reenc = decode_jpeg(encode_jpeg(img, quality=85))[3]
+    other = np.roll(img, 17, axis=0)[::-1].copy()
+
+    rows = [
+        Row(media=Row(uri="orig", media_type="image/x-portable-pixmap",
+                      payload=bytearray(multimodal.encode_ppm(img)), meta={})),
+        Row(media=Row(uri="reenc", media_type="image/x-portable-pixmap",
+                      payload=bytearray(multimodal.encode_ppm(reenc)), meta={})),
+        Row(media=Row(uri="other", media_type="image/x-portable-pixmap",
+                      payload=bytearray(multimodal.encode_ppm(other)), meta={})),
+        Row(media=Row(uri="junk", media_type="image/gif",
+                      payload=bytearray(b"GIF89a not decodable"), meta={})),
+    ]
+    df = spark.createDataFrame(
+        rows, schema=f"media struct<{multimodal.MEDIA_SCHEMA}>"
+    )
+    got = {r.uri: r for r in multimodal.phash_images(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert got["orig"].ok and got["reenc"].ok and got["other"].ok
+    assert ham(got["orig"].phash, got["reenc"].phash) <= 10
+    assert ham(got["orig"].phash, got["other"].phash) >= 14
+    assert got["junk"].ok is False and got["junk"].phash is None
