@@ -656,3 +656,62 @@ def fuzzy_pairs(
         )
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
+
+
+def dedup_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 10,
+) -> DataFrame:
+    """Cross-document SEGMENT-level exact dedup with reassembly (the
+    paragraph-dedup stage of RefinedWeb-style curation, on flat token
+    streams: segment = ``seg_tokens`` consecutive tokens). First
+    global occurrence of a segment — ordered by (id, position) —
+    survives; later copies are cut and each document is REASSEMBLED
+    from its surviving segments in order. Returns
+    (id, kept_text, removed_segments).
+
+    Plan shape: segmentation is scan-local (sequence → slice →
+    array_join, no UDF); ONE shuffle partitioned by segment text for
+    the keep-first window (segments are short, so the shuffled
+    payload is bounded — full documents never move); one shuffle back
+    on id where ordered reassembly is a collect_list → array_sort
+    fold, never a global sort. Powers q188 and the corpus-curation
+    example."""
+    from pyspark.sql import Window as W
+
+    tok = df.select(id_col, F.split(text_col, " ").alias("__t"))
+    nseg = F.ceil(F.size("__t") / F.lit(seg_tokens)).cast("int")
+    segs = tok.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(
+                    F.slice("__t", i * seg_tokens + 1, seg_tokens), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    ).select(id_col, F.col("seg_idx").cast("long").alias("seg_idx"), "seg")
+    rn = F.row_number().over(W.partitionBy("seg").orderBy(id_col, "seg_idx"))
+    return (
+        segs.withColumn("rn", rn)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1, F.struct("seg_idx", "seg")
+                            )
+                        )
+                    ),
+                    lambda x: x.seg,
+                ),
+                " ",
+            ).alias("kept_text"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("removed_segments"),
+        )
+    )

@@ -65,7 +65,6 @@ def k_core(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iters: int = 100,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly delete
     nodes of degree < k (undirected, self-loops/duplicates ignored)
@@ -91,7 +90,12 @@ def k_core(
     adj = adj.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
         adj.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
     )
-    for i in range(max_iters):
+    # Eager checkpoint each round: the isEmpty() probe and the next
+    # round's degree aggregate would otherwise BOTH re-execute the
+    # whole peel chain from the last checkpoint — measured 2× per
+    # round on the co-purchase graph.
+    adj = adj.localCheckpoint(eager=True)
+    for _ in range(max_iters):
         deg = adj.groupBy("node").agg(F.count("*").alias("degree"))
         bad = deg.filter(F.col("degree") < k).select("node")
         if bad.isEmpty():
@@ -99,9 +103,8 @@ def k_core(
         adj = (
             adj.join(bad, "node", "left_anti")
             .join(bad.select(F.col("node").alias("nbr")), "nbr", "left_anti")
+            .localCheckpoint(eager=True)
         )
-        if (i + 1) % checkpoint_every == 0:
-            adj = adj.localCheckpoint(eager=False)
     raise RuntimeError(
         f"k_core did not reach a fixpoint in {max_iters} rounds"
     )

@@ -268,3 +268,80 @@ def chunk_tokens(
         ).alias("chunk_text"),
         ln.cast("long").alias("n_tok"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition screens per document: top-word /
+    top-bigram / duplicate-token fractions (floor-quantized to ppm
+    from identical BIGINT operands) and a boolean ``flagged`` at the
+    published-style thresholds (>20% single word, >18% single bigram,
+    >60% repeated tokens) — the threshold tests are pure INTEGER
+    cross-multiplications, never ``frac > 0.2`` on a double. All
+    aggregation is per-doc hash aggs on (id, word/bigram) — partial-
+    combine-friendly, no windows, no self-joins; bigrams via the
+    scan-local zip-with-tail idiom. Powers q189 and the curation
+    example's repetition gate."""
+    tok = df.select(id_col, F.split(text_col, " ").alias("__t"))
+    words = tok.select(id_col, F.explode("__t").alias("__w"))
+    wcount = words.groupBy(id_col, "__w").agg(F.count("*").alias("c"))
+    wstats = wcount.groupBy(id_col).agg(
+        F.sum("c").alias("n_tok"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_word_cnt"),
+    )
+    n = F.size("__t")
+    m = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("__t", 1, m),
+        F.slice("__t", 2, m),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    bstats = (
+        tok.select(id_col, F.explode(bigrams).alias("__b"))
+        .groupBy(id_col, "__b")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bigram_cnt"),
+        )
+    )
+    w, b = wstats.alias("w"), bstats.alias("b")
+    return (
+        w.join(b, F.col(f"w.{id_col}") == F.col(f"b.{id_col}"), "left")
+        .select(
+            F.col(f"w.{id_col}").alias(id_col),
+            "n_tok",
+            F.floor(
+                F.lit(1_000_000) * F.col("top_word_cnt") / F.col("n_tok")
+            ).alias("top_word_q"),
+            F.coalesce(
+                F.floor(
+                    F.lit(1_000_000)
+                    * F.col("top_bigram_cnt")
+                    / F.col("n_bigrams")
+                ),
+                F.lit(0),
+            ).alias("top_bigram_q"),
+            F.floor(
+                F.lit(1_000_000)
+                * (F.col("n_tok") - F.col("n_distinct"))
+                / F.col("n_tok")
+            ).alias("dup_token_q"),
+            (
+                (F.col("top_word_cnt") * 5 > F.col("n_tok"))
+                | F.coalesce(
+                    F.col("top_bigram_cnt") * 100 > F.col("n_bigrams") * 18,
+                    F.lit(False),
+                )
+                | (
+                    (F.col("n_tok") - F.col("n_distinct")) * 10
+                    > F.col("n_tok") * 6
+                )
+            ).alias("flagged"),
+        )
+    )

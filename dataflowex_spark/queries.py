@@ -6634,50 +6634,13 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
     the keep-first window (segments are ≤10 tokens, so the shuffled
     payload is bounded — document bodies at full length never move);
     one shuffle back on doc_id where ordered reassembly is a
-    collect_list → array_sort fold, never a global sort."""
-    from pyspark.sql import Window as W
+    collect_list → array_sort fold, never a global sort. Thin wrapper
+    over :func:`dedup.dedup_segments` (the curation example composes
+    the same operator)."""
+    from dataflowex_spark.operators.dedup import dedup_segments
 
     cat = Catalog(spark, sf_dir)
-    tok = cat["documents"].select(
-        "doc_id", F.split("text", " ").alias("t")
-    )
-    nseg = F.ceil(F.size("t") / F.lit(10)).cast("int")
-    segs = tok.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), nseg - 1),
-                lambda i: F.array_join(
-                    F.slice("t", i * 10 + 1, 10), " "
-                ),
-            )
-        ).alias("seg_idx", "seg"),
-    ).select("doc_id", F.col("seg_idx").cast("long").alias("seg_idx"), "seg")
-    rn = F.row_number().over(
-        W.partitionBy("seg").orderBy("doc_id", "seg_idx")
-    )
-    ranked = segs.withColumn("rn", rn)
-    return (
-        ranked.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("rn") == 1,
-                                F.struct("seg_idx", "seg"),
-                            )
-                        )
-                    ),
-                    lambda x: x.seg,
-                ),
-                " ",
-            ).alias("kept_text"),
-            F.sum((F.col("rn") > 1).cast("long")).alias("removed_segments"),
-        )
-        .orderBy("doc_id")
-    )
+    return dedup_segments(cat["documents"], seg_tokens=10).orderBy("doc_id")
 
 
 @q(
@@ -6729,72 +6692,13 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands, plus the boolean flag at the published-style thresholds
     (>20% single word, >18% single bigram, >60% repeated tokens). The
     threshold tests are pure INTEGER cross-multiplications — never
-    `frac > 0.2` on a double. All aggregation is per-doc hash aggs on
-    (doc_id, word/bigram) — partial-combine-friendly, no windows, no
-    self-joins; bigrams are the scan-local zip-with-tail idiom."""
+    `frac > 0.2` on a double. Thin wrapper over
+    :func:`text.repetition_stats` (the curation example gates on the
+    same operator)."""
+    from dataflowex_spark.operators.text import repetition_stats
+
     cat = Catalog(spark, sf_dir)
-    tok = cat["documents"].select(
-        "doc_id", F.split("text", " ").alias("t")
-    )
-    words = tok.select("doc_id", F.explode("t").alias("w"))
-    wcount = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
-    wstats = wcount.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tok"),
-        F.count("*").alias("n_distinct"),
-        F.max("c").alias("top_word_cnt"),
-    )
-    n = F.size("t")
-    m = F.greatest(n - 1, F.lit(0))
-    bigrams = F.zip_with(
-        F.slice("t", 1, m),
-        F.slice("t", 2, m),
-        lambda x, y: F.concat(x, F.lit(" "), y),
-    )
-    bcount = (
-        tok.select("doc_id", F.explode(bigrams).alias("b"))
-        .groupBy("doc_id", "b")
-        .agg(F.count("*").alias("c"))
-    )
-    bstats = bcount.groupBy("doc_id").agg(
-        F.sum("c").alias("n_bigrams"),
-        F.max("c").alias("top_bigram_cnt"),
-    )
-    w, b = wstats.alias("w"), bstats.alias("b")
-    return (
-        w.join(b, F.col("w.doc_id") == F.col("b.doc_id"), "left")
-        .select(
-            F.col("w.doc_id").alias("doc_id"),
-            "n_tok",
-            F.floor(
-                F.lit(1_000_000) * F.col("top_word_cnt") / F.col("n_tok")
-            ).alias("top_word_q"),
-            F.coalesce(
-                F.floor(
-                    F.lit(1_000_000)
-                    * F.col("top_bigram_cnt")
-                    / F.col("n_bigrams")
-                ),
-                F.lit(0),
-            ).alias("top_bigram_q"),
-            F.floor(
-                F.lit(1_000_000)
-                * (F.col("n_tok") - F.col("n_distinct"))
-                / F.col("n_tok")
-            ).alias("dup_token_q"),
-            (
-                (F.col("top_word_cnt") * 5 > F.col("n_tok"))
-                | F.coalesce(
-                    F.col("top_bigram_cnt") * 100 > F.col("n_bigrams") * 18,
-                    F.lit(False),
-                )
-                | (
-                    (F.col("n_tok") - F.col("n_distinct")) * 10
-                    > F.col("n_tok") * 6
-                )
-            ).alias("flagged"),
-        )
-        .orderBy("doc_id")
-    )
+    return repetition_stats(cat["documents"]).orderBy("doc_id")
 
 
 @q(

@@ -69,9 +69,32 @@ def curate_corpus(
     )
     report["after_quality"] = filtered.count()
 
+    # 1b. repetition gate (Gopher screens): drop docs dominated by one
+    # word/bigram or mostly-repeated tokens — integer-exact ppm
+    # thresholds, one hash-agg pass, flags join back on doc_id
+    from dataflowex_spark.operators.text import repetition_stats
+
+    rep_ok = repetition_stats(docs).filter(~F.col("flagged")).select("doc_id")
+    filtered = filtered.join(rep_ok, "doc_id", "left_semi")
+    report["after_repetition_gate"] = filtered.count()
+
     # 2. exact dedup (content hash, min-id winner)
     exact = dedup_exact(filtered)
     report["after_exact_dedup"] = exact.count()
+
+    # 2b. segment-level dedup: cut cross-document boilerplate (first
+    # occurrence survives, documents reassemble from their surviving
+    # segments — the RefinedWeb paragraph-dedup stage)
+    from dataflowex_spark.operators.dedup import dedup_segments
+
+    segs = dedup_segments(exact, seg_tokens=10)
+    exact = (
+        exact.drop("text")
+        .join(segs.select("doc_id", "kept_text"), "doc_id")
+        .withColumnRenamed("kept_text", "text")
+        .filter(F.length("text") > 0)
+    )
+    report["after_segment_dedup"] = exact.count()
 
     # 3. near-dup removal: LSH pairs → components → keep canonical
     pairs = dedup_minhash_lsh(
