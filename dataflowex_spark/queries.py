@@ -7445,3 +7445,168 @@ def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 10)
         .orderBy("id_a", "id_b")
     )
+
+
+@q(
+    "q203_partition_fingerprint",
+    """
+    WITH cur AS (
+      SELECT date_trunc('day', l_shipdate) AS d,
+             CAST(('0x' || substr(md5(l_orderkey || '|' || l_linenumber
+                    || '|' || CAST(floor(l_extendedprice * 100) AS BIGINT)),
+                    1, 15)) AS BIGINT) AS h
+      FROM lineitem
+    ), prev AS (
+      SELECT date_trunc('day', l_shipdate) AS d,
+             CAST(('0x' || substr(md5(l_orderkey || '|' || l_linenumber
+                    || '|' || CAST(floor(l_extendedprice * 100) AS BIGINT)),
+                    1, 15)) AS BIGINT) AS h
+      FROM lineitem WHERE l_orderkey % 97 <> 0
+    ), fc AS (
+      SELECT d, bit_xor(h) AS fp, CAST(COUNT(*) AS BIGINT) AS n
+      FROM cur GROUP BY d
+    ), fp AS (
+      SELECT d, bit_xor(h) AS fp, CAST(COUNT(*) AS BIGINT) AS n
+      FROM prev GROUP BY d
+    )
+    SELECT fc.d AS day, fc.n AS n_now, COALESCE(fp.n, 0) AS n_prev
+    FROM fc LEFT JOIN fp ON fc.d = fp.d
+    WHERE fp.d IS NULL OR fc.fp <> fp.fp OR fc.n <> fp.n
+    ORDER BY day
+    """,
+)
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level content fingerprinting for incremental
+    replication: each day-partition reduces to (bit_xor of portable
+    row hashes, row count); two table versions diff by comparing
+    fingerprints, and only partitions that actually changed re-sync
+    ("yesterday" is simulated by dropping a deterministic orderkey
+    slice). bit_xor is ORDER-INDEPENDENT and partial-aggregable, so
+    the fingerprint is one map-side-combined hash agg per version —
+    no sort, no row-level diff join, and at 100 TB the network moves
+    ~16 bytes per partition instead of the partition. Hash input is
+    integer-only columns (doubles floor-quantized) so the string
+    rendering is engine-portable."""
+    cat = Catalog(spark, sf_dir)
+
+    def finger(df):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        "l_orderkey",
+                        "l_linenumber",
+                        F.floor(F.col("l_extendedprice") * 100).cast("long"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (
+            df.select(
+                F.date_trunc("DAY", "l_shipdate").alias("d"), h.alias("h")
+            )
+            .groupBy("d")
+            .agg(
+                F.expr("bit_xor(h)").alias("fp"),
+                F.count("*").alias("n"),
+            )
+        )
+
+    cur = finger(cat["lineitem"])
+    prev = finger(cat["lineitem"].filter(F.col("l_orderkey") % 97 != 0))
+    p = prev.select(
+        F.col("d").alias("pd"), F.col("fp").alias("pfp"), F.col("n").alias("pn")
+    )
+    return (
+        cur.join(p, cur["d"] == p["pd"], "left")
+        .filter(
+            F.col("pd").isNull()
+            | (F.col("fp") != F.col("pfp"))
+            | (F.col("n") != F.col("pn"))
+        )
+        .select(
+            F.col("d").alias("day"),
+            F.col("n").alias("n_now"),
+            F.coalesce(F.col("pn"), F.lit(0)).alias("n_prev"),
+        )
+        .orderBy("day")
+    )
+
+
+@q(
+    "q204_seasonal_decompose",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM orders GROUP BY d
+    ), w AS (
+      SELECT d, v,
+             SUM(v) OVER (ORDER BY d
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+             COUNT(*) OVER (ORDER BY d
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      FROM daily
+    ), dev AS (
+      SELECT CAST(isodow(d) - 1 AS INT) AS dow, 7 * v - s7 AS dev7
+      FROM w WHERE c7 = 7
+    )
+    SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(floor(1000000.0 * SUM(dev7) / (7.0 * COUNT(*))) AS BIGINT)
+             AS seasonal_q
+    FROM dev GROUP BY dow ORDER BY dow
+    """,
+)
+def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (additive, weekly period):
+    trend = centered 7-day moving average of daily revenue, seasonal
+    index = mean detrended deviation per weekday. The rational trend
+    is cleared by scaling through 7 (dev7 = 7·v − Σ7, all BIGINT);
+    only the final index divides, floor-quantized from identical
+    operands. Weekday numbering is pinned to Monday=0 on both engines
+    (Spark ``weekday()`` ↔ DuckDB ``isodow()−1`` — the raw
+    ``dayofweek`` functions DISAGREE across engines and would pass
+    row counts while scrambling every group). The ordered window runs
+    on the calendar-sized daily rollup (~2.5k rows), same single-
+    partition argument as q176/q195."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat["orders"]
+        .groupBy(F.date_trunc("DAY", "o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "v"
+            )
+        )
+    )
+    w7 = W.orderBy("d").rowsBetween(-3, 3)
+    w = daily.select(
+        "d",
+        "v",
+        F.sum("v").over(w7).alias("s7"),
+        F.count("*").over(w7).alias("c7"),
+    )
+    dev = w.filter(F.col("c7") == 7).select(
+        F.weekday("d").cast("int").alias("dow"),
+        (F.lit(7) * F.col("v") - F.col("s7")).alias("dev7"),
+    )
+    return (
+        dev.groupBy("dow")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.sum("dev7")
+                / (F.lit(7.0) * F.count("*"))
+            ).cast("long").alias("seasonal_q"),
+        )
+        .orderBy("dow")
+    )

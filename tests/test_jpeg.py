@@ -191,3 +191,53 @@ def test_phash_invariance_and_discrimination(spark):
     assert ham(got["orig"].phash, got["reenc"].phash) <= 10
     assert ham(got["orig"].phash, got["other"].phash) >= 14
     assert got["junk"].ok is False and got["junk"].phash is None
+
+
+def test_jpeg_roundtrip_property_random():
+    """Randomized codec properties (no Spark needed):
+
+    1. For ARBITRARY content, dims, subsampling, quality, and restart
+       intervals: the bitstream parses and dimensions round-trip
+       exactly (structural soundness — no size/mode combination can
+       corrupt the MCU geometry).
+    2. At high quality without chroma loss (q≥92, 4:4:4) the pixel
+       error is tightly bounded even for pure noise, the codec's
+       hardest content (quantization steps are small at q≥92)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        h=st.integers(8, 40),
+        w=st.integers(8, 40),
+        ch=st.sampled_from([1, 3]),
+        sub=st.sampled_from(["4:4:4", "4:2:0"]),
+        q=st.integers(35, 98),
+        ri=st.sampled_from([0, 0, 3]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check_structural(h, w, ch, sub, q, ri, seed):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+        payload = encode_jpeg(img, quality=q, subsampling=sub, restart_interval=ri)
+        dw, dh, dch, dec = decode_jpeg(payload)
+        assert (dw, dh, dch) == (w, h, ch)
+        assert dec.dtype == np.uint8 and dec.shape == (h, w, ch)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        h=st.integers(8, 32),
+        w=st.integers(8, 32),
+        ch=st.sampled_from([1, 3]),
+        q=st.integers(92, 98),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check_high_quality(h, w, ch, q, seed):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+        _, _, _, dec = decode_jpeg(encode_jpeg(img, quality=q, subsampling="4:4:4"))
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.mean() < 10.0
+        assert err.max() < 70
+
+    check_structural()
+    check_high_quality()
