@@ -330,17 +330,68 @@ def extract_media_features(
     return df.select(media_col).mapInPandas(gen, schema=out_schema)
 
 
+def _split_ppm_stream(payload: bytes) -> list[bytes] | None:
+    """Split a concatenated-netpbm stream (the ``ffmpeg -f image2pipe``
+    framing: P5/P6 frames back to back) into per-frame payloads.
+    Returns None if the payload is not a netpbm stream."""
+    if not payload or payload[:2] not in (b"P5", b"P6"):
+        return None
+    frames: list[bytes] = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 2] not in (b"P5", b"P6"):
+            return None  # trailing garbage: not a clean stream
+        ch = 3 if payload[pos : pos + 2] == b"P6" else 1
+        toks: list[int] = []
+        i = pos + 2
+        while len(toks) < 3 and i < n:
+            c = payload[i : i + 1]
+            if c == b"#":
+                i = payload.index(b"\n", i) + 1
+            elif c.isspace():
+                i += 1
+            else:
+                j = i
+                while j < n and not payload[j : j + 1].isspace():
+                    j += 1
+                toks.append(int(payload[i:j]))
+                i = j
+        if len(toks) < 3:
+            return None
+        i += 1  # single whitespace after maxval
+        w, h, _ = toks
+        end = i + w * h * ch
+        if end > n:
+            return None
+        frames.append(payload[pos:end])
+        pos = end
+    return frames or None
+
+
+def encode_ppm_stream(arrs) -> bytes:
+    """Concatenate frames (ndarray[h,w,1|3] each) into a netpbm
+    stream — the round-trip partner of the real path in
+    :func:`sample_frames`."""
+    return b"".join(encode_ppm(a) for a in arrs)
+
+
 def sample_frames(
     df: DataFrame,
     media_col: str = "media",
     every_n: int = 30,
     max_frames: int = 8,
 ) -> DataFrame:
-    """Frame-sampling plumbing for video media: emits one row per
-    sampled frame index (0, n, 2n, …) with a null frame payload —
-    the decode hook is the stub above. 1→N via mapInPandas keeps the
-    fan-out executor-side (no explode of decoded frames through a
-    shuffle)."""
+    """Frame sampling for video media — 1→N via mapInPandas so the
+    fan-out stays executor-side (no explode of decoded frames through
+    a shuffle).
+
+    REAL path: a payload framed as a concatenated netpbm stream (the
+    ``ffmpeg -f image2pipe -c:v ppm`` output shape) is actually
+    split; every ``every_n``-th frame (up to ``max_frames``) is
+    emitted with its single-frame payload. Pointer-only rows (or
+    compressed containers — mp4/mkv need codec libs absent here) keep
+    the index-plumbing behavior with null frame payloads."""
     out_schema = "uri string, frame_index int, frame binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -348,8 +399,33 @@ def sample_frames(
             out = []
             for m in pdf[media_col]:
                 uri = m["uri"] if m is not None else None
-                for j in range(max_frames):
-                    out.append({"uri": uri, "frame_index": j * every_n, "frame": None})
+                payload = m["payload"] if m is not None else None
+                frames = (
+                    _split_ppm_stream(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if frames is not None:
+                    for j in range(max_frames):
+                        idx = j * every_n
+                        if idx >= len(frames):
+                            break
+                        out.append(
+                            {
+                                "uri": uri,
+                                "frame_index": idx,
+                                "frame": frames[idx],
+                            }
+                        )
+                else:
+                    for j in range(max_frames):
+                        out.append(
+                            {
+                                "uri": uri,
+                                "frame_index": j * every_n,
+                                "frame": None,
+                            }
+                        )
             yield pd.DataFrame(out, columns=["uri", "frame_index", "frame"])
 
     return df.select(media_col).mapInPandas(gen, schema=out_schema)

@@ -7610,3 +7610,72 @@ def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@q("q205_video_frames", None)  # rows-only: frame decode has no SQL oracle
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame pipeline: synthesize a 12-frame netpbm-stream
+    "video" per document (the ffmpeg image2pipe framing — each frame's
+    brightness encodes its index), sample every 4th frame for REAL
+    through :func:`multimodal.sample_frames`, then run each sampled
+    frame through the real image decode for its dimensions — the
+    decode→sample→featurize chain a vision-data pipeline runs,
+    verified end to end (the pytest additionally decodes the sampled
+    frames and pins their brightness to the synthesized index
+    pattern). Everything is scan-local mapInPandas; sampled frames
+    never cross a shuffle."""
+    from dataflowex_spark.operators import multimodal
+
+    cat = Catalog(spark, sf_dir)
+
+    @F.pandas_udf("binary")
+    def synth(doc_id):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for d in doc_id:
+            d = int(d)
+            frames = [
+                np.full((8, 8, 3), (d + 11 * j) % 256, dtype=np.uint8)
+                for j in range(12)
+            ]
+            out.append(multimodal.encode_ppm_stream(frames))
+        return pd.Series(out)
+
+    docs = (
+        cat["documents"]
+        .filter(F.col("doc_id") < 50)
+        .select(
+            F.concat(F.lit("mem://vid/"), F.col("doc_id")).alias("uri"),
+            synth(F.col("doc_id")).alias("payload"),
+        )
+    )
+    media = docs.select(
+        F.struct(
+            "uri",
+            F.lit("video/x-ppm-stream").alias("media_type"),
+            "payload",
+            F.create_map().cast("map<string,string>").alias("meta"),
+        ).alias("media")
+    )
+    frames = multimodal.sample_frames(media, every_n=4, max_frames=3)
+    feats = multimodal.extract_media_features(
+        frames.select(
+            F.struct(
+                F.concat_ws("#", "uri", "frame_index").alias("uri"),
+                F.lit("image/x-portable-pixmap").alias("media_type"),
+                F.col("frame").alias("payload"),
+                F.create_map().cast("map<string,string>").alias("meta"),
+            ).alias("media")
+        ),
+        real_decode=True,
+    )
+    return feats.select(
+        F.split_part(F.col("uri"), F.lit("#"), F.lit(1)).alias("video_uri"),
+        F.split_part(F.col("uri"), F.lit("#"), F.lit(2))
+        .cast("int")
+        .alias("frame_index"),
+        "width",
+        "height",
+    ).orderBy("video_uri", "frame_index")

@@ -252,3 +252,62 @@ def test_incremental_join_delta_terms(spark):
     # round 1 must contain BOTH a cross-batch term and the ΔA⋈ΔB term
     r1 = seen[1].collect()
     assert len(r1) > 0
+
+
+def test_sample_frames_real_ppm_stream(spark):
+    """Video-as-netpbm-stream: frames actually decode and sample —
+    every 3rd frame of a 10-frame stream comes back with its own
+    pixels; a pointer-only row keeps the null-frame plumbing."""
+    from dataflowex_spark.operators import multimodal
+
+    frames = [
+        np.full((4, 5, 3), i * 20, dtype=np.uint8) for i in range(10)
+    ]
+    stream = multimodal.encode_ppm_stream(frames)
+    rows = [
+        Row(media=Row(uri="mem://vid", media_type="video/x-ppm-stream",
+                      payload=bytearray(stream), meta={})),
+        Row(media=Row(uri="mem://ptr", media_type="video/mp4",
+                      payload=None, meta={})),
+    ]
+    df = spark.createDataFrame(
+        rows, schema=f"media struct<{multimodal.MEDIA_SCHEMA}>"
+    )
+    got = multimodal.sample_frames(df, every_n=3, max_frames=4).collect()
+    vid = sorted(
+        (r for r in got if r.uri == "mem://vid"), key=lambda r: r.frame_index
+    )
+    assert [r.frame_index for r in vid] == [0, 3, 6, 9]
+    for r in vid:
+        d = multimodal.decode_image(bytes(r.frame))
+        assert (d["width"], d["height"]) == (5, 4)
+        assert int(d["pixels"][0, 0, 0]) == r.frame_index * 20
+    ptr = [r for r in got if r.uri == "mem://ptr"]
+    assert len(ptr) == 4 and all(r.frame is None for r in ptr)
+
+
+def test_video_frames_query_content(spark, sf_dir):
+    """q205: sampled frame indexes are {0,4,8} per video and the
+    synthesized brightness pattern (doc_id + 11*idx mod 256) survives
+    the stream→sample→decode chain byte-exactly."""
+    from dataflowex_spark.operators import multimodal
+
+    fn, _ = REGISTRY["q205_video_frames"]
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) == 150
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r.video_uri, []).append(r.frame_index)
+    assert all(sorted(v) == [0, 4, 8] for v in by_vid.values())
+
+    # decode one video's frames directly and pin pixel values
+    frames = [
+        np.full((8, 8, 3), (7 + 11 * j) % 256, dtype=np.uint8)
+        for j in range(12)
+    ]
+    stream = multimodal.encode_ppm_stream(frames)
+    split = multimodal._split_ppm_stream(stream)
+    assert len(split) == 12
+    for j in (0, 4, 8):
+        d = multimodal.decode_image(split[j])
+        assert int(d["pixels"][0, 0, 0]) == (7 + 11 * j) % 256
