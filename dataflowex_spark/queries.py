@@ -7679,3 +7679,110 @@ def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
     ).orderBy("video_uri", "frame_index")
+
+
+@q(
+    "q206_k_anonymity",
+    """
+    WITH qi AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+      FROM customer
+    ), g AS (
+      SELECT nation, segment, bal_bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT nation, segment, bal_bucket, n
+    FROM g WHERE n < 5
+    ORDER BY n, nation, segment, bal_bucket
+    """,
+)
+def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk report (k=5): quasi-identifier combinations
+    (nation × segment × coarse balance bucket) whose cohort is small
+    enough to re-identify — the privacy audit a dataset release runs
+    before publication; flagged combos are suppressed or generalized
+    downstream. One hash aggregate on the quasi-identifier tuple and
+    a HAVING — partial-combine-friendly, output bounded by the combo
+    space, never the table. The bucket edges are integer floor
+    division so the cohort definition is engine-portable."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["customer"]
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias(
+                "bal_bucket"
+            ),
+        )
+        .groupBy("nation", "segment", "bal_bucket")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") < 5)
+        .orderBy("n", "nation", "segment", "bal_bucket")
+    )
+
+
+@q(
+    "q207_join_size_estimate",
+    """
+    WITH ca AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS na
+      FROM orders GROUP BY k
+    ), cb AS (
+      SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM customer GROUP BY k
+    ), exact AS (
+      SELECT CAST(SUM(na * nb) AS BIGINT) AS exact_size
+      FROM ca JOIN cb USING (k)
+    ), samp AS (
+      SELECT CAST(SUM(na * nb) AS BIGINT) * 10 AS est_size
+      FROM ca JOIN cb USING (k)
+      WHERE CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 10 = 0
+    )
+    SELECT exact_size, est_size,
+           CAST(floor(1000000.0 * abs(est_size - exact_size) / exact_size)
+                AS BIGINT) AS rel_err_ppm
+    FROM exact CROSS JOIN samp
+    """,
+)
+def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation — the cardinality question a planner (or a
+    human sizing a 100 TB join) asks BEFORE running it: exact size
+    |A⋈B| = Σ_k cntA(k)·cntB(k) from the two per-key count profiles
+    (never materializing the join), next to a 10%-of-keys estimate
+    using the portable-md5 key sample scaled back up, plus the
+    realized relative error in ppm. The profiles are map-side-combined
+    counts; the key-matched multiply-sum is the only (tiny) join. At
+    100 TB the estimate path reads ~10% of the profile — not 10% of
+    the data — and either path is free compared to running the join
+    blind."""
+    cat = Catalog(spark, sf_dir)
+    ca = cat["orders"].groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("na")
+    )
+    cb = cat["customer"].groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count("*").alias("nb")
+    )
+    prof = ca.join(cb, "k").select(
+        "k", (F.col("na") * F.col("nb")).alias("m")
+    )
+    exact = prof.agg(F.sum("m").alias("exact_size"))
+    h = F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 15), 16, 10)
+    samp = (
+        prof.filter(h.cast("long") % 10 == 0)
+        .agg((F.sum("m") * 10).alias("est_size"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(samp))
+        .select(
+            "exact_size",
+            "est_size",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.abs(F.col("est_size") - F.col("exact_size"))
+                / F.col("exact_size")
+            ).cast("long").alias("rel_err_ppm"),
+        )
+    )

@@ -34,3 +34,17 @@ def test_broadcaster_delivers_to_all(spark):
 def test_crawler_ring_terminates_on_cycle(spark):
     urls = sorted(r.url for r in crawler_ring(spark).collect())
     assert urls == ["about", "blog", "home", "post1", "post2"]
+
+
+def test_embedding_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """The vector-side pipeline: dedup shrinks the corpus, the IVF
+    index answers probes, and recall@10 against exact is high at 4/16
+    probe cells on this corpus."""
+    from examples.embedding_pipeline import run_embedding_pipeline
+
+    report = run_embedding_pipeline(
+        spark, sf_dir, str(tmp_path / "ivf"), n_probes=4
+    )
+    assert report["after_semantic_dedup"] < report["ingested"]
+    assert report["projection_rows"] == report["ingested"] * 8
+    assert report["recall_at_k"] >= 0.5
