@@ -7786,3 +7786,52 @@ def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("rel_err_ppm"),
         )
     )
+
+
+@q(
+    "q208_stream_incremental_agg",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v_sum,
+           CAST(COUNT(value) AS BIGINT) AS v_count,
+           CAST(MAX(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v_max
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental aggregate maintenance, ORACLED against
+    the batch aggregate it must equal: events replay as a 4-chunk file
+    stream, each micro-batch folds into the persisted state through
+    the exactly-once ``_LATEST``-pointer protocol
+    (:func:`streaming.incremental_agg_sink` — merge_aggregate per
+    trigger, at-least-once replays skipped by monotone batch id), and
+    the committed state is read back as the result. History is never
+    rescanned; per-trigger cost tracks the batch + key cardinality.
+    The replay-idempotence test lives in test_streaming."""
+    import tempfile
+
+    from dataflowex_spark.streaming.ops import (
+        file_replay_stream,
+        incremental_agg_sink,
+        read_agg_state,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="q208_state_")
+    stream = file_replay_stream(
+        spark, f"{sf_dir}/events.parquet", n_chunks=4
+    ).withColumn("v", F.floor(F.col("value") * 1000).cast("long"))
+    q_, _ = incremental_agg_sink(
+        stream,
+        f"{workdir}/state",
+        keys=["event_type"],
+        spec={"v": ["sum", "count", "max"]},
+        checkpoint=f"{workdir}/ckpt",
+    )
+    q_.awaitTermination(300)
+    return (
+        read_agg_state(spark, f"{workdir}/state")
+        .select("event_type", "v_sum", "v_count", "v_max")
+        .orderBy("event_type")
+    )

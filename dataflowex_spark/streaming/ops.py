@@ -496,3 +496,90 @@ def enrich_with_dim(
     frames, so batch == stream equality is testable query-for-query
     (the same expression powers the q201 oracle)."""
     return stream_df.join(F.broadcast(dim_df), on, how)
+
+
+def incremental_agg_sink(
+    stream_df: DataFrame,
+    state_path: str,
+    keys: list[str],
+    spec: dict[str, list[str]],
+    checkpoint: str | None = None,
+):
+    """Maintain a keyed aggregate table from a stream, EXACTLY-ONCE:
+    each micro-batch folds its partial aggregate into the persisted
+    state via :func:`etl.merge_aggregate` (history is never
+    rescanned), and the commit protocol makes at-least-once
+    foreachBatch replays harmless:
+
+    - state versions land in ``state_v{batch_id}`` directories;
+    - a ``_LATEST`` pointer file names the committed version and is
+      swapped with an atomic ``os.replace`` AFTER the version is
+      fully written;
+    - batch ids are monotone, so a replayed batch (id ≤ committed id)
+      is skipped, and a crash BEFORE the pointer swap replays into a
+      full overwrite of the same version directory.
+
+    Returns (query, handler) — the handler is exposed so tests can
+    drive replay scenarios directly. Read the table back with
+    :func:`read_agg_state`.
+
+    Scale shape: per trigger, one map-side-combined partial over the
+    batch + one keyed merge over (state ∪ partial) — cost tracks the
+    batch and the key cardinality, never the stream's history."""
+    import os
+
+    from dataflowex_spark.operators.etl import (
+        merge_aggregate,
+        partial_aggregate,
+    )
+
+    root = state_path.rstrip("/")
+    os.makedirs(root, exist_ok=True)
+    pointer = os.path.join(root, "_LATEST")
+
+    def _committed() -> tuple[int, str | None]:
+        try:
+            with open(pointer) as f:
+                name = f.read().strip()
+            return int(name.rsplit("_v", 1)[1]), name
+        except (OSError, ValueError, IndexError):
+            return -1, None
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        last_id, last_name = _committed()
+        if batch_id <= last_id:
+            return  # at-least-once replay of an already-folded batch
+        spark = batch_df.sparkSession
+        state = (
+            spark.read.parquet(os.path.join(root, last_name))
+            if last_name is not None
+            else None
+        )
+        part = partial_aggregate(batch_df, keys, spec)
+        new_state = merge_aggregate(state, part, keys, spec)
+        vname = f"state_v{batch_id}"
+        new_state.write.mode("overwrite").parquet(os.path.join(root, vname))
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(vname)
+        os.replace(tmp, pointer)  # atomic commit
+
+    writer = stream_df.writeStream.foreachBatch(handle).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    query = writer.trigger(availableNow=True).start()
+    return query, handle
+
+
+def read_agg_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Read the committed aggregate state written by
+    :func:`incremental_agg_sink` (None before the first commit)."""
+    import os
+
+    pointer = os.path.join(state_path.rstrip("/"), "_LATEST")
+    try:
+        with open(pointer) as f:
+            name = f.read().strip()
+    except OSError:
+        return None
+    return spark.read.parquet(os.path.join(state_path.rstrip("/"), name))

@@ -490,3 +490,57 @@ def test_stream_static_enrich_equals_batch(spark, sf_dir, events_batch, events_s
     out, _ = run_to_memory(rollup(events_stream), output_mode="complete")
     cols = ["event_type", "c_mktsegment", "n", "val_q"]
     assert _sorted_rows(out, cols) == _sorted_rows(rollup(events_batch), cols)
+
+
+def test_incremental_agg_sink_exactly_once(spark, sf_dir, tmp_path):
+    """Streamed incremental aggregate == batch aggregate, and a
+    replayed (stale) micro-batch is a no-op — the exactly-once
+    contract of the _LATEST pointer protocol."""
+    from dataflowex_spark.streaming.ops import (
+        incremental_agg_sink,
+        read_agg_state,
+    )
+
+    stream = file_replay_stream(spark, f"{sf_dir}/events.parquet", n_chunks=4)
+    stream = stream.withColumn(
+        "v", F.floor(F.col("value") * 1000).cast("long")
+    )
+    spec = {"v": ["sum", "count", "max"]}
+    q, handle = incremental_agg_sink(
+        stream,
+        str(tmp_path / "state"),
+        keys=["event_type"],
+        spec=spec,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.event_type: (r.v_sum, r.v_count, r.v_max)
+        for r in read_agg_state(spark, str(tmp_path / "state")).collect()
+    }
+    batch = (
+        Catalog(spark, sf_dir)["events"]
+        .withColumn("v", F.floor(F.col("value") * 1000).cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("v").alias("v_sum"),
+            F.count("v").alias("v_count"),
+            F.max("v").alias("v_max"),
+        )
+    )
+    want = {
+        r.event_type: (r.v_sum, r.v_count, r.v_max) for r in batch.collect()
+    }
+    assert got == want
+
+    # replay an already-committed batch id — state must not change
+    stale = Catalog(spark, sf_dir)["events"].limit(50).withColumn(
+        "v", F.floor(F.col("value") * 1000).cast("long")
+    )
+    handle(stale, 0)
+    again = {
+        r.event_type: (r.v_sum, r.v_count, r.v_max)
+        for r in read_agg_state(spark, str(tmp_path / "state")).collect()
+    }
+    assert again == want
