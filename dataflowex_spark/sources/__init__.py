@@ -544,3 +544,39 @@ def read_kafka_stream(
         "offset",
         F.col("timestamp").alias("ts"),
     )
+
+
+def schema_diff(spark, path_a: str, path_b: str):
+    """Data-contract drift detection between two parquet datasets:
+    returns a DataFrame (column, change, from_type, to_type) with one
+    row per added / removed / type-changed column (nested fields
+    compared by their flattened dotted path, matching the engine's
+    TypeAccessor-style deep flatten — schema.py). Empty result ⇒ the
+    contract holds.
+
+    Metadata-only: reads the two parquet FOOTERS, never row data —
+    the 100 TB check costs two file listings. The standard gate in
+    front of incremental loads (q203's fingerprint diff tells you
+    WHICH partitions changed; this tells you whether their SHAPE
+    still matches the contract)."""
+    from dataflowex_spark.schema import schema_paths
+
+    def fields(path: str) -> dict[str, str]:
+        df = spark.read.parquet(path)
+        return {
+            name: dtype.simpleString()
+            for name, dtype in schema_paths(df.schema)
+        }
+
+    a, b = fields(path_a), fields(path_b)
+    rows = []
+    for name in sorted(set(a) | set(b)):
+        if name not in b:
+            rows.append((name, "removed", a[name], None))
+        elif name not in a:
+            rows.append((name, "added", None, b[name]))
+        elif a[name] != b[name]:
+            rows.append((name, "type_changed", a[name], b[name]))
+    return spark.createDataFrame(
+        rows, "column string, change string, from_type string, to_type string"
+    )

@@ -311,3 +311,26 @@ def test_video_frames_query_content(spark, sf_dir):
     for j in (0, 4, 8):
         d = multimodal.decode_image(split[j])
         assert int(d["pixels"][0, 0, 0]) == (7 + 11 * j) % 256
+
+
+def test_schema_diff_contract_gate(spark, tmp_path):
+    from dataflowex_spark.sources import schema_diff
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    spark.createDataFrame(
+        [(1, "x", 1.5)], "id long, name string, score double"
+    ).write.parquet(str(a))
+    spark.createDataFrame(
+        [(1, 2, "new")], "id long, score int, extra string"
+    ).write.parquet(str(b))
+    got = {r.column: (r.change, r.from_type, r.to_type)
+           for r in schema_diff(spark, str(a), str(b)).collect()}
+    assert got == {
+        "name": ("removed", "string", None),
+        "score": ("type_changed", "double", "int"),
+        "extra": ("added", None, "string"),
+    }
+    # identical schemas -> empty diff
+    spark.createDataFrame([(2, "y", 9.9)], "id long, name string, score double").write.mode("overwrite").parquet(str(b))
+    assert schema_diff(spark, str(a), str(b)).isEmpty()
