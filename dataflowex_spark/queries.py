@@ -7835,3 +7835,35 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "v_sum", "v_count", "v_max")
         .orderBy("event_type")
     )
+
+
+@q("q209_approx_percentiles", None)  # rows-only: GK sketch, no SQL oracle
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile profile (p50/p95/p99 of order value per
+    priority) via Spark's Greenwald–Khanna ``percentile_approx`` with
+    accuracy=1000 — the sketch path for quantiles over data too big to
+    sort. Rows-only: GK internals differ engine to engine, so instead
+    of a value-hash oracle the pytest enforces the CONTRACT that
+    matters: every approximate percentile lands within the sketch's
+    rank-error bound of the exact answer computed by full sort. At
+    100 TB the sketch is one pass, mergeable across partitions, with
+    memory O(accuracy) per group versus a full sort's shuffle."""
+    cat = Catalog(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return (
+        cat["orders"]
+        .select("o_orderpriority", cents.alias("cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("cents", [0.5, 0.95, 0.99], 1000).alias(
+                "pcts"
+            )
+        )
+        .select(
+            "o_orderpriority",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p95"),
+            F.col("pcts")[2].alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -10,6 +10,7 @@ import numpy as np
 from pyspark.sql import Row
 
 from pyspark.sql import functions as F
+from dataflowex_spark.catalog import Catalog
 from dataflowex_spark.queries import REGISTRY
 
 DOC_SCHEMA = (
@@ -334,3 +335,28 @@ def test_schema_diff_contract_gate(spark, tmp_path):
     # identical schemas -> empty diff
     spark.createDataFrame([(2, "y", 9.9)], "id long, name string, score double").write.mode("overwrite").parquet(str(b))
     assert schema_diff(spark, str(a), str(b)).isEmpty()
+
+
+def test_approx_percentiles_within_rank_error(spark, sf_dir):
+    """GK sketch contract: each approximate percentile's RANK in the
+    exact sorted data is within accuracy-implied tolerance of the
+    target rank."""
+    fn, _ = REGISTRY["q209_approx_percentiles"]
+    approx = {r.o_orderpriority: (r.p50, r.p95, r.p99)
+              for r in fn(spark, sf_dir).collect()}
+    orders = Catalog(spark, sf_dir)["orders"].select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    import bisect
+
+    for prio, vals in approx.items():
+        exact = sorted(
+            r.cents
+            for r in orders.filter(F.col("o_orderpriority") == prio).collect()
+        )
+        n = len(exact)
+        for target, got in zip((0.5, 0.95, 0.99), vals):
+            rank = bisect.bisect_left(exact, got)
+            # GK with accuracy=1000 → rank error ≤ n/1000 (+1 slack)
+            assert abs(rank - target * n) <= n / 1000 + 1, (prio, target)
