@@ -345,3 +345,33 @@ def repetition_stats(
             ).alias("flagged"),
         )
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "normalized",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) of a text column —
+    the canonicalization pass a multilingual corpus needs BEFORE any
+    hashing/dedup (the same text with composed vs decomposed accents
+    hashes differently and silently defeats exact dedup). Arrow-
+    batched pandas UDF over stdlib ``unicodedata`` — no Python
+    row loop in the driver, no external dependency; scan-local, zero
+    shuffles."""
+    import pandas  # noqa: F401 — must be module-resolvable for hint inference
+
+    def _norm(s: "pandas.Series") -> "pandas.Series":
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    _norm.__annotations__ = {
+        "s": pandas.Series,
+        "return": pandas.Series,
+    }
+    norm = F.pandas_udf(_norm, "string")
+    return df.withColumn(out_col, norm(F.col(text_col)))

@@ -7867,3 +7867,57 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@q(
+    "q210_unicode_normalize",
+    """
+    WITH dirty AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN replace(text, 'e', 'é')
+                  ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS len_before,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS len_after
+    FROM dirty
+    WHERE nfc_normalize(t) <> t
+    ORDER BY doc_id
+    """,
+)
+def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — canonicalize composed/decomposed
+    codepoint sequences before any hash-based dedup (é as U+0065+
+    U+0301 and as U+00E9 are different bytes and defeat exact dedup
+    silently). A third of the docs are deterministically "dirtied"
+    with decomposed accents; the query reports each document the
+    normalization actually changed, with its before/after codepoint
+    lengths. Spark side normalizes through the Arrow-batched
+    ``unicodedata`` pandas UDF (:func:`text.normalize_unicode`); the
+    oracle uses DuckDB's native ``nfc_normalize`` — two INDEPENDENT
+    Unicode implementations agreeing exactly is the point of the
+    oracle here."""
+    from dataflowex_spark.operators.text import normalize_unicode
+
+    cat = Catalog(spark, sf_dir)
+    dirty = cat["documents"].select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.regexp_replace("text", "e", "é"),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    out = normalize_unicode(dirty, "t", "n")
+    return (
+        out.filter(F.col("n") != F.col("t"))
+        .select(
+            "doc_id",
+            F.length("t").cast("long").alias("len_before"),
+            F.length("n").cast("long").alias("len_after"),
+        )
+        .orderBy("doc_id")
+    )
