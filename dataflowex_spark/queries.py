@@ -7921,3 +7921,90 @@ def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "q211_sparse_cosine_pairs",
+    """
+    WITH words AS (
+      SELECT doc_id, u.w AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(t) AS u(w)
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words GROUP BY doc_id, w
+    ), df AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+    ), wt AS (
+      SELECT doc_id, tf.w, tf * (1000000 // df) AS wq
+      FROM tf JOIN df ON tf.w = df.w
+      WHERE df <= 100
+    ), norm AS (
+      SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS n2 FROM wt GROUP BY doc_id
+    ), pair AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(SUM(a.wq * b.wq) AS BIGINT) AS num
+      FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(floor(1000000.0 * num / (sqrt(na.n2) * sqrt(nb.n2)))
+                AS BIGINT) AS cos_q
+    FROM pair
+    JOIN norm na ON na.doc_id = id_a
+    JOIN norm nb ON nb.doc_id = id_b
+    WHERE 1000000.0 * num / (sqrt(na.n2) * sqrt(nb.n2)) >= 200000
+    ORDER BY cos_q DESC, id_a, id_b
+    LIMIT 100
+    """,
+)
+def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse all-pairs cosine similarity over bag-of-words vectors
+    (Bayardo-style): pairs materialize ONLY through the inverted-
+    index term equi-join, and terms with document frequency > 100 are
+    pruned first — the df-prune is what bounds the join fanout (a
+    stop term would otherwise contribute C(df,2) candidate pairs; on
+    the 10× clone corpus that is the difference between linear and
+    quadratic). Weights are integer (tf · (10⁶ div df) — an inverse-
+    df scheme with NO transcendental, so every product/sum is BIGINT-
+    exact) and the final cosine divides two exactly-representable
+    ints through IEEE sqrt — identical on both engines. The dense-
+    embedding twin of this query is q82/q87; this is the sparse path
+    a lexical near-dup system runs."""
+    cat = Catalog(spark, sf_dir)
+    words = cat["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
+    wt = (
+        tf.join(df_, "w")
+        .filter(F.col("df") <= 100)
+        .select(
+            "doc_id", "w", (F.col("tf") * F.expr("1000000 div df")).alias("wq")
+        )
+    )
+    norm = wt.groupBy("doc_id").agg(
+        F.sum(F.col("wq") * F.col("wq")).alias("n2")
+    )
+    a = wt.select(F.col("doc_id").alias("id_a"), "w", F.col("wq").alias("wa"))
+    b = wt.select(F.col("doc_id").alias("id_b"), "w", F.col("wq").alias("wb"))
+    pair = (
+        a.join(b, "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("num"))
+    )
+    na = norm.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("na2"))
+    nb = norm.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("nb2"))
+    cos = F.lit(1_000_000.0) * F.col("num") / (
+        F.sqrt("na2") * F.sqrt("nb2")
+    )
+    return (
+        pair.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .filter(cos >= 200_000)
+        .select("id_a", "id_b", F.floor(cos).cast("long").alias("cos_q"))
+        .orderBy(F.col("cos_q").desc(), "id_a", "id_b")
+        .limit(100)
+    )
