@@ -580,3 +580,78 @@ def schema_diff(spark, path_a: str, path_b: str):
     return spark.createDataFrame(
         rows, "column string, change string, from_type string, to_type string"
     )
+
+
+def partition_fingerprints(
+    df: DataFrame, partition_col: str, hash_cols: list[str]
+) -> DataFrame:
+    """(partition, fp, n) per partition value: an ORDER-INDEPENDENT
+    bit_xor of portable row hashes plus the row count — ~16 bytes of
+    state per partition, map-side combined, no sort (the q203 shape
+    as a reusable operator). ``hash_cols`` should be integer/string
+    columns (quantize doubles first — their string rendering is not
+    engine-portable)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *hash_cols)), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        df.select(F.col(partition_col).alias("partition"), h.alias("__h"))
+        .groupBy("partition")
+        .agg(F.expr("bit_xor(__h)").alias("fp"), F.count("*").alias("n"))
+    )
+
+
+def sync_changed_partitions(
+    src: DataFrame,
+    dst_path: str,
+    partition_col: str,
+    hash_cols: list[str],
+) -> list:
+    """Idempotent incremental backfill: diff the source against the
+    destination BY PARTITION FINGERPRINT and rewrite only the
+    partitions that actually changed (dynamic partition overwrite —
+    untouched partitions' files are never rewritten, so object-store
+    churn and downstream cache invalidation track the delta, not the
+    table). Returns the list of changed partition values ([] ⇒
+    destination already current; first run rewrites everything).
+
+    Rerun-safe by construction: a crash mid-write leaves some
+    partitions updated — the next run re-diffs and rewrites only the
+    remainder (fingerprints of completed partitions now match)."""
+    spark = src.sparkSession
+    src_fp = partition_fingerprints(src, partition_col, hash_cols)
+    try:
+        dst = spark.read.parquet(dst_path)
+        dst_fp = partition_fingerprints(dst, partition_col, hash_cols)
+        d = dst_fp.select(
+            F.col("partition").alias("__p"),
+            F.col("fp").alias("__fp"),
+            F.col("n").alias("__n"),
+        )
+        changed_df = (
+            src_fp.join(d, src_fp["partition"] == d["__p"], "left")
+            .filter(
+                F.col("__p").isNull()
+                | (F.col("fp") != F.col("__fp"))
+                | (F.col("n") != F.col("__n"))
+            )
+            .select("partition")
+        )
+    except Exception:  # destination not born yet: full backfill
+        changed_df = src_fp.select("partition")
+    changed = [r["partition"] for r in changed_df.collect()]
+    if not changed:
+        return []
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            src.filter(F.col(partition_col).isin(changed))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(dst_path)
+        )
+    finally:
+        if prior is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    return changed

@@ -583,3 +583,79 @@ def read_agg_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     except OSError:
         return None
     return spark.read.parquet(os.path.join(state_path.rstrip("/"), name))
+
+
+def enrich_with_dim_parking(
+    stream_df: DataFrame,
+    dim_path: str,
+    on: str,
+    out_path: str,
+    park_path: str,
+    checkpoint: str | None = None,
+):
+    """Stream enrichment with LATE-ARRIVING DIMENSIONS — the parking-
+    lot pattern: each micro-batch joins against the CURRENT dimension
+    snapshot (re-read per trigger, so dim rows that arrive mid-stream
+    are picked up); matched events publish to ``out_path``, unmatched
+    events PARK, and every batch retries the parked rows against the
+    fresh dimension before processing its own. An event is published
+    exactly once — when its dimension row finally exists — instead of
+    being dropped (inner join) or emitted half-empty (left join).
+
+    Commit protocol mirrors :func:`incremental_agg_sink`: the parked
+    set is versioned per batch id with an atomic ``_LATEST`` pointer,
+    and output batches write to batch-id-keyed subdirectories with
+    overwrite — both sides idempotent under at-least-once replays.
+
+    Scale shape: per trigger cost is (batch + parked) ⋈ dim — the
+    parked set stays bounded by genuinely-late keys, and the dim side
+    broadcasts. Returns (query, handler)."""
+    import os
+
+    root = park_path.rstrip("/")
+    os.makedirs(root, exist_ok=True)
+    os.makedirs(out_path, exist_ok=True)
+    pointer = os.path.join(root, "_LATEST")
+
+    def _committed() -> tuple[int, str | None]:
+        try:
+            with open(pointer) as f:
+                name = f.read().strip()
+            return int(name.rsplit("_v", 1)[1]), name
+        except (OSError, ValueError, IndexError):
+            return -1, None
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        last_id, last_name = _committed()
+        if batch_id <= last_id:
+            return
+        spark = batch_df.sparkSession
+        try:
+            dim = spark.read.parquet(dim_path)
+        except Exception:
+            dim = None  # dimension table not born yet: park everything
+        pending = batch_df
+        if last_name is not None:
+            parked = spark.read.parquet(os.path.join(root, last_name))
+            pending = parked.unionByName(batch_df)
+        if dim is not None:
+            matched = pending.join(F.broadcast(dim), on)
+            unmatched = pending.join(F.broadcast(dim), on, "left_anti")
+        else:
+            matched, unmatched = None, pending
+        if matched is not None:
+            matched.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch_{batch_id}")
+            )
+        vname = f"park_v{batch_id}"
+        unmatched.write.mode("overwrite").parquet(os.path.join(root, vname))
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(vname)
+        os.replace(tmp, pointer)
+
+    writer = stream_df.writeStream.foreachBatch(handle).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    query = writer.trigger(availableNow=True).start()
+    return query, handle
