@@ -8008,3 +8008,83 @@ def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_q").desc(), "id_a", "id_b")
         .limit(100)
     )
+
+
+@q(
+    "q212_rfm_segmentation",
+    """
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_diff('day', MAX(o_orderdate),
+                  (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, recency_days, frequency, monetary_cents,
+           CAST(NTILE(5) OVER (ORDER BY recency_days, custkey) AS INT)
+             AS r_tile,
+           CAST(NTILE(5) OVER (ORDER BY frequency DESC, custkey) AS INT)
+             AS f_tile,
+           CAST(NTILE(5) OVER (ORDER BY monetary_cents DESC, custkey) AS INT)
+             AS m_tile
+    FROM rfm
+    ORDER BY custkey
+    """,
+)
+def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintiles) — the marketing-analytics workhorse. Each dimension's
+    quintile comes from :func:`windows.global_ntile`, the scale-safe
+    NTILE (global rank by distributed two-pass row_number + the
+    closed-form tile formula — NO all-rows-to-one-reducer WindowExec,
+    which is what a naive NTILE(5) OVER () does at 100 M customers).
+    Tie-breaks pin custkey so both engines bucket identically; the
+    anchor date is the corpus max, broadcast as a scalar."""
+    from dataflowex_spark.operators.windows import global_ntile
+
+    cat = Catalog(spark, sf_dir)
+    mx = cat["orders"].agg(F.max("o_orderdate").alias("anchor"))
+    rfm = (
+        cat["orders"]
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("long")
+            ).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "custkey",
+            F.datediff(
+                F.col("anchor").cast("date"), F.col("last_order").cast("date")
+            ).cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    out = global_ntile(
+        rfm, 5, [F.col("recency_days"), F.col("custkey")], out_col="r_tile"
+    )
+    out = global_ntile(
+        out, 5, [F.col("frequency").desc(), F.col("custkey")], out_col="f_tile"
+    )
+    out = global_ntile(
+        out,
+        5,
+        [F.col("monetary_cents").desc(), F.col("custkey")],
+        out_col="m_tile",
+    )
+    return out.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_tile",
+        "f_tile",
+        "m_tile",
+    ).orderBy("custkey")
