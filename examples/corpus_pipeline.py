@@ -16,6 +16,12 @@ so a rerun or backfill reproduces the identical corpus.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# allow `python examples/<name>.py` straight from a checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dataflowex_spark.catalog import Catalog

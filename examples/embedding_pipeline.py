@@ -22,6 +22,12 @@ the ANN quality in one place.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# allow `python examples/<name>.py` straight from a checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from pyspark.sql import SparkSession, functions as F
 
 from dataflowex_spark.catalog import Catalog
@@ -40,7 +46,7 @@ def run_embedding_pipeline(
     dedup_threshold: float = 0.35,
     k: int = 10,
     n_probes: int = 8,
-    n_probe_cells: int = 4,
+    n_probe_cells: int = 6,
 ) -> dict[str, float]:
     emb = Catalog(spark, sf_dir)["embeddings"]
     report: dict[str, float] = {"ingested": emb.count()}

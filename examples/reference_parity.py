@@ -16,6 +16,12 @@ directly for a demo, or via tests/test_examples.py.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# allow `python examples/<name>.py` straight from a checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from pyspark.sql import DataFrame, Row, SparkSession, functions as F
 
 from dataflowex_spark.pipeline import Pipeline, ring_iterate
