@@ -8088,3 +8088,28 @@ def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_tile",
         "m_tile",
     ).orderBy("custkey")
+
+
+@q("q213_bpe_tokenize", None)  # rows-only: BPE training has no SQL oracle
+def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BPE tokenization (:mod:`operators.bpe`): learn
+    64 merges from the documents table (distributed word-count
+    aggregate; the merge loop runs over the compact vocabulary, which
+    is how production tokenizer training divides the work), then
+    encode every document with the learned merges in an Arrow-batched
+    UDF and report per-document subword vs whitespace token counts —
+    the compression the tokenizer buys. Deterministic end to end
+    (exact integer pair counts, lexicographic tie-breaks), so the
+    driver's rows-only check sees stable rows; the pytest pins merge
+    order and lossless round-trip on known corpora."""
+    from dataflowex_spark.operators.bpe import bpe_encode, bpe_train
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"]
+    merges = bpe_train(docs, num_merges=64)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe"),
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_words"),
+    ).orderBy("doc_id")

@@ -411,3 +411,46 @@ def test_sync_changed_partitions_incremental(spark, tmp_path):
     )
     want = sorted((r.day, r.id, r.payload) for r in src2.collect())
     assert got == want
+
+
+def test_bpe_train_and_encode(spark):
+    """BPE semantics on a corpus with known statistics: 'ab' is the
+    most frequent pair, merges are deterministic, and encoding
+    compresses repeated subwords while passing unseen words through
+    as characters."""
+    from dataflowex_spark.operators.bpe import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "abab abab abc"), (2, "abab zq")], "doc_id long, text string"
+    )
+    merges = bpe_train(df, num_merges=3)
+    # 'a'+'b' dominates (appears 2x in each 'abab' and 1x in 'abc')
+    assert merges[0] == ("a", "b")
+    # ('ab','ab') and ('ab','</w>') tie at 3; '</w>' sorts before 'ab'
+    # so the deterministic tie-break picks ('ab','</w>')
+    assert merges[1] == ("ab", "</w>")
+    assert merges[2] == ("ab", "ab</w>")
+
+    enc = bpe_encode(df, merges)
+    toks = {r.doc_id: r.bpe_tokens for r in enc.collect()}
+    # 'abab' collapses through both merges; third merge is data-driven
+    assert toks[1][0].startswith("abab")
+    # unseen word 'zq' falls back to chars + end-of-word
+    assert toks[2][-3:] == ["z", "q", "</w>"] or toks[2][-2:] == ["z", "q</w>"]
+
+
+def test_bpe_roundtrip_reconstruction(spark, sf_dir):
+    """Concatenating a word's BPE tokens (minus the </w> marker)
+    reconstructs the word exactly — tokenization is lossless."""
+    from dataflowex_spark.operators.bpe import (
+        _encode_word,
+        bpe_train,
+    )
+
+    docs = Catalog(spark, sf_dir)["documents"].limit(100)
+    merges = bpe_train(docs, num_merges=50)
+    assert len(merges) == 50
+    ranks = {p: i for i, p in enumerate(merges)}
+    for word in ("table", "aggregation", "zzz-unseen"):
+        toks = _encode_word(word, ranks)
+        assert "".join(toks).replace("</w>", "") == word
