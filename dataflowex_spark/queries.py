@@ -7935,10 +7935,12 @@ def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM words GROUP BY doc_id, w
     ), df AS (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+    ), nd AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf
     ), wt AS (
       SELECT doc_id, tf.w, tf * (1000000 // df) AS wq
-      FROM tf JOIN df ON tf.w = df.w
-      WHERE df <= 100
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN nd
+      WHERE df * 5 <= n_docs
     ), norm AS (
       SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS n2 FROM wt GROUP BY doc_id
     ), pair AS (
@@ -7962,9 +7964,11 @@ def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse all-pairs cosine similarity over bag-of-words vectors
     (Bayardo-style): pairs materialize ONLY through the inverted-
     index term equi-join, and terms with document frequency > 100 are
-    pruned first — the df-prune is what bounds the join fanout (a
-    stop term would otherwise contribute C(df,2) candidate pairs; on
-    the 10× clone corpus that is the difference between linear and
+    pruned first — the df-prune is RELATIVE (df ≤ 20% of documents),
+    so it tracks corpus growth instead of emptying or exploding at a
+    different scale, and it is what bounds the join fanout (a stop
+    term would otherwise contribute C(df,2) candidate pairs; on the
+    10× clone corpus that is the difference between linear and
     quadratic). Weights are integer (tf · (10⁶ div df) — an inverse-
     df scheme with NO transcendental, so every product/sum is BIGINT-
     exact) and the final cosine divides two exactly-representable
@@ -7977,9 +7981,11 @@ def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
+    nd = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     wt = (
         tf.join(df_, "w")
-        .filter(F.col("df") <= 100)
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") * 5 <= F.col("n_docs"))
         .select(
             "doc_id", "w", (F.col("tf") * F.expr("1000000 div df")).alias("wq")
         )
