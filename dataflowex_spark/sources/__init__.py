@@ -655,3 +655,58 @@ def sync_changed_partitions(
         if prior is not None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
     return changed
+
+
+def publish_snapshot(
+    tables: dict, root: str, snapshot_id: int | None = None
+) -> str:
+    """Cross-TABLE atomic publish: write a consistent set of tables as
+    one versioned snapshot and flip a single ``_CURRENT`` pointer —
+    readers never observe table A from the new load next to table B
+    from the old one (the torn-read problem per-table atomic appends
+    cannot solve). The Iceberg/Delta snapshot idea with filesystem
+    primitives:
+
+    - each table writes under ``root/v{id}/{name}``;
+    - the pointer file flips with atomic ``os.replace`` only after
+      EVERY table landed — a crash mid-publish leaves the previous
+      snapshot fully served and the partial version inert on disk;
+    - monotone snapshot ids make retried publishes idempotent
+      (a lower-or-equal id is refused).
+
+    Returns the snapshot directory. Read with :func:`read_snapshot`."""
+    import os
+
+    r = root.rstrip("/")
+    os.makedirs(r, exist_ok=True)
+    pointer = os.path.join(r, "_CURRENT")
+    cur = -1
+    try:
+        with open(pointer) as f:
+            cur = int(f.read().strip().rsplit("v", 1)[1])
+    except (OSError, ValueError, IndexError):
+        pass
+    sid = snapshot_id if snapshot_id is not None else cur + 1
+    if sid <= cur:
+        raise ValueError(
+            f"publish_snapshot: id {sid} already published (current {cur})"
+        )
+    vdir = os.path.join(r, f"v{sid}")
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(os.path.join(vdir, name))
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(f"v{sid}")
+    os.replace(tmp, pointer)
+    return vdir
+
+
+def read_snapshot(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Read table ``name`` from the CURRENT committed snapshot (see
+    :func:`publish_snapshot`)."""
+    import os
+
+    r = root.rstrip("/")
+    with open(os.path.join(r, "_CURRENT")) as f:
+        v = f.read().strip()
+    return spark.read.parquet(os.path.join(r, v, name))

@@ -454,3 +454,37 @@ def test_bpe_roundtrip_reconstruction(spark, sf_dir):
     for word in ("table", "aggregation", "zzz-unseen"):
         toks = _encode_word(word, ranks)
         assert "".join(toks).replace("</w>", "") == word
+
+
+def test_publish_snapshot_cross_table_atomicity(spark, tmp_path):
+    """A consistent pair of tables publishes atomically; a simulated
+    crash mid-publish (one table written, pointer not flipped) leaves
+    readers on the old snapshot for BOTH tables; re-publish succeeds;
+    stale ids are refused."""
+    import os
+
+    import pytest as _pytest
+
+    from dataflowex_spark.sources import publish_snapshot, read_snapshot
+
+    root = str(tmp_path / "wh")
+    t1a = spark.createDataFrame([(1, "a")], "id long, v string")
+    t2a = spark.createDataFrame([(1, 10)], "id long, amt long")
+    publish_snapshot({"dim": t1a, "fact": t2a}, root)
+    assert read_snapshot(spark, root, "dim").collect()[0].v == "a"
+
+    # crash simulation: write v1's dim only, never flip the pointer
+    t1b = spark.createDataFrame([(1, "b")], "id long, v string")
+    t2b = spark.createDataFrame([(1, 20)], "id long, amt long")
+    t1b.write.parquet(os.path.join(root, "v1", "dim"))
+    # readers still see the v0 pair, consistently
+    assert read_snapshot(spark, root, "dim").collect()[0].v == "a"
+    assert read_snapshot(spark, root, "fact").collect()[0].amt == 10
+
+    # retried publish overwrites the partial version and commits
+    publish_snapshot({"dim": t1b, "fact": t2b}, root, snapshot_id=1)
+    assert read_snapshot(spark, root, "dim").collect()[0].v == "b"
+    assert read_snapshot(spark, root, "fact").collect()[0].amt == 20
+
+    with _pytest.raises(ValueError, match="already published"):
+        publish_snapshot({"dim": t1a}, root, snapshot_id=1)
