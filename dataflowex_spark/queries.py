@@ -8119,3 +8119,65 @@ def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("bpe_tokens").cast("long").alias("n_bpe"),
         F.size(F.split("text", r"\s+")).cast("long").alias("n_words"),
     ).orderBy("doc_id")
+
+
+@q(
+    "q214_vocab_drift",
+    """
+    WITH words AS (
+      SELECT doc_id % 2 AS half, u.w AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(t) AS u(w)
+    ), c AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM words GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb
+      FROM c
+    )
+    SELECT w, a, b,
+           CAST(floor(1000000.0 * (a * tb - b * ta) * (a * tb - b * ta)
+                / ((a + b) * ta * tb)) AS BIGINT) AS drift_q
+    FROM c CROSS JOIN tot
+    ORDER BY drift_q DESC, w
+    LIMIT 30
+    """,
+)
+def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two corpus batches (chi-square-style
+    per-term score) — the distribution-shift monitor a continuously-
+    crawled corpus runs between ingests: terms whose frequency moved
+    most between batch halves, scored with pure integer cross-
+    multiplications ((a·T_b − b·T_a)² over (a+b)·T_a·T_b, ppm-scaled;
+    the only floating step is the final scaled division, identical
+    IEEE on both engines). One term-count aggregate + a broadcast
+    totals scalar — no joins on the corpus, top-30 with term
+    tie-break. Batches here are the deterministic doc_id parity
+    halves; production plugs in crawl ids."""
+    cat = Catalog(spark, sf_dir)
+    words = cat["documents"].select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    c = words.groupBy("w").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("b"),
+    )
+    tot = c.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    d = F.col("a") * F.col("tb") - F.col("b") * F.col("ta")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            "a",
+            "b",
+            F.floor(
+                F.lit(1_000_000.0) * d * d
+                / ((F.col("a") + F.col("b")) * F.col("ta") * F.col("tb"))
+            ).cast("long").alias("drift_q"),
+        )
+        .orderBy(F.col("drift_q").desc(), "w")
+        .limit(30)
+    )
