@@ -22,6 +22,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     checkpoint_every: int = 3,
+    seed_nodes: list | None = None,
 ) -> DataFrame:
     """Weighted PageRank with a fixed iteration count (deterministic —
     no convergence test, so any engine replaying the same arithmetic
@@ -32,6 +33,12 @@ def pagerank(
     source). Teleport and damping are spelled as the same literal
     expression tree the oracle uses, keeping even the IEEE rounding
     identical. Returns (node, r).
+
+    ``seed_nodes`` switches to PERSONALIZED PageRank: the teleport
+    mass lands only on the seed set (uniformly), so ranks measure
+    proximity to the seeds instead of global centrality — the
+    recommendation / similar-items variant. The random walk is
+    identical; only the restart vector changes.
     """
     nodes = (
         edges.select(F.col(src_col).alias("node"))
@@ -39,7 +46,13 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()  # graph cardinality, not data volume
-    teleport = (F.lit(1.0) - F.lit(damping)) / F.lit(n)
+    if seed_nodes is None:
+        teleport = (F.lit(1.0) - F.lit(damping)) / F.lit(n)
+    else:
+        teleport = F.when(
+            F.col("node").isin(list(seed_nodes)),
+            (F.lit(1.0) - F.lit(damping)) / F.lit(len(seed_nodes)),
+        ).otherwise(F.lit(0.0))
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("r"))
     for i in range(iters):
         contrib = (

@@ -8181,3 +8181,84 @@ def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("drift_q").desc(), "w")
         .limit(30)
     )
+
+
+def _ppr_oracle_sql(iters: int, seeds: tuple[str, ...]) -> str:
+    """Personalized-PageRank oracle: same chained-CTE unrolling as
+    :func:`_pagerank_oracle_sql`, with the teleport mass restricted to
+    the seed set (CASE expression spelled exactly like the Spark
+    side's ``when(isin)``, so the IEEE arithmetic matches term for
+    term)."""
+    seed_list = ", ".join(f"'{s}'" for s in seeds)
+    head = """
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst
+      FROM events
+    ),
+    edges AS (
+      SELECT src, dst, CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src) AS p
+      FROM (SELECT src, dst, COUNT(*) AS n FROM seq
+            WHERE dst IS NOT NULL GROUP BY src, dst) t
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    cnt AS (SELECT COUNT(*) AS n FROM nodes),
+    pr0 AS (SELECT node, 1.0 / (SELECT n FROM cnt) AS r FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f""",
+    pr{i} AS (
+      SELECT n0.node,
+             (CASE WHEN n0.node IN ({seed_list})
+                   THEN (1.0 - 0.85) / {len(seeds)} ELSE 0.0 END)
+             + 0.85 * COALESCE((SELECT SUM(e.p * p.r) FROM edges e
+                                JOIN pr{i - 1} p ON p.node = e.src
+                                WHERE e.dst = n0.node), 0.0) AS r
+      FROM nodes n0)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\n    SELECT node, ROUND(r, 6) AS r FROM pr{iters}"
+        + "\n    ORDER BY node"
+    )
+
+
+@q("q215_personalized_pagerank", _ppr_oracle_sql(10, ("click", "purchase")))
+def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank on the event-transition graph, fully
+    oracled via the same chained-CTE loop unrolling as q131: teleport
+    mass restricted to the {click, purchase} seed set, so ranks
+    measure random-walk proximity to conversion events instead of
+    global centrality — the similar-items / recommendation variant.
+    Identical literal expression trees on both engines keep even the
+    IEEE rounding in lockstep across all 10 iterations."""
+    from dataflowex_spark.operators.graph import pagerank
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    seq = cat["events"].select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("dst"),
+    )
+    counts = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    edges = counts.select(
+        "src",
+        "dst",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("src"))
+        ).alias("p"),
+    )
+    ranks = pagerank(edges, seed_nodes=["click", "purchase"])
+    return ranks.select("node", F.round("r", 6).alias("r")).orderBy("node")

@@ -488,3 +488,19 @@ def test_publish_snapshot_cross_table_atomicity(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="already published"):
         publish_snapshot({"dim": t1a}, root, snapshot_id=1)
+
+
+def test_personalized_pagerank_proximity_decay(spark):
+    """On a directed ring with one seed, PPR mass decays with walk
+    distance from the seed (global PageRank would be uniform)."""
+    from dataflowex_spark.operators.graph import pagerank
+
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 6, 1.0) for i in range(6)], "src long, dst long, p double"
+    )
+    r = {x.node: x.r for x in pagerank(ring, seed_nodes=[0], iters=30).collect()}
+    # node 1 is one hop downstream of the seed, node 5 five hops
+    assert r[0] > r[1] > r[2] > r[3] > r[4] > r[5]
+    # global variant on the same ring is uniform by symmetry
+    g = {x.node: x.r for x in pagerank(ring, iters=30).collect()}
+    assert max(g.values()) - min(g.values()) < 1e-12
