@@ -375,3 +375,64 @@ def normalize_unicode(
     }
     norm = F.pandas_udf(_norm, "string")
     return df.withColumn(out_col, norm(F.col(text_col)))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold_inverse: int = 200,
+    slack: int = 4,
+) -> DataFrame:
+    """GUARANTEED heavy hitters: every value with frequency >
+    n/``threshold_inverse``, found with a two-pass Misra–Gries
+    sketch + exact verification — never a full-table GROUP BY over
+    all distinct values.
+
+    Pass 1 (mapInPandas, scan-local): each Arrow batch keeps an
+    MG(k·slack) counter summary — at most k·slack candidate values
+    per batch, O(k) memory. Pigeonhole: any GLOBAL heavy hitter is a
+    local heavy hitter in at least one batch, so the union of batch
+    candidates is a SUPERSET of the answer (the sketch can only
+    over-generate, never miss).
+    Pass 2: exact counts FOR CANDIDATES ONLY (broadcast semi-join —
+    the aggregate touches candidate rows, not the full distinct
+    domain) with the HAVING cutoff.
+
+    Output (value, cnt) is therefore EXACT — the sketch bounds the
+    candidate set, the verify pass restores exactness, which is why
+    the DuckDB oracle can be a plain GROUP BY … HAVING."""
+    import pandas
+
+    k = threshold_inverse * slack
+
+    def gen(batches):
+        for pdf in batches:
+            counters: dict[str, int] = {}
+            for v in pdf[col]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:  # decrement-all step of Misra–Gries
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+            yield pandas.DataFrame({col: list(counters.keys())})
+
+    candidates = (
+        df.select(col).mapInPandas(gen, schema=f"{col} string").distinct()
+    )
+    total = df.filter(F.col(col).isNotNull()).count()
+    cutoff = total // threshold_inverse
+    return (
+        df.join(F.broadcast(candidates), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > cutoff)
+    )

@@ -8262,3 +8262,40 @@ def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, seed_nodes=["click", "purchase"])
     return ranks.select("node", F.round("r", 6).alias("r")).orderBy("node")
+
+
+@q(
+    "q216_heavy_hitters",
+    """
+    WITH words AS (
+      SELECT u.w AS w
+      FROM (SELECT string_split(text, ' ') AS t FROM documents),
+           UNNEST(t) AS u(w)
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM words)
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM words CROSS JOIN tot
+    GROUP BY w, tot.n
+    HAVING COUNT(*) > tot.n // 200
+    ORDER BY cnt DESC, w
+    """,
+)
+def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guaranteed heavy hitters (tokens above 0.5% frequency) via the
+    two-pass Misra–Gries path (:func:`text.heavy_hitters`): per-batch
+    O(k)-memory counter summaries generate a candidate SUPERSET
+    (pigeonhole — the sketch can over-generate but never miss), then
+    exact counts for candidates only. The oracle is the plain
+    GROUP BY … HAVING — the whole point is that the sketch path must
+    reproduce it EXACTLY while never aggregating the full distinct
+    domain (at 100 TB: the domain is billions of tokens; candidates
+    are ≤ k·batches and the verify aggregate is candidate-row-
+    bounded)."""
+    from dataflowex_spark.operators.text import heavy_hitters
+
+    cat = Catalog(spark, sf_dir)
+    words = cat["documents"].select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    return heavy_hitters(words, "w", threshold_inverse=200).orderBy(
+        F.col("cnt").desc(), "w"
+    )

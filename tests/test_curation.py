@@ -504,3 +504,24 @@ def test_personalized_pagerank_proximity_decay(spark):
     # global variant on the same ring is uniform by symmetry
     g = {x.node: x.r for x in pagerank(ring, iters=30).collect()}
     assert max(g.values()) - min(g.values()) < 1e-12
+
+
+def test_heavy_hitters_exact_vs_plain_groupby(spark):
+    """The MG-candidates + verify path must equal the plain
+    GROUP BY HAVING on skewed synthetic data (the sketch may only
+    over-generate candidates, never miss)."""
+    from dataflowex_spark.operators.text import heavy_hitters
+
+    rows = (
+        [("hot",)] * 400
+        + [("warm",)] * 90
+        + [(f"cold{i}",) for i in range(510)]
+    )
+    df = spark.createDataFrame(rows, "w string").repartition(8)
+    got = {(r.w, r.cnt) for r in heavy_hitters(df, "w", 20).collect()}
+    total = len(rows)
+    from collections import Counter
+
+    counts = Counter(r[0] for r in rows)
+    want = {(w, c) for w, c in counts.items() if c > total // 20}
+    assert got == want and ("hot", 400) in got
