@@ -8299,3 +8299,52 @@ def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(words, "w", threshold_inverse=200).orderBy(
         F.col("cnt").desc(), "w"
     )
+
+
+@q("q217_leakage_free_split", None)  # rows-only: LSH clusters feed the split
+def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE train/test split: near-duplicate documents must
+    not straddle the split (a test doc whose near-copy sits in train
+    is evaluation contamination — the standard failure of naive
+    per-doc hash splits). Compose: MinHash-LSH pairs → connected
+    components → every doc keyed by its CLUSTER id → the deterministic
+    hash split runs on cluster_id, so an entire near-dup family lands
+    on one side. Returns per-split totals plus ``straddling_clusters``
+    which MUST be 0 — the invariant the pytest also pins. Everything
+    reuses existing operators (pairs/clusters/split); the extra cost
+    over a naive split is the dedup clustering the pipeline runs
+    anyway."""
+    from dataflowex_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_minhash_lsh,
+    )
+    from dataflowex_spark.operators.sampling import train_test_split
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"]
+    pairs = dedup_minhash_lsh(docs, jaccard_threshold=0.5)
+    clusters = dedup_clusters(pairs)  # (node, cluster_id) — only paired docs
+    keyed = (
+        docs.join(
+            clusters.select(
+                F.col("node").alias("doc_id"),
+                F.col("cluster_id").alias("cl"),
+            ),
+            "doc_id",
+            "left",
+        )
+        # singletons are their own cluster
+        .withColumn("cluster_id", F.coalesce("cl", "doc_id"))
+    )
+    split = train_test_split(keyed, "cluster_id", test_fraction=0.2)
+    per_split = split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    straddle = (
+        split.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").alias("straddling_clusters"))
+    )
+    return per_split.crossJoin(F.broadcast(straddle)).orderBy("split")

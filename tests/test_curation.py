@@ -525,3 +525,13 @@ def test_heavy_hitters_exact_vs_plain_groupby(spark):
     counts = Counter(r[0] for r in rows)
     want = {(w, c) for w, c in counts.items() if c > total // 20}
     assert got == want and ("hot", 400) in got
+
+
+def test_leakage_free_split_invariant(spark, sf_dir):
+    """Cluster-keyed split: zero near-dup families straddle the
+    train/test boundary, and the doc counts add up."""
+    fn, _ = REGISTRY["q217_leakage_free_split"]
+    rows = {r.split: r for r in fn(spark, sf_dir).collect()}
+    assert set(rows) == {"train", "test"}
+    assert all(r.straddling_clusters == 0 for r in rows.values())
+    assert rows["train"].n_docs + rows["test"].n_docs == 500
