@@ -45,6 +45,11 @@ def global_row_number(
             "__rn",
             F.row_number().over(Window.partitionBy("__pid").orderBy(*order_by)),
         )
+        # parted is referenced twice (rows + the offsets aggregate);
+        # without the checkpoint Catalyst re-inlines the whole
+        # upstream per reference, which COMPOUNDS when ntiles chain
+        # (q212's three-deep chain planned 256 scans / 564 exchanges)
+        .localCheckpoint(eager=False)
     )
     offsets = (
         parted.groupBy("__pid")
