@@ -8348,3 +8348,77 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("straddling_clusters"))
     )
     return per_split.crossJoin(F.broadcast(straddle)).orderBy("split")
+
+
+@q(
+    "q218_changepoint",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM orders GROUP BY d
+    ), pre AS (
+      SELECT d, v,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS k,
+             CAST(SUM(v) OVER (ORDER BY d) AS BIGINT) AS pk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(v) OVER () AS BIGINT) AS s
+      FROM daily
+    ), scored AS (
+      SELECT d, k,
+             CAST(n * pk - k * s AS DOUBLE) * CAST(n * pk - k * s AS DOUBLE)
+               / CAST(k * (n - k) AS DOUBLE) AS score
+      FROM pre WHERE k < n
+    )
+    SELECT d AS split_day, k AS split_idx, score
+    FROM scored
+    ORDER BY score DESC, split_idx
+    LIMIT 1
+    """,
+)
+def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint detection (binary segmentation, one split):
+    the day that best divides daily revenue into two mean regimes,
+    maximizing between-segment variance. The classic O(n²) scan
+    collapses to ONE prefix-sum pass: score(k) ∝ (n·P_k − k·S)² /
+    (k·(n−k)) — the mean-clearing multiply-through that keeps every
+    operand BIGINT-exact (n·P_k fits comfortably; the only floats are
+    the final square/divide, identical IEEE on both engines). The
+    ordered window runs on the calendar-sized daily rollup; argmax is
+    a TakeOrdered(1) with the index tie-break. Companion to q179's
+    online CUSUM — this is the retrospective segmentation a pipeline
+    runs to date a regime shift."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat["orders"]
+        .groupBy(F.date_trunc("DAY", "o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "v"
+            )
+        )
+    )
+    word = W.orderBy("d")
+    wall = W.partitionBy()
+    pre = daily.select(
+        "d",
+        F.row_number().over(word).cast("long").alias("k"),
+        F.sum("v").over(word.rowsBetween(W.unboundedPreceding, 0)).alias("pk"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("v").over(wall).alias("s"),
+    )
+    num = (F.col("n") * F.col("pk") - F.col("k") * F.col("s")).cast("double")
+    den = (F.col("k") * (F.col("n") - F.col("k"))).cast("double")
+    return (
+        pre.filter(F.col("k") < F.col("n"))
+        .select(
+            F.col("d").alias("split_day"),
+            F.col("k").alias("split_idx"),
+            (num * num / den).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "split_idx")
+        .limit(1)
+    )
