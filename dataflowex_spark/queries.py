@@ -8422,3 +8422,142 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "split_idx")
         .limit(1)
     )
+
+
+@q(
+    "q219_keyset_pagination",
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate
+    FROM lineitem
+    WHERE (l_shipdate, l_orderkey, l_linenumber) >
+          (TIMESTAMP '1997-06-01', 0, 0)
+    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    LIMIT 200
+    """,
+)
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination — how an API serves stable pages over
+    a 100 TB table: the cursor is the last row's full sort key and the
+    page is ``WHERE key > cursor ORDER BY key LIMIT n``. Unlike
+    OFFSET (which scans and discards every earlier row — O(rows·page)
+    across a pagination session, and unstable under concurrent
+    writes), the seek predicate PUSHES DOWN to the parquet scan
+    (row-group min/max skipping on shipdate) and TakeOrdered keeps
+    only the page. The sort key includes the unique (orderkey,
+    linenumber) tiebreak, so pages are deterministic and gap-free.
+    Spark has no row-value comparison, so the tuple predicate expands
+    to the standard lexicographic disjunction — semantically
+    identical, and the leading shipdate conjunct still reaches the
+    scan."""
+    cat = Catalog(spark, sf_dir)
+    cur_d, cur_o, cur_l = "1997-06-01", 0, 0
+    d, o, ln = F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")
+    seek = (
+        (d > cur_d)
+        | ((d == cur_d) & (o > cur_o))
+        | ((d == cur_d) & (o == cur_o) & (ln > cur_l))
+    )
+    return (
+        cat["lineitem"]
+        .filter(seek)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .limit(200)
+    )
+
+
+@q(
+    "q220_funnel_trend",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             LEAD(event_type) OVER w AS e2,
+             LEAD(ts)  OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS e3,
+             LEAD(ts, 2)  OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), funnels AS (
+      SELECT date_trunc('week', ts) AS wk,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS s1,
+             CASE WHEN event_type = 'view' AND e2 = 'click'
+                       AND t2 <= ts + INTERVAL 24 HOUR THEN 1 ELSE 0 END
+               AS s2,
+             CASE WHEN event_type = 'view' AND e2 = 'click'
+                       AND t2 <= ts + INTERVAL 24 HOUR
+                       AND e3 = 'purchase'
+                       AND t3 <= ts + INTERVAL 24 HOUR THEN 1 ELSE 0 END
+               AS s3
+      FROM seq
+    )
+    SELECT wk, CAST(SUM(s1) AS BIGINT) AS views,
+           CAST(SUM(s2) AS BIGINT) AS view_click,
+           CAST(SUM(s3) AS BIGINT) AS view_click_buy,
+           CAST(CASE WHEN SUM(s1) > 0
+                     THEN floor(1000000 * SUM(s3) / SUM(s1)) ELSE 0 END
+                AS BIGINT) AS conv_q
+    FROM funnels
+    GROUP BY wk
+    HAVING SUM(s1) > 0
+    ORDER BY wk
+    """,
+)
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly funnel-conversion TREND: the strict consecutive
+    view→click→purchase funnel (q181's LEAD×2 scan-predicate shape)
+    rolled up by week with a ppm-quantized conversion rate — the
+    product-analytics time series that tells you WHEN conversion
+    moved, not just that it did (pair with q218's changepoint to date
+    the shift). One user-keyed window pass + one weekly hash agg;
+    integer cross-multiplied rate guard for empty weeks."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = cat["events"].select(
+        "ts",
+        "event_type",
+        F.lead("event_type").over(w).alias("e2"),
+        F.lead("ts").over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.lead("ts", 2).over(w).alias("t3"),
+    )
+    day = F.expr("INTERVAL 24 HOURS")
+    s1 = (F.col("event_type") == "view").cast("int")
+    s2 = (
+        (F.col("event_type") == "view")
+        & (F.col("e2") == "click")
+        & (F.col("t2") <= F.col("ts") + day)
+    ).cast("int")
+    s3 = (
+        (F.col("event_type") == "view")
+        & (F.col("e2") == "click")
+        & (F.col("t2") <= F.col("ts") + day)
+        & (F.col("e3") == "purchase")
+        & (F.col("t3") <= F.col("ts") + day)
+    ).cast("int")
+    return (
+        seq.select(
+            F.date_trunc("WEEK", "ts").cast("timestamp_ntz").alias("wk"),
+            s1.alias("s1"),
+            s2.alias("s2"),
+            s3.alias("s3"),
+        )
+        .groupBy("wk")
+        .agg(
+            F.sum("s1").alias("views"),
+            F.sum("s2").alias("view_click"),
+            F.sum("s3").alias("view_click_buy"),
+        )
+        .filter(F.col("views") > 0)
+        .select(
+            "wk",
+            "views",
+            "view_click",
+            "view_click_buy",
+            F.floor(
+                F.lit(1_000_000) * F.col("view_click_buy") / F.col("views")
+            ).cast("long").alias("conv_q"),
+        )
+        .orderBy("wk")
+    )
