@@ -8561,3 +8561,137 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wk")
     )
+
+
+@q(
+    "q221_wilson_ctr",
+    """
+    WITH wk AS (
+      SELECT date_trunc('week', ts) AS wk,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN event_type IN ('click', 'view')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n
+      FROM events GROUP BY wk
+    )
+    SELECT wk, pos, n,
+           CAST(floor(1000000 * (
+             (CAST(pos AS DOUBLE) / n + 1.9208 / n
+              - 1.96 / n * sqrt(CAST(pos AS DOUBLE) * (n - pos) / n
+                                + 0.9604))
+             / (1.0 + 3.8416 / n)
+           )) AS BIGINT) AS wilson_lo_q
+    FROM wk WHERE n > 0
+    ORDER BY wk
+    """,
+)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score lower bound for weekly click-through rate — THE
+    way to rank proportions with unequal sample sizes (a 5/5 week must
+    not outrank a 480/1000 week; the raw ratio says it does, the
+    Wilson bound does not). z = 1.96 constants are pre-squared
+    literals (1.9208 = z²/2, 3.8416 = z², 0.9604 = z²/4) spelled
+    identically on both engines; every intermediate is an IEEE op on
+    exactly-representable integers, then one ppm floor. One weekly
+    hash agg — scan-shaped."""
+    cat = Catalog(spark, sf_dir)
+    wk = (
+        cat["events"]
+        .groupBy(F.date_trunc("WEEK", "ts").cast("timestamp_ntz").alias("wk"))
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias("pos"),
+            F.sum(
+                F.col("event_type").isin("click", "view").cast("long")
+            ).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    p = F.col("pos").cast("double") / F.col("n")
+    lo = (
+        p
+        + F.lit(1.9208) / F.col("n")
+        - F.lit(1.96)
+        / F.col("n")
+        * F.sqrt(
+            F.col("pos").cast("double")
+            * (F.col("n") - F.col("pos"))
+            / F.col("n")
+            + F.lit(0.9604)
+        )
+    ) / (F.lit(1.0) + F.lit(3.8416) / F.col("n"))
+    return wk.select(
+        "wk",
+        "pos",
+        "n",
+        F.floor(F.lit(1_000_000) * lo).cast("long").alias("wilson_lo_q"),
+    ).orderBy("wk")
+
+
+@q(
+    "q222_gini_concentration",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT x,
+             CAST(ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS BIGINT) AS k,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(x) OVER () AS BIGINT) AS s
+      FROM rev
+    )
+    SELECT CAST(floor(1000000 * (
+             2.0 * CAST(SUM(CAST(k * x AS DECIMAL(38,0))) AS DOUBLE)
+               / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(s) AS DOUBLE))
+             - (MAX(n) + 1.0) / MAX(n))) AS BIGINT) AS gini_q,
+           CAST(MAX(n) AS BIGINT) AS n_customers
+    FROM ranked
+    """,
+)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality metric for "how top-heavy is this dimension" (revenue
+    per customer here; token mass per source in a corpus-balance
+    audit). Uses the rank formula G = 2·Σk·x_k / (n·Σx) − (n+1)/n on
+    the SORTED values: ranks come from one ordered window over the
+    customer-sized rollup (never the fact table), the k·x products
+    sum in DECIMAL(38,0) exactly (they overflow BIGINT around sf100),
+    and the two divisions are IEEE on exact operands, ppm-floored.
+    Complements q177's Pareto-coverage prefix view with a single
+    scalar."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "x"
+            )
+        )
+    )
+    word = W.orderBy("x", "o_custkey")
+    wall = W.partitionBy()
+    ranked = rev.select(
+        "x",
+        F.row_number().over(word).cast("long").alias("k"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("x").over(wall).alias("s"),
+    )
+    return ranked.agg(
+        F.floor(
+            F.lit(1_000_000)
+            * (
+                F.lit(2.0)
+                * F.sum((F.col("k") * F.col("x")).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / (F.max("n").cast("double") * F.max("s").cast("double"))
+                - (F.max("n") + F.lit(1.0)) / F.max("n")
+            )
+        ).cast("long").alias("gini_q"),
+        F.max("n").alias("n_customers"),
+    )
