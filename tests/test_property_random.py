@@ -239,3 +239,92 @@ def test_randomized_etl_properties(spark):
     check_scd2_matches_python._spark = spark
     check_pack_sequences_matches_python()
     check_scd2_matches_python()
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=10, max_size=40
+        ).map(lambda cs: " ".join(cs)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def check_segment_dedup_conservation(texts):
+    """Property: segment dedup (a) reassembles every document from a
+    subset of its own segments in order, and (b) kept + removed
+    segment counts add to the original segment count."""
+    spark = check_segment_dedup_conservation._spark
+    import math
+
+    from dataflowex_spark.operators.dedup import dedup_segments
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_segments(df, seg_tokens=5).collect()}
+    for i, t in rows:
+        toks = t.split(" ")
+        segs = [
+            " ".join(toks[j : j + 5]) for j in range(0, len(toks), 5)
+        ]
+        r = got[i]
+        kept = r.kept_text.split(" ") if r.kept_text else []
+        # (a) kept_text is a concatenation of a subsequence of segments
+        kept_segs = [
+            " ".join(kept[j : j + 5]) for j in range(0, len(kept), 5)
+        ]
+        assert all(s in segs for s in kept_segs)
+        # (b) conservation
+        n_kept = math.ceil(len(kept) / 5) if kept else 0
+        assert n_kept + r.removed_segments == len(segs)
+
+
+def test_segment_dedup_property(spark):
+    check_segment_dedup_conservation._spark = spark
+    check_segment_dedup_conservation()
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=2, max_size=40),
+    st.lists(st.integers(0, 30), min_size=2, max_size=40),
+    st.integers(2, 4),
+)
+def check_incremental_join_equals_full(akeys, bkeys, nbatches):
+    """Property: folding incremental_join_delta over arbitrary batch
+    splits reproduces the full join exactly (multiset semantics)."""
+    spark = check_incremental_join_equals_full._spark
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.operators.etl import incremental_join_delta
+
+    a = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(akeys)], "k long, av long"
+    )
+    b = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(bkeys)], "k long, bv long"
+    )
+    a_old = b_old = None
+    parts = []
+    for i in range(nbatches):
+        da = a.filter((F.col("av") % nbatches) == i)
+        db = b.filter((F.col("bv") % nbatches) == i)
+        d = incremental_join_delta(a_old, b_old, da, db, on="k")
+        if d is not None:
+            parts.append(d)
+        a_old = da if a_old is None else a_old.unionByName(da)
+        b_old = db if b_old is None else b_old.unionByName(db)
+    inc = parts[0]
+    for p in parts[1:]:
+        inc = inc.unionByName(p)
+    got = Counter((r.k, r.av, r.bv) for r in inc.collect())
+    want = Counter((r.k, r.av, r.bv) for r in a.join(b, "k").collect())
+    assert got == want
+
+
+def test_incremental_join_property(spark):
+    check_incremental_join_equals_full._spark = spark
+    check_incremental_join_equals_full()
