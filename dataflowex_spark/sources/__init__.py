@@ -710,3 +710,43 @@ def read_snapshot(spark: SparkSession, root: str, name: str) -> DataFrame:
     with open(os.path.join(r, "_CURRENT")) as f:
         v = f.read().strip()
     return spark.read.parquet(os.path.join(r, v, name))
+
+
+def read_csv_audited(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+    **options,
+):
+    """Ingestion with a QUARANTINE LANE: parse CSV in PERMISSIVE mode
+    with an explicit corrupt-record column, returning (good, bad) —
+    good rows with the contract schema, bad rows as (raw_line) for the
+    dead-letter store. The reference's left-over/dead-letter routing
+    (SURVEY §2 A5) applied at the SOURCE boundary, where most real
+    pipelines actually need it: a single malformed line must neither
+    kill a 100 TB load (FAILFAST) nor vanish silently (DROPMALFORMED).
+
+    The split is one cached pass: rows where the corrupt column is
+    set go to ``bad``; the rest project the contract columns. Spark
+    requires the corrupt column declared in the schema — appended
+    here so callers pass only the business schema."""
+    full_schema = f"{schema}, {corrupt_col} string"
+    df = (
+        spark.read.options(
+            **{
+                "header": "true",
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": corrupt_col,
+                **options,
+            }
+        )
+        .schema(full_schema)
+        .csv(path)
+        .cache()
+    )
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    return good, bad

@@ -535,3 +535,27 @@ def test_leakage_free_split_invariant(spark, sf_dir):
     assert set(rows) == {"train", "test"}
     assert all(r.straddling_clusters == 0 for r in rows.values())
     assert rows["train"].n_docs + rows["test"].n_docs == 500
+
+
+def test_read_csv_audited_quarantine(spark, tmp_path):
+    """Malformed CSV lines land in the dead-letter frame with their
+    raw text; good rows parse under the contract schema — neither
+    load failure nor silent loss."""
+    from dataflowex_spark.sources import read_csv_audited
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,name,amount\n"
+        "1,alice,10.5\n"
+        "not-a-number,bob,oops,extra\n"
+        "2,carol,20.0\n"
+        "3,dave,bad-amount\n"
+    )
+    good, bad = read_csv_audited(
+        spark, str(p), "id long, name string, amount double"
+    )
+    g = sorted((r.id, r.name, r.amount) for r in good.collect())
+    assert g == [(1, "alice", 10.5), (2, "carol", 20.0)]
+    b = sorted(r.raw_line for r in bad.collect())
+    assert len(b) == 2
+    assert any("oops" in x for x in b) and any("bad-amount" in x for x in b)
