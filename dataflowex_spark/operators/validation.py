@@ -136,3 +136,40 @@ def sigma_outliers(
             ).otherwise(0)
         ).alias("n_outliers"),
     )
+
+
+class DataQualityError(RuntimeError):
+    """Raised by :func:`enforce` — carries the per-rule violation
+    counts so orchestrators can alert with specifics."""
+
+    def __init__(self, violations: dict):
+        self.violations = violations
+        detail = ", ".join(f"{k}={v}" for k, v in violations.items())
+        super().__init__(f"data-quality gate failed: {detail}")
+
+
+def enforce(df, rules: dict, sample: int = 5):
+    """HARD data-quality gate: evaluate boolean rule columns and RAISE
+    ``DataQualityError`` (with per-rule counts) if any row violates
+    any rule — the fail-the-pipeline complement to the reporting-only
+    rule audit (q125's `validation_rules` tells you what's wrong;
+    this stops a bad batch from publishing).
+
+    ``rules`` maps rule name → Column predicate that must hold for
+    every row. One aggregated pass counts all violations (no
+    per-rule scans); returns ``df`` unchanged when clean, so it
+    composes mid-pipeline: ``publish(enforce(batch, RULES))``."""
+    from pyspark.sql import functions as F
+
+    counts = df.agg(
+        *[
+            F.sum((~pred).cast("long")).alias(name)
+            for name, pred in rules.items()
+        ]
+    ).collect()[0]
+    violations = {
+        name: counts[name] for name in rules if (counts[name] or 0) > 0
+    }
+    if violations:
+        raise DataQualityError(violations)
+    return df

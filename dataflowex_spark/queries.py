@@ -8695,3 +8695,59 @@ def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("gini_q"),
         F.max("n").alias("n_customers"),
     )
+
+
+@q(
+    "q223_orphan_repair",
+    """
+    WITH tagged AS (
+      SELECT l.l_orderkey, l.l_partkey,
+             CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS cents,
+             o.o_orderkey IS NULL AS orphan
+      FROM (SELECT *, CASE WHEN l_orderkey % 11 = 0 THEN l_orderkey + 500000000
+                           ELSE l_orderkey END AS join_key
+            FROM lineitem) l
+      LEFT JOIN orders o ON o.o_orderkey = l.join_key
+    )
+    SELECT orphan, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM tagged
+    GROUP BY orphan
+    ORDER BY orphan
+    """,
+)
+def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity REPAIR (the action to q172's audit):
+    facts that fail the dimension join route to a quarantine lane
+    instead of silently dropping (inner join) or nulling (left join
+    passthrough) — publish the clean side, alert on the quarantined
+    mass. A deterministic 1-in-11 slice of orderkeys is corrupted to
+    simulate orphans; output is the two-lane accounting (row counts +
+    money) the pipeline owner reconciles against the source. One
+    LEFT join against the keyed dim; the orphan flag is just the
+    null-probe — no second scan, both lanes come from the same
+    cached pass in production."""
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].withColumn(
+        "join_key",
+        F.when(
+            F.col("l_orderkey") % 11 == 0,
+            F.col("l_orderkey") + 500_000_000,
+        ).otherwise(F.col("l_orderkey")),
+    )
+    tagged = li.join(
+        cat["orders"].select("o_orderkey"),
+        F.col("join_key") == F.col("o_orderkey"),
+        "left",
+    ).select(
+        F.col("o_orderkey").isNull().alias("orphan"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        tagged.groupBy("orphan")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("orphan")
+    )

@@ -559,3 +559,27 @@ def test_read_csv_audited_quarantine(spark, tmp_path):
     b = sorted(r.raw_line for r in bad.collect())
     assert len(b) == 2
     assert any("oops" in x for x in b) and any("bad-amount" in x for x in b)
+
+
+def test_enforce_gate_raises_with_counts(spark):
+    from dataflowex_spark.operators.validation import (
+        DataQualityError,
+        enforce,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None)], "id long, amt double"
+    )
+    rules = {
+        "amt_nonneg": F.coalesce(F.col("amt") >= 0, F.lit(False)),
+        "amt_present": F.col("amt").isNotNull(),
+        "id_positive": F.col("id") > 0,
+    }
+    with _pytest.raises(DataQualityError) as e:
+        enforce(df, rules)
+    assert e.value.violations == {"amt_nonneg": 2, "amt_present": 1}
+
+    clean = spark.createDataFrame([(1, 1.0)], "id long, amt double")
+    # clean data passes THROUGH unchanged
+    assert enforce(clean, rules).collect() == clean.collect()
