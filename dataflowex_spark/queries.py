@@ -8751,3 +8751,105 @@ def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("orphan")
     )
+
+
+@q(
+    "q224_holt_forecast",
+    """
+    WITH RECURSIVE weekly AS (
+      SELECT date_trunc('week', o_orderdate) AS wk,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY wk
+    ), numbered AS (
+      SELECT wk, x, ROW_NUMBER() OVER (ORDER BY wk) AS rn FROM weekly
+    ), holt AS (
+      SELECT wk, x, rn, CAST(x AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.wk, n.x, n.rn,
+             CAST(floor((n.x + 3 * (h.l + h.b)) / 4.0) AS BIGINT),
+             CAST(floor(((CAST(floor((n.x + 3 * (h.l + h.b)) / 4.0)
+                               AS BIGINT) - h.l)
+                         + 7 * h.b) / 8.0) AS BIGINT)
+      FROM numbered n JOIN holt h ON n.rn = h.rn + 1
+    )
+    SELECT wk, x, l AS level_q, b AS trend_q, l + b AS forecast_next_q
+    FROM holt ORDER BY wk
+    """,
+)
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of weekly revenue (α=¼,
+    β=⅛): the TWO-state sequential recurrence — level AND trend
+    update each step, and the one-step-ahead forecast is l+b. Shows
+    the ordered-fold pattern (q176's EMA) generalizes to vector
+    state: the fold accumulator carries (history, l, b) structs
+    through one `array_sort(collect_list)` → `F.aggregate` pass over
+    the CALENDAR-SIZED weekly series. Arithmetic is floor-exact
+    integers (mathematical floor on BOTH engines — `div`-style
+    truncation is unusable inside HOF lambdas, and trend goes
+    negative where the two differ); the oracle replays the identical
+    recurrence as a recursive CTE."""
+    cat = Catalog(spark, sf_dir)
+    weekly = (
+        cat["orders"]
+        .groupBy(
+            F.date_trunc("WEEK", "o_orderdate").cast("timestamp_ntz").alias(
+                "wk"
+            )
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "x"
+            )
+        )
+    )
+    series = weekly.agg(
+        F.array_sort(F.collect_list(F.struct("wk", "x"))).alias("s")
+    )
+    row_t = "struct<wk: timestamp_ntz, x: bigint, l: bigint, b: bigint>"
+    acc_t = f"struct<arr: array<{row_t}>, l: bigint, b: bigint>"
+
+    def step(acc, x):
+        first = acc["l"].isNull()
+        l_new = F.when(first, x["x"]).otherwise(
+            F.floor((x["x"] + 3 * (acc["l"] + acc["b"])) / 4.0).cast("long")
+        )
+        b_new = F.when(first, F.lit(0).cast("long")).otherwise(
+            F.floor(((l_new - acc["l"]) + 7 * acc["b"]) / 8.0).cast("long")
+        )
+        return F.struct(
+            F.concat(
+                acc["arr"],
+                F.array(
+                    F.struct(
+                        x["wk"].alias("wk"),
+                        x["x"].alias("x"),
+                        l_new.alias("l"),
+                        b_new.alias("b"),
+                    )
+                ),
+            ).alias("arr"),
+            l_new.alias("l"),
+            b_new.alias("b"),
+        )
+
+    folded = series.select(
+        F.aggregate(
+            "s",
+            F.struct(
+                F.array().cast(f"array<{row_t}>").alias("arr"),
+                F.lit(None).cast("long").alias("l"),
+                F.lit(None).cast("long").alias("b"),
+            ).cast(acc_t),
+            step,
+            lambda acc: acc["arr"],
+        ).alias("arr")
+    )
+    return folded.select(F.explode("arr").alias("r")).select(
+        F.col("r.wk").alias("wk"),
+        F.col("r.x").alias("x"),
+        F.col("r.l").alias("level_q"),
+        F.col("r.b").alias("trend_q"),
+        (F.col("r.l") + F.col("r.b")).alias("forecast_next_q"),
+    ).orderBy("wk")
