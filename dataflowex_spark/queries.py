@@ -8853,3 +8853,140 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.b").alias("trend_q"),
         (F.col("r.l") + F.col("r.b")).alias("forecast_next_q"),
     ).orderBy("wk")
+
+
+@q(
+    "q225_wow_growth",
+    """
+    WITH weekly AS (
+      SELECT date_trunc('week', o_orderdate) AS wk,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY wk
+    )
+    SELECT wk, rev,
+           LAG(rev) OVER (ORDER BY wk) AS prev_rev,
+           CAST(CASE WHEN LAG(rev) OVER (ORDER BY wk) > 0
+                     THEN floor(1000000 * (rev - LAG(rev) OVER (ORDER BY wk))
+                                / LAG(rev) OVER (ORDER BY wk))
+                END AS BIGINT) AS wow_q
+    FROM weekly
+    ORDER BY wk
+    """,
+)
+def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth — the reporting staple: LAG over the
+    calendar-sized weekly rollup, ppm-quantized relative change with
+    a NULL guard for the first week (and any zero-revenue week). The
+    window is single-partition BY DESIGN and safe for the same reason
+    as q176/q195/q224: its input is one row per calendar week no
+    matter how large the fact table."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    weekly = (
+        cat["orders"]
+        .groupBy(
+            F.date_trunc("WEEK", "o_orderdate").cast("timestamp_ntz").alias(
+                "wk"
+            )
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev"
+            )
+        )
+    )
+    w = W.orderBy("wk")
+    prev = F.lag("rev").over(w)
+    return weekly.select(
+        "wk",
+        "rev",
+        prev.alias("prev_rev"),
+        F.when(
+            prev > 0,
+            F.floor(F.lit(1_000_000) * (F.col("rev") - prev) / prev),
+        ).cast("long").alias("wow_q"),
+    ).orderBy("wk")
+
+
+@q(
+    "q226_dedup_explain",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '__WS__'), x -> x <> '')
+               AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS g
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, len(g) AS ng FROM grams),
+    ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gram,
+             COUNT(*) OVER (PARTITION BY a.doc_id, b.doc_id) AS n_inter
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, gram
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.ng + sb.ng - n_inter) >= 0.5
+    ORDER BY id_a, id_b, gram
+    """,
+)
+def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup decision EXPLANATION — the reviewer workflow behind every
+    automated near-dup removal: for each pair above the (high, 0.5)
+    Jaccard threshold, emit the actual shared 3-word shingles that
+    drove the decision, one row per shared gram. Same inverted-index
+    equi-join as the q86 detector (candidates only through the gram
+    join, never all-pairs); the per-pair intersection count rides the
+    same shuffle as a window count, so explanation costs one pass
+    more than detection — not a re-scan."""
+    from dataflowex_spark.functions.text import WS_REGEX
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.col("text"), WS_REGEX), lambda x: x != F.lit("")
+    )
+    n = F.size(toks)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        )
+    )
+    g = cat["documents"].select("doc_id", grams.alias("g"))
+    sizes = g.select("doc_id", F.size("g").alias("ng"))
+    ex = g.select("doc_id", F.explode("g").alias("gram"))
+    a = ex.select(F.col("doc_id").alias("id_a"), "gram")
+    b = ex.select(F.col("doc_id").alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "n_inter",
+            F.count("*").over(W.partitionBy("id_a", "id_b")),
+        )
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("ng").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("ng").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            >= 0.5
+        )
+        .select("id_a", "id_b", "gram")
+        .orderBy("id_a", "id_b", "gram")
+    )
