@@ -21,13 +21,18 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_r",
     tie_break: str | None = None,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single right row with the
     largest ``right_ts`` ≤ ``left_ts`` (direction='backward'; 'forward'
     = smallest ≥), matching on equi-keys ``on``. Left rows with no
     match are preserved (left-join semantics). ``tie_break`` makes the
     pick among equal-timestamp right rows deterministic (max for
-    backward, min for forward).
+    backward, min for forward). ``tolerance`` (an interval literal,
+    e.g. ``"1 HOUR"``) bounds staleness: a match farther than the
+    tolerance from the left timestamp becomes NO match (nulled
+    payload) — pandas ``merge_asof(tolerance=)`` semantics, the guard
+    that stops a quote from three days ago pricing today's trade.
 
     Implementation — the union-interleave idiom, NOT a pair join:
     tag right rows 0 and left rows 1, union them into one frame, and
@@ -102,6 +107,14 @@ def asof_join(
         unioned.withColumn("__m", F.last("__rrow", ignorenulls=True).over(w))
         .filter(F.col("__tag") == 1)
     )
+    if tolerance is not None:
+        tol = F.expr(f"INTERVAL {tolerance}")
+        m_ts = F.col("__m").getField(right_ts + suffix)
+        if direction == "backward":
+            fresh = m_ts.isNotNull() & (F.col("__ts") <= m_ts + tol)
+        else:
+            fresh = m_ts.isNotNull() & (m_ts <= F.col("__ts") + tol)
+        matched = matched.withColumn("__m", F.when(fresh, F.col("__m")))
     return matched.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in lcols],
         *[F.col(f"__m.{c}{suffix}").alias(c + suffix) for c in rpay],

@@ -8990,3 +8990,51 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "gram")
         .orderBy("id_a", "id_b", "gram")
     )
+
+
+@q(
+    "q227_asof_tolerance",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT MAX(c.ts) FROM c
+            WHERE c.user_id = p.user_id AND c.ts <= p.ts
+              AND c.ts >= p.ts - INTERVAL 1 HOUR) AS click_ts
+    FROM p ORDER BY p.event_id
+    """,
+)
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND (tolerance="1 HOUR"): each
+    purchase picks the latest preceding click only if it is at most an
+    hour old — pandas ``merge_asof(tolerance=)`` semantics, the guard
+    that stops ancient context from attaching to fresh facts. The
+    implementation stays the single-shuffle union-interleave plan
+    (q25); tolerance is one post-window predicate that nulls stale
+    matches — no extra join, no extra pass. The oracle is the
+    correlated-MAX subquery with the added inequality."""
+    from dataflowex_spark.operators.joins import asof_join
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        direction="backward",
+        tolerance="1 HOUR",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("ts_r").alias("click_ts")
+    ).orderBy("event_id")
