@@ -9038,3 +9038,146 @@ def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", F.col("ts_r").alias("click_ts")
     ).orderBy("event_id")
+
+
+@q(
+    "q228_blocking_join_2d",
+    """
+    WITH s AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(epoch(l_shipdate) // 86400 AS BIGINT) AS day,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem WHERE l_orderkey % 50 = 0
+    ), binned AS (
+      SELECT *, day // 3 AS db, qty // 2 AS qb FROM s
+    ), cand AS (
+      SELECT DISTINCT a.l_orderkey AS oa, a.l_linenumber AS la,
+             b.l_orderkey AS ob, b.l_linenumber AS lb,
+             abs(a.day - b.day) AS dd, abs(a.qty - b.qty) AS dq
+      FROM binned a
+      JOIN binned b
+        ON a.db BETWEEN b.db - 1 AND b.db + 1
+       AND a.qb BETWEEN b.qb - 1 AND b.qb + 1
+       AND (a.l_orderkey, a.l_linenumber) < (b.l_orderkey, b.l_linenumber)
+    )
+    SELECT oa, la, ob, lb, dd, dq
+    FROM cand WHERE dd <= 3 AND dq <= 2
+    ORDER BY oa, la, ob, lb
+    """,
+)
+def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-dimensional neighborhood join (record-linkage blocking on
+    two attributes at once): lineitem pairs shipped within 3 days AND
+    within 2 quantity units. The Spark plan explodes each row into its
+    3×3 neighbor-cell keys on ONE side and equi-joins on the composite
+    cell id — candidates only materialize inside the hash join (the
+    2-D generalization of q100's binned range join; bin = tolerance
+    so one neighbor ring suffices), then the exact predicate verifies.
+    The oracle spells the same neighborhood as BETWEEN conditions —
+    declaratively identical, and fine for DuckDB's optimizer at
+    oracle scale."""
+    cat = Catalog(spark, sf_dir)
+    s = (
+        cat["lineitem"]
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor(
+                F.unix_timestamp(F.col("l_shipdate").cast("timestamp"))
+                / 86400
+            ).cast("long").alias("day"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .withColumn("db", F.floor(F.col("day") / 3).cast("long"))
+        .withColumn("qb", F.floor(F.col("qty") / 2).cast("long"))
+    )
+    offs = F.expr(
+        "explode(flatten(transform(sequence(-1,1), i ->"
+        " transform(sequence(-1,1), j -> struct(i as di, j as dj)))))"
+    )
+    a = s.select(
+        F.col("l_orderkey").alias("oa"),
+        F.col("l_linenumber").alias("la"),
+        F.col("day").alias("da"),
+        F.col("qty").alias("qa"),
+        "db",
+        "qb",
+        offs.alias("o"),
+    ).select(
+        "oa",
+        "la",
+        "da",
+        "qa",
+        (F.col("db") + F.col("o.di")).alias("cb"),
+        (F.col("qb") + F.col("o.dj")).alias("cq"),
+    )
+    b = s.select(
+        F.col("l_orderkey").alias("ob"),
+        F.col("l_linenumber").alias("lb"),
+        F.col("day").alias("dbb"),
+        F.col("qty").alias("qbb"),
+        F.col("db").alias("cb"),
+        F.col("qb").alias("cq"),
+    )
+    pair_lt = (F.col("oa") < F.col("ob")) | (
+        (F.col("oa") == F.col("ob")) & (F.col("la") < F.col("lb"))
+    )
+    return (
+        a.join(b, ["cb", "cq"])
+        .filter(pair_lt)
+        .select(
+            "oa",
+            "la",
+            "ob",
+            "lb",
+            F.abs(F.col("da") - F.col("dbb")).alias("dd"),
+            F.abs(F.col("qa") - F.col("qbb")).alias("dq"),
+        )
+        .filter((F.col("dd") <= 3) & (F.col("dq") <= 2))
+        .distinct()
+        .orderBy("oa", "la", "ob", "lb")
+    )
+
+
+@q(
+    "q229_topk_with_ties",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag AS flag, l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS qty,
+             RANK() OVER (PARTITION BY l_returnflag
+                          ORDER BY CAST(l_quantity AS BIGINT) DESC) AS rk
+      FROM lineitem
+    )
+    SELECT flag, l_orderkey, l_linenumber, qty, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY flag, rk, l_orderkey, l_linenumber
+    """,
+)
+def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group WITH TIES (``FETCH FIRST k ROWS WITH TIES``
+    semantics): RANK ≤ k keeps every row tying the k-th value — the
+    correct answer when the metric has duplicates (row_number-based
+    top-k silently drops tied peers, which is why this is a distinct
+    surface from `top_k_per_group`). Output size is data-dependent
+    (here: many lines tie at the max quantity); deterministic
+    ordering via the unique (orderkey, linenumber) tail."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").cast("long").desc()
+    )
+    return (
+        cat["lineitem"]
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("flag", "rk", "l_orderkey", "l_linenumber")
+    )
