@@ -9181,3 +9181,155 @@ def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("flag", "rk", "l_orderkey", "l_linenumber")
     )
+
+
+@q(
+    "q230_dwell_distribution",
+    """
+    WITH dwell AS (
+      SELECT event_type,
+             CAST(epoch_ms(LEAD(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id))
+                  - epoch_ms(ts) AS BIGINT) AS gap_ms
+      FROM events
+    ), capped AS (
+      SELECT event_type, gap_ms FROM dwell
+      WHERE gap_ms IS NOT NULL AND gap_ms <= 1800000
+    ), ranked AS (
+      SELECT event_type, gap_ms,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY gap_ms) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM capped
+    )
+    SELECT event_type,
+           CAST(MIN(CASE WHEN rn * 2 >= n THEN gap_ms END) AS BIGINT) AS p50_ms,
+           CAST(MIN(CASE WHEN rn * 20 >= n * 19 THEN gap_ms END) AS BIGINT)
+             AS p95_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time distribution per event type: the gap to the user's
+    next event (LEAD within user timeline), capped at the 30-minute
+    session bound, summarized as DISCRETE p50/p95 via the rank
+    crossing rule (rn·2 ≥ n — integer cross-multiplication, the same
+    pinned percentile definition as q37/q153, since native median
+    interpolation is engine-dependent). Gaps are exact integer
+    MILLISECONDS (unix_millis ↔ epoch_ms): whole-second truncation
+    disagrees cross-engine on sub-second timestamps (DuckDB's epoch()
+    is fractional and CAST rounds where Spark truncates). One user-keyed window + one
+    event-type-keyed window over the capped gaps; the event types are
+    few so the percentile window is small-partition by construction."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    uw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dwell = cat["events"].select(
+        "event_type",
+        (
+            F.unix_millis(F.lead("ts").over(uw).cast("timestamp"))
+            - F.unix_millis(F.col("ts").cast("timestamp"))
+        ).cast("long").alias("gap_ms"),
+    )
+    capped = dwell.filter(
+        F.col("gap_ms").isNotNull() & (F.col("gap_ms") <= 1_800_000)
+    )
+    ew = W.partitionBy("event_type")
+    ranked = capped.select(
+        "event_type",
+        "gap_ms",
+        F.row_number().over(ew.orderBy("gap_ms")).alias("rn"),
+        F.count("*").over(ew).alias("n"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("rn") * 2 >= F.col("n"), F.col("gap_ms"))
+            ).alias("p50_ms"),
+            F.min(
+                F.when(F.col("rn") * 20 >= F.col("n") * 19, F.col("gap_ms"))
+            ).alias("p95_ms"),
+            F.count("*").alias("n_gaps"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "q231_attribution",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(value * 1000) AS BIGINT) AS val_q
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id, user_id, ts,
+             json_extract_string(props, '$.k') AS channel
+      FROM events WHERE event_type = 'click'
+    ), attributed AS (
+      SELECT p.event_id, p.val_q,
+             (SELECT c.event_id FROM c
+              WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                AND c.ts >= p.ts - INTERVAL 1 HOUR
+              ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+      FROM p
+    )
+    SELECT COALESCE(c.channel, 'unattributed') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS purchases,
+           CAST(SUM(a.val_q) AS BIGINT) AS revenue_q
+    FROM attributed a LEFT JOIN c ON c.event_id = a.click_id
+    GROUP BY channel ORDER BY channel
+    """,
+)
+def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH revenue attribution with a 1-hour lookback: each
+    purchase's value credits the channel of the most recent click
+    within the window (ties broken by event id), unmatched purchases
+    roll up as 'unattributed'. Composes the tolerance as-of join
+    (q227's staleness bound, q25's single-shuffle union-interleave
+    plan) with the channel lookup and one keyed rollup — the oracle
+    is the correlated ORDER-BY-LIMIT-1 subquery, which is exactly the
+    per-row scan shape the as-of plan exists to avoid at scale."""
+    from dataflowex_spark.operators.joins import asof_join
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 1000).cast("long").alias("val_q"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "ts",
+        F.get_json_object("props", "$.k").alias("channel"),
+    )
+    matched = asof_join(
+        p,
+        c.select("user_id", "ts", "click_id", "channel"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        direction="backward",
+        tie_break="click_id",
+        tolerance="1 HOUR",
+    )
+    return (
+        matched.select(
+            F.coalesce(F.col("channel_r"), F.lit("unattributed")).alias(
+                "channel"
+            ),
+            "val_q",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("purchases"),
+            F.sum("val_q").alias("revenue_q"),
+        )
+        .orderBy("channel")
+    )
