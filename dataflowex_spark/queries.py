@@ -9333,3 +9333,114 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@q(
+    "q232_seasonal_anomaly",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM orders GROUP BY d
+    ), w AS (
+      SELECT d, v,
+             SUM(v) OVER (ORDER BY d
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+             COUNT(*) OVER (ORDER BY d
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      FROM daily
+    ), dev AS (
+      SELECT d, CAST(isodow(d) - 1 AS INT) AS dow, 7 * v - s7 AS dev7
+      FROM w WHERE c7 = 7
+    ), med AS (
+      SELECT dow, dev7 AS m FROM (
+        SELECT dow, dev7,
+               ROW_NUMBER() OVER (PARTITION BY dow ORDER BY dev7, d) AS rn,
+               COUNT(*) OVER (PARTITION BY dow) AS n
+        FROM dev) t
+      WHERE rn * 2 = n OR rn * 2 = n + 1
+    ), res AS (
+      SELECT dev.d, dev.dow, dev.dev7 - med.m AS r
+      FROM dev JOIN med ON dev.dow = med.dow
+    ), mad AS (
+      SELECT dow, ar AS mad FROM (
+        SELECT dow, abs(r) AS ar,
+               ROW_NUMBER() OVER (PARTITION BY dow ORDER BY abs(r), d) AS rn,
+               COUNT(*) OVER (PARTITION BY dow) AS n
+        FROM res) t
+      WHERE rn * 2 = n OR rn * 2 = n + 1
+    )
+    SELECT res.d AS day, res.dow, CAST(res.r AS BIGINT) AS residual_q
+    FROM res JOIN mad ON res.dow = mad.dow
+    WHERE abs(res.r) > 3 * mad.mad
+    ORDER BY day
+    """,
+)
+def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted ROBUST anomaly detection — the composition
+    a production monitor actually runs: detrend daily revenue with the
+    centered 7-day window (q204's integer dev7 = 7v − Σ7), remove the
+    weekday effect with the per-weekday DISCRETE median (q153's pinned
+    lower-median — a mean would let one outlier poison its own
+    baseline), then flag days whose residual exceeds 3×MAD per weekday
+    (q167's robust screen). Every step is BIGINT-exact; medians use
+    the rank-crossing rule with (value, day) tie-breaks so both
+    engines pick the identical element. The whole chain runs on the
+    calendar-sized daily rollup."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat["orders"]
+        .groupBy(F.date_trunc("DAY", "o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "v"
+            )
+        )
+    )
+    w7 = W.orderBy("d").rowsBetween(-3, 3)
+    dev = (
+        daily.select(
+            "d",
+            "v",
+            F.sum("v").over(w7).alias("s7"),
+            F.count("*").over(w7).alias("c7"),
+        )
+        .filter(F.col("c7") == 7)
+        .select(
+            "d",
+            F.weekday("d").cast("int").alias("dow"),
+            (F.lit(7) * F.col("v") - F.col("s7")).alias("dev7"),
+        )
+    )
+
+    def discrete_median(df, val_col, out_col):
+        dw = W.partitionBy("dow")
+        t = df.select(
+            "dow",
+            F.col(val_col).alias("__v"),
+            F.row_number()
+            .over(dw.orderBy(F.col(val_col), F.col("d")))
+            .alias("rn"),
+            F.count("*").over(dw).alias("n"),
+        )
+        return t.filter(
+            (F.col("rn") * 2 == F.col("n"))
+            | (F.col("rn") * 2 == F.col("n") + 1)
+        ).select("dow", F.col("__v").alias(out_col))
+
+    med = discrete_median(dev, "dev7", "m")
+    res = dev.join(F.broadcast(med), "dow").select(
+        "d", "dow", (F.col("dev7") - F.col("m")).alias("r")
+    )
+    mad = discrete_median(
+        res.select("d", "dow", F.abs("r").alias("ar")), "ar", "mad"
+    )
+    return (
+        res.join(F.broadcast(mad), "dow")
+        .filter(F.abs(F.col("r")) > 3 * F.col("mad"))
+        .select(F.col("d").alias("day"), "dow", F.col("r").alias("residual_q"))
+        .orderBy("day")
+    )
