@@ -9444,3 +9444,91 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d").alias("day"), "dow", F.col("r").alias("residual_q"))
         .orderBy("day")
     )
+
+
+@q(
+    "q233_forecast_backtest",
+    """
+    WITH RECURSIVE weekly AS (
+      SELECT date_trunc('week', o_orderdate) AS wk,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY wk
+    ), numbered AS (
+      SELECT wk, x, ROW_NUMBER() OVER (ORDER BY wk) AS rn FROM weekly
+    ), holt AS (
+      SELECT wk, x, rn, CAST(x AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.wk, n.x, n.rn,
+             CAST(floor((n.x + 3 * (h.l + h.b)) / 4.0) AS BIGINT),
+             CAST(floor(((CAST(floor((n.x + 3 * (h.l + h.b)) / 4.0)
+                               AS BIGINT) - h.l)
+                         + 7 * h.b) / 8.0) AS BIGINT)
+      FROM numbered n JOIN holt h ON n.rn = h.rn + 1
+    ), scored AS (
+      SELECT wk, x, LAG(l + b) OVER (ORDER BY rn) AS fc
+      FROM holt
+    ), ape AS (
+      SELECT CAST(year(wk) AS INT) AS yr,
+             CAST(floor(1000000.0 * abs(x - fc) / x) AS BIGINT) AS ape_q,
+             wk
+      FROM scored WHERE fc IS NOT NULL AND x > 0
+    ), ranked AS (
+      SELECT yr, ape_q,
+             ROW_NUMBER() OVER (PARTITION BY yr ORDER BY ape_q, wk) AS rn,
+             COUNT(*) OVER (PARTITION BY yr) AS n
+      FROM ape
+    )
+    SELECT yr,
+           CAST(MIN(CASE WHEN rn * 2 >= n THEN ape_q END) AS BIGINT)
+             AS mape_med_q,
+           CAST(COUNT(*) AS BIGINT) AS n_weeks
+    FROM ranked GROUP BY yr ORDER BY yr
+    """,
+)
+def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST: evaluate q224's Holt one-step-ahead
+    forecasts against the weeks that actually happened — per-year
+    MEDIAN absolute percentage error (robust where a mean APE lets
+    one collapsed week dominate). Composes the registered q224 query
+    directly (its forecast_next_q lagged one week IS the prediction
+    for that week), then the pinned discrete-median crossing rule per
+    year. A forecasting operator without its backtest is a demo;
+    this is the accuracy report the pipeline owner actually tracks."""
+    from pyspark.sql import Window as W
+
+    holt = REGISTRY["q224_holt_forecast"][0](spark, sf_dir)
+    scored = holt.select(
+        "wk",
+        "x",
+        F.lag("forecast_next_q").over(W.orderBy("wk")).alias("fc"),
+    )
+    ape = scored.filter(
+        F.col("fc").isNotNull() & (F.col("x") > 0)
+    ).select(
+        F.year("wk").cast("int").alias("yr"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.abs(F.col("x") - F.col("fc"))
+            / F.col("x")
+        ).cast("long").alias("ape_q"),
+        "wk",
+    )
+    yw = W.partitionBy("yr")
+    ranked = ape.select(
+        "yr",
+        "ape_q",
+        F.row_number().over(yw.orderBy("ape_q", "wk")).alias("rn"),
+        F.count("*").over(yw).alias("n"),
+    )
+    return (
+        ranked.groupBy("yr")
+        .agg(
+            F.min(
+                F.when(F.col("rn") * 2 >= F.col("n"), F.col("ape_q"))
+            ).alias("mape_med_q"),
+            F.count("*").alias("n_weeks"),
+        )
+        .orderBy("yr")
+    )
