@@ -241,3 +241,82 @@ def test_jpeg_roundtrip_property_random():
 
     check_structural()
     check_high_quality()
+
+
+def test_jpeg_422_decode_path():
+    """4:2:2 chroma subsampling (h=2, v=1 — the broadcast-video
+    flavor our encoder doesn't emit): handcraft a conformant stream
+    with the codec's own primitives and verify the decoder's
+    horizontal-only upsampling path reconstructs it."""
+    import struct
+
+    from dataflowex_spark.operators import jpeg as J
+
+    def encode_422(arr, quality=92):
+        h, w, _ = arr.shape
+        qy = J.quality_scaled(J.QUANT_LUMA, quality)
+        qc = J.quality_scaled(J.QUANT_CHROMA, quality)
+        f = arr.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        ypad = J._pad_edge(y, 16)
+        chroma = []
+        for p in (cb, cr):
+            pp = J._pad_edge(p, 16)
+            chroma.append(pp.reshape(pp.shape[0], pp.shape[1] // 2, 2).mean(axis=2))
+        qp_y = J._fdct_quant(ypad, qy)
+        qp_c = [J._fdct_quant(c, qc) for c in chroma]
+        dc_y = J._build_codes(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+        ac_y = J._build_codes(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+        dc_c = J._build_codes(J.DC_CHROMA_BITS, J.DC_CHROMA_VALS)
+        ac_c = J._build_codes(J.AC_CHROMA_BITS, J.AC_CHROMA_VALS)
+        bw = J._BitWriter()
+        preds = [0, 0, 0]
+        for my in range(qp_y.shape[0]):
+            for mx in range(qp_y.shape[1] // 2):
+                for sx in range(2):
+                    preds[0] = J._encode_block(
+                        bw, qp_y[my, mx * 2 + sx], preds[0], dc_y, ac_y
+                    )
+                for ci in (1, 2):
+                    preds[ci] = J._encode_block(
+                        bw, qp_c[ci - 1][my, mx], preds[ci], dc_c, ac_c
+                    )
+        bw.flush()
+        out = bytearray(b"\xff\xd8")
+        out += J._marker(
+            0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+        )
+        zz = lambda q: q[J._ZZ_ROWS, J._ZZ_COLS].astype(np.uint8).tobytes()  # noqa: E731
+        out += J._marker(0xDB, bytes([0]) + zz(qy))
+        out += J._marker(0xDB, bytes([1]) + zz(qc))
+        sof = struct.pack(">BHHB", 8, h, w, 3)
+        sof += struct.pack(">BBB", 1, (2 << 4) | 1, 0)  # Y: h=2, v=1
+        sof += struct.pack(">BBB", 2, (1 << 4) | 1, 1)
+        sof += struct.pack(">BBB", 3, (1 << 4) | 1, 1)
+        out += J._marker(0xC0, sof)
+        out += J._marker(
+            0xC4, bytes([0x00]) + bytes(J.DC_LUMA_BITS) + bytes(J.DC_LUMA_VALS)
+        )
+        out += J._marker(
+            0xC4, bytes([0x10]) + bytes(J.AC_LUMA_BITS) + bytes(J.AC_LUMA_VALS)
+        )
+        out += J._marker(
+            0xC4,
+            bytes([0x01]) + bytes(J.DC_CHROMA_BITS) + bytes(J.DC_CHROMA_VALS),
+        )
+        out += J._marker(
+            0xC4,
+            bytes([0x11]) + bytes(J.AC_CHROMA_BITS) + bytes(J.AC_CHROMA_VALS),
+        )
+        out += J._marker(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        out += bw.buf + b"\xff\xd9"
+        return bytes(out)
+
+    img = _gradient(16, 32)
+    w, h, ch, dec = decode_jpeg(encode_422(img))
+    assert (w, h, ch) == (32, 16, 3)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 10 and err.mean() < 3.0
