@@ -9532,3 +9532,53 @@ def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@q(
+    "q234_bloom_prune_join",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2)
+             AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 450000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: the high-value orders' key
+    set is compressed into a bit array (one map-side-combining
+    aggregation), shipped to the lineitem scan as a plan literal, and
+    applied BEFORE the join shuffle — only lineitem rows that MIGHT
+    match ever shuffle. No false negatives, so the result is exactly
+    the plain join the oracle runs; false positives are removed by
+    the real join. The shape that matters at 100 TB: the probe side's
+    shuffle volume drops to ~the join selectivity (here ~10%) without
+    broadcasting the build side. `operators.bloom` docstring explains
+    the relation to Spark's injected runtime bloom filters."""
+    from dataflowex_spark.operators.bloom import bloom_build, bloom_prefilter
+
+    cat = Catalog(spark, sf_dir)
+    hi = cat["orders"].filter(F.col("o_totalprice") > 450000)
+    keys = hi.select("o_orderkey")
+    bf = bloom_build(keys, "o_orderkey", num_bits=1 << 17, num_hashes=5)
+    pruned = bloom_prefilter(cat["lineitem"], "l_orderkey", bf)
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        pruned.join(
+            hi.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(disc).cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1186,3 +1186,59 @@ def test_chunk_tokens_reconstruction_property(spark):
                 chunk,
                 overlap,
             )
+
+
+def test_bloom_prefilter_no_false_negatives_and_prunes(spark, sf_dir):
+    """Bloom semi-join reduction: (a) join through the bloom equals
+    the plain join EXACTLY (no false negatives by construction),
+    (b) the prefilter actually removes non-matching probe rows,
+    (c) fill ratio stays in the sized-for regime."""
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.operators.bloom import (
+        bloom_build,
+        bloom_prefilter,
+        bloom_prefilter_join,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    hi = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > 250000)
+        .select("o_orderkey")
+    )
+    bf = bloom_build(hi, "o_orderkey", num_bits=1 << 14, num_hashes=5)
+    assert 0.0 < bf.fill_ratio < 0.5
+    assert bf.n_items == hi.count()
+
+    pruned = bloom_prefilter(li, "l_orderkey", bf)
+    n_all, n_pruned = li.count(), pruned.count()
+    assert n_pruned < n_all  # pruning actually happened
+
+    plain = li.join(hi, li.l_orderkey == hi.o_orderkey)
+    via = bloom_prefilter(li, "l_orderkey", bf).join(
+        hi, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    assert plain.count() == via.count()
+    # exact row-set equality, not just counts
+    key = ["l_orderkey", "l_linenumber"]
+    assert (
+        plain.select(*key).exceptAll(via.select(*key)).count() == 0
+        and via.select(*key).exceptAll(plain.select(*key)).count() == 0
+    )
+
+    # every build-side key passes its own filter (no false negatives)
+    keys_through = bloom_prefilter(
+        hi.withColumnRenamed("o_orderkey", "k"), "k", bf
+    ).count()
+    assert keys_through == bf.n_items
+
+
+def test_bloom_prefilter_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    from dataflowex_spark.operators.bloom import bloom_prefilter_join
+
+    df = spark.range(5).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError):
+        bloom_prefilter_join(df, df, "k", how="left")
