@@ -715,3 +715,98 @@ def dedup_segments(
             F.sum((F.col("rn") > 1).cast("long")).alias("removed_segments"),
         )
     )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+    use_words: bool = True,
+) -> DataFrame:
+    """Exact Jaccard ≥ threshold pairs via PREFIX FILTERING (the
+    AllPairs / PPJoin family: Bayardo et al. WWW'07, Xiao et al.
+    VLDB'08) — a second exact set-similarity join with a different
+    scale story than :func:`ngram_jaccard_pairs`'s share-a-gram
+    blocking.
+
+    Order every document's (distinct) gram set by GLOBAL document
+    frequency ascending (rarest first, gram string as total-order
+    tie-break). If jacc(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, and two sorted
+    sets with an intersection that large must collide within their
+    first |X| − ⌈t·|X|⌉ + 1 grams — so ONLY those prefix grams enter
+    the candidate equi-join. No false negatives; exact verification
+    follows.
+
+    Why this matters at 100 TB: share-a-gram blocking explodes on
+    boilerplate (a gram present in 1% of a billion docs pairs 10M
+    docs with each other). Here the df-ascending order pushes exactly
+    those hot grams OUT of the prefix, so the candidate join only
+    ever keys on rare grams; the size filter (t·max ≤ min) prunes the
+    rest before verification. Verification cost is Σ|A| over
+    surviving candidates (join candidates → their gram lists → count
+    matches), not corpus-quadratic.
+
+    Threshold is held as an exact rational (Fraction of the float),
+    and all pruning/acceptance comparisons are integer cross-
+    multiplications — no float boundary flips against the oracle.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    p, qd = frac.numerator, frac.denominator
+    grams = (
+        F.array_distinct(word_shingles(F.col(text_col), n))
+        if use_words
+        else F.array_distinct(char_ngrams(F.col(text_col), n))
+    )
+    ex = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    # grams are distinct per doc → rows-per-gram IS document frequency
+    dfreq = ex.groupBy("gram").agg(F.count("*").alias("gdf"))
+    w = Window.partitionBy(id_col)
+    ranked = ex.join(dfreq, "gram").select(
+        F.col(id_col),
+        "gram",
+        F.row_number().over(w.orderBy("gdf", "gram")).alias("r"),
+        F.count("*").over(w).alias("n_g"),
+    )
+    # α = ⌈t·n⌉ in exact integer arithmetic; prefix keeps r ≤ n − α + 1
+    alpha = F.floor(
+        (F.lit(p) * F.col("n_g") + F.lit(qd - 1)) / F.lit(qd)
+    ).cast("long")
+    prefix = ranked.filter(F.col("r") <= F.col("n_g") - alpha + 1)
+
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "gram", F.col("n_g").alias("n_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "gram", F.col("n_g").alias("n_b")
+    )
+    cand = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # size necessary condition: t·max ≤ min, both directions
+        .filter(
+            (F.lit(qd) * F.col("n_b") >= F.lit(p) * F.col("n_a"))
+            & (F.lit(qd) * F.col("n_a") >= F.lit(p) * F.col("n_b"))
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+    ea = ex.select(F.col(id_col).alias("id_a"), "gram")
+    eb = ex.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (
+        cand.join(ea, "id_a")
+        .join(eb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return inter.filter(
+        F.lit(qd) * F.col("n_inter") >= F.lit(p) * union
+    ).select(
+        "id_a",
+        "id_b",
+        (F.col("n_inter").cast("double") / union).alias("jaccard"),
+    )

@@ -9582,3 +9582,51 @@ def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@q(
+    "q235_prefix_filter_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '__WS__'), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 4, 1) + 1),
+               i -> array_to_string(t[i:i+4], ' '))) AS g
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, len(g) AS n FROM grams),
+    ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 2 * n_inter >= 1 * (sa.n + sb.n - n_inter)
+    """,
+)
+def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (AllPairs/PPJoin family):
+    word-5-gram sets ordered by global document frequency; candidates
+    only collide on their RARE prefix grams, so corpus boilerplate
+    never keys the self-join — the structural fix for the hot-gram
+    quadratic blowup that share-a-gram blocking (q86's inverted
+    index) hits at 100 TB. The oracle runs the naive all-pairs
+    definition; the prefix filter provably loses no pair ≥ the
+    threshold, so both sides produce the identical pair set with
+    bit-equal jaccard values (one IEEE division of exact ints)."""
+    from dataflowex_spark.operators.dedup import jaccard_prefix_pairs
+
+    cat = Catalog(spark, sf_dir)
+    return jaccard_prefix_pairs(
+        cat["documents"], n=5, threshold=0.5, use_words=True
+    )

@@ -440,3 +440,56 @@ def test_ivf_index_persist_and_search(spark, tmp_path):
     probes2 = corpus.filter(F.col("vec_id").isin([17, 211]))
     got2 = ivf_search(probes2, idx, k=3, n_probe_cells=1)
     assert got2.count() == 6
+
+
+def test_prefix_filter_jaccard_matches_blocking_path(spark, sf_dir):
+    """Prefix filtering is exact: the PPJoin-style join returns the
+    SAME pair set (and bit-equal scores) as the share-a-gram
+    inverted-index path, while generating a subset of its candidate
+    pairs (the prefix can only shrink the blocking)."""
+    from dataflowex_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    via_prefix = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in jaccard_prefix_pairs(
+            docs, n=4, threshold=0.4, use_words=True
+        ).collect()
+    }
+    via_blocking = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(docs, n=4, threshold=0.4)
+        .selectExpr("id_a", "id_b", "jaccard")
+        .collect()
+    }
+    assert via_prefix == via_blocking
+    assert len(via_prefix) > 0  # non-vacuous on the clone corpus
+
+
+def test_prefix_filter_prunes_hot_gram_candidates(spark):
+    """A boilerplate gram shared by EVERY doc must not key the
+    candidate join: docs that only share the hot gram (similarity far
+    below threshold) produce no candidate collision, while true
+    near-dups survive. (Share-a-gram blocking would pair all docs.)"""
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.operators.dedup import jaccard_prefix_pairs
+
+    boiler = "terms of service apply to this page"
+    uniq = [
+        f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i} eta{i} theta{i}"
+        for i in range(30)
+    ]
+    rows = [(i, f"{uniq[i]} {boiler}") for i in range(30)]
+    # one true near-dup pair: doc 30 clones doc 0 with a one-word tail edit
+    rows.append((30, f"{uniq[0]} {boiler} extra"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = jaccard_prefix_pairs(df, n=3, threshold=0.5).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (0, 30) in pairs
+    # nothing else reaches the threshold — and in particular the
+    # all-docs boilerplate gram did not explode the candidate set
+    assert all(p == (0, 30) for p in pairs)
