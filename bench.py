@@ -69,6 +69,8 @@ HEADLINE = [
     "q188_segment_dedup",
     "q191_dup_span_detection",
     "q193_feature_hashing",
+    "q234_bloom_prune_join",
+    "q235_prefix_filter_jaccard",
 ]
 
 
