@@ -133,3 +133,28 @@ def bpe_encode(
     _enc.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
     enc = F.pandas_udf(_enc, "array<string>")
     return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+def bpe_decode(
+    df: DataFrame,
+    tokens_col: str = "bpe_tokens",
+    out_col: str = "decoded_text",
+) -> DataFrame:
+    """Invert :func:`bpe_encode` — pure JVM expressions (no UDF):
+    concatenate the subword pieces and turn each end-of-word marker
+    back into a single space. Because the encoder splits on arbitrary
+    whitespace runs, the round-trip law is
+
+        decode(encode(text)) == " ".join(text.split())
+
+    (whitespace-normalized identity) — property-tested in
+    tests/test_properties.py. Decoding is scan-local: zero shuffles,
+    whole-stage codegen end to end."""
+    joined = F.array_join(F.col(tokens_col), "")
+    spaced = F.regexp_replace(joined, F.lit(_EOW), F.lit(" "))
+    return df.withColumn(
+        out_col,
+        F.when(F.col(tokens_col).isNull(), F.lit(None)).otherwise(
+            F.rtrim(spaced)
+        ),
+    )

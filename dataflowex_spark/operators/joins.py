@@ -290,3 +290,110 @@ def range_join_binned(
         .where((rts >= lo) & (rts <= hi))
         .drop("__bin")
     )
+
+
+class JoinSizeExceeded(ValueError):
+    """Raised by :func:`guarded_join` when the predicted output
+    cardinality breaks the caller's budget — BEFORE the join runs."""
+
+
+def predict_join_rows(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+) -> dict:
+    """Exact equi-join output cardinality WITHOUT running the join:
+    |A ⋈ B| = Σ_k cntA(k)·cntB(k) from the two per-key count
+    profiles, plus the unmatched-side terms for outer variants. The
+    profiles are map-side-combined aggregations and the key-matched
+    multiply-sum joins two frames of at most |distinct keys| rows —
+    the cost of asking "how big is this join" never includes
+    materializing it. Null keys never match an equi-join and are
+    counted with the unmatched rows.
+
+    Returns ``{"rows", "n_left", "n_right", "matched"}``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    pa = left.groupBy(*keys).agg(F.count("*").alias("__na"))
+    pb = right.groupBy(*keys).agg(F.count("*").alias("__nb"))
+    prof = pa.join(pb, keys, "full")
+    both = F.col("__na").isNotNull() & F.col("__nb").isNotNull()
+    row = prof.agg(
+        F.coalesce(
+            F.sum(F.when(both, F.col("__na") * F.col("__nb"))), F.lit(0)
+        ).alias("matched"),
+        F.coalesce(
+            F.sum(F.when(F.col("__nb").isNull(), F.col("__na"))), F.lit(0)
+        ).alias("left_extra"),
+        F.coalesce(
+            F.sum(F.when(F.col("__na").isNull(), F.col("__nb"))), F.lit(0)
+        ).alias("right_extra"),
+        F.coalesce(F.sum("__na"), F.lit(0)).alias("n_left"),
+        F.coalesce(F.sum("__nb"), F.lit(0)).alias("n_right"),
+    ).collect()[0]
+    matched = int(row["matched"])
+    extra = {
+        "inner": 0,
+        "left": int(row["left_extra"]),
+        "leftouter": int(row["left_extra"]),
+        "left_outer": int(row["left_extra"]),
+        "right": int(row["right_extra"]),
+        "rightouter": int(row["right_extra"]),
+        "right_outer": int(row["right_extra"]),
+        "full": int(row["left_extra"]) + int(row["right_extra"]),
+        "fullouter": int(row["left_extra"]) + int(row["right_extra"]),
+        "full_outer": int(row["left_extra"]) + int(row["right_extra"]),
+        "outer": int(row["left_extra"]) + int(row["right_extra"]),
+    }
+    if how not in extra:
+        raise ValueError(f"predict_join_rows: unsupported how={how!r}")
+    return {
+        "rows": matched + extra[how],
+        "matched": matched,
+        "n_left": int(row["n_left"]),
+        "n_right": int(row["n_right"]),
+    }
+
+
+def guarded_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    max_rows: int | None = None,
+    max_amplification: float | None = 8.0,
+) -> DataFrame:
+    """Equi-join with a CARDINALITY GUARD: predict the exact output
+    size first (one aggregation pass per side — the question a human
+    sizing a 100 TB join asks anyway) and raise
+    :class:`JoinSizeExceeded` instead of launching a join that would
+    explode. The classic pipeline failure this prevents: a fact-fact
+    join keyed on an unexpectedly non-unique column quietly producing
+    10^12 rows and taking the cluster down three stages later — the
+    guard turns that into an immediate, explainable error.
+
+    ``max_rows`` bounds the absolute output; ``max_amplification``
+    bounds output/max(|left|, |right|). Either may be None to skip.
+    When the guard passes, returns exactly ``left.join(right, on,
+    how)`` — Catalyst sees the plain join, so broadcast/AQE/pushdown
+    behave as usual.
+    """
+    stats = predict_join_rows(left, right, on, how)
+    biggest = max(stats["n_left"], stats["n_right"], 1)
+    if max_rows is not None and stats["rows"] > max_rows:
+        raise JoinSizeExceeded(
+            f"guarded_join: predicted {stats['rows']:,} output rows "
+            f"(left={stats['n_left']:,}, right={stats['n_right']:,}) "
+            f"> max_rows={max_rows:,}"
+        )
+    if (
+        max_amplification is not None
+        and stats["rows"] > max_amplification * biggest
+    ):
+        raise JoinSizeExceeded(
+            f"guarded_join: predicted {stats['rows']:,} rows amplifies the "
+            f"larger input ({biggest:,}) by "
+            f"{stats['rows'] / biggest:.1f}x > {max_amplification}x"
+        )
+    return left.join(right, on, how)

@@ -9630,3 +9630,48 @@ def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_pairs(
         cat["documents"], n=5, threshold=0.5, use_words=True
     )
+
+
+@q(
+    "q236_guarded_join",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-guarded join: the exact output size is predicted
+    from per-key count profiles (Σ cntA·cntB — one aggregation pass
+    per side, never materializing the join) and checked against a
+    budget BEFORE the join launches; a fact-fact key mistake dies as
+    an immediate explainable error instead of a 10^12-row stage. The
+    guard passes here (clean FK), so the result — and the oracle —
+    is exactly the plain join."""
+    from dataflowex_spark.operators.joins import guarded_join
+
+    cat = Catalog(spark, sf_dir)
+    j = guarded_join(
+        cat["orders"],
+        cat["customer"].withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey",
+        max_rows=100_000_000,
+        max_amplification=8.0,
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )

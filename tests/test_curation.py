@@ -583,3 +583,43 @@ def test_enforce_gate_raises_with_counts(spark):
     clean = spark.createDataFrame([(1, 1.0)], "id long, amt double")
     # clean data passes THROUGH unchanged
     assert enforce(clean, rules).collect() == clean.collect()
+
+
+def test_bpe_decode_distributed_roundtrip(spark, sf_dir):
+    """`bpe_decode` (pure JVM expressions) inverts `bpe_encode` over
+    the real corpus: decode(encode(text)) equals the whitespace-
+    normalized text for EVERY document. (Caveat documented in the
+    operator: a corpus whose raw text contains the literal end-of-word
+    marker could alias it; the token alphabet of real text splits
+    "</w>" into chars that only learned merges could reassemble.)"""
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.operators.bpe import (
+        bpe_decode,
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
+    merges = bpe_train(docs.limit(60), num_merges=40)
+    enc = bpe_encode(docs, merges)
+    dec = bpe_decode(enc)
+    bad = dec.filter(
+        F.col("decoded_text")
+        != F.array_join(
+            F.filter(F.split("text", r"\s+"), lambda x: x != ""), " "
+        )
+    )
+    assert bad.count() == 0
+    # null text decodes to null, empty to empty
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "  padded   runs \t here ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.decoded_text
+        for r in bpe_decode(bpe_encode(edge, merges)).collect()
+    }
+    assert out[1] is None
+    assert out[2] == ""
+    assert out[3] == "padded runs here"

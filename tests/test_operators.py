@@ -1242,3 +1242,52 @@ def test_bloom_prefilter_join_rejects_outer(spark):
     df = spark.range(5).withColumnRenamed("id", "k")
     with _pytest.raises(ValueError):
         bloom_prefilter_join(df, df, "k", how="left")
+
+
+def test_predict_join_rows_exact_all_variants(spark):
+    """The count-profile prediction equals the REAL join size for
+    inner/left/right/full, including null keys (never match) and
+    unmatched keys on both sides, with many-to-many multiplicity."""
+    from dataflowex_spark.operators.joins import predict_join_rows
+
+    a = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "k int"
+    )
+    b = spark.createDataFrame(
+        [(1,), (1,), (1,), (3,), (4,), (None,), (None,)], "k int"
+    )
+    for how in ("inner", "left", "right", "full"):
+        pred = predict_join_rows(a, b, "k", how)["rows"]
+        real = a.join(b, "k", how).count()
+        assert pred == real, (how, pred, real)
+
+
+def test_guarded_join_passes_and_raises(spark, sf_dir):
+    """A healthy FK join passes the guard and equals the plain join;
+    a hot-key many-to-many raises BEFORE executing, naming the
+    predicted size."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.operators.joins import (
+        JoinSizeExceeded,
+        guarded_join,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ok = guarded_join(
+        orders,
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey",
+        max_rows=10_000_000,
+    )
+    assert ok.count() == orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).count()
+
+    hot = spark.range(2000).select(F.lit(7).alias("k"))
+    with _pytest.raises(JoinSizeExceeded, match="4,000,000"):
+        guarded_join(hot, hot, "k", max_rows=1_000_000)
+    with _pytest.raises(JoinSizeExceeded, match="amplifies"):
+        guarded_join(hot, hot, "k", max_rows=None, max_amplification=100.0)
