@@ -9675,3 +9675,84 @@ def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@q(
+    "q237_theil_sen_trend",
+    """
+    WITH weekly AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('week', o_orderdate) AS DATE)) AS x,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.yr,
+             CAST(b.rev - a.rev AS DOUBLE) / (b.x - a.x) AS slope,
+             CASE WHEN b.rev > a.rev THEN 1
+                  WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+      FROM weekly a JOIN weekly b ON a.yr = b.yr AND a.x < b.x
+    )
+    SELECT yr,
+           CAST((SELECT COUNT(*) FROM weekly w WHERE w.yr = pairs.yr)
+                AS BIGINT) AS n_weeks,
+           CAST(SUM(sgn) AS BIGINT) AS mk_s,
+           ROUND(quantile_cont(slope, 0.5), 4) AS ts_slope
+    FROM pairs GROUP BY yr ORDER BY yr
+    """,
+)
+def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend per year: Theil–Sen slope (median of all pairwise
+    weekly-revenue slopes — 29% breakdown point, immune to the
+    outlier weeks that wreck OLS q154) next to the Mann–Kendall S
+    statistic (Σ sign of pairwise differences — the standard
+    nonparametric trend test). The pairwise self-join runs on the
+    CALENDAR-SIZED weekly rollup (≤53 rows/year regardless of fact
+    volume), so the O(n²) pair set is bounded by design — the
+    "reduce first, then go quadratic on the reduction" division that
+    keeps robust statistics viable at 100 TB. Slopes divide exact
+    integer cents by exact integer days, so both engines interpolate
+    the same doubles; round-4 absorbs the median-arithmetic ulp."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    weekly = (
+        cat["orders"]
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.datediff(
+                F.date_trunc("WEEK", "o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("x"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    a = weekly.select("yr", F.col("x").alias("xa"), F.col("rev").alias("ra"))
+    b = weekly.select("yr", F.col("x").alias("xb"), F.col("rev").alias("rb"))
+    pairs = a.join(b, "yr").filter(F.col("xa") < F.col("xb")).select(
+        "yr",
+        (
+            (F.col("rb") - F.col("ra")).cast("double")
+            / (F.col("xb") - F.col("xa"))
+        ).alias("slope"),
+        F.signum((F.col("rb") - F.col("ra")).cast("double"))
+        .cast("long")
+        .alias("sgn"),
+    )
+    n_weeks = weekly.groupBy("yr").agg(F.count("*").alias("n_weeks"))
+    return (
+        pairs.groupBy("yr")
+        .agg(
+            F.sum("sgn").cast("long").alias("mk_s"),
+            F.round(F.expr("percentile(slope, 0.5)"), 4).alias("ts_slope"),
+        )
+        .join(n_weeks, "yr")
+        .select("yr", "n_weeks", "mk_s", "ts_slope")
+        .orderBy("yr")
+    )
