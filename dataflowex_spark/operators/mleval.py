@@ -1,0 +1,239 @@
+"""Model-evaluation and distribution-drift statistics.
+
+A training-data pipeline does not stop at producing features — it has
+to SCORE what it produced: did the heuristic quality classifier
+actually separate good from bad documents (AUC), are its scores
+calibrated (reliability table), did this week's crawl drift from last
+week's (Kolmogorov–Smirnov), and how much does one column tell you
+about another (mutual information / entropy)? These are the standard
+offline-eval primitives, each implemented as a pure DataFrame plan.
+
+Scale discipline shared by all four:
+
+- Every statistic is computed over a COMPACTED frame first — one
+  hash aggregation keyed on the distinct score / value / category —
+  so the ordered pass that follows runs over ``#distinct buckets``
+  rows, not ``#input`` rows. Callers control the bucket count by
+  quantizing the score column (a float score column should be
+  bucketed to a fixed precision before ranking at 100 TB; all the
+  registry queries do).
+- Rank arithmetic is integer cross-multiplication (``c1*n2 - c2*n1``
+  style) up to the single final division, so engine float summation
+  order cannot perturb the result below the rounding digit.
+- Marginal frames (class totals, per-category counts) are bounded by
+  cardinality, joined via ``F.broadcast``.
+
+Reference parity: gridsum/DataflowEx ships aggregation blocks but no
+statistics library [R: Gridsum.DataflowEx/DataflowEx.csproj — no eval
+surface]; this module is part of the LLM-pipeline addendum the
+engine adds on top (SURVEY.md §2 Part B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from dataflowex_spark.operators.windows import global_ntile
+
+
+def roc_auc(
+    df: DataFrame,
+    label: Column,
+    score: Column,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Tie-aware ROC AUC (Mann–Whitney U form) as a 1-row frame
+    ``(auc, n_pos, n_neg)``.
+
+    AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻), computed
+    exactly: aggregate to one ``(pos, neg)`` pair per DISTINCT score,
+    order scores ascending, and credit each bucket
+    ``pos · (2·cum_neg_below + neg)`` half-pairs. All counts are
+    integers; the one division happens at the end.
+
+    The ordered prefix runs over distinct scores only — quantize the
+    score upstream to bound that frame (the window here is a
+    single-partition pass over buckets, which is exactly right when
+    buckets ≪ rows; it is the caller's contract to keep it bounded).
+    """
+    by_score = (
+        df.select(score.alias("__s"), label.cast("long").alias("__y"))
+        .groupBy("__s")
+        .agg(
+            F.sum("__y").alias("__pos"),
+            (F.count("*") - F.sum("__y")).alias("__neg"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    contrib = by_score.select(
+        "__pos",
+        "__neg",
+        (
+            F.col("__pos")
+            * (2 * F.coalesce(F.sum("__neg").over(w), F.lit(0)) + F.col("__neg"))
+        ).alias("__half_pairs2"),
+    )
+    return contrib.agg(
+        F.round(
+            F.sum("__half_pairs2")
+            / (2.0 * F.sum("__pos") * F.sum("__neg")),
+            round_digits,
+        ).alias("auc"),
+        F.sum("__pos").alias("n_pos"),
+        F.sum("__neg").alias("n_neg"),
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    group: Column,
+    value: Column,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance as a 1-row frame
+    ``(ks, n_a, n_b)`` where ``group`` is a boolean column naming
+    sample A (true) vs sample B (false).
+
+    KS = max over thresholds t of |F_A(t) − F_B(t)|. Computed over
+    distinct values: per-value counts for both samples, one ordered
+    cumulative pass, and the max of the integer cross-product
+    ``|cum_a·n_b − cum_b·n_a|`` — division by ``n_a·n_b`` happens
+    once at the end, so the statistic is exact up to the final
+    rounding. Same bounded-bucket contract as :func:`roc_auc`.
+    """
+    by_val = (
+        df.select(value.alias("__v"), group.cast("long").alias("__a"))
+        .groupBy("__v")
+        .agg(
+            F.sum("__a").alias("__ca"),
+            (F.count("*") - F.sum("__a")).alias("__cb"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()  # all buckets of the compacted frame
+    cum = by_val.select(
+        "__ca",
+        "__cb",
+        F.sum("__ca").over(w).alias("__cuma"),
+        F.sum("__cb").over(w).alias("__cumb"),
+        F.sum("__ca").over(tot).alias("__na"),
+        F.sum("__cb").over(tot).alias("__nb"),
+    )
+    return cum.agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("__cuma") * F.col("__nb")
+                    - F.col("__cumb") * F.col("__na")
+                )
+            )
+            / F.max(F.col("__na") * F.col("__nb")).cast("double"),
+            round_digits,
+        ).alias("ks"),
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Mutual information I(X;Y) plus marginal entropies H(X), H(Y)
+    (all in nats) as a 1-row frame ``(mi, h_x, h_y, n)`` for two
+    categorical columns.
+
+    One shuffle on (x, y) builds the joint histogram; the marginals
+    are re-aggregations of that (already tiny) frame, joined back by
+    broadcast. MI = Σ (c_xy/N)·ln(c_xy·N / (c_x·c_y)) — every term
+    is a ratio of integer counts, logged once.
+    """
+    joint = (
+        df.select(x.alias("__x"), y.alias("__y"))
+        .groupBy("__x", "__y")
+        .agg(F.count("*").alias("__cxy"))
+        .localCheckpoint(eager=False)
+    )
+    mx = joint.groupBy("__x").agg(F.sum("__cxy").alias("__cx"))
+    my = joint.groupBy("__y").agg(F.sum("__cxy").alias("__cy"))
+    n = joint.agg(F.sum("__cxy").alias("__n"))
+    terms = (
+        joint.join(F.broadcast(mx), "__x")
+        .join(F.broadcast(my), "__y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "__n",
+            "__cx",
+            "__cy",
+            "__cxy",
+            (
+                (F.col("__cxy") / F.col("__n"))
+                * F.log(
+                    F.col("__cxy")
+                    * F.col("__n")
+                    / (F.col("__cx") * F.col("__cy")).cast("double")
+                )
+            ).alias("__mi_term"),
+        )
+    )
+    # H(X) and H(Y) from the same joined frame: each (x,y) cell holds
+    # c_xy/c_x of its x-marginal, so Σ over cells of
+    # (c_xy/N)·ln(N/c_x) telescopes to H(X) exactly.
+    return terms.agg(
+        F.round(F.sum("__mi_term"), round_digits).alias("mi"),
+        F.round(
+            F.sum(
+                (F.col("__cxy") / F.col("__n"))
+                * F.log(F.col("__n") / F.col("__cx").cast("double"))
+            ),
+            round_digits,
+        ).alias("h_x"),
+        F.round(
+            F.sum(
+                (F.col("__cxy") / F.col("__n"))
+                * F.log(F.col("__n") / F.col("__cy").cast("double"))
+            ),
+            round_digits,
+        ).alias("h_y"),
+        F.max("__n").alias("n"),
+    )
+
+
+def calibration_table(
+    df: DataFrame,
+    score: Column,
+    label: Column,
+    tie_break: Column,
+    n_bins: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reliability table: rank rows by score (ties broken by the
+    caller's total-order column), cut into ``n_bins`` equal NTILE
+    buckets, and compare mean predicted score vs observed positive
+    rate per bucket — the classic calibration-curve input.
+
+    Uses :func:`global_ntile` (range-repartitioned parallel rank, no
+    single-reducer WindowExec) so the ranking step scales; the output
+    is ``n_bins`` rows: ``(bin, n, avg_score, pos_rate)``.
+    """
+    binned = global_ntile(
+        df.select(
+            score.alias("__s"),
+            label.cast("long").alias("__y"),
+            tie_break.alias("__t"),
+        ),
+        n_bins,
+        [F.col("__s"), F.col("__t")],
+        out_col="bin",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("__s"), round_digits).alias("avg_score"),
+            F.round(F.avg("__y"), round_digits).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -9756,3 +9756,235 @@ def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("yr", "n_weeks", "mk_s", "ts_slope")
         .orderBy("yr")
     )
+
+# =====================================================================
+# Round-4 wave: model-evaluation & drift statistics (q238–q242)
+# =====================================================================
+
+
+@q(
+    "q238_roc_auc",
+    """
+    WITH s AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS sq,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), b AS (
+      SELECT sq, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+      FROM s GROUP BY sq
+    ), c AS (
+      SELECT pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY sq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_neg
+      FROM b
+    )
+    SELECT ROUND(SUM(pos * (2 * cum_neg + neg))
+                 / (2.0 * SUM(pos) * SUM(neg)), 6) AS auc,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg
+    FROM c
+    """,
+)
+def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware ROC AUC of event value as a purchase classifier
+    (Mann–Whitney form). The score is quantized to integer cents
+    BEFORE ranking, so the ordered pass runs over score buckets, not
+    events — the operator's bounded-bucket contract at 100 TB. All
+    pair counting is integer cross-multiplication; one division at
+    the end."""
+    from dataflowex_spark.operators.mleval import roc_auc
+
+    cat = Catalog(spark, sf_dir)
+    return roc_auc(
+        cat["events"],
+        label=(F.col("event_type") == "purchase"),
+        score=F.floor(F.col("value") * 100).cast("long"),
+    )
+
+
+@q(
+    "q239_calibration",
+    """
+    WITH s AS (
+      SELECT value AS sc, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), t AS (
+      SELECT sc, y,
+             CAST(NTILE(10) OVER (ORDER BY sc, event_id) AS INTEGER)
+               AS bin
+      FROM s
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(sc), 6) AS avg_score,
+           ROUND(AVG(y), 6) AS pos_rate
+    FROM t GROUP BY bin ORDER BY bin
+    """,
+)
+def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability table: decile-bucket the value score
+    with the scale-safe global NTILE (range repartition + per-
+    partition rank + broadcast offsets — no single-reducer
+    WindowExec) and compare mean score vs observed purchase rate per
+    bucket. Ties broken by event_id so both engines rank
+    identically."""
+    from dataflowex_spark.operators.mleval import calibration_table
+
+    cat = Catalog(spark, sf_dir)
+    return calibration_table(
+        cat["events"],
+        score=F.col("value"),
+        label=(F.col("event_type") == "purchase"),
+        tie_break=F.col("event_id"),
+        n_bins=10,
+    )
+
+
+@q(
+    "q240_ks_drift",
+    """
+    WITH s AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+      FROM events WHERE event_type IN ('click', 'view')
+    ), b AS (
+      SELECT v, SUM(a) AS ca, COUNT(*) - SUM(a) AS cb
+      FROM s GROUP BY v
+    ), c AS (
+      SELECT ca, cb,
+             SUM(ca) OVER (ORDER BY v) AS cuma,
+             SUM(cb) OVER (ORDER BY v) AS cumb,
+             SUM(ca) OVER () AS na,
+             SUM(cb) OVER () AS nb
+      FROM b
+    )
+    SELECT ROUND(MAX(ABS(cuma * nb - cumb * na))
+                 / CAST(MAX(na * nb) AS DOUBLE), 6) AS ks,
+           CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b
+    FROM c
+    """,
+)
+def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift between the click and view
+    value distributions — the standard "did this batch drift from
+    that batch" gate before a corpus refresh ships. Exact over
+    integer-cent buckets: the cumulative pass runs on the compacted
+    per-value frame and the max-gap arithmetic is integer
+    cross-multiplication up to one final division."""
+    from dataflowex_spark.operators.mleval import ks_statistic
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"].filter(F.col("event_type").isin("click", "view"))
+    return ks_statistic(
+        ev,
+        group=(F.col("event_type") == "click"),
+        value=F.floor(F.col("value") * 100).cast("long"),
+    )
+
+
+@q(
+    "q241_mutual_information",
+    """
+    WITH s AS (
+      SELECT event_type AS x,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  % 7 AS BIGINT) AS y
+      FROM events
+    ), j AS (
+      SELECT x, y, COUNT(*) AS cxy FROM s GROUP BY x, y
+    ), mx AS (
+      SELECT x, SUM(cxy) AS cx FROM j GROUP BY x
+    ), my AS (
+      SELECT y, SUM(cxy) AS cy FROM j GROUP BY y
+    ), n AS (
+      SELECT SUM(cxy) AS nn FROM j
+    )
+    SELECT ROUND(SUM((cxy / CAST(nn AS DOUBLE))
+                     * ln(cxy * nn / CAST(cx * cy AS DOUBLE))), 6) AS mi,
+           ROUND(SUM((cxy / CAST(nn AS DOUBLE))
+                     * ln(nn / CAST(cx AS DOUBLE))), 6) AS h_x,
+           ROUND(SUM((cxy / CAST(nn AS DOUBLE))
+                     * ln(nn / CAST(cy AS DOUBLE))), 6) AS h_y,
+           CAST(MAX(nn) AS BIGINT) AS n
+    FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
+    """,
+)
+def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and day-of-week (nats),
+    with both marginal entropies — the feature-screening primitive
+    ("does this column carry signal about that one"). Day-of-week is
+    pinned as days-since-epoch mod 7 because Spark and DuckDB number
+    weekdays differently. One shuffle builds the joint histogram; the
+    marginals are broadcast re-aggregations of that tiny frame."""
+    from dataflowex_spark.operators.mleval import mutual_information
+
+    cat = Catalog(spark, sf_dir)
+    return mutual_information(
+        cat["events"],
+        x=F.col("event_type"),
+        y=(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) % 7
+        ).cast("long"),
+    )
+
+
+@q(
+    "q242_benford",
+    """
+    WITH d AS (
+      SELECT SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS digit
+      FROM orders
+    ), c AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    ), t AS (
+      SELECT SUM(n) AS total FROM c
+    )
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           ROUND(n / CAST(total AS DOUBLE), 6) AS obs_share,
+           ROUND(log10(1 + 1.0 / CAST(digit AS INTEGER)), 6) AS exp_share,
+           ROUND(POWER(n - total * log10(1 + 1.0 / CAST(digit AS INTEGER)), 2)
+                 / (total * log10(1 + 1.0 / CAST(digit AS INTEGER))), 6)
+             AS chi2_term
+    FROM c CROSS JOIN t ORDER BY digit
+    """,
+)
+def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed leading-
+    digit shares vs the Benford expectation log10(1+1/d), with the
+    per-digit chi-square contribution — the classic synthetic-data /
+    fraud data-quality screen. The leading digit is taken from the
+    DECIMAL STRING of exact integer cents (float log10 bucketing
+    flips at power-of-ten boundaries; substring of an integer cannot).
+    One 9-bucket aggregation + a broadcast total."""
+    cat = Catalog(spark, sf_dir)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    )
+    counts = (
+        cat["orders"]
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    exp_share = F.log10(1 + 1.0 / F.col("digit").cast("int"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("total").cast("double"), 6).alias(
+                "obs_share"
+            ),
+            F.round(exp_share, 6).alias("exp_share"),
+            F.round(
+                F.pow(F.col("n") - F.col("total") * exp_share, F.lit(2))
+                / (F.col("total") * exp_share),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

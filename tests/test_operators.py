@@ -1291,3 +1291,175 @@ def test_guarded_join_passes_and_raises(spark, sf_dir):
         guarded_join(hot, hot, "k", max_rows=1_000_000)
     with _pytest.raises(JoinSizeExceeded, match="amplifies"):
         guarded_join(hot, hot, "k", max_rows=None, max_amplification=100.0)
+
+
+# ---------------------------------------------------------------------
+# mleval: AUC / KS / mutual information / calibration
+# ---------------------------------------------------------------------
+
+
+def test_roc_auc_matches_rank_reference(spark):
+    """Tie-aware AUC equals the average-rank (Mann–Whitney) reference
+    computed row-at-a-time in numpy, including tied scores."""
+    import numpy as np
+    from dataflowex_spark.operators.mleval import roc_auc
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(7)
+    scores = rng.integers(0, 20, size=400)  # heavy ties on purpose
+    labels = (rng.random(400) < (scores / 25.0)).astype(int)
+    df = spark.createDataFrame(
+        [(int(s), int(y)) for s, y in zip(scores, labels)], "s long, y int"
+    )
+    got = roc_auc(df, label=F.col("y") == 1, score=F.col("s")).collect()[0]
+
+    # reference: average ranks (scipy-free)
+    order = np.argsort(scores, kind="stable")
+    ranks = np.empty(len(scores), dtype=float)
+    sorted_s = scores[order]
+    i = 0
+    while i < len(sorted_s):
+        j = i
+        while j < len(sorted_s) and sorted_s[j] == sorted_s[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0  # avg of 1-based ranks
+        i = j
+    pos = labels == 1
+    n_pos, n_neg = pos.sum(), (~pos).sum()
+    auc_ref = (ranks[pos].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert got["n_pos"] == n_pos and got["n_neg"] == n_neg
+    assert abs(got["auc"] - auc_ref) < 1e-6
+
+
+def test_roc_auc_perfect_and_random():
+    """AUC pins: perfectly separating scores → 1.0; identical scores
+    for both classes → 0.5 (all ties, half credit)."""
+    import pyspark.sql.functions as F
+    from dataflowex_spark.operators.mleval import roc_auc
+    from dataflowex_spark.session import get_spark
+
+    spark = get_spark("t", master="local[2]", shuffle_partitions=2)
+    perfect = spark.createDataFrame(
+        [(i, 1 if i >= 50 else 0) for i in range(100)], "s long, y int"
+    )
+    assert roc_auc(perfect, F.col("y") == 1, F.col("s")).collect()[0][
+        "auc"
+    ] == 1.0
+    allties = spark.createDataFrame(
+        [(5, i % 2) for i in range(100)], "s long, y int"
+    )
+    assert roc_auc(allties, F.col("y") == 1, F.col("s")).collect()[0][
+        "auc"
+    ] == 0.5
+
+
+def test_ks_statistic_reference(spark):
+    """KS equals the brute-force max ECDF gap, and is 0 for identical
+    samples / 1 for disjoint supports."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from dataflowex_spark.operators.mleval import ks_statistic
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 50, 300)
+    b = rng.integers(10, 60, 200)
+    rows = [(int(v), True) for v in a] + [(int(v), False) for v in b]
+    df = spark.createDataFrame(rows, "v long, g boolean")
+    got = ks_statistic(df, group=F.col("g"), value=F.col("v")).collect()[0]
+
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), grid, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), grid, side="right") / len(b)
+    ks_ref = np.abs(fa - fb).max()
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert abs(got["ks"] - ks_ref) < 1e-6
+
+    same = spark.createDataFrame(
+        [(int(v), s) for v in a for s in (True, False)], "v long, g boolean"
+    )
+    assert ks_statistic(same, F.col("g"), F.col("v")).collect()[0]["ks"] == 0.0
+    disjoint = spark.createDataFrame(
+        [(1, True), (2, True), (10, False), (11, False)], "v long, g boolean"
+    )
+    assert (
+        ks_statistic(disjoint, F.col("g"), F.col("v")).collect()[0]["ks"] == 1.0
+    )
+
+
+def test_mutual_information_reference(spark):
+    """MI and entropies match the direct numpy computation; MI of
+    independent columns (one constant) is exactly 0; MI(X;X) = H(X)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from dataflowex_spark.operators.mleval import mutual_information
+
+    rng = np.random.default_rng(3)
+    xs = rng.integers(0, 4, 500)
+    ys = (xs + rng.integers(0, 2, 500)) % 4  # correlated
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(xs, ys)], "x long, y long"
+    )
+    got = mutual_information(df, F.col("x"), F.col("y")).collect()[0]
+
+    n = len(xs)
+    mi_ref = 0.0
+    for xv in np.unique(xs):
+        for yv in np.unique(ys):
+            cxy = int(((xs == xv) & (ys == yv)).sum())
+            if cxy:
+                cx = int((xs == xv).sum())
+                cy = int((ys == yv).sum())
+                mi_ref += (cxy / n) * np.log(cxy * n / (cx * cy))
+    hx_ref = -sum(
+        (c / n) * np.log(c / n)
+        for c in np.bincount(xs) if c
+    )
+    assert abs(got["mi"] - mi_ref) < 1e-6
+    assert abs(got["h_x"] - hx_ref) < 1e-6
+    assert got["n"] == n
+
+    const = df.withColumn("y", F.lit(1))
+    assert (
+        mutual_information(const, F.col("x"), F.col("y")).collect()[0]["mi"]
+        == 0.0
+    )
+    self_mi = mutual_information(df, F.col("x"), F.col("x")).collect()[0]
+    assert abs(self_mi["mi"] - self_mi["h_x"]) < 1e-9
+
+
+def test_calibration_table_bins_and_rates(spark):
+    """Calibration bins are equal-sized NTILE buckets in score order
+    and the per-bin pos_rate matches a pandas recomputation."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from dataflowex_spark.operators.mleval import calibration_table
+
+    rng = np.random.default_rng(5)
+    scores = rng.random(437)  # deliberately not divisible by 10
+    labels = (rng.random(437) < scores).astype(int)
+    ids = np.arange(437)
+    df = spark.createDataFrame(
+        [(float(s), int(y), int(i)) for s, y, i in zip(scores, labels, ids)],
+        "s double, y int, i long",
+    )
+    got = (
+        calibration_table(
+            df, F.col("s"), F.col("y") == 1, F.col("i"), n_bins=10
+        )
+        .toPandas()
+        .set_index("bin")
+    )
+    pdf = pd.DataFrame({"s": scores, "y": labels, "i": ids}).sort_values(
+        ["s", "i"]
+    )
+    # NTILE: first n%k tiles get one extra row
+    n, k = len(pdf), 10
+    sizes = [(n // k) + (1 if t < n % k else 0) for t in range(k)]
+    start = 0
+    for t, sz in enumerate(sizes, start=1):
+        chunk = pdf.iloc[start : start + sz]
+        start += sz
+        assert got.loc[t, "n"] == sz
+        assert abs(got.loc[t, "pos_rate"] - chunk["y"].mean()) < 1e-6
+        assert abs(got.loc[t, "avg_score"] - chunk["s"].mean()) < 1e-6
