@@ -9988,3 +9988,67 @@ def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@q(
+    "q243_embedding_covariance",
+    """
+    WITH x AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+    m AS (SELECT i, SUM(v) AS sv FROM x GROUP BY i),
+    p AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS sp
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT CAST(p.i - 1 AS INTEGER) AS i, CAST(p.j - 1 AS INTEGER) AS j,
+           ROUND(sp / n.n - (ma.sv / n.n) * (mb.sv / n.n), 6) AS cov
+    FROM p CROSS JOIN n
+    JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+    ORDER BY i, j
+    """,
+)
+def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the embedding column (upper triangle,
+    0-based coordinates). The Spark plan is the treeAggregate shape:
+    each Arrow batch contributes its partial XᵀX via one BLAS call
+    through mapInPandas, and only d·(d+1)/2-sized partials shuffle —
+    NOT the (row × dᵢ × dⱼ) explode the oracle runs, which is the
+    exact plan this operator exists to avoid at 100 TB. float32
+    inputs are widened to double before multiplying on both engines,
+    so per-term products are bit-identical and round-6 absorbs the
+    summation-order ulp."""
+    from dataflowex_spark.operators.linalg import covariance_matrix
+
+    cat = Catalog(spark, sf_dir)
+    return covariance_matrix(cat["embeddings"], "embedding", round_digits=6)
+
+
+@q("q244_pca_label_centroids", None)  # rows-only: eigendecomposition
+def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid in PCA space: distributed covariance →
+    driver-side eigh on the d×d matrix (sign-canonicalized) → the
+    (d×2) component matrix travels back broadcast for a shuffle-free
+    mapInPandas projection → per-label mean of (pc1, pc2). Not
+    SQL-expressible (eigendecomposition), hence rows-only."""
+    from dataflowex_spark.operators.linalg import pca_project
+
+    cat = Catalog(spark, sf_dir)
+    proj = pca_project(cat["embeddings"], "embedding", k=2)
+    return (
+        proj.select(
+            "label",
+            F.col("pc")[0].alias("__p1"),
+            F.col("pc")[1].alias("__p2"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("__p1"), 4).alias("pc1_mean"),
+            F.round(F.avg("__p2"), 4).alias("pc2_mean"),
+        )
+        .orderBy("label")
+    )

@@ -1463,3 +1463,65 @@ def test_calibration_table_bins_and_rates(spark):
         assert got.loc[t, "n"] == sz
         assert abs(got.loc[t, "pos_rate"] - chunk["y"].mean()) < 1e-6
         assert abs(got.loc[t, "avg_score"] - chunk["s"].mean()) < 1e-6
+
+
+# ---------------------------------------------------------------------
+# linalg: distributed covariance / PCA
+# ---------------------------------------------------------------------
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    """Distributed partial-XᵀX covariance equals np.cov(bias=True) on
+    the gathered matrix, across multiple partitions/batches."""
+    import numpy as np
+    from dataflowex_spark.operators.linalg import covariance_matrix
+
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(500, 6)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "id long, embedding array<float>",
+    ).repartition(7)
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_matrix(df, "embedding").collect()
+    }
+    ref = np.cov(X.astype(np.float64), rowvar=False, bias=True)
+    assert len(got) == 6 * 7 // 2
+    for (i, j), c in got.items():
+        assert abs(c - ref[i, j]) < 1e-9
+
+
+def test_pca_project_matches_numpy(spark):
+    """PCA projection reproduces the numpy eigh projection (after the
+    canonical sign fix) and its per-component variance equals the
+    eigenvalues."""
+    import numpy as np
+    from dataflowex_spark.operators.linalg import (
+        pca_components,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(300, 4)) @ np.diag([5.0, 2.0, 0.5, 0.1])
+    X = base.astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "id long, embedding array<float>",
+    ).repartition(5)
+    vals, W = pca_components(df, "embedding", k=2)
+    assert vals[0] > vals[1] > 0
+
+    proj = {
+        r["id"]: r["pc"]
+        for r in pca_project(df, "embedding", k=2, components=W).collect()
+    }
+    Xd = X.astype(np.float64)
+    ref = Xd @ W
+    for i in range(len(X)):
+        assert np.allclose(proj[i], ref[i], atol=1e-9)
+    # variance of centered projection ≈ eigenvalues of covariance
+    P = np.array([proj[i] for i in range(len(X))])
+    centered = P - P.mean(axis=0)
+    var = (centered**2).mean(axis=0)
+    assert np.allclose(var, vals, rtol=1e-6)
