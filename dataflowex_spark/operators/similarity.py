@@ -448,3 +448,83 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values sketch of a key set: the k smallest PORTABLE
+    md5 hashes of the distinct keys, as a one-column frame ``h``.
+
+    The hash is the repo-wide cross-engine md5 bucket (first 15 hex
+    digits → bigint, identical in Spark / DuckDB / Python), so a
+    sketch built here is bit-reproducible by the oracle — auditable
+    sketching, which xxhash64 can't give. The global top-k runs as
+    TakeOrderedAndProject (per-partition heads + driver merge of k
+    rows), NOT a global sort."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    return df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+
+
+def kmv_jaccard(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    k: int = 256,
+    round_digits: int = 6,
+) -> DataFrame:
+    """KMV Jaccard estimate between two key sets, next to the exact
+    value: 1 row ``(est_jaccard, jaccard, n_a, n_b, k)``.
+
+    Estimator (Beyer et al., "On Synopses for Distinct-Value
+    Estimation Under Multiset Operations", SIGMOD'07): build the
+    k-min sketch of each set, take the k smallest of their union,
+    and count how many of those lie in BOTH input sketches — that
+    count over the UNION SKETCH SIZE (min(k, |A∪B|) rows — dividing
+    by fixed k biases the estimate low whenever the union is smaller
+    than k) estimates |A∩B| / |A∪B|. Everything after the two
+    distinct() passes operates on ≤2k rows; the exact Jaccard
+    (for the audit column) is two more hash aggregations."""
+    sa = kmv_sketch(df_a, key_col, k).localCheckpoint(eager=False)
+    sb = kmv_sketch(df_b, key_col, k).localCheckpoint(eager=False)
+    union_k = (
+        sa.unionByName(sb).distinct().orderBy("h").limit(k)
+    )
+    marked = union_k.join(
+        F.broadcast(sa.withColumn("__a", F.lit(1))), "h", "left"
+    ).join(F.broadcast(sb.withColumn("__b", F.lit(1))), "h", "left")
+    est = marked.agg(
+        (
+            F.sum(
+                (
+                    F.col("__a").isNotNull() & F.col("__b").isNotNull()
+                ).cast("long")
+            )
+            / F.count("*")
+        ).alias("__est")
+    )
+    a_keys = df_a.select(F.col(key_col).alias("__k")).distinct()
+    b_keys = df_b.select(F.col(key_col).alias("__k")).distinct()
+    inter = a_keys.join(b_keys, "__k", "left_semi").agg(
+        F.count("*").alias("__inter")
+    )
+    n_a = a_keys.agg(F.count("*").alias("__na"))
+    n_b = b_keys.agg(F.count("*").alias("__nb"))
+    return (
+        est.crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(n_a))
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            F.round("__est", round_digits).alias("est_jaccard"),
+            F.round(
+                F.col("__inter")
+                / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast(
+                    "double"
+                ),
+                round_digits,
+            ).alias("jaccard"),
+            F.col("__na").alias("n_a"),
+            F.col("__nb").alias("n_b"),
+            F.lit(k).alias("k"),
+        )
+    )

@@ -436,3 +436,50 @@ def heavy_hitters(
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") > cutoff)
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease per document — the classic text-quality
+    screen (a corpus-curation signal next to the Gopher screens and
+    stopword ratios).
+
+    score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word)
+
+    Every count is a pure scan-local array expression (split +
+    filter + aggregate higher-order functions — whole-stage codegen,
+    no shuffle, no Python): words are non-empty whitespace tokens,
+    sentences are non-blank ``[.!?]+`` segments (min 1), and
+    syllables use the standard vowel-group heuristic
+    (``[aeiouy]+`` runs per lowercased token, min 1 per word).
+    The heuristic is pinned identically in the DuckDB oracle."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), WS_REGEX), lambda t: t != ""
+    )
+    sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), r"[.!?]+"),
+                lambda s: F.trim(s) != "",
+            )
+        ),
+        F.lit(1),
+    )
+    syllables = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc
+        + F.greatest(
+            F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), F.lit(0))),
+            F.lit(1),
+        ),
+    )
+    words = F.greatest(F.size(toks), F.lit(1))
+    return df.withColumn(
+        "flesch",
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences)
+        - F.lit(84.6) * (syllables.cast("double") / words),
+    )

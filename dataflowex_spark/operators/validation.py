@@ -173,3 +173,32 @@ def enforce(df, rules: dict, sample: int = 5):
     if violations:
         raise DataQualityError(violations)
     return df
+
+
+def correlation_matrix(df, cols, round_digits: int = 6):
+    """Pairwise Pearson correlations of numeric columns as rows
+    ``(col_a, col_b, corr)`` — the profiling step that catches
+    redundant features before a training run.
+
+    ONE aggregation computes every pair (k·(k−1)/2 ``corr`` aggregates
+    in a single partial+final hash agg pass — one scan, map-side
+    combine, no per-pair jobs); the scalar results are unpivoted to
+    rows via ``stack``. Bounded output (k² rows), so the unpivot is
+    driver-free and broadcast-sized."""
+    from pyspark.sql import functions as F
+
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    agg = df.agg(
+        *[
+            F.round(F.corr(a, b), round_digits).alias(f"__c_{a}_{b}")
+            for a, b in pairs
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', `__c_{a}_{b}`" for a, b in pairs
+    )
+    return agg.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+    ).orderBy("col_a", "col_b")

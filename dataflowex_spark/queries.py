@@ -10052,3 +10052,215 @@ def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@q(
+    "q245_readability",
+    """
+    WITH t AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(text), '__WS__'),
+                         x -> x <> '') AS toks,
+             list_filter(regexp_split_to_array(text, '[.!?]+'),
+                         s -> trim(s) <> '') AS sents
+      FROM documents
+    ), p AS (
+      SELECT source,
+             GREATEST(len(toks), 1) AS words,
+             GREATEST(len(sents), 1) AS sentences,
+             COALESCE(list_sum(list_transform(toks,
+               t -> GREATEST(len(regexp_extract_all(t, '[aeiouy]+')), 1))), 0)
+               AS syl
+      FROM t
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(206.835
+                     - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                     - 84.6 * (CAST(syl AS DOUBLE) / words)), 4)
+             AS avg_flesch
+    FROM p GROUP BY source ORDER BY source
+    """,
+)
+def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source — corpus quality screening via
+    pure scan-local array expressions (split/filter/aggregate HOFs,
+    whole-stage codegen; the only shuffle is the final per-source
+    rollup). Vowel-group syllable heuristic pinned identically in
+    the oracle; word/sentence counts clamped ≥1 on both engines."""
+    from dataflowex_spark.operators.text import readability_scores
+
+    cat = Catalog(spark, sf_dir)
+    scored = readability_scores(cat["documents"])
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("flesch"), 4).alias("avg_flesch"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "q246_correlation_matrix",
+    """
+    WITH a AS (
+      SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS c_qty_price,
+             ROUND(corr(l_quantity, l_discount), 6) AS c_qty_disc,
+             ROUND(corr(l_quantity, l_tax), 6) AS c_qty_tax,
+             ROUND(corr(l_extendedprice, l_discount), 6) AS c_price_disc,
+             ROUND(corr(l_extendedprice, l_tax), 6) AS c_price_tax,
+             ROUND(corr(l_discount, l_tax), 6) AS c_disc_tax
+      FROM lineitem
+    )
+    SELECT * FROM (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             c_qty_price AS corr FROM a
+      UNION ALL SELECT 'l_quantity', 'l_discount', c_qty_disc FROM a
+      UNION ALL SELECT 'l_quantity', 'l_tax', c_qty_tax FROM a
+      UNION ALL SELECT 'l_extendedprice', 'l_discount', c_price_disc FROM a
+      UNION ALL SELECT 'l_extendedprice', 'l_tax', c_price_tax FROM a
+      UNION ALL SELECT 'l_discount', 'l_tax', c_disc_tax FROM a
+    ) ORDER BY col_a, col_b
+    """,
+)
+def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the lineitem measures:
+    ONE aggregation computes all six corr() pairs in a single
+    partial+final hash-agg scan (map-side combine — no per-pair
+    jobs), then stack() unpivots the scalar row to tidy rows. The
+    profiling step that catches redundant features before training."""
+    from dataflowex_spark.operators.validation import correlation_matrix
+
+    cat = Catalog(spark, sf_dir)
+    return correlation_matrix(
+        cat["lineitem"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+@q(
+    "q247_rolling_median",
+    """
+    WITH weekly AS (
+      SELECT n.n_name,
+             date_trunc('week', o.o_orderdate) AS wk,
+             SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ), windowed AS (
+      SELECT n_name, wk,
+             list(rev) OVER (PARTITION BY n_name ORDER BY wk
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+               AS lastk
+      FROM weekly
+    )
+    SELECT n_name, wk,
+           CAST(list_sort(lastk)[CAST((len(lastk) + 1) // 2 AS INTEGER)]
+                AS BIGINT) AS rolling_median_rev
+    FROM windowed ORDER BY n_name, wk
+    """,
+)
+def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-week rolling LOWER-MEDIAN of weekly revenue per nation — the
+    robust smoother (a median absorbs a single blowout week that
+    drags a rolling mean). Median over a ROWS frame is pinned
+    discretely: sort the ≤4-element window list and index
+    (n+1) div 2 — identical on both engines, no interpolation.
+    Revenue is exact integer cents; the window list is bounded by
+    the frame, so collect_list here is O(frame), never O(group)."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    weekly = (
+        cat["orders"]
+        .join(
+            cat["customer"],
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(cat["nation"]),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            F.date_trunc("WEEK", "o_orderdate")
+            .cast("timestamp_ntz")
+            .alias("wk"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev"
+            )
+        )
+    )
+    w = W.partitionBy("n_name").orderBy("wk").rowsBetween(-3, 0)
+    lastk = F.sort_array(F.collect_list("rev").over(w))
+    idx = ((F.size(lastk) + 1) / 2).cast("int")
+    return weekly.select(
+        "n_name",
+        "wk",
+        F.element_at(lastk, idx).cast("long").alias("rolling_median_rev"),
+    ).orderBy("n_name", "wk")
+
+
+@q(
+    "q248_kmv_jaccard",
+    """
+    WITH a AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    ), b AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), ha AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h FROM a
+    ), hb AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h FROM b
+    ), sa AS (
+      SELECT h FROM ha ORDER BY h LIMIT 256
+    ), sb AS (
+      SELECT h FROM hb ORDER BY h LIMIT 256
+    ), u AS (
+      SELECT DISTINCT h
+      FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+      ORDER BY h LIMIT 256
+    ), est AS (
+      SELECT SUM(CASE WHEN h IN (SELECT h FROM sa)
+                       AND h IN (SELECT h FROM sb) THEN 1 ELSE 0 END) AS c,
+             COUNT(*) AS denom
+      FROM u
+    ), ex AS (
+      SELECT (SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS inter,
+             (SELECT COUNT(*) FROM a) AS na,
+             (SELECT COUNT(*) FROM b) AS nb
+    )
+    SELECT ROUND(est.c / CAST(est.denom AS DOUBLE), 6) AS est_jaccard,
+           ROUND(ex.inter / CAST(ex.na + ex.nb - ex.inter AS DOUBLE), 6)
+             AS jaccard,
+           CAST(ex.na AS BIGINT) AS n_a,
+           CAST(ex.nb AS BIGINT) AS n_b,
+           CAST(256 AS INTEGER) AS k
+    FROM est CROSS JOIN ex
+    """,
+)
+def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) Jaccard estimate between the click and
+    purchase user sets, with the exact Jaccard alongside as the audit
+    column. The sketch hash is the repo's PORTABLE md5 bucket, so the
+    oracle rebuilds the identical sketch bit-for-bit — auditable
+    sketching. Sketch algebra (union-k + membership) runs on ≤2k
+    rows; the global k-min is TakeOrderedAndProject, not a sort. At
+    100 TB only the two distinct() passes touch the fact table."""
+    from dataflowex_spark.operators.similarity import kmv_jaccard
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    return kmv_jaccard(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id",
+        k=256,
+    )

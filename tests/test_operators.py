@@ -1525,3 +1525,68 @@ def test_pca_project_matches_numpy(spark):
     centered = P - P.mean(axis=0)
     var = (centered**2).mean(axis=0)
     assert np.allclose(var, vals, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------
+# readability / correlation matrix / KMV sketch
+# ---------------------------------------------------------------------
+
+
+def test_readability_pinned_values(spark):
+    """Flesch formula on hand-counted sentences: known word /
+    sentence / syllable counts give the exact closed-form score."""
+    from dataflowex_spark.operators.text import readability_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat. the dog ran!"),  # 6 words, 2 sent, 6 syl
+            (2, ""),  # degenerate: clamps, finite score
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r["flesch"] for r in readability_scores(df).collect()}
+    expected = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(rows[1] - expected) < 1e-9
+    assert rows[2] == 206.835 - 1.015 * 1.0 - 84.6 * 0.0
+
+
+def test_correlation_matrix_reference(spark):
+    """corr() pairs equal numpy's corrcoef, including a perfectly
+    linear pair (corr = 1)."""
+    import numpy as np
+    from dataflowex_spark.operators.validation import correlation_matrix
+
+    rng = np.random.default_rng(4)
+    a = rng.normal(size=200)
+    b = 2 * a + 1  # perfectly correlated
+    c = rng.normal(size=200)
+    df = spark.createDataFrame(
+        [(float(x), float(y), float(z)) for x, y, z in zip(a, b, c)],
+        "a double, b double, c double",
+    )
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in correlation_matrix(df, ["a", "b", "c"]).collect()
+    }
+    assert len(got) == 3
+    assert abs(got[("a", "b")] - 1.0) < 1e-6
+    assert abs(got[("a", "c")] - np.corrcoef(a, c)[0, 1]) < 1e-5
+    assert abs(got[("b", "c")] - np.corrcoef(b, c)[0, 1]) < 1e-5
+
+
+def test_kmv_jaccard_estimate_and_exact(spark):
+    """Exact column is exact; the KMV estimate is within the standard
+    error bound of the true Jaccard, and degenerates to the exact
+    value when k exceeds the union size."""
+    from dataflowex_spark.operators.similarity import kmv_jaccard
+
+    a = spark.createDataFrame([(i,) for i in range(600)], "u long")
+    b = spark.createDataFrame([(i,) for i in range(300, 900)], "u long")
+    # true: |A∩B| = 300, |A∪B| = 900 → 1/3
+    r = kmv_jaccard(a, b, "u", k=256).collect()[0]
+    assert r["jaccard"] == round(300 / 900, 6)
+    assert r["n_a"] == 600 and r["n_b"] == 600
+    assert abs(r["est_jaccard"] - 1 / 3) < 3 * ((1 / 3) * (2 / 3) / 256) ** 0.5
+    # k >= |A∪B|: sketches are the full sets, estimate is exact
+    r2 = kmv_jaccard(a, b, "u", k=2048).collect()[0]
+    assert abs(r2["est_jaccard"] - r2["jaccard"]) < 1e-6
