@@ -237,3 +237,93 @@ def calibration_table(
         )
         .orderBy("bin")
     )
+
+
+def population_stability_index(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    value: Column,
+    n_bins: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    distribution — the production drift monitor ("has the serving
+    population moved off the training population?").
+
+    Bin edges are the reference distribution's discrete decile cuts
+    (the rank-crossing rule ``rn·n_bins ≥ n·k`` — the repo's pinned
+    percentile definition, so any engine reproduces the same edges).
+    Both samples are bucketed by counting edges below the value
+    (edges travel broadcast; the bucketing is a scan-local
+    expression), and PSI = Σ (p_ref − p_cur)·ln(p_ref/p_cur) with
+    add-one smoothing on the counts so empty buckets stay finite —
+    the smoothing is part of the pinned definition.
+
+    Returns one row ``(psi, n_ref, n_cur)``.
+    """
+    ref = df_ref.select(value.alias("__v"))
+    cur = df_cur.select(value.alias("__v"))
+    w = Window.orderBy("__v")
+    ranked = (
+        ref.groupBy("__v")
+        .agg(F.count("*").alias("__c"))
+        .select(
+            "__v",
+            F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("__rn"),
+            F.sum("__c").over(Window.partitionBy()).alias("__n"),
+        )
+    )
+    # k-th decile edge = smallest v with rn*n_bins >= n*k (k = 1..n_bins-1)
+    edges = (
+        ranked.crossJoin(
+            F.broadcast(
+                ref.sparkSession.range(1, n_bins).select(
+                    F.col("id").alias("__k")
+                )
+            )
+        )
+        .filter(F.col("__rn") * n_bins >= F.col("__n") * F.col("__k"))
+        .groupBy("__k")
+        .agg(F.min("__v").alias("__edge"))
+        .select("__edge")
+    )
+
+    def bucketed(side: DataFrame, tag: str) -> DataFrame:
+        # compact to distinct values FIRST, then the broadcast
+        # edge-count join runs on #distinct rows, not #input rows
+        compact = side.groupBy("__v").agg(F.count("*").alias("__c"))
+        return (
+            compact.crossJoin(F.broadcast(edges))
+            .groupBy("__v", "__c")
+            .agg(
+                F.sum((F.col("__edge") < F.col("__v")).cast("long")).alias(
+                    "__bin"
+                )
+            )
+            .groupBy("__bin")
+            .agg(F.sum("__c").alias(f"__c_{tag}"))
+        )
+
+    rb = bucketed(ref, "ref")
+    cb = bucketed(cur, "cur")
+    joined = (
+        rb.join(cb, "__bin", "full_outer")
+        .select(
+            F.coalesce("__c_ref", F.lit(0)).alias("__cr"),
+            F.coalesce("__c_cur", F.lit(0)).alias("__cc"),
+        )
+        .crossJoin(
+            F.broadcast(ref.agg(F.count("*").alias("__nr")))
+        )
+        .crossJoin(
+            F.broadcast(cur.agg(F.count("*").alias("__nc")))
+        )
+    )
+    pr = (F.col("__cr") + 1) / (F.col("__nr") + n_bins).cast("double")
+    pc = (F.col("__cc") + 1) / (F.col("__nc") + n_bins).cast("double")
+    return joined.agg(
+        F.round(F.sum((pr - pc) * F.log(pr / pc)), round_digits).alias("psi"),
+        F.max("__nr").alias("n_ref"),
+        F.max("__nc").alias("n_cur"),
+    )

@@ -10264,3 +10264,237 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         k=256,
     )
+
+
+@q(
+    "q249_conformal_interval",
+    """
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 10000 AS bkt
+      FROM events
+    ), calib AS (SELECT * FROM ev WHERE bkt < 8000),
+    test AS (SELECT * FROM ev WHERE bkt >= 8000),
+    stats AS (
+      SELECT event_type, SUM(cents) AS s_t, COUNT(*) AS n_t
+      FROM calib GROUP BY event_type
+    ), resid AS (
+      SELECT c.event_type, ABS(c.cents * s.n_t - s.s_t) AS r
+      FROM calib c JOIN stats s ON s.event_type = c.event_type
+    ), ranked AS (
+      SELECT event_type, r,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM resid
+    ), qhat AS (
+      SELECT event_type, MIN(CASE WHEN rn * 10 >= n * 9 THEN r END) AS q
+      FROM ranked GROUP BY event_type
+    )
+    SELECT t.event_type,
+           CAST(MAX(s.n_t) AS BIGINT) AS n_calib,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(MAX(q) / (MAX(s.n_t) * 100.0), 4) AS qhat,
+           ROUND(AVG(CASE WHEN ABS(t.cents * s.n_t - s.s_t) <= q
+                          THEN 1.0 ELSE 0.0 END), 4) AS coverage
+    FROM test t
+    JOIN stats s ON s.event_type = t.event_type
+    JOIN qhat ON qhat.event_type = t.event_type
+    GROUP BY t.event_type ORDER BY t.event_type
+    """,
+)
+def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian split-conformal intervals: per event type, the 90th-
+    percentile (discrete rank-crossing rule) absolute residual around
+    the calibration mean predicts an interval; coverage is then
+    measured on the held-out test split. The 80/20 split is the
+    portable md5 bucket (reproducible by any engine) and residual
+    RANKING IS EXACT INTEGER arithmetic — residuals are compared as
+    |cents·n_t − Σcents| (scaled by the constant per-type count), so
+    no float mean can perturb the quantile across engines. Broadcast
+    stats/qhat joins; one window over each type's calibration rows."""
+    from pyspark.sql import Window as W
+
+    from dataflowex_spark.operators.sampling import portable_bucket
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"].select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        portable_bucket(F.col("event_id"), 10_000).alias("bkt"),
+    )
+    calib = ev.filter(F.col("bkt") < 8000)
+    test = ev.filter(F.col("bkt") >= 8000)
+    stats = calib.groupBy("event_type").agg(
+        F.sum("cents").alias("s_t"), F.count("*").alias("n_t")
+    )
+    resid = calib.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.abs(F.col("cents") * F.col("n_t") - F.col("s_t")).alias("r"),
+    )
+    tw = W.partitionBy("event_type")
+    ranked = resid.select(
+        "event_type",
+        "r",
+        F.row_number().over(tw.orderBy("r")).alias("rn"),
+        F.count("*").over(tw).alias("n"),
+    )
+    qhat = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") * 10 >= F.col("n") * 9, F.col("r"))).alias(
+            "q"
+        )
+    )
+    return (
+        test.join(F.broadcast(stats), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_t").alias("n_calib"),
+            F.count("*").alias("n_test"),
+            F.round(F.max("q") / (F.max("n_t") * 100.0), 4).alias("qhat"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.abs(F.col("cents") * F.col("n_t") - F.col("s_t"))
+                        <= F.col("q"),
+                        1.0,
+                    ).otherwise(0.0)
+                ),
+                4,
+            ).alias("coverage"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "q250_ece",
+    """
+    WITH mm AS (
+      SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+    ), s AS (
+      SELECT (value - mn) / (mx - mn) AS p, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events CROSS JOIN mm
+    ), t AS (
+      SELECT p, y, NTILE(10) OVER (ORDER BY p, event_id) AS bin FROM s
+    ), b AS (
+      SELECT bin, COUNT(*) AS nb, AVG(p) AS avg_p, AVG(y) AS pos_rate
+      FROM t GROUP BY bin
+    )
+    SELECT ROUND(SUM((nb / CAST((SELECT COUNT(*) FROM events) AS DOUBLE))
+                     * ABS(avg_p - pos_rate)), 6) AS ece,
+           CAST(SUM(nb) AS BIGINT) AS n
+    FROM b
+    """,
+)
+def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error: min-max-normalize the score to a
+    pseudo-probability, decile-bin via the scale-safe global NTILE,
+    and sum the bin-weighted |mean predicted − observed| gaps — the
+    one-number companion to the q239 reliability table. The min/max
+    scalars travel as a broadcast frame; ranking reuses
+    global_row_number's range-repartitioned plan."""
+    from dataflowex_spark.operators.windows import global_ntile
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    mm = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    s = ev.crossJoin(F.broadcast(mm)).select(
+        ((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias(
+            "p"
+        ),
+        "event_id",
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    binned = global_ntile(
+        s, 10, [F.col("p"), F.col("event_id")], out_col="bin"
+    )
+    b = binned.groupBy("bin").agg(
+        F.count("*").alias("nb"),
+        F.avg("p").alias("avg_p"),
+        F.avg("y").alias("pos_rate"),
+    )
+    total = b.agg(F.sum("nb").alias("ntot"))
+    return b.crossJoin(F.broadcast(total)).agg(
+        F.round(
+            F.sum(
+                (F.col("nb") / F.col("ntot").cast("double"))
+                * F.abs(F.col("avg_p") - F.col("pos_rate"))
+            ),
+            6,
+        ).alias("ece"),
+        F.max("ntot").alias("n"),
+    )
+
+
+@q(
+    "q251_psi",
+    """
+    WITH ref AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS v FROM events
+      WHERE event_type = 'view'
+    ), cur AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS v FROM events
+      WHERE event_type = 'click'
+    ), rc AS (
+      SELECT v, COUNT(*) AS c FROM ref GROUP BY v
+    ), ranked AS (
+      SELECT v, SUM(c) OVER (ORDER BY v) AS rn, SUM(c) OVER () AS n
+      FROM rc
+    ), edges AS (
+      SELECT k, MIN(v) AS edge
+      FROM ranked CROSS JOIN (SELECT unnest(range(1, 10)) AS k)
+      WHERE rn * 10 >= n * k GROUP BY k
+    ), rbin AS (
+      SELECT bin, SUM(c) AS cref FROM (
+        SELECT rc.c,
+               (SELECT COUNT(*) FROM edges e WHERE e.edge < rc.v) AS bin
+        FROM rc
+      ) GROUP BY bin
+    ), cc AS (
+      SELECT v, COUNT(*) AS c FROM cur GROUP BY v
+    ), cbin AS (
+      SELECT bin, SUM(c) AS ccur FROM (
+        SELECT cc.c,
+               (SELECT COUNT(*) FROM edges e WHERE e.edge < cc.v) AS bin
+        FROM cc
+      ) GROUP BY bin
+    ), j AS (
+      SELECT COALESCE(cref, 0) AS cr, COALESCE(ccur, 0) AS cu
+      FROM rbin r FULL OUTER JOIN cbin c ON r.bin = c.bin
+    ), tot AS (
+      SELECT (SELECT COUNT(*) FROM ref) AS nr,
+             (SELECT COUNT(*) FROM cur) AS nc
+    )
+    SELECT ROUND(SUM(((cr + 1) / CAST(nr + 10 AS DOUBLE)
+                      - (cu + 1) / CAST(nc + 10 AS DOUBLE))
+                     * ln(((cr + 1) / CAST(nr + 10 AS DOUBLE))
+                          / ((cu + 1) / CAST(nc + 10 AS DOUBLE)))), 6)
+             AS psi,
+           CAST(MAX(nr) AS BIGINT) AS n_ref,
+           CAST(MAX(nc) AS BIGINT) AS n_cur
+    FROM j CROSS JOIN tot
+    """,
+)
+def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the click value distribution
+    against the view distribution as reference — the production score
+    monitor ("alert above 0.2"). Reference decile edges use the
+    pinned discrete rank-crossing rule; both samples bucket via a
+    broadcast edge-count expression over their COMPACTED distinct-
+    value frames; add-one smoothing keeps empty buckets finite and is
+    part of the pinned definition (mirrored in the oracle)."""
+    from dataflowex_spark.operators.mleval import (
+        population_stability_index,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    return population_stability_index(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        value=F.floor(F.col("value") * 100).cast("long"),
+        n_bins=10,
+    )

@@ -1590,3 +1590,54 @@ def test_kmv_jaccard_estimate_and_exact(spark):
     # k >= |A∪B|: sketches are the full sets, estimate is exact
     r2 = kmv_jaccard(a, b, "u", k=2048).collect()[0]
     assert abs(r2["est_jaccard"] - r2["jaccard"]) < 1e-6
+
+
+def test_psi_identical_zero_and_shift_positive(spark):
+    """PSI of a distribution against itself is ~0 (only smoothing
+    noise); a location shift produces a clearly larger PSI; and the
+    value matches a direct numpy recomputation of the same pinned
+    definition."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from dataflowex_spark.operators.mleval import (
+        population_stability_index,
+    )
+
+    rng = np.random.default_rng(6)
+    ref_v = rng.integers(0, 100, 2000)
+    cur_same = ref_v.copy()
+    cur_shift = ref_v + 30
+    mk = lambda arr: spark.createDataFrame(
+        [(int(v),) for v in arr], "v long"
+    )
+    same = population_stability_index(
+        mk(ref_v), mk(cur_same), F.col("v")
+    ).collect()[0]
+    assert abs(same["psi"]) < 1e-3
+    shift = population_stability_index(
+        mk(ref_v), mk(cur_shift), F.col("v")
+    ).collect()[0]
+    assert shift["psi"] > 0.5
+
+    # numpy reference of the same pinned definition
+    sref = np.sort(ref_v)
+    n = len(sref)
+    edges = [
+        sref[
+            np.searchsorted(
+                np.cumsum(np.ones(n)) * 10 >= n * k, True
+            )
+        ]
+        for k in range(1, 10)
+    ]
+    edges = np.unique(edges)  # pinned rule yields distinct cut values here
+
+    def bins(arr):
+        b = np.array([np.sum(np.array(edges) < v) for v in arr])
+        return np.bincount(b, minlength=10)[:10]
+
+    cr, cu = bins(ref_v), bins(cur_shift)
+    pr = (cr + 1) / (len(ref_v) + 10)
+    pc = (cu + 1) / (len(cur_shift) + 10)
+    psi_ref = np.sum((pr - pc) * np.log(pr / pc))
+    assert abs(shift["psi"] - psi_ref) < 1e-4
