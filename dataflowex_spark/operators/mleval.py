@@ -327,3 +327,75 @@ def population_stability_index(
         F.max("__nr").alias("n_ref"),
         F.max("__nc").alias("n_cur"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score: Column,
+    label: Column,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Isotonic (PAV) calibration map: the monotone step function
+    p(score) that minimizes squared error against the labels — the
+    non-parametric way to turn a ranking score into a probability.
+
+    Two-stage by design: (1) ONE distributed aggregation compacts to
+    ``(distinct score, n, n_pos)`` — the only pass over the data;
+    (2) pool-adjacent-violators runs driver-side over the compacted
+    frame (bounded by the caller's score quantization, the same
+    contract as :func:`roc_auc` — thousands of buckets, not rows).
+    PAV itself is inherently sequential-in-score, so a driver loop
+    over buckets is the honest shape; the result ships back as a
+    small mapping frame ``(score, n, p_iso)`` suitable for a
+    broadcast join against serving data.
+
+    All pooling arithmetic is exact integer (pos, n) ratios compared
+    by cross-multiplication, so the fitted steps are engine- and
+    float-order-independent.
+    """
+    compact = (
+        df.select(score.alias("s"), label.cast("long").alias("__y"))
+        .groupBy("s")
+        .agg(F.count("*").alias("n"), F.sum("__y").alias("__pos"))
+        .orderBy("s")
+    )
+    rows = compact.collect()
+    # PAV: maintain a stack of blocks (pos, n); merge while the mean
+    # would decrease. Comparison pos_a*n_b >= pos_b*n_a is exact.
+    blocks: list[list] = []  # [pos, n, count_of_buckets]
+    for r in rows:
+        blocks.append([r["__pos"], r["n"], 1])
+        while (
+            len(blocks) > 1
+            and blocks[-2][0] * blocks[-1][1]
+            >= blocks[-1][0] * blocks[-2][1]
+        ):
+            p2, n2, c2 = blocks.pop()
+            blocks[-1][0] += p2
+            blocks[-1][1] += n2
+            blocks[-1][2] += c2
+    out = []
+    i = 0
+    for pos, n, c in blocks:
+        p_iso = round(pos / n, round_digits)
+        for _ in range(c):
+            r = rows[i]
+            out.append((r["s"], r["n"], p_iso))
+            i += 1
+    spark = df.sparkSession
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    s_type = compact.schema["s"].dataType
+    schema = StructType(
+        [
+            StructField("s", s_type),
+            StructField("n", LongType()),
+            StructField("p_iso", DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema)

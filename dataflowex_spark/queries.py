@@ -10498,3 +10498,21 @@ def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
         value=F.floor(F.col("value") * 100).cast("long"),
         n_bins=10,
     )
+
+
+@q("q252_isotonic_calibration", None)  # rows-only: PAV is sequential
+def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the cent-quantized value score
+    against the purchase label: one distributed compaction to
+    (distinct score, n, n_pos), then exact-integer pool-adjacent-
+    violators over the bounded bucket frame driver-side; the fitted
+    monotone step map ships back as a broadcastable mapping frame.
+    Not SQL-expressible (sequential pooling), hence rows-only."""
+    from dataflowex_spark.operators.mleval import isotonic_calibration
+
+    cat = Catalog(spark, sf_dir)
+    return isotonic_calibration(
+        cat["events"],
+        score=F.floor(F.col("value") * 100).cast("long"),
+        label=(F.col("event_type") == "purchase"),
+    )

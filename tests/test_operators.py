@@ -1641,3 +1641,52 @@ def test_psi_identical_zero_and_shift_positive(spark):
     pc = (cu + 1) / (len(cur_shift) + 10)
     psi_ref = np.sum((pr - pc) * np.log(pr / pc))
     assert abs(shift["psi"] - psi_ref) < 1e-4
+
+
+def test_isotonic_calibration_pav(spark):
+    """PAV output is monotone non-decreasing, preserves the total
+    positive mass, and matches a brute-force PAV reference."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from dataflowex_spark.operators.mleval import isotonic_calibration
+
+    rng = np.random.default_rng(8)
+    scores = rng.integers(0, 30, 1000)
+    labels = (rng.random(1000) < scores / 40.0).astype(int)
+    df = spark.createDataFrame(
+        [(int(s), int(y)) for s, y in zip(scores, labels)], "s long, y int"
+    )
+    out = (
+        isotonic_calibration(df, F.col("s"), F.col("y") == 1)
+        .orderBy("s")
+        .collect()
+    )
+    ps = [r["p_iso"] for r in out]
+    assert ps == sorted(ps)  # monotone
+    # mass preservation: Σ n·p ≈ total positives (exact up to rounding)
+    mass = sum(r["n"] * r["p_iso"] for r in out)
+    assert abs(mass - labels.sum()) < 1e-2
+    # brute-force PAV reference over the compacted buckets
+    uniq = np.unique(scores)
+    pos = np.array([labels[scores == s].sum() for s in uniq], dtype=float)
+    cnt = np.array([(scores == s).sum() for s in uniq], dtype=float)
+    blocks = []
+    for p, n in zip(pos, cnt):
+        blocks.append([p, n])
+        while len(blocks) > 1 and (
+            blocks[-2][0] / blocks[-2][1] >= blocks[-1][0] / blocks[-1][1]
+        ):
+            p2, n2 = blocks.pop()
+            blocks[-1][0] += p2
+            blocks[-1][1] += n2
+    # expand by walking buckets against block boundaries
+    ref_ps = []
+    bi, used = 0, 0.0
+    for n_b in cnt:
+        ref_ps.append(blocks[bi][0] / blocks[bi][1])
+        used += n_b
+        if used >= blocks[bi][1] - 1e-9:
+            used = 0.0
+            bi += 1
+    for got_r, want in zip(out, ref_ps):
+        assert abs(got_r["p_iso"] - want) < 1e-6
