@@ -71,6 +71,9 @@ HEADLINE = [
     "q193_feature_hashing",
     "q234_bloom_prune_join",
     "q235_prefix_filter_jaccard",
+    "q238_roc_auc",
+    "q243_embedding_covariance",
+    "q248_kmv_jaccard",
 ]
 
 
