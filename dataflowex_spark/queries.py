@@ -10516,3 +10516,275 @@ def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
         score=F.floor(F.col("value") * 100).cast("long"),
         label=(F.col("event_type") == "purchase"),
     )
+
+# =====================================================================
+# Round-4 wave: training-set construction (q253–q256)
+# =====================================================================
+
+
+@q(
+    "q253_quantile_normalize",
+    """
+    WITH src AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM documents
+    ), gv AS (
+      SELECT n_chars AS g, COUNT(*) AS c FROM documents GROUP BY n_chars
+    ), gcum AS (
+      SELECT g, SUM(c) OVER (ORDER BY g) AS cum, SUM(c) OVER () AS n
+      FROM gv
+    )
+    SELECT s.doc_id, s.source, s.n_chars,
+           CAST(MIN(CASE WHEN (gc.cum - 1) * (s.ns - 1)
+                              >= (s.rn - 1) * (gc.n - 1)
+                         THEN gc.g END) AS BIGINT) AS qn_chars
+    FROM src s CROSS JOIN gcum gc
+    GROUP BY s.doc_id, s.source, s.n_chars
+    ORDER BY s.doc_id
+    """,
+)
+def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: map each document's n_chars to the
+    GLOBAL distribution value at the same percent rank within its
+    source — the batch-effect remover (and the inverse-CDF transform
+    under it). Rank matching is EXACT INTEGER cross-multiplication
+    ((cum_g−1)·(n_s−1) ≥ (rn_s−1)·(N−1) — no float percent_rank can
+    flip a boundary), the global distribution travels as a COMPACTED
+    broadcast frame of distinct values with cumulative counts, and
+    the per-source ranking is an ordinary partitioned window. Scale:
+    one window + one broadcast join; the global frame is bounded by
+    value cardinality, not rows."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"]
+    sw = W.partitionBy("source")
+    src = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(sw.orderBy("n_chars", "doc_id")).alias("rn"),
+        F.count("*").over(sw).alias("ns"),
+    )
+    gv = docs.groupBy(F.col("n_chars").alias("g")).agg(
+        F.count("*").alias("c")
+    )
+    gw = Window.orderBy("g")
+    gcum = gv.select(
+        "g",
+        F.sum("c").over(gw.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        src.crossJoin(F.broadcast(gcum))
+        .groupBy("doc_id", "source", "n_chars")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("cum") - 1) * (F.col("ns") - 1)
+                    >= (F.col("rn") - 1) * (F.col("n") - 1),
+                    F.col("g"),
+                )
+            )
+            .cast("long")
+            .alias("qn_chars")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "q254_temporal_split",
+    """
+    WITH lanes AS (
+      SELECT CASE
+               WHEN ts < TIMESTAMP '2024-01-20' THEN 'train'
+               WHEN ts >= TIMESTAMP '2024-01-21' THEN 'test'
+               ELSE 'embargo'
+             END AS lane, ts
+      FROM events
+    )
+    SELECT lane, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(ts) AS min_ts, MAX(ts) AS max_ts
+    FROM lanes GROUP BY lane ORDER BY lane
+    """,
+)
+def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split WITH EMBARGO: a one-day purge gap
+    between the train horizon and the test window so rows whose
+    effects straddle the boundary (a session, a label lookback) can't
+    leak across — the time-series analogue of q217's cluster-aware
+    split. Pure scan-side predicates (three lanes, no shuffle until
+    the audit rollup); the audit emits per-lane counts and the
+    boundary timestamps so the gap is checkable downstream."""
+    cat = Catalog(spark, sf_dir)
+    lane = (
+        F.when(
+            F.col("ts") < F.lit("2024-01-20").cast("timestamp_ntz"), "train"
+        )
+        .when(
+            F.col("ts") >= F.lit("2024-01-21").cast("timestamp_ntz"), "test"
+        )
+        .otherwise("embargo")
+    )
+    return (
+        cat["events"]
+        .select(lane.alias("lane"), "ts")
+        .groupBy("lane")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("lane")
+    )
+
+
+@q(
+    "q255_group_kfold",
+    """
+    WITH f AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 5 AS fold,
+             user_id
+      FROM events
+    )
+    SELECT CAST(fold AS INTEGER) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM f GROUP BY fold ORDER BY fold
+    """,
+)
+def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP k-fold assignment: the fold is a function of user_id (the
+    portable md5 bucket mod k), so every event of a user lands in the
+    same fold BY CONSTRUCTION — no user straddles train and
+    validation, the grouped-CV leakage guard. Scan-side fold
+    expression, one rollup; reproducible by any engine (same md5
+    contract as the q92 splits)."""
+    from dataflowex_spark.operators.sampling import portable_bucket
+
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["events"]
+        .select(
+            F.pmod(portable_bucket(F.col("user_id"), 10_000), F.lit(5))
+            .cast("int")
+            .alias("fold"),
+            "user_id",
+        )
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("fold")
+    )
+
+
+@q(
+    "q256_negative_sampling",
+    """
+    WITH pos AS (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), users AS (
+      SELECT custkey, COUNT(*) AS n_pos FROM pos GROUP BY custkey
+    ), mx AS (
+      SELECT MAX(p_partkey) AS maxp FROM part
+    ), cand AS (
+      SELECT u.custkey, u.n_pos, i.i,
+             1 + CAST(('0x' || substr(md5(CAST(u.custkey AS VARCHAR)
+                       || '#' || CAST(i.i AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % mx.maxp AS partkey
+      FROM users u
+      CROSS JOIN (SELECT unnest(range(0, 20)) AS i) i
+      CROSS JOIN mx
+    ), neg AS (
+      SELECT c.custkey, c.n_pos, c.i, c.partkey,
+             ROW_NUMBER() OVER (PARTITION BY c.custkey ORDER BY c.i) AS rn
+      FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM pos p
+                        WHERE p.custkey = c.custkey
+                          AND p.partkey = c.partkey)
+    )
+    SELECT custkey, CAST(MAX(n_pos) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) AS BIGINT) AS n_neg,
+           CAST(SUM(partkey) AS BIGINT) AS neg_key_sum
+    FROM neg WHERE rn <= 10
+    GROUP BY custkey ORDER BY custkey
+    """,
+)
+def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training:
+    each customer gets 10 pseudo-random part ids they did NOT buy,
+    drawn by hashing (custkey, draw-index) with the portable md5 —
+    reproducible by any engine and rerun-stable (no RNG state). The
+    candidate space is generated ARITHMETICALLY (users × 20 draw
+    indices — over-draw then trim), never by enumerating the
+    user×item cross product; positives are removed with one anti
+    join keyed on (custkey, partkey). The audit output carries
+    n_pos/n_neg and the negative-key checksum."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    pos = (
+        cat["orders"]
+        .join(
+            cat["lineitem"],
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    users = pos.groupBy("custkey").agg(F.count("*").alias("n_pos"))
+    mx = cat["part"].agg(F.max("p_partkey").alias("maxp"))
+    draws = spark.range(0, 20).select(F.col("id").alias("i"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("custkey").cast("string"),
+                    F.lit("#"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    cand = (
+        users.crossJoin(F.broadcast(draws))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "custkey",
+            "n_pos",
+            "i",
+            (1 + F.pmod(h, F.col("maxp"))).alias("partkey"),
+        )
+    )
+    neg = cand.join(pos, ["custkey", "partkey"], "left_anti")
+    ranked = neg.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("custkey").orderBy("i")),
+    ).filter(F.col("rn") <= 10)
+    return (
+        ranked.groupBy("custkey")
+        .agg(
+            F.max("n_pos").alias("n_pos"),
+            F.count("*").alias("n_neg"),
+            F.sum("partkey").alias("neg_key_sum"),
+        )
+        .orderBy("custkey")
+    )
