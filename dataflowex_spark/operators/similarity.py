@@ -528,3 +528,44 @@ def kmv_jaccard(
             F.lit(k).alias("k"),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-similar vectors with a DIFFERENT label — the negatives
+    that actually teach the model something (random negatives are
+    trivially separable; the confusing ones sit near the boundary).
+
+    Returns (anchor_id, vec_id, sim, rank), ties broken by id. Plan
+    shape mirrors :func:`knn_cosine_exact`: broadcast(anchors)
+    nested-loop against the corpus scan with the label-mismatch
+    predicate fused into the join condition (filters candidates
+    BEFORE scoring work), then one shuffle keyed on anchor for the
+    top-k window. At 100 TB, swap the NLJ for the IVF/LSH candidate
+    generators and keep the same label predicate on the candidate
+    join — the mining semantics don't change."""
+    a = anchors.select(
+        F.col(id_col).alias(anchor_id_col),
+        F.col(vec_col).alias("__avec"),
+        F.col(label_col).alias("__albl"),
+    )
+    sim = cosine_similarity(F.col(vec_col), F.col("__avec")).alias("sim")
+    scored = corpus.join(
+        F.broadcast(a),
+        (F.col(id_col) != F.col(anchor_id_col))
+        & (F.col(label_col) != F.col("__albl")),
+    ).select(anchor_id_col, id_col, sim)
+    w = Window.partitionBy(anchor_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

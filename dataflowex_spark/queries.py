@@ -10788,3 +10788,41 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@q(
+    "q257_hard_negatives",
+    """
+    SELECT anchor_id, vec_id, ROUND(sim, 4) AS sim, rank FROM (
+      SELECT p.vec_id AS anchor_id, c.vec_id AS vec_id,
+             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(p.embedding AS DOUBLE[])) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                               CAST(p.embedding AS DOUBLE[]))
+                          DESC,
+                        c.vec_id
+             ) AS rank
+      FROM embeddings p
+      JOIN embeddings c
+        ON c.vec_id <> p.vec_id AND c.label <> p.label
+      WHERE p.vec_id < 5
+    ) t WHERE rank <= 5
+    """,
+)
+def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per anchor, the 5 nearest vectors of a
+    DIFFERENT label — the contrastive-training negatives that sit
+    near the decision boundary. Label-mismatch predicate fused into
+    the broadcast NLJ condition so non-candidates are dropped before
+    any dot product; same top-k window shape as q82."""
+    from dataflowex_spark.operators.similarity import hard_negatives
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat["embeddings"]
+    anchors = emb.filter(F.col("vec_id") < 5)
+    out = hard_negatives(emb, anchors, k=5)
+    return out.select(
+        "anchor_id", "vec_id", F.round("sim", 4).alias("sim"), "rank"
+    )

@@ -493,3 +493,47 @@ def test_prefix_filter_prunes_hot_gram_candidates(spark):
     # nothing else reaches the threshold — and in particular the
     # all-docs boilerplate gram did not explode the candidate set
     assert all(p == (0, 30) for p in pairs)
+
+
+def test_hard_negatives_label_constraint_and_ranking(spark):
+    """Every mined negative has a different label than its anchor and
+    is the true nearest such vector (brute-force check)."""
+    import numpy as np
+    from dataflowex_spark.operators.similarity import hard_negatives
+
+    rng = np.random.default_rng(12)
+    X = rng.normal(size=(120, 8)).astype(np.float64)
+    labels = rng.integers(0, 3, 120)
+    df = spark.createDataFrame(
+        [
+            (i, [float(v) for v in X[i]], int(labels[i]))
+            for i in range(120)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    anchors = df.filter("vec_id < 4")
+    got = hard_negatives(df, anchors, k=3).collect()
+    lbl = {i: labels[i] for i in range(120)}
+    by_anchor: dict = {}
+    for r in got:
+        assert lbl[r["anchor_id"]] != lbl[r["vec_id"]]
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    Xf = np.stack([X[i] / np.linalg.norm(X[i]) for i in range(120)])
+    # float32 storage: recompute sims from the rounded vectors
+    Xs = np.stack(
+        [
+            np.array([float(np.float32(v)) for v in X[i]])
+            for i in range(120)
+        ]
+    )
+    Xs = Xs / np.linalg.norm(Xs, axis=1, keepdims=True)
+    for a, rows in by_anchor.items():
+        assert len(rows) == 3
+        sims = Xs @ Xs[a]
+        mask = labels != labels[a]
+        mask[a] = False
+        order = sorted(
+            np.where(mask)[0], key=lambda i: (-sims[i], i)
+        )[:3]
+        got_ids = [r["vec_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert got_ids == list(order)
