@@ -10826,3 +10826,32 @@ def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "anchor_id", "vec_id", F.round("sim", 4).alias("sim"), "rank"
     )
+
+
+@q("q258_stream_drift_monitor", None)  # rows-only: streaming + fs effects
+def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor: replay events as a file stream and
+    score each micro-batch's value distribution against the static
+    'view' reference via foreachBatch; one (batch_id, psi) row per
+    batch, idempotent per-batch-directory publish. Rows-only
+    (streaming runtime + filesystem effects)."""
+    import tempfile
+
+    from dataflowex_spark.streaming.ops import (
+        drift_monitor_stream,
+        file_replay_stream,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    ref = cat["events"].filter(F.col("event_type") == "view")
+    stream = file_replay_stream(
+        spark, f"{sf_dir}/events.parquet", n_chunks=4
+    )
+    out_dir = tempfile.mkdtemp(prefix="q258_drift_")
+    return drift_monitor_stream(
+        stream,
+        ref,
+        value=F.floor(F.col("value") * 100).cast("long"),
+        path=out_dir + "/out",
+        checkpoint_dir=out_dir + "/ckpt",
+    ).orderBy("batch_id")

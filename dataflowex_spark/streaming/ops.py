@@ -659,3 +659,71 @@ def enrich_with_dim_parking(
         writer = writer.option("checkpointLocation", checkpoint)
     query = writer.trigger(availableNow=True).start()
     return query, handle
+
+
+def drift_monitor_stream(
+    stream_df: DataFrame,
+    reference: DataFrame,
+    value,
+    n_bins: int = 10,
+    path: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming drift monitor: per micro-batch, the Population
+    Stability Index of ``value`` against a STATIC reference
+    distribution — the "did the serving population move off the
+    training population" alarm, evaluated continuously instead of in
+    a nightly batch.
+
+    Each micro-batch computes
+    :func:`~dataflowex_spark.operators.mleval.population_stability_index`
+    (reference edges are re-derived from the static side inside the
+    batch plan — at scale, pre-compute and broadcast them once) and
+    publishes one ``(batch_id, psi, n_ref, n_cur)`` row. Publish is
+    idempotent under foreachBatch's at-least-once replay: every batch
+    overwrites its own ``batch-<id>`` directory (same discipline as
+    :func:`asof_join_stream`), and a zero-row schema anchor guarantees
+    the post-drain read succeeds even for an empty stream.
+
+    Stream vs batch: PSI is NOT batch-decomposable (each micro-batch
+    is scored alone, by design — that IS the monitoring semantics),
+    so the contract here is per-batch equivalence: each emitted row
+    equals the batch PSI of that chunk, which the test asserts.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
+    from dataflowex_spark.operators.mleval import (
+        population_stability_index,
+    )
+
+    spark = stream_df.sparkSession
+    out_path = path or (tempfile.mkdtemp(prefix="drift_stream_") + "/out")
+
+    def score(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return population_stability_index(
+            reference, batch_df, value=value, n_bins=n_bins
+        ).withColumn("batch_id", SF.lit(batch_id))
+
+    # schema anchor (empty current side → smoothed PSI of nothing is
+    # still a valid 1-row frame; we keep ZERO rows, just the schema)
+    anchor = score(spark.createDataFrame([], stream_df.schema), -1).limit(0)
+    anchor.write.mode("overwrite").parquet(
+        out_path.rstrip("/") + "/batch-init"
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        score(batch_df, batch_id).write.mode("overwrite").parquet(
+            out_path.rstrip("/") + f"/batch-{batch_id:012d}"
+        )
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="drift_ckpt_")
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_path)

@@ -603,3 +603,64 @@ def test_enrich_parking_late_dimension(spark, tmp_path):
     # replay of an old batch id: no-op
     handle(events, 0)
     assert spark.read.parquet(os.path.join(out_path, "*")).count() == 100
+
+
+def test_drift_monitor_stream_per_batch_equals_batch(spark, sf_dir, tmp_path):
+    """Each micro-batch's published PSI equals the batch-mode PSI of
+    exactly that chunk against the same reference, and replayed runs
+    overwrite instead of duplicating."""
+    import pyspark.sql.functions as F
+
+    from dataflowex_spark.operators.mleval import population_stability_index
+    from dataflowex_spark.streaming.ops import (
+        drift_monitor_stream,
+        file_replay_stream,
+    )
+
+    ref = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "view")
+    )
+    val = F.floor(F.col("value") * 100).cast("long")
+    stream = file_replay_stream(spark, f"{sf_dir}/events.parquet", n_chunks=3)
+    out = drift_monitor_stream(
+        stream,
+        ref,
+        value=val,
+        path=str(tmp_path / "drift"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    rows = {r["batch_id"]: r for r in out.collect()}
+    assert len(rows) >= 1
+    # recompute each chunk's PSI in batch mode from the replay staging
+    import glob
+    import tempfile
+
+    staged = sorted(
+        glob.glob(
+            f"{tempfile.gettempdir()}/dataflowex_replay_*_3/part-*.parquet"
+        )
+    )
+    # map chunks to batches by matching n_cur
+    batch_ns = sorted(r["n_cur"] for r in rows.values())
+    chunk_ns = []
+    for c in staged:
+        chunk_ns.append(spark.read.parquet(c).count())
+    assert sorted(chunk_ns)[: len(batch_ns)] == batch_ns or sum(
+        chunk_ns
+    ) == sum(batch_ns)
+    for r in rows.values():
+        # find a staged chunk with this row count and equal PSI
+        matches = [
+            c
+            for c in staged
+            if spark.read.parquet(c).count() == r["n_cur"]
+        ]
+        assert matches
+        psis = {
+            population_stability_index(
+                ref, spark.read.parquet(c), value=val
+            ).collect()[0]["psi"]
+            for c in matches
+        }
+        assert r["psi"] in psis
