@@ -328,3 +328,54 @@ def check_incremental_join_equals_full(akeys, bkeys, nbatches):
 def test_incremental_join_property(spark):
     check_incremental_join_equals_full._spark = spark
     check_incremental_join_equals_full()
+
+
+def test_kmv_and_covariance_algebra_properties(spark):
+    """Sketch/linear-algebra laws the scale story depends on:
+
+    - KMV MERGEABILITY: the k-min sketch of A∪B equals the k smallest
+      of sketch(A) ∪ sketch(B) — the property that lets sketches be
+      combined across partitions/batches without touching raw keys.
+    - Covariance SHIFT INVARIANCE: cov(X + c) == cov(X) — catches
+      catastrophic-cancellation bugs in the Σxy − (Σx)(Σy)/n form.
+    """
+    import numpy as np
+    import pyspark.sql.functions as F
+    from dataflowex_spark.operators.linalg import covariance_matrix
+    from dataflowex_spark.operators.similarity import kmv_sketch
+
+    rng = np.random.default_rng(21)
+    a_keys = rng.integers(0, 5000, 800)
+    b_keys = rng.integers(2500, 7500, 800)
+    mk = lambda arr: spark.createDataFrame(
+        [(int(v),) for v in arr], "u long"
+    )
+    k = 64
+    sa = {r["h"] for r in kmv_sketch(mk(a_keys), "u", k).collect()}
+    sb = {r["h"] for r in kmv_sketch(mk(b_keys), "u", k).collect()}
+    su = {
+        r["h"]
+        for r in kmv_sketch(
+            mk(np.concatenate([a_keys, b_keys])), "u", k
+        ).collect()
+    }
+    assert su == set(sorted(sa | sb)[:k])
+
+    X = rng.normal(size=(300, 5))
+    shift = X + np.array([100.0, -50.0, 7.0, 0.0, 1e4])
+    mk_emb = lambda M: spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(M)],
+        "id long, embedding array<float>",
+    )
+    c0 = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_matrix(mk_emb(X), "embedding").collect()
+    }
+    c1 = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_matrix(mk_emb(shift), "embedding").collect()
+    }
+    for key in c0:
+        # float32 storage of the shifted values costs precision at the
+        # 1e4 offset; the law holds to the storage precision
+        assert abs(c0[key] - c1[key]) < 5e-2
