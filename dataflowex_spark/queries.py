@@ -10855,3 +10855,38 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
         path=out_dir + "/out",
         checkpoint_dir=out_dir + "/ckpt",
     ).orderBy("batch_id")
+
+
+@q("q259_manifest_read", None)  # rows-only: filesystem effects
+def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-consistent read through the Spark 4 Python DataSource:
+    stage a table, cut an explicit file manifest, read back EXACTLY
+    those files via format('manifest_parquet') — one input partition
+    per manifest file, Arrow RecordBatch fast path. Rows-only
+    (filesystem effects)."""
+    import glob
+    import tempfile
+
+    from dataflowex_spark.sources.manifest_ds import (
+        ManifestParquetDataSource,
+        write_manifest,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="q259_manifest_")
+    cat["supplier"].repartition(4).write.mode("overwrite").parquet(
+        d + "/tbl"
+    )
+    files = sorted(glob.glob(d + "/tbl/part-*.parquet"))
+    write_manifest(files, d + "/v1.manifest")
+    try:
+        spark.dataSource.register(ManifestParquetDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("manifest_parquet")
+        .load(d + "/v1.manifest")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n"), F.round(F.sum("s_acctbal"), 2).alias("bal"))
+        .orderBy("s_nationkey")
+    )

@@ -790,3 +790,52 @@ def test_dim_join_persistent_crash_converges(spark, tmp_path):
     # clean rerun appends nothing
     dim_join_insert_missing_persistent(fact2, dim_path, key="k")
     assert spark.read.parquet(dim_path).count() == 9
+
+
+def test_manifest_parquet_datasource_reads_exact_file_set(spark, sf_dir, tmp_path):
+    """The Python DataSource reads EXACTLY the manifest's files (a
+    file added to the directory after the manifest was cut is
+    invisible), partitions one-per-file, and round-trips values."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from dataflowex_spark.sources.manifest_ds import (
+        ManifestParquetDataSource,
+        write_manifest,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    d = str(tmp_path / "tbl")
+    src.repartition(3).write.parquet(d)
+    files = sorted(glob.glob(d + "/part-*.parquet"))
+    assert len(files) == 3
+
+    # cut a manifest over the first two files only
+    manifest = str(tmp_path / "v1.manifest")
+    write_manifest(files[:2], manifest)
+
+    spark.dataSource.register(ManifestParquetDataSource)
+    got = spark.read.format("manifest_parquet").load(manifest)
+    assert got.schema == spark.read.parquet(d).schema
+
+    expected = (
+        spark.read.parquet(files[0])
+        .unionByName(spark.read.parquet(files[1]))
+        .count()
+    )
+    assert got.count() == expected
+    # the third file exists in the directory but NOT in the snapshot
+    assert got.count() < src.count()
+    # partition parallelism = manifest length
+    assert got.rdd.getNumPartitions() == 2
+    # values round-trip through the Arrow batches
+    a = {tuple(r) for r in got.collect()}
+    b = {
+        tuple(r)
+        for r in spark.read.parquet(files[0])
+        .unionByName(spark.read.parquet(files[1]))
+        .collect()
+    }
+    assert a == b
