@@ -10890,3 +10890,114 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("s_acctbal"), 2).alias("bal"))
         .orderBy("s_nationkey")
     )
+
+
+@q(
+    "q260_window_value_functions",
+    """
+    WITH base AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CASE WHEN o_orderstatus = 'O' THEN NULL
+                  ELSE CAST(floor(o_totalprice * 100) AS BIGINT)
+             END AS closed_cents
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(closed_cents IGNORE NULLS) OVER w AS first_closed,
+           LAST_VALUE(closed_cents IGNORE NULLS) OVER w AS last_closed,
+           NTH_VALUE(closed_cents, 2 IGNORE NULLS) OVER w AS second_closed
+    FROM base
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window VALUE functions with IGNORE NULLS — first/last/nth
+    non-null closed-order amount per customer timeline (open orders
+    are NULL by construction). The semantic corner being pinned:
+    LAST_VALUE without an explicit unbounded frame is the
+    current-row trap on BOTH engines, and IGNORE NULLS must skip,
+    not count, the null slots. One partitioned window, full frame."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    base = cat["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.when(
+            F.col("o_orderstatus") == "O", F.lit(None).cast("long")
+        )
+        .otherwise(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .alias("closed_cents"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("closed_cents", ignorenulls=True).over(w).alias(
+            "first_closed"
+        ),
+        F.last("closed_cents", ignorenulls=True).over(w).alias(
+            "last_closed"
+        ),
+        F.nth_value("closed_cents", 2, ignoreNulls=True)
+        .over(w)
+        .alias("second_closed"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@q(
+    "q261_nullsafe_join",
+    """
+    WITH a AS (
+      SELECT CASE WHEN o_orderstatus = 'O' THEN NULL
+                  ELSE o_orderpriority END AS k,
+             COUNT(*) AS n_a
+      FROM orders GROUP BY 1
+    ), b AS (
+      SELECT CASE WHEN o_orderstatus = 'O' THEN NULL
+                  ELSE o_orderpriority END AS k,
+             COUNT(*) AS n_b
+      FROM orders WHERE o_totalprice > 200000 GROUP BY 1
+    )
+    SELECT a.k, CAST(a.n_a AS BIGINT) AS n_a,
+           CAST(b.n_b AS BIGINT) AS n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY a.k NULLS FIRST
+    """,
+)
+def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM): the open-
+    status lane degrades its key to NULL, and the null-safe predicate
+    must MATCH the two NULL groups (a plain = would silently drop
+    them — the classic missing-rows bug in dimension reconciliations).
+    Joined on pre-aggregated distinct-key frames so the NULL⋈NULL
+    pairing is 1×1 by construction, never a null-key explosion — the
+    pattern to reach for at 100 TB. Ordering pinned NULLS FIRST
+    (Spark's asc default; DuckDB's is NULLS LAST — spelled out)."""
+    cat = Catalog(spark, sf_dir)
+    k = F.when(
+        F.col("o_orderstatus") == "O", F.lit(None).cast("string")
+    ).otherwise(F.col("o_orderpriority"))
+    a = (
+        cat["orders"]
+        .groupBy(k.alias("k"))
+        .agg(F.count("*").alias("n_a"))
+    )
+    b = (
+        cat["orders"]
+        .filter(F.col("o_totalprice") > 200000)
+        .groupBy(k.alias("kb"))
+        .agg(F.count("*").alias("n_b"))
+    )
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("kb")))
+        .select("k", "n_a", "n_b")
+        .orderBy(F.col("k").asc_nulls_first())
+    )
