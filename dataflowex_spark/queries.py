@@ -11001,3 +11001,48 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "n_a", "n_b")
         .orderBy(F.col("k").asc_nulls_first())
     )
+
+
+@q("q262_python_stream_source", None)  # rows-only: streaming runtime
+def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING data source (Spark 4
+    SimpleDataSourceStreamReader): drain the deterministic ticker —
+    record i is a pure function of i, so offset replay is bit-exact —
+    and aggregate per event type. Rows-only (streaming runtime)."""
+    import tempfile
+    import uuid
+
+    from dataflowex_spark.sources.manifest_ds import TickerDataSource
+
+    try:
+        spark.dataSource.register(TickerDataSource)
+    except Exception:
+        pass  # already registered in this session
+    name = f"q262_ticker_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("ticker")
+        .option("rowsPerBatch", 200)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="q262_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("i").alias("min_i"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 
@@ -113,3 +114,68 @@ class ManifestParquetDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _ManifestReader(self._files())
+
+
+# ---------------------------------------------------------------------
+# streaming side: deterministic synthetic ticker (offset-replay safe)
+# ---------------------------------------------------------------------
+
+
+class _TickerStreamReader(SimpleDataSourceStreamReader):
+    """SimpleDataSourceStreamReader for a DETERMINISTIC synthetic
+    event ticker: record i is a pure function of i (portable md5,
+    same contract as the sampling buckets), so any offset range
+    re-reads to bit-identical rows — the property exactly-once sinks
+    rely on when a micro-batch is replayed after recovery."""
+
+    def __init__(self, rows_per_batch: int, n_types: int):
+        self.rows_per_batch = rows_per_batch
+        self.n_types = n_types
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    @staticmethod
+    def _row(i: int, n_types: int):
+        import hashlib
+
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return (i, f"type_{h % n_types}", (h >> 8) % 100_000)
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = lo + self.rows_per_batch
+        # a LIST, not a generator: Spark's prefetch cache copy.copy()s
+        # the iterator for replay, and generators aren't copyable
+        rows = [self._row(i, self.n_types) for i in range(lo, hi)]
+        return rows, {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return [
+            self._row(i, self.n_types)
+            for i in range(start["i"], end["i"])
+        ]
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: records are computed, not stored
+
+
+class TickerDataSource(DataSource):
+    """``spark.readStream.format("ticker")`` — a deterministic
+    synthetic event stream (options: ``rowsPerBatch``, ``nTypes``).
+    Exists to exercise streaming sinks and replay semantics without a
+    broker: re-reading any offset range yields identical rows, so a
+    replayed batch is indistinguishable from the original."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ticker"
+
+    def schema(self):
+        return "i bigint, event_type string, value bigint"
+
+    def simpleStreamReader(self, schema):
+        return _TickerStreamReader(
+            int(self.options.get("rowsPerBatch", 100)),
+            int(self.options.get("nTypes", 5)),
+        )

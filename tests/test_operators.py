@@ -1690,3 +1690,39 @@ def test_isotonic_calibration_pav(spark):
             bi += 1
     for got_r, want in zip(out, ref_ps):
         assert abs(got_r["p_iso"] - want) < 1e-6
+
+
+def test_aqe_converts_filtered_join_to_broadcast(spark, sf_dir):
+    """Adaptive Query Execution turns a planned sort-merge join into a
+    broadcast join AT RUNTIME when the filtered build side turns out
+    tiny — the mechanism the engine leans on at 100 TB when static
+    stats can't see through a selective filter. Asserted from the
+    final adaptive plan, not guessed."""
+    import pyspark.sql.functions as F
+
+    big = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    small = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > 450000)  # few survivors
+        .select("o_orderkey", "o_orderpriority")
+    )
+    # disable the static auto-broadcast so ONLY AQE can convert
+    with_conf = spark.conf
+    old_thresh = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # ...while the ADAPTIVE threshold stays on: this is the split
+        # that makes the conversion attributable to runtime stats only
+        with_conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB"
+        )
+        joined = big.join(
+            small, F.col("l_orderkey") == F.col("o_orderkey")
+        ).groupBy("o_orderpriority").count()
+        joined.collect()  # execute so AQE finalizes the plan
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan isFinalPlan=true" in final
+        assert "BroadcastHashJoin" in final, final[:2000]
+    finally:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        with_conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

@@ -664,3 +664,47 @@ def test_drift_monitor_stream_per_batch_equals_batch(spark, sf_dir, tmp_path):
             for c in matches
         }
         assert r["psi"] in psis
+
+
+def test_ticker_python_stream_source_deterministic_replay(spark, tmp_path):
+    """The Python streaming DataSource produces deterministic rows:
+    two independent runs over the same offsets yield identical data,
+    and aggregation over the drained stream matches recomputing the
+    generator directly."""
+    import hashlib
+
+    from dataflowex_spark.sources.manifest_ds import TickerDataSource
+
+    try:
+        spark.dataSource.register(TickerDataSource)
+    except Exception:
+        pass  # idempotent re-register within the session
+
+    def drain(tag):
+        stream = (
+            spark.readStream.format("ticker")
+            .option("rowsPerBatch", 50)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(f"ticker_{tag}")
+            .outputMode("append")
+            .option(
+                "checkpointLocation", str(tmp_path / f"ckpt_{tag}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(f"ticker_{tag}").collect()
+
+    a = sorted(tuple(r) for r in drain("a"))
+    b = sorted(tuple(r) for r in drain("b"))
+    assert a == b
+    assert len(a) >= 50
+    # spot-check against the pure generator contract
+    for i, etype, val in a[:10]:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        assert etype == f"type_{h % 5}"
+        assert val == (h >> 8) % 100_000
