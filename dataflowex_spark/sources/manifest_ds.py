@@ -42,8 +42,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -179,3 +181,91 @@ class TickerDataSource(DataSource):
             int(self.options.get("rowsPerBatch", 100)),
             int(self.options.get("nTypes", 5)),
         )
+
+
+# ---------------------------------------------------------------------
+# writer side: stage → commit-by-manifest (transactional sink protocol)
+# ---------------------------------------------------------------------
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class _ManifestWriter(DataSourceWriter):
+    """Per-task: write one parquet file into ``_staging/`` and return
+    its path as the commit message. Driver-side ``commit`` then cuts
+    the manifest over exactly the staged files (one atomic
+    ``os.replace``) — readers through :class:`ManifestParquetDataSource`
+    flip from the old file set to the new one in a single step, and a
+    failed job (``abort``) leaves the manifest untouched with only
+    inert staging files to clean. This is the two-phase protocol every
+    exactly-once object-store sink reduces to."""
+
+    def __init__(self, path: str, schema):
+        self.path = path
+        self.schema = schema
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        stage = os.path.join(self.path, "_staging")
+        os.makedirs(stage, exist_ok=True)
+        out = os.path.join(stage, f"part-{uuid.uuid4().hex}.parquet")
+        arrow_schema = to_arrow_schema(self.schema)
+        rows = [tuple(r) for r in iterator]
+        table = pa.Table.from_arrays(
+            [
+                pa.array([r[i] for r in rows], type=arrow_schema.field(i).type)
+                for i in range(len(arrow_schema))
+            ],
+            schema=arrow_schema,
+        )
+        pq.write_table(table, out)
+        return _FileCommit(out, len(rows))
+
+    def commit(self, messages) -> None:
+        import os
+
+        files = []
+        for m in messages:
+            if m is None:
+                continue
+            final = m.path.replace("/_staging/", "/")
+            os.replace(m.path, final)
+            files.append(final)
+        write_manifest(sorted(files), os.path.join(self.path, "_MANIFEST"))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages or []:
+            if m is not None and os.path.exists(m.path):
+                os.unlink(m.path)
+
+
+class ManifestParquetWriteSource(DataSource):
+    """``df.write.format("manifest_parquet_write").save(dir)`` —
+    parquet files land via the stage → manifest-commit protocol;
+    read the committed set back with
+    ``spark.read.format("manifest_parquet").load(dir + "/_MANIFEST")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_parquet_write"
+
+    def writer(self, schema, overwrite: bool):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "manifest_parquet_write: pass the target dir via .save(path)"
+            )
+        return _ManifestWriter(path, schema)
