@@ -399,3 +399,61 @@ def isotonic_calibration(
         ]
     )
     return spark.createDataFrame(out, schema)
+
+
+def grouped_roc_auc(
+    df: DataFrame,
+    group: Column,
+    label: Column,
+    score: Column,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group tie-aware ROC AUC — :func:`roc_auc` partitioned by a
+    group column (week, segment, model version), the "is the score
+    still discriminating" stability trend. One hash aggregation to
+    (group, distinct score), group-partitioned ordered prefix (the
+    window key makes this fully parallel across groups), one rollup.
+    Returns (group, auc, n_pos, n_neg) with ``group`` named ``grp``.
+    """
+    by_score = (
+        df.select(
+            group.alias("grp"),
+            score.alias("__s"),
+            label.cast("long").alias("__y"),
+        )
+        .groupBy("grp", "__s")
+        .agg(
+            F.sum("__y").alias("__pos"),
+            (F.count("*") - F.sum("__y")).alias("__neg"),
+        )
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = by_score.select(
+        "grp",
+        "__pos",
+        "__neg",
+        (
+            F.col("__pos")
+            * (
+                2 * F.coalesce(F.sum("__neg").over(w), F.lit(0))
+                + F.col("__neg")
+            )
+        ).alias("__half_pairs2"),
+    )
+    return (
+        contrib.groupBy("grp")
+        .agg(
+            F.round(
+                F.sum("__half_pairs2")
+                / (2.0 * F.sum("__pos") * F.sum("__neg")),
+                round_digits,
+            ).alias("auc"),
+            F.sum("__pos").alias("n_pos"),
+            F.sum("__neg").alias("n_neg"),
+        )
+        .orderBy("grp")
+    )

@@ -11046,3 +11046,201 @@ def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "q263_weekly_auc",
+    """
+    WITH s AS (
+      SELECT date_trunc('week', ts) AS grp,
+             CAST(floor(value * 100) AS BIGINT) AS sq,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), b AS (
+      SELECT grp, sq, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+      FROM s GROUP BY grp, sq
+    ), c AS (
+      SELECT grp, pos, neg,
+             COALESCE(SUM(neg) OVER (PARTITION BY grp ORDER BY sq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_neg
+      FROM b
+    )
+    SELECT grp,
+           ROUND(SUM(pos * (2 * cum_neg + neg))
+                 / (2.0 * SUM(pos) * SUM(neg)), 6) AS auc,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg
+    FROM c GROUP BY grp ORDER BY grp
+    """,
+)
+def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC stability trend: the purchase-classifier AUC recomputed per
+    WEEK — the "did the score stop discriminating" monitor that pairs
+    with q251's PSI (population moved) to tell drift-of-inputs from
+    drift-of-relationship. The per-group window is partitioned, so
+    unlike the global q238 prefix this is fully parallel across
+    groups at any scale."""
+    from dataflowex_spark.operators.mleval import grouped_roc_auc
+
+    cat = Catalog(spark, sf_dir)
+    return grouped_roc_auc(
+        cat["events"],
+        group=F.date_trunc("WEEK", "ts").cast("timestamp_ntz"),
+        label=(F.col("event_type") == "purchase"),
+        score=F.floor(F.col("value") * 100).cast("long"),
+    )
+
+
+@q(
+    "q264_js_divergence",
+    """
+    WITH a AS (
+      SELECT lang, COUNT(*) AS ca FROM documents
+      WHERE CAST(substr(source, 4) AS INTEGER) < 10 GROUP BY lang
+    ), b AS (
+      SELECT lang, COUNT(*) AS cb FROM documents
+      WHERE CAST(substr(source, 4) AS INTEGER) >= 10 GROUP BY lang
+    ), j AS (
+      SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      FROM a FULL OUTER JOIN b USING (lang)
+    ), t AS (
+      SELECT SUM(ca) AS na, SUM(cb) AS nb FROM j
+    ), p AS (
+      SELECT ca / CAST(na AS DOUBLE) AS p, cb / CAST(nb AS DOUBLE) AS q,
+             na, nb
+      FROM j CROSS JOIN t
+    )
+    SELECT ROUND(SUM(
+             CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2))
+                  ELSE 0 END
+             + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2))
+                    ELSE 0 END), 6) AS jsd,
+           CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b
+    FROM p
+    """,
+)
+def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the language distributions of
+    the first and second half of sources — the symmetric, bounded
+    (≤ ln 2) divergence for corpus-mix comparisons where KL's
+    asymmetry and infinities get in the way. Two bounded-cardinality
+    histograms, a full-outer align, one sum — every term a ratio of
+    integer counts."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"].withColumn(
+        "__sn", F.substring("source", 4, 10).cast("int")
+    )
+    a = (
+        docs.filter(F.col("__sn") < 10)
+        .groupBy("lang")
+        .agg(F.count("*").alias("ca"))
+    )
+    b = (
+        docs.filter(F.col("__sn") >= 10)
+        .groupBy("lang")
+        .agg(F.count("*").alias("cb"))
+    )
+    j = (
+        a.join(b, "lang", "full_outer")
+        .select(
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    t = j.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    p = F.col("ca") / F.col("na").cast("double")
+    q_ = F.col("cb") / F.col("nb").cast("double")
+    m = (p + q_) / 2
+    return (
+        j.crossJoin(F.broadcast(t))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(0.0)
+                    + F.when(q_ > 0, 0.5 * q_ * F.log(q_ / m)).otherwise(
+                        0.0
+                    )
+                ),
+                6,
+            ).alias("jsd"),
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+        )
+    )
+
+
+@q(
+    "q265_cramers_v",
+    """
+    WITH c AS (
+      SELECT event_type, hour(ts) // 6 AS hb, COUNT(*) AS o
+      FROM events GROUP BY event_type, hb
+    ), rt AS (
+      SELECT event_type, SUM(o) AS r FROM c GROUP BY event_type
+    ), ct AS (
+      SELECT hb, SUM(o) AS cl FROM c GROUP BY hb
+    ), t AS (
+      SELECT SUM(o) AS tot,
+             (SELECT COUNT(*) FROM rt) AS nr,
+             (SELECT COUNT(*) FROM ct) AS nc
+      FROM c
+    ), chi AS (
+      SELECT SUM((c.o - rt.r * ct.cl / CAST(t.tot AS DOUBLE))
+                 * (c.o - rt.r * ct.cl / CAST(t.tot AS DOUBLE))
+                 / (rt.r * ct.cl / CAST(t.tot AS DOUBLE))) AS chi2,
+             MAX(t.tot) AS tot, MAX(t.nr) AS nr, MAX(t.nc) AS nc
+      FROM c JOIN rt USING (event_type) JOIN ct USING (hb) CROSS JOIN t
+    )
+    SELECT ROUND(chi2, 4) AS chi2,
+           ROUND(sqrt(chi2 / (tot * (CASE WHEN nr < nc THEN nr ELSE nc END
+                                     - 1))), 6) AS v,
+           CAST(tot AS BIGINT) AS n
+    FROM chi
+    """,
+)
+def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V: the chi-square of q171's event-type × day-part
+    table normalized to [0, 1] by n·(min(r,c)−1) — the
+    scale-invariant association strength that lets contingency tables
+    of different sizes be compared. Same bounded joint-histogram
+    shape as q241's MI."""
+    cat = Catalog(spark, sf_dir)
+    c = (
+        cat["events"]
+        .groupBy(
+            "event_type",
+            (F.hour("ts") / 6).cast("int").alias("hb"),
+        )
+        .agg(F.count("*").alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    rt = c.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = c.groupBy("hb").agg(F.sum("o").alias("cl"))
+    t = c.agg(F.sum("o").alias("tot"))
+    nr = rt.agg(F.count("*").alias("nr"))
+    nc = ct.agg(F.count("*").alias("nc"))
+    e = F.col("r") * F.col("cl") / F.col("tot").cast("double")
+    chi = (
+        c.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hb")
+        .crossJoin(F.broadcast(t))
+        .agg(F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"),
+             F.max("tot").alias("tot"))
+    )
+    return (
+        chi.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            F.round("chi2", 4).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("tot") * (F.least("nr", "nc") - 1))
+                ),
+                6,
+            ).alias("v"),
+            F.col("tot").cast("long").alias("n"),
+        )
+    )
