@@ -182,3 +182,58 @@ def pca_project(
             yield pdf
 
     return df.mapInPandas(gen, schema=out_schema)
+
+
+def ridge_regression(
+    df: DataFrame,
+    features: list[str],
+    target: str,
+    l2: float = 0.0,
+    fit_intercept: bool = True,
+) -> dict:
+    """Closed-form ridge regression via the normal equations —
+    coefficients = (XᵀX + λI)⁻¹ Xᵀy, with XᵀX and Xᵀy accumulated by
+    ONE distributed hash aggregation of plain column products (pure
+    JVM codegen — for a handful of named feature columns no Python
+    pass is needed; contrast :func:`gram_sums`, which serves the
+    wide-array case). The d×d solve happens driver-side; λ is not
+    applied to the intercept row, per convention.
+
+    Returns ``{"coef": {feature: β}, "intercept": b, "n": rows}``.
+    The only data pass is the single aggregation — at 100 TB this is
+    one map-side-combined scan, no shuffle beyond the 1-row final
+    combine."""
+    cols = list(features) + (["__one"] if fit_intercept else [])
+    base = df.select(
+        *[F.col(c).cast("double").alias(c) for c in features],
+        F.col(target).cast("double").alias("__y"),
+    )
+    if fit_intercept:
+        base = base.withColumn("__one", F.lit(1.0))
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum(F.col(a) * F.col(b)).alias(f"__xx_{a}__{b}")
+            )
+        aggs.append(F.sum(F.col(a) * F.col("__y")).alias(f"__xy_{a}"))
+    aggs.append(F.count("*").alias("__n"))
+    row = base.agg(*aggs).collect()[0]
+
+    d = len(cols)
+    G = np.zeros((d, d))
+    v = np.zeros(d)
+    for i, a in enumerate(cols):
+        for j in range(i, d):
+            b = cols[j]
+            G[i, j] = G[j, i] = row[f"__xx_{a}__{b}"]
+        v[i] = row[f"__xy_{a}"]
+    if l2:
+        reg = np.eye(d) * l2
+        if fit_intercept:
+            reg[-1, -1] = 0.0  # don't shrink the intercept
+        G = G + reg
+    beta = np.linalg.solve(G, v)
+    coef = {f: float(b) for f, b in zip(features, beta)}
+    intercept = float(beta[-1]) if fit_intercept else 0.0
+    return {"coef": coef, "intercept": intercept, "n": int(row["__n"])}

@@ -11244,3 +11244,142 @@ def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tot").cast("long").alias("n"),
         )
     )
+
+
+@q("q266_ridge_regression", None)  # rows-only: driver-side linear solve
+def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ridge regression by normal equations: XᵀX and Xᵀy
+    accumulate in ONE pure-JVM hash aggregation (map-side combine —
+    the only data pass), the 4×4 solve runs driver-side. Rows-only
+    (matrix solve is not SQL-expressible); numpy-verified in pytest."""
+    from dataflowex_spark.operators.linalg import ridge_regression
+
+    cat = Catalog(spark, sf_dir)
+    fit = ridge_regression(
+        cat["lineitem"],
+        features=["l_quantity", "l_discount", "l_tax"],
+        target="l_extendedprice",
+        l2=1.0,
+    )
+    rows = [(k, round(v, 4)) for k, v in fit["coef"].items()] + [
+        ("__intercept__", round(fit["intercept"], 4))
+    ]
+    return spark.createDataFrame(rows, "feature string, beta double").orderBy(
+        "feature"
+    )
+
+
+@q(
+    "q267_kaplan_meier",
+    """
+    WITH mx AS (
+      SELECT MAX(ts) AS max_ts FROM events
+    ), u AS (
+      SELECT user_id,
+             date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+               AS dur,
+             CASE WHEN MAX(ts) < (SELECT max_ts FROM mx) - INTERVAL 3 DAY
+                  THEN 1 ELSE 0 END AS churn
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT dur, COUNT(*) AS n_u, SUM(churn) AS d
+      FROM u GROUP BY dur
+    ), w AS (
+      SELECT dur, n_u, d,
+             (SELECT COUNT(*) FROM u)
+               - COALESCE(SUM(n_u) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS at_risk
+      FROM g
+    ), t AS (
+      SELECT dur, at_risk, d,
+             1.0 - d / CAST(at_risk AS DOUBLE) AS term
+      FROM w
+    )
+    SELECT CAST(dur AS BIGINT) AS duration_days,
+           CAST(at_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d_events,
+           ROUND(CASE WHEN MIN(term) OVER cum = 0 THEN 0.0
+                      ELSE EXP(SUM(CASE WHEN term > 0 THEN LN(term)
+                                        ELSE 0 END) OVER cum)
+                 END, 6) AS survival
+    FROM t
+    WINDOW cum AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ORDER BY duration_days
+    """,
+)
+def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival of user ACTIVITY SPAN: duration = days
+    between a user's first and last event; users still active in the
+    final 3-day horizon are CENSORED (the estimator's whole point —
+    dropping them would bias survival down). The product-limit
+    Π(1 − d/n) is computed as exp(Σ ln ·) over the duration-compacted
+    frame with an explicit zero-term guard; at-risk counts come from
+    one cumulative window over ≤ calendar-many distinct durations.
+    Integer arithmetic up to the log."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias(
+                "dur"
+            ),
+            F.when(
+                F.col("last_ts")
+                < F.col("max_ts") - F.expr("INTERVAL 3 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("churn"),
+        )
+    )
+    g = u.groupBy("dur").agg(
+        F.count("*").alias("n_u"), F.sum("churn").alias("d")
+    )
+    total = g.agg(F.sum("n_u").alias("total"))
+    w_prev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    t = (
+        g.crossJoin(F.broadcast(total))
+        .select(
+            "dur",
+            "n_u",
+            "d",
+            (
+                F.col("total")
+                - F.coalesce(F.sum("n_u").over(w_prev), F.lit(0))
+            ).alias("at_risk"),
+        )
+        .withColumn(
+            "term", 1.0 - F.col("d") / F.col("at_risk").cast("double")
+        )
+    )
+    cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    return t.select(
+        F.col("dur").cast("long").alias("duration_days"),
+        F.col("at_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        F.round(
+            F.when(F.min("term").over(cum) == 0, F.lit(0.0)).otherwise(
+                F.exp(
+                    F.sum(
+                        F.when(
+                            F.col("term") > 0, F.log(F.col("term"))
+                        ).otherwise(F.lit(0.0))
+                    ).over(cum)
+                )
+            ),
+            6,
+        ).alias("survival"),
+    ).orderBy("duration_days")

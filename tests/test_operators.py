@@ -1726,3 +1726,38 @@ def test_aqe_converts_filtered_join_to_broadcast(spark, sf_dir):
     finally:
         with_conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         with_conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_ridge_regression_matches_numpy(spark):
+    """Distributed normal-equation ridge equals numpy's closed form,
+    exactly recovers known coefficients at λ=0, and shrinks toward
+    zero as λ grows."""
+    import numpy as np
+    from dataflowex_spark.operators.linalg import ridge_regression
+
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(400, 3))
+    beta_true = np.array([2.0, -1.5, 0.5])
+    y = X @ beta_true + 4.0 + rng.normal(scale=0.01, size=400)
+    df = spark.createDataFrame(
+        [
+            (float(a), float(b), float(c), float(t))
+            for (a, b, c), t in zip(X, y)
+        ],
+        "f1 double, f2 double, f3 double, y double",
+    ).repartition(5)
+
+    fit0 = ridge_regression(df, ["f1", "f2", "f3"], "y", l2=0.0)
+    for f, want in zip(["f1", "f2", "f3"], beta_true):
+        assert abs(fit0["coef"][f] - want) < 0.01
+    assert abs(fit0["intercept"] - 4.0) < 0.01
+
+    # numpy reference with the same λ convention (intercept unshrunk)
+    lam = 50.0
+    fit = ridge_regression(df, ["f1", "f2", "f3"], "y", l2=lam)
+    Xa = np.hstack([X, np.ones((len(X), 1))])
+    G = Xa.T @ Xa + np.diag([lam, lam, lam, 0.0])
+    ref = np.linalg.solve(G, Xa.T @ y)
+    for i, f in enumerate(["f1", "f2", "f3"]):
+        assert abs(fit["coef"][f] - ref[i]) < 1e-6
+        assert abs(fit["coef"][f]) < abs(fit0["coef"][f])  # shrinkage
