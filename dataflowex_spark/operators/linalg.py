@@ -237,3 +237,51 @@ def ridge_regression(
     coef = {f: float(b) for f, b in zip(features, beta)}
     intercept = float(beta[-1]) if fit_intercept else 0.0
     return {"coef": coef, "intercept": intercept, "n": int(row["__n"])}
+
+
+def mahalanobis_scores(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "maha",
+    ridge: float = 1e-9,
+) -> DataFrame:
+    """Squared Mahalanobis distance of every vector from the corpus
+    mean — the covariance-aware outlier score (a vector can be close
+    to the mean in every coordinate yet wildly improbable under the
+    correlation structure; Euclidean distance can't see that).
+
+    Pipeline: one :func:`gram_sums` pass → driver-side mean/covariance
+    assembly and pseudo-inverse (d×d; ``ridge`` stabilizes a
+    near-singular covariance) → the (μ, Σ⁻¹) pair is closed over
+    (O(d²) plan payload) and each Arrow batch scores with two BLAS
+    ops. No shuffle in the scoring pass; total data movement is the
+    Gram partials."""
+    sums = gram_sums(df, vec_col).collect()
+    n = next(r["s"] for r in sums if r["i"] == -1 and r["j"] == -1)
+    d = max(r["j"] for r in sums if r["j"] >= 0) + 1
+    mu = np.zeros(d)
+    for r in sums:
+        if r["i"] >= 0 and r["j"] == -1:
+            mu[r["i"]] = r["s"] / n
+    C = np.zeros((d, d))
+    for r in sums:
+        if r["j"] >= 0:
+            v = r["s"] / n - mu[r["i"]] * mu[r["j"]]
+            C[r["i"], r["j"]] = C[r["j"], r["i"]] = v
+    P = np.linalg.pinv(C + ridge * np.eye(d))
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} double"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) - mu
+            scores = np.einsum("ij,jk,ik->i", X, P, X)
+            pdf = pdf.copy()
+            pdf[out_col] = scores
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)

@@ -11383,3 +11383,20 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("survival"),
     ).orderBy("duration_days")
+
+
+@q("q268_mahalanobis_outliers", None)  # rows-only: matrix inverse
+def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance-aware embedding outliers: squared Mahalanobis
+    distance from the corpus mean (one Gram pass → driver pinv →
+    shuffle-free batch scoring), top-20 most anomalous vectors.
+    Rows-only (matrix inverse); numpy-verified in pytest."""
+    from dataflowex_spark.operators.linalg import mahalanobis_scores
+
+    cat = Catalog(spark, sf_dir)
+    scored = mahalanobis_scores(cat["embeddings"])
+    return (
+        scored.select("vec_id", F.round("maha", 4).alias("maha"))
+        .orderBy(F.col("maha").desc(), "vec_id")
+        .limit(20)
+    )

@@ -1761,3 +1761,35 @@ def test_ridge_regression_matches_numpy(spark):
     for i, f in enumerate(["f1", "f2", "f3"]):
         assert abs(fit["coef"][f] - ref[i]) < 1e-6
         assert abs(fit["coef"][f]) < abs(fit0["coef"][f])  # shrinkage
+
+
+def test_mahalanobis_scores_match_numpy_and_flag_outlier(spark):
+    """Distributed Mahalanobis equals the numpy quadratic form, and an
+    injected correlation-breaking point outscores every inlier even
+    though its Euclidean norm is unremarkable."""
+    import numpy as np
+    from dataflowex_spark.operators.linalg import mahalanobis_scores
+
+    rng = np.random.default_rng(17)
+    z = rng.normal(size=(300, 2))
+    X = np.column_stack([z[:, 0], z[:, 0] * 0.95 + 0.05 * z[:, 1]])
+    # outlier: breaks the correlation, modest magnitude
+    X = np.vstack([X, [1.5, -1.5]])
+    df = spark.createDataFrame(
+        [(i, [float(a), float(b)]) for i, (a, b) in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    got = {
+        r["vec_id"]: r["maha"]
+        for r in mahalanobis_scores(df).collect()
+    }
+    Xd = np.stack(
+        [[float(np.float32(a)), float(np.float32(b))] for a, b in X]
+    )
+    mu = Xd.mean(axis=0)
+    C = np.cov(Xd, rowvar=False, bias=True)
+    P = np.linalg.pinv(C + 1e-9 * np.eye(2))
+    ref = np.einsum("ij,jk,ik->i", Xd - mu, P, Xd - mu)
+    for i in range(len(X)):
+        assert abs(got[i] - ref[i]) < 1e-6 * max(1.0, ref[i])
+    assert max(got, key=got.get) == len(X) - 1  # the injected point
