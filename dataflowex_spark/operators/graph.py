@@ -11,7 +11,7 @@ lineage, the standard trade for driver-loop iteration (same as
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def pagerank(
@@ -234,3 +234,67 @@ def triangle_count_degree_ordered(
     return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
         F.broadcast(e.agg(F.count("*").alias("n_edges")))
     ).select("n_edges", "n_triangles")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts as its own community and repeatedly adopts the most common
+    label among its neighbors, ties broken by SMALLEST label — the
+    deterministic variant (classic async LPA is run-order dependent;
+    synchronous + min-tie-break makes every engine and every run agree,
+    which is what lets the oracle replay it).
+
+    Voting is SELF-INCLUSIVE (a node's own current label counts as one
+    vote): pure neighbor voting oscillates forever on bipartite
+    structures — a lone edge {a,b} swaps labels every round — while
+    the self-vote turns those into a tie the min-label rule settles.
+
+    Returns (node, lbl) after ``iters`` rounds. Scale shape per round:
+    one join of the undirected adjacency against the label frame
+    (shuffle keyed on node), one (node, lbl) count, one per-node argmax
+    window. ``localCheckpoint`` after each round stops Catalyst from
+    re-inlining the whole history (the q131 pagerank lesson).
+    Isolated nodes keep their label."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        msgs = und.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "lbl").unionByName(
+            labels.select("node", "lbl")  # the self-vote
+        )
+        counts = msgs.groupBy("node", "lbl").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("lbl")
+        )
+        best = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_lbl", "lbl").alias("lbl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

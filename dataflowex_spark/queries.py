@@ -11400,3 +11400,89 @@ def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("maha").desc(), "vec_id")
         .limit(20)
     )
+
+
+@q(
+    "q269_label_propagation",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey AND l_orderkey % 10 = 0
+    ), und AS (
+      SELECT s AS a, d AS b FROM e
+      UNION
+      SELECT d AS a, s AS b FROM e
+    ), l0 AS (
+      SELECT DISTINCT a AS node, a AS lbl FROM und
+    ),
+    m1 AS (SELECT u.a AS node, l.lbl FROM und u JOIN l0 l ON l.node = u.b
+           UNION ALL SELECT node, lbl FROM l0),
+    c1 AS (SELECT node, lbl, COUNT(*) AS c FROM m1 GROUP BY node, lbl),
+    n1 AS (SELECT node, lbl FROM (
+             SELECT node, lbl,
+                    ROW_NUMBER() OVER (PARTITION BY node
+                                       ORDER BY c DESC, lbl) AS rn
+             FROM c1) WHERE rn = 1),
+    l1 AS (SELECT l0.node, COALESCE(n1.lbl, l0.lbl) AS lbl
+           FROM l0 LEFT JOIN n1 ON n1.node = l0.node),
+    m2 AS (SELECT u.a AS node, l.lbl FROM und u JOIN l1 l ON l.node = u.b
+           UNION ALL SELECT node, lbl FROM l1),
+    c2 AS (SELECT node, lbl, COUNT(*) AS c FROM m2 GROUP BY node, lbl),
+    n2 AS (SELECT node, lbl FROM (
+             SELECT node, lbl,
+                    ROW_NUMBER() OVER (PARTITION BY node
+                                       ORDER BY c DESC, lbl) AS rn
+             FROM c2) WHERE rn = 1),
+    l2 AS (SELECT l1.node, COALESCE(n2.lbl, l1.lbl) AS lbl
+           FROM l1 LEFT JOIN n2 ON n2.node = l1.node),
+    m3 AS (SELECT u.a AS node, l.lbl FROM und u JOIN l2 l ON l.node = u.b
+           UNION ALL SELECT node, lbl FROM l2),
+    c3 AS (SELECT node, lbl, COUNT(*) AS c FROM m3 GROUP BY node, lbl),
+    n3 AS (SELECT node, lbl FROM (
+             SELECT node, lbl,
+                    ROW_NUMBER() OVER (PARTITION BY node
+                                       ORDER BY c DESC, lbl) AS rn
+             FROM c3) WHERE rn = 1),
+    l3 AS (SELECT l2.node, COALESCE(n3.lbl, l2.lbl) AS lbl
+           FROM l2 LEFT JOIN n3 ON n3.node = l2.node),
+    comm AS (SELECT lbl, COUNT(*) AS size FROM l3 GROUP BY lbl)
+    SELECT CAST(size AS BIGINT) AS community_size,
+           CAST(COUNT(*) AS BIGINT) AS n_communities
+    FROM comm GROUP BY size ORDER BY community_size
+    """,
+)
+def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (min-label
+    tie-break — the deterministic variant an oracle can replay) on
+    the part co-purchase graph, 3 rounds, reported as the community
+    SIZE HISTOGRAM. Voting is self-inclusive (pure neighbor voting
+    oscillates on bipartite structures). The oracle unrolls the three
+    rounds as CTEs —
+    the same fixpoint-unrolling technique that fully oracles q131's
+    PageRank. Per round: one adjacency⋈labels join, one (node,label)
+    count, one per-node argmax window."""
+    from dataflowex_spark.operators.graph import label_propagation
+
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    labels = label_propagation(edges, iters=3)
+    comm = labels.groupBy("lbl").agg(F.count("*").alias("size"))
+    return (
+        comm.groupBy(F.col("size").cast("long").alias("community_size"))
+        .agg(F.count("*").alias("n_communities"))
+        .orderBy("community_size")
+    )

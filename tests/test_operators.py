@@ -1793,3 +1793,22 @@ def test_mahalanobis_scores_match_numpy_and_flag_outlier(spark):
     for i in range(len(X)):
         assert abs(got[i] - ref[i]) < 1e-6 * max(1.0, ref[i])
     assert max(got, key=got.get) == len(X) - 1  # the injected point
+
+
+def test_label_propagation_finds_disjoint_cliques(spark):
+    """Two disjoint cliques converge to exactly two communities (the
+    min node id of each clique), and a bridge-free isolated node
+    keeps its own label."""
+    from dataflowex_spark.operators.graph import label_propagation
+
+    edges = []
+    for grp in ([1, 2, 3, 4], [10, 11, 12, 13]):
+        edges += [
+            (a, b) for i, a in enumerate(grp) for b in grp[i + 1 :]
+        ]
+    edges.append((20, 21))  # tiny pair component
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["lbl"] for r in label_propagation(df, iters=4).collect()}
+    assert {out[n] for n in [1, 2, 3, 4]} == {1}
+    assert {out[n] for n in [10, 11, 12, 13]} == {10}
+    assert out[20] == out[21] == 20
