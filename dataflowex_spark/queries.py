@@ -11486,3 +11486,243 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_communities"))
         .orderBy("community_size")
     )
+
+
+# shared oracle fragment: the 3-round self-inclusive LPA unrolling
+# over the part co-purchase graph (exactly q269's CTE chain, reused
+# by the modularity oracle)
+_LPA_CTES = """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey AND l_orderkey % 10 = 0
+    ), und AS (
+      SELECT s AS a, d AS b FROM e
+      UNION
+      SELECT d AS a, s AS b FROM e
+    ), l0 AS (
+      SELECT DISTINCT a AS node, a AS lbl FROM und
+    ),
+    m1 AS (SELECT u.a AS node, l.lbl FROM und u JOIN l0 l ON l.node = u.b
+           UNION ALL SELECT node, lbl FROM l0),
+    c1 AS (SELECT node, lbl, COUNT(*) AS c FROM m1 GROUP BY node, lbl),
+    n1 AS (SELECT node, lbl FROM (
+             SELECT node, lbl,
+                    ROW_NUMBER() OVER (PARTITION BY node
+                                       ORDER BY c DESC, lbl) AS rn
+             FROM c1) WHERE rn = 1),
+    l1 AS (SELECT l0.node, COALESCE(n1.lbl, l0.lbl) AS lbl
+           FROM l0 LEFT JOIN n1 ON n1.node = l0.node),
+    m2 AS (SELECT u.a AS node, l.lbl FROM und u JOIN l1 l ON l.node = u.b
+           UNION ALL SELECT node, lbl FROM l1),
+    c2 AS (SELECT node, lbl, COUNT(*) AS c FROM m2 GROUP BY node, lbl),
+    n2 AS (SELECT node, lbl FROM (
+             SELECT node, lbl,
+                    ROW_NUMBER() OVER (PARTITION BY node
+                                       ORDER BY c DESC, lbl) AS rn
+             FROM c2) WHERE rn = 1),
+    l2 AS (SELECT l1.node, COALESCE(n2.lbl, l1.lbl) AS lbl
+           FROM l1 LEFT JOIN n2 ON n2.node = l1.node),
+    m3 AS (SELECT u.a AS node, l.lbl FROM und u JOIN l2 l ON l.node = u.b
+           UNION ALL SELECT node, lbl FROM l2),
+    c3 AS (SELECT node, lbl, COUNT(*) AS c FROM m3 GROUP BY node, lbl),
+    n3 AS (SELECT node, lbl FROM (
+             SELECT node, lbl,
+                    ROW_NUMBER() OVER (PARTITION BY node
+                                       ORDER BY c DESC, lbl) AS rn
+             FROM c3) WHERE rn = 1),
+    l3 AS (SELECT l2.node, COALESCE(n3.lbl, l2.lbl) AS lbl
+           FROM l2 LEFT JOIN n3 ON n3.node = l2.node)
+"""
+
+
+@q(
+    "q270_modularity",
+    _LPA_CTES
+    + """
+    , m AS (SELECT COUNT(*) AS m FROM e),
+    within AS (
+      SELECT COUNT(*) AS wc
+      FROM e
+      JOIN l3 ls ON ls.node = e.s
+      JOIN l3 ld ON ld.node = e.d
+      WHERE ls.lbl = ld.lbl
+    ), deg AS (
+      SELECT a AS node, COUNT(*) AS dg FROM und GROUP BY a
+    ), cdeg AS (
+      SELECT l3.lbl, SUM(deg.dg) AS dsum
+      FROM deg JOIN l3 ON l3.node = deg.node
+      GROUP BY l3.lbl
+    )
+    SELECT ROUND(
+             (SELECT wc FROM within) / CAST((SELECT m FROM m) AS DOUBLE)
+             - (SELECT SUM((dsum / (2.0 * (SELECT m FROM m)))
+                           * (dsum / (2.0 * (SELECT m FROM m))))
+                FROM cdeg), 6) AS modularity,
+           CAST((SELECT m FROM m) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(DISTINCT lbl) FROM l3) AS BIGINT)
+             AS n_communities
+    """,
+)
+def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the q269 communities — the quality score
+    that says whether label propagation found real structure
+    (Q ≈ 0 = no better than random given the degree sequence).
+    Q = Σ_c (e_c/m − (deg_c/2m)²), assembled from three bounded
+    aggregations over the edge set and the label frame; the oracle
+    replays the whole LPA unrolling (shared CTE block) and then the
+    same arithmetic."""
+    from dataflowex_spark.operators.graph import label_propagation
+
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = label_propagation(edges, iters=3).localCheckpoint(eager=False)
+    m = edges.count()
+    within = (
+        edges.join(
+            labels.withColumnRenamed("node", "src").withColumnRenamed(
+                "lbl", "ls"
+            ),
+            "src",
+        )
+        .join(
+            labels.withColumnRenamed("node", "dst").withColumnRenamed(
+                "lbl", "ld"
+            ),
+            "dst",
+        )
+        .filter(F.col("ls") == F.col("ld"))
+        .count()
+    )
+    und = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    )
+    deg = und.groupBy("node").agg(F.count("*").alias("dg"))
+    cdeg = (
+        deg.join(labels, "node")
+        .groupBy("lbl")
+        .agg(F.sum("dg").alias("dsum"))
+    )
+    penalty = cdeg.agg(
+        F.sum(
+            (F.col("dsum") / (2.0 * m)) * (F.col("dsum") / (2.0 * m))
+        ).alias("p")
+    ).collect()[0]["p"]
+    n_comms = labels.select("lbl").distinct().count()
+    return spark.createDataFrame(
+        [
+            (
+                round(within / m - penalty, 6),
+                int(m),
+                int(n_comms),
+            )
+        ],
+        "modularity double, n_edges bigint, n_communities bigint",
+    )
+
+
+@q(
+    "q271_keyness_llr",
+    """
+    WITH toks AS (
+      SELECT lang = 'en' AS tgt,
+             unnest(list_filter(
+               regexp_split_to_array(lower(text), '__WS__'),
+               x -> x <> '')) AS token
+      FROM documents
+    ), c AS (
+      SELECT token,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS b
+      FROM toks GROUP BY token
+    ), t AS (
+      SELECT SUM(a) AS na, SUM(b) AS nb FROM c
+    ), scored AS (
+      SELECT token, a, b,
+             2.0 * (
+               CASE WHEN a > 0 THEN
+                 a * ln(a / ((a + b) * na / CAST(na + nb AS DOUBLE)))
+               ELSE 0 END
+               + CASE WHEN b > 0 THEN
+                 b * ln(b / ((a + b) * nb / CAST(na + nb AS DOUBLE)))
+               ELSE 0 END) AS llr
+      FROM c CROSS JOIN t
+      WHERE a * (na + nb) > (a + b) * na  -- overrepresented in target
+    )
+    SELECT token, CAST(a AS BIGINT) AS n_target,
+           CAST(b AS BIGINT) AS n_ref, ROUND(llr, 4) AS llr
+    FROM scored
+    ORDER BY llr DESC, token LIMIT 20
+    """,
+)
+def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyness by Dunning log-likelihood ratio: the 20 tokens
+    most DISTINCTIVELY overrepresented in English documents vs the
+    rest of the corpus — the statistically-grounded alternative to
+    raw TF-IDF for "what characterizes this slice" questions (LLR is
+    robust where rare-token TF-IDF explodes). One token-count
+    shuffle; totals broadcast; the overrepresentation filter is
+    integer cross-multiplication so the cut is float-free."""
+    cat = Catalog(spark, sf_dir)
+    from dataflowex_spark.functions.text import WS_REGEX
+
+    toks = cat["documents"].select(
+        (F.col("lang") == "en").alias("tgt"),
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), WS_REGEX), lambda t: t != ""
+            )
+        ).alias("token"),
+    )
+    c = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("tgt"), 0).otherwise(1)).alias("b"),
+    )
+    t = c.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    e1 = (
+        (F.col("a") + F.col("b"))
+        * F.col("na")
+        / (F.col("na") + F.col("nb")).cast("double")
+    )
+    e2 = (
+        (F.col("a") + F.col("b"))
+        * F.col("nb")
+        / (F.col("na") + F.col("nb")).cast("double")
+    )
+    llr = 2.0 * (
+        F.when(F.col("a") > 0, F.col("a") * F.log(F.col("a") / e1)).otherwise(
+            0.0
+        )
+        + F.when(
+            F.col("b") > 0, F.col("b") * F.log(F.col("b") / e2)
+        ).otherwise(0.0)
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(
+            F.col("a") * (F.col("na") + F.col("nb"))
+            > (F.col("a") + F.col("b")) * F.col("na")
+        )
+        .select(
+            "token",
+            F.col("a").cast("long").alias("n_target"),
+            F.col("b").cast("long").alias("n_ref"),
+            F.round(llr, 4).alias("llr"),
+        )
+        .orderBy(F.col("llr").desc(), "token")
+        .limit(20)
+    )
