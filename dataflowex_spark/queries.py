@@ -11726,3 +11726,104 @@ def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("llr").desc(), "token")
         .limit(20)
     )
+
+
+@q(
+    "q272_ab_test",
+    """
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ), v AS (
+      SELECT variant, COUNT(*) AS n, SUM(converted) AS conv
+      FROM u GROUP BY variant
+    ), wide AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+             MAX(CASE WHEN variant = 0 THEN conv END) AS c0,
+             MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+             MAX(CASE WHEN variant = 1 THEN conv END) AS c1
+      FROM v
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control,
+           CAST(c0 AS BIGINT) AS conv_control,
+           CAST(n1 AS BIGINT) AS n_treat,
+           CAST(c1 AS BIGINT) AS conv_treat,
+           ROUND(c0 / CAST(n0 AS DOUBLE), 6) AS rate_control,
+           ROUND(c1 / CAST(n1 AS DOUBLE), 6) AS rate_treat,
+           CAST(floor(1000000.0 * (c1 * n0 - c0 * n1)
+                      / CAST(c0 * n1 AS DOUBLE)) AS BIGINT) AS lift_ppm,
+           CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+             ROUND(
+               (c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE))
+               / sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                      * (1 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                      * (1.0 / n0 + 1.0 / n1)), 4)
+           ELSE NULL END AS z
+    FROM wide
+    """,
+)
+def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test readout: user-level conversion (any purchase) for a
+    deterministic 50/50 split, with the two-proportion pooled z
+    statistic and relative lift in EXACT-INTEGER ppm (the cross-
+    multiplied form — no float rate subtraction feeding a floor).
+    Two hash aggregations (user rollup, variant rollup); everything
+    after is a 1-row frame. The experimentation counterpart to q221's
+    Wilson ranking. The z statistic is NULL when the pooled rate is
+    degenerate (0 or 1 — zero pooled variance), identically on both
+    engines."""
+    cat = Catalog(spark, sf_dir)
+    u = (
+        cat["events"]
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    v = u.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0").cast("double")
+    p1 = F.col("c1") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")) / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    return wide.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("c0").cast("long").alias("conv_control"),
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("c1").cast("long").alias("conv_treat"),
+        F.round(p0, 6).alias("rate_control"),
+        F.round(p1, 6).alias("rate_treat"),
+        F.floor(
+            1000000.0
+            * (F.col("c1") * F.col("n0") - F.col("c0") * F.col("n1"))
+            / (F.col("c0") * F.col("n1")).cast("double")
+        )
+        .cast("long")
+        .alias("lift_ppm"),
+        F.when(
+            (F.col("c0") + F.col("c1") > 0)
+            & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1")),
+            F.round(
+                (p1 - p0)
+                / F.sqrt(
+                    pp
+                    * (1 - pp)
+                    * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+                ),
+                4,
+            ),
+        ).alias("z"),
+    )
