@@ -11827,3 +11827,142 @@ def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("z"),
     )
+
+
+@q(
+    "q273_cuped",
+    """
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             SUM(CASE WHEN event_type = 'purchase'
+                       AND ts < TIMESTAMP '2024-01-16'
+                      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+               AS pre,
+             SUM(CASE WHEN event_type = 'purchase'
+                       AND ts >= TIMESTAMP '2024-01-16'
+                      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+               AS post
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             AVG(CAST(pre AS DOUBLE)) AS mpre,
+             AVG(CAST(post AS DOUBLE)) AS mpost,
+             AVG(CAST(pre AS DOUBLE) * pre) AS mpre2,
+             AVG(CAST(pre AS DOUBLE) * post) AS mprepost,
+             AVG(CAST(post AS DOUBLE) * post) AS mpost2
+      FROM u
+    ), th AS (
+      SELECT (mprepost - mpre * mpost) / (mpre2 - mpre * mpre) AS theta,
+             mpre, mpost, mpost2
+      FROM s
+    ), adj AS (
+      SELECT u.variant,
+             CAST(u.post AS DOUBLE)
+               - th.theta * (CAST(u.pre AS DOUBLE) - th.mpre) AS y
+      FROM u CROSS JOIN th
+    ), byv AS (
+      SELECT variant, COUNT(*) AS n, AVG(y) AS my, AVG(y * y) AS my2
+      FROM adj GROUP BY variant
+    ), wide AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+             MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+             MAX(CASE WHEN variant = 0 THEN my END) AS m0,
+             MAX(CASE WHEN variant = 1 THEN my END) AS m1,
+             SUM(n * my) / SUM(n) AS mall,
+             SUM(n * my2) / SUM(n) AS mall2
+      FROM byv
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control,
+           CAST(n1 AS BIGINT) AS n_treat,
+           ROUND(m0 / 100, 2) AS cuped_mean_control,
+           ROUND(m1 / 100, 2) AS cuped_mean_treat,
+           ROUND((SELECT theta FROM th), 4) AS theta,
+           ROUND(1 - (mall2 - mall * mall)
+                     / ((SELECT mpost2 - mpost * mpost FROM th)), 4)
+             AS var_reduction
+    FROM wide
+    """,
+)
+def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout: per-user POST-
+    period purchase revenue adjusted by the pre-period covariate
+    (θ = cov(pre, post)/var(pre), pooled), reporting adjusted variant
+    means, θ, and the achieved variance reduction — the standard
+    trick that makes experiments readable at a fraction of the
+    traffic. Revenue is exact integer cents into the moment sums;
+    two user-level aggregations plus broadcast scalars; round-4/2
+    absorbs cross-engine summation order in the moments."""
+    cat = Catalog(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100).cast("long")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    is_p = F.col("event_type") == "purchase"
+    u = (
+        cat["events"]
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(is_p & (F.col("ts") < cut), cents).otherwise(0)
+            ).alias("pre"),
+            F.sum(
+                F.when(is_p & (F.col("ts") >= cut), cents).otherwise(0)
+            ).alias("post"),
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+        .localCheckpoint(eager=False)
+    )
+    pre_d = F.col("pre").cast("double")
+    post_d = F.col("post").cast("double")
+    s = u.agg(
+        F.count("*").alias("n"),
+        F.avg(pre_d).alias("mpre"),
+        F.avg(post_d).alias("mpost"),
+        F.avg(pre_d * F.col("pre")).alias("mpre2"),
+        F.avg(pre_d * F.col("post")).alias("mprepost"),
+        F.avg(post_d * F.col("post")).alias("mpost2"),
+    )
+    th = s.select(
+        (
+            (F.col("mprepost") - F.col("mpre") * F.col("mpost"))
+            / (F.col("mpre2") - F.col("mpre") * F.col("mpre"))
+        ).alias("theta"),
+        "mpre",
+        "mpost",
+        "mpost2",
+    )
+    adj = u.crossJoin(F.broadcast(th)).select(
+        "variant",
+        (post_d - F.col("theta") * (pre_d - F.col("mpre"))).alias("y"),
+    )
+    byv = adj.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("y") * F.col("y")).alias("my2"),
+    )
+    wide = byv.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 0, F.col("my"))).alias("m0"),
+        F.max(F.when(F.col("variant") == 1, F.col("my"))).alias("m1"),
+        (
+            F.sum(F.col("n") * F.col("my")) / F.sum("n")
+        ).alias("mall"),
+        (
+            F.sum(F.col("n") * F.col("my2")) / F.sum("n")
+        ).alias("mall2"),
+    )
+    return (
+        wide.crossJoin(F.broadcast(th))
+        .select(
+            F.col("n0").cast("long").alias("n_control"),
+            F.col("n1").cast("long").alias("n_treat"),
+            F.round(F.col("m0") / 100, 2).alias("cuped_mean_control"),
+            F.round(F.col("m1") / 100, 2).alias("cuped_mean_treat"),
+            F.round("theta", 4).alias("theta"),
+            F.round(
+                1
+                - (F.col("mall2") - F.col("mall") * F.col("mall"))
+                / (F.col("mpost2") - F.col("mpost") * F.col("mpost")),
+                4,
+            ).alias("var_reduction"),
+        )
+    )
