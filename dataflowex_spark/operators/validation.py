@@ -202,3 +202,87 @@ def correlation_matrix(df, cols, round_digits: int = 6):
     return agg.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
     ).orderBy("col_a", "col_b")
+
+
+def fd_audit(df, lhs, rhs, top_n: int = 10):
+    """Functional-dependency audit: does ``lhs → rhs`` hold, and where
+    does it break? The schema-profiling step that catches silently
+    denormalized or corrupted dimensions (one customer with two
+    nations, one SKU with two brands) before a join fans out.
+
+    Returns the ``top_n`` worst violating keys:
+    ``(key, n_vals, majority_val, n_rows)`` — majority_val being the
+    repair a majority-vote fixer would apply (ties broken by value
+    for determinism). Two hash aggregations (key×val counts → per-key
+    rollup) and one per-key argmax window over the violating keys
+    only; clean keys never reach the window."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    kv = (
+        df.groupBy(
+            F.col(lhs).alias("key"), F.col(rhs).alias("val")
+        ).agg(F.count("*").alias("n"))
+    )
+    per_key = kv.groupBy("key").agg(
+        F.count("*").alias("n_vals"), F.sum("n").alias("n_rows")
+    )
+    violating = per_key.filter(F.col("n_vals") > 1)
+    w = W.partitionBy("key").orderBy(F.col("n").desc(), F.col("val"))
+    majority = (
+        kv.join(violating.select("key"), "key", "left_semi")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", F.col("val").alias("majority_val"))
+    )
+    return (
+        violating.join(majority, "key")
+        .select("key", "n_vals", "majority_val", "n_rows")
+        .orderBy(F.col("n_rows").desc(), F.col("key"))
+        .limit(top_n)
+    )
+
+
+def mask_columns(df, policies: dict):
+    """Column-level masking for governed exports — the "share the
+    table, not the PII" transform. ``policies`` maps column → policy:
+
+    - ``"hash"``: portable md5 (first 16 hex) of the value — stable
+      join/group key across engines and exports, but irreversible;
+    - ``"partial"``: keep the first 3 characters, blank the rest —
+      human-debuggable prefix, no full identifier;
+    - ``("bucket", w)``: numeric generalization to width-w buckets
+      (floor(x/w)·w) — k-anonymity-style coarsening (see q206);
+    - ``"null"``: redact entirely.
+
+    Pure scan-local expressions (md5/substring/floor — codegen, no
+    shuffle); unlisted columns pass through untouched."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for f in df.schema.fields:
+        pol = policies.get(f.name)
+        c = F.col(f.name)
+        if pol is None:
+            cols.append(c)
+        elif pol == "hash":
+            cols.append(
+                F.substring(F.md5(c.cast("string")), 1, 16).alias(f.name)
+            )
+        elif pol == "partial":
+            cols.append(
+                F.concat(F.substring(c.cast("string"), 1, 3), F.lit("***"))
+                .alias(f.name)
+            )
+        elif isinstance(pol, tuple) and pol[0] == "bucket":
+            w = pol[1]
+            cols.append(
+                (F.floor(c / F.lit(w)) * F.lit(w)).cast("double").alias(
+                    f.name
+                )
+            )
+        elif pol == "null":
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            raise ValueError(f"mask_columns: unknown policy {pol!r}")
+    return df.select(*cols)

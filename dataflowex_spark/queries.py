@@ -11966,3 +11966,79 @@ def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("var_reduction"),
         )
     )
+
+
+@q(
+    "q274_fd_audit",
+    """
+    WITH kv AS (
+      SELECT o_custkey AS key, o_orderpriority AS val, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), per_key AS (
+      SELECT key, COUNT(*) AS n_vals, SUM(n) AS n_rows
+      FROM kv GROUP BY key
+    ), violating AS (
+      SELECT * FROM per_key WHERE n_vals > 1
+    ), majority AS (
+      SELECT key, val AS majority_val FROM (
+        SELECT kv.key, kv.val,
+               ROW_NUMBER() OVER (PARTITION BY kv.key
+                                  ORDER BY kv.n DESC, kv.val) AS rn
+        FROM kv WHERE kv.key IN (SELECT key FROM violating)
+      ) WHERE rn = 1
+    )
+    SELECT v.key, CAST(v.n_vals AS BIGINT) AS n_vals,
+           m.majority_val, CAST(v.n_rows AS BIGINT) AS n_rows
+    FROM violating v JOIN majority m USING (key)
+    ORDER BY n_rows DESC, key LIMIT 10
+    """,
+)
+def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (customer → order priority — NOT a
+    real FD, so it surfaces the 10 most-violating customers with the
+    majority value a vote-based repairer would apply). Clean keys are
+    filtered before the argmax window, so at scale the window runs
+    only over the anomaly set — the audit costs two hash aggs plus
+    an anomaly-sized ranking."""
+    from dataflowex_spark.operators.validation import fd_audit
+
+    cat = Catalog(spark, sf_dir)
+    out = fd_audit(cat["orders"], "o_custkey", "o_orderpriority", top_n=10)
+    return out.select(
+        "key",
+        F.col("n_vals").cast("long").alias("n_vals"),
+        "majority_val",
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+@q(
+    "q275_column_masking",
+    """
+    SELECT substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16) AS c_custkey,
+           substr(c_name, 1, 3) || '***' AS c_name,
+           c_nationkey,
+           CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS c_acctbal,
+           CAST(NULL AS VARCHAR) AS c_mktsegment
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed-export masking: portable-md5 surrogate key (stable
+    across engines — the export remains joinable to itself), partial
+    name, 1000-wide balance generalization, full segment redaction.
+    Pure scan-local codegen expressions; the policy is the
+    `mask_columns` operator, mirrored literally in the oracle."""
+    from dataflowex_spark.operators.validation import mask_columns
+
+    cat = Catalog(spark, sf_dir)
+    out = mask_columns(
+        cat["customer"],
+        {
+            "c_custkey": "hash",
+            "c_name": "partial",
+            "c_acctbal": ("bucket", 1000),
+            "c_mktsegment": "null",
+        },
+    )
+    return out.orderBy("c_custkey")
