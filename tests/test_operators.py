@@ -1812,3 +1812,21 @@ def test_label_propagation_finds_disjoint_cliques(spark):
     assert {out[n] for n in [1, 2, 3, 4]} == {1}
     assert {out[n] for n in [10, 11, 12, 13]} == {10}
     assert out[20] == out[21] == 20
+
+
+def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
+    """The three join-strategy hints each produce their named physical
+    operator for the same logical join — the explicit control surface
+    when the optimizer's choice must be overridden."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def plan_of(hint):
+        j = li.join(
+            orders.hint(hint), li.l_orderkey == orders.o_orderkey
+        )
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan_of("broadcast")
+    assert "ShuffledHashJoin" in plan_of("shuffle_hash")
+    assert "SortMergeJoin" in plan_of("merge")
