@@ -12042,3 +12042,78 @@ def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return out.orderBy("c_custkey")
+
+
+@q(
+    "q276_bitemporal",
+    """
+    WITH ledger AS (
+      SELECT o_orderkey, o_orderpriority AS priority,
+             o_orderdate AS valid_from, o_orderdate AS recorded_at
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, '9-CORRECTED' AS priority,
+             o_orderdate AS valid_from,
+             o_orderdate + INTERVAL 10 DAY AS recorded_at
+      FROM orders WHERE o_orderstatus = 'F'
+    ), known AS (
+      SELECT * FROM ledger
+      WHERE recorded_at <= TIMESTAMP '1996-07-01'
+        AND valid_from <= TIMESTAMP '1996-06-15'
+    ), resolved AS (
+      SELECT o_orderkey, priority,
+             ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                ORDER BY valid_from DESC,
+                                         recorded_at DESC) AS rn
+      FROM known
+    )
+    SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM resolved WHERE rn = 1
+    GROUP BY priority ORDER BY priority
+    """,
+)
+def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL reconstruction: "as we knew it on 1996-07-01, what
+    was each order's priority effective 1996-06-15" — two time axes
+    (valid time for the business fact, transaction time for when we
+    learned it), with retroactive corrections recorded later. The
+    ledger derives deterministically from orders (finished orders get
+    a correction recorded 10 days after entry); resolution is one
+    per-key window over the doubly-filtered ledger: latest valid_from,
+    then latest recorded_at — the exact shape q157's PIT lookup takes
+    when a second (transaction) axis is added. Both filters are
+    scan-side; the window is per-order-key, fully parallel."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    o = cat["orders"]
+    initial = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.col("o_orderdate").alias("recorded_at"),
+    )
+    corrections = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        F.lit("9-CORRECTED").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAYS")).alias(
+            "recorded_at"
+        ),
+    )
+    ledger = initial.unionByName(corrections)
+    known = ledger.filter(
+        (F.col("recorded_at") <= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("valid_from") <= F.lit("1996-06-15").cast("timestamp_ntz"))
+    )
+    w = W.partitionBy("o_orderkey").orderBy(
+        F.col("valid_from").desc(), F.col("recorded_at").desc()
+    )
+    resolved = known.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        resolved.groupBy("priority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("priority")
+    )
