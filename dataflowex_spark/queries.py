@@ -12117,3 +12117,60 @@ def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .orderBy("priority")
     )
+
+
+@q(
+    "q277_gaps_islands",
+    """
+    WITH k AS (
+      SELECT DISTINCT o_orderkey AS key FROM orders
+      WHERE o_orderstatus = 'F'
+    ), grouped AS (
+      SELECT key,
+             key - ROW_NUMBER() OVER (ORDER BY key) AS grp
+      FROM k
+    ), islands AS (
+      SELECT MIN(key) AS island_start, MAX(key) AS island_end,
+             COUNT(*) AS island_len
+      FROM grouped GROUP BY grp
+    )
+    SELECT CAST(island_start AS BIGINT) AS island_start,
+           CAST(island_end AS BIGINT) AS island_end,
+           CAST(island_len AS BIGINT) AS island_len
+    FROM islands
+    ORDER BY island_len DESC, island_start LIMIT 20
+    """,
+)
+def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over the FINISHED-order key sequence (a gappy
+    subset by construction): contiguous runs
+    found with the classic ``key − row_number`` constant-difference
+    trick, reported as the 20 longest islands — the completeness
+    audit for any allegedly-sequential ingest (missing id ranges ARE
+    the gaps between islands). The global row_number runs over the
+    DISTINCT key frame; at 100 TB swap in global_row_number
+    (range-repartitioned) for the same constant-difference algebra —
+    the grouping key is order-preserved either way."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    k = (
+        cat["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+    )
+    grouped = k.withColumn(
+        "grp", F.col("key") - F.row_number().over(W.orderBy("key"))
+    )
+    return (
+        grouped.groupBy("grp")
+        .agg(
+            F.min("key").cast("long").alias("island_start"),
+            F.max("key").cast("long").alias("island_end"),
+            F.count("*").cast("long").alias("island_len"),
+        )
+        .drop("grp")
+        .orderBy(F.col("island_len").desc(), "island_start")
+        .limit(20)
+    )
