@@ -298,3 +298,48 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def transitive_root(
+    nodes: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    doublings: int = 4,
+) -> DataFrame:
+    """Root ancestor + depth for every node of a forest by POINTER
+    DOUBLING: after k rounds every pointer has jumped 2^k edges, so a
+    depth-D hierarchy resolves in ⌈log₂D⌉ self-joins — the parallel
+    answer to WITH RECURSIVE's sequential walk (the oracle uses real
+    recursion; this plan is what survives a 100 TB hierarchy, where a
+    depth-proportional loop would mean D full shuffles instead of
+    log D).
+
+    ``parent_col`` NULL marks a root. Roots self-loop with step 0, so
+    iterating past convergence is a no-op (no conditional logic in
+    the loop). Returns (node, root, depth)."""
+    f = nodes.select(
+        F.col(node_col).alias("node"),
+        F.coalesce(F.col(parent_col), F.col(node_col)).alias("nxt"),
+        F.when(F.col(parent_col).isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("step"),
+    ).localCheckpoint(eager=False)
+    for _ in range(doublings):
+        hop = f.select(
+            F.col("node").alias("nxt"),
+            F.col("nxt").alias("nxt2"),
+            F.col("step").alias("step2"),
+        )
+        f = (
+            f.join(hop, "nxt")
+            .select(
+                "node",
+                F.col("nxt2").alias("nxt"),
+                (F.col("step") + F.col("step2")).alias("step"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return f.select(
+        "node", F.col("nxt").alias("root"), F.col("step").alias("depth")
+    )

@@ -12174,3 +12174,136 @@ def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("island_len").desc(), "island_start")
         .limit(20)
     )
+
+
+@q(
+    "q278_hierarchy_closure",
+    """
+    WITH RECURSIVE nodes AS (
+      SELECT p_partkey AS node,
+             CASE WHEN p_partkey >= 10 THEN p_partkey // 10 END AS parent
+      FROM part
+    ), walk AS (
+      SELECT node, node AS cur, parent AS nxt, 0 AS depth FROM nodes
+      UNION ALL
+      SELECT w.node, w.nxt AS cur, n.parent AS nxt, w.depth + 1 AS depth
+      FROM walk w JOIN nodes n ON n.node = w.nxt
+    ), resolved AS (
+      SELECT node, cur AS root, depth FROM walk WHERE nxt IS NULL
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots
+    FROM resolved GROUP BY depth ORDER BY depth
+    """,
+)
+def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy transitive closure on the synthetic decimal forest
+    (parent = key div 10): root ancestor and depth for every part,
+    rolled up per depth. The Spark plan is POINTER DOUBLING — ⌈log₂D⌉
+    self-joins instead of the oracle's depth-proportional WITH
+    RECURSIVE walk; at 100 TB that is 4 shuffles where recursion
+    would take one per level. Roots self-loop with step 0 so extra
+    rounds are no-ops."""
+    from dataflowex_spark.operators.graph import transitive_root
+
+    cat = Catalog(spark, sf_dir)
+    nodes = cat["part"].select(
+        F.col("p_partkey").alias("node"),
+        F.when(
+            F.col("p_partkey") >= 10, (F.col("p_partkey") / 10).cast("long")
+        ).alias("parent"),
+    )
+    closed = transitive_root(nodes, doublings=4)
+    return (
+        closed.groupBy(F.col("depth").cast("long").alias("depth"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.countDistinct("root").alias("n_roots"),
+        )
+        .orderBy("depth")
+    )
+
+
+@q(
+    "q279_largest_remainder",
+    """
+    WITH rev AS (
+      SELECT n.n_name,
+             SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS r
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name
+    ), t AS (
+      SELECT SUM(r) AS total FROM rev
+    ), base AS (
+      SELECT n_name, r,
+             (1000000 * r) // total AS floor_alloc,
+             (1000000 * r) % total AS rem
+      FROM rev CROSS JOIN t
+    ), ranked AS (
+      SELECT n_name, floor_alloc, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, n_name) AS rk,
+             1000000 - SUM(floor_alloc) OVER () AS leftover
+      FROM base
+    )
+    SELECT n_name,
+           CAST(floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked ORDER BY n_name
+    """,
+)
+def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) allocation: split a 1,000,000-unit
+    budget across nations proportional to revenue so the parts SUM TO
+    THE BUDGET EXACTLY — floor everyone, then hand the leftover units
+    to the largest integer remainders (ties by name). Everything is
+    integer arithmetic ((B·r) div/mod total — no float shares to
+    disagree at the margin), over the nation-sized rollup; the only
+    full-data work is the revenue aggregation."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat["orders"]
+        .join(cat["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(cat["nation"]),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "r"
+            )
+        )
+    )
+    t = rev.agg(F.sum("r").alias("total"))
+    # div/pmod on longs: (B·r) is ~1e16 at sf0.01 — past double's 2^53
+    # exact range, so a float floor could round the wrong way; integer
+    # division cannot (mirrors DuckDB's // on HUGEINT)
+    base = rev.crossJoin(F.broadcast(t)).select(
+        "n_name",
+        F.expr("div(1000000 * r, total)").cast("long").alias("floor_alloc"),
+        F.pmod(1000000 * F.col("r"), F.col("total")).alias("rem"),
+    )
+    ranked = base.select(
+        "n_name",
+        "floor_alloc",
+        F.row_number()
+        .over(W.orderBy(F.col("rem").desc(), "n_name"))
+        .alias("rk"),
+        (
+            1000000 - F.sum("floor_alloc").over(W.partitionBy())
+        ).alias("leftover"),
+    )
+    return ranked.select(
+        "n_name",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    ).orderBy("n_name")
