@@ -1830,3 +1830,28 @@ def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in plan_of("broadcast")
     assert "ShuffledHashJoin" in plan_of("shuffle_hash")
     assert "SortMergeJoin" in plan_of("merge")
+
+
+def test_transitive_root_pointer_doubling(spark):
+    """Pointer doubling resolves root and EXACT depth for a depth-9
+    chain plus a forest, with doublings = ceil(log2(depth))."""
+    from dataflowex_spark.operators.graph import transitive_root
+
+    rows = [(i, i - 1 if i > 0 else None) for i in range(10)]  # chain 0..9
+    rows += [(100, None), (101, 100), (102, 100), (103, 102)]  # small tree
+    df = spark.createDataFrame(rows, "node long, parent long")
+    out = {
+        r["node"]: (r["root"], r["depth"])
+        for r in transitive_root(df, doublings=4).collect()
+    }
+    for i in range(10):
+        assert out[i] == (0, i)
+    assert out[100] == (100, 0)
+    assert out[101] == (100, 1)
+    assert out[103] == (100, 2)
+    # extra rounds are no-ops (root self-loop has step 0)
+    out8 = {
+        r["node"]: (r["root"], r["depth"])
+        for r in transitive_root(df, doublings=8).collect()
+    }
+    assert out8 == out
