@@ -12307,3 +12307,65 @@ def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     ).orderBy("n_name")
+
+
+@q(
+    "q280_skyline",
+    """
+    WITH pts AS (
+      SELECT DISTINCT CAST(floor(p_retailprice * 100) AS BIGINT)
+               AS price_q,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    ), flagged AS (
+      SELECT price_q, size,
+             MAX(size) OVER (ORDER BY price_q
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS m_lt,
+             MAX(size) OVER (PARTITION BY price_q) AS m_eq
+      FROM pts
+    )
+    SELECT price_q, size FROM flagged
+    WHERE (m_lt IS NULL OR size > m_lt) AND size = m_eq
+    ORDER BY price_q
+    """,
+)
+def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): the (price, size) pairs no other
+    part strictly dominates (cheaper-or-equal AND bigger-or-equal
+    with one strict) — the multi-criteria shortlist query. ONE sorted
+    pass instead of the naive quadratic self-join: a pair survives
+    iff its size beats the running max over all STRICTLY cheaper
+    prices (RANGE frame, value-based so price ties stay out of their
+    own prefix) and tops its own price group. Computed on distinct
+    quantized pairs, so the window frame is value-cardinality-
+    bounded."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    pts = (
+        cat["part"]
+        .select(
+            F.floor(F.col("p_retailprice") * 100)
+            .cast("long")
+            .alias("price_q"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .distinct()
+    )
+    w_lt = W.orderBy("price_q").rangeBetween(W.unboundedPreceding, -1)
+    w_eq = W.partitionBy("price_q")
+    flagged = pts.select(
+        "price_q",
+        "size",
+        F.max("size").over(w_lt).alias("m_lt"),
+        F.max("size").over(w_eq).alias("m_eq"),
+    )
+    return (
+        flagged.filter(
+            (F.col("m_lt").isNull() | (F.col("size") > F.col("m_lt")))
+            & (F.col("size") == F.col("m_eq"))
+        )
+        .select("price_q", "size")
+        .orderBy("price_q")
+    )
