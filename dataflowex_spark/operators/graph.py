@@ -343,3 +343,45 @@ def transitive_root(
     return f.select(
         "node", F.col("nxt").alias("root"), F.col("step").alias("depth")
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    source: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Single-source hop distances (BFS levels) up to ``max_hops`` on
+    an undirected graph: iterative frontier relaxation —
+    dist(v) = min(dist(v), min over neighbors u of dist(u)+1) — one
+    keyed join + one min-aggregate per hop. ``source`` is a 1-column
+    frame ``node`` (possibly several sources: distances are then to
+    the NEAREST source, the multi-seed variant used for
+    "how far is everything from the seed set").
+
+    Unreached nodes simply don't appear (no sentinel rows to carry).
+    Deterministic, so the oracle replays it as ``max_hops`` unrolled
+    CTE rounds. Returns (node, d)."""
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = source.select(
+        F.col("node"), F.lit(0).cast("long").alias("d")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_hops):
+        cand = und.join(
+            dist.withColumnRenamed("node", "a"), "a"
+        ).select(F.col("b").alias("node"), (F.col("d") + 1).alias("d"))
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

@@ -12369,3 +12369,132 @@ def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("price_q", "size")
         .orderBy("price_q")
     )
+
+
+@q(
+    "q281_weighted_jaccard",
+    """
+    WITH toks AS (
+      SELECT lang = 'en' AS tgt,
+             unnest(list_filter(
+               regexp_split_to_array(lower(text), '__WS__'),
+               x -> x <> '')) AS token
+      FROM documents
+    ), c AS (
+      SELECT token,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS b
+      FROM toks GROUP BY token
+    )
+    SELECT ROUND(SUM(CASE WHEN a < b THEN a ELSE b END)
+                 / CAST(SUM(CASE WHEN a > b THEN a ELSE b END) AS DOUBLE),
+                 6) AS weighted_jaccard,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(a) AS BIGINT) AS n_target,
+           CAST(SUM(b) AS BIGINT) AS n_ref
+    FROM c
+    """,
+)
+def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset) Jaccard between the English and
+    non-English token FREQUENCY distributions — Σmin/Σmax over
+    per-token counts, the similarity that set Jaccard (q86) and KMV
+    (q248) cannot express: two corpora over the same vocabulary but
+    wildly different frequencies score low here and 1.0 there. One
+    token-count shuffle; the statistic is a pure integer rollup with
+    one final division."""
+    from dataflowex_spark.functions.text import WS_REGEX
+
+    cat = Catalog(spark, sf_dir)
+    toks = cat["documents"].select(
+        (F.col("lang") == "en").alias("tgt"),
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), WS_REGEX), lambda t: t != ""
+            )
+        ).alias("token"),
+    )
+    c = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("tgt"), 0).otherwise(1)).alias("b"),
+    )
+    return c.agg(
+        F.round(
+            F.sum(F.least("a", "b"))
+            / F.sum(F.greatest("a", "b")).cast("double"),
+            6,
+        ).alias("weighted_jaccard"),
+        F.count("*").alias("n_tokens"),
+        F.sum("a").cast("long").alias("n_target"),
+        F.sum("b").cast("long").alias("n_ref"),
+    )
+
+
+@q(
+    "q282_bfs_levels",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey AND l_orderkey % 10 = 0
+    ), und AS (
+      SELECT s AS a, d AS b FROM e
+      UNION
+      SELECT d AS a, s AS b FROM e
+    ), d0 AS (
+      SELECT MIN(a) AS node, 0 AS dist FROM und
+    ),
+    c1 AS (SELECT u.b AS node, x.dist + 1 AS dist
+           FROM und u JOIN d0 x ON x.node = u.a),
+    d1 AS (SELECT node, MIN(dist) AS dist FROM
+           (SELECT * FROM d0 UNION ALL SELECT * FROM c1) GROUP BY node),
+    c2 AS (SELECT u.b AS node, x.dist + 1 AS dist
+           FROM und u JOIN d1 x ON x.node = u.a),
+    d2 AS (SELECT node, MIN(dist) AS dist FROM
+           (SELECT * FROM d1 UNION ALL SELECT * FROM c2) GROUP BY node),
+    c3 AS (SELECT u.b AS node, x.dist + 1 AS dist
+           FROM und u JOIN d2 x ON x.node = u.a),
+    d3 AS (SELECT node, MIN(dist) AS dist FROM
+           (SELECT * FROM d2 UNION ALL SELECT * FROM c3) GROUP BY node),
+    c4 AS (SELECT u.b AS node, x.dist + 1 AS dist
+           FROM und u JOIN d3 x ON x.node = u.a),
+    d4 AS (SELECT node, MIN(dist) AS dist FROM
+           (SELECT * FROM d3 UNION ALL SELECT * FROM c4) GROUP BY node)
+    SELECT CAST(dist AS BIGINT) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM d4 GROUP BY dist ORDER BY dist
+    """,
+)
+def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop-distance histogram from the lowest part key over the
+    co-purchase graph (4 hops): iterative frontier relaxation — per
+    hop one adjacency⋈distance join and one min-aggregate, the same
+    fixpoint-unrolling oracle pattern as q269/q131. Shows the graph's
+    small-world reach: how much of it sits within k hops of one
+    node."""
+    from dataflowex_spark.operators.graph import bfs_levels
+
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    und_min = edges.agg(
+        F.least(F.min("src"), F.min("dst")).alias("node")
+    )
+    dist = bfs_levels(edges, und_min, max_hops=4)
+    return (
+        dist.groupBy(F.col("d").cast("long").alias("dist"))
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("dist")
+    )
