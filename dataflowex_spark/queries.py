@@ -12498,3 +12498,224 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_nodes"))
         .orderBy("dist")
     )
+
+
+@q(
+    "q283_poisson_bootstrap",
+    """
+    WITH reps AS (
+      SELECT unnest(range(0, 64)) AS rep
+    ), w AS (
+      SELECT r.rep,
+             CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)
+                   || '#' || CAST(r.rep AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000000 AS u
+      FROM orders o CROSS JOIN reps r
+    ), weighted AS (
+      SELECT rep, cents,
+             CASE WHEN u < 367879 THEN 0
+                  WHEN u < 735759 THEN 1
+                  WHEN u < 919699 THEN 2
+                  WHEN u < 981012 THEN 3
+                  WHEN u < 996340 THEN 4
+                  WHEN u < 999406 THEN 5
+                  ELSE 6 END AS w
+      FROM w
+    ), means AS (
+      SELECT rep, SUM(w * cents) / CAST(SUM(w) AS DOUBLE) AS m
+      FROM weighted GROUP BY rep
+    ), ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn,
+             COUNT(*) OVER () AS n
+      FROM means
+    )
+    SELECT ROUND(MIN(CASE WHEN rn * 40 >= n THEN m END) / 100, 2)
+             AS ci_lo,
+           ROUND(MIN(CASE WHEN rn * 40 >= n * 39 THEN m END) / 100, 2)
+             AS ci_hi,
+           ROUND(AVG(m) / 100, 2) AS boot_mean,
+           CAST(MAX(n) AS BIGINT) AS n_reps
+    FROM ranked
+    """,
+)
+def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP 95% CI for the mean order value — the
+    resampling scheme that actually scales: instead of drawing n rows
+    with replacement per replicate (a shuffle per replicate), every
+    row carries a Poisson(1) weight per replicate, derived here from
+    the PORTABLE md5 of (orderkey, replicate) through a pinned
+    inverse-CDF CASE ladder — so the oracle reproduces every weight
+    bit-for-bit and the whole computation is ONE scan × 64 broadcast
+    replicate indices + one keyed aggregate. CI bounds use the
+    discrete rank-crossing rule (2.5/97.5 as rn·40 crossings over 64
+    replicate means)."""
+    cat = Catalog(spark, sf_dir)
+    reps = spark.range(0, 64).select(F.col("id").alias("rep"))
+    u = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("#"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(1_000_000),
+    )
+    w = (
+        F.when(F.col("u") < 367879, 0)
+        .when(F.col("u") < 735759, 1)
+        .when(F.col("u") < 919699, 2)
+        .when(F.col("u") < 981012, 3)
+        .when(F.col("u") < 996340, 4)
+        .when(F.col("u") < 999406, 5)
+        .otherwise(6)
+    )
+    weighted = (
+        cat["orders"]
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .crossJoin(F.broadcast(reps))
+        .withColumn("u", u)
+        .withColumn("w", w)
+    )
+    means = weighted.groupBy("rep").agg(
+        (
+            F.sum(F.col("w") * F.col("cents"))
+            / F.sum("w").cast("double")
+        ).alias("m")
+    )
+    rw = Window.orderBy("m")
+    ranked = means.select(
+        "m",
+        F.row_number().over(rw).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.round(
+            F.min(F.when(F.col("rn") * 40 >= F.col("n"), F.col("m"))) / 100,
+            2,
+        ).alias("ci_lo"),
+        F.round(
+            F.min(
+                F.when(F.col("rn") * 40 >= F.col("n") * 39, F.col("m"))
+            )
+            / 100,
+            2,
+        ).alias("ci_hi"),
+        F.round(F.avg("m") / 100, 2).alias("boot_mean"),
+        F.max("n").cast("long").alias("n_reps"),
+    )
+
+
+@q(
+    "q284_feature_snapshot",
+    """
+    WITH mx AS (
+      SELECT MAX(ts) AS max_ts FROM events
+    ), base AS (
+      SELECT user_id,
+             COUNT(*) AS frequency,
+             date_diff('day', CAST(MAX(ts) AS DATE),
+                       CAST((SELECT max_ts FROM mx) AS DATE))
+               AS recency_days,
+             COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 100) AS BIGINT)
+                      ELSE 0 END) AS monetary_cents,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ), fav AS (
+      SELECT user_id, event_type AS favorite_type FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY COUNT(*) DESC, event_type)
+                 AS rn
+        FROM events GROUP BY user_id, event_type
+      ) WHERE rn = 1
+    )
+    SELECT b.user_id, CAST(b.frequency AS BIGINT) AS frequency,
+           CAST(b.recency_days AS BIGINT) AS recency_days,
+           CAST(b.n_active_days AS BIGINT) AS n_active_days,
+           CAST(b.monetary_cents AS BIGINT) AS monetary_cents,
+           CAST(b.converted AS INTEGER) AS converted,
+           f.favorite_type
+    FROM base b JOIN fav f USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-STORE SNAPSHOT: the per-user training feature table a
+    churn/propensity model reads — recency, frequency, active days,
+    monetary, conversion flag, modal event type (deterministic
+    tie-break) — produced in two aggregations over one scan (per-user
+    rollup + per-(user,type) argmax) and one key join. The capstone
+    composition of the RFM (q212), argmax (q103) and mode (q153)
+    primitives into the artifact ML teams actually consume."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("frequency"),
+            F.max("ts").alias("__last_ts"),
+            F.countDistinct(F.to_date("ts")).alias("n_active_days"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("monetary_cents"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.to_date("max_ts"), F.to_date("__last_ts")).cast(
+                "long"
+            ),
+        )
+    )
+    fav = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("__c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(
+                    F.col("__c").desc(), "event_type"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("favorite_type"))
+    )
+    return (
+        base.join(fav, "user_id")
+        .select(
+            "user_id",
+            F.col("frequency").cast("long").alias("frequency"),
+            "recency_days",
+            F.col("n_active_days").cast("long").alias("n_active_days"),
+            F.col("monetary_cents").cast("long").alias("monetary_cents"),
+            F.col("converted").cast("int").alias("converted"),
+            "favorite_type",
+        )
+        .orderBy("user_id")
+    )
