@@ -12719,3 +12719,225 @@ def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@q(
+    "q285_cohens_kappa",
+    """
+    WITH j AS (
+      SELECT CASE WHEN value > 150 THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN 1 ELSE 0 END AS b,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT SUM(c) AS n,
+             SUM(CASE WHEN a = b THEN c ELSE 0 END) AS agree,
+             SUM(CASE WHEN a = 1 THEN c ELSE 0 END) AS a1,
+             SUM(CASE WHEN b = 1 THEN c ELSE 0 END) AS b1
+      FROM j
+    )
+    SELECT ROUND(agree / CAST(n AS DOUBLE), 6) AS p_observed,
+           ROUND((a1 * b1 + (n - a1) * (n - b1))
+                 / (CAST(n AS DOUBLE) * n), 6) AS p_expected,
+           ROUND((agree / CAST(n AS DOUBLE)
+                  - (a1 * b1 + (n - a1) * (n - b1))
+                    / (CAST(n AS DOUBLE) * n))
+                 / (1 - (a1 * b1 + (n - a1) * (n - b1))
+                        / (CAST(n AS DOUBLE) * n)), 6) AS kappa,
+           CAST(n AS BIGINT) AS n
+    FROM t
+    """,
+)
+def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two cheap labelers (a value threshold vs
+    an event-type rule): chance-corrected agreement — the
+    annotation-quality gate raw percent-agreement overstates whenever
+    classes are imbalanced. One 2×2 contingency aggregation; every
+    probability is a ratio of integer counts."""
+    cat = Catalog(spark, sf_dir)
+    j = (
+        cat["events"]
+        .select(
+            (F.col("value") > 150).cast("int").alias("a"),
+            F.col("event_type").isin("purchase", "signup")
+            .cast("int")
+            .alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    t = j.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(0)).alias(
+            "agree"
+        ),
+        F.sum(F.when(F.col("a") == 1, F.col("c")).otherwise(0)).alias("a1"),
+        F.sum(F.when(F.col("b") == 1, F.col("c")).otherwise(0)).alias("b1"),
+    )
+    po = F.col("agree") / F.col("n").cast("double")
+    pe = (
+        F.col("a1") * F.col("b1")
+        + (F.col("n") - F.col("a1")) * (F.col("n") - F.col("b1"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return t.select(
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@q(
+    "q286_spearman",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, c.c_acctbal,
+             SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS rev
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_acctbal
+    ), ranked AS (
+      SELECT RANK() OVER (ORDER BY c_acctbal) AS ra,
+             RANK() OVER (ORDER BY rev) AS rb
+      FROM per_cust
+    )
+    SELECT ROUND(corr(CAST(ra AS DOUBLE), CAST(rb AS DOUBLE)), 6)
+             AS spearman,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ranked
+    """,
+)
+def q286(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between customer balance and realized
+    revenue — Pearson on RANKS (ties share the RANK() value, the
+    standard treatment), so monotone-but-nonlinear association scores
+    high where raw Pearson (q246) is dragged by outliers. Ranks are
+    exact integers from two windows over the customer-sized rollup;
+    corr() runs on the ranks."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    per_cust = (
+        cat["customer"]
+        .join(cat["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev"
+            )
+        )
+    )
+    ranked = per_cust.select(
+        F.rank().over(W.orderBy("c_acctbal")).alias("ra"),
+        F.rank().over(W.orderBy("rev")).alias("rb"),
+    )
+    return ranked.agg(
+        F.round(
+            F.corr(F.col("ra").cast("double"), F.col("rb").cast("double")),
+            6,
+        ).alias("spearman"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "q287_best_split",
+    """
+    WITH s AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), b AS (
+      SELECT v, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+      FROM s GROUP BY v
+    ), c AS (
+      SELECT v,
+             SUM(pos) OVER w AS lp, SUM(neg) OVER w AS ln_,
+             SUM(pos) OVER () AS tp, SUM(neg) OVER () AS tn
+      FROM b WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)
+    ), gain AS (
+      SELECT v, lp, ln_, tp, tn,
+             -- child entropies, each term guarded for empty/impure-0
+             ((lp + ln_) / CAST(tp + tn AS DOUBLE)) *
+               (CASE WHEN lp > 0 THEN -(lp / CAST(lp + ln_ AS DOUBLE))
+                      * ln(lp / CAST(lp + ln_ AS DOUBLE)) ELSE 0 END
+                + CASE WHEN ln_ > 0 THEN -(ln_ / CAST(lp + ln_ AS DOUBLE))
+                      * ln(ln_ / CAST(lp + ln_ AS DOUBLE)) ELSE 0 END)
+             + ((tp - lp + tn - ln_) / CAST(tp + tn AS DOUBLE)) *
+               (CASE WHEN tp - lp > 0 THEN
+                  -((tp - lp) / CAST(tp - lp + tn - ln_ AS DOUBLE))
+                    * ln((tp - lp) / CAST(tp - lp + tn - ln_ AS DOUBLE))
+                ELSE 0 END
+                + CASE WHEN tn - ln_ > 0 THEN
+                  -((tn - ln_) / CAST(tp - lp + tn - ln_ AS DOUBLE))
+                    * ln((tn - ln_) / CAST(tp - lp + tn - ln_ AS DOUBLE))
+                ELSE 0 END) AS child_entropy
+      FROM c WHERE lp + ln_ < tp + tn  -- a split must leave a right side
+    )
+    SELECT CAST(v AS BIGINT) AS split_at,
+           ROUND((CASE WHEN tp > 0 THEN -(tp / CAST(tp + tn AS DOUBLE))
+                    * ln(tp / CAST(tp + tn AS DOUBLE)) ELSE 0 END
+                  + CASE WHEN tn > 0 THEN -(tn / CAST(tp + tn AS DOUBLE))
+                    * ln(tn / CAST(tp + tn AS DOUBLE)) ELSE 0 END)
+                 - child_entropy, 6) AS info_gain
+    FROM gain
+    ORDER BY info_gain DESC, split_at LIMIT 1
+    """,
+)
+def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump learner: the single value threshold with maximal
+    INFORMATION GAIN for predicting purchases — the primitive under
+    every tree ensemble, and the supervised upgrade to q218's
+    changepoint. All candidate splits are scored in ONE cumulative
+    pass over the compacted distinct-value frame (left/right class
+    counts come from the same prefix sums; no per-candidate scan),
+    entropy terms guarded for empty children. Ties broken by the
+    smaller threshold."""
+    cat = Catalog(spark, sf_dir)
+    b = (
+        cat["events"]
+        .select(
+            F.floor(F.col("value") * 100).cast("long").alias("v"),
+            (F.col("event_type") == "purchase").cast("long").alias("y"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("y").alias("pos"),
+            (F.count("*") - F.sum("y")).alias("neg"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    c = b.select(
+        "v",
+        F.sum("pos").over(w).alias("lp"),
+        F.sum("neg").over(w).alias("ln_"),
+        F.sum("pos").over(tot).alias("tp"),
+        F.sum("neg").over(tot).alias("tn"),
+    ).filter(F.col("lp") + F.col("ln_") < F.col("tp") + F.col("tn"))
+
+    def ent(p_num, n_num):
+        tot_ = (p_num + n_num).cast("double")
+        return F.when(
+            p_num > 0, -(p_num / tot_) * F.log(p_num / tot_)
+        ).otherwise(0.0) + F.when(
+            n_num > 0, -(n_num / tot_) * F.log(n_num / tot_)
+        ).otherwise(0.0)
+
+    ltot = F.col("lp") + F.col("ln_")
+    rtp = F.col("tp") - F.col("lp")
+    rtn = F.col("tn") - F.col("ln_")
+    n_all = (F.col("tp") + F.col("tn")).cast("double")
+    child = (ltot / n_all) * ent(F.col("lp"), F.col("ln_")) + (
+        (rtp + rtn) / n_all
+    ) * ent(rtp, rtn)
+    parent = ent(F.col("tp"), F.col("tn"))
+    return (
+        c.select(
+            F.col("v").cast("long").alias("split_at"),
+            F.round(parent - child, 6).alias("info_gain"),
+        )
+        .orderBy(F.col("info_gain").desc(), "split_at")
+        .limit(1)
+    )
