@@ -12941,3 +12941,68 @@ def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("info_gain").desc(), "split_at")
         .limit(1)
     )
+
+
+@q(
+    "q288_gains_curve",
+    """
+    WITH s AS (
+      SELECT value AS sc, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), t AS (
+      SELECT y,
+             CAST(NTILE(10) OVER (ORDER BY sc DESC, event_id) AS INTEGER)
+               AS decile
+      FROM s
+    ), d AS (
+      SELECT decile, COUNT(*) AS n, SUM(y) AS pos
+      FROM t GROUP BY decile
+    )
+    SELECT decile, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+           ROUND(SUM(pos) OVER (ORDER BY decile)
+                 / CAST(SUM(pos) OVER () AS DOUBLE), 6)
+             AS cum_gain,
+           ROUND((SUM(pos) OVER (ORDER BY decile)
+                  / CAST(SUM(pos) OVER () AS DOUBLE))
+                 / (SUM(n) OVER (ORDER BY decile)
+                    / CAST(SUM(n) OVER () AS DOUBLE)), 6) AS lift
+    FROM d ORDER BY decile
+    """,
+)
+def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift curve: rank by score DESCENDING into
+    deciles (scale-safe global NTILE), then per decile the cumulative
+    share of all positives captured and the lift over random — the
+    "how deep do we have to target" readout that complements AUC
+    (q238 says the ranking is good; this says what acting on the top
+    k% buys). The cumulative pass runs over 10 rows."""
+    from dataflowex_spark.operators.windows import global_ntile
+
+    cat = Catalog(spark, sf_dir)
+    s = cat["events"].select(
+        F.col("value").alias("sc"),
+        "event_id",
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    binned = global_ntile(
+        s, 10, [F.col("sc").desc(), F.col("event_id")], out_col="decile"
+    )
+    d = binned.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    return d.select(
+        "decile",
+        F.col("n").cast("long").alias("n"),
+        F.col("pos").cast("long").alias("pos"),
+        F.round(
+            F.sum("pos").over(w) / F.sum("pos").over(tot).cast("double"), 6
+        ).alias("cum_gain"),
+        F.round(
+            (F.sum("pos").over(w) / F.sum("pos").over(tot).cast("double"))
+            / (F.sum("n").over(w) / F.sum("n").over(tot).cast("double")),
+            6,
+        ).alias("lift"),
+    ).orderBy("decile")
