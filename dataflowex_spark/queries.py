@@ -13006,3 +13006,74 @@ def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     ).orderBy("decile")
+
+
+@q(
+    "q289_ratio_to_report",
+    """
+    WITH rev AS (
+      SELECT r.r_name, n.n_name,
+             SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT r_name, n_name,
+           CAST(cents AS BIGINT) AS cents,
+           ROUND(cents / CAST(SUM(cents) OVER (PARTITION BY r_name)
+                              AS DOUBLE), 6) AS share_of_region,
+           ROUND(cents / CAST(SUM(cents) OVER () AS DOUBLE), 6)
+             AS share_of_total,
+           ROUND(SUM(cents) OVER (PARTITION BY r_name)
+                 / CAST(SUM(cents) OVER () AS DOUBLE), 6)
+             AS region_share
+    FROM rev ORDER BY r_name, n_name
+    """,
+)
+def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report at two grains in one pass: each nation's share
+    of its region, of the total, and its region's share of the total
+    — three window aggregates over the 25-row rollup (the reporting
+    primitive behind every % -of-parent drilldown). Shares divide
+    exact integer cents; the windows run on the dimension-sized
+    frame, never the facts."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat["orders"]
+        .join(cat["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(cat["nation"]),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .join(
+            F.broadcast(cat["region"]),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    wr = W.partitionBy("r_name")
+    wt = W.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.col("cents").cast("long").alias("cents"),
+        F.round(
+            F.col("cents") / F.sum("cents").over(wr).cast("double"), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.col("cents") / F.sum("cents").over(wt).cast("double"), 6
+        ).alias("share_of_total"),
+        F.round(
+            F.sum("cents").over(wr) / F.sum("cents").over(wt).cast("double"),
+            6,
+        ).alias("region_share"),
+    ).orderBy("r_name", "n_name")
