@@ -106,8 +106,13 @@ def test_driver_contract_surface():
 
 def test_queries_manifest_matches_registry():
     """queries_manifest.json — the machine-readable inventory shipped
-    for the driver's correctness gate — must list exactly queries(),
-    in registry order, with accurate oracle flags. Regenerate with
+    for the driver's correctness gate — must list exactly the queries()
+    name SET with accurate oracle flags. Deliberately ORDER-INSENSITIVE:
+    queries() iteration order rotates never-driver-checked names first
+    (it changes whenever the driver drops a new CORRECTNESS_r*.json),
+    while the manifest is committed in stable registry-declaration
+    order. Round 4 lesson: asserting exact order made every new driver
+    artifact break the committed manifest. Regenerate with
     tools/gen_manifest.py after adding a query."""
     import json
 
@@ -117,7 +122,8 @@ def test_queries_manifest_matches_registry():
         m = json.load(f)
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    assert [e["name"] for e in m["queries"]] == list(qs)
+    assert {e["name"] for e in m["queries"]} == set(qs)
+    assert len(m["queries"]) == len(qs)  # no duplicate manifest rows
     assert m["total"] == len(qs)
     assert m["oracled"] == len(oracles)
     for e in m["queries"]:

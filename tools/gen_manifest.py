@@ -23,9 +23,13 @@ from dataflowex_spark import queries as _q  # noqa: E402
 
 
 def manifest() -> dict:
-    # rotated order == queries() iteration order (never-driver-checked
-    # names first, so each round's CORRECTNESS window samples fresh ones)
-    names = _q._rotated_names()
+    # REGISTRY declaration order, NOT the driver-facing rotated order:
+    # rotation depends on which CORRECTNESS_r*.json artifacts exist at
+    # import time, so a manifest generated in rotated order goes stale
+    # the moment the driver writes a new artifact (round-4 lesson).
+    # Declaration order is stable across rounds; consumers that need
+    # the live window order call __spark_entry__.queries() directly.
+    names = list(_q.REGISTRY)
     oracled = {n for n, (_fn, sql) in _q.REGISTRY.items() if sql is not None}
     return {
         "total": len(names),
