@@ -129,7 +129,12 @@ def bloom_prefilter(df: DataFrame, key: str, bloom: BloomFilter) -> DataFrame:
     bmp = spark.createDataFrame(
         [(list(bloom.words),)], "__bloom_words array<bigint>"
     )
-    tmp = df.crossJoin(F.broadcast(bmp))
+    # Drop null keys up front, as documented: xxhash64(NULL, seed)
+    # hashes the seed alone, so without this filter a null-key probe
+    # row could alias a real key's positions and leak through the
+    # standalone prefilter (bloom_prefilter_join was unaffected — the
+    # downstream equi-join drops nulls anyway).
+    tmp = df.where(F.col(key).isNotNull()).crossJoin(F.broadcast(bmp))
     arr = F.col("__bloom_words")
     pos_names = []
     conds = []

@@ -27,12 +27,30 @@ from pyspark.sql import DataFrame, functions as F
 _EOW = "</w>"
 
 
-def _word_counts(df: DataFrame, text_col: str) -> list[tuple[str, int]]:
+def _word_counts(
+    df: DataFrame,
+    text_col: str,
+    min_count: int,
+    max_vocab: int,
+) -> list[tuple[str, int]]:
+    """Distributed (word, count) vocabulary with a HARD driver-side
+    bound: frequency filter inside the aggregation plus a top-N by
+    (count desc, word asc) — the collect is O(max_vocab) by
+    construction, never O(distinct words). On a 100 TB web corpus the
+    distinct-token table (URLs, typos, unicode junk) is 1e8–1e9 rows;
+    an unbounded collect is a driver OOM, not a slowdown. Frequency-
+    truncated BPE is standard practice (rare words fall through to
+    character pieces), and orderBy+limit runs as Spark's TakeOrdered —
+    per-partition top-N heaps, no global sort materialization.
+    Deterministic: exact integer counts, lexicographic tiebreak."""
     rows = (
         df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(max_vocab)
         .collect()
     )
     return [(r["w"], r["c"]) for r in rows]
@@ -44,16 +62,24 @@ def bpe_train(
     num_merges: int = 100,
     sample_fraction: float | None = None,
     seed: int = 42,
+    min_count: int = 1,
+    max_vocab: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus. Returns the
     ordered merge list (most frequent first). ``sample_fraction``
     trains on a deterministic sample — the standard trade at corpus
-    scale (the vocabulary aggregate still distributes either way)."""
+    scale (the vocabulary aggregate still distributes either way).
+
+    ``min_count``/``max_vocab`` bound the driver-side vocabulary to
+    O(max_vocab) regardless of corpus size (see :func:`_word_counts`).
+    When the corpus has fewer than ``max_vocab`` distinct words above
+    ``min_count``, truncation is a no-op and the merges are identical
+    to unbounded training (property-tested)."""
     d = df
     if sample_fraction is not None:
         d = df.sample(fraction=sample_fraction, seed=seed)
     vocab: dict[tuple[str, ...], int] = {}
-    for word, cnt in _word_counts(d, text_col):
+    for word, cnt in _word_counts(d, text_col, min_count, max_vocab):
         sym = tuple(word) + (_EOW,)
         vocab[sym] = vocab.get(sym, 0) + cnt
 

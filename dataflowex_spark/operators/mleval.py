@@ -260,9 +260,26 @@ def population_stability_index(
     the smoothing is part of the pinned definition.
 
     Returns one row ``(psi, n_ref, n_cur)``.
+
+    Raises ``ValueError`` on ``n_bins < 2`` or an empty reference:
+    with no reference rows there are no edges, the bucketing
+    cross-join would silently drop every current row, and the result
+    would be a misleading NULL psi instead of a diagnosable error.
+    (The one count() this costs is on the REFERENCE — the small,
+    typically cached training-population side — not the current
+    serving stream.)
     """
+    if n_bins < 2:
+        raise ValueError(
+            f"population_stability_index: n_bins must be >= 2, got {n_bins}"
+        )
     ref = df_ref.select(value.alias("__v"))
     cur = df_cur.select(value.alias("__v"))
+    if ref.limit(1).count() == 0:
+        raise ValueError(
+            "population_stability_index: reference distribution is empty "
+            "— no bin edges can be derived; check the reference filter"
+        )
     w = Window.orderBy("__v")
     ranked = (
         ref.groupBy("__v")

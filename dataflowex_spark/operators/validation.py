@@ -249,8 +249,10 @@ def mask_columns(df, policies: dict):
 
     - ``"hash"``: portable md5 (first 16 hex) of the value — stable
       join/group key across engines and exports, but irreversible;
-    - ``"partial"``: keep the first 3 characters, blank the rest —
-      human-debuggable prefix, no full identifier;
+    - ``"partial"``: keep the first 3 characters and replace the rest
+      with ``***`` — human-debuggable prefix, no full identifier;
+      values of 3 or fewer characters are redacted entirely (``***``)
+      so short identifiers are never exported unmasked;
     - ``("bucket", w)``: numeric generalization to width-w buckets
       (floor(x/w)·w) — k-anonymity-style coarsening (see q206);
     - ``"null"``: redact entirely.
@@ -270,8 +272,13 @@ def mask_columns(df, policies: dict):
                 F.substring(F.md5(c.cast("string")), 1, 16).alias(f.name)
             )
         elif pol == "partial":
+            # values of <= 3 chars would be revealed ENTIRELY by a
+            # 3-char prefix — redact them fully instead of leaking
+            # the whole short identifier
+            s = c.cast("string")
             cols.append(
-                F.concat(F.substring(c.cast("string"), 1, 3), F.lit("***"))
+                F.when(F.length(s) <= 3, F.lit("***"))
+                .otherwise(F.concat(F.substring(s, 1, 3), F.lit("***")))
                 .alias(f.name)
             )
         elif isinstance(pol, tuple) and pol[0] == "bucket":

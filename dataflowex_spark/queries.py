@@ -12016,7 +12016,8 @@ def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q275_column_masking",
     """
     SELECT substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16) AS c_custkey,
-           substr(c_name, 1, 3) || '***' AS c_name,
+           CASE WHEN length(c_name) <= 3 THEN '***'
+                ELSE substr(c_name, 1, 3) || '***' END AS c_name,
            c_nationkey,
            CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS c_acctbal,
            CAST(NULL AS VARCHAR) AS c_mktsegment

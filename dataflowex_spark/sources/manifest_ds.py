@@ -184,7 +184,7 @@ class TickerDataSource(DataSource):
 
 
 # ---------------------------------------------------------------------
-# writer side: stage → commit-by-manifest (transactional sink protocol)
+# writer side: write-final + commit-by-manifest (transactional sink)
 # ---------------------------------------------------------------------
 
 
@@ -195,14 +195,23 @@ class _FileCommit(WriterCommitMessage):
 
 
 class _ManifestWriter(DataSourceWriter):
-    """Per-task: write one parquet file into ``_staging/`` and return
-    its path as the commit message. Driver-side ``commit`` then cuts
-    the manifest over exactly the staged files (one atomic
-    ``os.replace``) — readers through :class:`ManifestParquetDataSource`
-    flip from the old file set to the new one in a single step, and a
-    failed job (``abort``) leaves the manifest untouched with only
-    inert staging files to clean. This is the two-phase protocol every
-    exactly-once object-store sink reduces to."""
+    """Per-task: write one parquet file UNDER ITS FINAL NAME (a fresh
+    uuid — no two attempts ever collide) directly into the target
+    directory, and return that path as the commit message. Driver-side
+    ``commit`` performs NO data movement: it only cuts the manifest
+    over exactly the task-reported files (one atomic ``os.replace`` of
+    the small manifest file). Readers through
+    :class:`ManifestParquetDataSource` read ONLY manifest-listed files,
+    so uncommitted data files are invisible by construction — the
+    manifest cut IS the commit point. This is the protocol every
+    exactly-once object-store sink reduces to (Iceberg/Delta shape:
+    tasks write immutable uniquely-named files to final locations;
+    the metadata swap is the only atomic step), and unlike a
+    driver-side rename of staged files it works when the driver and
+    executors do NOT share a filesystem — the driver never touches a
+    data file. A failed job (``abort``) best-effort deletes the
+    reported files; any orphans it misses are inert garbage outside
+    the manifest, removable by vacuum."""
 
     def __init__(self, path: str, schema):
         self.path = path
@@ -217,9 +226,8 @@ class _ManifestWriter(DataSourceWriter):
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        stage = os.path.join(self.path, "_staging")
-        os.makedirs(stage, exist_ok=True)
-        out = os.path.join(stage, f"part-{uuid.uuid4().hex}.parquet")
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.parquet")
         arrow_schema = to_arrow_schema(self.schema)
         rows = [tuple(r) for r in iterator]
         table = pa.Table.from_arrays(
@@ -235,13 +243,7 @@ class _ManifestWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import os
 
-        files = []
-        for m in messages:
-            if m is None:
-                continue
-            final = m.path.replace("/_staging/", "/")
-            os.replace(m.path, final)
-            files.append(final)
+        files = [m.path for m in messages if m is not None]
         write_manifest(sorted(files), os.path.join(self.path, "_MANIFEST"))
 
     def abort(self, messages) -> None:
@@ -254,8 +256,10 @@ class _ManifestWriter(DataSourceWriter):
 
 class ManifestParquetWriteSource(DataSource):
     """``df.write.format("manifest_parquet_write").save(dir)`` —
-    parquet files land via the stage → manifest-commit protocol;
-    read the committed set back with
+    tasks write uniquely-named parquet files to their final location;
+    the job commit atomically cuts ``_MANIFEST`` over them (no
+    driver-side file moves — cluster/object-store safe); read the
+    committed set back with
     ``spark.read.format("manifest_parquet").load(dir + "/_MANIFEST")``."""
 
     @classmethod

@@ -439,6 +439,38 @@ def test_bpe_train_and_encode(spark):
     assert toks[2][-3:] == ["z", "q", "</w>"] or toks[2][-2:] == ["z", "q</w>"]
 
 
+def test_bpe_train_vocab_bound(spark):
+    """min_count/max_vocab bound the driver-side vocabulary collect
+    to O(max_vocab). Two laws: (1) when the bound is not hit, merges
+    are IDENTICAL to unbounded training (truncation is a no-op);
+    (2) when max_vocab cuts, training still runs and only the most
+    frequent words shape the merges — the rare word's unique pair
+    never becomes a merge."""
+    from dataflowex_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [
+            (1, "abab abab abab abab"),
+            (2, "abab cdcd cdcd"),
+            (3, "xq"),  # rare: appears once
+        ],
+        "doc_id long, text string",
+    )
+    unbounded = bpe_train(df, num_merges=5)
+    # bound not hit: 3 distinct words < max_vocab=10
+    assert bpe_train(df, num_merges=5, max_vocab=10) == unbounded
+    assert bpe_train(df, num_merges=5, min_count=1) == unbounded
+    # min_count=2 drops the singleton 'xq'; frequent-word merges keep
+    # their order and ('x','q') can never appear
+    pruned = bpe_train(df, num_merges=5, min_count=2)
+    assert ("x", "q") not in pruned
+    assert pruned[0] == unbounded[0]
+    # max_vocab=1 keeps only 'abab' (count 5): every merge is over
+    # its symbols — bounded training is still functional
+    top1 = bpe_train(df, num_merges=5, max_vocab=1)
+    assert top1 and set("".join(a + b for a, b in top1)) <= set("ab</w>")
+
+
 def test_bpe_roundtrip_reconstruction(spark, sf_dir):
     """Concatenating a word's BPE tokens (minus the </w> marker)
     reconstructs the word exactly — tokenization is lossless."""

@@ -1855,3 +1855,51 @@ def test_transitive_root_pointer_doubling(spark):
         for r in transitive_root(df, doublings=8).collect()
     }
     assert out8 == out
+
+
+def test_bloom_prefilter_drops_null_keys(spark):
+    """Null probe keys are DROPPED by the standalone prefilter, as the
+    docstring promises: xxhash64(NULL, seed) hashes the seed alone, so
+    without the explicit isNotNull a null-key row could alias a real
+    key's bit positions and leak through."""
+    from dataflowex_spark.operators.bloom import bloom_build, bloom_prefilter
+
+    build = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    probe = spark.createDataFrame(
+        [(None,), (None,), (3,), (999_999,)], "k long"
+    )
+    bf = bloom_build(build, "k", num_bits=1 << 12, num_hashes=5)
+    kept = [r["k"] for r in bloom_prefilter(probe, "k", bf).collect()]
+    assert None not in kept
+    assert 3 in kept  # build-side key always passes
+
+
+def test_mask_columns_partial_short_values_fully_redacted(spark):
+    """'partial' never reveals the whole value: strings of <= 3 chars
+    collapse to exactly '***' (no prefix), longer strings keep a
+    3-char prefix."""
+    from dataflowex_spark.operators.validation import mask_columns
+
+    df = spark.createDataFrame(
+        [("ab",), ("abc",), ("abcd",), (None,)], "s string"
+    )
+    got = {r["s"] for r in mask_columns(df, {"s": "partial"}).collect()}
+    assert got == {"***", "abc***", None}
+
+
+def test_psi_guards_empty_reference_and_bad_bins(spark):
+    """PSI raises a diagnosable error instead of silently returning
+    NULL when the reference side has no rows or n_bins < 2."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from dataflowex_spark.operators.mleval import (
+        population_stability_index,
+    )
+
+    full = spark.createDataFrame([(i,) for i in range(100)], "v long")
+    empty = full.filter(F.col("v") < 0)
+    with _pytest.raises(ValueError, match="reference .* empty"):
+        population_stability_index(empty, full, F.col("v"))
+    with _pytest.raises(ValueError, match="n_bins"):
+        population_stability_index(full, full, F.col("v"), n_bins=1)
