@@ -13078,3 +13078,58 @@ def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("region_share"),
     ).orderBy("r_name", "n_name")
+
+
+@q(
+    "q290_asof_bounded",
+    """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS click_id, user_id AS c_user, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ), cand AS (
+      SELECT p.purchase_id, p.user_id, c.click_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.purchase_id
+               ORDER BY c.cts DESC, c.click_id DESC
+             ) AS rn
+      FROM p JOIN c
+        ON c.c_user = p.user_id
+       AND c.cts <= p.pts
+       AND c.cts >  p.pts - INTERVAL 6 HOUR
+    )
+    SELECT purchase_id, user_id, click_id FROM cand WHERE rn = 1
+    """,
+)
+def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded stream-stream as-of: each purchase matched to that
+    user's LATEST click within the preceding 6 hours — the
+    `asof_join_stream_stream` operator run in batch mode (identical
+    expression; stream==batch is asserted on real replayed streams in
+    tests/test_streaming.py). The 6-hour lateness bound is what makes
+    the shape expressible with bounded streaming state: the interval
+    join's state evicts as watermarks pass, and the per-purchase
+    argmax finalizes per event-time window. Unlike the q25 unbounded
+    as-of (union-interleave, one keyed shuffle), candidates here ARE
+    materialized pairwise — but only inside the 6-hour band, so the
+    blowup is rate·lateness per key, the price of the streaming-
+    feasible form."""
+    from dataflowex_spark.streaming.ops import asof_join_stream_stream
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("pts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("cts"),
+    )
+    out = asof_join_stream_stream(
+        purchases, clicks, "user_id", "pts", "cts",
+        lateness="6 hours", tie_break="click_id",
+    )
+    return out.select("purchase_id", "user_id", "click_id")

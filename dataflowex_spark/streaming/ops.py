@@ -213,9 +213,8 @@ def asof_join_stream(
     cannot change any row's match — the union of per-batch results is
     the batch ``asof_join`` of the whole left. (A stream-stream as-of —
     both sides unbounded — is not expressible with bounded state
-    without a lateness bound; bound the right side with a watermark
-    and use :func:`interval_join_stream` + downstream max-pick for
-    that shape.)
+    without a lateness bound; :func:`asof_join_stream_stream` packages
+    exactly that bounded shape.)
     """
     import tempfile
 
@@ -256,6 +255,94 @@ def asof_join_stream(
     )
     q.awaitTermination()
     return spark.read.option("recursiveFileLookup", "true").parquet(out_path)
+
+
+def asof_join_stream_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lateness: str = "6 hours",
+    watermark: str = "1 hour",
+    emit_window: str = "1 day",
+    tie_break: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-STREAM as-of join with an explicit lateness bound: each
+    left row is matched to the single latest same-key right row with
+    ``right_ts`` in ``(left_ts − lateness, left_ts]``. The lateness
+    bound is what makes the unbounded-state problem expressible: an
+    unbounded as-of ("latest right EVER before this left") would need
+    every key's entire right history in state forever; bounding the
+    look-back lets Spark evict join state as watermarks advance, so
+    state is O(lateness·rate), not O(stream length).
+
+    Composition (one declarative plan, two chained stateful
+    operators — Spark ≥ 3.4 supports the join→agg chain with
+    watermark propagation):
+
+    1. watermarked stream-stream INTERVAL join on ``key`` with the
+       backward range predicate — produces all candidates, state
+       bounded by ``lateness`` + ``watermark``;
+    2. per-left argmax: groupBy (event-time window on ``left_ts``,
+       all left columns) taking ``max_by(right payload, right_ts)``.
+       The argmax is keyed by the FULL left row, so carry a unique id
+       column if exact-duplicate left rows must not collapse; emission
+       waits for the window + join watermark to close, which is the
+       price of a correct streaming argmax — a later candidate may
+       still arrive until then.
+
+    Ties on equal ``right_ts`` break deterministically by
+    ``tie_break`` (largest wins), matching ``operators.joins.asof_join``.
+    ``how="left_outer"`` keeps unmatched left rows with a null right
+    payload (Spark emits the null-padded row only once eviction proves
+    no match can arrive, so the argmax never sees both a null-pad and
+    a real candidate).
+
+    Batch == stream: on batch frames the identical expression runs
+    (the window group key is just a derived column), which is the
+    oracle the tests and the q290 entry compare against.
+    """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"asof_join_stream_stream: unsupported how={how!r}")
+    l = _with_watermark(left, left_ts, watermark).alias("__l")
+    r = _with_watermark(right, right_ts, watermark).alias("__r")
+    cond = (
+        (F.col(f"__l.{key}") == F.col(f"__r.{key}"))
+        & (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) > F.col(left_ts) - F.expr(f"INTERVAL {lateness}"))
+    )
+    joined = l.join(r, cond, how).drop(F.col(f"__r.{key}"))
+
+    left_cols = list(left.columns)
+    right_cols = [c for c in right.columns if c != key]
+    ord_key = (
+        F.struct(F.col(right_ts), F.col(tie_break))
+        if tie_break is not None
+        else F.col(right_ts)
+    )
+    # The event-time window is computed from the WATERMARKED left_ts
+    # (that's what lets the streaming agg finalize); the group-key copy
+    # of left_ts is projected through a +0s arithmetic alias, which
+    # drops the event-time metadata — otherwise the aggregate sees TWO
+    # event-time columns (window + left_ts) and Spark rejects the plan.
+    strip = (F.col(left_ts) + F.expr("INTERVAL 0 SECONDS")).alias(left_ts)
+    picked = joined.select(
+        F.window(F.col(left_ts), emit_window).alias("__w"),
+        *[strip if c == left_ts else F.col(c) for c in left_cols],
+        *[F.col(c) for c in right_cols],
+    ).groupBy(
+        "__w", *left_cols
+    ).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in right_cols]), ord_key
+        ).alias("__m")
+    )
+    return picked.select(
+        *left_cols,
+        *[F.col(f"__m.{c}").alias(c) for c in right_cols],
+    )
 
 
 def run_to_memory(

@@ -708,3 +708,83 @@ def test_ticker_python_stream_source_deterministic_replay(spark, tmp_path):
         h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
         assert etype == f"type_{h % 5}"
         assert val == (h >> 8) % 100_000
+
+
+def test_stream_stream_asof_bounded_equals_batch(spark, tmp_path):
+    """asof_join_stream_stream on two REAL streams (chained stateful
+    operators: watermarked interval join -> windowed per-left argmax)
+    equals the identical expression on batch frames — exact row set.
+    Chunks are staged in event-time order with far-future sentinel
+    rows on BOTH sources so the final watermark passes every real
+    window and all results emit in append mode."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from dataflowex_spark.streaming.ops import (
+        asof_join_stream_stream,
+        run_to_memory,
+    )
+
+    T0 = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, "u%d" % (i % 5), T0 + dt.timedelta(minutes=17 * i))
+        for i in range(200)
+    ]
+    rrows = [
+        (1000 + j, "u%d" % (j % 5), T0 + dt.timedelta(minutes=13 * j), float(j))
+        for j in range(260)
+    ]
+    sent_ts = T0 + dt.timedelta(days=30)
+
+    def stage(rows, schema, sent_rows, tag):
+        d = str(tmp_path / tag)
+        per = (len(rows) + 3) // 4
+        chunks = [rows[c * per : (c + 1) * per] for c in range(4)] + [sent_rows]
+        names = [f"part-{c:03d}.parquet" for c in range(4)] + [
+            "part-zzz.parquet"
+        ]
+        for chunk, name in zip(chunks, names):
+            tmp = d + "/_t"
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                tmp, mode="overwrite"
+            )
+            shutil.move(glob.glob(tmp + "/part-*.parquet")[0], d + "/" + name)
+            shutil.rmtree(tmp)
+        return d
+
+    lschema = "pid long, user string, lts timestamp"
+    rschema = "cid long, user string, rts timestamp, v double"
+    ld = stage(lrows, lschema, [(999999, "zz_sent", sent_ts)], "left")
+    rd = stage(rrows, rschema, [(999998, "zz_sent2", sent_ts, -1.0)], "right")
+    ls = (
+        spark.readStream.schema(lschema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ld)
+    )
+    rs = (
+        spark.readStream.schema(rschema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(rd)
+    )
+    out = asof_join_stream_stream(
+        ls, rs, "user", "lts", "rts",
+        lateness="3 hours", watermark="30 minutes",
+        emit_window="6 hours", tie_break="cid",
+    )
+    assert out.isStreaming
+    res, _ = run_to_memory(out, output_mode="append")
+    got = sorted(
+        tuple(r)
+        for r in res.collect()
+        if not str(r["user"]).startswith("zz")
+    )
+
+    want_df = asof_join_stream_stream(
+        spark.createDataFrame(lrows, lschema),
+        spark.createDataFrame(rrows, rschema),
+        "user", "lts", "rts",
+        lateness="3 hours", emit_window="6 hours", tie_break="cid",
+    )
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert len(want) > 0 and got == want
