@@ -254,3 +254,90 @@ def priority_sample(
         .orderBy("priority", id_col)
         .limit(k)
     )
+
+
+def quantile_normalize(
+    df,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    out_col: str = "qn_value",
+    max_levels: int | None = None,
+):
+    """Quantile normalization: map each row's value to the GLOBAL
+    distribution's value at the same percent rank within its group —
+    the batch-effect remover. Rank matching is exact integer
+    cross-multiplication ((cum_g−1)·(n_s−1) ≥ (rn_s−1)·(N−1)), so no
+    float percent_rank can flip a boundary.
+
+    SCALE CONTRACT (the mleval.py bucket-cap discipline): the global
+    distribution travels as a value-COMPACTED frame (one row per
+    distinct value) through an unpartitioned cumulative window. That
+    is bounded for discrete domains (counts, grades, code lengths) —
+    the default contract — but NOT by construction for continuous
+    ones, where #distinct ≈ #rows and the single-reducer window
+    becomes the bottleneck. For continuous domains pass
+    ``max_levels``: values are first quantized onto an equi-width
+    grid of that many levels (one min/max aggregate, scan-local
+    floor()), which caps the compacted frame at ``max_levels`` rows
+    BEFORE the global window — the standard rank-binning trade
+    (normalized outputs land on grid representatives).
+    """
+    from pyspark.sql import Window, functions as F
+
+    v = F.col(value_col)
+    if max_levels is not None:
+        if max_levels < 2:
+            raise ValueError("quantile_normalize: max_levels must be >= 2")
+        lohi = df.select(
+            F.min(v).alias("__lo"), F.max(v).alias("__hi")
+        )
+        df = df.crossJoin(F.broadcast(lohi))
+        width = (F.col("__hi") - F.col("__lo")) / F.lit(max_levels)
+        level = F.when(
+            F.col("__hi") == F.col("__lo"), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.floor((v - F.col("__lo")) / width),
+                F.lit(max_levels - 1),
+            )
+        )
+        # grid representative: bucket midpoint (cast keeps the
+        # original column's flavor out of it — doubles by design)
+        df = df.withColumn(
+            "__qv",
+            F.col("__lo") + (level + F.lit(0.5)) * width,
+        ).drop("__lo", "__hi")
+        v = F.col("__qv")
+
+    sw = Window.partitionBy(group_col)
+    src = df.select(
+        id_col,
+        group_col,
+        value_col,
+        v.alias("__v"),
+        F.row_number().over(sw.orderBy(v, id_col)).alias("__rn"),
+        F.count("*").over(sw).alias("__ns"),
+    )
+    gv = df.groupBy(v.alias("__g")).agg(F.count("*").alias("__c"))
+    gw = Window.orderBy("__g")
+    gcum = gv.select(
+        "__g",
+        F.sum("__c")
+        .over(gw.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__cum"),
+        F.sum("__c").over(Window.partitionBy()).alias("__n"),
+    )
+    return (
+        src.crossJoin(F.broadcast(gcum))
+        .groupBy(id_col, group_col, value_col)
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("__cum") - 1) * (F.col("__ns") - 1)
+                    >= (F.col("__rn") - 1) * (F.col("__n") - 1),
+                    F.col("__g"),
+                )
+            ).alias(out_col)
+        )
+    )

@@ -10555,47 +10555,25 @@ def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip a boundary), the global distribution travels as a COMPACTED
     broadcast frame of distinct values with cumulative counts, and
     the per-source ranking is an ordinary partitioned window. Scale:
-    one window + one broadcast join; the global frame is bounded by
-    value cardinality, not rows."""
-    from pyspark.sql import Window as W
+    one window + one broadcast join; the global frame is compacted to
+    distinct values — bounded here because n_chars is DISCRETE (the
+    operator's default contract); for continuous domains
+    `sampling.quantile_normalize(max_levels=...)` quantizes before
+    the global window so the compacted frame is capped by
+    construction (adversarial-domain test in tests/test_operators.py)."""
+    from dataflowex_spark.operators.sampling import quantile_normalize
 
     cat = Catalog(spark, sf_dir)
     docs = cat["documents"]
-    sw = W.partitionBy("source")
-    src = docs.select(
+    out = quantile_normalize(
+        docs, "n_chars", "source", "doc_id", out_col="qn_chars"
+    )
+    return out.select(
         "doc_id",
         "source",
         "n_chars",
-        F.row_number().over(sw.orderBy("n_chars", "doc_id")).alias("rn"),
-        F.count("*").over(sw).alias("ns"),
-    )
-    gv = docs.groupBy(F.col("n_chars").alias("g")).agg(
-        F.count("*").alias("c")
-    )
-    gw = Window.orderBy("g")
-    gcum = gv.select(
-        "g",
-        F.sum("c").over(gw.rowsBetween(Window.unboundedPreceding, 0)).alias(
-            "cum"
-        ),
-        F.sum("c").over(Window.partitionBy()).alias("n"),
-    )
-    return (
-        src.crossJoin(F.broadcast(gcum))
-        .groupBy("doc_id", "source", "n_chars")
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("cum") - 1) * (F.col("ns") - 1)
-                    >= (F.col("rn") - 1) * (F.col("n") - 1),
-                    F.col("g"),
-                )
-            )
-            .cast("long")
-            .alias("qn_chars")
-        )
-        .orderBy("doc_id")
-    )
+        F.col("qn_chars").cast("long").alias("qn_chars"),
+    ).orderBy("doc_id")
 
 
 @q(

@@ -655,3 +655,67 @@ def test_bpe_decode_distributed_roundtrip(spark, sf_dir):
     assert out[1] is None
     assert out[2] == ""
     assert out[3] == "padded runs here"
+
+
+def test_decode_image_optional_hook_protocol(monkeypatch):
+    """The optional-imaging-library hook protocol, exercised WITHOUT
+    PIL installed: a stub module implementing the contract
+    (Image.open(BytesIO) -> context manager with .mode/.convert,
+    np.asarray-able) plugs into decode_image for payloads none of the
+    native codecs accept; with the hook absent the same payload
+    raises the honest NotImplementedError."""
+    import io
+
+    import numpy as np
+    import pytest as _pytest
+
+    from dataflowex_spark.operators import multimodal
+
+    payload = b"\xff\xfeNOT_A_NATIVE_FORMAT" + bytes(range(64))
+
+    # hook absent -> honest error
+    monkeypatch.setattr(multimodal, "_optional_pil", lambda: None)
+    with _pytest.raises(NotImplementedError, match="imaging library"):
+        multimodal.decode_image(payload)
+
+    # stub decoder implementing the protocol
+    class _StubIm:
+        mode = "RGB"
+        __array_interface__ = None  # replaced in __init__
+
+        def __init__(self, data):
+            assert data.read(4) == payload[:4]
+            arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+            self.__array_interface__ = arr.__array_interface__
+
+        def convert(self, mode):
+            raise AssertionError("RGB needs no convert")
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _StubImage:
+        @staticmethod
+        def open(fp):
+            assert isinstance(fp, io.BytesIO)
+            return _StubIm(fp)
+
+    monkeypatch.setattr(multimodal, "_optional_pil", lambda: _StubImage)
+    d = multimodal.decode_image(payload)
+    assert (d["width"], d["height"], d["channels"]) == (3, 2, 3)
+    assert d["pixels"].shape == (2, 3, 3)
+    assert d["pixels"].dtype == np.uint8
+    assert d["pixels"][1, 2, 2] == 17
+
+    # stub raising on corrupt payload surfaces as NotImplementedError
+    class _BadImage:
+        @staticmethod
+        def open(fp):
+            raise OSError("cannot identify image file")
+
+    monkeypatch.setattr(multimodal, "_optional_pil", lambda: _BadImage)
+    with _pytest.raises(NotImplementedError, match="neither netpbm nor"):
+        multimodal.decode_image(payload)

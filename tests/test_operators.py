@@ -1903,3 +1903,62 @@ def test_psi_guards_empty_reference_and_bad_bins(spark):
         population_stability_index(empty, full, F.col("v"))
     with _pytest.raises(ValueError, match="n_bins"):
         population_stability_index(full, full, F.col("v"), n_bins=1)
+
+
+def test_quantile_normalize_continuous_domain_capped(spark):
+    """Adversarial continuous domain: every value distinct (#distinct
+    == #rows), which would make the unpartitioned cumulative window
+    row-sized. With max_levels the global compacted frame is capped by
+    construction; the result matches a numpy recomputation of the
+    same quantize-then-rank-match definition, and normalized outputs
+    take at most max_levels distinct values. The exact path (no cap)
+    still matches numpy on a small discrete domain."""
+    import numpy as np
+
+    from dataflowex_spark.operators.sampling import quantile_normalize
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    vals = rng.normal(loc=np.repeat([0.0, 5.0], n // 2), scale=1.0, size=n)
+    grp = np.repeat(["a", "b"], n // 2)
+    assert len(set(vals.tolist())) == n  # genuinely continuous
+    df = spark.createDataFrame(
+        [(int(i), str(g), float(v)) for i, (g, v) in enumerate(zip(grp, vals))],
+        "rid long, src string, v double",
+    )
+    L = 64
+    out = quantile_normalize(df, "v", "src", "rid", max_levels=L)
+    rows = {r["rid"]: r["qn_value"] for r in out.collect()}
+    assert len(rows) == n
+    assert len(set(rows.values())) <= L
+
+    # numpy oracle of the SAME pinned definition
+    lo, hi = vals.min(), vals.max()
+    width = (hi - lo) / L
+    lev = np.minimum(np.floor((vals - lo) / width), L - 1).astype(int)
+    qv = lo + (lev + 0.5) * width
+    order_g = np.sort(np.unique(qv))
+    cum = {}
+    c = 0
+    counts = {g: int((qv == g).sum()) for g in order_g}
+    for g in order_g:
+        c += counts[g]
+        cum[g] = c
+    N = n
+    for g in ("a", "b"):
+        idx = np.where(grp == g)[0]
+        # rank within group by (qv, rid) — matches the operator's order
+        ranked = sorted(idx, key=lambda i: (qv[i], i))
+        ns = len(ranked)
+        for rn0, i in enumerate(ranked):
+            want = next(
+                gg for gg in order_g
+                if (cum[gg] - 1) * (ns - 1) >= rn0 * (N - 1)
+            )
+            assert abs(rows[i] - want) < 1e-9, (i, rows[i], want)
+
+    # guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_levels"):
+        quantile_normalize(df, "v", "src", "rid", max_levels=1)
