@@ -74,6 +74,10 @@ HEADLINE = [
     "q238_roc_auc",
     "q243_embedding_covariance",
     "q248_kmv_jaccard",
+    # round-5 additions: bounded stream-stream as-of (interval join +
+    # windowed argmax) and the versioned MERGE table format
+    "q290_asof_bounded",
+    "q291_mtable_merge",
 ]
 
 

@@ -13111,3 +13111,97 @@ def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
         lateness="6 hours", tie_break="click_id",
     )
     return out.select("purchase_id", "user_id", "click_id")
+
+
+@q(
+    "q291_mtable_merge",
+    """
+    WITH f AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderstatus = 'F'),
+    base AS (
+      SELECT c_custkey,
+             c_mktsegment,
+             CASE WHEN c_custkey IN (SELECT o_custkey FROM f)
+                  THEN CAST(c_custkey % 1000 AS DOUBLE)
+                  ELSE c_acctbal END AS bal
+      FROM customer
+      WHERE c_custkey % 97 <> 0
+    ),
+    ins AS (
+      SELECT 10000000 + i AS c_custkey,
+             CAST(NULL AS VARCHAR) AS c_mktsegment,
+             CAST((10000000 + i) % 1000 AS DOUBLE) AS bal
+      FROM range(1, 6) t(i)
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(bal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse MERGE against a REAL versioned table: customers land
+    in an MTable (manifest-versioned parquet, 8 range-partitioned
+    files with per-file key stats), then one copy-on-write merge
+    applies a deterministic CDC set — update c_acctbal for customers
+    with a finished order, delete every 97th key, insert five
+    synthetic keys — and the post-merge table is read back through
+    the new manifest and rolled up per segment. Only key-range-
+    affected files are rewritten (file-level pruning, the property
+    that makes MERGE viable at 100 TB); the oracle states the merged
+    result directly over the raw tables. Time travel / vacuum /
+    conflict semantics are pytest-pinned in tests/test_etl.py."""
+    import tempfile
+
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"].repartitionByRange(8, "c_custkey")
+    root = tempfile.mkdtemp(prefix="mtable_q291_")
+    t = MTable.create(spark, root + "/t", cust, "c_custkey")
+
+    upd = (
+        cat["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .select(
+            "c_custkey",
+            F.lit(1).alias("ts"),
+            F.lit("U").alias("op"),
+            F.lit(0).alias("tie"),
+            (F.col("c_custkey") % 1000).cast("double").alias("c_acctbal"),
+        )
+    )
+    dele = (
+        cat["customer"]
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select(
+            "c_custkey",
+            F.lit(2).alias("ts"),
+            F.lit("D").alias("op"),
+            F.lit(0).alias("tie"),
+            F.lit(None).cast("double").alias("c_acctbal"),
+        )
+    )
+    ins = spark.range(1, 6).select(
+        (F.col("id") + 10_000_000).alias("c_custkey"),
+        F.lit(3).alias("ts"),
+        F.lit("I").alias("op"),
+        F.lit(0).alias("tie"),
+        ((F.col("id") + 10_000_000) % 1000).cast("double").alias("c_acctbal"),
+    )
+    t.merge(upd.union(dele).union(ins), "ts", "op", "tie", ["c_acctbal"])
+    return (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

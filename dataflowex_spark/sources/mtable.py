@@ -1,0 +1,324 @@
+"""MTable: a manifest-versioned parquet table with copy-on-write
+MERGE, file-level key-range pruning, time travel, and vacuum — the
+storage half of the warehouse MERGE the plan half
+(:func:`~dataflowex_spark.operators.etl.cdc_merge`) already provides.
+
+Why this exists: plain directory tables cannot atomically replace a
+SUBSET of their files, so an upsert either rewrites everything or
+leaves readers a torn view. Table formats (Delta/Iceberg) solve this
+with one idea — readers never list directories, they read an explicit
+versioned manifest, and a commit is a single atomic swap of the
+current-version pointer. This module implements exactly that idea on
+the primitives already proven here (`manifest_ds`' write-final-files
+protocol, `atomic` pointer replace), scoped to one merge key column:
+
+- ``_v/N.manifest.json`` — version N's file list, each entry carrying
+  ``(path, rows, min_key, max_key)`` stats;
+- ``_CURRENT`` — the committed version number, atomically replaced;
+  the swap IS the commit point (torn commits impossible: either the
+  old pointer or the new one);
+- data files are immutable, uuid-job-named, written ONCE to their
+  final location by executors and never moved or edited (object-store
+  safe: the driver touches only the two small metadata files).
+
+MERGE is copy-on-write with FILE-LEVEL PRUNING — the property that
+makes it work at 100 TB: the change-set's distinct keys are ranged
+against the manifest's per-file (min_key, max_key) stats in ONE
+distributed pass (keys join a broadcast frame of file ranges), so
+only files that could contain a matched key are read and rewritten;
+every other file is carried into the new manifest BY REFERENCE. A
+trickle of CDC against a 100 TB table rewrites the handful of files
+whose key ranges the changes touch, not the table. Old versions stay
+readable (time travel) until ``vacuum`` drops them.
+
+Concurrency: optimistic — ``merge``/``overwrite`` record the parent
+version and the commit re-reads ``_CURRENT``; a concurrent commit in
+between raises ``MTableConflict`` (retry semantics, the
+Delta/Iceberg model) instead of silently clobbering.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class MTableConflict(RuntimeError):
+    """Another writer committed between this operation's snapshot and
+    its commit attempt — re-run against the new current version."""
+
+
+def _local_path(uri: str) -> str:
+    """``input_file_name()`` URIs → canonical local paths (strip the
+    ``file:`` scheme, collapse leading slashes, unquote) so manifest
+    entries compare equal to ``os.walk`` paths in :meth:`MTable.vacuum`."""
+    from urllib.parse import unquote
+
+    p = unquote(uri)
+    if p.startswith("file:"):
+        p = p[len("file:") :]
+    while p.startswith("//"):
+        p = p[1:]
+    return os.path.normpath(p)
+
+
+def _atomic_write(path: str, content: str) -> None:
+    d = os.path.dirname(path) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".mtable_")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(content)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+class MTable:
+    """Handle to an MTable rooted at ``root``. Use :meth:`create` to
+    initialize, then :meth:`read` / :meth:`merge` / :meth:`overwrite` /
+    :meth:`vacuum`."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- metadata ------------------------------------------------------
+
+    def _vdir(self) -> str:
+        return os.path.join(self.root, "_v")
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.root, "_CURRENT")) as f:
+            return int(f.read().strip())
+
+    def versions(self) -> list[int]:
+        out = []
+        for n in os.listdir(self._vdir()):
+            if n.endswith(".manifest.json"):
+                out.append(int(n.split(".")[0]))
+        return sorted(out)
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        p = os.path.join(self._vdir(), f"{v}.manifest.json")
+        with open(p) as f:
+            return json.load(f)
+
+    # -- data-file authoring ------------------------------------------
+
+    def _write_data_files(
+        self, df: DataFrame, key_col: str, n_files: int | None = None
+    ) -> list[dict]:
+        """Write ``df`` as immutable parquet files under a fresh
+        job directory (final names — never moved) and return manifest
+        entries with per-file key stats. ``n_files`` range-partitions
+        by the key first — rewritten files get tight DISJOINT key
+        ranges (what keeps future merges' pruning sharp) and the file
+        count tracks the rewrite size instead of
+        ``spark.sql.shuffle.partitions``. The stats pass reads only
+        the key column (column-pruned scan). Zero-row part files are
+        dropped from the manifest (and are inert until vacuum)."""
+        job = os.path.join(self.root, "data", f"job-{uuid.uuid4().hex}")
+        if n_files is not None:
+            df = df.repartitionByRange(max(1, n_files), key_col)
+        df.write.parquet(job)
+        stats = (
+            self.spark.read.parquet(job)
+            .groupBy(F.input_file_name().alias("path"))
+            .agg(
+                F.count("*").alias("rows"),
+                F.min(key_col).alias("min_key"),
+                F.max(key_col).alias("max_key"),
+            )
+            .collect()
+        )
+        entries = [
+            {
+                "path": _local_path(r["path"]),
+                "rows": r["rows"],
+                "min_key": r["min_key"],
+                "max_key": r["max_key"],
+            }
+            for r in stats
+        ]
+        return sorted(entries, key=lambda e: e["path"])
+
+    def _commit(
+        self,
+        entries: list[dict],
+        key_col: str,
+        parent: int | None,
+        stream_batch: tuple[str, int] | None = None,
+    ) -> int:
+        """Cut manifest parent+1 and atomically swap ``_CURRENT``.
+        Optimistic check: someone else advancing the table between our
+        snapshot and this commit raises :class:`MTableConflict`.
+        ``stream_batch=(app_id, batch_id)`` records the highest
+        committed micro-batch per streaming writer in the manifest —
+        the transactional-version idiom that makes an at-least-once
+        ``foreachBatch`` replay detectable (and hence exactly-once)."""
+        cur_path = os.path.join(self.root, "_CURRENT")
+        if parent is not None and os.path.exists(cur_path):
+            if self.current_version() != parent:
+                raise MTableConflict(
+                    f"table advanced past v{parent} during the operation"
+                )
+        v = 1 if parent is None else parent + 1
+        batches = {}
+        if parent is not None:
+            batches = dict(self.manifest(parent).get("stream_batches", {}))
+        if stream_batch is not None:
+            batches[stream_batch[0]] = stream_batch[1]
+        manifest = {
+            "version": v,
+            "parent": parent,
+            "key_col": key_col,
+            "stream_batches": batches,
+            "files": entries,
+        }
+        os.makedirs(self._vdir(), exist_ok=True)
+        _atomic_write(
+            os.path.join(self._vdir(), f"{v}.manifest.json"),
+            json.dumps(manifest, indent=1),
+        )
+        _atomic_write(cur_path, str(v))
+        return v
+
+    # -- operations ----------------------------------------------------
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, root: str, df: DataFrame, key_col: str
+    ) -> "MTable":
+        t = cls(spark, root)
+        entries = t._write_data_files(df, key_col)
+        t._commit(entries, key_col, parent=None)
+        return t
+
+    def read(self, version: int | None = None) -> DataFrame:
+        m = self.manifest(version)
+        files = [e["path"] for e in m["files"]]
+        if not files:
+            raise ValueError(f"mtable v{m['version']} lists no files")
+        return self.spark.read.parquet(*files)
+
+    def overwrite(self, df: DataFrame) -> int:
+        m = self.manifest()
+        entries = self._write_data_files(df, m["key_col"])
+        return self._commit(entries, m["key_col"], parent=m["version"])
+
+    def affected_files(self, changes: DataFrame) -> list[dict]:
+        """The manifest entries whose [min_key, max_key] range could
+        contain a change key — decided in ONE distributed pass: the
+        change-set's distinct keys are joined against a BROADCAST
+        frame of the (file, range) stats, and only the distinct hit
+        file ids come back to the driver (bounded by file count, the
+        same size as the manifest itself)."""
+        m = self.manifest()
+        key_col = m["key_col"]
+        rows = [
+            (i, e["min_key"], e["max_key"])
+            for i, e in enumerate(m["files"])
+            if e["min_key"] is not None
+        ]
+        if not rows:
+            return []
+        # schema inferred from the manifest values — key stats keep
+        # whatever type the key column has (long, string, ...)
+        ranges = self.spark.createDataFrame(
+            rows, ["fid", "min_key", "max_key"]
+        )
+        hits = (
+            changes.select(F.col(key_col).alias("__k"))
+            .distinct()
+            .join(
+                F.broadcast(ranges),
+                (F.col("__k") >= F.col("min_key"))
+                & (F.col("__k") <= F.col("max_key")),
+            )
+            .select("fid")
+            .distinct()
+            .collect()
+        )
+        hit_ids = {r["fid"] for r in hits}
+        return [e for i, e in enumerate(m["files"]) if i in hit_ids]
+
+    def last_stream_batch(self, app_id: str) -> int:
+        """Highest micro-batch id ``app_id`` has committed (−1 if
+        none) — the replay guard for streaming writers."""
+        return self.manifest().get("stream_batches", {}).get(app_id, -1)
+
+    def merge(
+        self,
+        changes: DataFrame,
+        ts_col: str,
+        op_col: str,
+        tie_col: str,
+        value_cols: list[str],
+        stream_batch: tuple[str, int] | None = None,
+    ) -> int:
+        """Copy-on-write MERGE: apply a CDC change-set (latest-wins
+        per key; op 'D' deletes, others upsert — exactly
+        :func:`~dataflowex_spark.operators.etl.cdc_merge` semantics)
+        and commit a new version that rewrites ONLY the key-range-
+        affected files; all other files carry forward by reference.
+        Insert-only keys (matching no file's range) land in the
+        rewritten file set. Returns the new version number."""
+        from dataflowex_spark.operators.etl import cdc_merge
+
+        m = self.manifest()
+        key_col = m["key_col"]
+        affected = self.affected_files(changes)
+        affected_paths = {e["path"] for e in affected}
+        keep = [e for e in m["files"] if e["path"] not in affected_paths]
+
+        if affected:
+            base = self.spark.read.parquet(*sorted(affected_paths))
+        else:
+            base = self.read().limit(0)
+        merged = cdc_merge(
+            base, changes, key_col, ts_col, op_col, tie_col, value_cols
+        )
+        # rewrite into ~as many files as were read: file sizes stay
+        # stable across merges and the new files keep disjoint ranges
+        new_entries = self._write_data_files(
+            merged, key_col, n_files=max(1, len(affected))
+        )
+        return self._commit(
+            keep + new_entries,
+            key_col,
+            parent=m["version"],
+            stream_batch=stream_batch,
+        )
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the newest ``keep_last`` manifests and delete
+        data files no kept manifest references. Returns the deleted
+        paths. (Time travel reaches only kept versions afterwards.)"""
+        vs = self.versions()
+        keep_vs = vs[-keep_last:] if keep_last > 0 else []
+        if self.current_version() not in keep_vs:
+            raise ValueError("vacuum would drop the current version")
+        referenced: set[str] = set()
+        for v in keep_vs:
+            referenced.update(e["path"] for e in self.manifest(v)["files"])
+        deleted = []
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _dirs, files in os.walk(data_root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                if fn.endswith(".parquet") and p not in referenced:
+                    os.unlink(p)
+                    deleted.append(p)
+        for v in vs:
+            if v not in keep_vs:
+                os.unlink(
+                    os.path.join(self._vdir(), f"{v}.manifest.json")
+                )
+        return sorted(deleted)

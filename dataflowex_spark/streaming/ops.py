@@ -814,3 +814,65 @@ def drift_monitor_stream(
     )
     q.awaitTermination()
     return spark.read.option("recursiveFileLookup", "true").parquet(out_path)
+
+
+def mtable_merge_stream(
+    change_stream: DataFrame,
+    table,
+    ts_col: str,
+    op_col: str,
+    tie_col: str,
+    value_cols: list[str],
+    app_id: str = "stream",
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Stream CDC changes into an :class:`~dataflowex_spark.sources.
+    mtable.MTable`: each micro-batch runs one copy-on-write
+    ``table.merge`` and commits one table version — the streaming
+    MERGE INTO. Drains with availableNow; returns the final version.
+
+    EXACTLY-ONCE under foreachBatch's at-least-once replay: the merge
+    commit records ``(app_id, batch_id)`` in the manifest, and a
+    replayed batch whose id is ≤ the recorded high-water mark is
+    SKIPPED — the Delta-style transactional-version idiom, here a
+    two-line check against the manifest the commit already swaps
+    atomically. (Without the guard a replayed batch would still
+    converge to the same table state — cdc_merge is latest-wins
+    idempotent — but would burn an extra version; with it, replays
+    are no-ops.)
+
+    Cross-batch ordering: WITHIN a batch cdc_merge picks the latest
+    change per key by (ts, tie); ACROSS batches, later batches win
+    unconditionally (each merge upserts over the previous table
+    state) — standard streaming MERGE semantics. Feed a ts-ordered
+    change stream (what CDC sources emit) for strict global
+    latest-wins.
+
+    Scale shape: per batch, pruning reads only the manifest stats and
+    one distinct-keys pass over the BATCH (small); the rewrite
+    touches only range-affected files — a trickle of CDC against a
+    100 TB table rewrites a handful of files per batch.
+    """
+    import tempfile
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= table.last_stream_batch(app_id):
+            return  # replayed batch: already committed
+        table.merge(
+            batch_df,
+            ts_col,
+            op_col,
+            tie_col,
+            value_cols,
+            stream_batch=(app_id, batch_id),
+        )
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="mtable_ckpt_")
+    q = (
+        change_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.current_version()

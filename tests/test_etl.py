@@ -879,3 +879,72 @@ def test_manifest_writer_two_phase_commit_roundtrip(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in back.collect()} == {
         tuple(r) for r in src.collect()
     }
+
+
+def test_mtable_merge_prune_timetravel_vacuum(spark, tmp_path):
+    """MTable end-to-end: (1) MERGE applies cdc_merge semantics and
+    the new version rewrites ONLY key-range-affected files — every
+    other file is carried into the new manifest BY REFERENCE (same
+    path strings); (2) the old version stays readable (time travel);
+    (3) a concurrent commit raises MTableConflict instead of
+    clobbering; (4) vacuum deletes exactly the unreferenced files and
+    keeps the current version readable."""
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.mtable import MTable, MTableConflict
+
+    # 1000 keys range-partitioned into 8 files -> tight per-file ranges
+    base = (
+        spark.range(1000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+            F.lit("base").alias("tag"),
+        )
+        .repartitionByRange(8, "k")
+    )
+    t = MTable.create(spark, str(tmp_path / "t"), base, "k")
+    m1 = t.manifest()
+    assert m1["version"] == 1 and len(m1["files"]) == 8
+
+    # changes touch keys 0..49 (one or two files) + insert 5000 + delete 7
+    changes = spark.createDataFrame(
+        [(k, 1, "U", 0, -k) for k in range(50)]
+        + [(5000, 1, "I", 0, 999), (7, 2, "D", 0, 0)],
+        "k long, ts long, op string, tie long, v long",
+    )
+    affected = {e["path"] for e in t.affected_files(changes)}
+    v2 = t.merge(changes, "ts", "op", "tie", ["v"])
+    assert v2 == 2
+
+    m2 = t.manifest()
+    carried = {e["path"] for e in m1["files"]} & {
+        e["path"] for e in m2["files"]
+    }
+    # pruning: exactly the non-affected files carried by reference
+    assert carried == {e["path"] for e in m1["files"]} - affected
+    assert 0 < len(affected) < len(m1["files"])
+
+    # merge semantics (delete wins for key 7 - its ts=2 is latest)
+    got = {r["k"]: (r["v"], r["tag"]) for r in t.read().collect()}
+    assert 7 not in got
+    assert got[3] == (-3, "base")          # updated, non-value col kept
+    assert got[500] == (5000, "base")      # untouched row intact
+    assert got[5000] == (999, None)        # insert: no base attrs
+    assert len(got) == 1000 - 1 + 1
+
+    # time travel: v1 unchanged
+    old = {r["k"]: r["v"] for r in t.read(version=1).collect()}
+    assert old[3] == 30 and 5000 not in old and old[7] == 70
+
+    # optimistic concurrency: commit against a stale parent conflicts
+    with _pytest.raises(MTableConflict):
+        t._commit(m2["files"], "k", parent=1)
+
+    # vacuum: v1-only files deleted, current still reads
+    deleted = t.vacuum(keep_last=1)
+    assert set(deleted) == affected  # the rewritten originals
+    assert t.versions() == [2]
+    assert t.read().count() == 1000
+    with _pytest.raises(FileNotFoundError):
+        t.manifest(version=1)

@@ -788,3 +788,65 @@ def test_stream_stream_asof_bounded_equals_batch(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in want_df.collect())
     assert len(want) > 0 and got == want
+
+
+def test_mtable_merge_stream_exactly_once(spark, tmp_path):
+    """CDC stream into an MTable: one merge commit per micro-batch,
+    final state equals applying all changes, and a REPLAY of the same
+    batches (fresh checkpoint, same data -> same batch ids) is
+    skipped entirely by the manifest's (app_id, batch_id) high-water
+    mark — table version unchanged, no burned commits."""
+    from dataflowex_spark.sources.mtable import MTable
+    from dataflowex_spark.streaming.ops import mtable_merge_stream
+
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    t = MTable.create(spark, str(tmp_path / "t"), base, "k")
+
+    # 3 chunks of ts-ordered changes: update evens (ts=1), delete
+    # k<10 (ts=2), insert 200..204 (ts=3)
+    chunks = [
+        [(k, 1, "U", 0, k + 1000) for k in range(0, 100, 2)],
+        [(k, 2, "D", 0, 0) for k in range(10)],
+        [(k, 3, "I", 0, k) for k in range(200, 205)],
+    ]
+    stage = tmp_path / "changes"
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(
+            rows, "k long, ts long, op string, tie long, v long"
+        ).coalesce(1).write.parquet(str(stage / f"c{i}"), mode="overwrite")
+    import glob as _glob
+    import shutil as _shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i in range(3):
+        src = _glob.glob(str(stage / f"c{i}" / "part-*.parquet"))[0]
+        _shutil.copy(src, str(flat / f"part-{i:03d}.parquet"))
+
+    def run(ckpt):
+        cs = (
+            spark.readStream.schema(
+                "k long, ts long, op string, tie long, v long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(flat))
+        )
+        return mtable_merge_stream(
+            cs, t, "ts", "op", "tie", ["v"],
+            app_id="cdc", checkpoint_dir=str(tmp_path / ckpt),
+        )
+
+    v = run("ck1")
+    assert v == t.current_version() and v >= 2
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert all(k not in got for k in range(10))           # deleted
+    assert got[12] == 1012 and got[13] == 130             # even upd, odd kept
+    assert got[200] == 200 and len(got) == 90 + 5
+
+    # replay with a fresh checkpoint: same files -> batch ids 0..2
+    # again -> all skipped by the high-water mark
+    v2 = run("ck2")
+    assert v2 == v
+    assert t.last_stream_batch("cdc") >= 2
