@@ -297,6 +297,38 @@ class MTable:
             stream_batch=stream_batch,
         )
 
+    def compact(
+        self, target_rows: int = 1_000_000, min_files: int = 2
+    ) -> int | None:
+        """Small-file compaction as an ordinary manifest commit: files
+        under ``target_rows`` are read back, range-repartitioned by
+        the key into ~``target_rows``-sized files, and the new version
+        lists the rewrites plus every already-large file BY REFERENCE.
+        Readers never see a torn state (the _CURRENT swap is the
+        commit), old versions still time-travel, vacuum reclaims the
+        replaced small files.
+
+        This is the maintenance loop every streaming MERGE table
+        needs: each micro-batch commit writes batch-sized files, and
+        without compaction a month of 1-minute batches is 43 k tiny
+        files whose per-file open/footer cost dominates scans.
+        Returns the new version, or None when fewer than ``min_files``
+        files are under the threshold (nothing worth rewriting)."""
+        import math
+
+        m = self.manifest()
+        small = [e for e in m["files"] if e["rows"] < target_rows]
+        if len(small) < min_files:
+            return None
+        keep = [e for e in m["files"] if e["rows"] >= target_rows]
+        df = self.spark.read.parquet(*sorted(e["path"] for e in small))
+        total = sum(e["rows"] for e in small)
+        n_files = max(1, math.ceil(total / target_rows))
+        entries = self._write_data_files(
+            df, m["key_col"], n_files=n_files
+        )
+        return self._commit(keep + entries, m["key_col"], parent=m["version"])
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Drop all but the newest ``keep_last`` manifests and delete
         data files no kept manifest references. Returns the deleted

@@ -948,3 +948,35 @@ def test_mtable_merge_prune_timetravel_vacuum(spark, tmp_path):
     assert t.read().count() == 1000
     with _pytest.raises(FileNotFoundError):
         t.manifest(version=1)
+
+
+def test_mtable_compact_small_files(spark, tmp_path):
+    """Compaction: many small files (the residue of per-batch MERGE
+    commits) collapse into ~target-sized range-partitioned files in
+    one manifest commit; large files carry by reference; the row set
+    is untouched; below min_files it's a no-op."""
+    from dataflowex_spark.sources.mtable import MTable
+
+    base = (
+        spark.range(1000)
+        .select(F.col("id").alias("k"), (F.col("id") + 7).alias("v"))
+        .repartitionByRange(10, "k")  # 10 files of ~100 rows
+    )
+    t = MTable.create(spark, str(tmp_path / "t"), base, "k")
+    m1 = t.manifest()
+    assert len(m1["files"]) == 10
+
+    v2 = t.compact(target_rows=600)  # every file is "small"
+    assert v2 == 2
+    m2 = t.manifest()
+    assert len(m2["files"]) == 2  # 1000 rows / 600 -> 2 files
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(k, k + 7) for k in range(1000)]
+    # compacted files have disjoint key ranges (pruning stays sharp)
+    f0, f1 = sorted(m2["files"], key=lambda e: e["min_key"])
+    assert f0["max_key"] < f1["min_key"]
+
+    # now both files are >= 600 rows? (500 each) -> still small, but
+    # min_files=3 makes it a no-op
+    assert t.compact(target_rows=600, min_files=3) is None
+    assert t.current_version() == 2
