@@ -64,3 +64,17 @@ def test_eval_pipeline_end_to_end(spark, sf_dir):
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert total == n_events
     assert set(report["fold_counts"]) <= set(range(5))
+
+
+def test_warehouse_cdc_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    from examples.warehouse_cdc_pipeline import run_warehouse_cdc
+
+    rep = run_warehouse_cdc(spark, sf_dir, str(tmp_path))
+    assert rep["versions_committed"] == 3          # one per micro-batch
+    assert rep["files_after_compact"] <= rep["files_before_compact"]
+    assert rep["files_reclaimed"] > 0
+    s = rep["rows_by_status"]
+    assert s.get("changed", 0) > 0                 # balance updates landed
+    assert s.get("added", 0) == 5                  # synthetic inserts
+    assert s.get("removed", 0) > 0                 # deletes landed
+    assert s.get("unchanged", 0) > 0

@@ -744,13 +744,20 @@ def test_stream_stream_asof_bounded_equals_batch(spark, tmp_path):
         names = [f"part-{c:03d}.parquet" for c in range(4)] + [
             "part-zzz.parquet"
         ]
-        for chunk, name in zip(chunks, names):
+        import os as _os
+
+        for seq, (chunk, name) in enumerate(zip(chunks, names)):
             tmp = d + "/_t"
             spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
                 tmp, mode="overwrite"
             )
-            shutil.move(glob.glob(tmp + "/part-*.parquet")[0], d + "/" + name)
+            dst = d + "/" + name
+            shutil.move(glob.glob(tmp + "/part-*.parquet")[0], dst)
             shutil.rmtree(tmp)
+            # file source orders batches by mtime; fast writes tie —
+            # pin strictly increasing mtimes so replay order is chunk
+            # order (time-ordered arrival is the scenario under test)
+            _os.utime(dst, (1_700_000_000 + seq, 1_700_000_000 + seq))
         return d
 
     lschema = "pid long, user string, lts timestamp"
@@ -821,9 +828,16 @@ def test_mtable_merge_stream_exactly_once(spark, tmp_path):
 
     flat = tmp_path / "flat"
     flat.mkdir()
+    import os as _os
+
     for i in range(3):
         src = _glob.glob(str(stage / f"c{i}" / "part-*.parquet"))[0]
-        _shutil.copy(src, str(flat / f"part-{i:03d}.parquet"))
+        dst = str(flat / f"part-{i:03d}.parquet")
+        _shutil.copy(src, dst)
+        # pin increasing mtimes: the file source orders batches by
+        # mtime and same-second copies tie (ts-ordered CDC is the
+        # scenario under test)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
     def run(ckpt):
         cs = (
