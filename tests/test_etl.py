@@ -980,3 +980,35 @@ def test_mtable_compact_small_files(spark, tmp_path):
     # min_files=3 makes it a no-op
     assert t.compact(target_rows=600, min_files=3) is None
     assert t.current_version() == 2
+
+
+def test_mtable_read_where_prunes_files(spark, tmp_path):
+    """read_where scans ONLY files whose manifest key range intersects
+    the predicate (checked via input_file_name), applies the residual
+    row predicate, and returns exactly the plain-filter result; an
+    out-of-range read returns an empty frame with the right schema.
+    history() summarizes the version chain."""
+    from dataflowex_spark.sources.mtable import MTable
+
+    base = (
+        spark.range(1000)
+        .select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        .repartitionByRange(10, "k")
+    )
+    t = MTable.create(spark, str(tmp_path / "t"), base, "k")
+
+    out = t.read_where(250, 349)
+    scanned = {
+        r[0]
+        for r in out.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(scanned) <= 2  # 100-key slice spans at most 2 of 10 files
+    got = sorted(r["k"] for r in out.collect())
+    assert got == list(range(250, 350))
+
+    empty = t.read_where(5000, 6000)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+    h = t.history()
+    assert h[-1]["version"] == 1 and h[-1]["rows"] == 1000
+    assert h[-1]["n_files"] == 10
