@@ -810,3 +810,109 @@ def jaccard_prefix_pairs(
         "id_b",
         (F.col("n_inter").cast("double") / union).alias("jaccard"),
     )
+
+
+def lsh_index_build(
+    df: DataFrame,
+    index_path: str,
+    table_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_words: int = 3,
+    n_buckets: int = 16,
+) -> None:
+    """Build and PERSIST an LSH band index for incremental near-dup
+    curation: the corpus reduces ONCE to its banded signature table
+    (band, band_hash, id, sig) and lands as a BUCKETED table keyed by
+    ``band_hash`` — pre-shuffled storage, so every later probe joins
+    against it WITHOUT re-shuffling the index side (the at-rest
+    co-location the bucketed-join tests pin). At 100 TB the corpus is
+    signed exactly once; each new crawl batch pays only its own
+    signing plus a join in which the n_docs·bands index rows never
+    move.
+
+    The table is external (data at ``index_path``); append new
+    batches with :func:`lsh_index_append` after admitting them.
+    """
+    banded = _banded_signatures(
+        df, text_col, id_col, num_hashes, bands, shingle_words
+    ).select(
+        F.col(id_col).alias("id"), "sig", "band", "band_hash"
+    )
+    (
+        banded.write.mode("overwrite")
+        .bucketBy(n_buckets, "band_hash")
+        .sortBy("band_hash")
+        .option("path", index_path)
+        .saveAsTable(table_name)
+    )
+
+
+def lsh_index_probe(
+    batch: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Probe a persisted LSH index with a new batch: returns
+    (id_new, id_indexed, est_jaccard) pairs — exactly
+    :func:`minhash_lsh_cross` of (batch, indexed corpus), but the
+    corpus side comes from the bucketed index table: only the BATCH
+    is signed and shuffled; the index is read in place. Anti-join the
+    batch against ``id_new`` to admit only novel documents, then
+    :func:`lsh_index_append` the admitted rows. Signature parameters
+    must match the build (they key the band hashes)."""
+    spark = batch.sparkSession
+    probe = _banded_signatures(
+        batch, text_col, id_col, num_hashes, bands, shingle_words
+    ).select(
+        F.col(id_col).alias("id_new"),
+        F.col("sig").alias("sig_a"),
+        "band",
+        "band_hash",
+    )
+    idx = spark.table(table_name).select(
+        F.col("id").alias("id_indexed"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "band_hash",
+    )
+    pairs = (
+        probe.join(idx, on=["band", "band_hash"])
+        .select("id_new", "id_indexed", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        pairs.select(
+            "id_new",
+            "id_indexed",
+            _est_jaccard(num_hashes).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+    )
+
+
+def lsh_index_append(
+    batch: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_words: int = 3,
+) -> None:
+    """Append a batch's banded signatures to the index table (Spark
+    re-buckets the appended files to the table's bucket spec, so
+    future probes keep the no-index-shuffle property)."""
+    banded = _banded_signatures(
+        batch, text_col, id_col, num_hashes, bands, shingle_words
+    ).select(
+        F.col(id_col).alias("id"), "sig", "band", "band_hash"
+    )
+    banded.write.mode("append").insertInto(table_name)

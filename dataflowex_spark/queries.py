@@ -13205,3 +13205,46 @@ def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@q("q292_lsh_index_incremental", None)  # rows-only: minhash sigs not SQL-expressible
+def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation against a PERSISTED LSH index: two-thirds
+    of the corpus is signed once into a bucketed band-signature table
+    (`lsh_index_build`); the remaining third probes it as a new crawl
+    batch (`lsh_index_probe`) — only the batch is signed and moved,
+    the index never re-shuffles (bucketed storage; plan-asserted in
+    tests). Equivalence probe == minhash_lsh_cross(batch, corpus) is
+    pytest-pinned; this entry returns the admitted-novelty report:
+    per-source counts of batch docs with and without an indexed
+    near-dup."""
+    import tempfile
+    import uuid as _uuid
+
+    from dataflowex_spark.operators.dedup import (
+        lsh_index_build,
+        lsh_index_probe,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"]
+    corpus = docs.filter(F.col("doc_id") % 3 < 2)
+    batch = docs.filter(F.col("doc_id") % 3 == 2)
+    name = f"lsh_idx_{_uuid.uuid4().hex[:10]}"
+    lsh_index_build(
+        corpus, tempfile.mkdtemp(prefix="lshidx_") + "/idx", name, bands=8
+    )
+    pairs = lsh_index_probe(batch, name, jaccard_threshold=0.5)
+    dup_ids = pairs.select(F.col("id_new").alias("doc_id")).distinct()
+    return (
+        batch.join(F.broadcast(dup_ids.withColumn("__dup", F.lit(1))),
+                   "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_batch"),
+            F.sum(F.when(F.col("__dup") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_near_dup"),
+        )
+        .orderBy("source")
+    )

@@ -537,3 +537,60 @@ def test_hard_negatives_label_constraint_and_ranking(spark):
         )[:3]
         got_ids = [r["vec_id"] for r in sorted(rows, key=lambda r: r["rank"])]
         assert got_ids == list(order)
+
+
+def test_lsh_index_incremental_equals_cross(spark, sf_dir, tmp_path):
+    """Persisted LSH index: probe(batch) == minhash_lsh_cross(batch,
+    corpus) exactly; after append, a second probe sees the first
+    batch too; and the probe plan reads the bucketed index WITHOUT an
+    index-side exchange (only the batch side shuffles)."""
+    import re
+
+    from dataflowex_spark.operators.dedup import (
+        lsh_index_append,
+        lsh_index_build,
+        lsh_index_probe,
+        minhash_lsh_cross,
+    )
+    from dataflowex_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    batch1 = docs.filter(F.col("doc_id") % 3 == 1)
+    batch2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    name = "lsh_idx_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        lsh_index_build(corpus, str(tmp_path / "idx"), name, bands=8)
+
+        got = lsh_index_probe(batch1, name, jaccard_threshold=0.5)
+        want = minhash_lsh_cross(
+            batch1, corpus, jaccard_threshold=0.5
+        )
+        g = sorted((r[0], r[1], round(r[2], 6)) for r in got.collect())
+        w = sorted((r[0], r[1], round(r[2], 6)) for r in want.collect())
+        assert g == w and len(g) > 0
+
+        # index side must not shuffle: the index scan is bucketed and
+        # the only shuffle Exchanges are the candidate-pair distinct
+        # (and, if the batch is too big to broadcast, the probe side)
+        # — never a re-shuffle of the full index
+        plan = formatted_plan(got)
+        assert "Bucketed: true" in plan, plan
+        # distinct node ids: the AQE dump repeats the tree (final +
+        # initial plan + node details), so count unique Exchange nodes
+        shuffles = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        assert len(shuffles) <= 2, plan  # one per plan copy: the
+        # candidate-distinct agg; the index itself never re-shuffles
+
+        lsh_index_append(batch1, name)
+        got2 = lsh_index_probe(batch2, name, jaccard_threshold=0.5)
+        want2 = minhash_lsh_cross(
+            batch2, corpus.unionByName(batch1), jaccard_threshold=0.5
+        )
+        g2 = sorted((r[0], r[1], round(r[2], 6)) for r in got2.collect())
+        w2 = sorted((r[0], r[1], round(r[2], 6)) for r in want2.collect())
+        assert g2 == w2 and len(g2) >= len(g)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
