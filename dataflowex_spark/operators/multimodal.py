@@ -211,6 +211,13 @@ def _parse_any(payload: bytes):
         parsed = None
     if parsed is not None:
         return parsed
+    if payload[:4] == b"GIF8":
+        from .gif import decode_gif
+
+        try:
+            return decode_gif(payload)
+        except (ValueError, NotImplementedError):
+            return None
     from .jpeg import decode_jpeg
 
     try:
@@ -226,7 +233,10 @@ def decode_image(payload: bytes) -> dict:
       + numpy scanline de-filtering (:func:`_parse_png`);
     - baseline JPEG (SOF0/SOF1, 8-bit, gray/YCbCr, 4:4:4 / 4:2:2 /
       4:2:0, restart markers): native Huffman + vectorized IDCT
-      (:mod:`.jpeg`).
+      (:mod:`.jpeg`);
+    - GIF87a/89a (full LZW, interlace, palettes, transparency;
+      first frame here — all frames via ``sample_frames``)
+      (:mod:`.gif`).
     Returns {width, height, channels, pixels}. Remaining compressed
     variants (progressive JPEG, palette PNG, …) decode through PIL
     WHEN IT IS IMPORTABLE (optional dependency hook — absent in this
@@ -241,6 +251,13 @@ def decode_image(payload: bytes) -> dict:
         parsed = _parse_png(payload)
     except NotImplementedError:
         parsed = None  # out-of-scope PNG variant: try JPEG/PIL below
+    if parsed is None and payload[:4] == b"GIF8":
+        from .gif import decode_gif
+
+        try:
+            parsed = decode_gif(payload)
+        except (ValueError, NotImplementedError):
+            parsed = None  # out-of-scope GIF variant: try PIL below
     if parsed is None:
         from .jpeg import decode_jpeg
 
@@ -405,6 +422,22 @@ def sample_frames(
                     if payload is not None
                     else None
                 )
+                if frames is None and payload is not None and bytes(
+                    payload
+                ).startswith(b"GIF8"):
+                    # animated GIF: a REAL multi-frame container —
+                    # decode all frames (from-scratch LZW codec) and
+                    # re-emit the sampled ones as netpbm payloads,
+                    # the same framing the ppm-stream path uses
+                    from .gif import decode_gif_frames
+
+                    try:
+                        frames = [
+                            encode_ppm(a)
+                            for a in decode_gif_frames(bytes(payload))
+                        ]
+                    except (ValueError, NotImplementedError):
+                        frames = None
                 if frames is not None:
                     for j in range(max_frames):
                         idx = j * every_n
