@@ -538,6 +538,69 @@ def _optional_soundfile():
         return None
 
 
+def _g711_tables():
+    """int16 expansion tables for the two G.711 companding laws —
+    built from the ITU formulas, vectorized as 256-entry lookups."""
+    import numpy as np
+
+    mu = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 7
+        mant = u & 0x0F
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        mu[b] = -mag if sign else mag
+    al = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        sign = a & 0x80
+        exp = (a >> 4) & 7
+        mant = a & 0x0F
+        if exp > 0:
+            mag = ((mant << 4) + 0x108) << (exp - 1)
+        else:
+            mag = (mant << 4) + 8
+        al[b] = -mag if sign else mag
+    return mu, al
+
+
+def _parse_g711_wav(payload: bytes):
+    """RIFF/WAVE with fmt tag 6 (A-law) or 7 (µ-law) — the telephony
+    formats stdlib ``wave`` refuses: walk the chunks, expand the
+    8-bit companded samples to int16 via the ITU tables. Returns
+    (rate, channels, ndarray[n, ch] int16) or None when the payload
+    is not a G.711 WAV."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(payload)
+    fmt = data = None
+    while pos + 8 <= n:
+        cid, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    tag, ch, rate = struct.unpack("<HHI", fmt[:8])
+    if tag not in (6, 7) or ch < 1:
+        return None
+    mu, al = _g711_tables()
+    table = al if tag == 6 else mu
+    samples = table[np.frombuffer(data, dtype=np.uint8)]
+    usable = (len(samples) // ch) * ch
+    return rate, ch, samples[:usable].reshape(-1, ch)
+
+
 def decode_audio(payload: bytes) -> dict:
     """Audio decode: REAL for RIFF/PCM WAV via stdlib wave + numpy —
     returns {sample_rate, channels, n_samples, duration_s, samples
@@ -575,6 +638,16 @@ def decode_audio(payload: bytes) -> dict:
             "in this environment; soundfile is picked up automatically "
             "when installed (RIFF/PCM WAV decodes natively)"
         )
+    g711 = _parse_g711_wav(payload)
+    if g711 is not None:
+        rate, ch, arr = g711
+        return {
+            "sample_rate": rate,
+            "channels": ch,
+            "n_samples": arr.shape[0],
+            "duration_s": arr.shape[0] / rate,
+            "samples": arr,
+        }
     try:
         with wave.open(io.BytesIO(payload), "rb") as wf:
             ch, width, rate, n = (
