@@ -321,6 +321,36 @@ class MTable:
 
         m = self.manifest()
         key_col = m["key_col"]
+        base_schema = {f.name: f.dataType for f in self.read().schema.fields}
+        new_cols = [c for c in value_cols if c not in base_schema]
+        if new_cols:
+            # a column only the rewritten files carry would give the
+            # manifest a torn schema (carried-forward files lack it);
+            # adding a column is an overwrite-shaped operation here
+            raise ValueError(
+                f"merge would add column(s) {new_cols} to only the "
+                "rewritten files; evolve the schema with overwrite() "
+                "over read().withColumn(...) first"
+            )
+        chg_schema = {f.name: f.dataType for f in changes.schema.fields}
+        mismatched = [
+            c
+            for c in value_cols
+            if c in chg_schema and chg_schema[c] != base_schema[c]
+        ]
+        if mismatched:
+            # same hazard, type-shaped: rewritten files would store a
+            # widened type (e.g. INT64 vs the carried files' INT32)
+            # and the mixed-file read fails
+            raise ValueError(
+                "merge value column type(s) differ from the table's: "
+                + ", ".join(
+                    f"{c} {chg_schema[c].simpleString()}!="
+                    f"{base_schema[c].simpleString()}"
+                    for c in mismatched
+                )
+                + "; cast the changes (or overwrite() to evolve the type)"
+            )
         affected = self.affected_files(changes)
         affected_paths = {e["path"] for e in affected}
         keep = [e for e in m["files"] if e["path"] not in affected_paths]

@@ -1012,3 +1012,35 @@ def test_mtable_read_where_prunes_files(spark, tmp_path):
     h = t.history()
     assert h[-1]["version"] == 1 and h[-1]["rows"] == 1000
     assert h[-1]["n_files"] == 10
+
+
+def test_mtable_merge_rejects_schema_widening(spark, tmp_path):
+    """A merge whose value_cols add a NEW column is refused: only the
+    rewritten files would carry it, giving the manifest a torn
+    schema. overwrite() after an explicit withColumn is the evolution
+    path, and a follow-up merge on the widened schema succeeds."""
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.mtable import MTable
+
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = MTable.create(spark, str(tmp_path / "t"), base, "k")
+    ch = spark.createDataFrame(
+        [(1, 1, "U", 0, 5, 9)],
+        "k long, ts long, op string, tie long, v long, extra long",
+    )
+    with _pytest.raises(ValueError, match="add column"):
+        t.merge(ch, "ts", "op", "tie", ["v", "extra"])
+
+    # type-widening is refused too (int extra vs long changes)
+    t.overwrite(t.read().withColumn("extra", F.lit(0)))
+    with _pytest.raises(ValueError, match="type"):
+        t.merge(ch, "ts", "op", "tie", ["v", "extra"])
+    t.overwrite(t.read().withColumn("extra", F.col("extra").cast("long")))
+    v = t.merge(ch, "ts", "op", "tie", ["v", "extra"])
+    assert v == 4
+    row = t.read().filter(F.col("k") == 1).collect()[0]
+    assert (row["v"], row["extra"]) == (5, 9)
+    assert t.read().filter(F.col("extra") == 0).count() == 99
