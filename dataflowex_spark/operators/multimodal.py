@@ -211,6 +211,12 @@ def _parse_any(payload: bytes):
         parsed = None
     if parsed is not None:
         return parsed
+    try:
+        parsed = _parse_bmp(payload)
+    except NotImplementedError:
+        parsed = None
+    if parsed is not None:
+        return parsed
     if payload[:4] == b"GIF8":
         from .gif import decode_gif
 
@@ -251,6 +257,11 @@ def decode_image(payload: bytes) -> dict:
         parsed = _parse_png(payload)
     except NotImplementedError:
         parsed = None  # out-of-scope PNG variant: try JPEG/PIL below
+    if parsed is None:
+        try:
+            parsed = _parse_bmp(payload)
+        except NotImplementedError:
+            parsed = None  # out-of-scope BMP variant: try PIL below
     if parsed is None and payload[:4] == b"GIF8":
         from .gif import decode_gif
 
@@ -536,6 +547,57 @@ def _optional_soundfile():
         return soundfile
     except ImportError:
         return None
+
+
+def _parse_bmp(payload: bytes):
+    """Uncompressed Windows BMP (BITMAPINFOHEADER, BI_RGB, 8-bit
+    paletted or 24/32-bit) → (w, h, channels, ndarray[h,w,c]) or None
+    if not BMP; NotImplementedError for compressed/odd-depth
+    variants. Rows are bottom-up (top-down when height < 0) and
+    4-byte padded; 32-bit BGRA drops alpha, palette entries are
+    BGRX."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("bmp: core-header variant unsupported")
+    w, h = struct.unpack("<ii", payload[18:26])
+    planes, depth = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if compression != 0:  # BI_RGB only
+        raise NotImplementedError(f"bmp: compression {compression} unsupported")
+    if depth not in (8, 24, 32):
+        raise NotImplementedError(f"bmp: {depth}-bit unsupported")
+    top_down = h < 0
+    h = abs(h)
+    if depth == 8:
+        n_colors = struct.unpack("<I", payload[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            payload[pal_off : pal_off + 4 * n_colors], dtype=np.uint8
+        ).reshape(-1, 4)[:, 2::-1]  # BGRX -> RGB
+    row_bytes = ((w * depth // 8) + 3) & ~3
+    need = data_off + row_bytes * h
+    if len(payload) < need:
+        raise NotImplementedError("bmp: truncated pixel data")
+    rows = np.frombuffer(
+        payload[data_off : data_off + row_bytes * h], dtype=np.uint8
+    ).reshape(h, row_bytes)
+    if depth == 8:
+        idx = rows[:, :w]
+        arr = pal[np.minimum(idx, len(pal) - 1)]
+    else:
+        step = depth // 8
+        px = rows[:, : w * step].reshape(h, w, step)
+        arr = px[:, :, 2::-1]  # BGR(A) -> RGB
+    if not top_down:
+        arr = arr[::-1]
+    return w, h, 3, np.ascontiguousarray(arr)
 
 
 def _g711_tables():

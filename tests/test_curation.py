@@ -761,3 +761,56 @@ def test_g711_wav_decode_native():
         err = got - ref
         snr = 10 * np.log10((ref.astype(np.float64) ** 2).sum() / (err**2).sum())
         assert snr > 30, (tag, snr)
+
+
+def test_bmp_decode_native():
+    """Uncompressed BMP: 24-bit bottom-up with row padding, 32-bit
+    top-down BGRA, and 8-bit paletted all decode; RLE compression
+    gets the honest unsupported path (falls through to PIL-hook)."""
+    import struct
+
+    from dataflowex_spark.operators.multimodal import (
+        _parse_bmp,
+        decode_image,
+    )
+
+    def bmp(w, h, depth, pixel_rows, palette=b"", compression=0):
+        hdr = struct.pack(
+            "<iiHHIIiiII", w, h, 1, depth, compression, 0, 0, 0,
+            len(palette) // 4, 0,
+        )
+        info = struct.pack("<I", 40) + hdr
+        data = b"".join(pixel_rows)
+        off = 14 + len(info) + len(palette)
+        head = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        return head + info + palette + data
+
+    # 2x2 24-bit bottom-up: rows padded to 4 bytes (2*3=6 -> pad 2)
+    # storage bottom row first; pixels BGR
+    bottom = bytes([255, 0, 0,  0, 255, 0]) + b"\0\0"   # blue, green
+    top = bytes([0, 0, 255,  255, 255, 255]) + b"\0\0"  # red, white
+    d = decode_image(bmp(2, 2, 24, [bottom, top]))
+    assert (d["width"], d["height"], d["channels"]) == (2, 2, 3)
+    px = d["pixels"]
+    assert px[0, 0].tolist() == [255, 0, 0]    # top-left red (RGB)
+    assert px[0, 1].tolist() == [255, 255, 255]
+    assert px[1, 0].tolist() == [0, 0, 255]    # bottom-left blue
+    assert px[1, 1].tolist() == [0, 255, 0]
+
+    # 1x2 top-down 32-bit BGRA (negative height)
+    rows = [bytes([10, 20, 30, 99]), bytes([40, 50, 60, 99])]
+    w_, h_, ch, arr = _parse_bmp(bmp(1, -2, 32, rows))
+    assert (w_, h_, ch) == (1, 2, 3)
+    assert arr[0, 0].tolist() == [30, 20, 10]
+    assert arr[1, 0].tolist() == [60, 50, 40]
+
+    # 2x1 8-bit paletted (palette BGRX), padded row
+    pal = bytes([255, 0, 0, 0,  0, 0, 255, 0])  # idx0 blue, idx1 red
+    w_, h_, ch, arr = _parse_bmp(bmp(2, 1, 8, [bytes([0, 1, 0, 0])], pal))
+    assert arr[0, 0].tolist() == [0, 0, 255] and arr[0, 1].tolist() == [255, 0, 0]
+
+    # RLE8 -> NotImplementedError inside, honest error from decode_image
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(bmp(2, 1, 8, [bytes([0, 1, 0, 0])], pal, compression=1))
