@@ -916,3 +916,96 @@ def lsh_index_append(
         F.col(id_col).alias("id"), "sig", "band", "band_hash"
     )
     banded.write.mode("append").insertInto(table_name)
+
+
+def dedup_clusters_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-ROUND companion to :func:`dedup_clusters`'s
+    min-label propagation, whose round count is the component
+    DIAMETER. Near-dup graphs are usually shallow (min-label wins on
+    constant factors); chain-shaped components — crawl rings, session
+    stitches, entity-resolution paths — have diameter O(n), where
+    min-label needs thousands of rounds and this needs ~log² n.
+
+    Each round:
+    - large-star: every node hooks its LARGER neighbors onto the
+      minimum of its neighborhood (keeps the graph connected, halves
+      tall structures);
+    - small-star: every node and its smaller neighbors hook onto the
+      neighborhood minimum (flattens into stars).
+    Fixpoint = the directed larger→smaller edge set stops changing;
+    the edges then form stars rooted at component minima, and the
+    label read-off is one join. Same output contract as
+    dedup_clusters: (node, cluster_id = min node id in component).
+
+    Scale shape per round: two groupBy-min aggregates + two joins,
+    all keyed shuffles; every frame localCheckpoints to cut lineage
+    (the A18 ring pattern). Raises after ``max_iters`` rounds without
+    a fixpoint (log-bounded, so hitting it means pathology)."""
+    u, v = "u", "v"
+    e = (
+        pairs.select(F.col(id_a).alias(u), F.col(id_b).alias(v))
+        .filter(F.col(u) != F.col(v))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col(u).alias("node"))
+        .union(e.select(F.col(v).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        und = e.union(e.select(F.col(v).alias(u), F.col(u).alias(v)))
+        mins = und.groupBy(u).agg(
+            F.least(F.min(v), F.first(u)).alias("m")
+        )
+        large = (
+            und.join(mins, u)
+            .filter(F.col(v) > F.col(u))
+            .select(F.col(v).alias(u), F.col("m").alias(v))
+            .filter(F.col(u) != F.col(v))
+            .distinct()
+        )
+        d = large.select(
+            F.greatest(u, v).alias(u), F.least(u, v).alias(v)
+        ).distinct()
+        mins2 = d.groupBy(u).agg(F.min(v).alias("m"))
+        e_new = (
+            d.join(mins2, u)
+            .select(F.col(v).alias(u), F.col("m").alias(v))
+            .union(mins2.select(F.col(u), F.col("m").alias(v)))
+            .filter(F.col(u) != F.col(v))
+            .select(F.greatest(u, v).alias(u), F.least(u, v).alias(v))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        same = (
+            e_new.exceptAll(e).isEmpty()
+            and e.exceptAll(e_new).isEmpty()
+        )
+        e = e_new
+        if same:
+            roots = e.groupBy(u).agg(F.min(v).alias("cluster_id"))
+            return (
+                nodes.join(
+                    roots, nodes["node"] == roots[u], "left"
+                )
+                .select(
+                    "node",
+                    F.coalesce(F.col("cluster_id"), F.col("node")).alias(
+                        "cluster_id"
+                    ),
+                )
+            )
+    raise RuntimeError(
+        f"dedup_clusters_star: no fixpoint after {max_iters} rounds "
+        "(log-bounded convergence — this indicates a bug or adversarial "
+        "input, not a deep component)"
+    )

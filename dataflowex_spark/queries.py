@@ -13248,3 +13248,48 @@ def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@q(
+    "q293_cc_star_chains",
+    """
+    SELECT c_custkey AS node,
+           CAST((c_custkey // 50) * 50 AS BIGINT) AS cluster_id
+    FROM customer ORDER BY node
+    """,
+)
+def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (`dedup_clusters_star`) on an adversarially DEEP graph: customer
+    keys chained in runs of 50 (edge k—k+1 within each run), so every
+    component has diameter 49 — the shape where min-label propagation
+    needs diameter-many rounds and the star algorithm needs ~log²:
+    this query converges in a handful of fixpoint rounds. The oracle
+    is the closed form of the chain construction (cluster = run
+    minimum), so the check is exact over every node."""
+    from dataflowex_spark.operators.dedup import dedup_clusters_star
+
+    cat = Catalog(spark, sf_dir)
+    keys = cat["customer"].select(F.col("c_custkey").alias("k"))
+    edges = (
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
+            F.col("b.k") == F.col("a.k") + 1,
+        )
+        .filter(F.col("a.k") % 50 != 49)
+        .select(F.col("a.k").alias("id_a"), F.col("b.k").alias("id_b"))
+    )
+    labels = dedup_clusters_star(edges)
+    # runs of 50 cover every key (contiguous TPC-H custkeys), but be
+    # explicit: isolated keys (none here) would label themselves
+    return (
+        keys.join(labels, keys["k"] == labels["node"], "left")
+        .select(
+            F.col("k").alias("node"),
+            F.coalesce(F.col("cluster_id"), F.col("k"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+        .orderBy("node")
+    )

@@ -594,3 +594,47 @@ def test_lsh_index_incremental_equals_cross(spark, sf_dir, tmp_path):
         assert g2 == w2 and len(g2) >= len(g)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_dedup_clusters_star_equals_minlabel_and_handles_chains(spark):
+    """Alternating large-star/small-star CC: (1) identical labels to
+    the min-label operator on a random multi-component graph;
+    (2) a 1000-node CHAIN — diameter 999, where min-label at its
+    default max_iters would fail — resolves in the star algorithm's
+    O(log n) rounds to a single component."""
+    import random as _random
+
+    from dataflowex_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    rng = _random.Random(11)
+    edges = []
+    for comp in range(20):  # 20 components of ~15 random nodes
+        ids = [comp * 1000 + i for i in range(rng.randint(2, 15))]
+        for x in ids[1:]:
+            edges.append((rng.choice(ids[: ids.index(x)]), x))
+        for _ in range(5):
+            edges.append((rng.choice(ids), rng.choice(ids)))
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    star = {
+        r["node"]: r["cluster_id"]
+        for r in dedup_clusters_star(pairs).collect()
+    }
+    base = {
+        r["node"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, max_iters=40).collect()
+    }
+    assert star == base and len(star) > 100
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in dedup_clusters_star(chain, max_iters=30).collect()
+    }
+    assert len(got) == 1000 and set(got.values()) == {0}
