@@ -217,6 +217,13 @@ def _parse_any(payload: bytes):
         parsed = None
     if parsed is not None:
         return parsed
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        try:
+            return decode_tiff(payload)
+        except (ValueError, NotImplementedError):
+            return None
     if payload[:4] == b"GIF8":
         from .gif import decode_gif
 
@@ -262,6 +269,13 @@ def decode_image(payload: bytes) -> dict:
             parsed = _parse_bmp(payload)
         except NotImplementedError:
             parsed = None  # out-of-scope BMP variant: try PIL below
+    if parsed is None and payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        try:
+            parsed = decode_tiff(payload)
+        except (ValueError, NotImplementedError):
+            parsed = None  # out-of-scope TIFF variant: try PIL below
     if parsed is None and payload[:4] == b"GIF8":
         from .gif import decode_gif
 
