@@ -247,6 +247,10 @@ def decode_image(payload: bytes) -> dict:
     - baseline JPEG (SOF0/SOF1, 8-bit, gray/YCbCr, 4:4:4 / 4:2:2 /
       4:2:0, restart markers): native Huffman + vectorized IDCT
       (:mod:`.jpeg`);
+    - uncompressed BMP (BI_RGB 8-bit paletted / 24 / 32-bit, both row
+      orders) (:func:`_parse_bmp`);
+    - baseline TIFF (both byte orders, PackBits, TIFF-dialect LZW,
+      horizontal predictor, gray/RGB/palette) (:mod:`.tiff`);
     - GIF87a/89a (full LZW, interlace, palettes, transparency;
       first frame here — all frames via ``sample_frames``)
       (:mod:`.gif`).
@@ -372,6 +376,40 @@ def extract_media_features(
     return df.select(media_col).mapInPandas(gen, schema=out_schema)
 
 
+def _split_avi_frames(payload: bytes) -> list[bytes] | None:
+    """Walk a RIFF/AVI container and return the video stream's frame
+    payloads in file order — REAL compressed-video demux for the one
+    coding this repo can then actually decode: MJPEG (each ``00dc``
+    chunk is a baseline JPEG, handled by :mod:`.jpeg`). Uncompressed
+    DIB frames (``00db``) pass through too (BMP-shaped pixels).
+    Returns None if the payload is not an AVI; non-video chunks and
+    the idx1 index are skipped. Nested LISTs (hdrl/movi/rec) are
+    walked without interpreting stream headers — frame order in the
+    movi list IS presentation order for single-video-stream files."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            cid = payload[pos : pos + 4]
+            size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+            body_lo = pos + 8
+            body_hi = min(body_lo + size, hi)
+            if cid == b"LIST":
+                walk(body_lo + 4, body_hi)  # skip the list type tag
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                if size > 0:
+                    frames.append(payload[body_lo:body_hi])
+            pos = body_lo + size + (size & 1)
+
+    walk(12, len(payload))
+    return frames or None
+
+
 def _split_ppm_stream(payload: bytes) -> list[bytes] | None:
     """Split a concatenated-netpbm stream (the ``ffmpeg -f image2pipe``
     framing: P5/P6 frames back to back) into per-frame payloads.
@@ -428,12 +466,16 @@ def sample_frames(
     fan-out stays executor-side (no explode of decoded frames through
     a shuffle).
 
-    REAL path: a payload framed as a concatenated netpbm stream (the
-    ``ffmpeg -f image2pipe -c:v ppm`` output shape) is actually
-    split; every ``every_n``-th frame (up to ``max_frames``) is
-    emitted with its single-frame payload. Pointer-only rows (or
-    compressed containers — mp4/mkv need codec libs absent here) keep
-    the index-plumbing behavior with null frame payloads."""
+    REAL paths: (a) a payload framed as a concatenated netpbm stream
+    (the ``ffmpeg -f image2pipe -c:v ppm`` output shape) is split
+    directly; (b) a RIFF/AVI container is demuxed
+    (:func:`_split_avi_frames`) — MJPEG frames come out as baseline
+    JPEGs the native codec decodes; (c) an animated GIF decodes
+    frame-by-frame through :mod:`.gif`. Every ``every_n``-th frame
+    (up to ``max_frames``) is emitted with its single-frame payload.
+    Pointer-only rows (or containers needing codec libs absent here —
+    mp4/mkv/H.264) keep the index-plumbing behavior with null frame
+    payloads."""
     out_schema = "uri string, frame_index int, frame binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -447,6 +489,11 @@ def sample_frames(
                     if payload is not None
                     else None
                 )
+                if frames is None and payload is not None:
+                    # RIFF/AVI container: demux the video chunks —
+                    # MJPEG frames are baseline JPEGs the downstream
+                    # decode chain handles natively
+                    frames = _split_avi_frames(bytes(payload))
                 if frames is None and payload is not None and bytes(
                     payload
                 ).startswith(b"GIF8"):

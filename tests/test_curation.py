@@ -814,3 +814,49 @@ def test_bmp_decode_native():
 
     with _pytest.raises(NotImplementedError):
         decode_image(bmp(2, 1, 8, [bytes([0, 1, 0, 0])], pal, compression=1))
+
+
+def test_avi_mjpeg_frame_sampling(spark):
+    """A hand-assembled RIFF/AVI with MJPEG video chunks (each frame
+    encoded by the repo's own baseline JPEG encoder) demuxes through
+    sample_frames and every sampled frame payload decodes back to its
+    source image through the native JPEG path."""
+    import struct
+
+    from pyspark.sql import Row
+
+    from dataflowex_spark.operators import multimodal
+    from dataflowex_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\0" if len(body) & 1 else b""
+        )
+
+    # 3 solid-color 16x16 frames, distinguishable post-JPEG
+    frames = []
+    for lum in (40, 128, 220):
+        arr = np.full((16, 16, 3), lum, dtype=np.uint8)
+        frames.append(encode_jpeg(arr))
+    movi = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    hdrl = b"hdrl" + chunk(b"avih", bytes(56))
+    body = (
+        b"AVI "
+        + chunk(b"LIST", hdrl)
+        + chunk(b"LIST", movi)
+        + chunk(b"idx1", bytes(16))
+    )
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rows = [Row(media=Row(uri="mem://clip.avi", media_type="video/avi",
+                          payload=bytearray(avi), meta={}))]
+    df = spark.createDataFrame(
+        rows, schema=f"media struct<{multimodal.MEDIA_SCHEMA}>"
+    )
+    out = multimodal.sample_frames(df, every_n=2, max_frames=4).collect()
+    got = {r.frame_index: bytes(r.frame) for r in out}
+    assert set(got) == {0, 2}
+    for idx, lum in ((0, 40), (2, 220)):
+        w, h, ch, arr = decode_jpeg(got[idx])
+        assert (w, h) == (16, 16)
+        assert abs(int(arr[8, 8].mean()) - lum) <= 3  # JPEG tolerance
