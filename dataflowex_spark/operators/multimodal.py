@@ -724,6 +724,85 @@ def _parse_g711_wav(payload: bytes):
     return rate, ch, samples[:usable].reshape(-1, ch)
 
 
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _ima_decode_block(block: bytes) -> list[int]:
+    """One mono IMA-ADPCM block: 4-byte header (int16 predictor,
+    step index, reserved) then 4-bit nibbles, low nibble first."""
+    import struct
+
+    pred, idx = struct.unpack("<hB", block[:3])
+    idx = min(max(idx, 0), 88)
+    out = [pred]
+    for byte in block[4:]:
+        for nib in (byte & 0x0F, byte >> 4):
+            step = _IMA_STEP[idx]
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = min(max(pred, -32768), 32767)
+            idx = min(max(idx + _IMA_INDEX[nib], 0), 88)
+            out.append(pred)
+    return out
+
+
+def _parse_ima_adpcm_wav(payload: bytes):
+    """RIFF/WAVE fmt tag 0x11 (IMA/DVI ADPCM — the game/telephony
+    4-bit codec stdlib ``wave`` refuses): block-structured nibble
+    stream expanded natively. Mono only (stereo's 4-byte channel
+    interleave raises honestly). Returns (rate, 1, ndarray[n, 1]
+    int16) or None when not an IMA WAV."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(payload)
+    fmt = data = None
+    while pos + 8 <= n:
+        cid, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    tag, ch, rate = struct.unpack("<HHI", fmt[:8])
+    if tag != 0x11:
+        return None
+    if ch != 1:
+        raise NotImplementedError(
+            "IMA-ADPCM: only mono decoded natively (stereo interleave)"
+        )
+    block_align = struct.unpack("<H", fmt[12:14])[0] or 256
+    samples = []
+    for off in range(0, len(data), block_align):
+        block = data[off : off + block_align]
+        if len(block) >= 4:
+            samples.extend(_ima_decode_block(block))
+    return rate, 1, np.asarray(samples, dtype=np.int16).reshape(-1, 1)
+
+
 def decode_audio(payload: bytes) -> dict:
     """Audio decode: REAL for RIFF/PCM WAV via stdlib wave + numpy —
     returns {sample_rate, channels, n_samples, duration_s, samples
@@ -762,6 +841,8 @@ def decode_audio(payload: bytes) -> dict:
             "when installed (RIFF/PCM WAV decodes natively)"
         )
     g711 = _parse_g711_wav(payload)
+    if g711 is None:
+        g711 = _parse_ima_adpcm_wav(payload)
     if g711 is not None:
         rate, ch, arr = g711
         return {
