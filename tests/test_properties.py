@@ -128,3 +128,45 @@ def test_queries_manifest_matches_registry():
     assert m["oracled"] == len(oracles)
     for e in m["queries"]:
         assert e["oracle"] == (e["name"] in oracles), e["name"]
+
+
+def test_no_python_eval_in_relational_paths(spark, sf_dir):
+    """The UDF discipline as a regression gate: a representative slice
+    of the relational surface (joins, aggs, windows, dedup, text,
+    warehouse, graph, similarity) must plan ZERO Python eval nodes —
+    Python appears only in the declared pandas/codec operators. Any
+    new .withColumn(udf(...)) sneaking into these paths fails here,
+    not in a benchmark three rounds later."""
+    from dataflowex_spark.plans import plan_stats
+    from dataflowex_spark.queries import REGISTRY
+
+    relational = [
+        "q01_project_transform",
+        "q20_join_inner_multi",
+        "q25_join_asof",
+        "q30_agg_pricing_summary",
+        "q40_window_rank",
+        "q80_dedup_exact",
+        "q81_neardup_minhash",
+        "q83_text_stats",
+        "q89_tfidf_top_term",
+        "q99_decontaminate",
+        "q122_scd2_history",
+        "q131_pagerank",
+        "q139_market_share",
+        "q163_triangle_count",
+        "q211_sparse_cosine_pairs",
+        "q235_prefix_filter_jaccard",
+        "q238_roc_auc",
+        "q253_quantile_normalize",
+        "q289_ratio_to_report",
+        "q290_asof_bounded",
+        "q293_cc_star_chains",
+    ]
+    offenders = {}
+    for name in relational:
+        fn = REGISTRY[name][0]
+        s = plan_stats(fn(spark, sf_dir))
+        if s["python_evals"]:
+            offenders[name] = s["python_evals"]
+    assert not offenders, offenders
