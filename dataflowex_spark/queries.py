@@ -13293,3 +13293,42 @@ def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+@q(
+    "q294_mtable_pruned_read",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer
+    WHERE c_custkey BETWEEN 200 AND 449
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stat pruned read: customers land in an 8-file
+    range-partitioned MTable, then `read_where(200, 449)` consults
+    the manifest's per-file (min_key, max_key) BEFORE planning — only
+    files whose range intersects are scanned at all (at 100 TB: open
+    12 footers, not 100k), with the residual row predicate pushed
+    into those scans. The oracle is the plain BETWEEN over the raw
+    table, so the check proves pruning loses no rows; the
+    scanned-file count assertion lives in tests/test_etl.py."""
+    import tempfile
+
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"].repartitionByRange(8, "c_custkey")
+    root = tempfile.mkdtemp(prefix="mtable_q294_")
+    t = MTable.create(spark, root + "/t", cust, "c_custkey")
+    return (
+        t.read_where(200, 449)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )
