@@ -114,19 +114,69 @@ def _optional_pil():
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+def _png_defilter(rows_raw, height: int, row_bytes: int, bpp: int):
+    """Undo the five PNG scanline filters over one (sub-)image.
+    ``bpp`` is the filter's left-neighbor offset in BYTES (max(1,
+    samples·depth/8) per the spec). Up is fully vectorized, Sub is a
+    per-byte-column cumulative sum mod 256, Average/Paeth fall back
+    to a per-pixel loop (they need the simultaneously-reconstructed
+    left neighbor; encoders emitting them are rare and rows are
+    short)."""
+    import numpy as np
+
+    rows = rows_raw.reshape(height, row_bytes + 1)
+    out = np.zeros((height, row_bytes), dtype=np.uint8)
+    prev = np.zeros(row_bytes, dtype=np.uint8)
+    for y in range(height):
+        f, line = rows[y, 0], rows[y, 1:].copy()
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = line + prev
+        elif f == 1 and row_bytes % bpp == 0:  # Sub: cumsum per column
+            rec = np.cumsum(
+                line.reshape(row_bytes // bpp, bpp), axis=0, dtype=np.uint8
+            ).reshape(-1)
+        elif f in (1, 3, 4):  # Average / Paeth (and ragged Sub)
+            rec = np.zeros_like(line)
+            for x in range(row_bytes):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if f == 1:
+                    rec[x] = (int(line[x]) + a) & 0xFF
+                elif f == 3:
+                    rec[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (int(line[x]) + pr) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+        out[y] = rec
+        prev = out[y]
+    return out
+
+
+#: Adam7 pass grid: (xstart, ystart, xstep, ystep)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def _parse_png(payload: bytes):
     """Native PNG decode (stdlib zlib + numpy — no imaging library):
-    8-bit, non-interlaced gray / gray+alpha / RGB / RGBA. Returns
-    (w, h, channels, ndarray[h,w,c]) or None if the payload is not a
-    PNG; raises NotImplementedError for PNG variants out of scope
-    (palette, 16-bit, interlaced) so the PIL hook / honest error can
-    take over.
-
-    All five scanline filters are undone: Up is fully vectorized,
-    Sub is a per-channel cumulative sum mod 256, Average/Paeth fall
-    back to a per-pixel loop (they need the simultaneously-
-    reconstructed left neighbor; encoders emitting them are rare and
-    rows are short)."""
+    gray / gray+alpha / RGB / RGBA / palette, bit depths 1/2/4/8/16
+    (16-bit downscales to the high byte), non-interlaced AND Adam7
+    interlaced. Returns (w, h, channels, ndarray[h,w,c]) or None if
+    the payload is not a PNG; raises NotImplementedError only for
+    genuinely out-of-scope structure (unknown filter/colortype,
+    scanline size mismatch) so the PIL hook / honest error can take
+    over. Palette transparency (tRNS) is ignored — indices resolve
+    to opaque RGB."""
+    import math
     import struct
     import zlib
 
@@ -137,6 +187,7 @@ def _parse_png(payload: bytes):
     pos = len(_PNG_SIG)
     w = h = None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
@@ -146,54 +197,71 @@ def _parse_png(payload: bytes):
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or interlace != 0 or ctype not in (0, 2, 4, 6):
+            if ctype not in (0, 2, 3, 4, 6):
+                raise NotImplementedError(f"PNG colortype {ctype}")
+            samples = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+            valid = {
+                0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                4: (8, 16), 6: (8, 16),
+            }[ctype]
+            if depth not in valid or interlace not in (0, 1):
                 raise NotImplementedError(
                     f"PNG variant out of scope (depth={depth}, "
-                    f"colortype={ctype}, interlace={interlace}) — 8-bit "
-                    "non-interlaced gray/RGB/alpha decode natively"
+                    f"colortype={ctype}, interlace={interlace})"
                 )
-            ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(data)
         elif tag == b"IEND":
             break
     if w is None:
         raise NotImplementedError("PNG missing IHDR")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = w * ch + 1
-    if raw.size != h * stride:
-        raise NotImplementedError("PNG scanline size mismatch")
-    rows = raw.reshape(h, stride)
-    out = np.zeros((h, w * ch), dtype=np.uint8)
-    prev = np.zeros(w * ch, dtype=np.uint8)
-    for y in range(h):
-        f, line = rows[y, 0], rows[y, 1:].copy()
-        if f == 0:
-            rec = line
-        elif f == 2:  # Up
-            rec = line + prev
-        elif f == 1:  # Sub: cumsum per channel column, uint8 wraps
-            rec = np.cumsum(
-                line.reshape(w, ch), axis=0, dtype=np.uint8
-            ).reshape(-1)
-        elif f in (3, 4):  # Average / Paeth: left-neighbor dependent
-            rec = np.zeros_like(line)
-            for x in range(w * ch):
-                a = int(rec[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                if f == 3:
-                    rec[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
-                else:
-                    c = int(prev[x - ch]) if x >= ch else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    rec[x] = (int(line[x]) + pr) & 0xFF
-        else:
-            raise NotImplementedError(f"PNG filter type {f}")
-        out[y] = rec
-        prev = out[y]
-    return w, h, ch, out.reshape(h, w, ch)
+    buf = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    bpp = max(1, samples * depth // 8)
+
+    def read_subimage(off: int, pw: int, ph: int):
+        """Defilter + bit/16-bit expand one sub-image → (next_offset,
+        uint8 sample array [ph, pw, samples])."""
+        row_bytes = math.ceil(pw * samples * depth / 8)
+        need = ph * (row_bytes + 1)
+        if off + need > buf.size:
+            raise NotImplementedError("PNG scanline size mismatch")
+        flat = _png_defilter(buf[off : off + need], ph, row_bytes, bpp)
+        if depth == 8:
+            arr = flat[:, : pw * samples]
+        elif depth == 16:
+            arr = flat.reshape(ph, -1)[:, : pw * samples * 2 : 2]  # high byte
+        else:  # 1/2/4-bit packed, MSB-first
+            bits = np.unpackbits(flat, axis=1)
+            per = bits.reshape(ph, -1, depth)
+            vals = np.zeros((ph, per.shape[1]), dtype=np.uint8)
+            for i in range(depth):
+                vals = (vals << 1) | per[:, :, i]
+            if ctype == 0:  # scale gray to full 8-bit range
+                vals = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+            arr = vals[:, : pw * samples]
+        return off + need, arr.reshape(ph, pw, samples)
+
+    if interlace == 0:
+        _, img = read_subimage(0, w, h)
+    else:
+        img = np.zeros((h, w, samples), dtype=np.uint8)
+        off = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = math.ceil((w - xs) / xstep) if w > xs else 0
+            ph = math.ceil((h - ys) / ystep) if h > ys else 0
+            if pw <= 0 or ph <= 0:
+                continue
+            off, sub = read_subimage(off, pw, ph)
+            img[ys::ystep, xs::xstep] = sub
+
+    if ctype == 3:
+        if plte is None:
+            raise NotImplementedError("PNG palette image without PLTE")
+        img = plte[np.minimum(img[:, :, 0], len(plte) - 1)]
+        return w, h, 3, np.ascontiguousarray(img)
+    return w, h, samples, np.ascontiguousarray(img)
 
 
 def _parse_any(payload: bytes):

@@ -1065,15 +1065,94 @@ def test_png_decode_filters_and_channels(spark):
     _, _, ch_a, got_a = _parse_png(encode(rgba, [4, 2, 1], ctype=6))
     assert ch_a == 4 and np.array_equal(got_a, rgba)
 
-    # palette PNG (colortype 3) is declared out of scope
-    pal = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
-    bad = (
+    # palette PNG (colortype 3) decodes natively since r5
+    pal_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx_rows = bytes([0, 0, 1]) + bytes([0, 2, 0])  # filter 0 + 2 idx/row
+    pal_png = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", pal)
+        + chunk(b"IHDR", pal_ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(idx_rows))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="colortype=3"):
-        _parse_png(bad)
+    w_p, h_p, ch_p, got_p = _parse_png(pal_png)
+    assert (w_p, h_p, ch_p) == (2, 2, 3)
+    assert got_p[0, 1].tolist() == [0, 255, 0]
+    assert got_p[1, 0].tolist() == [0, 0, 255]
+
+    # 16-bit gray: high byte survives
+    g16 = struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
+    row16 = bytes([0]) + bytes([0xAB, 0xCD, 0x12, 0x34])
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", g16)
+        + chunk(b"IDAT", zlib.compress(row16))
+        + chunk(b"IEND", b"")
+    )
+    _, _, _, got16 = _parse_png(png16)
+    assert got16[0, 0, 0] == 0xAB and got16[0, 1, 0] == 0x12
+
+    # 1-bit gray scales to 0/255
+    g1 = struct.pack(">IIBBBBB", 8, 1, 1, 0, 0, 0, 0)
+    png1 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", g1)
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0b10110001])))
+        + chunk(b"IEND", b"")
+    )
+    _, _, _, got1 = _parse_png(png1)
+    assert got1[0, :, 0].tolist() == [255, 0, 255, 255, 0, 0, 0, 255]
+
+    # unknown colortype still raises honestly
+    bad = struct.pack(">IIBBBBB", 2, 2, 8, 7, 0, 0, 0)
+    with pytest.raises(NotImplementedError, match="colortype 7"):
+        _parse_png(
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", bad) + chunk(b"IEND", b"")
+        )
+
+
+def test_png_adam7_interlaced_decode(spark):
+    """Adam7: encode an 8x8 RGB image pass-by-pass (the 7-pass grid
+    written out independently of the decoder) and assert bit-exact
+    reassembly; a 9x5 odd-size image exercises partial passes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dataflowex_spark.operators.multimodal import _ADAM7, _parse_png
+
+    def chunk(tag, data):
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    def encode_adam7(arr):
+        h, w, ch = arr.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 0, 0, 0, 1)
+        raw = bytearray()
+        for xs, ys, xstep, ystep in _ADAM7:
+            sub = arr[ys::ystep, xs::xstep]
+            if sub.size == 0:
+                continue
+            for row in sub:
+                raw.append(0)  # filter none
+                raw.extend(row.reshape(-1).tobytes())
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(13)
+    for shape in ((8, 8, 3), (5, 9, 3), (3, 2, 1)):
+        arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        w, h, ch, got = _parse_png(encode_adam7(arr))
+        assert (w, h, ch) == (shape[1], shape[0], shape[2])
+        assert np.array_equal(got, arr), shape
 
 
 def test_chunk_tokens_windows(spark):
