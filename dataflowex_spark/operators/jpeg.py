@@ -8,16 +8,24 @@ engine side (schema, batching, mapInPandas plumbing) lives in
 
 Scope (honest about it):
 
-- DECODE: baseline sequential DCT (SOF0/SOF1), 8-bit, grayscale or
-  YCbCr with sampling factors 1–2 (covers 4:4:4, 4:2:2, 4:2:0 — the
-  overwhelming majority of real-world JPEGs), restart markers, and
-  stream-defined quant/Huffman tables. Progressive (SOF2), arithmetic
-  coding, 12-bit, and CMYK raise ``NotImplementedError`` so the
-  optional-PIL hook / honest error in ``decode_image`` takes over.
-- ENCODE: baseline, quality-scaled Annex-K quantization, standard
-  Annex-K Huffman tables, 4:4:4 or 4:2:0 chroma subsampling,
-  grayscale or RGB. Used by tests and fixtures to synthesize real
-  compressed payloads (the round-trip partner of ``decode_jpeg``).
+- DECODE: baseline sequential DCT (SOF0/SOF1) AND progressive
+  (SOF2), 8-bit, grayscale or YCbCr with sampling factors 1–2
+  (covers 4:4:4, 4:2:2, 4:2:0 — the overwhelming majority of
+  real-world JPEGs), restart markers, and stream-defined
+  quant/Huffman tables redefinable between scans. Progressive
+  support is complete: spectral selection, successive approximation
+  (DC and AC refinement scans, including the correction-bit walk and
+  multi-block EOB runs in both conventions — T.81 G.2). Arithmetic
+  coding, hierarchical, 12-bit, and CMYK raise
+  ``NotImplementedError`` so the optional-PIL hook / honest error in
+  ``decode_image`` takes over.
+- ENCODE: baseline (``encode_jpeg``) and progressive
+  (``encode_jpeg_progressive``: DC successive approximation +
+  per-component AC spectral scans), quality-scaled Annex-K
+  quantization, standard Annex-K Huffman tables, 4:4:4 or 4:2:0
+  chroma subsampling, grayscale or RGB. Used by tests and fixtures
+  to synthesize real compressed payloads; progressive and baseline
+  encodings of one image decode bit-identically (the round-trip law).
 
 Entropy (Huffman) coding is bit-serial Python — acceptable because the
 per-row work in a 100 TB pipeline is dominated by the surrounding I/O
@@ -497,11 +505,242 @@ def _receive_extend(reader: _BitReader, s: int) -> int:
     return v
 
 
+def _next_marker_pos(d: bytes, pos: int) -> int:
+    """First offset at/after ``pos`` holding a real marker (FF xx,
+    xx not a stuffing 00 or restart RSTn)."""
+    while pos + 1 < len(d):
+        if (
+            d[pos] == 0xFF
+            and d[pos + 1] != 0x00
+            and not (0xD0 <= d[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return len(d)
+
+
+def _decode_baseline_scan(
+    reader: _BitReader,
+    comps,
+    scan: dict,
+    stores,
+    dc_tables: dict,
+    ac_tables: dict,
+    restart_interval: int,
+    mcux: int,
+    mcuy: int,
+) -> None:
+    """The sequential-DCT interleaved scan: full 64-coefficient blocks
+    in MCU order, DC diff coding, run/size AC with ZRL/EOB."""
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                reader.sync_restart()
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                td, ta = scan[c["id"]]
+                dct = dc_tables[td]
+                act = ac_tables[ta]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        s = _decode_huff(reader, dct)
+                        diff = _receive_extend(reader, s)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(reader, act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise NotImplementedError("AC index overflow")
+                            zz[k] = _receive_extend(reader, s)
+                            k += 1
+                        stores[ci][my * c["v"] + by, mx * c["h"] + bx] = zz
+            mcu_count += 1
+
+
+def _decode_progressive_scan(
+    reader: _BitReader,
+    scan_comps,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    mcux: int,
+    mcuy: int,
+) -> None:
+    """One progressive SOS: accumulate into each component's zigzag
+    coefficient store. ``scan_comps`` = list of (store, comp, dc_table,
+    ac_table, bw, bh) where (bw, bh) are the component's
+    NON-INTERLEAVED block dims (spec A.2.2: ceil(ceil(dim·ci/cmax)/8)
+    — the padded MCU grid is only walked by interleaved scans).
+
+    Implements all four progressive block codings (T.81 G.2):
+    DC first (diff << Al), DC refine (one bit per block),
+    AC first (EOBRUN + run/size << Al),
+    AC refine (correction bits + newly-significant ±1<<Al).
+    """
+    interleaved = len(scan_comps) > 1
+    p1 = 1 << al
+
+    if ss == 0:
+        # ---- DC scan ----
+        preds = [0] * len(scan_comps)
+        units = []  # flat list of (comp index, row, col) data units
+        if interleaved:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for i, (_st, c, *_rest) in enumerate(scan_comps):
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                units.append(
+                                    (i, my * c["v"] + by, mx * c["h"] + bx)
+                                )
+            per_mcu = sum(c["v"] * c["h"] for _s, c, *_r in scan_comps)
+        else:
+            _st, _c, _dc, _ac, bw, bh = scan_comps[0]
+            units = [(0, r, cc) for r in range(bh) for cc in range(bw)]
+            per_mcu = 1
+        mcu_done = 0
+        for n, (i, r, cc) in enumerate(units):
+            if (
+                restart_interval
+                and n % per_mcu == 0
+                and mcu_done
+                and mcu_done % restart_interval == 0
+            ):
+                reader.sync_restart()
+                preds = [0] * len(scan_comps)
+            store, _c, dct, _ac, _bw, _bh = scan_comps[i]
+            if ah == 0:
+                s = _decode_huff(reader, dct)
+                diff = _receive_extend(reader, s)
+                preds[i] += diff
+                store[r, cc, 0] = preds[i] << al
+            else:
+                if reader.read_bit():
+                    store[r, cc, 0] |= p1
+            if n % per_mcu == per_mcu - 1:
+                mcu_done += 1
+        return
+
+    # ---- AC scan: exactly one component (T.81 B.2.3) ----
+    if interleaved:
+        raise NotImplementedError("progressive AC scan with ns > 1")
+    store, _c, _dct, act, bw, bh = scan_comps[0]
+    m1 = -p1
+    eobrun = 0
+    done = 0
+    for r in range(bh):
+        for cc in range(bw):
+            if (
+                restart_interval
+                and done
+                and done % restart_interval == 0
+            ):
+                reader.sync_restart()
+                eobrun = 0
+            done += 1
+            zz = store[r, cc]
+            if ah == 0:
+                # AC first scan
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _decode_huff(reader, act)
+                    rr, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if rr < 15:
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += reader.read_bits(rr)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += rr
+                    if k > se:
+                        raise NotImplementedError("AC index overflow")
+                    zz[k] = _receive_extend(reader, s) << al
+                    k += 1
+            else:
+                # AC refinement scan (T.81 G.2 / libjpeg shape)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _decode_huff(reader, act)
+                        rr, s = rs >> 4, rs & 0x0F
+                        val = 0
+                        if s == 0:
+                            if rr < 15:
+                                # refine EOBRUN INCLUDES the current
+                                # block: its remaining nonzero-history
+                                # coefficients still get correction
+                                # bits (the tail loop below), then the
+                                # decrement consumes this block — the
+                                # libjpeg convention; contrast the
+                                # first-scan (1<<rr)-1 where break IS
+                                # the block's termination
+                                eobrun = 1 << rr
+                                if rr:
+                                    eobrun += reader.read_bits(rr)
+                                break
+                            # rr == 15: run of 16 zero-history coefs
+                        else:
+                            if s != 1:
+                                raise NotImplementedError(
+                                    "invalid refinement magnitude"
+                                )
+                            val = p1 if reader.read_bit() else m1
+                        # advance over rr zero-history coefficients,
+                        # correcting nonzero-history ones on the way
+                        while k <= se:
+                            if zz[k] != 0:
+                                if reader.read_bit() and (zz[k] & p1) == 0:
+                                    zz[k] += p1 if zz[k] > 0 else m1
+                            else:
+                                if rr == 0:
+                                    break
+                                rr -= 1
+                            k += 1
+                        if val and k <= se:
+                            zz[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # EOB run: still append correction bits to every
+                    # remaining nonzero-history coefficient
+                    while k <= se:
+                        if zz[k] != 0:
+                            if reader.read_bit() and (zz[k] & p1) == 0:
+                                zz[k] += p1 if zz[k] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+
 def decode_jpeg(payload: bytes):
-    """Decode a baseline JPEG. Returns (w, h, channels, ndarray[h,w,c])
-    or None if the payload does not start with SOI (not a JPEG).
-    Raises NotImplementedError for progressive/arithmetic/12-bit/CMYK
-    variants (so callers can fall through to the optional PIL hook)."""
+    """Decode a baseline (SOF0/SOF1) or PROGRESSIVE (SOF2) JPEG.
+    Returns (w, h, channels, ndarray[h,w,c]) or None if the payload
+    does not start with SOI (not a JPEG). Raises NotImplementedError
+    for arithmetic/hierarchical/12-bit/CMYK variants (so callers can
+    fall through to the optional PIL hook). Progressive streams
+    accumulate coefficients scan by scan (spectral selection AND
+    successive approximation, DC and AC refinement, EOB runs,
+    restart markers, tables redefined between scans) and IDCT once."""
     if not payload or payload[:2] != b"\xff\xd8":
         return None
     d = payload
@@ -512,6 +751,10 @@ def decode_jpeg(payload: bytes):
     restart_interval = 0
     frame = None
     scan = None
+    progressive = False
+    stores = None
+    geo = None  # (mcux, mcuy, hmax, vmax, per-comp block dims)
+    n_scans = 0
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
             pos += 1
@@ -552,12 +795,13 @@ def decode_jpeg(payload: bytes):
                 i += 17 + nv
                 table = _build_decode_table(bits, vals)
                 (dc_tables if tc == 0 else ac_tables)[th] = table
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both sequential DCT)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG not supported")
+            progressive = marker == 0xC2
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + ci * 3 : 9 + ci * 3]
@@ -565,75 +809,87 @@ def decode_jpeg(payload: bytes):
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = {"w": fw, "h": fh, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax not in (1, 2) or vmax not in (1, 2):
+                raise NotImplementedError(
+                    "sampling factors above 2 not supported"
+                )
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            dims = []
+            for c in comps:
+                cw = -(-fw * c["h"] // hmax)
+                ch_ = -(-fh * c["v"] // vmax)
+                dims.append((-(-cw // 8), -(-ch_ // 8)))
+            geo = (mcux, mcuy, hmax, vmax, dims)
+            stores = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+                for c in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) is decoded natively"
+                "only sequential (SOF0/SOF1) and progressive (SOF2) "
+                "JPEG are decoded natively"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise NotImplementedError("JPEG SOS before SOF")
             ns = seg[0]
-            sel = {}
+            sel = []
             for si in range(ns):
                 cid, tdta = seg[1 + si * 2 : 3 + si * 2]
-                sel[cid] = (tdta >> 4, tdta & 0x0F)
+                sel.append((cid, tdta >> 4, tdta & 0x0F))
+            ss_, se_, ahal = seg[1 + ns * 2 : 4 + ns * 2]
+            ah_, al_ = ahal >> 4, ahal & 0x0F
             scan = sel
-            pos = pos + 2 + seglen
-            break
+            n_scans += 1
+            comps = frame["comps"]
+            mcux, mcuy, hmax, vmax, dims = geo
+            reader = _BitReader(d, pos + 2 + seglen)
+            if progressive:
+                scan_comps = []
+                for cid, td, ta in sel:
+                    ci = next(
+                        i for i, c in enumerate(comps) if c["id"] == cid
+                    )
+                    scan_comps.append(
+                        (
+                            stores[ci],
+                            comps[ci],
+                            dc_tables.get(td),
+                            ac_tables.get(ta),
+                            dims[ci][0],
+                            dims[ci][1],
+                        )
+                    )
+                _decode_progressive_scan(
+                    reader, scan_comps, ss_, se_, ah_, al_,
+                    restart_interval, mcux, mcuy,
+                )
+            else:
+                _decode_baseline_scan(
+                    reader,
+                    comps,
+                    {cid: (td, ta) for cid, td, ta in sel},
+                    stores,
+                    dc_tables,
+                    ac_tables,
+                    restart_interval,
+                    mcux,
+                    mcuy,
+                )
+            pos = _next_marker_pos(d, reader.pos)
+            continue
         pos += 2 + seglen
     if frame is None or scan is None:
         raise NotImplementedError("JPEG missing SOF/SOS")
 
     comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax not in (1, 2) or vmax not in (1, 2):
-        raise NotImplementedError("sampling factors above 2 not supported")
+    mcux, mcuy, hmax, vmax, dims = geo
     w, h = frame["w"], frame["h"]
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    reader = _BitReader(d, pos)
-    # per component: quantized coefficient store [rows, cols, 64]
-    stores = []
-    for c in comps:
-        stores.append(
-            np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
-        )
-    preds = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.sync_restart()
-                preds = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                td, ta = scan[c["id"]]
-                dct = dc_tables[td]
-                act = ac_tables[ta]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int32)
-                        s = _decode_huff(reader, dct)
-                        diff = _receive_extend(reader, s)
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(reader, act)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise NotImplementedError("AC index overflow")
-                            zz[k] = _receive_extend(reader, s)
-                            k += 1
-                        stores[ci][my * c["v"] + by, mx * c["h"] + bx] = zz
-            mcu_count += 1
 
     # dequantize + IDCT per component (vectorized over all blocks)
     planes = []
@@ -662,3 +918,206 @@ def decode_jpeg(payload: bytes):
     b = y + 1.772 * (cb - 128.0)
     out = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
     return w, h, 3, out
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "4:2:0",
+) -> bytes:
+    """Encode a PROGRESSIVE (SOF2) JFIF JPEG with the classic 4-phase
+    scan script:
+
+    1. interleaved DC first scan at Al=1 (successive approximation);
+    2. interleaved DC refinement scan (Ah=1 → one bit per block);
+    3. per-component AC spectral scan 1–63 at Al=0, with real EOB-run
+       batching (consecutive all-zero-AC blocks collapse into EOBn
+       codes — the progressive-only coding baseline JPEG lacks);
+    4. (AC refinement is exercised by a hand-built conformance stream
+       in tests — this encoder's script stops at Al=0 AC.)
+
+    Quantized coefficients are identical to :func:`encode_jpeg` at the
+    same settings, so progressive and baseline encodings of one image
+    must DECODE IDENTICALLY — the round-trip law the tests pin."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if ch not in (1, 3):
+        raise ValueError("encode_jpeg_progressive expects 1 or 3 channels")
+    sub = subsampling == "4:2:0" and ch == 3
+
+    qy = quality_scaled(QUANT_LUMA, quality)
+    qc = quality_scaled(QUANT_CHROMA, quality)
+    f = arr.astype(np.float64)
+    if ch == 3:
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    else:
+        planes = [f[:, :, 0]]
+    if sub:
+        ypad = _pad_edge(planes[0], 16)
+        hh, ww = ypad.shape
+        chroma = []
+        for p in planes[1:]:
+            p = _pad_edge(p, 16)
+            chroma.append(p.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3)))
+        qplanes = [_fdct_quant(ypad, qy)] + [_fdct_quant(c, qc) for c in chroma]
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        padded = [_pad_edge(p, 8) for p in planes]
+        qplanes = [
+            _fdct_quant(p, qy if i == 0 else qc) for i, p in enumerate(padded)
+        ]
+        samp = [(1, 1)] * ch
+    # zigzag coefficient view [nby, nbx, 64]
+    zplanes = [qp[:, :, _ZZ_ROWS, _ZZ_COLS] for qp in qplanes]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    # non-interleaved (true) block dims per component
+    dims = []
+    for ci in range(ch):
+        cw = -(-w * samp[ci][0] // hmax)
+        ch_ = -(-h * samp[ci][1] // vmax)
+        dims.append((-(-cw // 8), -(-ch_ // 8)))
+
+    dc_y = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_y = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    def dc_units():
+        """Interleaved MCU order over (ci, by, bx)."""
+        if ch == 1:
+            nby, nbx = zplanes[0].shape[:2]
+            for by in range(nby):
+                for bx in range(nbx):
+                    yield 0, by, bx
+            return
+        mcuy = zplanes[0].shape[0] // samp[0][1]
+        mcux = zplanes[0].shape[1] // samp[0][0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ch):
+                    hi, vi = samp[ci]
+                    for sy in range(vi):
+                        for sx in range(hi):
+                            yield ci, my * vi + sy, mx * hi + sx
+
+    # scan 1: DC first, Al=1
+    bw1 = _BitWriter()
+    preds = [0] * ch
+    for ci, by, bx in dc_units():
+        v = int(zplanes[ci][by, bx, 0]) >> 1
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = _category(diff)
+        code, ln = (dc_y if ci == 0 else dc_c)[s]
+        bw1.write(code, ln)
+        if s:
+            bw1.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw1.flush()
+
+    # scan 2: DC refine, Ah=1 Al=0 — raw bits
+    bw2 = _BitWriter()
+    for ci, by, bx in dc_units():
+        bw2.write(int(zplanes[ci][by, bx, 0]) & 1, 1)
+    bw2.flush()
+
+    # scans 3..: AC spectral 1-63 per component, EOB-run batched
+    ac_scans = []
+    for ci in range(ch):
+        codes = ac_y if ci == 0 else ac_c
+        bwx = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            # Annex-K AC tables define only EOB0 (0x00) — the longer
+            # EOBn symbols (0x10..0xE0) need custom Huffman tables, so
+            # each pending block end is emitted as its own EOB0 (less
+            # compact, same semantics). The decoder's EOBn>1 path is
+            # conformance-tested with a hand-built custom-DHT stream.
+            nonlocal eobrun
+            while eobrun:
+                code, ln = codes[0x00]
+                bwx.write(code, ln)
+                eobrun -= 1
+
+        bwidth, bheight = dims[ci]
+        for by in range(bheight):
+            for bx in range(bwidth):
+                zz = zplanes[ci][by, bx]
+                nz = np.nonzero(zz[1:])[0]
+                if nz.size == 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                last = int(nz[-1]) + 1
+                run = 0
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = codes[0xF0]
+                        bwx.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = codes[(run << 4) | s]
+                    bwx.write(code, ln)
+                    bwx.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 63:
+                    eobrun += 1
+        flush_eob()
+        bwx.flush()
+        ac_scans.append(bwx.buf)
+
+    out = bytearray(b"\xff\xd8")
+    out += _marker(
+        0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    )
+    out += _marker(
+        0xDB, bytes([0x00]) + qy[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+    )
+    if ch == 3:
+        out += _marker(
+            0xDB,
+            bytes([0x01]) + qc[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes(),
+        )
+    sof = struct.pack(">BHHB", 8, h, w, ch)
+    for ci in range(ch):
+        hi, vi = samp[ci]
+        sof += struct.pack(">BBB", ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1)
+    out += _marker(0xC2, sof)  # SOF2: progressive
+    out += _marker(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += _marker(0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    if ch == 3:
+        out += _marker(
+            0xC4, bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
+        )
+        out += _marker(
+            0xC4, bytes([0x11]) + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS)
+        )
+
+    def sos(comps_sel, ss, se, ah, al):
+        seg = bytes([len(comps_sel)])
+        for cid, td, ta in comps_sel:
+            seg += bytes([cid, (td << 4) | ta])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return _marker(0xDA, seg)
+
+    all_dc = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ch)]
+    out += sos(all_dc, 0, 0, 0, 1) + bw1.buf
+    out += sos(all_dc, 0, 0, 1, 0) + bw2.buf
+    for ci in range(ch):
+        out += sos(
+            [(ci + 1, 0, 0 if ci == 0 else 1)], 1, 63, 0, 0
+        ) + ac_scans[ci]
+    out += b"\xff\xd9"
+    return bytes(out)

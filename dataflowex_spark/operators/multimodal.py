@@ -7,10 +7,13 @@ baseline JPEG decodes AND encodes FOR REAL (native Huffman +
 vectorized DCT/IDCT, 4:4:4/4:2:2/4:2:0, restart markers — see
 ``operators/jpeg.py``), and RIFF/PCM WAV audio decodes, featurizes
 and resamples FOR REAL (stdlib wave + numpy) — all tested end to end
-through mapInPandas. Remaining compressed formats (progressive JPEG /
-palette-PNG / mp3 / ogg / video) need codec libraries absent here, so
-their decode raises NotImplementedError (or runs a clearly-marked
-deterministic fake) while everything Spark-cares-about — schema,
+through mapInPandas. The native codec family now covers baseline AND
+progressive JPEG, PNG (incl. palette / Adam7 / 16-bit), GIF, TIFF,
+BMP, netpbm, PCM / G.711 / IMA-ADPCM WAV, and AVI/MJPEG demux.
+Remaining compressed formats (mp3 / ogg / H.264 video) need codec
+libraries absent here, so their decode raises NotImplementedError
+(or runs a clearly-marked deterministic fake) while everything
+Spark-cares-about — schema,
 Arrow batch shape, mapInPandas signatures, partitioning — is real and
 tested.
 
@@ -323,8 +326,8 @@ def decode_image(payload: bytes) -> dict:
       first frame here — all frames via ``sample_frames``)
       (:mod:`.gif`).
     Returns {width, height, channels, pixels}. Remaining compressed
-    variants (progressive JPEG, palette PNG, …) decode through PIL
-    WHEN IT IS IMPORTABLE (optional dependency hook — absent in this
+    variants (WebP, JPEG 2000, …) decode through PIL WHEN IT IS
+    IMPORTABLE (optional dependency hook — absent in this
     container), else an honest NotImplementedError."""
     if payload is None:
         raise ValueError("decode_image: payload is None (pointer-only row)")

@@ -87,9 +87,11 @@ def test_jpeg_noise_stress_and_byte_stuffing():
 
 def test_jpeg_rejects_out_of_scope_variants():
     assert decode_jpeg(b"P6 1 1 255 xyz") is None  # not a JPEG at all
-    prog = b"\xff\xd8\xff\xc2" + bytes([0, 8]) + bytes(6) + b"\xff\xd9"
-    with pytest.raises(NotImplementedError, match="baseline"):
-        decode_jpeg(prog)
+    # progressive (SOF2) decodes natively since r5 — the still-out-of-
+    # scope class is arithmetic coding (SOF9)
+    arith = b"\xff\xd8\xff\xc9" + bytes([0, 8]) + bytes(6) + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="sequential|progressive"):
+        decode_jpeg(arith)
     headerless = b"\xff\xd8\xff\xe0" + b"\x00" * 32
     with pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg(headerless)
@@ -320,3 +322,188 @@ def test_jpeg_422_decode_path():
     assert (w, h, ch) == (32, 16, 3)
     err = np.abs(dec.astype(int) - img.astype(int))
     assert err.max() <= 10 and err.mean() < 3.0
+
+
+def test_progressive_roundtrip_equals_baseline():
+    """Progressive (SOF2) and baseline encodings of one image carry
+    IDENTICAL quantized coefficients, so they must decode to
+    bit-identical pixels — gray, 4:4:4 and 4:2:0, including odd sizes
+    that give the luma plane more padded MCU blocks than its
+    non-interleaved scan dims (the A.2.2 trap)."""
+    from dataflowex_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(21)
+    cases = [
+        ((40, 56, 3), "4:4:4"),
+        ((41, 49, 3), "4:2:0"),  # odd: padded grid > scan dims
+        ((24, 17, 1), "4:4:4"),
+    ]
+    for shape, ss in cases:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=80, subsampling=ss))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=80, subsampling=ss)
+        )
+        assert base[:3] == prog[:3]
+        assert np.array_equal(base[3], prog[3]), (shape, ss)
+
+
+def test_progressive_ac_successive_approximation_conformance():
+    """Hand-built SOF2 stream exercising AC successive approximation:
+    first AC scan at Al=1 (coefficients >>1), then the Ah=1->Al=0
+    REFINEMENT scan — correction bits on already-nonzero history,
+    a newly-significant +-1 insertion, and an EOB that must still
+    apply correction bits to the rest of the current block. Expected
+    pixels computed independently from the target coefficients."""
+    import struct
+
+    from dataflowex_spark.operators.jpeg import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        _BitWriter,
+        _DCT,
+        _UNZZ,
+        _build_codes,
+        _marker,
+    )
+
+    dc = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+
+    def put(bw, codes, sym):
+        c, ln = codes[sym]
+        bw.write(c, ln)
+
+    # scan 1: DC(0,0,Ah=0,Al=0) — DC = 16 (category 5)
+    s1 = _BitWriter()
+    put(s1, dc, 5)
+    s1.write(16, 5)
+    s1.flush()
+    # scan 2: AC first (1,63,0,1): zigzag k1=+2, k2=-3, EOB
+    s2 = _BitWriter()
+    put(s2, ac, 0x02)           # r=0, s=2
+    s2.write(2, 2)              # +2
+    put(s2, ac, 0x02)
+    s2.write(0, 2)              # -3 (extend: -3 + 3 = 0)
+    put(s2, ac, 0x00)           # EOB
+    s2.flush()
+    # scan 3: AC refine (1,63,1,0): k1 4->5 (corr 1), k2 -6 (corr 0),
+    # newly significant +1 at k4 after skipping one zero-history (k3)
+    s3 = _BitWriter()
+    put(s3, ac, 0x11)           # r=1 zero-history skip, s=1
+    s3.write(1, 1)              # sign: positive
+    s3.write(1, 1)              # correction for k1: 4 -> 5
+    s3.write(0, 1)              # correction for k2: -6 stays
+    put(s3, ac, 0x00)           # EOB1: tail-corrects rest (no bits)
+    s3.flush()
+
+    qt = bytes([0x00]) + bytes([1] * 64)  # quant table: all ones
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    payload = (
+        b"\xff\xd8"
+        + _marker(0xDB, qt)
+        + _marker(0xC2, sof)
+        + _marker(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+        + _marker(0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+        + _marker(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+        + bytes(s1.buf)
+        + _marker(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+        + bytes(s2.buf)
+        + _marker(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+        + bytes(s3.buf)
+        + b"\xff\xd9"
+    )
+    w, h, ch, got = decode_jpeg(payload)
+    assert (w, h, ch) == (8, 8, 1)
+
+    zz = np.zeros(64)
+    zz[0], zz[1], zz[2], zz[4] = 16, 5, -6, 1
+    coefs = np.zeros(64)
+    coefs[_UNZZ] = zz
+    pix = (
+        np.einsum("xu,uv,yv->xy", _DCT.T, coefs.reshape(8, 8), _DCT.T)
+        + 128.0
+    )
+    want = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+    assert np.array_equal(got[:, :, 0], want)
+
+
+def test_progressive_eobrun_multiblock_conformance():
+    """EOB runs spanning MULTIPLE blocks, first-scan and refine-scan
+    conventions both: a custom AC Huffman table supplies the EOBn>0
+    symbol (0x10) Annex-K baseline tables lack. 4 blocks: the first
+    carries one AC coefficient refined 4->5; an EOB2+ext run ends it
+    and skips the rest — in the refine scan the run must still apply
+    the first block's correction bit before skipping."""
+    import struct
+
+    from dataflowex_spark.operators.jpeg import (
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        _BitWriter,
+        _DCT,
+        _UNZZ,
+        _build_codes,
+        _marker,
+    )
+
+    AC_BITS = [0, 0, 6] + [0] * 13  # six 3-bit codes
+    AC_VALS = [0x00, 0x10, 0x01, 0x02, 0x11, 0xF0]
+    ac = _build_codes(AC_BITS, AC_VALS)
+    dc = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+
+    def put(bw, codes, sym):
+        c, ln = codes[sym]
+        bw.write(c, ln)
+
+    s1 = _BitWriter()  # DC scan: 4 blocks, all zero diffs
+    for _ in range(4):
+        put(s1, dc, 0)
+    s1.flush()
+
+    s2 = _BitWriter()  # AC first (Al=1): blk0 k1=+2, EOB2(ext=1), EOB0
+    put(s2, ac, 0x02)
+    s2.write(2, 2)          # +2
+    put(s2, ac, 0x10)       # EOBn, rr=1
+    s2.write(1, 1)          # ext -> eobrun=(1<<1)-1+1=2 (blk0 end + 2)
+    put(s2, ac, 0x00)       # blk3: EOB0
+    s2.flush()
+
+    s3 = _BitWriter()  # AC refine (Ah=1): EOBn covering 3 blocks
+    put(s3, ac, 0x10)       # rr=1 -> eobrun=(1<<1)+ext
+    s3.write(1, 1)          # ext -> 3 (blocks 0..2)
+    s3.write(1, 1)          # blk0 tail correction: k1 4 -> 5
+    put(s3, ac, 0x00)       # blk3: EOB1, no corrections
+    s3.flush()
+
+    sof = struct.pack(">BHHB", 8, 8, 32, 1) + bytes([1, 0x11, 0])
+    payload = (
+        b"\xff\xd8"
+        + _marker(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + _marker(0xC2, sof)
+        + _marker(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+        + _marker(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+        + _marker(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+        + bytes(s1.buf)
+        + _marker(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+        + bytes(s2.buf)
+        + _marker(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+        + bytes(s3.buf)
+        + b"\xff\xd9"
+    )
+    w, h, ch, got = decode_jpeg(payload)
+    assert (w, h, ch) == (32, 8, 1)
+
+    zz = np.zeros(64)
+    zz[1] = 5
+    coefs = np.zeros(64)
+    coefs[_UNZZ] = zz
+    pix = (
+        np.einsum("xu,uv,yv->xy", _DCT.T, coefs.reshape(8, 8), _DCT.T)
+        + 128.0
+    )
+    blk0 = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+    assert np.array_equal(got[:, :8, 0], blk0)
+    assert (got[:, 8:, 0] == 128).all()  # skipped blocks: DC-only gray
