@@ -1,4 +1,4 @@
-"""Native baseline JPEG codec — pure stdlib + numpy, no imaging library.
+"""Native JPEG codec (baseline + progressive) — pure stdlib + numpy, no imaging library.
 
 Mirrors the reference's stance that media payloads are opaque bytes the
 pipeline must be able to decode on executors without native deps
