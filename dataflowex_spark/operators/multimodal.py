@@ -1171,3 +1171,89 @@ def phash_images(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(media_col).mapInPandas(gen, schema=out_schema)
+
+
+_MP3_BITRATES = {  # kbps tables, index 1..14 (0/15 invalid)
+    # (version_key, layer): [...]
+    ("1", 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    ("1", 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    ("1", 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    ("2", 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    ("2", 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    ("2", 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+}
+_MP3_RATES = {"1": [44100, 48000, 32000], "2": [22050, 24000, 16000],
+              "2.5": [11025, 12000, 8000]}
+
+
+def probe_mp3(payload: bytes) -> dict | None:
+    """Parse MP3 METADATA without decoding — the filter-at-scale
+    primitive for audio corpora ("drop clips outside 1–600 s" should
+    cost a header read, not a decode). Skips an ID3v2 tag, finds the
+    first MPEG audio frame sync, reads version/layer/bitrate/rate/
+    channel mode, and estimates duration: exactly from a Xing/Info
+    VBR header's frame count when present, else file-size/bitrate
+    (CBR assumption, flagged via ``vbr=False``). Returns None when no
+    frame sync is found (not an MPEG audio stream)."""
+    if payload is None or len(payload) < 4:
+        return None
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) > 10:
+        # syncsafe 28-bit tag size
+        sz = (
+            (payload[6] & 0x7F) << 21
+            | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7
+            | (payload[9] & 0x7F)
+        )
+        pos = 10 + sz
+    end = min(len(payload) - 4, pos + 65536)
+    while pos <= end:
+        if payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0:
+            b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+            ver_bits = (b1 >> 3) & 0x03
+            layer = 4 - ((b1 >> 1) & 0x03)
+            br_idx = (b2 >> 4) & 0x0F
+            sr_idx = (b2 >> 2) & 0x03
+            mode = (b3 >> 6) & 0x03
+            if ver_bits == 1 or layer == 4 or br_idx in (0, 15) or sr_idx == 3:
+                pos += 1
+                continue
+            version = {0: "2.5", 2: "2", 3: "1"}[ver_bits]
+            vkey = "1" if version == "1" else "2"
+            bitrate = _MP3_BITRATES[(vkey, layer)][br_idx - 1] * 1000
+            rate = _MP3_RATES[version][sr_idx]
+            spf = 1152 if layer == 3 and version == "1" else (
+                384 if layer == 1 else (1152 if version == "1" else 576)
+            )
+            channels = 1 if mode == 3 else 2
+            # Xing/Info VBR header: located a fixed side-info offset
+            # into the first frame; searching the first 200 bytes
+            # covers every (version, channel) offset variant without
+            # hardcoding the four-way table
+            xoff = payload.find(b"Xing", pos, pos + 200)
+            if xoff < 0:
+                xoff = payload.find(b"Info", pos, pos + 200)
+            vbr = False
+            duration_s = None
+            if xoff > 0 and xoff + 12 <= len(payload):
+                flags = int.from_bytes(payload[xoff + 4 : xoff + 8], "big")
+                if flags & 1:
+                    n_frames = int.from_bytes(
+                        payload[xoff + 8 : xoff + 12], "big"
+                    )
+                    duration_s = n_frames * spf / rate
+                    vbr = payload[xoff : xoff + 4] == b"Xing"
+            if duration_s is None:
+                duration_s = (len(payload) - pos) * 8 / bitrate
+            return {
+                "version": version,
+                "layer": layer,
+                "bitrate": bitrate,
+                "sample_rate": rate,
+                "channels": channels,
+                "duration_s": float(duration_s),
+                "vbr": vbr,
+            }
+        pos += 1
+    return None

@@ -945,3 +945,38 @@ def test_ima_adpcm_wav_decode_native():
     bad += b"data" + struct.pack("<I", 0)
     with _pytest.raises(NotImplementedError, match="mono"):
         decode_audio(bad)
+
+
+def test_probe_mp3_metadata():
+    """MP3 header probe without decode: hand-built CBR stream (MPEG1
+    Layer III 128k/44100 stereo behind an ID3v2 tag) and a VBR stream
+    with a Xing frame-count header; junk returns None."""
+    from dataflowex_spark.operators.multimodal import probe_mp3
+
+    def frame_header(bitrate_idx=9, sr_idx=0):  # 128kbps, 44100
+        b1 = 0xFF
+        b2 = 0xE0 | (3 << 3) | (1 << 1)  # MPEG1, Layer III
+        b3 = (bitrate_idx << 4) | (sr_idx << 2)
+        b4 = 0x00  # stereo
+        return bytes([b1, b2, b3, b4])
+
+    # ID3v2 tag of 100 bytes (syncsafe), then ~10s of CBR frames
+    id3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 100]) + bytes(100)
+    frame_len = 144 * 128000 // 44100  # 417 bytes per frame
+    n_frames = 383  # ~10.0 s
+    cbr = id3 + (frame_header() + bytes(frame_len - 4)) * n_frames
+    d = probe_mp3(cbr)
+    assert d is not None and d["version"] == "1" and d["layer"] == 3
+    assert d["bitrate"] == 128000 and d["sample_rate"] == 44100
+    assert d["channels"] == 2 and not d["vbr"]
+    want_s = n_frames * frame_len * 8 / 128000
+    assert abs(d["duration_s"] - want_s) < 0.2
+
+    # VBR: Xing header claims 2000 frames -> exact duration
+    xing = b"Xing" + (1).to_bytes(4, "big") + (2000).to_bytes(4, "big")
+    vbr = frame_header() + bytes(32) + xing + bytes(300)
+    dv = probe_mp3(vbr)
+    assert dv is not None and dv["vbr"]
+    assert abs(dv["duration_s"] - 2000 * 1152 / 44100) < 1e-6
+
+    assert probe_mp3(b"definitely not an mpeg stream" * 10) is None
