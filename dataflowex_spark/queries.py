@@ -13302,13 +13302,13 @@ def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(c_custkey) AS BIGINT) AS key_sum
     FROM customer
-    WHERE c_custkey BETWEEN 200 AND 449
+    WHERE c_custkey BETWEEN 20 AND 79
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
 )
 def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-stat pruned read: customers land in an 8-file
-    range-partitioned MTable, then `read_where(200, 449)` consults
+    range-partitioned MTable, then `read_where(20, 79)` consults
     the manifest's per-file (min_key, max_key) BEFORE planning — only
     files whose range intersects are scanned at all (at 100 TB: open
     12 footers, not 100k), with the residual row predicate pushed
@@ -13324,7 +13324,7 @@ def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="mtable_q294_")
     t = MTable.create(spark, root + "/t", cust, "c_custkey")
     return (
-        t.read_where(200, 449)
+        t.read_where(20, 79)
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").cast("long").alias("n"),
