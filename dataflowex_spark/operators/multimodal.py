@@ -1223,8 +1223,11 @@ def probe_mp3(payload: bytes) -> dict | None:
             vkey = "1" if version == "1" else "2"
             bitrate = _MP3_BITRATES[(vkey, layer)][br_idx - 1] * 1000
             rate = _MP3_RATES[version][sr_idx]
-            spf = 1152 if layer == 3 and version == "1" else (
-                384 if layer == 1 else (1152 if version == "1" else 576)
+            # samples/frame: Layer I is 384 always; Layer II is 1152
+            # in EVERY MPEG version; Layer III halves to 576 only for
+            # MPEG-2/2.5 (ISO 11172-3 / 13818-3 frame definitions)
+            spf = 384 if layer == 1 else (
+                576 if (layer == 3 and version != "1") else 1152
             )
             channels = 1 if mode == 3 else 2
             # Xing/Info VBR header: located a fixed side-info offset

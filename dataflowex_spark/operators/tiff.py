@@ -29,6 +29,7 @@ import numpy as np
 _WIDTH, _HEIGHT = 256, 257
 _BITS, _COMPRESSION, _PHOTOMETRIC = 258, 259, 262
 _STRIP_OFFSETS, _SPP, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278, 279
+_PLANAR = 284
 _PREDICTOR, _COLORMAP = 317, 320
 _TILE_TAGS = (322, 323, 324, 325)
 
@@ -135,6 +136,12 @@ def decode_tiff(payload: bytes):
     w = tags[_WIDTH][0]
     h = tags[_HEIGHT][0]
     spp = tags.get(_SPP, [1])[0]
+    # planar (separate-plane) sample layout would silently decode as
+    # channel-scrambled chunky data if reshaped below — honest refusal
+    if tags.get(_PLANAR, [1])[0] == 2 and spp > 1:
+        raise NotImplementedError(
+            "tiff: PlanarConfiguration=2 (planar) unsupported"
+        )
     bits = tags.get(_BITS, [8] * spp)
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"tiff: only 8-bit samples (got {bits})")

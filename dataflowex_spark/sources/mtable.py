@@ -18,8 +18,16 @@ protocol, `atomic` pointer replace), scoped to one merge key column:
   the swap IS the commit point (torn commits impossible: either the
   old pointer or the new one);
 - data files are immutable, uuid-job-named, written ONCE to their
-  final location by executors and never moved or edited (object-store
-  safe: the driver touches only the two small metadata files).
+  final location by executors and never moved or edited — that half
+  of the protocol is object-store friendly (no data-file renames).
+
+COMMIT-PROTOCOL CAVEAT: the metadata side assumes a LOCAL or SHARED
+POSIX filesystem (NFS/Lustre/EFS-style). The version claim relies on
+``os.link`` exclusivity and the ``_CURRENT`` swap on ``os.replace``
+atomicity — guarantees an object store (S3/GCS) does NOT provide
+without a conditional-put primitive. Running this metadata layer
+against an object store needs a pluggable commit (conditional PUT /
+DynamoDB-style lock), exactly the caveat ``manifest_ds`` documents.
 
 MERGE is copy-on-write with FILE-LEVEL PRUNING — the property that
 makes it work at 100 TB: the change-set's distinct keys are ranged
@@ -162,7 +170,17 @@ class MTable:
         ``stream_batch=(app_id, batch_id)`` records the highest
         committed micro-batch per streaming writer in the manifest —
         the transactional-version idiom that makes an at-least-once
-        ``foreachBatch`` replay detectable (and hence exactly-once)."""
+        ``foreachBatch`` replay detectable (and hence exactly-once).
+
+        The atomic step is CLAIMING THE VERSION FILE: the manifest is
+        written complete to a temp file, then ``os.link``-ed to
+        ``_v/N.manifest.json`` — link fails with ``FileExistsError``
+        when another writer already claimed N, which maps to
+        :class:`MTableConflict`. A plain check-then-``os.replace``
+        would let two writers that both read parent=N silently
+        overwrite each other's v(N+1); the exclusive link closes that
+        window (and a crash mid-write leaves only an invisible temp
+        file, never a partial manifest)."""
         cur_path = os.path.join(self.root, "_CURRENT")
         if parent is not None and os.path.exists(cur_path):
             if self.current_version() != parent:
@@ -183,10 +201,20 @@ class MTable:
             "files": entries,
         }
         os.makedirs(self._vdir(), exist_ok=True)
-        _atomic_write(
-            os.path.join(self._vdir(), f"{v}.manifest.json"),
-            json.dumps(manifest, indent=1),
-        )
+        mpath = os.path.join(self._vdir(), f"{v}.manifest.json")
+        fd, tmp = tempfile.mkstemp(dir=self._vdir(), prefix=".mtable_")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(json.dumps(manifest, indent=1))
+            try:
+                os.link(tmp, mpath)
+            except FileExistsError:
+                raise MTableConflict(
+                    f"another writer already committed v{v}"
+                ) from None
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         _atomic_write(cur_path, str(v))
         return v
 
@@ -406,10 +434,30 @@ class MTable:
         )
         return self._commit(keep + entries, m["key_col"], parent=m["version"])
 
-    def vacuum(self, keep_last: int = 1) -> list[str]:
+    def vacuum(
+        self,
+        keep_last: int = 1,
+        delete_orphans: bool = False,
+        orphan_min_age_s: float = 86400.0,
+    ) -> list[str]:
         """Drop all but the newest ``keep_last`` manifests and delete
-        data files no kept manifest references. Returns the deleted
-        paths. (Time travel reaches only kept versions afterwards.)"""
+        data files ONLY dropped manifests reference. Returns the
+        deleted paths. (Time travel reaches only kept versions
+        afterwards.)
+
+        Deletion is scoped to dropped-manifest references — NOT "every
+        parquet no kept manifest lists" — because files written by an
+        in-flight merge/compact/overwrite are unreferenced until that
+        operation commits; a blanket sweep would delete them out from
+        under the concurrent writer and its commit would publish a
+        manifest pointing at missing files. Files that never reach any
+        manifest (crashed jobs) become true orphans; pass
+        ``delete_orphans=True`` to also remove those, guarded by a
+        Delta-style minimum age (``orphan_min_age_s``, default 24 h)
+        so anything a live writer may still be about to commit is
+        left alone."""
+        import time
+
         vs = self.versions()
         keep_vs = vs[-keep_last:] if keep_last > 0 else []
         if self.current_version() not in keep_vs:
@@ -417,14 +465,31 @@ class MTable:
         referenced: set[str] = set()
         for v in keep_vs:
             referenced.update(e["path"] for e in self.manifest(v)["files"])
+        dropped_refs: set[str] = set()
+        for v in vs:
+            if v not in keep_vs:
+                dropped_refs.update(
+                    e["path"] for e in self.manifest(v)["files"]
+                )
         deleted = []
-        data_root = os.path.join(self.root, "data")
-        for dirpath, _dirs, files in os.walk(data_root):
-            for fn in files:
-                p = os.path.join(dirpath, fn)
-                if fn.endswith(".parquet") and p not in referenced:
-                    os.unlink(p)
-                    deleted.append(p)
+        for p in sorted(dropped_refs - referenced):
+            if os.path.exists(p):
+                os.unlink(p)
+                deleted.append(p)
+        if delete_orphans:
+            cutoff = time.time() - orphan_min_age_s
+            data_root = os.path.join(self.root, "data")
+            for dirpath, _dirs, files in os.walk(data_root):
+                for fn in files:
+                    p = os.path.join(dirpath, fn)
+                    if (
+                        fn.endswith(".parquet")
+                        and p not in referenced
+                        and p not in dropped_refs
+                        and os.path.getmtime(p) < cutoff
+                    ):
+                        os.unlink(p)
+                        deleted.append(p)
         for v in vs:
             if v not in keep_vs:
                 os.unlink(

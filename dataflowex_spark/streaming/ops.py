@@ -306,12 +306,24 @@ def asof_join_stream_stream(
     """
     if how not in ("inner", "left_outer"):
         raise ValueError(f"asof_join_stream_stream: unsupported how={how!r}")
+    # the post-join projection uses bare column names, so apart from
+    # the equi-key the two schemas must not collide (e.g. both streams
+    # naming their timestamp 'ts' would be an ambiguous reference) —
+    # fail here with an actionable message instead of an
+    # AnalysisException from deep inside the plan
+    overlap = sorted((set(left.columns) & set(right.columns)) - {key})
+    if overlap:
+        raise ValueError(
+            "asof_join_stream_stream: left/right column names must be "
+            f"disjoint apart from the key; rename {overlap} on one side"
+        )
     l = _with_watermark(left, left_ts, watermark).alias("__l")
     r = _with_watermark(right, right_ts, watermark).alias("__r")
+    lts, rts = F.col(f"__l.{left_ts}"), F.col(f"__r.{right_ts}")
     cond = (
         (F.col(f"__l.{key}") == F.col(f"__r.{key}"))
-        & (F.col(right_ts) <= F.col(left_ts))
-        & (F.col(right_ts) > F.col(left_ts) - F.expr(f"INTERVAL {lateness}"))
+        & (rts <= lts)
+        & (rts > lts - F.expr(f"INTERVAL {lateness}"))
     )
     joined = l.join(r, cond, how).drop(F.col(f"__r.{key}"))
 

@@ -980,3 +980,34 @@ def test_probe_mp3_metadata():
     assert abs(dv["duration_s"] - 2000 * 1152 / 44100) < 1e-6
 
     assert probe_mp3(b"definitely not an mpeg stream" * 10) is None
+
+
+def test_probe_mp3_mpeg2_layer2_samples_per_frame():
+    """Layer II is 1152 samples/frame in EVERY MPEG version (r6
+    advice closure: the old expression halved MPEG-2 Layer II to 576,
+    so Xing durations came out at half the true value); MPEG-2
+    Layer III is genuinely 576."""
+    from dataflowex_spark.operators.multimodal import probe_mp3
+
+    def hdr(ver_bits, layer_bits, br_idx, sr_idx):
+        return bytes(
+            [0xFF, 0xE0 | (ver_bits << 3) | (layer_bits << 1),
+             (br_idx << 4) | (sr_idx << 2), 0x00]
+        )
+
+    xing = b"Xing" + (1).to_bytes(4, "big") + (1000).to_bytes(4, "big")
+    # MPEG-2 (ver_bits=2) Layer II (layer_bits=2) @ 22050: 1152 spf
+    l2 = hdr(2, 2, 8, 0) + bytes(32) + xing + bytes(300)
+    d2 = probe_mp3(l2)
+    assert d2 is not None and d2["version"] == "2" and d2["layer"] == 2
+    assert abs(d2["duration_s"] - 1000 * 1152 / 22050) < 1e-6
+    # MPEG-2 Layer III (layer_bits=1): 576 spf
+    l3 = hdr(2, 1, 8, 0) + bytes(32) + xing + bytes(300)
+    d3 = probe_mp3(l3)
+    assert d3 is not None and d3["layer"] == 3
+    assert abs(d3["duration_s"] - 1000 * 576 / 22050) < 1e-6
+    # MPEG-1 Layer I (layer_bits=3): 384 spf
+    l1 = hdr(3, 3, 8, 0) + bytes(32) + xing + bytes(300)
+    d1 = probe_mp3(l1)
+    assert d1 is not None and d1["layer"] == 1
+    assert abs(d1["duration_s"] - 1000 * 384 / 44100) < 1e-6

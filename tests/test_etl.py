@@ -1044,3 +1044,67 @@ def test_mtable_merge_rejects_schema_widening(spark, tmp_path):
     row = t.read().filter(F.col("k") == 1).collect()[0]
     assert (row["v"], row["extra"]) == (5, 9)
     assert t.read().filter(F.col("extra") == 0).count() == 99
+
+
+def test_mtable_commit_race_and_vacuum_inflight_safety(spark, tmp_path):
+    """r6 advice closures on MTable's concurrency story:
+
+    (1) the version claim is the atomic os.link — a writer that
+    passes the fast current_version()==parent check but finds its
+    target manifest already claimed (the check-then-write race
+    window) gets MTableConflict, never a silent overwrite, and the
+    first committer's manifest is untouched;
+    (2) vacuum deletes ONLY dropped-manifest references — a fresh
+    in-flight data file (concurrent uncommitted merge) survives the
+    default sweep, is kept by delete_orphans while younger than the
+    retention age, and is reclaimed once old enough."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.mtable import MTable, MTableConflict
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = MTable.create(spark, str(tmp_path / "t"), df, "k")
+    v2 = t.overwrite(df)
+    assert v2 == 2
+
+    # (1) simulate the loser of a commit race: v3 already claimed by
+    # "another writer" after our fast parent check would have passed
+    winner = dict(t.manifest(2))
+    winner["version"] = 3
+    winner["parent"] = 2
+    mpath = _os.path.join(t._vdir(), "3.manifest.json")
+    with open(mpath, "w") as f:
+        f.write(_json.dumps(winner))
+    with _pytest.raises(MTableConflict, match="already committed v3"):
+        t._commit(t.manifest(2)["files"], "k", parent=2)
+    with open(mpath) as f:
+        assert _json.load(f)["parent"] == 2  # winner's file untouched
+    # no temp-file litter from the failed commit
+    assert not [
+        n for n in _os.listdir(t._vdir()) if n.startswith(".mtable_")
+    ]
+    _os.unlink(mpath)
+
+    # (2) an in-flight (never-committed) data file
+    inflight_dir = _os.path.join(str(tmp_path / "t"), "data", "job-inflight")
+    _os.makedirs(inflight_dir)
+    inflight = _os.path.join(inflight_dir, "part-00000.parquet")
+    with open(inflight, "wb") as f:
+        f.write(b"PAR1stub")
+    deleted = t.vacuum(keep_last=1)
+    # v1's files (dropped manifest, unreferenced by v2) went; the
+    # in-flight file did not, despite being unreferenced
+    assert deleted and inflight not in deleted
+    assert _os.path.exists(inflight)
+    # orphan sweep honors the minimum age...
+    assert t.vacuum(keep_last=1, delete_orphans=True) == []
+    assert _os.path.exists(inflight)
+    # ...and reclaims past it
+    gone = t.vacuum(keep_last=1, delete_orphans=True, orphan_min_age_s=0.0)
+    assert gone == [inflight]
+    assert t.read().count() == 100

@@ -864,3 +864,22 @@ def test_mtable_merge_stream_exactly_once(spark, tmp_path):
     v2 = run("ck2")
     assert v2 == v
     assert t.last_stream_batch("cdc") >= 2
+
+
+def test_stream_stream_asof_rejects_colliding_names(spark):
+    """Shared non-key column names (e.g. both streams calling their
+    timestamp 'ts') must fail fast with an actionable ValueError, not
+    an ambiguous-reference AnalysisException from inside the join
+    plan (r6 advice closure)."""
+    import pytest as _pytest
+
+    from dataflowex_spark.streaming.ops import asof_join_stream_stream
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "k int, ts string"
+    ).select("k", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 5)], "k int, ts string, v int"
+    ).select("k", F.col("ts").cast("timestamp"), "v")
+    with _pytest.raises(ValueError, match="disjoint.*\\['ts'\\]"):
+        asof_join_stream_stream(left, right, "k", "ts", "ts")

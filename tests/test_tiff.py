@@ -228,3 +228,30 @@ def test_tiff_through_decode_image():
     d = decode_image(t)
     assert (d["width"], d["height"], d["channels"]) == (2, 2, 3)
     assert np.array_equal(d["pixels"], px)
+
+
+def test_planar_configuration_refused():
+    """PlanarConfiguration=2 (separate planes) must raise the honest
+    NotImplementedError — reshaping planar strips as chunky would
+    silently scramble channels (r6 advice closure). Chunky value 1
+    stated explicitly still decodes."""
+    px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    planar = _tiff(
+        _base_tags(2, 2, 3, 1, 2, [px.tobytes()], extra=((284, 3, [2]),)),
+        [px.tobytes()],
+    )
+    with pytest.raises(NotImplementedError, match="[Pp]lanar"):
+        decode_tiff(planar)
+    chunky = _tiff(
+        _base_tags(2, 2, 3, 1, 2, [px.tobytes()], extra=((284, 3, [1]),)),
+        [px.tobytes()],
+    )
+    _, _, _, arr = decode_tiff(chunky)
+    assert np.array_equal(arr, px)
+    # planar on a 1-sample image is harmless (planes == chunky)
+    g = bytes(range(4))
+    mono = _tiff(
+        _base_tags(2, 2, 1, 1, 1, [g], extra=((284, 3, [2]),)), [g]
+    )
+    _, _, ch, _ = decode_tiff(mono)
+    assert ch == 1
