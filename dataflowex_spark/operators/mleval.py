@@ -13,10 +13,14 @@ Scale discipline shared by all four:
 - Every statistic is computed over a COMPACTED frame first — one
   hash aggregation keyed on the distinct score / value / category —
   so the ordered pass that follows runs over ``#distinct buckets``
-  rows, not ``#input`` rows. Callers control the bucket count by
-  quantizing the score column (a float score column should be
-  bucketed to a fixed precision before ranking at 100 TB; all the
-  registry queries do).
+  rows, not ``#input`` rows. The ordered pass itself is
+  :func:`~dataflowex_spark.operators.windows.global_cumsum` (range-
+  partitioned parallel prefix sums, zero unpartitioned WindowExec
+  nodes — plan-audited), so even a CONTINUOUS double score, where
+  compaction buys nothing, degrades to a parallel sort rather than a
+  single-reducer window. Quantizing the score upstream remains the
+  cheap path (smaller shuffles) but is no longer a correctness-of-
+  scale contract the caller must remember.
 - Rank arithmetic is integer cross-multiplication (``c1*n2 - c2*n1``
   style) up to the single final division, so engine float summation
   order cannot perturb the result below the rounding digit.
@@ -33,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from dataflowex_spark.operators.windows import global_ntile
+from dataflowex_spark.operators.windows import global_cumsum, global_ntile
 
 
 def roc_auc(
@@ -51,10 +55,13 @@ def roc_auc(
     ``pos · (2·cum_neg_below + neg)`` half-pairs. All counts are
     integers; the one division happens at the end.
 
-    The ordered prefix runs over distinct scores only — quantize the
-    score upstream to bound that frame (the window here is a
-    single-partition pass over buckets, which is exactly right when
-    buckets ≪ rows; it is the caller's contract to keep it bounded).
+    The ordered prefix runs over distinct scores via
+    :func:`~dataflowex_spark.operators.windows.global_cumsum` — a
+    range-partitioned parallel pass, so a continuous double score
+    (distinct count ≈ row count) degrades gracefully into a parallel
+    sort instead of a single-reducer WindowExec. Quantizing the score
+    upstream is still the cheap path (smaller compacted frame), but
+    it is no longer load-bearing for scale.
     """
     by_score = (
         df.select(score.alias("__s"), label.cast("long").alias("__y"))
@@ -64,13 +71,17 @@ def roc_auc(
             (F.count("*") - F.sum("__y")).alias("__neg"),
         )
     )
-    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
-    contrib = by_score.select(
+    contrib = global_cumsum(
+        by_score,
+        [F.col("__s")],
+        ["__neg"],
+        include_current=False,
+        suffix="_below",
+    ).select(
         "__pos",
         "__neg",
         (
-            F.col("__pos")
-            * (2 * F.coalesce(F.sum("__neg").over(w), F.lit(0)) + F.col("__neg"))
+            F.col("__pos") * (2 * F.col("__neg_below") + F.col("__neg"))
         ).alias("__half_pairs2"),
     )
     return contrib.agg(
@@ -99,7 +110,11 @@ def ks_statistic(
     cumulative pass, and the max of the integer cross-product
     ``|cum_a·n_b − cum_b·n_a|`` — division by ``n_a·n_b`` happens
     once at the end, so the statistic is exact up to the final
-    rounding. Same bounded-bucket contract as :func:`roc_auc`.
+    rounding. The cumulative pass is
+    :func:`~dataflowex_spark.operators.windows.global_cumsum` (range-
+    partitioned, no single-reducer WindowExec) and the totals ride a
+    broadcast 1-row aggregate, so a continuous value column scales as
+    a parallel sort, same as :func:`roc_auc`.
     """
     by_val = (
         df.select(value.alias("__v"), group.cast("long").alias("__a"))
@@ -109,15 +124,20 @@ def ks_statistic(
             (F.count("*") - F.sum("__a")).alias("__cb"),
         )
     )
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    tot = Window.partitionBy()  # all buckets of the compacted frame
-    cum = by_val.select(
-        "__ca",
-        "__cb",
-        F.sum("__ca").over(w).alias("__cuma"),
-        F.sum("__cb").over(w).alias("__cumb"),
-        F.sum("__ca").over(tot).alias("__na"),
-        F.sum("__cb").over(tot).alias("__nb"),
+    totals = by_val.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    cum = (
+        global_cumsum(by_val, [F.col("__v")], ["__ca", "__cb"])
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__ca",
+            "__cb",
+            F.col("__ca_cum").alias("__cuma"),
+            F.col("__cb_cum").alias("__cumb"),
+            "__na",
+            "__nb",
+        )
     )
     return cum.agg(
         F.round(
@@ -280,16 +300,16 @@ def population_stability_index(
             "population_stability_index: reference distribution is empty "
             "— no bin edges can be derived; check the reference filter"
         )
-    w = Window.orderBy("__v")
+    # decile edges via the same scale shape as roc_auc/ks: compacted
+    # distinct-value frame, range-partitioned running count (no
+    # unpartitioned WindowExec), totals broadcast
+    compact_ref = ref.groupBy("__v").agg(F.count("*").alias("__c"))
     ranked = (
-        ref.groupBy("__v")
-        .agg(F.count("*").alias("__c"))
-        .select(
-            "__v",
-            F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, 0))
-            .alias("__rn"),
-            F.sum("__c").over(Window.partitionBy()).alias("__n"),
+        global_cumsum(compact_ref, [F.col("__v")], ["__c"])
+        .crossJoin(
+            F.broadcast(compact_ref.agg(F.sum("__c").alias("__n")))
         )
+        .select("__v", F.col("__c_cum").alias("__rn"), "__n")
     )
     # k-th decile edge = smallest v with rn*n_bins >= n*k (k = 1..n_bins-1)
     edges = (

@@ -74,6 +74,82 @@ def global_row_number(
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    cols: Sequence[str],
+    include_current: bool = True,
+    suffix: str = "_cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running sums over a total ordering WITHOUT any
+    unpartitioned WindowExec — the scale-safe replacement for
+    ``F.sum(c).over(Window.orderBy(...))``, which funnels every row
+    through one task.
+
+    Shape: range-repartition on the ordering (parallel sort),
+    per-partition running sum (WindowExec partitioned by the physical
+    partition id), then add each partition's offset — the sum of all
+    STRICTLY EARLIER partitions' totals. The offsets are derived from
+    the ≤ #partitions-row totals frame by a triangular broadcast
+    self-join (pid_b < pid_a), so unlike :func:`global_row_number`'s
+    offsets there is NO window node at all and a plan audit can
+    assert ``unpartitioned_windows == 0``.
+
+    ``include_current=False`` gives the exclusive prefix (the
+    ``rowsBetween(unboundedPreceding, -1)`` frame), 0 for the first
+    row. Each ``c`` in ``cols`` gains a ``f"{c}{suffix}"`` column.
+
+    Contract: ``order_by`` must be a total order (unique keys — e.g.
+    a DISTINCT-value compacted frame) for per-row results to be
+    deterministic; sums over tied keys would be order-dependent.
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(parts, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        # referenced twice (rows + totals) — see global_row_number
+        .localCheckpoint(eager=False)
+    )
+    end = 0 if include_current else -1
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    local = parted.select(
+        "*",
+        *[
+            F.coalesce(F.sum(c).over(w), F.lit(0)).alias(f"__loc_{c}")
+            for c in cols
+        ],
+    )
+    totals = parted.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__tot_{c}") for c in cols]
+    )
+    a, b = totals.alias("__a"), totals.alias("__b")
+    offsets = (
+        a.join(b, F.col("__b.__pid") < F.col("__a.__pid"), "left")
+        .groupBy(F.col("__a.__pid").alias("__pid"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"__b.__tot_{c}"), F.lit(0)).alias(
+                    f"__off_{c}"
+                )
+                for c in cols
+            ]
+        )
+    )
+    return local.join(F.broadcast(offsets), "__pid").select(
+        *df.columns,
+        *[
+            (F.col(f"__loc_{c}") + F.col(f"__off_{c}")).alias(f"{c}{suffix}")
+            for c in cols
+        ],
+    )
+
+
 def global_ntile(
     df: DataFrame,
     n: int,

@@ -35,6 +35,7 @@ def plan_stats(df: DataFrame, execute: bool = False) -> dict:
     simple = formatted_plan(df, "simple")
     return {
         "scans": len(re.findall(r"Scan parquet", plan)),
+        "unpartitioned_windows": unpartitioned_windows(plan),
         "exchanges": len(re.findall(r"\bExchange\b", plan)),
         "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
         "sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
@@ -42,6 +43,28 @@ def plan_stats(df: DataFrame, execute: bool = False) -> dict:
         "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", simple))),
         "python_evals": len(re.findall(r"(BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas)", plan)),
     }
+
+
+def unpartitioned_windows(plan: str) -> int:
+    """Count WindowExec specs with NO partition keys — the
+    all-rows-to-one-reducer shape that silently serializes at scale
+    (Spark itself warns 'No Partition Defined'). In explain text a
+    window spec is ``windowspecdefinition(part…, order… ASC/DESC,
+    specifiedwindowframe(...))``; when the FIRST argument is already
+    an ordering (``… ASC``/``… DESC``) or the frame itself, the
+    partition list is empty. Counted per plan LINE (explain prints
+    one Arguments/spec line per Window node; a node repeating its
+    spec across several window functions counts once)."""
+    n = 0
+    for line in plan.splitlines():
+        for m in re.finditer(r"windowspecdefinition\(([^,)]*)", line):
+            first = m.group(1).strip()
+            if first.startswith("specifiedwindowframe") or re.search(
+                r"\b(ASC|DESC)\b", first
+            ):
+                n += 1
+                break
+    return n
 
 
 def assert_pushdown(df: DataFrame, must_broadcast: bool = False) -> dict:

@@ -9219,9 +9219,14 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation is engine-dependent). Gaps are exact integer
     MILLISECONDS (unix_millis ↔ epoch_ms): whole-second truncation
     disagrees cross-engine on sub-second timestamps (DuckDB's epoch()
-    is fractional and CAST rounds where Spark truncates). One user-keyed window + one
-    event-type-keyed window over the capped gaps; the event types are
-    few so the percentile window is small-partition by construction."""
+    is fractional and CAST rounds where Spark truncates). One
+    user-keyed window computes the gaps; the percentile pass then
+    runs over the frame COMPACTED to distinct (event_type, gap_ms)
+    counts — the cap bounds that frame to ≤ 1.8 M rows per event type
+    NO MATTER the input scale (value-domain bound, not a caller
+    contract), so the cumulative window stays small while the rank-
+    crossing rule (cum·2 ≥ n, integer cross-multiplication) picks the
+    identical discrete percentile a per-row row_number walk would."""
     from pyspark.sql import Window as W
 
     cat = Catalog(spark, sf_dir)
@@ -9236,23 +9241,31 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = dwell.filter(
         F.col("gap_ms").isNotNull() & (F.col("gap_ms") <= 1_800_000)
     )
+    g = capped.groupBy("event_type", "gap_ms").agg(
+        F.count("*").alias("c")
+    )
     ew = W.partitionBy("event_type")
-    ranked = capped.select(
+    ranked = g.select(
         "event_type",
         "gap_ms",
-        F.row_number().over(ew.orderBy("gap_ms")).alias("rn"),
-        F.count("*").over(ew).alias("n"),
+        "c",
+        F.sum("c")
+        .over(
+            ew.orderBy("gap_ms").rowsBetween(W.unboundedPreceding, 0)
+        )
+        .alias("cum"),
+        F.sum("c").over(ew).alias("n"),
     )
     return (
         ranked.groupBy("event_type")
         .agg(
             F.min(
-                F.when(F.col("rn") * 2 >= F.col("n"), F.col("gap_ms"))
+                F.when(F.col("cum") * 2 >= F.col("n"), F.col("gap_ms"))
             ).alias("p50_ms"),
             F.min(
-                F.when(F.col("rn") * 20 >= F.col("n") * 19, F.col("gap_ms"))
+                F.when(F.col("cum") * 20 >= F.col("n") * 19, F.col("gap_ms"))
             ).alias("p95_ms"),
-            F.count("*").alias("n_gaps"),
+            F.sum("c").alias("n_gaps"),
         )
         .orderBy("event_type")
     )

@@ -2041,3 +2041,89 @@ def test_quantile_normalize_continuous_domain_capped(spark):
 
     with _pytest.raises(ValueError, match="max_levels"):
         quantile_normalize(df, "v", "src", "rid", max_levels=1)
+
+
+def test_global_cumsum_matches_window(spark):
+    """global_cumsum == F.sum(...).over(Window.orderBy(...)) exactly
+    (inclusive AND exclusive frames, multiple columns), while its
+    plan contains ZERO unpartitioned WindowExec nodes — the property
+    the mleval rewiring relies on."""
+    from pyspark.sql import Window
+
+    from dataflowex_spark.operators.windows import global_cumsum
+    from dataflowex_spark.plans import plan_stats
+
+    df = spark.range(257).select(
+        (F.col("id") * 37 % 1000).alias("k"),
+        (F.col("id") % 7).alias("a"),
+        (F.col("id") % 11).alias("b"),
+    )
+    w = Window.orderBy("k")
+    expect_inc = {
+        r.k: (r.ca, r.cb)
+        for r in df.select(
+            "k",
+            F.sum("a").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("ca"),
+            F.sum("b").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cb"),
+        ).collect()
+    }
+    got_inc_df = global_cumsum(df, [F.col("k")], ["a", "b"])
+    got_inc = {r.k: (r.a_cum, r.b_cum) for r in got_inc_df.collect()}
+    assert got_inc == expect_inc
+    assert plan_stats(got_inc_df)["unpartitioned_windows"] == 0
+
+    expect_exc = {
+        r.k: r.ca
+        for r in df.select(
+            "k",
+            F.coalesce(
+                F.sum("a").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("ca"),
+        ).collect()
+    }
+    got_exc = {
+        r.k: r.a_prev
+        for r in global_cumsum(
+            df, [F.col("k")], ["a"], include_current=False, suffix="_prev"
+        ).collect()
+    }
+    assert got_exc == expect_exc
+
+
+def test_roc_auc_continuous_scores_scale_shape(spark):
+    """The r5 'weak' scenario head-on: a CONTINUOUS double score
+    (every value distinct — compaction buys nothing) still computes
+    the exact Mann-Whitney AUC and still plans zero unpartitioned
+    windows, because the ordered prefix is the range-partitioned
+    two-pass, not Window.orderBy."""
+    from dataflowex_spark.operators.mleval import roc_auc
+    from dataflowex_spark.plans import plan_stats
+
+    n = 5000
+    df = spark.range(n).select(
+        (F.col("id") % 2).alias("y"),
+        # deterministic irrational-ish spread: all distinct doubles,
+        # positives shifted so AUC is strictly between 0.5 and 1
+        (
+            F.sin(F.col("id").cast("double")) * 1000.0
+            + (F.col("id") % 2).cast("double") * 400.0
+        ).alias("s"),
+    )
+    out = roc_auc(df, F.col("y") == 1, F.col("s"))
+    assert plan_stats(out)["unpartitioned_windows"] == 0
+    row = out.collect()[0]
+    # python reference: exact pair counting over the collected frame
+    rows = df.collect()
+    pos = sorted(r.s for r in rows if r.y == 1)
+    neg = sorted(r.s for r in rows if r.y == 0)
+    import bisect
+
+    half_pairs2 = 0
+    for p in pos:
+        lt = bisect.bisect_left(neg, p)
+        eq = bisect.bisect_right(neg, p) - lt
+        half_pairs2 += 2 * lt + eq
+    want = round(half_pairs2 / (2.0 * len(pos) * len(neg)), 6)
+    assert abs(row["auc"] - want) < 1e-9
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)

@@ -170,3 +170,25 @@ def test_no_python_eval_in_relational_paths(spark, sf_dir):
         if s["python_evals"]:
             offenders[name] = s["python_evals"]
     assert not offenders, offenders
+
+
+def test_no_unpartitioned_window_in_stat_queries(spark, sf_dir):
+    """r5 verdict closure: the ordered passes in roc_auc / KS / PSI /
+    the dwell percentiles must not plan an all-rows-to-one-reducer
+    WindowExec at ANY scale — the two-pass global_cumsum (or a
+    value-domain-bounded compaction for q230) replaced the
+    unpartitioned Window.orderBy. This pins the plan shape so an
+    edit cannot silently reintroduce the single-reducer stage."""
+    from dataflowex_spark.plans import plan_stats
+    from dataflowex_spark.queries import REGISTRY
+
+    for name in (
+        "q238_roc_auc",
+        "q240_ks_drift",
+        "q251_psi",
+        "q230_dwell_distribution",
+        "q263_weekly_auc",
+    ):
+        fn = REGISTRY[name][0]
+        s = plan_stats(fn(spark, sf_dir))
+        assert s["unpartitioned_windows"] == 0, (name, s)
