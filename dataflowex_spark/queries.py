@@ -13345,3 +13345,231 @@ def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@q(
+    "q295_mtable_changefeed",
+    """
+    WITH f AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderstatus = 'F'),
+    del AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+            WHERE c_custkey % 97 = 0),
+    upd AS (
+      SELECT c_custkey, CAST(c_custkey % 1000 AS DOUBLE) AS nb,
+             c_mktsegment, c_acctbal
+      FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM f)
+        AND c_custkey % 97 <> 0
+    )
+    SELECT op, c_custkey, bal_cents, c_mktsegment FROM (
+      SELECT 'D' AS op, c_custkey,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             c_mktsegment
+      FROM del
+      UNION ALL
+      SELECT 'U', c_custkey, CAST(floor(nb * 100) AS BIGINT),
+             c_mktsegment
+      FROM upd WHERE nb <> c_acctbal
+      UNION ALL
+      SELECT 'I', 10000000 + i,
+             CAST(floor(CAST((10000000 + i) % 1000 AS DOUBLE) * 100)
+                  AS BIGINT),
+             CAST(NULL AS VARCHAR)
+      FROM range(1, 6) t(i)
+    )
+    ORDER BY c_custkey, op
+    """,
+)
+def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC CHANGEFEED between MTable versions (`read_changes`),
+    computed from the MANIFEST DIFF: the q291 merge fixture is
+    replayed (update bal for customers with a finished order, delete
+    every 97th key, insert five synthetic keys), then the v1→v2 feed
+    is read — only removed/added files are scanned (cost follows the
+    rewrite, never the table; carried-by-reference files are
+    provably-unchanged rows), keys join full-outer, and a null-safe
+    value compare classifies I/U/D while dropping rewrite noise:
+    updates that happen to re-state the existing value, and untouched
+    neighbor rows that merely shared a rewritten file, must NOT
+    appear. The oracle states the net change directly over the raw
+    tables — including the `nb <> c_acctbal` clause, which is exactly
+    the no-op-update drop the feed performs. Deletes carry the
+    pre-image (bal_cents is the OLD balance), inserts a NULL segment.
+    """
+    import tempfile
+
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"].repartitionByRange(8, "c_custkey")
+    root = tempfile.mkdtemp(prefix="mtable_q295_")
+    t = MTable.create(spark, root + "/t", cust, "c_custkey")
+
+    upd = (
+        cat["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .select(
+            "c_custkey",
+            F.lit(1).alias("ts"),
+            F.lit("U").alias("op"),
+            F.lit(0).alias("tie"),
+            (F.col("c_custkey") % 1000).cast("double").alias("c_acctbal"),
+        )
+    )
+    dele = (
+        cat["customer"]
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select(
+            "c_custkey",
+            F.lit(2).alias("ts"),
+            F.lit("D").alias("op"),
+            F.lit(0).alias("tie"),
+            F.lit(None).cast("double").alias("c_acctbal"),
+        )
+    )
+    ins = spark.range(1, 6).select(
+        (F.col("id") + 10_000_000).alias("c_custkey"),
+        F.lit(3).alias("ts"),
+        F.lit("I").alias("op"),
+        F.lit(0).alias("tie"),
+        ((F.col("id") + 10_000_000) % 1000).cast("double").alias("c_acctbal"),
+    )
+    t.merge(upd.union(dele).union(ins), "ts", "op", "tie", ["c_acctbal"])
+    return (
+        t.read_changes(1, 2)
+        .select(
+            "op",
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias(
+                "bal_cents"
+            ),
+            "c_mktsegment",
+        )
+        .orderBy("c_custkey", "op")
+    )
+
+
+@q(
+    "q296_mtable_2d_prune",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_orderkey BETWEEN 100 AND 1200
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                          AND TIMESTAMP '1997-06-30'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-DIMENSIONAL manifest pruning: orders land in an MTable
+    declaring o_orderdate as a stats column, the table is re-clustered
+    with `optimize_zorder` (Morton interleave of key and date — one
+    layout, both predicates), and a key BETWEEN × date BETWEEN read
+    goes through `read_where(lo, hi, where={date: (lo, hi)})`: files
+    are pruned on the CONJUNCTION of per-file (min,max) ranges for
+    BOTH columns before Spark plans a single scan — at 100 TB the
+    difference between opening every footer and opening the small
+    hypercube intersection. The oracle is the plain SQL conjunction
+    over the raw table, proving pruning loses no rows; the
+    files-opened < total assertion is pytest-pinned
+    (tests/test_etl.py::test_mtable_2d_stats_zorder_and_changefeed).
+    """
+    import datetime as _dt
+    import tempfile
+
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    orders = cat["orders"].repartitionByRange(16, "o_orderkey")
+    root = tempfile.mkdtemp(prefix="mtable_q296_")
+    t = MTable.create(
+        spark, root + "/t", orders, "o_orderkey",
+        stats_cols=["o_orderdate"],
+    )
+    t.optimize_zorder(["o_orderdate"], n_files=16)
+    pruned = t.read_where(
+        100,
+        1200,
+        where={
+            "o_orderdate": (
+                _dt.datetime(1996, 1, 1),
+                _dt.datetime(1997, 6, 30),
+            )
+        },
+    )
+    return (
+        pruned.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@q("q297_mtable_tail", None)  # rows-only: streaming source drain
+def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log TAIL of an MTable as a Structured Streaming source
+    (`mtable_tail`, a Spark 4 Python DataSourceStreamReader): offsets
+    are manifest versions, each micro-batch is the per-version
+    FILE-LIST DIFF read executor-side (one InputPartition per added
+    file, Arrow batches), so the stream's volume is the rewrite
+    fraction, never the table. The nation table is committed, then
+    two merges land (rename + insert); the drained stream is rolled
+    up per commit version. Rows-only (streaming source not
+    SQL-expressible); stream==batch equality and checkpoint-resume
+    exactly-once are pytest-pinned
+    (tests/test_streaming.py::test_mtable_tail_stream_equals_batch_and_resumes).
+    """
+    import tempfile
+
+    from dataflowex_spark.sources.manifest_ds import MTableTailDataSource
+    from dataflowex_spark.sources.mtable import MTable
+
+    try:
+        spark.dataSource.register(MTableTailDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    cat = Catalog(spark, sf_dir)
+    nat = cat["nation"].repartitionByRange(4, "n_nationkey")
+    root = tempfile.mkdtemp(prefix="mtable_q297_")
+    t = MTable.create(spark, root + "/t", nat, "n_nationkey")
+    ren = spark.createDataFrame(
+        [(3, 1, "U", 0, "RENAMED")],
+        "n_nationkey int, ts long, op string, tie long, n_name string",
+    )
+    t.merge(ren, "ts", "op", "tie", ["n_name"])
+    ins = spark.createDataFrame(
+        [(99, 2, "I", 0, "ATLANTIS")],
+        "n_nationkey int, ts long, op string, tie long, n_name string",
+    )
+    t.merge(ins, "ts", "op", "tie", ["n_name"])
+
+    stream = spark.readStream.format("mtable_tail").load(root + "/t")
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName("q297_tail")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="q297_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return (
+        spark.table("q297_tail")
+        .groupBy(F.col("_commit_version").alias("version"))
+        .agg(F.count("*").cast("long").alias("rows_emitted"))
+        .orderBy("version")
+    )

@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -273,3 +274,127 @@ class ManifestParquetWriteSource(DataSource):
                 "manifest_parquet_write: pass the target dir via .save(path)"
             )
         return _ManifestWriter(path, schema)
+
+
+# ---------------------------------------------------------------------
+# MTable commit-log tail (streaming source over mtable manifests)
+# ---------------------------------------------------------------------
+
+
+class _TailFilePartition(InputPartition):
+    def __init__(self, path: str | None, version: int):
+        self.path = path
+        self.version = version
+
+
+class _MTableTailReader(DataSourceStreamReader):
+    """Offsets are manifest VERSIONS (``{"version": N}``); a batch is
+    the file-list diff over the offset range. Manifests are immutable,
+    so any offset range replans to the identical file set — the
+    replay determinism exactly-once sinks rely on. Reads run
+    EXECUTOR-SIDE (one InputPartition per added file, Arrow batches),
+    so parallelism is the diff's file count, not 1."""
+
+    def __init__(self, root: str, start_version: int):
+        self.root = root
+        self.start_version = start_version
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        import os
+
+        with open(os.path.join(self.root, "_CURRENT")) as f:
+            return {"version": int(f.read().strip())}
+
+    def _files(self, v: int) -> set:
+        import json
+        import os
+
+        if v <= 0:
+            return set()
+        with open(
+            os.path.join(self.root, "_v", f"{v}.manifest.json")
+        ) as f:
+            return {e["path"] for e in json.load(f)["files"]}
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        prev = self._files(start["version"])
+        for v in range(start["version"] + 1, end["version"] + 1):
+            cur = self._files(v)
+            for path in sorted(cur - prev):
+                parts.append(_TailFilePartition(path, v))
+            prev = cur
+        # a pure-removal commit (compaction dropping empties) adds no
+        # files; Spark still needs >= 1 partition to plan the batch
+        return parts or [_TailFilePartition(None, end["version"])]
+
+    def read(self, partition):
+        if partition.path is None:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        ver = pa.array([partition.version] * table.num_rows, pa.int64())
+        yield from table.append_column("_commit_version", ver).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # the manifests ARE the log; nothing to clean up
+
+
+class MTableTailDataSource(DataSource):
+    """``spark.readStream.format("mtable_tail").load(<table root>)``
+    — tails an :class:`~dataflowex_spark.sources.mtable.MTable`'s
+    commit log: each micro-batch carries the rows of files ADDED
+    between manifest versions, tagged ``_commit_version``. Files
+    carried by reference are provably-unchanged rows and are never
+    re-read or re-emitted, so a trickle of merges against a 100 TB
+    table streams only the rewritten fraction. This is the read half
+    of the exactly-once CDC sink that lands through
+    ``MTable.merge(stream_batch=...)``; for key-level net changes
+    without rewrite noise, pipe a batch through
+    ``MTable.read_changes`` instead.
+
+    Options: ``startVersion`` (default 0 — the v1 initial snapshot is
+    the first batch). Versions behind the vacuum horizon cannot be
+    tailed; keep manifests as long as the slowest consumer needs (the
+    same retention contract Delta CDF / Kafka have).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "mtable_tail"
+
+    def _root(self) -> str:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError(
+                "mtable_tail: pass the table root via .load(root)"
+            )
+        return root
+
+    def schema(self):
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        root = self._root()
+        with open(os.path.join(root, "_CURRENT")) as f:
+            v = int(f.read().strip())
+        with open(os.path.join(root, "_v", f"{v}.manifest.json")) as f:
+            files = json.load(f)["files"]
+        if not files:
+            raise ValueError("mtable_tail: current version lists no files")
+        return from_arrow_schema(
+            pq.read_schema(files[0]["path"])
+        ).add("_commit_version", "long")
+
+    def streamReader(self, schema):
+        return _MTableTailReader(
+            self._root(), int(self.options.get("startVersion", 0))
+        )

@@ -74,6 +74,17 @@ def _local_path(uri: str) -> str:
     return os.path.normpath(p)
 
 
+def _jsonable(v):
+    """Manifest stat values must round-trip through JSON and compare
+    correctly at prune time. Primitives pass through; date/datetime
+    become ISO strings (lexicographic == chronological, so range
+    pruning on the string form is exact); anything else goes through
+    str() with the same caveat left to the caller."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)
+
+
 def _atomic_write(path: str, content: str) -> None:
     d = os.path.dirname(path) or "."
     fd, tmp = tempfile.mkstemp(dir=d, prefix=".mtable_")
@@ -121,7 +132,12 @@ class MTable:
     # -- data-file authoring ------------------------------------------
 
     def _write_data_files(
-        self, df: DataFrame, key_col: str, n_files: int | None = None
+        self,
+        df: DataFrame,
+        key_col: str,
+        n_files: int | None = None,
+        stats_cols: list[str] | None = None,
+        sort_expr=None,
     ) -> list[dict]:
         """Write ``df`` as immutable parquet files under a fresh
         job directory (final names — never moved) and return manifest
@@ -129,32 +145,58 @@ class MTable:
         by the key first — rewritten files get tight DISJOINT key
         ranges (what keeps future merges' pruning sharp) and the file
         count tracks the rewrite size instead of
-        ``spark.sql.shuffle.partitions``. The stats pass reads only
-        the key column (column-pruned scan). Zero-row part files are
-        dropped from the manifest (and are inert until vacuum)."""
+        ``spark.sql.shuffle.partitions``. ``sort_expr`` overrides the
+        clustering (the Z-order path: range-partition + sort by the
+        Morton key instead of the merge key). ``stats_cols`` adds
+        per-file [min, max] for secondary columns to each entry
+        (``col_stats``) so :meth:`read_where` can prune on
+        conjunctions. The stats pass reads only the needed columns
+        (column-pruned scan). Zero-row part files are dropped from
+        the manifest (and are inert until vacuum)."""
         job = os.path.join(self.root, "data", f"job-{uuid.uuid4().hex}")
-        if n_files is not None:
+        scols = list(stats_cols or [])
+        if sort_expr is not None:
+            keyed = df.withColumn("__zk", sort_expr)
+            parts = max(1, n_files or 1)
+            df = (
+                keyed.repartitionByRange(parts, "__zk")
+                .sortWithinPartitions("__zk")
+                .drop("__zk")
+            )
+        elif n_files is not None:
             df = df.repartitionByRange(max(1, n_files), key_col)
         df.write.parquet(job)
+        aggs = [
+            F.count("*").alias("rows"),
+            F.min(key_col).alias("min_key"),
+            F.max(key_col).alias("max_key"),
+        ]
+        for c in scols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
         stats = (
             self.spark.read.parquet(job)
             .groupBy(F.input_file_name().alias("path"))
-            .agg(
-                F.count("*").alias("rows"),
-                F.min(key_col).alias("min_key"),
-                F.max(key_col).alias("max_key"),
-            )
+            .agg(*aggs)
             .collect()
         )
-        entries = [
-            {
+        entries = []
+        for r in stats:
+            e = {
                 "path": _local_path(r["path"]),
                 "rows": r["rows"],
-                "min_key": r["min_key"],
-                "max_key": r["max_key"],
+                "min_key": _jsonable(r["min_key"]),
+                "max_key": _jsonable(r["max_key"]),
             }
-            for r in stats
-        ]
+            if scols:
+                e["col_stats"] = {
+                    c: [
+                        _jsonable(r[f"__mn_{c}"]),
+                        _jsonable(r[f"__mx_{c}"]),
+                    ]
+                    for c in scols
+                }
+            entries.append(e)
         return sorted(entries, key=lambda e: e["path"])
 
     def _commit(
@@ -163,6 +205,7 @@ class MTable:
         key_col: str,
         parent: int | None,
         stream_batch: tuple[str, int] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Cut manifest parent+1 and atomically swap ``_CURRENT``.
         Optimistic check: someone else advancing the table between our
@@ -189,14 +232,20 @@ class MTable:
                 )
         v = 1 if parent is None else parent + 1
         batches = {}
+        inherited_stats: list[str] = []
         if parent is not None:
-            batches = dict(self.manifest(parent).get("stream_batches", {}))
+            pm = self.manifest(parent)
+            batches = dict(pm.get("stream_batches", {}))
+            inherited_stats = list(pm.get("stats_cols", []))
         if stream_batch is not None:
             batches[stream_batch[0]] = stream_batch[1]
         manifest = {
             "version": v,
             "parent": parent,
             "key_col": key_col,
+            "stats_cols": (
+                list(stats_cols) if stats_cols is not None else inherited_stats
+            ),
             "stream_batches": batches,
             "files": entries,
         }
@@ -222,11 +271,20 @@ class MTable:
 
     @classmethod
     def create(
-        cls, spark: SparkSession, root: str, df: DataFrame, key_col: str
+        cls,
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        key_col: str,
+        stats_cols: list[str] | None = None,
     ) -> "MTable":
+        """``stats_cols`` declares secondary columns whose per-file
+        [min, max] every subsequent commit records in the manifest —
+        the metadata that lets :meth:`read_where` prune on
+        conjunctions (e.g. key BETWEEN × date BETWEEN)."""
         t = cls(spark, root)
-        entries = t._write_data_files(df, key_col)
-        t._commit(entries, key_col, parent=None)
+        entries = t._write_data_files(df, key_col, stats_cols=stats_cols)
+        t._commit(entries, key_col, parent=None, stats_cols=stats_cols)
         return t
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -238,32 +296,88 @@ class MTable:
 
     def read_where(
         self,
-        lo,
-        hi,
+        lo=None,
+        hi=None,
         version: int | None = None,
+        where: dict | None = None,
     ) -> DataFrame:
-        """Key-range read with MANIFEST-LEVEL file pruning: only files
-        whose [min_key, max_key] intersects [lo, hi] are scanned at
-        all — the same skip parquet row-group stats give WITHIN a
-        file, lifted to the file list so Spark never even opens the
-        others (at 100 TB the difference between "open 100k footers"
-        and "open 12"). The residual per-row predicate is still
-        applied (file ranges are necessary, not sufficient), and
-        pushes down into the pruned scans."""
-        m = self.manifest(version)
-        key_col = m["key_col"]
-        files = [
-            e["path"]
-            for e in m["files"]
-            if e["min_key"] is not None
-            and not (e["max_key"] < lo or e["min_key"] > hi)
-        ]
+        """Range read with MANIFEST-LEVEL file pruning: only files
+        whose recorded ranges intersect EVERY requested range are
+        scanned at all — the same skip parquet row-group stats give
+        WITHIN a file, lifted to the file list so Spark never even
+        opens the others (at 100 TB the difference between "open 100k
+        footers" and "open 12"). The residual per-row predicates are
+        still applied (file ranges are necessary, not sufficient) and
+        push down into the pruned scans.
+
+        ``lo``/``hi`` bound the merge key (as before); ``where`` adds
+        conjunctive ``{col: (lo, hi)}`` ranges pruned against the
+        per-file ``col_stats`` recorded when the table declared
+        ``stats_cols`` (files predating the declaration, or columns
+        never declared, are conservatively kept and filtered
+        row-wise). Combine with :meth:`optimize_zorder` so ONE layout
+        gives tight file ranges on every clustered column."""
+        conds = self._range_conds(lo, hi, version, where)
+        if not conds:
+            return self.read(version)
+        files = self.prune_files(lo, hi, version=version, where=where)
         if not files:
             return self.read(version).filter(F.lit(False))
-        return (
-            self.spark.read.parquet(*sorted(files))
-            .filter(F.col(key_col).between(F.lit(lo), F.lit(hi)))
-        )
+        out = self.spark.read.parquet(*sorted(files))
+        for c, rlo, rhi, _get in conds:
+            if rlo is not None:
+                out = out.filter(F.col(c) >= F.lit(rlo))
+            if rhi is not None:
+                out = out.filter(F.col(c) <= F.lit(rhi))
+        return out
+
+    def _range_conds(self, lo, hi, version, where):
+        key_col = self.manifest(version)["key_col"]
+        conds = []  # (col, lo, hi, per-entry stats getter)
+        if lo is not None or hi is not None:
+            conds.append(
+                (key_col, lo, hi, lambda e: (e["min_key"], e["max_key"]))
+            )
+        for c, (clo, chi) in (where or {}).items():
+            conds.append(
+                (
+                    c,
+                    clo,
+                    chi,
+                    lambda e, c=c: tuple(
+                        e.get("col_stats", {}).get(c, (None, None))
+                    ),
+                )
+            )
+        return conds
+
+    def prune_files(
+        self, lo=None, hi=None, version: int | None = None,
+        where: dict | None = None,
+    ) -> list[str]:
+        """The file list surviving manifest-level pruning for the
+        given conjunctive ranges — the observable the 2-D pruning
+        tests and probes pin (``len(prune_files(...)) <
+        len(manifest.files)`` is the win)."""
+        conds = self._range_conds(lo, hi, version, where)
+
+        def keep(e: dict) -> bool:
+            for _c, rlo, rhi, get in conds:
+                mn, mx = get(e)
+                if mn is None or mx is None:
+                    continue  # no stats -> cannot exclude
+                # bounds go through the same JSON normalization the
+                # stats did at write time (date -> ISO string, which
+                # still orders chronologically), so the comparison is
+                # like-typed
+                nlo, nhi = _jsonable(rlo), _jsonable(rhi)
+                if (nhi is not None and mn > nhi) or (
+                    nlo is not None and mx < nlo
+                ):
+                    return False
+            return True
+
+        return [e["path"] for e in self.manifest(version)["files"] if keep(e)]
 
     def history(self) -> list[dict]:
         """One summary row per kept version (oldest first): version,
@@ -285,7 +399,9 @@ class MTable:
 
     def overwrite(self, df: DataFrame) -> int:
         m = self.manifest()
-        entries = self._write_data_files(df, m["key_col"])
+        entries = self._write_data_files(
+            df, m["key_col"], stats_cols=m.get("stats_cols")
+        )
         return self._commit(entries, m["key_col"], parent=m["version"])
 
     def affected_files(self, changes: DataFrame) -> list[dict]:
@@ -393,7 +509,10 @@ class MTable:
         # rewrite into ~as many files as were read: file sizes stay
         # stable across merges and the new files keep disjoint ranges
         new_entries = self._write_data_files(
-            merged, key_col, n_files=max(1, len(affected))
+            merged,
+            key_col,
+            n_files=max(1, len(affected)),
+            stats_cols=m.get("stats_cols"),
         )
         return self._commit(
             keep + new_entries,
@@ -430,9 +549,186 @@ class MTable:
         total = sum(e["rows"] for e in small)
         n_files = max(1, math.ceil(total / target_rows))
         entries = self._write_data_files(
-            df, m["key_col"], n_files=n_files
+            df, m["key_col"], n_files=n_files,
+            stats_cols=m.get("stats_cols"),
         )
         return self._commit(keep + entries, m["key_col"], parent=m["version"])
+
+    def optimize_zorder(
+        self,
+        cols: list[str],
+        n_files: int | None = None,
+        bits: int = 12,
+    ) -> int:
+        """Re-cluster the WHOLE table on the Morton interleave of the
+        merge key plus ``cols`` (the layout side of Delta/Iceberg
+        OPTIMIZE ZORDER BY) as one ordinary manifest commit. After
+        this, every clustered column's per-file [min, max] is a tight
+        hypercube face, so :meth:`read_where` conjunctions
+        (key BETWEEN × date BETWEEN × ...) each prune files — one
+        layout serves all the declared predicates, where pure
+        key-range layout serves only the key.
+
+        Trade-off stated honestly: per-file KEY ranges widen from
+        disjoint intervals to overlapping hypercube projections, so
+        subsequent merges rewrite somewhat more files per change-set;
+        tables that are merge-hot and rarely range-read should stay
+        range-clustered. ``cols`` must already be declared (or become
+        declared) stats columns — the commit records them.
+
+        One driver-side min/max agg normalizes each dimension to
+        ``bits``-bit rank space (same shape as
+        ``sources.write_zordered``); the rewrite is a single
+        distributed pass."""
+        from dataflowex_spark.sources import zorder_key
+
+        m = self.manifest()
+        key_col = m["key_col"]
+        zcols = [key_col] + [c for c in cols if c != key_col]
+        stats_cols = sorted(
+            set(m.get("stats_cols", [])) | {c for c in cols if c != key_col}
+        )
+        df = self.read()
+        dtypes = dict(df.dtypes)
+
+        def as_num(c: str):
+            # order-preserving numeric surrogate per type: Morton
+            # interleave needs ranks, not the raw values
+            dt = dtypes[c]
+            if dt.startswith("timestamp"):
+                return F.unix_micros(F.col(c).cast("timestamp")).cast(
+                    "double"
+                )
+            if dt == "date":
+                return F.unix_date(F.col(c)).cast("double")
+            if dt in ("string", "binary", "boolean") or dt.startswith(
+                ("array", "map", "struct")
+            ):
+                raise ValueError(
+                    f"optimize_zorder: column {c!r} has non-orderable-"
+                    f"numeric type {dt}; derive a numeric rank column "
+                    "upstream (e.g. a dictionary code) and cluster on that"
+                )
+            return F.col(c).cast("double")
+
+        stats = df.agg(
+            *[F.min(as_num(c)).alias(f"mn_{c}") for c in zcols],
+            *[F.max(as_num(c)).alias(f"mx_{c}") for c in zcols],
+        ).first()
+        top = (1 << bits) - 1
+        norm = []
+        for c in zcols:
+            mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+            span = (
+                (mx - mn)
+                if (mn is not None and mx is not None and mx > mn)
+                else 1.0
+            )
+            scaled = F.floor(
+                (
+                    F.coalesce(as_num(c), F.lit(mn or 0.0))
+                    - F.lit(mn or 0.0)
+                )
+                * (top / span)
+            )
+            norm.append(F.least(F.greatest(scaled, F.lit(0)), F.lit(top)))
+        entries = self._write_data_files(
+            df,
+            key_col,
+            n_files=n_files or len(m["files"]),
+            stats_cols=stats_cols,
+            sort_expr=zorder_key(norm, bits),
+        )
+        return self._commit(
+            entries, key_col, parent=m["version"], stats_cols=stats_cols
+        )
+
+    def read_changes(
+        self, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """CDC changefeed between two committed versions, computed
+        from the MANIFEST DIFF: files carried by reference between
+        ``v_from`` and ``v_to`` provably hold unchanged rows and are
+        never read — only the removed files (pre-image) and added
+        files (post-image) are scanned, so the cost is proportional
+        to what the intervening commits REWROTE, not to the table.
+        The two sides then key-join (full outer on the merge key,
+        null-safe value compare) to classify:
+
+        - ``I`` — key only in the post-image (insert);
+        - ``D`` — key only in the pre-image (delete);
+        - ``U`` — key in both with any value column changed (update;
+          copy-on-write rewrites carry untouched neighbor rows into
+          new files, and the value compare is what drops those
+          false candidates).
+
+        Returns ``op`` + the table schema: post-image values for
+        I/U, pre-image values for D. One row per changed key (the
+        net change ``v_from → v_to``, like Delta's CDF collapsed
+        across versions). Relies on the MTable invariant that the
+        merge key is unique per version (merge is latest-wins
+        per key)."""
+        m_from = self.manifest(v_from)
+        m_to = self.manifest(v_to)
+        key = m_to["key_col"]
+        from_paths = {e["path"] for e in m_from["files"]}
+        to_paths = {e["path"] for e in m_to["files"]}
+        removed = sorted(from_paths - to_paths)
+        added = sorted(to_paths - from_paths)
+        base = self.read(m_to["version"]).limit(0)
+        cols = base.columns
+        val_cols = [c for c in cols if c != key]
+        if not removed and not added:
+            return base.select(F.lit("I").alias("op"), *cols).limit(0)
+        old = (
+            self.spark.read.parquet(*removed) if removed else base
+        ).select(
+            F.col(key).alias("__k_old"),
+            *[F.col(c).alias(f"__old_{c}") for c in val_cols],
+        )
+        new = (
+            self.spark.read.parquet(*added) if added else base
+        ).select(
+            F.col(key).alias("__k_new"),
+            *[F.col(c).alias(f"__new_{c}") for c in val_cols],
+        )
+        joined = old.join(
+            new, F.col("__k_old") == F.col("__k_new"), "full_outer"
+        )
+        unchanged = (
+            F.lit(True)
+            if not val_cols
+            else None
+        )
+        if val_cols:
+            unchanged = F.col(f"__old_{val_cols[0]}").eqNullSafe(
+                F.col(f"__new_{val_cols[0]}")
+            )
+            for c in val_cols[1:]:
+                unchanged = unchanged & F.col(f"__old_{c}").eqNullSafe(
+                    F.col(f"__new_{c}")
+                )
+        op = (
+            F.when(F.col("__k_old").isNull(), F.lit("I"))
+            .when(F.col("__k_new").isNull(), F.lit("D"))
+            .when(unchanged, F.lit(None))
+            .otherwise(F.lit("U"))
+        )
+        return (
+            joined.select(
+                op.alias("op"),
+                F.coalesce(F.col("__k_new"), F.col("__k_old")).alias(key),
+                *[
+                    F.when(
+                        F.col("__k_new").isNull(), F.col(f"__old_{c}")
+                    )
+                    .otherwise(F.col(f"__new_{c}"))
+                    .alias(c)
+                    for c in val_cols
+                ],
+            )
+            .filter(F.col("op").isNotNull())
+        )
 
     def vacuum(
         self,

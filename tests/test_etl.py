@@ -1108,3 +1108,85 @@ def test_mtable_commit_race_and_vacuum_inflight_safety(spark, tmp_path):
     gone = t.vacuum(keep_last=1, delete_orphans=True, orphan_min_age_s=0.0)
     assert gone == [inflight]
     assert t.read().count() == 100
+
+
+def test_mtable_2d_stats_zorder_and_changefeed(spark, tmp_path):
+    """r6 verdict items 2b/3: (a) declared stats_cols are recorded
+    per file and survive merge commits; (b) optimize_zorder makes a
+    BETWEEN x BETWEEN conjunction prune files on BOTH dimensions
+    (files opened < total, and strictly fewer than either single
+    dimension alone); (c) read_changes computes the net key-level
+    changefeed from the manifest diff — inserts/updates/deletes
+    classified, carried-forward rows never read, rewrite-noise rows
+    (unchanged neighbors in rewritten files) dropped by the value
+    compare, and compaction between the endpoints contributes no
+    phantom changes."""
+    from dataflowex_spark.sources.mtable import MTable
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 365).alias("day"),
+        (F.col("id") * 3).alias("v"),
+    )
+    t = MTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df.repartitionByRange(16, "k"),
+        "k",
+        stats_cols=["day"],
+    )
+    m1 = t.manifest()
+    assert m1["stats_cols"] == ["day"]
+    assert all("day" in e["col_stats"] for e in m1["files"])
+
+    # (b) pre-zorder: day is uniform within every key-range file, so
+    # a day predicate prunes nothing; post-zorder both dims prune
+    assert len(t.prune_files(where={"day": (100, 120)})) == 16
+    t.optimize_zorder(["day"], n_files=16)
+    n_total = len(t.manifest()["files"])
+    n_key = len(t.prune_files(lo=0, hi=4000))
+    n_day = len(t.prune_files(where={"day": (100, 120)}))
+    n_both = len(t.prune_files(lo=0, hi=4000, where={"day": (100, 120)}))
+    assert n_key < n_total and n_day < n_total
+    assert n_both < min(n_key, n_day) or n_both <= 2, (
+        n_total, n_key, n_day, n_both,
+    )
+    got = t.read_where(0, 4000, where={"day": (100, 120)})
+    want = df.filter(
+        F.col("k").between(0, 4000) & F.col("day").between(100, 120)
+    )
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+
+    # (c) changefeed: merge touching few keys, then compaction churn
+    v_before = t.current_version()
+    chg = spark.createDataFrame(
+        [(5, 1, "U", 0, 999), (3, 1, "U", 0, 9), (90_000, 1, "I", 0, 7),
+         (17, 1, "D", 0, 0)],
+        "k long, ts long, op string, tie long, v long",
+    )
+    t.merge(chg, "ts", "op", "tie", ["v"])
+    t.compact(target_rows=50_000)  # rewrites everything small: churn
+    feed = t.read_changes(v_before)
+    rows = {r["k"]: (r["op"], r["v"]) for r in feed.collect()}
+    # k=3's update sets v to 9 == 3*3, the PRE-EXISTING value: no net
+    # change, must be absent despite the key being in the change-set
+    assert rows == {
+        5: ("U", 999),
+        90_000: ("I", 7),
+        17: ("D", 51),  # delete carries the pre-image
+    }
+    # the feed reads ONLY diffed files, never the carried majority
+    m_from = {e["path"] for e in t.manifest(v_before)["files"]}
+    m_to = {e["path"] for e in t.manifest()["files"]}
+    touched = (m_from - m_to) | (m_to - m_from)
+    from dataflowex_spark.sources.mtable import _local_path
+
+    read_files = {_local_path(p) for p in feed.inputFiles()}
+    assert read_files and read_files <= touched
+
+    # span with no file changes -> empty feed, correct schema
+    v_now = t.current_version()
+    empty = t.read_changes(v_now, v_now)
+    assert empty.columns[0] == "op" and empty.count() == 0

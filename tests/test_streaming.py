@@ -883,3 +883,100 @@ def test_stream_stream_asof_rejects_colliding_names(spark):
     ).select("k", F.col("ts").cast("timestamp"), "v")
     with _pytest.raises(ValueError, match="disjoint.*\\['ts'\\]"):
         asof_join_stream_stream(left, right, "k", "ts", "ts")
+
+
+def test_mtable_tail_stream_equals_batch_and_resumes(spark, tmp_path):
+    """r6 verdict item 6 — the read half of the MTable CDC story: the
+    mtable_tail streaming source must (a) replay the commit log as
+    the per-version FILE-LIST DIFF, matching a batch recomputation of
+    the same diffs exactly; (b) resume from its checkpoint emitting
+    ONLY versions committed after the last drain (exactly-once tail);
+    (c) never re-emit carried-forward files (the stream's volume is
+    the rewrite, not the table)."""
+    from dataflowex_spark.sources.manifest_ds import MTableTailDataSource
+    from dataflowex_spark.sources.mtable import MTable
+
+    try:
+        spark.dataSource.register(MTableTailDataSource)
+    except Exception:
+        pass  # idempotent within a session
+
+    root = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = MTable.create(spark, root, df.repartitionByRange(8, "k"), "k")
+
+    def do_merge(key, val, ts):
+        chg = spark.createDataFrame(
+            [(key, ts, "U", 0, val)],
+            "k long, ts long, op string, tie long, v long",
+        )
+        t.merge(chg, "ts", "op", "tie", ["v"])
+
+    do_merge(5, 999, 1)
+    do_merge(990, -1, 2)
+
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+
+    def drain(tag):
+        # parquet sink: the one that supports checkpoint RECOVERY
+        # (memory sink refuses to resume), which is the semantics
+        # under test
+        q = (
+            spark.readStream.format("mtable_tail")
+            .load(root)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(outdir)
+
+    out = drain("a")
+
+    # (a) batch recomputation of the same per-version file diffs
+    def batch_diff_rows(v):
+        prev = (
+            {e["path"] for e in t.manifest(v - 1)["files"]}
+            if v > 1
+            else set()
+        )
+        added = sorted(
+            {e["path"] for e in t.manifest(v)["files"]} - prev
+        )
+        if not added:
+            return []
+        return [
+            (r["k"], r["v"], v)
+            for r in spark.read.parquet(*added).collect()
+        ]
+
+    want = sorted(
+        row for v in (1, 2, 3) for row in batch_diff_rows(v)
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == want
+    # (c) stream volume = snapshot + the two rewritten files only
+    per_ver = {
+        r["_commit_version"]: r["n"]
+        for r in out.groupBy("_commit_version")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_ver[1] == 1000
+    assert 0 < per_ver[2] < 1000 and 0 < per_ver[3] < 1000
+    # the updated keys are visible with their new values
+    assert out.filter("_commit_version = 2 and k = 5").collect()[0]["v"] == 999
+
+    # (b) a new commit, same checkpoint: only version 4 arrives
+    do_merge(17, 777, 3)
+    out2 = drain("b")
+    new_rows = sorted(tuple(r) for r in out2.collect())
+    appended = [r for r in new_rows if r[2] == 4]
+    assert appended == sorted(batch_diff_rows(4))
+    # nothing re-emitted: total == first drain + v4's diff exactly
+    assert len(new_rows) == len(got) + len(appended)
