@@ -8,7 +8,7 @@ deterministic min-id semantics so reruns are stable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from dataflowex_spark.functions.text import char_ngrams, word_shingles
 
@@ -883,6 +883,17 @@ def lsh_index_probe(
         "band",
         "band_hash",
     )
+    tomb = _lsh_tombstones(spark, table_name)
+    if tomb is not None:
+        # deleted docs stay physically in the bucketed files until
+        # the next compaction; a broadcast anti-join on the (small
+        # between compactions) tombstone set hides them from every
+        # probe without touching the index layout
+        idx = idx.join(
+            F.broadcast(tomb.select(F.col("id").alias("id_indexed"))),
+            "id_indexed",
+            "left_anti",
+        )
     pairs = (
         probe.join(idx, on=["band", "band_hash"])
         .select("id_new", "id_indexed", "sig_a", "sig_b")
@@ -916,6 +927,86 @@ def lsh_index_append(
         F.col(id_col).alias("id"), "sig", "band", "band_hash"
     )
     banded.write.mode("append").insertInto(table_name)
+
+
+def _lsh_tombstone_table(table_name: str) -> str:
+    return f"{table_name}_tomb"
+
+
+def _lsh_tombstones(spark: SparkSession, table_name: str):
+    t = _lsh_tombstone_table(table_name)
+    if not spark.catalog.tableExists(t):
+        return None
+    return spark.table(t)
+
+
+def lsh_index_delete(
+    spark: SparkSession, table_name: str, ids: DataFrame
+) -> int:
+    """DELETE documents from a persisted LSH index as a METADATA
+    operation: the ids land in a tombstone side table and every
+    subsequent :func:`lsh_index_probe` anti-joins them out
+    (broadcast — tombstones are small between compactions). The
+    bucketed signature files are untouched, so a takedown/opt-out of
+    a handful of documents costs an append of a few rows, not a
+    rewrite of an n_docs·bands table — the same delete-is-cheap /
+    compaction-amortizes-the-rewrite split Delta/Iceberg use.
+    Physical removal happens at the next :func:`lsh_index_compact`.
+    Returns the number of tombstones recorded."""
+    t = _lsh_tombstone_table(table_name)
+    rows = ids.select(F.col(ids.columns[0]).alias("id")).distinct()
+    rows.write.mode("append").saveAsTable(t)
+    return rows.count()
+
+
+def lsh_index_compact(
+    spark: SparkSession,
+    table_name: str,
+    n_buckets: int = 16,
+) -> int:
+    """Physically apply accumulated tombstones: rewrite the bucketed
+    signature table WITHOUT the deleted ids into a fresh generation
+    directory, swap the table name to it (staging table + metadata
+    RENAME — readers see the old or the new generation, never a torn
+    mix), clear the tombstones, and best-effort delete the old
+    generation's files. Bucketing (and therefore the probe-side
+    no-index-shuffle property) is preserved by writing the new
+    generation with the same ``bucketBy``. Returns the number of
+    signature rows removed; no-ops (0) when there are no tombstones."""
+    import shutil
+    import uuid as _uuid
+
+    tomb = _lsh_tombstones(spark, table_name)
+    if tomb is None or tomb.limit(1).count() == 0:
+        return 0
+    old_loc = (
+        spark.sql(f"DESCRIBE FORMATTED {table_name}")
+        .filter(F.col("col_name") == "Location")
+        .first()["data_type"]
+    )
+    old_path = old_loc[len("file:"):] if old_loc.startswith("file:") else old_loc
+    new_path = old_path.rstrip("/") + f"_g{_uuid.uuid4().hex[:8]}"
+    staged = f"{table_name}_staged"
+    before = spark.table(table_name).count()
+    kept = spark.table(table_name).join(
+        F.broadcast(tomb.select("id")), "id", "left_anti"
+    )
+    (
+        kept.write.mode("overwrite")
+        .bucketBy(n_buckets, "band_hash")
+        .sortBy("band_hash")
+        .option("path", new_path)
+        .saveAsTable(staged)
+    )
+    removed = before - spark.table(staged).count()
+    spark.sql(f"DROP TABLE {table_name}")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {table_name}")
+    spark.sql(f"DROP TABLE {_lsh_tombstone_table(table_name)}")
+    # the swapped name may still carry the old generation's cached
+    # file listing — invalidate before anyone plans against it
+    spark.catalog.refreshTable(table_name)
+    shutil.rmtree(old_path, ignore_errors=True)
+    return removed
 
 
 def dedup_clusters_star(

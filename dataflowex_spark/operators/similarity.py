@@ -322,6 +322,7 @@ def ivf_search(
     id_col: str = "vec_id",
     probe_id_col: str = "probe_id",
     n_probe_cells: int = 3,
+    with_cost: bool = False,
 ) -> DataFrame:
     """Query a persisted IVF index (see :func:`ivf_build_index`):
     rank cells per probe by centroid cosine, read ONLY the chosen
@@ -373,12 +374,104 @@ def ivf_search(
             cosine_similarity(F.col("__cv"), F.col("__pv")).alias("sim"),
         )
     )
+    if with_cost:
+        # candidates scored per probe — the cost a larger n_probe
+        # pays for its recall; one count over the same window key
+        cand = cand.withColumn(
+            "n_candidates",
+            F.count("*").over(Window.partitionBy(probe_id_col)),
+        )
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("sim").desc(), F.col(id_col)
     )
     return cand.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_recall_audit(
+    probes: DataFrame,
+    index_path: str,
+    n_probe_list: list[int],
+    exact: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Recall/cost curve for a persisted IVF index: for each
+    ``n_probe`` setting, run :func:`ivf_search` and measure, against
+    a precomputed ``exact`` top-k frame (:func:`knn_cosine_exact`
+    output), the fraction of true neighbors recovered plus the
+    candidate volume paid — the audit every ANN deployment needs
+    before picking its speed/recall point (Johnson et al., the
+    faiss IVF tuning loop, done as DataFrame plans).
+
+    Returns one row per setting:
+    ``(n_probe, recall_at_k, avg_candidates, n_probes)`` where
+    recall@k = |approx ∩ exact| / |exact| averaged over probes and
+    ``avg_candidates`` is the mean per-probe candidate count scored
+    (the cost proxy — it scales with cells visited, and is the term
+    a bigger ``n_probe`` buys recall with).
+
+    Scale shape: ``exact`` is computed ONCE and reused across all
+    settings (it is the expensive half); each audited setting adds
+    one pruned-index search over the probe batch, which is the same
+    work a production query pays. Everything joins on
+    (probe, neighbor) keys — no collects beyond the final
+    len(n_probe_list)-row frame."""
+    ex = exact.filter(F.col("rank") <= k).select(
+        probe_id_col, F.col(id_col).alias("__true")
+    )
+    n_exact = ex.groupBy(probe_id_col).agg(
+        F.count("*").alias("__n_true")
+    )
+    out = None
+    for np_ in n_probe_list:
+        got = ivf_search(
+            probes,
+            index_path,
+            k=k,
+            vec_col=vec_col,
+            id_col=id_col,
+            probe_id_col=probe_id_col,
+            n_probe_cells=np_,
+            with_cost=True,
+        )
+        hits = (
+            got.select(
+                probe_id_col,
+                F.col(id_col).alias("__true"),
+                "n_candidates",
+            )
+            .groupBy(probe_id_col)
+            .agg(
+                F.first("n_candidates").alias("__n_cand"),
+            )
+            .join(
+                got.select(probe_id_col, F.col(id_col).alias("__true"))
+                .join(ex, [probe_id_col, "__true"])
+                .groupBy(probe_id_col)
+                .agg(F.count("*").alias("__n_hit")),
+                probe_id_col,
+                "left",
+            )
+        )
+        per_probe = n_exact.join(hits, probe_id_col, "left").select(
+            (
+                F.coalesce(F.col("__n_hit"), F.lit(0))
+                / F.col("__n_true").cast("double")
+            ).alias("__recall"),
+            F.coalesce(F.col("__n_cand"), F.lit(0)).alias("__n_cand"),
+        )
+        row = per_probe.agg(
+            F.lit(np_).alias("n_probe"),
+            F.round(F.avg("__recall"), 4).alias("recall_at_k"),
+            F.round(F.avg("__n_cand"), 1).alias("avg_candidates"),
+            F.count("*").cast("long").alias("n_probes"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_probe")
 
 
 def semantic_dedup(

@@ -13573,3 +13573,99 @@ def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("rows_emitted"))
         .orderBy("version")
     )
+
+
+@q("q298_ivf_recall_audit", None)  # rows-only: k-means cells not SQL-expressible
+def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe RECALL/COST AUDIT: build the persisted IVF index
+    over the embeddings corpus once, compute exact top-k once
+    (broadcast-probe brute force — the expensive half, paid a single
+    time), then sweep n_probe ∈ {1,2,4,8} measuring recall@k against
+    the exact answer and the per-probe candidate volume paid — the
+    operating-point curve every ANN deployment tunes before shipping
+    (exhaustive n_probe == n_cells provably reaches recall 1.0, which
+    the pytest pins along with monotonicity and a working-point
+    floor). Rows-only: the k-means cell structure is not
+    SQL-expressible; bounds are pinned in
+    tests/test_dedup_similarity.py::test_ivf_recall_audit_monotone_and_bounded.
+    """
+    import tempfile
+
+    from dataflowex_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_recall_audit,
+        knn_cosine_exact,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 40)
+    idx = tempfile.mkdtemp(prefix="ivf_q298_") + "/ivf"
+    ivf_build_index(emb, idx, n_cells=8)
+    exact = knn_cosine_exact(emb, probes, k=10)
+    return ivf_recall_audit(probes, idx, [1, 2, 4, 8], exact, k=10)
+
+
+@q("q299_lsh_index_maintenance", None)  # rows-only: minhash sigs not SQL-expressible
+def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-LSH-index MAINTENANCE lifecycle: delete is a
+    METADATA op (tombstones hide the ids from every probe while the
+    bucketed signature files stand), compaction physically rewrites
+    the table minus tombstones into a fresh generation and swaps it
+    in (staging table + metadata rename — never a torn read), after
+    which probes equal a fresh build without the deleted docs
+    (pytest-pinned, with the bucketed no-index-shuffle plan property
+    preserved). This entry returns the lifecycle audit: matched pairs
+    before delete, after delete (0 against the tombstoned victims),
+    signature rows physically removed by compaction, and pairs after
+    compaction."""
+    import tempfile
+    import uuid as _uuid
+
+    from dataflowex_spark.operators.dedup import (
+        lsh_index_build,
+        lsh_index_compact,
+        lsh_index_delete,
+        lsh_index_probe,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"]
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 1)
+    name = f"lsh_q299_{_uuid.uuid4().hex[:8]}"
+    root = tempfile.mkdtemp(prefix="lsh_q299_")
+    try:
+        lsh_index_build(corpus, root + "/idx", name, bands=8)
+        before = lsh_index_probe(batch, name, jaccard_threshold=0.5)
+        victims = [
+            r["doc_id"]
+            for r in before.select(
+                F.col("id_indexed").alias("doc_id")
+            ).distinct().collect()
+        ]
+        n_before = before.count()
+        lsh_index_delete(
+            spark,
+            name,
+            spark.createDataFrame([(v,) for v in victims], "doc_id long"),
+        )
+        n_after_del = lsh_index_probe(
+            batch, name, jaccard_threshold=0.5
+        ).count()
+        removed = lsh_index_compact(spark, name, n_buckets=16)
+        n_after_compact = lsh_index_probe(
+            batch, name, jaccard_threshold=0.5
+        ).count()
+        return spark.createDataFrame(
+            [
+                ("pairs_before", n_before),
+                ("pairs_after_delete", n_after_del),
+                ("sig_rows_compacted", removed),
+                ("pairs_after_compact", n_after_compact),
+            ],
+            "phase string, n long",
+        )
+    finally:
+        for t in (name, f"{name}_tomb", f"{name}_staged"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -638,3 +638,117 @@ def test_dedup_clusters_star_equals_minlabel_and_handles_chains(spark):
         for r in dedup_clusters_star(chain, max_iters=30).collect()
     }
     assert len(got) == 1000 and set(got.values()) == {0}
+
+
+def test_lsh_index_delete_and_compact(spark, sf_dir, tmp_path):
+    """Persisted-index maintenance (r6 verdict item 4): (1) deleting
+    ids is a metadata op — tombstones hide them from the next probe
+    while the bucketed files are untouched; (2) compaction physically
+    removes exactly the tombstoned signature rows, clears the
+    tombstones, keeps the table bucketed (probe still plans with the
+    bucketed scan, no index-side exchange), and probe results equal a
+    fresh index built without the deleted docs; (3) compact with no
+    tombstones is a no-op."""
+    from dataflowex_spark.operators.dedup import (
+        lsh_index_build,
+        lsh_index_compact,
+        lsh_index_delete,
+        lsh_index_probe,
+    )
+    from dataflowex_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 1)
+
+    name = "lsh_idx_maint_test"
+    for t in (name, f"{name}_tomb", f"{name}_staged"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        lsh_index_build(corpus, str(tmp_path / "idx"), name, bands=8)
+        base = lsh_index_probe(batch, name, jaccard_threshold=0.5)
+        base_pairs = sorted(
+            (r[0], r[1], round(r[2], 6)) for r in base.collect()
+        )
+        assert base_pairs
+        # delete every indexed doc that matched anything
+        # materialize the victim ids NOW: the lazy frame references
+        # index files that compaction below will physically remove
+        keep_ids = {
+            r["doc_id"]
+            for r in base.select(
+                F.col("id_indexed").alias("doc_id")
+            ).distinct().collect()
+        }
+        victims = spark.createDataFrame(
+            [(i,) for i in sorted(keep_ids)], "doc_id long"
+        )
+        assert lsh_index_delete(spark, name, victims) == len(keep_ids)
+
+        # (1) tombstoned: the probe sees none of them, files untouched
+        after_del = lsh_index_probe(batch, name, jaccard_threshold=0.5)
+        assert after_del.count() == 0
+        rows_physical = spark.table(name).count()
+
+        # (3 pre-check) compact removes exactly the victims' rows
+        removed = lsh_index_compact(spark, name, n_buckets=16)
+        assert removed > 0
+        assert spark.table(name).count() == rows_physical - removed
+        assert not spark.catalog.tableExists(f"{name}_tomb")
+
+        # (2) equals a fresh index without the victims; still bucketed
+        fresh_name = f"{name}_fresh"
+        spark.sql(f"DROP TABLE IF EXISTS {fresh_name}")
+        try:
+            lsh_index_build(
+                corpus.filter(~F.col("doc_id").isin(list(keep_ids))),
+                str(tmp_path / "idx_fresh"),
+                fresh_name,
+                bands=8,
+            )
+            got = lsh_index_probe(batch, name, jaccard_threshold=0.5)
+            want = lsh_index_probe(
+                batch, fresh_name, jaccard_threshold=0.5
+            )
+            assert sorted(tuple(r) for r in got.collect()) == sorted(
+                tuple(r) for r in want.collect()
+            )
+            assert "Bucketed: true" in formatted_plan(got)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {fresh_name}")
+
+        # (3) idempotent: nothing left to compact
+        assert lsh_index_compact(spark, name) == 0
+    finally:
+        for t in (name, f"{name}_tomb", f"{name}_staged"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivf_recall_audit_monotone_and_bounded(spark, sf_dir, tmp_path):
+    """IVF nprobe recall/cost audit: recall@k is 1.0 when every cell
+    is probed (exhaustive == exact by construction), non-decreasing
+    in n_probe, above a floor at a fixed working point, and the
+    candidate cost grows with n_probe — the curve a deployment picks
+    its operating point from."""
+    from dataflowex_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_recall_audit,
+        knn_cosine_exact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 30)
+    ivf_build_index(emb, str(tmp_path / "ivf"), n_cells=8)
+    exact = knn_cosine_exact(emb, probes, k=5)
+    audit = ivf_recall_audit(
+        probes, str(tmp_path / "ivf"), [1, 2, 4, 8], exact, k=5
+    ).collect()
+    rows = {r["n_probe"]: r for r in audit}
+    assert list(rows) == [1, 2, 4, 8]
+    recalls = [rows[n]["recall_at_k"] for n in (1, 2, 4, 8)]
+    costs = [rows[n]["avg_candidates"] for n in (1, 2, 4, 8)]
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0, recalls  # all cells probed == exact
+    assert recalls[1] >= 0.5, recalls   # working-point floor (nprobe=2)
+    assert costs == sorted(costs) and costs[0] < costs[-1], costs
+    assert all(r["n_probes"] == 30 for r in audit)
