@@ -78,6 +78,10 @@ HEADLINE = [
     # windowed argmax) and the versioned MERGE table format
     "q290_asof_bounded",
     "q291_mtable_merge",
+    # round-6 additions: manifest-diff CDC changefeed and the
+    # Z-order 2-D pruned read
+    "q295_mtable_changefeed",
+    "q296_mtable_2d_prune",
 ]
 
 

@@ -78,3 +78,29 @@ def test_warehouse_cdc_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert s.get("added", 0) == 5                  # synthetic inserts
     assert s.get("removed", 0) > 0                 # deletes landed
     assert s.get("unchanged", 0) > 0
+
+
+def test_incremental_curation_capstone(spark, tmp_path):
+    """The r6 capstone composes MTable CDC + manifest-diff changefeed
+    + persisted-LSH gating + mixture/packing into one incremental
+    run whose report must show the composition ACTUALLY incremental:
+    every standing file carried by reference (only insert files
+    written), changefeed == the batch (net new keys), rejected ==
+    the exact re-crawls, admitted == the genuinely new docs, and a
+    non-empty packed increment."""
+    from examples.incremental_curation_capstone import (
+        run_incremental_curation,
+    )
+
+    r = run_incremental_curation(
+        spark, "/root/testdata/sf0.01", str(tmp_path)
+    )
+    assert r["merge"]["files_carried"] == r["merge"]["files_total"] - 1
+    assert r["changefeed_rows"] == r["admitted"] + r["near_dup_rejected"]
+    assert r["near_dup_rejected"] > 0 and r["admitted"] > 0
+    assert r["packed"]["n_sequences"] > 0
+    assert 0 < r["packed"]["avg_fill"] <= 1.0
+    assert set(r["stages"]) == {
+        "build_mtable", "build_lsh_index", "cdc_merge",
+        "changefeed", "lsh_probe_admit", "mixture_pack",
+    }
