@@ -887,6 +887,17 @@ def decode_audio(payload: bytes) -> dict:
 
     if payload is None:
         raise ValueError("decode_audio: payload is None (pointer-only row)")
+    if payload[:4] == b"fLaC":
+        from dataflowex_spark.operators.flac import decode_flac
+
+        d = decode_flac(payload)
+        return {
+            "sample_rate": d["sample_rate"],
+            "channels": d["channels"],
+            "n_samples": d["n_samples"],
+            "duration_s": d["duration_s"],
+            "samples": d["samples"],
+        }
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         sf = _optional_soundfile()
         if sf is not None:
