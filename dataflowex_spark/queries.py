@@ -13669,3 +13669,80 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for t in (name, f"{name}_tomb", f"{name}_staged"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@q(
+    "q300_mtable_schema_evolution",
+    """
+    WITH o AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderstatus = 'O'),
+    t AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey IN (SELECT o_custkey FROM o)
+                  THEN CASE WHEN c_acctbal > 5000.0
+                            THEN 'gold' ELSE 'silver' END
+                  ELSE 'none' END AS tier
+      FROM customer
+    )
+    SELECT c_mktsegment, tier,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM t GROUP BY c_mktsegment, tier
+    ORDER BY c_mktsegment, tier
+    """,
+)
+def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY SCHEMA EVOLUTION on a versioned table: customers
+    land in an MTable, `add_column("tier", "string")` commits a new
+    version with the SAME file list and an extended schema (no data
+    file touched — O(manifest), the Delta/Iceberg ADD COLUMN cost
+    model), then one merge populates the column for customers with an
+    open order (gold/silver by balance) while every untouched row
+    null-fills through the explicit-schema read. The oracle derives
+    the same tiers directly from the raw tables ('none' for the
+    never-touched rows, mirroring the COALESCE), so the check proves
+    BOTH that the evolved column reads correctly from files that
+    physically lack it AND that the merge populated exactly the
+    intended keys."""
+    import tempfile
+
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"].repartitionByRange(8, "c_custkey")
+    root = tempfile.mkdtemp(prefix="mtable_q300_")
+    t = MTable.create(spark, root + "/t", cust, "c_custkey")
+    t.add_column("tier", "string")
+    chg = (
+        cat["orders"]
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .join(
+            cat["customer"].select("c_custkey", "c_acctbal"), "c_custkey"
+        )
+        .select(
+            "c_custkey",
+            F.lit(1).alias("ts"),
+            F.lit("U").alias("op"),
+            F.lit(0).alias("tie"),
+            F.when(F.col("c_acctbal") > 5000.0, "gold")
+            .otherwise("silver")
+            .alias("tier"),
+        )
+    )
+    t.merge(chg, "ts", "op", "tie", ["tier"])
+    return (
+        t.read()
+        .select(
+            "c_mktsegment",
+            F.coalesce(F.col("tier"), F.lit("none")).alias("tier"),
+            "c_custkey",
+        )
+        .groupBy("c_mktsegment", "tier")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("c_mktsegment", "tier")
+    )

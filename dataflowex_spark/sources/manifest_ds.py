@@ -295,9 +295,10 @@ class _MTableTailReader(DataSourceStreamReader):
     EXECUTOR-SIDE (one InputPartition per added file, Arrow batches),
     so parallelism is the diff's file count, not 1."""
 
-    def __init__(self, root: str, start_version: int):
+    def __init__(self, root: str, start_version: int, arrow_schema=None):
         self.root = root
         self.start_version = start_version
+        self.arrow_schema = arrow_schema
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -338,6 +339,17 @@ class _MTableTailReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.path)
+        # files written before a metadata-only add_column lack the
+        # new column physically — null-fill to the declared schema,
+        # same as MTable's explicit-schema batch read
+        if self.arrow_schema is not None:
+            for field in self.arrow_schema:
+                if table.schema.get_field_index(field.name) < 0:
+                    table = table.append_column(
+                        field,
+                        pa.nulls(table.num_rows, field.type),
+                    )
+            table = table.select([f.name for f in self.arrow_schema])
         ver = pa.array([partition.version] * table.num_rows, pa.int64())
         yield from table.append_column("_commit_version", ver).to_batches()
 
@@ -382,19 +394,37 @@ class MTableTailDataSource(DataSource):
 
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import StructType
 
         root = self._root()
         with open(os.path.join(root, "_CURRENT")) as f:
             v = int(f.read().strip())
         with open(os.path.join(root, "_v", f"{v}.manifest.json")) as f:
-            files = json.load(f)["files"]
-        if not files:
-            raise ValueError("mtable_tail: current version lists no files")
-        return from_arrow_schema(
-            pq.read_schema(files[0]["path"])
-        ).add("_commit_version", "long")
+            m = json.load(f)
+        # prefer the COMMITTED table schema (survives metadata-only
+        # add_column, where file footers physically disagree); fall
+        # back to the first footer for pre-schema-tracking tables
+        if m.get("schema") is not None:
+            base = StructType.fromJson(m["schema"])
+        else:
+            files = m["files"]
+            if not files:
+                raise ValueError(
+                    "mtable_tail: current version lists no files"
+                )
+            base = from_arrow_schema(pq.read_schema(files[0]["path"]))
+        return base.add("_commit_version", "long")
 
     def streamReader(self, schema):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow = to_arrow_schema(schema)
+        data_schema = pa.schema(
+            [f for f in arrow if f.name != "_commit_version"]
+        )
         return _MTableTailReader(
-            self._root(), int(self.options.get("startVersion", 0))
+            self._root(),
+            int(self.options.get("startVersion", 0)),
+            data_schema,
         )

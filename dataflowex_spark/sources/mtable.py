@@ -21,13 +21,18 @@ protocol, `atomic` pointer replace), scoped to one merge key column:
   final location by executors and never moved or edited — that half
   of the protocol is object-store friendly (no data-file renames).
 
-COMMIT-PROTOCOL CAVEAT: the metadata side assumes a LOCAL or SHARED
-POSIX filesystem (NFS/Lustre/EFS-style). The version claim relies on
-``os.link`` exclusivity and the ``_CURRENT`` swap on ``os.replace``
-atomicity — guarantees an object store (S3/GCS) does NOT provide
-without a conditional-put primitive. Running this metadata layer
-against an object store needs a pluggable commit (conditional PUT /
-DynamoDB-style lock), exactly the caveat ``manifest_ds`` documents.
+COMMIT PROTOCOL — PLUGGABLE: a commit is exactly two store
+operations, (1) put-if-absent of the fully-written version manifest
+(the atomic claim; losing the race raises ``MTableConflict``) and
+(2) unconditional put of ``_CURRENT``. The default
+:class:`PosixCommitBackend` implements them with ``os.link`` + 
+``os.replace`` (LOCAL or SHARED POSIX filesystems — NFS/Lustre/EFS);
+:class:`ConditionalPutCommitBackend` implements the same protocol on
+object-store primitives (conditional PUT, no renames anywhere) and
+is what a real S3 (``If-None-Match: *``) / GCS
+(``ifGenerationMatch=0``) backend would subclass. Data files never
+need either guarantee: they are immutable, uuid-named, written once
+to final locations.
 
 MERGE is copy-on-write with FILE-LEVEL PRUNING — the property that
 makes it work at 100 TB: the change-set's distinct keys are ranged
@@ -98,14 +103,68 @@ def _atomic_write(path: str, content: str) -> None:
         raise
 
 
+class PosixCommitBackend:
+    """Default commit backend for local / shared-POSIX filesystems:
+    the exclusive version claim is an ``os.link`` from a fully-written
+    temp file (fails on an existing target), the pointer swap an
+    ``os.replace``. Both guarantees are POSIX rename/link semantics —
+    see :class:`ConditionalPutCommitBackend` for the object-store
+    shape of the same two-operation protocol."""
+
+    def put_if_absent(self, path: str, content: str) -> None:
+        d = os.path.dirname(path) or "."
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".mtable_")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(content)
+            os.link(tmp, path)  # raises FileExistsError when claimed
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def put(self, path: str, content: str) -> None:
+        _atomic_write(path, content)
+
+
+class ConditionalPutCommitBackend:
+    """Commit backend modeling an OBJECT STORE's primitives: no
+    renames, no links — exclusivity comes from a conditional PUT
+    (S3 ``If-None-Match: *`` / GCS ``ifGenerationMatch=0``), whose
+    per-key atomicity is modeled here by a process-wide lock over
+    plain writes. Swapping this in proves the MTable commit protocol
+    needs exactly TWO store operations — put-if-absent for the
+    version claim, unconditional put for the ``_CURRENT`` pointer —
+    and no POSIX rename anywhere; a real S3/GCS backend implements
+    the same two methods against the store API."""
+
+    import threading as _threading
+
+    _lock = _threading.Lock()
+
+    def put_if_absent(self, path: str, content: str) -> None:
+        with self._lock:
+            if os.path.exists(path):
+                raise FileExistsError(path)
+            with open(path, "w") as f:
+                f.write(content)
+
+    def put(self, path: str, content: str) -> None:
+        with self._lock:
+            with open(path, "w") as f:
+                f.write(content)
+
+
 class MTable:
     """Handle to an MTable rooted at ``root``. Use :meth:`create` to
     initialize, then :meth:`read` / :meth:`merge` / :meth:`overwrite` /
     :meth:`vacuum`."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, commit_backend=None
+    ):
         self.spark = spark
         self.root = root
+        self.commit_backend = commit_backend or PosixCommitBackend()
 
     # -- metadata ------------------------------------------------------
 
@@ -206,6 +265,7 @@ class MTable:
         parent: int | None,
         stream_batch: tuple[str, int] | None = None,
         stats_cols: list[str] | None = None,
+        schema: dict | None = None,
     ) -> int:
         """Cut manifest parent+1 and atomically swap ``_CURRENT``.
         Optimistic check: someone else advancing the table between our
@@ -233,38 +293,39 @@ class MTable:
         v = 1 if parent is None else parent + 1
         batches = {}
         inherited_stats: list[str] = []
+        inherited_schema: dict | None = None
         if parent is not None:
             pm = self.manifest(parent)
             batches = dict(pm.get("stream_batches", {}))
             inherited_stats = list(pm.get("stats_cols", []))
+            inherited_schema = pm.get("schema")
         if stream_batch is not None:
             batches[stream_batch[0]] = stream_batch[1]
+        import time as _time
+
         manifest = {
             "version": v,
             "parent": parent,
+            "committed_at": _time.time(),
             "key_col": key_col,
             "stats_cols": (
                 list(stats_cols) if stats_cols is not None else inherited_stats
             ),
+            "schema": schema if schema is not None else inherited_schema,
             "stream_batches": batches,
             "files": entries,
         }
         os.makedirs(self._vdir(), exist_ok=True)
         mpath = os.path.join(self._vdir(), f"{v}.manifest.json")
-        fd, tmp = tempfile.mkstemp(dir=self._vdir(), prefix=".mtable_")
         try:
-            with os.fdopen(fd, "w") as f:
-                f.write(json.dumps(manifest, indent=1))
-            try:
-                os.link(tmp, mpath)
-            except FileExistsError:
-                raise MTableConflict(
-                    f"another writer already committed v{v}"
-                ) from None
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-        _atomic_write(cur_path, str(v))
+            self.commit_backend.put_if_absent(
+                mpath, json.dumps(manifest, indent=1)
+            )
+        except FileExistsError:
+            raise MTableConflict(
+                f"another writer already committed v{v}"
+            ) from None
+        self.commit_backend.put(cur_path, str(v))
         return v
 
     # -- operations ----------------------------------------------------
@@ -277,22 +338,79 @@ class MTable:
         df: DataFrame,
         key_col: str,
         stats_cols: list[str] | None = None,
+        commit_backend=None,
     ) -> "MTable":
         """``stats_cols`` declares secondary columns whose per-file
         [min, max] every subsequent commit records in the manifest —
         the metadata that lets :meth:`read_where` prune on
-        conjunctions (e.g. key BETWEEN × date BETWEEN)."""
-        t = cls(spark, root)
+        conjunctions (e.g. key BETWEEN × date BETWEEN).
+        ``commit_backend`` swaps the two-operation commit protocol
+        (default POSIX link/rename; see
+        :class:`ConditionalPutCommitBackend` for the object-store
+        shape)."""
+        t = cls(spark, root, commit_backend=commit_backend)
         entries = t._write_data_files(df, key_col, stats_cols=stats_cols)
-        t._commit(entries, key_col, parent=None, stats_cols=stats_cols)
+        t._commit(
+            entries,
+            key_col,
+            parent=None,
+            stats_cols=stats_cols,
+            schema=df.schema.jsonValue(),
+        )
         return t
+
+    def table_schema(self, version: int | None = None):
+        """The committed table schema (a StructType), or None for
+        manifests predating schema tracking."""
+        sj = self.manifest(version).get("schema")
+        if sj is None:
+            return None
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(sj)
+
+    def _read_paths(self, paths: list[str], version: int | None = None):
+        """Read data files UNDER THE COMMITTED SCHEMA: files written
+        before a metadata-only :meth:`add_column` lack the new column
+        physically, and the explicit schema makes the parquet reader
+        null-fill it — the mechanism that lets ADD COLUMN cost one
+        manifest write instead of a table rewrite. (Also skips footer
+        schema inference, which at 100 TB is itself a win.)"""
+        schema = self.table_schema(version)
+        r = self.spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(*paths)
 
     def read(self, version: int | None = None) -> DataFrame:
         m = self.manifest(version)
         files = [e["path"] for e in m["files"]]
         if not files:
             raise ValueError(f"mtable v{m['version']} lists no files")
-        return self.spark.read.parquet(*files)
+        return self._read_paths(files, version)
+
+    def add_column(self, name: str, dtype: str) -> int:
+        """METADATA-ONLY schema evolution: commit a new version with
+        the same file list and ``name dtype`` appended to the table
+        schema (nullable). No data file is touched — existing rows
+        read back NULL via the explicit-schema read; the next
+        :meth:`merge` may then populate the column (rewritten files
+        carry real values, carried files keep null-filling). This is
+        the Delta/Iceberg ADD COLUMN cost model: O(manifest), never
+        O(table)."""
+        m = self.manifest()
+        schema = self.table_schema()
+        if schema is None:
+            schema = self.read().schema
+        if name in schema.fieldNames():
+            raise ValueError(f"add_column: column {name!r} already exists")
+        new_schema = schema.add(name, dtype, True)
+        return self._commit(
+            m["files"],
+            m["key_col"],
+            parent=m["version"],
+            schema=new_schema.jsonValue(),
+        )
 
     def read_where(
         self,
@@ -323,7 +441,7 @@ class MTable:
         files = self.prune_files(lo, hi, version=version, where=where)
         if not files:
             return self.read(version).filter(F.lit(False))
-        out = self.spark.read.parquet(*sorted(files))
+        out = self._read_paths(sorted(files), version)
         for c, rlo, rhi, _get in conds:
             if rlo is not None:
                 out = out.filter(F.col(c) >= F.lit(rlo))
@@ -390,6 +508,7 @@ class MTable:
                 {
                     "version": m["version"],
                     "parent": m["parent"],
+                    "committed_at": m.get("committed_at"),
                     "n_files": len(m["files"]),
                     "rows": sum(e["rows"] for e in m["files"]),
                     "stream_batches": dict(m.get("stream_batches", {})),
@@ -397,12 +516,35 @@ class MTable:
             )
         return out
 
+    def version_as_of(self, ts: float) -> int:
+        """TIME-TRAVEL BY TIMESTAMP: the version current at unix time
+        ``ts`` — the largest kept version committed at or before it
+        (``read(version_as_of(t))`` is Delta's ``TIMESTAMP AS OF``).
+        Raises for a time before the first kept commit (vacuum moves
+        the reachable horizon forward, same retention semantics as
+        version travel)."""
+        best = None
+        for v in self.versions():
+            ca = self.manifest(v).get("committed_at")
+            if ca is not None and ca <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no kept version committed at or before {ts}"
+            )
+        return best
+
     def overwrite(self, df: DataFrame) -> int:
         m = self.manifest()
         entries = self._write_data_files(
             df, m["key_col"], stats_cols=m.get("stats_cols")
         )
-        return self._commit(entries, m["key_col"], parent=m["version"])
+        return self._commit(
+            entries,
+            m["key_col"],
+            parent=m["version"],
+            schema=df.schema.jsonValue(),
+        )
 
     def affected_files(self, changes: DataFrame) -> list[dict]:
         """The manifest entries whose [min_key, max_key] range could
@@ -473,8 +615,9 @@ class MTable:
             # adding a column is an overwrite-shaped operation here
             raise ValueError(
                 f"merge would add column(s) {new_cols} to only the "
-                "rewritten files; evolve the schema with overwrite() "
-                "over read().withColumn(...) first"
+                "rewritten files; declare them first with "
+                "add_column() (metadata-only) or evolve by "
+                "overwrite() over read().withColumn(...)"
             )
         chg_schema = {f.name: f.dataType for f in changes.schema.fields}
         mismatched = [
@@ -500,7 +643,7 @@ class MTable:
         keep = [e for e in m["files"] if e["path"] not in affected_paths]
 
         if affected:
-            base = self.spark.read.parquet(*sorted(affected_paths))
+            base = self._read_paths(sorted(affected_paths))
         else:
             base = self.read().limit(0)
         merged = cdc_merge(
@@ -545,7 +688,7 @@ class MTable:
         if len(small) < min_files:
             return None
         keep = [e for e in m["files"] if e["rows"] >= target_rows]
-        df = self.spark.read.parquet(*sorted(e["path"] for e in small))
+        df = self._read_paths(sorted(e["path"] for e in small))
         total = sum(e["rows"] for e in small)
         n_files = max(1, math.ceil(total / target_rows))
         entries = self._write_data_files(
@@ -681,13 +824,16 @@ class MTable:
         if not removed and not added:
             return base.select(F.lit("I").alias("op"), *cols).limit(0)
         old = (
-            self.spark.read.parquet(*removed) if removed else base
+            # v_to schema even for the pre-image: a column added
+            # between the versions null-fills on the old side, so the
+            # value compare sees null -> value as a real change
+            self._read_paths(removed, m_to["version"]) if removed else base
         ).select(
             F.col(key).alias("__k_old"),
             *[F.col(c).alias(f"__old_{c}") for c in val_cols],
         )
         new = (
-            self.spark.read.parquet(*added) if added else base
+            self._read_paths(added, m_to["version"]) if added else base
         ).select(
             F.col(key).alias("__k_new"),
             *[F.col(c).alias(f"__new_{c}") for c in val_cols],

@@ -1190,3 +1190,98 @@ def test_mtable_2d_stats_zorder_and_changefeed(spark, tmp_path):
     v_now = t.current_version()
     empty = t.read_changes(v_now, v_now)
     assert empty.columns[0] == "op" and empty.count() == 0
+
+
+def test_mtable_schema_evolution_timetravel_ts_and_commit_backends(
+    spark, tmp_path
+):
+    """Three r6 follow-ons on MTable:
+
+    (1) METADATA-ONLY ADD COLUMN: add_column commits the same file
+    list with an extended schema — no data file is touched; old rows
+    null-fill through the explicit-schema read, a subsequent merge
+    populates the column for touched keys only, and read_changes
+    across the evolution reports the null->value updates;
+    (2) TIMESTAMP time travel: version_as_of(t) resolves the version
+    current at t, same retention as version travel;
+    (3) the commit protocol is PLUGGABLE: the ConditionalPutCommitBackend
+    (object-store primitives — put-if-absent + put, no renames) runs
+    the same create/merge/conflict lifecycle, and the version-claim
+    race still raises MTableConflict."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.mtable import (
+        ConditionalPutCommitBackend,
+        MTable,
+        MTableConflict,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = MTable.create(
+        spark, str(tmp_path / "t"), df.repartitionByRange(4, "k"), "k"
+    )
+    t0 = _time.time()
+
+    # (1) metadata-only evolution
+    files_before = [e["path"] for e in t.manifest()["files"]]
+    v2 = t.add_column("score", "double")
+    assert [e["path"] for e in t.manifest()["files"]] == files_before
+    got = t.read()
+    assert got.schema["score"].dataType.simpleString() == "double"
+    assert got.filter(F.col("score").isNotNull()).count() == 0
+
+    chg = spark.createDataFrame(
+        [(5, 1, "U", 0, 0.9), (7, 1, "U", 0, 0.1)],
+        "k long, ts long, op string, tie long, score double",
+    )
+    v3 = t.merge(chg, "ts", "op", "tie", ["score"])
+    rows = {r["k"]: (r["v"], r["score"]) for r in t.read().collect()}
+    assert rows[5] == (10, 0.9) and rows[7] == (14, 0.1)
+    assert rows[3] == (6, None)  # untouched rows: still null
+    assert t.read().count() == 100
+    feed = {
+        r["k"]: (r["op"], r["score"])
+        for r in t.read_changes(1, v3).collect()
+    }
+    assert feed == {5: ("U", 0.9), 7: ("U", 0.1)}
+    # v1 still reads with its own (pre-evolution) schema
+    assert "score" not in t.read(version=1).columns
+
+    # (2) timestamp travel
+    assert t.version_as_of(t0) == 1
+    assert t.version_as_of(_time.time()) == v3
+    with _pytest.raises(ValueError, match="no kept version"):
+        t.version_as_of(t0 - 10_000)
+    assert t.history()[0]["committed_at"] is not None
+
+    # (3) object-store commit backend: full lifecycle + race
+    be = ConditionalPutCommitBackend()
+    t2 = MTable.create(
+        spark,
+        str(tmp_path / "t2"),
+        df.repartitionByRange(4, "k"),
+        "k",
+        commit_backend=be,
+    )
+    t2.merge(
+        spark.createDataFrame(
+            [(1, 1, "U", 0, 99)],
+            "k long, ts long, op string, tie long, v long",
+        ),
+        "ts", "op", "tie", ["v"],
+    )
+    assert {r["k"]: r["v"] for r in t2.read().collect()}[1] == 99
+    # loser of the claim race: target version already exists
+    import json as _json
+    import os as _os
+
+    m2 = dict(t2.manifest())
+    m2["version"] = 3
+    with open(_os.path.join(t2._vdir(), "3.manifest.json"), "w") as f:
+        f.write(_json.dumps(m2))
+    with _pytest.raises(MTableConflict, match="already committed v3"):
+        t2._commit(t2.manifest()["files"], "k", parent=2)

@@ -980,3 +980,54 @@ def test_mtable_tail_stream_equals_batch_and_resumes(spark, tmp_path):
     assert appended == sorted(batch_diff_rows(4))
     # nothing re-emitted: total == first drain + v4's diff exactly
     assert len(new_rows) == len(got) + len(appended)
+
+
+def test_mtable_tail_spans_schema_evolution(spark, tmp_path):
+    """A tail that crosses a metadata-only add_column must keep
+    working: pre-evolution files null-fill the new column to the
+    COMMITTED schema (the declared stream schema comes from the
+    manifest, not a file footer)."""
+    import tempfile as _tf
+
+    from dataflowex_spark.sources.manifest_ds import MTableTailDataSource
+    from dataflowex_spark.sources.mtable import MTable
+
+    try:
+        spark.dataSource.register(MTableTailDataSource)
+    except Exception:
+        pass
+
+    root = str(tmp_path / "t")
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = MTable.create(spark, root, df.repartitionByRange(2, "k"), "k")
+    t.add_column("score", "double")
+    chg = spark.createDataFrame(
+        [(5, 1, "U", 0, 0.5)],
+        "k long, ts long, op string, tie long, score double",
+    )
+    t.merge(chg, "ts", "op", "tie", ["score"])
+
+    q = (
+        spark.readStream.format("mtable_tail")
+        .load(root)
+        .writeStream.format("memory")
+        .queryName("mtail_evo")
+        .outputMode("append")
+        .option("checkpointLocation", _tf.mkdtemp(prefix="evo_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("mtail_evo")
+    assert set(out.columns) == {"k", "v", "score", "_commit_version"}
+    # v1 snapshot rows (pre-evolution files): score null-filled
+    assert (
+        out.filter("_commit_version = 1 and score is not null").count()
+        == 0
+    )
+    assert out.filter("_commit_version = 1").count() == 50
+    # the rewritten file carries the populated value
+    got = out.filter("_commit_version = 3 and k = 5").collect()
+    assert len(got) == 1 and got[0]["score"] == 0.5
