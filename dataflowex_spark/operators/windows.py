@@ -33,8 +33,12 @@ def global_row_number(
     Scale shape: range-repartition on the ordering (parallel sort),
     per-partition row_number, then offset each partition by the
     cumulative size of its predecessors. The offset frame is
-    #partitions rows — broadcast. Requires a total ordering for a
-    deterministic result (same contract as row_number itself).
+    #partitions rows — broadcast; its prefix sums come from a
+    triangular self-join (pid_b < pid_a) rather than a window, so the
+    WHOLE plan carries zero unpartitioned WindowExec nodes (the same
+    shape as :func:`global_cumsum`, plan-audited). Requires a total
+    ordering for a deterministic result (same contract as row_number
+    itself).
     """
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = (
@@ -51,21 +55,12 @@ def global_row_number(
         # (q212's three-deep chain planned 256 scans / 564 exchanges)
         .localCheckpoint(eager=False)
     )
+    counts = parted.groupBy("__pid").agg(F.max("__rn").alias("__cnt"))
+    a, b = counts.alias("__a"), counts.alias("__b")
     offsets = (
-        parted.groupBy("__pid")
-        .agg(F.max("__rn").alias("__cnt"))
-        .withColumn(
-            "__off",
-            F.coalesce(
-                F.sum("__cnt").over(
-                    Window.orderBy("__pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("__pid", "__off")
+        a.join(b, F.col("__b.__pid") < F.col("__a.__pid"), "left")
+        .groupBy(F.col("__a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("__b.__cnt"), F.lit(0)).alias("__off"))
     )
     return (
         parted.join(F.broadcast(offsets), "__pid")

@@ -191,19 +191,29 @@ def test_global_ntile_matches_window(spark):
 
 
 def test_global_row_number_partitioned_plan(spark):
-    """The scale guarantee: every WindowExec in the global rank plan is
-    partitioned (no all-rows-to-one-reducer stage on the big side)."""
+    """The scale guarantee, tightened in r6: the global rank plan has
+    ZERO unpartitioned WindowExec nodes — the offsets prefix-sum that
+    used to be the one allowed exception is now a triangular
+    broadcast join (same shape as global_cumsum). Ranks themselves
+    stay exact (checked against the single-reducer reference)."""
+    from pyspark.sql import Window
+
     from dataflowex_spark.operators.windows import global_row_number
+    from dataflowex_spark.plans import plan_stats
 
     df = spark.range(1000).select((F.col("id") % 97).alias("a"), "id")
     out = global_row_number(df, [F.col("a"), F.col("id")])
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    for line in plan.splitlines():
-        if "Window" in line and "windowspecdefinition" in line:
-            # the only unpartitioned window allowed is the offsets
-            # prefix-sum, whose input is ≤ num_partitions rows
-            if "partitionBy" not in line and "__pid" not in line:
-                assert "__cnt" in line or "__off" in line, line
+    assert plan_stats(out)["unpartitioned_windows"] == 0
+    got = {(r["a"], r["id"]): r["__rank"] for r in out.collect()}
+    want = {
+        (r["a"], r["id"]): r["rk"]
+        for r in df.select(
+            "a",
+            "id",
+            F.row_number().over(Window.orderBy("a", "id")).alias("rk"),
+        ).collect()
+    }
+    assert got == want
 
 
 def test_language_id_markers(spark):
