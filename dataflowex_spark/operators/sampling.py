@@ -270,18 +270,17 @@ def quantile_normalize(
     cross-multiplication ((cum_g−1)·(n_s−1) ≥ (rn_s−1)·(N−1)), so no
     float percent_rank can flip a boundary.
 
-    SCALE CONTRACT (the mleval.py bucket-cap discipline): the global
-    distribution travels as a value-COMPACTED frame (one row per
-    distinct value) through an unpartitioned cumulative window. That
-    is bounded for discrete domains (counts, grades, code lengths) —
-    the default contract — but NOT by construction for continuous
-    ones, where #distinct ≈ #rows and the single-reducer window
-    becomes the bottleneck. For continuous domains pass
-    ``max_levels``: values are first quantized onto an equi-width
-    grid of that many levels (one min/max aggregate, scan-local
-    floor()), which caps the compacted frame at ``max_levels`` rows
-    BEFORE the global window — the standard rank-binning trade
-    (normalized outputs land on grid representatives).
+    Scale shape (r6): the global distribution travels as a
+    value-COMPACTED frame whose cumulative pass is
+    :func:`~dataflowex_spark.operators.windows.global_cumsum`
+    (range-partitioned, zero unpartitioned WindowExec) — a continuous
+    domain now degrades to a parallel sort, not a single reducer.
+    ``max_levels`` remains the cost knob for continuous domains:
+    values are first quantized onto an equi-width grid (one min/max
+    aggregate, scan-local floor()), capping the compacted frame —
+    and the broadcast of it — at ``max_levels`` rows (normalized
+    outputs land on grid representatives, the standard rank-binning
+    trade).
     """
     from pyspark.sql import Window, functions as F
 
@@ -319,14 +318,14 @@ def quantile_normalize(
         F.row_number().over(sw.orderBy(v, id_col)).alias("__rn"),
         F.count("*").over(sw).alias("__ns"),
     )
+    from dataflowex_spark.operators.windows import global_cumsum
+
     gv = df.groupBy(v.alias("__g")).agg(F.count("*").alias("__c"))
-    gw = Window.orderBy("__g")
-    gcum = gv.select(
-        "__g",
-        F.sum("__c")
-        .over(gw.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("__cum"),
-        F.sum("__c").over(Window.partitionBy()).alias("__n"),
+    total = gv.agg(F.sum("__c").alias("__n"))
+    gcum = (
+        global_cumsum(gv, [F.col("__g")], ["__c"])
+        .crossJoin(F.broadcast(total))
+        .select("__g", F.col("__c_cum").alias("__cum"), "__n")
     )
     return (
         src.crossJoin(F.broadcast(gcum))
