@@ -617,44 +617,70 @@ def fuzzy_pairs(
     alternative). The length filter is a true necessary condition
     (|len(a)−len(b)| ≤ edit distance), applied inside the join before
     the O(prefix_len²) verify touches a row.
+
+    The O(prefix_len·max_dist) Levenshtein verify runs once per
+    DISTINCT unordered prefix pair, not per id pair: the frame first
+    compacts to distinct prefixes, verified prefix pairs then expand
+    back to id pairs through two equi-joins. On a dup-heavy corpus —
+    the very workload near-dup detection exists for — d distinct
+    prefixes across n docs cost d² verifies instead of n², while the
+    output (and hence the oracle contract) is unchanged; a dup-free
+    corpus pays only the extra compaction aggregate.
     """
     pref = F.substring(F.col(text_col), 1, prefix_len)
     base = df.select(
         F.col(id_col),
         pref.alias("__s"),
         F.split_part(pref, F.lit(" "), F.lit(1)).alias("__blk"),
-        F.length(pref).alias("__len"),
     )
-    a = base.select(
-        F.col(id_col).alias("id_a"),
+    distinct = base.select("__s", "__blk").distinct()
+    da = distinct.select(
         F.col("__s").alias("__sa"),
         F.col("__blk"),
-        F.col("__len").alias("__la"),
+        F.length("__sa").alias("__la"),
     )
-    b = base.select(
-        F.col(id_col).alias("id_b"),
+    db = distinct.select(
         F.col("__s").alias("__sb"),
         F.col("__blk"),
-        F.col("__len").alias("__lb"),
+        F.length("__sb").alias("__lb"),
     )
     # levenshtein WITH threshold runs the banded O(len·k) algorithm
     # and returns -1 past the band — exact distances for every
     # surviving (≤ max_dist) pair, so the SQL oracle's plain
-    # levenshtein + filter sees identical rows and values.
-    return (
-        a.join(b, on="__blk")
+    # levenshtein + filter sees identical rows and values. __sa <=
+    # __sb canonicalizes the unordered prefix pair (equal prefixes =
+    # the within-group dist-0 case).
+    spairs = (
+        da.join(db, on="__blk")
         .filter(
-            (F.col("id_a") < F.col("id_b"))
+            (F.col("__sa") <= F.col("__sb"))
             & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
         )
         .select(
-            "id_a",
-            "id_b",
+            "__sa",
+            "__sb",
             F.levenshtein(
                 F.col("__sa"), F.col("__sb"), threshold=max_dist
             ).alias("dist"),
         )
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )
+    ia = base.select(F.col(id_col).alias("__ia"), F.col("__s").alias("__sa"))
+    ib = base.select(F.col(id_col).alias("__ib"), F.col("__s").alias("__sb"))
+    return (
+        spairs.join(ia, "__sa")
+        .join(ib, "__sb")
+        # equal-prefix groups expand to a full self-product: keep one
+        # orientation; distinct-prefix pairs appear once already
+        .filter(
+            (F.col("__sa") < F.col("__sb"))
+            | (F.col("__ia") < F.col("__ib"))
+        )
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "dist",
+        )
     )
 
 
@@ -751,17 +777,50 @@ def jaccard_prefix_pairs(
     Threshold is held as an exact rational (Fraction of the float),
     and all pruning/acceptance comparisons are integer cross-
     multiplications — no float boundary flips against the oracle.
+
+    The whole candidate/verify pipeline runs over DISTINCT texts
+    (one representative doc per text, keyed by min id), then verified
+    text pairs expand back to id pairs and identical-text groups emit
+    their jaccard-1.0 pairs directly — on a dup-heavy crawl (the
+    target workload) d distinct texts across n docs cost the PPJoin
+    work of d docs, not n, with an unchanged output contract. The
+    document-frequency gram order is computed over distinct texts;
+    prefix filtering is exact under ANY consistent global gram order,
+    so this changes candidate counts, never results.
     """
     from fractions import Fraction
 
     frac = Fraction(threshold).limit_denominator(1_000_000)
     p, qd = frac.numerator, frac.denominator
-    grams = (
-        F.array_distinct(word_shingles(F.col(text_col), n))
+    grams_of = lambda c: (  # noqa: E731
+        F.array_distinct(word_shingles(c, n))
         if use_words
-        else F.array_distinct(char_ngrams(F.col(text_col), n))
+        else F.array_distinct(char_ngrams(c, n))
     )
-    ex = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    # ONE digest-keyed shuffle of (id, sha2) rows — 40 bytes each,
+    # the q80 dedup_exact precedent; texts themselves never shuffle —
+    # assigns every doc its group representative (min id per
+    # identical text). The gram stream then drops non-representative
+    # docs via an id semi-join, so every downstream stage (df-rank,
+    # prefix join, verify) runs over distinct texts only.
+    membership = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.sha2(F.col(text_col), 256).alias("__dg"),
+        )
+        .withColumn(
+            "__tid", F.min("__id").over(Window.partitionBy("__dg"))
+        )
+        .select("__id", "__tid")
+        .localCheckpoint(eager=False)
+    )
+    rep_ids = membership.filter(F.col("__id") == F.col("__tid")).select(
+        F.col("__tid").alias(id_col)
+    )
+    grams = grams_of(F.col(text_col))
+    ex = df.select(F.col(id_col), F.explode(grams).alias("gram")).join(
+        rep_ids, id_col, "left_semi"
+    )
     # grams are distinct per doc → rows-per-gram IS document frequency
     dfreq = ex.groupBy("gram").agg(F.count("*").alias("gdf"))
     w = Window.partitionBy(id_col)
@@ -803,13 +862,46 @@ def jaccard_prefix_pairs(
         .agg(F.count("*").alias("n_inter"))
     )
     union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
-    return inter.filter(
+    rep_pairs = inter.filter(
         F.lit(qd) * F.col("n_inter") >= F.lit(p) * union
     ).select(
         "id_a",
         "id_b",
         (F.col("n_inter").cast("double") / union).alias("jaccard"),
     )
+    # expand verified distinct-text pairs to id pairs...
+    cross = (
+        rep_pairs.join(
+            membership.select(
+                F.col("__tid").alias("id_a"), F.col("__id").alias("__xa")
+            ),
+            "id_a",
+        )
+        .join(
+            membership.select(
+                F.col("__tid").alias("id_b"), F.col("__id").alias("__xb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("__xa", "__xb").alias("id_a"),
+            F.greatest("__xa", "__xb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # ...and identical-text groups contribute their jaccard-1.0 pairs
+    # (restricted to texts that produce >= 1 gram, matching the base
+    # pipeline's behavior of emitting nothing for gramless docs)
+    has_grams = ex.select(F.col(id_col).alias("__tid")).distinct()
+    ma = membership.select("__tid", F.col("__id").alias("id_a"))
+    mb = membership.select("__tid", F.col("__id").alias("id_b"))
+    same = (
+        ma.join(mb, "__tid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(has_grams, "__tid")
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(same)
 
 
 def lsh_index_build(
