@@ -345,6 +345,65 @@ def transitive_root(
     )
 
 
+def sssp_weighted(
+    edges: DataFrame,
+    source: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    max_rounds: int = 4,
+    directed: bool = False,
+) -> DataFrame:
+    """Single-source WEIGHTED shortest paths via Bellman–Ford
+    relaxation: per round, dist(v) = min(dist(v), min over incoming
+    (u,v,w) of dist(u)+w) — one keyed join + one min-aggregate, the
+    weighted sibling of :func:`bfs_levels` (hop counting is the
+    w≡1 special case). ``source`` is a 1-column ``node`` frame
+    (multi-seed: nearest-seed distances).
+
+    ``max_rounds`` bounds the relaxation: the result is EXACT for
+    every shortest path of ≤ max_rounds edges (the classic
+    Bellman–Ford invariant), which is both the unrollable-oracle
+    contract (q301 replays the rounds as CTEs) and the practical
+    small-world setting; run ``max_rounds = n−1`` for full exactness
+    on non-negative weights. Scale shape: each round is one shuffle
+    keyed by node over the frontier-reachable set, lineage cut per
+    round with localCheckpoint (the q131/q282 iterative discipline).
+    Keep weights integer for engine-exact minima. Returns (node, d).
+    """
+    e = edges.select(
+        F.col(src_col).alias("a"),
+        F.col(dst_col).alias("b"),
+        F.col(weight_col).alias("w"),
+    )
+    if not directed:
+        e = e.unionByName(
+            edges.select(
+                F.col(dst_col).alias("a"),
+                F.col(src_col).alias("b"),
+                F.col(weight_col).alias("w"),
+            )
+        )
+    # parallel edges: only the lightest can ever relax
+    e = e.groupBy("a", "b").agg(F.min("w").alias("w")).localCheckpoint(
+        eager=True
+    )
+    dist = source.select(
+        F.col("node"), F.lit(0).cast("long").alias("d")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_rounds):
+        cand = e.join(dist.withColumnRenamed("node", "a"), "a").select(
+            F.col("b").alias("node"), (F.col("d") + F.col("w")).alias("d")
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return dist
+
+
 def bfs_levels(
     edges: DataFrame,
     source: DataFrame,

@@ -13746,3 +13746,86 @@ def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "tier")
     )
+
+
+@q(
+    "q301_sssp_weighted",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey AND l_orderkey % 10 = 0
+    ), und AS (
+      SELECT a, b, MIN(w) AS w FROM (
+        SELECT s AS a, d AS b, 1 + (s + d) % 7 AS w FROM e
+        UNION ALL
+        SELECT d AS a, s AS b, 1 + (s + d) % 7 AS w FROM e
+      ) GROUP BY a, b
+    ), d0 AS (
+      SELECT MIN(a) AS node, 0 AS dist FROM und
+    ),
+    c1 AS (SELECT u.b AS node, x.dist + u.w AS dist
+           FROM und u JOIN d0 x ON x.node = u.a),
+    d1 AS (SELECT node, MIN(dist) AS dist FROM
+           (SELECT * FROM d0 UNION ALL SELECT * FROM c1) GROUP BY node),
+    c2 AS (SELECT u.b AS node, x.dist + u.w AS dist
+           FROM und u JOIN d1 x ON x.node = u.a),
+    d2 AS (SELECT node, MIN(dist) AS dist FROM
+           (SELECT * FROM d1 UNION ALL SELECT * FROM c2) GROUP BY node),
+    c3 AS (SELECT u.b AS node, x.dist + u.w AS dist
+           FROM und u JOIN d2 x ON x.node = u.a),
+    d3 AS (SELECT node, MIN(dist) AS dist FROM
+           (SELECT * FROM d2 UNION ALL SELECT * FROM c3) GROUP BY node),
+    c4 AS (SELECT u.b AS node, x.dist + u.w AS dist
+           FROM und u JOIN d3 x ON x.node = u.a),
+    d4 AS (SELECT node, MIN(dist) AS dist FROM
+           (SELECT * FROM d3 UNION ALL SELECT * FROM c4) GROUP BY node)
+    SELECT CAST(dist AS BIGINT) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node
+    FROM d4 GROUP BY dist ORDER BY dist
+    """,
+)
+def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED single-source shortest paths (Bellman–Ford, 4
+    relaxation rounds) over the co-purchase graph with deterministic
+    integer edge weights (1 + (s+d) mod 7): per round one
+    adjacency⋈distance join + min-aggregate — the weighted sibling of
+    q282's BFS, exact for every shortest path of ≤ 4 edges (the
+    Bellman–Ford invariant the unrolled-CTE oracle replays round by
+    round). Integer weights keep the minima engine-exact. Output:
+    per-distance node counts + min node id."""
+    from dataflowex_spark.operators.graph import sssp_weighted
+
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .select(
+            "src",
+            "dst",
+            (1 + (F.col("src") + F.col("dst")) % 7).cast("long").alias("w"),
+        )
+    )
+    source = edges.agg(
+        F.least(F.min("src"), F.min("dst")).alias("node")
+    )
+    dist = sssp_weighted(edges, source, max_rounds=4)
+    return (
+        dist.groupBy(F.col("d").cast("long").alias("dist"))
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+        )
+        .orderBy("dist")
+    )

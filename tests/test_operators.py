@@ -2137,3 +2137,35 @@ def test_roc_auc_continuous_scores_scale_shape(spark):
     want = round(half_pairs2 / (2.0 * len(pos) * len(neg)), 6)
     assert abs(row["auc"] - want) < 1e-9
     assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+
+
+def test_sssp_weighted_hand_graph(spark):
+    """Bellman-Ford on a hand graph where the weighted shortest path
+    differs from the fewest-hop path: 0-1-2-3 costs 3 via unit edges
+    while the direct 0-3 edge costs 10 — the weighted answer must
+    take the longer-hop route. Also: parallel edges collapse to the
+    lightest, multi-round exactness bound, undirected symmetry."""
+    from dataflowex_spark.operators.graph import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 1), (1, 2, 1), (2, 3, 1),  # cheap 3-hop chain
+            (0, 3, 10),                        # expensive shortcut
+            (0, 3, 12),                        # parallel, heavier
+            (3, 4, 2),
+        ],
+        "src long, dst long, w long",
+    )
+    src = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["d"]
+        for r in sssp_weighted(edges, src, max_rounds=5).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 5}
+    # with only 1 round, just direct edges relax (<=1-edge paths
+    # exact: node 3 via the 10-weight shortcut)
+    one = {
+        r["node"]: r["d"]
+        for r in sssp_weighted(edges, src, max_rounds=1).collect()
+    }
+    assert one[3] == 10 and one[1] == 1
