@@ -65,6 +65,12 @@ class MTableConflict(RuntimeError):
     its commit attempt — re-run against the new current version."""
 
 
+class MTableCheckViolation(RuntimeError):
+    """Data rejected by a declared CHECK constraint — the commit did
+    not happen; nothing became visible (orphaned staging files are
+    reclaimed by ``vacuum(delete_orphans=True)``)."""
+
+
 def _local_path(uri: str) -> str:
     """``input_file_name()`` URIs → canonical local paths (strip the
     ``file:`` scheme, collapse leading slashes, unquote) so manifest
@@ -266,6 +272,7 @@ class MTable:
         stream_batch: tuple[str, int] | None = None,
         stats_cols: list[str] | None = None,
         schema: dict | None = None,
+        checks: dict | None = None,
     ) -> int:
         """Cut manifest parent+1 and atomically swap ``_CURRENT``.
         Optimistic check: someone else advancing the table between our
@@ -294,11 +301,13 @@ class MTable:
         batches = {}
         inherited_stats: list[str] = []
         inherited_schema: dict | None = None
+        inherited_checks: dict = {}
         if parent is not None:
             pm = self.manifest(parent)
             batches = dict(pm.get("stream_batches", {}))
             inherited_stats = list(pm.get("stats_cols", []))
             inherited_schema = pm.get("schema")
+            inherited_checks = dict(pm.get("checks", {}))
         if stream_batch is not None:
             batches[stream_batch[0]] = stream_batch[1]
         import time as _time
@@ -312,6 +321,7 @@ class MTable:
                 list(stats_cols) if stats_cols is not None else inherited_stats
             ),
             "schema": schema if schema is not None else inherited_schema,
+            "checks": checks if checks is not None else inherited_checks,
             "stream_batches": batches,
             "files": entries,
         }
@@ -516,6 +526,93 @@ class MTable:
             )
         return out
 
+    def add_check(self, name: str, expr: str) -> int:
+        """Declare a CHECK constraint (a SQL boolean expression over
+        the table's columns) as a metadata commit. SQL CHECK
+        semantics: a row violates only when the expression is FALSE
+        (NULL/unknown passes). The STANDING data must already satisfy
+        it — add_check scans once and refuses otherwise — and every
+        subsequent merge/overwrite validates its newly written files
+        BEFORE committing, so a bad change-set raises
+        :class:`MTableCheckViolation` and nothing becomes visible.
+        Validation cost tracks the rewrite, never the table."""
+        m = self.manifest()
+        checks = dict(m.get("checks", {}))
+        if name in checks:
+            raise ValueError(f"add_check: constraint {name!r} exists")
+        bad = self.read().filter(f"({expr}) = false").count()
+        if bad:
+            raise MTableCheckViolation(
+                f"existing data violates {name!r} ({expr}): {bad} rows"
+            )
+        checks[name] = expr
+        return self._commit(
+            m["files"], m["key_col"], parent=m["version"], checks=checks
+        )
+
+    def _validate_new_files(self, entries: list[dict]) -> None:
+        """One aggregate pass evaluating every declared CHECK over
+        freshly written (not yet committed) files; raises with the
+        per-check violation counts."""
+        checks = self.manifest().get("checks", {})
+        paths = [e["path"] for e in entries]
+        if not checks or not paths:
+            return
+        row = (
+            self._read_paths(sorted(paths))
+            .agg(
+                *[
+                    F.count(
+                        F.when(F.expr(e) == F.lit(False), F.lit(1))
+                    ).alias(n)
+                    for n, e in checks.items()
+                ]
+            )
+            .first()
+        )
+        bad = {n: row[n] for n in checks if row[n]}
+        if bad:
+            raise MTableCheckViolation(
+                "change-set violates CHECK constraint(s) "
+                + ", ".join(
+                    f"{n} ({checks[n]}): {c} rows" for n, c in bad.items()
+                )
+            )
+
+    def merge_retry(
+        self,
+        changes: DataFrame,
+        ts_col: str,
+        op_col: str,
+        tie_col: str,
+        value_cols: list[str],
+        max_attempts: int = 5,
+        stream_batch: tuple[str, int] | None = None,
+    ) -> int:
+        """Optimistic-concurrency retry loop around :meth:`merge` —
+        the Delta/Iceberg commit-retry semantics: on
+        :class:`MTableConflict` the merge re-runs against the NEW
+        current version (re-pruning against the winner's manifest, so
+        disjoint writers serialize correctly). ``changes`` must be
+        re-evaluable (a deterministic plan or checkpointed frame).
+        Raises the last conflict after ``max_attempts``."""
+        last: MTableConflict | None = None
+        for _ in range(max_attempts):
+            try:
+                return self.merge(
+                    changes,
+                    ts_col,
+                    op_col,
+                    tie_col,
+                    value_cols,
+                    stream_batch=stream_batch,
+                )
+            except MTableConflict as e:
+                last = e
+        raise MTableConflict(
+            f"merge_retry: gave up after {max_attempts} attempts"
+        ) from last
+
     def version_as_of(self, ts: float) -> int:
         """TIME-TRAVEL BY TIMESTAMP: the version current at unix time
         ``ts`` — the largest kept version committed at or before it
@@ -539,6 +636,7 @@ class MTable:
         entries = self._write_data_files(
             df, m["key_col"], stats_cols=m.get("stats_cols")
         )
+        self._validate_new_files(entries)
         return self._commit(
             entries,
             m["key_col"],
@@ -657,6 +755,7 @@ class MTable:
             n_files=max(1, len(affected)),
             stats_cols=m.get("stats_cols"),
         )
+        self._validate_new_files(new_entries)
         return self._commit(
             keep + new_entries,
             key_col,

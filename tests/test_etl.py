@@ -1285,3 +1285,158 @@ def test_mtable_schema_evolution_timetravel_ts_and_commit_backends(
         f.write(_json.dumps(m2))
     with _pytest.raises(MTableConflict, match="already committed v3"):
         t2._commit(t2.manifest()["files"], "k", parent=2)
+
+
+def test_mtable_check_constraints_and_concurrent_merge_retry(
+    spark, tmp_path
+):
+    """(1) CHECK constraints: declared as metadata, enforced on every
+    merge/overwrite BEFORE commit — a violating change-set raises and
+    NOTHING becomes visible (version unchanged, reads unchanged);
+    NULL evaluates as unknown and passes (SQL CHECK semantics);
+    add_check refuses when standing data already violates.
+    (2) Concurrent writers: two threads merging DISJOINT key ranges
+    through merge_retry — the loser of each commit race re-runs
+    against the winner's manifest; both change-sets land, exactly
+    once each."""
+    import threading
+
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.mtable import (
+        MTable,
+        MTableCheckViolation,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("v")
+    )
+    t = MTable.create(
+        spark, str(tmp_path / "t"), df.repartitionByRange(8, "k"), "k"
+    )
+    t.add_check("v_bounded", "v BETWEEN 0 AND 999")
+    assert t.manifest()["checks"] == {"v_bounded": "v BETWEEN 0 AND 999"}
+    with _pytest.raises(ValueError, match="exists"):
+        t.add_check("v_bounded", "v >= 0")
+    with _pytest.raises(MTableCheckViolation, match="existing data"):
+        t.add_check("v_small", "v < 50")
+
+    def chg(rows):
+        return spark.createDataFrame(
+            rows, "k long, ts long, op string, tie long, v long"
+        )
+
+    v_before = t.current_version()
+    with _pytest.raises(MTableCheckViolation, match="v_bounded"):
+        t.merge(chg([(5, 1, "U", 0, 5000)]), "ts", "op", "tie", ["v"])
+    assert t.current_version() == v_before  # nothing visible
+    assert {r["k"]: r["v"] for r in t.read().collect()}[5] == 5
+    # a NULL change value means "keep the base" (cdc_merge coalesce
+    # semantics) and trips no check; a valid update applies
+    t.merge(
+        chg([(5, 2, "U", 0, None), (6, 2, "U", 0, 42)]),
+        "ts", "op", "tie", ["v"],
+    )
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[5] == 5 and got[6] == 42
+
+    # (2) two racing writers, disjoint key ranges
+    errs = []
+
+    def writer(lo, val):
+        try:
+            t2 = MTable(spark, str(tmp_path / "t"))
+            t2.merge_retry(
+                chg([(k, 9, "U", 0, val) for k in range(lo, lo + 20)]),
+                "ts", "op", "tie", ["v"],
+            )
+        except Exception as e:  # surfaced after join
+            errs.append(e)
+
+    a = threading.Thread(target=writer, args=(100, 111))
+    b = threading.Thread(target=writer, args=(500, 222))
+    a.start(); b.start(); a.join(); b.join()
+    assert not errs, errs
+    final = {r["k"]: r["v"] for r in t.read().collect()}
+    assert all(final[k] == 111 for k in range(100, 120))
+    assert all(final[k] == 222 for k in range(500, 520))
+    assert t.read().count() == 1000
+
+
+def test_mtable_model_based_random_ops(spark, tmp_path):
+    """Model-based check of the storage layer: a seeded random
+    sequence of merges (upserts + deletes), compactions, and an
+    overwrite runs against BOTH the MTable and an in-memory dict
+    model; after every op the table must read back exactly the model,
+    and read_changes between random version pairs must equal the
+    model snapshots' diff — the property that all the bookkeeping
+    (manifests, carried files, rewrites, changefeed classification)
+    composes over arbitrary histories."""
+    import random
+
+    from dataflowex_spark.sources.mtable import MTable
+
+    rng = random.Random(20260814)
+    model: dict[int, int] = {k: k * 3 for k in range(500)}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in model.items()], "k long, v long"
+    )
+    t = MTable.create(
+        spark, str(tmp_path / "t"), df.repartitionByRange(6, "k"), "k"
+    )
+    snapshots = {t.current_version(): dict(model)}
+
+    def apply_merge():
+        ups = {
+            rng.randrange(0, 700): rng.randrange(0, 10_000)
+            for _ in range(rng.randrange(1, 40))
+        }
+        dels = {
+            rng.randrange(0, 700)
+            for _ in range(rng.randrange(0, 10))
+        } - set(ups)
+        rows = [(k, 1, "U", 0, v) for k, v in ups.items()] + [
+            (k, 2, "D", 0, 0) for k in dels
+        ]
+        chg = spark.createDataFrame(
+            rows, "k long, ts long, op string, tie long, v long"
+        )
+        t.merge(chg, "ts", "op", "tie", ["v"])
+        model.update(ups)
+        for k in dels:
+            model.pop(k, None)
+
+    for i in range(8):
+        op = rng.random()
+        if op < 0.6:
+            apply_merge()
+        elif op < 0.8:
+            t.compact(target_rows=200, min_files=2)
+        else:
+            # overwrite with the model itself, reshuffled
+            t.overwrite(
+                spark.createDataFrame(
+                    sorted(model.items()), "k long, v long"
+                ).repartitionByRange(4, "k")
+            )
+        snapshots[t.current_version()] = dict(model)
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        assert got == model, f"divergence after op {i}"
+
+    versions = sorted(snapshots)
+    for _ in range(4):
+        a, b = sorted(rng.sample(versions, 2))
+        sa, sb = snapshots[a], snapshots[b]
+        want = {}
+        for k in sb.keys() - sa.keys():
+            want[k] = ("I", sb[k])
+        for k in sa.keys() - sb.keys():
+            want[k] = ("D", sa[k])
+        for k in sa.keys() & sb.keys():
+            if sa[k] != sb[k]:
+                want[k] = ("U", sb[k])
+        got = {
+            r["k"]: (r["op"], r["v"])
+            for r in t.read_changes(a, b).collect()
+        }
+        assert got == want, (a, b)
