@@ -498,3 +498,57 @@ def readability_scores(
         - F.lit(1.015) * (words.cast("double") / sentences)
         - F.lit(84.6) * (syllables.cast("double") / words),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib COMPRESSIBILITY — ``compressed_len``,
+    ``raw_len``, and their ratio appended as columns. The
+    CCNet/Dolma-style low-entropy screen: machine-generated
+    boilerplate, keyword stuffing, and template spam compress far
+    better than natural prose (ratio ≪ the ~0.3–0.5 band typical of
+    clean text), while random/encrypted garbage compresses worse
+    (ratio ≈ 1); both tails are cut in corpus curation.
+
+    One of the DECLARED pandas operators (zlib is Python-side):
+    Arrow-batched ``mapInPandas``, all other columns pass through,
+    deterministic for a fixed ``level``. Scale shape: scan-local map,
+    no shuffle; the UDF touches each row once."""
+    import pandas as pd  # noqa: F401  (worker-side import)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("raw_len", LongType()),
+            StructField("compressed_len", LongType()),
+            StructField("compression_ratio", DoubleType()),
+        ]
+    )
+
+    def gen(it):
+        import zlib
+
+        for pdf in it:
+            texts = pdf[text_col].fillna("")
+            raw = texts.str.encode("utf-8")
+            pdf["raw_len"] = raw.str.len().astype("int64")
+            pdf["compressed_len"] = [
+                len(zlib.compress(b, level)) for b in raw
+            ]
+            pdf["compression_ratio"] = [
+                (c / r) if r else 1.0
+                for c, r in zip(pdf["compressed_len"], pdf["raw_len"])
+            ]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)

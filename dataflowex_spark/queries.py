@@ -13829,3 +13829,32 @@ def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+@q("q302_compression_quality", None)  # rows-only: zlib is not SQL-expressible
+def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility quality screen (CCNet/Dolma style): per-source
+    document counts by zlib-ratio band — heavy repetition/boilerplate
+    compresses into the low band, clean prose sits mid-band, random
+    noise high. One scan-local mapInPandas (a declared pandas
+    operator), one rollup; deterministic for the fixed zlib level so
+    the driver's rows-only check is stable. The operator's value
+    properties (repetition ↓ ratio, noise ↑ ratio, monotone in
+    redundancy) are pytest-pinned."""
+    from dataflowex_spark.operators.text import compression_ratio
+
+    cat = Catalog(spark, sf_dir)
+    scored = compression_ratio(cat["documents"])
+    band = (
+        F.when(F.col("compression_ratio") < 0.3, "low_entropy")
+        .when(F.col("compression_ratio") < 0.7, "prose")
+        .otherwise("high_entropy")
+    )
+    return (
+        scored.groupBy(F.col("source"), band.alias("band"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("compression_ratio"), 4).alias("avg_ratio"),
+        )
+        .orderBy("source", "band")
+    )

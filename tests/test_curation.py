@@ -1011,3 +1011,43 @@ def test_probe_mp3_mpeg2_layer2_samples_per_frame():
     d1 = probe_mp3(l1)
     assert d1 is not None and d1["layer"] == 1
     assert abs(d1["duration_s"] - 1000 * 384 / 44100) < 1e-6
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    """zlib compressibility must rank texts by redundancy: heavy
+    repetition < natural-ish prose < random hex noise; columns pass
+    through; empty text is ratio 1.0 (guarded division)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from dataflowex_spark.operators.text import compression_ratio
+
+    rng = random.Random(7)
+    noise = "".join(rng.choice("0123456789abcdef") for _ in range(4000))
+    rows = [
+        Row(doc_id=1, text="spam " * 800, tag="rep"),
+        Row(
+            doc_id=2,
+            text=(
+                "the quick brown fox jumps over the lazy dog while "
+                "seventeen jurors deliberated about an obscure maritime "
+                "statute nobody remembered drafting "
+            )
+            * 25,
+            tag="prose",
+        ),
+        Row(doc_id=3, text=noise, tag="noise"),
+        Row(doc_id=4, text="", tag="empty"),
+    ]
+    out = {
+        r["tag"]: r
+        for r in compression_ratio(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    assert out["rep"]["compression_ratio"] < out["prose"][
+        "compression_ratio"
+    ] < out["noise"]["compression_ratio"]
+    assert out["empty"]["compression_ratio"] == 1.0
+    assert out["prose"]["raw_len"] > 0 and out["prose"]["doc_id"] == 2
