@@ -196,3 +196,103 @@ def resample_linear(
         .alias("v_interp_q"),
         "observed",
     )
+
+
+def sax_words(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    series_len: int = 32,
+    paa_segments: int = 8,
+    quantize: int = 1000,
+    tie_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """SAX — Symbolic Aggregate approXimation (Lin et al., DMKD'03):
+    each key's first ``series_len`` observations (time order, ties
+    broken by ``tie_cols``) become one short SYMBOLIC WORD —
+    z-normalize, average into ``paa_segments`` equal segments (PAA),
+    map each segment mean to {a,b,c,d} via the N(0,1) quartile
+    breakpoints (−0.6745, 0, 0.6745). Returns ``(key, word)``; keys
+    with fewer than ``series_len`` observations are dropped (the
+    fixed-length contract).
+
+    This is the time-series SIBLING of the MinHash/SimHash blocking
+    family: similar shapes get EQUAL words, so candidate pairs
+    materialize inside a word equi-join — never an all-pairs scan —
+    and a downstream exact-distance verify (or a DTW within word
+    groups) runs on the candidate volume only. At 100 TB of series
+    the word table is one short string per key.
+
+    Engine-exact by construction (the oracle requirement): values are
+    quantized to integers (``floor(v·quantize)``), every mean /
+    variance / segment mean derives from EXACT integer sums with one
+    closed-form float expression at the end, and the constant-series
+    edge (variance exactly 0) pins z ≡ 0 — so no float summation
+    order or boundary flip can differ across engines. ``series_len``
+    must be divisible by ``paa_segments``."""
+    if series_len % paa_segments != 0:
+        raise ValueError(
+            "sax_words: series_len must be divisible by paa_segments"
+        )
+    per_seg = series_len // paa_segments
+    vq = F.floor(F.col(value_col) * quantize).cast("long")
+    w = Window.partitionBy("__k").orderBy(ts_col, *tie_cols)
+    sliced = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.col(ts_col),
+            *[F.col(c) for c in tie_cols],
+            vq.alias("__v"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= series_len)
+    )
+    # exact integer sums per key (mean/variance inputs) and per segment
+    stats = sliced.groupBy("__k").agg(
+        F.count("*").alias("__n"),
+        F.sum("__v").alias("__s1"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__s2"),
+    ).filter(F.col("__n") == series_len)
+    segs = (
+        sliced.withColumn(
+            "__seg", ((F.col("__rn") - 1) / per_seg).cast("int")
+        )
+        .groupBy("__k", "__seg")
+        .agg(F.sum("__v").alias("__ss"))
+    )
+    n = float(series_len)
+    mean = F.col("__s1") / F.lit(n)
+    var = F.col("__s2") / F.lit(n) - mean * mean
+    # variance is exactly 0 iff all quantized values equal (integer
+    # sums) — pin z to 0 there instead of dividing by 0
+    paa_z = F.when(
+        F.col("__s2") * F.lit(int(series_len))
+        == F.col("__s1") * F.col("__s1"),
+        F.lit(0.0),
+    ).otherwise(
+        (F.col("__ss") / F.lit(float(per_seg)) - mean) / F.sqrt(var)
+    )
+    sym = (
+        F.when(paa_z < -0.6745, "a")
+        .when(paa_z < 0.0, "b")
+        .when(paa_z < 0.6745, "c")
+        .otherwise("d")
+    )
+    return (
+        segs.join(stats, "__k")
+        .select("__k", "__seg", sym.alias("__sym"))
+        .groupBy("__k")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("__seg", "__sym"))
+                    ),
+                    lambda x: x["__sym"],
+                ),
+                "",
+            ).alias("word")
+        )
+        .select(F.col("__k").alias(key_col), "word")
+    )

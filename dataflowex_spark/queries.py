@@ -13858,3 +13858,79 @@ def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "band")
     )
+
+
+@q(
+    "q303_sax_blocking",
+    """
+    WITH s AS (
+      SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), t AS (SELECT * FROM s WHERE rn <= 32),
+    st AS (
+      SELECT user_id, SUM(v) AS s1, SUM(v * v) AS s2
+      FROM t GROUP BY user_id HAVING COUNT(*) = 32
+    ),
+    seg AS (
+      SELECT user_id, (rn - 1) // 4 AS seg, SUM(v) AS ss
+      FROM t GROUP BY user_id, (rn - 1) // 4
+    ),
+    z AS (
+      SELECT g.user_id, g.seg,
+             CASE WHEN st.s2 * 32 = st.s1 * st.s1 THEN 0.0
+                  ELSE (g.ss / 4.0 - st.s1 / 32.0)
+                       / sqrt(st.s2 / 32.0
+                              - (st.s1 / 32.0) * (st.s1 / 32.0))
+             END AS pz
+      FROM seg g JOIN st ON st.user_id = g.user_id
+    ),
+    words AS (
+      SELECT user_id,
+             string_agg(CASE WHEN pz < -0.6745 THEN 'a'
+                             WHEN pz < 0.0 THEN 'b'
+                             WHEN pz < 0.6745 THEN 'c'
+                             ELSE 'd' END, '' ORDER BY seg) AS word
+      FROM z GROUP BY user_id
+    )
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MIN(user_id) AS BIGINT) AS min_key,
+           CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT)
+             AS candidate_pairs
+    FROM words GROUP BY word ORDER BY word
+    """,
+)
+def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SERIES SIMILARITY BLOCKING via SAX (Lin et al.): each
+    user's first 32 events compress to one 8-symbol z-normalized PAA
+    word; identical words are the candidate groups a downstream exact
+    verify (Euclidean/DTW inside the group) would join on — the
+    MinHash-banding idea transplanted to shapes, so candidate pairs
+    materialize only inside the word equi-join, never all-pairs.
+    Output: the blocking histogram (word, members, min key, candidate
+    pairs). Engine-exact: quantized integer sums feed one closed-form
+    float expression per segment, with the constant-series variance-0
+    edge pinned (the oracle replays the identical formulas)."""
+    from dataflowex_spark.operators.timeseries import sax_words
+
+    cat = Catalog(spark, sf_dir)
+    words = sax_words(
+        cat["events"],
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        series_len=32,
+        paa_segments=8,
+        tie_cols=("event_id",),
+    )
+    cnt = F.count("*")
+    return (
+        words.groupBy("word")
+        .agg(
+            cnt.cast("long").alias("n_keys"),
+            F.min("user_id").cast("long").alias("min_key"),
+            (cnt * (cnt - 1) / 2).cast("long").alias("candidate_pairs"),
+        )
+        .orderBy("word")
+    )

@@ -2169,3 +2169,45 @@ def test_sssp_weighted_hand_graph(spark):
         for r in sssp_weighted(edges, src, max_rounds=1).collect()
     }
     assert one[3] == 10 and one[1] == 1
+
+
+def test_sax_words_invariances(spark):
+    """SAX properties: (1) z-normalization makes the word invariant
+    to affine transforms (shift/scale of the series); (2) a constant
+    series hits the pinned variance-0 edge (all-'c' word: z==0);
+    (3) keys with fewer than series_len observations are dropped;
+    (4) a rising ramp and a falling ramp get mirror words."""
+    from dataflowex_spark.operators.timeseries import sax_words
+
+    def series(key, vals):
+        return [
+            (key, float(i), float(v), i) for i, v in enumerate(vals)
+        ]
+
+    base = [float(i % 16) for i in range(32)]         # two ramps up
+    shifted = [v * 3.0 + 100.0 for v in base]         # affine copy
+    falling = [15.0 - (i % 16) for i in range(32)]    # mirrored
+    rows = (
+        series(1, base)
+        + series(2, shifted)
+        + series(3, [7.0] * 32)                        # constant
+        + series(4, base[:20])                         # too short
+        + series(5, falling)
+    )
+    df = spark.createDataFrame(
+        rows, "k long, t double, v double, tie long"
+    )
+    words = {
+        r["k"]: r["word"]
+        for r in sax_words(
+            df, "k", "t", "v", series_len=32, paa_segments=8,
+            tie_cols=("tie",),
+        ).collect()
+    }
+    assert set(words) == {1, 2, 3, 5}   # key 4 dropped
+    assert words[1] == words[2]          # affine invariance
+    assert words[3] == "c" * 8           # variance-0 edge pinned
+    # the falling ramp is the VALUE mirror of the rising one
+    # (falling = 15 - rising pointwise), so its word is the symbol
+    # complement — not a time reversal
+    assert words[5] == words[1].translate(str.maketrans("abcd", "dcba"))
