@@ -759,6 +759,109 @@ def _g711_tables():
     return mu, al
 
 
+def _read_f80(b: bytes) -> int:
+    """80-bit IEEE extended float (the AIFF COMM sample-rate field):
+    1 sign + 15 exponent + 64 explicit-integer-bit mantissa. Sample
+    rates are small positive integers, so round to int."""
+    exp = int.from_bytes(b[0:2], "big") & 0x7FFF
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0
+    return int(round(mant * 2.0 ** (exp - 16383 - 63)))
+
+
+def _parse_aiff(payload: bytes):
+    """FORM/AIFF(-C) big-endian PCM — the pre-WAV interchange format
+    Mac-era speech/music archives still carry: COMM (channels,
+    frames, bits, 80-bit extended rate) + SSND (offset/blocksize
+    header then samples). 8/16-bit linear; AIFC accepted for 'NONE'
+    (BE) and 'sowt' (LE int16) compression, anything else raises
+    NotImplementedError. Returns (rate, ch, ndarray[n, ch] int16)
+    or None when the payload is not AIFF."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"FORM" or payload[
+        8:12
+    ] not in (b"AIFF", b"AIFC"):
+        return None
+    pos, n = 12, len(payload)
+    comm = ssnd = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "big")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size & 1)
+    if comm is None or ssnd is None or len(comm) < 18:
+        return None
+    ch = int.from_bytes(comm[0:2], "big")
+    bits = int.from_bytes(comm[6:8], "big")
+    rate = _read_f80(comm[8:18])
+    little = False
+    if len(comm) >= 22:  # AIFC compression type
+        ctype = comm[18:22]
+        if ctype == b"sowt":
+            little = True
+        elif ctype != b"NONE":
+            raise NotImplementedError(
+                f"aiff: compression {ctype!r} unsupported"
+            )
+    if ch < 1 or rate <= 0:
+        return None
+    offset = int.from_bytes(ssnd[0:4], "big")
+    data = ssnd[8 + offset :]
+    if bits == 16:
+        arr = np.frombuffer(
+            data[: (len(data) // 2) * 2],
+            dtype="<i2" if little else ">i2",
+        ).astype(np.int16)
+    elif bits == 8:  # AIFF 8-bit is SIGNED
+        arr = (
+            np.frombuffer(data, dtype=np.int8).astype(np.int16) << 8
+        )
+    else:
+        raise NotImplementedError(f"aiff: {bits}-bit samples unsupported")
+    usable = (len(arr) // ch) * ch
+    return rate, ch, arr[:usable].reshape(-1, ch)
+
+
+def _parse_au(payload: bytes):
+    """Sun/NeXT .au (the '.snd' magic): 24-byte-plus big-endian
+    header (data offset/size, encoding, rate, channels). Encodings:
+    1 = 8-bit µ-law (expanded via the shared G.711 table), 2 = 8-bit
+    signed linear, 3 = 16-bit BE linear; others raise
+    NotImplementedError. The format classic speech corpora (TIMIT
+    distributions, old IVR logs) arrive in. Returns
+    (rate, ch, ndarray[n, ch] int16) or None when not AU."""
+    import numpy as np
+
+    if len(payload) < 24 or payload[:4] != b".snd":
+        return None
+    off = int.from_bytes(payload[4:8], "big")
+    enc = int.from_bytes(payload[12:16], "big")
+    rate = int.from_bytes(payload[16:20], "big")
+    ch = int.from_bytes(payload[20:24], "big")
+    if ch < 1 or rate <= 0:
+        return None
+    data = payload[off:]
+    if enc == 1:
+        mu, _al = _g711_tables()
+        arr = mu[np.frombuffer(data, dtype=np.uint8)]
+    elif enc == 2:
+        arr = np.frombuffer(data, dtype=np.int8).astype(np.int16) << 8
+    elif enc == 3:
+        arr = np.frombuffer(
+            data[: (len(data) // 2) * 2], dtype=">i2"
+        ).astype(np.int16)
+    else:
+        raise NotImplementedError(f"au: encoding {enc} unsupported")
+    usable = (len(arr) // ch) * ch
+    return rate, ch, arr[:usable].reshape(-1, ch)
+
+
 def _parse_g711_wav(payload: bytes):
     """RIFF/WAVE with fmt tag 6 (A-law) or 7 (µ-law) — the telephony
     formats stdlib ``wave`` refuses: walk the chunks, expand the
@@ -898,6 +1001,18 @@ def decode_audio(payload: bytes) -> dict:
             "duration_s": d["duration_s"],
             "samples": d["samples"],
         }
+    for parser in (_parse_aiff, _parse_au):
+        got = parser(payload)
+        if got is not None:
+            rate, ch, samples = got
+            n = samples.shape[0]
+            return {
+                "sample_rate": rate,
+                "channels": ch,
+                "n_samples": n,
+                "duration_s": n / rate,
+                "samples": samples,
+            }
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         sf = _optional_soundfile()
         if sf is not None:
