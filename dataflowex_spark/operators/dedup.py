@@ -1032,6 +1032,21 @@ def _lsh_tombstones(spark: SparkSession, table_name: str):
     return spark.table(t)
 
 
+def _lsh_delete_impl(
+    spark: SparkSession, table_name: str, ids: DataFrame
+) -> int:
+    t = _lsh_tombstone_table(table_name)
+    # materialize ONCE: the write and the returned count must describe
+    # the same row set even for nondeterministic input plans
+    rows = (
+        ids.select(F.col(ids.columns[0]).alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rows.write.mode("append").saveAsTable(t)
+    return rows.count()
+
+
 def lsh_index_delete(
     spark: SparkSession, table_name: str, ids: DataFrame
 ) -> int:
@@ -1045,10 +1060,7 @@ def lsh_index_delete(
     compaction-amortizes-the-rewrite split Delta/Iceberg use.
     Physical removal happens at the next :func:`lsh_index_compact`.
     Returns the number of tombstones recorded."""
-    t = _lsh_tombstone_table(table_name)
-    rows = ids.select(F.col(ids.columns[0]).alias("id")).distinct()
-    rows.write.mode("append").saveAsTable(t)
-    return rows.count()
+    return _lsh_delete_impl(spark, table_name, ids)
 
 
 def lsh_index_compact(
@@ -1058,19 +1070,32 @@ def lsh_index_compact(
 ) -> int:
     """Physically apply accumulated tombstones: rewrite the bucketed
     signature table WITHOUT the deleted ids into a fresh generation
-    directory, swap the table name to it (staging table + metadata
-    RENAME — readers see the old or the new generation, never a torn
-    mix), clear the tombstones, and best-effort delete the old
-    generation's files. Bucketing (and therefore the probe-side
-    no-index-shuffle property) is preserved by writing the new
-    generation with the same ``bucketBy``. Returns the number of
-    signature rows removed; no-ops (0) when there are no tombstones."""
+    directory, swap the table name to it, clear EXACTLY the applied
+    tombstones, and best-effort delete the old generation's files.
+    Bucketing (and therefore the probe-side no-index-shuffle
+    property) is preserved by writing the new generation with the
+    same ``bucketBy``. Returns the number of signature rows removed;
+    no-ops (0) when there are no tombstones.
+
+    Concurrency contract, stated honestly: tombstones appended WHILE
+    the compaction runs survive it (the applied set is snapshotted up
+    front and only that set is cleared — a concurrent takedown is
+    never silently undone; it applies at the next compaction and
+    keeps masking probes meanwhile). The name swap itself is two
+    metastore renames (old → *_old, staged → name); the in-memory
+    catalog has no atomic REPLACE, so a probe planning exactly inside
+    that window can see a missing table and should retry — a crash
+    there leaves ``{name}_old``/``{name}_staged`` for manual
+    recovery, never data loss."""
     import shutil
     import uuid as _uuid
 
     tomb = _lsh_tombstones(spark, table_name)
     if tomb is None or tomb.limit(1).count() == 0:
         return 0
+    # snapshot the APPLIED set: deletes racing this compaction append
+    # to the live table and must not be cleared below
+    applied = tomb.select("id").distinct().localCheckpoint(eager=True)
     old_loc = (
         spark.sql(f"DESCRIBE FORMATTED {table_name}")
         .filter(F.col("col_name") == "Location")
@@ -1079,9 +1104,10 @@ def lsh_index_compact(
     old_path = old_loc[len("file:"):] if old_loc.startswith("file:") else old_loc
     new_path = old_path.rstrip("/") + f"_g{_uuid.uuid4().hex[:8]}"
     staged = f"{table_name}_staged"
+    old_name = f"{table_name}_old"
     before = spark.table(table_name).count()
     kept = spark.table(table_name).join(
-        F.broadcast(tomb.select("id")), "id", "left_anti"
+        F.broadcast(applied), "id", "left_anti"
     )
     (
         kept.write.mode("overwrite")
@@ -1091,9 +1117,20 @@ def lsh_index_compact(
         .saveAsTable(staged)
     )
     removed = before - spark.table(staged).count()
-    spark.sql(f"DROP TABLE {table_name}")
+    spark.sql(f"ALTER TABLE {table_name} RENAME TO {old_name}")
     spark.sql(f"ALTER TABLE {staged} RENAME TO {table_name}")
-    spark.sql(f"DROP TABLE {_lsh_tombstone_table(table_name)}")
+    spark.sql(f"DROP TABLE {old_name}")
+    # clear ONLY the applied tombstones; later arrivals stay pending
+    tomb_name = _lsh_tombstone_table(table_name)
+    remaining = (
+        spark.table(tomb_name)
+        .join(applied, "id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    if remaining.limit(1).count() == 0:
+        spark.sql(f"DROP TABLE {tomb_name}")
+    else:
+        remaining.write.mode("overwrite").saveAsTable(tomb_name)
     # the swapped name may still carry the old generation's cached
     # file listing — invalidate before anyone plans against it
     spark.catalog.refreshTable(table_name)

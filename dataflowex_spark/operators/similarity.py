@@ -420,8 +420,15 @@ def ivf_recall_audit(
     work a production query pays. Everything joins on
     (probe, neighbor) keys — no collects beyond the final
     len(n_probe_list)-row frame."""
-    ex = exact.filter(F.col("rank") <= k).select(
-        probe_id_col, F.col(id_col).alias("__true")
+    # materialize the exact answer ONCE: it joins into every audited
+    # setting, and without the checkpoint each setting's execution
+    # would re-run the O(probes x corpus) brute-force scan (plus a
+    # second time for the totals) — the opposite of the
+    # "computed once, reused" cost story this audit exists to give
+    ex = (
+        exact.filter(F.col("rank") <= k)
+        .select(probe_id_col, F.col(id_col).alias("__true"))
+        .localCheckpoint(eager=True)
     )
     n_exact = ex.groupBy(probe_id_col).agg(
         F.count("*").alias("__n_true")

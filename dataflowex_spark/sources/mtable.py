@@ -96,6 +96,39 @@ def _jsonable(v):
     return str(v)
 
 
+def _as_temporal(v):
+    """Interpret a prune operand as a datetime when possible: native
+    date/datetime objects, and the ISO string forms ``str()`` gives
+    them at manifest-write time ('YYYY-MM-DD' vs
+    'YYYY-MM-DD HH:MM:SS[.ffffff]'). Returns None for anything else."""
+    import datetime as dt
+
+    if isinstance(v, dt.datetime):
+        return v
+    if isinstance(v, dt.date):
+        return dt.datetime(v.year, v.month, v.day)
+    if isinstance(v, str):
+        try:
+            return dt.datetime.fromisoformat(v)
+        except ValueError:
+            return None
+    return None
+
+
+def _prune_pair(stat, bound):
+    """Normalize a (file-stat, caller-bound) pair for ordering: when
+    BOTH sides are temporal they compare as datetimes — a DATE stat
+    ('2024-06-01') against a datetime bound ('2024-06-01 00:00:00')
+    would otherwise misorder lexicographically at the exact boundary
+    (the prefix sorts first) and silently prune a file whose rows the
+    residual predicate keeps. Mixed or non-temporal pairs fall back
+    to the JSON-normalized forms."""
+    ts, tb = _as_temporal(stat), _as_temporal(bound)
+    if ts is not None and tb is not None:
+        return ts, tb
+    return _jsonable(stat), _jsonable(bound)
+
+
 def _atomic_write(path: str, content: str) -> None:
     d = os.path.dirname(path) or "."
     fd, tmp = tempfile.mkstemp(dir=d, prefix=".mtable_")
@@ -151,13 +184,14 @@ class ConditionalPutCommitBackend:
         with self._lock:
             if os.path.exists(path):
                 raise FileExistsError(path)
-            with open(path, "w") as f:
-                f.write(content)
+            # full-object-or-nothing, like a real PUT: stage + replace
+            # (the lock models the store's per-request atomicity; a
+            # real backend gets this from the store itself)
+            _atomic_write(path, content)
 
     def put(self, path: str, content: str) -> None:
         with self._lock:
-            with open(path, "w") as f:
-                f.write(content)
+            _atomic_write(path, content)
 
 
 class MTable:
@@ -182,11 +216,21 @@ class MTable:
             return int(f.read().strip())
 
     def versions(self) -> list[int]:
+        """Every manifest ON DISK, including (transiently) a version
+        another writer has claimed but not yet pointed ``_CURRENT``
+        at. Read paths that must see only durable state use
+        :meth:`committed_versions`."""
         out = []
         for n in os.listdir(self._vdir()):
             if n.endswith(".manifest.json"):
                 out.append(int(n.split(".")[0]))
         return sorted(out)
+
+    def committed_versions(self) -> list[int]:
+        """Kept versions that are actually COMMITTED (<= _CURRENT) —
+        an in-flight claim of version N+1 is not readable state."""
+        cur = self.current_version()
+        return [v for v in self.versions() if v <= cur]
 
     def manifest(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
@@ -327,14 +371,40 @@ class MTable:
         }
         os.makedirs(self._vdir(), exist_ok=True)
         mpath = os.path.join(self._vdir(), f"{v}.manifest.json")
-        try:
-            self.commit_backend.put_if_absent(
-                mpath, json.dumps(manifest, indent=1)
-            )
-        except FileExistsError:
-            raise MTableConflict(
-                f"another writer already committed v{v}"
-            ) from None
+        payload = json.dumps(manifest, indent=1)
+        for attempt in (0, 1):
+            try:
+                self.commit_backend.put_if_absent(mpath, payload)
+                break
+            except FileExistsError:
+                # inspect the claimant: a writer that died BETWEEN its
+                # claim and its pointer swap must not wedge the table
+                # forever (every retry would hit v again)
+                try:
+                    with open(mpath) as f:
+                        json.load(f)
+                    complete = True
+                except (OSError, ValueError):
+                    complete = False
+                if not complete and attempt == 0:
+                    # torn manifest from a crashed writer (possible
+                    # only with a non-atomic backend): quarantine the
+                    # junk and retry the claim once
+                    try:
+                        os.unlink(mpath)
+                    except OSError:
+                        pass
+                    continue
+                if complete and self.current_version() < v:
+                    # the claimant finished its manifest but never
+                    # swapped the pointer: ROLL ITS COMMIT FORWARD
+                    # (its data files were fully written before the
+                    # claim), then report the conflict as usual — the
+                    # table has advanced, our parent is stale
+                    self.commit_backend.put(cur_path, str(v))
+                raise MTableConflict(
+                    f"another writer already committed v{v}"
+                ) from None
         self.commit_backend.put(cur_path, str(v))
         return v
 
@@ -494,15 +564,19 @@ class MTable:
                 mn, mx = get(e)
                 if mn is None or mx is None:
                     continue  # no stats -> cannot exclude
-                # bounds go through the same JSON normalization the
-                # stats did at write time (date -> ISO string, which
-                # still orders chronologically), so the comparison is
-                # like-typed
-                nlo, nhi = _jsonable(rlo), _jsonable(rhi)
-                if (nhi is not None and mn > nhi) or (
-                    nlo is not None and mx < nlo
-                ):
-                    return False
+                # each (stat, bound) pair is normalized to a
+                # like-typed ordering — temporal pairs as datetimes
+                # (date-vs-datetime granularity would misorder as
+                # strings at the boundary), everything else through
+                # the JSON form the stats were written with
+                if rhi is not None:
+                    smn, bhi = _prune_pair(mn, rhi)
+                    if smn > bhi:
+                        return False
+                if rlo is not None:
+                    smx, blo = _prune_pair(mx, rlo)
+                    if smx < blo:
+                        return False
             return True
 
         return [e["path"] for e in self.manifest(version)["files"] if keep(e)]
@@ -512,7 +586,7 @@ class MTable:
         parent, file count, total rows, committed stream batches —
         the table's audit log."""
         out = []
-        for v in self.versions():
+        for v in self.committed_versions():
             m = self.manifest(v)
             out.append(
                 {
@@ -621,7 +695,7 @@ class MTable:
         the reachable horizon forward, same retention semantics as
         version travel)."""
         best = None
-        for v in self.versions():
+        for v in self.committed_versions():
             ca = self.manifest(v).get("committed_at")
             if ca is not None and ca <= ts:
                 best = v
@@ -999,7 +1073,11 @@ class MTable:
         left alone."""
         import time
 
-        vs = self.versions()
+        # operate on COMMITTED versions only: an in-flight claim
+        # beyond _CURRENT is neither a keep candidate (it must not
+        # displace the current version from the keep window) nor
+        # droppable (its writer may still complete / be rolled forward)
+        vs = self.committed_versions()
         keep_vs = vs[-keep_last:] if keep_last > 0 else []
         if self.current_version() not in keep_vs:
             raise ValueError("vacuum would drop the current version")

@@ -1084,11 +1084,14 @@ def test_mtable_commit_race_and_vacuum_inflight_safety(spark, tmp_path):
         t._commit(t.manifest(2)["files"], "k", parent=2)
     with open(mpath) as f:
         assert _json.load(f)["parent"] == 2  # winner's file untouched
+    # r6 roll-forward: the winner's complete-but-unpointed commit was
+    # advanced (a claim-then-crash writer can no longer wedge the
+    # table), so the conflict left the table at v3
+    assert t.current_version() == 3
     # no temp-file litter from the failed commit
     assert not [
         n for n in _os.listdir(t._vdir()) if n.startswith(".mtable_")
     ]
-    _os.unlink(mpath)
 
     # (2) an in-flight (never-committed) data file
     inflight_dir = _os.path.join(str(tmp_path / "t"), "data", "job-inflight")
@@ -1440,3 +1443,76 @@ def test_mtable_model_based_random_ops(spark, tmp_path):
             for r in t.read_changes(a, b).collect()
         }
         assert got == want, (a, b)
+
+
+def test_mtable_temporal_prune_boundary_and_crash_recovery(
+    spark, tmp_path
+):
+    """r6 self-review closures:
+
+    (1) DATE-granularity file stats vs DATETIME bounds (and vice
+    versa) must compare as TIME, not strings — the lexicographic
+    form drops the boundary file ('2024-06-01' > '2024-06-01
+    00:00:00' as strings) and silently loses rows;
+    (2) a writer that crashed between its manifest claim and the
+    _CURRENT swap must not wedge the table: the next committer rolls
+    the complete orphan forward and merge_retry then lands;
+    (3) a TORN manifest from a crashed non-atomic writer is
+    quarantined and the version becomes claimable again;
+    (4) versions()/history()/version_as_of never expose an
+    unpointed claim as committed state."""
+    import datetime as _dt
+    import json as _json
+    import os as _os
+
+    from dataflowex_spark.sources.mtable import MTable
+
+    # (1) DATE stats column, datetime bounds hitting the exact boundary
+    df = spark.range(90).select(
+        F.col("id").alias("k"),
+        F.date_add(F.lit("2024-06-01").cast("date"), F.col("id").cast("int")).alias("d"),
+        (F.col("id") * 2).alias("v"),
+    )
+    t = MTable.create(
+        spark, str(tmp_path / "t"), df.repartitionByRange(9, "k"),
+        "k", stats_cols=["d"],
+    )
+    lo, hi = _dt.datetime(2024, 6, 20), _dt.datetime(2024, 7, 10)
+    got = t.read_where(where={"d": (lo, hi)})
+    want = df.filter(F.col("d").between(F.lit(lo), F.lit(hi)))
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+    assert want.count() > 0
+    # and the date-typed bound form agrees too
+    got2 = t.read_where(
+        where={"d": (_dt.date(2024, 6, 20), _dt.date(2024, 7, 10))}
+    )
+    assert got2.count() == want.count()
+
+    # (2) crashed-after-claim writer: complete v2 manifest, pointer
+    # still at v1 -> next merge_retry rolls forward then lands as v3
+    m1 = dict(t.manifest(1))
+    orphan = dict(m1)
+    orphan["version"] = 2
+    orphan["parent"] = 1
+    with open(_os.path.join(t._vdir(), "2.manifest.json"), "w") as f:
+        f.write(_json.dumps(orphan))
+    assert t.current_version() == 1
+    # (4) the unpointed claim is not committed state
+    assert t.committed_versions() == [1]
+    assert all(h["version"] == 1 for h in t.history())
+    chg = spark.createDataFrame(
+        [(5, 1, "U", 0, 999)],
+        "k long, ts long, op string, tie long, v long",
+    )
+    v = t.merge_retry(chg, "ts", "op", "tie", ["v"])
+    assert v == 3 and t.current_version() == 3
+    assert {r["k"]: r["v"] for r in t.read().collect()}[5] == 999
+
+    # (3) torn manifest (invalid JSON) quarantines; version claimable
+    with open(_os.path.join(t._vdir(), "4.manifest.json"), "w") as f:
+        f.write('{"version": 4, "par')  # torn mid-write
+    v = t.merge(chg, "ts", "op", "tie", ["v"])
+    assert v == 4 and t.current_version() == 4
+    assert t.manifest(4)["parent"] == 3  # OUR commit, not the junk
