@@ -13934,3 +13934,52 @@ def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("word")
     )
+
+
+@q(
+    "q304_variant_json",
+    """
+    WITH x AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           CAST(MIN(k) AS BIGINT) AS k_min,
+           CAST(MAX(k) AS BIGINT) AS k_max
+    FROM x GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q304(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through the Spark 4 VARIANT type:
+    the JSON props column parses ONCE into a variant
+    (binary-encoded, shredded access — the engine's answer to
+    repeated get_json_object string re-parsing) and typed fields
+    extract with try_variant_get, which yields NULL for absent paths
+    instead of failing the row. The rollup is over extracted typed
+    values, so the oracle (plain json_extract) proves the variant
+    path loses nothing against direct JSON extraction. At 100 TB the
+    parse-once-extract-many shape is the difference between one
+    binary decode per row and one string JSON parse per accessed
+    field."""
+    cat = Catalog(spark, sf_dir)
+    x = cat["events"].select(
+        "event_type",
+        F.try_variant_get(
+            F.parse_json(F.col("props")), "$.k", "bigint"
+        ).alias("k"),
+    )
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )

@@ -687,6 +687,28 @@ class MTable:
             f"merge_retry: gave up after {max_attempts} attempts"
         ) from last
 
+    def restore(self, version: int) -> int:
+        """Delta-style RESTORE: make an earlier committed version's
+        state current again AS A NEW COMMIT — the target's file list
+        (and schema/stats metadata) is re-committed on top of the
+        history, so the bad versions in between stay visible for
+        audit and the operation itself is just one manifest write
+        (files re-enter BY REFERENCE; nothing is copied). The
+        standard answer to 'the last merge was wrong, roll back
+        without losing the audit trail'. Returns the new version."""
+        if version not in self.committed_versions():
+            raise ValueError(f"restore: v{version} is not committed")
+        cur = self.manifest()
+        m = self.manifest(version)
+        return self._commit(
+            m["files"],
+            m["key_col"],
+            parent=cur["version"],
+            stats_cols=m.get("stats_cols"),
+            schema=m.get("schema"),
+            checks=m.get("checks"),
+        )
+
     def version_as_of(self, ts: float) -> int:
         """TIME-TRAVEL BY TIMESTAMP: the version current at unix time
         ``ts`` — the largest kept version committed at or before it

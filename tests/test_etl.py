@@ -1516,3 +1516,39 @@ def test_mtable_temporal_prune_boundary_and_crash_recovery(
     v = t.merge(chg, "ts", "op", "tie", ["v"])
     assert v == 4 and t.current_version() == 4
     assert t.manifest(4)["parent"] == 3  # OUR commit, not the junk
+
+
+def test_mtable_restore(spark, tmp_path):
+    """RESTORE re-commits an earlier version's state on TOP of the
+    history: the bad merge stays auditable, the restored state reads
+    exactly like the target version, files re-enter by reference
+    (no rewrite), metadata (schema/checks) travels with the target,
+    and only committed versions are restorable."""
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.mtable import MTable
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = MTable.create(
+        spark, str(tmp_path / "t"), df.repartitionByRange(4, "k"), "k"
+    )
+    good = sorted(tuple(r) for r in t.read().collect())
+    bad = spark.createDataFrame(
+        [(k, 1, "D", 0, 0) for k in range(0, 200, 2)],
+        "k long, ts long, op string, tie long, v long",
+    )
+    t.merge(bad, "ts", "op", "tie", ["v"])  # v2: oops, deleted evens
+    assert t.read().count() == 100
+    v3 = t.restore(1)
+    assert v3 == 3 and t.current_version() == 3
+    assert sorted(tuple(r) for r in t.read().collect()) == good
+    # audit trail intact; restored files are v1's, by reference
+    assert t.committed_versions() == [1, 2, 3]
+    assert {e["path"] for e in t.manifest(3)["files"]} == {
+        e["path"] for e in t.manifest(1)["files"]
+    }
+    assert t.read(version=2).count() == 100  # the bad state still reads
+    with _pytest.raises(ValueError, match="not committed"):
+        t.restore(99)
