@@ -13983,3 +13983,132 @@ def q304(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "q305_incremental_view_maintenance",
+    """
+    WITH f AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderstatus = 'F'),
+    base AS (
+      SELECT c_custkey,
+             c_mktsegment,
+             CASE WHEN c_custkey IN (SELECT o_custkey FROM f)
+                  THEN CAST(c_custkey % 1000 AS DOUBLE)
+                  ELSE c_acctbal END AS bal
+      FROM customer
+      WHERE c_custkey % 97 <> 0
+    ),
+    ins AS (
+      SELECT 10000000 + i AS c_custkey,
+             CAST(NULL AS VARCHAR) AS c_mktsegment,
+             CAST((10000000 + i) % 1000 AS DOUBLE) AS bal
+      FROM range(1, 6) t(i)
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(bal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE from the changefeed: the
+    per-segment (count, balance) aggregate of the PRE-merge table is
+    updated to the post-merge answer using ONLY
+    ``read_changes(images="both")`` — old ⊕ (post − pre) per group:
+    deletes subtract their pre-image, inserts add their post-image,
+    updates contribute the value delta — without ever re-reading the
+    base table (at 100 TB: the aggregate refresh costs the
+    changefeed, not the fact table; the same algebra Materialize/
+    DBSP-style IVM engines apply). The oracle is q291's DIRECT
+    post-merge recompute over the raw tables, so a hash match PROVES
+    maintained == recomputed. The q291 merge fixture is replayed
+    (update/delete/insert in one change-set)."""
+    import tempfile
+
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"].repartitionByRange(8, "c_custkey")
+    root = tempfile.mkdtemp(prefix="mtable_q305_")
+    t = MTable.create(spark, root + "/t", cust, "c_custkey")
+
+    upd = (
+        cat["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .select(
+            "c_custkey",
+            F.lit(1).alias("ts"),
+            F.lit("U").alias("op"),
+            F.lit(0).alias("tie"),
+            (F.col("c_custkey") % 1000).cast("double").alias("c_acctbal"),
+        )
+    )
+    dele = (
+        cat["customer"]
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select(
+            "c_custkey",
+            F.lit(2).alias("ts"),
+            F.lit("D").alias("op"),
+            F.lit(0).alias("tie"),
+            F.lit(None).cast("double").alias("c_acctbal"),
+        )
+    )
+    ins = spark.range(1, 6).select(
+        (F.col("id") + 10_000_000).alias("c_custkey"),
+        F.lit(3).alias("ts"),
+        F.lit("I").alias("op"),
+        F.lit(0).alias("tie"),
+        ((F.col("id") + 10_000_000) % 1000).cast("double").alias("c_acctbal"),
+    )
+    t.merge(upd.union(dele).union(ins), "ts", "op", "tie", ["c_acctbal"])
+
+    cents = lambda c: F.floor(c * 100).cast("long")  # noqa: E731
+    agg0 = (
+        t.read(version=1)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("dn"),
+            F.sum(cents(F.col("c_acctbal"))).alias("dbal"),
+        )
+    )
+    feed = t.read_changes(1, 2, images="both")
+    seg = F.when(
+        F.col("op") == "D", F.col("c_mktsegment__pre")
+    ).otherwise(
+        F.coalesce(
+            F.col("c_mktsegment__post"), F.col("c_mktsegment__pre")
+        )
+    )
+    dn = (
+        F.when(F.col("op") == "D", -1)
+        .when(F.col("op") == "I", 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    dbal = (
+        F.when(F.col("op") == "D", -cents(F.col("c_acctbal__pre")))
+        .when(F.col("op") == "I", cents(F.col("c_acctbal__post")))
+        .otherwise(
+            cents(F.col("c_acctbal__post"))
+            - cents(F.col("c_acctbal__pre"))
+        )
+    )
+    deltas = feed.select(
+        seg.alias("c_mktsegment"), dn.alias("dn"), dbal.alias("dbal")
+    )
+    return (
+        agg0.unionByName(deltas)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("dn").cast("long").alias("n"),
+            F.sum("dbal").cast("long").alias("bal_cents"),
+        )
+        .filter(F.col("n") > 0)
+        .orderBy("c_mktsegment")
+    )

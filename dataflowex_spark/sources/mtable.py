@@ -982,7 +982,8 @@ class MTable:
         )
 
     def read_changes(
-        self, v_from: int, v_to: int | None = None
+        self, v_from: int, v_to: int | None = None,
+        images: str = "post",
     ) -> DataFrame:
         """CDC changefeed between two committed versions, computed
         from the MANIFEST DIFF: files carried by reference between
@@ -1005,7 +1006,15 @@ class MTable:
         net change ``v_from → v_to``, like Delta's CDF collapsed
         across versions). Relies on the MTable invariant that the
         merge key is unique per version (merge is latest-wins
-        per key)."""
+        per key).
+
+        ``images="both"`` instead emits ``{col}__pre`` and
+        ``{col}__post`` for every non-key column (NULL on the absent
+        side of an I/D) — the form INCREMENTAL VIEW MAINTENANCE
+        needs: a grouped SUM/COUNT updates as old ⊕ (post − pre)
+        without touching the base table (q305)."""
+        if images not in ("post", "both"):
+            raise ValueError(f"read_changes: images={images!r}")
         m_from = self.manifest(v_from)
         m_to = self.manifest(v_to)
         key = m_to["key_col"]
@@ -1055,6 +1064,24 @@ class MTable:
             .when(unchanged, F.lit(None))
             .otherwise(F.lit("U"))
         )
+        if images == "both":
+            return (
+                joined.select(
+                    op.alias("op"),
+                    F.coalesce(F.col("__k_new"), F.col("__k_old")).alias(
+                        key
+                    ),
+                    *[
+                        x
+                        for c in val_cols
+                        for x in (
+                            F.col(f"__old_{c}").alias(f"{c}__pre"),
+                            F.col(f"__new_{c}").alias(f"{c}__post"),
+                        )
+                    ],
+                )
+                .filter(F.col("op").isNotNull())
+            )
         return (
             joined.select(
                 op.alias("op"),

@@ -1552,3 +1552,60 @@ def test_mtable_restore(spark, tmp_path):
     assert t.read(version=2).count() == 100  # the bad state still reads
     with _pytest.raises(ValueError, match="not committed"):
         t.restore(99)
+
+
+def test_mtable_read_changes_both_images(spark, tmp_path):
+    """images='both' emits pre+post per value column — the IVM form:
+    U rows carry (pre, post), I rows (NULL, post), D rows (pre,
+    NULL); a sum/count aggregate maintained as old + (post - pre)
+    equals the direct recompute."""
+    from dataflowex_spark.sources.mtable import MTable
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 10).alias("v"),
+    )
+    t = MTable.create(
+        spark, str(tmp_path / "t"), df.repartitionByRange(4, "k"), "k"
+    )
+    chg = spark.createDataFrame(
+        [(5, 1, "U", 0, 999), (300, 1, "I", 0, 7), (17, 1, "D", 0, 0)],
+        "k long, ts long, op string, tie long, v long",
+    )
+    t.merge(chg, "ts", "op", "tie", ["v"])
+    feed = {
+        r["k"]: r for r in t.read_changes(1, 2, images="both").collect()
+    }
+    assert feed[5]["v__pre"] == 50 and feed[5]["v__post"] == 999
+    assert feed[300]["v__pre"] is None and feed[300]["v__post"] == 7
+    assert feed[17]["v__pre"] == 170 and feed[17]["v__post"] is None
+    assert feed[5]["g__pre"] == feed[5]["g__post"] == "2"
+
+    # maintained aggregate == direct recompute
+    agg0 = {
+        (r["g"],): (r["n"], r["s"])
+        for r in t.read(version=1)
+        .groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    for r in feed.values():
+        g = r["g__pre"] if r["op"] == "D" else (
+            r["g__post"] or r["g__pre"]
+        )
+        n, s = agg0.get((g,), (0, 0))
+        if r["op"] == "D":
+            agg0[(g,)] = (n - 1, s - r["v__pre"])
+        elif r["op"] == "I":
+            agg0[(g,)] = (n + 1, s + r["v__post"])
+        else:
+            agg0[(g,)] = (n, s + r["v__post"] - r["v__pre"])
+    direct = {
+        (r["g"],): (r["n"], r["s"])
+        for r in t.read()
+        .groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert {k: v for k, v in agg0.items() if v[0] > 0} == direct
