@@ -494,3 +494,90 @@ def grouped_roc_auc(
         )
         .orderBy("grp")
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    label: Column,
+    score: Column,
+    bins: int = 10,
+    tiebreak: Column | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score as a 1-row frame
+    ``(brier, reliability, resolution, uncertainty, n)``.
+
+    Brier = mean (p−y)²; binned into ``bins`` equal-count score
+    buckets it splits into REL − RES + UNC (exactly when scores are
+    constant within a bin, approximately otherwise — all four terms
+    are reported directly, no identity is assumed):
+
+    - reliability  = Σ n_k (p̄_k − ō_k)² / N  (calibration gap)
+    - resolution   = Σ n_k (ō_k − ō)² / N    (how much the bins
+      separate the base rate — higher is better)
+    - uncertainty  = ō (1 − ō)               (irreducible term)
+
+    Scale shape: the equal-count binning is
+    :func:`~dataflowex_spark.operators.windows.global_ntile` (range-
+    partitioned parallel rank, no single-reducer WindowExec), the
+    per-bin frame is ``bins`` rows, and the base rate rides a
+    broadcast 1-row aggregate. Label sums are integers; only the
+    score means carry float summation order, absorbed by the final
+    rounding — the same hash-stability discipline as :func:`roc_auc`.
+    """
+    tb = tiebreak if tiebreak is not None else F.lit(0)
+    s = df.select(
+        score.cast("double").alias("__p"),
+        label.cast("long").alias("__y"),
+        tb.alias("__tb"),
+    )
+    binned = global_ntile(
+        s, bins, [F.col("__p"), F.col("__tb")], out_col="__bin"
+    )
+    b = binned.groupBy("__bin").agg(
+        F.count("*").alias("__nb"),
+        F.sum("__y").alias("__sy"),
+        F.avg("__p").alias("__avg_p"),
+        F.avg(
+            (F.col("__p") - F.col("__y")) * (F.col("__p") - F.col("__y"))
+        ).alias("__bs"),
+    )
+    tot = b.agg(
+        F.sum("__nb").alias("__n"), F.sum("__sy").alias("__pos")
+    )
+    per_bin = b.crossJoin(F.broadcast(tot)).select(
+        "__nb",
+        "__bs",
+        (F.col("__sy") / F.col("__nb")).alias("__o_k"),
+        "__avg_p",
+        "__n",
+        (F.col("__pos") / F.col("__n")).alias("__o"),
+    )
+    return per_bin.agg(
+        F.round(
+            F.sum(F.col("__nb") * F.col("__bs")) / F.max("__n"),
+            round_digits,
+        ).alias("brier"),
+        F.round(
+            F.sum(
+                F.col("__nb")
+                * (F.col("__avg_p") - F.col("__o_k"))
+                * (F.col("__avg_p") - F.col("__o_k"))
+            )
+            / F.max("__n"),
+            round_digits,
+        ).alias("reliability"),
+        F.round(
+            F.sum(
+                F.col("__nb")
+                * (F.col("__o_k") - F.col("__o"))
+                * (F.col("__o_k") - F.col("__o"))
+            )
+            / F.max("__n"),
+            round_digits,
+        ).alias("resolution"),
+        F.round(
+            F.max(F.col("__o") * (1.0 - F.col("__o"))), round_digits
+        ).alias("uncertainty"),
+        F.max("__n").cast("long").alias("n"),
+    )

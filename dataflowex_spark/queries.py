@@ -14112,3 +14112,63 @@ def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 0)
         .orderBy("c_mktsegment")
     )
+
+
+@q(
+    "q306_brier_decomposition",
+    """
+    WITH mm AS (
+      SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+    ), s AS (
+      SELECT (value - mn) / (mx - mn) AS p, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events CROSS JOIN mm
+    ), t AS (
+      SELECT p, y, NTILE(10) OVER (ORDER BY p, event_id) AS bin FROM s
+    ), b AS (
+      SELECT bin, COUNT(*) AS nb, SUM(y) AS sy, AVG(p) AS avg_p,
+             AVG((p - y) * (p - y)) AS bs
+      FROM t GROUP BY bin
+    ), tot AS (
+      SELECT SUM(nb) AS n, SUM(sy) AS pos FROM b
+    )
+    SELECT
+      ROUND(SUM(nb * bs) / MAX(n), 6) AS brier,
+      ROUND(SUM(nb * (avg_p - sy / CAST(nb AS DOUBLE))
+                   * (avg_p - sy / CAST(nb AS DOUBLE))) / MAX(n), 6)
+        AS reliability,
+      ROUND(SUM(nb * (sy / CAST(nb AS DOUBLE) - pos / CAST(n AS DOUBLE))
+                   * (sy / CAST(nb AS DOUBLE) - pos / CAST(n AS DOUBLE)))
+            / MAX(n), 6) AS resolution,
+      ROUND(MAX((pos / CAST(n AS DOUBLE))
+                * (1 - pos / CAST(n AS DOUBLE))), 6) AS uncertainty,
+      CAST(MAX(n) AS BIGINT) AS n
+    FROM b CROSS JOIN tot
+    """,
+)
+def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — the one-pass sibling
+    of q250's ECE over the SAME pseudo-probability fixture (min-max-
+    normalized event value vs purchase label): reliability (calibration
+    gap), resolution (base-rate separation) and uncertainty reported
+    alongside raw Brier. Equal-count deciles via the range-partitioned
+    global_ntile (no single-reducer window); label sums stay integer so
+    only score means carry float order, absorbed by ROUND(6)."""
+    from dataflowex_spark.operators.mleval import brier_decomposition
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    mm = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    s = ev.crossJoin(F.broadcast(mm)).select(
+        ((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+        .alias("p"),
+        "event_id",
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    return brier_decomposition(
+        s,
+        label=F.col("y"),
+        score=F.col("p"),
+        bins=10,
+        tiebreak=F.col("event_id"),
+    )

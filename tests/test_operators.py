@@ -2211,3 +2211,50 @@ def test_sax_words_invariances(spark):
     # (falling = 15 - rising pointwise), so its word is the symbol
     # complement — not a time reversal
     assert words[5] == words[1].translate(str.maketrans("abcd", "dcba"))
+
+
+def test_brier_decomposition_identity_and_reference(spark):
+    """When scores are constant within bins, Murphy's identity is
+    EXACT: brier == reliability - resolution + uncertainty; all four
+    terms match a row-at-a-time numpy reference."""
+    import numpy as np
+    from dataflowex_spark.operators.mleval import brier_decomposition
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(11)
+    # 5 distinct score levels, 100 rows each -> 5 equal-count bins
+    # with constant score inside each bin (identity holds exactly).
+    levels = np.repeat(np.array([0.1, 0.3, 0.5, 0.7, 0.9]), 100)
+    y = (rng.random(500) < levels).astype(int)
+    df = spark.createDataFrame(
+        [(float(p), int(yy), i) for i, (p, yy) in enumerate(zip(levels, y))],
+        "p double, y int, i long",
+    )
+    row = brier_decomposition(
+        df, label=F.col("y"), score=F.col("p"), bins=5,
+        tiebreak=F.col("i"), round_digits=9,
+    ).collect()[0]
+
+    # numpy reference
+    brier_ref = float(np.mean((levels - y) ** 2))
+    obar = y.mean()
+    rel = res = 0.0
+    for lv in np.unique(levels):
+        m = levels == lv
+        ok = y[m].mean()
+        rel += m.sum() * (lv - ok) ** 2
+        res += m.sum() * (ok - obar) ** 2
+    rel /= 500
+    res /= 500
+    unc = obar * (1 - obar)
+
+    assert abs(row["brier"] - brier_ref) < 1e-8
+    assert abs(row["reliability"] - rel) < 1e-8
+    assert abs(row["resolution"] - res) < 1e-8
+    assert abs(row["uncertainty"] - unc) < 1e-8
+    # Murphy identity, exact under within-bin-constant scores
+    assert abs(
+        row["brier"]
+        - (row["reliability"] - row["resolution"] + row["uncertainty"])
+    ) < 1e-8
+    assert row["n"] == 500
