@@ -14172,3 +14172,136 @@ def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
         bins=10,
         tiebreak=F.col("event_id"),
     )
+
+
+def _textrank_oracle_sql(iters: int = 5, vocab: int = 100, topk: int = 20) -> str:
+    """Unrolled TextRank: the q131 fixed-iteration trick over the
+    word co-occurrence graph. Updates are join+group-by (not
+    correlated subqueries) so DuckDB stays O(E) per round even with a
+    100-node vocabulary."""
+    head = f"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '__WS__'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    tok AS (SELECT unnest(ts) AS t FROM toks),
+    vocab AS (
+      SELECT t FROM (SELECT t, COUNT(*) AS c FROM tok GROUP BY t)
+      ORDER BY c DESC, t LIMIT {vocab}
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS a,
+             unnest(list_transform(range(1, len(ts)), i -> ts[i + 1])) AS b
+      FROM toks
+    ),
+    pe AS (
+      SELECT a, b FROM pairs
+      WHERE a <> b AND a IN (SELECT t FROM vocab)
+        AND b IN (SELECT t FROM vocab)
+    ),
+    und AS (
+      SELECT a, b, COUNT(*) AS n FROM (
+        SELECT a, b FROM pe UNION ALL SELECT b AS a, a AS b FROM pe
+      ) GROUP BY a, b
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst,
+             CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY a) AS p
+      FROM und
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    cnt AS (SELECT COUNT(*) AS n FROM nodes),
+    pr0 AS (SELECT node, 1.0 / (SELECT n FROM cnt) AS r FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f""",
+    pr{i} AS (
+      SELECT n0.node,
+             (1.0 - 0.85) / (SELECT n FROM cnt)
+             + 0.85 * COALESCE(m.s, 0.0) AS r
+      FROM nodes n0 LEFT JOIN (
+        SELECT e.dst AS node, SUM(e.p * p.r) AS s
+        FROM edges e JOIN pr{i - 1} p ON p.node = e.src
+        GROUP BY e.dst
+      ) m ON m.node = n0.node)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT node AS token, ROUND(r, 6) AS r FROM pr{iters}
+    ORDER BY ROUND(r, 6) DESC, node LIMIT {topk}"""
+    )
+
+
+@q("q307_textrank_keywords", _textrank_oracle_sql(5, 100, 20))
+def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau): PageRank over
+    the word co-occurrence graph — adjacent-token edges restricted to
+    the top-100 corpus vocabulary, symmetrized, out-normalized, then
+    5 fixed q131-style rank iterations and a deterministic top-20.
+    Composition of existing parts: q147's scan-local adjacent-pair
+    extraction, broadcast vocab semi-joins (100 rows — the corpus
+    token stream never shuffles for filtering), operators/graph
+    pagerank (edge frame localCheckpointed once, each round touches
+    only the ≤vocab² aggregated edges). The oracle unrolls the same
+    literal arithmetic join-wise, so ranks agree to the rounding
+    digit at any corpus scale."""
+    from dataflowex_spark.functions.text import WS_REGEX
+    from dataflowex_spark.operators.graph import pagerank
+
+    cat = Catalog(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), WS_REGEX), lambda t: t != F.lit("")
+    )
+    docs = cat["documents"].select(toks.alias("ts"))
+    vocab = (
+        docs.select(F.explode("ts").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "t")
+        .limit(100)
+        .select("t")
+    )
+    n = F.size(F.col("ts"))
+    m = F.greatest(n - 1, F.lit(0))
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, m),
+                F.slice(F.col("ts"), 2, m),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("z")
+    ).select(F.col("z.a").alias("a"), F.col("z.b").alias("b"))
+    pe = (
+        pairs.filter(F.col("a") != F.col("b"))
+        .join(F.broadcast(vocab.withColumnRenamed("t", "a")), "a")
+        .join(F.broadcast(vocab.withColumnRenamed("t", "b")), "b")
+        .select("a", "b")
+    )
+    und = (
+        pe.unionByName(
+            pe.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    edges = und.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("a"))
+        ).alias("p"),
+    )
+    ranks = pagerank(edges, iters=5)
+    return (
+        ranks.select(
+            F.col("node").alias("token"), F.round("r", 6).alias("r")
+        )
+        .orderBy(F.col("r").desc(), "token")
+        .limit(20)
+    )

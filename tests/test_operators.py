@@ -2258,3 +2258,25 @@ def test_brier_decomposition_identity_and_reference(spark):
         - (row["reliability"] - row["resolution"] + row["uncertainty"])
     ) < 1e-8
     assert row["n"] == 500
+
+
+def test_textrank_star_center_wins(spark):
+    """Hub-and-spoke corpus: the hub word co-occurs with every spoke,
+    so TextRank must rank it first; spokes tie by symmetry. Exercises
+    the q307 composition end-to-end (tokenize → vocab → symmetric
+    co-occurrence → pagerank) on a graph whose answer is known."""
+    import dataflowex_spark.queries as Q
+    import tempfile, os
+
+    docs = [("d%d" % i, "hub spoke%d" % i, "s") for i in range(6)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id string, text string, source string"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = Q.REGISTRY["q307_textrank_keywords"][0](spark, d).collect()
+    assert out[0]["token"] == "hub"
+    spoke_ranks = {r["r"] for r in out[1:]}
+    assert len(spoke_ranks) == 1  # all spokes identical by symmetry
+    assert out[0]["r"] > out[1]["r"]
+    # conservation: total rank mass stays ~1 over the 7-node graph
+    assert abs(sum(r["r"] for r in out) - 1.0) < 1e-3
