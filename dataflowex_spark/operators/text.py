@@ -552,3 +552,80 @@ def compression_ratio(
             yield pdf
 
     return df.mapInPandas(gen, schema=out_schema)
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval scores per document for a (small) query
+    term set — the doc-length-normalized successor to :func:`tf_idf`
+    and the standard lexical-retrieval baseline a curation pipeline
+    uses for topic-targeted corpus selection.
+
+    ``query_terms`` must have a ``term`` column (typically a handful
+    of rows — it is broadcast; the corpus never shuffles to filter).
+    Per matched (doc, term):
+
+        idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)      (Lucene form)
+        s(d,t) = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Scale shape: one explode + hash-aggregate to (doc, term, tf); the
+    broadcast semi-join with the query terms shrinks the frame to
+    matches BEFORE the doc-length join; N/avgdl ride a broadcast
+    1-row aggregate; df comes from the already-distinct tf frame.
+    All counts are integers — only ln() and the final fold carry
+    float order, absorbed by the caller's rounding.
+
+    Returns (id_col, bm25) for documents matching ≥1 query term.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), WS_REGEX), lambda t: t != F.lit("")
+    )
+    base = df.select(F.col(id_col), toks.alias("__ts"))
+    dl = base.select(id_col, F.size("__ts").alias("__dl"))
+    stats = dl.agg(
+        F.count("*").alias("__n_docs"),
+        F.sum("__dl").alias("__tot"),
+    )
+    tf = (
+        base.select(id_col, F.explode("__ts").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("__tf"))
+    )
+    doc_freq = tf.groupBy("term").agg(F.count("*").alias("__df"))
+    qt = doc_freq.join(F.broadcast(query_terms.select("term")), "term")
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    (F.col("__n_docs") - F.col("__df") + 0.5)
+                    / (F.col("__df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("__tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("__tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b)
+                        * F.col("__dl")
+                        / (
+                            F.col("__tot").cast("double")
+                            / F.col("__n_docs")
+                        )
+                    )
+                )
+            ).alias("__s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.sum("__s").alias("bm25"))

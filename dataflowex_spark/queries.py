@@ -14305,3 +14305,84 @@ def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("r").desc(), "token")
         .limit(20)
     )
+
+
+@q(
+    "q308_bm25_ranking",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '__WS__'), x -> x <> '')
+               AS ts
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(ts) AS term FROM toks
+      ) GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    qt AS (
+      SELECT term, df FROM df ORDER BY df ASC, term LIMIT 5
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             LN((n_docs - qt.df + 0.5) / (qt.df + 0.5) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                               / (CAST(tot AS DOUBLE) / n_docs))) AS s
+      FROM tf JOIN qt ON tf.term = qt.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id, ROUND(SUM(s), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY ROUND(SUM(s), 6) DESC, doc_id LIMIT 15
+    """,
+)
+def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 topic retrieval (k1=1.2, b=0.75, Lucene idf) — the
+    doc-length-normalized successor to q89's TF-IDF and the lexical
+    baseline for topic-targeted corpus curation. The query-term set
+    is data-derived and engine-deterministic: the 5 rarest terms
+    (lowest document frequency, df-then-term tie-break) — the most
+    discriminative vocabulary — so both engines score the same
+    terms. All counts are integers; ln() and the ≤5-term fold are the
+    only float steps, absorbed by ROUND(6). Top-15 docs, doc_id
+    tie-broken."""
+    from dataflowex_spark.operators.text import bm25_scores
+
+    from dataflowex_spark.functions.text import WS_REGEX
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"]
+
+    base = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("text"), WS_REGEX), lambda t: t != F.lit("")
+        ).alias("ts"),
+    )
+    tf = (
+        base.select("doc_id", F.explode("ts").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    doc_freq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = (
+        doc_freq.orderBy(F.col("df").asc(), "term")
+        .limit(5)
+        .select("term")
+    )
+    scores = bm25_scores(docs, qterms)
+    return (
+        scores.select(
+            "doc_id", F.round("bm25", 6).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(15)
+    )

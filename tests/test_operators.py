@@ -2280,3 +2280,45 @@ def test_textrank_star_center_wins(spark):
     assert out[0]["r"] > out[1]["r"]
     # conservation: total rank mass stays ~1 over the 7-node graph
     assert abs(sum(r["r"] for r in out) - 1.0) < 1e-3
+
+
+def test_bm25_properties(spark):
+    """BM25 on a hand-built corpus pins the three defining behaviors:
+    (1) exact closed-form score (idf and normalization denominator);
+    (2) tf saturation — score grows with tf but sub-linearly (bounded
+    by (k1+1)·idf); (3) length normalization — same tf, longer doc
+    scores lower. Non-matching docs are absent from the result."""
+    import math
+
+    from dataflowex_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            ("rare1", "rare pad pad pad"),          # rare tf=1, dl=4
+            ("comm1", "common pad pad pad"),        # common tf=1, dl=4
+            ("rare2", "rare rare pad pad"),         # rare tf=2, dl=4
+            ("rare_long", "rare pad pad pad pad pad pad pad"),  # dl=8
+            ("comm2", "common pad pad pad"),
+            ("comm3", "common pad pad pad"),
+            ("nohit", "pad pad pad pad"),
+        ],
+        "doc_id string, text string",
+    )
+    terms = spark.createDataFrame([("rare",), ("common",)], "term string")
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(docs, terms).collect()
+    }
+    assert "nohit" not in got  # only matching docs are scored
+    # (1) exact closed form on rare1 (df=3, tf=1, dl=4) pins idf and
+    # the normalization denominator in one equality
+    n, df_rare, dl, avgdl = 7, 3, 4, (4 + 4 + 4 + 8 + 4 + 4 + 4) / 7
+    idf = math.log((n - df_rare + 0.5) / (df_rare + 0.5) + 1.0)
+    exp_rare1 = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert abs(got["rare1"] - exp_rare1) < 1e-9
+    # (2) tf saturation: tf=2 beats tf=1 but less than 2x
+    assert got["rare2"] > got["rare1"]
+    assert got["rare2"] < 2 * got["rare1"]
+    assert got["rare2"] < (1.2 + 1) * idf  # asymptotic bound
+    # (3) length normalization: same tf=1, dl=8 < dl=4 score
+    assert got["rare_long"] < got["rare1"]
