@@ -669,3 +669,51 @@ def hard_negatives(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR'09): fuse the
+    ranked lists of several retrieval systems into one hybrid ranking
+
+        rrf(d) = Σ_systems 1/(k + rank_s(d))      (k = 60 canonical)
+
+    — the standard way to combine lexical (BM25) and vector (ANN)
+    retrieval without score calibration, since only RANKS enter.
+
+    ``rankings`` maps system name → DataFrame with (id_col, rank_col);
+    each input is expected to be an already-truncated top-N list
+    (bounded — a retrieval output, not a corpus), so the fusion is a
+    full outer join over ≤ Σ N rows: driver-light, shuffle-trivial,
+    and independent of corpus size. A document missing from a system's
+    list contributes 0 for that system (the per-system rank columns
+    stay NULL so callers can see provenance).
+
+    Returns (id_col, rrf, <name>_rank ...) — one rank column per
+    system, fused score unrounded (callers round for presentation).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    fused = None
+    for name, df in rankings.items():
+        part = df.select(
+            F.col(id_col), F.col(rank_col).alias(f"{name}_rank")
+        )
+        fused = part if fused is None else fused.join(
+            part, id_col, "full_outer"
+        )
+    rank_cols = [f"{name}_rank" for name in rankings]
+    score = sum(
+        (
+            F.when(
+                F.col(c).isNotNull(), F.lit(1.0) / (F.lit(k) + F.col(c))
+            ).otherwise(F.lit(0.0))
+            for c in rank_cols
+        ),
+        F.lit(0.0),
+    )
+    return fused.select(id_col, score.alias("rrf"), *rank_cols)

@@ -14386,3 +14386,150 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(15)
     )
+
+
+@q(
+    "q309_rrf_hybrid",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '__WS__'), x -> x <> '')
+               AS ts
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(ts) AS term FROM toks
+      ) GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    qt AS (SELECT term, df FROM df ORDER BY df ASC, term LIMIT 5),
+    bm AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               LN((n_docs - qt.df + 0.5) / (qt.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                 / (CAST(tot AS DOUBLE) / n_docs)))
+             ), 6) AS s
+      FROM tf JOIN qt ON tf.term = qt.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    lex50 AS (SELECT doc_id, s FROM bm ORDER BY s DESC, doc_id LIMIT 50),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS lex_rank
+      FROM lex50
+    ),
+    vecsim AS (
+      SELECT c.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(p.embedding AS DOUBLE[])),
+                   6) AS s
+      FROM embeddings c JOIN embeddings p
+        ON p.vec_id = 0 AND c.vec_id <> 0
+    ),
+    vec50 AS (SELECT doc_id, s FROM vecsim ORDER BY s DESC, doc_id LIMIT 50),
+    vec AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS vec_rank
+      FROM vec50
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+             COALESCE(1.0 / (60 + lex_rank), 0)
+             + COALESCE(1.0 / (60 + vec_rank), 0) AS rrf,
+             lex_rank, vec_rank
+      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    )
+    SELECT doc_id, ROUND(rrf, 6) AS rrf, lex_rank, vec_rank
+    FROM fused ORDER BY ROUND(rrf, 6) DESC, doc_id LIMIT 20
+    """,
+)
+def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: fuse the q308 BM25
+    lexical top-50 with a cosine vector top-50 (probe = embedding 0)
+    through rrf = Σ 1/(60+rank) — the calibration-free lexical+vector
+    combiner every retrieval-augmented curation pipeline ends at.
+    Both rank keys are ROUND(6) scores (cross-engine bitwise-equal:
+    in-order double folds on both sides) with id tie-breaks, so ranks
+    are engine-exact; the fusion itself is rational arithmetic on
+    small-integer ranks. Each list is TakeOrdered-truncated to 50
+    BEFORE ranking, so the only ordering windows run over
+    limit-bounded frames and the fusion join touches ≤100 rows
+    regardless of corpus size."""
+    from dataflowex_spark.functions.text import WS_REGEX
+    from dataflowex_spark.functions.vectors import cosine_similarity
+    from dataflowex_spark.operators.similarity import rrf_fuse
+    from dataflowex_spark.operators.text import bm25_scores
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"]
+    emb = cat["embeddings"]
+
+    base = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("text"), WS_REGEX), lambda t: t != F.lit("")
+        ).alias("ts"),
+    )
+    tf = (
+        base.select("doc_id", F.explode("ts").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    qterms = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").asc(), "term")
+        .limit(5)
+        .select("term")
+    )
+    lex50 = (
+        bm25_scores(docs, qterms)
+        .select("doc_id", F.round("bm25", 6).alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(50)
+    )
+    lex = lex50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("s").desc(), "doc_id"))
+        .alias("rank"),
+    )
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__pv")
+    )
+    vec50 = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("__pv")), 6
+            ).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(50)
+    )
+    vec = vec50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("s").desc(), "doc_id"))
+        .alias("rank"),
+    )
+    fused = rrf_fuse({"lex": lex, "vec": vec})
+    return (
+        fused.select(
+            "doc_id",
+            F.round("rrf", 6).alias("rrf"),
+            "lex_rank",
+            "vec_rank",
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+    )

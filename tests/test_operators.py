@@ -2322,3 +2322,32 @@ def test_bm25_properties(spark):
     assert got["rare2"] < (1.2 + 1) * idf  # asymptotic bound
     # (3) length normalization: same tf=1, dl=8 < dl=4 score
     assert got["rare_long"] < got["rare1"]
+
+
+def test_rrf_fuse_properties(spark):
+    """RRF on two hand-built top-3 lists pins the closed-form score,
+    the outer-join union semantics (docs in one list keep a NULL rank
+    for the other), and rank-based order: a doc ranked mid in BOTH
+    lists beats a doc ranked first in only one (1/61+1/63 > 1/61)."""
+    from dataflowex_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(20, 1), (30, 2), (40, 3)], "doc_id long, rank int"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in rrf_fuse({"lex": lex, "vec": vec}).collect()
+    }
+    assert set(got) == {10, 20, 30, 40}
+    assert abs(got[20]["rrf"] - (1 / 62 + 1 / 61)) < 1e-12
+    assert abs(got[10]["rrf"] - 1 / 61) < 1e-12
+    assert got[10]["vec_rank"] is None and got[40]["lex_rank"] is None
+    # both-lists beats single-list-first
+    assert got[30]["rrf"] > got[10]["rrf"]
+    # single-system degenerates to rank order
+    solo = rrf_fuse({"lex": lex}).collect()
+    order = [r["doc_id"] for r in sorted(solo, key=lambda r: -r["rrf"])]
+    assert order == [10, 20, 30]
