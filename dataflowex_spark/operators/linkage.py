@@ -1,0 +1,107 @@
+"""Probabilistic record linkage (Fellegi–Sunter, JASA 1969).
+
+The classic entity-resolution decision model: candidate pairs come
+from a BLOCKED equi-join (never all-pairs), each pair gets an
+agreement vector γ over a handful of field comparisons, and the pair
+score is the sum of per-field match weights
+
+    w_i = γ_i ? log(m_i/u_i) : log((1−m_i)/(1−u_i))
+
+with m = P(agree | match), u = P(agree | non-match). Production
+linkers (e.g. the public Splink library) quantize these log-ratios
+to integers — the decision boundary only needs ordering, and integer
+weights make scores engine-exact and shuffle-reduction-order-proof,
+so this module takes the weights as integers directly.
+
+Scale shape: the ONLY pair generation is an equi-join on the blocking
+key — candidate volume is Σ_b |A_b|·|B_b| (self-link: Σ C(n_b, 2)),
+governed by the caller's blocking choice, never n². Comparisons and
+scoring are scan-local expressions on the joined frame; thresholds
+classify without further shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# A field comparison: (name, predicate over (left_row, right_row)
+# column accessors, integer agree-weight, integer disagree-weight).
+Comparison = tuple[
+    str,
+    Callable[[Callable[[str], Column], Callable[[str], Column]], Column],
+    int,
+    int,
+]
+
+
+def fellegi_sunter_link(
+    a: DataFrame,
+    block_cols: Sequence[str],
+    comparisons: Sequence[Comparison],
+    id_col: str,
+    b: DataFrame | None = None,
+    match_threshold: int = 40,
+    possible_threshold: int = 0,
+) -> DataFrame:
+    """Score blocked candidate pairs with quantized Fellegi–Sunter
+    weights and classify them.
+
+    ``a`` (and ``b`` if linking two sources; omitted ⇒ self-linkage
+    with ``id_a < id_b`` canonical pairs) must carry ``id_col``, the
+    blocking columns, and every column the comparisons touch. Each
+    comparison predicate receives two accessors ``l(col)``/``r(col)``
+    returning the left/right side of the pair.
+
+    Returns one row per candidate pair:
+    (id_a, id_b, <name>_agree ... , score, classification) with
+    classification ∈ {'match','possible','non_match'} by the integer
+    thresholds. Everything after the blocking join is scan-local.
+    """
+    lft = a.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"__bk_{c}") for c in block_cols],
+        *[
+            F.col(c).alias(f"__l_{c}")
+            for c in a.columns
+            if c != id_col
+        ],
+    )
+    rgt = (b if b is not None else a).select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"__bk_{c}") for c in block_cols],
+        *[
+            F.col(c).alias(f"__r_{c}")
+            for c in (b if b is not None else a).columns
+            if c != id_col
+        ],
+    )
+    pairs = lft.join(rgt, [f"__bk_{c}" for c in block_cols])
+    if b is None:
+        pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
+
+    def l(col: str) -> Column:  # noqa: E743 — paired accessor naming
+        return F.col(f"__l_{col}")
+
+    def r(col: str) -> Column:
+        return F.col(f"__r_{col}")
+
+    flags = [
+        (name, pred(l, r).alias(f"{name}_agree"))
+        for name, pred, _wa, _wd in comparisons
+    ]
+    scored = pairs.select("id_a", "id_b", *[c for _n, c in flags])
+    score = sum(
+        (
+            F.when(F.col(f"{name}_agree"), F.lit(wa)).otherwise(F.lit(wd))
+            for name, _p, wa, wd in comparisons
+        ),
+        F.lit(0),
+    )
+    return scored.withColumn("score", score).withColumn(
+        "classification",
+        F.when(F.col("score") >= match_threshold, F.lit("match"))
+        .when(F.col("score") >= possible_threshold, F.lit("possible"))
+        .otherwise(F.lit("non_match")),
+    )

@@ -14533,3 +14533,100 @@ def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(20)
     )
+
+
+@q(
+    "q310_record_linkage",
+    """
+    WITH recs AS (
+      SELECT doc_id, lang, source, n_chars,
+             n_chars // 100 AS len_bucket,
+             list_extract(
+               list_filter(string_split_regex(text, '__WS__'),
+                           x -> x <> ''), 1) AS first_tok,
+             text
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ABS(a.n_chars - b.n_chars) <= 20 AS len_agree,
+             a.first_tok = b.first_tok AS tok_agree,
+             a.text = b.text AS dup_agree
+      FROM recs a JOIN recs b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT id_a, id_b, len_agree, tok_agree, dup_agree,
+             (CASE WHEN len_agree THEN 11 ELSE -19 END)
+             + (CASE WHEN tok_agree THEN 28 ELSE -18 END)
+             + (CASE WHEN dup_agree THEN 59 ELSE -12 END) AS score
+      FROM pairs
+    )
+    SELECT id_a, id_b, len_agree, tok_agree, dup_agree, score,
+           CASE WHEN score >= 40 THEN 'match'
+                WHEN score >= 0 THEN 'possible'
+                ELSE 'non_match' END AS classification
+    FROM scored
+    ORDER BY score DESC, id_a, id_b LIMIT 25
+    """,
+)
+def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (self-linkage de-
+    duplication form) over the documents corpus: candidate pairs from
+    a (lang, source, length-bucket) blocked equi-join — candidate
+    volume is Σ C(n_block, 2), never n² — scored with QUANTIZED
+    integer match weights (the Splink-style production form: only the
+    ordering matters, and integer scores are engine-exact in any
+    reduction order). Three field comparisons: length within 20 chars
+    (+11/−19), identical first token (+28/−18), exact text duplicate
+    (+59/−12); match ≥ 40, possible ≥ 0. Top-25 pairs by score."""
+    from dataflowex_spark.functions.text import WS_REGEX
+    from dataflowex_spark.operators.linkage import fellegi_sunter_link
+
+    cat = Catalog(spark, sf_dir)
+    recs = cat["documents"].select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.expr("n_chars div 100").alias("len_bucket"),
+        F.element_at(
+            F.filter(
+                F.split(F.col("text"), WS_REGEX),
+                lambda t: t != F.lit(""),
+            ),
+            1,
+        ).alias("first_tok"),
+        "text",
+    )
+    out = fellegi_sunter_link(
+        recs,
+        block_cols=["lang", "source", "len_bucket"],
+        comparisons=[
+            (
+                "len",
+                lambda l, r: F.abs(l("n_chars") - r("n_chars")) <= 20,
+                11,
+                -19,
+            ),
+            ("tok", lambda l, r: l("first_tok") == r("first_tok"), 28, -18),
+            ("dup", lambda l, r: l("text") == r("text"), 59, -12),
+        ],
+        id_col="doc_id",
+        match_threshold=40,
+        possible_threshold=0,
+    )
+    return (
+        out.select(
+            "id_a",
+            "id_b",
+            F.col("len_agree"),
+            F.col("tok_agree"),
+            F.col("dup_agree"),
+            "score",
+            "classification",
+        )
+        .orderBy(F.col("score").desc(), "id_a", "id_b")
+        .limit(25)
+    )

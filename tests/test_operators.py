@@ -2351,3 +2351,49 @@ def test_rrf_fuse_properties(spark):
     solo = rrf_fuse({"lex": lex}).collect()
     order = [r["doc_id"] for r in sorted(solo, key=lambda r: -r["rrf"])]
     assert order == [10, 20, 30]
+
+
+def test_fellegi_sunter_link(spark):
+    """Two-source linkage on a hand-built roster pins the F-S decision
+    model: blocking (cross-block pairs never scored), the quantized
+    agree/disagree weight sum, and the threshold classification."""
+    from dataflowex_spark.operators.linkage import fellegi_sunter_link
+
+    a = spark.createDataFrame(
+        [(1, "x", "ann", 100), (2, "x", "bob", 200), (3, "y", "cat", 300)],
+        "id long, blk string, name string, amt long",
+    )
+    b = spark.createDataFrame(
+        [(10, "x", "ann", 105), (20, "x", "eve", 205), (30, "z", "cat", 300)],
+        "id long, blk string, name string, amt long",
+    )
+    out = fellegi_sunter_link(
+        a,
+        block_cols=["blk"],
+        comparisons=[
+            ("name", lambda l, r: l("name") == r("name"), 30, -10),
+            ("amt", lambda l, r: F.abs(l("amt") - r("amt")) <= 10, 15, -5),
+        ],
+        id_col="id",
+        b=b,
+        match_threshold=40,
+        possible_threshold=0,
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    # blocking: only block-x pairs (2x2); 'cat' pair is cross-block
+    assert set(rows) == {(1, 10), (1, 20), (2, 10), (2, 20)}
+    assert rows[(1, 10)]["score"] == 45  # both agree
+    assert rows[(1, 10)]["classification"] == "match"
+    assert rows[(2, 20)]["score"] == -10 + 15  # amt diff 5 agrees
+    assert rows[(2, 20)]["classification"] == "possible"
+    assert rows[(2, 10)]["score"] == -15  # both fields disagree
+    assert rows[(2, 10)]["classification"] == "non_match"
+    # self-link mode: canonical id_a < id_b, no self pairs
+    self_out = fellegi_sunter_link(
+        a,
+        block_cols=["blk"],
+        comparisons=[("name", lambda l, r: l("name") == r("name"), 30, -10)],
+        id_col="id",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in self_out.collect()}
+    assert pairs == {(1, 2)}
