@@ -6,7 +6,7 @@ whole text-quality pass runs inside one codegen'd scan stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from dataflowex_spark.functions.text import (
     WS_REGEX,
@@ -629,3 +629,98 @@ def bm25_scores(
         )
     )
     return scored.groupBy(id_col).agg(F.sum("__s").alias("bm25"))
+
+
+def naive_bayes_label(
+    df: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multinomial Naive Bayes document classifier (add-one smoothing),
+    trained and scored distributedly — the classic cheap text
+    classifier a curation pipeline uses for domain/quality routing
+    when a full model is overkill.
+
+    Per class c and document d over token counts tf(d,t):
+
+        score(d,c) = ln P(c) + Σ_t tf·ln((n(c,t)+1)/(N(c)+V))
+
+    Every ln term is floor-quantized to a 1e-6 BIGINT **before**
+    multiplication and summation (the q169 convention), so per-doc
+    class scores are exact integer math in any reduction order and
+    the argmax is engine-deterministic (score desc, class asc).
+
+    Scale shape: one token-stream shuffle to (class, term) counts;
+    the smoothed log-prob grid is |vocab|·|classes| — broadcast to
+    the (doc, term, tf) frame, so the corpus shuffles once for tf and
+    once keyed by doc for the per-class fold; argmax is a window
+    PARTITIONED by document (never global). Returns
+    (id_col, label_col, pred, score_q).
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), WS_REGEX), lambda t: t != F.lit("")
+    )
+    base = df.select(
+        F.col(id_col), F.col(label_col), toks.alias("__ts")
+    )
+    stream = base.select(
+        id_col, label_col, F.explode("__ts").alias("term")
+    )
+    tf = stream.groupBy(id_col, "term").agg(F.count("*").alias("__tf"))
+    # training counts: per-(class, term), per-class totals, vocab size
+    ct = stream.groupBy(label_col, "term").agg(F.count("*").alias("__c"))
+    tot = ct.groupBy(label_col).agg(F.sum("__c").alias("__tot"))
+    vocab = ct.select("term").distinct()
+    v = vocab.agg(F.count("*").alias("__v"))
+    classes = df.groupBy(label_col).agg(F.count("*").alias("__nd"))
+    n = df.agg(F.count("*").alias("__n"))
+    prior = classes.crossJoin(F.broadcast(n)).select(
+        F.col(label_col).alias("__cls"),
+        F.floor(
+            1e6 * F.log(F.col("__nd") / F.col("__n").cast("double"))
+        )
+        .cast("long")
+        .alias("__prior_q"),
+    )
+    grid = (
+        vocab.crossJoin(F.broadcast(classes.select(label_col)))
+        .join(ct, ["term", label_col], "left")
+        .join(F.broadcast(tot), label_col)
+        .crossJoin(F.broadcast(v))
+        .select(
+            "term",
+            F.col(label_col).alias("__cls"),
+            F.floor(
+                1e6
+                * F.log(
+                    (F.coalesce(F.col("__c"), F.lit(0)) + 1.0)
+                    / (F.col("__tot") + F.col("__v")).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("__w_q"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(grid), "term")
+        .groupBy(id_col, "__cls")
+        .agg(F.sum(F.col("__tf") * F.col("__w_q")).alias("__s"))
+        .join(F.broadcast(prior), "__cls")
+        .select(
+            id_col,
+            "__cls",
+            (F.col("__s") + F.col("__prior_q")).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_q").desc(), F.col("__cls")
+    )
+    best = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, F.col("__cls").alias("pred"), "score_q")
+    )
+    return best.join(
+        df.select(id_col, label_col), id_col
+    ).select(id_col, label_col, "pred", "score_q")

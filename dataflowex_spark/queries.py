@@ -14630,3 +14630,87 @@ def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "id_a", "id_b")
         .limit(25)
     )
+
+
+@q(
+    "q311_naive_bayes_confusion",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '__WS__'), x -> x <> '')
+               AS ts
+      FROM documents
+    ),
+    stream AS (SELECT doc_id, lang, unnest(ts) AS term FROM t),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM stream
+      GROUP BY doc_id, term
+    ),
+    ct AS (
+      SELECT lang, term, COUNT(*) AS c FROM stream GROUP BY lang, term
+    ),
+    tot AS (SELECT lang, SUM(c) AS tot FROM ct GROUP BY lang),
+    v AS (SELECT COUNT(DISTINCT term) AS v FROM ct),
+    classes AS (SELECT lang, COUNT(*) AS nd FROM documents GROUP BY lang),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    prior AS (
+      SELECT lang AS cls,
+             CAST(FLOOR(1e6 * LN(nd / CAST(n AS DOUBLE))) AS BIGINT)
+               AS prior_q
+      FROM classes CROSS JOIN n
+    ),
+    grid AS (
+      SELECT vt.term, cl.lang AS cls,
+             CAST(FLOOR(1e6 * LN(
+               (COALESCE(ct.c, 0) + 1.0)
+               / CAST(tot.tot + v.v AS DOUBLE)
+             )) AS BIGINT) AS w_q
+      FROM (SELECT DISTINCT term FROM ct) vt
+      CROSS JOIN (SELECT lang FROM classes) cl
+      LEFT JOIN ct ON ct.term = vt.term AND ct.lang = cl.lang
+      JOIN tot ON tot.lang = cl.lang
+      CROSS JOIN v
+    ),
+    scored AS (
+      SELECT tf.doc_id, g.cls,
+             SUM(tf.tf * g.w_q) + ANY_VALUE(p.prior_q) AS score_q
+      FROM tf JOIN grid g ON g.term = tf.term
+      JOIN prior p ON p.cls = g.cls
+      GROUP BY tf.doc_id, g.cls
+    ),
+    best AS (
+      SELECT doc_id, cls AS pred FROM (
+        SELECT doc_id, cls,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY score_q DESC, cls
+               ) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT d.lang AS actual, b.pred, COUNT(*) AS n_docs
+    FROM best b JOIN documents d USING (doc_id)
+    GROUP BY d.lang, b.pred
+    ORDER BY actual, pred
+    """,
+)
+def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, resubstitution
+    confusion matrix: train add-one-smoothed per-(lang, term) counts
+    on the whole corpus, score every document against every class,
+    argmax, and cross-tabulate predicted vs actual — the cheap text
+    classifier a curation pipeline uses for routing, with its
+    training-set confusion as the quality report. Every ln term is
+    floor-quantized to a 1e-6 BIGINT before the tf-weighted sum (the
+    q169 convention), so class scores are exact integers in any
+    reduction order and the argmax is engine-deterministic. The
+    log-prob grid is |vocab|×|classes| — broadcast; the corpus
+    shuffles once to tf and once keyed by doc for the fold."""
+    from dataflowex_spark.operators.text import naive_bayes_label
+
+    cat = Catalog(spark, sf_dir)
+    pred = naive_bayes_label(cat["documents"])
+    return (
+        pred.groupBy(F.col("lang").alias("actual"), "pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("actual", "pred")
+    )

@@ -2397,3 +2397,28 @@ def test_fellegi_sunter_link(spark):
     )
     pairs = {(r["id_a"], r["id_b"]) for r in self_out.collect()}
     assert pairs == {(1, 2)}
+
+
+def test_naive_bayes_separable(spark):
+    """Two perfectly separable vocabularies: NB must classify every
+    doc correctly (including the add-one-smoothed never-seen-in-class
+    terms), scores are integers, and a doc of pure cross-class tokens
+    flips prediction — pinning that evidence, not priors, decides."""
+    from dataflowex_spark.operators.text import naive_bayes_label
+
+    rows = (
+        [(i, "apple apple banana", "fruit") for i in range(4)]
+        + [(i + 10, "bolt nut bolt", "hardware") for i in range(4)]
+        # a fruit-labeled doc whose text is pure hardware vocabulary:
+        + [(99, "bolt bolt nut nut", "fruit")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in naive_bayes_label(df).collect()}
+    for i in range(4):
+        assert out[i]["pred"] == "fruit"
+        assert out[i + 10]["pred"] == "hardware"
+    # evidence overrides the (tied-ish) prior
+    assert out[99]["pred"] == "hardware"
+    assert all(isinstance(r["score_q"], int) for r in out.values())
+    # every input doc is scored exactly once
+    assert len(out) == 9
