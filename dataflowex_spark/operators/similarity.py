@@ -717,3 +717,85 @@ def rrf_fuse(
         F.lit(0.0),
     )
     return fused.select(id_col, score.alias("rrf"), *rank_cols)
+
+
+def mmr_select(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): greedily select ``k`` results trading off relevance
+    against redundancy with what is already selected,
+
+        step 1:   argmax rel(d)
+        step i>1: argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)
+
+    ``candidates`` is an already-truncated top-N retrieval list
+    (id, rel, embedding) — BOUNDED by construction, which is the
+    scale contract: the distributed work is candidate GENERATION
+    (kNN/LSH/IVF upstream); MMR is inherently sequential-greedy, so
+    it runs as k driver-bounded argmax rounds over this broadcast-
+    sized frame (pairwise sims among ≤N rows, one 1-row collect per
+    round — never corpus-scale). Ties break by id; sims and scores
+    round to 6 decimals IN the plan so the greedy path is engine-
+    deterministic. Returns (step, id_col, mmr) for the k picks.
+    """
+    from dataflowex_spark.functions.vectors import cosine_similarity
+
+    spark = candidates.sparkSession
+    cand = candidates.select(id_col, rel_col, vec_col).localCheckpoint()
+    rhs = cand.select(
+        F.col(id_col).alias("__id_b"), F.col(vec_col).alias("__vb")
+    )
+    pairs = (
+        cand.crossJoin(F.broadcast(rhs))
+        .filter(F.col(id_col) != F.col("__id_b"))
+        .select(
+            id_col,
+            "__id_b",
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("__vb")), 6
+            ).alias("__s"),
+        )
+        .localCheckpoint()
+    )
+    selected: list = []
+    out: list[tuple] = []
+    for step in range(1, k + 1):
+        if not selected:
+            pick = (
+                cand.select(
+                    id_col, F.round(F.col(rel_col), 6).alias("__mmr")
+                )
+                .orderBy(F.col("__mmr").desc(), id_col)
+                .first()
+            )
+        else:
+            mx = (
+                pairs.filter(F.col("__id_b").isin(selected))
+                .groupBy(id_col)
+                .agg(F.max("__s").alias("__mx"))
+            )
+            pick = (
+                cand.filter(~F.col(id_col).isin(selected))
+                .join(mx, id_col)
+                .select(
+                    id_col,
+                    F.round(
+                        F.lit(lam) * F.col(rel_col)
+                        - F.lit(1.0 - lam) * F.col("__mx"),
+                        6,
+                    ).alias("__mmr"),
+                )
+                .orderBy(F.col("__mmr").desc(), id_col)
+                .first()
+            )
+        selected.append(pick[id_col])
+        out.append((step, pick[id_col], pick["__mmr"]))
+    return spark.createDataFrame(
+        out, f"step int, {id_col} long, mmr double"
+    )

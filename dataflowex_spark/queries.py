@@ -14714,3 +14714,104 @@ def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("actual", "pred")
     )
+
+
+@q(
+    "q312_mmr_diversify",
+    """
+    WITH cand AS (
+      SELECT c.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(p.embedding AS DOUBLE[])),
+                   6) AS rel,
+             c.embedding AS embedding
+      FROM embeddings c JOIN embeddings p
+        ON p.vec_id = 0 AND c.vec_id <> 0
+      ORDER BY rel DESC, doc_id LIMIT 20
+    ),
+    sims AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])),
+                   6) AS s
+      FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+    ),
+    p1 AS (
+      SELECT doc_id, ROUND(rel, 6) AS mmr FROM cand
+      ORDER BY rel DESC, doc_id LIMIT 1
+    ),
+    m2 AS (
+      SELECT c.doc_id, ROUND(0.7 * c.rel - (1.0 - 0.7) * MAX(s.s), 6) AS mmr
+      FROM cand c JOIN sims s ON s.id_a = c.doc_id
+       AND s.id_b IN (SELECT doc_id FROM p1)
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM p1)
+      GROUP BY c.doc_id, c.rel
+    ),
+    p2 AS (SELECT doc_id, mmr FROM m2 ORDER BY mmr DESC, doc_id LIMIT 1),
+    sel2 AS (SELECT doc_id FROM p1 UNION ALL SELECT doc_id FROM p2),
+    m3 AS (
+      SELECT c.doc_id, ROUND(0.7 * c.rel - (1.0 - 0.7) * MAX(s.s), 6) AS mmr
+      FROM cand c JOIN sims s ON s.id_a = c.doc_id
+       AND s.id_b IN (SELECT doc_id FROM sel2)
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM sel2)
+      GROUP BY c.doc_id, c.rel
+    ),
+    p3 AS (SELECT doc_id, mmr FROM m3 ORDER BY mmr DESC, doc_id LIMIT 1),
+    sel3 AS (SELECT doc_id FROM sel2 UNION ALL SELECT doc_id FROM p3),
+    m4 AS (
+      SELECT c.doc_id, ROUND(0.7 * c.rel - (1.0 - 0.7) * MAX(s.s), 6) AS mmr
+      FROM cand c JOIN sims s ON s.id_a = c.doc_id
+       AND s.id_b IN (SELECT doc_id FROM sel3)
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM sel3)
+      GROUP BY c.doc_id, c.rel
+    ),
+    p4 AS (SELECT doc_id, mmr FROM m4 ORDER BY mmr DESC, doc_id LIMIT 1),
+    sel4 AS (SELECT doc_id FROM sel3 UNION ALL SELECT doc_id FROM p4),
+    m5 AS (
+      SELECT c.doc_id, ROUND(0.7 * c.rel - (1.0 - 0.7) * MAX(s.s), 6) AS mmr
+      FROM cand c JOIN sims s ON s.id_a = c.doc_id
+       AND s.id_b IN (SELECT doc_id FROM sel4)
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM sel4)
+      GROUP BY c.doc_id, c.rel
+    ),
+    p5 AS (SELECT doc_id, mmr FROM m5 ORDER BY mmr DESC, doc_id LIMIT 1)
+    SELECT 1 AS step, doc_id, mmr FROM p1
+    UNION ALL SELECT 2, doc_id, mmr FROM p2
+    UNION ALL SELECT 3, doc_id, mmr FROM p3
+    UNION ALL SELECT 4, doc_id, mmr FROM p4
+    UNION ALL SELECT 5, doc_id, mmr FROM p5
+    ORDER BY step
+    """,
+)
+def q312(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified retrieval: cosine
+    top-20 candidates for probe embedding 0, then 5 greedy MMR picks
+    at λ=0.7 — the standard redundancy-suppressing re-rank after any
+    similarity search. The distributed work is candidate generation;
+    the greedy loop runs k driver-bounded argmax rounds over the
+    ≤20-row candidate frame (pairwise sims broadcast, one 1-row
+    collect per round). All sims/scores ROUND(6) inside the plan with
+    id tie-breaks, so the greedy path is engine-exact; the oracle
+    unrolls the same 5 steps as CTE stages."""
+    from dataflowex_spark.functions.vectors import cosine_similarity
+    from dataflowex_spark.operators.similarity import mmr_select
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat["embeddings"]
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__pv")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("__pv")), 6
+            ).alias("rel"),
+            "embedding",
+        )
+        .orderBy(F.col("rel").desc(), "doc_id")
+        .limit(20)
+    )
+    return mmr_select(cand, k=5, lam=0.7)

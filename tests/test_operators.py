@@ -2422,3 +2422,30 @@ def test_naive_bayes_separable(spark):
     assert all(isinstance(r["score_q"], int) for r in out.values())
     # every input doc is scored exactly once
     assert len(out) == 9
+
+
+def test_mmr_select_diversity(spark):
+    """Three near-identical high-relevance vectors vs one distinct
+    lower-relevance vector: pure relevance ranking would pick two
+    clones; MMR must pick the distinct vector second. Also pins the
+    greedy closed form at step 2."""
+    from dataflowex_spark.operators.similarity import mmr_select
+
+    cand = spark.createDataFrame(
+        [
+            (1, 0.95, [1.0, 0.0, 0.0]),
+            (2, 0.94, [0.999, 0.01, 0.0]),   # clone of 1
+            (3, 0.93, [0.998, 0.02, 0.0]),   # clone of 1
+            (4, 0.60, [0.0, 1.0, 0.0]),      # orthogonal, less relevant
+        ],
+        "doc_id long, rel double, embedding array<double>",
+    )
+    out = mmr_select(cand, k=3, lam=0.7)
+    rows = {r["step"]: r for r in out.collect()}
+    assert rows[1]["doc_id"] == 1 and abs(rows[1]["mmr"] - 0.95) < 1e-9
+    # step 2: clones score 0.7*0.94 - 0.3*~1 ≈ 0.36; doc 4 scores
+    # 0.7*0.6 - 0.3*0 = 0.42 → diversity wins
+    assert rows[2]["doc_id"] == 4
+    assert abs(rows[2]["mmr"] - (0.7 * 0.6 - (1.0 - 0.7) * 0.0)) < 1e-9
+    assert rows[3]["doc_id"] == 2  # best remaining clone
+    assert out.count() == 3
