@@ -296,3 +296,114 @@ def sax_words(
         )
         .select(F.col("__k").alias(key_col), "word")
     )
+
+
+def series_arrays(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    series_len: int = 32,
+    quantize: int = 1000,
+    tie_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Each key's first ``series_len`` observations (time order, ties
+    by ``tie_cols``) as ONE quantized-integer array column — the
+    fixed-length series extraction shared by SAX blocking and the
+    exact verifies that run inside its candidate groups. Keys with
+    fewer observations are dropped (same contract as
+    :func:`sax_words`). Returns (key_col, seq: array<long>)."""
+    w = Window.partitionBy("__k").orderBy(ts_col, *tie_cols)
+    sliced = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.col(ts_col),
+            *[F.col(c) for c in tie_cols],
+            F.floor(F.col(value_col) * quantize).cast("long").alias("__v"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= series_len)
+    )
+    return (
+        sliced.groupBy("__k")
+        .agg(
+            F.count("*").alias("__n"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__rn", "__v"))),
+                lambda x: x["__v"],
+            ).alias("seq"),
+        )
+        .filter(F.col("__n") == series_len)
+        .select(F.col("__k").alias(key_col), "seq")
+    )
+
+
+def dtw_pairs(
+    pairs: DataFrame,
+    seq_a_col: str = "seq_a",
+    seq_b_col: str = "seq_b",
+    band: int = 4,
+    out_col: str = "dtw",
+) -> DataFrame:
+    """Exact Dynamic Time Warping distance per candidate pair, with a
+    Sakoe–Chiba band of radius ``band`` (the standard constraint: the
+    warping path stays within |i−j| ≤ band, which both regularizes
+    and cuts the DP from O(n²) to O(n·band) per pair).
+
+    Cost is L1 over the quantized-integer series from
+    :func:`series_arrays`, so the whole DP is INTEGER arithmetic —
+    the distance is exact and hash-stable with no float order anywhere.
+
+    This is the verify stage of the SAX blocking pipeline: ``pairs``
+    is a candidate frame (two array columns) produced by a word
+    equi-join — volume bounded by the blocking, never all-pairs. The
+    DP runs executor-side in mapInPandas (a declared pandas operator:
+    an iterative recurrence is the one shape Spark expressions can't
+    fold); each pair is O(n·band) on two short arrays, no shuffle
+    beyond the candidate join itself.
+    """
+    import pandas as pd  # noqa: F401
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in pairs.schema.fields
+        if f.name not in (seq_a_col, seq_b_col)
+    ) + f", {out_col} long"
+
+    def _dtw(a: list[int], b: list[int], r: int) -> int:
+        big = None
+        n, m = len(a), len(b)
+        prev = [None] * (m + 1)
+        prev[0] = 0
+        for i in range(1, n + 1):
+            cur = [None] * (m + 1)
+            lo = max(1, i - r)
+            hi = min(m, i + r)
+            for j in range(lo, hi + 1):
+                best = None
+                for p in (prev[j], cur[j - 1], prev[j - 1]):
+                    if p is not None and (best is None or p < best):
+                        best = p
+                if best is None:
+                    continue
+                cur[j] = best + abs(a[i - 1] - b[j - 1])
+            prev = cur
+        return prev[m]
+
+    keep = [
+        f.name
+        for f in pairs.schema.fields
+        if f.name not in (seq_a_col, seq_b_col)
+    ]
+
+    def gen(batches):
+        for pdf in batches:
+            vals = [
+                _dtw(list(ra), list(rb), band)
+                for ra, rb in zip(pdf[seq_a_col], pdf[seq_b_col])
+            ]
+            out = pdf[keep].copy()
+            out[out_col] = pd.Series(vals, index=pdf.index, dtype="int64")
+            yield out
+
+    return pairs.mapInPandas(gen, schema=out_schema)

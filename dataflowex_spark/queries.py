@@ -14815,3 +14815,67 @@ def q312(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return mmr_select(cand, k=5, lam=0.7)
+
+
+@q("q313_sax_dtw_verify", None)
+def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-verify stage SAX blocking exists for: coarse 4-symbol
+    SAX words (q303's blocker, coarsened) group shape-similar users;
+    inside each word group — candidate volume only, never all-pairs —
+    every pair gets an EXACT banded DTW distance (Sakoe–Chiba r=4, L1
+    cost over the quantized-integer series), executor-side in
+    mapInPandas (declared pandas operator: an iterative DP recurrence
+    is the one shape Spark expressions can't fold). The integer DP
+    makes distances exact and hash-stable. Rows-only: DTW is not
+    SQL-expressible; the DP itself is pinned exactly by pytest.
+    Returns the 50 closest candidate pairs."""
+    from dataflowex_spark.operators.timeseries import (
+        dtw_pairs,
+        sax_words,
+        series_arrays,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    words = sax_words(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        series_len=32,
+        paa_segments=4,
+        tie_cols=("event_id",),
+    )
+    seqs = series_arrays(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        series_len=32,
+        tie_cols=("event_id",),
+    )
+    keyed = words.join(seqs, "user_id")
+    lhs = keyed.select(
+        "word",
+        F.col("user_id").alias("user_a"),
+        F.col("seq").alias("seq_a"),
+    )
+    rhs = keyed.select(
+        "word",
+        F.col("user_id").alias("user_b"),
+        F.col("seq").alias("seq_b"),
+    )
+    pairs = lhs.join(rhs, "word").filter(
+        F.col("user_a") < F.col("user_b")
+    )
+    out = dtw_pairs(pairs, band=4)
+    return (
+        out.select(
+            "word",
+            F.col("user_a").cast("long"),
+            F.col("user_b").cast("long"),
+            "dtw",
+        )
+        .orderBy("dtw", "user_a", "user_b")
+        .limit(50)
+    )

@@ -2449,3 +2449,53 @@ def test_mmr_select_diversity(spark):
     assert abs(rows[2]["mmr"] - (0.7 * 0.6 - (1.0 - 0.7) * 0.0)) < 1e-9
     assert rows[3]["doc_id"] == 2  # best remaining clone
     assert out.count() == 3
+
+
+def test_dtw_pairs_exact(spark):
+    """Pins the banded-DTW DP exactly: identical series → 0; a known
+    tiny alignment (shift-by-one) → the hand-computed warp cost; and
+    the band constraint actually bites (narrow band forces the
+    diagonal, so distance rises to the L1 diagonal cost)."""
+    from dataflowex_spark.operators.timeseries import dtw_pairs
+
+    a = [0, 0, 10, 0, 0, 0]
+    b = [0, 0, 0, 10, 0, 0]  # same pulse, shifted right by one
+    pairs = spark.createDataFrame(
+        [
+            (1, a, a),
+            (2, a, b),
+            (3, a, b),
+        ],
+        "pid int, seq_a array<long>, seq_b array<long>",
+    )
+    wide = {
+        r["pid"]: r["dtw"]
+        for r in dtw_pairs(pairs.filter("pid <= 2"), band=4).collect()
+    }
+    assert wide[1] == 0
+    # warp absorbs the shift: align pulse to pulse, one duplicated 0
+    assert wide[2] == 0
+    narrow = dtw_pairs(pairs.filter("pid = 3"), band=0).collect()[0]["dtw"]
+    # band 0 = pure diagonal = L1 distance = |10-0| + |0-10| = 20
+    assert narrow == 20
+
+
+def test_series_arrays_contract(spark):
+    """series_arrays: time-ordered first-N quantized values per key;
+    short keys dropped."""
+    from dataflowex_spark.operators.timeseries import series_arrays
+
+    df = spark.createDataFrame(
+        [("u1", t, float(t) / 2, t) for t in range(5)]
+        + [("u2", t, 1.0, t) for t in range(3)],
+        "user_id string, ts long, value double, event_id long",
+    )
+    out = {
+        r["user_id"]: r["seq"]
+        for r in series_arrays(
+            df, "user_id", "ts", "value", series_len=4,
+            tie_cols=("event_id",),
+        ).collect()
+    }
+    assert set(out) == {"u1"}  # u2 has only 3 < 4 observations
+    assert out["u1"] == [0, 500, 1000, 1500]  # floor(v*1000), time order
