@@ -14879,3 +14879,80 @@ def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dtw", "user_a", "user_b")
         .limit(50)
     )
+
+
+@q(
+    "q314_count_min_audit",
+    """
+    WITH stream AS (
+      SELECT unnest(list_filter(string_split_regex(text, '__WS__'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    exact AS (SELECT term, COUNT(*) AS exact_n FROM stream GROUP BY term),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),
+    cells AS (
+      SELECT row,
+             CAST(('0x' || substr(md5(term || '#' || CAST(row AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 64 AS bucket,
+             COUNT(*) AS c
+      FROM stream CROSS JOIN rows_
+      GROUP BY 1, 2
+    ),
+    coords AS (
+      SELECT e.term, r.row,
+             CAST(('0x' || substr(md5(e.term || '#'
+                                      || CAST(r.row AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 64 AS bucket
+      FROM exact e CROSS JOIN rows_ r
+    ),
+    est AS (
+      SELECT term, MIN(COALESCE(c, 0)) AS cms_est
+      FROM coords LEFT JOIN cells USING (row, bucket)
+      GROUP BY term
+    )
+    SELECT e.term, e.exact_n, est.cms_est,
+           est.cms_est - e.exact_n AS bias
+    FROM exact e JOIN est USING (term)
+    ORDER BY e.exact_n DESC, e.term
+    """,
+)
+def q314(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency audit over the corpus token stream:
+    build the 4×64 cell grid in ONE map-side-combining hash-aggregate
+    (the sketch is depth·width counters regardless of stream size and
+    merges cell-wise — the 100 TB shape), point-query every distinct
+    term via min-across-rows, and report estimate vs exact with the
+    guaranteed-nonnegative collision bias. Hashing is the portable
+    md5 bucket, so the DuckDB oracle reproduces every cell and
+    estimate exactly — integer counts end to end."""
+    from dataflowex_spark.operators.sketches import (
+        count_min_build,
+        count_min_lookup,
+    )
+    from dataflowex_spark.functions.text import WS_REGEX
+
+    cat = Catalog(spark, sf_dir)
+    stream = cat["documents"].select(
+        F.explode(
+            F.filter(
+                F.split(F.col("text"), WS_REGEX),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term")
+    )
+    exact = stream.groupBy("term").agg(
+        F.count("*").cast("long").alias("exact_n")
+    )
+    cells = count_min_build(stream, "term", depth=4, width=64)
+    est = count_min_lookup(cells, exact, "term", depth=4, width=64)
+    return (
+        exact.join(est, "term")
+        .select(
+            "term",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("bias"),
+        )
+        .orderBy(F.col("exact_n").desc(), "term")
+    )

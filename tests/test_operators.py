@@ -2499,3 +2499,43 @@ def test_series_arrays_contract(spark):
     }
     assert set(out) == {"u1"}  # u2 has only 3 < 4 observations
     assert out["u1"] == [0, 500, 1000, 1500]  # floor(v*1000), time order
+
+
+def test_count_min_sketch_properties(spark):
+    """CMS invariants on a known stream: estimates never undershoot
+    (est ≥ exact for every present key), the grid holds exactly
+    depth·width-or-fewer nonzero cells whose per-row mass equals the
+    stream size, and weighted build counts weights, not rows."""
+    from dataflowex_spark.operators.sketches import (
+        count_min_build,
+        count_min_lookup,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    cells = count_min_build(df, "k", depth=3, width=8)
+    got_cells = cells.collect()
+    # each of the 3 rows holds the full stream mass
+    per_row = {}
+    for r in got_cells:
+        per_row[r["row"]] = per_row.get(r["row"], 0) + r["c"]
+    assert per_row == {0: 81, 1: 81, 2: 81}
+    keys = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    est = {
+        r["k"]: r["cms_est"]
+        for r in count_min_lookup(cells, keys, "k", depth=3, width=8).collect()
+    }
+    assert est["a"] >= 50 and est["b"] >= 30 and est["c"] >= 1
+    # weighted build: 2x weight doubles every estimate's floor
+    wdf = spark.createDataFrame(
+        [("a", 2)] * 50 + [("b", 2)] * 30 + [("c", 2)],
+        "k string, w long",
+    )
+    wcells = count_min_build(wdf, "k", depth=3, width=8, weight_col="w")
+    west = {
+        r["k"]: r["cms_est"]
+        for r in count_min_lookup(
+            wcells, keys, "k", depth=3, width=8
+        ).collect()
+    }
+    assert west["a"] == 2 * est["a"] and west["c"] == 2 * est["c"]
