@@ -96,3 +96,96 @@ def count_min_lookup(
             .alias(out_col)
         )
     )
+
+
+# --- HyperLogLog (Flajolet et al. 2007), portable-register variant ---
+#
+# Spark ships approx_count_distinct / hll_sketch_agg, but their
+# register contents are engine-private (xxhash / DataSketches), so
+# the driver's DuckDB oracle can only rows-check them (q35, q156).
+# This variant makes the SKETCH itself cross-engine reproducible:
+# the item hash is the repo's portable 60-bit md5 bucket, the
+# register index is its low 6 bits, and the rank (leading-zero
+# count) is derived from the BIT LENGTH of the remaining 54-bit
+# word via bin() — an integer-exact expression Spark and DuckDB
+# evaluate identically (both render binary without leading zeros).
+# The register table is therefore value-hash-oracleable, and the
+# harmonic-mean denominator is folded into ONE exact integer
+# Σ 2^(55-M_j) so the final float estimate is a single IEEE
+# division — deterministic in any engine and any reduction order.
+#
+# At 100 TB the shape is the whole point: per group the state is 64
+# registers built by one map-side-combining MAX aggregate — no
+# distinct-value shuffle, mergeable across executors/days by
+# register-wise MAX.
+
+HLL_P = 6  # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+_HLL_WBITS = 60 - HLL_P  # bits left after the register index
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 64.0)  # alpha_64, same literal in SQL
+_HLL_POW2_W1 = float(1 << (_HLL_WBITS + 1))  # 2^55, exact double literal
+
+
+def _hll_hash(key_col: str):
+    return F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], key_col: str
+) -> DataFrame:
+    """Per-group register table (group_cols..., j, m_j): one hash
+    aggregate over (group, register) — at most 64 rows per group
+    survive the map-side combine. rho(w) = 54 - bitlength(w) + 1,
+    with the all-zero word pinned to 55."""
+    h = _hll_hash(key_col)
+    j = F.pmod(h, F.lit(HLL_M))
+    w = F.floor(h / F.lit(HLL_M)).cast("long")
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS) - F.length(F.bin(w)) + 1
+    )
+    return (
+        df.select(*group_cols, j.alias("j"), rho.alias("rho"))
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rho").cast("long").alias("m_j"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    out_col: str = "hll_est",
+) -> DataFrame:
+    """Raw HLL estimate per group from the register table: absent
+    registers count as M=0, the denominator is the exact integer
+    Σ 2^(55-M_j) (≤ 64·2^55 < 2^62, bigint-safe), and the only float
+    step is alpha·m²·2^55 / S — deliberately NOT applying the
+    libm-dependent linear-counting correction (ln) so the estimate
+    is bit-identical in every engine; raw-HLL error suffices for the
+    audit use-case and the bias is visible in the companion exact
+    column."""
+    spark = registers.sparkSession
+    groups = registers.select(*group_cols).distinct()
+    grid = groups.crossJoin(
+        spark.range(HLL_M).select(F.col("id").alias("j"))
+    )
+    s = (
+        grid.join(registers, [*group_cols, "j"], "left")
+        .select(
+            *group_cols,
+            F.expr(
+                f"shiftleft(cast(1 as bigint), "
+                f"cast({_HLL_WBITS + 1} - coalesce(m_j, 0) as int))"
+            ).alias("__term"),
+        )
+        .groupBy(*group_cols)
+        .agg(F.sum("__term").cast("long").alias("__s"))
+    )
+    est = F.floor(
+        F.lit(_HLL_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(_HLL_POW2_W1)
+        / F.col("__s").cast("double")
+    ).cast("long")
+    return s.select(*group_cols, est.alias(out_col))

@@ -14956,3 +14956,86 @@ def q314(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_n").desc(), "term")
     )
+
+
+@q(
+    "q315_hll_portable",
+    """
+    WITH regs AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 64 AS j,
+             MAX(CASE
+                   WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                             1, 15)) AS BIGINT) // 64 = 0
+                   THEN 55
+                   ELSE 54 - length(bin(
+                        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                             1, 15)) AS BIGINT) // 64)) + 1
+                 END) AS m_j
+      FROM events
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT g.event_type, r.j
+      FROM (SELECT DISTINCT event_type FROM regs) g
+      CROSS JOIN (SELECT unnest(range(64)) AS j) r
+    ),
+    s AS (
+      SELECT grid.event_type,
+             CAST(SUM(1::BIGINT << CAST(55 - COALESCE(regs.m_j, 0) AS INT))
+                  AS BIGINT) AS s
+      FROM grid LEFT JOIN regs USING (event_type, j)
+      GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type,
+             CAST(FLOOR((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                        * 36028797018963968.0 / CAST(s AS DOUBLE))
+                  AS BIGINT) AS hll_est
+      FROM s
+    ),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_n
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, e.exact_n, est.hll_est,
+           est.hll_est - e.exact_n AS err
+    FROM exact e JOIN est USING (event_type)
+    ORDER BY e.event_type
+    """,
+)
+def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-user audit per event type: the
+    64-register sketch is built from the repo's portable md5 hash
+    (register = low 6 bits, rank = 54 − bitlength(word) + 1 via
+    bin() — integer-exact in Spark AND DuckDB), so unlike
+    approx_count_distinct (q35, engine-private registers) the oracle
+    reproduces the sketch itself. The harmonic denominator is one
+    exact integer Σ 2^(55−M_j); the only float step is a single IEEE
+    multiply/divide chain, hence hash-stable without rounding. The
+    100 TB shape: per group the state is ≤64 registers built in one
+    map-side-combining MAX agg — mergeable across days/executors,
+    no distinct-value shuffle ever."""
+    from dataflowex_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    regs = hll_registers(ev, ["event_type"], "user_id")
+    est = hll_estimate(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_n")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "exact_n",
+            "hll_est",
+            (F.col("hll_est") - F.col("exact_n")).alias("err"),
+        )
+        .orderBy("event_type")
+    )

@@ -2539,3 +2539,40 @@ def test_count_min_sketch_properties(spark):
         ).collect()
     }
     assert west["a"] == 2 * est["a"] and west["c"] == 2 * est["c"]
+
+
+def test_hll_portable_properties(spark):
+    """Portable-HLL invariants: registers are mergeable by MAX (two
+    half-builds maxed register-wise == one full build), the raw
+    estimate lands within the ~1.04/√64 relative-error regime on a
+    known cardinality, and estimates are monotone under stream
+    growth at fixed register count."""
+    from pyspark.sql import functions as F
+    from dataflowex_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(2000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    full = hll_registers(df, ["g"], "k")
+    est = hll_estimate(full, ["g"]).collect()[0]["hll_est"]
+    # raw HLL at m=64: sigma ≈ 1.04/8 = 13%; allow 3 sigma
+    assert abs(est - 2000) < 0.39 * 2000
+
+    # mergeability: halves merged by register-wise MAX == full build
+    lo = hll_registers(df.where("id < 1000"), ["g"], "k")
+    hi = hll_registers(df.where("id >= 1000"), ["g"], "k")
+    merged = (
+        lo.unionAll(hi)
+        .groupBy("g", "j")
+        .agg(F.max("m_j").cast("long").alias("m_j"))
+    )
+    m_rows = {(r["j"]): r["m_j"] for r in merged.collect()}
+    f_rows = {(r["j"]): r["m_j"] for r in full.collect()}
+    assert m_rows == f_rows
+
+    # superset stream never lowers any register, so S never grows
+    sub_est = hll_estimate(lo, ["g"]).collect()[0]["hll_est"]
+    assert sub_est <= est
