@@ -189,3 +189,54 @@ def hll_estimate(
         / F.col("__s").cast("double")
     ).cast("long")
     return s.select(*group_cols, est.alias(out_col))
+
+
+# --- AMS tug-of-war sketch (Alon–Matias–Szegedy, STOC'96) ---
+#
+# F2 = Σ_k f_k² is the SELF-JOIN SIZE — the quantity a planner wants
+# before committing to a join strategy on a possibly-skewed key.
+# Each estimator keeps one counter Z_i = Σ_rows sign_i(key); Z_i² is
+# an unbiased F2 estimate, averaged over s estimators. Signs come
+# from the portable md5 hash's parity, so every counter — and hence
+# the estimate — is EXACT INTEGER arithmetic reproducible by the
+# DuckDB oracle (no float anywhere). One map-side-combining SUM per
+# estimator; sketch size s counters regardless of stream size,
+# mergeable by addition.
+
+
+def ams_f2_estimators(
+    df: DataFrame, key_col: str, s: int = 16
+) -> DataFrame:
+    """Per-estimator tug-of-war counters: returns (i, z) with
+    z = Σ sign_i(key) over the stream — s rows total out of one
+    hash aggregate."""
+    entry = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    (portable_bucket(_row_key(key_col, i), 2) * 2 - 1)
+                    .cast("long")
+                    .alias("sign"),
+                )
+                for i in range(s)
+            ]
+        )
+    ).alias("e")
+    return (
+        df.select(F.col(key_col))
+        .select(entry)
+        .select(F.col("e.i").alias("i"), F.col("e.sign").alias("sign"))
+        .groupBy("i")
+        .agg(F.sum("sign").cast("long").alias("z"))
+    )
+
+
+def ams_f2_estimate(estimators: DataFrame, s: int = 16) -> DataFrame:
+    """Mean of squared counters — integer division keeps the estimate
+    engine-exact. Returns a single row (ams_est)."""
+    return estimators.agg(
+        F.floor(F.sum(F.col("z") * F.col("z")) / F.lit(s))
+        .cast("long")
+        .alias("ams_est")
+    )

@@ -15039,3 +15039,69 @@ def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "q316_ams_f2_selfjoin",
+    """
+    WITH stream AS (SELECT l_orderkey AS k FROM lineitem),
+    ests AS (SELECT unnest(range(16)) AS i),
+    signs AS (
+      SELECT e.i,
+             CAST(SUM(
+               (CAST(('0x' || substr(md5(CAST(s.k AS VARCHAR) || '#'
+                                      || CAST(e.i AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 2) * 2 - 1
+             ) AS BIGINT) AS z
+      FROM stream s CROSS JOIN ests e
+      GROUP BY e.i
+    ),
+    ams AS (
+      SELECT CAST(FLOOR(CAST(SUM(z * z) AS DOUBLE) / 16) AS BIGINT)
+             AS ams_est
+      FROM signs
+    ),
+    exact AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2
+      FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey)
+    )
+    SELECT exact_f2, ams_est,
+           CAST(FLOOR(CAST((ams_est - exact_f2) * 10000 AS DOUBLE)
+                      / exact_f2) AS BIGINT) AS err_bp
+    FROM exact CROSS JOIN ams
+    """,
+)
+def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war self-join-size (F2) estimate on the lineitem
+    order key vs the exact Σf² — the cardinality a planner consults
+    before picking a strategy for a possibly-skewed join. 16
+    estimator counters, each one map-side-combining SUM of ±1 signs
+    drawn from the portable md5 parity: the whole sketch AND the
+    estimate are integer arithmetic, so the DuckDB oracle reproduces
+    them exactly (no float summation anywhere). At 100 TB the sketch
+    is 16 longs regardless of input, mergeable by addition — the
+    pre-join sizing probe runs in the same scan that computes other
+    stats."""
+    from dataflowex_spark.operators.sketches import (
+        ams_f2_estimate,
+        ams_f2_estimators,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].select(F.col("l_orderkey").alias("k"))
+    ams = ams_f2_estimate(ams_f2_estimators(li, "k", s=16), s=16)
+    exact = (
+        li.groupBy("k")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_f2"))
+    )
+    return exact.crossJoin(ams).select(
+        "exact_f2",
+        "ams_est",
+        F.floor(
+            ((F.col("ams_est") - F.col("exact_f2")) * 10000).cast("double")
+            / F.col("exact_f2")
+        )
+        .cast("long")
+        .alias("err_bp"),
+    )

@@ -2576,3 +2576,42 @@ def test_hll_portable_properties(spark):
     # superset stream never lowers any register, so S never grows
     sub_est = hll_estimate(lo, ["g"]).collect()[0]["hll_est"]
     assert sub_est <= est
+
+
+def test_ams_f2_properties(spark):
+    """AMS invariants: a single-key stream is estimated EXACTLY
+    (every counter is ±n, so every estimator says n²); counters merge
+    by addition across stream halves; distinct-heavy streams land in
+    the documented variance regime."""
+    from pyspark.sql import functions as F
+    from dataflowex_spark.operators.sketches import (
+        ams_f2_estimate,
+        ams_f2_estimators,
+    )
+
+    one = spark.range(100).select(F.lit("hot").alias("k"))
+    est = ams_f2_estimate(ams_f2_estimators(one, "k"), s=16).collect()
+    assert est[0]["ams_est"] == 100 * 100
+
+    # mergeability: z(full) == z(first half) + z(second half)
+    df = spark.range(400).select(
+        (F.col("id") % 37).cast("string").alias("k"), "id"
+    )
+    full = {
+        r["i"]: r["z"] for r in ams_f2_estimators(df, "k").collect()
+    }
+    lo = {
+        r["i"]: r["z"]
+        for r in ams_f2_estimators(df.where("id < 200"), "k").collect()
+    }
+    hi = {
+        r["i"]: r["z"]
+        for r in ams_f2_estimators(df.where("id >= 200"), "k").collect()
+    }
+    assert full == {i: lo.get(i, 0) + hi.get(i, 0) for i in full}
+
+    # all-distinct stream: F2 = n; mean-of-16 estimate within 5·σ
+    # (σ ≤ sqrt(2)·F2/√16)
+    dist = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    got = ams_f2_estimate(ams_f2_estimators(dist, "k"), s=16).collect()
+    assert abs(got[0]["ams_est"] - 1000) < 5 * 1.42 * 1000 / 4
