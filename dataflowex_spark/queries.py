@@ -15105,3 +15105,66 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("err_bp"),
     )
+
+
+@q(
+    "q317_spatial_radius_join",
+    """
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '@lat'),
+                                  1, 15)) AS BIGINT) % 180000000
+               - 90000000 AS x,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '@lon'),
+                                  1, 15)) AS BIGINT) % 360000000
+               - 180000000 AS y
+      FROM customer
+    )
+    SELECT a.c_custkey AS c_custkey_a, b.c_custkey AS c_custkey_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+    FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= 2000000::BIGINT * 2000000::BIGINT
+    ORDER BY c_custkey_a, c_custkey_b
+    """,
+)
+def q317(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial radius join: all customer pairs within
+    r=2,000,000 integer units on deterministic portable-hash
+    coordinates (micro-degree-style planar grid). The Spark side
+    snaps points to r-sized cells and equi-joins the 3×3
+    neighborhood — candidate volume is density-bounded, never the n²
+    cross join the ORACLE deliberately writes (the all-pairs
+    statement is the spec; the blocked plan must reproduce it
+    exactly, which the integer coordinates guarantee). The geohash /
+    LSH-band shape for geospatial data at 100 TB: one shuffle on
+    cell id, hot cells are an ordinary salted-key problem."""
+    from dataflowex_spark.operators.spatial import grid_radius_pairs
+
+    cat = Catalog(spark, sf_dir)
+
+    def coord(salt: str, span: int, shift: int):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("c_custkey").cast("string"), F.lit(salt)
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return F.pmod(h, F.lit(span)) - F.lit(shift)
+
+    pts = cat["customer"].select(
+        "c_custkey",
+        coord("@lat", 180_000_000, 90_000_000).alias("x"),
+        coord("@lon", 360_000_000, 180_000_000).alias("y"),
+    )
+    return grid_radius_pairs(pts, "c_custkey", "x", "y", 2_000_000).orderBy(
+        "c_custkey_a", "c_custkey_b"
+    )

@@ -2615,3 +2615,32 @@ def test_ams_f2_properties(spark):
     dist = spark.range(1000).select(F.col("id").cast("string").alias("k"))
     got = ams_f2_estimate(ams_f2_estimators(dist, "k"), s=16).collect()
     assert abs(got[0]["ams_est"] - 1000) < 5 * 1.42 * 1000 / 4
+
+
+def test_grid_radius_pairs(spark):
+    """Blocked radius join == naive semantics on adversarial
+    geometry: pairs straddling cell boundaries are found (3×3
+    completeness), the r-exact pair is kept, r+1 is dropped, each
+    pair appears exactly once."""
+    from dataflowex_spark.operators.spatial import grid_radius_pairs
+
+    r = 10
+    pts = [
+        (1, 9, 0),    # cell (0,0) edge
+        (2, 11, 0),   # cell (1,0) — dist 2 from #1, crosses boundary
+        (3, 9 + r, 0),  # exactly r from #1
+        (4, 9 + r + 1, 0),  # r+1 from #1 (too far), 1 from #3
+        (5, 500, 500),  # isolated
+    ]
+    df = spark.createDataFrame(pts, "pid int, x long, y long")
+    got = {
+        (row["pid_a"], row["pid_b"]): row["dist2"]
+        for row in grid_radius_pairs(df, "pid", "x", "y", r).collect()
+    }
+    assert got == {
+        (1, 2): 4,
+        (1, 3): r * r,
+        (2, 3): 64,
+        (2, 4): 81,
+        (3, 4): 1,
+    }
