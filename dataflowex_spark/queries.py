@@ -15168,3 +15168,151 @@ def q317(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_radius_pairs(pts, "c_custkey", "x", "y", 2_000_000).orderBy(
         "c_custkey_a", "c_custkey_b"
     )
+
+
+@q(
+    "q318_ngram_precision_bleu",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split_regex(text, '__WS__'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    refs AS (
+      SELECT lang, source, MIN(doc_id) AS ref_id
+      FROM base GROUP BY 1, 2
+    ),
+    grams AS (
+      SELECT doc_id, lang, source, 1 AS n, unnest(toks) AS gram
+      FROM base
+      UNION ALL
+      SELECT doc_id, lang, source, 2 AS n,
+             unnest(list_transform(range(1, array_length(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM base
+    ),
+    counts AS (
+      SELECT doc_id, lang, source, n, gram, COUNT(*) AS c
+      FROM grams GROUP BY 1, 2, 3, 4, 5
+    ),
+    refcounts AS (
+      SELECT c.lang, c.source, c.n, c.gram, c.c AS rc
+      FROM counts c JOIN refs r
+        ON c.lang = r.lang AND c.source = r.source AND c.doc_id = r.ref_id
+    ),
+    cand AS (
+      SELECT c.doc_id, c.lang, c.source, c.n,
+             CAST(SUM(c.c) AS BIGINT) AS total,
+             CAST(SUM(LEAST(c.c, COALESCE(rc.rc, 0))) AS BIGINT) AS clipped
+      FROM counts c
+      JOIN refs r ON c.lang = r.lang AND c.source = r.source
+      LEFT JOIN refcounts rc
+        ON c.lang = rc.lang AND c.source = rc.source
+       AND c.n = rc.n AND c.gram = rc.gram
+      WHERE c.doc_id <> r.ref_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id, lang, source,
+           CAST(FLOOR(CAST(MAX(CASE WHEN n = 1 THEN clipped ELSE 0 END)
+                           * 1000000 AS DOUBLE)
+                      / MAX(CASE WHEN n = 1 THEN total ELSE 1 END))
+                AS BIGINT) AS p1_ppm,
+           CAST(FLOOR(CAST(MAX(CASE WHEN n = 2 THEN clipped ELSE 0 END)
+                           * 1000000 AS DOUBLE)
+                      / GREATEST(MAX(CASE WHEN n = 2 THEN total ELSE 0 END),
+                                 1))
+                AS BIGINT) AS p2_ppm
+    FROM cand
+    GROUP BY 1, 2, 3
+    ORDER BY doc_id
+    """,
+)
+def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-style clipped n-gram precision of every document against
+    its (lang, source) group's reference (min doc_id) — the n-gram
+    overlap metric behind generation eval and template/boilerplate
+    detection in curation. Modified precision = Σ min(cand_count,
+    ref_count) / Σ cand_count for n=1,2, quantized to integer ppm so
+    the oracle hash-matches (clip sums are pure integers; the single
+    float step is one IEEE divide+floor). Scale shape: one
+    (doc, gram) hash-agg over the corpus; reference counts are
+    group-bounded and join on (group, gram) — no pairwise text
+    comparison, corpus shuffles once."""
+    cat = Catalog(spark, sf_dir)
+    from dataflowex_spark.functions.text import WS_REGEX
+
+    base = cat["documents"].select(
+        "doc_id",
+        "lang",
+        "source",
+        F.filter(
+            F.split(F.col("text"), WS_REGEX), lambda t: t != F.lit("")
+        ).alias("toks"),
+    )
+    refs = base.groupBy("lang", "source").agg(
+        F.min("doc_id").alias("ref_id")
+    )
+    uni = base.select(
+        "doc_id", "lang", "source", F.lit(1).alias("n"),
+        F.explode("toks").alias("gram"),
+    )
+    # size<2 guard matters: Spark's sequence(0, -1) DESCENDS instead
+    # of being empty, which would mint null grams DuckDB never sees
+    bi = base.where(F.size("toks") >= 2).select(
+        "doc_id", "lang", "source", F.lit(2).alias("n"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(toks[i], ' ', toks[i+1]))"
+            )
+        ).alias("gram"),
+    )
+    counts = (
+        uni.unionAll(bi)
+        .groupBy("doc_id", "lang", "source", "n", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    refcounts = (
+        counts.join(
+            F.broadcast(refs),
+            (F.col("doc_id") == F.col("ref_id"))
+            & (counts["lang"] == refs["lang"])
+            & (counts["source"] == refs["source"]),
+        )
+        .select(
+            counts["lang"], counts["source"], "n", "gram",
+            F.col("c").alias("rc"),
+        )
+    )
+    cand = (
+        counts.join(F.broadcast(refs), ["lang", "source"])
+        .where(F.col("doc_id") != F.col("ref_id"))
+        .join(refcounts, ["lang", "source", "n", "gram"], "left")
+        .groupBy("doc_id", "lang", "source", "n")
+        .agg(
+            F.sum("c").cast("long").alias("total"),
+            F.sum(F.least(F.col("c"), F.coalesce(F.col("rc"), F.lit(0))))
+            .cast("long")
+            .alias("clipped"),
+        )
+    )
+    one = F.max(F.when(F.col("n") == 1, F.col("clipped")).otherwise(0))
+    onet = F.max(F.when(F.col("n") == 1, F.col("total")).otherwise(1))
+    two = F.max(F.when(F.col("n") == 2, F.col("clipped")).otherwise(0))
+    twot = F.greatest(
+        F.max(F.when(F.col("n") == 2, F.col("total")).otherwise(0)),
+        F.lit(1),
+    )
+    return (
+        cand.groupBy("doc_id", "lang", "source")
+        .agg(
+            F.floor((one * 1000000).cast("double") / onet)
+            .cast("long")
+            .alias("p1_ppm"),
+            F.floor((two * 1000000).cast("double") / twot)
+            .cast("long")
+            .alias("p2_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2644,3 +2644,53 @@ def test_grid_radius_pairs(spark):
         (2, 4): 81,
         (3, 4): 1,
     }
+
+
+def test_ngram_precision_bleu_edges(spark):
+    """q318's scoring on constructed docs: identical text scores
+    1e6/1e6; disjoint text scores 0/0; clipping caps repeated
+    candidate tokens at the reference count; a single-token candidate
+    gets p2 from the GREATEST(total,1) guard, not a null bigram."""
+    import dataflowex_spark.queries as Q
+    import duckdb, os, tempfile, shutil
+
+    rows = [
+        (1, "the cat sat on the mat", "en", "s1", 22),  # reference
+        (2, "the cat sat on the mat", "en", "s1", 22),  # exact copy
+        (3, "zebra quark lumen", "en", "s1", 17),       # disjoint
+        (4, "the the the the", "en", "s1", 15),         # clip test
+        (5, "the", "en", "s1", 3),                      # 1 token
+    ]
+    d = tempfile.mkdtemp()
+    try:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["p1_ppm"], r["p2_ppm"])
+            for r in Q.REGISTRY["q318_ngram_precision_bleu"][0](
+                spark, d
+            ).collect()
+        }
+        assert got[2] == (1000000, 1000000)
+        assert got[3] == (0, 0)
+        # "the the the the": 4 tokens, ref has 2 "the" → p1 = 2/4
+        assert got[4][0] == 500000
+        # its bigrams are "the the"×3, ref has none → p2 = 0
+        assert got[4][1] == 0
+        # single-token doc: p1 = 1/1 ("the" appears in ref), p2 = 0/1
+        assert got[5] == (1000000, 0)
+
+        # same fixture through the oracle
+        con = duckdb.connect()
+        for t in ["documents"]:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'"
+            )
+        sql = Q.REGISTRY["q318_ngram_precision_bleu"][1]
+        oracle = {
+            r[0]: (r[3], r[4]) for r in con.execute(sql).fetchall()
+        }
+        assert oracle == got
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
