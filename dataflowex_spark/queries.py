@@ -15316,3 +15316,95 @@ def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "q319_temperature_mixture",
+    """
+    WITH dom AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS w
+      FROM dom
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw,
+                   CAST(SUM(CAST(10000 AS BIGINT) * w) AS BIGINT) AS nw
+            FROM w),
+    base AS (
+      SELECT w.source, w.n_docs, w.w,
+             (CAST(10000 AS BIGINT) * w.w) // t.tw AS base_alloc,
+             (CAST(10000 AS BIGINT) * w.w) % t.tw AS rem,
+             t.tw
+      FROM w CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+             CAST(10000 - SUM(base_alloc) OVER () AS BIGINT) AS leftover
+      FROM base
+    )
+    SELECT source, n_docs, w,
+           CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked
+    ORDER BY source
+    """,
+)
+def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (τ=0.5, the multilingual /
+    data-mixture up-weighting of rare domains): per-source weight
+    n^τ = √n, integer-quantized to ppm BEFORE summing so no float
+    summation exists (sqrt is IEEE-correctly-rounded, hence
+    engine-identical), then 10,000 sampling slots allocated by
+    Hamilton's largest-remainder method — exact integer quotas, ties
+    by source name. Complements q120 (feasible-corpus rebalance) and
+    q279 (largest remainder on ratios). Scale: the per-domain frame
+    is bounded by the domain universe, the allocation windows run on
+    that bounded frame only; the corpus contributes one COUNT scan."""
+    cat = Catalog(spark, sf_dir)
+    dom = cat["documents"].groupBy("source").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = dom.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000.0)
+        .cast("long")
+        .alias("w"),
+    )
+    tot = w.agg(F.sum("w").cast("long").alias("tw"))
+    base = w.crossJoin(tot).select(
+        "source",
+        "n_docs",
+        "w",
+        F.expr("(cast(10000 as bigint) * w) div tw").alias("base_alloc"),
+        F.expr("(cast(10000 as bigint) * w) % tw").alias("rem"),
+    )
+    wn = Window.orderBy(F.col("rem").desc(), "source")
+    ranked = base.select(
+        "source",
+        "n_docs",
+        "w",
+        "base_alloc",
+        F.row_number().over(wn).alias("rk"),
+        (
+            F.lit(10000).cast("long")
+            - F.sum("base_alloc").over(
+                Window.partitionBy()
+            )
+        ).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "w",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    ).orderBy("source")

@@ -2694,3 +2694,38 @@ def test_ngram_precision_bleu_edges(spark):
         assert oracle == got
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_temperature_mixture_invariants(spark):
+    """q319 allocation on a skewed synthetic corpus: slots sum to
+    exactly 10,000 (largest remainder never over/under-allocates),
+    every domain gets a slot, and τ=0.5 compresses the big/small
+    ratio: a 100:1 corpus allocates ~10:1 (√-scaled)."""
+    import tempfile, shutil
+    import dataflowex_spark.queries as Q
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp()
+    try:
+        rows = (
+            [(i, "x", "en", "big", 1) for i in range(400)]
+            + [(10000 + i, "x", "en", "small", 1) for i in range(4)]
+        )
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+        out = {
+            r["source"]: r
+            for r in Q.REGISTRY["q319_temperature_mixture"][0](
+                spark, d
+            ).collect()
+        }
+        total = sum(r["alloc"] for r in out.values())
+        assert total == 10000
+        raw_ratio = out["big"]["n_docs"] / out["small"]["n_docs"]  # 100
+        alloc_ratio = out["big"]["alloc"] / out["small"]["alloc"]
+        assert 8 < alloc_ratio < 12  # √100 = 10, quantized
+        assert alloc_ratio < raw_ratio
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
