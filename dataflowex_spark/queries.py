@@ -15408,3 +15408,109 @@ def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     ).orderBy("source")
+
+
+@q(
+    "q320_dbscan_roles",
+    """
+    WITH pts AS (
+      SELECT vec_id,
+             CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS x,
+             CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS y
+      FROM embeddings
+    ),
+    edges AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM pts a JOIN pts b
+        ON a.vec_id <> b.vec_id
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+           <= 20000::BIGINT * 20000::BIGINT
+    ),
+    nbr AS (
+      SELECT p.vec_id, COUNT(e.v) AS n_nbrs
+      FROM pts p LEFT JOIN edges e ON p.vec_id = e.u
+      GROUP BY 1
+    ),
+    cores AS (SELECT vec_id FROM nbr WHERE n_nbrs + 1 >= 4),
+    borders AS (
+      SELECT DISTINCT e.u AS vec_id
+      FROM edges e JOIN cores c ON e.v = c.vec_id
+      WHERE e.u NOT IN (SELECT vec_id FROM cores)
+    )
+    SELECT n.vec_id, CAST(n.n_nbrs AS BIGINT) AS n_nbrs,
+           CASE WHEN c.vec_id IS NOT NULL THEN 'core'
+                WHEN b.vec_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role
+    FROM nbr n
+    LEFT JOIN cores c ON n.vec_id = c.vec_id
+    LEFT JOIN borders b ON n.vec_id = b.vec_id
+    ORDER BY n.vec_id
+    """,
+)
+def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density roles (core / border / noise; eps=20k units,
+    minPts=4 incl. self) over the embedding's first two dimensions
+    quantized to an integer grid — the density screen that separates
+    clusterable mass from outliers before any clustering/labeling
+    pass. Neighborhoods come from the q317 grid-blocked radius join
+    (cell equi-join, candidate-bounded), NOT the n² all-pairs the
+    ORACLE deliberately writes; float→int quantization (widen to
+    double, one multiply, floor) is engine-exact, so the role of
+    every point hash-matches. Cluster LABELS need transitive closure
+    (q98's iterative CC covers that); roles are the closed-form,
+    oracle-checkable part."""
+    from dataflowex_spark.operators.spatial import grid_radius_pairs
+
+    cat = Catalog(spark, sf_dir)
+    pts = cat["embeddings"].select(
+        "vec_id",
+        F.floor(F.col("embedding")[0].cast("double") * 1000000.0)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("embedding")[1].cast("double") * 1000000.0)
+        .cast("long")
+        .alias("y"),
+    )
+    # the radius join feeds nbr-counts, cores AND borders — cut the
+    # lineage once so the blocked join runs once, not per branch
+    pairs = grid_radius_pairs(pts, "vec_id", "x", "y", 20000).localCheckpoint(
+        eager=False
+    )
+    edges = pairs.select(
+        F.col("vec_id_a").alias("u"), F.col("vec_id_b").alias("v")
+    ).unionAll(
+        pairs.select(
+            F.col("vec_id_b").alias("u"), F.col("vec_id_a").alias("v")
+        )
+    )
+    nbr = (
+        pts.join(edges, pts["vec_id"] == edges["u"], "left")
+        .groupBy("vec_id")
+        .agg(F.count("v").cast("long").alias("n_nbrs"))
+    )
+    cores = nbr.where(F.col("n_nbrs") + 1 >= 4).select("vec_id")
+    borders = (
+        edges.join(cores.withColumnRenamed("vec_id", "v"), "v")
+        .select(F.col("u").alias("vec_id"))
+        .distinct()
+        .join(cores, "vec_id", "left_anti")
+    )
+    return (
+        nbr.join(
+            cores.withColumn("__is_core", F.lit(1)), "vec_id", "left"
+        )
+        .join(
+            borders.withColumn("__is_border", F.lit(1)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "n_nbrs",
+            F.when(F.col("__is_core") == 1, "core")
+            .when(F.col("__is_border") == 1, "border")
+            .otherwise("noise")
+            .alias("role"),
+        )
+        .orderBy("vec_id")
+    )

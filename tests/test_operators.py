@@ -2729,3 +2729,50 @@ def test_temperature_mixture_invariants(spark):
         assert alloc_ratio < raw_ratio
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dbscan_roles_geometry(spark):
+    """DBSCAN role semantics on constructed geometry (eps=10,
+    minPts=3 incl. self): a tight 4-clique is all core; a point
+    within eps of a core but with too few neighbors is border; an
+    isolated point is noise; a pair of mutually-close low-degree
+    points (2-chain off nothing) is noise, not border."""
+    from pyspark.sql import functions as F
+    from dataflowex_spark.operators.spatial import grid_radius_pairs
+
+    pts = [
+        # tight cluster: 4 points pairwise within 10
+        (1, 0, 0), (2, 3, 0), (3, 0, 3), (4, 3, 3),
+        # border: within 10 of #4 only (dist² exactly eps²=100)
+        (5, 13, 3),
+        # isolated noise
+        (6, 1000, 1000),
+        # low-degree pair, far from all cores: both noise
+        (7, 500, 500), (8, 503, 500),
+    ]
+    df = spark.createDataFrame(pts, "vec_id int, x long, y long")
+    pairs = grid_radius_pairs(df, "vec_id", "x", "y", 10)
+    edges = pairs.select(
+        F.col("vec_id_a").alias("u"), F.col("vec_id_b").alias("v")
+    ).unionAll(
+        pairs.select(F.col("vec_id_b").alias("u"), F.col("vec_id_a").alias("v"))
+    )
+    nbr = (
+        df.join(edges, df["vec_id"] == edges["u"], "left")
+        .groupBy("vec_id")
+        .agg(F.count("v").alias("n"))
+    )
+    counts = {r["vec_id"]: r["n"] for r in nbr.collect()}
+    cores = {k for k, n in counts.items() if n + 1 >= 3}
+    edge_rows = [(r["u"], r["v"]) for r in edges.collect()]
+    borders = {
+        u for (u, v) in edge_rows if v in cores and u not in cores
+    }
+    roles = {
+        k: ("core" if k in cores else "border" if k in borders else "noise")
+        for k in counts
+    }
+    assert roles == {
+        1: "core", 2: "core", 3: "core", 4: "core",
+        5: "border", 6: "noise", 7: "noise", 8: "noise",
+    }
