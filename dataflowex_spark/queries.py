@@ -15514,3 +15514,115 @@ def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@q(
+    "q321_phrase_search",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '__WS__'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    tris AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, array_length(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS phrase
+      FROM base WHERE array_length(toks) >= 3
+    ),
+    top_phrases AS (
+      SELECT phrase, COUNT(*) AS total
+      FROM tris GROUP BY phrase
+      ORDER BY total DESC, phrase LIMIT 3
+    )
+    SELECT t.phrase, t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM tris t JOIN top_phrases p ON t.phrase = p.phrase
+    GROUP BY 1, 2
+    ORDER BY t.phrase, t.doc_id
+    """,
+)
+def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-inverted-index phrase search: the corpus is turned
+    ONCE into (doc, term, pos) postings; a 3-word phrase query is
+    answered by a pos/pos+1/pos+2 self-join of the postings — each
+    leg first semi-joined to the (broadcast) query-term set so the
+    full postings list never shuffles for a query. This is how
+    distributed phrase/proximity search engines answer quoted
+    queries without rescanning text. Queries are the corpus's own
+    top-3 trigrams (count-desc, phrase tie-break) so the oracle is
+    self-contained; the oracle answers by direct trigram expansion —
+    the join plan must reproduce it exactly. Scale: postings build
+    is one explode+shuffle; per-query cost is bounded by the rarest
+    term's postings, not corpus size."""
+    from dataflowex_spark.functions.text import WS_REGEX
+
+    cat = Catalog(spark, sf_dir)
+    base = cat["documents"].select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("text"), WS_REGEX), lambda t: t != F.lit("")
+        ).alias("toks"),
+    )
+    postings = base.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    ).localCheckpoint(eager=False)
+    # query workload: the corpus's top-3 trigrams (deterministic)
+    tris = base.where(F.size("toks") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3), i ->"
+                " concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+            )
+        ).alias("phrase"),
+    )
+    top = (
+        tris.groupBy("phrase")
+        .agg(F.count("*").alias("total"))
+        .orderBy(F.col("total").desc(), "phrase")
+        .limit(3)
+    )
+    terms = top.select(
+        "phrase", F.split(F.col("phrase"), " ").alias("ws")
+    ).select(
+        "phrase",
+        F.col("ws")[0].alias("w1"),
+        F.col("ws")[1].alias("w2"),
+        F.col("ws")[2].alias("w3"),
+    )
+    p1 = postings.select(
+        F.col("doc_id"), F.col("term").alias("t1"), F.col("pos")
+    )
+    p2 = postings.select(
+        F.col("doc_id").alias("d2"),
+        F.col("term").alias("t2"),
+        F.col("pos").alias("pos2"),
+    )
+    p3 = postings.select(
+        F.col("doc_id").alias("d3"),
+        F.col("term").alias("t3"),
+        F.col("pos").alias("pos3"),
+    )
+    hits = (
+        p1.join(F.broadcast(terms), p1["t1"] == terms["w1"])
+        .join(
+            p2,
+            (F.col("d2") == F.col("doc_id"))
+            & (F.col("t2") == F.col("w2"))
+            & (F.col("pos2") == F.col("pos") + 1),
+        )
+        .join(
+            p3,
+            (F.col("d3") == F.col("doc_id"))
+            & (F.col("t3") == F.col("w3"))
+            & (F.col("pos3") == F.col("pos") + 2),
+        )
+    )
+    return (
+        hits.groupBy("phrase", "doc_id")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .orderBy("phrase", "doc_id")
+    )

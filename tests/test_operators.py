@@ -2776,3 +2776,37 @@ def test_dbscan_roles_geometry(spark):
         1: "core", 2: "core", 3: "core", 4: "core",
         5: "border", 6: "noise", 7: "noise", 8: "noise",
     }
+
+
+def test_phrase_search_positional_join(spark):
+    """Phrase matching is POSITIONAL, not bag-of-words: a doc with
+    all three words in the wrong order does not match; overlapping
+    occurrences ("a b a b a" for "a b a") are each counted; a phrase
+    spanning a doc boundary can't exist."""
+    import tempfile, shutil
+    import dataflowex_spark.queries as Q
+
+    d = tempfile.mkdtemp()
+    try:
+        rows = [
+            # the dominant trigram "x y z" appears 3x here
+            (1, "x y z q x y z q x y z", "en", "s", 1),
+            (2, "z y x z y x z y x z y x", "en", "s", 1),  # wrong order
+            (3, "a b a b a b a b a b a b", "en", "s", 1),  # self-overlap
+            (4, "x y z", "en", "s", 1),
+        ]
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+        got = {
+            (r["phrase"], r["doc_id"]): r["n_occurrences"]
+            for r in Q.REGISTRY["q321_phrase_search"][0](spark, d).collect()
+        }
+        # top-3 trigrams: "a b a" (5), "b a b" (5), ties then "x y z" (4)
+        assert got[("x y z", 1)] == 3
+        assert got[("x y z", 4)] == 1
+        assert ("x y z", 2) not in got  # order matters
+        assert got[("a b a", 3)] == 5  # overlapping hits all counted
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
