@@ -82,6 +82,10 @@ HEADLINE = [
     # Z-order 2-D pruned read
     "q295_mtable_changefeed",
     "q296_mtable_2d_prune",
+    # round-6 additions: mergeable-sketch family (portable HLL) and
+    # the grid-blocked spatial radius join
+    "q315_hll_portable",
+    "q317_spatial_radius_join",
 ]
 
 
