@@ -15626,3 +15626,74 @@ def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_occurrences"))
         .orderBy("phrase", "doc_id")
     )
+
+
+@q(
+    "q322_sorted_neighborhood",
+    """
+    WITH ranked AS (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS rk
+      FROM customer
+    )
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           CAST(FLOOR(ABS(a.c_acctbal - b.c_acctbal) * 100)
+                AS BIGINT) AS bal_diff_cents
+    FROM ranked a JOIN ranked b
+      ON b.rk - a.rk BETWEEN 1 AND 3
+    WHERE a.c_nationkey = b.c_nationkey
+      AND ABS(a.c_acctbal - b.c_acctbal) <= 1.0
+    ORDER BY custkey_a, custkey_b
+    """,
+)
+def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández–Stolfo): sort records
+    on the blocking key (account balance) and compare only records
+    within a w=3 window of the sort order — the classic linkage
+    blocking that catches near-ties an equi-join block (q310) splits
+    across bucket edges. Ranks come from the repo's two-pass
+    global_row_number (range-repartition + triangular offsets, zero
+    single-reducer WindowExec), and the window pairing is w explicit
+    rank-shift equi-joins — both the sort and the pairing scale on a
+    cluster. Matches verified on nation + balance-within-1.0;
+    bal_diff quantized to integer cents so the oracle hash-matches
+    (the subtraction is one IEEE op on parquet-exact doubles)."""
+    from dataflowex_spark.operators.windows import global_row_number
+
+    cat = Catalog(spark, sf_dir)
+    ranked = global_row_number(
+        cat["customer"].select("c_custkey", "c_nationkey", "c_acctbal"),
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        rank_col="rk",
+    ).localCheckpoint(eager=False)
+    shifts = None
+    for d in (1, 2, 3):
+        b = ranked.select(
+            (F.col("rk") - d).alias("rk"),
+            F.col("c_custkey").alias("custkey_b"),
+            F.col("c_nationkey").alias("nat_b"),
+            F.col("c_acctbal").alias("bal_b"),
+        )
+        part = ranked.join(b, "rk").select(
+            F.col("c_custkey").alias("custkey_a"),
+            "custkey_b",
+            "c_nationkey",
+            "nat_b",
+            "c_acctbal",
+            "bal_b",
+        )
+        shifts = part if shifts is None else shifts.unionAll(part)
+    return (
+        shifts.where(
+            (F.col("c_nationkey") == F.col("nat_b"))
+            & (F.abs(F.col("c_acctbal") - F.col("bal_b")) <= 1.0)
+        )
+        .select(
+            "custkey_a",
+            "custkey_b",
+            F.floor(F.abs(F.col("c_acctbal") - F.col("bal_b")) * 100)
+            .cast("long")
+            .alias("bal_diff_cents"),
+        )
+        .orderBy("custkey_a", "custkey_b")
+    )

@@ -2810,3 +2810,36 @@ def test_phrase_search_positional_join(spark):
         assert got[("a b a", 3)] == 5  # overlapping hits all counted
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sorted_neighborhood_blocking(spark):
+    """q322 semantics on constructed records: near-ties that straddle
+    an integer-bucket boundary (100.9 vs 101.05) ARE paired (the
+    whole point vs equi-join blocking), far records are not, the
+    nation filter applies, and the window bound w=3 holds."""
+    import tempfile, shutil
+    import dataflowex_spark.queries as Q
+
+    d = tempfile.mkdtemp()
+    try:
+        rows = [
+            (1, "a", 10, 100.90, "AUTO"),
+            (2, "b", 10, 101.05, "AUTO"),   # 0.15 away, different int bucket
+            (3, "c", 20, 101.10, "AUTO"),   # close but other nation
+            (4, "d", 10, 300.00, "AUTO"),   # far
+            (5, "e", 10, 300.50, "AUTO"),   # pairs with 4
+        ]
+        spark.createDataFrame(
+            rows,
+            "c_custkey long, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string",
+        ).coalesce(1).write.parquet(f"{d}/customer.parquet")
+        got = {
+            (r["custkey_a"], r["custkey_b"])
+            for r in Q.REGISTRY["q322_sorted_neighborhood"][0](
+                spark, d
+            ).collect()
+        }
+        assert got == {(1, 2), (4, 5)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
