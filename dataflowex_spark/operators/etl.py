@@ -577,3 +577,79 @@ def incremental_join_delta(
     for t in terms[1:]:
         out = out.unionByName(t)
     return out
+
+
+def consistent_hash_ring(
+    spark, n_shards: int, vnodes: int = 16
+) -> DataFrame:
+    """The vnode ring for :func:`consistent_hash_owner`: n·v rows of
+    (shard, pos) with pos = the repo's portable md5 bucket of
+    'shard#<s>#vnode#<v>' in [0, 1e9). Tiny and broadcast-sized by
+    construction — the ring is metadata, never data."""
+    from dataflowex_spark.operators.sampling import portable_bucket
+
+    rows = spark.range(n_shards).crossJoin(
+        spark.range(vnodes).select(F.col("id").alias("v"))
+    )
+    label = F.concat(
+        F.lit("shard#"),
+        F.col("id").cast("string"),
+        F.lit("#vnode#"),
+        F.col("v").cast("string"),
+    )
+    return rows.select(
+        F.col("id").cast("long").alias("shard"),
+        portable_bucket(label, 1_000_000_000).alias("pos"),
+    )
+
+
+def consistent_hash_owner(
+    df: DataFrame,
+    key: str,
+    n_shards: int,
+    vnodes: int = 16,
+    owner_col: str = "owner",
+) -> DataFrame:
+    """Consistent-hashing ownership (Karger ring): a key belongs to
+    the vnode at the smallest ring position ≥ its own hash position
+    (wrapping to the globally smallest vnode). Unlike ``pmod`` shard
+    assignment (:func:`shard_assign`), growing the cluster from N to
+    N+1 shards moves only ~1/(N+1) of the keys — the property the
+    companion audit query verifies exactly.
+
+    Plan shape: the ring (n·v rows) broadcasts; ownership is one
+    broadcast join + min-aggregate per key — the keyed frame shuffles
+    once on the key for the aggregate, never on ring size. All
+    arithmetic is the portable integer hash, so any engine reproduces
+    every assignment."""
+    from dataflowex_spark.operators.sampling import portable_bucket
+
+    ring = consistent_hash_ring(df.sparkSession, n_shards, vnodes)
+    keyed = df.select(
+        F.col(key), portable_bucket(F.col(key), 1_000_000_000).alias("__kpos")
+    ).distinct()
+    cand = keyed.join(F.broadcast(ring), F.lit(True))
+    # successor vnode if any; otherwise wrap to the ring's global min.
+    # min(struct(pos, shard)) makes the pick deterministic under
+    # (astronomically unlikely) position collisions.
+    succ = (
+        cand.where(F.col("pos") >= F.col("__kpos"))
+        .groupBy(key)
+        .agg(F.min(F.struct("pos", "shard")).alias("__m"))
+        .select(key, F.col("__m.shard").alias("__succ"))
+    )
+    wrap = (
+        cand.groupBy(key)
+        .agg(F.min(F.struct("pos", "shard")).alias("__m"))
+        .select(key, F.col("__m.shard").alias("__wrap"))
+    )
+    return (
+        keyed.join(succ, key, "left")
+        .join(wrap, key)
+        .select(
+            key,
+            F.coalesce(F.col("__succ"), F.col("__wrap"))
+            .cast("long")
+            .alias(owner_col),
+        )
+    )

@@ -15697,3 +15697,66 @@ def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey_a", "custkey_b")
     )
+
+
+@q(
+    "q323_consistent_hash_rebalance",
+    """
+    WITH keys AS (
+      SELECT DISTINCT c_custkey,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000000 AS kpos
+      FROM customer
+    ),
+    ring AS (
+      SELECT n.n AS n_shards, s.shard,
+             CAST(('0x' || substr(md5('shard#' || CAST(s.shard AS VARCHAR)
+                                      || '#vnode#' || CAST(v.v AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 1000000000 AS pos
+      FROM (SELECT unnest([8, 9]) AS n) n
+      JOIN (SELECT unnest(range(9)) AS shard) s ON s.shard < n.n
+      CROSS JOIN (SELECT unnest(range(16)) AS v) v
+    ),
+    owners AS (
+      SELECT k.c_custkey, r.n_shards,
+             COALESCE(
+               MIN(CASE WHEN r.pos >= k.kpos
+                        THEN r.pos * 16 + r.shard END),
+               MIN(r.pos * 16 + r.shard)
+             ) % 16 AS owner
+      FROM keys k CROSS JOIN ring r
+      GROUP BY 1, 2
+    )
+    SELECT CAST(o8.owner AS BIGINT) AS owner_8,
+           CAST(o9.owner AS BIGINT) AS owner_9,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM (SELECT * FROM owners WHERE n_shards = 8) o8
+    JOIN (SELECT * FROM owners WHERE n_shards = 9) o9 USING (c_custkey)
+    GROUP BY 1, 2
+    ORDER BY owner_8, owner_9
+    """,
+)
+def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing rebalance audit: assign every customer key
+    to a shard on a Karger vnode ring at N=8 and again at N=9, and
+    report the (owner_8 → owner_9) movement matrix. The consistent-
+    hashing guarantee — only ~1/9 of keys move, all of them TO the
+    new shard 8, no shard-to-old-shard churn — is visible in the
+    matrix: every off-diagonal row has owner_9 = 8 (the pmod
+    sharding of q12 would reshuffle ~8/9 of all keys). Ring
+    positions and key positions are the portable md5 bucket, so the
+    oracle reproduces every assignment; (pos, shard) min encoded as
+    pos·16+shard keeps the successor pick deterministic. Plan: ring
+    broadcasts (128/144 rows), one aggregate per key per ring."""
+    from dataflowex_spark.operators.etl import consistent_hash_owner
+
+    cat = Catalog(spark, sf_dir)
+    keys = cat["customer"].select("c_custkey")
+    o8 = consistent_hash_owner(keys, "c_custkey", 8, owner_col="owner_8")
+    o9 = consistent_hash_owner(keys, "c_custkey", 9, owner_col="owner_9")
+    return (
+        o8.join(o9, "c_custkey")
+        .groupBy("owner_8", "owner_9")
+        .agg(F.count("*").cast("long").alias("n_keys"))
+        .orderBy("owner_8", "owner_9")
+    )

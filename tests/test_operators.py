@@ -2843,3 +2843,24 @@ def test_sorted_neighborhood_blocking(spark):
         assert got == {(1, 2), (4, 5)}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_consistent_hash_minimal_movement(spark):
+    """The consistent-hashing contract on real keys: growing 8→9
+    shards moves ONLY keys that land on the new shard (every mover's
+    new owner is 8), the moved fraction is ~1/9 (within 3× either
+    way for vnodes=16 variance), and ownership is total (every key
+    owned at both sizes)."""
+    from pyspark.sql import functions as F
+    from dataflowex_spark.operators.etl import consistent_hash_owner
+
+    keys = spark.range(2000).select(F.col("id").alias("k"))
+    o8 = consistent_hash_owner(keys, "k", 8, owner_col="o8")
+    o9 = consistent_hash_owner(keys, "k", 9, owner_col="o9")
+    rows = o8.join(o9, "k").collect()
+    assert len(rows) == 2000
+    movers = [r for r in rows if r["o8"] != r["o9"]]
+    assert all(r["o9"] == 8 for r in movers)  # moves go ONLY to the new shard
+    frac = len(movers) / len(rows)
+    assert 1 / 27 < frac < 3 / 9
+    assert all(0 <= r["o8"] < 8 and 0 <= r["o9"] < 9 for r in rows)
