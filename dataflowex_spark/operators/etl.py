@@ -617,39 +617,42 @@ def consistent_hash_owner(
     N+1 shards moves only ~1/(N+1) of the keys — the property the
     companion audit query verifies exactly.
 
-    Plan shape: the ring (n·v rows) broadcasts; ownership is one
-    broadcast join + min-aggregate per key — the keyed frame shuffles
-    once on the key for the aggregate, never on ring size. All
+    Plan shape: the ring is METADATA (n·v rows) — it is collected
+    once (a bounded collect, same policy as bloom words / IVF cell
+    lists), sorted, and inlined as a position-ordered CASE chain, so
+    ownership is a pure scan-local expression: smallest ring position
+    ≥ key-pos, wrapping to the ring head. Zero joins, zero shuffles,
+    zero aggregates — per-row cost is a ≤n·v-branch comparison chain
+    inside codegen, the shape that survives 100 TB of keys. All
     arithmetic is the portable integer hash, so any engine reproduces
     every assignment."""
     from dataflowex_spark.operators.sampling import portable_bucket
 
-    ring = consistent_hash_ring(df.sparkSession, n_shards, vnodes)
-    keyed = df.select(
-        F.col(key), portable_bucket(F.col(key), 1_000_000_000).alias("__kpos")
-    ).distinct()
-    cand = keyed.join(F.broadcast(ring), F.lit(True))
-    # successor vnode if any; otherwise wrap to the ring's global min.
-    # min(struct(pos, shard)) makes the pick deterministic under
-    # (astronomically unlikely) position collisions.
-    succ = (
-        cand.where(F.col("pos") >= F.col("__kpos"))
-        .groupBy(key)
-        .agg(F.min(F.struct("pos", "shard")).alias("__m"))
-        .select(key, F.col("__m.shard").alias("__succ"))
+    ring = sorted(
+        (r["pos"], r["shard"])
+        for r in consistent_hash_ring(
+            df.sparkSession, n_shards, vnodes
+        ).collect()
     )
-    wrap = (
-        cand.groupBy(key)
-        .agg(F.min(F.struct("pos", "shard")).alias("__m"))
-        .select(key, F.col("__m.shard").alias("__wrap"))
+    # successor search as a CASE chain over the sorted ring (NOT a
+    # higher-order filter(): HOF lambda variables hit Spark's
+    # self-join attribute-dedup bug when the same owner frame sits on
+    # both sides of a join, which is exactly the audit query's shape).
+    # The hash is projected FIRST — referencing it inside every WHEN
+    # branch would re-evaluate md5 per branch (conditionals defeat
+    # common-subexpression elimination).
+    keyed = (
+        df.select(F.col(key))
+        .distinct()
+        .withColumn("__kpos", portable_bucket(F.col(key), 1_000_000_000))
     )
-    return (
-        keyed.join(succ, key, "left")
-        .join(wrap, key)
-        .select(
-            key,
-            F.coalesce(F.col("__succ"), F.col("__wrap"))
-            .cast("long")
-            .alias(owner_col),
-        )
+    # one FLAT CaseWhen (chained .when(), ascending positions: first
+    # hit = smallest pos ≥ kpos) — nesting via .otherwise() builds a
+    # 128-deep expression tree that falls out of codegen
+    owner = F.when(
+        F.col("__kpos") <= F.lit(ring[0][0]), F.lit(ring[0][1])
     )
+    for pos, shard in ring[1:]:
+        owner = owner.when(F.col("__kpos") <= F.lit(pos), F.lit(shard))
+    owner = owner.otherwise(F.lit(ring[0][1]))  # wraparound
+    return keyed.select(key, owner.cast("long").alias(owner_col))
