@@ -15760,3 +15760,243 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_keys"))
         .orderBy("owner_8", "owner_9")
     )
+
+
+@q(
+    "q324_kendall_tau",
+    """
+    WITH cand AS (
+      SELECT c.vec_id,
+             ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(p0.embedding AS DOUBLE[])),
+                   6) AS s0,
+             ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(p1.embedding AS DOUBLE[])),
+                   6) AS s1
+      FROM embeddings c
+      JOIN embeddings p0 ON p0.vec_id = 0
+      JOIN embeddings p1 ON p1.vec_id = 1
+      WHERE c.vec_id NOT IN (0, 1)
+    ),
+    top AS (SELECT * FROM cand ORDER BY s0 DESC, vec_id LIMIT 50),
+    ranked AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY s0 DESC, vec_id) AS ra,
+             ROW_NUMBER() OVER (ORDER BY s1 DESC, vec_id) AS rb
+      FROM top
+    )
+    SELECT
+      CAST(SUM(CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+      CAST(SUM(CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) < 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+      CAST(FLOOR(CAST((SUM(CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) > 0
+                           THEN 1 ELSE 0 END)
+                       - SUM(CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) < 0
+                             THEN 1 ELSE 0 END)) * 10000 AS DOUBLE)
+                 / 1225) AS BIGINT) AS tau_bp
+    FROM ranked a JOIN ranked b ON a.vec_id < b.vec_id
+    """,
+)
+def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau rank correlation between two retrieval rankings of
+    the SAME candidate set (cosine to probe 0 vs cosine to probe 1,
+    over probe-0's top-50): concordant/discordant pair counts and
+    tau in basis points — the ranking-eval companion to Spearman
+    (q286) that weights inversions, not displacement. Both rankings
+    are ROUND(6) scores with id tie-breaks (the q309-proven
+    cross-engine-equal fold), so every rank — and hence every integer
+    pair verdict — hash-matches. Cost is k(k-1)/2 pairs on a
+    LIMIT-bounded frame: k=50 ⇒ 1,225 pairs regardless of corpus
+    size."""
+    from dataflowex_spark.functions.vectors import cosine_similarity
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat["embeddings"]
+    p0 = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__p0")
+    )
+    p1 = emb.where(F.col("vec_id") == 1).select(
+        F.col("embedding").alias("__p1")
+    )
+    cand = (
+        emb.where(~F.col("vec_id").isin(0, 1))
+        .crossJoin(F.broadcast(p0))
+        .crossJoin(F.broadcast(p1))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("__p0").cast("array<double>"),
+                ),
+                6,
+            ).alias("s0"),
+            F.round(
+                cosine_similarity(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("__p1").cast("array<double>"),
+                ),
+                6,
+            ).alias("s1"),
+        )
+    )
+    top = cand.orderBy(F.col("s0").desc(), "vec_id").limit(50)
+    ranked = top.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("s0").desc(), "vec_id"))
+        .alias("ra"),
+        F.row_number()
+        .over(Window.orderBy(F.col("s1").desc(), "vec_id"))
+        .alias("rb"),
+    ).localCheckpoint(eager=False)
+    b = ranked.select(
+        F.col("vec_id").alias("vid_b"),
+        F.col("ra").alias("ra_b"),
+        F.col("rb").alias("rb_b"),
+    )
+    pairs = ranked.join(b, F.col("vec_id") < F.col("vid_b"))
+    sgn = (F.col("ra") - F.col("ra_b")) * (F.col("rb") - F.col("rb_b"))
+    conc = F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("long")
+    disc = F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("long")
+    return pairs.agg(
+        conc.alias("concordant"),
+        disc.alias("discordant"),
+        F.floor(((conc - disc) * 10000).cast("double") / 1225)
+        .cast("long")
+        .alias("tau_bp"),
+    )
+
+
+@q(
+    "q325_rank_biased_overlap",
+    """
+    WITH cand AS (
+      SELECT c.vec_id,
+             ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(p0.embedding AS DOUBLE[])),
+                   6) AS s0,
+             ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(p1.embedding AS DOUBLE[])),
+                   6) AS s1
+      FROM embeddings c
+      JOIN embeddings p0 ON p0.vec_id = 0
+      JOIN embeddings p1 ON p1.vec_id = 1
+      WHERE c.vec_id NOT IN (0, 1)
+    ),
+    top AS (SELECT * FROM cand ORDER BY s0 DESC, vec_id LIMIT 50),
+    ranked AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY s0 DESC, vec_id) AS ra,
+             ROW_NUMBER() OVER (ORDER BY s1 DESC, vec_id) AS rb
+      FROM top
+    ),
+    depths(d, w, l) AS (
+      SELECT * FROM (VALUES
+             (1, 1000000, 232792560),
+             (2, 900000, 116396280),
+             (3, 810000, 77597520),
+             (4, 729000, 58198140),
+             (5, 656100, 46558512),
+             (6, 590490, 38798760),
+             (7, 531441, 33256080),
+             (8, 478296, 29099070),
+             (9, 430467, 25865840),
+             (10, 387420, 23279256),
+             (11, 348678, 21162960),
+             (12, 313810, 19399380),
+             (13, 282429, 17907120),
+             (14, 254186, 16628040),
+             (15, 228767, 15519504),
+             (16, 205891, 14549535),
+             (17, 185302, 13693680),
+             (18, 166771, 12932920),
+             (19, 150094, 12252240),
+             (20, 135085, 11639628)) t(d, w, l)
+    ),
+    ov AS (
+      SELECT d.d, d.w, d.l,
+             (SELECT COUNT(*) FROM ranked r
+              WHERE r.ra <= d.d AND r.rb <= d.d) AS o
+      FROM depths d
+    )
+    SELECT CAST(SUM(w * o * l) AS BIGINT) AS rbo_scaled,
+           CAST(MAX(CASE WHEN d = 20 THEN o END) AS BIGINT)
+             AS overlap_at_20
+    FROM ov
+    """,
+)
+def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al., TOIS 2010) between the
+    same two rankings as q324, truncated at depth 20 with p=0.9 —
+    the top-weighted list-similarity metric used to compare retrieval
+    systems when deep tails don't matter. Made engine-exact by
+    quantizing the geometric weights p^(d-1) to ppm LITERALS and
+    clearing the 1/d denominators with LCM(1..20)=232,792,560, so the
+    whole score is one integer Σ w_d·overlap_d·(LCM/d) — no float
+    summation at all. Per-depth overlaps are rank-threshold counts on
+    the LIMIT-bounded 50-item frame."""
+    from dataflowex_spark.functions.vectors import cosine_similarity
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat["embeddings"]
+    p0 = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__p0")
+    )
+    p1 = emb.where(F.col("vec_id") == 1).select(
+        F.col("embedding").alias("__p1")
+    )
+    cand = (
+        emb.where(~F.col("vec_id").isin(0, 1))
+        .crossJoin(F.broadcast(p0))
+        .crossJoin(F.broadcast(p1))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("__p0").cast("array<double>"),
+                ),
+                6,
+            ).alias("s0"),
+            F.round(
+                cosine_similarity(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("__p1").cast("array<double>"),
+                ),
+                6,
+            ).alias("s1"),
+        )
+    )
+    top = cand.orderBy(F.col("s0").desc(), "vec_id").limit(50)
+    ranked = top.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("s0").desc(), "vec_id"))
+        .alias("ra"),
+        F.row_number()
+        .over(Window.orderBy(F.col("s1").desc(), "vec_id"))
+        .alias("rb"),
+    )
+    depths = spark.createDataFrame(
+        [(1, 1000000, 232792560), (2, 900000, 116396280), (3, 810000, 77597520), (4, 729000, 58198140), (5, 656100, 46558512), (6, 590490, 38798760), (7, 531441, 33256080), (8, 478296, 29099070), (9, 430467, 25865840), (10, 387420, 23279256), (11, 348678, 21162960), (12, 313810, 19399380), (13, 282429, 17907120), (14, 254186, 16628040), (15, 228767, 15519504), (16, 205891, 14549535), (17, 185302, 13693680), (18, 166771, 12932920), (19, 150094, 12252240), (20, 135085, 11639628)], "d int, w long, l long"
+    )
+    ov = (
+        F.broadcast(depths)
+        .join(
+            ranked,
+            (F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")),
+            "left",
+        )
+        .groupBy("d", "w", "l")
+        .agg(F.count("vec_id").alias("o"))
+    )
+    return ov.agg(
+        F.sum(F.col("w") * F.col("o") * F.col("l"))
+        .cast("long")
+        .alias("rbo_scaled"),
+        F.max(F.when(F.col("d") == 20, F.col("o")))
+        .cast("long")
+        .alias("overlap_at_20"),
+    )

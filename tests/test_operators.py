@@ -2864,3 +2864,54 @@ def test_consistent_hash_minimal_movement(spark):
     frac = len(movers) / len(rows)
     assert 1 / 27 < frac < 3 / 9
     assert all(0 <= r["o8"] < 8 and 0 <= r["o9"] < 9 for r in rows)
+
+
+def test_kendall_rbo_identities(spark):
+    """Metric identities on constructed rankings: identical rankings
+    give tau = +1 (10000 bp) and the maximum RBO mass; a fully
+    reversed ranking gives tau = -1; RBO of identical lists equals
+    Σ w_d·d·(LCM/d) (overlap at depth d is d itself)."""
+    from pyspark.sql import functions as F
+
+    # identical and reversed rank frames, k=5 → 10 pairs
+    k = 5
+    ident = spark.createDataFrame(
+        [(i, i, i) for i in range(1, k + 1)], "vec_id int, ra int, rb int"
+    )
+    rev = spark.createDataFrame(
+        [(i, i, k + 1 - i) for i in range(1, k + 1)],
+        "vec_id int, ra int, rb int",
+    )
+
+    def tau_bp(ranked):
+        b = ranked.select(
+            F.col("vec_id").alias("vid_b"),
+            F.col("ra").alias("ra_b"),
+            F.col("rb").alias("rb_b"),
+        )
+        pairs = ranked.join(b, F.col("vec_id") < F.col("vid_b"))
+        sgn = (F.col("ra") - F.col("ra_b")) * (F.col("rb") - F.col("rb_b"))
+        conc = F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("long")
+        disc = F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("long")
+        npairs = k * (k - 1) // 2
+        return pairs.agg(
+            F.floor(((conc - disc) * 10000).cast("double") / npairs)
+            .cast("long")
+            .alias("t")
+        ).collect()[0]["t"]
+
+    assert tau_bp(ident) == 10000
+    assert tau_bp(rev) == -10000
+
+    # live q325 output sits inside the metric's hard bounds:
+    # 0 ≤ rbo_scaled ≤ Σ w_d·d·(LCM/d) (identical lists), overlap ≤ 20
+    import dataflowex_spark.queries as Q
+
+    LCM = 232792560
+    ws = [int(0.9 ** (d - 1) * 1e6) for d in range(1, 21)]
+    max_mass = sum(ws[d - 1] * d * (LCM // d) for d in range(1, 21))
+    row = Q.REGISTRY["q325_rank_biased_overlap"][0](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert 0 <= row["rbo_scaled"] <= max_mass
+    assert 0 <= row["overlap_at_20"] <= 20
