@@ -16000,3 +16000,127 @@ def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overlap_at_20"),
     )
+
+
+@q(
+    "q326_hits_bipartite",
+    """
+    WITH edges AS (
+      SELECT o.o_custkey AS c, l.l_suppkey AS s,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    h1r AS (
+      SELECT c, CAST(SUM(w * 1000000) AS BIGINT) AS hr
+      FROM edges GROUP BY c
+    ),
+    h1 AS (
+      SELECT c, hr * 1000000 // (SELECT MAX(hr) FROM h1r) AS h
+      FROM h1r
+    ),
+    a1r AS (
+      SELECT e.s, CAST(SUM(e.w * h1.h) AS BIGINT) AS ar
+      FROM edges e JOIN h1 ON e.c = h1.c GROUP BY e.s
+    ),
+    a1 AS (
+      SELECT s, ar * 1000000 // (SELECT MAX(ar) FROM a1r) AS a
+      FROM a1r
+    ),
+    h2r AS (
+      SELECT e.c, CAST(SUM(e.w * a1.a) AS BIGINT) AS hr
+      FROM edges e JOIN a1 ON e.s = a1.s GROUP BY e.c
+    ),
+    h2 AS (
+      SELECT c, hr * 1000000 // (SELECT MAX(hr) FROM h2r) AS h
+      FROM h2r
+    ),
+    a2r AS (
+      SELECT e.s, CAST(SUM(e.w * h2.h) AS BIGINT) AS ar
+      FROM edges e JOIN h2 ON e.c = h2.c GROUP BY e.s
+    ),
+    a2 AS (
+      SELECT s, ar * 1000000 // (SELECT MAX(ar) FROM a2r) AS a
+      FROM a2r
+    )
+    SELECT s AS s_suppkey, CAST(a AS BIGINT) AS authority
+    FROM a2 ORDER BY a DESC, s LIMIT 10
+    """,
+)
+def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) on the bipartite customer→supplier purchase
+    graph: hub customers reinforce authority suppliers through two
+    mutual-reinforcement rounds. The float normalization that makes
+    HITS engine-divergent is replaced by the repo's q131/q169
+    integer-quantization convention — after every half-step scores
+    rescale to [0, 1e6] by INTEGER division by the round's max — so
+    every score is exact in any reduction order and the oracle
+    unrolls the rounds as CTEs. Scale: each half-step is one keyed
+    join + hash-agg on the (c, s) edge list (weights pre-aggregated
+    once); the max is a scalar broadcast. Top-10 authorities."""
+    cat = Catalog(spark, sf_dir)
+    edges = (
+        cat["lineitem"]
+        .join(
+            cat["orders"],
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+
+    def rescale(raw: DataFrame, key: str, col: str) -> DataFrame:
+        # raw is referenced twice (rows + max) and each round feeds
+        # the next — without the cuts Catalyst re-inlines the whole
+        # upstream per reference and the 4-round chain compounds
+        # (the q212 ntile-chain lesson, operators/windows.py:52)
+        raw = raw.localCheckpoint(eager=False)
+        mx = raw.agg(F.max(col).alias("__mx"))
+        return (
+            raw.crossJoin(F.broadcast(mx))
+            .select(
+                key,
+                F.expr(f"{col} * 1000000 div __mx").alias(col[0]),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    h1 = rescale(
+        edges.groupBy("c").agg(
+            F.sum(F.col("w") * 1000000).cast("long").alias("hr")
+        ),
+        "c",
+        "hr",
+    )
+    a1 = rescale(
+        edges.join(h1, "c")
+        .groupBy("s")
+        .agg(F.sum(F.col("w") * F.col("h")).cast("long").alias("ar")),
+        "s",
+        "ar",
+    )
+    h2 = rescale(
+        edges.join(a1, "s")
+        .groupBy("c")
+        .agg(F.sum(F.col("w") * F.col("a")).cast("long").alias("hr")),
+        "c",
+        "hr",
+    )
+    a2 = rescale(
+        edges.join(h2, "c")
+        .groupBy("s")
+        .agg(F.sum(F.col("w") * F.col("h")).cast("long").alias("ar")),
+        "s",
+        "ar",
+    )
+    return (
+        a2.select(
+            F.col("s").alias("s_suppkey"),
+            F.col("a").cast("long").alias("authority"),
+        )
+        .orderBy(F.col("authority").desc(), "s_suppkey")
+        .limit(10)
+    )

