@@ -16124,3 +16124,71 @@ def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("authority").desc(), "s_suppkey")
         .limit(10)
     )
+
+
+@q("q327_mtable_clone", None)  # rows-only: filesystem effects, run-scoped
+def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTable SHALLOW CLONE: fork a versioned customer table in
+    O(metadata) — the clone's v1 manifest references the source's
+    parquet files by path, zero bytes copied — then MERGE a balance
+    adjustment into the CLONE only. The summary proves isolation and
+    zero-copy at once: source rows unchanged, clone rows diverged,
+    and the clone's pre-merge manifest shared 100% of its file paths
+    with the source while the post-merge manifest contains
+    clone-root files the source never sees. This is how a 100 TB
+    table is forked for an experiment without a copy job."""
+    import tempfile
+
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"].repartitionByRange(8, "c_custkey")
+    root = tempfile.mkdtemp(prefix="mtable_q327_")
+    src = MTable.create(spark, root + "/src", cust, "c_custkey")
+    shared = {e["path"] for e in src.manifest()["files"]}
+
+    dup = src.clone(root + "/fork")
+    cloned = {e["path"] for e in dup.manifest()["files"]}
+
+    changes = (
+        cat["customer"]
+        .where(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+            F.lit("U").alias("op"),
+            F.lit(1).alias("ts"),
+            F.lit(1).alias("tie"),
+        )
+    )
+    dup.merge(changes, "ts", "op", "tie", ["c_acctbal"])
+    after = {e["path"] for e in dup.manifest()["files"]}
+
+    src_sum = src.read().agg(
+        F.count("*").alias("rows"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal"),
+    )
+    fork_sum = dup.read().agg(
+        F.count("*").alias("rows"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal"),
+    )
+    return (
+        src_sum.select(F.lit("source").alias("table"), "rows", "bal")
+        .unionAll(
+            fork_sum.select(F.lit("clone").alias("table"), "rows", "bal")
+        )
+        .crossJoin(
+            spark.createDataFrame(
+                [
+                    (
+                        len(shared & cloned),
+                        len(cloned - shared),
+                        len(after - shared),
+                    )
+                ],
+                "files_shared_at_clone int, files_copied int,"
+                " clone_only_files_after_merge int",
+            )
+        )
+        .orderBy("table")
+    )

@@ -709,6 +709,36 @@ class MTable:
             checks=m.get("checks"),
         )
 
+    def clone(self, dest_root: str, version: int | None = None) -> "MTable":
+        """Delta-style SHALLOW CLONE: a new table whose v1 manifest
+        references the source's data files BY PATH — zero bytes
+        copied, one manifest write, at any committed source version.
+        After the clone, the two tables diverge freely: each writes
+        new files under its OWN root, so merges/compactions on one
+        never appear in the other. The standard way to fork a 100 TB
+        table for an experiment in O(metadata).
+
+        Caveat (same as Delta shallow clones): the clone borrows the
+        source's files, so a ``vacuum`` on the SOURCE can delete
+        files the clone still references. Retain the source, deep-copy
+        later, or vacuum only with the clone's horizon in mind."""
+        if os.path.exists(os.path.join(dest_root, "_CURRENT")):
+            raise ValueError(f"clone destination {dest_root} already exists")
+        m = self.manifest(version)
+        dest = MTable(
+            self.spark, dest_root, commit_backend=self.commit_backend
+        )
+        os.makedirs(dest_root, exist_ok=True)
+        dest._commit(
+            m["files"],
+            m["key_col"],
+            parent=None,
+            stats_cols=m.get("stats_cols"),
+            schema=m.get("schema"),
+            checks=m.get("checks"),
+        )
+        return dest
+
     def version_as_of(self, ts: float) -> int:
         """TIME-TRAVEL BY TIMESTAMP: the version current at unix time
         ``ts`` — the largest kept version committed at or before it

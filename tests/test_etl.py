@@ -1609,3 +1609,43 @@ def test_mtable_read_changes_both_images(spark, tmp_path):
         .collect()
     }
     assert {k: v for k, v in agg0.items() if v[0] > 0} == direct
+
+
+def test_mtable_shallow_clone(spark, tmp_path):
+    """clone(): zero-copy fork — the clone's v1 references the
+    source's files verbatim; reads match exactly at clone time;
+    post-clone merges are isolated both directions; cloning onto an
+    existing table refuses."""
+    import pytest
+    from pyspark.sql import functions as F
+    from dataflowex_spark.sources.mtable import MTable
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    src = MTable.create(spark, str(tmp_path / "src"), df, "k")
+    dup = src.clone(str(tmp_path / "fork"))
+
+    src_files = {e["path"] for e in src.manifest()["files"]}
+    dup_files = {e["path"] for e in dup.manifest()["files"]}
+    assert dup_files == src_files  # zero bytes copied
+
+    assert sorted(map(tuple, dup.read().collect())) == sorted(
+        map(tuple, src.read().collect())
+    )
+
+    chg = spark.createDataFrame(
+        [(5, 999, "U", 1, 1)], "k long, v long, op string, ts int, tie int"
+    )
+    dup.merge(chg, "ts", "op", "tie", ["v"])
+    assert dup.read().where("k = 5").collect()[0]["v"] == 999
+    assert src.read().where("k = 5").collect()[0]["v"] == 10  # isolated
+
+    chg2 = spark.createDataFrame(
+        [(7, 777, "U", 1, 1)], "k long, v long, op string, ts int, tie int"
+    )
+    src.merge(chg2, "ts", "op", "tie", ["v"])
+    assert dup.read().where("k = 7").collect()[0]["v"] == 14  # isolated
+
+    with pytest.raises(ValueError, match="already exists"):
+        src.clone(str(tmp_path / "fork"))
