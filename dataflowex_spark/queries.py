@@ -16192,3 +16192,69 @@ def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("table")
     )
+
+
+@q(
+    "q328_lateness_audit",
+    """
+    WITH seq AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS hwm
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN hwm IS NOT NULL AND ts < hwm
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(COALESCE(MAX(CASE WHEN hwm IS NOT NULL AND ts < hwm
+                         THEN epoch(hwm) - epoch(ts) END), 0)
+                AS BIGINT) AS max_lateness_s
+    FROM seq
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness audit — the measurement that SIZES a
+    streaming watermark before anyone picks one: arrival order is
+    event_id, and an event is late iff its event time sits behind
+    the per-user running high-water mark of earlier arrivals; the
+    max shortfall (seconds, integer) per event type is exactly the
+    watermark delay that would have admitted every event. The
+    running max is a partitioned window (per-user, never
+    single-reducer); lateness is integer epoch arithmetic so the
+    audit hash-matches."""
+    cat = Catalog(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = cat["events"].select(
+        "event_type",
+        F.col("ts"),
+        F.max("ts").over(w).alias("hwm"),
+    )
+    late = F.col("hwm").isNotNull() & (F.col("ts") < F.col("hwm"))
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        late,
+                        F.unix_timestamp("hwm") - F.unix_timestamp("ts"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("max_lateness_s"),
+        )
+        .orderBy("event_type")
+    )

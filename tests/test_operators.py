@@ -2954,3 +2954,40 @@ def test_hits_star_graph(spark):
         assert 0 < rows[200] < 1000000
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_lateness_audit_semantics(spark):
+    """q328 on a constructed arrival sequence: an event arriving
+    (by id) after a later-timestamped one is late by exactly the
+    gap; in-order arrivals are never late; the first arrival per
+    user has no high-water mark and can't be late."""
+    import tempfile, shutil
+    import datetime as dt
+    import dataflowex_spark.queries as Q
+
+    d = tempfile.mkdtemp()
+    try:
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        s = lambda sec: t0 + dt.timedelta(seconds=sec)
+        rows = [
+            # user 1: in order → 0 late
+            (1, s(0), 1, "a", 1.0, "{}"),
+            (2, s(10), 1, "a", 1.0, "{}"),
+            # user 2: event 4 arrives after ts 100 but carries ts 40
+            (3, s(100), 2, "b", 1.0, "{}"),
+            (4, s(40), 2, "b", 1.0, "{}"),   # late by 60
+            (5, s(90), 2, "b", 1.0, "{}"),   # late by 10
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.parquet(f"{d}/events.parquet")
+        got = {
+            r["event_type"]: (r["n_events"], r["n_late"], r["max_lateness_s"])
+            for r in Q.REGISTRY["q328_lateness_audit"][0](spark, d).collect()
+        }
+        assert got["a"] == (2, 0, 0)
+        assert got["b"] == (3, 2, 60)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
