@@ -2991,3 +2991,19 @@ def test_lateness_audit_semantics(spark):
         assert got["b"] == (3, 2, 60)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bitpack_layout_audit(spark):
+    """q329 on the fixture: the sorted layout needs strictly fewer
+    total bits than the hash-shuffled layout of the SAME values —
+    the measurable reason range-partitioned/Z-ordered writes exist."""
+    import dataflowex_spark.queries as Q
+
+    rows = {
+        r["ordering"]: r
+        for r in Q.REGISTRY["q329_bitpack_layout_audit"][0](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert rows["sorted"]["n_blocks"] == rows["hashed"]["n_blocks"]
+    assert rows["sorted"]["total_bits"] < rows["hashed"]["total_bits"] / 2
