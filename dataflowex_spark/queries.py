@@ -16500,3 +16500,135 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "q332_zipf_octaves",
+    """
+    WITH tf AS (
+      SELECT unnest(list_filter(string_split_regex(text, '__WS__'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    counts AS (SELECT term, COUNT(*) AS c FROM tf GROUP BY term),
+    octaves AS (
+      SELECT length(bin(c)) - 1 AS octave, COUNT(*) AS n_terms,
+             CAST(SUM(c) AS BIGINT) AS mass
+      FROM counts GROUP BY 1
+    )
+    SELECT CAST(octave AS BIGINT) AS octave,
+           CAST(1::BIGINT << CAST(octave AS INT) AS BIGINT) AS freq_lo,
+           CAST(n_terms AS BIGINT) AS n_terms,
+           mass
+    FROM octaves
+    ORDER BY octave
+    """,
+)
+def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf octave histogram: term frequencies bucketed by ⌊log2 c⌋
+    (the engine-portable bin() bitlength, no libm log) with term
+    count and token mass per octave — the corpus-statistics view
+    that shows the Zipf head/tail split (a healthy natural-language
+    corpus halves n_terms per octave; a template-heavy corpus puts
+    mass spikes in high octaves). One (term) hash-agg then a
+    ≤40-row regroup; the corpus shuffles once."""
+    from dataflowex_spark.functions.text import WS_REGEX
+
+    cat = Catalog(spark, sf_dir)
+    counts = (
+        cat["documents"]
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.col("text"), WS_REGEX),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy(
+            (F.length(F.bin(F.col("c"))) - 1).cast("long").alias("octave")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("c").cast("long").alias("mass"),
+        )
+        .select(
+            "octave",
+            F.expr("shiftleft(cast(1 as bigint), cast(octave as int))")
+            .cast("long")
+            .alias("freq_lo"),
+            "n_terms",
+            "mass",
+        )
+        .orderBy("octave")
+    )
+
+
+@q("q333_mtable_purge_audit", None)  # rows-only: filesystem effects
+def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge audit on MTable: delete a subject
+    key set via a CDC merge (op='D'), then PROVE the three stages of
+    deletion the compliance conversation actually distinguishes —
+    (1) logically gone: the current version returns zero subject
+    rows; (2) historically present: time travel to the pre-purge
+    version still reads them (audit retention); (3) physically gone:
+    vacuum(retention=0, keep_last=1) drops the pre-purge manifests
+    and their unshared data files, after which the subject keys are
+    unreadable at ANY version. Copy-on-write means the purge rewrote
+    only key-range-affected files — O(subject-range), not O(table)."""
+    import tempfile
+
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mtable_q333_")
+    cust = cat["customer"].repartitionByRange(8, "c_custkey")
+    t = MTable.create(spark, root + "/t", cust, "c_custkey")
+    v_before = t.current_version()
+
+    subjects = (
+        cat["customer"]
+        .where(F.col("c_custkey") % 25 == 3)
+        .select(
+            "c_custkey",
+            F.col("c_acctbal"),
+            F.lit("D").alias("op"),
+            F.lit(1).alias("ts"),
+            F.lit(1).alias("tie"),
+        )
+    )
+    n_subjects = subjects.count()
+    t.merge(subjects, "ts", "op", "tie", ["c_acctbal"])
+
+    subj_keys = subjects.select("c_custkey")
+    after_current = (
+        t.read().join(subj_keys, "c_custkey", "left_semi").count()
+    )
+    before_travel = (
+        t.read(v_before).join(subj_keys, "c_custkey", "left_semi").count()
+    )
+    files_before = len(t.manifest(v_before)["files"])
+    files_now = len(t.manifest()["files"])
+    t.vacuum(keep_last=1)
+    kept = t.committed_versions()
+    travel_purged = v_before not in kept
+
+    return spark.createDataFrame(
+        [
+            (
+                n_subjects,
+                after_current,
+                before_travel,
+                bool(travel_purged),
+                files_before,
+                files_now,
+            )
+        ],
+        "n_subjects long, subject_rows_after_purge long,"
+        " subject_rows_via_time_travel long, history_vacuumed boolean,"
+        " files_before long, files_after long",
+    )

@@ -1649,3 +1649,38 @@ def test_mtable_shallow_clone(spark, tmp_path):
 
     with pytest.raises(ValueError, match="already exists"):
         src.clone(str(tmp_path / "fork"))
+
+
+def test_mtable_purge_audit_stages(spark):
+    """The three purge stages q333 reports, pinned end-to-end:
+    logically gone at current, readable via time travel before
+    vacuum, unreadable at any version after vacuum (and the purged
+    keys' files are physically deleted)."""
+    import os
+    import pytest
+    from pyspark.sql import functions as F
+    from dataflowex_spark.sources.mtable import MTable
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="purge_t_")
+    t = MTable.create(spark, root + "/t", df.repartitionByRange(4, "k"), "k")
+    v0 = t.current_version()
+    chg = spark.createDataFrame(
+        [(k, 0, "D", 1, 1) for k in range(0, 200, 25)],
+        "k long, v long, op string, ts int, tie int",
+    )
+    t.merge(chg, "ts", "op", "tie", ["v"])
+
+    assert t.read().where("k % 25 = 0").count() == 0  # logically gone
+    assert t.read(v0).where("k % 25 = 0").count() == 8  # history intact
+
+    deleted = t.vacuum(keep_last=1)
+    assert v0 not in t.committed_versions()  # travel horizon moved
+    assert all(not os.path.exists(p) for p in deleted)
+    assert t.read().where("k % 25 = 0").count() == 0
+    with pytest.raises(Exception):
+        t.read(v0).collect()
