@@ -16632,3 +16632,105 @@ def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
         " subject_rows_via_time_travel long, history_vacuumed boolean,"
         " files_before long, files_after long",
     )
+
+
+@q(
+    "q334_hdr_percentile_sketch",
+    """
+    WITH vals AS (
+      SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS v FROM events
+      WHERE value IS NOT NULL
+    ),
+    n AS (SELECT COUNT(*) AS n FROM vals),
+    dist AS (
+      SELECT v, COUNT(*) AS c FROM vals GROUP BY v
+    ),
+    cum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v) AS cc FROM dist
+    ),
+    qs AS (SELECT unnest([50, 90, 99]) AS q),
+    exact AS (
+      SELECT q.q, MIN(cum.v) AS exact_v
+      FROM qs q JOIN cum ON cum.cc * 100 >= q.q * (SELECT n FROM n)
+      GROUP BY q.q
+    ),
+    oct AS (
+      SELECT length(bin(v)) AS o, COUNT(*) AS c FROM vals GROUP BY 1
+    ),
+    ocum AS (
+      SELECT o, SUM(c) OVER (ORDER BY o) AS cc FROM oct
+    ),
+    est AS (
+      SELECT q.q, MIN(ocum.o) AS o
+      FROM qs q JOIN ocum ON ocum.cc * 100 >= q.q * (SELECT n FROM n)
+      GROUP BY q.q
+    )
+    SELECT e.q,
+           CAST(e.exact_v AS BIGINT) AS exact_v,
+           CAST(1::BIGINT << CAST(est.o - 1 AS INT) AS BIGINT)
+             AS hdr_lo,
+           CAST((1::BIGINT << CAST(est.o AS INT)) - 1 AS BIGINT)
+             AS hdr_hi
+    FROM exact e JOIN est ON e.q = est.q
+    ORDER BY e.q
+    """,
+)
+def q334(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram-style percentile sketch vs exact distributed
+    percentiles: bucket integer-quantized event values by bitlength
+    octave (an HDR histogram with 1 sub-bucket bit — the mergeable
+    structure latency dashboards aggregate across hosts), read p50/
+    p90/p99 from the ≤40-row octave cumulative, and show the exact
+    percentile always lands inside the reported [2^(o-1), 2^o)
+    bucket. The exact side is the repo's scale-safe shape: distinct-
+    value counts + global_cumsum (range-partitioned two-pass, zero
+    single-reducer windows); the sketch side is one tiny regroup.
+    All integers — the octave read, the bucket bounds, and the exact
+    rank test hash-match in any engine."""
+    from dataflowex_spark.operators.windows import global_cumsum
+
+    cat = Catalog(spark, sf_dir)
+    vals = (
+        cat["events"]
+        .where(F.col("value").isNotNull())
+        .select(F.floor(F.col("value") * 1000).cast("long").alias("v"))
+    )
+    n = vals.count()
+    qs = spark.createDataFrame([(50,), (90,), (99,)], "q int")
+    dist = vals.groupBy("v").agg(F.count("*").alias("c"))
+    cum = global_cumsum(dist, [F.col("v")], ["c"]).select(
+        "v", F.col("c_cum").alias("cc")
+    )
+    exact = (
+        F.broadcast(qs)
+        .join(cum, cum["cc"] * 100 >= F.col("q") * n)
+        .groupBy("q")
+        .agg(F.min("v").alias("exact_v"))
+    )
+    oct_ = vals.groupBy(
+        F.length(F.bin(F.col("v"))).alias("o")
+    ).agg(F.count("*").alias("c"))
+    w = Window.orderBy("o")  # ≤40 octave rows — bounded frame
+    ocum = oct_.select("o", F.sum("c").over(w).alias("cc"))
+    est = (
+        F.broadcast(qs)
+        .join(ocum, F.col("cc") * 100 >= F.col("q") * n)
+        .groupBy("q")
+        .agg(F.min("o").alias("o"))
+    )
+    return (
+        exact.join(est, "q")
+        .select(
+            "q",
+            F.col("exact_v").cast("long").alias("exact_v"),
+            F.expr("shiftleft(cast(1 as bigint), cast(o - 1 as int))")
+            .cast("long")
+            .alias("hdr_lo"),
+            (
+                F.expr("shiftleft(cast(1 as bigint), cast(o as int))") - 1
+            )
+            .cast("long")
+            .alias("hdr_hi"),
+        )
+        .orderBy("q")
+    )

@@ -3055,3 +3055,15 @@ def test_vocab_growth_and_burstiness(spark):
         assert got["b"] > 50000
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hdr_percentile_contains_exact(spark):
+    """The HDR octave bucket reported for each quantile always
+    CONTAINS the exact percentile (hdr_lo ≤ exact ≤ hdr_hi) — the
+    sketch's defining guarantee — on the real fixture."""
+    import dataflowex_spark.queries as Q
+
+    for r in Q.REGISTRY["q334_hdr_percentile_sketch"][0](
+        spark, "/root/testdata/sf0.01"
+    ).collect():
+        assert r["hdr_lo"] <= r["exact_v"] <= r["hdr_hi"], r
