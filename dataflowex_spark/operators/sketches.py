@@ -133,29 +133,45 @@ def _hll_hash(key_col: str):
 
 
 def hll_registers(
-    df: DataFrame, group_cols: list[str], key_col: str
+    df: DataFrame, group_cols: list[str], key_col: str, p: int = HLL_P
 ) -> DataFrame:
     """Per-group register table (group_cols..., j, m_j): one hash
-    aggregate over (group, register) — at most 64 rows per group
-    survive the map-side combine. rho(w) = 54 - bitlength(w) + 1,
-    with the all-zero word pinned to 55."""
+    aggregate over (group, register) — at most 2^p rows per group
+    survive the map-side combine. rho(w) = wbits - bitlength(w) + 1
+    (wbits = 60 - p), with the all-zero word pinned to wbits + 1."""
+    m = 1 << p
+    wbits = 60 - p
     h = _hll_hash(key_col)
-    j = F.pmod(h, F.lit(HLL_M))
-    w = F.floor(h / F.lit(HLL_M)).cast("long")
-    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
-        F.lit(_HLL_WBITS) - F.length(F.bin(w)) + 1
+    j = F.pmod(h, F.lit(m))
+    w = F.floor(h / F.lit(m)).cast("long")
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits) - F.length(F.bin(w)) + 1
     )
+    cols = list(group_cols) if group_cols else []
     return (
-        df.select(*group_cols, j.alias("j"), rho.alias("rho"))
-        .groupBy(*group_cols, "j")
+        df.select(*cols, j.alias("j"), rho.alias("rho"))
+        .groupBy(*cols, "j")
         .agg(F.max("rho").cast("long").alias("m_j"))
     )
+
+
+def hll_alpha(m: int) -> float:
+    """The standard bias constant: same closed form Flajolet gives
+    for m ≥ 128; the small-m literals for 16/32/64."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return _HLL_ALPHA
+    return 0.7213 / (1.0 + 1.079 / m)
 
 
 def hll_estimate(
     registers: DataFrame,
     group_cols: list[str],
     out_col: str = "hll_est",
+    p: int = HLL_P,
 ) -> DataFrame:
     """Raw HLL estimate per group from the register table: absent
     registers count as M=0, the denominator is the exact integer
@@ -165,10 +181,12 @@ def hll_estimate(
     is bit-identical in every engine; raw-HLL error suffices for the
     audit use-case and the bias is visible in the companion exact
     column."""
+    m = 1 << p
+    wbits = 60 - p
     spark = registers.sparkSession
     groups = registers.select(*group_cols).distinct()
     grid = groups.crossJoin(
-        spark.range(HLL_M).select(F.col("id").alias("j"))
+        spark.range(m).select(F.col("id").alias("j"))
     )
     s = (
         grid.join(registers, [*group_cols, "j"], "left")
@@ -176,16 +194,16 @@ def hll_estimate(
             *group_cols,
             F.expr(
                 f"shiftleft(cast(1 as bigint), "
-                f"cast({_HLL_WBITS + 1} - coalesce(m_j, 0) as int))"
+                f"cast({wbits + 1} - coalesce(m_j, 0) as int))"
             ).alias("__term"),
         )
         .groupBy(*group_cols)
         .agg(F.sum("__term").cast("long").alias("__s"))
     )
     est = F.floor(
-        F.lit(_HLL_ALPHA)
-        * F.lit(float(HLL_M * HLL_M))
-        * F.lit(_HLL_POW2_W1)
+        F.lit(hll_alpha(m))
+        * F.lit(float(m * m))
+        * F.lit(float(1 << (wbits + 1)))
         / F.col("__s").cast("double")
     ).cast("long")
     return s.select(*group_cols, est.alias(out_col))

@@ -16734,3 +16734,143 @@ def q334(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+@q(
+    "q335_hll_parameter_sweep",
+    """
+    WITH exact AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS exact_n FROM lineitem
+    ),
+    regs4 AS (
+      SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 16 AS j,
+             MAX(CASE
+                   WHEN CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                                             1, 15)) AS BIGINT) // 16 = 0
+                   THEN 57
+                   ELSE 56 - length(bin(
+                        CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                                             1, 15)) AS BIGINT) // 16)) + 1
+                 END) AS m_j
+      FROM lineitem GROUP BY 1
+    ),
+    s4 AS (
+      SELECT CAST(SUM(1::BIGINT
+                      << CAST(57 - COALESCE(r.m_j, 0) AS INT))
+                  AS BIGINT) AS s
+      FROM (SELECT unnest(range(16)) AS j) g LEFT JOIN regs4 r USING (j)
+    ),
+    est4 AS (
+      SELECT 4 AS p, 16 AS m,
+             CAST(FLOOR(0.673 * 256.0
+                        * 1.4411518807585587e+17 / CAST(s AS DOUBLE)) AS BIGINT) AS hll_est
+      FROM s4
+    ),
+    regs6 AS (
+      SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 64 AS j,
+             MAX(CASE
+                   WHEN CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                                             1, 15)) AS BIGINT) // 64 = 0
+                   THEN 55
+                   ELSE 54 - length(bin(
+                        CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                                             1, 15)) AS BIGINT) // 64)) + 1
+                 END) AS m_j
+      FROM lineitem GROUP BY 1
+    ),
+    s6 AS (
+      SELECT CAST(SUM(1::BIGINT
+                      << CAST(55 - COALESCE(r.m_j, 0) AS INT))
+                  AS BIGINT) AS s
+      FROM (SELECT unnest(range(64)) AS j) g LEFT JOIN regs6 r USING (j)
+    ),
+    est6 AS (
+      SELECT 6 AS p, 64 AS m,
+             CAST(FLOOR((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                        * 3.602879701896397e+16 / CAST(s AS DOUBLE)) AS BIGINT) AS hll_est
+      FROM s6
+    ),
+    regs8 AS (
+      SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 256 AS j,
+             MAX(CASE
+                   WHEN CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                                             1, 15)) AS BIGINT) // 256 = 0
+                   THEN 53
+                   ELSE 52 - length(bin(
+                        CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                                             1, 15)) AS BIGINT) // 256)) + 1
+                 END) AS m_j
+      FROM lineitem GROUP BY 1
+    ),
+    s8 AS (
+      SELECT CAST(SUM(1::BIGINT
+                      << CAST(53 - COALESCE(r.m_j, 0) AS INT))
+                  AS BIGINT) AS s
+      FROM (SELECT unnest(range(256)) AS j) g LEFT JOIN regs8 r USING (j)
+    ),
+    est8 AS (
+      SELECT 8 AS p, 256 AS m,
+             CAST(FLOOR((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                        * 9007199254740992.0 / CAST(s AS DOUBLE)) AS BIGINT) AS hll_est
+      FROM s8
+    )
+    SELECT CAST(u.p AS BIGINT) AS p, CAST(u.m AS BIGINT) AS m,
+           e.exact_n, u.hll_est,
+           u.hll_est - e.exact_n AS err
+    FROM (SELECT * FROM est4 UNION ALL SELECT * FROM est6
+          UNION ALL SELECT * FROM est8) u
+    CROSS JOIN exact e
+    ORDER BY p
+    """,
+)
+def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL parameter sweep — the accuracy/state tradeoff measured,
+    not quoted: the q315 portable sketch rebuilt at p ∈ {4, 6, 8}
+    (16/64/256 registers) against the exact distinct user count,
+    with the signed error per setting. Relative error tightens as
+    1.04/√m (~26%, 13%, 6.5%) while state grows 16× — the sizing
+    table an operator consults before declaring a sketch column.
+    Every register and every estimate is the same cross-engine-exact
+    arithmetic as q315 (bin() ranks, integer harmonic sums, one IEEE
+    float chain with the standard small-m alpha literals)."""
+    from dataflowex_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    # key chosen for the raw-HLL validity regime (n ≳ 2.5·m at every
+    # SF): order keys, ~15k distinct at sf0.01 — the 150 distinct
+    # users would put p=8 deep in linear-counting territory, where
+    # the deliberately-omitted (libm) correction dominates
+    li = cat["lineitem"]
+    exact = li.agg(F.countDistinct("l_orderkey").alias("exact_n"))
+    parts = []
+    for p in (4, 6, 8):
+        regs = hll_registers(
+            li.select(F.lit(p).alias("p"), "l_orderkey"),
+            ["p"],
+            "l_orderkey",
+            p=p,
+        )
+        est = hll_estimate(regs, ["p"], p=p).select(
+            F.col("p").cast("long").alias("p"),
+            F.lit(1 << p).cast("long").alias("m"),
+            "hll_est",
+        )
+        parts.append(est)
+    u = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    return (
+        u.crossJoin(F.broadcast(exact))
+        .select(
+            "p",
+            "m",
+            "exact_n",
+            "hll_est",
+            (F.col("hll_est") - F.col("exact_n")).alias("err"),
+        )
+        .orderBy("p")
+    )

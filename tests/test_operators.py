@@ -3067,3 +3067,24 @@ def test_hdr_percentile_contains_exact(spark):
         spark, "/root/testdata/sf0.01"
     ).collect():
         assert r["hdr_lo"] <= r["exact_v"] <= r["hdr_hi"], r
+
+
+def test_hll_parameter_sweep_accuracy(spark):
+    """The sweep's defining property on the fixture: every setting's
+    estimate is within 5·(1.04/√m) of exact, and p=8's absolute
+    relative error is no worse than 1.5× p=4's (error tightens with
+    m, modulo single-draw noise)."""
+    import dataflowex_spark.queries as Q
+
+    rows = {
+        r["p"]: r
+        for r in Q.REGISTRY["q335_hll_parameter_sweep"][0](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    for p, r in rows.items():
+        rel = abs(r["err"]) / r["exact_n"]
+        assert rel < 5 * 1.04 / (r["m"] ** 0.5), (p, rel)
+    rel4 = abs(rows[4]["err"]) / rows[4]["exact_n"]
+    rel8 = abs(rows[8]["err"]) / rows[8]["exact_n"]
+    assert rel8 <= max(rel4 * 1.5, 0.07)
