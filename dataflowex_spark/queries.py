@@ -16874,3 +16874,110 @@ def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p")
     )
+
+
+@q(
+    "q336_source_overlap_matrix",
+    """
+    WITH st AS (
+      SELECT DISTINCT source,
+             unnest(list_filter(string_split_regex(text, '__WS__'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS inter
+      FROM st a JOIN st b
+        ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(i.inter AS BIGINT) AS n_common,
+           CAST(FLOOR(CAST(i.inter * 1000000 AS DOUBLE)
+                      / (sa.n + sb.n - i.inter)) AS BIGINT)
+             AS jaccard_ppm,
+           CAST(FLOOR(CAST(i.inter * 1000000 AS DOUBLE)
+                      / LEAST(sa.n, sb.n)) AS BIGINT)
+             AS containment_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def q336(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-overlap matrix — corpus-level redundancy analysis:
+    vocabulary Jaccard AND containment between every source pair
+    (high containment at modest Jaccard = one source is a subset
+    scrape of the other — the pattern that decides which source to
+    drop). Intersections come from a (term) equi-join of the
+    distinct (source, term) frame — inverted-index shape, the
+    all-pairs matrix is over SOURCES (bounded universe), never over
+    tokens or docs; ppm quantization keeps the ratios hash-exact.
+    Corpus-grain companion to the doc-grain q86."""
+    from dataflowex_spark.functions.text import WS_REGEX
+
+    cat = Catalog(spark, sf_dir)
+    st = (
+        cat["documents"]
+        .select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.col("text"), WS_REGEX),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("term"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = st.groupBy("source").agg(F.count("*").alias("n"))
+    b = st.select(
+        F.col("source").alias("source_b"), F.col("term").alias("term")
+    )
+    inter = (
+        st.withColumnRenamed("source", "source_a")
+        .join(b, "term")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("source", "source_a").withColumnRenamed(
+                "n", "n_a"
+            ),
+            "source_a",
+        )
+        .join(
+            sizes.withColumnRenamed("source", "source_b").withColumnRenamed(
+                "n", "n_b"
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("inter").cast("long").alias("n_common"),
+            F.floor(
+                (F.col("inter") * 1000000).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+            F.floor(
+                (F.col("inter") * 1000000).cast("double")
+                / F.least(F.col("n_a"), F.col("n_b"))
+            )
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -3088,3 +3088,37 @@ def test_hll_parameter_sweep_accuracy(spark):
     rel4 = abs(rows[4]["err"]) / rows[4]["exact_n"]
     rel8 = abs(rows[8]["err"]) / rows[8]["exact_n"]
     assert rel8 <= max(rel4 * 1.5, 0.07)
+
+
+def test_source_overlap_matrix_semantics(spark):
+    """Containment vs Jaccard distinction on constructed sources: a
+    strict-subset source shows containment 1e6 with Jaccard < 1e6;
+    disjoint sources produce no pair row at all."""
+    import tempfile, shutil
+    import dataflowex_spark.queries as Q
+
+    d = tempfile.mkdtemp()
+    try:
+        rows = [
+            (1, "a b c d", "en", "big", 1),
+            (2, "a b", "en", "sub", 1),       # subset of big
+            (3, "x y z", "en", "other", 1),   # disjoint
+        ]
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+        got = {
+            (r["source_a"], r["source_b"]): r
+            for r in Q.REGISTRY["q336_source_overlap_matrix"][0](
+                spark, d
+            ).collect()
+        }
+        r = got[("big", "sub")]
+        assert r["containment_ppm"] == 1000000
+        assert r["jaccard_ppm"] == 500000  # |∩|=2, |∪|=4
+        assert ("big", "other") not in got
+        assert ("other", "sub") not in got
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
