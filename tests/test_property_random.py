@@ -379,3 +379,82 @@ def test_kmv_and_covariance_algebra_properties(spark):
         # float32 storage of the shifted values costs precision at the
         # 1e4 offset; the law holds to the storage precision
         assert abs(c0[key] - c1[key]) < 5e-2
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=3),
+        min_size=1,
+        max_size=60,
+    )
+)
+def check_sketch_invariants(keys):
+    """Random-multiset sketch laws, each against a pure-Python
+    reference of the same portable hash: CMS never undercounts any
+    present key; HLL registers of a split stream merge by MAX to the
+    full build; AMS counters of a split stream merge by ADDITION."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from dataflowex_spark.operators.sketches import (
+        ams_f2_estimators,
+        count_min_build,
+        count_min_lookup,
+        hll_registers,
+    )
+
+    spark = check_sketch_invariants._spark
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    exact = {}
+    for k in keys:
+        exact[k] = exact.get(k, 0) + 1
+
+    est = {
+        r["k"]: r["cms_est"]
+        for r in count_min_lookup(
+            count_min_build(df, "k", depth=3, width=16),
+            df,
+            "k",
+            depth=3,
+            width=16,
+        ).collect()
+    }
+    assert all(est[k] >= c for k, c in exact.items())
+
+    half = len(keys) // 2
+    lo = spark.createDataFrame([(k,) for k in keys[:half]] or [("",)], "k string")
+    hi = spark.createDataFrame([(k,) for k in keys[half:]] or [("",)], "k string")
+    full = {
+        r["j"]: r["m_j"]
+        for r in hll_registers(
+            df.select(F.lit("g").alias("g"), "k"), ["g"], "k"
+        ).collect()
+    }
+    merged: dict = {}
+    for part, src in (("lo", keys[:half]), ("hi", keys[half:])):
+        if not src:
+            continue
+        pdf = spark.createDataFrame([(k,) for k in src], "k string")
+        for r in hll_registers(
+            pdf.select(F.lit("g").alias("g"), "k"), ["g"], "k"
+        ).collect():
+            merged[r["j"]] = max(merged.get(r["j"], 0), r["m_j"])
+    assert merged == full
+
+    zfull = {r["i"]: r["z"] for r in ams_f2_estimators(df, "k", s=8).collect()}
+    zsum: dict = {}
+    for src in (keys[:half], keys[half:]):
+        if not src:
+            continue
+        pdf = spark.createDataFrame([(k,) for k in src], "k string")
+        for r in ams_f2_estimators(pdf, "k", s=8).collect():
+            zsum[r["i"]] = zsum.get(r["i"], 0) + r["z"]
+    assert {i: z for i, z in zsum.items() if z != 0} == {
+        i: z for i, z in zfull.items() if z != 0
+    }
+
+
+def test_randomized_sketch_properties(spark):
+    check_sketch_invariants._spark = spark
+    check_sketch_invariants()
