@@ -16981,3 +16981,92 @@ def q336(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@q(
+    "q337_incremental_cms_merge",
+    """
+    WITH halves AS (
+      SELECT CAST(user_id AS VARCHAR) AS k,
+             CASE WHEN ts < TIMESTAMP '2024-02-15' THEN 0 ELSE 1 END
+               AS half
+      FROM events
+    ),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),
+    cells AS (
+      SELECT half, row,
+             CAST(('0x' || substr(md5(k || '#' || CAST(row AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 64 AS bucket,
+             COUNT(*) AS c
+      FROM halves CROSS JOIN rows_
+      GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT row, bucket, CAST(SUM(c) AS BIGINT) AS c
+      FROM cells GROUP BY row, bucket
+    ),
+    exact AS (
+      SELECT k, COUNT(*) AS exact_n FROM halves GROUP BY k
+      ORDER BY exact_n DESC, k LIMIT 10
+    ),
+    coords AS (
+      SELECT e.k, e.exact_n, r.row,
+             CAST(('0x' || substr(md5(e.k || '#' || CAST(r.row AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 64 AS bucket
+      FROM exact e CROSS JOIN rows_ r
+    )
+    SELECT CAST(c.k AS BIGINT) AS user_id,
+           CAST(c.exact_n AS BIGINT) AS exact_n,
+           CAST(MIN(COALESCE(m.c, 0)) AS BIGINT) AS cms_est,
+           CAST(MIN(COALESCE(m.c, 0)) - c.exact_n AS BIGINT) AS bias
+    FROM coords c LEFT JOIN merged m USING (row, bucket)
+    GROUP BY c.k, c.exact_n
+    ORDER BY exact_n DESC, user_id
+    """,
+)
+def q337(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental frequency maintenance with a FULLY-ORACLED merge:
+    the event stream is split at a date cut, each half builds its
+    own count-min grid (the per-day/per-batch sketch a pipeline
+    persists), and the running state is the CELL-WISE SUM — never a
+    history rescan. Because the portable-md5 sketch contents are
+    engine-exact, the DuckDB oracle reproduces the halves, the
+    merge, AND the point estimates — the property q156's
+    DataSketches HLL (rows-only) cannot give. Reported: the top-10
+    heaviest users' merged-grid estimates vs exact, bias ≥ 0."""
+    from dataflowex_spark.operators.sketches import (
+        count_min_build,
+        count_min_lookup,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"].select(
+        F.col("user_id").cast("string").alias("k"), "ts"
+    )
+    cut = F.lit("2024-02-15").cast("timestamp_ntz")
+    lo = count_min_build(ev.where(F.col("ts") < cut), "k")
+    hi = count_min_build(ev.where(F.col("ts") >= cut), "k")
+    merged = (
+        lo.unionAll(hi)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    top = (
+        ev.groupBy("k")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "k")
+        .limit(10)
+    )
+    est = count_min_lookup(merged, top, "k")
+    return (
+        top.join(est, "k")
+        .select(
+            F.col("k").cast("long").alias("user_id"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n"))
+            .cast("long")
+            .alias("bias"),
+        )
+        .orderBy(F.col("exact_n").desc(), "user_id")
+    )

@@ -3122,3 +3122,33 @@ def test_source_overlap_matrix_semantics(spark):
         assert ("other", "sub") not in got
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_cms_merge_equals_single_pass(spark):
+    """The q337 invariant stated as an exact frame equality: the
+    cell-wise sum of per-half grids is IDENTICAL to the grid built
+    in one pass over the whole stream (sum associativity — the
+    reason the sketch can be maintained per-batch forever)."""
+    from pyspark.sql import functions as F
+    from dataflowex_spark.operators.sketches import count_min_build
+
+    from dataflowex_spark.catalog import Catalog
+
+    ev = Catalog(spark, "/root/testdata/sf0.001")["events"].select(
+        F.col("user_id").cast("string").alias("k"), "ts"
+    )
+    cut = F.lit("2024-02-15").cast("timestamp_ntz")
+    lo = count_min_build(ev.where(F.col("ts") < cut), "k")
+    hi = count_min_build(ev.where(F.col("ts") >= cut), "k")
+    merged = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in lo.unionAll(hi)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .collect()
+    }
+    single = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in count_min_build(ev, "k").collect()
+    }
+    assert merged == single
