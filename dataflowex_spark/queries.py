@@ -17070,3 +17070,205 @@ def q337(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_n").desc(), "user_id")
     )
+
+
+@q(
+    "q338_degree_assortativity",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+      SELECT u, v FROM pairs
+      UNION ALL
+      SELECT v AS u, u AS v FROM pairs
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    ev AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM sym e JOIN deg du ON e.u = du.u JOIN deg dv ON e.v = dv.u
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM ev
+    )
+    SELECT n,
+           CAST(CASE WHEN n * sxx - sx * sx = 0
+                       OR n * syy - sy * sy = 0 THEN NULL
+                ELSE FLOOR(1000000.0
+                      * CAST(n * sxy - sx * sy AS DOUBLE)
+                      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      / sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END
+                AS BIGINT) AS assortativity_ppm
+    FROM s
+    """,
+)
+def q338(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph
+    (Newman's r): do high-degree parts co-occur with high-degree
+    parts? Pearson over the symmetrized edge list's endpoint
+    degrees. Every moment is an exact BIGINT sum (n·Σxy − ΣxΣy
+    stays inside 2^63 at any realistic degree scale), so the only
+    float steps are two IEEE sqrt()s and a division chain written in
+    the same order on both engines — ppm-exact without rounding
+    tolerance. Plan: one distinct pair join keyed on the order, two
+    degree joins, one global moment aggregate."""
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].select("l_orderkey", "l_partkey")
+    b = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("s2")
+    )
+    pairs = (
+        li.join(b, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("s2"))
+        .select(F.col("l_partkey").alias("u"), F.col("s2").alias("v"))
+        .distinct()
+    )
+    sym = pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    ev = (
+        sym.join(deg, "u")
+        .withColumnRenamed("d", "x")
+        .join(
+            deg.withColumnRenamed("u", "v").withColumnRenamed("d", "y"),
+            "v",
+        )
+    )
+    s = ev.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "n",
+        F.when((varx == 0) | (vary == 0), F.lit(None))
+        .otherwise(F.floor(
+            F.lit(1000000.0)
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+            )
+            / F.sqrt(
+                (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            )
+        ))
+        .cast("long")
+        .alias("assortativity_ppm"),
+    )
+
+
+@q(
+    "q339_link_prediction",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+      SELECT u, v FROM pairs
+      UNION ALL
+      SELECT v AS u, u AS v FROM pairs
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+    hubs AS (SELECT u FROM deg WHERE d <= 100),
+    wedges AS (
+      SELECT e1.u AS a, e2.v AS b, e1.v AS mid
+      FROM sym e1 JOIN sym e2 ON e1.v = e2.u
+      JOIN hubs h ON e1.v = h.u
+      WHERE e1.u < e2.v
+    ),
+    cand AS (
+      SELECT w.a, w.b, COUNT(DISTINCT w.mid) AS cn
+      FROM wedges w
+      LEFT JOIN pairs p ON p.u = w.a AND p.v = w.b
+      WHERE p.u IS NULL
+      GROUP BY w.a, w.b
+    )
+    SELECT c.a AS part_a, c.b AS part_b,
+           CAST(c.cn AS BIGINT) AS common_neighbors,
+           CAST((c.cn * 1000000) // (da.d + db.d - c.cn) AS BIGINT)
+             AS jaccard_ppm
+    FROM cand c
+    JOIN deg da ON da.u = c.a
+    JOIN deg db ON db.u = c.b
+    ORDER BY common_neighbors DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q339(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph: score
+    NON-adjacent pairs by common-neighbor count and neighborhood
+    Jaccard — the integer-exact members of the classic
+    link-prediction family (Adamic–Adar's 1/log weight is
+    deliberately left out: libm). Candidate pairs come from wedges
+    through LOW-DEGREE centers only (d ≤ 100) — the standard hub cap
+    that keeps wedge volume Σd(v)² bounded at 100 TB, where an
+    uncapped hub would alone generate quadratic candidates; the cap
+    is part of the operator's declared semantics and the oracle
+    applies the same one. Top-20 by (cn, pair)."""
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].select("l_orderkey", "l_partkey")
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("s2"))
+    pairs = (
+        li.join(b, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("s2"))
+        .select(F.col("l_partkey").alias("u"), F.col("s2").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    hubs = deg.where(F.col("d") <= 100).select("u")
+    e1 = sym.select(F.col("u").alias("a"), F.col("v").alias("mid"))
+    e2 = sym.select(F.col("u").alias("mid"), F.col("v").alias("b"))
+    wedges = (
+        e1.join(e2, "mid")
+        .join(hubs.withColumnRenamed("u", "mid"), "mid", "left_semi")
+        .where(F.col("a") < F.col("b"))
+    )
+    cand = (
+        wedges.join(
+            pairs.withColumnRenamed("u", "a").withColumnRenamed("v", "b"),
+            ["a", "b"],
+            "left_anti",
+        )
+        .groupBy("a", "b")
+        .agg(F.countDistinct("mid").alias("cn"))
+    )
+    return (
+        cand.join(deg.withColumnRenamed("u", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("u", "b").withColumnRenamed("d", "db"), "b")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.expr("(cn * 1000000) div (da + db - cn)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy(F.col("common_neighbors").desc(), "part_a", "part_b")
+        .limit(20)
+    )

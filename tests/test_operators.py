@@ -3152,3 +3152,40 @@ def test_incremental_cms_merge_equals_single_pass(spark):
         for r in count_min_build(ev, "k").collect()
     }
     assert merged == single
+
+
+def test_graph_metrics_constructed(spark):
+    """q338/q339 semantics on a constructed co-purchase graph: a
+    path graph's endpoints (degree 1) attach to centers (degree 2) —
+    negative assortativity; link prediction surfaces the 2-hop
+    endpoint pair with the right common-neighbor count and excludes
+    adjacent pairs."""
+    import tempfile, shutil
+    import dataflowex_spark.queries as Q
+
+    d = tempfile.mkdtemp()
+    try:
+        # orders: {1,2} {2,3} {3,4} — path 1-2-3-4 on parts
+        rows = []
+        lk = 0
+        for ok, (p1, p2) in enumerate([(1, 2), (2, 3), (3, 4)], start=1):
+            for pk in (p1, p2):
+                lk += 1
+                rows.append((ok, pk, 100 + lk, lk, 1.0))
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_linenumber long, l_quantity double",
+        ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+        r = Q.REGISTRY["q338_degree_assortativity"][0](spark, d).collect()[0]
+        # path graph: deg(1)=deg(4)=1, deg(2)=deg(3)=2 → r = -0.5
+        assert r["assortativity_ppm"] == -500000
+        links = {
+            (x["part_a"], x["part_b"]): x["common_neighbors"]
+            for x in Q.REGISTRY["q339_link_prediction"][0](spark, d).collect()
+        }
+        # non-adjacent 2-hop pairs: (1,3) via 2, (2,4) via 3, and
+        # (1,4) has no common neighbor → absent; adjacent pairs absent
+        assert links == {(1, 3): 1, (2, 4): 1}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
