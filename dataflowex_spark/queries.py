@@ -17272,3 +17272,165 @@ def q339(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("common_neighbors").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@q(
+    "q340_ndcg_retrieval",
+    """
+    WITH probes AS (
+      SELECT vec_id AS pid, embedding AS pv, label AS plabel
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT p.pid, p.plabel, c.vec_id, c.label,
+             ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(p.pv AS DOUBLE[])), 6) AS s
+      FROM embeddings c JOIN probes p ON c.vec_id >= 5
+    ),
+    ranked AS (
+      SELECT pid, plabel, vec_id, label, s,
+             ROW_NUMBER() OVER (PARTITION BY pid
+                                ORDER BY s DESC, vec_id) AS d
+      FROM scored
+    ),
+    top AS (
+      SELECT pid, d,
+             CASE WHEN label = plabel THEN 1 ELSE 0 END AS rel
+      FROM ranked WHERE d <= 20
+    ),
+    w(d, w) AS (
+      SELECT * FROM (VALUES
+             (1, 1000000000),
+             (2, 630929753),
+             (3, 500000000),
+             (4, 430676558),
+             (5, 386852807),
+             (6, 356207187),
+             (7, 333333333),
+             (8, 315464876),
+             (9, 301029995),
+             (10, 289064826),
+             (11, 278942945),
+             (12, 270238154),
+             (13, 262649535),
+             (14, 255958024),
+             (15, 250000000),
+             (16, 244650542),
+             (17, 239812466),
+             (18, 235408913),
+             (19, 231378213),
+             (20, 227670248)) t(d, w)
+    ),
+    dcg AS (
+      SELECT t.pid,
+             CAST(SUM(t.rel) AS BIGINT) AS n_rel,
+             CAST(SUM(t.rel * w.w) AS BIGINT) AS dcg_e9,
+             CAST(MIN(CASE WHEN t.rel = 1 THEN t.d END) AS BIGINT)
+               AS first_rel
+      FROM top t JOIN w ON t.d = w.d
+      GROUP BY t.pid
+    ),
+    idcg AS (
+      SELECT g.pid, CAST(SUM(w.w) AS BIGINT) AS idcg_e9
+      FROM dcg g JOIN w ON w.d <= g.n_rel
+      GROUP BY g.pid
+    )
+    SELECT g.pid AS probe_id, g.n_rel,
+           g.dcg_e9,
+           COALESCE(i.idcg_e9, 0) AS idcg_e9,
+           CAST(CASE WHEN i.idcg_e9 IS NULL THEN 0
+                ELSE (g.dcg_e9 * 1000000) // i.idcg_e9 END AS BIGINT)
+             AS ndcg_ppm,
+           CAST(CASE WHEN g.first_rel IS NULL THEN 0
+                ELSE 1000000 // g.first_rel END AS BIGINT) AS rr_ppm
+    FROM dcg g LEFT JOIN idcg i ON g.pid = i.pid
+    ORDER BY probe_id
+    """,
+)
+def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@20 + reciprocal rank for label-relevance retrieval — the
+    graded ranking metrics that complete the eval family (tau q324,
+    RBO q325): five probes, candidates ranked by ROUND(6) cosine
+    with id tie-breaks, relevance = label match. The log2 discounts
+    — the one genuinely irrational part of nDCG — are quantized to
+    1e9-scale INTEGER LITERALS per depth (the q325 trick), so DCG,
+    ideal DCG, and the ppm ratios are pure integer arithmetic the
+    oracle reproduces exactly. Per-probe windows run on the bounded
+    candidate frame partitioned by probe."""
+    from dataflowex_spark.functions.vectors import cosine_similarity
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat["embeddings"]
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("pid"),
+        F.col("embedding").alias("pv"),
+        F.col("label").alias("plabel"),
+    )
+    scored = (
+        emb.where(F.col("vec_id") >= 5)
+        .crossJoin(F.broadcast(probes))
+        .select(
+            "pid",
+            "plabel",
+            "vec_id",
+            "label",
+            F.round(
+                cosine_similarity(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("pv").cast("array<double>"),
+                ),
+                6,
+            ).alias("s"),
+        )
+    )
+    wn = Window.partitionBy("pid").orderBy(F.col("s").desc(), "vec_id")
+    top = (
+        scored.withColumn("d", F.row_number().over(wn))
+        .where(F.col("d") <= 20)
+        .select(
+            "pid",
+            "d",
+            F.when(F.col("label") == F.col("plabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    w = spark.createDataFrame([(1, 1000000000), (2, 630929753), (3, 500000000), (4, 430676558), (5, 386852807), (6, 356207187), (7, 333333333), (8, 315464876), (9, 301029995), (10, 289064826), (11, 278942945), (12, 270238154), (13, 262649535), (14, 255958024), (15, 250000000), (16, 244650542), (17, 239812466), (18, 235408913), (19, 231378213), (20, 227670248)], "d int, w long")
+    dcg = (
+        top.join(F.broadcast(w), "d")
+        .groupBy("pid")
+        .agg(
+            F.sum("rel").cast("long").alias("n_rel"),
+            F.sum(F.col("rel") * F.col("w")).cast("long").alias("dcg_e9"),
+            F.min(F.when(F.col("rel") == 1, F.col("d")))
+            .cast("long")
+            .alias("first_rel"),
+        )
+    )
+    idcg = (
+        dcg.join(F.broadcast(w), w["d"] <= dcg["n_rel"])
+        .groupBy("pid")
+        .agg(F.sum("w").cast("long").alias("idcg_e9"))
+    )
+    return (
+        dcg.join(idcg, "pid", "left")
+        .select(
+            F.col("pid").alias("probe_id"),
+            "n_rel",
+            "dcg_e9",
+            F.coalesce(F.col("idcg_e9"), F.lit(0))
+            .cast("long")
+            .alias("idcg_e9"),
+            F.when(F.col("idcg_e9").isNull(), 0)
+            .otherwise(
+                F.expr("(dcg_e9 * 1000000) div idcg_e9")
+            )
+            .cast("long")
+            .alias("ndcg_ppm"),
+            F.when(F.col("first_rel").isNull(), 0)
+            .otherwise(F.expr("1000000 div first_rel"))
+            .cast("long")
+            .alias("rr_ppm"),
+        )
+        .orderBy("probe_id")
+    )

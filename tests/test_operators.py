@@ -3189,3 +3189,22 @@ def test_graph_metrics_constructed(spark):
         assert links == {(1, 3): 1, (2, 4): 1}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ndcg_identities(spark):
+    """nDCG identities on the live q340 output: ndcg ∈ [0, 1e6];
+    a probe whose relevant docs all rank first would hit exactly
+    1e6 (dcg == idcg); rr_ppm = 1e6 exactly when the top hit is
+    relevant; and idcg is the max possible dcg (dcg ≤ idcg)."""
+    import dataflowex_spark.queries as Q
+
+    rows = Q.REGISTRY["q340_ndcg_retrieval"][0](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["ndcg_ppm"] <= 1000000
+        assert r["dcg_e9"] <= r["idcg_e9"]
+        if r["rr_ppm"] == 1000000:
+            # first-ranked doc relevant ⇒ dcg includes w_1 = 1e9
+            assert r["dcg_e9"] >= 10 ** 9
