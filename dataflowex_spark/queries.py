@@ -17434,3 +17434,46 @@ def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+@q(
+    "q341_sql_udf_surface",
+    """
+    SELECT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+                AS BIGINT) % 10 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_bal
+    FROM customer
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDF surface (CREATE FUNCTION … RETURN expr): the
+    repo's portable md5 bucket declared ONCE as a catalog-level SQL
+    function and used from plain SQL — unlike a Python UDF, a SQL
+    UDF inlines into the plan at analysis time, so the whole query
+    stays inside whole-stage codegen with ZERO Python eval nodes
+    (the plan gate's pyeval column proves it). This is the right
+    tool for shared deterministic business logic: one definition,
+    JVM speed, usable from any SQL surface. Decimal-summed balances
+    keep the aggregate cross-engine exact."""
+    cat = Catalog(spark, sf_dir)
+    cat["customer"].createOrReplaceTempView("__q341_customer")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION __q341_pbucket(s STRING,"
+        " n INT) RETURNS BIGINT RETURN"
+        " pmod(cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint), n)"
+    )
+    return spark.sql(
+        """
+        SELECT __q341_pbucket(CAST(c_custkey AS STRING), 10) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_bal
+        FROM __q341_customer
+        GROUP BY 1
+        ORDER BY bucket
+        """
+    )

@@ -3208,3 +3208,32 @@ def test_ndcg_identities(spark):
         if r["rr_ppm"] == 1000000:
             # first-ranked doc relevant ⇒ dcg includes w_1 = 1e9
             assert r["dcg_e9"] >= 10 ** 9
+
+
+def test_sql_udf_stays_jvm_side(spark):
+    """The q341 claim, plan-asserted: a Spark 4 SQL UDF inlines into
+    codegen — zero PythonEval nodes — and computes the same bucket
+    as the DataFrame-side portable_bucket expression."""
+    from pyspark.sql import functions as F
+    from dataflowex_spark.plans import plan_stats
+    from dataflowex_spark.operators.sampling import portable_bucket
+    import dataflowex_spark.queries as Q
+
+    df = Q.REGISTRY["q341_sql_udf_surface"][0](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert plan_stats(df)["python_evals"] == 0
+    got = {r["bucket"]: r["n"] for r in df.collect()}
+
+    from dataflowex_spark.catalog import Catalog
+
+    ref = {
+        r["bucket"]: r["n"]
+        for r in Catalog(spark, "/root/testdata/sf0.001")["customer"]
+        .groupBy(
+            portable_bucket(F.col("c_custkey"), 10).alias("bucket")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == ref
