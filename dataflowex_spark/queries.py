@@ -17477,3 +17477,95 @@ def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY bucket
         """
     )
+
+
+@q(
+    "q342_recursive_cte_closure",
+    """
+    WITH RECURSIVE nodes AS (
+      SELECT s_suppkey + 1 AS node FROM supplier
+    ),
+    tree AS (
+      SELECT node, 0 AS depth FROM nodes WHERE node = 1
+      UNION ALL
+      SELECT n.node, t.depth + 1
+      FROM nodes n JOIN tree t ON n.node // 2 = t.node
+      WHERE n.node > 1
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM tree
+    GROUP BY depth
+    ORDER BY depth
+    """,
+)
+def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 RECURSIVE CTE — native engine-level iteration at
+    last: the transitive closure of an implicit supplier hierarchy
+    (node = key+1, parent = node ÷ 2 — a deterministic binary tree
+    over the real table) computed with WITH RECURSIVE instead of the repo's
+    driver-side loops (q278 hierarchy closure, ring_iterate). The
+    oracle is essentially THE SAME SQL in DuckDB — recursive CTEs
+    are the one iterative construct both engines now share, which
+    makes iterative closures oracle-checkable without unrolling.
+    Depth histogram with min/max keys, all integers."""
+    cat = Catalog(spark, sf_dir)
+    cat["supplier"].createOrReplaceTempView("__q342_supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree AS (
+          SELECT s_suppkey + 1 AS node, 0 AS depth FROM __q342_supplier
+          WHERE s_suppkey + 1 = 1
+          UNION ALL
+          SELECT s.s_suppkey + 1 AS node, t.depth + 1
+          FROM __q342_supplier s JOIN tree t
+            ON (s.s_suppkey + 1) div 2 = t.node
+          WHERE s.s_suppkey + 1 > 1
+        )
+        SELECT CAST(depth AS BIGINT) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MIN(node) AS BIGINT) AS min_node,
+               CAST(MAX(node) AS BIGINT) AS max_node
+        FROM tree
+        GROUP BY depth
+        ORDER BY depth
+        """
+    )
+
+
+@q(
+    "q343_sql_pipe_syntax",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_quantity < 30
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (|>): the linear dataflow spelling of
+    a filter→aggregate→order query — each |> stage reads top-down
+    the way the DataFrame API composes, no inside-out subqueries.
+    Same Catalyst plan as the classic form; the ORACLE is the
+    classic ANSI spelling, proving the pipe surface is sugar, not
+    semantics. Decimal-summed quantities keep the fold exact."""
+    cat = Catalog(spark, sf_dir)
+    cat["lineitem"].createOrReplaceTempView("__q343_lineitem")
+    return spark.sql(
+        """
+        FROM __q343_lineitem
+        |> WHERE l_quantity < 30
+        |> AGGREGATE CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                          AS DOUBLE) AS sum_qty,
+                     CAST(COUNT(*) AS BIGINT) AS n
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, sum_qty, n
+        |> ORDER BY l_returnflag
+        """
+    )

@@ -3237,3 +3237,39 @@ def test_sql_udf_stays_jvm_side(spark):
         .collect()
     }
     assert got == ref
+
+
+def test_recursive_cte_and_pipe(spark):
+    """q342: the recursive closure covers EVERY supplier exactly once
+    (binary-tree parents reach all keys from root 1) with binary-log
+    depth; q343: the pipe-syntax plan produces identical rows to the
+    classic spelling."""
+    import dataflowex_spark.queries as Q
+    from dataflowex_spark.catalog import Catalog
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = Q.REGISTRY["q342_recursive_cte_closure"][0](spark, sf).collect()
+    n_sup = Catalog(spark, sf)["supplier"].count()
+    assert sum(r["n_nodes"] for r in rows) == n_sup
+    assert rows[0]["n_nodes"] == 1 and rows[0]["min_node"] == 1
+    # depth d holds nodes [2^d, 2^(d+1)) clipped to the table
+    for r in rows:
+        assert r["min_node"] >= 2 ** r["depth"]
+        assert r["max_node"] < 2 ** (r["depth"] + 1)
+
+    pipe = Q.REGISTRY["q343_sql_pipe_syntax"][0](spark, sf).collect()
+    classic = (
+        Catalog(spark, sf)["lineitem"]
+        .where("l_quantity < 30")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert [tuple(r) for r in pipe] == [tuple(r) for r in classic]
