@@ -17569,3 +17569,73 @@ def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag
         """
     )
+
+
+@q(
+    "q344_collated_grouping",
+    """
+    SELECT lower(c_mktsegment) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+    FROM customer
+    GROUP BY lower(c_mktsegment)
+    ORDER BY segment
+    """,
+)
+def q344(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATIONS: group case-insensitively by declaring the
+    column UTF8_LCASE-collated — the comparison semantics live in
+    the TYPE, so every downstream equality/join/distinct on the
+    column inherits them (no scattered lower() calls to forget one
+    of). The oracle states the equivalent lower()-normalized query —
+    proving the collated grouping IS that normalization, engine-
+    checked. Output keys are lower-cased explicitly so both engines
+    render the group label identically."""
+    cat = Catalog(spark, sf_dir)
+    cat["customer"].createOrReplaceTempView("__q344_customer")
+    return spark.sql(
+        """
+        SELECT lower(seg) AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+        FROM (
+          SELECT c_mktsegment COLLATE UTF8_LCASE AS seg, c_nationkey
+          FROM __q344_customer
+        )
+        GROUP BY seg
+        ORDER BY segment
+        """
+    )
+
+
+@q(
+    "q345_parameterized_sql",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_totalprice > 50000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named parameter markers): thresholds and
+    status arrive as BOUND PARAMETERS, not string-spliced literals —
+    the injection-safe, plan-cache-friendly way to template a query
+    (the SQL text stays constant across parameter values). The
+    oracle inlines the same constants, proving binding ≡ literal
+    semantics."""
+    cat = Catalog(spark, sf_dir)
+    cat["orders"].createOrReplaceTempView("__q345_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM __q345_orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"min_price": 50000.0, "status": "F"},
+    )

@@ -3273,3 +3273,46 @@ def test_recursive_cte_and_pipe(spark):
         .collect()
     )
     assert [tuple(r) for r in pipe] == [tuple(r) for r in classic]
+
+
+def test_collation_and_params_surface(spark):
+    """q344: a mixed-case fixture groups case-insensitively under the
+    UTF8_LCASE-collated column (one group, not three); q345: changing
+    the bound parameter changes results without changing SQL text."""
+    import tempfile, shutil
+    import dataflowex_spark.queries as Q
+
+    d = tempfile.mkdtemp()
+    try:
+        spark.createDataFrame(
+            [
+                (1, "x", 10, 0.0, "AUTO"),
+                (2, "y", 11, 0.0, "auto"),
+                (3, "z", 12, 0.0, "AuTo"),
+            ],
+            "c_custkey long, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string",
+        ).coalesce(1).write.parquet(f"{d}/customer.parquet")
+        rows = Q.REGISTRY["q344_collated_grouping"][0](spark, d).collect()
+        assert len(rows) == 1
+        assert rows[0]["segment"] == "auto" and rows[0]["n"] == 3
+        assert rows[0]["n_nations"] == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    # parameterized: rerun the same SQL text with a different binding
+    from dataflowex_spark.catalog import Catalog
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    base = Q.REGISTRY["q345_parameterized_sql"][0](spark, sf).collect()
+    alt = spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM __q345_orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"min_price": 0.0, "status": "F"},
+    ).collect()
+    assert sum(r["n"] for r in alt) >= sum(r["n"] for r in base)
