@@ -17639,3 +17639,154 @@ def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 50000.0, "status": "F"},
     )
+
+
+@q(
+    "q346_hll_set_ops",
+    """
+    WITH pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b
+        ON a.event_type < b.event_type
+    ),
+    regs AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 64 AS j,
+             MAX(CASE
+                   WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                             1, 15)) AS BIGINT) // 64 = 0
+                   THEN 55
+                   ELSE 54 - length(bin(
+                        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                             1, 15)) AS BIGINT) // 64)) + 1
+                 END) AS m_j
+      FROM events GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT event_type,
+             CAST(FLOOR((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                        * 36028797018963968.0 / CAST(s AS DOUBLE))
+                  AS BIGINT) AS h
+      FROM (
+        SELECT g.event_type,
+               CAST(SUM(1::BIGINT
+                        << CAST(55 - COALESCE(r.m_j, 0) AS INT))
+                    AS BIGINT) AS s
+        FROM (SELECT e.event_type, j.j
+              FROM (SELECT DISTINCT event_type FROM events) e
+              CROSS JOIN (SELECT unnest(range(64)) AS j) j) g
+        LEFT JOIN regs r
+          ON g.event_type = r.event_type AND g.j = r.j
+        GROUP BY g.event_type
+      )
+    ),
+    uregs AS (
+      SELECT p.type_a, p.type_b, r.j, MAX(r.m_j) AS m_j
+      FROM pairs p JOIN regs r
+        ON r.event_type IN (p.type_a, p.type_b)
+      GROUP BY 1, 2, 3
+    ),
+    uest AS (
+      SELECT type_a, type_b,
+             CAST(FLOOR((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                        * 36028797018963968.0 / CAST(s AS DOUBLE))
+                  AS BIGINT) AS hll_union
+      FROM (
+        SELECT g.type_a, g.type_b,
+               CAST(SUM(1::BIGINT
+                        << CAST(55 - COALESCE(u.m_j, 0) AS INT))
+                    AS BIGINT) AS s
+        FROM (SELECT p.type_a, p.type_b, j.j FROM pairs p
+              CROSS JOIN (SELECT unnest(range(64)) AS j) j) g
+        LEFT JOIN uregs u
+          ON g.type_a = u.type_a AND g.type_b = u.type_b AND g.j = u.j
+        GROUP BY 1, 2
+      )
+    ),
+    exact AS (
+      SELECT p.type_a, p.type_b,
+             (SELECT COUNT(DISTINCT user_id) FROM events e
+              WHERE e.event_type IN (p.type_a, p.type_b)) AS exact_union
+      FROM pairs p
+    )
+    SELECT u.type_a, u.type_b, u.hll_union,
+           CAST(e.exact_union AS BIGINT) AS exact_union,
+           ea.h + eb.h - u.hll_union AS hll_intersection
+    FROM uest u
+    JOIN exact e ON u.type_a = e.type_a AND u.type_b = e.type_b
+    JOIN est ea ON ea.event_type = u.type_a
+    JOIN est eb ON eb.event_type = u.type_b
+    ORDER BY u.type_a, u.type_b
+    """,
+)
+def q346(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET OPERATIONS — why register-level mergeability matters:
+    the union of two audiences is estimated WITHOUT touching raw
+    data (register-wise MAX of the per-type sketches), and the
+    intersection falls out by inclusion–exclusion — the
+    audience-overlap workflow ad/analytics systems run entirely on
+    stored sketches. Because the registers are the q315 portable
+    kind, the oracle reproduces the union registers AND both
+    estimates exactly; the exact union count sits alongside for the
+    error audit. All pairs of event types (bounded universe)."""
+    from dataflowex_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    regs = hll_registers(ev, ["event_type"], "user_id").localCheckpoint(
+        eager=False
+    )
+    est = hll_estimate(regs, ["event_type"])
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.withColumnRenamed("event_type", "type_a")
+        .crossJoin(types.withColumnRenamed("event_type", "type_b"))
+        .where(F.col("type_a") < F.col("type_b"))
+    )
+    uregs = (
+        pairs.join(
+            regs,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "j")
+        .agg(F.max("m_j").cast("long").alias("m_j"))
+    )
+    uest = hll_estimate(
+        uregs, ["type_a", "type_b"], out_col="hll_union"
+    )
+    exact = (
+        pairs.join(
+            ev.select("event_type", "user_id"),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").alias("exact_union"))
+    )
+    ea = est.select(
+        F.col("event_type").alias("type_a"), F.col("hll_est").alias("ha")
+    )
+    eb = est.select(
+        F.col("event_type").alias("type_b"), F.col("hll_est").alias("hb")
+    )
+    return (
+        uest.join(exact, ["type_a", "type_b"])
+        .join(ea, "type_a")
+        .join(eb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "hll_union",
+            F.col("exact_union").cast("long").alias("exact_union"),
+            (F.col("ha") + F.col("hb") - F.col("hll_union"))
+            .cast("long")
+            .alias("hll_intersection"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -3316,3 +3316,35 @@ def test_collation_and_params_surface(spark):
         args={"min_price": 0.0, "status": "F"},
     ).collect()
     assert sum(r["n"] for r in alt) >= sum(r["n"] for r in base)
+
+
+def test_hll_set_ops_identities(spark):
+    """Set-operation identities on the live q346 output: the union
+    estimate never falls below either input's estimate (register MAX
+    dominates), the inclusion–exclusion intersection is ≤ both
+    inputs, and union estimates track the exact union within the
+    m=64 error regime (5σ)."""
+    import dataflowex_spark.queries as Q
+    from dataflowex_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from dataflowex_spark.catalog import Catalog
+
+    sf = "/root/testdata/sf0.01"
+    singles = {
+        r["event_type"]: r["hll_est"]
+        for r in hll_estimate(
+            hll_registers(
+                Catalog(spark, sf)["events"], ["event_type"], "user_id"
+            ),
+            ["event_type"],
+        ).collect()
+    }
+    for r in Q.REGISTRY["q346_hll_set_ops"][0](spark, sf).collect():
+        ha, hb = singles[r["type_a"]], singles[r["type_b"]]
+        assert r["hll_union"] >= max(ha, hb)
+        assert r["hll_intersection"] <= min(ha, hb)
+        assert abs(r["hll_union"] - r["exact_union"]) < (
+            5 * 1.04 / 8
+        ) * r["exact_union"]
