@@ -17790,3 +17790,57 @@ def q346(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@q("q347_stream_hll_maintenance", None)  # rows-only: streaming run
+def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance, end to end on a REAL
+    Structured Streaming run: the events table replays as a 4-chunk
+    file stream; each micro-batch's portable-HLL registers fold into
+    persisted state by register-wise MAX (idempotent — an
+    at-least-once replay can't corrupt them); when the stream
+    drains, the maintained registers are BIT-IDENTICAL to a batch
+    build and the estimates follow. Output: per event type, the
+    streamed estimate next to the batch estimate and a
+    registers-identical flag — all three columns must agree row for
+    row (pytest pins the register-level equality)."""
+    from dataflowex_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from dataflowex_spark.streaming.ops import stream_hll_maintenance
+
+    maintained = stream_hll_maintenance(
+        spark, f"{sf_dir}/events.parquet", "event_type", "user_id"
+    )
+    streamed = hll_estimate(maintained, ["event_type"]).withColumnRenamed(
+        "hll_est", "streamed_est"
+    )
+    cat = Catalog(spark, sf_dir)
+    batch_regs = hll_registers(cat["events"], ["event_type"], "user_id")
+    batch = hll_estimate(batch_regs, ["event_type"]).withColumnRenamed(
+        "hll_est", "batch_est"
+    )
+    diff = (
+        maintained.withColumnRenamed("m_j", "m_s")
+        .join(batch_regs, ["event_type", "j"], "full")
+        .where(
+            F.coalesce(F.col("m_s"), F.lit(-1))
+            != F.coalesce(F.col("m_j"), F.lit(-1))
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_diff"))
+    )
+    return (
+        streamed.join(batch, "event_type")
+        .join(diff, "event_type", "left")
+        .select(
+            "event_type",
+            "streamed_est",
+            "batch_est",
+            (F.coalesce(F.col("n_diff"), F.lit(0)) == 0).alias(
+                "registers_identical"
+            ),
+        )
+        .orderBy("event_type")
+    )

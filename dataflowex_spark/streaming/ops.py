@@ -888,3 +888,64 @@ def mtable_merge_stream(
     )
     q.awaitTermination()
     return table.current_version()
+
+
+def stream_hll_maintenance(
+    spark,
+    parquet_path: str,
+    group_col: str,
+    key_col: str,
+    state_dir: str | None = None,
+) -> DataFrame:
+    """Streaming maintenance of the PORTABLE HLL sketch
+    (operators/sketches.py): each micro-batch builds its own
+    register table and ``foreachBatch`` folds it into the persisted
+    state by register-wise MAX — constant state per group, no
+    history rescan, and (because MAX is idempotent) an at-least-once
+    replay of a batch cannot corrupt the registers. Determinism is
+    the point: after the stream drains, the maintained registers are
+    BIT-IDENTICAL to a single batch build over the same rows (the
+    stream==batch pytest pins it) — a property engine-private
+    sketches can't offer across engines.
+
+    Returns the final register DataFrame (group_col, j, m_j)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.operators.sketches import hll_registers
+
+    state = state_dir or tempfile.mkdtemp(prefix="hll_state_")
+    state_path = state + "/registers"
+
+    stream = file_replay_stream(spark, parquet_path, n_chunks=4)
+
+    def fold(batch_df, batch_id):
+        regs = hll_registers(batch_df, [group_col], key_col)
+        import os
+
+        if os.path.isdir(state_path):
+            prev = batch_df.sparkSession.read.parquet(state_path)
+            regs = (
+                prev.unionByName(regs)
+                .groupBy(group_col, "j")
+                .agg(F.max("m_j").cast("long").alias("m_j"))
+            )
+        # write-then-swap: the state stays readable mid-fold
+        tmp = state_path + f".b{batch_id}"
+        regs.write.mode("overwrite").parquet(tmp)
+        final = batch_df.sparkSession.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(state_path)
+
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(fold)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="hll_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(state_path)

@@ -1031,3 +1031,18 @@ def test_mtable_tail_spans_schema_evolution(spark, tmp_path):
     # the rewritten file carries the populated value
     got = out.filter("_commit_version = 3 and k = 5").collect()
     assert len(got) == 1 and got[0]["score"] == 0.5
+
+
+def test_stream_hll_maintenance_equals_batch(spark):
+    """The q347 contract pinned hard: after the replayed stream
+    drains, every maintained register equals the batch-built
+    register (bit-identical state), hence identical estimates."""
+    import dataflowex_spark.queries as Q
+
+    rows = Q.REGISTRY["q347_stream_hll_maintenance"][0](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "stream produced no groups"
+    for r in rows:
+        assert r["registers_identical"], r
+        assert r["streamed_est"] == r["batch_est"], r
