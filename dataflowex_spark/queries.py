@@ -17844,3 +17844,52 @@ def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "q348_mtable_bloom_prune",
+    """
+    SELECT l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS line_no,
+           CAST(floor(l_quantity * 100) AS BIGINT) AS qty_cents
+    FROM lineitem
+    WHERE l_partkey = 1
+    ORDER BY l_orderkey, line_no
+    """,
+)
+def q348(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-INDEXED point lookup on a NON-clustered column:
+    lineitem lands in an 8-file MTable range-clustered by
+    l_orderkey, with a per-file Bloom bitmap on l_partkey recorded
+    in the manifest. The probe `eq={"l_partkey": 1}` is the case
+    range stats cannot help — every file's [min,max] partkey
+    straddles 1 because the layout clusters a DIFFERENT column — so
+    min/max pruning keeps all 8 files while the bloom proves absence
+    for all but the (FPR-bounded) files that may contain the value.
+    At 100 TB this is the difference between a point lookup scanning
+    the table and scanning a handful of files, without maintaining a
+    second layout or a secondary index table. Blooms have no false
+    negatives, so the result equals the plain predicate over the raw
+    table (the oracle); the scanned-files < total assertion lives in
+    tests/test_etl.py."""
+    import tempfile
+
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].repartitionByRange(8, "l_orderkey")
+    root = tempfile.mkdtemp(prefix="mtable_q348_")
+    t = MTable.create(
+        spark, root + "/t", li, "l_orderkey", bloom_cols=["l_partkey"]
+    )
+    return (
+        t.read_where(eq={"l_partkey": 1})
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("line_no"),
+            F.floor(F.col("l_quantity") * 100)
+            .cast("long")
+            .alias("qty_cents"),
+        )
+        .orderBy("l_orderkey", "line_no")
+    )

@@ -59,6 +59,22 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# Per-file Bloom index geometry (Parquet/Delta "bloom filter index"
+# shape, lifted to the MANIFEST so equality probes prune whole files
+# without opening any footer). 2048 bits / 5 hashes ≈ 1% FPR at ~200
+# distinct values per file and degrades gracefully above that — a
+# false positive only costs scanning one extra file, never a wrong
+# answer (Bloom filters have no false negatives).
+BLOOM_BITS = 2048
+BLOOM_HASHES = 5
+_BLOOM_WORDS = BLOOM_BITS // 64
+
+
+def _bloom_member(words: list[int], positions: list[int]) -> bool:
+    """True when every probe bit is set (value MAY be in the file);
+    any clear bit proves absence."""
+    return all((words[p >> 6] >> (p & 63)) & 1 for p in positions)
+
 
 class MTableConflict(RuntimeError):
     """Another writer committed between this operation's snapshot and
@@ -247,6 +263,7 @@ class MTable:
         n_files: int | None = None,
         stats_cols: list[str] | None = None,
         sort_expr=None,
+        bloom_cols: list[str] | None = None,
     ) -> list[dict]:
         """Write ``df`` as immutable parquet files under a fresh
         job directory (final names — never moved) and return manifest
@@ -261,7 +278,21 @@ class MTable:
         (``col_stats``) so :meth:`read_where` can prune on
         conjunctions. The stats pass reads only the needed columns
         (column-pruned scan). Zero-row part files are dropped from
-        the manifest (and are inert until vacuum)."""
+        the manifest (and are inert until vacuum).
+
+        ``bloom_cols`` additionally records a per-file BLOOM BITMAP
+        (``BLOOM_BITS`` bits packed as ``_BLOOM_WORDS`` signed-64
+        words) per listed column — the min/max complement: range
+        stats prune RANGE predicates on clustered columns, blooms
+        prune EQUALITY probes on columns with no useful ordering
+        (the classic point lookup on a non-cluster key, where every
+        file's [min,max] straddles the value). Values are hashed
+        through ``xxhash64(cast(v AS STRING), seed)`` so the probe
+        side can rebuild positions for any literal without caring
+        about the physical column type. One extra column-pruned scan
+        over the just-written files computes ALL requested blooms
+        (stacked), with map-side-combining ``bit_or`` partials; the
+        collect is bounded at files × words × columns."""
         job = os.path.join(self.root, "data", f"job-{uuid.uuid4().hex}")
         scols = list(stats_cols or [])
         if sort_expr is not None:
@@ -306,6 +337,64 @@ class MTable:
                     for c in scols
                 }
             entries.append(e)
+        bcols = list(bloom_cols or [])
+        if bcols:
+            reader = self.spark.read.parquet(job)
+            stacked = (
+                reader.select(
+                    F.input_file_name().alias("path"),
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(c).alias("c"),
+                                    F.col(c).cast("string").alias("v"),
+                                )
+                                for c in bcols
+                            ]
+                        )
+                    ).alias("cv"),
+                )
+                .select(
+                    "path",
+                    F.col("cv.c").alias("c"),
+                    F.col("cv.v").alias("v"),
+                )
+                .where(F.col("v").isNotNull())
+            )
+            word_rows = (
+                stacked.select(
+                    "path",
+                    "c",
+                    F.explode(
+                        F.array(
+                            *[
+                                F.pmod(
+                                    F.xxhash64("v", F.lit(i)),
+                                    F.lit(BLOOM_BITS),
+                                )
+                                for i in range(BLOOM_HASHES)
+                            ]
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("path", "c", F.shiftright("p", 6).alias("w"))
+                .agg(
+                    F.expr("bit_or(shiftleft(1L, int(p % 64)))").alias("m")
+                )
+                .collect()
+            )
+            by_file: dict[str, dict[str, list[int]]] = {}
+            for r in word_rows:
+                words = by_file.setdefault(
+                    _local_path(r["path"]), {}
+                ).setdefault(r["c"], [0] * _BLOOM_WORDS)
+                words[int(r["w"])] = int(r["m"])
+            for e in entries:
+                fb = by_file.get(e["path"], {})
+                e["blooms"] = {
+                    c: fb.get(c, [0] * _BLOOM_WORDS) for c in bcols
+                }
         return sorted(entries, key=lambda e: e["path"])
 
     def _commit(
@@ -317,6 +406,7 @@ class MTable:
         stats_cols: list[str] | None = None,
         schema: dict | None = None,
         checks: dict | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         """Cut manifest parent+1 and atomically swap ``_CURRENT``.
         Optimistic check: someone else advancing the table between our
@@ -344,12 +434,14 @@ class MTable:
         v = 1 if parent is None else parent + 1
         batches = {}
         inherited_stats: list[str] = []
+        inherited_blooms: list[str] = []
         inherited_schema: dict | None = None
         inherited_checks: dict = {}
         if parent is not None:
             pm = self.manifest(parent)
             batches = dict(pm.get("stream_batches", {}))
             inherited_stats = list(pm.get("stats_cols", []))
+            inherited_blooms = list(pm.get("bloom_cols", []))
             inherited_schema = pm.get("schema")
             inherited_checks = dict(pm.get("checks", {}))
         if stream_batch is not None:
@@ -363,6 +455,11 @@ class MTable:
             "key_col": key_col,
             "stats_cols": (
                 list(stats_cols) if stats_cols is not None else inherited_stats
+            ),
+            "bloom_cols": (
+                list(bloom_cols)
+                if bloom_cols is not None
+                else inherited_blooms
             ),
             "schema": schema if schema is not None else inherited_schema,
             "checks": checks if checks is not None else inherited_checks,
@@ -419,6 +516,7 @@ class MTable:
         key_col: str,
         stats_cols: list[str] | None = None,
         commit_backend=None,
+        bloom_cols: list[str] | None = None,
     ) -> "MTable":
         """``stats_cols`` declares secondary columns whose per-file
         [min, max] every subsequent commit records in the manifest —
@@ -427,15 +525,21 @@ class MTable:
         ``commit_backend`` swaps the two-operation commit protocol
         (default POSIX link/rename; see
         :class:`ConditionalPutCommitBackend` for the object-store
-        shape)."""
+        shape). ``bloom_cols`` declares columns that get a PER-FILE
+        BLOOM BITMAP in every commit's manifest — equality-probe file
+        pruning on non-clustered columns (see :meth:`read_where`'s
+        ``eq``)."""
         t = cls(spark, root, commit_backend=commit_backend)
-        entries = t._write_data_files(df, key_col, stats_cols=stats_cols)
+        entries = t._write_data_files(
+            df, key_col, stats_cols=stats_cols, bloom_cols=bloom_cols
+        )
         t._commit(
             entries,
             key_col,
             parent=None,
             stats_cols=stats_cols,
             schema=df.schema.jsonValue(),
+            bloom_cols=bloom_cols,
         )
         return t
 
@@ -498,6 +602,7 @@ class MTable:
         hi=None,
         version: int | None = None,
         where: dict | None = None,
+        eq: dict | None = None,
     ) -> DataFrame:
         """Range read with MANIFEST-LEVEL file pruning: only files
         whose recorded ranges intersect EVERY requested range are
@@ -514,11 +619,26 @@ class MTable:
         ``stats_cols`` (files predating the declaration, or columns
         never declared, are conservatively kept and filtered
         row-wise). Combine with :meth:`optimize_zorder` so ONE layout
-        gives tight file ranges on every clustered column."""
+        gives tight file ranges on every clustered column.
+
+        ``eq`` adds conjunctive ``{col: value}`` EQUALITY probes
+        pruned against the per-file Bloom bitmaps recorded when the
+        table declared ``bloom_cols`` — the point-lookup complement
+        to range stats: on a column the layout does NOT cluster,
+        every file's [min,max] straddles the probe value and range
+        pruning keeps everything, while the bloom proves absence for
+        all but the (few, FPR-bounded) files that may contain it.
+        Bloom pruning is sound (no false negatives), and the residual
+        ``col == value`` predicate still applies row-wise and pushes
+        into the pruned scans. Columns without a recorded bloom are
+        conservatively kept."""
         conds = self._range_conds(lo, hi, version, where)
-        if not conds:
+        eq = dict(eq or {})
+        if not conds and not eq:
             return self.read(version)
-        files = self.prune_files(lo, hi, version=version, where=where)
+        files = self.prune_files(
+            lo, hi, version=version, where=where, eq=eq
+        )
         if not files:
             return self.read(version).filter(F.lit(False))
         out = self._read_paths(sorted(files), version)
@@ -527,6 +647,8 @@ class MTable:
                 out = out.filter(F.col(c) >= F.lit(rlo))
             if rhi is not None:
                 out = out.filter(F.col(c) <= F.lit(rhi))
+        for c, v in eq.items():
+            out = out.filter(F.col(c) == F.lit(v))
         return out
 
     def _range_conds(self, lo, hi, version, where):
@@ -537,6 +659,13 @@ class MTable:
                 (key_col, lo, hi, lambda e: (e["min_key"], e["max_key"]))
             )
         for c, (clo, chi) in (where or {}).items():
+            if c == key_col:
+                # the merge key's stats live in the entry's
+                # min_key/max_key, not col_stats
+                conds.append(
+                    (c, clo, chi, lambda e: (e["min_key"], e["max_key"]))
+                )
+                continue
             conds.append(
                 (
                     c,
@@ -549,17 +678,60 @@ class MTable:
             )
         return conds
 
+    def _bloom_probe_positions(self, col: str, value, version=None):
+        """The ``BLOOM_HASHES`` bit positions a literal probe value
+        maps to — computed with the SAME Spark expressions the write
+        path hashed with (``xxhash64(cast(lit AS <coltype>) AS
+        STRING, seed)``), via a one-row local job, so there is no
+        Python reimplementation of xxhash64 to drift. The literal is
+        first cast to the table's column type so ``eq={"k": 5}``
+        probes a bigint column identically to how its values were
+        hashed."""
+        schema = self.table_schema(version)
+        lit = F.lit(value)
+        if schema is not None and col in schema.fieldNames():
+            lit = lit.cast(schema[col].dataType)
+        probe = lit.cast("string")
+        row = self.spark.range(1).select(
+            *[
+                F.pmod(F.xxhash64(probe, F.lit(i)), F.lit(BLOOM_BITS))
+                .cast("int")
+                .alias(f"p{i}")
+                for i in range(BLOOM_HASHES)
+            ]
+        ).first()
+        return [row[f"p{i}"] for i in range(BLOOM_HASHES)]
+
     def prune_files(
         self, lo=None, hi=None, version: int | None = None,
         where: dict | None = None,
+        eq: dict | None = None,
     ) -> list[str]:
         """The file list surviving manifest-level pruning for the
         given conjunctive ranges — the observable the 2-D pruning
         tests and probes pin (``len(prune_files(...)) <
-        len(manifest.files)`` is the win)."""
-        conds = self._range_conds(lo, hi, version, where)
+        len(manifest.files)`` is the win). ``eq`` values prune via
+        per-file Bloom bitmaps (and, when the column also has range
+        stats, via [min,max] containment)."""
+        # an equality probe is ALSO the degenerate range [v, v]: when
+        # the column happens to carry range stats (the key, or a
+        # declared stats col) min/max containment prunes too — the
+        # two mechanisms compose conjunctively
+        ranges = dict(where or {})
+        ranges.update({c: (v, v) for c, v in (eq or {}).items()})
+        conds = self._range_conds(lo, hi, version, ranges or None)
+        eq_probes = [
+            (c, self._bloom_probe_positions(c, v, version))
+            for c, v in (eq or {}).items()
+        ]
 
         def keep(e: dict) -> bool:
+            for c, positions in eq_probes:
+                words = e.get("blooms", {}).get(c)
+                if words is None:
+                    continue  # no bloom recorded -> cannot exclude
+                if not _bloom_member(words, positions):
+                    return False
             for _c, rlo, rhi, get in conds:
                 mn, mx = get(e)
                 if mn is None or mx is None:
@@ -707,6 +879,7 @@ class MTable:
             stats_cols=m.get("stats_cols"),
             schema=m.get("schema"),
             checks=m.get("checks"),
+            bloom_cols=m.get("bloom_cols"),
         )
 
     def clone(self, dest_root: str, version: int | None = None) -> "MTable":
@@ -736,6 +909,7 @@ class MTable:
             stats_cols=m.get("stats_cols"),
             schema=m.get("schema"),
             checks=m.get("checks"),
+            bloom_cols=m.get("bloom_cols"),
         )
         return dest
 
@@ -760,7 +934,10 @@ class MTable:
     def overwrite(self, df: DataFrame) -> int:
         m = self.manifest()
         entries = self._write_data_files(
-            df, m["key_col"], stats_cols=m.get("stats_cols")
+            df,
+            m["key_col"],
+            stats_cols=m.get("stats_cols"),
+            bloom_cols=m.get("bloom_cols"),
         )
         self._validate_new_files(entries)
         return self._commit(
@@ -880,6 +1057,7 @@ class MTable:
             key_col,
             n_files=max(1, len(affected)),
             stats_cols=m.get("stats_cols"),
+            bloom_cols=m.get("bloom_cols"),
         )
         self._validate_new_files(new_entries)
         return self._commit(
@@ -919,6 +1097,7 @@ class MTable:
         entries = self._write_data_files(
             df, m["key_col"], n_files=n_files,
             stats_cols=m.get("stats_cols"),
+            bloom_cols=m.get("bloom_cols"),
         )
         return self._commit(keep + entries, m["key_col"], parent=m["version"])
 
@@ -1006,6 +1185,7 @@ class MTable:
             n_files=n_files or len(m["files"]),
             stats_cols=stats_cols,
             sort_expr=zorder_key(norm, bits),
+            bloom_cols=m.get("bloom_cols"),
         )
         return self._commit(
             entries, key_col, parent=m["version"], stats_cols=stats_cols

@@ -1684,3 +1684,77 @@ def test_mtable_purge_audit_stages(spark):
     assert t.read().where("k % 25 = 0").count() == 0
     with pytest.raises(Exception):
         t.read(v0).collect()
+
+
+def test_mtable_bloom_index_point_lookup_pruning(spark, tmp_path):
+    """Per-file Bloom bitmaps prune EQUALITY probes on a column the
+    layout does NOT cluster: (a) a present value scans strictly fewer
+    files than the manifest lists while returning exactly the plain
+    filter's rows (no false negatives, swept over many probes); (b)
+    an absent value prunes everything and returns an empty frame;
+    (c) blooms survive merge/compact/zorder commits (rewritten files
+    get fresh bitmaps, carried files keep theirs); (d) range [v,v]
+    stats compose: an eq probe on the KEY prunes by min/max even
+    without a bloom on it."""
+    from dataflowex_spark.sources.mtable import MTable
+
+    base = (
+        spark.range(4000)
+        .select(
+            F.col("id").alias("k"),
+            F.pmod(F.xxhash64("id"), F.lit(499)).alias("pk"),
+            (F.col("id") % 7).alias("grp"),
+        )
+        .repartitionByRange(8, "k")
+    )
+    t = MTable.create(
+        spark, str(tmp_path / "t"), base, "k", bloom_cols=["pk"]
+    )
+    n_total = len(t.manifest()["files"])
+    assert n_total == 8
+    assert t.manifest()["bloom_cols"] == ["pk"]
+
+    # (a) present probe: strictly pruned, exactly the filter's rows
+    probe = base.select("pk").first()["pk"]
+    assert len(t.prune_files(eq={"pk": probe})) < n_total
+    want = sorted(
+        r["k"] for r in base.filter(F.col("pk") == probe).collect()
+    )
+    got = sorted(
+        r["k"] for r in t.read_where(eq={"pk": probe}).collect()
+    )
+    assert got == want and got
+    # no-false-negative sweep
+    vals = [
+        r["pk"]
+        for r in base.select("pk").distinct().limit(40).collect()
+    ]
+    for v in vals:
+        assert (
+            t.read_where(eq={"pk": v}).count()
+            == base.filter(F.col("pk") == v).count()
+        )
+
+    # (b) absent probe: everything pruned, empty frame, right schema
+    assert t.prune_files(eq={"pk": -987654}) == []
+    empty = t.read_where(eq={"pk": -987654})
+    assert empty.count() == 0 and empty.columns == ["k", "pk", "grp"]
+
+    # (c) maintenance commits keep the index: merge a brand-new value
+    ch = spark.createDataFrame(
+        [(5, 1, "U", 0, 999999, 3)],
+        "k long, ts long, op string, tie long, pk long, grp long",
+    )
+    t.merge(ch, "ts", "op", "tie", ["pk", "grp"])
+    assert all("blooms" in e for e in t.manifest()["files"])
+    assert len(t.prune_files(eq={"pk": 999999})) < len(
+        t.manifest()["files"]
+    )
+    assert t.read_where(eq={"pk": 999999}).count() == 1
+    t.optimize_zorder(["grp"])
+    assert all("blooms" in e for e in t.manifest()["files"])
+    assert t.read_where(eq={"pk": 999999}).count() == 1
+
+    # (d) eq on the clustered KEY prunes via [min,max] composition
+    assert len(t.prune_files(eq={"k": 5})) < len(t.manifest()["files"])
+    assert t.read_where(eq={"k": 5}).count() == 1
