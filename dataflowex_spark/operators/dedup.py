@@ -1243,3 +1243,99 @@ def dedup_clusters_star(
         "(log-bounded convergence — this indicates a bug or adversarial "
         "input, not a deep component)"
     )
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    min_tokens: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """SUBSTRING-level dedup via CONTENT-DEFINED CHUNKING: documents
+    are cut into variable-size chunks at positions chosen by the
+    CONTENT (a rolling w-token fingerprint hitting a target pattern),
+    not by fixed offsets — so a passage shared by two documents
+    yields the SAME chunks even when its byte offset differs (the
+    insertion-shift robustness fixed-size blocking lacks, the same
+    idea rsync/LBFS/backup dedup use). Shared boilerplate then
+    surfaces as chunk-hash groups spanning ≥ ``min_docs`` documents
+    — the substring-granular complement to whole-document MinHash:
+    near-dup docs share MOST chunks, while a common licence header or
+    navigation block shared by thousands of otherwise-unrelated pages
+    shows up here and nowhere else.
+
+    Boundary rule: cut after token ``i`` when ``md5`` of the w-token
+    gram ending at ``i`` starts with hex nibble '0' (P=1/16 → mean
+    chunk ≈ 16 tokens). md5 keeps the rule bit-identical in the
+    DuckDB oracle. Chunks under ``min_tokens`` are noise and dropped.
+
+    100 TB shape: chunking is entirely SCAN-LOCAL (higher-order array
+    exprs in whole-stage codegen — no UDF, no shuffle); the only
+    shuffle is the hash aggregation on chunk_hash, whose volume is
+    the chunk count (~tokens/16), with map-side partials. Never
+    all-pairs. Returns (chunk_hash, n_docs, n_occ, tok_len) for
+    chunks spanning ≥ min_docs distinct documents."""
+    from dataflowex_spark.functions.text import tokens
+
+    tk = tokens(F.col(text_col))
+    docs = docs.select(F.col(id_col), tk.alias("__tk")).where(
+        F.size("__tk") > 0
+    )
+    n = F.size("__tk")
+    # cut positions: sequence() descends when stop < start, so guard
+    # the short-doc case to an empty int array
+    cs = F.when(
+        n >= w,
+        F.filter(
+            F.sequence(F.lit(w), n),
+            lambda i: F.md5(
+                F.array_join(F.slice(F.col("__tk"), i - w + 1, w), " ")
+            ).startswith("0"),
+        ),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    docs = docs.select(id_col, "__tk", cs.alias("__cs"))
+    bs = (
+        F.when(
+            (F.size("__cs") > 0)
+            & (F.element_at("__cs", -1) == n),
+            F.concat(F.array(F.lit(0)), F.col("__cs")),
+        ).otherwise(
+            F.concat(F.array(F.lit(0)), F.col("__cs"), F.array(n))
+        )
+    )
+    docs = docs.select(id_col, "__tk", bs.alias("__bs"))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("__bs") - 1),
+        lambda j: F.struct(
+            F.array_join(
+                F.slice(
+                    F.col("__tk"),
+                    F.element_at("__bs", j) + 1,
+                    F.element_at("__bs", j + 1) - F.element_at("__bs", j),
+                ),
+                " ",
+            ).alias("c"),
+            (
+                F.element_at("__bs", j + 1) - F.element_at("__bs", j)
+            ).alias("l"),
+        ),
+    )
+    flat = (
+        docs.select(id_col, F.explode(chunks).alias("u"))
+        .select(id_col, F.col("u.c").alias("c"), F.col("u.l").alias("l"))
+        .where(F.col("l") >= min_tokens)
+    )
+    return (
+        flat.groupBy(F.md5("c").alias("chunk_hash"))
+        .agg(
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occ"),
+            F.min("l").cast("long").alias("tok_len"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(
+            F.desc("n_docs"), F.desc("n_occ"), "chunk_hash"
+        )
+    )

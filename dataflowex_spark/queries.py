@@ -17893,3 +17893,59 @@ def q348(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "line_no")
     )
+
+
+@q(
+    "q349_cdc_chunk_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '__WS__'), t -> t <> '') AS tk
+      FROM documents
+    ), cuts AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             [i FOR i IN range(8, len(tk) + 1)
+              IF md5(array_to_string(tk[i - 7 : i], ' ')) LIKE '0%'] AS cs
+      FROM toks WHERE len(tk) > 0
+    ), bounds AS (
+      SELECT doc_id, tk,
+             CASE WHEN len(cs) > 0 AND cs[-1] = n
+                  THEN list_prepend(0, cs)
+                  ELSE list_append(list_prepend(0, cs), n) END AS bs
+      FROM cuts
+    ), chunks AS (
+      SELECT doc_id,
+             [struct_pack(c := array_to_string(tk[bs[j] + 1 : bs[j + 1]], ' '),
+                          l := bs[j + 1] - bs[j])
+              FOR j IN range(1, len(bs))] AS ch
+      FROM bounds
+    ), flat AS (
+      SELECT doc_id, u.c AS c, u.l AS l FROM chunks, UNNEST(ch) AS t(u)
+      WHERE u.l >= 3
+    )
+    SELECT md5(c) AS chunk_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(MIN(l) AS BIGINT) AS tok_len
+    FROM flat
+    GROUP BY chunk_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occ DESC, chunk_hash
+    """,
+)
+def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking substring dedup: variable-size chunks
+    cut where a rolling 8-token md5 fingerprint hits the '0' nibble
+    (mean ≈ 16 tokens), so shared passages chunk IDENTICALLY at any
+    byte offset; chunk-hash groups spanning ≥2 documents expose
+    cross-document boilerplate below whole-doc dedup's radar. The
+    chunking is scan-local HOFs in codegen; the one shuffle is the
+    chunk-hash agg (volume ~ tokens/16). Oracle: the same boundary
+    rule spelled in DuckDB list comprehensions."""
+    from dataflowex_spark.operators.dedup import cdc_chunk_dedup
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"].repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return cdc_chunk_dedup(docs, w=8, min_tokens=3, min_docs=2)

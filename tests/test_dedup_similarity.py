@@ -752,3 +752,46 @@ def test_ivf_recall_audit_monotone_and_bounded(spark, sf_dir, tmp_path):
     assert recalls[1] >= 0.5, recalls   # working-point floor (nprobe=2)
     assert costs == sorted(costs) and costs[0] < costs[-1], costs
     assert all(r["n_probes"] == 30 for r in audit)
+
+
+def test_cdc_chunk_dedup_offset_invariance(spark):
+    """The property that makes content-defined chunking work: a
+    passage shared by two documents chunks IDENTICALLY even though
+    its token offset differs (different-length prefixes), so the
+    shared chunks collide by hash — where fixed-size blocking at
+    mismatched offsets finds nothing. Short docs (< w tokens) fall
+    back to one whole-doc chunk; unique-content docs contribute no
+    multi-doc chunk group."""
+    from dataflowex_spark.operators.dedup import cdc_chunk_dedup
+
+    # a long shared passage with deterministic varied tokens
+    passage = " ".join(f"tok{i * 7 % 101}x{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [
+            (1, "short prefix " + passage),
+            (
+                2,
+                " ".join(f"pre{j}" for j in range(17))
+                + " "
+                + passage,
+            ),
+            (3, "entirely unrelated content " * 30),
+            # identical short docs: one whole-doc chunk each, shared
+            (4, "tiny shared doc"),
+            (5, "tiny shared doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = cdc_chunk_dedup(docs, w=8, min_tokens=3, min_docs=2).collect()
+    assert out, "shared passage must produce multi-doc chunk groups"
+    # every reported group spans >=2 docs with sane lengths
+    assert all(r["n_docs"] >= 2 and r["tok_len"] >= 3 for r in out)
+    # docs 1+2 share interior chunks despite different prefix lengths:
+    # at least one group must span exactly those two (n_occ == n_docs)
+    assert any(r["n_docs"] == 2 and r["n_occ"] == 2 for r in out)
+
+    # unique doc contributes nothing: rerun without the shared pair
+    solo = cdc_chunk_dedup(
+        docs.where(F.col("doc_id").isin(1, 3)), w=8, min_tokens=3
+    )
+    assert solo.count() == 0
