@@ -799,3 +799,244 @@ def mmr_select(
     return spark.createDataFrame(
         out, f"step int, {id_col} long, mmr double"
     )
+
+
+def _sq_l2_q(a, b, scale: int = 1_000_000_000):
+    """Squared L2 distance quantized to an integer (``floor(d²·1e9)``)
+    — exact long arithmetic downstream (sums/argmins are
+    order-independent), the repo's standard defense against
+    float-reduction nondeterminism."""
+    d2 = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.floor(d2 * scale).cast("long")
+
+
+def pq_train(
+    corpus: DataFrame,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+):
+    """PRODUCT QUANTIZATION codebook training + encoding (Jégou et
+    al., "Product quantization for nearest neighbor search", IEEE
+    TPAMI 2011): the vector splits into ``m_sub`` subvectors; each
+    subspace gets its own ``n_codes``-centroid k-means codebook; a
+    vector's code is its m_sub nearest-centroid ids — dim×4 bytes
+    compress to m_sub×log2(n_codes) bits (64-dim float32 → 8 bytes
+    here, 32×).
+
+    Distributed Lloyd iterations with the determinism discipline the
+    registry's correctness gate needs: centroid recomputation sums
+    QUANTIZED coordinates (exact longs, order-independent),
+    assignment argmins compare quantized distances with code-id
+    tie-break, and initialization is the n_codes lowest-id vectors
+    per subspace — bit-stable across runs and partitionings. Each
+    iteration is one broadcast join (codebook is m_sub×n_codes×d_sub
+    floats — KBs) + one bounded agg collect (m_sub·n_codes·d_sub
+    rows). The corpus never shuffles; at 100 TB you'd train on a
+    sample (like ivf_build_index) and encode the full set with the
+    final broadcast codebook — encoding is scan-local.
+
+    Returns ``(cent_df, codes_df)``: the codebook (s, code, cent) and
+    the encoded corpus (id_col, s, code)."""
+    spark = corpus.sparkSession
+    ds = dim // m_sub
+    vec = F.col(vec_col).cast("array<double>")
+    sub = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(vec, s * ds + 1, ds).alias("sv"),
+                    )
+                    for s in range(m_sub)
+                ]
+            )
+        ).alias("u"),
+    ).select(id_col, F.col("u.s").alias("s"), F.col("u.sv").alias("sv"))
+    sub = sub.persist()
+
+    init = (
+        corpus.select(id_col, vec.alias("__v"))
+        .orderBy(id_col)
+        .limit(n_codes)
+        .collect()
+    )
+    cents = {
+        (s, c): [float(x) for x in r["__v"][s * ds : (s + 1) * ds]]
+        for c, r in enumerate(init)
+        for s in range(m_sub)
+    }
+
+    def cent_frame():
+        return spark.createDataFrame(
+            [(s, c, v) for (s, c), v in sorted(cents.items())],
+            schema="s int, code int, cent array<double>",
+        )
+
+    assigned = None
+    for _ in range(iters):
+        cent_df = cent_frame()
+        assigned = (
+            sub.join(F.broadcast(cent_df), "s")
+            .withColumn("dq", _sq_l2_q(F.col("sv"), F.col("cent")))
+            .groupBy(id_col, "s")
+            .agg(F.min(F.struct("dq", "code", "sv")).alias("m"))
+            .select(
+                id_col,
+                "s",
+                F.col("m.code").alias("code"),
+                F.col("m.sv").alias("sv"),
+            )
+        )
+        # exact integer coordinate sums -> deterministic new means
+        rows = (
+            assigned.select(
+                "s", "code", F.posexplode("sv").alias("d", "val")
+            )
+            .groupBy("s", "code", "d")
+            .agg(
+                F.sum(F.floor(F.col("val") * 1_000_000).cast("long")).alias(
+                    "sq"
+                ),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new = {}
+        for r in rows:
+            new.setdefault((r["s"], r["code"]), [0.0] * ds)[r["d"]] = (
+                r["sq"] / r["n"] / 1_000_000.0
+            )
+        # empty clusters keep their previous centroid
+        cents.update(new)
+
+    codes = assigned.select(id_col, "s", "code")
+    return cent_frame(), codes
+
+
+def pq_adc_search(
+    cent_df: DataFrame,
+    codes: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    m_sub: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per probe, a
+    LOOKUP TABLE of (subspace, code) → quantized partial distance is
+    computed against the broadcast codebook (|probes|·m_sub·n_codes
+    rows — tiny), then joined to the corpus CODES (never the raw
+    vectors) and summed per (probe, candidate). The corpus side
+    touches 8-byte codes instead of 256-byte vectors — the 32×
+    memory-bandwidth win that makes billion-scale ANN fit in RAM; at
+    100 TB this composes with IVF (q161's index) to also cut the
+    candidate COUNT, ADC cutting the candidate WIDTH."""
+    ds = dim // m_sub
+    vec = F.col(vec_col).cast("array<double>")
+    psub = probes.select(
+        F.col(id_col).alias(probe_id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(vec, s * ds + 1, ds).alias("pv"),
+                    )
+                    for s in range(m_sub)
+                ]
+            )
+        ).alias("u"),
+    ).select(
+        probe_id_col, F.col("u.s").alias("s"), F.col("u.pv").alias("pv")
+    )
+    lut = (
+        psub.join(F.broadcast(cent_df), "s")
+        .withColumn("pd", _sq_l2_q(F.col("pv"), F.col("cent")))
+        .select(probe_id_col, "s", "code", "pd")
+    )
+    approx = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .groupBy(probe_id_col, id_col)
+        .agg(F.sum("pd").alias("adist"))
+        .where(F.col(probe_id_col) != F.col(id_col))
+    )
+    w = Window.partitionBy(probe_id_col).orderBy("adist", id_col)
+    return (
+        approx.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(probe_id_col, id_col, "adist", "rank")
+    )
+
+
+def pq_recall_audit(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """recall@k of PQ-ADC against exact squared-L2 top-k, per probe —
+    the accuracy/compression audit q298 gives IVF, for the PQ tier.
+    Exact side is brute force over the fixture (the baseline PQ
+    approximates); both rankings quantize distances and tie-break on
+    candidate id, so the audit is bit-stable."""
+    pq_cent, pq_codes = pq_train(
+        corpus, m_sub, n_codes, iters, vec_col, id_col, dim
+    )
+    got = pq_adc_search(
+        pq_cent, pq_codes, probes, k, m_sub, vec_col, id_col, "probe_id",
+        dim,
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    pv = probes.select(
+        F.col(id_col).alias("probe_id"), vec.alias("__pv")
+    )
+    cv = corpus.select(F.col(id_col), vec.alias("__cv"))
+    exact = (
+        pv.crossJoin(cv)
+        .where(F.col("probe_id") != F.col(id_col))
+        .withColumn("dq", _sq_l2_q(F.col("__pv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("probe_id").orderBy("dq", id_col)
+    exact_topk = (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", id_col)
+    )
+    overlap = got.join(exact_topk, ["probe_id", id_col]).groupBy(
+        "probe_id"
+    ).agg(F.count("*").alias("n_overlap"))
+    return (
+        pv.select("probe_id")
+        .join(overlap, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                * 1_000_000
+                / F.lit(k)
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("probe_id")
+    )

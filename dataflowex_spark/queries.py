@@ -17949,3 +17949,27 @@ def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     return cdc_chunk_dedup(docs, w=8, min_tokens=3, min_docs=2)
+
+
+@q("q350_pq_adc_recall", None)  # rows-only: distributed k-means training
+def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with an ADC recall audit: train
+    16-subspace × 64-code PQ codebooks on the embeddings (64-dim
+    float32 → 12 bytes, ~21× compression), encode the corpus, run
+    asymmetric-distance top-10 for the 20 lowest-id probes, and
+    report per-probe recall@10 against exact squared-L2 — the same
+    accuracy/cost audit shape q298 gives the IVF tier. Training and
+    search follow the registry's determinism discipline (quantized
+    integer distance sums, id tie-breaks, lowest-id init), so the
+    output is bit-stable across runs and partitionings. The corpus
+    side of the search touches CODES only — the memory-bandwidth win
+    that, composed with the IVF index (q161) cutting candidate
+    count, is how billion-scale ANN serves from RAM."""
+    from dataflowex_spark.operators.similarity import pq_recall_audit
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat["embeddings"]
+    probes = emb.orderBy("vec_id").limit(20)
+    return pq_recall_audit(
+        emb, probes, k=10, m_sub=16, n_codes=64, iters=4
+    )

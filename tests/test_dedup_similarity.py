@@ -795,3 +795,48 @@ def test_cdc_chunk_dedup_offset_invariance(spark):
         docs.where(F.col("doc_id").isin(1, 3)), w=8, min_tokens=3
     )
     assert solo.count() == 0
+
+
+def test_pq_adc_recovers_separated_clusters_and_is_deterministic(spark):
+    """PQ-ADC sanity: on well-separated clusters every top-k
+    candidate comes from the probe's own cluster (quantization
+    erases WITHIN-cluster order — same codes, tied ADC distance —
+    but must never cross clusters), and the whole train+search
+    pipeline is bit-stable across runs (quantized integer
+    distances, id tie-breaks, lowest-id init)."""
+    from dataflowex_spark.operators.similarity import (
+        pq_adc_search,
+        pq_recall_audit,
+        pq_train,
+    )
+
+    # 4 tight clusters of 10 vectors in 8-dim space
+    rows = []
+    for c in range(4):
+        base = [10.0 * (c + 1) if d % 4 == c else 0.0 for d in range(8)]
+        for i in range(10):
+            rows.append(
+                (
+                    c * 10 + i,
+                    [x + 0.01 * ((i * 7 + d) % 5) for d, x in enumerate(base)],
+                )
+            )
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    probes = vecs.where(F.col("vec_id") % 10 == 0)  # one per cluster
+    cent, codes = pq_train(vecs, m_sub=4, n_codes=8, iters=4, dim=8)
+    top = pq_adc_search(
+        cent, codes, probes, k=3, m_sub=4, dim=8
+    ).collect()
+    assert len(top) == 4 * 3
+    # never a cross-cluster candidate (cluster = vec_id // 10)
+    assert all(r["probe_id"] // 10 == r["vec_id"] // 10 for r in top), top
+
+    out = pq_recall_audit(
+        vecs, probes, k=3, m_sub=4, n_codes=8, iters=4, dim=8
+    ).collect()
+    out2 = pq_recall_audit(
+        vecs, probes, k=3, m_sub=4, n_codes=8, iters=4, dim=8
+    ).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in out2]
