@@ -17973,3 +17973,75 @@ def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_recall_audit(
         emb, probes, k=10, m_sub=16, n_codes=64, iters=4
     )
+
+
+@q(
+    "q351_python_udtf",
+    """
+    WITH segs AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 string_split(text, '.'),
+                 seg -> len(list_filter(
+                   string_split_regex(seg, '__WS__'), t -> t <> ''))),
+               l -> l > 0) AS tps
+      FROM documents
+    ), idx AS (
+      SELECT doc_id,
+             [struct_pack(i := j - 1, l := tps[j])
+              FOR j IN range(1, len(tps) + 1)] AS pairs
+      FROM segs WHERE len(tps) > 0
+    )
+    SELECT doc_id,
+           CAST(u.i AS INTEGER) AS sent_idx,
+           CAST(u.l AS INTEGER) AS n_tok
+    FROM idx, UNNEST(pairs) AS t(u)
+    ORDER BY doc_id, sent_idx
+    """,
+)
+def q351(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 PYTHON UDTF surface: a user-defined TABLE function
+    (one input row → many output rows with their own schema) invoked
+    through SQL `LATERAL` — the API for expansion logic that truly
+    needs imperative Python, distinct from scalar UDFs (one-to-one)
+    and pandas function APIs (whole-partition). The function splits
+    each document into '.'-sentences and emits (sent_idx, n_tok) per
+    non-empty sentence, tokenizing with the repo's canonical
+    whitespace class so the DuckDB list-comprehension oracle states
+    the identical computation. DECLARED python-eval query (the UDTF
+    node is the point); everything around it — the lateral join, the
+    ordering — stays relational. At scale the UDTF runs
+    executor-side over Arrow batches like any pandas op; this
+    fixture-sized expansion is the API-parity witness, not the hot
+    path (the equivalent scan-local HOF spelling is q162/q110)."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    from dataflowex_spark.functions.text import WS_CHARS
+
+    ws = "[" + WS_CHARS + "]+"
+
+    @udtf(returnType="sent_idx int, n_tok int")
+    class SentenceStats:
+        def eval(self, text):
+            if text is None:
+                return
+            idx = 0
+            for seg in text.split("."):
+                n = len([t for t in _re.split(ws, seg) if t])
+                if n > 0:
+                    yield idx, n
+                    idx += 1
+
+    spark.udtf.register("q351_sentence_stats", SentenceStats)
+    cat = Catalog(spark, sf_dir)
+    cat["documents"].createOrReplaceTempView("q351_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.n_tok
+        FROM q351_docs d, LATERAL q351_sentence_stats(d.text) s
+        ORDER BY d.doc_id, s.sent_idx
+        """
+    )
