@@ -18045,3 +18045,85 @@ def q351(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, s.sent_idx
         """
     )
+
+
+@q(
+    "q352_dynamic_partition_pruning",
+    """
+    WITH cal AS (
+      SELECT ship_mo,
+             substr(ship_mo, 1, 4) || '-Q' ||
+             CAST(CAST(ceil(CAST(substr(ship_mo, 6, 2) AS INTEGER)
+                            / 3.0) AS INTEGER) AS VARCHAR) AS quarter
+      FROM (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_mo
+            FROM orders)
+    )
+    SELECT l.ship_mo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM (SELECT strftime(l_shipdate, '%Y-%m') AS ship_mo,
+                 l_extendedprice
+          FROM lineitem) l
+    JOIN cal ON l.ship_mo = cal.ship_mo
+    WHERE cal.quarter = '1996-Q1'
+    GROUP BY l.ship_mo
+    ORDER BY l.ship_mo
+    """,
+)
+def q352(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING: the fact table (lineitem, written
+    Hive-partitioned by ship month) is joined to an INDEPENDENT
+    calendar dimension (months derived from orders) filtered to one
+    quarter — the filter lives on the DIM side, so no static
+    predicate touches the fact scan, yet Catalyst inserts a runtime
+    `dynamicpruning` subquery into the fact's PartitionFilters: the
+    broadcast dim's join keys prune fact PARTITION DIRECTORIES
+    before they are read. This is THE star-schema mechanism at
+    100 TB — a selective dim filter cuts the fact scan by the
+    partition count ratio with no change to the query text.
+    The pytest pins the dynamicpruning subquery in the plan; the
+    oracle states the same join/filter over the raw table."""
+    import tempfile
+
+    cat = Catalog(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="dpp_q352_") + "/fact"
+    (
+        cat["lineitem"]
+        .withColumn("ship_mo", F.date_format("l_shipdate", "yyyy-MM"))
+        .write.partitionBy("ship_mo")
+        .parquet(root)
+    )
+    fact = spark.read.parquet(root)
+    cal = (
+        cat["orders"]
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("ship_mo"))
+        .distinct()
+        .withColumn(
+            "quarter",
+            F.concat(
+                F.substring("ship_mo", 1, 4),
+                F.lit("-Q"),
+                F.ceil(
+                    F.substring("ship_mo", 6, 2).cast("int") / 3
+                ).cast("string"),
+            ),
+        )
+    )
+    return (
+        fact.join(
+            F.broadcast(cal.where(F.col("quarter") == "1996-Q1")),
+            "ship_mo",
+        )
+        .drop("quarter")
+        .groupBy("ship_mo")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("rev_cents"),
+        )
+        .orderBy("ship_mo")
+    )

@@ -1758,3 +1758,40 @@ def test_mtable_bloom_index_point_lookup_pruning(spark, tmp_path):
     # (d) eq on the clustered KEY prunes via [min,max] composition
     assert len(t.prune_files(eq={"k": 5})) < len(t.manifest()["files"])
     assert t.read_where(eq={"k": 5}).count() == 1
+
+
+def test_dynamic_partition_pruning_fires_on_dim_filter(spark, tmp_path):
+    """The q352 shape's load-bearing property: with the selective
+    filter on a DIM ATTRIBUTE (not the join column — nothing static
+    reaches the fact side), the fact scan's PartitionFilters must
+    contain a runtime `dynamicpruning` subquery, and the join result
+    must equal the plain unpartitioned join. At 100 TB this is what
+    keeps a star-schema query from scanning every fact partition."""
+    base = spark.range(4000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("m"), (F.col("id") % 12).cast("string")).alias("mo"),
+        (F.col("id") * 3).alias("v"),
+    )
+    root = str(tmp_path / "fact")
+    base.write.partitionBy("mo").parquet(root)
+    fact = spark.read.parquet(root)
+    dim = spark.createDataFrame(
+        [("m" + str(m), "Q" + str(m // 3 + 1)) for m in range(12)],
+        "mo string, quarter string",
+    )
+    j = fact.join(
+        F.broadcast(dim.where(F.col("quarter") == "Q1")), "mo"
+    ).groupBy("mo").agg(F.sum("v").alias("sv"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = {(r["mo"], r["sv"]) for r in j.collect()}
+    want = {
+        (r["mo"], r["sv"])
+        for r in base.join(
+            dim.where(F.col("quarter") == "Q1"), "mo"
+        )
+        .groupBy("mo")
+        .agg(F.sum("v").alias("sv"))
+        .collect()
+    }
+    assert got == want and len(got) == 3
