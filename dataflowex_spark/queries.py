@@ -18127,3 +18127,60 @@ def q352(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_mo")
     )
+
+
+@q(
+    "q353_stream_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q353(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE streaming session windows, oracled: the events table
+    replays as a REAL 4-chunk Structured Streaming run through
+    `F.session_window` — sessions OPEN and MERGE across micro-batch
+    boundaries in the state store (an event arriving in batch 3 can
+    weld two batch-1 sessions into one), which is the stateful
+    behavior the batch window-function spelling (q72) never
+    exercises. Complete output mode + a horizon watermark keep every
+    session in state until the replay drains, so the emitted result
+    is the exact gap-sessionization the lag/cumsum oracle states —
+    boundary semantics verified: an event exactly `gap` after its
+    predecessor MERGES (split strictly greater), matching the
+    oracle's `> INTERVAL` spelling. In production the same query
+    runs in append mode with a real watermark for bounded state;
+    q73/q328 cover that lateness/drop half."""
+    from dataflowex_spark.session import configure
+    from dataflowex_spark.streaming.ops import (
+        file_replay_stream,
+        run_to_memory,
+        session_counts,
+    )
+
+    configure(spark)
+    stream = file_replay_stream(
+        spark, f"{sf_dir.rstrip('/')}/events.parquet", n_chunks=4
+    )
+    agg = session_counts(stream, gap="30 minutes", watermark="365 days")
+    out, _ = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        "user_id", "session_start", F.col("n").cast("long").alias("n")
+    ).orderBy("user_id", "session_start")

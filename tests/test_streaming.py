@@ -1046,3 +1046,64 @@ def test_stream_hll_maintenance_equals_batch(spark):
     for r in rows:
         assert r["registers_identical"], r
         assert r["streamed_est"] == r["batch_est"], r
+
+
+def test_session_window_merges_sessions_across_batches(spark, tmp_path):
+    """The stateful property q353 leans on: two sessions opened in
+    micro-batch 1 (events 50 min apart) are WELDED into one when the
+    bridging event arrives in micro-batch 2 — the state-store merge
+    that no batch window-function spelling exercises. Final complete
+    output: one session with all three events. Also pins the
+    boundary: an event exactly `gap` after its predecessor merges."""
+    import os
+    import time as _time
+
+    from dataflowex_spark.streaming.ops import (
+        run_to_memory,
+        session_counts,
+    )
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    b1 = spark.createDataFrame(
+        [
+            (1, "2020-01-01 00:00:00"),
+            (1, "2020-01-01 00:50:00"),
+            # boundary probe, separate user: exactly 30 min apart
+            (2, "2020-01-01 00:00:00"),
+            (2, "2020-01-01 00:30:00"),
+        ],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [(1, "2020-01-01 00:25:00")], "user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b1.coalesce(1).write.parquet(stage + "/f1")
+    _time.sleep(1.1)  # file source orders batches by mtime
+    b2.coalesce(1).write.parquet(stage + "/f2")
+    import glob
+    import shutil
+
+    for i, src in enumerate(
+        sorted(glob.glob(stage + "/f*/part-*.parquet"))
+    ):
+        shutil.copy(src, stage + f"/b{i}.parquet")
+        os.utime(stage + f"/b{i}.parquet", (1000000 + i, 1000000 + i))
+
+    raw = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage + "/b*.parquet")
+    )
+    agg = session_counts(
+        raw, gap="30 minutes", watermark="365 days"
+    )
+    out, _ = run_to_memory(agg, output_mode="complete")
+    rows = {
+        (r["user_id"], str(r["session_start"]), r["n"])
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "2020-01-01 00:00:00", 3),  # welded across batches
+        (2, "2020-01-01 00:00:00", 2),  # exact-gap event merged
+    }, rows
