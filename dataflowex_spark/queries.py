@@ -18184,3 +18184,128 @@ def q353(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "session_start", F.col("n").cast("long").alias("n")
     ).orderBy("user_id", "session_start")
+
+
+@q(
+    "q354_l_diversity",
+    """
+    WITH g AS (
+      SELECT c_nationkey AS nation,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT nation, bal_bucket, n, l_distinct
+    FROM g WHERE l_distinct < 3
+    ORDER BY l_distinct, nation, bal_bucket
+    """,
+)
+def q354(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit (the k-anonymity complement, q206): a cohort
+    can be large enough to hide IN (k-anonymous) yet still leak —
+    when every member shares the same SENSITIVE value, knowing
+    someone is in the cohort reveals their attribute (the homogeneity
+    attack k-anonymity misses). Per quasi-identifier cohort (nation ×
+    coarse balance bucket), count DISTINCT sensitive values
+    (mktsegment) and flag cohorts below l=3. One hash aggregate with
+    partial combine; the distinct-count shuffles (cohort, segment)
+    pairs — bounded by the combo space times |segment domain|, never
+    the table. Integer bucket edges keep the cohort definition
+    engine-portable."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["customer"]
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.floor(F.col("c_acctbal") / 2000)
+            .cast("long")
+            .alias("bal_bucket"),
+            "c_mktsegment",
+        )
+        .groupBy("nation", "bal_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("c_mktsegment")
+            .cast("long")
+            .alias("l_distinct"),
+        )
+        .filter(F.col("l_distinct") < 3)
+        .orderBy("l_distinct", "nation", "bal_bucket")
+    )
+
+
+@q(
+    "q355_ansi_try_arithmetic",
+    """
+    WITH toks AS (
+      SELECT l_returnflag,
+             CASE WHEN l_linenumber % 3 = 0
+                  THEN CAST(l_orderkey AS VARCHAR) || 'x'
+                  WHEN l_linenumber % 5 = 0
+                  THEN repeat('9', 25)
+                  ELSE CAST(l_orderkey AS VARCHAR) END AS tok
+      FROM lineitem
+    ), parsed AS (
+      SELECT l_returnflag, TRY_CAST(tok AS BIGINT) AS v
+      FROM toks
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(v) AS BIGINT) AS n_parsed,
+           CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_rejected,
+           CAST(SUM(v % 100000) AS BIGINT) AS sum_mod,
+           CASE WHEN COUNT(v) = 0 THEN NULL
+                ELSE CAST(floor(SUM(v % 100000) / COUNT(v)) AS BIGINT)
+           END AS mean_mod
+    FROM parsed
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ANSI-mode safe-arithmetic surface: under ANSI SQL
+    semantics (the 4.x default) a malformed or overflowing CAST and
+    a division by zero THROW instead of silently corrupting — the
+    correct default for a warehouse, but ingest paths over dirty
+    data need the per-row escape hatch, which is the `try_` function
+    family: `try_cast` yields NULL for BOTH failure modes (malformed
+    '123x' and 25-digit bigint overflow — distinct code paths, same
+    contract) and `try_divide` yields NULL on a zero denominator.
+    The fixture manufactures both failure modes from lineitem keys;
+    the oracle states the same semantics with DuckDB's TRY_CAST and
+    a CASE-guarded division. The strict-cast-THROWS counterpart is
+    pinned in pytest — proving try_cast is load-bearing, not
+    decorative. All scan-local expressions + one hash agg."""
+    cat = Catalog(spark, sf_dir)
+    toks = cat["lineitem"].select(
+        "l_returnflag",
+        F.when(
+            F.col("l_linenumber") % 3 == 0,
+            F.concat(F.col("l_orderkey").cast("string"), F.lit("x")),
+        )
+        .when(F.col("l_linenumber") % 5 == 0, F.lit("9" * 25))
+        .otherwise(F.col("l_orderkey").cast("string"))
+        .alias("tok"),
+    )
+    parsed = toks.select(
+        "l_returnflag", F.col("tok").try_cast("bigint").alias("v")
+    )
+    return (
+        parsed.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.count("v").cast("long").alias("n_parsed"),
+            (F.count("*") - F.count("v")).cast("long").alias("n_rejected"),
+            F.sum(F.col("v") % 100000).cast("long").alias("sum_mod"),
+            F.floor(
+                F.try_divide(
+                    F.sum(F.col("v") % 100000), F.count("v")
+                )
+            )
+            .cast("long")
+            .alias("mean_mod"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -3348,3 +3348,36 @@ def test_hll_set_ops_identities(spark):
         assert abs(r["hll_union"] - r["exact_union"]) < (
             5 * 1.04 / 8
         ) * r["exact_union"]
+
+
+def test_ansi_strict_cast_throws_where_try_cast_nulls(spark):
+    """q355's load-bearing premise: under Spark 4's ANSI default a
+    strict CAST on a malformed or overflowing numeric string THROWS
+    (fail-fast warehouse semantics), and the `try_` family is the
+    per-row escape hatch — NULL for both failure modes, plus NULL on
+    try_divide-by-zero where plain division would raise."""
+    import pytest as _pytest
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    bad = spark.createDataFrame(
+        [("123x",), ("9" * 25,), ("42",)], "tok string"
+    )
+    with _pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+        bad.select(F.col("tok").cast("bigint").alias("v")).collect()
+    got = {
+        r["v"]
+        for r in bad.select(
+            F.col("tok").try_cast("bigint").alias("v")
+        ).collect()
+    }
+    assert got == {None, 42}
+    div = spark.createDataFrame([(10, 0), (10, 2)], "a long, b long")
+    with _pytest.raises(Exception):
+        div.select((F.col("a") / F.col("b")).alias("q")).collect()
+    safe = {
+        r["q"]
+        for r in div.select(
+            F.try_divide("a", "b").alias("q")
+        ).collect()
+    }
+    assert safe == {None, 5.0}
