@@ -18309,3 +18309,76 @@ def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# =====================================================================
+# round-6 continuation: storage-layout and sync surfaces (q356+)
+# =====================================================================
+
+
+@q(
+    "q356_bucketed_cojoin",
+    """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_buyers,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def q356(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-BUCKETED fact join — the at-rest pre-shuffle
+    (sources.write_bucketed_table): orders and customer land ONCE as
+    hash-bucketed, bucket-sorted catalog tables keyed on custkey
+    (same bucket count both sides), and the recurring join then
+    consumes the files AS-IS — Catalyst's SortMergeJoin sees
+    matching HashPartitioning from the scans and elides BOTH
+    exchanges AND both sorts (the zero-join-exchange property is
+    pinned in tests/test_operators.py on this exact layout). At
+    100 TB this converts the nightly fact-to-fact join from two
+    full-table shuffles per run into a file-local merge paid once at
+    write time — Hive-bucketing / Iceberg-bucket-transform
+    semantics. The only exchange left in this plan is the final
+    re-key to mktsegment for the report aggregate. Revenue is summed
+    in exact integer cents (each double rounds per-row identically
+    in both engines) so the result hashes stably."""
+    import tempfile
+    import uuid as _uuid
+
+    from dataflowex_spark.sources import write_bucketed_table
+
+    cat = Catalog(spark, sf_dir)
+    tag = _uuid.uuid4().hex[:10]
+    root = tempfile.mkdtemp(prefix="q356_buck_")
+    write_bucketed_table(
+        cat["orders"].select("o_custkey", "o_totalprice"),
+        f"q356_orders_{tag}",
+        f"{root}/orders",
+        ["o_custkey"],
+        n_buckets=16,
+    )
+    write_bucketed_table(
+        cat["customer"].select("c_custkey", "c_mktsegment"),
+        f"q356_cust_{tag}",
+        f"{root}/customer",
+        ["c_custkey"],
+        n_buckets=16,
+    )
+    o = spark.table(f"q356_orders_{tag}")
+    c = spark.table(f"q356_cust_{tag}")
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.countDistinct("c_custkey").cast("long").alias("n_buyers"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

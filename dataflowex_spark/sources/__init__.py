@@ -212,6 +212,37 @@ def write_zordered(
     parted.sortWithinPartitions("_zkey").drop("_zkey").write.mode(mode).parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed, bucket-sorted catalog table — the AT-REST
+    pre-shuffle. Every output file holds exactly one hash bucket of
+    ``bucket_cols`` rows, sorted by the same key, and the catalog
+    records that layout; a later equi-join or aggregation keyed on
+    the bucket columns then consumes the files AS-IS — Catalyst
+    plans a SortMergeJoin with NO Exchange under either co-bucketed
+    side (plan-asserted in tests/test_operators.py). At 100 TB this
+    turns a recurring fact-to-fact join from two full-table shuffles
+    per run into a file-local merge paid ONCE at write time — the
+    same contract as Hive bucketing / Iceberg bucket partition
+    transforms, and the general form of the LSH band index
+    (operators/dedup.py lsh_index_build). Both sides must use the
+    SAME ``n_buckets`` (Spark only elides the exchange on matching
+    bucket counts)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .option("path", path)
+        .saveAsTable(table)
+    )
+
+
 def compact(
     spark: SparkSession,
     path: str,
