@@ -18382,3 +18382,62 @@ def q356(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@q(
+    "q357_mtable_delete_vectors",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS spend_cents
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+      AND NOT (o_totalprice < 5000.0)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q357(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletes via DELETION VECTORS: orders land in an
+    MTable (8 range-partitioned files, per-file key stats), then two
+    ``delete_where`` commits — finished orders on every 5th key, then
+    a low-value sweep — record (file, row-position) sidecars instead
+    of rewriting ANY data file (the manifest's path list is asserted
+    unchanged here, in the query itself). The read path anti-joins
+    the broadcast DV positions; the oracle states the surviving rows
+    directly. At 100 TB this is the difference between a GDPR trickle
+    delete costing kilobytes of DV write and costing a copy-on-write
+    rewrite of every touched file; the maintenance half
+    (``apply_deletion_vectors``, ratio-gated) and the changefeed /
+    time-travel / vacuum semantics are pytest-pinned in
+    tests/test_etl.py::test_mtable_deletion_vectors."""
+    import tempfile
+
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    orders = cat["orders"].repartitionByRange(8, "o_orderkey")
+    root = tempfile.mkdtemp(prefix="mtable_q357_")
+    t = MTable.create(spark, root + "/t", orders, "o_orderkey")
+    paths_before = [e["path"] for e in t.manifest()["files"]]
+
+    t.delete_where("o_orderstatus = 'F' AND o_orderkey % 5 = 0")
+    t.delete_where("o_totalprice < 5000.0")
+
+    m = t.manifest()
+    surviving = [e["path"] for e in m["files"]]
+    # merge-on-read invariant: no data file was rewritten — every
+    # surviving path existed before the deletes (fully-deleted files
+    # may drop out; none may be ADDED)
+    assert set(surviving) <= set(paths_before), "DV delete rewrote files"
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("spend_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

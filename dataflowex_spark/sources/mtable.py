@@ -566,12 +566,60 @@ class MTable:
             r = r.schema(schema)
         return r.parquet(*paths)
 
+    def _read_entries(
+        self, entries: list[dict], version: int | None = None
+    ) -> DataFrame:
+        """DV-aware read of a set of manifest entries: files without a
+        deletion vector scan exactly as before; files WITH one scan
+        with the parquet reader's ``_metadata.file_path`` /
+        ``_metadata.row_index`` exposed and LEFT-ANTI join the
+        (broadcast) DV positions — merge-on-read, the Delta/Iceberg
+        "position delete" read path. Data files are immutable and
+        uuid-named, so a physical row index identifies a row forever
+        and a stale DV row (for a path no longer scanned) can never
+        match anything. The anti join is broadcast because a DV is
+        bounded by the deleted-row count of a handful of files —
+        tables whose DVs grow large should fold them with
+        :meth:`apply_deletion_vectors` (ratio-gated maintenance),
+        which is also what keeps this plan honest at 100 TB."""
+        plain = [e for e in entries if not e.get("dv")]
+        dved = [e for e in entries if e.get("dv")]
+        parts = []
+        if plain:
+            parts.append(
+                self._read_paths(sorted(e["path"] for e in plain), version)
+            )
+        if dved:
+            df = self._read_paths(
+                sorted(e["path"] for e in dved), version
+            )
+            cols = df.columns
+            df = df.select(
+                *cols,
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+            dv_files = sorted({e["dv"] for e in dved})
+            dv = self.spark.read.parquet(*dv_files).select(
+                F.col("file_path").alias("__fp"),
+                F.col("row_index").alias("__ri"),
+            )
+            parts.append(
+                df.join(F.broadcast(dv), ["__fp", "__ri"], "left_anti")
+                .select(*cols)
+            )
+        if not parts:
+            raise ValueError("mtable: no files to read")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read(self, version: int | None = None) -> DataFrame:
         m = self.manifest(version)
-        files = [e["path"] for e in m["files"]]
-        if not files:
+        if not m["files"]:
             raise ValueError(f"mtable v{m['version']} lists no files")
-        return self._read_paths(files, version)
+        return self._read_entries(m["files"], version)
 
     def add_column(self, name: str, dtype: str) -> int:
         """METADATA-ONLY schema evolution: commit a new version with
@@ -641,7 +689,11 @@ class MTable:
         )
         if not files:
             return self.read(version).filter(F.lit(False))
-        out = self._read_paths(sorted(files), version)
+        fset = set(files)
+        out = self._read_entries(
+            [e for e in self.manifest(version)["files"] if e["path"] in fset],
+            version,
+        )
         for c, rlo, rhi, _get in conds:
             if rlo is not None:
                 out = out.filter(F.col(c) >= F.lit(rlo))
@@ -1044,7 +1096,10 @@ class MTable:
         keep = [e for e in m["files"] if e["path"] not in affected_paths]
 
         if affected:
-            base = self._read_paths(sorted(affected_paths))
+            # DV-aware: a file carrying a deletion vector contributes
+            # only its LIVE rows to the merge base, so a rewrite never
+            # resurrects deleted rows (the rewritten file is dv-free)
+            base = self._read_entries(affected)
         else:
             base = self.read().limit(0)
         merged = cdc_merge(
@@ -1067,6 +1122,150 @@ class MTable:
             stream_batch=stream_batch,
         )
 
+    def _write_dv_file(self, dv: DataFrame) -> str:
+        """Persist a deletion-vector frame (``file_path`` string as
+        the parquet reader's ``_metadata.file_path`` spells it,
+        ``row_index`` long) as ONE immutable parquet file under
+        ``data/`` and return its path. DV files follow the exact
+        data-file protocol — uuid job dir, written once to the final
+        location, never edited — so commit atomicity and vacuum need
+        no new rules for them."""
+        job = os.path.join(self.root, "data", f"dvjob-{uuid.uuid4().hex}")
+        dv.select("file_path", "row_index").coalesce(1).write.parquet(job)
+        parts = [
+            os.path.join(job, fn)
+            for fn in os.listdir(job)
+            if fn.endswith(".parquet")
+        ]
+        assert len(parts) == 1, f"dv write produced {len(parts)} files"
+        return parts[0]
+
+    def delete_where(self, predicate: str) -> int | None:
+        """MERGE-ON-READ row deletion via DELETION VECTORS (the
+        Delta DV / Iceberg position-delete model): instead of
+        rewriting every file that holds a matching row (copy-on-write
+        — what :meth:`merge` with op='D' does, O(affected file
+        bytes)), record the matching rows' (file, physical row index)
+        positions in an immutable sidecar parquet and commit a new
+        manifest whose entries point at it. Cost is one column-pruned
+        predicate scan plus a DV write proportional to the DELETED
+        ROW COUNT — on a 100 TB table a GDPR-style trickle delete
+        touches kilobytes of DV instead of rewriting terabytes of
+        parquet. Readers anti-join the (broadcast) DV; the debt is
+        repaid by :meth:`apply_deletion_vectors` / :meth:`compact` /
+        :meth:`merge`, all of which rewrite dv-free files.
+
+        A file deleted against twice gets ONE merged DV (old
+        positions ∪ new matches — positions are physical, so they
+        never shift). Returns the new version, or None when the
+        predicate matches no live row (no commit — deletes are
+        idempotent)."""
+        m = self.manifest()
+        pred = F.expr(predicate)
+        # ONE distributed predicate scan over the whole live file list
+        # (column-pruned to the predicate's columns by Catalyst)
+        hits = (
+            self._read_paths(
+                sorted(e["path"] for e in m["files"]), m["version"]
+            )
+            .where(pred)
+            .select(
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").alias("row_index"),
+            )
+        )
+        # existing DV positions for files this manifest still lists
+        # (rows for long-rewritten paths are inert — drop them here so
+        # DV files don't accumulate dead weight across generations);
+        # path-form note: DV rows carry the reader's _metadata form
+        # ("file:/..."), manifests the local form — bridge via
+        # _local_path on the DRIVER over the (small) distinct DV paths
+        old_dv_files = sorted({e["dv"] for e in m["files"] if e.get("dv")})
+        old = None
+        if old_dv_files:
+            old_all = self.spark.read.parquet(*old_dv_files).select(
+                "file_path", "row_index"
+            )
+            live = {e["path"] for e in m["files"]}
+            keep_fps = [
+                r["file_path"]
+                for r in old_all.select("file_path").distinct().collect()
+                if _local_path(r["file_path"]) in live
+            ]
+            old = old_all.where(F.col("file_path").isin(keep_fps))
+            new_hits = hits.join(
+                F.broadcast(old), ["file_path", "row_index"], "left_anti"
+            )
+        else:
+            new_hits = hits
+        if new_hits.limit(1).count() == 0:
+            return None  # idempotent: nothing newly deleted
+        # new_hits is disjoint from old by construction (anti join),
+        # and a single scan yields unique positions — no distinct needed
+        matched = (
+            new_hits.unionByName(old) if old is not None else new_hits
+        )
+        counts = {
+            r["file_path"]: r["n"]
+            for r in matched.groupBy("file_path")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        by_local = {_local_path(k): v for k, v in counts.items()}
+        dv_path = self._write_dv_file(matched)
+        entries = []
+        for e in m["files"]:
+            n = by_local.get(e["path"], 0)
+            e2 = dict(e)
+            if n:
+                if n >= e["rows"]:
+                    # fully-deleted file: drop it from the manifest
+                    # entirely (its DV rows stay inert in the sidecar)
+                    continue
+                e2["dv"] = dv_path
+                e2["dv_rows"] = n
+            else:
+                e2.pop("dv", None)
+                e2.pop("dv_rows", None)
+            entries.append(e2)
+        if not entries:
+            raise ValueError(
+                "delete_where would delete every row; use overwrite() "
+                "with an empty frame if that is intended"
+            )
+        return self._commit(entries, m["key_col"], parent=m["version"])
+
+    def apply_deletion_vectors(self, min_ratio: float = 0.0) -> int | None:
+        """Fold deletion vectors back into the data: rewrite every
+        file whose deleted fraction is ≥ ``min_ratio`` WITHOUT its
+        deleted rows (one DV-aware read, range-repartitioned like any
+        rewrite) and commit a manifest where those entries are
+        dv-free; files below the ratio keep riding their DV. This is
+        the maintenance half of merge-on-read — the knob that bounds
+        both read-side anti-join size and broadcast cost. Returns the
+        new version, or None when no file qualifies."""
+        m = self.manifest()
+        todo = [
+            e
+            for e in m["files"]
+            if e.get("dv")
+            and e.get("dv_rows", 0) / e["rows"] >= min_ratio
+        ]
+        if not todo:
+            return None
+        keep = [e for e in m["files"] if e not in todo]
+        df = self._read_entries(todo)
+        new_entries = self._write_data_files(
+            df,
+            m["key_col"],
+            n_files=max(1, len(todo)),
+            stats_cols=m.get("stats_cols"),
+            bloom_cols=m.get("bloom_cols"),
+        )
+        return self._commit(
+            keep + new_entries, m["key_col"], parent=m["version"]
+        )
+
     def compact(
         self, target_rows: int = 1_000_000, min_files: int = 2
     ) -> int | None:
@@ -1087,12 +1286,17 @@ class MTable:
         import math
 
         m = self.manifest()
-        small = [e for e in m["files"] if e["rows"] < target_rows]
+        # live-row accounting: a file's deletion vector shrinks its
+        # effective size, so a heavily-deleted big file IS a small
+        # file for compaction purposes — and the rewrite folds the DV
+        # in (the new files are dv-free)
+        live = lambda e: e["rows"] - e.get("dv_rows", 0)  # noqa: E731
+        small = [e for e in m["files"] if live(e) < target_rows]
         if len(small) < min_files:
             return None
-        keep = [e for e in m["files"] if e["rows"] >= target_rows]
-        df = self._read_paths(sorted(e["path"] for e in small))
-        total = sum(e["rows"] for e in small)
+        keep = [e for e in m["files"] if live(e) >= target_rows]
+        df = self._read_entries(small)
+        total = sum(live(e) for e in small)
         n_files = max(1, math.ceil(total / target_rows))
         entries = self._write_data_files(
             df, m["key_col"], n_files=n_files,
@@ -1228,10 +1432,34 @@ class MTable:
         m_from = self.manifest(v_from)
         m_to = self.manifest(v_to)
         key = m_to["key_col"]
-        from_paths = {e["path"] for e in m_from["files"]}
-        to_paths = {e["path"] for e in m_to["files"]}
-        removed = sorted(from_paths - to_paths)
-        added = sorted(to_paths - from_paths)
+        # diff at ENTRY granularity, not path granularity: a
+        # deletion-vector commit keeps the data file's path but
+        # changes its (dv, dv_rows) — such a file is "rewritten" for
+        # CDC purposes (pre-image read under the FROM version's DV,
+        # post-image under the TO version's), which is what makes
+        # merge-on-read deletes visible in the changefeed
+        from_by_path = {e["path"]: e for e in m_from["files"]}
+        to_by_path = {e["path"]: e for e in m_to["files"]}
+
+        def _dv_state(e: dict):
+            return (e.get("dv"), e.get("dv_rows", 0))
+
+        removed = sorted(
+            (
+                p
+                for p, e in from_by_path.items()
+                if p not in to_by_path
+                or _dv_state(e) != _dv_state(to_by_path[p])
+            )
+        )
+        added = sorted(
+            (
+                p
+                for p, e in to_by_path.items()
+                if p not in from_by_path
+                or _dv_state(e) != _dv_state(from_by_path[p])
+            )
+        )
         base = self.read(m_to["version"]).limit(0)
         cols = base.columns
         val_cols = [c for c in cols if c != key]
@@ -1241,13 +1469,21 @@ class MTable:
             # v_to schema even for the pre-image: a column added
             # between the versions null-fills on the old side, so the
             # value compare sees null -> value as a real change
-            self._read_paths(removed, m_to["version"]) if removed else base
+            self._read_entries(
+                [from_by_path[p] for p in removed], m_to["version"]
+            )
+            if removed
+            else base
         ).select(
             F.col(key).alias("__k_old"),
             *[F.col(c).alias(f"__old_{c}") for c in val_cols],
         )
         new = (
-            self._read_paths(added, m_to["version"]) if added else base
+            self._read_entries(
+                [to_by_path[p] for p in added], m_to["version"]
+            )
+            if added
+            else base
         ).select(
             F.col(key).alias("__k_new"),
             *[F.col(c).alias(f"__new_{c}") for c in val_cols],
@@ -1340,15 +1576,24 @@ class MTable:
         keep_vs = vs[-keep_last:] if keep_last > 0 else []
         if self.current_version() not in keep_vs:
             raise ValueError("vacuum would drop the current version")
+        def _refs(v: int) -> set[str]:
+            # a manifest references its data files AND the deletion-
+            # vector sidecars its entries point at — both must survive
+            # while any kept manifest needs them
+            out: set[str] = set()
+            for e in self.manifest(v)["files"]:
+                out.add(e["path"])
+                if e.get("dv"):
+                    out.add(e["dv"])
+            return out
+
         referenced: set[str] = set()
         for v in keep_vs:
-            referenced.update(e["path"] for e in self.manifest(v)["files"])
+            referenced.update(_refs(v))
         dropped_refs: set[str] = set()
         for v in vs:
             if v not in keep_vs:
-                dropped_refs.update(
-                    e["path"] for e in self.manifest(v)["files"]
-                )
+                dropped_refs.update(_refs(v))
         deleted = []
         for p in sorted(dropped_refs - referenced):
             if os.path.exists(p):

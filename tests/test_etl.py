@@ -1795,3 +1795,126 @@ def test_dynamic_partition_pruning_fires_on_dim_filter(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_mtable_deletion_vectors(spark, tmp_path):
+    """Merge-on-read deletes: (1) delete_where commits a DELETION
+    VECTOR — every data file path carries forward unchanged (zero
+    rewrite), entries record (dv, dv_rows), reads anti-join the
+    positions; (2) a second delete MERGES positions into one new DV
+    per file; (3) re-deleting already-deleted rows is a no-op (None,
+    no commit); (4) time travel shows pre-delete rows; (5) the
+    changefeed reports DV-only commits as D rows (entry-level diff);
+    (6) a merge rewriting a DV'd file does NOT resurrect deleted rows
+    and the rewritten entries are dv-free; (7) apply_deletion_vectors
+    folds the debt: no dv entries remain, row set unchanged; (8) a
+    file whose every row is deleted drops out of the manifest;
+    (9) vacuum reclaims superseded DV sidecars but never a referenced
+    one."""
+    from dataflowex_spark.sources.mtable import MTable
+
+    base = (
+        spark.range(1000)
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        .repartitionByRange(8, "k")
+    )
+    t = MTable.create(spark, str(tmp_path / "t"), base, "k")
+    m1 = t.manifest()
+    paths1 = [e["path"] for e in m1["files"]]
+
+    # (1) DV delete: zero data files rewritten
+    v2 = t.delete_where("k % 10 = 3")
+    assert v2 == 2
+    m2 = t.manifest()
+    assert [e["path"] for e in m2["files"]] == paths1  # same files
+    assert sum(e.get("dv_rows", 0) for e in m2["files"]) == 100
+    assert all(e.get("dv") for e in m2["files"] if e.get("dv_rows"))
+    got = {r["k"] for r in t.read().collect()}
+    assert len(got) == 900 and 3 not in got and 993 not in got
+
+    # (4) time travel: v1 still has them
+    assert t.read(version=1).count() == 1000
+
+    # (2) second delete merges DVs (one DV file per commit)
+    v3 = t.delete_where("k % 10 = 4")
+    assert v3 == 3
+    m3 = t.manifest()
+    dv_files3 = {e["dv"] for e in m3["files"] if e.get("dv")}
+    assert len(dv_files3) == 1
+    assert sum(e.get("dv_rows", 0) for e in m3["files"]) == 200
+    got = {r["k"] for r in t.read().collect()}
+    assert len(got) == 800 and 4 not in got and 13 not in got
+
+    # (3) idempotence: all matching rows already dead -> no commit
+    assert t.delete_where("k % 10 = 3") is None
+    assert t.current_version() == 3
+
+    # read_where still applies the DV on pruned reads
+    sub = {r["k"] for r in t.read_where(lo=0, hi=99).collect()}
+    assert sub == {k for k in range(100) if k % 10 not in (3, 4)}
+
+    # (5) changefeed sees DV-only commits as deletes
+    ch = t.read_changes(1, 3).collect()
+    assert {r["op"] for r in ch} == {"D"}
+    assert {r["k"] for r in ch} == {
+        k for k in range(1000) if k % 10 in (3, 4)
+    }
+
+    # (6) merge on DV'd files does not resurrect deleted rows
+    changes = spark.createDataFrame(
+        [(5, 1, "U", 0, -50)], "k long, ts long, op string, tie long, v long"
+    )
+    v4 = t.merge(changes, "ts", "op", "tie", ["v"])
+    m4 = t.manifest(v4)
+    rewritten = [
+        e for e in m4["files"] if e["path"] not in set(paths1)
+    ]
+    assert rewritten and all(not e.get("dv") for e in rewritten)
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[5] == -50 and 3 not in got and 4 not in got
+    assert len(got) == 800
+
+    # (7) fold the remaining DVs back into data files
+    v5 = t.apply_deletion_vectors()
+    assert v5 == 5
+    m5 = t.manifest()
+    assert all(not e.get("dv") for e in m5["files"])
+    assert t.read().count() == 800
+    assert t.apply_deletion_vectors() is None  # nothing left to fold
+
+    # (8) fully-deleted file drops from the manifest (apply_deletion_
+    # vectors' rewrite may overlap key ranges with kept files, so the
+    # expected loss is computed from the live table, not the one file)
+    first = min(m5["files"], key=lambda e: e["min_key"])
+    n_cut = t.read().filter(f"k <= {first['max_key']}").count()
+    v6 = t.delete_where(f"k <= {first['max_key']}")
+    m6 = t.manifest(v6)
+    assert first["path"] not in [e["path"] for e in m6["files"]]
+    assert t.read().count() == 800 - n_cut
+
+    # (9) vacuum: superseded DV sidecars (v2/v3's) are reclaimed with
+    # their manifests; nothing the current version references is
+    import os as _os
+
+    deleted = t.vacuum(keep_last=1)
+    for e in t.manifest()["files"]:
+        assert _os.path.exists(e["path"])
+        if e.get("dv"):
+            assert _os.path.exists(e["dv"])
+    assert any("dvjob-" in p for p in deleted)  # old DVs reclaimed
+    assert t.read().count() == 800 - n_cut
+
+
+def test_mtable_delete_where_guards(spark, tmp_path):
+    """delete_where refuses to empty the table (overwrite() states
+    that intent); a no-match predicate is None without a commit."""
+    from dataflowex_spark.sources.mtable import MTable
+
+    base = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    t = MTable.create(spark, str(tmp_path / "t"), base, "k")
+    assert t.delete_where("k > 1000") is None
+    assert t.current_version() == 1
+    with pytest.raises(ValueError, match="every row"):
+        t.delete_where("k >= 0")
