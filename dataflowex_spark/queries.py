@@ -18441,3 +18441,63 @@ def q357(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@q(
+    "q358_statestore_inspect",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS value_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q358(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE STORE INTROSPECTION (Spark 4 ``statestore`` reader),
+    oracled: events replay as a real 4-chunk stream into a stateful
+    per-event-type aggregation; the result returned here is NOT the
+    sink's output — it is the state the query left behind, read back
+    from the CHECKPOINT as a batch DataFrame. Because a running
+    aggregation's state is exactly its partial aggregate, the state
+    content equals the batch GROUP BY the oracle states — which turns
+    an operational debugging surface (key skew in state, state-size
+    audits, "why is this key still held") into a fully oracled query.
+    The reader scans the checkpoint's committed snapshot/delta files
+    per state partition, independent of the (stopped or running)
+    stream; `state_metadata` (operator/batch inventory) is
+    pytest-pinned alongside in tests/test_streaming.py."""
+    import tempfile
+
+    from dataflowex_spark.session import configure
+    from dataflowex_spark.streaming.ops import (
+        file_replay_stream,
+        read_state,
+        run_with_state,
+    )
+
+    configure(spark)
+    stream = file_replay_stream(
+        spark, f"{sf_dir.rstrip('/')}/events.parquet", n_chunks=4
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "value_cents"
+        ),
+    )
+    ckpt = run_with_state(
+        agg, tempfile.mkdtemp(prefix="q358_ckpt_"), output_mode="update"
+    )
+    st = read_state(spark, ckpt)
+    # the state VALUE struct carries the physical aggregation-buffer
+    # field names (count/sum/...), not the query's aliases — select
+    # by position (key fields first, then buffer fields in declared
+    # aggregate order), which is the stable contract
+    k, c, s = st.columns
+    return st.select(
+        F.col(k).alias("event_type"),
+        F.col(c).cast("long").alias("n"),
+        F.col(s).cast("long").alias("value_cents"),
+    ).orderBy("event_type")

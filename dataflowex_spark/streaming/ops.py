@@ -949,3 +949,53 @@ def stream_hll_maintenance(
     )
     q.awaitTermination(120)
     return spark.read.parquet(state_path)
+
+
+def run_with_state(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+) -> str:
+    """Drain a stateful stream with availableNow against an EXPLICIT
+    checkpoint and return that checkpoint path — the handle the
+    Spark 4 ``statestore`` batch reader needs. Unlike
+    :func:`run_to_memory` (anonymous checkpoint, result-focused),
+    this runner exists for OPERATIONAL introspection: what is the
+    stream holding in state right now?"""
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return checkpoint_dir
+
+
+def read_state(
+    spark: SparkSession, checkpoint_dir: str, flatten: bool = True
+) -> DataFrame:
+    """Read a streaming query's STATE STORE as a batch DataFrame
+    (Spark 4 ``spark.read.format("statestore")``) — the debugging /
+    auditing surface for stateful pipelines: key-skew analysis,
+    state-size accounting, "why is this session still open", all
+    WITHOUT touching the running query (the reader scans the
+    checkpoint's committed snapshot + delta files; at 1000 executors
+    each state partition reads independently). ``flatten`` splays the
+    ``key``/``value`` structs into top-level columns and drops the
+    physical ``partition_id``."""
+    df = spark.read.format("statestore").load(checkpoint_dir)
+    if not flatten:
+        return df
+    return df.select("key.*", "value.*")
+
+
+def state_metadata(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """The checkpoint's operator/state-store metadata (Spark 4
+    ``state-metadata`` source): operator names, store names,
+    partition counts, min/max committed batch — the fleet-wide
+    monitoring complement to :func:`read_state`."""
+    return spark.read.format("state-metadata").load(checkpoint_dir)

@@ -1107,3 +1107,44 @@ def test_session_window_merges_sessions_across_batches(spark, tmp_path):
         (1, "2020-01-01 00:00:00", 3),  # welded across batches
         (2, "2020-01-01 00:00:00", 2),  # exact-gap event merged
     }, rows
+
+
+def test_statestore_reader_and_metadata(spark, tmp_path):
+    """The Spark 4 statestore reader surfaces a stateful query's
+    checkpoint as a batch frame whose content EQUALS the batch
+    aggregate (a running agg's state is its partial buffer); the
+    state-metadata source inventories the operator and its committed
+    batch range."""
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.streaming.ops import (
+        read_state,
+        run_with_state,
+        state_metadata,
+    )
+
+    src = tmp_path / "src"
+    df = spark.range(200).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    )
+    df.coalesce(2).write.json(str(src))
+    stream = spark.readStream.schema("k long, v long").json(str(src))
+    agg = stream.groupBy("k").agg(F.sum("v").alias("s"))
+    ckpt = run_with_state(agg, str(tmp_path / "ckpt"))
+
+    st = read_state(spark, ckpt)
+    kc, sc = st.columns
+    got = {r[kc]: r[sc] for r in st.collect()}
+    want = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    assert got == want
+
+    raw = read_state(spark, ckpt, flatten=False)
+    assert set(raw.columns) == {"key", "value", "partition_id"}
+
+    md = state_metadata(spark, ckpt).collect()
+    assert len(md) == 1
+    assert md[0]["operatorName"] == "stateStoreSave"
+    assert md[0]["minBatchId"] == 0 and md[0]["maxBatchId"] >= 0
