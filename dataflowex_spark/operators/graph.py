@@ -444,3 +444,59 @@ def bfs_levels(
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    steps: int,
+    seed: str = "w",
+) -> DataFrame:
+    """DETERMINISTIC random walks for graph-embedding sampling (the
+    node2vec/DeepWalk data-prep primitive): from each start node,
+    advance ``steps`` hops, choosing at each hop the out-neighbor
+    that MINIMIZES ``md5(seed#walk#step#dst)`` — a hash-rank draw
+    that is uniform-ish over neighbors yet bit-reproducible across
+    engines and runs (no RNG state, no driver loop dependence on
+    partitioning). Walks that reach a node with no out-edge simply
+    terminate (inner join drops them).
+
+    ``starts`` must have a ``node`` column; returns (walk, step,
+    node) with step 0 = the start itself.
+
+    Scale shape: the walk state is one row per LIVE walk — tiny next
+    to the edge table — so every hop is a BROADCAST join of state
+    against edges plus one min_by hash-agg keyed by walk; the edge
+    table never shuffles, and ``steps`` is a constant. At 100 TB of
+    edges this is `steps` broadcast probes, not `steps` shuffles.
+    """
+    state = starts.select(
+        F.col("node").alias("walk"), F.col("node").alias("cur")
+    )
+    out = state.select(
+        "walk", F.lit(0).cast("long").alias("step"),
+        F.col("cur").alias("node"),
+    )
+    for i in range(1, steps + 1):
+        key = F.md5(
+            F.concat_ws(
+                "#",
+                F.lit(seed),
+                F.col("walk").cast("string"),
+                F.lit(str(i)),
+                F.col("dst").cast("string"),
+            )
+        )
+        state = (
+            F.broadcast(state)
+            .join(edges, F.col("cur") == F.col("src"))
+            .groupBy("walk")
+            .agg(F.min_by("dst", key).alias("cur"))
+        )
+        out = out.unionByName(
+            state.select(
+                "walk", F.lit(i).cast("long").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    return out

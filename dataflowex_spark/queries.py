@@ -18501,3 +18501,85 @@ def q358(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(c).cast("long").alias("n"),
         F.col(s).cast("long").alias("value_cents"),
     ).orderBy("event_type")
+
+
+@q(
+    "q359_random_walks",
+    """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_orderkey % 10 = 0 AND a.l_partkey <> b.l_partkey
+    ),
+    starts AS (
+      SELECT src AS walk, src AS cur
+      FROM (SELECT DISTINCT src FROM edges ORDER BY src LIMIT 4)
+    ),
+    s1 AS (
+      SELECT walk, arg_min(dst, md5('w#' || CAST(walk AS VARCHAR)
+               || '#1#' || CAST(dst AS VARCHAR))) AS cur
+      FROM starts JOIN edges ON cur = src GROUP BY walk
+    ),
+    s2 AS (
+      SELECT walk, arg_min(dst, md5('w#' || CAST(walk AS VARCHAR)
+               || '#2#' || CAST(dst AS VARCHAR))) AS cur
+      FROM s1 JOIN edges ON cur = src GROUP BY walk
+    ),
+    s3 AS (
+      SELECT walk, arg_min(dst, md5('w#' || CAST(walk AS VARCHAR)
+               || '#3#' || CAST(dst AS VARCHAR))) AS cur
+      FROM s2 JOIN edges ON cur = src GROUP BY walk
+    ),
+    s4 AS (
+      SELECT walk, arg_min(dst, md5('w#' || CAST(walk AS VARCHAR)
+               || '#4#' || CAST(dst AS VARCHAR))) AS cur
+      FROM s3 JOIN edges ON cur = src GROUP BY walk
+    )
+    SELECT walk, step, node FROM (
+      SELECT walk, 0 AS step, cur AS node FROM starts
+      UNION ALL SELECT walk, 1, cur FROM s1
+      UNION ALL SELECT walk, 2, cur FROM s2
+      UNION ALL SELECT walk, 3, cur FROM s3
+      UNION ALL SELECT walk, 4, cur FROM s4
+    ) ORDER BY walk, step
+    """,
+)
+def q359(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RANDOM WALKS over the co-purchase graph — the
+    graph-ML sampling primitive (node2vec/DeepWalk corpora): 4 walks
+    of 4 hops, next hop = the out-neighbor minimizing a portable
+    md5 hash-rank (uniform-ish, bit-reproducible, RNG-free — the
+    q155/q126 selection discipline applied to graph traversal). The
+    oracle unrolls the same four hops as arg_min CTEs over the same
+    hash, so every visited node matches exactly.
+
+    Plan shape: the walk STATE (≤4 rows) broadcast-joins the edge
+    frame each hop, then one min_by hash-agg per hop keyed by walk —
+    edges never shuffle, hops are constant-count; at 100 TB this is
+    4 broadcast probes of the edge table, embarrassingly scalable in
+    walk count (state stays rows == walks)."""
+    from dataflowex_spark.operators.graph import random_walks
+
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    starts = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(4)
+    )
+    return random_walks(edges, starts, steps=4, seed="w").orderBy(
+        "walk", "step"
+    )

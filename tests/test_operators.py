@@ -3429,3 +3429,44 @@ def test_bucketed_cojoin_elides_join_exchanges(spark, tmp_path):
     assert sorted(map(tuple, joined.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_random_walks_deterministic_and_deadend(spark):
+    """random_walks: (a) hash-rank neighbor choice is reproducible
+    run-to-run; (b) a dead-end node terminates its walk (no rows past
+    the final step); (c) every emitted hop follows a real edge; (d) a
+    single-out-neighbor chain is followed exactly."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.operators.graph import random_walks
+
+    # chain 1->2->3 (forced path), fan 10->{11,12,13}, dead end at 3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (10, 13)], "src long, dst long"
+    )
+    starts = spark.createDataFrame([(1,), (10,)], "node long")
+    out = random_walks(edges, starts, steps=3, seed="w")
+    rows = {(r["walk"], r["step"]): r["node"] for r in out.collect()}
+
+    # (d) forced chain followed; (b) terminates at the dead end
+    assert rows[(1, 0)] == 1 and rows[(1, 1)] == 2 and rows[(1, 2)] == 3
+    assert (1, 3) not in rows
+
+    # (a)+(c): the fan choice equals the md5 argmin computed directly
+    def pick(walk, step, cands):
+        key = lambda d: hashlib.md5(  # noqa: E731
+            f"w#{walk}#{step}#{d}".encode()
+        ).hexdigest()
+        return min(cands, key=key)
+
+    first = pick(10, 1, [11, 12, 13])
+    assert rows[(10, 1)] == first
+    assert (10, 2) not in rows  # 11/12/13 have no out-edges
+
+    again = {
+        (r["walk"], r["step"]): r["node"]
+        for r in random_walks(edges, starts, steps=3, seed="w").collect()
+    }
+    assert again == rows
