@@ -18583,3 +18583,170 @@ def q359(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(edges, starts, steps=4, seed="w").orderBy(
         "walk", "step"
     )
+
+
+@q(
+    "q360_xml_ingest",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 97 <> 0) AS BIGINT)
+             AS n_ok,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 97 = 0) AS BIGINT)
+             AS n_bad,
+           COALESCE(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             FILTER (WHERE o_orderkey % 97 <> 0), 0) AS spend_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (Spark 4 ``from_xml``/``to_xml``) with
+    malformed-record accounting: orders serialize to per-row XML
+    scan-locally (cents as BIGINT — floats never transit a decimal
+    string), every 97th record is corrupted in flight, and the parse
+    side recovers the typed columns with PERMISSIVE null-fill for the
+    broken ones — the classify-don't-crash contract feed ingestion
+    needs. The oracle states the per-priority ok/bad/spend accounting
+    directly (the XML roundtrip is identity on the surviving rows).
+    Both directions are JVM expressions inside the scan stage — no
+    UDF, no shuffle before the final aggregate."""
+    cat = Catalog(spark, sf_dir)
+    xml = cat["orders"].select(
+        F.col("o_orderkey").alias("key_for_corrupt"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("<broken"))
+        .otherwise(
+            F.to_xml(
+                F.struct(
+                    "o_orderkey",
+                    F.round(F.col("o_totalprice") * 100, 0)
+                    .cast("long")
+                    .alias("cents"),
+                    "o_orderpriority",
+                )
+            )
+        )
+        .alias("payload"),
+    )
+    parsed = xml.select(
+        "key_for_corrupt",
+        F.from_xml(
+            "payload",
+            "o_orderkey BIGINT, cents BIGINT, o_orderpriority STRING",
+        ).alias("r"),
+    )
+    # PERMISSIVE parse: corrupted payloads come back as all-null
+    # structs; recover their priority for the report via the original
+    # key (a real feed would route them to a dead-letter table, A5)
+    ok = parsed.filter(F.col("r.o_orderkey").isNotNull())
+    bad = parsed.filter(F.col("r.o_orderkey").isNull()).join(
+        cat["orders"].select("o_orderkey", "o_orderpriority"),
+        F.col("key_for_corrupt") == F.col("o_orderkey"),
+    )
+    return (
+        ok.select(
+            F.col("r.o_orderpriority").alias("o_orderpriority"),
+            F.lit(1).alias("is_ok"),
+            F.col("r.cents").alias("cents"),
+        )
+        .unionByName(
+            bad.select(
+                "o_orderpriority",
+                F.lit(0).alias("is_ok"),
+                F.lit(None).cast("long").alias("cents"),
+            )
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("is_ok").cast("long").alias("n_ok"),
+            F.sum(1 - F.col("is_ok")).cast("long").alias("n_bad"),
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("long")
+            .alias("spend_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "q361_cogroup_asof_pandas",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+      SELECT user_id, ts, MAX(value) AS v
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT c.event_id, c.user_id, c.ts AS click_ts,
+             (SELECT MAX(v.ts) FROM views v
+              WHERE v.user_id = c.user_id AND v.ts <= c.ts) AS view_ts
+      FROM clicks c
+    )
+    SELECT m.event_id, m.user_id, m.click_ts, m.view_ts,
+           v.v AS view_value
+    FROM m LEFT JOIN views v
+      ON v.user_id = m.user_id AND v.ts = m.view_ts
+    ORDER BY m.event_id
+    """,
+)
+def q361(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED applyInPandas — the two-sided per-key pandas escape
+    hatch (`groupBy.cogroup`), exercised on the canonical task it was
+    built for: per-user AS-OF alignment of two event feeds via
+    ``pandas.merge_asof`` (each click annotated with the latest
+    preceding view). Views pre-aggregate to one row per (user, ts) so
+    the backward-asof pick is deterministic; the oracle states the
+    same alignment with a correlated MAX subquery + equi-join back.
+
+    Scale shape: ONE co-partitioning shuffle on user_id feeds both
+    sides of every pandas task (Arrow-batched, sorted in-task —
+    per-user frames are bounded); contrast with q25/q136, where the
+    same semantics stay fully in SQL — this entry is the declared-
+    pandas variant proving the cogroup plumbing, not the preferred
+    plan for asof at 100 TB (that is the union-interleave window)."""
+    import pandas as pd
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+    )
+
+    def align(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts")
+        right = right.sort_values("ts")
+        if left.empty:
+            return pd.DataFrame(
+                columns=[
+                    "event_id", "user_id", "click_ts", "view_ts",
+                    "view_value",
+                ]
+            )
+        merged = pd.merge_asof(
+            left.rename(columns={"ts": "click_ts"}),
+            right.rename(columns={"ts": "view_ts", "v": "view_value"}),
+            left_on="click_ts",
+            right_on="view_ts",
+            direction="backward",
+        )
+        return merged[
+            ["event_id", "user_id", "click_ts", "view_ts", "view_value"]
+        ]
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            lambda l, r: align(l, r.drop(columns=["user_id"])),
+            "event_id long, user_id long, click_ts timestamp_ntz, "
+            "view_ts timestamp_ntz, view_value double",
+        )
+        .orderBy("event_id")
+    )
