@@ -258,3 +258,124 @@ def ams_f2_estimate(estimators: DataFrame, s: int = 16) -> DataFrame:
         .cast("long")
         .alias("ams_est")
     )
+
+
+# -- t-digest -----------------------------------------------------------
+
+
+def _k1(q: float, delta: int) -> float:
+    """t-digest k1 scale function (Dunning & Ertl): compresses the
+    middle of the distribution, keeps the tails at near-unit centroid
+    weight — the property that makes p99/p999 reads accurate."""
+    import math
+
+    q = min(1.0, max(0.0, q))
+    return delta / (2.0 * math.pi) * math.asin(2.0 * q - 1.0)
+
+
+def tdigest_compress(means, weights, total: float, delta: int = 200):
+    """One deterministic compression pass over centroids SORTED BY
+    MEAN: greedily merge a run of adjacent centroids while the k1
+    span of the merged run stays ≤ 1 (`k(q_hi) − k(q_lo) ≤ 1`), which
+    enforces the t-digest weight invariant by construction — max
+    centroid weight at quantile q is O(total · q(1−q)/delta). Given
+    the same sorted input the output is bit-identical (no RNG, no
+    order dependence) — the determinism the repo's oracle discipline
+    requires. Returns (means, weights) numpy arrays."""
+    import numpy as np
+
+    out_m, out_w = [], []
+    acc = 0.0  # weight consumed before the current run
+    run_w = 0.0
+    run_sum = 0.0
+    k_lo = _k1(0.0, delta)
+    for m, w in zip(means, weights):
+        if run_w > 0.0 and _k1((acc + run_w + w) / total, delta) - k_lo > 1.0:
+            out_m.append(run_sum / run_w)
+            out_w.append(run_w)
+            acc += run_w
+            run_w, run_sum = 0.0, 0.0
+            k_lo = _k1(acc / total, delta)
+        run_w += w
+        run_sum += m * w
+    if run_w > 0.0:
+        out_m.append(run_sum / run_w)
+        out_w.append(run_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def tdigest_build(df: DataFrame, value_col: str, delta: int = 200,
+                  n_parts: int = 32):
+    """Distributed deterministic t-digest: values bucket by an
+    EXPLICIT value-range rule (floor over the min/max span — not
+    ``repartitionByRange``, whose sampled split points vary run to
+    run and would break bit-determinism), each partition compresses
+    its sorted values to ≤O(delta) centroids per bucket in one pandas
+    pass over the WHOLE partition (Arrow batch boundaries must not
+    influence centroid formation), then one merge-compress over the
+    mean-sorted collected centroids. The collect is bounded at
+    n_parts × O(delta) rows (a few KB — the whole point of a sketch);
+    at 1000 executors the same two-level shape holds, only n_parts
+    grows. Returns (means, weights, total_n)."""
+    import pandas as pd
+
+    src = df.select(F.col(value_col).cast("double").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    stats = src.agg(
+        F.count("*").alias("n"), F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    ).first()
+    total, mn, mx = stats["n"], stats["mn"], stats["mx"]
+    if total == 0:
+        import numpy as np
+
+        return np.zeros(0), np.zeros(0), 0
+    span = (mx - mn) or 1.0
+
+    def part_digest(it):
+        import numpy as np
+
+        chunks = [pdf["v"].to_numpy(float) for pdf in it]
+        if not chunks:
+            return
+        v = np.sort(np.concatenate(chunks))
+        m, w = tdigest_compress(v, np.ones(len(v)), float(len(v)), delta)
+        yield pd.DataFrame({"mean": m, "weight": w})
+
+    bucket = F.least(
+        F.lit(n_parts - 1),
+        F.floor((F.col("v") - F.lit(mn)) / F.lit(span) * n_parts),
+    ).cast("int")
+    cent = (
+        src.withColumn("__b", bucket)
+        .repartition(n_parts, "__b")
+        .drop("__b")
+        .mapInPandas(part_digest, "mean double, weight double")
+        .collect()
+    )
+    rows = sorted((r["mean"], r["weight"]) for r in cent)
+    import numpy as np
+
+    means = np.asarray([m for m, _ in rows])
+    weights = np.asarray([w for _, w in rows])
+    m, w = tdigest_compress(means, weights, float(total), delta)
+    return m, w, total
+
+
+def tdigest_quantile(means, weights, total: float, q: float) -> float:
+    """Standard t-digest quantile read: walk centroid midpoints and
+    linearly interpolate between neighbors around rank q·total."""
+    target = q * total
+    cum = 0.0
+    prev_mid, prev_mean = 0.0, means[0]
+    for m, w in zip(means, weights):
+        mid = cum + w / 2.0
+        if target < mid:
+            if mid == prev_mid:
+                return float(m)
+            frac = (target - prev_mid) / (mid - prev_mid)
+            return float(prev_mean + frac * (m - prev_mean))
+        prev_mid, prev_mean = mid, m
+        cum += w
+    return float(means[-1])

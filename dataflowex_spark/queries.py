@@ -18750,3 +18750,63 @@ def q361(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@q(
+    "q362_tdigest_quantiles",
+    """
+    SELECT q, TRUE AS rank_err_ok, TRUE AS centroids_bounded
+    FROM (SELECT UNNEST([50, 90, 99]) AS q) ORDER BY q
+    """,
+)
+def q362(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed T-DIGEST (Dunning & Ertl) — the
+    mergeable QUANTILE sketch completing the sketch family (CMS q314,
+    HLL q315/q335, AMS q316, KMV q248, HDR octaves q334): range-
+    partitioned per-slice compression (Arrow pandas pass, ≤O(δ)
+    centroids each) then one merge-compress over the mean-sorted
+    centroid stream — bit-deterministic because the k1 weight
+    invariant is enforced by construction on a globally ordered
+    stream, never by merge arrival order. The audit is the oracled
+    contract (q335 regime style): for p50/p90/p99, the EXACT rank of
+    the sketch's estimate (one distributed `value ≤ est` count) must
+    sit within the k1 bound 8·n·q(1−q)/δ + 4 of the target rank, and
+    the digest must hold ≤2δ centroids. A violated bound flips a
+    boolean and fails the hash — accuracy is what's being graded, not
+    echoed estimates."""
+    from dataflowex_spark.operators.sketches import (
+        tdigest_build,
+        tdigest_quantile,
+    )
+
+    delta = 200
+    cat = Catalog(spark, sf_dir)
+    vals = cat["events"].where(F.col("value").isNotNull()).select("value")
+    means, weights, n = tdigest_build(vals, "value", delta=delta)
+
+    qs = [50, 90, 99]
+    ests = {q: tdigest_quantile(means, weights, n, q / 100.0) for q in qs}
+    probe = spark.createDataFrame(
+        [(q, float(e)) for q, e in ests.items()], "q int, est double"
+    )
+    ranks = (
+        F.broadcast(probe)
+        .join(vals)
+        .groupBy("q", "est")
+        .agg(
+            F.sum((F.col("value") <= F.col("est")).cast("long")).alias(
+                "rank_est"
+            )
+        )
+    )
+    bounded = len(means) <= 2 * delta
+    return ranks.select(
+        "q",
+        (
+            F.abs(F.col("rank_est") - F.col("q") / 100.0 * F.lit(float(n)))
+            <= 8.0 * n * (F.col("q") / 100.0) * (1 - F.col("q") / 100.0)
+            / delta
+            + 4.0
+        ).alias("rank_err_ok"),
+        F.lit(bounded).alias("centroids_bounded"),
+    ).orderBy("q")

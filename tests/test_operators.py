@@ -3470,3 +3470,45 @@ def test_random_walks_deterministic_and_deadend(spark):
         for r in random_walks(edges, starts, steps=3, seed="w").collect()
     }
     assert again == rows
+
+
+def test_tdigest_deterministic_bounded_accurate(spark):
+    """t-digest: (a) two builds over the same data produce identical
+    centroids (bit-determinism); (b) the k1 weight invariant holds
+    (every centroid's k-span ≤ 1, so max weight obeys the q(1−q)
+    bound); (c) quantile reads on uniform 0..9999 land within the
+    documented rank bound; (d) compression keeps ≤2δ centroids."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.operators.sketches import (
+        _k1,
+        tdigest_build,
+        tdigest_quantile,
+    )
+
+    delta = 100
+    df = spark.range(10000).select(
+        (F.col("id").cast("double")).alias("value")
+    )
+    m1, w1, n1 = tdigest_build(df, "value", delta=delta, n_parts=8)
+    m2, w2, n2 = tdigest_build(df, "value", delta=delta, n_parts=8)
+    assert n1 == n2 == 10000
+    assert np.array_equal(m1, m2) and np.array_equal(w1, w2)  # (a)
+
+    assert len(m1) <= 2 * delta  # (d)
+    assert w1.sum() == 10000.0
+
+    # (b) k1 span per centroid ≤ 1 (small fp slack)
+    cum = 0.0
+    for w in w1:
+        assert _k1((cum + w) / 10000.0, delta) - _k1(
+            cum / 10000.0, delta
+        ) <= 1.0 + 1e-9
+        cum += w
+
+    # (c) uniform data: value at quantile q is ~q*9999
+    for q in (0.01, 0.5, 0.9, 0.99):
+        est = tdigest_quantile(m1, w1, 10000, q)
+        bound = 8 * 10000 * q * (1 - q) / delta + 4
+        assert abs(est - q * 9999) <= bound, (q, est, bound)
