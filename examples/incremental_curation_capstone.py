@@ -224,6 +224,38 @@ def run_incremental_curation(
         "n_sequences": util["n_seqs"],
         "avg_fill": util["avg_fill"],
     }
+
+    # ------------------------------------------------------------------
+    # 6. takedown: a GDPR/opt-out list lands as a MERGE-ON-READ delete
+    #    — deletion vectors record row positions, ZERO data files are
+    #    rewritten (the report pins it), and the changefeed carries
+    #    the D rows so downstream consumers (the LSH index, feature
+    #    stores) can retract. Maintenance folds heavy DVs only.
+    # ------------------------------------------------------------------
+    with stage("takedown_dv"):
+        paths_before = {e["path"] for e in table.manifest()["files"]}
+        v2 = table.delete_where("doc_id % 97 = 11")
+        m2 = table.manifest()
+        retracted = (
+            table.read_changes(v1, v2)
+            .filter(F.col("op") == "D")
+            .count()
+            if v2
+            else 0
+        )
+        folded = table.apply_deletion_vectors(min_ratio=0.3)
+    report["takedown"] = {
+        "dv_version": v2,
+        "rows_deleted": sum(
+            e.get("dv_rows", 0) for e in m2["files"]
+        ),
+        "files_rewritten_by_delete": len(
+            {e["path"] for e in m2["files"]} - paths_before
+        ),
+        "changefeed_retractions": retracted,
+        "dv_fold_version": folded,
+    }
+    assert report["takedown"]["files_rewritten_by_delete"] == 0
     report["total_wall_s"] = round(
         sum(s["wall_s"] for s in report["stages"].values()), 2
     )

@@ -103,7 +103,15 @@ def test_incremental_curation_capstone(spark, tmp_path):
     assert set(r["stages"]) == {
         "build_mtable", "build_lsh_index", "cdc_merge",
         "changefeed", "lsh_probe_admit", "mixture_pack",
+        "takedown_dv",
     }
+    # the takedown stage is merge-on-read: rows retracted via
+    # deletion vectors with ZERO data files rewritten, and the
+    # changefeed reports every retraction as a D row
+    td = r["takedown"]
+    assert td["rows_deleted"] > 0
+    assert td["files_rewritten_by_delete"] == 0
+    assert td["changefeed_retractions"] == td["rows_deleted"]
 
 
 def test_corpus_health_report(spark):
