@@ -18713,15 +18713,20 @@ def q361(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
+    # the view side renames its timestamp BEFORE the cogroup: both
+    # sides descend from the same events scan, and cogrouped
+    # applyInPandas dedups same-origin attributes across sides — a
+    # shared 'ts' silently vanishes from the right frame (the
+    # self-join ambiguity, cogroup-shaped)
     views = (
         ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
+        .groupBy("user_id", F.col("ts").alias("vts"))
         .agg(F.max("value").alias("v"))
     )
 
     def align(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         left = left.sort_values("ts")
-        right = right.sort_values("ts")
+        right = right.rename(columns={"vts": "ts"}).sort_values("ts")
         if left.empty:
             return pd.DataFrame(
                 columns=[
