@@ -86,6 +86,10 @@ HEADLINE = [
     # the grid-blocked spatial radius join
     "q315_hll_portable",
     "q317_spatial_radius_join",
+    # round-6b additions: merge-on-read deletion vectors and the
+    # deterministic t-digest quantile sketch
+    "q357_mtable_delete_vectors",
+    "q362_tdigest_quantiles",
 ]
 
 

@@ -18573,6 +18573,10 @@ def q359(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("dst"),
         )
         .distinct()
+        # materialize ONCE: every hop probes this frame; without the
+        # cut each hop re-runs the distinct self-join (hops × that
+        # shuffle at 100 TB). Same discipline as q131's lineage cuts.
+        .localCheckpoint(eager=True)
     )
     starts = (
         edges.select(F.col("src").alias("node"))
