@@ -18819,3 +18819,135 @@ def q362(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rank_err_ok"),
         F.lit(bounded).alias("centroids_bounded"),
     ).orderBy("q")
+
+
+@q(
+    "q363_stream_full_outer",
+    """
+    WITH c AS (
+      SELECT event_id AS click_id, user_id AS cu, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    e AS (
+      SELECT event_id AS err_id, user_id AS eu, ts AS ets
+      FROM events WHERE event_type = 'error'
+    ),
+    j AS (
+      SELECT * FROM c FULL OUTER JOIN e
+        ON cu = eu
+       AND ets >= cts - INTERVAL 10 MINUTE
+       AND ets <= cts + INTERVAL 10 MINUTE
+    )
+    SELECT COALESCE(cu, eu) % 16 AS user_bucket,
+           CAST(COUNT(*) FILTER (WHERE click_id IS NOT NULL
+                                   AND err_id IS NOT NULL) AS BIGINT)
+             AS n_pairs,
+           CAST(COUNT(*) FILTER (WHERE err_id IS NULL) AS BIGINT)
+             AS n_click_only,
+           CAST(COUNT(*) FILTER (WHERE click_id IS NULL) AS BIGINT)
+             AS n_err_only
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE stream-stream FULL OUTER interval join, ORACLED against
+    the batch full outer: clicks and errors replay as two REAL
+    event-time-ordered streams; matched pairs emit on arrival, and a
+    row with no ±10-minute partner emits NULL-PADDED only when the
+    watermark passes its eviction bound — the state-store behavior no
+    batch plan exercises (q119 covers inner/left; this completes the
+    outer family). Determinism comes from the staging idiom the op
+    documents: event-time-ordered chunks + two far-future sentinel
+    heartbeats, the first advancing the watermark past all data, the
+    second triggering the eviction batch that flushes the tail — so
+    the drained stream equals the oracle's batch FULL OUTER exactly.
+    In production the same query runs continuously and unmatched rows
+    simply trail by the lateness bound."""
+    import tempfile
+
+    from dataflowex_spark.session import configure
+    from dataflowex_spark.streaming.ops import (
+        full_outer_interval_join_stream,
+        ordered_event_replay,
+        run_to_memory,
+    )
+
+    configure(spark)
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    far = ev.agg(
+        (F.max("ts") + F.expr("interval 2 days")).alias("t1")
+    ).first()["t1"]
+    root = tempfile.mkdtemp(prefix="q363_")
+
+    def side(etype, idc, tsc):
+        base = ev.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(idc),
+            "user_id",
+            # watermarks require TIMESTAMP (ltz); session tz is UTC so
+            # the ntz→ltz cast is value-preserving
+            F.col("ts").cast("timestamp").alias(tsc),
+        )
+        sent = spark.createDataFrame(
+            [(-1, -1), (-2, -1)], f"{idc} long, user_id long"
+        ).select(
+            idc, "user_id",
+            F.lit(far).alias(tsc),
+        )
+        # sentinel 2 is one tick later so it stages as its own file
+        sent = sent.withColumn(
+            tsc,
+            F.when(F.col(idc) == -2,
+                   F.col(tsc) + F.expr("interval 1 minute"))
+            .otherwise(F.col(tsc)),
+        )
+        return ordered_event_replay(
+            spark, base, tsc, 2, f"{root}/{etype}", sentinel_rows=sent
+        )
+
+    ls = side("click", "click_id", "cts")
+    rs = side("error", "err_id", "ets")
+    joined = full_outer_interval_join_stream(
+        ls, rs, "user_id", "cts", "ets",
+        tolerance="10 minutes", lateness="10 minutes",
+    )
+    # a stream-stream join instantiates FOUR state stores per shuffle
+    # partition per micro-batch; at replay-harness data volumes the
+    # per-store fixed cost dominates, so the drain runs at 8
+    # partitions (production sizes this to key cardinality, not to
+    # the session default) — restored right after
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out, _ = run_to_memory(
+            joined.select(
+                "click_id", "err_id",
+                F.coalesce(
+                    F.col("__l.user_id"), F.col("__r.user_id")
+                ).alias("u"),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        out.filter(
+            (F.coalesce(F.col("click_id"), F.lit(0)) >= 0)
+            & (F.coalesce(F.col("err_id"), F.lit(0)) >= 0)
+        )
+        .groupBy((F.col("u") % 16).alias("user_bucket"))
+        .agg(
+            F.sum(
+                (
+                    F.col("click_id").isNotNull()
+                    & F.col("err_id").isNotNull()
+                ).cast("long")
+            ).alias("n_pairs"),
+            F.sum(F.col("err_id").isNull().cast("long")).alias(
+                "n_click_only"
+            ),
+            F.sum(F.col("click_id").isNull().cast("long")).alias(
+                "n_err_only"
+            ),
+        )
+        .orderBy("user_bucket")
+    )

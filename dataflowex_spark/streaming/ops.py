@@ -999,3 +999,112 @@ def state_metadata(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     partition counts, min/max committed batch — the fleet-wide
     monitoring complement to :func:`read_state`."""
     return spark.read.format("state-metadata").load(checkpoint_dir)
+
+
+def ordered_event_replay(
+    spark: SparkSession,
+    df: DataFrame,
+    ts_col: str,
+    n_chunks: int,
+    stage_dir: str,
+    sentinel_rows: DataFrame | None = None,
+) -> DataFrame:
+    """Stage a batch frame as an EVENT-TIME-ORDERED file stream:
+    rows sort by ``ts_col`` and split into ``n_chunks`` contiguous
+    time slices, one parquet file each, with ascending mtimes so the
+    file source (maxFilesPerTrigger=1) replays them in event-time
+    order — the staging that makes WATERMARK-DRIVEN semantics
+    (late-row eviction, unmatched-row emission in outer joins)
+    deterministic. Unordered staging (``file_replay_stream``) is the
+    right harness for late-data behavior; this one is for queries
+    whose OUTPUT depends on the watermark actually advancing past
+    the data. ``sentinel_rows`` (e.g. two far-future heartbeats) are
+    appended as the final files: the first advances the watermark
+    past all real data, the next triggers the eviction batch that
+    emits the tail — the flush idiom Spark's availableNow needs."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as _T
+
+    os.makedirs(stage_dir, exist_ok=True)
+    schema = df.schema
+    ts_fields = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, _T.TimestampType)
+    ]
+
+    def to_pandas_utc(frame):
+        pdf = frame.toPandas()
+        for c in ts_fields:
+            # tz-aware UTC → parquet isAdjustedToUTC=true → Spark
+            # reads TimestampType (naive would read TIMESTAMP_NTZ
+            # and mismatch the declared stream schema)
+            if pdf[c].dt.tz is None:
+                pdf[c] = pdf[c].dt.tz_localize("UTC")
+        return pdf
+
+    pdf = to_pandas_utc(df.orderBy(ts_col))
+    n = max(1, len(pdf))
+    per = -(-n // n_chunks)
+    chunks = [pdf.iloc[i * per:(i + 1) * per] for i in range(n_chunks)]
+    if sentinel_rows is not None:
+        spdf = to_pandas_utc(sentinel_rows)
+        chunks += [spdf.iloc[[j]] for j in range(len(spdf))]
+    t0 = _time.time() - 3600
+    # driver-side pyarrow writes: staging a replay harness is not a
+    # distributed workload, and N tiny Spark write jobs cost more
+    # than the whole drain
+    for i, ch in enumerate(chunks):
+        if ch.empty:
+            continue
+        p = os.path.join(stage_dir, f"chunk_{i:04d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(ch, preserve_index=False),
+            p,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        os.utime(p, (t0 + i, t0 + i))
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+
+
+def full_outer_interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance: str = "10 minutes",
+    lateness: str = "30 minutes",
+) -> DataFrame:
+    """NATIVE stream-stream FULL OUTER interval join: every (l, r)
+    pair with equal ``key`` and ``|left_ts − right_ts| ≤ tolerance``
+    emits immediately; a row with NO partner emits null-padded once
+    the watermark passes its eviction bound — the state-store
+    behavior batch full-outer never exercises. Column names must be
+    disjoint apart from ``key`` (the q290 lesson: qualify, then
+    validate). Both sides get event-time watermarks of ``lateness``
+    (must be ≥ tolerance for the engine to bound state)."""
+    shared = (set(left.columns) & set(right.columns)) - {key}
+    if shared:
+        raise ValueError(
+            f"full_outer_interval_join_stream: columns {sorted(shared)} "
+            "appear on both sides; rename before joining"
+        )
+    l = left.withWatermark(left_ts, lateness).alias("__l")
+    r = right.withWatermark(right_ts, lateness).alias("__r")
+    lts, rts = F.col(f"__l.{left_ts}"), F.col(f"__r.{right_ts}")
+    cond = (
+        (F.col(f"__l.{key}") == F.col(f"__r.{key}"))
+        & (rts >= lts - F.expr(f"interval {tolerance}"))
+        & (rts <= lts + F.expr(f"interval {tolerance}"))
+    )
+    return l.join(r, cond, "full_outer")

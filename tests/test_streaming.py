@@ -1148,3 +1148,81 @@ def test_statestore_reader_and_metadata(spark, tmp_path):
     assert len(md) == 1
     assert md[0]["operatorName"] == "stateStoreSave"
     assert md[0]["minBatchId"] == 0 and md[0]["maxBatchId"] >= 0
+
+
+def test_full_outer_interval_join_stream_matches_batch(spark, tmp_path):
+    """Native stream-stream FULL OUTER interval join == the batch
+    full outer under the same condition: matched pairs emit on
+    arrival; unmatched rows emit null-padded once the watermark
+    passes their eviction bound (ordered replay + far-future
+    sentinels make the flush deterministic). Also pins the
+    shared-column guard."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.streaming.ops import (
+        full_outer_interval_join_stream,
+        ordered_event_replay,
+        run_to_memory,
+    )
+
+    base = 1_000_000
+    lrows = [(i, base + i * 60) for i in range(20)]           # every min
+    rrows = [(i, base + i * 60 + 30) for i in range(0, 20, 3)]  # sparse
+    lb = spark.createDataFrame(lrows, "k long, sec long").select(
+        "k", F.timestamp_seconds("sec").alias("lts")
+    )
+    rb = spark.createDataFrame(rrows, "k long, sec long").select(
+        "k", F.timestamp_seconds("sec").alias("rts")
+    )
+    sl = spark.createDataFrame(
+        [(-1, base + 10**6), (-1, base + 10**6 + 1)], "k long, sec long"
+    ).select("k", F.timestamp_seconds("sec").alias("lts"))
+    sr = sl.select("k", F.col("lts").alias("rts"))
+
+    ls = ordered_event_replay(
+        spark, lb, "lts", 3, str(tmp_path / "l"), sentinel_rows=sl
+    )
+    rs = ordered_event_replay(
+        spark, rb, "rts", 3, str(tmp_path / "r"), sentinel_rows=sr
+    )
+    j = full_outer_interval_join_stream(
+        ls, rs, "k", "lts", "rts",
+        tolerance="2 minutes", lateness="2 minutes",
+    )
+    out, _ = run_to_memory(
+        j.select(
+            F.col("__l.k").alias("lk"),
+            F.col("__r.k").alias("rk"),
+            "lts", "rts",
+        )
+    )
+    got = {
+        (r["lk"], r["rk"])
+        for r in out.collect()
+        if (r["lk"] or 0) >= 0 and (r["rk"] or 0) >= 0  # drop sentinels
+    }
+    want = {
+        (r["lk"], r["rk"])
+        for r in lb.alias("l")
+        .join(
+            rb.alias("r"),
+            (F.col("l.k") == F.col("r.k"))
+            & (F.col("rts") >= F.col("lts") - F.expr("interval 2 minutes"))
+            & (F.col("rts") <= F.col("lts") + F.expr("interval 2 minutes")),
+            "full_outer",
+        )
+        .select(
+            F.col("l.k").alias("lk"), F.col("r.k").alias("rk")
+        )
+        .collect()
+    }
+    assert got == want
+    # sanity: all three classes present
+    assert any(a is not None and b is not None for a, b in got)
+    assert any(b is None for _a, b in got)
+
+    with _pytest.raises(ValueError, match="both sides"):
+        full_outer_interval_join_stream(
+            ls, ls, "k", "lts", "lts"
+        )
