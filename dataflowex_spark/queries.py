@@ -18951,3 +18951,75 @@ def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_bucket")
     )
+
+
+@q(
+    "q364_runtime_bloom_join",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+             AS price_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q364(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-INJECTED runtime Bloom filter join (the dynamic-filter
+    complement to manifest blooms q348 and the hand-built semi-join
+    reduction q234): a selective dim-side predicate makes Catalyst
+    plant `bloom_filter_agg` on the orders side and a `might_contain`
+    probe INSIDE the lineitem scan's filter — the big fact side is
+    pre-filtered before the join shuffle, which at 100 TB cuts the
+    shuffle by the predicate's selectivity without any user-visible
+    query change. Local fixtures sit below the engine's cost
+    thresholds (it is RIGHT not to bother at MBs), so the query
+    lowers them for the demonstration and restores after; the
+    injection is plan-asserted here and in the pytest. The oracle is
+    the plain join — the bloom is sound (no false negatives), so
+    results are identical by construction."""
+    cat = Catalog(spark, sf_dir)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = cat["lineitem"].select("l_orderkey", "l_extendedprice")
+        o = cat["orders"].filter(F.col("o_totalprice") > 400000).select(
+            "o_orderkey", "o_orderpriority"
+        )
+        out = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("long").alias("n_lines"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                )
+                .cast("long")
+                .alias("price_cents"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, (
+            "runtime bloom filter was not injected"
+        )
+        # materialize BEFORE restoring confs (lazy execution would
+        # otherwise plan without the bloom)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out

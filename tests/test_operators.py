@@ -3512,3 +3512,51 @@ def test_tdigest_deterministic_bounded_accurate(spark):
         est = tdigest_quantile(m1, w1, 10000, q)
         bound = 8 * 10000 * q * (1 - q) / delta + 4
         assert abs(est - q * 9999) <= bound, (q, est, bound)
+
+
+def test_runtime_bloom_filter_injection_sound(spark):
+    """The engine-injected runtime Bloom filter (q364): with the cost
+    thresholds lowered the optimized plan plants bloom_filter_agg on
+    the filtered side and might_contain inside the big side's filter,
+    and the result is IDENTICAL to the plain join (bloom soundness:
+    no false negatives)."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        "o_totalprice > 300000"
+    ).select("o_orderkey", "o_orderpriority")
+
+    def agg(join_df):
+        return sorted(
+            (r["o_orderpriority"], r["n"])
+            for r in join_df.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+
+    plain = agg(li.join(o, li["l_orderkey"] == o["o_orderkey"]))
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        bloomed = agg(j)
+    finally:
+        for k, v in prev.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert bloomed == plain
