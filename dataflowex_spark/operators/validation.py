@@ -293,3 +293,81 @@ def mask_columns(df, policies: dict):
         else:
             raise ValueError(f"mask_columns: unknown policy {pol!r}")
     return df.select(*cols)
+
+
+def suggest_constraints(
+    df,
+    columns: list[str],
+    numeric: set[str] | None = None,
+):
+    """Deequ-style CONSTRAINT SUGGESTION: profile the frame in ONE
+    stacked aggregate pass (null count, distinct count, min per
+    column) and emit the data-quality rules the profile supports —
+    ``not_null`` when no nulls, ``unique`` when distinct == rows,
+    ``non_negative`` when a numeric column's min ≥ 0. Returns a list
+    of (column, rule) pairs; pair with a HOLDOUT validation (the
+    q365 pattern) so suggestions earn their keep on data they were
+    not derived from — suggesting and checking on the same rows is
+    circular. One wide agg = one scan regardless of column count."""
+    from pyspark.sql import functions as F
+
+    numeric = numeric or set()
+    aggs = [F.count("*").alias("__n")]
+    for c in columns:
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+        if c in numeric:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+    r = df.agg(*aggs).first()
+    out = []
+    for c in columns:
+        if r[f"__null_{c}"] == 0:
+            out.append((c, "not_null"))
+        if r[f"__nd_{c}"] == r["__n"] - r[f"__null_{c}"] and (
+            r[f"__null_{c}"] == 0
+        ):
+            out.append((c, "unique"))
+        if c in numeric and r[f"__mn_{c}"] is not None and (
+            r[f"__mn_{c}"] >= 0
+        ):
+            out.append((c, "non_negative"))
+    return out
+
+
+def validate_constraints(df, rules: list[tuple[str, str]]):
+    """Evaluate suggested (column, rule) pairs over a frame in one
+    stacked aggregate pass; returns [(column, rule, holds_bool)]."""
+    from pyspark.sql import functions as F
+
+    if not rules:
+        return []
+    aggs = [F.count("*").alias("__n")]
+    for i, (c, rule) in enumerate(rules):
+        if rule == "not_null":
+            aggs.append(
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"__v{i}")
+            )
+        elif rule == "unique":
+            aggs.append(F.countDistinct(c).alias(f"__v{i}"))
+            aggs.append(
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"__vn{i}")
+            )
+        elif rule == "non_negative":
+            aggs.append(F.min(c).alias(f"__v{i}"))
+        else:
+            raise ValueError(f"unknown rule {rule!r}")
+    r = df.agg(*aggs).first()
+    out = []
+    for i, (c, rule) in enumerate(rules):
+        if rule == "not_null":
+            holds = r[f"__v{i}"] == 0
+        elif rule == "unique":
+            holds = (
+                r[f"__vn{i}"] == 0 and r[f"__v{i}"] == r["__n"]
+            )
+        else:
+            holds = r[f"__v{i}"] is not None and r[f"__v{i}"] >= 0
+        out.append((c, rule, bool(holds)))
+    return out

@@ -19023,3 +19023,100 @@ def q364(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return out
+
+
+@q(
+    "q365_constraint_suggestion",
+    """
+    WITH tr AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),
+         ho AS (SELECT * FROM customer WHERE c_custkey % 2 = 1),
+    cand AS (
+      SELECT 'c_custkey' AS col, 'not_null' AS rule,
+        (SELECT COUNT(*) FILTER (WHERE c_custkey IS NULL) FROM tr) = 0 AS sugg,
+        (SELECT COUNT(*) FILTER (WHERE c_custkey IS NULL) FROM ho) = 0 AS holds
+      UNION ALL
+      SELECT 'c_custkey', 'unique',
+        (SELECT COUNT(DISTINCT c_custkey) = COUNT(*) FROM tr),
+        (SELECT COUNT(DISTINCT c_custkey) = COUNT(*) FROM ho)
+      UNION ALL
+      SELECT 'c_custkey', 'non_negative',
+        (SELECT MIN(c_custkey) >= 0 FROM tr),
+        (SELECT MIN(c_custkey) >= 0 FROM ho)
+      UNION ALL
+      SELECT 'c_name' AS col, 'not_null' AS rule,
+        (SELECT COUNT(*) FILTER (WHERE c_name IS NULL) FROM tr) = 0 AS sugg,
+        (SELECT COUNT(*) FILTER (WHERE c_name IS NULL) FROM ho) = 0 AS holds
+      UNION ALL
+      SELECT 'c_name', 'unique',
+        (SELECT COUNT(DISTINCT c_name) = COUNT(*) FROM tr),
+        (SELECT COUNT(DISTINCT c_name) = COUNT(*) FROM ho)
+      UNION ALL
+      SELECT 'c_acctbal' AS col, 'not_null' AS rule,
+        (SELECT COUNT(*) FILTER (WHERE c_acctbal IS NULL) FROM tr) = 0 AS sugg,
+        (SELECT COUNT(*) FILTER (WHERE c_acctbal IS NULL) FROM ho) = 0 AS holds
+      UNION ALL
+      SELECT 'c_acctbal', 'unique',
+        (SELECT COUNT(DISTINCT c_acctbal) = COUNT(*) FROM tr),
+        (SELECT COUNT(DISTINCT c_acctbal) = COUNT(*) FROM ho)
+      UNION ALL
+      SELECT 'c_acctbal', 'non_negative',
+        (SELECT MIN(c_acctbal) >= 0 FROM tr),
+        (SELECT MIN(c_acctbal) >= 0 FROM ho)
+      UNION ALL
+      SELECT 'c_mktsegment' AS col, 'not_null' AS rule,
+        (SELECT COUNT(*) FILTER (WHERE c_mktsegment IS NULL) FROM tr) = 0 AS sugg,
+        (SELECT COUNT(*) FILTER (WHERE c_mktsegment IS NULL) FROM ho) = 0 AS holds
+      UNION ALL
+      SELECT 'c_mktsegment', 'unique',
+        (SELECT COUNT(DISTINCT c_mktsegment) = COUNT(*) FROM tr),
+        (SELECT COUNT(DISTINCT c_mktsegment) = COUNT(*) FROM ho)
+      UNION ALL
+      SELECT 'c_nationkey' AS col, 'not_null' AS rule,
+        (SELECT COUNT(*) FILTER (WHERE c_nationkey IS NULL) FROM tr) = 0 AS sugg,
+        (SELECT COUNT(*) FILTER (WHERE c_nationkey IS NULL) FROM ho) = 0 AS holds
+      UNION ALL
+      SELECT 'c_nationkey', 'unique',
+        (SELECT COUNT(DISTINCT c_nationkey) = COUNT(*) FROM tr),
+        (SELECT COUNT(DISTINCT c_nationkey) = COUNT(*) FROM ho)
+      UNION ALL
+      SELECT 'c_nationkey', 'non_negative',
+        (SELECT MIN(c_nationkey) >= 0 FROM tr),
+        (SELECT MIN(c_nationkey) >= 0 FROM ho)
+    )
+    SELECT col, rule, holds FROM cand WHERE sugg
+    ORDER BY col, rule
+    """,
+)
+def q365(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style CONSTRAINT SUGGESTION with holdout validation: the
+    profiler scans HALF the customer table (one stacked aggregate —
+    null/distinct/min per column in a single pass) and suggests the
+    rules that half supports (not_null / unique / non_negative); the
+    OTHER half then validates each suggestion — deriving and checking
+    a rule on the same rows would be circular, the train/holdout
+    split is what makes a suggestion falsifiable (a rule true of half
+    the data can fail on the other half, and `holds` says so). Two
+    scans total regardless of column or rule count; the driver-side
+    assembly is bounded by columns × rules. Completes the
+    data-quality family: declared rules q125, profile q124, MTable
+    CHECK constraints, FD audit q274."""
+    from dataflowex_spark.operators.validation import (
+        suggest_constraints,
+        validate_constraints,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"]
+    train = cust.filter(F.col("c_custkey") % 2 == 0)
+    holdout = cust.filter(F.col("c_custkey") % 2 == 1)
+    numeric = {"c_custkey", "c_acctbal", "c_nationkey"}
+    rules = suggest_constraints(
+        train,
+        ["c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+         "c_nationkey"],
+        numeric=numeric,
+    )
+    checked = validate_constraints(holdout, rules)
+    return spark.createDataFrame(
+        checked, "col string, rule string, holds boolean"
+    ).orderBy("col", "rule")

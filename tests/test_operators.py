@@ -3560,3 +3560,32 @@ def test_runtime_bloom_filter_injection_sound(spark):
         for k, v in prev.items():
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
     assert bloomed == plain
+
+
+def test_constraint_suggestion_holdout_falsifies(spark):
+    """suggest_constraints proposes only profile-supported rules, and
+    validate_constraints can REJECT a suggestion on data it wasn't
+    derived from — the holdout split is what makes suggestions
+    falsifiable (here: train is all-positive, holdout has a negative
+    and a duplicate)."""
+    from pyspark.sql import Row
+
+    from dataflowex_spark.operators.validation import (
+        suggest_constraints,
+        validate_constraints,
+    )
+
+    train = spark.createDataFrame(
+        [Row(k=1, v=10.0), Row(k=2, v=5.0), Row(k=3, v=0.0)]
+    )
+    holdout = spark.createDataFrame(
+        [Row(k=4, v=-1.0), Row(k=5, v=2.0), Row(k=5, v=None)]
+    )
+    rules = suggest_constraints(train, ["k", "v"], numeric={"k", "v"})
+    assert ("k", "not_null") in rules and ("k", "unique") in rules
+    assert ("v", "non_negative") in rules
+    got = {(c, r): h for c, r, h in validate_constraints(holdout, rules)}
+    assert got[("k", "not_null")] is True
+    assert got[("k", "unique")] is False        # dup k=5
+    assert got[("v", "non_negative")] is False  # -1.0
+    assert got[("v", "not_null")] is False      # null v
