@@ -3589,3 +3589,35 @@ def test_constraint_suggestion_holdout_falsifies(spark):
     assert got[("k", "unique")] is False        # dup k=5
     assert got[("v", "non_negative")] is False  # -1.0
     assert got[("v", "not_null")] is False      # null v
+
+
+def test_arrow_optimized_python_udf_plan_and_equality(spark):
+    """Spark 4 Arrow-optimized Python UDF (useArrow=True): the plan
+    node is ArrowEvalPython (vectorized Arrow transfer) instead of
+    row-pickling BatchEvalPython, and results match both the classic
+    UDF and the pure-JVM expression. The repo's hot paths stay
+    UDF-free (plan-gate pyeval=0); this pins the escape hatch's
+    fast variant for when Python IS unavoidable."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(F.col("id").cast("long").alias("v"))
+
+    def tri(x):
+        return x * (x + 1) // 2
+
+    arrow_udf = F.udf(tri, "long", useArrow=True)
+    classic_udf = F.udf(tri, "long", useArrow=False)
+
+    a = df.select(arrow_udf("v").alias("t"))
+    c = df.select(classic_udf("v").alias("t"))
+    jvm = df.select((F.col("v") * (F.col("v") + 1) / 2).cast("long").alias("t"))
+
+    plan_a = a._jdf.queryExecution().executedPlan().toString()
+    plan_c = c._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan_a
+    assert "BatchEvalPython" in plan_c and "ArrowEvalPython" not in plan_c
+
+    ra = sorted(r["t"] for r in a.collect())
+    rc = sorted(r["t"] for r in c.collect())
+    rj = sorted(r["t"] for r in jvm.collect())
+    assert ra == rc == rj

@@ -1226,3 +1226,38 @@ def test_full_outer_interval_join_stream_matches_batch(spark, tmp_path):
         full_outer_interval_join_stream(
             ls, ls, "k", "lts", "lts"
         )
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Spark 3.5+ dropDuplicatesWithinWatermark: dedups re-deliveries
+    whose event times DIFFER slightly (at-least-once senders restamp
+    on retry — plain dropDuplicates keyed on (id, ts) would miss
+    those), while evicting state once the watermark passes — the
+    bounded-state dedup contract streaming ingestion needs. Output
+    equals a batch distinct-by-id on the same data."""
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.streaming.ops import (
+        ordered_event_replay,
+        run_to_memory,
+    )
+
+    base = 1_000_000
+    # id 7 re-delivered 3x with jittered timestamps inside the window
+    rows = [(i, base + i * 60) for i in range(10)] + [
+        (7, base + 7 * 60 + 5),
+        (7, base + 7 * 60 + 9),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, sec long").select(
+        "event_id", F.timestamp_seconds("sec").alias("ts")
+    )
+    stream = ordered_event_replay(
+        spark, df, "ts", 3, str(tmp_path / "s")
+    )
+    out, _ = run_to_memory(
+        stream.withWatermark("ts", "2 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    got = sorted(r["event_id"] for r in out.collect())
+    assert got == list(range(10))
