@@ -293,7 +293,16 @@ class _MTableTailReader(DataSourceStreamReader):
     so any offset range replans to the identical file set — the
     replay determinism exactly-once sinks rely on. Reads run
     EXECUTOR-SIDE (one InputPartition per added file, Arrow batches),
-    so parallelism is the diff's file count, not 1."""
+    so parallelism is the diff's file count, not 1.
+
+    APPEND-IMAGE contract: the tail streams each version's ADDED
+    files — it is the insert/rewrite feed, not a retraction feed. A
+    deletion-vector commit (``MTable.delete_where``) adds no files,
+    so rows it kills do NOT retract here (and rows of an
+    already-streamed file later DV'd stay streamed); consumers that
+    must observe deletes read the changefeed
+    (``MTable.read_changes``), which diffs at entry granularity and
+    reports DV commits as ``op='D'`` rows."""
 
     def __init__(self, root: str, start_version: int, arrow_schema=None):
         self.root = root

@@ -807,18 +807,21 @@ class MTable:
 
     def history(self) -> list[dict]:
         """One summary row per kept version (oldest first): version,
-        parent, file count, total rows, committed stream batches —
-        the table's audit log."""
+        parent, file count, LIVE rows (physical minus deletion-vector
+        positions — what read() returns), DV debt, committed stream
+        batches — the table's audit log."""
         out = []
         for v in self.committed_versions():
             m = self.manifest(v)
+            dv_rows = sum(e.get("dv_rows", 0) for e in m["files"])
             out.append(
                 {
                     "version": m["version"],
                     "parent": m["parent"],
                     "committed_at": m.get("committed_at"),
                     "n_files": len(m["files"]),
-                    "rows": sum(e["rows"] for e in m["files"]),
+                    "rows": sum(e["rows"] for e in m["files"]) - dv_rows,
+                    "dv_rows": dv_rows,
                     "stream_batches": dict(m.get("stream_batches", {})),
                 }
             )

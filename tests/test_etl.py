@@ -1918,3 +1918,40 @@ def test_mtable_delete_where_guards(spark, tmp_path):
     assert t.current_version() == 1
     with pytest.raises(ValueError, match="every row"):
         t.delete_where("k >= 0")
+
+
+def test_mtable_compact_folds_dv_and_clone_carries_dv(spark, tmp_path):
+    """(a) compact uses LIVE-row accounting (a heavily-deleted file
+    is 'small' even when physically large) and its rewrite folds the
+    deletion vectors in — no dv entries survive on rewritten files;
+    (b) a shallow clone of a DV'd table reads the same live rows
+    (the clone manifest carries the dv references); (c) history
+    reports live rows and DV debt."""
+    from dataflowex_spark.sources.mtable import MTable
+
+    base = (
+        spark.range(1000)
+        .select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    t = MTable.create(spark, str(tmp_path / "t"), base, "k")
+    # kill 80% of the first file's range
+    t.delete_where("k < 200")
+    h = t.history()[-1]
+    assert h["rows"] == 800 and h["dv_rows"] == 200  # (c)
+
+    dest = t.clone(str(tmp_path / "c"))
+    assert dest.read().count() == 800  # (b)
+    assert {r["k"] for r in dest.read_where(lo=0, hi=299).collect()} == set(
+        range(200, 300)
+    )
+
+    # (a) each file holds 250 physical rows; the first has 50 live —
+    # target 200 makes ONLY the gutted file compactable
+    v = t.compact(target_rows=200, min_files=1)
+    assert v is not None
+    m = t.manifest()
+    assert all(not e.get("dv") for e in m["files"])
+    assert t.read().count() == 800
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == list(range(200, 1000))
