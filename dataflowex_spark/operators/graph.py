@@ -492,6 +492,10 @@ def random_walks(
             .join(edges, F.col("cur") == F.col("src"))
             .groupBy("walk")
             .agg(F.min_by("dst", key).alias("cur"))
+            # lineage cut per hop (the bfs_levels discipline): without
+            # it, hop k's plan re-executes hops 1..k-1 and the final
+            # union costs O(steps²) edge scans instead of O(steps)
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(
             state.select(

@@ -366,6 +366,10 @@ def tdigest_build(df: DataFrame, value_col: str, delta: int = 200,
 def tdigest_quantile(means, weights, total: float, q: float) -> float:
     """Standard t-digest quantile read: walk centroid midpoints and
     linearly interpolate between neighbors around rank q·total."""
+    if len(means) == 0:
+        raise ValueError(
+            "tdigest_quantile: empty digest (no non-null values)"
+        )
     target = q * total
     cum = 0.0
     prev_mid, prev_mean = 0.0, means[0]

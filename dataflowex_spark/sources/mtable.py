@@ -1201,7 +1201,12 @@ class MTable:
             )
         else:
             new_hits = hits
-        if new_hits.limit(1).count() == 0:
+        # materialize the predicate scan ONCE: everything downstream
+        # (existence probe, per-file counts, the DV write) reads the
+        # checkpointed positions — bounded by the DELETED row count —
+        # instead of re-running the full-table scan three times
+        new_hits = new_hits.localCheckpoint(eager=True)
+        if not new_hits.take(1):
             return None  # idempotent: nothing newly deleted
         # new_hits is disjoint from old by construction (anti join),
         # and a single scan yields unique positions — no distinct needed
@@ -1215,6 +1220,17 @@ class MTable:
             .collect()
         }
         by_local = {_local_path(k): v for k, v in counts.items()}
+        # guards run BEFORE the sidecar write so the failure path
+        # leaves nothing behind
+        survivors = [
+            e for e in m["files"]
+            if by_local.get(e["path"], 0) < e["rows"]
+        ]
+        if not survivors:
+            raise ValueError(
+                "delete_where would delete every row; use overwrite() "
+                "with an empty frame if that is intended"
+            )
         dv_path = self._write_dv_file(matched)
         entries = []
         for e in m["files"]:
@@ -1231,12 +1247,16 @@ class MTable:
                 e2.pop("dv", None)
                 e2.pop("dv_rows", None)
             entries.append(e2)
-        if not entries:
-            raise ValueError(
-                "delete_where would delete every row; use overwrite() "
-                "with an empty frame if that is intended"
-            )
-        return self._commit(entries, m["key_col"], parent=m["version"])
+        try:
+            return self._commit(entries, m["key_col"], parent=m["version"])
+        except MTableConflict:
+            # losing the race must not leak the sidecar (vacuum only
+            # reclaims manifest-referenced paths)
+            try:
+                os.unlink(dv_path)
+            except OSError:
+                pass
+            raise
 
     def apply_deletion_vectors(self, min_ratio: float = 0.0) -> int | None:
         """Fold deletion vectors back into the data: rewrite every
@@ -1248,15 +1268,15 @@ class MTable:
         both read-side anti-join size and broadcast cost. Returns the
         new version, or None when no file qualifies."""
         m = self.manifest()
-        todo = [
-            e
-            for e in m["files"]
-            if e.get("dv")
-            and e.get("dv_rows", 0) / e["rows"] >= min_ratio
-        ]
+        def qualifies(e: dict) -> bool:
+            return bool(e.get("dv")) and (
+                e.get("dv_rows", 0) / e["rows"] >= min_ratio
+            )
+
+        todo = [e for e in m["files"] if qualifies(e)]
         if not todo:
             return None
-        keep = [e for e in m["files"] if e not in todo]
+        keep = [e for e in m["files"] if not qualifies(e)]
         df = self._read_entries(todo)
         new_entries = self._write_data_files(
             df,

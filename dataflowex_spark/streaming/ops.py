@@ -361,17 +361,22 @@ def run_to_memory(
     stream_df: DataFrame,
     query_name: str | None = None,
     output_mode: str = "append",
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, str]:
     """Drain a stream into an in-memory table with availableNow
-    (process-everything-then-stop) and return (result_df, name)."""
+    (process-everything-then-stop) and return (result_df, name).
+    ``checkpoint_dir`` pins an explicit checkpoint — the handle the
+    statestore reader needs (see :func:`run_with_state`)."""
     name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
+    w = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(name), name
@@ -956,22 +961,18 @@ def run_with_state(
     checkpoint_dir: str,
     output_mode: str = "update",
 ) -> str:
-    """Drain a stateful stream with availableNow against an EXPLICIT
-    checkpoint and return that checkpoint path — the handle the
-    Spark 4 ``statestore`` batch reader needs. Unlike
-    :func:`run_to_memory` (anonymous checkpoint, result-focused),
-    this runner exists for OPERATIONAL introspection: what is the
-    stream holding in state right now?"""
-    name = f"state_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    """Drain a stateful stream against an EXPLICIT checkpoint and
+    return that checkpoint path — the handle the Spark 4
+    ``statestore`` batch reader needs for OPERATIONAL introspection:
+    what is the stream holding in state right now? (Thin wrapper:
+    the drain itself is :func:`run_to_memory`; the caller reads the
+    CHECKPOINT, not the sink table.)"""
+    out, name = run_to_memory(
+        stream_df, output_mode=output_mode, checkpoint_dir=checkpoint_dir
     )
-    q.awaitTermination()
+    # the sink table is a by-product here — drop it rather than leak
+    # one catalog entry per introspection run
+    out.sparkSession.catalog.dropTempView(name)
     return checkpoint_dir
 
 
