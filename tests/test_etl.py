@@ -1955,3 +1955,44 @@ def test_mtable_compact_folds_dv_and_clone_carries_dv(spark, tmp_path):
     assert t.read().count() == 800
     got = sorted(r["k"] for r in t.read().collect())
     assert got == list(range(200, 1000))
+
+
+def test_mtable_delete_where_conflict_and_retry_converges(spark, tmp_path):
+    """Optimistic concurrency for DV deletes: a delete_where whose
+    parent went stale raises MTableConflict WITHOUT leaking its
+    sidecar (the losing DV file is unlinked), and a plain re-run
+    against the advanced version lands both deletes."""
+    import os
+
+    from dataflowex_spark.sources.mtable import MTable, MTableConflict
+
+    base = (
+        spark.range(400)
+        .select(F.col("id").alias("k"), F.col("id").alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    t = MTable.create(spark, str(tmp_path / "t"), base, "k")
+
+    # simulate the race: capture v1, let a competing delete commit,
+    # then force the stale-parent commit path via _commit's check
+    m1 = t.manifest()
+    t.delete_where("k % 10 = 1")  # the competitor wins (v2)
+
+    def dv_files():
+        return {
+            fn
+            for _d, _s, files in os.walk(str(tmp_path / "t" / "data"))
+            for fn in files
+        }
+
+    before = dv_files()
+    with __import__("pytest").raises(MTableConflict):
+        # stale-parent commit: exactly what a concurrent delete_where
+        # that read m1 would attempt
+        t._commit(m1["files"], m1["key_col"], parent=m1["version"])
+    # the loser's retry: re-run against the CURRENT version
+    assert t.delete_where("k % 10 = 2") == 3
+    after = dv_files()
+    assert before < after  # winner + retry DVs exist
+    got = {r["k"] for r in t.read().collect()}
+    assert got == {k for k in range(400) if k % 10 not in (1, 2)}
