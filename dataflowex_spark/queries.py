@@ -19120,3 +19120,65 @@ def q365(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         checked, "col string, rule string, holds boolean"
     ).orderBy("col", "rule")
+
+
+@q(
+    "q366_mtable_equality_deletes",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             AS spend_cents
+    FROM orders
+    WHERE o_orderkey % 7 <> 3 AND o_custkey % 50 <> 1
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q366(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUALITY DELETES on an MTable — the ZERO-SCAN point of the
+    delete cost spectrum (copy-on-write rewrite > position-DV scan >
+    this): two takedown key lists (every 7th order key ≡ 3, then the
+    orders of every 50th customer ≡ 1 — the second list computed
+    relationally, the realistic GDPR shape) land as key sidecars
+    ranged against the manifest's per-file stats. NO data file is
+    read or written at delete time (path list asserted unchanged
+    in-query); readers anti-join the broadcast key lists on exactly
+    the files whose ranges could hold them. The oracle states the
+    surviving rows. Stacking/re-insert/fold/changefeed/vacuum
+    semantics are pytest-pinned
+    (tests/test_etl.py::test_mtable_equality_deletes)."""
+    import tempfile
+
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    orders = cat["orders"].repartitionByRange(8, "o_orderkey")
+    root = tempfile.mkdtemp(prefix="mtable_q366_")
+    t = MTable.create(spark, root + "/t", orders, "o_orderkey")
+    paths_before = [e["path"] for e in t.manifest()["files"]]
+
+    t.delete_keys(
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 7 == 3)
+        .select("o_orderkey")
+    )
+    t.delete_keys(
+        cat["orders"]
+        .filter(F.col("o_custkey") % 50 == 1)
+        .select("o_orderkey")
+    )
+    assert [
+        e["path"] for e in t.manifest()["files"]
+    ] == paths_before, "equality delete touched a data file"
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("spend_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -582,8 +582,10 @@ class MTable:
         tables whose DVs grow large should fold them with
         :meth:`apply_deletion_vectors` (ratio-gated maintenance),
         which is also what keeps this plan honest at 100 TB."""
-        plain = [e for e in entries if not e.get("dv")]
-        dved = [e for e in entries if e.get("dv")]
+        plain = [
+            e for e in entries if not e.get("dv") and not e.get("eq")
+        ]
+        dved = [e for e in entries if e.get("dv") or e.get("eq")]
         parts = []
         if plain:
             parts.append(
@@ -594,20 +596,30 @@ class MTable:
                 sorted(e["path"] for e in dved), version
             )
             cols = df.columns
-            df = df.select(
-                *cols,
-                F.col("_metadata.file_path").alias("__fp"),
-                F.col("_metadata.row_index").alias("__ri"),
+            dv_files = sorted(
+                {e["dv"] for e in dved if e.get("dv")}
             )
-            dv_files = sorted({e["dv"] for e in dved})
-            dv = self.spark.read.parquet(*dv_files).select(
-                F.col("file_path").alias("__fp"),
-                F.col("row_index").alias("__ri"),
+            if dv_files:
+                df = df.select(
+                    *cols,
+                    F.col("_metadata.file_path").alias("__fp"),
+                    F.col("_metadata.row_index").alias("__ri"),
+                )
+                dv = self.spark.read.parquet(*dv_files).select(
+                    F.col("file_path").alias("__fp"),
+                    F.col("row_index").alias("__ri"),
+                )
+                df = df.join(
+                    F.broadcast(dv), ["__fp", "__ri"], "left_anti"
+                ).select(*cols)
+            eq_files = sorted(
+                {p for e in dved for p in e.get("eq", [])}
             )
-            parts.append(
-                df.join(F.broadcast(dv), ["__fp", "__ri"], "left_anti")
-                .select(*cols)
-            )
+            if eq_files:
+                key_col = self.manifest(version)["key_col"]
+                dead = self.spark.read.parquet(*eq_files).select(key_col)
+                df = df.join(F.broadcast(dead), key_col, "left_anti")
+            parts.append(df)
         if not parts:
             raise ValueError("mtable: no files to read")
         out = parts[0]
@@ -1258,6 +1270,61 @@ class MTable:
                 pass
             raise
 
+    def delete_keys(self, keys: DataFrame) -> int | None:
+        """EQUALITY DELETES (the Iceberg equality-delete-file model) —
+        the third point on the delete cost spectrum:
+
+        - copy-on-write ``merge(op='D')``: O(affected file REWRITE);
+        - position DVs ``delete_where``: O(one predicate SCAN) +
+          O(deleted rows) sidecar;
+        - equality deletes (this): **ZERO data-file access** — the key
+          list is ranged against the manifest's per-file stats (one
+          broadcast join over metadata) and written as a key sidecar;
+          no data row is read, no position computed. The GDPR "delete
+          these 10k user ids from 100 TB" answer where even one scan
+          is too expensive.
+
+        The read side pays instead: files carrying ``eq`` sidecars
+        anti-join their rows against the (broadcast) key list —
+        costlier than a position anti-join (every row of the file
+        probes, not just an index compare), which is why
+        :meth:`apply_deletion_vectors` folds equality sidecars
+        unconditionally (their deleted fraction is unknowable without
+        the scan this method exists to avoid). Multiple delete_keys
+        commits stack sidecars per entry; merge/compact/zorder
+        rewrites drop them. Keys matching no file's range commit
+        nothing (returns None)."""
+        m = self.manifest()
+        key_col = m["key_col"]
+        kdf = keys.select(F.col(keys.columns[0]).alias(key_col)).distinct()
+        affected = self.affected_files(kdf)
+        if not affected:
+            return None
+        job = os.path.join(self.root, "data", f"eqjob-{uuid.uuid4().hex}")
+        kdf.coalesce(1).write.parquet(job)
+        parts = [
+            os.path.join(job, fn)
+            for fn in os.listdir(job)
+            if fn.endswith(".parquet")
+        ]
+        assert len(parts) == 1
+        eq_path = parts[0]
+        affected_paths = {e["path"] for e in affected}
+        entries = []
+        for e in m["files"]:
+            e2 = dict(e)
+            if e["path"] in affected_paths:
+                e2["eq"] = list(e.get("eq", [])) + [eq_path]
+            entries.append(e2)
+        try:
+            return self._commit(entries, key_col, parent=m["version"])
+        except MTableConflict:
+            try:
+                os.unlink(eq_path)
+            except OSError:
+                pass
+            raise
+
     def apply_deletion_vectors(self, min_ratio: float = 0.0) -> int | None:
         """Fold deletion vectors back into the data: rewrite every
         file whose deleted fraction is ≥ ``min_ratio`` WITHOUT its
@@ -1269,6 +1336,11 @@ class MTable:
         new version, or None when no file qualifies."""
         m = self.manifest()
         def qualifies(e: dict) -> bool:
+            # equality sidecars always qualify: their deleted fraction
+            # is unknowable without the scan the write path avoided,
+            # and every read of the file pays a full-row key probe
+            if e.get("eq"):
+                return True
             return bool(e.get("dv")) and (
                 e.get("dv_rows", 0) / e["rows"] >= min_ratio
             )
@@ -1465,7 +1537,10 @@ class MTable:
         to_by_path = {e["path"]: e for e in m_to["files"]}
 
         def _dv_state(e: dict):
-            return (e.get("dv"), e.get("dv_rows", 0))
+            return (
+                e.get("dv"), e.get("dv_rows", 0),
+                tuple(e.get("eq", [])),
+            )
 
         removed = sorted(
             (
@@ -1608,6 +1683,7 @@ class MTable:
                 out.add(e["path"])
                 if e.get("dv"):
                     out.add(e["dv"])
+                out.update(e.get("eq", []))
             return out
 
         referenced: set[str] = set()

@@ -1996,3 +1996,76 @@ def test_mtable_delete_where_conflict_and_retry_converges(spark, tmp_path):
     assert before < after  # winner + retry DVs exist
     got = {r["k"] for r in t.read().collect()}
     assert got == {k for k in range(400) if k % 10 not in (1, 2)}
+
+
+def test_mtable_equality_deletes(spark, tmp_path):
+    """delete_keys: (a) ZERO data-file access at delete time — only
+    range-affected entries gain an `eq` sidecar ref, no file is
+    rewritten; (b) reads anti-join the key list (rows gone); (c) a
+    key matching no file's range is a no-op (None); (d) stacked
+    delete_keys commits accumulate sidecars; (e) merge re-inserting
+    a deleted key rewrites the range-affected files, dropping their
+    eq refs — the key comes back; (f) apply_deletion_vectors folds
+    eq sidecars unconditionally; (g) changefeed reports eq commits
+    as D rows; (h) vacuum keeps referenced sidecars."""
+    from dataflowex_spark.sources.mtable import MTable
+
+    base = (
+        spark.range(1000)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartitionByRange(8, "k")
+    )
+    t = MTable.create(spark, str(tmp_path / "t"), base, "k")
+    paths1 = [e["path"] for e in t.manifest()["files"]]
+
+    # (a)+(b)
+    v2 = t.delete_keys(spark.createDataFrame([(7,), (130,)], "k long"))
+    assert v2 == 2
+    m2 = t.manifest()
+    assert [e["path"] for e in m2["files"]] == paths1
+    marked = [e for e in m2["files"] if e.get("eq")]
+    assert 0 < len(marked) < len(m2["files"])  # range-pruned marking
+    got = {r["k"] for r in t.read().collect()}
+    assert got == set(range(1000)) - {7, 130}
+
+    # (c) out-of-range key: no commit
+    assert t.delete_keys(spark.createDataFrame([(10**9,)], "k long")) is None
+
+    # (d) stacking
+    v3 = t.delete_keys(spark.createDataFrame([(8,)], "k long"))
+    assert v3 == 3
+    first = min(t.manifest()["files"], key=lambda e: e["min_key"])
+    assert len(first.get("eq", [])) == 2
+    assert t.read().count() == 997
+
+    # (g) changefeed sees the eq deletes
+    ch = t.read_changes(1, 3).collect()
+    assert {r["op"] for r in ch} == {"D"}
+    assert {r["k"] for r in ch} == {7, 8, 130}
+
+    # (e) re-insert key 7 via merge
+    ins = spark.createDataFrame(
+        [(7, 1, "I", 0, 777)], "k long, ts long, op string, tie long, v long"
+    )
+    t.merge(ins, "ts", "op", "tie", ["v"])
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[7] == 777 and 8 not in got and 130 not in got
+
+    # (f) fold: no eq/dv refs survive
+    v5 = t.apply_deletion_vectors()
+    assert v5 is not None
+    assert all(
+        not e.get("eq") and not e.get("dv")
+        for e in t.manifest()["files"]
+    )
+    assert t.read().count() == 998  # 1000 - {8,130} + re-inserted 7
+
+    # (h) vacuum: current version references no sidecars now; the
+    # dropped versions' sidecars are reclaimed
+    import os as _os
+
+    deleted = t.vacuum(keep_last=1)
+    assert any("eqjob-" in p for p in deleted)
+    for e in t.manifest()["files"]:
+        assert _os.path.exists(e["path"])
+    assert t.read().count() == 998
