@@ -19182,3 +19182,121 @@ def q366(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@q(
+    "q367_stream_dedup_within_watermark",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q367(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark as a REAL streaming run, oracled:
+    every event is re-delivered with a +5s RESTAMPED timestamp (the
+    at-least-once sender shape — retries re-stamp, so a (id, ts)
+    dedup key misses them and plain dropDuplicates would double-
+    count), interleaved into one event-time-ordered replay. The
+    within-watermark dedup collapses each id's deliveries while the
+    watermark bounds state; the drained per-type unique counts equal
+    the oracle's batch COUNT(DISTINCT event_id). q74 covers the
+    exact-key streaming dedup; this pins the restamped-retry contract
+    ingestion actually needs."""
+    import tempfile
+
+    from dataflowex_spark.session import configure
+    from dataflowex_spark.streaming.ops import (
+        ordered_event_replay,
+        run_to_memory,
+    )
+
+    configure(spark)
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"].select(
+        "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    redelivered = ev.withColumn(
+        "ts", F.col("ts") + F.expr("interval 5 seconds")
+    )
+    stream = ordered_event_replay(
+        spark,
+        ev.unionByName(redelivered),
+        "ts",
+        4,
+        tempfile.mkdtemp(prefix="q367_"),
+    )
+    out, _ = run_to_memory(
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    return (
+        # count(*), NOT countDistinct: a duplicate surviving the
+        # stream-side dedup must break the oracle match, not be
+        # silently re-deduped here
+        out.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "q368_mtable_pruned_mor_read",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             AS spend_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_k,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_k
+    FROM orders
+    WHERE o_orderkey BETWEEN 5000 AND 20000
+      AND o_totalprice >= 1000.0 AND o_totalprice <= 200000.0
+      AND NOT (o_orderstatus = 'O' AND o_orderkey % 3 = 0)
+      AND o_orderkey % 11 <> 5
+    """,
+)
+def q368(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest pruning COMPOSED with merge-on-read deletes: a 2-D
+    pruned read (key BETWEEN × declared price stats, q296's path)
+    over a table carrying BOTH a position DV (predicate delete) and
+    an equality sidecar (key-list delete). The pruned file set and
+    the DV/eq anti-joins must compose — files outside the requested
+    ranges never scan (prune_files < total, asserted in-query), and
+    the scanned remainder still excludes every deleted row. The
+    oracle states the surviving rows directly."""
+    import tempfile
+
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    orders = cat["orders"].repartitionByRange(8, "o_orderkey")
+    root = tempfile.mkdtemp(prefix="mtable_q368_")
+    t = MTable.create(
+        spark, root + "/t", orders, "o_orderkey",
+        stats_cols=["o_totalprice"],
+    )
+    t.delete_where("o_orderstatus = 'O' AND o_orderkey % 3 = 0")
+    t.delete_keys(
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 11 == 5)
+        .select("o_orderkey")
+    )
+    pruned = t.prune_files(
+        lo=5000, hi=20000, where={"o_totalprice": (1000.0, 200000.0)}
+    )
+    assert len(pruned) < len(t.manifest()["files"]), (
+        "pruning kept every file"
+    )
+    return t.read_where(
+        lo=5000, hi=20000, where={"o_totalprice": (1000.0, 200000.0)}
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("spend_cents"),
+        F.min("o_orderkey").cast("long").alias("min_k"),
+        F.max("o_orderkey").cast("long").alias("max_k"),
+    )
