@@ -926,6 +926,26 @@ class MTable:
             f"merge_retry: gave up after {max_attempts} attempts"
         ) from last
 
+    def with_retry(self, op, max_attempts: int = 5):
+        """Commit-retry for ANY optimistic table operation — the
+        :meth:`merge_retry` semantics generalized to deletes and
+        maintenance: ``op`` is a zero-arg callable issuing one
+        operation against the CURRENT version (e.g.
+        ``lambda: t.delete_where(pred)``); on :class:`MTableConflict`
+        it re-runs against the winner's manifest. The callable must
+        be re-evaluable (deterministic plan or checkpointed inputs).
+        Returns op's result; raises the last conflict after
+        ``max_attempts``."""
+        last: MTableConflict | None = None
+        for _ in range(max_attempts):
+            try:
+                return op()
+            except MTableConflict as e:
+                last = e
+        raise MTableConflict(
+            f"with_retry: gave up after {max_attempts} attempts"
+        ) from last
+
     def restore(self, version: int) -> int:
         """Delta-style RESTORE: make an earlier committed version's
         state current again AS A NEW COMMIT — the target's file list

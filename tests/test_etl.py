@@ -2069,3 +2069,40 @@ def test_mtable_equality_deletes(spark, tmp_path):
     for e in t.manifest()["files"]:
         assert _os.path.exists(e["path"])
     assert t.read().count() == 998
+
+
+def test_mtable_with_retry_delete_under_race(spark, tmp_path):
+    """with_retry: a delete_where that loses the commit race once
+    converges on retry against the winner's manifest — both deletes
+    land, no sidecar leaks (the generalized merge_retry contract for
+    deletes/maintenance)."""
+    from dataflowex_spark.sources.mtable import MTable, MTableConflict
+
+    base = (
+        spark.range(300)
+        .select(F.col("id").alias("k"), F.col("id").alias("v"))
+        .repartitionByRange(2, "k")
+    )
+    t = MTable.create(spark, str(tmp_path / "t"), base, "k")
+
+    raced = {"done": False}
+
+    def racy_delete():
+        # a competing writer lands between our snapshot and commit on
+        # the FIRST attempt only
+        if not raced["done"]:
+            raced["done"] = True
+            t.delete_where("k % 10 = 1")
+            raise MTableConflict("simulated lost race")
+        return t.delete_where("k % 10 = 2")
+
+    v = t.with_retry(racy_delete)
+    assert v == 3
+    got = {r["k"] for r in t.read().collect()}
+    assert got == {k for k in range(300) if k % 10 not in (1, 2)}
+
+    with __import__("pytest").raises(MTableConflict, match="gave up"):
+        t.with_retry(
+            lambda: (_ for _ in ()).throw(MTableConflict("always")),
+            max_attempts=2,
+        )
