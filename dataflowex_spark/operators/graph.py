@@ -504,3 +504,168 @@ def random_walks(
             )
         )
     return out
+
+
+def scc(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_outer: int = 50,
+    max_inner: int = 200,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph — the
+    trim + forward-coloring + backward-containment algorithm (the
+    coloring/MultiStep family used by distributed graph engines),
+    completing the graph suite: undirected CC is ``dedup_clusters`` /
+    star-CC; this is its directed sibling (web-link spam rings,
+    citation loops, money-flow cycles).
+
+    Per outer round:
+
+    1. **Trim**: iteratively peel nodes with no in-edges or no
+       out-edges inside the remaining subgraph — each is its own
+       singleton SCC (nothing can cycle through it). Trimming first
+       dissolves the DAG-shaped bulk of real graphs so the expensive
+       phases only see the cyclic core (and makes chains cost
+       O(diameter) trim rounds instead of O(n) outer rounds).
+    2. **Forward coloring**: propagate ``color(v) = min(v, min
+       color(u) over edges u→v)`` to fixpoint — color(v) is the
+       smallest remaining node that can reach v.
+    3. **Backward containment**: a node u with color r belongs to
+       SCC(r) iff u can reach r through nodes of the same color;
+       propagate membership backwards from each root r (color(r)=r)
+       to fixpoint. Every root's full SCC is found in this round
+       (its id is the component's minimum node id, the same label
+       convention as ``dedup_clusters``); members leave the graph and
+       the next round recolors what remains.
+
+    Every step is a keyed equi-join + aggregate shuffling on node id;
+    driver-side values are only loop counters and change counts
+    (bounded aggregates), lineage cut per round — the q131/q196
+    iterative discipline. Inner fixpoints are diameter-bounded;
+    ``max_outer`` bounds pathological peeling (each outer round
+    removes at least the SCC of the globally smallest remaining
+    node, and trimming removes acyclic tails wholesale). Returns
+    (node, scc_id) with scc_id = min node id of the component."""
+    e0 = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e0.select(F.col("src").alias("node"))
+        .unionByName(e0.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    assigned = None  # (node, scc_id)
+    rem_nodes, rem_edges = nodes, e0
+
+    def _accumulate(acc: DataFrame | None, part: DataFrame) -> DataFrame:
+        return part if acc is None else acc.unionByName(part)
+
+    for _ in range(max_outer):
+        if rem_nodes.isEmpty():
+            break
+        # -- 1. trim acyclic fringe to fixpoint --------------------
+        for _t in range(max_inner):
+            has_out = rem_edges.select(F.col("src").alias("node")).distinct()
+            has_in = rem_edges.select(F.col("dst").alias("node")).distinct()
+            keep = has_out.join(has_in, "node")  # in a cycle ⇒ both sides
+            trimmed = rem_nodes.join(keep, "node", "left_anti")
+            if trimmed.isEmpty():
+                break
+            assigned = _accumulate(
+                assigned,
+                trimmed.select("node", F.col("node").alias("scc_id")),
+            )
+            rem_nodes = rem_nodes.join(keep, "node").localCheckpoint(
+                eager=True
+            )
+            rem_edges = (
+                rem_edges.join(keep, rem_edges["src"] == keep["node"])
+                .select("src", "dst")
+                .join(
+                    keep.withColumnRenamed("node", "dst"), "dst"
+                )
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+        if rem_nodes.isEmpty():
+            break
+        # -- 2. forward min-coloring to fixpoint -------------------
+        color = rem_nodes.select("node", F.col("node").alias("color"))
+        for _c in range(max_inner):
+            contrib = (
+                rem_edges.join(
+                    color.withColumnRenamed("node", "src"), "src"
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("color").alias("in_color"))
+            )
+            nxt = (
+                color.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("color"),
+                        F.coalesce(F.col("in_color"), F.col("color")),
+                    ).alias("color"),
+                    (
+                        F.coalesce(F.col("in_color"), F.col("color"))
+                        < F.col("color")
+                    ).alias("chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = nxt.filter(F.col("chg")).count()
+            color = nxt.select("node", "color")
+            if changed == 0:
+                break
+        # -- 3. backward containment from roots --------------------
+        member = color.filter(F.col("node") == F.col("color")).select(
+            "node", F.col("color").alias("scc_id")
+        ).localCheckpoint(eager=True)
+        for _b in range(max_inner):
+            # u joins SCC(c) if some edge u→v has v ∈ SCC(c) and
+            # color(u) = c (reachability restricted to the color class)
+            cand = (
+                rem_edges.join(
+                    member.withColumnRenamed("node", "dst"), "dst"
+                )
+                .select(F.col("src").alias("node"), "scc_id")
+                .join(color, "node")
+                .filter(F.col("color") == F.col("scc_id"))
+                .select("node", "scc_id")
+            )
+            grown = (
+                member.unionByName(cand).distinct().localCheckpoint(
+                    eager=True
+                )
+            )
+            if grown.count() == member.count():
+                member = grown
+                break
+            member = grown
+        assigned = _accumulate(assigned, member)
+        rem_nodes = rem_nodes.join(member, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        rem_edges = (
+            rem_edges.join(
+                member.withColumnRenamed("node", "src"), "src", "left_anti"
+            )
+            .join(
+                member.withColumnRenamed("node", "dst"), "dst", "left_anti"
+            )
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(f"scc did not converge in {max_outer} rounds")
+    if assigned is None:
+        return nodes.select("node", F.col("node").alias("scc_id")).filter(
+            F.lit(False)
+        )
+    return assigned

@@ -105,3 +105,60 @@ def fellegi_sunter_link(
         .when(F.col("score") >= possible_threshold, F.lit("possible"))
         .otherwise(F.lit("non_match")),
     )
+
+
+def golden_records(
+    records: DataFrame,
+    entity_col: str,
+    priority_col: str = "priority",
+    first_non_null: Sequence[str] = (),
+    mode: Sequence[str] = (),
+    maximum: Sequence[str] = (),
+) -> DataFrame:
+    """SURVIVORSHIP — the step after linkage: collapse each matched
+    entity's record cluster (q310 pairs → clusters) into ONE golden
+    record by per-attribute rules:
+
+    - ``first_non_null``: value from the highest-priority source that
+      actually has one (min ``priority_col`` among non-null rows) —
+      the trust-ladder rule for identifiers like phone/name;
+    - ``mode``: most frequent non-null value across the cluster,
+      ties to the smallest value — the consensus rule for categorical
+      attributes;
+    - ``maximum``: numeric max — the freshest-balance style rule.
+
+    All rules are order-free aggregates (struct-argmin for the trust
+    ladder, two-level count+argmin for mode), so the result is
+    engine-exact and deterministic under any partitioning — one hash
+    aggregate per rule family keyed by entity, clusters never
+    collect. Returns one row per entity + ``n_records``."""
+    aggs = [F.count("*").cast("long").alias("n_records")]
+    for c in first_non_null:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(
+                        F.col(priority_col).alias("p"), F.col(c).alias("v")
+                    ),
+                )
+            )["v"].alias(c)
+        )
+    for c in maximum:
+        aggs.append(F.max(c).alias(c))
+    base = records.groupBy(entity_col).agg(*aggs)
+    for c in mode:
+        counts = (
+            records.filter(F.col(c).isNotNull())
+            .groupBy(entity_col, c)
+            .agg(F.count("*").alias("__cnt"))
+        )
+        pick = counts.groupBy(entity_col).agg(
+            F.min(
+                F.struct(
+                    (-F.col("__cnt")).alias("nc"), F.col(c).alias("v")
+                )
+            )["v"].alias(c)
+        )
+        base = base.join(pick, entity_col, "left")
+    return base

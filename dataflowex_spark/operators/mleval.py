@@ -581,3 +581,70 @@ def brier_decomposition(
         ).alias("uncertainty"),
         F.max("__n").cast("long").alias("n"),
     )
+
+
+def bh_reject(
+    stats: DataFrame,
+    stat_col: str,
+    key_col: str,
+    thresholds_ppm: list[int],
+) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a FAMILY of test
+    statistics (the multiple-comparison step every experimentation
+    platform needs once it reads out more than one metric/segment —
+    completes the A/B family: q272 two-proportion readout, q273
+    CUPED, this corrects the family-wide false-discovery rate).
+
+    Works on a chi-square(1df)-style statistic quantized to ppm
+    (BIGINT) rather than on p-values directly: p(k) ≤ α·k/m  ⟺
+    stat(k) ≥ T_k where ``thresholds_ppm[k-1]`` is the pinned ppm
+    critical value for rank k (the inverse-CDF ladder idiom of q283 —
+    literals baked into BOTH engines, so the decision is pure integer
+    comparison, no libm tail functions at query time). BH: sort
+    statistics descending (best-evidence first), find the largest
+    rank k with stat ≥ T_k, reject ranks 1..k.
+
+    The ranking window is over the TEST FAMILY (m = segments or
+    metrics, e.g. 25 nations) — bounded grain, never row-scale, the
+    same calendar-sized-reducer contract as q173/q237. Returns
+    (key, stat, rnk, rejected)."""
+    m = len(thresholds_ppm)
+    w = Window.orderBy(F.col(stat_col).desc(), F.col(key_col))
+    ranked = stats.withColumn("rnk", F.row_number().over(w))
+    thr = None
+    for k, t in enumerate(thresholds_ppm, start=1):
+        thr = (
+            F.when(F.col("rnk") == k, F.lit(t))
+            if thr is None
+            else thr.when(F.col("rnk") == k, F.lit(t))
+        )
+    thr = thr.otherwise(F.lit(thresholds_ppm[-1]))
+    ranked = ranked.withColumn(
+        "kpass",
+        F.when(F.col(stat_col) >= thr, F.col("rnk")).otherwise(F.lit(0)),
+    )
+    kmax = F.max("kpass").over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return (
+        ranked.withColumn("rejected", F.col("rnk") <= kmax)
+        .drop("kpass")
+        .filter(F.col("rnk") <= F.lit(m))
+    )
+
+
+# Pinned chi-square(1df) critical values, ppm, for the BH ladder at
+# alpha = 0.05 over m = 25 tests: T_k = (Phi^-1(1 - 0.05*(k/25)/2))^2,
+# computed once with the Acklam rational approximation + one Halley
+# refinement (|err| < 1e-9, far below the ppm quantum) and baked as
+# integer literals so BOTH engines decide p(k) <= alpha*k/m by pure
+# integer comparison (the q283 inverse-CDF-ladder idiom). Sanity
+# anchors: k=25 -> 1.96^2 = 3.841459, k=1 -> 3.0902^2 = 9.549536.
+BH_CHI2_PPM_M25 = [
+    9549536, 8283815, 7550303, 7033474, 6634897, 6310869, 6038143,
+    5802874, 5596149, 5411894, 5245785, 5094632, 4956019, 4828067,
+    4709292, 4598497, 4494704, 4397105, 4305022, 4217885, 4135204,
+    4056562, 3981594, 3909986, 3841459,
+]

@@ -1,0 +1,144 @@
+"""Collaborative filtering: ALTERNATING LEAST SQUARES matrix
+factorization as a pure DataFrame algorithm (reference parity: none —
+this is part of the LLM/ML-data north star, the recommender sibling
+of the embedding family; the shape is the classic distributed ALS of
+Zhou et al. 2008 as implemented by every large-scale engine).
+
+Scale shape (the part that matters at 100 TB of interactions):
+
+- The RATINGS matrix is the big data; it shuffles exactly twice per
+  iteration — keyed by item to pick up the item factors, then keyed
+  by user for the per-user solves (and mirrored for the item half).
+- The FACTOR frames are (n_entities × rank) — distributed, joined by
+  key, never collected and never broadcast by assumption (Catalyst
+  broadcasts them when small enough; at web scale they stay
+  shuffle-joined).
+- Each solve is a rank×rank normal-equation system per entity inside
+  ``applyInPandas`` (Arrow-batched, one numpy ``solve`` per group) —
+  rank is 4–200 in practice, so the per-entity work is constant and
+  the whole step is embarrassingly parallel.
+
+Determinism: factor init is the portable md5-to-unit-interval draw
+(no RNG state), each group's rows are sorted by the opposite id
+before the normal equations are assembled, and every iteration is a
+full sweep — reruns reproduce the factors bit-for-bit on a machine
+(pytest pins run-to-run equality and recovery of a planted low-rank
+structure)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _init_factors(ids: DataFrame, id_col: str, rank: int) -> DataFrame:
+    """Deterministic factor init: component k of entity e is the
+    60-bit md5 bucket of "e:k" scaled to [0, 1) — the q155/q92
+    portable-draw idiom, so the starting point (hence the whole
+    trajectory) is reproducible with no RNG state anywhere."""
+    comps = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{k}"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(1 << 60))
+        )
+        for k in range(rank)
+    ]
+    return ids.select(id_col, F.array(*comps).alias("vec"))
+
+
+def _solve_half(
+    ratings: DataFrame,
+    fixed: DataFrame,
+    solve_col: str,
+    fixed_col: str,
+    rating_col: str,
+    rank: int,
+    reg: float,
+) -> DataFrame:
+    """One ALS half-sweep: with ``fixed_col``'s factors frozen, solve
+    the regularized normal equations for every ``solve_col`` entity:
+    x_e = (Vᵀ V + λ·n_e·I)⁻¹ Vᵀ r  over e's interactions."""
+    import numpy as np
+    import pandas as pd
+
+    joined = ratings.join(
+        fixed.withColumnRenamed("vec", "__fvec"), fixed_col
+    ).select(solve_col, fixed_col, rating_col, "__fvec")
+
+    schema = f"{solve_col} long, vec array<double>"
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(fixed_col)  # pin summation order
+        V = np.array(pdf["__fvec"].tolist(), dtype=np.float64)
+        r = pdf[rating_col].to_numpy(dtype=np.float64)
+        A = V.T @ V + reg * len(pdf) * np.eye(rank)
+        b = V.T @ r
+        x = np.linalg.solve(A, b)
+        return pd.DataFrame(
+            {solve_col: [pdf[solve_col].iloc[0]], "vec": [x.tolist()]}
+        )
+
+    return joined.groupBy(solve_col).applyInPandas(solve, schema)
+
+
+def als(
+    ratings: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "rating",
+    rank: int = 8,
+    iters: int = 5,
+    reg: float = 0.1,
+) -> tuple[DataFrame, DataFrame]:
+    """Alternating least squares: returns (user_factors,
+    item_factors), each (id, vec array<double>[rank]).
+
+    A declared pandas operator (the rank×rank solves are the honest
+    Python boundary); everything around the solves — joins, shuffles,
+    the prediction dot product — is JVM-side. ``ratings`` should be
+    pre-aggregated to one row per (user, item)."""
+    ratings = ratings.select(user_col, item_col, rating_col).localCheckpoint(
+        eager=True
+    )
+    item_f = _init_factors(
+        ratings.select(item_col).distinct(), item_col, rank
+    ).localCheckpoint(eager=True)
+    user_f = None
+    for _ in range(iters):
+        user_f = _solve_half(
+            ratings, item_f, user_col, item_col, rating_col, rank, reg
+        ).localCheckpoint(eager=True)
+        item_f = _solve_half(
+            ratings, user_f, item_col, user_col, rating_col, rank, reg
+        ).localCheckpoint(eager=True)
+    return user_f, item_f
+
+
+def predict(
+    user_f: DataFrame,
+    item_f: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+) -> DataFrame:
+    """Score every (user, item) pair by the factor dot product —
+    JVM-side ``zip_with``/``aggregate`` HOFs, no Python in the scoring
+    path (the q82/q145 array idiom). Cross-joining all pairs is the
+    caller's choice; for top-k serving, join against a candidate set
+    instead."""
+    u = user_f.withColumnRenamed("vec", "__uv")
+    i = item_f.withColumnRenamed("vec", "__iv")
+    dot = F.aggregate(
+        F.zip_with("__uv", "__iv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return u.crossJoin(i).select(
+        user_col, item_col, dot.alias("score")
+    )

@@ -19300,3 +19300,580 @@ def q368(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("long").alias("min_k"),
         F.max("o_orderkey").cast("long").alias("max_k"),
     )
+
+
+@q(
+    "q369_scc_trade_graph",
+    """
+    WITH RECURSIVE vol AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             COUNT(*) AS cnt
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY cnt DESC, dst) AS rk
+        FROM vol
+      ) t WHERE rk <= 3
+    ), r(a, b) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), mut AS (
+      SELECT r1.a AS node, r1.b AS v
+      FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a
+    ), sccm AS (
+      SELECT node, MIN(v) AS scc_id FROM (
+        SELECT node, v FROM mut
+        UNION ALL
+        SELECT node, node AS v FROM nodes
+      ) u GROUP BY node
+    )
+    SELECT CAST(scc_id AS BIGINT) AS scc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           STRING_AGG(CAST(node AS VARCHAR), ',' ORDER BY node)
+             AS members
+    FROM sccm GROUP BY scc_id ORDER BY scc_id
+    """,
+)
+def q369(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRONGLY CONNECTED COMPONENTS of the directed nation trade
+    graph — the directed sibling of the undirected CC family
+    (dedup_clusters q98, star-CC q293): nation A → B if A's suppliers
+    ship to B's customers, kept to each nation's top-3 destinations
+    (count desc, key tie-break — a deterministic sparsifier). SCCs
+    are the mutual-trade rings. The distributed algorithm
+    (`graph.scc`) is trim + forward-min-coloring + backward
+    containment — every step a keyed join+aggregate, the coloring
+    fixpoint diameter-bounded — while the oracle states the SAME
+    components from first principles: WITH RECURSIVE transitive
+    closure, scc_id(u) = min over u's mutual-reachability set. The
+    100 TB shape: the fact scan aggregates to entity grain (25
+    nations) FIRST; the iterative algorithm runs on the induced
+    summary graph, the standard entity-graph-from-events pattern.
+    Tarjan-reference + hand-graph pytest pin the operator on graphs
+    with known SCCs."""
+    from dataflowex_spark.operators.graph import scc
+
+    cat = Catalog(spark, sf_dir)
+    vol = (
+        cat["lineitem"]
+        .join(cat["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(cat["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("dst"))
+    edges = (
+        vol.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst")
+        # the induced summary graph is ≤ 25·3 edges — collapse to one
+        # partition so the iterative rounds don't pay 32-task shuffle
+        # scheduling per fixpoint step (13.9 s → ~5 s at sf0.01)
+        .coalesce(1)
+    )
+    return (
+        scc(edges)
+        .groupBy(F.col("scc_id").cast("long").alias("scc_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_nations"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("members"),
+        )
+        .orderBy("scc_id")
+    )
+
+
+@q(
+    "q370_bh_fdr",
+    """
+    WITH base AS (
+      SELECT c.c_nationkey AS nk,
+             o.o_orderkey % 2 AS grp,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS urgent
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), agg AS (
+      SELECT n.n_name AS nation,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp = 1 THEN urgent ELSE 0 END) AS BIGINT) AS x1,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN grp = 0 THEN urgent ELSE 0 END) AS BIGINT) AS x0
+      FROM base JOIN nation n ON base.nk = n.n_nationkey
+      GROUP BY n.n_name
+    ), z AS (
+      SELECT nation,
+             CAST(ROUND(
+               (((CAST(x1 * n0 - x0 * n1 AS DOUBLE)
+                  * CAST(x1 * n0 - x0 * n1 AS DOUBLE))
+                 * CAST(n1 + n0 AS DOUBLE))
+                / (((CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))
+                    * CAST(x1 + x0 AS DOUBLE))
+                   * CAST((n1 + n0) - (x1 + x0) AS DOUBLE)))
+               * 1000000, 0) AS BIGINT) AS z2_ppm
+      FROM agg
+      WHERE x1 + x0 > 0 AND x1 + x0 < n1 + n0 AND n1 > 0 AND n0 > 0
+    ), rk AS (
+      SELECT nation, z2_ppm,
+             CAST(ROW_NUMBER() OVER (ORDER BY z2_ppm DESC, nation)
+                  AS BIGINT) AS rnk
+      FROM z
+    ), dcs AS (
+      SELECT nation, z2_ppm, rnk,
+        CASE rnk
+          WHEN 1 THEN 9549536 WHEN 2 THEN 8283815 WHEN 3 THEN 7550303
+          WHEN 4 THEN 7033474 WHEN 5 THEN 6634897 WHEN 6 THEN 6310869
+          WHEN 7 THEN 6038143 WHEN 8 THEN 5802874 WHEN 9 THEN 5596149
+          WHEN 10 THEN 5411894 WHEN 11 THEN 5245785 WHEN 12 THEN 5094632
+          WHEN 13 THEN 4956019 WHEN 14 THEN 4828067 WHEN 15 THEN 4709292
+          WHEN 16 THEN 4598497 WHEN 17 THEN 4494704 WHEN 18 THEN 4397105
+          WHEN 19 THEN 4305022 WHEN 20 THEN 4217885 WHEN 21 THEN 4135204
+          WHEN 22 THEN 4056562 WHEN 23 THEN 3981594 WHEN 24 THEN 3909986
+          ELSE 3841459 END AS thr
+      FROM rk
+    )
+    SELECT nation, z2_ppm, rnk,
+           rnk <= MAX(CASE WHEN z2_ppm >= thr THEN rnk ELSE 0 END)
+                    OVER () AS rejected
+    FROM dcs ORDER BY rnk
+    """,
+)
+def q370(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI–HOCHBERG FDR over a 25-test family — per-nation
+    urgency A/B readout (treatment = orderkey parity) corrected for
+    multiple comparisons, the step an experimentation platform needs
+    the moment it reads out per-segment effects (q272's readout, now
+    family-safe). The statistic is the pooled two-proportion chi²,
+    computed from exact BIGINT counts with ONE double divide and
+    quantized to ppm; the α·k/m ladder is pinned as 25 integer ppm
+    critical values in BOTH engines (the q283 inverse-CDF-literal
+    idiom), so the BH decision is pure integer comparison — no erf /
+    tail functions at query time. Ranking windows run over the TEST
+    FAMILY (25 rows), never the fact table: the facts reduce in one
+    hash aggregate. m is pinned at 25 (the TPC-H nation table at
+    every SF)."""
+    from dataflowex_spark.operators.mleval import BH_CHI2_PPM_M25, bh_reject
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .join(cat["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(cat["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            (F.col("o_orderkey") % 2).alias("grp"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("urgent"),
+        )
+    )
+    agg = base.groupBy("nation").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("urgent")).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("grp") == 0, F.col("urgent")).otherwise(0))
+        .cast("long")
+        .alias("x0"),
+    )
+    num = (F.col("x1") * F.col("n0") - F.col("x0") * F.col("n1")).cast(
+        "double"
+    )
+    den = (
+        (F.col("n1").cast("double") * F.col("n0").cast("double"))
+        * (F.col("x1") + F.col("x0")).cast("double")
+    ) * ((F.col("n1") + F.col("n0")) - (F.col("x1") + F.col("x0"))).cast(
+        "double"
+    )
+    z = (
+        agg.filter(
+            (F.col("x1") + F.col("x0") > 0)
+            & (F.col("x1") + F.col("x0") < F.col("n1") + F.col("n0"))
+            & (F.col("n1") > 0)
+            & (F.col("n0") > 0)
+        )
+        .select(
+            "nation",
+            F.round(
+                ((num * num) * (F.col("n1") + F.col("n0")).cast("double"))
+                / den
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("z2_ppm"),
+        )
+    )
+    return (
+        bh_reject(z, "z2_ppm", "nation", BH_CHI2_PPM_M25)
+        .select(
+            "nation", "z2_ppm", F.col("rnk").cast("long").alias("rnk"),
+            "rejected",
+        )
+        .orderBy("rnk")
+    )
+
+
+@q(
+    "q371_golden_record",
+    """
+    WITH src AS (
+      SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+             '555-' || LPAD(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               AS c_phone
+      FROM customer
+    ), recs AS (
+      SELECT c_custkey AS entity, 1 AS priority,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS name,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_phone END AS phone,
+             c_mktsegment AS segment,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      FROM src
+      UNION ALL
+      SELECT c_custkey, 2, LOWER(c_name), NULL,
+             CASE WHEN c_custkey % 10 = 0 THEN 'MACHINERY'
+                  ELSE c_mktsegment END,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) - 100
+      FROM src
+      UNION ALL
+      SELECT c_custkey, 3, UPPER(c_name), c_phone, c_mktsegment,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+      FROM src WHERE c_custkey % 3 = 0
+    ), base AS (
+      SELECT entity,
+             CAST(COUNT(*) AS BIGINT) AS n_records,
+             SUBSTR(MIN(CASE WHEN name IS NOT NULL
+                    THEN CAST(priority AS VARCHAR) || '|' || name END), 3)
+               AS name,
+             SUBSTR(MIN(CASE WHEN phone IS NOT NULL
+                    THEN CAST(priority AS VARCHAR) || '|' || phone END), 3)
+               AS phone,
+             MAX(bal_cents) AS bal_cents
+      FROM recs GROUP BY entity
+    ), segpick AS (
+      SELECT entity,
+             SUBSTR(MIN(CAST(9 - cnt AS VARCHAR) || segment), 2) AS segment
+      FROM (SELECT entity, segment, COUNT(*) AS cnt FROM recs
+            WHERE segment IS NOT NULL GROUP BY entity, segment) c
+      GROUP BY entity
+    )
+    SELECT b.entity, b.name, b.phone, s.segment, b.bal_cents, b.n_records
+    FROM base b JOIN segpick s USING (entity)
+    ORDER BY entity
+    """,
+)
+def q371(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLDEN-RECORD SURVIVORSHIP — the step AFTER linkage (q310
+    scores pairs, CC clusters them; this collapses each cluster to
+    one master record): three source systems carry conflicting copies
+    of every customer (CRM authoritative but gappy, web lowercased /
+    phone-less / stale balance, app partial coverage), and
+    per-attribute rules elect the survivors — trust-ladder
+    first-non-null for name/phone (struct-argmin over source
+    priority), consensus mode with deterministic ties for segment
+    (two-level count+argmin), max for the balance. Every rule is an
+    order-free hash aggregate keyed by entity (clusters never
+    collect_list), so the golden table is engine-exact — the oracle
+    spells the same rules via the string-packed argmin idiom.
+    Completes the linkage family as a `queries()` surface."""
+    from dataflowex_spark.operators.linkage import golden_records
+
+    cat = Catalog(spark, sf_dir)
+    # the fixtures' trimmed customer table has no phone column —
+    # synthesize a deterministic one (same expression in the oracle)
+    c = cat["customer"].withColumn(
+        "c_phone",
+        F.concat(
+            F.lit("555-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    crm = c.select(
+        F.col("c_custkey").alias("entity"),
+        F.lit(1).alias("priority"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("c_name")
+        ).alias("name"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None)).otherwise(
+            F.col("c_phone")
+        ).alias("phone"),
+        F.col("c_mktsegment").alias("segment"),
+        cents.alias("bal_cents"),
+    )
+    web = c.select(
+        F.col("c_custkey").alias("entity"),
+        F.lit(2).alias("priority"),
+        F.lower(F.col("c_name")).alias("name"),
+        F.lit(None).cast("string").alias("phone"),
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("MACHINERY")).otherwise(
+            F.col("c_mktsegment")
+        ).alias("segment"),
+        (cents - 100).alias("bal_cents"),
+    )
+    app = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("entity"),
+        F.lit(3).alias("priority"),
+        F.upper(F.col("c_name")).alias("name"),
+        F.col("c_phone").alias("phone"),
+        F.col("c_mktsegment").alias("segment"),
+        cents.alias("bal_cents"),
+    )
+    golden = golden_records(
+        crm.unionByName(web).unionByName(app),
+        entity_col="entity",
+        priority_col="priority",
+        first_non_null=["name", "phone"],
+        mode=["segment"],
+        maximum=["bal_cents"],
+    )
+    return golden.select(
+        "entity", "name", "phone", "segment", "bal_cents", "n_records"
+    ).orderBy("entity")
+
+
+@q(
+    "q372_approx_groupby_ci",
+    """
+    WITH s AS (
+      SELECT n.n_name AS nation,
+             CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)),1,15))
+                 AS BIGINT) % 10 = 0
+    ), ex AS (
+      SELECT n.n_name AS nation,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS exact_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    ), est AS (
+      SELECT nation,
+             CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             CAST(SUM(cents) * 10 AS BIGINT) AS est,
+             CAST(ROUND(1.959964 * SQRT(
+               CAST(SUM(CAST(cents AS DECIMAL(19,0))
+                        * CAST(cents AS DECIMAL(19,0))) AS DOUBLE)
+               * 90.0), 0) AS BIGINT) AS half
+      FROM s GROUP BY nation
+    )
+    SELECT e.nation, e.n_sampled, e.est, e.half, x.exact_cents,
+           ABS(e.est - x.exact_cents) <= e.half AS covered
+    FROM est e JOIN ex x USING (nation) ORDER BY e.nation
+    """,
+)
+def q372(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE QUERY PROCESSING: group-by SUM answered from a
+    deterministic 1-in-10 hash sample with Horvitz–Thompson scaling
+    and a 95% CLT half-width from the Poisson-sampling variance
+    estimator (Σ_sample x²·(1−f)/f² — computable without the
+    population). At 100 TB the sample predicate is ONE md5 compare
+    at the scan (no RNG state, the exact sampled set reproducible by
+    any engine — q92/q155 discipline) and the dashboard reads a
+    tenth of the data with a calibrated ±bound. This query audits
+    the estimator against the full scan: `covered` says whether the
+    interval caught the truth, per nation. Exact-integer estimate,
+    DECIMAL(38,0) Σx² (BIGINT overflows ~sf1), one sqrt + two
+    multiplies in double — IEEE-identical in both engines."""
+    from dataflowex_spark.operators.sampling import approx_sum_ci
+
+    cat = Catalog(spark, sf_dir)
+    joined = (
+        cat["orders"]
+        .join(cat["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(cat["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderkey"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    est = approx_sum_ci(
+        joined,
+        group_cols=["nation"],
+        value_col="cents",
+        id_col="o_orderkey",
+        buckets=10,
+    )
+    exact = joined.groupBy("nation").agg(
+        F.sum("cents").cast("long").alias("exact_cents")
+    )
+    return (
+        est.join(exact, "nation")
+        .select(
+            "nation", "n_sampled", "est", "half", "exact_cents",
+            (F.abs(F.col("est") - F.col("exact_cents")) <= F.col("half"))
+            .alias("covered"),
+        )
+        .orderBy("nation")
+    )
+
+
+@q(
+    "q373_chained_stream_agg",
+    """
+    WITH minute AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS w, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT date_trunc('hour', w) AS hour_start, event_type,
+           CAST(SUM(n) AS BIGINT) AS sum_n,
+           CAST(MAX(n) AS BIGINT) AS max_n,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM minute GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q373(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED STREAMING AGGREGATIONS (Spark 4 multiple stateful
+    operators), ORACLED: one streaming query holds TWO stateful
+    aggregation levels — 15-minute tumbling counts per event type
+    re-aggregated to hour grain over the WINDOW COLUMN
+    (window-of-window) — the continuous-aggregate cascade (q127's
+    batch shape) that used to require two queries stitched through a
+    sink. The events table replays event-time-ordered; three
+    far-future sentinel heartbeats advance the watermark through the
+    extra batch each chained level needs to evict (the engine hands
+    operator k the PREVIOUS batch's watermark — the 3.4 semantics
+    that made chaining sound). The drained append-mode output equals
+    the batch two-level rollup exactly; `sum_n` doubles as an
+    in-result audit that no inner bucket was dropped or
+    double-counted across the cascade."""
+    import tempfile
+
+    from dataflowex_spark.session import configure
+    from dataflowex_spark.streaming.ops import (
+        chained_window_counts,
+        ordered_event_replay,
+        run_to_memory,
+    )
+
+    configure(spark)
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"].select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    far = ev.agg(
+        (F.max("ts") + F.expr("interval 2 days")).alias("t1")
+    ).first()["t1"]
+    sent = spark.createDataFrame(
+        [(0,), (1,), (2,)], "k long"
+    ).select(
+        F.lit("__flush__").alias("event_type"),
+        (F.lit(far) + F.col("k") * F.expr("interval 1 minute")).alias("ts"),
+    ).drop("k")
+    root = tempfile.mkdtemp(prefix="q373_")
+    stream = ordered_event_replay(
+        spark, ev, "ts", 4, root, sentinel_rows=sent
+    )
+    agg = chained_window_counts(
+        stream, "ts", "event_type",
+        inner="15 minutes", outer="1 hour", watermark="1 minute",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out, _ = run_to_memory(agg, output_mode="append")
+        out = out.filter(F.col("event_type") != "__flush__").select(
+            F.col("hour_start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+            F.col("sum_n").cast("long").alias("sum_n"),
+            F.col("max_n").cast("long").alias("max_n"),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+        ).orderBy("hour_start", "event_type").localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
+
+
+@q("q374_als_recommend", None)  # rows-only: iterative float factorization
+def q374(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS MATRIX FACTORIZATION over the purchase matrix — the
+    collaborative-filtering recommender as a pure DataFrame
+    algorithm: customers × part brands, rating = distinct-part
+    purchase count (per-customer density is SF-invariant in the
+    fixtures, so unseen brands exist at every scale); rank-4 factors
+    from 3 alternating sweeps (`operators.recsys.als`, the Zhou et
+    al. normal-equation form), then a JVM-side dot-product scoring
+    pass recommends each sampled user's top brand among brands NOT
+    yet purchased (the anti-join serving shape). Declared pandas
+    operator for the rank×rank solves only; ratings shuffle twice
+    per sweep, factor frames never collect. Iterative float ⇒
+    rows-only; determinism (md5 init + sorted-group solves) and
+    planted-rank recovery are pytest-pinned."""
+    from dataflowex_spark.operators.recsys import als, predict
+
+    cat = Catalog(spark, sf_dir)
+    ratings = (
+        cat["lineitem"]
+        .join(cat["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("o_custkey").alias("user"),
+            F.col("p_brand").alias("brand"),
+            "l_partkey",
+        )
+        .groupBy("user", "brand")
+        .agg(F.countDistinct("l_partkey").cast("double").alias("rating"))
+    )
+    # stable integer item ids for the factorization; keep the label
+    items = ratings.select("brand").distinct().select(
+        "brand",
+        F.conv(F.substring(F.md5(F.col("brand")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("item"),
+    )
+    r = ratings.join(items, "brand").select("user", "item", "rating")
+    uf, itf = als(r, rank=4, iters=3, reg=0.1)
+    # serve a deterministic 1-in-10 user sample (bounds the output;
+    # factors were fit on everyone)
+    scores = predict(uf.filter(F.col("user") % 10 == 0), itf)
+    unseen = scores.join(
+        r.select("user", "item"), ["user", "item"], "left_anti"
+    )
+    best = unseen.groupBy("user").agg(
+        F.max_by(
+            F.struct(F.col("item"), F.col("score")),
+            F.struct(F.col("score"), -F.col("item")),
+        ).alias("pick")
+    )
+    return (
+        best.select(
+            "user",
+            F.col("pick.item").alias("item"),
+            F.round(F.col("pick.score"), 4).alias("score"),
+        )
+        .join(items, "item")
+        .select("user", "brand", "score")
+        .orderBy("user")
+    )

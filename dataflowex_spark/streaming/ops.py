@@ -1109,3 +1109,51 @@ def full_outer_interval_join_stream(
         & (rts <= lts + F.expr(f"interval {tolerance}"))
     )
     return l.join(r, cond, "full_outer")
+
+
+def chained_window_counts(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    inner: str = "15 minutes",
+    outer: str = "1 hour",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """TWO CHAINED stateful aggregations in ONE streaming query — the
+    Spark 3.4+/4 multiple-stateful-operator surface: a fine-grain
+    tumbling count (state store #1) feeds a coarse-grain
+    re-aggregation over its WINDOW COLUMN (state store #2,
+    window-of-window), so the stream emits the pre-aggregation
+    cascade (minute → hour rollup, q127's continuous-aggregate shape)
+    without an intermediate sink or a second query. Before 3.4 this
+    required two queries stitched through storage; the engine now
+    propagates the watermark operator-by-operator (each downstream
+    stateful op closes on the PREVIOUS batch's watermark), which is
+    why draining needs the ordered-replay + sentinel-flush staging
+    (q363's idiom) — each chained level needs one more
+    watermark-advancing batch to evict.
+
+    Append mode only (the supported mode for chained stateful ops).
+    Output: (hour_start, key, sum_n, max_n, n_buckets) — sum/max/
+    count over the inner buckets, so the result also audits the
+    cascade (sum_n must equal the flat count)."""
+    inner_agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, inner), F.col(key_col))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        inner_agg.groupBy(F.window(F.col("window"), outer), F.col(key_col))
+        .agg(
+            F.sum("n").alias("sum_n"),
+            F.max("n").alias("max_n"),
+            F.count("*").alias("n_buckets"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            F.col(key_col),
+            "sum_n",
+            "max_n",
+            "n_buckets",
+        )
+    )

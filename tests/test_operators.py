@@ -3621,3 +3621,237 @@ def test_arrow_optimized_python_udf_plan_and_equality(spark):
     rc = sorted(r["t"] for r in c.collect())
     rj = sorted(r["t"] for r in jvm.collect())
     assert ra == rc == rj
+
+
+def test_scc_hand_graph(spark):
+    """scc: two directed cycles bridged one-way + a DAG tail resolve
+    to the known components — the bridge must NOT merge the cycles
+    (reachability is one-way), and every tail node is a singleton."""
+    from dataflowex_spark.operators.graph import scc
+
+    edges = spark.createDataFrame(
+        # cycle A: 1→2→3→1; bridge 3→10 (one-way); cycle B: 10→11→10
+        # DAG tail: 11→20→21
+        [(1, 2), (2, 3), (3, 1), (3, 10), (10, 11), (11, 10),
+         (11, 20), (20, 21)],
+        "src long, dst long",
+    )
+    got = {
+        (r["node"], r["scc_id"]) for r in scc(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 21),
+    }
+
+
+def test_scc_matches_tarjan_reference(spark):
+    """scc == iterative Tarjan on a deterministic pseudo-random
+    digraph (the same md5-style arithmetic draw used by the sampling
+    operators, so the fixture never changes across runs)."""
+    import hashlib
+
+    from dataflowex_spark.operators.graph import scc
+
+    n = 60
+    edges = []
+    for i in range(n):
+        for j in range(3):
+            h = int(
+                hashlib.md5(f"scc-{i}-{j}".encode()).hexdigest()[:8], 16
+            )
+            d = h % n
+            if d != i:
+                edges.append((i, d))
+    edges = sorted(set(edges))
+
+    # iterative Tarjan reference
+    adj = {i: [] for i in range(n)}
+    for s, d in edges:
+        adj[s].append(d)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+
+    def strongconnect(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if not recurse:
+                if low[v] == index[v]:
+                    members = []
+                    while True:
+                        w = stack.pop()
+                        on_stack.discard(w)
+                        members.append(w)
+                        if w == v:
+                            break
+                    root = min(members)
+                    for m in members:
+                        comp[m] = root
+                if work:
+                    parent = work[-1][0]
+                    low[parent] = min(low[parent], low[v])
+
+    for v in range(n):
+        if v not in index:
+            strongconnect(v)
+
+    touched = {s for s, _ in edges} | {d for _, d in edges}
+    expect = {(v, comp[v]) for v in touched}
+    got = {
+        (r["node"], r["scc_id"])
+        for r in scc(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_bh_reject_step_up_semantics(spark):
+    """bh_reject pins the BH STEP-UP rule: a low-ranked statistic that
+    clears its (laxer) threshold resurrects every better-ranked test,
+    including ones that missed their own stricter threshold."""
+    from dataflowex_spark.operators.mleval import bh_reject
+
+    stats = spark.createDataFrame(
+        [("a", 1000), ("b", 450), ("c", 120)], "k string, s long"
+    )
+    got = {
+        (r["k"], r["rnk"], r["rejected"])
+        for r in bh_reject(stats, "s", "k", [900, 500, 100]).collect()
+    }
+    # ranks: a=1 (1000>=900 pass), b=2 (450<500 fail), c=3 (120>=100
+    # pass) -> kmax=3 -> ALL rejected
+    assert got == {("a", 1, True), ("b", 2, True), ("c", 3, True)}
+
+    # and without the resurrecting tail: c drops below its threshold
+    got2 = {
+        (r["k"], r["rejected"])
+        for r in bh_reject(
+            spark.createDataFrame(
+                [("a", 1000), ("b", 450), ("c", 90)], "k string, s long"
+            ),
+            "s", "k", [900, 500, 100],
+        ).collect()
+    }
+    assert got2 == {("a", True), ("b", False), ("c", False)}
+
+
+def test_golden_records_rules(spark):
+    """golden_records: trust-ladder first-non-null skips a null in the
+    top source; mode takes the majority and breaks ties to the
+    smallest value; max takes the freshest balance."""
+    from dataflowex_spark.operators.linkage import golden_records
+
+    recs = spark.createDataFrame(
+        [
+            # entity 1: crm name NULL -> web's survives; phone only in
+            # app; segment 2:1 majority; balances max
+            (1, 1, None, None, "AUTO", 100),
+            (1, 2, "web-name", None, "BIKE", 90),
+            (1, 3, "app-name", "555", "AUTO", 95),
+            # entity 2: two sources, segment tie -> lexicographic min
+            (2, 1, "crm2", "111", "HOUSE", 10),
+            (2, 2, "web2", "222", "AUTO", 20),
+        ],
+        "entity long, priority int, name string, phone string, "
+        "segment string, bal long",
+    )
+    out = {
+        r["entity"]: r
+        for r in golden_records(
+            recs,
+            "entity",
+            first_non_null=["name", "phone"],
+            mode=["segment"],
+            maximum=["bal"],
+        ).collect()
+    }
+    assert out[1]["name"] == "web-name"
+    assert out[1]["phone"] == "555"
+    assert out[1]["segment"] == "AUTO"
+    assert out[1]["bal"] == 100
+    assert out[1]["n_records"] == 3
+    assert out[2]["name"] == "crm2"
+    assert out[2]["phone"] == "111"
+    assert out[2]["segment"] == "AUTO"  # tie 1-1 -> lexicographic min
+    assert out[2]["bal"] == 20
+
+
+def test_approx_sum_ci_matches_python_reference(spark):
+    """approx_sum_ci == a Python replay of the same md5 sample and
+    CLT arithmetic (estimate exact-integer, half-width IEEE)."""
+    import hashlib
+    import math
+
+    from dataflowex_spark.operators.sampling import approx_sum_ci
+
+    rows = [("g" + str(i % 3), i, (i * 37) % 1000 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, id long, cents long")
+
+    def bucket(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) % 10
+
+    exp = {}
+    for g, i, c in rows:
+        if bucket(i) == 0:
+            n, s, ss = exp.get(g, (0, 0, 0))
+            exp[g] = (n + 1, s + c, ss + c * c)
+    got = {
+        r["g"]: (r["n_sampled"], r["est"], r["half"])
+        for r in approx_sum_ci(
+            df, ["g"], "cents", "id", buckets=10
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    for g, (n, s, ss) in exp.items():
+        half = round(1.959964 * math.sqrt(float(ss) * 90.0))
+        assert got[g] == (n, s * 10, half), g
+
+
+def test_als_recovers_planted_low_rank(spark):
+    """als: ratings generated from planted rank-2 factors are
+    reconstructed to small RMSE, and two runs produce bit-identical
+    factors (md5 init + sorted-group solves — no RNG anywhere)."""
+    import math
+
+    from dataflowex_spark.operators.recsys import als, predict
+
+    # planted factors: user u -> (1, u/10), item i -> (i/5, 1)
+    rows = [
+        (u, i, float((1.0 * (i / 5.0)) + (u / 10.0) * 1.0))
+        for u in range(12)
+        for i in range(10)
+    ]
+    ratings = spark.createDataFrame(rows, "user long, item long, rating double")
+    uf1, if1 = als(ratings, rank=2, iters=8, reg=0.01)
+    preds = predict(uf1, if1).collect()
+    truth = {(u, i): r for u, i, r in rows}
+    se = [(p["score"] - truth[(p["user"], p["item"])]) ** 2 for p in preds]
+    rmse = math.sqrt(sum(se) / len(se))
+    assert rmse < 0.05, rmse
+
+    uf2, _ = als(ratings, rank=2, iters=8, reg=0.01)
+    v1 = {r["user"]: r["vec"] for r in uf1.collect()}
+    v2 = {r["user"]: r["vec"] for r in uf2.collect()}
+    assert v1 == v2
