@@ -506,12 +506,67 @@ def random_walks(
     return out
 
 
+def _scc_driver(edge_list: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Kosaraju on a collected edge list (iterative, two DFS passes):
+    the driver-side half of the :func:`scc` hybrid. Deliberately a
+    DIFFERENT algorithm from the pytest reference (Tarjan), so the
+    small-graph path is independently checked too. Returns
+    (node, min-node-id-of-component) pairs."""
+    adj: dict[int, list[int]] = {}
+    radj: dict[int, list[int]] = {}
+    nodes: set[int] = set()
+    for s, d in edge_list:
+        adj.setdefault(s, []).append(d)
+        radj.setdefault(d, []).append(s)
+        nodes.add(s)
+        nodes.add(d)
+    # pass 1: finish order on the forward graph
+    seen: set[int] = set()
+    order: list[int] = []
+    for v0 in sorted(nodes):
+        if v0 in seen:
+            continue
+        stack: list[tuple[int, int]] = [(v0, 0)]
+        seen.add(v0)
+        while stack:
+            v, i = stack.pop()
+            nxt = adj.get(v, [])
+            while i < len(nxt) and nxt[i] in seen:
+                i += 1
+            if i < len(nxt):
+                stack.append((v, i + 1))
+                seen.add(nxt[i])
+                stack.append((nxt[i], 0))
+            else:
+                order.append(v)
+    # pass 2: reverse-graph DFS in reverse finish order
+    comp: dict[int, int] = {}
+    for v0 in reversed(order):
+        if v0 in comp:
+            continue
+        members = [v0]
+        comp[v0] = v0
+        stack2 = [v0]
+        while stack2:
+            v = stack2.pop()
+            for w in radj.get(v, []):
+                if w not in comp:
+                    comp[w] = v0
+                    members.append(w)
+                    stack2.append(w)
+        root = min(members)
+        for m in members:
+            comp[m] = root
+    return sorted(comp.items())
+
+
 def scc(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
     max_outer: int = 50,
     max_inner: int = 200,
+    driver_threshold: int = 10_000,
 ) -> DataFrame:
     """Strongly connected components of a DIRECTED graph — the
     trim + forward-coloring + backward-containment algorithm (the
@@ -546,13 +601,34 @@ def scc(
     ``max_outer`` bounds pathological peeling (each outer round
     removes at least the SCC of the globally smallest remaining
     node, and trimming removes acyclic tails wholesale). Returns
-    (node, scc_id) with scc_id = min node id of the component."""
+    (node, scc_id) with scc_id = min node id of the component.
+
+    HYBRID CUTOVER: a graph of ≤ ``driver_threshold`` edges collects
+    (a bounded aggregate — summary graphs contracted from 100 TB of
+    facts are entity-grain small) and resolves driver-side with
+    Kosaraju; above it, the distributed rounds run. The fixpoint
+    machinery costs ~5 scheduler round-trips per iteration, so on a
+    25-node graph the driver path is two orders of magnitude faster
+    while the distributed path is what survives a billion-edge input
+    — the same collect-when-bounded judgment as the IBLT peel and
+    the d×d Gram solves. Both paths are pinned equal in pytest
+    (``driver_threshold=0`` forces the distributed one)."""
     e0 = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if e0.count() <= driver_threshold:
+        pairs = _scc_driver(
+            [(int(r["src"]), int(r["dst"])) for r in e0.collect()]
+        )
+        spark = edges.sparkSession
+        if not pairs:
+            return e0.select(
+                F.col("src").alias("node"), F.col("src").alias("scc_id")
+            ).filter(F.lit(False))
+        return spark.createDataFrame(pairs, "node long, scc_id long")
     nodes = (
         e0.select(F.col("src").alias("node"))
         .unionByName(e0.select(F.col("dst").alias("node")))
@@ -669,3 +745,101 @@ def scc(
             F.lit(False)
         )
     return assigned
+
+
+def _dag_layers_driver(
+    edge_list: list[tuple[int, int]],
+) -> list[tuple[int, int]]:
+    """Kahn topological order + longest-path DP on a collected edge
+    list: the driver-side half of the :func:`dag_layers` hybrid.
+    Raises on a cycle (leftover nodes after the peel), mirroring the
+    distributed path's guard."""
+    indeg: dict[int, int] = {}
+    adj: dict[int, list[int]] = {}
+    nodes: set[int] = set()
+    for s, d in edge_list:
+        adj.setdefault(s, []).append(d)
+        indeg[d] = indeg.get(d, 0) + 1
+        nodes.add(s)
+        nodes.add(d)
+    layer = {v: 0 for v in nodes}
+    queue = sorted(v for v in nodes if indeg.get(v, 0) == 0)
+    done = 0
+    while queue:
+        v = queue.pop()
+        done += 1
+        for w in adj.get(v, []):
+            layer[w] = max(layer[w], layer[v] + 1)
+            indeg[w] -= 1
+            if indeg[w] == 0:
+                queue.append(w)
+    if done != len(nodes):
+        raise RuntimeError(
+            "dag_layers: input graph is cyclic "
+            "(condense with scc first)"
+        )
+    return sorted(layer.items())
+
+
+def dag_layers(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 100,
+    driver_threshold: int = 10_000,
+) -> DataFrame:
+    """Topological LAYER numbers for a DAG: layer(v) = length of the
+    longest path reaching v (sources = 0) — the level-sets of a
+    dependency schedule (everything in layer k can run once layers
+    < k finished). Iterative max-relaxation, the max-plus sibling of
+    :func:`sssp_weighted`: per round one keyed join + max-aggregate,
+    run to the FIXPOINT (exact — a DAG's longest path is finite);
+    raises after ``max_rounds`` (a cycle would relax forever, so the
+    guard doubles as an acyclicity check). Returns (node, layer).
+
+    Same hybrid cutover as :func:`scc`: ≤ ``driver_threshold`` edges
+    collect and resolve with Kahn + longest-path DP (cycle check
+    included); both paths pinned equal in pytest."""
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).distinct().localCheckpoint(eager=True)
+    if e.count() <= driver_threshold:
+        pairs = _dag_layers_driver(
+            [(int(r["a"]), int(r["b"])) for r in e.collect()]
+        )
+        spark = edges.sparkSession
+        if not pairs:
+            return e.select(
+                F.col("a").alias("node"),
+                F.col("a").cast("long").alias("layer"),
+            ).filter(F.lit(False))
+        return spark.createDataFrame(pairs, "node long, layer long")
+    layer = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("layer"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        cand = e.join(layer.withColumnRenamed("node", "a"), "a").select(
+            F.col("b").alias("node"), (F.col("layer") + 1).alias("layer")
+        )
+        nxt = (
+            layer.unionByName(cand)
+            .groupBy("node")
+            .agg(F.max("layer").alias("layer"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(layer.withColumnRenamed("layer", "old"), "node")
+            .filter(F.col("layer") != F.col("old"))
+            .count()
+        )
+        layer = nxt
+        if changed == 0:
+            return layer
+    raise RuntimeError(
+        f"dag_layers did not converge in {max_rounds} rounds — "
+        "the input graph is probably cyclic (condense with scc first)"
+    )

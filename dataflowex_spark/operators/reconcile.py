@@ -1,0 +1,153 @@
+"""Set reconciliation with INVERTIBLE BLOOM LOOKUP TABLES — find the
+symmetric difference of two replicas' key sets with communication and
+memory proportional to the DIFFERENCE, not the tables (Eppstein et
+al., "What's the Difference?", SIGCOMM 2011; Goodrich & Mitzenmacher
+IBLT). The replication-repair primitive: two 100 TB replicas that
+differ by 40 rows should cost ~40 cells to reconcile, not a
+cross-datacenter anti-join of everything.
+
+Scale shape: building a sketch is ONE pass — each key explodes to k
+cell rows and a single groupBy(cell) folds (count, key_xor,
+check_xor) with map-side partial combine; the shuffle carries m
+cells, a constant. Sketches subtract cell-wise (counts subtract,
+XORs combine — another m-row operation) and the subtracted table
+PEELS on the driver — bounded by m, the declared sketch size, never
+by table size. XOR fields are the canonical IBLT formulation: exact,
+overflow-free, order-independent, partial-aggregable. Portable md5
+hashes make sketches built by different engines/runs bit-identical,
+so the decode is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class IBLTDecodeError(RuntimeError):
+    """Peeling stalled: the sketch was sized below the actual
+    difference (cells < ~1.5× |A△B|). Rebuild with more cells —
+    the standard protocol ladder (size estimate via a strata
+    sketch, then the IBLT) doubles and retries."""
+
+
+K_HASHES = 3
+
+
+def _cell(key_col, i: int, cells: int):
+    """Cell index for hash function i: portable 60-bit md5 bucket of
+    'i:key' — the q155/q92 cross-engine draw."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{i}:"), key_col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(cells))
+
+
+def _check(key_col):
+    """Key checksum (independent of the cell hashes): 60-bit md5
+    bucket of 'c:key'. Guards peeling against collided cells."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("c:"), key_col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def iblt_build(
+    df: DataFrame, key_col: str, cells: int, sign: int = 1
+) -> DataFrame:
+    """Encode a key set into an m-cell IBLT: cell c holds
+    (Σ sign, XOR key, XOR check(key)) over the keys hashing to c
+    under each of the K hash functions. One explode + one bounded
+    aggregate. ``sign=-1`` marks the negated sketch so that a plain
+    UNION + re-aggregate IS sketch subtraction (counts cancel, XOR
+    is its own inverse)."""
+    k = F.col(key_col)
+    rows = None
+    for i in range(K_HASHES):
+        part = df.select(
+            _cell(k, i, cells).alias("cell"),
+            F.lit(sign).cast("long").alias("d_count"),
+            k.cast("long").alias("d_key"),
+            _check(k).alias("d_check"),
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    return rows.groupBy("cell").agg(
+        F.sum("d_count").alias("count"),
+        F.expr("bit_xor(d_key)").alias("key_xor"),
+        F.expr("bit_xor(d_check)").alias("check_xor"),
+    )
+
+
+def iblt_diff(
+    a: DataFrame, b: DataFrame, key_col: str, cells: int = 256
+) -> list[tuple[int, str]]:
+    """Decode A△B from the subtracted sketches: build IBLT(A) ⊖
+    IBLT(B) (one distributed pass over each side), collect the m
+    cells (bounded by the declared sketch size — this is the ONLY
+    driver-side data), and peel: a cell with count ±1 whose checksum
+    matches its key XOR holds exactly one unrecovered key (possibly
+    amid cancelled pairs — the checksum arbitrates); remove it from
+    its K cells and repeat until the sketch is empty. Returns
+    [(key, 'a_only' | 'b_only'), ...].
+
+    Raises :class:`IBLTDecodeError` when peeling stalls (undersized
+    sketch) — never returns a silently partial difference."""
+    import hashlib
+
+    sk = (
+        iblt_build(a, key_col, cells, sign=1)
+        .unionByName(iblt_build(b, key_col, cells, sign=-1))
+        .groupBy("cell")
+        .agg(
+            F.sum("count").alias("count"),
+            F.expr("bit_xor(key_xor)").alias("key_xor"),
+            F.expr("bit_xor(check_xor)").alias("check_xor"),
+        )
+    )
+    state = {
+        int(r["cell"]): [
+            int(r["count"]),
+            int(r["key_xor"]),
+            int(r["check_xor"]),
+        ]
+        for r in sk.collect()
+    }
+
+    def py_cell(key: int, i: int) -> int:
+        return int(
+            hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16
+        ) % cells
+
+    def py_check(key: int) -> int:
+        return int(hashlib.md5(f"c:{key}".encode()).hexdigest()[:15], 16)
+
+    out: list[tuple[int, str]] = []
+    progress = True
+    while progress:
+        progress = False
+        for c in list(state):
+            cnt, kx, cx = state.get(c, (0, 0, 0))
+            if cnt in (1, -1) and kx >= 0 and cx == py_check(kx):
+                key = kx
+                out.append((key, "a_only" if cnt == 1 else "b_only"))
+                for i in range(K_HASHES):
+                    cc = py_cell(key, i)
+                    cell = state.setdefault(cc, [0, 0, 0])
+                    cell[0] -= cnt
+                    cell[1] ^= key
+                    cell[2] ^= py_check(key)
+                progress = True
+        for c in [c for c, v in state.items() if v == [0, 0, 0]]:
+            del state[c]
+    if state:
+        raise IBLTDecodeError(
+            f"peeling stalled with {len(state)} nonzero cells — "
+            f"sketch undersized for the difference (cells={cells})"
+        )
+    return sorted(out)

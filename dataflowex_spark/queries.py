@@ -19302,10 +19302,40 @@ def q368(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "q369_scc_trade_graph",
-    """
-    WITH RECURSIVE vol AS (
+def _trade_edges(cat: Catalog) -> DataFrame:
+    """Directed nation trade graph (shared by q369/q376): supplier
+    nation → customer nation, sparsified to each source's top-3
+    destinations by lineitem count (dst tie-break). The fact scan
+    reduces to entity grain FIRST; the 25-node summary graph then
+    drives the iterative algorithms — repartition(1) (a SHUFFLE
+    boundary, not coalesce: coalesce(1) would drag the whole 4-table
+    join into one task — measured 130 s vs 8 s at sf0.1) so the
+    driver-loop rounds don't pay full-width scheduling."""
+    vol = (
+        cat["lineitem"]
+        .join(cat["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(cat["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("dst"))
+    return (
+        vol.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst")
+        .repartition(1)
+    )
+
+
+# shared CTE prefix: nation trade edge derivation + SCC-by-closure
+# (q369 states components; q376 layers the condensation)
+_TRADE_SCC_SQL = """
+    WITH RECURSIVE vol AS MATERIALIZED (
       SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
              COUNT(*) AS cnt
       FROM lineitem l
@@ -19314,7 +19344,7 @@ def q368(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       WHERE s.s_nationkey <> c.c_nationkey
       GROUP BY 1, 2
-    ), e AS (
+    ), e AS MATERIALIZED (
       SELECT src, dst FROM (
         SELECT src, dst,
                ROW_NUMBER() OVER (PARTITION BY src
@@ -19337,6 +19367,13 @@ def q368(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT node, node AS v FROM nodes
       ) u GROUP BY node
     )
+"""
+
+
+@q(
+    "q369_scc_trade_graph",
+    _TRADE_SCC_SQL
+    + """
     SELECT CAST(scc_id AS BIGINT) AS scc_id,
            CAST(COUNT(*) AS BIGINT) AS n_nations,
            STRING_AGG(CAST(node AS VARCHAR), ',' ORDER BY node)
@@ -19364,31 +19401,18 @@ def q369(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataflowex_spark.operators.graph import scc
 
     cat = Catalog(spark, sf_dir)
-    vol = (
-        cat["lineitem"]
-        .join(cat["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cat["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(cat["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .groupBy(
-            F.col("s_nationkey").alias("src"),
-            F.col("c_nationkey").alias("dst"),
-        )
-        .agg(F.count("*").alias("cnt"))
-    )
-    w = Window.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("dst"))
-    edges = (
-        vol.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("src", "dst")
-        # the induced summary graph is ≤ 25·3 edges — collapse to one
-        # partition so the iterative rounds don't pay 32-task shuffle
-        # scheduling per fixpoint step (13.9 s → ~5 s at sf0.01)
-        .coalesce(1)
-    )
+    edges = _trade_edges(cat).localCheckpoint(eager=True)
+    # the fixpoint loops iterate over a 25-node frame — run them at 2
+    # shuffle partitions (q363 discipline: size state to cardinality,
+    # not the session default), restored right after
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        comp = scc(edges).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
-        scc(edges)
-        .groupBy(F.col("scc_id").cast("long").alias("scc_id"))
+        comp.groupBy(F.col("scc_id").cast("long").alias("scc_id"))
         .agg(
             F.count("*").cast("long").alias("n_nations"),
             F.concat_ws(
@@ -19876,4 +19900,243 @@ def q374(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(items, "item")
         .select("user", "brand", "score")
         .orderBy("user")
+    )
+
+
+@q(
+    "q375_iblt_reconcile",
+    """
+    WITH a AS (SELECT o_orderkey AS k FROM orders),
+    mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    b AS (
+      SELECT k FROM a WHERE k % 9973 <> 5
+      UNION ALL
+      SELECT m + 7 * x FROM mx, range(1, 11) t(x)
+    )
+    SELECT k, 'a_only' AS side
+    FROM (SELECT k FROM a EXCEPT SELECT k FROM b) d1
+    UNION ALL
+    SELECT k, 'b_only' AS side
+    FROM (SELECT k FROM b EXCEPT SELECT k FROM a) d2
+    ORDER BY k
+    """,
+)
+def q375(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IBLT SET RECONCILIATION, oracled against the anti-join truth:
+    two replicas of the orders key set drift (a sparse deletion
+    stripe on one side, ten phantom appends on the other) and the
+    symmetric difference is recovered from two 256-cell invertible
+    Bloom lookup tables — each built in ONE distributed pass whose
+    shuffle carries 256 cells, subtracted cell-wise, peeled on the
+    driver (bounded by the sketch, never the table). The oracle
+    computes the same difference the expensive way (EXCEPT both
+    directions), so the query proves decode EXACTNESS, not an
+    approximation — the point of IBLTs: reconciling 100 TB replicas
+    costs O(difference) communication instead of a cross-replica
+    anti-join, and an undersized sketch RAISES rather than returning
+    a partial answer (pytest-pinned)."""
+    from dataflowex_spark.operators.reconcile import iblt_diff
+
+    cat = Catalog(spark, sf_dir)
+    a = cat["orders"].select(F.col("o_orderkey").alias("k"))
+    synth = (
+        spark.range(1, 11)
+        .crossJoin(F.broadcast(a.agg(F.max("k").alias("m"))))
+        .select((F.col("m") + 7 * F.col("id")).alias("k"))
+    )
+    b = a.filter(F.col("k") % 9973 != 5).unionByName(synth)
+    diff = iblt_diff(a, b, "k", cells=256)
+    return spark.createDataFrame(
+        diff, "k long, side string"
+    ).orderBy("k")
+
+
+@q(
+    "q376_condensation_layers",
+    _TRADE_SCC_SQL
+    + """
+    , ce AS MATERIALIZED (
+      SELECT DISTINCT sa.scc_id AS cs, sb.scc_id AS cd
+      FROM e
+      JOIN sccm sa ON e.src = sa.node
+      JOIN sccm sb ON e.dst = sb.node
+      WHERE sa.scc_id <> sb.scc_id
+    ), cn AS MATERIALIZED (
+      SELECT DISTINCT scc_id FROM sccm
+    ), lp(n, d) AS (
+      SELECT scc_id, 0 FROM cn
+      UNION ALL
+      SELECT ce.cd, lp.d + 1 FROM lp JOIN ce ON lp.n = ce.cs
+    ), layers AS (
+      SELECT n AS scc_id, MAX(d) AS layer FROM lp GROUP BY n
+    )
+    SELECT CAST(l.layer AS BIGINT) AS layer,
+           CAST(l.scc_id AS BIGINT) AS scc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM layers l JOIN sccm s ON l.scc_id = s.scc_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q376(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONDENSATION DAG LAYERS — the composition that makes SCC
+    useful for scheduling: contract every mutual-trade ring (q369's
+    components) to one super-node; the contracted graph is acyclic
+    BY CONSTRUCTION, and `graph.dag_layers` numbers its topological
+    levels by longest-path max-relaxation run to the fixpoint (the
+    max-plus sibling of Bellman–Ford; the round guard doubles as an
+    acyclicity check, so this query also proves the condensation
+    really is a DAG). Layer k = the trade blocs that can settle once
+    every upstream bloc has — the dependency-schedule reading. The
+    oracle recomputes components via recursive closure, contracts in
+    SQL, and layers with a second recursive CTE (longest path
+    terminates exactly because the condensation is acyclic)."""
+    from dataflowex_spark.operators.graph import dag_layers, scc
+
+    cat = Catalog(spark, sf_dir)
+    edges = _trade_edges(cat).localCheckpoint(eager=True)
+    # both fixpoint loops run over the 25-node summary graph: 2
+    # shuffle partitions for the iterative section (q369 discipline)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        comp = scc(edges).localCheckpoint(eager=True)
+        ce = (
+            edges.join(
+                comp.withColumnRenamed("node", "src").withColumnRenamed(
+                    "scc_id", "cs"
+                ),
+                "src",
+            )
+            .join(
+                comp.withColumnRenamed("node", "dst").withColumnRenamed(
+                    "scc_id", "cd"
+                ),
+                "dst",
+            )
+            .filter(F.col("cs") != F.col("cd"))
+            .select(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+            .distinct()
+        )
+        # isolated components (no inter-bloc edge) still need layer 0
+        connected = dag_layers(ce).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    layers = connected.unionByName(
+        comp.select(F.col("scc_id").alias("node"))
+        .distinct()
+        .join(connected.select("node"), "node", "left_anti")
+        .select("node", F.lit(0).cast("long").alias("layer"))
+    )
+    sizes = comp.groupBy("scc_id").agg(
+        F.count("*").cast("long").alias("n_nations")
+    )
+    return (
+        layers.select(F.col("node").alias("scc_id"), "layer")
+        .join(sizes, "scc_id")
+        .select(
+            F.col("layer").cast("long").alias("layer"),
+            F.col("scc_id").cast("long").alias("scc_id"),
+            "n_nations",
+        )
+        .orderBy("layer", "scc_id")
+    )
+
+
+@q(
+    "q377_session_pattern_match",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                  ELSE 'v' END AS code
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), strs AS (
+      SELECT user_id, sid,
+             STRING_AGG(code, '' ORDER BY ts, event_id) AS s
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT 'direct_buy' AS pattern,
+           CAST(COUNT(*) FILTER (WHERE regexp_matches(s, '^[^e]*p'))
+                AS BIGINT) AS n_sessions
+    FROM strs
+    UNION ALL
+    SELECT 'error_recovered',
+           CAST(COUNT(*) FILTER (WHERE regexp_matches(s, 'e.*p'))
+                AS BIGINT)
+    FROM strs
+    UNION ALL
+    SELECT 'view_bounce',
+           CAST(COUNT(*) FILTER (WHERE regexp_matches(s, '^v[^p]*$'))
+                AS BIGINT)
+    FROM strs
+    ORDER BY pattern
+    """,
+)
+def q377(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIABLE-LENGTH event-pattern matching — the general
+    MATCH_RECOGNIZE shape q181's fixed-length LEAD trick can't
+    express: each gap session (q72 semantics, µs-exact, event_id
+    tie-break) collapses to an ordered one-letter event string
+    (array_sort over (ts, id, code) structs — order-free aggregation
+    into an ordered value), and funnel DEFINITIONS become regexes
+    over that string: purchase with no prior error ('^[^e]*p'),
+    error-then-recovery ('e.*p'), view-led bounce ('^v[^p]*$') —
+    arbitrary Kleene patterns, not fixed windows. Session strings
+    are bounded by session length (tens of events), so the regex
+    pass is scan-local over the sessionized aggregate; the whole
+    plan is the one user-keyed shuffle sessionization already pays.
+    Pattern syntax kept in the Java∩RE2 common subset so both
+    engines read the same language."""
+    from dataflowex_spark.operators.windows import sessionize
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"].select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "error", "e")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("v")
+        .alias("code"),
+    )
+    sess = sessionize(ev, "user_id", "ts", 1800, tie_cols=("event_id",))
+    strs = sess.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "code"))
+                ),
+                lambda x: x["code"],
+            ),
+        ).alias("s")
+    )
+    counts = strs.agg(
+        F.sum(F.col("s").rlike("^[^e]*p").cast("long")).alias("direct_buy"),
+        F.sum(F.col("s").rlike("e.*p").cast("long")).alias(
+            "error_recovered"
+        ),
+        F.sum(F.col("s").rlike("^v[^p]*$").cast("long")).alias(
+            "view_bounce"
+        ),
+    )
+    return (
+        counts.unpivot(
+            [], ["direct_buy", "error_recovered", "view_bounce"],
+            "pattern", "n_sessions",
+        )
+        .select("pattern", F.col("n_sessions").cast("long").alias("n_sessions"))
+        .orderBy("pattern")
     )

@@ -3636,14 +3636,19 @@ def test_scc_hand_graph(spark):
          (11, 20), (20, 21)],
         "src long, dst long",
     )
-    got = {
-        (r["node"], r["scc_id"]) for r in scc(edges).collect()
-    }
-    assert got == {
+    want = {
         (1, 1), (2, 1), (3, 1),
         (10, 10), (11, 10),
         (20, 20), (21, 21),
     }
+    # driver (Kosaraju) path and distributed (coloring) path agree
+    got_driver = {(r["node"], r["scc_id"]) for r in scc(edges).collect()}
+    got_dist = {
+        (r["node"], r["scc_id"])
+        for r in scc(edges, driver_threshold=0).collect()
+    }
+    assert got_driver == want
+    assert got_dist == want
 
 
 def test_scc_matches_tarjan_reference(spark):
@@ -3718,13 +3723,16 @@ def test_scc_matches_tarjan_reference(spark):
 
     touched = {s for s, _ in edges} | {d for _, d in edges}
     expect = {(v, comp[v]) for v in touched}
-    got = {
-        (r["node"], r["scc_id"])
-        for r in scc(
-            spark.createDataFrame(edges, "src long, dst long")
-        ).collect()
+    frame = spark.createDataFrame(edges, "src long, dst long")
+    got_driver = {
+        (r["node"], r["scc_id"]) for r in scc(frame).collect()
     }
-    assert got == expect
+    got_dist = {
+        (r["node"], r["scc_id"])
+        for r in scc(frame, driver_threshold=0).collect()
+    }
+    assert got_driver == expect
+    assert got_dist == expect
 
 
 def test_bh_reject_step_up_semantics(spark):
@@ -3855,3 +3863,68 @@ def test_als_recovers_planted_low_rank(spark):
     v1 = {r["user"]: r["vec"] for r in uf1.collect()}
     v2 = {r["user"]: r["vec"] for r in uf2.collect()}
     assert v1 == v2
+
+
+def test_iblt_diff_recovers_symmetric_difference(spark):
+    """iblt_diff == the anti-join truth on sets differing by a few
+    dozen keys, and raises (never silently truncates) when the
+    sketch is undersized for the difference."""
+    import pytest as _pytest
+
+    from dataflowex_spark.operators.reconcile import (
+        IBLTDecodeError,
+        iblt_diff,
+    )
+
+    a_keys = list(range(1000, 2000))
+    b_keys = [k for k in a_keys if k % 83 != 7] + [5001, 5002, 5003]
+    a = spark.createDataFrame([(k,) for k in a_keys], "k long")
+    b = spark.createDataFrame([(k,) for k in b_keys], "k long")
+    got = iblt_diff(a, b, "k", cells=128)
+    want = sorted(
+        [(k, "a_only") for k in a_keys if k % 83 == 7]
+        + [(k, "b_only") for k in (5001, 5002, 5003)]
+    )
+    assert got == want
+
+    with _pytest.raises(IBLTDecodeError):
+        iblt_diff(
+            a, spark.createDataFrame([(9,)], "k long"), "k", cells=8
+        )
+
+
+def test_iblt_identical_sets_decode_empty(spark):
+    from dataflowex_spark.operators.reconcile import iblt_diff
+
+    a = spark.createDataFrame([(k,) for k in range(500)], "k long")
+    b = spark.createDataFrame([(k,) for k in range(500)], "k long")
+    assert iblt_diff(a, b, "k", cells=64) == []
+
+
+def test_dag_layers_longest_path_and_cycle_guard(spark):
+    """dag_layers: diamond + tail gives longest-path levels (the
+    join node waits for the LONGEST branch); a cycle raises instead
+    of spinning."""
+    import pytest as _pytest
+
+    from dataflowex_spark.operators.graph import dag_layers
+
+    dag = spark.createDataFrame(
+        # 1→2→4, 1→3→5→4, 4→6: node 4 must be layer 3 (via 3,5)
+        [(1, 2), (2, 4), (1, 3), (3, 5), (5, 4), (4, 6)],
+        "src long, dst long",
+    )
+    want = {(1, 0), (2, 1), (3, 1), (5, 2), (4, 3), (6, 4)}
+    got_driver = {(r["node"], r["layer"]) for r in dag_layers(dag).collect()}
+    got_dist = {
+        (r["node"], r["layer"])
+        for r in dag_layers(dag, driver_threshold=0).collect()
+    }
+    assert got_driver == want
+    assert got_dist == want
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="cyclic"):
+        dag_layers(cyc, max_rounds=5, driver_threshold=0)
+    with _pytest.raises(RuntimeError, match="cyclic"):
+        dag_layers(cyc)
