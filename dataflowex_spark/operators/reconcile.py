@@ -151,3 +151,80 @@ def iblt_diff(
             f"sketch undersized for the difference (cells={cells})"
         )
     return sorted(out)
+
+
+def merkle_tree(
+    df: DataFrame,
+    key_col: str,
+    digest_col,
+    leaf_width: int = 1024,
+    fanout: int = 4,
+    levels: int = 4,
+) -> DataFrame:
+    """RANGE MERKLE TREE over a keyed table — the divergence
+    LOCALIZER that pairs with :func:`iblt_diff`'s decoder: two
+    replicas compare O(fanout·levels) digests top-down to find WHICH
+    key ranges differ, then reconcile just those (Cassandra/Dynamo
+    repair shape). Leaf = md5 over the key-ordered row digests of one
+    ``leaf_width`` key range; each level up hashes ``fanout``
+    children in child order. All hashing is portable md5 over
+    deterministic string concatenation, so two engines (or two
+    datacenters) build bit-identical trees from identical data.
+
+    One shuffle per level, each a hash aggregate whose cardinality
+    shrinks by ``fanout``× — the leaf aggregate is the only row-scale
+    pass (map-side combine applies; row digests shuffle, not rows).
+    Returns (level, node_id, digest): level 0 = leaves."""
+    leaf_id = F.floor(F.col(key_col) / F.lit(leaf_width)).cast("long")
+    rows = df.select(
+        leaf_id.alias("node_id"),
+        F.col(key_col).cast("long").alias("__k"),
+        digest_col.alias("__d"),
+    )
+    level_df = (
+        rows.groupBy("node_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("__k", "__d"))
+                        ),
+                        lambda x: x["__d"],
+                    ),
+                )
+            ).alias("digest")
+        )
+        .select(F.lit(0).alias("level"), "node_id", "digest")
+    )
+    out = level_df
+    for lvl in range(1, levels):
+        level_df = (
+            level_df.select(
+                F.floor(F.col("node_id") / F.lit(fanout))
+                .cast("long")
+                .alias("node_id"),
+                F.col("node_id").alias("__child"),
+                "digest",
+            )
+            .groupBy("node_id")
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("__child", "digest")
+                                )
+                            ),
+                            lambda x: x["digest"],
+                        ),
+                    )
+                ).alias("digest")
+            )
+            .select(F.lit(lvl).alias("level"), "node_id", "digest")
+        )
+        out = out.unionByName(level_df)
+    return out

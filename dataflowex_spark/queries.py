@@ -20140,3 +20140,129 @@ def q377(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pattern", F.col("n_sessions").cast("long").alias("n_sessions"))
         .orderBy("pattern")
     )
+
+
+@q(
+    "q378_merkle_divergence",
+    """
+    WITH a0 AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+                 CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                      AS VARCHAR)) AS d
+      FROM orders
+    ), b0 AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+                 CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                      + CASE WHEN o_orderkey % 7919 = 3 THEN 1 ELSE 0 END
+                      AS VARCHAR)) AS d
+      FROM orders WHERE o_orderkey % 7919 <> 10
+    ), al0 AS (
+      SELECT CAST(FLOOR(k / 1024) AS BIGINT) AS node_id,
+             md5(STRING_AGG(d, '' ORDER BY k)) AS digest
+      FROM a0 GROUP BY 1
+    ), bl0 AS (
+      SELECT CAST(FLOOR(k / 1024) AS BIGINT) AS node_id,
+             md5(STRING_AGG(d, '' ORDER BY k)) AS digest
+      FROM b0 GROUP BY 1
+    ), al1 AS (
+      SELECT CAST(FLOOR(node_id / 4) AS BIGINT) AS node_id,
+             md5(STRING_AGG(digest, '' ORDER BY node_id)) AS digest
+      FROM al0 GROUP BY 1
+    ), bl1 AS (
+      SELECT CAST(FLOOR(node_id / 4) AS BIGINT) AS node_id,
+             md5(STRING_AGG(digest, '' ORDER BY node_id)) AS digest
+      FROM bl0 GROUP BY 1
+    ), al2 AS (
+      SELECT CAST(FLOOR(node_id / 4) AS BIGINT) AS node_id,
+             md5(STRING_AGG(digest, '' ORDER BY node_id)) AS digest
+      FROM al1 GROUP BY 1
+    ), bl2 AS (
+      SELECT CAST(FLOOR(node_id / 4) AS BIGINT) AS node_id,
+             md5(STRING_AGG(digest, '' ORDER BY node_id)) AS digest
+      FROM bl1 GROUP BY 1
+    ), al3 AS (
+      SELECT CAST(FLOOR(node_id / 4) AS BIGINT) AS node_id,
+             md5(STRING_AGG(digest, '' ORDER BY node_id)) AS digest
+      FROM al2 GROUP BY 1
+    ), bl3 AS (
+      SELECT CAST(FLOOR(node_id / 4) AS BIGINT) AS node_id,
+             md5(STRING_AGG(digest, '' ORDER BY node_id)) AS digest
+      FROM bl2 GROUP BY 1
+    ), lv AS (
+      SELECT 0 AS level, a.node_id, a.digest AS ad, b.digest AS bd
+      FROM al0 a FULL OUTER JOIN bl0 b USING (node_id)
+      UNION ALL
+      SELECT 1, a.node_id, a.digest, b.digest
+      FROM al1 a FULL OUTER JOIN bl1 b USING (node_id)
+      UNION ALL
+      SELECT 2, a.node_id, a.digest, b.digest
+      FROM al2 a FULL OUTER JOIN bl2 b USING (node_id)
+      UNION ALL
+      SELECT 3, a.node_id, a.digest, b.digest
+      FROM al3 a FULL OUTER JOIN bl3 b USING (node_id)
+    )
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) FILTER (WHERE ad IS DISTINCT FROM bd)
+                AS BIGINT) AS n_diverging
+    FROM lv GROUP BY level ORDER BY level
+    """,
+)
+def q378(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERKLE RANGE-TREE divergence localization — the repair
+    companion to q375's IBLT decoder (Cassandra/Dynamo anti-entropy
+    shape): two replicas of orders drift (a sparse price corruption
+    stripe + a sparse deletion stripe) and each side builds a 4-level
+    range Merkle tree (1024-key leaves, fanout 4) from portable md5
+    digests. Comparing trees TOP-DOWN localizes the damage: at the
+    root level nearly every node diverges' ancestors flag, but the
+    leaf level pins the exact 1024-key ranges to re-sync — the
+    per-level (n_nodes, n_diverging) profile this query emits IS the
+    localization-cost curve. Tree build = one row-scale digest
+    aggregate then geometrically shrinking hash aggs; the compare is
+    a per-level full outer join on node id. Both engines build
+    bit-identical trees (q203's fingerprint discipline, extended to
+    a hierarchy), so the oracle states the same curve."""
+    from dataflowex_spark.operators.reconcile import merkle_tree
+
+    cat = Catalog(spark, sf_dir)
+    o = cat["orders"]
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"), F.lit(":"),
+                cents.cast("string"),
+            )
+        ).alias("d"),
+    )
+    b = o.filter(F.col("o_orderkey") % 7919 != 10).select(
+        F.col("o_orderkey").alias("k"),
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"), F.lit(":"),
+                (
+                    cents
+                    + F.when(F.col("o_orderkey") % 7919 == 3, 1).otherwise(0)
+                ).cast("string"),
+            )
+        ).alias("d"),
+    )
+    ta = merkle_tree(a, "k", F.col("d"), leaf_width=1024, fanout=4, levels=4)
+    tb = merkle_tree(b, "k", F.col("d"), leaf_width=1024, fanout=4, levels=4)
+    cmp_df = ta.withColumnRenamed("digest", "ad").join(
+        tb.withColumnRenamed("digest", "bd"), ["level", "node_id"], "full_outer"
+    )
+    return (
+        cmp_df.groupBy(F.col("level").cast("long").alias("level"))
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(
+                (~F.col("ad").eqNullSafe(F.col("bd"))).cast("long")
+            ).alias("n_diverging"),
+        )
+        .orderBy("level")
+    )

@@ -3928,3 +3928,31 @@ def test_dag_layers_longest_path_and_cycle_guard(spark):
         dag_layers(cyc, max_rounds=5, driver_threshold=0)
     with _pytest.raises(RuntimeError, match="cyclic"):
         dag_layers(cyc)
+
+
+def test_merkle_tree_localizes_single_mutation(spark):
+    """merkle_tree: one mutated row flags exactly its leaf and the
+    ancestor chain — every other node digest is identical (the
+    localization property repair relies on)."""
+    from dataflowex_spark.operators.reconcile import merkle_tree
+
+    rows = [(k, f"d{k}") for k in range(4096)]
+    mutated = [(k, "CORRUPT" if k == 1500 else f"d{k}") for k in range(4096)]
+    a = spark.createDataFrame(rows, "k long, d string")
+    b = spark.createDataFrame(mutated, "k long, d string")
+    ta = {
+        (r["level"], r["node_id"]): r["digest"]
+        for r in merkle_tree(
+            a, "k", F.col("d"), leaf_width=256, fanout=4, levels=3
+        ).collect()
+    }
+    tb = {
+        (r["level"], r["node_id"]): r["digest"]
+        for r in merkle_tree(
+            b, "k", F.col("d"), leaf_width=256, fanout=4, levels=3
+        ).collect()
+    }
+    assert set(ta) == set(tb)
+    diff = {k for k in ta if ta[k] != tb[k]}
+    # 1500 // 256 = leaf 5; 5 // 4 = 1; 1 // 4 = 0
+    assert diff == {(0, 5), (1, 1), (2, 0)}
