@@ -130,3 +130,18 @@ def test_corpus_health_report(spark):
     total_terms = sum(n for _, n in r["zipf_octaves"])
     assert total_terms == sum(r["vocab_new_terms_by_bucket"].values())
     assert r["source_selfjoin_f2"] > 0
+
+
+def test_replica_repair_runbook(spark):
+    """Anti-entropy composition: Merkle localization + range-scoped
+    IBLT decode + MTable MERGE/delete repair converges — after the
+    runbook the replicas' trees compare clean, the three planted
+    phantoms are gone, and every corrupted/lost row was pushed."""
+    from examples.replica_repair_runbook import run_runbook
+
+    r = run_runbook(spark, "/root/testdata/sf0.001")
+    assert r["verified_clean"]
+    assert r["phantoms_deleted"] == 3
+    assert r["rows_pushed"] >= 1
+    assert r["leaves_flagged"] <= r["leaves_total"]
+    assert r["items_decoded"] >= r["rows_pushed"] + r["phantoms_deleted"]
