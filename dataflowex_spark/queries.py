@@ -20266,3 +20266,139 @@ def q378(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+def _hilbert_oracle_ctes(bits: int) -> tuple[str, str]:
+    """Emit the SAME unrolled Hilbert state machine
+    `sources.with_hilbert_key` runs, as chained SQL CTEs over a CTE
+    named ``base(o_orderkey, x0, y0)`` — one generator, two engines,
+    so the q379 key is portable by construction."""
+    n = 1 << bits
+    parts = [
+        "h0 AS (SELECT o_orderkey, x0 AS hx, y0 AS hy, "
+        "CAST(0 AS BIGINT) AS hd FROM base)"
+    ]
+    s = n >> 1
+    i = 0
+    while s > 0:
+        prev = f"h{i}"
+        i += 1
+        parts.append(
+            f"""h{i} AS (
+      SELECT o_orderkey,
+        CASE WHEN (hy & {s}) = 0
+             THEN CASE WHEN (hx & {s}) > 0 THEN {n - 1} - hy ELSE hy END
+             ELSE hx END AS hx,
+        CASE WHEN (hy & {s}) = 0
+             THEN CASE WHEN (hx & {s}) > 0 THEN {n - 1} - hx ELSE hx END
+             ELSE hy END AS hy,
+        hd + {s * s} * (CASE WHEN (hx & {s}) > 0 AND (hy & {s}) > 0 THEN 2
+                             WHEN (hx & {s}) > 0 THEN 3
+                             WHEN (hy & {s}) > 0 THEN 1
+                             ELSE 0 END) AS hd
+      FROM {prev})"""
+        )
+        s >>= 1
+    return ",\n    ".join(parts), f"h{i}"
+
+
+def _morton_sql(bits: int) -> str:
+    """Morton interleave of (x0, y0) as SQL — bit placement identical
+    to `sources.zorder_key([x, y], bits)` (x → odd bits, y → even)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((x0 >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((y0 >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+_H_CTES, _H_LAST = _hilbert_oracle_ctes(8)
+
+
+@q(
+    "q379_hilbert_vs_morton_layout",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey % 256 AS x0,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) % 256 AS y0
+      FROM orders
+    ),
+    {_H_CTES},
+    keyed AS (
+      SELECT b.o_orderkey, b.x0, b.y0,
+             ({_morton_sql(8)}) AS mkey, h.hd AS hkey
+      FROM base b JOIN {_H_LAST} h USING (o_orderkey)
+    ),
+    mb AS (SELECT x0, y0,
+                  NTILE(64) OVER (ORDER BY mkey, o_orderkey) AS b
+           FROM keyed),
+    hb AS (SELECT x0, y0,
+                  NTILE(64) OVER (ORDER BY hkey, o_orderkey) AS b
+           FROM keyed),
+    ms AS (SELECT b, MAX(x0) - MIN(x0) AS sx, MAX(y0) - MIN(y0) AS sy
+           FROM mb GROUP BY b),
+    hs AS (SELECT b, MAX(x0) - MIN(x0) AS sx, MAX(y0) - MIN(y0) AS sy
+           FROM hb GROUP BY b)
+    SELECT 'hilbert' AS layout,
+           CAST(SUM(sx) AS BIGINT) AS sum_span_x,
+           CAST(SUM(sy) AS BIGINT) AS sum_span_y
+    FROM hs
+    UNION ALL
+    SELECT 'morton',
+           CAST(SUM(sx) AS BIGINT),
+           CAST(SUM(sy) AS BIGINT)
+    FROM ms
+    ORDER BY layout
+    """,
+)
+def q379(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT vs MORTON layout audit — the measured rationale for
+    curve choice in multi-dimensional clustering (the q329 pattern:
+    don't assert a layout is better, measure it): both curves key
+    the same (custkey mod 256, cents mod 256) plane, rows bucket
+    into 64 equal files per layout (global_ntile — range-partitioned
+    ranks, no single-reducer window), and the audit sums each
+    bucket's per-dimension span — the quantity parquet min/max
+    pruning actually sees. Hilbert's guarantee (consecutive curve
+    positions are ALWAYS adjacent cells — pytest-pinned bijection +
+    locality) means buckets that straddle quadrant seams stay
+    rectangular where Morton jumps diagonally. The Hilbert key is
+    `sources.with_hilbert_key`'s unrolled integer state machine; the
+    ORACLE RUNS THE SAME MACHINE — one Python generator emits the
+    chained CTEs, so the two engines can't drift."""
+    from dataflowex_spark.operators.windows import global_ntile
+    from dataflowex_spark.sources import with_hilbert_key, zorder_key
+
+    cat = Catalog(spark, sf_dir)
+    base = cat["orders"].select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("x0"),
+        (F.round(F.col("o_totalprice") * 100, 0).cast("long") % 256).alias(
+            "y0"
+        ),
+    )
+    keyed = with_hilbert_key(base, "x0", "y0", bits=8, out_col="hkey")
+    keyed = keyed.withColumn(
+        "mkey", zorder_key([F.col("x0"), F.col("y0")], bits=8)
+    ).localCheckpoint(eager=False)
+
+    def spans(key: str) -> DataFrame:
+        b = global_ntile(
+            keyed, 64, [F.col(key), F.col("o_orderkey")], out_col="b"
+        )
+        return b.groupBy("b").agg(
+            (F.max("x0") - F.min("x0")).alias("sx"),
+            (F.max("y0") - F.min("y0")).alias("sy"),
+        )
+
+    h = spans("hkey").agg(
+        F.lit("hilbert").alias("layout"),
+        F.sum("sx").cast("long").alias("sum_span_x"),
+        F.sum("sy").cast("long").alias("sum_span_y"),
+    )
+    m = spans("mkey").agg(
+        F.lit("morton").alias("layout"),
+        F.sum("sx").cast("long").alias("sum_span_x"),
+        F.sum("sy").cast("long").alias("sum_span_y"),
+    )
+    return h.unionByName(m).orderBy("layout")

@@ -3956,3 +3956,44 @@ def test_merkle_tree_localizes_single_mutation(spark):
     diff = {k for k in ta if ta[k] != tb[k]}
     # 1500 // 256 = leaf 5; 5 // 4 = 1; 1 // 4 = 0
     assert diff == {(0, 5), (1, 1), (2, 0)}
+
+
+def test_hilbert_key_matches_reference_and_locality(spark):
+    """with_hilbert_key == the classic xy2d reference for every cell
+    of a 16×16 grid, is a bijection, and beats Morton on locality:
+    consecutive Hilbert positions are always distance-1 neighbors
+    (Morton jumps at quadrant seams)."""
+    from dataflowex_spark.sources import with_hilbert_key
+
+    bits = 4
+    n = 1 << bits
+
+    def xy2d(x, y):
+        d = 0
+        s = n >> 1
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s >>= 1
+        return d
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    got = {
+        (r["x"], r["y"]): r["hkey"]
+        for r in with_hilbert_key(grid, "x", "y", bits=bits).collect()
+    }
+    assert got == {(x, y): xy2d(x, y) for x in range(n) for y in range(n)}
+    # bijection over the full grid
+    assert sorted(got.values()) == list(range(n * n))
+    # locality: every consecutive pair of curve positions is adjacent
+    pos = {d: xy for xy, d in got.items()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, pos[d], pos[d + 1])
