@@ -228,3 +228,158 @@ def merkle_tree(
         )
         out = out.unionByName(level_df)
     return out
+
+
+def _stratum(key_col, strata: int):
+    """Stratum = number of trailing zero bits of the key's portable
+    hash, capped at ``strata - 1`` — stratum i holds ~2^-(i+1) of all
+    keys (the Eppstein strata-estimator partition)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("s:"), key_col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    # trailing zeros of a 60-bit value via the bit-trick h & -h
+    # (lowest set bit), then integer log2 from the bit length
+    lowbit = h.bitwiseAND(-h)
+    tz = F.when(h == 0, F.lit(strata - 1)).otherwise(
+        F.length(F.conv(lowbit, 10, 2)) - 1
+    )
+    return F.least(tz, F.lit(strata - 1))
+
+
+def iblt_size_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    strata: int = 16,
+    cells_per_stratum: int = 64,
+) -> int:
+    """STRATA ESTIMATOR for |A△B| — the sizing step of the
+    reconciliation protocol ladder (:class:`IBLTDecodeError`'s
+    docstring): before building the real IBLT you need to know how
+    many cells to give it, and this estimates the difference with
+    ONE fixed-size exchange regardless of either table's size.
+
+    Keys partition into strata by trailing zeros of a portable hash
+    (stratum i holds ~2^-(i+1) of keys); each stratum gets a small
+    IBLT of both sides. Decoding from the DEEPEST stratum down, the
+    first stratum that fails to peel marks the sampling floor: the
+    difference estimate is the decoded-so-far count scaled by the
+    sampled fraction, ``2^(i+1) × Σ_{j>i} |decoded_j|``. Total
+    sketch: strata × cells_per_stratum cells — a constant.
+
+    Returns the estimated |A△B| (0 when every stratum decodes empty
+    — then the replicas agree). Size the real IBLT at ~2× the
+    estimate (peeling wants load < 0.8)."""
+    import hashlib
+
+    def build(side: DataFrame, sign: int) -> DataFrame:
+        keyed = side.select(
+            F.col(key_col),
+            _stratum(F.col(key_col), strata).alias("__st"),
+        )
+        out = None
+        for i in range(K_HASHES):
+            k = F.col(key_col)
+            part = keyed.select(
+                "__st",
+                _cell(k, i, cells_per_stratum).alias("cell"),
+                F.lit(sign).cast("long").alias("d_count"),
+                k.cast("long").alias("d_key"),
+                _check(k).alias("d_check"),
+            )
+            out = part if out is None else out.unionByName(part)
+        return out.groupBy("__st", "cell").agg(
+            F.sum("d_count").alias("count"),
+            F.expr("bit_xor(d_key)").alias("key_xor"),
+            F.expr("bit_xor(d_check)").alias("check_xor"),
+        )
+
+    sk = (
+        build(a, 1)
+        .unionByName(build(b, -1))
+        .groupBy("__st", "cell")
+        .agg(
+            F.sum("count").alias("count"),
+            F.expr("bit_xor(key_xor)").alias("key_xor"),
+            F.expr("bit_xor(check_xor)").alias("check_xor"),
+        )
+        .collect()
+    )
+    per_stratum: dict[int, dict[int, list[int]]] = {}
+    for r in sk:
+        per_stratum.setdefault(int(r["__st"]), {})[int(r["cell"])] = [
+            int(r["count"]), int(r["key_xor"]), int(r["check_xor"])
+        ]
+
+    def py_cell(key: int, i: int) -> int:
+        return int(
+            hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16
+        ) % cells_per_stratum
+
+    def py_check(key: int) -> int:
+        return int(hashlib.md5(f"c:{key}".encode()).hexdigest()[:15], 16)
+
+    def peel(state: dict[int, list[int]]) -> int | None:
+        """Peel one stratum's subtracted sketch; count or None."""
+        n = 0
+        progress = True
+        while progress:
+            progress = False
+            for c in list(state):
+                cnt, kx, cx = state.get(c, (0, 0, 0))
+                if cnt in (1, -1) and cx == py_check(kx):
+                    n += 1
+                    for i in range(K_HASHES):
+                        cc = py_cell(kx, i)
+                        cell = state.setdefault(cc, [0, 0, 0])
+                        cell[0] -= cnt
+                        cell[1] ^= kx
+                        cell[2] ^= py_check(kx)
+                    progress = True
+            for c in [c for c, v in state.items() if v == [0, 0, 0]]:
+                del state[c]
+        return None if state else n
+
+    decoded = 0
+    for i in range(strata - 1, -1, -1):
+        got = peel(per_stratum.get(i, {}))
+        if got is None:
+            # stratum i is the sampling floor: strata > i held
+            # ~2^-(i+2)+... of keys; scale the decoded tail
+            return decoded * (1 << (i + 1))
+        decoded += got
+    return decoded  # every stratum decoded: exact difference
+
+
+def reconcile(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    min_cells: int = 64,
+    max_attempts: int = 4,
+) -> list[tuple[int, str]]:
+    """The full reconciliation protocol: estimate |A△B| with the
+    strata sketch, size the IBLT at 2× the estimate (peeling wants
+    load < 0.8), decode — doubling and retrying on a stall (the
+    estimate is a random variable; the ladder makes the protocol
+    total). Every rung costs one bounded-size exchange."""
+    est = iblt_size_estimate(a, b, key_col)
+    if est == 0:
+        # strata decoding found nothing — verify with one small IBLT
+        # rather than trusting the estimate blindly
+        cells = min_cells
+    else:
+        cells = max(min_cells, 2 * est)
+    for _ in range(max_attempts):
+        try:
+            return iblt_diff(a, b, key_col, cells=cells)
+        except IBLTDecodeError:
+            cells *= 2
+    raise IBLTDecodeError(
+        f"difference did not decode at {cells // 2} cells "
+        f"after {max_attempts} attempts"
+    )

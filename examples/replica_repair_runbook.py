@@ -12,10 +12,11 @@ data proportional to the DAMAGE, never the table:
    top-down. Only the diverging LEAF RANGES survive — everything
    else is proven equal by one digest compare per node.
 2. **Decode** (q375 shape): within the flagged ranges only, each
-   side encodes (key, row-digest) items into an IBLT; the subtracted
-   sketch peels into the exact item difference. Sketch size is
-   O(damage), and the flagged-range filter means the encode pass
-   reads a sliver of the table.
+   side encodes (key, row-digest) items and runs the full
+   reconciliation ladder — strata sketch estimates the damage, the
+   IBLT is sized 2× that and peeled (doubling on a stall). Sketch
+   size is O(damage), and the flagged-range filter means the encode
+   pass reads a sliver of the table.
 3. **Map & repair**: decoded item hashes join back to real rows
    (again only inside flagged ranges): items present only on the
    primary are pushes (corrupted or lost rows — upserted via the
@@ -36,7 +37,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dataflowex_spark.catalog import Catalog
-from dataflowex_spark.operators.reconcile import iblt_diff, merkle_tree
+from dataflowex_spark.operators.reconcile import merkle_tree, reconcile
 from dataflowex_spark.sources.mtable import MTable
 
 LEAF_WIDTH = 1024
@@ -152,7 +153,8 @@ def run_runbook(spark: SparkSession, sf_dir: str) -> dict:
         )
     a_items = scoped_items(primary.read())
     b_items = scoped_items(secondary.read())
-    decoded = iblt_diff(a_items, b_items, "item", cells=512)
+    # estimate -> size -> decode (the full protocol ladder)
+    decoded = reconcile(a_items, b_items, "item")
     a_only = [it for it, side in decoded if side == "a_only"]
     b_only = [it for it, side in decoded if side == "b_only"]
 

@@ -3997,3 +3997,44 @@ def test_hilbert_key_matches_reference_and_locality(spark):
     for d in range(n * n - 1):
         (x1, y1), (x2, y2) = pos[d], pos[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, pos[d], pos[d + 1])
+
+
+def test_iblt_size_estimate(spark):
+    """Strata estimator: exact when every stratum decodes (small
+    diff), within ~2x for a large diff, and 0 for identical sets —
+    the sizing step the IBLTDecodeError ladder prescribes."""
+    from dataflowex_spark.operators.reconcile import iblt_size_estimate
+
+    a = spark.createDataFrame([(k,) for k in range(5000)], "k long")
+    same = spark.createDataFrame([(k,) for k in range(5000)], "k long")
+    assert iblt_size_estimate(a, same, "k") == 0
+
+    b_small = spark.createDataFrame(
+        [(k,) for k in range(5000) if k % 500 != 3], "k long"
+    )
+    est_small = iblt_size_estimate(a, b_small, "k")
+    assert est_small == 10  # small diffs decode exactly
+
+    b_big = spark.createDataFrame(
+        [(k,) for k in range(5000) if k % 5 != 3], "k long"
+    )
+    est_big = iblt_size_estimate(a, b_big, "k")
+    assert 500 <= est_big <= 2000, est_big  # true diff 1000
+
+
+def test_reconcile_protocol_end_to_end(spark):
+    """reconcile(): estimate → size → decode, with the doubling
+    retry making an underestimate harmless."""
+    from dataflowex_spark.operators.reconcile import reconcile
+
+    a = spark.createDataFrame([(k,) for k in range(3000)], "k long")
+    b = spark.createDataFrame(
+        [(k,) for k in range(3000) if k % 100 != 7] + [(9001,)], "k long"
+    )
+    got = reconcile(a, b, "k")
+    want = sorted(
+        [(k, "a_only") for k in range(3000) if k % 100 == 7]
+        + [(9001, "b_only")]
+    )
+    assert got == want
+    assert reconcile(a, a, "k") == []
