@@ -20402,3 +20402,55 @@ def q379(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sy").cast("long").alias("sum_span_y"),
     )
     return h.unionByName(m).orderBy("layout")
+
+
+@q(
+    "q380_metadata_only_agg",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CAST(ROUND(MIN(o_totalprice) * 100, 0) AS BIGINT)
+             AS min_price_cents,
+           CAST(ROUND(MAX(o_totalprice) * 100, 0) AS BIGINT)
+             AS max_price_cents
+    FROM orders
+    """,
+)
+def q380(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY AGGREGATION — the Delta/Iceberg zero-scan query:
+    COUNT(*)/MIN/MAX over an MTable answered entirely from the
+    manifest's per-file row counts and [min,max] stats; NO data file
+    is opened (the function is driver-side manifest arithmetic — at
+    100 TB this is the difference between a catalog lookup and a
+    full scan). The oracle computes the same numbers the expensive
+    way. Exactness is guarded, not assumed: under position DVs the
+    count stays exact but min/max demote to bounds, and under
+    equality sidecars even the count needs a scan — both RAISE
+    rather than approximate (pytest-pinned), the same honesty
+    contract as the IBLT decoder."""
+    import tempfile
+
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    orders = cat["orders"].repartitionByRange(8, "o_orderkey")
+    root = tempfile.mkdtemp(prefix="mtable_q380_")
+    t = MTable.create(
+        spark, root + "/t", orders, "o_orderkey",
+        stats_cols=["o_totalprice"],
+    )
+    m = t.metadata_agg(cols=["o_totalprice"])
+    return spark.createDataFrame(
+        [
+            (
+                int(m["rows"]),
+                int(m["min_key"]),
+                int(m["max_key"]),
+                int(round(m["min_o_totalprice"] * 100)),
+                int(round(m["max_o_totalprice"] * 100)),
+            )
+        ],
+        "n long, min_key long, max_key long, "
+        "min_price_cents long, max_price_cents long",
+    )

@@ -839,6 +839,62 @@ class MTable:
             )
         return out
 
+    def metadata_agg(
+        self, cols: list[str] | None = None, version: int | None = None
+    ) -> dict:
+        """ZERO-SCAN aggregates answered from the manifest alone —
+        the Delta/Iceberg metadata-only query: COUNT(*) from per-file
+        row counts (minus position-DV debt, which records EXACT
+        per-file deletions), MIN/MAX of the cluster key and any
+        ``stats_cols`` from the per-file stats. No data file is
+        opened; the cost is the manifest read, flat in table size.
+
+        Exactness guards (refuse rather than silently approximate):
+
+        - COUNT raises if any EQUALITY-delete sidecar is attached —
+          a key list gives no per-file live count without a scan
+          (fold with :meth:`apply_deletion_vectors` first);
+        - MIN/MAX raise if ANY delete (DV or sidecar) exists: a
+          delete may have removed the extremal row, demoting the
+          stored stat from exact value to bound. COUNT alone still
+          works under position DVs.
+        """
+        m = self.manifest(version)
+        files = m["files"]
+        if any(e.get("eq") for e in files):
+            raise ValueError(
+                "metadata_agg: equality-delete sidecars present — "
+                "per-file live counts unknown without a scan; fold "
+                "them first (apply_deletion_vectors)"
+            )
+        out = {
+            "rows": sum(e["rows"] for e in files)
+            - sum(e.get("dv_rows", 0) for e in files)
+        }
+        wanted = list(cols or [])
+        if any(e.get("dv") for e in files):
+            # min/max demote to bounds under any delete; COUNT stays
+            # exact (DV positions are exact per file) — return it alone
+            if wanted:
+                raise ValueError(
+                    "metadata_agg: deletes present — stored min/max "
+                    "are bounds, not exact values; fold first or scan"
+                )
+            return out
+        if files:
+            out["min_key"] = min(e["min_key"] for e in files)
+            out["max_key"] = max(e["max_key"] for e in files)
+        for c in wanted:
+            stats = [e.get("col_stats", {}).get(c) for e in files]
+            if any(s is None for s in stats) or not stats:
+                raise ValueError(
+                    f"metadata_agg: no per-file stats for {c!r} — "
+                    "create/compact the table with stats_cols"
+                )
+            out[f"min_{c}"] = min(s[0] for s in stats)
+            out[f"max_{c}"] = max(s[1] for s in stats)
+        return out
+
     def add_check(self, name: str, expr: str) -> int:
         """Declare a CHECK constraint (a SQL boolean expression over
         the table's columns) as a metadata commit. SQL CHECK

@@ -2106,3 +2106,37 @@ def test_mtable_with_retry_delete_under_race(spark, tmp_path):
             lambda: (_ for _ in ()).throw(MTableConflict("always")),
             max_attempts=2,
         )
+
+
+def test_mtable_metadata_agg_guards(spark, tmp_path):
+    """metadata_agg: exact from the manifest on a clean table; COUNT
+    stays exact under position DVs but min/max RAISE; equality
+    sidecars make even COUNT raise — refuse, never approximate."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.sources.mtable import MTable
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    t = MTable.create(
+        spark, str(tmp_path / "t"), df.repartitionByRange(4, "k"), "k",
+        stats_cols=["v"],
+    )
+    m = t.metadata_agg(cols=["v"])
+    assert m == {
+        "rows": 1000, "min_key": 0, "max_key": 999,
+        "min_v": 0.0, "max_v": 96.0,
+    }
+
+    t.delete_where("k % 10 = 3")  # position DVs
+    m2 = t.metadata_agg()
+    assert m2 == {"rows": 900}  # COUNT exact under DVs
+    with _pytest.raises(ValueError, match="bounds"):
+        t.metadata_agg(cols=["v"])
+
+    t.delete_keys(spark.range(0, 5).select(F.col("id").alias("k")))
+    with _pytest.raises(ValueError, match="equality"):
+        t.metadata_agg()
