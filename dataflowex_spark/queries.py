@@ -20454,3 +20454,101 @@ def q380(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n long, min_key long, max_key long, "
         "min_price_cents long, max_price_cents long",
     )
+
+
+@q(
+    "q381_stream_join_then_agg",
+    """
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ), e AS (
+      SELECT event_id AS err_id, user_id, ts AS ets
+      FROM events WHERE event_type = 'error'
+    ), j AS (
+      SELECT c.cts
+      FROM c JOIN e ON c.user_id = e.user_id
+        AND e.ets > c.cts
+        AND e.ets <= c.cts + INTERVAL 10 MINUTE
+    )
+    SELECT date_trunc('hour', cts) AS hour_start,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def q381(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM JOIN FEEDING A WINDOWED AGGREGATION in ONE
+    streaming query — the third multiple-stateful-operator
+    combination (q363 proved the outer join, q373 the chained aggs;
+    this chains ACROSS operator kinds): the interval join's state
+    store pairs clicks with their 10-minute error tails, and the
+    paired rows flow straight into a tumbling hourly count with its
+    own aggregation state — no intermediate sink. Error-burst
+    attribution as one continuous query. Staging is the q363 idiom
+    (event-time-ordered replay + far-future sentinels on BOTH
+    sides, non-matching ids so they advance the watermark without
+    joining); the drained append output equals the batch
+    join-then-rollup oracle exactly."""
+    import tempfile
+
+    from dataflowex_spark.session import configure
+    from dataflowex_spark.streaming.ops import (
+        interval_join_stream,
+        ordered_event_replay,
+        run_to_memory,
+    )
+
+    configure(spark)
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    far = ev.agg(
+        (F.max("ts") + F.expr("interval 2 days")).alias("t1")
+    ).first()["t1"]
+    root = tempfile.mkdtemp(prefix="q381_")
+
+    def side(etype, idc, tsc, sent_uid):
+        base = ev.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(idc),
+            "user_id",
+            F.col("ts").cast("timestamp").alias(tsc),
+        )
+        sent = spark.createDataFrame(
+            [(sent_uid, 0), (sent_uid, 1), (sent_uid, 2)],
+            f"user_id long, k long",
+        ).select(
+            F.lit(-1).cast("long").alias(idc),
+            "user_id",
+            (F.lit(far) + F.col("k") * F.expr("interval 1 minute")).alias(
+                tsc
+            ),
+        )
+        return ordered_event_replay(
+            spark, base, tsc, 2, f"{root}/{etype}", sentinel_rows=sent
+        )
+
+    clicks = side("click", "click_id", "cts", -1)
+    errors = side("error", "err_id", "ets", -2)
+    joined = interval_join_stream(
+        clicks, errors, "user_id", "cts", "ets",
+        tolerance="10 minutes", watermark="10 minutes", how="inner",
+    )
+    agg = (
+        joined.filter(F.col("click_id") >= 0)
+        .groupBy(F.window("cts", "1 hour"))
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            F.col("window.start").alias("hour_start"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out, _ = run_to_memory(agg, output_mode="append")
+        out = out.select(
+            F.col("hour_start").cast("timestamp_ntz").alias("hour_start"),
+            "n_pairs",
+        ).orderBy("hour_start").localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
