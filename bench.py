@@ -90,6 +90,10 @@ HEADLINE = [
     # deterministic t-digest quantile sketch
     "q357_mtable_delete_vectors",
     "q362_tdigest_quantiles",
+    # round-6d additions: O(diff) IBLT replica reconciliation and the
+    # Hilbert-vs-Morton clustering audit
+    "q375_iblt_reconcile",
+    "q379_hilbert_vs_morton_layout",
 ]
 
 

@@ -20552,3 +20552,95 @@ def q381(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out
+
+
+@q(
+    "q382_stream_scd2_enrich",
+    """
+    WITH b AS (
+      SELECT date_trunc('day', MIN(ts)) + INTERVAL 15 DAY AS tmid
+      FROM events
+    ), u AS (
+      SELECT DISTINCT user_id FROM events
+    ), d AS (
+      SELECT user_id, 'basic' AS plan,
+             TIMESTAMP '1970-01-01' AS valid_from,
+             (SELECT tmid FROM b) AS valid_to
+      FROM u
+      UNION ALL
+      SELECT user_id,
+             CASE WHEN user_id % 3 = 0 THEN 'pro' ELSE 'basic' END,
+             (SELECT tmid FROM b), NULL
+      FROM u
+    )
+    SELECT e.event_type, d.plan, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e
+    JOIN d ON e.user_id = d.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q382(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD2 ENRICHMENT — event-time-correct dimension
+    lookup for streams: every user's plan changes mid-history (an
+    SCD2 dimension with two validity intervals), the events table
+    replays as a REAL 4-chunk stream, and each micro-batch
+    point-in-time joins the history (q157's pit_join inside
+    foreachBatch, idempotent batch-dir publish) — so an event is
+    attributed to the plan that was valid AT ITS EVENT TIME, not the
+    current version at arrival (the silent misattribution the
+    current-version join q201 makes for every late event after a dim
+    change). Stream == batch exactly (a PIT match is a per-event
+    property of the full history), which is why the batch SQL oracle
+    can state the result. Output: events per (type, plan)."""
+    import tempfile
+
+    from dataflowex_spark.session import configure
+    from dataflowex_spark.streaming.ops import (
+        enrich_with_scd2,
+        file_replay_stream,
+    )
+
+    configure(spark)
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    tmid = ev.agg(
+        (F.date_trunc("day", F.min("ts")) + F.expr("interval 15 days"))
+        .cast("timestamp")
+        .alias("t")
+    ).first()["t"]
+    users = ev.select("user_id").distinct()
+    v1 = users.select(
+        "user_id",
+        F.lit("basic").alias("plan"),
+        F.lit("1970-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(tmid).alias("valid_to"),
+    )
+    v2 = users.select(
+        "user_id",
+        F.when(F.col("user_id") % 3 == 0, "pro")
+        .otherwise("basic")
+        .alias("plan"),
+        F.lit(tmid).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    history = v1.unionByName(v2).localCheckpoint(eager=True)
+
+    # stage the events as a real file stream (4 chunks)
+    root = tempfile.mkdtemp(prefix="q382_")
+    stream = file_replay_stream(
+        spark, f"{sf_dir.rstrip('/')}/events.parquet", n_chunks=4
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    enriched = enrich_with_scd2(
+        stream, history, "user_id", "ts", suffix="_dim"
+    )
+    return (
+        enriched.filter(F.col("plan_dim").isNotNull())
+        .groupBy("event_type", F.col("plan_dim").alias("plan"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("event_type", "plan")
+    )

@@ -1157,3 +1157,63 @@ def chained_window_counts(
             "n_buckets",
         )
     )
+
+
+def enrich_with_scd2(
+    stream: DataFrame,
+    history: DataFrame,
+    key: str,
+    ts_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    suffix: str = "_dim",
+    path: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """EVENT-TIME-CORRECT streaming enrichment against an SCD2
+    dimension: each micro-batch point-in-time joins the versioned
+    history (:func:`~dataflowex_spark.operators.etl.pit_join` — the
+    as-of + validity-bound + gap semantics of q157), so a late event
+    picks up the dimension row that was valid AT ITS EVENT TIME, not
+    whatever version is current when it happens to arrive — the
+    correctness gap in the naive :func:`enrich_with_dim` (current-
+    version join) that silently misattributes every late or replayed
+    event after a dimension change.
+
+    Same idempotent batch-dir publish protocol as
+    :func:`asof_join_stream` (stable batch ids overwrite their own
+    directory under replay; a schema-anchor init dir makes the
+    post-drain read total). Stream == batch exactly: a PIT match is
+    a per-event property of the full history, so micro-batch
+    boundaries cannot change any row's match."""
+    import tempfile
+
+    from dataflowex_spark.operators.etl import pit_join
+
+    spark = stream.sparkSession
+    out_path = path or (tempfile.mkdtemp(prefix="scd2_stream_") + "/out")
+
+    def enrich(batch_df: DataFrame) -> DataFrame:
+        return pit_join(
+            batch_df, history, key, ts_col,
+            from_col=from_col, to_col=to_col, suffix=suffix,
+        )
+
+    enrich(spark.createDataFrame([], stream.schema)).write.mode(
+        "overwrite"
+    ).parquet(out_path.rstrip("/") + "/batch-init")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        enrich(batch_df).write.mode("overwrite").parquet(
+            out_path.rstrip("/") + f"/batch-{batch_id:012d}"
+        )
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="scd2_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_path)
