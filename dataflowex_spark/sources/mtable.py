@@ -1566,6 +1566,133 @@ class MTable:
             entries, key_col, parent=m["version"], stats_cols=stats_cols
         )
 
+    def optimize_zorder_incremental(
+        self,
+        cols: list[str],
+        max_files: int = 8,
+        bits: int = 12,
+        min_score: float = 0.6,
+    ) -> tuple[int | None, int]:
+        """INCREMENTAL OPTIMIZE — re-cluster only the WORST-clustered
+        files instead of rewriting the table (the maintenance-window
+        form of :meth:`optimize_zorder`: a 100 TB table is optimized
+        in bounded slices, each slice one commit, interruptible and
+        resumable because every commit leaves the table consistent).
+
+        File selection is METADATA-ONLY: each file scores by the
+        product over cluster dimensions of its span fraction
+        (file span / table span, from the manifest's per-file stats —
+        a well-clustered file covers a small hypercube, a
+        hash-scattered one scores ~1); the ``max_files`` worst score
+        above ``min_score`` get rewritten with the Morton sort,
+        everything else carries by reference. Files with no recorded
+        stats for a dimension score worst (they are exactly the
+        unoptimized tail). ``min_score`` is an ABSOLUTE volume
+        threshold (default 0.6 — only near-full-space scatter
+        qualifies), deliberately not relative to the file count: a
+        k-file rewrite can't produce per-file volume below ~1/k, so
+        a relative floor would re-rewrite its own output forever
+        instead of converging. Returns
+        (new_version | None, files_rewritten) — None when nothing
+        qualifies (repeated calls converge to a no-op).
+
+        DV-aware like merge: a rewritten file contributes only its
+        live rows and sheds its deletion vector."""
+        from dataflowex_spark.sources import zorder_key
+
+        m = self.manifest()
+        key_col = m["key_col"]
+        zcols = [key_col] + [c for c in cols if c != key_col]
+        files = m["files"]
+        if not files:
+            return None, 0
+
+        def dim_bounds(c: str):
+            if c == key_col:
+                vals = [(e["min_key"], e["max_key"]) for e in files]
+            else:
+                vals = [
+                    tuple(e.get("col_stats", {}).get(c, (None, None)))
+                    for e in files
+                ]
+            known = [v for v in vals if v[0] is not None]
+            if not known:
+                return None, None
+            return min(v[0] for v in known), max(v[1] for v in known)
+
+        bounds = {c: dim_bounds(c) for c in zcols}
+
+        def score(e: dict) -> float:
+            s = 1.0
+            for c in zcols:
+                lo, hi = bounds[c]
+                if lo is None or hi is None or hi <= lo:
+                    continue
+                if c == key_col:
+                    fmn, fmx = e["min_key"], e["max_key"]
+                else:
+                    fmn, fmx = e.get("col_stats", {}).get(c, (None, None))
+                if fmn is None:
+                    continue  # unknown dim: span fraction 1 (worst)
+                try:
+                    s *= max(0.0, min(1.0, (fmx - fmn) / (hi - lo)))
+                except TypeError:
+                    continue  # non-numeric stats: skip dimension
+            return s
+
+        scored = sorted(
+            ((score(e), e) for e in files),
+            key=lambda t: (-t[0], t[1]["path"]),
+        )
+        todo = [e for s, e in scored[:max_files] if s > min_score]
+        if not todo:
+            return None, 0
+        keep = [
+            e for e in files if e["path"] not in {t["path"] for t in todo}
+        ]
+        stats_cols = sorted(
+            set(m.get("stats_cols", [])) | {c for c in zcols if c != key_col}
+        )
+        df = self._read_entries(todo)
+        dtypes = dict(df.dtypes)
+
+        def as_num(c: str):
+            dt = dtypes[c]
+            if dt.startswith("timestamp"):
+                return F.unix_micros(F.col(c).cast("timestamp")).cast(
+                    "double"
+                )
+            if dt == "date":
+                return F.unix_date(F.col(c)).cast("double")
+            return F.col(c).cast("double")
+
+        top = (1 << bits) - 1
+        norm = []
+        for c in zcols:
+            lo, hi = bounds[c]
+            lo = float(lo) if lo is not None else 0.0
+            hi = float(hi) if hi is not None else 1.0
+            span = (hi - lo) if hi > lo else 1.0
+            scaled = F.floor(
+                (F.coalesce(as_num(c), F.lit(lo)) - F.lit(lo))
+                * (top / span)
+            )
+            norm.append(F.least(F.greatest(scaled, F.lit(0)), F.lit(top)))
+        entries = self._write_data_files(
+            df,
+            key_col,
+            n_files=len(todo),
+            stats_cols=stats_cols,
+            sort_expr=zorder_key(norm, bits),
+            bloom_cols=m.get("bloom_cols"),
+        )
+        self._validate_new_files(entries)
+        v = self._commit(
+            keep + entries, key_col, parent=m["version"],
+            stats_cols=stats_cols,
+        )
+        return v, len(todo)
+
     def read_changes(
         self, v_from: int, v_to: int | None = None,
         images: str = "post",

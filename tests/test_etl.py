@@ -2140,3 +2140,48 @@ def test_mtable_metadata_agg_guards(spark, tmp_path):
     t.delete_keys(spark.range(0, 5).select(F.col("id").alias("k")))
     with _pytest.raises(ValueError, match="equality"):
         t.metadata_agg()
+
+
+def test_mtable_incremental_optimize(spark, tmp_path):
+    """optimize_zorder_incremental: rewrites ONLY the worst-clustered
+    files (metadata-only scoring), content survives exactly, carried
+    files keep their paths, and repeated calls converge to a no-op
+    (absolute min_score — a relative floor would churn on its own
+    output)."""
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.sources.mtable import MTable
+
+    # 6 hash-scattered files: every file spans the whole key and v
+    # range — the fully unoptimized layout
+    base = spark.range(0, 6000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    t = MTable.create(
+        spark, str(tmp_path / "t"), base.repartition(6), "k",
+        stats_cols=["v"],
+    )
+    before = {e["path"] for e in t.manifest()["files"]}
+    assert len(before) == 6
+    content_before = sorted((r["k"], r["v"]) for r in t.read().collect())
+
+    v, n = t.optimize_zorder_incremental(["v"], max_files=2)
+    assert v is not None and n == 2
+    after = t.manifest()["files"]
+    assert len(before & {e["path"] for e in after}) == 4  # 2 replaced
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == (
+        content_before
+    )
+    # keeps absorbing the scattered tail, then converges to a no-op
+    rounds = 0
+    for _ in range(6):
+        v2, n2 = t.optimize_zorder_incremental(["v"], max_files=2)
+        if v2 is None:
+            break
+        rounds += 1
+    else:
+        raise AssertionError("incremental optimize did not converge")
+    assert rounds == 2  # remaining 4 scattered files, 2 per call
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == (
+        content_before
+    )
