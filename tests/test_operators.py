@@ -4038,3 +4038,46 @@ def test_reconcile_protocol_end_to_end(spark):
     )
     assert got == want
     assert reconcile(a, a, "k") == []
+
+
+def test_column_lineage(spark, sf_dir):
+    """column_lineage: computed/joined/aggregated/exploded/unioned
+    columns trace to their exact parquet leaf columns; join keys and
+    filters don't pollute value lineage."""
+    from dataflowex_spark.catalog import Catalog
+    from dataflowex_spark.plans import column_lineage
+
+    cat = Catalog(spark, sf_dir)
+    df = (
+        cat["lineitem"]
+        .select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "net"
+            ),
+        )
+        .join(
+            cat["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("net").alias("total"))
+    )
+    lin = column_lineage(df)
+    assert lin["o_custkey"] == {("orders", "o_custkey")}
+    assert lin["total"] == {
+        ("lineitem", "l_extendedprice"),
+        ("lineitem", "l_discount"),
+    }
+
+    # explode + union
+    ex = cat["documents"].select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).unionByName(
+        cat["customer"].select(F.col("c_name").alias("tok"))
+    )
+    lin2 = column_lineage(ex)
+    assert lin2["tok"] == {
+        ("documents", "text"),
+        ("customer", "c_name"),
+    }
