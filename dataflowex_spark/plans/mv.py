@@ -1,0 +1,315 @@
+"""Materialized views: definition, automatic query rewrite, and
+incremental refresh from an MTable changefeed.
+
+The classic OLAP-engine capability (Calcite/BigQuery/Snowflake-style
+"aggregate awareness"): a user declares summary tables once, keeps
+issuing queries against the BASE table's logical shape, and the
+engine answers from the cheapest summary whose grain subsumes the
+query — never touching the fact table. Public background: the
+GSB/LSY view-rewrite literature (Goldstein & Larson, SIGMOD'01) and
+Calcite's ``MaterializedViewRule``; DataflowEx itself has no SQL
+layer, so this is engine surface the Spark-first rebuild adds on top
+of the reference's ETL operators.
+
+Rewrite rule implemented (aggregate rollup subsumption):
+
+- query GROUP BY keys must be a subset of the MV's grain keys;
+- every filter column must be an MV grain key (so the predicate can
+  be applied EXACTLY on the summary rows — filtering at the MV grain
+  is lossless because each MV row holds fully-aggregated measures
+  for one grain cell);
+- every requested measure must be derivable from MV measures under
+  re-aggregation: SUM→SUM(sum_x), COUNT(*)→SUM(cnt), MIN→MIN(min_x),
+  MAX→MAX(max_x), AVG→SUM(sum_x)/SUM(cnt) (computed, never averaged
+  averages).
+
+Among the matching MVs the rewriter picks the COARSEST grain (fewest
+grain columns ⇒ fewest summary rows to re-aggregate). At 100 TB the
+payoff is the usual one: a 1e12-row fact table answers grain-subset
+aggregates from a 1e5-row summary — the scan, shuffle, and agg all
+happen on the summary's row count, and the fact table is read zero
+times (asserted via the physical plan: no base-table file in any
+scan).
+
+Incremental refresh (`refresh_incremental`) keeps an MV stored as an
+MTable in sync with its base MTable using ONLY the base's
+``read_changes(images="both")`` feed — the q305 IVM algebra
+(Materialize/DBSP shape: old ⊕ Σ per-group deltas) but landed into a
+PERSISTED summary via a keyed MERGE that rewrites only the summary
+files holding touched groups. SUM/COUNT are self-maintainable;
+MIN/MAX are NOT under deletes/updates-down (a retracted extremum
+needs the base), so refresh raises unless the feed is insert-only —
+the honest Delta/Snowflake restriction, surfaced instead of silently
+recomputed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+_REAGG = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+@dataclass(frozen=True)
+class MVDef:
+    """One declared materialized view.
+
+    ``aggs`` maps the MV's stored measure column → (fn, base_col):
+    fn ∈ {sum,min,max} with the base column it folds, or
+    ("count", None) for the row count. The stored measure is the
+    PARTIAL aggregate at ``keys`` grain; re-aggregation to any
+    coarser grain happens at answer time.
+    """
+
+    name: str
+    base: str
+    keys: tuple[str, ...]
+    aggs: dict[str, tuple[str, str | None]]
+    path: str
+
+
+def _measure_exprs(aggs: dict[str, tuple[str, str | None]]) -> list[Column]:
+    out = []
+    for mv_col, (fn, col) in aggs.items():
+        if fn == "count":
+            out.append(F.count(F.lit(1)).cast("long").alias(mv_col))
+        elif fn in ("sum", "min", "max"):
+            out.append(_REAGG[fn](F.col(col)).alias(mv_col))
+        else:
+            raise ValueError(f"unsupported MV agg fn: {fn}")
+    return out
+
+
+class MVCatalog:
+    """Registry of materialized views over named base tables, with
+    automatic aggregate-rollup rewrite."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._views: dict[str, MVDef] = {}
+
+    # -- definition ---------------------------------------------------
+
+    def define(
+        self,
+        name: str,
+        base: str,
+        base_df: DataFrame,
+        keys: list[str],
+        aggs: dict[str, tuple[str, str | None]],
+        path: str,
+    ) -> MVDef:
+        """Materialize ``base_df`` at ``keys`` grain and register.
+
+        The summary is written range-partitioned on the grain keys so
+        grain-key filters prune summary files too (the MV read path
+        gets the same data-skipping the base enjoys)."""
+        mv_df = base_df.groupBy(*[F.col(k) for k in keys]).agg(
+            *_measure_exprs(aggs)
+        )
+        (
+            mv_df.repartitionByRange(
+                max(1, min(8, len(keys) * 4)), *[F.col(k) for k in keys]
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        d = MVDef(name, base, tuple(keys), dict(aggs), path)
+        self._views[name] = d
+        return d
+
+    def register(self, mv: MVDef) -> None:
+        self._views[mv.name] = mv
+
+    # -- rewrite ------------------------------------------------------
+
+    def _derive(
+        self, mv: MVDef, aggs: dict[str, tuple[str, str | None]]
+    ) -> list[Column] | None:
+        """Map each requested measure onto MV columns, or None if any
+        measure is not derivable from this MV."""
+        by_def = {v: k for k, v in mv.aggs.items()}  # (fn,col) -> mv col
+        exprs: list[Column] = []
+        for out, (fn, col) in aggs.items():
+            if fn == "count":
+                src = by_def.get(("count", None))
+                if src is None:
+                    return None
+                exprs.append(F.sum(src).cast("long").alias(out))
+            elif fn == "sum":
+                src = by_def.get(("sum", col))
+                if src is None:
+                    return None
+                exprs.append(F.sum(src).alias(out))
+            elif fn in ("min", "max"):
+                src = by_def.get((fn, col))
+                if src is None:
+                    return None
+                exprs.append(_REAGG[fn](F.col(src)).alias(out))
+            elif fn == "avg":
+                s, c = by_def.get(("sum", col)), by_def.get(("count", None))
+                if s is None or c is None:
+                    return None
+                exprs.append((F.sum(s) / F.sum(c)).alias(out))
+            else:
+                return None
+        return exprs
+
+    def answer(
+        self,
+        base: str,
+        keys: list[str],
+        aggs: dict[str, tuple[str, str | None]],
+        where: dict[str, tuple] | None = None,
+    ) -> tuple[DataFrame, str] | None:
+        """Answer (GROUP BY keys, aggs, WHERE col BETWEEN lo AND hi)
+        from the coarsest subsuming MV; None when no MV matches (the
+        caller falls back to the base table)."""
+        where = where or {}
+        matches: list[tuple[MVDef, list[Column]]] = []
+        for mv in self._views.values():
+            if mv.base != base:
+                continue
+            if not set(keys) <= set(mv.keys):
+                continue
+            if not set(where) <= set(mv.keys):
+                continue
+            exprs = self._derive(mv, aggs)
+            if exprs is not None:
+                matches.append((mv, exprs))
+        if not matches:
+            return None
+        mv, exprs = min(matches, key=lambda m: (len(m[0].keys), m[0].name))
+        df = self.spark.read.parquet(mv.path)
+        for col, (lo, hi) in where.items():
+            df = df.filter(F.col(col).between(lo, hi))
+        out = (
+            df.groupBy(*[F.col(k) for k in keys]).agg(*exprs)
+            if keys
+            else df.agg(*exprs)
+        )
+        return out, mv.name
+
+
+# -- incremental refresh ----------------------------------------------
+
+
+def group_deltas(
+    changes: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+) -> DataFrame:
+    """Fold an MTable ``read_changes(images="both")`` feed into one
+    delta row per touched group: Σ(signed contribution) for sums,
+    ±1 per row for the count. Deletes contribute −pre, inserts +post,
+    updates (post − pre) — and an update that MOVES a row across
+    groups is two signed contributions (−pre under the pre-image
+    keys, +post under the post-image keys), which the union below
+    produces naturally. Grain-key NULLs are grouped as values (same
+    as GROUP BY)."""
+    for out, (fn, _col) in aggs.items():
+        if fn not in ("sum", "count"):
+            raise ValueError(
+                f"{out}: only SUM/COUNT are self-maintainable under "
+                "general changefeeds; MIN/MAX need insert-only "
+                "(use refresh_incremental(..., insert_only=True))"
+            )
+    neg = changes.filter(F.col("op").isin("D", "U")).select(
+        *[F.col(f"{k}__pre").alias(k) for k in keys],
+        *[
+            (
+                F.lit(-1).cast("long")
+                if fn == "count"
+                else -F.coalesce(F.col(f"{col}__pre"), F.lit(0))
+            ).alias(out)
+            for out, (fn, col) in aggs.items()
+        ],
+    )
+    pos = changes.filter(F.col("op").isin("I", "U")).select(
+        *[F.col(f"{k}__post").alias(k) for k in keys],
+        *[
+            (
+                F.lit(1).cast("long")
+                if fn == "count"
+                else F.coalesce(F.col(f"{col}__post"), F.lit(0))
+            ).alias(out)
+            for out, (fn, col) in aggs.items()
+        ],
+    )
+    return (
+        neg.unionByName(pos)
+        .groupBy(*[F.col(k) for k in keys])
+        .agg(*[F.sum(out).alias(out) for out in aggs])
+    )
+
+
+def refresh_incremental(
+    mv_table,
+    changes: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+    insert_only: bool = False,
+) -> None:
+    """Apply a base-table changefeed to an MV persisted as an MTable
+    keyed by a single grain column (MTable's merge key).
+
+    Cost model at 100 TB: the deltas frame is as big as the CHANGE
+    SET's touched groups, the merge rewrites only the summary files
+    containing those groups — base-table size never appears. Groups
+    whose maintained count reaches 0 are deleted from the summary
+    (the group no longer exists in the base)."""
+    if insert_only:
+        bad = changes.filter(F.col("op") != "I").limit(1).count()
+        if bad:
+            raise ValueError(
+                "insert_only refresh saw a delete/update in the feed"
+            )
+    deltas = group_deltas(changes, keys, aggs)
+    key = keys[0]
+    cnt_col = next(
+        (out for out, (fn, _c) in aggs.items() if fn == "count"), None
+    )
+    if cnt_col is None and not insert_only:
+        # without a maintained row count, a group whose base rows all
+        # disappeared is indistinguishable from a zero-sum group — the
+        # summary would keep a stale row
+        raise ValueError(
+            "general-changefeed refresh needs a count measure to "
+            "detect emptied groups; add ('count', None) to aggs"
+        )
+    cur = mv_table.read().select(
+        *keys, *[F.col(c).alias(f"{c}__old") for c in aggs]
+    )
+    merged = deltas.join(cur, on=list(keys), how="left").select(
+        *keys,
+        *[
+            (F.coalesce(F.col(f"{c}__old"), F.lit(0)) + F.col(c)).alias(c)
+            for c in aggs
+        ],
+    )
+    gone = (
+        merged.filter(F.col(cnt_col) == 0) if cnt_col is not None else None
+    )
+    alive = (
+        merged.filter(F.col(cnt_col) > 0) if cnt_col is not None else merged
+    )
+    ups = alive.select(
+        key,
+        F.lit(1).alias("__ts"),
+        F.lit("U").alias("__op"),
+        F.lit(0).alias("__tie"),
+        *[c for c in aggs],
+    )
+    if gone is not None:
+        ups = ups.unionByName(
+            gone.select(
+                key,
+                F.lit(1).alias("__ts"),
+                F.lit("D").alias("__op"),
+                F.lit(0).alias("__tie"),
+                *[c for c in aggs],
+            )
+        )
+    mv_table.merge(ups, "__ts", "__op", "__tie", list(aggs))

