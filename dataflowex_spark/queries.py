@@ -20843,3 +20843,115 @@ def q384(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@q(
+    "q385_frequent_itemsets",
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b,
+                       CAST(floor(sqrt(l_partkey % 144)) AS BIGINT) AS i
+                FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT b) AS n FROM bi),
+    th AS (SELECT (n * 2 + 99) // 100 AS t FROM nb),
+    l1 AS (SELECT CAST(i AS VARCHAR) AS itemset, 1 AS k,
+                  CAST(COUNT(*) AS BIGINT) AS s
+           FROM bi GROUP BY i
+           HAVING COUNT(*) >= (SELECT t FROM th)),
+    l2 AS (SELECT CAST(x.i AS VARCHAR) || '|' || CAST(y.i AS VARCHAR)
+                    AS itemset,
+                  2 AS k, CAST(COUNT(*) AS BIGINT) AS s
+           FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+           GROUP BY x.i, y.i
+           HAVING COUNT(*) >= (SELECT t FROM th)),
+    l3 AS (SELECT CAST(x.i AS VARCHAR) || '|' || CAST(y.i AS VARCHAR)
+                    || '|' || CAST(z.i AS VARCHAR) AS itemset,
+                  3 AS k, CAST(COUNT(*) AS BIGINT) AS s
+           FROM bi x
+           JOIN bi y ON x.b = y.b AND x.i < y.i
+           JOIN bi z ON x.b = z.b AND y.i < z.i
+           GROUP BY x.i, y.i, z.i
+           HAVING COUNT(*) >= (SELECT t FROM th))
+    SELECT * FROM l1
+    UNION ALL SELECT * FROM l2
+    UNION ALL SELECT * FROM l3
+    ORDER BY k, itemset
+    """,
+)
+def q385(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREQUENT ITEMSETS (Apriori, VLDB'94) over order baskets:
+    sizes 1–3 at 2%-of-baskets support. The operator generates
+    candidates within a basket (one basket-key shuffle, reused per
+    level) and Apriori-prunes with BROADCAST L(k−1) semi-joins
+    BEFORE the counting shuffle; the oracle brute-force enumerates
+    subsets — pruning changes cost, never answers, so a hash match
+    proves the lattice walk exact. Support threshold is integer
+    ceil(2%·baskets) in both engines (no float boundary). At 100 TB
+    the candidate stream reaching each count is support-bounded
+    (|Lk| ≤ items/θ), never basket-size-cubed; the SON
+    per-partition variant swaps the basket shuffle for one exact
+    candidate recount (docstring in operators/itemsets.py)."""
+    from dataflowex_spark.operators.itemsets import frequent_itemsets
+
+    cat = Catalog(spark, sf_dir)
+    bi = cat["lineitem"].select(
+        F.col("l_orderkey").alias("b"),
+        F.floor(F.sqrt(F.col("l_partkey") % 144))
+        .cast("long")
+        .alias("i"),
+    )
+    nb = bi.select("b").distinct().count()
+    t = (nb * 2 + 99) // 100
+    return frequent_itemsets(bi, "b", "i", t, max_size=3).orderBy(
+        "k", "itemset"
+    )
+
+
+@q(
+    "q386_association_rules",
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b,
+                       CAST(floor(sqrt(l_partkey % 144)) AS BIGINT) AS i
+                FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT b) AS n FROM bi),
+    th AS (SELECT (n * 2 + 99) // 100 AS t FROM nb),
+    l1 AS (SELECT i, COUNT(*) AS s FROM bi GROUP BY i
+           HAVING COUNT(*) >= (SELECT t FROM th)),
+    l2 AS (SELECT x.i AS i1, y.i AS i2, COUNT(*) AS s
+           FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+           GROUP BY x.i, y.i
+           HAVING COUNT(*) >= (SELECT t FROM th)),
+    rl AS (SELECT i1 AS a, i2 AS b, s FROM l2
+           UNION ALL SELECT i2, i1, s FROM l2)
+    SELECT CAST(rl.a AS VARCHAR) AS antecedent,
+           CAST(rl.b AS VARCHAR) AS consequent,
+           CAST(rl.s AS BIGINT) AS s,
+           CAST(floor(1000000.0 * rl.s / l1.s) AS BIGINT) AS conf_ppm
+    FROM rl JOIN l1 ON rl.a = l1.i
+    WHERE floor(1000000.0 * rl.s / l1.s) >= 250000
+    ORDER BY antecedent, consequent
+    """,
+)
+def q386(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSOCIATION RULES from the frequent pairs: a→b confidence as
+    integer-exact ppm (floor(1e6·s(ab)/s(a))), kept at ≥25%.
+    Antecedent supports join by BROADCAST (L1 is support-bounded).
+    Same exactness discipline as the itemsets: integer thresholds,
+    one IEEE division, floor — bit-identical across engines."""
+    from dataflowex_spark.operators.itemsets import (
+        association_rules,
+        frequent_itemsets,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    bi = cat["lineitem"].select(
+        F.col("l_orderkey").alias("b"),
+        F.floor(F.sqrt(F.col("l_partkey") % 144))
+        .cast("long")
+        .alias("i"),
+    )
+    nb = bi.select("b").distinct().count()
+    t = (nb * 2 + 99) // 100
+    sets = frequent_itemsets(bi, "b", "i", t, max_size=2)
+    return association_rules(sets, 250_000).orderBy(
+        "antecedent", "consequent"
+    )
