@@ -843,3 +843,47 @@ def dag_layers(
         f"dag_layers did not converge in {max_rounds} rounds — "
         "the input graph is probably cyclic (condense with scc first)"
     )
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Hop distances from EVERY source simultaneously — one BFS whose
+    state is keyed (landmark, node) instead of node: per hop one
+    adjacency⋈frontier join and one min-aggregate, exactly
+    :func:`bfs_levels` with a composite key, so K landmarks cost the
+    SAME number of rounds as one (the frontier is at most K× wider,
+    and the joins stay keyed equi-joins). This is the landmark /
+    pivot scheme closeness- and distance-oracle approximations use at
+    scale (Indyk-style sketches): pick K ≪ n landmarks, get every
+    node's distance vector in max_hops rounds. ``sources`` is a
+    1-column frame ``node``; returns (lm, node, d) for reached pairs
+    only."""
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = sources.select(
+        F.col("node").alias("lm"),
+        F.col("node"),
+        F.lit(0).cast("long").alias("d"),
+    ).localCheckpoint(eager=False)
+    for _ in range(max_hops):
+        cand = und.join(
+            dist.withColumnRenamed("node", "a"), "a"
+        ).select("lm", F.col("b").alias("node"), (F.col("d") + 1).alias("d"))
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("lm", "node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

@@ -371,3 +371,82 @@ def validate_constraints(df, rules: list[tuple[str, str]]):
             holds = r[f"__v{i}"] is not None and r[f"__v{i}"] >= 0
         out.append((c, rule, bool(holds)))
     return out
+
+
+def t_closeness(
+    df,
+    group_cols: list[str],
+    bin_col: str,
+    ppm_scale: int = 1_000_000,
+):
+    """t-CLOSENESS audit (Li–Li–Venkatasubramanian, ICDE'07) for an
+    ORDERED sensitive attribute already quantized to integer bins:
+    per quasi-identifier group, the Earth Mover's Distance between
+    the group's bin distribution and the global one. For ordered
+    equal-width bins EMD has the closed form
+    Σ_b |CDF_g(b) − CDF(b)| / (m−1), computed here ENTIRELY in
+    integers: |cum_g·n − cum·n_g| per bin (exact cross-multiplied
+    CDF difference), summed, then ONE floor-divide to ppm —
+    bit-identical across engines, no float CDFs. Completes the
+    k-anonymity (q206) / l-diversity (q354) privacy-audit family:
+    l-diversity counts distinct sensitive values; t-closeness bounds
+    how much a group's distribution LEAKS relative to the table.
+
+    Plan shape: per-(group,bin) counts, a broadcast-joined full
+    group×bin grid (CDFs must align on missing bins), and windows
+    PARTITIONED BY group over ≤m bins — no unpartitioned window, no
+    collect. Magnitude contract: ppm_scale·Σ|…| must fit a BIGINT
+    (Σ ≤ m·n_g·n) — quantize upstream so m stays small; raises would
+    be silent overflow, so size n·n_g·m·scale < 2^63 when adopting.
+    Returns (group_cols…, n_g, t_ppm)."""
+    from pyspark.sql import Window
+
+    g = [F.col(c) for c in group_cols]
+    cnt = df.groupBy(*g, F.col(bin_col).alias("__b")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    bins = df.select(F.col(bin_col).alias("__b")).distinct()
+    groups = df.groupBy(*g).agg(F.count(F.lit(1)).cast("long").alias("n_g"))
+    n = df.count()
+    m = bins.count()
+    if m < 2:
+        raise ValueError("t_closeness needs at least 2 bins")
+    grid = groups.crossJoin(F.broadcast(bins))
+    full = grid.join(cnt, [*group_cols, "__b"], "left").select(
+        *group_cols,
+        "n_g",
+        "__b",
+        F.coalesce(F.col("__c"), F.lit(0)).alias("__c"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__b")
+    wg = Window.partitionBy(F.lit(1)).orderBy("__b")
+    gcum = (
+        full.groupBy("__b")
+        .agg(F.sum("__c").alias("__cb"))
+        .select("__b", F.sum("__cb").over(wg).alias("__cum"))
+    )
+    return (
+        full.select(
+            *group_cols,
+            "n_g",
+            "__b",
+            F.sum("__c").over(w).alias("__cum_g"),
+        )
+        .join(F.broadcast(gcum), "__b")
+        .groupBy(*group_cols, "n_g")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("__cum_g") * F.lit(n) - F.col("__cum") * F.col("n_g")
+                )
+            ).alias("__num")
+        )
+        .select(
+            *group_cols,
+            "n_g",
+            F.expr(
+                f"CAST(div({ppm_scale} * __num, n_g * {n} * {m - 1}) "
+                "AS BIGINT)"
+            ).alias("t_ppm"),
+        )
+    )

@@ -20955,3 +20955,157 @@ def q386(spark: SparkSession, sf_dir: str) -> DataFrame:
     return association_rules(sets, 250_000).orderBy(
         "antecedent", "consequent"
     )
+
+
+@q(
+    "q387_landmark_closeness",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey AND l_orderkey % 10 = 0
+    ), und AS (
+      SELECT s AS a, d AS b FROM e
+      UNION
+      SELECT d AS a, s AS b FROM e
+    ),
+    lm AS (SELECT DISTINCT a AS lm FROM und ORDER BY lm LIMIT 3),
+    d0 AS (SELECT lm, lm AS node, 0 AS dist FROM lm),
+    c1 AS (SELECT x.lm, u.b AS node, x.dist + 1 AS dist
+           FROM und u JOIN d0 x ON x.node = u.a),
+    d1 AS (SELECT lm, node, MIN(dist) AS dist FROM
+           (SELECT * FROM d0 UNION ALL SELECT * FROM c1)
+           GROUP BY lm, node),
+    c2 AS (SELECT x.lm, u.b AS node, x.dist + 1 AS dist
+           FROM und u JOIN d1 x ON x.node = u.a),
+    d2 AS (SELECT lm, node, MIN(dist) AS dist FROM
+           (SELECT * FROM d1 UNION ALL SELECT * FROM c2)
+           GROUP BY lm, node),
+    c3 AS (SELECT x.lm, u.b AS node, x.dist + 1 AS dist
+           FROM und u JOIN d2 x ON x.node = u.a),
+    d3 AS (SELECT lm, node, MIN(dist) AS dist FROM
+           (SELECT * FROM d2 UNION ALL SELECT * FROM c3)
+           GROUP BY lm, node),
+    c4 AS (SELECT x.lm, u.b AS node, x.dist + 1 AS dist
+           FROM und u JOIN d3 x ON x.node = u.a),
+    d4 AS (SELECT lm, node, MIN(dist) AS dist FROM
+           (SELECT * FROM d3 UNION ALL SELECT * FROM c4)
+           GROUP BY lm, node),
+    s AS (SELECT node, COUNT(*) AS k, SUM(dist) AS sum_d
+          FROM d4 GROUP BY node)
+    SELECT node, CAST(sum_d AS BIGINT) AS sum_d,
+           CAST(3000000 // sum_d AS BIGINT) AS closeness_ppm
+    FROM s WHERE k = 3 AND sum_d > 0
+    ORDER BY sum_d, node LIMIT 20
+    """,
+)
+def q387(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANDMARK CLOSENESS CENTRALITY on the co-purchase graph: ONE
+    multi-source BFS keyed (landmark, node) computes distances from
+    K=3 landmarks in the same 4 rounds a single BFS costs (frontier
+    at most K× wider, still keyed join+min-agg per hop) — the
+    landmark/pivot approximation closeness uses at scale instead of
+    n full BFS runs. Closeness = K/Σd as integer ppm
+    (3000000 // sum_d); nodes must be reached by ALL K landmarks.
+    Top-20, totally ordered (sum_d, node). The oracle replays the
+    landmark-keyed relaxation as unrolled CTE rounds (q282 idiom
+    with a composite key)."""
+    from dataflowex_spark.operators.graph import multi_source_bfs
+
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    lms = nodes.orderBy("node").limit(3)
+    dist = multi_source_bfs(edges, lms, max_hops=4)
+    s = dist.groupBy("node").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("d").cast("long").alias("sum_d"),
+    )
+    return (
+        s.filter((F.col("k") == 3) & (F.col("sum_d") > 0))
+        .select(
+            "node",
+            "sum_d",
+            F.expr("CAST(div(3000000, sum_d) AS BIGINT)").alias(
+                "closeness_ppm"
+            ),
+        )
+        .orderBy("sum_d", "node")
+        .limit(20)
+    )
+
+
+@q(
+    "q388_t_closeness",
+    """
+    WITH r AS (
+      SELECT c_mktsegment AS g,
+             (CAST(floor(c_acctbal) AS BIGINT) + 1000) // 700 AS b
+      FROM customer
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM r),
+    mm AS (SELECT COUNT(DISTINCT b) AS m FROM r),
+    cnt AS (SELECT g, b, COUNT(*) AS c FROM r GROUP BY g, b),
+    grp AS (SELECT g, COUNT(*) AS n_g FROM r GROUP BY g),
+    bins AS (SELECT DISTINCT b FROM r),
+    grid AS (SELECT grp.g, grp.n_g, bins.b FROM grp CROSS JOIN bins),
+    fl AS (SELECT grid.g, grid.n_g, grid.b, COALESCE(cnt.c, 0) AS c
+           FROM grid LEFT JOIN cnt
+             ON grid.g = cnt.g AND grid.b = cnt.b),
+    cum AS (SELECT g, n_g, b,
+                   SUM(c) OVER (PARTITION BY g ORDER BY b) AS cum_g
+            FROM fl),
+    gc AS (SELECT b, SUM(c) AS cb FROM fl GROUP BY b),
+    gcum AS (SELECT b, SUM(cb) OVER (ORDER BY b) AS cum FROM gc),
+    num AS (SELECT cum.g, cum.n_g,
+                   SUM(ABS(cum.cum_g * (SELECT n FROM tot)
+                           - gcum.cum * cum.n_g)) AS num
+            FROM cum JOIN gcum ON cum.b = gcum.b
+            GROUP BY cum.g, cum.n_g)
+    SELECT g, CAST(n_g AS BIGINT) AS n_g,
+           CAST((1000000 * num)
+                // (n_g * (SELECT n FROM tot)
+                    * ((SELECT m FROM mm) - 1)) AS BIGINT) AS t_ppm
+    FROM num ORDER BY g
+    """,
+)
+def q388(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS privacy audit (Li et al., ICDE'07), completing the
+    k-anonymity (q206) / l-diversity (q354) family: per market
+    segment, the Earth Mover's Distance between the segment's
+    account-balance distribution (700-wide ordered bins) and the
+    global one — the leakage bound l-diversity misses when a group's
+    values are distinct but SKEWED. EMD over ordered bins is the
+    closed-form Σ|CDF diffs|/(m−1), computed ENTIRELY in integers via
+    cross-multiplied CDFs (|cum_g·n − cum·n_g|) and one final integer
+    floor-divide to ppm — no float CDFs, bit-identical across
+    engines. Plan: per-(group,bin) counts, broadcast bin grid,
+    windows PARTITIONED BY group over ≤16 bins."""
+    from dataflowex_spark.operators.validation import t_closeness
+
+    cat = Catalog(spark, sf_dir)
+    r = cat["customer"].select(
+        F.col("c_mktsegment").alias("g"),
+        F.expr(
+            "CAST(div(CAST(floor(c_acctbal) AS BIGINT) + 1000, 700) "
+            "AS BIGINT)"
+        ).alias("b"),
+    )
+    return t_closeness(r, ["g"], "b").orderBy("g")

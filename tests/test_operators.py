@@ -4081,3 +4081,68 @@ def test_column_lineage(spark, sf_dir):
         ("documents", "text"),
         ("customer", "c_name"),
     }
+
+
+def test_multi_source_bfs_path_graph(spark):
+    """Path 1-2-3-4-5, landmarks {1,5}: distances are exact hop
+    counts from the NEAREST occurrence of each landmark key."""
+    from dataflowex_spark.operators.graph import multi_source_bfs
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src int, dst int"
+    )
+    lms = spark.createDataFrame([(1,), (5,)], "node int")
+    got = {
+        (r["lm"], r["node"]): r["d"]
+        for r in multi_source_bfs(edges, lms, max_hops=4).collect()
+    }
+    for node in range(1, 6):
+        assert got[(1, node)] == node - 1
+        assert got[(5, node)] == 5 - node
+    # hop cap: with max_hops=2 landmark 1 cannot reach node 5
+    capped = multi_source_bfs(edges, lms, max_hops=2)
+    pairs = {(r["lm"], r["node"]) for r in capped.collect()}
+    assert (1, 5) not in pairs and (1, 3) in pairs
+
+
+def test_t_closeness_exact_and_skewed(spark):
+    """A group mirroring the global mix scores 0; a fully skewed
+    group scores the hand-computed EMD."""
+    from dataflowex_spark.operators.validation import t_closeness
+
+    # n=10, bins {0,1}, global cum(0)=6; g2 all-zeros: cum_g(0)=4,
+    # |4*10 - 6*4| = 16 over n_g*n*(m-1) = 40 -> t = 0.4
+    rows = [("g1", 0)] * 2 + [("g1", 1)] * 2 + [("g2", 0)] * 4
+    rows += [("g3", 1)] * 2  # skewed the other way, smaller group
+    df = spark.createDataFrame(rows, "g string, b int")
+    got = {r["g"]: (r["n_g"], r["t_ppm"]) for r in t_closeness(
+        df, ["g"], "b"
+    ).collect()}
+    assert got["g2"] == (4, 400_000)
+    # recompute every group against a python reference
+    import itertools
+
+    bins = sorted({b for _, b in rows})
+    tot = len(rows)
+    gcum = {}
+    c = 0
+    for b in bins:
+        c += sum(1 for _, x in rows if x == b)
+        gcum[b] = c
+    for gname, grp in itertools.groupby(
+        sorted(rows), key=lambda r: r[0]
+    ):
+        vals = [b for _, b in grp]
+        ng = len(vals)
+        cg, num = 0, 0
+        for b in bins:
+            cg += sum(1 for x in vals if x == b)
+            num += abs(cg * tot - gcum[b] * ng)
+        want = (1_000_000 * num) // (ng * tot * (len(bins) - 1))
+        assert got[gname] == (ng, want), gname
+    with __import__("pytest").raises(ValueError, match="2 bins"):
+        t_closeness(
+            spark.createDataFrame([("g", 0)], "g string, b int"),
+            ["g"],
+            "b",
+        )
