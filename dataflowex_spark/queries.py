@@ -21109,3 +21109,51 @@ def q388(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     )
     return t_closeness(r, ["g"], "b").orderBy("g")
+
+
+@q("q389_unigram_tokenize", None)
+def q389(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM subword tokenizer (Kudo ACL'18 / sentencepiece
+    model_type=unigram), the second tokenizer family after BPE
+    (q213): EM-trained piece probabilities over the distributed
+    (word,count) vocabulary, distributed Viterbi encode via a
+    broadcast model in an Arrow-batched pandas UDF (scan-local).
+    Rows-only: the lattice EM and Viterbi are not SQL-expressible;
+    exactness is pytest-pinned instead (likelihood monotonicity,
+    roundtrip totality incl. unknown chars, determinism, vocab
+    bound). Reports per-source compression: pieces per word in ppm —
+    integer-exact given the deterministic model."""
+    from dataflowex_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"].select("source", "text")
+    model = unigram_train(
+        docs, "text", vocab_size=256, max_piece_len=6, max_words=20_000
+    )
+    enc = unigram_encode(docs, "text", model, max_piece_len=6)
+    return (
+        enc.select(
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+            F.size("pieces").alias("p"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("w").cast("long").alias("words"),
+            F.sum("p").cast("long").alias("pieces"),
+        )
+        .select(
+            "source",
+            "docs",
+            "words",
+            "pieces",
+            F.expr("CAST(div(1000000 * pieces, words) AS BIGINT)").alias(
+                "pieces_per_word_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
