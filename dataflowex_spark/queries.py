@@ -21157,3 +21157,227 @@ def q389(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@q(
+    "q390_shapley_attribution",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             COALESCE(bit_or(CASE event_type
+                WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END), 0) AS mask,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    mk AS (SELECT mask, CAST(SUM(conv) AS BIGINT) AS n_conv
+           FROM u GROUP BY mask),
+    s AS (SELECT unnest(range(0, 16)) AS S),
+    v AS (SELECT s.S, COALESCE(SUM(mk.n_conv), 0) AS v
+          FROM s LEFT JOIN mk ON (mk.mask & s.S) = mk.mask
+          GROUP BY s.S),
+    bits(bit, channel) AS
+      (VALUES (1,'click'),(2,'error'),(4,'signup'),(8,'view'))
+    SELECT b.channel,
+           CAST(SUM((CASE bit_count(v0.S) WHEN 0 THEN 6 WHEN 1 THEN 2
+                     WHEN 2 THEN 2 WHEN 3 THEN 6 END)
+                    * (v1.v - v0.v)) AS BIGINT) AS shapley_xdfact
+    FROM bits b
+    JOIN v v0 ON (v0.S & b.bit) = 0
+    JOIN v v1 ON v1.S = (v0.S | b.bit)
+    GROUP BY b.channel ORDER BY b.channel
+    """,
+)
+def q390(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SHAPLEY multi-touch attribution (the data-driven
+    attribution model, vs q231's last-touch): journeys are (user,
+    day) sessions, the coalition value v(S) counts conversions of
+    journeys whose touched-channel set ⊆ S, and each channel's
+    Shapley value is returned ×4! so the factorial weights are
+    INTEGERS — zero float steps, the marginal-contribution sum is
+    replayed verbatim by the oracle over the same 16 coalition
+    masks. Row-scale work is ONE journey aggregation (groupBy user,
+    day with a bit_or); the 2^d Shapley enumeration runs on a
+    16-row frame. Efficiency property (Σ = d!·(v(full)−v(∅)))
+    pytest-pinned."""
+    from dataflowex_spark.operators.attribution import shapley_attribution
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+    )
+    journeys = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.coalesce(F.bit_or(bit), F.lit(0)).alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    return shapley_attribution(
+        journeys,
+        [(1, "click"), (2, "error"), (4, "signup"), (8, "view")],
+    ).orderBy("channel")
+
+
+def _markov_oracle_sql(rounds: int = 8) -> str:
+    """One generator emits the unrolled absorption rounds (q379's
+    shared-generator idiom): each round is the SAME integer
+    recurrence the Spark operator runs."""
+    blocks = []
+    for k in range(1, rounds + 1):
+        blocks.append(
+            f"    r{k} AS (SELECT tm.name, tm.dst AS state,\n"
+            f"           CAST(SUM((r{k-1}.v * tm.p) // 1000000) AS BIGINT)"
+            f" AS v\n"
+            f"           FROM r{k-1} JOIN tm ON tm.name = r{k-1}.name"
+            f" AND tm.src = r{k-1}.state\n"
+            f"           GROUP BY tm.name, tm.dst)"
+        )
+    rounds_sql = ",\n".join(blocks)
+    return f"""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 'CONV'
+                  ELSE event_type END AS st
+      FROM events
+    ),
+    cut AS (SELECT user_id, d, MIN(ts) AS conv_ts
+            FROM e WHERE st = 'CONV' GROUP BY user_id, d),
+    cut2 AS (SELECT c.user_id, c.d, c.conv_ts,
+                    MIN(e.event_id) AS conv_id
+             FROM cut c JOIN e ON e.user_id = c.user_id AND e.d = c.d
+                              AND e.ts = c.conv_ts AND e.st = 'CONV'
+             GROUP BY c.user_id, c.d, c.conv_ts),
+    j AS (SELECT e.user_id, e.d, e.ts, e.event_id, e.st
+          FROM e LEFT JOIN cut2 c
+            ON e.user_id = c.user_id AND e.d = c.d
+          WHERE c.conv_ts IS NULL OR e.ts < c.conv_ts
+                OR (e.ts = c.conv_ts AND e.event_id <= c.conv_id)),
+    seq AS (SELECT user_id, d, st,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, d
+                                      ORDER BY ts, event_id) AS rn,
+                   LEAD(st) OVER (PARTITION BY user_id, d
+                                  ORDER BY ts, event_id) AS nxt
+            FROM j),
+    tr AS (SELECT 'START' AS src, st AS dst FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT st, COALESCE(nxt, 'DROP') FROM seq
+           WHERE st <> 'CONV'),
+    tc AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tr GROUP BY src, dst),
+    tot AS (SELECT src, SUM(c) AS tot FROM tc GROUP BY src),
+    tp AS (SELECT tc.src, tc.dst, (1000000 * tc.c) // tot.tot AS p
+           FROM tc JOIN tot ON tc.src = tot.src),
+    scn(name, removed) AS (VALUES ('full', NULL),
+         ('no_click', 'click'), ('no_error', 'error'),
+         ('no_signup', 'signup'), ('no_view', 'view')),
+    tm AS (
+      SELECT s.name, tp.src, tp.dst, tp.p
+      FROM scn s JOIN tp ON tp.src IS DISTINCT FROM s.removed
+      UNION ALL
+      SELECT s.name, s.removed, 'DROP', 1000000
+      FROM scn s WHERE s.removed IS NOT NULL
+      UNION ALL
+      SELECT s.name, a.st, a.st, 1000000
+      FROM scn s CROSS JOIN (VALUES ('CONV'), ('DROP')) a(st)
+    ),
+    r0 AS (SELECT name, 'START' AS state,
+                  CAST(1000000 AS BIGINT) AS v FROM scn),
+{rounds_sql},
+    conv AS (SELECT s.name, COALESCE(r.v, 0) AS v
+             FROM scn s LEFT JOIN
+                  (SELECT name, v FROM r{rounds} WHERE state = 'CONV') r
+               ON r.name = s.name),
+    fullv AS (SELECT v AS fv FROM conv WHERE name = 'full')
+    SELECT regexp_replace(conv.name, '^no_', '') AS channel,
+           CAST(conv.v AS BIGINT) AS conv_mass_ppm,
+           CAST((1000000 * (fullv.fv - conv.v)) // fullv.fv AS BIGINT)
+             AS removal_ppm
+    FROM conv CROSS JOIN fullv
+    WHERE conv.name <> 'full'
+    ORDER BY channel
+    """
+
+
+@q("q391_markov_attribution", _markov_oracle_sql(8))
+def q391(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV-CHAIN removal-effect attribution (Anderl et al. 2016),
+    the path-aware sibling of q390's coalition Shapley: (user, day)
+    journeys become START→…→CONV/DROP transition counts (journeys
+    truncate at the FIRST purchase, (ts,event_id)-lexicographic);
+    channel value = conversion mass lost when the channel turns into
+    a dead end. Absorption is 8 rounds of the INTEGER-RESCALED
+    recurrence v'[j]=Σ(v[i]·p_ppm[i][j])//1e6 (q326 idiom) so the
+    oracle replays identical integers — no float fixpoint. Row-scale
+    work: one windowed journey pass + one transition count; the five
+    scenario propagations run on a ≤7-state frame. Removal
+    monotonicity (removal_ppm ≥ 0) is structural: per-state mass
+    only shrinks and x≤y ⇒ (x·p)//1e6 ≤ (y·p)//1e6."""
+    from dataflowex_spark.operators.attribution import (
+        markov_removal_effect,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"].select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type"))
+        .alias("st"),
+    )
+    cut = (
+        ev.filter(F.col("st") == "CONV")
+        .groupBy("user_id", "d")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    cut2 = (
+        cut.alias("c")
+        .join(
+            ev.alias("e"),
+            (F.col("e.user_id") == F.col("c.user_id"))
+            & (F.col("e.d") == F.col("c.d"))
+            & (F.col("e.ts") == F.col("c.conv_ts"))
+            & (F.col("e.st") == "CONV"),
+        )
+        .groupBy("c.user_id", "c.d", "c.conv_ts")
+        .agg(F.min("e.event_id").alias("conv_id"))
+    )
+    j = ev.join(cut2, ["user_id", "d"], "left").filter(
+        F.col("conv_ts").isNull()
+        | (F.col("ts") < F.col("conv_ts"))
+        | (
+            (F.col("ts") == F.col("conv_ts"))
+            & (F.col("event_id") <= F.col("conv_id"))
+        )
+    )
+    w = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    seq = j.select(
+        "user_id",
+        "d",
+        "st",
+        F.row_number().over(w).alias("rn"),
+        F.lead("st").over(w).alias("nxt"),
+    )
+    starts = seq.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("src"), F.col("st").alias("dst")
+    )
+    mids = seq.filter(F.col("st") != "CONV").select(
+        F.col("st").alias("src"),
+        F.coalesce("nxt", F.lit("DROP")).alias("dst"),
+    )
+    trans = (
+        starts.unionByName(mids)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return markov_removal_effect(
+        trans, ["click", "error", "signup", "view"], rounds=8
+    ).orderBy("channel")

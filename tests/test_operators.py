@@ -4146,3 +4146,52 @@ def test_t_closeness_exact_and_skewed(spark):
             ["g"],
             "b",
         )
+
+
+def test_shapley_attribution_hand_computed(spark):
+    """d=2 coalition game computed by hand; efficiency property."""
+    from dataflowex_spark.operators.attribution import shapley_attribution
+
+    journeys = spark.createDataFrame(
+        # mask 1: 2 conversions; mask 2: 1; mask 3: 4; mask 0: none
+        [(1, 1)] * 2 + [(1, 0)] * 3
+        + [(2, 1)] + [(3, 1)] * 4 + [(0, 0)] * 2,
+        "mask int, conv int",
+    )
+    got = {
+        r["channel"]: r["shapley_xdfact"]
+        for r in shapley_attribution(journeys, [(1, "A"), (2, "B")]).collect()
+    }
+    # v(∅)=0, v(A)=2, v(B)=1, v(AB)=7
+    # A: 0!1!(2-0) + 1!0!(7-1) = 8 ; B: (1-0) + (7-2) = 6
+    assert got == {"A": 8, "B": 6}
+    # efficiency: Σ = d!·(v(full) − v(∅)) = 2·7
+    assert sum(got.values()) == 14
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="2\\^d"):
+        shapley_attribution(journeys, [(1 << i, str(i)) for i in range(13)])
+
+
+def test_markov_removal_effect_hand_computed(spark):
+    """START splits to A/B; only A converts — removing A kills all
+    conversion mass, removing B costs nothing."""
+    from dataflowex_spark.operators.attribution import (
+        markov_removal_effect,
+    )
+
+    trans = spark.createDataFrame(
+        [
+            ("START", "A", 2),
+            ("START", "B", 2),
+            ("A", "CONV", 1),
+            ("A", "DROP", 1),
+            ("B", "DROP", 2),
+        ],
+        "src string, dst string, c long",
+    )
+    got = {
+        r["channel"]: (r["conv_mass_ppm"], r["removal_ppm"])
+        for r in markov_removal_effect(trans, ["A", "B"], rounds=4).collect()
+    }
+    assert got == {"A": (0, 1_000_000), "B": (250_000, 0)}
