@@ -21381,3 +21381,85 @@ def q391(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_removal_effect(
         trans, ["click", "error", "signup", "view"], rounds=8
     ).orderBy("channel")
+
+
+@q("q392_image_quality_audit", None)  # rows-only: pixel decode, no SQL
+def q392(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE QUALITY AUDIT (PSNR/SSIM, Wang et al. 2004) for the
+    multimodal curation path: per-document synthetic images (q202's
+    4 visual families) are degraded by a 32→16→32 nearest-neighbor
+    resize round-trip, and the decode + metrics run EXECUTOR-SIDE in
+    one mapInPandas pass (reference and degraded payloads are
+    co-located on the row — the pointer-pattern invariant, zero
+    shuffle). Reports per-family mean PSNR/SSIM quantized to ppm —
+    the screen that decides whether a lossy re-encode is acceptable
+    before a corpus lands, and the structural-similarity verify step
+    a pHash candidate join hands off to. Smooth families should
+    survive the round-trip better than noisy ones — visible in the
+    family spread."""
+    from dataflowex_spark.operators import multimodal
+
+    cat = Catalog(spark, sf_dir)
+
+    @F.pandas_udf("binary")
+    def synth(doc_id):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for d in doc_id:
+            d = int(d)
+            rng = np.random.RandomState(d % 4)
+            base = rng.randint(0, 256, size=(32, 32, 3)).astype(np.float64)
+            for _ in range(d % 4):  # families differ in smoothness
+                base[1:-1, 1:-1] = (
+                    base[:-2, 1:-1] + base[2:, 1:-1]
+                    + base[1:-1, :-2] + base[1:-1, 2:] + base[1:-1, 1:-1]
+                ) / 5
+            out.append(
+                multimodal.encode_ppm(
+                    np.clip(base, 0, 255).astype(np.uint8)
+                )
+            )
+        return pd.Series(out)
+
+    @F.pandas_udf("binary")
+    def degrade(payload):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for p in payload:
+            _w, _h, _ch, arr = multimodal._parse_any(bytes(p))
+            small = arr[::2, ::2]
+            idx = np.arange(32) // 2
+            out.append(multimodal.encode_ppm(small[idx][:, idx]))
+        return pd.Series(out)
+
+    docs = (
+        cat["documents"]
+        .filter(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id").cast("string").alias("uri"),
+            (F.col("doc_id") % 4).cast("int").alias("family"),
+            synth(F.col("doc_id")).alias("payload"),
+        )
+        .withColumn("degraded", degrade(F.col("payload")))
+    )
+    m = multimodal.image_quality_metrics(docs, "payload", "degraded", "uri")
+    return (
+        m.join(
+            docs.select(F.col("uri").alias("id"), "family"), "id"
+        )
+        .groupBy("family")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.floor(F.avg("psnr_db") * 1_000_000)
+            .cast("long")
+            .alias("psnr_mean_ppm"),
+            F.floor(F.avg("ssim") * 1_000_000)
+            .cast("long")
+            .alias("ssim_mean_ppm"),
+        )
+        .orderBy("family")
+    )

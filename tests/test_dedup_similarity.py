@@ -840,3 +840,47 @@ def test_pq_adc_recovers_separated_clusters_and_is_deterministic(spark):
         vecs, probes, k=3, m_sub=4, n_codes=8, iters=4, dim=8
     ).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+
+
+def test_psnr_ssim_reference_behavior(spark):
+    """Identity, ordering under noise, and the distributed pass."""
+    import numpy as np
+
+    from dataflowex_spark.operators.multimodal import (
+        encode_ppm,
+        image_quality_metrics,
+        psnr_ssim,
+    )
+
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    assert psnr_ssim(a, a) == (99.0, 1.0)
+    light = np.clip(a.astype(int) + rng.randint(-3, 4, a.shape), 0, 255)
+    heavy = np.clip(a.astype(int) + rng.randint(-60, 61, a.shape), 0, 255)
+    p1, s1 = psnr_ssim(a, light.astype(np.uint8))
+    p2, s2 = psnr_ssim(a, heavy.astype(np.uint8))
+    assert p1 > p2 and s1 > s2 and -1.0 <= s2 <= s1 <= 1.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="shape"):
+        psnr_ssim(a, a[:16])
+    with _pt.raises(ValueError, match="window"):
+        psnr_ssim(a[:4, :4], a[:4, :4])
+
+    rows = [
+        ("same", encode_ppm(a), encode_ppm(a)),
+        ("noisy", encode_ppm(a), encode_ppm(heavy.astype(np.uint8))),
+        ("broken", encode_ppm(a), b"not an image"),
+        ("missing", encode_ppm(a), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "uri string, payload binary, degraded binary"
+    )
+    got = {
+        r["id"]: (r["psnr_db"], r["ssim"])
+        for r in image_quality_metrics(df).collect()
+    }
+    assert got["same"] == (99.0, 1.0)
+    assert got["noisy"][0] < 99.0 and got["noisy"][1] < 1.0
+    assert got["broken"] == (None, None)
+    assert got["missing"] == (None, None)
