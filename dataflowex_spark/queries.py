@@ -21463,3 +21463,120 @@ def q392(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("family")
     )
+
+
+@q(
+    "q393_delta_read",
+    """
+    WITH base AS (
+      SELECT c_mktsegment,
+             CASE WHEN c_mktsegment = 'BUILDING'
+                  THEN 2 * CAST(floor(c_acctbal * 100) AS BIGINT)
+                  ELSE CAST(floor(c_acctbal * 100) AS BIGINT)
+             END AS bal_cents
+      FROM customer
+      WHERE c_mktsegment <> 'FURNITURE'
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+    FROM base GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q393(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA LAKE INTEROP (read path), from scratch against the
+    PUBLIC protocol (delta-io PROTOCOL.md) — no delta-spark JAR: a
+    partitioned Delta table is built in-query (per-segment physical
+    files WITHOUT the partition column + a hand-written two-commit
+    _delta_log: v0 full table, v1 removes FURNITURE and rewrites
+    BUILDING with doubled balances), then read back through
+    :func:`sources.delta_reader.read_delta` — log fold (last-writer-
+    wins add/remove), schemaString→StructType, typed partition-value
+    re-attachment. The oracle recomputes the v1 state straight from
+    customer, so a hash match proves the log replay, the remove
+    semantics, and the partition decode all at once. Protocol gates
+    (column mapping, readerFeatures, deletion vectors) refuse
+    honestly — pytest-pinned alongside checkpoint resolution and
+    time travel."""
+    import json as _json
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        read_delta,
+        stage_parquet_file,
+        write_conformance_log,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"].select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    segs = sorted(
+        r["c_mktsegment"]
+        for r in cust.select("c_mktsegment").distinct().collect()
+    )
+    root = tempfile.mkdtemp(prefix="delta_q393_")
+    adds0 = []
+    for s in segs:
+        name = f"part-{s}.parquet"
+        stage_parquet_file(
+            cust.filter(F.col("c_mktsegment") == s).select(
+                "c_custkey", "bal_cents"
+            ),
+            root,
+            name,
+        )
+        adds0.append(
+            {
+                "add": {
+                    "path": name,
+                    "partitionValues": {"c_mktsegment": s},
+                    "dataChange": True,
+                }
+            }
+        )
+    stage_parquet_file(
+        cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+            "c_custkey", (F.col("bal_cents") * 2).alias("bal_cents")
+        ),
+        root,
+        "part-BUILDING-v2.parquet",
+    )
+    schema_str = _json.dumps(
+        cust.select("c_custkey", "bal_cents", "c_mktsegment")
+        .schema.jsonValue()
+    )
+    commit0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "q393",
+                "schemaString": schema_str,
+                "partitionColumns": ["c_mktsegment"],
+                "format": {"provider": "parquet"},
+            }
+        },
+    ] + adds0
+    commit1 = [
+        {"remove": {"path": "part-FURNITURE.parquet", "dataChange": True}},
+        {"remove": {"path": "part-BUILDING.parquet", "dataChange": True}},
+        {
+            "add": {
+                "path": "part-BUILDING-v2.parquet",
+                "partitionValues": {"c_mktsegment": "BUILDING"},
+                "dataChange": True,
+            }
+        },
+    ]
+    write_conformance_log(root, [commit0, commit1])
+    t = read_delta(spark, root)
+    return (
+        t.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1,0 +1,357 @@
+"""From-scratch Delta Lake TABLE READER — no delta-spark JAR.
+
+Implements the PUBLIC Delta transaction-log protocol
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md): a table
+is a directory of parquet data files plus ``_delta_log/`` holding
+ordered JSON commits (``%020d.json``) of ACTIONS — ``protocol``,
+``metaData``, ``add``, ``remove`` — with optional parquet
+CHECKPOINTS (``%020d.checkpoint.parquet``, advertised by
+``_last_checkpoint``). Snapshot state is the last-writer-wins fold
+of actions: the live file set, the current schema, the partition
+columns.
+
+What this reader supports (and tests hand-build conformance tables
+for, the same discipline as the codec modules):
+
+- snapshot at latest or any version (time travel): replay from the
+  newest checkpoint ≤ target, then the JSON commits after it;
+- ``metaData.schemaString`` — Delta uses Spark's own JSON schema
+  encoding, so ``StructType.fromJson`` round-trips it exactly;
+- partitioned tables: data files DON'T store partition columns;
+  each add's ``partitionValues`` (strings, Delta's canonical
+  encoding) re-attach as typed literals, one scan per partition
+  tuple group, unioned;
+- protocol gate: ``minReaderVersion`` 1 supported; 2 (column
+  mapping) and 3 (``readerFeatures``) are HONESTLY refused unless
+  every feature is in the supported set — silently misreading a
+  column-mapped or DV-carrying table would return wrong data, the
+  worst failure mode a reader can have. ``add.deletionVector``
+  likewise refuses.
+
+Scale note: snapshot resolution is metadata work proportional to the
+log tail since the last checkpoint (exactly the economics the real
+reader has); the data read is ordinary parquet scans, so pushdown /
+pruning / column projection all apply per group. At 100 TB the one
+driver-side structure is the live-file dict — the same thing
+delta-spark's Snapshot holds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz",  # type-only, no read-path behavior change
+    "vacuumProtocolCheck",  # writer-side concern
+}
+
+
+class DeltaProtocolError(NotImplementedError):
+    """Table requires reader capabilities this reader lacks."""
+
+
+def _log_dir(root: str) -> str:
+    return os.path.join(root, "_delta_log")
+
+
+def _commit_files(root: str) -> dict[int, str]:
+    out = {}
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        raise FileNotFoundError(f"not a Delta table (no _delta_log): {root}")
+    for fn in os.listdir(d):
+        if fn.endswith(".json") and fn[:-5].isdigit():
+            out[int(fn[:-5])] = os.path.join(d, fn)
+    return out
+
+
+def _checkpoint_for(root: str, target: int) -> tuple[int, list[str]] | None:
+    """Newest simple checkpoint at version ≤ target, if any."""
+    d = _log_dir(root)
+    best: tuple[int, list[str]] | None = None
+    for fn in os.listdir(d):
+        if fn.endswith(".checkpoint.parquet"):
+            head = fn.split(".")[0]
+            if head.isdigit() and int(head) <= target:
+                v = int(head)
+                if best is None or v > best[0]:
+                    best = (v, [os.path.join(d, fn)])
+    return best
+
+
+def _check_protocol(p: dict) -> None:
+    mrv = p.get("minReaderVersion", 1)
+    if mrv == 1:
+        return
+    if mrv == 3:
+        feats = set(p.get("readerFeatures") or [])
+        bad = feats - _SUPPORTED_READER_FEATURES
+        if bad:
+            raise DeltaProtocolError(
+                f"unsupported Delta readerFeatures: {sorted(bad)}"
+            )
+        return
+    raise DeltaProtocolError(
+        f"unsupported Delta minReaderVersion: {mrv} (column mapping / "
+        "legacy v2 tables are not readable without mapping metadata)"
+    )
+
+
+def _snapshot(
+    spark: SparkSession, root: str, version: int | None
+) -> tuple[dict, dict[str, dict]]:
+    """Fold the log into (metaData, live adds by path)."""
+    commits = _commit_files(root)
+    newest_cp = _checkpoint_for(root, 1 << 62)
+    if not commits and newest_cp is None:
+        raise FileNotFoundError(f"empty _delta_log in {root}")
+    latest = max(
+        max(commits, default=-1),
+        newest_cp[0] if newest_cp else -1,
+    )
+    target = latest if version is None else version
+    if version is not None and target > latest:
+        raise ValueError(f"version {target} > latest {latest}")
+    meta: dict = {}
+    adds: dict[str, dict] = {}
+
+    def apply(action: dict) -> None:
+        if "protocol" in action and action["protocol"]:
+            _check_protocol(action["protocol"])
+        if "metaData" in action and action["metaData"]:
+            meta.update(action["metaData"])
+        a = action.get("add")
+        if a:
+            if a.get("deletionVector"):
+                raise DeltaProtocolError(
+                    "add.deletionVector present: DV-carrying Delta "
+                    "tables are not supported by this reader"
+                )
+            adds[a["path"]] = a
+        r = action.get("remove")
+        if r:
+            adds.pop(r["path"], None)
+
+    start = 0
+    cp = _checkpoint_for(root, target)
+    if cp is not None:
+        cp_version, cp_files = cp
+        for row in spark.read.parquet(*cp_files).collect():
+            d = row.asDict(recursive=True)
+            apply({k: v for k, v in d.items() if v is not None})
+        start = cp_version + 1
+    for v in range(start, target + 1):
+        path = commits.get(v)
+        if path is None:
+            if cp is not None and v <= cp[0]:
+                continue
+            raise FileNotFoundError(
+                f"missing commit {v} in _delta_log (log retention gap)"
+            )
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    apply(json.loads(line))
+    if "schemaString" not in meta:
+        raise ValueError("log contains no metaData.schemaString")
+    return meta, adds
+
+
+def delta_history(root: str) -> list[dict]:
+    """commitInfo (or synthesized stub) per version, ascending."""
+    out = []
+    for v, path in sorted(_commit_files(root).items()):
+        info = {"version": v}
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    info.update(a["commitInfo"])
+        out.append(info)
+    return out
+
+
+def _typed_partition_lit(value: str | None, dtype: T.DataType):
+    if value is None:
+        return F.lit(None).cast(dtype)
+    # Delta canonicalizes partition values as strings; a cast from
+    # the string form is the documented decode for primitive types
+    return F.lit(value).cast(dtype)
+
+
+def read_delta(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read a Delta table directory as a DataFrame (latest snapshot
+    or ``version=`` time travel)."""
+    meta, adds = _snapshot(spark, root, version)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = meta.get("partitionColumns") or []
+    phys = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    by_parts: dict[tuple, list[str]] = {}
+    for a in adds.values():
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        by_parts.setdefault(key, []).append(
+            os.path.join(root, a["path"])
+        )
+    if not by_parts:
+        return spark.createDataFrame([], schema)
+    pieces = []
+    for key, paths in sorted(by_parts.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(phys).parquet(*paths)
+        for c, v in zip(part_cols, key):
+            df = df.withColumn(
+                c, _typed_partition_lit(v, schema[c].dataType)
+            )
+        pieces.append(df.select(*[f.name for f in schema.fields]))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------
+# Minimal conformance-table writer (tests/fixtures ONLY — the engine's
+# real table format is MTable; this exists so the reader can be proven
+# against hand-built logs, the codec-module discipline)
+# ---------------------------------------------------------------------
+
+
+def write_conformance_log(
+    root: str,
+    commits: list[list[dict]],
+    checkpoint_at: int | None = None,
+    spark: SparkSession | None = None,
+) -> None:
+    """Write ``commits[i]`` as ``_delta_log/%020i.json`` (one action
+    per line); optionally also a simple parquet checkpoint capturing
+    the state at ``checkpoint_at`` (requires ``spark``)."""
+    d = _log_dir(root)
+    os.makedirs(d, exist_ok=True)
+    for i, actions in enumerate(commits):
+        with open(os.path.join(d, f"{i:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+    if checkpoint_at is not None:
+        meta: dict = {}
+        proto: dict = {}
+        adds: dict[str, dict] = {}
+        for actions in commits[: checkpoint_at + 1]:
+            for a in actions:
+                if "protocol" in a:
+                    proto = a["protocol"]
+                if "metaData" in a:
+                    meta.update(a["metaData"])
+                if "add" in a:
+                    adds[a["add"]["path"]] = a["add"]
+                if "remove" in a:
+                    adds.pop(a["remove"]["path"], None)
+        cp_schema = T.StructType(
+            [
+                T.StructField(
+                    "protocol",
+                    T.StructType(
+                        [
+                            T.StructField("minReaderVersion", T.LongType()),
+                            T.StructField(
+                                "readerFeatures",
+                                T.ArrayType(T.StringType()),
+                            ),
+                        ]
+                    ),
+                ),
+                T.StructField(
+                    "metaData",
+                    T.StructType(
+                        [
+                            T.StructField("id", T.StringType()),
+                            T.StructField("schemaString", T.StringType()),
+                            T.StructField(
+                                "partitionColumns",
+                                T.ArrayType(T.StringType()),
+                            ),
+                        ]
+                    ),
+                ),
+                T.StructField(
+                    "add",
+                    T.StructType(
+                        [
+                            T.StructField("path", T.StringType()),
+                            T.StructField(
+                                "partitionValues",
+                                T.MapType(T.StringType(), T.StringType()),
+                            ),
+                            T.StructField(
+                                "deletionVector", T.StringType()
+                            ),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        rows = [
+            (
+                (
+                    proto.get("minReaderVersion", 1),
+                    proto.get("readerFeatures"),
+                ),
+                (
+                    meta.get("id"),
+                    meta.get("schemaString"),
+                    meta.get("partitionColumns"),
+                ),
+                None,
+            )
+        ]
+        rows += [
+            (
+                None,
+                None,
+                (
+                    a["path"],
+                    a.get("partitionValues"),
+                    a.get("deletionVector"),
+                ),
+            )
+            for a in sorted(adds.values(), key=lambda x: x["path"])
+        ]
+        sdf = spark.createDataFrame(rows, cp_schema)
+        sdf.coalesce(1).write.mode("overwrite").parquet(root + "/_cptmp")
+        part = [
+            fn
+            for fn in os.listdir(root + "/_cptmp")
+            if fn.endswith(".parquet")
+        ][0]
+        os.replace(
+            os.path.join(root, "_cptmp", part),
+            os.path.join(d, f"{checkpoint_at:020d}.checkpoint.parquet"),
+        )
+        with open(os.path.join(d, "_last_checkpoint"), "w") as f:
+            json.dump({"version": checkpoint_at, "size": len(rows)}, f)
+
+
+def stage_parquet_file(df: DataFrame, root: str, name: str) -> None:
+    """Materialize ``df`` as exactly ONE parquet file at
+    ``root/name`` — conformance-fixture helper for hand-built logs
+    (executor writes the bytes; only the rename is driver-side)."""
+    import shutil
+
+    job = os.path.join(root, "_stage_" + name.replace("/", "_"))
+    df.coalesce(1).write.mode("overwrite").parquet(job)
+    part = [fn for fn in os.listdir(job) if fn.endswith(".parquet")][0]
+    dest = os.path.join(root, name)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    os.replace(os.path.join(job, part), dest)
+    shutil.rmtree(job, ignore_errors=True)
