@@ -97,6 +97,7 @@ def markov_removal_effect(
     rounds: int = 8,
     conv_state: str = "CONV",
     drop_state: str = "DROP",
+    max_states: int = 128,
 ) -> DataFrame:
     """Markov-chain attribution (Anderl et al. 2016): channel value =
     how much absorbed conversion mass disappears when the channel
@@ -112,83 +113,61 @@ def markov_removal_effect(
     'full'; removal reroutes the channel's OUTGOING row mass to DROP
     (dead-end semantics: paths touching the channel never convert).
 
-    Monotonicity note: removal can only shrink per-state mass, and
-    x ≤ y ⇒ (x·p)//1e6 ≤ (y·p)//1e6, so removal_ppm ≥ 0 always.
-    Returns (channel, conv_mass_ppm, removal_ppm). The transition
-    table is (d+3)² rows — everything after the journey aggregation
-    is arithmetic on a bounded frame."""
+    HYBRID CUTOVER (the q369 SCC lesson, measured again here): the
+    row-scale work — the journey aggregation feeding ``trans`` — is
+    distributed; the transition table itself is ≤ max_states² rows
+    BY CONTRACT (guarded), and a DataFrame fixpoint over it is pure
+    scheduler overhead — 8 rounds × (join+agg) of a ~30-row frame
+    cost ~30 s of AQE/broadcast planning in local mode where the
+    driver-side integer loop costs microseconds and is bit-identical
+    (the oracle replays the SAME recurrence in SQL, so the driver
+    path is hash-verified against a distributed implementation every
+    correctness run).
+
+    Monotonicity: removal only shrinks per-state mass, and x ≤ y ⇒
+    (x·p)//1e6 ≤ (y·p)//1e6, so removal_ppm ≥ 0 always.
+    Returns (channel, conv_mass_ppm, removal_ppm)."""
     spark = trans.sparkSession
-    out_tot = trans.groupBy("src").agg(F.sum("c").alias("tot"))
-    tp = trans.join(out_tot, "src").select(
-        "src",
-        "dst",
-        F.expr("CAST(div(1000000 * c, tot) AS BIGINT)").alias("p"),
-    )
-    scn = spark.createDataFrame(
-        [("full", None)] + [(f"no_{c}", c) for c in channels],
-        "name string, removed string",
-    )
-    kept = scn.crossJoin(tp).filter(
-        ~F.col("src").eqNullSafe(F.col("removed"))
-    ).select("name", "src", "dst", "p")
-    dead = scn.filter(F.col("removed").isNotNull()).select(
-        "name",
-        F.col("removed").alias("src"),
-        F.lit(drop_state).alias("dst"),
-        F.lit(1_000_000).cast("long").alias("p"),
-    )
-    absorbing = spark.createDataFrame(
-        [(conv_state,), (drop_state,)], "st string"
-    )
-    loops = scn.crossJoin(absorbing).select(
-        "name",
-        F.col("st").alias("src"),
-        F.col("st").alias("dst"),
-        F.lit(1_000_000).cast("long").alias("p"),
-    )
-    tm = kept.unionByName(dead).unionByName(loops).localCheckpoint(
-        eager=True
-    )
-    v = scn.select(
-        "name",
-        F.lit("START").alias("state"),
-        F.lit(1_000_000).cast("long").alias("v"),
-    )
-    for _ in range(rounds):
-        v = (
-            v.alias("vv")
-            .join(
-                tm.alias("tt"),
-                (F.col("vv.name") == F.col("tt.name"))
-                & (F.col("vv.state") == F.col("tt.src")),
-            )
-            .select(
-                F.col("tt.name").alias("name"),
-                F.col("tt.dst").alias("state"),
-                F.expr("CAST(div(vv.v * tt.p, 1000000) AS BIGINT)").alias(
-                    "v"
-                ),
-            )
-            .groupBy("name", "state")
-            .agg(F.sum("v").cast("long").alias("v"))
+    rows = trans.select("src", "dst", "c").collect()  # bounded: guarded
+    if len(rows) > max_states * max_states:
+        raise ValueError(
+            f"transition table has {len(rows)} rows — quantize states "
+            f"upstream (contract: ≤ max_states²={max_states**2})"
         )
-    reached = v.filter(F.col("state") == conv_state).select("name", "v")
-    # a scenario whose CONV mass is exactly zero produces no row in
-    # the propagation output — it still owes a (channel, 0) answer
-    conv = scn.select("name").join(reached, "name", "left").select(
-        "name", F.coalesce("v", F.lit(0)).cast("long").alias("v")
-    )
-    fv = conv.filter(F.col("name") == "full").select(
-        F.col("v").alias("fv")
-    )
-    return (
-        conv.filter(F.col("name") != "full")
-        .crossJoin(F.broadcast(fv))
-        .select(
-            F.regexp_replace("name", "^no_", "").alias("channel"),
-            F.col("v").alias("conv_mass_ppm"),
-            F.expr(
-                "CAST(div(1000000 * (fv - v), fv) AS BIGINT)"
-            ).alias("removal_ppm"),
+    tot: dict[str, int] = {}
+    for r in rows:
+        tot[r["src"]] = tot.get(r["src"], 0) + int(r["c"])
+    tp = [
+        (r["src"], r["dst"], (1_000_000 * int(r["c"])) // tot[r["src"]])
+        for r in rows
+    ]
+
+    def absorb(removed: str | None) -> int:
+        edges: dict[str, list[tuple[str, int]]] = {}
+        for src, dst, p in tp:
+            if src == removed:
+                continue
+            edges.setdefault(src, []).append((dst, p))
+        if removed is not None:
+            edges[removed] = [(drop_state, 1_000_000)]
+        for st in (conv_state, drop_state):
+            edges[st] = [(st, 1_000_000)]
+        v = {"START": 1_000_000}
+        for _ in range(rounds):
+            nxt: dict[str, int] = {}
+            for state, mass in v.items():
+                for dst, p in edges.get(state, ()):  # dangling: drops
+                    nxt[dst] = nxt.get(dst, 0) + (mass * p) // 1_000_000
+            v = nxt
+        return v.get(conv_state, 0)
+
+    fv = absorb(None)
+    out = []
+    for c in channels:
+        vc = absorb(c)
+        out.append(
+            (c, vc, (1_000_000 * (fv - vc)) // fv if fv > 0 else 0)
         )
+    return spark.createDataFrame(
+        out, "channel string, conv_mass_ppm long, removal_ppm long"
     )
