@@ -94,6 +94,11 @@ HEADLINE = [
     # Hilbert-vs-Morton clustering audit
     "q375_iblt_reconcile",
     "q379_hilbert_vs_morton_layout",
+    # round-6e additions: materialized-view rewrite (define + routed
+    # answer, plan-asserted zero fact scans) and exact Shapley
+    # attribution (journey agg + integer coalition sums)
+    "q383_mv_rewrite",
+    "q390_shapley_attribution",
 ]
 
 

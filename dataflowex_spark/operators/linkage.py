@@ -162,3 +162,100 @@ def golden_records(
         )
         base = base.join(pick, entity_col, "left")
     return base
+
+
+def comparison_patterns(
+    pairs: DataFrame, fields: list[str]
+) -> DataFrame:
+    """Fold candidate-pair comparison vectors (0/1 agreement columns)
+    into (pattern, c) counts — pattern is the bitmask Σ 2^i·γ_i. The
+    ONLY row-scale step of weight estimation: one hash aggregate to
+    ≤2^k rows, after which EM is driver arithmetic. Returns
+    (pattern int, c long)."""
+    k = len(fields)
+    if k > 20:
+        raise ValueError("2^k patterns; quantize comparisons (k ≤ 20)")
+    expr = None
+    for i, f in enumerate(fields):
+        term = F.when(F.col(f) == 1, 1 << i).otherwise(0)
+        expr = term if expr is None else expr + term
+    return (
+        pairs.select(expr.cast("int").alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def fellegi_sunter_em(
+    patterns: list[tuple[int, int]],
+    k: int,
+    iters: int = 60,
+    lam0: float = 0.1,
+    m0: float = 0.9,
+    u0: float = 0.1,
+) -> dict:
+    """EM for the Fellegi–Sunter mixture (Winkler 1988; the Splink
+    `estimate_parameters_using_expectation_maximisation` semantics,
+    from scratch): unlabeled comparison-pattern counts → per-field
+    match/non-match agreement probabilities m_i, u_i and the match
+    proportion λ.
+
+    Driver-side by design: the input is the ≤2^k (pattern, count)
+    table — the q369/q391 hybrid-cutover rule. Deterministic: fixed
+    init, fixed iteration count, fixed field order; the observed-data
+    log-likelihood is returned per iteration and is non-decreasing
+    (EM guarantee — pytest-pinned). Degenerate fields clamp to
+    [1e-6, 1−1e-6] so weights stay finite.
+
+    Returns {lam, m: [k], u: [k], ll: [iters],
+    weights: [(agree_w_i, disagree_w_i)]} with weights in log2
+    (the Fellegi–Sunter score a pair sums: Σ γ·agree + (1−γ)·
+    disagree)."""
+    import math
+
+    eps = 1e-6
+    lam, m, u = lam0, [m0] * k, [u0] * k
+    ll_trace: list[float] = []
+    n_tot = sum(c for _, c in patterns)
+    if n_tot == 0:
+        raise ValueError("no comparison patterns")
+    for _ in range(iters):
+        ll = 0.0
+        s_w = 0.0
+        s_wg = [0.0] * k
+        s_v = 0.0
+        s_vg = [0.0] * k
+        for pat, c in patterns:
+            pm = lam
+            pu = 1.0 - lam
+            for i in range(k):
+                g = (pat >> i) & 1
+                pm *= m[i] if g else (1.0 - m[i])
+                pu *= u[i] if g else (1.0 - u[i])
+            tot = pm + pu
+            ll += c * math.log(max(tot, 1e-300))
+            w = pm / tot if tot > 0 else 0.0
+            s_w += c * w
+            s_v += c * (1.0 - w)
+            for i in range(k):
+                if (pat >> i) & 1:
+                    s_wg[i] += c * w
+                    s_vg[i] += c * (1.0 - w)
+        ll_trace.append(ll)
+        lam = min(max(s_w / n_tot, eps), 1.0 - eps)
+        m = [
+            min(max(s_wg[i] / s_w, eps), 1.0 - eps) if s_w > 0 else m[i]
+            for i in range(k)
+        ]
+        u = [
+            min(max(s_vg[i] / s_v, eps), 1.0 - eps) if s_v > 0 else u[i]
+            for i in range(k)
+        ]
+    weights = [
+        (
+            math.log2(m[i] / u[i]),
+            math.log2((1.0 - m[i]) / (1.0 - u[i])),
+        )
+        for i in range(k)
+    ]
+    return {"lam": lam, "m": m, "u": u, "ll": ll_trace, "weights": weights}

@@ -21580,3 +21580,273 @@ def q393(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@q(
+    "q394_stream_mv_refresh",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 7 = 0
+                  THEN c_custkey % 500
+                  ELSE CAST(floor(c_acctbal * 100) AS BIGINT)
+             END AS bal_cents
+      FROM customer
+      WHERE NOT (c_mktsegment = 'FURNITURE' OR c_custkey % 97 = 0)
+    ),
+    ins AS (
+      SELECT 10000000 + i AS c_custkey,
+             'MACHINERY' AS c_mktsegment,
+             CAST((10000000 + i) % 1000 AS BIGINT) AS bal_cents
+      FROM range(1, 6) t(i)
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q394(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MV MAINTENANCE — the q384 refresh driven by a live
+    CDC stream: change rows replay as a file stream (3 micro-batches,
+    maxFilesPerTrigger back-pressure), each foreachBatch merges into
+    the base MTable and immediately folds THAT batch's
+    ``read_changes(v_before, v_after)`` into the persisted summary —
+    the summary is correct AFTER EVERY BATCH, not just at the end
+    (the Materialize-style continuously-maintained view, landed on
+    the engine's own storage). Change keys are DISJOINT across ops so
+    any batch split commutes to the same final state, which the
+    oracle recomputes from scratch — the hash match proves the
+    stream-driven incremental path end to end. Per batch the cost is
+    that batch's touched groups; neither the base nor the untouched
+    summary is re-read — at 100 TB this is the difference between a
+    continuously-fresh dashboard aggregate and an hourly full
+    recompute."""
+    import tempfile
+
+    from dataflowex_spark.plans.mv import refresh_incremental
+    from dataflowex_spark.sources.mtable import MTable
+    from dataflowex_spark.streaming.ops import file_replay_stream
+
+    cat = Catalog(spark, sf_dir)
+    cust = (
+        cat["customer"]
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        )
+        .repartitionByRange(8, "c_custkey")
+    )
+    root = tempfile.mkdtemp(prefix="mv_q394_")
+    base = MTable.create(spark, root + "/base", cust, "c_custkey")
+    aggs = {"n": ("count", None), "bal_cents": ("sum", "bal_cents")}
+    mv0 = base.read().groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("bal_cents").alias("bal_cents"),
+    )
+    mv = MTable.create(spark, root + "/mv", mv0, "c_mktsegment")
+
+    v1 = base.read()
+    gone = (F.col("c_mktsegment") == "FURNITURE") | (
+        F.col("c_custkey") % 97 == 0
+    )
+    upd = v1.filter((F.col("c_custkey") % 7 == 0) & ~gone).select(
+        "c_custkey",
+        F.lit(1).alias("ts"),
+        F.lit("U").alias("op"),
+        F.lit(0).alias("tie"),
+        "c_mktsegment",
+        (F.col("c_custkey") % 500).cast("long").alias("bal_cents"),
+    )
+    dele = v1.filter(gone).select(
+        "c_custkey",
+        F.lit(1).alias("ts"),
+        F.lit("D").alias("op"),
+        F.lit(0).alias("tie"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(None).cast("long").alias("bal_cents"),
+    )
+    ins = spark.range(1, 6).select(
+        (F.col("id") + 10_000_000).alias("c_custkey"),
+        F.lit(1).alias("ts"),
+        F.lit("I").alias("op"),
+        F.lit(0).alias("tie"),
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        ((F.col("id") + 10_000_000) % 1000).cast("long").alias("bal_cents"),
+    )
+    changes_path = root + "/changes.parquet"
+    upd.unionByName(dele).unionByName(ins).coalesce(1).write.parquet(
+        root + "/chjob"
+    )
+    import os as _os
+
+    part = [
+        f for f in _os.listdir(root + "/chjob") if f.endswith(".parquet")
+    ][0]
+    _os.replace(_os.path.join(root, "chjob", part), changes_path)
+
+    stream = file_replay_stream(spark, changes_path, n_chunks=3)
+
+    def handle(batch_df, _batch_id):  # type: ignore[no-untyped-def]
+        if batch_df.isEmpty():
+            return
+        v0 = base.current_version()
+        base.merge(
+            batch_df.localCheckpoint(eager=True),
+            "ts",
+            "op",
+            "tie",
+            ["c_mktsegment", "bal_cents"],
+        )
+        feed = base.read_changes(
+            v0, base.current_version(), images="both"
+        )
+        refresh_incremental(mv, feed, ["c_mktsegment"], aggs)
+
+    (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/ckpt")
+        .start()
+        .awaitTermination()
+    )
+    return (
+        mv.read()
+        .select(
+            "c_mktsegment",
+            F.col("n").cast("long").alias("n"),
+            F.col("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "q395_group_by_all_lateral",
+    """
+    SELECT flag, status, n, qty_cents,
+           CAST(qty_cents // n AS BIGINT) AS avg_qty_cents,
+           CASE WHEN avg_qty_cents >= 2500 THEN 'high' ELSE 'low' END
+             AS band
+    FROM (
+      SELECT l_returnflag AS flag,
+             l_linestatus AS status,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_cents
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1998-09-01'
+      GROUP BY ALL
+    )
+    ORDER BY flag, status
+    """,
+)
+def q395(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-surface parity pair that DuckDB ALSO speaks, so
+    ONE query exercises both engines' implementations of the same
+    modern syntax: GROUP BY ALL (grain inferred from the non-
+    aggregate select items) and LATERAL COLUMN ALIASES (band derives
+    from avg_qty_cents BY NAME in the same select list — Spark
+    disallows lateral aliases among GROUP BY ALL aggregates, so the
+    alias chain lives in the projection layer, the supported form in
+    both engines). Semantically identical to spelling
+    the grain and the division out longhand, which is what the hash
+    match proves; the habit matters at scale because hand-repeated
+    grain lists and re-derived expressions are where silent grain
+    bugs enter 100-line reporting queries."""
+    cat = Catalog(spark, sf_dir)
+    cat["lineitem"].createOrReplaceTempView("__q395_lineitem")
+    return spark.sql(
+        """
+        SELECT flag, status, n, qty_cents,
+               CAST(div(qty_cents, n) AS BIGINT) AS avg_qty_cents,
+               CASE WHEN avg_qty_cents >= 2500 THEN 'high'
+                    ELSE 'low' END AS band
+        FROM (
+          SELECT l_returnflag AS flag,
+                 l_linestatus AS status,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS qty_cents
+          FROM __q395_lineitem
+          WHERE l_shipdate < TIMESTAMP '1998-09-01'
+          GROUP BY ALL
+        )
+        ORDER BY flag, status
+        """
+    )
+
+
+@q("q396_linkage_em_weights", None)  # rows-only: EM is not SQL
+def q396(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED linkage weights (Winkler's EM for the Fellegi–Sunter
+    mixture — what Splink runs in production), completing q310 which
+    SCORES with fixed weights: blocked candidate pairs over the
+    documents corpus yield 0/1 comparison vectors for three fields
+    (length ±20, same first token, exact text), the vectors fold to
+    ≤2³ pattern counts in ONE distributed aggregate, and EM on that
+    bounded table (driver-side — the q369/q391 hybrid-cutover rule)
+    estimates per-field m/u probabilities and λ. Output: per-field
+    m/u (ppm) and the log2 agree/disagree weights (centi-bits) a
+    scorer would sum — the learned replacements for q310's hand
+    constants. Rows-only: EM is iterative floats; the EM guarantee
+    (non-decreasing likelihood), planted-parameter recovery, and
+    determinism are pytest-pinned."""
+    from dataflowex_spark.functions.text import WS_REGEX
+    from dataflowex_spark.operators.linkage import (
+        comparison_patterns,
+        fellegi_sunter_em,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    recs = cat["documents"].select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.split(F.col("text"), WS_REGEX).getItem(0).alias("tok0"),
+        F.col("text"),
+        (F.col("n_chars") / 100).cast("int").alias("blk"),
+    )
+    a, b = recs.alias("a"), recs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            (
+                F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20
+            ).cast("int").alias("g_len"),
+            (F.col("a.tok0") == F.col("b.tok0")).cast("int").alias("g_tok"),
+            (F.col("a.text") == F.col("b.text")).cast("int").alias("g_txt"),
+        )
+    )
+    fields = ["g_len", "g_tok", "g_txt"]
+    pats = [
+        (r["pattern"], r["c"])
+        for r in comparison_patterns(pairs, fields).collect()
+    ]
+    est = fellegi_sunter_em(sorted(pats), len(fields))
+    rows = []
+    for i, f in enumerate(fields):
+        aw, dw = est["weights"][i]
+        rows.append(
+            (
+                f,
+                int(est["m"][i] * 1_000_000),
+                int(est["u"][i] * 1_000_000),
+                int(aw * 100),
+                int(dw * 100),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "field string, m_ppm long, u_ppm long, "
+        "agree_w_cb long, disagree_w_cb long",
+    ).orderBy("field")

@@ -4195,3 +4195,52 @@ def test_markov_removal_effect_hand_computed(spark):
         for r in markov_removal_effect(trans, ["A", "B"], rounds=4).collect()
     }
     assert got == {"A": (0, 1_000_000), "B": (250_000, 0)}
+
+
+def test_fellegi_sunter_em_recovers_planted_mixture(spark):
+    """EM on exact expected pattern counts from a known mixture
+    recovers λ/m/u; likelihood is non-decreasing; deterministic."""
+    from dataflowex_spark.operators.linkage import (
+        comparison_patterns,
+        fellegi_sunter_em,
+    )
+
+    lam, m, u = 0.2, [0.95, 0.85], [0.30, 0.05]
+    N = 1_000_000
+    pats = []
+    for pat in range(4):
+        pm, pu = lam, 1 - lam
+        for i in range(2):
+            g = (pat >> i) & 1
+            pm *= m[i] if g else 1 - m[i]
+            pu *= u[i] if g else 1 - u[i]
+        pats.append((pat, round(N * (pm + pu))))
+    est = fellegi_sunter_em(pats, 2, iters=200)
+    # EM monotonicity (tolerance: converged steps differ only in the
+    # last float bits, which can tick down by ~1e-16 relative)
+    for prev, cur in zip(est["ll"], est["ll"][1:]):
+        assert cur >= prev - 1e-6 * abs(prev)
+    # mixture recovered (label order is identifiable here: m > u)
+    assert abs(est["lam"] - lam) < 0.02
+    for i in range(2):
+        assert abs(est["m"][i] - m[i]) < 0.03, (i, est["m"])
+        assert abs(est["u"][i] - u[i]) < 0.03, (i, est["u"])
+    # agree weight positive, disagree negative for informative fields
+    for aw, dw in est["weights"]:
+        assert aw > 0 > dw
+    assert fellegi_sunter_em(pats, 2, iters=200) == est  # deterministic
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0), (0, 0), (1, 1)], "x int, y int"
+    )
+    got = {
+        r["pattern"]: r["c"]
+        for r in comparison_patterns(df, ["x", "y"]).collect()
+    }
+    assert got == {3: 2, 1: 1, 0: 1}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="2\\^k"):
+        comparison_patterns(df, ["x"] * 21)
+    with _pt.raises(ValueError, match="no comparison"):
+        fellegi_sunter_em([], 2)
