@@ -419,20 +419,18 @@ def t_closeness(
         F.coalesce(F.col("__c"), F.lit(0)).alias("__c"),
     )
     w = Window.partitionBy(*group_cols).orderBy("__b")
-    wg = Window.partitionBy(F.lit(1)).orderBy("__b")
-    gcum = (
-        full.groupBy("__b")
-        .agg(F.sum("__c").alias("__cb"))
-        .select("__b", F.sum("__cb").over(wg).alias("__cum"))
+    cumg = full.select(
+        *group_cols,
+        "n_g",
+        "__b",
+        F.sum("__c").over(w).alias("__cum_g"),
     )
+    # global CDF = Σ over groups of the per-group CDF (the grid is
+    # complete, every group carries every bin) — derived from the
+    # PARTITIONED window, so no unpartitioned WindowExec anywhere
+    gcum = cumg.groupBy("__b").agg(F.sum("__cum_g").alias("__cum"))
     return (
-        full.select(
-            *group_cols,
-            "n_g",
-            "__b",
-            F.sum("__c").over(w).alias("__cum_g"),
-        )
-        .join(F.broadcast(gcum), "__b")
+        cumg.join(F.broadcast(gcum), "__b")
         .groupBy(*group_cols, "n_g")
         .agg(
             F.sum(
