@@ -648,3 +648,84 @@ BH_CHI2_PPM_M25 = [
     4709292, 4598497, 4494704, 4397105, 4305022, 4217885, 4135204,
     4056562, 3981594, 3909986, 3841459,
 ]
+
+
+def wasserstein_drift(
+    df,
+    group_cols: list[str],
+    bin_col: str,
+    cohort_col: str,
+    bin_width: int,
+):
+    """1-D Wasserstein distance (earth-mover's) between two cohorts'
+    distributions of an integer-binned value, per group — the drift
+    number with UNITS (how far mass moved, in the value's own scale),
+    where KS (ks_two_sample) gives a max-gap probability and PSI a
+    log-ratio score. For equal-width bins W1 has the closed form
+    width·Σ_b |F_a(b) − F_b(b)|, computed here ENTIRELY in integers
+    via cross-multiplied CDFs (|cum_a·n_b − cum_b·n_a|, the q388
+    t-closeness machinery pointed at two cohorts instead of
+    group-vs-global): one per-(group,bin,cohort) count aggregate, a
+    broadcast full bin grid so CDFs align on missing bins, windows
+    PARTITIONED BY group, one final integer floor-divide. Magnitude
+    contract: width·1000·Σ|…| must fit BIGINT (Σ ≤ m·n_a·n_b) —
+    quantize upstream. ``cohort_col`` must be 0/1.
+    Returns (group_cols…, n_a, n_b, w1_milli) where w1_milli is
+    1000·W1 in bin-value units."""
+    from pyspark.sql import Window, functions as F
+
+    g = [F.col(c) for c in group_cols]
+    cnt = df.groupBy(*g, F.col(bin_col).alias("__b")).agg(
+        F.sum(
+            F.when(F.col(cohort_col) == 0, 1).otherwise(0)
+        ).cast("long").alias("__ca"),
+        F.sum(
+            F.when(F.col(cohort_col) == 1, 1).otherwise(0)
+        ).cast("long").alias("__cb"),
+    )
+    bins = df.select(F.col(bin_col).alias("__b")).distinct()
+    groups = df.groupBy(*g).agg(
+        F.sum(F.when(F.col(cohort_col) == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col(cohort_col) == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    grid = groups.crossJoin(F.broadcast(bins))
+    full = grid.join(cnt, [*group_cols, "__b"], "left").select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        "__b",
+        F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+        F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__b")
+    return (
+        full.select(
+            *group_cols,
+            "n_a",
+            "n_b",
+            F.sum("__ca").over(w).alias("__cum_a"),
+            F.sum("__cb").over(w).alias("__cum_b"),
+        )
+        .groupBy(*group_cols, "n_a", "n_b")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("__cum_a") * F.col("n_b")
+                    - F.col("__cum_b") * F.col("n_a")
+                )
+            ).alias("__num")
+        )
+        .select(
+            *group_cols,
+            "n_a",
+            "n_b",
+            F.expr(
+                f"CAST(div({bin_width} * 1000 * __num, n_a * n_b) "
+                "AS BIGINT)"
+            ).alias("w1_milli"),
+        )
+    )

@@ -21850,3 +21850,71 @@ def q396(spark: SparkSession, sf_dir: str) -> DataFrame:
         "field string, m_ppm long, u_ppm long, "
         "agree_w_cb long, disagree_w_cb long",
     ).orderBy("field")
+
+
+@q(
+    "q397_wasserstein_drift",
+    """
+    WITH r AS (
+      SELECT o_orderpriority AS g,
+             CAST(floor(o_totalprice) AS BIGINT) // 25000 AS b,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 0 ELSE 1 END AS coh
+      FROM orders
+    ),
+    cnt AS (SELECT g, b,
+                   SUM(CASE WHEN coh = 0 THEN 1 ELSE 0 END) AS ca,
+                   SUM(CASE WHEN coh = 1 THEN 1 ELSE 0 END) AS cb
+            FROM r GROUP BY g, b),
+    grp AS (SELECT g,
+                   SUM(CASE WHEN coh = 0 THEN 1 ELSE 0 END) AS n_a,
+                   SUM(CASE WHEN coh = 1 THEN 1 ELSE 0 END) AS n_b
+            FROM r GROUP BY g),
+    bins AS (SELECT DISTINCT b FROM r),
+    grid AS (SELECT grp.g, grp.n_a, grp.n_b, bins.b
+             FROM grp CROSS JOIN bins),
+    fl AS (SELECT grid.g, grid.n_a, grid.n_b, grid.b,
+                  COALESCE(cnt.ca, 0) AS ca, COALESCE(cnt.cb, 0) AS cb
+           FROM grid LEFT JOIN cnt
+             ON grid.g = cnt.g AND grid.b = cnt.b),
+    cum AS (SELECT g, n_a, n_b, b,
+                   SUM(ca) OVER (PARTITION BY g ORDER BY b) AS cum_a,
+                   SUM(cb) OVER (PARTITION BY g ORDER BY b) AS cum_b
+            FROM fl),
+    num AS (SELECT g, n_a, n_b,
+                   SUM(ABS(cum_a * n_b - cum_b * n_a)) AS num
+            FROM cum GROUP BY g, n_a, n_b)
+    SELECT g, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST((25000 * 1000 * num) // (n_a * n_b) AS BIGINT)
+             AS w1_milli
+    FROM num ORDER BY g
+    """,
+)
+def q397(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D WASSERSTEIN (earth-mover's) DRIFT per order priority
+    between the pre-/post-1998 cohorts of order totals — the drift
+    family's missing member with UNITS (how far mass moved in
+    dollars, ×1000), alongside KS's max gap (q240), PSI's log-ratio
+    (q251), and JS divergence (q264). Equal-width bins give the
+    closed form width·Σ|F_a−F_b|, computed ENTIRELY in integers via
+    cross-multiplied CDFs (the q388 machinery pointed at two cohorts)
+    — no float CDFs, windows partitioned by group over ≤20 bins,
+    broadcast bin grid. One count aggregate is the only row-scale
+    work."""
+    from dataflowex_spark.operators.mleval import wasserstein_drift
+
+    cat = Catalog(spark, sf_dir)
+    r = cat["orders"].select(
+        F.col("o_orderpriority").alias("g"),
+        F.expr(
+            "CAST(div(CAST(floor(o_totalprice) AS BIGINT), 25000) "
+            "AS BIGINT)"
+        ).alias("b"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+            0,
+        )
+        .otherwise(1)
+        .alias("coh"),
+    )
+    return wasserstein_drift(r, ["g"], "b", "coh", 25000).orderBy("g")

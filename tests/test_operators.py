@@ -4244,3 +4244,23 @@ def test_fellegi_sunter_em_recovers_planted_mixture(spark):
         comparison_patterns(df, ["x"] * 21)
     with _pt.raises(ValueError, match="no comparison"):
         fellegi_sunter_em([], 2)
+
+
+def test_wasserstein_drift_hand_computed(spark):
+    """Shifted-by-one-bin distribution: W1 = bin width exactly;
+    identical cohorts: 0."""
+    from dataflowex_spark.operators.mleval import wasserstein_drift
+
+    rows = []
+    for b in range(4):  # cohort 0 uniform on bins 0..3
+        rows += [("g", b, 0)] * 5
+    for b in range(1, 5):  # cohort 1 = same shape shifted +1 bin
+        rows += [("g", b, 1)] * 5
+    rows += [("h", 2, 0)] * 7 + [("h", 2, 1)] * 3  # identical shapes
+    df = spark.createDataFrame(rows, "g string, b int, coh int")
+    got = {
+        r["g"]: (r["n_a"], r["n_b"], r["w1_milli"])
+        for r in wasserstein_drift(df, ["g"], "b", "coh", 10).collect()
+    }
+    assert got["g"] == (20, 20, 10_000)  # shift by one 10-wide bin
+    assert got["h"] == (7, 3, 0)
