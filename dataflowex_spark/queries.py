@@ -21918,3 +21918,97 @@ def q397(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("coh"),
     )
     return wasserstein_drift(r, ["g"], "b", "coh", 25000).orderBy("g")
+
+
+@q(
+    "q398_iceberg_read",
+    """
+    WITH base AS (
+      SELECT c_mktsegment,
+             CASE WHEN c_mktsegment = 'BUILDING'
+                  THEN 2 * CAST(floor(c_acctbal * 100) AS BIGINT)
+                  ELSE CAST(floor(c_acctbal * 100) AS BIGINT)
+             END AS bal_cents
+      FROM customer
+      WHERE c_mktsegment <> 'FURNITURE'
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+    FROM base GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q398(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APACHE ICEBERG INTEROP (read path), from scratch against the
+    public table spec — no iceberg JAR, and the Avro manifest layer
+    decoded by the repo's own generic schema-driven Avro codec
+    (sources/avro_io.py, from the Avro 1.11 spec): an Iceberg table
+    is built in-query (per-segment parquet data files + hand-built
+    metadata.json, Avro manifest list, Avro manifests; snapshot 2
+    DELETEs FURNITURE and rewrites BUILDING doubled) and read back
+    through read_iceberg — metadata walk, manifest-entry status
+    fold, current-snapshot resolution. Same fixture algebra as q393
+    (Delta), so together they prove both open-format read paths
+    against one oracle shape; v2 merge-on-read delete manifests
+    REFUSE honestly (pytest). Completes the VERDICT interop gap:
+    Delta AND Iceberg readable without their JARs."""
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import stage_parquet_file
+    from dataflowex_spark.sources.iceberg_reader import (
+        read_iceberg,
+        write_conformance_table,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"].select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    segs = sorted(
+        r["c_mktsegment"]
+        for r in cust.select("c_mktsegment").distinct().collect()
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_q398_")
+    for s in segs:
+        stage_parquet_file(
+            cust.filter(F.col("c_mktsegment") == s),
+            root,
+            f"data/part-{s}.parquet",
+        )
+    stage_parquet_file(
+        cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("bal_cents") * 2).alias("bal_cents"),
+        ),
+        root,
+        "data/part-BUILDING-v2.parquet",
+    )
+    snap1 = [(1, f"data/part-{s}.parquet") for s in segs]
+    snap2 = [
+        (0, f"data/part-{s}.parquet")
+        for s in segs
+        if s not in ("FURNITURE", "BUILDING")
+    ] + [
+        (2, "data/part-FURNITURE.parquet"),
+        (2, "data/part-BUILDING.parquet"),
+        (1, "data/part-BUILDING-v2.parquet"),
+    ]
+    write_conformance_table(
+        root,
+        [
+            {"id": 100, "entries": snap1},
+            {"id": 200, "entries": snap2, "operation": "overwrite"},
+        ],
+    )
+    t = read_iceberg(spark, root)
+    return (
+        t.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

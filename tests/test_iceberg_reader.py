@@ -1,0 +1,145 @@
+"""Iceberg reader + generic Avro codec, against hand-built
+spec-shaped conformance tables."""
+
+import json
+import os
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from dataflowex_spark.sources.avro_io import read_container, write_container
+from dataflowex_spark.sources.delta_reader import stage_parquet_file
+from dataflowex_spark.sources.iceberg_reader import (
+    IcebergProtocolError,
+    read_iceberg,
+    snapshot_log,
+    write_conformance_table,
+)
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk_table(spark, root):
+    f1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    f2 = spark.createDataFrame([(3, "c")], "k long, v string")
+    f3 = spark.createDataFrame([(4, "d")], "k long, v string")
+    stage_parquet_file(f1, root, "data/f1.parquet")
+    stage_parquet_file(f2, root, "data/f2.parquet")
+    stage_parquet_file(f3, root, "data/f3.parquet")
+    write_conformance_table(
+        root,
+        [
+            {"id": 100, "entries": [(1, "data/f1.parquet"),
+                                    (1, "data/f2.parquet")]},
+            {"id": 200, "entries": [(0, "data/f1.parquet"),
+                                    (2, "data/f2.parquet"),
+                                    (1, "data/f3.parquet")]},
+        ],
+    )
+
+
+def test_snapshot_and_time_travel(spark, tmp_path):
+    root = str(tmp_path)
+    _mk_table(spark, root)
+    assert rows(read_iceberg(spark, root)) == [(1, "a"), (2, "b"), (4, "d")]
+    assert rows(read_iceberg(spark, root, snapshot_id=100)) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    log = snapshot_log(root)
+    assert [s["snapshot_id"] for s in log] == [100, 200]
+    with pytest.raises(ValueError, match="not in table metadata"):
+        read_iceberg(spark, root, snapshot_id=999)
+
+
+def test_merge_on_read_refusals(spark, tmp_path):
+    import tempfile
+
+    df = spark.createDataFrame([(1,)], "k long")
+    # delete MANIFEST in the list
+    r1 = tempfile.mkdtemp(dir=str(tmp_path))
+    stage_parquet_file(df, r1, "data/f.parquet")
+    write_conformance_table(
+        r1,
+        [{"id": 1, "entries": [(1, "data/f.parquet")],
+          "manifest_content": 1}],
+    )
+    with pytest.raises(IcebergProtocolError, match="DELETE manifest"):
+        read_iceberg(spark, r1)
+    # delete DATA FILE in an entry
+    r2 = tempfile.mkdtemp(dir=str(tmp_path))
+    stage_parquet_file(df, r2, "data/f.parquet")
+    write_conformance_table(
+        r2, [{"id": 1, "entries": [(1, "data/f.parquet", 1)]}]
+    )
+    with pytest.raises(IcebergProtocolError, match="delete data file"):
+        read_iceberg(spark, r2)
+    # unsupported format-version
+    r3 = tempfile.mkdtemp(dir=str(tmp_path))
+    stage_parquet_file(df, r3, "data/f.parquet")
+    write_conformance_table(
+        r3, [{"id": 1, "entries": [(1, "data/f.parquet")]}],
+        format_version=3,
+    )
+    with pytest.raises(IcebergProtocolError, match="format-version 3"):
+        read_iceberg(spark, r3)
+
+
+def test_version_hint_and_latest_fallback(spark, tmp_path):
+    root = str(tmp_path)
+    _mk_table(spark, root)
+    md = os.path.join(root, "metadata")
+    # write a v2 metadata pointing current back to snapshot 100
+    meta = json.load(open(os.path.join(md, "v1.metadata.json")))
+    meta["current-snapshot-id"] = 100
+    json.dump(meta, open(os.path.join(md, "v2.metadata.json"), "w"))
+    # hint still says v1 -> snapshot 200 state
+    assert rows(read_iceberg(spark, root)) == [(1, "a"), (2, "b"), (4, "d")]
+    # without the hint, the latest vN wins -> snapshot 100 state
+    os.remove(os.path.join(md, "version-hint.text"))
+    assert rows(read_iceberg(spark, root)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+AVRO_PRIM = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.text(max_size=20),
+    st.binary(max_size=20),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-(2**31), 2**31 - 1),
+            st.one_of(st.none(), st.text(max_size=10)),
+            st.lists(st.integers(-(2**40), 2**40), max_size=5),
+            st.dictionaries(st.text(max_size=5), st.booleans(), max_size=4),
+        ),
+        max_size=12,
+    )
+)
+def test_avro_roundtrip_property(recs):
+    """Generic codec round-trips arbitrary records (zigzag varints,
+    unions with null, arrays, maps) under both codecs."""
+    import tempfile
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "b", "type": ["null", "string"]},
+            {"name": "c", "type": {"type": "array", "items": "long"}},
+            {"name": "d", "type": {"type": "map", "values": "boolean"}},
+        ],
+    }
+    data = [{"a": a, "b": b, "c": c, "d": d} for a, b, c, d in recs]
+    for codec in ("null", "deflate"):
+        p = os.path.join(tempfile.mkdtemp(), "t.avro")
+        write_container(p, schema, data, codec=codec)
+        s2, r2 = read_container(p)
+        assert s2 == schema and r2 == data
