@@ -7,7 +7,7 @@ schema embedded in the file header, so it decodes ANY container file
 whose schema uses records / arrays / maps / unions / enums / fixed /
 primitives — which is exactly what Iceberg's manifest-list and
 manifest files are (see :mod:`iceberg_reader`). The encoder exists
-for CONFORMANCE fixtURES (hand-built tables proving the reader, the
+for CONFORMANCE fixtures (hand-built tables proving the reader, the
 codec-module discipline: FLAC/JPEG ship test-side encoders too) and
 for symmetric round-trip property tests.
 
