@@ -21,11 +21,14 @@ with the codec-module discipline):
   time travel, or any snapshot in the log;
 - manifest entry status fold: EXISTING(0)/ADDED(1) are live,
   DELETED(2) drops the file;
-- v2 ``content`` gates: a snapshot carrying DELETE manifests
-  (``content=1`` in the manifest list) or delete data files
-  (``content≠0`` in an entry) REFUSES honestly — merge-on-read
-  tables silently read wrong without applying deletes, the worst
-  reader failure mode;
+- v2 merge-on-read POSITION DELETES are APPLIED: delete manifests
+  (``content=1`` in the manifest list) contribute (file_path, pos)
+  parquet sidecars, anti-joined against the data read via
+  ``_metadata.file_path``/``row_index`` — the same broadcast
+  merge-on-read plan MTable's deletion vectors use; EQUALITY deletes
+  (``content=2`` entries) REFUSE honestly — applying them needs the
+  equality-field semantics, and silently skipping deletes is the
+  worst reader failure mode;
 - data files are read as plain parquet: Iceberg data files carry ALL
   columns including partition columns (unlike Hive/Delta), so no
   partition re-attachment is needed and pushdown/pruning ride the
@@ -110,7 +113,10 @@ def snapshot_log(root: str) -> list[dict]:
     ]
 
 
-def _live_files(root: str, meta: dict, snapshot_id: int | None) -> list[str]:
+def _live_files(
+    root: str, meta: dict, snapshot_id: int | None
+) -> tuple[list[str], list[str]]:
+    """(live data files, live position-delete files) for a snapshot."""
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     sid = (
         snapshot_id
@@ -118,31 +124,36 @@ def _live_files(root: str, meta: dict, snapshot_id: int | None) -> list[str]:
         else meta.get("current-snapshot-id")
     )
     if sid is None or sid == -1:
-        return []
+        return [], []
     if sid not in snaps:
         raise ValueError(f"snapshot {sid} not in table metadata")
     snap = snaps[sid]
     mlist = _resolve_path(root, snap["manifest-list"])
     _schema, manifests = read_container(mlist)
     live: list[str] = []
+    deletes: list[str] = []
     for m in manifests:
-        if m.get("content", 0) == 1:
-            raise IcebergProtocolError(
-                "snapshot carries a DELETE manifest (merge-on-read): "
-                "reading without applying deletes would be wrong"
-            )
+        is_delete_manifest = m.get("content", 0) == 1
         mpath = _resolve_path(root, m["manifest_path"])
         _s2, entries = read_container(mpath)
         for e in entries:
             if e["status"] == 2:  # DELETED
                 continue
             df = e["data_file"]
-            if df.get("content", 0) != 0:
-                raise IcebergProtocolError(
-                    "delete data file in snapshot (v2 merge-on-read)"
-                )
-            live.append(_resolve_path(root, df["file_path"]))
-    return live
+            content = df.get("content", 0)
+            if is_delete_manifest or content != 0:
+                if content == 1:
+                    deletes.append(_resolve_path(root, df["file_path"]))
+                else:
+                    raise IcebergProtocolError(
+                        "equality-delete file in snapshot: applying it "
+                        "needs the equality-field semantics this reader "
+                        "does not implement (position deletes ARE "
+                        "applied)"
+                    )
+            else:
+                live.append(_resolve_path(root, df["file_path"]))
+    return live, deletes
 
 
 def read_iceberg(
@@ -150,8 +161,10 @@ def read_iceberg(
 ) -> DataFrame:
     """Read an Iceberg table directory (current snapshot or time
     travel by ``snapshot_id``)."""
+    from pyspark.sql import functions as F
+
     meta = load_table_metadata(root)
-    files = _live_files(root, meta, snapshot_id)
+    files, deletes = _live_files(root, meta, snapshot_id)
     if not files:
         # empty table: derive an empty frame with the declared schema
         # names (all-string placeholder would lie about types; honest
@@ -162,7 +175,36 @@ def read_iceberg(
     seen: dict[str, None] = {}
     for f in files:
         seen.setdefault(f)
-    return spark.read.parquet(*seen.keys())
+    df = spark.read.parquet(*seen.keys())
+    if not deletes:
+        return df
+    # merge-on-read position deletes: anti-join (file, pos) sidecars
+    # against the scan's _metadata identity — broadcast, because a
+    # healthy table's delete files are bounded by recent churn (the
+    # same economics as MTable's deletion vectors); paths normalize
+    # to scheme-less absolute form on both sides
+    cols = df.columns
+    data = df.select(
+        "*",
+        F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/*", "/"
+        ).alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"),
+    )
+    dv = (
+        spark.read.parquet(*sorted(set(deletes)))
+        .select(
+            F.regexp_replace(F.col("file_path"), "^file:/*", "/").alias(
+                "__fp"
+            ),
+            F.col("pos").alias("__ri"),
+        )
+        .distinct()
+    )
+    return (
+        data.join(F.broadcast(dv), ["__fp", "__ri"], "left_anti")
+        .select(*cols)
+    )
 
 
 # ---------------------------------------------------------------------
@@ -214,9 +256,11 @@ def write_conformance_table(
 ) -> None:
     """Write metadata/ + Avro manifests for ``snapshots``: each is
     ``{"id": int, "entries": [(status, data_path), ...]}`` with an
-    optional ``"manifest_content"`` (1 ⇒ a DELETE manifest, for the
-    refusal tests) and per-entry optional 3rd element = data_file
-    ``content``. Current snapshot = the last one."""
+    optional ``"manifest_content"`` (forces the DATA manifest's list
+    content), optional ``"delete_entries"`` (written as a second,
+    content=1 DELETE manifest in the same snapshot), and per-entry
+    optional 3rd element = data_file ``content``. Current snapshot =
+    the last one."""
     from dataflowex_spark.sources.avro_io import write_container
 
     md = _meta_dir(root)
@@ -243,20 +287,46 @@ def write_conformance_table(
             )
         mpath = os.path.join(md, f"manifest-{sid}.avro")
         write_container(mpath, MANIFEST_SCHEMA, entries)
-        mlist = os.path.join(md, f"snap-{sid}.avro")
-        write_container(
-            mlist,
-            MANIFEST_LIST_SCHEMA,
-            [
+        mrows = [
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": s.get("manifest_content", 0),
+                "added_snapshot_id": sid,
+            }
+        ]
+        if s.get("delete_entries"):
+            dentries = []
+            for e in s["delete_entries"]:
+                status, path = e[0], e[1]
+                content = e[2] if len(e) > 2 else 1
+                dentries.append(
+                    {
+                        "status": status,
+                        "snapshot_id": sid,
+                        "data_file": {
+                            "content": content,
+                            "file_path": path,
+                            "file_format": "PARQUET",
+                            "record_count": 0,
+                            "file_size_in_bytes": 0,
+                        },
+                    }
+                )
+            dpath = os.path.join(md, f"delete-manifest-{sid}.avro")
+            write_container(dpath, MANIFEST_SCHEMA, dentries)
+            mrows.append(
                 {
-                    "manifest_path": mpath,
-                    "manifest_length": os.path.getsize(mpath),
+                    "manifest_path": dpath,
+                    "manifest_length": os.path.getsize(dpath),
                     "partition_spec_id": 0,
-                    "content": s.get("manifest_content", 0),
+                    "content": 1,
                     "added_snapshot_id": sid,
                 }
-            ],
-        )
+            )
+        mlist = os.path.join(md, f"snap-{sid}.avro")
+        write_container(mlist, MANIFEST_LIST_SCHEMA, mrows)
         snaps_meta.append(
             {
                 "snapshot-id": sid,

@@ -53,31 +53,49 @@ def test_snapshot_and_time_travel(spark, tmp_path):
         read_iceberg(spark, root, snapshot_id=999)
 
 
-def test_merge_on_read_refusals(spark, tmp_path):
+def test_position_deletes_apply_and_equality_refuses(spark, tmp_path):
     import tempfile
 
-    df = spark.createDataFrame([(1,)], "k long")
-    # delete MANIFEST in the list
+    # position deletes: remove (f1, pos 0) -> k=1 disappears
     r1 = tempfile.mkdtemp(dir=str(tmp_path))
-    stage_parquet_file(df, r1, "data/f.parquet")
+    f1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    f2 = spark.createDataFrame([(3, "c")], "k long, v string")
+    stage_parquet_file(f1, r1, "data/f1.parquet")
+    stage_parquet_file(f2, r1, "data/f2.parquet")
+    dv = spark.createDataFrame(
+        [(os.path.join(r1, "data/f1.parquet"), 0)],
+        "file_path string, pos long",
+    )
+    stage_parquet_file(dv, r1, "data/dv1.parquet")
     write_conformance_table(
         r1,
-        [{"id": 1, "entries": [(1, "data/f.parquet")],
-          "manifest_content": 1}],
+        [
+            {"id": 1, "entries": [(1, "data/f1.parquet"),
+                                  (1, "data/f2.parquet")]},
+            {"id": 2,
+             "entries": [(0, "data/f1.parquet"), (0, "data/f2.parquet")],
+             "delete_entries": [(1, "data/dv1.parquet")]},
+        ],
     )
-    with pytest.raises(IcebergProtocolError, match="DELETE manifest"):
-        read_iceberg(spark, r1)
-    # delete DATA FILE in an entry
+    assert rows(read_iceberg(spark, r1)) == [(2, "b"), (3, "c")]
+    # snapshot 1 (before the delete) still reads everything
+    assert rows(read_iceberg(spark, r1, snapshot_id=1)) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+
+    # equality deletes refuse honestly
     r2 = tempfile.mkdtemp(dir=str(tmp_path))
-    stage_parquet_file(df, r2, "data/f.parquet")
+    stage_parquet_file(f1, r2, "data/f.parquet")
     write_conformance_table(
-        r2, [{"id": 1, "entries": [(1, "data/f.parquet", 1)]}]
+        r2,
+        [{"id": 1, "entries": [(1, "data/f.parquet")],
+          "delete_entries": [(1, "data/eq.parquet", 2)]}],
     )
-    with pytest.raises(IcebergProtocolError, match="delete data file"):
+    with pytest.raises(IcebergProtocolError, match="equality-delete"):
         read_iceberg(spark, r2)
     # unsupported format-version
     r3 = tempfile.mkdtemp(dir=str(tmp_path))
-    stage_parquet_file(df, r3, "data/f.parquet")
+    stage_parquet_file(f1, r3, "data/f.parquet")
     write_conformance_table(
         r3, [{"id": 1, "entries": [(1, "data/f.parquet")]}],
         format_version=3,
