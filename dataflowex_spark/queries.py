@@ -22014,3 +22014,64 @@ def q398(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@q(
+    "q399_result_cache",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q399(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY RESULT CACHE (Snowflake-style result reuse, rebuilt
+    Spark-first): the pricing rollup runs once THROUGH the cache
+    (miss → materialize), then the logically-identical query — built
+    as a separate DataFrame — is answered from the store. Asserted
+    in-query: the second call is a HIT whose plan never scans
+    lineitem. The key is a canonical fingerprint of the ANALYZED plan
+    (expression ids normalized away) plus every input file's
+    (path, size, mtime), so staleness is impossible by construction —
+    any source change misses. The oracle checks the SERVED (cached)
+    result against a direct recompute, proving the round trip loses
+    nothing. At 100 TB: repeat queries cost the result's size, not
+    the fact table's — the q383 economics without the declaration."""
+    import tempfile
+
+    from dataflowex_spark.plans import formatted_plan
+    from dataflowex_spark.plans.result_cache import ResultCache
+
+    cat = Catalog(spark, sf_dir)
+
+    def query() -> DataFrame:
+        return (
+            cat["lineitem"]
+            .filter(
+                F.col("l_shipdate")
+                < F.lit("1998-09-01").cast("timestamp")
+            )
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100).cast("long")
+                )
+                .cast("long")
+                .alias("rev_cents"),
+            )
+        )
+
+    cache = ResultCache(spark, tempfile.mkdtemp(prefix="rc_q399_"))
+    _first, hit0 = cache.get_or_compute(query())
+    assert not hit0, "fresh store cannot hit"
+    served, hit1 = cache.get_or_compute(query())
+    assert hit1, "identical plan over identical files must hit"
+    plan = formatted_plan(served)
+    assert "lineitem.parquet" not in plan, "hit leaked a fact scan"
+    return served.orderBy("l_returnflag", "l_linestatus")

@@ -213,3 +213,56 @@ def test_refresh_guards(spark, tmp_path):
     # a sum-only MV cannot detect emptied groups
     with pytest.raises(ValueError, match="count measure"):
         refresh_incremental(mv, feed, ["g"], {"v_s": ("sum", "v")})
+
+
+def test_result_cache_hit_miss_and_invalidation(spark, tmp_path):
+    """Identical plans hit; different constants miss; touching a
+    source file misses (mtime in the key); equal frames both ways."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.plans.result_cache import (
+        ResultCache,
+        plan_fingerprint,
+    )
+
+    src = str(tmp_path / "src.parquet")
+    spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    ).write.parquet(src)
+
+    def q(thresh):
+        return (
+            spark.read.parquet(src)
+            .filter(F.col("id") < thresh)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    cache = ResultCache(spark, str(tmp_path / "rc"))
+    r1, hit1 = cache.get_or_compute(q(50))
+    r2, hit2 = cache.get_or_compute(q(50))
+    assert (hit1, hit2) == (False, True)
+    assert rows(r1, "g", "n") == rows(r2, "g", "n")
+    assert rows(r1, "g", "n") == rows(q(50), "g", "n")
+    # a different constant is a different plan
+    _r3, hit3 = cache.get_or_compute(q(60))
+    assert not hit3
+    # same plan text across *sessions* would match too: the
+    # fingerprint is stable under expression-id renumbering
+    assert plan_fingerprint(q(50)) == plan_fingerprint(q(50))
+    # touch the source -> mtime changes -> honest miss
+    part = [
+        os.path.join(src, f)
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    ][0]
+    t = time.time() + 5
+    os.utime(part, (t, t))
+    _r4, hit4 = cache.get_or_compute(q(50))
+    assert not hit4
+    assert cache.invalidate_all() >= 3
+    _r5, hit5 = cache.get_or_compute(q(50))
+    assert not hit5
