@@ -77,6 +77,8 @@ def _measure_exprs(aggs: dict[str, tuple[str, str | None]]) -> list[Column]:
             out.append(F.count(F.lit(1)).cast("long").alias(mv_col))
         elif fn in ("sum", "min", "max"):
             out.append(_REAGG[fn](F.col(col)).alias(mv_col))
+        elif fn == "hll":
+            out.append(_hll_store_expr(col).alias(mv_col))
         else:
             raise ValueError(f"unsupported MV agg fn: {fn}")
     return out
@@ -127,11 +129,14 @@ class MVCatalog:
 
     def _derive(
         self, mv: MVDef, aggs: dict[str, tuple[str, str | None]]
-    ) -> list[Column] | None:
+    ) -> tuple[list[Column], list[tuple[str, str]]] | None:
         """Map each requested measure onto MV columns, or None if any
-        measure is not derivable from this MV."""
+        measure is not derivable from this MV. Returns (agg exprs,
+        post-projection steps) — sketch measures merge registers in
+        the aggregate and estimate in a post step."""
         by_def = {v: k for k, v in mv.aggs.items()}  # (fn,col) -> mv col
         exprs: list[Column] = []
+        post: list[tuple[str, str]] = []  # (out_col, merged-reg col)
         for out, (fn, col) in aggs.items():
             if fn == "count":
                 src = by_def.get(("count", None))
@@ -153,9 +158,16 @@ class MVCatalog:
                 if s is None or c is None:
                     return None
                 exprs.append((F.sum(s) / F.sum(c)).alias(out))
+            elif fn == "approx_distinct":
+                src = by_def.get(("hll", col))
+                if src is None:
+                    return None
+                tmp = f"__hll__{out}"
+                exprs.append(_hll_merge_expr(src).alias(tmp))
+                post.append((out, tmp))
             else:
                 return None
-        return exprs
+        return exprs, post
 
     def answer(
         self,
@@ -176,12 +188,14 @@ class MVCatalog:
                 continue
             if not set(where) <= set(mv.keys):
                 continue
-            exprs = self._derive(mv, aggs)
-            if exprs is not None:
-                matches.append((mv, exprs))
+            derived = self._derive(mv, aggs)
+            if derived is not None:
+                matches.append((mv, derived))
         if not matches:
             return None
-        mv, exprs = min(matches, key=lambda m: (len(m[0].keys), m[0].name))
+        mv, (exprs, post) = min(
+            matches, key=lambda m: (len(m[0].keys), m[0].name)
+        )
         df = self.spark.read.parquet(mv.path)
         for col, (lo, hi) in where.items():
             df = df.filter(F.col(col).between(lo, hi))
@@ -190,6 +204,10 @@ class MVCatalog:
             if keys
             else df.agg(*exprs)
         )
+        for out_col, tmp in post:
+            out = out.withColumn(
+                out_col, _hll_estimate_expr(tmp)
+            ).drop(tmp)
         return out, mv.name
 
 
@@ -313,3 +331,71 @@ def refresh_incremental(
             )
         )
     mv_table.merge(ups, "__ts", "__op", "__tie", list(aggs))
+
+
+# -- sketch-backed measures ---------------------------------------------
+#
+# COUNT DISTINCT does not re-aggregate: SUM of per-cell distincts
+# over-counts shared keys, so a plain MV cannot answer coarser-grain
+# distinct questions. A MERGEABLE SKETCH can: the MV stores the
+# portable HLL register array per grain cell (the q315 sketch — md5
+# hash, p=6, raw estimate with no libm step), and rollup to ANY
+# coarser grain is element-wise MAX of registers, which is exact
+# register algebra (max of maxes), not approximation stacking. The
+# estimate is bit-identical across engines, so the sketch-backed
+# answer is hash-oracle-able end to end.
+
+HLL_MV_P = 6
+_HLL_M = 1 << HLL_MV_P
+_HLL_WBITS = 60 - HLL_MV_P
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)  # same literal in SQL
+
+
+def _hll_store_expr(col: str) -> Column:
+    """64-long register array for one grain cell, in ONE hash agg
+    (64 conditional MAXes — the minhash assemble-outside-agg idiom;
+    md5 subexpressions share via codegen CSE)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    j = F.pmod(h, F.lit(_HLL_M))
+    w = F.floor(h / F.lit(_HLL_M)).cast("long")
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS) - F.length(F.bin(w)) + 1
+    )
+    return F.array(
+        *[
+            F.coalesce(
+                F.max(F.when(j == jj, rho)), F.lit(0)
+            ).cast("long")
+            for jj in range(_HLL_M)
+        ]
+    )
+
+
+def _hll_merge_expr(src: str) -> Column:
+    """Element-wise MAX of register arrays across rows."""
+    return F.array(
+        *[
+            F.coalesce(
+                F.max(F.element_at(F.col(src), jj + 1)), F.lit(0)
+            ).cast("long")
+            for jj in range(_HLL_M)
+        ]
+    )
+
+
+def _hll_estimate_expr(arr: str) -> Column:
+    """Raw HLL estimate from a register array: exact integer
+    Σ 2^(55−M_j), ONE float division (q315's cross-engine form)."""
+    # SQL form: the shiftleft builtin takes a COLUMN exponent in SQL
+    # (the Python wrapper insists on a literal int)
+    s = F.expr(
+        f"aggregate({arr}, CAST(0 AS BIGINT), (acc, mj) -> "
+        f"acc + shiftleft(CAST(1 AS BIGINT), "
+        f"CAST({_HLL_WBITS + 1} - mj AS INT)))"
+    )
+    return F.floor(
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_WBITS + 1)))
+        / s.cast("double")
+    ).cast("long")

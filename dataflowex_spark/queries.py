@@ -22075,3 +22075,104 @@ def q399(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = formatted_plan(served)
     assert "lineitem.parquet" not in plan, "hit leaked a fact scan"
     return served.orderBy("l_returnflag", "l_linestatus")
+
+
+@q(
+    "q400_mv_sketch_distinct",
+    """
+    WITH src AS (
+      SELECT l_returnflag, l_partkey
+      FROM lineitem
+      WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1995-01' AND '1996-12'
+    ),
+    regs AS (
+      SELECT l_returnflag,
+             CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 64 AS j,
+             MAX(CASE
+                   WHEN CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+                                             1, 15)) AS BIGINT) // 64 = 0
+                   THEN 55
+                   ELSE 54 - length(bin(
+                        CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+                                             1, 15)) AS BIGINT) // 64)) + 1
+                 END) AS m_j
+      FROM src GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT g.l_returnflag, r.j
+      FROM (SELECT DISTINCT l_returnflag FROM regs) g
+      CROSS JOIN (SELECT unnest(range(64)) AS j) r
+    ),
+    s AS (
+      SELECT grid.l_returnflag,
+             CAST(SUM(1::BIGINT << CAST(55 - COALESCE(regs.m_j, 0) AS INT))
+                  AS BIGINT) AS s
+      FROM grid LEFT JOIN regs USING (l_returnflag, j)
+      GROUP BY 1
+    ),
+    cnt AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+      FROM src GROUP BY 1
+    )
+    SELECT cnt.l_returnflag, cnt.n,
+           CAST(FLOOR((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                      * 36028797018963968.0 / CAST(s.s AS DOUBLE))
+                AS BIGINT) AS parts_est
+    FROM cnt JOIN s USING (l_returnflag)
+    ORDER BY l_returnflag
+    """,
+)
+def q400(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH-BACKED MV — COUNT DISTINCT at any grain from a summary
+    (q383's aggregate awareness extended past re-aggregable measures):
+    plain MVs CANNOT answer coarser-grain distinct questions (sums of
+    per-cell distincts over-count shared keys), but an MV storing the
+    portable HLL REGISTER ARRAY per grain cell can — rollup is
+    element-wise register MAX, which is exact sketch algebra (max of
+    maxes), not approximation stacking. The rewriter merges registers
+    from the (flag, ship_month) summary to answer distinct-parts per
+    flag over a month range, plan-asserted fact-scan-free; the oracle
+    rebuilds the SAME registers straight from the raw rows (q315's
+    cross-engine md5/p=6/raw-estimate spelling), so the hash match
+    proves merged-summary == direct — the associativity that makes
+    the sketch safe to materialize. At 100 TB: distinct-user/part
+    dashboards at any rollup cost 64 longs per summary cell, zero
+    fact scans."""
+    import tempfile
+
+    from dataflowex_spark.plans import formatted_plan
+    from dataflowex_spark.plans.mv import MVCatalog
+
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].select(
+        "l_returnflag",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        "l_partkey",
+    )
+    root = tempfile.mkdtemp(prefix="mv_q400_")
+    mvs = MVCatalog(spark)
+    mvs.define(
+        "mv_flag_month",
+        "lineitem",
+        li,
+        ["l_returnflag", "ship_month"],
+        {"n": ("count", None), "pd_hll": ("hll", "l_partkey")},
+        root + "/mv",
+    )
+    got = mvs.answer(
+        "lineitem",
+        ["l_returnflag"],
+        {
+            "n": ("count", None),
+            "parts_est": ("approx_distinct", "l_partkey"),
+        },
+        where={"ship_month": ("1995-01", "1996-12")},
+    )
+    assert got is not None
+    df, used = got
+    assert used == "mv_flag_month"
+    assert "lineitem.parquet" not in formatted_plan(df)
+    return df.select("l_returnflag", "n", "parts_est").orderBy(
+        "l_returnflag"
+    )

@@ -266,3 +266,52 @@ def test_result_cache_hit_miss_and_invalidation(spark, tmp_path):
     assert cache.invalidate_all() >= 3
     _r5, hit5 = cache.get_or_compute(q(50))
     assert not hit5
+
+
+def test_mv_hll_distinct_matches_direct_sketch(spark, tmp_path):
+    """Merged-register estimate from the MV equals the estimate
+    computed directly on the raw rows (register-max associativity),
+    and the estimate is within raw-HLL error of the true distinct."""
+    from dataflowex_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from dataflowex_spark.plans.mv import MVCatalog
+
+    base = spark.range(0, 5000).select(
+        (F.col("id") % 5).alias("a"),
+        (F.col("id") % 20).alias("b"),
+        (F.col("id") % 700).cast("string").alias("k"),
+    ).localCheckpoint(eager=True)
+    mvs = MVCatalog(spark)
+    mvs.define(
+        "m",
+        "t",
+        base,
+        ["a", "b"],
+        {"n": ("count", None), "kh": ("hll", "k")},
+        str(tmp_path / "m"),
+    )
+    df, used = mvs.answer(
+        "t", ["a"], {"kd": ("approx_distinct", "k")}
+    )
+    assert used == "m"
+    got = {r["a"]: r["kd"] for r in df.collect()}
+    # direct sketch on raw rows, same p=6
+    direct = hll_estimate(
+        hll_registers(base, ["a"], "k", p=6), ["a"], out_col="kd", p=6
+    )
+    import math
+
+    want = {r["a"]: math.floor(r["kd"]) for r in direct.collect()}
+    assert got == want  # merge == direct: register-max associativity
+    exact = {
+        r["a"]: r["x"]
+        for r in base.groupBy("a")
+        .agg(F.countDistinct("k").alias("x"))
+        .collect()
+    }
+    for a, est in got.items():
+        assert abs(est - exact[a]) / exact[a] < 0.45  # raw-HLL regime
+    # approx_distinct without a stored hll measure -> not derivable
+    assert mvs.answer("t", ["a"], {"d": ("approx_distinct", "b")}) is None
