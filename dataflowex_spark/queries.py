@@ -22176,3 +22176,70 @@ def q400(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("l_returnflag", "n", "parts_est").orderBy(
         "l_returnflag"
     )
+
+
+@q(
+    "q401_mtable_delta_export",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN c_custkey % 7 = 0
+                         THEN c_custkey % 500
+                         ELSE CAST(floor(c_acctbal * 100) AS BIGINT)
+                    END) AS BIGINT) AS bal_cents
+    FROM customer
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q401(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTable → DELTA EXPORT (interop in the WRITE direction; q393
+    is the read direction): a customer MTable takes a balance-update
+    merge, its snapshot exports as a Delta-protocol table — data
+    files HARD-LINKED (immutable after commit, zero bytes copied),
+    one commit JSON — and the aggregate of what a Delta reader sees
+    hash-matches the oracle's direct recompute. The whole loop runs
+    through both from-scratch halves (our exporter writes, our
+    PROTOCOL.md reader reads), and snapshots carrying unapplied
+    DV/equality delete debt refuse to export (pytest) — handing a
+    reader files whose deletes live in sidecars it can't see would
+    resurrect rows. At 100 TB: publishing an MTable snapshot to the
+    Delta ecosystem costs one metadata write, not a table copy."""
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        export_snapshot_to_delta,
+        read_delta,
+    )
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    cust = (
+        cat["customer"]
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        )
+        .repartitionByRange(8, "c_custkey")
+    )
+    root = tempfile.mkdtemp(prefix="q401_")
+    t = MTable.create(spark, root + "/t", cust, "c_custkey")
+    upd = t.read().filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit(1).alias("ts"),
+        F.lit("U").alias("op"),
+        F.lit(0).alias("tie"),
+        (F.col("c_custkey") % 500).cast("long").alias("bal_cents"),
+    )
+    t.merge(upd, "ts", "op", "tie", ["bal_cents"])
+    dest = root + "/delta"
+    export_snapshot_to_delta(t, dest)
+    d = read_delta(spark, dest)
+    return (
+        d.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -355,3 +355,67 @@ def stage_parquet_file(df: DataFrame, root: str, name: str) -> None:
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     os.replace(os.path.join(job, part), dest)
     shutil.rmtree(job, ignore_errors=True)
+
+
+def export_snapshot_to_delta(
+    table, dest: str, version: int | None = None
+) -> None:
+    """Export an MTable snapshot as a Delta-protocol table any Delta
+    reader can open — interop in the WRITE direction (the read
+    direction is :func:`read_delta`).
+
+    Zero-copy: the snapshot's immutable parquet data files HARD-LINK
+    into ``dest/data/`` (they are never edited after commit, the same
+    invariant Delta itself relies on), and one commit JSON declares
+    protocol/metaData/adds. Snapshots carrying unapplied deletion
+    vectors or equality-delete sidecars REFUSE — exporting their base
+    files would resurrect deleted rows; fold the debt first
+    (``apply_deletion_vectors()`` / compaction) and export the clean
+    snapshot."""
+    m = table.manifest(version)
+    dirty = [
+        e["path"]
+        for e in m["files"]
+        if e.get("dv") or e.get("eq")
+    ]
+    if dirty:
+        raise ValueError(
+            f"{len(dirty)} file(s) carry merge-on-read delete debt; "
+            "apply_deletion_vectors()/compact first, then export"
+        )
+    os.makedirs(os.path.join(dest, "data"), exist_ok=True)
+    adds = []
+    for i, e in enumerate(sorted(m["files"], key=lambda x: x["path"])):
+        name = f"data/part-{i:05d}.parquet"
+        target = os.path.join(dest, name)
+        if not os.path.exists(target):
+            os.link(e["path"], target)
+        adds.append(
+            {
+                "add": {
+                    "path": name,
+                    "partitionValues": {},
+                    "size": os.path.getsize(target),
+                    "dataChange": True,
+                }
+            }
+        )
+    schema_str = json.dumps(table.read(version=version).schema.jsonValue())
+    commit = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": f"mtable-export-{m['version']}",
+                "schemaString": schema_str,
+                "partitionColumns": [],
+                "format": {"provider": "parquet"},
+            }
+        },
+        {
+            "commitInfo": {
+                "operation": "MTABLE_EXPORT",
+                "sourceVersion": m["version"],
+            }
+        },
+    ] + adds
+    write_conformance_log(dest, [commit])

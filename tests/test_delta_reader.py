@@ -165,3 +165,43 @@ def test_column_projection_pushes_to_scan(spark, tmp_path):
     plan = formatted_plan(df)
     assert "PushedFilters: [IsNotNull(k), GreaterThan(k,1)]" in plan
     assert rows(df) == [(2,), (4,)]
+
+
+def test_mtable_export_roundtrip_and_dv_refusal(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.sources.delta_reader import (
+        export_snapshot_to_delta,
+        read_delta,
+    )
+    from dataflowex_spark.sources.mtable import MTable
+
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 17).alias("v")
+    )
+    t = MTable.create(spark, str(tmp_path / "t"), df, "k")
+    upd = t.read().filter(F.col("k") % 4 == 0).select(
+        "k",
+        F.lit(1).alias("ts"),
+        F.lit("U").alias("op"),
+        F.lit(0).alias("tie"),
+        (F.col("v") + 100).alias("v"),
+    )
+    t.merge(upd, "ts", "op", "tie", ["v"])
+    dest = str(tmp_path / "delta")
+    export_snapshot_to_delta(t, dest)
+    got = sorted(tuple(r) for r in read_delta(spark, dest).collect())
+    want = sorted(tuple(r) for r in t.read().collect())
+    assert got == want
+    # exporting an OLD version snapshots that version
+    dest1 = str(tmp_path / "delta_v1")
+    export_snapshot_to_delta(t, dest1, version=1)
+    got1 = sorted(tuple(r) for r in read_delta(spark, dest1).collect())
+    want1 = sorted(tuple(r) for r in t.read(version=1).collect())
+    assert got1 == want1
+    # a snapshot with unapplied DV debt refuses
+    t.delete_where("k = 3")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="delete debt"):
+        export_snapshot_to_delta(t, str(tmp_path / "delta_dv"))
