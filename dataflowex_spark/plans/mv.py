@@ -399,3 +399,76 @@ def _hll_estimate_expr(arr: str) -> Column:
         F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_WBITS + 1)))
         / s.cast("double")
     ).cast("long")
+
+
+# -- view selection (which MVs to build) ---------------------------------
+
+
+def lattice_cell_counts(
+    df: DataFrame, dims: list[str]
+) -> dict[tuple[str, ...], int]:
+    """Cell count of EVERY grain subset of ``dims`` in ONE
+    distributed pass: a CUBE over the dims tagged with grouping_id —
+    each cube output row belongs to exactly one grouping set, so
+    counting rows per grouping_id yields every candidate view's size
+    simultaneously (instead of 2^d separate COUNT DISTINCT scans).
+    grouping_id bit i set ⇔ dims[i] is ROLLED UP in that set."""
+    if len(dims) > 6:
+        raise ValueError("2^d lattice; keep dims ≤ 6 (quantize first)")
+    gid = (
+        df.cube(*[F.col(d) for d in dims])
+        .agg(F.grouping_id().alias("__gid"))
+        .groupBy("__gid")
+        .agg(F.count(F.lit(1)).cast("long").alias("cells"))
+        .collect()
+    )
+    d = len(dims)
+    out: dict[tuple[str, ...], int] = {}
+    for r in gid:
+        g = r["__gid"]
+        grain = tuple(
+            dims[i] for i in range(d) if not (g >> (d - 1 - i)) & 1
+        )
+        out[grain] = r["cells"]
+    return out
+
+
+def hru_greedy(
+    cells: dict[tuple[str, ...], int], k: int
+) -> list[tuple[tuple[str, ...], int, int]]:
+    """Harinarayan–Rajaraman–Ullman (SIGMOD'96) greedy view
+    selection over the grain lattice: starting from only the base
+    (apex) view, repeatedly materialize the view with the largest
+    BENEFIT = Σ over every view w it subsumes of
+    max(0, cost(w) − cells(v)), where cost(w) is the cheapest
+    already-materialized ancestor. The greedy is (1−1/e)-optimal —
+    the paper's guarantee. Driver-side over ≤2^d entries (the
+    hybrid-cutover rule); ties break lexicographically for
+    determinism. Returns [(grain, cells, benefit)] in pick order."""
+    apex = max(cells, key=len)
+    views = {g: c for g, c in cells.items() if g != apex}
+    cost = {g: cells[apex] for g in cells}  # base answers everything
+
+    def subsumes(v: tuple[str, ...], w: tuple[str, ...]) -> bool:
+        return set(w) <= set(v)
+
+    picked: list[tuple[tuple[str, ...], int, int]] = []
+    for _ in range(min(k, len(views))):
+        best = None
+        for v, cv in sorted(views.items()):
+            b = sum(
+                max(0, cost[w] - cv)
+                for w in cells
+                if subsumes(v, w)
+            )
+            if best is None or b > best[2]:
+                best = (v, cv, b)
+        if best is None or best[2] <= 0:
+            break
+        v, cv, b = best
+        picked.append(best)
+        del views[v]
+        for w in cells:
+            if subsumes(v, w):
+                cost[w] = min(cost[w], cv)
+    return picked

@@ -22243,3 +22243,39 @@ def q401(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@q("q402_mv_advisor", None)  # rows-only: the greedy loop is not SQL
+def q402(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV ADVISOR — which summaries to build (Harinarayan–Rajaraman–
+    Ullman SIGMOD'96 view selection, the paper behind every cube
+    advisor): every candidate grain's cell count comes from ONE CUBE
+    pass tagged with grouping_id (16 subset sizes from a single
+    shuffle — not 16 COUNT DISTINCT scans), then the (1−1/e)-optimal
+    greedy picks the 3 views with the largest total benefit
+    Σ max(0, cost(w) − cells(v)) over the lattice, driver-side over
+    ≤2^d entries (hybrid-cutover rule). Closes the MV loop: q383
+    rewrites queries onto summaries, q384/q394 keep them fresh, q400
+    extends them to sketches, and THIS decides which ones earn their
+    storage. Rows-only (the greedy is iterative); the paper's
+    hand-computed lattice pins the algorithm in pytest, and the cell
+    counts are pinned against per-grain COUNT DISTINCT."""
+    from dataflowex_spark.plans.mv import hru_greedy, lattice_cell_counts
+
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_linestatus").alias("status"),
+        F.year("l_shipdate").alias("yr"),
+        F.expr("CAST(div(CAST(l_quantity AS BIGINT), 10) AS BIGINT)")
+        .alias("qband"),
+    )
+    cells = lattice_cell_counts(li, ["flag", "status", "yr", "qband"])
+    picks = hru_greedy(cells, k=3)
+    rows = [
+        (i + 1, "|".join(g) if g else "(apex rollup)", c, b)
+        for i, (g, c, b) in enumerate(picks)
+    ]
+    return spark.createDataFrame(
+        rows, "pick int, grain string, cells long, benefit long"
+    ).orderBy("pick")

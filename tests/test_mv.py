@@ -315,3 +315,31 @@ def test_mv_hll_distinct_matches_direct_sketch(spark, tmp_path):
         assert abs(est - exact[a]) / exact[a] < 0.45  # raw-HLL regime
     # approx_distinct without a stored hll measure -> not derivable
     assert mvs.answer("t", ["a"], {"d": ("approx_distinct", "b")}) is None
+
+
+def test_lattice_counts_and_hru_greedy(spark):
+    """Cube-pass cell counts equal per-grain distinct counts; the
+    greedy reproduces a hand-computed HRU selection."""
+    from dataflowex_spark.plans.mv import hru_greedy, lattice_cell_counts
+
+    df = spark.range(0, 120).select(
+        (F.col("id") % 4).alias("a"),
+        (F.col("id") % 6).alias("b"),
+    )
+    cells = lattice_cell_counts(df, ["a", "b"])
+    assert cells[("a", "b")] == 12  # lcm(4,6) combos
+    assert cells[("a",)] == 4 and cells[("b",)] == 6
+    assert cells[()] == 1
+    with pytest.raises(ValueError, match="dims"):
+        lattice_cell_counts(df, ["a"] * 7)
+
+    # hand-computed lattice: apex 100; (a)=20, (b)=30, ()=1
+    hand = {("a", "b"): 100, ("a",): 20, ("b",): 30, (): 1}
+    picks = hru_greedy(hand, k=2)
+    # benefit(a) = (100-20)·2 = 160 beats (b)'s 140; then (b)
+    # benefits only itself (cost(()) already 20): 100-30 = 70
+    assert picks == [(("a",), 20, 160), (("b",), 30, 70)]
+    # k larger than useful views: () still has benefit 19 via (a)
+    picks3 = hru_greedy(hand, k=5)
+    assert picks3[2] == ((), 1, 19)
+    assert len(picks3) == 3  # nothing left after that
