@@ -472,3 +472,63 @@ def hru_greedy(
             if subsumes(v, w):
                 cost[w] = min(cost[w], cv)
     return picked
+
+
+def refresh_insert_only(
+    mv_table,
+    changes: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+) -> None:
+    """Insert-only MV refresh supporting EVERY mergeable measure —
+    count/sum (add), min/max (least/greatest), and hll register
+    arrays (element-wise max): under appends all of them are
+    semilattice merges, so the summary stays exact without reading
+    the base (the restriction :func:`refresh_incremental` enforces
+    for min/max/hll under general feeds disappears here). The feed
+    must be pure inserts (guarded). New-row partials aggregate at
+    grain once; the keyed MERGE rewrites only touched summary files."""
+    bad = changes.filter(F.col("op") != "I").limit(1).count()
+    if bad:
+        raise ValueError("refresh_insert_only saw a non-insert op")
+    value_cols = sorted(
+        {col for _out, (_fn, col) in aggs.items() if col is not None}
+    )
+    news = changes.select(
+        *[F.col(f"{k}__post").alias(k) for k in keys],
+        *[F.col(f"{c}__post").alias(c) for c in value_cols],
+    )
+    fresh = news.groupBy(*[F.col(k) for k in keys]).agg(
+        *_measure_exprs(aggs)
+    )
+    cur = mv_table.read().select(
+        *keys, *[F.col(c).alias(f"{c}__old") for c in aggs]
+    )
+    merged_cols = []
+    for out, (fn, _col) in aggs.items():
+        old, new = F.col(f"{out}__old"), F.col(out)
+        if fn in ("count", "sum"):
+            expr = F.coalesce(old, F.lit(0)) + new
+        elif fn == "min":
+            expr = F.least(F.coalesce(old, new), new)
+        elif fn == "max":
+            expr = F.greatest(F.coalesce(old, new), new)
+        elif fn == "hll":
+            expr = F.zip_with(
+                F.coalesce(old, new), new, lambda a, b: F.greatest(a, b)
+            )
+        else:
+            raise ValueError(f"unsupported insert-only measure: {fn}")
+        merged_cols.append(expr.alias(out))
+    merged = fresh.join(cur, on=list(keys), how="left").select(
+        *keys, *merged_cols
+    )
+    key = keys[0]
+    ups = merged.select(
+        key,
+        F.lit(1).alias("__ts"),
+        F.lit("U").alias("__op"),
+        F.lit(0).alias("__tie"),
+        *[c for c in aggs],
+    )
+    mv_table.merge(ups, "__ts", "__op", "__tie", list(aggs))

@@ -22279,3 +22279,123 @@ def q402(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "pick int, grain string, cells long, benefit long"
     ).orderBy("pick")
+
+
+@q(
+    "q403_mv_sketch_refresh",
+    """
+    WITH regs AS (
+      SELECT l_returnflag,
+             CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 64 AS j,
+             MAX(CASE
+                   WHEN CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+                                             1, 15)) AS BIGINT) // 64 = 0
+                   THEN 55
+                   ELSE 54 - length(bin(
+                        CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+                                             1, 15)) AS BIGINT) // 64)) + 1
+                 END) AS m_j
+      FROM lineitem GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT g.l_returnflag, r.j
+      FROM (SELECT DISTINCT l_returnflag FROM regs) g
+      CROSS JOIN (SELECT unnest(range(64)) AS j) r
+    ),
+    s AS (
+      SELECT grid.l_returnflag,
+             CAST(SUM(1::BIGINT << CAST(55 - COALESCE(regs.m_j, 0) AS INT))
+                  AS BIGINT) AS s
+      FROM grid LEFT JOIN regs USING (l_returnflag, j)
+      GROUP BY 1
+    ),
+    cnt AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    )
+    SELECT cnt.l_returnflag, cnt.n,
+           CAST(FLOOR((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                      * 36028797018963968.0 / CAST(s.s AS DOUBLE))
+                AS BIGINT) AS parts_est
+    FROM cnt JOIN s USING (l_returnflag)
+    ORDER BY l_returnflag
+    """,
+)
+def q403(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SKETCH-MV REFRESH (q400 kept fresh under appends):
+    the per-flag (count, HLL-register) summary is built from the
+    pre-1997 shipments only, the 1997+ shipments arrive as an
+    insert-only MERGE on the base MTable, and the summary refreshes
+    from the changefeed alone — counts ADD, registers element-wise
+    MAX (semilattice merges, exact under appends; the general-feed
+    restriction of q384 disappears). The refreshed summary's distinct
+    estimate hash-matches the oracle's registers built from the FULL
+    table — proving merge-freshness end to end without ever
+    re-reading the base. At 100 TB: distinct-dashboards stay fresh at
+    changefeed cost."""
+    import tempfile
+
+    from dataflowex_spark.plans.mv import (
+        _hll_estimate_expr,
+        refresh_insert_only,
+        _measure_exprs,
+    )
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].select(
+        "l_returnflag",
+        "l_partkey",
+        F.col("l_shipdate").cast("timestamp").alias("sd"),
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    aggs = {"n": ("count", None), "pk_hll": ("hll", "l_partkey")}
+    root = tempfile.mkdtemp(prefix="q403_")
+    # the fixture has no unique business key (l_orderkey,l_linenumber
+    # repeats) — assign surrogate row ids and FREEZE them (the
+    # checkpoint makes the id assignment a fact, not a recomputable
+    # expression); inserts live in a disjoint id range
+    old_rows = (
+        li.filter(F.col("sd") < cutoff)
+        .withColumn("rid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    new_rows = (
+        li.filter(F.col("sd") >= cutoff)
+        .withColumn(
+            "rid", F.monotonically_increasing_id() + F.lit(1 << 60)
+        )
+        .localCheckpoint(eager=True)
+    )
+    base = MTable.create(
+        spark,
+        root + "/base",
+        old_rows.select("rid", "l_returnflag", "l_partkey", "sd")
+        .repartitionByRange(8, "rid"),
+        "rid",
+    )
+    mv0 = base.read().groupBy("l_returnflag").agg(*_measure_exprs(aggs))
+    mv = MTable.create(spark, root + "/mv", mv0, "l_returnflag")
+
+    ins = new_rows.select(
+        "rid",
+        F.lit(1).alias("ts"),
+        F.lit("I").alias("op"),
+        F.lit(0).alias("tie"),
+        "l_returnflag",
+        "l_partkey",
+        "sd",
+    )
+    base.merge(ins, "ts", "op", "tie", ["l_returnflag", "l_partkey", "sd"])
+    feed = base.read_changes(1, 2, images="both")
+    refresh_insert_only(mv, feed, ["l_returnflag"], aggs)
+    return (
+        mv.read()
+        .select(
+            "l_returnflag",
+            F.col("n").cast("long").alias("n"),
+            _hll_estimate_expr("pk_hll").alias("parts_est"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -343,3 +343,63 @@ def test_lattice_counts_and_hru_greedy(spark):
     picks3 = hru_greedy(hand, k=5)
     assert picks3[2] == ((), 1, 19)
     assert len(picks3) == 3  # nothing left after that
+
+
+def test_refresh_insert_only_all_measures(spark, tmp_path):
+    """count/sum/min/max/hll all merge correctly under appends and
+    equal a from-scratch rebuild; non-insert feeds refuse."""
+    from dataflowex_spark.plans.mv import (
+        _measure_exprs,
+        refresh_insert_only,
+    )
+
+    root = str(tmp_path)
+    df = spark.range(0, 80).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") * 7 % 41).cast("long").alias("v"),
+        (F.col("id") % 13).cast("string").alias("u"),
+    )
+    base = MTable.create(spark, root + "/b", df, "k")
+    aggs = {
+        "n": ("count", None),
+        "v_s": ("sum", "v"),
+        "v_mn": ("min", "v"),
+        "v_mx": ("max", "v"),
+        "u_h": ("hll", "u"),
+    }
+    mv0 = base.read().groupBy("g").agg(*_measure_exprs(aggs))
+    mv = MTable.create(spark, root + "/mv", mv0, "g")
+    ins = spark.range(1000, 1100).select(
+        F.col("id").alias("k"),
+        F.lit(1).alias("ts"),
+        F.lit("I").alias("op"),
+        F.lit(0).alias("tie"),
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") * 11 % 60 - 5).cast("long").alias("v"),
+        (F.col("id") % 29).cast("string").alias("u"),
+    )
+    base.merge(ins, "ts", "op", "tie", ["g", "v", "u"])
+    refresh_insert_only(
+        mv, base.read_changes(1, 2, images="both"), ["g"], aggs
+    )
+    want = base.read().groupBy("g").agg(*_measure_exprs(aggs))
+    got = {r["g"]: r.asDict() for r in mv.read().collect()}
+    for r in want.collect():
+        w = r.asDict()
+        assert got[r["g"]] == w, r["g"]
+    # a delete in the feed refuses
+    dele = base.read().filter(F.col("k") == 0).select(
+        "k",
+        F.lit(2).alias("ts"),
+        F.lit("D").alias("op"),
+        F.lit(0).alias("tie"),
+        F.lit(None).cast("long").alias("g"),
+        F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("string").alias("u"),
+    )
+    base.merge(dele, "ts", "op", "tie", ["g", "v", "u"])
+    with pytest.raises(ValueError, match="non-insert"):
+        refresh_insert_only(
+            mv, base.read_changes(2, 3, images="both"), ["g"], aggs
+        )
