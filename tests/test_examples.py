@@ -145,3 +145,15 @@ def test_replica_repair_runbook(spark):
     assert r["rows_pushed"] >= 1
     assert r["leaves_flagged"] <= r["leaves_total"]
     assert r["items_decoded"] >= r["rows_pushed"] + r["phantoms_deleted"]
+
+
+def test_mv_serving_layer_example(spark):
+    from examples.mv_serving_layer import run
+
+    out = run(spark, "/root/testdata/sf0.001")
+    assert len(out["picked"]) == 2
+    assert out["refreshed_groups"] >= 3
+    # every served query was answered by a materialized summary
+    assert all(v.startswith("mv") for v in out["served_by"].values())
+    # the advisor saw the full 2^3 lattice
+    assert len(out["lattice_sizes"]) == 8
