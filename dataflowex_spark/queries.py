@@ -21949,11 +21949,12 @@ def q398(spark: SparkSession, sf_dir: str) -> DataFrame:
     through read_iceberg — metadata walk, manifest-entry status
     fold, current-snapshot resolution. Same fixture algebra as q393
     (Delta), so together they prove both open-format read paths
-    against one oracle shape; v2 merge-on-read POSITION deletes are
-    APPLIED (broadcast anti-join on _metadata identity, the MTable DV
-    plan) and equality deletes refuse honestly (pytest). Completes
-    the VERDICT interop gap: Delta AND Iceberg readable without
-    their JARs."""
+    against one oracle shape; v2 merge-on-read is FULLY applied —
+    position deletes (broadcast anti-join on _metadata identity, the
+    MTable DV plan) AND equality deletes (null-safe equality_ids
+    match, strictly-lower-sequence semantics; pytest). Completes the
+    VERDICT interop gap: Delta AND Iceberg readable without their
+    JARs."""
     import tempfile
 
     from dataflowex_spark.sources.delta_reader import stage_parquet_file

@@ -21,22 +21,27 @@ with the codec-module discipline):
   time travel, or any snapshot in the log;
 - manifest entry status fold: EXISTING(0)/ADDED(1) are live,
   DELETED(2) drops the file;
-- v2 merge-on-read POSITION DELETES are APPLIED: delete manifests
-  (``content=1`` in the manifest list) contribute (file_path, pos)
-  parquet sidecars, anti-joined against the data read via
-  ``_metadata.file_path``/``row_index`` — the same broadcast
-  merge-on-read plan MTable's deletion vectors use; EQUALITY deletes
-  (``content=2`` entries) REFUSE honestly — applying them needs the
-  equality-field semantics, and silently skipping deletes is the
-  worst reader failure mode;
+- v2 merge-on-read is FULLY APPLIED. Position deletes
+  (``content=1``): (file_path, pos) parquet sidecars anti-joined
+  against the data read via ``_metadata.file_path``/``row_index`` —
+  the same broadcast plan MTable's deletion vectors use. Equality
+  deletes (``content=2``): value rows matched null-safely on the
+  ``equality_ids`` fields (resolved through the metadata schema's
+  field ids) and applied ONLY to data files with STRICTLY LOWER
+  sequence numbers — the spec rule that lets an upsert travel as
+  delete+add in one snapshot; entry-level sequence numbers override
+  the manifest's, and a re-listed file keeps its smallest (original)
+  sequence so re-listing cannot shield rows from older deletes;
 - data files are read as plain parquet: Iceberg data files carry ALL
   columns including partition columns (unlike Hive/Delta), so no
   partition re-attachment is needed and pushdown/pruning ride the
   ordinary scans.
 
 Not supported (honest NotImplementedError): field-id-based schema
-evolution mapping (fixtures keep physical names aligned, the
-identity mapping), name-mapping, and encrypted manifests.
+RENAME mapping for data columns (fixtures keep physical names
+aligned — equality_ids DO resolve through field ids), name-mapping,
+and encrypted manifests; equality deletes without equality_ids
+refuse.
 
 Scale note: snapshot resolution reads one JSON + one manifest list +
 the snapshot's manifests — metadata proportional to the manifest
@@ -113,10 +118,30 @@ def snapshot_log(root: str) -> list[dict]:
     ]
 
 
+def _field_names_by_id(meta: dict) -> dict[int, str]:
+    """field-id → name from the current Iceberg schema JSON."""
+    schemas = meta.get("schemas") or []
+    cur = meta.get("current-schema-id", 0)
+    fields = []
+    for sc in schemas:
+        if sc.get("schema-id") == cur:
+            fields = sc.get("fields", [])
+    return {f["id"]: f["name"] for f in fields if "id" in f}
+
+
 def _live_files(
     root: str, meta: dict, snapshot_id: int | None
-) -> tuple[list[str], list[str]]:
-    """(live data files, live position-delete files) for a snapshot."""
+) -> tuple[
+    dict[str, int],
+    list[str],
+    list[tuple[str, int, list[int]]],
+]:
+    """Snapshot state: (data path → data sequence number,
+    position-delete paths, equality deletes as (path, seq,
+    equality field ids)). Entry-level ``sequence_number`` wins;
+    otherwise the manifest list's; a path re-listed as EXISTING keeps
+    its SMALLEST seen sequence (the original add — re-listing must
+    not shield rows from older equality deletes)."""
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     sid = (
         snapshot_id
@@ -124,16 +149,17 @@ def _live_files(
         else meta.get("current-snapshot-id")
     )
     if sid is None or sid == -1:
-        return [], []
+        return {}, [], []
     if sid not in snaps:
         raise ValueError(f"snapshot {sid} not in table metadata")
     snap = snaps[sid]
     mlist = _resolve_path(root, snap["manifest-list"])
     _schema, manifests = read_container(mlist)
-    live: list[str] = []
-    deletes: list[str] = []
+    live: dict[str, int] = {}
+    pos_deletes: list[str] = []
+    eq_deletes: list[tuple[str, int, list[int]]] = []
     for m in manifests:
-        is_delete_manifest = m.get("content", 0) == 1
+        mseq = m.get("sequence_number") or 0
         mpath = _resolve_path(root, m["manifest_path"])
         _s2, entries = read_container(mpath)
         for e in entries:
@@ -141,19 +167,25 @@ def _live_files(
                 continue
             df = e["data_file"]
             content = df.get("content", 0)
-            if is_delete_manifest or content != 0:
-                if content == 1:
-                    deletes.append(_resolve_path(root, df["file_path"]))
-                else:
+            seq = e.get("sequence_number")
+            seq = mseq if seq is None else seq
+            path = _resolve_path(root, df["file_path"])
+            if content == 0:
+                live[path] = min(live.get(path, seq), seq)
+            elif content == 1:
+                pos_deletes.append(path)
+            elif content == 2:
+                ids = df.get("equality_ids") or []
+                if not ids:
                     raise IcebergProtocolError(
-                        "equality-delete file in snapshot: applying it "
-                        "needs the equality-field semantics this reader "
-                        "does not implement (position deletes ARE "
-                        "applied)"
+                        "equality-delete file without equality_ids"
                     )
+                eq_deletes.append((path, seq, list(ids)))
             else:
-                live.append(_resolve_path(root, df["file_path"]))
-    return live, deletes
+                raise IcebergProtocolError(
+                    f"unknown data_file content: {content}"
+                )
+    return live, pos_deletes, eq_deletes
 
 
 def read_iceberg(
@@ -164,47 +196,77 @@ def read_iceberg(
     from pyspark.sql import functions as F
 
     meta = load_table_metadata(root)
-    files, deletes = _live_files(root, meta, snapshot_id)
-    if not files:
+    live, pos_deletes, eq_deletes = _live_files(root, meta, snapshot_id)
+    if not live:
         # empty table: derive an empty frame with the declared schema
         # names (all-string placeholder would lie about types; honest
         # minimal answer is an empty 0-column frame refusal)
         raise ValueError("snapshot has no data files (empty table)")
-    # dedup while preserving deterministic order: a file re-listed as
-    # EXISTING by a later manifest must not double-count
-    seen: dict[str, None] = {}
-    for f in files:
-        seen.setdefault(f)
-    df = spark.read.parquet(*seen.keys())
-    if not deletes:
-        return df
-    # merge-on-read position deletes: anti-join (file, pos) sidecars
-    # against the scan's _metadata identity — broadcast, because a
-    # healthy table's delete files are bounded by recent churn (the
-    # same economics as MTable's deletion vectors); paths normalize
-    # to scheme-less absolute form on both sides
-    cols = df.columns
-    data = df.select(
-        "*",
-        F.regexp_replace(
-            F.col("_metadata.file_path"), "^file:/*", "/"
-        ).alias("__fp"),
-        F.col("_metadata.row_index").alias("__ri"),
-    )
-    dv = (
-        spark.read.parquet(*sorted(set(deletes)))
-        .select(
-            F.regexp_replace(F.col("file_path"), "^file:/*", "/").alias(
-                "__fp"
-            ),
-            F.col("pos").alias("__ri"),
+    # group data files by sequence number — equality deletes apply
+    # only to rows whose DATA sequence is STRICTLY LOWER than the
+    # delete's (spec: a delete cannot remove rows committed with or
+    # after it)
+    by_seq: dict[int, list[str]] = {}
+    for path, seq in sorted(live.items()):
+        by_seq.setdefault(seq, []).append(path)
+    pieces = []
+    for seq, paths in sorted(by_seq.items()):
+        pieces.append(
+            spark.read.parquet(*paths).withColumn(
+                "__seq", F.lit(seq).cast("long")
+            )
         )
-        .distinct()
-    )
-    return (
-        data.join(F.broadcast(dv), ["__fp", "__ri"], "left_anti")
-        .select(*cols)
-    )
+    df = pieces[0]
+    for p in pieces[1:]:
+        df = df.unionByName(p)
+    cols = [c for c in df.columns if c != "__seq"]
+    if pos_deletes:
+        # merge-on-read position deletes: anti-join (file, pos)
+        # sidecars against the scan's _metadata identity — broadcast
+        # (bounded by recent churn, the MTable DV economics); paths
+        # normalize to scheme-less absolute form on both sides
+        data = df.select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/*", "/"
+            ).alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        dv = (
+            spark.read.parquet(*sorted(set(pos_deletes)))
+            .select(
+                F.regexp_replace(
+                    F.col("file_path"), "^file:/*", "/"
+                ).alias("__fp"),
+                F.col("pos").alias("__ri"),
+            )
+            .distinct()
+        )
+        df = data.join(
+            F.broadcast(dv), ["__fp", "__ri"], "left_anti"
+        ).select(*cols, "__seq")
+    if eq_deletes:
+        names_by_id = _field_names_by_id(meta)
+        for path, dseq, ids in sorted(eq_deletes):
+            try:
+                eq_cols = [names_by_id[i] for i in ids]
+            except KeyError as e:
+                raise IcebergProtocolError(
+                    f"equality_ids reference unknown field id {e} "
+                    "(schema missing from table metadata)"
+                ) from None
+            dels = (
+                spark.read.parquet(path).select(*eq_cols).distinct()
+            ).alias("__d")
+            left = df.alias("__l")
+            cond = F.col("__l.__seq") < F.lit(dseq)
+            for c in eq_cols:
+                # spec matching: null equals null (eqNullSafe)
+                cond = cond & F.col(f"__l.{c}").eqNullSafe(
+                    F.col(f"__d.{c}")
+                )
+            df = left.join(F.broadcast(dels), cond, "left_anti")
+    return df.select(*cols)
 
 
 # ---------------------------------------------------------------------
@@ -221,6 +283,7 @@ MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
         {"name": "added_snapshot_id", "type": "long"},
     ],
 }
@@ -231,6 +294,7 @@ MANIFEST_SCHEMA = {
     "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
         {
             "name": "data_file",
             "type": {
@@ -242,6 +306,10 @@ MANIFEST_SCHEMA = {
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                    },
                 ],
             },
         },
@@ -258,33 +326,44 @@ def write_conformance_table(
     ``{"id": int, "entries": [(status, data_path), ...]}`` with an
     optional ``"manifest_content"`` (forces the DATA manifest's list
     content), optional ``"delete_entries"`` (written as a second,
-    content=1 DELETE manifest in the same snapshot), and per-entry
-    optional 3rd element = data_file ``content``. Current snapshot =
-    the last one."""
+    content=1 DELETE manifest in the same snapshot), optional
+    ``"schema_fields"`` ([(field_id, name)] — emitted into
+    metadata.json "schemas" so equality_ids resolve), and per-entry
+    optional elements: 3rd = data_file ``content``, 4th = explicit
+    ``sequence_number`` (else the snapshot's ordinal, 1-based), 5th =
+    equality field-id list. Current snapshot = the last one."""
     from dataflowex_spark.sources.avro_io import write_container
 
     md = _meta_dir(root)
     os.makedirs(md, exist_ok=True)
     snaps_meta = []
-    for s in snapshots:
+    schema_fields = None
+
+    def mk_entry(sid, e):
+        status, path = e[0], e[1]
+        content = e[2] if len(e) > 2 else 0
+        seq = e[3] if len(e) > 3 else None
+        eq_ids = list(e[4]) if len(e) > 4 else None
+        return {
+            "status": status,
+            "snapshot_id": sid,
+            "sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "record_count": 0,
+                "file_size_in_bytes": 0,
+                "equality_ids": eq_ids,
+            },
+        }
+
+    for ordinal, s in enumerate(snapshots, start=1):
         sid = s["id"]
-        entries = []
-        for e in s["entries"]:
-            status, path = e[0], e[1]
-            content = e[2] if len(e) > 2 else 0
-            entries.append(
-                {
-                    "status": status,
-                    "snapshot_id": sid,
-                    "data_file": {
-                        "content": content,
-                        "file_path": path,
-                        "file_format": "PARQUET",
-                        "record_count": 0,
-                        "file_size_in_bytes": 0,
-                    },
-                }
-            )
+        s["_seq"] = s.get("sequence_number", ordinal)
+        if s.get("schema_fields"):
+            schema_fields = s["schema_fields"]
+        entries = [mk_entry(sid, e) for e in s["entries"]]
         mpath = os.path.join(md, f"manifest-{sid}.avro")
         write_container(mpath, MANIFEST_SCHEMA, entries)
         mrows = [
@@ -293,27 +372,17 @@ def write_conformance_table(
                 "manifest_length": os.path.getsize(mpath),
                 "partition_spec_id": 0,
                 "content": s.get("manifest_content", 0),
+                "sequence_number": s["_seq"],
                 "added_snapshot_id": sid,
             }
         ]
         if s.get("delete_entries"):
             dentries = []
             for e in s["delete_entries"]:
-                status, path = e[0], e[1]
-                content = e[2] if len(e) > 2 else 1
-                dentries.append(
-                    {
-                        "status": status,
-                        "snapshot_id": sid,
-                        "data_file": {
-                            "content": content,
-                            "file_path": path,
-                            "file_format": "PARQUET",
-                            "record_count": 0,
-                            "file_size_in_bytes": 0,
-                        },
-                    }
-                )
+                e = list(e)
+                if len(e) == 2:
+                    e.append(1)  # default: position delete
+                dentries.append(mk_entry(sid, e))
             dpath = os.path.join(md, f"delete-manifest-{sid}.avro")
             write_container(dpath, MANIFEST_SCHEMA, dentries)
             mrows.append(
@@ -322,6 +391,7 @@ def write_conformance_table(
                     "manifest_length": os.path.getsize(dpath),
                     "partition_spec_id": 0,
                     "content": 1,
+                    "sequence_number": s["_seq"],
                     "added_snapshot_id": sid,
                 }
             )
@@ -340,6 +410,21 @@ def write_conformance_table(
         "table-uuid": "00000000-0000-0000-0000-000000000000",
         "location": root,
         "current-snapshot-id": snapshots[-1]["id"],
+        "current-schema-id": 0,
+        "schemas": (
+            [
+                {
+                    "schema-id": 0,
+                    "type": "struct",
+                    "fields": [
+                        {"id": i, "name": n, "required": False}
+                        for i, n in schema_fields
+                    ],
+                }
+            ]
+            if schema_fields
+            else []
+        ),
         "snapshots": snaps_meta,
     }
     with open(os.path.join(md, "v1.metadata.json"), "w") as f:

@@ -161,3 +161,81 @@ def test_avro_roundtrip_property(recs):
         write_container(p, schema, data, codec=codec)
         s2, r2 = read_container(p)
         assert s2 == schema and r2 == data
+
+
+def test_equality_deletes_apply_with_sequence_semantics(spark, tmp_path):
+    """An equality delete removes matching rows ONLY from data files
+    with strictly lower sequence numbers: the same key re-added in
+    the delete's own snapshot survives (the spec rule that makes
+    upserts expressible as delete+add)."""
+    from dataflowex_spark.sources.iceberg_reader import read_iceberg
+
+    root = str(tmp_path)
+    f1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    f3 = spark.createDataFrame([(2, "b2")], "k long, v string")
+    stage_parquet_file(f1, root, "data/f1.parquet")
+    stage_parquet_file(f3, root, "data/f3.parquet")
+    eq = spark.createDataFrame([(2,)], "k long")
+    stage_parquet_file(eq, root, "data/eq1.parquet")
+    write_conformance_table(
+        root,
+        [
+            {"id": 1, "entries": [(1, "data/f1.parquet")],
+             "schema_fields": [(1, "k"), (2, "v")]},
+            {"id": 2,
+             # the delete (seq 2) and the re-add (seq 2) travel together
+             "entries": [(0, "data/f1.parquet", 0, 1),
+                         (1, "data/f3.parquet")],
+             "delete_entries": [(1, "data/eq1.parquet", 2, None, [1])]},
+        ],
+    )
+    got = rows(read_iceberg(spark, root))
+    # k=2 from seq-1 f1 is deleted; k=2 from seq-2 f3 SURVIVES
+    assert got == [(1, "a"), (2, "b2"), (3, "c")]
+    # snapshot 1 untouched by the later delete
+    assert rows(read_iceberg(spark, root, snapshot_id=1)) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+
+
+def test_equality_delete_null_matching_and_unknown_field(spark, tmp_path):
+    import tempfile
+
+    from dataflowex_spark.sources.iceberg_reader import read_iceberg
+
+    # nulls match null-safely
+    r1 = tempfile.mkdtemp(dir=str(tmp_path))
+    f1 = spark.createDataFrame(
+        [(1, "a"), (None, "n"), (3, None)], "k long, v string"
+    )
+    stage_parquet_file(f1, r1, "data/f1.parquet")
+    eq = spark.createDataFrame([(None,)], "k long")
+    stage_parquet_file(eq, r1, "data/eq.parquet")
+    write_conformance_table(
+        r1,
+        [
+            {"id": 1, "entries": [(1, "data/f1.parquet")],
+             "schema_fields": [(1, "k"), (2, "v")]},
+            {"id": 2, "entries": [(0, "data/f1.parquet", 0, 1)],
+             "delete_entries": [(1, "data/eq.parquet", 2, None, [1])]},
+        ],
+    )
+    assert rows(read_iceberg(spark, r1)) == [(1, "a"), (3, None)]
+
+    # equality_ids pointing outside the declared schema refuse
+    r2 = tempfile.mkdtemp(dir=str(tmp_path))
+    stage_parquet_file(f1, r2, "data/f1.parquet")
+    stage_parquet_file(eq, r2, "data/eq.parquet")
+    write_conformance_table(
+        r2,
+        [
+            {"id": 1, "entries": [(1, "data/f1.parquet")],
+             "schema_fields": [(1, "k")]},
+            {"id": 2, "entries": [(0, "data/f1.parquet", 0, 1)],
+             "delete_entries": [(1, "data/eq.parquet", 2, None, [99])]},
+        ],
+    )
+    with pytest.raises(IcebergProtocolError, match="unknown field id"):
+        read_iceberg(spark, r2).collect()
