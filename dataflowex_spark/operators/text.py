@@ -724,3 +724,129 @@ def naive_bayes_label(
     return best.join(
         df.select(id_col, label_col), id_col
     ).select(id_col, label_col, "pred", "score_q")
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW
+    document by how target-like its hashed n-gram distribution is —
+    log w(d) = Σ over d's token buckets of log(p_target[b]/p_raw[b]),
+    the log importance ratio under hashed-multinomial language
+    models. The production data-selection method behind
+    target-domain pretraining mixes.
+
+    Plan shape: both corpora reduce to n_buckets-row count tables
+    (one explode + hash agg each, Laplace-smoothed); the per-bucket
+    log-ratio table BROADCASTS; each raw document's weight is one
+    scan-local explode + broadcast join + sum — the corpus shuffles
+    only on doc_id for the final per-doc sum. At 100 TB: two bounded
+    histogram passes plus one weight pass; nothing all-pairs, no
+    driver row-scale data. log() here is engine-side scoring (no SQL
+    oracle claims ride on it); determinism comes from exact integer
+    bucket counts and a fixed summation via exact per-bucket doubles.
+
+    Returns (id_col, n_tokens, log_w double)."""
+    from dataflowex_spark.functions.text import WS_REGEX
+
+    def buckets(df):
+        return df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), WS_REGEX)).alias(
+                "__tok"
+            ),
+        ).filter(F.col("__tok") != "").select(
+            id_col,
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10
+                ).cast("bigint"),
+                F.lit(n_buckets),
+            ).alias("__b"),
+        )
+
+    raw_b = buckets(raw)
+    tgt_b = buckets(target)
+    raw_hist = raw_b.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_raw")
+    )
+    tgt_hist = tgt_b.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_tgt")
+    )
+    n_raw = raw_b.count()
+    n_tgt = tgt_b.count()
+    grid = raw.sparkSession.range(n_buckets).select(
+        F.col("id").alias("__b")
+    )
+    # Laplace(+1) smoothing keeps every bucket's ratio finite
+    ratios = (
+        grid.join(raw_hist, "__b", "left")
+        .join(tgt_hist, "__b", "left")
+        .select(
+            "__b",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1).cast(
+                        "double"
+                    )
+                    / F.lit(float(n_tgt + n_buckets))
+                )
+                - F.log(
+                    (F.coalesce(F.col("c_raw"), F.lit(0)) + 1).cast(
+                        "double"
+                    )
+                    / F.lit(float(n_raw + n_buckets))
+                )
+            ).alias("__lr"),
+        )
+    )
+    return (
+        raw_b.join(F.broadcast(ratios), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("__lr").alias("log_w"),
+        )
+    )
+
+
+def dsir_sample(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    temperature: float = 1.0,
+    seed: str = "dsir",
+):
+    """Deterministic importance RESAMPLING of ``k`` docs from the
+    weight frame via Gumbel-top-k: key = log_w/T + Gumbel(md5-hash
+    uniform) — an exact weighted sample WITHOUT replacement whose
+    randomness is a hash (bit-reproducible across engines, runs, and
+    partitionings; the q359 hash-draw idiom). Distributed as a plain
+    top-k (TakeOrdered — per-partition heaps, no global sort
+    materialization). Returns the selected (id_col, log_w, gkey)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + "#"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    # u in (0,1); Gumbel = -log(-log(u))
+    gkey = F.col("log_w") / F.lit(float(temperature)) - F.log(
+        -F.log(u)
+    )
+    return (
+        weights.select(id_col, "log_w", gkey.alias("gkey"))
+        .orderBy(F.col("gkey").desc(), F.col(id_col))
+        .limit(k)
+    )

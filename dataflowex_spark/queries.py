@@ -22400,3 +22400,36 @@ def q403(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@q("q404_dsir_resample", None)  # rows-only: log-ratio scoring (libm)
+def q404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR DATA SELECTION (Xie et al. 2023) — the importance-
+    resampling method production LLM pipelines use to tilt a raw
+    corpus toward a target domain: hashed-unigram language models for
+    target (English docs) and raw (everything), per-doc log
+    importance ratio via ONE broadcast-joined weight pass, then
+    DETERMINISTIC Gumbel-top-k resampling (md5-hash uniforms — the
+    q359 hash-draw idiom — so the 'random' sample is bit-reproducible
+    and runs as a TakeOrdered, no global sort). Reports the selected
+    mix per source: how the 1000-doc selection tilted vs the corpus.
+    Rows-only (log-ratio scoring is libm); the planted-shift ranking
+    and sampling-proportionality properties are pytest-pinned."""
+    from dataflowex_spark.operators.text import dsir_log_weights, dsir_sample
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"]
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_log_weights(docs, target, "text", n_buckets=2048)
+    picked = dsir_sample(w, k=1000)
+    return (
+        picked.join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("picked"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("picked_en"),
+        )
+        .orderBy("source")
+    )

@@ -1160,3 +1160,36 @@ def test_aiff_and_au_decode():
         decode_audio(
             b".snd" + struct.pack(">IIIII", 24, 4, 27, 8000, 1) + bytes(4)
         )
+
+
+def test_dsir_weights_rank_target_like_docs(spark):
+    """Planted shift: docs made of target-only tokens outscore docs
+    of raw-only tokens; the Gumbel-top-k is deterministic and
+    weight-respecting."""
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.operators.text import (
+        dsir_log_weights,
+        dsir_sample,
+    )
+
+    tgt_rows = [(1000 + i, "alpha beta gamma") for i in range(20)]
+    raw_rows = (
+        [(i, "alpha beta gamma") for i in range(10)]  # target-like
+        + [(100 + i, "delta epsilon zeta") for i in range(10)]  # off
+    )
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    w = dsir_log_weights(raw, tgt, "text", n_buckets=64)
+    got = {r["doc_id"]: r["log_w"] for r in w.collect()}
+    like = [got[i] for i in range(10)]
+    off = [got[100 + i] for i in range(10)]
+    assert min(like) > max(off)  # clean separation under the shift
+    # deterministic sampling; at temperature→0 it is pure top-k
+    s1 = [r["doc_id"] for r in dsir_sample(w, 5, temperature=1e-6).collect()]
+    s2 = [r["doc_id"] for r in dsir_sample(w, 5, temperature=1e-6).collect()]
+    assert s1 == s2
+    assert set(s1) <= set(range(10))  # only target-like docs win
+    # higher temperature admits off-domain docs eventually
+    s_hot = {r["doc_id"] for r in dsir_sample(w, 15, temperature=50).collect()}
+    assert any(d >= 100 for d in s_hot)
