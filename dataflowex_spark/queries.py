@@ -22433,3 +22433,81 @@ def q404(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@q("q405_perplexity_filter", None)  # rows-only: LM scoring (libm)
+def q405(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERPLEXITY QUALITY FILTER (the CCNet/CC-raw curation step:
+    score documents under a language model trained on clean text,
+    drop the high-perplexity tail): the q389 unigram LM trains on the
+    English slice as the 'clean' model, every document scores
+    bits-per-piece = −mean log2 p(piece) over its Viterbi
+    segmentation (broadcast model, one Arrow pandas pass,
+    scan-local), and the report buckets each source's documents into
+    keep/review/drop perplexity bands. In production the model is a
+    KenLM 5-gram — the engine plumbing (train on a slice, broadcast,
+    score all, band) is exactly this; the unigram LM is the
+    in-sandbox stand-in. Banding follows CCNet's practice — cut at
+    score QUANTILES (exact global_ntile, zero unpartitioned windows)
+    rather than absolute bits, so the filter holds as models/corpora
+    drift. Rows-only (LM scores are libm)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from dataflowex_spark.operators.unigram import (
+        unigram_train,
+        viterbi_segment,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"].select("doc_id", "source", "lang", "text")
+    clean = docs.filter(F.col("lang") == "en")
+    model = unigram_train(
+        clean, "text", vocab_size=256, max_piece_len=6, max_words=20_000
+    )
+    bc = spark.sparkContext.broadcast(model)
+
+    @F.pandas_udf(T.DoubleType())
+    def bits_per_piece(texts):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        m = bc.value
+
+        def one(x):
+            if x is None:
+                return None
+            tot, n = 0.0, 0
+            for wd in x.split():
+                for piece in viterbi_segment(wd, m, 6):
+                    tot += m.get(piece, -100.0)
+                    n += 1
+            if n == 0:
+                return None
+            return -(tot / n) / math.log(2.0)
+
+        return pd.Series([one(x) for x in texts])
+
+    from dataflowex_spark.operators.windows import global_ntile
+
+    scored = docs.withColumn("bpp", bits_per_piece(F.col("text")))
+    # CCNet bands its thresholds from score QUANTILES, not absolute
+    # bits (models and corpora move; percentiles do not): exact
+    # 20-tile global rank via the zero-unpartitioned-window ntile —
+    # bottom 80% keep, next 15% review, top 5% drop
+    tiled = global_ntile(
+        scored,
+        20,
+        [F.col("bpp").asc(), F.col("doc_id").asc()],
+        out_col="tile",
+    )
+    band = (
+        F.when(F.col("tile") <= 16, "keep")
+        .when(F.col("tile") <= 19, "review")
+        .otherwise("drop")
+    )
+    return (
+        tiled.groupBy("source", band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("docs"))
+        .orderBy("source", "band")
+    )
