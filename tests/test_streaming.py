@@ -633,12 +633,22 @@ def test_drift_monitor_stream_per_batch_equals_batch(spark, sf_dir, tmp_path):
     rows = {r["batch_id"]: r for r in out.collect()}
     assert len(rows) >= 1
     # recompute each chunk's PSI in batch mode from the replay staging
+    # (the staging dir is keyed by THIS source's content identity —
+    # a bare *_3 glob would also match other tests' 3-chunk replays)
     import glob
+    import hashlib
+    import os
     import tempfile
 
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    tag = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
     staged = sorted(
         glob.glob(
-            f"{tempfile.gettempdir()}/dataflowex_replay_*_3/part-*.parquet"
+            f"{tempfile.gettempdir()}/dataflowex_replay_{tag}_3/"
+            "part-*.parquet"
         )
     )
     # map chunks to batches by matching n_cur
