@@ -656,3 +656,46 @@ def consistent_hash_owner(
         owner = owner.when(F.col("__kpos") <= F.lit(pos), F.lit(shard))
     owner = owner.otherwise(F.lit(ring[0][1]))  # wraparound
     return keyed.select(key, owner.cast("long").alias(owner_col))
+
+
+def for_portion_of_update(
+    df,
+    start_col: str,
+    end_col: str,
+    portion_lo,
+    portion_hi,
+    set_values: dict,
+):
+    """SQL:2011 application-time ``UPDATE … FOR PORTION OF`` semantics
+    (the temporal-table feature DB2/MariaDB implement natively):
+    every validity period [start, end) overlapping the portion
+    [lo, hi) SPLITS — the sub-period inside the portion takes the
+    new values, the pieces outside keep the old row — so history
+    stays contiguous and lossless. Rows not overlapping pass through
+    untouched.
+
+    Pure scan-local algebra: three filtered projections unioned —
+    zero shuffles, zero UDFs; at 100 TB it is one map over the
+    table, and when the portion bounds are literals the non-overlap
+    branch's filter pushes to the scan. Periods are half-open;
+    degenerate (empty) segments are dropped."""
+    from pyspark.sql import functions as F
+
+    lo = F.lit(portion_lo)
+    hi = F.lit(portion_hi)
+    s, e = F.col(start_col), F.col(end_col)
+    overlap = (s < hi) & (e > lo)
+    untouched = df.filter(~overlap)
+    ov = df.filter(overlap)
+    head = ov.filter(s < lo).withColumn(end_col, lo)
+    mid = ov.withColumn(start_col, F.greatest(s, lo)).withColumn(
+        end_col, F.least(e, hi)
+    )
+    for c, v in set_values.items():
+        mid = mid.withColumn(c, v)
+    tail = ov.filter(e > hi).withColumn(start_col, hi)
+    return (
+        untouched.unionByName(head)
+        .unionByName(mid)
+        .unionByName(tail)
+    )

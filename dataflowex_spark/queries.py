@@ -22511,3 +22511,192 @@ def q405(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("docs"))
         .orderBy("source", "band")
     )
+
+
+@q(
+    "q406_bag_set_ops",
+    """
+    WITH a AS (SELECT c_nationkey AS k FROM customer),
+    b AS (SELECT s_nationkey AS k FROM supplier),
+    i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+    e AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    SELECT 'intersect_all' AS op, k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM i GROUP BY k
+    UNION ALL
+    SELECT 'except_all', k, CAST(COUNT(*) AS BIGINT)
+    FROM e GROUP BY k
+    ORDER BY op, k
+    """,
+)
+def q406(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-SEMANTICS set operations (INTERSECT ALL / EXCEPT ALL —
+    q52/q53's DISTINCT forms with multiplicities kept): per key the
+    intersection carries min(m_a, m_b) copies and the difference
+    max(0, m_a − m_b), which is exactly what reconciliation-style
+    counting needs (how MANY of each did both sides have). Both
+    engines implement the SQL bag semantics natively — the hash
+    match pins Spark's INTERSECT ALL/EXCEPT ALL against DuckDB's on
+    skewed multiplicities (customers per nation ≫ suppliers per
+    nation)."""
+    cat = Catalog(spark, sf_dir)
+    a = cat["customer"].select(F.col("c_nationkey").alias("k"))
+    b = cat["supplier"].select(F.col("s_nationkey").alias("k"))
+    i = a.intersectAll(b).groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(F.lit("intersect_all").alias("op"), "k", "n")
+    e = a.exceptAll(b).groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(F.lit("except_all").alias("op"), "k", "n")
+    return i.unionByName(e).orderBy("op", "k")
+
+
+@q(
+    "q407_sql_unpivot",
+    """
+    WITH src AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS qty_cents,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS price_cents,
+             CAST(SUM(CAST(floor(l_tax * 10000) AS BIGINT))
+                  AS BIGINT) AS tax_bps
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, amount
+    FROM src
+    UNPIVOT (amount FOR measure IN (qty_cents, price_cents, tax_bps))
+    ORDER BY l_returnflag, measure
+    """,
+)
+def q407(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE SQL UNPIVOT (the standard syntax, vs q151's stack()
+    expression form): a wide per-flag measure row melts into
+    (flag, measure, amount) through the UNPIVOT clause BOTH engines
+    parse — one query text pins both implementations' column-naming
+    and null-dropping semantics against each other. Integer-exact
+    measures; at scale UNPIVOT is a zero-shuffle generator (each
+    input row fans to k rows in place)."""
+    cat = Catalog(spark, sf_dir)
+    src = cat["lineitem"].groupBy("l_returnflag").agg(
+        F.sum(F.floor(F.col("l_quantity") * 100).cast("long"))
+        .cast("long")
+        .alias("qty_cents"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("price_cents"),
+        F.sum(F.floor(F.col("l_tax") * 10000).cast("long"))
+        .cast("long")
+        .alias("tax_bps"),
+    )
+    src.createOrReplaceTempView("__q407_src")
+    return spark.sql(
+        """
+        SELECT l_returnflag, measure, amount
+        FROM __q407_src
+        UNPIVOT (amount FOR measure IN (qty_cents, price_cents, tax_bps))
+        ORDER BY l_returnflag, measure
+        """
+    )
+
+
+@q(
+    "q408_percentile_within_group",
+    """
+    SELECT o_orderpriority,
+           CAST(percentile_disc(0.5) WITHIN GROUP
+                (ORDER BY CAST(floor(o_totalprice) AS BIGINT))
+                AS BIGINT) AS p50_disc,
+           CAST(percentile_disc(0.9) WITHIN GROUP
+                (ORDER BY CAST(floor(o_totalprice) AS BIGINT))
+                AS BIGINT) AS p90_disc,
+           CAST(floor(percentile_cont(0.5) WITHIN GROUP
+                (ORDER BY CAST(floor(o_totalprice) AS BIGINT)) * 100)
+                AS BIGINT) AS p50_cont_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q408(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED-SET AGGREGATES (percentile_disc / percentile_cont
+    WITHIN GROUP — the SQL:2003 inverse-distribution functions Spark
+    gained in 3.4): discrete percentiles are EXACT row values
+    (integer-safe by construction); the continuous median's single
+    interpolation step is floor-quantized to cents. One query text
+    pins both engines' WITHIN GROUP implementations — the modern
+    surface over the same math q209/q334's sketches approximate at
+    scale."""
+    cat = Catalog(spark, sf_dir)
+    cat["orders"].createOrReplaceTempView("__q408_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(percentile_disc(0.5) WITHIN GROUP
+                    (ORDER BY CAST(floor(o_totalprice) AS BIGINT))
+                    AS BIGINT) AS p50_disc,
+               CAST(percentile_disc(0.9) WITHIN GROUP
+                    (ORDER BY CAST(floor(o_totalprice) AS BIGINT))
+                    AS BIGINT) AS p90_disc,
+               CAST(floor(percentile_cont(0.5) WITHIN GROUP
+                    (ORDER BY CAST(floor(o_totalprice) AS BIGINT)) * 100)
+                    AS BIGINT) AS p50_cont_cents
+        FROM __q408_orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@q(
+    "q409_for_portion_of",
+    """
+    WITH v AS (
+      SELECT o_orderkey AS k,
+             CAST(o_orderkey % 50 AS BIGINT) AS s,
+             CAST(o_orderkey % 50 + o_orderkey % 13 + 5 AS BIGINT) AS e,
+             CAST(floor(o_totalprice) AS BIGINT) AS bal
+      FROM orders
+    ),
+    untouched AS (SELECT * FROM v WHERE NOT (s < 40 AND e > 20)),
+    ov AS (SELECT * FROM v WHERE s < 40 AND e > 20),
+    head AS (SELECT k, s, CAST(20 AS BIGINT) AS e, bal
+             FROM ov WHERE s < 20),
+    mid AS (SELECT k, GREATEST(s, 20) AS s, LEAST(e, 40) AS e,
+                   2 * bal AS bal FROM ov),
+    tail AS (SELECT k, CAST(40 AS BIGINT) AS s, e, bal
+             FROM ov WHERE e > 40),
+    allrows AS (
+      SELECT * FROM untouched UNION ALL SELECT * FROM head
+      UNION ALL SELECT * FROM mid UNION ALL SELECT * FROM tail
+    )
+    SELECT k, s, e, bal FROM allrows ORDER BY k, s
+    """,
+)
+def q409(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2011 APPLICATION-TIME UPDATE (``FOR PORTION OF`` — the
+    temporal-table splitting semantics DB2/MariaDB ship natively,
+    completing the repo's temporal family: SCD2 q122, PIT q157,
+    bitemporal q276): validity periods overlapping [20, 40) split
+    into head/updated-middle/tail segments (balance doubles inside
+    the portion, history outside is untouched and contiguous). The
+    operator is three filtered projections unioned — zero shuffles,
+    zero UDFs — and the oracle replays the same split algebra, so
+    the hash match pins the boundary conditions (half-open periods,
+    degenerate-segment dropping) exactly."""
+    from dataflowex_spark.operators.etl import for_portion_of_update
+
+    cat = Catalog(spark, sf_dir)
+    v = cat["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 50).cast("long").alias("s"),
+        (
+            F.col("o_orderkey") % 50 + F.col("o_orderkey") % 13 + 5
+        ).cast("long").alias("e"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("bal"),
+    )
+    out = for_portion_of_update(
+        v, "s", "e", 20, 40, {"bal": F.col("bal") * 2}
+    )
+    return out.select("k", "s", "e", "bal").orderBy("k", "s")

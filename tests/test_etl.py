@@ -2185,3 +2185,45 @@ def test_mtable_incremental_optimize(spark, tmp_path):
     assert sorted((r["k"], r["v"]) for r in t.read().collect()) == (
         content_before
     )
+
+
+def test_for_portion_of_update_boundaries(spark):
+    """Half-open split algebra: contained, spanning, touching, and
+    disjoint periods; lossless contiguity; degenerate segments
+    dropped."""
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.operators.etl import for_portion_of_update
+
+    rows = [
+        (1, 0, 10, 5),    # disjoint (before)
+        (2, 40, 50, 5),   # touching at hi (disjoint: half-open)
+        (3, 25, 35, 5),   # contained -> single updated segment
+        (4, 10, 50, 5),   # spans -> head + mid + tail
+        (5, 15, 30, 5),   # overlaps left -> head + mid
+        (6, 30, 45, 5),   # overlaps right -> mid + tail
+        (7, 20, 40, 5),   # exact match -> single updated segment
+    ]
+    df = spark.createDataFrame(rows, "k int, s long, e long, bal long")
+    out = for_portion_of_update(
+        df, "s", "e", 20, 40, {"bal": F.col("bal") * 2}
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == sorted(
+        [
+            (1, 0, 10, 5),
+            (2, 40, 50, 5),
+            (3, 25, 35, 10),
+            (4, 10, 20, 5), (4, 20, 40, 10), (4, 40, 50, 5),
+            (5, 15, 20, 5), (5, 20, 30, 10),
+            (6, 30, 40, 10), (6, 40, 45, 5),
+            (7, 20, 40, 10),
+        ]
+    )
+    # lossless: per key, total covered length is unchanged
+    for k, spans in {
+        k: [(s, e) for kk, s, e, _ in got if kk == k]
+        for k in range(1, 8)
+    }.items():
+        orig = next((e - s) for kk, s, e, _ in rows if kk == k)
+        assert sum(e - s for s, e in spans) == orig, k
