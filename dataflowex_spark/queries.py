@@ -22700,3 +22700,73 @@ def q409(spark: SparkSession, sf_dir: str) -> DataFrame:
         v, "s", "e", 20, 40, {"bal": F.col("bal") * 2}
     )
     return out.select("k", "s", "e", "bal").orderBy("k", "s")
+
+
+@q(
+    "q410_dynamic_gap_sessions",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             ts + CASE WHEN event_type = 'view'
+                       THEN INTERVAL 10 MINUTE
+                       ELSE INTERVAL 30 MINUTE END AS en
+      FROM events
+    ),
+    y AS (
+      SELECT user_id, ts, event_id, en,
+             MAX(en) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_end
+      FROM e
+    ),
+    z AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_end IS NULL OR ts >= prev_end
+                  THEN 1 ELSE 0 END AS brk
+      FROM y
+    ),
+    s AS (
+      SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sess
+      FROM z
+    ),
+    per_sess AS (
+      SELECT user_id, sess, COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sess
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events
+    FROM per_sess GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q410(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-GAP SESSION WINDOWS (Spark's session_window with a
+    PER-EVENT gap expression — q353 used a fixed gap): views extend a
+    session only 10 minutes, everything else 30, the
+    engagement-weighted sessionization product analytics actually
+    wants. Spark's native implementation (merge intervals
+    [ts, ts+gap)) is pinned against a FIRST-PRINCIPLES oracle: a
+    session breaks exactly when ts ≥ running max of all previous
+    events' extents (one partitioned window), so the hash match
+    proves the merge semantics, not just row counts. Batch here;
+    the same expression drives the streaming form."""
+    cat = Catalog(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "view", F.lit("10 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    sess = (
+        cat["events"]
+        .groupBy("user_id", F.session_window(F.col("ts"), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.max("n_events").cast("long").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
