@@ -1040,3 +1040,52 @@ def pq_recall_audit(
         )
         .orderBy("probe_id")
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Greedy k-center (Gonzalez farthest-point) DIVERSITY selection —
+    the coreset sampler embedding-curation pipelines use to pick a
+    maximally-spread subset (2-approximation to the k-center optimum,
+    the classic guarantee). Deterministic: seeded at the minimum id,
+    each round picks the point maximizing distance-to-nearest-center
+    with ties broken by id.
+
+    Scale shape: k−1 rounds, each ONE scan-local min-distance
+    projection against the BROADCAST center list plus a TakeOrdered
+    top-1 (per-partition heaps) — the corpus never shuffles and
+    driver state is k rows. k is small by the method's nature
+    (diversity anchors, not clustering). Returns the selected rows as
+    a list of (id, vector)."""
+    from pyspark.sql import functions as F
+
+    first = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(1).collect()[0]
+    )
+    centers = [(first[id_col], list(first[vec_col]))]
+    for _ in range(k - 1):
+        dist_exprs = [
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in vec]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for _cid, vec in centers
+        ]
+        nearest = F.least(*dist_exprs) if len(dist_exprs) > 1 else dist_exprs[0]
+        far = (
+            df.select(id_col, vec_col, nearest.alias("__d"))
+            .orderBy(F.col("__d").desc(), F.col(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((far[id_col], list(far[vec_col])))
+    return centers

@@ -22770,3 +22770,52 @@ def q410(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@q("q411_kcenter_coreset", None)  # rows-only: float argmax loop
+def q411(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CENTER CORESET SELECTION (Gonzalez greedy, the classic
+    2-approximation) for embedding-diversity curation — the "pick a
+    maximally-spread subset" step next to SemDeDup's near-dup
+    removal (q197) and DSIR's domain tilt (q404): 12 diversity
+    anchors from the embeddings table, each of the k−1 rounds ONE
+    scan-local min-distance projection against the broadcast center
+    list plus a TakeOrdered top-1 — the corpus never shuffles.
+    Reports the selected anchors with their label mix and
+    nearest-center coverage radius of the final set (how far the
+    farthest point is — the k-center objective itself). Rows-only
+    (float distance argmax); the planted-cluster one-anchor-per-
+    cluster property is pytest-pinned."""
+    from dataflowex_spark.operators.similarity import kcenter_select
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat["embeddings"]
+    centers = kcenter_select(emb, k=12)
+    ids = [int(c[0]) for c in centers]
+    dist_exprs = [
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(float(x)) for x in vec]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for _cid, vec in centers
+    ]
+    radius = emb.select(
+        F.least(*dist_exprs).alias("__d")
+    ).agg(F.max("__d").alias("r2"))
+    r2 = radius.collect()[0]["r2"]
+    picked = emb.filter(F.col("vec_id").isin(ids)).select(
+        "vec_id", "label"
+    )
+    return (
+        picked.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("anchors"))
+        .withColumn(
+            "coverage_r2_ppm", F.lit(int(r2 * 1_000_000)).cast("long")
+        )
+        .orderBy("label")
+    )

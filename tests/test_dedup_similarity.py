@@ -884,3 +884,26 @@ def test_psnr_ssim_reference_behavior(spark):
     assert got["noisy"][0] < 99.0 and got["noisy"][1] < 1.0
     assert got["broken"] == (None, None)
     assert got["missing"] == (None, None)
+
+
+def test_kcenter_picks_one_anchor_per_planted_cluster(spark):
+    import numpy as np
+
+    from dataflowex_spark.operators.similarity import kcenter_select
+
+    rng = np.random.RandomState(3)
+    rows = []
+    # 4 tight clusters far apart
+    for c in range(4):
+        center = np.zeros(8)
+        center[c * 2] = 100.0
+        for i in range(25):
+            v = center + rng.normal(0, 0.5, 8)
+            rows.append((c * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centers = kcenter_select(df, k=4)
+    clusters = {cid // 100 for cid, _vec in centers}
+    assert clusters == {0, 1, 2, 3}  # one anchor per planted cluster
+    # deterministic across runs
+    again = kcenter_select(df, k=4)
+    assert [c[0] for c in centers] == [c[0] for c in again]
