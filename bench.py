@@ -99,6 +99,10 @@ HEADLINE = [
     # attribution (journey agg + integer coalition sums)
     "q383_mv_rewrite",
     "q390_shapley_attribution",
+    # round-6e late additions: the from-scratch Delta log round trip
+    # and the SQL:2011 period-split update (pure scan algebra)
+    "q393_delta_read",
+    "q409_for_portion_of",
 ]
 
 

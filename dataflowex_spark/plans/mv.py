@@ -108,8 +108,10 @@ class MVCatalog:
         The summary is written range-partitioned on the grain keys so
         grain-key filters prune summary files too (the MV read path
         gets the same data-skipping the base enjoys)."""
-        mv_df = base_df.groupBy(*[F.col(k) for k in keys]).agg(
-            *_measure_exprs(aggs)
+        mv_df = (
+            with_hll_inputs(base_df, aggs)
+            .groupBy(*[F.col(k) for k in keys])
+            .agg(*_measure_exprs(aggs))
         )
         (
             mv_df.repartitionByRange(
@@ -351,18 +353,37 @@ _HLL_WBITS = 60 - HLL_MV_P
 _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)  # same literal in SQL
 
 
+def with_hll_inputs(df: DataFrame, aggs) -> DataFrame:
+    """Project the (register index, rank) helper columns ONCE per
+    hll measure BEFORE the aggregate: the 64 conditional MAXes in
+    :func:`_hll_store_expr` would otherwise each re-evaluate the
+    md5/conv chain per row (codegen does NOT share subexpressions
+    across aggregate functions — measured 14 s → 2 s on 6M rows)."""
+    for _mv_col, (fn, col) in aggs.items():
+        if fn != "hll" or f"__hj_{col}" in df.columns:
+            continue
+        h = F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        w = F.floor(h / F.lit(_HLL_M)).cast("long")
+        df = df.withColumn(
+            f"__hj_{col}", F.pmod(h, F.lit(_HLL_M))
+        ).withColumn(
+            f"__hr_{col}",
+            F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+                F.lit(_HLL_WBITS) - F.length(F.bin(w)) + 1
+            ),
+        )
+    return df
+
+
 def _hll_store_expr(col: str) -> Column:
     """64-long register array for one grain cell, in ONE hash agg
-    (64 conditional MAXes — the minhash assemble-outside-agg idiom;
-    md5 subexpressions share via codegen CSE)."""
-    h = F.conv(
-        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
-    j = F.pmod(h, F.lit(_HLL_M))
-    w = F.floor(h / F.lit(_HLL_M)).cast("long")
-    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
-        F.lit(_HLL_WBITS) - F.length(F.bin(w)) + 1
-    )
+    (64 conditional MAXes over the PRE-PROJECTED (j, rho) columns
+    from :func:`with_hll_inputs` — the minhash assemble-outside-agg
+    idiom)."""
+    j = F.col(f"__hj_{col}")
+    rho = F.col(f"__hr_{col}")
     return F.array(
         *[
             F.coalesce(
@@ -498,8 +519,10 @@ def refresh_insert_only(
         *[F.col(f"{k}__post").alias(k) for k in keys],
         *[F.col(f"{c}__post").alias(c) for c in value_cols],
     )
-    fresh = news.groupBy(*[F.col(k) for k in keys]).agg(
-        *_measure_exprs(aggs)
+    fresh = (
+        with_hll_inputs(news, aggs)
+        .groupBy(*[F.col(k) for k in keys])
+        .agg(*_measure_exprs(aggs))
     )
     cur = mv_table.read().select(
         *keys, *[F.col(c).alias(f"{c}__old") for c in aggs]

@@ -22339,8 +22339,9 @@ def q403(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dataflowex_spark.plans.mv import (
         _hll_estimate_expr,
-        refresh_insert_only,
         _measure_exprs,
+        refresh_insert_only,
+        with_hll_inputs,
     )
     from dataflowex_spark.sources.mtable import MTable
 
@@ -22376,7 +22377,11 @@ def q403(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartitionByRange(8, "rid"),
         "rid",
     )
-    mv0 = base.read().groupBy("l_returnflag").agg(*_measure_exprs(aggs))
+    mv0 = (
+        with_hll_inputs(base.read(), aggs)
+        .groupBy("l_returnflag")
+        .agg(*_measure_exprs(aggs))
+    )
     mv = MTable.create(spark, root + "/mv", mv0, "l_returnflag")
 
     ins = new_rows.select(

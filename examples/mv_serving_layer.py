@@ -29,6 +29,7 @@ from dataflowex_spark.plans.mv import (
     hru_greedy,
     lattice_cell_counts,
     refresh_insert_only,
+    with_hll_inputs,
 )
 from dataflowex_spark.sources.mtable import MTable
 
@@ -116,7 +117,11 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
         "rid",
     )
     s_aggs = {"n": ("count", None), "pk_hll": ("hll", "l_partkey")}
-    mv0 = base.read().groupBy("l_returnflag").agg(*_measure_exprs(s_aggs))
+    mv0 = (
+        with_hll_inputs(base.read(), s_aggs)
+        .groupBy("l_returnflag")
+        .agg(*_measure_exprs(s_aggs))
+    )
     summary = MTable.create(spark, root + "/summary", mv0, "l_returnflag")
     base.merge(
         new.select(
@@ -151,7 +156,7 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
     }
     rebuilt = {
         r["l_returnflag"]: (r["n"], r["est"])
-        for r in base.read()
+        for r in with_hll_inputs(base.read(), s_aggs)
         .groupBy("l_returnflag")
         .agg(*_measure_exprs(s_aggs))
         .select(

@@ -351,6 +351,7 @@ def test_refresh_insert_only_all_measures(spark, tmp_path):
     from dataflowex_spark.plans.mv import (
         _measure_exprs,
         refresh_insert_only,
+        with_hll_inputs,
     )
 
     root = str(tmp_path)
@@ -368,7 +369,11 @@ def test_refresh_insert_only_all_measures(spark, tmp_path):
         "v_mx": ("max", "v"),
         "u_h": ("hll", "u"),
     }
-    mv0 = base.read().groupBy("g").agg(*_measure_exprs(aggs))
+    mv0 = (
+        with_hll_inputs(base.read(), aggs)
+        .groupBy("g")
+        .agg(*_measure_exprs(aggs))
+    )
     mv = MTable.create(spark, root + "/mv", mv0, "g")
     ins = spark.range(1000, 1100).select(
         F.col("id").alias("k"),
@@ -383,7 +388,11 @@ def test_refresh_insert_only_all_measures(spark, tmp_path):
     refresh_insert_only(
         mv, base.read_changes(1, 2, images="both"), ["g"], aggs
     )
-    want = base.read().groupBy("g").agg(*_measure_exprs(aggs))
+    want = (
+        with_hll_inputs(base.read(), aggs)
+        .groupBy("g")
+        .agg(*_measure_exprs(aggs))
+    )
     got = {r["g"]: r.asDict() for r in mv.read().collect()}
     for r in want.collect():
         w = r.asDict()
