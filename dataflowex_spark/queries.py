@@ -22824,3 +22824,134 @@ def q411(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@q(
+    "q412_lakehouse_federation",
+    """
+    WITH m AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    d AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer WHERE c_custkey % 3 = 1
+    ),
+    i AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer WHERE c_custkey % 3 = 2
+    ),
+    unioned AS (
+      SELECT 'mtable' AS fmt, * FROM m
+      UNION ALL SELECT 'delta', * FROM d
+      UNION ALL SELECT 'iceberg', * FROM i
+    )
+    SELECT fmt, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+    FROM unioned
+    GROUP BY fmt, c_mktsegment
+    ORDER BY fmt, c_mktsegment
+    """,
+)
+def q412(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAKEHOUSE FEDERATION — three table formats in ONE plan: a
+    third of the customers lands in an MTable, a third in a
+    hand-built DELTA table, a third in a hand-built ICEBERG table,
+    and a single query unions all three THROUGH THEIR READERS
+    (MTable.read / read_delta / read_iceberg) and aggregates per
+    (format, segment). The hash match against the straight
+    partition-of-customer oracle proves the three from-scratch read
+    paths agree byte-for-byte on the same source rows — the closing
+    composition over q291 (MTable), q393 (Delta), q398 (Iceberg).
+    Every branch is ordinary parquet scanning after metadata
+    resolution, so Catalyst plans the union like any native read —
+    federation costs nothing at 100 TB beyond the per-format
+    metadata walks."""
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        read_delta,
+        stage_parquet_file,
+        write_conformance_log,
+    )
+    from dataflowex_spark.sources.iceberg_reader import (
+        read_iceberg,
+        write_conformance_table,
+    )
+    from dataflowex_spark.sources.mtable import MTable
+
+    import json as _json
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"].select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="q412_")
+
+    mt = MTable.create(
+        spark,
+        root + "/mtable",
+        cust.filter(F.col("c_custkey") % 3 == 0).repartitionByRange(
+            4, "c_custkey"
+        ),
+        "c_custkey",
+    )
+
+    droot = root + "/delta"
+    stage_parquet_file(
+        cust.filter(F.col("c_custkey") % 3 == 1), droot, "f.parquet"
+    )
+    write_conformance_log(
+        droot,
+        [[
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "q412",
+                    "schemaString": _json.dumps(cust.schema.jsonValue()),
+                    "partitionColumns": [],
+                    "format": {"provider": "parquet"},
+                }
+            },
+            {"add": {"path": "f.parquet", "partitionValues": {},
+                     "dataChange": True}},
+        ]],
+    )
+
+    iroot = root + "/iceberg"
+    stage_parquet_file(
+        cust.filter(F.col("c_custkey") % 3 == 2),
+        iroot,
+        "data/f.parquet",
+    )
+    write_conformance_table(
+        iroot, [{"id": 1, "entries": [(1, "data/f.parquet")]}]
+    )
+
+    def tag(df, fmt):
+        return df.select(
+            F.lit(fmt).alias("fmt"),
+            "c_custkey",
+            "c_mktsegment",
+            "bal_cents",
+        )
+
+    unioned = (
+        tag(mt.read(), "mtable")
+        .unionByName(tag(read_delta(spark, droot), "delta"))
+        .unionByName(tag(read_iceberg(spark, iroot), "iceberg"))
+    )
+    return (
+        unioned.groupBy("fmt", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .orderBy("fmt", "c_mktsegment")
+    )
