@@ -6427,7 +6427,7 @@ def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem JOIN natsupp ON s_suppkey = l_suppkey
       GROUP BY l_partkey
     ), tot AS (SELECT SUM(value_cents) AS t FROM val)
-    SELECT l_partkey AS partkey, value_cents
+    SELECT l_partkey AS partkey, CAST(value_cents AS BIGINT) AS value_cents
     FROM val CROSS JOIN tot
     WHERE value_cents * 1000 > t
     ORDER BY value_cents DESC, partkey
@@ -6895,7 +6895,16 @@ def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("media")
     )
     return multimodal.spectral_features(media).select(
-        "uri", "sample_rate", "peak_hz", "centroid_hz", "band_energy_q"
+        "uri",
+        "sample_rate",
+        "peak_hz",
+        "centroid_hz",
+        # The operator's API keeps the array<bigint> band vector; the
+        # QUERY projection flattens it to a scalar string because the
+        # driver canonicalizes results with pandas sort_values, which
+        # cannot order ndarray cells (r6 harness TypeError). Same
+        # information, hashable shape.
+        F.array_join("band_energy_q", ",").alias("band_energy_csv"),
     )
 
 
@@ -18389,7 +18398,8 @@ def q356(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS spend_cents
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS spend_cents
     FROM orders
     WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
       AND NOT (o_totalprice < 5000.0)
@@ -18448,7 +18458,8 @@ def q357(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -18597,8 +18608,9 @@ def q359(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_ok,
            CAST(COUNT(*) FILTER (WHERE o_orderkey % 97 = 0) AS BIGINT)
              AS n_bad,
-           COALESCE(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
-             FILTER (WHERE o_orderkey % 97 <> 0), 0) AS spend_cents
+           CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             FILTER (WHERE o_orderkey % 97 <> 0), 0) AS BIGINT)
+             AS spend_cents
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -18958,8 +18970,8 @@ def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
-             AS price_cents
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+             AS BIGINT) AS price_cents
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_totalprice > 400000
     GROUP BY o_orderpriority
@@ -19127,8 +19139,8 @@ def q365(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
-             AS spend_cents
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             AS BIGINT) AS spend_cents
     FROM orders
     WHERE o_orderkey % 7 <> 3 AND o_custkey % 50 <> 1
     GROUP BY o_orderstatus
@@ -19247,8 +19259,8 @@ def q367(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q368_mtable_pruned_mor_read",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
-             AS spend_cents,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             AS BIGINT) AS spend_cents,
            CAST(MIN(o_orderkey) AS BIGINT) AS min_k,
            CAST(MAX(o_orderkey) AS BIGINT) AS max_k
     FROM orders
