@@ -127,7 +127,11 @@ def covariance_matrix(
         )
     )
     if round_digits is not None:
-        cov = cov.withColumn("cov", F.round("cov", round_digits))
+        # + 0.0 flushes IEEE negative zero to +0.0: a rounded -1e-9
+        # renders '-0.0' and hash-mismatches the oracle's '0.0'.
+        cov = cov.withColumn(
+            "cov", F.round("cov", round_digits) + F.lit(0.0)
+        )
     return cov.orderBy("i", "j")
 
 

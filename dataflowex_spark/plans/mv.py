@@ -286,6 +286,15 @@ def refresh_incremental(
             raise ValueError(
                 "insert_only refresh saw a delete/update in the feed"
             )
+    if len(keys) != 1:
+        # MTable's merge key is single-column by contract; silently
+        # keeping keys[0] would collapse distinct groups sharing it
+        # through the keyed merge and corrupt the persisted summary.
+        raise ValueError(
+            "incremental refresh needs a single-column grain (MTable "
+            f"merge key); got {keys} — derive a composite surrogate "
+            "key column from the grain first"
+        )
     deltas = group_deltas(changes, keys, aggs)
     key = keys[0]
     cnt_col = next(
@@ -509,6 +518,12 @@ def refresh_insert_only(
     for min/max/hll under general feeds disappears here). The feed
     must be pure inserts (guarded). New-row partials aggregate at
     grain once; the keyed MERGE rewrites only touched summary files."""
+    if len(keys) != 1:
+        raise ValueError(
+            "insert-only refresh needs a single-column grain (MTable "
+            f"merge key); got {keys} — derive a composite surrogate "
+            "key column from the grain first"
+        )
     bad = changes.filter(F.col("op") != "I").limit(1).count()
     if bad:
         raise ValueError("refresh_insert_only saw a non-insert op")

@@ -33,6 +33,26 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def cacheable(df: DataFrame) -> bool:
+    """Whether a plan's fingerprint actually pins its DATA.
+
+    A ``LocalRelation`` / ``LogicalRDD`` (``createDataFrame`` —
+    Spark 4's Arrow path prints the latter) carries only attribute
+    names in the analyzed plan — two different in-memory datasets
+    with the same schema would fingerprint identically — and
+    contributes no input files. Any plan containing one (or reading
+    no files at all) is refused rather than risk serving one
+    dataset's cached rows for another, or stale rows after an
+    in-memory lookup changes."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    if any(
+        marker in analyzed
+        for marker in ("LocalRelation", "LocalTableScan", "LogicalRDD")
+    ):
+        return False
+    return bool(df.inputFiles())
+
+
 def plan_fingerprint(df: DataFrame) -> str:
     """Canonical content-address of (logical plan, input data)."""
     analyzed = df._jdf.queryExecution().analyzed().toString()
@@ -66,7 +86,11 @@ class ResultCache:
     def get_or_compute(self, df: DataFrame) -> tuple[DataFrame, bool]:
         """(result frame, was_hit). On a miss the result materializes
         into the store and is returned AS the stored scan, so hit and
-        miss paths yield byte-identical frames."""
+        miss paths yield byte-identical frames. Uncacheable plans
+        (:func:`cacheable` — LocalRelation / no input files) fall
+        through to plain computation and never populate the store."""
+        if not cacheable(df):
+            return df, False
         fp = plan_fingerprint(df)
         dest = self._entry(fp)
         if not os.path.exists(dest):

@@ -10027,7 +10027,7 @@ def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.i, b.i
     )
     SELECT CAST(p.i - 1 AS INTEGER) AS i, CAST(p.j - 1 AS INTEGER) AS j,
-           ROUND(sp / n.n - (ma.sv / n.n) * (mb.sv / n.n), 6) AS cov
+           ROUND(sp / n.n - (ma.sv / n.n) * (mb.sv / n.n), 6) + 0.0 AS cov
     FROM p CROSS JOIN n
     JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
     ORDER BY i, j

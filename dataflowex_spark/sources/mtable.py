@@ -1592,7 +1592,14 @@ class MTable:
         qualifies), deliberately not relative to the file count: a
         k-file rewrite can't produce per-file volume below ~1/k, so
         a relative floor would re-rewrite its own output forever
-        instead of converging. Returns
+        instead of converging. Convergence does NOT rest on the
+        threshold alone: rewritten files are tagged in the manifest
+        with the clustering spec (``zorder``) and are never
+        re-selected under the same spec — range-partition boundaries
+        are SAMPLED, so an unevenly split output file can score above
+        any absolute threshold; the tag makes a fixed point
+        structural (changing ``cols`` re-qualifies everything).
+        Returns
         (new_version | None, files_rewritten) — None when nothing
         qualifies (repeated calls converge to a no-op).
 
@@ -1640,8 +1647,17 @@ class MTable:
                     continue  # non-numeric stats: skip dimension
             return s
 
+        # Convergence is STRUCTURAL, not score-threshold-based: files
+        # this routine already rewrote under the same clustering spec
+        # carry a ``zorder`` tag and are never re-selected. Scores
+        # alone can't guarantee convergence — repartitionByRange
+        # boundaries come from sampling, so an unevenly split output
+        # file can score above any absolute threshold and would be
+        # re-rewritten forever.
+        zspec = list(zcols)
+        candidates = [e for e in files if e.get("zorder") != zspec]
         scored = sorted(
-            ((score(e), e) for e in files),
+            ((score(e), e) for e in candidates),
             key=lambda t: (-t[0], t[1]["path"]),
         )
         todo = [e for s, e in scored[:max_files] if s > min_score]
@@ -1687,6 +1703,8 @@ class MTable:
             bloom_cols=m.get("bloom_cols"),
         )
         self._validate_new_files(entries)
+        for e in entries:
+            e["zorder"] = zspec
         v = self._commit(
             keep + entries, key_col, parent=m["version"],
             stats_cols=stats_cols,

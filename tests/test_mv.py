@@ -1,6 +1,8 @@
 """Materialized-view engine: rewrite subsumption, measure
 derivation, coarsest-MV choice, and incremental refresh."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -412,3 +414,62 @@ def test_refresh_insert_only_all_measures(spark, tmp_path):
         refresh_insert_only(
             mv, base.read_changes(2, 3, images="both"), ["g"], aggs
         )
+
+
+def test_result_cache_refuses_local_relations(spark, tmp_path):
+    """A LocalRelation prints only attribute names in the analyzed
+    plan and contributes no input files — two different in-memory
+    datasets would fingerprint identically. The cache must fall
+    through to compute (never store, never serve) for such plans."""
+    from dataflowex_spark.plans.result_cache import ResultCache, cacheable
+
+    cache = ResultCache(spark, str(tmp_path / "rc"))
+    a = spark.createDataFrame([(1, "x")], "k int, v string")
+    b = spark.createDataFrame([(2, "y")], "k int, v string")
+    assert not cacheable(a)
+    r1, hit1 = cache.get_or_compute(a)
+    r2, hit2 = cache.get_or_compute(b)
+    assert (hit1, hit2) == (False, False)
+    assert [tuple(r) for r in r1.collect()] == [(1, "x")]
+    assert [tuple(r) for r in r2.collect()] == [(2, "y")]
+    assert os.listdir(str(tmp_path / "rc")) == []  # nothing stored
+
+    # a file-backed query JOINED against a local lookup is just as
+    # unsafe (the lookup's values are invisible to the fingerprint)
+    src = str(tmp_path / "src.parquet")
+    spark.range(0, 10).write.parquet(src)
+    files = spark.read.parquet(src)
+    lookup = spark.createDataFrame([(1,)], "id long")
+    joined = files.join(lookup, "id")
+    assert not cacheable(joined)
+    _r3, hit3 = cache.get_or_compute(joined)
+    assert not hit3 and os.listdir(str(tmp_path / "rc")) == []
+    # pure file-backed plans remain cacheable
+    assert cacheable(files)
+
+
+def test_refresh_refuses_multi_column_grain(spark, tmp_path):
+    """MTable's merge key is single-column; silently selecting
+    keys[0] would collapse distinct groups sharing it. Both refresh
+    paths must refuse a multi-column grain loudly."""
+    from dataflowex_spark.plans.mv import (
+        refresh_incremental,
+        refresh_insert_only,
+    )
+    from dataflowex_spark.sources.mtable import MTable
+
+    mv = MTable.create(
+        spark,
+        str(tmp_path / "mv"),
+        spark.createDataFrame([("a", 1, 1)], "g string, n long, v_s long"),
+        "g",
+    )
+    feed = spark.createDataFrame(
+        [("I", "a", "x", 1)], "op string, g__post string, h__post string, v__post long"
+    )
+    with pytest.raises(ValueError, match="single-column grain"):
+        refresh_incremental(
+            mv, feed, ["g", "h"], {"n": ("count", None), "v_s": ("sum", "v")}
+        )
+    with pytest.raises(ValueError, match="single-column grain"):
+        refresh_insert_only(mv, feed, ["g", "h"], {"v_s": ("sum", "v")})
