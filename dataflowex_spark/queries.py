@@ -22967,3 +22967,150 @@ def q412(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt", "c_mktsegment")
     )
+
+
+@q(
+    "q413_delta_mapped_dv_read",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+    FROM (
+      SELECT c_mktsegment,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer WHERE c_custkey % 7 <> 3
+    )
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q413(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA COLUMN MAPPING + DELETION VECTORS, oracled end-to-end
+    (the r6 reader's two refusal gaps, now implemented): customers
+    land in a hand-built mode=name Delta table — data files store
+    PHYSICAL column names (``col-k``/``col-b``), the partition key
+    rides ``partitionValues`` under its physical name, and each
+    file carries an INLINE deletion vector (z85 → RoaringBitmapArray
+    portable, ``sources/roaring.py``) killing exactly the row
+    positions of customers with ``c_custkey % 7 == 3``. The oracle
+    recomputes the survivor aggregate straight from customer with
+    the same predicate, so a hash match proves physical→logical name
+    restoration, physical partition-value decode, AND position-exact
+    DV application in one shot. Scale shape: DV decode is
+    driver-side per-file metadata (bounded by delete churn, the
+    MTable-DV economics), dead positions anti-join as one broadcast
+    against ``_metadata.row_index`` — data files are never
+    rewritten, never re-shuffled."""
+    import json as _json
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dataflowex_spark.sources.delta_reader import (
+        read_delta,
+        stage_parquet_file,
+        write_conformance_log,
+    )
+    from dataflowex_spark.sources.roaring import inline_dv_descriptor
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"].select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        "c_mktsegment",
+    )
+    segs = sorted(
+        r["c_mktsegment"]
+        for r in cust.select("c_mktsegment").distinct().collect()
+    )
+    root = tempfile.mkdtemp(prefix="delta_q413_")
+    adds = []
+    for s in segs:
+        # one sorted single-partition file per segment so row
+        # POSITIONS are deterministic: position i == i-th smallest
+        # custkey in the segment
+        seg = (
+            cust.filter(F.col("c_mktsegment") == s)
+            .repartition(1)
+            .sortWithinPartitions("c_custkey")
+        )
+        stage_parquet_file(
+            seg.select(
+                F.col("c_custkey").alias("col-k"),
+                F.col("bal_cents").alias("col-b"),
+            ),
+            root,
+            f"part-{s}.parquet",
+        )
+        keys = [
+            r["c_custkey"]
+            for r in seg.select("c_custkey").collect()
+        ]
+        dead = [i for i, k in enumerate(keys) if k % 7 == 3]
+        add = {
+            "path": f"part-{s}.parquet",
+            "partitionValues": {"col-m": s},  # PHYSICAL key
+            "dataChange": True,
+        }
+        if dead:
+            add["deletionVector"] = inline_dv_descriptor(dead)
+        adds.append({"add": add})
+    logical = T.StructType(
+        [
+            T.StructField(
+                "c_custkey",
+                T.LongType(),
+                True,
+                {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-k",
+                },
+            ),
+            T.StructField(
+                "bal_cents",
+                T.LongType(),
+                True,
+                {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-b",
+                },
+            ),
+            T.StructField(
+                "c_mktsegment",
+                T.StringType(),
+                True,
+                {
+                    "delta.columnMapping.id": 3,
+                    "delta.columnMapping.physicalName": "col-m",
+                },
+            ),
+        ]
+    )
+    commit = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping", "deletionVectors"],
+                "writerFeatures": ["columnMapping", "deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "q413",
+                "schemaString": _json.dumps(logical.jsonValue()),
+                "partitionColumns": ["c_mktsegment"],
+                "configuration": {"delta.columnMapping.mode": "name"},
+                "format": {"provider": "parquet"},
+            }
+        },
+    ] + adds
+    write_conformance_log(root, [commit])
+    t = read_delta(spark, root)
+    return (
+        t.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

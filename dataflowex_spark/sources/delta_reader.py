@@ -21,12 +21,28 @@ for, the same discipline as the codec modules):
   each add's ``partitionValues`` (strings, Delta's canonical
   encoding) re-attach as typed literals, one scan per partition
   tuple group, unioned;
-- protocol gate: ``minReaderVersion`` 1 supported; 2 (column
-  mapping) and 3 (``readerFeatures``) are HONESTLY refused unless
-  every feature is in the supported set — silently misreading a
-  column-mapped or DV-carrying table would return wrong data, the
-  worst failure mode a reader can have. ``add.deletionVector``
-  likewise refuses.
+- **column mapping, mode ``name``** (minReaderVersion 2, or the
+  ``columnMapping`` reader feature): data files store PHYSICAL
+  column names from each field's
+  ``delta.columnMapping.physicalName`` metadata; the reader scans
+  with the physical schema and restores logical names — nested
+  struct fields ride a positional struct cast. ``partitionValues``
+  keys are physical names too and map back the same way. Mode
+  ``id`` (match by parquet field id — converted-table territory)
+  HONESTLY refuses;
+- **deletion vectors** (``add.deletionVector``): descriptors decode
+  through :mod:`roaring` (z85 → RoaringBitmapArray portable → CRC-
+  verified DV-file frames) and the dead positions anti-join against
+  the scan's ``_metadata.file_path``/``row_index`` — the exact
+  broadcast plan MTable's own DVs use;
+- multi-part checkpoints: ``_last_checkpoint`` ``parts`` is
+  consulted and ``N.checkpoint.<i>.<n>.parquet`` part sets are
+  collected whole (an incomplete part set refuses rather than
+  silently dropping files);
+- protocol gate: any OTHER v2 requirement or unknown
+  ``readerFeatures`` entry is HONESTLY refused — silently
+  misreading would return wrong data, the worst failure mode a
+  reader can have.
 
 Scale note: snapshot resolution is metadata work proportional to the
 log tail since the last checkpoint (exactly the economics the real
@@ -47,6 +63,8 @@ from pyspark.sql import types as T
 _SUPPORTED_READER_FEATURES = {
     "timestampNtz",  # type-only, no read-path behavior change
     "vacuumProtocolCheck",  # writer-side concern
+    "columnMapping",  # mode=name implemented (mode=id refuses below)
+    "deletionVectors",  # roaring.py descriptor decode + anti-join
 }
 
 
@@ -70,22 +88,53 @@ def _commit_files(root: str) -> dict[int, str]:
 
 
 def _checkpoint_for(root: str, target: int) -> tuple[int, list[str]] | None:
-    """Newest simple checkpoint at version ≤ target, if any."""
+    """Newest checkpoint at version ≤ target, if any — simple
+    (``N.checkpoint.parquet``) or multi-part
+    (``N.checkpoint.<i>.<n>.parquet``, the form ``_last_checkpoint``
+    advertises via ``parts``). A multi-part set missing any part
+    REFUSES (reading a partial checkpoint would silently drop live
+    files); ``_last_checkpoint`` itself is advisory — the directory
+    listing is the source of truth, matching the protocol's recovery
+    story for a torn ``_last_checkpoint`` write."""
     d = _log_dir(root)
-    best: tuple[int, list[str]] | None = None
+    simple: dict[int, str] = {}
+    parts: dict[int, dict[int, tuple[int, str]]] = {}
     for fn in os.listdir(d):
-        if fn.endswith(".checkpoint.parquet"):
-            head = fn.split(".")[0]
-            if head.isdigit() and int(head) <= target:
-                v = int(head)
-                if best is None or v > best[0]:
-                    best = (v, [os.path.join(d, fn)])
-    return best
+        if not fn.endswith(".parquet"):
+            continue
+        bits = fn[: -len(".parquet")].split(".")
+        if len(bits) == 2 and bits[1] == "checkpoint" and bits[0].isdigit():
+            simple[int(bits[0])] = os.path.join(d, fn)
+        elif (
+            len(bits) == 4
+            and bits[1] == "checkpoint"
+            and all(b.isdigit() for b in (bits[0], bits[2], bits[3]))
+        ):
+            v, i, n = int(bits[0]), int(bits[2]), int(bits[3])
+            parts.setdefault(v, {})[i] = (n, os.path.join(d, fn))
+    candidates = [v for v in simple if v <= target]
+    candidates += [v for v in parts if v <= target]
+    if not candidates:
+        return None
+    v = max(candidates)
+    if v in simple:
+        return v, [simple[v]]
+    got = parts[v]
+    n = next(iter(got.values()))[0]
+    missing = sorted(set(range(1, n + 1)) - set(got))
+    if missing or any(pn != n for pn, _ in got.values()):
+        raise DeltaProtocolError(
+            f"multi-part checkpoint {v} incomplete: have parts "
+            f"{sorted(got)} of {n} (missing {missing})"
+        )
+    return v, [got[i][1] for i in sorted(got)]
 
 
 def _check_protocol(p: dict) -> None:
     mrv = p.get("minReaderVersion", 1)
-    if mrv == 1:
+    if mrv in (1, 2):
+        # v2 = column mapping; supported for mode=name (the mode gate
+        # lives in _mapping_mode, where the metaData is in hand)
         return
     if mrv == 3:
         feats = set(p.get("readerFeatures") or [])
@@ -96,8 +145,7 @@ def _check_protocol(p: dict) -> None:
             )
         return
     raise DeltaProtocolError(
-        f"unsupported Delta minReaderVersion: {mrv} (column mapping / "
-        "legacy v2 tables are not readable without mapping metadata)"
+        f"unsupported Delta minReaderVersion: {mrv}"
     )
 
 
@@ -126,11 +174,6 @@ def _snapshot(
             meta.update(action["metaData"])
         a = action.get("add")
         if a:
-            if a.get("deletionVector"):
-                raise DeltaProtocolError(
-                    "add.deletionVector present: DV-carrying Delta "
-                    "tables are not supported by this reader"
-                )
             adds[a["path"]] = a
         r = action.get("remove")
         if r:
@@ -187,37 +230,151 @@ def _typed_partition_lit(value: str | None, dtype: T.DataType):
     return F.lit(value).cast(dtype)
 
 
+def _mapping_mode(meta: dict) -> str:
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode in ("none", "name"):
+        return mode
+    raise DeltaProtocolError(
+        f"delta.columnMapping.mode={mode!r} not supported (only "
+        "'none' and 'name'; 'id' needs parquet field-id matching)"
+    )
+
+
+def _physical_type(dt: T.DataType) -> T.DataType:
+    """Rewrite a logical type's field NAMES to their
+    ``delta.columnMapping.physicalName`` recursively (structs nest;
+    array/map element structs map too)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    f.metadata.get(
+                        "delta.columnMapping.physicalName", f.name
+                    ),
+                    _physical_type(f.dataType),
+                    f.nullable,
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(
+            _physical_type(dt.elementType), dt.containsNull
+        )
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_type(dt.keyType),
+            _physical_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _physical_name(field: T.StructField) -> str:
+    return field.metadata.get(
+        "delta.columnMapping.physicalName", field.name
+    )
+
+
+def _dead_positions(root: str, adds: dict[str, dict]) -> list[tuple]:
+    """(absolute data path, row_index) pairs named dead by the live
+    adds' deletion vectors — decoded driver-side (a DV is bounded
+    per-file delete state; same economics as MTable's sidecars)."""
+    from dataflowex_spark.sources.roaring import decode_dv_descriptor
+
+    out = []
+    for a in adds.values():
+        dv = a.get("deletionVector")
+        if not dv:
+            continue
+        data_path = os.path.abspath(os.path.join(root, a["path"]))
+        for pos in decode_dv_descriptor(root, dict(dv)):
+            out.append((data_path, pos))
+    return out
+
+
 def read_delta(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Read a Delta table directory as a DataFrame (latest snapshot
-    or ``version=`` time travel)."""
+    or ``version=`` time travel), applying column mapping
+    (mode=name) and deletion vectors."""
     meta, adds = _snapshot(spark, root, version)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    mode = _mapping_mode(meta)
     part_cols = meta.get("partitionColumns") or []
+    # under mode=name, data files + partitionValues keys carry
+    # PHYSICAL names; the scan uses the physical schema and each
+    # column restores its logical name via alias + a positional
+    # struct cast (Spark casts struct fields BY POSITION, so nested
+    # physical names rename for free)
+    phys_by_logical = {
+        f.name: (_physical_name(f) if mode == "name" else f.name)
+        for f in schema.fields
+    }
     phys = T.StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+        [
+            T.StructField(
+                phys_by_logical[f.name],
+                _physical_type(f.dataType) if mode == "name" else f.dataType,
+                f.nullable,
+            )
+            for f in schema.fields
+            if f.name not in part_cols
+        ]
     )
     by_parts: dict[tuple, list[str]] = {}
     for a in adds.values():
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(pv.get(phys_by_logical[c]) for c in part_cols)
         by_parts.setdefault(key, []).append(
             os.path.join(root, a["path"])
         )
     if not by_parts:
         return spark.createDataFrame([], schema)
+    dead = _dead_positions(root, adds)
     pieces = []
     for key, paths in sorted(by_parts.items(), key=lambda kv: str(kv[0])):
         df = spark.read.schema(phys).parquet(*paths)
+        if dead:
+            df = df.select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/*", "/"
+                ).alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+        cols = []
+        for f in schema.fields:
+            if f.name in part_cols:
+                continue
+            c = F.col(phys_by_logical[f.name])
+            if mode == "name" and isinstance(
+                f.dataType, (T.StructType, T.ArrayType, T.MapType)
+            ):
+                c = c.cast(f.dataType)
+            cols.append(c.alias(f.name))
+        keep = (["__fp", "__ri"] if dead else [])
+        df = df.select(*cols, *keep)
         for c, v in zip(part_cols, key):
             df = df.withColumn(
                 c, _typed_partition_lit(v, schema[c].dataType)
             )
-        pieces.append(df.select(*[f.name for f in schema.fields]))
+        pieces.append(
+            df.select(*[f.name for f in schema.fields], *keep)
+        )
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
+    if dead:
+        dv_df = spark.createDataFrame(
+            dead, "__fp string, __ri long"
+        ).distinct()
+        out = out.join(
+            F.broadcast(dv_df), ["__fp", "__ri"], "left_anti"
+        ).select(*[f.name for f in schema.fields])
     return out
 
 
@@ -233,10 +390,15 @@ def write_conformance_log(
     commits: list[list[dict]],
     checkpoint_at: int | None = None,
     spark: SparkSession | None = None,
+    checkpoint_parts: int | None = None,
 ) -> None:
     """Write ``commits[i]`` as ``_delta_log/%020i.json`` (one action
-    per line); optionally also a simple parquet checkpoint capturing
-    the state at ``checkpoint_at`` (requires ``spark``)."""
+    per line); optionally also a parquet checkpoint capturing the
+    state at ``checkpoint_at`` (requires ``spark``) — single-file,
+    or split round-robin into ``checkpoint_parts`` part files
+    (``N.checkpoint.<i>.<n>.parquet``, advertised via
+    ``_last_checkpoint`` ``parts`` exactly as the protocol
+    describes)."""
     d = _log_dir(root)
     os.makedirs(d, exist_ok=True)
     for i, actions in enumerate(commits):
@@ -327,19 +489,36 @@ def write_conformance_log(
             )
             for a in sorted(adds.values(), key=lambda x: x["path"])
         ]
-        sdf = spark.createDataFrame(rows, cp_schema)
-        sdf.coalesce(1).write.mode("overwrite").parquet(root + "/_cptmp")
-        part = [
-            fn
-            for fn in os.listdir(root + "/_cptmp")
-            if fn.endswith(".parquet")
-        ][0]
-        os.replace(
-            os.path.join(root, "_cptmp", part),
-            os.path.join(d, f"{checkpoint_at:020d}.checkpoint.parquet"),
-        )
+        import shutil
+
+        def _one_file(some_rows, dest_name):
+            tmp = root + "/_cptmp"
+            spark.createDataFrame(some_rows, cp_schema).coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            part = [
+                fn for fn in os.listdir(tmp) if fn.endswith(".parquet")
+            ][0]
+            os.replace(os.path.join(tmp, part), os.path.join(d, dest_name))
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        last_cp: dict = {"version": checkpoint_at, "size": len(rows)}
+        if checkpoint_parts:
+            n = checkpoint_parts
+            for i in range(1, n + 1):
+                chunk = rows[i - 1 :: n] or rows[:0]
+                _one_file(
+                    chunk,
+                    f"{checkpoint_at:020d}.checkpoint."
+                    f"{i:010d}.{n:010d}.parquet",
+                )
+            last_cp["parts"] = n
+        else:
+            _one_file(
+                rows, f"{checkpoint_at:020d}.checkpoint.parquet"
+            )
         with open(os.path.join(d, "_last_checkpoint"), "w") as f:
-            json.dump({"version": checkpoint_at, "size": len(rows)}, f)
+            json.dump(last_cp, f)
 
 
 def stage_parquet_file(df: DataFrame, root: str, name: str) -> None:

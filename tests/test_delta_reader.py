@@ -129,29 +129,152 @@ def test_protocol_gates(spark, tmp_path):
         )
         return root
 
-    # v2 (column mapping era) refused
-    with pytest.raises(DeltaProtocolError, match="minReaderVersion: 2"):
-        read_delta(spark, table({"minReaderVersion": 2}))
-    # v3 with unknown feature refused, with the feature named
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+    # v3 with an UNKNOWN feature refused, with the feature named
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         read_delta(
             spark,
             table({"minReaderVersion": 3,
-                   "readerFeatures": ["deletionVectors"]}),
+                   "readerFeatures": ["v2Checkpoint"]}),
         )
-    # v3 with only benign features reads fine
+    # v3 with supported features reads fine (DV feature flag alone
+    # doesn't change a table with no DV-carrying adds)
     got = read_delta(
         spark,
-        table({"minReaderVersion": 3, "readerFeatures": ["timestampNtz"]}),
+        table({"minReaderVersion": 3,
+               "readerFeatures": ["timestampNtz", "deletionVectors"]}),
     )
     assert rows(got) == [(1,)]
-    # a DV-carrying add refuses even under v1
-    with pytest.raises(DeltaProtocolError, match="deletionVector"):
-        read_delta(
-            spark,
-            table({"minReaderVersion": 1},
-                  add_extra={"deletionVector": {"storageType": "u"}}),
-        )
+    # minReaderVersion 4 (future) refused
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion"):
+        read_delta(spark, table({"minReaderVersion": 4}))
+
+
+def test_column_mapping_name_mode(spark, tmp_path):
+    """mode=name: data files + partitionValues carry PHYSICAL names
+    (delta.columnMapping.physicalName); logical names restore on
+    read, nested struct fields included (positional struct cast)."""
+    from pyspark.sql import types as T
+
+    root = str(tmp_path)
+    # physical layout: col-k long, col-s struct<col-a:int>, part col-p
+    phys = spark.createDataFrame(
+        [(1, (10,)), (2, (20,))],
+        T.StructType([
+            T.StructField("col-k", T.LongType()),
+            T.StructField("col-s", T.StructType(
+                [T.StructField("col-a", T.IntegerType())])),
+        ]),
+    )
+    stage_parquet_file(phys, root, "f.parquet")
+    logical = T.StructType([
+        T.StructField("k", T.LongType(), True,
+                      {"delta.columnMapping.id": 1,
+                       "delta.columnMapping.physicalName": "col-k"}),
+        T.StructField(
+            "s",
+            T.StructType([T.StructField(
+                "a", T.IntegerType(), True,
+                {"delta.columnMapping.id": 3,
+                 "delta.columnMapping.physicalName": "col-a"})]),
+            True,
+            {"delta.columnMapping.id": 2,
+             "delta.columnMapping.physicalName": "col-s"},
+        ),
+        T.StructField("p", T.IntegerType(), True,
+                      {"delta.columnMapping.id": 4,
+                       "delta.columnMapping.physicalName": "col-p"}),
+    ])
+    meta = _meta(json.dumps(logical.jsonValue()), ["p"])
+    meta["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "name"}
+    write_conformance_log(
+        root,
+        [[{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+          meta,
+          {"add": {"path": "f.parquet",
+                   "partitionValues": {"col-p": "7"},  # PHYSICAL key
+                   "dataChange": True}}]],
+    )
+    got = read_delta(spark, root)
+    assert got.columns == ["k", "s", "p"]
+    assert got.schema["s"].dataType.fieldNames() == ["a"]
+    assert rows(got) == [(1, (10,), 7), (2, (20,), 7)]
+    # mode=id honestly refuses
+    meta_id = json.loads(json.dumps(meta))
+    meta_id["metaData"]["configuration"][
+        "delta.columnMapping.mode"] = "id"
+    root2 = str(tmp_path / "id_mode")
+    os.makedirs(root2)
+    stage_parquet_file(phys, root2, "f.parquet")
+    write_conformance_log(
+        root2,
+        [[{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+          meta_id,
+          {"add": {"path": "f.parquet", "partitionValues": {"col-p": "7"},
+                   "dataChange": True}}]],
+    )
+    with pytest.raises(DeltaProtocolError, match="mode='id'"):
+        read_delta(spark, root2)
+
+
+def test_deletion_vectors_applied(spark, tmp_path):
+    """DV-carrying adds drop exactly the bitmap's row positions —
+    file-backed (storageType p), relative-UUID (u), and inline (i)
+    descriptors, decoded through the roaring/z85 codecs and CRC-
+    verified."""
+    from dataflowex_spark.sources.roaring import (
+        inline_dv_descriptor,
+        write_dv_file,
+    )
+
+    root = str(tmp_path)
+    df1 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string")
+    df2 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10, 16)], "k long, v string")
+    stage_parquet_file(df1.orderBy("k").coalesce(1), root, "f1.parquet")
+    stage_parquet_file(df2.orderBy("k").coalesce(1), root, "f2.parquet")
+    (d1,) = write_dv_file(os.path.join(root, "dv1.bin"), [[0, 3, 7]])
+    d2 = inline_dv_descriptor([2, 5])
+    schema_json = json.dumps(df1.schema.jsonValue())
+    write_conformance_log(
+        root,
+        [[{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                        "writerFeatures": ["deletionVectors"]}},
+          _meta(schema_json),
+          {"add": {"path": "f1.parquet", "partitionValues": {},
+                   "dataChange": True, "deletionVector": d1}},
+          {"add": {"path": "f2.parquet", "partitionValues": {},
+                   "dataChange": True, "deletionVector": d2}}]],
+    )
+    got = rows(read_delta(spark, root))
+    # f1 rows 0/3/7 (k=0,3,7) and f2 rows 2/5 (k=12,15) are dead
+    want = sorted(
+        (k, f"v{k}") for k in range(16) if k not in (0, 3, 7, 12, 15)
+    )
+    assert got == want
+
+
+def test_multipart_checkpoint(spark, tmp_path):
+    """N.checkpoint.<i>.<n>.parquet part sets resolve whole; an
+    incomplete set refuses instead of silently dropping files."""
+    root = str(tmp_path)
+    commits = _simple_table(spark, root)
+    write_conformance_log(
+        root, commits, checkpoint_at=1, spark=spark, checkpoint_parts=3
+    )
+    os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    os.remove(os.path.join(root, "_delta_log", f"{1:020d}.json"))
+    assert rows(read_delta(spark, root)) == [(1, "a"), (2, "b"), (4, "d")]
+    # drop one part: refusal, not a silent partial snapshot
+    victim = [
+        fn for fn in os.listdir(os.path.join(root, "_delta_log"))
+        if ".checkpoint.0000000002." in fn
+    ][0]
+    os.remove(os.path.join(root, "_delta_log", victim))
+    with pytest.raises(DeltaProtocolError, match="incomplete"):
+        read_delta(spark, root)
 
 
 def test_column_projection_pushes_to_scan(spark, tmp_path):
