@@ -23114,3 +23114,75 @@ def q413(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@q(
+    "q414_mtable_iceberg_export",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN c_custkey % 5 = 0
+                         THEN 2 * CAST(floor(c_acctbal * 100) AS BIGINT)
+                         ELSE CAST(floor(c_acctbal * 100) AS BIGINT)
+                    END) AS BIGINT) AS bal_cents
+    FROM customer
+    WHERE c_custkey % 11 <> 4
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q414(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTable → ICEBERG EXPORT (write-direction twin of q401's Delta
+    export, closing the two-format publish story): a customer MTable
+    takes a balance-doubling merge AND a keyed delete, the folded
+    snapshot exports as an Iceberg v2 table — data files
+    HARD-LINKED (zero bytes copied), metadata = one Avro manifest +
+    manifest list via the from-scratch :mod:`avro_io` encoder + one
+    metadata.json — and the aggregate of what the from-scratch
+    Iceberg reader sees hash-matches the oracle's direct recompute.
+    Both halves of the loop are ours (exporter writes the spec,
+    reader reads the spec), and an independent test pins the reader
+    against hand-built third-party-shaped tables so the halves can't
+    share a private dialect. At 100 TB: publishing an MTable
+    snapshot to the Iceberg ecosystem costs one metadata write, not
+    a table copy."""
+    import tempfile
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        export_snapshot_to_iceberg,
+        read_iceberg,
+    )
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    cust = (
+        cat["customer"]
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        )
+        .repartitionByRange(8, "c_custkey")
+    )
+    root = tempfile.mkdtemp(prefix="q414_")
+    t = MTable.create(spark, root + "/t", cust, "c_custkey")
+    upd = t.read().filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit(1).alias("ts"),
+        F.lit("U").alias("op"),
+        F.lit(0).alias("tie"),
+        (F.col("bal_cents") * 2).alias("bal_cents"),
+    )
+    t.merge(upd, "ts", "op", "tie", ["bal_cents"])
+    t.delete_where("c_custkey % 11 = 4")
+    t.apply_deletion_vectors()  # fold DV debt: exports refuse debt
+    dest = root + "/iceberg"
+    export_snapshot_to_iceberg(t, dest)
+    d = read_iceberg(spark, dest)
+    return (
+        d.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

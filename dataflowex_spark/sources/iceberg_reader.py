@@ -24,7 +24,9 @@ with the codec-module discipline):
 - v2 merge-on-read is FULLY APPLIED. Position deletes
   (``content=1``): (file_path, pos) parquet sidecars anti-joined
   against the data read via ``_metadata.file_path``/``row_index`` —
-  the same broadcast plan MTable's deletion vectors use. Equality
+  the same broadcast plan MTable's deletion vectors use — gated on
+  data sequence ≤ delete sequence (a path re-added after the delete
+  keeps its rows). Equality
   deletes (``content=2``): value rows matched null-safely on the
   ``equality_ids`` fields (resolved through the metadata schema's
   field ids) and applied ONLY to data files with STRICTLY LOWER
@@ -118,26 +120,109 @@ def snapshot_log(root: str) -> list[dict]:
     ]
 
 
-def _field_names_by_id(meta: dict) -> dict[int, str]:
-    """field-id → name from the current Iceberg schema JSON."""
+def _current_schema_fields(meta: dict) -> list[dict]:
     schemas = meta.get("schemas") or []
     cur = meta.get("current-schema-id", 0)
-    fields = []
     for sc in schemas:
         if sc.get("schema-id") == cur:
-            fields = sc.get("fields", [])
-    return {f["id"]: f["name"] for f in fields if "id" in f}
+            return sc.get("fields", [])
+    return []
+
+
+def _field_names_by_id(meta: dict) -> dict[int, str]:
+    """field-id → name from the current Iceberg schema JSON."""
+    return {
+        f["id"]: f["name"]
+        for f in _current_schema_fields(meta)
+        if "id" in f
+    }
+
+
+def _spark_type(t):
+    """Iceberg schema type JSON → Spark type (primitives + nested
+    struct/list/map, per the spec's type names)."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return T.StructType(
+                [
+                    T.StructField(
+                        f["name"],
+                        _spark_type(f["type"]),
+                        not f.get("required", False),
+                    )
+                    for f in t.get("fields", [])
+                ]
+            )
+        if kind == "list":
+            return T.ArrayType(
+                _spark_type(t["element"]),
+                not t.get("element-required", False),
+            )
+        if kind == "map":
+            return T.MapType(
+                _spark_type(t["key"]),
+                _spark_type(t["value"]),
+                not t.get("value-required", False),
+            )
+        raise IcebergProtocolError(f"unknown Iceberg type {t!r}")
+    prim = {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampNTZType(),
+        "timestamptz": T.TimestampType(),
+        "string": T.StringType(),
+        "uuid": T.StringType(),
+        "binary": T.BinaryType(),
+    }
+    if t in prim:
+        return prim[t]
+    if isinstance(t, str) and t.startswith("decimal("):
+        p, s = t[len("decimal(") : -1].split(",")
+        return T.DecimalType(int(p), int(s))
+    if isinstance(t, str) and t.startswith("fixed["):
+        return T.BinaryType()
+    raise IcebergProtocolError(f"unknown Iceberg type {t!r}")
+
+
+def _empty_frame(spark: SparkSession, meta: dict) -> DataFrame:
+    """An EMPTY Iceberg table is a valid state — answer with an
+    empty frame typed from the metadata schema (the real reader's
+    behavior), not an error."""
+    from pyspark.sql import types as T
+
+    fields = _current_schema_fields(meta)
+    if not fields:
+        raise ValueError(
+            "empty snapshot and table metadata carries no schema — "
+            "cannot type an empty frame"
+        )
+    schema = T.StructType(
+        [
+            T.StructField(
+                f["name"], _spark_type(f["type"]), not f.get("required")
+            )
+            for f in fields
+        ]
+    )
+    return spark.createDataFrame([], schema)
 
 
 def _live_files(
     root: str, meta: dict, snapshot_id: int | None
 ) -> tuple[
     dict[str, int],
-    list[str],
+    list[tuple[str, int]],
     list[tuple[str, int, list[int]]],
 ]:
     """Snapshot state: (data path → data sequence number,
-    position-delete paths, equality deletes as (path, seq,
+    position deletes as (path, seq), equality deletes as (path, seq,
     equality field ids)). Entry-level ``sequence_number`` wins;
     otherwise the manifest list's; a path re-listed as EXISTING keeps
     its SMALLEST seen sequence (the original add — re-listing must
@@ -156,7 +241,7 @@ def _live_files(
     mlist = _resolve_path(root, snap["manifest-list"])
     _schema, manifests = read_container(mlist)
     live: dict[str, int] = {}
-    pos_deletes: list[str] = []
+    pos_deletes: list[tuple[str, int]] = []
     eq_deletes: list[tuple[str, int, list[int]]] = []
     for m in manifests:
         mseq = m.get("sequence_number") or 0
@@ -173,7 +258,7 @@ def _live_files(
             if content == 0:
                 live[path] = min(live.get(path, seq), seq)
             elif content == 1:
-                pos_deletes.append(path)
+                pos_deletes.append((path, seq))
             elif content == 2:
                 ids = df.get("equality_ids") or []
                 if not ids:
@@ -198,10 +283,7 @@ def read_iceberg(
     meta = load_table_metadata(root)
     live, pos_deletes, eq_deletes = _live_files(root, meta, snapshot_id)
     if not live:
-        # empty table: derive an empty frame with the declared schema
-        # names (all-string placeholder would lie about types; honest
-        # minimal answer is an empty 0-column frame refusal)
-        raise ValueError("snapshot has no data files (empty table)")
+        return _empty_frame(spark, meta)
     # group data files by sequence number — equality deletes apply
     # only to rows whose DATA sequence is STRICTLY LOWER than the
     # delete's (spec: a delete cannot remove rows committed with or
@@ -224,7 +306,11 @@ def read_iceberg(
         # merge-on-read position deletes: anti-join (file, pos)
         # sidecars against the scan's _metadata identity — broadcast
         # (bounded by recent churn, the MTable DV economics); paths
-        # normalize to scheme-less absolute form on both sides
+        # normalize to scheme-less absolute form on both sides.
+        # Spec rule: a position delete applies only to rows whose
+        # DATA sequence number is <= the delete's — a re-added file
+        # (path reuse across snapshots) must not lose rows to a
+        # stale delete from before its re-add.
         data = df.select(
             "*",
             F.regexp_replace(
@@ -232,18 +318,31 @@ def read_iceberg(
             ).alias("__fp"),
             F.col("_metadata.row_index").alias("__ri"),
         )
-        dv = (
-            spark.read.parquet(*sorted(set(pos_deletes)))
-            .select(
-                F.regexp_replace(
-                    F.col("file_path"), "^file:/*", "/"
-                ).alias("__fp"),
-                F.col("pos").alias("__ri"),
+        pieces_dv = []
+        for path, dseq in sorted(set(pos_deletes)):
+            pieces_dv.append(
+                spark.read.parquet(path).select(
+                    F.regexp_replace(
+                        F.col("file_path"), "^file:/*", "/"
+                    ).alias("__dfp"),
+                    F.col("pos").alias("__dri"),
+                    F.lit(dseq).cast("long").alias("__dseq"),
+                )
             )
-            .distinct()
+        dv = pieces_dv[0]
+        for p in pieces_dv[1:]:
+            dv = dv.unionByName(p)
+        dv = dv.groupBy("__dfp", "__dri").agg(
+            F.max("__dseq").alias("__dseq")
         )
-        df = data.join(
-            F.broadcast(dv), ["__fp", "__ri"], "left_anti"
+        left = data.alias("__l")
+        right = dv.alias("__d")
+        df = left.join(
+            F.broadcast(right),
+            (F.col("__l.__fp") == F.col("__d.__dfp"))
+            & (F.col("__l.__ri") == F.col("__d.__dri"))
+            & (F.col("__l.__seq") <= F.col("__d.__dseq")),
+            "left_anti",
         ).select(*cols, "__seq")
     if eq_deletes:
         names_by_id = _field_names_by_id(meta)
@@ -327,8 +426,10 @@ def write_conformance_table(
     optional ``"manifest_content"`` (forces the DATA manifest's list
     content), optional ``"delete_entries"`` (written as a second,
     content=1 DELETE manifest in the same snapshot), optional
-    ``"schema_fields"`` ([(field_id, name)] — emitted into
-    metadata.json "schemas" so equality_ids resolve), and per-entry
+    ``"schema_fields"`` ([(field_id, name)] or [(field_id, name,
+    iceberg_type)] — emitted into metadata.json "schemas" so
+    equality_ids resolve and empty tables can type their frame;
+    type defaults to "string"), and per-entry
     optional elements: 3rd = data_file ``content``, 4th = explicit
     ``sequence_number`` (else the snapshot's ordinal, 1-based), 5th =
     equality field-id list. Current snapshot = the last one."""
@@ -417,8 +518,13 @@ def write_conformance_table(
                     "schema-id": 0,
                     "type": "struct",
                     "fields": [
-                        {"id": i, "name": n, "required": False}
-                        for i, n in schema_fields
+                        {
+                            "id": f[0],
+                            "name": f[1],
+                            "type": f[2] if len(f) > 2 else "string",
+                            "required": False,
+                        }
+                        for f in schema_fields
                     ],
                 }
             ]
@@ -426,6 +532,183 @@ def write_conformance_table(
             else []
         ),
         "snapshots": snaps_meta,
+    }
+    with open(os.path.join(md, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write("1")
+
+
+# ---------------------------------------------------------------------
+# Export (write direction) — publish an MTable snapshot as an Iceberg
+# table; the read direction is read_iceberg above.
+# ---------------------------------------------------------------------
+
+
+def _iceberg_type(dt, alloc):
+    """Spark type → Iceberg schema-JSON type (inverse of
+    :func:`_spark_type`); ``alloc()`` hands out nested field ids."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "id": alloc(),
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _iceberg_type(f.dataType, alloc),
+                }
+                for f in dt.fields
+            ],
+        }
+    if isinstance(dt, T.ArrayType):
+        return {
+            "type": "list",
+            "element-id": alloc(),
+            "element-required": not dt.containsNull,
+            "element": _iceberg_type(dt.elementType, alloc),
+        }
+    if isinstance(dt, T.MapType):
+        return {
+            "type": "map",
+            "key-id": alloc(),
+            "value-id": alloc(),
+            "value-required": not dt.valueContainsNull,
+            "key": _iceberg_type(dt.keyType, alloc),
+            "value": _iceberg_type(dt.valueType, alloc),
+        }
+    prim = {
+        T.BooleanType: "boolean",
+        T.ByteType: "int",
+        T.ShortType: "int",
+        T.IntegerType: "int",
+        T.LongType: "long",
+        T.FloatType: "float",
+        T.DoubleType: "double",
+        T.DateType: "date",
+        T.TimestampNTZType: "timestamp",
+        T.TimestampType: "timestamptz",
+        T.StringType: "string",
+        T.BinaryType: "binary",
+    }
+    if type(dt) in prim:
+        return prim[type(dt)]
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    raise IcebergProtocolError(
+        f"no Iceberg mapping for Spark type {dt.simpleString()}"
+    )
+
+
+def export_snapshot_to_iceberg(
+    table, dest: str, version: int | None = None
+) -> None:
+    """Export an MTable snapshot as an Iceberg v2 table any Iceberg
+    reader can open — the write-direction twin of
+    :func:`delta_reader.export_snapshot_to_delta`, completing the
+    two-format publish story (an MTable snapshot can now land in
+    EITHER open ecosystem).
+
+    Zero-copy: the snapshot's immutable parquet data files HARD-LINK
+    into ``dest/data/`` (never edited after commit, the invariant
+    Iceberg itself relies on); metadata is one Avro manifest + one
+    Avro manifest list (via the from-scratch :mod:`avro_io` encoder)
+    + one metadata.json. Snapshots carrying unapplied deletion-vector
+    or equality-delete sidecars REFUSE — exporting their base files
+    would resurrect deleted rows; fold the debt first
+    (``apply_deletion_vectors()`` / compaction)."""
+    from dataflowex_spark.sources.avro_io import write_container
+
+    m = table.manifest(version)
+    dirty = [
+        e["path"] for e in m["files"] if e.get("dv") or e.get("eq")
+    ]
+    if dirty:
+        raise ValueError(
+            f"{len(dirty)} file(s) carry merge-on-read delete debt; "
+            "apply_deletion_vectors()/compact first, then export"
+        )
+    os.makedirs(os.path.join(dest, "data"), exist_ok=True)
+    md = _meta_dir(dest)
+    os.makedirs(md, exist_ok=True)
+    entries = []
+    for i, e in enumerate(sorted(m["files"], key=lambda x: x["path"])):
+        name = f"data/part-{i:05d}.parquet"
+        target = os.path.join(dest, name)
+        if not os.path.exists(target):
+            os.link(e["path"], target)
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": 1,
+                "sequence_number": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": os.path.abspath(target),
+                    "file_format": "PARQUET",
+                    "record_count": int(e.get("rows") or 0),
+                    "file_size_in_bytes": os.path.getsize(target),
+                    "equality_ids": None,
+                },
+            }
+        )
+    mpath = os.path.join(md, "manifest-00001.avro")
+    write_container(mpath, MANIFEST_SCHEMA, entries)
+    mlist = os.path.join(md, "snap-1.avro")
+    write_container(
+        mlist,
+        MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": os.path.abspath(mpath),
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "added_snapshot_id": 1,
+            }
+        ],
+    )
+    counter = {"n": 0}
+
+    def alloc() -> int:
+        counter["n"] += 1
+        return counter["n"]
+
+    spark_schema = table.read(version=version).schema
+    top = []
+    for f in spark_schema.fields:
+        fid = alloc()
+        top.append(
+            {
+                "id": fid,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _iceberg_type(f.dataType, alloc),
+            }
+        )
+    meta = {
+        "format-version": 2,
+        "table-uuid": f"mtable-export-{m['version']:032d}"[-36:],
+        "location": os.path.abspath(dest),
+        "last-sequence-number": 1,
+        "current-snapshot-id": 1,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": top}],
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 0,
+                "sequence-number": 1,
+                "manifest-list": os.path.abspath(mlist),
+                "summary": {
+                    "operation": "append",
+                    "mtable-source-version": str(m["version"]),
+                },
+            }
+        ],
     }
     with open(os.path.join(md, "v1.metadata.json"), "w") as f:
         json.dump(meta, f)

@@ -104,6 +104,64 @@ def test_position_deletes_apply_and_equality_refuses(spark, tmp_path):
         read_iceberg(spark, r3)
 
 
+def test_empty_table_returns_typed_empty_frame(spark, tmp_path):
+    """An Iceberg table whose snapshot has no live data files is a
+    VALID state — the reader answers with an empty frame typed from
+    the metadata schema, not an error."""
+    root = str(tmp_path)
+    f1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    stage_parquet_file(f1, root, "data/f1.parquet")
+    write_conformance_table(
+        root,
+        [
+            {"id": 1, "entries": [(1, "data/f1.parquet")],
+             "schema_fields": [(1, "k", "long"), (2, "v", "string")]},
+            {"id": 2, "entries": [(2, "data/f1.parquet")]},
+        ],
+    )
+    got = read_iceberg(spark, root)
+    assert got.count() == 0
+    assert [(f.name, f.dataType.simpleString()) for f in got.schema] == [
+        ("k", "bigint"), ("v", "string")
+    ]
+    # snapshot 1 still reads the data
+    assert rows(read_iceberg(spark, root, snapshot_id=1)) == [(1, "a")]
+
+
+def test_position_delete_sequence_gating_on_readd(spark, tmp_path):
+    """Spec rule: a position delete applies only to data files with
+    sequence number <= the delete's. A file RE-ADDED after the
+    delete (higher data seq) keeps all its rows even though the
+    stale (path, pos) sidecar is still listed."""
+    root = str(tmp_path)
+    f1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    stage_parquet_file(f1, root, "data/f1.parquet")
+    dv = spark.createDataFrame(
+        [(os.path.join(root, "data/f1.parquet"), 0)],
+        "file_path string, pos long",
+    )
+    stage_parquet_file(dv, root, "data/dv1.parquet")
+    write_conformance_table(
+        root,
+        [
+            {"id": 1, "entries": [(1, "data/f1.parquet", 0, 1)]},
+            # seq 2: delete (f1, pos 0) → k=1 gone
+            {"id": 2,
+             "entries": [(0, "data/f1.parquet", 0, 1)],
+             "delete_entries": [(1, "data/dv1.parquet", 1, 2)]},
+            # seq 3: f1 re-added (compaction/path reuse) — the stale
+            # delete (seq 2) must NOT apply to the new incarnation
+            {"id": 3,
+             "entries": [(1, "data/f1.parquet", 0, 3)],
+             "delete_entries": [(0, "data/dv1.parquet", 1, 2)]},
+        ],
+    )
+    assert rows(read_iceberg(spark, root, snapshot_id=2)) == [(2, "b")]
+    assert rows(read_iceberg(spark, root, snapshot_id=3)) == [
+        (1, "a"), (2, "b")
+    ]
+
+
 def test_version_hint_and_latest_fallback(spark, tmp_path):
     root = str(tmp_path)
     _mk_table(spark, root)
@@ -239,3 +297,54 @@ def test_equality_delete_null_matching_and_unknown_field(spark, tmp_path):
     )
     with pytest.raises(IcebergProtocolError, match="unknown field id"):
         read_iceberg(spark, r2).collect()
+
+
+def test_mtable_iceberg_export_roundtrip_and_dv_refusal(spark, tmp_path):
+    """Write-direction twin of the Delta export: an MTable snapshot
+    publishes as Iceberg v2 (hard-linked data + avro manifests) and
+    the from-scratch reader reproduces it exactly; versioned export
+    snapshots that version; unapplied DV debt refuses."""
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        export_snapshot_to_iceberg,
+    )
+    from dataflowex_spark.sources.mtable import MTable
+
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 17).alias("v")
+    )
+    t = MTable.create(spark, str(tmp_path / "t"), df, "k")
+    upd = t.read().filter(F.col("k") % 4 == 0).select(
+        "k",
+        F.lit(1).alias("ts"),
+        F.lit("U").alias("op"),
+        F.lit(0).alias("tie"),
+        (F.col("v") + 100).alias("v"),
+    )
+    t.merge(upd, "ts", "op", "tie", ["v"])
+    dest = str(tmp_path / "iceberg")
+    export_snapshot_to_iceberg(t, dest)
+    got = rows(read_iceberg(spark, dest))
+    want = rows(t.read())
+    assert got == want
+    # versioned export snapshots that version
+    dest1 = str(tmp_path / "iceberg_v1")
+    export_snapshot_to_iceberg(t, dest1, version=1)
+    assert rows(read_iceberg(spark, dest1)) == rows(t.read(version=1))
+    # data files are hard links, not copies
+    import os as _os
+
+    data_files = [
+        fn for fn in _os.listdir(_os.path.join(dest, "data"))
+        if fn.endswith(".parquet")
+    ]
+    assert data_files
+    assert all(
+        _os.stat(_os.path.join(dest, "data", fn)).st_nlink >= 2
+        for fn in data_files
+    )
+    # unapplied DV debt refuses
+    t.delete_where("k = 3")
+    with pytest.raises(ValueError, match="delete debt"):
+        export_snapshot_to_iceberg(t, str(tmp_path / "iceberg_dv"))
