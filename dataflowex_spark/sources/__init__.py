@@ -562,6 +562,21 @@ def read_kafka_stream(
             "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> "
             f"(underlying error: {e})"
         ) from e
+    return kafka_wire_projection(raw, value_schema)
+
+
+def kafka_wire_projection(
+    raw: DataFrame, value_schema: str | None = None
+) -> DataFrame:
+    """Kafka wire frame (the connector's fixed schema: ``key``/
+    ``value`` binary, ``topic``, ``partition``, ``offset``,
+    ``timestamp``) → the engine's public stream shape. Split out of
+    :func:`read_kafka_stream` so the contract test can drive the
+    REAL projection against a mock wire source (this container ships
+    no broker/connector JAR — the projection and options dict ARE
+    the testable surface)."""
+    from pyspark.sql import functions as F
+
     value = (
         F.from_json(F.col("value").cast("string"), value_schema).alias("value")
         if value_schema

@@ -441,6 +441,81 @@ def test_kafka_source_config_surface(spark):
         read_kafka_stream(spark, "broker1:9092", "clicks")
 
 
+def test_kafka_wire_projection_against_mock_source(spark, tmp_path):
+    """Plug-compatibility proof without a broker: a MOCK wire source
+    with the connector's exact schema (key/value binary, topic,
+    partition, offset, timestamp) drives the REAL projection
+    (kafka_wire_projection — the code read_kafka_stream runs), both
+    as a static frame and as a real stream, and the output feeds a
+    downstream windowed aggregation untouched. A cluster user swaps
+    file-replay for Kafka by changing ONLY the source call."""
+    from pyspark.sql import types as T
+
+    from dataflowex_spark.sources import kafka_wire_projection
+
+    wire_schema = T.StructType([
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+    ])
+    import datetime as dt
+    import json as js
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (
+            f"u{i % 3}".encode(),
+            js.dumps({"amount": i * 10, "kind": "click"}).encode(),
+            "clicks",
+            i % 2,
+            i,
+            base + dt.timedelta(seconds=30 * i),
+        )
+        for i in range(8)
+    ]
+    wire = spark.createDataFrame(rows, wire_schema)
+
+    # static path: schema + JSON value decode
+    got = kafka_wire_projection(
+        wire, value_schema="amount long, kind string"
+    )
+    assert got.columns == ["key", "value", "topic", "partition",
+                           "offset", "ts"]
+    assert got.schema["value"].dataType.fieldNames() == ["amount", "kind"]
+    assert got.filter("value.amount = 30").count() == 1
+
+    # streaming path: the same projection over a real stream, into a
+    # downstream windowed agg — source-agnostic by construction
+    src_dir = str(tmp_path / "wire")
+    wire.write.parquet(src_dir)
+    stream = spark.readStream.schema(wire_schema).parquet(src_dir)
+    agg = (
+        kafka_wire_projection(stream, "amount long, kind string")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "2 minutes"), "key")
+        .agg(F.sum("value.amount").alias("amt"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("kafka_mock_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT key, CAST(sum(amt) AS BIGINT) AS amt "
+        "FROM kafka_mock_agg GROUP BY key ORDER BY key"
+    ).collect()
+    # total per key over all windows: u0 gets 0+30+60, u1 10+40+70, u2 20+50
+    assert [(r["key"], r["amt"]) for r in out] == [
+        ("u0", 90), ("u1", 120), ("u2", 70)
+    ]
+
+
 def test_dedup_stream_bounded_state(spark, sf_dir):
     """dropDuplicatesWithinWatermark-based dedup: replaying a stream
     with every event DUPLICATED yields exactly the batch-distinct
