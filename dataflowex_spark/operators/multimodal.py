@@ -1034,6 +1034,19 @@ def decode_audio(payload: bytes) -> dict:
                 "duration_s": n / rate,
                 "samples": samples,
             }
+        if payload[:3] == b"ID3" or (
+            len(payload) > 1
+            and payload[0] == 0xFF
+            and (payload[1] & 0xE0) == 0xE0
+        ):
+            raise NotImplementedError(
+                "MP3 spectral decode needs ISO constant tables absent "
+                "from this environment (operators/mp3.py documents "
+                "the refusal); use mp3.side_info_features for the "
+                "curation signals side info carries (gain envelope, "
+                "transient density, bit allocation) and probe_mp3 for "
+                "container metadata"
+            )
         raise NotImplementedError(
             "compressed-audio decode requires a codec library not present "
             "in this environment; soundfile is picked up automatically "
