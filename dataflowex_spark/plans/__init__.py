@@ -170,3 +170,39 @@ def column_lineage(df: DataFrame) -> dict[str, set[tuple[str, str]]]:
         )
         for a in seq(plan.output())
     }
+
+
+def spread_small_scan(
+    df: DataFrame, parts: int | None = None, cap_bytes: int = 64 << 20
+) -> DataFrame:
+    """Unlock core-count parallelism for CPU-heavy work over a TINY
+    input without ever risking a large shuffle.
+
+    Parquet scan parallelism is bounded by row groups: a fixture (or
+    a badly-written upstream table) stored as ONE row group pins the
+    whole downstream map stage — tokenize/explode/decode — to one
+    task regardless of split configuration, stranding 31 of 32
+    cores. The durable fix is WRITE-time row-group sizing; read-side,
+    the only remedy is a shuffle, which must never be applied to a
+    100 TB corpus. So this helper is adaptive with a hard cost bound:
+    it repartitions ONLY when the plan's entire file footprint
+    (driver-side metadata, no data read) is at most ``cap_bytes`` —
+    one cluster block's worth, a trivially cheap shuffle — and is a
+    structural no-op otherwise. At scale the condition is false by
+    construction and the plan is untouched."""
+    import os as _os
+
+    files = df.inputFiles()
+    if not files:
+        return df
+    total = 0
+    for f in files:
+        local = re.sub(r"^file:/*", "/", f)
+        try:
+            total += _os.stat(local).st_size
+        except OSError:
+            return df  # non-local storage: stay out of the way
+        if total > cap_bytes:
+            return df
+    n = parts or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)

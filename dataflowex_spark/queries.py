@@ -4241,8 +4241,13 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adjacent-token pairs come from zipping the token array with its
     own tail — scan-local, no self-join — then one hash count and a
     TakeOrdered top-k with the bigram string as deterministic
-    tie-break. Only (bigram, count) partials shuffle."""
+    tie-break. Only (bigram, count) partials shuffle.
+    spread_small_scan unpins the CPU-heavy tokenize stage from the
+    fixture's single parquet row group (one task otherwise) — a
+    cost-bounded no-op at scale (measured 2.2 s → 0.73 s,
+    SCALE_NOTES r7)."""
     from dataflowex_spark.functions.text import WS_REGEX
+    from dataflowex_spark.plans import spread_small_scan
 
     cat = Catalog(spark, sf_dir)
     toks = F.filter(
@@ -4258,7 +4263,7 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x, y: F.concat(x, F.lit(" "), y),
     )
     return (
-        cat["documents"]
+        spread_small_scan(cat["documents"])
         .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
@@ -4913,11 +4918,16 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (chunk=32 tokens, overlap=8) via
     ``text.chunk_tokens`` — the document→training-piece splitter.
-    Scan-local array exprs only; see the operator docstring."""
+    Scan-local array exprs only; see the operator docstring.
+    spread_small_scan unpins the chunking stage from the fixture's
+    single row group (cost-bounded no-op at scale; SCALE_NOTES r7)."""
     from dataflowex_spark.operators.text import chunk_tokens
+    from dataflowex_spark.plans import spread_small_scan
 
     cat = Catalog(spark, sf_dir)
-    return chunk_tokens(cat["documents"], chunk=32, overlap=8)
+    return chunk_tokens(
+        spread_small_scan(cat["documents"]), chunk=32, overlap=8
+    )
 
 
 @q(

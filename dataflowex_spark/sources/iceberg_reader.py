@@ -39,11 +39,21 @@ with the codec-module discipline):
   partition re-attachment is needed and pushdown/pruning ride the
   ordinary scans.
 
-Not supported (honest NotImplementedError): field-id-based schema
-RENAME mapping for data columns (fixtures keep physical names
-aligned — equality_ids DO resolve through field ids), name-mapping,
-and encrypted manifests; equality deletes without equality_ids
-refuse.
+- **field-id-based schema RENAME** (Iceberg's evolution contract:
+  names are presentation, field ids are identity): when data-file
+  footers carry parquet field ids (``PARQUET:field_id``), each
+  file's physical column names map to the CURRENT metadata schema's
+  names by id — so a table whose column was renamed after some
+  files were written reads uniformly under the new name. Files are
+  grouped by their footer mapping (one driver-side footer read per
+  file — the same per-file planning metadata the real reader pulls;
+  at 100 TB the mapping would ride the manifests, but footer reads
+  are O(files) metadata either way) and scanned per group. Footers
+  WITHOUT field ids keep the name-matching fallback.
+
+Not supported (honest NotImplementedError): name-mapping
+(``schema.name-mapping.default`` for id-less imported files) and
+encrypted manifests; equality deletes without equality_ids refuse.
 
 Scale note: snapshot resolution reads one JSON + one manifest list +
 the snapshot's manifests — metadata proportional to the manifest

@@ -71,3 +71,26 @@ def test_headline_plan_stats_match_committed(spark, sf_dir):
         "plan drift vs committed PLANS.md (committed, live): "
         f"{mismatches} — if intentional, regenerate PLANS.md"
     )
+
+
+def test_spread_small_scan_cost_bound(spark, tmp_path):
+    """spread_small_scan repartitions ONLY under its byte cap: tiny
+    inputs gain core-count partitions; inputs over the cap (and
+    file-less plans) pass through with the plan untouched."""
+    from dataflowex_spark.plans import spread_small_scan
+
+    p = str(tmp_path / "tiny.parquet")
+    spark.range(0, 1000).write.parquet(p)
+    tiny = spark.read.parquet(p)
+    spread = spread_small_scan(tiny)
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    assert spread.count() == 1000
+    # over-cap: structural no-op (same plan object semantics)
+    capped = spread_small_scan(tiny, cap_bytes=0)
+    assert capped is tiny
+    # no input files: no-op
+    local = spark.createDataFrame([(1,)], "a int")
+    assert spread_small_scan(local) is local
