@@ -23196,3 +23196,108 @@ def q414(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@q(
+    "q415_iceberg_schema_evolution",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+    FROM (
+      SELECT c_mktsegment,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    )
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q415(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG SCHEMA EVOLUTION (field-id rename resolution, the r6
+    reader's declared gap, now implemented): half the customers are
+    written under the OLD column names (``segment``/``cents``,
+    parquet footers stamped with field ids via pyarrow — test-side
+    independent of the reader), half under the CURRENT names; the
+    table metadata declares the current schema with the SAME field
+    ids, and one read returns every file under the current names —
+    names are presentation, ids are identity. Oracle recomputes from
+    customer directly, so the hash match proves the per-file rename
+    grouping loses and invents nothing. Scale shape: one driver-side
+    footer read per data file (planning metadata, the same O(files)
+    walk the manifests already are); scans stay ordinary parquet per
+    rename group."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        read_iceberg,
+        write_conformance_table,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"].select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_q415_")
+    import os as _os
+
+    _os.makedirs(root + "/data")
+
+    def write_with_ids(pdf, names, path):
+        fields = [
+            pa.field(
+                n,
+                pa.int64() if pdf[c].dtype.kind == "i" else pa.string(),
+                metadata={b"PARQUET:field_id": str(i).encode()},
+            )
+            for (c, n, i) in names
+        ]
+        t = pa.table(
+            {n: pa.array(pdf[c]) for c, n, i in names}
+        ).cast(pa.schema(fields))
+        pq.write_table(t, _os.path.join(root, path))
+
+    halves = [
+        (cust.filter(F.col("c_custkey") % 2 == 0), "old", [
+            ("c_custkey", "c_custkey", 1),
+            ("c_mktsegment", "segment", 2),
+            ("bal_cents", "cents", 3),
+        ]),
+        (cust.filter(F.col("c_custkey") % 2 == 1), "new", [
+            ("c_custkey", "c_custkey", 1),
+            ("c_mktsegment", "c_mktsegment", 2),
+            ("bal_cents", "bal_cents", 3),
+        ]),
+    ]
+    for df_half, tag, names in halves:
+        write_with_ids(df_half.toPandas(), names, f"data/{tag}.parquet")
+    write_conformance_table(
+        root,
+        [
+            {
+                "id": 1,
+                "entries": [
+                    (1, "data/old.parquet"),
+                    (1, "data/new.parquet"),
+                ],
+                "schema_fields": [
+                    (1, "c_custkey", "long"),
+                    (2, "c_mktsegment", "string"),
+                    (3, "bal_cents", "long"),
+                ],
+            }
+        ],
+    )
+    t = read_iceberg(spark, root)
+    return (
+        t.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

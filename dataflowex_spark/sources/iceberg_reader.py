@@ -283,30 +283,68 @@ def _live_files(
     return live, pos_deletes, eq_deletes
 
 
+def _footer_renames(
+    path: str, names_by_id: dict[int, str]
+) -> tuple[tuple[str, str], ...]:
+    """(physical → current) top-level rename pairs for one data
+    file, resolved through the parquet footer's field ids
+    (``PARQUET:field_id``). Empty when the footer carries no ids
+    (name-matching fallback) or nothing differs. One driver-side
+    footer read per file — planning metadata, no data pages."""
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return ()
+    out = []
+    for f in schema:
+        fid = (f.metadata or {}).get(b"PARQUET:field_id")
+        if fid is None:
+            continue
+        current = names_by_id.get(int(fid))
+        if current is not None and current != f.name:
+            out.append((f.name, current))
+    return tuple(sorted(out))
+
+
 def read_iceberg(
     spark: SparkSession, root: str, snapshot_id: int | None = None
 ) -> DataFrame:
     """Read an Iceberg table directory (current snapshot or time
-    travel by ``snapshot_id``)."""
+    travel by ``snapshot_id``), resolving renamed columns by field
+    id when data-file footers carry parquet field ids."""
     from pyspark.sql import functions as F
 
     meta = load_table_metadata(root)
     live, pos_deletes, eq_deletes = _live_files(root, meta, snapshot_id)
     if not live:
         return _empty_frame(spark, meta)
-    # group data files by sequence number — equality deletes apply
-    # only to rows whose DATA sequence is STRICTLY LOWER than the
-    # delete's (spec: a delete cannot remove rows committed with or
-    # after it)
-    by_seq: dict[int, list[str]] = {}
+    # group data files by (sequence number, field-id rename map) —
+    # equality deletes apply only to rows whose DATA sequence is
+    # STRICTLY LOWER than the delete's (spec: a delete cannot remove
+    # rows committed with or after it); files written under an OLD
+    # column name scan in their own group and restore the CURRENT
+    # names by parquet field id (names are presentation, ids are
+    # identity — the Iceberg evolution contract)
+    names_by_id = _field_names_by_id(meta)
+    by_group: dict[tuple, list[str]] = {}
     for path, seq in sorted(live.items()):
-        by_seq.setdefault(seq, []).append(path)
+        renames = _footer_renames(path, names_by_id)
+        by_group.setdefault((seq, renames), []).append(path)
     pieces = []
-    for seq, paths in sorted(by_seq.items()):
-        pieces.append(
-            spark.read.parquet(*paths).withColumn(
-                "__seq", F.lit(seq).cast("long")
+    for (seq, renames), paths in sorted(by_group.items()):
+        piece = spark.read.parquet(*paths)
+        if renames:
+            mapping = dict(renames)
+            piece = piece.select(
+                *[
+                    F.col(c).alias(mapping.get(c, c))
+                    for c in piece.columns
+                ]
             )
+        pieces.append(
+            piece.withColumn("__seq", F.lit(seq).cast("long"))
         )
     df = pieces[0]
     for p in pieces[1:]:

@@ -348,3 +348,89 @@ def test_mtable_iceberg_export_roundtrip_and_dv_refusal(spark, tmp_path):
     t.delete_where("k = 3")
     with pytest.raises(ValueError, match="delete debt"):
         export_snapshot_to_iceberg(t, str(tmp_path / "iceberg_dv"))
+
+
+def test_field_id_rename_resolution(spark, tmp_path):
+    """Iceberg evolution contract: names are presentation, field ids
+    are identity. A file written under an OLD column name (footer
+    field ids present) reads back under the CURRENT metadata name,
+    unioned with a file already written under the new name."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "data"))
+
+    def write_ids(name, cols, fids, path):
+        fields = [
+            pa.field(n, arr.type,
+                     metadata={b"PARQUET:field_id": str(i).encode()})
+            for (n, arr), i in zip(cols, fids)
+        ]
+        t = pa.table({n: arr for n, arr in cols}).cast(pa.schema(fields))
+        pq.write_table(t, os.path.join(root, path))
+
+    # old incarnation: column was called v_old (field id 2)
+    write_ids(
+        "old",
+        [("k", pa.array([1, 2], pa.int64())),
+         ("v_old", pa.array(["a", "b"]))],
+        [1, 2],
+        "data/old.parquet",
+    )
+    # new incarnation: same field id 2, current name v
+    write_ids(
+        "new",
+        [("k", pa.array([3], pa.int64())),
+         ("v", pa.array(["c"]))],
+        [1, 2],
+        "data/new.parquet",
+    )
+    write_conformance_table(
+        root,
+        [{"id": 1,
+          "entries": [(1, "data/old.parquet"), (1, "data/new.parquet")],
+          "schema_fields": [(1, "k", "long"), (2, "v", "string")]}],
+    )
+    got = read_iceberg(spark, root)
+    assert got.columns == ["k", "v"]
+    assert rows(got) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_field_id_rename_with_position_delete(spark, tmp_path):
+    """_metadata identity survives the rename projection: a renamed
+    file with a position-delete sidecar drops exactly the deleted
+    position under the new name."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "data"))
+    fields = [
+        pa.field("k", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("v_old", pa.string(),
+                 metadata={b"PARQUET:field_id": b"2"}),
+    ]
+    t = pa.table(
+        {"k": pa.array([1, 2, 3], pa.int64()),
+         "v_old": pa.array(["a", "b", "c"])}
+    ).cast(pa.schema(fields))
+    pq.write_table(t, os.path.join(root, "data/old.parquet"))
+    dv = spark.createDataFrame(
+        [(os.path.join(root, "data/old.parquet"), 0)],
+        "file_path string, pos long",
+    )
+    stage_parquet_file(dv, root, "data/dv.parquet")
+    write_conformance_table(
+        root,
+        [
+            {"id": 1, "entries": [(1, "data/old.parquet")],
+             "schema_fields": [(1, "k", "long"), (2, "v", "string")]},
+            {"id": 2, "entries": [(0, "data/old.parquet")],
+             "delete_entries": [(1, "data/dv.parquet")]},
+        ],
+    )
+    got = read_iceberg(spark, root)
+    assert got.columns == ["k", "v"]
+    assert rows(got) == [(2, "b"), (3, "c")]
