@@ -205,6 +205,34 @@ def _snapshot(
     return meta, adds
 
 
+def version_at_timestamp(root: str, ts_ms: int) -> int:
+    """Delta timestamp time travel: the latest version whose commit
+    timestamp is ≤ ``ts_ms`` (the TIMESTAMP AS OF contract).
+    Commit time comes from ``commitInfo.timestamp`` when present,
+    else the log file's mtime — the same fallback delta-spark uses
+    for logs written without commitInfo."""
+    best = None
+    for v, path in sorted(_commit_files(root).items()):
+        ts = None
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a and a["commitInfo"]:
+                    ts = a["commitInfo"].get("timestamp")
+        if ts is None:
+            ts = int(os.stat(path).st_mtime * 1000)
+        if ts <= ts_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no Delta commit at or before timestamp {ts_ms}"
+        )
+    return best
+
+
 def delta_history(root: str) -> list[dict]:
     """commitInfo (or synthesized stub) per version, ascending."""
     out = []
@@ -296,11 +324,18 @@ def _dead_positions(root: str, adds: dict[str, dict]) -> list[tuple]:
 
 
 def read_delta(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
-    """Read a Delta table directory as a DataFrame (latest snapshot
-    or ``version=`` time travel), applying column mapping
-    (mode=name) and deletion vectors."""
+    """Read a Delta table directory as a DataFrame (latest snapshot,
+    ``version=`` time travel, or ``timestamp_ms=`` TIMESTAMP AS OF),
+    applying column mapping (mode=name) and deletion vectors."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        version = version_at_timestamp(root, timestamp_ms)
     meta, adds = _snapshot(spark, root, version)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     mode = _mapping_mode(meta)

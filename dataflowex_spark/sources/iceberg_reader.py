@@ -51,9 +51,14 @@ with the codec-module discipline):
   are O(files) metadata either way) and scanned per group. Footers
   WITHOUT field ids keep the name-matching fallback.
 
-Not supported (honest NotImplementedError): name-mapping
-(``schema.name-mapping.default`` for id-less imported files) and
-encrypted manifests; equality deletes without equality_ids refuse.
+- **name-mapping** (``schema.name-mapping.default`` table property):
+  files WITHOUT footer field ids (imported/converted data) resolve
+  physical names → field ids through the mapping's ``names`` lists,
+  then ids → current names — the spec's fallback chain (footer ids
+  win when present, then name-mapping, then direct name match).
+
+Not supported (honest NotImplementedError): encrypted manifests;
+equality deletes without equality_ids refuse.
 
 Scale note: snapshot resolution reads one JSON + one manifest list +
 the snapshot's manifests — metadata proportional to the manifest
@@ -283,14 +288,36 @@ def _live_files(
     return live, pos_deletes, eq_deletes
 
 
+def _name_mapping(meta: dict) -> dict[str, int]:
+    """physical name → field id from the table's
+    ``schema.name-mapping.default`` property (spec: a JSON list of
+    ``{"field-id": N, "names": [...]}``; nested mappings carry a
+    ``fields`` list — top level only here, matching the flat data
+    files the rest of this reader handles)."""
+    raw = (meta.get("properties") or {}).get(
+        "schema.name-mapping.default"
+    )
+    if not raw:
+        return {}
+    out: dict[str, int] = {}
+    for entry in json.loads(raw):
+        fid = entry.get("field-id")
+        if fid is None:
+            continue
+        for n in entry.get("names", []):
+            out[n] = fid
+    return out
+
+
 def _footer_renames(
-    path: str, names_by_id: dict[int, str]
+    path: str, names_by_id: dict[int, str], mapping: dict[str, int]
 ) -> tuple[tuple[str, str], ...]:
     """(physical → current) top-level rename pairs for one data
-    file, resolved through the parquet footer's field ids
-    (``PARQUET:field_id``). Empty when the footer carries no ids
-    (name-matching fallback) or nothing differs. One driver-side
-    footer read per file — planning metadata, no data pages."""
+    file: parquet-footer field ids (``PARQUET:field_id``) win when
+    present; id-less columns fall back to the table's name-mapping
+    (physical name → id); columns resolved by neither keep direct
+    name matching. One driver-side footer read per file — planning
+    metadata, no data pages."""
     import pyarrow.parquet as pq
 
     try:
@@ -300,23 +327,52 @@ def _footer_renames(
     out = []
     for f in schema:
         fid = (f.metadata or {}).get(b"PARQUET:field_id")
+        fid = int(fid) if fid is not None else mapping.get(f.name)
         if fid is None:
             continue
-        current = names_by_id.get(int(fid))
+        current = names_by_id.get(fid)
         if current is not None and current != f.name:
             out.append((f.name, current))
     return tuple(sorted(out))
 
 
+def snapshot_at_timestamp(meta: dict, ts_ms: int) -> int:
+    """Iceberg timestamp time travel: the latest snapshot whose
+    ``timestamp-ms`` is ≤ the requested instant (FOR TIMESTAMP AS
+    OF)."""
+    best = None
+    for s in meta.get("snapshots", []):
+        t = s.get("timestamp-ms")
+        if t is not None and t <= ts_ms:
+            if best is None or t > best[0]:
+                best = (t, s["snapshot-id"])
+    if best is None:
+        raise ValueError(
+            f"no Iceberg snapshot at or before timestamp {ts_ms}"
+        )
+    return best[1]
+
+
 def read_iceberg(
-    spark: SparkSession, root: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    root: str,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
-    """Read an Iceberg table directory (current snapshot or time
-    travel by ``snapshot_id``), resolving renamed columns by field
-    id when data-file footers carry parquet field ids."""
+    """Read an Iceberg table directory (current snapshot, time
+    travel by ``snapshot_id``, or ``timestamp_ms=`` FOR TIMESTAMP AS
+    OF), resolving renamed columns by field id when data-file
+    footers carry parquet field ids (name-mapping fallback for
+    id-less files)."""
     from pyspark.sql import functions as F
 
     meta = load_table_metadata(root)
+    if timestamp_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError(
+                "pass snapshot_id OR timestamp_ms, not both"
+            )
+        snapshot_id = snapshot_at_timestamp(meta, timestamp_ms)
     live, pos_deletes, eq_deletes = _live_files(root, meta, snapshot_id)
     if not live:
         return _empty_frame(spark, meta)
@@ -328,9 +384,10 @@ def read_iceberg(
     # names by parquet field id (names are presentation, ids are
     # identity — the Iceberg evolution contract)
     names_by_id = _field_names_by_id(meta)
+    mapping = _name_mapping(meta)
     by_group: dict[tuple, list[str]] = {}
     for path, seq in sorted(live.items()):
-        renames = _footer_renames(path, names_by_id)
+        renames = _footer_renames(path, names_by_id, mapping)
         by_group.setdefault((seq, renames), []).append(path)
     pieces = []
     for (seq, renames), paths in sorted(by_group.items()):
@@ -468,6 +525,7 @@ def write_conformance_table(
     root: str,
     snapshots: list[dict],
     format_version: int = 2,
+    properties: dict | None = None,
 ) -> None:
     """Write metadata/ + Avro manifests for ``snapshots``: each is
     ``{"id": int, "entries": [(status, data_path), ...]}`` with an
@@ -580,6 +638,7 @@ def write_conformance_table(
             else []
         ),
         "snapshots": snaps_meta,
+        **({"properties": properties} if properties else {}),
     }
     with open(os.path.join(md, "v1.metadata.json"), "w") as f:
         json.dump(meta, f)

@@ -328,3 +328,26 @@ def test_mtable_export_roundtrip_and_dv_refusal(spark, tmp_path):
 
     with _pt.raises(ValueError, match="delete debt"):
         export_snapshot_to_delta(t, str(tmp_path / "delta_dv"))
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: the latest version whose commitInfo
+    timestamp <= the instant; before-everything refuses."""
+    root = str(tmp_path)
+    commits = _simple_table(spark, root)
+    commits[0].append({"commitInfo": {"timestamp": 1_000}})
+    # _simple_table's second commit already has commitInfo; stamp it
+    commits[1] = [
+        a for a in commits[1] if "commitInfo" not in a
+    ] + [{"commitInfo": {"operation": "MERGE", "timestamp": 5_000}}]
+    write_conformance_log(root, commits)
+    assert rows(read_delta(spark, root, timestamp_ms=1_500)) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    assert rows(read_delta(spark, root, timestamp_ms=9_000)) == [
+        (1, "a"), (2, "b"), (4, "d")
+    ]
+    with pytest.raises(ValueError, match="at or before"):
+        read_delta(spark, root, timestamp_ms=500)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, root, version=0, timestamp_ms=1_500)

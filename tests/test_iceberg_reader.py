@@ -434,3 +434,49 @@ def test_field_id_rename_with_position_delete(spark, tmp_path):
     got = read_iceberg(spark, root)
     assert got.columns == ["k", "v"]
     assert rows(got) == [(2, "b"), (3, "c")]
+
+
+def test_name_mapping_for_idless_files(spark, tmp_path):
+    """schema.name-mapping.default: a file with NO footer field ids
+    (imported data) resolves old physical names through the mapping
+    (name → id → current name); footer ids, when present, win over
+    the mapping."""
+    import json as js
+
+    root = str(tmp_path)
+    # id-less file under the OLD column name (plain Spark write)
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v_old string"
+    )
+    stage_parquet_file(old, root, "data/old.parquet")
+    mapping = js.dumps([
+        {"field-id": 1, "names": ["k"]},
+        {"field-id": 2, "names": ["v_old", "v_older"]},
+    ])
+    write_conformance_table(
+        root,
+        [{"id": 1, "entries": [(1, "data/old.parquet")],
+          "schema_fields": [(1, "k", "long"), (2, "v", "string")]}],
+        properties={"schema.name-mapping.default": mapping},
+    )
+    got = read_iceberg(spark, root)
+    assert got.columns == ["k", "v"]
+    assert rows(got) == [(1, "a"), (2, "b")]
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """FOR TIMESTAMP AS OF over the snapshot log's timestamp-ms
+    (conformance writer stamps 1000·id)."""
+    root = str(tmp_path)
+    _mk_table(spark, root)
+    # snapshot 100 @ ts 100000, snapshot 200 @ ts 200000
+    assert rows(read_iceberg(spark, root, timestamp_ms=150_000)) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    assert rows(read_iceberg(spark, root, timestamp_ms=900_000)) == [
+        (1, "a"), (2, "b"), (4, "d")
+    ]
+    with pytest.raises(ValueError, match="at or before"):
+        read_iceberg(spark, root, timestamp_ms=5)
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg(spark, root, snapshot_id=100, timestamp_ms=150_000)
