@@ -23301,3 +23301,134 @@ def q415(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@q(
+    "q416_delta_change_feed",
+    """
+    WITH base AS (
+      SELECT c_mktsegment,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    changes AS (
+      SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
+             bal_cents FROM base
+      UNION ALL
+      SELECT 'update_preimage', 1, bal_cents FROM base
+      WHERE c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT 'update_postimage', 1, 2 * bal_cents FROM base
+      WHERE c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT 'delete', 2, bal_cents FROM base
+      WHERE c_mktsegment = 'FURNITURE'
+    )
+    SELECT change_type, commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+    FROM changes
+    GROUP BY change_type, commit_version
+    ORDER BY commit_version, change_type
+    """,
+)
+def q416(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA CHANGE DATA FEED read (readChangeFeed surface): a
+    three-commit table built in-query — v0 ingest, v1 UPDATE
+    doubling BUILDING balances recorded as cdc pre/postimage files
+    (the same commit's add/remove compaction side must NOT
+    double-count — the protocol's cdc-wins rule), v2 DELETE of
+    FURNITURE synthesized from dataChange removes — read back
+    through :func:`sources.delta_reader.read_delta_changes` and
+    aggregated per (change type, commit). The oracle reconstructs
+    the full change stream relationally from customer, so the hash
+    match proves the cdc-authoritative rule, the insert/delete
+    synthesis, and version stamping at once. Scale: per-version
+    metadata walk + scans of exactly the changed files — the base
+    is never rescanned (MTable-changefeed economics, q295)."""
+    import json as _json
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        read_delta_changes,
+        stage_parquet_file,
+        write_conformance_log,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"].select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_q416_")
+    # two physical files so the v2 delete can legitimately remove a
+    # file the table actually holds (furniture rides alone)
+    other = cust.filter(F.col("c_mktsegment") != "FURNITURE")
+    stage_parquet_file(other, root, "f0_other.parquet")
+    stage_parquet_file(
+        cust.filter(F.col("c_mktsegment") == "FURNITURE"),
+        root,
+        "f0_furniture.parquet",
+    )
+    bld = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    stage_parquet_file(
+        other.filter(F.col("c_mktsegment") != "BUILDING").unionByName(
+            bld.withColumn("bal_cents", F.col("bal_cents") * 2)
+        ),
+        root,
+        "f1_other.parquet",
+    )
+    cdc = bld.select(
+        "*", F.lit("update_preimage").alias("_change_type")
+    ).unionByName(
+        bld.withColumn("bal_cents", F.col("bal_cents") * 2).select(
+            "*", F.lit("update_postimage").alias("_change_type")
+        )
+    )
+    stage_parquet_file(cdc, root, "_change_data/cdc-1.parquet")
+    schema_json = _json.dumps(cust.schema.jsonValue())
+    commits = [
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            {
+                "metaData": {
+                    "id": "q416",
+                    "schemaString": schema_json,
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.enableChangeDataFeed": "true"
+                    },
+                    "format": {"provider": "parquet"},
+                }
+            },
+            {"add": {"path": "f0_other.parquet", "partitionValues": {},
+                     "dataChange": True}},
+            {"add": {"path": "f0_furniture.parquet",
+                     "partitionValues": {}, "dataChange": True}},
+        ],
+        [
+            {"cdc": {"path": "_change_data/cdc-1.parquet",
+                     "partitionValues": {}, "dataChange": False}},
+            {"remove": {"path": "f0_other.parquet", "dataChange": True}},
+            {"add": {"path": "f1_other.parquet", "partitionValues": {},
+                     "dataChange": True}},
+        ],
+        [
+            {"remove": {"path": "f0_furniture.parquet",
+                        "dataChange": True}},
+        ],
+    ]
+    write_conformance_log(root, commits)
+    ch = read_delta_changes(spark, root, 0, 2)
+    return (
+        ch.groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .orderBy("commit_version", "change_type")
+    )

@@ -633,3 +633,155 @@ def export_snapshot_to_delta(
         },
     ] + adds
     write_conformance_log(dest, [commit])
+
+
+# ---------------------------------------------------------------------
+# Change Data Feed (CDF) read — PROTOCOL.md "Add CDC File" / the
+# delta.enableChangeDataFeed surface.
+# ---------------------------------------------------------------------
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    root: str,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Row-level changes between two versions (inclusive) — the
+    ``readChangeFeed`` surface, from the log's own actions:
+
+    - commits that wrote ``cdc`` actions (UPDATE/MERGE under
+      delta.enableChangeDataFeed) read their ``_change_data/`` files
+      verbatim — those carry the authoritative ``_change_type``
+      (insert / update_preimage / update_postimage / delete);
+    - commits WITHOUT cdc actions synthesize per the protocol's rule:
+      every ``add`` with dataChange reads as ``insert`` rows, every
+      ``remove`` with dataChange reads as ``delete`` rows (the
+      removed file's content — still on disk under retention, the
+      same contract vacuum enforces for CDF consumers).
+
+    Output = table columns + ``_change_type`` + ``_commit_version``.
+    Scale shape: per-version metadata walk + ordinary parquet scans
+    of exactly the changed files; the base table is never rescanned
+    (the MTable changefeed economics, q295)."""
+    commits = _commit_files(root)
+    if not commits:
+        raise FileNotFoundError(f"empty _delta_log in {root}")
+    latest = max(commits)
+    end = latest if ending_version is None else ending_version
+    if starting_version > end:
+        raise ValueError(
+            f"starting_version {starting_version} > ending {end}"
+        )
+    meta0, _ = _snapshot(spark, root, end)
+    schema = T.StructType.fromJson(json.loads(meta0["schemaString"]))
+    mode = _mapping_mode(meta0)
+    part_cols = meta0.get("partitionColumns") or []
+    phys_by_logical = {
+        f.name: (_physical_name(f) if mode == "name" else f.name)
+        for f in schema.fields
+    }
+
+    def typed_read(path_entries, extra_cols):
+        """Read file entries (path, partitionValues) restoring
+        logical names + partition columns, like read_delta."""
+        pieces = []
+        by_parts: dict[tuple, list[str]] = {}
+        for a in path_entries:
+            pv = a.get("partitionValues") or {}
+            key = tuple(pv.get(phys_by_logical[c]) for c in part_cols)
+            by_parts.setdefault(key, []).append(
+                os.path.join(root, a["path"])
+            )
+        for key, paths in sorted(
+            by_parts.items(), key=lambda kv: str(kv[0])
+        ):
+            df = spark.read.parquet(*paths)
+            cols = []
+            for f in schema.fields:
+                if f.name in part_cols:
+                    continue
+                c = F.col(phys_by_logical[f.name])
+                if mode == "name" and isinstance(
+                    f.dataType, (T.StructType, T.ArrayType, T.MapType)
+                ):
+                    c = c.cast(f.dataType)
+                cols.append(c.alias(f.name))
+            keep = [c for c in ("_change_type",) if c in df.columns]
+            df = df.select(*cols, *keep)
+            for c, v in zip(part_cols, key):
+                df = df.withColumn(
+                    c, _typed_partition_lit(v, schema[c].dataType)
+                )
+            for name, expr in extra_cols.items():
+                if name not in df.columns:
+                    df = df.withColumn(name, expr)
+            pieces.append(
+                df.select(
+                    *[f.name for f in schema.fields],
+                    "_change_type",
+                    "_commit_version",
+                )
+            )
+        return pieces
+
+    out_pieces = []
+    for v in range(starting_version, end + 1):
+        path = commits.get(v)
+        if path is None:
+            raise FileNotFoundError(
+                f"missing commit {v} in _delta_log (CDF needs the "
+                "full version range under retention)"
+            )
+        cdc, adds, removes = [], [], []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if a.get("cdc"):
+                    cdc.append(a["cdc"])
+                elif a.get("add") and a["add"].get("dataChange", True):
+                    adds.append(a["add"])
+                elif a.get("remove") and a["remove"].get(
+                    "dataChange", True
+                ):
+                    removes.append(a["remove"])
+        ver_lit = F.lit(v).cast("long")
+        if cdc:
+            # authoritative change files; add/remove in the same
+            # commit are the compaction side and must NOT also count
+            out_pieces += typed_read(
+                cdc, {"_commit_version": ver_lit}
+            )
+            continue
+        if adds:
+            out_pieces += typed_read(
+                adds,
+                {
+                    "_change_type": F.lit("insert"),
+                    "_commit_version": ver_lit,
+                },
+            )
+        if removes:
+            out_pieces += typed_read(
+                removes,
+                {
+                    "_change_type": F.lit("delete"),
+                    "_commit_version": ver_lit,
+                },
+            )
+    if not out_pieces:
+        empty = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    df = out_pieces[0]
+    for p in out_pieces[1:]:
+        df = df.unionByName(p)
+    return df

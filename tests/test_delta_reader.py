@@ -351,3 +351,55 @@ def test_timestamp_time_travel(spark, tmp_path):
         read_delta(spark, root, timestamp_ms=500)
     with pytest.raises(ValueError, match="not both"):
         read_delta(spark, root, version=0, timestamp_ms=1_500)
+
+
+def test_change_data_feed(spark, tmp_path):
+    """CDF read: cdc actions are authoritative (the same commit's
+    add/remove compaction side must not double-count); commits
+    without cdc synthesize insert/delete from dataChange actions."""
+    from dataflowex_spark.sources.delta_reader import read_delta_changes
+
+    root = str(tmp_path)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    stage_parquet_file(df1, root, "f1.parquet")
+    # v1: update k=2 (b -> B) recorded as cdc pre/postimage; the
+    # rewritten data file travels as add/remove alongside
+    stage_parquet_file(
+        spark.createDataFrame([(1, "a"), (2, "B")], "k long, v string"),
+        root, "f1v2.parquet",
+    )
+    cdc_rows = spark.createDataFrame(
+        [(2, "b", "update_preimage"), (2, "B", "update_postimage")],
+        "k long, v string, _change_type string",
+    )
+    stage_parquet_file(cdc_rows, root, "_change_data/cdc-0.parquet")
+    schema_json = json.dumps(df1.schema.jsonValue())
+    commits = [
+        [PROTO, _meta(schema_json),
+         {"add": {"path": "f1.parquet", "partitionValues": {},
+                  "dataChange": True}}],
+        [{"cdc": {"path": "_change_data/cdc-0.parquet",
+                  "partitionValues": {}, "dataChange": False}},
+         {"remove": {"path": "f1.parquet", "dataChange": True}},
+         {"add": {"path": "f1v2.parquet", "partitionValues": {},
+                  "dataChange": True}}],
+        [{"remove": {"path": "f1v2.parquet", "dataChange": True}}],
+    ]
+    write_conformance_log(root, commits)
+    got = sorted(
+        tuple(r)
+        for r in read_delta_changes(spark, root, 0).collect()
+    )
+    assert got == sorted([
+        (1, "a", "insert", 0), (2, "b", "insert", 0),
+        (2, "b", "update_preimage", 1),
+        (2, "B", "update_postimage", 1),
+        (1, "a", "delete", 2), (2, "B", "delete", 2),
+    ])
+    # bounded range
+    only_v1 = read_delta_changes(spark, root, 1, 1)
+    assert sorted(r["_change_type"] for r in only_v1.collect()) == [
+        "update_postimage", "update_preimage"
+    ]
+    with pytest.raises(ValueError, match="> ending"):
+        read_delta_changes(spark, root, 2, 1)
