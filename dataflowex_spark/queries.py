@@ -23432,3 +23432,104 @@ def q416(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("commit_version", "change_type")
     )
+
+
+@q(
+    "q417_mtable_delta_cdc_publish",
+    """
+    WITH base AS (
+      SELECT c_custkey,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    changes AS (
+      SELECT 'update_preimage' AS change_type, bal_cents
+      FROM base WHERE c_custkey % 10 = 0 AND c_custkey % 13 <> 1
+      UNION ALL
+      SELECT 'update_postimage', bal_cents + 777
+      FROM base WHERE c_custkey % 10 = 0 AND c_custkey % 13 <> 1
+      UNION ALL
+      SELECT 'delete', bal_cents FROM base WHERE c_custkey % 13 = 1
+      UNION ALL
+      SELECT 'insert', CAST(42 AS BIGINT)
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+    FROM changes GROUP BY change_type ORDER BY change_type
+    """,
+)
+def q417(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS MTable → DELTA CDC PUBLISHING (the q401 one-shot
+    export grown into a pipeline): a customer MTable exports to
+    Delta, then ONE MTable merge (balance bump on custkey%10==0,
+    delete of custkey%13==1, one insert) publishes as ONE
+    incremental Delta commit via the manifest diff — carried files
+    never move, the commit carries authoritative CDC files derived
+    from the MTable changefeed — and a downstream Delta CDF consumer
+    (:func:`read_delta_changes`) aggregates the exact row-level
+    change stream. The oracle reconstructs that stream relationally
+    from customer, so a hash match proves changefeed → CDC-file
+    translation, the cdc-wins read rule, and the diff-commit
+    economics in one loop. At 100 TB: each publish costs the CHANGE
+    volume (hard-links + one commit JSON + cdc rows), never a table
+    copy — CDC interop in both directions (Delta CDF in via q416,
+    out via this)."""
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        export_delta_increment,
+        export_snapshot_to_delta,
+        read_delta_changes,
+    )
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    cust = (
+        cat["customer"]
+        .select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias(
+                "bal_cents"
+            ),
+        )
+        .repartitionByRange(8, "c_custkey")
+    )
+    root = tempfile.mkdtemp(prefix="q417_")
+    t = MTable.create(spark, root + "/t", cust, "c_custkey")
+    dest = root + "/delta"
+    export_snapshot_to_delta(t, dest)
+    upd = t.read().filter(
+        (F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") % 13 != 1)
+    ).select(
+        "c_custkey",
+        F.lit(1).alias("ts"),
+        F.lit("U").alias("op"),
+        F.lit(0).alias("tie"),
+        (F.col("bal_cents") + 777).alias("bal_cents"),
+    )
+    dele = t.read().filter(F.col("c_custkey") % 13 == 1).select(
+        "c_custkey",
+        F.lit(1).alias("ts"),
+        F.lit("D").alias("op"),
+        F.lit(0).alias("tie"),
+        F.lit(None).cast("long").alias("bal_cents"),
+    )
+    ins = spark.createDataFrame(
+        [(900_000_001, 1, "I", 0, 42)],
+        "c_custkey long, ts int, op string, tie int, bal_cents long",
+    )
+    t.merge(
+        upd.unionByName(dele).unionByName(ins), "ts", "op", "tie",
+        ["bal_cents"],
+    )
+    v = export_delta_increment(t, dest)
+    ch = read_delta_changes(spark, dest, v, v)
+    return (
+        ch.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .orderBy("change_type")
+    )

@@ -599,8 +599,11 @@ def export_snapshot_to_delta(
         )
     os.makedirs(os.path.join(dest, "data"), exist_ok=True)
     adds = []
-    for i, e in enumerate(sorted(m["files"], key=lambda x: x["path"])):
-        name = f"data/part-{i:05d}.parquet"
+    for e in sorted(m["files"], key=lambda x: x["path"]):
+        # name by the MTable file's own basename (unique per write
+        # job) so INCREMENTAL publishes can express removes against
+        # a stable mapping
+        name = "data/" + os.path.basename(e["path"])
         target = os.path.join(dest, name)
         if not os.path.exists(target):
             os.link(e["path"], target)
@@ -785,3 +788,133 @@ def read_delta_changes(
     for p in out_pieces[1:]:
         df = df.unionByName(p)
     return df
+
+
+def export_delta_increment(
+    table, dest: str, version: int | None = None, with_cdc: bool = True
+) -> int:
+    """Publish a LATER MTable snapshot into an already-exported
+    Delta table as ONE incremental commit — continuous publishing,
+    the follow-on to :func:`export_snapshot_to_delta`'s one-shot.
+
+    The commit is the MANIFEST DIFF: files the MTable commit added
+    hard-link in with ``add`` actions, files it dropped become
+    ``remove`` actions (carried files never move — zero bytes
+    copied, the q295 changefeed economics). With ``with_cdc`` the
+    commit also carries authoritative CDC files derived from
+    ``table.read_changes(images="both")`` — I → ``insert``, D →
+    ``delete``, U → ``update_preimage`` + ``update_postimage`` — so
+    a downstream ``read_delta_changes`` consumer sees EXACT
+    row-level changes instead of whole-file insert/delete synthesis
+    from the rewrite (MTable changefeed → Delta CDF, CDC interop in
+    both directions). Returns the new Delta version.
+
+    Snapshots carrying unapplied DV/equality-delete debt refuse, as
+    in the full export."""
+    hist = delta_history(dest)
+    if not hist or "sourceVersion" not in hist[-1]:
+        raise ValueError(
+            "dest is not an MTable-exported Delta table "
+            "(export_snapshot_to_delta first)"
+        )
+    from_v = hist[-1]["sourceVersion"]
+    next_delta = hist[-1]["version"] + 1
+    to_v = table.manifest(version)["version"]
+    if to_v <= from_v:
+        raise ValueError(
+            f"snapshot {to_v} already published (dest at {from_v})"
+        )
+    m_from = table.manifest(from_v)
+    m_to = table.manifest(to_v)
+    dirty = [
+        e["path"] for e in m_to["files"] if e.get("dv") or e.get("eq")
+    ]
+    if dirty:
+        raise ValueError(
+            f"{len(dirty)} file(s) carry merge-on-read delete debt; "
+            "apply_deletion_vectors()/compact first, then export"
+        )
+    paths_from = {e["path"] for e in m_from["files"]}
+    paths_to = {e["path"] for e in m_to["files"]}
+    actions = []
+    if with_cdc:
+        ch = table.read_changes(from_v, to_v, images="both")
+        key = m_to["key_col"]
+        # read_changes(images="both") emits the key PLAIN (coalesced
+        # across sides) and {col}__pre/{col}__post for value columns
+        val_cols = [
+            c[: -len("__post")]
+            for c in ch.columns
+            if c.endswith("__post")
+        ]
+        from pyspark.sql import functions as _F
+
+        def image(side, ctype, ops):
+            return ch.filter(_F.col("op").isin(ops)).select(
+                _F.col(key),
+                *[
+                    _F.col(f"{c}__{side}").alias(c)
+                    for c in val_cols
+                ],
+                _F.lit(ctype).alias("_change_type"),
+            )
+
+        cdc = (
+            image("post", "insert", ["I"])
+            .unionByName(image("pre", "delete", ["D"]))
+            .unionByName(image("pre", "update_preimage", ["U"]))
+            .unionByName(image("post", "update_postimage", ["U"]))
+        )
+        cdc_name = f"_change_data/cdc-{next_delta:010d}.parquet"
+        stage_parquet_file(cdc, dest, cdc_name)
+        actions.append(
+            {
+                "cdc": {
+                    "path": cdc_name,
+                    "partitionValues": {},
+                    "dataChange": False,
+                }
+            }
+        )
+    for p in sorted(paths_from - paths_to):
+        actions.append(
+            {
+                "remove": {
+                    "path": "data/" + os.path.basename(p),
+                    "dataChange": True,
+                }
+            }
+        )
+    for e in sorted(m_to["files"], key=lambda x: x["path"]):
+        if e["path"] in paths_from:
+            continue
+        name = "data/" + os.path.basename(e["path"])
+        target = os.path.join(dest, name)
+        if not os.path.exists(target):
+            os.link(e["path"], target)
+        actions.append(
+            {
+                "add": {
+                    "path": name,
+                    "partitionValues": {},
+                    "size": os.path.getsize(target),
+                    "dataChange": True,
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "MTABLE_EXPORT_INCREMENT",
+                "sourceVersion": to_v,
+            }
+        }
+    )
+    log = _log_dir(dest)
+    commit_path = os.path.join(log, f"{next_delta:020d}.json")
+    tmp = commit_path + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    os.rename(tmp, commit_path)
+    return next_delta

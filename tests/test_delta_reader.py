@@ -403,3 +403,73 @@ def test_change_data_feed(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="> ending"):
         read_delta_changes(spark, root, 2, 1)
+
+
+def test_export_delta_increment_continuous_publish(spark, tmp_path):
+    """Continuous MTable→Delta publishing: the manifest diff becomes
+    one incremental Delta commit (adds/removes, zero bytes copied)
+    with authoritative CDC files derived from the MTable changefeed
+    — downstream read_delta matches the table at every version and
+    read_delta_changes sees exact row-level I/U/D."""
+    from dataflowex_spark.sources.delta_reader import (
+        export_delta_increment,
+        export_snapshot_to_delta,
+        read_delta,
+        read_delta_changes,
+    )
+    from dataflowex_spark.sources.mtable import MTable
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    t = MTable.create(
+        spark, str(tmp_path / "t"),
+        df.repartitionByRange(4, "k"), "k",
+    )
+    dest = str(tmp_path / "delta")
+    export_snapshot_to_delta(t, dest)
+    # one merge: update k%10==0 (v+=100), insert k=1000, delete k=7
+    upd = t.read().filter(F.col("k") % 10 == 0).select(
+        "k", F.lit(1).alias("ts"), F.lit("U").alias("op"),
+        F.lit(0).alias("tie"), (F.col("v") + 100).alias("v"),
+    )
+    ins = spark.createDataFrame([(1000, 1, "I", 0, 5)],
+                                "k long, ts int, op string, tie int, v long")
+    dele = spark.createDataFrame([(7, 1, "D", 0, None)],
+                                 "k long, ts int, op string, tie int, v long")
+    t.merge(upd.unionByName(ins).unionByName(dele), "ts", "op", "tie", ["v"])
+    new_v = export_delta_increment(t, dest)
+    assert new_v == 1
+    # snapshot equality at both versions
+    assert rows(read_delta(spark, dest)) == rows(t.read())
+    assert rows(read_delta(spark, dest, version=0)) == rows(
+        t.read(version=1)
+    )
+    # CDC: exact row-level changes, not whole-file synthesis
+    ch = read_delta_changes(spark, dest, 1, 1)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert by_type == {
+        "insert": 1, "delete": 1,
+        "update_preimage": 5, "update_postimage": 5,
+    }
+    # the updated keys carry exact pre/post values
+    pre = {r["k"]: r["v"] for r in ch.filter(
+        "_change_type = 'update_preimage'").collect()}
+    post = {r["k"]: r["v"] for r in ch.filter(
+        "_change_type = 'update_postimage'").collect()}
+    assert all(post[k] == pre[k] + 100 for k in pre)
+    # republishing the same version refuses
+    with pytest.raises(ValueError, match="already published"):
+        export_delta_increment(t, dest)
+    # a second round of changes publishes as delta version 2
+    t.merge(
+        spark.createDataFrame([(3, 2, "D", 0, None)],
+                              "k long, ts int, op string, tie int, v long"),
+        "ts", "op", "tie", ["v"],
+    )
+    assert export_delta_increment(t, dest) == 2
+    assert rows(read_delta(spark, dest)) == rows(t.read())
