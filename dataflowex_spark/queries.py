@@ -23533,3 +23533,111 @@ def q417(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@q(
+    "q418_mtable_iceberg_cdc_publish",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    v2 AS (
+      SELECT c_mktsegment,
+             CASE WHEN c_custkey % 9 = 0 THEN bal_cents + 555
+                  ELSE bal_cents END AS bal_cents
+      FROM base WHERE c_custkey % 17 <> 2
+    ),
+    both_snaps AS (
+      SELECT 'v1' AS snap, c_mktsegment, bal_cents FROM base
+      UNION ALL
+      SELECT 'v2', c_mktsegment, bal_cents FROM v2
+    )
+    SELECT snap, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+    FROM both_snaps
+    GROUP BY snap, c_mktsegment
+    ORDER BY snap, c_mktsegment
+    """,
+)
+def q418(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS MTable → ICEBERG PUBLISHING (the Iceberg twin of
+    q417; with q414's one-shot export this closes continuous publish
+    to BOTH open formats): a customer MTable exports as Iceberg v2,
+    one merge (bal+555 on custkey%9==0, delete of custkey%17==2)
+    publishes as ONE new snapshot — delta manifest with ADDED +
+    DELETED entries plus carried EXISTING entries keeping their
+    ORIGINAL sequence numbers (the manifest rewrite the spec
+    requires, since readers fold DELETED by skipping) — and the
+    from-scratch reader aggregates BOTH snapshots (time travel to
+    the pre-merge state, current for the post). The oracle
+    reconstructs both states relationally, so the hash match proves
+    the increment's add/delete/carried fold AND that history stayed
+    intact. Publish cost follows CHANGE volume: carried files never
+    move (hard-links), one avro manifest + list + metadata.json per
+    publish."""
+    import tempfile
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        export_iceberg_increment,
+        export_snapshot_to_iceberg,
+        read_iceberg,
+    )
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    cust = (
+        cat["customer"]
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias(
+                "bal_cents"
+            ),
+        )
+        .repartitionByRange(8, "c_custkey")
+    )
+    root = tempfile.mkdtemp(prefix="q418_")
+    t = MTable.create(spark, root + "/t", cust, "c_custkey")
+    dest = root + "/iceberg"
+    export_snapshot_to_iceberg(t, dest)
+    upd = t.read().filter(
+        (F.col("c_custkey") % 9 == 0) & (F.col("c_custkey") % 17 != 2)
+    ).select(
+        "c_custkey",
+        F.lit(1).alias("ts"),
+        F.lit("U").alias("op"),
+        F.lit(0).alias("tie"),
+        "c_mktsegment",
+        (F.col("bal_cents") + 555).alias("bal_cents"),
+    )
+    dele = t.read().filter(F.col("c_custkey") % 17 == 2).select(
+        "c_custkey",
+        F.lit(1).alias("ts"),
+        F.lit("D").alias("op"),
+        F.lit(0).alias("tie"),
+        "c_mktsegment",
+        F.lit(None).cast("long").alias("bal_cents"),
+    )
+    t.merge(
+        upd.unionByName(dele), "ts", "op", "tie",
+        ["c_mktsegment", "bal_cents"],
+    )
+    sid2 = export_iceberg_increment(t, dest)
+    v1 = read_iceberg(spark, dest, snapshot_id=1).select(
+        F.lit("v1").alias("snap"), "c_mktsegment", "bal_cents"
+    )
+    v2 = read_iceberg(spark, dest, snapshot_id=sid2).select(
+        F.lit("v2").alias("snap"), "c_mktsegment", "bal_cents"
+    )
+    return (
+        v1.unionByName(v2)
+        .groupBy("snap", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .orderBy("snap", "c_mktsegment")
+    )

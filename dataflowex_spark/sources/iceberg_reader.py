@@ -741,8 +741,11 @@ def export_snapshot_to_iceberg(
     md = _meta_dir(dest)
     os.makedirs(md, exist_ok=True)
     entries = []
-    for i, e in enumerate(sorted(m["files"], key=lambda x: x["path"])):
-        name = f"data/part-{i:05d}.parquet"
+    for e in sorted(m["files"], key=lambda x: x["path"]):
+        # name by the MTable file's own basename (unique per write
+        # job) so INCREMENTAL publishes can express removals against
+        # a stable mapping (same convention as the Delta exporter)
+        name = "data/" + os.path.basename(e["path"])
         target = os.path.join(dest, name)
         if not os.path.exists(target):
             os.link(e["path"], target)
@@ -821,3 +824,167 @@ def export_snapshot_to_iceberg(
         json.dump(meta, f)
     with open(os.path.join(md, "version-hint.text"), "w") as f:
         f.write("1")
+
+
+def export_iceberg_increment(
+    table, dest: str, version: int | None = None
+) -> int:
+    """Publish a LATER MTable snapshot into an already-exported
+    Iceberg table as ONE new snapshot — the Iceberg twin of
+    :func:`delta_reader.export_delta_increment`, so an MTable can be
+    continuously published into EITHER open format.
+
+    The new snapshot's manifest list references ONE delta manifest
+    (ADDED entries for files the MTable commit created, DELETED
+    entries for files it dropped) plus the prior snapshot's
+    manifests re-listed as carried state — exactly the append/delete
+    commit shape the spec describes; carried data files never move
+    (hard-links, zero bytes copied). A new ``vN.metadata.json``
+    lands and ``version-hint.text`` flips to it. Returns the new
+    snapshot id. Refusals mirror the full export (delete debt,
+    non-exported dest, already-published version)."""
+    from dataflowex_spark.sources.avro_io import write_container
+
+    md = _meta_dir(dest)
+    meta_path = None
+    if os.path.exists(os.path.join(md, "version-hint.text")):
+        hint = open(os.path.join(md, "version-hint.text")).read().strip()
+        meta_path = os.path.join(md, f"v{hint}.metadata.json")
+    if meta_path is None or not os.path.exists(meta_path):
+        raise ValueError(
+            "dest is not an exported Iceberg table "
+            "(export_snapshot_to_iceberg first)"
+        )
+    meta = json.load(open(meta_path))
+    snaps = meta.get("snapshots", [])
+    last = snaps[-1]
+    from_v = int(
+        (last.get("summary") or {}).get("mtable-source-version", -1)
+    )
+    if from_v < 0:
+        raise ValueError("dest was not exported from an MTable")
+    m_to = table.manifest(version)
+    to_v = m_to["version"]
+    if to_v <= from_v:
+        raise ValueError(
+            f"snapshot {to_v} already published (dest at {from_v})"
+        )
+    dirty = [
+        e["path"] for e in m_to["files"] if e.get("dv") or e.get("eq")
+    ]
+    if dirty:
+        raise ValueError(
+            f"{len(dirty)} file(s) carry merge-on-read delete debt; "
+            "apply_deletion_vectors()/compact first, then export"
+        )
+    m_from = table.manifest(from_v)
+    paths_from = {e["path"] for e in m_from["files"]}
+    paths_to = {e["path"] for e in m_to["files"]}
+    new_sid = last["snapshot-id"] + 1
+    new_seq = int(meta.get("last-sequence-number", 1)) + 1
+
+    def dest_name(src_path):
+        return os.path.abspath(
+            os.path.join(dest, "data", os.path.basename(src_path))
+        )
+
+    entries = []
+    for e in sorted(m_to["files"], key=lambda x: x["path"]):
+        if e["path"] in paths_from:
+            continue
+        target = dest_name(e["path"])
+        if not os.path.exists(target):
+            os.link(e["path"], target)
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": new_sid,
+                "sequence_number": new_seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": target,
+                    "file_format": "PARQUET",
+                    "record_count": int(e.get("rows") or 0),
+                    "file_size_in_bytes": os.path.getsize(target),
+                    "equality_ids": None,
+                },
+            }
+        )
+    for p in sorted(paths_from - paths_to):
+        entries.append(
+            {
+                "status": 2,  # DELETED
+                "snapshot_id": new_sid,
+                "sequence_number": new_seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": dest_name(p),
+                    "file_format": "PARQUET",
+                    "record_count": 0,
+                    "file_size_in_bytes": 0,
+                    "equality_ids": None,
+                },
+            }
+        )
+    # carried state: the prior snapshot's live files MINUS this
+    # commit's removals, re-listed as EXISTING entries that keep
+    # their ORIGINAL sequence numbers (entry-level seq overrides the
+    # list's) — the manifest-rewrite the spec requires when files
+    # are deleted, since readers fold DELETED entries by skipping
+    # them, not by un-living carried listings
+    prior_live, _pd, _ed = _live_files(dest, meta, last["snapshot-id"])
+    removed_dest = {dest_name(p) for p in (paths_from - paths_to)}
+    for path, seq in sorted(prior_live.items()):
+        if path in removed_dest:
+            continue
+        entries.append(
+            {
+                "status": 0,  # EXISTING
+                "snapshot_id": new_sid,
+                "sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "record_count": 0,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "equality_ids": None,
+                },
+            }
+        )
+    delta_manifest = os.path.join(md, f"manifest-{new_sid:05d}.avro")
+    write_container(delta_manifest, MANIFEST_SCHEMA, entries)
+    mrows = [
+        {
+            "manifest_path": os.path.abspath(delta_manifest),
+            "manifest_length": os.path.getsize(delta_manifest),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": new_seq,
+            "added_snapshot_id": new_sid,
+        }
+    ]
+    mlist = os.path.join(md, f"snap-{new_sid}.avro")
+    write_container(mlist, MANIFEST_LIST_SCHEMA, mrows)
+    meta["snapshots"] = snaps + [
+        {
+            "snapshot-id": new_sid,
+            "timestamp-ms": 1000 * new_sid,
+            "sequence-number": new_seq,
+            "manifest-list": os.path.abspath(mlist),
+            "summary": {
+                "operation": "overwrite",
+                "mtable-source-version": str(to_v),
+            },
+        }
+    ]
+    meta["current-snapshot-id"] = new_sid
+    meta["last-sequence-number"] = new_seq
+    new_meta_v = int(hint) + 1
+    with open(
+        os.path.join(md, f"v{new_meta_v}.metadata.json"), "w"
+    ) as f:
+        json.dump(meta, f)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write(str(new_meta_v))
+    return new_sid

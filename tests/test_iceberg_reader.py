@@ -480,3 +480,58 @@ def test_timestamp_time_travel(spark, tmp_path):
         read_iceberg(spark, root, timestamp_ms=5)
     with pytest.raises(ValueError, match="not both"):
         read_iceberg(spark, root, snapshot_id=100, timestamp_ms=150_000)
+
+
+def test_export_iceberg_increment_continuous_publish(spark, tmp_path):
+    """Continuous MTable→Iceberg publishing: each MTable commit
+    becomes one new snapshot (delta manifest: ADDED + DELETED +
+    carried EXISTING with original sequence numbers); every version
+    stays time-travelable and equal to the source."""
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        export_iceberg_increment,
+        export_snapshot_to_iceberg,
+    )
+    from dataflowex_spark.sources.mtable import MTable
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    t = MTable.create(
+        spark, str(tmp_path / "t"),
+        df.repartitionByRange(4, "k"), "k",
+    )
+    dest = str(tmp_path / "iceberg")
+    export_snapshot_to_iceberg(t, dest)
+    upd = t.read().filter(F.col("k") % 10 == 0).select(
+        "k", F.lit(1).alias("ts"), F.lit("U").alias("op"),
+        F.lit(0).alias("tie"), (F.col("v") + 100).alias("v"),
+    )
+    dele = spark.createDataFrame(
+        [(7, 1, "D", 0, None)],
+        "k long, ts int, op string, tie int, v long",
+    )
+    t.merge(upd.unionByName(dele), "ts", "op", "tie", ["v"])
+    sid2 = export_iceberg_increment(t, dest)
+    assert rows(read_iceberg(spark, dest)) == rows(t.read())
+    # prior snapshot still time-travels to the pre-merge state
+    assert rows(read_iceberg(spark, dest, snapshot_id=1)) == rows(
+        t.read(version=1)
+    )
+    # second round publishes again
+    t.merge(
+        spark.createDataFrame(
+            [(3, 2, "D", 0, None)],
+            "k long, ts int, op string, tie int, v long",
+        ),
+        "ts", "op", "tie", ["v"],
+    )
+    sid3 = export_iceberg_increment(t, dest)
+    assert sid3 == sid2 + 1
+    assert rows(read_iceberg(spark, dest)) == rows(t.read())
+    assert rows(read_iceberg(spark, dest, snapshot_id=sid2)) == rows(
+        t.read(version=2)
+    )
+    with pytest.raises(ValueError, match="already published"):
+        export_iceberg_increment(t, dest)
