@@ -918,3 +918,52 @@ def export_delta_increment(
             f.write(json.dumps(a) + "\n")
     os.rename(tmp, commit_path)
     return next_delta
+
+
+def vacuum_delta_export(dest: str, keep_versions: int = 1) -> list[str]:
+    """Reclaim data files no live version needs — the VACUUM
+    lifecycle step for exported tables. Keeps every file referenced
+    by the newest ``keep_versions`` snapshots (and their CDC files);
+    everything older unlinks. Time travel and CDF reads BEFORE the
+    retention horizon stop working afterwards — the same documented
+    trade Delta's own VACUUM makes (and the reason its default
+    retention is 7 days). Returns the deleted paths.
+
+    Metadata-only planning: the log replays driver-side; data files
+    are never opened. Hard-linked exports only release disk once the
+    MTable source also vacuums (link counts), which is the correct
+    shared-ownership semantics."""
+    commits = _commit_files(dest)
+    if not commits:
+        raise FileNotFoundError(f"not a Delta table: {dest}")
+    latest = max(commits)
+    cutoff = max(0, latest - keep_versions + 1)
+    keep: set[str] = set()
+    for v in range(cutoff, latest + 1):
+        # live set at v
+        adds: dict[str, dict] = {}
+        for vv in sorted(c for c in commits if c <= v):
+            with open(commits[vv]) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    a = json.loads(line)
+                    if a.get("add"):
+                        adds[a["add"]["path"]] = a["add"]
+                    if a.get("remove"):
+                        adds.pop(a["remove"]["path"], None)
+                    if a.get("cdc") and vv >= cutoff:
+                        keep.add(a["cdc"]["path"])
+        keep |= set(adds)
+    deleted = []
+    for sub in ("data", "_change_data"):
+        d = os.path.join(dest, sub)
+        if not os.path.isdir(d):
+            continue
+        for fn in sorted(os.listdir(d)):
+            rel = f"{sub}/{fn}"
+            if rel not in keep:
+                os.unlink(os.path.join(d, fn))
+                deleted.append(rel)
+    return deleted

@@ -988,3 +988,58 @@ def export_iceberg_increment(
     with open(os.path.join(md, "version-hint.text"), "w") as f:
         f.write(str(new_meta_v))
     return new_sid
+
+
+def expire_snapshots(dest: str, keep_last: int = 1) -> list[str]:
+    """Iceberg snapshot expiry for exported tables: drop all but the
+    newest ``keep_last`` snapshots from the metadata, then unlink
+    data files and manifests no surviving snapshot references.
+    Returns the deleted paths. Time travel to expired snapshots
+    stops working — the spec's expire_snapshots trade. Hard-linked
+    data only releases disk once the MTable source also vacuums
+    (shared ownership via link counts)."""
+    md = _meta_dir(dest)
+    hint_path = os.path.join(md, "version-hint.text")
+    if not os.path.exists(hint_path):
+        raise ValueError(f"not an exported Iceberg table: {dest}")
+    hint = open(hint_path).read().strip()
+    meta = json.load(open(os.path.join(md, f"v{hint}.metadata.json")))
+    snaps = meta.get("snapshots", [])
+    if len(snaps) <= keep_last:
+        return []
+    survivors = snaps[-keep_last:]
+    keep_files: set[str] = set()
+    keep_meta: set[str] = set()
+    for s in survivors:
+        mlist = _resolve_path(dest, s["manifest-list"])
+        keep_meta.add(mlist)
+        _sc, mrows = read_container(mlist)
+        for m in mrows:
+            mpath = _resolve_path(dest, m["manifest_path"])
+            keep_meta.add(mpath)
+            _s2, entries = read_container(mpath)
+            for e in entries:
+                if e["status"] != 2:
+                    keep_files.add(
+                        _resolve_path(dest, e["data_file"]["file_path"])
+                    )
+    deleted = []
+    data_dir = os.path.join(dest, "data")
+    if os.path.isdir(data_dir):
+        for fn in sorted(os.listdir(data_dir)):
+            p = os.path.join(data_dir, fn)
+            if p not in keep_files:
+                os.unlink(p)
+                deleted.append("data/" + fn)
+    for fn in sorted(os.listdir(md)):
+        p = os.path.join(md, fn)
+        if fn.endswith(".avro") and p not in keep_meta:
+            os.unlink(p)
+            deleted.append("metadata/" + fn)
+    meta["snapshots"] = survivors
+    new_meta_v = int(hint) + 1
+    with open(os.path.join(md, f"v{new_meta_v}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(hint_path, "w") as f:
+        f.write(str(new_meta_v))
+    return deleted

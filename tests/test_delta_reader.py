@@ -473,3 +473,44 @@ def test_export_delta_increment_continuous_publish(spark, tmp_path):
     )
     assert export_delta_increment(t, dest) == 2
     assert rows(read_delta(spark, dest)) == rows(t.read())
+
+
+def test_vacuum_delta_export(spark, tmp_path):
+    """Vacuum keeps every file the retained versions reference
+    (including their CDC files) and unlinks the rest; time travel
+    before the horizon honestly breaks."""
+    from dataflowex_spark.sources.delta_reader import (
+        export_delta_increment,
+        export_snapshot_to_delta,
+        read_delta,
+        vacuum_delta_export,
+    )
+    from dataflowex_spark.sources.mtable import MTable
+
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    t = MTable.create(
+        spark, str(tmp_path / "t"), df.repartitionByRange(4, "k"), "k"
+    )
+    dest = str(tmp_path / "delta")
+    export_snapshot_to_delta(t, dest)
+    upd = t.read().filter(F.col("k") % 2 == 0).select(
+        "k", F.lit(1).alias("ts"), F.lit("U").alias("op"),
+        F.lit(0).alias("tie"), (F.col("v") + 50).alias("v"),
+    )
+    t.merge(upd, "ts", "op", "tie", ["v"])
+    export_delta_increment(t, dest)
+    pre = rows(read_delta(spark, dest))
+    deleted = vacuum_delta_export(dest, keep_versions=1)
+    assert deleted  # the rewritten-away v0 files went
+    # the latest version still reads exactly
+    assert rows(read_delta(spark, dest)) == pre
+    # the latest version's CDC files survived (read_delta_changes on
+    # the retained horizon still works)
+    from dataflowex_spark.sources.delta_reader import read_delta_changes
+
+    assert read_delta_changes(spark, dest, 1, 1).count() > 0
+    # time travel before the horizon now fails at scan time
+    with pytest.raises(Exception):
+        rows(read_delta(spark, dest, version=0))

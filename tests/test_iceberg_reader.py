@@ -535,3 +535,40 @@ def test_export_iceberg_increment_continuous_publish(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="already published"):
         export_iceberg_increment(t, dest)
+
+
+def test_expire_snapshots(spark, tmp_path):
+    """expire_snapshots drops history and reclaims unreferenced data
+    files + manifests; the surviving snapshot reads exactly."""
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        expire_snapshots,
+        export_iceberg_increment,
+        export_snapshot_to_iceberg,
+    )
+    from dataflowex_spark.sources.mtable import MTable
+
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    t = MTable.create(
+        spark, str(tmp_path / "t"), df.repartitionByRange(4, "k"), "k"
+    )
+    dest = str(tmp_path / "iceberg")
+    export_snapshot_to_iceberg(t, dest)
+    upd = t.read().filter(F.col("k") % 2 == 0).select(
+        "k", F.lit(1).alias("ts"), F.lit("U").alias("op"),
+        F.lit(0).alias("tie"), (F.col("v") + 50).alias("v"),
+    )
+    t.merge(upd, "ts", "op", "tie", ["v"])
+    sid = export_iceberg_increment(t, dest)
+    pre = rows(read_iceberg(spark, dest))
+    deleted = expire_snapshots(dest, keep_last=1)
+    assert any(p.startswith("data/") for p in deleted)
+    assert rows(read_iceberg(spark, dest)) == pre
+    # expired snapshot is gone from the log
+    with pytest.raises(ValueError, match="not in table metadata"):
+        read_iceberg(spark, dest, snapshot_id=1)
+    # idempotent once at the floor
+    assert expire_snapshots(dest, keep_last=1) == []
