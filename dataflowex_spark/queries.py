@@ -23641,3 +23641,73 @@ def q418(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("snap", "c_mktsegment")
     )
+
+
+@q(
+    "q419_delta_data_skipping",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_cents,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_k,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_k
+    FROM (
+      SELECT c_custkey,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+      WHERE c_custkey >= 200 AND c_custkey <= 350
+    )
+    """,
+)
+def q419(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA DATA SKIPPING (add.stats file pruning): customers land
+    in a 16-file range-partitioned MTable, export to Delta writes
+    per-file ``stats`` JSON from the manifest, and a range read
+    (``skip_where``) must open only the files whose [min,max] key
+    range intersects — ASSERTED in-query (raises if more than a
+    quarter of the files are opened), with the same predicate applied
+    in-plan so the oracled aggregate proves exactness. This is the
+    protocol's per-file-statistics surface, the thing that turns a
+    100 TB point query from open-every-file into open-a-handful; the
+    prune decision is pure driver-side metadata (the log's stats
+    strings), zero data reads."""
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        export_snapshot_to_delta,
+        read_delta,
+    )
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    cust = (
+        cat["customer"]
+        .select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias(
+                "bal_cents"
+            ),
+        )
+        .repartitionByRange(16, "c_custkey")
+    )
+    root = tempfile.mkdtemp(prefix="q419_")
+    t = MTable.create(spark, root + "/t", cust, "c_custkey")
+    dest = root + "/delta"
+    export_snapshot_to_delta(t, dest)
+    total_files = len(t.manifest()["files"])
+    d = read_delta(
+        spark,
+        dest,
+        skip_where=[("c_custkey", ">=", 200), ("c_custkey", "<=", 350)],
+    )
+    opened = len(d.inputFiles())
+    if total_files >= 8 and opened * 4 > total_files:
+        raise AssertionError(
+            f"data skipping ineffective: opened {opened} of "
+            f"{total_files} files for a narrow key range"
+        )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("bal_cents").cast("long").alias("bal_cents"),
+        F.min("c_custkey").cast("long").alias("min_k"),
+        F.max("c_custkey").cast("long").alias("max_k"),
+    )

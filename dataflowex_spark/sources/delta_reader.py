@@ -323,15 +323,61 @@ def _dead_positions(root: str, adds: dict[str, dict]) -> list[tuple]:
     return out
 
 
+_SKIP_OPS = {"=", "<", "<=", ">", ">="}
+
+
+def _stats_allows(add: dict, col_phys: str, op: str, value) -> bool:
+    """Can any row in this file match ``col OP value``? Decided from
+    the add's ``stats`` JSON (numRecords / minValues / maxValues);
+    missing or unparseable stats answer True (keep — skipping may
+    only ever PRUNE provably-dead files, never drop a maybe)."""
+    raw = add.get("stats")
+    if not raw:
+        return True
+    try:
+        st = json.loads(raw) if isinstance(raw, str) else dict(raw)
+    except (TypeError, ValueError):
+        return True
+    lo = (st.get("minValues") or {}).get(col_phys)
+    hi = (st.get("maxValues") or {}).get(col_phys)
+    if lo is None or hi is None:
+        return True
+    try:
+        if op == "=":
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+    except TypeError:
+        return True  # incomparable types: never prune on a guess
+    return True
+
+
 def read_delta(
     spark: SparkSession,
     root: str,
     version: int | None = None,
     timestamp_ms: int | None = None,
+    skip_where: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a Delta table directory as a DataFrame (latest snapshot,
     ``version=`` time travel, or ``timestamp_ms=`` TIMESTAMP AS OF),
-    applying column mapping (mode=name) and deletion vectors."""
+    applying column mapping (mode=name) and deletion vectors.
+
+    ``skip_where`` — a conjunction of ``(column, op, literal)``
+    triples with op in ``= < <= > >=`` — enables DATA SKIPPING: files
+    whose ``add.stats`` min/max prove no row can match are never
+    opened (the protocol's per-file statistics, exactly what
+    delta-spark's data skipping reads), partition columns prune on
+    ``partitionValues``, and the SAME predicate is then applied
+    in-plan so results are exact even for files kept on missing
+    stats. At 100 TB this is the difference between opening every
+    file and opening the handful a point query touches."""
     if timestamp_ms is not None:
         if version is not None:
             raise ValueError("pass version OR timestamp_ms, not both")
@@ -360,6 +406,35 @@ def read_delta(
             if f.name not in part_cols
         ]
     )
+    specs = list(skip_where or [])
+    for col, op, _v in specs:
+        if op not in _SKIP_OPS:
+            raise ValueError(f"skip_where op {op!r} not in {_SKIP_OPS}")
+        if col not in phys_by_logical:
+            raise ValueError(f"skip_where column {col!r} not in schema")
+    kept: dict[str, dict] = {}
+    for path, a in adds.items():
+        pv = a.get("partitionValues") or {}
+        ok = True
+        for col, op, v in specs:
+            cp = phys_by_logical[col]
+            if col in part_cols:
+                raw = pv.get(cp)
+                # partitionValues are canonical STRINGS; pruning is
+                # only sound where string equality implies value
+                # equality — '=' with the literal's canonical form.
+                # Ranges and typed-null semantics stay with the
+                # in-plan filter (still exact, just not pruned).
+                if op == "=" and raw is not None and str(v) != raw:
+                    ok = False
+                    break
+                continue
+            if not _stats_allows(a, cp, op, v):
+                ok = False
+                break
+        if ok:
+            kept[path] = a
+    adds = kept
     by_parts: dict[tuple, list[str]] = {}
     for a in adds.values():
         pv = a.get("partitionValues") or {}
@@ -368,7 +443,8 @@ def read_delta(
             os.path.join(root, a["path"])
         )
     if not by_parts:
-        return spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], schema)
+        return _apply_skip_filter(out, specs)
     dead = _dead_positions(root, adds)
     pieces = []
     for key, paths in sorted(by_parts.items(), key=lambda kv: str(kv[0])):
@@ -410,7 +486,25 @@ def read_delta(
         out = out.join(
             F.broadcast(dv_df), ["__fp", "__ri"], "left_anti"
         ).select(*[f.name for f in schema.fields])
-    return out
+    return _apply_skip_filter(out, specs)
+
+
+def _apply_skip_filter(df: DataFrame, specs: list[tuple]) -> DataFrame:
+    """Apply the skip_where conjunction IN-PLAN — pruning reduces
+    I/O; this keeps semantics exact for files kept on missing
+    stats."""
+    for col, op, v in specs:
+        c = F.col(col)
+        df = df.filter(
+            {
+                "=": c == v,
+                "<": c < v,
+                "<=": c <= v,
+                ">": c > v,
+                ">=": c >= v,
+            }[op]
+        )
+    return df
 
 
 # ---------------------------------------------------------------------
@@ -614,6 +708,7 @@ def export_snapshot_to_delta(
                     "partitionValues": {},
                     "size": os.path.getsize(target),
                     "dataChange": True,
+                    "stats": _mtable_stats_json(e, m["key_col"]),
                 }
             }
         )
@@ -790,6 +885,23 @@ def read_delta_changes(
     return df
 
 
+def _mtable_stats_json(entry: dict, key_col: str) -> str:
+    """MTable manifest per-file stats → Delta ``add.stats`` JSON —
+    exported tables get data skipping for free (the key range is
+    always present; declared stats_cols ride along)."""
+    minv = {key_col: entry.get("min_key")}
+    maxv = {key_col: entry.get("max_key")}
+    for c, mm in (entry.get("col_stats") or {}).items():
+        minv[c], maxv[c] = mm[0], mm[1]
+    return json.dumps(
+        {
+            "numRecords": entry.get("rows"),
+            "minValues": minv,
+            "maxValues": maxv,
+        }
+    )
+
+
 def export_delta_increment(
     table, dest: str, version: int | None = None, with_cdc: bool = True
 ) -> int:
@@ -899,6 +1011,7 @@ def export_delta_increment(
                     "partitionValues": {},
                     "size": os.path.getsize(target),
                     "dataChange": True,
+                    "stats": _mtable_stats_json(e, m_to["key_col"]),
                 }
             }
         )

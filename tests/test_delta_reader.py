@@ -514,3 +514,77 @@ def test_vacuum_delta_export(spark, tmp_path):
     # time travel before the horizon now fails at scan time
     with pytest.raises(Exception):
         rows(read_delta(spark, dest, version=0))
+
+
+def test_data_skipping_via_add_stats(spark, tmp_path):
+    """skip_where prunes files whose add.stats min/max prove no row
+    matches — never opened (inputFiles count) — while results stay
+    exact (the same predicate applies in-plan, so files kept on
+    MISSING stats still filter correctly)."""
+    root = str(tmp_path)
+    lo = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(0, 10)], "k long, v string")
+    hi = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100, 110)], "k long, v string")
+    nostats = spark.createDataFrame(
+        [(55, "v55")], "k long, v string")
+    stage_parquet_file(lo, root, "lo.parquet")
+    stage_parquet_file(hi, root, "hi.parquet")
+    stage_parquet_file(nostats, root, "mid.parquet")
+    schema_json = json.dumps(lo.schema.jsonValue())
+
+    def add(path, stats=None):
+        a = {"path": path, "partitionValues": {}, "dataChange": True}
+        if stats:
+            a["stats"] = json.dumps(stats)
+        return {"add": a}
+
+    write_conformance_log(root, [[
+        PROTO, _meta(schema_json),
+        add("lo.parquet", {"numRecords": 10,
+                           "minValues": {"k": 0}, "maxValues": {"k": 9}}),
+        add("hi.parquet", {"numRecords": 10,
+                           "minValues": {"k": 100},
+                           "maxValues": {"k": 109}}),
+        add("mid.parquet"),  # no stats: must always be kept
+    ]])
+    got = read_delta(spark, root, skip_where=[("k", ">=", 100)])
+    # hi kept by stats, mid kept by missing stats, lo pruned
+    files = {os.path.basename(f) for f in got.inputFiles()}
+    assert files == {"hi.parquet", "mid.parquet"}
+    # exactness: mid's row (k=55) filtered in-plan
+    assert rows(got) == [(i, f"v{i}") for i in range(100, 110)]
+    # '=' point lookup opens one stats-backed file (+ the statless)
+    got2 = read_delta(spark, root, skip_where=[("k", "=", 5)])
+    assert {os.path.basename(f) for f in got2.inputFiles()} == {
+        "lo.parquet", "mid.parquet"
+    }
+    assert rows(got2) == [(5, "v5")]
+    # everything pruned: empty frame, correct schema
+    got3 = read_delta(spark, root, skip_where=[("k", ">", 500)])
+    assert got3.count() == 0 and got3.columns == ["k", "v"]
+    with pytest.raises(ValueError, match="skip_where op"):
+        read_delta(spark, root, skip_where=[("k", "!=", 1)])
+    with pytest.raises(ValueError, match="not in schema"):
+        read_delta(spark, root, skip_where=[("zz", "=", 1)])
+
+
+def test_exported_tables_carry_skipping_stats(spark, tmp_path):
+    """Exports write add.stats from the MTable manifest, so a point
+    query on an exported Delta table opens only the matching file."""
+    from dataflowex_spark.sources.delta_reader import (
+        export_snapshot_to_delta,
+    )
+    from dataflowex_spark.sources.mtable import MTable
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+    )
+    t = MTable.create(
+        spark, str(tmp_path / "t"), df.repartitionByRange(5, "k"), "k"
+    )
+    dest = str(tmp_path / "delta")
+    export_snapshot_to_delta(t, dest)
+    got = read_delta(spark, dest, skip_where=[("k", "=", 3)])
+    assert len(got.inputFiles()) == 1  # range-partitioned: one file
+    assert rows(got) == [(3, 3)]
