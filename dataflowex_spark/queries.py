@@ -23711,3 +23711,72 @@ def q419(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_custkey").cast("long").alias("min_k"),
         F.max("c_custkey").cast("long").alias("max_k"),
     )
+
+
+@q(
+    "q420_iceberg_data_skipping",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_cents,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_k,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_k
+    FROM (
+      SELECT c_custkey,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+      WHERE c_custkey >= 500 AND c_custkey <= 640
+    )
+    """,
+)
+def q420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG MANIFEST-LEVEL DATA SKIPPING (q419's format twin):
+    the export writes ``lower_bounds``/``upper_bounds`` (field-id →
+    single-value serialized bytes, spec Appendix D) from the MTable
+    manifest, and a range read prunes data files whose bounds prove
+    no row matches — ASSERTED in-query (raises if more than a
+    quarter of the files open for a narrow key range); the in-plan
+    residual filter keeps the oracled aggregate exact. Planning is
+    pure metadata: one avro manifest read decides the file set, zero
+    data pages touched for pruned files — point-query economics at
+    100 TB in BOTH open formats."""
+    import tempfile
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        export_snapshot_to_iceberg,
+        read_iceberg,
+    )
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    cust = (
+        cat["customer"]
+        .select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias(
+                "bal_cents"
+            ),
+        )
+        .repartitionByRange(16, "c_custkey")
+    )
+    root = tempfile.mkdtemp(prefix="q420_")
+    t = MTable.create(spark, root + "/t", cust, "c_custkey")
+    dest = root + "/iceberg"
+    export_snapshot_to_iceberg(t, dest)
+    total_files = len(t.manifest()["files"])
+    d = read_iceberg(
+        spark,
+        dest,
+        skip_where=[("c_custkey", ">=", 500), ("c_custkey", "<=", 640)],
+    )
+    opened = len(d.inputFiles())
+    if total_files >= 8 and opened * 4 > total_files:
+        raise AssertionError(
+            f"data skipping ineffective: opened {opened} of "
+            f"{total_files} files for a narrow key range"
+        )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("bal_cents").cast("long").alias("bal_cents"),
+        F.min("c_custkey").cast("long").alias("min_k"),
+        F.max("c_custkey").cast("long").alias("max_k"),
+    )

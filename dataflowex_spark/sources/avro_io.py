@@ -206,6 +206,13 @@ class _Encoder(_Decoder):
             return self.write(t, v, out)
         if t == "record":
             for f in s["fields"]:
+                # absent keys encode as null when the field's union
+                # allows it (spec "default": the writer supplies the
+                # value; optional fields default to null) — lets
+                # schema-evolved records mix with older producers
+                if f["name"] not in v and _allows_null(f["type"]):
+                    self.write(f["type"], None, out)
+                    continue
                 self.write(f["type"], v[f["name"]], out)
             return
         if t == "array":
@@ -310,3 +317,12 @@ def write_container(
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "wb") as f:
         f.write(bytes(out))
+
+
+def _allows_null(s) -> bool:
+    """Whether a field schema (possibly a union) accepts null."""
+    if s == "null":
+        return True
+    if isinstance(s, list):
+        return "null" in s
+    return False

@@ -235,10 +235,13 @@ def _live_files(
     dict[str, int],
     list[tuple[str, int]],
     list[tuple[str, int, list[int]]],
+    dict[str, tuple[dict, dict]],
 ]:
     """Snapshot state: (data path → data sequence number,
     position deletes as (path, seq), equality deletes as (path, seq,
-    equality field ids)). Entry-level ``sequence_number`` wins;
+    equality field ids), data path → (lower_bounds, upper_bounds) as
+    field-id→bytes maps when the manifest carries them).
+    Entry-level ``sequence_number`` wins;
     otherwise the manifest list's; a path re-listed as EXISTING keeps
     its SMALLEST seen sequence (the original add — re-listing must
     not shield rows from older equality deletes)."""
@@ -249,7 +252,7 @@ def _live_files(
         else meta.get("current-snapshot-id")
     )
     if sid is None or sid == -1:
-        return {}, [], []
+        return {}, [], [], {}
     if sid not in snaps:
         raise ValueError(f"snapshot {sid} not in table metadata")
     snap = snaps[sid]
@@ -258,6 +261,7 @@ def _live_files(
     live: dict[str, int] = {}
     pos_deletes: list[tuple[str, int]] = []
     eq_deletes: list[tuple[str, int, list[int]]] = []
+    bounds: dict[str, tuple[dict, dict]] = {}
     for m in manifests:
         mseq = m.get("sequence_number") or 0
         mpath = _resolve_path(root, m["manifest_path"])
@@ -272,6 +276,12 @@ def _live_files(
             path = _resolve_path(root, df["file_path"])
             if content == 0:
                 live[path] = min(live.get(path, seq), seq)
+                lo, hi = df.get("lower_bounds"), df.get("upper_bounds")
+                if lo is not None and hi is not None:
+                    bounds[path] = (
+                        {kv["key"]: kv["value"] for kv in lo},
+                        {kv["key"]: kv["value"] for kv in hi},
+                    )
             elif content == 1:
                 pos_deletes.append((path, seq))
             elif content == 2:
@@ -285,7 +295,7 @@ def _live_files(
                 raise IcebergProtocolError(
                     f"unknown data_file content: {content}"
                 )
-    return live, pos_deletes, eq_deletes
+    return live, pos_deletes, eq_deletes, bounds
 
 
 def _name_mapping(meta: dict) -> dict[str, int]:
@@ -358,12 +368,22 @@ def read_iceberg(
     root: str,
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
+    skip_where: list[tuple] | None = None,
 ) -> DataFrame:
     """Read an Iceberg table directory (current snapshot, time
     travel by ``snapshot_id``, or ``timestamp_ms=`` FOR TIMESTAMP AS
     OF), resolving renamed columns by field id when data-file
     footers carry parquet field ids (name-mapping fallback for
-    id-less files)."""
+    id-less files).
+
+    ``skip_where`` — a conjunction of ``(column, op, literal)``
+    triples, op in ``= < <= > >=`` — enables MANIFEST-LEVEL data
+    skipping: data files whose ``lower_bounds``/``upper_bounds``
+    (field-id→single-value-serialized bytes, spec Appendix D) prove
+    no row can match are never opened; files without bounds are
+    always kept, and the same predicate applies in-plan so results
+    stay exact either way — the planning economics that make a
+    100 TB point query open a handful of files."""
     from pyspark.sql import functions as F
 
     meta = load_table_metadata(root)
@@ -373,9 +393,29 @@ def read_iceberg(
                 "pass snapshot_id OR timestamp_ms, not both"
             )
         snapshot_id = snapshot_at_timestamp(meta, timestamp_ms)
-    live, pos_deletes, eq_deletes = _live_files(root, meta, snapshot_id)
+    live, pos_deletes, eq_deletes, bounds = _live_files(
+        root, meta, snapshot_id
+    )
+    specs = list(skip_where or [])
+    if specs:
+        fields = {
+            f["name"]: f for f in _current_schema_fields(meta)
+        }
+        for col, op, _v in specs:
+            if op not in ("=", "<", "<=", ">", ">="):
+                raise ValueError(f"skip_where op {op!r} unsupported")
+            if col not in fields:
+                raise ValueError(
+                    f"skip_where column {col!r} not in schema"
+                )
+        live = {
+            path: seq
+            for path, seq in live.items()
+            if _bounds_allow(bounds.get(path), specs, fields)
+        }
     if not live:
-        return _empty_frame(spark, meta)
+        out = _empty_frame(spark, meta)
+        return _apply_iceberg_skip_filter(out, specs)
     # group data files by (sequence number, field-id rename map) —
     # equality deletes apply only to rows whose DATA sequence is
     # STRICTLY LOWER than the delete's (spec: a delete cannot remove
@@ -470,7 +510,67 @@ def read_iceberg(
                     F.col(f"__d.{c}")
                 )
             df = left.join(F.broadcast(dels), cond, "left_anti")
-    return df.select(*cols)
+    return _apply_iceberg_skip_filter(df.select(*cols), specs)
+
+
+def _bounds_allow(
+    file_bounds: tuple[dict, dict] | None,
+    specs: list[tuple],
+    fields: dict[str, dict],
+) -> bool:
+    """Can any row in a data file match the conjunction? Missing
+    bounds (whole file or per column) answer True — skipping may
+    only prune provably-dead files."""
+    if file_bounds is None:
+        return True
+    lower, upper = file_bounds
+    for col, op, v in specs:
+        f = fields[col]
+        fid = f.get("id")
+        t = f.get("type")
+        if fid is None or not isinstance(t, str):
+            continue
+        lo_raw, hi_raw = lower.get(fid), upper.get(fid)
+        if lo_raw is None or hi_raw is None:
+            continue
+        try:
+            lo = bound_decode(bytes(lo_raw), t)
+            hi = bound_decode(bytes(hi_raw), t)
+            if op == "=" and not (lo <= v <= hi):
+                return False
+            if op == "<" and not (lo < v):
+                return False
+            if op == "<=" and not (lo <= v):
+                return False
+            if op == ">" and not (hi > v):
+                return False
+            if op == ">=" and not (hi >= v):
+                return False
+        except (IcebergProtocolError, TypeError, ValueError):
+            continue  # undecodable/incomparable: keep the file
+    return True
+
+
+def _apply_iceberg_skip_filter(
+    df: DataFrame, specs: list[tuple]
+) -> DataFrame:
+    """Apply the skip_where conjunction IN-PLAN — pruning reduces
+    I/O; this keeps semantics exact for files kept on missing
+    bounds."""
+    from pyspark.sql import functions as F
+
+    for col, op, v in specs:
+        c = F.col(col)
+        df = df.filter(
+            {
+                "=": c == v,
+                "<": c < v,
+                "<=": c <= v,
+                ">": c > v,
+                ">=": c >= v,
+            }[op]
+        )
+    return df
 
 
 # ---------------------------------------------------------------------
@@ -514,11 +614,88 @@ MANIFEST_SCHEMA = {
                         "name": "equality_ids",
                         "type": ["null", {"type": "array", "items": "int"}],
                     },
+                    {
+                        "name": "lower_bounds",
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k126_v127",
+                                    "fields": [
+                                        {"name": "key", "type": "int"},
+                                        {"name": "value", "type": "bytes"},
+                                    ],
+                                },
+                            },
+                        ],
+                        "default": None,
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k128_v129",
+                                    "fields": [
+                                        {"name": "key", "type": "int"},
+                                        {"name": "value", "type": "bytes"},
+                                    ],
+                                },
+                            },
+                        ],
+                        "default": None,
+                    },
                 ],
             },
         },
     ],
 }
+
+
+# ---- Iceberg single-value binary serialization (spec Appendix D) ----
+
+
+def bound_encode(value, ice_type: str) -> bytes:
+    """Encode one bound value per the spec's single-value binary
+    serialization (the subset the exporter/reader use)."""
+    import struct as _struct
+
+    if ice_type == "int":
+        return _struct.pack("<i", value)
+    if ice_type == "long":
+        return _struct.pack("<q", value)
+    if ice_type == "float":
+        return _struct.pack("<f", value)
+    if ice_type == "double":
+        return _struct.pack("<d", value)
+    if ice_type == "string":
+        return str(value).encode("utf-8")
+    raise IcebergProtocolError(
+        f"no bound serialization for Iceberg type {ice_type!r}"
+    )
+
+
+def bound_decode(raw: bytes, ice_type: str):
+    import struct as _struct
+
+    if ice_type == "int":
+        return _struct.unpack("<i", raw)[0]
+    if ice_type == "long":
+        return _struct.unpack("<q", raw)[0]
+    if ice_type == "float":
+        return _struct.unpack("<f", raw)[0]
+    if ice_type == "double":
+        return _struct.unpack("<d", raw)[0]
+    if ice_type == "string":
+        return raw.decode("utf-8")
+    raise IcebergProtocolError(
+        f"no bound serialization for Iceberg type {ice_type!r}"
+    )
 
 
 def write_conformance_table(
@@ -740,6 +917,24 @@ def export_snapshot_to_iceberg(
     os.makedirs(os.path.join(dest, "data"), exist_ok=True)
     md = _meta_dir(dest)
     os.makedirs(md, exist_ok=True)
+    counter = {"n": 0}
+
+    def alloc() -> int:
+        counter["n"] += 1
+        return counter["n"]
+
+    spark_schema = table.read(version=version).schema
+    top = []
+    for f in spark_schema.fields:
+        fid = alloc()
+        top.append(
+            {
+                "id": fid,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _iceberg_type(f.dataType, alloc),
+            }
+        )
     entries = []
     for e in sorted(m["files"], key=lambda x: x["path"]):
         # name by the MTable file's own basename (unique per write
@@ -749,6 +944,7 @@ def export_snapshot_to_iceberg(
         target = os.path.join(dest, name)
         if not os.path.exists(target):
             os.link(e["path"], target)
+        lo, hi = _mtable_bounds(e, m["key_col"], top)
         entries.append(
             {
                 "status": 1,  # ADDED
@@ -761,6 +957,8 @@ def export_snapshot_to_iceberg(
                     "record_count": int(e.get("rows") or 0),
                     "file_size_in_bytes": os.path.getsize(target),
                     "equality_ids": None,
+                    "lower_bounds": lo,
+                    "upper_bounds": hi,
                 },
             }
         )
@@ -781,24 +979,6 @@ def export_snapshot_to_iceberg(
             }
         ],
     )
-    counter = {"n": 0}
-
-    def alloc() -> int:
-        counter["n"] += 1
-        return counter["n"]
-
-    spark_schema = table.read(version=version).schema
-    top = []
-    for f in spark_schema.fields:
-        fid = alloc()
-        top.append(
-            {
-                "id": fid,
-                "name": f.name,
-                "required": not f.nullable,
-                "type": _iceberg_type(f.dataType, alloc),
-            }
-        )
     meta = {
         "format-version": 2,
         "table-uuid": f"mtable-export-{m['version']:032d}"[-36:],
@@ -888,6 +1068,7 @@ def export_iceberg_increment(
             os.path.join(dest, "data", os.path.basename(src_path))
         )
 
+    top_fields = _current_schema_fields(meta)
     entries = []
     for e in sorted(m_to["files"], key=lambda x: x["path"]):
         if e["path"] in paths_from:
@@ -895,6 +1076,7 @@ def export_iceberg_increment(
         target = dest_name(e["path"])
         if not os.path.exists(target):
             os.link(e["path"], target)
+        lo, hi = _mtable_bounds(e, m_to["key_col"], top_fields)
         entries.append(
             {
                 "status": 1,  # ADDED
@@ -907,6 +1089,8 @@ def export_iceberg_increment(
                     "record_count": int(e.get("rows") or 0),
                     "file_size_in_bytes": os.path.getsize(target),
                     "equality_ids": None,
+                    "lower_bounds": lo,
+                    "upper_bounds": hi,
                 },
             }
         )
@@ -932,11 +1116,14 @@ def export_iceberg_increment(
     # list's) — the manifest-rewrite the spec requires when files
     # are deleted, since readers fold DELETED entries by skipping
     # them, not by un-living carried listings
-    prior_live, _pd, _ed = _live_files(dest, meta, last["snapshot-id"])
+    prior_live, _pd, _ed, prior_bounds = _live_files(
+        dest, meta, last["snapshot-id"]
+    )
     removed_dest = {dest_name(p) for p in (paths_from - paths_to)}
     for path, seq in sorted(prior_live.items()):
         if path in removed_dest:
             continue
+        pb = prior_bounds.get(path)
         entries.append(
             {
                 "status": 0,  # EXISTING
@@ -949,6 +1136,18 @@ def export_iceberg_increment(
                     "record_count": 0,
                     "file_size_in_bytes": os.path.getsize(path),
                     "equality_ids": None,
+                    # carry prior bounds so data skipping stays
+                    # effective across publishes
+                    "lower_bounds": (
+                        [{"key": k, "value": v} for k, v in pb[0].items()]
+                        if pb
+                        else None
+                    ),
+                    "upper_bounds": (
+                        [{"key": k, "value": v} for k, v in pb[1].items()]
+                        if pb
+                        else None
+                    ),
                 },
             }
         )
@@ -1043,3 +1242,30 @@ def expire_snapshots(dest: str, keep_last: int = 1) -> list[str]:
     with open(hint_path, "w") as f:
         f.write(str(new_meta_v))
     return deleted
+
+
+def _mtable_bounds(entry: dict, key_col: str, top_fields: list[dict]):
+    """MTable per-file stats → Iceberg bound maps (field-id →
+    single-value bytes) for the key column and any declared
+    stats_cols that are top-level primitive fields. Returns
+    (lower, upper) as kv-record lists or (None, None) when nothing
+    serializes."""
+    by_name = {
+        f["name"]: f
+        for f in top_fields
+        if isinstance(f.get("type"), str)
+    }
+    stats = {key_col: (entry.get("min_key"), entry.get("max_key"))}
+    for c, mm in (entry.get("col_stats") or {}).items():
+        stats[c] = (mm[0], mm[1])
+    lo, hi = [], []
+    for c, (mn, mx) in stats.items():
+        f = by_name.get(c)
+        if f is None or mn is None or mx is None:
+            continue
+        try:
+            lo.append({"key": f["id"], "value": bound_encode(mn, f["type"])})
+            hi.append({"key": f["id"], "value": bound_encode(mx, f["type"])})
+        except IcebergProtocolError:
+            continue
+    return (lo or None, hi or None)
