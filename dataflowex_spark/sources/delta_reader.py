@@ -185,7 +185,16 @@ def _snapshot(
         cp_version, cp_files = cp
         for row in spark.read.parquet(*cp_files).collect():
             d = row.asDict(recursive=True)
-            apply({k: v for k, v in d.items() if v is not None})
+            # checkpoint cells may be struct-shaped (delta-spark,
+            # conformance fixtures) or JSON strings (our exporter's
+            # stable-schema checkpoints) — accept both
+            apply(
+                {
+                    k: (json.loads(v) if isinstance(v, str) else v)
+                    for k, v in d.items()
+                    if v is not None
+                }
+            )
         start = cp_version + 1
     for v in range(start, target + 1):
         path = commits.get(v)
@@ -1080,3 +1089,74 @@ def vacuum_delta_export(dest: str, keep_versions: int = 1) -> list[str]:
                 os.unlink(os.path.join(d, fn))
                 deleted.append(rel)
     return deleted
+
+
+def checkpoint_delta_export(
+    spark: SparkSession, dest: str, parts: int | None = None
+) -> int:
+    """Write a parquet CHECKPOINT of the current snapshot state (and
+    flip ``_last_checkpoint``) — the log-compaction step that keeps
+    snapshot resolution O(log tail) as continuous publishing piles
+    up commits. Single-file by default; ``parts`` splits it
+    multi-part (``N.checkpoint.<i>.<n>.parquet``). Returns the
+    checkpointed version. After older JSON commits age out
+    (retention), the reader replays from this checkpoint — already
+    covered by its multi-part/retention-gap handling."""
+    commits = _commit_files(dest)
+    if not commits:
+        raise FileNotFoundError(f"not a Delta table: {dest}")
+    v = max(commits)
+    meta, adds = _snapshot(spark, dest, v)
+    proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    # replay protocol actions to capture the real gate
+    for vv in sorted(commits):
+        with open(commits[vv]) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    a = json.loads(line)
+                    if a.get("protocol"):
+                        proto = a["protocol"]
+    actions = [{"protocol": proto}, {"metaData": meta}] + [
+        {"add": a} for _p, a in sorted(adds.items())
+    ]
+    rows = []
+    for a in actions:
+        rows.append(
+            (
+                json.dumps(a.get("protocol")) if "protocol" in a else None,
+                json.dumps(a.get("metaData")) if "metaData" in a else None,
+                json.dumps(a.get("add")) if "add" in a else None,
+            )
+        )
+    # JSON-string columns keep the checkpoint schema stable across
+    # action evolution; the reader's fold accepts dict-shaped rows,
+    # so decode happens at read time
+    cp_schema = "protocol string, metaData string, add string"
+    log = _log_dir(dest)
+    import shutil as _shutil
+
+    def write_one(some_rows, name):
+        tmp = os.path.join(dest, "_cptmp")
+        spark.createDataFrame(some_rows, cp_schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = [
+            fn for fn in os.listdir(tmp) if fn.endswith(".parquet")
+        ][0]
+        os.replace(os.path.join(tmp, part), os.path.join(log, name))
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+    last_cp: dict = {"version": v, "size": len(rows)}
+    if parts:
+        for i in range(1, parts + 1):
+            write_one(
+                rows[i - 1 :: parts],
+                f"{v:020d}.checkpoint.{i:010d}.{parts:010d}.parquet",
+            )
+        last_cp["parts"] = parts
+    else:
+        write_one(rows, f"{v:020d}.checkpoint.parquet")
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump(last_cp, f)
+    return v

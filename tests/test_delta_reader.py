@@ -588,3 +588,44 @@ def test_exported_tables_carry_skipping_stats(spark, tmp_path):
     got = read_delta(spark, dest, skip_where=[("k", "=", 3)])
     assert len(got.inputFiles()) == 1  # range-partitioned: one file
     assert rows(got) == [(3, 3)]
+
+
+def test_checkpoint_delta_export_compacts_log(spark, tmp_path):
+    """Continuous publishing piles up commits; checkpoint_delta_export
+    snapshots the state so resolution survives log retention — old
+    JSON commits can age out and the table still reads exactly."""
+    from dataflowex_spark.sources.delta_reader import (
+        checkpoint_delta_export,
+        export_delta_increment,
+        export_snapshot_to_delta,
+        read_delta,
+    )
+    from dataflowex_spark.sources.mtable import MTable
+
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+    )
+    t = MTable.create(
+        spark, str(tmp_path / "t"), df.repartitionByRange(3, "k"), "k"
+    )
+    dest = str(tmp_path / "delta")
+    export_snapshot_to_delta(t, dest)
+    for r in range(2):
+        upd = t.read().filter(F.col("k") % 5 == r).select(
+            "k", F.lit(1).alias("ts"), F.lit("U").alias("op"),
+            F.lit(0).alias("tie"), (F.col("v") + 10).alias("v"),
+        )
+        t.merge(upd, "ts", "op", "tie", ["v"])
+        export_delta_increment(t, dest)
+    want = rows(t.read())
+    v = checkpoint_delta_export(spark, dest, parts=2)
+    assert v == 2
+    # retention: drop every JSON commit the checkpoint covers
+    for vv in range(v + 1):
+        os.remove(
+            os.path.join(dest, "_delta_log", f"{vv:020d}.json")
+        )
+    assert rows(read_delta(spark, dest)) == want
+    # and data skipping still works off the checkpointed stats
+    one = read_delta(spark, dest, skip_where=[("k", "=", 3)])
+    assert [r[0] for r in one.collect()] == [3]
