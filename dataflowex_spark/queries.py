@@ -23780,3 +23780,117 @@ def q420(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_custkey").cast("long").alias("min_k"),
         F.max("c_custkey").cast("long").alias("max_k"),
     )
+
+
+@q(
+    "q421_federated_pruned_scan",
+    """
+    WITH base AS (
+      SELECT c_custkey,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             CASE c_custkey % 3 WHEN 0 THEN 'mtable'
+                                WHEN 1 THEN 'delta'
+                                ELSE 'iceberg' END AS fmt
+      FROM customer
+      WHERE c_custkey >= 300 AND c_custkey <= 450
+    )
+    SELECT fmt,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+    FROM base GROUP BY fmt ORDER BY fmt
+    """,
+)
+def q421(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEDERATED PRUNED SCAN — the q412 federation capstone upgraded
+    with per-format DATA SKIPPING: a third of the customers in each
+    of MTable / exported Delta / exported Iceberg (all range-
+    partitioned on the key), ONE narrow key range answered through
+    each format's own pruning surface (MTable ``read_where`` manifest
+    stats, Delta ``skip_where`` add.stats, Iceberg ``skip_where``
+    manifest bounds) and unioned in one Catalyst plan. Each branch
+    ASSERTS in-query that it opened at most a quarter of its files —
+    the claim isn't "federation works", it's "federation keeps every
+    format's point-query economics". Oracle recomputes the partition
+    + range directly from customer."""
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        export_snapshot_to_delta,
+        read_delta,
+    )
+    from dataflowex_spark.sources.iceberg_reader import (
+        export_snapshot_to_iceberg,
+        read_iceberg,
+    )
+    from dataflowex_spark.sources.mtable import MTable
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"].select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="q421_")
+    lo_k, hi_k = 300, 450
+    pieces = []
+    tables = {}
+    for mod, fmt in ((0, "mtable"), (1, "delta"), (2, "iceberg")):
+        part = cust.filter(
+            F.col("c_custkey") % 3 == mod
+        ).repartitionByRange(12, "c_custkey")
+        tables[fmt] = MTable.create(
+            spark, f"{root}/{fmt}_src", part, "c_custkey"
+        )
+    d_dest = root + "/delta"
+    export_snapshot_to_delta(tables["delta"], d_dest)
+    i_dest = root + "/iceberg"
+    export_snapshot_to_iceberg(tables["iceberg"], i_dest)
+
+    def check_pruned(fmt, opened, total):
+        if total >= 8 and opened * 4 > total:
+            raise AssertionError(
+                f"{fmt}: opened {opened}/{total} files for a narrow "
+                "range — pruning ineffective"
+            )
+
+    m = tables["mtable"]
+    m_df = m.read_where(lo=lo_k, hi=hi_k)
+    check_pruned("mtable", len(m_df.inputFiles()),
+                 len(m.manifest()["files"]))
+    d_df = read_delta(
+        spark, d_dest,
+        skip_where=[("c_custkey", ">=", lo_k), ("c_custkey", "<=", hi_k)],
+    )
+    check_pruned("delta", len(d_df.inputFiles()),
+                 len(tables["delta"].manifest()["files"]))
+    i_df = read_iceberg(
+        spark, i_dest,
+        skip_where=[("c_custkey", ">=", lo_k), ("c_custkey", "<=", hi_k)],
+    )
+    check_pruned("iceberg", len(i_df.inputFiles()),
+                 len(tables["iceberg"].manifest()["files"]))
+    # read_where prunes FILES; apply the row-range in-plan like the
+    # skip_where paths do
+    m_df = m_df.filter(
+        (F.col("c_custkey") >= lo_k) & (F.col("c_custkey") <= hi_k)
+    )
+    unioned = (
+        m_df.select(F.lit("mtable").alias("fmt"), "c_custkey", "bal_cents")
+        .unionByName(
+            d_df.select(
+                F.lit("delta").alias("fmt"), "c_custkey", "bal_cents"
+            )
+        )
+        .unionByName(
+            i_df.select(
+                F.lit("iceberg").alias("fmt"), "c_custkey", "bal_cents"
+            )
+        )
+    )
+    return (
+        unioned.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .orderBy("fmt")
+    )
