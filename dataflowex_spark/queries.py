@@ -23894,3 +23894,182 @@ def q421(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt")
     )
+
+
+@q(
+    "q422_delta_timestamp_travel",
+    """
+    WITH v0 AS (
+      SELECT 'v0' AS at_ts, c_mktsegment,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    v1 AS (
+      SELECT 'v1', c_mktsegment,
+             CASE WHEN c_mktsegment = 'MACHINERY'
+                  THEN 3 * CAST(floor(c_acctbal * 100) AS BIGINT)
+                  ELSE CAST(floor(c_acctbal * 100) AS BIGINT) END
+      FROM customer WHERE c_mktsegment <> 'HOUSEHOLD'
+    )
+    SELECT at_ts, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+    FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+    GROUP BY at_ts, c_mktsegment
+    ORDER BY at_ts, c_mktsegment
+    """,
+)
+def q422(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA TIMESTAMP AS OF, oracled: a two-commit table
+    (commitInfo timestamps 1000 and 5000 ms) read at TWO instants —
+    1500 ms resolves to v0 (full table), 9000 ms to v1 (HOUSEHOLD
+    removed, MACHINERY balances tripled) — and both states aggregate
+    in one result. The oracle reconstructs both states relationally,
+    so the hash match proves timestamp→version resolution (latest
+    commit ≤ instant) on top of the ordinary log fold. Resolution is
+    pure driver-side metadata (one pass over commitInfo
+    timestamps)."""
+    import json as _json
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        read_delta,
+        stage_parquet_file,
+        write_conformance_log,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"].select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_q422_")
+    stage_parquet_file(cust, root, "f0.parquet")
+    stage_parquet_file(
+        cust.filter(F.col("c_mktsegment") != "HOUSEHOLD").withColumn(
+            "bal_cents",
+            F.when(
+                F.col("c_mktsegment") == "MACHINERY",
+                F.col("bal_cents") * 3,
+            ).otherwise(F.col("bal_cents")),
+        ),
+        root,
+        "f1.parquet",
+    )
+    schema_json = _json.dumps(cust.schema.jsonValue())
+    write_conformance_log(
+        root,
+        [
+            [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {
+                    "metaData": {
+                        "id": "q422",
+                        "schemaString": schema_json,
+                        "partitionColumns": [],
+                        "format": {"provider": "parquet"},
+                    }
+                },
+                {"add": {"path": "f0.parquet", "partitionValues": {},
+                         "dataChange": True}},
+                {"commitInfo": {"operation": "WRITE", "timestamp": 1000}},
+            ],
+            [
+                {"remove": {"path": "f0.parquet", "dataChange": True}},
+                {"add": {"path": "f1.parquet", "partitionValues": {},
+                         "dataChange": True}},
+                {"commitInfo": {"operation": "UPDATE", "timestamp": 5000}},
+            ],
+        ],
+    )
+    v0 = read_delta(spark, root, timestamp_ms=1500).select(
+        F.lit("v0").alias("at_ts"), "c_mktsegment", "bal_cents"
+    )
+    v1 = read_delta(spark, root, timestamp_ms=9000).select(
+        F.lit("v1").alias("at_ts"), "c_mktsegment", "bal_cents"
+    )
+    return (
+        v0.unionByName(v1)
+        .groupBy("at_ts", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .orderBy("at_ts", "c_mktsegment")
+    )
+
+
+@q(
+    "q423_iceberg_name_mapping",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+    FROM (
+      SELECT c_mktsegment,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    )
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q423(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG NAME-MAPPING, oracled (q415's id-less sibling):
+    customers are written as a plain Spark parquet file — NO parquet
+    field ids, the imported/converted-data case — under OLD column
+    names (``segment``/``cents``); the table property
+    ``schema.name-mapping.default`` maps those physical names to
+    field ids, and the metadata schema carries the CURRENT names for
+    the same ids. One read resolves physical → id → current and the
+    aggregate hash-matches the direct recompute. This is the spec's
+    fallback chain for files Iceberg didn't write itself — at 100 TB
+    the common case when a lake adopts Iceberg over existing
+    parquet."""
+    import json as _json
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import stage_parquet_file
+    from dataflowex_spark.sources.iceberg_reader import (
+        read_iceberg,
+        write_conformance_table,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"].select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_q423_")
+    stage_parquet_file(cust, root, "data/imported.parquet")
+    mapping = _json.dumps(
+        [
+            {"field-id": 1, "names": ["c_custkey"]},
+            {"field-id": 2, "names": ["segment", "mktsegment"]},
+            {"field-id": 3, "names": ["cents", "balance_cents"]},
+        ]
+    )
+    write_conformance_table(
+        root,
+        [
+            {
+                "id": 1,
+                "entries": [(1, "data/imported.parquet")],
+                "schema_fields": [
+                    (1, "c_custkey", "long"),
+                    (2, "c_mktsegment", "string"),
+                    (3, "bal_cents", "long"),
+                ],
+            }
+        ],
+        properties={"schema.name-mapping.default": mapping},
+    )
+    t = read_iceberg(spark, root)
+    return (
+        t.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
