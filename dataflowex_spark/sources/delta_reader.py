@@ -28,8 +28,10 @@ for, the same discipline as the codec modules):
   with the physical schema and restores logical names — nested
   struct fields ride a positional struct cast. ``partitionValues``
   keys are physical names too and map back the same way. Mode
-  ``id`` (match by parquet field id — converted-table territory)
-  HONESTLY refuses;
+  ``id`` matches parquet columns by FIELD ID through Spark's native
+  field-id matcher (requested schema carries ``parquet.field.id``
+  from each field's ``delta.columnMapping.id``) — physical names
+  can be arbitrary;
 - **deletion vectors** (``add.deletionVector``): descriptors decode
   through :mod:`roaring` (z85 → RoaringBitmapArray portable → CRC-
   verified DV-file frames) and the dead positions anti-join against
@@ -271,11 +273,39 @@ def _mapping_mode(meta: dict) -> str:
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if mode in ("none", "name"):
+    if mode in ("none", "name", "id"):
         return mode
     raise DeltaProtocolError(
-        f"delta.columnMapping.mode={mode!r} not supported (only "
-        "'none' and 'name'; 'id' needs parquet field-id matching)"
+        f"delta.columnMapping.mode={mode!r} not supported"
+    )
+
+
+def _fieldid_field(f: T.StructField) -> T.StructField:
+    """Logical field → requested-schema field carrying
+    ``parquet.field.id`` (from ``delta.columnMapping.id``) so
+    Spark's native field-id matching (mode=id: parquet columns match
+    by id, names are presentation) resolves it — recursive for
+    nested structs/arrays/maps."""
+    def walk(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return T.StructType([_fieldid_field(x) for x in dt.fields])
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(walk(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                walk(dt.keyType), walk(dt.valueType), dt.valueContainsNull
+            )
+        return dt
+
+    md = dict(f.metadata or {})
+    fid = md.get("delta.columnMapping.id")
+    if fid is None:
+        raise DeltaProtocolError(
+            f"mode=id table field {f.name!r} lacks "
+            "delta.columnMapping.id metadata"
+        )
+    return T.StructField(
+        f.name, walk(f.dataType), f.nullable, {"parquet.field.id": fid}
     )
 
 
@@ -401,20 +431,37 @@ def read_delta(
     # struct cast (Spark casts struct fields BY POSITION, so nested
     # physical names rename for free)
     phys_by_logical = {
-        f.name: (_physical_name(f) if mode == "name" else f.name)
+        f.name: (_physical_name(f) if mode in ("name", "id") else f.name)
         for f in schema.fields
     }
-    phys = T.StructType(
-        [
-            T.StructField(
-                phys_by_logical[f.name],
-                _physical_type(f.dataType) if mode == "name" else f.dataType,
-                f.nullable,
-            )
-            for f in schema.fields
-            if f.name not in part_cols
-        ]
-    )
+    if mode == "id":
+        # mode=id: the SCAN matches parquet columns by field id —
+        # the requested schema keeps LOGICAL names and carries
+        # parquet.field.id per field; Spark's native matcher does
+        # the rest. (partitionValues/stats keys stay PHYSICAL names
+        # in both mapping modes, hence phys_by_logical above.)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        phys = T.StructType(
+            [
+                _fieldid_field(f)
+                for f in schema.fields
+                if f.name not in part_cols
+            ]
+        )
+    else:
+        phys = T.StructType(
+            [
+                T.StructField(
+                    phys_by_logical[f.name],
+                    _physical_type(f.dataType)
+                    if mode == "name"
+                    else f.dataType,
+                    f.nullable,
+                )
+                for f in schema.fields
+                if f.name not in part_cols
+            ]
+        )
     specs = list(skip_where or [])
     for col, op, _v in specs:
         if op not in _SKIP_OPS:
@@ -470,7 +517,11 @@ def read_delta(
         for f in schema.fields:
             if f.name in part_cols:
                 continue
-            c = F.col(phys_by_logical[f.name])
+            # mode=id scans already surface LOGICAL names (field-id
+            # matching); name mode aliases physical → logical
+            c = F.col(
+                f.name if mode == "id" else phys_by_logical[f.name]
+            )
             if mode == "name" and isinstance(
                 f.dataType, (T.StructType, T.ArrayType, T.MapType)
             ):

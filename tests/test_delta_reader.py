@@ -199,10 +199,13 @@ def test_column_mapping_name_mode(spark, tmp_path):
     assert got.columns == ["k", "s", "p"]
     assert got.schema["s"].dataType.fieldNames() == ["a"]
     assert rows(got) == [(1, (10,), 7), (2, (20,), 7)]
-    # mode=id honestly refuses
+    # a field missing delta.columnMapping.id refuses under mode=id
     meta_id = json.loads(json.dumps(meta))
     meta_id["metaData"]["configuration"][
         "delta.columnMapping.mode"] = "id"
+    bad_schema = json.loads(meta_id["metaData"]["schemaString"])
+    del bad_schema["fields"][0]["metadata"]["delta.columnMapping.id"]
+    meta_id["metaData"]["schemaString"] = json.dumps(bad_schema)
     root2 = str(tmp_path / "id_mode")
     os.makedirs(root2)
     stage_parquet_file(phys, root2, "f.parquet")
@@ -213,8 +216,53 @@ def test_column_mapping_name_mode(spark, tmp_path):
           {"add": {"path": "f.parquet", "partitionValues": {"col-p": "7"},
                    "dataChange": True}}]],
     )
-    with pytest.raises(DeltaProtocolError, match="mode='id'"):
-        read_delta(spark, root2)
+    with pytest.raises(DeltaProtocolError, match="columnMapping.id"):
+        read_delta(spark, root2).collect()
+
+
+def test_column_mapping_id_mode(spark, tmp_path):
+    """mode=id: parquet columns match by FIELD ID (names are
+    presentation) via Spark's native field-id matcher — a file whose
+    physical names share nothing with the logical schema still reads
+    correctly because its footer carries the ids."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    root = str(tmp_path)
+    fields = [
+        pa.field("uuid-aaaa", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("uuid-bbbb", pa.string(),
+                 metadata={b"PARQUET:field_id": b"2"}),
+    ]
+    t = pa.table(
+        {"uuid-aaaa": pa.array([1, 2], pa.int64()),
+         "uuid-bbbb": pa.array(["x", "y"])}
+    ).cast(pa.schema(fields))
+    pq.write_table(t, os.path.join(root, "f.parquet"))
+    logical = T.StructType([
+        T.StructField("k", T.LongType(), True,
+                      {"delta.columnMapping.id": 1,
+                       "delta.columnMapping.physicalName": "uuid-aaaa"}),
+        T.StructField("v", T.StringType(), True,
+                      {"delta.columnMapping.id": 2,
+                       "delta.columnMapping.physicalName": "uuid-bbbb"}),
+    ])
+    meta = _meta(json.dumps(logical.jsonValue()))
+    meta["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "id"}
+    write_conformance_log(
+        root,
+        [[{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+          meta,
+          {"add": {"path": "f.parquet", "partitionValues": {},
+                   "dataChange": True}}]],
+    )
+    got = read_delta(spark, root)
+    assert got.columns == ["k", "v"]
+    assert rows(got) == [(1, "x"), (2, "y")]
 
 
 def test_deletion_vectors_applied(spark, tmp_path):
