@@ -24073,3 +24073,77 @@ def q423(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@q(
+    "q424_generic_format_writers",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 4 = 1
+    ),
+    both_fmts AS (
+      SELECT 'delta' AS fmt, priority, price_cents FROM base
+      UNION ALL
+      SELECT 'iceberg', priority, price_cents FROM base
+    )
+    SELECT fmt, priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS price_cents
+    FROM both_fmts GROUP BY fmt, priority ORDER BY fmt, priority
+    """,
+)
+def q424(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERIC FORMAT WRITERS (standalone, no MTable): ONE orders
+    slice written to a Delta table (write_delta: staged executor-side
+    parquet + one commit with add.stats) AND an Iceberg table
+    (write_iceberg: avro manifest with bounds + metadata.json), both
+    read back through the from-scratch readers and aggregated per
+    format. The oracle duplicates the direct aggregate, so the hash
+    match proves BOTH write→read loops reproduce the source exactly
+    — a user can adopt either open format with this engine alone,
+    reader AND writer. Stats/bounds land at write time, so these
+    tables get data skipping from day one (pytest asserts the
+    point-query file counts)."""
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        read_delta,
+        write_delta,
+    )
+    from dataflowex_spark.sources.iceberg_reader import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 4 == 1)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .repartition(4)
+    )
+    root = tempfile.mkdtemp(prefix="q424_")
+    write_delta(spark, base, root + "/delta")
+    write_iceberg(spark, base, root + "/iceberg")
+    unioned = read_delta(spark, root + "/delta").select(
+        F.lit("delta").alias("fmt"), "priority", "price_cents"
+    ).unionByName(
+        read_iceberg(spark, root + "/iceberg").select(
+            F.lit("iceberg").alias("fmt"), "priority", "price_cents"
+        )
+    )
+    return (
+        unioned.groupBy("fmt", "priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("price_cents"),
+        )
+        .orderBy("fmt", "priority")
+    )

@@ -58,6 +58,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -65,7 +66,7 @@ from pyspark.sql import types as T
 _SUPPORTED_READER_FEATURES = {
     "timestampNtz",  # type-only, no read-path behavior change
     "vacuumProtocolCheck",  # writer-side concern
-    "columnMapping",  # mode=name implemented (mode=id refuses below)
+    "columnMapping",  # modes name AND id implemented
     "deletionVectors",  # roaring.py descriptor decode + anti-join
 }
 
@@ -1211,3 +1212,141 @@ def checkpoint_delta_export(
     with open(os.path.join(log, "_last_checkpoint"), "w") as f:
         json.dump(last_cp, f)
     return v
+
+
+def write_delta(
+    spark: SparkSession,
+    df: DataFrame,
+    dest: str,
+    mode: str = "error",
+    stats_cols: list[str] | None = None,
+) -> int:
+    """GENERIC Delta writer — any DataFrame → a Delta-protocol table,
+    no MTable required (the standalone complement to the MTable
+    export path). ``mode``: ``error`` (create, refuse existing),
+    ``append`` (new commit adding files), ``overwrite`` (new commit
+    removing every live file and adding the new set). Returns the
+    committed version.
+
+    Files write executor-side as ordinary parquet (one staging job,
+    atomic renames into ``data/``); per-file min/max stats for the
+    key numeric/string columns (``stats_cols``, default: all
+    top-level primitive columns) aggregate in ONE pass grouped by
+    ``input_file_name`` and land in ``add.stats`` — so tables
+    written here get data skipping from day one. The commit is a
+    single JSON append; concurrent writers race on the version file
+    (os O_EXCL via exclusive create) — the loser retries with the
+    next number, delta's optimistic concurrency."""
+    import shutil
+    import uuid as _uuid
+
+    prim = (
+        T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+        T.DoubleType, T.FloatType, T.StringType, T.DateType,
+    )
+    scols = (
+        stats_cols
+        if stats_cols is not None
+        else [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, prim)
+        ]
+    )
+    log = _log_dir(dest)
+    exists = os.path.isdir(log) and bool(_commit_files(dest))
+    if mode == "error" and exists:
+        raise ValueError(f"Delta table already exists at {dest}")
+    if mode not in ("error", "append", "overwrite"):
+        raise ValueError(f"write_delta mode {mode!r}")
+    os.makedirs(os.path.join(dest, "data"), exist_ok=True)
+    os.makedirs(log, exist_ok=True)
+    job = os.path.join(dest, f"_stage-{_uuid.uuid4().hex}")
+    df.write.parquet(job)
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in scols:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+    stats_rows = (
+        spark.read.parquet(job)
+        .groupBy(F.input_file_name().alias("__path"))
+        .agg(*aggs)
+        .collect()
+    )
+
+    def jsonable(v):
+        import datetime
+
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        return v
+
+    adds = []
+    for r in stats_rows:
+        src = re.sub(r"^file:/*", "/", r["__path"])
+        name = "data/" + os.path.basename(src)
+        os.replace(src, os.path.join(dest, name))
+        adds.append(
+            {
+                "add": {
+                    "path": name,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(dest, name)),
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {
+                            "numRecords": r["__rows"],
+                            "minValues": {
+                                c: jsonable(r[f"__mn_{c}"]) for c in scols
+                            },
+                            "maxValues": {
+                                c: jsonable(r[f"__mx_{c}"]) for c in scols
+                            },
+                        }
+                    ),
+                }
+            }
+        )
+    shutil.rmtree(job, ignore_errors=True)
+    actions: list[dict] = []
+    if not exists:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": f"write-delta-{_uuid.uuid4().hex[:12]}",
+                    "schemaString": json.dumps(df.schema.jsonValue()),
+                    "partitionColumns": [],
+                    "format": {"provider": "parquet"},
+                }
+            }
+        )
+    elif mode == "overwrite":
+        _meta0, live = _snapshot(spark, dest, None)
+        actions += [
+            {"remove": {"path": p, "dataChange": True}}
+            for p in sorted(live)
+        ]
+    actions += adds
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "WRITE" if not exists else mode.upper(),
+                "timestamp": None,
+            }
+        }
+    )
+    # optimistic concurrency: claim the next version file exclusively
+    while True:
+        v = max(_commit_files(dest), default=-1) + 1
+        path = os.path.join(log, f"{v:020d}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race: retry with the next version
+        with os.fdopen(fd, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        return v

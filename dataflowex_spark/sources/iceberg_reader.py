@@ -1269,3 +1269,225 @@ def _mtable_bounds(entry: dict, key_col: str, top_fields: list[dict]):
         except IcebergProtocolError:
             continue
     return (lo or None, hi or None)
+
+
+def write_iceberg(
+    spark: SparkSession,
+    df: DataFrame,
+    dest: str,
+    mode: str = "error",
+    stats_cols: list[str] | None = None,
+) -> int:
+    """GENERIC Iceberg writer — any DataFrame → an Iceberg v2 table,
+    no MTable required (the format twin of
+    :func:`delta_reader.write_delta`). ``mode``: ``error`` (create,
+    refuse existing), ``append`` (new snapshot adding files +
+    carrying prior state). Returns the new snapshot id.
+
+    Files write executor-side; per-file min/max bounds for the
+    requested columns (default: all top-level primitive columns the
+    spec serialization covers) aggregate in ONE pass and land as
+    manifest ``lower_bounds``/``upper_bounds`` — written tables get
+    manifest-level data skipping from day one."""
+    import re as _re
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F, types as T
+
+    from dataflowex_spark.sources.avro_io import write_container
+
+    md = _meta_dir(dest)
+    exists = os.path.isdir(md) and os.path.exists(
+        os.path.join(md, "version-hint.text")
+    )
+    if mode == "error" and exists:
+        raise ValueError(f"Iceberg table already exists at {dest}")
+    if mode not in ("error", "append"):
+        raise ValueError(f"write_iceberg mode {mode!r}")
+    os.makedirs(os.path.join(dest, "data"), exist_ok=True)
+    os.makedirs(md, exist_ok=True)
+    counter = {"n": 0}
+
+    def alloc() -> int:
+        counter["n"] += 1
+        return counter["n"]
+
+    if exists:
+        meta = json.load(
+            open(
+                os.path.join(
+                    md,
+                    "v%s.metadata.json"
+                    % open(os.path.join(md, "version-hint.text"))
+                    .read()
+                    .strip(),
+                )
+            )
+        )
+        top = _current_schema_fields(meta)
+    else:
+        top = []
+        for f in df.schema.fields:
+            fid = alloc()
+            top.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _iceberg_type(f.dataType, alloc),
+                }
+            )
+        meta = {
+            "format-version": 2,
+            "table-uuid": f"write-iceberg-{_uuid.uuid4().hex[:20]}",
+            "location": os.path.abspath(dest),
+            "last-sequence-number": 0,
+            "current-snapshot-id": -1,
+            "current-schema-id": 0,
+            "schemas": [
+                {"schema-id": 0, "type": "struct", "fields": top}
+            ],
+            "snapshots": [],
+        }
+    boundable = {
+        f["name"]: f for f in top if isinstance(f.get("type"), str)
+    }
+    scols = (
+        stats_cols
+        if stats_cols is not None
+        else [
+            c
+            for c in df.columns
+            if c in boundable
+            and boundable[c]["type"]
+            in ("int", "long", "float", "double", "string")
+        ]
+    )
+    job = os.path.join(dest, f"_stage-{_uuid.uuid4().hex}")
+    df.write.parquet(job)
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in scols:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+    stats_rows = (
+        spark.read.parquet(job)
+        .groupBy(F.input_file_name().alias("__path"))
+        .agg(*aggs)
+        .collect()
+    )
+    snaps = meta.get("snapshots", [])
+    new_sid = (snaps[-1]["snapshot-id"] + 1) if snaps else 1
+    new_seq = int(meta.get("last-sequence-number", 0)) + 1
+    entries = []
+    for r in stats_rows:
+        src = _re.sub(r"^file:/*", "/", r["__path"])
+        target = os.path.abspath(
+            os.path.join(dest, "data", os.path.basename(src))
+        )
+        os.replace(src, target)
+        lo, hi = [], []
+        for c in scols:
+            mn, mx = r[f"__mn_{c}"], r[f"__mx_{c}"]
+            if mn is None or mx is None:
+                continue
+            fld = boundable[c]
+            lo.append(
+                {"key": fld["id"], "value": bound_encode(mn, fld["type"])}
+            )
+            hi.append(
+                {"key": fld["id"], "value": bound_encode(mx, fld["type"])}
+            )
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": new_sid,
+                "sequence_number": new_seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": target,
+                    "file_format": "PARQUET",
+                    "record_count": r["__rows"],
+                    "file_size_in_bytes": os.path.getsize(target),
+                    "equality_ids": None,
+                    "lower_bounds": lo or None,
+                    "upper_bounds": hi or None,
+                },
+            }
+        )
+    shutil.rmtree(job, ignore_errors=True)
+    if exists and snaps:
+        prior_live, _pd, _ed, prior_bounds = _live_files(
+            dest, meta, snaps[-1]["snapshot-id"]
+        )
+        for path, seq in sorted(prior_live.items()):
+            pb = prior_bounds.get(path)
+            entries.append(
+                {
+                    "status": 0,
+                    "snapshot_id": new_sid,
+                    "sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": path,
+                        "file_format": "PARQUET",
+                        "record_count": 0,
+                        "file_size_in_bytes": os.path.getsize(path),
+                        "equality_ids": None,
+                        "lower_bounds": (
+                            [
+                                {"key": k, "value": v}
+                                for k, v in pb[0].items()
+                            ]
+                            if pb
+                            else None
+                        ),
+                        "upper_bounds": (
+                            [
+                                {"key": k, "value": v}
+                                for k, v in pb[1].items()
+                            ]
+                            if pb
+                            else None
+                        ),
+                    },
+                }
+            )
+    mpath = os.path.join(md, f"manifest-{new_sid:05d}.avro")
+    write_container(mpath, MANIFEST_SCHEMA, entries)
+    mlist = os.path.join(md, f"snap-{new_sid}.avro")
+    write_container(
+        mlist,
+        MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": os.path.abspath(mpath),
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": new_seq,
+                "added_snapshot_id": new_sid,
+            }
+        ],
+    )
+    meta["snapshots"] = snaps + [
+        {
+            "snapshot-id": new_sid,
+            "timestamp-ms": 1000 * new_sid,
+            "sequence-number": new_seq,
+            "manifest-list": os.path.abspath(mlist),
+            "summary": {"operation": "append"},
+        }
+    ]
+    meta["current-snapshot-id"] = new_sid
+    meta["last-sequence-number"] = new_seq
+    hint_path = os.path.join(md, "version-hint.text")
+    prev = (
+        int(open(hint_path).read().strip()) if os.path.exists(hint_path)
+        else 0
+    )
+    with open(os.path.join(md, f"v{prev + 1}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(hint_path, "w") as f:
+        f.write(str(prev + 1))
+    return new_sid

@@ -677,3 +677,59 @@ def test_checkpoint_delta_export_compacts_log(spark, tmp_path):
     # and data skipping still works off the checkpointed stats
     one = read_delta(spark, dest, skip_where=[("k", "=", 3)])
     assert [r[0] for r in one.collect()] == [3]
+
+
+def test_write_delta_generic(spark, tmp_path):
+    """Standalone write_delta: create/append/overwrite commits with
+    per-file stats; our reader (and its data skipping) reads it all
+    back; concurrent creates race safely on the version file."""
+    from dataflowex_spark.sources.delta_reader import (
+        read_delta,
+        write_delta,
+    )
+
+    dest = str(tmp_path / "t")
+    df1 = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartitionByRange(4, "k")
+    v0 = write_delta(spark, df1, dest)
+    assert v0 == 0
+    assert rows(read_delta(spark, dest)) == rows(df1)
+    with pytest.raises(ValueError, match="already exists"):
+        write_delta(spark, df1, dest)
+    # append
+    df2 = spark.createDataFrame([(100, 1)], "k long, v long")
+    v1 = write_delta(spark, df2, dest, mode="append")
+    assert v1 == 1
+    assert read_delta(spark, dest).count() == 51
+    # stats-backed skipping works on a written (non-MTable) table
+    narrow = read_delta(spark, dest, skip_where=[("k", "=", 100)])
+    assert len(narrow.inputFiles()) == 1
+    assert rows(narrow) == [(100, 1)]
+    # overwrite replaces the live set, history stays readable
+    df3 = spark.createDataFrame([(7, 7)], "k long, v long")
+    v2 = write_delta(spark, df3, dest, mode="overwrite")
+    assert v2 == 2
+    assert rows(read_delta(spark, dest)) == [(7, 7)]
+    assert read_delta(spark, dest, version=1).count() == 51
+    # concurrent appends: both land, distinct versions
+    import threading
+
+    errs = []
+
+    def appender(val):
+        try:
+            write_delta(
+                spark,
+                spark.createDataFrame([(val, val)], "k long, v long"),
+                dest,
+                mode="append",
+            )
+        except Exception as e:
+            errs.append(e)
+
+    th = [threading.Thread(target=appender, args=(x,)) for x in (201, 202)]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert not errs
+    assert read_delta(spark, dest).count() == 3

@@ -669,3 +669,32 @@ def test_exported_iceberg_tables_carry_bounds(spark, tmp_path):
     got2 = read_iceberg(spark, dest, skip_where=[("k", "=", 3)])
     assert len(got2.inputFiles()) <= 2  # carried bounds still prune
     assert rows(got2) == [(3, 3)]
+
+
+def test_write_iceberg_generic(spark, tmp_path):
+    """Standalone write_iceberg: create + append snapshots with
+    manifest bounds; our reader (time travel + data skipping) reads
+    everything back."""
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.sources.iceberg_reader import write_iceberg
+
+    dest = str(tmp_path / "t")
+    df1 = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartitionByRange(4, "k")
+    sid1 = write_iceberg(spark, df1, dest)
+    assert sid1 == 1
+    assert rows(read_iceberg(spark, dest)) == rows(df1)
+    with pytest.raises(ValueError, match="already exists"):
+        write_iceberg(spark, df1, dest)
+    df2 = spark.createDataFrame([(100, 1)], "k long, v long")
+    sid2 = write_iceberg(spark, df2, dest, mode="append")
+    assert sid2 == 2
+    assert read_iceberg(spark, dest).count() == 51
+    # history intact
+    assert read_iceberg(spark, dest, snapshot_id=1).count() == 50
+    # bounds-backed skipping on a written table
+    narrow = read_iceberg(spark, dest, skip_where=[("k", "=", 100)])
+    assert len(narrow.inputFiles()) == 1
+    assert rows(narrow) == [(100, 1)]
