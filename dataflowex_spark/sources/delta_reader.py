@@ -1220,6 +1220,7 @@ def write_delta(
     dest: str,
     mode: str = "error",
     stats_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """GENERIC Delta writer — any DataFrame → a Delta-protocol table,
     no MTable required (the standalone complement to the MTable
@@ -1236,10 +1237,18 @@ def write_delta(
     written here get data skipping from day one. The commit is a
     single JSON append; concurrent writers race on the version file
     (os O_EXCL via exclusive create) — the loser retries with the
-    next number, delta's optimistic concurrency."""
+    next number, delta's optimistic concurrency.
+
+    ``partition_by``: hive-layout partitioned staging
+    (``data/<col>=<val>/…``), canonical string partitionValues per
+    add (the protocol's partition encoding — the reader re-attaches
+    them typed); partition columns leave the data files, per the
+    protocol."""
     import shutil
+    import urllib.parse as _up
     import uuid as _uuid
 
+    pcols = list(partition_by or [])
     prim = (
         T.LongType, T.IntegerType, T.ShortType, T.ByteType,
         T.DoubleType, T.FloatType, T.StringType, T.DateType,
@@ -1250,7 +1259,7 @@ def write_delta(
         else [
             f.name
             for f in df.schema.fields
-            if isinstance(f.dataType, prim)
+            if isinstance(f.dataType, prim) and f.name not in pcols
         ]
     )
     log = _log_dir(dest)
@@ -1262,13 +1271,17 @@ def write_delta(
     os.makedirs(os.path.join(dest, "data"), exist_ok=True)
     os.makedirs(log, exist_ok=True)
     job = os.path.join(dest, f"_stage-{_uuid.uuid4().hex}")
-    df.write.parquet(job)
+    w = df.write
+    if pcols:
+        w = w.partitionBy(*pcols)
+    w.parquet(job)
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in scols:
         aggs.append(F.min(c).alias(f"__mn_{c}"))
         aggs.append(F.max(c).alias(f"__mx_{c}"))
     stats_rows = (
         spark.read.parquet(job)
+        .drop(*pcols)  # partition cols re-derive from paths below
         .groupBy(F.input_file_name().alias("__path"))
         .agg(*aggs)
         .collect()
@@ -1284,14 +1297,36 @@ def write_delta(
     adds = []
     for r in stats_rows:
         src = re.sub(r"^file:/*", "/", r["__path"])
-        name = "data/" + os.path.basename(src)
-        os.replace(src, os.path.join(dest, name))
+        rel_dir = os.path.relpath(os.path.dirname(src), job)
+        pv: dict[str, str | None] = {}
+        if pcols:
+            for seg in rel_dir.split(os.sep):
+                if "=" in seg:
+                    k, _, raw = seg.partition("=")
+                    pv[k] = (
+                        None
+                        if raw == "__HIVE_DEFAULT_PARTITION__"
+                        else _up.unquote(raw)
+                    )
+            missing = [c for c in pcols if c not in pv]
+            if missing:
+                raise ValueError(
+                    f"staged file {src} lacks partition dirs {missing}"
+                )
+        name = (
+            "data/"
+            + (rel_dir + "/" if rel_dir != "." else "")
+            + os.path.basename(src)
+        )
+        target = os.path.join(dest, name)
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        os.replace(src, target)
         adds.append(
             {
                 "add": {
                     "path": name,
-                    "partitionValues": {},
-                    "size": os.path.getsize(os.path.join(dest, name)),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(target),
                     "dataChange": True,
                     "stats": json.dumps(
                         {
@@ -1318,7 +1353,7 @@ def write_delta(
                 "metaData": {
                     "id": f"write-delta-{_uuid.uuid4().hex[:12]}",
                     "schemaString": json.dumps(df.schema.jsonValue()),
-                    "partitionColumns": [],
+                    "partitionColumns": pcols,
                     "format": {"provider": "parquet"},
                 }
             }

@@ -733,3 +733,28 @@ def test_write_delta_generic(spark, tmp_path):
     [x.join() for x in th]
     assert not errs
     assert read_delta(spark, dest).count() == 3
+
+
+def test_write_delta_partitioned(spark, tmp_path):
+    """partition_by: hive-layout staging, canonical partitionValues
+    per add, typed re-attachment on read; partition '=' still prunes
+    files at plan time."""
+    from dataflowex_spark.sources.delta_reader import (
+        read_delta,
+        write_delta,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "us", 10), (2, "us", 20), (3, "de", 30), (4, None, 40)],
+        "k long, region string, v long",
+    )
+    write_delta(spark, df, dest, partition_by=["region"])
+    got = read_delta(spark, dest)
+    assert sorted(got.columns) == ["k", "region", "v"]
+    assert rows(got) == rows(df)
+    assert dict(got.dtypes)["region"] == "string"
+    # partition '=' pruning: only the us files open
+    us = read_delta(spark, dest, skip_where=[("region", "=", "us")])
+    assert all("region=us" in f for f in us.inputFiles())
+    assert rows(us) == [(1, "us", 10), (2, "us", 20)]
