@@ -1094,7 +1094,9 @@ def export_delta_increment(
     return next_delta
 
 
-def vacuum_delta_export(dest: str, keep_versions: int = 1) -> list[str]:
+def vacuum_delta_export(
+    dest: str, keep_versions: int = 1, spark: SparkSession | None = None
+) -> list[str]:
     """Reclaim data files no live version needs — the VACUUM
     lifecycle step for exported tables. Keeps every file referenced
     by the newest ``keep_versions`` snapshots (and their CDC files);
@@ -1103,32 +1105,50 @@ def vacuum_delta_export(dest: str, keep_versions: int = 1) -> list[str]:
     trade Delta's own VACUUM makes (and the reason its default
     retention is 7 days). Returns the deleted paths.
 
-    Metadata-only planning: the log replays driver-side; data files
-    are never opened. Hard-linked exports only release disk once the
-    MTable source also vacuums (link counts), which is the correct
-    shared-ownership semantics."""
+    Metadata-only planning: each retained version's live set comes
+    from the CHECKPOINT-AWARE snapshot fold when ``spark`` is given
+    (required once a checkpoint covers aged-out commits — a raw JSON
+    replay would be blind to carried files whose adds no longer have
+    a JSON commit and would delete LIVE data); without ``spark`` the
+    pure-JSON replay is used and REFUSES if the log has gaps. Data
+    files are never opened. Hard-linked exports only release disk
+    once the MTable source also vacuums (link counts), which is the
+    correct shared-ownership semantics."""
     commits = _commit_files(dest)
     if not commits:
         raise FileNotFoundError(f"not a Delta table: {dest}")
     latest = max(commits)
     cutoff = max(0, latest - keep_versions + 1)
     keep: set[str] = set()
+    if spark is None and 0 not in commits:
+        raise ValueError(
+            "log has aged-out commits (checkpoint era); pass spark= "
+            "so vacuum can plan from the checkpoint-aware snapshot"
+        )
     for v in range(cutoff, latest + 1):
-        # live set at v
-        adds: dict[str, dict] = {}
-        for vv in sorted(c for c in commits if c <= v):
-            with open(commits[vv]) as f:
+        if spark is not None:
+            _m, adds = _snapshot(spark, dest, v)
+        else:
+            adds = {}
+            for vv in sorted(c for c in commits if c <= v):
+                with open(commits[vv]) as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        a = json.loads(line)
+                        if a.get("add"):
+                            adds[a["add"]["path"]] = a["add"]
+                        if a.get("remove"):
+                            adds.pop(a["remove"]["path"], None)
+        if v in commits:
+            with open(commits[v]) as f:
                 for line in f:
                     line = line.strip()
-                    if not line:
-                        continue
-                    a = json.loads(line)
-                    if a.get("add"):
-                        adds[a["add"]["path"]] = a["add"]
-                    if a.get("remove"):
-                        adds.pop(a["remove"]["path"], None)
-                    if a.get("cdc") and vv >= cutoff:
-                        keep.add(a["cdc"]["path"])
+                    if line:
+                        a = json.loads(line)
+                        if a.get("cdc"):
+                            keep.add(a["cdc"]["path"])
         keep |= set(adds)
     deleted = []
     for sub in ("data", "_change_data"):

@@ -550,7 +550,7 @@ def test_vacuum_delta_export(spark, tmp_path):
     t.merge(upd, "ts", "op", "tie", ["v"])
     export_delta_increment(t, dest)
     pre = rows(read_delta(spark, dest))
-    deleted = vacuum_delta_export(dest, keep_versions=1)
+    deleted = vacuum_delta_export(dest, keep_versions=1, spark=spark)
     assert deleted  # the rewritten-away v0 files went
     # the latest version still reads exactly
     assert rows(read_delta(spark, dest)) == pre
@@ -758,3 +758,46 @@ def test_write_delta_partitioned(spark, tmp_path):
     us = read_delta(spark, dest, skip_where=[("region", "=", "us")])
     assert all("region=us" in f for f in us.inputFiles())
     assert rows(us) == [(1, "us", 10), (2, "us", 20)]
+
+
+def test_vacuum_checkpoint_aware_keeps_carried_files(spark, tmp_path):
+    """The regression a JSON-only vacuum replay would hit: after a
+    checkpoint and log retention, files CARRIED from aged-out commits
+    have no surviving add JSON — vacuum must plan from the
+    checkpoint-aware snapshot and keep them (and refuse the blind
+    path instead of deleting live data)."""
+    from dataflowex_spark.sources.delta_reader import (
+        checkpoint_delta_export,
+        export_delta_increment,
+        export_snapshot_to_delta,
+        read_delta,
+        vacuum_delta_export,
+    )
+    from dataflowex_spark.sources.mtable import MTable
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    t = MTable.create(
+        spark, str(tmp_path / "t"), df.repartitionByRange(8, "k"), "k"
+    )
+    dest = str(tmp_path / "delta")
+    export_snapshot_to_delta(t, dest)
+    # targeted update: only the file holding k=3 is rewritten; the
+    # other 7 files CARRY into v1
+    upd = t.read().filter(F.col("k") == 3).select(
+        "k", F.lit(1).alias("ts"), F.lit("U").alias("op"),
+        F.lit(0).alias("tie"), F.lit(999).cast("long").alias("v"),
+    )
+    t.merge(upd, "ts", "op", "tie", ["v"])
+    dv = export_delta_increment(t, dest)
+    want = rows(read_delta(spark, dest))
+    checkpoint_delta_export(spark, dest)
+    os.remove(os.path.join(dest, "_delta_log", f"{0:020d}.json"))
+    # blind JSON replay refuses once commit 0 is gone
+    with pytest.raises(ValueError, match="checkpoint-aware"):
+        vacuum_delta_export(dest, keep_versions=1)
+    deleted = vacuum_delta_export(dest, keep_versions=1, spark=spark)
+    # the rewritten-away old file went; carried files stayed readable
+    assert deleted
+    assert rows(read_delta(spark, dest)) == want

@@ -157,3 +157,23 @@ def test_mv_serving_layer_example(spark):
     assert all(v.startswith("mv") for v in out["served_by"].values())
     # the advisor saw the full 2^3 lattice
     assert len(out["lattice_sizes"]) == 8
+
+
+def test_lakehouse_lifecycle_end_to_end(spark, sf_dir):
+    """The full open-format lifecycle (publish → mutate →
+    incremental publish with CDC → consume → prune → compact/expire/
+    vacuum) holds its invariants at every step."""
+    from examples.lakehouse_lifecycle import run
+
+    ev = run(spark, sf_dir)
+    assert ev["base_rows"] > 0
+    assert ev["v1_delta_equal"] and ev["v1_iceberg_equal"]
+    assert ev["v2_delta_equal"] and ev["v2_iceberg_equal"]
+    assert ev["cdc_matches_merge"]
+    pr = ev["pruning"]
+    assert pr["agree"]
+    assert pr["delta_opened"] * 4 <= pr["total_files"] * 2
+    assert pr["iceberg_opened"] * 4 <= pr["total_files"] * 2
+    rc = ev["reclaim"]
+    assert rc["delta_deleted"] > 0
+    assert rc["delta_exact_after"] and rc["iceberg_exact_after"]
