@@ -421,3 +421,93 @@ def decode_mp3_pcm(data: bytes):
         "features (side_info_features) and the header probe "
         "(multimodal.mp3_probe) are implemented and verified."
     )
+
+
+# ---------------------------------------------------------------------
+# Conformance-frame writer (fixtures ONLY — the codec-module
+# discipline: an independent encoder proves the parser; tests and the
+# oracled q425 both build streams with it)
+# ---------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def bytes(self) -> bytes:
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            chunk = self.bits[i : i + 8]
+            for bit in chunk:
+                b = (b << 1) | bit
+            b <<= 8 - len(chunk)
+            out.append(b)
+        return bytes(out)
+
+
+def build_conformance_frame(
+    version: str,
+    granules: list[list[dict]],
+    channels: int = 1,
+    main_data_begin: int = 0,
+    scfsi=None,
+    bitrate_idx: int = 9,
+    sr_idx: int = 0,
+) -> bytes:
+    """One complete Layer III frame: header + side info + zero-fill
+    main data, sized by the header arithmetic. ``granules`` is
+    [gr][ch] dicts with part2_3/big_values/global_gain/
+    scalefac_compress (+ optional short/mixed/tabs/sub/region/
+    preflag/scalefac_scale/count1)."""
+    lsf = version != "1"
+    ver_bits = {"1": 3, "2": 2, "2.5": 0}[version]
+    hdr = bytearray([0xFF, 0xE0 | (ver_bits << 3) | (1 << 1) | 1])
+    hdr.append((bitrate_idx << 4) | (sr_idx << 2))
+    hdr.append((3 if channels == 1 else 0) << 6)
+    w = _BitWriter()
+    w.write(main_data_begin, 8 if lsf else 9)
+    w.write(0, (1 if channels == 1 else 2) if lsf
+            else (5 if channels == 1 else 3))
+    if not lsf:
+        for ch in range(channels):
+            for i in range(4):
+                w.write((scfsi or [[0] * 4] * channels)[ch][i], 1)
+    for gr in granules:
+        for g in gr:
+            w.write(g["part2_3"], 12)
+            w.write(g["big_values"], 9)
+            w.write(g["global_gain"], 8)
+            w.write(g["scalefac_compress"], 9 if lsf else 4)
+            w.write(1 if g.get("short") else 0, 1)
+            if g.get("short"):
+                w.write(2, 2)
+                w.write(1 if g.get("mixed") else 0, 1)
+                for t in g.get("tabs", (0, 0)):
+                    w.write(t, 5)
+                for s in g.get("sub", (0, 0, 0)):
+                    w.write(s, 3)
+            else:
+                for t in g.get("tabs", (0, 0, 0)):
+                    w.write(t, 5)
+                w.write(g.get("region0", 0), 4)
+                w.write(g.get("region1", 0), 3)
+            if not lsf:
+                w.write(g.get("preflag", 0), 1)
+            w.write(g.get("scalefac_scale", 0), 1)
+            w.write(g.get("count1", 0), 1)
+    side = w.bytes()
+    br = (
+        _BITRATES_V1_L3 if version == "1" else _BITRATES_V2_L3
+    )[bitrate_idx - 1] * 1000
+    rate = _RATES[version][sr_idx]
+    spf = 1152 if version == "1" else 576
+    frame_bytes = (spf // 8) * br // rate
+    body = bytes(hdr) + side
+    if len(body) > frame_bytes:
+        raise Mp3Error("side info exceeds frame size")
+    return body + b"\x00" * (frame_bytes - len(body))

@@ -24147,3 +24147,83 @@ def q424(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt", "priority")
     )
+
+
+@q(
+    "q425_mp3_sideinfo_roundtrip",
+    """
+    WITH sampled AS (
+      SELECT o_orderkey,
+             o_orderkey % 256 AS gain,
+             (o_orderkey * 7) % 4096 AS bits
+      FROM orders WHERE o_orderkey % 100 = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(gain) AS BIGINT) AS gain_sum,
+           CAST(MIN(gain) AS BIGINT) AS gain_min,
+           CAST(MAX(gain) AS BIGINT) AS gain_max,
+           CAST(SUM(bits) AS BIGINT) AS bits_sum
+    FROM sampled
+    """,
+)
+def q425(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 SIDE-INFO ROUND TRIP, oracled and EXECUTOR-SIDE: each
+    sampled order becomes one MPEG-2 LSF frame (module conformance
+    writer: global_gain = okey%256, part2_3_length = okey·7 %4096)
+    and the PARSER reads both fields back out of the packed
+    bitstream — build and parse run inside ONE mapInPandas batch
+    (payloads never shuffle, the multimodal codec pattern), and the
+    recovered integers aggregate in Spark. The oracle replays the
+    same arithmetic from orders directly, so a hash match proves the
+    side-info bit layout round-trips EXACTLY for every sampled row —
+    the field packing the real-file invariants can't exercise
+    (the container's LAME asset is digital silence). The Huffman →
+    PCM stage stays honestly refused (operators/mp3.py docstring)."""
+    import pandas as pd
+
+    cat = Catalog(spark, sf_dir)
+    sampled = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 100 == 1)
+        .select("o_orderkey")
+    )
+
+    def roundtrip(batches):
+        from dataflowex_spark.operators.mp3 import (
+            build_conformance_frame,
+            iter_frames,
+        )
+
+        for pdf in batches:
+            out = []
+            for okey in pdf["o_orderkey"]:
+                okey = int(okey)
+                frame = build_conformance_frame(
+                    "2",
+                    [[{
+                        "part2_3": (okey * 7) % 4096,
+                        "big_values": okey % 289,
+                        "global_gain": okey % 256,
+                        "scalefac_compress": 0,
+                    }]],
+                )
+                (fi,) = iter_frames(frame)
+                g = fi.granules[0][0]
+                assert g.big_values == okey % 289
+                out.append(
+                    (okey, g.global_gain, g.part2_3_length)
+                )
+            yield pd.DataFrame(
+                out, columns=["o_orderkey", "gain", "bits"]
+            )
+
+    parsed = sampled.mapInPandas(
+        roundtrip, "o_orderkey long, gain long, bits long"
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gain").cast("long").alias("gain_sum"),
+        F.min("gain").cast("long").alias("gain_min"),
+        F.max("gain").cast("long").alias("gain_max"),
+        F.sum("bits").cast("long").alias("bits_sum"),
+    )
