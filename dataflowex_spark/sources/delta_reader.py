@@ -310,6 +310,26 @@ def _fieldid_field(f: T.StructField) -> T.StructField:
     )
 
 
+def _footer_names_by_id(path: str) -> dict[int, str]:
+    """Top-level parquet column name per ``PARQUET:field_id`` from
+    one data file's footer — driver-side planning metadata (no data
+    pages), the basis of mode=id column resolution. Files whose
+    footers carry no ids return {} and fall back to the metadata
+    physicalName."""
+    import pyarrow.parquet as pq
+
+    out: dict[int, str] = {}
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return out
+    for f in schema:
+        fid = (f.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            out[int(fid)] = f.name
+    return out
+
+
 def _physical_type(dt: T.DataType) -> T.DataType:
     """Rewrite a logical type's field NAMES to their
     ``delta.columnMapping.physicalName`` recursively (structs nest;
@@ -357,6 +377,10 @@ def _dead_positions(root: str, adds: dict[str, dict]) -> list[tuple]:
         dv = a.get("deletionVector")
         if not dv:
             continue
+        # checkpoints store the descriptor as a JSON string (stable
+        # checkpoint schema); JSON commits carry it struct-shaped
+        if isinstance(dv, str):
+            dv = json.loads(dv)
         data_path = os.path.abspath(os.path.join(root, a["path"]))
         for pos in decode_dv_descriptor(root, dict(dv)):
             out.append((data_path, pos))
@@ -435,20 +459,23 @@ def read_delta(
         f.name: (_physical_name(f) if mode in ("name", "id") else f.name)
         for f in schema.fields
     }
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
     if mode == "id":
-        # mode=id: the SCAN matches parquet columns by field id —
-        # the requested schema keeps LOGICAL names and carries
-        # parquet.field.id per field; Spark's native matcher does
-        # the rest. (partitionValues/stats keys stay PHYSICAL names
-        # in both mapping modes, hence phys_by_logical above.)
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        phys = T.StructType(
-            [
-                _fieldid_field(f)
-                for f in schema.fields
-                if f.name not in part_cols
-            ]
-        )
+        # mode=id: parquet columns match by FIELD ID (names are
+        # presentation). Resolution is per-file from the footer's
+        # PARQUET:field_id (one driver-side footer read per file —
+        # planning metadata, the same per-file footers any reader
+        # pulls), falling back to the metadata physicalName for
+        # id-less footers. This deliberately avoids
+        # spark.sql.parquet.fieldId.read.enabled: the scan is lazy,
+        # so a session-conf set here would both LEAK into every
+        # other parquet read and silently stop applying if anything
+        # reset the conf before an action.
+        ids_by_logical = {
+            f.name: int(_fieldid_field(f).metadata["parquet.field.id"])
+            for f in data_fields
+        }
+        phys = None
     else:
         phys = T.StructType(
             [
@@ -459,8 +486,7 @@ def read_delta(
                     else f.dataType,
                     f.nullable,
                 )
-                for f in schema.fields
-                if f.name not in part_cols
+                for f in data_fields
             ]
         )
     specs = list(skip_where or [])
@@ -495,8 +521,20 @@ def read_delta(
     by_parts: dict[tuple, list[str]] = {}
     for a in adds.values():
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(phys_by_logical[c]) for c in part_cols)
-        by_parts.setdefault(key, []).append(
+        pkey = tuple(pv.get(phys_by_logical[c]) for c in part_cols)
+        if mode == "id":
+            # group files by their footer's id→name mapping so each
+            # group scans with one requested schema
+            fnames = _footer_names_by_id(os.path.join(root, a["path"]))
+            resolved = tuple(
+                fnames.get(
+                    ids_by_logical[f.name], phys_by_logical[f.name]
+                )
+                for f in data_fields
+            )
+        else:
+            resolved = None
+        by_parts.setdefault((pkey, resolved), []).append(
             os.path.join(root, a["path"])
         )
     if not by_parts:
@@ -504,8 +542,22 @@ def read_delta(
         return _apply_skip_filter(out, specs)
     dead = _dead_positions(root, adds)
     pieces = []
-    for key, paths in sorted(by_parts.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.schema(phys).parquet(*paths)
+    for (key, resolved), paths in sorted(
+        by_parts.items(), key=lambda kv: str(kv[0])
+    ):
+        grp_phys = (
+            T.StructType(
+                [
+                    T.StructField(
+                        rn, _physical_type(f.dataType), f.nullable
+                    )
+                    for rn, f in zip(resolved, data_fields)
+                ]
+            )
+            if mode == "id"
+            else phys
+        )
+        df = spark.read.schema(grp_phys).parquet(*paths)
         if dead:
             df = df.select(
                 "*",
@@ -514,16 +566,23 @@ def read_delta(
                 ).alias("__fp"),
                 F.col("_metadata.row_index").alias("__ri"),
             )
+        id_name = (
+            dict(zip((f.name for f in data_fields), resolved))
+            if mode == "id"
+            else {}
+        )
         cols = []
         for f in schema.fields:
             if f.name in part_cols:
                 continue
-            # mode=id scans already surface LOGICAL names (field-id
-            # matching); name mode aliases physical → logical
+            # both mapping modes scan PHYSICAL names (mode=id: the
+            # footer-resolved name per group) and alias back to
+            # logical; nested names restore via positional struct
+            # cast
             c = F.col(
-                f.name if mode == "id" else phys_by_logical[f.name]
+                id_name[f.name] if mode == "id" else phys_by_logical[f.name]
             )
-            if mode == "name" and isinstance(
+            if mode in ("name", "id") and isinstance(
                 f.dataType, (T.StructType, T.ArrayType, T.MapType)
             ):
                 c = c.cast(f.dataType)
@@ -674,7 +733,12 @@ def write_conformance_log(
                 (
                     a["path"],
                     a.get("partitionValues"),
-                    a.get("deletionVector"),
+                    # descriptor serializes as JSON (the checkpoint
+                    # schema types it string); _dead_positions
+                    # json.loads it back on replay
+                    json.dumps(a["deletionVector"])
+                    if a.get("deletionVector")
+                    else None,
                 ),
             )
             for a in sorted(adds.values(), key=lambda x: x["path"])
@@ -835,15 +899,26 @@ def read_delta_changes(
     meta0, _ = _snapshot(spark, root, end)
     schema = T.StructType.fromJson(json.loads(meta0["schemaString"]))
     mode = _mapping_mode(meta0)
+    if mode == "id":
+        # mode=id resolution is per-file by footer field id
+        # (read_delta's path); CDF's name-based typed_read would
+        # select logical names against arbitrary physical columns —
+        # refuse loudly rather than misread
+        raise DeltaProtocolError(
+            "CDF unsupported for columnMapping mode=id"
+        )
     part_cols = meta0.get("partitionColumns") or []
     phys_by_logical = {
         f.name: (_physical_name(f) if mode == "name" else f.name)
         for f in schema.fields
     }
 
-    def typed_read(path_entries, extra_cols):
+    def typed_read(path_entries, extra_cols, dead=None):
         """Read file entries (path, partitionValues) restoring
-        logical names + partition columns, like read_delta."""
+        logical names + partition columns, like read_delta.
+        ``dead`` — (abs data path, row_index) pairs named dead by
+        the entries' deletion vectors; anti-joined out so synthesized
+        change rows never resurrect DV-deleted rows."""
         pieces = []
         by_parts: dict[tuple, list[str]] = {}
         for a in path_entries:
@@ -856,6 +931,14 @@ def read_delta_changes(
             by_parts.items(), key=lambda kv: str(kv[0])
         ):
             df = spark.read.parquet(*paths)
+            if dead:
+                df = df.select(
+                    "*",
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/*", "/"
+                    ).alias("__fp"),
+                    F.col("_metadata.row_index").alias("__ri"),
+                )
             cols = []
             for f in schema.fields:
                 if f.name in part_cols:
@@ -867,7 +950,8 @@ def read_delta_changes(
                     c = c.cast(f.dataType)
                 cols.append(c.alias(f.name))
             keep = [c for c in ("_change_type",) if c in df.columns]
-            df = df.select(*cols, *keep)
+            dvk = ["__fp", "__ri"] if dead else []
+            df = df.select(*cols, *keep, *dvk)
             for c, v in zip(part_cols, key):
                 df = df.withColumn(
                     c, _typed_partition_lit(v, schema[c].dataType)
@@ -875,6 +959,13 @@ def read_delta_changes(
             for name, expr in extra_cols.items():
                 if name not in df.columns:
                     df = df.withColumn(name, expr)
+            if dead:
+                dv_df = spark.createDataFrame(
+                    dead, "__fp string, __ri long"
+                ).distinct()
+                df = df.join(
+                    F.broadcast(dv_df), ["__fp", "__ri"], "left_anti"
+                )
             pieces.append(
                 df.select(
                     *[f.name for f in schema.fields],
@@ -916,20 +1007,32 @@ def read_delta_changes(
             )
             continue
         if adds:
+            # a DV-carrying add (remove + re-add of the same path
+            # with a deletion vector) must not read its DV-dead rows
+            # back as inserts
             out_pieces += typed_read(
                 adds,
                 {
                     "_change_type": F.lit("insert"),
                     "_commit_version": ver_lit,
                 },
+                dead=_dead_positions(
+                    root, {a["path"]: a for a in adds}
+                ),
             )
         if removes:
+            # a removed file may itself have carried a DV from an
+            # earlier commit — those rows were already dead before
+            # this delete
             out_pieces += typed_read(
                 removes,
                 {
                     "_change_type": F.lit("delete"),
                     "_commit_version": ver_lit,
                 },
+                dead=_dead_positions(
+                    root, {r["path"]: r for r in removes}
+                ),
             )
     if not out_pieces:
         empty = T.StructType(
@@ -1115,9 +1218,12 @@ def vacuum_delta_export(
     once the MTable source also vacuums (link counts), which is the
     correct shared-ownership semantics."""
     commits = _commit_files(dest)
-    if not commits:
+    newest_cp = _checkpoint_for(dest, 1 << 62)
+    if not commits and newest_cp is None:
         raise FileNotFoundError(f"not a Delta table: {dest}")
-    latest = max(commits)
+    latest = max(
+        max(commits, default=-1), newest_cp[0] if newest_cp else -1
+    )
     cutoff = max(0, latest - keep_versions + 1)
     keep: set[str] = set()
     if spark is None and 0 not in commits:
@@ -1155,11 +1261,17 @@ def vacuum_delta_export(
         d = os.path.join(dest, sub)
         if not os.path.isdir(d):
             continue
-        for fn in sorted(os.listdir(d)):
-            rel = f"{sub}/{fn}"
-            if rel not in keep:
-                os.unlink(os.path.join(d, fn))
-                deleted.append(rel)
+        # walk recursively: partitioned writes stage hive-layout
+        # subdirs (data/<col>=<val>/file.parquet) and add.path is
+        # always table-root-relative
+        for dirpath, _dirs, files in sorted(os.walk(d)):
+            for fn in sorted(files):
+                rel = os.path.relpath(
+                    os.path.join(dirpath, fn), dest
+                ).replace(os.sep, "/")
+                if rel not in keep:
+                    os.unlink(os.path.join(dirpath, fn))
+                    deleted.append(rel)
     return deleted
 
 
@@ -1241,6 +1353,7 @@ def write_delta(
     mode: str = "error",
     stats_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
+    configuration: dict[str, str] | None = None,
 ) -> int:
     """GENERIC Delta writer — any DataFrame → a Delta-protocol table,
     no MTable required (the standalone complement to the MTable
@@ -1263,7 +1376,16 @@ def write_delta(
     (``data/<col>=<val>/…``), canonical string partitionValues per
     add (the protocol's partition encoding — the reader re-attaches
     them typed); partition columns leave the data files, per the
-    protocol."""
+    protocol.
+
+    ``configuration``: table properties recorded in
+    ``metaData.configuration`` at creation.
+    ``delta.checkpointInterval`` (default 10, per delta-spark) is
+    honored on every write: when the committed version is a multiple
+    of the interval, a parquet checkpoint is emitted and
+    ``_last_checkpoint`` flipped — so a long-lived written table's
+    snapshot resolution stays O(log tail) instead of replaying an
+    ever-longer JSON commit chain."""
     import shutil
     import urllib.parse as _up
     import uuid as _uuid
@@ -1375,6 +1497,7 @@ def write_delta(
                     "schemaString": json.dumps(df.schema.jsonValue()),
                     "partitionColumns": pcols,
                     "format": {"provider": "parquet"},
+                    "configuration": dict(configuration or {}),
                 }
             }
         )
@@ -1404,4 +1527,19 @@ def write_delta(
         with os.fdopen(fd, "w") as f:
             for a in actions:
                 f.write(json.dumps(a) + "\n")
-        return v
+        break
+    # delta.checkpointInterval: checkpoint when the committed version
+    # hits the interval, exactly delta-spark's cadence — keeps the
+    # replayed JSON tail bounded for long-lived written tables
+    conf = (
+        dict(configuration or {})
+        if not exists
+        else (_snapshot(spark, dest, v)[0].get("configuration") or {})
+    )
+    try:
+        interval = int(conf.get("delta.checkpointInterval", 10))
+    except (TypeError, ValueError):
+        interval = 10
+    if interval > 0 and v > 0 and v % interval == 0:
+        checkpoint_delta_export(spark, dest)
+    return v

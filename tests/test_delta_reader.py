@@ -801,3 +801,217 @@ def test_vacuum_checkpoint_aware_keeps_carried_files(spark, tmp_path):
     # the rewritten-away old file went; carried files stayed readable
     assert deleted
     assert rows(read_delta(spark, dest)) == want
+
+
+def test_cdf_synthesis_respects_deletion_vectors(spark, tmp_path):
+    """A non-CDC commit that deletes rows via a DV (remove + re-add
+    of the same path carrying deletionVector) must NOT read back the
+    DV-dead rows as inserts; and a later remove of that DV-carrying
+    file must not read its dead rows back as deletes."""
+    from dataflowex_spark.sources.delta_reader import (
+        read_delta_changes,
+    )
+    from dataflowex_spark.sources.roaring import inline_dv_descriptor
+
+    root = str(tmp_path)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "k long, v string")
+    stage_parquet_file(df.orderBy("k").coalesce(1), root, "f.parquet")
+    d = inline_dv_descriptor([1, 3])
+    schema_json = json.dumps(df.schema.jsonValue())
+    write_conformance_log(
+        root,
+        [[{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                        "writerFeatures": ["deletionVectors"]}},
+          _meta(schema_json),
+          {"add": {"path": "f.parquet", "partitionValues": {},
+                   "dataChange": True}}],
+         # v1: DV delete of k=1,3 expressed as remove + DV re-add
+         [{"remove": {"path": "f.parquet", "dataChange": True}},
+          {"add": {"path": "f.parquet", "partitionValues": {},
+                   "dataChange": True, "deletionVector": d}}],
+         # v2: drop the file entirely; the remove carries the DV
+         [{"remove": {"path": "f.parquet", "dataChange": True,
+                      "deletionVector": d}}]],
+    )
+    ch = read_delta_changes(spark, root, 1, 2)
+    v1_ins = rows(ch.filter(
+        (F.col("_commit_version") == 1)
+        & (F.col("_change_type") == "insert")).select("k"))
+    v1_del = rows(ch.filter(
+        (F.col("_commit_version") == 1)
+        & (F.col("_change_type") == "delete")).select("k"))
+    v2_del = rows(ch.filter(
+        (F.col("_commit_version") == 2)
+        & (F.col("_change_type") == "delete")).select("k"))
+    # v1 re-add excludes DV-dead rows; its remove is the PRE-DV file
+    assert v1_ins == [(0,), (2,), (4,), (5,)]
+    assert v1_del == [(0,), (1,), (2,), (3,), (4,), (5,)]
+    # v2 removes only the rows still live after the DV
+    assert v2_del == [(0,), (2,), (4,), (5,)]
+
+
+def test_cdf_mode_id_refuses(spark, tmp_path):
+    """CDF under columnMapping mode=id refuses loudly (per-file
+    field-id resolution isn't wired through typed_read) instead of
+    selecting logical names against arbitrary physical columns."""
+    from pyspark.sql import types as T
+
+    from dataflowex_spark.sources.delta_reader import (
+        read_delta_changes,
+    )
+
+    root = str(tmp_path)
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    stage_parquet_file(df, root, "f.parquet")
+    logical = T.StructType([
+        T.StructField("k", T.LongType(), True,
+                      {"delta.columnMapping.id": 1,
+                       "delta.columnMapping.physicalName": "k"}),
+        T.StructField("v", T.StringType(), True,
+                      {"delta.columnMapping.id": 2,
+                       "delta.columnMapping.physicalName": "v"}),
+    ])
+    meta = _meta(json.dumps(logical.jsonValue()))
+    meta["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "id"}
+    write_conformance_log(
+        root,
+        [[{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+          meta,
+          {"add": {"path": "f.parquet", "partitionValues": {},
+                   "dataChange": True}}]],
+    )
+    with pytest.raises(DeltaProtocolError, match="mode=id"):
+        read_delta_changes(spark, root, 0)
+
+
+def test_id_mode_rename_and_no_conf_leak(spark, tmp_path):
+    """mode=id resolves columns from each file's footer field ids —
+    a file whose physical names differ from the metadata's
+    physicalName (id-keyed rename / converted table) still reads by
+    id — and the read never mutates session conf (the old
+    fieldId.read.enabled set leaked into every other parquet read
+    and silently stopped applying if anything reset it pre-action)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    root = str(tmp_path)
+    fields = [
+        pa.field("old-name-a", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("old-name-b", pa.string(),
+                 metadata={b"PARQUET:field_id": b"2"}),
+    ]
+    t = pa.table(
+        {"old-name-a": pa.array([7, 8], pa.int64()),
+         "old-name-b": pa.array(["x", "y"])}
+    ).cast(pa.schema(fields))
+    pq.write_table(t, os.path.join(root, "f.parquet"))
+    logical = T.StructType([
+        T.StructField("k", T.LongType(), True,
+                      {"delta.columnMapping.id": 1,
+                       "delta.columnMapping.physicalName": "uuid-now"}),
+        T.StructField("v", T.StringType(), True,
+                      {"delta.columnMapping.id": 2,
+                       "delta.columnMapping.physicalName": "uuid-now2"}),
+    ])
+    meta = _meta(json.dumps(logical.jsonValue()))
+    meta["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "id"}
+    write_conformance_log(
+        root,
+        [[{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+          meta,
+          {"add": {"path": "f.parquet", "partitionValues": {},
+                   "dataChange": True}}]],
+    )
+    key = "spark.sql.parquet.fieldId.read.enabled"
+    before = spark.conf.get(key, None)
+    got = read_delta(spark, root)
+    assert rows(got) == [(7, "x"), (8, "y")]
+    assert spark.conf.get(key, None) == before
+
+
+def test_checkpoint_with_deletion_vector(spark, tmp_path):
+    """checkpoint_at on a DV-carrying log: the descriptor serializes
+    as JSON in the checkpoint (typed string column) and decodes back
+    on replay — a reader resolving FROM the checkpoint still applies
+    the DV."""
+    from dataflowex_spark.sources.roaring import inline_dv_descriptor
+
+    root = str(tmp_path)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], "k long, v string")
+    stage_parquet_file(df.orderBy("k").coalesce(1), root, "f.parquet")
+    d = inline_dv_descriptor([0, 2])
+    schema_json = json.dumps(df.schema.jsonValue())
+    write_conformance_log(
+        root,
+        [[{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                        "writerFeatures": ["deletionVectors"]}},
+          _meta(schema_json),
+          {"add": {"path": "f.parquet", "partitionValues": {},
+                   "dataChange": True, "deletionVector": d}}]],
+        checkpoint_at=0, spark=spark,
+    )
+    # force checkpoint-only resolution: the JSON commit goes away
+    os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    got = rows(read_delta(spark, root))
+    assert got == [(1, "v1"), (3, "v3"), (4, "v4")]
+
+
+def test_vacuum_partitioned_written_table(spark, tmp_path):
+    """vacuum walks hive-layout subdirs (data/<col>=<val>/…) from
+    write_delta(partition_by=...) — overwritten files under
+    partition dirs unlink, live ones stay, and no IsADirectoryError
+    on the partition directories themselves."""
+    from dataflowex_spark.sources.delta_reader import (
+        vacuum_delta_export,
+        write_delta,
+    )
+
+    dest = str(tmp_path / "t")
+    df1 = spark.createDataFrame(
+        [(1, "us"), (2, "de")], "k long, region string")
+    df2 = spark.createDataFrame(
+        [(3, "us"), (4, "fr")], "k long, region string")
+    write_delta(spark, df1, dest, partition_by=["region"])
+    write_delta(
+        spark, df2, dest, mode="overwrite", partition_by=["region"])
+    deleted = vacuum_delta_export(dest, keep_versions=1, spark=spark)
+    assert deleted and all(d.startswith("data/region=") for d in deleted)
+    assert rows(read_delta(spark, dest)) == [(3, "us"), (4, "fr")]
+
+
+def test_write_delta_checkpoint_interval(spark, tmp_path):
+    """delta.checkpointInterval: the generic writer emits a parquet
+    checkpoint (+_last_checkpoint) every N commits, so a long-lived
+    written table resolves from the checkpoint alone after log
+    cleanup instead of replaying an unbounded JSON tail."""
+    from dataflowex_spark.sources.delta_reader import (
+        vacuum_delta_export,
+        write_delta,
+    )
+
+    dest = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, i * 10) for i in range(lo, hi)], "k long, v long")
+    write_delta(spark, mk(0, 3), dest,
+                configuration={"delta.checkpointInterval": "2"})
+    write_delta(spark, mk(3, 5), dest, mode="append")
+    write_delta(spark, mk(5, 6), dest, mode="append")
+    log = os.path.join(dest, "_delta_log")
+    assert os.path.exists(
+        os.path.join(log, f"{2:020d}.checkpoint.parquet"))
+    assert os.path.exists(os.path.join(log, "_last_checkpoint"))
+    # retention cleanup: all JSON commits covered by the checkpoint go
+    for v in range(3):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    got = rows(read_delta(spark, dest))
+    assert got == [(i, i * 10) for i in range(6)]
+    # and vacuum still plans correctly from the checkpoint
+    assert vacuum_delta_export(dest, keep_versions=1, spark=spark) == []
