@@ -24249,3 +24249,84 @@ def q425(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gain").cast("long").alias("gain_max"),
         F.sum("bits").cast("long").alias("bits_sum"),
     )
+
+
+@q(
+    "q426_iceberg_partitioned_write",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS priority,
+             o_orderkey AS okey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 4 = 3
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS price_cents
+    FROM base GROUP BY priority ORDER BY priority
+    """,
+)
+def q426(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG PARTITIONED WRITE + OVERWRITE (the spec's partition
+    transforms, from scratch): an orders slice writes as an Iceberg
+    v2 table partitioned by identity(priority) + bucket[4](okey) —
+    partition spec in table metadata (field-ids from 1000), typed
+    partition tuples (r102 struct) in the avro manifests, bucket
+    values from the spec's murmur3_x86_32 Appendix-B hash
+    (numpy-vectorized over the 8-byte long serialization). A first
+    HALF-slice commit is then REPLACED via mode="overwrite" (prior
+    files not re-listed, history preserved), so the hash match also
+    proves overwrite semantics. In-query assertions pin the pruning
+    economics: a priority point-lookup and a bucket point-lookup
+    each open strictly fewer files than the full scan — at 100 TB
+    this manifest-level transform-aware pruning is what turns a
+    point query from a table scan into a handful of file opens.
+    Then the FULL read-back aggregates per priority; the oracle
+    replays the aggregate straight from orders, so the driver's
+    hash match proves the partitioned write→read loop is exact."""
+    import tempfile
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 4 == 3)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderkey").alias("okey"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q426_") + "/t"
+    spec = ["priority", ("okey", "bucket[4]")]
+    write_iceberg(
+        spark,
+        base.filter(F.col("okey") % 8 == 3),  # stale half-slice
+        dest,
+        partition_by=spec,
+    )
+    write_iceberg(spark, base, dest, mode="overwrite")
+    full = read_iceberg(spark, dest)
+    total = len(full.inputFiles())
+    pri = read_iceberg(
+        spark, dest, skip_where=[("priority", "=", "1-URGENT")]
+    )
+    bkt = read_iceberg(spark, dest, skip_where=[("okey", "=", 7)])
+    assert 0 < len(pri.inputFiles()) < total, (
+        len(pri.inputFiles()), total)
+    assert 0 < len(bkt.inputFiles()) <= total // 2, (
+        len(bkt.inputFiles()), total)
+    return (
+        full.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("price_cents"),
+        )
+        .orderBy("priority")
+    )

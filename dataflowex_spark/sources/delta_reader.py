@@ -1438,7 +1438,9 @@ def write_delta(
 
     adds = []
     for r in stats_rows:
-        src = re.sub(r"^file:/*", "/", r["__path"])
+        # input_file_name() is a URI: decode %-escapes to the
+        # on-disk name (hive value escaping decodes separately)
+        src = _up.unquote(re.sub(r"^file:/*", "/", r["__path"]))
         rel_dir = os.path.relpath(os.path.dirname(src), job)
         pv: dict[str, str | None] = {}
         if pcols:

@@ -70,6 +70,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -236,11 +237,13 @@ def _live_files(
     list[tuple[str, int]],
     list[tuple[str, int, list[int]]],
     dict[str, tuple[dict, dict]],
+    dict[str, dict],
 ]:
     """Snapshot state: (data path → data sequence number,
     position deletes as (path, seq), equality deletes as (path, seq,
     equality field ids), data path → (lower_bounds, upper_bounds) as
-    field-id→bytes maps when the manifest carries them).
+    field-id→bytes maps when the manifest carries them, data path →
+    partition tuple as spec-field-name→value when present).
     Entry-level ``sequence_number`` wins;
     otherwise the manifest list's; a path re-listed as EXISTING keeps
     its SMALLEST seen sequence (the original add — re-listing must
@@ -252,7 +255,7 @@ def _live_files(
         else meta.get("current-snapshot-id")
     )
     if sid is None or sid == -1:
-        return {}, [], [], {}
+        return {}, [], [], {}, {}
     if sid not in snaps:
         raise ValueError(f"snapshot {sid} not in table metadata")
     snap = snaps[sid]
@@ -262,6 +265,7 @@ def _live_files(
     pos_deletes: list[tuple[str, int]] = []
     eq_deletes: list[tuple[str, int, list[int]]] = []
     bounds: dict[str, tuple[dict, dict]] = {}
+    partitions: dict[str, dict] = {}
     for m in manifests:
         mseq = m.get("sequence_number") or 0
         mpath = _resolve_path(root, m["manifest_path"])
@@ -282,6 +286,8 @@ def _live_files(
                         {kv["key"]: kv["value"] for kv in lo},
                         {kv["key"]: kv["value"] for kv in hi},
                     )
+                if df.get("partition") is not None:
+                    partitions[path] = dict(df["partition"])
             elif content == 1:
                 pos_deletes.append((path, seq))
             elif content == 2:
@@ -295,7 +301,7 @@ def _live_files(
                 raise IcebergProtocolError(
                     f"unknown data_file content: {content}"
                 )
-    return live, pos_deletes, eq_deletes, bounds
+    return live, pos_deletes, eq_deletes, bounds, partitions
 
 
 def _name_mapping(meta: dict) -> dict[str, int]:
@@ -393,7 +399,7 @@ def read_iceberg(
                 "pass snapshot_id OR timestamp_ms, not both"
             )
         snapshot_id = snapshot_at_timestamp(meta, timestamp_ms)
-    live, pos_deletes, eq_deletes, bounds = _live_files(
+    live, pos_deletes, eq_deletes, bounds, partitions = _live_files(
         root, meta, snapshot_id
     )
     specs = list(skip_where or [])
@@ -412,6 +418,9 @@ def read_iceberg(
             path: seq
             for path, seq in live.items()
             if _bounds_allow(bounds.get(path), specs, fields)
+            and _partition_tuple_allows(
+                partitions.get(path), specs, fields, meta
+            )
         }
     if not live:
         out = _empty_frame(spark, meta)
@@ -696,6 +705,281 @@ def bound_decode(raw: bytes, ice_type: str):
     raise IcebergProtocolError(
         f"no bound serialization for Iceberg type {ice_type!r}"
     )
+
+
+# ---- Partition transforms (spec "Partition Transforms" + Appendix B
+# 32-bit hash requirements) — identity / bucket[N] / truncate[W] / day.
+# All from the public spec; bucket uses murmur3_x86_32(seed=0) over the
+# single-value binary serialization (ints/longs/dates/timestamps hash
+# as 8-byte little-endian longs, strings as UTF-8 bytes).
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Reference scalar murmur3_x86_32 (public algorithm). Matches
+    the spec's Appendix B test vectors (pinned in tests)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n4 = len(data) // 4
+    for i in range(n4):
+        k = int.from_bytes(data[4 * i : 4 * i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[4 * n4 :]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+_LONG_HASHED = ("int", "long", "date", "timestamp", "timestamptz")
+
+
+def _bucket_of(value, ice_type: str, n: int) -> int | None:
+    """Driver-side bucket transform of ONE value (predicate literals
+    and hive-dir parses; bulk row hashing is the vectorized column
+    below)."""
+    import struct as _struct
+
+    if value is None:
+        return None
+    if ice_type in _LONG_HASHED:
+        h = murmur3_32(_struct.pack("<q", int(value)))
+    elif ice_type == "string":
+        h = murmur3_32(str(value).encode("utf-8"))
+    else:
+        raise IcebergProtocolError(
+            f"bucket transform unsupported for type {ice_type!r}"
+        )
+    return (h & 0x7FFFFFFF) % n
+
+
+def _truncate_of(value, ice_type: str, w: int):
+    if value is None:
+        return None
+    if ice_type in ("int", "long"):
+        v = int(value)
+        return v - (((v % w) + w) % w)  # W * floor(v/W), spec form
+    if ice_type == "string":
+        return str(value)[:w]
+    raise IcebergProtocolError(
+        f"truncate transform unsupported for type {ice_type!r}"
+    )
+
+
+def _day_of(value) -> int | None:
+    """date/datetime → days from 1970-01-01 (the spec's day
+    transform result, typed date = int days)."""
+    import datetime as _dt
+
+    if value is None:
+        return None
+    if isinstance(value, _dt.datetime):
+        value = value.date()
+    if isinstance(value, _dt.date):
+        return (value - _dt.date(1970, 1, 1)).days
+    return int(value)
+
+
+def parse_transform(t: str) -> tuple[str, int | None]:
+    """'identity' | 'bucket[N]' | 'truncate[W]' | 'day' →
+    (kind, param)."""
+    m = re.fullmatch(r"(identity|day)", t) or re.fullmatch(
+        r"(bucket|truncate)\[(\d+)\]", t
+    )
+    if not m:
+        raise IcebergProtocolError(
+            f"unsupported partition transform {t!r}"
+        )
+    kind = m.group(1)
+    param = int(m.group(2)) if m.lastindex and m.lastindex > 1 else None
+    if param is not None and param <= 0:
+        raise IcebergProtocolError(f"transform {t!r} needs param > 0")
+    return kind, param
+
+
+def _bucket_column(c, ice_type: str, n: int):
+    """Bucket transform as a Column. Long-serialized types hash
+    fully VECTORIZED in numpy inside an Arrow-batched pandas UDF
+    (murmur3 over a fixed 8-byte layout is branch-free — two uint32
+    lanes); strings loop per row inside the batch (variable-length
+    tails), still Arrow-batched. Declared pandas escape hatch: Spark's
+    built-in hash() is murmur3 with a DIFFERENT seed/layout and would
+    silently produce non-Iceberg buckets."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    if ice_type in _LONG_HASHED:
+
+        def _bucket_long_fn(s):
+            v = s.to_numpy(dtype="float64")  # NaN-safe staging
+            mask = ~np.isnan(v)
+            out = np.full(len(v), -1, dtype=np.int64)
+            u = s[mask].to_numpy(dtype="int64").view(np.uint64)
+            h = np.zeros(len(u), dtype=np.uint32)
+            for blk in (
+                (u & np.uint64(0xFFFFFFFF)),
+                (u >> np.uint64(32)),
+            ):
+                k = blk.astype(np.uint32) * np.uint32(0xCC9E2D51)
+                k = (k << np.uint32(15)) | (k >> np.uint32(17))
+                k = k * np.uint32(0x1B873593)
+                h ^= k
+                h = (h << np.uint32(13)) | (h >> np.uint32(19))
+                h = h * np.uint32(5) + np.uint32(0xE6546B64)
+            h ^= np.uint32(8)
+            h ^= h >> np.uint32(16)
+            h = h * np.uint32(0x85EBCA6B)
+            h ^= h >> np.uint32(13)
+            h = h * np.uint32(0xC2B2AE35)
+            h ^= h >> np.uint32(16)
+            out[mask] = (h & np.uint32(0x7FFFFFFF)) % np.uint32(n)
+            res = pd.Series(out).astype("Int32")
+            res[~mask] = None
+            return res
+
+        _bucket_long_fn.__annotations__ = {
+            "s": pd.Series, "return": pd.Series
+        }
+        _bucket_long = F.pandas_udf(_bucket_long_fn, "int")
+        if ice_type == "date":
+            c = F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01")))
+        elif ice_type in ("timestamp", "timestamptz"):
+            c = (c.cast("double") * 1_000_000).cast("long")  # micros
+        return _bucket_long(c.cast("long"))
+
+    if ice_type == "string":
+
+        def _bucket_str_fn(s):
+            return s.map(
+                lambda v: None
+                if v is None
+                else (murmur3_32(v.encode("utf-8")) & 0x7FFFFFFF) % n
+            ).astype("Int32")
+
+        _bucket_str_fn.__annotations__ = {
+            "s": pd.Series, "return": pd.Series
+        }
+        return F.pandas_udf(_bucket_str_fn, "int")(c)
+    raise IcebergProtocolError(
+        f"bucket transform unsupported for type {ice_type!r}"
+    )
+
+
+def transform_column(c, kind: str, param, ice_type: str):
+    """Partition-value Column for one spec field — JVM-side built-ins
+    for identity/day/truncate; bucket via the vectorized UDF above."""
+    from pyspark.sql import functions as F
+
+    if kind == "identity":
+        return c
+    if kind == "day":
+        return F.datediff(
+            c.cast("date"), F.to_date(F.lit("1970-01-01"))
+        )
+    if kind == "truncate":
+        if ice_type in ("int", "long"):
+            return c - F.pmod(c, F.lit(param))
+        if ice_type == "string":
+            return F.substring(c, 1, param)
+        raise IcebergProtocolError(
+            f"truncate transform unsupported for type {ice_type!r}"
+        )
+    if kind == "bucket":
+        return _bucket_column(c, ice_type, param)
+    raise IcebergProtocolError(f"unsupported transform {kind!r}")
+
+
+def _partition_allows(
+    pvalue, kind: str, param, ice_type: str, op: str, lit
+) -> bool:
+    """Can a file whose partition tuple holds ``pvalue`` for this
+    spec field contain rows matching ``source OP lit``? identity is
+    exact per op; day/truncate prune by monotonicity (coarser cell ⇒
+    inclusive day/prefix comparison); bucket prunes '=' only. A NULL
+    partition value means every row's source is NULL, which no
+    comparison matches."""
+    if pvalue is None:
+        return False
+    if kind == "identity":
+        # date partition values store as int days (Appendix-B avro
+        # typing); align the literal
+        t = _day_of(lit) if ice_type == "date" else lit
+    elif kind == "day":
+        t = _day_of(lit)
+    elif kind == "truncate":
+        t = _truncate_of(lit, ice_type, param)
+    elif kind == "bucket":
+        if op != "=":
+            return True  # buckets carry no order
+        return pvalue == _bucket_of(lit, ice_type, param)
+    else:
+        return True
+    try:
+        if op == "=":
+            return pvalue == t
+        if kind == "identity":
+            return {
+                "<": pvalue < t,
+                "<=": pvalue <= t,
+                ">": pvalue > t,
+                ">=": pvalue >= t,
+            }[op]
+        # day/truncate cells are coarser than the literal: a file in
+        # the literal's own cell may still hold matching rows
+        return {
+            "<": pvalue <= t,
+            "<=": pvalue <= t,
+            ">": pvalue >= t,
+            ">=": pvalue >= t,
+        }[op]
+    except TypeError:
+        return True  # incomparable: never prune on a guess
+
+
+def _partition_tuple_allows(
+    partition: dict | None, specs: list[tuple], fields: dict, meta: dict
+) -> bool:
+    """File-level pruning on the manifest's PARTITION TUPLE (the
+    spec's primary pruning path — transform-aware, works even for
+    columns without bounds). Files without a tuple always keep."""
+    if not partition:
+        return True
+    spec_fields = []
+    spec_id = meta.get("default-spec-id", 0)
+    for ps in meta.get("partition-specs", []):
+        if ps.get("spec-id") == spec_id:
+            spec_fields = ps.get("fields", [])
+    if not spec_fields:
+        return True
+    names_by_id = _field_names_by_id(meta)
+    for col, op, lit in specs:
+        src_type = fields[col].get("type")
+        for pf in spec_fields:
+            if names_by_id.get(pf.get("source-id")) != col:
+                continue
+            if pf["name"] not in partition:
+                continue
+            kind, param = parse_transform(pf["transform"])
+            if not _partition_allows(
+                partition[pf["name"]], kind, param, src_type, op, lit
+            ):
+                return False
+    return True
 
 
 def write_conformance_table(
@@ -1116,7 +1400,7 @@ def export_iceberg_increment(
     # list's) — the manifest-rewrite the spec requires when files
     # are deleted, since readers fold DELETED entries by skipping
     # them, not by un-living carried listings
-    prior_live, _pd, _ed, prior_bounds = _live_files(
+    prior_live, _pd, _ed, prior_bounds, _pp = _live_files(
         dest, meta, last["snapshot-id"]
     )
     removed_dest = {dest_name(p) for p in (paths_from - paths_to)}
@@ -1271,18 +1555,137 @@ def _mtable_bounds(entry: dict, key_col: str, top_fields: list[dict]):
     return (lo or None, hi or None)
 
 
+
+
+_IDENTITY_PART_TYPES = ("int", "long", "string", "date")
+
+#: avro storage type per (transform kind, source ice type)
+_PART_AVRO = {
+    ("identity", "int"): "int",
+    ("identity", "long"): "long",
+    ("identity", "string"): "string",
+    ("identity", "date"): "int",  # days from epoch, Appendix B typing
+    ("day", None): "int",
+    ("bucket", None): "int",
+    ("truncate", "int"): "int",
+    ("truncate", "long"): "long",
+    ("truncate", "string"): "string",
+}
+
+
+def _normalize_partition_by(partition_by) -> list[tuple[str, str]]:
+    """partition_by entries: 'col' (identity) or (col, transform) →
+    [(col, transform)] with transforms validated."""
+    out = []
+    for p in partition_by or []:
+        col, t = (p, "identity") if isinstance(p, str) else p
+        parse_transform(t)  # validates
+        out.append((col, t))
+    return out
+
+
+def _spec_from_meta(meta: dict) -> list[dict]:
+    """The table's default partition spec fields (or [])."""
+    sid = meta.get("default-spec-id", 0)
+    for ps in meta.get("partition-specs", []):
+        if ps.get("spec-id") == sid:
+            return ps.get("fields", [])
+    return []
+
+
+def _part_avro_type(kind: str, ice_type: str) -> str:
+    at = _PART_AVRO.get((kind, None)) or _PART_AVRO.get((kind, ice_type))
+    if at is None:
+        raise IcebergProtocolError(
+            f"partition transform {kind!r} unsupported for source "
+            f"type {ice_type!r}"
+        )
+    return at
+
+
+def _manifest_schema_with_partition(part_fields: list[dict]) -> dict:
+    """MANIFEST_SCHEMA + a typed ``data_file.partition`` record (the
+    spec's r102 struct) — one avro field per spec field, typed by the
+    transform's result type."""
+    import copy
+
+    sch = copy.deepcopy(MANIFEST_SCHEMA)
+    dfields = next(
+        f for f in sch["fields"] if f["name"] == "data_file"
+    )["type"]["fields"]
+    dfields.insert(
+        5,
+        {
+            "name": "partition",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": [
+                        {
+                            "name": pf["name"],
+                            "type": ["null", pf["_avro"]],
+                            "default": None,
+                        }
+                        for pf in part_fields
+                    ],
+                },
+            ],
+            "default": None,
+        },
+    )
+    return sch
+
+
+def _decode_part_value(raw: str | None, kind: str, ice_type: str):
+    """Hive-dir string → typed partition value (avro storage form)."""
+    import datetime as _dt
+
+    if raw is None:
+        return None
+    if kind == "identity":
+        if ice_type in ("int", "long"):
+            return int(raw)
+        if ice_type == "date":
+            return _day_of(_dt.date.fromisoformat(raw))
+        return raw
+    if kind in ("day", "bucket"):
+        return int(raw)
+    # truncate
+    return int(raw) if ice_type in ("int", "long") else raw
+
+
 def write_iceberg(
     spark: SparkSession,
     df: DataFrame,
     dest: str,
     mode: str = "error",
     stats_cols: list[str] | None = None,
+    partition_by: list | None = None,
 ) -> int:
     """GENERIC Iceberg writer — any DataFrame → an Iceberg v2 table,
     no MTable required (the format twin of
     :func:`delta_reader.write_delta`). ``mode``: ``error`` (create,
     refuse existing), ``append`` (new snapshot adding files +
-    carrying prior state). Returns the new snapshot id.
+    carrying prior state), ``overwrite`` (new snapshot replacing the
+    live set — prior files simply aren't re-listed, the spec's
+    overwrite shape). Returns the new snapshot id.
+
+    ``partition_by``: list of ``"col"`` (identity) or ``(col,
+    transform)`` with transform in ``identity | bucket[N] |
+    truncate[W] | day`` (the spec's core transforms). The PARTITION
+    SPEC lands in table metadata (``partition-specs`` +
+    ``default-spec-id``, field-ids from 1000 per the spec) and every
+    manifest entry carries its typed PARTITION TUPLE (``data_file
+    .partition`` r102 struct), so :func:`read_iceberg`'s
+    ``skip_where`` prunes transform-aware at the manifest level —
+    bucket/truncate/day cells prune point lookups even for columns
+    whose bounds were never collected. Data files keep ALL table
+    columns (identity sources included) — Iceberg data files are
+    self-contained, unlike Hive layout. Appends to an existing
+    partitioned table adopt (and validate against) the table's
+    default spec.
 
     Files write executor-side; per-file min/max bounds for the
     requested columns (default: all top-level primitive columns the
@@ -1291,9 +1694,10 @@ def write_iceberg(
     manifest-level data skipping from day one."""
     import re as _re
     import shutil
+    import urllib.parse as _up
     import uuid as _uuid
 
-    from pyspark.sql import functions as F, types as T
+    from pyspark.sql import functions as F
 
     from dataflowex_spark.sources.avro_io import write_container
 
@@ -1303,7 +1707,7 @@ def write_iceberg(
     )
     if mode == "error" and exists:
         raise ValueError(f"Iceberg table already exists at {dest}")
-    if mode not in ("error", "append"):
+    if mode not in ("error", "append", "overwrite"):
         raise ValueError(f"write_iceberg mode {mode!r}")
     os.makedirs(os.path.join(dest, "data"), exist_ok=True)
     os.makedirs(md, exist_ok=True)
@@ -1350,6 +1754,65 @@ def write_iceberg(
             ],
             "snapshots": [],
         }
+    by_name = {f["name"]: f for f in top}
+
+    # ---- partition spec: adopt the table's on an existing table,
+    # build a fresh spec-id 0 on create; a conflicting partition_by
+    # refuses (spec evolution is out of scope — one spec per table)
+    req = _normalize_partition_by(partition_by)
+    names_by_id = {f["id"]: f["name"] for f in top}
+    if exists:
+        spec_fields = _spec_from_meta(meta)
+        spec_id = meta.get("default-spec-id", 0)
+        have = [
+            (names_by_id[pf["source-id"]], pf["transform"])
+            for pf in spec_fields
+        ]
+        if partition_by is not None and req != have:
+            raise ValueError(
+                f"partition_by {req} != table's default spec {have}"
+            )
+    else:
+        spec_id = 0
+        spec_fields = []
+        for i, (col, t) in enumerate(req):
+            if col not in by_name:
+                raise ValueError(f"partition column {col!r} not in df")
+            src = by_name[col]
+            ice_t = src["type"]
+            kind, _param = parse_transform(t)
+            if not isinstance(ice_t, str):
+                raise IcebergProtocolError(
+                    f"cannot partition on nested column {col!r}"
+                )
+            if kind == "identity" and ice_t not in _IDENTITY_PART_TYPES:
+                raise IcebergProtocolError(
+                    f"identity partition unsupported for {ice_t!r}"
+                )
+            suffix = {"identity": "", "day": "_day"}.get(
+                kind, f"_{kind}"
+            )
+            spec_fields.append(
+                {
+                    "name": col + suffix,
+                    "transform": t,
+                    "source-id": src["id"],
+                    "field-id": 1000 + i,
+                }
+            )
+        meta["partition-specs"] = [
+            {"spec-id": 0, "fields": spec_fields}
+        ]
+        meta["default-spec-id"] = 0
+    # per-spec-field (kind, param, source name, source ice type, avro)
+    pinfo = []
+    for pf in spec_fields:
+        kind, param = parse_transform(pf["transform"])
+        src_name = names_by_id[pf["source-id"]]
+        ice_t = by_name[src_name]["type"]
+        pf = dict(pf, _avro=_part_avro_type(kind, ice_t))
+        pinfo.append((pf, kind, param, src_name, ice_t))
+
     boundable = {
         f["name"]: f for f in top if isinstance(f.get("type"), str)
     }
@@ -1365,13 +1828,25 @@ def write_iceberg(
         ]
     )
     job = os.path.join(dest, f"_stage-{_uuid.uuid4().hex}")
-    df.write.parquet(job)
+    staged = df
+    pnames = []
+    for pf, kind, param, src_name, ice_t in pinfo:
+        dn = f"__p_{pf['name']}"
+        pnames.append(dn)
+        staged = staged.withColumn(
+            dn, transform_column(F.col(src_name), kind, param, ice_t)
+        )
+    w = staged.write
+    if pnames:
+        w = w.partitionBy(*pnames)
+    w.parquet(job)
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in scols:
         aggs.append(F.min(c).alias(f"__mn_{c}"))
         aggs.append(F.max(c).alias(f"__mx_{c}"))
     stats_rows = (
         spark.read.parquet(job)
+        .drop(*pnames)  # partition values re-derive from paths below
         .groupBy(F.input_file_name().alias("__path"))
         .agg(*aggs)
         .collect()
@@ -1381,10 +1856,43 @@ def write_iceberg(
     new_seq = int(meta.get("last-sequence-number", 0)) + 1
     entries = []
     for r in stats_rows:
-        src = _re.sub(r"^file:/*", "/", r["__path"])
+        # input_file_name() is a URI: decode %-escapes to the
+        # on-disk name (hive value escaping decodes separately)
+        src = _up.unquote(_re.sub(r"^file:/*", "/", r["__path"]))
+        rel_dir = os.path.relpath(os.path.dirname(src), job)
+        ptuple = None
+        if pinfo:
+            raw_by_name: dict[str, str | None] = {}
+            for seg in rel_dir.split(os.sep):
+                if "=" in seg:
+                    k, _, raw = seg.partition("=")
+                    raw_by_name[k] = (
+                        None
+                        if raw == "__HIVE_DEFAULT_PARTITION__"
+                        else _up.unquote(raw)
+                    )
+            ptuple = {}
+            for pf, kind, _param, _src, ice_t in pinfo:
+                dn = f"__p_{pf['name']}"
+                if dn not in raw_by_name:
+                    raise ValueError(
+                        f"staged file {src} lacks partition dir {dn}"
+                    )
+                ptuple[pf["name"]] = _decode_part_value(
+                    raw_by_name[dn], kind, ice_t
+                )
+        # keep the hive-layout subdirs in the data path: one task
+        # writes the SAME part-N basename into every partition dir it
+        # touches, so a flat data/ would silently clobber files
         target = os.path.abspath(
-            os.path.join(dest, "data", os.path.basename(src))
+            os.path.join(
+                dest,
+                "data",
+                *(rel_dir.split(os.sep) if rel_dir != "." else []),
+                os.path.basename(src),
+            )
         )
+        os.makedirs(os.path.dirname(target), exist_ok=True)
         os.replace(src, target)
         lo, hi = [], []
         for c in scols:
@@ -1410,14 +1918,15 @@ def write_iceberg(
                     "record_count": r["__rows"],
                     "file_size_in_bytes": os.path.getsize(target),
                     "equality_ids": None,
+                    "partition": ptuple,
                     "lower_bounds": lo or None,
                     "upper_bounds": hi or None,
                 },
             }
         )
     shutil.rmtree(job, ignore_errors=True)
-    if exists and snaps:
-        prior_live, _pd, _ed, prior_bounds = _live_files(
+    if exists and snaps and mode == "append":
+        prior_live, _pd, _ed, prior_bounds, prior_parts = _live_files(
             dest, meta, snaps[-1]["snapshot-id"]
         )
         for path, seq in sorted(prior_live.items()):
@@ -1434,6 +1943,7 @@ def write_iceberg(
                         "record_count": 0,
                         "file_size_in_bytes": os.path.getsize(path),
                         "equality_ids": None,
+                        "partition": prior_parts.get(path),
                         "lower_bounds": (
                             [
                                 {"key": k, "value": v}
@@ -1453,8 +1963,13 @@ def write_iceberg(
                     },
                 }
             )
+    manifest_schema = (
+        _manifest_schema_with_partition([p[0] for p in pinfo])
+        if pinfo
+        else MANIFEST_SCHEMA
+    )
     mpath = os.path.join(md, f"manifest-{new_sid:05d}.avro")
-    write_container(mpath, MANIFEST_SCHEMA, entries)
+    write_container(mpath, manifest_schema, entries)
     mlist = os.path.join(md, f"snap-{new_sid}.avro")
     write_container(
         mlist,
@@ -1463,7 +1978,7 @@ def write_iceberg(
             {
                 "manifest_path": os.path.abspath(mpath),
                 "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": 0,
+                "partition_spec_id": spec_id,
                 "content": 0,
                 "sequence_number": new_seq,
                 "added_snapshot_id": new_sid,
@@ -1476,7 +1991,9 @@ def write_iceberg(
             "timestamp-ms": 1000 * new_sid,
             "sequence-number": new_seq,
             "manifest-list": os.path.abspath(mlist),
-            "summary": {"operation": "append"},
+            "summary": {
+                "operation": "append" if mode != "overwrite" else "overwrite"
+            },
         }
     ]
     meta["current-snapshot-id"] = new_sid

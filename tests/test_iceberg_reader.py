@@ -698,3 +698,187 @@ def test_write_iceberg_generic(spark, tmp_path):
     narrow = read_iceberg(spark, dest, skip_where=[("k", "=", 100)])
     assert len(narrow.inputFiles()) == 1
     assert rows(narrow) == [(100, 1)]
+
+
+def test_murmur3_spec_vectors():
+    """Pin the spec's Appendix B 32-bit hash test vectors — the
+    bucket transform's correctness rests on these."""
+    import struct
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        _bucket_of,
+        murmur3_32,
+    )
+
+    def s32(h):
+        return h - (1 << 32) if h >= (1 << 31) else h
+
+    assert s32(murmur3_32(struct.pack("<q", 34))) == 2017239379
+    assert s32(murmur3_32("iceberg".encode())) == 1210000089
+    assert s32(murmur3_32(struct.pack("<q", 17486))) == -653330422
+    assert (
+        s32(murmur3_32(struct.pack("<q", 1510871468000000)))
+        == -2047944441
+    )
+    # bucket = (hash & Integer.MAX_VALUE) % N
+    assert _bucket_of(34, "long", 16) == 2017239379 % 16
+    assert _bucket_of("iceberg", "string", 16) == 1210000089 % 16
+
+
+def test_write_iceberg_partitioned_identity(spark, tmp_path):
+    """identity spec: partition-specs + default-spec-id land in
+    metadata (field-ids from 1000), manifest entries carry typed
+    partition tuples, and skip_where prunes files by tuple — fewer
+    files OPEN for a point lookup."""
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        load_table_metadata,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "us"), (2, "us"), (3, "de"), (4, "fr"), (5, None)],
+        "k long, region string",
+    )
+    write_iceberg(spark, df, dest, partition_by=["region"])
+    meta = load_table_metadata(dest)
+    assert meta["default-spec-id"] == 0
+    (spec,) = meta["partition-specs"]
+    assert spec["fields"][0]["transform"] == "identity"
+    assert spec["fields"][0]["field-id"] == 1000
+    got = read_iceberg(spark, dest)
+    assert rows(got) == rows(df)
+    total = len(got.inputFiles())
+    assert total >= 3  # one file per region value at least
+    us = read_iceberg(spark, dest, skip_where=[("region", "=", "us")])
+    assert len(us.inputFiles()) < total
+    assert rows(us) == [(1, "us"), (2, "us")]
+    # NULL partition prunes for every comparison
+    de_lt = read_iceberg(spark, dest, skip_where=[("region", "<", "eu")])
+    assert rows(de_lt) == [(3, "de")]
+
+
+def test_write_iceberg_bucket_transform(spark, tmp_path):
+    """bucket[4]: rows land in their spec-hash bucket (verified
+    against the scalar Appendix-B hash per row) and '=' lookups open
+    only the matching bucket's files."""
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        _bucket_of,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    write_iceberg(
+        spark, df, dest, partition_by=[("k", "bucket[4]")]
+    )
+    got = read_iceberg(spark, dest)
+    assert got.count() == 200
+    total = len(got.inputFiles())
+    assert total >= 4
+    # point lookup: only bucket_of(34)'s files open, value correct
+    one = read_iceberg(spark, dest, skip_where=[("k", "=", 34)])
+    assert len(one.inputFiles()) < total
+    assert rows(one) == [(34, 102)]
+    # per-file bucket purity: every row of every opened file hashes
+    # to one bucket (the vectorized UDF agrees with the scalar hash)
+    for b in range(4):
+        part = read_iceberg(
+            spark, dest, skip_where=[("k", "=", b)]
+        )  # k=b belongs to exactly one bucket
+        ks = [r[0] for r in part.select("k").collect()]
+        assert {_bucket_of(k, "long", 4) for k in ks} == {
+            _bucket_of(b, "long", 4)
+        }
+
+
+def test_write_iceberg_truncate_and_day(spark, tmp_path):
+    """truncate[50] on long + day on date: coarser-cell monotonic
+    pruning holds for ranges; day cells prune timestamps to their
+    calendar day."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.sources.iceberg_reader import write_iceberg
+
+    dest = str(tmp_path / "t")
+    base = datetime.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(days=i // 100))
+            for i in range(300)
+        ],
+        "k long, d date",
+    )
+    write_iceberg(
+        spark,
+        df,
+        dest,
+        partition_by=[("k", "truncate[50]"), ("d", "day")],
+    )
+    got = read_iceberg(spark, dest)
+    assert got.count() == 300
+    total = len(got.inputFiles())
+    assert total >= 6  # 6 truncate cells x day cells
+    # truncate '=' prune
+    one = read_iceberg(spark, dest, skip_where=[("k", "=", 57)])
+    assert len(one.inputFiles()) < total
+    assert [r[0] for r in one.select("k").collect()] == [57]
+    # truncate range prune keeps the literal's own cell
+    lo = read_iceberg(spark, dest, skip_where=[("k", "<", 60)])
+    assert len(lo.inputFiles()) < total
+    assert lo.count() == 60
+    # day '=' prune: one calendar day
+    d1 = read_iceberg(
+        spark, dest,
+        skip_where=[("d", "=", base + datetime.timedelta(days=1))],
+    )
+    assert len(d1.inputFiles()) < total
+    assert d1.count() == 100
+
+
+def test_write_iceberg_overwrite_and_spec_adoption(spark, tmp_path):
+    """mode=overwrite replaces the live set in one snapshot (history
+    preserved); appends without partition_by adopt the table's spec
+    and a CONFLICTING partition_by refuses."""
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        load_table_metadata,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    df1 = spark.createDataFrame(
+        [(1, "us"), (2, "de")], "k long, region string")
+    df2 = spark.createDataFrame(
+        [(3, "us"), (4, "fr")], "k long, region string")
+    sid1 = write_iceberg(spark, df1, dest, partition_by=["region"])
+    # append adopts the spec — new files still carry tuples
+    sid2 = write_iceberg(spark, df2, dest, mode="append")
+    got = read_iceberg(spark, dest)
+    assert rows(got) == rows(df1.unionByName(df2))
+    us = read_iceberg(spark, dest, skip_where=[("region", "=", "us")])
+    assert rows(us) == [(1, "us"), (3, "us")]
+    assert len(us.inputFiles()) < len(got.inputFiles())
+    with pytest.raises(ValueError, match="default spec"):
+        write_iceberg(
+            spark, df2, dest, mode="append",
+            partition_by=[("k", "bucket[4]")],
+        )
+    # overwrite: only the new set is live; old snapshots still read
+    sid3 = write_iceberg(spark, df2, dest, mode="overwrite")
+    assert rows(read_iceberg(spark, dest)) == rows(df2)
+    assert read_iceberg(spark, dest, snapshot_id=sid2).count() == 4
+    meta = load_table_metadata(dest)
+    assert (
+        meta["snapshots"][-1]["summary"]["operation"] == "overwrite"
+    )
+    assert sid3 == 3
