@@ -24330,3 +24330,79 @@ def q426(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q(
+    "q427_iceberg_orc_roundtrip",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CASE WHEN o_orderkey % 8 < 4 THEN 'orc' ELSE 'parquet'
+             END AS half
+      FROM orders WHERE o_orderkey % 4 < 2
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS price_cents
+    FROM base GROUP BY priority ORDER BY priority
+    """,
+)
+def q427(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG ORC DATA FILES (mixed-format table): one orders half
+    writes as an Iceberg table with ORC data files
+    (write_iceberg(file_format="orc") — ORC is a legal spec format
+    and scans natively on Spark's bundled orc-core), the other half
+    APPENDS as parquet, and one read folds both: the reader
+    dispatches per (sequence, rename-map, format) group, so a table
+    can mix formats file-by-file exactly as the spec allows. The
+    in-query assertion pins that BOTH formats were actually scanned;
+    the oracle replays the union aggregate from orders, so the hash
+    match proves the mixed write→read loop is exact. Remaining
+    format edges refuse honestly: AVRO data files (no spark-avro
+    module) and position deletes over ORC (Spark ORC scans expose
+    no row_index metadata)."""
+    import tempfile
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 4 < 2)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q427_") + "/t"
+    write_iceberg(
+        spark,
+        base.filter(F.col("okey") % 8 < 4),
+        dest,
+        file_format="orc",
+    )
+    write_iceberg(
+        spark,
+        base.filter(F.col("okey") % 8 >= 4),
+        dest,
+        mode="append",
+        file_format="parquet",
+    )
+    full = read_iceberg(spark, dest)
+    exts = {f.rsplit(".", 1)[-1] for f in full.inputFiles()}
+    assert exts == {"orc", "parquet"}, exts
+    return (
+        full.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("price_cents"),
+        )
+        .orderBy("priority")
+    )

@@ -238,12 +238,15 @@ def _live_files(
     list[tuple[str, int, list[int]]],
     dict[str, tuple[dict, dict]],
     dict[str, dict],
+    dict[str, str],
 ]:
     """Snapshot state: (data path → data sequence number,
     position deletes as (path, seq), equality deletes as (path, seq,
     equality field ids), data path → (lower_bounds, upper_bounds) as
     field-id→bytes maps when the manifest carries them, data path →
-    partition tuple as spec-field-name→value when present).
+    partition tuple as spec-field-name→value when present, data path
+    → file format — PARQUET and ORC scan natively; AVRO data files
+    refuse, no spark-avro module in the distribution).
     Entry-level ``sequence_number`` wins;
     otherwise the manifest list's; a path re-listed as EXISTING keeps
     its SMALLEST seen sequence (the original add — re-listing must
@@ -255,7 +258,7 @@ def _live_files(
         else meta.get("current-snapshot-id")
     )
     if sid is None or sid == -1:
-        return {}, [], [], {}, {}
+        return {}, [], [], {}, {}, {}
     if sid not in snaps:
         raise ValueError(f"snapshot {sid} not in table metadata")
     snap = snaps[sid]
@@ -266,6 +269,7 @@ def _live_files(
     eq_deletes: list[tuple[str, int, list[int]]] = []
     bounds: dict[str, tuple[dict, dict]] = {}
     partitions: dict[str, dict] = {}
+    formats: dict[str, str] = {}
     for m in manifests:
         mseq = m.get("sequence_number") or 0
         mpath = _resolve_path(root, m["manifest_path"])
@@ -278,7 +282,22 @@ def _live_files(
             seq = e.get("sequence_number")
             seq = mseq if seq is None else seq
             path = _resolve_path(root, df["file_path"])
+            fmt = (df.get("file_format") or "PARQUET").upper()
+            if content != 0 and fmt != "PARQUET":
+                raise IcebergProtocolError(
+                    f"{fmt} delete sidecar files not supported"
+                )
+            if fmt == "AVRO":
+                raise IcebergProtocolError(
+                    "AVRO data files: no spark-avro module in this "
+                    "distribution (documented refusal)"
+                )
+            if fmt not in ("PARQUET", "ORC"):
+                raise IcebergProtocolError(
+                    f"unknown data file format {fmt!r}"
+                )
             if content == 0:
+                formats[path] = fmt
                 live[path] = min(live.get(path, seq), seq)
                 lo, hi = df.get("lower_bounds"), df.get("upper_bounds")
                 if lo is not None and hi is not None:
@@ -301,7 +320,7 @@ def _live_files(
                 raise IcebergProtocolError(
                     f"unknown data_file content: {content}"
                 )
-    return live, pos_deletes, eq_deletes, bounds, partitions
+    return live, pos_deletes, eq_deletes, bounds, partitions, formats
 
 
 def _name_mapping(meta: dict) -> dict[str, int]:
@@ -399,9 +418,9 @@ def read_iceberg(
                 "pass snapshot_id OR timestamp_ms, not both"
             )
         snapshot_id = snapshot_at_timestamp(meta, timestamp_ms)
-    live, pos_deletes, eq_deletes, bounds, partitions = _live_files(
-        root, meta, snapshot_id
-    )
+    (
+        live, pos_deletes, eq_deletes, bounds, partitions, formats,
+    ) = _live_files(root, meta, snapshot_id)
     specs = list(skip_where or [])
     if specs:
         fields = {
@@ -436,11 +455,32 @@ def read_iceberg(
     mapping = _name_mapping(meta)
     by_group: dict[tuple, list[str]] = {}
     for path, seq in sorted(live.items()):
-        renames = _footer_renames(path, names_by_id, mapping)
-        by_group.setdefault((seq, renames), []).append(path)
+        fmt = formats.get(path, "PARQUET")
+        renames = (
+            _footer_renames(path, names_by_id, mapping)
+            if fmt == "PARQUET"
+            else ()  # ORC: name matching (no parquet footer ids)
+        )
+        by_group.setdefault((seq, renames, fmt), []).append(path)
+    if pos_deletes and any(
+        formats.get(p) == "ORC" for p in live
+    ):
+        # ORC scans expose no _metadata.row_index in this Spark, so
+        # the (file, pos) anti-join cannot address ORC rows — refuse
+        # rather than silently keep deleted rows
+        raise IcebergProtocolError(
+            "position deletes over ORC data files: Spark exposes no "
+            "row_index metadata for ORC scans"
+        )
     pieces = []
-    for (seq, renames), paths in sorted(by_group.items()):
-        piece = spark.read.parquet(*paths)
+    for (seq, renames, fmt), paths in sorted(by_group.items()):
+        # reader.orc takes (path|list, mergeSchema=...) — varargs
+        # would shove the 2nd path into mergeSchema
+        piece = (
+            spark.read.orc(paths)
+            if fmt == "ORC"
+            else spark.read.parquet(*paths)
+        )
         if renames:
             mapping = dict(renames)
             piece = piece.select(
@@ -982,6 +1022,21 @@ def _partition_tuple_allows(
     return True
 
 
+def stage_orc_file(df: DataFrame, root: str, name: str) -> None:
+    """Materialize ``df`` as exactly ONE ORC file at ``root/name``
+    — conformance-fixture helper (the ORC twin of
+    delta_reader.stage_parquet_file)."""
+    import shutil
+
+    job = os.path.join(root, "_stage_" + name.replace("/", "_"))
+    df.coalesce(1).write.mode("overwrite").orc(job)
+    part = [fn for fn in os.listdir(job) if fn.endswith(".orc")][0]
+    dest = os.path.join(root, name)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    os.replace(os.path.join(job, part), dest)
+    shutil.rmtree(job, ignore_errors=True)
+
+
 def write_conformance_table(
     root: str,
     snapshots: list[dict],
@@ -1011,7 +1066,10 @@ def write_conformance_table(
         status, path = e[0], e[1]
         content = e[2] if len(e) > 2 else 0
         seq = e[3] if len(e) > 3 else None
-        eq_ids = list(e[4]) if len(e) > 4 else None
+        eq_ids = (
+            list(e[4]) if len(e) > 4 and e[4] is not None else None
+        )
+        fmt = e[5] if len(e) > 5 else "PARQUET"
         return {
             "status": status,
             "snapshot_id": sid,
@@ -1019,7 +1077,7 @@ def write_conformance_table(
             "data_file": {
                 "content": content,
                 "file_path": path,
-                "file_format": "PARQUET",
+                "file_format": fmt,
                 "record_count": 0,
                 "file_size_in_bytes": 0,
                 "equality_ids": eq_ids,
@@ -1400,7 +1458,7 @@ def export_iceberg_increment(
     # list's) — the manifest-rewrite the spec requires when files
     # are deleted, since readers fold DELETED entries by skipping
     # them, not by un-living carried listings
-    prior_live, _pd, _ed, prior_bounds, _pp = _live_files(
+    prior_live, _pd, _ed, prior_bounds, _pp, _pf = _live_files(
         dest, meta, last["snapshot-id"]
     )
     removed_dest = {dest_name(p) for p in (paths_from - paths_to)}
@@ -1663,6 +1721,7 @@ def write_iceberg(
     mode: str = "error",
     stats_cols: list[str] | None = None,
     partition_by: list | None = None,
+    file_format: str = "parquet",
 ) -> int:
     """GENERIC Iceberg writer — any DataFrame → an Iceberg v2 table,
     no MTable required (the format twin of
@@ -1687,6 +1746,13 @@ def write_iceberg(
     partitioned table adopt (and validate against) the table's
     default spec.
 
+    ``file_format``: ``parquet`` (default) or ``orc`` — both are
+    legal Iceberg data-file formats and both scan natively in Spark;
+    the manifest's ``file_format`` records it per file and the
+    reader dispatches per group (mixed-format tables read fine).
+    Position deletes cannot target ORC files (no row_index
+    metadata in Spark's ORC scans — the reader refuses).
+
     Files write executor-side; per-file min/max bounds for the
     requested columns (default: all top-level primitive columns the
     spec serialization covers) aggregate in ONE pass and land as
@@ -1709,6 +1775,8 @@ def write_iceberg(
         raise ValueError(f"Iceberg table already exists at {dest}")
     if mode not in ("error", "append", "overwrite"):
         raise ValueError(f"write_iceberg mode {mode!r}")
+    if file_format not in ("parquet", "orc"):
+        raise ValueError(f"write_iceberg file_format {file_format!r}")
     os.makedirs(os.path.join(dest, "data"), exist_ok=True)
     os.makedirs(md, exist_ok=True)
     counter = {"n": 0}
@@ -1839,13 +1907,13 @@ def write_iceberg(
     w = staged.write
     if pnames:
         w = w.partitionBy(*pnames)
-    w.parquet(job)
+    getattr(w, file_format)(job)
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in scols:
         aggs.append(F.min(c).alias(f"__mn_{c}"))
         aggs.append(F.max(c).alias(f"__mx_{c}"))
     stats_rows = (
-        spark.read.parquet(job)
+        getattr(spark.read, file_format)(job)
         .drop(*pnames)  # partition values re-derive from paths below
         .groupBy(F.input_file_name().alias("__path"))
         .agg(*aggs)
@@ -1914,7 +1982,7 @@ def write_iceberg(
                 "data_file": {
                     "content": 0,
                     "file_path": target,
-                    "file_format": "PARQUET",
+                    "file_format": file_format.upper(),
                     "record_count": r["__rows"],
                     "file_size_in_bytes": os.path.getsize(target),
                     "equality_ids": None,
@@ -1926,9 +1994,10 @@ def write_iceberg(
         )
     shutil.rmtree(job, ignore_errors=True)
     if exists and snaps and mode == "append":
-        prior_live, _pd, _ed, prior_bounds, prior_parts = _live_files(
-            dest, meta, snaps[-1]["snapshot-id"]
-        )
+        (
+            prior_live, _pd, _ed, prior_bounds, prior_parts,
+            prior_formats,
+        ) = _live_files(dest, meta, snaps[-1]["snapshot-id"])
         for path, seq in sorted(prior_live.items()):
             pb = prior_bounds.get(path)
             entries.append(
@@ -1939,7 +2008,9 @@ def write_iceberg(
                     "data_file": {
                         "content": 0,
                         "file_path": path,
-                        "file_format": "PARQUET",
+                        "file_format": prior_formats.get(
+                            path, "PARQUET"
+                        ),
                         "record_count": 0,
                         "file_size_in_bytes": os.path.getsize(path),
                         "equality_ids": None,

@@ -882,3 +882,81 @@ def test_write_iceberg_overwrite_and_spec_adoption(spark, tmp_path):
         meta["snapshots"][-1]["summary"]["operation"] == "overwrite"
     )
     assert sid3 == 3
+
+
+def test_iceberg_orc_data_files(spark, tmp_path):
+    """ORC is a legal Iceberg data-file format and scans natively:
+    write_iceberg(file_format='orc') round-trips, a MIXED
+    parquet+ORC table reads per-group, bounds-based skipping still
+    prunes, and AVRO data files / position deletes over ORC refuse
+    honestly."""
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        IcebergProtocolError,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string")
+    df2 = spark.createDataFrame(
+        [(100, "c"), (101, "d")], "k long, v string")
+    write_iceberg(spark, df1, dest, file_format="orc")
+    got = read_iceberg(spark, dest)
+    assert rows(got) == [(1, "a"), (2, "b")]
+    assert all(f.endswith(".orc") for f in got.inputFiles())
+    # mixed-format append: parquet files join ORC files in one table
+    write_iceberg(spark, df2, dest, mode="append")
+    both = read_iceberg(spark, dest)
+    assert rows(both) == [(1, "a"), (2, "b"), (100, "c"), (101, "d")]
+    exts = {f.rsplit(".", 1)[-1] for f in both.inputFiles()}
+    assert exts == {"orc", "parquet"}
+    # bounds prune across formats
+    hi = read_iceberg(spark, dest, skip_where=[("k", ">=", 100)])
+    assert rows(hi) == [(100, "c"), (101, "d")]
+    assert all(f.endswith(".parquet") for f in hi.inputFiles())
+
+
+def test_iceberg_orc_pos_delete_and_avro_refusals(spark, tmp_path):
+    """Position deletes targeting ORC data files refuse (Spark ORC
+    scans expose no row_index); AVRO data files refuse (no
+    spark-avro module)."""
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        IcebergProtocolError,
+        stage_orc_file,
+        write_conformance_table,
+    )
+    from dataflowex_spark.sources.delta_reader import (
+        stage_parquet_file,
+    )
+
+    root = str(tmp_path / "orc_pd")
+    os.makedirs(root)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    stage_orc_file(df, root, "f.orc")
+    dels = spark.createDataFrame(
+        [(os.path.join(root, "f.orc"), 0)], "file_path string, pos long")
+    stage_parquet_file(dels, root, "del.parquet")
+    write_conformance_table(
+        root,
+        [{"id": 1,
+          "entries": [(1, os.path.join(root, "f.orc"), 0, None, None,
+                       "ORC")],
+          "delete_entries": [(1, os.path.join(root, "del.parquet"))],
+          "schema_fields": [(1, "k", "long"), (2, "v", "string")]}],
+    )
+    with _pytest.raises(IcebergProtocolError, match="row_index"):
+        read_iceberg(spark, root).collect()
+    root2 = str(tmp_path / "avro_data")
+    os.makedirs(root2)
+    write_conformance_table(
+        root2,
+        [{"id": 1,
+          "entries": [(1, root2 + "/f.avro", 0, None, None, "AVRO")],
+          "schema_fields": [(1, "k", "long")]}],
+    )
+    with _pytest.raises(IcebergProtocolError, match="AVRO"):
+        read_iceberg(spark, root2)
