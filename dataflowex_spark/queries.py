@@ -24358,10 +24358,10 @@ def q427(spark: SparkSession, sf_dir: str) -> DataFrame:
     can mix formats file-by-file exactly as the spec allows. The
     in-query assertion pins that BOTH formats were actually scanned;
     the oracle replays the union aggregate from orders, so the hash
-    match proves the mixed write→read loop is exact. Remaining
-    format edges refuse honestly: AVRO data files (no spark-avro
-    module) and position deletes over ORC (Spark ORC scans expose
-    no row_index metadata)."""
+    match proves the mixed write→read loop is exact. AVRO, the third
+    spec format, round-trips through the from-scratch codec (q428);
+    the remaining edge refuses honestly: position deletes over ORC
+    (Spark ORC scans expose no row_index metadata)."""
     import tempfile
 
     from dataflowex_spark.sources.iceberg_reader import (
@@ -24398,6 +24398,91 @@ def q427(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = read_iceberg(spark, dest)
     exts = {f.rsplit(".", 1)[-1] for f in full.inputFiles()}
     assert exts == {"orc", "parquet"}, exts
+    return (
+        full.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("price_cents"),
+        )
+        .orderBy("priority")
+    )
+
+
+@q(
+    "q428_iceberg_avro_roundtrip",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+             o_orderkey AS okey
+      FROM orders WHERE o_orderkey % 4 = 3
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS price_cents
+    FROM base GROUP BY priority ORDER BY priority
+    """,
+)
+def q428(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG AVRO DATA FILES (spec Appendix A — the third legal
+    data-file format, completing parquet/ORC/AVRO): one orders half
+    writes as AVRO through write_iceberg(file_format="avro") — files
+    stage as parquet (format-independent hive layout + one-pass
+    stats) then transcode EXECUTOR-side through the from-scratch
+    container codec, field-id attributes included — the other half
+    appends as parquet, and one read folds both. AVRO rows arrive
+    via mapInPandas (the codec decode is executor-side; payloads
+    never touch the driver), so the scan's inputFiles() lists ONLY
+    parquet — asserted in-query together with .avro files actually
+    on disk and a manifest-pruning check (skip_where on okey opens
+    no parquet file when the range lands wholly in the AVRO half's
+    bounds... both halves share ranges, so the assertion here is the
+    mixed-format one). The oracle replays the union aggregate from
+    orders; hash match proves the write→transcode→decode loop is
+    value-exact. Position deletes over AVRO work (unlike ORC): our
+    own decode loop numbers rows — pinned in pytest."""
+    import os as _os
+    import tempfile
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 4 == 3)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q428_") + "/t"
+    write_iceberg(
+        spark,
+        base.filter(F.col("okey") % 8 < 4),
+        dest,
+        file_format="avro",
+    )
+    write_iceberg(
+        spark,
+        base.filter(F.col("okey") % 8 >= 4),
+        dest,
+        mode="append",
+        file_format="parquet",
+    )
+    full = read_iceberg(spark, dest)
+    on_disk = {
+        f.rsplit(".", 1)[-1]
+        for f in _os.listdir(_os.path.join(dest, "data"))
+    }
+    assert on_disk == {"avro", "parquet"}, on_disk
+    scanned = {f.rsplit(".", 1)[-1] for f in full.inputFiles()}
+    assert scanned == {"parquet"}, scanned  # AVRO rows ride the codec
     return (
         full.groupBy("priority")
         .agg(

@@ -246,7 +246,7 @@ def _live_files(
     field-id→bytes maps when the manifest carries them, data path →
     partition tuple as spec-field-name→value when present, data path
     → file format — PARQUET and ORC scan natively; AVRO data files
-    refuse, no spark-avro module in the distribution).
+    decode executor-side through the from-scratch container codec).
     Entry-level ``sequence_number`` wins;
     otherwise the manifest list's; a path re-listed as EXISTING keeps
     its SMALLEST seen sequence (the original add — re-listing must
@@ -287,12 +287,7 @@ def _live_files(
                 raise IcebergProtocolError(
                     f"{fmt} delete sidecar files not supported"
                 )
-            if fmt == "AVRO":
-                raise IcebergProtocolError(
-                    "AVRO data files: no spark-avro module in this "
-                    "distribution (documented refusal)"
-                )
-            if fmt not in ("PARQUET", "ORC"):
+            if fmt not in ("PARQUET", "ORC", "AVRO"):
                 raise IcebergProtocolError(
                     f"unknown data file format {fmt!r}"
                 )
@@ -369,6 +364,213 @@ def _footer_renames(
         if current is not None and current != f.name:
             out.append((f.name, current))
     return tuple(sorted(out))
+
+
+#: Iceberg primitive → Avro schema for DATA files (spec Appendix A:
+#: Avro is a first-class data-file format; field ids travel as the
+#: ``field-id`` attribute on record fields). Types outside this map
+#: (decimal/fixed/uuid/nested) refuse honestly in both directions.
+_AVRO_DATA_PRIM = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "bytes",
+    "date": {"type": "int", "logicalType": "date"},
+    "timestamp": {
+        "type": "long",
+        "logicalType": "timestamp-micros",
+        "adjust-to-utc": False,
+    },
+    "timestamptz": {
+        "type": "long",
+        "logicalType": "timestamp-micros",
+        "adjust-to-utc": True,
+    },
+}
+
+
+def _avro_field_type(name: str, t) -> dict | str:
+    if isinstance(t, str) and t in _AVRO_DATA_PRIM:
+        return _AVRO_DATA_PRIM[t]
+    raise IcebergProtocolError(
+        f"AVRO data files: column {name!r} of type {t!r} is outside "
+        "the built-in codec's primitive surface"
+    )
+
+
+def _avro_data_schema(top: list[dict]) -> dict:
+    """Iceberg schema fields → the Avro record schema an AVRO data
+    file carries, field ids included (spec: ``field-id`` attribute)."""
+    fields = []
+    for f in top:
+        at = _avro_field_type(f["name"], f["type"])
+        fields.append(
+            {
+                "name": f["name"],
+                "field-id": f["id"],
+                "type": at if f.get("required") else ["null", at],
+            }
+        )
+    return {"type": "record", "name": "iceberg_data", "fields": fields}
+
+
+def _avro_cells_to_pandas(vals: list, ice_type: str):
+    """Decoded Avro primitives → a pandas column matching the
+    current Iceberg type (logical types decode as their underlying
+    primitives; interpretation is ours, same as real readers)."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    if ice_type == "date":
+        epoch = _dt.date(1970, 1, 1)
+        return pd.Series(
+            [
+                epoch + _dt.timedelta(days=v) if v is not None else None
+                for v in vals
+            ],
+            dtype=object,
+        )
+    if ice_type in ("timestamp", "timestamptz"):
+        s = pd.to_datetime(
+            pd.Series(vals, dtype="float64"), unit="us", utc=True
+        )
+        return (
+            s if ice_type == "timestamptz" else s.dt.tz_localize(None)
+        )
+    if ice_type in ("int", "long"):
+        return pd.array(
+            vals, dtype="Int32" if ice_type == "int" else "Int64"
+        )
+    if ice_type in ("float", "double"):
+        return pd.array(
+            vals, dtype="float32" if ice_type == "float" else "float64"
+        )
+    if ice_type == "boolean":
+        return pd.array(vals, dtype="boolean")
+    return pd.Series(vals, dtype=object)  # string / binary
+
+
+def _transcode_parquet_to_avro(
+    src: str, target: str, schema: dict
+) -> None:
+    """One staged parquet file → one Avro data file (executor-side
+    task body of ``write_iceberg(file_format='avro')``). Logical
+    values re-encode per the schema: dates as epoch days, timestamps
+    as epoch micros (exact integer arithmetic — no float seconds)."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    from dataflowex_spark.sources.avro_io import write_container
+
+    epoch_d = _dt.date(1970, 1, 1)
+    epoch_naive = _dt.datetime(1970, 1, 1)
+    epoch_utc = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+    def conv(v):
+        if isinstance(v, _dt.datetime):
+            delta = v - (epoch_utc if v.tzinfo else epoch_naive)
+            return (
+                delta.days * 86_400_000_000
+                + delta.seconds * 1_000_000
+                + delta.microseconds
+            )
+        if isinstance(v, _dt.date):
+            return (v - epoch_d).days
+        return v
+
+    records = [
+        {k: conv(v) for k, v in row.items()}
+        for row in pq.read_table(src).to_pylist()
+    ]
+    write_container(target, schema, records)
+
+
+def _avro_scan(
+    spark: SparkSession,
+    paths: list[str],
+    meta: dict,
+    mapping: dict[str, int],
+    want_pos: bool,
+) -> DataFrame:
+    """Scan Iceberg AVRO data files through the from-scratch
+    container codec — EXECUTOR-side (``mapInPandas`` over the path
+    list, one task per file; payloads never touch the driver).
+    Column resolution per file mirrors the parquet path: the Avro
+    schema's ``field-id`` attributes win, the table's name-mapping
+    covers id-less files, direct name match is the last resort;
+    fields a file predates fill null (schema evolution). Because WE
+    run the decode loop, each row's position in its file is known
+    exactly — so ``want_pos`` emits ``__fp``/``__ri`` and position
+    deletes work over Avro (unlike ORC, where Spark exposes no
+    row_index)."""
+    from pyspark.sql import types as T
+
+    fields = _current_schema_fields(meta)
+    spec = []
+    for f in fields:
+        _avro_field_type(f["name"], f["type"])  # refuse unsupported
+        spec.append((f["name"], f["id"], f["type"]))
+    out_fields = [
+        T.StructField(f["name"], _spark_type(f["type"]), True)
+        for f in fields
+    ]
+    if want_pos:
+        out_fields += [
+            T.StructField("__fp", T.StringType(), True),
+            T.StructField("__ri", T.LongType(), True),
+        ]
+    out_schema = T.StructType(out_fields)
+    name_map = dict(mapping)
+
+    def _decode(batches):
+        import pandas as pd
+
+        from dataflowex_spark.sources.avro_io import read_container
+
+        for pdf in batches:
+            for path in pdf["__path"]:
+                schema, records = read_container(path)
+                afields = (
+                    schema.get("fields", [])
+                    if isinstance(schema, dict)
+                    else []
+                )
+                by_id: dict[int, str] = {}
+                names = set()
+                for af in afields:
+                    if af.get("field-id") is not None:
+                        by_id[int(af["field-id"])] = af["name"]
+                    names.add(af["name"])
+                cols = {}
+                for name, fid, t in spec:
+                    src = by_id.get(fid)
+                    if src is None:
+                        for phys, mid in name_map.items():
+                            if mid == fid and phys in names:
+                                src = phys
+                                break
+                    if src is None and name in names and not by_id:
+                        src = name
+                    vals = [
+                        r.get(src) if src is not None else None
+                        for r in records
+                    ]
+                    cols[name] = _avro_cells_to_pandas(vals, t)
+                out = pd.DataFrame(cols)
+                if want_pos:
+                    out["__fp"] = re.sub("^file:/*", "/", path)
+                    out["__ri"] = range(len(records))
+                yield out
+
+    pdf = spark.createDataFrame(
+        [(p,) for p in sorted(paths)], "__path string"
+    )
+    return pdf.repartition(len(paths)).mapInPandas(_decode, out_schema)
 
 
 def snapshot_at_timestamp(meta: dict, ts_ms: int) -> int:
@@ -459,7 +661,9 @@ def read_iceberg(
         renames = (
             _footer_renames(path, names_by_id, mapping)
             if fmt == "PARQUET"
-            else ()  # ORC: name matching (no parquet footer ids)
+            # ORC: name matching (no parquet footer ids); AVRO:
+            # per-file field-id resolution happens INSIDE the decode
+            else ()
         )
         by_group.setdefault((seq, renames, fmt), []).append(path)
     if pos_deletes and any(
@@ -467,51 +671,62 @@ def read_iceberg(
     ):
         # ORC scans expose no _metadata.row_index in this Spark, so
         # the (file, pos) anti-join cannot address ORC rows — refuse
-        # rather than silently keep deleted rows
+        # rather than silently keep deleted rows. (AVRO rows ARE
+        # addressable: our own decode loop numbers them.)
         raise IcebergProtocolError(
             "position deletes over ORC data files: Spark exposes no "
             "row_index metadata for ORC scans"
         )
+    need_pos = bool(pos_deletes)
     pieces = []
     for (seq, renames, fmt), paths in sorted(by_group.items()):
-        # reader.orc takes (path|list, mergeSchema=...) — varargs
-        # would shove the 2nd path into mergeSchema
-        piece = (
-            spark.read.orc(paths)
-            if fmt == "ORC"
-            else spark.read.parquet(*paths)
-        )
-        if renames:
-            mapping = dict(renames)
-            piece = piece.select(
-                *[
-                    F.col(c).alias(mapping.get(c, c))
-                    for c in piece.columns
-                ]
+        if fmt == "AVRO":
+            piece = _avro_scan(spark, paths, meta, mapping, need_pos)
+        else:
+            # reader.orc takes (path|list, mergeSchema=...) — varargs
+            # would shove the 2nd path into mergeSchema
+            piece = (
+                spark.read.orc(paths)
+                if fmt == "ORC"
+                else spark.read.parquet(*paths)
             )
+            if renames:
+                ren = dict(renames)
+                piece = piece.select(
+                    *[
+                        F.col(c).alias(ren.get(c, c))
+                        for c in piece.columns
+                    ]
+                )
+            if need_pos:
+                # row identity attaches PER PIECE (scan metadata is
+                # a scan-time column; AVRO pieces carry their own)
+                piece = piece.select(
+                    "*",
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/*", "/"
+                    ).alias("__fp"),
+                    F.col("_metadata.row_index").alias("__ri"),
+                )
         pieces.append(
             piece.withColumn("__seq", F.lit(seq).cast("long"))
         )
     df = pieces[0]
     for p in pieces[1:]:
         df = df.unionByName(p)
-    cols = [c for c in df.columns if c != "__seq"]
+    cols = [
+        c for c in df.columns if c not in ("__seq", "__fp", "__ri")
+    ]
     if pos_deletes:
         # merge-on-read position deletes: anti-join (file, pos)
-        # sidecars against the scan's _metadata identity — broadcast
+        # sidecars against each piece's row identity — broadcast
         # (bounded by recent churn, the MTable DV economics); paths
         # normalize to scheme-less absolute form on both sides.
         # Spec rule: a position delete applies only to rows whose
         # DATA sequence number is <= the delete's — a re-added file
         # (path reuse across snapshots) must not lose rows to a
         # stale delete from before its re-add.
-        data = df.select(
-            "*",
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/*", "/"
-            ).alias("__fp"),
-            F.col("_metadata.row_index").alias("__ri"),
-        )
+        data = df
         pieces_dv = []
         for path, dseq in sorted(set(pos_deletes)):
             pieces_dv.append(
@@ -1746,12 +1961,17 @@ def write_iceberg(
     partitioned table adopt (and validate against) the table's
     default spec.
 
-    ``file_format``: ``parquet`` (default) or ``orc`` — both are
-    legal Iceberg data-file formats and both scan natively in Spark;
-    the manifest's ``file_format`` records it per file and the
-    reader dispatches per group (mixed-format tables read fine).
-    Position deletes cannot target ORC files (no row_index
-    metadata in Spark's ORC scans — the reader refuses).
+    ``file_format``: ``parquet`` (default), ``orc``, or ``avro`` —
+    all three legal Iceberg data-file formats; the manifest's
+    ``file_format`` records it per file and the reader dispatches
+    per group (mixed-format tables read fine). Position deletes
+    cannot target ORC files (no row_index metadata in Spark's ORC
+    scans — the reader refuses); AVRO rows ARE position-addressable
+    (the reader's own decode loop numbers them). AVRO files stage as
+    parquet (hive layout + the one-pass stats read are format-
+    independent) then transcode EXECUTOR-side, one task per file,
+    through the from-scratch container codec with ``field-id``
+    attributes per the spec's Appendix A; primitive columns only.
 
     Files write executor-side; per-file min/max bounds for the
     requested columns (default: all top-level primitive columns the
@@ -1775,8 +1995,9 @@ def write_iceberg(
         raise ValueError(f"Iceberg table already exists at {dest}")
     if mode not in ("error", "append", "overwrite"):
         raise ValueError(f"write_iceberg mode {mode!r}")
-    if file_format not in ("parquet", "orc"):
+    if file_format not in ("parquet", "orc", "avro"):
         raise ValueError(f"write_iceberg file_format {file_format!r}")
+    stage_format = "parquet" if file_format == "avro" else file_format
     os.makedirs(os.path.join(dest, "data"), exist_ok=True)
     os.makedirs(md, exist_ok=True)
     counter = {"n": 0}
@@ -1823,6 +2044,10 @@ def write_iceberg(
             "snapshots": [],
         }
     by_name = {f["name"]: f for f in top}
+    # refuse unsupported column types up front, before any staging
+    avro_schema = (
+        _avro_data_schema(top) if file_format == "avro" else None
+    )
 
     # ---- partition spec: adopt the table's on an existing table,
     # build a fresh spec-id 0 on create; a conflicting partition_by
@@ -1907,13 +2132,13 @@ def write_iceberg(
     w = staged.write
     if pnames:
         w = w.partitionBy(*pnames)
-    getattr(w, file_format)(job)
+    getattr(w, stage_format)(job)
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in scols:
         aggs.append(F.min(c).alias(f"__mn_{c}"))
         aggs.append(F.max(c).alias(f"__mx_{c}"))
     stats_rows = (
-        getattr(spark.read, file_format)(job)
+        getattr(spark.read, stage_format)(job)
         .drop(*pnames)  # partition values re-derive from paths below
         .groupBy(F.input_file_name().alias("__path"))
         .agg(*aggs)
@@ -1923,6 +2148,7 @@ def write_iceberg(
     new_sid = (snaps[-1]["snapshot-id"] + 1) if snaps else 1
     new_seq = int(meta.get("last-sequence-number", 0)) + 1
     entries = []
+    transcode: list[tuple[str, str]] = []
     for r in stats_rows:
         # input_file_name() is a URI: decode %-escapes to the
         # on-disk name (hive value escaping decodes separately)
@@ -1952,16 +2178,22 @@ def write_iceberg(
         # keep the hive-layout subdirs in the data path: one task
         # writes the SAME part-N basename into every partition dir it
         # touches, so a flat data/ would silently clobber files
+        base = os.path.basename(src)
+        if file_format == "avro":
+            base = re.sub(r"(\.\w+)?\.parquet$", "", base) + ".avro"
         target = os.path.abspath(
             os.path.join(
                 dest,
                 "data",
                 *(rel_dir.split(os.sep) if rel_dir != "." else []),
-                os.path.basename(src),
+                base,
             )
         )
         os.makedirs(os.path.dirname(target), exist_ok=True)
-        os.replace(src, target)
+        if file_format == "avro":
+            transcode.append((src, target))
+        else:
+            os.replace(src, target)
         lo, hi = [], []
         for c in scols:
             mn, mx = r[f"__mn_{c}"], r[f"__mx_{c}"]
@@ -1984,7 +2216,11 @@ def write_iceberg(
                     "file_path": target,
                     "file_format": file_format.upper(),
                     "record_count": r["__rows"],
-                    "file_size_in_bytes": os.path.getsize(target),
+                    "file_size_in_bytes": (
+                        0  # patched after the distributed transcode
+                        if file_format == "avro"
+                        else os.path.getsize(target)
+                    ),
                     "equality_ids": None,
                     "partition": ptuple,
                     "lower_bounds": lo or None,
@@ -1992,6 +2228,38 @@ def write_iceberg(
                 },
             }
         )
+    if transcode:
+        # parquet → avro, EXECUTOR-side: one task per staged file
+        # (payloads never touch the driver; only (path, size) rows
+        # return). The schema closure is plain JSON data.
+        aschema = avro_schema
+
+        def _do_transcode(batches):
+            import pandas as pd
+
+            for b in batches:
+                for s, t in zip(b["src"], b["target"]):
+                    _transcode_parquet_to_avro(s, t, aschema)
+                    yield pd.DataFrame(
+                        {
+                            "target": [t],
+                            "size": [os.path.getsize(t)],
+                        }
+                    )
+
+        sizes = {
+            r["target"]: r["size"]
+            for r in spark.createDataFrame(
+                transcode, "src string, target string"
+            )
+            .repartition(len(transcode))
+            .mapInPandas(_do_transcode, "target string, size long")
+            .collect()
+        }
+        for e in entries:
+            df_e = e["data_file"]
+            if df_e["file_path"] in sizes:
+                df_e["file_size_in_bytes"] = sizes[df_e["file_path"]]
     shutil.rmtree(job, ignore_errors=True)
     if exists and snaps and mode == "append":
         (

@@ -918,10 +918,12 @@ def test_iceberg_orc_data_files(spark, tmp_path):
     assert all(f.endswith(".parquet") for f in hi.inputFiles())
 
 
-def test_iceberg_orc_pos_delete_and_avro_refusals(spark, tmp_path):
+def test_iceberg_orc_pos_delete_and_unknown_format_refusals(
+    spark, tmp_path
+):
     """Position deletes targeting ORC data files refuse (Spark ORC
-    scans expose no row_index); AVRO data files refuse (no
-    spark-avro module)."""
+    scans expose no row_index); an unknown data-file format refuses
+    at manifest-walk time."""
     import pytest as _pytest
 
     from dataflowex_spark.sources.iceberg_reader import (
@@ -950,13 +952,211 @@ def test_iceberg_orc_pos_delete_and_avro_refusals(spark, tmp_path):
     )
     with _pytest.raises(IcebergProtocolError, match="row_index"):
         read_iceberg(spark, root).collect()
-    root2 = str(tmp_path / "avro_data")
+    root2 = str(tmp_path / "weird_data")
     os.makedirs(root2)
     write_conformance_table(
         root2,
         [{"id": 1,
-          "entries": [(1, root2 + "/f.avro", 0, None, None, "AVRO")],
+          "entries": [(1, root2 + "/f.xyz", 0, None, None, "XYZ")],
           "schema_fields": [(1, "k", "long")]}],
     )
-    with _pytest.raises(IcebergProtocolError, match="AVRO"):
+    with _pytest.raises(IcebergProtocolError, match="unknown data file"):
         read_iceberg(spark, root2)
+
+
+def _avro_data_file(path, recs):
+    """Hand-built Iceberg AVRO data file: field-id attributes per
+    the spec's Appendix A, optional fields as null unions."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "field-id": 1, "type": ["null", "long"]},
+            {"name": "v", "field-id": 2, "type": ["null", "string"]},
+        ],
+    }
+    write_container(path, schema, recs)
+
+
+def test_iceberg_avro_data_files(spark, tmp_path):
+    """AVRO is a legal Iceberg data-file format — the from-scratch
+    codec scans it executor-side: write_iceberg(file_format='avro')
+    round-trips; a MIXED parquet+AVRO table reads per-group; bounds
+    skipping prunes AVRO files at the manifest level; unsupported
+    column types refuse before any staging."""
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        IcebergProtocolError,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string")
+    df2 = spark.createDataFrame(
+        [(100, "c"), (101, "d")], "k long, v string")
+    write_iceberg(spark, df1, dest, file_format="avro")
+    got = read_iceberg(spark, dest)
+    assert rows(got) == [(1, "a"), (2, "b")]
+    datadir = os.path.join(dest, "data")
+    assert all(f.endswith(".avro") for f in os.listdir(datadir))
+    # mixed-format append: parquet files join AVRO files in one table
+    write_iceberg(spark, df2, dest, mode="append")
+    both = read_iceberg(spark, dest)
+    assert rows(both) == [(1, "a"), (2, "b"), (100, "c"), (101, "d")]
+    # inputFiles sees only the parquet scan piece — the AVRO rows
+    # arrive through mapInPandas, which proves the codec path ran
+    assert all(f.endswith(".parquet") for f in both.inputFiles())
+    # bounds prune across formats: the low range opens NO parquet
+    lo = read_iceberg(spark, dest, skip_where=[("k", "<=", 2)])
+    assert rows(lo) == [(1, "a"), (2, "b")]
+    assert lo.inputFiles() == []
+    # unsupported column type refuses up front
+    from pyspark.sql import functions as F
+
+    bad = spark.createDataFrame([(1,)], "k long").select(
+        F.col("k").cast("decimal(10,2)").alias("d"))
+    with _pytest.raises(IcebergProtocolError, match="decimal"):
+        write_iceberg(spark, bad, str(tmp_path / "bad"),
+                      file_format="avro")
+
+
+def test_iceberg_avro_position_deletes(spark, tmp_path):
+    """Position deletes DO apply to AVRO data files — our decode
+    loop numbers rows exactly — including mixed tables where the
+    same delete manifest targets parquet and AVRO files."""
+    from dataflowex_spark.sources.delta_reader import (
+        stage_parquet_file,
+    )
+    from dataflowex_spark.sources.iceberg_reader import (
+        write_conformance_table,
+    )
+
+    root = str(tmp_path / "mor")
+    os.makedirs(root)
+    _avro_data_file(
+        os.path.join(root, "f1.avro"),
+        [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 3, "v": "c"}],
+    )
+    fp = spark.createDataFrame(
+        [(10, "x"), (11, "y")], "k long, v string")
+    stage_parquet_file(fp, root, "f2.parquet")
+    dels = spark.createDataFrame(
+        [
+            (os.path.join(root, "f1.avro"), 0),
+            (os.path.join(root, "f1.avro"), 2),
+            (os.path.join(root, "f2.parquet"), 1),
+        ],
+        "file_path string, pos long",
+    )
+    stage_parquet_file(dels, root, "del.parquet")
+    write_conformance_table(
+        root,
+        [
+            {"id": 1,
+             "entries": [
+                 (1, os.path.join(root, "f1.avro"), 0, None, None,
+                  "AVRO"),
+                 (1, os.path.join(root, "f2.parquet")),
+             ],
+             "schema_fields": [(1, "k", "long"), (2, "v", "string")]},
+            {"id": 2,
+             "entries": [
+                 (0, os.path.join(root, "f1.avro"), 0, None, None,
+                  "AVRO"),
+                 (0, os.path.join(root, "f2.parquet")),
+             ],
+             "delete_entries": [(1, os.path.join(root, "del.parquet"))]},
+        ],
+    )
+    assert rows(read_iceberg(spark, root)) == [(2, "b"), (10, "x")]
+    # before the delete, everything is visible
+    assert rows(read_iceberg(spark, root, snapshot_id=1)) == [
+        (1, "a"), (2, "b"), (3, "c"), (10, "x"), (11, "y")
+    ]
+
+
+def test_iceberg_avro_field_id_and_name_mapping(spark, tmp_path):
+    """AVRO column resolution mirrors the parquet path: in-file
+    ``field-id`` attributes win under renames; id-less files resolve
+    through ``schema.name-mapping.default``; fields a file predates
+    fill null."""
+    from dataflowex_spark.sources.iceberg_reader import (
+        write_conformance_table,
+    )
+
+    root = str(tmp_path / "ren")
+    os.makedirs(root)
+    # file written under the OLD name "old_v" but carrying field-id 2
+    write_container(
+        os.path.join(root, "f1.avro"),
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "k", "field-id": 1,
+                 "type": ["null", "long"]},
+                {"name": "old_v", "field-id": 2,
+                 "type": ["null", "string"]},
+            ],
+        },
+        [{"k": 1, "old_v": "a"}],
+    )
+    # id-less file: names resolve via the table's name-mapping
+    write_container(
+        os.path.join(root, "f2.avro"),
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "kk", "type": ["null", "long"]},
+                {"name": "vv", "type": ["null", "string"]},
+            ],
+        },
+        [{"kk": 2, "vv": "b"}],
+    )
+    write_conformance_table(
+        root,
+        [{"id": 1,
+          "entries": [
+              (1, os.path.join(root, "f1.avro"), 0, None, None,
+               "AVRO"),
+              (1, os.path.join(root, "f2.avro"), 0, None, None,
+               "AVRO"),
+          ],
+          "schema_fields": [(1, "k", "long"), (2, "v", "string"),
+                            (3, "extra", "long")]}],
+        properties={
+            "schema.name-mapping.default": json.dumps(
+                [{"field-id": 1, "names": ["kk"]},
+                 {"field-id": 2, "names": ["vv"]}]
+            )
+        },
+    )
+    got = read_iceberg(spark, root)
+    assert sorted(got.columns) == ["extra", "k", "v"]
+    assert rows(got.select("k", "v", "extra")) == [
+        (1, "a", None), (2, "b", None)
+    ]
+
+
+def test_iceberg_avro_partitioned_write(spark, tmp_path):
+    """Partitioned AVRO writes keep the hive-layout staging +
+    partition-tuple pruning story: transforms land in manifests and
+    skip_where prunes before any decode task launches."""
+    from dataflowex_spark.sources.iceberg_reader import write_iceberg
+
+    dest = str(tmp_path / "p")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i)) for i in range(30)],
+        "k long, g string, x double",
+    )
+    write_iceberg(
+        spark, df, dest, partition_by=["g"], file_format="avro"
+    )
+    full = read_iceberg(spark, dest)
+    assert full.count() == 30
+    one = read_iceberg(spark, dest, skip_where=[("g", "=", "g1")])
+    assert rows(one.select("g").distinct()) == [("g1",)]
+    assert one.count() == 10
