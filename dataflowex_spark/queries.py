@@ -24491,3 +24491,111 @@ def q428(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q(
+    "q429_delta_dv_delete",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 5 = 2
+    ), tagged AS (
+      SELECT priority, price_cents,
+             (price_cents % 7 < 2) AS is_del FROM base
+    )
+    SELECT priority,
+           CAST(SUM(CASE WHEN NOT is_del THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_live,
+           CAST(SUM(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deleted,
+           CAST(SUM(CASE WHEN NOT is_del THEN price_cents ELSE 0 END)
+             AS BIGINT) AS live_cents
+    FROM tagged GROUP BY priority ORDER BY priority
+    """,
+)
+def q429(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA DML DELETE VIA DELETION VECTORS (delete_from_delta):
+    a written Delta table deletes a predicate slice WITHOUT
+    rewriting any parquet — each touched file gets a roaring DV
+    (storage type ``u``, spec-framed file written by the per-file
+    group task through the from-scratch codec) and one commit
+    re-adds it with the descriptor, upgrading the protocol to
+    readerVersion 3 + the deletionVectors feature. The table has
+    ``delta.enableChangeDataFeed`` on, so the commit also carries
+    AUTHORITATIVE cdc rows and read_delta_changes reports row-exact
+    deletes. The result folds BOTH surfaces — live rows from
+    read_delta (DV anti-join applied) and deleted counts from the
+    CDF — and the in-query assertions pin the zero-rewrite claim
+    (identical parquet set before/after) and the DV files' existence.
+    Scale shape: matched positions shuffle once grouped by file
+    (delete-volume-bound); the oracle replays the partition from the
+    base table, so a hash match proves delete + CDF exactness."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        delete_from_delta,
+        read_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 5 == 2)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q429_") + "/t"
+    write_delta(
+        spark,
+        base,
+        dest,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    snap = sorted(
+        _glob.glob(_os.path.join(dest, "data", "**", "*.parquet"),
+                   recursive=True)
+    )
+    v, _n = delete_from_delta(spark, dest, "price_cents % 7 < 2")
+    assert snap == sorted(
+        _glob.glob(_os.path.join(dest, "data", "**", "*.parquet"),
+                   recursive=True)
+    ), "DV delete must not rewrite parquet"
+    assert _glob.glob(_os.path.join(dest, "deletion_vector_*.bin"))
+    live = (
+        read_delta(spark, dest)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_live"),
+            F.sum("price_cents").cast("long").alias("live_cents"),
+        )
+    )
+    dels = (
+        read_delta_changes(
+            spark, dest, starting_version=v, ending_version=v
+        )
+        .filter(F.col("_change_type") == "delete")
+        .groupBy("priority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_deleted"))
+    )
+    return (
+        live.join(dels, "priority", "full_outer")
+        .select(
+            "priority",
+            F.coalesce("n_live", F.lit(0)).cast("long")
+            .alias("n_live"),
+            F.coalesce("n_deleted", F.lit(0)).cast("long")
+            .alias("n_deleted"),
+            F.coalesce("live_cents", F.lit(0)).cast("long")
+            .alias("live_cents"),
+        )
+        .orderBy("priority")
+    )

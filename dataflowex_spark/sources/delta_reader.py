@@ -1256,6 +1256,19 @@ def vacuum_delta_export(
                         if a.get("cdc"):
                             keep.add(a["cdc"]["path"])
         keep |= set(adds)
+        # deletion-vector files referenced by retained adds stay —
+        # orphans from lost delete races / replaced DVs reclaim
+        from dataflowex_spark.sources.roaring import dv_file_relpath
+
+        for a in adds.values():
+            dv = a.get("deletionVector")
+            if not dv:
+                continue
+            if isinstance(dv, str):
+                dv = json.loads(dv)
+            relp = dv_file_relpath(os.path.abspath(dest), dict(dv))
+            if relp:
+                keep.add(relp)
     deleted = []
     for sub in ("data", "_change_data"):
         d = os.path.join(dest, sub)
@@ -1272,6 +1285,12 @@ def vacuum_delta_export(
                 if rel not in keep:
                     os.unlink(os.path.join(dirpath, fn))
                     deleted.append(rel)
+    for fn in sorted(os.listdir(dest)):
+        # root-level DV files (storage type "u", no prefix)
+        if fn.startswith("deletion_vector_") and fn.endswith(".bin"):
+            if fn not in keep:
+                os.unlink(os.path.join(dest, fn))
+                deleted.append(fn)
     return deleted
 
 
@@ -1545,3 +1564,320 @@ def write_delta(
     if interval > 0 and v > 0 and v % interval == 0:
         checkpoint_delta_export(spark, dest)
     return v
+
+
+def _latest_protocol(root: str) -> dict:
+    """Newest ``protocol`` action visible in the JSON log (base
+    ``(1, 2)`` when none is — e.g. a checkpoint-era log whose
+    protocol rode into the checkpoint; fine for our purposes because
+    column-mapped tables are refused before this is consulted)."""
+    proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    for v in sorted(_commit_files(root)):
+        with open(_commit_files(root)[v]) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if a.get("protocol"):
+                    proto = a["protocol"]
+    return proto
+
+
+def _stage_cdc_delete(
+    spark: SparkSession,
+    dest: str,
+    rows: DataFrame,
+    pcols: list[str],
+) -> list[dict]:
+    """Stage the matched rows of a DV delete as authoritative
+    ``_change_data/`` files (_change_type='delete') and return the
+    ``cdc`` actions — executor-side parquet write, one move per
+    file; volume is delete-bound, never table-bound."""
+    import shutil
+    import urllib.parse as _up
+    import uuid as _uuid
+
+    job = os.path.join(dest, f"_cdcstage-{_uuid.uuid4().hex}")
+    w = rows.withColumn("_change_type", F.lit("delete")).write
+    if pcols:
+        w = w.partitionBy(*pcols)
+    w.parquet(job)
+    os.makedirs(os.path.join(dest, "_change_data"), exist_ok=True)
+    actions = []
+    for dirpath, _dirs, files in sorted(os.walk(job)):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            src = os.path.join(dirpath, fn)
+            rel_dir = os.path.relpath(dirpath, job)
+            pv: dict[str, str | None] = {}
+            if pcols and rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    if "=" in seg:
+                        k, _, raw = seg.partition("=")
+                        pv[k] = (
+                            None
+                            if raw == "__HIVE_DEFAULT_PARTITION__"
+                            else _up.unquote(raw)
+                        )
+            name = (
+                "_change_data/"
+                + (
+                    rel_dir.replace(os.sep, "/") + "/"
+                    if rel_dir != "."
+                    else ""
+                )
+                + fn
+            )
+            target = os.path.join(dest, name)
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            os.replace(src, target)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": name,
+                        "partitionValues": pv,
+                        "size": os.path.getsize(target),
+                        "dataChange": False,
+                    }
+                }
+            )
+    shutil.rmtree(job, ignore_errors=True)
+    return actions
+
+
+def delete_from_delta(
+    spark: SparkSession, dest: str, where
+) -> tuple[int, int]:
+    """DML DELETE via DELETION VECTORS — rows matching ``where`` (a
+    SQL predicate string or Column) go dead WITHOUT rewriting any
+    parquet: each touched file gets a roaring DV (storage type
+    ``u``: one spec-framed file per data file at the table root,
+    written EXECUTOR-side by the per-file group task through the
+    from-scratch codec), and one commit re-adds the file with the
+    descriptor (remove + add of the same path, ``dataChange`` true —
+    the protocol's DV-delete shape, delta-io PROTOCOL.md "Deletion
+    Vectors"). Returns ``(committed version, rows deleted)``.
+
+    Scale shape: the scan is an ordinary pruned parquet read;
+    matched row positions shuffle ONCE grouped by file (the shuffle
+    carries (path, pos) pairs — delete-volume-bound, never
+    table-bound); an existing DV's positions broadcast in and MERGE
+    so re-deletes accumulate; files with no match are untouched.
+    Stats stay as written (``numRecords`` is physical per the
+    protocol; DV deadness is logical). The commit claims its version
+    with the same O_EXCL loop as :func:`write_delta`; on a lost race
+    the WHOLE delete recomputes against the new snapshot (DV files
+    from the lost attempt are orphans until vacuum). First DV on a
+    table upgrades the protocol to readerVersion 3 / writerVersion 7
+    with the ``deletionVectors`` feature, as the spec requires.
+
+    Under ``delta.enableChangeDataFeed=true`` the commit also writes
+    AUTHORITATIVE ``_change_data/`` files of exactly the matched
+    rows (protocol: DELETE under CDF writes cdc actions), so
+    :func:`read_delta_changes` reports row-exact deletes instead of
+    whole-file synthesis.
+
+    Column-mapped tables refuse (the predicate would bind to
+    physical names); tables whose snapshot carries no live files
+    return ``(latest, 0)`` without committing."""
+    import uuid as _uuid
+
+    cond = F.expr(where) if isinstance(where, str) else where
+    while True:
+        meta, adds = _snapshot(spark, dest, None)
+        if _mapping_mode(meta) != "none":
+            raise DeltaProtocolError(
+                "delete_from_delta: column-mapped tables unsupported "
+                "(predicate would bind to physical column names)"
+            )
+        commits = _commit_files(dest)
+        newest_cp = _checkpoint_for(dest, 1 << 62)
+        latest = max(
+            max(commits, default=-1),
+            newest_cp[0] if newest_cp else -1,
+        )
+        if not adds:
+            return latest, 0
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        ptypes = {f.name: f.dataType for f in schema.fields}
+        by_pv: dict[tuple, list[str]] = {}
+        for rel, a in adds.items():
+            key = tuple(sorted((a.get("partitionValues") or {}).items()))
+            by_pv.setdefault(key, []).append(rel)
+        pieces = []
+        for key, rels in sorted(by_pv.items()):
+            paths = [
+                os.path.abspath(os.path.join(dest, r))
+                for r in sorted(rels)
+            ]
+            piece = spark.read.parquet(*paths).select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/*", "/"
+                ).alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+            for k, v in key:
+                # partition columns live in the path, not the file —
+                # re-attach typed so the predicate can bind them
+                piece = piece.withColumn(
+                    k, _typed_partition_lit(v, ptypes[k])
+                )
+            pieces.append(piece)
+        scan = pieces[0]
+        for p in pieces[1:]:
+            scan = scan.unionByName(p)
+        dead_old = _dead_positions(dest, adds)
+        old_df = (
+            spark.createDataFrame(dead_old, "__fp string, __ri long")
+            if dead_old
+            else None
+        )
+        if old_df is not None:
+            # already-dead rows are not visible — they must neither
+            # match the predicate nor count as deleted again
+            scan = scan.join(
+                F.broadcast(old_df), ["__fp", "__ri"], "left_anti"
+            )
+        flt = scan.filter(cond).persist()
+        matched = flt.select(
+            "__fp", "__ri", F.lit(True).alias("__new")
+        )
+        if old_df is not None:
+            # merge: a touched file's NEW DV carries its old dead
+            # positions too (descriptors replace, they don't stack);
+            # untouched files keep their old DV byte-for-byte
+            carried = old_df.join(
+                matched.select("__fp").distinct(), "__fp", "left_semi"
+            ).select("__fp", "__ri", F.lit(False).alias("__new"))
+            all_pos = matched.unionByName(carried)
+        else:
+            all_pos = matched
+        root_abs = os.path.abspath(dest)
+
+        def _write_group(pdf):
+            import pandas as pd
+
+            from dataflowex_spark.sources.roaring import (
+                write_dv_file_u,
+            )
+
+            desc = write_dv_file_u(
+                root_abs, [int(x) for x in pdf["__ri"]]
+            )
+            return pd.DataFrame(
+                {
+                    "fp": [pdf["__fp"].iloc[0]],
+                    "desc": [json.dumps(desc)],
+                    "new_rows": [int(pdf["__new"].sum())],
+                }
+            )
+
+        results = (
+            all_pos.groupBy("__fp")
+            .applyInPandas(
+                _write_group, "fp string, desc string, new_rows long"
+            )
+            .collect()
+        )
+        n_deleted = sum(r["new_rows"] for r in results)
+        conf = meta.get("configuration") or {}
+        cdc_actions: list[dict] = []
+        if n_deleted and str(
+            conf.get("delta.enableChangeDataFeed", "")
+        ).lower() == "true":
+            # AUTHORITATIVE change files: without them CDF falls back
+            # to whole-file synthesis (net-correct but noisy —
+            # surviving file-mates read as delete+insert pairs); with
+            # enableChangeDataFeed the protocol expects DELETE to
+            # write cdc rows, so emit exactly the matched rows
+            cdc_actions = _stage_cdc_delete(
+                spark, dest, flt.drop("__fp", "__ri"),
+                meta.get("partitionColumns") or [],
+            )
+        flt.unpersist()
+        if n_deleted == 0:
+            # clean up the no-op DV files written by carried-only
+            # groups (there are none — carried is semi-joined to
+            # matched files — but a matched file can still have 0 new
+            # rows only if the predicate matched nothing; guard)
+            for r in results:
+                d = json.loads(r["desc"])
+                from dataflowex_spark.sources.roaring import (
+                    dv_file_relpath,
+                )
+
+                relp = dv_file_relpath(root_abs, d)
+                if relp:
+                    try:
+                        os.unlink(os.path.join(root_abs, relp))
+                    except OSError:
+                        pass
+            return latest, 0
+        actions: list[dict] = []
+        proto = _latest_protocol(dest)
+        rfeats = set(proto.get("readerFeatures") or [])
+        if "deletionVectors" not in rfeats:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(
+                            rfeats | {"deletionVectors"}
+                        ),
+                        "writerFeatures": sorted(
+                            set(proto.get("writerFeatures") or [])
+                            | {"deletionVectors"}
+                        ),
+                    }
+                }
+            )
+        for r in sorted(results, key=lambda r: r["fp"]):
+            rel = os.path.relpath(r["fp"], root_abs).replace(
+                os.sep, "/"
+            )
+            old = adds.get(rel)
+            if old is None:
+                raise DeltaProtocolError(
+                    f"matched file {rel} not in snapshot (race?)"
+                )
+            rm = {"path": rel, "dataChange": True}
+            for carry in ("partitionValues", "size", "deletionVector"):
+                if old.get(carry) is not None:
+                    rm[carry] = old[carry]
+            actions.append({"remove": rm})
+            new_add = dict(old)
+            new_add["deletionVector"] = json.loads(r["desc"])
+            new_add["dataChange"] = True
+            actions.append({"add": new_add})
+        actions.extend(cdc_actions)
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "DELETE",
+                    "timestamp": None,
+                    "operationMetrics": {
+                        "numDeletedRows": n_deleted
+                    },
+                }
+            }
+        )
+        v = latest + 1
+        path = os.path.join(_log_dir(dest), f"{v:020d}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race: recompute against new snapshot
+        with os.fdopen(fd, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        try:
+            interval = int(conf.get("delta.checkpointInterval", 10))
+        except (TypeError, ValueError):
+            interval = 10
+        if interval > 0 and v > 0 and v % interval == 0:
+            checkpoint_delta_export(spark, dest)
+        return v, n_deleted

@@ -291,6 +291,54 @@ def write_dv_file(path: str, dv_positions: list[list[int]]) -> list[dict]:
     return descs
 
 
+def write_dv_file_u(table_root: str, positions: list[int]) -> dict:
+    """One DV in its own spec-framed file at the table root, named
+    by a fresh UUID — the relative ``u`` storage type real Delta
+    writers emit (table stays relocatable, unlike ``p``). Runs
+    EXECUTOR-side in ``delete_from_delta``'s per-file tasks; returns
+    the descriptor dict for ``add.deletionVector``."""
+    import uuid as _uuid
+
+    u = _uuid.uuid4()
+    data = bitmap_array_serialize(sorted(set(positions)))
+    path = os.path.join(table_root, f"deletion_vector_{u}.bin")
+    with open(path, "wb") as f:
+        f.write(b"\x01")
+        offset = f.tell()
+        f.write(struct.pack(">i", len(data)))
+        f.write(data)
+        f.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": z85_encode(u.bytes),
+        "offset": offset,
+        "sizeInBytes": len(data),
+        "cardinality": len(set(positions)),
+    }
+
+
+def dv_file_relpath(table_root: str, desc: dict) -> str | None:
+    """Table-root-relative path of the DV FILE a descriptor points
+    at (``None`` for inline) — vacuum's keep-set needs it so live
+    DVs survive reclamation."""
+    import uuid as _uuid
+
+    st = desc["storageType"]
+    if st == "i":
+        return None
+    if st == "p":
+        return os.path.relpath(
+            desc["pathOrInlineDv"], table_root
+        ).replace(os.sep, "/")
+    if st == "u":
+        enc = desc["pathOrInlineDv"]
+        prefix, uuid_z85 = enc[:-20], enc[-20:]
+        u = _uuid.UUID(bytes=z85_decode(uuid_z85))
+        rel = f"deletion_vector_{u}.bin"
+        return f"{prefix}/{rel}" if prefix else rel
+    raise ValueError(f"unknown DV storageType {st!r}")
+
+
 def inline_dv_descriptor(positions: list[int]) -> dict:
     """Conformance-fixture writer: inline (``storageType="i"``)
     descriptor carrying the z85-encoded payload itself."""

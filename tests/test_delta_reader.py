@@ -1015,3 +1015,144 @@ def test_write_delta_checkpoint_interval(spark, tmp_path):
     assert got == [(i, i * 10) for i in range(6)]
     # and vacuum still plans correctly from the checkpoint
     assert vacuum_delta_export(dest, keep_versions=1, spark=spark) == []
+
+
+def test_delete_from_delta_dv_semantics(spark, tmp_path):
+    """DML DELETE via deletion vectors: no parquet rewritten, exact
+    row sets, DV merge on re-delete, no-op predicates don't commit,
+    and the first delete upgrades the protocol to the DV feature."""
+    import glob
+    import json as _json
+
+    from dataflowex_spark.sources.delta_reader import (
+        delete_from_delta,
+        read_delta,
+        write_delta,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i)) for i in range(60)],
+        "k long, g string, x double",
+    )
+    write_delta(spark, df, dest, partition_by=["g"])
+    parquet_before = sorted(
+        glob.glob(os.path.join(dest, "data", "**", "*.parquet"),
+                  recursive=True)
+    )
+    v1, n1 = delete_from_delta(spark, dest, "k % 10 = 0")
+    assert (v1, n1) == (1, 6)
+    assert sorted(r.k for r in read_delta(spark, dest).collect()) == [
+        k for k in range(60) if k % 10 != 0
+    ]
+    # zero parquet files rewritten, DV files appeared at the root
+    assert parquet_before == sorted(
+        glob.glob(os.path.join(dest, "data", "**", "*.parquet"),
+                  recursive=True)
+    )
+    assert glob.glob(os.path.join(dest, "deletion_vector_*.bin"))
+    # protocol upgraded with the deletionVectors feature
+    with open(os.path.join(
+            dest, "_delta_log", f"{v1:020d}.json")) as f:
+        acts = [_json.loads(x) for x in f if x.strip()]
+    protos = [a["protocol"] for a in acts if a.get("protocol")]
+    assert protos and "deletionVectors" in protos[0]["readerFeatures"]
+    # removes carry partitionValues (CDF synthesis needs them)
+    rms = [a["remove"] for a in acts if a.get("remove")]
+    assert rms and all("partitionValues" in r for r in rms)
+    # re-delete of already-dead rows: no commit, 0 deleted
+    v2, n2 = delete_from_delta(spark, dest, "k % 10 = 0")
+    assert (v2, n2) == (v1, 0)
+    # merge: deleting MORE rows from the same files keeps both sets
+    v3, n3 = delete_from_delta(spark, dest, "k % 10 = 1")
+    assert (v3, n3) == (v1 + 1, 6)
+    assert sorted(r.k for r in read_delta(spark, dest).collect()) == [
+        k for k in range(60) if k % 10 not in (0, 1)
+    ]
+    # partition-column predicate binds (column isn't in the files)
+    v4, n4 = delete_from_delta(spark, dest, "g = 'g0' AND k < 30")
+    assert n4 == sum(
+        1 for k in range(30) if k % 3 == 0 and k % 10 not in (0, 1)
+    )
+
+
+def test_delete_from_delta_cdf_and_vacuum(spark, tmp_path):
+    """Under delta.enableChangeDataFeed the delete commit carries
+    authoritative cdc rows (row-exact CDF, no whole-file synthesis
+    noise); vacuum keeps DV files live adds reference and reclaims
+    orphaned ones."""
+    from dataflowex_spark.sources.delta_reader import (
+        delete_from_delta,
+        read_delta,
+        read_delta_changes,
+        vacuum_delta_export,
+        write_delta,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), float(i)) for i in range(40)],
+        "k long, g string, x double",
+    )
+    write_delta(
+        spark, df, dest, partition_by=["g"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    v1, n1 = delete_from_delta(spark, dest, "k % 4 = 2")
+    ch = read_delta_changes(
+        spark, dest, starting_version=v1, ending_version=v1
+    )
+    assert sorted((r["_change_type"], r.k, r.g) for r in ch.collect()) == [
+        ("delete", k, "g%d" % (k % 2)) for k in range(2, 40, 4)
+    ]
+    # orphan DV (lost-race simulation) reclaims; live DV survives
+    orphan = os.path.join(
+        dest, "deletion_vector_00000000-dead-beef-0000-000000000000.bin"
+    )
+    with open(orphan, "wb") as f:
+        f.write(b"\x01junk")
+    removed = vacuum_delta_export(dest, keep_versions=1, spark=spark)
+    assert os.path.basename(orphan) in removed
+    assert not os.path.exists(orphan)
+    assert sorted(r.k for r in read_delta(spark, dest).collect()) == [
+        k for k in range(40) if k % 4 != 2
+    ]
+
+
+def test_delete_from_delta_refuses_column_mapping(spark, tmp_path):
+    """Column-mapped tables refuse DML delete — the predicate would
+    bind to physical names."""
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.delta_reader import (
+        delete_from_delta,
+    )
+
+    root = str(tmp_path / "m")
+    k = spark.createDataFrame([(1,)], "`col-k` long")
+    stage_parquet_file(k, root, "data/f.parquet")
+    schema = {
+        "type": "struct",
+        "fields": [{
+            "name": "k", "type": "long", "nullable": True,
+            "metadata": {"delta.columnMapping.id": 1,
+                         "delta.columnMapping.physicalName": "col-k"},
+        }],
+    }
+    write_conformance_log(
+        root,
+        [[
+            {"protocol": {"minReaderVersion": 2,
+                          "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "m", "schemaString": json.dumps(schema),
+                "partitionColumns": [],
+                "format": {"provider": "parquet"},
+                "configuration": {
+                    "delta.columnMapping.mode": "name"}}},
+            {"add": {"path": "data/f.parquet",
+                     "partitionValues": {}, "dataChange": True}},
+        ]],
+    )
+    with _pytest.raises(DeltaProtocolError, match="column-mapped"):
+        delete_from_delta(spark, root, "k = 1")
