@@ -24599,3 +24599,77 @@ def q429(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q(
+    "q430_delta_dv_update",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 5 = 4
+    ), after AS (
+      SELECT okey,
+             CASE WHEN price_cents % 9 < 3 THEN 'RUSH'
+                  ELSE priority END AS priority,
+             CASE WHEN price_cents % 9 < 3 THEN price_cents + 50
+                  ELSE price_cents END AS price_cents
+      FROM base
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM after GROUP BY priority ORDER BY priority
+    """,
+)
+def q430(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA DML UPDATE VIA DELETION VECTORS (update_delta): rows
+    matching the predicate go DV-dead in place (zero rewrite of the
+    untouched rows) and their updated images — SET expressions
+    evaluated against the OLD row — append as new files through the
+    same one-pass-stats staging as write_delta, all in ONE commit
+    (remove+re-add-with-DV + adds + update_preimage/postimage cdc
+    rows, the protocol's UPDATE shape). The read folds the DV
+    anti-join and the new files; the oracle replays the update as a
+    CASE projection over the base table, so a hash match proves the
+    DML loop (match → DV → re-append → read) is value-exact.
+    Scale: matched positions shuffle once by file; the re-append
+    writes only updated rows (update-volume-bound)."""
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        read_delta,
+        update_delta,
+        write_delta,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 5 == 4)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q430_") + "/t"
+    write_delta(spark, base, dest)
+    update_delta(
+        spark,
+        dest,
+        "price_cents % 9 < 3",
+        {"priority": "'RUSH'", "price_cents": "price_cents + 50"},
+    )
+    return (
+        read_delta(spark, dest)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )

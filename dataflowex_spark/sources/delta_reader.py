@@ -1365,72 +1365,22 @@ def checkpoint_delta_export(
     return v
 
 
-def write_delta(
+def _stage_data_files(
     spark: SparkSession,
-    df: DataFrame,
     dest: str,
-    mode: str = "error",
-    stats_cols: list[str] | None = None,
-    partition_by: list[str] | None = None,
-    configuration: dict[str, str] | None = None,
-) -> int:
-    """GENERIC Delta writer — any DataFrame → a Delta-protocol table,
-    no MTable required (the standalone complement to the MTable
-    export path). ``mode``: ``error`` (create, refuse existing),
-    ``append`` (new commit adding files), ``overwrite`` (new commit
-    removing every live file and adding the new set). Returns the
-    committed version.
-
-    Files write executor-side as ordinary parquet (one staging job,
-    atomic renames into ``data/``); per-file min/max stats for the
-    key numeric/string columns (``stats_cols``, default: all
-    top-level primitive columns) aggregate in ONE pass grouped by
-    ``input_file_name`` and land in ``add.stats`` — so tables
-    written here get data skipping from day one. The commit is a
-    single JSON append; concurrent writers race on the version file
-    (os O_EXCL via exclusive create) — the loser retries with the
-    next number, delta's optimistic concurrency.
-
-    ``partition_by``: hive-layout partitioned staging
-    (``data/<col>=<val>/…``), canonical string partitionValues per
-    add (the protocol's partition encoding — the reader re-attaches
-    them typed); partition columns leave the data files, per the
-    protocol.
-
-    ``configuration``: table properties recorded in
-    ``metaData.configuration`` at creation.
-    ``delta.checkpointInterval`` (default 10, per delta-spark) is
-    honored on every write: when the committed version is a multiple
-    of the interval, a parquet checkpoint is emitted and
-    ``_last_checkpoint`` flipped — so a long-lived written table's
-    snapshot resolution stays O(log tail) instead of replaying an
-    ever-longer JSON commit chain."""
+    df: DataFrame,
+    pcols: list[str],
+    scols: list[str],
+) -> list[dict]:
+    """Write ``df`` as the table's data files (executor-side staging
+    job, hive layout under ``partition_by``, atomic renames into
+    ``data/``) and return the ``{"add": ...}`` actions with per-file
+    min/max stats aggregated in ONE ``input_file_name``-grouped
+    pass. Shared by :func:`write_delta` and :func:`update_delta`."""
     import shutil
     import urllib.parse as _up
     import uuid as _uuid
 
-    pcols = list(partition_by or [])
-    prim = (
-        T.LongType, T.IntegerType, T.ShortType, T.ByteType,
-        T.DoubleType, T.FloatType, T.StringType, T.DateType,
-    )
-    scols = (
-        stats_cols
-        if stats_cols is not None
-        else [
-            f.name
-            for f in df.schema.fields
-            if isinstance(f.dataType, prim) and f.name not in pcols
-        ]
-    )
-    log = _log_dir(dest)
-    exists = os.path.isdir(log) and bool(_commit_files(dest))
-    if mode == "error" and exists:
-        raise ValueError(f"Delta table already exists at {dest}")
-    if mode not in ("error", "append", "overwrite"):
-        raise ValueError(f"write_delta mode {mode!r}")
-    os.makedirs(os.path.join(dest, "data"), exist_ok=True)
-    os.makedirs(log, exist_ok=True)
     job = os.path.join(dest, f"_stage-{_uuid.uuid4().hex}")
     w = df.write
     if pcols:
@@ -1506,6 +1456,76 @@ def write_delta(
             }
         )
     shutil.rmtree(job, ignore_errors=True)
+    return adds
+
+
+def write_delta(
+    spark: SparkSession,
+    df: DataFrame,
+    dest: str,
+    mode: str = "error",
+    stats_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
+    configuration: dict[str, str] | None = None,
+) -> int:
+    """GENERIC Delta writer — any DataFrame → a Delta-protocol table,
+    no MTable required (the standalone complement to the MTable
+    export path). ``mode``: ``error`` (create, refuse existing),
+    ``append`` (new commit adding files), ``overwrite`` (new commit
+    removing every live file and adding the new set). Returns the
+    committed version.
+
+    Files write executor-side as ordinary parquet (one staging job,
+    atomic renames into ``data/``); per-file min/max stats for the
+    key numeric/string columns (``stats_cols``, default: all
+    top-level primitive columns) aggregate in ONE pass grouped by
+    ``input_file_name`` and land in ``add.stats`` — so tables
+    written here get data skipping from day one. The commit is a
+    single JSON append; concurrent writers race on the version file
+    (os O_EXCL via exclusive create) — the loser retries with the
+    next number, delta's optimistic concurrency.
+
+    ``partition_by``: hive-layout partitioned staging
+    (``data/<col>=<val>/…``), canonical string partitionValues per
+    add (the protocol's partition encoding — the reader re-attaches
+    them typed); partition columns leave the data files, per the
+    protocol.
+
+    ``configuration``: table properties recorded in
+    ``metaData.configuration`` at creation.
+    ``delta.checkpointInterval`` (default 10, per delta-spark) is
+    honored on every write: when the committed version is a multiple
+    of the interval, a parquet checkpoint is emitted and
+    ``_last_checkpoint`` flipped — so a long-lived written table's
+    snapshot resolution stays O(log tail) instead of replaying an
+    ever-longer JSON commit chain."""
+    import shutil
+    import urllib.parse as _up
+    import uuid as _uuid
+
+    pcols = list(partition_by or [])
+    prim = (
+        T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+        T.DoubleType, T.FloatType, T.StringType, T.DateType,
+    )
+    scols = (
+        stats_cols
+        if stats_cols is not None
+        else [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, prim) and f.name not in pcols
+        ]
+    )
+    log = _log_dir(dest)
+    exists = os.path.isdir(log) and bool(_commit_files(dest))
+    if mode == "error" and exists:
+        raise ValueError(f"Delta table already exists at {dest}")
+    if mode not in ("error", "append", "overwrite"):
+        raise ValueError(f"write_delta mode {mode!r}")
+    os.makedirs(os.path.join(dest, "data"), exist_ok=True)
+    os.makedirs(log, exist_ok=True)
+    adds = _stage_data_files(spark, dest, df, pcols, scols)
     actions: list[dict] = []
     if not exists:
         actions.append(
@@ -1584,22 +1604,22 @@ def _latest_protocol(root: str) -> dict:
     return proto
 
 
-def _stage_cdc_delete(
+def _stage_cdc(
     spark: SparkSession,
     dest: str,
     rows: DataFrame,
     pcols: list[str],
 ) -> list[dict]:
-    """Stage the matched rows of a DV delete as authoritative
-    ``_change_data/`` files (_change_type='delete') and return the
-    ``cdc`` actions — executor-side parquet write, one move per
-    file; volume is delete-bound, never table-bound."""
+    """Stage change rows (already carrying ``_change_type``) as
+    authoritative ``_change_data/`` files and return the ``cdc``
+    actions — executor-side parquet write, one move per file;
+    volume is change-bound, never table-bound."""
     import shutil
     import urllib.parse as _up
     import uuid as _uuid
 
     job = os.path.join(dest, f"_cdcstage-{_uuid.uuid4().hex}")
-    w = rows.withColumn("_change_type", F.lit("delete")).write
+    w = rows.write
     if pcols:
         w = w.partitionBy(*pcols)
     w.parquet(job)
@@ -1682,14 +1702,43 @@ def delete_from_delta(
     Column-mapped tables refuse (the predicate would bind to
     physical names); tables whose snapshot carries no live files
     return ``(latest, 0)`` without committing."""
-    import uuid as _uuid
+    return _dml_delta(spark, dest, where, None)
 
+
+def update_delta(
+    spark: SparkSession, dest: str, where, set_exprs: dict
+) -> tuple[int, int]:
+    """DML UPDATE — the DV-delete + re-append composition real Delta
+    writers use: rows matching ``where`` go dead via deletion
+    vectors (zero parquet rewritten for the untouched rows of each
+    file) and their updated images — ``set_exprs`` maps column name
+    → SQL expression string or Column, evaluated against the OLD row
+    — append as NEW data files through the same one-pass-stats
+    staging as :func:`write_delta`. Returns ``(version, rows
+    updated)``. Updating a partition column moves rows to their new
+    hive partition naturally (staging re-partitions by value).
+
+    Under ``delta.enableChangeDataFeed=true`` the commit carries
+    authoritative ``update_preimage`` + ``update_postimage`` cdc
+    rows. Same concurrency/protocol story as
+    :func:`delete_from_delta` (O_EXCL claim, recompute on lost race,
+    deletionVectors feature upgrade)."""
+    if not set_exprs:
+        raise ValueError("update_delta: set_exprs must be non-empty")
+    return _dml_delta(spark, dest, where, set_exprs)
+
+
+def _dml_delta(
+    spark: SparkSession, dest: str, where, set_exprs: dict | None
+) -> tuple[int, int]:
+    """Shared DELETE/UPDATE core (``set_exprs=None`` → DELETE)."""
+    op = "DELETE" if set_exprs is None else "UPDATE"
     cond = F.expr(where) if isinstance(where, str) else where
     while True:
         meta, adds = _snapshot(spark, dest, None)
         if _mapping_mode(meta) != "none":
             raise DeltaProtocolError(
-                "delete_from_delta: column-mapped tables unsupported "
+                f"{op.lower()} on column-mapped tables unsupported "
                 "(predicate would bind to physical column names)"
             )
         commits = _commit_files(dest)
@@ -1702,6 +1751,14 @@ def delete_from_delta(
             return latest, 0
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         ptypes = {f.name: f.dataType for f in schema.fields}
+        setc = {}
+        if set_exprs is not None:
+            for k, e in set_exprs.items():
+                if k not in ptypes:
+                    raise ValueError(
+                        f"update_delta: SET column {k!r} not in schema"
+                    )
+                setc[k] = F.expr(e) if isinstance(e, str) else e
         by_pv: dict[tuple, list[str]] = {}
         for rel, a in adds.items():
             key = tuple(sorted((a.get("partitionValues") or {}).items()))
@@ -1782,23 +1839,54 @@ def delete_from_delta(
             )
             .collect()
         )
-        n_deleted = sum(r["new_rows"] for r in results)
+        n_matched = sum(r["new_rows"] for r in results)
         conf = meta.get("configuration") or {}
+        pcols = meta.get("partitionColumns") or []
+        old_rows = flt.drop("__fp", "__ri")
+        new_adds: list[dict] = []
+        upd = None
+        if n_matched and set_exprs is not None:
+            # UPDATE: evaluated against the OLD row, appended as new
+            # files through the shared one-pass-stats staging
+            upd = old_rows
+            for k, e in setc.items():
+                upd = upd.withColumn(k, e)
+            prim = (
+                T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+                T.DoubleType, T.FloatType, T.StringType, T.DateType,
+            )
+            uscols = [
+                f.name
+                for f in schema.fields
+                if isinstance(f.dataType, prim) and f.name not in pcols
+            ]
+            new_adds = _stage_data_files(
+                spark, dest, upd, pcols, uscols
+            )
         cdc_actions: list[dict] = []
-        if n_deleted and str(
+        if n_matched and str(
             conf.get("delta.enableChangeDataFeed", "")
         ).lower() == "true":
             # AUTHORITATIVE change files: without them CDF falls back
             # to whole-file synthesis (net-correct but noisy —
             # surviving file-mates read as delete+insert pairs); with
-            # enableChangeDataFeed the protocol expects DELETE to
-            # write cdc rows, so emit exactly the matched rows
-            cdc_actions = _stage_cdc_delete(
-                spark, dest, flt.drop("__fp", "__ri"),
-                meta.get("partitionColumns") or [],
-            )
+            # enableChangeDataFeed the protocol expects DML to write
+            # cdc rows, so emit exactly the matched rows
+            if set_exprs is None:
+                cdc_rows = old_rows.withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            else:
+                cdc_rows = old_rows.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ).unionByName(
+                    upd.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+            cdc_actions = _stage_cdc(spark, dest, cdc_rows, pcols)
         flt.unpersist()
-        if n_deleted == 0:
+        if n_matched == 0:
             # clean up the no-op DV files written by carried-only
             # groups (there are none — carried is semi-joined to
             # matched files — but a matched file can still have 0 new
@@ -1853,14 +1941,17 @@ def delete_from_delta(
             new_add["deletionVector"] = json.loads(r["desc"])
             new_add["dataChange"] = True
             actions.append({"add": new_add})
+        actions.extend(new_adds)
         actions.extend(cdc_actions)
         actions.append(
             {
                 "commitInfo": {
-                    "operation": "DELETE",
+                    "operation": op,
                     "timestamp": None,
                     "operationMetrics": {
-                        "numDeletedRows": n_deleted
+                        "numDeletedRows"
+                        if op == "DELETE"
+                        else "numUpdatedRows": n_matched
                     },
                 }
             }
@@ -1880,4 +1971,4 @@ def delete_from_delta(
             interval = 10
         if interval > 0 and v > 0 and v % interval == 0:
             checkpoint_delta_export(spark, dest)
-        return v, n_deleted
+        return v, n_matched

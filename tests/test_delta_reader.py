@@ -1156,3 +1156,61 @@ def test_delete_from_delta_refuses_column_mapping(spark, tmp_path):
     )
     with _pytest.raises(DeltaProtocolError, match="column-mapped"):
         delete_from_delta(spark, root, "k = 1")
+
+
+def test_update_delta_dv_and_cdf(spark, tmp_path):
+    """DML UPDATE = DV-delete + re-append: exact values, partition
+    moves when a partition column is SET, pre/post cdc rows under
+    CDF, and the shared staging leaves stats on the new files."""
+    from dataflowex_spark.sources.delta_reader import (
+        delete_from_delta,
+        read_delta,
+        read_delta_changes,
+        update_delta,
+        write_delta,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i)) for i in range(60)],
+        "k long, g string, x double",
+    )
+    write_delta(
+        spark, df, dest, partition_by=["g"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    v1, n1 = update_delta(
+        spark, dest, "k % 10 = 3", {"x": "x * 100", "g": "'moved'"}
+    )
+    assert n1 == 6
+    got = sorted((r.k, r.g, r.x) for r in read_delta(spark, dest).collect())
+    assert got == sorted(
+        (
+            k,
+            "moved" if k % 10 == 3 else "g%d" % (k % 3),
+            float(k) * 100 if k % 10 == 3 else float(k),
+        )
+        for k in range(60)
+    )
+    # the moved partition exists on disk (hive layout staging)
+    assert os.path.isdir(os.path.join(dest, "data", "g=moved"))
+    ch = read_delta_changes(
+        spark, dest, starting_version=v1, ending_version=v1
+    )
+    cc = [(r["_change_type"], r.k, r.x) for r in ch.collect()]
+    pre = sorted((k, x) for t, k, x in cc if t == "update_preimage")
+    post = sorted((k, x) for t, k, x in cc if t == "update_postimage")
+    assert pre == [(k, float(k)) for k in range(3, 60, 10)]
+    assert post == [(k, float(k) * 100) for k in range(3, 60, 10)]
+    assert len(cc) == 12
+    # compose: delete the moved rows afterwards
+    v2, n2 = delete_from_delta(spark, dest, "g = 'moved'")
+    assert n2 == 6
+    assert read_delta(spark, dest).count() == 54
+    # refusals
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        update_delta(spark, dest, "k = 1", {})
+    with _pytest.raises(ValueError, match="not in schema"):
+        update_delta(spark, dest, "k = 1", {"nope": "1"})
