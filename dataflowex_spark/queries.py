@@ -24673,3 +24673,92 @@ def q430(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q(
+    "q431_delta_dv_merge",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 7 = 1
+    ), changes AS (
+      SELECT okey, 'MERGED' AS priority, price_cents + 7 AS price_cents
+      FROM base WHERE okey % 3 = 0
+      UNION ALL
+      SELECT okey + 1, 'NEWROW' AS priority, price_cents
+      FROM base WHERE okey % 11 = 5
+    ), merged AS (
+      SELECT b.okey,
+             COALESCE(c.priority, b.priority) AS priority,
+             COALESCE(c.price_cents, b.price_cents) AS price_cents
+      FROM base b LEFT JOIN changes c ON b.okey = c.okey
+      UNION ALL
+      SELECT c.okey, c.priority, c.price_cents FROM changes c
+      WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.okey = c.okey)
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM merged GROUP BY priority ORDER BY priority
+    """,
+)
+def q431(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA DML MERGE (merge_delta — the CDC-apply upsert): a
+    change set (updates to existing keys + brand-new keys) merges
+    into a written Delta table in ONE commit — matched target rows
+    go DV-dead, source images + unmatched inserts land through the
+    shared one-pass-stats staging, cdc rows ride along. The oracle
+    replays MERGE algebra in SQL (left join COALESCE + NOT EXISTS
+    union), so a hash match proves upsert exactness end to end.
+    Scale: the match is an equi-join on the merge key with the
+    change-set side small (broadcast), DV positions shuffle once by
+    file, new files carry only changed rows."""
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 7 == 1)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q431_") + "/t"
+    write_delta(spark, base, dest)
+    changes = (
+        base.filter(F.col("okey") % 3 == 0)
+        .select(
+            "okey",
+            F.lit("MERGED").alias("priority"),
+            (F.col("price_cents") + 7).alias("price_cents"),
+        )
+        .unionByName(
+            base.filter(F.col("okey") % 11 == 5).select(
+                (F.col("okey") + 1).alias("okey"),
+                F.lit("NEWROW").alias("priority"),
+                F.col("price_cents"),
+            )
+        )
+    )
+    merge_delta(spark, dest, changes, ["okey"])
+    return (
+        read_delta(spark, dest)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )

@@ -1728,6 +1728,99 @@ def update_delta(
     return _dml_delta(spark, dest, where, set_exprs)
 
 
+def _dml_scan(
+    spark: SparkSession, dest: str, meta: dict, adds: dict
+) -> tuple[DataFrame, DataFrame | None]:
+    """Live-file scan with ROW IDENTITY (``__fp``/``__ri``) and
+    typed partition columns re-attached — the target side every DML
+    op matches against. Already-DV-dead rows are anti-joined out
+    (they are not visible, must not match, must not re-count).
+    Returns ``(scan, old_dead_df)``."""
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    ptypes = {f.name: f.dataType for f in schema.fields}
+    by_pv: dict[tuple, list[str]] = {}
+    for rel, a in adds.items():
+        key = tuple(sorted((a.get("partitionValues") or {}).items()))
+        by_pv.setdefault(key, []).append(rel)
+    pieces = []
+    for key, rels in sorted(by_pv.items()):
+        paths = [
+            os.path.abspath(os.path.join(dest, r))
+            for r in sorted(rels)
+        ]
+        piece = spark.read.parquet(*paths).select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/*", "/"
+            ).alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        for k, v in key:
+            # partition columns live in the path, not the file —
+            # re-attach typed so predicates/join keys can bind them
+            piece = piece.withColumn(
+                k, _typed_partition_lit(v, ptypes[k])
+            )
+        pieces.append(piece)
+    scan = pieces[0]
+    for p in pieces[1:]:
+        scan = scan.unionByName(p)
+    dead_old = _dead_positions(dest, adds)
+    old_df = (
+        spark.createDataFrame(dead_old, "__fp string, __ri long")
+        if dead_old
+        else None
+    )
+    if old_df is not None:
+        scan = scan.join(
+            F.broadcast(old_df), ["__fp", "__ri"], "left_anti"
+        )
+    return scan, old_df
+
+
+def _write_dvs(
+    matched: DataFrame, old_df: DataFrame | None, root_abs: str
+) -> list:
+    """Write ONE merged DV per touched file, executor-side (per-file
+    group task through the from-scratch roaring codec). ``matched``
+    carries (__fp, __ri) of newly-dead rows; a touched file's NEW DV
+    also carries its OLD dead positions (descriptors replace, they
+    don't stack); untouched files keep their old DV byte-for-byte.
+    Returns collected (fp, desc, new_rows) rows."""
+    m = matched.select("__fp", "__ri", F.lit(True).alias("__new"))
+    if old_df is not None:
+        carried = old_df.join(
+            m.select("__fp").distinct(), "__fp", "left_semi"
+        ).select("__fp", "__ri", F.lit(False).alias("__new"))
+        all_pos = m.unionByName(carried)
+    else:
+        all_pos = m
+
+    def _write_group(pdf):
+        import pandas as pd
+
+        from dataflowex_spark.sources.roaring import write_dv_file_u
+
+        desc = write_dv_file_u(
+            root_abs, [int(x) for x in pdf["__ri"]]
+        )
+        return pd.DataFrame(
+            {
+                "fp": [pdf["__fp"].iloc[0]],
+                "desc": [json.dumps(desc)],
+                "new_rows": [int(pdf["__new"].sum())],
+            }
+        )
+
+    return (
+        all_pos.groupBy("__fp")
+        .applyInPandas(
+            _write_group, "fp string, desc string, new_rows long"
+        )
+        .collect()
+    )
+
+
 def _dml_delta(
     spark: SparkSession, dest: str, where, set_exprs: dict | None
 ) -> tuple[int, int]:
@@ -1759,85 +1852,11 @@ def _dml_delta(
                         f"update_delta: SET column {k!r} not in schema"
                     )
                 setc[k] = F.expr(e) if isinstance(e, str) else e
-        by_pv: dict[tuple, list[str]] = {}
-        for rel, a in adds.items():
-            key = tuple(sorted((a.get("partitionValues") or {}).items()))
-            by_pv.setdefault(key, []).append(rel)
-        pieces = []
-        for key, rels in sorted(by_pv.items()):
-            paths = [
-                os.path.abspath(os.path.join(dest, r))
-                for r in sorted(rels)
-            ]
-            piece = spark.read.parquet(*paths).select(
-                "*",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/*", "/"
-                ).alias("__fp"),
-                F.col("_metadata.row_index").alias("__ri"),
-            )
-            for k, v in key:
-                # partition columns live in the path, not the file —
-                # re-attach typed so the predicate can bind them
-                piece = piece.withColumn(
-                    k, _typed_partition_lit(v, ptypes[k])
-                )
-            pieces.append(piece)
-        scan = pieces[0]
-        for p in pieces[1:]:
-            scan = scan.unionByName(p)
-        dead_old = _dead_positions(dest, adds)
-        old_df = (
-            spark.createDataFrame(dead_old, "__fp string, __ri long")
-            if dead_old
-            else None
-        )
-        if old_df is not None:
-            # already-dead rows are not visible — they must neither
-            # match the predicate nor count as deleted again
-            scan = scan.join(
-                F.broadcast(old_df), ["__fp", "__ri"], "left_anti"
-            )
+        scan, old_df = _dml_scan(spark, dest, meta, adds)
         flt = scan.filter(cond).persist()
-        matched = flt.select(
-            "__fp", "__ri", F.lit(True).alias("__new")
-        )
-        if old_df is not None:
-            # merge: a touched file's NEW DV carries its old dead
-            # positions too (descriptors replace, they don't stack);
-            # untouched files keep their old DV byte-for-byte
-            carried = old_df.join(
-                matched.select("__fp").distinct(), "__fp", "left_semi"
-            ).select("__fp", "__ri", F.lit(False).alias("__new"))
-            all_pos = matched.unionByName(carried)
-        else:
-            all_pos = matched
         root_abs = os.path.abspath(dest)
-
-        def _write_group(pdf):
-            import pandas as pd
-
-            from dataflowex_spark.sources.roaring import (
-                write_dv_file_u,
-            )
-
-            desc = write_dv_file_u(
-                root_abs, [int(x) for x in pdf["__ri"]]
-            )
-            return pd.DataFrame(
-                {
-                    "fp": [pdf["__fp"].iloc[0]],
-                    "desc": [json.dumps(desc)],
-                    "new_rows": [int(pdf["__new"].sum())],
-                }
-            )
-
-        results = (
-            all_pos.groupBy("__fp")
-            .applyInPandas(
-                _write_group, "fp string, desc string, new_rows long"
-            )
-            .collect()
+        results = _write_dvs(
+            flt.select("__fp", "__ri"), old_df, root_abs
         )
         n_matched = sum(r["new_rows"] for r in results)
         conf = meta.get("configuration") or {}
@@ -1887,60 +1906,10 @@ def _dml_delta(
             cdc_actions = _stage_cdc(spark, dest, cdc_rows, pcols)
         flt.unpersist()
         if n_matched == 0:
-            # clean up the no-op DV files written by carried-only
-            # groups (there are none — carried is semi-joined to
-            # matched files — but a matched file can still have 0 new
-            # rows only if the predicate matched nothing; guard)
-            for r in results:
-                d = json.loads(r["desc"])
-                from dataflowex_spark.sources.roaring import (
-                    dv_file_relpath,
-                )
-
-                relp = dv_file_relpath(root_abs, d)
-                if relp:
-                    try:
-                        os.unlink(os.path.join(root_abs, relp))
-                    except OSError:
-                        pass
+            _unlink_dvs(results, root_abs)
             return latest, 0
-        actions: list[dict] = []
-        proto = _latest_protocol(dest)
-        rfeats = set(proto.get("readerFeatures") or [])
-        if "deletionVectors" not in rfeats:
-            actions.append(
-                {
-                    "protocol": {
-                        "minReaderVersion": 3,
-                        "minWriterVersion": 7,
-                        "readerFeatures": sorted(
-                            rfeats | {"deletionVectors"}
-                        ),
-                        "writerFeatures": sorted(
-                            set(proto.get("writerFeatures") or [])
-                            | {"deletionVectors"}
-                        ),
-                    }
-                }
-            )
-        for r in sorted(results, key=lambda r: r["fp"]):
-            rel = os.path.relpath(r["fp"], root_abs).replace(
-                os.sep, "/"
-            )
-            old = adds.get(rel)
-            if old is None:
-                raise DeltaProtocolError(
-                    f"matched file {rel} not in snapshot (race?)"
-                )
-            rm = {"path": rel, "dataChange": True}
-            for carry in ("partitionValues", "size", "deletionVector"):
-                if old.get(carry) is not None:
-                    rm[carry] = old[carry]
-            actions.append({"remove": rm})
-            new_add = dict(old)
-            new_add["deletionVector"] = json.loads(r["desc"])
-            new_add["dataChange"] = True
-            actions.append({"add": new_add})
+        actions = _dv_protocol_actions(dest)
+        actions += _dv_readd_actions(results, adds, root_abs)
         actions.extend(new_adds)
         actions.extend(cdc_actions)
         actions.append(
@@ -1956,19 +1925,324 @@ def _dml_delta(
                 }
             }
         )
-        v = latest + 1
-        path = os.path.join(_log_dir(dest), f"{v:020d}.json")
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        v = _try_claim_commit(spark, dest, latest, actions, conf)
+        if v is None:
             continue  # lost the race: recompute against new snapshot
-        with os.fdopen(fd, "w") as f:
-            for a in actions:
-                f.write(json.dumps(a) + "\n")
-        try:
-            interval = int(conf.get("delta.checkpointInterval", 10))
-        except (TypeError, ValueError):
-            interval = 10
-        if interval > 0 and v > 0 and v % interval == 0:
-            checkpoint_delta_export(spark, dest)
         return v, n_matched
+
+
+def _unlink_dvs(results: list, root_abs: str) -> None:
+    """Remove the DV files of an abandoned attempt (no matches / a
+    lost commit race) — best-effort; any stragglers are orphans the
+    DV-aware vacuum reclaims."""
+    from dataflowex_spark.sources.roaring import dv_file_relpath
+
+    for r in results:
+        relp = dv_file_relpath(root_abs, json.loads(r["desc"]))
+        if relp:
+            try:
+                os.unlink(os.path.join(root_abs, relp))
+            except OSError:
+                pass
+
+
+def _dv_protocol_actions(dest: str) -> list[dict]:
+    """Protocol-upgrade action list for a DV-writing commit: empty
+    when the table already declares the feature, else the spec's
+    reader 3 / writer 7 + deletionVectors (existing features
+    carried)."""
+    proto = _latest_protocol(dest)
+    rfeats = set(proto.get("readerFeatures") or [])
+    if "deletionVectors" in rfeats:
+        return []
+    return [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(rfeats | {"deletionVectors"}),
+                "writerFeatures": sorted(
+                    set(proto.get("writerFeatures") or [])
+                    | {"deletionVectors"}
+                ),
+            }
+        }
+    ]
+
+
+def _dv_readd_actions(
+    results: list, adds: dict, root_abs: str
+) -> list[dict]:
+    """remove + re-add (with the new DV descriptor) per touched
+    file — the protocol's DV-DML shape. The remove carries
+    partitionValues/size/old-DV so CDF synthesis stays typed."""
+    actions: list[dict] = []
+    for r in sorted(results, key=lambda r: r["fp"]):
+        rel = os.path.relpath(r["fp"], root_abs).replace(os.sep, "/")
+        old = adds.get(rel)
+        if old is None:
+            raise DeltaProtocolError(
+                f"matched file {rel} not in snapshot (race?)"
+            )
+        rm = {"path": rel, "dataChange": True}
+        for carry in ("partitionValues", "size", "deletionVector"):
+            if old.get(carry) is not None:
+                rm[carry] = old[carry]
+        actions.append({"remove": rm})
+        new_add = dict(old)
+        new_add["deletionVector"] = json.loads(r["desc"])
+        new_add["dataChange"] = True
+        actions.append({"add": new_add})
+    return actions
+
+
+def _try_claim_commit(
+    spark: SparkSession,
+    dest: str,
+    latest: int,
+    actions: list[dict],
+    conf: dict,
+) -> int | None:
+    """Claim version ``latest+1`` exclusively (O_EXCL) and write the
+    actions; ``None`` when another writer won the race (caller
+    recomputes). Honors ``delta.checkpointInterval``."""
+    v = latest + 1
+    path = os.path.join(_log_dir(dest), f"{v:020d}.json")
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return None
+    with os.fdopen(fd, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    try:
+        interval = int(conf.get("delta.checkpointInterval", 10))
+    except (TypeError, ValueError):
+        interval = 10
+    if interval > 0 and v > 0 and v % interval == 0:
+        checkpoint_delta_export(spark, dest)
+    return v
+
+
+def merge_delta(
+    spark: SparkSession,
+    dest: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str | None = "update",
+    when_not_matched: bool = True,
+) -> tuple[int, dict]:
+    """DML MERGE (key-based upsert — the CDC-apply shape): ``source``
+    rows join the target on the ``on`` key columns; matched target
+    rows go DV-dead and, under ``when_matched="update"``, the SOURCE
+    row replaces them (whole-row semantics) via the shared staging;
+    ``when_matched="delete"`` drops them; ``None`` leaves them.
+    ``when_not_matched=True`` inserts unmatched source rows. All in
+    ONE commit. Returns ``(version, {"updated": u, "deleted": d,
+    "inserted": i})``.
+
+    Multiple source rows matching ONE target row refuse (the same
+    ambiguity real Delta's MERGE rejects). Under
+    ``delta.enableChangeDataFeed=true`` the commit carries
+    authoritative cdc rows (update_preimage/postimage, delete,
+    insert). Same concurrency/protocol story as the other DML ops.
+
+    Scale shape: the match is an equi-join on the merge keys (source
+    side is change-set-sized — broadcast when small, shuffle
+    otherwise, Catalyst's call); DV positions shuffle once by file;
+    new files carry only updated+inserted rows."""
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"when_matched {when_matched!r}")
+    if when_matched is None and not when_not_matched:
+        raise ValueError("merge_delta: no clauses — nothing to do")
+    if not on:
+        raise ValueError("merge_delta: empty merge key")
+    while True:
+        meta, adds = _snapshot(spark, dest, None)
+        if _mapping_mode(meta) != "none":
+            raise DeltaProtocolError(
+                "merge on column-mapped tables unsupported"
+            )
+        commits = _commit_files(dest)
+        newest_cp = _checkpoint_for(dest, 1 << 62)
+        latest = max(
+            max(commits, default=-1),
+            newest_cp[0] if newest_cp else -1,
+        )
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        tcols = [f.name for f in schema.fields]
+        for k in on:
+            if k not in tcols:
+                raise ValueError(f"merge key {k!r} not in schema")
+        missing = [c for c in tcols if c not in source.columns]
+        if missing and (when_matched == "update" or when_not_matched):
+            raise ValueError(
+                f"source lacks table columns {missing} (whole-row "
+                "update/insert semantics need them all)"
+            )
+        pcols = meta.get("partitionColumns") or []
+        conf = meta.get("configuration") or {}
+        cdf_on = str(
+            conf.get("delta.enableChangeDataFeed", "")
+        ).lower() == "true"
+        prim = (
+            T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+            T.DoubleType, T.FloatType, T.StringType, T.DateType,
+        )
+        scols = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, prim) and f.name not in pcols
+        ]
+        src = source.select(*tcols).persist()
+        dup = (
+            src.groupBy(*on).count().filter(F.col("count") > 1).count()
+        )
+        if dup:
+            src.unpersist()
+            raise ValueError(
+                f"merge_delta: {dup} source keys match multiple "
+                "source rows (ambiguous — dedupe the source first)"
+            )
+        root_abs = os.path.abspath(dest)
+        n_matched = 0
+        results: list = []
+        joined = None
+        if adds:
+            scan, old_df = _dml_scan(spark, dest, meta, adds)
+            joined = (
+                scan.alias("t")
+                .join(src.alias("s"), on, "inner")
+                .persist()
+            )
+            if when_matched is not None:
+                results = _write_dvs(
+                    joined.select("__fp", "__ri"), old_df, root_abs
+                )
+                n_matched = sum(r["new_rows"] for r in results)
+        # new data files: source images of matched rows (update) +
+        # unmatched source rows (insert) — ONE staging job
+        pieces = []
+        if when_matched == "update" and n_matched:
+            pieces.append(
+                joined.select(
+                    *[
+                        (
+                            F.col(c)
+                            if c in on
+                            else F.col(f"s.{c}")
+                        ).alias(c)
+                        for c in tcols
+                    ]
+                )
+            )
+        inserts = None
+        if when_not_matched:
+            tgt_keys = (
+                joined.select(*on) if joined is not None
+                else spark.createDataFrame(
+                    [], T.StructType([schema[k] for k in on])
+                )
+            )
+            inserts = src.join(tgt_keys, on, "left_anti").persist()
+        new_rows = None
+        for p in pieces + ([inserts] if inserts is not None else []):
+            new_rows = p if new_rows is None else new_rows.unionByName(p)
+        new_adds: list[dict] = []
+        total_staged = 0
+        if new_rows is not None:
+            new_adds = _stage_data_files(
+                spark, dest, new_rows, pcols, scols
+            )
+            total_staged = sum(
+                json.loads(a["add"]["stats"])["numRecords"]
+                for a in new_adds
+            )
+        n_updated = n_matched if when_matched == "update" else 0
+        n_deleted = n_matched if when_matched == "delete" else 0
+        n_inserted = total_staged - n_updated
+        cdc_actions: list[dict] = []
+        if cdf_on and (n_matched or n_inserted):
+            parts = []
+            if n_matched:
+                pre = joined.select(
+                    *[
+                        (
+                            F.col(c) if c in on else F.col(f"t.{c}")
+                        ).alias(c)
+                        for c in tcols
+                    ]
+                )
+                if when_matched == "update":
+                    parts.append(
+                        pre.withColumn(
+                            "_change_type",
+                            F.lit("update_preimage"),
+                        )
+                    )
+                    parts.append(
+                        joined.select(
+                            *[
+                                (
+                                    F.col(c)
+                                    if c in on
+                                    else F.col(f"s.{c}")
+                                ).alias(c)
+                                for c in tcols
+                            ]
+                        ).withColumn(
+                            "_change_type",
+                            F.lit("update_postimage"),
+                        )
+                    )
+                else:
+                    parts.append(
+                        pre.withColumn(
+                            "_change_type", F.lit("delete")
+                        )
+                    )
+            if inserts is not None and n_inserted:
+                parts.append(
+                    inserts.withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                )
+            cdc_rows = parts[0]
+            for p in parts[1:]:
+                cdc_rows = cdc_rows.unionByName(p)
+            cdc_actions = _stage_cdc(spark, dest, cdc_rows, pcols)
+        if joined is not None:
+            joined.unpersist()
+        if inserts is not None:
+            inserts.unpersist()
+        src.unpersist()
+        stats = {
+            "updated": n_updated,
+            "deleted": n_deleted,
+            "inserted": n_inserted,
+        }
+        if not (n_matched or n_inserted):
+            _unlink_dvs(results, root_abs)
+            return latest, stats
+        actions = _dv_protocol_actions(dest) if n_matched else []
+        if n_matched:
+            actions += _dv_readd_actions(results, adds, root_abs)
+        actions.extend(new_adds)
+        actions.extend(cdc_actions)
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "MERGE",
+                    "timestamp": None,
+                    "operationMetrics": {
+                        "numTargetRowsUpdated": n_updated,
+                        "numTargetRowsDeleted": n_deleted,
+                        "numTargetRowsInserted": n_inserted,
+                    },
+                }
+            }
+        )
+        v = _try_claim_commit(spark, dest, latest, actions, conf)
+        if v is None:
+            continue
+        return v, stats

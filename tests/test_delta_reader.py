@@ -1214,3 +1214,75 @@ def test_update_delta_dv_and_cdf(spark, tmp_path):
         update_delta(spark, dest, "k = 1", {})
     with _pytest.raises(ValueError, match="not in schema"):
         update_delta(spark, dest, "k = 1", {"nope": "1"})
+
+
+def test_merge_delta_upsert_delete_and_refusals(spark, tmp_path):
+    """DML MERGE: key-based upsert in one commit (matched rows
+    DV-die, source images + unmatched inserts stage as new files),
+    delete mode, authoritative cdc rows, ambiguous-source refusal,
+    and merge into an empty table."""
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.delta_reader import (
+        merge_delta,
+        read_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i)) for i in range(20)],
+        "k long, g string, x double",
+    )
+    write_delta(
+        spark, df, dest, partition_by=["g"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    src = spark.createDataFrame(
+        [(5, "gX", 500.0), (7, "g1", 700.0),
+         (100, "g0", 1000.0), (101, "g1", 1010.0)],
+        "k long, g string, x double",
+    )
+    v, stats = merge_delta(spark, dest, src, ["k"])
+    assert stats == {"updated": 2, "deleted": 0, "inserted": 2}
+    got = {r.k: (r.g, r.x) for r in read_delta(spark, dest).collect()}
+    assert len(got) == 22
+    assert got[5] == ("gX", 500.0) and got[100] == ("g0", 1000.0)
+    assert got[6] == ("g0", 6.0)  # untouched rows intact
+    cc = sorted(
+        (r["_change_type"], r.k)
+        for r in read_delta_changes(
+            spark, dest, starting_version=v, ending_version=v
+        ).collect()
+    )
+    assert cc == [
+        ("insert", 100), ("insert", 101),
+        ("update_postimage", 5), ("update_postimage", 7),
+        ("update_preimage", 5), ("update_preimage", 7),
+    ]
+    # when_matched="delete": the CDC-tombstone apply shape
+    v2, st2 = merge_delta(
+        spark, dest,
+        spark.createDataFrame(
+            [(100, "", 0.0), (3, "", 0.0)],
+            "k long, g string, x double"),
+        ["k"], when_matched="delete", when_not_matched=False,
+    )
+    assert st2 == {"updated": 0, "deleted": 2, "inserted": 0}
+    assert read_delta(spark, dest).count() == 20
+    # ambiguous source refuses
+    with _pytest.raises(ValueError, match="multiple"):
+        merge_delta(
+            spark, dest,
+            spark.createDataFrame(
+                [(1, "a", 0.0), (1, "b", 0.0)],
+                "k long, g string, x double"),
+            ["k"],
+        )
+    # merge into an empty table inserts everything
+    dest2 = str(tmp_path / "t2")
+    write_delta(spark, df.limit(0), dest2)
+    v3, st3 = merge_delta(spark, dest2, src, ["k"])
+    assert st3["inserted"] == 4
+    assert read_delta(spark, dest2).count() == 4
