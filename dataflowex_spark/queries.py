@@ -8986,12 +8986,23 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup decision EXPLANATION — the reviewer workflow behind every
     automated near-dup removal: for each pair above the (high, 0.5)
     Jaccard threshold, emit the actual shared 3-word shingles that
-    drove the decision, one row per shared gram. Same inverted-index
-    equi-join as the q86 detector (candidates only through the gram
-    join, never all-pairs); the per-pair intersection count rides the
-    same shuffle as a window count, so explanation costs one pass
-    more than detection — not a re-scan."""
+    drove the decision, one row per shared gram.
+
+    Candidates come from PREFIX FILTERING (the q235 PPJoin bound,
+    inlined against THIS query's gram definition): grams order by
+    global document frequency ascending, and only each doc's first
+    ``ng − ⌈t·ng⌉ + 1`` grams enter the candidate equi-join — a
+    Jaccard-0.5 pair MUST collide inside both prefixes, so hot
+    boilerplate grams (the ones that pair 1% of a corpus with
+    itself) never key a join. The r8 full-registry sweep caught the
+    previous share-ANY-gram plan at 94 s on sf0.1 — quadratic in
+    per-gram document frequency, a 100 TB killer; prefix filtering
+    is the same fix at every scale. Shared-gram enumeration then
+    runs ONLY for candidate pairs (broadcast pair list → two
+    restricted joins), and the final Jaccard filter is unchanged —
+    identical output, oracle-pinned."""
     from dataflowex_spark.functions.text import WS_REGEX
+    from dataflowex_spark.plans import spread_small_scan
     from pyspark.sql import Window as W
 
     cat = Catalog(spark, sf_dir)
@@ -9005,25 +9016,69 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i, 3), " "),
         )
     )
-    g = cat["documents"].select("doc_id", grams.alias("g"))
+    # the shingle table feeds FIVE branches (df counts, prefix
+    # ranking, sizes, both sides of the enumeration join) — a lazy
+    # plan would re-tokenize per branch, so materialize it once
+    # (localCheckpoint, the q131 lineage-cut precedent; production
+    # dedup pipelines persist their shingle tables for exactly this
+    # reason). spread_small_scan first: the fixture's single row
+    # group would otherwise pin the one real tokenize pass to 1 task
+    g = (
+        spread_small_scan(cat["documents"])
+        .select("doc_id", grams.alias("g"))
+        .localCheckpoint(eager=False)
+    )
     sizes = g.select("doc_id", F.size("g").alias("ng"))
     ex = g.select("doc_id", F.explode("g").alias("gram"))
-    a = ex.select(F.col("doc_id").alias("id_a"), "gram")
-    b = ex.select(F.col("doc_id").alias("id_b"), "gram")
-    inter = (
-        a.join(b, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
+    # prefix filtering: df-ascending gram order, first ng//2+1 grams
+    dfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        ex.join(dfreq, "gram")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "gram")
+            ),
+        )
+        .filter(
+            F.col("rk")
+            <= F.col("ng") - F.ceil(F.col("ng") * 0.5) + 1
+        )
+        .select("doc_id", "gram", "ng")
+    )
+    pa = ranked.select(
+        F.col("doc_id").alias("id_a"), "gram", F.col("ng").alias("na")
+    )
+    pb = ranked.select(
+        F.col("doc_id").alias("id_b"), "gram", F.col("ng").alias("nb")
+    )
+    cand = (
+        pa.join(pb, "gram")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # size bound: jacc ≥ 0.5 needs 2·min ≥ max
+            & (
+                2 * F.least("na", "nb")
+                >= F.greatest("na", "nb")
+            )
+        )
+        .select("id_a", "id_b", "na", "nb")
+        .distinct()
+    )
+    # shared-gram enumeration restricted to candidate pairs
+    exa = ex.select(F.col("doc_id").alias("id_a"), "gram")
+    exb = ex.select(F.col("doc_id").alias("id_b"), "gram")
+    shared = (
+        exa.join(F.broadcast(cand), "id_a")
+        .join(exb, ["id_b", "gram"])
         .withColumn(
             "n_inter",
             F.count("*").over(W.partitionBy("id_a", "id_b")),
         )
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("ng").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("ng").alias("nb"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .filter(
+        shared.filter(
             F.col("n_inter").cast("double")
             / (F.col("na") + F.col("nb") - F.col("n_inter"))
             >= 0.5
