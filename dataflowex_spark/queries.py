@@ -4900,8 +4900,10 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_search,
     )
 
+    from dataflowex_spark.plans import spread_small_scan
+
     cat = Catalog(spark, sf_dir)
-    emb = cat["embeddings"].select(
+    emb = spread_small_scan(cat["embeddings"]).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     tag = hashlib.md5(
@@ -13693,8 +13695,10 @@ def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_cosine_exact,
     )
 
+    from dataflowex_spark.plans import spread_small_scan
+
     cat = Catalog(spark, sf_dir)
-    emb = cat["embeddings"]
+    emb = spread_small_scan(cat["embeddings"])
     probes = emb.filter(F.col("vec_id") < 40)
     idx = tempfile.mkdtemp(prefix="ivf_q298_") + "/ivf"
     ivf_build_index(emb, idx, n_cells=8)
@@ -13725,8 +13729,10 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_index_probe,
     )
 
+    from dataflowex_spark.plans import spread_small_scan
+
     cat = Catalog(spark, sf_dir)
-    docs = cat["documents"]
+    docs = spread_small_scan(cat["documents"])
     corpus = docs.filter(F.col("doc_id") % 3 == 0)
     batch = docs.filter(F.col("doc_id") % 3 == 1)
     name = f"lsh_q299_{_uuid.uuid4().hex[:8]}"
@@ -14931,8 +14937,10 @@ def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
         series_arrays,
     )
 
+    from dataflowex_spark.plans import spread_small_scan
+
     cat = Catalog(spark, sf_dir)
-    ev = cat["events"]
+    ev = spread_small_scan(cat["events"])
     words = sax_words(
         ev,
         key_col="user_id",
@@ -18062,9 +18070,11 @@ def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
     that, composed with the IVF index (q161) cutting candidate
     count, is how billion-scale ANN serves from RAM."""
     from dataflowex_spark.operators.similarity import pq_recall_audit
+    from dataflowex_spark.plans import spread_small_scan
 
     cat = Catalog(spark, sf_dir)
-    emb = cat["embeddings"]
+    # single-row-group fixture: unpin the CPU-heavy encode/train scan
+    emb = spread_small_scan(cat["embeddings"])
     probes = emb.orderBy("vec_id").limit(20)
     return pq_recall_audit(
         emb, probes, k=10, m_sub=16, n_codes=64, iters=4
@@ -22892,8 +22902,10 @@ def q411(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster property is pytest-pinned."""
     from dataflowex_spark.operators.similarity import kcenter_select
 
+    from dataflowex_spark.plans import spread_small_scan
+
     cat = Catalog(spark, sf_dir)
-    emb = cat["embeddings"]
+    emb = spread_small_scan(cat["embeddings"])
     centers = kcenter_select(emb, k=12)
     ids = [int(c[0]) for c in centers]
     dist_exprs = [
