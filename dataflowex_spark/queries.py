@@ -24829,3 +24829,81 @@ def q431(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q(
+    "q432_iceberg_pos_delete_dml",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 6 = 5
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM base
+    WHERE NOT (price_cents % 8 < 2) AND NOT (price_cents % 11 = 3)
+    GROUP BY priority ORDER BY priority
+    """,
+)
+def q432(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG ROW-LEVEL DELETE via POSITION-DELETE FILES
+    (delete_from_iceberg — the v2 merge-on-read DML primitive, the
+    format twin of q429's Delta DV delete): two successive deletes
+    land as (file_path, pos) sidecar parquet in two snapshots —
+    data files never rewrite (asserted in-query), already-dead rows
+    never re-match (the second delete's positions accumulate on top
+    of the first through the reader's seq-gated anti-join). The
+    oracle replays both predicates as one WHERE over the base
+    partition, so a hash match proves the MoR write→read loop exact
+    across accumulated delete state. Scale: matched positions write
+    delete-volume-bound, the carried manifest is metadata-only, and
+    the read-side anti-join is bounded by delete debt (the same
+    economics as MTable DVs)."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        delete_from_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 6 == 5)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q432_") + "/t"
+    write_iceberg(spark, base, dest)
+
+    def data_files():
+        return sorted(
+            f
+            for f in _glob.glob(_os.path.join(dest, "data", "*.parquet"))
+            if not _os.path.basename(f).startswith("delete-")
+        )
+
+    before = data_files()
+    delete_from_iceberg(spark, dest, "price_cents % 8 < 2")
+    delete_from_iceberg(spark, dest, "price_cents % 11 = 3")
+    assert data_files() == before, "MoR delete must not rewrite data"
+    return (
+        read_iceberg(spark, dest)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )

@@ -2347,3 +2347,268 @@ def write_iceberg(
     with open(hint_path, "w") as f:
         f.write(str(prev + 1))
     return new_sid
+
+
+def delete_from_iceberg(
+    spark: SparkSession, root: str, where
+) -> tuple[int, int]:
+    """Row-level DELETE via POSITION DELETE files — Iceberg v2's
+    merge-on-read DML primitive (the format twin of
+    :func:`delta_reader.delete_from_delta`): matching rows go dead
+    through ``(file_path, pos)`` sidecar parquet, data files never
+    rewrite. One new snapshot carries TWO manifests — the data
+    manifest re-listing the live set as EXISTING with original
+    sequence numbers (the spec's manifest-rewrite shape, same as the
+    CDC publisher) and a content=1 DELETE manifest at the new
+    sequence — so :func:`read_iceberg`'s existing MoR path applies
+    them with exact seq gating. Returns ``(snapshot_id, rows)``.
+
+    Row addressing: parquet files through ``_metadata.row_index``,
+    AVRO files through the codec scan's own positions (``__ri``);
+    live ORC files refuse (Spark exposes no ORC row_index — the same
+    boundary the reader declares). Already-dead rows (prior position
+    deletes) are anti-joined out before matching, so re-deletes
+    count zero and deletes accumulate across snapshots without
+    merging files. Equality-delete debt refuses (apply order against
+    a new positional delete is table-state dependent).
+
+    Scale shape: the scan is the ordinary pruned read; matched
+    positions write as delete-volume-bound parquet, sorted by
+    (file_path, pos) within partitions per the spec's
+    recommendation; the carried manifest is metadata-only."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.sources.avro_io import write_container
+
+    meta = load_table_metadata(root)
+    snaps = meta.get("snapshots", [])
+    sid = meta.get("current-snapshot-id")
+    (
+        live, pos_deletes, eq_deletes, bounds, partitions, formats,
+    ) = _live_files(root, meta, sid if sid not in (None, -1) else None)
+    if eq_deletes:
+        raise IcebergProtocolError(
+            "delete_from_iceberg: table carries equality-delete "
+            "debt — apply/compact it first"
+        )
+    latest_sid = snaps[-1]["snapshot-id"] if snaps else -1
+    if not live:
+        return latest_sid, 0
+    if any(formats.get(p) == "ORC" for p in live):
+        raise IcebergProtocolError(
+            "delete_from_iceberg: live ORC data files — Spark "
+            "exposes no row_index for ORC scans, rows are not "
+            "position-addressable"
+        )
+    cond = F.expr(where) if isinstance(where, str) else where
+    mapping = _name_mapping(meta)
+    names_by_id = _field_names_by_id(meta)
+    by_group: dict[tuple, list[str]] = {}
+    for path, seq in sorted(live.items()):
+        fmt = formats.get(path, "PARQUET")
+        renames = (
+            _footer_renames(path, names_by_id, mapping)
+            if fmt == "PARQUET"
+            else ()
+        )
+        by_group.setdefault((renames, fmt), []).append(path)
+    pieces = []
+    for (renames, fmt), paths in sorted(by_group.items()):
+        if fmt == "AVRO":
+            piece = _avro_scan(spark, paths, meta, mapping, True)
+        else:
+            piece = spark.read.parquet(*paths)
+            if renames:
+                ren = dict(renames)
+                piece = piece.select(
+                    *[
+                        F.col(c).alias(ren.get(c, c))
+                        for c in piece.columns
+                    ]
+                )
+            piece = piece.select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/*", "/"
+                ).alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+        pieces.append(piece)
+    scan = pieces[0]
+    for p in pieces[1:]:
+        scan = scan.unionByName(p)
+    if pos_deletes:
+        dv_pieces = []
+        for path, _dseq in sorted(set(pos_deletes)):
+            dv_pieces.append(
+                spark.read.parquet(path).select(
+                    F.regexp_replace(
+                        F.col("file_path"), "^file:/*", "/"
+                    ).alias("__fp"),
+                    F.col("pos").alias("__ri"),
+                )
+            )
+        dv = dv_pieces[0]
+        for p in dv_pieces[1:]:
+            dv = dv.unionByName(p)
+        scan = scan.join(
+            F.broadcast(dv.distinct()), ["__fp", "__ri"], "left_anti"
+        )
+    matched = (
+        scan.filter(cond)
+        .select(
+            F.col("__fp").alias("file_path"),
+            F.col("__ri").alias("pos"),
+        )
+        .sortWithinPartitions("file_path", "pos")
+    )
+    job = os.path.join(root, f"_delstage-{_uuid.uuid4().hex}")
+    matched.write.parquet(job)
+    staged = spark.read.parquet(job)
+    n_deleted = staged.count()  # parquet-metadata fast
+    import shutil as _shutil
+
+    if n_deleted == 0:
+        _shutil.rmtree(job, ignore_errors=True)
+        return latest_sid, 0
+    new_sid = latest_sid + 1 if latest_sid >= 0 else 1
+    new_seq = int(meta.get("last-sequence-number", 0)) + 1
+    md = _meta_dir(root)
+    del_entries = []
+    for fn in sorted(os.listdir(job)):
+        if not fn.endswith(".parquet"):
+            continue
+        target = os.path.join(root, "data", f"delete-{new_sid}-{fn}")
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        os.replace(os.path.join(job, fn), target)
+        del_entries.append(
+            {
+                "status": 1,
+                "snapshot_id": new_sid,
+                "sequence_number": new_seq,
+                "data_file": {
+                    "content": 1,
+                    "file_path": os.path.abspath(target),
+                    "file_format": "PARQUET",
+                    "record_count": 0,
+                    "file_size_in_bytes": os.path.getsize(target),
+                    "equality_ids": None,
+                },
+            }
+        )
+    _shutil.rmtree(job, ignore_errors=True)
+    # carried data manifest: live set as EXISTING with ORIGINAL seqs
+    spec_fields = _spec_from_meta(meta) if meta.get(
+        "partition-specs"
+    ) else []
+    pinfo_fields = []
+    for pf in spec_fields:
+        kind, _param = parse_transform(pf["transform"])
+        src_name = names_by_id[pf["source-id"]]
+        ice_t = {f["name"]: f for f in _current_schema_fields(meta)}[
+            src_name
+        ]["type"]
+        pinfo_fields.append(dict(pf, _avro=_part_avro_type(kind, ice_t)))
+    carried = []
+    for path, seq in sorted(live.items()):
+        pb = bounds.get(path)
+        carried.append(
+            {
+                "status": 0,
+                "snapshot_id": new_sid,
+                "sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": path,
+                    "file_format": formats.get(path, "PARQUET"),
+                    "record_count": 0,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "equality_ids": None,
+                    "partition": partitions.get(path),
+                    "lower_bounds": (
+                        [{"key": k, "value": v} for k, v in pb[0].items()]
+                        if pb
+                        else None
+                    ),
+                    "upper_bounds": (
+                        [{"key": k, "value": v} for k, v in pb[1].items()]
+                        if pb
+                        else None
+                    ),
+                },
+            }
+        )
+    # prior position deletes carry too (their files are still live
+    # delete state — a snapshot lists ALL its manifests)
+    for path, dseq in sorted(set(pos_deletes)):
+        del_entries.append(
+            {
+                "status": 0,
+                "snapshot_id": new_sid,
+                "sequence_number": dseq,
+                "data_file": {
+                    "content": 1,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "record_count": 0,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "equality_ids": None,
+                },
+            }
+        )
+    data_schema = (
+        _manifest_schema_with_partition(pinfo_fields)
+        if pinfo_fields
+        else MANIFEST_SCHEMA
+    )
+    mpath = os.path.join(md, f"manifest-del-{new_sid:05d}-data.avro")
+    write_container(mpath, data_schema, carried)
+    dpath = os.path.join(md, f"manifest-del-{new_sid:05d}-pos.avro")
+    write_container(dpath, MANIFEST_SCHEMA, del_entries)
+    mlist = os.path.join(md, f"snap-{new_sid}.avro")
+    write_container(
+        mlist,
+        MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": os.path.abspath(mpath),
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": meta.get("default-spec-id", 0),
+                "content": 0,
+                "sequence_number": new_seq,
+                "added_snapshot_id": new_sid,
+            },
+            {
+                "manifest_path": os.path.abspath(dpath),
+                "manifest_length": os.path.getsize(dpath),
+                "partition_spec_id": meta.get("default-spec-id", 0),
+                "content": 1,
+                "sequence_number": new_seq,
+                "added_snapshot_id": new_sid,
+            },
+        ],
+    )
+    meta["snapshots"] = snaps + [
+        {
+            "snapshot-id": new_sid,
+            "timestamp-ms": 1000 * new_sid,
+            "sequence-number": new_seq,
+            "manifest-list": os.path.abspath(mlist),
+            "summary": {"operation": "delete"},
+        }
+    ]
+    meta["current-snapshot-id"] = new_sid
+    meta["last-sequence-number"] = new_seq
+    hint_path = os.path.join(md, "version-hint.text")
+    prev = (
+        int(open(hint_path).read().strip())
+        if os.path.exists(hint_path)
+        else 0
+    )
+    with open(os.path.join(md, f"v{prev + 1}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(hint_path, "w") as f:
+        f.write(str(prev + 1))
+    return new_sid, n_deleted

@@ -1160,3 +1160,65 @@ def test_iceberg_avro_partitioned_write(spark, tmp_path):
     one = read_iceberg(spark, dest, skip_where=[("g", "=", "g1")])
     assert rows(one.select("g").distinct()) == [("g1",)]
     assert one.count() == 10
+
+
+def test_delete_from_iceberg_position_deletes(spark, tmp_path):
+    """Row-level DELETE via position-delete files: exact rows, data
+    files never rewritten, deletes accumulate across snapshots,
+    re-deletes are no-ops, time travel sees pre-delete state, and
+    ORC-live / equality-debt tables refuse."""
+    import glob
+
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        IcebergProtocolError,
+        delete_from_iceberg,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i)) for i in range(60)],
+        "k long, g string, x double",
+    )
+    write_iceberg(spark, df, dest, partition_by=["g"])
+    data_before = sorted(
+        f for f in glob.glob(
+            os.path.join(dest, "data", "**", "*.parquet"),
+            recursive=True)
+        if "delete-" not in os.path.basename(f)
+    )
+    sid, n = delete_from_iceberg(spark, dest, "k % 10 = 0")
+    assert n == 6
+    assert sorted(
+        r.k for r in read_iceberg(spark, dest).collect()
+    ) == [k for k in range(60) if k % 10 != 0]
+    assert data_before == sorted(
+        f for f in glob.glob(
+            os.path.join(dest, "data", "**", "*.parquet"),
+            recursive=True)
+        if "delete-" not in os.path.basename(f)
+    )
+    # no-op re-delete: same snapshot id, zero rows
+    assert delete_from_iceberg(spark, dest, "k % 10 = 0") == (sid, 0)
+    # accumulate
+    sid3, n3 = delete_from_iceberg(spark, dest, "k % 10 = 1")
+    assert n3 == 6
+    assert sorted(
+        r.k for r in read_iceberg(spark, dest).collect()
+    ) == [k for k in range(60) if k % 10 not in (0, 1)]
+    # pre-delete snapshot intact
+    assert read_iceberg(spark, dest, snapshot_id=1).count() == 60
+    # AVRO-format tables delete fine (codec positions); ORC refuses
+    dest2 = str(tmp_path / "avro")
+    write_iceberg(spark, df, dest2, file_format="avro")
+    _sidA, nA = delete_from_iceberg(spark, dest2, "k < 5")
+    assert nA == 5
+    assert sorted(
+        r.k for r in read_iceberg(spark, dest2).collect()
+    ) == list(range(5, 60))
+    dest3 = str(tmp_path / "orc")
+    write_iceberg(spark, df, dest3, file_format="orc")
+    with _pytest.raises(IcebergProtocolError, match="row_index"):
+        delete_from_iceberg(spark, dest3, "k = 1")
