@@ -24907,3 +24907,78 @@ def q432(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q(
+    "q433_delta_dv_compaction",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 9 = 2
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM base WHERE NOT (price_cents % 3 = 1)
+    GROUP BY priority ORDER BY priority
+    """,
+)
+def q433(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA DV COMPACTION (compact_delta_dvs — the OPTIMIZE-style
+    purge closing the DV lifecycle): a ~33%-dense delete leaves
+    every file DV-heavy; compaction rewrites them dead-rows-gone
+    with ``dataChange: false`` (a storage reorganization — CDF and
+    row sets unchanged, asserted in-query: zero DV-carrying adds
+    remain and the post-compaction read hash-matches the oracle's
+    plain WHERE). Scale: the rewrite touches ONLY dense-DV files
+    (debt-targeted, never the table); freed DV files age into
+    vacuum-reclaimable orphans — MTable's compaction economics on
+    the Delta protocol."""
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        _snapshot,
+        compact_delta_dvs,
+        delete_from_delta,
+        read_delta,
+        write_delta,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 9 == 2)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q433_") + "/t"
+    write_delta(spark, base, dest)
+    delete_from_delta(spark, dest, "price_cents % 3 = 1")
+    compact_delta_dvs(spark, dest, min_dead_ratio=0.2)
+    import json as _json
+
+    _meta, adds = _snapshot(spark, dest, None)
+    for a in adds.values():
+        dv = a.get("deletionVector")
+        if not dv:
+            continue
+        st = _json.loads(a["stats"])
+        assert dv["cardinality"] / st["numRecords"] < 0.2, (
+            "dense DV survived compaction: " + a["path"]
+        )
+    return (
+        read_delta(spark, dest)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )

@@ -2246,3 +2246,105 @@ def merge_delta(
         if v is None:
             continue
         return v, stats
+
+
+def compact_delta_dvs(
+    spark: SparkSession, dest: str, min_dead_ratio: float = 0.3
+) -> tuple[int, int]:
+    """DV COMPACTION (the OPTIMIZE-style purge that closes the DV
+    lifecycle: delete → accumulate → compact → vacuum): every live
+    file whose deletion vector has gone DENSE — dead rows ≥
+    ``min_dead_ratio`` of the file's physical rows — rewrites to a
+    fresh file with the dead rows physically gone, dropping its DV.
+    Sparse-DV files stay as they are (rewriting them would cost more
+    I/O than the dead rows waste). The commit is remove+add with
+    ``dataChange: false`` — a storage reorganization, invisible to
+    CDF (the synthesizer skips non-dataChange actions) and to every
+    reader's row set. Returns ``(version, files rewritten)``; no
+    qualifying files → no commit, ``(latest, 0)``.
+
+    Scale shape: the rewrite scans ONLY the chosen files (DV-debt-
+    targeted, never the table), stages through the shared one-pass-
+    stats path, and the freed DV files become vacuum-reclaimable
+    orphans once their versions age out — the same debt economics as
+    MTable's compaction."""
+    from dataflowex_spark.sources.roaring import decode_dv_descriptor
+
+    while True:
+        meta, adds = _snapshot(spark, dest, None)
+        if _mapping_mode(meta) != "none":
+            raise DeltaProtocolError(
+                "compact_delta_dvs: column-mapped tables unsupported"
+            )
+        commits = _commit_files(dest)
+        newest_cp = _checkpoint_for(dest, 1 << 62)
+        latest = max(
+            max(commits, default=-1),
+            newest_cp[0] if newest_cp else -1,
+        )
+        chosen: dict[str, dict] = {}
+        for rel, a in adds.items():
+            dv = a.get("deletionVector")
+            if not dv:
+                continue
+            if isinstance(dv, str):
+                dv = json.loads(dv)
+            dead = dv.get("cardinality")
+            total = None
+            raw = a.get("stats")
+            if raw:
+                try:
+                    st = (
+                        json.loads(raw) if isinstance(raw, str)
+                        else dict(raw)
+                    )
+                    total = st.get("numRecords")
+                except (TypeError, ValueError):
+                    total = None
+            if dead is None or not total:
+                continue  # unsized: stay conservative, keep the DV
+            if dead / total >= min_dead_ratio:
+                chosen[rel] = a
+        if not chosen:
+            return latest, 0
+        pcols = meta.get("partitionColumns") or []
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        prim = (
+            T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+            T.DoubleType, T.FloatType, T.StringType, T.DateType,
+        )
+        scols = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, prim) and f.name not in pcols
+        ]
+        scan, _old = _dml_scan(spark, dest, meta, chosen)
+        rows = scan.drop("__fp", "__ri")  # DV dead already anti-joined
+        new_adds = _stage_data_files(spark, dest, rows, pcols, scols)
+        for na in new_adds:
+            na["add"]["dataChange"] = False
+        actions: list[dict] = []
+        for rel in sorted(chosen):
+            old = chosen[rel]
+            rm = {"path": rel, "dataChange": False}
+            for carry in ("partitionValues", "size", "deletionVector"):
+                if old.get(carry) is not None:
+                    rm[carry] = old[carry]
+            actions.append({"remove": rm})
+        actions.extend(new_adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "OPTIMIZE",
+                    "timestamp": None,
+                    "operationMetrics": {
+                        "numFilesRewritten": len(chosen)
+                    },
+                }
+            }
+        )
+        conf = meta.get("configuration") or {}
+        v = _try_claim_commit(spark, dest, latest, actions, conf)
+        if v is None:
+            continue
+        return v, len(chosen)

@@ -1286,3 +1286,49 @@ def test_merge_delta_upsert_delete_and_refusals(spark, tmp_path):
     v3, st3 = merge_delta(spark, dest2, src, ["k"])
     assert st3["inserted"] == 4
     assert read_delta(spark, dest2).count() == 4
+
+
+def test_compact_delta_dvs(spark, tmp_path):
+    """DV compaction: dense-DV files rewrite without their dead rows
+    (dataChange=false — invisible to CDF), sparse-DV files keep
+    their DV, the logical row set is identical, and a table with no
+    DV debt is a no-op."""
+    from dataflowex_spark.sources.delta_reader import (
+        _snapshot,
+        compact_delta_dvs,
+        delete_from_delta,
+        read_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, x double"
+    )
+    write_delta(
+        spark, df, dest,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    # no debt: no-op, no commit
+    v0 = compact_delta_dvs(spark, dest)
+    assert v0 == (0, 0)
+    _v1, n1 = delete_from_delta(spark, dest, "k % 2 = 0 AND k < 80")
+    before = sorted(r.k for r in read_delta(spark, dest).collect())
+    v2, nf = compact_delta_dvs(spark, dest, min_dead_ratio=0.3)
+    assert nf > 0
+    after = sorted(r.k for r in read_delta(spark, dest).collect())
+    assert before == after
+    _meta, adds = _snapshot(spark, dest, None)
+    # every REMAINING DV is sparse (ratio < threshold) — dense ones
+    # were all rewritten; sparse ones correctly stayed
+    for a in adds.values():
+        dv = a.get("deletionVector")
+        if not dv:
+            continue
+        st = json.loads(a["stats"])
+        assert dv["cardinality"] / st["numRecords"] < 0.3, a["path"]
+    # compaction is invisible to CDF
+    assert read_delta_changes(
+        spark, dest, starting_version=v2, ending_version=v2
+    ).count() == 0
