@@ -24982,3 +24982,83 @@ def q433(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q("q434_delta_tail_stream", None)  # rows-only: streaming source
+def q434(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA CDF TAIL as a Structured Streaming source (delta_tail,
+    a Spark 4 Python DataSourceStreamReader — the Delta twin of
+    q297's mtable_tail): offsets are COMMIT VERSIONS, each
+    micro-batch is the change feed of the landed commits, planned
+    from the commit JSONs alone and read executor-side one
+    InputPartition per changed file. A written orders table takes a
+    DV delete and a MERGE upsert (both under enableChangeDataFeed,
+    so cdc files are authoritative); the drained stream rolls up
+    change counts per (version, change_type). Stream==batch-CDF
+    equality and checkpoint-resume exactly-once are pytest-pinned
+    (tests/test_streaming.py::
+    test_delta_tail_stream_equals_batch_cdf_and_resumes). Scale: the
+    stream's volume is the CHANGE volume (DML-bound), never the
+    table — a trickle of DML against a 100 TB table tails as a
+    trickle."""
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        delete_from_delta,
+        merge_delta,
+        write_delta,
+    )
+    from dataflowex_spark.sources.manifest_ds import (
+        DeltaTailDataSource,
+    )
+
+    try:
+        spark.dataSource.register(DeltaTailDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 13 == 4)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q434_") + "/t"
+    write_delta(
+        spark, base, dest,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delete_from_delta(spark, dest, "price_cents % 10 = 1")
+    upd = base.filter(F.col("okey") % 4 == 0).select(
+        "okey",
+        F.lit("TAILED").alias("priority"),
+        (F.col("price_cents") + 1).alias("price_cents"),
+    )
+    merge_delta(spark, dest, upd, ["okey"])
+    stream = spark.readStream.format("delta_tail").load(dest)
+    qname = "q434_tail"
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="q434_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy(
+            F.col("_commit_version").alias("version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_emitted"))
+        .orderBy("version", "change_type")
+    )

@@ -2348,3 +2348,56 @@ def compact_delta_dvs(
         if v is None:
             continue
         return v, len(chosen)
+
+
+def _snapshot_meta_nospark(root: str) -> dict:
+    """``metaData`` fold WITHOUT a SparkSession — Python DataSource
+    planning (delta_tail) runs in a worker process that has no JVM
+    session. JSON commits first; pyarrow checkpoint fallback for
+    logs whose early commits aged out."""
+    meta: dict = {}
+    commits = _commit_files(root)
+    for v in sorted(commits):
+        with open(commits[v]) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if a.get("metaData"):
+                    meta.update(a["metaData"])
+    if "schemaString" not in meta:
+        cp = _checkpoint_for(root, 1 << 62)
+        if cp is not None:
+            import pyarrow.parquet as pq
+
+            for fpath in cp[1]:
+                t = pq.read_table(fpath)
+                if "metaData" not in t.column_names:
+                    continue
+                for cell in t.column("metaData").to_pylist():
+                    if not cell:
+                        continue
+                    if isinstance(cell, str):
+                        cell = json.loads(cell)
+                    meta.update(
+                        {k: v for k, v in cell.items() if v is not None}
+                    )
+    if "schemaString" not in meta:
+        raise ValueError(f"no metaData.schemaString under {root}")
+    return meta
+
+
+def _snapshot_schema_types(root: str) -> tuple[dict, list]:
+    """(column → primitive type name, partitionColumns) from the
+    no-Spark metaData fold — what delta_tail's partition planner
+    needs to type partition values."""
+    meta = _snapshot_meta_nospark(root)
+    schema = json.loads(meta["schemaString"])
+    types = {
+        f["name"]: (
+            f["type"] if isinstance(f["type"], str) else "complex"
+        )
+        for f in schema.get("fields", [])
+    }
+    return types, list(meta.get("partitionColumns") or [])

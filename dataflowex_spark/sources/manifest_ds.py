@@ -437,3 +437,242 @@ class MTableTailDataSource(DataSource):
             int(self.options.get("startVersion", 0)),
             data_schema,
         )
+
+
+class _DeltaTailPartition(InputPartition):
+    def __init__(
+        self,
+        path: str | None,
+        version: int,
+        change_type: str | None,
+        dead: list[int],
+        pv: list[tuple],
+    ):
+        self.path = path
+        self.version = version
+        self.change_type = change_type  # None → cdc file carries it
+        self.dead = dead
+        self.pv = pv  # [(col, spark_type_str, value_or_None)]
+
+
+class _DeltaTailReader(DataSourceStreamReader):
+    """Offsets are Delta VERSIONS (``{"version": N}`` = everything
+    ≤ N streamed); a micro-batch is the CHANGE FEED of the offset
+    range, planned from the commit JSONs alone (metadata-only
+    driver work) and read EXECUTOR-SIDE one InputPartition per
+    changed file. Commit files are immutable, so any range replans
+    to the identical row set — the replay determinism exactly-once
+    sinks need.
+
+    Per version, the same authority rule as the batch CDF reader
+    (:func:`delta_reader.read_delta_changes`): ``cdc`` actions win
+    (their files carry ``_change_type``); otherwise dataChange adds
+    stream as ``insert`` and dataChange removes as ``delete``, each
+    minus its deletion vector's dead positions (decoded driver-side
+    — DV debt is bounded per-file delete state)."""
+
+    def __init__(self, root: str, start_version: int, out_cols: list):
+        self.root = root
+        self.start_version = start_version
+        self.out_cols = out_cols  # declared column ORDER (positional)
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version - 1}
+
+    def latestOffset(self) -> dict:
+        from dataflowex_spark.sources.delta_reader import _commit_files
+
+        commits = _commit_files(self.root)
+        if not commits:
+            raise ValueError(f"empty _delta_log in {self.root}")
+        return {"version": max(commits)}
+
+    def partitions(self, start: dict, end: dict):
+        import json as _json
+        import os as _os
+
+        from dataflowex_spark.sources.delta_reader import (
+            _commit_files,
+            _snapshot_schema_types,
+        )
+        from dataflowex_spark.sources.roaring import (
+            decode_dv_descriptor,
+        )
+
+        types, pcols = _snapshot_schema_types(self.root)
+        commits = _commit_files(self.root)
+        parts = []
+
+        def pv_of(action: dict) -> list[tuple]:
+            pv = action.get("partitionValues") or {}
+            return [(c, types[c], pv.get(c)) for c in pcols if c in types]
+
+        def dead_of(action: dict) -> list[int]:
+            dv = action.get("deletionVector")
+            if not dv:
+                return []
+            if isinstance(dv, str):
+                dv = _json.loads(dv)
+            return decode_dv_descriptor(self.root, dict(dv))
+
+        for v in range(start["version"] + 1, end["version"] + 1):
+            path = commits.get(v)
+            if path is None:
+                raise FileNotFoundError(
+                    f"missing commit {v} (tail needs the full range "
+                    "under retention)"
+                )
+            cdc, adds, removes = [], [], []
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    a = _json.loads(line)
+                    if a.get("cdc"):
+                        cdc.append(a["cdc"])
+                    elif a.get("add") and a["add"].get(
+                        "dataChange", True
+                    ):
+                        adds.append(a["add"])
+                    elif a.get("remove") and a["remove"].get(
+                        "dataChange", True
+                    ):
+                        removes.append(a["remove"])
+            if cdc:
+                for c in cdc:
+                    parts.append(
+                        _DeltaTailPartition(
+                            _os.path.join(self.root, c["path"]),
+                            v, None, [], pv_of(c),
+                        )
+                    )
+                continue
+            for a in adds:
+                parts.append(
+                    _DeltaTailPartition(
+                        _os.path.join(self.root, a["path"]),
+                        v, "insert", dead_of(a), pv_of(a),
+                    )
+                )
+            for r in removes:
+                parts.append(
+                    _DeltaTailPartition(
+                        _os.path.join(self.root, r["path"]),
+                        v, "delete", dead_of(r), pv_of(r),
+                    )
+                )
+        return parts or [_DeltaTailPartition(None, end["version"], None, [], [])]
+
+    def read(self, partition):
+        if partition.path is None:
+            return
+        import datetime as _dt
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        if partition.dead:
+            mask = np.ones(table.num_rows, dtype=bool)
+            mask[np.asarray(partition.dead, dtype=np.int64)] = False
+            table = table.filter(pa.array(mask))
+        n = table.num_rows
+        for col, t, raw in partition.pv:
+            if raw is None:
+                val, at = None, {
+                    "long": pa.int64(), "integer": pa.int32(),
+                    "double": pa.float64(), "string": pa.string(),
+                    "date": pa.date32(), "boolean": pa.bool_(),
+                }.get(t, pa.string())
+                arr = pa.nulls(n, at)
+            elif t == "long":
+                arr = pa.array([int(raw)] * n, pa.int64())
+            elif t == "integer":
+                arr = pa.array([int(raw)] * n, pa.int32())
+            elif t == "double":
+                arr = pa.array([float(raw)] * n, pa.float64())
+            elif t == "boolean":
+                arr = pa.array([raw == "true"] * n, pa.bool_())
+            elif t == "date":
+                arr = pa.array(
+                    [_dt.date.fromisoformat(raw)] * n, pa.date32()
+                )
+            else:  # string and anything canonically string-encoded
+                arr = pa.array([raw] * n, pa.string())
+            table = table.append_column(col, arr)
+        if partition.change_type is not None:
+            table = table.append_column(
+                "_change_type",
+                pa.array([partition.change_type] * n, pa.string()),
+            )
+        table = table.append_column(
+            "_commit_version",
+            pa.array([partition.version] * n, pa.int64()),
+        )
+        # Spark maps arrow batches to the declared schema
+        # POSITIONALLY — re-order (partition columns were appended)
+        yield from table.select(self.out_cols).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # the commit JSONs are the log; nothing to clean up
+
+
+class DeltaTailDataSource(DataSource):
+    """``spark.readStream.format("delta_tail").load(<table root>)``
+    — tails a Delta table's transaction log as a CHANGE-FEED stream:
+    each micro-batch carries the change rows of the commits landed
+    since the last offset, tagged ``_change_type`` +
+    ``_commit_version``. Authoritative cdc files (DML under
+    ``delta.enableChangeDataFeed``) stream verbatim; other commits
+    synthesize insert/delete per the protocol rule, deletion-vector
+    dead rows excluded on BOTH sides. This is the streaming half of
+    the lakehouse CDC story: MTable → (continuous publish) → Delta →
+    ``delta_tail`` → any Structured Streaming sink, exactly-once by
+    offset-range replay determinism.
+
+    Options: ``startVersion`` (default 0 — the table's creating
+    commit is the first batch). Column-mapped tables refuse (same
+    contract as the batch CDF reader). Versions behind log retention
+    cannot be tailed — the Delta CDF retention trade."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_tail"
+
+    def _root(self) -> str:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError(
+                "delta_tail: pass the table root via .load(root)"
+            )
+        return root
+
+    def schema(self):
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        from dataflowex_spark.sources.delta_reader import (
+            DeltaProtocolError,
+            _mapping_mode,
+            _snapshot_meta_nospark,
+        )
+
+        meta = _snapshot_meta_nospark(self._root())
+        if _mapping_mode(meta) != "none":
+            raise DeltaProtocolError(
+                "delta_tail unsupported for column-mapped tables"
+            )
+        base = StructType.fromJson(_json.loads(meta["schemaString"]))
+        return base.add("_change_type", "string").add(
+            "_commit_version", "long"
+        )
+
+    def streamReader(self, schema):
+        return _DeltaTailReader(
+            self._root(),
+            int(self.options.get("startVersion", 0)),
+            [f.name for f in schema.fields],
+        )

@@ -1346,3 +1346,85 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     )
     got = sorted(r["event_id"] for r in out.collect())
     assert got == list(range(10))
+
+
+def test_delta_tail_stream_equals_batch_cdf_and_resumes(spark, tmp_path):
+    """The streaming half of the Delta CDC story: delta_tail must
+    (a) replay the commit log as the SAME change rows the batch CDF
+    reader computes (cdc-authoritative, DV-dead rows excluded both
+    sides); (b) resume from its checkpoint emitting ONLY commits
+    landed after the last drain (exactly-once tail)."""
+    from dataflowex_spark.sources.delta_reader import (
+        delete_from_delta,
+        merge_delta,
+        read_delta_changes,
+        update_delta,
+        write_delta,
+    )
+    from dataflowex_spark.sources.manifest_ds import DeltaTailDataSource
+
+    try:
+        spark.dataSource.register(DeltaTailDataSource)
+    except Exception:
+        pass  # idempotent within a session
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), float(i)) for i in range(30)],
+        "k long, g string, x double",
+    )
+    write_delta(
+        spark, df, root, partition_by=["g"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delete_from_delta(spark, root, "k % 5 = 0")
+    update_delta(spark, root, "k = 7", {"x": "x + 100"})
+
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("delta_tail")
+            .load(root)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(outdir)
+
+    out = drain()
+    got = sorted(
+        (r.k, r.g, r.x, r["_change_type"], r["_commit_version"])
+        for r in out.collect()
+    )
+    want = sorted(
+        (r.k, r.g, r.x, r["_change_type"], r["_commit_version"])
+        for r in read_delta_changes(
+            spark, root, starting_version=0
+        ).collect()
+    )
+    assert got == want and len(got) > 30
+    # (b) resume: a merge lands AFTER the first drain; the second
+    # drain emits ONLY its commit's change rows
+    src = spark.createDataFrame(
+        [(3, "gX", 300.0), (100, "g0", 1000.0)],
+        "k long, g string, x double",
+    )
+    v3, _stats = merge_delta(spark, root, src, ["k"])
+    out2 = drain()
+    fresh = sorted(
+        (r.k, r["_change_type"])
+        for r in out2.filter(
+            F.col("_commit_version") == v3
+        ).collect()
+    )
+    assert fresh == [
+        (3, "update_postimage"), (3, "update_preimage"),
+        (100, "insert"),
+    ]
+    # nothing before v3 was re-emitted
+    assert out2.count() == len(got) + len(fresh)
