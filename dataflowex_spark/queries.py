@@ -25062,3 +25062,92 @@ def q434(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("rows_emitted"))
         .orderBy("version", "change_type")
     )
+
+
+@q(
+    "q435_iceberg_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 8 = 6
+    ), changes AS (
+      SELECT okey, 'UPSERTED' AS priority, price_cents + 9 AS price_cents
+      FROM base WHERE okey % 5 = 1
+      UNION ALL
+      SELECT okey + 3, 'FRESH' AS priority, price_cents
+      FROM base WHERE okey % 13 = 6
+    ), merged AS (
+      SELECT b.okey,
+             COALESCE(c.priority, b.priority) AS priority,
+             COALESCE(c.price_cents, b.price_cents) AS price_cents
+      FROM base b LEFT JOIN changes c ON b.okey = c.okey
+      UNION ALL
+      SELECT c.okey, c.priority, c.price_cents FROM changes c
+      WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.okey = c.okey)
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM merged GROUP BY priority ORDER BY priority
+    """,
+)
+def q435(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG MERGE-SHAPED UPSERT in ONE SNAPSHOT (upsert_iceberg —
+    the MoR twin of q431's Delta merge): matched target keys die via
+    position-delete files while ALL source rows land as new data
+    files (stats + partition tuples through the writer's shared
+    staging), atomically in one snapshot whose manifest list carries
+    the data manifest (EXISTING live set + ADDED files) and the
+    delete manifest. The oracle replays MERGE algebra in SQL; hash
+    match proves one-snapshot upsert exactness. Scale: key equi-join
+    with the change-set broadcast, deletes write change-bound, the
+    carried manifest is metadata-only."""
+    import tempfile
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        read_iceberg,
+        upsert_iceberg,
+        write_iceberg,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 8 == 6)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q435_") + "/t"
+    write_iceberg(spark, base, dest)
+    changes = (
+        base.filter(F.col("okey") % 5 == 1)
+        .select(
+            "okey",
+            F.lit("UPSERTED").alias("priority"),
+            (F.col("price_cents") + 9).alias("price_cents"),
+        )
+        .unionByName(
+            base.filter(F.col("okey") % 13 == 6).select(
+                (F.col("okey") + 3).alias("okey"),
+                F.lit("FRESH").alias("priority"),
+                F.col("price_cents"),
+            )
+        )
+    )
+    upsert_iceberg(spark, dest, changes, ["okey"])
+    return (
+        read_iceberg(spark, dest)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )

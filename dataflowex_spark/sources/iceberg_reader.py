@@ -1929,6 +1929,186 @@ def _decode_part_value(raw: str | None, kind: str, ice_type: str):
     return int(raw) if ice_type in ("int", "long") else raw
 
 
+def _stage_iceberg_entries(
+    spark: SparkSession,
+    dest: str,
+    df: DataFrame,
+    top: list[dict],
+    pinfo: list,
+    stats_cols: list[str] | None,
+    file_format: str,
+    avro_schema: dict | None,
+    new_sid: int,
+    new_seq: int,
+) -> list[dict]:
+    """Stage ``df`` as NEW data files for one snapshot (hive-layout
+    partition staging per ``pinfo``, one-pass per-file stats into
+    manifest bounds, executor-side avro transcode when asked) and
+    return the status=1 manifest entries. Shared by
+    :func:`write_iceberg` and :func:`upsert_iceberg`."""
+    import re as _re
+    import shutil
+    import urllib.parse as _up
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    stage_format = "parquet" if file_format == "avro" else file_format
+    boundable = {
+        f["name"]: f for f in top if isinstance(f.get("type"), str)
+    }
+    scols = (
+        stats_cols
+        if stats_cols is not None
+        else [
+            c
+            for c in df.columns
+            if c in boundable
+            and boundable[c]["type"]
+            in ("int", "long", "float", "double", "string")
+        ]
+    )
+    job = os.path.join(dest, f"_stage-{_uuid.uuid4().hex}")
+    staged = df
+    pnames = []
+    for pf, kind, param, src_name, ice_t in pinfo:
+        dn = f"__p_{pf['name']}"
+        pnames.append(dn)
+        staged = staged.withColumn(
+            dn, transform_column(F.col(src_name), kind, param, ice_t)
+        )
+    w = staged.write
+    if pnames:
+        w = w.partitionBy(*pnames)
+    getattr(w, stage_format)(job)
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in scols:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+    stats_rows = (
+        getattr(spark.read, stage_format)(job)
+        .drop(*pnames)  # partition values re-derive from paths below
+        .groupBy(F.input_file_name().alias("__path"))
+        .agg(*aggs)
+        .collect()
+    )
+    entries = []
+    transcode: list[tuple[str, str]] = []
+    for r in stats_rows:
+        # input_file_name() is a URI: decode %-escapes to the
+        # on-disk name (hive value escaping decodes separately)
+        src = _up.unquote(_re.sub(r"^file:/*", "/", r["__path"]))
+        rel_dir = os.path.relpath(os.path.dirname(src), job)
+        ptuple = None
+        if pinfo:
+            raw_by_name: dict[str, str | None] = {}
+            for seg in rel_dir.split(os.sep):
+                if "=" in seg:
+                    k, _, raw = seg.partition("=")
+                    raw_by_name[k] = (
+                        None
+                        if raw == "__HIVE_DEFAULT_PARTITION__"
+                        else _up.unquote(raw)
+                    )
+            ptuple = {}
+            for pf, kind, _param, _src, ice_t in pinfo:
+                dn = f"__p_{pf['name']}"
+                if dn not in raw_by_name:
+                    raise ValueError(
+                        f"staged file {src} lacks partition dir {dn}"
+                    )
+                ptuple[pf["name"]] = _decode_part_value(
+                    raw_by_name[dn], kind, ice_t
+                )
+        # keep the hive-layout subdirs in the data path: one task
+        # writes the SAME part-N basename into every partition dir it
+        # touches, so a flat data/ would silently clobber files
+        base = os.path.basename(src)
+        if file_format == "avro":
+            base = re.sub(r"(\.\w+)?\.parquet$", "", base) + ".avro"
+        target = os.path.abspath(
+            os.path.join(
+                dest,
+                "data",
+                *(rel_dir.split(os.sep) if rel_dir != "." else []),
+                base,
+            )
+        )
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        if file_format == "avro":
+            transcode.append((src, target))
+        else:
+            os.replace(src, target)
+        lo, hi = [], []
+        for c in scols:
+            mn, mx = r[f"__mn_{c}"], r[f"__mx_{c}"]
+            if mn is None or mx is None:
+                continue
+            fld = boundable[c]
+            lo.append(
+                {"key": fld["id"], "value": bound_encode(mn, fld["type"])}
+            )
+            hi.append(
+                {"key": fld["id"], "value": bound_encode(mx, fld["type"])}
+            )
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": new_sid,
+                "sequence_number": new_seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": target,
+                    "file_format": file_format.upper(),
+                    "record_count": r["__rows"],
+                    "file_size_in_bytes": (
+                        0  # patched after the distributed transcode
+                        if file_format == "avro"
+                        else os.path.getsize(target)
+                    ),
+                    "equality_ids": None,
+                    "partition": ptuple,
+                    "lower_bounds": lo or None,
+                    "upper_bounds": hi or None,
+                },
+            }
+        )
+    if transcode:
+        # parquet → avro, EXECUTOR-side: one task per staged file
+        # (payloads never touch the driver; only (path, size) rows
+        # return). The schema closure is plain JSON data.
+        aschema = avro_schema
+
+        def _do_transcode(batches):
+            import pandas as pd
+
+            for b in batches:
+                for s, t in zip(b["src"], b["target"]):
+                    _transcode_parquet_to_avro(s, t, aschema)
+                    yield pd.DataFrame(
+                        {
+                            "target": [t],
+                            "size": [os.path.getsize(t)],
+                        }
+                    )
+
+        sizes = {
+            r["target"]: r["size"]
+            for r in spark.createDataFrame(
+                transcode, "src string, target string"
+            )
+            .repartition(len(transcode))
+            .mapInPandas(_do_transcode, "target string, size long")
+            .collect()
+        }
+        for e in entries:
+            df_e = e["data_file"]
+            if df_e["file_path"] in sizes:
+                df_e["file_size_in_bytes"] = sizes[df_e["file_path"]]
+    shutil.rmtree(job, ignore_errors=True)
+    return entries
+
+
 def write_iceberg(
     spark: SparkSession,
     df: DataFrame,
@@ -2106,161 +2286,13 @@ def write_iceberg(
         pf = dict(pf, _avro=_part_avro_type(kind, ice_t))
         pinfo.append((pf, kind, param, src_name, ice_t))
 
-    boundable = {
-        f["name"]: f for f in top if isinstance(f.get("type"), str)
-    }
-    scols = (
-        stats_cols
-        if stats_cols is not None
-        else [
-            c
-            for c in df.columns
-            if c in boundable
-            and boundable[c]["type"]
-            in ("int", "long", "float", "double", "string")
-        ]
-    )
-    job = os.path.join(dest, f"_stage-{_uuid.uuid4().hex}")
-    staged = df
-    pnames = []
-    for pf, kind, param, src_name, ice_t in pinfo:
-        dn = f"__p_{pf['name']}"
-        pnames.append(dn)
-        staged = staged.withColumn(
-            dn, transform_column(F.col(src_name), kind, param, ice_t)
-        )
-    w = staged.write
-    if pnames:
-        w = w.partitionBy(*pnames)
-    getattr(w, stage_format)(job)
-    aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in scols:
-        aggs.append(F.min(c).alias(f"__mn_{c}"))
-        aggs.append(F.max(c).alias(f"__mx_{c}"))
-    stats_rows = (
-        getattr(spark.read, stage_format)(job)
-        .drop(*pnames)  # partition values re-derive from paths below
-        .groupBy(F.input_file_name().alias("__path"))
-        .agg(*aggs)
-        .collect()
-    )
     snaps = meta.get("snapshots", [])
     new_sid = (snaps[-1]["snapshot-id"] + 1) if snaps else 1
     new_seq = int(meta.get("last-sequence-number", 0)) + 1
-    entries = []
-    transcode: list[tuple[str, str]] = []
-    for r in stats_rows:
-        # input_file_name() is a URI: decode %-escapes to the
-        # on-disk name (hive value escaping decodes separately)
-        src = _up.unquote(_re.sub(r"^file:/*", "/", r["__path"]))
-        rel_dir = os.path.relpath(os.path.dirname(src), job)
-        ptuple = None
-        if pinfo:
-            raw_by_name: dict[str, str | None] = {}
-            for seg in rel_dir.split(os.sep):
-                if "=" in seg:
-                    k, _, raw = seg.partition("=")
-                    raw_by_name[k] = (
-                        None
-                        if raw == "__HIVE_DEFAULT_PARTITION__"
-                        else _up.unquote(raw)
-                    )
-            ptuple = {}
-            for pf, kind, _param, _src, ice_t in pinfo:
-                dn = f"__p_{pf['name']}"
-                if dn not in raw_by_name:
-                    raise ValueError(
-                        f"staged file {src} lacks partition dir {dn}"
-                    )
-                ptuple[pf["name"]] = _decode_part_value(
-                    raw_by_name[dn], kind, ice_t
-                )
-        # keep the hive-layout subdirs in the data path: one task
-        # writes the SAME part-N basename into every partition dir it
-        # touches, so a flat data/ would silently clobber files
-        base = os.path.basename(src)
-        if file_format == "avro":
-            base = re.sub(r"(\.\w+)?\.parquet$", "", base) + ".avro"
-        target = os.path.abspath(
-            os.path.join(
-                dest,
-                "data",
-                *(rel_dir.split(os.sep) if rel_dir != "." else []),
-                base,
-            )
-        )
-        os.makedirs(os.path.dirname(target), exist_ok=True)
-        if file_format == "avro":
-            transcode.append((src, target))
-        else:
-            os.replace(src, target)
-        lo, hi = [], []
-        for c in scols:
-            mn, mx = r[f"__mn_{c}"], r[f"__mx_{c}"]
-            if mn is None or mx is None:
-                continue
-            fld = boundable[c]
-            lo.append(
-                {"key": fld["id"], "value": bound_encode(mn, fld["type"])}
-            )
-            hi.append(
-                {"key": fld["id"], "value": bound_encode(mx, fld["type"])}
-            )
-        entries.append(
-            {
-                "status": 1,
-                "snapshot_id": new_sid,
-                "sequence_number": new_seq,
-                "data_file": {
-                    "content": 0,
-                    "file_path": target,
-                    "file_format": file_format.upper(),
-                    "record_count": r["__rows"],
-                    "file_size_in_bytes": (
-                        0  # patched after the distributed transcode
-                        if file_format == "avro"
-                        else os.path.getsize(target)
-                    ),
-                    "equality_ids": None,
-                    "partition": ptuple,
-                    "lower_bounds": lo or None,
-                    "upper_bounds": hi or None,
-                },
-            }
-        )
-    if transcode:
-        # parquet → avro, EXECUTOR-side: one task per staged file
-        # (payloads never touch the driver; only (path, size) rows
-        # return). The schema closure is plain JSON data.
-        aschema = avro_schema
-
-        def _do_transcode(batches):
-            import pandas as pd
-
-            for b in batches:
-                for s, t in zip(b["src"], b["target"]):
-                    _transcode_parquet_to_avro(s, t, aschema)
-                    yield pd.DataFrame(
-                        {
-                            "target": [t],
-                            "size": [os.path.getsize(t)],
-                        }
-                    )
-
-        sizes = {
-            r["target"]: r["size"]
-            for r in spark.createDataFrame(
-                transcode, "src string, target string"
-            )
-            .repartition(len(transcode))
-            .mapInPandas(_do_transcode, "target string, size long")
-            .collect()
-        }
-        for e in entries:
-            df_e = e["data_file"]
-            if df_e["file_path"] in sizes:
-                df_e["file_size_in_bytes"] = sizes[df_e["file_path"]]
-    shutil.rmtree(job, ignore_errors=True)
+    entries = _stage_iceberg_entries(
+        spark, dest, df, top, pinfo, stats_cols, file_format,
+        avro_schema, new_sid, new_seq,
+    )
     if exists and snaps and mode == "append":
         (
             prior_live, _pd, _ed, prior_bounds, prior_parts,
@@ -2349,64 +2381,25 @@ def write_iceberg(
     return new_sid
 
 
-def delete_from_iceberg(
-    spark: SparkSession, root: str, where
-) -> tuple[int, int]:
-    """Row-level DELETE via POSITION DELETE files — Iceberg v2's
-    merge-on-read DML primitive (the format twin of
-    :func:`delta_reader.delete_from_delta`): matching rows go dead
-    through ``(file_path, pos)`` sidecar parquet, data files never
-    rewrite. One new snapshot carries TWO manifests — the data
-    manifest re-listing the live set as EXISTING with original
-    sequence numbers (the spec's manifest-rewrite shape, same as the
-    CDC publisher) and a content=1 DELETE manifest at the new
-    sequence — so :func:`read_iceberg`'s existing MoR path applies
-    them with exact seq gating. Returns ``(snapshot_id, rows)``.
-
-    Row addressing: parquet files through ``_metadata.row_index``,
-    AVRO files through the codec scan's own positions (``__ri``);
-    live ORC files refuse (Spark exposes no ORC row_index — the same
-    boundary the reader declares). Already-dead rows (prior position
-    deletes) are anti-joined out before matching, so re-deletes
-    count zero and deletes accumulate across snapshots without
-    merging files. Equality-delete debt refuses (apply order against
-    a new positional delete is table-state dependent).
-
-    Scale shape: the scan is the ordinary pruned read; matched
-    positions write as delete-volume-bound parquet, sorted by
-    (file_path, pos) within partitions per the spec's
-    recommendation; the carried manifest is metadata-only."""
-    import uuid as _uuid
-
+def _iceberg_pos_scan(
+    spark: SparkSession,
+    root: str,
+    meta: dict,
+    live: dict,
+    formats: dict,
+    pos_deletes: list,
+    mapping: dict,
+    names_by_id: dict,
+) -> DataFrame:
+    """Live-row scan WITH ROW IDENTITY (``__fp``/``__ri``) — the
+    target side every MoR DML op matches against: parquet rows via
+    ``_metadata.row_index``, AVRO rows via the codec scan's own
+    positions; prior position deletes anti-joined out (dead rows are
+    not visible, must not re-match)."""
     from pyspark.sql import functions as F
 
-    from dataflowex_spark.sources.avro_io import write_container
-
-    meta = load_table_metadata(root)
-    snaps = meta.get("snapshots", [])
-    sid = meta.get("current-snapshot-id")
-    (
-        live, pos_deletes, eq_deletes, bounds, partitions, formats,
-    ) = _live_files(root, meta, sid if sid not in (None, -1) else None)
-    if eq_deletes:
-        raise IcebergProtocolError(
-            "delete_from_iceberg: table carries equality-delete "
-            "debt — apply/compact it first"
-        )
-    latest_sid = snaps[-1]["snapshot-id"] if snaps else -1
-    if not live:
-        return latest_sid, 0
-    if any(formats.get(p) == "ORC" for p in live):
-        raise IcebergProtocolError(
-            "delete_from_iceberg: live ORC data files — Spark "
-            "exposes no row_index for ORC scans, rows are not "
-            "position-addressable"
-        )
-    cond = F.expr(where) if isinstance(where, str) else where
-    mapping = _name_mapping(meta)
-    names_by_id = _field_names_by_id(meta)
     by_group: dict[tuple, list[str]] = {}
-    for path, seq in sorted(live.items()):
+    for path, _seq in sorted(live.items()):
         fmt = formats.get(path, "PARQUET")
         renames = (
             _footer_renames(path, names_by_id, mapping)
@@ -2456,34 +2449,45 @@ def delete_from_iceberg(
         scan = scan.join(
             F.broadcast(dv.distinct()), ["__fp", "__ri"], "left_anti"
         )
-    matched = (
-        scan.filter(cond)
-        .select(
+    return scan
+
+
+def _stage_pos_delete_files(
+    spark: SparkSession,
+    root: str,
+    matched: DataFrame,
+    new_sid: int,
+    new_seq: int,
+) -> tuple[list[dict], int]:
+    """Write matched (__fp, __ri) rows as spec-shaped position
+    delete parquet (sorted within partitions by (file_path, pos));
+    returns (status=1 delete manifest entries, row count)."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        matched.select(
             F.col("__fp").alias("file_path"),
             F.col("__ri").alias("pos"),
         )
         .sortWithinPartitions("file_path", "pos")
     )
     job = os.path.join(root, f"_delstage-{_uuid.uuid4().hex}")
-    matched.write.parquet(job)
-    staged = spark.read.parquet(job)
-    n_deleted = staged.count()  # parquet-metadata fast
-    import shutil as _shutil
-
-    if n_deleted == 0:
+    rows.write.parquet(job)
+    n = spark.read.parquet(job).count()  # parquet-metadata fast
+    if n == 0:
         _shutil.rmtree(job, ignore_errors=True)
-        return latest_sid, 0
-    new_sid = latest_sid + 1 if latest_sid >= 0 else 1
-    new_seq = int(meta.get("last-sequence-number", 0)) + 1
-    md = _meta_dir(root)
-    del_entries = []
+        return [], 0
+    entries = []
     for fn in sorted(os.listdir(job)):
         if not fn.endswith(".parquet"):
             continue
         target = os.path.join(root, "data", f"delete-{new_sid}-{fn}")
         os.makedirs(os.path.dirname(target), exist_ok=True)
         os.replace(os.path.join(job, fn), target)
-        del_entries.append(
+        entries.append(
             {
                 "status": 1,
                 "snapshot_id": new_sid,
@@ -2499,7 +2503,33 @@ def delete_from_iceberg(
             }
         )
     _shutil.rmtree(job, ignore_errors=True)
-    # carried data manifest: live set as EXISTING with ORIGINAL seqs
+    return entries, n
+
+
+def _iceberg_mor_commit(
+    root: str,
+    meta: dict,
+    live: dict,
+    bounds: dict,
+    partitions: dict,
+    formats: dict,
+    pos_deletes: list,
+    new_sid: int,
+    new_seq: int,
+    new_data_entries: list[dict],
+    del_entries: list[dict],
+    op: str,
+) -> int:
+    """One MoR snapshot: a data manifest carrying the live set as
+    EXISTING (original seqs — the spec's manifest rewrite) plus any
+    NEW data entries, and a content=1 delete manifest carrying prior
+    position deletes plus the new ones. Writes manifests, manifest
+    list, and the next metadata version."""
+    from dataflowex_spark.sources.avro_io import write_container
+
+    md = _meta_dir(root)
+    snaps = meta.get("snapshots", [])
+    names_by_id = _field_names_by_id(meta)
     spec_fields = _spec_from_meta(meta) if meta.get(
         "partition-specs"
     ) else []
@@ -2540,6 +2570,8 @@ def delete_from_iceberg(
                 },
             }
         )
+    carried.extend(new_data_entries)
+    del_entries = list(del_entries)
     # prior position deletes carry too (their files are still live
     # delete state — a snapshot lists ALL its manifests)
     for path, dseq in sorted(set(pos_deletes)):
@@ -2563,23 +2595,24 @@ def delete_from_iceberg(
         if pinfo_fields
         else MANIFEST_SCHEMA
     )
-    mpath = os.path.join(md, f"manifest-del-{new_sid:05d}-data.avro")
+    mpath = os.path.join(md, f"manifest-{op}-{new_sid:05d}-data.avro")
     write_container(mpath, data_schema, carried)
-    dpath = os.path.join(md, f"manifest-del-{new_sid:05d}-pos.avro")
-    write_container(dpath, MANIFEST_SCHEMA, del_entries)
-    mlist = os.path.join(md, f"snap-{new_sid}.avro")
-    write_container(
-        mlist,
-        MANIFEST_LIST_SCHEMA,
-        [
-            {
-                "manifest_path": os.path.abspath(mpath),
-                "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": meta.get("default-spec-id", 0),
-                "content": 0,
-                "sequence_number": new_seq,
-                "added_snapshot_id": new_sid,
-            },
+    mrows = [
+        {
+            "manifest_path": os.path.abspath(mpath),
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": meta.get("default-spec-id", 0),
+            "content": 0,
+            "sequence_number": new_seq,
+            "added_snapshot_id": new_sid,
+        }
+    ]
+    if del_entries:
+        dpath = os.path.join(
+            md, f"manifest-{op}-{new_sid:05d}-pos.avro"
+        )
+        write_container(dpath, MANIFEST_SCHEMA, del_entries)
+        mrows.append(
             {
                 "manifest_path": os.path.abspath(dpath),
                 "manifest_length": os.path.getsize(dpath),
@@ -2587,16 +2620,17 @@ def delete_from_iceberg(
                 "content": 1,
                 "sequence_number": new_seq,
                 "added_snapshot_id": new_sid,
-            },
-        ],
-    )
+            }
+        )
+    mlist = os.path.join(md, f"snap-{new_sid}.avro")
+    write_container(mlist, MANIFEST_LIST_SCHEMA, mrows)
     meta["snapshots"] = snaps + [
         {
             "snapshot-id": new_sid,
             "timestamp-ms": 1000 * new_sid,
             "sequence-number": new_seq,
             "manifest-list": os.path.abspath(mlist),
-            "summary": {"operation": "delete"},
+            "summary": {"operation": op},
         }
     ]
     meta["current-snapshot-id"] = new_sid
@@ -2611,4 +2645,182 @@ def delete_from_iceberg(
         json.dump(meta, f)
     with open(hint_path, "w") as f:
         f.write(str(prev + 1))
-    return new_sid, n_deleted
+    return new_sid
+
+
+def _iceberg_dml_preamble(root: str, op: str):
+    """Shared MoR-DML state load + refusals."""
+    meta = load_table_metadata(root)
+    snaps = meta.get("snapshots", [])
+    sid = meta.get("current-snapshot-id")
+    (
+        live, pos_deletes, eq_deletes, bounds, partitions, formats,
+    ) = _live_files(root, meta, sid if sid not in (None, -1) else None)
+    if eq_deletes:
+        raise IcebergProtocolError(
+            f"{op}: table carries equality-delete debt — "
+            "apply/compact it first"
+        )
+    if any(formats.get(p) == "ORC" for p in live):
+        raise IcebergProtocolError(
+            f"{op}: live ORC data files — Spark exposes no row_index "
+            "for ORC scans, rows are not position-addressable"
+        )
+    latest_sid = snaps[-1]["snapshot-id"] if snaps else -1
+    return meta, live, pos_deletes, bounds, partitions, formats, latest_sid
+
+
+def delete_from_iceberg(
+    spark: SparkSession, root: str, where
+) -> tuple[int, int]:
+    """Row-level DELETE via POSITION DELETE files — Iceberg v2's
+    merge-on-read DML primitive (the format twin of
+    :func:`delta_reader.delete_from_delta`): matching rows go dead
+    through ``(file_path, pos)`` sidecar parquet, data files never
+    rewrite. One new snapshot carries TWO manifests — the data
+    manifest re-listing the live set as EXISTING with original
+    sequence numbers (the spec's manifest-rewrite shape, same as the
+    CDC publisher) and a content=1 DELETE manifest at the new
+    sequence — so :func:`read_iceberg`'s existing MoR path applies
+    them with exact seq gating. Returns ``(snapshot_id, rows)``.
+
+    Row addressing: parquet files through ``_metadata.row_index``,
+    AVRO files through the codec scan's own positions (``__ri``);
+    live ORC files refuse (Spark exposes no ORC row_index — the same
+    boundary the reader declares). Already-dead rows (prior position
+    deletes) are anti-joined out before matching, so re-deletes
+    count zero and deletes accumulate across snapshots without
+    merging files. Equality-delete debt refuses (apply order against
+    a new positional delete is table-state dependent).
+
+    Scale shape: the scan is the ordinary pruned read; matched
+    positions write as delete-volume-bound parquet, sorted by
+    (file_path, pos) within partitions per the spec's
+    recommendation; the carried manifest is metadata-only."""
+    from pyspark.sql import functions as F
+
+    (
+        meta, live, pos_deletes, bounds, partitions, formats,
+        latest_sid,
+    ) = _iceberg_dml_preamble(root, "delete_from_iceberg")
+    if not live:
+        return latest_sid, 0
+    cond = F.expr(where) if isinstance(where, str) else where
+    mapping = _name_mapping(meta)
+    names_by_id = _field_names_by_id(meta)
+    scan = _iceberg_pos_scan(
+        spark, root, meta, live, formats, pos_deletes, mapping,
+        names_by_id,
+    )
+    new_sid = latest_sid + 1 if latest_sid >= 0 else 1
+    new_seq = int(meta.get("last-sequence-number", 0)) + 1
+    del_entries, n = _stage_pos_delete_files(
+        spark, root, scan.filter(cond), new_sid, new_seq
+    )
+    if n == 0:
+        return latest_sid, 0
+    _iceberg_mor_commit(
+        root, meta, live, bounds, partitions, formats, pos_deletes,
+        new_sid, new_seq, [], del_entries, "delete",
+    )
+    return new_sid, n
+
+
+def upsert_iceberg(
+    spark: SparkSession, root: str, source: DataFrame, on: list[str]
+) -> tuple[int, dict]:
+    """MERGE-shaped UPSERT in ONE snapshot — Iceberg v2's
+    merge-on-read upsert (the format twin of
+    :func:`delta_reader.merge_delta`): target rows whose ``on`` keys
+    appear in ``source`` go dead via position-delete files, and ALL
+    source rows land as new data files through the writer's shared
+    staging (stats + partition tuples per the table's default spec)
+    — matched keys read back as the source image, new keys as
+    inserts, in one atomic snapshot (data manifest: carried EXISTING
+    + new ADDED; delete manifest: prior + new positional deletes).
+    Returns ``(snapshot_id, {"updated": u, "inserted": i})``.
+
+    Multiple source rows per key refuse (the same ambiguity real
+    MERGE rejects). Same row-addressing contract as
+    :func:`delete_from_iceberg` (parquet + AVRO yes, live ORC
+    refuses; equality-delete debt refuses).
+
+    Scale shape: the match is an equi-join on the merge keys with
+    the change-set side small (broadcastable); deletes write
+    change-bound; new files carry only source rows."""
+    from pyspark.sql import functions as F
+
+    if not on:
+        raise ValueError("upsert_iceberg: empty merge key")
+    (
+        meta, live, pos_deletes, bounds, partitions, formats,
+        latest_sid,
+    ) = _iceberg_dml_preamble(root, "upsert_iceberg")
+    top = _current_schema_fields(meta)
+    tcols = [f["name"] for f in top]
+    missing = [c for c in tcols if c not in source.columns]
+    if missing:
+        raise ValueError(
+            f"source lacks table columns {missing} (whole-row "
+            "upsert semantics need them all)"
+        )
+    for k in on:
+        if k not in tcols:
+            raise ValueError(f"merge key {k!r} not in schema")
+    src = source.select(*tcols).persist()
+    dup = src.groupBy(*on).count().filter(F.col("count") > 1).count()
+    if dup:
+        src.unpersist()
+        raise ValueError(
+            f"upsert_iceberg: {dup} keys match multiple source rows "
+            "(ambiguous — dedupe the source first)"
+        )
+    new_sid = latest_sid + 1 if latest_sid >= 0 else 1
+    new_seq = int(meta.get("last-sequence-number", 0)) + 1
+    del_entries: list[dict] = []
+    n_matched = 0
+    if live:
+        mapping = _name_mapping(meta)
+        names_by_id = _field_names_by_id(meta)
+        scan = _iceberg_pos_scan(
+            spark, root, meta, live, formats, pos_deletes, mapping,
+            names_by_id,
+        )
+        matched = scan.join(
+            F.broadcast(src.select(*on).distinct()), on, "inner"
+        )
+        del_entries, n_matched = _stage_pos_delete_files(
+            spark, root, matched, new_sid, new_seq
+        )
+    # new data files: the writer's shared staging (table's default
+    # spec → partition tuples + bounds ride into the manifest)
+    names_by_id = {f["id"]: f["name"] for f in top}
+    by_name = {f["name"]: f for f in top}
+    spec_fields = _spec_from_meta(meta) if meta.get(
+        "partition-specs"
+    ) else []
+    pinfo = []
+    for pf in spec_fields:
+        kind, param = parse_transform(pf["transform"])
+        src_name = names_by_id[pf["source-id"]]
+        ice_t = by_name[src_name]["type"]
+        pf = dict(pf, _avro=_part_avro_type(kind, ice_t))
+        pinfo.append((pf, kind, param, src_name, ice_t))
+    new_data_entries = _stage_iceberg_entries(
+        spark, root, src, top, pinfo, None, "parquet", None,
+        new_sid, new_seq,
+    )
+    n_source = sum(
+        e["data_file"]["record_count"] for e in new_data_entries
+    )
+    src.unpersist()
+    if n_source == 0 and n_matched == 0:
+        return latest_sid, {"updated": 0, "inserted": 0}
+    _iceberg_mor_commit(
+        root, meta, live, bounds, partitions, formats, pos_deletes,
+        new_sid, new_seq, new_data_entries, del_entries, "overwrite",
+    )
+    return new_sid, {
+        "updated": n_matched,
+        "inserted": n_source - n_matched,
+    }

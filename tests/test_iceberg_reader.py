@@ -1222,3 +1222,61 @@ def test_delete_from_iceberg_position_deletes(spark, tmp_path):
     write_iceberg(spark, df, dest3, file_format="orc")
     with _pytest.raises(IcebergProtocolError, match="row_index"):
         delete_from_iceberg(spark, dest3, "k = 1")
+
+
+def test_upsert_iceberg_one_snapshot_merge(spark, tmp_path):
+    """MERGE-shaped upsert in ONE snapshot: matched keys read back
+    as the source image, new keys insert, untouched rows intact,
+    time travel sees the pre-upsert state, partition tuples ride on
+    the new files, and ambiguous sources refuse."""
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        delete_from_iceberg,
+        upsert_iceberg,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i)) for i in range(20)],
+        "k long, g string, x double",
+    )
+    write_iceberg(spark, df, dest, partition_by=["g"])
+    src = spark.createDataFrame(
+        [(5, "gX", 500.0), (7, "g1", 700.0), (100, "g0", 1000.0)],
+        "k long, g string, x double",
+    )
+    sid, stats = upsert_iceberg(spark, dest, src, ["k"])
+    assert stats == {"updated": 2, "inserted": 1}
+    got = {r.k: (r.g, r.x) for r in read_iceberg(spark, dest).collect()}
+    assert len(got) == 21
+    assert got[5] == ("gX", 500.0) and got[100] == ("g0", 1000.0)
+    assert got[6] == ("g0", 6.0)
+    # snapshot log: exactly ONE new snapshot for the whole merge
+    assert [s["snapshot_id"] for s in snapshot_log(dest)] == [1, sid]
+    # pre-upsert state intact
+    assert read_iceberg(spark, dest, snapshot_id=1).count() == 20
+    # partition pruning addresses the upserted partition value
+    gx = read_iceberg(spark, dest, skip_where=[("g", "=", "gX")])
+    assert sorted(r.k for r in gx.collect()) == [5]
+    # compose with MoR delete: a deleted key re-upserts as an insert
+    delete_from_iceberg(spark, dest, "k = 7")
+    _sid2, st2 = upsert_iceberg(
+        spark, dest,
+        spark.createDataFrame(
+            [(7, "gZ", 7.7)], "k long, g string, x double"),
+        ["k"],
+    )
+    assert st2 == {"updated": 0, "inserted": 1}
+    got2 = {r.k: (r.g, r.x) for r in read_iceberg(spark, dest).collect()}
+    assert got2[7] == ("gZ", 7.7)
+    # ambiguous source refuses
+    with _pytest.raises(ValueError, match="multiple"):
+        upsert_iceberg(
+            spark, dest,
+            spark.createDataFrame(
+                [(1, "a", 0.0), (1, "b", 0.0)],
+                "k long, g string, x double"),
+            ["k"],
+        )
