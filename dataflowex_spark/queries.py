@@ -25151,3 +25151,70 @@ def q435(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q(
+    "q436_delta_optimize_zorder",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             CAST(o_custkey AS BIGINT) AS cust,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 3 = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM base WHERE cust BETWEEN 100 AND 300
+    """,
+)
+def q436(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA OPTIMIZE + ZORDER BY (optimize_delta): a written table
+    deliberately fragmented across 24 files re-clusters on the
+    Morton interleave of (okey, cust) — after which a predicate on
+    the SECOND clustered column alone prunes files through
+    add.stats (asserted in-query: files opened < live files), which
+    insertion order could never give it. The rewrite is
+    dataChange=false; the oracle replays the aggregate from the base
+    table, so the hash match proves layout maintenance changed
+    NOTHING about the rows while the file-open assertion proves it
+    changed everything about the scan. At 100 TB this is the
+    difference between touching 3 files and touching 30,000 for a
+    dimension-keyed lookup."""
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        _snapshot,
+        optimize_delta,
+        read_delta,
+        write_delta,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 3 == 1)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_custkey").cast("long").alias("cust"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q436_") + "/t"
+    write_delta(spark, base.repartition(24), dest)
+    optimize_delta(spark, dest, zorder_by=["okey", "cust"], n_files=24)
+    _m, adds = _snapshot(spark, dest, None)
+    pruned = read_delta(
+        spark,
+        dest,
+        skip_where=[("cust", ">=", 100), ("cust", "<=", 300)],
+    )
+    assert 0 < len(pruned.inputFiles()) < len(adds), (
+        len(pruned.inputFiles()),
+        len(adds),
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("price_cents").cast("long").alias("cents"),
+    )

@@ -2401,3 +2401,168 @@ def _snapshot_schema_types(root: str) -> tuple[dict, list]:
         for f in schema.get("fields", [])
     }
     return types, list(meta.get("partitionColumns") or [])
+
+
+def optimize_delta(
+    spark: SparkSession,
+    dest: str,
+    target_file_mb: int = 128,
+    zorder_by: list[str] | None = None,
+    n_files: int | None = None,
+) -> tuple[int, dict]:
+    """OPTIMIZE for written Delta tables — the layout-maintenance
+    half next to :func:`compact_delta_dvs`' debt purge:
+
+    - **bin-packing** (default): live files under half the target
+      size coalesce into ~target-sized files — the small-file
+      problem every streaming/DML-heavy table accumulates, and the
+      scan-cost killer at 100 TB (file count drives task count and
+      footer overhead);
+    - **ZORDER BY** (``zorder_by=[cols]``): rewrites ALL live files
+      clustered on the Morton interleave of the given columns
+      (rank-normalized to 12-bit space, pure bitwise Column exprs) —
+      every clustered column's per-file [min,max] becomes a tight
+      hypercube face, so ``skip_where``-style stats pruning answers
+      conjunctions on ANY clustered column, not just the write
+      order. Same trade as MTable's optimize_zorder.
+
+    Either way the rewrite is ``dataChange: false`` (invisible to
+    CDF and row sets), rewritten files drop their DVs (the scan
+    anti-joins dead rows — OPTIMIZE doubles as a debt purge), and
+    per-file stats re-emit through the shared staging so skipping
+    reflects the new layout immediately. Returns
+    ``(version, {"files_removed": r, "files_added": a})``; nothing
+    to do → no commit. ``n_files`` overrides the size-derived file
+    count (explicit layout control; tests pin skipping with it)."""
+    from dataflowex_spark.sources import zorder_key
+
+    while True:
+        meta, adds = _snapshot(spark, dest, None)
+        if _mapping_mode(meta) != "none":
+            raise DeltaProtocolError(
+                "optimize_delta: column-mapped tables unsupported"
+            )
+        commits = _commit_files(dest)
+        newest_cp = _checkpoint_for(dest, 1 << 62)
+        latest = max(
+            max(commits, default=-1),
+            newest_cp[0] if newest_cp else -1,
+        )
+        target = target_file_mb << 20
+        if zorder_by:
+            chosen = dict(adds)  # clustering is a full-layout rewrite
+        else:
+            chosen = {
+                rel: a
+                for rel, a in adds.items()
+                if int(a.get("size") or 0) < target // 2
+            }
+            if len(chosen) < 2:
+                return latest, {"files_removed": 0, "files_added": 0}
+        if not chosen:
+            return latest, {"files_removed": 0, "files_added": 0}
+        pcols = meta.get("partitionColumns") or []
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+        prim = (
+            T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+            T.DoubleType, T.FloatType, T.StringType, T.DateType,
+        )
+        scols = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, prim) and f.name not in pcols
+        ]
+        scan, _old = _dml_scan(spark, dest, meta, chosen)
+        rows = scan.drop("__fp", "__ri")
+        total = sum(int(a.get("size") or 0) for a in chosen.values())
+        if n_files is None:
+            n_files = max(1, -(-total // target))
+        if zorder_by:
+            for c in zorder_by:
+                if c not in dtypes:
+                    raise ValueError(f"zorder column {c!r} not in schema")
+                if dtypes[c] not in (
+                    "bigint", "int", "smallint", "tinyint",
+                    "double", "float", "date", "timestamp",
+                    "timestamp_ntz",
+                ):
+                    raise ValueError(
+                        f"zorder column {c!r}: non-orderable-numeric "
+                        f"type {dtypes[c]}; derive a numeric rank "
+                        "upstream"
+                    )
+
+            def as_num(c):
+                dt = dtypes[c]
+                if dt.startswith("timestamp"):
+                    return F.unix_micros(
+                        F.col(c).cast("timestamp")
+                    ).cast("double")
+                if dt == "date":
+                    return F.unix_date(F.col(c)).cast("double")
+                return F.col(c).cast("double")
+
+            bits = 12
+            stats = rows.agg(
+                *[F.min(as_num(c)).alias(f"mn_{c}") for c in zorder_by],
+                *[F.max(as_num(c)).alias(f"mx_{c}") for c in zorder_by],
+            ).first()
+            top = (1 << bits) - 1
+            norm = []
+            for c in zorder_by:
+                mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+                span = (
+                    (mx - mn)
+                    if (mn is not None and mx is not None and mx > mn)
+                    else 1.0
+                )
+                scaled = F.floor(
+                    (
+                        F.coalesce(as_num(c), F.lit(mn or 0.0))
+                        - F.lit(mn or 0.0)
+                    )
+                    * (top / span)
+                )
+                norm.append(
+                    F.least(F.greatest(scaled, F.lit(0)), F.lit(top))
+                )
+            zk = zorder_key(norm, bits)
+            rows = rows.repartitionByRange(
+                n_files, zk
+            ).sortWithinPartitions(zk)
+        else:
+            rows = rows.coalesce(n_files)
+        new_adds = _stage_data_files(spark, dest, rows, pcols, scols)
+        for na in new_adds:
+            na["add"]["dataChange"] = False
+        actions: list[dict] = []
+        for rel in sorted(chosen):
+            old = chosen[rel]
+            rm = {"path": rel, "dataChange": False}
+            for carry in ("partitionValues", "size", "deletionVector"):
+                if old.get(carry) is not None:
+                    rm[carry] = old[carry]
+            actions.append({"remove": rm})
+        actions.extend(new_adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "OPTIMIZE",
+                    "timestamp": None,
+                    "operationMetrics": {
+                        "numFilesRemoved": len(chosen),
+                        "numFilesAdded": len(new_adds),
+                    },
+                    "zOrderBy": list(zorder_by or []),
+                }
+            }
+        )
+        conf = meta.get("configuration") or {}
+        v = _try_claim_commit(spark, dest, latest, actions, conf)
+        if v is None:
+            continue
+        return v, {
+            "files_removed": len(chosen),
+            "files_added": len(new_adds),
+        }

@@ -1332,3 +1332,53 @@ def test_compact_delta_dvs(spark, tmp_path):
     assert read_delta_changes(
         spark, dest, starting_version=v2, ending_version=v2
     ).count() == 0
+
+
+def test_optimize_delta_binpack_and_zorder(spark, tmp_path):
+    """OPTIMIZE: small files bin-pack (dataChange=false, row set
+    identical, CDF silent); ZORDER BY re-clusters so stats skipping
+    prunes on EVERY clustered dimension; rewritten files drop DVs."""
+    from dataflowex_spark.sources.delta_reader import (
+        _snapshot,
+        delete_from_delta,
+        optimize_delta,
+        read_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 50, float(i % 37)) for i in range(20000)],
+        "k long, a long, b double",
+    )
+    write_delta(
+        spark, df.repartition(16), dest,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delete_from_delta(spark, dest, "k % 100 = 3")
+    _m, before = _snapshot(spark, dest, None)
+    v1, st1 = optimize_delta(spark, dest, target_file_mb=64)
+    assert st1["files_removed"] == len(before) >= 16
+    _m, packed = _snapshot(spark, dest, None)
+    assert len(packed) == st1["files_added"] < len(before)
+    # rewritten files dropped their DVs (the scan purged dead rows)
+    assert not any(a.get("deletionVector") for a in packed.values())
+    assert read_delta(spark, dest).count() == 20000 - 200
+    # OPTIMIZE is invisible to CDF
+    assert read_delta_changes(
+        spark, dest, starting_version=v1, ending_version=v1
+    ).count() == 0
+    # zorder: both clustered dimensions prune
+    _v2, _st2 = optimize_delta(
+        spark, dest, zorder_by=["k", "a"], n_files=16
+    )
+    _m, zfiles = _snapshot(spark, dest, None)
+    nk = read_delta(spark, dest, skip_where=[("k", ">=", 19000)])
+    na = read_delta(spark, dest, skip_where=[("a", "=", 7)])
+    assert len(nk.inputFiles()) < len(zfiles)
+    assert len(na.inputFiles()) < len(zfiles)
+    got = sorted((r.k, r.a) for r in read_delta(spark, dest).collect())
+    assert got == sorted(
+        (i, i % 50) for i in range(20000) if i % 100 != 3
+    )
