@@ -25218,3 +25218,95 @@ def q436(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("price_cents").cast("long").alias("cents"),
     )
+
+
+@q(
+    "q437_schema_evolution_append",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 10 = 7
+    ), evolved AS (
+      SELECT okey, priority, price_cents,
+             CASE WHEN okey % 2 = 0
+                  THEN CAST(floor(price_cents / 100) AS BIGINT)
+             END AS tax
+      FROM base WHERE okey % 2 = 0
+      UNION ALL
+      SELECT okey, priority, price_cents, NULL AS tax
+      FROM base WHERE okey % 2 = 1
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(tax) AS BIGINT) AS n_tax,
+           CAST(SUM(COALESCE(tax, 0)) AS BIGINT) AS tax_sum
+    FROM evolved GROUP BY priority ORDER BY priority
+    """,
+)
+def q437(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE SCHEMA EVOLUTION ON APPEND, both open formats in one
+    query: odd keys write first under the ORIGINAL 3-column schema
+    (Delta AND Iceberg twins of the same rows), then even keys
+    append WITH a new ``tax`` column under merge_schema=True — Delta
+    extends metaData.schemaString (old files null-fill through the
+    explicit-schema scan), Iceberg mints a fresh field-id and a new
+    current schema-id (old files null-fill through the
+    current-schema conform). Both tables read back and must AGREE
+    row-for-row (asserted in-query) before one of them aggregates
+    against the oracle's UNION replay — so the hash match pins the
+    evolution semantics of BOTH writers at once."""
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        read_delta,
+        write_delta,
+    )
+    from dataflowex_spark.sources.iceberg_reader import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 10 == 7)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    old_shape = base.filter(F.col("okey") % 2 == 1)
+    new_shape = base.filter(F.col("okey") % 2 == 0).withColumn(
+        "tax", F.floor(F.col("price_cents") / 100).cast("long")
+    )
+    root = tempfile.mkdtemp(prefix="q437_")
+    ddest, idest = root + "/d", root + "/i"
+    write_delta(spark, old_shape, ddest)
+    write_delta(spark, new_shape, ddest, mode="append",
+                merge_schema=True)
+    write_iceberg(spark, old_shape, idest)
+    write_iceberg(spark, new_shape, idest, mode="append",
+                  merge_schema=True)
+    ddf = read_delta(spark, ddest)
+    idf = read_iceberg(spark, idest)
+    # both formats must agree row-for-row after evolution
+    assert (
+        ddf.exceptAll(idf).count() == 0
+        and idf.exceptAll(ddf).count() == 0
+    ), "Delta and Iceberg evolution disagree"
+    return (
+        ddf.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("tax").cast("long").alias("n_tax"),
+            F.sum(F.coalesce(F.col("tax"), F.lit(0)))
+            .cast("long")
+            .alias("tax_sum"),
+        )
+        .orderBy("priority")
+    )

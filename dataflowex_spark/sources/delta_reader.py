@@ -1467,6 +1467,7 @@ def write_delta(
     stats_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
     configuration: dict[str, str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """GENERIC Delta writer — any DataFrame → a Delta-protocol table,
     no MTable required (the standalone complement to the MTable
@@ -1490,6 +1491,13 @@ def write_delta(
     add (the protocol's partition encoding — the reader re-attaches
     them typed); partition columns leave the data files, per the
     protocol.
+
+    ``merge_schema``: on append/overwrite, NEW top-level columns in
+    ``df`` extend the table schema (nullable — the protocol's
+    additive evolution; the explicit-schema scan null-fills them in
+    older files); type changes to existing columns refuse. Without
+    it, a schema mismatch on append refuses rather than silently
+    dropping the new column at read time.
 
     ``configuration``: table properties recorded in
     ``metaData.configuration`` at creation.
@@ -1525,8 +1533,45 @@ def write_delta(
         raise ValueError(f"write_delta mode {mode!r}")
     os.makedirs(os.path.join(dest, "data"), exist_ok=True)
     os.makedirs(log, exist_ok=True)
+    evolved_meta = None
+    if exists:
+        meta0, _live0 = _snapshot(spark, dest, None)
+        cur = T.StructType.fromJson(json.loads(meta0["schemaString"]))
+        have = {f.name: f for f in cur.fields}
+        new_fields = [
+            f for f in df.schema.fields if f.name not in have
+        ]
+        for f in df.schema.fields:
+            if f.name in have and (
+                have[f.name].dataType != f.dataType
+            ):
+                raise ValueError(
+                    f"append schema changes column {f.name!r} type "
+                    f"{have[f.name].dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()} (unsupported)"
+                )
+        if new_fields and not merge_schema:
+            raise ValueError(
+                "append carries new columns "
+                f"{[f.name for f in new_fields]}; pass "
+                "merge_schema=True to evolve the table schema"
+            )
+        if new_fields and merge_schema:
+            evolved = T.StructType(
+                list(cur.fields)
+                + [
+                    T.StructField(f.name, f.dataType, True)
+                    for f in new_fields
+                ]
+            )
+            evolved_meta = dict(meta0)
+            evolved_meta["schemaString"] = json.dumps(
+                evolved.jsonValue()
+            )
     adds = _stage_data_files(spark, dest, df, pcols, scols)
     actions: list[dict] = []
+    if evolved_meta is not None:
+        actions.append({"metaData": evolved_meta})
     if not exists:
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}

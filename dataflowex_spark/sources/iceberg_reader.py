@@ -690,6 +690,17 @@ def read_iceberg(
                 if fmt == "ORC"
                 else spark.read.parquet(*paths)
             )
+            if need_pos:
+                # row identity attaches PER PIECE from the raw scan
+                # (the _metadata pseudo-column resolves only there;
+                # AVRO pieces carry their own)
+                piece = piece.select(
+                    "*",
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/*", "/"
+                    ).alias("__fp"),
+                    F.col("_metadata.row_index").alias("__ri"),
+                )
             if renames:
                 ren = dict(renames)
                 piece = piece.select(
@@ -698,16 +709,26 @@ def read_iceberg(
                         for c in piece.columns
                     ]
                 )
-            if need_pos:
-                # row identity attaches PER PIECE (scan metadata is
-                # a scan-time column; AVRO pieces carry their own)
-                piece = piece.select(
-                    "*",
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:/*", "/"
-                    ).alias("__fp"),
-                    F.col("_metadata.row_index").alias("__ri"),
-                )
+            # conform to the CURRENT schema: files that predate an
+            # added column null-fill it; columns since dropped leave
+            # the scan here (schema evolution is metadata, the spec's
+            # contract — ids are identity, presence follows the
+            # current schema). Tables whose metadata carries no
+            # schema (minimal conformance fixtures) read as-is.
+            cur_fields = _current_schema_fields(meta)
+            if cur_fields:
+                have = set(piece.columns)
+                sel = [
+                    F.col(f0["name"])
+                    if f0["name"] in have
+                    else F.lit(None)
+                    .cast(_spark_type(f0["type"]))
+                    .alias(f0["name"])
+                    for f0 in cur_fields
+                ]
+                if need_pos:
+                    sel += [F.col("__fp"), F.col("__ri")]
+                piece = piece.select(*sel)
         pieces.append(
             piece.withColumn("__seq", F.lit(seq).cast("long"))
         )
@@ -2117,6 +2138,7 @@ def write_iceberg(
     stats_cols: list[str] | None = None,
     partition_by: list | None = None,
     file_format: str = "parquet",
+    merge_schema: bool = False,
 ) -> int:
     """GENERIC Iceberg writer — any DataFrame → an Iceberg v2 table,
     no MTable required (the format twin of
@@ -2140,6 +2162,13 @@ def write_iceberg(
     self-contained, unlike Hive layout. Appends to an existing
     partitioned table adopt (and validate against) the table's
     default spec.
+
+    ``merge_schema``: on append/overwrite, NEW top-level columns in
+    ``df`` evolve the table schema — fresh field-ids above every id
+    any schema version ever used (ids are identity forever), a new
+    schema-id becomes current, and the reader null-fills the column
+    in files that predate it (parquet via the current-schema
+    conform, AVRO via field-id resolution). Type changes refuse.
 
     ``file_format``: ``parquet`` (default), ``orc``, or ``avro`` —
     all three legal Iceberg data-file formats; the manifest's
@@ -2199,6 +2228,69 @@ def write_iceberg(
             )
         )
         top = _current_schema_fields(meta)
+        known = {f["name"]: f for f in top}
+        for f in df.schema.fields:
+            kf = known.get(f.name)
+            if kf is not None and isinstance(kf["type"], str):
+                want = _iceberg_type(
+                    f.dataType, iter(range(10**6)).__next__
+                )
+                if isinstance(want, str) and want != kf["type"]:
+                    raise ValueError(
+                        f"append schema changes column {f.name!r} "
+                        f"type {kf['type']} -> {want} (unsupported)"
+                    )
+        new_cols = [
+            f for f in df.schema.fields if f.name not in known
+        ]
+        if new_cols and not merge_schema:
+            raise ValueError(
+                "append carries new columns "
+                f"{[f.name for f in new_cols]}; pass "
+                "merge_schema=True to evolve the table schema"
+            )
+        if new_cols and merge_schema:
+            # fresh field-ids above every id any schema ever used
+            # (ids are identity forever — never reused, per spec)
+            used = [0]
+
+            def walk(o):
+                if isinstance(o, dict):
+                    for k, v in o.items():
+                        if k in (
+                            "id", "element-id", "key-id", "value-id",
+                        ) and isinstance(v, int):
+                            used.append(v)
+                        walk(v)
+                elif isinstance(o, list):
+                    for x in o:
+                        walk(x)
+
+            walk(meta.get("schemas", []))
+            nxt = {"n": max(used)}
+
+            def alloc2() -> int:
+                nxt["n"] += 1
+                return nxt["n"]
+
+            top = list(top) + [
+                {
+                    "id": alloc2(),
+                    "name": f.name,
+                    "required": False,
+                    "type": _iceberg_type(f.dataType, alloc2),
+                }
+                for f in new_cols
+            ]
+            new_schema_id = meta.get("current-schema-id", 0) + 1
+            meta["schemas"] = list(meta.get("schemas", [])) + [
+                {
+                    "schema-id": new_schema_id,
+                    "type": "struct",
+                    "fields": top,
+                }
+            ]
+            meta["current-schema-id"] = new_schema_id
     else:
         top = []
         for f in df.schema.fields:
@@ -2428,6 +2520,18 @@ def _iceberg_pos_scan(
                 ).alias("__fp"),
                 F.col("_metadata.row_index").alias("__ri"),
             )
+            cur_fields = _current_schema_fields(meta)
+            if cur_fields:
+                have = set(piece.columns)
+                sel = [
+                    F.col(f0["name"])
+                    if f0["name"] in have
+                    else F.lit(None)
+                    .cast(_spark_type(f0["type"]))
+                    .alias(f0["name"])
+                    for f0 in cur_fields
+                ] + [F.col("__fp"), F.col("__ri")]
+                piece = piece.select(*sel)
         pieces.append(piece)
     scan = pieces[0]
     for p in pieces[1:]:

@@ -1382,3 +1382,40 @@ def test_optimize_delta_binpack_and_zorder(spark, tmp_path):
     assert got == sorted(
         (i, i % 50) for i in range(20000) if i % 100 != 3
     )
+
+
+def test_write_delta_merge_schema(spark, tmp_path):
+    """Additive schema evolution on append: new columns extend the
+    table schema under merge_schema=True (older files null-fill via
+    the explicit-schema scan), refuse without it, and type changes
+    always refuse."""
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.delta_reader import write_delta
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    write_delta(spark, df, dest)
+    df2 = spark.createDataFrame(
+        [(3, "c", 3.5)], "k long, v string, score double")
+    with _pytest.raises(ValueError, match="merge_schema"):
+        write_delta(spark, df2, dest, mode="append")
+    write_delta(spark, df2, dest, mode="append", merge_schema=True)
+    got = sorted(
+        (r.k, r.v, r.score) for r in read_delta(spark, dest).collect()
+    )
+    assert got == [(1, "a", None), (2, "b", None), (3, "c", 3.5)]
+    # old-shape appends keep working (missing column null-fills)
+    write_delta(
+        spark, spark.createDataFrame([(10, "z")], "k long, v string"),
+        dest, mode="append",
+    )
+    assert {r.k: r.score for r in read_delta(spark, dest).collect()}[
+        10
+    ] is None
+    with _pytest.raises(ValueError, match="type"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(1.5, "x")], "k double, v string"),
+            dest, mode="append", merge_schema=True,
+        )

@@ -1280,3 +1280,61 @@ def test_upsert_iceberg_one_snapshot_merge(spark, tmp_path):
                 "k long, g string, x double"),
             ["k"],
         )
+
+
+def test_write_iceberg_merge_schema(spark, tmp_path):
+    """Additive schema evolution on append: fresh field-ids above
+    every id ever used, new schema-id becomes current, older files
+    null-fill (parquet conform + avro field-id resolution), DML
+    works on the evolved table, refusals for unflagged/new and
+    type-changed columns."""
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        delete_from_iceberg,
+        load_table_metadata,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    write_iceberg(spark, df, dest)
+    df2 = spark.createDataFrame(
+        [(3, "c", 3.5)], "k long, v string, score double")
+    with _pytest.raises(ValueError, match="merge_schema"):
+        write_iceberg(spark, df2, dest, mode="append")
+    write_iceberg(spark, df2, dest, mode="append", merge_schema=True)
+    meta = load_table_metadata(dest)
+    assert meta["current-schema-id"] == 1
+    ids = [
+        f["id"]
+        for sc in meta["schemas"]
+        for f in sc["fields"]
+        if f["name"] == "score"
+    ]
+    assert ids and min(ids) > 2  # fresh id, never reused
+    got = sorted(
+        (r.k, r.v, r.score)
+        for r in read_iceberg(spark, dest).collect()
+    )
+    assert got == [(1, "a", None), (2, "b", None), (3, "c", 3.5)]
+    # DML addresses rows across old and new file schemas
+    _sid, n = delete_from_iceberg(spark, dest, "k = 2")
+    assert n == 1 and read_iceberg(spark, dest).count() == 2
+    with _pytest.raises(ValueError, match="type"):
+        write_iceberg(
+            spark,
+            spark.createDataFrame([(1.5, "x")], "k double, v string"),
+            dest, mode="append", merge_schema=True,
+        )
+    # AVRO data files evolve the same way (field-id resolution)
+    d2 = str(tmp_path / "a")
+    write_iceberg(spark, df, d2, file_format="avro")
+    write_iceberg(
+        spark, df2, d2, mode="append", merge_schema=True,
+        file_format="avro",
+    )
+    gotA = sorted(
+        (r.k, r.v, r.score) for r in read_iceberg(spark, d2).collect()
+    )
+    assert gotA == [(1, "a", None), (2, "b", None), (3, "c", 3.5)]
