@@ -25310,3 +25310,80 @@ def q437(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q("q438_iceberg_tail_stream", None)  # rows-only: streaming source
+def q438(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG CHANGELOG TAIL as a Structured Streaming source
+    (iceberg_tail — closing the streaming-CDC triangle with q297's
+    mtable_tail and q434's delta_tail): offsets are SNAPSHOT
+    ordinals, each micro-batch is the spec's incremental scan —
+    rows ADDED per snapshot stream as inserts, position-deleted
+    rows as EXACT ROW IMAGES re-read by position from their data
+    files (executor-side pyarrow take; parquet/ORC/AVRO all
+    addressable through the same per-file reader). A written orders
+    table takes a MoR delete and a one-snapshot upsert; the drained
+    stream rolls up per (snapshot ordinal is internal — snapshot id,
+    change type). Changelog exactness + checkpoint-resume are
+    pytest-pinned (tests/test_streaming.py::
+    test_iceberg_tail_changelog_and_resumes). Scale: stream volume
+    follows the CHANGE volume — planning walks manifests (metadata),
+    reads touch only files each snapshot added."""
+    import tempfile
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        delete_from_iceberg,
+        upsert_iceberg,
+        write_iceberg,
+    )
+    from dataflowex_spark.sources.manifest_ds import (
+        IcebergTailDataSource,
+    )
+
+    try:
+        spark.dataSource.register(IcebergTailDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 11 == 3)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q438_") + "/t"
+    write_iceberg(spark, base, dest)
+    delete_from_iceberg(spark, dest, "price_cents % 6 = 2")
+    ups = base.filter(F.col("okey") % 7 == 1).select(
+        "okey",
+        F.lit("TAILED").alias("priority"),
+        (F.col("price_cents") + 1).alias("price_cents"),
+    )
+    upsert_iceberg(spark, dest, ups, ["okey"])
+    stream = spark.readStream.format("iceberg_tail").load(dest)
+    qname = "q438_tail"
+    q_ = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="q438_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy(
+            F.col("_snapshot_id").alias("snapshot_id"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_emitted"))
+        .orderBy("snapshot_id", "change_type")
+    )

@@ -676,3 +676,247 @@ class DeltaTailDataSource(DataSource):
             int(self.options.get("startVersion", 0)),
             [f.name for f in schema.fields],
         )
+
+
+class _IcebergTailPartition(InputPartition):
+    def __init__(
+        self,
+        kind: str,  # "data" → inserts; "delete" → pos-delete file
+        path: str,
+        fmt: str,
+        snapshot_id: int,
+        ordinal: int,
+    ):
+        self.kind = kind
+        self.path = path
+        self.fmt = fmt
+        self.snapshot_id = snapshot_id
+        self.ordinal = ordinal
+
+
+def _iceberg_read_data_file(path: str, fmt: str):
+    """One Iceberg data file → a pyarrow Table (executor-side):
+    parquet/ORC natively, AVRO through the from-scratch codec."""
+    import pyarrow as pa
+
+    if fmt == "PARQUET":
+        import pyarrow.parquet as pq
+
+        return pq.read_table(path)
+    if fmt == "ORC":
+        import pyarrow.orc as po
+
+        return po.read_table(path)
+    if fmt == "AVRO":
+        import pandas as pd
+
+        from dataflowex_spark.sources.avro_io import read_container
+
+        schema, records = read_container(path)
+        cols = (
+            [f["name"] for f in schema.get("fields", [])]
+            if isinstance(schema, dict)
+            else []
+        )
+        return pa.Table.from_pandas(
+            pd.DataFrame.from_records(records, columns=cols),
+            preserve_index=False,
+        )
+    raise ValueError(f"iceberg_tail: data file format {fmt!r}")
+
+
+class _IcebergTailReader(DataSourceStreamReader):
+    """Offsets are SNAPSHOT ORDINALS into the table's snapshot list
+    (``{"idx": i}`` = snapshots[0..i] streamed); a micro-batch is
+    the CHANGELOG of the ordinal range — the spec's incremental
+    scan: per snapshot, entries its manifests list as ADDED
+    (status=1, snapshot_id == its id) stream as ``insert`` rows for
+    data files and as ``delete`` rows for position-delete files (the
+    deleted rows re-read by position from their data file — exact
+    row images, not tombstone keys). An upsert snapshot therefore
+    streams delete+insert pairs, the standard Iceberg changelog
+    shape (the format tracks no row lineage, so there is no
+    update_pre/postimage notion to fake). Planning is metadata-only
+    (our avro codec, no JVM); reads run executor-side, one
+    InputPartition per changed file."""
+
+    def __init__(self, root: str, start_idx: int, out_cols: list):
+        self.root = root
+        self.start_idx = start_idx
+        self.out_cols = out_cols
+
+    def _meta(self) -> dict:
+        from dataflowex_spark.sources.iceberg_reader import (
+            load_table_metadata,
+        )
+
+        return load_table_metadata(self.root)
+
+    def initialOffset(self) -> dict:
+        return {"idx": self.start_idx - 1}
+
+    def latestOffset(self) -> dict:
+        return {"idx": len(self._meta().get("snapshots", [])) - 1}
+
+    def partitions(self, start: dict, end: dict):
+        import os as _os
+
+        from dataflowex_spark.sources.avro_io import read_container
+        from dataflowex_spark.sources.iceberg_reader import (
+            _resolve_path,
+        )
+
+        meta = self._meta()
+        snaps = meta.get("snapshots", [])
+        parts = []
+        for i in range(start["idx"] + 1, end["idx"] + 1):
+            snap = snaps[i]
+            sid = snap["snapshot-id"]
+            mlist = _resolve_path(self.root, snap["manifest-list"])
+            _s, manifests = read_container(mlist)
+            for m in manifests:
+                mpath = _resolve_path(self.root, m["manifest_path"])
+                _s2, entries = read_container(mpath)
+                for e in entries:
+                    if e["status"] != 1 or e.get("snapshot_id") != sid:
+                        continue  # only THIS snapshot's additions
+                    df_ = e["data_file"]
+                    path = _resolve_path(self.root, df_["file_path"])
+                    fmt = (df_.get("file_format") or "PARQUET").upper()
+                    content = df_.get("content", 0)
+                    if content == 0:
+                        parts.append(
+                            _IcebergTailPartition(
+                                "data", path, fmt, sid, i
+                            )
+                        )
+                    elif content == 1:
+                        parts.append(
+                            _IcebergTailPartition(
+                                "delete", path, fmt, sid, i
+                            )
+                        )
+                    else:
+                        raise ValueError(
+                            "iceberg_tail: equality deletes are not "
+                            "position-addressable changelog rows"
+                        )
+        last = end["idx"]
+        return parts or [
+            _IcebergTailPartition("data", "", "PARQUET", -1, last)
+        ]
+
+    def read(self, partition):
+        if not partition.path:
+            return
+        import pyarrow as pa
+
+        if partition.kind == "data":
+            table = _iceberg_read_data_file(
+                partition.path, partition.fmt
+            )
+            ctype = "insert"
+            tables = [table]
+        else:
+            # position-delete file: re-read the deleted rows by
+            # position from each referenced data file (pyarrow take)
+            import pyarrow.parquet as pq
+
+            dels = pq.read_table(partition.path).to_pylist()
+            by_file: dict[str, list[int]] = {}
+            for r in dels:
+                by_file.setdefault(r["file_path"], []).append(
+                    int(r["pos"])
+                )
+            ctype = "delete"
+            tables = []
+            for fpath, positions in sorted(by_file.items()):
+                # the delete file records the data file's own format
+                # only implicitly; sniff by extension
+                fmt = fpath.rsplit(".", 1)[-1].upper()
+                t = _iceberg_read_data_file(fpath, fmt)
+                tables.append(t.take(sorted(positions)))
+        for t in tables:
+            n = t.num_rows
+            have = set(t.column_names)
+            cols = []
+            for name in self.out_cols:
+                if name == "_change_type":
+                    cols.append(pa.array([ctype] * n, pa.string()))
+                elif name == "_snapshot_id":
+                    cols.append(
+                        pa.array(
+                            [partition.snapshot_id] * n, pa.int64()
+                        )
+                    )
+                elif name in have:
+                    cols.append(t.column(name))
+                else:
+                    cols.append(pa.nulls(n))
+            yield from pa.table(
+                dict(zip(self.out_cols, cols))
+            ).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # snapshots are the log; nothing to clean up
+
+
+class IcebergTailDataSource(DataSource):
+    """``spark.readStream.format("iceberg_tail").load(<table root>)``
+    — tails an Iceberg table's snapshot log as a CHANGELOG stream
+    (the spec's incremental scan): each micro-batch carries the rows
+    ADDED per snapshot as ``insert`` and the rows position-deleted
+    per snapshot as ``delete`` (exact row images re-read by
+    position), tagged ``_snapshot_id``. Together with delta_tail and
+    mtable_tail this closes the streaming-CDC triangle: any of the
+    three table formats tails into any Structured Streaming sink,
+    exactly-once by offset-range replay determinism (snapshots are
+    immutable).
+
+    Options: ``startIdx`` (default 0 — the creating snapshot is the
+    first batch). Equality-delete snapshots refuse (not
+    position-addressable); expired snapshots cannot be tailed — the
+    same retention contract as Delta CDF."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_tail"
+
+    def _root(self) -> str:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError(
+                "iceberg_tail: pass the table root via .load(root)"
+            )
+        return root
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        from dataflowex_spark.sources.iceberg_reader import (
+            _current_schema_fields,
+            _spark_type,
+            load_table_metadata,
+        )
+
+        meta = load_table_metadata(self._root())
+        fields = _current_schema_fields(meta)
+        if not fields:
+            raise ValueError(
+                "iceberg_tail: table metadata carries no schema"
+            )
+        base = StructType()
+        for f in fields:
+            base = base.add(
+                f["name"], _spark_type(f["type"]), True
+            )
+        return base.add("_change_type", "string").add(
+            "_snapshot_id", "long"
+        )
+
+    def streamReader(self, schema):
+        return _IcebergTailReader(
+            self._root(),
+            int(self.options.get("startIdx", 0)),
+            [f.name for f in schema.fields],
+        )

@@ -1428,3 +1428,73 @@ def test_delta_tail_stream_equals_batch_cdf_and_resumes(spark, tmp_path):
     ]
     # nothing before v3 was re-emitted
     assert out2.count() == len(got) + len(fresh)
+
+
+def test_iceberg_tail_changelog_and_resumes(spark, tmp_path):
+    """iceberg_tail streams each snapshot's ADDED rows as inserts
+    and position-deleted rows as EXACT row images (re-read by
+    position); an upsert snapshot streams delete+insert pairs;
+    checkpoint resume emits only post-drain snapshots."""
+    from dataflowex_spark.sources.iceberg_reader import (
+        delete_from_iceberg,
+        upsert_iceberg,
+        write_iceberg,
+    )
+    from dataflowex_spark.sources.manifest_ds import (
+        IcebergTailDataSource,
+    )
+
+    try:
+        spark.dataSource.register(IcebergTailDataSource)
+    except Exception:
+        pass  # idempotent within a session
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), float(i)) for i in range(20)],
+        "k long, g string, x double",
+    )
+    write_iceberg(spark, df, root)
+    delete_from_iceberg(spark, root, "k % 5 = 0")
+
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("iceberg_tail")
+            .load(root)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(outdir)
+
+    out = drain()
+    got = sorted(
+        (r.k, r.x, r["_change_type"], r["_snapshot_id"])
+        for r in out.collect()
+    )
+    want = sorted(
+        [(i, float(i), "insert", 1) for i in range(20)]
+        + [(i, float(i), "delete", 2) for i in range(0, 20, 5)]
+    )
+    assert got == want
+    # resume: an upsert lands after the drain; only ITS changelog
+    # rows arrive, deletes carrying the OLD row image
+    upsert_iceberg(
+        spark, root,
+        spark.createDataFrame(
+            [(3, "gX", 300.0)], "k long, g string, x double"),
+        ["k"],
+    )
+    out2 = drain()
+    fresh = sorted(
+        (r.k, r.x, r["_change_type"])
+        for r in out2.filter(F.col("_snapshot_id") == 3).collect()
+    )
+    assert fresh == [(3, 3.0, "delete"), (3, 300.0, "insert")]
+    assert out2.count() == len(got) + 2
