@@ -103,6 +103,10 @@ HEADLINE = [
     # and the SQL:2011 period-split update (pure scan algebra)
     "q393_delta_read",
     "q409_for_portion_of",
+    # round-8 additions: DV-delete DML on the from-scratch Delta log
+    # and OPTIMIZE ZORDER BY with its skipping assertion
+    "q429_delta_dv_delete",
+    "q436_delta_optimize_zorder",
 ]
 
 
