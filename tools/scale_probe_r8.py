@@ -98,7 +98,7 @@ def run(spark, n_rows: int, tag: str) -> dict:
             spark, dest, zorder_by=["k", "a"], n_files=32
         )
     )
-    assert read_delta(spark, dest).count() == n_rows - 10000 + 5000
+    assert read_delta(spark, dest).count() == n_rows - 10000
     return out
 
 
