@@ -25387,3 +25387,85 @@ def q438(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("rows_emitted"))
         .orderBy("snapshot_id", "change_type")
     )
+
+
+@q(
+    "q439_restore_rollback",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 12 = 10
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM base GROUP BY priority ORDER BY priority
+    """,
+)
+def q439(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE / ROLLBACK closes the lifecycle on both formats: the
+    same base writes to Delta AND Iceberg, each takes two rounds of
+    destructive DML (a DV/pos-delete slice, then a whole-partition
+    delete), then rolls back to the PRISTINE state — Delta via a
+    RESTORE commit (diff of live sets, append-only history, stats +
+    DVs restored exactly), Iceberg via metadata rollback (flip
+    current-snapshot-id, nothing moves). Both restored tables must
+    agree row-for-row (asserted in-query) before aggregating against
+    the oracle's plain base replay — the hash match proves rollback
+    returns EXACTLY the original rows on both formats, with the DML
+    history still inspectable. At 100 TB restore/rollback is the
+    ops story that makes row-level DML deployable: a bad pipeline
+    run reverts in O(metadata)."""
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        delete_from_delta,
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+    from dataflowex_spark.sources.iceberg_reader import (
+        delete_from_iceberg,
+        read_iceberg,
+        rollback_iceberg,
+        write_iceberg,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 12 == 10)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="q439_")
+    dd, ii = root + "/d", root + "/i"
+    write_delta(spark, base, dd)
+    delete_from_delta(spark, dd, "price_cents % 4 = 1")
+    delete_from_delta(spark, dd, "priority = '1-URGENT'")
+    restore_delta(spark, dd, 0)
+    write_iceberg(spark, base, ii)
+    delete_from_iceberg(spark, ii, "price_cents % 4 = 1")
+    delete_from_iceberg(spark, ii, "priority = '1-URGENT'")
+    rollback_iceberg(ii, 1)
+    ddf = read_delta(spark, dd)
+    idf = read_iceberg(spark, ii)
+    assert (
+        ddf.exceptAll(idf).count() == 0
+        and idf.exceptAll(ddf).count() == 0
+    ), "restored states disagree across formats"
+    return (
+        ddf.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )

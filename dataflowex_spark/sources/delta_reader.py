@@ -2611,3 +2611,66 @@ def optimize_delta(
             "files_removed": len(chosen),
             "files_added": len(new_adds),
         }
+
+
+def restore_delta(
+    spark: SparkSession, dest: str, version: int
+) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — rollback as a NEW commit
+    (history is append-only; the bad commits stay inspectable):
+    the live set diffs against the target version's, files only in
+    the present get ``remove`` actions, files only in the target get
+    ``add`` actions carrying their original stats/partitions/DVs —
+    so data skipping and DV deadness restore exactly, and the data
+    files themselves never move (they were never deleted; this is
+    why vacuum retention is the restore horizon). CDF consumers see
+    the restore as the synthesized delete/insert diff, which is
+    exactly what happened logically. Returns the new version."""
+    while True:
+        meta, cur = _snapshot(spark, dest, None)
+        _meta_t, target = _snapshot(spark, dest, version)
+        commits = _commit_files(dest)
+        newest_cp = _checkpoint_for(dest, 1 << 62)
+        latest = max(
+            max(commits, default=-1),
+            newest_cp[0] if newest_cp else -1,
+        )
+        if version == latest:
+            return latest
+        actions: list[dict] = []
+        for rel in sorted(set(cur) - set(target)):
+            rm = {"path": rel, "dataChange": True}
+            for carry in ("partitionValues", "size", "deletionVector"):
+                if cur[rel].get(carry) is not None:
+                    rm[carry] = cur[rel][carry]
+            actions.append({"remove": rm})
+        for rel in sorted(set(target) - set(cur)):
+            add = dict(target[rel])
+            add["dataChange"] = True
+            actions.append({"add": add})
+        for rel in sorted(set(target) & set(cur)):
+            # same path, different state (e.g. a DV landed since the
+            # target): re-add with the TARGET's descriptor
+            if cur[rel] != target[rel]:
+                actions.append(
+                    {"remove": {"path": rel, "dataChange": True}}
+                )
+                add = dict(target[rel])
+                add["dataChange"] = True
+                actions.append({"add": add})
+        if not actions:
+            return latest  # states identical: nothing to restore
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "RESTORE",
+                    "timestamp": None,
+                    "operationParameters": {"version": version},
+                }
+            }
+        )
+        conf = meta.get("configuration") or {}
+        v = _try_claim_commit(spark, dest, latest, actions, conf)
+        if v is None:
+            continue
+        return v

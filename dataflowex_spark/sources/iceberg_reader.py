@@ -2928,3 +2928,34 @@ def upsert_iceberg(
         "updated": n_matched,
         "inserted": n_source - n_matched,
     }
+
+
+def rollback_iceberg(root: str, snapshot_id: int) -> int:
+    """Rollback as METADATA — Iceberg's native shape (the
+    ``rollback_to_snapshot`` action): a new metadata version flips
+    ``current-snapshot-id`` back to a still-retained snapshot; no
+    manifests move, no data files move, history stays inspectable
+    (the abandoned snapshots remain until expire_snapshots). Returns
+    the now-current snapshot id. The snapshot must still exist —
+    expired snapshots cannot be rolled back to, the same retention
+    contract time travel has."""
+    meta = load_table_metadata(root)
+    snaps = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table metadata "
+            "(expired or never existed)"
+        )
+    meta["current-snapshot-id"] = snapshot_id
+    md = _meta_dir(root)
+    hint_path = os.path.join(md, "version-hint.text")
+    prev = (
+        int(open(hint_path).read().strip())
+        if os.path.exists(hint_path)
+        else 0
+    )
+    with open(os.path.join(md, f"v{prev + 1}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(hint_path, "w") as f:
+        f.write(str(prev + 1))
+    return snapshot_id

@@ -1419,3 +1419,69 @@ def test_write_delta_merge_schema(spark, tmp_path):
             spark.createDataFrame([(1.5, "x")], "k double, v string"),
             dest, mode="append", merge_schema=True,
         )
+
+
+def test_restore_delta(spark, tmp_path):
+    """RESTORE as a new commit: the live set diffs back to the
+    target version (stats/DVs restored exactly), history stays
+    append-only, restoring to the current state is a no-op."""
+    from dataflowex_spark.sources.delta_reader import (
+        delete_from_delta,
+        delta_history,
+        restore_delta,
+        read_delta,
+        update_delta,
+        write_delta,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k long, x double"
+    )
+    write_delta(spark, df, dest)
+    delete_from_delta(spark, dest, "k % 5 = 0")
+    update_delta(spark, dest, "k = 7", {"x": "x * 10"})
+    v = restore_delta(spark, dest, 0)
+    assert v == 3
+    assert sorted(
+        (r.k, r.x) for r in read_delta(spark, dest).collect()
+    ) == [(i, float(i)) for i in range(50)]
+    # restore to the mid state: the DV-delete comes back, not the
+    # update (per-version exactness, DVs included)
+    restore_delta(spark, dest, 1)
+    assert sorted(r.k for r in read_delta(spark, dest).collect()) == [
+        k for k in range(50) if k % 5 != 0
+    ]
+    # no-op restore: no new commit
+    latest = delta_history(dest)[-1]["version"]
+    assert restore_delta(spark, dest, latest) == latest
+    assert delta_history(dest)[-1]["version"] == latest
+
+
+def test_rollback_iceberg(spark, tmp_path):
+    """Rollback is METADATA: current-snapshot-id flips back, no
+    files move, abandoned snapshots stay until expiry; expired /
+    unknown snapshots refuse."""
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        delete_from_iceberg,
+        read_iceberg,
+        rollback_iceberg,
+        snapshot_log,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k long, x double"
+    )
+    write_iceberg(spark, df, dest)
+    delete_from_iceberg(spark, dest, "k < 25")
+    assert read_iceberg(spark, dest).count() == 25
+    rollback_iceberg(dest, 1)
+    assert read_iceberg(spark, dest).count() == 50
+    # history intact: both snapshots still listed
+    assert [s["snapshot_id"] for s in snapshot_log(dest)] == [1, 2]
+    with _pytest.raises(ValueError, match="not in table"):
+        rollback_iceberg(dest, 999)
