@@ -270,6 +270,21 @@ def _typed_partition_lit(value: str | None, dtype: T.DataType):
     return F.lit(value).cast(dtype)
 
 
+def _file_path_col():
+    """``_metadata.file_path`` → the ON-DISK path: scheme stripped,
+    URI percent-escapes decoded (a literal ``+`` is pre-escaped so
+    url_decode's form-decoding cannot turn it into a space). Without
+    the decode, hive-escaped partition dirs (space → ``%20`` on
+    disk → ``%2520`` in the scan's URI) mismatch the raw
+    ``add.path`` the log records — DVs would silently not apply and
+    DML would fail to find its own files (caught by the r8 ops
+    runbook example on a ``NOT SPECIFIED`` partition value)."""
+    c = F.regexp_replace(
+        F.col("_metadata.file_path"), "^file:/*", "/"
+    )
+    return F.url_decode(F.regexp_replace(c, r"\+", "%2B"))
+
+
 def _mapping_mode(meta: dict) -> str:
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
@@ -561,9 +576,7 @@ def read_delta(
         if dead:
             df = df.select(
                 "*",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/*", "/"
-                ).alias("__fp"),
+                _file_path_col().alias("__fp"),
                 F.col("_metadata.row_index").alias("__ri"),
             )
         id_name = (
@@ -934,9 +947,7 @@ def read_delta_changes(
             if dead:
                 df = df.select(
                     "*",
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:/*", "/"
-                    ).alias("__fp"),
+                    _file_path_col().alias("__fp"),
                     F.col("_metadata.row_index").alias("__ri"),
                 )
             cols = []
@@ -1795,9 +1806,7 @@ def _dml_scan(
         ]
         piece = spark.read.parquet(*paths).select(
             "*",
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/*", "/"
-            ).alias("__fp"),
+            _file_path_col().alias("__fp"),
             F.col("_metadata.row_index").alias("__ri"),
         )
         for k, v in key:

@@ -1485,3 +1485,41 @@ def test_rollback_iceberg(spark, tmp_path):
     assert [s["snapshot_id"] for s in snapshot_log(dest)] == [1, 2]
     with _pytest.raises(ValueError, match="not in table"):
         rollback_iceberg(dest, 999)
+
+
+def test_dml_on_special_char_partition_values(spark, tmp_path):
+    """Hive escaping regression (found by the r8 ops runbook): a
+    partition value with a SPACE lands on disk as %20, which the
+    scan's file_path URI re-encodes as %2520 — every path-keyed
+    operation (DV apply, DML file matching, CDF) must decode back
+    to the on-disk form or silently mis-match."""
+    from dataflowex_spark.sources.delta_reader import (
+        delete_from_delta,
+        read_delta,
+        read_delta_changes,
+        update_delta,
+        write_delta,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "NOT SPECIFIED" if i % 2 else "a+b%c", float(i))
+         for i in range(20)],
+        "k long, g string, x double",
+    )
+    write_delta(
+        spark, df, dest, partition_by=["g"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    _v, n = delete_from_delta(spark, dest, "k % 4 = 1")
+    assert n == 5
+    got = sorted(r.k for r in read_delta(spark, dest).collect())
+    assert got == [k for k in range(20) if k % 4 != 1]
+    _v2, n2 = update_delta(spark, dest, "k = 2", {"x": "x + 100"})
+    assert n2 == 1
+    assert {r.k: r.x for r in read_delta(spark, dest).collect()}[
+        2
+    ] == 102.0
+    ch = read_delta_changes(spark, dest, starting_version=1,
+                            ending_version=1)
+    assert sorted(r.k for r in ch.collect()) == [1, 5, 9, 13, 17]

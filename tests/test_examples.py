@@ -177,3 +177,24 @@ def test_lakehouse_lifecycle_end_to_end(spark, sf_dir):
     rc = ev["reclaim"]
     assert rc["delta_deleted"] > 0
     assert rc["delta_exact_after"] and rc["iceberg_exact_after"]
+
+
+def test_dml_ops_runbook_end_to_end(spark, sf_dir):
+    """The r8 day-2 ops story: DML trio → tail → maintain →
+    incident → restore → vacuum, every stage's evidence asserted."""
+    from examples.dml_ops_runbook import run
+
+    ev = run(spark, sf_dir)
+    assert ev["deleted"] > 0 and ev["updated"] > 0
+    assert ev["merged"]["updated"] > 0
+    assert ev["n_after_dml"] == ev["n0"] - ev["deleted"]
+    assert ev["stream_equals_batch"]
+    assert ev["n_after_optimize"] == ev["n_after_dml"]
+    # a narrow second-dimension range opens a strict subset of files
+    assert 0 < ev["rows_narrow"]
+    assert ev["files_opened_narrow"] < ev["files_live"]
+    # incident wiped the table; restore brought back the exact state
+    assert ev["n_after_incident"] == 0 and ev["restore_exact"]
+    # vacuum reclaimed the incident's DV debris; reads stay exact
+    assert ev["vacuumed"] > 0
+    assert ev["n_final"] == ev["n_after_dml"]
