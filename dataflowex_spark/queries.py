@@ -25469,3 +25469,88 @@ def q439(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q(
+    "q440_iceberg_rename_drop",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(o_custkey AS BIGINT) AS cust
+      FROM orders WHERE o_orderkey % 14 = 9
+    ), renamed AS (
+      SELECT okey, priority AS urgency, price_cents FROM base
+      UNION ALL
+      SELECT okey + 1, '9-LATE' AS urgency, price_cents
+      FROM base WHERE okey % 6 = 3
+    )
+    SELECT urgency,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM renamed GROUP BY urgency ORDER BY urgency
+    """,
+)
+def q440(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG COLUMN RENAME + DROP as pure metadata (alter_iceberg
+    — ids are identity, names are presentation): the table renames
+    ``priority``→``urgency`` and drops ``cust`` WITHOUT touching a
+    byte of data (asserted in-query: identical data-file set), then
+    appends new rows under the NEW name. Old files resolve through
+    their parquet footer field-ids (our writer stamps
+    parquet.field.id at stage time — the same ids real engines
+    write); the dropped column's id never resurfaces. The oracle
+    replays the rename as a projection + the append as a UNION, so
+    the hash match proves rename/drop changed presentation only.
+    At 100 TB this is the difference between an O(metadata) ALTER
+    and a table rewrite."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        alter_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 14 == 9)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+            F.col("o_custkey").cast("long").alias("cust"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q440_") + "/t"
+    write_iceberg(spark, base, dest)
+    files_before = sorted(
+        _glob.glob(_os.path.join(dest, "data", "*.parquet"))
+    )
+    alter_iceberg(
+        dest, renames={"priority": "urgency"}, drops=["cust"]
+    )
+    assert files_before == sorted(
+        _glob.glob(_os.path.join(dest, "data", "*.parquet"))
+    ), "rename/drop must be metadata-only"
+    late = base.filter(F.col("okey") % 6 == 3).select(
+        (F.col("okey") + 1).alias("okey"),
+        F.lit("9-LATE").alias("urgency"),
+        F.col("price_cents"),
+    )
+    write_iceberg(spark, late, dest, mode="append")
+    return (
+        read_iceberg(spark, dest)
+        .groupBy("urgency")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("urgency")
+    )

@@ -363,6 +363,13 @@ def _footer_renames(
         current = names_by_id.get(fid)
         if current is not None and current != f.name:
             out.append((f.name, current))
+        elif current is None and names_by_id:
+            # the field's id is ABSENT from the current schema: a
+            # DROPPED column. Rename it out of the way so a LATER
+            # column that reuses the name (fresh id) cannot pick up
+            # the dead data by name match — ids are identity; the
+            # current-schema conform then excludes it.
+            out.append((f.name, f"__dropped_{fid}"))
     return tuple(sorted(out))
 
 
@@ -1975,6 +1982,22 @@ def _stage_iceberg_entries(
     from pyspark.sql import functions as F
 
     stage_format = "parquet" if file_format == "avro" else file_format
+    if stage_format == "parquet":
+        # stamp parquet field ids (column metadata parquet.field.id;
+        # Spark's writer emits them with fieldId.write.enabled, its
+        # default) so RENAMED columns in files we wrote resolve by
+        # id exactly like files real engines write
+        id_by_name = {f["name"]: f["id"] for f in top}
+        df = df.select(
+            *[
+                F.col(c).alias(
+                    c, metadata={"parquet.field.id": id_by_name[c]}
+                )
+                if c in id_by_name
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
     boundable = {
         f["name"]: f for f in top if isinstance(f.get("type"), str)
     }
@@ -2385,11 +2408,48 @@ def write_iceberg(
         spark, dest, df, top, pinfo, stats_cols, file_format,
         avro_schema, new_sid, new_seq,
     )
+    prior_deletes: list[dict] = []
     if exists and snaps and mode == "append":
         (
             prior_live, _pd, _ed, prior_bounds, prior_parts,
             prior_formats,
         ) = _live_files(dest, meta, snaps[-1]["snapshot-id"])
+        # prior DELETE state carries too — an append must not
+        # resurrect MoR-deleted rows (caught by the r8 alter/DML
+        # interplay test: append-after-delete dropped the delete
+        # manifests entirely)
+        for path, dseq in sorted(set(_pd)):
+            prior_deletes.append(
+                {
+                    "status": 0,
+                    "snapshot_id": new_sid,
+                    "sequence_number": dseq,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": path,
+                        "file_format": "PARQUET",
+                        "record_count": 0,
+                        "file_size_in_bytes": os.path.getsize(path),
+                        "equality_ids": None,
+                    },
+                }
+            )
+        for path, dseq, ids in sorted(_ed):
+            prior_deletes.append(
+                {
+                    "status": 0,
+                    "snapshot_id": new_sid,
+                    "sequence_number": dseq,
+                    "data_file": {
+                        "content": 2,
+                        "file_path": path,
+                        "file_format": "PARQUET",
+                        "record_count": 0,
+                        "file_size_in_bytes": os.path.getsize(path),
+                        "equality_ids": list(ids),
+                    },
+                }
+            )
         for path, seq in sorted(prior_live.items()):
             pb = prior_bounds.get(path)
             entries.append(
@@ -2433,21 +2493,31 @@ def write_iceberg(
     )
     mpath = os.path.join(md, f"manifest-{new_sid:05d}.avro")
     write_container(mpath, manifest_schema, entries)
-    mlist = os.path.join(md, f"snap-{new_sid}.avro")
-    write_container(
-        mlist,
-        MANIFEST_LIST_SCHEMA,
-        [
+    mrows = [
+        {
+            "manifest_path": os.path.abspath(mpath),
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": spec_id,
+            "content": 0,
+            "sequence_number": new_seq,
+            "added_snapshot_id": new_sid,
+        }
+    ]
+    if prior_deletes:
+        dpath = os.path.join(md, f"manifest-{new_sid:05d}-del.avro")
+        write_container(dpath, MANIFEST_SCHEMA, prior_deletes)
+        mrows.append(
             {
-                "manifest_path": os.path.abspath(mpath),
-                "manifest_length": os.path.getsize(mpath),
+                "manifest_path": os.path.abspath(dpath),
+                "manifest_length": os.path.getsize(dpath),
                 "partition_spec_id": spec_id,
-                "content": 0,
+                "content": 1,
                 "sequence_number": new_seq,
                 "added_snapshot_id": new_sid,
             }
-        ],
-    )
+        )
+    mlist = os.path.join(md, f"snap-{new_sid}.avro")
+    write_container(mlist, MANIFEST_LIST_SCHEMA, mrows)
     meta["snapshots"] = snaps + [
         {
             "snapshot-id": new_sid,
@@ -2959,3 +3029,97 @@ def rollback_iceberg(root: str, snapshot_id: int) -> int:
     with open(hint_path, "w") as f:
         f.write(str(prev + 1))
     return snapshot_id
+
+
+def alter_iceberg(
+    root: str,
+    renames: dict[str, str] | None = None,
+    drops: list[str] | None = None,
+) -> int:
+    """Column RENAME / DROP as pure METADATA — the operation Iceberg
+    field-ids exist for: a new schema (fresh schema-id) re-labels or
+    omits fields while every data file stays byte-identical. Reads
+    resolve old files through the footer field-id map
+    (:func:`_footer_renames` — names are presentation, ids are
+    identity) and the current-schema conform drops departed columns;
+    DML and appends keep working against the new names. A dropped
+    field's id is never reused (``write_iceberg(merge_schema=True)``
+    allocates above every id ANY schema version ever used), so a
+    column "undrop" via time travel stays sound. Returns the new
+    current schema id.
+
+    Refuses renaming/dropping unknown columns, rename collisions,
+    and dropping a partition-source column (the spec requires a
+    spec evolution first — out of scope, one spec per table)."""
+    renames = dict(renames or {})
+    drops = list(drops or [])
+    if not renames and not drops:
+        raise ValueError("alter_iceberg: nothing to do")
+    meta = load_table_metadata(root)
+    fields = _current_schema_fields(meta)
+    by_name = {f["name"]: f for f in fields}
+    for old in list(renames) + drops:
+        if old not in by_name:
+            raise ValueError(f"column {old!r} not in schema")
+    part_src = {
+        pf["source-id"]
+        for pf in (_spec_from_meta(meta) if meta.get(
+            "partition-specs") else [])
+    }
+    for d in drops:
+        if by_name[d]["id"] in part_src:
+            raise ValueError(
+                f"cannot drop partition-source column {d!r} "
+                "(evolve the partition spec first)"
+            )
+    out = []
+    for f in fields:
+        if f["name"] in drops:
+            continue
+        nf = dict(f)
+        if f["name"] in renames:
+            nf["name"] = renames[f["name"]]
+        out.append(nf)
+    names = [f["name"] for f in out]
+    if len(set(names)) != len(names):
+        raise ValueError(f"rename collision: {sorted(names)}")
+    new_schema_id = meta.get("current-schema-id", 0) + 1
+    meta["schemas"] = list(meta.get("schemas", [])) + [
+        {"schema-id": new_schema_id, "type": "struct", "fields": out}
+    ]
+    meta["current-schema-id"] = new_schema_id
+    # maintain schema.name-mapping.default: files written WITHOUT
+    # footer field ids (imports; our own pre-field-id files) must
+    # keep resolving their OLD physical names to the right ids
+    props = dict(meta.get("properties") or {})
+    existing = {}
+    try:
+        for e in json.loads(
+            props.get("schema.name-mapping.default", "[]")
+        ):
+            existing[e["field-id"]] = set(e.get("names") or [])
+    except (TypeError, ValueError):
+        existing = {}
+    for f in fields:  # pre-alter names
+        existing.setdefault(f["id"], set()).add(f["name"])
+    for f in out:  # post-alter names
+        existing.setdefault(f["id"], set()).add(f["name"])
+    props["schema.name-mapping.default"] = json.dumps(
+        [
+            {"field-id": fid, "names": sorted(ns)}
+            for fid, ns in sorted(existing.items())
+        ]
+    )
+    meta["properties"] = props
+    md = _meta_dir(root)
+    hint_path = os.path.join(md, "version-hint.text")
+    prev = (
+        int(open(hint_path).read().strip())
+        if os.path.exists(hint_path)
+        else 0
+    )
+    with open(os.path.join(md, f"v{prev + 1}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(hint_path, "w") as f:
+        f.write(str(prev + 1))
+    return new_schema_id

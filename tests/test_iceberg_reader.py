@@ -1338,3 +1338,61 @@ def test_write_iceberg_merge_schema(spark, tmp_path):
         (r.k, r.v, r.score) for r in read_iceberg(spark, d2).collect()
     )
     assert gotA == [(1, "a", None), (2, "b", None), (3, "c", 3.5)]
+
+
+def test_alter_iceberg_rename_drop_and_id_identity(spark, tmp_path):
+    """Rename/drop are METADATA: data files untouched; reads resolve
+    renamed columns by footer field id (our writer stamps
+    parquet.field.id), dropped columns leave the scan, a LATER
+    column reusing a dropped NAME gets a fresh id and never picks up
+    the dead data, and an ordinary append after a MoR delete carries
+    the delete state (the r8 resurrect bug)."""
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        alter_iceberg,
+        delete_from_iceberg,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "k long, v string, x double"
+    )
+    write_iceberg(spark, df, dest)
+    alter_iceberg(dest, renames={"v": "name"}, drops=["x"])
+    got = read_iceberg(spark, dest)
+    assert got.columns == ["k", "name"]
+    assert rows(got) == [(1, "a"), (2, "b")]
+    # append under NEW names; DML binds them
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(3, "c")], "k long, name string"),
+        dest, mode="append",
+    )
+    _sid, n = delete_from_iceberg(spark, dest, "name = 'a'")
+    assert n == 1
+    # re-added dropped NAME = fresh id; old x values stay dropped;
+    # the append did NOT resurrect the deleted row
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(4, "d", 9.9)], "k long, name string, x double"),
+        dest, mode="append", merge_schema=True,
+    )
+    vals = {r.k: r.x for r in read_iceberg(spark, dest).collect()}
+    assert vals == {2: None, 3: None, 4: 9.9}
+    # refusals
+    with _pytest.raises(ValueError, match="not in schema"):
+        alter_iceberg(dest, drops=["nope"])
+    with _pytest.raises(ValueError, match="collision"):
+        alter_iceberg(dest, renames={"name": "k"})
+    # partition-source drop refuses
+    dest2 = str(tmp_path / "p")
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(1, "g0")], "k long, g string"),
+        dest2, partition_by=["g"],
+    )
+    with _pytest.raises(ValueError, match="partition-source"):
+        alter_iceberg(dest2, drops=["g"])
