@@ -59,6 +59,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import urllib.parse as _uparse
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -77,6 +78,29 @@ class DeltaProtocolError(NotImplementedError):
 
 def _log_dir(root: str) -> str:
     return os.path.join(root, "_delta_log")
+
+
+def _rel_uri(rel: str) -> str:
+    """On-disk table-root-relative path → the RFC 2396-encoded form
+    the protocol requires for ``add``/``remove``/``cdc`` ``path``.
+    delta-spark DECODES add.path before resolving it, so emitting
+    raw on-disk bytes (hive-escaped partition dirs carry literal
+    ``%XX``) would make a real engine resolve a DIFFERENT file —
+    and its tables unreadable here. quote(unquote(x)) is canonical,
+    so a remove emitted from an on-disk path always matches the
+    add's log string."""
+    import urllib.parse as _up
+
+    return _up.quote(rel, safe="/")
+
+
+def _data_path(root: str, rel: str) -> str:
+    """Log/checkpoint ``path`` → absolute on-disk path (RFC 2396
+    decode, then join) — the single resolver every scan / DV /
+    vacuum / CDF site goes through."""
+    import urllib.parse as _up
+
+    return os.path.join(root, _up.unquote(rel))
 
 
 def _commit_files(root: str) -> dict[int, str]:
@@ -396,7 +420,7 @@ def _dead_positions(root: str, adds: dict[str, dict]) -> list[tuple]:
         # checkpoint schema); JSON commits carry it struct-shaped
         if isinstance(dv, str):
             dv = json.loads(dv)
-        data_path = os.path.abspath(os.path.join(root, a["path"]))
+        data_path = os.path.abspath(_data_path(root, a["path"]))
         for pos in decode_dv_descriptor(root, dict(dv)):
             out.append((data_path, pos))
     return out
@@ -540,7 +564,7 @@ def read_delta(
         if mode == "id":
             # group files by their footer's id→name mapping so each
             # group scans with one requested schema
-            fnames = _footer_names_by_id(os.path.join(root, a["path"]))
+            fnames = _footer_names_by_id(_data_path(root, a["path"]))
             resolved = tuple(
                 fnames.get(
                     ids_by_logical[f.name], phys_by_logical[f.name]
@@ -550,7 +574,7 @@ def read_delta(
         else:
             resolved = None
         by_parts.setdefault((pkey, resolved), []).append(
-            os.path.join(root, a["path"])
+            _data_path(root, a["path"])
         )
     if not by_parts:
         out = spark.createDataFrame([], schema)
@@ -842,7 +866,7 @@ def export_snapshot_to_delta(
         adds.append(
             {
                 "add": {
-                    "path": name,
+                    "path": _rel_uri(name),
                     "partitionValues": {},
                     "size": os.path.getsize(target),
                     "dataChange": True,
@@ -938,23 +962,39 @@ def read_delta_changes(
             pv = a.get("partitionValues") or {}
             key = tuple(pv.get(phys_by_logical[c]) for c in part_cols)
             by_parts.setdefault(key, []).append(
-                os.path.join(root, a["path"])
+                _data_path(root, a["path"])
             )
         for key, paths in sorted(
             by_parts.items(), key=lambda kv: str(kv[0])
         ):
-            df = spark.read.parquet(*paths)
+            # mergeSchema: a commit range spanning a merge_schema
+            # evolution mixes pre/post-ADD-COLUMN files in one group;
+            # footer-of-first-file inference would drop the new
+            # column for files that DO carry it
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *paths
+            )
             if dead:
                 df = df.select(
                     "*",
                     _file_path_col().alias("__fp"),
                     F.col("_metadata.row_index").alias("__ri"),
                 )
+            have = set(df.columns)
             cols = []
             for f in schema.fields:
                 if f.name in part_cols:
                     continue
-                c = F.col(phys_by_logical[f.name])
+                phys = phys_by_logical[f.name]
+                if phys not in have:
+                    # file predates an ADD COLUMN (merge_schema
+                    # evolution) — null-fill at the declared type, the
+                    # same contract read_delta applies to base reads
+                    cols.append(
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                    )
+                    continue
+                c = F.col(phys)
                 if mode == "name" and isinstance(
                     f.dataType, (T.StructType, T.ArrayType, T.MapType)
                 ):
@@ -1157,7 +1197,7 @@ def export_delta_increment(
         actions.append(
             {
                 "cdc": {
-                    "path": cdc_name,
+                    "path": _rel_uri(cdc_name),
                     "partitionValues": {},
                     "dataChange": False,
                 }
@@ -1167,7 +1207,7 @@ def export_delta_increment(
         actions.append(
             {
                 "remove": {
-                    "path": "data/" + os.path.basename(p),
+                    "path": _rel_uri("data/" + os.path.basename(p)),
                     "dataChange": True,
                 }
             }
@@ -1182,7 +1222,7 @@ def export_delta_increment(
         actions.append(
             {
                 "add": {
-                    "path": name,
+                    "path": _rel_uri(name),
                     "partitionValues": {},
                     "size": os.path.getsize(target),
                     "dataChange": True,
@@ -1209,7 +1249,10 @@ def export_delta_increment(
 
 
 def vacuum_delta_export(
-    dest: str, keep_versions: int = 1, spark: SparkSession | None = None
+    dest: str,
+    keep_versions: int = 1,
+    spark: SparkSession | None = None,
+    min_age_s: float | None = None,
 ) -> list[str]:
     """Reclaim data files no live version needs — the VACUUM
     lifecycle step for exported tables. Keeps every file referenced
@@ -1265,8 +1308,10 @@ def vacuum_delta_export(
                     if line:
                         a = json.loads(line)
                         if a.get("cdc"):
-                            keep.add(a["cdc"]["path"])
-        keep |= set(adds)
+                            keep.add(_uparse.unquote(a["cdc"]["path"]))
+        # keep-set entries are ON-DISK relative paths; log paths are
+        # RFC 2396-encoded, the walk below yields filesystem bytes
+        keep |= {_uparse.unquote(p) for p in adds}
         # deletion-vector files referenced by retained adds stay —
         # orphans from lost delete races / replaced DVs reclaim
         from dataflowex_spark.sources.roaring import dv_file_relpath
@@ -1280,6 +1325,31 @@ def vacuum_delta_export(
             relp = dv_file_relpath(os.path.abspath(dest), dict(dv))
             if relp:
                 keep.add(relp)
+    # RETENTION GUARD: DML/write stage data, DV and CDC files into
+    # the table BEFORE claiming the commit version, so a vacuum
+    # racing an in-flight DML would unlink files the winning commit
+    # is about to reference. Files younger than the newest log entry
+    # (or ``min_age_s`` when given — real VACUUM's retention window)
+    # are never reclaimed; a later vacuum gets any true orphans.
+    import time as _time
+
+    if min_age_s is not None:
+        age_cutoff = _time.time() - min_age_s
+    else:
+        log_mtimes = [os.path.getmtime(p) for p in commits.values()]
+        if newest_cp is not None:
+            try:
+                log_mtimes.append(os.path.getmtime(newest_cp[1][0]))
+            except (OSError, TypeError, IndexError):
+                pass
+        age_cutoff = max(log_mtimes, default=_time.time())
+
+    def _young(path: str) -> bool:
+        try:
+            return os.path.getmtime(path) > age_cutoff
+        except OSError:
+            return True  # vanished mid-walk: someone owns it
+
     deleted = []
     for sub in ("data", "_change_data"):
         d = os.path.join(dest, sub)
@@ -1290,17 +1360,17 @@ def vacuum_delta_export(
         # always table-root-relative
         for dirpath, _dirs, files in sorted(os.walk(d)):
             for fn in sorted(files):
-                rel = os.path.relpath(
-                    os.path.join(dirpath, fn), dest
-                ).replace(os.sep, "/")
-                if rel not in keep:
-                    os.unlink(os.path.join(dirpath, fn))
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, dest).replace(os.sep, "/")
+                if rel not in keep and not _young(full):
+                    os.unlink(full)
                     deleted.append(rel)
     for fn in sorted(os.listdir(dest)):
         # root-level DV files (storage type "u", no prefix)
         if fn.startswith("deletion_vector_") and fn.endswith(".bin"):
-            if fn not in keep:
-                os.unlink(os.path.join(dest, fn))
+            full = os.path.join(dest, fn)
+            if fn not in keep and not _young(full):
+                os.unlink(full)
                 deleted.append(fn)
     return deleted
 
@@ -1448,7 +1518,7 @@ def _stage_data_files(
         adds.append(
             {
                 "add": {
-                    "path": name,
+                    "path": _rel_uri(name),
                     "partitionValues": pv,
                     "size": os.path.getsize(target),
                     "dataChange": True,
@@ -1712,7 +1782,7 @@ def _stage_cdc(
             actions.append(
                 {
                     "cdc": {
-                        "path": name,
+                        "path": _rel_uri(name),
                         "partitionValues": pv,
                         "size": os.path.getsize(target),
                         "dataChange": False,
@@ -1801,7 +1871,7 @@ def _dml_scan(
     pieces = []
     for key, rels in sorted(by_pv.items()):
         paths = [
-            os.path.abspath(os.path.join(dest, r))
+            os.path.abspath(_data_path(dest, r))
             for r in sorted(rels)
         ]
         piece = spark.read.parquet(*paths).select(
@@ -2032,7 +2102,9 @@ def _dv_readd_actions(
     partitionValues/size/old-DV so CDF synthesis stays typed."""
     actions: list[dict] = []
     for r in sorted(results, key=lambda r: r["fp"]):
-        rel = os.path.relpath(r["fp"], root_abs).replace(os.sep, "/")
+        rel = _rel_uri(
+            os.path.relpath(r["fp"], root_abs).replace(os.sep, "/")
+        )
         old = adds.get(rel)
         if old is None:
             raise DeltaProtocolError(

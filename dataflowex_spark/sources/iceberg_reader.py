@@ -85,6 +85,26 @@ def _meta_dir(root: str) -> str:
     return os.path.join(root, "metadata")
 
 
+def _scan_path_col():
+    """``_metadata.file_path`` → the ON-DISK path: scheme stripped
+    and URI percent-escapes decoded (a literal ``+`` is pre-escaped
+    so url_decode's form-decoding cannot turn it into a space).
+    Spark URI-encodes the pseudo-column, so a hive-escaped partition
+    dir (space → ``%20`` on disk → ``%2520`` in the scan URI) would
+    otherwise yield a ``__fp`` that differs from the manifest's
+    on-disk ``file_path`` — position-delete sidecars would then
+    record a path no engine (including our own tail reader) can
+    resolve, violating the spec rule that a delete's ``file_path``
+    must equal the data file's manifest path. Mirrors
+    ``delta_reader._file_path_col``."""
+    from pyspark.sql import functions as F
+
+    c = F.regexp_replace(
+        F.col("_metadata.file_path"), "^file:/*", "/"
+    )
+    return F.url_decode(F.regexp_replace(c, r"\+", "%2B"))
+
+
 def _resolve_path(root: str, p: str) -> str:
     """Manifest paths are stored as full URIs/absolute paths; accept
     file: URIs, absolute paths, and root-relative paths."""
@@ -703,9 +723,7 @@ def read_iceberg(
                 # AVRO pieces carry their own)
                 piece = piece.select(
                     "*",
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:/*", "/"
-                    ).alias("__fp"),
+                    _scan_path_col().alias("__fp"),
                     F.col("_metadata.row_index").alias("__ri"),
                 )
             if renames:
@@ -2585,9 +2603,7 @@ def _iceberg_pos_scan(
                 )
             piece = piece.select(
                 "*",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/*", "/"
-                ).alias("__fp"),
+                _scan_path_col().alias("__fp"),
                 F.col("_metadata.row_index").alias("__ri"),
             )
             cur_fields = _current_schema_fields(meta)
@@ -2915,9 +2931,11 @@ def upsert_iceberg(
     Returns ``(snapshot_id, {"updated": u, "inserted": i})``.
 
     Multiple source rows per key refuse (the same ambiguity real
-    MERGE rejects). Same row-addressing contract as
-    :func:`delete_from_iceberg` (parquet + AVRO yes, live ORC
-    refuses; equality-delete debt refuses).
+    MERGE rejects). Multiple TARGET rows per key are preserved:
+    each matched target row reads back as one source image
+    (merge_delta's multiplicity contract). Same row-addressing
+    contract as :func:`delete_from_iceberg` (parquet + AVRO yes,
+    live ORC refuses; equality-delete debt refuses).
 
     Scale shape: the match is an equi-join on the merge keys with
     the change-set side small (broadcastable); deletes write
@@ -2953,6 +2971,7 @@ def upsert_iceberg(
     new_seq = int(meta.get("last-sequence-number", 0)) + 1
     del_entries: list[dict] = []
     n_matched = 0
+    staged_src = src
     if live:
         mapping = _name_mapping(meta)
         names_by_id = _field_names_by_id(meta)
@@ -2962,10 +2981,27 @@ def upsert_iceberg(
         )
         matched = scan.join(
             F.broadcast(src.select(*on).distinct()), on, "inner"
-        )
+        ).persist()
         del_entries, n_matched = _stage_pos_delete_files(
             spark, root, matched, new_sid, new_seq
         )
+        if n_matched:
+            # MULTIPLICITY contract (merge_delta's): a target key
+            # held by k rows reads back as k source images — stage
+            # one image per MATCHED TARGET ROW (the keys join keeps
+            # target multiplicity; src is unique per key), plus the
+            # unmatched source rows as plain inserts. Appending src
+            # once would silently collapse duplicate-key target rows
+            # and drive "inserted" negative.
+            images = (
+                matched.select(*on)
+                .join(F.broadcast(src), on, "inner")
+                .select(*tcols)
+            )
+            inserts = src.join(
+                matched.select(*on).distinct(), on, "left_anti"
+            ).select(*tcols)
+            staged_src = images.unionByName(inserts)
     # new data files: the writer's shared staging (table's default
     # spec → partition tuples + bounds ride into the manifest)
     names_by_id = {f["id"]: f["name"] for f in top}
@@ -2981,13 +3017,18 @@ def upsert_iceberg(
         pf = dict(pf, _avro=_part_avro_type(kind, ice_t))
         pinfo.append((pf, kind, param, src_name, ice_t))
     new_data_entries = _stage_iceberg_entries(
-        spark, root, src, top, pinfo, None, "parquet", None,
+        spark, root, staged_src, top, pinfo, None, "parquet", None,
         new_sid, new_seq,
     )
+    # staged rows = one image per matched target row + the anti-join
+    # inserts, so record_count - n_matched IS the insert count (≥ 0
+    # by construction, duplicate-key targets included)
     n_source = sum(
         e["data_file"]["record_count"] for e in new_data_entries
     )
     src.unpersist()
+    if live:
+        matched.unpersist()
     if n_source == 0 and n_matched == 0:
         return latest_sid, {"updated": 0, "inserted": 0}
     _iceberg_mor_commit(

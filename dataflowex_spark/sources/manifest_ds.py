@@ -471,10 +471,20 @@ class _DeltaTailReader(DataSourceStreamReader):
     minus its deletion vector's dead positions (decoded driver-side
     — DV debt is bounded per-file delete state)."""
 
-    def __init__(self, root: str, start_version: int, out_cols: list):
+    def __init__(
+        self,
+        root: str,
+        start_version: int,
+        out_cols: list,
+        out_types: dict | None = None,
+    ):
         self.root = root
         self.start_version = start_version
         self.out_cols = out_cols  # declared column ORDER (positional)
+        # col → spark simpleString type; used to TYPED-null-fill
+        # columns a pre-evolution file lacks (merge_schema ADD
+        # COLUMN) so tailing from an early startVersion survives
+        self.out_types = out_types or {}
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version - 1}
@@ -493,6 +503,7 @@ class _DeltaTailReader(DataSourceStreamReader):
 
         from dataflowex_spark.sources.delta_reader import (
             _commit_files,
+            _data_path,
             _snapshot_schema_types,
         )
         from dataflowex_spark.sources.roaring import (
@@ -543,7 +554,7 @@ class _DeltaTailReader(DataSourceStreamReader):
                 for c in cdc:
                     parts.append(
                         _DeltaTailPartition(
-                            _os.path.join(self.root, c["path"]),
+                            _data_path(self.root, c["path"]),
                             v, None, [], pv_of(c),
                         )
                     )
@@ -551,14 +562,14 @@ class _DeltaTailReader(DataSourceStreamReader):
             for a in adds:
                 parts.append(
                     _DeltaTailPartition(
-                        _os.path.join(self.root, a["path"]),
+                        _data_path(self.root, a["path"]),
                         v, "insert", dead_of(a), pv_of(a),
                     )
                 )
             for r in removes:
                 parts.append(
                     _DeltaTailPartition(
-                        _os.path.join(self.root, r["path"]),
+                        _data_path(self.root, r["path"]),
                         v, "delete", dead_of(r), pv_of(r),
                     )
                 )
@@ -611,6 +622,25 @@ class _DeltaTailReader(DataSourceStreamReader):
             "_commit_version",
             pa.array([partition.version] * n, pa.int64()),
         )
+        # files written before a merge_schema ADD COLUMN lack the
+        # new column — typed null-fill (same contract as the batch
+        # CDF reader and the Iceberg tail) so tailing from an early
+        # startVersion survives schema evolution
+        have = set(table.column_names)
+        at_of = {
+            "long": pa.int64(), "bigint": pa.int64(),
+            "integer": pa.int32(), "int": pa.int32(),
+            "double": pa.float64(), "float": pa.float32(),
+            "string": pa.string(), "date": pa.date32(),
+            "boolean": pa.bool_(),
+            "timestamp": pa.timestamp("us"),
+        }
+        for name in self.out_cols:
+            if name not in have:
+                at = at_of.get(self.out_types.get(name))
+                table = table.append_column(
+                    name, pa.nulls(n, at) if at else pa.nulls(n)
+                )
         # Spark maps arrow batches to the declared schema
         # POSITIONALLY — re-order (partition columns were appended)
         yield from table.select(self.out_cols).to_batches()
@@ -675,6 +705,10 @@ class DeltaTailDataSource(DataSource):
             self._root(),
             int(self.options.get("startVersion", 0)),
             [f.name for f in schema.fields],
+            {
+                f.name: f.dataType.simpleString()
+                for f in schema.fields
+            },
         )
 
 

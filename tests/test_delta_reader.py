@@ -4,6 +4,7 @@ tables (the codec-module discipline)."""
 
 import json
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -1105,12 +1106,19 @@ def test_delete_from_delta_cdf_and_vacuum(spark, tmp_path):
     assert sorted((r["_change_type"], r.k, r.g) for r in ch.collect()) == [
         ("delete", k, "g%d" % (k % 2)) for k in range(2, 40, 4)
     ]
-    # orphan DV (lost-race simulation) reclaims; live DV survives
+    # orphan DV (lost-race simulation) reclaims; live DV survives.
+    # RETENTION GUARD: a file YOUNGER than the newest log entry is an
+    # in-flight writer's staging, not an orphan — kept until it ages
     orphan = os.path.join(
         dest, "deletion_vector_00000000-dead-beef-0000-000000000000.bin"
     )
     with open(orphan, "wb") as f:
         f.write(b"\x01junk")
+    removed = vacuum_delta_export(dest, keep_versions=1, spark=spark)
+    assert os.path.basename(orphan) not in removed
+    assert os.path.exists(orphan)
+    past = time.time() - 7200
+    os.utime(orphan, (past, past))
     removed = vacuum_delta_export(dest, keep_versions=1, spark=spark)
     assert os.path.basename(orphan) in removed
     assert not os.path.exists(orphan)
@@ -1523,3 +1531,64 @@ def test_dml_on_special_char_partition_values(spark, tmp_path):
     ch = read_delta_changes(spark, dest, starting_version=1,
                             ending_version=1)
     assert sorted(r.k for r in ch.collect()) == [1, 5, 9, 13, 17]
+
+
+def test_delta_add_path_rfc2396_encoding_roundtrip(spark, tmp_path):
+    """The protocol requires add/remove/cdc ``path`` to be an RFC
+    2396-encoded URI fragment that engines DECODE before resolving.
+    A partition value that hive-escapes on disk (literal ``%XX``
+    bytes in the dir name) must therefore appear DOUBLY-encoded in
+    the log (``%25XX``) — raw on-disk bytes would make delta-spark
+    resolve a different file. Round-trip: write → log form encodes,
+    read/DML/CDF resolve, restore + vacuum agree."""
+    import json as _json
+    import urllib.parse as _up
+
+    from dataflowex_spark.sources.delta_reader import (
+        _commit_files,
+        delete_from_delta,
+        read_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    # '=' and ':' are in the hive escape set → on-disk dir carries
+    # literal %3D / %3A; ' ' exercises the %20 class
+    weird = "a=b c:d"
+    df = spark.createDataFrame(
+        [(1, weird, 1.0), (2, weird, 2.0), (3, "plain", 3.0)],
+        "k long, g string, x double",
+    )
+    write_delta(spark, df, root, partition_by=["g"])
+    adds = []
+    for v, p in sorted(_commit_files(root).items()):
+        with open(p) as f:
+            for line in f:
+                a = _json.loads(line)
+                if a.get("add"):
+                    adds.append(a["add"]["path"])
+    assert adds
+    weird_adds = [
+        p for p in adds if "g%3D" in p and "plain" not in p
+    ]
+    assert weird_adds
+    for p in weird_adds:
+        # log form is ENCODED: no raw space/colon, and the on-disk
+        # literal '%' re-encodes as %25
+        assert " " not in p and "%25" in p, p
+        ondisk = os.path.join(root, _up.unquote(p))
+        assert os.path.exists(ondisk), ondisk
+        assert not os.path.exists(os.path.join(root, p))
+    got = sorted((r.k, r.g) for r in read_delta(spark, root).collect())
+    assert got == [(1, weird), (2, weird), (3, "plain")]
+    # DML on the escaped partition: DV write + CDF synthesis resolve
+    # through the same decode
+    delete_from_delta(spark, root, "k = 1")
+    assert sorted(
+        r.k for r in read_delta(spark, root).collect()
+    ) == [2, 3]
+    ch = read_delta_changes(spark, root, starting_version=1)
+    assert [
+        (r.k, r["_change_type"]) for r in ch.collect()
+    ] == [(1, "delete")]

@@ -1396,3 +1396,105 @@ def test_alter_iceberg_rename_drop_and_id_identity(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="partition-source"):
         alter_iceberg(dest2, drops=["g"])
+
+
+def test_upsert_iceberg_duplicate_key_target_multiplicity(
+    spark, tmp_path
+):
+    """A merge key held by k TARGET rows reads back as k source
+    images (merge_delta's multiplicity contract) — the upsert must
+    not silently collapse duplicate-key target rows, and 'inserted'
+    must come from the anti-join count, never go negative."""
+    from dataflowex_spark.sources.iceberg_reader import (
+        upsert_iceberg,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (2, 21.0), (2, 22.0), (3, 30.0)],
+        "k long, x double",
+    )
+    write_iceberg(spark, df, dest)
+    src = spark.createDataFrame(
+        [(2, 200.0), (9, 900.0)], "k long, x double"
+    )
+    _sid, stats = upsert_iceberg(spark, dest, src, ["k"])
+    # 3 target rows matched key 2 → 3 source images; key 9 inserts
+    assert stats == {"updated": 3, "inserted": 1}
+    got = sorted(
+        (r.k, r.x) for r in read_iceberg(spark, dest).collect()
+    )
+    assert got == [
+        (1, 10.0), (2, 200.0), (2, 200.0), (2, 200.0),
+        (3, 30.0), (9, 900.0),
+    ]
+
+
+def test_iceberg_pos_delete_path_matches_manifest_on_disk(
+    spark, tmp_path
+):
+    """Partition values with URI-escapable characters (a space):
+    the position-delete sidecar's ``file_path`` must equal the data
+    file's ON-DISK manifest path (spec rule) — not the scan URI's
+    percent-encoded spelling — or real engines silently skip the
+    deletes and our own changelog tail cannot re-read the deleted
+    row images."""
+    import os as _os
+
+    from dataflowex_spark.sources.avro_io import read_container
+    from dataflowex_spark.sources.iceberg_reader import (
+        delete_from_iceberg,
+        load_table_metadata,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (1, "NOT SPECIFIED", 1.0),
+            (2, "NOT SPECIFIED", 2.0),
+            (3, "plain", 3.0),
+        ],
+        "k long, g string, x double",
+    )
+    write_iceberg(spark, df, dest, partition_by=["g"])
+    sid, n = delete_from_iceberg(spark, dest, "k = 1")
+    assert n == 1
+    got = sorted(
+        (r.k, r.g) for r in read_iceberg(spark, dest).collect()
+    )
+    assert got == [(2, "NOT SPECIFIED"), (3, "plain")]
+    # every persisted delete-file row must point at a path that (a)
+    # exists on disk and (b) appears verbatim in a manifest entry
+    meta = load_table_metadata(dest)
+    snap = [
+        s for s in meta["snapshots"] if s["snapshot-id"] == sid
+    ][0]
+    _s, manifests = read_container(
+        _resolve(dest, snap["manifest-list"])
+    )
+    manifest_paths, delete_files = set(), []
+    for m in manifests:
+        _s2, entries = read_container(
+            _resolve(dest, m["manifest_path"])
+        )
+        for e in entries:
+            dfile = e["data_file"]
+            if dfile.get("content", 0) == 1:
+                delete_files.append(_resolve(dest, dfile["file_path"]))
+            else:
+                manifest_paths.add(_resolve(dest, dfile["file_path"]))
+    assert delete_files
+    for dpath in delete_files:
+        for r in (
+            spark.read.parquet(dpath).select("file_path").collect()
+        ):
+            assert _os.path.exists(r["file_path"]), r["file_path"]
+            assert r["file_path"] in manifest_paths
+
+
+def _resolve(root, p):
+    from dataflowex_spark.sources.iceberg_reader import _resolve_path
+
+    return _resolve_path(root, p)

@@ -1498,3 +1498,111 @@ def test_iceberg_tail_changelog_and_resumes(spark, tmp_path):
     )
     assert fresh == [(3, 3.0, "delete"), (3, 300.0, "insert")]
     assert out2.count() == len(got) + 2
+
+
+def test_delta_tail_spans_schema_evolution(spark, tmp_path):
+    """Tailing from startVersion=0 across a merge_schema ADD COLUMN:
+    files written BEFORE the evolution lack the new column — the
+    tail must typed-null-fill them (the Iceberg tail/batch-CDF
+    contract), not kill the stream with a KeyError."""
+    from dataflowex_spark.sources.delta_reader import (
+        read_delta_changes,
+        write_delta,
+    )
+    from dataflowex_spark.sources.manifest_ds import DeltaTailDataSource
+
+    try:
+        spark.dataSource.register(DeltaTailDataSource)
+    except Exception:
+        pass
+
+    root = str(tmp_path / "t")
+    df1 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, x double"
+    )
+    write_delta(spark, df1, root)
+    df2 = spark.createDataFrame(
+        [(3, 30.0, "n3")], "k long, x double, note string"
+    )
+    write_delta(spark, df2, root, mode="append", merge_schema=True)
+
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("delta_tail")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.k, r.x, r.note, r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(outdir).collect()
+    )
+    assert got == [
+        (1, 10.0, None, "insert", 0),
+        (2, 20.0, None, "insert", 0),
+        (3, 30.0, "n3", "insert", 1),
+    ]
+    # batch CDF agrees (same null-fill contract)
+    want = sorted(
+        (r.k, r.x, r.note, r["_change_type"], r["_commit_version"])
+        for r in read_delta_changes(
+            spark, root, starting_version=0
+        ).collect()
+    )
+    assert got == want
+
+
+def test_iceberg_tail_uri_escaped_partition_delete(spark, tmp_path):
+    """iceberg_tail re-reads position-deleted row images from the
+    data file named by the delete sidecar — with a URI-escapable
+    partition value (space) the sidecar must carry the ON-DISK path
+    or the re-read crashes FileNotFoundError."""
+    from dataflowex_spark.sources.iceberg_reader import (
+        delete_from_iceberg,
+        write_iceberg,
+    )
+    from dataflowex_spark.sources.manifest_ds import (
+        IcebergTailDataSource,
+    )
+
+    try:
+        spark.dataSource.register(IcebergTailDataSource)
+    except Exception:
+        pass
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "NOT SPECIFIED", 1.0), (2, "NOT SPECIFIED", 2.0),
+         (3, "plain", 3.0)],
+        "k long, g string, x double",
+    )
+    write_iceberg(spark, df, root, partition_by=["g"])
+    delete_from_iceberg(spark, root, "k = 2")
+
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("iceberg_tail")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.k, r.g, r["_change_type"])
+        for r in spark.read.parquet(outdir).collect()
+    )
+    assert got == [
+        (1, "NOT SPECIFIED", "insert"),
+        (2, "NOT SPECIFIED", "delete"),
+        (2, "NOT SPECIFIED", "insert"),
+        (3, "plain", "insert"),
+    ]
