@@ -117,27 +117,83 @@ def _resolve_path(root: str, p: str) -> str:
     return os.path.join(root, p)
 
 
+def _latest_meta_version(md: str) -> int:
+    """Newest committed metadata version: max of the directory
+    listing and the advisory hint. The LISTING is the source of
+    truth — a racing writer claims ``v{N}.metadata.json`` before it
+    advances the hint, so hint-only resolution could read a stale
+    snapshot (or miss a winner whose hint write lost a last-writer
+    race). 0 = no metadata yet."""
+    best = 0
+    if os.path.isdir(md):
+        for fn in os.listdir(md):
+            if fn.endswith(".metadata.json") and fn.startswith("v"):
+                head = fn[1:].split(".")[0]
+                if head.isdigit():
+                    best = max(best, int(head))
+    hint = os.path.join(md, "version-hint.text")
+    if os.path.exists(hint):
+        try:
+            best = max(best, int(open(hint).read().strip()))
+        except ValueError:
+            pass  # torn hint: the listing already covers us
+    return best
+
+
+def _try_commit_metadata(root: str, meta: dict) -> bool:
+    """OPTIMISTIC COMMIT: put-if-absent claim of the next
+    ``vN.metadata.json`` via ``O_CREAT|O_EXCL`` (the filesystem twin
+    of a catalog's compare-and-swap — same shape as Delta's version
+    claim at ``delta_reader._try_claim_commit`` and MTable's
+    pluggable put-if-absent backend). Returns False when another
+    writer claimed the version first; the caller re-reads the
+    winner's snapshot and REPLAYS its change set (every writer here
+    is change-bound, so replay is cheap). The hint only ever
+    ADVANCES (monotone, atomic replace) and stays advisory —
+    readers resolve by the listing."""
+    md = _meta_dir(root)
+    nxt = _latest_meta_version(md) + 1
+    path = os.path.join(md, f"v{nxt}.metadata.json")
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f)
+    hint_path = os.path.join(md, "version-hint.text")
+    cur = 0
+    if os.path.exists(hint_path):
+        try:
+            cur = int(open(hint_path).read().strip())
+        except ValueError:
+            pass
+    if nxt > cur:
+        tmp = f"{hint_path}.{nxt}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, hint_path)
+    return True
+
+
 def load_table_metadata(root: str) -> dict:
-    """Latest vN.metadata.json (version-hint.text wins when present)."""
+    """Latest committed vN.metadata.json (newest of hint and
+    directory listing — see :func:`_latest_meta_version`)."""
     d = _meta_dir(root)
     if not os.path.isdir(d):
         raise FileNotFoundError(f"not an Iceberg table (no metadata/): {root}")
-    hint = os.path.join(d, "version-hint.text")
-    path = None
-    if os.path.exists(hint):
-        v = open(hint).read().strip()
-        path = os.path.join(d, f"v{v}.metadata.json")
-    else:
-        best = -1
-        for fn in os.listdir(d):
-            if fn.endswith(".metadata.json") and fn.startswith("v"):
-                head = fn[1:].split(".")[0]
-                if head.isdigit() and int(head) > best:
-                    best = int(head)
-                    path = os.path.join(d, fn)
-    if path is None or not os.path.exists(path):
+    v = _latest_meta_version(d)
+    path = os.path.join(d, f"v{v}.metadata.json")
+    if v == 0 or not os.path.exists(path):
         raise FileNotFoundError(f"no vN.metadata.json under {d}")
-    meta = json.load(open(path))
+    try:
+        meta = json.load(open(path))
+    except json.JSONDecodeError:
+        # a racing writer has CLAIMED v but not finished writing it
+        # (claim-then-write is not atomic for readers); the previous
+        # version is the newest COMMITTED state
+        if v < 2:
+            raise
+        meta = json.load(open(os.path.join(d, f"v{v-1}.metadata.json")))
     fv = meta.get("format-version", 1)
     if fv not in (1, 2):
         raise IcebergProtocolError(f"format-version {fv} not supported")
@@ -1629,16 +1685,13 @@ def export_iceberg_increment(
     from dataflowex_spark.sources.avro_io import write_container
 
     md = _meta_dir(dest)
-    meta_path = None
-    if os.path.exists(os.path.join(md, "version-hint.text")):
-        hint = open(os.path.join(md, "version-hint.text")).read().strip()
-        meta_path = os.path.join(md, f"v{hint}.metadata.json")
-    if meta_path is None or not os.path.exists(meta_path):
+    try:
+        meta = load_table_metadata(dest)
+    except FileNotFoundError:
         raise ValueError(
             "dest is not an exported Iceberg table "
             "(export_snapshot_to_iceberg first)"
-        )
-    meta = json.load(open(meta_path))
+        ) from None
     snaps = meta.get("snapshots", [])
     last = snaps[-1]
     from_v = int(
@@ -1782,13 +1835,10 @@ def export_iceberg_increment(
     ]
     meta["current-snapshot-id"] = new_sid
     meta["last-sequence-number"] = new_seq
-    new_meta_v = int(hint) + 1
-    with open(
-        os.path.join(md, f"v{new_meta_v}.metadata.json"), "w"
-    ) as f:
-        json.dump(meta, f)
-    with open(os.path.join(md, "version-hint.text"), "w") as f:
-        f.write(str(new_meta_v))
+    if not _try_commit_metadata(dest, meta):
+        # lost a commit race: replay against the winner (the
+        # already-published guard above makes double-publish raise)
+        return export_iceberg_increment(table, dest, version)
     return new_sid
 
 
@@ -1801,18 +1851,34 @@ def expire_snapshots(dest: str, keep_last: int = 1) -> list[str]:
     data only releases disk once the MTable source also vacuums
     (shared ownership via link counts)."""
     md = _meta_dir(dest)
-    hint_path = os.path.join(md, "version-hint.text")
-    if not os.path.exists(hint_path):
-        raise ValueError(f"not an exported Iceberg table: {dest}")
-    hint = open(hint_path).read().strip()
-    meta = json.load(open(os.path.join(md, f"v{hint}.metadata.json")))
-    snaps = meta.get("snapshots", [])
-    if len(snaps) <= keep_last:
-        return []
-    survivors = snaps[-keep_last:]
+    # CLAIM FIRST, unlink after: the expiring metadata version lands
+    # put-if-absent, so a racing writer either commits before us
+    # (we re-read and re-plan) or loses its claim and replays from
+    # the expired state — never against a half-deleted file set.
+    while True:
+        try:
+            meta = load_table_metadata(dest)
+        except FileNotFoundError:
+            raise ValueError(
+                f"not an exported Iceberg table: {dest}"
+            ) from None
+        snaps = meta.get("snapshots", [])
+        if len(snaps) <= keep_last:
+            return []
+        survivors = snaps[-keep_last:]
+        meta2 = dict(meta)
+        meta2["snapshots"] = survivors
+        if _try_commit_metadata(dest, meta2):
+            break
+    # Recompute keep-sets from the NOW-CURRENT metadata (ours, or a
+    # writer that landed even later) so a commit racing the walk
+    # keeps its files; plus the vacuum-style age guard — files
+    # younger than the newest metadata version are someone's
+    # in-flight staging, and a lost attempt re-stages anyway.
+    cur = load_table_metadata(dest)
     keep_files: set[str] = set()
     keep_meta: set[str] = set()
-    for s in survivors:
+    for s in cur.get("snapshots", []):
         mlist = _resolve_path(dest, s["manifest-list"])
         keep_meta.add(mlist)
         _sc, mrows = read_container(mlist)
@@ -1825,25 +1891,42 @@ def expire_snapshots(dest: str, keep_last: int = 1) -> list[str]:
                     keep_files.add(
                         _resolve_path(dest, e["data_file"]["file_path"])
                     )
+    age_cutoff = max(
+        (
+            os.path.getmtime(os.path.join(md, fn))
+            for fn in os.listdir(md)
+            if fn.endswith(".metadata.json")
+        ),
+        default=0.0,
+    )
+
+    def _young(path: str) -> bool:
+        try:
+            return os.path.getmtime(path) > age_cutoff
+        except OSError:
+            return True
+
     deleted = []
     data_dir = os.path.join(dest, "data")
     if os.path.isdir(data_dir):
-        for fn in sorted(os.listdir(data_dir)):
-            p = os.path.join(data_dir, fn)
-            if p not in keep_files:
-                os.unlink(p)
-                deleted.append("data/" + fn)
+        # recursive: partitioned tables keep hive-layout subdirs
+        for dirpath, _dirs, files in sorted(os.walk(data_dir)):
+            for fn in sorted(files):
+                p = os.path.join(dirpath, fn)
+                if p not in keep_files and not _young(p):
+                    os.unlink(p)
+                    deleted.append(
+                        os.path.relpath(p, dest).replace(os.sep, "/")
+                    )
     for fn in sorted(os.listdir(md)):
         p = os.path.join(md, fn)
-        if fn.endswith(".avro") and p not in keep_meta:
+        if (
+            fn.endswith(".avro")
+            and p not in keep_meta
+            and not _young(p)
+        ):
             os.unlink(p)
             deleted.append("metadata/" + fn)
-    meta["snapshots"] = survivors
-    new_meta_v = int(hint) + 1
-    with open(os.path.join(md, f"v{new_meta_v}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    with open(hint_path, "w") as f:
-        f.write(str(new_meta_v))
     return deleted
 
 
@@ -2181,7 +2264,37 @@ def write_iceberg(
     file_format: str = "parquet",
     merge_schema: bool = False,
 ) -> int:
-    """GENERIC Iceberg writer — any DataFrame → an Iceberg v2 table,
+    """GENERIC Iceberg writer with OPTIMISTIC CONCURRENCY — any
+    DataFrame → an Iceberg v2 table. The commit claims the next
+    ``vN.metadata.json`` put-if-absent
+    (:func:`_try_commit_metadata`); on a lost race the whole attempt
+    replays against the winner's snapshot (re-validating schema and
+    spec against whatever the winner changed), so two concurrent
+    appenders both land. Orphaned staging from lost attempts is
+    reclaimed by :func:`expire_snapshots`. See
+    :func:`_write_iceberg_attempt` for the full writer contract."""
+    while True:
+        sid = _write_iceberg_attempt(
+            spark, df, dest, mode, stats_cols, partition_by,
+            file_format, merge_schema,
+        )
+        if sid is not None:
+            return sid
+
+
+def _write_iceberg_attempt(
+    spark: SparkSession,
+    df: DataFrame,
+    dest: str,
+    mode: str = "error",
+    stats_cols: list[str] | None = None,
+    partition_by: list | None = None,
+    file_format: str = "parquet",
+    merge_schema: bool = False,
+) -> int | None:
+    """One write attempt — returns None on a lost commit race.
+
+    GENERIC Iceberg writer — any DataFrame → an Iceberg v2 table,
     no MTable required (the format twin of
     :func:`delta_reader.write_delta`). ``mode``: ``error`` (create,
     refuse existing), ``append`` (new snapshot adding files +
@@ -2238,9 +2351,7 @@ def write_iceberg(
     from dataflowex_spark.sources.avro_io import write_container
 
     md = _meta_dir(dest)
-    exists = os.path.isdir(md) and os.path.exists(
-        os.path.join(md, "version-hint.text")
-    )
+    exists = _latest_meta_version(md) > 0
     if mode == "error" and exists:
         raise ValueError(f"Iceberg table already exists at {dest}")
     if mode not in ("error", "append", "overwrite"):
@@ -2257,17 +2368,7 @@ def write_iceberg(
         return counter["n"]
 
     if exists:
-        meta = json.load(
-            open(
-                os.path.join(
-                    md,
-                    "v%s.metadata.json"
-                    % open(os.path.join(md, "version-hint.text"))
-                    .read()
-                    .strip(),
-                )
-            )
-        )
+        meta = load_table_metadata(dest)
         top = _current_schema_fields(meta)
         known = {f["name"]: f for f in top}
         for f in df.schema.fields:
@@ -2509,7 +2610,10 @@ def write_iceberg(
         if pinfo
         else MANIFEST_SCHEMA
     )
-    mpath = os.path.join(md, f"manifest-{new_sid:05d}.avro")
+    # attempt-unique manifest names: a racing writer computing the
+    # same new_sid must not overwrite this attempt's staged avro
+    token = _uuid.uuid4().hex[:8]
+    mpath = os.path.join(md, f"manifest-{new_sid:05d}-{token}.avro")
     write_container(mpath, manifest_schema, entries)
     mrows = [
         {
@@ -2522,7 +2626,9 @@ def write_iceberg(
         }
     ]
     if prior_deletes:
-        dpath = os.path.join(md, f"manifest-{new_sid:05d}-del.avro")
+        dpath = os.path.join(
+            md, f"manifest-{new_sid:05d}-{token}-del.avro"
+        )
         write_container(dpath, MANIFEST_SCHEMA, prior_deletes)
         mrows.append(
             {
@@ -2534,7 +2640,7 @@ def write_iceberg(
                 "added_snapshot_id": new_sid,
             }
         )
-    mlist = os.path.join(md, f"snap-{new_sid}.avro")
+    mlist = os.path.join(md, f"snap-{new_sid}-{token}.avro")
     write_container(mlist, MANIFEST_LIST_SCHEMA, mrows)
     meta["snapshots"] = snaps + [
         {
@@ -2549,15 +2655,8 @@ def write_iceberg(
     ]
     meta["current-snapshot-id"] = new_sid
     meta["last-sequence-number"] = new_seq
-    hint_path = os.path.join(md, "version-hint.text")
-    prev = (
-        int(open(hint_path).read().strip()) if os.path.exists(hint_path)
-        else 0
-    )
-    with open(os.path.join(md, f"v{prev + 1}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    with open(hint_path, "w") as f:
-        f.write(str(prev + 1))
+    if not _try_commit_metadata(dest, meta):
+        return None  # lost the claim: replay against the winner
     return new_sid
 
 
@@ -2709,15 +2808,20 @@ def _iceberg_mor_commit(
     new_data_entries: list[dict],
     del_entries: list[dict],
     op: str,
-) -> int:
+) -> int | None:
     """One MoR snapshot: a data manifest carrying the live set as
     EXISTING (original seqs — the spec's manifest rewrite) plus any
     NEW data entries, and a content=1 delete manifest carrying prior
     position deletes plus the new ones. Writes manifests, manifest
-    list, and the next metadata version."""
+    list, and the next metadata version — which it claims
+    put-if-absent (:func:`_try_commit_metadata`); returns None on a
+    lost race so the caller replays against the winner's state."""
+    import uuid as _uuid
+
     from dataflowex_spark.sources.avro_io import write_container
 
     md = _meta_dir(root)
+    token = _uuid.uuid4().hex[:8]
     snaps = meta.get("snapshots", [])
     names_by_id = _field_names_by_id(meta)
     spec_fields = _spec_from_meta(meta) if meta.get(
@@ -2785,7 +2889,9 @@ def _iceberg_mor_commit(
         if pinfo_fields
         else MANIFEST_SCHEMA
     )
-    mpath = os.path.join(md, f"manifest-{op}-{new_sid:05d}-data.avro")
+    mpath = os.path.join(
+        md, f"manifest-{op}-{new_sid:05d}-{token}-data.avro"
+    )
     write_container(mpath, data_schema, carried)
     mrows = [
         {
@@ -2799,7 +2905,7 @@ def _iceberg_mor_commit(
     ]
     if del_entries:
         dpath = os.path.join(
-            md, f"manifest-{op}-{new_sid:05d}-pos.avro"
+            md, f"manifest-{op}-{new_sid:05d}-{token}-pos.avro"
         )
         write_container(dpath, MANIFEST_SCHEMA, del_entries)
         mrows.append(
@@ -2812,7 +2918,7 @@ def _iceberg_mor_commit(
                 "added_snapshot_id": new_sid,
             }
         )
-    mlist = os.path.join(md, f"snap-{new_sid}.avro")
+    mlist = os.path.join(md, f"snap-{new_sid}-{token}.avro")
     write_container(mlist, MANIFEST_LIST_SCHEMA, mrows)
     meta["snapshots"] = snaps + [
         {
@@ -2825,16 +2931,8 @@ def _iceberg_mor_commit(
     ]
     meta["current-snapshot-id"] = new_sid
     meta["last-sequence-number"] = new_seq
-    hint_path = os.path.join(md, "version-hint.text")
-    prev = (
-        int(open(hint_path).read().strip())
-        if os.path.exists(hint_path)
-        else 0
-    )
-    with open(os.path.join(md, f"v{prev + 1}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    with open(hint_path, "w") as f:
-        f.write(str(prev + 1))
+    if not _try_commit_metadata(root, meta):
+        return None  # lost the claim: caller replays
     return new_sid
 
 
@@ -2886,34 +2984,42 @@ def delete_from_iceberg(
     Scale shape: the scan is the ordinary pruned read; matched
     positions write as delete-volume-bound parquet, sorted by
     (file_path, pos) within partitions per the spec's
-    recommendation; the carried manifest is metadata-only."""
+    recommendation; the carried manifest is metadata-only.
+
+    Concurrency: the commit claims the next metadata version
+    put-if-absent; a lost race replays the whole match against the
+    winner's snapshot (matched positions may have changed), so
+    racing deleters converge with both predicates applied."""
     from pyspark.sql import functions as F
 
-    (
-        meta, live, pos_deletes, bounds, partitions, formats,
-        latest_sid,
-    ) = _iceberg_dml_preamble(root, "delete_from_iceberg")
-    if not live:
-        return latest_sid, 0
-    cond = F.expr(where) if isinstance(where, str) else where
-    mapping = _name_mapping(meta)
-    names_by_id = _field_names_by_id(meta)
-    scan = _iceberg_pos_scan(
-        spark, root, meta, live, formats, pos_deletes, mapping,
-        names_by_id,
-    )
-    new_sid = latest_sid + 1 if latest_sid >= 0 else 1
-    new_seq = int(meta.get("last-sequence-number", 0)) + 1
-    del_entries, n = _stage_pos_delete_files(
-        spark, root, scan.filter(cond), new_sid, new_seq
-    )
-    if n == 0:
-        return latest_sid, 0
-    _iceberg_mor_commit(
-        root, meta, live, bounds, partitions, formats, pos_deletes,
-        new_sid, new_seq, [], del_entries, "delete",
-    )
-    return new_sid, n
+    while True:
+        (
+            meta, live, pos_deletes, bounds, partitions, formats,
+            latest_sid,
+        ) = _iceberg_dml_preamble(root, "delete_from_iceberg")
+        if not live:
+            return latest_sid, 0
+        cond = F.expr(where) if isinstance(where, str) else where
+        mapping = _name_mapping(meta)
+        names_by_id = _field_names_by_id(meta)
+        scan = _iceberg_pos_scan(
+            spark, root, meta, live, formats, pos_deletes, mapping,
+            names_by_id,
+        )
+        new_sid = latest_sid + 1 if latest_sid >= 0 else 1
+        new_seq = int(meta.get("last-sequence-number", 0)) + 1
+        del_entries, n = _stage_pos_delete_files(
+            spark, root, scan.filter(cond), new_sid, new_seq
+        )
+        if n == 0:
+            return latest_sid, 0
+        sid = _iceberg_mor_commit(
+            root, meta, live, bounds, partitions, formats,
+            pos_deletes, new_sid, new_seq, [], del_entries, "delete",
+        )
+        if sid is None:
+            continue  # lost the race: re-match against the winner
+        return new_sid, n
 
 
 def upsert_iceberg(
@@ -2944,101 +3050,105 @@ def upsert_iceberg(
 
     if not on:
         raise ValueError("upsert_iceberg: empty merge key")
-    (
-        meta, live, pos_deletes, bounds, partitions, formats,
-        latest_sid,
-    ) = _iceberg_dml_preamble(root, "upsert_iceberg")
-    top = _current_schema_fields(meta)
-    tcols = [f["name"] for f in top]
-    missing = [c for c in tcols if c not in source.columns]
-    if missing:
-        raise ValueError(
-            f"source lacks table columns {missing} (whole-row "
-            "upsert semantics need them all)"
-        )
-    for k in on:
-        if k not in tcols:
-            raise ValueError(f"merge key {k!r} not in schema")
-    src = source.select(*tcols).persist()
-    dup = src.groupBy(*on).count().filter(F.col("count") > 1).count()
-    if dup:
-        src.unpersist()
-        raise ValueError(
-            f"upsert_iceberg: {dup} keys match multiple source rows "
-            "(ambiguous — dedupe the source first)"
-        )
-    new_sid = latest_sid + 1 if latest_sid >= 0 else 1
-    new_seq = int(meta.get("last-sequence-number", 0)) + 1
-    del_entries: list[dict] = []
-    n_matched = 0
-    staged_src = src
-    if live:
-        mapping = _name_mapping(meta)
-        names_by_id = _field_names_by_id(meta)
-        scan = _iceberg_pos_scan(
-            spark, root, meta, live, formats, pos_deletes, mapping,
-            names_by_id,
-        )
-        matched = scan.join(
-            F.broadcast(src.select(*on).distinct()), on, "inner"
-        ).persist()
-        del_entries, n_matched = _stage_pos_delete_files(
-            spark, root, matched, new_sid, new_seq
-        )
-        if n_matched:
-            # MULTIPLICITY contract (merge_delta's): a target key
-            # held by k rows reads back as k source images — stage
-            # one image per MATCHED TARGET ROW (the keys join keeps
-            # target multiplicity; src is unique per key), plus the
-            # unmatched source rows as plain inserts. Appending src
-            # once would silently collapse duplicate-key target rows
-            # and drive "inserted" negative.
-            images = (
-                matched.select(*on)
-                .join(F.broadcast(src), on, "inner")
-                .select(*tcols)
+    while True:
+        (
+            meta, live, pos_deletes, bounds, partitions, formats,
+            latest_sid,
+        ) = _iceberg_dml_preamble(root, "upsert_iceberg")
+        top = _current_schema_fields(meta)
+        tcols = [f["name"] for f in top]
+        missing = [c for c in tcols if c not in source.columns]
+        if missing:
+            raise ValueError(
+                f"source lacks table columns {missing} (whole-row "
+                "upsert semantics need them all)"
             )
-            inserts = src.join(
-                matched.select(*on).distinct(), on, "left_anti"
-            ).select(*tcols)
-            staged_src = images.unionByName(inserts)
-    # new data files: the writer's shared staging (table's default
-    # spec → partition tuples + bounds ride into the manifest)
-    names_by_id = {f["id"]: f["name"] for f in top}
-    by_name = {f["name"]: f for f in top}
-    spec_fields = _spec_from_meta(meta) if meta.get(
-        "partition-specs"
-    ) else []
-    pinfo = []
-    for pf in spec_fields:
-        kind, param = parse_transform(pf["transform"])
-        src_name = names_by_id[pf["source-id"]]
-        ice_t = by_name[src_name]["type"]
-        pf = dict(pf, _avro=_part_avro_type(kind, ice_t))
-        pinfo.append((pf, kind, param, src_name, ice_t))
-    new_data_entries = _stage_iceberg_entries(
-        spark, root, staged_src, top, pinfo, None, "parquet", None,
-        new_sid, new_seq,
-    )
-    # staged rows = one image per matched target row + the anti-join
-    # inserts, so record_count - n_matched IS the insert count (≥ 0
-    # by construction, duplicate-key targets included)
-    n_source = sum(
-        e["data_file"]["record_count"] for e in new_data_entries
-    )
-    src.unpersist()
-    if live:
-        matched.unpersist()
-    if n_source == 0 and n_matched == 0:
-        return latest_sid, {"updated": 0, "inserted": 0}
-    _iceberg_mor_commit(
-        root, meta, live, bounds, partitions, formats, pos_deletes,
-        new_sid, new_seq, new_data_entries, del_entries, "overwrite",
-    )
-    return new_sid, {
-        "updated": n_matched,
-        "inserted": n_source - n_matched,
-    }
+        for k in on:
+            if k not in tcols:
+                raise ValueError(f"merge key {k!r} not in schema")
+        src = source.select(*tcols).persist()
+        dup = src.groupBy(*on).count().filter(F.col("count") > 1).count()
+        if dup:
+            src.unpersist()
+            raise ValueError(
+                f"upsert_iceberg: {dup} keys match multiple source rows "
+                "(ambiguous — dedupe the source first)"
+            )
+        new_sid = latest_sid + 1 if latest_sid >= 0 else 1
+        new_seq = int(meta.get("last-sequence-number", 0)) + 1
+        del_entries: list[dict] = []
+        n_matched = 0
+        staged_src = src
+        if live:
+            mapping = _name_mapping(meta)
+            names_by_id = _field_names_by_id(meta)
+            scan = _iceberg_pos_scan(
+                spark, root, meta, live, formats, pos_deletes, mapping,
+                names_by_id,
+            )
+            matched = scan.join(
+                F.broadcast(src.select(*on).distinct()), on, "inner"
+            ).persist()
+            del_entries, n_matched = _stage_pos_delete_files(
+                spark, root, matched, new_sid, new_seq
+            )
+            if n_matched:
+                # MULTIPLICITY contract (merge_delta's): a target key
+                # held by k rows reads back as k source images — stage
+                # one image per MATCHED TARGET ROW (the keys join keeps
+                # target multiplicity; src is unique per key), plus the
+                # unmatched source rows as plain inserts. Appending src
+                # once would silently collapse duplicate-key target rows
+                # and drive "inserted" negative.
+                images = (
+                    matched.select(*on)
+                    .join(F.broadcast(src), on, "inner")
+                    .select(*tcols)
+                )
+                inserts = src.join(
+                    matched.select(*on).distinct(), on, "left_anti"
+                ).select(*tcols)
+                staged_src = images.unionByName(inserts)
+        # new data files: the writer's shared staging (table's default
+        # spec → partition tuples + bounds ride into the manifest)
+        names_by_id = {f["id"]: f["name"] for f in top}
+        by_name = {f["name"]: f for f in top}
+        spec_fields = _spec_from_meta(meta) if meta.get(
+            "partition-specs"
+        ) else []
+        pinfo = []
+        for pf in spec_fields:
+            kind, param = parse_transform(pf["transform"])
+            src_name = names_by_id[pf["source-id"]]
+            ice_t = by_name[src_name]["type"]
+            pf = dict(pf, _avro=_part_avro_type(kind, ice_t))
+            pinfo.append((pf, kind, param, src_name, ice_t))
+        new_data_entries = _stage_iceberg_entries(
+            spark, root, staged_src, top, pinfo, None, "parquet", None,
+            new_sid, new_seq,
+        )
+        # staged rows = one image per matched target row + the anti-join
+        # inserts, so record_count - n_matched IS the insert count (≥ 0
+        # by construction, duplicate-key targets included)
+        n_source = sum(
+            e["data_file"]["record_count"] for e in new_data_entries
+        )
+        src.unpersist()
+        if live:
+            matched.unpersist()
+        if n_source == 0 and n_matched == 0:
+            return latest_sid, {"updated": 0, "inserted": 0}
+        sid = _iceberg_mor_commit(
+            root, meta, live, bounds, partitions, formats,
+            pos_deletes, new_sid, new_seq, new_data_entries,
+            del_entries, "overwrite",
+        )
+        if sid is None:
+            continue  # lost the race: re-match against the winner
+        return new_sid, {
+            "updated": n_matched,
+            "inserted": n_source - n_matched,
+        }
 
 
 def rollback_iceberg(root: str, snapshot_id: int) -> int:
@@ -3050,26 +3160,17 @@ def rollback_iceberg(root: str, snapshot_id: int) -> int:
     the now-current snapshot id. The snapshot must still exist —
     expired snapshots cannot be rolled back to, the same retention
     contract time travel has."""
-    meta = load_table_metadata(root)
-    snaps = {s["snapshot-id"] for s in meta.get("snapshots", [])}
-    if snapshot_id not in snaps:
-        raise ValueError(
-            f"snapshot {snapshot_id} not in table metadata "
-            "(expired or never existed)"
-        )
-    meta["current-snapshot-id"] = snapshot_id
-    md = _meta_dir(root)
-    hint_path = os.path.join(md, "version-hint.text")
-    prev = (
-        int(open(hint_path).read().strip())
-        if os.path.exists(hint_path)
-        else 0
-    )
-    with open(os.path.join(md, f"v{prev + 1}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    with open(hint_path, "w") as f:
-        f.write(str(prev + 1))
-    return snapshot_id
+    while True:
+        meta = load_table_metadata(root)
+        snaps = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+        if snapshot_id not in snaps:
+            raise ValueError(
+                f"snapshot {snapshot_id} not in table metadata "
+                "(expired or never existed)"
+            )
+        meta["current-snapshot-id"] = snapshot_id
+        if _try_commit_metadata(root, meta):
+            return snapshot_id
 
 
 def alter_iceberg(
@@ -3152,15 +3253,8 @@ def alter_iceberg(
         ]
     )
     meta["properties"] = props
-    md = _meta_dir(root)
-    hint_path = os.path.join(md, "version-hint.text")
-    prev = (
-        int(open(hint_path).read().strip())
-        if os.path.exists(hint_path)
-        else 0
-    )
-    with open(os.path.join(md, f"v{prev + 1}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    with open(hint_path, "w") as f:
-        f.write(str(prev + 1))
+    if not _try_commit_metadata(root, meta):
+        # metadata-only op: a lost race means the table changed
+        # under us — replay the whole ALTER against the winner
+        return alter_iceberg(root, renames, drops)
     return new_schema_id

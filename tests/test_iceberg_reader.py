@@ -163,6 +163,10 @@ def test_position_delete_sequence_gating_on_readd(spark, tmp_path):
 
 
 def test_version_hint_and_latest_fallback(spark, tmp_path):
+    """Resolution is NEWEST of hint and directory listing — an
+    optimistic writer claims vN.metadata.json before advancing the
+    advisory hint, so a stale hint must never hide a committed
+    version (and a torn/missing hint falls back to the listing)."""
     root = str(tmp_path)
     _mk_table(spark, root)
     md = os.path.join(root, "metadata")
@@ -170,10 +174,14 @@ def test_version_hint_and_latest_fallback(spark, tmp_path):
     meta = json.load(open(os.path.join(md, "v1.metadata.json")))
     meta["current-snapshot-id"] = 100
     json.dump(meta, open(os.path.join(md, "v2.metadata.json"), "w"))
-    # hint still says v1 -> snapshot 200 state
-    assert rows(read_iceberg(spark, root)) == [(1, "a"), (2, "b"), (4, "d")]
-    # without the hint, the latest vN wins -> snapshot 100 state
+    # hint still says v1, but the committed v2 wins (newest)
+    assert rows(read_iceberg(spark, root)) == [(1, "a"), (2, "b"), (3, "c")]
+    # without the hint the listing alone resolves identically
     os.remove(os.path.join(md, "version-hint.text"))
+    assert rows(read_iceberg(spark, root)) == [(1, "a"), (2, "b"), (3, "c")]
+    # a half-written claim (empty file) falls back to the newest
+    # COMMITTED version instead of crashing
+    open(os.path.join(md, "v3.metadata.json"), "w").close()
     assert rows(read_iceberg(spark, root)) == [(1, "a"), (2, "b"), (3, "c")]
 
 
@@ -1498,3 +1506,72 @@ def _resolve(root, p):
     from dataflowex_spark.sources.iceberg_reader import _resolve_path
 
     return _resolve_path(root, p)
+
+
+def test_iceberg_commit_race_converges(spark, tmp_path, monkeypatch):
+    """Optimistic commit protocol: a writer/deleter that loses the
+    put-if-absent claim on vN.metadata.json replays against the
+    winner's snapshot and converges — BOTH changes land (the MTable
+    with_retry contract, now on the open format). Also pins that a
+    lost write_iceberg append replays rather than clobbering."""
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "k long, x double"
+    )
+    ir.write_iceberg(spark, df, dest)
+
+    real_commit = ir._try_commit_metadata
+    state = {"interleaved": False}
+
+    def racy_commit(root, meta):
+        if not state["interleaved"]:
+            # a competing DELETE lands between our snapshot read and
+            # our claim; our claim then loses and the op replays
+            state["interleaved"] = True
+            monkeypatch.setattr(ir, "_try_commit_metadata", real_commit)
+            ir.delete_from_iceberg(spark, root, "k % 10 = 1")
+            monkeypatch.setattr(ir, "_try_commit_metadata", racy_commit)
+            return False
+        return real_commit(root, meta)
+
+    monkeypatch.setattr(ir, "_try_commit_metadata", racy_commit)
+    sid, n = ir.delete_from_iceberg(spark, dest, "k % 10 = 2")
+    monkeypatch.setattr(ir, "_try_commit_metadata", real_commit)
+    assert n == 3
+    got = sorted(r.k for r in read_iceberg(spark, dest).collect())
+    assert got == [k for k in range(30) if k % 10 not in (1, 2)]
+    # both deletes are distinct snapshots in the history
+    ops = [s["operation"] for s in snapshot_log(dest)]
+    assert ops.count("delete") == 2
+
+    # racing APPEND: loser replays, both appends land
+    state["interleaved"] = False
+
+    def racy_append_commit(root, meta):
+        if not state["interleaved"]:
+            state["interleaved"] = True
+            monkeypatch.setattr(ir, "_try_commit_metadata", real_commit)
+            ir.write_iceberg(
+                spark,
+                spark.createDataFrame([(100, 100.0)], "k long, x double"),
+                root, mode="append",
+            )
+            monkeypatch.setattr(
+                ir, "_try_commit_metadata", racy_append_commit
+            )
+            return False
+        return real_commit(root, meta)
+
+    monkeypatch.setattr(ir, "_try_commit_metadata", racy_append_commit)
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame([(200, 200.0)], "k long, x double"),
+        dest, mode="append",
+    )
+    monkeypatch.setattr(ir, "_try_commit_metadata", real_commit)
+    got2 = sorted(r.k for r in read_iceberg(spark, dest).collect())
+    assert got2 == [
+        k for k in range(30) if k % 10 not in (1, 2)
+    ] + [100, 200]
