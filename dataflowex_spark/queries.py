@@ -25554,3 +25554,392 @@ def q440(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("urgency")
     )
+
+
+@q(
+    "q441_iceberg_rewrite_data_files",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 9 = 4
+    ), survivors AS (
+      SELECT * FROM base
+      WHERE NOT (okey % 5 = 2) AND NOT (okey % 7 = 3)
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM survivors GROUP BY priority ORDER BY priority
+    """,
+)
+def q441(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG TABLE MAINTENANCE (rewrite_iceberg_data_files — the
+    rewrite_data_files action, Delta's optimize/compact twin): two
+    rounds of MoR DELETE accumulate position-delete sidecars, then
+    the rewrite FOLDS the debt — dead rows drop out of rewritten
+    files, consumed delete files leave the manifests, small files
+    bin-pack — in one replace snapshot. The query asserts in-plan
+    that the compacted snapshot carries ZERO delete manifests and
+    FEWER data files, then aggregates; the oracle replays the two
+    deletes in SQL, so the hash match proves the fold is
+    read-identical. At 100 TB this is what keeps MoR DML viable:
+    without the fold every read re-applies every sidecar forever."""
+    import tempfile
+
+    from dataflowex_spark.sources.avro_io import read_container
+    from dataflowex_spark.sources.iceberg_reader import (
+        _resolve_path,
+        delete_from_iceberg,
+        load_table_metadata,
+        read_iceberg,
+        rewrite_iceberg_data_files,
+        write_iceberg,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 9 == 4)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .repartition(6)
+    )
+    dest = tempfile.mkdtemp(prefix="q441_") + "/t"
+    write_iceberg(spark, base, dest)
+    delete_from_iceberg(spark, dest, "okey % 5 = 2")
+    delete_from_iceberg(spark, dest, "okey % 7 = 3")
+
+    def snapshot_files(root):
+        meta = load_table_metadata(root)
+        snap = [
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        ][0]
+        _s, manifests = read_container(
+            _resolve_path(root, snap["manifest-list"])
+        )
+        data, dele = set(), set()
+        for m in manifests:
+            _s2, entries = read_container(
+                _resolve_path(root, m["manifest_path"])
+            )
+            for e in entries:
+                if e["status"] == 2:
+                    continue
+                d = e["data_file"]
+                (dele if d.get("content", 0) else data).add(
+                    d["file_path"]
+                )
+        return data, dele
+
+    d0, del0 = snapshot_files(dest)
+    assert del0, "DML must have accumulated delete sidecars"
+    _sid, stats = rewrite_iceberg_data_files(
+        spark, dest, small_file_bytes=64 << 20
+    )
+    d1, del1 = snapshot_files(dest)
+    assert not del1, "fold must consume every delete manifest entry"
+    assert len(d1) < len(d0), "bin-pack must shrink the file count"
+    assert stats["dead_rows_folded"] > 0
+    return (
+        read_iceberg(spark, dest)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )
+
+
+@q(
+    "q442_iceberg_update",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 9 = 7
+    ), updated AS (
+      SELECT okey,
+             CASE WHEN okey % 4 = 1 THEN 'X-BUMPED' ELSE priority END
+               AS priority,
+             CASE WHEN okey % 4 = 1 THEN price_cents + 55
+                  ELSE price_cents END AS price_cents
+      FROM base
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM updated GROUP BY priority ORDER BY priority
+    """,
+)
+def q442(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG UPDATE ... SET (update_iceberg — the third MoR verb,
+    update_delta's twin): matched rows die by position and re-stage
+    with SET exprs evaluated over their OLD values, in ONE snapshot
+    (not the delete+upsert two-commit workaround). The SET here
+    rewrites a partition-relevant column AND a measure; the oracle
+    replays the CASE algebra; hash match proves one-snapshot update
+    exactness. Scale: one pruned scan, positions shuffle once by
+    file, new files carry only the updated images — change-bound,
+    never table-bound."""
+    import tempfile
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        read_iceberg,
+        update_iceberg,
+        write_iceberg,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 9 == 7)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q442_") + "/t"
+    write_iceberg(spark, base, dest, partition_by=["priority"])
+    snaps_before = len(
+        __import__(
+            "dataflowex_spark.sources.iceberg_reader",
+            fromlist=["snapshot_log"],
+        ).snapshot_log(dest)
+    )
+    update_iceberg(
+        spark, dest, "okey % 4 = 1",
+        {"priority": "'X-BUMPED'", "price_cents": "price_cents + 55"},
+    )
+    from dataflowex_spark.sources.iceberg_reader import snapshot_log
+
+    assert len(snapshot_log(dest)) == snaps_before + 1, (
+        "UPDATE must be ONE snapshot"
+    )
+    return (
+        read_iceberg(spark, dest)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )
+
+
+@q(
+    "q443_iceberg_equality_delete",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 9 = 8
+    ), after_eq AS (
+      -- eq-delete kills keys ending in 5 among the ORIGINAL rows;
+      -- the late re-insert of okey (min key) lands AFTER the delete
+      -- and therefore LIVES (sequence gating)
+      SELECT * FROM base WHERE okey % 10 <> 5
+      UNION ALL
+      SELECT okey, 'REBORN' AS priority, CAST(0 AS BIGINT)
+      FROM (SELECT MIN(okey) AS okey FROM base WHERE okey % 10 = 5)
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM after_eq GROUP BY priority ORDER BY priority
+    """,
+)
+def q443(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG EQUALITY-DELETE WRITE (delete_keys_from_iceberg —
+    spec content=2 + equality_ids, the MTable delete_keys twin):
+    ZERO-SCAN key deletes — commit cost is the key bytes plus one
+    metadata round, completing the delete-cost spectrum on the open
+    format (positional = change-scan-bound, equality = no scan at
+    all). The query then RE-INSERTS one deleted key and reads: the
+    spec's sequence gating must keep the re-insert alive while the
+    original rows stay dead — exactly the upsert idiom streaming
+    CDC writers rely on. Oracle replays the set algebra; hash match
+    proves gating exactness. The read tax (one broadcast anti-join
+    per delete file) repays through rewrite_iceberg_data_files'
+    eq fold (q441's machinery)."""
+    import tempfile
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        delete_keys_from_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 9 == 8)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q443_") + "/t"
+    write_iceberg(spark, base, dest)
+    keys = base.filter(F.col("okey") % 10 == 5).select("okey")
+    _sid, n = delete_keys_from_iceberg(spark, dest, keys)
+    assert n > 0, "fixture slice must contain keys to delete"
+    reborn = keys.groupBy().agg(F.min("okey").alias("okey")).select(
+        "okey",
+        F.lit("REBORN").alias("priority"),
+        F.lit(0).cast("long").alias("price_cents"),
+    )
+    write_iceberg(spark, reborn, dest, mode="append")
+    return (
+        read_iceberg(spark, dest)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )
+
+
+@q(
+    "q444_delta_dml_column_mapping",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 11 = 9
+    ), after_dml AS (
+      SELECT okey,
+             priority,
+             CASE WHEN okey % 6 = 1 THEN price_cents + 77
+                  ELSE price_cents END AS price_cents
+      FROM base WHERE NOT (okey % 4 = 2)
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM after_dml GROUP BY priority ORDER BY priority
+    """,
+)
+def q444(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA DML OVER columnMapping mode=name (the default on newer
+    delta-spark tables — r8's honest refusal, now closed): the table
+    is written with physical column names + a name-mapped schema,
+    then DELETE and UPDATE bind their predicates and SET exprs
+    through physicalName — the scan reads physical, aliases
+    logical, and UPDATE's re-appended files are written back under
+    PHYSICAL names (asserted in-query) with physical-keyed stats
+    and partitionValues, exactly what delta-spark expects to read.
+    mode=id still refuses (per-file field-id resolution). Oracle
+    replays the DML algebra; hash match proves the mapping round
+    trip loses nothing."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        delete_from_delta,
+        read_delta,
+        update_delta,
+        write_delta,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 11 == 9)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q444_") + "/t"
+    # write PHYSICAL files + a mode=name log by hand (the
+    # conformance-writer shape: uuid physical names, logical schema
+    # mapped via delta.columnMapping metadata)
+    phys = base.select(
+        F.col("okey").alias("p-okey"),
+        F.col("priority").alias("p-priority"),
+        F.col("price_cents").alias("p-cents"),
+    )
+    from dataflowex_spark.sources.delta_reader import (
+        stage_parquet_file,
+        write_conformance_log,
+    )
+
+    stage_parquet_file(phys, dest, "data/f0.parquet")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "okey", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "p-okey"}},
+            {"name": "priority", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName":
+                              "p-priority"}},
+            {"name": "price_cents", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "p-cents"}},
+        ],
+    }
+    write_conformance_log(
+        dest,
+        [[
+            {"protocol": {"minReaderVersion": 2,
+                          "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "q444", "schemaString": _json.dumps(schema),
+                "partitionColumns": [],
+                "format": {"provider": "parquet"},
+                "configuration": {
+                    "delta.columnMapping.mode": "name"}}},
+            {"add": {"path": "data/f0.parquet",
+                     "partitionValues": {}, "dataChange": True}},
+        ]],
+    )
+    delete_from_delta(spark, dest, "okey % 4 = 2")
+    update_delta(
+        spark, dest, "okey % 6 = 1",
+        {"price_cents": "price_cents + 77"},
+    )
+    newest = max(
+        _glob.glob(
+            _os.path.join(dest, "data", "**", "*.parquet"),
+            recursive=True,
+        ),
+        key=_os.path.getmtime,
+    )
+    assert "p-okey" in spark.read.parquet(newest).columns, (
+        "UPDATE must re-append files under PHYSICAL names"
+    )
+    return (
+        read_delta(spark, dest)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )

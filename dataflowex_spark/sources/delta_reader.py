@@ -88,10 +88,12 @@ def _rel_uri(rel: str) -> str:
     ``%XX``) would make a real engine resolve a DIFFERENT file —
     and its tables unreadable here. quote(unquote(x)) is canonical,
     so a remove emitted from an on-disk path always matches the
-    add's log string."""
+    add's log string. The safe set is RFC 2396 pchar (``:@&=+$,``
+    stay raw — hive dirs keep their literal ``=``, matching what
+    Hadoop's Path URI leaves unescaped in delta-spark logs)."""
     import urllib.parse as _up
 
-    return _up.quote(rel, safe="/")
+    return _up.quote(rel, safe="/:@&=+$,")
 
 
 def _data_path(root: str, rel: str) -> str:
@@ -1854,6 +1856,31 @@ def update_delta(
     return _dml_delta(spark, dest, where, set_exprs)
 
 
+def _physical_frame(
+    df: DataFrame, schema: T.StructType, mode: str, pcols: list[str]
+) -> DataFrame:
+    """LOGICAL rows → the PHYSICAL layout staging must write under
+    columnMapping mode=name (data files and hive partition dirs
+    carry physical names; stats and partitionValues key by them too,
+    which is exactly what the read path's ``_stats_allows`` and
+    partition pruning expect). mode=none is the identity."""
+    if mode == "none":
+        return df
+    cols = []
+    for f in schema.fields:
+        c = F.col(f.name)
+        if isinstance(
+            f.dataType, (T.StructType, T.ArrayType, T.MapType)
+        ):
+            c = c.cast(_physical_type(f.dataType))
+        cols.append(c.alias(_physical_name(f)))
+    extra = [
+        F.col(c) for c in df.columns
+        if c not in {f.name for f in schema.fields}
+    ]
+    return df.select(*cols, *extra)
+
+
 def _dml_scan(
     spark: SparkSession, dest: str, meta: dict, adds: dict
 ) -> tuple[DataFrame, DataFrame | None]:
@@ -1861,8 +1888,32 @@ def _dml_scan(
     typed partition columns re-attached — the target side every DML
     op matches against. Already-DV-dead rows are anti-joined out
     (they are not visible, must not match, must not re-count).
-    Returns ``(scan, old_dead_df)``."""
+    Under columnMapping mode=name the scan reads PHYSICAL columns
+    and aliases them back to LOGICAL names (read_delta's machinery),
+    so predicates and SET exprs bind logically everywhere
+    downstream. Returns ``(scan, old_dead_df)``."""
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    mode = _mapping_mode(meta)
+    phys_by_logical = {
+        f.name: (_physical_name(f) if mode == "name" else f.name)
+        for f in schema.fields
+    }
+    part_cols = meta.get("partitionColumns") or []
+    data_fields = [
+        f for f in schema.fields if f.name not in part_cols
+    ]
+    phys_schema = T.StructType(
+        [
+            T.StructField(
+                phys_by_logical[f.name],
+                _physical_type(f.dataType)
+                if mode == "name"
+                else f.dataType,
+                f.nullable,
+            )
+            for f in data_fields
+        ]
+    )
     ptypes = {f.name: f.dataType for f in schema.fields}
     by_pv: dict[tuple, list[str]] = {}
     for rel, a in adds.items():
@@ -1874,16 +1925,29 @@ def _dml_scan(
             os.path.abspath(_data_path(dest, r))
             for r in sorted(rels)
         ]
-        piece = spark.read.parquet(*paths).select(
-            "*",
+        piece = spark.read.schema(phys_schema).parquet(*paths)
+        sel = []
+        for f in data_fields:
+            c = F.col(phys_by_logical[f.name])
+            if mode == "name" and isinstance(
+                f.dataType, (T.StructType, T.ArrayType, T.MapType)
+            ):
+                c = c.cast(f.dataType)
+            sel.append(c.alias(f.name))
+        piece = piece.select(
+            *sel,
             _file_path_col().alias("__fp"),
             F.col("_metadata.row_index").alias("__ri"),
         )
-        for k, v in key:
-            # partition columns live in the path, not the file —
-            # re-attach typed so predicates/join keys can bind them
+        pv = dict(key)
+        for k in part_cols:
+            # partition columns live in the path (keyed PHYSICAL in
+            # partitionValues) — re-attach typed under LOGICAL names
             piece = piece.withColumn(
-                k, _typed_partition_lit(v, ptypes[k])
+                k,
+                _typed_partition_lit(
+                    pv.get(phys_by_logical[k]), ptypes[k]
+                ),
             )
         pieces.append(piece)
     scan = pieces[0]
@@ -1953,10 +2017,14 @@ def _dml_delta(
     cond = F.expr(where) if isinstance(where, str) else where
     while True:
         meta, adds = _snapshot(spark, dest, None)
-        if _mapping_mode(meta) != "none":
+        mode = _mapping_mode(meta)
+        if mode == "id":
+            # mode=id resolves columns per-file by footer field id —
+            # a name-keyed staging/stats contract has no stable
+            # physical name to bind; refuse loudly (mode=name binds
+            # through physicalName and is fully supported)
             raise DeltaProtocolError(
-                f"{op.lower()} on column-mapped tables unsupported "
-                "(predicate would bind to physical column names)"
+                f"{op.lower()} unsupported for columnMapping mode=id"
             )
         commits = _commit_files(dest)
         newest_cp = _checkpoint_for(dest, 1 << 62)
@@ -1998,13 +2066,23 @@ def _dml_delta(
                 T.LongType, T.IntegerType, T.ShortType, T.ByteType,
                 T.DoubleType, T.FloatType, T.StringType, T.DateType,
             )
+            phys_by_logical = {
+                f.name: (
+                    _physical_name(f) if mode == "name" else f.name
+                )
+                for f in schema.fields
+            }
             uscols = [
-                f.name
+                phys_by_logical[f.name]
                 for f in schema.fields
                 if isinstance(f.dataType, prim) and f.name not in pcols
             ]
             new_adds = _stage_data_files(
-                spark, dest, upd, pcols, uscols
+                spark,
+                dest,
+                _physical_frame(upd, schema, mode, pcols),
+                [phys_by_logical[c] for c in pcols],
+                uscols,
             )
         cdc_actions: list[dict] = []
         if n_matched and str(
@@ -2027,7 +2105,18 @@ def _dml_delta(
                         "_change_type", F.lit("update_postimage")
                     )
                 )
-            cdc_actions = _stage_cdc(spark, dest, cdc_rows, pcols)
+            pbl = {
+                f.name: (
+                    _physical_name(f) if mode == "name" else f.name
+                )
+                for f in schema.fields
+            }
+            cdc_actions = _stage_cdc(
+                spark,
+                dest,
+                _physical_frame(cdc_rows, schema, mode, pcols),
+                [pbl[c] for c in pcols],
+            )
         flt.unpersist()
         if n_matched == 0:
             _unlink_dvs(results, root_abs)
@@ -2185,9 +2274,10 @@ def merge_delta(
         raise ValueError("merge_delta: empty merge key")
     while True:
         meta, adds = _snapshot(spark, dest, None)
-        if _mapping_mode(meta) != "none":
+        mode = _mapping_mode(meta)
+        if mode == "id":
             raise DeltaProtocolError(
-                "merge on column-mapped tables unsupported"
+                "merge unsupported for columnMapping mode=id"
             )
         commits = _commit_files(dest)
         newest_cp = _checkpoint_for(dest, 1 << 62)
@@ -2215,8 +2305,12 @@ def merge_delta(
             T.LongType, T.IntegerType, T.ShortType, T.ByteType,
             T.DoubleType, T.FloatType, T.StringType, T.DateType,
         )
+        phys_by_logical = {
+            f.name: (_physical_name(f) if mode == "name" else f.name)
+            for f in schema.fields
+        }
         scols = [
-            f.name
+            phys_by_logical[f.name]
             for f in schema.fields
             if isinstance(f.dataType, prim) and f.name not in pcols
         ]
@@ -2278,7 +2372,11 @@ def merge_delta(
         total_staged = 0
         if new_rows is not None:
             new_adds = _stage_data_files(
-                spark, dest, new_rows, pcols, scols
+                spark,
+                dest,
+                _physical_frame(new_rows, schema, mode, pcols),
+                [phys_by_logical[c] for c in pcols],
+                scols,
             )
             total_staged = sum(
                 json.loads(a["add"]["stats"])["numRecords"]
@@ -2336,7 +2434,12 @@ def merge_delta(
             cdc_rows = parts[0]
             for p in parts[1:]:
                 cdc_rows = cdc_rows.unionByName(p)
-            cdc_actions = _stage_cdc(spark, dest, cdc_rows, pcols)
+            cdc_actions = _stage_cdc(
+                spark,
+                dest,
+                _physical_frame(cdc_rows, schema, mode, pcols),
+                [phys_by_logical[c] for c in pcols],
+            )
         if joined is not None:
             joined.unpersist()
         if inserts is not None:
@@ -2398,9 +2501,11 @@ def compact_delta_dvs(
 
     while True:
         meta, adds = _snapshot(spark, dest, None)
-        if _mapping_mode(meta) != "none":
+        mode = _mapping_mode(meta)
+        if mode == "id":
             raise DeltaProtocolError(
-                "compact_delta_dvs: column-mapped tables unsupported"
+                "compact_delta_dvs unsupported for columnMapping "
+                "mode=id"
             )
         commits = _commit_files(dest)
         newest_cp = _checkpoint_for(dest, 1 << 62)
@@ -2439,14 +2544,24 @@ def compact_delta_dvs(
             T.LongType, T.IntegerType, T.ShortType, T.ByteType,
             T.DoubleType, T.FloatType, T.StringType, T.DateType,
         )
+        phys_by_logical = {
+            f.name: (_physical_name(f) if mode == "name" else f.name)
+            for f in schema.fields
+        }
         scols = [
-            f.name
+            phys_by_logical[f.name]
             for f in schema.fields
             if isinstance(f.dataType, prim) and f.name not in pcols
         ]
         scan, _old = _dml_scan(spark, dest, meta, chosen)
         rows = scan.drop("__fp", "__ri")  # DV dead already anti-joined
-        new_adds = _stage_data_files(spark, dest, rows, pcols, scols)
+        new_adds = _stage_data_files(
+            spark,
+            dest,
+            _physical_frame(rows, schema, mode, pcols),
+            [phys_by_logical[c] for c in pcols],
+            scols,
+        )
         for na in new_adds:
             na["add"]["dataChange"] = False
         actions: list[dict] = []
@@ -2564,9 +2679,10 @@ def optimize_delta(
 
     while True:
         meta, adds = _snapshot(spark, dest, None)
-        if _mapping_mode(meta) != "none":
+        mode = _mapping_mode(meta)
+        if mode == "id":
             raise DeltaProtocolError(
-                "optimize_delta: column-mapped tables unsupported"
+                "optimize_delta unsupported for columnMapping mode=id"
             )
         commits = _commit_files(dest)
         newest_cp = _checkpoint_for(dest, 1 << 62)
@@ -2659,7 +2775,17 @@ def optimize_delta(
             ).sortWithinPartitions(zk)
         else:
             rows = rows.coalesce(n_files)
-        new_adds = _stage_data_files(spark, dest, rows, pcols, scols)
+        phys_by_logical = {
+            f.name: (_physical_name(f) if mode == "name" else f.name)
+            for f in schema.fields
+        }
+        new_adds = _stage_data_files(
+            spark,
+            dest,
+            _physical_frame(rows, schema, mode, pcols),
+            [phys_by_logical[c] for c in pcols],
+            [phys_by_logical[c] for c in scols],
+        )
         for na in new_adds:
             na["add"]["dataChange"] = False
         actions: list[dict] = []

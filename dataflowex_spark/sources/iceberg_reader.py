@@ -2808,6 +2808,7 @@ def _iceberg_mor_commit(
     new_data_entries: list[dict],
     del_entries: list[dict],
     op: str,
+    eq_deletes: list | None = None,
 ) -> int | None:
     """One MoR snapshot: a data manifest carrying the live set as
     EXISTING (original seqs — the spec's manifest rewrite) plus any
@@ -2881,6 +2882,24 @@ def _iceberg_mor_commit(
                     "record_count": 0,
                     "file_size_in_bytes": os.path.getsize(path),
                     "equality_ids": None,
+                },
+            }
+        )
+    # prior EQUALITY deletes carry identically (their seq gating —
+    # strictly-older data rows only — rides on sequence_number)
+    for path, dseq, ids in sorted(eq_deletes or []):
+        del_entries.append(
+            {
+                "status": 0,
+                "snapshot_id": new_sid,
+                "sequence_number": dseq,
+                "data_file": {
+                    "content": 2,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "record_count": 0,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "equality_ids": list(ids),
                 },
             }
         )
@@ -3148,6 +3167,417 @@ def upsert_iceberg(
         return new_sid, {
             "updated": n_matched,
             "inserted": n_source - n_matched,
+        }
+
+
+def delete_keys_from_iceberg(
+    spark: SparkSession, root: str, keys: DataFrame
+) -> tuple[int, int]:
+    """ZERO-SCAN key delete via an EQUALITY-DELETE file (spec
+    content=2 + ``equality_ids``) — completes the delete-cost
+    spectrum on the open format (the MTable ``delete_keys`` twin):
+    no target scan at all, the commit cost is writing the key set
+    and one metadata round. Rows whose key columns equal any delete
+    row (null-safe, per spec) and whose DATA sequence number is
+    STRICTLY OLDER than the delete's go dead at read time —
+    :func:`read_iceberg`'s existing MoR path applies the file with
+    exact seq gating, so rows (re-)inserted AFTER this delete keep
+    living under the same key (the spec's upsert idiom). Equality
+    deletes STACK across snapshots; prior delete files (both kinds)
+    carry untouched. Returns ``(snapshot_id, n_keys)``.
+
+    ``keys``: a DataFrame whose columns are the key columns (any
+    subset of top-level primitive schema fields). The debt repays
+    through :func:`rewrite_iceberg_data_files`, which folds equality
+    debt by a full seq-gated rewrite; position-addressing DML
+    (delete/update/upsert) refuses while equality debt is
+    outstanding — fold first.
+
+    Scale shape: this is THE cheapest delete on a 100 TB table —
+    O(key bytes) write + metadata, no scan, no shuffle; the read tax
+    is one broadcast anti-join per delete file until the next
+    rewrite folds it."""
+    import uuid as _uuid
+
+    kcols = list(keys.columns)
+    if not kcols:
+        raise ValueError("delete_keys_from_iceberg: no key columns")
+    while True:
+        meta = load_table_metadata(root)
+        snaps = meta.get("snapshots", [])
+        top = _current_schema_fields(meta)
+        by_name = {f["name"]: f for f in top}
+        bad = [c for c in kcols if c not in by_name]
+        if bad:
+            raise ValueError(f"key columns {bad} not in schema")
+        nonprim = [
+            c for c in kcols if not isinstance(by_name[c]["type"], str)
+        ]
+        if nonprim:
+            raise IcebergProtocolError(
+                f"equality delete on nested columns {nonprim}"
+            )
+        eq_ids = [by_name[c]["id"] for c in kcols]
+        sid0 = meta.get("current-snapshot-id")
+        (
+            live, pos_deletes, eq_deletes, bounds, partitions,
+            formats,
+        ) = _live_files(
+            root, meta, sid0 if sid0 not in (None, -1) else None
+        )
+        latest_sid = snaps[-1]["snapshot-id"] if snaps else -1
+        if not live:
+            return latest_sid, 0
+        new_sid = latest_sid + 1 if latest_sid >= 0 else 1
+        new_seq = int(meta.get("last-sequence-number", 0)) + 1
+        # stage the key set as ONE spec-shaped delete file
+        job = os.path.join(root, f"_eqstage-{_uuid.uuid4().hex}")
+        keys.select(*kcols).distinct().coalesce(1).write.parquet(job)
+        n = spark.read.parquet(job).count()
+        part = [
+            fn for fn in os.listdir(job) if fn.endswith(".parquet")
+        ]
+        if n == 0 or not part:
+            import shutil as _shutil
+
+            _shutil.rmtree(job, ignore_errors=True)
+            return latest_sid, 0
+        target = os.path.join(
+            root, "data", f"eq-delete-{new_sid}-{part[0]}"
+        )
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        os.replace(os.path.join(job, part[0]), target)
+        import shutil as _shutil
+
+        _shutil.rmtree(job, ignore_errors=True)
+        del_entries = [
+            {
+                "status": 1,
+                "snapshot_id": new_sid,
+                "sequence_number": new_seq,
+                "data_file": {
+                    "content": 2,
+                    "file_path": os.path.abspath(target),
+                    "file_format": "PARQUET",
+                    "record_count": 0,
+                    "file_size_in_bytes": os.path.getsize(target),
+                    "equality_ids": eq_ids,
+                },
+            }
+        ]
+        sid = _iceberg_mor_commit(
+            root, meta, live, bounds, partitions, formats,
+            pos_deletes, new_sid, new_seq, [], del_entries,
+            "delete", eq_deletes=eq_deletes,
+        )
+        if sid is None:
+            continue  # lost the claim: replay against the winner
+        return new_sid, n
+
+
+def update_iceberg(
+    spark: SparkSession,
+    root: str,
+    where,
+    set_exprs: dict[str, str],
+) -> tuple[int, int]:
+    """DML UPDATE ... SET — the third MoR verb (twin of
+    :func:`delta_reader.update_delta`), completing
+    delete/upsert/update on the open format in ONE snapshot instead
+    of the delete+upsert two-commit workaround: matched rows go dead
+    via position-delete sidecars and their UPDATED IMAGES re-stage
+    as new data files (stats + partition tuples recomputed, so an
+    update that changes a partition source column MOVES the row to
+    its new partition — Iceberg data files are self-contained, no
+    hive-dir bookkeeping). Returns ``(snapshot_id, rows_updated)``.
+
+    ``set_exprs``: column → SQL expression over the row's OLD values
+    (the standard UPDATE contract); unknown columns refuse. Row
+    addressing and refusals mirror :func:`delete_from_iceberg`
+    (parquet + AVRO, live ORC refuses, equality-delete debt
+    refuses). Commit is optimistic — a lost race re-matches against
+    the winner's snapshot.
+
+    Scale shape: one pruned scan, matched positions shuffle once
+    grouped by file, new files carry ONLY updated rows — cost
+    follows change volume, never table size."""
+    from pyspark.sql import functions as F
+
+    if not set_exprs:
+        raise ValueError("update_iceberg: empty SET clause")
+    while True:
+        (
+            meta, live, pos_deletes, bounds, partitions, formats,
+            latest_sid,
+        ) = _iceberg_dml_preamble(root, "update_iceberg")
+        top = _current_schema_fields(meta)
+        tcols = [f["name"] for f in top]
+        bad = [c for c in set_exprs if c not in tcols]
+        if bad:
+            raise ValueError(f"SET columns {bad} not in schema")
+        if not live:
+            return latest_sid, 0
+        cond = F.expr(where) if isinstance(where, str) else where
+        mapping = _name_mapping(meta)
+        names_by_id_f = _field_names_by_id(meta)
+        scan = _iceberg_pos_scan(
+            spark, root, meta, live, formats, pos_deletes, mapping,
+            names_by_id_f,
+        )
+        matched = scan.filter(cond).persist()
+        new_sid = latest_sid + 1 if latest_sid >= 0 else 1
+        new_seq = int(meta.get("last-sequence-number", 0)) + 1
+        del_entries, n = _stage_pos_delete_files(
+            spark, root, matched, new_sid, new_seq
+        )
+        if n == 0:
+            matched.unpersist()
+            return latest_sid, 0
+        images = matched.select(
+            *[
+                F.expr(set_exprs[c]).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in tcols
+            ]
+        )
+        names_by_id = {f["id"]: f["name"] for f in top}
+        by_name = {f["name"]: f for f in top}
+        spec_fields = (
+            _spec_from_meta(meta) if meta.get("partition-specs") else []
+        )
+        pinfo = []
+        for pf in spec_fields:
+            kind, param = parse_transform(pf["transform"])
+            src_name = names_by_id[pf["source-id"]]
+            ice_t = by_name[src_name]["type"]
+            pf = dict(pf, _avro=_part_avro_type(kind, ice_t))
+            pinfo.append((pf, kind, param, src_name, ice_t))
+        new_entries = _stage_iceberg_entries(
+            spark, root, images, top, pinfo, None, "parquet", None,
+            new_sid, new_seq,
+        )
+        sid = _iceberg_mor_commit(
+            root, meta, live, bounds, partitions, formats,
+            pos_deletes, new_sid, new_seq, new_entries, del_entries,
+            "overwrite",
+        )
+        matched.unpersist()
+        if sid is None:
+            continue  # lost the race: re-match against the winner
+        return new_sid, n
+
+
+def rewrite_iceberg_data_files(
+    spark: SparkSession,
+    root: str,
+    min_dead_rows: int = 1,
+    small_file_bytes: int | None = None,
+    target_file_bytes: int = 128 << 20,
+) -> tuple[int, dict]:
+    """Iceberg TABLE MAINTENANCE — the ``rewrite_data_files`` action
+    (the format twin of :func:`delta_reader.optimize_delta` +
+    ``compact_delta_dvs``): folds accumulated POSITION-DELETE debt
+    into rewritten data files and bin-packs small files, in ONE
+    ``replace`` snapshot. Without this, a long-lived table under
+    :func:`delete_from_iceberg`/:func:`upsert_iceberg` DML degrades
+    monotonically — every read re-applies every sidecar forever.
+
+    What happens:
+
+    - **fold** (gated by ``min_dead_rows``): every live data file
+      targeted by a position delete rewrites WITHOUT its dead rows;
+      ALL consumed delete files drop from the new snapshot's
+      manifests (closure: a delete file's live targets all rewrite,
+      so no partial-delete-file bookkeeping exists);
+    - **bin-pack** (``small_file_bytes``): live files smaller than
+      the threshold rewrite together, coalesced toward
+      ``target_file_bytes`` outputs (needs ≥ 2 small files to be
+      worth a snapshot);
+    - untouched files carry as EXISTING with their ORIGINAL
+      sequence numbers (the spec's manifest-rewrite shape); when
+      the fold gate does not fire, prior delete files carry too —
+      stale rows pointing at rewritten (now-unlisted) paths are
+      inert, rows for untouched files keep applying.
+
+    Row addressing mirrors DML (parquet ``_metadata.row_index``,
+    AVRO codec positions, live ORC refuses; equality-delete debt
+    refuses). AVRO inputs rewrite as parquet (the manifest records
+    per-file format — compaction is a legal format migration point).
+    Commit is optimistic (:func:`_try_commit_metadata`); a lost race
+    replans against the winner.
+
+    Returns ``(snapshot_id, stats)`` with ``files_rewritten``,
+    ``files_added``, ``delete_files_folded``, ``dead_rows_folded``;
+    the current snapshot id and zeros when nothing qualifies.
+
+    Scale shape: planning is metadata + one change-bound aggregate
+    over the delete sidecars; the rewrite scans ONLY chosen files;
+    read-side cost after the fold drops to a plain pruned scan —
+    the economics that keep MoR DML viable at 100 TB."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    zeros = {
+        "files_rewritten": 0,
+        "files_added": 0,
+        "delete_files_folded": 0,
+        "dead_rows_folded": 0,
+    }
+    while True:
+        meta = load_table_metadata(root)
+        snaps = meta.get("snapshots", [])
+        sid0 = meta.get("current-snapshot-id")
+        (
+            live, pos_deletes, eq_deletes, bounds, partitions,
+            formats,
+        ) = _live_files(
+            root, meta, sid0 if sid0 not in (None, -1) else None
+        )
+        latest_sid = snaps[-1]["snapshot-id"] if snaps else -1
+        if not live:
+            return latest_sid, dict(zeros)
+        if eq_deletes:
+            # EQUALITY-DELETE FOLD: equality debt has no per-file
+            # target list — it gates on (key match, data seq) — so
+            # the fold is a FULL seq-gated rewrite through
+            # read_iceberg's exact MoR semantics (any file format;
+            # this honestly table-sized pass is the recorded cost of
+            # zero-scan deletes, paid once per fold, after which
+            # position-addressing DML unblocks).
+            rows = read_iceberg(spark, root)
+            n_dead_eq = -1  # unknown without a pre-count; stats
+            # report files, not rows, for the eq path
+            new_sid = latest_sid + 1 if latest_sid >= 0 else 1
+            new_seq = int(meta.get("last-sequence-number", 0)) + 1
+            top = _current_schema_fields(meta)
+            names_by_id = {f["id"]: f["name"] for f in top}
+            by_name = {f["name"]: f for f in top}
+            spec_fields = (
+                _spec_from_meta(meta)
+                if meta.get("partition-specs")
+                else []
+            )
+            pinfo = []
+            for pf in spec_fields:
+                kind, param = parse_transform(pf["transform"])
+                src_name = names_by_id[pf["source-id"]]
+                ice_t = by_name[src_name]["type"]
+                pf = dict(pf, _avro=_part_avro_type(kind, ice_t))
+                pinfo.append((pf, kind, param, src_name, ice_t))
+            est = sum(os.path.getsize(p) for p in live)
+            n_out = max(
+                1, math.ceil(est / max(1, target_file_bytes))
+            )
+            if n_out < len(live):
+                rows = rows.coalesce(n_out)
+            new_entries = _stage_iceberg_entries(
+                spark, root, rows, top, pinfo, None, "parquet",
+                None, new_sid, new_seq,
+            )
+            sid = _iceberg_mor_commit(
+                root, meta, {}, bounds, partitions, formats, [],
+                new_sid, new_seq, new_entries, [], "replace",
+            )
+            if sid is None:
+                continue
+            return new_sid, {
+                "files_rewritten": len(live),
+                "files_added": len(new_entries),
+                "delete_files_folded": len(
+                    {p for p, _s, _i in eq_deletes}
+                )
+                + len({p for p, _s in pos_deletes}),
+                "dead_rows_folded": n_dead_eq,
+            }
+        if any(formats.get(p) == "ORC" for p in live):
+            # same boundary as all position-addressing DML; ORC
+            # tables with EQUALITY debt fold fine (branch above)
+            raise IcebergProtocolError(
+                "rewrite_iceberg_data_files: live ORC data files — "
+                "position addressing needs row_index, which Spark "
+                "exposes for parquet/AVRO only"
+            )
+        dead_by_file: dict[str, int] = {}
+        if pos_deletes:
+            dpaths = sorted({p for p, _ in pos_deletes})
+            for r in (
+                spark.read.parquet(*dpaths)
+                .groupBy("file_path")
+                .count()
+                .collect()
+            ):
+                p = re.sub("^file:/*", "/", r["file_path"])
+                dead_by_file[p] = dead_by_file.get(p, 0) + r["count"]
+        n_dead = sum(
+            c for p, c in dead_by_file.items() if p in live
+        )
+        fold = bool(pos_deletes) and n_dead >= min_dead_rows
+        fold_set = (
+            {p for p in dead_by_file if p in live} if fold else set()
+        )
+        pack_set: set[str] = set()
+        if small_file_bytes:
+            pack_set = {
+                p
+                for p in live
+                if os.path.getsize(p) < small_file_bytes
+            }
+            if len(pack_set - fold_set) < 2 and not fold:
+                pack_set = set()
+        chosen = fold_set | pack_set
+        if not chosen:
+            return latest_sid, dict(zeros)
+        mapping = _name_mapping(meta)
+        names_by_id_f = _field_names_by_id(meta)
+        sub_live = {p: live[p] for p in chosen}
+        scan = _iceberg_pos_scan(
+            spark, root, meta, sub_live, formats, pos_deletes,
+            mapping, names_by_id_f,
+        )
+        rows = scan.drop("__fp", "__ri")
+        est = sum(os.path.getsize(p) for p in chosen)
+        n_out = max(1, math.ceil(est / max(1, target_file_bytes)))
+        if n_out < len(chosen):
+            rows = rows.coalesce(n_out)
+        new_sid = latest_sid + 1 if latest_sid >= 0 else 1
+        new_seq = int(meta.get("last-sequence-number", 0)) + 1
+        top = _current_schema_fields(meta)
+        names_by_id = {f["id"]: f["name"] for f in top}
+        by_name = {f["name"]: f for f in top}
+        spec_fields = (
+            _spec_from_meta(meta) if meta.get("partition-specs") else []
+        )
+        pinfo = []
+        for pf in spec_fields:
+            kind, param = parse_transform(pf["transform"])
+            src_name = names_by_id[pf["source-id"]]
+            ice_t = by_name[src_name]["type"]
+            pf = dict(pf, _avro=_part_avro_type(kind, ice_t))
+            pinfo.append((pf, kind, param, src_name, ice_t))
+        new_entries = _stage_iceberg_entries(
+            spark, root, rows, top, pinfo, None, "parquet", None,
+            new_sid, new_seq,
+        )
+        carried_live = {
+            p: s for p, s in live.items() if p not in chosen
+        }
+        carried_deletes = [] if fold else list(pos_deletes)
+        sid = _iceberg_mor_commit(
+            root, meta, carried_live, bounds, partitions, formats,
+            carried_deletes, new_sid, new_seq, new_entries, [],
+            "replace",
+        )
+        if sid is None:
+            continue  # lost the claim: replan against the winner
+        return new_sid, {
+            "files_rewritten": len(chosen),
+            "files_added": len(new_entries),
+            "delete_files_folded": (
+                len({p for p, _ in pos_deletes}) if fold else 0
+            ),
+            "dead_rows_folded": n_dead if fold else 0,
         }
 
 

@@ -1127,9 +1127,113 @@ def test_delete_from_delta_cdf_and_vacuum(spark, tmp_path):
     ]
 
 
-def test_delete_from_delta_refuses_column_mapping(spark, tmp_path):
-    """Column-mapped tables refuse DML delete — the predicate would
-    bind to physical names."""
+def _mk_mode_name_table(spark, root):
+    """A columnMapping mode=name table: logical (k, g, x), physical
+    (col-k, col-g, col-x), hive-partitioned on g (physical key)."""
+    d1 = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 10)], "`col-k` long, `col-x` double"
+    )
+    d2 = spark.createDataFrame(
+        [(i, float(i)) for i in range(10, 20)],
+        "`col-k` long, `col-x` double",
+    )
+    stage_parquet_file(d1, root, "data/col-g=a/f1.parquet")
+    stage_parquet_file(d2, root, "data/col-g=b/f2.parquet")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-k"}},
+            {"name": "g", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-g"}},
+            {"name": "x", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-x"}},
+        ],
+    }
+    write_conformance_log(
+        root,
+        [[
+            {"protocol": {"minReaderVersion": 2,
+                          "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "m", "schemaString": json.dumps(schema),
+                "partitionColumns": ["g"],
+                "format": {"provider": "parquet"},
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.enableChangeDataFeed": "true"}}},
+            {"add": {"path": "data/col-g=a/f1.parquet",
+                     "partitionValues": {"col-g": "a"},
+                     "dataChange": True}},
+            {"add": {"path": "data/col-g=b/f2.parquet",
+                     "partitionValues": {"col-g": "b"},
+                     "dataChange": True}},
+        ]],
+    )
+
+
+def test_delta_dml_on_column_mapping_mode_name(spark, tmp_path):
+    """DML over columnMapping mode=name: predicates and SET exprs
+    bind through physicalName — DELETE via DV, UPDATE re-appending
+    PHYSICAL-named files, MERGE upsert, authoritative CDF, all on a
+    hive-partitioned mode=name table; mode=id still refuses."""
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.delta_reader import (
+        delete_from_delta,
+        merge_delta,
+        read_delta_changes,
+        update_delta,
+    )
+
+    root = str(tmp_path / "m")
+    _mk_mode_name_table(spark, root)
+    # DELETE binds the logical predicate (k, g)
+    v1, n1 = delete_from_delta(spark, root, "k % 5 = 0 AND g = 'a'")
+    assert n1 == 2  # k=0, k=5 in partition a
+    got = {r.k for r in read_delta(spark, root).collect()}
+    assert got == set(range(20)) - {0, 5}
+    # UPDATE with SET exprs over OLD values; re-appended files must
+    # carry PHYSICAL column names
+    v2, n2 = update_delta(spark, root, "k = 7", {"x": "x + 100"})
+    assert n2 == 1
+    vals = {r.k: r.x for r in read_delta(spark, root).collect()}
+    assert vals[7] == 107.0 and vals[8] == 8.0
+    import glob as _glob
+
+    newest = max(
+        _glob.glob(os.path.join(root, "data", "**", "*.parquet"),
+                   recursive=True),
+        key=os.path.getmtime,
+    )
+    cols = spark.read.parquet(newest).columns
+    assert "col-k" in cols and "k" not in cols
+    # MERGE upsert
+    src = spark.createDataFrame(
+        [(3, "a", 333.0), (100, "b", 1000.0)],
+        "k long, g string, x double",
+    )
+    v3, stats = merge_delta(spark, root, src, ["k"])
+    assert stats == {"updated": 1, "deleted": 0, "inserted": 1}
+    vals = {r.k: (r.g, r.x) for r in read_delta(spark, root).collect()}
+    assert vals[3] == ("a", 333.0) and vals[100] == ("b", 1000.0)
+    # authoritative CDF rows for the whole DML run read back typed
+    ch = read_delta_changes(spark, root, starting_version=v1)
+    by_type = {}
+    for r in ch.collect():
+        by_type.setdefault(r["_change_type"], set()).add(r.k)
+    assert by_type["delete"] == {0, 5}
+    assert by_type["update_preimage"] >= {7, 3}
+    assert by_type["update_postimage"] >= {7, 3}
+    assert by_type["insert"] == {100}
+
+
+def test_delete_from_delta_refuses_mode_id(spark, tmp_path):
+    """mode=id keeps refusing DML — per-file field-id resolution has
+    no stable physical name for the staging/stats contract."""
     import pytest as _pytest
 
     from dataflowex_spark.sources.delta_reader import (
@@ -1157,12 +1261,12 @@ def test_delete_from_delta_refuses_column_mapping(spark, tmp_path):
                 "partitionColumns": [],
                 "format": {"provider": "parquet"},
                 "configuration": {
-                    "delta.columnMapping.mode": "name"}}},
+                    "delta.columnMapping.mode": "id"}}},
             {"add": {"path": "data/f.parquet",
                      "partitionValues": {}, "dataChange": True}},
         ]],
     )
-    with _pytest.raises(DeltaProtocolError, match="column-mapped"):
+    with _pytest.raises(DeltaProtocolError, match="mode=id"):
         delete_from_delta(spark, root, "k = 1")
 
 
@@ -1569,9 +1673,7 @@ def test_delta_add_path_rfc2396_encoding_roundtrip(spark, tmp_path):
                 if a.get("add"):
                     adds.append(a["add"]["path"])
     assert adds
-    weird_adds = [
-        p for p in adds if "g%3D" in p and "plain" not in p
-    ]
+    weird_adds = [p for p in adds if "g=" in p and "plain" not in p]
     assert weird_adds
     for p in weird_adds:
         # log form is ENCODED: no raw space/colon, and the on-disk

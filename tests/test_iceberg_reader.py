@@ -1575,3 +1575,201 @@ def test_iceberg_commit_race_converges(spark, tmp_path, monkeypatch):
     assert got2 == [
         k for k in range(30) if k % 10 not in (1, 2)
     ] + [100, 200]
+
+
+def test_rewrite_iceberg_data_files_lifecycle(spark, tmp_path):
+    """delete → accumulate sidecars → rewrite_data_files folds the
+    debt: read-identical before/after, the new snapshot carries NO
+    delete manifests, fewer data files (bin-pack), original rows
+    still reachable by time travel, and subsequent DML works on the
+    compacted table."""
+    from dataflowex_spark.sources.avro_io import read_container
+    from dataflowex_spark.sources.iceberg_reader import (
+        _resolve_path,
+        delete_from_iceberg,
+        load_table_metadata,
+        rewrite_iceberg_data_files,
+        upsert_iceberg,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i)) for i in range(60)],
+        "k long, g string, x double",
+    ).repartition(6)
+    write_iceberg(spark, df, dest, partition_by=["g"])
+    sid1 = load_table_metadata(dest)["current-snapshot-id"]
+    delete_from_iceberg(spark, dest, "k % 5 = 0")
+    delete_from_iceberg(spark, dest, "k % 7 = 1")
+    upsert_iceberg(
+        spark, dest,
+        spark.createDataFrame(
+            [(3, "gX", 300.0)], "k long, g string, x double"
+        ),
+        ["k"],
+    )
+
+    def state(root):
+        meta = load_table_metadata(root)
+        snap = [
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        ][0]
+        _s, manifests = read_container(
+            _resolve_path(root, snap["manifest-list"])
+        )
+        data_files, delete_files = set(), set()
+        for m in manifests:
+            _s2, entries = read_container(
+                _resolve_path(root, m["manifest_path"])
+            )
+            for e in entries:
+                if e["status"] == 2:
+                    continue
+                d = e["data_file"]
+                (delete_files if d.get("content", 0) else data_files).add(
+                    d["file_path"]
+                )
+        return data_files, delete_files
+
+    before = sorted(
+        (r.k, r.g, r.x) for r in read_iceberg(spark, dest).collect()
+    )
+    d0, del0 = state(dest)
+    assert del0, "test needs accumulated delete debt"
+
+    sid, stats = rewrite_iceberg_data_files(
+        spark, dest, small_file_bytes=1 << 20
+    )
+    after = sorted(
+        (r.k, r.g, r.x) for r in read_iceberg(spark, dest).collect()
+    )
+    assert after == before  # read-identical
+    d1, del1 = state(dest)
+    assert not del1  # delete debt fully folded
+    assert stats["dead_rows_folded"] > 0
+    assert stats["delete_files_folded"] == len(del0)
+    assert len(d1) < len(d0)  # bin-pack shrank the file count
+    # time travel: the pre-DML snapshot still reads 60 rows
+    assert read_iceberg(spark, dest, snapshot_id=sid1).count() == 60
+    # DML after compaction works and folds again
+    delete_from_iceberg(spark, dest, "k = 9")
+    assert read_iceberg(spark, dest).count() == len(after) - 1
+    _sid2, st2 = rewrite_iceberg_data_files(spark, dest)
+    assert st2["dead_rows_folded"] == 1
+    assert read_iceberg(spark, dest).count() == len(after) - 1
+    # no-op on a clean table
+    _sid3, st3 = rewrite_iceberg_data_files(spark, dest)
+    assert st3 == {
+        "files_rewritten": 0, "files_added": 0,
+        "delete_files_folded": 0, "dead_rows_folded": 0,
+    }
+
+
+def test_update_iceberg_set_exprs_and_partition_move(spark, tmp_path):
+    """UPDATE ... SET in ONE snapshot: matched rows die by position
+    and re-stage updated (exprs over OLD values); updating a
+    partition source column MOVES rows to the new partition
+    (pruning finds them); no-match is a no-op; unknown SET column
+    refuses."""
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        update_iceberg,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), float(i)) for i in range(20)],
+        "k long, g string, x double",
+    )
+    write_iceberg(spark, df, dest, partition_by=["g"])
+    sid, n = update_iceberg(
+        spark, dest, "k % 5 = 2", {"x": "x + 100", "g": "'gMOVED'"}
+    )
+    assert n == 4
+    got = {r.k: (r.g, r.x) for r in read_iceberg(spark, dest).collect()}
+    assert len(got) == 20
+    assert got[2] == ("gMOVED", 102.0) and got[17] == ("gMOVED", 117.0)
+    assert got[3] == ("g1", 3.0)  # untouched
+    # one snapshot for the whole update
+    assert [s["snapshot_id"] for s in snapshot_log(dest)][-1] == sid
+    # partition pruning addresses the moved partition
+    moved = read_iceberg(spark, dest, skip_where=[("g", "=", "gMOVED")])
+    assert sorted(r.k for r in moved.collect()) == [2, 7, 12, 17]
+    # exprs see OLD values even when SET covers the predicate column
+    _s2, n2 = update_iceberg(spark, dest, "k = 0", {"k": "k + 1000"})
+    assert n2 == 1
+    ks = sorted(r.k for r in read_iceberg(spark, dest).collect())
+    assert 1000 in ks and 0 not in ks
+    # no-match: no new snapshot
+    before = len(snapshot_log(dest))
+    _s3, n3 = update_iceberg(spark, dest, "k = -1", {"x": "0.0"})
+    assert n3 == 0 and len(snapshot_log(dest)) == before
+    with _pytest.raises(ValueError, match="not in schema"):
+        update_iceberg(spark, dest, "k = 1", {"nope": "1"})
+
+
+def test_delete_keys_from_iceberg_stacking_and_seq_gating(
+    spark, tmp_path
+):
+    """Equality-delete WRITE path: zero-scan key deletes stack
+    across snapshots; seq gating means rows (re-)inserted AFTER the
+    delete keep living under the same key; position-addressing DML
+    refuses under eq debt; rewrite_data_files folds the debt by a
+    full seq-gated rewrite and unblocks DML."""
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        IcebergProtocolError,
+        delete_from_iceberg,
+        delete_keys_from_iceberg,
+        rewrite_iceberg_data_files,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, x double"
+    )
+    write_iceberg(spark, df, dest)
+    _sid, n = delete_keys_from_iceberg(
+        spark, dest, spark.createDataFrame([(3,), (4,)], "k long")
+    )
+    assert n == 2
+    assert sorted(r.k for r in read_iceberg(spark, dest).collect()) == [
+        k for k in range(20) if k not in (3, 4)
+    ]
+    # seq gating: re-insert k=3 AFTER the delete — it lives
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(3, 333.0)], "k long, x double"),
+        dest, mode="append",
+    )
+    got = {r.k: r.x for r in read_iceberg(spark, dest).collect()}
+    assert got[3] == 333.0
+    # stacking: a second eq delete hits both old and re-added rows
+    # inserted before IT
+    delete_keys_from_iceberg(
+        spark, dest, spark.createDataFrame([(5,), (3,)], "k long")
+    )
+    ks = sorted(r.k for r in read_iceberg(spark, dest).collect())
+    assert ks == [k for k in range(20) if k not in (3, 4, 5)]
+    # position-addressing DML refuses under eq debt
+    with _pytest.raises(IcebergProtocolError, match="equality"):
+        delete_from_iceberg(spark, dest, "k = 1")
+    # fold: full seq-gated rewrite clears the debt, read-identical
+    before = sorted(
+        (r.k, r.x) for r in read_iceberg(spark, dest).collect()
+    )
+    _sid2, stats = rewrite_iceberg_data_files(spark, dest)
+    assert stats["delete_files_folded"] >= 2
+    after = sorted(
+        (r.k, r.x) for r in read_iceberg(spark, dest).collect()
+    )
+    assert after == before
+    # DML unblocked
+    sid3, n3 = delete_from_iceberg(spark, dest, "k = 1")
+    assert n3 == 1
