@@ -117,7 +117,14 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
         and batch_rows.exceptAll(stream_rows).count() == 0
     )
 
-    # 4. maintain: purge dense DVs, then cluster on (okey, cents)
+    # 4. maintain: purge dense DVs, then cluster on (okey, cents).
+    # RATIO GATE: 0.2–0.25 is the runbook default — fold files whose
+    # DV cardinality is ≥ ~1/4 of their rows, leave sparse DVs (the
+    # rewrite would cost more than the read tax). The DRIVER-SIDE
+    # bound this protects (SCALE_NOTES "Delta DV driver-side
+    # bound"): keep live dead positions under ~10M per table — plan
+    # time decodes DVs on the driver, so unfolded debt is driver
+    # memory, not just read tax.
     _v, ev["dv_files_compacted"] = compact_delta_dvs(
         spark, dest, min_dead_ratio=0.2
     )
