@@ -25943,3 +25943,84 @@ def q444(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q(
+    "q445_iceberg_refs_tags",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 13 = 5
+    ), pinned AS (
+      -- the tag reads the PRE-DML state verbatim
+      SELECT 'pinned' AS src, priority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(price_cents) AS BIGINT) AS cents
+      FROM base GROUP BY priority
+    ), head AS (
+      SELECT 'head' AS src, priority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(price_cents) AS BIGINT) AS cents
+      FROM base WHERE NOT (okey % 6 = 2) GROUP BY priority
+    )
+    SELECT * FROM pinned UNION ALL SELECT * FROM head
+    ORDER BY src, priority
+    """,
+)
+def q445(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG NAMED REFS (set_iceberg_ref — spec v2 ``refs``): an
+    audit TAG pins the exact pre-DML snapshot — "the rows the model
+    trained on" — surviving BOTH later destructive DML and
+    expire_snapshots (refs pin their snapshots through expiry, per
+    spec; asserted in-query by expiring down to keep_last=1 and
+    re-reading the tag). The query returns tag-vs-head aggregates
+    side by side; the oracle replays both states in SQL, so the
+    hash match proves the pin is byte-faithful. At 100 TB a ref is
+    the O(metadata) answer to reproducibility — no table copy, no
+    export, one pointer."""
+    import tempfile
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        delete_from_iceberg,
+        expire_snapshots,
+        load_table_metadata,
+        read_iceberg,
+        set_iceberg_ref,
+        write_iceberg,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 13 == 5)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q445_") + "/t"
+    write_iceberg(spark, base, dest)
+    pin_sid = set_iceberg_ref(dest, "train_v1")
+    delete_from_iceberg(spark, dest, "okey % 6 = 2")
+    expire_snapshots(dest, keep_last=1)
+    assert pin_sid in {
+        s["snapshot-id"]
+        for s in load_table_metadata(dest)["snapshots"]
+    }, "expire must not break a named ref"
+
+    def agg(df, src):
+        return df.groupBy("priority").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        ).select(F.lit(src).alias("src"), "priority", "n", "cents")
+
+    return (
+        agg(read_iceberg(spark, dest, ref="train_v1"), "pinned")
+        .unionByName(agg(read_iceberg(spark, dest), "head"))
+        .orderBy("src", "priority")
+    )

@@ -150,9 +150,22 @@ def _try_commit_metadata(root: str, meta: dict) -> bool:
     winner's snapshot and REPLAYS its change set (every writer here
     is change-bound, so replay is cheap). The hint only ever
     ADVANCES (monotone, atomic replace) and stays advisory —
-    readers resolve by the listing."""
+    readers resolve by the listing.
+
+    TRUE CAS: ``meta`` carries the version it was LOADED from
+    (``_loaded-version``, stamped by :func:`load_table_metadata` and
+    stripped before writing); the claim targets exactly base+1 — a
+    writer whose base is stale loses even if the next slot after the
+    CURRENT listing is free, because claiming there would silently
+    drop every commit between its base and the head (caught by the
+    6-thread race test: "claim latest+1" lost interleaved commits)."""
     md = _meta_dir(root)
-    nxt = _latest_meta_version(md) + 1
+    meta = dict(meta)
+    base = meta.pop("_loaded-version", None)
+    latest = _latest_meta_version(md)
+    if base is not None and latest != base:
+        return False  # stale base: state derived from an old head
+    nxt = (base if base is not None else latest) + 1
     path = os.path.join(md, f"v{nxt}.metadata.json")
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -193,7 +206,9 @@ def load_table_metadata(root: str) -> dict:
         # version is the newest COMMITTED state
         if v < 2:
             raise
-        meta = json.load(open(os.path.join(d, f"v{v-1}.metadata.json")))
+        v = v - 1
+        meta = json.load(open(os.path.join(d, f"v{v}.metadata.json")))
+    meta["_loaded-version"] = v
     fv = meta.get("format-version", 1)
     if fv not in (1, 2):
         raise IcebergProtocolError(f"format-version {fv} not supported")
@@ -679,10 +694,12 @@ def read_iceberg(
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
     skip_where: list[tuple] | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read an Iceberg table directory (current snapshot, time
-    travel by ``snapshot_id``, or ``timestamp_ms=`` FOR TIMESTAMP AS
-    OF), resolving renamed columns by field id when data-file
+    travel by ``snapshot_id``, ``timestamp_ms=`` FOR TIMESTAMP AS
+    OF, or a named ``ref=`` tag/branch from table metadata ``refs``),
+    resolving renamed columns by field id when data-file
     footers carry parquet field ids (name-mapping fallback for
     id-less files).
 
@@ -697,6 +714,18 @@ def read_iceberg(
     from pyspark.sql import functions as F
 
     meta = load_table_metadata(root)
+    if ref is not None:
+        if snapshot_id is not None or timestamp_ms is not None:
+            raise ValueError(
+                "pass ref OR snapshot_id/timestamp_ms, not both"
+            )
+        refs = meta.get("refs") or {}
+        if ref not in refs:
+            raise ValueError(
+                f"ref {ref!r} not in table metadata "
+                f"(have: {sorted(refs)})"
+            )
+        snapshot_id = refs[ref]["snapshot-id"]
     if timestamp_ms is not None:
         if snapshot_id is not None:
             raise ValueError(
@@ -1865,7 +1894,19 @@ def expire_snapshots(dest: str, keep_last: int = 1) -> list[str]:
         snaps = meta.get("snapshots", [])
         if len(snaps) <= keep_last:
             return []
-        survivors = snaps[-keep_last:]
+        # named refs PIN their snapshots (spec: expiry must not
+        # break a tag/branch) — union them into the survivor set
+        pinned = {
+            r.get("snapshot-id")
+            for r in (meta.get("refs") or {}).values()
+        }
+        survivors = [
+            s
+            for s in snaps
+            if s in snaps[-keep_last:] or s["snapshot-id"] in pinned
+        ]
+        if len(survivors) == len(snaps):
+            return []
         meta2 = dict(meta)
         meta2["snapshots"] = survivors
         if _try_commit_metadata(dest, meta2):
@@ -3168,6 +3209,60 @@ def upsert_iceberg(
             "updated": n_matched,
             "inserted": n_source - n_matched,
         }
+
+
+def set_iceberg_ref(
+    root: str,
+    name: str,
+    snapshot_id: int | None = None,
+    kind: str = "tag",
+) -> int:
+    """Create/move a NAMED REF (spec v2 ``refs``: ``tag`` pins a
+    snapshot forever, ``branch`` is a movable head) — the metadata
+    primitive behind audit pins ("the exact rows the Q3 model
+    trained on") and WAP-style workflows. Defaults to the CURRENT
+    snapshot. Metadata-only (optimistic commit); the snapshot must
+    still be retained. Returns the referenced snapshot id.
+
+    Our writers always commit to main; a ``branch`` ref here is a
+    movable pointer you re-``set`` (fast-forward) rather than a
+    divergent commit line — divergent branch writes are out of
+    scope and refuse implicitly by there being no branch= on the
+    writers."""
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"ref kind {kind!r}")
+    while True:
+        meta = load_table_metadata(root)
+        snaps = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else meta.get("current-snapshot-id")
+        )
+        if sid not in snaps:
+            raise ValueError(
+                f"snapshot {sid} not in table metadata "
+                "(expired or never existed)"
+            )
+        refs = dict(meta.get("refs") or {})
+        refs[name] = {"snapshot-id": sid, "type": kind}
+        meta["refs"] = refs
+        if _try_commit_metadata(root, meta):
+            return sid
+
+
+def drop_iceberg_ref(root: str, name: str) -> None:
+    """Remove a named ref (metadata-only, optimistic). Unknown name
+    refuses — dropping a pin should never silently no-op."""
+    while True:
+        meta = load_table_metadata(root)
+        refs = dict(meta.get("refs") or {})
+        if name not in refs:
+            raise ValueError(f"ref {name!r} not in table metadata")
+        del refs[name]
+        meta["refs"] = refs
+        if _try_commit_metadata(root, meta):
+            return
 
 
 def delete_keys_from_iceberg(

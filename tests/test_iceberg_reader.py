@@ -1773,3 +1773,140 @@ def test_delete_keys_from_iceberg_stacking_and_seq_gating(
     # DML unblocked
     sid3, n3 = delete_from_iceberg(spark, dest, "k = 1")
     assert n3 == 1
+
+
+def test_iceberg_real_thread_race_appends_and_deletes(spark, tmp_path):
+    """TRUE concurrency (not simulated): 6 threads race appends and
+    deletes through the put-if-absent claim. Every change must land
+    exactly once — appended keys all present, deleted keys all gone,
+    snapshot count == successful commits, no torn metadata."""
+    import threading
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        delete_from_iceberg,
+        load_table_metadata,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k long, x double"
+    )
+    write_iceberg(spark, base, dest)
+
+    errs = []
+
+    def appender(lo):
+        try:
+            write_iceberg(
+                spark,
+                spark.createDataFrame(
+                    [(lo + j, -1.0) for j in range(5)],
+                    "k long, x double",
+                ),
+                dest, mode="append",
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def deleter(mod):
+        try:
+            delete_from_iceberg(spark, dest, f"k % 25 = {mod}")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(1000,)),
+        threading.Thread(target=appender, args=(2000,)),
+        threading.Thread(target=appender, args=(3000,)),
+        # mods 7/11/13 never match the appended keys (1000+j has
+        # k %% 25 in 0..4), so the final row set is order-independent
+        threading.Thread(target=deleter, args=(7,)),
+        threading.Thread(target=deleter, args=(11,)),
+        threading.Thread(target=deleter, args=(13,)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    got = sorted(r.k for r in read_iceberg(spark, dest).collect())
+    want = sorted(
+        [k for k in range(50) if k % 25 not in (7, 11, 13)]
+        + [lo + j for lo in (1000, 2000, 3000) for j in range(5)]
+    )
+    assert got == want
+    meta = load_table_metadata(dest)
+    # 1 create + 3 appends + 3 deletes = 7 snapshots, strictly
+    # increasing sequence numbers, one winner per metadata version
+    assert len(meta["snapshots"]) == 7
+    seqs = [s["sequence-number"] for s in meta["snapshots"]]
+    assert seqs == sorted(set(seqs))
+
+
+def test_iceberg_refs_tags_and_expire_pinning(spark, tmp_path):
+    """Named refs: a tag pins the exact pre-DML row set through
+    later DML AND through expire_snapshots (spec: expiry must not
+    break a ref); dropping the ref releases the pin; branch refs
+    fast-forward; unknown refs refuse."""
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        delete_from_iceberg,
+        drop_iceberg_ref,
+        expire_snapshots,
+        load_table_metadata,
+        set_iceberg_ref,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(30)], "k long, x double"
+        ),
+        dest,
+    )
+    pin_sid = set_iceberg_ref(dest, "audit_pin")  # current snapshot
+    delete_from_iceberg(spark, dest, "k % 3 = 0")
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(100, 1.0)], "k long, x double"),
+        dest, mode="append",
+    )
+    # the tag still reads the EXACT pre-DML rows
+    tagged = read_iceberg(spark, dest, ref="audit_pin")
+    assert sorted(r.k for r in tagged.collect()) == list(range(30))
+    # expire keeps the pinned snapshot (and its files) alive
+    expire_snapshots(dest, keep_last=1)
+    meta = load_table_metadata(dest)
+    sids = {s["snapshot-id"] for s in meta["snapshots"]}
+    assert pin_sid in sids
+    assert sorted(
+        r.k for r in read_iceberg(spark, dest, ref="audit_pin").collect()
+    ) == list(range(30))
+    # branch ref fast-forwards
+    set_iceberg_ref(dest, "serving", kind="branch")
+    b1 = meta["current-snapshot-id"]
+    delete_from_iceberg(spark, dest, "k = 1")
+    assert (
+        read_iceberg(spark, dest, ref="serving").count()
+        == read_iceberg(spark, dest, snapshot_id=b1).count()
+    )
+    set_iceberg_ref(dest, "serving", kind="branch")  # fast-forward
+    assert read_iceberg(spark, dest, ref="serving").count() == (
+        read_iceberg(spark, dest).count()
+    )
+    # drop releases the pin; a later expire reclaims the snapshot
+    drop_iceberg_ref(dest, "audit_pin")
+    drop_iceberg_ref(dest, "serving")
+    expire_snapshots(dest, keep_last=1)
+    meta2 = load_table_metadata(dest)
+    assert pin_sid not in {
+        s["snapshot-id"] for s in meta2["snapshots"]
+    }
+    with _pytest.raises(ValueError, match="not in table metadata"):
+        read_iceberg(spark, dest, ref="audit_pin")
+    with _pytest.raises(ValueError, match="not in table metadata"):
+        drop_iceberg_ref(dest, "nope")
