@@ -26024,3 +26024,94 @@ def q445(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(read_iceberg(spark, dest), "head"))
         .orderBy("src", "priority")
     )
+
+
+@q(
+    "q446_delta_alter_column_mapping",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 13 = 8
+    ), after_dml AS (
+      SELECT okey AS order_id, priority,
+             CASE WHEN okey % 6 = 4 THEN price_cents + 11
+                  ELSE price_cents END AS cents
+      FROM base WHERE NOT (okey % 4 = 3)
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM after_dml GROUP BY priority ORDER BY priority
+    """,
+)
+def q446(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA ALTER: upgrade-to-columnMapping + metadata-only RENAME
+    (upgrade_delta_column_mapping + alter_delta — the q440 twin on
+    the Delta side, and the reason columnMapping exists): a PLAIN
+    table upgrades to mode=name with physicalName := current names
+    (zero rewrite — asserted in-query by data-file set identity),
+    columns rename as pure metadata, and subsequent DML binds the
+    NEW logical names through the mode=name DML path (q444's
+    machinery). Oracle replays the rename+DML algebra; hash match
+    proves no data moved and nothing was lost. At 100 TB ALTER
+    COLUMN RENAME on a plain-parquet layout is a full rewrite; with
+    mapping it is one commit."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        alter_delta,
+        delete_from_delta,
+        read_delta,
+        update_delta,
+        upgrade_delta_column_mapping,
+        write_delta,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 13 == 8)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q446_") + "/t"
+    write_delta(spark, base, dest)
+    files_before = sorted(
+        _glob.glob(
+            _os.path.join(dest, "data", "**", "*.parquet"),
+            recursive=True,
+        )
+    )
+    upgrade_delta_column_mapping(spark, dest)
+    alter_delta(
+        spark, dest,
+        renames={"okey": "order_id", "price_cents": "cents"},
+    )
+    assert files_before == sorted(
+        _glob.glob(
+            _os.path.join(dest, "data", "**", "*.parquet"),
+            recursive=True,
+        )
+    ), "upgrade + rename must be metadata-only"
+    delete_from_delta(spark, dest, "order_id % 4 = 3")
+    update_delta(
+        spark, dest, "order_id % 6 = 4", {"cents": "cents + 11"}
+    )
+    return (
+        read_delta(spark, dest)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )

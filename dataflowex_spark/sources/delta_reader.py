@@ -2239,6 +2239,196 @@ def _try_claim_commit(
     return v
 
 
+def upgrade_delta_column_mapping(
+    spark: SparkSession, dest: str
+) -> int:
+    """Upgrade a plain table to ``columnMapping mode=name`` — the
+    delta-spark ``ALTER TABLE ... SET TBLPROPERTIES
+    ('delta.columnMapping.mode'='name')`` shape: every top-level
+    field pins ``physicalName`` := its CURRENT name (existing data
+    files keep resolving verbatim — zero rewrite) and gets a stable
+    ``columnMapping.id``; the protocol rises to reader 2 / writer 5
+    (or gains the ``columnMapping`` feature on a features-era 3/7
+    table). After this, :func:`alter_delta` renames/drops are
+    METADATA-ONLY. Idempotent on an already-name-mapped table;
+    mode=id refuses. Returns the committed (or current) version."""
+    while True:
+        meta, _adds = _snapshot(spark, dest, None)
+        mode = _mapping_mode(meta)
+        commits = _commit_files(dest)
+        newest_cp = _checkpoint_for(dest, 1 << 62)
+        latest = max(
+            max(commits, default=-1),
+            newest_cp[0] if newest_cp else -1,
+        )
+        if mode == "name":
+            return latest  # idempotent
+        if mode == "id":
+            raise DeltaProtocolError(
+                "upgrade targets mode=name; table is already mode=id"
+            )
+        schema = T.StructType.fromJson(
+            json.loads(meta["schemaString"])
+        )
+        new_fields = []
+        for i, f in enumerate(schema.fields, 1):
+            md = dict(f.metadata or {})
+            md["delta.columnMapping.id"] = i
+            md["delta.columnMapping.physicalName"] = f.name
+            new_fields.append(
+                T.StructField(f.name, f.dataType, f.nullable, md)
+            )
+        conf = dict(meta.get("configuration") or {})
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.maxColumnId"] = str(
+            len(new_fields)
+        )
+        actions: list[dict] = []
+        proto = _latest_protocol(dest)
+        rfeats = proto.get("readerFeatures")
+        if rfeats is not None or proto.get("minReaderVersion", 1) >= 3:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(
+                            set(rfeats or []) | {"columnMapping"}
+                        ),
+                        "writerFeatures": sorted(
+                            set(proto.get("writerFeatures") or [])
+                            | {"columnMapping"}
+                        ),
+                    }
+                }
+            )
+        elif (
+            proto.get("minReaderVersion", 1) < 2
+            or proto.get("minWriterVersion", 1) < 5
+        ):
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 2,
+                        "minWriterVersion": 5,
+                    }
+                }
+            )
+        new_meta = dict(meta)
+        new_meta["schemaString"] = json.dumps(
+            T.StructType(new_fields).jsonValue()
+        )
+        new_meta["configuration"] = conf
+        actions.append({"metaData": new_meta})
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "UPGRADE COLUMN MAPPING",
+                    "timestamp": None,
+                }
+            }
+        )
+        v = _try_claim_commit(spark, dest, latest, actions, conf)
+        if v is None:
+            continue
+        return v
+
+
+def alter_delta(
+    spark: SparkSession,
+    dest: str,
+    renames: dict[str, str] | None = None,
+    drops: list[str] | None = None,
+) -> int:
+    """Column RENAME / DROP as pure METADATA — the Delta twin of
+    :func:`iceberg_reader.alter_iceberg`, and the reason
+    columnMapping exists: under mode=name the data files address
+    columns by pinned ``physicalName``, so renaming only relabels
+    the logical schema and dropping only removes the field from
+    ``schemaString`` (the bytes stay in the files, invisible — the
+    spec's DROP COLUMN). Requires mode=name
+    (:func:`upgrade_delta_column_mapping` first — itself
+    metadata-only); plain tables refuse rather than rewrite
+    silently. Renaming a partition column updates
+    ``partitionColumns``; dropping one refuses (partition values
+    key the file layout). Swap-renames (a→b, b→a) are legal — the
+    physical names are the identity. Returns the new version."""
+    renames = dict(renames or {})
+    drops = list(drops or [])
+    if not renames and not drops:
+        raise ValueError("alter_delta: nothing to do")
+    while True:
+        meta, _adds = _snapshot(spark, dest, None)
+        if _mapping_mode(meta) != "name":
+            raise DeltaProtocolError(
+                "alter_delta needs columnMapping mode=name "
+                "(run upgrade_delta_column_mapping first)"
+            )
+        commits = _commit_files(dest)
+        newest_cp = _checkpoint_for(dest, 1 << 62)
+        latest = max(
+            max(commits, default=-1),
+            newest_cp[0] if newest_cp else -1,
+        )
+        schema = T.StructType.fromJson(
+            json.loads(meta["schemaString"])
+        )
+        names = {f.name for f in schema.fields}
+        part_cols = list(meta.get("partitionColumns") or [])
+        for old in list(renames) + drops:
+            if old not in names:
+                raise ValueError(f"column {old!r} not in schema")
+        for old in renames:
+            if old in drops:
+                raise ValueError(f"column {old!r} both renamed and dropped")
+        for d in drops:
+            if d in part_cols:
+                raise DeltaProtocolError(
+                    f"cannot drop partition column {d!r}"
+                )
+        after = {
+            renames.get(f.name, f.name)
+            for f in schema.fields
+            if f.name not in drops
+        }
+        if len(after) != len(schema.fields) - len(drops):
+            raise ValueError("rename would collide column names")
+        new_fields = [
+            T.StructField(
+                renames.get(f.name, f.name),
+                f.dataType,
+                f.nullable,
+                dict(f.metadata or {}),
+            )
+            for f in schema.fields
+            if f.name not in drops
+        ]
+        new_meta = dict(meta)
+        new_meta["schemaString"] = json.dumps(
+            T.StructType(new_fields).jsonValue()
+        )
+        new_meta["partitionColumns"] = [
+            renames.get(c, c) for c in part_cols
+        ]
+        conf = dict(meta.get("configuration") or {})
+        actions = [
+            {"metaData": new_meta},
+            {
+                "commitInfo": {
+                    "operation": "ALTER TABLE",
+                    "timestamp": None,
+                    "operationParameters": {
+                        "renames": renames, "drops": drops
+                    },
+                }
+            },
+        ]
+        v = _try_claim_commit(spark, dest, latest, actions, conf)
+        if v is None:
+            continue
+        return v
+
+
 def merge_delta(
     spark: SparkSession,
     dest: str,

@@ -1694,3 +1694,71 @@ def test_delta_add_path_rfc2396_encoding_roundtrip(spark, tmp_path):
     assert [
         (r.k, r["_change_type"]) for r in ch.collect()
     ] == [(1, "delete")]
+
+
+def test_delta_upgrade_column_mapping_and_alter(spark, tmp_path):
+    """The Delta ALTER story: upgrade a PLAIN table to mode=name
+    (physicalName := current names — zero rewrite, files resolve
+    verbatim), then RENAME and DROP as pure metadata; DML binds the
+    NEW logical names; swap-renames are legal; partition-column
+    renames update partitionColumns; plain tables refuse ALTER;
+    dropping a partition column refuses."""
+    import glob as _glob
+
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.delta_reader import (
+        alter_delta,
+        delete_from_delta,
+        read_delta,
+        update_delta,
+        upgrade_delta_column_mapping,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), float(i), i * 10) for i in range(20)],
+        "k long, g string, x double, y long",
+    )
+    write_delta(spark, df, root, partition_by=["g"])
+    files_before = sorted(
+        _glob.glob(os.path.join(root, "data", "**", "*.parquet"),
+                   recursive=True)
+    )
+    # plain tables refuse ALTER (no silent rewrite)
+    with _pytest.raises(DeltaProtocolError, match="mode=name"):
+        alter_delta(spark, root, renames={"k": "kk"})
+    upgrade_delta_column_mapping(spark, root)
+    upgrade_delta_column_mapping(spark, root)  # idempotent
+    assert sorted(
+        r.k for r in read_delta(spark, root).collect()
+    ) == list(range(20))
+    # rename data + partition columns, metadata-only
+    alter_delta(
+        spark, root, renames={"k": "key_id", "g": "grp"}
+    )
+    assert files_before == sorted(
+        _glob.glob(os.path.join(root, "data", "**", "*.parquet"),
+                   recursive=True)
+    ), "rename must be metadata-only"
+    got = read_delta(spark, root)
+    assert set(got.columns) == {"key_id", "grp", "x", "y"}
+    assert sorted(r.key_id for r in got.collect()) == list(range(20))
+    # DML binds the NEW names (through the mode=name DML path)
+    delete_from_delta(spark, root, "key_id % 5 = 0 AND grp = 'g0'")
+    v, n = update_delta(spark, root, "key_id = 7", {"x": "x + 100"})
+    assert n == 1
+    vals = {r.key_id: r.x for r in read_delta(spark, root).collect()}
+    assert vals[7] == 107.0 and 0 not in vals and 10 not in vals
+    # swap-rename is legal (physical names are the identity)
+    alter_delta(spark, root, renames={"x": "y", "y": "x"})
+    swapped = {r.key_id: (r.x, r.y) for r in read_delta(spark, root).collect()}
+    assert swapped[7] == (70, 107.0)  # old y now x, old x now y
+    # drop a data column; dropping a partition column refuses
+    with _pytest.raises(DeltaProtocolError, match="partition"):
+        alter_delta(spark, root, drops=["grp"])
+    alter_delta(spark, root, drops=["y"])
+    assert set(read_delta(spark, root).columns) == {
+        "key_id", "grp", "x"
+    }
