@@ -671,6 +671,66 @@ def _avro_scan(
     return pdf.repartition(len(paths)).mapInPandas(_decode, out_schema)
 
 
+def _orc_pos_scan(
+    spark: SparkSession, paths: list[str], meta: dict
+) -> DataFrame:
+    """ORC rows WITH POSITIONS through the pyarrow ORC reader —
+    executor-side, ONE TASK PER FILE (``mapInPandas`` over a path
+    frame, the same shape as the AVRO codec scan): Spark's native
+    ORC scan exposes no ``_metadata.row_index``, so
+    position-addressing MoR reads and DML decode ORC themselves and
+    number rows within each file. Columns match by NAME (ORC data
+    files carry no parquet field ids here) and conform to the
+    CURRENT schema with null-fill; output = current columns +
+    ``__fp`` (on-disk path) + ``__ri``."""
+    from pyspark.sql import types as T
+
+    fields = _current_schema_fields(meta)
+    if not fields:
+        raise IcebergProtocolError(
+            "ORC position scan needs the table schema in metadata"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField(f["name"], _spark_type(f["type"]), True)
+            for f in fields
+        ]
+        + [
+            T.StructField("__fp", T.StringType(), True),
+            T.StructField("__ri", T.LongType(), True),
+        ]
+    )
+    names = [f["name"] for f in fields]
+
+    def _decode(batches):
+        import pandas as pd
+        import pyarrow.orc as po
+
+        for pdf in batches:
+            for path in pdf["__path"]:
+                t = po.read_table(path)
+                n = t.num_rows
+                have = set(t.column_names)
+                cols = {}
+                for name in names:
+                    cols[name] = (
+                        t.column(name).to_pandas()
+                        if name in have
+                        else pd.Series([None] * n, dtype="object")
+                    )
+                out = pd.DataFrame(cols)
+                out["__fp"] = re.sub("^file:/*", "/", path)
+                out["__ri"] = range(n)
+                yield out
+
+    pdf = spark.createDataFrame(
+        [(p,) for p in sorted(paths)], "__path string"
+    )
+    return pdf.repartition(len(paths)).mapInPandas(
+        _decode, out_schema
+    )
+
+
 def snapshot_at_timestamp(meta: dict, ts_ms: int) -> int:
     """Iceberg timestamp time travel: the latest snapshot whose
     ``timestamp-ms`` is ≤ the requested instant (FOR TIMESTAMP AS
@@ -778,22 +838,16 @@ def read_iceberg(
             else ()
         )
         by_group.setdefault((seq, renames, fmt), []).append(path)
-    if pos_deletes and any(
-        formats.get(p) == "ORC" for p in live
-    ):
-        # ORC scans expose no _metadata.row_index in this Spark, so
-        # the (file, pos) anti-join cannot address ORC rows — refuse
-        # rather than silently keep deleted rows. (AVRO rows ARE
-        # addressable: our own decode loop numbers them.)
-        raise IcebergProtocolError(
-            "position deletes over ORC data files: Spark exposes no "
-            "row_index metadata for ORC scans"
-        )
     need_pos = bool(pos_deletes)
     pieces = []
     for (seq, renames, fmt), paths in sorted(by_group.items()):
         if fmt == "AVRO":
             piece = _avro_scan(spark, paths, meta, mapping, need_pos)
+        elif fmt == "ORC" and need_pos:
+            # Spark ORC exposes no _metadata.row_index — the pyarrow
+            # codec scan numbers rows itself (conform + __fp/__ri
+            # inside, like the AVRO piece)
+            piece = _orc_pos_scan(spark, paths, meta)
         else:
             # reader.orc takes (path|list, mergeSchema=...) — varargs
             # would shove the 2nd path into mergeSchema
@@ -2369,9 +2423,9 @@ def _write_iceberg_attempt(
     all three legal Iceberg data-file formats; the manifest's
     ``file_format`` records it per file and the reader dispatches
     per group (mixed-format tables read fine). Position deletes
-    cannot target ORC files (no row_index metadata in Spark's ORC
-    scans — the reader refuses); AVRO rows ARE position-addressable
-    (the reader's own decode loop numbers them). AVRO files stage as
+    target all three formats: parquet via _metadata.row_index, AVRO
+    and ORC via codec scans that number rows per file (Spark's ORC
+    scan exposes no row_index, so the pyarrow ORC reader fills in). AVRO files stage as
     parquet (hive layout + the one-pass stats read are format-
     independent) then transcode EXECUTOR-side, one task per file,
     through the from-scratch container codec with ``field-id``
@@ -2713,9 +2767,9 @@ def _iceberg_pos_scan(
 ) -> DataFrame:
     """Live-row scan WITH ROW IDENTITY (``__fp``/``__ri``) — the
     target side every MoR DML op matches against: parquet rows via
-    ``_metadata.row_index``, AVRO rows via the codec scan's own
-    positions; prior position deletes anti-joined out (dead rows are
-    not visible, must not re-match)."""
+    ``_metadata.row_index``, AVRO and ORC rows via codec scans that
+    number their own positions; prior position deletes anti-joined
+    out (dead rows are not visible, must not re-match)."""
     from pyspark.sql import functions as F
 
     by_group: dict[tuple, list[str]] = {}
@@ -2731,6 +2785,8 @@ def _iceberg_pos_scan(
     for (renames, fmt), paths in sorted(by_group.items()):
         if fmt == "AVRO":
             piece = _avro_scan(spark, paths, meta, mapping, True)
+        elif fmt == "ORC":
+            piece = _orc_pos_scan(spark, paths, meta)
         else:
             piece = spark.read.parquet(*paths)
             if renames:
@@ -3009,11 +3065,7 @@ def _iceberg_dml_preamble(root: str, op: str):
             f"{op}: table carries equality-delete debt — "
             "apply/compact it first"
         )
-    if any(formats.get(p) == "ORC" for p in live):
-        raise IcebergProtocolError(
-            f"{op}: live ORC data files — Spark exposes no row_index "
-            "for ORC scans, rows are not position-addressable"
-        )
+
     latest_sid = snaps[-1]["snapshot-id"] if snaps else -1
     return meta, live, pos_deletes, bounds, partitions, formats, latest_sid
 
@@ -3033,9 +3085,9 @@ def delete_from_iceberg(
     them with exact seq gating. Returns ``(snapshot_id, rows)``.
 
     Row addressing: parquet files through ``_metadata.row_index``,
-    AVRO files through the codec scan's own positions (``__ri``);
-    live ORC files refuse (Spark exposes no ORC row_index — the same
-    boundary the reader declares). Already-dead rows (prior position
+    AVRO and ORC files through codec scans that number their own
+    rows (Spark exposes no ORC row_index; pyarrow fills in).
+    Already-dead rows (prior position
     deletes) are anti-joined out before matching, so re-deletes
     count zero and deletes accumulate across snapshots without
     merging files. Equality-delete debt refuses (apply order against
@@ -3100,8 +3152,8 @@ def upsert_iceberg(
     MERGE rejects). Multiple TARGET rows per key are preserved:
     each matched target row reads back as one source image
     (merge_delta's multiplicity contract). Same row-addressing
-    contract as :func:`delete_from_iceberg` (parquet + AVRO yes,
-    live ORC refuses; equality-delete debt refuses).
+    contract as :func:`delete_from_iceberg` (all three data formats;
+    equality-delete debt refuses).
 
     Scale shape: the match is an equi-join on the merge keys with
     the change-set side small (broadcastable); deletes write
@@ -3389,7 +3441,7 @@ def update_iceberg(
     ``set_exprs``: column → SQL expression over the row's OLD values
     (the standard UPDATE contract); unknown columns refuse. Row
     addressing and refusals mirror :func:`delete_from_iceberg`
-    (parquet + AVRO, live ORC refuses, equality-delete debt
+    (all three data formats; equality-delete debt
     refuses). Commit is optimistic — a lost race re-matches against
     the winner's snapshot.
 
@@ -3496,8 +3548,8 @@ def rewrite_iceberg_data_files(
       inert, rows for untouched files keep applying.
 
     Row addressing mirrors DML (parquet ``_metadata.row_index``,
-    AVRO codec positions, live ORC refuses; equality-delete debt
-    refuses). AVRO inputs rewrite as parquet (the manifest records
+    AVRO/ORC codec positions; equality-delete debt refuses before
+    the eq-fold branch takes over). AVRO/ORC inputs rewrite as parquet (the manifest records
     per-file format — compaction is a legal format migration point).
     Commit is optimistic (:func:`_try_commit_metadata`); a lost race
     replans against the winner.
@@ -3586,14 +3638,6 @@ def rewrite_iceberg_data_files(
                 + len({p for p, _s in pos_deletes}),
                 "dead_rows_folded": n_dead_eq,
             }
-        if any(formats.get(p) == "ORC" for p in live):
-            # same boundary as all position-addressing DML; ORC
-            # tables with EQUALITY debt fold fine (branch above)
-            raise IcebergProtocolError(
-                "rewrite_iceberg_data_files: live ORC data files — "
-                "position addressing needs row_index, which Spark "
-                "exposes for parquet/AVRO only"
-            )
         dead_by_file: dict[str, int] = {}
         if pos_deletes:
             dpaths = sorted({p for p, _ in pos_deletes})

@@ -929,13 +929,16 @@ def test_iceberg_orc_data_files(spark, tmp_path):
 def test_iceberg_orc_pos_delete_and_unknown_format_refusals(
     spark, tmp_path
 ):
-    """Position deletes targeting ORC data files refuse (Spark ORC
-    scans expose no row_index); an unknown data-file format refuses
-    at manifest-walk time."""
+    """Position deletes over ORC data files APPLY (r9: the pyarrow
+    codec scan numbers ORC rows — Spark's native ORC scan exposes no
+    row_index); ORC rows are fully position-addressable through DML
+    too; an unknown data-file format still refuses at
+    manifest-walk time."""
     import pytest as _pytest
 
     from dataflowex_spark.sources.iceberg_reader import (
         IcebergProtocolError,
+        delete_from_iceberg,
         stage_orc_file,
         write_conformance_table,
     )
@@ -958,8 +961,11 @@ def test_iceberg_orc_pos_delete_and_unknown_format_refusals(
           "delete_entries": [(1, os.path.join(root, "del.parquet"))],
           "schema_fields": [(1, "k", "long"), (2, "v", "string")]}],
     )
-    with _pytest.raises(IcebergProtocolError, match="row_index"):
-        read_iceberg(spark, root).collect()
+    assert [(r.k, r.v) for r in read_iceberg(spark, root).collect()]         == [(2, "b")]
+    # DML DELETE addresses ORC rows by position as well
+    _sid, n = delete_from_iceberg(spark, root, "k = 2")
+    assert n == 1
+    assert read_iceberg(spark, root).count() == 0
     root2 = str(tmp_path / "weird_data")
     os.makedirs(root2)
     write_conformance_table(
@@ -1173,8 +1179,8 @@ def test_iceberg_avro_partitioned_write(spark, tmp_path):
 def test_delete_from_iceberg_position_deletes(spark, tmp_path):
     """Row-level DELETE via position-delete files: exact rows, data
     files never rewritten, deletes accumulate across snapshots,
-    re-deletes are no-ops, time travel sees pre-delete state, and
-    ORC-live / equality-debt tables refuse."""
+    re-deletes are no-ops, time travel sees pre-delete state, AVRO
+    and ORC rows are codec-addressable, equality-debt refuses."""
     import glob
 
     import pytest as _pytest
@@ -1218,18 +1224,16 @@ def test_delete_from_iceberg_position_deletes(spark, tmp_path):
     ) == [k for k in range(60) if k % 10 not in (0, 1)]
     # pre-delete snapshot intact
     assert read_iceberg(spark, dest, snapshot_id=1).count() == 60
-    # AVRO-format tables delete fine (codec positions); ORC refuses
-    dest2 = str(tmp_path / "avro")
-    write_iceberg(spark, df, dest2, file_format="avro")
-    _sidA, nA = delete_from_iceberg(spark, dest2, "k < 5")
-    assert nA == 5
-    assert sorted(
-        r.k for r in read_iceberg(spark, dest2).collect()
-    ) == list(range(5, 60))
-    dest3 = str(tmp_path / "orc")
-    write_iceberg(spark, df, dest3, file_format="orc")
-    with _pytest.raises(IcebergProtocolError, match="row_index"):
-        delete_from_iceberg(spark, dest3, "k = 1")
+    # AVRO and ORC tables delete fine too — each format's codec
+    # scan numbers its own rows (r9 closed the ORC boundary)
+    for fmt in ("avro", "orc"):
+        destF = str(tmp_path / fmt)
+        write_iceberg(spark, df, destF, file_format=fmt)
+        _sidF, nF = delete_from_iceberg(spark, destF, "k < 5")
+        assert nF == 5, (fmt, nF)
+        assert sorted(
+            r.k for r in read_iceberg(spark, destF).collect()
+        ) == list(range(5, 60)), fmt
 
 
 def test_upsert_iceberg_one_snapshot_merge(spark, tmp_path):
