@@ -26115,3 +26115,107 @@ def q446(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q(
+    "q447_iceberg_spec_evolution",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 17 = 3
+    ), both_eras AS (
+      SELECT *, 'old' AS era FROM base WHERE okey % 2 = 1
+      UNION ALL
+      SELECT *, 'new' AS era FROM base WHERE okey % 2 = 0
+    )
+    SELECT era, priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM both_eras GROUP BY era, priority ORDER BY era, priority
+    """,
+)
+def q447(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG PARTITION SPEC EVOLUTION
+    (evolve_iceberg_partition_spec — metadata-only re-partitioning,
+    THE reason Iceberg tracks specs per manifest instead of baking
+    layout into paths): half the rows land under an identity(priority)
+    spec, the spec evolves to bucket[8](okey), and the other half
+    appends under the new layout — ZERO files rewritten (asserted
+    in-query by the untouched pre-evolution data-file set), per-spec
+    manifests carry both spec-ids (asserted), and BOTH eras keep
+    exact manifest-level pruning under the spec that wrote them.
+    The oracle replays the two-era union; hash match proves the
+    mixed-spec read loses nothing. At 100 TB "we partitioned wrong
+    last year" becomes one metadata commit instead of a table
+    rewrite."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from dataflowex_spark.sources.avro_io import read_container
+    from dataflowex_spark.sources.iceberg_reader import (
+        _resolve_path,
+        evolve_iceberg_partition_spec,
+        load_table_metadata,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 17 == 3)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q447_") + "/t"
+    old_era = base.filter(F.col("okey") % 2 == 1).withColumn(
+        "era", F.lit("old")
+    )
+    new_era = base.filter(F.col("okey") % 2 == 0).withColumn(
+        "era", F.lit("new")
+    )
+    write_iceberg(spark, old_era, dest, partition_by=["priority"])
+    files_before = sorted(
+        _glob.glob(
+            _os.path.join(dest, "data", "**", "*.parquet"),
+            recursive=True,
+        )
+    )
+    evolve_iceberg_partition_spec(dest, [("okey", "bucket[8]")])
+    write_iceberg(spark, new_era, dest, mode="append")
+    assert set(files_before) <= set(
+        _glob.glob(
+            _os.path.join(dest, "data", "**", "*.parquet"),
+            recursive=True,
+        )
+    ), "evolution + append must not rewrite the old era"
+    meta = load_table_metadata(dest)
+    snap = [
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    ][0]
+    _s, manifests = read_container(
+        _resolve_path(dest, snap["manifest-list"])
+    )
+    assert sorted(
+        m["partition_spec_id"]
+        for m in manifests
+        if m["content"] == 0
+    ) == [0, 1], "per-spec manifests must carry both spec ids"
+    return (
+        read_iceberg(spark, dest)
+        .groupBy("era", "priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("era", "priority")
+    )

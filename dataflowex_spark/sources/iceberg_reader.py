@@ -392,7 +392,15 @@ def _live_files(
                         {kv["key"]: kv["value"] for kv in hi},
                     )
                 if df.get("partition") is not None:
-                    partitions[path] = dict(df["partition"])
+                    pt = dict(df["partition"])
+                    # remember WHICH spec wrote this tuple (manifest
+                    # list row) — after spec evolution, old-spec
+                    # tuples must prune under THEIR spec, and carry
+                    # rewrites must group into per-spec manifests.
+                    # Reserved key: the avro writer encodes only the
+                    # r102 struct's fields, so it never persists.
+                    pt["__spec_id"] = m.get("partition_spec_id", 0)
+                    partitions[path] = pt
             elif content == 1:
                 pos_deletes.append((path, seq))
             elif content == 2:
@@ -1400,7 +1408,13 @@ def _partition_tuple_allows(
     if not partition:
         return True
     spec_fields = []
-    spec_id = meta.get("default-spec-id", 0)
+    # prune under the spec that WROTE the tuple (carried via the
+    # reserved __spec_id key) — after partition spec evolution a
+    # same-named field may carry a different transform param in the
+    # old spec, and default-spec interpretation would prune wrongly
+    spec_id = partition.get(
+        "__spec_id", meta.get("default-spec-id", 0)
+    )
     for ps in meta.get("partition-specs", []):
         if ps.get("spec-id") == spec_id:
             spec_fields = ps.get("fields", [])
@@ -2623,6 +2637,7 @@ def _write_iceberg_attempt(
         avro_schema, new_sid, new_seq,
     )
     prior_deletes: list[dict] = []
+    carried_by_spec: dict[int, list] = {}
     if exists and snaps and mode == "append":
         (
             prior_live, _pd, _ed, prior_bounds, prior_parts,
@@ -2666,7 +2681,11 @@ def _write_iceberg_attempt(
             )
         for path, seq in sorted(prior_live.items()):
             pb = prior_bounds.get(path)
-            entries.append(
+            tup = prior_parts.get(path)
+            carried_by_spec.setdefault(
+                tup.get("__spec_id", spec_id) if tup else spec_id,
+                [],
+            ).append(
                 {
                     "status": 0,
                     "snapshot_id": new_sid,
@@ -2680,7 +2699,7 @@ def _write_iceberg_attempt(
                         "record_count": 0,
                         "file_size_in_bytes": os.path.getsize(path),
                         "equality_ids": None,
-                        "partition": prior_parts.get(path),
+                        "partition": tup,
                         "lower_bounds": (
                             [
                                 {"key": k, "value": v}
@@ -2700,26 +2719,41 @@ def _write_iceberg_attempt(
                     },
                 }
             )
-    manifest_schema = (
-        _manifest_schema_with_partition([p[0] for p in pinfo])
-        if pinfo
-        else MANIFEST_SCHEMA
-    )
     # attempt-unique manifest names: a racing writer computing the
-    # same new_sid must not overwrite this attempt's staged avro
+    # same new_sid must not overwrite this attempt's staged avro.
+    # One manifest per PARTITION SPEC (after spec evolution carried
+    # files keep their writing spec's r102 struct + spec id).
     token = _uuid.uuid4().hex[:8]
-    mpath = os.path.join(md, f"manifest-{new_sid:05d}-{token}.avro")
-    write_container(mpath, manifest_schema, entries)
-    mrows = [
-        {
-            "manifest_path": os.path.abspath(mpath),
-            "manifest_length": os.path.getsize(mpath),
-            "partition_spec_id": spec_id,
-            "content": 0,
-            "sequence_number": new_seq,
-            "added_snapshot_id": new_sid,
-        }
-    ]
+    carried_by_spec.setdefault(spec_id, [])
+    carried_by_spec[spec_id] = entries + carried_by_spec[spec_id]
+    mrows = []
+    for spec_g, ents in sorted(carried_by_spec.items()):
+        if not ents:
+            continue
+        fields_g = (
+            [p[0] for p in pinfo]
+            if spec_g == spec_id
+            else _spec_avro_fields(meta, spec_g)
+        )
+        manifest_schema = (
+            _manifest_schema_with_partition(fields_g)
+            if fields_g
+            else MANIFEST_SCHEMA
+        )
+        mpath = os.path.join(
+            md, f"manifest-{new_sid:05d}-{token}-s{spec_g}.avro"
+        )
+        write_container(mpath, manifest_schema, ents)
+        mrows.append(
+            {
+                "manifest_path": os.path.abspath(mpath),
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": spec_g,
+                "content": 0,
+                "sequence_number": new_seq,
+                "added_snapshot_id": new_sid,
+            }
+        )
     if prior_deletes:
         dpath = os.path.join(
             md, f"manifest-{new_sid:05d}-{token}-del.avro"
@@ -2892,6 +2926,24 @@ def _stage_pos_delete_files(
     return entries, n
 
 
+def _spec_avro_fields(meta: dict, spec_id: int) -> list[dict]:
+    """Spec fields for ``spec_id`` with their avro result types —
+    the typed r102 struct any manifest listing that spec's files
+    must carry."""
+    by_name = {f["name"]: f for f in _current_schema_fields(meta)}
+    names_by_id = _field_names_by_id(meta)
+    out = []
+    for ps in meta.get("partition-specs", []) or []:
+        if ps.get("spec-id") != spec_id:
+            continue
+        for pf in ps.get("fields", []):
+            kind, _param = parse_transform(pf["transform"])
+            src = names_by_id[pf["source-id"]]
+            ice_t = by_name[src]["type"]
+            out.append(dict(pf, _avro=_part_avro_type(kind, ice_t)))
+    return out
+
+
 def _iceberg_mor_commit(
     root: str,
     meta: dict,
@@ -2921,22 +2973,23 @@ def _iceberg_mor_commit(
     md = _meta_dir(root)
     token = _uuid.uuid4().hex[:8]
     snaps = meta.get("snapshots", [])
-    names_by_id = _field_names_by_id(meta)
-    spec_fields = _spec_from_meta(meta) if meta.get(
-        "partition-specs"
-    ) else []
-    pinfo_fields = []
-    for pf in spec_fields:
-        kind, _param = parse_transform(pf["transform"])
-        src_name = names_by_id[pf["source-id"]]
-        ice_t = {f["name"]: f for f in _current_schema_fields(meta)}[
-            src_name
-        ]["type"]
-        pinfo_fields.append(dict(pf, _avro=_part_avro_type(kind, ice_t)))
-    carried = []
+    default_spec = meta.get("default-spec-id", 0)
+    # PER-SPEC manifest groups: after partition spec evolution the
+    # carried live set mixes tuples written under different specs,
+    # and a manifest's r102 partition struct is typed by exactly one
+    # spec — group carried entries by the spec that wrote them (the
+    # reserved __spec_id key from _live_files); new entries always
+    # carry the current default spec.
+    by_spec: dict[int, list] = {}
     for path, seq in sorted(live.items()):
         pb = bounds.get(path)
-        carried.append(
+        tup = partitions.get(path)
+        spec_of = (
+            tup.get("__spec_id", default_spec)
+            if tup
+            else default_spec
+        )
+        by_spec.setdefault(spec_of, []).append(
             {
                 "status": 0,
                 "snapshot_id": new_sid,
@@ -2948,7 +3001,7 @@ def _iceberg_mor_commit(
                     "record_count": 0,
                     "file_size_in_bytes": os.path.getsize(path),
                     "equality_ids": None,
-                    "partition": partitions.get(path),
+                    "partition": tup,
                     "lower_bounds": (
                         [{"key": k, "value": v} for k, v in pb[0].items()]
                         if pb
@@ -2962,7 +3015,7 @@ def _iceberg_mor_commit(
                 },
             }
         )
-    carried.extend(new_data_entries)
+    by_spec.setdefault(default_spec, []).extend(new_data_entries)
     del_entries = list(del_entries)
     # prior position deletes carry too (their files are still live
     # delete state — a snapshot lists ALL its manifests)
@@ -3000,25 +3053,31 @@ def _iceberg_mor_commit(
                 },
             }
         )
-    data_schema = (
-        _manifest_schema_with_partition(pinfo_fields)
-        if pinfo_fields
-        else MANIFEST_SCHEMA
-    )
-    mpath = os.path.join(
-        md, f"manifest-{op}-{new_sid:05d}-{token}-data.avro"
-    )
-    write_container(mpath, data_schema, carried)
-    mrows = [
-        {
-            "manifest_path": os.path.abspath(mpath),
-            "manifest_length": os.path.getsize(mpath),
-            "partition_spec_id": meta.get("default-spec-id", 0),
-            "content": 0,
-            "sequence_number": new_seq,
-            "added_snapshot_id": new_sid,
-        }
-    ]
+    mrows = []
+    for spec_g, ents in sorted(by_spec.items()):
+        if not ents:
+            continue
+        fields_g = _spec_avro_fields(meta, spec_g)
+        data_schema = (
+            _manifest_schema_with_partition(fields_g)
+            if fields_g
+            else MANIFEST_SCHEMA
+        )
+        mpath = os.path.join(
+            md,
+            f"manifest-{op}-{new_sid:05d}-{token}-data{spec_g}.avro",
+        )
+        write_container(mpath, data_schema, ents)
+        mrows.append(
+            {
+                "manifest_path": os.path.abspath(mpath),
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": spec_g,
+                "content": 0,
+                "sequence_number": new_seq,
+                "added_snapshot_id": new_sid,
+            }
+        )
     if del_entries:
         dpath = os.path.join(
             md, f"manifest-{op}-{new_sid:05d}-{token}-pos.avro"
@@ -3261,6 +3320,83 @@ def upsert_iceberg(
             "updated": n_matched,
             "inserted": n_source - n_matched,
         }
+
+
+def evolve_iceberg_partition_spec(
+    root: str, partition_by
+) -> int:
+    """PARTITION SPEC EVOLUTION — metadata-only re-partitioning (the
+    headline reason Iceberg tracks specs per manifest instead of
+    baking layout into paths): a new spec (fresh spec-id, partition
+    field-ids continuing above every id any spec ever used) becomes
+    the default; EXISTING files keep their old spec — nothing
+    rewrites — and every later append/DML/compaction writes the new
+    layout. Readers prune each file under the spec that WROTE it
+    (per-spec manifests carry the spec id), so old files keep their
+    old pruning and new files gain the new. Migrate the remainder
+    with :func:`rewrite_iceberg_data_files` when/if it pays. Returns
+    the new spec-id.
+
+    At 100 TB this is the difference between "we partitioned wrong
+    in 2023" being a metadata commit and being a table rewrite."""
+    req = _normalize_partition_by(partition_by)
+    while True:
+        meta = load_table_metadata(root)
+        top = _current_schema_fields(meta)
+        by_name = {f["name"]: f for f in top}
+        specs = list(meta.get("partition-specs") or [])
+        used_ids = [999]
+        for ps in specs:
+            for pf in ps.get("fields", []):
+                used_ids.append(int(pf.get("field-id", 999)))
+        next_fid = max(used_ids) + 1
+        cur = _spec_from_meta(meta) if specs else []
+        names_by_id = {f["id"]: f["name"] for f in top}
+        have = [
+            (names_by_id[pf["source-id"]], pf["transform"])
+            for pf in cur
+        ]
+        if req == have:
+            return meta.get("default-spec-id", 0)  # no-op
+        new_fields = []
+        for col, t in req:
+            if col not in by_name:
+                raise ValueError(
+                    f"partition column {col!r} not in schema"
+                )
+            src = by_name[col]
+            ice_t = src["type"]
+            kind, _param = parse_transform(t)
+            if not isinstance(ice_t, str):
+                raise IcebergProtocolError(
+                    f"cannot partition on nested column {col!r}"
+                )
+            if kind == "identity" and ice_t not in _IDENTITY_PART_TYPES:
+                raise IcebergProtocolError(
+                    f"identity partition unsupported for {ice_t!r}"
+                )
+            suffix = {"identity": "", "day": "_day"}.get(
+                kind, f"_{kind}"
+            )
+            new_fields.append(
+                {
+                    "name": col + suffix,
+                    "transform": t,
+                    "source-id": src["id"],
+                    "field-id": next_fid,
+                }
+            )
+            next_fid += 1
+        new_spec_id = (
+            max((ps.get("spec-id", 0) for ps in specs), default=-1)
+            + 1
+        )
+        meta["partition-specs"] = specs + [
+            {"spec-id": new_spec_id, "fields": new_fields}
+        ]
+        meta["default-spec-id"] = new_spec_id
+        if _try_commit_metadata(root, meta):
+            return new_spec_id
 
 
 def set_iceberg_ref(

@@ -1914,3 +1914,103 @@ def test_iceberg_refs_tags_and_expire_pinning(spark, tmp_path):
         read_iceberg(spark, dest, ref="audit_pin")
     with _pytest.raises(ValueError, match="not in table metadata"):
         drop_iceberg_ref(dest, "nope")
+
+
+def test_iceberg_partition_spec_evolution(spark, tmp_path):
+    """Partition SPEC EVOLUTION is metadata-only: old files keep
+    their spec (and its pruning), new appends write the new default
+    spec, per-spec manifests carry the right spec ids, DML works
+    across the mixed-spec live set, and rewrite_data_files migrates
+    the remainder to the new layout."""
+    from dataflowex_spark.sources.avro_io import read_container
+    from dataflowex_spark.sources.iceberg_reader import (
+        _resolve_path,
+        delete_from_iceberg,
+        evolve_iceberg_partition_spec,
+        load_table_metadata,
+        rewrite_iceberg_data_files,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    df1 = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), float(i)) for i in range(20)],
+        "k long, g string, x double",
+    )
+    write_iceberg(spark, df1, dest, partition_by=["g"])
+    files_before = read_iceberg(spark, dest).count()
+    new_spec = evolve_iceberg_partition_spec(
+        dest, [("k", "bucket[4]")]
+    )
+    assert new_spec == 1
+    assert files_before == read_iceberg(spark, dest).count(), (
+        "evolution must not touch data"
+    )
+    # append lands under the NEW spec; old files keep the old one
+    df2 = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), float(i)) for i in range(20, 40)],
+        "k long, g string, x double",
+    )
+    write_iceberg(spark, df2, dest, mode="append")
+    assert sorted(
+        r.k for r in read_iceberg(spark, dest).collect()
+    ) == list(range(40))
+    meta = load_table_metadata(dest)
+    snap = [
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    ][0]
+    _s, manifests = read_container(
+        _resolve_path(dest, snap["manifest-list"])
+    )
+    spec_ids = sorted(
+        m["partition_spec_id"] for m in manifests if m["content"] == 0
+    )
+    assert spec_ids == [0, 1], spec_ids  # per-spec manifests
+    # pruning still works on BOTH specs: identity g on old files,
+    # bucket(k) on new files — both predicates stay exact
+    assert sorted(
+        r.k
+        for r in read_iceberg(
+            spark, dest, skip_where=[("g", "=", "g1")]
+        ).collect()
+    ) == [k for k in range(40) if k % 2 == 1]
+    assert sorted(
+        r.k
+        for r in read_iceberg(
+            spark, dest, skip_where=[("k", "=", 25)]
+        ).collect()
+    ) == [25]
+    # DML across the mixed-spec live set
+    _sid, n = delete_from_iceberg(spark, dest, "k % 10 = 5")
+    assert n == 4
+    assert read_iceberg(spark, dest).count() == 36
+    # rewrite migrates everything to the current spec
+    _sid2, stats = rewrite_iceberg_data_files(
+        spark, dest, small_file_bytes=1 << 30
+    )
+    meta2 = load_table_metadata(dest)
+    snap2 = [
+        s for s in meta2["snapshots"]
+        if s["snapshot-id"] == meta2["current-snapshot-id"]
+    ][0]
+    _s2, manifests2 = read_container(
+        _resolve_path(dest, snap2["manifest-list"])
+    )
+    assert {
+        m["partition_spec_id"] for m in manifests2
+        if m["content"] == 0
+    } == {1}
+    assert read_iceberg(spark, dest).count() == 36
+    # unpartitioned -> partitioned evolution also legal
+    dest2 = str(tmp_path / "u")
+    write_iceberg(spark, df1, dest2)
+    evolve_iceberg_partition_spec(dest2, ["g"])
+    write_iceberg(spark, df2, dest2, mode="append")
+    assert read_iceberg(spark, dest2).count() == 40
+    assert sorted(
+        r.k
+        for r in read_iceberg(
+            spark, dest2, skip_where=[("g", "=", "g0")]
+        ).collect()
+    ) == [k for k in range(40) if k % 2 == 0]
