@@ -26219,3 +26219,103 @@ def q447(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("era", "priority")
     )
+
+
+@q(
+    "q448_delta_check_constraints",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 19 = 6
+    ), final AS (
+      -- the violating append refused, the clean append landed
+      SELECT * FROM base
+      UNION ALL
+      SELECT -1, '0-CLEAN', CAST(1 AS BIGINT)
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM final GROUP BY priority ORDER BY priority
+    """,
+)
+def q448(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA CHECK CONSTRAINTS (add_delta_constraint — the
+    protocol's writer-3 feature): the constraint verifies EXISTING
+    rows at ADD time (a constraint the data violates refuses — it
+    would lie to every future reader), then every later append /
+    UPDATE / MERGE staging refuses violating rows BEFORE the commit
+    claims a version, so the table never holds a row the contract
+    forbids. In-query: a violating append and a violating UPDATE
+    both refuse (table state asserted untouched), a clean append
+    lands. Oracle replays the surviving state; hash match proves
+    enforcement is exact, not advisory. At 100 TB the cost is one
+    filter-limit job over the CHANGE data only — never a table
+    scan."""
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        add_delta_constraint,
+        read_delta,
+        update_delta,
+        write_delta,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 19 == 6)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q448_") + "/t"
+    write_delta(spark, base, dest)
+    add_delta_constraint(spark, dest, "pos_cents", "price_cents > 0")
+    n0 = read_delta(spark, dest).count()
+    try:
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(-2, "X-BAD", -5)],
+                "okey long, priority string, price_cents long",
+            ),
+            dest, mode="append",
+        )
+        raise AssertionError("violating append must refuse")
+    except ValueError as e:
+        assert "pos_cents" in str(e)
+    try:
+        update_delta(
+            spark, dest, "okey % 2 = 0",
+            {"price_cents": "price_cents - 100000000"},
+        )
+        raise AssertionError("violating update must refuse")
+    except ValueError as e:
+        assert "pos_cents" in str(e)
+    assert read_delta(spark, dest).count() == n0, (
+        "refused writes must leave the table untouched"
+    )
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(-1, "0-CLEAN", 1)],
+            "okey long, priority string, price_cents long",
+        ),
+        dest, mode="append",
+    )
+    return (
+        read_delta(spark, dest)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )

@@ -1542,6 +1542,155 @@ def _stage_data_files(
     return adds
 
 
+def _check_constraints(meta: dict) -> dict[str, str]:
+    """name → CHECK expression from ``delta.constraints.<name>``
+    configuration keys (the protocol's CHECK-constraints feature)."""
+    out = {}
+    for k, v in (meta.get("configuration") or {}).items():
+        if k.startswith("delta.constraints."):
+            out[k[len("delta.constraints."):]] = v
+    return out
+
+
+def _enforce_constraints(
+    df: DataFrame, meta: dict, op: str
+) -> None:
+    """Refuse the write when any staged row VIOLATES a table CHECK
+    constraint (SQL semantics: NULL passes, only FALSE violates).
+    Cost: one filter-limit job over the CHANGE data only — never the
+    table."""
+    cons = _check_constraints(meta)
+    for name, expr in cons.items():
+        bad = df.filter(
+            ~F.coalesce(F.expr(expr), F.lit(True))
+        ).limit(1)
+        if bad.count():
+            sample = bad.collect()[0].asDict()
+            raise ValueError(
+                f"{op}: CHECK constraint {name!r} ({expr}) violated"
+                f" — e.g. {sample}"
+            )
+
+
+def add_delta_constraint(
+    spark: SparkSession, dest: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT ... CHECK — the protocol's
+    CHECK-constraints feature (writerVersion ≥ 3): the expression
+    lands in ``configuration["delta.constraints.<name>"]`` and every
+    later write/UPDATE/MERGE staging REFUSES violating rows before
+    committing. Like delta-spark, the EXISTING rows must already
+    satisfy the constraint (one pruned scan verifies — adding a
+    constraint the data violates would lie to every future reader).
+    Returns the committed version."""
+    while True:
+        meta, adds = _snapshot(spark, dest, None)
+        if name in _check_constraints(meta):
+            raise ValueError(f"constraint {name!r} already exists")
+        if adds:
+            bad = (
+                read_delta(spark, dest)
+                .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .limit(1)
+            )
+            n_bad = bad.count()
+            if n_bad:
+                sample = bad.collect()[0].asDict()
+                raise ValueError(
+                    f"existing rows violate CHECK {expr!r} — e.g. "
+                    f"{sample}"
+                )
+        commits = _commit_files(dest)
+        newest_cp = _checkpoint_for(dest, 1 << 62)
+        latest = max(
+            max(commits, default=-1),
+            newest_cp[0] if newest_cp else -1,
+        )
+        conf = dict(meta.get("configuration") or {})
+        conf[f"delta.constraints.{name}"] = expr
+        new_meta = dict(meta)
+        new_meta["configuration"] = conf
+        actions: list[dict] = []
+        proto = _latest_protocol(dest)
+        if (
+            proto.get("minWriterVersion", 1) < 3
+            and proto.get("writerFeatures") is None
+        ):
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": max(
+                            1, proto.get("minReaderVersion", 1)
+                        ),
+                        "minWriterVersion": 3,
+                    }
+                }
+            )
+        elif proto.get("writerFeatures") is not None:
+            actions.append(
+                {
+                    "protocol": {
+                        **proto,
+                        "writerFeatures": sorted(
+                            set(proto.get("writerFeatures") or [])
+                            | {"checkConstraints"}
+                        ),
+                    }
+                }
+            )
+        actions.append({"metaData": new_meta})
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "ADD CONSTRAINT",
+                    "timestamp": None,
+                    "operationParameters": {
+                        "name": name, "expr": expr
+                    },
+                }
+            }
+        )
+        v = _try_claim_commit(spark, dest, latest, actions, conf)
+        if v is None:
+            continue
+        return v
+
+
+def drop_delta_constraint(
+    spark: SparkSession, dest: str, name: str
+) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT (metadata-only); unknown
+    names refuse."""
+    while True:
+        meta, _adds = _snapshot(spark, dest, None)
+        if name not in _check_constraints(meta):
+            raise ValueError(f"constraint {name!r} not on table")
+        commits = _commit_files(dest)
+        newest_cp = _checkpoint_for(dest, 1 << 62)
+        latest = max(
+            max(commits, default=-1),
+            newest_cp[0] if newest_cp else -1,
+        )
+        conf = dict(meta.get("configuration") or {})
+        del conf[f"delta.constraints.{name}"]
+        new_meta = dict(meta)
+        new_meta["configuration"] = conf
+        actions = [
+            {"metaData": new_meta},
+            {
+                "commitInfo": {
+                    "operation": "DROP CONSTRAINT",
+                    "timestamp": None,
+                    "operationParameters": {"name": name},
+                }
+            },
+        ]
+        v = _try_claim_commit(spark, dest, latest, actions, conf)
+        if v is None:
+            continue
+        return v
+
+
 def write_delta(
     spark: SparkSession,
     df: DataFrame,
@@ -1651,6 +1800,8 @@ def write_delta(
             evolved_meta["schemaString"] = json.dumps(
                 evolved.jsonValue()
             )
+    if exists:
+        _enforce_constraints(df, meta0, "write_delta")
     adds = _stage_data_files(spark, dest, df, pcols, scols)
     actions: list[dict] = []
     if evolved_meta is not None:
@@ -2066,6 +2217,7 @@ def _dml_delta(
                 T.LongType, T.IntegerType, T.ShortType, T.ByteType,
                 T.DoubleType, T.FloatType, T.StringType, T.DateType,
             )
+            _enforce_constraints(upd, meta, "update_delta")
             phys_by_logical = {
                 f.name: (
                     _physical_name(f) if mode == "name" else f.name
@@ -2561,6 +2713,7 @@ def merge_delta(
         new_adds: list[dict] = []
         total_staged = 0
         if new_rows is not None:
+            _enforce_constraints(new_rows, meta, "merge_delta")
             new_adds = _stage_data_files(
                 spark,
                 dest,

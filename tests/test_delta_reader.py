@@ -1762,3 +1762,67 @@ def test_delta_upgrade_column_mapping_and_alter(spark, tmp_path):
     assert set(read_delta(spark, root).columns) == {
         "key_id", "grp", "x"
     }
+
+
+def test_delta_check_constraints(spark, tmp_path):
+    """CHECK constraints (protocol writer-3 feature): adding one
+    verifies EXISTING rows; later appends/UPDATE/MERGE refuse
+    violating rows BEFORE committing (table state untouched); NULL
+    passes per SQL CHECK semantics; drop releases enforcement."""
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.delta_reader import (
+        add_delta_constraint,
+        drop_delta_constraint,
+        merge_delta,
+        read_delta,
+        update_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], "k long, x double"
+    )
+    write_delta(spark, df, root)
+    # existing-row verification: a violated constraint refuses
+    with _pytest.raises(ValueError, match="existing rows violate"):
+        add_delta_constraint(spark, root, "big_x", "x > 15")
+    add_delta_constraint(spark, root, "pos_x", "x > 0")  # NULL passes
+    with _pytest.raises(ValueError, match="already exists"):
+        add_delta_constraint(spark, root, "pos_x", "x > 1")
+    # violating append refuses, table untouched
+    v_before = read_delta(spark, root).count()
+    with _pytest.raises(ValueError, match="pos_x"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(9, -1.0)], "k long, x double"),
+            root, mode="append",
+        )
+    assert read_delta(spark, root).count() == v_before
+    # clean append passes
+    write_delta(
+        spark,
+        spark.createDataFrame([(9, 9.0)], "k long, x double"),
+        root, mode="append",
+    )
+    # UPDATE producing a violation refuses
+    with _pytest.raises(ValueError, match="pos_x"):
+        update_delta(spark, root, "k = 1", {"x": "x - 100"})
+    # MERGE with a violating source refuses
+    with _pytest.raises(ValueError, match="pos_x"):
+        merge_delta(
+            spark, root,
+            spark.createDataFrame([(2, -5.0)], "k long, x double"),
+            ["k"],
+        )
+    # drop releases enforcement
+    drop_delta_constraint(spark, root, "pos_x")
+    write_delta(
+        spark,
+        spark.createDataFrame([(10, -1.0)], "k long, x double"),
+        root, mode="append",
+    )
+    assert read_delta(spark, root).count() == v_before + 2
+    with _pytest.raises(ValueError, match="not on table"):
+        drop_delta_constraint(spark, root, "nope")
