@@ -2976,15 +2976,35 @@ def _snapshot_schema_types(root: str) -> tuple[dict, list]:
     """(column → primitive type name, partitionColumns) from the
     no-Spark metaData fold — what delta_tail's partition planner
     needs to type partition values."""
+    types, pcols, _phys, _mode = _snapshot_schema_mapping(root)
+    return types, pcols
+
+
+def _snapshot_schema_mapping(
+    root: str,
+) -> tuple[dict, list, dict, str]:
+    """(column → primitive type name, partitionColumns,
+    logical → physical name, mapping mode) from the no-Spark
+    metaData fold — the full planning surface delta_tail needs:
+    under columnMapping mode=name, data files and partitionValues
+    key by physicalName while the declared stream schema stays
+    logical."""
     meta = _snapshot_meta_nospark(root)
+    mode = _mapping_mode(meta)
     schema = json.loads(meta["schemaString"])
-    types = {
-        f["name"]: (
+    types, phys = {}, {}
+    for f in schema.get("fields", []):
+        types[f["name"]] = (
             f["type"] if isinstance(f["type"], str) else "complex"
         )
-        for f in schema.get("fields", [])
-    }
-    return types, list(meta.get("partitionColumns") or [])
+        phys[f["name"]] = (
+            (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+            if mode == "name"
+            else f["name"]
+        )
+    return types, list(meta.get("partitionColumns") or []), phys, mode
 
 
 def optimize_delta(

@@ -477,6 +477,7 @@ class _DeltaTailReader(DataSourceStreamReader):
         start_version: int,
         out_cols: list,
         out_types: dict | None = None,
+        phys_map: dict | None = None,
     ):
         self.root = root
         self.start_version = start_version
@@ -485,6 +486,9 @@ class _DeltaTailReader(DataSourceStreamReader):
         # columns a pre-evolution file lacks (merge_schema ADD
         # COLUMN) so tailing from an early startVersion survives
         self.out_types = out_types or {}
+        # columnMapping mode=name: logical → physical column name;
+        # data files carry physical names, the stream stays logical
+        self.phys_map = phys_map or {}
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version - 1}
@@ -504,19 +508,27 @@ class _DeltaTailReader(DataSourceStreamReader):
         from dataflowex_spark.sources.delta_reader import (
             _commit_files,
             _data_path,
-            _snapshot_schema_types,
+            _snapshot_schema_mapping,
         )
         from dataflowex_spark.sources.roaring import (
             decode_dv_descriptor,
         )
 
-        types, pcols = _snapshot_schema_types(self.root)
+        types, pcols, phys, _mode = _snapshot_schema_mapping(
+            self.root
+        )
         commits = _commit_files(self.root)
         parts = []
 
         def pv_of(action: dict) -> list[tuple]:
+            # partitionValues key by PHYSICAL name under mode=name;
+            # the emitted column stays LOGICAL
             pv = action.get("partitionValues") or {}
-            return [(c, types[c], pv.get(c)) for c in pcols if c in types]
+            return [
+                (c, types[c], pv.get(phys.get(c, c)))
+                for c in pcols
+                if c in types
+            ]
 
         def dead_of(action: dict) -> list[int]:
             dv = action.get("deletionVector")
@@ -585,6 +597,13 @@ class _DeltaTailReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.path)
+        if self.phys_map:
+            # mode=name files carry PHYSICAL column names — restore
+            # logical before the positional select
+            back = {p: c for c, p in self.phys_map.items()}
+            table = table.rename_columns(
+                [back.get(n, n) for n in table.column_names]
+            )
         if partition.dead:
             mask = np.ones(table.num_rows, dtype=bool)
             mask[np.asarray(partition.dead, dtype=np.int64)] = False
@@ -691,16 +710,33 @@ class DeltaTailDataSource(DataSource):
         )
 
         meta = _snapshot_meta_nospark(self._root())
-        if _mapping_mode(meta) != "none":
+        mode = _mapping_mode(meta)
+        if mode == "id":
             raise DeltaProtocolError(
-                "delta_tail unsupported for column-mapped tables"
+                "delta_tail unsupported for columnMapping mode=id"
             )
         base = StructType.fromJson(_json.loads(meta["schemaString"]))
+        if mode == "name" and any(
+            f.dataType.typeName() in ("struct", "array", "map")
+            for f in base.fields
+        ):
+            # nested physical names restore by POSITIONAL cast in
+            # the batch readers; the tail's arrow path renames
+            # top-level only — refuse rather than mislabel nested
+            raise DeltaProtocolError(
+                "delta_tail: mode=name with nested columns "
+                "unsupported (use batch read_delta_changes)"
+            )
         return base.add("_change_type", "string").add(
             "_commit_version", "long"
         )
 
     def streamReader(self, schema):
+        from dataflowex_spark.sources.delta_reader import (
+            _snapshot_schema_mapping,
+        )
+
+        _t, _p, phys, mode = _snapshot_schema_mapping(self._root())
         return _DeltaTailReader(
             self._root(),
             int(self.options.get("startVersion", 0)),
@@ -709,6 +745,7 @@ class DeltaTailDataSource(DataSource):
                 f.name: f.dataType.simpleString()
                 for f in schema.fields
             },
+            phys if mode == "name" else {},
         )
 
 

@@ -1606,3 +1606,66 @@ def test_iceberg_tail_uri_escaped_partition_delete(spark, tmp_path):
         (2, "NOT SPECIFIED", "insert"),
         (3, "plain", "insert"),
     ]
+
+
+def test_delta_tail_column_mapping_mode_name(spark, tmp_path):
+    """delta_tail over columnMapping mode=name (the delta-spark
+    default on newer tables): files carry PHYSICAL names, the
+    stream emits LOGICAL ones; partition values key physically and
+    re-attach logically; DML change rows match the batch CDF
+    reader; mode=id still refuses."""
+    from dataflowex_spark.sources.delta_reader import (
+        add_delta_constraint,
+        alter_delta,
+        delete_from_delta,
+        read_delta_changes,
+        update_delta,
+        upgrade_delta_column_mapping,
+        write_delta,
+    )
+    from dataflowex_spark.sources.manifest_ds import DeltaTailDataSource
+
+    try:
+        spark.dataSource.register(DeltaTailDataSource)
+    except Exception:
+        pass
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), float(i)) for i in range(20)],
+        "k long, g string, x double",
+    )
+    write_delta(
+        spark, df, root, partition_by=["g"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    upgrade_delta_column_mapping(spark, root)
+    alter_delta(spark, root, renames={"k": "key_id"})
+    delete_from_delta(spark, root, "key_id % 5 = 1")
+    update_delta(spark, root, "key_id = 2", {"x": "x + 100"})
+
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("delta_tail")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.key_id, r.g, r.x, r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(outdir).collect()
+    )
+    want = sorted(
+        (r.key_id, r.g, r.x, r["_change_type"], r["_commit_version"])
+        for r in read_delta_changes(
+            spark, root, starting_version=0
+        ).collect()
+    )
+    assert got == want and len(got) > 20
+    # the logical rename is visible in the stream schema
+    assert "key_id" in spark.read.parquet(outdir).columns
