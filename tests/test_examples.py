@@ -198,3 +198,26 @@ def test_dml_ops_runbook_end_to_end(spark, sf_dir):
     # vacuum reclaimed the incident's DV debris; reads stay exact
     assert ev["vacuumed"] > 0
     assert ev["n_final"] == ev["n_after_dml"]
+
+
+def test_iceberg_maintenance_runbook_end_to_end(spark, sf_dir):
+    """The r9 Iceberg day-2 story: tag → DML wave (4 verbs) → debt
+    fold (read-identical, zero delete manifests) → spec evolution →
+    threaded commit race → expiry with the tag pinned."""
+    from examples.iceberg_maintenance_runbook import run
+
+    ev = run(spark, sf_dir)
+    assert ev["base_rows"] > 0
+    assert ev["delete_files_before_fold"] > 0
+    assert ev["fold"]["read_identical"]
+    assert ev["fold"]["delete_files_after"] == 0
+    # the wave includes EQUALITY debt, so the fold takes the
+    # full-rewrite branch (dead_rows_folded = -1 "unknown": eq debt
+    # is key-matched at read time); files folded is the hard signal
+    assert ev["fold"]["stats"]["delete_files_folded"] > 0
+    assert ev["upsert"]["updated"] == 20
+    assert ev["spec_evolution"]["prunes_old_spec"]
+    assert ev["race"] == {"errors": 0, "rows_landed": 9}
+    assert ev["tag_survives_expiry"]
+    assert ev["snapshots_after_final_expiry"] == 1
+    assert ev["final_rows"] > 0
