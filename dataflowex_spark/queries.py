@@ -26319,3 +26319,86 @@ def q448(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q(
+    "q449_iceberg_wap_publish",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 29 = 11
+    ), staged AS (
+      SELECT okey, priority, price_cents FROM base
+      UNION ALL
+      SELECT okey + 50000000, '0-AUDITED', price_cents
+      FROM base WHERE okey % 3 = 1
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM staged GROUP BY priority ORDER BY priority
+    """,
+)
+def q449(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH on Iceberg (write_iceberg(branch=...) +
+    fast_forward_iceberg): new data stages as snapshots that move
+    ONLY a branch ref — production readers keep the pre-staging
+    state, asserted in-query — gets audited by reading ref="audit"
+    (here: a CHECK-style count inspection), and publishes with one
+    O(metadata) fast-forward. The WAP pattern is how real pipelines
+    gate bad loads out of 100 TB tables without a staging copy;
+    Iceberg's refs make it one pointer flip. Oracle replays the
+    published union; hash match proves staging+publish loses
+    nothing."""
+    import tempfile
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        fast_forward_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 29 == 11)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q449_") + "/t"
+    write_iceberg(spark, base, dest)
+    n_prod = read_iceberg(spark, dest).count()
+    staged_rows = base.filter(F.col("okey") % 3 == 1).select(
+        (F.col("okey") + 50_000_000).alias("okey"),
+        F.lit("0-AUDITED").alias("priority"),
+        F.col("price_cents"),
+    )
+    write_iceberg(
+        spark, staged_rows, dest, mode="append", branch="audit"
+    )
+    # WRITE done; AUDIT: main is untouched, the branch carries
+    # exactly base + staged
+    assert read_iceberg(spark, dest).count() == n_prod, (
+        "staging must be invisible to main"
+    )
+    n_staged = read_iceberg(spark, dest, ref="audit").count()
+    assert n_staged > n_prod
+    # PUBLISH: one metadata flip
+    fast_forward_iceberg(dest, "audit")
+    assert read_iceberg(spark, dest).count() == n_staged
+    return (
+        read_iceberg(spark, dest)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )

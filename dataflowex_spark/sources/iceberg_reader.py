@@ -2372,6 +2372,7 @@ def write_iceberg(
     partition_by: list | None = None,
     file_format: str = "parquet",
     merge_schema: bool = False,
+    branch: str | None = None,
 ) -> int:
     """GENERIC Iceberg writer with OPTIMISTIC CONCURRENCY — any
     DataFrame → an Iceberg v2 table. The commit claims the next
@@ -2385,7 +2386,7 @@ def write_iceberg(
     while True:
         sid = _write_iceberg_attempt(
             spark, df, dest, mode, stats_cols, partition_by,
-            file_format, merge_schema,
+            file_format, merge_schema, branch,
         )
         if sid is not None:
             return sid
@@ -2400,8 +2401,15 @@ def _write_iceberg_attempt(
     partition_by: list | None = None,
     file_format: str = "parquet",
     merge_schema: bool = False,
+    branch: str | None = None,
 ) -> int | None:
     """One write attempt — returns None on a lost commit race.
+
+    ``branch``: WRITE-AUDIT-PUBLISH staging — the commit lands as a
+    normal snapshot but moves the NAMED BRANCH ref instead of
+    ``current-snapshot-id``; main readers never see it until
+    :func:`fast_forward_iceberg` publishes. Branch appends chain on
+    the branch's own head.
 
     GENERIC Iceberg writer — any DataFrame → an Iceberg v2 table,
     no MTable required (the format twin of
@@ -2638,11 +2646,26 @@ def _write_iceberg_attempt(
     )
     prior_deletes: list[dict] = []
     carried_by_spec: dict[int, list] = {}
+    base_sid = None
+    if exists and snaps:
+        refs = meta.get("refs") or {}
+        if branch is not None and branch in refs:
+            base_sid = refs[branch]["snapshot-id"]
+        else:
+            # the CURRENT snapshot, NOT snaps[-1]: after a rollback
+            # the newest list entry is the ABANDONED head — carrying
+            # it would resurrect rolled-back state on append
+            cur_sid = meta.get("current-snapshot-id")
+            base_sid = (
+                cur_sid
+                if cur_sid not in (None, -1)
+                else snaps[-1]["snapshot-id"]
+            )
     if exists and snaps and mode == "append":
         (
             prior_live, _pd, _ed, prior_bounds, prior_parts,
             prior_formats,
-        ) = _live_files(dest, meta, snaps[-1]["snapshot-id"])
+        ) = _live_files(dest, meta, base_sid)
         # prior DELETE state carries too — an append must not
         # resurrect MoR-deleted rows (caught by the r8 alter/DML
         # interplay test: append-after-delete dropped the delete
@@ -2782,7 +2805,12 @@ def _write_iceberg_attempt(
             },
         }
     ]
-    meta["current-snapshot-id"] = new_sid
+    if branch is None:
+        meta["current-snapshot-id"] = new_sid
+    else:
+        refs = dict(meta.get("refs") or {})
+        refs[branch] = {"snapshot-id": new_sid, "type": "branch"}
+        meta["refs"] = refs
     meta["last-sequence-number"] = new_seq
     if not _try_commit_metadata(dest, meta):
         return None  # lost the claim: replay against the winner
@@ -3435,6 +3463,25 @@ def set_iceberg_ref(
         refs = dict(meta.get("refs") or {})
         refs[name] = {"snapshot-id": sid, "type": kind}
         meta["refs"] = refs
+        if _try_commit_metadata(root, meta):
+            return sid
+
+
+def fast_forward_iceberg(root: str, branch: str) -> int:
+    """PUBLISH a staged branch: flip ``current-snapshot-id`` to the
+    branch head (metadata-only, optimistic) — the second half of
+    write-audit-publish: stage with ``write_iceberg(...,
+    branch="audit")``, validate by reading ``ref="audit"``, then
+    fast-forward main. Returns the now-current snapshot id."""
+    while True:
+        meta = load_table_metadata(root)
+        refs = meta.get("refs") or {}
+        if branch not in refs:
+            raise ValueError(
+                f"branch {branch!r} not in table metadata"
+            )
+        sid = refs[branch]["snapshot-id"]
+        meta["current-snapshot-id"] = sid
         if _try_commit_metadata(root, meta):
             return sid
 

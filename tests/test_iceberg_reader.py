@@ -2014,3 +2014,63 @@ def test_iceberg_partition_spec_evolution(spark, tmp_path):
             spark, dest2, skip_where=[("g", "=", "g0")]
         ).collect()
     ) == [k for k in range(40) if k % 2 == 0]
+
+
+def test_iceberg_wap_branch_write_and_fast_forward(spark, tmp_path):
+    """WRITE-AUDIT-PUBLISH: an append staged to a BRANCH moves only
+    the branch ref — main readers see nothing — until
+    fast_forward_iceberg publishes; branch appends chain on the
+    branch head; and the base-snapshot fix: append AFTER a rollback
+    chains on the ROLLED-BACK state, never resurrecting the
+    abandoned head."""
+    from dataflowex_spark.sources.iceberg_reader import (
+        fast_forward_iceberg,
+        load_table_metadata,
+        rollback_iceberg,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k long, x double"
+        ),
+        dest,
+    )
+    # stage two appends on the audit branch
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(100, 1.0)], "k long, x double"),
+        dest, mode="append", branch="audit",
+    )
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(101, 1.0)], "k long, x double"),
+        dest, mode="append", branch="audit",
+    )
+    # main unchanged; branch sees base + both staged appends
+    assert read_iceberg(spark, dest).count() == 10
+    staged = sorted(
+        r.k for r in read_iceberg(spark, dest, ref="audit").collect()
+    )
+    assert staged == list(range(10)) + [100, 101]
+    # publish
+    sid = fast_forward_iceberg(dest, "audit")
+    assert load_table_metadata(dest)["current-snapshot-id"] == sid
+    assert read_iceberg(spark, dest).count() == 12
+    # append-after-rollback chains on the ROLLED-BACK state
+    pre_sid = [
+        s["snapshot-id"]
+        for s in load_table_metadata(dest)["snapshots"]
+    ][0]
+    rollback_iceberg(dest, pre_sid)  # back to the 10-row base
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(200, 2.0)], "k long, x double"),
+        dest, mode="append",
+    )
+    got = sorted(r.k for r in read_iceberg(spark, dest).collect())
+    assert got == list(range(10)) + [200], (
+        "append after rollback must not resurrect the abandoned head"
+    )
