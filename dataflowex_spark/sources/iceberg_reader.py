@@ -2986,6 +2986,7 @@ def _iceberg_mor_commit(
     del_entries: list[dict],
     op: str,
     eq_deletes: list | None = None,
+    branch: str | None = None,
 ) -> int | None:
     """One MoR snapshot: a data manifest carrying the live set as
     EXISTING (original seqs — the spec's manifest rewrite) plus any
@@ -3132,18 +3133,35 @@ def _iceberg_mor_commit(
             "summary": {"operation": op},
         }
     ]
-    meta["current-snapshot-id"] = new_sid
+    if branch is None:
+        meta["current-snapshot-id"] = new_sid
+    else:
+        refs = dict(meta.get("refs") or {})
+        refs[branch] = {"snapshot-id": new_sid, "type": "branch"}
+        meta["refs"] = refs
     meta["last-sequence-number"] = new_seq
     if not _try_commit_metadata(root, meta):
         return None  # lost the claim: caller replays
     return new_sid
 
 
-def _iceberg_dml_preamble(root: str, op: str):
-    """Shared MoR-DML state load + refusals."""
+def _iceberg_dml_preamble(root: str, op: str, branch: str | None = None):
+    """Shared MoR-DML state load + refusals. ``branch``: the op
+    targets the branch head (write-audit-publish staging) — state
+    loads from, and the commit will move, the named ref."""
     meta = load_table_metadata(root)
     snaps = meta.get("snapshots", [])
-    sid = meta.get("current-snapshot-id")
+    if branch is not None:
+        refs = meta.get("refs") or {}
+        if branch not in refs:
+            raise ValueError(
+                f"{op}: branch {branch!r} not in table metadata "
+                "(stage it with write_iceberg(..., branch=...) or "
+                "set_iceberg_ref first)"
+            )
+        sid = refs[branch]["snapshot-id"]
+    else:
+        sid = meta.get("current-snapshot-id")
     (
         live, pos_deletes, eq_deletes, bounds, partitions, formats,
     ) = _live_files(root, meta, sid if sid not in (None, -1) else None)
@@ -3158,7 +3176,7 @@ def _iceberg_dml_preamble(root: str, op: str):
 
 
 def delete_from_iceberg(
-    spark: SparkSession, root: str, where
+    spark: SparkSession, root: str, where, branch: str | None = None
 ) -> tuple[int, int]:
     """Row-level DELETE via POSITION DELETE files — Iceberg v2's
     merge-on-read DML primitive (the format twin of
@@ -3195,7 +3213,9 @@ def delete_from_iceberg(
         (
             meta, live, pos_deletes, bounds, partitions, formats,
             latest_sid,
-        ) = _iceberg_dml_preamble(root, "delete_from_iceberg")
+        ) = _iceberg_dml_preamble(
+            root, "delete_from_iceberg", branch
+        )
         if not live:
             return latest_sid, 0
         cond = F.expr(where) if isinstance(where, str) else where
@@ -3215,6 +3235,7 @@ def delete_from_iceberg(
         sid = _iceberg_mor_commit(
             root, meta, live, bounds, partitions, formats,
             pos_deletes, new_sid, new_seq, [], del_entries, "delete",
+            branch=branch,
         )
         if sid is None:
             continue  # lost the race: re-match against the winner
@@ -3222,7 +3243,11 @@ def delete_from_iceberg(
 
 
 def upsert_iceberg(
-    spark: SparkSession, root: str, source: DataFrame, on: list[str]
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    on: list[str],
+    branch: str | None = None,
 ) -> tuple[int, dict]:
     """MERGE-shaped UPSERT in ONE snapshot — Iceberg v2's
     merge-on-read upsert (the format twin of
@@ -3253,7 +3278,7 @@ def upsert_iceberg(
         (
             meta, live, pos_deletes, bounds, partitions, formats,
             latest_sid,
-        ) = _iceberg_dml_preamble(root, "upsert_iceberg")
+        ) = _iceberg_dml_preamble(root, "upsert_iceberg", branch)
         top = _current_schema_fields(meta)
         tcols = [f["name"] for f in top]
         missing = [c for c in tcols if c not in source.columns]
@@ -3340,7 +3365,7 @@ def upsert_iceberg(
         sid = _iceberg_mor_commit(
             root, meta, live, bounds, partitions, formats,
             pos_deletes, new_sid, new_seq, new_data_entries,
-            del_entries, "overwrite",
+            del_entries, "overwrite", branch=branch,
         )
         if sid is None:
             continue  # lost the race: re-match against the winner
@@ -3610,6 +3635,7 @@ def update_iceberg(
     root: str,
     where,
     set_exprs: dict[str, str],
+    branch: str | None = None,
 ) -> tuple[int, int]:
     """DML UPDATE ... SET — the third MoR verb (twin of
     :func:`delta_reader.update_delta`), completing
@@ -3639,7 +3665,7 @@ def update_iceberg(
         (
             meta, live, pos_deletes, bounds, partitions, formats,
             latest_sid,
-        ) = _iceberg_dml_preamble(root, "update_iceberg")
+        ) = _iceberg_dml_preamble(root, "update_iceberg", branch)
         top = _current_schema_fields(meta)
         tcols = [f["name"] for f in top]
         bad = [c for c in set_exprs if c not in tcols]
@@ -3690,7 +3716,7 @@ def update_iceberg(
         sid = _iceberg_mor_commit(
             root, meta, live, bounds, partitions, formats,
             pos_deletes, new_sid, new_seq, new_entries, del_entries,
-            "overwrite",
+            "overwrite", branch=branch,
         )
         matched.unpersist()
         if sid is None:

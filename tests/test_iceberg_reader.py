@@ -2074,3 +2074,70 @@ def test_iceberg_wap_branch_write_and_fast_forward(spark, tmp_path):
     assert got == list(range(10)) + [200], (
         "append after rollback must not resurrect the abandoned head"
     )
+
+
+def test_iceberg_wap_dml_on_branch(spark, tmp_path):
+    """The full WAP pipeline with DML STAGING: delete/update/upsert
+    target the branch head and move only the branch ref; main stays
+    pristine through the whole staging wave until fast-forward;
+    unknown branches refuse."""
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        delete_from_iceberg,
+        fast_forward_iceberg,
+        update_iceberg,
+        upsert_iceberg,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "k long, x double"
+        ),
+        dest,
+    )
+    with _pytest.raises(ValueError, match="branch"):
+        delete_from_iceberg(spark, dest, "k = 0", branch="nope")
+    # stage the whole wave on one branch
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(101, 1.0)], "k long, x double"),
+        dest, mode="append", branch="stage",
+    )
+    _s, nd = delete_from_iceberg(
+        spark, dest, "k % 5 = 0", branch="stage"
+    )
+    assert nd == 4
+    _s, nu = update_iceberg(
+        spark, dest, "k = 7", {"x": "x + 100"}, branch="stage"
+    )
+    assert nu == 1
+    _s, st = upsert_iceberg(
+        spark, dest,
+        spark.createDataFrame(
+            [(8, 888.0), (200, 2.0)], "k long, x double"
+        ),
+        ["k"], branch="stage",
+    )
+    assert st == {"updated": 1, "inserted": 1}
+    # main: pristine through the whole wave
+    assert sorted(
+        r.k for r in read_iceberg(spark, dest).collect()
+    ) == list(range(20))
+    # branch: the composed result
+    got = {
+        r.k: r.x
+        for r in read_iceberg(spark, dest, ref="stage").collect()
+    }
+    assert set(got) == (
+        set(range(20)) - {0, 5, 10, 15}
+    ) | {101, 200}
+    assert got[7] == 107.0 and got[8] == 888.0
+    # publish
+    fast_forward_iceberg(dest, "stage")
+    assert {
+        r.k for r in read_iceberg(spark, dest).collect()
+    } == set(got)
