@@ -3369,6 +3369,7 @@ def upsert_iceberg(
         )
         if sid is None:
             continue  # lost the race: re-match against the winner
+            # (src/matched were already unpersisted above)
         return new_sid, {
             "updated": n_matched,
             "inserted": n_source - n_matched,
@@ -3506,6 +3507,24 @@ def fast_forward_iceberg(root: str, branch: str) -> int:
                 f"branch {branch!r} not in table metadata"
             )
         sid = refs[branch]["snapshot-id"]
+        snaps = {
+            sn["snapshot-id"]: sn for sn in meta.get("snapshots", [])
+        }
+        cur = meta.get("current-snapshot-id")
+        if cur not in (None, -1) and cur in snaps and sid in snaps:
+            # FAST-FORWARD means forward: a branch whose head has a
+            # LOWER sequence than main would silently un-publish
+            # main's commits — that is a rollback, ask for one
+            if (
+                snaps[sid].get("sequence-number", 0)
+                < snaps[cur].get("sequence-number", 0)
+            ):
+                raise ValueError(
+                    f"branch {branch!r} head (seq "
+                    f"{snaps[sid].get('sequence-number')}) is BEHIND "
+                    f"main (seq {snaps[cur].get('sequence-number')}) "
+                    "— use rollback_iceberg to move backwards"
+                )
         meta["current-snapshot-id"] = sid
         if _try_commit_metadata(root, meta):
             return sid
@@ -3803,8 +3822,20 @@ def rewrite_iceberg_data_files(
             # zero-scan deletes, paid once per fold, after which
             # position-addressing DML unblocks).
             rows = read_iceberg(spark, root)
-            n_dead_eq = -1  # unknown without a pre-count; stats
-            # report files, not rows, for the eq path
+            # exact dead count when every live file is parquet:
+            # physical rows come from the footers (driver-side
+            # metadata), live rows from the staged record_counts —
+            # no extra job. Mixed-format tables report -1 (unknown).
+            n_phys = -1
+            if all(
+                formats.get(p, "PARQUET") == "PARQUET" for p in live
+            ):
+                import pyarrow.parquet as _pq
+
+                n_phys = sum(
+                    _pq.ParquetFile(p).metadata.num_rows
+                    for p in live
+                )
             new_sid = latest_sid + 1 if latest_sid >= 0 else 1
             new_seq = int(meta.get("last-sequence-number", 0)) + 1
             top = _current_schema_fields(meta)
@@ -3838,6 +3869,9 @@ def rewrite_iceberg_data_files(
             )
             if sid is None:
                 continue
+            n_live = sum(
+                e["data_file"]["record_count"] for e in new_entries
+            )
             return new_sid, {
                 "files_rewritten": len(live),
                 "files_added": len(new_entries),
@@ -3845,7 +3879,9 @@ def rewrite_iceberg_data_files(
                     {p for p, _s, _i in eq_deletes}
                 )
                 + len({p for p, _s in pos_deletes}),
-                "dead_rows_folded": n_dead_eq,
+                "dead_rows_folded": (
+                    n_phys - n_live if n_phys >= 0 else -1
+                ),
             }
         dead_by_file: dict[str, int] = {}
         if pos_deletes:
