@@ -166,6 +166,37 @@ def _try_commit_metadata(root: str, meta: dict) -> bool:
     if base is not None and latest != base:
         return False  # stale base: state derived from an old head
     nxt = (base if base is not None else latest) + 1
+    # spec bookkeeping (deterministic stamps — version*1000 — so
+    # replays/tests stay bit-stable): metadata-log records the file
+    # this commit supersedes; snapshot-log records current-snapshot
+    # transitions (entries for expired snapshots are pruned by
+    # expire_snapshots)
+    if nxt > 1:
+        prev_path = os.path.abspath(
+            os.path.join(md, f"v{nxt - 1}.metadata.json")
+        )
+        if os.path.exists(prev_path):
+            mlog = list(meta.get("metadata-log") or [])[-99:]
+            mlog.append(
+                {
+                    "timestamp-ms": 1000 * (nxt - 1),
+                    "metadata-file": prev_path,
+                }
+            )
+            meta["metadata-log"] = mlog
+            try:
+                prev_cur = json.load(open(prev_path)).get(
+                    "current-snapshot-id"
+                )
+            except (OSError, json.JSONDecodeError):
+                prev_cur = None
+            cur = meta.get("current-snapshot-id")
+            if cur not in (None, -1) and cur != prev_cur:
+                slog = list(meta.get("snapshot-log") or [])[-99:]
+                slog.append(
+                    {"timestamp-ms": 1000 * nxt, "snapshot-id": cur}
+                )
+                meta["snapshot-log"] = slog
     path = os.path.join(md, f"v{nxt}.metadata.json")
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -1977,6 +2008,12 @@ def expire_snapshots(dest: str, keep_last: int = 1) -> list[str]:
             return []
         meta2 = dict(meta)
         meta2["snapshots"] = survivors
+        alive = {sn["snapshot-id"] for sn in survivors}
+        meta2["snapshot-log"] = [
+            e
+            for e in (meta.get("snapshot-log") or [])
+            if e.get("snapshot-id") in alive
+        ]
         if _try_commit_metadata(dest, meta2):
             break
     # Recompute keep-sets from the NOW-CURRENT metadata (ours, or a

@@ -2141,3 +2141,71 @@ def test_iceberg_wap_dml_on_branch(spark, tmp_path):
     assert {
         r.k for r in read_iceberg(spark, dest).collect()
     } == set(got)
+
+
+def test_iceberg_snapshot_and_metadata_logs(spark, tmp_path):
+    """Spec bookkeeping: every commit appends the superseded file to
+    metadata-log; current-snapshot transitions land in snapshot-log
+    (branch staging does NOT — current never moved); rollback logs
+    its flip; expire prunes log entries for expired snapshots."""
+    from dataflowex_spark.sources.iceberg_reader import (
+        delete_from_iceberg,
+        expire_snapshots,
+        fast_forward_iceberg,
+        load_table_metadata,
+        rollback_iceberg,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k long, x double"
+        ),
+        dest,
+    )
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(100, 1.0)], "k long, x double"),
+        dest, mode="append",
+    )
+    delete_from_iceberg(spark, dest, "k = 0")
+    meta = load_table_metadata(dest)
+    slog = meta.get("snapshot-log") or []
+    mlog = meta.get("metadata-log") or []
+    # append + delete each moved current (the CREATE writes v1
+    # directly, before the log machinery has a predecessor)
+    assert [e["snapshot-id"] for e in slog] == [2, 3]
+    assert len(mlog) >= 2
+    import os as _os
+
+    assert all(
+        _os.path.exists(e["metadata-file"]) for e in mlog
+    )
+    # branch staging does not move current -> no snapshot-log entry
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(200, 2.0)], "k long, x double"),
+        dest, mode="append", branch="stage",
+    )
+    assert [
+        e["snapshot-id"]
+        for e in (load_table_metadata(dest).get("snapshot-log") or [])
+    ] == [2, 3]
+    fast_forward_iceberg(dest, "stage")
+    assert [
+        e["snapshot-id"]
+        for e in (load_table_metadata(dest).get("snapshot-log") or [])
+    ] == [2, 3, 4]
+    # rollback logs its flip; expire prunes expired entries
+    rollback_iceberg(dest, 3)
+    slog2 = load_table_metadata(dest).get("snapshot-log") or []
+    assert slog2[-1]["snapshot-id"] == 3
+    expire_snapshots(dest, keep_last=1)
+    meta3 = load_table_metadata(dest)
+    alive = {s["snapshot-id"] for s in meta3["snapshots"]}
+    assert all(
+        e["snapshot-id"] in alive
+        for e in (meta3.get("snapshot-log") or [])
+    )
