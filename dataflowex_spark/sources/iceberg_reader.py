@@ -4054,16 +4054,21 @@ def alter_iceberg(
     for old in list(renames) + drops:
         if old not in by_name:
             raise ValueError(f"column {old!r} not in schema")
+    # EVERY spec in history, not just the default: after spec
+    # evolution, carried old-spec manifests still type their r102
+    # structs from the source column — dropping it would break
+    # every later manifest write for those files
     part_src = {
         pf["source-id"]
-        for pf in (_spec_from_meta(meta) if meta.get(
-            "partition-specs") else [])
+        for ps in (meta.get("partition-specs") or [])
+        for pf in ps.get("fields", [])
     }
     for d in drops:
         if by_name[d]["id"] in part_src:
             raise ValueError(
                 f"cannot drop partition-source column {d!r} "
-                "(evolve the partition spec first)"
+                "(referenced by a partition spec; evolve specs "
+                "first — old-spec manifests still need the type)"
             )
     out = []
     for f in fields:
