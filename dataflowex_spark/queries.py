@@ -26402,3 +26402,83 @@ def q449(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q(
+    "q450_delta_exactly_once_sink",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 31 = 12
+    )
+    -- three distinct batches land ONCE each despite every batch
+    -- being delivered twice (at-least-once replay)
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM base GROUP BY priority ORDER BY priority
+    """,
+)
+def q450(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE STREAMING SINK via the protocol's SetTransaction
+    action (write_delta txn_app_id/txn_version + delta_stream_sink):
+    the table records (appId, version) per commit, so an
+    at-least-once redelivered micro-batch is recognized from the log
+    and skipped — no sink-side dedup state, no duplicate rows, the
+    exact mechanism delta-spark's streaming sink uses. In-query:
+    every batch is delivered TWICE through the foreachBatch-shaped
+    sink; the oracle replays the once-only union — hash match proves
+    idempotence end-to-end. The replay horizon rides in checkpoints
+    (txn rows), so it survives log compaction at 100 TB commit
+    volumes."""
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        delta_stream_sink,
+        read_delta,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 31 == 12)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q450_") + "/t"
+    sink = delta_stream_sink(dest, "q450_app", mode="append")
+    for bid in range(3):
+        batch = base.filter(F.col("okey") % 3 == bid)
+        if bid == 0:
+            # first batch creates the table
+            from dataflowex_spark.sources.delta_reader import (
+                write_delta,
+            )
+
+            write_delta(
+                spark, batch, dest,
+                txn_app_id="q450_app", txn_version=0,
+            )
+            write_delta(  # redelivery: must no-op
+                spark, batch, dest, mode="append",
+                txn_app_id="q450_app", txn_version=0,
+            )
+        else:
+            sink(batch, bid)
+            sink(batch, bid)  # at-least-once redelivery
+    return (
+        read_delta(spark, dest)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )

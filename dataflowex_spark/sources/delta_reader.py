@@ -1377,6 +1377,81 @@ def vacuum_delta_export(
     return deleted
 
 
+def _txn_state(root: str) -> dict[str, int]:
+    """appId → latest committed SetTransaction version (the
+    protocol's ``txn`` action — LAST-WINS per app in commit order):
+    folded from the newest checkpoint's ``txn`` rows (older
+    checkpoints predate the column and contribute nothing) plus the
+    JSON commits after it."""
+    commits = _commit_files(root)
+    cp = _checkpoint_for(root, 1 << 62)
+    out: dict[str, int] = {}
+    start = 0
+    if cp is not None:
+        cpv, paths = cp
+        start = cpv + 1
+        import pyarrow.parquet as _pq
+
+        for pth in paths:
+            t = _pq.read_table(pth)
+            if "txn" not in t.column_names:
+                continue
+            for raw in t.column("txn").to_pylist():
+                if not raw:
+                    continue
+                d = json.loads(raw) if isinstance(raw, str) else raw
+                if d and d.get("appId") is not None:
+                    out[d["appId"]] = int(d.get("version", -1))
+    for vv in sorted(c for c in commits if c >= start):
+        with open(commits[vv]) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                t = a.get("txn")
+                if t and t.get("appId") is not None:
+                    out[t["appId"]] = int(t.get("version", -1))
+    return out
+
+
+def last_txn_version(root: str, app_id: str) -> int | None:
+    """Latest committed SetTransaction version for ``app_id`` (None
+    if the app never committed) — what an exactly-once streaming
+    writer consults before applying a replayed batch."""
+    return _txn_state(root).get(app_id)
+
+
+def delta_stream_sink(
+    dest: str,
+    app_id: str,
+    mode: str = "append",
+    **write_kwargs,
+):
+    """EXACTLY-ONCE ``foreachBatch`` sink via the protocol's
+    SetTransaction action: returns a ``(batch_df, batch_id)``
+    callable for ``writeStream.foreachBatch`` that commits each
+    micro-batch with ``txn(appId=app_id, version=batch_id)`` — a
+    REPLAYED batch (failure recovery re-delivers the same batch_id)
+    is recognized from the log and skipped, so the sink is
+    idempotent end-to-end without any sink-side dedup state. This is
+    exactly how delta-spark's own streaming sink achieves
+    exactly-once on top of at-least-once batch delivery."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_delta(
+            batch_df.sparkSession,
+            batch_df,
+            dest,
+            mode=mode,
+            txn_app_id=app_id,
+            txn_version=int(batch_id),
+            **write_kwargs,
+        )
+
+    return _sink
+
+
 def checkpoint_delta_export(
     spark: SparkSession, dest: str, parts: int | None = None
 ) -> int:
@@ -1406,6 +1481,13 @@ def checkpoint_delta_export(
     actions = [{"protocol": proto}, {"metaData": meta}] + [
         {"add": a} for _p, a in sorted(adds.items())
     ]
+    # latest SetTransaction per appId rides into the checkpoint —
+    # without it, exactly-once writers would lose their replay
+    # horizon once the JSON commits age out
+    actions += [
+        {"txn": {"appId": app, "version": ver}}
+        for app, ver in sorted(_txn_state(dest).items())
+    ]
     rows = []
     for a in actions:
         rows.append(
@@ -1413,12 +1495,13 @@ def checkpoint_delta_export(
                 json.dumps(a.get("protocol")) if "protocol" in a else None,
                 json.dumps(a.get("metaData")) if "metaData" in a else None,
                 json.dumps(a.get("add")) if "add" in a else None,
+                json.dumps(a.get("txn")) if "txn" in a else None,
             )
         )
     # JSON-string columns keep the checkpoint schema stable across
     # action evolution; the reader's fold accepts dict-shaped rows,
     # so decode happens at read time
-    cp_schema = "protocol string, metaData string, add string"
+    cp_schema = "protocol string, metaData string, add string, txn string"
     log = _log_dir(dest)
     import shutil as _shutil
 
@@ -1700,6 +1783,8 @@ def write_delta(
     partition_by: list[str] | None = None,
     configuration: dict[str, str] | None = None,
     merge_schema: bool = False,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """GENERIC Delta writer — any DataFrame → a Delta-protocol table,
     no MTable required (the standalone complement to the MTable
@@ -1757,10 +1842,21 @@ def write_delta(
             if isinstance(f.dataType, prim) and f.name not in pcols
         ]
     )
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError(
+            "txn_app_id and txn_version go together (the protocol's "
+            "SetTransaction is (appId, version))"
+        )
     log = _log_dir(dest)
     exists = os.path.isdir(log) and bool(_commit_files(dest))
     if mode == "error" and exists:
         raise ValueError(f"Delta table already exists at {dest}")
+    if txn_app_id is not None and exists:
+        last = last_txn_version(dest, txn_app_id)
+        if last is not None and txn_version <= last:
+            # idempotent replay: this batch already committed —
+            # nothing stages, nothing commits
+            return max(_commit_files(dest))
     if mode not in ("error", "append", "overwrite"):
         raise ValueError(f"write_delta mode {mode!r}")
     os.makedirs(os.path.join(dest, "data"), exist_ok=True)
@@ -1828,6 +1924,16 @@ def write_delta(
             for p in sorted(live)
         ]
     actions += adds
+    if txn_app_id is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn_app_id,
+                    "version": int(txn_version),
+                    "lastUpdated": None,
+                }
+            }
+        )
     actions.append(
         {
             "commitInfo": {
@@ -1839,6 +1945,14 @@ def write_delta(
     # optimistic concurrency: claim the next version file exclusively
     while True:
         v = max(_commit_files(dest), default=-1) + 1
+        if txn_app_id is not None and v > 0:
+            # a RACING REPLAY of the same batch may have landed
+            # between the early check and this claim — re-verify so
+            # a batch never commits twice (this attempt's staged
+            # files become vacuum-reclaimable orphans)
+            last = last_txn_version(dest, txn_app_id)
+            if last is not None and txn_version <= last:
+                return v - 1
         path = os.path.join(log, f"{v:020d}.json")
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)

@@ -1826,3 +1826,65 @@ def test_delta_check_constraints(spark, tmp_path):
     assert read_delta(spark, root).count() == v_before + 2
     with _pytest.raises(ValueError, match="not on table"):
         drop_delta_constraint(spark, root, "nope")
+
+
+def test_delta_set_transaction_exactly_once(spark, tmp_path):
+    """The protocol's SetTransaction action: a (appId, version)
+    commit is idempotent — replaying the same or an older batch is a
+    no-op; different apps don't interfere; the replay horizon
+    survives checkpointing (txn rides in the checkpoint); the
+    foreachBatch sink helper wires it end to end."""
+    from dataflowex_spark.sources.delta_reader import (
+        checkpoint_delta_export,
+        delta_stream_sink,
+        last_txn_version,
+        read_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    b0 = spark.createDataFrame([(0, 0.0)], "k long, x double")
+    write_delta(spark, b0, root, txn_app_id="app1", txn_version=0)
+    b1 = spark.createDataFrame([(1, 1.0)], "k long, x double")
+    write_delta(
+        spark, b1, root, mode="append",
+        txn_app_id="app1", txn_version=1,
+    )
+    # exact replay: no-op, no new commit, no duplicate rows
+    v_before = write_delta(
+        spark, b1, root, mode="append",
+        txn_app_id="app1", txn_version=1,
+    )
+    assert read_delta(spark, root).count() == 2
+    # older version replay: also a no-op
+    write_delta(
+        spark, b0, root, mode="append",
+        txn_app_id="app1", txn_version=0,
+    )
+    assert read_delta(spark, root).count() == 2
+    assert last_txn_version(root, "app1") == 1
+    # a DIFFERENT app's version 1 commits fine
+    write_delta(
+        spark,
+        spark.createDataFrame([(10, 1.0)], "k long, x double"),
+        root, mode="append", txn_app_id="app2", txn_version=1,
+    )
+    assert read_delta(spark, root).count() == 3
+    # replay horizon survives checkpointing
+    checkpoint_delta_export(spark, root)
+    assert last_txn_version(root, "app1") == 1
+    assert last_txn_version(root, "app2") == 1
+    assert last_txn_version(root, "nope") is None
+    write_delta(
+        spark, b1, root, mode="append",
+        txn_app_id="app1", txn_version=1,
+    )
+    assert read_delta(spark, root).count() == 3
+    # the sink helper: same batch_id delivered twice lands once
+    sink = delta_stream_sink(root, "stream_app")
+    batch = spark.createDataFrame([(100, 9.0)], "k long, x double")
+    sink(batch, 7)
+    sink(batch, 7)  # at-least-once redelivery
+    assert read_delta(spark, root).count() == 4
+    sink(batch, 8)
+    assert read_delta(spark, root).count() == 5
