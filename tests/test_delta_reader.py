@@ -1888,3 +1888,44 @@ def test_delta_set_transaction_exactly_once(spark, tmp_path):
     assert read_delta(spark, root).count() == 4
     sink(batch, 8)
     assert read_delta(spark, root).count() == 5
+
+
+def test_delta_txn_racing_replays_land_once(spark, tmp_path):
+    """TRUE RACE on SetTransaction: two threads deliver the SAME
+    batch (same appId+version) concurrently — the in-claim re-check
+    guarantees exactly one commit, no duplicate rows, no errors."""
+    import threading
+
+    from dataflowex_spark.sources.delta_reader import (
+        read_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame([(0, 0.0)], "k long, x double"),
+        root, txn_app_id="app", txn_version=0,
+    )
+    batch = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 6)], "k long, x double"
+    )
+    errs: list = []
+
+    def deliver():
+        try:
+            write_delta(
+                spark, batch, root, mode="append",
+                txn_app_id="app", txn_version=1,
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=deliver) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    rows = sorted(r.k for r in read_delta(spark, root).collect())
+    assert rows == list(range(6)), rows  # batch landed exactly once
