@@ -64,6 +64,8 @@ import urllib.parse as _uparse
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
+from dataflowex_spark.sources.commit_backend import get_commit_backend
+
 _SUPPORTED_READER_FEATURES = {
     "timestampNtz",  # type-only, no read-path behavior change
     "vacuumProtocolCheck",  # writer-side concern
@@ -86,10 +88,14 @@ def _rel_uri(rel: str) -> str:
     delta-spark DECODES add.path before resolving it, so emitting
     raw on-disk bytes (hive-escaped partition dirs carry literal
     ``%XX``) would make a real engine resolve a DIFFERENT file —
-    and its tables unreadable here. quote(unquote(x)) is canonical,
-    so a remove emitted from an on-disk path always matches the
+    and its tables unreadable here. The raw ON-DISK relative path is
+    encoded with quote() ALONE (a literal ``%`` in a hive-escaped
+    dir — partition value containing ``%``/``=`` → on-disk
+    ``a%3Db`` — escapes to ``a%253Db``, exactly what delta-spark
+    logs), so the log string always decodes back to the on-disk
+    bytes and a remove emitted from an on-disk path matches the
     add's log string. The safe set is RFC 2396 pchar (``:@&=+$,``
-    stay raw — hive dirs keep their literal ``=``, matching what
+    stay raw — hive dirs keep their literal key ``=``, matching what
     Hadoop's Path URI leaves unescaped in delta-spark logs)."""
     import urllib.parse as _up
 
@@ -1799,9 +1805,10 @@ def write_delta(
     top-level primitive columns) aggregate in ONE pass grouped by
     ``input_file_name`` and land in ``add.stats`` — so tables
     written here get data skipping from day one. The commit is a
-    single JSON append; concurrent writers race on the version file
-    (os O_EXCL via exclusive create) — the loser retries with the
-    next number, delta's optimistic concurrency.
+    single JSON append; concurrent writers race on the version slot
+    through the pluggable commit backend (put-if-absent: os.link on
+    POSIX, conditional PUT on an object store) — the loser retries
+    with the next number, delta's optimistic concurrency.
 
     ``partition_by``: hive-layout partitioned staging
     (``data/<col>=<val>/…``), canonical string partitionValues per
@@ -1862,8 +1869,20 @@ def write_delta(
     os.makedirs(os.path.join(dest, "data"), exist_ok=True)
     os.makedirs(log, exist_ok=True)
     evolved_meta = None
+    mode0 = "none"  # the table's columnMapping mode (staging contract)
+    stage_schema: T.StructType | None = None
+    create_schema: T.StructType | None = None
+    create_conf = dict(configuration or {})
     if exists:
         meta0, _live0 = _snapshot(spark, dest, None)
+        mode0 = _mapping_mode(meta0)
+        if mode0 == "id":
+            # same refusal as the DML paths: mode=id binds columns by
+            # parquet footer field id; a name-keyed staging contract
+            # has no stable physical name to write under
+            raise DeltaProtocolError(
+                "write_delta unsupported for columnMapping mode=id"
+            )
         cur = T.StructType.fromJson(json.loads(meta0["schemaString"]))
         have = {f.name: f for f in cur.fields}
         new_fields = [
@@ -1884,36 +1903,114 @@ def write_delta(
                 f"{[f.name for f in new_fields]}; pass "
                 "merge_schema=True to evolve the table schema"
             )
+        stage_schema = cur
         if new_fields and merge_schema:
-            evolved = T.StructType(
-                list(cur.fields)
-                + [
+            if mode0 == "name":
+                # evolved columns on a mapped table need a stable
+                # physical identity at birth (delta-spark assigns a
+                # fresh col-<uuid> physicalName + the next column id)
+                conf0 = dict(meta0.get("configuration") or {})
+                next_id = int(
+                    conf0.get("delta.columnMapping.maxColumnId", 0)
+                )
+                added = []
+                for f in new_fields:
+                    next_id += 1
+                    added.append(
+                        T.StructField(
+                            f.name,
+                            f.dataType,
+                            True,
+                            {
+                                "delta.columnMapping.id": next_id,
+                                "delta.columnMapping.physicalName":
+                                    f"col-{_uuid.uuid4().hex[:16]}",
+                            },
+                        )
+                    )
+                conf0["delta.columnMapping.maxColumnId"] = str(next_id)
+            else:
+                added = [
                     T.StructField(f.name, f.dataType, True)
                     for f in new_fields
                 ]
-            )
+            evolved = T.StructType(list(cur.fields) + added)
             evolved_meta = dict(meta0)
             evolved_meta["schemaString"] = json.dumps(
                 evolved.jsonValue()
             )
+            if mode0 == "name":
+                evolved_meta["configuration"] = conf0
+            stage_schema = evolved
+    else:
+        cmode = create_conf.get("delta.columnMapping.mode", "none")
+        if cmode == "id":
+            raise DeltaProtocolError(
+                "write_delta cannot create columnMapping mode=id "
+                "tables (mode=name is supported)"
+            )
+        if cmode == "name":
+            # fresh mapped table: every field gets an id + a
+            # col-<uuid> physicalName (delta-spark's creation shape —
+            # data files never carry logical names)
+            mode0 = "name"
+            fields = []
+            for i, f in enumerate(df.schema.fields, 1):
+                md = dict(f.metadata or {})
+                md["delta.columnMapping.id"] = i
+                md["delta.columnMapping.physicalName"] = (
+                    f"col-{_uuid.uuid4().hex[:16]}"
+                )
+                fields.append(
+                    T.StructField(f.name, f.dataType, f.nullable, md)
+                )
+            create_schema = T.StructType(fields)
+            create_conf["delta.columnMapping.maxColumnId"] = str(
+                len(fields)
+            )
+            stage_schema = create_schema
     if exists:
         _enforce_constraints(df, meta0, "write_delta")
-    adds = _stage_data_files(spark, dest, df, pcols, scols)
+    stage_df, stage_pcols, stage_scols = df, pcols, scols
+    if mode0 == "name":
+        # stage under PHYSICAL names — data files, hive partition
+        # dirs, partitionValues and stats all key physical on a
+        # mapped table, exactly what _dml_scan / _stats_allows /
+        # read_delta's explicit-physical-schema scan resolve
+        present = set(df.columns)
+        sub = T.StructType(
+            [f for f in stage_schema.fields if f.name in present]
+        )
+        pbl = {f.name: _physical_name(f) for f in stage_schema.fields}
+        stage_df = _physical_frame(df, sub, "name", pcols)
+        stage_pcols = [pbl.get(c, c) for c in pcols]
+        stage_scols = [pbl.get(c, c) for c in scols]
+    adds = _stage_data_files(
+        spark, dest, stage_df, stage_pcols, stage_scols
+    )
     actions: list[dict] = []
     if evolved_meta is not None:
         actions.append({"metaData": evolved_meta})
     if not exists:
         actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            {
+                "protocol": (
+                    {"minReaderVersion": 2, "minWriterVersion": 5}
+                    if create_schema is not None
+                    else {"minReaderVersion": 1, "minWriterVersion": 2}
+                )
+            }
         )
         actions.append(
             {
                 "metaData": {
                     "id": f"write-delta-{_uuid.uuid4().hex[:12]}",
-                    "schemaString": json.dumps(df.schema.jsonValue()),
+                    "schemaString": json.dumps(
+                        (create_schema or df.schema).jsonValue()
+                    ),
                     "partitionColumns": pcols,
                     "format": {"provider": "parquet"},
-                    "configuration": dict(configuration or {}),
+                    "configuration": create_conf,
                 }
             }
         )
@@ -1942,7 +2039,12 @@ def write_delta(
             }
         }
     )
-    # optimistic concurrency: claim the next version file exclusively
+    # optimistic concurrency: claim the next version slot through the
+    # pluggable commit backend — the claim publishes the COMPLETE
+    # serialized commit (temp-file + link on POSIX, conditional PUT
+    # on an object store), so a visible version file is never torn
+    # and the in-claim SetTransaction re-check below stays sound
+    content = "".join(json.dumps(a) + "\n" for a in actions)
     while True:
         v = max(_commit_files(dest), default=-1) + 1
         if txn_app_id is not None and v > 0:
@@ -1955,12 +2057,9 @@ def write_delta(
                 return v - 1
         path = os.path.join(log, f"{v:020d}.json")
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            get_commit_backend().put_if_absent(path, content)
         except FileExistsError:
             continue  # lost the race: retry with the next version
-        with os.fdopen(fd, "w") as f:
-            for a in actions:
-                f.write(json.dumps(a) + "\n")
         break
     # delta.checkpointInterval: checkpoint when the committed version
     # hits the interval, exactly delta-spark's cadence — keeps the
@@ -2080,7 +2179,8 @@ def delete_from_delta(
     so re-deletes accumulate; files with no match are untouched.
     Stats stay as written (``numRecords`` is physical per the
     protocol; DV deadness is logical). The commit claims its version
-    with the same O_EXCL loop as :func:`write_delta`; on a lost race
+    with the same put-if-absent loop as :func:`write_delta`; on a
+    lost race
     the WHOLE delete recomputes against the new snapshot (DV files
     from the lost attempt are orphans until vacuum). First DV on a
     table upgrades the protocol to readerVersion 3 / writerVersion 7
@@ -2114,7 +2214,7 @@ def update_delta(
     Under ``delta.enableChangeDataFeed=true`` the commit carries
     authoritative ``update_preimage`` + ``update_postimage`` cdc
     rows. Same concurrency/protocol story as
-    :func:`delete_from_delta` (O_EXCL claim, recompute on lost race,
+    :func:`delete_from_delta` (put-if-absent claim, recompute on lost race,
     deletionVectors feature upgrade)."""
     if not set_exprs:
         raise ValueError("update_delta: set_exprs must be non-empty")
@@ -2484,18 +2584,18 @@ def _try_claim_commit(
     actions: list[dict],
     conf: dict,
 ) -> int | None:
-    """Claim version ``latest+1`` exclusively (O_EXCL) and write the
-    actions; ``None`` when another writer won the race (caller
-    recomputes). Honors ``delta.checkpointInterval``."""
+    """Claim version ``latest+1`` exclusively through the pluggable
+    commit backend (put-if-absent of the FULLY-SERIALIZED commit —
+    a visible ``N.json`` is always complete, no reader can observe a
+    claimed-but-torn file); ``None`` when another writer won the
+    race (caller recomputes). Honors ``delta.checkpointInterval``."""
     v = latest + 1
     path = os.path.join(_log_dir(dest), f"{v:020d}.json")
+    content = "".join(json.dumps(a) + "\n" for a in actions)
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        get_commit_backend().put_if_absent(path, content)
     except FileExistsError:
         return None
-    with os.fdopen(fd, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
     try:
         interval = int(conf.get("delta.checkpointInterval", 10))
     except (TypeError, ValueError):

@@ -75,6 +75,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from dataflowex_spark.sources.avro_io import read_container
+from dataflowex_spark.sources.commit_backend import get_commit_backend
 
 
 class IcebergProtocolError(NotImplementedError):
@@ -140,12 +141,50 @@ def _latest_meta_version(md: str) -> int:
     return best
 
 
+def _parent_snapshot_id(meta: dict, branch: str | None = None) -> int | None:
+    """The snapshot a NEW commit descends from — the branch head for
+    branch-targeted commits (falling back to main when the branch is
+    being born), main's head otherwise. ``None`` for a table with no
+    current snapshot. Recorded as the spec's ``parent-snapshot-id``
+    so ancestry (fast-forward validity, lineage audits) is checkable
+    instead of guessed from sequence numbers."""
+    sid = None
+    if branch is not None:
+        sid = ((meta.get("refs") or {}).get(branch) or {}).get(
+            "snapshot-id"
+        )
+    if sid is None:
+        sid = meta.get("current-snapshot-id")
+    return None if sid in (None, -1) else sid
+
+
+def _ancestors(meta: dict, head: int) -> set[int]:
+    """Snapshot ids reachable from ``head`` via ``parent-snapshot-id``
+    links (inclusive). The walk stops at the first snapshot with no
+    recorded parent or whose parent has been expired from the
+    metadata — conservative: unprovable ancestry reads as absent."""
+    snaps = {
+        s["snapshot-id"]: s for s in meta.get("snapshots", [])
+    }
+    out: set[int] = set()
+    node = head
+    while node in snaps and node not in out:
+        out.add(node)
+        p = snaps[node].get("parent-snapshot-id")
+        if p is None:
+            break
+        node = p
+    return out
+
+
 def _try_commit_metadata(root: str, meta: dict) -> bool:
     """OPTIMISTIC COMMIT: put-if-absent claim of the next
-    ``vN.metadata.json`` via ``O_CREAT|O_EXCL`` (the filesystem twin
-    of a catalog's compare-and-swap — same shape as Delta's version
+    ``vN.metadata.json`` through the pluggable commit backend
+    (put-if-absent of the COMPLETE serialized metadata — os.link on
+    POSIX, conditional PUT on an object store; the store twin of a
+    catalog's compare-and-swap — same shape as Delta's version
     claim at ``delta_reader._try_claim_commit`` and MTable's
-    pluggable put-if-absent backend). Returns False when another
+    backend). Returns False when another
     writer claimed the version first; the caller re-reads the
     winner's snapshot and REPLAYS its change set (every writer here
     is change-bound, so replay is cheap). The hint only ever
@@ -199,11 +238,9 @@ def _try_commit_metadata(root: str, meta: dict) -> bool:
                 meta["snapshot-log"] = slog
     path = os.path.join(md, f"v{nxt}.metadata.json")
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        get_commit_backend().put_if_absent(path, json.dumps(meta))
     except FileExistsError:
         return False
-    with os.fdopen(fd, "w") as f:
-        json.dump(meta, f)
     hint_path = os.path.join(md, "version-hint.text")
     cur = 0
     if os.path.exists(hint_path):
@@ -212,10 +249,9 @@ def _try_commit_metadata(root: str, meta: dict) -> bool:
         except ValueError:
             pass
     if nxt > cur:
-        tmp = f"{hint_path}.{nxt}.tmp"
-        with open(tmp, "w") as f:
-            f.write(str(nxt))
-        os.replace(tmp, hint_path)
+        # advisory only (listing is the source of truth), so an
+        # unconditional last-writer put is safe here
+        get_commit_backend().put(hint_path, str(nxt))
     return True
 
 
@@ -1952,6 +1988,11 @@ def export_iceberg_increment(
     meta["snapshots"] = snaps + [
         {
             "snapshot-id": new_sid,
+            **(
+                {"parent-snapshot-id": _p}
+                if (_p := _parent_snapshot_id(meta)) is not None
+                else {}
+            ),
             "timestamp-ms": 1000 * new_sid,
             "sequence-number": new_seq,
             "manifest-list": os.path.abspath(mlist),
@@ -2834,6 +2875,11 @@ def _write_iceberg_attempt(
     meta["snapshots"] = snaps + [
         {
             "snapshot-id": new_sid,
+            **(
+                {"parent-snapshot-id": _p}
+                if (_p := _parent_snapshot_id(meta, branch)) is not None
+                else {}
+            ),
             "timestamp-ms": 1000 * new_sid,
             "sequence-number": new_seq,
             "manifest-list": os.path.abspath(mlist),
@@ -3164,6 +3210,11 @@ def _iceberg_mor_commit(
     meta["snapshots"] = snaps + [
         {
             "snapshot-id": new_sid,
+            **(
+                {"parent-snapshot-id": _p}
+                if (_p := _parent_snapshot_id(meta, branch)) is not None
+                else {}
+            ),
             "timestamp-ms": 1000 * new_sid,
             "sequence-number": new_seq,
             "manifest-list": os.path.abspath(mlist),
@@ -3535,7 +3586,16 @@ def fast_forward_iceberg(root: str, branch: str) -> int:
     branch head (metadata-only, optimistic) — the second half of
     write-audit-publish: stage with ``write_iceberg(...,
     branch="audit")``, validate by reading ``ref="audit"``, then
-    fast-forward main. Returns the now-current snapshot id."""
+    fast-forward main. Returns the now-current snapshot id.
+
+    TRUE fast-forward semantics: main's current head must be an
+    ANCESTOR of the branch head (checked along the recorded
+    ``parent-snapshot-id`` chain). A branch that merely has a higher
+    sequence number but diverged — main advanced after the branch
+    was staged, then the branch committed again — REFUSES rather
+    than silently dropping main's interleaved commits; so does a
+    chain whose intermediate snapshots were expired (unprovable
+    ancestry reads as divergence, conservatively)."""
     while True:
         meta = load_table_metadata(root)
         refs = meta.get("refs") or {}
@@ -3549,19 +3609,38 @@ def fast_forward_iceberg(root: str, branch: str) -> int:
         }
         cur = meta.get("current-snapshot-id")
         if cur not in (None, -1) and cur in snaps and sid in snaps:
-            # FAST-FORWARD means forward: a branch whose head has a
-            # LOWER sequence than main would silently un-publish
-            # main's commits — that is a rollback, ask for one
-            if (
-                snaps[sid].get("sequence-number", 0)
-                < snaps[cur].get("sequence-number", 0)
-            ):
-                raise ValueError(
-                    f"branch {branch!r} head (seq "
-                    f"{snaps[sid].get('sequence-number')}) is BEHIND "
-                    f"main (seq {snaps[cur].get('sequence-number')}) "
-                    "— use rollback_iceberg to move backwards"
-                )
+            # FAST-FORWARD means forward ALONG MAIN'S OWN LINE: the
+            # published head must be a descendant of main's current
+            # head (ancestry via the recorded parent-snapshot-id
+            # chain, the reference fast_forward semantics). A
+            # higher sequence number alone is NOT enough — if main
+            # advanced after the branch was staged and the branch
+            # then committed again, the branch head is DIVERGENT
+            # (higher seq, different lineage) and publishing it
+            # would silently drop main's interleaved commits.
+            if cur != sid:
+                anc = _ancestors(meta, sid)
+                if cur not in anc:
+                    if (
+                        snaps[sid].get("sequence-number", 0)
+                        < snaps[cur].get("sequence-number", 0)
+                    ):
+                        raise ValueError(
+                            f"branch {branch!r} head (seq "
+                            f"{snaps[sid].get('sequence-number')}) "
+                            "is BEHIND main (seq "
+                            f"{snaps[cur].get('sequence-number')}) "
+                            "— use rollback_iceberg to move backwards"
+                        )
+                    raise ValueError(
+                        f"branch {branch!r} head {sid} does not "
+                        f"descend from main's head {cur} — the "
+                        "branch DIVERGED (main advanced after the "
+                        "branch was staged); rebase the branch "
+                        "(re-stage against the current head) "
+                        "instead of fast-forwarding over main's "
+                        "commits"
+                    )
         meta["current-snapshot-id"] = sid
         if _try_commit_metadata(root, meta):
             return sid

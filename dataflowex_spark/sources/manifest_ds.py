@@ -50,6 +50,40 @@ from pyspark.sql.datasource import (
 )
 
 
+def _arrow_null_type(t: str | None):
+    """Declared Spark/Delta primitive type string → the arrow type a
+    typed all-null column must carry so the POSITIONAL arrow-to-Spark
+    mapping at stream time accepts it (an untyped ``pa.nulls`` column
+    against a non-null declared type is rejected). Covers every
+    primitive ``simpleString`` the schemas here produce — including
+    short/byte/decimal/binary/timestamp_ntz, which schema evolution
+    over ANY primitive column can surface in a tail. ``None`` for
+    complex/unknown types (callers fall back to untyped nulls)."""
+    import re as _re
+
+    import pyarrow as pa
+
+    if not t:
+        return None
+    fixed = {
+        "long": pa.int64(), "bigint": pa.int64(),
+        "integer": pa.int32(), "int": pa.int32(),
+        "short": pa.int16(), "smallint": pa.int16(),
+        "byte": pa.int8(), "tinyint": pa.int8(),
+        "double": pa.float64(), "float": pa.float32(),
+        "string": pa.string(), "date": pa.date32(),
+        "boolean": pa.bool_(), "binary": pa.binary(),
+        "timestamp": pa.timestamp("us"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if t in fixed:
+        return fixed[t]
+    m = _re.fullmatch(r"decimal\((\d+),\s*(-?\d+)\)", t)
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    return None
+
+
 def write_manifest(files: list[str], manifest_path: str) -> None:
     """Write an explicit file list, one absolute path per line. Write
     to a temp name + atomic os.replace so a concurrent reader never
@@ -646,17 +680,9 @@ class _DeltaTailReader(DataSourceStreamReader):
         # CDF reader and the Iceberg tail) so tailing from an early
         # startVersion survives schema evolution
         have = set(table.column_names)
-        at_of = {
-            "long": pa.int64(), "bigint": pa.int64(),
-            "integer": pa.int32(), "int": pa.int32(),
-            "double": pa.float64(), "float": pa.float32(),
-            "string": pa.string(), "date": pa.date32(),
-            "boolean": pa.bool_(),
-            "timestamp": pa.timestamp("us"),
-        }
         for name in self.out_cols:
             if name not in have:
-                at = at_of.get(self.out_types.get(name))
+                at = _arrow_null_type(self.out_types.get(name))
                 table = table.append_column(
                     name, pa.nulls(n, at) if at else pa.nulls(n)
                 )
@@ -811,10 +837,17 @@ class _IcebergTailReader(DataSourceStreamReader):
     (our avro codec, no JVM); reads run executor-side, one
     InputPartition per changed file."""
 
-    def __init__(self, root: str, start_idx: int, out_cols: list):
+    def __init__(
+        self,
+        root: str,
+        start_idx: int,
+        out_cols: list,
+        out_types: dict | None = None,
+    ):
         self.root = root
         self.start_idx = start_idx
         self.out_cols = out_cols
+        self.out_types = out_types or {}
 
     def _meta(self) -> dict:
         from dataflowex_spark.sources.iceberg_reader import (
@@ -923,7 +956,11 @@ class _IcebergTailReader(DataSourceStreamReader):
                 elif name in have:
                     cols.append(t.column(name))
                 else:
-                    cols.append(pa.nulls(n))
+                    # files written before a schema-evolution ADD
+                    # COLUMN lack the column — typed null-fill, same
+                    # contract as the Delta tail
+                    at = _arrow_null_type(self.out_types.get(name))
+                    cols.append(pa.nulls(n, at) if at else pa.nulls(n))
             yield from pa.table(
                 dict(zip(self.out_cols, cols))
             ).to_batches()
@@ -990,4 +1027,8 @@ class IcebergTailDataSource(DataSource):
             self._root(),
             int(self.options.get("startIdx", 0)),
             [f.name for f in schema.fields],
+            {
+                f.name: f.dataType.simpleString()
+                for f in schema.fields
+            },
         )

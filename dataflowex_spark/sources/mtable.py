@@ -158,56 +158,10 @@ def _atomic_write(path: str, content: str) -> None:
         raise
 
 
-class PosixCommitBackend:
-    """Default commit backend for local / shared-POSIX filesystems:
-    the exclusive version claim is an ``os.link`` from a fully-written
-    temp file (fails on an existing target), the pointer swap an
-    ``os.replace``. Both guarantees are POSIX rename/link semantics —
-    see :class:`ConditionalPutCommitBackend` for the object-store
-    shape of the same two-operation protocol."""
-
-    def put_if_absent(self, path: str, content: str) -> None:
-        d = os.path.dirname(path) or "."
-        fd, tmp = tempfile.mkstemp(dir=d, prefix=".mtable_")
-        try:
-            with os.fdopen(fd, "w") as f:
-                f.write(content)
-            os.link(tmp, path)  # raises FileExistsError when claimed
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-
-    def put(self, path: str, content: str) -> None:
-        _atomic_write(path, content)
-
-
-class ConditionalPutCommitBackend:
-    """Commit backend modeling an OBJECT STORE's primitives: no
-    renames, no links — exclusivity comes from a conditional PUT
-    (S3 ``If-None-Match: *`` / GCS ``ifGenerationMatch=0``), whose
-    per-key atomicity is modeled here by a process-wide lock over
-    plain writes. Swapping this in proves the MTable commit protocol
-    needs exactly TWO store operations — put-if-absent for the
-    version claim, unconditional put for the ``_CURRENT`` pointer —
-    and no POSIX rename anywhere; a real S3/GCS backend implements
-    the same two methods against the store API."""
-
-    import threading as _threading
-
-    _lock = _threading.Lock()
-
-    def put_if_absent(self, path: str, content: str) -> None:
-        with self._lock:
-            if os.path.exists(path):
-                raise FileExistsError(path)
-            # full-object-or-nothing, like a real PUT: stage + replace
-            # (the lock models the store's per-request atomicity; a
-            # real backend gets this from the store itself)
-            _atomic_write(path, content)
-
-    def put(self, path: str, content: str) -> None:
-        with self._lock:
-            _atomic_write(path, content)
+from dataflowex_spark.sources.commit_backend import (  # noqa: F401
+    ConditionalPutCommitBackend,
+    PosixCommitBackend,
+)
 
 
 class MTable:

@@ -1929,3 +1929,240 @@ def test_delta_txn_racing_replays_land_once(spark, tmp_path):
     assert not errs, errs
     rows = sorted(r.k for r in read_delta(spark, root).collect())
     assert rows == list(range(6)), rows  # batch landed exactly once
+
+
+def test_write_delta_append_after_rename_mode_name(spark, tmp_path):
+    """write_delta append on a columnMapping mode=name table stages
+    PHYSICAL names: after upgrade + alter_delta rename, appended rows
+    read back with real values (the regression was silent NULLs —
+    data files written under the new LOGICAL name while the scan
+    reads the pinned physicalName)."""
+    from dataflowex_spark.sources.delta_reader import (
+        alter_delta,
+        read_delta,
+        upgrade_delta_column_mapping,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, 10.0)], "k long, x double"),
+        root,
+    )
+    upgrade_delta_column_mapping(spark, root)
+    alter_delta(spark, root, renames={"x": "score"})
+    write_delta(
+        spark,
+        spark.createDataFrame([(2, 20.0)], "k long, score double"),
+        root,
+        mode="append",
+    )
+    got = sorted(
+        (r.k, r.score) for r in read_delta(spark, root).collect()
+    )
+    assert got == [(1, 10.0), (2, 20.0)], got
+    # overwrite stages physical too
+    write_delta(
+        spark,
+        spark.createDataFrame([(9, 90.0)], "k long, score double"),
+        root,
+        mode="overwrite",
+    )
+    got = [(r.k, r.score) for r in read_delta(spark, root).collect()]
+    assert got == [(9, 90.0)], got
+
+
+def test_write_delta_create_mode_name(spark, tmp_path):
+    """Creating with configuration delta.columnMapping.mode=name:
+    fields get col-<uuid> physicalNames (data files never carry
+    logical names), protocol is (2,5), reads/stats/DML/merge_schema
+    all bind through the mapping."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from dataflowex_spark.sources.delta_reader import (
+        delete_from_delta,
+        read_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k long, x double"
+        ),
+        root,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    # the staged parquet carries PHYSICAL names only
+    dfiles = [
+        _os.path.join(dp, fn)
+        for dp, _dn, fns in _os.walk(_os.path.join(root, "data"))
+        for fn in fns
+        if fn.endswith(".parquet")
+    ]
+    cols = set(_pq.read_schema(dfiles[0]).names)
+    assert not ({"k", "x"} & cols), cols
+    assert all(c.startswith("col-") for c in cols), cols
+    # protocol gates correctly and the read binds logically
+    with open(
+        _os.path.join(root, "_delta_log", f"{0:020d}.json")
+    ) as f:
+        actions = [_json.loads(line) for line in f if line.strip()]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minReaderVersion"] == 2
+    assert proto["minWriterVersion"] == 5
+    assert read_delta(spark, root).count() == 10
+    # stats keyed physical -> skipping still prunes
+    narrow = read_delta(spark, root, skip_where=[("k", "=", 3)])
+    assert [r.k for r in narrow.collect()] == [3]
+    # merge_schema on the mapped table assigns id + physicalName
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(100, 1.0, "new")], "k long, x double, tag string"
+        ),
+        root,
+        mode="append",
+        merge_schema=True,
+    )
+    got = {(r.k, r.tag) for r in read_delta(spark, root).collect()}
+    assert (100, "new") in got
+    assert (3, None) in got  # old files null-fill the evolved column
+    # DML binds through the mapping on the written table
+    v, n = delete_from_delta(spark, root, "k = 3")
+    assert n == 1
+    assert read_delta(spark, root).filter("k = 3").count() == 0
+
+
+def test_write_delta_mode_name_partitioned(spark, tmp_path):
+    """Partitioned mapped table: hive dirs + partitionValues key by
+    PHYSICAL name; reads re-attach logical, pruning works."""
+    import os as _os
+
+    from dataflowex_spark.sources.delta_reader import (
+        read_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], "k long, g string"
+        ),
+        root,
+        partition_by=["g"],
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    dirs = set(_os.listdir(_os.path.join(root, "data")))
+    assert all(d.startswith("col-") for d in dirs), dirs
+    got = sorted((r.k, r.g) for r in read_delta(spark, root).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "a")] or got == sorted(
+        [(1, "a"), (2, "b"), (3, "a")]
+    )
+    pruned = read_delta(spark, root).filter("g = 'b'")
+    assert [(r.k, r.g) for r in pruned.collect()] == [(2, "b")]
+
+
+def test_delta_partition_values_percent_equals(spark, tmp_path):
+    """Partition values containing '%' and '=': hive-escaped on disk,
+    double-encoded in the log (what delta-spark writes), decode back
+    to the on-disk path — write, read, and DML all round-trip."""
+    from dataflowex_spark.sources.delta_reader import (
+        delete_from_delta,
+        read_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    vals = ["a=b", "p%q", "100%", "plain"]
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "k long, g string"
+        ),
+        root,
+        partition_by=["g"],
+    )
+    got = sorted(r.g for r in read_delta(spark, root).collect())
+    assert got == sorted(vals), got
+    # DML must find its own files through the logged (encoded) path
+    v, n = delete_from_delta(spark, root, "g = 'a=b'")
+    assert n == 1
+    left = sorted(r.g for r in read_delta(spark, root).collect())
+    assert left == sorted(["p%q", "100%", "plain"]), left
+
+
+def test_delta_commit_backend_conditional_put(spark, tmp_path):
+    """The Delta writer race suite holds on the OBJECT-STORE backend
+    (conditional PUT, no O_EXCL / rename / link): concurrent appends
+    both land, and a true SetTransaction replay race lands exactly
+    once — proving the commit protocol ports to S3-class storage."""
+    import threading
+
+    from dataflowex_spark.sources.commit_backend import (
+        ConditionalPutCommitBackend,
+        commit_backend,
+    )
+    from dataflowex_spark.sources.delta_reader import (
+        read_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    with commit_backend(ConditionalPutCommitBackend()):
+        write_delta(
+            spark,
+            spark.createDataFrame([(0, 0.0)], "k long, x double"),
+            root,
+            txn_app_id="app",
+            txn_version=0,
+        )
+        errs: list = []
+
+        def appender(val):
+            try:
+                write_delta(
+                    spark,
+                    spark.createDataFrame(
+                        [(val, float(val))], "k long, x double"
+                    ),
+                    root,
+                    mode="append",
+                )
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        th = [
+            threading.Thread(target=appender, args=(x,))
+            for x in (201, 202)
+        ]
+        [t.start() for t in th]
+        [t.join() for t in th]
+        assert not errs, errs
+        assert read_delta(spark, root).count() == 3
+        # exactly-once replay race on the conditional-put backend
+        batch = spark.createDataFrame(
+            [(i, float(i)) for i in range(300, 305)],
+            "k long, x double",
+        )
+
+        def deliver():
+            try:
+                write_delta(
+                    spark, batch, root, mode="append",
+                    txn_app_id="app", txn_version=1,
+                )
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=deliver) for _ in range(2)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert not errs, errs
+        assert read_delta(spark, root).count() == 8  # batch once

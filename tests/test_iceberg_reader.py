@@ -2209,3 +2209,131 @@ def test_iceberg_snapshot_and_metadata_logs(spark, tmp_path):
         e["snapshot-id"] in alive
         for e in (meta3.get("snapshot-log") or [])
     )
+
+
+def test_fast_forward_refuses_divergent_branch(spark, tmp_path):
+    """TRUE fast-forward semantics: if main advances AFTER a branch
+    was staged and the branch then commits again (branch head has a
+    HIGHER sequence but diverged lineage), publishing refuses — the
+    old seq-only gate silently dropped main's interleaved commits.
+    Ancestry comes from the now-recorded parent-snapshot-id chain."""
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        fast_forward_iceberg,
+        load_table_metadata,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(5)], "k long, x double"
+        ),
+        dest,
+    )
+    # stage on the branch (branch head = main head + 1 commit)
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(100, 1.0)], "k long, x double"),
+        dest, mode="append", branch="audit",
+    )
+    # main advances INDEPENDENTLY
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(200, 2.0)], "k long, x double"),
+        dest, mode="append",
+    )
+    # branch commits again: now its head has a HIGHER seq than main
+    # but does NOT descend from main's head
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(101, 1.0)], "k long, x double"),
+        dest, mode="append", branch="audit",
+    )
+    meta = load_table_metadata(dest)
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    bhead = meta["refs"]["audit"]["snapshot-id"]
+    cur = meta["current-snapshot-id"]
+    assert (
+        snaps[bhead]["sequence-number"]
+        > snaps[cur]["sequence-number"]
+    )  # the case the seq-only gate waved through
+    with _pytest.raises(ValueError, match="DIVERGED"):
+        fast_forward_iceberg(dest, "audit")
+    # main's interleaved commit survives
+    assert read_iceberg(spark, dest).filter("k = 200").count() == 1
+    # every non-initial snapshot records its parent
+    roots = [
+        s for s in meta["snapshots"]
+        if "parent-snapshot-id" not in s
+    ]
+    assert len(roots) == 1  # only the table-creating snapshot
+
+
+def test_iceberg_commit_backend_conditional_put(spark, tmp_path):
+    """The Iceberg 6-way real-thread race holds on the OBJECT-STORE
+    backend (conditional PUT, no O_EXCL / rename / link): the TRUE
+    CAS protocol ports to S3-class storage unchanged."""
+    import threading
+
+    from dataflowex_spark.sources.commit_backend import (
+        ConditionalPutCommitBackend,
+        commit_backend,
+    )
+    from dataflowex_spark.sources.iceberg_reader import (
+        delete_from_iceberg,
+        load_table_metadata,
+        write_iceberg,
+    )
+
+    dest = str(tmp_path / "t")
+    with commit_backend(ConditionalPutCommitBackend()):
+        write_iceberg(
+            spark,
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(50)], "k long, x double"
+            ),
+            dest,
+        )
+        errs = []
+
+        def appender(lo):
+            try:
+                write_iceberg(
+                    spark,
+                    spark.createDataFrame(
+                        [(lo + j, -1.0) for j in range(5)],
+                        "k long, x double",
+                    ),
+                    dest, mode="append",
+                )
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        def deleter(mod):
+            try:
+                delete_from_iceberg(spark, dest, f"k % 25 = {mod}")
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=appender, args=(1000,)),
+            threading.Thread(target=appender, args=(2000,)),
+            threading.Thread(target=deleter, args=(7,)),
+            threading.Thread(target=deleter, args=(11,)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        got = sorted(r.k for r in read_iceberg(spark, dest).collect())
+        want = sorted(
+            [k for k in range(50) if k % 25 not in (7, 11)]
+            + [lo + j for lo in (1000, 2000) for j in range(5)]
+        )
+        assert got == want
+        meta = load_table_metadata(dest)
+        assert len(meta["snapshots"]) == 5

@@ -1669,3 +1669,86 @@ def test_delta_tail_column_mapping_mode_name(spark, tmp_path):
     assert got == want and len(got) > 20
     # the logical rename is visible in the stream schema
     assert "key_id" in spark.read.parquet(outdir).columns
+
+
+def test_delta_tail_evolution_all_primitive_types(spark, tmp_path):
+    """Typed null-fill covers EVERY primitive: evolving by short /
+    byte / decimal / binary / timestamp_ntz columns must tail
+    cleanly from startVersion=0 (the untyped-null fallback used to
+    crash the positional arrow-to-Spark mapping for these)."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from dataflowex_spark.sources.delta_reader import write_delta
+    from dataflowex_spark.sources.manifest_ds import DeltaTailDataSource
+
+    try:
+        spark.dataSource.register(DeltaTailDataSource)
+    except Exception:
+        pass
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1,)], "k long"),
+        root,
+    )
+    schema2 = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.ShortType()),
+            T.StructField("b", T.ByteType()),
+            T.StructField("d", T.DecimalType(10, 2)),
+            T.StructField("raw", T.BinaryType()),
+            T.StructField("ts", T.TimestampNTZType()),
+        ]
+    )
+    import datetime as _dt
+
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [
+                (
+                    2,
+                    7,
+                    3,
+                    Decimal("12.34"),
+                    b"\x01\x02",
+                    _dt.datetime(2024, 6, 1, 12, 0, 0),
+                )
+            ],
+            schema2,
+        ),
+        root,
+        mode="append",
+        merge_schema=True,
+    )
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("delta_tail")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.k, r.s, r.b, r.d, r.raw, r.ts)
+        for r in spark.read.parquet(outdir).collect()
+    )
+    assert got == [
+        (1, None, None, None, None, None),
+        (
+            2,
+            7,
+            3,
+            Decimal("12.34"),
+            b"\x01\x02",
+            _dt.datetime(2024, 6, 1, 12, 0, 0),
+        ),
+    ], got
