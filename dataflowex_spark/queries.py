@@ -26482,3 +26482,103 @@ def q450(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q(
+    "q451_iceberg_orphan_cleanup",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 9 = 6
+    ), survivors AS (
+      SELECT * FROM base WHERE NOT (okey % 6 = 1)
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM survivors GROUP BY priority ORDER BY priority
+    """,
+)
+def q451(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG ORPHAN-FILE CLEANUP (remove_orphan_files — the
+    remove_orphan_files action): the optimistic CAS commit protocol
+    deliberately leaves a race loser's attempt-unique staged files
+    unreferenced forever, so a busy concurrent table leaks storage
+    monotonically without this. The query plants the strays a
+    crashed/lost writer leaves (a data file and a manifest, backdated
+    past the age guard), reclaims them, asserts in-query that exactly
+    the strays went, that a YOUNG in-flight file survived the age
+    guard, and that NOTHING expired — then aggregates the table; the
+    oracle replays the write+delete in SQL, so the hash match proves
+    cleanup is read-identical. At 100 TB the keep-set walk is
+    O(retained metadata), not O(storage listing) per file — one
+    directory walk against an in-memory reachability set."""
+    import os
+    import shutil
+    import tempfile
+
+    from dataflowex_spark.sources.iceberg_reader import (
+        delete_from_iceberg,
+        read_iceberg,
+        remove_orphan_files,
+        write_iceberg,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 9 == 6)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .repartition(4)
+    )
+    dest = tempfile.mkdtemp(prefix="q451_") + "/t"
+    write_iceberg(spark, base, dest)
+    delete_from_iceberg(spark, dest, "okey % 6 = 1")
+    data_dir = os.path.join(dest, "data")
+    some_data = next(
+        os.path.join(dp, fn)
+        for dp, _dn, fns in os.walk(data_dir)
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
+    md = os.path.join(dest, "metadata")
+    some_avro = next(
+        os.path.join(md, fn)
+        for fn in sorted(os.listdir(md))
+        if fn.endswith(".avro")
+    )
+    stray_data = os.path.join(data_dir, "stray-lostrace.parquet")
+    stray_avro = os.path.join(md, "stray-lostrace.avro")
+    shutil.copyfile(some_data, stray_data)
+    shutil.copyfile(some_avro, stray_avro)
+    old = os.path.getmtime(some_data) - 100
+    os.utime(stray_data, (old, old))
+    os.utime(stray_avro, (old, old))
+    young = os.path.join(data_dir, "young-inflight.parquet")
+    shutil.copyfile(some_data, young)
+    far = os.path.getmtime(some_data) + 10**6
+    os.utime(young, (far, far))
+    deleted = set(remove_orphan_files(dest, grace_s=0))
+    assert deleted == {
+        "data/stray-lostrace.parquet",
+        "metadata/stray-lostrace.avro",
+    }, deleted
+    assert os.path.exists(young), "age guard must keep young staging"
+    assert remove_orphan_files(dest, grace_s=0) == []
+    return (
+        read_iceberg(spark, dest)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )

@@ -2117,6 +2117,103 @@ def expire_snapshots(dest: str, keep_last: int = 1) -> list[str]:
     return deleted
 
 
+def remove_orphan_files(
+    dest: str, grace_s: float = 3 * 86400.0
+) -> list[str]:
+    """Reclaim files NO retained metadata version references — the
+    storage-leak closer the optimistic commit protocol needs: a
+    writer that loses the CAS race replays with freshly-staged
+    attempt-unique files, leaving the lost attempt's data files and
+    manifests in place forever (same for aborted DML). Unlike
+    :func:`expire_snapshots` this expires NOTHING — the table, time
+    travel, and every ref read identically before and after.
+
+    Keep-set: every data file, manifest, and manifest list reachable
+    from ANY snapshot of ANY ``vN.metadata.json`` still on disk
+    (refs point at snapshots inside those metadata versions, so they
+    are covered by construction; a claimed-but-unparseable metadata
+    file contributes nothing — its files are younger than the age
+    cutoff anyway). Tracked ``vN.metadata.json`` files themselves
+    are never candidates.
+
+    Age guard (two-part, conservative): a candidate is deleted only
+    if it is older than the newest committed metadata version AND
+    older than ``now - grace_s`` (default 3 days, the reference
+    action's default) — the second bound protects a writer that
+    staged BEFORE an unrelated commit landed and is still in flight;
+    pass ``grace_s=0`` in tests to reclaim immediately. Returns the
+    deleted paths (table-relative)."""
+    import time as _time
+
+    md = _meta_dir(dest)
+    if not os.path.isdir(md):
+        raise ValueError(f"not an Iceberg table: {dest}")
+    keep_files: set[str] = set()
+    keep_meta: set[str] = set()
+    newest_meta_mtime = 0.0
+    for fn in sorted(os.listdir(md)):
+        if not (fn.startswith("v") and fn.endswith(".metadata.json")):
+            continue
+        mpath = os.path.join(md, fn)
+        newest_meta_mtime = max(
+            newest_meta_mtime, os.path.getmtime(mpath)
+        )
+        try:
+            meta = json.load(open(mpath))
+        except (OSError, json.JSONDecodeError):
+            continue  # in-flight claim; its files are young
+        for s in meta.get("snapshots", []):
+            mlist = _resolve_path(dest, s["manifest-list"])
+            keep_meta.add(mlist)
+            if not os.path.exists(mlist):
+                continue  # expired under this old version's feet
+            _sc, mrows = read_container(mlist)
+            for m in mrows:
+                man = _resolve_path(dest, m["manifest_path"])
+                keep_meta.add(man)
+                if not os.path.exists(man):
+                    continue
+                _s2, entries = read_container(man)
+                for e in entries:
+                    # ALL statuses (incl. deleted=2): an older
+                    # snapshot may still read the file — keep-set
+                    # errs wide, orphanhood must be provable
+                    keep_files.add(
+                        _resolve_path(
+                            dest, e["data_file"]["file_path"]
+                        )
+                    )
+    cutoff = min(newest_meta_mtime, _time.time() - grace_s)
+
+    def _deletable(path: str) -> bool:
+        try:
+            return os.path.getmtime(path) <= cutoff
+        except OSError:
+            return False
+
+    deleted = []
+    data_dir = os.path.join(dest, "data")
+    if os.path.isdir(data_dir):
+        for dirpath, _dirs, files in sorted(os.walk(data_dir)):
+            for fn in sorted(files):
+                p = os.path.join(dirpath, fn)
+                if p not in keep_files and _deletable(p):
+                    os.unlink(p)
+                    deleted.append(
+                        os.path.relpath(p, dest).replace(os.sep, "/")
+                    )
+    for fn in sorted(os.listdir(md)):
+        p = os.path.join(md, fn)
+        if (
+            fn.endswith(".avro")
+            and p not in keep_meta
+            and _deletable(p)
+        ):
+            os.unlink(p)
+            deleted.append("metadata/" + fn)
+    return deleted
+
+
 def _mtable_bounds(entry: dict, key_col: str, top_fields: list[dict]):
     """MTable per-file stats → Iceberg bound maps (field-id →
     single-value bytes) for the key column and any declared

@@ -40,6 +40,7 @@ from dataflowex_spark.sources.iceberg_reader import (
     evolve_iceberg_partition_spec,
     expire_snapshots,
     load_table_metadata,
+    remove_orphan_files,
     read_iceberg,
     rewrite_iceberg_data_files,
     set_iceberg_ref,
@@ -190,7 +191,20 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
     ).count()
     ev["race"] = {"errors": len(errs), "rows_landed": raced}
 
-    # 6. expire with the pin, read the tag, drop, expire again
+    # 6. ORPHAN CLEANUP cadence: after any burst of concurrent
+    # commits, lost-race attempts have left attempt-unique staged
+    # files that no snapshot references — reclaim them WITHOUT
+    # expiring anything (run this weekly on busy tables; the default
+    # 3-day grace protects in-flight staging, grace_s=0 here because
+    # the burst is known-quiesced). Reads before == reads after.
+    pre = read_iceberg(spark, root).count()
+    orphans = remove_orphan_files(root, grace_s=0)
+    ev["orphan_cleanup"] = {
+        "reclaimed": len(orphans),
+        "read_identical": read_iceberg(spark, root).count() == pre,
+    }
+
+    # 7. expire with the pin, read the tag, drop, expire again
     expire_snapshots(root, keep_last=1)
     tagged = sorted(
         (r.okey, r.priority, r.cents)

@@ -218,6 +218,7 @@ def test_iceberg_maintenance_runbook_end_to_end(spark, sf_dir):
     assert ev["upsert"]["updated"] == 20
     assert ev["spec_evolution"]["prunes_old_spec"]
     assert ev["race"] == {"errors": 0, "rows_landed": 9}
+    assert ev["orphan_cleanup"]["read_identical"]
     assert ev["tag_survives_expiry"]
     assert ev["snapshots_after_final_expiry"] == 1
     assert ev["final_rows"] > 0

@@ -2337,3 +2337,129 @@ def test_iceberg_commit_backend_conditional_put(spark, tmp_path):
         assert got == want
         meta = load_table_metadata(dest)
         assert len(meta["snapshots"]) == 5
+
+
+def test_remove_orphan_files(spark, tmp_path, monkeypatch):
+    """Orphan reclamation closes the CAS protocol's storage leak: a
+    lost-race attempt's staged data files (forced via the simulated
+    interleave) plus hand-planted strays are reclaimed, while the
+    table, time travel, and refs read IDENTICALLY before/after —
+    nothing expires. Young files survive the age guard."""
+    import os as _os
+    import shutil as _shutil
+
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    dest = str(tmp_path / "t")
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "k long, x double"
+        ),
+        dest,
+    )
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame([(100, 1.0)], "k long, x double"),
+        dest, mode="append",
+    )
+    first_sid = ir.load_table_metadata(dest)["snapshots"][0][
+        "snapshot-id"
+    ]
+    ir.set_iceberg_ref(dest, "pin", snapshot_id=first_sid)
+
+    # force a LOST race: the interleaved append wins, our append
+    # replays — the lost attempt's staged files stay in data/
+    real_commit = ir._try_commit_metadata
+    state = {"interleaved": False}
+
+    def racy_commit(root, meta):
+        if not state["interleaved"]:
+            state["interleaved"] = True
+            monkeypatch.setattr(ir, "_try_commit_metadata", real_commit)
+            ir.write_iceberg(
+                spark,
+                spark.createDataFrame(
+                    [(300, 3.0)], "k long, x double"
+                ),
+                root, mode="append",
+            )
+            monkeypatch.setattr(ir, "_try_commit_metadata", racy_commit)
+            return False
+        return real_commit(root, meta)
+
+    monkeypatch.setattr(ir, "_try_commit_metadata", racy_commit)
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame([(200, 2.0)], "k long, x double"),
+        dest, mode="append",
+    )
+    monkeypatch.setattr(ir, "_try_commit_metadata", real_commit)
+
+    # plant strays a crashed writer would leave
+    data_dir = _os.path.join(dest, "data")
+    some_data = next(
+        _os.path.join(dp, fn)
+        for dp, _dn, fns in _os.walk(data_dir)
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
+    stray_data = _os.path.join(data_dir, "stray-attempt.parquet")
+    _shutil.copyfile(some_data, stray_data)
+    md = _os.path.join(dest, "metadata")
+    some_avro = next(
+        _os.path.join(md, fn)
+        for fn in _os.listdir(md)
+        if fn.endswith(".avro")
+    )
+    stray_avro = _os.path.join(md, "stray-manifest.avro")
+    _shutil.copyfile(some_avro, stray_avro)
+    # strays from a long-dead writer: backdate below the newest
+    # committed metadata (fresh copies read as in-flight staging)
+    old = _os.path.getmtime(some_data) - 100
+    _os.utime(stray_data, (old, old))
+    _os.utime(stray_avro, (old, old))
+    # a YOUNG stray (mtime now) must survive the age guard
+    young = _os.path.join(data_dir, "young-inflight.parquet")
+    _shutil.copyfile(some_data, young)
+    far_future = _os.path.getmtime(some_data) + 10**6
+    _os.utime(young, (far_future, far_future))
+
+    before_cur = sorted(
+        r.k for r in read_iceberg(spark, dest).collect()
+    )
+    before_tt = sorted(
+        r.k
+        for r in read_iceberg(
+            spark, dest, snapshot_id=first_sid
+        ).collect()
+    )
+    before_ref = sorted(
+        r.k for r in read_iceberg(spark, dest, ref="pin").collect()
+    )
+
+    deleted = ir.remove_orphan_files(dest, grace_s=0)
+    # the planted strays AND the lost attempt's staged files go
+    rels = set(deleted)
+    assert "data/stray-attempt.parquet" in rels
+    assert "metadata/stray-manifest.avro" in rels
+    assert len([d for d in rels if d.startswith("data/")]) >= 2
+    assert not _os.path.exists(stray_data)
+    assert not _os.path.exists(stray_avro)
+    assert _os.path.exists(young)  # age guard held
+
+    # NOTHING expired: identical reads, time travel, refs
+    assert before_cur == sorted(
+        r.k for r in read_iceberg(spark, dest).collect()
+    )
+    assert before_tt == sorted(
+        r.k
+        for r in read_iceberg(
+            spark, dest, snapshot_id=first_sid
+        ).collect()
+    )
+    assert before_ref == sorted(
+        r.k for r in read_iceberg(spark, dest, ref="pin").collect()
+    )
+    # idempotent: second pass finds nothing (young file still guarded)
+    assert ir.remove_orphan_files(dest, grace_s=0) == []
