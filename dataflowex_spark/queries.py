@@ -26582,3 +26582,74 @@ def q451(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q(
+    "q452_iceberg_manifest_list_pruning",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             (o_orderkey % 4) AS bucket_m,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 11 = 5
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM base WHERE bucket_m = 2
+    GROUP BY priority ORDER BY priority
+    """,
+)
+def q452(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-LIST-LEVEL PRUNING (the spec's partition-summary
+    fields): each append commit carries prior manifests BY REFERENCE
+    (O(new-files) metadata, never an O(table) rewrite) and stamps a
+    per-spec-field partition summary on its manifest-list row;
+    a skip_where read then skips whole manifests WITHOUT OPENING
+    them when the summary excludes the predicate. The query writes 4
+    partition-disjoint appends, reads one partition, and asserts
+    in-plan that exactly 1 of 4 manifests was opened (the
+    q294/q296 files-opened discipline one level up); the oracle
+    replays the filter in SQL so the hash proves pruning loses no
+    rows. At 100 TB this is O(matching-manifests) planning on
+    thousands-of-manifest tables — the difference between a point
+    query planning in milliseconds vs minutes."""
+    import tempfile
+
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 11 == 5)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            (F.col("o_orderkey") % 4).alias("bucket_m"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q452_") + "/t"
+    for m in range(4):
+        ir.write_iceberg(
+            spark,
+            base.filter(F.col("bucket_m") == m).coalesce(1),
+            dest,
+            mode="error" if m == 0 else "append",
+            partition_by=["bucket_m"],
+        )
+    out = (
+        ir.read_iceberg(spark, dest, skip_where=[("bucket_m", "=", 2)])
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )
+    assert ir.PLAN_STATS["manifests_total"] == 4, ir.PLAN_STATS
+    assert ir.PLAN_STATS["manifests_opened"] == 1, ir.PLAN_STATS
+    return out

@@ -388,8 +388,19 @@ def _empty_frame(spark: SparkSession, meta: dict) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+# planning introspection for the last _live_files call in this
+# process: manifest-list rows seen vs manifests actually OPENED
+# (list-level partition-summary pruning skips the rest). Tests and
+# queries assert the q294/q296 files-opened discipline one level up
+# through this.
+PLAN_STATS: dict = {"manifests_total": 0, "manifests_opened": 0}
+
+
 def _live_files(
-    root: str, meta: dict, snapshot_id: int | None
+    root: str,
+    meta: dict,
+    snapshot_id: int | None,
+    prune: tuple[list[tuple], dict] | None = None,
 ) -> tuple[
     dict[str, int],
     list[tuple[str, int]],
@@ -408,7 +419,16 @@ def _live_files(
     Entry-level ``sequence_number`` wins;
     otherwise the manifest list's; a path re-listed as EXISTING keeps
     its SMALLEST seen sequence (the original add — re-listing must
-    not shield rows from older equality deletes)."""
+    not shield rows from older equality deletes).
+
+    ``prune=(specs, fields)`` — skip-where conjunction + schema
+    fields: DATA manifests whose manifest-list partition summary
+    proves no entry can match are NEVER OPENED (list-level pruning,
+    one level above the per-entry tuple/bounds pruning; sound
+    because a file surviving entry-level pruning always sits in a
+    manifest whose summary allows it, and min-seq bookkeeping only
+    matters for surviving files). Delete manifests always open —
+    delete applicability is seq-gated, not predicate-gated."""
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     sid = (
         snapshot_id
@@ -428,7 +448,22 @@ def _live_files(
     bounds: dict[str, tuple[dict, dict]] = {}
     partitions: dict[str, dict] = {}
     formats: dict[str, str] = {}
+    PLAN_STATS["manifests_total"] = len(manifests)
+    PLAN_STATS["manifests_opened"] = 0
     for m in manifests:
+        if (
+            prune is not None
+            and m.get("content", 0) == 0
+            and _summary_excludes(
+                m.get("partitions"),
+                m.get("partition_spec_id", 0),
+                prune[0],
+                prune[1],
+                meta,
+            )
+        ):
+            continue  # list-level prune: manifest never opened
+        PLAN_STATS["manifests_opened"] += 1
         mseq = m.get("sequence_number") or 0
         mpath = _resolve_path(root, m["manifest_path"])
         _s2, entries = read_container(mpath)
@@ -867,10 +902,8 @@ def read_iceberg(
                 "pass snapshot_id OR timestamp_ms, not both"
             )
         snapshot_id = snapshot_at_timestamp(meta, timestamp_ms)
-    (
-        live, pos_deletes, eq_deletes, bounds, partitions, formats,
-    ) = _live_files(root, meta, snapshot_id)
     specs = list(skip_where or [])
+    fields = {}
     if specs:
         fields = {
             f["name"]: f for f in _current_schema_fields(meta)
@@ -882,6 +915,15 @@ def read_iceberg(
                 raise ValueError(
                     f"skip_where column {col!r} not in schema"
                 )
+    (
+        live, pos_deletes, eq_deletes, bounds, partitions, formats,
+    ) = _live_files(
+        root,
+        meta,
+        snapshot_id,
+        prune=(specs, fields) if specs else None,
+    )
+    if specs:
         live = {
             path: seq
             for path, seq in live.items()
@@ -1113,6 +1155,38 @@ MANIFEST_LIST_SCHEMA = {
         {"name": "content", "type": "int"},
         {"name": "sequence_number", "type": "long"},
         {"name": "added_snapshot_id", "type": "long"},
+        # the spec's per-manifest partition summaries (field_summary
+        # per spec field, positional): planning prunes whole
+        # MANIFESTS before opening them — O(matching-manifests)
+        # planning instead of O(manifests) on thousands-of-manifest
+        # tables. Optional union: older lists read as absent.
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "field_summary",
+                        "fields": [
+                            {
+                                "name": "contains_null",
+                                "type": "boolean",
+                            },
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "string"],
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "string"],
+                            },
+                        ],
+                    },
+                },
+            ],
+        },
     ],
 }
 
@@ -1501,6 +1575,184 @@ def _partition_tuple_allows(
             ):
                 return False
     return True
+
+
+def _partitions_summary(
+    entries: list[dict], spec_fields: list[dict]
+) -> list[dict] | None:
+    """Per-spec-field ``field_summary`` rows (contains_null + string
+    lower/upper bounds of the LIVE entries' partition tuple values)
+    for a manifest about to be listed — the spec's manifest-list
+    ``partitions`` column. ``None`` when the manifest carries no
+    summarizable tuples (unpartitioned, missing fields, or
+    incomparable values): absent summary = never pruned."""
+    if not spec_fields:
+        return None
+    out = []
+    for pf in spec_fields:
+        name = pf["name"]
+        contains_null, lo, hi = False, None, None
+        for e in entries:
+            if e.get("status") == 2:
+                continue
+            pt = (e.get("data_file") or {}).get("partition")
+            if pt is None or name not in pt:
+                return None
+            v = pt[name]
+            if v is None:
+                contains_null = True
+                continue
+            try:
+                lo = v if lo is None or v < lo else lo
+                hi = v if hi is None or v > hi else hi
+            except TypeError:
+                return None
+        out.append(
+            {
+                "contains_null": contains_null,
+                "lower_bound": None if lo is None else str(lo),
+                "upper_bound": None if hi is None else str(hi),
+            }
+        )
+    return out
+
+
+def _write_manifest_list(
+    root: str, mlist: str, mrows: list[dict], meta: dict
+) -> None:
+    """Write a manifest list, filling the spec's ``partitions``
+    summary on every row that lacks one (one read of the
+    just-written manifest — commit-bound, page-cache-warm). Rows
+    carried from a prior list keep their summaries."""
+    from dataflowex_spark.sources.avro_io import write_container
+
+    spec_fields_by_id = {
+        ps.get("spec-id", 0): ps.get("fields", [])
+        for ps in meta.get("partition-specs", [])
+    }
+    for m in mrows:
+        if m.get("partitions") is not None:
+            continue
+        sf = spec_fields_by_id.get(m.get("partition_spec_id", 0))
+        if not sf:
+            continue
+        try:
+            _s, entries = read_container(
+                _resolve_path(root, m["manifest_path"])
+            )
+        except (OSError, ValueError):
+            continue
+        m["partitions"] = _partitions_summary(entries, sf)
+    write_container(mlist, MANIFEST_LIST_SCHEMA, mrows)
+
+
+def _summary_decode(raw: str | None, kind: str, ice_type: str):
+    """String summary bound → the typed partition-tuple value space
+    (``None`` for undecodable — caller treats as unprunable)."""
+    if raw is None:
+        return None
+    try:
+        if kind == "identity":
+            return (
+                int(raw)
+                if ice_type in ("int", "long", "date")
+                else raw
+            )
+        if kind in ("day", "bucket"):
+            return int(raw)
+        return int(raw) if ice_type in ("int", "long") else raw
+    except ValueError:
+        return None
+
+
+def _summary_allows(
+    fs: dict, kind: str, param, ice_type: str, op: str, lit
+) -> bool:
+    """Can ANY file in a manifest whose field_summary is ``fs``
+    contain rows matching ``source OP lit``? Range twin of
+    :func:`_partition_allows`: identity is exact per op, day/truncate
+    compare inclusively at the cell the literal falls in, bucket
+    prunes '=' only when the whole manifest sits in one bucket
+    range."""
+    lo = _summary_decode(fs.get("lower_bound"), kind, ice_type)
+    hi = _summary_decode(fs.get("upper_bound"), kind, ice_type)
+    if fs.get("lower_bound") is None and fs.get("upper_bound") is None:
+        # no non-null tuple value anywhere in the manifest: every
+        # row's source is NULL and no comparison matches
+        return False
+    if lo is None or hi is None:
+        return True  # undecodable bound: never prune on a guess
+    if kind == "identity":
+        t = _day_of(lit) if ice_type == "date" else lit
+    elif kind == "day":
+        t = _day_of(lit)
+    elif kind == "truncate":
+        t = _truncate_of(lit, ice_type, param)
+    elif kind == "bucket":
+        if op != "=":
+            return True
+        t = _bucket_of(lit, ice_type, param)
+        try:
+            return lo <= t <= hi
+        except TypeError:
+            return True
+    else:
+        return True
+    try:
+        if op == "=":
+            return lo <= t <= hi
+        if kind == "identity":
+            return {
+                "<": lo < t,
+                "<=": lo <= t,
+                ">": hi > t,
+                ">=": hi >= t,
+            }[op]
+        # coarse cells: the literal's own cell may still match
+        return {
+            "<": lo <= t,
+            "<=": lo <= t,
+            ">": hi >= t,
+            ">=": hi >= t,
+        }[op]
+    except TypeError:
+        return True
+
+
+def _summary_excludes(
+    summary: list[dict] | None,
+    spec_id: int,
+    specs: list[tuple],
+    fields: dict,
+    meta: dict,
+) -> bool:
+    """True iff the manifest-list row's partition summary PROVES no
+    entry in the manifest can match the conjunction ``specs`` —
+    interpreted under the spec that wrote the manifest. Absent or
+    shape-mismatched summaries never exclude."""
+    if not summary:
+        return False
+    spec_fields = []
+    for ps in meta.get("partition-specs", []):
+        if ps.get("spec-id") == spec_id:
+            spec_fields = ps.get("fields", [])
+    if not spec_fields or len(summary) != len(spec_fields):
+        return False
+    names_by_id = _field_names_by_id(meta)
+    for col, op, lit in specs:
+        f = fields.get(col)
+        if f is None:
+            continue
+        src_type = f.get("type")
+        for i, pf in enumerate(spec_fields):
+            if names_by_id.get(pf.get("source-id")) != col:
+                continue
+            kind, param = parse_transform(pf["transform"])
+            if not _summary_allows(
+                summary[i], kind, param, src_type, op, lit
+            ):
+                return True
+    return False
 
 
 def stage_orc_file(df: DataFrame, root: str, name: str) -> None:
@@ -2819,8 +3071,6 @@ def _write_iceberg_attempt(
         spark, dest, df, top, pinfo, stats_cols, file_format,
         avro_schema, new_sid, new_seq,
     )
-    prior_deletes: list[dict] = []
-    carried_by_spec: dict[int, list] = {}
     base_sid = None
     if exists and snaps:
         refs = meta.get("refs") or {}
@@ -2836,139 +3086,51 @@ def _write_iceberg_attempt(
                 if cur_sid not in (None, -1)
                 else snaps[-1]["snapshot-id"]
             )
-    if exists and snaps and mode == "append":
-        (
-            prior_live, _pd, _ed, prior_bounds, prior_parts,
-            prior_formats,
-        ) = _live_files(dest, meta, base_sid)
-        # prior DELETE state carries too — an append must not
-        # resurrect MoR-deleted rows (caught by the r8 alter/DML
-        # interplay test: append-after-delete dropped the delete
-        # manifests entirely)
-        for path, dseq in sorted(set(_pd)):
-            prior_deletes.append(
-                {
-                    "status": 0,
-                    "snapshot_id": new_sid,
-                    "sequence_number": dseq,
-                    "data_file": {
-                        "content": 1,
-                        "file_path": path,
-                        "file_format": "PARQUET",
-                        "record_count": 0,
-                        "file_size_in_bytes": os.path.getsize(path),
-                        "equality_ids": None,
-                    },
-                }
-            )
-        for path, dseq, ids in sorted(_ed):
-            prior_deletes.append(
-                {
-                    "status": 0,
-                    "snapshot_id": new_sid,
-                    "sequence_number": dseq,
-                    "data_file": {
-                        "content": 2,
-                        "file_path": path,
-                        "file_format": "PARQUET",
-                        "record_count": 0,
-                        "file_size_in_bytes": os.path.getsize(path),
-                        "equality_ids": list(ids),
-                    },
-                }
-            )
-        for path, seq in sorted(prior_live.items()):
-            pb = prior_bounds.get(path)
-            tup = prior_parts.get(path)
-            carried_by_spec.setdefault(
-                tup.get("__spec_id", spec_id) if tup else spec_id,
-                [],
-            ).append(
-                {
-                    "status": 0,
-                    "snapshot_id": new_sid,
-                    "sequence_number": seq,
-                    "data_file": {
-                        "content": 0,
-                        "file_path": path,
-                        "file_format": prior_formats.get(
-                            path, "PARQUET"
-                        ),
-                        "record_count": 0,
-                        "file_size_in_bytes": os.path.getsize(path),
-                        "equality_ids": None,
-                        "partition": tup,
-                        "lower_bounds": (
-                            [
-                                {"key": k, "value": v}
-                                for k, v in pb[0].items()
-                            ]
-                            if pb
-                            else None
-                        ),
-                        "upper_bounds": (
-                            [
-                                {"key": k, "value": v}
-                                for k, v in pb[1].items()
-                            ]
-                            if pb
-                            else None
-                        ),
-                    },
-                }
-            )
+    carried_rows: list[dict] = []
+    if exists and snaps and mode == "append" and base_sid is not None:
+        # BY-REFERENCE carry (the spec's append shape): the base
+        # snapshot's manifest-list rows — data AND delete manifests,
+        # with their own sequence numbers and partition summaries —
+        # ride into the new list VERBATIM; no prior manifest is
+        # reopened or rewritten. Commit metadata cost is O(new
+        # files), not O(live table): the property that keeps a
+        # 1000-commit/day ingest table's planning O(matching
+        # manifests) and its commit path flat at 100 TB. Prior
+        # delete state (pos + equality files) carries because their
+        # manifests are rows in the base list; seq gating rides on
+        # the rows' own sequence_number fields.
+        base_snap = {s2["snapshot-id"]: s2 for s2 in snaps}[base_sid]
+        _ms, carried_rows = read_container(
+            _resolve_path(dest, base_snap["manifest-list"])
+        )
     # attempt-unique manifest names: a racing writer computing the
     # same new_sid must not overwrite this attempt's staged avro.
-    # One manifest per PARTITION SPEC (after spec evolution carried
-    # files keep their writing spec's r102 struct + spec id).
     token = _uuid.uuid4().hex[:8]
-    carried_by_spec.setdefault(spec_id, [])
-    carried_by_spec[spec_id] = entries + carried_by_spec[spec_id]
     mrows = []
-    for spec_g, ents in sorted(carried_by_spec.items()):
-        if not ents:
-            continue
-        fields_g = (
-            [p[0] for p in pinfo]
-            if spec_g == spec_id
-            else _spec_avro_fields(meta, spec_g)
-        )
+    if entries:
+        fields_g = [p[0] for p in pinfo]
         manifest_schema = (
             _manifest_schema_with_partition(fields_g)
             if fields_g
             else MANIFEST_SCHEMA
         )
         mpath = os.path.join(
-            md, f"manifest-{new_sid:05d}-{token}-s{spec_g}.avro"
+            md, f"manifest-{new_sid:05d}-{token}-s{spec_id}.avro"
         )
-        write_container(mpath, manifest_schema, ents)
+        write_container(mpath, manifest_schema, entries)
         mrows.append(
             {
                 "manifest_path": os.path.abspath(mpath),
                 "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": spec_g,
+                "partition_spec_id": spec_id,
                 "content": 0,
                 "sequence_number": new_seq,
                 "added_snapshot_id": new_sid,
             }
         )
-    if prior_deletes:
-        dpath = os.path.join(
-            md, f"manifest-{new_sid:05d}-{token}-del.avro"
-        )
-        write_container(dpath, MANIFEST_SCHEMA, prior_deletes)
-        mrows.append(
-            {
-                "manifest_path": os.path.abspath(dpath),
-                "manifest_length": os.path.getsize(dpath),
-                "partition_spec_id": spec_id,
-                "content": 1,
-                "sequence_number": new_seq,
-                "added_snapshot_id": new_sid,
-            }
-        )
+    mrows.extend(carried_rows)
     mlist = os.path.join(md, f"snap-{new_sid}-{token}.avro")
-    write_container(mlist, MANIFEST_LIST_SCHEMA, mrows)
+    _write_manifest_list(dest, mlist, mrows, meta)
     meta["snapshots"] = snaps + [
         {
             "snapshot-id": new_sid,
@@ -3303,7 +3465,7 @@ def _iceberg_mor_commit(
             }
         )
     mlist = os.path.join(md, f"snap-{new_sid}-{token}.avro")
-    write_container(mlist, MANIFEST_LIST_SCHEMA, mrows)
+    _write_manifest_list(root, mlist, mrows, meta)
     meta["snapshots"] = snaps + [
         {
             "snapshot-id": new_sid,

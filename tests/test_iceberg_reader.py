@@ -2463,3 +2463,100 @@ def test_remove_orphan_files(spark, tmp_path, monkeypatch):
     )
     # idempotent: second pass finds nothing (young file still guarded)
     assert ir.remove_orphan_files(dest, grace_s=0) == []
+
+
+def test_manifest_list_partition_summaries_prune(spark, tmp_path):
+    """MANIFEST-LIST-LEVEL pruning: each append's manifest carries a
+    partition summary on its list row, and a skip_where read never
+    OPENS manifests the summary excludes — O(matching-manifests)
+    planning. Results stay exact; delete manifests always open."""
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    dest = str(tmp_path / "t")
+    for month in (1, 2, 3, 4):
+        ir.write_iceberg(
+            spark,
+            spark.createDataFrame(
+                [(month * 100 + j, month, float(j)) for j in range(5)],
+                "k long, m long, x double",
+            ),
+            dest,
+            mode="error" if month == 1 else "append",
+            partition_by=["m"],
+        )
+    # 4 appends -> 4 separate data manifests (by-reference carry)
+    meta = ir.load_table_metadata(dest)
+    snap = [
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    ][0]
+    from dataflowex_spark.sources.avro_io import read_container
+
+    _s, rows = read_container(
+        ir._resolve_path(dest, snap["manifest-list"])
+    )
+    assert len(rows) == 4
+    assert all(r.get("partitions") for r in rows)
+    got = sorted(
+        r.k
+        for r in ir.read_iceberg(
+            spark, dest, skip_where=[("m", "=", 3)]
+        ).collect()
+    )
+    assert got == [300 + j for j in range(5)]
+    assert ir.PLAN_STATS["manifests_total"] == 4
+    assert ir.PLAN_STATS["manifests_opened"] == 1
+    # range predicate prunes too
+    got = sorted(
+        r.k
+        for r in ir.read_iceberg(
+            spark, dest, skip_where=[("m", ">=", 4)]
+        ).collect()
+    )
+    assert got == [400 + j for j in range(5)]
+    assert ir.PLAN_STATS["manifests_opened"] == 1
+    # no predicate: everything opens, everything reads
+    assert ir.read_iceberg(spark, dest).count() == 20
+    assert ir.PLAN_STATS["manifests_opened"] == 4
+
+
+def test_append_carries_manifests_by_reference(spark, tmp_path):
+    """Append commits are O(new files) in metadata: the base
+    snapshot's manifests ride into the new list BY REFERENCE (same
+    paths, not rewritten), and MoR delete state carried this way
+    still applies."""
+    import dataflowex_spark.sources.iceberg_reader as ir
+    from dataflowex_spark.sources.avro_io import read_container
+
+    dest = str(tmp_path / "t")
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k long, x double"
+        ),
+        dest,
+    )
+    ir.delete_from_iceberg(spark, dest, "k = 3")
+
+    def list_paths():
+        meta = ir.load_table_metadata(dest)
+        snap = [
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        ][0]
+        _s, rows = read_container(
+            ir._resolve_path(dest, snap["manifest-list"])
+        )
+        return {r["manifest_path"] for r in rows}
+
+    before = list_paths()
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame([(100, 1.0)], "k long, x double"),
+        dest, mode="append",
+    )
+    after = list_paths()
+    assert before <= after, "append must carry prior manifests verbatim"
+    assert len(after) == len(before) + 1  # exactly one new manifest
+    got = sorted(r.k for r in ir.read_iceberg(spark, dest).collect())
+    assert got == [k for k in range(10) if k != 3] + [100]
