@@ -26653,3 +26653,85 @@ def q452(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert ir.PLAN_STATS["manifests_total"] == 4, ir.PLAN_STATS
     assert ir.PLAN_STATS["manifests_opened"] == 1, ir.PLAN_STATS
     return out
+
+
+@q(
+    "q453_delta_v2_checkpoint",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 13 = 9
+    ), survivors AS (
+      SELECT * FROM base WHERE NOT (okey % 5 = 4)
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM survivors GROUP BY priority ORDER BY priority
+    """,
+)
+def q453(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA V2 CHECKPOINT (PROTOCOL.md v2Checkpoint feature): the
+    snapshot compacts into a top-level ``N.checkpoint.<uuid>.parquet``
+    whose ``sidecar`` actions point at add-file parquet under
+    ``_delta_log/_sidecars/`` — the shape that lets a huge table's
+    checkpoint write and read in PARALLEL without rigid part
+    numbering. The query writes, DML-deletes (so a deletion vector
+    rides the checkpointed add), v2-checkpoints, DELETES every JSON
+    commit up to the checkpoint (log retention), and reads back —
+    the whole snapshot replays from the v2 checkpoint + sidecars
+    through the protocol-feature gate (3/7, v2Checkpoint). The
+    oracle replays write+delete in SQL; the hash match proves the
+    sidecar path loses nothing. In-query asserts pin that the
+    top-level v2 file exists and the JSON tail is gone."""
+    import os
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        checkpoint_delta_export,
+        delete_from_delta,
+        read_delta,
+        write_delta,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 13 == 9)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .repartition(3)
+    )
+    dest = tempfile.mkdtemp(prefix="q453_") + "/t"
+    write_delta(spark, base, dest)
+    delete_from_delta(spark, dest, "okey % 5 = 4")
+    cpv = checkpoint_delta_export(spark, dest, v2=True)
+    log = os.path.join(dest, "_delta_log")
+    v2_files = [
+        n
+        for n in os.listdir(log)
+        if n.endswith(".parquet")
+        and len(n[: -len(".parquet")].split(".")) == 3
+        and not n[: -len(".parquet")].split(".")[2].isdigit()
+    ]
+    assert len(v2_files) == 1, v2_files
+    assert os.path.isdir(os.path.join(log, "_sidecars"))
+    for n in list(os.listdir(log)):
+        if n.endswith(".json") and n[:-5].isdigit() and int(n[:-5]) <= cpv:
+            os.unlink(os.path.join(log, n))
+    return (
+        read_delta(spark, dest)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )

@@ -71,6 +71,7 @@ _SUPPORTED_READER_FEATURES = {
     "vacuumProtocolCheck",  # writer-side concern
     "columnMapping",  # modes name AND id implemented
     "deletionVectors",  # roaring.py descriptor decode + anti-join
+    "v2Checkpoint",  # top-level checkpoint + _sidecars resolution
 }
 
 
@@ -124,15 +125,22 @@ def _commit_files(root: str) -> dict[int, str]:
 
 def _checkpoint_for(root: str, target: int) -> tuple[int, list[str]] | None:
     """Newest checkpoint at version ≤ target, if any — simple
-    (``N.checkpoint.parquet``) or multi-part
+    (``N.checkpoint.parquet``), multi-part
     (``N.checkpoint.<i>.<n>.parquet``, the form ``_last_checkpoint``
-    advertises via ``parts``). A multi-part set missing any part
-    REFUSES (reading a partial checkpoint would silently drop live
-    files); ``_last_checkpoint`` itself is advisory — the directory
-    listing is the source of truth, matching the protocol's recovery
-    story for a torn ``_last_checkpoint`` write."""
+    advertises via ``parts``), or V2
+    (``N.checkpoint.<uniqueStr>.parquet`` — a top-level file whose
+    ``sidecar`` actions point into ``_delta_log/_sidecars/``).
+    A multi-part set missing any part REFUSES (reading a partial
+    checkpoint would silently drop live files); ``_last_checkpoint``
+    itself is advisory — the directory listing is the source of
+    truth, matching the protocol's recovery story for a torn
+    ``_last_checkpoint`` write. When several complete forms coexist
+    at the winning version, precedence is V2 > simple > multi-part
+    (the protocol lets a writer publish both during a format
+    migration; any complete one is equivalent)."""
     d = _log_dir(root)
     simple: dict[int, str] = {}
+    v2: dict[int, str] = {}
     parts: dict[int, dict[int, tuple[int, str]]] = {}
     for fn in os.listdir(d):
         if not fn.endswith(".parquet"):
@@ -147,11 +155,21 @@ def _checkpoint_for(root: str, target: int) -> tuple[int, list[str]] | None:
         ):
             v, i, n = int(bits[0]), int(bits[2]), int(bits[3])
             parts.setdefault(v, {})[i] = (n, os.path.join(d, fn))
+        elif (
+            len(bits) == 3
+            and bits[1] == "checkpoint"
+            and bits[0].isdigit()
+            and not bits[2].isdigit()  # uniqueStr, never a part index
+        ):
+            v2[int(bits[0])] = os.path.join(d, fn)
     candidates = [v for v in simple if v <= target]
     candidates += [v for v in parts if v <= target]
+    candidates += [v for v in v2 if v <= target]
     if not candidates:
         return None
     v = max(candidates)
+    if v in v2:
+        return v, [v2[v]]
     if v in simple:
         return v, [simple[v]]
     got = parts[v]
@@ -218,18 +236,45 @@ def _snapshot(
     cp = _checkpoint_for(root, target)
     if cp is not None:
         cp_version, cp_files = cp
-        for row in spark.read.parquet(*cp_files).collect():
-            d = row.asDict(recursive=True)
+        sidecars: list[str] = []
+
+        def decode(row) -> dict:
             # checkpoint cells may be struct-shaped (delta-spark,
             # conformance fixtures) or JSON strings (our exporter's
             # stable-schema checkpoints) — accept both
-            apply(
-                {
-                    k: (json.loads(v) if isinstance(v, str) else v)
-                    for k, v in d.items()
-                    if v is not None
-                }
-            )
+            return {
+                k: (json.loads(v) if isinstance(v, str) else v)
+                for k, v in row.asDict(recursive=True).items()
+                if v is not None
+            }
+
+        for row in spark.read.parquet(*cp_files).collect():
+            d = decode(row)
+            sc = d.pop("sidecar", None)
+            if sc:
+                # V2 checkpoint: file actions live in sidecar files
+                # (names relative to _delta_log/_sidecars/, absolute
+                # URIs accepted); checkpointMetadata is bookkeeping
+                sidecars.append(sc["path"])
+            d.pop("checkpointMetadata", None)
+            if d:
+                apply(d)
+        if sidecars:
+            sdir = os.path.join(_log_dir(root), "_sidecars")
+            paths = []
+            for p in sidecars:
+                ap = _data_path(sdir, p) if not os.path.isabs(p) else p
+                if not os.path.exists(ap):
+                    raise DeltaProtocolError(
+                        f"v2 checkpoint sidecar missing: {p!r} "
+                        "(reading a partial checkpoint would "
+                        "silently drop live files)"
+                    )
+                paths.append(ap)
+            for row in spark.read.parquet(*paths).collect():
+                d = decode(row)
+                if d:
+                    apply(d)
         start = cp_version + 1
     for v in range(start, target + 1):
         path = commits.get(v)
@@ -1459,7 +1504,11 @@ def delta_stream_sink(
 
 
 def checkpoint_delta_export(
-    spark: SparkSession, dest: str, parts: int | None = None
+    spark: SparkSession,
+    dest: str,
+    parts: int | None = None,
+    v2: bool = False,
+    sidecar_files: int = 2,
 ) -> int:
     """Write a parquet CHECKPOINT of the current snapshot state (and
     flip ``_last_checkpoint``) — the log-compaction step that keeps
@@ -1468,10 +1517,85 @@ def checkpoint_delta_export(
     multi-part (``N.checkpoint.<i>.<n>.parquet``). Returns the
     checkpointed version. After older JSON commits age out
     (retention), the reader replays from this checkpoint — already
-    covered by its multi-part/retention-gap handling."""
+    covered by its multi-part/retention-gap handling.
+
+    ``v2=True`` writes the protocol's V2 CHECKPOINT shape: a
+    top-level ``N.checkpoint.<uniqueStr>.parquet`` holding the
+    non-file actions plus a ``checkpointMetadata`` row and
+    ``sidecar`` pointers, with the add actions split across
+    ``sidecar_files`` parquet files under ``_delta_log/_sidecars/``
+    — the form that lets a huge table's checkpoint be written and
+    read in parallel without a rigid part numbering. Requires (and
+    commits, if absent) the ``v2Checkpoint`` reader+writer feature
+    on a features-era 3/7 protocol, per PROTOCOL.md."""
     commits = _commit_files(dest)
     if not commits:
         raise FileNotFoundError(f"not a Delta table: {dest}")
+    if v2:
+        # the feature gate must be visible to ANY reader before a v2
+        # checkpoint exists — commit the protocol upgrade first
+        while True:
+            proto = _latest_protocol(dest)
+            feats = set(proto.get("readerFeatures") or [])
+            if "v2Checkpoint" in feats:
+                break
+            rv, wv = (
+                proto.get("minReaderVersion", 1),
+                proto.get("minWriterVersion", 1),
+            )
+            # upgrading a legacy protocol to features-era 3/7 must
+            # ENUMERATE the features the old versions implied
+            # (PROTOCOL.md's legacy-to-table-features mapping)
+            legacy = []
+            if rv == 2:
+                legacy.append("columnMapping")
+            if rv >= 3:
+                legacy += list(proto.get("readerFeatures") or [])
+            _implied_w = {
+                2: ["appendOnly", "invariants"],
+                3: ["checkConstraints"],
+                4: ["changeDataFeed", "generatedColumns"],
+                5: ["columnMapping"],
+                6: ["identityColumns"],
+            }
+            wfeats = set(proto.get("writerFeatures") or [])
+            if wv < 7:
+                for lvl, fs in _implied_w.items():
+                    if wv >= lvl:
+                        wfeats |= set(fs)
+            actions = [
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(
+                            set(legacy) | {"v2Checkpoint"}
+                        ),
+                        "writerFeatures": sorted(
+                            wfeats | {"v2Checkpoint"}
+                        ),
+                    }
+                },
+                {
+                    "commitInfo": {
+                        "operation": "UPGRADE PROTOCOL",
+                        "timestamp": None,
+                    }
+                },
+            ]
+            meta0, _a0 = _snapshot(spark, dest, None)
+            if (
+                _try_claim_commit(
+                    spark,
+                    dest,
+                    max(_commit_files(dest)),
+                    actions,
+                    meta0.get("configuration") or {},
+                )
+                is not None
+            ):
+                break
+        commits = _commit_files(dest)
     v = max(commits)
     meta, adds = _snapshot(spark, dest, v)
     proto = {"minReaderVersion": 1, "minWriterVersion": 2}
@@ -1523,7 +1647,83 @@ def checkpoint_delta_export(
         _shutil.rmtree(tmp, ignore_errors=True)
 
     last_cp: dict = {"version": v, "size": len(rows)}
-    if parts:
+    if v2:
+        import uuid as _uuid2
+
+        sdir = os.path.join(log, "_sidecars")
+        os.makedirs(sdir, exist_ok=True)
+        add_rows = [(r[2],) for r in rows if r[2] is not None]
+        top_rows = [r for r in rows if r[2] is None]
+        n_sc = max(1, min(sidecar_files, max(len(add_rows), 1)))
+        sc_names = []
+        for i in range(n_sc):
+            chunk = add_rows[i::n_sc]
+            name = f"{_uuid2.uuid4().hex}.parquet"
+            tmp = os.path.join(dest, "_cptmp")
+            spark.createDataFrame(
+                chunk or [(None,)], "add string"
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [
+                fn for fn in os.listdir(tmp) if fn.endswith(".parquet")
+            ][0]
+            os.replace(os.path.join(tmp, part), os.path.join(sdir, name))
+            _shutil.rmtree(tmp, ignore_errors=True)
+            sc_names.append(name)
+        top = [
+            (
+                r[0],
+                r[1],
+                r[3],
+                None,
+                None,
+            )
+            for r in top_rows
+        ]
+        top.append(
+            (
+                None,
+                None,
+                None,
+                json.dumps({"version": v}),
+                None,
+            )
+        )
+        for name in sc_names:
+            top.append(
+                (
+                    None,
+                    None,
+                    None,
+                    None,
+                    json.dumps(
+                        {
+                            "path": name,
+                            "sizeInBytes": os.path.getsize(
+                                os.path.join(sdir, name)
+                            ),
+                            "modificationTime": None,
+                        }
+                    ),
+                )
+            )
+        top_schema = (
+            "protocol string, metaData string, txn string, "
+            "checkpointMetadata string, sidecar string"
+        )
+        uid = _uuid2.uuid4().hex
+        tmp = os.path.join(dest, "_cptmp")
+        spark.createDataFrame(top, top_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [
+            fn for fn in os.listdir(tmp) if fn.endswith(".parquet")
+        ][0]
+        os.replace(
+            os.path.join(tmp, part),
+            os.path.join(log, f"{v:020d}.checkpoint.{uid}.parquet"),
+        )
+        _shutil.rmtree(tmp, ignore_errors=True)
+    elif parts:
         for i in range(1, parts + 1):
             write_one(
                 rows[i - 1 :: parts],
@@ -1855,7 +2055,10 @@ def write_delta(
             "SetTransaction is (appId, version))"
         )
     log = _log_dir(dest)
-    exists = os.path.isdir(log) and bool(_commit_files(dest))
+    exists = os.path.isdir(log) and (
+        bool(_commit_files(dest))
+        or _checkpoint_for(dest, 1 << 62) is not None
+    )
     if mode == "error" and exists:
         raise ValueError(f"Delta table already exists at {dest}")
     if txn_app_id is not None and exists:
@@ -1863,7 +2066,11 @@ def write_delta(
         if last is not None and txn_version <= last:
             # idempotent replay: this batch already committed —
             # nothing stages, nothing commits
-            return max(_commit_files(dest))
+            _cp = _checkpoint_for(dest, 1 << 62)
+            return max(
+                max(_commit_files(dest), default=-1),
+                _cp[0] if _cp else -1,
+            )
     if mode not in ("error", "append", "overwrite"):
         raise ValueError(f"write_delta mode {mode!r}")
     os.makedirs(os.path.join(dest, "data"), exist_ok=True)
@@ -2046,7 +2253,18 @@ def write_delta(
     # and the in-claim SetTransaction re-check below stays sound
     content = "".join(json.dumps(a) + "\n" for a in actions)
     while True:
-        v = max(_commit_files(dest), default=-1) + 1
+        # the next version is one past EVERYTHING visible — newest
+        # JSON commit or newest checkpoint (after retention ages the
+        # JSON tail out, claiming from the commit listing alone
+        # would land BELOW the checkpoint and be invisible forever)
+        newest_cp = _checkpoint_for(dest, 1 << 62)
+        v = (
+            max(
+                max(_commit_files(dest), default=-1),
+                newest_cp[0] if newest_cp else -1,
+            )
+            + 1
+        )
         if txn_app_id is not None and v > 0:
             # a RACING REPLAY of the same batch may have landed
             # between the early check and this claim — re-verify so

@@ -131,11 +131,13 @@ def test_protocol_gates(spark, tmp_path):
         return root
 
     # v3 with an UNKNOWN feature refused, with the feature named
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+    # (v2Checkpoint graduated to supported in r10 — use a name no
+    # reader version defines)
+    with pytest.raises(DeltaProtocolError, match="rowTrackingFuture"):
         read_delta(
             spark,
             table({"minReaderVersion": 3,
-                   "readerFeatures": ["v2Checkpoint"]}),
+                   "readerFeatures": ["rowTrackingFuture"]}),
         )
     # v3 with supported features reads fine (DV feature flag alone
     # doesn't change a table with no DV-carrying adds)
@@ -2166,3 +2168,287 @@ def test_delta_commit_backend_conditional_put(spark, tmp_path):
         [t.join() for t in ts]
         assert not errs, errs
         assert read_delta(spark, root).count() == 8  # batch once
+
+
+def test_delta_v2_checkpoint_roundtrip(spark, tmp_path):
+    """V2 checkpoint (PROTOCOL.md v2Checkpoint): top-level file +
+    _sidecars, feature-gated on a 3/7 protocol. After the JSON
+    commits age out, the snapshot replays entirely from the v2
+    checkpoint — adds (including DV-bearing ones) ride in sidecars."""
+    import os as _os
+
+    from dataflowex_spark.sources.delta_reader import (
+        checkpoint_delta_export,
+        delete_from_delta,
+        read_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "k long, x double"
+        ),
+        root,
+    )
+    write_delta(
+        spark,
+        spark.createDataFrame([(100, 1.0)], "k long, x double"),
+        root, mode="append",
+    )
+    delete_from_delta(spark, root, "k = 7")  # DV rides the add
+    want = sorted(r.k for r in read_delta(spark, root).collect())
+    cpv = checkpoint_delta_export(spark, root, v2=True)
+    log = _os.path.join(root, "_delta_log")
+    names = _os.listdir(log)
+    assert any(
+        ".checkpoint." in n
+        and n.endswith(".parquet")
+        and len(n[: -len(".parquet")].split(".")) == 3
+        and not n[: -len(".parquet")].split(".")[2].isdigit()
+        for n in names
+    ), names
+    assert _os.path.isdir(_os.path.join(log, "_sidecars"))
+    # retention: the JSON commits up to the checkpoint age out
+    for n in names:
+        if n.endswith(".json") and n[:-5].isdigit() and int(n[:-5]) <= cpv:
+            _os.unlink(_os.path.join(log, n))
+    got = sorted(r.k for r in read_delta(spark, root).collect())
+    assert got == want
+    # and further writes on top of the v2 checkpoint still work
+    write_delta(
+        spark,
+        spark.createDataFrame([(200, 2.0)], "k long, x double"),
+        root, mode="append",
+    )
+    assert sorted(
+        r.k for r in read_delta(spark, root).collect()
+    ) == want + [200]
+
+
+def test_delta_checkpoint_resolution_precedence(spark, tmp_path):
+    """When several complete checkpoint forms coexist at the same
+    version, resolution prefers V2 > simple > multi-part — and a v2
+    checkpoint with a missing sidecar REFUSES instead of silently
+    dropping live files."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from dataflowex_spark.sources.delta_reader import (
+        DeltaProtocolError,
+        _checkpoint_for,
+        checkpoint_delta_export,
+        read_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "k long, x double"
+        ),
+        root,
+    )
+    write_delta(
+        spark,
+        spark.createDataFrame([(9, 9.0)], "k long, x double"),
+        root, mode="append",
+    )
+    checkpoint_delta_export(spark, root, parts=2)  # multipart at v1
+    v = checkpoint_delta_export(spark, root)  # simple at v1... same v
+    v2v = checkpoint_delta_export(spark, root, v2=True)  # v2 at v2 (upgrade commit)
+    # at the v2 version, the v2 file wins
+    got = _checkpoint_for(root, 1 << 62)
+    assert got[0] == v2v
+    bits = _os.path.basename(got[1][0])[: -len(".parquet")].split(".")
+    assert len(bits) == 3 and not bits[2].isdigit()
+    # at the pre-upgrade version, simple beats multipart
+    got1 = _checkpoint_for(root, v)
+    assert got1[0] == v
+    assert _os.path.basename(got1[1][0]) == f"{v:020d}.checkpoint.parquet"
+    # missing sidecar refuses
+    sdir = _os.path.join(root, "_delta_log", "_sidecars")
+    victim = _os.listdir(sdir)[0]
+    _os.rename(
+        _os.path.join(sdir, victim), _os.path.join(sdir, victim + ".bak")
+    )
+    with _pytest.raises(DeltaProtocolError, match="sidecar missing"):
+        read_delta(spark, root).collect()
+    _os.rename(
+        _os.path.join(sdir, victim + ".bak"), _os.path.join(sdir, victim)
+    )
+    assert read_delta(spark, root).count() == 7
+
+
+def test_delta_v2_checkpoint_struct_shaped_fixture(spark, tmp_path):
+    """A v2 checkpoint written the delta-spark way (STRUCT cells, not
+    JSON strings) reads identically — top-level sidecar/metaData/
+    protocol structs, sidecar files with struct add rows."""
+    import os as _os
+
+    from dataflowex_spark.sources.delta_reader import (
+        read_delta,
+        stage_parquet_file,
+    )
+
+    root = str(tmp_path / "t")
+    log = _os.path.join(root, "_delta_log")
+    sdir = _os.path.join(log, "_sidecars")
+    _os.makedirs(sdir)
+    # one real data file
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string"
+    )
+    stage_parquet_file(df, root, "data/f1.parquet")
+    import json as _json
+
+    schema_str = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "s", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    # sidecar with a STRUCT add row
+    from pyspark.sql import types as _T
+
+    sc_schema = _T.StructType(
+        [
+            _T.StructField(
+                "add",
+                _T.StructType(
+                    [
+                        _T.StructField("path", _T.StringType()),
+                        _T.StructField(
+                            "partitionValues",
+                            _T.MapType(_T.StringType(), _T.StringType()),
+                        ),
+                        _T.StructField("size", _T.LongType()),
+                        _T.StructField("dataChange", _T.BooleanType()),
+                    ]
+                ),
+            )
+        ]
+    )
+    sc_rows = [
+        (
+            (
+                "data/f1.parquet",
+                {},
+                _os.path.getsize(
+                    _os.path.join(root, "data/f1.parquet")
+                ),
+                True,
+            ),
+        )
+    ]
+    spark.createDataFrame(sc_rows, sc_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "scstage"))
+    part = [
+        f
+        for f in _os.listdir(str(tmp_path / "scstage"))
+        if f.endswith(".parquet")
+    ][0]
+    _os.replace(
+        str(tmp_path / "scstage" / part),
+        _os.path.join(sdir, "sc-1.parquet"),
+    )
+    top_schema = _T.StructType(
+        [
+            _T.StructField(
+                "protocol",
+                _T.StructType(
+                    [
+                        _T.StructField("minReaderVersion", _T.IntegerType()),
+                        _T.StructField("minWriterVersion", _T.IntegerType()),
+                        _T.StructField(
+                            "readerFeatures",
+                            _T.ArrayType(_T.StringType()),
+                        ),
+                        _T.StructField(
+                            "writerFeatures",
+                            _T.ArrayType(_T.StringType()),
+                        ),
+                    ]
+                ),
+            ),
+            _T.StructField(
+                "metaData",
+                _T.StructType(
+                    [
+                        _T.StructField("id", _T.StringType()),
+                        _T.StructField("schemaString", _T.StringType()),
+                        _T.StructField(
+                            "partitionColumns",
+                            _T.ArrayType(_T.StringType()),
+                        ),
+                        _T.StructField(
+                            "configuration",
+                            _T.MapType(_T.StringType(), _T.StringType()),
+                        ),
+                    ]
+                ),
+            ),
+            _T.StructField(
+                "checkpointMetadata",
+                _T.StructType(
+                    [_T.StructField("version", _T.LongType())]
+                ),
+            ),
+            _T.StructField(
+                "sidecar",
+                _T.StructType(
+                    [
+                        _T.StructField("path", _T.StringType()),
+                        _T.StructField("sizeInBytes", _T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    top_rows = [
+        (
+            (3, 7, ["v2Checkpoint"], ["v2Checkpoint"]),
+            None,
+            None,
+            None,
+        ),
+        (
+            None,
+            ("fixture", schema_str, [], {}),
+            None,
+            None,
+        ),
+        (None, None, (0,), None),
+        (
+            None,
+            None,
+            None,
+            (
+                "sc-1.parquet",
+                _os.path.getsize(_os.path.join(sdir, "sc-1.parquet")),
+            ),
+        ),
+    ]
+    spark.createDataFrame(top_rows, top_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "topstage"))
+    part = [
+        f
+        for f in _os.listdir(str(tmp_path / "topstage"))
+        if f.endswith(".parquet")
+    ][0]
+    _os.replace(
+        str(tmp_path / "topstage" / part),
+        _os.path.join(log, f"{0:020d}.checkpoint.abc123def.parquet"),
+    )
+    with open(_os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write(_json.dumps({"version": 0, "size": 4}))
+    got = sorted((r.k, r.s) for r in read_delta(spark, root).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
