@@ -26735,3 +26735,90 @@ def q453(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q(
+    "q454_iceberg_v3_puffin_dv",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 17 = 3
+      ORDER BY okey
+    ), numbered AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY okey) - 1 AS rn FROM base
+    ), survivors AS (
+      SELECT okey, priority, price_cents FROM numbered
+      WHERE rn % 7 <> 2
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM survivors GROUP BY priority ORDER BY priority
+    """,
+)
+def q454(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG V3 READ PATH (ratified v3 spec): position deletes as
+    PUFFIN deletion-vector-v1 blobs — 64-bit roaring in PORTABLE
+    form framed by the spec's length/magic/CRC-32, footer-indexed
+    with referenced-data-file + cardinality — replacing v2's
+    pos-delete parquet. The query stages one ordered data file,
+    hand-builds a format-version 3 table whose DV kills every
+    rn%7==2 position, and reads through the MoR path (seq-gated,
+    like any position delete); the oracle replays the positional
+    kill with ROW_NUMBER, so the hash proves blob decode is exact.
+    v3 writes/DML refuse by name — read-path interop is the claim,
+    matching where the open ecosystem is moving."""
+    import os
+    import tempfile
+
+    import dataflowex_spark.sources.iceberg_reader as ir
+    from dataflowex_spark.sources.delta_reader import stage_parquet_file
+    from dataflowex_spark.sources.puffin import write_puffin_dvs
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 17 == 3)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .orderBy("okey")
+    )
+    root = tempfile.mkdtemp(prefix="q454_") + "/t"
+    stage_parquet_file(base, root, "data/f1.parquet")
+    f1 = os.path.abspath(os.path.join(root, "data/f1.parquet"))
+    n_rows = base.count()
+    dead = [p for p in range(n_rows) if p % 7 == 2]
+    dv = os.path.join(root, "data", "dv1.puffin")
+    write_puffin_dvs(dv, {f1: dead}, snapshot_id=1, sequence_number=2)
+    ir.write_conformance_table(
+        root,
+        [
+            {
+                "id": 1,
+                "entries": [(1, f1)],
+                "delete_entries": [(1, dv, 1, 2, None, "PUFFIN")],
+                "schema_fields": [
+                    (1, "okey", "long"),
+                    (2, "priority", "string"),
+                    (3, "price_cents", "long"),
+                ],
+            }
+        ],
+        format_version=3,
+    )
+    return (
+        ir.read_iceberg(spark, root)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )

@@ -277,8 +277,21 @@ def load_table_metadata(root: str) -> dict:
         meta = json.load(open(os.path.join(d, f"v{v}.metadata.json")))
     meta["_loaded-version"] = v
     fv = meta.get("format-version", 1)
-    if fv not in (1, 2):
+    if fv not in (1, 2, 3):
         raise IcebergProtocolError(f"format-version {fv} not supported")
+    if fv == 3:
+        # v3 READ support: deletion vectors (Puffin blobs) and the
+        # metadata shape. Features that change VALUE semantics are
+        # refused BY NAME rather than misread: a column added with a
+        # default back-fills existing rows with `initial-default`,
+        # which our null-filling scan would silently read as NULL.
+        for sch in meta.get("schemas", []):
+            for f in sch.get("fields", []):
+                if f.get("initial-default") is not None:
+                    raise IcebergProtocolError(
+                        "v3 default values (initial-default on "
+                        f"field {f.get('name')!r}) not supported"
+                    )
     return meta
 
 
@@ -476,11 +489,15 @@ def _live_files(
             seq = mseq if seq is None else seq
             path = _resolve_path(root, df["file_path"])
             fmt = (df.get("file_format") or "PARQUET").upper()
-            if content != 0 and fmt != "PARQUET":
+            if content != 0 and fmt not in ("PARQUET", "PUFFIN"):
                 raise IcebergProtocolError(
                     f"{fmt} delete sidecar files not supported"
                 )
-            if fmt not in ("PARQUET", "ORC", "AVRO"):
+            if fmt == "PUFFIN" and content != 1:
+                raise IcebergProtocolError(
+                    "PUFFIN files carry deletion vectors only"
+                )
+            if fmt not in ("PARQUET", "ORC", "AVRO", "PUFFIN"):
                 raise IcebergProtocolError(
                     f"unknown data file format {fmt!r}"
                 )
@@ -504,6 +521,11 @@ def _live_files(
                     pt["__spec_id"] = m.get("partition_spec_id", 0)
                     partitions[path] = pt
             elif content == 1:
+                if fmt == "PUFFIN":
+                    # v3 deletion vector: remember the container
+                    # format so the read path decodes the Puffin
+                    # blobs instead of scanning parquet
+                    formats[path] = "PUFFIN"
                 pos_deletes.append((path, seq))
             elif content == 2:
                 ids = df.get("equality_ids") or []
@@ -1031,6 +1053,39 @@ def read_iceberg(
         data = df
         pieces_dv = []
         for path, dseq in sorted(set(pos_deletes)):
+            if formats.get(path) == "PUFFIN":
+                # v3 deletion vector: decode the Puffin blobs
+                # driver-side (a DV is bounded per-file delete state
+                # — the same economics as Delta's DVs and MTable's
+                # sidecars) into the (file, pos) shape the anti-join
+                # consumes
+                from dataflowex_spark.sources.puffin import (
+                    read_puffin_dvs,
+                )
+
+                rows = [
+                    (
+                        re.sub(
+                            r"^file:/*",
+                            "/",
+                            ref
+                            if os.path.isabs(ref)
+                            or ref.startswith("file:")
+                            else _resolve_path(root, ref),
+                        ),
+                        int(p),
+                        int(dseq),
+                    )
+                    for ref, positions in read_puffin_dvs(path)
+                    for p in positions
+                ]
+                pieces_dv.append(
+                    spark.createDataFrame(
+                        rows,
+                        "__dfp string, __dri long, __dseq long",
+                    )
+                )
+                continue
             pieces_dv.append(
                 spark.read.parquet(path).select(
                     F.regexp_replace(
@@ -2896,6 +2951,14 @@ def _write_iceberg_attempt(
 
     md = _meta_dir(dest)
     exists = _latest_meta_version(md) > 0
+    if (
+        exists
+        and load_table_metadata(dest).get("format-version", 1) >= 3
+    ):
+        raise IcebergProtocolError(
+            "writes to format-version 3 tables not supported "
+            "(v3 support is read-only)"
+        )
     if mode == "error" and exists:
         raise ValueError(f"Iceberg table already exists at {dest}")
     if mode not in ("error", "append", "overwrite"):
@@ -3497,6 +3560,14 @@ def _iceberg_dml_preamble(root: str, op: str, branch: str | None = None):
     targets the branch head (write-audit-publish staging) — state
     loads from, and the commit will move, the named ref."""
     meta = load_table_metadata(root)
+    if meta.get("format-version", 1) >= 3:
+        # v3 support is READ-path (Puffin DVs, metadata): our DML
+        # writes v2-shaped manifests and parquet pos-deletes, which
+        # a v3 table's other readers would misinterpret
+        raise IcebergProtocolError(
+            f"{op}: writes to format-version 3 tables not supported "
+            "(v3 support is read-only)"
+        )
     snaps = meta.get("snapshots", [])
     if branch is not None:
         refs = meta.get("refs") or {}

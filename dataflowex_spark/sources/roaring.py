@@ -381,3 +381,42 @@ def decode_dv_descriptor(table_root: str, desc: dict) -> list[int]:
         path = os.path.join(*parts, f"deletion_vector_{u}.bin")
         return read_dv_file(path, desc["offset"], size)
     raise ValueError(f"unknown DV storageType {st!r}")
+
+
+# ------------------------------------ 64-bit roaring, PORTABLE form
+# (the standard Roaring64 "portable" serialization the Iceberg v3
+# deletion-vector-v1 blob uses — DISTINCT from Delta's
+# RoaringBitmapArray above: u64 LE bucket count, then per SORTED
+# 32-bit high key: u32 LE key + a portable 32-bit roaring bitmap.
+# Only non-empty buckets serialize; Delta's form writes a DENSE
+# 0..max range instead.)
+
+
+def roaring64_portable_deserialize(data: bytes, off: int = 0) -> list[int]:
+    """Portable 64-bit roaring bytes → sorted int64 positions."""
+    (n_buckets,) = struct.unpack_from("<Q", data, off)
+    off += 8
+    out: list[int] = []
+    for _ in range(n_buckets):
+        (high,) = struct.unpack_from("<I", data, off)
+        off += 4
+        vals, used = roaring32_deserialize(data, off)
+        off += used
+        out.extend((high << 32) + v for v in vals)
+    return out
+
+
+def roaring64_portable_serialize(positions: list[int]) -> bytes:
+    """Sorted int64 positions → portable 64-bit roaring bytes."""
+    by_high: dict[int, list[int]] = {}
+    last = -1
+    for p in positions:
+        if p <= last:
+            raise ValueError("positions must be strictly increasing")
+        last = p
+        by_high.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    parts = [struct.pack("<Q", len(by_high))]
+    for high in sorted(by_high):
+        parts.append(struct.pack("<I", high))
+        parts.append(roaring32_serialize(by_high[high]))
+    return b"".join(parts)

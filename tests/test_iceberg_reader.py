@@ -93,14 +93,14 @@ def test_position_deletes_apply_and_equality_refuses(spark, tmp_path):
     )
     with pytest.raises(IcebergProtocolError, match="equality-delete"):
         read_iceberg(spark, r2)
-    # unsupported format-version
+    # unsupported format-version (v3 reads since r10; v4 has no spec)
     r3 = tempfile.mkdtemp(dir=str(tmp_path))
     stage_parquet_file(f1, r3, "data/f.parquet")
     write_conformance_table(
         r3, [{"id": 1, "entries": [(1, "data/f.parquet")]}],
-        format_version=3,
+        format_version=4,
     )
-    with pytest.raises(IcebergProtocolError, match="format-version 3"):
+    with pytest.raises(IcebergProtocolError, match="format-version 4"):
         read_iceberg(spark, r3)
 
 
@@ -2560,3 +2560,80 @@ def test_append_carries_manifests_by_reference(spark, tmp_path):
     assert len(after) == len(before) + 1  # exactly one new manifest
     got = sorted(r.k for r in ir.read_iceberg(spark, dest).collect())
     assert got == [k for k in range(10) if k != 3] + [100]
+
+
+def test_iceberg_v3_puffin_deletion_vectors(spark, tmp_path):
+    """Iceberg v3 read path: a format-version 3 table whose position
+    deletes live as Puffin deletion-vector-v1 blobs (hand-built per
+    the published Puffin spec) reads with the DV'd rows dead; CRC,
+    magic, and cardinality are validated; v3 writes and unsupported
+    v3 features refuse BY NAME."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    import dataflowex_spark.sources.iceberg_reader as ir
+    from dataflowex_spark.sources.delta_reader import stage_parquet_file
+    from dataflowex_spark.sources.puffin import (
+        PuffinError,
+        read_puffin_dvs,
+        write_puffin_dvs,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(10)], "k long, s string"
+    )
+    stage_parquet_file(df, root, "data/f1.parquet")
+    f1 = _os.path.abspath(_os.path.join(root, "data/f1.parquet"))
+    dv = _os.path.join(root, "data", "dv1.puffin")
+    write_puffin_dvs(dv, {f1: [1, 3, 8]}, snapshot_id=1, sequence_number=2)
+    ir.write_conformance_table(
+        root,
+        [
+            {
+                "id": 1,
+                "entries": [(1, f1)],
+                "delete_entries": [(1, dv, 1, 2, None, "PUFFIN")],
+                "schema_fields": [(1, "k", "long"), (2, "s", "string")],
+            }
+        ],
+        format_version=3,
+    )
+    got = sorted(r.k for r in ir.read_iceberg(spark, root).collect())
+    assert got == [0, 2, 4, 5, 6, 7, 9], got
+    # v3 writes refuse by name
+    with _pytest.raises(ir.IcebergProtocolError, match="read-only"):
+        ir.write_iceberg(
+            spark,
+            spark.createDataFrame([(99, "x")], "k long, s string"),
+            root, mode="append",
+        )
+    with _pytest.raises(ir.IcebergProtocolError, match="read-only"):
+        ir.delete_from_iceberg(spark, root, "k = 0")
+    # unsupported v3 feature refuses by name: initial-default
+    mdp = _os.path.join(root, "metadata", "v1.metadata.json")
+    meta = _json.load(open(mdp))
+    meta["schemas"][0]["fields"][0]["initial-default"] = 7
+    with open(mdp, "w") as f:
+        _json.dump(meta, f)
+    with _pytest.raises(
+        ir.IcebergProtocolError, match="initial-default"
+    ):
+        ir.read_iceberg(spark, root).collect()
+    meta["schemas"][0]["fields"][0].pop("initial-default")
+    meta["format-version"] = 4
+    with open(mdp, "w") as f:
+        _json.dump(meta, f)
+    with _pytest.raises(
+        ir.IcebergProtocolError, match="format-version 4"
+    ):
+        ir.read_iceberg(spark, root).collect()
+    # corrupted DV blob refuses (CRC)
+    raw = bytearray(open(dv, "rb").read())
+    raw[12] ^= 0xFF  # flip a bitmap byte, CRC now mismatches
+    with open(dv, "wb") as f:
+        f.write(bytes(raw))
+    with _pytest.raises(PuffinError, match="CRC"):
+        read_puffin_dvs(dv)
