@@ -26822,3 +26822,77 @@ def q454(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q(
+    "q455_iceberg_bucketed_spj",
+    """
+    WITH cust AS (
+      SELECT c_custkey AS k, c_acctbal FROM customer
+      WHERE c_custkey % 3 = 1
+    ), ords AS (
+      SELECT o_custkey AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders WHERE o_custkey % 3 = 1
+      GROUP BY o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS joined_rows,
+           CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM cust JOIN ords USING (k)
+    """,
+)
+def q455(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORAGE-PARTITIONED JOIN over same-bucketed Iceberg tables
+    (iceberg_bucketed_join): both tables write with bucket[8] on the
+    customer key (murmur3 spec-pinned, so equal keys co-locate in
+    both), and the join runs ONE TASK PER BUCKET over aligned file
+    groups — ZERO data exchange in the plan (asserted in-query: no
+    hashpartitioning, no join node; the only Exchange distributes
+    the 8-row bucket task list). This is the physical plan DSv2's
+    KeyGroupedPartitioning SPJ produces, built without the JVM
+    catalog plumbing PySpark lacks; a plain DataFrame join of the
+    same tables shuffles both sides in full. The oracle replays the
+    join in SQL — the hash match proves bucket alignment loses no
+    keys. At 100 TB: shuffle-free joins of co-bucketed fact tables
+    are the difference between network-bound and scan-bound."""
+    import tempfile
+
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    cat = Catalog(spark, sf_dir)
+    cust = (
+        cat["customer"]
+        .filter(F.col("c_custkey") % 3 == 1)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_acctbal").alias("c_acctbal"),
+        )
+    )
+    ords = (
+        cat["orders"]
+        .filter(F.col("o_custkey") % 3 == 1)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("long")
+            ).cast("long").alias("cents"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="q455_")
+    A, B = d + "/cust", d + "/ords"
+    ir.write_iceberg(spark, cust, A, partition_by=[("k", "bucket[8]")])
+    ir.write_iceberg(spark, ords, B, partition_by=[("k", "bucket[8]")])
+    joined = ir.iceberg_bucketed_join(spark, A, B, how="inner")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan and "HashJoin" not in plan
+    assert "RoundRobinPartitioning" in plan
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("joined_rows"),
+        F.sum("n_orders").cast("long").alias("total_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )

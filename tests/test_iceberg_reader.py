@@ -2637,3 +2637,74 @@ def test_iceberg_v3_puffin_deletion_vectors(spark, tmp_path):
         f.write(bytes(raw))
     with _pytest.raises(PuffinError, match="CRC"):
         read_puffin_dvs(dv)
+
+
+def test_iceberg_bucketed_join_spj(spark, tmp_path):
+    """Storage-partitioned join of two same-bucketed Iceberg tables:
+    one task per bucket joins aligned file groups — the plan carries
+    NO data exchange (the only Exchange is a RoundRobin of the tiny
+    bucket task list) and no join node at all, while a plain
+    DataFrame join of the same tables shuffles BOTH sides (the
+    recorded DSv2 boundary). Results match the DataFrame join for
+    inner/left/outer; mismatched bucketing refuses."""
+    import pytest as _pytest
+
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    A = str(tmp_path / "a")
+    B = str(tmp_path / "b")
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "k long, x double"
+        ),
+        A, partition_by=[("k", "bucket[4]")],
+    )
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(0, 100, 2)], "k long, tag string"
+        ),
+        B, partition_by=[("k", "bucket[4]")],
+    )
+    out = ir.iceberg_bucketed_join(spark, A, B, how="inner")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "HashJoin" not in plan
+    assert plan.count("Exchange") == 1  # the bucket TASK list only
+    assert "RoundRobinPartitioning" in plan
+    got = sorted((r.k, r.x, r.tag) for r in out.collect())
+    ref = sorted(
+        (r.k, r.x, r.tag)
+        for r in ir.read_iceberg(spark, A)
+        .join(ir.read_iceberg(spark, B), "k")
+        .collect()
+    )
+    assert got == ref
+    # the naive DataFrame join DOES shuffle both sides — the honest
+    # boundary this operator exists to remove
+    naive = ir.read_iceberg(spark, A).join(ir.read_iceberg(spark, B), "k")
+    nplan = naive._jdf.queryExecution().executedPlan().toString()
+    assert ("hashpartitioning" in nplan) or ("Broadcast" in nplan)
+    # outer parity
+    got_o = sorted(
+        (r.k, r.x, r.tag)
+        for r in ir.iceberg_bucketed_join(spark, A, B, how="outer")
+        .collect()
+    )
+    ref_o = sorted(
+        (r.k, r.x, r.tag)
+        for r in ir.read_iceberg(spark, A)
+        .join(ir.read_iceberg(spark, B), "k", "outer")
+        .collect()
+    )
+    assert got_o == ref_o
+    # mismatched bucket count refuses
+    C = str(tmp_path / "c")
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame([(1, 1.0)], "k long, y double"),
+        C, partition_by=[("k", "bucket[8]")],
+    )
+    with _pytest.raises(ir.IcebergProtocolError, match="identical"):
+        ir.iceberg_bucketed_join(spark, A, C)
