@@ -3392,6 +3392,7 @@ def _iceberg_mor_commit(
     op: str,
     eq_deletes: list | None = None,
     branch: str | None = None,
+    carry_from_sid: int | None = None,
 ) -> int | None:
     """One MoR snapshot: a data manifest carrying the live set as
     EXISTING (original seqs — the spec's manifest rewrite) plus any
@@ -3399,7 +3400,15 @@ def _iceberg_mor_commit(
     position deletes plus the new ones. Writes manifests, manifest
     list, and the next metadata version — which it claims
     put-if-absent (:func:`_try_commit_metadata`); returns None on a
-    lost race so the caller replays against the winner's state."""
+    lost race so the caller replays against the winner's state.
+
+    ``carry_from_sid``: BY-REFERENCE carry for verbs that leave the
+    live set untouched (DELETE/UPDATE/UPSERT/eq-delete just ADD
+    sidecars and data files) — the base snapshot's manifest-list
+    rows ride verbatim and only the NEW manifests are written, so
+    DML commit metadata cost is O(change), not O(live table) (the
+    append path's r10 economics). The rewrite/fold verbs, which
+    REPLACE the live set, pass None and take the full rebuild."""
     import uuid as _uuid
 
     from dataflowex_spark.sources.avro_io import write_container
@@ -3408,6 +3417,63 @@ def _iceberg_mor_commit(
     token = _uuid.uuid4().hex[:8]
     snaps = meta.get("snapshots", [])
     default_spec = meta.get("default-spec-id", 0)
+    if carry_from_sid is not None:
+        base = next(
+            (
+                s
+                for s in snaps
+                if s["snapshot-id"] == carry_from_sid
+            ),
+            None,
+        )
+        if base is not None:
+            _ms, carried_rows = read_container(
+                _resolve_path(root, base["manifest-list"])
+            )
+            mrows = list(carried_rows)
+            if new_data_entries:
+                fields_g = _spec_avro_fields(meta, default_spec)
+                data_schema = (
+                    _manifest_schema_with_partition(fields_g)
+                    if fields_g
+                    else MANIFEST_SCHEMA
+                )
+                mpath = os.path.join(
+                    md,
+                    f"manifest-{new_sid:05d}-{token}-s{default_spec}.avro",
+                )
+                write_container(mpath, data_schema, new_data_entries)
+                mrows.insert(
+                    0,
+                    {
+                        "manifest_path": os.path.abspath(mpath),
+                        "manifest_length": os.path.getsize(mpath),
+                        "partition_spec_id": default_spec,
+                        "content": 0,
+                        "sequence_number": new_seq,
+                        "added_snapshot_id": new_sid,
+                    },
+                )
+            if del_entries:
+                dpath = os.path.join(
+                    md, f"manifest-{new_sid:05d}-{token}-del.avro"
+                )
+                write_container(dpath, MANIFEST_SCHEMA, del_entries)
+                mrows.insert(
+                    0,
+                    {
+                        "manifest_path": os.path.abspath(dpath),
+                        "manifest_length": os.path.getsize(dpath),
+                        "partition_spec_id": default_spec,
+                        "content": 1,
+                        "sequence_number": new_seq,
+                        "added_snapshot_id": new_sid,
+                    },
+                )
+            return _mor_commit_finish(
+                root, meta, mrows, new_sid, new_seq, op, branch,
+                md, token,
+            )
     # PER-SPEC manifest groups: after partition spec evolution the
     # carried live set mixes tuples written under different specs,
     # and a manifest's r102 partition struct is typed by exactly one
@@ -3527,6 +3593,26 @@ def _iceberg_mor_commit(
                 "added_snapshot_id": new_sid,
             }
         )
+    return _mor_commit_finish(
+        root, meta, mrows, new_sid, new_seq, op, branch, md, token
+    )
+
+
+def _mor_commit_finish(
+    root: str,
+    meta: dict,
+    mrows: list[dict],
+    new_sid: int,
+    new_seq: int,
+    op: str,
+    branch: str | None,
+    md: str,
+    token: str,
+) -> int | None:
+    """Shared MoR-commit tail: manifest list (with partition
+    summaries), snapshot append (parent-linked), ref/current flip,
+    optimistic metadata claim."""
+    snaps = meta.get("snapshots", [])
     mlist = os.path.join(md, f"snap-{new_sid}-{token}.avro")
     _write_manifest_list(root, mlist, mrows, meta)
     meta["snapshots"] = snaps + [
@@ -3590,7 +3676,11 @@ def _iceberg_dml_preamble(root: str, op: str, branch: str | None = None):
         )
 
     latest_sid = snaps[-1]["snapshot-id"] if snaps else -1
-    return meta, live, pos_deletes, bounds, partitions, formats, latest_sid
+    base_sid = sid if sid not in (None, -1) else None
+    return (
+        meta, live, pos_deletes, bounds, partitions, formats,
+        latest_sid, base_sid,
+    )
 
 
 def delete_from_iceberg(
@@ -3630,7 +3720,7 @@ def delete_from_iceberg(
     while True:
         (
             meta, live, pos_deletes, bounds, partitions, formats,
-            latest_sid,
+            latest_sid, base_sid,
         ) = _iceberg_dml_preamble(
             root, "delete_from_iceberg", branch
         )
@@ -3653,7 +3743,7 @@ def delete_from_iceberg(
         sid = _iceberg_mor_commit(
             root, meta, live, bounds, partitions, formats,
             pos_deletes, new_sid, new_seq, [], del_entries, "delete",
-            branch=branch,
+            branch=branch, carry_from_sid=base_sid,
         )
         if sid is None:
             continue  # lost the race: re-match against the winner
@@ -3695,7 +3785,7 @@ def upsert_iceberg(
     while True:
         (
             meta, live, pos_deletes, bounds, partitions, formats,
-            latest_sid,
+            latest_sid, base_sid,
         ) = _iceberg_dml_preamble(root, "upsert_iceberg", branch)
         top = _current_schema_fields(meta)
         tcols = [f["name"] for f in top]
@@ -3784,6 +3874,7 @@ def upsert_iceberg(
             root, meta, live, bounds, partitions, formats,
             pos_deletes, new_sid, new_seq, new_data_entries,
             del_entries, "overwrite", branch=branch,
+            carry_from_sid=base_sid,
         )
         if sid is None:
             continue  # lost the race: re-match against the winner
@@ -4045,6 +4136,7 @@ def delete_keys_from_iceberg(
         ) = _live_files(
             root, meta, sid0 if sid0 not in (None, -1) else None
         )
+        base_sid = sid0 if sid0 not in (None, -1) else None
         latest_sid = snaps[-1]["snapshot-id"] if snaps else -1
         if not live:
             return latest_sid, 0
@@ -4089,6 +4181,7 @@ def delete_keys_from_iceberg(
             root, meta, live, bounds, partitions, formats,
             pos_deletes, new_sid, new_seq, [], del_entries,
             "delete", eq_deletes=eq_deletes,
+            carry_from_sid=base_sid,
         )
         if sid is None:
             continue  # lost the claim: replay against the winner
@@ -4129,7 +4222,7 @@ def update_iceberg(
     while True:
         (
             meta, live, pos_deletes, bounds, partitions, formats,
-            latest_sid,
+            latest_sid, base_sid,
         ) = _iceberg_dml_preamble(root, "update_iceberg", branch)
         top = _current_schema_fields(meta)
         tcols = [f["name"] for f in top]
@@ -4181,7 +4274,7 @@ def update_iceberg(
         sid = _iceberg_mor_commit(
             root, meta, live, bounds, partitions, formats,
             pos_deletes, new_sid, new_seq, new_entries, del_entries,
-            "overwrite", branch=branch,
+            "overwrite", branch=branch, carry_from_sid=base_sid,
         )
         matched.unpersist()
         if sid is None:
