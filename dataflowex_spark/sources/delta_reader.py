@@ -2297,13 +2297,33 @@ def write_delta(
 
 
 def _latest_protocol(root: str) -> dict:
-    """Newest ``protocol`` action visible in the JSON log (base
-    ``(1, 2)`` when none is — e.g. a checkpoint-era log whose
-    protocol rode into the checkpoint; fine for our purposes because
-    column-mapped tables are refused before this is consulted)."""
+    """Newest ``protocol`` action visible: the newest checkpoint's
+    protocol row (if any) overridden by any later JSON-commit
+    protocol. The checkpoint fallback matters after log retention —
+    falling back to base ``(1, 2)`` there would let a later
+    feature-upgrade action silently DROP features the table already
+    carries (e.g. DML re-emitting a deletionVectors-only 3/7 on a
+    v2Checkpoint table)."""
     proto = {"minReaderVersion": 1, "minWriterVersion": 2}
-    for v in sorted(_commit_files(root)):
-        with open(_commit_files(root)[v]) as f:
+    cp = _checkpoint_for(root, 1 << 62)
+    start = 0
+    if cp is not None:
+        start = cp[0] + 1
+        import pyarrow.parquet as _pq
+
+        for pth in cp[1]:
+            t = _pq.read_table(pth)
+            if "protocol" not in t.column_names:
+                continue
+            for raw in t.column("protocol").to_pylist():
+                if not raw:
+                    continue
+                d = json.loads(raw) if isinstance(raw, str) else raw
+                if d:
+                    proto = d
+    commits = _commit_files(root)
+    for v in sorted(c for c in commits if c >= start):
+        with open(commits[v]) as f:
             for line in f:
                 line = line.strip()
                 if not line:

@@ -2452,3 +2452,41 @@ def test_delta_v2_checkpoint_struct_shaped_fixture(spark, tmp_path):
         f.write(_json.dumps({"version": 0, "size": 4}))
     got = sorted((r.k, r.s) for r in read_delta(spark, root).collect())
     assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_latest_protocol_survives_retention(spark, tmp_path):
+    """After the JSON tail ages out, _latest_protocol resolves from
+    the checkpoint — a post-retention DML must not re-emit a
+    protocol that silently DROPS features (v2Checkpoint was the
+    at-risk feature: DV upgrade would have clobbered it)."""
+    import os as _os
+
+    from dataflowex_spark.sources.delta_reader import (
+        _latest_protocol,
+        checkpoint_delta_export,
+        delete_from_delta,
+        read_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k long, x double"
+        ),
+        root,
+    )
+    cpv = checkpoint_delta_export(spark, root, v2=True)
+    log = _os.path.join(root, "_delta_log")
+    for n in list(_os.listdir(log)):
+        if n.endswith(".json") and n[:-5].isdigit() and int(n[:-5]) <= cpv:
+            _os.unlink(_os.path.join(log, n))
+    proto = _latest_protocol(root)
+    assert "v2Checkpoint" in (proto.get("readerFeatures") or []), proto
+    # DML after retention keeps the feature set
+    delete_from_delta(spark, root, "k = 3")
+    proto2 = _latest_protocol(root)
+    feats = set(proto2.get("readerFeatures") or [])
+    assert {"v2Checkpoint", "deletionVectors"} <= feats, proto2
+    assert read_delta(spark, root).count() == 9
