@@ -1650,43 +1650,41 @@ def checkpoint_delta_export(
     if v2:
         import uuid as _uuid2
 
+        import pyarrow as _pa
+        import pyarrow.parquet as _papq
+
+        # checkpoint rows are bounded METADATA (one per live file) —
+        # write them driver-side with pyarrow instead of spinning a
+        # Spark job per sidecar (the q453 sweep finding)
+        def write_parquet(path, names, cols):
+            _papq.write_table(
+                _pa.table(
+                    {
+                        n0: _pa.array(c0, _pa.string())
+                        for n0, c0 in zip(names, cols)
+                    }
+                ),
+                path,
+            )
+
         sdir = os.path.join(log, "_sidecars")
         os.makedirs(sdir, exist_ok=True)
-        add_rows = [(r[2],) for r in rows if r[2] is not None]
+        add_rows = [r[2] for r in rows if r[2] is not None]
         top_rows = [r for r in rows if r[2] is None]
         n_sc = max(1, min(sidecar_files, max(len(add_rows), 1)))
         sc_names = []
         for i in range(n_sc):
             chunk = add_rows[i::n_sc]
             name = f"{_uuid2.uuid4().hex}.parquet"
-            tmp = os.path.join(dest, "_cptmp")
-            spark.createDataFrame(
-                chunk or [(None,)], "add string"
-            ).coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = [
-                fn for fn in os.listdir(tmp) if fn.endswith(".parquet")
-            ][0]
-            os.replace(os.path.join(tmp, part), os.path.join(sdir, name))
-            _shutil.rmtree(tmp, ignore_errors=True)
+            write_parquet(
+                os.path.join(sdir, name), ["add"], [chunk or [None]]
+            )
             sc_names.append(name)
         top = [
-            (
-                r[0],
-                r[1],
-                r[3],
-                None,
-                None,
-            )
-            for r in top_rows
+            (r[0], r[1], r[3], None, None) for r in top_rows
         ]
         top.append(
-            (
-                None,
-                None,
-                None,
-                json.dumps({"version": v}),
-                None,
-            )
+            (None, None, None, json.dumps({"version": v}), None)
         )
         for name in sc_names:
             top.append(
@@ -1706,23 +1704,13 @@ def checkpoint_delta_export(
                     ),
                 )
             )
-        top_schema = (
-            "protocol string, metaData string, txn string, "
-            "checkpointMetadata string, sidecar string"
-        )
         uid = _uuid2.uuid4().hex
-        tmp = os.path.join(dest, "_cptmp")
-        spark.createDataFrame(top, top_schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = [
-            fn for fn in os.listdir(tmp) if fn.endswith(".parquet")
-        ][0]
-        os.replace(
-            os.path.join(tmp, part),
+        write_parquet(
             os.path.join(log, f"{v:020d}.checkpoint.{uid}.parquet"),
+            ["protocol", "metaData", "txn", "checkpointMetadata",
+             "sidecar"],
+            [list(c) for c in zip(*top)],
         )
-        _shutil.rmtree(tmp, ignore_errors=True)
     elif parts:
         for i in range(1, parts + 1):
             write_one(
