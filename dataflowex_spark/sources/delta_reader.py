@@ -3684,3 +3684,160 @@ def restore_delta(
         if v is None:
             continue
         return v
+
+
+def convert_to_delta(
+    spark: SparkSession,
+    path: str,
+    partition_schema: dict[str, str] | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """IN-PLACE ``CONVERT TO DELTA``: a plain parquet directory
+    (optionally hive-partitioned) becomes a Delta table WITHOUT
+    moving or rewriting a byte — commit 0 lists every existing file
+    as an add with its partitionValues decoded from the hive dirs
+    (``partition_schema``: column → Spark type string, required for
+    partitioned layouts exactly like delta-spark's ``CONVERT TO
+    DELTA ... PARTITIONED BY``). Per-file min/max stats for
+    ``stats_cols`` (default: all top-level primitives) aggregate in
+    ONE input_file_name-grouped pass, so the converted table gets
+    data skipping immediately. Refuses an existing _delta_log.
+
+    The conversion scan reads footers + stats only; data files stay
+    where they are, referenced by their (URI-encoded) relative
+    paths. Returns version 0."""
+    import urllib.parse as _up
+    import uuid as _uuid
+
+    log = _log_dir(path)
+    if os.path.isdir(log) and (
+        _commit_files(path) or _checkpoint_for(path, 1 << 62)
+    ):
+        raise ValueError(f"already a Delta table: {path}")
+    pschema = dict(partition_schema or {})
+    pcols = list(pschema)
+    files = []
+    for dp, _dn, fns in os.walk(path):
+        if "_delta_log" in dp:
+            continue
+        for fn in sorted(fns):
+            if fn.endswith(".parquet") and not fn.startswith("."):
+                files.append(os.path.join(dp, fn))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    sdf = spark.read
+    if pschema:
+        # hive layout: let Spark derive partition columns, then we
+        # re-derive canonical string values per file from the path
+        sdf = sdf.option("basePath", path)
+    df = sdf.parquet(*files)
+    for c in pcols:
+        if c not in df.columns:
+            raise ValueError(
+                f"partition column {c!r} not derivable from layout"
+            )
+    prim = (
+        T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+        T.DoubleType, T.FloatType, T.StringType, T.DateType,
+    )
+    scols = (
+        stats_cols
+        if stats_cols is not None
+        else [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, prim) and f.name not in pcols
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in scols:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+    stats_rows = (
+        df.groupBy(F.input_file_name().alias("__path"))
+        .agg(*aggs)
+        .collect()
+    )
+
+    def jsonable(v):
+        import datetime
+
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        return v
+
+    adds = []
+    for r in stats_rows:
+        src = _up.unquote(re.sub(r"^file:/*", "/", r["__path"]))
+        rel = os.path.relpath(src, path)
+        pv: dict[str, str | None] = {}
+        for seg in os.path.dirname(rel).split(os.sep):
+            if "=" in seg:
+                k, _, raw = seg.partition("=")
+                if k in pschema:
+                    pv[k] = (
+                        None
+                        if raw == "__HIVE_DEFAULT_PARTITION__"
+                        else _up.unquote(raw)
+                    )
+        missing = [c for c in pcols if c not in pv]
+        if missing:
+            raise ValueError(
+                f"file {src} lacks partition dirs {missing}"
+            )
+        adds.append(
+            {
+                "add": {
+                    "path": _rel_uri(rel.replace(os.sep, "/")),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(src),
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {
+                            "numRecords": r["__rows"],
+                            "minValues": {
+                                c: jsonable(r[f"__mn_{c}"])
+                                for c in scols
+                                if r[f"__mn_{c}"] is not None
+                            },
+                            "maxValues": {
+                                c: jsonable(r[f"__mx_{c}"])
+                                for c in scols
+                                if r[f"__mx_{c}"] is not None
+                            },
+                        }
+                    ),
+                }
+            }
+        )
+    # table schema: data columns + typed partition columns
+    fields = [
+        f for f in df.schema.fields if f.name not in pcols
+    ] + [
+        T.StructField(
+            c, T._parse_datatype_string(pschema[c]), True
+        )
+        for c in pcols
+    ]
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": f"convert-{_uuid.uuid4().hex[:12]}",
+                "schemaString": json.dumps(
+                    T.StructType(fields).jsonValue()
+                ),
+                "partitionColumns": pcols,
+                "format": {"provider": "parquet"},
+                "configuration": {},
+            }
+        },
+    ] + sorted(adds, key=lambda a: a["add"]["path"]) + [
+        {"commitInfo": {"operation": "CONVERT", "timestamp": None}}
+    ]
+    os.makedirs(log, exist_ok=True)
+    content = "".join(json.dumps(a) + "\n" for a in actions)
+    get_commit_backend().put_if_absent(
+        os.path.join(log, f"{0:020d}.json"), content
+    )
+    return 0

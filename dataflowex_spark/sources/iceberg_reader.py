@@ -967,6 +967,21 @@ def read_iceberg(
     names_by_id = _field_names_by_id(meta)
     mapping = _name_mapping(meta)
     by_group: dict[tuple, list[str]] = {}
+    # hive-era files (convert_to_iceberg / add_files imports) lack
+    # their IDENTITY partition source columns in the data pages —
+    # the spec reads those as CONSTANTS from the partition tuple.
+    # Detect per file from the footer (planning metadata, no data
+    # read) and group by the fill so each piece attaches literals.
+    ident_specs: dict[int, list[tuple[str, str]]] = {}
+    for ps in meta.get("partition-specs", []):
+        pairs = []
+        for pf in ps.get("fields", []):
+            kind, _pm = parse_transform(pf["transform"])
+            src = names_by_id.get(pf.get("source-id"))
+            if kind == "identity" and src is not None:
+                pairs.append((pf["name"], src))
+        if pairs:
+            ident_specs[ps.get("spec-id", 0)] = pairs
     for path, seq in sorted(live.items()):
         fmt = formats.get(path, "PARQUET")
         renames = (
@@ -976,10 +991,29 @@ def read_iceberg(
             # per-file field-id resolution happens INSIDE the decode
             else ()
         )
-        by_group.setdefault((seq, renames, fmt), []).append(path)
+        idfill: tuple = ()
+        tup = partitions.get(path)
+        if tup and ident_specs and fmt == "PARQUET":
+            pairs = ident_specs.get(
+                tup.get("__spec_id", meta.get("default-spec-id", 0))
+            )
+            if pairs:
+                try:
+                    import pyarrow.parquet as _pqf
+
+                    have_cols = set(_pqf.read_schema(path).names)
+                except Exception:
+                    have_cols = None
+                if have_cols is not None:
+                    idfill = tuple(
+                        (src, tup.get(fname))
+                        for fname, src in pairs
+                        if src not in have_cols and fname in tup
+                    )
+        by_group.setdefault((seq, renames, fmt, idfill), []).append(path)
     need_pos = bool(pos_deletes)
     pieces = []
-    for (seq, renames, fmt), paths in sorted(by_group.items()):
+    for (seq, renames, fmt, idfill), paths in sorted(by_group.items()):
         if fmt == "AVRO":
             piece = _avro_scan(spark, paths, meta, mapping, need_pos)
         elif fmt == "ORC" and need_pos:
@@ -1021,14 +1055,24 @@ def read_iceberg(
             cur_fields = _current_schema_fields(meta)
             if cur_fields:
                 have = set(piece.columns)
-                sel = [
-                    F.col(f0["name"])
-                    if f0["name"] in have
-                    else F.lit(None)
-                    .cast(_spark_type(f0["type"]))
-                    .alias(f0["name"])
-                    for f0 in cur_fields
-                ]
+                fills = dict(idfill)
+
+                def _conform_col(f0):
+                    if f0["name"] in have:
+                        return F.col(f0["name"])
+                    t0 = _spark_type(f0["type"])
+                    if f0["name"] in fills:
+                        v0 = fills[f0["name"]]
+                        if f0["type"] == "date" and v0 is not None:
+                            # tuple stores int days since epoch
+                            return F.date_add(
+                                F.lit("1970-01-01").cast("date"),
+                                int(v0),
+                            ).alias(f0["name"])
+                        return F.lit(v0).cast(t0).alias(f0["name"])
+                    return F.lit(None).cast(t0).alias(f0["name"])
+
+                sel = [_conform_col(f0) for f0 in cur_fields]
                 if need_pos:
                     sel += [F.col("__fp"), F.col("__ri")]
                 piece = piece.select(*sel)
@@ -3231,14 +3275,30 @@ def _iceberg_pos_scan(
     pos_deletes: list,
     mapping: dict,
     names_by_id: dict,
+    partitions: dict | None = None,
 ) -> DataFrame:
     """Live-row scan WITH ROW IDENTITY (``__fp``/``__ri``) — the
     target side every MoR DML op matches against: parquet rows via
     ``_metadata.row_index``, AVRO and ORC rows via codec scans that
     number their own positions; prior position deletes anti-joined
-    out (dead rows are not visible, must not re-match)."""
+    out (dead rows are not visible, must not re-match). With
+    ``partitions`` (path → tuple), identity partition source columns
+    MISSING from hive-era files (convert_to_iceberg imports) fill as
+    constants from the tuple — a DML predicate on the partition
+    column must match those rows, not see NULL."""
     from pyspark.sql import functions as F
 
+    ident_specs: dict[int, list[tuple[str, str]]] = {}
+    if partitions:
+        for ps in meta.get("partition-specs", []):
+            pairs = []
+            for pf in ps.get("fields", []):
+                kind, _pm = parse_transform(pf["transform"])
+                src = names_by_id.get(pf.get("source-id"))
+                if kind == "identity" and src is not None:
+                    pairs.append((pf["name"], src))
+            if pairs:
+                ident_specs[ps.get("spec-id", 0)] = pairs
     by_group: dict[tuple, list[str]] = {}
     for path, _seq in sorted(live.items()):
         fmt = formats.get(path, "PARQUET")
@@ -3247,9 +3307,28 @@ def _iceberg_pos_scan(
             if fmt == "PARQUET"
             else ()
         )
-        by_group.setdefault((renames, fmt), []).append(path)
+        idfill: tuple = ()
+        tup = (partitions or {}).get(path)
+        if tup and ident_specs and fmt == "PARQUET":
+            pairs = ident_specs.get(
+                tup.get("__spec_id", meta.get("default-spec-id", 0))
+            )
+            if pairs:
+                try:
+                    import pyarrow.parquet as _pqf
+
+                    have_cols = set(_pqf.read_schema(path).names)
+                except Exception:
+                    have_cols = None
+                if have_cols is not None:
+                    idfill = tuple(
+                        (src, tup.get(fname))
+                        for fname, src in pairs
+                        if src not in have_cols and fname in tup
+                    )
+        by_group.setdefault((renames, fmt, idfill), []).append(path)
     pieces = []
-    for (renames, fmt), paths in sorted(by_group.items()):
+    for (renames, fmt, idfill), paths in sorted(by_group.items()):
         if fmt == "AVRO":
             piece = _avro_scan(spark, paths, meta, mapping, True)
         elif fmt == "ORC":
@@ -3272,14 +3351,24 @@ def _iceberg_pos_scan(
             cur_fields = _current_schema_fields(meta)
             if cur_fields:
                 have = set(piece.columns)
-                sel = [
-                    F.col(f0["name"])
-                    if f0["name"] in have
-                    else F.lit(None)
-                    .cast(_spark_type(f0["type"]))
-                    .alias(f0["name"])
-                    for f0 in cur_fields
-                ] + [F.col("__fp"), F.col("__ri")]
+                fills = dict(idfill)
+
+                def _conform_col(f0):
+                    if f0["name"] in have:
+                        return F.col(f0["name"])
+                    t0 = _spark_type(f0["type"])
+                    if f0["name"] in fills:
+                        v0 = fills[f0["name"]]
+                        if f0["type"] == "date" and v0 is not None:
+                            # tuple stores int days since epoch
+                            return F.date_add(
+                                F.lit("1970-01-01").cast("date"),
+                                int(v0),
+                            ).alias(f0["name"])
+                        return F.lit(v0).cast(t0).alias(f0["name"])
+                    return F.lit(None).cast(t0).alias(f0["name"])
+
+                sel = [_conform_col(f0) for f0 in cur_fields] + [F.col("__fp"), F.col("__ri")]
                 piece = piece.select(*sel)
         pieces.append(piece)
     scan = pieces[0]
@@ -3731,7 +3820,7 @@ def delete_from_iceberg(
         names_by_id = _field_names_by_id(meta)
         scan = _iceberg_pos_scan(
             spark, root, meta, live, formats, pos_deletes, mapping,
-            names_by_id,
+            names_by_id, partitions=partitions,
         )
         new_sid = latest_sid + 1 if latest_sid >= 0 else 1
         new_seq = int(meta.get("last-sequence-number", 0)) + 1
@@ -3816,7 +3905,7 @@ def upsert_iceberg(
             names_by_id = _field_names_by_id(meta)
             scan = _iceberg_pos_scan(
                 spark, root, meta, live, formats, pos_deletes, mapping,
-                names_by_id,
+                names_by_id, partitions=partitions,
             )
             matched = scan.join(
                 F.broadcast(src.select(*on).distinct()), on, "inner"
@@ -4236,7 +4325,7 @@ def update_iceberg(
         names_by_id_f = _field_names_by_id(meta)
         scan = _iceberg_pos_scan(
             spark, root, meta, live, formats, pos_deletes, mapping,
-            names_by_id_f,
+            names_by_id_f, partitions=partitions,
         )
         matched = scan.filter(cond).persist()
         new_sid = latest_sid + 1 if latest_sid >= 0 else 1
@@ -4457,7 +4546,7 @@ def rewrite_iceberg_data_files(
         sub_live = {p: live[p] for p in chosen}
         scan = _iceberg_pos_scan(
             spark, root, meta, sub_live, formats, pos_deletes,
-            mapping, names_by_id_f,
+            mapping, names_by_id_f, partitions=partitions,
         )
         rows = scan.drop("__fp", "__ri")
         est = sum(os.path.getsize(p) for p in chosen)
@@ -4790,3 +4879,353 @@ def iceberg_bucketed_join(
     # lists move)
     base = base.repartition(max(1, len(tasks)))
     return base.mapInPandas(join_bucket, out_schema)
+
+
+def read_iceberg_meta(
+    spark: SparkSession, root: str, table: str
+) -> DataFrame:
+    """Iceberg METADATA TABLES — the inspection surface real Spark
+    exposes as ``SELECT * FROM tbl.files`` / ``.snapshots`` /
+    ``.manifests`` / ``.refs`` / ``.history`` / ``.partitions``:
+
+    - ``files``: one row per live content file of the CURRENT
+      snapshot (content 0/1/2, path, format, records, bytes,
+      sequence number, spec id, partition tuple as a JSON string);
+    - ``manifests``: the current snapshot's manifest list verbatim
+      (+ has_partition_summaries);
+    - ``snapshots``: id, parent, timestamp, sequence number,
+      operation, manifest-list path;
+    - ``refs``: name, type, snapshot-id;
+    - ``history``: the snapshot-log (timestamp, snapshot-id,
+      is_current);
+    - ``partitions``: live DATA-file record/file counts grouped by
+      partition tuple (the files-table rollup).
+
+    All are metadata-bounded driver builds — no data file opens; the
+    ``files``/``partitions`` tables walk exactly the manifests the
+    current snapshot lists."""
+    meta = load_table_metadata(root)
+    snaps = meta.get("snapshots", [])
+    cur = meta.get("current-snapshot-id")
+    if table == "snapshots":
+        rows = [
+            (
+                int(s["snapshot-id"]),
+                (
+                    int(s["parent-snapshot-id"])
+                    if s.get("parent-snapshot-id") is not None
+                    else None
+                ),
+                int(s.get("timestamp-ms", 0)),
+                int(s.get("sequence-number", 0)),
+                (s.get("summary") or {}).get("operation"),
+                s.get("manifest-list"),
+            )
+            for s in snaps
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, committed_at_ms long, "
+            "sequence_number long, operation string, "
+            "manifest_list string",
+        )
+    if table == "refs":
+        rows = [
+            (name, r.get("type"), int(r.get("snapshot-id")))
+            for name, r in sorted(
+                (meta.get("refs") or {}).items()
+            )
+        ]
+        return spark.createDataFrame(
+            rows or spark.sparkContext.emptyRDD(),
+            "name string, type string, snapshot_id long",
+        )
+    if table == "history":
+        rows = [
+            (
+                int(e.get("timestamp-ms", 0)),
+                int(e.get("snapshot-id")),
+                e.get("snapshot-id") == cur,
+            )
+            for e in (meta.get("snapshot-log") or [])
+        ]
+        return spark.createDataFrame(
+            rows or spark.sparkContext.emptyRDD(),
+            "made_current_at_ms long, snapshot_id long, "
+            "is_current boolean",
+        )
+    if table == "manifests":
+        rows = []
+        if cur not in (None, -1):
+            snap = next(
+                s for s in snaps if s["snapshot-id"] == cur
+            )
+            _s, mrows = read_container(
+                _resolve_path(root, snap["manifest-list"])
+            )
+            for m in mrows:
+                rows.append(
+                    (
+                        m["manifest_path"],
+                        int(m["manifest_length"]),
+                        int(m.get("partition_spec_id", 0)),
+                        int(m.get("content", 0)),
+                        int(m.get("sequence_number", 0)),
+                        int(m.get("added_snapshot_id", 0)),
+                        m.get("partitions") is not None,
+                    )
+                )
+        return spark.createDataFrame(
+            rows or spark.sparkContext.emptyRDD(),
+            "path string, length long, partition_spec_id int, "
+            "content int, added_sequence_number long, "
+            "added_snapshot_id long, has_partition_summaries boolean",
+        )
+    if table in ("files", "partitions"):
+        import json as _json
+
+        rows = []
+        if cur not in (None, -1):
+            snap = next(
+                s for s in snaps if s["snapshot-id"] == cur
+            )
+            _s, mrows = read_container(
+                _resolve_path(root, snap["manifest-list"])
+            )
+            for m in mrows:
+                mseq = m.get("sequence_number") or 0
+                _s2, entries = read_container(
+                    _resolve_path(root, m["manifest_path"])
+                )
+                for e in entries:
+                    if e["status"] == 2:
+                        continue
+                    d = e["data_file"]
+                    seq = e.get("sequence_number")
+                    pt = d.get("partition")
+                    rows.append(
+                        (
+                            int(d.get("content", 0)),
+                            d["file_path"],
+                            (d.get("file_format") or "PARQUET"),
+                            int(d.get("record_count", 0)),
+                            int(d.get("file_size_in_bytes", 0)),
+                            int(mseq if seq is None else seq),
+                            int(m.get("partition_spec_id", 0)),
+                            _json.dumps(pt, sort_keys=True)
+                            if pt is not None
+                            else None,
+                        )
+                    )
+        df = spark.createDataFrame(
+            rows or spark.sparkContext.emptyRDD(),
+            "content int, file_path string, file_format string, "
+            "record_count long, file_size_in_bytes long, "
+            "sequence_number long, spec_id int, partition string",
+        )
+        if table == "files":
+            return df
+        from pyspark.sql import functions as F
+
+        return (
+            df.filter(F.col("content") == 0)
+            .groupBy("spec_id", "partition")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("file_count"),
+                F.sum("record_count").cast("long").alias("record_count"),
+                F.sum("file_size_in_bytes")
+                .cast("long")
+                .alias("total_size_bytes"),
+            )
+        )
+    raise ValueError(
+        f"unknown metadata table {table!r} (files, manifests, "
+        "snapshots, refs, history, partitions)"
+    )
+
+
+def convert_to_iceberg(
+    spark: SparkSession,
+    path: str,
+    partition_schema: dict[str, str] | None = None,
+) -> int:
+    """IN-PLACE conversion of a plain (optionally hive-partitioned)
+    parquet directory into an Iceberg v2 table — the reference
+    ecosystem's ``snapshot``/``migrate``/``add_files`` shape: no
+    byte moves or rewrites; snapshot 1 lists every existing file
+    with its record count from the parquet footer and its IDENTITY
+    partition tuple decoded from the hive dirs
+    (``partition_schema``: column → Spark type string — int, long,
+    string, or date, the spec's identity-partition types). The
+    manifest list carries partition summaries from day one, so
+    converted tables get list-level pruning immediately. Refuses an
+    existing ``metadata/``. Returns snapshot id 1.
+
+    The conversion reads FOOTERS only (schema via one Spark plan,
+    row counts via pyarrow metadata) — O(files) metadata work, zero
+    data scan; the delta twin is
+    :func:`delta_reader.convert_to_delta`."""
+    import urllib.parse as _up
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+
+    from dataflowex_spark.sources.avro_io import write_container
+
+    md = _meta_dir(path)
+    if os.path.isdir(md) and _latest_meta_version(md) > 0:
+        raise ValueError(f"already an Iceberg table: {path}")
+    pschema = dict(partition_schema or {})
+    pcols = list(pschema)
+    for c, t in pschema.items():
+        if t not in _IDENTITY_PART_TYPES:
+            raise IcebergProtocolError(
+                f"convert_to_iceberg: identity partition type {t!r} "
+                f"for {c!r} unsupported (use "
+                f"{', '.join(_IDENTITY_PART_TYPES)})"
+            )
+    files = []
+    for dp, _dn, fns in os.walk(path):
+        if os.path.basename(dp) == "metadata":
+            continue
+        for fn in sorted(fns):
+            if fn.endswith(".parquet") and not fn.startswith("."):
+                files.append(os.path.join(dp, fn))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    rdr = spark.read
+    if pschema:
+        rdr = rdr.option("basePath", path)
+    df = rdr.parquet(*files)
+    counter = {"n": 0}
+
+    def alloc() -> int:
+        counter["n"] += 1
+        return counter["n"]
+
+    from pyspark.sql import types as T
+
+    top = []
+    data_fields = [f for f in df.schema.fields if f.name not in pcols]
+    part_fields = [
+        T.StructField(c, T._parse_datatype_string(pschema[c]), True)
+        for c in pcols
+    ]
+    for f in data_fields + part_fields:
+        fid = alloc()
+        top.append(
+            {
+                "id": fid,
+                "name": f.name,
+                "required": False,
+                "type": _iceberg_type(f.dataType, alloc),
+            }
+        )
+    by_name = {f["name"]: f for f in top}
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": by_name[c]["id"],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(pcols)
+    ]
+    entries = []
+    for fp in files:
+        nrows = _pq.read_metadata(fp).num_rows
+        pt = None
+        if pcols:
+            pt = {}
+            rel = os.path.relpath(fp, path)
+            for seg in os.path.dirname(rel).split(os.sep):
+                if "=" in seg:
+                    k, _, raw = seg.partition("=")
+                    if k in pschema:
+                        pt[k] = (
+                            None
+                            if raw == "__HIVE_DEFAULT_PARTITION__"
+                            else _decode_part_value(
+                                _up.unquote(raw), "identity", pschema[k]
+                            )
+                        )
+            missing = [c for c in pcols if c not in pt]
+            if missing:
+                raise ValueError(
+                    f"file {fp} lacks partition dirs {missing}"
+                )
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": 1,
+                "sequence_number": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": os.path.abspath(fp),
+                    "file_format": "PARQUET",
+                    "record_count": int(nrows),
+                    "file_size_in_bytes": os.path.getsize(fp),
+                    "equality_ids": None,
+                    **({"partition": pt} if pt is not None else {}),
+                },
+            }
+        )
+    os.makedirs(md, exist_ok=True)
+    token = _uuid.uuid4().hex[:8]
+    pinfo_fields = [
+        dict(
+            pf,
+            _avro=_part_avro_type("identity", pschema[pf["name"]]),
+        )
+        for pf in spec_fields
+    ]
+    manifest_schema = (
+        _manifest_schema_with_partition(pinfo_fields)
+        if pinfo_fields
+        else MANIFEST_SCHEMA
+    )
+    mpath = os.path.join(md, f"manifest-00001-{token}-s0.avro")
+    write_container(mpath, manifest_schema, entries)
+    mrows = [
+        {
+            "manifest_path": os.path.abspath(mpath),
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": 1,
+            "added_snapshot_id": 1,
+        }
+    ]
+    meta = {
+        "format-version": 2,
+        "table-uuid": f"convert-iceberg-{_uuid.uuid4().hex[:20]}",
+        "location": os.path.abspath(path),
+        "last-sequence-number": 1,
+        "current-schema-id": 0,
+        "schemas": [
+            {"schema-id": 0, "type": "struct", "fields": top}
+        ],
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
+        "snapshots": [],
+        "current-snapshot-id": -1,
+        "_loaded-version": 0,
+    }
+    mlist = os.path.join(md, f"snap-1-{token}.avro")
+    _write_manifest_list(path, mlist, mrows, meta)
+    meta["snapshots"] = [
+        {
+            "snapshot-id": 1,
+            "timestamp-ms": 1000,
+            "sequence-number": 1,
+            "manifest-list": os.path.abspath(mlist),
+            "summary": {"operation": "append"},
+        }
+    ]
+    meta["current-snapshot-id"] = 1
+    if not _try_commit_metadata(path, meta):
+        raise ValueError(
+            f"lost the creation race for {path} (another writer "
+            "converted it concurrently)"
+        )
+    return 1

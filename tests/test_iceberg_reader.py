@@ -2708,3 +2708,166 @@ def test_iceberg_bucketed_join_spj(spark, tmp_path):
     )
     with _pytest.raises(ir.IcebergProtocolError, match="identical"):
         ir.iceberg_bucketed_join(spark, A, C)
+
+
+def test_iceberg_metadata_tables(spark, tmp_path):
+    """read_iceberg_meta: files/manifests/snapshots/refs/history/
+    partitions — the tbl.files inspection surface, metadata-only."""
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    dest = str(tmp_path / "t")
+    for m in (1, 2):
+        ir.write_iceberg(
+            spark,
+            spark.createDataFrame(
+                [(m * 10 + j, m, float(j)) for j in range(4)],
+                "k long, m long, x double",
+            ).coalesce(1),
+            dest,
+            mode="error" if m == 1 else "append",
+            partition_by=["m"],
+        )
+    ir.delete_from_iceberg(spark, dest, "k = 11")
+    ir.set_iceberg_ref(dest, "pin", kind="tag")
+    files = ir.read_iceberg_meta(spark, dest, "files").collect()
+    data = [r for r in files if r.content == 0]
+    dele = [r for r in files if r.content == 1]
+    assert len(data) == 2 and len(dele) == 1
+    assert sum(r.record_count for r in data) == 8
+    assert all(r.partition is not None for r in data)
+    mans = ir.read_iceberg_meta(spark, dest, "manifests").collect()
+    assert len(mans) == 3  # 2 carried data + 1 delete manifest
+    assert any(r.has_partition_summaries for r in mans)
+    snaps = ir.read_iceberg_meta(spark, dest, "snapshots").collect()
+    assert [r.operation for r in snaps] == [
+        "append", "append", "delete",
+    ]
+    assert snaps[1].parent_id == snaps[0].snapshot_id
+    assert snaps[2].parent_id == snaps[1].snapshot_id
+    refs = ir.read_iceberg_meta(spark, dest, "refs").collect()
+    assert [(r.name, r.type) for r in refs] == [("pin", "tag")]
+    parts = sorted(
+        (r.partition, r.record_count)
+        for r in ir.read_iceberg_meta(
+            spark, dest, "partitions"
+        ).collect()
+    )
+    assert [p[1] for p in parts] == [4, 4]
+
+
+def test_convert_to_delta_inplace(spark, tmp_path):
+    """CONVERT TO DELTA: hive-partitioned parquet becomes a Delta
+    table without moving a byte — typed partition re-attachment,
+    stats-backed skipping, and DML all work on the converted table."""
+    import os as _os
+
+    from dataflowex_spark.sources.delta_reader import (
+        convert_to_delta,
+        delete_from_delta,
+        read_delta,
+    )
+
+    src = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "k long, g int, x double",
+    ).write.partitionBy("g").parquet(src)
+    before = {
+        _os.path.join(dp, fn)
+        for dp, _dn, fns in _os.walk(src)
+        for fn in fns
+        if fn.endswith(".parquet")
+    }
+    v = convert_to_delta(spark, src, partition_schema={"g": "int"})
+    assert v == 0
+    after = {
+        _os.path.join(dp, fn)
+        for dp, _dn, fns in _os.walk(src)
+        for fn in fns
+        if fn.endswith(".parquet")
+    }
+    assert before == after  # zero moves
+    got = sorted((r.k, r.g) for r in read_delta(spark, src).collect())
+    assert got == [(i, i % 3) for i in range(30)]
+    # stats landed: skipping prunes to a strict subset of files
+    narrow = read_delta(spark, src, skip_where=[("k", "=", 7)])
+    assert len(narrow.inputFiles()) < len(before)
+    assert [r.k for r in narrow.collect()] == [7]
+    # the converted table is a full citizen: DML works
+    _v, n = delete_from_delta(spark, src, "k % 10 = 3")
+    assert n == 3
+    assert read_delta(spark, src).count() == 27
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already a Delta"):
+        convert_to_delta(spark, src, partition_schema={"g": "int"})
+
+
+def test_convert_to_iceberg_inplace(spark, tmp_path):
+    """convert_to_iceberg: hive parquet → Iceberg v2 in place, with
+    identity partition tuples, footer record counts, and day-one
+    list-level pruning; the converted table takes appends and DML."""
+    import os as _os
+
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    src = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [(i, i % 4, f"s{i}") for i in range(40)],
+        "k long, g long, s string",
+    ).write.partitionBy("g").parquet(src)
+    sid = ir.convert_to_iceberg(
+        spark, src, partition_schema={"g": "long"}
+    )
+    assert sid == 1
+    got = sorted((r.k, r.g) for r in ir.read_iceberg(spark, src).collect())
+    assert got == [(i, i % 4) for i in range(40)]
+    # identity tuples prune at plan time
+    sel = ir.read_iceberg(spark, src, skip_where=[("g", "=", 2)])
+    assert sorted(r.k for r in sel.collect()) == [
+        i for i in range(40) if i % 4 == 2
+    ]
+    assert (
+        ir.PLAN_STATS["manifests_opened"]
+        <= ir.PLAN_STATS["manifests_total"]
+    )
+    # files table shows footer counts
+    files = ir.read_iceberg_meta(spark, src, "files").collect()
+    assert sum(r.record_count for r in files) == 40
+    # full citizen: append + DML on the converted table
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame([(100, 0, "x")], "k long, g long, s string"),
+        src, mode="append", partition_by=["g"],
+    )
+    _s, n = ir.delete_from_iceberg(spark, src, "k = 5")
+    assert n == 1
+    assert ir.read_iceberg(spark, src).count() == 40
+
+
+def test_converted_table_dml_on_partition_column(spark, tmp_path):
+    """DML predicates on the IDENTITY partition column of a
+    converted (hive-era) table must match — the files lack the
+    column in their pages, so the scan fills it from the partition
+    tuple (seeing NULL would silently match nothing)."""
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    src = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "k long, g long"
+    ).write.partitionBy("g").parquet(src)
+    ir.convert_to_iceberg(spark, src, partition_schema={"g": "long"})
+    _s, n = ir.delete_from_iceberg(spark, src, "g = 1")
+    assert n == 10, n
+    left = sorted(r.k for r in ir.read_iceberg(spark, src).collect())
+    assert left == [i for i in range(30) if i % 3 != 1]
+    # update keyed on the partition column too
+    _s, n2 = ir.update_iceberg(
+        spark, src, "g = 2", {"k": "k + 1000"}
+    )
+    assert n2 == 10
+    got = sorted(r.k for r in ir.read_iceberg(spark, src).collect())
+    assert got == sorted(
+        [i for i in range(30) if i % 3 == 0]
+        + [i + 1000 for i in range(30) if i % 3 == 2]
+    )
