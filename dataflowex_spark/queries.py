@@ -27147,3 +27147,77 @@ def q458(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+@q(
+    "q459_iceberg_exactly_once_sink",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 29 = 6
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM base GROUP BY priority ORDER BY priority
+    """,
+)
+def q459(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE STREAMING SINK for Iceberg (Delta
+    SetTransaction's format twin, q450's sibling): the table records
+    the app's batch horizon as a TABLE PROPERTY (``dfx.txn.<app>``)
+    that rides every CAS-committed metadata version — unlike the
+    reference connector's snapshot-summary stamps it SURVIVES
+    expire_snapshots, the same reason Delta's txn rows ride
+    checkpoints. Every micro-batch is delivered TWICE through the
+    foreachBatch-shaped sink (at-least-once redelivery), an
+    expire_snapshots runs mid-stream to prove the horizon outlives
+    history trimming, and the oracle replays the once-only union —
+    the hash match proves idempotence end-to-end."""
+    import tempfile
+
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 29 == 6)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q459_") + "/t"
+    sink = ir.iceberg_stream_sink(dest, "q459_app", mode="append")
+    for bid in range(3):
+        batch = base.filter(F.col("okey") % 3 == bid)
+        if bid == 0:
+            ir.write_iceberg(
+                spark, batch, dest,
+                txn_app_id="q459_app", txn_version=0,
+            )
+            ir.write_iceberg(  # redelivery: must no-op
+                spark, batch, dest, mode="append",
+                txn_app_id="q459_app", txn_version=0,
+            )
+        else:
+            sink(batch, bid)
+            if bid == 1:
+                # horizon must survive history trimming mid-stream
+                ir.expire_snapshots(dest, keep_last=1)
+            sink(batch, bid)  # at-least-once redelivery
+    assert ir.last_iceberg_txn_version(dest, "q459_app") == 2
+    return (
+        ir.read_iceberg(spark, dest)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )

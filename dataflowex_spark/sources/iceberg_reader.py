@@ -2889,6 +2889,22 @@ def _stage_iceberg_entries(
     return entries
 
 
+def last_iceberg_txn_version(root: str, app_id: str) -> int | None:
+    """Latest exactly-once batch version committed for ``app_id`` —
+    recorded in TABLE PROPERTIES (``dfx.txn.<app>``), which ride
+    every metadata version under the CAS protocol and — unlike the
+    reference connector's snapshot-summary stamps — SURVIVE
+    expire_snapshots (the replay horizon must outlive history
+    trimming, the same reason Delta's txn state rides checkpoints).
+    ``None`` when the app never committed."""
+    try:
+        meta = load_table_metadata(root)
+    except FileNotFoundError:
+        return None
+    raw = (meta.get("properties") or {}).get(f"dfx.txn.{app_id}")
+    return int(raw) if raw is not None else None
+
+
 def write_iceberg(
     spark: SparkSession,
     df: DataFrame,
@@ -2899,6 +2915,8 @@ def write_iceberg(
     file_format: str = "parquet",
     merge_schema: bool = False,
     branch: str | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """GENERIC Iceberg writer with OPTIMISTIC CONCURRENCY — any
     DataFrame → an Iceberg v2 table. The commit claims the next
@@ -2907,12 +2925,38 @@ def write_iceberg(
     replays against the winner's snapshot (re-validating schema and
     spec against whatever the winner changed), so two concurrent
     appenders both land. Orphaned staging from lost attempts is
-    reclaimed by :func:`expire_snapshots`. See
-    :func:`_write_iceberg_attempt` for the full writer contract."""
+    reclaimed by :func:`expire_snapshots` /
+    :func:`remove_orphan_files`. See :func:`_write_iceberg_attempt`
+    for the full writer contract.
+
+    ``txn_app_id`` + ``txn_version``: EXACTLY-ONCE batch delivery
+    (Delta SetTransaction's Iceberg twin) — a batch whose version is
+    ≤ the app's recorded horizon (table property ``dfx.txn.<app>``)
+    is an idempotent replay and commits NOTHING. The recheck runs
+    before staging AND after every lost race: TRUE CAS means a
+    racing replay of the same batch either committed (visible on
+    reload) or lost its claim, so the same (app, version) can never
+    land twice."""
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError(
+            "txn_app_id and txn_version go together (the exactly-"
+            "once contract is (appId, version))"
+        )
     while True:
+        if txn_app_id is not None:
+            last = last_iceberg_txn_version(dest, txn_app_id)
+            if last is not None and int(txn_version) <= last:
+                return load_table_metadata(dest).get(
+                    "current-snapshot-id"
+                )
         sid = _write_iceberg_attempt(
             spark, df, dest, mode, stats_cols, partition_by,
             file_format, merge_schema, branch,
+            txn=(
+                (txn_app_id, int(txn_version))
+                if txn_app_id is not None
+                else None
+            ),
         )
         if sid is not None:
             return sid
@@ -2928,6 +2972,7 @@ def _write_iceberg_attempt(
     file_format: str = "parquet",
     merge_schema: bool = False,
     branch: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int | None:
     """One write attempt — returns None on a lost commit race.
 
@@ -3261,6 +3306,10 @@ def _write_iceberg_attempt(
         refs[branch] = {"snapshot-id": new_sid, "type": "branch"}
         meta["refs"] = refs
     meta["last-sequence-number"] = new_seq
+    if txn is not None:
+        props = dict(meta.get("properties") or {})
+        props[f"dfx.txn.{txn[0]}"] = str(txn[1])
+        meta["properties"] = props
     if not _try_commit_metadata(dest, meta):
         return None  # lost the claim: replay against the winner
     return new_sid
@@ -5229,3 +5278,30 @@ def convert_to_iceberg(
             "converted it concurrently)"
         )
     return 1
+
+
+def iceberg_stream_sink(
+    dest: str,
+    app_id: str,
+    mode: str = "append",
+    **write_kwargs,
+):
+    """EXACTLY-ONCE Structured Streaming sink for Iceberg tables —
+    Delta's :func:`delta_reader.delta_stream_sink` twin: wire into
+    ``.writeStream.foreachBatch(iceberg_stream_sink(dest, app))``.
+    Each micro-batch commits through :func:`write_iceberg` with
+    ``(app_id, batch_id)`` as the exactly-once key, so a replayed
+    batch (post-crash foreachBatch re-delivery) commits nothing."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_iceberg(
+            batch_df.sparkSession,
+            batch_df,
+            dest,
+            mode=mode,
+            txn_app_id=app_id,
+            txn_version=int(batch_id),
+            **write_kwargs,
+        )
+
+    return _sink

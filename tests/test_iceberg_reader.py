@@ -2871,3 +2871,92 @@ def test_converted_table_dml_on_partition_column(spark, tmp_path):
         [i for i in range(30) if i % 3 == 0]
         + [i + 1000 for i in range(30) if i % 3 == 2]
     )
+
+
+def test_iceberg_exactly_once_txn(spark, tmp_path):
+    """Iceberg exactly-once delivery (Delta SetTransaction twin):
+    racing replays of the SAME (app, version) batch land once; the
+    horizon survives expire_snapshots (table properties, not
+    snapshot summaries); the foreachBatch sink wires it."""
+    import threading
+
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    root = str(tmp_path / "t")
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame([(0, 0.0)], "k long, x double"),
+        root, txn_app_id="app", txn_version=0,
+    )
+    assert ir.last_iceberg_txn_version(root, "app") == 0
+    batch = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 6)], "k long, x double"
+    )
+    errs: list = []
+
+    def deliver():
+        try:
+            ir.write_iceberg(
+                spark, batch, root, mode="append",
+                txn_app_id="app", txn_version=1,
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=deliver) for _ in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs, errs
+    got = sorted(r.k for r in ir.read_iceberg(spark, root).collect())
+    assert got == list(range(6)), got  # batch landed exactly once
+    assert ir.last_iceberg_txn_version(root, "app") == 1
+    # an OLD batch replay is a no-op
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame([(99, 9.0)], "k long, x double"),
+        root, mode="append", txn_app_id="app", txn_version=0,
+    )
+    assert ir.read_iceberg(spark, root).count() == 6
+    # the horizon survives snapshot expiry
+    ir.expire_snapshots(root, keep_last=1)
+    assert ir.last_iceberg_txn_version(root, "app") == 1
+    # a DIFFERENT app tracks independently
+    assert ir.last_iceberg_txn_version(root, "other") is None
+
+
+def test_iceberg_stream_sink_exactly_once(spark, tmp_path):
+    """iceberg_stream_sink via foreachBatch: a rate-limited file
+    stream lands every row exactly once, and re-running the SAME
+    batches through the sink (simulating post-crash re-delivery)
+    commits nothing new."""
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, x double"
+    ).repartition(4).write.parquet(src)
+    dest = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.schema("k long, x double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            ir.iceberg_stream_sink(dest, "sink-app", mode="append")
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.k for r in ir.read_iceberg(spark, dest).collect())
+    assert got == list(range(20))
+    # simulate re-delivery of already-committed batch ids
+    horizon = ir.last_iceberg_txn_version(dest, "sink-app")
+    sink = ir.iceberg_stream_sink(dest, "sink-app", mode="append")
+    sink(
+        spark.createDataFrame([(999, 9.0)], "k long, x double"),
+        0,
+    )
+    assert ir.read_iceberg(spark, dest).count() == 20
+    assert ir.last_iceberg_txn_version(dest, "sink-app") == horizon
