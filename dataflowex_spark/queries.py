@@ -27221,3 +27221,69 @@ def q459(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q(
+    "q460_delta_metadata_tables",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey, (o_orderkey % 3) AS g
+      FROM orders WHERE o_orderkey % 19 = 7
+    )
+    SELECT g,
+           CAST(COUNT(*) AS BIGINT) AS live_rows
+    FROM base
+    WHERE NOT (okey % 7 = 1)
+    GROUP BY g ORDER BY g
+    """,
+)
+def q460(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA METADATA TABLES (read_delta_meta — DESCRIBE DETAIL /
+    HISTORY / the files view, q456's Delta twin): per-file
+    numRecords ride add.stats and per-file DV dead counts decode
+    from the deletion-vector descriptors, so LOGICAL live rows per
+    partition compute from METADATA ALONE — zero data-file opens —
+    and must agree with the table (the oracle replays write+delete
+    in SQL). In-query asserts pin files/history/detail coherence.
+    At 100 TB, "how many live rows per partition after that DML
+    wave" answers from the log fold, not a scan."""
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import (
+        delete_from_delta,
+        read_delta_meta,
+        write_delta,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 19 == 7)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            (F.col("o_orderkey") % 3).alias("g"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q460_") + "/t"
+    write_delta(spark, base, dest, partition_by=["g"])
+    delete_from_delta(spark, dest, "okey % 7 = 1")
+    hist = read_delta_meta(spark, dest, "history").collect()
+    assert [h.operation for h in hist] == ["WRITE", "DELETE"]
+    det = read_delta_meta(spark, dest, "detail").collect()[0]
+    files = read_delta_meta(spark, dest, "files")
+    assert det.num_files == files.count()
+    return (
+        files.withColumn(
+            "g",
+            F.get_json_object(
+                F.col("partition_values"), "$.g"
+            ).cast("long"),
+        )
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.col("record_count") - F.col("dv_dead_count")
+            ).cast("long").alias("live_rows")
+        )
+        .orderBy("g")
+    )

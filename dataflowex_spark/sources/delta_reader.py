@@ -3841,3 +3841,101 @@ def convert_to_delta(
         os.path.join(log, f"{0:020d}.json"), content
     )
     return 0
+
+
+def read_delta_meta(
+    spark: SparkSession, root: str, table: str
+) -> DataFrame:
+    """Delta METADATA TABLES — the inspection surface delta-spark
+    exposes as DESCRIBE DETAIL / DESCRIBE HISTORY / the files view
+    (Iceberg twin: :func:`iceberg_reader.read_iceberg_meta`):
+
+    - ``files``: one row per LIVE add of the current snapshot
+      (decoded path, partitionValues as JSON, size, numRecords and
+      DV'd-dead count from stats/DV descriptors — so
+      ``record_count - dv_dead_count`` is the LOGICAL live rows);
+    - ``history``: commitInfo per version (version, operation,
+      timestamp_ms);
+    - ``detail``: one row — format, id, partition columns, live
+      file count/bytes, protocol versions, configuration as JSON.
+
+    All metadata-bounded driver builds: the log fold the reader
+    already does, no data-file opens."""
+    import json as _json
+
+    meta, adds = _snapshot(spark, root, None)
+    if table == "files":
+        from dataflowex_spark.sources.roaring import (
+            decode_dv_descriptor,
+        )
+
+        rows = []
+        for rel, a in sorted(adds.items()):
+            stats = a.get("stats")
+            if isinstance(stats, str):
+                try:
+                    stats = _json.loads(stats)
+                except _json.JSONDecodeError:
+                    stats = None
+            nrec = (stats or {}).get("numRecords")
+            dv = a.get("deletionVector")
+            dead = 0
+            if dv:
+                if isinstance(dv, str):
+                    dv = _json.loads(dv)
+                dead = len(decode_dv_descriptor(root, dict(dv)))
+            rows.append(
+                (
+                    rel,
+                    _json.dumps(
+                        a.get("partitionValues") or {},
+                        sort_keys=True,
+                    ),
+                    int(a.get("size", 0)),
+                    int(nrec) if nrec is not None else None,
+                    int(dead),
+                )
+            )
+        return spark.createDataFrame(
+            rows or spark.sparkContext.emptyRDD(),
+            "path string, partition_values string, size_bytes long, "
+            "record_count long, dv_dead_count long",
+        )
+    if table == "history":
+        rows = [
+            (
+                int(h["version"]),
+                h.get("operation"),
+                (
+                    int(h["timestamp"])
+                    if h.get("timestamp") is not None
+                    else None
+                ),
+            )
+            for h in delta_history(root)
+        ]
+        return spark.createDataFrame(
+            rows or spark.sparkContext.emptyRDD(),
+            "version long, operation string, timestamp_ms long",
+        )
+    if table == "detail":
+        proto = _latest_protocol(root)
+        row = (
+            "delta",
+            meta.get("id"),
+            _json.dumps(meta.get("partitionColumns") or []),
+            len(adds),
+            int(sum(int(a.get("size", 0)) for a in adds.values())),
+            int(proto.get("minReaderVersion", 1)),
+            int(proto.get("minWriterVersion", 1)),
+            _json.dumps(meta.get("configuration") or {}, sort_keys=True),
+        )
+        return spark.createDataFrame(
+            [row],
+            "format string, id string, partition_columns string, "
+            "num_files long, size_bytes long, min_reader_version int, "
+            "min_writer_version int, configuration string",
+        )
+    raise ValueError(
+        f"unknown metadata table {table!r} (files, history, detail)"
+    )

@@ -4761,6 +4761,7 @@ def iceberg_bucketed_join(
     left_root: str,
     right_root: str,
     how: str = "inner",
+    max_bucket_bytes: int = 4 << 30,
 ) -> DataFrame:
     """STORAGE-PARTITIONED JOIN of two Iceberg tables bucketed the
     same way — the physical shape Spark's DSv2 storage-partitioned
@@ -4865,6 +4866,20 @@ def iceberg_bucketed_join(
     )
     # outer joins must cover buckets present on either side
     all_buckets = sorted(set(lfiles) | set(rfiles))
+    # task memory = one bucket pair: refuse LOUDLY when a bucket
+    # outgrows the bound instead of OOMing an executor — the fix is
+    # re-bucketing to a larger N (rewrite) or the shuffle join
+    for b in all_buckets:
+        sz = sum(
+            os.path.getsize(p)
+            for p in lfiles.get(b, []) + rfiles.get(b, [])
+        )
+        if sz > max_bucket_bytes:
+            raise IcebergProtocolError(
+                f"bucket {b} holds {sz} bytes > max_bucket_bytes="
+                f"{max_bucket_bytes} — re-bucket to a larger N or "
+                "use the shuffle join for this pair"
+            )
     tasks = [
         (
             b,

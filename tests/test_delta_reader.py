@@ -2490,3 +2490,38 @@ def test_latest_protocol_survives_retention(spark, tmp_path):
     feats = set(proto2.get("readerFeatures") or [])
     assert {"v2Checkpoint", "deletionVectors"} <= feats, proto2
     assert read_delta(spark, root).count() == 9
+
+
+def test_delta_metadata_tables(spark, tmp_path):
+    """read_delta_meta: files (with DV dead counts) / history /
+    detail — the DESCRIBE DETAIL surface, metadata-only."""
+    from dataflowex_spark.sources.delta_reader import (
+        delete_from_delta,
+        read_delta,
+        read_delta_meta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(i, i % 2, float(i)) for i in range(20)],
+            "k long, g long, x double",
+        ),
+        root,
+        partition_by=["g"],
+    )
+    delete_from_delta(spark, root, "k < 4")
+    files = read_delta_meta(spark, root, "files").collect()
+    assert sum(r.record_count for r in files) == 20
+    assert sum(r.dv_dead_count for r in files) == 4
+    logical = sum(r.record_count - r.dv_dead_count for r in files)
+    assert logical == read_delta(spark, root).count() == 16
+    assert all('"g"' in r.partition_values for r in files)
+    hist = read_delta_meta(spark, root, "history").collect()
+    assert [h.operation for h in hist] == ["WRITE", "DELETE"]
+    det = read_delta_meta(spark, root, "detail").collect()[0]
+    assert det.num_files == len(files)
+    assert det.min_reader_version == 3  # DV upgrade
+    assert '"g"' in det.partition_columns
