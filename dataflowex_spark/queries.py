@@ -27287,3 +27287,87 @@ def q460(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+@q(
+    "q461_iceberg_rewrite_manifests",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             (o_orderkey % 4) AS g,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 27 = 13
+    ), survivors AS (
+      SELECT * FROM base WHERE NOT (okey % 11 = 4)
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM survivors GROUP BY priority ORDER BY priority
+    """,
+)
+def q461(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG rewrite_manifests (metadata-only compaction — the
+    maintenance complement of by-reference carry): 4 appends + a MoR
+    delete leave 5 manifest-list rows; the fold merges them into one
+    data manifest per spec plus one delete manifest in ONE replace
+    snapshot, touching ZERO data bytes, regenerating the list-level
+    partition summaries, and preserving every entry's ORIGINAL
+    sequence number so delete gating is untouched. In-query asserts
+    pin before/after manifest counts and zero data movement; the
+    oracle replays write+delete in SQL — the hash proves the re-list
+    loses nothing. At 100 TB this bounds planning O(manifests) debt
+    the O(change) commit path accrues: commits stay cheap, planning
+    folds on a maintenance cadence."""
+    import os
+    import tempfile
+
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 27 == 13)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            (F.col("o_orderkey") % 4).alias("g"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q461_") + "/t"
+    for m in range(4):
+        ir.write_iceberg(
+            spark,
+            base.filter(F.col("g") == m).coalesce(1),
+            dest,
+            mode="error" if m == 0 else "append",
+            partition_by=["g"],
+        )
+    ir.delete_from_iceberg(spark, dest, "okey % 11 = 4")
+    data_before = {
+        os.path.join(dp, fn)
+        for dp, _dn, fns in os.walk(os.path.join(dest, "data"))
+        for fn in fns
+    }
+    _sid, stats = ir.rewrite_iceberg_manifests(spark, dest)
+    assert stats["manifests_before"] == 5, stats
+    assert stats["manifests_after"] == 2, stats
+    data_after = {
+        os.path.join(dp, fn)
+        for dp, _dn, fns in os.walk(os.path.join(dest, "data"))
+        for fn in fns
+    }
+    assert data_before == data_after, "fold must move zero data"
+    return (
+        ir.read_iceberg(spark, dest)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )

@@ -5320,3 +5320,109 @@ def iceberg_stream_sink(
         )
 
     return _sink
+
+
+def rewrite_iceberg_manifests(
+    spark: SparkSession, root: str
+) -> tuple[int, dict]:
+    """The ``rewrite_manifests`` action: merge the current snapshot's
+    manifests into ONE data manifest per partition spec (plus one
+    delete manifest when delete files exist) WITHOUT touching a data
+    byte — metadata-only compaction. This is the maintenance
+    complement of r10's by-reference carry: appends/DML grow the
+    manifest LIST one row per commit (O(change) commits); when the
+    list gets long enough that even pruned planning pays, this fold
+    collapses it in one snapshot. Entries carry as EXISTING with
+    their ORIGINAL sequence numbers (delete applicability is
+    untouched); partition tuples, bounds, and formats ride along, so
+    list-level summaries regenerate for the merged manifests.
+    Returns ``(snapshot_id, {"manifests_before": b, "manifests_after": a})``."""
+    import uuid as _uuid
+
+    from dataflowex_spark.sources.avro_io import write_container
+
+    while True:
+        meta = load_table_metadata(root)
+        if meta.get("format-version", 1) >= 3:
+            raise IcebergProtocolError(
+                "rewrite_manifests: writes to format-version 3 "
+                "tables not supported (v3 support is read-only)"
+            )
+        snaps = meta.get("snapshots", [])
+        cur = meta.get("current-snapshot-id")
+        if cur in (None, -1) or not snaps:
+            raise ValueError(f"no current snapshot at {root}")
+        snap = next(s for s in snaps if s["snapshot-id"] == cur)
+        mlist0 = _resolve_path(root, snap["manifest-list"])
+        _s, mrows0 = read_container(mlist0)
+        if len(mrows0) <= 1:
+            return cur, {
+                "manifests_before": len(mrows0),
+                "manifests_after": len(mrows0),
+            }
+        md = _meta_dir(root)
+        latest_sid = snaps[-1]["snapshot-id"]
+        new_sid = latest_sid + 1
+        # snapshot seq stays monotone; carried ENTRIES keep their
+        # original explicit seqs, so delete gating is untouched
+        new_seq = int(meta.get("last-sequence-number", 0)) + 1
+        by_key: dict[tuple, list] = {}  # (content, spec_id) -> entries
+        for m in mrows0:
+            mseq = m.get("sequence_number") or 0
+            _s2, entries = read_container(
+                _resolve_path(root, m["manifest_path"])
+            )
+            for e in entries:
+                if e["status"] == 2:
+                    continue
+                seq = e.get("sequence_number")
+                by_key.setdefault(
+                    (
+                        m.get("content", 0),
+                        m.get("partition_spec_id", 0),
+                    ),
+                    [],
+                ).append(
+                    {
+                        "status": 0,  # EXISTING: a pure re-list
+                        "snapshot_id": e.get("snapshot_id") or new_sid,
+                        "sequence_number": (
+                            mseq if seq is None else seq
+                        ),
+                        "data_file": e["data_file"],
+                    }
+                )
+        token = _uuid.uuid4().hex[:8]
+        mrows = []
+        for (content, spec_id), entries in sorted(by_key.items()):
+            fields_g = _spec_avro_fields(meta, spec_id)
+            schema_g = (
+                _manifest_schema_with_partition(fields_g)
+                if fields_g and content == 0
+                else MANIFEST_SCHEMA
+            )
+            suffix = "del" if content else f"s{spec_id}"
+            mpath = os.path.join(
+                md, f"manifest-{new_sid:05d}-{token}-{suffix}.avro"
+            )
+            write_container(mpath, schema_g, entries)
+            mrows.append(
+                {
+                    "manifest_path": os.path.abspath(mpath),
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": spec_id,
+                    "content": content,
+                    "sequence_number": new_seq,
+                    "added_snapshot_id": new_sid,
+                }
+            )
+        sid = _mor_commit_finish(
+            root, meta, mrows, new_sid, new_seq, "replace", None,
+            md, token,
+        )
+        if sid is None:
+            continue  # lost the claim: replan against the winner
+        return sid, {
+            "manifests_before": len(mrows0),
+            "manifests_after": len(mrows),
+        }
