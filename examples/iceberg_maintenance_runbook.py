@@ -41,6 +41,7 @@ from dataflowex_spark.sources.iceberg_reader import (
     expire_snapshots,
     load_table_metadata,
     remove_orphan_files,
+    rewrite_iceberg_manifests,
     read_iceberg,
     rewrite_iceberg_data_files,
     set_iceberg_ref,
@@ -204,7 +205,18 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
         "read_identical": read_iceberg(spark, root).count() == pre,
     }
 
-    # 7. expire with the pin, read the tag, drop, expire again
+    # 7. MANIFEST fold cadence: O(change) commits grow the list one
+    # row per commit; fold it metadata-only when planning pays
+    # (weekly with the orphan sweep is a good default)
+    pre = read_iceberg(spark, root).count()
+    _msid, mstats = rewrite_iceberg_manifests(spark, root)
+    ev["manifest_fold"] = {
+        "before": mstats["manifests_before"],
+        "after": mstats["manifests_after"],
+        "read_identical": read_iceberg(spark, root).count() == pre,
+    }
+
+    # 8. expire with the pin, read the tag, drop, expire again
     expire_snapshots(root, keep_last=1)
     tagged = sorted(
         (r.okey, r.priority, r.cents)

@@ -219,6 +219,8 @@ def test_iceberg_maintenance_runbook_end_to_end(spark, sf_dir):
     assert ev["spec_evolution"]["prunes_old_spec"]
     assert ev["race"] == {"errors": 0, "rows_landed": 9}
     assert ev["orphan_cleanup"]["read_identical"]
+    assert ev["manifest_fold"]["read_identical"]
+    assert ev["manifest_fold"]["after"] <= ev["manifest_fold"]["before"]
     assert ev["tag_survives_expiry"]
     assert ev["snapshots_after_final_expiry"] == 1
     assert ev["final_rows"] > 0
