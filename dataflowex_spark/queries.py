@@ -27371,3 +27371,70 @@ def q461(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q(
+    "q462_iceberg_incremental_scan",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 33 = 16
+    ), second_and_third AS (
+      SELECT * FROM base WHERE okey % 3 IN (1, 2)
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM second_and_third GROUP BY priority ORDER BY priority
+    """,
+)
+def q462(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH INCREMENTAL APPEND SCAN (read_iceberg_incremental — the
+    start/end-snapshot-id options, the iceberg_tail stream's batch
+    complement): three appends land disjoint thirds; the scan over
+    (snap1, snap3] returns EXACTLY the second+third batches, opening
+    ONLY the manifests those snapshots added (carried by-reference
+    rows are skipped at the list row — incremental planning is
+    O(change), not O(table)). Non-append snapshots in range refuse
+    by name per the spec's append-scan contract. The oracle replays
+    the batch filter in SQL. At 100 TB this is the catch-up-job
+    primitive: a consumer that fell N snapshots behind reads exactly
+    the delta, never a full-table diff."""
+    import tempfile
+
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 33 == 16)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q462_") + "/t"
+    sids = []
+    for b in range(3):
+        sids.append(
+            ir.write_iceberg(
+                spark,
+                base.filter(F.col("okey") % 3 == b),
+                dest,
+                mode="error" if b == 0 else "append",
+            )
+        )
+    return (
+        ir.read_iceberg_incremental(spark, dest, sids[0], sids[2])
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )

@@ -297,9 +297,12 @@ def _snapshot(
 def version_at_timestamp(root: str, ts_ms: int) -> int:
     """Delta timestamp time travel: the latest version whose commit
     timestamp is ≤ ``ts_ms`` (the TIMESTAMP AS OF contract).
-    Commit time comes from ``commitInfo.timestamp`` when present,
-    else the log file's mtime — the same fallback delta-spark uses
-    for logs written without commitInfo."""
+    Commit time prefers ``commitInfo.inCommitTimestamp`` (the
+    inCommitTimestamp writer feature: monotone, file-mtime-proof —
+    what delta-spark trusts when the table enables ICT), then
+    ``commitInfo.timestamp``, else the log file's mtime — the same
+    fallback chain delta-spark uses for logs written without
+    commitInfo."""
     best = None
     for v, path in sorted(_commit_files(root).items()):
         ts = None
@@ -310,7 +313,8 @@ def version_at_timestamp(root: str, ts_ms: int) -> int:
                     continue
                 a = json.loads(line)
                 if "commitInfo" in a and a["commitInfo"]:
-                    ts = a["commitInfo"].get("timestamp")
+                    ci = a["commitInfo"]
+                    ts = ci.get("inCommitTimestamp", ci.get("timestamp"))
         if ts is None:
             ts = int(os.stat(path).st_mtime * 1000)
         if ts <= ts_ms:

@@ -2525,3 +2525,44 @@ def test_delta_metadata_tables(spark, tmp_path):
     assert det.num_files == len(files)
     assert det.min_reader_version == 3  # DV upgrade
     assert '"g"' in det.partition_columns
+
+
+def test_version_at_timestamp_prefers_ict(spark, tmp_path):
+    """TIMESTAMP AS OF trusts commitInfo.inCommitTimestamp over the
+    wall-clock timestamp when a table enables the ICT feature —
+    hand-edit the log to diverge the two and pin the preference."""
+    import json as _json
+    import os as _os
+
+    from dataflowex_spark.sources.delta_reader import (
+        read_delta,
+        version_at_timestamp,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark, spark.createDataFrame([(1,)], "k long"), root
+    )
+    write_delta(
+        spark,
+        spark.createDataFrame([(2,)], "k long"),
+        root, mode="append",
+    )
+    log = _os.path.join(root, "_delta_log")
+    for v, ict in ((0, 1000), (1, 2000)):
+        p = _os.path.join(log, f"{v:020d}.json")
+        lines = []
+        for line in open(p):
+            if not line.strip():
+                continue
+            a = _json.loads(line)
+            if "commitInfo" in a and a["commitInfo"]:
+                a["commitInfo"]["timestamp"] = 999_999_999_999
+                a["commitInfo"]["inCommitTimestamp"] = ict
+            lines.append(_json.dumps(a) + "\n")
+        with open(p, "w") as f:
+            f.writelines(lines)
+    assert version_at_timestamp(root, 1500) == 0
+    assert version_at_timestamp(root, 2500) == 1
+    assert read_delta(spark, root, version=version_at_timestamp(root, 1500)).count() == 1

@@ -3030,3 +3030,43 @@ def test_rewrite_iceberg_manifests(spark, tmp_path):
         ir._resolve_path(dest, snap["manifest-list"])
     )
     assert len(rows) == 3  # merged 2 + the new delete manifest
+
+
+def test_read_iceberg_incremental(spark, tmp_path):
+    """Batch incremental APPEND scan: rows added in (from, to] only,
+    carried manifests never opened; a delete snapshot in range
+    refuses by name (append-only contract)."""
+    import pytest as _pytest
+
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    dest = str(tmp_path / "t")
+    sids = []
+    for m in range(4):
+        sids.append(
+            ir.write_iceberg(
+                spark,
+                spark.createDataFrame(
+                    [(m * 10 + j,) for j in range(3)], "k long"
+                ),
+                dest,
+                mode="error" if m == 0 else "append",
+            )
+        )
+    inc = ir.read_iceberg_incremental(spark, dest, sids[0], sids[2])
+    assert sorted(r.k for r in inc.collect()) == [
+        10, 11, 12, 20, 21, 22,
+    ]
+    # open-ended: everything after the second snapshot
+    inc2 = ir.read_iceberg_incremental(spark, dest, sids[1])
+    assert sorted(r.k for r in inc2.collect()) == [
+        20, 21, 22, 30, 31, 32,
+    ]
+    # empty range
+    assert (
+        ir.read_iceberg_incremental(spark, dest, sids[3]).count() == 0
+    )
+    # a delete in range refuses by name
+    ir.delete_from_iceberg(spark, dest, "k = 11")
+    with _pytest.raises(ir.IcebergProtocolError, match="non-append"):
+        ir.read_iceberg_incremental(spark, dest, sids[3])
