@@ -458,3 +458,132 @@ def check_sketch_invariants(keys):
 def test_randomized_sketch_properties(spark):
     check_sketch_invariants._spark = spark
     check_sketch_invariants()
+
+
+# ---- r10 codec + pruning-soundness properties (no Spark needed)
+
+POSITIONS = st.lists(
+    st.integers(min_value=0, max_value=(1 << 40)),
+    min_size=0, max_size=300, unique=True,
+).map(sorted)
+
+
+@given(POSITIONS)
+@settings(max_examples=60, deadline=None)
+def test_roaring64_portable_roundtrip(ps):
+    """Portable 64-bit roaring (the Iceberg v3 DV form) round-trips
+    arbitrary sparse/dense position sets exactly."""
+    from dataflowex_spark.sources.roaring import (
+        roaring64_portable_deserialize,
+        roaring64_portable_serialize,
+    )
+
+    assert roaring64_portable_deserialize(
+        roaring64_portable_serialize(ps)
+    ) == ps
+
+
+@given(
+    st.dictionaries(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd"),
+            ),
+            min_size=1, max_size=20,
+        ).map(lambda s: "/data/" + s + ".parquet"),
+        POSITIONS,
+        min_size=0, max_size=4,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_puffin_dv_file_roundtrip(dvs):
+    """A Puffin file holding N deletion-vector blobs round-trips
+    every (referenced file, position set) pair, CRC-validated."""
+    import os
+    import tempfile
+
+    from dataflowex_spark.sources.puffin import (
+        read_puffin_dvs,
+        write_puffin_dvs,
+    )
+
+    p = tempfile.mktemp(suffix=".puffin")
+    try:
+        write_puffin_dvs(p, dvs)
+        got = dict(read_puffin_dvs(p))
+        assert got == {k: sorted(v) for k, v in dvs.items()}
+    finally:
+        if os.path.exists(p):
+            os.unlink(p)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-10**6, max_value=10**6),
+        min_size=1, max_size=40,
+    ),
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.sampled_from(["=", "<", "<=", ">", ">="]),
+    st.sampled_from(
+        [("identity", None), ("bucket", 8), ("truncate", 10)]
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_manifest_summary_pruning_sound(values, lit, op, transform):
+    """SOUNDNESS of list-level pruning: if ANY file-level tuple in a
+    manifest allows the predicate, the manifest's summary MUST allow
+    it too (a summary may keep extra manifests, never drop a
+    matching one) — for long-typed identity/bucket/truncate
+    transforms across random value sets, literals, and ops."""
+    from dataflowex_spark.sources.iceberg_reader import (
+        _bucket_of,
+        _partition_allows,
+        _summary_allows,
+        _truncate_of,
+    )
+
+    kind, param = transform
+    if kind == "identity":
+        tuples = values
+    elif kind == "bucket":
+        tuples = [_bucket_of(v, "long", param) for v in values]
+    else:
+        tuples = [_truncate_of(v, "long", param) for v in values]
+    file_allows = [
+        _partition_allows(t, kind, param, "long", op, lit)
+        for t in tuples
+    ]
+    lo, hi = min(tuples), max(tuples)
+    fs = {
+        "contains_null": False,
+        "lower_bound": str(lo),
+        "upper_bound": str(hi),
+    }
+    summary_allows = _summary_allows(fs, kind, param, "long", op, lit)
+    if any(file_allows):
+        assert summary_allows, (
+            f"summary excluded a manifest with a matching tuple: "
+            f"kind={kind} op={op} lit={lit} lo={lo} hi={hi} "
+            f"tuples={tuples}"
+        )
+
+
+@given(POSITIONS.filter(lambda x: len(x) > 0))
+@settings(max_examples=40, deadline=None)
+def test_delta_vs_iceberg_bitmap_forms_agree(ps):
+    """Delta's RoaringBitmapArray and the portable roaring64 are
+    DIFFERENT serializations of the same set — decoding each returns
+    the identical positions (cross-form consistency of the two DV
+    stacks)."""
+    from dataflowex_spark.sources.roaring import (
+        bitmap_array_deserialize,
+        bitmap_array_serialize,
+        roaring64_portable_deserialize,
+        roaring64_portable_serialize,
+    )
+
+    assert bitmap_array_deserialize(
+        bitmap_array_serialize(ps)
+    ) == roaring64_portable_deserialize(
+        roaring64_portable_serialize(ps)
+    ) == ps
