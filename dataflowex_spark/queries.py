@@ -27438,3 +27438,80 @@ def q462(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@q(
+    "q463_lakehouse_catalog_sql",
+    """
+    WITH cust AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE c_custkey % 3 = 0
+    ), ords AS (
+      SELECT o_custkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_custkey % 3 = 0 AND o_orderkey % 2 = 0
+    )
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM cust JOIN ords ON c_custkey = o_custkey
+    GROUP BY c_mktsegment ORDER BY segment
+    """,
+)
+def q463(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAKEHOUSE CATALOG + format-agnostic SQL (read_table /
+    LakehouseCatalog — q412's federation promoted to ONE SQL
+    STATEMENT over NAMED tables): customers land in an ICEBERG
+    table, their orders in a DELTA table, formats are AUTO-DETECTED
+    from the on-disk markers, both register as temp views, and a
+    plain Spark SQL join runs across the two formats — Catalyst
+    plans ordinary scans after each format's metadata resolution, so
+    the cross-format join costs nothing beyond the metadata walks.
+    The oracle replays the join in SQL over the raw fixtures. This
+    is the switch-a-table-without-touching-the-query veneer: a
+    pipeline addressing tables by NAME keeps running when a table
+    migrates formats (the in-place converters make that a metadata
+    commit)."""
+    import tempfile
+
+    from dataflowex_spark.sources.delta_reader import write_delta
+    from dataflowex_spark.sources.iceberg_reader import write_iceberg
+    from dataflowex_spark.sources.lakehouse import LakehouseCatalog
+
+    cat = Catalog(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="q463_")
+    write_iceberg(
+        spark,
+        cat["customer"]
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_mktsegment"),
+        d + "/cust",
+    )
+    write_delta(
+        spark,
+        cat["orders"]
+        .filter(
+            (F.col("o_custkey") % 3 == 0)
+            & (F.col("o_orderkey") % 2 == 0)
+        )
+        .select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        ),
+        d + "/ords",
+    )
+    lh = LakehouseCatalog(spark, view_prefix="q463_")
+    assert lh.register("cust", d + "/cust") == "iceberg"
+    assert lh.register("ords", d + "/ords") == "delta"
+    return lh.sql(
+        """
+        SELECT c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(price_cents) AS BIGINT) AS cents
+        FROM q463_cust JOIN q463_ords
+          ON c_custkey = o_custkey
+        GROUP BY c_mktsegment ORDER BY segment
+        """
+    )

@@ -3070,3 +3070,40 @@ def test_read_iceberg_incremental(spark, tmp_path):
     ir.delete_from_iceberg(spark, dest, "k = 11")
     with _pytest.raises(ir.IcebergProtocolError, match="non-append"):
         ir.read_iceberg_incremental(spark, dest, sids[3])
+
+
+def test_lakehouse_detect_and_read(spark, tmp_path):
+    """read_table auto-detects all four formats; time-travel kwargs
+    route to the right reader; unsupported kwargs refuse."""
+    import pytest as _pytest
+
+    import dataflowex_spark.sources.iceberg_reader as ir
+    from dataflowex_spark.sources.delta_reader import write_delta
+    from dataflowex_spark.sources.lakehouse import (
+        detect_table_format,
+        read_table,
+    )
+    from dataflowex_spark.sources.mtable import MTable
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    p_delta = str(tmp_path / "d")
+    write_delta(spark, df, p_delta)
+    p_ice = str(tmp_path / "i")
+    ir.write_iceberg(spark, df, p_ice)
+    p_mt = str(tmp_path / "m")
+    MTable.create(spark, p_mt, df, key_col="k")
+    p_pq = str(tmp_path / "p")
+    df.write.parquet(p_pq)
+    assert detect_table_format(p_delta) == "delta"
+    assert detect_table_format(p_ice) == "iceberg"
+    assert detect_table_format(p_mt) == "mtable"
+    assert detect_table_format(p_pq) == "parquet"
+    for p in (p_delta, p_ice, p_mt, p_pq):
+        assert sorted(
+            (r.k, r.s) for r in read_table(spark, p).collect()
+        ) == [(1, "a"), (2, "b")]
+    # iceberg time travel routes; delta kwarg on parquet refuses
+    sid = ir.load_table_metadata(p_ice)["current-snapshot-id"]
+    assert read_table(spark, p_ice, snapshot_id=sid).count() == 2
+    with _pytest.raises(ValueError, match="parquet read"):
+        read_table(spark, p_pq, version=3)
