@@ -1602,16 +1602,13 @@ def checkpoint_delta_export(
         commits = _commit_files(dest)
     v = max(commits)
     meta, adds = _snapshot(spark, dest, v)
-    proto = {"minReaderVersion": 1, "minWriterVersion": 2}
-    # replay protocol actions to capture the real gate
-    for vv in sorted(commits):
-        with open(commits[vv]) as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    a = json.loads(line)
-                    if a.get("protocol"):
-                        proto = a["protocol"]
+    # checkpoint-aware protocol resolution: after log retention
+    # truncates the JSON tail behind an earlier checkpoint, replaying
+    # only _commit_files would regress to base (1,2) and persist a
+    # checkpoint that DROPS the table's feature gates
+    # (v2Checkpoint/deletionVectors) — _latest_protocol folds the
+    # newest checkpoint's protocol row under any later JSON action
+    proto = _latest_protocol(dest)
     actions = [{"protocol": proto}, {"metaData": meta}] + [
         {"add": a} for _p, a in sorted(adds.items())
     ]

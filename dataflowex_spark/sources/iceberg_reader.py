@@ -71,6 +71,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -116,6 +117,17 @@ def _resolve_path(root: str, p: str) -> str:
     if os.path.isabs(p):
         return p
     return os.path.join(root, p)
+
+
+def _canon(p: str) -> str:
+    """Canonical on-disk identity for DELETE-side membership tests:
+    resolves symlinks and ``..``/dup-slash spellings so a keep-set
+    entry built from a stored absolute ``file_path`` and a candidate
+    found by walking the caller's spelling of the table root compare
+    equal whenever they name the same inode path. Destructive
+    maintenance (expire/orphan sweep) must never unlink a live file
+    because two spellings of one path failed a string comparison."""
+    return os.path.realpath(p)
 
 
 def _latest_meta_version(md: str) -> int:
@@ -401,12 +413,32 @@ def _empty_frame(spark: SparkSession, meta: dict) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
-# planning introspection for the last _live_files call in this
-# process: manifest-list rows seen vs manifests actually OPENED
+# planning introspection for the last _live_files call on THIS
+# THREAD: manifest-list rows seen vs manifests actually OPENED
 # (list-level partition-summary pruning skips the rest). Tests and
 # queries assert the q294/q296 files-opened discipline one level up
-# through this.
-PLAN_STATS: dict = {"manifests_total": 0, "manifests_opened": 0}
+# through this. Thread-local so a concurrent read on another thread
+# of the same process cannot clobber an assertion between a query's
+# _live_files call and its PLAN_STATS check (same-thread semantics
+# unchanged: the stats describe the latest call).
+class _PlanStats(threading.local):
+    def __init__(self):
+        self.d = {"manifests_total": 0, "manifests_opened": 0}
+
+    def __getitem__(self, k):
+        return self.d[k]
+
+    def __setitem__(self, k, v):
+        self.d[k] = v
+
+    def get(self, k, default=None):
+        return self.d.get(k, default)
+
+    def __repr__(self):
+        return repr(self.d)
+
+
+PLAN_STATS = _PlanStats()
 
 
 def _live_files(
@@ -2370,7 +2402,8 @@ def expire_snapshots(dest: str, keep_last: int = 1) -> list[str]:
     stops working — the spec's expire_snapshots trade. Hard-linked
     data only releases disk once the MTable source also vacuums
     (shared ownership via link counts)."""
-    md = _meta_dir(dest)
+    dest = _canon(dest)  # symlinked/relative spellings must not
+    md = _meta_dir(dest)  # defeat the keep-set membership tests
     # CLAIM FIRST, unlink after: the expiring metadata version lands
     # put-if-absent, so a racing writer either commits before us
     # (we re-read and re-plan) or loses its claim and replays from
@@ -2418,16 +2451,16 @@ def expire_snapshots(dest: str, keep_last: int = 1) -> list[str]:
     keep_meta: set[str] = set()
     for s in cur.get("snapshots", []):
         mlist = _resolve_path(dest, s["manifest-list"])
-        keep_meta.add(mlist)
+        keep_meta.add(_canon(mlist))
         _sc, mrows = read_container(mlist)
         for m in mrows:
             mpath = _resolve_path(dest, m["manifest_path"])
-            keep_meta.add(mpath)
+            keep_meta.add(_canon(mpath))
             _s2, entries = read_container(mpath)
             for e in entries:
                 if e["status"] != 2:
                     keep_files.add(
-                        _resolve_path(dest, e["data_file"]["file_path"])
+                        _canon(_resolve_path(dest, e["data_file"]["file_path"]))
                     )
     age_cutoff = max(
         (
@@ -2451,7 +2484,7 @@ def expire_snapshots(dest: str, keep_last: int = 1) -> list[str]:
         for dirpath, _dirs, files in sorted(os.walk(data_dir)):
             for fn in sorted(files):
                 p = os.path.join(dirpath, fn)
-                if p not in keep_files and not _young(p):
+                if _canon(p) not in keep_files and not _young(p):
                     os.unlink(p)
                     deleted.append(
                         os.path.relpath(p, dest).replace(os.sep, "/")
@@ -2460,7 +2493,7 @@ def expire_snapshots(dest: str, keep_last: int = 1) -> list[str]:
         p = os.path.join(md, fn)
         if (
             fn.endswith(".avro")
-            and p not in keep_meta
+            and _canon(p) not in keep_meta
             and not _young(p)
         ):
             os.unlink(p)
@@ -2496,7 +2529,8 @@ def remove_orphan_files(
     deleted paths (table-relative)."""
     import time as _time
 
-    md = _meta_dir(dest)
+    dest = _canon(dest)  # symlinked/relative spellings must not
+    md = _meta_dir(dest)  # defeat the keep-set membership tests
     if not os.path.isdir(md):
         raise ValueError(f"not an Iceberg table: {dest}")
     keep_files: set[str] = set()
@@ -2515,13 +2549,13 @@ def remove_orphan_files(
             continue  # in-flight claim; its files are young
         for s in meta.get("snapshots", []):
             mlist = _resolve_path(dest, s["manifest-list"])
-            keep_meta.add(mlist)
+            keep_meta.add(_canon(mlist))
             if not os.path.exists(mlist):
                 continue  # expired under this old version's feet
             _sc, mrows = read_container(mlist)
             for m in mrows:
                 man = _resolve_path(dest, m["manifest_path"])
-                keep_meta.add(man)
+                keep_meta.add(_canon(man))
                 if not os.path.exists(man):
                     continue
                 _s2, entries = read_container(man)
@@ -2530,9 +2564,9 @@ def remove_orphan_files(
                     # snapshot may still read the file — keep-set
                     # errs wide, orphanhood must be provable
                     keep_files.add(
-                        _resolve_path(
+                        _canon(_resolve_path(
                             dest, e["data_file"]["file_path"]
-                        )
+                        ))
                     )
     cutoff = min(newest_meta_mtime, _time.time() - grace_s)
 
@@ -2548,7 +2582,7 @@ def remove_orphan_files(
         for dirpath, _dirs, files in sorted(os.walk(data_dir)):
             for fn in sorted(files):
                 p = os.path.join(dirpath, fn)
-                if p not in keep_files and _deletable(p):
+                if _canon(p) not in keep_files and _deletable(p):
                     os.unlink(p)
                     deleted.append(
                         os.path.relpath(p, dest).replace(os.sep, "/")
@@ -2557,7 +2591,7 @@ def remove_orphan_files(
         p = os.path.join(md, fn)
         if (
             fn.endswith(".avro")
-            and p not in keep_meta
+            and _canon(p) not in keep_meta
             and _deletable(p)
         ):
             os.unlink(p)
@@ -4893,6 +4927,20 @@ def iceberg_bucketed_join(
     rsuffix = [
         f["name"] for f in rfields if f["name"] != key
     ]
+    # declared output dtypes → pandas NULLABLE dtypes for the
+    # outer-join unmatched side: pandas merge fills missing ints
+    # with float64 NaN, and a raw NaN→LongType arrow cast is unsafe
+    # (error or garbage); nullable Int64/boolean round-trips as a
+    # proper arrow null instead
+    _nullable_pd = {
+        "bigint": "Int64", "int": "Int32", "smallint": "Int16",
+        "tinyint": "Int8", "boolean": "boolean",
+        "float": "Float32", "double": "Float64",
+    }
+    out_pd_dtype = {
+        n0: _nullable_pd.get(_spark_type(t0).simpleString())
+        for n0, t0 in out_fields
+    }
 
     def join_bucket(batches):
         import pandas as pd
@@ -4922,19 +4970,57 @@ def iceberg_bucketed_join(
 
                 ldf = read_side(lp, lnames)
                 rdf = read_side(rp, rnames)
-                merged = ldf.merge(
-                    rdf, on=key, how=pd_how, suffixes=("", "_r")
+                # SQL semantics: a NULL join key matches NOTHING —
+                # pandas merge would happily pair NaN keys with each
+                # other, so split null-key rows out, merge only the
+                # non-null partitions, and re-append null-key rows
+                # as unmatched per the join direction
+                lkey_null = ldf[key].isna()
+                rkey_null = rdf[key].isna()
+                lval, lnull = ldf[~lkey_null], ldf[lkey_null]
+                rval, rnull = rdf[~rkey_null], rdf[rkey_null]
+                frames = [
+                    lval.merge(
+                        rval, on=key, how=pd_how, suffixes=("", "_r")
+                    )
+                ]
+                # merge against an EMPTY other side reuses pandas'
+                # own suffix/column logic for the unmatched rows
+                if pd_how in ("left", "outer") and len(lnull):
+                    frames.append(
+                        lnull.merge(
+                            rval.iloc[0:0], on=key, how="left",
+                            suffixes=("", "_r"),
+                        )
+                    )
+                if pd_how in ("right", "outer") and len(rnull):
+                    frames.append(
+                        lval.iloc[0:0].merge(
+                            rnull, on=key, how="right",
+                            suffixes=("", "_r"),
+                        )
+                    )
+                merged = (
+                    pd.concat(frames, ignore_index=True)
+                    if len(frames) > 1
+                    else frames[0]
                 )
                 out_cols = {}
                 for n0, _t0 in out_fields:
                     if n0 in merged.columns:
-                        out_cols[n0] = merged[n0]
+                        s = merged[n0]
                     elif n0.endswith("_r") and n0[:-2] in rsuffix:
                         # pandas only suffixes on collision; a
                         # non-colliding right column keeps its name
-                        out_cols[n0] = merged[n0[:-2]]
+                        s = merged[n0[:-2]]
                     else:
-                        out_cols[n0] = None
+                        s = pd.Series(
+                            [None] * len(merged), dtype="object"
+                        )
+                    dt = out_pd_dtype.get(n0)
+                    if dt is not None:
+                        s = s.astype(dt)
+                    out_cols[n0] = s
                 yield pd.DataFrame(out_cols)
 
     base = spark.createDataFrame(tasks, "b int, l string, r string")

@@ -2566,3 +2566,58 @@ def test_version_at_timestamp_prefers_ict(spark, tmp_path):
     assert version_at_timestamp(root, 1500) == 0
     assert version_at_timestamp(root, 2500) == 1
     assert read_delta(spark, root, version=version_at_timestamp(root, 1500)).count() == 1
+
+
+def test_checkpoint_after_retention_keeps_protocol(spark, tmp_path):
+    """Protocol must not REGRESS across checkpoint-after-retention
+    (r11 advice): after log retention deletes the JSON tail behind a
+    v2 checkpoint, the NEXT checkpoint must persist the features-era
+    3/7 protocol (v2Checkpoint/deletionVectors gates) resolved
+    checkpoint-aware via _latest_protocol — not a replayed-from-
+    nothing base (1,2)."""
+    import os as _os
+
+    from dataflowex_spark.sources.delta_reader import (
+        _latest_protocol,
+        checkpoint_delta_export,
+        delete_from_delta,
+        read_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k long, x double"
+        ),
+        root,
+    )
+    delete_from_delta(spark, root, "k = 3")
+    cpv = checkpoint_delta_export(spark, root, v2=True)
+    log = _os.path.join(root, "_delta_log")
+    for n in _os.listdir(log):
+        if n.endswith(".json") and n[:-5].isdigit() and int(n[:-5]) <= cpv:
+            _os.unlink(_os.path.join(log, n))
+    # one post-retention commit, then checkpoint again (v1 path —
+    # the one that replayed JSON commits only, pre-fix)
+    write_delta(
+        spark,
+        spark.createDataFrame([(100, 1.0)], "k long, x double"),
+        root, mode="append",
+    )
+    want = sorted(r.k for r in read_delta(spark, root).collect())
+    cpv2 = checkpoint_delta_export(spark, root)
+    assert cpv2 > cpv
+    proto = _latest_protocol(root)
+    assert proto.get("minReaderVersion") == 3, proto
+    assert proto.get("minWriterVersion") == 7, proto
+    assert "v2Checkpoint" in (proto.get("readerFeatures") or []), proto
+    # retention behind the NEW checkpoint: table must still read and
+    # the protocol gates must survive the second replay-from-parquet
+    for n in _os.listdir(log):
+        if n.endswith(".json") and n[:-5].isdigit() and int(n[:-5]) <= cpv2:
+            _os.unlink(_os.path.join(log, n))
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == want
+    proto2 = _latest_protocol(root)
+    assert "v2Checkpoint" in (proto2.get("readerFeatures") or []), proto2
