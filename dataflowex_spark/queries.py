@@ -26566,13 +26566,16 @@ def q451(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copyfile(some_data, young)
     far = os.path.getmtime(some_data) + 10**6
     os.utime(young, (far, far))
-    deleted = set(remove_orphan_files(dest, grace_s=0))
+    # the DISTRIBUTED sweep (spark=…): keep-set walk + candidate
+    # listing run as Spark jobs — the 100 TB shape, where a
+    # million-file listing must not be single-threaded driver I/O
+    deleted = set(remove_orphan_files(dest, grace_s=0, spark=spark))
     assert deleted == {
         "data/stray-lostrace.parquet",
         "metadata/stray-lostrace.avro",
     }, deleted
     assert os.path.exists(young), "age guard must keep young staging"
-    assert remove_orphan_files(dest, grace_s=0) == []
+    assert remove_orphan_files(dest, grace_s=0, spark=spark) == []
     return (
         read_iceberg(spark, dest)
         .groupBy("priority")
@@ -27514,4 +27517,88 @@ def q463(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON c_custkey = o_custkey
         GROUP BY c_mktsegment ORDER BY segment
         """
+    )
+
+
+@q(
+    "q464_iceberg_v3_dml",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 29 = 7
+    ), after_delete AS (
+      SELECT * FROM base WHERE okey % 5 <> 2
+    ), after_update AS (
+      SELECT okey, priority,
+             CASE WHEN okey % 5 = 3 THEN price_cents + 1000
+                  ELSE price_cents END AS price_cents
+      FROM after_delete
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS cents
+    FROM after_update GROUP BY priority ORDER BY priority
+    """,
+)
+def q464(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG v3 WRITE PATH (write_iceberg(format_version=3) + DML
+    — completes the q454 read-side claim write-direction): orders
+    land in a format-version 3 table whose metadata carries ROW
+    LINEAGE (next-row-id; every snapshot stamps first-row-id and
+    each data entry an explicit first_row_id); a DELETE stages a
+    PUFFIN DELETION VECTOR (deletion-vector-v1 blob per referenced
+    file, spec'd content_offset/content_size_in_bytes/
+    referenced_data_file in the manifest) instead of v2's
+    pos-delete parquet, and an UPDATE merges its dead positions
+    into ONE replacement DV (the spec's one-DV-per-file invariant —
+    prior delete manifests drop, never stack). The read folds both
+    through the q454 Puffin path; the oracle replays delete+update
+    in SQL. The query ASSERTS the physical shape: exactly one
+    .puffin delete file after both verbs, zero pos-delete parquet,
+    and monotone first-row-id across snapshots. At 100 TB the DV
+    economics are the point: delete state is bounded by churn and
+    merged per file, so read-side anti-join state never grows with
+    DML count."""
+    import tempfile
+
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat["orders"]
+        .filter(F.col("o_orderkey") % 29 == 7)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    dest = tempfile.mkdtemp(prefix="q464_") + "/t"
+    ir.write_iceberg(spark, base, dest, format_version=3)
+    ir.delete_from_iceberg(spark, dest, "okey % 5 = 2")
+    ir.update_iceberg(
+        spark, dest, "okey % 5 = 3",
+        {"price_cents": "price_cents + 1000"},
+    )
+    meta = ir.load_table_metadata(dest)
+    assert meta["format-version"] == 3
+    firsts = [s["first-row-id"] for s in meta["snapshots"]]
+    assert firsts == sorted(firsts), "row lineage must be monotone"
+    _l, pos, _e, _b, _p, fmts = ir._live_files(dest, meta, None)
+    dpaths = {p for p, _s in pos}
+    assert len(dpaths) == 1 and all(
+        fmts[p] == "PUFFIN" for p in dpaths
+    ), "v3 DML must leave exactly one merged Puffin DV"
+    return (
+        ir.read_iceberg(spark, dest)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
     )

@@ -1127,53 +1127,7 @@ def read_iceberg(
         # (path reuse across snapshots) must not lose rows to a
         # stale delete from before its re-add.
         data = df
-        pieces_dv = []
-        for path, dseq in sorted(set(pos_deletes)):
-            if formats.get(path) == "PUFFIN":
-                # v3 deletion vector: decode the Puffin blobs
-                # driver-side (a DV is bounded per-file delete state
-                # — the same economics as Delta's DVs and MTable's
-                # sidecars) into the (file, pos) shape the anti-join
-                # consumes
-                from dataflowex_spark.sources.puffin import (
-                    read_puffin_dvs,
-                )
-
-                rows = [
-                    (
-                        re.sub(
-                            r"^file:/*",
-                            "/",
-                            ref
-                            if os.path.isabs(ref)
-                            or ref.startswith("file:")
-                            else _resolve_path(root, ref),
-                        ),
-                        int(p),
-                        int(dseq),
-                    )
-                    for ref, positions in read_puffin_dvs(path)
-                    for p in positions
-                ]
-                pieces_dv.append(
-                    spark.createDataFrame(
-                        rows,
-                        "__dfp string, __dri long, __dseq long",
-                    )
-                )
-                continue
-            pieces_dv.append(
-                spark.read.parquet(path).select(
-                    F.regexp_replace(
-                        F.col("file_path"), "^file:/*", "/"
-                    ).alias("__dfp"),
-                    F.col("pos").alias("__dri"),
-                    F.lit(dseq).cast("long").alias("__dseq"),
-                )
-            )
-        dv = pieces_dv[0]
-        for p in pieces_dv[1:]:
-            dv = dv.unionByName(p)
+        dv = _pos_delete_pairs(spark, root, pos_deletes, formats)
         dv = dv.groupBy("__dfp", "__dri").agg(
             F.max("__dseq").alias("__dseq")
         )
@@ -1377,6 +1331,31 @@ MANIFEST_SCHEMA = {
                                 },
                             },
                         ],
+                        "default": None,
+                    },
+                    # ---- v3 fields (Iceberg spec v3: deletion
+                    # vectors + row lineage). Nullable with default
+                    # null, so v2 entries omit them (the encoder
+                    # writes null for absent keys) and v2 readers
+                    # resolving by name skip them.
+                    {
+                        "name": "referenced_data_file",
+                        "type": ["null", "string"],
+                        "default": None,
+                    },
+                    {
+                        "name": "content_offset",
+                        "type": ["null", "long"],
+                        "default": None,
+                    },
+                    {
+                        "name": "content_size_in_bytes",
+                        "type": ["null", "long"],
+                        "default": None,
+                    },
+                    {
+                        "name": "first_row_id",
+                        "type": ["null", "long"],
                         "default": None,
                     },
                 ],
@@ -2501,8 +2480,180 @@ def expire_snapshots(dest: str, keep_last: int = 1) -> list[str]:
     return deleted
 
 
+def _remove_orphans_distributed(
+    spark: SparkSession, dest: str, grace_s: float
+) -> list[str]:
+    """Spark-job implementation of :func:`remove_orphan_files` — the
+    shape the reference action uses at scale: the keep-set walk
+    (manifest lists → manifests → data files) and the candidate
+    listing (recursive data/ walk with mtimes) both run as
+    DISTRIBUTED jobs, so sweep wall-clock follows file count on
+    executors instead of single-threaded driver I/O; only the
+    bounded orphan list (the anti-join survivors) returns to the
+    driver for deletion. Semantics identical to the driver-side
+    path: same two-part age guard, same ALL-statuses conservatism,
+    same symlink/relative-spelling canonicalization (executors
+    realpath both sides), unparseable in-flight metadata contributes
+    nothing. An RDD pipeline on purpose — this is per-partition
+    imperative I/O (a listing job), not a relational plan."""
+    import time as _time
+
+    dest = _canon(dest)
+    md = _meta_dir(dest)
+    if not os.path.isdir(md):
+        raise ValueError(f"not an Iceberg table: {dest}")
+    mlists: set[str] = set()
+    newest_meta_mtime = 0.0
+    for fn in sorted(os.listdir(md)):
+        if not (fn.startswith("v") and fn.endswith(".metadata.json")):
+            continue
+        mpath = os.path.join(md, fn)
+        newest_meta_mtime = max(
+            newest_meta_mtime, os.path.getmtime(mpath)
+        )
+        try:
+            meta = json.load(open(mpath))
+        except (OSError, json.JSONDecodeError):
+            continue  # in-flight claim; its files are young
+        for s in meta.get("snapshots", []):
+            mlists.add(_resolve_path(dest, s["manifest-list"]))
+    sc = spark.sparkContext
+    root = dest  # closure capture for executors
+
+    def read_mlist(path):
+        import os as _os
+
+        from dataflowex_spark.sources.avro_io import read_container
+        from dataflowex_spark.sources.iceberg_reader import (
+            _canon as _c,
+            _resolve_path as _rp,
+        )
+
+        out = [("meta", _c(path))]
+        if not _os.path.exists(path):
+            return out  # expired under this old version's feet
+        _s, rows = read_container(path)
+        for r in rows:
+            out.append(("man", _rp(root, r["manifest_path"])))
+        return out
+
+    def read_manifest(path):
+        import os as _os
+
+        from dataflowex_spark.sources.avro_io import read_container
+        from dataflowex_spark.sources.iceberg_reader import (
+            _canon as _c,
+            _resolve_path as _rp,
+        )
+
+        out = [("meta", _c(path))]
+        if not _os.path.exists(path):
+            return out
+        _s, entries = read_container(path)
+        for e in entries:
+            # ALL statuses (incl. deleted=2): an older snapshot may
+            # still read the file — keep-set errs wide
+            out.append(
+                ("data", _c(_rp(root, e["data_file"]["file_path"])))
+            )
+        return out
+
+    par = max(1, min(64, len(mlists) or 1))
+    s1 = (
+        sc.parallelize(sorted(mlists), par)
+        .flatMap(read_mlist)
+        .collect()
+        if mlists
+        else []
+    )
+    man_paths = sorted({p for k, p in s1 if k == "man"})
+    keep_meta = {_canon(p) for p in mlists} | {
+        p for k, p in s1 if k == "meta"
+    }
+    par2 = max(1, min(256, len(man_paths) or 1))
+    keep_files: set[str] = set()
+    if man_paths:
+        stage2 = sc.parallelize(man_paths, par2).flatMap(
+            read_manifest
+        )
+        for k, p in stage2.collect():
+            (keep_meta if k == "meta" else keep_files).add(p)
+    cutoff = min(newest_meta_mtime, _time.time() - grace_s)
+
+    # ---- distributed candidate listing: one task per level-1 entry
+    # of data/ (hive-layout partition dirs fan the walk out); each
+    # task walks its subtree and emits ONLY provable orphans, so the
+    # collect is bounded by orphan count, not table size
+    keep_files_b = sc.broadcast(keep_files)
+    data_dir = os.path.join(dest, "data")
+    deleted: list[str] = []
+    if os.path.isdir(data_dir):
+        level1 = sorted(
+            os.path.join(data_dir, e) for e in os.listdir(data_dir)
+        )
+
+        def find_orphans(entry):
+            import os as _os
+
+            from dataflowex_spark.sources.iceberg_reader import (
+                _canon as _c,
+            )
+
+            ks = keep_files_b.value
+            out = []
+
+            def visit(p):
+                try:
+                    mt = _os.path.getmtime(p)
+                except OSError:
+                    return
+                if _c(p) not in ks and mt <= cutoff:
+                    out.append(p)
+
+            if _os.path.isdir(entry):
+                for dp, _dn, fns in sorted(_os.walk(entry)):
+                    for fn in sorted(fns):
+                        visit(_os.path.join(dp, fn))
+            else:
+                visit(entry)
+            return out
+
+        if level1:
+            orphans = (
+                sc.parallelize(
+                    level1, max(1, min(256, len(level1)))
+                )
+                .flatMap(find_orphans)
+                .collect()
+            )
+            for p in sorted(orphans):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    continue
+                deleted.append(
+                    os.path.relpath(p, dest).replace(os.sep, "/")
+                )
+    for fn in sorted(os.listdir(md)):
+        p = os.path.join(md, fn)
+        try:
+            young = os.path.getmtime(p) > cutoff
+        except OSError:
+            young = True
+        if (
+            fn.endswith(".avro")
+            and _canon(p) not in keep_meta
+            and not young
+        ):
+            os.unlink(p)
+            deleted.append("metadata/" + fn)
+    return deleted
+
+
 def remove_orphan_files(
-    dest: str, grace_s: float = 3 * 86400.0
+    dest: str,
+    grace_s: float = 3 * 86400.0,
+    spark: SparkSession | None = None,
 ) -> list[str]:
     """Reclaim files NO retained metadata version references — the
     storage-leak closer the optimistic commit protocol needs: a
@@ -2526,9 +2677,17 @@ def remove_orphan_files(
     action's default) — the second bound protects a writer that
     staged BEFORE an unrelated commit landed and is still in flight;
     pass ``grace_s=0`` in tests to reclaim immediately. Returns the
-    deleted paths (table-relative)."""
+    deleted paths (table-relative).
+
+    ``spark``: run the keep-set walk and candidate listing as
+    DISTRIBUTED jobs (:func:`_remove_orphans_distributed`) — at
+    millions of files the reference action runs the listing on
+    executors, and so does this; without a session the walk stays
+    driver-side (identical semantics, fine at fixture scale)."""
     import time as _time
 
+    if spark is not None:
+        return _remove_orphans_distributed(spark, dest, grace_s)
     dest = _canon(dest)  # symlinked/relative spellings must not
     md = _meta_dir(dest)  # defeat the keep-set membership tests
     if not os.path.isdir(md):
@@ -2951,9 +3110,17 @@ def write_iceberg(
     branch: str | None = None,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    format_version: int = 2,
 ) -> int:
     """GENERIC Iceberg writer with OPTIMISTIC CONCURRENCY — any
-    DataFrame → an Iceberg v2 table. The commit claims the next
+    DataFrame → an Iceberg v2 (default) or v3 table.
+    ``format_version=3`` on CREATE makes a v3 table: metadata
+    carries ``next-row-id`` and every snapshot stamps row lineage
+    (``first-row-id`` + explicit per-entry ``first_row_id``);
+    position deletes from the DML verbs land as Puffin deletion
+    vectors instead of pos-delete parquet. On an EXISTING table the
+    parameter is ignored — the table's own format-version governs
+    (appends to v3 tables maintain row lineage automatically). The commit claims the next
     ``vN.metadata.json`` put-if-absent
     (:func:`_try_commit_metadata`); on a lost race the whole attempt
     replays against the winner's snapshot (re-validating schema and
@@ -2986,6 +3153,7 @@ def write_iceberg(
         sid = _write_iceberg_attempt(
             spark, df, dest, mode, stats_cols, partition_by,
             file_format, merge_schema, branch,
+            format_version=format_version,
             txn=(
                 (txn_app_id, int(txn_version))
                 if txn_app_id is not None
@@ -3007,6 +3175,7 @@ def _write_iceberg_attempt(
     merge_schema: bool = False,
     branch: str | None = None,
     txn: tuple[str, int] | None = None,
+    format_version: int = 2,
 ) -> int | None:
     """One write attempt — returns None on a lost commit race.
 
@@ -3074,13 +3243,10 @@ def _write_iceberg_attempt(
 
     md = _meta_dir(dest)
     exists = _latest_meta_version(md) > 0
-    if (
-        exists
-        and load_table_metadata(dest).get("format-version", 1) >= 3
-    ):
-        raise IcebergProtocolError(
-            "writes to format-version 3 tables not supported "
-            "(v3 support is read-only)"
+    if format_version not in (2, 3):
+        raise ValueError(
+            f"write_iceberg format_version {format_version!r} "
+            "(2 and 3 supported)"
         )
     if mode == "error" and exists:
         raise ValueError(f"Iceberg table already exists at {dest}")
@@ -3176,7 +3342,7 @@ def _write_iceberg_attempt(
                 }
             )
         meta = {
-            "format-version": 2,
+            "format-version": format_version,
             "table-uuid": f"write-iceberg-{_uuid.uuid4().hex[:20]}",
             "location": os.path.abspath(dest),
             "last-sequence-number": 0,
@@ -3186,6 +3352,9 @@ def _write_iceberg_attempt(
                 {"schema-id": 0, "type": "struct", "fields": top}
             ],
             "snapshots": [],
+            # v3 row lineage: next-row-id is required table metadata;
+            # every snapshot stamps its first-row-id from it
+            **({"next-row-id": 0} if format_version >= 3 else {}),
         }
     by_name = {f["name"]: f for f in top}
     # refuse unsupported column types up front, before any staging
@@ -3292,6 +3461,7 @@ def _write_iceberg_attempt(
     # attempt-unique manifest names: a racing writer computing the
     # same new_sid must not overwrite this attempt's staged avro.
     token = _uuid.uuid4().hex[:8]
+    added_rows = _row_lineage_begin(meta, entries)
     mrows = []
     if entries:
         fields_g = [p[0] for p in pinfo]
@@ -3317,6 +3487,15 @@ def _write_iceberg_attempt(
     mrows.extend(carried_rows)
     mlist = os.path.join(md, f"snap-{new_sid}-{token}.avro")
     _write_manifest_list(dest, mlist, mrows, meta)
+    lineage = {}
+    summary = {
+        "operation": "append" if mode != "overwrite" else "overwrite"
+    }
+    if meta.get("format-version", 1) >= 3:
+        first = int(meta.get("next-row-id", 0))
+        lineage = {"first-row-id": first}
+        summary["added-rows"] = str(int(added_rows))
+        meta["next-row-id"] = first + int(added_rows)
     meta["snapshots"] = snaps + [
         {
             "snapshot-id": new_sid,
@@ -3328,9 +3507,8 @@ def _write_iceberg_attempt(
             "timestamp-ms": 1000 * new_sid,
             "sequence-number": new_seq,
             "manifest-list": os.path.abspath(mlist),
-            "summary": {
-                "operation": "append" if mode != "overwrite" else "overwrite"
-            },
+            "summary": summary,
+            **lineage,
         }
     ]
     if branch is None:
@@ -3347,6 +3525,64 @@ def _write_iceberg_attempt(
     if not _try_commit_metadata(dest, meta):
         return None  # lost the claim: replay against the winner
     return new_sid
+
+
+def _pos_delete_pairs(
+    spark: SparkSession,
+    root: str,
+    pos_deletes: list,
+    formats: dict,
+) -> DataFrame | None:
+    """Decode position-delete state of BOTH physical shapes — v2
+    spec parquet sidecars and v3 Puffin deletion vectors — into one
+    ``(__dfp string, __dri long, __dseq long)`` frame the MoR
+    anti-joins consume. Puffin blobs decode driver-side (a DV is
+    bounded per-file delete state, the Delta-DV economics); parquet
+    sidecars stay a distributed scan. Returns None when there is no
+    delete state."""
+    from pyspark.sql import functions as F
+
+    pieces = []
+    for path, dseq in sorted(set(pos_deletes)):
+        if formats.get(path) == "PUFFIN":
+            from dataflowex_spark.sources.puffin import read_puffin_dvs
+
+            rows = [
+                (
+                    re.sub(
+                        r"^file:/*",
+                        "/",
+                        ref
+                        if os.path.isabs(ref) or ref.startswith("file:")
+                        else _resolve_path(root, ref),
+                    ),
+                    int(p),
+                    int(dseq),
+                )
+                for ref, positions in read_puffin_dvs(path)
+                for p in positions
+            ]
+            pieces.append(
+                spark.createDataFrame(
+                    rows, "__dfp string, __dri long, __dseq long"
+                )
+            )
+            continue
+        pieces.append(
+            spark.read.parquet(path).select(
+                F.regexp_replace(
+                    F.col("file_path"), "^file:/*", "/"
+                ).alias("__dfp"),
+                F.col("pos").alias("__dri"),
+                F.lit(dseq).cast("long").alias("__dseq"),
+            )
+        )
+    if not pieces:
+        return None
+    dv = pieces[0]
+    for p in pieces[1:]:
+        dv = dv.unionByName(p)
+    return dv
 
 
 def _iceberg_pos_scan(
@@ -3458,19 +3694,10 @@ def _iceberg_pos_scan(
     for p in pieces[1:]:
         scan = scan.unionByName(p)
     if pos_deletes:
-        dv_pieces = []
-        for path, _dseq in sorted(set(pos_deletes)):
-            dv_pieces.append(
-                spark.read.parquet(path).select(
-                    F.regexp_replace(
-                        F.col("file_path"), "^file:/*", "/"
-                    ).alias("__fp"),
-                    F.col("pos").alias("__ri"),
-                )
-            )
-        dv = dv_pieces[0]
-        for p in dv_pieces[1:]:
-            dv = dv.unionByName(p)
+        dv = _pos_delete_pairs(spark, root, pos_deletes, formats)
+        dv = dv.select(
+            F.col("__dfp").alias("__fp"), F.col("__dri").alias("__ri")
+        )
         scan = scan.join(
             F.broadcast(dv.distinct()), ["__fp", "__ri"], "left_anti"
         )
@@ -3531,6 +3758,104 @@ def _stage_pos_delete_files(
     return entries, n
 
 
+def _stage_dv_puffin(
+    spark: SparkSession,
+    root: str,
+    matched: DataFrame,
+    pos_deletes: list,
+    formats: dict,
+    new_sid: int,
+    new_seq: int,
+) -> tuple[list[dict], int]:
+    """v3 delete staging: DELETION VECTORS instead of pos-delete
+    parquet. The v3 spec allows at most ONE DV per data file, and a
+    writer adding deletes to a file that already has one must write
+    the UNION and drop the old entry — so this merges the new
+    matched ``(__fp, __ri)`` rows with ALL prior position-delete
+    state (Puffin DVs and any legacy v2 parquet sidecars left from
+    an upgrade) into one Puffin file, one ``deletion-vector-v1``
+    blob per referenced data file. Returns (content=1 manifest
+    entries — one per referenced file, stamped with
+    ``referenced_data_file``/``content_offset``/
+    ``content_size_in_bytes`` per the v3 manifest shape — and the
+    NEW-row count). The caller commits with ``replace_deletes`` so
+    prior delete manifests are dropped, keeping the one-DV-per-file
+    invariant table-wide.
+
+    Re-stamping merged prior deletes at ``new_seq`` is sound here:
+    a position delete applies to rows with data seq <= the delete's,
+    and staged file names are attempt-unique (no path reuse), so
+    widening the seq can never resurrect or kill the wrong rows —
+    the merge-and-replace shape the spec prescribes for DV writers.
+
+    Scale shape: DV state is bounded by delete churn, not table
+    size (the Delta-DV economics); positions group per file in one
+    aggregation and the bounded result lands driver-side."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.sources.puffin import write_puffin_dvs
+
+    merged: dict[str, set] = {}
+    n_new = 0
+    for r in (
+        matched.select(
+            F.col("__fp").alias("fp"), F.col("__ri").alias("ri")
+        )
+        .groupBy("fp")
+        .agg(F.collect_set("ri").alias("ris"))
+        .collect()
+    ):
+        ps = set(int(x) for x in r["ris"])
+        merged[r["fp"]] = ps
+        n_new += len(ps)
+    if n_new == 0:
+        return [], 0
+    prior = _pos_delete_pairs(spark, root, pos_deletes, formats)
+    if prior is not None:
+        for r in (
+            prior.groupBy("__dfp")
+            .agg(F.collect_set("__dri").alias("ris"))
+            .collect()
+        ):
+            merged.setdefault(r["__dfp"], set()).update(
+                int(x) for x in r["ris"]
+            )
+    target = os.path.join(
+        root, "data", f"dv-{new_sid}-{_uuid.uuid4().hex[:8]}.puffin"
+    )
+    blobs = write_puffin_dvs(
+        target,
+        {ref: sorted(ps) for ref, ps in merged.items()},
+        snapshot_id=new_sid,
+        sequence_number=new_seq,
+    )
+    total = os.path.getsize(target)
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": new_sid,
+            "sequence_number": new_seq,
+            "data_file": {
+                "content": 1,
+                "file_path": os.path.abspath(target),
+                "file_format": "PUFFIN",
+                "record_count": int(b["properties"]["cardinality"]),
+                "file_size_in_bytes": total,
+                "equality_ids": None,
+                "referenced_data_file": b["properties"][
+                    "referenced-data-file"
+                ],
+                "content_offset": b["offset"],
+                "content_size_in_bytes": b["length"],
+            },
+        }
+        for b in blobs
+    ]
+    return entries, n_new
+
+
 def _spec_avro_fields(meta: dict, spec_id: int) -> list[dict]:
     """Spec fields for ``spec_id`` with their avro result types —
     the typed r102 struct any manifest listing that spec's files
@@ -3565,6 +3890,7 @@ def _iceberg_mor_commit(
     eq_deletes: list | None = None,
     branch: str | None = None,
     carry_from_sid: int | None = None,
+    replace_deletes: bool = False,
 ) -> int | None:
     """One MoR snapshot: a data manifest carrying the live set as
     EXISTING (original seqs — the spec's manifest rewrite) plus any
@@ -3580,7 +3906,12 @@ def _iceberg_mor_commit(
     rows ride verbatim and only the NEW manifests are written, so
     DML commit metadata cost is O(change), not O(live table) (the
     append path's r10 economics). The rewrite/fold verbs, which
-    REPLACE the live set, pass None and take the full rebuild."""
+    REPLACE the live set, pass None and take the full rebuild.
+
+    ``replace_deletes``: the v3 DV shape — ``del_entries`` already
+    embody ALL position-delete state (the merged-DV staging), so
+    prior delete manifests must NOT carry (one DV per data file,
+    spec invariant); data manifests still carry by reference."""
     import uuid as _uuid
 
     from dataflowex_spark.sources.avro_io import write_container
@@ -3589,6 +3920,7 @@ def _iceberg_mor_commit(
     token = _uuid.uuid4().hex[:8]
     snaps = meta.get("snapshots", [])
     default_spec = meta.get("default-spec-id", 0)
+    added_rows = _row_lineage_begin(meta, new_data_entries)
     if carry_from_sid is not None:
         base = next(
             (
@@ -3602,7 +3934,13 @@ def _iceberg_mor_commit(
             _ms, carried_rows = read_container(
                 _resolve_path(root, base["manifest-list"])
             )
-            mrows = list(carried_rows)
+            mrows = [
+                r
+                for r in carried_rows
+                if not (
+                    replace_deletes and r.get("content", 0) != 0
+                )
+            ]
             if new_data_entries:
                 fields_g = _spec_avro_fields(meta, default_spec)
                 data_schema = (
@@ -3644,7 +3982,7 @@ def _iceberg_mor_commit(
                 )
             return _mor_commit_finish(
                 root, meta, mrows, new_sid, new_seq, op, branch,
-                md, token,
+                md, token, added_rows=added_rows,
             )
     # PER-SPEC manifest groups: after partition spec evolution the
     # carried live set mixes tuples written under different specs,
@@ -3690,8 +4028,11 @@ def _iceberg_mor_commit(
     by_spec.setdefault(default_spec, []).extend(new_data_entries)
     del_entries = list(del_entries)
     # prior position deletes carry too (their files are still live
-    # delete state — a snapshot lists ALL its manifests)
-    for path, dseq in sorted(set(pos_deletes)):
+    # delete state — a snapshot lists ALL its manifests) — unless
+    # the caller's del_entries REPLACE all delete state (v3 DVs)
+    for path, dseq in (
+        [] if replace_deletes else sorted(set(pos_deletes))
+    ):
         del_entries.append(
             {
                 "status": 0,
@@ -3700,7 +4041,7 @@ def _iceberg_mor_commit(
                 "data_file": {
                     "content": 1,
                     "file_path": path,
-                    "file_format": "PARQUET",
+                    "file_format": formats.get(path, "PARQUET"),
                     "record_count": 0,
                     "file_size_in_bytes": os.path.getsize(path),
                     "equality_ids": None,
@@ -3766,8 +4107,29 @@ def _iceberg_mor_commit(
             }
         )
     return _mor_commit_finish(
-        root, meta, mrows, new_sid, new_seq, op, branch, md, token
+        root, meta, mrows, new_sid, new_seq, op, branch, md, token,
+        added_rows=added_rows,
     )
+
+
+def _row_lineage_begin(meta: dict, new_data_entries: list) -> int:
+    """v3 ROW LINEAGE, write side: stamp an EXPLICIT ``first_row_id``
+    on every new data entry, assigned contiguously from the table's
+    ``next-row-id`` in entry order (the spec permits explicit
+    assignment; we never rely on the lazy inheritance chain). Returns
+    the added-row count so the commit tail can stamp the snapshot's
+    ``first-row-id`` and advance ``next-row-id``. No-op (0) below v3
+    — v2 manifests never carry the field."""
+    if meta.get("format-version", 1) < 3:
+        return 0
+    base = int(meta.get("next-row-id", 0))
+    off = 0
+    for e in new_data_entries:
+        if e["data_file"].get("content", 0) != 0:
+            continue  # row ids are for DATA files only
+        e["data_file"]["first_row_id"] = base + off
+        off += int(e["data_file"].get("record_count") or 0)
+    return off
 
 
 def _mor_commit_finish(
@@ -3780,13 +4142,25 @@ def _mor_commit_finish(
     branch: str | None,
     md: str,
     token: str,
+    added_rows: int = 0,
 ) -> int | None:
     """Shared MoR-commit tail: manifest list (with partition
     summaries), snapshot append (parent-linked), ref/current flip,
-    optimistic metadata claim."""
+    optimistic metadata claim. On v3 tables the snapshot records its
+    ``first-row-id`` and the table's ``next-row-id`` advances by
+    ``added_rows`` (row lineage, spec v3)."""
     snaps = meta.get("snapshots", [])
     mlist = os.path.join(md, f"snap-{new_sid}-{token}.avro")
     _write_manifest_list(root, mlist, mrows, meta)
+    lineage = {}
+    summary = {"operation": op}
+    if meta.get("format-version", 1) >= 3:
+        # row lineage (spec v3): first-row-id is a snapshot field,
+        # added-rows a summary metric; next-row-id advances monotonically
+        first = int(meta.get("next-row-id", 0))
+        lineage = {"first-row-id": first}
+        summary["added-rows"] = str(int(added_rows))
+        meta["next-row-id"] = first + int(added_rows)
     meta["snapshots"] = snaps + [
         {
             "snapshot-id": new_sid,
@@ -3798,7 +4172,8 @@ def _mor_commit_finish(
             "timestamp-ms": 1000 * new_sid,
             "sequence-number": new_seq,
             "manifest-list": os.path.abspath(mlist),
-            "summary": {"operation": op},
+            "summary": summary,
+            **lineage,
         }
     ]
     if branch is None:
@@ -3818,14 +4193,10 @@ def _iceberg_dml_preamble(root: str, op: str, branch: str | None = None):
     targets the branch head (write-audit-publish staging) — state
     loads from, and the commit will move, the named ref."""
     meta = load_table_metadata(root)
-    if meta.get("format-version", 1) >= 3:
-        # v3 support is READ-path (Puffin DVs, metadata): our DML
-        # writes v2-shaped manifests and parquet pos-deletes, which
-        # a v3 table's other readers would misinterpret
-        raise IcebergProtocolError(
-            f"{op}: writes to format-version 3 tables not supported "
-            "(v3 support is read-only)"
-        )
+    # v3 tables DML fine: position deletes stage as Puffin deletion
+    # vectors (_stage_dv_puffin) instead of pos-delete parquet, and
+    # commits stamp row lineage — the format dispatch lives in the
+    # verbs' staging choice, not here
     snaps = meta.get("snapshots", [])
     if branch is not None:
         refs = meta.get("refs") or {}
@@ -3907,15 +4278,23 @@ def delete_from_iceberg(
         )
         new_sid = latest_sid + 1 if latest_sid >= 0 else 1
         new_seq = int(meta.get("last-sequence-number", 0)) + 1
-        del_entries, n = _stage_pos_delete_files(
-            spark, root, scan.filter(cond), new_sid, new_seq
-        )
+        v3 = meta.get("format-version", 1) >= 3
+        if v3:
+            del_entries, n = _stage_dv_puffin(
+                spark, root, scan.filter(cond), pos_deletes,
+                formats, new_sid, new_seq,
+            )
+        else:
+            del_entries, n = _stage_pos_delete_files(
+                spark, root, scan.filter(cond), new_sid, new_seq
+            )
         if n == 0:
             return latest_sid, 0
         sid = _iceberg_mor_commit(
             root, meta, live, bounds, partitions, formats,
             pos_deletes, new_sid, new_seq, [], del_entries, "delete",
             branch=branch, carry_from_sid=base_sid,
+            replace_deletes=v3,
         )
         if sid is None:
             continue  # lost the race: re-match against the winner
@@ -3993,9 +4372,15 @@ def upsert_iceberg(
             matched = scan.join(
                 F.broadcast(src.select(*on).distinct()), on, "inner"
             ).persist()
-            del_entries, n_matched = _stage_pos_delete_files(
-                spark, root, matched, new_sid, new_seq
-            )
+            if meta.get("format-version", 1) >= 3:
+                del_entries, n_matched = _stage_dv_puffin(
+                    spark, root, matched, pos_deletes, formats,
+                    new_sid, new_seq,
+                )
+            else:
+                del_entries, n_matched = _stage_pos_delete_files(
+                    spark, root, matched, new_sid, new_seq
+                )
             if n_matched:
                 # MULTIPLICITY contract (merge_delta's): a target key
                 # held by k rows reads back as k source images — stage
@@ -4047,6 +4432,8 @@ def upsert_iceberg(
             pos_deletes, new_sid, new_seq, new_data_entries,
             del_entries, "overwrite", branch=branch,
             carry_from_sid=base_sid,
+            replace_deletes=meta.get("format-version", 1) >= 3
+            and bool(del_entries),
         )
         if sid is None:
             continue  # lost the race: re-match against the winner
@@ -4413,9 +4800,16 @@ def update_iceberg(
         matched = scan.filter(cond).persist()
         new_sid = latest_sid + 1 if latest_sid >= 0 else 1
         new_seq = int(meta.get("last-sequence-number", 0)) + 1
-        del_entries, n = _stage_pos_delete_files(
-            spark, root, matched, new_sid, new_seq
-        )
+        v3 = meta.get("format-version", 1) >= 3
+        if v3:
+            del_entries, n = _stage_dv_puffin(
+                spark, root, matched, pos_deletes, formats,
+                new_sid, new_seq,
+            )
+        else:
+            del_entries, n = _stage_pos_delete_files(
+                spark, root, matched, new_sid, new_seq
+            )
         if n == 0:
             matched.unpersist()
             return latest_sid, 0
@@ -4447,6 +4841,7 @@ def update_iceberg(
             root, meta, live, bounds, partitions, formats,
             pos_deletes, new_sid, new_seq, new_entries, del_entries,
             "overwrite", branch=branch, carry_from_sid=base_sid,
+            replace_deletes=v3,
         )
         matched.unpersist()
         if sid is None:
@@ -4513,6 +4908,17 @@ def rewrite_iceberg_data_files(
     }
     while True:
         meta = load_table_metadata(root)
+        if meta.get("format-version", 1) >= 3:
+            # v3 row lineage requires a rewrite to PRESERVE row ids
+            # by materializing _row_id into the rewritten files
+            # (spec v3, Row Lineage); this rewriter would reassign
+            # them — refuse by name rather than corrupt lineage.
+            # Append/DML/rewrite_manifests on v3 all work.
+            raise IcebergProtocolError(
+                "rewrite_data_files on a format-version 3 table "
+                "would reassign row ids (row-lineage materialization "
+                "not implemented) — refusing"
+            )
         snaps = meta.get("snapshots", [])
         sid0 = meta.get("current-snapshot-id")
         (
@@ -4596,14 +5002,13 @@ def rewrite_iceberg_data_files(
             }
         dead_by_file: dict[str, int] = {}
         if pos_deletes:
-            dpaths = sorted({p for p, _ in pos_deletes})
-            for r in (
-                spark.read.parquet(*dpaths)
-                .groupBy("file_path")
-                .count()
-                .collect()
-            ):
-                p = re.sub("^file:/*", "/", r["file_path"])
+            # _pos_delete_pairs handles BOTH physical delete shapes
+            # (v2 parquet sidecars, v3 Puffin DVs)
+            pairs = _pos_delete_pairs(
+                spark, root, pos_deletes, formats
+            )
+            for r in pairs.groupBy("__dfp").count().collect():
+                p = r["__dfp"]
                 dead_by_file[p] = dead_by_file.get(p, 0) + r["count"]
         n_dead = sum(
             c for p, c in dead_by_file.items() if p in live
@@ -5429,11 +5834,11 @@ def rewrite_iceberg_manifests(
 
     while True:
         meta = load_table_metadata(root)
-        if meta.get("format-version", 1) >= 3:
-            raise IcebergProtocolError(
-                "rewrite_manifests: writes to format-version 3 "
-                "tables not supported (v3 support is read-only)"
-            )
+        # v3 tables compact fine: entries carry data_file dicts
+        # VERBATIM, so first_row_id / referenced_data_file /
+        # content_offset survive the re-list (MANIFEST_SCHEMA holds
+        # the v3 fields), and a pure re-list adds 0 rows (row
+        # lineage untouched)
         snaps = meta.get("snapshots", [])
         cur = meta.get("current-snapshot-id")
         if cur in (None, -1) or not snaps:

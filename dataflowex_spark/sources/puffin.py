@@ -126,10 +126,14 @@ def write_puffin_dvs(
     dvs: dict[str, list[int]],
     snapshot_id: int = 1,
     sequence_number: int = 1,
-) -> None:
+) -> list[dict]:
     """Write a Puffin file holding one ``deletion-vector-v1`` blob
-    per referenced data file — the v3 writer/fixture twin of
-    :func:`read_puffin_dvs`."""
+    per referenced data file — the v3 writer twin of
+    :func:`read_puffin_dvs` (used by both fixtures and the v3 DML
+    path). Returns the footer's blob-metadata entries (offset /
+    length / referenced-data-file / cardinality) so the caller can
+    stamp per-DV manifest entries (``content_offset`` /
+    ``content_size_in_bytes`` per the v3 manifest shape)."""
     blobs_meta = []
     body = bytearray(MAGIC)
     for ref in sorted(dvs):
@@ -167,3 +171,4 @@ def write_puffin_dvs(
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
         f.write(bytes(body))
+    return blobs_meta

@@ -2603,17 +2603,36 @@ def test_iceberg_v3_puffin_deletion_vectors(spark, tmp_path):
     )
     got = sorted(r.k for r in ir.read_iceberg(spark, root).collect())
     assert got == [0, 2, 4, 5, 6, 7, 9], got
-    # v3 writes refuse by name
-    with _pytest.raises(ir.IcebergProtocolError, match="read-only"):
-        ir.write_iceberg(
-            spark,
-            spark.createDataFrame([(99, "x")], "k long, s string"),
-            root, mode="append",
-        )
-    with _pytest.raises(ir.IcebergProtocolError, match="read-only"):
-        ir.delete_from_iceberg(spark, root, "k = 0")
+    # v3 writes WORK (r11): append to the fixture v3 table and
+    # DELETE through it — the delete merges the fixture DV into one
+    # replacement Puffin file and the read stays exact
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame([(99, "x")], "k long, s string"),
+        root, mode="append",
+    )
+    _sid, nd = ir.delete_from_iceberg(spark, root, "k = 0")
+    assert nd == 1
+    got2 = sorted(r.k for r in ir.read_iceberg(spark, root).collect())
+    assert got2 == [2, 4, 5, 6, 7, 9, 99], got2
+    _l2, pos2, _e2, _b2, _p2, f2 = ir._live_files(
+        root, ir.load_table_metadata(root), None
+    )
+    live_dvs = {p for p, _s in pos2}
+    assert len(live_dvs) == 1 and all(
+        f2[p] == "PUFFIN" for p in live_dvs
+    )
+    # rewrite_data_files refuses on v3 (row-id preservation)
+    with _pytest.raises(ir.IcebergProtocolError, match="row ids"):
+        ir.rewrite_iceberg_data_files(spark, root)
     # unsupported v3 feature refuses by name: initial-default
-    mdp = _os.path.join(root, "metadata", "v1.metadata.json")
+    # (patch the NEWEST metadata version — the one reads resolve)
+    vmax = max(
+        int(fn[1:].split(".")[0])
+        for fn in _os.listdir(_os.path.join(root, "metadata"))
+        if fn.startswith("v") and fn.endswith(".metadata.json")
+    )
+    mdp = _os.path.join(root, "metadata", f"v{vmax}.metadata.json")
     meta = _json.load(open(mdp))
     meta["schemas"][0]["fields"][0]["initial-default"] = 7
     with open(mdp, "w") as f:
@@ -3232,3 +3251,196 @@ def test_plan_stats_thread_local(spark, tmp_path):
     t.join()
     assert seen == {"before": 0, "after": 1}
     assert ir.PLAN_STATS["manifests_total"] == main_total
+
+
+def test_iceberg_v3_write_dml_roundtrip(spark, tmp_path):
+    """v3 WRITE path (r11): write_iceberg(format_version=3) creates
+    a table with row lineage (next-row-id, per-snapshot first-row-id,
+    explicit per-entry first_row_id); DELETE/UPDATE/UPSERT stage
+    Puffin deletion vectors instead of pos-delete parquet, MERGING
+    with prior DV state so the table holds at most one DV per data
+    file (the spec invariant); reads fold everything through the
+    existing q454 Puffin read path; v2 behavior untouched."""
+    import os as _os
+
+    import dataflowex_spark.sources.iceberg_reader as ir
+    from dataflowex_spark.sources.puffin import read_puffin_footer
+
+    root = str(tmp_path / "t")
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "k long, x double"
+        ),
+        root, format_version=3,
+    )
+    meta = ir.load_table_metadata(root)
+    assert meta["format-version"] == 3
+    assert meta["next-row-id"] == 20
+    snap = meta["snapshots"][-1]
+    assert snap["first-row-id"] == 0
+    assert snap["summary"]["added-rows"] == "20"
+
+    # append advances row lineage
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame([(100, 1.0)], "k long, x double"),
+        root, mode="append",
+    )
+    meta = ir.load_table_metadata(root)
+    assert meta["next-row-id"] == 21
+    assert meta["snapshots"][-1]["first-row-id"] == 20
+
+    # DELETE stages a Puffin DV (not parquet)
+    _sid, n = ir.delete_from_iceberg(spark, root, "k % 3 = 0")
+    assert n == 7  # 0,3,6,9,12,15,18 (100 % 3 = 1 survives)
+    meta = ir.load_table_metadata(root)
+    live, pos, _eq, _b, _p, fmts = ir._live_files(root, meta, None)
+    dpaths = {p for p, _s in pos}
+    assert len(dpaths) == 1
+    dv_path = next(iter(dpaths))
+    assert dv_path.endswith(".puffin")
+    assert fmts[dv_path] == "PUFFIN"
+    got = sorted(r.k for r in ir.read_iceberg(spark, root).collect())
+    assert got == sorted([i for i in range(20) if i % 3] + [100])
+    # manifest entries carry the v3 DV fields
+    from dataflowex_spark.sources.avro_io import read_container
+    snap = meta["snapshots"][-1]
+    _s, mrows = read_container(snap["manifest-list"])
+    dv_entries = []
+    for m in mrows:
+        if m.get("content") != 1:
+            continue
+        _s2, es = read_container(m["manifest_path"])
+        dv_entries += [e for e in es if e["status"] != 2]
+    assert dv_entries and all(
+        e["data_file"]["referenced_data_file"]
+        and e["data_file"]["content_offset"] is not None
+        and e["data_file"]["content_size_in_bytes"] > 0
+        for e in dv_entries
+    )
+    # footer: one deletion-vector-v1 blob per referenced file
+    foot = read_puffin_footer(dv_path)
+    assert all(
+        b["type"] == "deletion-vector-v1" for b in foot["blobs"]
+    )
+
+    # second DELETE merges: still exactly ONE DV file in the state
+    ir.delete_from_iceberg(spark, root, "k = 100")
+    meta = ir.load_table_metadata(root)
+    _l, pos2, _e2, _b2, _p2, f2 = ir._live_files(root, meta, None)
+    assert len({p for p, _s in pos2}) == 1
+    got = sorted(r.k for r in ir.read_iceberg(spark, root).collect())
+    assert got == sorted(i for i in range(20) if i % 3)
+
+    # UPDATE and UPSERT work and stamp lineage on their new files
+    _sid, nu = ir.update_iceberg(spark, root, "k = 1", {"x": "x + 100"})
+    assert nu == 1
+    assert (
+        ir.read_iceberg(spark, root).filter("k = 1").collect()[0].x
+        == 101.0
+    )
+    _sid, st = ir.upsert_iceberg(
+        spark, root,
+        spark.createDataFrame([(2, 222.0), (500, 5.0)], "k long, x double"),
+        on=["k"],
+    )
+    assert st == {"updated": 1, "inserted": 1}
+    vals = {r.k: r.x for r in ir.read_iceberg(spark, root).collect()}
+    assert vals[2] == 222.0 and vals[500] == 5.0
+    # lineage is monotone and explicit per snapshot
+    meta = ir.load_table_metadata(root)
+    firsts = [s["first-row-id"] for s in meta["snapshots"]]
+    assert firsts == sorted(firsts) and meta["next-row-id"] >= firsts[-1]
+
+    # time travel to snapshot 1 still sees the original 20 rows
+    sid1 = meta["snapshots"][0]["snapshot-id"]
+    assert ir.read_iceberg(spark, root, snapshot_id=sid1).count() == 20
+
+    # rewrite_data_files refuses by name (row-id preservation not
+    # implemented); rewrite_manifests compacts fine
+    import pytest as _pytest
+    with _pytest.raises(ir.IcebergProtocolError, match="row ids"):
+        ir.rewrite_iceberg_data_files(spark, root)
+    _sid3, stats3 = ir.rewrite_iceberg_manifests(spark, root)
+    assert stats3["manifests_after"] <= stats3["manifests_before"]
+    vals2 = {r.k: r.x for r in ir.read_iceberg(spark, root).collect()}
+    assert vals2 == vals
+
+    # orphan sweep on the v3 table keeps everything live
+    assert ir.remove_orphan_files(root, grace_s=0) == []
+    assert {
+        r.k: r.x for r in ir.read_iceberg(spark, root).collect()
+    } == vals
+
+
+def test_remove_orphan_files_distributed_parity(spark, tmp_path):
+    """Distributed orphan sweep (r11): passing a SparkSession runs
+    the keep-set walk and candidate listing as Spark jobs; results
+    must be IDENTICAL to the driver-side walk — same strays
+    reclaimed (including under hive partition dirs), same live files
+    kept, same age guard, same symlink canonicalization."""
+    import os as _os
+    import shutil as _shutil
+
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    def build(dest):
+        ir.write_iceberg(
+            spark,
+            spark.createDataFrame(
+                [(i, i % 4) for i in range(40)], "k long, b long"
+            ),
+            dest, partition_by=[("b", "identity")],
+        )
+        ir.write_iceberg(
+            spark,
+            spark.createDataFrame([(100, 1)], "k long, b long"),
+            dest, mode="append",
+        )
+        # strays inside a partition dir AND at data/ top level
+        data_dir = _os.path.join(dest, "data")
+        some = next(
+            _os.path.join(dp, fn)
+            for dp, _dn, fns in _os.walk(data_dir)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+        strays = [
+            _os.path.join(_os.path.dirname(some), "stray-in-part.parquet"),
+            _os.path.join(data_dir, "stray-top.parquet"),
+        ]
+        for st in strays:
+            _shutil.copyfile(some, st)
+            old = _os.path.getmtime(some) - 100
+            _os.utime(st, (old, old))
+        # a young stray must survive
+        young = _os.path.join(data_dir, "young.parquet")
+        _shutil.copyfile(some, young)
+        far = _os.path.getmtime(some) + 10**6
+        _os.utime(young, (far, far))
+        return sorted(
+            _os.path.relpath(s, dest).replace(_os.sep, "/")
+            for s in strays
+        )
+
+    d1 = str(tmp_path / "drv")
+    d2 = str(tmp_path / "dist")
+    want1 = build(d1)
+    want2 = build(d2)
+    got1 = sorted(ir.remove_orphan_files(d1, grace_s=0))
+    got2 = sorted(
+        ir.remove_orphan_files(d2, grace_s=0, spark=spark)
+    )
+    assert got1 == want1
+    assert got2 == want2
+    r1 = sorted(tuple(r) for r in ir.read_iceberg(spark, d1).collect())
+    r2 = sorted(tuple(r) for r in ir.read_iceberg(spark, d2).collect())
+    assert r1 == r2 and len(r1) == 41
+    # second sweep: nothing left either way (young stray still young)
+    assert ir.remove_orphan_files(d2, grace_s=0, spark=spark) == []
+    # symlinked spelling through the distributed path keeps live data
+    link = str(tmp_path / "lnk")
+    _os.symlink(d2, link)
+    assert ir.remove_orphan_files(link, grace_s=0, spark=spark) == []
+    assert ir.read_iceberg(spark, d2).count() == 41
