@@ -5229,7 +5229,13 @@ def iceberg_bucketed_join(
     non-key columns carry with side suffixes on collision, pandas
     merge semantics. ``how``: inner/left/right/outer. Tables with
     MoR delete state refuse (join the folded table — run
-    rewrite_iceberg_data_files first); so do mismatched specs."""
+    rewrite_iceberg_data_files first); so do mismatched specs.
+
+    A bucket larger than ``max_bucket_bytes`` SUB-SPLITS into
+    ceil(size/bound) tasks by a deterministic secondary key-hash —
+    each sub-task streams both sides in arrow batches keeping only
+    its slot, so task memory stays bounded and the plan still
+    carries zero data exchanges (only the task list fans wider)."""
     import json as _json
 
     from pyspark.sql import types as T
@@ -5305,28 +5311,35 @@ def iceberg_bucketed_join(
     )
     # outer joins must cover buckets present on either side
     all_buckets = sorted(set(lfiles) | set(rfiles))
-    # task memory = one bucket pair: refuse LOUDLY when a bucket
-    # outgrows the bound instead of OOMing an executor — the fix is
-    # re-bucketing to a larger N (rewrite) or the shuffle join
+    # task memory = one bucket pair. A bucket that outgrows
+    # max_bucket_bytes SUB-SPLITS instead of refusing (the r10
+    # boundary, closed): the oversized bucket becomes ceil(size /
+    # max_bucket_bytes) tasks, each streaming BOTH sides' files in
+    # arrow batches and keeping only rows whose DETERMINISTIC
+    # secondary key-hash lands in its sub-slot — equal keys always
+    # share a sub-task (both sides apply the same pure function), so
+    # the join stays exact, and task memory is bounded by batch size
+    # plus the retained ~1/k slice. Still ZERO Spark exchange: only
+    # the task list fans out wider.
+    import math as _math
+
+    tasks = []
     for b in all_buckets:
         sz = sum(
             os.path.getsize(p)
             for p in lfiles.get(b, []) + rfiles.get(b, [])
         )
-        if sz > max_bucket_bytes:
-            raise IcebergProtocolError(
-                f"bucket {b} holds {sz} bytes > max_bucket_bytes="
-                f"{max_bucket_bytes} — re-bucket to a larger N or "
-                "use the shuffle join for this pair"
+        k = max(1, _math.ceil(sz / max(1, max_bucket_bytes)))
+        for j in range(k):
+            tasks.append(
+                (
+                    b,
+                    _json.dumps(sorted(lfiles.get(b, []))),
+                    _json.dumps(sorted(rfiles.get(b, []))),
+                    j,
+                    k,
+                )
             )
-    tasks = [
-        (
-            b,
-            _json.dumps(sorted(lfiles.get(b, []))),
-            _json.dumps(sorted(rfiles.get(b, []))),
-        )
-        for b in all_buckets
-    ]
     pd_how = {"outer": "outer", "left": "left", "right": "right",
               "inner": "inner"}[how]
     rsuffix = [
@@ -5348,13 +5361,47 @@ def iceberg_bucketed_join(
     }
 
     def join_bucket(batches):
+        import numpy as np
         import pandas as pd
         import pyarrow.parquet as _pq
+
+        def sub_mask(keys, j, kk):
+            """Deterministic secondary hash → sub-slot membership.
+            PURE function of the key value (splitmix-style mix for
+            numerics, CRC-32 for everything else — never Python's
+            process-salted hash()), so both sides of every sub-task
+            agree on row placement and each row lands in EXACTLY one
+            sub-task. Null keys go to slot 0 (they match nothing;
+            they only need to appear once for outer retention)."""
+            import zlib
+
+            if pd.api.types.is_numeric_dtype(keys):
+                v = (
+                    pd.to_numeric(keys, errors="coerce")
+                    .fillna(0)
+                    .astype("int64")
+                    .to_numpy()
+                    .view(np.uint64)
+                )
+            else:
+                v = np.fromiter(
+                    (
+                        zlib.crc32(str(x).encode())
+                        if x is not None and x == x
+                        else 0
+                        for x in keys
+                    ),
+                    dtype=np.uint64,
+                    count=len(keys),
+                )
+            h = (v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+            return (h % np.uint64(kk)) == np.uint64(j)
 
         for pdf in batches:
             for _i, row in pdf.iterrows():
                 lp = _json.loads(row["l"])
                 rp = _json.loads(row["r"])
+                j, kk = int(row["j"]), int(row["kk"])
 
                 def read_side(paths, cols):
                     import pyarrow as pa
@@ -5363,11 +5410,44 @@ def iceberg_bucketed_join(
                         return pd.DataFrame(
                             {c: pd.Series(dtype="object") for c in cols}
                         )
-                    tabs = [
-                        _pq.read_table(p, columns=None) for p in paths
-                    ]
-                    t = pa.concat_tables(tabs, promote_options="default")
-                    df0 = t.to_pandas()
+                    if kk <= 1:
+                        tabs = [
+                            _pq.read_table(p, columns=None)
+                            for p in paths
+                        ]
+                        t = pa.concat_tables(
+                            tabs, promote_options="default"
+                        )
+                        df0 = t.to_pandas()
+                    else:
+                        # OVERSIZED bucket, sub-task j of kk: stream
+                        # arrow batches and keep only this slot's
+                        # rows — peak memory is one batch + the
+                        # retained ~1/kk slice, never the bucket
+                        parts = []
+                        for p in paths:
+                            pf = _pq.ParquetFile(p)
+                            for rb in pf.iter_batches():
+                                bdf = rb.to_pandas()
+                                if key in bdf.columns:
+                                    m = sub_mask(bdf[key], j, kk)
+                                    bdf = bdf[m]
+                                elif j != 0:
+                                    continue  # keyless → slot 0
+                                if len(bdf):
+                                    parts.append(bdf)
+                        df0 = (
+                            pd.concat(
+                                parts, ignore_index=True, sort=False
+                            )
+                            if parts
+                            else pd.DataFrame(
+                                {
+                                    c: pd.Series(dtype="object")
+                                    for c in cols
+                                }
+                            )
+                        )
                     for c in cols:
                         if c not in df0.columns:
                             df0[c] = None
@@ -5428,7 +5508,9 @@ def iceberg_bucketed_join(
                     out_cols[n0] = s
                 yield pd.DataFrame(out_cols)
 
-    base = spark.createDataFrame(tasks, "b int, l string, r string")
+    base = spark.createDataFrame(
+        tasks, "b int, l string, r string, j int, kk int"
+    )
     # one task per bucket: repartition the tiny task list by rows so
     # bucket joins run in parallel (no data shuffle — only the file
     # lists move)

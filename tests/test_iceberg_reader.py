@@ -3444,3 +3444,55 @@ def test_remove_orphan_files_distributed_parity(spark, tmp_path):
     _os.symlink(d2, link)
     assert ir.remove_orphan_files(link, grace_s=0, spark=spark) == []
     assert ir.read_iceberg(spark, d2).count() == 41
+
+
+def test_bucketed_join_oversized_bucket_subsplit(spark, tmp_path):
+    """SPJ oversized-bucket handling (r11): a bucket above
+    max_bucket_bytes no longer refuses — it sub-splits into
+    ceil(size/bound) tasks by a deterministic secondary key-hash,
+    each streaming arrow batches and keeping its slot. Results must
+    equal the DataFrame join for inner AND outer (string + int
+    keys exercised via duplicates and unmatched tails), and the plan
+    still carries zero data exchanges."""
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    A = str(tmp_path / "a")
+    B = str(tmp_path / "b")
+    # duplicate keys on both sides + disjoint tails; bucket[2] so
+    # each bucket holds many keys
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i % 50, i * 10) for i in range(400)], "k long, n long"
+        ),
+        A, partition_by=[("k", "bucket[2]")],
+    )
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i % 80, i * 100) for i in range(300)], "k long, m long"
+        ),
+        B, partition_by=[("k", "bucket[2]")],
+    )
+    la, lb = ir.read_iceberg(spark, A), ir.read_iceberg(spark, B)
+    for how in ("inner", "outer"):
+        # tiny bound forces every bucket to sub-split into many tasks
+        out = ir.iceberg_bucketed_join(
+            spark, A, B, how=how, max_bucket_bytes=1024
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning" not in plan
+        assert plan.count("Exchange") == 1  # the task list only
+        got = sorted(
+            (r.k, r.n, r.m) for r in out.collect()
+        )
+        ref = sorted(
+            (r.k, r.n, r.m) for r in la.join(lb, "k", how).collect()
+        )
+        assert got == ref, how
+    # sanity: the bound actually split (task count > bucket count)
+    import json as _json
+    meta = ir.load_table_metadata(A)
+    live, *_rest = ir._live_files(A, meta, None)
+    sz = sum(__import__("os").path.getsize(p) for p in live)
+    assert sz > 1024  # the fixture really is oversized for the bound
