@@ -2188,15 +2188,30 @@ def write_delta(
     if evolved_meta is not None:
         actions.append({"metaData": evolved_meta})
     if not exists:
-        actions.append(
-            {
-                "protocol": (
-                    {"minReaderVersion": 2, "minWriterVersion": 5}
-                    if create_schema is not None
-                    else {"minReaderVersion": 1, "minWriterVersion": 2}
-                )
+        if (
+            str(
+                create_conf.get("delta.enableInCommitTimestamps", "")
+            ).lower()
+            == "true"
+        ):
+            # the ICT feature is features-era: writer 7 + the named
+            # writerFeature (readers are unaffected — reader stays
+            # at the level the rest of the table needs)
+            _w = {"inCommitTimestamp"}
+            if create_schema is not None:
+                _w.add("columnMapping")
+            proto_action = {
+                "minReaderVersion": (
+                    2 if create_schema is not None else 1
+                ),
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(_w),
             }
-        )
+        elif create_schema is not None:
+            proto_action = {"minReaderVersion": 2, "minWriterVersion": 5}
+        else:
+            proto_action = {"minReaderVersion": 1, "minWriterVersion": 2}
+        actions.append({"protocol": proto_action})
         actions.append(
             {
                 "metaData": {
@@ -2240,8 +2255,19 @@ def write_delta(
     # serialized commit (temp-file + link on POSIX, conditional PUT
     # on an object store), so a visible version file is never torn
     # and the in-claim SetTransaction re-check below stays sound
-    content = "".join(json.dumps(a) + "\n" for a in actions)
+    conf_pre = (
+        dict(create_conf or {})
+        if not exists
+        else (_snapshot(spark, dest, None)[0].get("configuration") or {})
+    )
     while True:
+        # serialize per ATTEMPT: in-commit timestamps must be
+        # monotone against the actual predecessor, which a lost
+        # race changes
+        content = "".join(
+            json.dumps(a) + "\n"
+            for a in _ict_stamp(dest, conf_pre, actions)
+        )
         # the next version is one past EVERYTHING visible — newest
         # JSON commit or newest checkpoint (after retention ages the
         # JSON tail out, claiming from the commit listing alone
@@ -2804,6 +2830,68 @@ def _dv_readd_actions(
     return actions
 
 
+def _ict_stamp(
+    dest: str, conf: dict, actions: list[dict]
+) -> list[dict]:
+    """IN-COMMIT TIMESTAMPS, write side (PROTOCOL.md
+    inCommitTimestamp feature): when the table configuration enables
+    ``delta.enableInCommitTimestamps``, stamp every commitInfo in
+    ``actions`` with a MONOTONE ``inCommitTimestamp`` —
+    max(wall-clock ms, predecessor's ICT + 1), so commit time never
+    goes backwards even when the clock does (the whole point of the
+    feature: file mtimes and wall clocks lie after copies/restores,
+    the log itself must carry time). A commit lacking commitInfo
+    gains one, since the feature makes commitInfo mandatory. Called
+    per CLAIM ATTEMPT (not once per logical write) so a lost race
+    re-stamps against the winner. No-op when the table doesn't
+    enable the feature. Read side: ``version_at_timestamp`` /
+    ``delta_history`` already prefer commitInfo.inCommitTimestamp."""
+    import time as _time
+
+    if str(
+        conf.get("delta.enableInCommitTimestamps", "")
+    ).lower() != "true":
+        return actions
+    prior = 0
+    commits = _commit_files(dest)
+    if commits:
+        with open(commits[max(commits)]) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a0 = json.loads(line)
+                ci0 = a0.get("commitInfo")
+                if ci0 and ci0.get("inCommitTimestamp"):
+                    prior = int(ci0["inCommitTimestamp"])
+    ict = max(int(_time.time() * 1000), prior + 1)
+    out = [dict(a) for a in actions]
+    stamped = False
+    for a0 in out:
+        if "commitInfo" in a0 and a0["commitInfo"] is not None:
+            ci = dict(a0["commitInfo"])
+            # a caller-pinned ICT (the enablement commit pins its
+            # own so the EnablementTimestamp property matches the
+            # commit exactly) survives if still monotone
+            if not (
+                ci.get("inCommitTimestamp")
+                and int(ci["inCommitTimestamp"]) > prior
+            ):
+                ci["inCommitTimestamp"] = ict
+            a0["commitInfo"] = ci
+            stamped = True
+    if not stamped:
+        out.append(
+            {
+                "commitInfo": {
+                    "operation": "WRITE",
+                    "inCommitTimestamp": ict,
+                }
+            }
+        )
+    return out
+
+
 def _try_claim_commit(
     spark: SparkSession,
     dest: str,
@@ -2815,8 +2903,13 @@ def _try_claim_commit(
     commit backend (put-if-absent of the FULLY-SERIALIZED commit —
     a visible ``N.json`` is always complete, no reader can observe a
     claimed-but-torn file); ``None`` when another writer won the
-    race (caller recomputes). Honors ``delta.checkpointInterval``."""
+    race (caller recomputes). Honors ``delta.checkpointInterval``.
+
+    When the table enables ``delta.enableInCommitTimestamps`` (the
+    inCommitTimestamp writer feature), every commit's commitInfo is
+    stamped via :func:`_ict_stamp` before serialization."""
     v = latest + 1
+    actions = _ict_stamp(dest, conf, actions)
     path = os.path.join(_log_dir(dest), f"{v:020d}.json")
     content = "".join(json.dumps(a) + "\n" for a in actions)
     try:
@@ -2830,6 +2923,89 @@ def _try_claim_commit(
     if interval > 0 and v > 0 and v % interval == 0:
         checkpoint_delta_export(spark, dest)
     return v
+
+
+def enable_delta_in_commit_timestamps(
+    spark: SparkSession, dest: str
+) -> int:
+    """Enable IN-COMMIT TIMESTAMPS on an existing table — the
+    ``ALTER TABLE ... SET TBLPROPERTIES
+    ('delta.enableInCommitTimestamps'='true')`` shape from
+    PROTOCOL.md: the enablement commit upgrades the protocol to
+    writer 7 carrying the ``inCommitTimestamp`` writerFeature
+    (existing features and implied legacy features preserved), sets
+    the property plus the spec's
+    ``delta.inCommitTimestampEnablementVersion`` /
+    ``...EnablementTimestamp`` pair (required when enabled after
+    creation — they tell readers where the monotone clock STARTS, so
+    timestamp-travel before that version falls back to file mtimes),
+    and pins its own commitInfo ICT to exactly the enablement
+    timestamp. Every later commit is stamped monotonically by the
+    claim funnel (:func:`_ict_stamp`). Idempotent. Returns the
+    committed (or current) version."""
+    import time as _time
+
+    while True:
+        meta, _adds = _snapshot(spark, dest, None)
+        conf = dict(meta.get("configuration") or {})
+        commits = _commit_files(dest)
+        newest_cp = _checkpoint_for(dest, 1 << 62)
+        latest = max(
+            max(commits, default=-1),
+            newest_cp[0] if newest_cp else -1,
+        )
+        if (
+            str(conf.get("delta.enableInCommitTimestamps", "")).lower()
+            == "true"
+        ):
+            return latest  # idempotent
+        proto = _latest_protocol(dest)
+        wv = proto.get("minWriterVersion", 1)
+        # legacy writer levels imply features that must materialize
+        # when jumping to the features-era list (the checkpoint
+        # upgrade's table, same rule)
+        _implied_w = {
+            2: ["appendOnly", "invariants"],
+            3: ["checkConstraints"],
+            4: ["changeDataFeed", "generatedColumns"],
+            5: ["columnMapping"],
+            6: ["identityColumns"],
+        }
+        wfeats = set(proto.get("writerFeatures") or [])
+        if wv < 7:
+            for lvl, fs in _implied_w.items():
+                if wv >= lvl:
+                    wfeats |= set(fs)
+        proto_new = {
+            "minReaderVersion": proto.get("minReaderVersion", 1),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(wfeats | {"inCommitTimestamp"}),
+        }
+        if proto.get("readerFeatures") is not None:
+            proto_new["readerFeatures"] = sorted(
+                set(proto["readerFeatures"])
+            )
+        ict = int(_time.time() * 1000)
+        v_target = latest + 1
+        conf["delta.enableInCommitTimestamps"] = "true"
+        conf["delta.inCommitTimestampEnablementVersion"] = str(v_target)
+        conf["delta.inCommitTimestampEnablementTimestamp"] = str(ict)
+        new_meta = dict(meta)
+        new_meta["configuration"] = conf
+        actions = [
+            {"protocol": proto_new},
+            {"metaData": new_meta},
+            {
+                "commitInfo": {
+                    "operation": "SET TBLPROPERTIES",
+                    "inCommitTimestamp": ict,
+                }
+            },
+        ]
+        v = _try_claim_commit(spark, dest, latest, actions, conf)
+        if v is None:
+            continue
+        return v
 
 
 def upgrade_delta_column_mapping(
