@@ -3527,6 +3527,204 @@ def _write_iceberg_attempt(
     return new_sid
 
 
+def _lineage_by_file(
+    root: str, meta: dict, snapshot_id: int | None = None
+) -> dict[str, int | None]:
+    """ROW LINEAGE planning state for one snapshot: data-file path →
+    its manifest entry's explicit ``first_row_id`` (an int), or None
+    when the entry declares none — which for files our v3 fold wrote
+    means the ids are MATERIALIZED in the file's ``_row_id`` column
+    (spec v3: compaction must carry row ids in the data). A path
+    absent from the returned map is not a live data file of the
+    snapshot."""
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    sid = (
+        snapshot_id
+        if snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
+    if sid is None or sid == -1:
+        return {}
+    snap = snaps[sid]
+    mlist = _resolve_path(root, snap["manifest-list"])
+    _s, manifests = read_container(mlist)
+    out: dict[str, int | None] = {}
+    for m in manifests:
+        if m.get("content", 0) != 0:
+            continue
+        _s2, entries = read_container(
+            _resolve_path(root, m["manifest_path"])
+        )
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            df0 = e["data_file"]
+            if df0.get("content", 0) != 0:
+                continue
+            out[_resolve_path(root, df0["file_path"])] = df0.get(
+                "first_row_id"
+            )
+    return out
+
+
+def _lineage_scan(
+    spark: SparkSession,
+    root: str,
+    meta: dict,
+    live: dict,
+    formats: dict,
+    pos_deletes: list,
+    lineage: dict,
+) -> DataFrame:
+    """Scan the live set WITH ROW LINEAGE: current-schema columns
+    plus ``_row_id`` / ``_last_updated_sequence_number`` (+ internal
+    ``__fp``/``__ri``). Per spec v3, a row's id is its file entry's
+    explicit ``first_row_id`` + position, unless the file carries
+    MATERIALIZED ``_row_id``/``_last_updated_sequence_number``
+    columns (the post-compaction shape), which win. Parquet only;
+    every live file must be covered by ``lineage`` (a file with
+    neither an explicit first_row_id nor materialized columns —
+    e.g. a hand-built pre-lineage fixture — refuses by name).
+    Position deletes (both physical shapes) anti-join out."""
+    from pyspark.sql import functions as F
+
+    bad = [
+        p for p in live if formats.get(p, "PARQUET") != "PARQUET"
+    ]
+    if bad:
+        raise IcebergProtocolError(
+            "row-lineage scan supports parquet data files only "
+            f"(found {formats.get(bad[0])} at {bad[0]})"
+        )
+    missing = [p for p in sorted(live) if p not in lineage]
+    if missing:
+        raise IcebergProtocolError(
+            f"{len(missing)} live file(s) not in the lineage map "
+            f"(first: {missing[0]})"
+        )
+    cur_fields = _current_schema_fields(meta)
+    if not cur_fields:
+        raise IcebergProtocolError(
+            "row-lineage scan needs a table schema in metadata"
+        )
+    exp = sorted(p for p in live if lineage[p] is not None)
+    mat = sorted(p for p in live if lineage[p] is None)
+    if mat:
+        import pyarrow.parquet as _pqf
+
+        for p in mat:
+            names0 = set(_pqf.read_schema(p).names)
+            if "_row_id" not in names0:
+                raise IcebergProtocolError(
+                    f"file {p} has neither an explicit first_row_id "
+                    "manifest entry nor a materialized _row_id "
+                    "column — row lineage unavailable (pre-lineage "
+                    "v3 table?)"
+                )
+
+    def conform(piece, extra):
+        have = set(piece.columns)
+        sel = [
+            F.col(f0["name"])
+            if f0["name"] in have
+            else F.lit(None)
+            .cast(_spark_type(f0["type"]))
+            .alias(f0["name"])
+            for f0 in cur_fields
+        ]
+        return piece.select(*sel, *extra)
+
+    pieces = []
+    if exp:
+        base = spark.read.parquet(*exp).select(
+            "*",
+            _scan_path_col().alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        fri = spark.createDataFrame(
+            [(p, int(lineage[p]), int(live[p])) for p in exp],
+            "__fp string, __first long, __dseq0 long",
+        )
+        base = base.join(F.broadcast(fri), "__fp")
+        base = conform(
+            base,
+            [
+                (F.col("__first") + F.col("__ri")).alias("_row_id"),
+                F.col("__dseq0").alias(
+                    "_last_updated_sequence_number"
+                ),
+                F.col("__fp"),
+                F.col("__ri"),
+            ],
+        )
+        pieces.append(base)
+    if mat:
+        base = spark.read.parquet(*mat).select(
+            "*",
+            _scan_path_col().alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        base = conform(
+            base,
+            [
+                F.col("_row_id").cast("long").alias("_row_id"),
+                F.col("_last_updated_sequence_number")
+                .cast("long")
+                .alias("_last_updated_sequence_number"),
+                F.col("__fp"),
+                F.col("__ri"),
+            ],
+        )
+        pieces.append(base)
+    scan = pieces[0]
+    for p in pieces[1:]:
+        scan = scan.unionByName(p)
+    if pos_deletes:
+        dv = _pos_delete_pairs(spark, root, pos_deletes, formats)
+        dv = dv.select(
+            F.col("__dfp").alias("__fp"), F.col("__dri").alias("__ri")
+        )
+        scan = scan.join(
+            F.broadcast(dv.distinct()), ["__fp", "__ri"], "left_anti"
+        )
+    return scan
+
+
+def read_iceberg_lineage(
+    spark: SparkSession, root: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read a v3 table WITH ROW LINEAGE: the current-schema columns
+    plus ``_row_id`` (the spec's stable row identity — survives
+    compaction via materialization) and
+    ``_last_updated_sequence_number``. The read-direction face of
+    the v3 write path's lineage stamps; refuses below v3, on
+    equality-delete debt, and on files with no lineage source."""
+    meta = load_table_metadata(root)
+    if meta.get("format-version", 1) < 3:
+        raise IcebergProtocolError(
+            "row lineage is a format-version 3 feature "
+            f"(table is v{meta.get('format-version', 1)})"
+        )
+    sid = (
+        snapshot_id
+        if snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
+    (
+        live, pos_deletes, eq_deletes, _b, _p, formats,
+    ) = _live_files(root, meta, sid if sid not in (None, -1) else None)
+    if eq_deletes:
+        raise IcebergProtocolError(
+            "row-lineage read with equality-delete debt unsupported "
+            "— fold first"
+        )
+    lineage = _lineage_by_file(root, meta, sid)
+    scan = _lineage_scan(
+        spark, root, meta, live, formats, pos_deletes, lineage
+    )
+    return scan.drop("__fp", "__ri")
+
+
 def _pos_delete_pairs(
     spark: SparkSession,
     root: str,
@@ -3891,6 +4089,7 @@ def _iceberg_mor_commit(
     branch: str | None = None,
     carry_from_sid: int | None = None,
     replace_deletes: bool = False,
+    lineage: dict | None = None,
 ) -> int | None:
     """One MoR snapshot: a data manifest carrying the live set as
     EXISTING (original seqs — the spec's manifest rewrite) plus any
@@ -3911,7 +4110,12 @@ def _iceberg_mor_commit(
     ``replace_deletes``: the v3 DV shape — ``del_entries`` already
     embody ALL position-delete state (the merged-DV staging), so
     prior delete manifests must NOT carry (one DV per data file,
-    spec invariant); data manifests still carry by reference."""
+    spec invariant); data manifests still carry by reference.
+
+    ``lineage``: v3 full-rebuild only — path → explicit
+    first_row_id (or None = materialized in-file) for CARRIED files,
+    so the re-listed entries keep their row-id provenance instead of
+    losing it to the rebuild."""
     import uuid as _uuid
 
     from dataflowex_spark.sources.avro_io import write_container
@@ -4011,6 +4215,12 @@ def _iceberg_mor_commit(
                     "record_count": 0,
                     "file_size_in_bytes": os.path.getsize(path),
                     "equality_ids": None,
+                    # carried files keep their row-id provenance
+                    **(
+                        {"first_row_id": lineage.get(path)}
+                        if lineage is not None and path in lineage
+                        else {}
+                    ),
                     "partition": tup,
                     "lower_bounds": (
                         [{"key": k, "value": v} for k, v in pb[0].items()]
@@ -4127,6 +4337,11 @@ def _row_lineage_begin(meta: dict, new_data_entries: list) -> int:
     for e in new_data_entries:
         if e["data_file"].get("content", 0) != 0:
             continue  # row ids are for DATA files only
+        if "first_row_id" in e["data_file"]:
+            # caller pre-set (a compaction carrying EXISTING ids —
+            # explicit or materialized-in-file None): these rows are
+            # NOT new, they must not consume fresh ids
+            continue
         e["data_file"]["first_row_id"] = base + off
         off += int(e["data_file"].get("record_count") or 0)
     return off
@@ -4908,17 +5123,7 @@ def rewrite_iceberg_data_files(
     }
     while True:
         meta = load_table_metadata(root)
-        if meta.get("format-version", 1) >= 3:
-            # v3 row lineage requires a rewrite to PRESERVE row ids
-            # by materializing _row_id into the rewritten files
-            # (spec v3, Row Lineage); this rewriter would reassign
-            # them — refuse by name rather than corrupt lineage.
-            # Append/DML/rewrite_manifests on v3 all work.
-            raise IcebergProtocolError(
-                "rewrite_data_files on a format-version 3 table "
-                "would reassign row ids (row-lineage materialization "
-                "not implemented) — refusing"
-            )
+        fv3 = meta.get("format-version", 1) >= 3
         snaps = meta.get("snapshots", [])
         sid0 = meta.get("current-snapshot-id")
         (
@@ -4930,6 +5135,25 @@ def rewrite_iceberg_data_files(
         latest_sid = snaps[-1]["snapshot-id"] if snaps else -1
         if not live:
             return latest_sid, dict(zeros)
+        if fv3 and eq_deletes:
+            # the eq fold is a whole-table rewrite through
+            # read_iceberg, which carries no lineage — refusing is
+            # honest until the lineage scan learns eq gating
+            raise IcebergProtocolError(
+                "rewrite_data_files: equality-delete fold on a "
+                "format-version 3 table would lose row lineage — "
+                "unsupported (position-delete fold and bin-pack "
+                "preserve lineage and work)"
+            )
+        # v3 ROW LINEAGE (spec: compaction must PRESERVE row ids):
+        # the fold scan reads each row's _row_id (explicit
+        # first_row_id + position, or the file's materialized
+        # column) and the rewrite MATERIALIZES both lineage columns
+        # into the new parquet; new entries carry first_row_id=None
+        # (= "in the file") and consume no fresh ids.
+        lineage_map = (
+            _lineage_by_file(root, meta, sid0) if fv3 else None
+        )
         if eq_deletes:
             # EQUALITY-DELETE FOLD: equality debt has no per-file
             # target list — it gates on (key match, data seq) — so
@@ -5032,10 +5256,16 @@ def rewrite_iceberg_data_files(
         mapping = _name_mapping(meta)
         names_by_id_f = _field_names_by_id(meta)
         sub_live = {p: live[p] for p in chosen}
-        scan = _iceberg_pos_scan(
-            spark, root, meta, sub_live, formats, pos_deletes,
-            mapping, names_by_id_f, partitions=partitions,
-        )
+        if fv3:
+            scan = _lineage_scan(
+                spark, root, meta, sub_live, formats, pos_deletes,
+                lineage_map,
+            )
+        else:
+            scan = _iceberg_pos_scan(
+                spark, root, meta, sub_live, formats, pos_deletes,
+                mapping, names_by_id_f, partitions=partitions,
+            )
         rows = scan.drop("__fp", "__ri")
         est = sum(os.path.getsize(p) for p in chosen)
         n_out = max(1, math.ceil(est / max(1, target_file_bytes)))
@@ -5060,6 +5290,11 @@ def rewrite_iceberg_data_files(
             spark, root, rows, top, pinfo, None, "parquet", None,
             new_sid, new_seq,
         )
+        if fv3:
+            for e in new_entries:
+                # lineage rides MATERIALIZED in the rewritten files;
+                # None (not absence) marks it so no fresh ids stamp
+                e["data_file"]["first_row_id"] = None
         carried_live = {
             p: s for p, s in live.items() if p not in chosen
         }
@@ -5067,7 +5302,7 @@ def rewrite_iceberg_data_files(
         sid = _iceberg_mor_commit(
             root, meta, carried_live, bounds, partitions, formats,
             carried_deletes, new_sid, new_seq, new_entries, [],
-            "replace",
+            "replace", lineage=lineage_map,
         )
         if sid is None:
             continue  # lost the claim: replan against the winner

@@ -2622,8 +2622,12 @@ def test_iceberg_v3_puffin_deletion_vectors(spark, tmp_path):
     assert len(live_dvs) == 1 and all(
         f2[p] == "PUFFIN" for p in live_dvs
     )
-    # rewrite_data_files refuses on v3 (row-id preservation)
-    with _pytest.raises(ir.IcebergProtocolError, match="row ids"):
+    # a fold on a PRE-LINEAGE v3 fixture refuses by name: f1 has
+    # neither an explicit first_row_id entry nor a materialized
+    # _row_id column, so row lineage cannot be preserved
+    with _pytest.raises(
+        ir.IcebergProtocolError, match="row lineage|_row_id"
+    ):
         ir.rewrite_iceberg_data_files(spark, root)
     # unsupported v3 feature refuses by name: initial-default
     # (patch the NEWEST metadata version — the one reads resolve)
@@ -3357,11 +3361,20 @@ def test_iceberg_v3_write_dml_roundtrip(spark, tmp_path):
     sid1 = meta["snapshots"][0]["snapshot-id"]
     assert ir.read_iceberg(spark, root, snapshot_id=sid1).count() == 20
 
-    # rewrite_data_files refuses by name (row-id preservation not
-    # implemented); rewrite_manifests compacts fine
-    import pytest as _pytest
-    with _pytest.raises(ir.IcebergProtocolError, match="row ids"):
-        ir.rewrite_iceberg_data_files(spark, root)
+    # rewrite_data_files FOLDS with row-lineage preservation (ids
+    # materialize into the rewritten files); rewrite_manifests
+    # compacts fine
+    lin_before = {
+        r.k: r._row_id
+        for r in ir.read_iceberg_lineage(spark, root).collect()
+    }
+    _sidf, statsf = ir.rewrite_iceberg_data_files(spark, root)
+    assert statsf["delete_files_folded"] >= 1
+    lin_after = {
+        r.k: r._row_id
+        for r in ir.read_iceberg_lineage(spark, root).collect()
+    }
+    assert lin_after == lin_before  # ids survive the fold exactly
     _sid3, stats3 = ir.rewrite_iceberg_manifests(spark, root)
     assert stats3["manifests_after"] <= stats3["manifests_before"]
     vals2 = {r.k: r.x for r in ir.read_iceberg(spark, root).collect()}
@@ -3656,3 +3669,93 @@ def test_rest_catalog_commit_backend(spark, tmp_path, monkeypatch):
         monkeypatch.setattr(ir, "_try_commit_metadata", real)
         got = sorted(r.k for r in ir.read_iceberg(spark, ice).collect())
         assert got == [0, 2, 4, 6, 8, 777, 888]
+
+
+def test_iceberg_v3_row_lineage_fold(spark, tmp_path):
+    """v3 ROW LINEAGE end-to-end (r11): read_iceberg_lineage exposes
+    _row_id/_last_updated_sequence_number; ids are assigned once at
+    append, SURVIVE delete → fold → delete → fold (the first fold
+    materializes them into the rewritten files, the second reads the
+    materialized columns), folds consume no fresh ids (next-row-id
+    flat), and a post-fold append continues above the watermark."""
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    root = str(tmp_path / "t")
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "k long, x double"
+        ),
+        root, format_version=3,
+    )
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100, 110)],
+            "k long, x double",
+        ),
+        root, mode="append",
+    )
+    lin0 = {
+        r.k: (r._row_id, r._last_updated_sequence_number)
+        for r in ir.read_iceberg_lineage(spark, root).collect()
+    }
+    assert len(lin0) == 30
+    assert len({v[0] for v in lin0.values()}) == 30  # ids unique
+    ir.delete_from_iceberg(spark, root, "k % 4 = 1")
+    lin1 = {
+        r.k: (r._row_id, r._last_updated_sequence_number)
+        for r in ir.read_iceberg_lineage(spark, root).collect()
+    }
+    assert all(lin1[k] == lin0[k] for k in lin1)
+    _sid, stats = ir.rewrite_iceberg_data_files(spark, root)
+    assert stats["delete_files_folded"] == 1
+    lin2 = {
+        r.k: (r._row_id, r._last_updated_sequence_number)
+        for r in ir.read_iceberg_lineage(spark, root).collect()
+    }
+    assert lin2 == lin1  # ids AND last-updated seqs survive the fold
+    meta = ir.load_table_metadata(root)
+    assert meta["next-row-id"] == 30  # fold consumed no ids
+    # normal read stays clean of lineage columns
+    assert ir.read_iceberg(spark, root).columns == ["k", "x"]
+    # post-fold DML + SECOND fold (materialized-column path)
+    ir.delete_from_iceberg(spark, root, "k = 2")
+    _sid, stats2 = ir.rewrite_iceberg_data_files(spark, root)
+    assert stats2["dead_rows_folded"] == 1
+    lin3 = {
+        r.k: r._row_id
+        for r in ir.read_iceberg_lineage(spark, root).collect()
+    }
+    assert all(lin3[k] == lin2[k][0] for k in lin3)
+    # fresh append continues above the id watermark
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame([(999, 9.0)], "k long, x double"),
+        root, mode="append",
+    )
+    lin4 = {
+        r.k: r._row_id
+        for r in ir.read_iceberg_lineage(spark, root).collect()
+    }
+    assert lin4[999] >= 30
+    assert len(set(lin4.values())) == len(lin4)
+    # time-travel lineage: the pre-fold snapshot reads its own ids
+    sids = [s["snapshot-id"] for s in ir.load_table_metadata(root)["snapshots"]]
+    early = {
+        r.k: r._row_id
+        for r in ir.read_iceberg_lineage(
+            spark, root, snapshot_id=sids[1]
+        ).collect()
+    }
+    assert all(early[k] == lin0[k][0] for k in early)
+    # sub-v3 tables refuse the lineage read by name
+    import pytest as _pytest
+    v2root = str(tmp_path / "v2")
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame([(1, 1.0)], "k long, x double"),
+        v2root,
+    )
+    with _pytest.raises(ir.IcebergProtocolError, match="format-version 3"):
+        ir.read_iceberg_lineage(spark, v2root)
