@@ -203,9 +203,16 @@ def _check_protocol(p: dict) -> None:
 
 
 def _snapshot(
-    spark: SparkSession, root: str, version: int | None
+    spark: SparkSession,
+    root: str,
+    version: int | None,
+    domains: dict[str, str] | None = None,
 ) -> tuple[dict, dict[str, dict]]:
-    """Fold the log into (metaData, live adds by path)."""
+    """Fold the log into (metaData, live adds by path). Pass a dict
+    as ``domains`` to additionally fold ``domainMetadata`` actions
+    (PROTOCOL.md "Domain Metadata"): it fills with
+    domain → configuration-JSON-string, last writer wins,
+    ``removed: true`` tombstones drop the entry."""
     commits = _commit_files(root)
     newest_cp = _checkpoint_for(root, 1 << 62)
     if not commits and newest_cp is None:
@@ -231,6 +238,12 @@ def _snapshot(
         r = action.get("remove")
         if r:
             adds.pop(r["path"], None)
+        dm = action.get("domainMetadata")
+        if dm and domains is not None:
+            if dm.get("removed"):
+                domains.pop(dm["domain"], None)
+            else:
+                domains[dm["domain"]] = dm.get("configuration")
 
     start = 0
     cp = _checkpoint_for(root, target)
@@ -1601,7 +1614,8 @@ def checkpoint_delta_export(
                 break
         commits = _commit_files(dest)
     v = max(commits)
-    meta, adds = _snapshot(spark, dest, v)
+    cp_domains: dict[str, str] = {}
+    meta, adds = _snapshot(spark, dest, v, cp_domains)
     # checkpoint-aware protocol resolution: after log retention
     # truncates the JSON tail behind an earlier checkpoint, replaying
     # only _commit_files would regress to base (1,2) and persist a
@@ -1619,6 +1633,20 @@ def checkpoint_delta_export(
         {"txn": {"appId": app, "version": ver}}
         for app, ver in sorted(_txn_state(dest).items())
     ]
+    # live domain metadata rides into the checkpoint (PROTOCOL.md:
+    # checkpoints must contain the latest non-removed domainMetadata
+    # per domain) — without it, the row-tracking high-water mark
+    # would vanish once log retention ages the JSON tail out
+    actions += [
+        {
+            "domainMetadata": {
+                "domain": d,
+                "configuration": c,
+                "removed": False,
+            }
+        }
+        for d, c in sorted(cp_domains.items())
+    ]
     rows = []
     for a in actions:
         rows.append(
@@ -1627,12 +1655,18 @@ def checkpoint_delta_export(
                 json.dumps(a.get("metaData")) if "metaData" in a else None,
                 json.dumps(a.get("add")) if "add" in a else None,
                 json.dumps(a.get("txn")) if "txn" in a else None,
+                json.dumps(a.get("domainMetadata"))
+                if "domainMetadata" in a
+                else None,
             )
         )
     # JSON-string columns keep the checkpoint schema stable across
     # action evolution; the reader's fold accepts dict-shaped rows,
     # so decode happens at read time
-    cp_schema = "protocol string, metaData string, add string, txn string"
+    cp_schema = (
+        "protocol string, metaData string, add string, txn string, "
+        "domainMetadata string"
+    )
     log = _log_dir(dest)
     import shutil as _shutil
 
@@ -1682,14 +1716,15 @@ def checkpoint_delta_export(
             )
             sc_names.append(name)
         top = [
-            (r[0], r[1], r[3], None, None) for r in top_rows
+            (r[0], r[1], r[3], r[4], None, None) for r in top_rows
         ]
         top.append(
-            (None, None, None, json.dumps({"version": v}), None)
+            (None, None, None, None, json.dumps({"version": v}), None)
         )
         for name in sc_names:
             top.append(
                 (
+                    None,
                     None,
                     None,
                     None,
@@ -1708,8 +1743,8 @@ def checkpoint_delta_export(
         uid = _uuid2.uuid4().hex
         write_parquet(
             os.path.join(log, f"{v:020d}.checkpoint.{uid}.parquet"),
-            ["protocol", "metaData", "txn", "checkpointMetadata",
-             "sidecar"],
+            ["protocol", "metaData", "txn", "domainMetadata",
+             "checkpointMetadata", "sidecar"],
             [list(c) for c in zip(*top)],
         )
     elif parts:
@@ -2145,6 +2180,29 @@ def write_delta(
                 "write_delta cannot create columnMapping mode=id "
                 "tables (mode=name is supported)"
             )
+        if (
+            str(create_conf.get("delta.enableRowTracking", ""))
+            .lower()
+            == "true"
+        ):
+            if cmode != "none":
+                raise DeltaProtocolError(
+                    "row tracking with columnMapping is not "
+                    "implemented (the hidden lineage columns would "
+                    "need physical identities of their own)"
+                )
+            # the hidden materialized columns get their physical
+            # names at table birth (delta-spark's shape: uuid-unique
+            # so a later schema column can never collide)
+            create_conf.setdefault(
+                "delta.rowTracking.materializedRowIdColumnName",
+                f"_row-id-col-{_uuid.uuid4().hex[:16]}",
+            )
+            create_conf.setdefault(
+                "delta.rowTracking."
+                "materializedRowCommitVersionColumnName",
+                f"_row-commit-version-col-{_uuid.uuid4().hex[:16]}",
+            )
         if cmode == "name":
             # fresh mapped table: every field gets an id + a
             # col-<uuid> physicalName (delta-spark's creation shape —
@@ -2184,20 +2242,31 @@ def write_delta(
     adds = _stage_data_files(
         spark, dest, stage_df, stage_pcols, stage_scols
     )
+    rt_enabled = (
+        str(create_conf.get("delta.enableRowTracking", "")).lower()
+        == "true"
+        if not exists
+        else _row_tracking(meta0) is not None
+    )
     actions: list[dict] = []
     if evolved_meta is not None:
         actions.append({"metaData": evolved_meta})
     if not exists:
+        # features-era protocol (writer 7 + named writerFeatures)
+        # whenever a created table needs one; readers stay at the
+        # level the rest of the table needs — both ICT and row
+        # tracking are writer-only concerns
+        _w: set[str] = set()
         if (
             str(
                 create_conf.get("delta.enableInCommitTimestamps", "")
             ).lower()
             == "true"
         ):
-            # the ICT feature is features-era: writer 7 + the named
-            # writerFeature (readers are unaffected — reader stays
-            # at the level the rest of the table needs)
-            _w = {"inCommitTimestamp"}
+            _w.add("inCommitTimestamp")
+        if rt_enabled:
+            _w |= {"rowTracking", "domainMetadata"}
+        if _w:
             if create_schema is not None:
                 _w.add("columnMapping")
             proto_action = {
@@ -2261,13 +2330,6 @@ def write_delta(
         else (_snapshot(spark, dest, None)[0].get("configuration") or {})
     )
     while True:
-        # serialize per ATTEMPT: in-commit timestamps must be
-        # monotone against the actual predecessor, which a lost
-        # race changes
-        content = "".join(
-            json.dumps(a) + "\n"
-            for a in _ict_stamp(dest, conf_pre, actions)
-        )
         # the next version is one past EVERYTHING visible — newest
         # JSON commit or newest checkpoint (after retention ages the
         # JSON tail out, claiming from the commit listing alone
@@ -2288,6 +2350,28 @@ def write_delta(
             last = last_txn_version(dest, txn_app_id)
             if last is not None and txn_version <= last:
                 return v - 1
+        attempt_actions = actions
+        if rt_enabled:
+            # per ATTEMPT: a lost race means another writer may have
+            # raised the high-water mark — fresh ids must start
+            # above the WINNER's, and defaultRowCommitVersion is
+            # the version this attempt will claim
+            hwm = (
+                _row_id_high_water_mark(spark, dest)
+                if v > 0
+                else -1
+            )
+            dm_actions, _new_hwm = _assign_base_row_ids(
+                adds, hwm, v
+            )
+            attempt_actions = actions + dm_actions
+        # serialize per ATTEMPT: in-commit timestamps must be
+        # monotone against the actual predecessor, which a lost
+        # race changes
+        content = "".join(
+            json.dumps(a) + "\n"
+            for a in _ict_stamp(dest, conf_pre, attempt_actions)
+        )
         path = os.path.join(log, f"{v:020d}.json")
         try:
             get_commit_backend().put_if_absent(path, content)
@@ -2347,6 +2431,173 @@ def _latest_protocol(root: str) -> dict:
                 if a.get("protocol"):
                     proto = a["protocol"]
     return proto
+
+
+# ---------------------------------------------------------------------
+# ROW TRACKING (PROTOCOL.md "Row Tracking" + "Domain Metadata"): every
+# row carries a stable fresh row id and a row commit version. Defaults
+# derive from the add entry (baseRowId + physical position,
+# defaultRowCommitVersion); rewrites that must preserve identity
+# MATERIALIZE the values into hidden per-table columns whose physical
+# names live in the table configuration. Fresh ids are handed out
+# above the rowIdHighWaterMark kept in the delta.rowTracking domain.
+# ---------------------------------------------------------------------
+
+_ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+
+def _row_tracking(meta: dict) -> tuple[str, str] | None:
+    """(materialized row-id column, materialized row-commit-version
+    column) when the table enables row tracking, else None."""
+    conf = meta.get("configuration") or {}
+    if str(conf.get("delta.enableRowTracking", "")).lower() != "true":
+        return None
+    rid = conf.get("delta.rowTracking.materializedRowIdColumnName")
+    rcv = conf.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    if not rid or not rcv:
+        raise DeltaProtocolError(
+            "delta.enableRowTracking without materialized column "
+            "names in the table configuration (cannot bind the "
+            "hidden lineage columns)"
+        )
+    return rid, rcv
+
+
+def _row_id_high_water_mark(spark: SparkSession, root: str) -> int:
+    """Current rowIdHighWaterMark from the delta.rowTracking domain
+    (-1 when the domain has never been written)."""
+    domains: dict[str, str] = {}
+    _snapshot(spark, root, None, domains)
+    raw = domains.get(_ROW_TRACKING_DOMAIN)
+    if raw is None:
+        return -1
+    d = json.loads(raw) if isinstance(raw, str) else raw
+    return int(d.get("rowIdHighWaterMark", -1))
+
+
+def _add_num_records(a: dict) -> int:
+    raw = a.get("stats")
+    st = json.loads(raw) if isinstance(raw, str) else (raw or {})
+    n = st.get("numRecords")
+    if n is None:
+        raise DeltaProtocolError(
+            f"add {a.get('path')!r} carries no numRecords stats — "
+            "row tracking cannot assign a base row id to a file of "
+            "unknown physical row count"
+        )
+    return int(n)
+
+
+def _assign_base_row_ids(
+    add_actions: list[dict], hwm: int, commit_version: int
+) -> tuple[list[dict], int]:
+    """Stamp ``baseRowId``/``defaultRowCommitVersion`` onto the
+    ``{"add": ...}`` actions (sorted by path — deterministic across
+    claim retries) and return (domainMetadata action for the new
+    high-water mark, new hwm). Mutates the add dicts in place."""
+    nxt = hwm + 1
+    for aa in sorted(add_actions, key=lambda x: x["add"]["path"]):
+        a = aa["add"]
+        a["baseRowId"] = nxt
+        a["defaultRowCommitVersion"] = int(commit_version)
+        nxt += _add_num_records(a)
+    dm = {
+        "domainMetadata": {
+            "domain": _ROW_TRACKING_DOMAIN,
+            "configuration": json.dumps(
+                {"rowIdHighWaterMark": nxt - 1}
+            ),
+            "removed": False,
+        }
+    }
+    return [dm], nxt - 1
+
+
+def _row_tracking_base_map(
+    spark: SparkSession, root: str, adds: dict[str, dict]
+):
+    """Broadcastable (on-disk path → baseRowId,
+    defaultRowCommitVersion) frame keyed exactly like the scans'
+    ``__fp`` column. Refuses a live file with no baseRowId — an
+    enabled table must have every add assigned (the enablement
+    backfill guarantees it)."""
+    rows = []
+    for rel, a in sorted(adds.items()):
+        if a.get("baseRowId") is None:
+            raise DeltaProtocolError(
+                f"row tracking enabled but live file {rel!r} has no "
+                "baseRowId (enable_delta_row_tracking backfills "
+                "existing files)"
+            )
+        rows.append(
+            (
+                os.path.abspath(_data_path(root, rel)),
+                int(a["baseRowId"]),
+                int(a.get("defaultRowCommitVersion", 0)),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "__fp string, __base long, __dcv long"
+    )
+
+
+def read_delta_row_ids(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read a row-tracked Delta table WITH LINEAGE: the logical
+    columns plus ``_row_id`` / ``_row_commit_version`` (PROTOCOL.md
+    "Row Tracking" — the Delta twin of Iceberg v3's
+    ``read_iceberg_lineage``). Per row: the materialized hidden
+    column when the file carries one (rewrites preserve identity by
+    materializing), else the default — ``add.baseRowId`` + physical
+    position / ``add.defaultRowCommitVersion``. DV-dead rows are
+    gone, exactly as in :func:`read_delta`; ``version=`` reads the
+    lineage any past snapshot saw.
+
+    Scale shape: one pruned parquet scan + a broadcast join against
+    the per-FILE base map (metadata-sized) — lineage costs no
+    shuffle beyond the scan itself."""
+    meta, adds = _snapshot(spark, root, version)
+    rt = _row_tracking(meta)
+    if rt is None:
+        raise DeltaProtocolError(
+            "read_delta_row_ids on a table without "
+            "delta.enableRowTracking=true (row ids are undefined)"
+        )
+    if _mapping_mode(meta) != "none":
+        raise DeltaProtocolError(
+            "read_delta_row_ids under columnMapping is not "
+            "implemented"
+        )
+    rid, rcv = rt
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    names = [f.name for f in schema.fields]
+    if not adds:
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_row_id", T.LongType(), True),
+                T.StructField(
+                    "_row_commit_version", T.LongType(), True
+                ),
+            ]
+        )
+        return spark.createDataFrame([], out_schema)
+    scan, _old = _dml_scan(
+        spark, root, meta, adds, extra_cols=[rid, rcv]
+    )
+    base = _row_tracking_base_map(spark, root, adds)
+    return scan.join(F.broadcast(base), "__fp").select(
+        *names,
+        F.coalesce(F.col(rid), F.col("__base") + F.col("__ri")).alias(
+            "_row_id"
+        ),
+        F.coalesce(F.col(rcv), F.col("__dcv")).alias(
+            "_row_commit_version"
+        ),
+    )
 
 
 def _stage_cdc(
@@ -2500,7 +2751,11 @@ def _physical_frame(
 
 
 def _dml_scan(
-    spark: SparkSession, dest: str, meta: dict, adds: dict
+    spark: SparkSession,
+    dest: str,
+    meta: dict,
+    adds: dict,
+    extra_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Live-file scan with ROW IDENTITY (``__fp``/``__ri``) and
     typed partition columns re-attached — the target side every DML
@@ -2509,7 +2764,12 @@ def _dml_scan(
     Under columnMapping mode=name the scan reads PHYSICAL columns
     and aliases them back to LOGICAL names (read_delta's machinery),
     so predicates and SET exprs bind logically everywhere
-    downstream. Returns ``(scan, old_dead_df)``."""
+    downstream. Returns ``(scan, old_dead_df)``.
+
+    ``extra_cols``: physical LONG columns surfaced as-is when
+    present in a file and null otherwise (explicit-schema null-fill)
+    — how the row-tracking paths read the hidden materialized
+    lineage columns, which live outside the table schema."""
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     mode = _mapping_mode(meta)
     phys_by_logical = {
@@ -2530,6 +2790,10 @@ def _dml_scan(
                 f.nullable,
             )
             for f in data_fields
+        ]
+        + [
+            T.StructField(c, T.LongType(), True)
+            for c in (extra_cols or [])
         ]
     )
     ptypes = {f.name: f.dataType for f in schema.fields}
@@ -2554,6 +2818,7 @@ def _dml_scan(
             sel.append(c.alias(f.name))
         piece = piece.select(
             *sel,
+            *[F.col(c) for c in (extra_cols or [])],
             _file_path_col().alias("__fp"),
             F.col("_metadata.row_index").alias("__ri"),
         )
@@ -2662,7 +2927,11 @@ def _dml_delta(
                         f"update_delta: SET column {k!r} not in schema"
                     )
                 setc[k] = F.expr(e) if isinstance(e, str) else e
-        scan, old_df = _dml_scan(spark, dest, meta, adds)
+        rt = _row_tracking(meta)
+        lineage_extra = list(rt) if rt else []
+        scan, old_df = _dml_scan(
+            spark, dest, meta, adds, extra_cols=lineage_extra
+        )
         flt = scan.filter(cond).persist()
         root_abs = os.path.abspath(dest)
         results = _write_dvs(
@@ -2671,13 +2940,38 @@ def _dml_delta(
         n_matched = sum(r["new_rows"] for r in results)
         conf = meta.get("configuration") or {}
         pcols = meta.get("partitionColumns") or []
-        old_rows = flt.drop("__fp", "__ri")
+        old_rows = flt.drop("__fp", "__ri", *lineage_extra)
         new_adds: list[dict] = []
         upd = None
         if n_matched and set_exprs is not None:
             # UPDATE: evaluated against the OLD row, appended as new
             # files through the shared one-pass-stats staging
-            upd = old_rows
+            if rt:
+                # row tracking: the rewritten image KEEPS its row id
+                # (materialized into the hidden column — default ids
+                # of the new file would be wrong) and takes THIS
+                # commit as its row commit version (the new file's
+                # defaultRowCommitVersion, so the hidden rcv column
+                # stays null)
+                rid_col, rcv_col = rt
+                upd = (
+                    flt.join(
+                        F.broadcast(
+                            _row_tracking_base_map(spark, dest, adds)
+                        ),
+                        "__fp",
+                    )
+                    .withColumn(
+                        rid_col,
+                        F.coalesce(
+                            F.col(rid_col),
+                            F.col("__base") + F.col("__ri"),
+                        ),
+                    )
+                    .drop("__fp", "__ri", "__base", "__dcv", rcv_col)
+                )
+            else:
+                upd = old_rows
             for k, e in setc.items():
                 upd = upd.withColumn(k, e)
             prim = (
@@ -2720,7 +3014,7 @@ def _dml_delta(
                 cdc_rows = old_rows.withColumn(
                     "_change_type", F.lit("update_preimage")
                 ).unionByName(
-                    upd.withColumn(
+                    upd.drop(*lineage_extra).withColumn(
                         "_change_type", F.lit("update_postimage")
                     )
                 )
@@ -2743,6 +3037,19 @@ def _dml_delta(
         actions = _dv_protocol_actions(dest)
         actions += _dv_readd_actions(results, adds, root_abs)
         actions.extend(new_adds)
+        if rt and new_adds:
+            # every new file gets a fresh baseRowId above the
+            # high-water mark (the spec assigns defaults to ALL
+            # adds; the materialized rid column wins for the
+            # rewritten rows) and this commit's version as its
+            # defaultRowCommitVersion; a lost race recomputes the
+            # whole DML, so the stale assignment never lands
+            dm_actions, _hwm = _assign_base_row_ids(
+                new_adds,
+                _row_id_high_water_mark(spark, dest),
+                latest + 1,
+            )
+            actions.extend(dm_actions)
         actions.extend(cdc_actions)
         actions.append(
             {
@@ -3008,6 +3315,115 @@ def enable_delta_in_commit_timestamps(
         return v
 
 
+def enable_delta_row_tracking(spark: SparkSession, dest: str) -> int:
+    """Enable ROW TRACKING on an existing table with a BACKFILL
+    commit (PROTOCOL.md "Row Tracking"): upgrade the protocol to
+    writer 7 with the ``rowTracking`` + ``domainMetadata``
+    writerFeatures (existing/implied features preserved), set
+    ``delta.enableRowTracking=true`` plus fresh materialized-column
+    names, re-add every live file with an assigned ``baseRowId``
+    and this commit as its ``defaultRowCommitVersion``
+    (``dataChange: false`` — no reader-visible rows change), and
+    write the ``delta.rowTracking`` high-water-mark domain — all in
+    ONE commit, so there is never a version where the table claims
+    tracking but a live file has no id. Idempotent. Returns the
+    committed (or current) version.
+
+    Backfilled rows' row commit version is the enablement commit
+    (their pre-enablement history has no defined row ids to
+    preserve — the same convention delta-spark's backfill uses).
+    Requires per-file ``numRecords`` stats (our writers always
+    record them); columnMapping tables refuse."""
+    import uuid as _uuid
+
+    while True:
+        meta, adds = _snapshot(spark, dest, None)
+        if _mapping_mode(meta) != "none":
+            raise DeltaProtocolError(
+                "row tracking with columnMapping is not implemented"
+            )
+        conf = dict(meta.get("configuration") or {})
+        commits = _commit_files(dest)
+        newest_cp = _checkpoint_for(dest, 1 << 62)
+        latest = max(
+            max(commits, default=-1),
+            newest_cp[0] if newest_cp else -1,
+        )
+        if str(conf.get("delta.enableRowTracking", "")).lower() == "true":
+            return latest  # idempotent
+        proto = _latest_protocol(dest)
+        wv = proto.get("minWriterVersion", 1)
+        _implied_w = {
+            2: ["appendOnly", "invariants"],
+            3: ["checkConstraints"],
+            4: ["changeDataFeed", "generatedColumns"],
+            5: ["columnMapping"],
+            6: ["identityColumns"],
+        }
+        wfeats = set(proto.get("writerFeatures") or [])
+        if wv < 7:
+            for lvl, fs in _implied_w.items():
+                if wv >= lvl:
+                    wfeats |= set(fs)
+        proto_new = {
+            "minReaderVersion": proto.get("minReaderVersion", 1),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(
+                wfeats | {"rowTracking", "domainMetadata"}
+            ),
+        }
+        if proto.get("readerFeatures") is not None:
+            proto_new["readerFeatures"] = sorted(
+                set(proto["readerFeatures"])
+            )
+        conf["delta.enableRowTracking"] = "true"
+        conf.setdefault(
+            "delta.rowTracking.materializedRowIdColumnName",
+            f"_row-id-col-{_uuid.uuid4().hex[:16]}",
+        )
+        conf.setdefault(
+            "delta.rowTracking.materializedRowCommitVersionColumnName",
+            f"_row-commit-version-col-{_uuid.uuid4().hex[:16]}",
+        )
+        new_meta = dict(meta)
+        new_meta["configuration"] = conf
+        v_target = latest + 1
+        readds: list[dict] = []
+        for rel in sorted(adds):
+            old = adds[rel]
+            rm = {"path": rel, "dataChange": False}
+            for carry in ("partitionValues", "size", "deletionVector"):
+                if old.get(carry) is not None:
+                    rm[carry] = old[carry]
+            new_add = dict(old)
+            new_add["dataChange"] = False
+            readds.append({"remove": rm})
+            readds.append({"add": new_add})
+        dm_actions, _hwm = _assign_base_row_ids(
+            [a for a in readds if "add" in a], -1, v_target
+        )
+        actions = (
+            [{"protocol": proto_new}, {"metaData": new_meta}]
+            + readds
+            + dm_actions
+            + [
+                {
+                    "commitInfo": {
+                        "operation": "SET TBLPROPERTIES",
+                        "timestamp": None,
+                        "operationMetrics": {
+                            "numFilesBackfilled": len(adds)
+                        },
+                    }
+                }
+            ]
+        )
+        v = _try_claim_commit(spark, dest, latest, actions, conf)
+        if v is None:
+            continue
+        return v
+
+
 def upgrade_delta_column_mapping(
     spark: SparkSession, dest: str
 ) -> int:
@@ -3237,6 +3653,14 @@ def merge_delta(
         if mode == "id":
             raise DeltaProtocolError(
                 "merge unsupported for columnMapping mode=id"
+            )
+        if _row_tracking(meta):
+            raise DeltaProtocolError(
+                "merge_delta under rowTracking is not implemented "
+                "(matched-row rewrites would need materialized "
+                "row-id preservation); compose "
+                "delete_from_delta/update_delta + write_delta "
+                "append instead"
             )
         commits = _commit_files(dest)
         newest_cp = _checkpoint_for(dest, 1 << 62)
@@ -3513,8 +3937,42 @@ def compact_delta_dvs(
             for f in schema.fields
             if isinstance(f.dataType, prim) and f.name not in pcols
         ]
-        scan, _old = _dml_scan(spark, dest, meta, chosen)
-        rows = scan.drop("__fp", "__ri")  # DV dead already anti-joined
+        rt = _row_tracking(meta)
+        scan, _old = _dml_scan(
+            spark,
+            dest,
+            meta,
+            chosen,
+            extra_cols=list(rt) if rt else None,
+        )
+        if rt:
+            # a compaction is invisible to readers — surviving rows
+            # keep BOTH their row id and their row commit version,
+            # so both materialize into the rewritten file (the fresh
+            # file's defaults describe a commit that never logically
+            # touched these rows)
+            rid_col, rcv_col = rt
+            rows = (
+                scan.join(
+                    F.broadcast(
+                        _row_tracking_base_map(spark, dest, chosen)
+                    ),
+                    "__fp",
+                )
+                .withColumn(
+                    rid_col,
+                    F.coalesce(
+                        F.col(rid_col), F.col("__base") + F.col("__ri")
+                    ),
+                )
+                .withColumn(
+                    rcv_col,
+                    F.coalesce(F.col(rcv_col), F.col("__dcv")),
+                )
+                .drop("__fp", "__ri", "__base", "__dcv")
+            )
+        else:
+            rows = scan.drop("__fp", "__ri")  # DV dead anti-joined
         new_adds = _stage_data_files(
             spark,
             dest,
@@ -3533,6 +3991,13 @@ def compact_delta_dvs(
                     rm[carry] = old[carry]
             actions.append({"remove": rm})
         actions.extend(new_adds)
+        if rt and new_adds:
+            dm_actions, _hwm = _assign_base_row_ids(
+                new_adds,
+                _row_id_high_water_mark(spark, dest),
+                latest + 1,
+            )
+            actions.extend(dm_actions)
         actions.append(
             {
                 "commitInfo": {
@@ -3663,6 +4128,13 @@ def optimize_delta(
         if mode == "id":
             raise DeltaProtocolError(
                 "optimize_delta unsupported for columnMapping mode=id"
+            )
+        if _row_tracking(meta):
+            raise DeltaProtocolError(
+                "optimize_delta under rowTracking is not implemented "
+                "(bin-pack/cluster rewrites would need materialized "
+                "row-id preservation); compact_delta_dvs preserves "
+                "lineage and covers the DV-debt case"
             )
         commits = _commit_files(dest)
         newest_cp = _checkpoint_for(dest, 1 << 62)
@@ -3824,6 +4296,15 @@ def restore_delta(
         )
         if version == latest:
             return latest
+        if _row_tracking(meta) and any(
+            a.get("baseRowId") is None for a in target.values()
+        ):
+            raise DeltaProtocolError(
+                "restore_delta target version predates row-tracking "
+                "enablement: re-adding files without baseRowId would "
+                "leave a tracked table with undefined row ids "
+                "(restore to a post-enablement version instead)"
+            )
         actions: list[dict] = []
         for rel in sorted(set(cur) - set(target)):
             rm = {"path": rel, "dataChange": True}

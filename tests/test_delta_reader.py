@@ -2710,3 +2710,185 @@ def test_in_commit_timestamps_write_path(spark, tmp_path):
     assert conf["delta.inCommitTimestampEnablementVersion"] == "1"
     assert int(conf["delta.inCommitTimestampEnablementTimestamp"]) == t2[1]
     assert sorted(r.k for r in read_delta(spark, r2).collect()) == [1, 3]
+
+
+def test_delta_row_tracking_lifecycle(spark, tmp_path):
+    """ROW TRACKING (r11, PROTOCOL.md "Row Tracking"): ids assigned
+    once at append above the domain-kept high-water mark, SURVIVE
+    DV delete -> compaction fold (materialized into rewritten
+    files) -> UPDATE (id kept, row commit version bumps) -> second
+    fold (materialized-column read path); fresh appends continue
+    above the watermark; lineage time-travels; the domain rides
+    checkpoints past log retention."""
+    import dataflowex_spark.sources.delta_reader as dr
+
+    root = str(tmp_path / "t")
+    dr.write_delta(
+        spark,
+        spark.range(20)
+        .selectExpr("id as k", "cast(id as double) as x")
+        .repartition(2),
+        root,
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    dr.write_delta(
+        spark,
+        spark.range(100, 110)
+        .selectExpr("id as k", "cast(id as double) as x")
+        .repartition(1),
+        root,
+        mode="append",
+    )
+    lin0 = {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in dr.read_delta_row_ids(spark, root).collect()
+    }
+    assert len(lin0) == 30
+    assert len({v[0] for v in lin0.values()}) == 30  # ids unique
+    assert dr._row_id_high_water_mark(spark, root) == 29
+    # DV delete: files untouched, lineage untouched
+    _v, n = dr.delete_from_delta(spark, root, "k % 4 = 1")
+    assert n == 8
+    lin1 = {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in dr.read_delta_row_ids(spark, root).collect()
+    }
+    assert all(lin1[k] == lin0[k] for k in lin1) and len(lin1) == 22
+    # compaction fold: survivors rewrite with BOTH lineage values
+    # materialized (invisible to readers; rcv must not move)
+    _v3, nf = dr.compact_delta_dvs(spark, root, min_dead_ratio=0.01)
+    assert nf == 3
+    lin2 = {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in dr.read_delta_row_ids(spark, root).collect()
+    }
+    assert lin2 == lin1
+    # UPDATE: id kept via materialization, rcv = the update commit
+    v4, nu = dr.update_delta(spark, root, "k = 2", {"x": "x + 1000"})
+    assert nu == 1
+    lin3 = {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in dr.read_delta_row_ids(spark, root).collect()
+    }
+    assert lin3[2] == (lin2[2][0], v4)
+    assert all(lin3[k] == lin2[k] for k in lin3 if k != 2)
+    # second fold reads the MATERIALIZED columns of the first
+    dr.delete_from_delta(spark, root, "k = 8")
+    dr.compact_delta_dvs(spark, root, min_dead_ratio=0.01)
+    lin4 = {
+        r.k: r._row_id
+        for r in dr.read_delta_row_ids(spark, root).collect()
+    }
+    assert all(lin4[k] == lin3[k][0] for k in lin4) and 8 not in lin4
+    # fresh append continues above the watermark, never reuses
+    dr.write_delta(
+        spark,
+        spark.createDataFrame([(999, 9.0)], "k long, x double"),
+        root,
+        mode="append",
+    )
+    lin5 = {
+        r.k: r._row_id
+        for r in dr.read_delta_row_ids(spark, root).collect()
+    }
+    assert lin5[999] > 30
+    assert len(set(lin5.values())) == len(lin5)
+    # normal read stays clean of hidden columns
+    assert dr.read_delta(spark, root).columns == ["k", "x"]
+    # time-travel lineage: the v1 snapshot reads its own ids
+    early = {
+        r.k: r._row_id
+        for r in dr.read_delta_row_ids(spark, root, version=1).collect()
+    }
+    assert len(early) == 30
+    assert all(early[k] == lin0[k][0] for k in early)
+    # the high-water-mark domain survives checkpoint + retention
+    cpv = dr.checkpoint_delta_export(spark, root)
+    hwm = dr._row_id_high_water_mark(spark, root)
+    for f in list(os.listdir(root + "/_delta_log")):
+        if f.endswith(".json") and int(f.split(".")[0]) < cpv:
+            os.remove(root + "/_delta_log/" + f)
+    assert dr._row_id_high_water_mark(spark, root) == hwm
+    dr.write_delta(
+        spark,
+        spark.createDataFrame([(1000, 1.0)], "k long, x double"),
+        root,
+        mode="append",
+    )
+    lin6 = {
+        r.k: r._row_id
+        for r in dr.read_delta_row_ids(spark, root).collect()
+    }
+    assert lin6[1000] == hwm + 1 and len(set(lin6.values())) == len(lin6)
+
+
+def test_delta_row_tracking_enable_backfill_and_guards(
+    spark, tmp_path
+):
+    """enable_delta_row_tracking backfills every live file in ONE
+    commit (ids assigned, rcv = the enablement commit, protocol
+    gains rowTracking+domainMetadata); rewrite paths that cannot
+    preserve ids refuse by name; untracked/mapped tables refuse."""
+    import dataflowex_spark.sources.delta_reader as dr
+
+    root = str(tmp_path / "t")
+    dr.write_delta(
+        spark,
+        spark.range(10)
+        .selectExpr("id as k", "cast(id as double) as x")
+        .repartition(2),
+        root,
+    )
+    dr.write_delta(
+        spark,
+        spark.range(50, 55)
+        .selectExpr("id as k", "cast(id as double) as x")
+        .repartition(1),
+        root,
+        mode="append",
+    )
+    with pytest.raises(dr.DeltaProtocolError, match="enableRowTracking"):
+        dr.read_delta_row_ids(spark, root)
+    v = dr.enable_delta_row_tracking(spark, root)
+    assert dr.enable_delta_row_tracking(spark, root) == v  # idem
+    lin = {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in dr.read_delta_row_ids(spark, root).collect()
+    }
+    assert len(lin) == 15
+    assert len({x[0] for x in lin.values()}) == 15
+    assert all(rcv == v for _, rcv in lin.values())
+    proto = dr._latest_protocol(root)
+    assert set(proto["writerFeatures"]) >= {
+        "rowTracking",
+        "domainMetadata",
+    }
+    dr.delete_from_delta(spark, root, "k = 3")
+    lin2 = {
+        r.k: r._row_id
+        for r in dr.read_delta_row_ids(spark, root).collect()
+    }
+    assert all(lin2[k] == lin[k][0] for k in lin2) and 3 not in lin2
+    # guards: merge/optimize refuse; restore past enablement refuses
+    with pytest.raises(dr.DeltaProtocolError, match="rowTracking"):
+        dr.merge_delta(
+            spark,
+            root,
+            spark.createDataFrame([(1, 5.0)], "k long, x double"),
+            on=["k"],
+        )
+    with pytest.raises(dr.DeltaProtocolError, match="rowTracking"):
+        dr.optimize_delta(spark, root)
+    with pytest.raises(dr.DeltaProtocolError, match="predates"):
+        dr.restore_delta(spark, root, 0)
+    # creation refuses under column mapping
+    with pytest.raises(dr.DeltaProtocolError, match="columnMapping"):
+        dr.write_delta(
+            spark,
+            spark.createDataFrame([(1, 1.0)], "k long, x double"),
+            str(tmp_path / "m"),
+            configuration={
+                "delta.enableRowTracking": "true",
+                "delta.columnMapping.mode": "name",
+            },
+        )
