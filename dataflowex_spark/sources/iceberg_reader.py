@@ -68,6 +68,7 @@ parquet scans.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import re
@@ -291,20 +292,89 @@ def load_table_metadata(root: str) -> dict:
     fv = meta.get("format-version", 1)
     if fv not in (1, 2, 3):
         raise IcebergProtocolError(f"format-version {fv} not supported")
-    if fv == 3:
-        # v3 READ support: deletion vectors (Puffin blobs) and the
-        # metadata shape. Features that change VALUE semantics are
-        # refused BY NAME rather than misread: a column added with a
-        # default back-fills existing rows with `initial-default`,
-        # which our null-filling scan would silently read as NULL.
-        for sch in meta.get("schemas", []):
-            for f in sch.get("fields", []):
-                if f.get("initial-default") is not None:
-                    raise IcebergProtocolError(
-                        "v3 default values (initial-default on "
-                        f"field {f.get('name')!r}) not supported"
-                    )
+    # default values (v3 feature): validate DECODABILITY up front so
+    # a scan never silently null-fills a column whose declared
+    # default it cannot represent; sub-v3 metadata carrying defaults
+    # is spec-invalid and refuses outright
+    for sch in meta.get("schemas", []):
+        for f in sch.get("fields", []):
+            has_default = (
+                f.get("initial-default") is not None
+                or f.get("write-default") is not None
+            )
+            if not has_default:
+                continue
+            if fv < 3:
+                raise IcebergProtocolError(
+                    "default values (initial-default/write-default "
+                    f"on field {f.get('name')!r}) require "
+                    f"format-version 3, table is v{fv}"
+                )
+            for key in ("initial-default", "write-default"):
+                if f.get(key) is not None:
+                    _decode_default(f["type"], f[key], f.get("name"))
     return meta
+
+
+def _decode_default(t, v, fname=None):
+    """Iceberg JSON single-value (spec Appendix D) → a Python value
+    directly usable as a Spark literal for type ``t``. Non-primitive
+    and exotic types refuse by name — better than misreading a
+    declared default."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if not isinstance(t, str):
+        raise IcebergProtocolError(
+            f"default value on non-primitive field {fname!r} "
+            "not supported"
+        )
+    try:
+        if t == "boolean":
+            assert isinstance(v, bool)
+            return v
+        if t in ("int", "long"):
+            assert isinstance(v, int) and not isinstance(v, bool)
+            return int(v)
+        if t in ("float", "double"):
+            assert isinstance(v, (int, float))
+            return float(v)
+        if t in ("string", "uuid"):
+            assert isinstance(v, str)
+            return v
+        if t == "date":
+            return _dt.date.fromisoformat(v)
+        if t in ("timestamp", "timestamptz"):
+            return _dt.datetime.fromisoformat(v)
+        if t.startswith("decimal("):
+            return _dec.Decimal(str(v))
+        if t == "binary" or t.startswith("fixed"):
+            return bytes.fromhex(v)
+    except (AssertionError, ValueError, TypeError) as e:
+        raise IcebergProtocolError(
+            f"default value {v!r} does not decode as {t} "
+            f"(field {fname!r}): {e}"
+        ) from None
+    raise IcebergProtocolError(
+        f"default value on type {t!r} (field {fname!r}) not "
+        "supported"
+    )
+
+
+def _default_fill_expr(f0):
+    """Fill expression for a current-schema field ABSENT from a data
+    file: the field's ``initial-default`` when declared (v3 — the
+    value all rows had before the field existed), else NULL. Returns
+    an aliased Column."""
+    from pyspark.sql import functions as F
+
+    t0 = _spark_type(f0["type"])
+    dv = f0.get("initial-default")
+    if dv is not None:
+        return F.lit(
+            _decode_default(f0["type"], dv, f0.get("name"))
+        ).cast(t0).alias(f0["name"])
+    return F.lit(None).cast(t0).alias(f0["name"])
 
 
 def snapshot_log(root: str) -> list[dict]:
@@ -594,6 +664,28 @@ def _name_mapping(meta: dict) -> dict[str, int]:
     return out
 
 
+@functools.lru_cache(maxsize=8192)
+def _footer_schema(path: str):
+    """Parquet footer schema, LRU-cached by path (Iceberg data files
+    are immutable — a path's footer never changes). One driver-side
+    metadata read serves renames resolution AND the mixed-schema
+    group fingerprint. None when the footer is unreadable."""
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.read_schema(path)
+    except Exception:
+        return None
+
+
+def _footer_colset(path: str) -> tuple:
+    """Sorted physical column names of a parquet file (group
+    fingerprint: files scanned together must share a footer schema,
+    or the single-footer schema inference drops columns)."""
+    schema = _footer_schema(path)
+    return tuple(sorted(schema.names)) if schema is not None else ()
+
+
 def _footer_renames(
     path: str, names_by_id: dict[int, str], mapping: dict[str, int]
 ) -> tuple[tuple[str, str], ...]:
@@ -603,11 +695,8 @@ def _footer_renames(
     (physical name → id); columns resolved by neither keep direct
     name matching. One driver-side footer read per file — planning
     metadata, no data pages."""
-    import pyarrow.parquet as pq
-
-    try:
-        schema = pq.read_schema(path)
-    except Exception:
+    schema = _footer_schema(path)
+    if schema is None:
         return ()
     out = []
     for f in schema:
@@ -1023,6 +1112,12 @@ def read_iceberg(
             # per-file field-id resolution happens INSIDE the decode
             else ()
         )
+        # same-seq files normally share a write schema, but imports
+        # (convert/add_files) can mix physical schemas in ONE
+        # snapshot — fingerprint by footer column set so a group's
+        # single-footer schema inference never drops columns
+        # (footer already read+cached for renames)
+        colset = _footer_colset(path) if fmt == "PARQUET" else ()
         idfill: tuple = ()
         tup = partitions.get(path)
         if tup and ident_specs and fmt == "PARQUET":
@@ -1042,10 +1137,14 @@ def read_iceberg(
                         for fname, src in pairs
                         if src not in have_cols and fname in tup
                     )
-        by_group.setdefault((seq, renames, fmt, idfill), []).append(path)
+        by_group.setdefault(
+            (seq, renames, fmt, idfill, colset), []
+        ).append(path)
     need_pos = bool(pos_deletes)
     pieces = []
-    for (seq, renames, fmt, idfill), paths in sorted(by_group.items()):
+    for (seq, renames, fmt, idfill, _colset), paths in sorted(
+        by_group.items()
+    ):
         if fmt == "AVRO":
             piece = _avro_scan(spark, paths, meta, mapping, need_pos)
         elif fmt == "ORC" and need_pos:
@@ -1102,7 +1201,9 @@ def read_iceberg(
                                 int(v0),
                             ).alias(f0["name"])
                         return F.lit(v0).cast(t0).alias(f0["name"])
-                    return F.lit(None).cast(t0).alias(f0["name"])
+                    # absent from the file: initial-default (v3)
+                    # when declared, else null
+                    return _default_fill_expr(f0)
 
                 sel = [_conform_col(f0) for f0 in cur_fields]
                 if need_pos:
@@ -3329,6 +3430,30 @@ def _write_iceberg_attempt(
                 }
             ]
             meta["current-schema-id"] = new_schema_id
+        # write-default (v3): an append that OMITS a schema column
+        # carrying one materializes the default into the staged
+        # files — the writer half of the defaults contract (the
+        # reader half, initial-default, covers files that predate
+        # the column)
+        have_cols = set(df.columns)
+        from pyspark.sql import functions as F
+
+        for kf in top:
+            if (
+                kf["name"] not in have_cols
+                and isinstance(kf.get("type"), str)
+                and kf.get("write-default") is not None
+            ):
+                df = df.withColumn(
+                    kf["name"],
+                    F.lit(
+                        _decode_default(
+                            kf["type"],
+                            kf["write-default"],
+                            kf["name"],
+                        )
+                    ).cast(_spark_type(kf["type"])),
+                )
     else:
         top = []
         for f in df.schema.fields:
@@ -3824,6 +3949,13 @@ def _iceberg_pos_scan(
             if fmt == "PARQUET"
             else ()
         )
+        # group ALSO by the file's physical column set: one
+        # spark.read.parquet over mixed schemas takes its schema
+        # from a single footer, silently DROPPING columns the other
+        # files carry — under schema evolution a DML predicate on
+        # the added column would then bind to the conform fill
+        # (null/default) instead of the file's real values
+        colset = _footer_colset(path) if fmt == "PARQUET" else ()
         idfill: tuple = ()
         tup = (partitions or {}).get(path)
         if tup and ident_specs and fmt == "PARQUET":
@@ -3843,9 +3975,13 @@ def _iceberg_pos_scan(
                         for fname, src in pairs
                         if src not in have_cols and fname in tup
                     )
-        by_group.setdefault((renames, fmt, idfill), []).append(path)
+        by_group.setdefault(
+            (renames, fmt, idfill, colset), []
+        ).append(path)
     pieces = []
-    for (renames, fmt, idfill), paths in sorted(by_group.items()):
+    for (renames, fmt, idfill, _colset), paths in sorted(
+        by_group.items()
+    ):
         if fmt == "AVRO":
             piece = _avro_scan(spark, paths, meta, mapping, True)
         elif fmt == "ORC":
@@ -3883,7 +4019,7 @@ def _iceberg_pos_scan(
                                 int(v0),
                             ).alias(f0["name"])
                         return F.lit(v0).cast(t0).alias(f0["name"])
-                    return F.lit(None).cast(t0).alias(f0["name"])
+                    return _default_fill_expr(f0)
 
                 sel = [_conform_col(f0) for f0 in cur_fields] + [F.col("__fp"), F.col("__ri")]
                 piece = piece.select(*sel)
@@ -5342,6 +5478,7 @@ def alter_iceberg(
     root: str,
     renames: dict[str, str] | None = None,
     drops: list[str] | None = None,
+    adds: dict[str, dict] | None = None,
 ) -> int:
     """Column RENAME / DROP as pure METADATA — the operation Iceberg
     field-ids exist for: a new schema (fresh schema-id) re-labels or
@@ -5357,10 +5494,21 @@ def alter_iceberg(
 
     Refuses renaming/dropping unknown columns, rename collisions,
     and dropping a partition-source column (the spec requires a
-    spec evolution first — out of scope, one spec per table)."""
+    spec evolution first — out of scope, one spec per table).
+
+    ``adds``: name → ``{"type": <iceberg type string>, "default":
+    <JSON single-value>, "doc": ...}`` appends optional columns with
+    fresh field ids. A ``default`` (v3 only — sub-v3 tables refuse)
+    sets BOTH ``initial-default`` (rows in files that predate the
+    column read this value, not null — the scan's conform fill) and
+    ``write-default`` (appends that omit the column materialize it,
+    ``write_iceberg``'s fill), the spec's ADD COLUMN ... DEFAULT
+    shape. At 100 TB this is what makes adding a non-null column an
+    O(metadata) operation instead of a full-table rewrite."""
     renames = dict(renames or {})
     drops = list(drops or [])
-    if not renames and not drops:
+    adds = dict(adds or {})
+    if not renames and not drops and not adds:
         raise ValueError("alter_iceberg: nothing to do")
     meta = load_table_metadata(root)
     fields = _current_schema_fields(meta)
@@ -5392,6 +5540,54 @@ def alter_iceberg(
         if f["name"] in renames:
             nf["name"] = renames[f["name"]]
         out.append(nf)
+    if adds:
+        fv = meta.get("format-version", 1)
+        # fresh field-ids above every id ANY schema version ever
+        # used (ids are identity forever, never reused — same rule
+        # as write_iceberg merge_schema)
+        used = [0]
+
+        def walk(o):
+            if isinstance(o, dict):
+                for k, v in o.items():
+                    if k in (
+                        "id", "element-id", "key-id", "value-id",
+                    ) and isinstance(v, int):
+                        used.append(v)
+                    walk(v)
+            elif isinstance(o, list):
+                for x in o:
+                    walk(x)
+
+        walk(meta.get("schemas", []))
+        nxt = max(used)
+        for name in sorted(adds):
+            spec = adds[name]
+            t = spec.get("type")
+            if not t:
+                raise ValueError(
+                    f"adds[{name!r}] needs a 'type' (iceberg type "
+                    "string)"
+                )
+            nf = {
+                "id": (nxt := nxt + 1),
+                "name": name,
+                "required": False,
+                "type": t,
+            }
+            if spec.get("doc"):
+                nf["doc"] = spec["doc"]
+            if "default" in spec and spec["default"] is not None:
+                if fv < 3:
+                    raise IcebergProtocolError(
+                        f"column default on {name!r} requires "
+                        f"format-version 3, table is v{fv} "
+                        "(defaults are a v3 feature)"
+                    )
+                _decode_default(t, spec["default"], name)  # validate
+                nf["initial-default"] = spec["default"]
+                nf["write-default"] = spec["default"]
+            out.append(nf)
     names = [f["name"] for f in out]
     if len(set(names)) != len(names):
         raise ValueError(f"rename collision: {sorted(names)}")
@@ -5426,7 +5622,7 @@ def alter_iceberg(
     if not _try_commit_metadata(root, meta):
         # metadata-only op: a lost race means the table changed
         # under us — replay the whole ALTER against the winner
-        return alter_iceberg(root, renames, drops)
+        return alter_iceberg(root, renames, drops, adds)
     return new_schema_id
 
 

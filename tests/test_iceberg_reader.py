@@ -2629,7 +2629,9 @@ def test_iceberg_v3_puffin_deletion_vectors(spark, tmp_path):
         ir.IcebergProtocolError, match="row lineage|_row_id"
     ):
         ir.rewrite_iceberg_data_files(spark, root)
-    # unsupported v3 feature refuses by name: initial-default
+    # UNDECODABLE default refuses by name (r11: decodable primitive
+    # defaults are now SUPPORTED — the boundary moved from "any
+    # default" to "a default the scan cannot represent")
     # (patch the NEWEST metadata version — the one reads resolve)
     vmax = max(
         int(fn[1:].split(".")[0])
@@ -2638,11 +2640,11 @@ def test_iceberg_v3_puffin_deletion_vectors(spark, tmp_path):
     )
     mdp = _os.path.join(root, "metadata", f"v{vmax}.metadata.json")
     meta = _json.load(open(mdp))
-    meta["schemas"][0]["fields"][0]["initial-default"] = 7
+    meta["schemas"][0]["fields"][0]["initial-default"] = {"bad": 1}
     with open(mdp, "w") as f:
         _json.dump(meta, f)
     with _pytest.raises(
-        ir.IcebergProtocolError, match="initial-default"
+        ir.IcebergProtocolError, match="does not decode"
     ):
         ir.read_iceberg(spark, root).collect()
     meta["schemas"][0]["fields"][0].pop("initial-default")
@@ -3759,3 +3761,106 @@ def test_iceberg_v3_row_lineage_fold(spark, tmp_path):
     )
     with _pytest.raises(ir.IcebergProtocolError, match="format-version 3"):
         ir.read_iceberg_lineage(spark, v2root)
+
+
+def test_iceberg_v3_default_values(spark, tmp_path):
+    """v3 DEFAULT VALUES (r11, spec "Default values" + Appendix D
+    single-value JSON): alter_iceberg(adds=) with a default is
+    O(metadata) — files that predate the column read
+    initial-default (not null) through the conform fill; appends
+    that omit the column materialize write-default; explicit values
+    win; DML predicates bind on the filled value; a fold
+    materializes defaults physically and preserves values. Sub-v3
+    tables and undecodable defaults refuse by name."""
+    import datetime
+
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    root = str(tmp_path / "t")
+    ir.write_iceberg(
+        spark,
+        spark.range(10).selectExpr(
+            "id as k", "cast(id as double) as x"
+        ),
+        root,
+        format_version=3,
+    )
+    ir.alter_iceberg(
+        root,
+        adds={
+            "tag": {"type": "string", "default": "legacy"},
+            "score": {"type": "long", "default": 7},
+            "d": {"type": "date", "default": "2020-01-02"},
+        },
+    )
+    rows = {
+        r.k: (r.tag, r.score, r.d)
+        for r in ir.read_iceberg(spark, root).collect()
+    }
+    want = ("legacy", 7, datetime.date(2020, 1, 2))
+    assert len(rows) == 10
+    assert all(v == want for v in rows.values())
+    # append WITHOUT the defaulted columns: write-default fills
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame([(100, 1.5)], "k long, x double"),
+        root,
+        mode="append",
+    )
+    # append WITH explicit values: they win
+    ir.write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(200, 2.5, "fresh", 9)],
+            "k long, x double, tag string, score long",
+        ),
+        root,
+        mode="append",
+    )
+    rows2 = {
+        r.k: (r.tag, r.score)
+        for r in ir.read_iceberg(spark, root).collect()
+    }
+    assert rows2[100] == ("legacy", 7)
+    assert rows2[200] == ("fresh", 9)
+    # DML predicate binds on real values, not the conform fill
+    # (mixed-schema groups must NOT collapse to one footer schema)
+    _v, n = ir.delete_from_iceberg(spark, root, "score = 9")
+    assert n == 1
+    rows3 = {r.k for r in ir.read_iceberg(spark, root).collect()}
+    assert 200 not in rows3 and len(rows3) == 11
+    # UPDATE binding on the defaulted column of OLD rows
+    ir.update_iceberg(
+        spark, root, "score = 7 and k = 3", {"tag": "'touched'"}
+    )
+    rows4 = {
+        r.k: r.tag for r in ir.read_iceberg(spark, root).collect()
+    }
+    assert rows4[3] == "touched" and rows4[4] == "legacy"
+    # a fold materializes the defaults physically, values stable
+    ir.rewrite_iceberg_data_files(spark, root)
+    rows5 = {
+        r.k: (r.tag, r.score)
+        for r in ir.read_iceberg(spark, root).collect()
+    }
+    assert rows5[3] == ("touched", 7)
+    assert rows5[0] == ("legacy", 7)
+    assert len(rows5) == 11
+    # sub-v3 refuses defaults
+    v2root = str(tmp_path / "v2")
+    ir.write_iceberg(
+        spark, spark.range(3).selectExpr("id as k"), v2root
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(
+        ir.IcebergProtocolError, match="format-version 3"
+    ):
+        ir.alter_iceberg(
+            v2root, adds={"z": {"type": "long", "default": 1}}
+        )
+    # non-primitive defaults refuse by name
+    with _pytest.raises(ir.IcebergProtocolError, match="decode"):
+        ir.alter_iceberg(
+            root, adds={"bad": {"type": "long", "default": "x"}}
+        )
