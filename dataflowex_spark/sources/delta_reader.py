@@ -3654,14 +3654,8 @@ def merge_delta(
             raise DeltaProtocolError(
                 "merge unsupported for columnMapping mode=id"
             )
-        if _row_tracking(meta):
-            raise DeltaProtocolError(
-                "merge_delta under rowTracking is not implemented "
-                "(matched-row rewrites would need materialized "
-                "row-id preservation); compose "
-                "delete_from_delta/update_delta + write_delta "
-                "append instead"
-            )
+        rt = _row_tracking(meta)
+        lineage_extra = list(rt) if rt else []
         commits = _commit_files(dest)
         newest_cp = _checkpoint_for(dest, 1 << 62)
         latest = max(
@@ -3712,7 +3706,9 @@ def merge_delta(
         results: list = []
         joined = None
         if adds:
-            scan, old_df = _dml_scan(spark, dest, meta, adds)
+            scan, old_df = _dml_scan(
+                spark, dest, meta, adds, extra_cols=lineage_extra
+            )
             joined = (
                 scan.alias("t")
                 .join(src.alias("s"), on, "inner")
@@ -3727,18 +3723,32 @@ def merge_delta(
         # unmatched source rows (insert) — ONE staging job
         pieces = []
         if when_matched == "update" and n_matched:
-            pieces.append(
-                joined.select(
-                    *[
-                        (
-                            F.col(c)
-                            if c in on
-                            else F.col(f"s.{c}")
-                        ).alias(c)
-                        for c in tcols
-                    ]
+            upd_sel = [
+                (F.col(c) if c in on else F.col(f"s.{c}")).alias(c)
+                for c in tcols
+            ]
+            if rt:
+                # MERGE-updated rows KEEP their row id (spec: an
+                # update is not a new row) — materialize the
+                # target's id into the hidden column; the new
+                # file's defaultRowCommitVersion is their new rcv
+                rid_col, _rcv_col = rt
+                pieces.append(
+                    joined.join(
+                        F.broadcast(
+                            _row_tracking_base_map(spark, dest, adds)
+                        ),
+                        "__fp",
+                    ).select(
+                        *upd_sel,
+                        F.coalesce(
+                            F.col(rid_col),
+                            F.col("__base") + F.col("__ri"),
+                        ).alias(rid_col),
+                    )
                 )
-            )
+            else:
+                pieces.append(joined.select(*upd_sel))
         inserts = None
         if when_not_matched:
             tgt_keys = (
@@ -3748,8 +3758,16 @@ def merge_delta(
                 )
             )
             inserts = src.join(tgt_keys, on, "left_anti").persist()
+        ins_piece = inserts
+        if inserts is not None and rt and pieces:
+            # inserted rows have no prior identity: null hidden id
+            # (the default — fresh baseRowId + position — is their
+            # id), padded so the union with the update piece aligns
+            ins_piece = inserts.withColumn(
+                rt[0], F.lit(None).cast("long")
+            )
         new_rows = None
-        for p in pieces + ([inserts] if inserts is not None else []):
+        for p in pieces + ([ins_piece] if ins_piece is not None else []):
             new_rows = p if new_rows is None else new_rows.unionByName(p)
         new_adds: list[dict] = []
         total_staged = 0
@@ -3841,6 +3859,13 @@ def merge_delta(
         if n_matched:
             actions += _dv_readd_actions(results, adds, root_abs)
         actions.extend(new_adds)
+        if rt and new_adds:
+            dm_actions, _hwm = _assign_base_row_ids(
+                new_adds,
+                _row_id_high_water_mark(spark, dest),
+                latest + 1,
+            )
+            actions.extend(dm_actions)
         actions.extend(cdc_actions)
         actions.append(
             {
@@ -4129,13 +4154,7 @@ def optimize_delta(
             raise DeltaProtocolError(
                 "optimize_delta unsupported for columnMapping mode=id"
             )
-        if _row_tracking(meta):
-            raise DeltaProtocolError(
-                "optimize_delta under rowTracking is not implemented "
-                "(bin-pack/cluster rewrites would need materialized "
-                "row-id preservation); compact_delta_dvs preserves "
-                "lineage and covers the DV-debt case"
-            )
+        rt = _row_tracking(meta)
         commits = _commit_files(dest)
         newest_cp = _checkpoint_for(dest, 1 << 62)
         latest = max(
@@ -4167,8 +4186,40 @@ def optimize_delta(
             for f in schema.fields
             if isinstance(f.dataType, prim) and f.name not in pcols
         ]
-        scan, _old = _dml_scan(spark, dest, meta, chosen)
-        rows = scan.drop("__fp", "__ri")
+        scan, _old = _dml_scan(
+            spark,
+            dest,
+            meta,
+            chosen,
+            extra_cols=list(rt) if rt else None,
+        )
+        if rt:
+            # layout maintenance is invisible to readers: surviving
+            # rows keep BOTH row id and row commit version, so both
+            # materialize into the rewritten files (same contract
+            # as compact_delta_dvs)
+            rid_col, rcv_col = rt
+            rows = (
+                scan.join(
+                    F.broadcast(
+                        _row_tracking_base_map(spark, dest, chosen)
+                    ),
+                    "__fp",
+                )
+                .withColumn(
+                    rid_col,
+                    F.coalesce(
+                        F.col(rid_col), F.col("__base") + F.col("__ri")
+                    ),
+                )
+                .withColumn(
+                    rcv_col,
+                    F.coalesce(F.col(rcv_col), F.col("__dcv")),
+                )
+                .drop("__fp", "__ri", "__base", "__dcv")
+            )
+        else:
+            rows = scan.drop("__fp", "__ri")
         total = sum(int(a.get("size") or 0) for a in chosen.values())
         if n_files is None:
             n_files = max(1, -(-total // target))
@@ -4249,6 +4300,13 @@ def optimize_delta(
                     rm[carry] = old[carry]
             actions.append({"remove": rm})
         actions.extend(new_adds)
+        if rt and new_adds:
+            dm_actions, _hwm = _assign_base_row_ids(
+                new_adds,
+                _row_id_high_water_mark(spark, dest),
+                latest + 1,
+            )
+            actions.extend(dm_actions)
         actions.append(
             {
                 "commitInfo": {

@@ -2869,16 +2869,37 @@ def test_delta_row_tracking_enable_backfill_and_guards(
         for r in dr.read_delta_row_ids(spark, root).collect()
     }
     assert all(lin2[k] == lin[k][0] for k in lin2) and 3 not in lin2
-    # guards: merge/optimize refuse; restore past enablement refuses
-    with pytest.raises(dr.DeltaProtocolError, match="rowTracking"):
-        dr.merge_delta(
-            spark,
-            root,
-            spark.createDataFrame([(1, 5.0)], "k long, x double"),
-            on=["k"],
-        )
-    with pytest.raises(dr.DeltaProtocolError, match="rowTracking"):
-        dr.optimize_delta(spark, root)
+    # MERGE: updated keys KEEP their row id (materialized), inserts
+    # get fresh ids above the watermark
+    hwm0 = dr._row_id_high_water_mark(spark, root)
+    _v, st = dr.merge_delta(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, 5.0), (777, 7.0)], "k long, x double"
+        ),
+        on=["k"],
+    )
+    assert st == {"updated": 1, "deleted": 0, "inserted": 1}
+    lin3 = {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in dr.read_delta_row_ids(spark, root).collect()
+    }
+    assert lin3[1][0] == lin[1][0]  # merge-updated row keeps its id
+    assert lin3[777][0] > hwm0  # insert gets a fresh id
+    assert all(
+        lin3[k][0] == lin[k][0] for k in lin3 if k not in (1, 777)
+    )
+    vals = {r.k: r.x for r in dr.read_delta(spark, root).collect()}
+    assert vals[1] == 5.0 and vals[777] == 7.0
+    # OPTIMIZE bin-pack: ids AND row commit versions both survive
+    _v, om = dr.optimize_delta(spark, root, n_files=1)
+    assert om["files_removed"] >= 2
+    lin4 = {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in dr.read_delta_row_ids(spark, root).collect()
+    }
+    assert lin4 == lin3
     with pytest.raises(dr.DeltaProtocolError, match="predates"):
         dr.restore_delta(spark, root, 0)
     # creation refuses under column mapping
