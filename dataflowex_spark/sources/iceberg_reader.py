@@ -618,9 +618,15 @@ def _live_files(
                     # list row) — after spec evolution, old-spec
                     # tuples must prune under THEIR spec, and carry
                     # rewrites must group into per-spec manifests.
-                    # Reserved key: the avro writer encodes only the
-                    # r102 struct's fields, so it never persists.
+                    # Reserved keys: the avro writer encodes only
+                    # the r102 struct's fields, so they never
+                    # persist. __records lets carry rewrites keep
+                    # an honest record_count without re-reading
+                    # footers.
                     pt["__spec_id"] = m.get("partition_spec_id", 0)
+                    pt["__records"] = int(
+                        df.get("record_count") or 0
+                    )
                     partitions[path] = pt
             elif content == 1:
                 if fmt == "PUFFIN":
@@ -662,6 +668,19 @@ def _name_mapping(meta: dict) -> dict[str, int]:
         for n in entry.get("names", []):
             out[n] = fid
     return out
+
+
+@functools.lru_cache(maxsize=8192)
+def _pq_num_rows(path: str) -> int:
+    """Row count from a parquet footer (planning metadata — used to
+    stamp honest ``record_count`` on delete-file manifest entries;
+    0 when unreadable or not parquet)."""
+    import pyarrow.parquet as pq
+
+    try:
+        return int(pq.ParquetFile(path).metadata.num_rows)
+    except Exception:
+        return 0
 
 
 @functools.lru_cache(maxsize=8192)
@@ -4082,7 +4101,7 @@ def _stage_pos_delete_files(
                     "content": 1,
                     "file_path": os.path.abspath(target),
                     "file_format": "PARQUET",
-                    "record_count": 0,
+                    "record_count": _pq_num_rows(target),
                     "file_size_in_bytes": os.path.getsize(target),
                     "equality_ids": None,
                 },
@@ -4348,7 +4367,19 @@ def _iceberg_mor_commit(
                     "content": 0,
                     "file_path": path,
                     "file_format": formats.get(path, "PARQUET"),
-                    "record_count": 0,
+                    # honest carried count: the prior entry's
+                    # record_count rides the partitions side-dict
+                    # (zero extra I/O); parquet footer as fallback
+                    "record_count": (
+                        tup.get("__records")
+                        if tup and tup.get("__records")
+                        else (
+                            _pq_num_rows(path)
+                            if formats.get(path, "PARQUET")
+                            == "PARQUET"
+                            else 0
+                        )
+                    ),
                     "file_size_in_bytes": os.path.getsize(path),
                     "equality_ids": None,
                     # carried files keep their row-id provenance
@@ -4388,7 +4419,14 @@ def _iceberg_mor_commit(
                     "content": 1,
                     "file_path": path,
                     "file_format": formats.get(path, "PARQUET"),
-                    "record_count": 0,
+                    # carried entries keep an HONEST count (parquet
+                    # footer; PUFFIN carries read 0 here, their
+                    # cardinality lives in the DV blob)
+                    "record_count": (
+                        _pq_num_rows(path)
+                        if formats.get(path, "PARQUET") == "PARQUET"
+                        else 0
+                    ),
                     "file_size_in_bytes": os.path.getsize(path),
                     "equality_ids": None,
                 },
@@ -4406,7 +4444,7 @@ def _iceberg_mor_commit(
                     "content": 2,
                     "file_path": path,
                     "file_format": "PARQUET",
-                    "record_count": 0,
+                    "record_count": _pq_num_rows(path),
                     "file_size_in_bytes": os.path.getsize(path),
                     "equality_ids": list(ids),
                 },
@@ -5081,7 +5119,7 @@ def delete_keys_from_iceberg(
                     "content": 2,
                     "file_path": os.path.abspath(target),
                     "file_format": "PARQUET",
-                    "record_count": 0,
+                    "record_count": _pq_num_rows(target),
                     "file_size_in_bytes": os.path.getsize(target),
                     "equality_ids": eq_ids,
                 },
@@ -5947,6 +5985,221 @@ def iceberg_bucketed_join(
     # lists move)
     base = base.repartition(max(1, len(tasks)))
     return base.mapInPandas(join_bucket, out_schema)
+
+
+def write_iceberg_partition_stats(
+    spark: SparkSession, root: str
+) -> tuple[str, int]:
+    """PARTITION STATISTICS FILE (spec "Partition Statistics"):
+    compute per-partition rollups for the CURRENT snapshot from
+    manifest metadata alone (record/file counts and byte totals for
+    data and delete files — zero data-file opens), persist them as
+    the spec-shaped parquet under ``metadata/``, and register the
+    file in table metadata ``partition-statistics`` (one entry per
+    snapshot, newest wins, CAS-committed). Returns
+    ``(stats file path, snapshot id)``.
+
+    Unlike the ``.partitions`` metadata table (recomputed per
+    query), the registered file is the durable artifact engines
+    share: at 100 TB a planner answers "which partitions grew since
+    yesterday" from two small parquet files instead of two manifest
+    walks. ``total_record_count`` (post-delete) is emitted only
+    where it is exact from metadata — partitions carrying equality
+    deletes leave it null (their match count is unknowable without
+    a scan; null is the spec's honest answer).
+
+    Unpartitioned tables refuse (the rollup would be the table
+    totals — ``read_iceberg_meta(..., "files")`` already serves
+    that); multi-spec tables emit the unified tuple (union of spec
+    fields by field-id, absent fields null)."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    while True:
+        meta = load_table_metadata(root)
+        sid = meta.get("current-snapshot-id")
+        if sid in (None, -1):
+            raise ValueError(
+                "write_iceberg_partition_stats: table has no "
+                "current snapshot"
+            )
+        ufields: dict[int, str] = {}
+        for ps in meta.get("partition-specs", []):
+            for pf in ps.get("fields", []):
+                ufields[pf["field-id"]] = pf["name"]
+        if not ufields:
+            raise IcebergProtocolError(
+                "partition statistics on an unpartitioned table "
+                "(the rollup is the table totals — use "
+                "read_iceberg_meta(..., 'files'))"
+            )
+        names = [ufields[i] for i in sorted(ufields)]
+        snap_ts = {
+            s["snapshot-id"]: s.get("timestamp-ms")
+            for s in meta.get("snapshots", [])
+        }
+        snap = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == sid
+        )
+        _s, mrows = read_container(
+            _resolve_path(root, snap["manifest-list"])
+        )
+        # (spec_id, partition tuple) → [data_records, data_files,
+        # data_bytes, pos_del_records, pos_del_files,
+        # eq_del_records, eq_del_files, last_snapshot_id]
+        agg: dict[tuple, list] = {}
+        for m in mrows:
+            spec_id = int(m.get("partition_spec_id", 0))
+            _s2, entries = read_container(
+                _resolve_path(root, m["manifest_path"])
+            )
+            for e in entries:
+                if e["status"] == 2:
+                    continue
+                d = e["data_file"]
+                pt = dict(d.get("partition") or {})
+                key = (
+                    spec_id,
+                    tuple(pt.get(n) for n in names),
+                )
+                st = agg.setdefault(
+                    key, [0, 0, 0, 0, 0, 0, 0, None]
+                )
+                c = int(d.get("content", 0))
+                rc = int(d.get("record_count", 0))
+                if c == 0:
+                    st[0] += rc
+                    st[1] += 1
+                    st[2] += int(d.get("file_size_in_bytes", 0))
+                elif c == 1:
+                    st[3] += rc
+                    st[4] += 1
+                else:
+                    st[5] += rc
+                    st[6] += 1
+                es = e.get("snapshot_id")
+                if es is not None:
+                    st[7] = max(st[7] or 0, int(es))
+        keys = sorted(agg, key=lambda k: (k[0], str(k[1])))
+        part_cols = {}
+        for i, n in enumerate(names):
+            vals = [k[1][i] for k in keys]
+            try:
+                part_cols[n] = pa.array(vals)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                part_cols[n] = pa.array(
+                    [None if v is None else str(v) for v in vals]
+                )
+        cols: dict = {
+            "partition": pa.StructArray.from_arrays(
+                list(part_cols.values()), names=list(part_cols)
+            ),
+            "spec_id": pa.array(
+                [k[0] for k in keys], pa.int32()
+            ),
+            "data_record_count": pa.array(
+                [agg[k][0] for k in keys], pa.int64()
+            ),
+            "data_file_count": pa.array(
+                [agg[k][1] for k in keys], pa.int32()
+            ),
+            "total_data_file_size_in_bytes": pa.array(
+                [agg[k][2] for k in keys], pa.int64()
+            ),
+            "position_delete_record_count": pa.array(
+                [agg[k][3] for k in keys], pa.int64()
+            ),
+            "position_delete_file_count": pa.array(
+                [agg[k][4] for k in keys], pa.int32()
+            ),
+            "equality_delete_record_count": pa.array(
+                [agg[k][5] for k in keys], pa.int64()
+            ),
+            "equality_delete_file_count": pa.array(
+                [agg[k][6] for k in keys], pa.int32()
+            ),
+            # post-delete count is exact ONLY from metadata that
+            # attributes every delete to a partition: a delete
+            # manifest written under the unpartitioned spec (all-
+            # null tuple, no data files of its own) spans
+            # partitions, so every partition's true count becomes
+            # unknowable without a scan — null is the honest answer
+            "total_record_count": pa.array(
+                [
+                    (agg[k][0] - agg[k][3])
+                    if (
+                        agg[k][6] == 0
+                        and not any(
+                            (agg[k2][4] or agg[k2][6])
+                            and agg[k2][1] == 0
+                            for k2 in keys
+                        )
+                    )
+                    else None
+                    for k in keys
+                ],
+                pa.int64(),
+            ),
+            "last_updated_at": pa.array(
+                [snap_ts.get(agg[k][7]) for k in keys], pa.int64()
+            ),
+            "last_updated_snapshot_id": pa.array(
+                [agg[k][7] for k in keys], pa.int64()
+            ),
+        }
+        rel = (
+            f"metadata/partition-stats-{sid}-"
+            f"{_uuid.uuid4().hex[:12]}.parquet"
+        )
+        out_path = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        papq.write_table(pa.table(cols), out_path)
+        entry = {
+            "snapshot-id": int(sid),
+            "statistics-path": rel,
+            "file-size-in-bytes": os.path.getsize(out_path),
+        }
+        meta["partition-statistics"] = [
+            e
+            for e in (meta.get("partition-statistics") or [])
+            if e.get("snapshot-id") != sid
+        ] + [entry]
+        if _try_commit_metadata(root, meta):
+            return out_path, int(sid)
+        os.unlink(out_path)  # lost the race: recompute fresh
+
+
+def read_iceberg_partition_stats(
+    spark: SparkSession, root: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read the REGISTERED partition statistics file for a snapshot
+    (default: current) — refuses when none is registered (compute
+    one with :func:`write_iceberg_partition_stats`); the spec
+    contract is that stats files are immutable artifacts keyed by
+    snapshot, so a reader never silently gets stale rollups."""
+    meta = load_table_metadata(root)
+    sid = (
+        snapshot_id
+        if snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
+    entries = [
+        e
+        for e in (meta.get("partition-statistics") or [])
+        if e.get("snapshot-id") == sid
+    ]
+    if not entries:
+        raise ValueError(
+            f"no partition statistics registered for snapshot "
+            f"{sid} (run write_iceberg_partition_stats)"
+        )
+    return spark.read.parquet(
+        _resolve_path(root, entries[-1]["statistics-path"])
+    )
 
 
 def read_iceberg_meta(

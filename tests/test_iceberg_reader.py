@@ -3864,3 +3864,84 @@ def test_iceberg_v3_default_values(spark, tmp_path):
         ir.alter_iceberg(
             root, adds={"bad": {"type": "long", "default": "x"}}
         )
+
+
+def test_iceberg_partition_statistics(spark, tmp_path):
+    """PARTITION STATISTICS FILES (r11, spec "Partition
+    Statistics"): per-partition rollups computed from manifest
+    metadata alone, persisted as the spec-shaped parquet and
+    registered per snapshot in table metadata; total_record_count
+    goes NULL while unattributable delete files exist and returns
+    exact after the fold; older snapshots' stats stay readable;
+    unpartitioned tables refuse."""
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    root = str(tmp_path / "t")
+    df = (
+        spark.range(100)
+        .selectExpr(
+            "id as k", "cast(id % 5 as int) as g",
+            "cast(id as double) as x",
+        )
+        .repartition(4)
+    )
+    ir.write_iceberg(spark, df, root, partition_by=["g"])
+    _p, sid0 = ir.write_iceberg_partition_stats(spark, root)
+    st0 = {
+        r.partition.g: (
+            r.data_record_count,
+            r.total_record_count,
+            r.data_file_count,
+        )
+        for r in ir.read_iceberg_partition_stats(spark, root).collect()
+    }
+    assert len(st0) == 5
+    assert all(v[0] == 20 and v[1] == 20 for v in st0.values())
+    # registered in table metadata, spec shape
+    meta = ir.load_table_metadata(root)
+    entries = meta["partition-statistics"]
+    assert entries[-1]["snapshot-id"] == sid0
+    assert entries[-1]["statistics-path"].startswith("metadata/")
+    assert entries[-1]["file-size-in-bytes"] > 0
+    # deletes: counts surface; totals go honest-NULL while the
+    # delete files are unattributable to partitions
+    ir.delete_from_iceberg(spark, root, "k % 10 = 0")  # all in g=0
+    ir.write_iceberg_partition_stats(spark, root)
+    st1 = {
+        r.partition.g: (
+            r.position_delete_record_count,
+            r.total_record_count,
+        )
+        for r in ir.read_iceberg_partition_stats(spark, root).collect()
+    }
+    assert st1[None][0] == 10
+    assert all(v[1] is None for v in st1.values())
+    # fold clears delete state: exact again, only g=0 shrank
+    ir.rewrite_iceberg_data_files(spark, root)
+    ir.write_iceberg_partition_stats(spark, root)
+    st2 = {
+        r.partition.g: (r.data_record_count, r.total_record_count)
+        for r in ir.read_iceberg_partition_stats(spark, root).collect()
+    }
+    assert st2 == {
+        0: (10, 10), 1: (20, 20), 2: (20, 20),
+        3: (20, 20), 4: (20, 20),
+    }
+    # snapshot-keyed: the first stats file still reads
+    assert (
+        ir.read_iceberg_partition_stats(
+            spark, root, snapshot_id=sid0
+        ).count()
+        == 5
+    )
+    # unpartitioned refuses
+    import pytest as _pytest
+
+    v2root = str(tmp_path / "u")
+    ir.write_iceberg(
+        spark, spark.range(3).selectExpr("id as k"), v2root
+    )
+    with _pytest.raises(
+        ir.IcebergProtocolError, match="unpartitioned"
+    ):
+        ir.write_iceberg_partition_stats(spark, v2root)
