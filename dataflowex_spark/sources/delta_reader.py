@@ -2105,7 +2105,16 @@ def write_delta(
     create_schema: T.StructType | None = None
     create_conf = dict(configuration or {})
     if exists:
-        meta0, _live0 = _snapshot(spark, dest, None)
+        if mode == "overwrite":
+            # overwrite removes the whole live set — the only write
+            # mode that needs the adds fold
+            meta0, _live0 = _snapshot(spark, dest, None)
+        else:
+            # append needs METADATA only (schema/conf/constraints):
+            # the meta-only fold is O(tail + checkpoint metaData
+            # column), not O(live files) — per-append cost must not
+            # grow with table size (the r11b probe's finding)
+            meta0, _live0 = _snapshot_meta_nospark(dest), {}
         mode0 = _mapping_mode(meta0)
         if mode0 == "id":
             # same refusal as the DML paths: mode=id binds columns by
@@ -2295,10 +2304,9 @@ def write_delta(
             }
         )
     elif mode == "overwrite":
-        _meta0, live = _snapshot(spark, dest, None)
         actions += [
             {"remove": {"path": p, "dataChange": True}}
-            for p in sorted(live)
+            for p in sorted(_live0)
         ]
     actions += adds
     if txn_app_id is not None:
@@ -2324,10 +2332,13 @@ def write_delta(
     # serialized commit (temp-file + link on POSIX, conditional PUT
     # on an object store), so a visible version file is never torn
     # and the in-claim SetTransaction re-check below stays sound
+    # meta0 is this write's base snapshot — re-replaying the log for
+    # its configuration would pay an O(live files) checkpoint read
+    # per append for nothing (config changes ride ALTER commits)
     conf_pre = (
         dict(create_conf or {})
         if not exists
-        else (_snapshot(spark, dest, None)[0].get("configuration") or {})
+        else (meta0.get("configuration") or {})
     )
     while True:
         # the next version is one past EVERYTHING visible — newest
@@ -2384,7 +2395,7 @@ def write_delta(
     conf = (
         dict(configuration or {})
         if not exists
-        else (_snapshot(spark, dest, v)[0].get("configuration") or {})
+        else (meta0.get("configuration") or {})
     )
     try:
         interval = int(conf.get("delta.checkpointInterval", 10))
@@ -2465,12 +2476,62 @@ def _row_tracking(meta: dict) -> tuple[str, str] | None:
     return rid, rcv
 
 
+def _domains_nospark(root: str) -> dict[str, str]:
+    """``domainMetadata`` fold WITHOUT a full snapshot replay: the
+    newest checkpoint contributes its (column-pruned, pyarrow-read)
+    domainMetadata column, then the JSON tail folds on top. O(number
+    of domains + tail commits) — NOT O(live files), which is what
+    makes per-append watermark reads flat as the table grows (the
+    r11b probe caught the full-replay version growing with file
+    count)."""
+    domains: dict[str, str] = {}
+    cp = _checkpoint_for(root, 1 << 62)
+    start = 0
+    if cp is not None:
+        import pyarrow.parquet as pq
+
+        start = cp[0] + 1
+        for fpath in cp[1]:
+            pf = pq.ParquetFile(fpath)
+            if "domainMetadata" not in pf.schema_arrow.names:
+                continue
+            for cell in (
+                pf.read(columns=["domainMetadata"])
+                .column("domainMetadata")
+                .to_pylist()
+            ):
+                if not cell:
+                    continue
+                dm = json.loads(cell) if isinstance(cell, str) else cell
+                if dm.get("removed"):
+                    domains.pop(dm["domain"], None)
+                else:
+                    domains[dm["domain"]] = dm.get("configuration")
+    commits = _commit_files(root)
+    for v in sorted(c for c in commits if c >= start):
+        with open(commits[v]) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                dm = a.get("domainMetadata")
+                if dm:
+                    if dm.get("removed"):
+                        domains.pop(dm["domain"], None)
+                    else:
+                        domains[dm["domain"]] = dm.get(
+                            "configuration"
+                        )
+    return domains
+
+
 def _row_id_high_water_mark(spark: SparkSession, root: str) -> int:
     """Current rowIdHighWaterMark from the delta.rowTracking domain
-    (-1 when the domain has never been written)."""
-    domains: dict[str, str] = {}
-    _snapshot(spark, root, None, domains)
-    raw = domains.get(_ROW_TRACKING_DOMAIN)
+    (-1 when the domain has never been written). ``spark`` is
+    unused (kept for call-shape symmetry) — the domains fold is a
+    driver-side metadata read."""
+    raw = _domains_nospark(root).get(_ROW_TRACKING_DOMAIN)
     if raw is None:
         return -1
     d = json.loads(raw) if isinstance(raw, str) else raw
@@ -4063,9 +4124,10 @@ def _snapshot_meta_nospark(root: str) -> dict:
             import pyarrow.parquet as pq
 
             for fpath in cp[1]:
-                t = pq.read_table(fpath)
-                if "metaData" not in t.column_names:
+                pf = pq.ParquetFile(fpath)
+                if "metaData" not in pf.schema_arrow.names:
                     continue
+                t = pf.read(columns=["metaData"])
                 for cell in t.column("metaData").to_pylist():
                     if not cell:
                         continue
