@@ -2015,6 +2015,7 @@ def write_delta(
     merge_schema: bool = False,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """GENERIC Delta writer — any DataFrame → a Delta-protocol table,
     no MTable required (the standalone complement to the MTable
@@ -2073,6 +2074,18 @@ def write_delta(
             if isinstance(f.dataType, prim) and f.name not in pcols
         ]
     )
+    ccols = list(cluster_by or [])
+    if ccols:
+        bad = [c for c in ccols if c not in df.columns]
+        if bad:
+            raise ValueError(f"cluster_by columns {bad} not in df")
+        overlap = sorted(set(ccols) & set(pcols))
+        if overlap:
+            raise ValueError(
+                f"cluster_by and partition_by overlap on {overlap} "
+                "(clustering replaces hive partitioning on those "
+                "columns)"
+            )
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError(
             "txn_app_id and txn_version go together (the protocol's "
@@ -2257,14 +2270,19 @@ def write_delta(
         if not exists
         else _row_tracking(meta0) is not None
     )
+    if ccols and exists:
+        raise ValueError(
+            "cluster_by applies at table creation; use "
+            "alter_delta_clustering to (re)cluster an existing table"
+        )
     actions: list[dict] = []
     if evolved_meta is not None:
         actions.append({"metaData": evolved_meta})
     if not exists:
         # features-era protocol (writer 7 + named writerFeatures)
         # whenever a created table needs one; readers stay at the
-        # level the rest of the table needs — both ICT and row
-        # tracking are writer-only concerns
+        # level the rest of the table needs — ICT, row tracking and
+        # clustering are all writer-only concerns
         _w: set[str] = set()
         if (
             str(
@@ -2275,6 +2293,8 @@ def write_delta(
             _w.add("inCommitTimestamp")
         if rt_enabled:
             _w |= {"rowTracking", "domainMetadata"}
+        if ccols:
+            _w |= {"clusteredTable", "domainMetadata"}
         if _w:
             if create_schema is not None:
                 _w.add("columnMapping")
@@ -2303,6 +2323,26 @@ def write_delta(
                 }
             }
         )
+        if ccols:
+            # clustered table (PROTOCOL.md "Clustered Table"): the
+            # clustering columns live in the delta.clustering
+            # domain — data layout is advisory metadata, OPTIMIZE
+            # reads it to decide how to rewrite
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": _CLUSTERING_DOMAIN,
+                        "configuration": json.dumps(
+                            {
+                                "clusteringColumns": [
+                                    [c] for c in ccols
+                                ]
+                            }
+                        ),
+                        "removed": False,
+                    }
+                }
+            )
     elif mode == "overwrite":
         actions += [
             {"remove": {"path": p, "dataChange": True}}
@@ -2455,6 +2495,19 @@ def _latest_protocol(root: str) -> dict:
 # ---------------------------------------------------------------------
 
 _ROW_TRACKING_DOMAIN = "delta.rowTracking"
+_CLUSTERING_DOMAIN = "delta.clustering"
+
+
+def delta_clustering_columns(root: str) -> list[str]:
+    """Clustering columns of a CLUSTERED TABLE (PROTOCOL.md
+    "Clustered Table"): read from the ``delta.clustering`` domain;
+    empty list when the table is not clustered. Nested column paths
+    come back dotted."""
+    raw = _domains_nospark(root).get(_CLUSTERING_DOMAIN)
+    if raw is None:
+        return []
+    d = json.loads(raw) if isinstance(raw, str) else raw
+    return [".".join(p) for p in d.get("clusteringColumns", [])]
 
 
 def _row_tracking(meta: dict) -> tuple[str, str] | None:
@@ -3485,6 +3538,96 @@ def enable_delta_row_tracking(spark: SparkSession, dest: str) -> int:
         return v
 
 
+def alter_delta_clustering(
+    spark: SparkSession, dest: str, cluster_by: list[str]
+) -> int:
+    """(Re)declare the CLUSTERING COLUMNS of an existing table
+    (``ALTER TABLE ... CLUSTER BY``): upgrades the protocol to
+    writer 7 with ``clusteredTable`` + ``domainMetadata`` (existing
+    and implied features preserved) and writes the
+    ``delta.clustering`` domain. Metadata-only — existing files keep
+    their layout until the next :func:`optimize_delta` reads the new
+    columns and rewrites. Returns the committed version."""
+    if not cluster_by:
+        raise ValueError("alter_delta_clustering: empty cluster_by")
+    while True:
+        meta, _adds = _snapshot(spark, dest, None)
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        known = {f.name for f in schema.fields}
+        bad = [c for c in cluster_by if c not in known]
+        if bad:
+            raise ValueError(f"cluster_by columns {bad} not in schema")
+        pcols = set(meta.get("partitionColumns") or [])
+        overlap = sorted(set(cluster_by) & pcols)
+        if overlap:
+            raise ValueError(
+                f"cluster_by overlaps partition columns {overlap}"
+            )
+        commits = _commit_files(dest)
+        newest_cp = _checkpoint_for(dest, 1 << 62)
+        latest = max(
+            max(commits, default=-1),
+            newest_cp[0] if newest_cp else -1,
+        )
+        proto = _latest_protocol(dest)
+        wv = proto.get("minWriterVersion", 1)
+        _implied_w = {
+            2: ["appendOnly", "invariants"],
+            3: ["checkConstraints"],
+            4: ["changeDataFeed", "generatedColumns"],
+            5: ["columnMapping"],
+            6: ["identityColumns"],
+        }
+        wfeats = set(proto.get("writerFeatures") or [])
+        if wv < 7:
+            for lvl, fs in _implied_w.items():
+                if wv >= lvl:
+                    wfeats |= set(fs)
+        proto_new = {
+            "minReaderVersion": proto.get("minReaderVersion", 1),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(
+                wfeats | {"clusteredTable", "domainMetadata"}
+            ),
+        }
+        if proto.get("readerFeatures") is not None:
+            proto_new["readerFeatures"] = sorted(
+                set(proto["readerFeatures"])
+            )
+        actions = [
+            {"protocol": proto_new},
+            {
+                "domainMetadata": {
+                    "domain": _CLUSTERING_DOMAIN,
+                    "configuration": json.dumps(
+                        {
+                            "clusteringColumns": [
+                                [c] for c in cluster_by
+                            ]
+                        }
+                    ),
+                    "removed": False,
+                }
+            },
+            {
+                "commitInfo": {
+                    "operation": "CLUSTER BY",
+                    "timestamp": None,
+                    "operationParameters": {
+                        "clusterBy": list(cluster_by)
+                    },
+                }
+            },
+        ]
+        v = _try_claim_commit(
+            spark, dest, latest, actions,
+            meta.get("configuration") or {},
+        )
+        if v is None:
+            continue
+        return v
+
+
 def upgrade_delta_column_mapping(
     spark: SparkSession, dest: str
 ) -> int:
@@ -4224,6 +4367,12 @@ def optimize_delta(
             newest_cp[0] if newest_cp else -1,
         )
         target = target_file_mb << 20
+        if not zorder_by:
+            # clustered table: OPTIMIZE without explicit columns
+            # reads the declared delta.clustering domain — the
+            # liquid-clustering shape (appends land unclustered,
+            # OPTIMIZE restores the layout)
+            zorder_by = delta_clustering_columns(dest) or None
         if zorder_by:
             chosen = dict(adds)  # clustering is a full-layout rewrite
         else:

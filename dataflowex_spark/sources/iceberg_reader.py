@@ -627,6 +627,10 @@ def _live_files(
                     pt["__records"] = int(
                         df.get("record_count") or 0
                     )
+                    if df.get("sort_order_id") is not None:
+                        pt["__sort_order_id"] = int(
+                            df["sort_order_id"]
+                        )
                     partitions[path] = pt
             elif content == 1:
                 if fmt == "PUFFIN":
@@ -1476,6 +1480,14 @@ MANIFEST_SCHEMA = {
                     {
                         "name": "first_row_id",
                         "type": ["null", "long"],
+                        "default": None,
+                    },
+                    # sort order provenance (spec: data_file field
+                    # 140) — advisory layout metadata; null = order
+                    # unknown/unsorted
+                    {
+                        "name": "sort_order_id",
+                        "type": ["null", "int"],
                         "default": None,
                     },
                 ],
@@ -3231,6 +3243,7 @@ def write_iceberg(
     txn_app_id: str | None = None,
     txn_version: int | None = None,
     format_version: int = 2,
+    sort_by: list[str] | None = None,
 ) -> int:
     """GENERIC Iceberg writer with OPTIMISTIC CONCURRENCY — any
     DataFrame → an Iceberg v2 (default) or v3 table.
@@ -3274,6 +3287,7 @@ def write_iceberg(
             spark, df, dest, mode, stats_cols, partition_by,
             file_format, merge_schema, branch,
             format_version=format_version,
+            sort_by=sort_by,
             txn=(
                 (txn_app_id, int(txn_version))
                 if txn_app_id is not None
@@ -3296,6 +3310,7 @@ def _write_iceberg_attempt(
     branch: str | None = None,
     txn: tuple[str, int] | None = None,
     format_version: int = 2,
+    sort_by: list[str] | None = None,
 ) -> int | None:
     """One write attempt — returns None on a lost commit race.
 
@@ -3563,6 +3578,49 @@ def _write_iceberg_attempt(
         pf = dict(pf, _avro=_part_avro_type(kind, ice_t))
         pinfo.append((pf, kind, param, src_name, ice_t))
 
+    # ---- sort order (spec "Sort Orders"): declared at creation,
+    # adopted on append — staged rows sort WITHIN partitions so
+    # every data file is internally ordered and its min/max bounds
+    # tighten (skip_where range pruning gets real selectivity); the
+    # entries stamp sort_order_id as provenance. Cross-file
+    # clustering (write.distribution-mode=range) stays the caller's
+    # choice — repartitionByRange before write_iceberg composes.
+    if not exists and sort_by:
+        for c in sort_by:
+            if c not in by_name:
+                raise ValueError(f"sort_by column {c!r} not in df")
+            if not isinstance(by_name[c]["type"], str):
+                raise IcebergProtocolError(
+                    f"cannot sort on nested column {c!r}"
+                )
+        meta["sort-orders"] = [
+            {"order-id": 0, "fields": []},
+            {
+                "order-id": 1,
+                "fields": [
+                    {
+                        "transform": "identity",
+                        "source-id": by_name[c]["id"],
+                        "direction": "asc",
+                        "null-order": "nulls-first",
+                    }
+                    for c in sort_by
+                ],
+            },
+        ]
+        meta["default-sort-order-id"] = 1
+    sort_cols, order_id = _default_sort_columns(meta)
+    if exists and sort_by is not None and sort_by != sort_cols:
+        raise ValueError(
+            f"sort_by {sort_by} != table's default sort order "
+            f"{sort_cols} (declare at creation; use "
+            "alter_iceberg_sort_order to change)"
+        )
+    if sort_cols:
+        df = df.sortWithinPartitions(
+            *[F.col(c).asc_nulls_first() for c in sort_cols]
+        )
+
     snaps = meta.get("snapshots", [])
     new_sid = (snaps[-1]["snapshot-id"] + 1) if snaps else 1
     new_seq = int(meta.get("last-sequence-number", 0)) + 1
@@ -3570,6 +3628,9 @@ def _write_iceberg_attempt(
         spark, dest, df, top, pinfo, stats_cols, file_format,
         avro_schema, new_sid, new_seq,
     )
+    if order_id is not None:
+        for e in entries:
+            e["data_file"]["sort_order_id"] = order_id
     base_sid = None
     if exists and snaps:
         refs = meta.get("refs") or {}
@@ -4209,6 +4270,87 @@ def _stage_dv_puffin(
     return entries, n_new
 
 
+def _default_sort_columns(
+    meta: dict,
+) -> tuple[list[str], int | None]:
+    """(source column names of the table's default sort order, its
+    order id) — ``([], None)`` when unsorted/undeclared. Only
+    identity-transform ascending fields participate in the write
+    path's sortWithinPartitions; anything else in an (external)
+    order refuses by name rather than silently writing unsorted
+    files stamped with that order id."""
+    oid = meta.get("default-sort-order-id")
+    if oid in (None, 0):
+        return [], None
+    order = next(
+        (
+            o
+            for o in meta.get("sort-orders", [])
+            if o.get("order-id") == oid
+        ),
+        None,
+    )
+    if order is None or not order.get("fields"):
+        return [], None
+    names_by_id = _field_names_by_id(meta)
+    cols = []
+    for f in order["fields"]:
+        if f.get("transform") != "identity":
+            raise IcebergProtocolError(
+                f"sort-order transform {f.get('transform')!r} not "
+                "supported (identity only)"
+            )
+        cols.append(names_by_id[f["source-id"]])
+    return cols, int(oid)
+
+
+def alter_iceberg_sort_order(
+    root: str, sort_by: list[str]
+) -> int:
+    """Declare/replace the table's DEFAULT SORT ORDER (``ALTER
+    TABLE ... WRITE ORDERED BY``) — pure metadata: a fresh order-id
+    becomes the default; existing files keep their recorded
+    provenance (their old sort_order_id) and are NOT rewritten;
+    subsequent appends sort by the new order. Returns the new
+    order id."""
+    if not sort_by:
+        raise ValueError("alter_iceberg_sort_order: empty sort_by")
+    while True:
+        meta = load_table_metadata(root)
+        by_name = {
+            f["name"]: f for f in _current_schema_fields(meta)
+        }
+        for c in sort_by:
+            if c not in by_name:
+                raise ValueError(f"sort column {c!r} not in schema")
+            if not isinstance(by_name[c]["type"], str):
+                raise IcebergProtocolError(
+                    f"cannot sort on nested column {c!r}"
+                )
+        orders = list(meta.get("sort-orders") or [])
+        if not any(o.get("order-id") == 0 for o in orders):
+            orders.append({"order-id": 0, "fields": []})
+        new_id = max(o.get("order-id", 0) for o in orders) + 1
+        orders.append(
+            {
+                "order-id": new_id,
+                "fields": [
+                    {
+                        "transform": "identity",
+                        "source-id": by_name[c]["id"],
+                        "direction": "asc",
+                        "null-order": "nulls-first",
+                    }
+                    for c in sort_by
+                ],
+            }
+        )
+        meta["sort-orders"] = orders
+        meta["default-sort-order-id"] = new_id
+        if _try_commit_metadata(root, meta):
+            return new_id
+
+
 def _spec_avro_fields(meta: dict, spec_id: int) -> list[dict]:
     """Spec fields for ``spec_id`` with their avro result types —
     the typed r102 struct any manifest listing that spec's files
@@ -4386,6 +4528,15 @@ def _iceberg_mor_commit(
                     **(
                         {"first_row_id": lineage.get(path)}
                         if lineage is not None and path in lineage
+                        else {}
+                    ),
+                    # ...and their sort-order provenance (null when
+                    # unknown — advisory, never guessed)
+                    **(
+                        {
+                            "sort_order_id": tup["__sort_order_id"]
+                        }
+                        if tup and "__sort_order_id" in tup
                         else {}
                     ),
                     "partition": tup,
@@ -6336,13 +6487,19 @@ def read_iceberg_meta(
                             _json.dumps(pt, sort_keys=True)
                             if pt is not None
                             else None,
+                            (
+                                int(d["sort_order_id"])
+                                if d.get("sort_order_id") is not None
+                                else None
+                            ),
                         )
                     )
         df = spark.createDataFrame(
             rows or spark.sparkContext.emptyRDD(),
             "content int, file_path string, file_format string, "
             "record_count long, file_size_in_bytes long, "
-            "sequence_number long, spec_id int, partition string",
+            "sequence_number long, spec_id int, partition string, "
+            "sort_order_id int",
         )
         if table == "files":
             return df

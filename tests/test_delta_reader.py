@@ -2913,3 +2913,65 @@ def test_delta_row_tracking_enable_backfill_and_guards(
                 "delta.columnMapping.mode": "name",
             },
         )
+
+
+def test_delta_clustered_table(spark, tmp_path):
+    """CLUSTERED TABLE (r11, PROTOCOL.md "Clustered Table"): the
+    clustering columns live in the delta.clustering domain +
+    clusteredTable writer feature; appends land unclustered and
+    OPTIMIZE WITHOUT explicit columns reads the domain (the liquid
+    shape); alter_delta_clustering re-declares metadata-only;
+    cluster/partition overlap refuses."""
+    import dataflowex_spark.sources.delta_reader as dr
+
+    root = str(tmp_path / "t")
+    df = spark.range(4000).selectExpr(
+        "id as k",
+        "cast(id % 97 as long) as a",
+        "cast((id * 37) % 89 as long) as b",
+    ).repartition(8)
+    dr.write_delta(spark, df, root, cluster_by=["a", "b"])
+    assert dr.delta_clustering_columns(root) == ["a", "b"]
+    proto = dr._latest_protocol(root)
+    assert {"clusteredTable", "domainMetadata"} <= set(
+        proto["writerFeatures"]
+    )
+    dr.write_delta(
+        spark,
+        spark.range(4000, 6000).selectExpr(
+            "id as k",
+            "cast(id % 97 as long) as a",
+            "cast((id * 37) % 89 as long) as b",
+        ).repartition(4),
+        root,
+        mode="append",
+    )
+    _v, st = dr.optimize_delta(spark, root, n_files=4)
+    assert st["files_removed"] == 12 and st["files_added"] == 4
+    # clustered layout: per-file spans on BOTH columns are tight
+    # (naive layout would give every file the full [0,96]/[0,88])
+    meta, adds = dr._snapshot(spark, root, None)
+    for a in adds.values():
+        s = json.loads(a["stats"])
+        assert s["maxValues"]["a"] - s["minValues"]["a"] < 97
+    assert dr.read_delta(spark, root).count() == 6000
+    # point skip opens a subset of files
+    assert (
+        dr.read_delta(spark, root, skip_where=[("a", "=", 5)]).count()
+        == 62
+    )
+    # alter on a plain table; overlap refuses
+    root2 = str(tmp_path / "p")
+    dr.write_delta(spark, df, root2)
+    assert dr.delta_clustering_columns(root2) == []
+    dr.alter_delta_clustering(spark, root2, ["b"])
+    assert dr.delta_clustering_columns(root2) == ["b"]
+    root3 = str(tmp_path / "q")
+    with pytest.raises(ValueError, match="overlap"):
+        dr.write_delta(
+            spark,
+            df,
+            root3,
+            partition_by=["a"],
+            cluster_by=["a"],
+        )

@@ -3945,3 +3945,78 @@ def test_iceberg_partition_statistics(spark, tmp_path):
         ir.IcebergProtocolError, match="unpartitioned"
     ):
         ir.write_iceberg_partition_stats(spark, v2root)
+
+
+def test_iceberg_sort_orders(spark, tmp_path):
+    """SORT ORDERS (r11, spec "Sort Orders"): declared at creation
+    (sort-orders + default-sort-order-id), appends sort within
+    partitions so every data file is internally ordered, entries
+    stamp sort_order_id (carried entries keep provenance),
+    conflicting append sort_by refuses, alter flips the default
+    metadata-only (old files keep their recorded id)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import dataflowex_spark.sources.iceberg_reader as ir
+
+    root = str(tmp_path / "t")
+    df = spark.range(4000).selectExpr(
+        "id as k",
+        "cast((id * 37) % 997 as long) as a",
+        "cast(id as double) as x",
+    ).repartition(4)
+    ir.write_iceberg(spark, df, root, sort_by=["a"])
+    meta = ir.load_table_metadata(root)
+    assert meta["default-sort-order-id"] == 1
+    assert [o["order-id"] for o in meta["sort-orders"]] == [0, 1]
+    live = ir._live_files(root, meta, None)[0]
+    for p in live:
+        vals = pq.read_table(p, columns=["a"])["a"].to_pylist()
+        assert vals == sorted(vals)
+    files = ir.read_iceberg_meta(spark, root, "files")
+    assert all(r.sort_order_id == 1 for r in files.collect())
+    # append ADOPTS the declared order (no sort_by passed)
+    ir.write_iceberg(
+        spark,
+        spark.range(4000, 6000).selectExpr(
+            "id as k",
+            "cast((id * 37) % 997 as long) as a",
+            "cast(id as double) as x",
+        ).repartition(2),
+        root,
+        mode="append",
+    )
+    meta2 = ir.load_table_metadata(root)
+    for p in ir._live_files(root, meta2, None)[0]:
+        vals = pq.read_table(p, columns=["a"])["a"].to_pylist()
+        assert vals == sorted(vals)
+    by_file = {
+        os.path.basename(r.file_path): r.sort_order_id
+        for r in ir.read_iceberg_meta(spark, root, "files").collect()
+    }
+    assert all(v == 1 for v in by_file.values())  # carry keeps it
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="default sort order"):
+        ir.write_iceberg(
+            spark, df.limit(1), root, mode="append", sort_by=["x"]
+        )
+    # metadata-only re-order: future appends use it, history keeps
+    assert ir.alter_iceberg_sort_order(root, ["x"]) == 2
+    ir.write_iceberg(
+        spark,
+        spark.range(6000, 6100).selectExpr(
+            "id as k",
+            "cast((id * 37) % 997 as long) as a",
+            "cast(id as double) as x",
+        ),
+        root,
+        mode="append",
+    )
+    ids = {
+        r.sort_order_id
+        for r in ir.read_iceberg_meta(spark, root, "files").collect()
+    }
+    assert ids == {1, 2}
+    assert ir.read_iceberg(spark, root).count() == 6100
