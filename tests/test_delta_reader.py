@@ -2975,3 +2975,82 @@ def test_delta_clustered_table(spark, tmp_path):
             partition_by=["a"],
             cluster_by=["a"],
         )
+
+
+def test_sync_delta_uniform(spark, tmp_path):
+    """UNIFORM sync (r11): one Delta table, two formats' readers —
+    sync_delta_uniform maintains an Iceberg metadata tree over the
+    SAME data files (zero copies). Read equality both ways,
+    idempotent per Delta version, incremental snapshots time-travel,
+    bounds/partition tuples ride into the Iceberg side (skip_where
+    prunes), DV debt refuses until compacted, foreign metadata/
+    refuses."""
+    import dataflowex_spark.sources.delta_reader as dr
+    import dataflowex_spark.sources.iceberg_reader as ir
+    from dataflowex_spark.sources.lakehouse import sync_delta_uniform
+
+    root = str(tmp_path / "t")
+    df = spark.range(1000).selectExpr(
+        "id as k", "cast(id % 7 as long) as g",
+        "cast(id as double) as x",
+    ).repartition(4)
+    dr.write_delta(spark, df, root)
+    sid = sync_delta_uniform(spark, root)
+    assert {r.k for r in ir.read_iceberg(spark, root).collect()} == {
+        r.k for r in dr.read_delta(spark, root).collect()
+    }
+    assert sync_delta_uniform(spark, root) == sid  # idempotent
+    dr.write_delta(
+        spark,
+        spark.range(1000, 1500).selectExpr(
+            "id as k", "cast(id % 7 as long) as g",
+            "cast(id as double) as x",
+        ),
+        root,
+        mode="append",
+    )
+    sid2 = sync_delta_uniform(spark, root)
+    assert sid2 == sid + 1
+    assert ir.read_iceberg(spark, root).count() == 1500
+    assert ir.read_iceberg(spark, root, snapshot_id=sid).count() == 1000
+    # add.stats bounds ride: a point read is skip-prunable
+    assert (
+        ir.read_iceberg(spark, root, skip_where=[("k", "=", 42)]).count()
+        == 1
+    )
+    # DV debt refuses; compaction clears; re-sync reflects deletion
+    dr.delete_from_delta(spark, root, "k = 3")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        sync_delta_uniform(spark, root)
+    dr.compact_delta_dvs(spark, root, min_dead_ratio=0.0)
+    sync_delta_uniform(spark, root)
+    assert ir.read_iceberg(spark, root).count() == 1499
+    # identity-partitioned Delta -> typed partition spec + pruning
+    root2 = str(tmp_path / "p")
+    dr.write_delta(spark, df, root2, partition_by=["g"])
+    sync_delta_uniform(spark, root2)
+    assert (
+        ir.read_iceberg(spark, root2, skip_where=[("g", "=", 3)]).count()
+        == sum(1 for i in range(1000) if i % 7 == 3)
+    )
+    # a real (non-uniform) Iceberg metadata/ refuses to be clobbered
+    root3 = str(tmp_path / "i")
+    ir.write_iceberg(
+        spark, spark.range(3).selectExpr("id as k"), root3
+    )
+    os.makedirs(root3 + "/_delta_log", exist_ok=True)
+    dr.write_conformance_log(
+        root3,
+        [[
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {
+                "id": "x",
+                "schemaString": spark.range(1).selectExpr("id as k").schema.json(),
+                "partitionColumns": [],
+                "format": {"provider": "parquet"},
+                "configuration": {},
+            }},
+        ]],
+    )
+    with pytest.raises(ValueError, match="not.*written by this sync"):
+        sync_delta_uniform(spark, root3)
