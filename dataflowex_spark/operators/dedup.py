@@ -818,17 +818,40 @@ def jaccard_prefix_pairs(
         F.col("__tid").alias(id_col)
     )
     grams = grams_of(F.col(text_col))
-    ex = df.select(F.col(id_col), F.explode(grams).alias("gram")).join(
-        rep_ids, id_col, "left_semi"
+    # The exploded gram stream is the pipeline's inverted index and
+    # is consumed FIVE times (document frequency, the df-rank join,
+    # both verification sides, the gramless guard). Materialize it
+    # once — otherwise every consumer re-tokenizes and re-explodes
+    # the corpus from the scan (guide §5: localCheckpoint reused
+    # intermediates); PPJoin implementations build this index
+    # exactly once by construction.
+    ex = (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .join(rep_ids, id_col, "left_semi")
+        .localCheckpoint(eager=True)
     )
-    # grams are distinct per doc → rows-per-gram IS document frequency
+    # grams are distinct per doc → rows-per-gram IS document
+    # frequency. Keep this an aggregate + join (NOT a count-over-
+    # window keyed on gram): the aggregate's map-side partials shrink
+    # the exchange to one row per distinct gram, where a gram-keyed
+    # window would shuffle and sort the whole stream and melt down on
+    # hot boilerplate grams (measured 13× slower here).
     dfreq = ex.groupBy("gram").agg(F.count("*").alias("gdf"))
     w = Window.partitionBy(id_col)
-    ranked = ex.join(dfreq, "gram").select(
-        F.col(id_col),
-        "gram",
-        F.row_number().over(w.orderBy("gdf", "gram")).alias("r"),
-        F.count("*").over(w).alias("n_g"),
+    # ranked feeds both sides of the candidate self-join; without the
+    # checkpoint the df-join + per-doc rank window runs twice. The
+    # set size n_g piggybacks on the rank window's per-id partition
+    # (no extra exchange; measured cheaper than carrying size() of
+    # the gram array through the exploded checkpoint).
+    ranked = (
+        ex.join(dfreq, "gram")
+        .select(
+            F.col(id_col),
+            "gram",
+            F.row_number().over(w.orderBy("gdf", "gram")).alias("r"),
+            F.count("*").over(w).alias("n_g"),
+        )
+        .localCheckpoint(eager=True)
     )
     # α = ⌈t·n⌉ in exact integer arithmetic; prefix keeps r ≤ n − α + 1
     alpha = F.floor(

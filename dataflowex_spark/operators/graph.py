@@ -48,12 +48,79 @@ def pagerank(
     # smaller) aggregated edge list; at cluster scale this is the
     # standard cache-the-invariant step of any iterative algorithm.
     edges = edges.localCheckpoint(eager=True)
+    # The iteration state is one row per node and the work per round
+    # is one sparse matrix-vector product over the AGGREGATED edge
+    # list — after the groupBy(src,dst) aggregation every caller
+    # performs, that list is bounded by |V|², not by the data volume
+    # that produced it. When the measured edge count is small the
+    # fixed cost of `iters` × (join + aggregate) Spark stages dwarfs
+    # the arithmetic, so run the rounds on the driver over the
+    # collected edge list (the house bounded-state pattern: BPE merge
+    # loops, d×d Gram solves). Large graphs take the distributed
+    # branch below unchanged.
+    n_edges = edges.count()
+    if n_edges <= 2_000_000:
+        import numpy as np
+
+        rows = edges.select(
+            F.col(src_col).alias("s"),
+            F.col(dst_col).alias("d"),
+            F.col(weight_col).cast("double").alias("p"),
+        ).collect()
+        node_vals = sorted({r["s"] for r in rows} | {r["d"] for r in rows})
+        idx = {v: i for i, v in enumerate(node_vals)}
+        n = len(node_vals)
+        s_ix = np.fromiter((idx[r["s"]] for r in rows), dtype=np.int64)
+        d_ix = np.fromiter((idx[r["d"]] for r in rows), dtype=np.int64)
+        p_arr = np.fromiter((r["p"] for r in rows), dtype=np.float64)
+        if seed_nodes is None:
+            tele = np.full(n, (1.0 - damping) / n)
+        else:
+            seeds = set(seed_nodes)
+            tele = np.array(
+                [
+                    (1.0 - damping) / len(seed_nodes) if v in seeds else 0.0
+                    for v in node_vals
+                ]
+            )
+        r_vec = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            contrib = np.zeros(n)
+            np.add.at(contrib, d_ix, p_arr * r_vec[s_ix])
+            r_vec = tele + damping * contrib
+        from pyspark.sql import types as T
+
+        node_type = edges.schema[src_col].dataType
+        schema = T.StructType(
+            [
+                T.StructField("node", node_type),
+                T.StructField("r", T.DoubleType()),
+            ]
+        )
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [(v, float(r_vec[i])) for i, v in enumerate(node_vals)], schema
+        )
+    # nodes is joined every iteration — checkpoint it too, or each of
+    # the `iters` left joins re-runs the union+distinct (3 stages).
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()  # graph cardinality, not data volume
+    # The per-iteration state (ranks / contrib) is one row per NODE.
+    # When the measured node count is small enough to broadcast, hint
+    # both per-iteration joins to build on that side: edges are never
+    # shuffled, and each iteration costs exactly ONE exchange (the
+    # contrib aggregation) instead of a join shuffle of edges + a
+    # nodes-side shuffle for the dangling-node left join. Above the
+    # threshold (huge graphs) the hint is withheld and the planner
+    # falls back to shuffle joins keyed on node id — the original,
+    # always-correct shape.
+    bcast_state = n <= 5_000_000
+    hint = F.broadcast if bcast_state else (lambda df: df)
     if seed_nodes is None:
         teleport = (F.lit(1.0) - F.lit(damping)) / F.lit(n)
     else:
@@ -64,18 +131,18 @@ def pagerank(
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("r"))
     for i in range(iters):
         contrib = (
-            edges.join(ranks, edges[src_col] == ranks["node"])
+            edges.join(hint(ranks), edges[src_col] == ranks["node"])
             .groupBy(F.col(dst_col).alias("node"))
             .agg(F.sum(F.col(weight_col) * F.col("r")).alias("contrib"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        ranks = nodes.join(hint(contrib), "node", "left").select(
             "node",
             (
                 teleport
                 + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
             ).alias("r"),
         )
-        if (i + 1) % checkpoint_every == 0:
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
