@@ -200,14 +200,17 @@ def minhash_lsh_cross(
     ).select(
         F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
     )
-    pairs = (
-        a.join(b, on=["band", "band_hash"])
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-    )
+    # Estimate jaccard and filter BEFORE deduplicating multi-band
+    # collisions: est_jaccard is a pure function of the pair, so the
+    # result set is identical, but the distinct's exchange now moves
+    # (id, id, double) rows instead of two num_hashes-long signature
+    # arrays per row (guide §2.3: shuffle fewer bytes), and the
+    # threshold filter drops sub-threshold candidates pre-shuffle.
     return (
-        pairs.select("id_a", "id_b", _est_jaccard(num_hashes))
+        a.join(b, on=["band", "band_hash"])
+        .select("id_a", "id_b", _est_jaccard(num_hashes))
         .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .distinct()
     )
 
 
@@ -240,15 +243,16 @@ def dedup_minhash_lsh(
     b = banded.select(
         F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
     )
-    pairs = (
+    # est_jaccard before the distinct — identical pair set, but the
+    # dedup exchange carries (id, id, double) rows instead of two
+    # signature arrays, and sub-threshold candidates die pre-shuffle
+    # (guide §2.3: shuffle fewer bytes).
+    return (
         a.join(b, on=["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-    )
-    return (
-        pairs.select("id_a", "id_b", _est_jaccard(num_hashes))
+        .select("id_a", "id_b", _est_jaccard(num_hashes))
         .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .distinct()
     )
 
 

@@ -31,6 +31,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # arrow for any pandas-UDF path
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # write instants as annotated INT64 micros, not legacy INT96:
+    # INT96 carries NO parquet min/max statistics (so neither
+    # footer-based commit stats nor any reader's row-group pruning
+    # can see timestamp bounds), and the table-format specs (Iceberg)
+    # require the annotated type anyway.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

@@ -1782,17 +1782,29 @@ def _stage_data_files(
     if pcols:
         w = w.partitionBy(*pcols)
     w.parquet(job)
-    aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in scols:
-        aggs.append(F.min(c).alias(f"__mn_{c}"))
-        aggs.append(F.max(c).alias(f"__mx_{c}"))
-    stats_rows = (
-        spark.read.parquet(job)
-        .drop(*pcols)  # partition cols re-derive from paths below
-        .groupBy(F.input_file_name().alias("__path"))
-        .agg(*aggs)
-        .collect()
-    )
+    from dataflowex_spark.sources.footer_stats import footer_file_stats
+
+    # stats come from the parquet footers the write tasks already
+    # produced (partition columns live in the hive dirs, not the
+    # files, so footers carry exactly the scols); the distributed
+    # re-scan below is only the fallback for stats the footers
+    # cannot reproduce exactly (see footer_stats docstring)
+    stats_rows = footer_file_stats(job, scols, recursive=True)
+    if stats_rows is not None:
+        stats_rows = [{**r, "__path": r["path"]} for r in stats_rows]
+    else:
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in scols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        stats_rows = [
+            r.asDict()
+            for r in spark.read.parquet(job)
+            .drop(*pcols)  # partition cols re-derive from paths below
+            .groupBy(F.input_file_name().alias("__path"))
+            .agg(*aggs)
+            .collect()
+        ]
 
     def jsonable(v):
         import datetime
@@ -1804,8 +1816,13 @@ def _stage_data_files(
     adds = []
     for r in stats_rows:
         # input_file_name() is a URI: decode %-escapes to the
-        # on-disk name (hive value escaping decodes separately)
-        src = _up.unquote(re.sub(r"^file:/*", "/", r["__path"]))
+        # on-disk name (hive value escaping decodes separately).
+        # Footer-sourced rows already carry the raw on-disk path —
+        # a second unquote would corrupt hive-escaped dir names.
+        if r["__path"].startswith("file:"):
+            src = _up.unquote(re.sub(r"^file:/*", "/", r["__path"]))
+        else:
+            src = r["__path"]
         rel_dir = os.path.relpath(os.path.dirname(src), job)
         pv: dict[str, str | None] = {}
         if pcols:
@@ -4676,15 +4693,27 @@ def convert_to_delta(
             if isinstance(f.dataType, prim) and f.name not in pcols
         ]
     )
-    aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in scols:
-        aggs.append(F.min(c).alias(f"__mn_{c}"))
-        aggs.append(F.max(c).alias(f"__mx_{c}"))
-    stats_rows = (
-        df.groupBy(F.input_file_name().alias("__path"))
-        .agg(*aggs)
-        .collect()
-    )
+    from dataflowex_spark.sources.footer_stats import footer_file_stats
+
+    # in-place convert registers FOREIGN files — their footers carry
+    # the same stats a re-scan would compute; fall back to the
+    # distributed scan when they can't reproduce it exactly. The
+    # explicit list keeps the registered file set byte-identical to
+    # the walk above (incl. underscore-prefixed names).
+    stats_rows = footer_file_stats(path, scols, paths=files)
+    if stats_rows is not None:
+        stats_rows = [{**r, "__path": r["path"]} for r in stats_rows]
+    else:
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in scols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        stats_rows = [
+            r.asDict()
+            for r in df.groupBy(F.input_file_name().alias("__path"))
+            .agg(*aggs)
+            .collect()
+        ]
 
     def jsonable(v):
         import datetime
@@ -4695,7 +4724,10 @@ def convert_to_delta(
 
     adds = []
     for r in stats_rows:
-        src = _up.unquote(re.sub(r"^file:/*", "/", r["__path"]))
+        if r["__path"].startswith("file:"):
+            src = _up.unquote(re.sub(r"^file:/*", "/", r["__path"]))
+        else:
+            src = r["__path"]
         rel = os.path.relpath(src, path)
         pv: dict[str, str | None] = {}
         for seg in os.path.dirname(rel).split(os.sep):

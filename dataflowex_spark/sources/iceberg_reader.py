@@ -3086,23 +3086,39 @@ def _stage_iceberg_entries(
     if pnames:
         w = w.partitionBy(*pnames)
     getattr(w, stage_format)(job)
-    aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in scols:
-        aggs.append(F.min(c).alias(f"__mn_{c}"))
-        aggs.append(F.max(c).alias(f"__mx_{c}"))
-    stats_rows = (
-        getattr(spark.read, stage_format)(job)
-        .drop(*pnames)  # partition values re-derive from paths below
-        .groupBy(F.input_file_name().alias("__path"))
-        .agg(*aggs)
-        .collect()
-    )
+    stats_rows = None
+    if stage_format == "parquet":
+        # stats from the footers the write tasks already produced;
+        # orc/avro stages and footer-unfaithful columns fall back to
+        # the distributed re-scan (see footer_stats docstring)
+        from dataflowex_spark.sources.footer_stats import footer_file_stats
+
+        raw = footer_file_stats(job, scols, recursive=True)
+        if raw is not None:
+            stats_rows = [{**r, "__path": r["path"]} for r in raw]
+    if stats_rows is None:
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in scols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        stats_rows = [
+            r.asDict()
+            for r in getattr(spark.read, stage_format)(job)
+            .drop(*pnames)  # partition values re-derive from paths below
+            .groupBy(F.input_file_name().alias("__path"))
+            .agg(*aggs)
+            .collect()
+        ]
     entries = []
     transcode: list[tuple[str, str]] = []
     for r in stats_rows:
         # input_file_name() is a URI: decode %-escapes to the
-        # on-disk name (hive value escaping decodes separately)
-        src = _up.unquote(_re.sub(r"^file:/*", "/", r["__path"]))
+        # on-disk name (hive value escaping decodes separately).
+        # Footer-sourced rows already carry the raw on-disk path.
+        if r["__path"].startswith("file:"):
+            src = _up.unquote(_re.sub(r"^file:/*", "/", r["__path"]))
+        else:
+            src = r["__path"]
         rel_dir = os.path.relpath(os.path.dirname(src), job)
         ptuple = None
         if pinfo:

@@ -145,112 +145,6 @@ def _prune_pair(stat, bound):
     return _jsonable(stat), _jsonable(bound)
 
 
-def _footer_stats(job: str, cols: list[str]) -> list[dict] | None:
-    """Per-file (rows, min, max per col) read from PARQUET FOOTERS —
-    the metadata the write tasks already computed — instead of a
-    second Spark scan over the just-written files. This is how the
-    real table formats (Delta/Iceberg) source their file stats; the
-    re-scan job it replaces cost a full read + shuffle-by-filename
-    per commit.
-
-    Returns ``None`` whenever the footers cannot reproduce the scan
-    EXACTLY, and the caller falls back to the distributed stats job:
-
-    - column types outside the proven-faithful set (ints, bool,
-      string, date, timestamp, float/double) — e.g. decimals, whose
-      pyarrow stat rendering differs from Spark's Row values;
-    - missing/omitted min-max (parquet drops stats for long binary
-      values) on any row group that has values;
-    - NaN-poisoned float stats (parquet-mr propagates NaN into
-      min/max; Spark's max treats NaN as the largest double, so the
-      footer cannot be trusted — the fallback scan reproduces
-      Spark's ordering).
-
-    tz-aware timestamp stats are normalized to naive UTC, matching
-    the session-UTC naive datetimes Spark's collected Rows carry.
-
-    Returned entry dicts hold RAW values (same as the collected Row
-    values); the caller applies ``_jsonable`` exactly as before.
-    """
-    try:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-    except Exception:
-        return None
-    import datetime as dt
-    import math
-
-    def _ok_type(t) -> bool:
-        return (
-            pa.types.is_integer(t)
-            or pa.types.is_boolean(t)
-            or pa.types.is_string(t)
-            or pa.types.is_large_string(t)
-            or pa.types.is_date(t)
-            or pa.types.is_timestamp(t)
-            or pa.types.is_floating(t)
-        )
-
-    def _norm(v):
-        if isinstance(v, dt.datetime) and v.tzinfo is not None:
-            return v.astimezone(dt.timezone.utc).replace(tzinfo=None)
-        return v
-
-    out: list[dict] = []
-    try:
-        parts = sorted(
-            os.path.join(job, f)
-            for f in os.listdir(job)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        )
-        for path in parts:
-            pf = pq.ParquetFile(path)
-            md = pf.metadata
-            if md.num_rows == 0:
-                continue
-            schema = pf.schema_arrow
-            names = {f.name: i for i, f in enumerate(schema)}
-            entry: dict = {"path": path, "rows": md.num_rows}
-            for c in cols:
-                if c not in names:
-                    return None
-                if not _ok_type(schema.field(c).type):
-                    return None
-                # physical column index can differ from arrow index
-                # on nested schemas — mtable data is flat, so the
-                # names line up; bail out if they don't.
-                mins, maxs = [], []
-                for rg in range(md.num_row_groups):
-                    rgm = md.row_group(rg)
-                    col = None
-                    for ci in range(rgm.num_columns):
-                        if rgm.column(ci).path_in_schema == c:
-                            col = rgm.column(ci)
-                            break
-                    if col is None:
-                        return None
-                    st = col.statistics
-                    if st is None:
-                        return None
-                    if st.num_values == 0:
-                        continue  # all-null group contributes nothing
-                    if not st.has_min_max:
-                        return None
-                    lo, hi = _norm(st.min), _norm(st.max)
-                    if isinstance(lo, float) and (
-                        math.isnan(lo) or math.isnan(hi)
-                    ):
-                        return None
-                    mins.append(lo)
-                    maxs.append(hi)
-                entry[f"__mn_{c}"] = min(mins) if mins else None
-                entry[f"__mx_{c}"] = max(maxs) if maxs else None
-            out.append(entry)
-    except Exception:
-        return None
-    return out
-
-
 def _atomic_write(path: str, content: str) -> None:
     d = os.path.dirname(path) or "."
     fd, tmp = tempfile.mkstemp(dir=d, prefix=".mtable_")
@@ -366,8 +260,15 @@ class MTable:
         elif n_files is not None:
             df = df.repartitionByRange(max(1, n_files), key_col)
         df.write.parquet(job)
+        from dataflowex_spark.sources.footer_stats import footer_file_stats
+
         stat_cols = list(dict.fromkeys([key_col] + scols))
-        stats = _footer_stats(job, stat_cols)
+        raw = footer_file_stats(job, stat_cols)
+        stats = (
+            None
+            if raw is None
+            else [{**r, "rows": r["__rows"]} for r in raw]
+        )
         if stats is None:
             # footers can't reproduce the scan exactly (exotic type,
             # dropped stats, NaN floats) — distributed fallback, the
