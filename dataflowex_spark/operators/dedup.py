@@ -829,9 +829,12 @@ def jaccard_prefix_pairs(
     # the corpus from the scan (guide §5: localCheckpoint reused
     # intermediates); PPJoin implementations build this index
     # exactly once by construction.
+    # semi-join on DOC rows, then explode: filtering after the
+    # explode would shuffle the full gram stream by id instead of
+    # one row per document (guide §3.3 — join first, explode after)
     ex = (
-        df.select(F.col(id_col), F.explode(grams).alias("gram"))
-        .join(rep_ids, id_col, "left_semi")
+        df.join(rep_ids, id_col, "left_semi")
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
         .localCheckpoint(eager=True)
     )
     # grams are distinct per doc → rows-per-gram IS document

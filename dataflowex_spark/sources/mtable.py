@@ -1260,20 +1260,28 @@ class MTable:
         # checkpointed positions — bounded by the DELETED row count —
         # instead of re-running the full-table scan three times
         new_hits = new_hits.localCheckpoint(eager=True)
-        if not new_hits.take(1):
-            return None  # idempotent: nothing newly deleted
-        # new_hits is disjoint from old by construction (anti join),
-        # and a single scan yields unique positions — no distinct needed
-        matched = (
-            new_hits.unionByName(old) if old is not None else new_hits
-        )
-        counts = {
-            r["file_path"]: r["n"]
-            for r in matched.groupBy("file_path")
+        # ONE bounded collect decides everything: per-file NEW hit
+        # counts (empty ⇒ idempotent no-op, replacing a separate
+        # take(1) probe job), and the carried DV rows are counted
+        # from the manifest's per-entry dv_rows instead of re-reading
+        # and re-aggregating the old sidecars — new and old are
+        # disjoint by the anti-join above
+        new_counts = {
+            _local_path(r["file_path"]): r["n"]
+            for r in new_hits.groupBy("file_path")
             .agg(F.count("*").alias("n"))
             .collect()
         }
-        by_local = {_local_path(k): v for k, v in counts.items()}
+        if not new_counts:
+            return None  # idempotent: nothing newly deleted
+        matched = (
+            new_hits.unionByName(old) if old is not None else new_hits
+        )
+        by_local = {
+            e["path"]: new_counts.get(e["path"], 0)
+            + (e.get("dv_rows") or 0)
+            for e in m["files"]
+        }
         # guards run BEFORE the sidecar write so the failure path
         # leaves nothing behind
         survivors = [
