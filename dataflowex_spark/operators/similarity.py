@@ -1063,29 +1063,62 @@ def kcenter_select(
     a list of (id, vector)."""
     from pyspark.sql import functions as F
 
-    first = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(1).collect()[0]
-    )
+    pts = df.select(id_col, vec_col)
+    n = pts.count()
+    if n <= 200_000:
+        # Bounded corpus: run the greedy loop on the driver over the
+        # collected (id, vector) rows — the k−1 scan+argmax Spark
+        # rounds (interpreted HOF distance lambdas, one job each)
+        # cost orders of magnitude more than the vectorized numpy
+        # argmax for anything that fits in a broadcast-sized frame.
+        # Same seed (min id), same tie-break (first max at the
+        # smallest id after the sort).
+        import numpy as np
+
+        rows = sorted(pts.collect(), key=lambda r: r[id_col])
+        ids = [r[id_col] for r in rows]
+        X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+        i0 = 0  # rows sorted by id → min id first
+        centers = [(ids[i0], [float(v) for v in X[i0]])]
+        mind = ((X - X[i0]) ** 2).sum(axis=1)
+        for _ in range(k - 1):
+            j = int(np.argmax(mind))  # first max → smallest id
+            centers.append((ids[j], [float(v) for v in X[j]]))
+            mind = np.minimum(mind, ((X - X[j]) ** 2).sum(axis=1))
+        return centers
+    # Distributed branch: Gonzalez with INCREMENTAL min-distance —
+    # each round measures distance to the NEWEST center only and
+    # folds it into the carried minimum (min is associative, so the
+    # values are bit-identical to recomputing every center), turning
+    # the former O(k²·n) re-scan of the whole center list per round
+    # into O(k·n). State is checkpointed per round so the distance
+    # expression tree stays one center deep.
+    first = pts.orderBy(id_col).limit(1).collect()[0]
     centers = [(first[id_col], list(first[vec_col]))]
+
+    def d2(vec):
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in vec]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    state = pts.withColumn("__mind", d2(centers[0][1])).localCheckpoint(
+        eager=True
+    )
     for _ in range(k - 1):
-        dist_exprs = [
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in vec]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for _cid, vec in centers
-        ]
-        nearest = F.least(*dist_exprs) if len(dist_exprs) > 1 else dist_exprs[0]
         far = (
-            df.select(id_col, vec_col, nearest.alias("__d"))
-            .orderBy(F.col("__d").desc(), F.col(id_col))
+            state.orderBy(F.col("__mind").desc(), F.col(id_col))
             .limit(1)
             .collect()[0]
         )
         centers.append((far[id_col], list(far[vec_col])))
+        if len(centers) < k:
+            state = state.withColumn(
+                "__mind", F.least(F.col("__mind"), d2(centers[-1][1]))
+            ).localCheckpoint(eager=True)
     return centers
