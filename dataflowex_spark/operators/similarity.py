@@ -118,13 +118,16 @@ def knn_cosine_lsh(
                 f"knn_cosine_lsh: {name} embedding length {bad['d']} != dim {dim}"
             )
 
+    from dataflowex_spark.plans import local_rows_df
+
     spark = corpus.sparkSession
-    planes_df = spark.createDataFrame(
+    planes_df = local_rows_df(
+        spark,
         [
             (t, [[float(x) for x in p] for p in _hyperplanes(dim, n_planes, seed + 1000 * t)])
             for t in range(n_tables)
         ],
-        schema="table int, __planes array<array<double>>",
+        "table int, __planes array<array<double>>",
     )
 
     def bucketize(df: DataFrame, out_id: str) -> DataFrame:
@@ -215,10 +218,13 @@ def knn_cosine_ivf(
     # literals baked into one expression (4096×768 literals would blow
     # up the Catalyst plan); the probe×centroid frame is
     # |probes|·n_cells rows of plain column math, fully distributed.
+    from dataflowex_spark.plans import local_rows_df
+
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
+    cent_df = local_rows_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        schema="__cell int, __centroid array<double>",
+        "__cell int, __centroid array<double>",
     )
     w_cell = Window.partitionBy(probe_id_col).orderBy(
         F.col("__csim").desc(), F.col("__cell")
@@ -294,14 +300,21 @@ def ivf_build_index(
         predictionCol="__cell",
     ).fit(train)
 
+    from dataflowex_spark.plans import local_rows_df
+
     spark = corpus.sparkSession
-    spark.createDataFrame(
+    # single-slice local frame: a coalesce(1) over the default
+    # 32-slice parallelized list drains one Python worker round-trip
+    # PER SLICE sequentially (~6 s for 8 rows on local[32]); one
+    # slice writes the identical file in one task
+    local_rows_df(
+        spark,
         [
             (i, [float(x) for x in c])
             for i, c in enumerate(model.clusterCenters())
         ],
-        schema="__cell int, __centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(
+        "__cell int, __centroid array<double>",
+    ).write.mode("overwrite").parquet(
         index_path.rstrip("/") + "/centroids"
     )
     (
@@ -415,11 +428,13 @@ def ivf_recall_audit(
     a bigger ``n_probe`` buys recall with).
 
     Scale shape: ``exact`` is computed ONCE and reused across all
-    settings (it is the expensive half); each audited setting adds
-    one pruned-index search over the probe batch, which is the same
-    work a production query pays. Everything joins on
-    (probe, neighbor) keys — no collects beyond the final
-    len(n_probe_list)-row frame."""
+    settings (it is the expensive half); the CANDIDATE frame is also
+    scored once, at max(n_probe) — a smaller setting's candidate set
+    is exactly the rows whose cell rank fits its budget, so every
+    audited setting filters the one shared frame instead of paying
+    its own index search (4 scans+collects → 1). Everything joins on
+    (probe, neighbor) keys — no collects beyond the cell list and the
+    final len(n_probe_list)-row frame."""
     # materialize the exact answer ONCE: it joins into every audited
     # setting, and without the checkpoint each setting's execution
     # would re-run the O(probes x corpus) brute-force scan (plus a
@@ -433,17 +448,60 @@ def ivf_recall_audit(
     n_exact = ex.groupBy(probe_id_col).agg(
         F.count("*").alias("__n_true")
     )
+    # one search at the LARGEST setting, keeping each candidate's
+    # cell rank: filtering __cr <= np reproduces that setting's
+    # ivf_search candidates (same cells, same cosine scores) without
+    # re-reading the index per setting
+    spark = probes.sparkSession
+    max_np = max(n_probe_list)
+    cent_df = spark.read.parquet(index_path.rstrip("/") + "/centroids")
+    w_cell = Window.partitionBy(probe_id_col).orderBy(
+        F.col("__csim").desc(), F.col("__cell")
+    )
+    p = (
+        probes.select(
+            F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("__pv")
+        )
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            "__csim", cosine_similarity(F.col("__pv"), F.col("__centroid"))
+        )
+        .withColumn("__cr", F.row_number().over(w_cell))
+        .filter(F.col("__cr") <= max_np)
+        .select(probe_id_col, "__pv", "__cell", "__cr")
+    )
+    cells = [r["__cell"] for r in p.select("__cell").distinct().collect()]
+    assigned = (
+        spark.read.parquet(index_path.rstrip("/") + "/assignments")
+        .filter(F.col("__cell").isin(cells))  # partition-pruned scan
+        .select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("__cv"),
+            "__cell",
+        )
+    )
+    cand_all = (
+        p.join(assigned, on="__cell")
+        .filter(F.col("cand_id") != F.col(probe_id_col))
+        .select(
+            probe_id_col,
+            F.col("cand_id").alias(id_col),
+            "__cr",
+            cosine_similarity(F.col("__cv"), F.col("__pv")).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_rank = Window.partitionBy(probe_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
     out = None
     for np_ in n_probe_list:
-        got = ivf_search(
-            probes,
-            index_path,
-            k=k,
-            vec_col=vec_col,
-            id_col=id_col,
-            probe_id_col=probe_id_col,
-            n_probe_cells=np_,
-            with_cost=True,
+        sub = cand_all.filter(F.col("__cr") <= np_).withColumn(
+            "n_candidates",
+            F.count("*").over(Window.partitionBy(probe_id_col)),
+        )
+        got = sub.withColumn("rank", F.row_number().over(w_rank)).filter(
+            F.col("rank") <= k
         )
         hits = (
             got.select(
@@ -877,9 +935,12 @@ def pq_train(
     }
 
     def cent_frame():
-        return spark.createDataFrame(
+        from dataflowex_spark.plans import local_rows_df
+
+        return local_rows_df(
+            spark,
             [(s, c, v) for (s, c), v in sorted(cents.items())],
-            schema="s int, code int, cent array<double>",
+            "s int, code int, cent array<double>",
         )
 
     assigned = None
@@ -995,7 +1056,41 @@ def pq_recall_audit(
     the accuracy/compression audit q298 gives IVF, for the PQ tier.
     Exact side is brute force over the fixture (the baseline PQ
     approximates); both rankings quantize distances and tie-break on
-    candidate id, so the audit is bit-stable."""
+    candidate id, so the audit is bit-stable.
+
+    Bounded corpora run the whole audit on the driver with numpy
+    (the house bounded-state pattern — pagerank rounds, BPE merges,
+    k-center): the audit's Lloyd iterations are collect-barriered
+    Spark jobs whose data is a broadcast-sized frame, so the
+    distributed loop pays ~20 s of per-job overhead to move KBs. The
+    numpy path replays the SAME quantized-integer arithmetic in the
+    SAME fold order (left-fold float64 sums, floor·1e9 distances,
+    floor·1e6 coordinate sums, (dq, code)/(dist, id) tie-breaks), so
+    outputs are bit-identical — pinned by
+    tests/test_dedup_similarity.py::test_pq_audit_driver_matches_distributed.
+    Above the bound the distributed path runs unchanged (corpus never
+    collects; training samples at 100 TB)."""
+    if corpus.count() <= 200_000:
+        return _pq_recall_audit_driver(
+            corpus, probes, k, m_sub, n_codes, iters, vec_col, id_col,
+            dim,
+        )
+    return _pq_recall_audit_dist(
+        corpus, probes, k, m_sub, n_codes, iters, vec_col, id_col, dim
+    )
+
+
+def _pq_recall_audit_dist(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    m_sub: int,
+    n_codes: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+) -> DataFrame:
     pq_cent, pq_codes = pq_train(
         corpus, m_sub, n_codes, iters, vec_col, id_col, dim
     )
@@ -1040,6 +1135,138 @@ def pq_recall_audit(
         )
         .orderBy("probe_id")
     )
+
+
+def _pq_recall_audit_driver(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    m_sub: int,
+    n_codes: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+) -> DataFrame:
+    """numpy replay of the distributed audit — every quantization,
+    fold order and tie-break mirrored so results are bit-identical
+    (see pq_recall_audit docstring). Two bounded collects (corpus +
+    probes), zero Spark jobs in the math."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    ds = dim // m_sub
+    vec = F.col(vec_col).cast("array<double>")
+    rows = sorted(
+        corpus.select(F.col(id_col).alias("__id"), vec.alias("__v")).collect(),
+        key=lambda r: r["__id"],
+    )
+    ids = np.array([r["__id"] for r in rows], dtype=np.int64)
+    X = np.array([r["__v"] for r in rows], dtype=np.float64)
+    n = len(rows)
+
+    def d2_cols(M, cent):
+        # left-fold sum of squared diffs, dim by dim — the exact
+        # float64 add order of aggregate(zip_with(...), 0.0, acc+v)
+        acc = np.zeros(len(M), dtype=np.float64)
+        for d in range(len(cent)):
+            acc = acc + (M[:, d] - cent[d]) ** 2
+        return acc
+
+    # ---- pq_train replay ----
+    # init: the n_codes lowest-id vectors, one centroid per subspace
+    cents: dict[tuple[int, int], list[float]] = {
+        (s, c): [float(x) for x in X[c, s * ds : (s + 1) * ds]]
+        for c in range(min(n_codes, n))
+        for s in range(m_sub)
+    }
+    codes_m = np.zeros((n, m_sub), dtype=np.int64)
+    for _ in range(iters):
+        # assignment under the current codebook: argmin of quantized
+        # distance, first-min == lowest code (codes scanned ascending)
+        for s in range(m_sub):
+            Xs = X[:, s * ds : (s + 1) * ds]
+            cl = sorted(c for (ss, c) in cents if ss == s)
+            Dq = np.empty((n, len(cl)), dtype=np.int64)
+            for j, c in enumerate(cl):
+                Dq[:, j] = np.floor(
+                    d2_cols(Xs, cents[(s, c)]) * 1_000_000_000
+                ).astype(np.int64)
+            codes_m[:, s] = np.asarray(cl, dtype=np.int64)[
+                np.argmin(Dq, axis=1)
+            ]
+        # new centroids: exact integer coordinate sums; empty
+        # clusters keep their previous centroid
+        for s in range(m_sub):
+            Q = np.floor(X[:, s * ds : (s + 1) * ds] * 1_000_000).astype(
+                np.int64
+            )
+            for c in np.unique(codes_m[:, s]):
+                mask = codes_m[:, s] == c
+                sq = Q[mask].sum(axis=0)
+                nn = int(mask.sum())
+                cents[(s, int(c))] = [
+                    int(sq[d]) / nn / 1_000_000.0 for d in range(ds)
+                ]
+    # codes = the LAST assignment (pre-final-update codebook);
+    # cents = post-final-update — exactly the distributed pairing
+
+    probe_rows = sorted(
+        probes.select(F.col(id_col).alias("__id"), vec.alias("__v")).collect(),
+        key=lambda r: r["__id"],
+    )
+    pids = np.array([r["__id"] for r in probe_rows], dtype=np.int64)
+    PV = np.array([r["__v"] for r in probe_rows], dtype=np.float64)
+    np_probes = len(probe_rows)
+
+    def topk_ids(dist_row, self_id):
+        # rank by (dist, id) ascending, skip the probe itself; ids
+        # are sorted ascending so a stable sort IS the id tie-break
+        order = np.argsort(dist_row, kind="stable")
+        out = []
+        for j in order:
+            if ids[j] == self_id:
+                continue
+            out.append(ids[j])
+            if len(out) == k:
+                break
+        return set(out)
+
+    # ---- pq_adc_search replay: probe LUT + code-sum distances ----
+    lut = np.zeros((np_probes, m_sub, n_codes), dtype=np.int64)
+    for s in range(m_sub):
+        Ps = PV[:, s * ds : (s + 1) * ds]
+        for c in sorted(c for (ss, c) in cents if ss == s):
+            lut[:, s, c] = np.floor(
+                d2_cols(Ps, cents[(s, c)]) * 1_000_000_000
+            ).astype(np.int64)
+    adist = np.zeros((np_probes, n), dtype=np.int64)
+    for s in range(m_sub):
+        adist += lut[:, s, codes_m[:, s]]
+
+    # ---- exact squared-L2 replay ----
+    acc = np.zeros((np_probes, n), dtype=np.float64)
+    for d in range(dim):
+        acc = acc + (PV[:, d][:, None] - X[:, d][None, :]) ** 2
+    dq = np.floor(acc * 1_000_000_000).astype(np.int64)
+
+    out = []
+    for p in range(np_probes):
+        got = topk_ids(adist[p], pids[p])
+        true = topk_ids(dq[p], pids[p])
+        n_overlap = len(got & true)
+        out.append(
+            (
+                int(pids[p]),
+                n_overlap,
+                int(n_overlap * 1_000_000 / k),
+            )
+        )
+    from dataflowex_spark.plans import local_rows_df
+
+    return local_rows_df(
+        spark, out, "probe_id long, n_overlap long, recall_ppm long"
+    ).orderBy("probe_id")
 
 
 def kcenter_select(

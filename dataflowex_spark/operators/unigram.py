@@ -245,13 +245,21 @@ def unigram_encode(
         import pandas as pd
 
         m = bc.value
+        # Viterbi is pure in (word, model): segment each distinct
+        # word once per batch (word types << occurrences); the
+        # emitted piece sequence is unchanged.
+        cache: dict[str, list[str]] = {}
 
         def one(x):
             if x is None:
                 return None
             pieces: list[str] = []
             for w in x.split():
-                pieces.extend(viterbi_segment(w, m, max_piece_len))
+                p = cache.get(w)
+                if p is None:
+                    p = viterbi_segment(w, m, max_piece_len)
+                    cache[w] = p
+                pieces.extend(p)
             return pieces
 
         return pd.Series([one(x) for x in s])

@@ -172,6 +172,24 @@ def column_lineage(df: DataFrame) -> dict[str, set[tuple[str, str]]]:
     }
 
 
+def local_rows_df(spark, rows, schema, slices: int = 1) -> DataFrame:
+    """Driver-built small DataFrame with a BOUNDED partition count.
+
+    ``spark.createDataFrame(list)`` parallelizes the rows into
+    defaultParallelism pickled slices; any later single-task consumer
+    (a ``coalesce(1)`` metadata write, a coalesced fixture stage)
+    then drains every slice SEQUENTIALLY, paying a fresh Python
+    worker round-trip per slice — measured ~6 s to write an 8-row
+    centroid file on local[32] (~0.19 s × 32 slices). Creating the
+    frame with ``slices`` partitions up front removes that tax; row
+    order is the list order either way, so downstream bytes are
+    identical."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=max(1, slices)),
+        schema=schema,
+    )
+
+
 def spread_small_scan(
     df: DataFrame, parts: int | None = None, cap_bytes: int = 64 << 20
 ) -> DataFrame:

@@ -842,6 +842,51 @@ def test_pq_adc_recovers_separated_clusters_and_is_deterministic(spark):
     assert [tuple(r) for r in out] == [tuple(r) for r in out2]
 
 
+def test_pq_audit_driver_matches_distributed(spark, sf_dir):
+    """The bounded-corpus numpy path of pq_recall_audit must replay
+    the distributed computation BIT-IDENTICALLY — same Lloyd
+    assignments (quantized distances, lowest-code ties), same
+    integer-sum centroid updates, same ADC and exact top-k with id
+    tie-breaks — on both a synthetic fixture and the real
+    embeddings table."""
+    from dataflowex_spark.operators.similarity import (
+        _pq_recall_audit_dist,
+        _pq_recall_audit_driver,
+    )
+
+    # synthetic: clustered + a few ties by construction
+    rows = []
+    for c in range(4):
+        base = [10.0 * (c + 1) if d % 4 == c else 0.0 for d in range(8)]
+        for i in range(10):
+            rows.append(
+                (
+                    c * 10 + i,
+                    [x + 0.01 * ((i * 7 + d) % 5) for d, x in enumerate(base)],
+                )
+            )
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = vecs.where(F.col("vec_id") % 10 == 0)
+    a = _pq_recall_audit_driver(
+        vecs, probes, 3, 4, 8, 4, "embedding", "vec_id", 8
+    ).collect()
+    b = _pq_recall_audit_dist(
+        vecs, probes, 3, 4, 8, 4, "embedding", "vec_id", 8
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    # real table, the q350 configuration (smaller sf for runtime)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pr = emb.orderBy("vec_id").limit(20)
+    a = _pq_recall_audit_driver(
+        emb, pr, 10, 16, 64, 4, "embedding", "vec_id", 64
+    ).collect()
+    b = _pq_recall_audit_dist(
+        emb, pr, 10, 16, 64, 4, "embedding", "vec_id", 64
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_psnr_ssim_reference_behavior(spark):
     """Identity, ordering under noise, and the distributed pass."""
     import numpy as np
