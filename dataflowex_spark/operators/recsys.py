@@ -132,10 +132,39 @@ def als(
     A declared pandas operator (the rank×rank solves are the honest
     Python boundary); everything around the solves — joins, shuffles,
     the prediction dot product — is JVM-side. ``ratings`` should be
-    pre-aggregated to one row per (user, item)."""
+    pre-aggregated to one row per (user, item).
+
+    Bounded ratings matrices run the sweeps on the driver with numpy
+    (the house bounded-state pattern — pagerank rounds, PQ audits,
+    k-center): 2·iters checkpointed mapInPandas sweeps of fixed
+    per-job overhead otherwise move KBs of factors. The driver path
+    replays the SAME md5 init and the SAME sorted-group normal
+    equations with the same numpy calls in the same fold order, so
+    the factors are bit-identical — pinned by
+    tests/test_recsys.py::test_als_driver_matches_distributed. Above
+    the bound the distributed loop runs unchanged (ratings never
+    collect at scale)."""
     ratings = ratings.select(user_col, item_col, rating_col).localCheckpoint(
         eager=True
     )
+    if ratings.count() <= 500_000:
+        return _als_driver(
+            ratings, user_col, item_col, rating_col, rank, iters, reg
+        )
+    return _als_dist(
+        ratings, user_col, item_col, rating_col, rank, iters, reg
+    )
+
+
+def _als_dist(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    rank: int,
+    iters: int,
+    reg: float,
+) -> tuple[DataFrame, DataFrame]:
     item_f = _init_factors(
         ratings.select(item_col).distinct(), item_col, rank
     ).localCheckpoint(eager=True)
@@ -148,6 +177,94 @@ def als(
             ratings, user_f, item_col, user_col, rating_col, rank, reg
         ).localCheckpoint(eager=True)
     return user_f, item_f
+
+
+def _als_driver(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    rank: int,
+    iters: int,
+    reg: float,
+) -> tuple[DataFrame, DataFrame]:
+    """numpy replay of the distributed sweeps — identical md5 init,
+    (key, fixed-id) row order, Vᵀ V + λ n I assembly and
+    np.linalg.solve per entity, so factors match bit-for-bit (see
+    als docstring). One bounded collect, zero Spark jobs in the
+    math."""
+    import hashlib
+
+    import numpy as np
+
+    from dataflowex_spark.plans import local_rows_df
+
+    spark = ratings.sparkSession
+    pdf = ratings.toPandas()
+    u = pdf[user_col].to_numpy(np.int64)
+    it = pdf[item_col].to_numpy(np.int64)
+    rt = pdf[rating_col].to_numpy(np.float64)
+
+    def md5_init(ids):
+        # component k of entity e = 60-bit md5 bucket of "e:k" in
+        # [0, 1) — the exact arithmetic of _init_factors (string
+        # md5 -> first 15 hex chars -> decimal -> double / 2^60)
+        return np.array(
+            [
+                [
+                    int(
+                        hashlib.md5(f"{e}:{k}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                    / float(1 << 60)
+                    for k in range(rank)
+                ]
+                for e in ids
+            ],
+            np.float64,
+        )
+
+    # factor state is (sorted unique ids, id×rank matrix); rows are
+    # gathered by dense searchsorted index — same float64 values as
+    # the dict/vstack form, just a vectorized lookup
+    def solve_half(k, f, r, fixed_ids, fixed_m):
+        # rows sorted by (key, fixed id) exactly as the partition
+        # path's lexsort; same Vᵀ V accumulation and solve
+        order = np.lexsort((f, k))
+        kk, ff, rr = k[order], f[order], r[order]
+        V = fixed_m[np.searchsorted(fixed_ids, ff)]
+        uk, starts = np.unique(kk, return_index=True)
+        bounds = np.append(starts, len(kk))
+        eye = np.eye(rank)
+        out = np.empty((len(uk), rank), np.float64)
+        for i in range(len(uk)):
+            s, e = bounds[i], bounds[i + 1]
+            Vg = V[s:e]
+            A = Vg.T @ Vg + reg * (e - s) * eye
+            b = Vg.T @ rr[s:e]
+            out[i] = np.linalg.solve(A, b)
+        return uk, out
+
+    item_ids = np.unique(it)
+    item_m = md5_init(item_ids)
+    user_ids = user_m = None
+    for _ in range(iters):
+        user_ids, user_m = solve_half(u, it, rt, item_ids, item_m)
+        item_ids, item_m = solve_half(it, u, rt, user_ids, user_m)
+
+    def frame(ids, m, id_col):
+        return local_rows_df(
+            spark,
+            [
+                (int(e), [float(x) for x in m[i]])
+                for i, e in enumerate(ids)
+            ],
+            f"{id_col} long, vec array<double>",
+        )
+
+    return frame(user_ids, user_m, user_col), frame(
+        item_ids, item_m, item_col
+    )
 
 
 def predict(

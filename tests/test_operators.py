@@ -3865,6 +3865,34 @@ def test_als_recovers_planted_low_rank(spark):
     assert v1 == v2
 
 
+def test_als_driver_matches_distributed(spark):
+    """The bounded-ratings driver path of als() must replay the
+    distributed sweeps BIT-IDENTICALLY — same md5 init, same
+    (key, fixed-id) group order, same normal-equation assembly and
+    numpy solve — including ragged interaction counts and negative
+    ratings."""
+    from dataflowex_spark.operators.recsys import _als_dist, _als_driver
+
+    rows = [
+        (u, i, float(((u * 7 + i * 13) % 11) - 3))
+        for u in range(25)
+        for i in range(15)
+        if (u + i) % 3 != 1  # ragged: users/items see different counts
+    ]
+    ratings = spark.createDataFrame(
+        rows, "user long, item long, rating double"
+    ).localCheckpoint(eager=True)
+    args = ("user", "item", "rating", 3, 4, 0.05)
+    ufd, ifd = _als_driver(ratings, *args)
+    ufx, ifx = _als_dist(ratings, *args)
+    assert {r["user"]: r["vec"] for r in ufd.collect()} == {
+        r["user"]: r["vec"] for r in ufx.collect()
+    }
+    assert {r["item"]: r["vec"] for r in ifd.collect()} == {
+        r["item"]: r["vec"] for r in ifx.collect()
+    }
+
+
 def test_iblt_diff_recovers_symmetric_difference(spark):
     """iblt_diff == the anti-join truth on sets differing by a few
     dozen keys, and raises (never silently truncates) when the
