@@ -524,21 +524,31 @@ def refresh_insert_only(
             f"merge key); got {keys} — derive a composite surrogate "
             "key column from the grain first"
         )
-    bad = changes.filter(F.col("op") != "I").limit(1).count()
-    if bad:
-        raise ValueError("refresh_insert_only saw a non-insert op")
     value_cols = sorted(
         {col for _out, (_fn, col) in aggs.items() if col is not None}
     )
     news = changes.select(
         *[F.col(f"{k}__post").alias(k) for k in keys],
         *[F.col(f"{c}__post").alias(c) for c in value_cols],
+        "op",
     )
+    # the insert-only guard rides the SAME scan as the grain
+    # aggregate (a separate filter+count paid a second full pass over
+    # the feed): per-grain non-insert counts fold into the aggregate,
+    # the tiny grain frame is materialized, and the guard check is a
+    # driver fold over it — the feed is read exactly once
     fresh = (
         with_hll_inputs(news, aggs)
         .groupBy(*[F.col(k) for k in keys])
-        .agg(*_measure_exprs(aggs))
+        .agg(
+            *_measure_exprs(aggs),
+            F.sum((F.col("op") != "I").cast("long")).alias("__bad"),
+        )
+        .localCheckpoint(eager=True)
     )
+    if fresh.agg(F.sum("__bad")).first()[0]:
+        raise ValueError("refresh_insert_only saw a non-insert op")
+    fresh = fresh.drop("__bad")
     cur = mv_table.read().select(
         *keys, *[F.col(c).alias(f"{c}__old") for c in aggs]
     )

@@ -1758,6 +1758,42 @@ class MTable:
         val_cols = [c for c in cols if c != key]
         if not removed and not added:
             return base.select(F.lit("I").alias("op"), *cols).limit(0)
+        if not removed or not added:
+            # one side is provably empty from the MANIFEST DIFF alone
+            # (a pure append, or a pure file-drop): every row of the
+            # populated side classifies as I (resp. D) with NULL
+            # images on the absent side, exactly what the full-outer
+            # join below would emit — so skip its key shuffle
+            # entirely. This is the append-commit common case: the
+            # changefeed then costs one scan of the added files.
+            ins = bool(added)
+            dtypes = {f.name: f.dataType for f in base.schema.fields}
+            side = self._read_entries(
+                [
+                    (to_by_path if ins else from_by_path)[p]
+                    for p in (added or removed)
+                ],
+                m_to["version"],
+            )
+            opl = F.lit("I" if ins else "D")
+            if images == "both":
+                def _pre_post(c):
+                    null = F.lit(None).cast(dtypes[c])
+                    if ins:
+                        return (
+                            null.alias(f"{c}__pre"),
+                            F.col(c).alias(f"{c}__post"),
+                        )
+                    return (
+                        F.col(c).alias(f"{c}__pre"),
+                        null.alias(f"{c}__post"),
+                    )
+                return side.select(
+                    opl.alias("op"),
+                    key,
+                    *[x for c in val_cols for x in _pre_post(c)],
+                )
+            return side.select(opl.alias("op"), key, *val_cols)
         old = (
             # v_to schema even for the pre-image: a column added
             # between the versions null-fills on the old side, so the
