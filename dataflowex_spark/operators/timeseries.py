@@ -396,12 +396,56 @@ def dtw_pairs(
         if f.name not in (seq_a_col, seq_b_col)
     ]
 
+    def _dtw_batch(A, B, r):
+        # the SAME integer recurrence as _dtw, vectorized across the
+        # PAIR axis (every pair advances its (i, j) cell in lockstep;
+        # per-cell arithmetic is integer min/add, so results are
+        # bit-identical to the scalar loop). Unreachable cells use a
+        # BIG sentinel instead of None; BIG never enters an addition.
+        import numpy as np
+
+        P, n = A.shape
+        m = B.shape[1]
+        BIG = np.int64(1) << 62
+        prev = np.full((P, m + 1), BIG, np.int64)
+        prev[:, 0] = 0
+        for i in range(1, n + 1):
+            cur = np.full((P, m + 1), BIG, np.int64)
+            lo = max(1, i - r)
+            hi = min(m, i + r)
+            ai = A[:, i - 1]
+            for j in range(lo, hi + 1):
+                best = np.minimum(
+                    np.minimum(prev[:, j], cur[:, j - 1]), prev[:, j - 1]
+                )
+                cost = np.abs(ai - B[:, j - 1])
+                cur[:, j] = np.where(best >= BIG, BIG, best + cost)
+            prev = cur
+        return prev[:, m], BIG
+
     def gen(batches):
+        import numpy as np
+
         for pdf in batches:
-            vals = [
-                _dtw(list(ra), list(rb), band)
-                for ra, rb in zip(pdf[seq_a_col], pdf[seq_b_col])
-            ]
+            if len(pdf) == 0:
+                continue
+            la = pdf[seq_a_col].map(len).to_numpy()
+            lb = pdf[seq_b_col].map(len).to_numpy()
+            vals = [None] * len(pdf)
+            # vectorize per uniform (len_a, len_b) group — the SAX
+            # pipeline emits fixed-length series, so this is one
+            # group per batch in practice
+            for na, mb in {(int(x), int(y)) for x, y in zip(la, lb)}:
+                idx = np.flatnonzero((la == na) & (lb == mb))
+                A = np.array(
+                    [pdf[seq_a_col].iat[i] for i in idx], np.int64
+                ).reshape(len(idx), na)
+                B = np.array(
+                    [pdf[seq_b_col].iat[i] for i in idx], np.int64
+                ).reshape(len(idx), mb)
+                res, big = _dtw_batch(A, B, band)
+                for k, i in enumerate(idx):
+                    vals[i] = None if res[k] >= big else int(res[k])
             out = pdf[keep].copy()
             out[out_col] = pd.Series(vals, index=pdf.index, dtype="int64")
             yield out
