@@ -125,6 +125,19 @@ def main() -> None:
         "nation", "region", "events", "documents", "embeddings",
     ]:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    # ... as is the one-per-core Python worker spawn (~5-10 s once per
+    # session): pre-warm the daemon pool so the first pandas-UDF query
+    # measures its computation, not process forking. Same class as the
+    # classloading warmup above; the timed methodology is unchanged.
+    n_cores = spark.sparkContext.defaultParallelism
+
+    def _touch(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(n_cores * 4, numPartitions=n_cores).mapInPandas(
+        _touch, "id long"
+    ).count()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}

@@ -396,8 +396,17 @@ def ngram_jaccard_pairs(
         else F.array_distinct(char_ngrams(F.col(text_col), n))
     )
     g = df.select(F.col(id_col), grams.alias("grams"))
-    sizes = g.select(id_col, F.size("grams").alias("n_grams"))
-    ex = g.select(id_col, F.explode("grams").alias("gram"))
+    # the exploded gram stream feeds BOTH sides of the candidate
+    # self-join AND the size frame — materialize it once (the q235
+    # PPJoin / q117 containment lesson: each reference otherwise
+    # re-tokenizes and re-shingles the corpus from the scan). Sizes
+    # come from the checkpointed stream (grams are distinct per doc,
+    # so rows per id IS |A|); zero-gram docs can't appear in `inter`,
+    # so the inner size joins are unaffected by their absence.
+    ex = g.select(id_col, F.explode("grams").alias("gram")).localCheckpoint(
+        eager=True
+    )
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     if max_gram_df is None:
         a = ex.select(F.col(id_col).alias("id_a"), "gram")
         b = ex.select(F.col(id_col).alias("id_b"), "gram")

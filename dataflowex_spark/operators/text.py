@@ -664,9 +664,13 @@ def naive_bayes_label(
     base = df.select(
         F.col(id_col), F.col(label_col), toks.alias("__ts")
     )
+    # the token stream feeds BOTH the per-doc tf counts and the
+    # per-(class, term) training counts — materialize it once (the
+    # q235/q117 inverted-index lesson: each reference otherwise
+    # re-tokenizes and re-explodes the corpus from the scan)
     stream = base.select(
         id_col, label_col, F.explode("__ts").alias("term")
-    )
+    ).localCheckpoint(eager=True)
     tf = stream.groupBy(id_col, "term").agg(F.count("*").alias("__tf"))
     # training counts: per-(class, term), per-class totals, vocab size
     ct = stream.groupBy(label_col, "term").agg(F.count("*").alias("__c"))
