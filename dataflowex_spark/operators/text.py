@@ -774,16 +774,21 @@ def dsir_log_weights(
             ).alias("__b"),
         )
 
-    raw_b = buckets(raw)
-    tgt_b = buckets(target)
+    # the raw token-bucket stream feeds the histogram AND the final
+    # weight join — materialize it once (each reference otherwise
+    # re-tokenizes + re-hashes the corpus from the scan); the token
+    # totals come from the bounded histograms (Σ counts == stream
+    # count), not from extra corpus passes — 5 tokenize passes → 2
+    # (one per corpus), the rest aggregate ≤ n_buckets rows.
+    raw_b = buckets(raw).localCheckpoint(eager=True)
     raw_hist = raw_b.groupBy("__b").agg(
         F.count(F.lit(1)).cast("long").alias("c_raw")
     )
-    tgt_hist = tgt_b.groupBy("__b").agg(
+    tgt_hist = buckets(target).groupBy("__b").agg(
         F.count(F.lit(1)).cast("long").alias("c_tgt")
     )
-    n_raw = raw_b.count()
-    n_tgt = tgt_b.count()
+    n_raw = raw_hist.agg(F.sum("c_raw")).first()[0] or 0
+    n_tgt = tgt_hist.agg(F.sum("c_tgt")).first()[0] or 0
     grid = raw.sparkSession.range(n_buckets).select(
         F.col("id").alias("__b")
     )
