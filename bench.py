@@ -15,6 +15,13 @@ alongside — single-shot timings on a loaded box produced a phantom
 2.4× "regression" in round 2 (uniform slowdown incl. a bare
 projection); medians make the round-over-round signal robust to
 background load. Override repeats with $SPARK_GRAFT_BENCH_REPS.
+
+Round 12 (additions-only, methodology unchanged): the JSON line also
+carries ``reps_sec`` (per-rep times in run order, so a stalled rep is
+identifiable from the artifact alone) and ``probe_sec`` (a fixed-work
+``range(100M).sum()`` box-health probe bracketing the suite — healthy
+reads ~0.4-0.7 s on 32 cores; a probe far above that marks the whole
+run as contended). Both are outside every timed region.
 """
 
 from __future__ import annotations
@@ -139,9 +146,20 @@ def main() -> None:
         _touch, "id long"
     ).count()
 
+    def probe() -> float:
+        # fixed-work box-health probe (healthy: ~0.4-0.7 s on 32 cores);
+        # bracketing the suite makes a contended run identifiable from
+        # the artifact alone. Untimed w.r.t. every query measurement.
+        t0 = time.time()
+        spark.range(100_000_000).selectExpr("sum(id)").collect()
+        return round(time.time() - t0, 3)
+
+    probe_before = probe()
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    reps_sec: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = registry[name]
         samples = []
@@ -149,10 +167,15 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).count()
             samples.append(time.time() - t0)
+        # per-rep times in RUN ORDER (unsorted), so a single stalled
+        # rep is visible in the JSON line; median/spread as before.
+        reps_sec[name] = [round(s, 3) for s in samples]
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         spread[name] = round(samples[-1] - samples[0], 3)
     total = round(sum(timings.values()), 3)
+
+    probe_after = probe()
 
     print(
         json.dumps(
@@ -162,6 +185,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "reps_sec": reps_sec,
+                "probe_sec": {"before": probe_before, "after": probe_after},
                 "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -58,6 +58,24 @@ def _check(key_col):
     ).cast("bigint")
 
 
+def _cell_rows(df: DataFrame, key_col: str, cells: int, sign: int) -> DataFrame:
+    """Pre-aggregation cell-update stream: each key becomes K rows
+    (cell_i, sign, key, check) via ONE explode over the array of its
+    K cell indices — one scan of ``df``, one check-hash per key,
+    instead of the K scans a per-hash UNION costs (guide §1.2). Sum
+    and XOR are associative-commutative, so any grouping of these
+    rows yields the bit-identical sketch."""
+    k = F.col(key_col)
+    return df.select(
+        F.explode(
+            F.array(*[_cell(k, i, cells) for i in range(K_HASHES)])
+        ).alias("cell"),
+        F.lit(sign).cast("long").alias("d_count"),
+        k.cast("long").alias("d_key"),
+        _check(k).alias("d_check"),
+    )
+
+
 def iblt_build(
     df: DataFrame, key_col: str, cells: int, sign: int = 1
 ) -> DataFrame:
@@ -67,17 +85,7 @@ def iblt_build(
     aggregate. ``sign=-1`` marks the negated sketch so that a plain
     UNION + re-aggregate IS sketch subtraction (counts cancel, XOR
     is its own inverse)."""
-    k = F.col(key_col)
-    rows = None
-    for i in range(K_HASHES):
-        part = df.select(
-            _cell(k, i, cells).alias("cell"),
-            F.lit(sign).cast("long").alias("d_count"),
-            k.cast("long").alias("d_key"),
-            _check(k).alias("d_check"),
-        )
-        rows = part if rows is None else rows.unionByName(part)
-    return rows.groupBy("cell").agg(
+    return _cell_rows(df, key_col, cells, sign).groupBy("cell").agg(
         F.sum("d_count").alias("count"),
         F.expr("bit_xor(d_key)").alias("key_xor"),
         F.expr("bit_xor(d_check)").alias("check_xor"),
@@ -100,14 +108,18 @@ def iblt_diff(
     sketch) — never returns a silently partial difference."""
     import hashlib
 
+    # one aggregate over the union of both sides' RAW cell-update
+    # streams: sum/XOR are associative-commutative, so skipping the
+    # per-side groupBy yields the bit-identical subtracted sketch
+    # with ONE exchange (m cells) instead of three (guide §2.4).
     sk = (
-        iblt_build(a, key_col, cells, sign=1)
-        .unionByName(iblt_build(b, key_col, cells, sign=-1))
+        _cell_rows(a, key_col, cells, sign=1)
+        .unionByName(_cell_rows(b, key_col, cells, sign=-1))
         .groupBy("cell")
         .agg(
-            F.sum("count").alias("count"),
-            F.expr("bit_xor(key_xor)").alias("key_xor"),
-            F.expr("bit_xor(check_xor)").alias("check_xor"),
+            F.sum("d_count").alias("count"),
+            F.expr("bit_xor(d_key)").alias("key_xor"),
+            F.expr("bit_xor(d_check)").alias("check_xor"),
         )
     )
     state = {
@@ -277,35 +289,33 @@ def iblt_size_estimate(
     import hashlib
 
     def build(side: DataFrame, sign: int) -> DataFrame:
-        keyed = side.select(
-            F.col(key_col),
-            _stratum(F.col(key_col), strata).alias("__st"),
-        )
-        out = None
-        for i in range(K_HASHES):
-            k = F.col(key_col)
-            part = keyed.select(
-                "__st",
-                _cell(k, i, cells_per_stratum).alias("cell"),
-                F.lit(sign).cast("long").alias("d_count"),
-                k.cast("long").alias("d_key"),
-                _check(k).alias("d_check"),
-            )
-            out = part if out is None else out.unionByName(part)
-        return out.groupBy("__st", "cell").agg(
-            F.sum("d_count").alias("count"),
-            F.expr("bit_xor(d_key)").alias("key_xor"),
-            F.expr("bit_xor(d_check)").alias("check_xor"),
+        # one scan per side: stratum + check hashed once per key, the
+        # K cell indices exploded from one array (guide §1.2) — the
+        # same fused shape as :func:`_cell_rows`, plus the stratum key.
+        k = F.col(key_col)
+        return side.select(
+            F.explode(
+                F.array(
+                    *[_cell(k, i, cells_per_stratum) for i in range(K_HASHES)]
+                )
+            ).alias("cell"),
+            _stratum(k, strata).alias("__st"),
+            F.lit(sign).cast("long").alias("d_count"),
+            k.cast("long").alias("d_key"),
+            _check(k).alias("d_check"),
         )
 
+    # single aggregate over both sides' raw cell updates (sum/XOR are
+    # associative-commutative → bit-identical subtracted sketch, one
+    # exchange of strata × cells rows instead of three).
     sk = (
         build(a, 1)
         .unionByName(build(b, -1))
         .groupBy("__st", "cell")
         .agg(
-            F.sum("count").alias("count"),
-            F.expr("bit_xor(key_xor)").alias("key_xor"),
-            F.expr("bit_xor(check_xor)").alias("check_xor"),
+            F.sum("d_count").alias("count"),
+            F.expr("bit_xor(d_key)").alias("key_xor"),
+            F.expr("bit_xor(d_check)").alias("check_xor"),
         )
         .collect()
     )

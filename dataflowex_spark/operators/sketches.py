@@ -304,6 +304,47 @@ def tdigest_compress(means, weights, total: float, delta: int = 200):
     return np.asarray(out_m), np.asarray(out_w)
 
 
+def _compress_sorted_unit(v, delta: int):
+    """Unit-weight fast path of :func:`tdigest_compress` over an
+    already-sorted value array — the FIRST-level (per-partition) pass,
+    where every input weight is 1. With w_i = 1 the greedy closing
+    rule "close when k1((acc+run_w+1)/n) − k1(acc/n) > 1" depends only
+    on INDICES, never on the values, so run boundaries come from
+    bisection on the monotone k1 scale (O(centroids·log n) asin calls,
+    evaluated with the same ``_k1`` at the same arguments as the
+    reference loop → identical cuts) and run means from segmented
+    numpy sums — replacing an O(n) interpreted-Python loop with one
+    asin call per VALUE (guide §4.2). Means can differ from the
+    sequential reference in the last ulp (summation order); every
+    consumer reads quantiles whose rank-error budget is ~8·n·q(1−q)/δ,
+    so ulp-level mean shifts are immaterial by construction.
+    Returns (means, weights) numpy arrays."""
+    import numpy as np
+
+    n = len(v)
+    if n == 0:
+        return np.zeros(0), np.zeros(0)
+    total = float(n)
+    starts = []  # run start indices
+    a = 0
+    while a < n:
+        starts.append(a)
+        k_lo = _k1(a / total, delta)
+        # largest b in [a+1, n] with k1(b/total) - k_lo <= 1
+        lo, hi = a + 1, n
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if _k1(mid / total, delta) - k_lo <= 1.0:
+                lo = mid
+            else:
+                hi = mid - 1
+        a = lo
+    starts_arr = np.asarray(starts, dtype=np.int64)
+    sums = np.add.reduceat(v, starts_arr)
+    counts = np.diff(np.append(starts_arr, n)).astype(float)
+    return sums / counts, counts
+
+
 def tdigest_build(df: DataFrame, value_col: str, delta: int = 200,
                   n_parts: int = 32):
     """Distributed deterministic t-digest: values bucket by an
@@ -340,17 +381,18 @@ def tdigest_build(df: DataFrame, value_col: str, delta: int = 200,
         if not chunks:
             return
         v = np.sort(np.concatenate(chunks))
-        m, w = tdigest_compress(v, np.ones(len(v)), float(len(v)), delta)
+        m, w = _compress_sorted_unit(v, delta)
         yield pd.DataFrame({"mean": m, "weight": w})
 
     bucket = F.least(
         F.lit(n_parts - 1),
         F.floor((F.col("v") - F.lit(mn)) / F.lit(span) * n_parts),
     ).cast("int")
+    # repartition on the bucket EXPRESSION: the exchange then carries
+    # only v (8 B/row); a materialized __b column would ride along
+    # just to be dropped (guide §2.3 "project before the exchange").
     cent = (
-        src.withColumn("__b", bucket)
-        .repartition(n_parts, "__b")
-        .drop("__b")
+        src.repartition(n_parts, bucket)
         .mapInPandas(part_digest, "mean double, weight double")
         .collect()
     )

@@ -3472,6 +3472,36 @@ def test_random_walks_deterministic_and_deadend(spark):
     assert again == rows
 
 
+def test_tdigest_unit_compress_matches_reference():
+    """The vectorized unit-weight first-level compress
+    (_compress_sorted_unit, r12) must produce the SAME run boundaries
+    (weights are exact integers) as the reference sequential loop
+    (tdigest_compress with unit weights), and means equal to the
+    reference up to summation-order rounding."""
+    import numpy as np
+
+    from dataflowex_spark.operators.sketches import (
+        _compress_sorted_unit,
+        tdigest_compress,
+    )
+
+    rng = np.random.default_rng(7)
+    for n, delta in [(1, 100), (7, 100), (1000, 50), (20000, 200)]:
+        v = np.sort(rng.normal(size=n) * 100.0)
+        m_ref, w_ref = tdigest_compress(
+            v, np.ones(n), float(n), delta
+        )
+        m_fast, w_fast = _compress_sorted_unit(v, delta)
+        assert np.array_equal(w_ref, w_fast), (n, delta)  # exact cuts
+        assert np.allclose(m_ref, m_fast, rtol=1e-12, atol=1e-9), (
+            n,
+            delta,
+        )
+    # empty input
+    m0, w0 = _compress_sorted_unit(np.zeros(0), 100)
+    assert len(m0) == 0 and len(w0) == 0
+
+
 def test_tdigest_deterministic_bounded_accurate(spark):
     """t-digest: (a) two builds over the same data produce identical
     centroids (bit-determinism); (b) the k1 weight invariant holds
