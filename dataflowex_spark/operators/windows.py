@@ -33,9 +33,9 @@ def global_row_number(
     Scale shape: range-repartition on the ordering (parallel sort),
     per-partition row_number, then offset each partition by the
     cumulative size of its predecessors. The offset frame is
-    #partitions rows — broadcast; its prefix sums come from a
-    triangular self-join (pid_b < pid_a) rather than a window, so the
-    WHOLE plan carries zero unpartitioned WindowExec nodes (the same
+    #partitions rows — bounded metadata, prefix-scanned on the DRIVER
+    (guide §5) and broadcast back, so the WHOLE plan carries zero
+    unpartitioned WindowExec nodes and zero P×P join rows (the same
     shape as :func:`global_cumsum`, plan-audited). Requires a total
     ordering for a deterministic result (same contract as row_number
     itself).
@@ -56,11 +56,19 @@ def global_row_number(
         .localCheckpoint(eager=False)
     )
     counts = parted.groupBy("__pid").agg(F.max("__rn").alias("__cnt"))
-    a, b = counts.alias("__a"), counts.alias("__b")
-    offsets = (
-        a.join(b, F.col("__b.__pid") < F.col("__a.__pid"), "left")
-        .groupBy(F.col("__a.__pid").alias("__pid"))
-        .agg(F.coalesce(F.sum("__b.__cnt"), F.lit(0)).alias("__off"))
+    # offsets = exclusive prefix sums of the ≤ #partitions-row counts
+    # frame — BOUNDED DRIVER METADATA (guide §5), prefix-scanned on
+    # the driver in pid order. The former triangular self-join
+    # (pid_b < pid_a) materialized P×P BroadcastNestedLoopJoin rows —
+    # the wrong shape at 100 TB partition counts (O(P²) vs O(P)); the
+    # collect costs one tiny job over the already-checkpointed counts.
+    acc = 0
+    offs = []
+    for r in sorted(counts.collect(), key=lambda r: r["__pid"]):
+        offs.append((r["__pid"], acc))
+        acc += r["__cnt"]
+    offsets = df.sparkSession.createDataFrame(
+        offs, "__pid int, __off long"
     )
     return (
         parted.join(F.broadcast(offsets), "__pid")
@@ -86,10 +94,10 @@ def global_cumsum(
     per-partition running sum (WindowExec partitioned by the physical
     partition id), then add each partition's offset — the sum of all
     STRICTLY EARLIER partitions' totals. The offsets are derived from
-    the ≤ #partitions-row totals frame by a triangular broadcast
-    self-join (pid_b < pid_a), so unlike :func:`global_row_number`'s
-    offsets there is NO window node at all and a plan audit can
-    assert ``unpartitioned_windows == 0``.
+    the ≤ #partitions-row totals frame by a DRIVER prefix scan
+    (bounded metadata, guide §5) broadcast back, so there is NO window
+    node at all and a plan audit can assert
+    ``unpartitioned_windows == 0``.
 
     ``include_current=False`` gives the exclusive prefix (the
     ``rowsBetween(unboundedPreceding, -1)`` frame), 0 for the first
@@ -123,18 +131,46 @@ def global_cumsum(
     totals = parted.groupBy("__pid").agg(
         *[F.sum(c).alias(f"__tot_{c}") for c in cols]
     )
-    a, b = totals.alias("__a"), totals.alias("__b")
-    offsets = (
-        a.join(b, F.col("__b.__pid") < F.col("__a.__pid"), "left")
-        .groupBy(F.col("__a.__pid").alias("__pid"))
-        .agg(
-            *[
-                F.coalesce(F.sum(f"__b.__tot_{c}"), F.lit(0)).alias(
-                    f"__off_{c}"
-                )
-                for c in cols
-            ]
+    # offsets = per-column exclusive prefix sums of the ≤ #partitions-
+    # row totals frame — bounded driver metadata (guide §5), scanned
+    # in pid order (deterministic accumulation; every in-repo consumer
+    # prefix-sums integer counts, so the sums are exact). Replaces the
+    # former triangular self-join's O(P²) BroadcastNestedLoopJoin —
+    # the wrong shape at 100 TB partition counts.
+    tot_types = {
+        f.name: f.dataType.simpleString() for f in totals.schema.fields
+    }
+
+    def _typed(v, t):
+        # createDataFrame verifies types: hand double/decimal columns
+        # their own zero/accumulator representation, not a Python int
+        if t in ("double", "float"):
+            return float(v)
+        if t.startswith("decimal"):
+            from decimal import Decimal
+
+            return v if isinstance(v, Decimal) else Decimal(v)
+        return v
+
+    acc = {c: 0 for c in cols}
+    offs = []
+    for r in sorted(totals.collect(), key=lambda r: r["__pid"]):
+        offs.append(
+            tuple(
+                [r["__pid"]]
+                + [_typed(acc[c], tot_types[f"__tot_{c}"]) for c in cols]
+            )
         )
+        for c in cols:
+            t = r[f"__tot_{c}"]
+            if t is not None:  # all-NULL partition contributes 0
+                acc[c] += t
+    offsets = df.sparkSession.createDataFrame(
+        offs,
+        ", ".join(
+            ["__pid int"]
+            + [f"__off_{c} {tot_types[f'__tot_{c}']}" for c in cols]
+        ),
     )
     return local.join(F.broadcast(offsets), "__pid").select(
         *df.columns,
