@@ -148,7 +148,12 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
         bg_rgb = gct[bg_index]
     else:
         bg_rgb = np.zeros(3, dtype=np.uint8)
-    canvas = np.tile(bg_rgb, (height, width, 1)).astype(np.uint8)
+    # canvas allocation is DEFERRED to the first image descriptor:
+    # a garbage payload that happens to start with "GIF8" yields junk
+    # width/height here (e.g. ~28k x ~30k = a 2.5 GB allocation) and
+    # used to stall the quarantine path for minutes before the block
+    # parse rejected it; structural validation must come first.
+    canvas: np.ndarray | None = None
 
     frames: list[np.ndarray] = []
     transparent: int | None = None
@@ -187,6 +192,9 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
         indices = _lzw_decode(r.sub_blocks(), min_code)
         if len(indices) < fw * fh:
             raise ValueError("gif: LZW underrun")
+        if canvas is None:
+            canvas = np.empty((height, width, 3), dtype=np.uint8)
+            canvas[:] = bg_rgb
         idx = np.asarray(indices[: fw * fh], dtype=np.int32).reshape(fh, fw)
         if ipacked & 0x40:
             idx = _deinterlace(idx)

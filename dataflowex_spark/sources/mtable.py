@@ -218,6 +218,7 @@ class MTable:
         stats_cols: list[str] | None = None,
         sort_expr=None,
         bloom_cols: list[str] | None = None,
+        range_bounds: list | None = None,
     ) -> list[dict]:
         """Write ``df`` as immutable parquet files under a fresh
         job directory (final names — never moved) and return manifest
@@ -249,6 +250,7 @@ class MTable:
         collect is bounded at files × words × columns."""
         job = os.path.join(self.root, "data", f"job-{uuid.uuid4().hex}")
         scols = list(stats_cols or [])
+        bucketed = False
         if sort_expr is not None:
             keyed = df.withColumn("__zk", sort_expr)
             parts = max(1, n_files or 1)
@@ -257,9 +259,57 @@ class MTable:
                 .sortWithinPartitions("__zk")
                 .drop("__zk")
             )
+        elif range_bounds is not None:
+            # MANIFEST-KNOWN range bounds instead of sampling:
+            # repartitionByRange must SAMPLE its input, which is a
+            # full extra pass over ``df`` — and an un-materialized
+            # upstream (the whole MERGE computation) runs TWICE. The
+            # rewritten files' key ranges are already known from the
+            # manifest, so bucket rows by those sorted upper bounds
+            # (bucket = #bounds strictly below the key) and let the
+            # dynamic-partition writer emit one file per bucket:
+            # ranges stay DISJOINT by construction with ZERO sampling
+            # jobs (guide §1.2/§6). One-partition-per-bucket keeps a
+            # bucket's rows in a single task, hence a single file.
+            n_buckets = len(range_bounds) + 1
+            if range_bounds:
+                bnd = F.array(*[F.lit(b) for b in range_bounds])
+                bucket = F.size(
+                    F.filter(bnd, lambda b: F.col(key_col) > b)
+                )
+            else:
+                bucket = F.lit(0)
+            df = df.withColumn("__bucket", bucket).repartition(
+                n_buckets, "__bucket"
+            )
+            df.write.partitionBy("__bucket").parquet(job)
+            # flatten the hive dirs into the job root with the bucket
+            # id prefixed: a task writing two buckets emits the SAME
+            # basename under both dirs (same task id + job uuid), and
+            # downstream zero-copy exports map files BY BASENAME —
+            # unique flat names keep every consumer's layout
+            # assumptions intact. Rename is same-filesystem metadata.
+            for d in sorted(os.listdir(job)):
+                full = os.path.join(job, d)
+                if not (d.startswith("__bucket=") and os.path.isdir(full)):
+                    continue
+                b = d.split("=", 1)[1]
+                for fn in sorted(os.listdir(full)):
+                    if fn.endswith(".parquet"):
+                        os.rename(
+                            os.path.join(full, fn),
+                            os.path.join(job, f"b{b}-{fn}"),
+                        )
+                    else:
+                        # .crc sidecars would no longer match the
+                        # renamed data file; readers don't need them
+                        os.unlink(os.path.join(full, fn))
+                os.rmdir(full)
+            bucketed = True
         elif n_files is not None:
             df = df.repartitionByRange(max(1, n_files), key_col)
-        df.write.parquet(job)
+        if not bucketed:
+            df.write.parquet(job)
         from dataflowex_spark.sources.footer_stats import footer_file_stats
 
         stat_cols = list(dict.fromkeys([key_col] + scols))
@@ -1163,13 +1213,41 @@ class MTable:
             base, changes, key_col, ts_col, op_col, tie_col, value_cols
         )
         # rewrite into ~as many files as were read: file sizes stay
-        # stable across merges and the new files keep disjoint ranges
+        # stable across merges and the new files keep disjoint ranges.
+        # The rewritten ranges are derived from the MANIFEST's own
+        # per-file max_key bounds (sorted upper bounds; insert-only
+        # keys above every range join the last bucket, below the
+        # first range the first) — no repartitionByRange sampling
+        # pass, so the merged frame is computed ONCE. Temporal /
+        # exotic key stats are stored as strings in the manifest and
+        # can't be compared against the column directly; those tables
+        # keep the sampled range write.
+        kt = {
+            f.name: f.dataType.simpleString() for f in merged.schema.fields
+        }[key_col]
+        maxes = [e["max_key"] for e in affected]
+        numeric = kt in ("bigint", "int", "smallint", "tinyint",
+                         "double", "float")
+        bounds_ok = bool(affected) and all(
+            mx is not None for mx in maxes
+        ) and (
+            (
+                numeric
+                and all(
+                    isinstance(mx, (int, float))
+                    and not isinstance(mx, bool)
+                    for mx in maxes
+                )
+            )
+            or (kt == "string" and all(isinstance(mx, str) for mx in maxes))
+        )
         new_entries = self._write_data_files(
             merged,
             key_col,
             n_files=max(1, len(affected)),
             stats_cols=m.get("stats_cols"),
             bloom_cols=m.get("bloom_cols"),
+            range_bounds=sorted(maxes)[:-1] if bounds_ok else None,
         )
         self._validate_new_files(new_entries)
         return self._commit(

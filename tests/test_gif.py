@@ -189,3 +189,21 @@ def test_gif_through_spark_decode_and_frame_sampling(spark):
     assert set(got) == {0, 2}  # frames 0 and 2 of 3
     f2 = multimodal.decode_image(got[2])
     assert np.array_equal(f2["pixels"][1, 1], pal[3])
+
+
+def test_gif_garbage_header_rejects_without_canvas_allocation():
+    """A payload that merely starts with 'GIF8' must be REJECTED by
+    structural parsing before any canvas allocation: garbage header
+    bytes decode to huge logical-screen dims (here ~28k x ~30k — a
+    2.5 GB canvas) and the quarantine path used to stall minutes per
+    junk payload allocating it (r12). Must raise promptly instead."""
+    import time
+
+    import pytest as _pytest
+
+    from dataflowex_spark.operators.gif import decode_gif
+
+    t0 = time.time()
+    with _pytest.raises(ValueError):
+        decode_gif(b"GIF89a not decodable")
+    assert time.time() - t0 < 10.0
