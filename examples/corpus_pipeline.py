@@ -56,13 +56,31 @@ def curate_corpus(
 ) -> dict[str, int]:
     """Run the curation pipeline over the documents table; returns
     per-stage row counts (the run report)."""
+    from pyspark import StorageLevel
+
+    # The run report COUNTS after every stage while the next stage
+    # consumes the same frame: left lazy, each count re-executes the
+    # whole upstream chain again (quadratic full passes by the last
+    # stage). Persist each multi-consumer stage output
+    # (MEMORY_AND_DISK — recomputable, spills, fault-tolerant: the
+    # tf_idf discipline) and release everything at the end; every
+    # stage then runs ONCE (guide §5 "caching is worth it when a
+    # DataFrame is reused and recomputing is more expensive").
+    persisted: list[DataFrame] = []
+
+    def mat(df: DataFrame) -> DataFrame:
+        persisted.append(df.persist(StorageLevel.MEMORY_AND_DISK))
+        return df
+
     docs = Catalog(spark, sf_dir)["documents"]
     report: dict[str, int] = {"ingested": docs.count()}
 
     # 0. PII scrub — replace emails/phones BEFORE anything hashes or
     # splits text, so no raw identifier survives into any artifact
-    # (same scan stage as the quality pass; no extra job)
-    docs = (
+    # (same scan stage as the quality pass; no extra job).
+    # Persisted: consumed by the quality filter, the repetition gate,
+    # and the decontamination benchmark side.
+    docs = mat(
         scrub_pii(docs)
         .drop("text", "n_emails", "n_phones")
         .withColumnRenamed("scrubbed", "text")
@@ -81,7 +99,7 @@ def curate_corpus(
     from dataflowex_spark.operators.text import repetition_stats
 
     rep_ok = repetition_stats(docs).filter(~F.col("flagged")).select("doc_id")
-    filtered = filtered.join(rep_ok, "doc_id", "left_semi")
+    filtered = mat(filtered.join(rep_ok, "doc_id", "left_semi"))
     report["after_repetition_gate"] = filtered.count()
 
     # 2. exact dedup (content hash, min-id winner)
@@ -94,7 +112,7 @@ def curate_corpus(
     from dataflowex_spark.operators.dedup import dedup_segments
 
     segs = dedup_segments(exact, seg_tokens=10)
-    exact = (
+    exact = mat(
         exact.drop("text")
         .join(segs.select("doc_id", "kept_text"), "doc_id")
         .withColumnRenamed("kept_text", "text")
@@ -110,16 +128,16 @@ def curate_corpus(
     losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
     )
-    canonical = exact.join(losers, on="doc_id", how="left_anti")
+    canonical = mat(exact.join(losers, on="doc_id", how="left_anti"))
     report["after_near_dedup"] = canonical.count()
 
     # 4. benchmark decontamination: drop training docs overlapping the
     # held-out eval set on any 13-gram (src0 stands in for the
     # benchmark; both join sides broadcast — corpus never shuffles)
     bench = docs.filter(F.col("source") == "src0")
-    clean = decontaminate(
+    clean = mat(decontaminate(
         canonical.filter(F.col("source") != "src0"), bench, n=13
-    )
+    ))
     report["after_decontamination"] = clean.count()
 
     # 5. source-mixture rebalance: even out surviving sources (uniform
@@ -128,7 +146,7 @@ def curate_corpus(
     sources = [r["source"] for r in clean.select("source").distinct().collect()]
     if mixture_targets is None:
         mixture_targets = {s: 1.0 / len(sources) for s in sources}
-    mixed = rebalance_mixture(clean, "source", "doc_id", mixture_targets)
+    mixed = mat(rebalance_mixture(clean, "source", "doc_id", mixture_targets))
     report["after_mixture"] = mixed.count()
 
     # 5b. per-source token-budget trim: cap each source's token
@@ -143,6 +161,7 @@ def curate_corpus(
         "__n_tok",
         budget=token_budget,
     ).drop("__n_tok", "cum_tokens")
+    budgeted = mat(budgeted)
     report["after_token_budget"] = budgeted.count()
     mixed = budgeted
 
@@ -179,6 +198,8 @@ def curate_corpus(
     report["train_chunks"] = chunk_tokens(
         train, chunk=128, overlap=16
     ).count()
+    for df in persisted:
+        df.unpersist()
     return report
 
 

@@ -1,6 +1,8 @@
 """The reference README examples must actually run and give the
 documented results."""
 
+import pytest
+
 from examples.reference_parity import (
     aggregator_flow,
     broadcaster,
@@ -36,6 +38,7 @@ def test_crawler_ring_terminates_on_cycle(spark):
     assert urls == ["about", "blog", "home", "post1", "post2"]
 
 
+@pytest.mark.slow
 def test_embedding_pipeline_end_to_end(spark, sf_dir, tmp_path):
     """The vector-side pipeline: dedup shrinks the corpus, the IVF
     index answers probes, and recall@10 against exact is high at 4/16
@@ -50,6 +53,7 @@ def test_embedding_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert report["recall_at_k"] >= 0.5
 
 
+@pytest.mark.slow
 def test_eval_pipeline_end_to_end(spark, sf_dir):
     """The eval example runs and its report is internally coherent:
     AUC in [0,1], folds partition all events, drift stats finite."""
@@ -66,6 +70,7 @@ def test_eval_pipeline_end_to_end(spark, sf_dir):
     assert set(report["fold_counts"]) <= set(range(5))
 
 
+@pytest.mark.slow
 def test_warehouse_cdc_pipeline_end_to_end(spark, sf_dir, tmp_path):
     from examples.warehouse_cdc_pipeline import run_warehouse_cdc
 
@@ -80,6 +85,7 @@ def test_warehouse_cdc_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert s.get("unchanged", 0) > 0
 
 
+@pytest.mark.slow
 def test_incremental_curation_capstone(spark, tmp_path):
     """The r6 capstone composes MTable CDC + manifest-diff changefeed
     + persisted-LSH gating + mixture/packing into one incremental
@@ -132,6 +138,7 @@ def test_corpus_health_report(spark):
     assert r["source_selfjoin_f2"] > 0
 
 
+@pytest.mark.slow
 def test_replica_repair_runbook(spark):
     """Anti-entropy composition: Merkle localization + range-scoped
     IBLT decode + MTable MERGE/delete repair converges — after the
@@ -147,6 +154,7 @@ def test_replica_repair_runbook(spark):
     assert r["items_decoded"] >= r["rows_pushed"] + r["phantoms_deleted"]
 
 
+@pytest.mark.slow
 def test_mv_serving_layer_example(spark):
     from examples.mv_serving_layer import run
 
@@ -159,6 +167,7 @@ def test_mv_serving_layer_example(spark):
     assert len(out["lattice_sizes"]) == 8
 
 
+@pytest.mark.slow
 def test_lakehouse_lifecycle_end_to_end(spark, sf_dir):
     """The full open-format lifecycle (publish → mutate →
     incremental publish with CDC → consume → prune → compact/expire/
@@ -179,6 +188,7 @@ def test_lakehouse_lifecycle_end_to_end(spark, sf_dir):
     assert rc["delta_exact_after"] and rc["iceberg_exact_after"]
 
 
+@pytest.mark.slow
 def test_dml_ops_runbook_end_to_end(spark, sf_dir):
     """The r8 day-2 ops story: DML trio → tail → maintain →
     incident → restore → vacuum, every stage's evidence asserted."""
@@ -200,6 +210,7 @@ def test_dml_ops_runbook_end_to_end(spark, sf_dir):
     assert ev["n_final"] == ev["n_after_dml"]
 
 
+@pytest.mark.slow
 def test_iceberg_maintenance_runbook_end_to_end(spark, sf_dir):
     """The r9 Iceberg day-2 story: tag → DML wave (4 verbs) → debt
     fold (read-identical, zero delete manifests) → spec evolution →
