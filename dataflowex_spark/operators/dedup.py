@@ -403,6 +403,16 @@ def ngram_jaccard_pairs(
     # come from the checkpointed stream (grams are distinct per doc,
     # so rows per id IS |A|); zero-gram docs can't appear in `inter`,
     # so the inner size joins are unaffected by their absence.
+    # (r12, ADVICE) localCheckpoint here is a DELIBERATE trade: its
+    # blocks are executor-local and non-replicated with truncated
+    # lineage, so on a cluster an executor loss fails the job instead
+    # of recomputing — acceptable because the operator is idempotent
+    # and restartable. persist(MEMORY_AND_DISK) would be fault-
+    # tolerant but registers a CacheManager entry that outlives the
+    # operator (every subsequent query's planning is compared against
+    # every live cache entry), which a many-operator session (450-
+    # query sweeps) cannot afford; checkpoint blocks are reclaimed by
+    # the session's periodic GC instead.
     ex = g.select(id_col, F.explode("grams").alias("gram")).localCheckpoint(
         eager=True
     )
@@ -471,6 +481,16 @@ def ngram_containment_pairs(
     # checkpointed stream (grams are distinct per doc, so rows per
     # id IS |A|); zero-gram docs can't appear in `inter`, so the
     # inner size join is unaffected by their absence here.
+    # (r12, ADVICE) localCheckpoint here is a DELIBERATE trade: its
+    # blocks are executor-local and non-replicated with truncated
+    # lineage, so on a cluster an executor loss fails the job instead
+    # of recomputing — acceptable because the operator is idempotent
+    # and restartable. persist(MEMORY_AND_DISK) would be fault-
+    # tolerant but registers a CacheManager entry that outlives the
+    # operator (every subsequent query's planning is compared against
+    # every live cache entry), which a many-operator session (450-
+    # query sweeps) cannot afford; checkpoint blocks are reclaimed by
+    # the session's periodic GC instead.
     ex = g.select(id_col, F.explode("grams").alias("gram")).localCheckpoint(
         eager=True
     )

@@ -166,6 +166,13 @@ def tf_idf(
         .select(
             F.col(id_col),
             "term",
+            # INVARIANT (load-bearing downstream): tfidf >= 1 always —
+            # tf >= 1 by construction and idf = ln((N+1)/(df+1)) + 1
+            # >= 1 because df <= N. q89's min_by top-term relies on it
+            # (IEEE negation of a value >= 1 is an exact order flip
+            # with no -0.0/NaN/NULL cases). Changing this smoothing
+            # (allowing idf 0, sublinear tf) re-exposes those edge
+            # cases there — update q89's ordering in the same change.
             (
                 F.col("tf")
                 * (
@@ -668,6 +675,16 @@ def naive_bayes_label(
     # per-(class, term) training counts — materialize it once (the
     # q235/q117 inverted-index lesson: each reference otherwise
     # re-tokenizes and re-explodes the corpus from the scan)
+    # (r12, ADVICE) localCheckpoint here is a DELIBERATE trade: its
+    # blocks are executor-local and non-replicated with truncated
+    # lineage, so on a cluster an executor loss fails the job instead
+    # of recomputing — acceptable because the operator is idempotent
+    # and restartable. persist(MEMORY_AND_DISK) would be fault-
+    # tolerant but registers a CacheManager entry that outlives the
+    # operator (every subsequent query's planning is compared against
+    # every live cache entry), which a many-operator session (450-
+    # query sweeps) cannot afford; checkpoint blocks are reclaimed by
+    # the session's periodic GC instead.
     stream = base.select(
         id_col, label_col, F.explode("__ts").alias("term")
     ).localCheckpoint(eager=True)
@@ -780,6 +797,16 @@ def dsir_log_weights(
     # totals come from the bounded histograms (Σ counts == stream
     # count), not from extra corpus passes — 5 tokenize passes → 2
     # (one per corpus), the rest aggregate ≤ n_buckets rows.
+    # (r12, ADVICE) localCheckpoint here is a DELIBERATE trade: its
+    # blocks are executor-local and non-replicated with truncated
+    # lineage, so on a cluster an executor loss fails the job instead
+    # of recomputing — acceptable because the operator is idempotent
+    # and restartable. persist(MEMORY_AND_DISK) would be fault-
+    # tolerant but registers a CacheManager entry that outlives the
+    # operator (every subsequent query's planning is compared against
+    # every live cache entry), which a many-operator session (450-
+    # query sweeps) cannot afford; checkpoint blocks are reclaimed by
+    # the session's periodic GC instead.
     raw_b = buckets(raw).localCheckpoint(eager=True)
     raw_hist = raw_b.groupBy("__b").agg(
         F.count(F.lit(1)).cast("long").alias("c_raw")

@@ -865,3 +865,41 @@ def with_hilbert_key(
         )
         s >>= 1
     return out.drop("__hx", "__hy")
+
+
+def hilbert_key_np(hx0, hy0, bits: int = 8):
+    """Vectorized numpy twin of :func:`with_hilbert_key` — the SAME
+    xy2d state machine over int64 arrays, for bounded driver-side
+    replays (q379's cell-space audit). Kept HERE next to the Spark
+    unrolling so the two implementations cannot drift independently;
+    pytest pins both against one independent reference grid."""
+    import numpy as np
+
+    n = 1 << bits
+    hx, hy = hx0.copy(), hy0.copy()
+    hd = np.zeros_like(hx)
+    s = n >> 1
+    while s > 0:
+        rx = ((hx & s) > 0).astype(np.int64)
+        ry = ((hy & s) > 0).astype(np.int64)
+        hd += s * s * ((3 * rx) ^ ry)
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        nx = np.where(swap, np.where(flip, n - 1 - hy, hy), hx)
+        ny = np.where(swap, np.where(flip, n - 1 - hx, hx), hy)
+        hx, hy = nx, ny
+        s >>= 1
+    return hd
+
+
+def morton_key_np(mx, my, bits: int = 8):
+    """Vectorized numpy twin of :func:`zorder_key`'s 2-D bit
+    interleave (x → odd bits, y → even), for bounded driver-side
+    replays — same placement as the q379 oracle's ``_morton_sql``."""
+    import numpy as np
+
+    mk = np.zeros_like(mx)
+    for i in range(bits):
+        mk |= ((mx >> i) & 1) << (2 * i + 1)
+        mk |= ((my >> i) & 1) << (2 * i)
+    return mk

@@ -371,6 +371,9 @@ def test_tf_idf_values(spark):
     assert got[(1, "a")] == pytest.approx(1.0)
     # 'b' in one doc: idf = ln(3/2)+1
     assert got[(0, "b")] == pytest.approx(math.log(3 / 2) + 1)
+    # INVARIANT pinned (q89's min_by negation ordering depends on it):
+    # tf >= 1 and idf = ln((N+1)/(df+1)) + 1 >= 1 → tfidf >= 1 always
+    assert all(v >= 1.0 for v in got.values())
 
 
 def test_binary_file_source(spark, tmp_path):
@@ -4055,6 +4058,33 @@ def test_hilbert_key_matches_reference_and_locality(spark):
     for d in range(n * n - 1):
         (x1, y1), (x2, y2) = pos[d], pos[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, pos[d], pos[d + 1])
+
+    # the numpy driver-side twins (q379's bounded cell replay) are
+    # pinned against the SAME reference grid, so the Spark unrolling
+    # and the vectorized copy cannot drift independently (r12 ADVICE)
+    import numpy as np
+
+    from dataflowex_spark.sources import hilbert_key_np, morton_key_np
+
+    gx = np.array([x for x in range(n) for _ in range(n)], dtype=np.int64)
+    gy = np.array([y for _ in range(n) for y in range(n)], dtype=np.int64)
+    hk = hilbert_key_np(gx, gy, bits=bits)
+    assert {(int(a), int(b)): int(d) for a, b, d in zip(gx, gy, hk)} == {
+        (x, y): xy2d(x, y) for x in range(n) for y in range(n)
+    }
+
+    def interleave(x, y):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i + 1)
+            out |= ((y >> i) & 1) << (2 * i)
+        return out
+
+    mk = morton_key_np(gx, gy, bits=bits)
+    assert all(
+        int(d) == interleave(int(a), int(b))
+        for a, b, d in zip(gx, gy, mk)
+    )
 
 
 def test_iblt_size_estimate(spark):
