@@ -13,6 +13,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+DRIVER_EDGE_BOUND = 2_000_000
+"""Aggregated-edge-count gate for the driver pagerank replay — a
+property of the DATA (measured edge count), never of core count;
+tests lower it to force the distributed branch (branch parity)."""
+
 
 def pagerank(
     edges: DataFrame,
@@ -59,7 +64,7 @@ def pagerank(
     # loops, d×d Gram solves). Large graphs take the distributed
     # branch below unchanged.
     n_edges = edges.count()
-    if n_edges <= 2_000_000:
+    if n_edges <= DRIVER_EDGE_BOUND:
         import numpy as np
 
         rows = edges.select(

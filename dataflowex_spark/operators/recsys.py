@@ -29,6 +29,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+DRIVER_RATINGS_BOUND = 500_000
+"""Ratings-count gate for the driver ALS sweeps — a property of
+the DATA (measured row count), never of core count; tests lower
+it to force the distributed branch (branch parity)."""
+
 
 def _init_factors(ids: DataFrame, id_col: str, rank: int) -> DataFrame:
     """Deterministic factor init: component k of entity e is the
@@ -147,7 +152,7 @@ def als(
     ratings = ratings.select(user_col, item_col, rating_col).localCheckpoint(
         eager=True
     )
-    if ratings.count() <= 500_000:
+    if ratings.count() <= DRIVER_RATINGS_BOUND:
         return _als_driver(
             ratings, user_col, item_col, rating_col, rank, iters, reg
         )

@@ -17,6 +17,11 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from dataflowex_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
+DRIVER_ROWS_BOUND = 200_000
+"""Corpus-row gate for the driver k-center / PQ-audit replays —
+a property of the DATA (measured row count), never of core count;
+tests lower it to force the distributed branch (branch parity)."""
+
 
 def knn_cosine_exact(
     corpus: DataFrame,
@@ -1070,7 +1075,7 @@ def pq_recall_audit(
     tests/test_dedup_similarity.py::test_pq_audit_driver_matches_distributed.
     Above the bound the distributed path runs unchanged (corpus never
     collects; training samples at 100 TB)."""
-    if corpus.count() <= 200_000:
+    if corpus.count() <= DRIVER_ROWS_BOUND:
         return _pq_recall_audit_driver(
             corpus, probes, k, m_sub, n_codes, iters, vec_col, id_col,
             dim,
@@ -1292,7 +1297,7 @@ def kcenter_select(
 
     pts = df.select(id_col, vec_col)
     n = pts.count()
-    if n <= 200_000:
+    if n <= DRIVER_ROWS_BOUND:
         # Bounded corpus: run the greedy loop on the driver over the
         # collected (id, vector) rows — the k−1 scan+argmax Spark
         # rounds (interpreted HOF distance lambdas, one job each)

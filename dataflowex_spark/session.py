@@ -101,4 +101,22 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
-    return configure(spark)
+    configure(spark)
+    if os.environ.get("SPARK_GRAFT_PREWARM", "") == "1":
+        # pay the one-per-core Python worker spawn (~5-10 s/session)
+        # up front so the FIRST pandas-UDF query in a sweep/selfcheck
+        # session measures its computation, not process forking (the
+        # same warmup bench.py does; spark.python.worker.reuse is on
+        # by default, so the daemon pool persists for the session).
+        # Opt-in: a session that never runs a Python-eval path should
+        # not pay it.
+        n = spark.sparkContext.defaultParallelism
+
+        def _touch(it):
+            for pdf in it:
+                yield pdf
+
+        spark.range(n * 4, numPartitions=n).mapInPandas(
+            _touch, "id long"
+        ).count()
+    return spark

@@ -889,6 +889,47 @@ def test_pagerank_ring_and_sink(spark):
     assert abs(sum(r2.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_driver_branch_matches_distributed(spark, monkeypatch):
+    """BRANCH PARITY for the bounded driver pagerank (r11 verdict item
+    10): the same graph run through the driver numpy replay (normal
+    gate) and the distributed loop (gate forced to -1) must agree to
+    float rounding — proving the data-size gate can flip at scale
+    without changing results."""
+    from dataflowex_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 0.5), ("a", "c", 0.5), ("b", "c", 1.0),
+            ("c", "a", 0.25), ("c", "d", 0.75), ("d", "a", 1.0),
+        ],
+        "src string, dst string, p double",
+    )
+    drv = {x["node"]: x["r"] for x in graph.pagerank(edges).collect()}
+    monkeypatch.setattr(graph, "DRIVER_EDGE_BOUND", -1)
+    dist = {x["node"]: x["r"] for x in graph.pagerank(edges).collect()}
+    assert set(drv) == set(dist)
+    for n in drv:
+        assert drv[n] == pytest.approx(dist[n], rel=1e-12), n
+
+
+def test_kcenter_driver_branch_matches_distributed(spark, monkeypatch):
+    """BRANCH PARITY for the bounded driver k-center replay: same
+    anchors, same order, from both branches."""
+    from dataflowex_spark.operators import similarity
+
+    rng = __import__("numpy").random.default_rng(11)
+    rows = [
+        (i, [float(v) for v in rng.normal(size=4)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    drv = similarity.kcenter_select(df, k=5)
+    monkeypatch.setattr(similarity, "DRIVER_ROWS_BOUND", -1)
+    dist = similarity.kcenter_select(df, k=5)
+    assert [i for i, _ in drv] == [i for i, _ in dist]
+    for (_, va), (_, vb) in zip(drv, dist):
+        assert list(va) == pytest.approx(list(vb), rel=1e-12)
+
+
 def test_asof_composite_keys(spark):
     """asof_join with a multi-column equi-key (the composite
     dimension case): matches respect BOTH keys."""
