@@ -6,6 +6,14 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+_TRIANGULAR_MAX_PARTS = 1024
+"""Partition-count bound under which the per-partition offset frame
+may use the lazy triangular self-join (≤ ~1M intermediate rows — a
+bounded constant; zero extra jobs). Above it — cluster partition
+counts — the P×P join is the wrong shape and offsets come from an
+O(P) driver prefix scan over the collected counts (guide §5 bounded
+metadata; r11 verdict item 4)."""
+
 
 def top_k_per_group(
     df: DataFrame,
@@ -33,12 +41,13 @@ def global_row_number(
     Scale shape: range-repartition on the ordering (parallel sort),
     per-partition row_number, then offset each partition by the
     cumulative size of its predecessors. The offset frame is
-    #partitions rows — bounded metadata, prefix-scanned on the DRIVER
-    (guide §5) and broadcast back, so the WHOLE plan carries zero
-    unpartitioned WindowExec nodes and zero P×P join rows (the same
-    shape as :func:`global_cumsum`, plan-audited). Requires a total
-    ordering for a deterministic result (same contract as row_number
-    itself).
+    #partitions rows — bounded metadata: a lazy triangular self-join
+    while P is small (bounded intermediate), an O(P) DRIVER prefix
+    scan broadcast back at cluster partition counts (guide §5) — so
+    the WHOLE plan carries zero unpartitioned WindowExec nodes (the
+    same shape as :func:`global_cumsum`, plan-audited). Requires a
+    total ordering for a deterministic result (same contract as
+    row_number itself).
     """
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = (
@@ -57,19 +66,31 @@ def global_row_number(
     )
     counts = parted.groupBy("__pid").agg(F.max("__rn").alias("__cnt"))
     # offsets = exclusive prefix sums of the ≤ #partitions-row counts
-    # frame — BOUNDED DRIVER METADATA (guide §5), prefix-scanned on
-    # the driver in pid order. The former triangular self-join
-    # (pid_b < pid_a) materialized P×P BroadcastNestedLoopJoin rows —
-    # the wrong shape at 100 TB partition counts (O(P²) vs O(P)); the
-    # collect costs one tiny job over the already-checkpointed counts.
-    acc = 0
-    offs = []
-    for r in sorted(counts.collect(), key=lambda r: r["__pid"]):
-        offs.append((r["__pid"], acc))
-        acc += r["__cnt"]
-    offsets = df.sparkSession.createDataFrame(
-        offs, "__pid int, __off long"
-    )
+    # frame. P is a BUILD-TIME int, so pick the shape by it:
+    # - P ≤ _TRIANGULAR_MAX_PARTS: the lazy triangular self-join
+    #   (pid_b < pid_a) — ≤ ~1M intermediate BNLJ rows, a bounded
+    #   constant, zero extra jobs, the whole operator stays lazy.
+    # - larger P (cluster parallelism): the P×P join is the wrong
+    #   shape (r11 verdict item 4) — collect the P-row counts
+    #   (bounded driver metadata, guide §5; one tiny job over the
+    #   already-checkpointed input), exclusive-prefix-scan in pid
+    #   order on the driver, broadcast the P-row offsets back: O(P).
+    if parts <= _TRIANGULAR_MAX_PARTS:
+        a, b = counts.alias("__a"), counts.alias("__b")
+        offsets = (
+            a.join(b, F.col("__b.__pid") < F.col("__a.__pid"), "left")
+            .groupBy(F.col("__a.__pid").alias("__pid"))
+            .agg(F.coalesce(F.sum("__b.__cnt"), F.lit(0)).alias("__off"))
+        )
+    else:
+        acc = 0
+        offs = []
+        for r in sorted(counts.collect(), key=lambda r: r["__pid"]):
+            offs.append((r["__pid"], acc))
+            acc += r["__cnt"]
+        offsets = df.sparkSession.createDataFrame(
+            offs, "__pid int, __off long"
+        )
     return (
         parted.join(F.broadcast(offsets), "__pid")
         .withColumn(rank_col, (F.col("__off") + F.col("__rn")).cast("int"))
@@ -93,10 +114,11 @@ def global_cumsum(
     Shape: range-repartition on the ordering (parallel sort),
     per-partition running sum (WindowExec partitioned by the physical
     partition id), then add each partition's offset — the sum of all
-    STRICTLY EARLIER partitions' totals. The offsets are derived from
-    the ≤ #partitions-row totals frame by a DRIVER prefix scan
-    (bounded metadata, guide §5) broadcast back, so there is NO window
-    node at all and a plan audit can assert
+    STRICTLY EARLIER partitions' totals. The offsets derive from the
+    ≤ #partitions-row totals frame: a lazy triangular self-join while
+    P is small, an O(P) DRIVER prefix scan (bounded metadata, guide
+    §5) broadcast back at cluster partition counts — either way NO
+    window node at all, so a plan audit can assert
     ``unpartitioned_windows == 0``.
 
     ``include_current=False`` gives the exclusive prefix (the
@@ -132,11 +154,37 @@ def global_cumsum(
         *[F.sum(c).alias(f"__tot_{c}") for c in cols]
     )
     # offsets = per-column exclusive prefix sums of the ≤ #partitions-
-    # row totals frame — bounded driver metadata (guide §5), scanned
-    # in pid order (deterministic accumulation; every in-repo consumer
-    # prefix-sums integer counts, so the sums are exact). Replaces the
-    # former triangular self-join's O(P²) BroadcastNestedLoopJoin —
-    # the wrong shape at 100 TB partition counts.
+    # row totals frame. Same shape-by-P hybrid as global_row_number:
+    # the lazy triangular self-join under _TRIANGULAR_MAX_PARTS (a
+    # bounded constant of intermediate rows, zero extra jobs), the
+    # O(P) driver prefix scan above it (guide §5 bounded metadata;
+    # r11 verdict item 4 — the P×P BNLJ is the wrong shape at 100 TB
+    # partition counts). Driver accumulation runs in pid order
+    # (deterministic; every in-repo consumer prefix-sums integer
+    # counts, so offsets are exact either way).
+    if parts <= _TRIANGULAR_MAX_PARTS:
+        a, b = totals.alias("__a"), totals.alias("__b")
+        offsets = (
+            a.join(b, F.col("__b.__pid") < F.col("__a.__pid"), "left")
+            .groupBy(F.col("__a.__pid").alias("__pid"))
+            .agg(
+                *[
+                    F.coalesce(F.sum(f"__b.__tot_{c}"), F.lit(0)).alias(
+                        f"__off_{c}"
+                    )
+                    for c in cols
+                ]
+            )
+        )
+        return local.join(F.broadcast(offsets), "__pid").select(
+            *df.columns,
+            *[
+                (F.col(f"__loc_{c}") + F.col(f"__off_{c}")).alias(
+                    f"{c}{suffix}"
+                )
+                for c in cols
+            ],
+        )
     tot_types = {
         f.name: f.dataType.simpleString() for f in totals.schema.fields
     }

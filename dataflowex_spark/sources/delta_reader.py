@@ -897,6 +897,44 @@ def stage_parquet_file(df: DataFrame, root: str, name: str) -> None:
     shutil.rmtree(job, ignore_errors=True)
 
 
+def stage_parquet_files_by(
+    df: DataFrame, root: str, part_col: str, name_fn
+) -> list[str]:
+    """Materialize ``df`` as exactly ONE parquet file per distinct
+    ``part_col`` value in a SINGLE pass (conformance-fixture helper):
+    one hash repartition on the partition column keeps each value's
+    rows in one task, the dynamic-partition writer emits one file per
+    value, and each is renamed to ``root/name_fn(value)``. Replaces a
+    per-value loop of filtered scans+writes (guide §1.2: the fixture
+    build was N+1 passes over the source — one per value plus the
+    distinct — for what one clustered write produces). The partition
+    column is dropped from file contents, exactly as the per-value
+    ``select`` of the loop form did. Returns the sorted values."""
+    import shutil
+
+    job = os.path.join(root, "_stage_by_" + part_col)
+    (
+        df.repartition(F.col(part_col))
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(job)
+    )
+    vals: list[str] = []
+    for d in sorted(os.listdir(job)):
+        full = os.path.join(job, d)
+        if not (d.startswith(part_col + "=") and os.path.isdir(full)):
+            continue
+        v = _uparse.unquote(d.split("=", 1)[1])
+        parts = [fn for fn in os.listdir(full) if fn.endswith(".parquet")]
+        assert len(parts) == 1, (d, parts)
+        os.replace(
+            os.path.join(full, parts[0]), os.path.join(root, name_fn(v))
+        )
+        vals.append(v)
+    shutil.rmtree(job, ignore_errors=True)
+    return vals
+
+
 def export_snapshot_to_delta(
     table, dest: str, version: int | None = None
 ) -> None:

@@ -889,6 +889,40 @@ def test_pagerank_ring_and_sink(spark):
     assert abs(sum(r2.values()) - 1.0) < 1e-9
 
 
+def test_global_offsets_driver_scan_matches_triangular(spark, monkeypatch):
+    """BRANCH PARITY for the per-partition offset frame: the lazy
+    triangular self-join (small P) and the O(P) driver prefix scan
+    (cluster partition counts, forced via _TRIANGULAR_MAX_PARTS -> -1)
+    must produce identical ranks and running sums."""
+    from pyspark.sql import functions as F
+
+    from dataflowex_spark.operators import windows
+
+    df = spark.range(500).select(
+        (F.col("id") * 37 % 501).alias("k"),
+        (F.col("id") % 7).alias("v"),
+    )
+    tri_rank = {
+        r["k"]: r["__rank"]
+        for r in windows.global_row_number(df, [F.col("k")]).collect()
+    }
+    tri_cum = {
+        r["k"]: r["v_cum"]
+        for r in windows.global_cumsum(df, [F.col("k")], ["v"]).collect()
+    }
+    monkeypatch.setattr(windows, "_TRIANGULAR_MAX_PARTS", -1)
+    drv_rank = {
+        r["k"]: r["__rank"]
+        for r in windows.global_row_number(df, [F.col("k")]).collect()
+    }
+    drv_cum = {
+        r["k"]: r["v_cum"]
+        for r in windows.global_cumsum(df, [F.col("k")], ["v"]).collect()
+    }
+    assert tri_rank == drv_rank
+    assert tri_cum == drv_cum
+
+
 def test_pagerank_driver_branch_matches_distributed(spark, monkeypatch):
     """BRANCH PARITY for the bounded driver pagerank (r11 verdict item
     10): the same graph run through the driver numpy replay (normal
