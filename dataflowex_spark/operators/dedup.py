@@ -79,6 +79,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_words: int = 3,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, sig: array<long>[num_hashes]) per document.
 
@@ -88,9 +89,16 @@ def minhash_signatures(
     before the k min-folds: HOF lambdas run interpreted, so letting
     Catalyst re-inline the hashing expression into each of the k
     folds multiplies the work k-fold.
+
+    ``extra_cols`` ride along as additional grouping keys (and output
+    columns): a caller signing the union of several corpora in ONE
+    pass tags each side and groups by (tag, id), which keeps rows
+    with the same id on different sides separate — per-row results
+    are exactly those of signing each side alone.
     """
     P = F.lit(_MINHASH_P)
     sh = F.array_distinct(word_shingles(F.col(text_col), shingle_words))
+    keys = [id_col, *extra_cols]
     # explode + hash-aggregate instead of per-row HOF folds: min()
     # aggregates run in whole-stage codegen with map-side partials,
     # so only (id, k longs) reaches the shuffle — both faster locally
@@ -102,23 +110,23 @@ def minhash_signatures(
     # round-robin is a cheap no-op relative to the hash work)
     n_part = df.sparkSession.sparkContext.defaultParallelism
     exploded = df.repartition(n_part).select(
-        F.col(id_col), F.explode(sh).alias("s")
+        *[F.col(k) for k in keys], F.explode(sh).alias("s")
     ).select(
-        id_col,
+        *keys,
         F.pmod(F.xxhash64("s", F.lit(1)), P).alias("h1"),
         F.pmod(F.xxhash64("s", F.lit(2)), P).alias("h2"),
     )
     # flat min-aggregates, array assembled in a separate projection:
     # wrapping the mins in F.array INSIDE agg() drops the aggregate
     # out of efficient codegen (measured 2.9 s vs 1.2 s at sf0.1)
-    mins = exploded.groupBy(id_col).agg(
+    mins = exploded.groupBy(*keys).agg(
         *[
             F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), P)).alias(f"__m{i}")
             for i in range(num_hashes)
         ]
     )
     return mins.select(
-        id_col, F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("sig")
+        *keys, F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -129,16 +137,18 @@ def _banded_signatures(
     num_hashes: int,
     bands: int,
     shingle_words: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, sig, band, band_hash) rows — one per (doc, band).
     Signatures localCheckpointed first (Catalyst would re-inline the
     whole shingle→minhash expression into every band reference)."""
     r = num_hashes // bands
     sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_words
+        df, text_col, id_col, num_hashes, shingle_words, extra_cols
     ).localCheckpoint(eager=False)
     return sigs.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.col("sig"),
         F.posexplode(
             F.array(
@@ -189,15 +199,29 @@ def minhash_lsh_cross(
     reduce to (id, signature) — document bodies never shuffle — and
     candidates materialize only inside the (band, band_hash)
     equi-join. Returns (id_a=left id, id_b=right id, est_jaccard).
+
+    Both corpora are signed in ONE union-tagged pass (guide §1.2:
+    don't run the same pipeline twice): the explode→min-aggregate
+    groups by (side, id), so per-row signatures are exactly those of
+    signing each side alone — one source scan and one aggregation
+    exchange where the two-pass form paid two of each — and the two
+    join inputs are filters over one checkpointed signature frame.
     """
-    a = _banded_signatures(
-        left, text_col, id_col, num_hashes, bands, shingle_words
-    ).select(
+    tagged = left.select(
+        F.lit(0).alias("__side"), F.col(id_col), F.col(text_col)
+    ).unionByName(
+        right.select(
+            F.lit(1).alias("__side"), F.col(id_col), F.col(text_col)
+        )
+    )
+    banded = _banded_signatures(
+        tagged, text_col, id_col, num_hashes, bands, shingle_words,
+        extra_cols=("__side",),
+    )
+    a = banded.filter(F.col("__side") == 0).select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
     )
-    b = _banded_signatures(
-        right, text_col, id_col, num_hashes, bands, shingle_words
-    ).select(
+    b = banded.filter(F.col("__side") == 1).select(
         F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
     )
     # Estimate jaccard and filter BEFORE deduplicating multi-band
