@@ -107,12 +107,23 @@ class MVCatalog:
 
         The summary is written range-partitioned on the grain keys so
         grain-key filters prune summary files too (the MV read path
-        gets the same data-skipping the base enjoys)."""
-        mv_df = (
-            with_hll_inputs(base_df, aggs)
-            .groupBy(*[F.col(k) for k in keys])
-            .agg(*_measure_exprs(aggs))
-        )
+        gets the same data-skipping the base enjoys).
+
+        Lattice rollup (Goldstein–Larson): when an already-registered
+        MV over the same base subsumes this grain and every measure
+        re-aggregates EXACTLY (count/min/max/hll always; sum only for
+        integral base columns — float sums drift with summation order
+        and decimal sums widen the result type), the summary is built
+        from that MV's stored rows instead of re-scanning the fact
+        table. Measures are matched by (fn, base-column-name) — the
+        same subsumption contract :meth:`answer` already relies on."""
+        mv_df = self._rollup_frame(base, keys, aggs, base_df)
+        if mv_df is None:
+            mv_df = (
+                with_hll_inputs(base_df, aggs)
+                .groupBy(*[F.col(k) for k in keys])
+                .agg(*_measure_exprs(aggs))
+            )
         (
             mv_df.repartitionByRange(
                 max(1, min(8, len(keys) * 4)), *[F.col(k) for k in keys]
@@ -126,6 +137,61 @@ class MVCatalog:
 
     def register(self, mv: MVDef) -> None:
         self._views[mv.name] = mv
+
+    def _rollup_frame(
+        self,
+        base: str,
+        keys: list[str],
+        aggs: dict[str, tuple[str, str | None]],
+        base_df: DataFrame,
+    ) -> DataFrame | None:
+        """The new summary re-aggregated from the coarsest registered
+        MV that subsumes it exactly, or None (build from the base).
+
+        Exactness per measure: count → SUM(cnt) (long, exact);
+        min/max → MIN/MAX (same value, same type); hll → element-wise
+        register MAX (max is associative, so merging per-fine-cell
+        registers IS the direct build); sum → SUM(sum_x) only when
+        the base column is integral — long stays long and integer
+        addition is order-free, while float re-summation drifts by
+        ulps and decimal re-summation widens the stored type."""
+        integral = {"tinyint", "smallint", "int", "bigint"}
+        dtypes = dict(base_df.dtypes)
+        matches = []
+        for mv in self._views.values():
+            if mv.base != base or not set(keys) <= set(mv.keys):
+                continue
+            by_def = {v: k for k, v in mv.aggs.items()}
+            exprs: list[Column] | None = []
+            for out, (fn, col) in aggs.items():
+                src = by_def.get((fn, col if fn != "count" else None))
+                if src is None:
+                    exprs = None
+                    break
+                if fn == "count":
+                    exprs.append(F.sum(src).cast("long").alias(out))
+                elif fn == "sum":
+                    if dtypes.get(col) not in integral:
+                        exprs = None
+                        break
+                    exprs.append(F.sum(src).alias(out))
+                elif fn in ("min", "max"):
+                    exprs.append(_REAGG[fn](F.col(src)).alias(out))
+                elif fn == "hll":
+                    exprs.append(_hll_merge_expr(src).alias(out))
+                else:
+                    exprs = None
+                    break
+            if exprs is not None:
+                matches.append((mv, exprs))
+        if not matches:
+            return None
+        mv, exprs = min(matches, key=lambda m: (len(m[0].keys), m[0].name))
+        return (
+            self.spark.read.parquet(mv.path)
+            .groupBy(*[F.col(k) for k in keys])
+            .agg(*exprs)
+        )
 
     # -- rewrite ------------------------------------------------------
 

@@ -473,3 +473,48 @@ def test_refresh_refuses_multi_column_grain(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="single-column grain"):
         refresh_insert_only(mv, feed, ["g", "h"], {"v_s": ("sum", "v")})
+
+
+def test_define_rolls_up_from_finer_mv(spark, base_df, tmp_path):
+    """define() builds a subsumable summary from the registered finer
+    MV's stored rows (lattice rollup), never re-scanning the base —
+    and the stored contents are exactly the direct build's."""
+    root = str(tmp_path)
+    mvs = MVCatalog(spark)
+    aggs = {
+        "n": ("count", None),
+        "x_s": ("sum", "x"),
+        "x_mn": ("min", "x"),
+        "x_mx": ("max", "x"),
+        "c_d": ("hll", "c"),
+    }
+    mvs.define("fine", "t", base_df, ["a", "b"], aggs, root + "/fine")
+    src = mvs._rollup_frame("t", ["a"], aggs, base_df)
+    assert src is not None
+    # the rollup reads the fine MV's files, not the base frame
+    plan = formatted_plan(src)
+    assert "/fine" in plan
+    mvs.define("coarse", "t", base_df, ["a"], aggs, root + "/coarse")
+    direct = MVCatalog(spark)
+    direct._views = {}  # empty registry -> builds from base
+    direct.define("coarse2", "t", base_df, ["a"], aggs, root + "/coarse2")
+    stored = spark.read.parquet(root + "/coarse")
+    expect = spark.read.parquet(root + "/coarse2")
+    assert stored.schema == expect.schema
+    got = sorted(map(tuple, stored.collect()))
+    want = sorted(map(tuple, expect.collect()))
+    assert got == want  # hll registers element-wise identical too
+
+
+def test_define_rollup_refuses_float_sum(spark, tmp_path):
+    """Float sums re-aggregate in a different order (ulp drift), so a
+    double measure must force the build back onto the base table."""
+    df = spark.range(0, 100).select(
+        (F.col("id") % 5).alias("a"),
+        (F.col("id") % 2).alias("b"),
+        (F.col("id") / 7.0).alias("v"),
+    )
+    aggs = {"n": ("count", None), "v_s": ("sum", "v")}
+    mvs = MVCatalog(spark)
+    mvs.define("fine", "t", df, ["a", "b"], aggs, str(tmp_path / "fine"))
+    assert mvs._rollup_frame("t", ["a"], aggs, df) is None
