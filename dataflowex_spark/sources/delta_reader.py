@@ -4374,6 +4374,56 @@ def _snapshot_schema_mapping(
     return types, list(meta.get("partitionColumns") or []), phys, mode
 
 
+def _zorder_stats_from_log(
+    chosen: dict,
+    zorder_by: list[str],
+    dtypes: dict[str, str],
+    phys_by_logical: dict[str, str],
+) -> dict | None:
+    """Global min/max for the z-order normalization, folded from the
+    chosen files' own ``add.stats`` — the log already carries exact
+    per-file min/max, so the dedicated stats scan is pure re-reading
+    (guide §1.2). Only taken when it is provably identical to the
+    scan: integer columns (JSON numbers round-trip exactly; the
+    cast-to-double of the global min equals the min of casts by
+    monotonicity) and no deletion vectors on any chosen file (DV'd
+    rows are dropped by the rewrite scan but INCLUDED in file stats,
+    which could widen the span). Anything else → None → scan."""
+    ints = {"bigint", "int", "smallint", "tinyint"}
+    if any(dtypes.get(c) not in ints for c in zorder_by):
+        return None
+    out: dict[str, float] = {}
+    phys = {c: phys_by_logical.get(c, c) for c in zorder_by}
+    for a in chosen.values():
+        if a.get("deletionVector"):
+            return None
+        raw = a.get("stats")
+        if not raw:
+            return None
+        try:
+            st = json.loads(raw) if isinstance(raw, str) else dict(raw)
+        except (TypeError, ValueError):
+            return None
+        for c in zorder_by:
+            mn = (st.get("minValues") or {}).get(phys[c])
+            mx = (st.get("maxValues") or {}).get(phys[c])
+            if (
+                not isinstance(mn, int)
+                or not isinstance(mx, int)
+                or isinstance(mn, bool)
+                or isinstance(mx, bool)
+            ):
+                return None
+            k_mn, k_mx = f"mn_{c}", f"mx_{c}"
+            if k_mn not in out or mn < out[k_mn]:
+                out[k_mn] = mn
+            if k_mx not in out or mx > out[k_mx]:
+                out[k_mx] = mx
+    if not out:
+        return None
+    return {k: float(v) for k, v in out.items()}
+
+
 def optimize_delta(
     spark: SparkSession,
     dest: str,
@@ -4515,10 +4565,28 @@ def optimize_delta(
                 return F.col(c).cast("double")
 
             bits = 12
-            stats = rows.agg(
-                *[F.min(as_num(c)).alias(f"mn_{c}") for c in zorder_by],
-                *[F.max(as_num(c)).alias(f"mx_{c}") for c in zorder_by],
-            ).first()
+            stats = _zorder_stats_from_log(
+                chosen,
+                zorder_by,
+                dtypes,
+                {
+                    f.name: (
+                        _physical_name(f) if mode == "name" else f.name
+                    )
+                    for f in schema.fields
+                },
+            )
+            if stats is None:
+                stats = rows.agg(
+                    *[
+                        F.min(as_num(c)).alias(f"mn_{c}")
+                        for c in zorder_by
+                    ],
+                    *[
+                        F.max(as_num(c)).alias(f"mx_{c}")
+                        for c in zorder_by
+                    ],
+                ).first()
             top = (1 << bits) - 1
             norm = []
             for c in zorder_by:
