@@ -1585,10 +1585,18 @@ class MTable:
                 )
             return F.col(c).cast("double")
 
-        stats = df.agg(
-            *[F.min(as_num(c)).alias(f"mn_{c}") for c in zcols],
-            *[F.max(as_num(c)).alias(f"mx_{c}") for c in zcols],
-        ).first()
+        # the manifest already carries exact per-file min/max for the
+        # key and every declared stats column — fold the global
+        # bounds on the driver instead of a dedicated full-table agg
+        # (guide §1.2; the discipline optimize_zorder_incremental
+        # already applies). Only when provably identical to the scan;
+        # otherwise fall back.
+        stats = self._zorder_stats_from_manifest(m, zcols, dtypes)
+        if stats is None:
+            stats = df.agg(
+                *[F.min(as_num(c)).alias(f"mn_{c}") for c in zcols],
+                *[F.max(as_num(c)).alias(f"mx_{c}") for c in zcols],
+            ).first()
         top = (1 << bits) - 1
         norm = []
         for c in zcols:
@@ -1617,6 +1625,76 @@ class MTable:
         return self._commit(
             entries, key_col, parent=m["version"], stats_cols=stats_cols
         )
+
+    def _zorder_stats_from_manifest(
+        self, m: dict, zcols: list[str], dtypes: dict[str, str]
+    ) -> dict | None:
+        """Global min/max for the z-order normalization folded from
+        the manifest's per-file stats, or None when the scan result
+        could differ. MTable files have no deletion side-channel
+        (every manifest row is live), so stats exactly cover the
+        data; the remaining exactness question is the numeric
+        SURROGATE: integers round-trip through the JSON manifest
+        exactly; dates reconstruct `unix_date` as exact day counts
+        from their ISO strings; timestamps reconstruct `unix_micros`
+        from their rendered string ONLY under a UTC session (the
+        string was rendered in the writing session's zone). Anything
+        else — floats (repr trips), strings, or missing per-file
+        stats — falls back to the aggregate scan."""
+        import datetime as _dt
+
+        ints = {"bigint", "int", "smallint", "tinyint"}
+        utc = (
+            self.spark.conf.get("spark.sql.session.timeZone", "") == "UTC"
+        )
+        for c in zcols:
+            t = dtypes.get(c)
+            if t in ints or t == "date" or (
+                t in ("timestamp", "timestamp_ntz") and utc
+            ):
+                continue
+            return None
+
+        def to_num(v, t):
+            if t in ints:
+                if isinstance(v, bool) or not isinstance(v, int):
+                    return None
+                return float(v)
+            if not isinstance(v, str):
+                return None
+            try:
+                if t == "date":
+                    d = _dt.date.fromisoformat(v)
+                    return float((d - _dt.date(1970, 1, 1)).days)
+                td = _dt.datetime.fromisoformat(v) - _dt.datetime(
+                    1970, 1, 1
+                )
+                return float(
+                    (td.days * 86_400 + td.seconds) * 1_000_000
+                    + td.microseconds
+                )
+            except ValueError:
+                return None
+
+        key_col = m["key_col"]
+        out: dict[str, float] = {}
+        for e in m["files"]:
+            for c in zcols:
+                if c == key_col:
+                    raw = (e.get("min_key"), e.get("max_key"))
+                else:
+                    raw = tuple(
+                        (e.get("col_stats") or {}).get(c, (None, None))
+                    )
+                mn, mx = (to_num(raw[0], dtypes[c]), to_num(raw[1], dtypes[c]))
+                if mn is None or mx is None:
+                    return None
+                k_mn, k_mx = f"mn_{c}", f"mx_{c}"
+                if k_mn not in out or mn < out[k_mn]:
+                    out[k_mn] = mn
+                if k_mx not in out or mx > out[k_mx]:
+                    out[k_mx] = mx
+        return out or None
 
     def optimize_zorder_incremental(
         self,
