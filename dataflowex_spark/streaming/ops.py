@@ -8,12 +8,54 @@ batch expression IS the oracle).
 
 from __future__ import annotations
 
+import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from dataflowex_spark.catalog import _normalize_events
+
+
+@contextmanager
+def _bounded_state_scope(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` down for a stateful
+    drain (AQE does not apply to streaming, so this conf IS the state
+    store count, locked into the checkpoint at the first batch).
+
+    A state store is a long-lived per-partition database whose count
+    should track STATE VOLUME — the same sizing rule as output files
+    (one per ~128 MB, never one per core): every store pays an open +
+    commit per micro-batch, so N stores over kilobytes of state is
+    the small-files problem in state form, multiplied by batch count.
+    Measured here: an 8-batch windowed replay at 32 stores spends
+    ~2/3 of its wall on store commits (14.7 s → 5.7 s at 8, identical
+    rows, any core count — the 8-core driver run pays the same 32).
+
+    Default ``min(8, defaultParallelism)`` covers the bounded-state
+    replay harness; a big-state production stream sets
+    ``SPARK_GRAFT_STREAM_STATE_PARTS`` (its keys dwarf any constant;
+    state-partition count is a per-deployment capacity decision
+    exactly like ``shuffle.partitions`` itself). ``-1`` opts out
+    entirely (keep the session value). Batch jobs planned inside the
+    scope (foreachBatch handlers) stay AQE-coalesced, so their
+    results are partition-count-invariant."""
+    raw = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "").strip()
+    if raw == "-1":
+        yield
+        return
+    n = (
+        max(1, int(raw))
+        if raw
+        else min(8, spark.sparkContext.defaultParallelism)
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def file_replay_stream(
@@ -376,9 +418,10 @@ def run_to_memory(
     )
     if checkpoint_dir is not None:
         w = w.option("checkpointLocation", checkpoint_dir)
-    q = w.start()
-    q.awaitTermination()
     spark = stream_df.sparkSession
+    with _bounded_state_scope(spark):
+        q = w.start()
+        q.awaitTermination()
     return spark.table(name), name
 
 

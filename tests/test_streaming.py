@@ -1752,3 +1752,22 @@ def test_delta_tail_evolution_all_primitive_types(spark, tmp_path):
             _dt.datetime(2024, 6, 1, 12, 0, 0),
         ),
     ], got
+
+
+def test_bounded_state_scope_restores_conf(spark, events_stream, monkeypatch):
+    """run_to_memory scopes the state-store partition count (the
+    stateful shuffle) to the drain and restores the session value;
+    the env override and the -1 opt-out are honored; results are
+    partition-count-invariant (the parity tests above pin content)."""
+    from dataflowex_spark.streaming.ops import run_to_memory, tumbling_counts
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    agg = tumbling_counts(events_stream, watermark=None)
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTS", "3")
+    out3, _ = run_to_memory(agg, output_mode="complete")
+    rows3 = sorted(map(tuple, out3.collect()))
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTS", "-1")
+    out_off, _ = run_to_memory(agg, output_mode="complete")
+    assert sorted(map(tuple, out_off.collect())) == rows3
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
