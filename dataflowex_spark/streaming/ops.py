@@ -964,26 +964,41 @@ def stream_hll_maintenance(
     from dataflowex_spark.operators.sketches import hll_registers
 
     state = state_dir or tempfile.mkdtemp(prefix="hll_state_")
-    state_path = state + "/registers"
+    pointer = os.path.join(state, "_LATEST")
 
     stream = file_replay_stream(spark, parquet_path, n_chunks=4)
 
+    def _latest() -> str | None:
+        try:
+            with open(pointer) as f:
+                return f.read().strip() or None
+        except OSError:
+            return None
+
+    # versioned write + atomic pointer swap (the incremental_agg_sink
+    # commit idiom in this module): ONE parquet write per batch where
+    # the old write-tmp / read-back / rewrite cycle paid two writes
+    # and an extra full-state read. The state stays readable mid-fold
+    # (readers follow the pointer), and an at-least-once replay still
+    # converges — register MAX is idempotent.
     def fold(batch_df, batch_id):
         regs = hll_registers(batch_df, [group_col], key_col)
-        import os
-
-        if os.path.isdir(state_path):
-            prev = batch_df.sparkSession.read.parquet(state_path)
+        last = _latest()
+        if last is not None:
+            prev = batch_df.sparkSession.read.parquet(
+                os.path.join(state, last)
+            )
             regs = (
                 prev.unionByName(regs)
                 .groupBy(group_col, "j")
                 .agg(F.max("m_j").cast("long").alias("m_j"))
             )
-        # write-then-swap: the state stays readable mid-fold
-        tmp = state_path + f".b{batch_id}"
-        regs.write.mode("overwrite").parquet(tmp)
-        final = batch_df.sparkSession.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(state_path)
+        vname = f"registers_v{batch_id}"
+        regs.write.mode("overwrite").parquet(os.path.join(state, vname))
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(vname)
+        os.replace(tmp, pointer)
 
     q = (
         stream.writeStream.outputMode("update")
@@ -996,7 +1011,10 @@ def stream_hll_maintenance(
         .start()
     )
     q.awaitTermination(120)
-    return spark.read.parquet(state_path)
+    final = _latest()
+    return spark.read.parquet(
+        os.path.join(state, final if final else "registers")
+    )
 
 
 def run_with_state(
