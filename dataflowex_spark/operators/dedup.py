@@ -1034,6 +1034,26 @@ def lsh_index_build(
     )
 
 
+def lsh_probe_signatures(
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Sign a probe batch ONCE for reuse across several
+    :func:`lsh_index_probe` calls (signatures depend only on the
+    batch, never on index state, so one signing legitimately serves
+    probes before/after deletes and compactions — guide §1.2: a
+    maintenance cycle that probes k times should not run the
+    shingle→minhash pipeline k times). Eagerly checkpointed: each
+    consumer reads the materialized rows."""
+    return _banded_signatures(
+        batch, text_col, id_col, num_hashes, bands, shingle_words
+    ).localCheckpoint(eager=True)
+
+
 def lsh_index_probe(
     batch: DataFrame,
     table_name: str,
@@ -1043,6 +1063,7 @@ def lsh_index_probe(
     bands: int = 8,
     shingle_words: int = 3,
     jaccard_threshold: float = 0.8,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a persisted LSH index with a new batch: returns
     (id_new, id_indexed, est_jaccard) pairs — exactly
@@ -1051,11 +1072,21 @@ def lsh_index_probe(
     is signed and shuffled; the index is read in place. Anti-join the
     batch against ``id_new`` to admit only novel documents, then
     :func:`lsh_index_append` the admitted rows. Signature parameters
-    must match the build (they key the band hashes)."""
+    must match the build (they key the band hashes).
+
+    ``signatures`` — a pre-signed frame from
+    :func:`lsh_probe_signatures` (same batch, same parameters) —
+    skips re-signing when one batch probes the index several times
+    across maintenance steps."""
     spark = batch.sparkSession
-    probe = _banded_signatures(
-        batch, text_col, id_col, num_hashes, bands, shingle_words
-    ).select(
+    banded = (
+        signatures
+        if signatures is not None
+        else _banded_signatures(
+            batch, text_col, id_col, num_hashes, bands, shingle_words
+        )
+    )
+    probe = banded.select(
         F.col(id_col).alias("id_new"),
         F.col("sig").alias("sig_a"),
         "band",
